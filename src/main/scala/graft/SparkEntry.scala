@@ -1,13 +1,563 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions
+import graft.groups.ConsumerGroups
+import graft.log.{Compaction, RecordLog, Transactions}
+import graft.operators.Operators
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB-equivalent oracle in [[SparkEntry.oracleSql]]
+ * where the operator is SQL-expressible.
+ *
+ * The `events` table plays the role of a topic's record log: key =
+ * user_id, arrival order = event_id, partition = user_id % 8 (the oracle
+ * can't run murmur2, so the parity-critical murmur2 routing is exercised
+ * separately in `op_murmur2_routing` + ScalaTest golden vectors).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with a Spark-readable timestamp column regardless of whether
+    * the parquet type is TIMESTAMP(NANOS) (read as long) or micros. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = T(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
+
+  /** The canonical record log derived from events (SURVEY §1.1):
+    * partition = user_id % 8, offsets dense per partition in event_id
+    * (arrival) order. */
+  private def eventLog(s: SparkSession, dir: String): DataFrame =
+    RecordLog.assignOffsets(events(s, dir), pmod(col("user_id"), lit(8)), col("event_id"))
+
+  private val dec = DecimalType(12, 2)
+  private def d(c: Column): Column = c.cast(dec)
+  private val one = lit(1).cast(dec)
+
+  // SQL fragment shared by log-shaped oracles.
+  private val LogCte =
+    """WITH log AS (
+      |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+      |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+      |         event_id, ts, user_id, event_type, value, props
+      |  FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------- contract
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // TPC-H-shaped analytics headliners (Spark built-ins over our data model).
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = T(s, dir, "lineitem").where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+    val ep = d(col("l_extendedprice"))
+    val disc = d(col("l_discount"))
+    val tax = d(col("l_tax"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(d(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(ep).cast("double").as("sum_base_price"),
+        sum(ep * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(ep * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (sum(d(col("l_quantity"))).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(disc).cast("double") / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-03-15").cast("timestamp")
+    val c = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = T(s, dir, "orders").where(col("o_orderdate") < cut)
+    val l = T(s, dir, "lineitem").where(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(d(col("l_extendedprice")) * (one - d(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = T(s, dir, "lineitem")
+    val su = T(s, dir, "supplier")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region").where(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(d(col("l_extendedprice")) * (one - d(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- §2.1 sources/sinks -----
+    "s1_produce" -> ((s, dir) =>
+      eventLog(s, dir)
+        .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
+        .orderBy("partition", "offset")),
+
+    "s2_fetch" -> ((s, dir) =>
+      RecordLog.fetch(eventLog(s, dir), partition = 3, fromOffset = 50, maxRows = 500)
+        .select("partition", "offset", "user_id", "event_type", "value")
+        .orderBy("offset")),
+
+    // ----- §2.3 offset/time queries -----
+    "q1_q2_list_offsets" -> ((s, dir) => {
+      val log = eventLog(s, dir)
+      RecordLog.earliestOffsets(log)
+        .join(RecordLog.latestOffsets(log), Seq("partition"))
+        .orderBy("partition")
+    }),
+
+    "q3_timequery" -> ((s, dir) =>
+      RecordLog.offsetsForTimestamp(eventLog(s, dir), col("ts"),
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .orderBy("partition")),
+
+    "q4_delete_records" -> ((s, dir) =>
+      RecordLog.deleteRecords(eventLog(s, dir), 100)
+        .groupBy("partition")
+        .agg(min("offset").as("log_start"), count(lit(1)).as("remaining"))
+        .orderBy("partition")),
+
+    // ----- §2.4 aggregations (compaction/retention/usage) -----
+    "a1_compaction" -> ((s, dir) =>
+      Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
+        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
+        .orderBy("partition", "key")),
+
+    "a2_tombstone_gc" -> ((s, dir) =>
+      Compaction.compactWithTombstones(eventLog(s, dir), Seq("partition", "user_id"),
+          isTombstone = col("event_type") === "error",
+          tsCol = col("ts"),
+          tombstoneCutoff = lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
+        .orderBy("partition", "key")),
+
+    "a4_retention" -> ((s, dir) =>
+      RecordLog.retainAfter(eventLog(s, dir), col("ts"), lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("partition")
+        .agg(min("offset").as("new_start"), count(lit(1)).as("remaining"))
+        .orderBy("partition")),
+
+    "a5_usage_windows" -> ((s, dir) =>
+      Operators.usageWindows(events(s, dir), col("ts"), col("event_type"), length(col("props")))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("grp"), col("bytes"), col("records"))
+        .orderBy("window_start", "grp")),
+
+    // ----- §2.5 groups / idempotence -----
+    "g2_group_offsets" -> ((s, dir) => {
+      val commits = events(s, dir).where(col("event_type") === "purchase")
+        .select(
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("committed_offset"),
+          col("event_id").as("commit_seq"))
+      ConsumerGroups.fetchOffsets(commits)
+        .select("group", "topic", "partition", "committed_offset")
+        .orderBy("group", "partition")
+    }),
+
+    "g5_idempotent_producer" -> ((s, dir) =>
+      ConsumerGroups.dedupProducer(
+          events(s, dir).withColumn("seq", get_json_object(col("props"), "$.k").cast("int")),
+          "user_id", "seq", "event_id")
+        .orderBy("user_id", "seq")),
+
+    // ----- §2.6 transactions / read_committed -----
+    "p4_read_committed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val log = ev.select(col("user_id").as("pid"), col("event_id").as("offset"),
+        col("event_type"), col("value"))
+      val aborted = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id").as("pid"))
+        .agg(min("event_id").as("first"), max("event_id").as("last"))
+      Transactions.filterAborted(log, aborted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d(col("value"))).cast("double").as("total"))
+        .orderBy("event_type")
+    }),
+
+    "t4_last_stable_offset" -> ((s, dir) => {
+      val log = eventLog(s, dir)
+      val openTx = Compaction.compact(log, Seq("partition", "user_id"))
+        .where(col("event_type") === "signup")
+        .select(col("partition"), col("offset").as("first_offset"))
+      Transactions.lastStableOffsets(log, openTx).orderBy("partition")
+    }),
+
+    // ----- §2.7 datalake translation / partition transforms -----
+    "d2_record_translation" -> ((s, dir) =>
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
+    "d4_partition_transforms" -> ((s, dir) =>
+      Operators.icebergTransforms(events(s, dir), col("ts"), col("user_id"), col("event_type"), 16)
+        .groupBy("t_year", "t_month", "t_day", "t_hour", "t_bucket", "t_truncate")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("t_year", "t_month", "t_day", "t_hour", "t_bucket", "t_truncate")),
+
+    // ----- §2.8 transform corpus (U1/U3) -----
+    "u1_transform_mirror" -> ((s, dir) =>
+      Operators.transformMirror(events(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")),
+
+    "u2_transform_filter" -> ((s, dir) =>
+      Operators.transformRegexFilter(events(s, dir), col("props"), "\"k\": 4[0-9]")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    "u3_transform_transcode" -> ((s, dir) =>
+      events(s, dir).where(col("event_id") < 1000)
+        .select(col("event_id"),
+          concat(lit("user="), col("user_id").cast("string"),
+            lit(";type="), col("event_type")).as("value"))
+        .orderBy("event_id")),
+
+    "u4_transform_validate" -> ((s, dir) =>
+      Operators.transformValidate(events(s, dir), col("value") <= 30.0)
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")),
+
+    // ----- §4 murmur2 partition routing (parity-critical custom expr) -----
+    "op_murmur2_routing" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      events(s, dir)
+        .select(pmod(expr("murmur2(encode(cast(user_id as string), 'UTF-8'))")
+          .bitwiseAND(lit(0x7fffffff)), lit(16)).as("route"))
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")
+    }),
+
+    // ----- analytics headliners (Spark built-ins; bench anchors) -----
+    "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
+    "q3_shipping_priority" -> ((s, dir) => q3ShippingPriority(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
+
+    // ----- training-data pipeline: dedup -----
+    "dd_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("text_hash")),
+
+    "dd_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashNearDups(T(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleN = 3, k = 16, bands = 8, threshold = 0.05)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, threshold = 0.05)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simHash(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // ----- training-data pipeline: similarity search -----
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("vec_id"), col("rank"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(emb, queries, dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "dd_embed_cosine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      Similarity.cosineNearDupsExact(emb, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    "dd_embed_cosine_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      Similarity.cosineNearDups(emb, dim = 64, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // ----- training-data pipeline: text analysis -----
+    "txt_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "txt_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(T(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "txt_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "txt_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ----- training-data pipeline: multimodal plumbing -----
+    "mm_media_meta" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), lit("image/fake").as("mime"),
+          encode(col("text"), "UTF-8").as("media"))
+        .select(col("doc_id"), col("mime"),
+          length(col("media")).as("byte_len"),
+          (lit(16) + pmod(length(col("media")), lit(64))).as("width"))
+        .orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_produce" ->
+      s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
+
+    "s2_fetch" ->
+      s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
+         | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
+
+    "q1_q2_list_offsets" ->
+      s"""$LogCte SELECT partition, min("offset") AS earliest, max("offset") + 1 AS hwm
+         | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "q3_timequery" ->
+      s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log
+         | WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "q4_delete_records" ->
+      s"""$LogCte SELECT partition, min("offset") AS log_start, count(*) AS remaining
+         | FROM log WHERE "offset" >= 100 GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "a1_compaction" ->
+      s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
+         | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
+         | ORDER BY partition, key""".stripMargin,
+
+    "a2_tombstone_gc" ->
+      s"""$LogCte, latest AS (
+         |  SELECT partition, user_id, "offset", event_type, ts FROM log
+         |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1)
+         | SELECT partition, user_id AS key, "offset", event_type FROM latest
+         | WHERE NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-25 00:00:00')
+         | ORDER BY partition, key""".stripMargin,
+
+    "a4_retention" ->
+      s"""$LogCte SELECT partition, min("offset") AS new_start, count(*) AS remaining
+         | FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "a5_usage_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g2_group_offsets" ->
+      """SELECT "group", topic, partition, committed_offset FROM (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
+        |         CAST(user_id % 8 AS INTEGER) AS partition, event_id AS committed_offset,
+        |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    "g5_idempotent_producer" ->
+      """SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS seq,
+        |       min(event_id) AS first_arrival, count(*) AS attempts
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p4_read_committed" ->
+      """WITH aborted AS (
+        |  SELECT user_id AS pid, min(event_id) AS first, max(event_id) AS last
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        | SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        | FROM events e
+        | WHERE NOT EXISTS (SELECT 1 FROM aborted a
+        |                   WHERE e.user_id = a.pid AND e.event_id BETWEEN a.first AND a.last)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t4_last_stable_offset" ->
+      s"""$LogCte, latest AS (
+         |  SELECT partition, user_id, "offset", event_type FROM log
+         |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1),
+         | open_tx AS (SELECT partition, min("offset") AS open_min FROM latest
+         |             WHERE event_type = 'signup' GROUP BY 1),
+         | hwm AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
+         | SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
+         | FROM hwm h LEFT JOIN open_tx o ON h.partition = o.partition ORDER BY 1""".stripMargin,
+
+    "d2_record_translation" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d4_partition_transforms" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS t_year, CAST(month(ts) AS INTEGER) AS t_month,
+        |       CAST(day(ts) AS INTEGER) AS t_day, CAST(hour(ts) AS INTEGER) AS t_hour,
+        |       CAST(user_id % 16 AS INTEGER) AS t_bucket, substr(event_type, 1, 3) AS t_truncate,
+        |       count(*) AS n
+        | FROM events GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "u1_transform_mirror" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+
+    "u2_transform_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        | WHERE regexp_matches(props, '"k": 4[0-9]') GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u3_transform_transcode" ->
+      """SELECT event_id, 'user=' || CAST(user_id AS VARCHAR) || ';type=' || event_type AS value
+        | FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+
+    "u4_transform_validate" ->
+      """SELECT CASE WHEN value <= 30.0 THEN 'output' ELSE 'dead_letter' END AS route, count(*) AS n
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        | FROM customer, orders, lineitem
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |   AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        | FROM customer, orders, lineitem, supplier, nation, region
+        | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |   AND r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS canonical_id, count(*) AS copies
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS mean_token_len,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS punct_count
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+        | FROM (
+        |  SELECT doc_id,
+        |   len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS en,
+        |   len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS de,
+        |   len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x))) AS fr
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents))
+        | ORDER BY doc_id""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      """SELECT query_id, vec_id, rank, cos_r FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_r
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dd_embed_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_r
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        | ORDER BY 1, 2""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT doc_a, doc_b,
+        |        round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 5) AS jaccard_r
+        | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+        | ORDER BY doc_a, doc_b""".stripMargin
+    // dd_minhash_lsh, dd_simhash, txt_fingerprint, op_murmur2_routing,
+    // ann_* and dd_embed_cosine use Spark-specific hashes / float kernels
+    // => rows-only driver check.
+  )
 }

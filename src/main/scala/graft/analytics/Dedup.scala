@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines:
+ * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+ *
+ * Scale design: every method is shuffle-bounded by the *shingle/band*
+ * key, never by all-pairs. MinHash candidate generation is a self-join
+ * on (band_id, band_hash) buckets; exact verification only touches the
+ * candidate set. Document-frequency caps bound skew from stop-shingles.
+ */
+object Dedup {
+
+  /** Word n-gram shingles (lowercased, whitespace-tokenized). Documents
+   *  shorter than `n` tokens shingle to their whole token string. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact dedup: group identical texts (by md5 of normalized text),
+   *  keep lowest id as the canonical representative. */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(lower(textCol)).as("text_hash"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("copies"))
+
+  /** (doc_id, shingle) exploded-distinct pairs. */
+  def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    df.select(idCol.as("doc_id"), explode(shingles(textCol, n)).as("shingle")).distinct()
+
+  /**
+   * MinHash signatures: k minimums of independent hash functions over the
+   * shingle set. Hash family = xxhash64 salted by function index (64-bit,
+   * deterministic). One shuffle: groupBy(doc_id) with k min-aggregates.
+   */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH banding: split the k-row signature into `bands` bands of k/bands
+   * rows; docs sharing any band hash become candidates. Probability a
+   * pair with Jaccard s becomes a candidate: 1-(1-s^r)^b.
+   */
+  def lshCandidates(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = signatures
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs, via each doc's shingle set. */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("sset"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify. */
+  def minHashNearDups(df: DataFrame, idCol: Column, textCol: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val sh = shingled(df, idCol, textCol, shingleN)
+    val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
+    verifyJaccard(cands, sh).where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Exact n-gram Jaccard all-pairs above a threshold, via inverted index:
+   * self-join on shingle -> per-pair intersection counts -> sizes.
+   * `maxDf` drops shingles present in more than that many docs (stop-
+   * shingle skew cap — at 100 TB a hot shingle would otherwise create a
+   * quadratic bucket).
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
+      .where(col("df_cnt") <= maxDf)
+    val pruned = sh.join(rare, "shingle").select("doc_id", "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pruned.alias("a")
+      .join(pruned.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash fingerprint (64-bit): weighted sign-sum of token hashes.
+   * Built as 64 conditional-sum aggregates in a single groupBy (one
+   * shuffle), then bit-packed.
+   */
+  def simHash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup candidates with Hamming distance <= maxDist, banded:
+   * split the 64-bit print into `bands` chunks; pairs within maxDist
+   * differing bits must agree on >= bands - maxDist chunks, so sharing
+   * one 16-bit chunk (bands=4, maxDist<=3) is a complete candidate
+   * filter. Exact popcount verification on candidates only.
+   */
+  def simHashNearDups(fps: DataFrame, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    val width = 64 / bands
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("chunk_id"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1).as("chunk"))
+    }
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines: tokenization, quality
+ * scoring, language ID, fingerprinting. All pure narrow transformations
+ * (no shuffle) built from codegen'd `functions._` — at 100 TB these run
+ * at scan speed inside whole-stage codegen.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (lowercased). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+  val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
+  val FrStopwords: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pas")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /**
+   * Language ID by stopword n-gram heuristic: count stopword hits per
+   * language, argmax wins, no hits => "und" (undetermined).
+   */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hitCount(t, EnStopwords)
+    val de = hitCount(t, DeStopwords)
+    val fr = hitCount(t, FrStopwords)
+    when(en >= de && en >= fr && en > 0, lit("en"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /**
+   * Quality features: char/token counts, mean token length, stopword
+   * ratio, punctuation count. Ratios are plain double divisions of
+   * exactly-computed integers (deterministic across engines).
+   */
+  def qualityFeatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val t = tokens(textCol)
+    val nTokens = size(t)
+    val nChars = length(textCol)
+    val sumTokLen = length(concat_ws("", t))
+    val stopHits = hitCount(t, EnStopwords)
+    val punct = length(regexp_replace(textCol, "[^.,;:!?]", ""))
+    df.select(
+      idCol.as("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (sumTokLen.cast("double") / nTokens.cast("double")).as("mean_token_len"),
+      (stopHits.cast("double") / nTokens.cast("double")).as("stopword_ratio"),
+      punct.as("punct_count"))
+  }
+
+  /**
+   * Document fingerprint: order-sensitive rolling hash over the token
+   * stream (chained xxhash64, ANSI-safe: no overflowing arithmetic) —
+   * reorderings of the same bag of words get different prints,
+   * whitespace/case changes do not.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
+}

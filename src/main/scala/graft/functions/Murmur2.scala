@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
+
+/**
+ * Kafka-compatible murmur2 hash of a byte array.
+ *
+ * The reference engine routes a produced record to a partition with
+ * `murmur2(key) % partition_count` (see reference
+ * `src/v/kafka/client/partitioners.cc:33-45`, hash impl
+ * `src/v/hashing/murmur.h:38`). This expression reproduces that hash so a
+ * Spark pipeline assigns byte-for-byte identical partitions for the same
+ * keys. Implemented as a native Catalyst expression with codegen so it stays
+ * inside whole-stage codegen (no UDF boundary) on the 100 TB ingest path.
+ */
+object Murmur2 {
+  final val Seed: Int = 0x9747b28c
+
+  /** Standard murmur2 (the variant Kafka uses for its default partitioner). */
+  def hash(data: Array[Byte]): Int = {
+    val length = data.length
+    val m = 0x5bd1e995
+    val r = 24
+    var h = Seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) +
+        ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) +
+        ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    // Handle the last few bytes of the input array
+    val rem = length % 4
+    if (rem >= 3) h ^= (data((length & ~3) + 2) & 0xff) << 16
+    if (rem >= 2) h ^= (data((length & ~3) + 1) & 0xff) << 8
+    if (rem >= 1) { h ^= data(length & ~3) & 0xff; h *= m }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** Kafka default partitioner: toPositive(murmur2(key)) % numPartitions. */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (hash(key) & 0x7fffffff) % numPartitions
+}
+
+/** `murmur2(bytes) -> int` Catalyst expression (registered as SQL `murmur2`). */
+case class Murmur2Hash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"murmur2 requires BINARY input, got ${child.dataType}")
+  override def prettyName: String = "murmur2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Murmur2.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Murmur2.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Murmur2Hash =
+    copy(child = newChild)
+}
+
+/** Session registration for graft SQL functions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "murmur2", (args: Seq[Expression]) => Murmur2Hash(args.head), "built-in")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The produce/fetch/offset-query surface of the engine (SURVEY §2.1, §2.3).
+ *
+ * A "topic" is a table whose rows carry `(partition, offset, ...)` with
+ * offsets dense per partition. All operations are declarative DataFrame
+ * plans so Catalyst pushes offset/timestamp predicates into the Parquet
+ * scan (the Spark analogue of the reference's per-segment offset/time
+ * indexes, `storage/segment_index.h`).
+ *
+ * Scale notes (100 TB): offset assignment is exactly one hash shuffle on the
+ * partition column followed by an in-partition sort — the same data movement
+ * the reference does when routing a batch to its partition's leader shard
+ * (`kafka/server/handlers/produce.cc:435-466`). Fetch and the offset queries
+ * are scan+prune only: no shuffle, and `min/max(offset)` aggregations are
+ * answered from Parquet row-group statistics after partition pruning.
+ */
+object RecordLog {
+
+  /**
+   * S1 Produce: stamp dense per-partition offsets onto incoming rows, in
+   * arrival order (reference: `storage/disk_log_appender.h` assigns
+   * base_offset + delta on append; `produce.cc:176` per-partition append).
+   *
+   * For a steady-state engine appending micro-batches, `base` offsets come
+   * from the topic's current high watermarks (see [[appendBatch]]); this
+   * full-recompute variant is the bootstrap/replay path.
+   */
+  def assignOffsets(df: DataFrame, partitionCol: Column, arrivalCol: Column): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(arrivalCol)
+    df.withColumn("partition", partitionCol.cast("int"))
+      .withColumn("offset", (row_number().over(w) - lit(1)).cast("long"))
+  }
+
+  /**
+   * Incremental produce: append a new micro-batch on top of existing
+   * high watermarks. `hwm` is small (one row per partition) and is
+   * broadcast; the batch itself shuffles once on `partition`.
+   */
+  def appendBatch(batch: DataFrame, hwm: DataFrame, partitionCol: Column, arrivalCol: Column): DataFrame = {
+    val w = Window.partitionBy("partition").orderBy(arrivalCol)
+    batch
+      .withColumn("partition", partitionCol.cast("int"))
+      .join(broadcast(hwm), Seq("partition"), "left")
+      .withColumn("offset",
+        (coalesce(col("hwm"), lit(0L)) + row_number().over(w) - lit(1)).cast("long"))
+      .drop("hwm")
+  }
+
+  /**
+   * S2 Fetch: scan `[fromOffset, hwm)` of one partition, bounded. Mirrors
+   * `kafka/server/handlers/fetch.cc:300` (`do_read_from_ntp`); `maxRows`
+   * plays the role of the fetch byte budget (`fetch.cc:1434-1437`).
+   * Offset + partition predicates push down to Parquet row-group stats.
+   */
+  def fetch(log: DataFrame, partition: Int, fromOffset: Long, maxRows: Int): DataFrame =
+    log.where(col("partition") === partition && col("offset") >= fromOffset)
+      .orderBy("offset")
+      .limit(maxRows)
+
+  /** Q1 list_offsets(earliest = -2): log start offset per partition
+   *  (`kafka/server/handlers/list_offsets.cc:112-126`). */
+  def earliestOffsets(log: DataFrame): DataFrame =
+    log.groupBy("partition").agg(min("offset").as("earliest"))
+
+  /** Q2 list_offsets(latest = -1): high watermark per partition
+   *  (`list_offsets.cc:127-145`). */
+  def latestOffsets(log: DataFrame): DataFrame =
+    log.groupBy("partition").agg((max("offset") + 1).as("hwm"))
+
+  /**
+   * Q3 list_offsets(timestamp) — Kafka timequery: for each partition the
+   * first offset whose timestamp >= t (`list_offsets.cc:146-159`,
+   * `storage/log_reader.h:296` batch_timequery). Partitions with no such
+   * record are absent from the result (the reference returns -1).
+   * The timestamp predicate prunes files via column min/max stats — the
+   * Spark analogue of the reference's per-segment time index.
+   */
+  def offsetsForTimestamp(log: DataFrame, tsCol: Column, t: Column): DataFrame =
+    log.where(tsCol >= t)
+      .groupBy("partition")
+      .agg(min("offset").as("offset_for_time"))
+
+  /**
+   * A4 Retention GC (time-based): drop the log prefix older than the
+   * cutoff (`storage/disk_log_impl.h:88,197`). Returns the surviving log;
+   * [[latestOffsets]]/[[earliestOffsets]] over it give the new bounds.
+   */
+  def retainAfter(log: DataFrame, tsCol: Column, cutoff: Column): DataFrame =
+    log.where(tsCol >= cutoff)
+
+  /**
+   * delete_records (prefix truncation to `truncateAt`), per
+   * `kafka/server/handlers/delete_records.cc:36-70`: new log start becomes
+   * `truncateAt`; everything below is removed.
+   */
+  def deleteRecords(log: DataFrame, truncateAt: Long): DataFrame =
+    log.where(col("offset") >= truncateAt)
+}

@@ -1,0 +1,127 @@
+package graft.log
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Operator semantics from the reference's own test scenarios:
+  * offset assignment (produce), fetch bounds, Kafka timequery edge cases
+  * (list_offsets.cc:146, log_reader.h:270-296), compaction + tombstone
+  * retention (compaction_e2e_test.cc shapes), read_committed filtering. */
+class LogEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLog() = {
+    // (partition key, arrival, key, ts, value-or-null)
+    val rows = Seq(
+      (0, 1L, "k1", "2024-01-01 00:00:00", "v1"),
+      (0, 2L, "k2", "2024-01-01 00:01:00", "v2"),
+      (0, 3L, "k1", "2024-01-01 00:02:00", "v3"),    // supersedes k1
+      (0, 4L, "k2", "2024-01-01 00:00:30", null),    // tombstone, out-of-order ts
+      (1, 5L, "k3", "2024-01-01 01:00:00", "v4"),
+      (1, 6L, "k3", "2024-01-01 00:30:00", "v5"))    // non-monotonic ts
+    val df = rows.toDF("p", "arrival", "key", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    RecordLog.assignOffsets(df, col("p"), col("arrival"))
+  }
+
+  test("produce assigns dense per-partition offsets in arrival order") {
+    val log = mkLog()
+    val p0 = log.where($"partition" === 0).orderBy("offset")
+      .select("offset", "key").as[(Long, String)].collect()
+    assert(p0.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(p0.map(_._2).toSeq === Seq("k1", "k2", "k1", "k2"))
+    val p1 = log.where($"partition" === 1).orderBy("offset")
+      .select("offset").as[Long].collect()
+    assert(p1.toSeq === Seq(0L, 1L))
+  }
+
+  test("fetch honors offset lower bound and max rows") {
+    val got = RecordLog.fetch(mkLog(), 0, 1, 2).select("offset").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("earliest/latest offsets = log start / high watermark") {
+    val log = mkLog()
+    val earliest = RecordLog.earliestOffsets(log).as[(Int, Long)].collect().toMap
+    val hwm = RecordLog.latestOffsets(log).as[(Int, Long)].collect().toMap
+    assert(earliest === Map(0 -> 0L, 1 -> 0L))
+    assert(hwm === Map(0 -> 4L, 1 -> 2L))
+  }
+
+  test("timequery returns first offset with timestamp >= t (non-monotonic ts)") {
+    val log = mkLog()
+    // partition 1 has ts 01:00 (offset 0) then 00:30 (offset 1), i.e.
+    // non-monotonic: both qualify for t=00:30, min offset = 0 (Kafka
+    // semantics: first offset whose timestamp >= t).
+    val t1 = RecordLog.offsetsForTimestamp(log, col("ts"), lit("2024-01-01 00:30:00").cast("timestamp"))
+      .as[(Int, Long)].collect().toMap
+    assert(t1(1) === 0L)
+    // partition 0's max ts is 00:02 < 00:30 => absent (reference returns -1)
+    assert(t1.get(0).isEmpty)
+  }
+
+  test("compaction keeps highest-offset record per key") {
+    val got = Compaction.compact(mkLog(), Seq("partition", "key"))
+      .select("partition", "key", "offset").as[(Int, String, Long)].collect().toSet
+    assert(got === Set((0, "k1", 2L), (0, "k2", 3L), (1, "k3", 1L)))
+  }
+
+  test("tombstone survives until delete_retention then disappears") {
+    val log = mkLog()
+    val tomb = col("value").isNull
+    // cutoff before tombstone ts => tombstone still visible
+    val early = Compaction.compactWithTombstones(log, Seq("partition", "key"),
+      tomb, col("ts"), lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(early.where($"key" === "k2").count() === 1)
+    // cutoff after tombstone ts => k2 gone, live keys unaffected
+    val late = Compaction.compactWithTombstones(log, Seq("partition", "key"),
+      tomb, col("ts"), lit("2024-06-01 00:00:00").cast("timestamp"))
+    val keys = late.select("key").as[String].collect().toSet
+    assert(keys === Set("k1", "k3"))
+  }
+
+  test("retention drops prefix older than cutoff") {
+    val kept = RecordLog.retainAfter(mkLog(), col("ts"), lit("2024-01-01 00:01:00").cast("timestamp"))
+    assert(kept.count() === 4)
+  }
+
+  test("delete_records truncates prefix") {
+    assert(RecordLog.deleteRecords(mkLog(), 2).where($"partition" === 0).count() === 2)
+  }
+
+  test("read_committed drops aborted ranges; LSO caps at open tx") {
+    val log = Seq(
+      (0, 0L, 100L, "a"), (0, 1L, 100L, "b"), (0, 2L, 200L, "c"),
+      (0, 3L, 100L, "d"), (0, 4L, 300L, "e"))
+      .toDF("partition", "offset", "pid", "v")
+    val aborted = Seq((100L, 0L, 1L)).toDF("pid", "first", "last")
+    val filtered = Transactions.filterAborted(log, aborted)
+    assert(filtered.select("v").as[String].collect().toSet === Set("c", "d", "e"))
+
+    val openTx = Seq((0, 4L)).toDF("partition", "first_offset")
+    val lso = Transactions.lastStableOffsets(log, openTx).as[(Int, Long)].collect().toMap
+    assert(lso(0) === 4L)
+    val rc = Transactions.readCommitted(log, aborted,
+      Transactions.lastStableOffsets(log, openTx), isControl = lit(false))
+    assert(rc.select("v").as[String].collect().toSet === Set("c", "d"))
+  }
+
+  test("group offset store returns latest commit per key") {
+    val commits = Seq(
+      ("g1", "t", 0, 10L, 1L), ("g1", "t", 0, 20L, 2L), ("g1", "t", 1, 5L, 3L),
+      ("g2", "t", 0, 7L, 4L))
+      .toDF("group", "topic", "partition", "committed_offset", "commit_seq")
+    val got = graft.groups.ConsumerGroups.fetchOffsets(commits)
+      .select("group", "partition", "committed_offset")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(("g1", 0, 20L), ("g1", 1, 5L), ("g2", 0, 7L)))
+  }
+
+  test("idempotent producer dedup keeps first write per (pid, seq)") {
+    val log = Seq((1L, 0, 100L), (1L, 0, 101L), (1L, 1, 102L), (2L, 0, 103L))
+      .toDF("pid", "seq", "arrival")
+    val got = graft.groups.ConsumerGroups.dedupProducer(log, "pid", "seq", "arrival")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0, 100L, 2L), (1L, 1, 102L, 1L), (2L, 0, 103L, 1L)))
+  }
+}
