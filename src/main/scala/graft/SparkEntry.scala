@@ -544,9 +544,12 @@ object SparkEntry {
     "dd_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | sh AS (
+        | sh_all AS (
         |  SELECT DISTINCT doc_id, s FROM toks,
         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 1000)),
         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         | inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -99,8 +99,10 @@ object Dedup {
     val sh = shingled(df, idCol, textCol, n)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
       .where(col("df_cnt") <= maxDf)
+    // Jaccard is computed over the capped shingle space (sizes AND
+    // intersections) so the semantics are self-consistent at any scale.
     val pruned = sh.join(rare, "shingle").select("doc_id", "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pruned.alias("a")
       .join(pruned.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -4,22 +4,37 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
- * Similarity search over an embedding column (`Array[Float]`).
+ * Similarity search over an embedding column (`Array[Double]`).
  *
  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
  * score every corpus vector in one narrow pass, per-query top-k via
  * window. Scale path: sign-random-projection LSH buckets
  * (deterministic hyperplanes) so candidate generation is a bucket join
  * instead of a cross product.
+ *
+ * All vector math runs through the codegen'd [[graft.functions.VecDot]] /
+ * [[graft.functions.VecNorm]] kernels (a fused primitive loop inside
+ * whole-stage codegen); norms are computed once per row *before* any
+ * pair join so a pair costs exactly one dot product.
  */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate (codegen'd, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  private def kernels(df: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df
+  }
 
-  def norm(v: Column): Column = sqrt(dot(v, v))
+  /** dot(a, b) via the native codegen kernel. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def norm(v: Column): Column = call_function("vec_norm", v)
+
+  /** cosine from a precomputed-norm pair: dot / (na * nb). */
+  private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -29,10 +44,12 @@ object Similarity {
    * once; per-query top-k is a partial top-k under AQE.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
+    val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
+    val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("query_vec"), col("embedding")).as("cos"))
+        cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -47,7 +64,7 @@ object Similarity {
   private def planeLit(i: Int, dim: Int): Column = {
     val comps = (0 until dim).map { j =>
       val h = scala.util.hashing.MurmurHash3.productHash((i, j))
-      if ((h & 1) == 0) 1.0f else -1.0f
+      if ((h & 1) == 0) 1.0d else -1.0d
     }
     array(comps.map(lit): _*)
   }
@@ -58,31 +75,36 @@ object Similarity {
       when(dot(emb, planeLit(i, dim)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  private def withBands(df: DataFrame, vecCol: String, dim: Int, nBits: Int, bands: Int): DataFrame = {
+    val width = nBits / bands
+    val sk = signSketch(col(vecCol), dim, nBits)
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(sk, b * width).bitwiseAND((1L << width) - 1).as("band"))
+    }
+    df.withColumn("c", explode(array(chunks: _*)))
+      .withColumn("band_id", col("c.band_id"))
+      .withColumn("band", col("c.band")).drop("c")
+  }
+
   /**
    * LSH-bucketed ANN: bucket by sketch band, score only within-bucket
-   * candidates. Trades recall for a bucket join that scales linearly.
+   * candidates. Trades recall for a bucket join that scales linearly
+   * with corpus size (vs the cross product of [[bruteForceTopK]]).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
       nBits: Int = 16, bands: Int = 4): DataFrame = {
-    val width = nBits / bands
-    def withBands(df: DataFrame, vecCol: String): DataFrame = {
-      val sk = signSketch(col(vecCol), dim, nBits)
-      val chunks = (0 until bands).map { b =>
-        struct(lit(b).as("band_id"),
-          shiftright(sk, b * width).bitwiseAND((1L << width) - 1).as("band"))
-      }
-      df.withColumn("c", explode(array(chunks: _*)))
-        .withColumn("band_id", col("c.band_id"))
-        .withColumn("band", col("c.band")).drop("c")
-    }
-    val cb = withBands(corpus, "embedding")
-    val qb = withBands(queries, "query_vec")
+    val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
+    val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
+    val cb = withBands(c, "embedding", dim, nBits, bands)
+    val qb = withBands(q, "query_vec", dim, nBits, bands)
     val cand = cb.join(broadcast(qb), Seq("band_id", "band"))
       .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("query_vec"), col("embedding"))
-      .distinct()
+      .select(col("query_id"), col("vec_id"), col("query_vec"), col("embedding"),
+        col("_qn"), col("_cn"))
+      .dropDuplicates("query_id", "vec_id")
     val scored = cand.select(col("query_id"), col("vec_id"),
-      cosine(col("query_vec"), col("embedding")).as("cos"))
+      cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -90,38 +112,42 @@ object Similarity {
   }
 
   /** Exact embedding-cosine near-duplicate pairs (all pairs >= threshold)
-   *  via self-join — quadratic; the baseline the LSH variant is judged
+   *  via self-join — quadratic in corpus size but each pair costs a
+   *  single fused dot product; the baseline the LSH variant is judged
    *  against. */
   def cosineNearDupsExact(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val withNorm = kernels(corpus).withColumn("_n", norm(col("embedding")))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("_n").as("n_a"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("_n").as("n_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs (all pairs >= threshold),
-   *  LSH-bucketed candidate generation + exact verify. Recall at
-   *  cos>=0.4 with the 24-bit/8-band default is ~0.9; more bits/bands
-   *  trade compute for recall. */
+  /**
+   * Embedding-cosine near-duplicate pairs, LSH-bucketed candidates +
+   * exact verify. Candidate volume ~ bands * n^2 / 2^width; recall per
+   * pair = 1-(1-p^width)^bands with p = 1 - acos(cos)/pi, so this prunes
+   * aggressively in the realistic near-dup regime (cos >= 0.9) and is
+   * documented as lossy for low thresholds — use
+   * [[cosineNearDupsExact]] when the threshold is far from 1.
+   */
   def cosineNearDups(corpus: DataFrame, dim: Int, threshold: Double,
-      nBits: Int = 24, bands: Int = 8): DataFrame = {
-    val width = nBits / bands
-    val sk = signSketch(col("embedding"), dim, nBits)
-    val chunks = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        shiftright(sk, b * width).bitwiseAND((1L << width) - 1).as("band"))
-    }
-    val banded = corpus.select(col("vec_id"), col("embedding"),
-      explode(array(chunks: _*)).as("c"))
-      .select(col("vec_id"), col("embedding"), col("c.band_id"), col("c.band"))
+      nBits: Int = 64, bands: Int = 8): DataFrame = {
+    val withNorm = kernels(corpus).withColumn("_n", norm(col("embedding")))
+    val banded = withBands(withNorm.select("vec_id", "embedding"), "embedding", dim, nBits, bands)
+      .select("vec_id", "band_id", "band")
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cand.select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+    val av = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("_n").as("n_a"))
+    val bv = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("_n").as("n_b"))
+    cand.join(av, "vec_a").join(bv, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

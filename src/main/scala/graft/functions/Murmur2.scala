@@ -79,7 +79,12 @@ case class Murmur2Hash(child: Expression) extends UnaryExpression {
 /** Session registration for graft SQL functions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "murmur2", (args: Seq[Expression]) => Murmur2Hash(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", (args: Seq[Expression]) => VecDot(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_norm", (args: Seq[Expression]) => VecNorm(args.head), "built-in")
   }
 }

@@ -1,0 +1,123 @@
+package graft.registry
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaCompatibility}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.log.Compaction
+
+/**
+ * Schema registry (SURVEY §1.3): subjects with version chains and a
+ * compatibility algebra.
+ *
+ * Reference: `pandaproxy/schema_registry/types.h:67` (schema_type
+ * {avro, json, protobuf}), `types.h:481-488` (compatibility_level),
+ * checking in `schema_registry/compatibility.cc` / `avro.cc`; schemas are
+ * persisted in the compacted `_schemas` topic (`schema_registry/storage.h`)
+ * — in this engine, a compacted table keyed by (subject, version) whose
+ * read path is exactly the log-compaction operator.
+ */
+object SchemaRegistry {
+
+  sealed trait SchemaType
+  case object AvroType extends SchemaType
+  case object JsonType extends SchemaType
+  case object ProtobufType extends SchemaType
+
+  /** types.h:481-488 */
+  sealed abstract class CompatibilityLevel(val transitive: Boolean, val checkBackward: Boolean, val checkForward: Boolean)
+  case object None_ extends CompatibilityLevel(false, false, false)
+  case object Backward extends CompatibilityLevel(false, true, false)
+  case object BackwardTransitive extends CompatibilityLevel(true, true, false)
+  case object Forward extends CompatibilityLevel(false, false, true)
+  case object ForwardTransitive extends CompatibilityLevel(true, false, true)
+  case object Full extends CompatibilityLevel(false, true, true)
+  case object FullTransitive extends CompatibilityLevel(true, true, true)
+
+  /** A checker decides pairwise read-compatibility: can `reader` read data
+    * written with `writer`? */
+  trait Checker[S] {
+    def canRead(reader: S, writer: S): Boolean
+  }
+
+  /** Avro compatibility via the canonical Avro resolution rules. */
+  object AvroChecker extends Checker[Schema] {
+    def canRead(reader: Schema, writer: Schema): Boolean =
+      SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+        .getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
+  }
+
+  /**
+   * Structural compatibility for the engine's native typed layer
+   * (Spark StructTypes, the Iceberg-side schema of §1.2). `reader` can
+   * read `writer` data iff every reader field either exists in the
+   * writer with a promotable type, or is nullable (acts as the default).
+   */
+  object StructChecker extends Checker[StructType] {
+    private def promotable(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (IntegerType, DoubleType) => true
+      case (LongType, DoubleType) => false // lossy: not allowed (iceberg/compatibility.cc)
+      case (a: StructType, b: StructType) => canRead(b, a)
+      case (ArrayType(a, _), ArrayType(b, _)) => promotable(a, b)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) => promotable(ak, bk) && promotable(av, bv)
+      case _ => false
+    }
+
+    def canRead(reader: StructType, writer: StructType): Boolean =
+      reader.fields.forall { rf =>
+        writer.fields.find(_.name == rf.name) match {
+          case Some(wf) => promotable(wf.dataType, rf.dataType)
+          case None     => rf.nullable // missing in writer: needs a default
+        }
+      }
+  }
+
+  /**
+   * The compatibility algebra: is `proposed` acceptable as the next
+   * version after `history` (oldest-first), under `level`?
+   * Non-transitive levels check only the latest version; transitive
+   * levels check all (types.h:481-488 semantics).
+   */
+  def isCompatible[S](proposed: S, history: Seq[S], level: CompatibilityLevel)(
+      implicit checker: Checker[S]): Boolean = {
+    if (history.isEmpty) true
+    else {
+      val against = if (level.transitive) history else Seq(history.last)
+      against.forall { prev =>
+        (!level.checkBackward || checker.canRead(proposed, prev)) &&
+        (!level.checkForward || checker.canRead(prev, proposed))
+      }
+    }
+  }
+
+  implicit val avroChecker: Checker[Schema] = AvroChecker
+  implicit val structChecker: Checker[StructType] = StructChecker
+
+  /**
+   * Subject store read path: latest schema per subject from the
+   * compacted `_schemas`-style commit log (columns: subject, version,
+   * schema, seq). Same operator as topic compaction (A1).
+   */
+  def latestSchemas(schemaLog: DataFrame): DataFrame =
+    Compaction.compact(schemaLog, Seq("subject"), "seq")
+
+  /** Parse an Avro schema (the subject payload format of the reference). */
+  def parseAvro(json: String): Schema = new Schema.Parser().parse(json)
+
+  /** Validate a version chain under one level; returns first bad index or -1. */
+  def validateChain[S](chain: Seq[S], level: CompatibilityLevel)(implicit c: Checker[S]): Int = {
+    var i = 1
+    while (i < chain.length) {
+      if (!isCompatible(chain(i), chain.take(i), level)) return i
+      i += 1
+    }
+    -1
+  }
+
+  locally { val _ = (JsonType, ProtobufType, AvroType) } // exhaustiveness anchor
+}
