@@ -1,6 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-round benchmark: runs every `SparkEntry.queries` entry on
+ * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+ *
+ * Each query is forced to FULL materialization — xxhash64 over a struct of
+ * every output column, summed — so Catalyst cannot prune columns the way a
+ * bare `.count()` allows (a count over parquet reads only footers and
+ * reported fiction in round 1). The reported seconds therefore include
+ * decoding and computing every output cell.
+ *
+ * Also reports produce/fetch throughput (rows/s and MB/s over the input
+ * parquet bytes) so the BASELINE.md MB/s gate is decidable in a common
+ * unit: BASELINE's OMB CommonWorkload sustains >= 70 MB/s produce on a
+ * 3-node cluster; we measure single-process ingest (offset assignment over
+ * the full events table) and full-log fetch at the same byte volume.
+ */
 object Bench {
+  private def force(df: DataFrame): Long = {
+    // xor-fold of a row hash over every output column: forces full
+    // decode + compute of all cells (no ANSI overflow, unlike sum).
+    val h = xxhash64(struct(df.columns.map(col): _*))
+    df.agg(count(lit(1)), bit_xor(h)).collect()(0).getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,17 +41,33 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't pay JIT tax.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.head._2(spark, sfDir).count()
+      force(SparkEntry.queries.head._2(spark, sfDir))
     } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // Produce/fetch throughput in rows/s and MB/s of input parquet bytes.
+    val eventsBytes = new java.io.File(s"$sfDir/events.parquet").length().toDouble
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (produceRows, produceSec) = timed(force(SparkEntry.fullLog(spark, sfDir)))
+    val (fetchRows, fetchSec) = timed(
+      force(SparkEntry.fullLog(spark, sfDir).where(col("offset") >= 0)))
+    val thr =
+      s""""throughput":{"produce_rows_per_s":${produceRows / produceSec},""" +
+      s""""produce_mb_per_s":${eventsBytes / 1e6 / produceSec},""" +
+      s""""fetch_rows_per_s":${fetchRows / fetchSec},""" +
+      s""""fetch_mb_per_s":${eventsBytes / 1e6 / fetchSec}}"""
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$thr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,10 @@ object SparkEntry {
   private def eventLog(s: SparkSession, dir: String): DataFrame =
     RecordLog.assignOffsets(events(s, dir), pmod(col("user_id"), lit(8)), col("event_id"))
 
+  /** Full-column record log, exposed for the throughput bench (the real
+    * produce path stamps offsets onto complete records, not a projection). */
+  def fullLog(s: SparkSession, dir: String): DataFrame = eventLog(s, dir)
+
   private val dec = DecimalType(12, 2)
   private def d(c: Column): Column = c.cast(dec)
   private val one = lit(1).cast(dec)
@@ -187,6 +191,8 @@ object SparkEntry {
       ConsumerGroups.dedupProducer(
           events(s, dir).withColumn("seq", get_json_object(col("props"), "$.k").cast("int")),
           "user_id", "seq", "event_id")
+        .select(col("user_id"), col("seq"), col("event_id").as("first_arrival"),
+          col("event_type"), col("attempts"))
         .orderBy("user_id", "seq")),
 
     // ----- §2.6 transactions / read_committed -----
@@ -401,9 +407,13 @@ object SparkEntry {
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
 
     "g5_idempotent_producer" ->
-      """SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS seq,
-        |       min(event_id) AS first_arrival, count(*) AS attempts
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """SELECT user_id, seq, event_id AS first_arrival, event_type, attempts FROM (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS seq,
+        |         event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id, json_extract_string(props, '$.k') ORDER BY event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id, json_extract_string(props, '$.k')) AS attempts
+        |  FROM events)
+        | WHERE rn = 1 ORDER BY user_id, seq""".stripMargin,
 
     "p4_read_committed" ->
       """WITH aborted AS (

@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles (lowercased, whitespace-tokenized). Documents
-   *  shorter than `n` tokens shingle to their whole token string. */
+   *  shorter than `n` tokens produce no shingles (and so never pair) —
+   *  matching the SQL-oracle semantics; a whole-text fallback would let
+   *  any two short docs pair at Jaccard 1.0. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact dedup: group identical texts (by md5 of normalized text),
@@ -144,6 +146,11 @@ object Dedup {
    * filter. Exact popcount verification on candidates only.
    */
   def simHashNearDups(fps: DataFrame, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    // Pigeonhole completeness: a pair within maxDist differing bits shares
+    // at least one identical chunk only when maxDist <= bands - 1. Larger
+    // maxDist would silently lose candidates.
+    require(maxDist < bands,
+      s"simHashNearDups requires maxDist < bands for complete banding (got maxDist=$maxDist, bands=$bands)")
     val width = 64 / bands
     val chunks = (0 until bands).map { b =>
       struct(lit(b).as("chunk_id"),

@@ -42,12 +42,17 @@ object Similarity {
    * Brute-force cosine top-k: for each query vector, the k nearest corpus
    * vectors. Queries are broadcast (must be small); the corpus is scanned
    * once; per-query top-k is a partial top-k under AQE.
+   *
+   * `excludeSelf` (default true) drops `query_id == vec_id` matches — for
+   * corpus-derived query sets. Pass false for an external query set whose
+   * ids may coincide with corpus ids.
    */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
     val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
     val scored = c.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("vec_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
         cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
@@ -56,35 +61,29 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** `nBits`-bit sign-random-projection sketch: one fused codegen loop
+    * over hash-derived ±1 hyperplanes ([[graft.functions.VecSignSketch]]).
+    * Deterministic on every executor; no literal plane arrays in the plan. */
+  def signSketch(emb: Column, nBits: Int): Column =
+    call_function("vec_sign_sketch", emb, lit(nBits))
+
   /**
-   * Deterministic hyperplanes for sign-random-projection: component j of
-   * plane i is ±1 from a hash of (i, j) — no RNG, identical on every
-   * executor and every run.
+   * Explode a vector column into (band_id, band) rows. The sketch is
+   * materialized into a `_sk` column *before* banding so it is computed
+   * exactly once per row — referencing the sketch expression from each
+   * band chunk would duplicate the subtree `bands` times (the round-1
+   * 11×-slowdown bug).
    */
-  private def planeLit(i: Int, dim: Int): Column = {
-    val comps = (0 until dim).map { j =>
-      val h = scala.util.hashing.MurmurHash3.productHash((i, j))
-      if ((h & 1) == 0) 1.0d else -1.0d
-    }
-    array(comps.map(lit): _*)
-  }
-
-  /** `nBits`-bit sign sketch of the embedding column. */
-  def signSketch(emb: Column, dim: Int, nBits: Int): Column =
-    (0 until nBits).map { i =>
-      when(dot(emb, planeLit(i, dim)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  private def withBands(df: DataFrame, vecCol: String, dim: Int, nBits: Int, bands: Int): DataFrame = {
+  private def withBands(df: DataFrame, vecCol: String, nBits: Int, bands: Int): DataFrame = {
     val width = nBits / bands
-    val sk = signSketch(col(vecCol), dim, nBits)
     val chunks = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        shiftright(sk, b * width).bitwiseAND((1L << width) - 1).as("band"))
+        shiftright(col("_sk"), b * width).bitwiseAND((1L << width) - 1).as("band"))
     }
-    df.withColumn("c", explode(array(chunks: _*)))
+    df.withColumn("_sk", signSketch(col(vecCol), nBits))
+      .withColumn("c", explode(array(chunks: _*)))
       .withColumn("band_id", col("c.band_id"))
-      .withColumn("band", col("c.band")).drop("c")
+      .withColumn("band", col("c.band")).drop("c", "_sk")
   }
 
   /**
@@ -93,13 +92,13 @@ object Similarity {
    * with corpus size (vs the cross product of [[bruteForceTopK]]).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      nBits: Int = 16, bands: Int = 4): DataFrame = {
+      nBits: Int = 16, bands: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
     val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
-    val cb = withBands(c, "embedding", dim, nBits, bands)
-    val qb = withBands(q, "query_vec", dim, nBits, bands)
+    val cb = withBands(c, "embedding", nBits, bands)
+    val qb = withBands(q, "query_vec", nBits, bands)
     val cand = cb.join(broadcast(qb), Seq("band_id", "band"))
-      .where(col("query_id") =!= col("vec_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"), col("query_vec"), col("embedding"),
         col("_qn"), col("_cn"))
       .dropDuplicates("query_id", "vec_id")
@@ -136,7 +135,7 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, dim: Int, threshold: Double,
       nBits: Int = 64, bands: Int = 8): DataFrame = {
     val withNorm = kernels(corpus).withColumn("_n", norm(col("embedding")))
-    val banded = withBands(withNorm.select("vec_id", "embedding"), "embedding", dim, nBits, bands)
+    val banded = withBands(withNorm.select("vec_id", "embedding"), "embedding", nBits, bands)
       .select("vec_id", "band_id", "band")
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band") &&

@@ -86,5 +86,8 @@ object GraftFunctions {
       "vec_dot", (args: Seq[Expression]) => VecDot(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_norm", (args: Seq[Expression]) => VecNorm(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_sign_sketch", (args: Seq[Expression]) =>
+        VecSignSketch(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Native Catalyst kernels for embedding math.
@@ -27,6 +27,31 @@ object VectorKernels {
   }
 
   def norm(x: ArrayData): Double = math.sqrt(dot(x, x))
+
+  /** Deterministic ±1 hyperplane component for (plane i, dim j): a
+    * splitmix64-style finalizer over the pair, identical on every executor
+    * and every run — no RNG state, no plan-embedded literal arrays. */
+  @inline def planeSign(i: Int, j: Int): Double = {
+    var h = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** `nBits`-bit sign-random-projection sketch of a double vector, computed
+    * in one fused loop (bit i set iff dot(x, plane_i) > 0). */
+  def signSketch(x: ArrayData, nBits: Int): Long = {
+    val n = x.numElements()
+    var sketch = 0L
+    var i = 0
+    while (i < nBits) {
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += x.getDouble(j) * planeSign(i, j); j += 1 }
+      if (s > 0) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
 }
 
 private[functions] trait RequiresDoubleArrays { self: Expression =>
@@ -69,6 +94,29 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * `vec_sign_sketch(a, nBits)` — sign-random-projection LSH sketch as one
+ * fused codegen loop. Replaces a plan of nBits `vec_dot`s against literal
+ * hyperplane arrays (which bloated task binaries past the 1 MiB broadcast
+ * warning and got re-evaluated per band reference); here the sketch is a
+ * single cheap expression evaluated once per row.
+ */
+case class VecSignSketch(child: Expression, nBits: Int)
+    extends UnaryExpression with RequiresDoubleArrays {
+  override protected def arrayChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sign_sketch"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.signSketch(a.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.signSketch($a, $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecSignSketch =
+    copy(child = newChild)
 }
 
 /** `vec_norm(a)` — L2 norm. */

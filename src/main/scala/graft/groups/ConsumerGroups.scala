@@ -1,6 +1,7 @@
 package graft.groups
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.log.Compaction
 
@@ -29,13 +30,31 @@ object ConsumerGroups {
     Compaction.compact(commitLog, Seq("group", "topic", "partition"), "commit_seq")
 
   /**
-   * G5 idempotent-producer dedup: first write per (producer_id, sequence)
-   * is kept, subsequent duplicates are dropped. One shuffle on the
-   * composite key; the reference's per-pid sliding sequence window
-   * (`producer_state.h:56-86`) is subsumed by exact grouping (Spark
-   * spills; no bounded-memory window needed).
+   * G5 idempotent-producer dedup: the first accepted write per
+   * (producer_id, sequence) survives with all its payload columns —
+   * exactly the reference's producer_state behavior, which keeps the first
+   * record and rejects later duplicates/reorders
+   * (`cluster/producer_state.h:126,143`). `attempts` counts how many
+   * writes raced for the slot. One shuffle on the composite key; the
+   * reference's per-pid sliding sequence window (`producer_state.h:56-86`)
+   * is subsumed by exact grouping (Spark spills; no bounded-memory window
+   * needed).
    */
-  def dedupProducer(log: DataFrame, pidCol: String, seqCol: String, arrivalCol: String): DataFrame =
-    log.groupBy(col(pidCol), col(seqCol))
-      .agg(min(arrivalCol).as("first_arrival"), count(lit(1)).as("attempts"))
+  def dedupProducer(log: DataFrame, pidCol: String, seqCol: String, arrivalCol: String): DataFrame = {
+    val key = Window.partitionBy(col(pidCol), col(seqCol))
+    log.withColumn("__rn", row_number().over(key.orderBy(col(arrivalCol))))
+      .withColumn("attempts", count(lit(1)).over(key))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Producer epoch fencing (`cluster/producer_state.h:143`): writes from a
+   * stale epoch of a producer id are rejected once a higher epoch has been
+   * seen. Batch semantics: keep only rows at each pid's maximum epoch.
+   */
+  def fenceStaleEpochs(log: DataFrame, pidCol: String, epochCol: String): DataFrame = {
+    val maxEpoch = max(col(epochCol)).over(Window.partitionBy(col(pidCol)))
+    log.withColumn("__me", maxEpoch).where(col(epochCol) === col("__me")).drop("__me")
+  }
 }

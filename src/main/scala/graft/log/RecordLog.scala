@@ -87,6 +87,15 @@ object RecordLog {
       .agg(min("offset").as("offset_for_time"))
 
   /**
+   * P1 batch-type filter: the reader returns only requested batch types
+   * (`storage/types.h:252-266` type_filter, applied by the
+   * skipping_consumer in `storage/log_reader.h:54`). A plain Catalyst
+   * Filter — pushed to the Parquet scan as an IN predicate.
+   */
+  def typeFilter(log: DataFrame, types: Seq[Int]): DataFrame =
+    log.where(col("batch_type").isin(types: _*))
+
+  /**
    * A4 Retention GC (time-based): drop the log prefix older than the
    * cutoff (`storage/disk_log_impl.h:88,197`). Returns the surviving log;
    * [[latestOffsets]]/[[earliestOffsets]] over it give the new bounds.

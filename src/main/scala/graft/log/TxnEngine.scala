@@ -1,0 +1,149 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.BatchType
+
+/**
+ * Transactions T1–T3 (SURVEY §2.6): producer-id allocation, commit/abort
+ * control markers, and the engine-maintained aborted-range / open-txn
+ * state that read_committed (P4) and LSO (A7/T4) consume.
+ *
+ * Reference shape:
+ *  - T1 `init_producer_id`: a monotonic id allocator
+ *    (`cluster/id_allocator_stm.cc`, internal topic `model/namespace.h:61`).
+ *  - T2 `begin/commit/abort`: `rm_stm` writes fence/control batches into
+ *    the data partition and tracks open txn ranges
+ *    (`cluster/rm_stm.h:144-159`); the end-marker is a control record
+ *    (`model/record.h:319-322`) that *occupies an offset* in the log.
+ *  - T3 `add_partitions_to_txn / end_txn`: the coordinator fans the final
+ *    marker out to every partition the txn touched
+ *    (`kafka/server/handlers/add_partitions_to_txn.h`, `end_txn.h`).
+ *
+ * Spark design: the engine is fed two inputs — transactional data rows
+ * (pid, epoch, txn_seq tagged) and end-txn commands (pid, txn_seq,
+ * decision) — and derives the marker-carrying log plus all downstream txn
+ * state as declarative plans. Marker fan-out is a join against the
+ * (txn → touched partitions) set, i.e. exactly T3's add_partitions list.
+ * All shuffles key on (partition) or (pid, txn_seq) — both bounded and
+ * skew-safe at 100 TB; aborted-range and open-txn tables are tiny
+ * relative to the log and broadcast on the read path.
+ */
+object TxnEngine {
+
+  /**
+   * T1 init_producer_id: allocate dense producer ids to producer
+   * identities, deterministically (allocation order = identity order —
+   * the replay of a monotonic id-allocator log,
+   * `cluster/id_allocator_stm.cc`). Returns `producers` with a `pid`
+   * column. The input must be one row per producer identity.
+   */
+  def initProducerIds(producers: DataFrame, identityCol: Column, base: Long = 0L): DataFrame =
+    producers.withColumn("pid",
+      row_number().over(Window.orderBy(identityCol)).cast("long") - 1 + base)
+
+  /**
+   * T2+T3: interleave per-txn fence batches and end-txn control markers
+   * into the data log and stamp offsets over the combined stream.
+   *
+   * `data` columns: partition, arrival (dense order domain), pid, epoch,
+   * txn_seq, plus payload. `ends` columns: pid, txn_seq, decision
+   * ('commit' | 'abort'), arrival (when the end_txn command landed; must
+   * be > every data arrival of that txn).
+   *
+   * Per (txn, touched partition) — T3's add_partitions fan-out — the
+   * engine emits:
+   *  - a `tx_fence` batch (`batch_type = 10`) at the txn's first arrival
+   *    slot, sorting BEFORE its first data row (rm_stm writes the fence
+   *    on begin, `cluster/rm_stm.h:144-151`); fences are their own batch
+   *    type, not control records;
+   *  - for ended txns, an end marker: a raft_data record with the control
+   *    bit set carrying the decision (`model/record.h:319-322`).
+   * Offsets are dense per partition across ALL kinds, because fence and
+   * control batches occupy offsets in the reference log. Tie order within
+   * an arrival slot is fence < data < marker, then (pid, txn_seq) — fully
+   * deterministic and replicable by the SQL oracle.
+   */
+  def interleaveMarkers(data: DataFrame, ends: DataFrame): DataFrame = {
+    val payloadCols = data.columns.filterNot(Set("partition", "arrival", "pid", "epoch", "txn_seq"))
+    val fixed = Seq(col("partition"), col("arrival"), col("pid"), col("epoch"), col("txn_seq"))
+    def nullPayload = payloadCols.map(c => lit(null).cast(data.schema(c).dataType).as(c))
+    val touched = data.groupBy("pid", "txn_seq", "partition")
+      .agg(max("epoch").as("epoch"), min("arrival").as("first_arrival"))
+    val fences = touched
+      .withColumn("arrival", col("first_arrival")).drop("first_arrival")
+      .select(fixed ++ Seq(
+        lit(BatchType.TxFence).as("batch_type"), lit(false).as("is_control"),
+        lit(null).cast("string").as("decision"), lit(0).as("_slot")) ++ nullPayload: _*)
+    val markers = ends.join(touched.drop("first_arrival"), Seq("pid", "txn_seq"))
+      .select(fixed ++ Seq(
+        lit(BatchType.RaftData).as("batch_type"), lit(true).as("is_control"),
+        col("decision"), lit(2).as("_slot")) ++ nullPayload: _*)
+    val dataRows = data
+      .select(fixed ++ Seq(
+        lit(BatchType.RaftData).as("batch_type"), lit(false).as("is_control"),
+        lit(null).cast("string").as("decision"), lit(1).as("_slot")) ++
+        payloadCols.map(col): _*)
+    val combined = dataRows.unionByName(fences).unionByName(markers)
+    val w = Window.partitionBy("partition")
+      .orderBy(col("arrival"), col("_slot"), col("pid"), col("txn_seq"))
+    combined.withColumn("offset", row_number().over(w).cast("long") - 1).drop("_slot")
+  }
+
+  /**
+   * The aborted-transaction index served to read_committed fetches
+   * (`rm_stm::aborted_transactions`, `cluster/rm_stm.h:158-159`):
+   * per aborted txn and partition, the [first, last] offset range of its
+   * data records.
+   */
+  def abortedRanges(log: DataFrame): DataFrame = {
+    val aborted = log.where(col("is_control") && col("decision") === "abort")
+      .select("partition", "pid", "txn_seq").distinct()
+    log.where(!col("is_control"))
+      .join(aborted, Seq("partition", "pid", "txn_seq"))
+      .groupBy("partition", "pid", "txn_seq")
+      .agg(min("offset").as("first"), max("offset").as("last"))
+  }
+
+  /**
+   * Open transactions: data on the log with no end marker yet. Their
+   * minimum first offset per partition holds back the LSO
+   * (`cluster/rm_stm.h:157`).
+   */
+  def openTransactions(log: DataFrame): DataFrame = {
+    val ended = log.where(col("is_control")).select("partition", "pid", "txn_seq").distinct()
+    log.where(!col("is_control"))
+      .join(ended, Seq("partition", "pid", "txn_seq"), "left_anti")
+      .groupBy("partition", "pid", "txn_seq")
+      .agg(min("offset").as("first_offset"))
+  }
+
+  /** T4/A7: LSO per partition from the engine's own open-txn state. */
+  def lastStableOffsets(log: DataFrame): DataFrame =
+    Transactions.lastStableOffsets(log, openTransactions(log))
+
+  /**
+   * P4 read_committed over engine-produced state: drop control records,
+   * aborted ranges, and rows at or past the LSO — all three inputs
+   * derived from the marker-carrying log itself. Aborted ranges and LSO
+   * are broadcast (tiny vs the log), so the data side never shuffles.
+   */
+  def readCommitted(log: DataFrame): DataFrame = {
+    val ar = broadcast(abortedRanges(log).select(
+      col("partition").as("a_partition"), col("pid").as("a_pid"),
+      col("first"), col("last")))
+    val lso = broadcast(lastStableOffsets(log))
+    // Fetch returns only raft_data batches (storage/types.h:252-266 type
+    // filter), minus control records, minus aborted ranges, below LSO.
+    log.where(!col("is_control") && col("batch_type") === BatchType.RaftData)
+      .join(ar,
+        col("partition") === col("a_partition") && col("pid") === col("a_pid") &&
+          col("offset").between(col("first"), col("last")),
+        "left_anti")
+      .join(lso, Seq("partition"))
+      .where(col("offset") < col("lso"))
+      .drop("lso")
+  }
+}

@@ -27,7 +27,22 @@ object RecordSchema {
     StructField("timestamp", TimestampType, nullable = false),// table_definition.cc:24
     StructField("headers", headerType, nullable = true),      // table_definition.cc:26-35
     StructField("key", BinaryType, nullable = true),          // table_definition.cc:38
-    StructField("value", BinaryType, nullable = true)))       // null value == tombstone (record.h:255)
+    StructField("value", BinaryType, nullable = true),        // null value == tombstone (record.h:255)
+    StructField("batch_type", IntegerType, nullable = false), // record_batch_types.h:20-61
+    StructField("is_control", BooleanType, nullable = false)))// record.h:319-322 control bit
+}
+
+/**
+ * Batch-type tags carried on every log row
+ * (`model/record_batch_types.h:20-61`). User data is `raft_data`;
+ * transaction fences are `tx_fence`; commit/abort end-markers are
+ * raft_data records with the control bit set (`model/record.h:319-322`),
+ * i.e. `batch_type = RaftData` + `is_control = true`.
+ */
+object BatchType {
+  final val RaftData = 1     // record_batch_types.h:21
+  final val IdAllocator = 8  // record_batch_types.h:28 (PID allocation log)
+  final val TxFence = 10     // record_batch_types.h:30
 }
 
 /**

@@ -41,10 +41,15 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)))
+    // bands=32 (2-bit chunks) keeps banding complete for maxDist up to 31;
+    // the planted near-dup pair differs in well under 26 bits.
     val nd = Dedup.simHashNearDups(
-      Dedup.simHash(docs, col("doc_id"), col("text")), bands = 4, maxDist = 16)
+      Dedup.simHash(docs, col("doc_id"), col("text")), bands = 32, maxDist = 25)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(nd.contains((0L, 1L)))
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashNearDups(Dedup.simHash(docs, col("doc_id"), col("text")), bands = 4, maxDist = 16)
+    }
   }
 
   test("text analysis: tokens, langid, fingerprint invariance") {

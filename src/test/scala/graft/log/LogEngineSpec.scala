@@ -117,11 +117,23 @@ class LogEngineSpec extends SparkSpec {
     assert(got === Set(("g1", 0, 20L), ("g1", 1, 5L), ("g2", 0, 7L)))
   }
 
-  test("idempotent producer dedup keeps first write per (pid, seq)") {
-    val log = Seq((1L, 0, 100L), (1L, 0, 101L), (1L, 1, 102L), (2L, 0, 103L))
-      .toDF("pid", "seq", "arrival")
+  test("idempotent producer dedup keeps the first surviving record per (pid, seq)") {
+    val log = Seq(
+      (1L, 0, 100L, "first"), (1L, 0, 101L, "dup"), (1L, 1, 102L, "ok"), (2L, 0, 103L, "ok"))
+      .toDF("pid", "seq", "arrival", "payload")
     val got = graft.groups.ConsumerGroups.dedupProducer(log, "pid", "seq", "arrival")
-      .as[(Long, Int, Long, Long)].collect().toSet
-    assert(got === Set((1L, 0, 100L, 2L), (1L, 1, 102L, 1L), (2L, 0, 103L, 1L)))
+      .select("pid", "seq", "arrival", "payload", "attempts")
+      .as[(Long, Int, Long, String, Long)].collect().toSet
+    // the surviving row carries its payload; the duplicate's payload is gone
+    assert(got === Set(
+      (1L, 0, 100L, "first", 2L), (1L, 1, 102L, "ok", 1L), (2L, 0, 103L, "ok", 1L)))
+  }
+
+  test("epoch fencing drops writes from stale producer epochs") {
+    val log = Seq((1L, 0, "old"), (1L, 1, "new1"), (1L, 1, "new2"), (2L, 0, "only"))
+      .toDF("pid", "epoch", "v")
+    val got = graft.groups.ConsumerGroups.fenceStaleEpochs(log, "pid", "epoch")
+      .select("v").as[String].collect().toSet
+    assert(got === Set("new1", "new2", "only"))
   }
 }

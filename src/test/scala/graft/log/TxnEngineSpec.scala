@@ -1,0 +1,84 @@
+package graft.log
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.BatchType
+
+/**
+ * Transaction semantics replayed from the reference's test shapes
+ * (`tests/rptest/transactions/transactions_test.py`,
+ * `cluster/rm_stm.h:144-192`): two producers interleaving on one
+ * partition, one committing, one aborting, one left open; marker fan-out
+ * to every touched partition; read_committed visibility.
+ */
+class TxnEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // pid 0 txn A: data arr 1,3 on p0; commit at arr 5.
+  // pid 1 txn B: data arr 2,4 on p0 AND arr 2 on p1; abort at arr 6.
+  // pid 0 txn C: data arr 7 on p0; open (no end command).
+  private def mkData() = Seq(
+    (0, 1L, 0L, 0, 0L, "a"),
+    (0, 2L, 1L, 0, 0L, "b"),
+    (0, 3L, 0L, 0, 0L, "c"),
+    (0, 4L, 1L, 0, 0L, "d"),
+    (1, 2L, 1L, 0, 0L, "e"),
+    (0, 7L, 0L, 0, 1L, "f"))
+    .toDF("partition", "arrival", "pid", "epoch", "txn_seq", "v")
+
+  private def mkEnds() = Seq(
+    (0L, 0L, "commit", 5L),
+    (1L, 0L, "abort", 6L))
+    .toDF("pid", "txn_seq", "decision", "arrival")
+
+  private def mkLog() = TxnEngine.interleaveMarkers(mkData(), mkEnds())
+
+  test("init_producer_id allocates dense monotonic pids") {
+    val got = TxnEngine.initProducerIds(
+      Seq("b", "a", "c").toDF("name").distinct(), col("name"), base = 100L)
+      .select("name", "pid").as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 100L), ("b", 101L), ("c", 102L)))
+  }
+
+  test("interleave stamps dense offsets across fences, data, and markers") {
+    val log = mkLog()
+    val p0 = log.where($"partition" === 0).orderBy("offset")
+      .select("offset", "batch_type", "is_control", "pid", "v")
+      .as[(Long, Int, Boolean, Long, Option[String])].collect().toSeq
+    // arr1: fence(A) then data a; arr2: fence(B) then data b; arr3 c;
+    // arr4 d; arr5 commit(A); arr6 abort(B); arr7 fence(C) then data f.
+    assert(p0.map(_._1) === (0L until 10L))
+    assert(p0.map(r => (r._2, r._3, r._5)) === Seq(
+      (BatchType.TxFence, false, None), (BatchType.RaftData, false, Some("a")),
+      (BatchType.TxFence, false, None), (BatchType.RaftData, false, Some("b")),
+      (BatchType.RaftData, false, Some("c")), (BatchType.RaftData, false, Some("d")),
+      (BatchType.RaftData, true, None), (BatchType.RaftData, true, None),
+      (BatchType.TxFence, false, None), (BatchType.RaftData, false, Some("f"))))
+    // marker fan-out reached partition 1 too (T3 add_partitions semantics)
+    val p1 = log.where($"partition" === 1).orderBy("offset")
+      .select("is_control", "decision").as[(Boolean, Option[String])].collect()
+    assert(p1.toSeq === Seq((false, None), (false, None), (true, Some("abort"))))
+  }
+
+  test("aborted ranges cover fence-to-last-data of aborted txns only") {
+    val got = TxnEngine.abortedRanges(mkLog())
+      .select("partition", "pid", "first", "last")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    // p0: B's fence at off 2, data at 3 and 5 => [2, 5]; p1: fence 0, data 1 => [0, 1]
+    assert(got === Set((0, 1L, 2L, 5L), (1, 1L, 0L, 1L)))
+  }
+
+  test("LSO = first offset of open txn, else high watermark") {
+    val lso = TxnEngine.lastStableOffsets(mkLog())
+      .as[(Int, Long)].collect().toMap
+    // p0: open txn C's fence at offset 8; p1: nothing open => hwm 3
+    assert(lso === Map(0 -> 8L, 1 -> 3L))
+  }
+
+  test("read_committed sees only committed data below the LSO") {
+    val got = TxnEngine.readCommitted(mkLog())
+      .select("v").as[String].collect().toSet
+    // A committed (a, c); B aborted (b, d, e dropped); C open (f beyond LSO)
+    assert(got === Set("a", "c"))
+  }
+}
