@@ -4,10 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.analytics.{Dedup, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.groups.ConsumerGroups
-import graft.log.{Compaction, RecordLog, Transactions}
+import graft.log.{Compaction, RecordLog, Transactions, TxnEngine}
+import graft.model.BatchType
 import graft.operators.Operators
 
 /**
@@ -50,6 +53,76 @@ object SparkEntry {
   private val dec = DecimalType(12, 2)
   private def d(c: Column): Column = c.cast(dec)
   private val one = lit(1).cast(dec)
+
+  // ------------------------------------------------- transactional scenario
+
+  private val TxnSize = 5
+
+  /**
+   * Deterministic transactional workload over `events`: each user is a
+   * producer (pid allocated by T1); its events chunk into transactions of
+   * [[TxnSize]] records; a complete txn containing an 'error' event ends
+   * with an abort command, other complete txns commit, and a trailing
+   * partial txn stays open. Arrival domain: data at event_id*2, end
+   * commands at last_event_arrival+1, so commands land strictly after
+   * their txn's data and before the producer's next txn.
+   */
+  private def txnData(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val pids = TxnEngine.initProducerIds(ev.select("user_id").distinct(), col("user_id"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    ev.join(pids, "user_id")
+      .withColumn("txn_seq", floor((row_number().over(w) - lit(1)) / lit(TxnSize)).cast("long"))
+      .select(pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+        (col("event_id") * 2).as("arrival"),
+        col("pid"), lit(0).as("epoch"), col("txn_seq"),
+        col("event_id"), col("event_type"), col("value"))
+  }
+
+  private def txnEnds(data: DataFrame): DataFrame =
+    data.groupBy("pid", "txn_seq")
+      .agg(count(lit(1)).as("n"),
+        max((col("event_type") === "error").cast("int")).as("has_err"),
+        max("arrival").as("last_arr"))
+      .where(col("n") === TxnSize)
+      .select(col("pid"), col("txn_seq"),
+        when(col("has_err") === 1, "abort").otherwise("commit").as("decision"),
+        (col("last_arr") + 1).as("arrival"))
+
+  /** The marker-carrying transactional log (fences + data + end markers). */
+  private def txnLog(s: SparkSession, dir: String): DataFrame = {
+    val data = txnData(s, dir)
+    TxnEngine.interleaveMarkers(data, txnEnds(data))
+  }
+
+  /** SQL replica of [[txnLog]] for the DuckDB oracle. */
+  private val TxnCte =
+    """WITH pids AS (
+      |  SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS pid
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      | d AS (
+      |  SELECT CAST(e.user_id % 8 AS INTEGER) AS partition, e.event_id * 2 AS arr, p.pid,
+      |         CAST((row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id) - 1) // 5 AS BIGINT) AS txn_seq,
+      |         e.event_type, e.value
+      |  FROM events e JOIN pids p ON e.user_id = p.user_id),
+      | tx AS (
+      |  SELECT pid, txn_seq, min(partition) AS partition, count(*) AS n,
+      |         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err,
+      |         min(arr) AS first_arr, max(arr) AS last_arr
+      |  FROM d GROUP BY 1, 2),
+      | lg AS (
+      |  SELECT partition, arr, 1 AS slot, pid, txn_seq, FALSE AS is_control, 1 AS batch_type,
+      |         CAST(NULL AS VARCHAR) AS decision, event_type, value FROM d
+      |  UNION ALL
+      |  SELECT partition, first_arr, 0, pid, txn_seq, FALSE, 10, NULL, NULL, NULL FROM tx
+      |  UNION ALL
+      |  SELECT partition, last_arr + 1, 2, pid, txn_seq, TRUE, 1,
+      |         CASE WHEN has_err = 1 THEN 'abort' ELSE 'commit' END, NULL, NULL
+      |  FROM tx WHERE n = 5),
+      | ofs AS (
+      |  SELECT partition, pid, txn_seq, is_control, batch_type, decision, event_type, value,
+      |         CAST(row_number() OVER (PARTITION BY partition ORDER BY arr, slot, pid, txn_seq) - 1 AS BIGINT) AS "offset"
+      |  FROM lg)""".stripMargin
 
   // SQL fragment shared by log-shaped oracles.
   private val LogCte =
@@ -195,27 +268,33 @@ object SparkEntry {
           col("event_type"), col("attempts"))
         .orderBy("user_id", "seq")),
 
-    // ----- §2.6 transactions / read_committed -----
-    "p4_read_committed" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val log = ev.select(col("user_id").as("pid"), col("event_id").as("offset"),
-        col("event_type"), col("value"))
-      val aborted = ev.where(col("event_type") === "error")
-        .groupBy(col("user_id").as("pid"))
-        .agg(min("event_id").as("first"), max("event_id").as("last"))
-      Transactions.filterAborted(log, aborted)
+    // ----- §2.6 transactions (engine-produced state) -----
+    "t1_init_producer_id" -> ((s, dir) =>
+      TxnEngine.initProducerIds(events(s, dir).select("user_id").distinct(), col("user_id"))
+        .select("user_id", "pid")
+        .orderBy("user_id")),
+
+    "t2_commit_abort" -> ((s, dir) =>
+      txnLog(s, dir).where(col("is_control"))
+        .select("partition", "offset", "pid", "txn_seq", "decision")
+        .orderBy("partition", "offset")),
+
+    "p1_batch_type_filter" -> ((s, dir) =>
+      RecordLog.typeFilter(txnLog(s, dir), Seq(BatchType.RaftData))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_raft_data"),
+          sum(col("is_control").cast("int")).as("n_control"),
+          max("offset").as("max_offset"))
+        .orderBy("partition")),
+
+    "p4_read_committed" -> ((s, dir) =>
+      TxnEngine.readCommitted(txnLog(s, dir))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(d(col("value"))).cast("double").as("total"))
-        .orderBy("event_type")
-    }),
+        .orderBy("event_type")),
 
-    "t4_last_stable_offset" -> ((s, dir) => {
-      val log = eventLog(s, dir)
-      val openTx = Compaction.compact(log, Seq("partition", "user_id"))
-        .where(col("event_type") === "signup")
-        .select(col("partition"), col("offset").as("first_offset"))
-      Transactions.lastStableOffsets(log, openTx).orderBy("partition")
-    }),
+    "t4_last_stable_offset" -> ((s, dir) =>
+      TxnEngine.lastStableOffsets(txnLog(s, dir)).orderBy("partition")),
 
     // ----- §2.7 datalake translation / partition transforms -----
     "d2_record_translation" -> ((s, dir) =>
@@ -415,26 +494,58 @@ object SparkEntry {
         |  FROM events)
         | WHERE rn = 1 ORDER BY user_id, seq""".stripMargin,
 
+    "t1_init_producer_id" ->
+      """SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS pid
+        | FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""".stripMargin,
+
+    "t2_commit_abort" ->
+      s"""$TxnCte SELECT partition, "offset", pid, txn_seq, decision FROM ofs
+         | WHERE is_control ORDER BY partition, "offset"""".stripMargin,
+
+    "p1_batch_type_filter" ->
+      s"""$TxnCte SELECT partition, count(*) AS n_raft_data,
+         |        CAST(sum(CASE WHEN is_control THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         |        max("offset") AS max_offset
+         | FROM ofs WHERE batch_type = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "p4_read_committed" ->
-      """WITH aborted AS (
-        |  SELECT user_id AS pid, min(event_id) AS first, max(event_id) AS last
-        |  FROM events WHERE event_type = 'error' GROUP BY 1)
-        | SELECT event_type, count(*) AS n,
-        |        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        | FROM events e
-        | WHERE NOT EXISTS (SELECT 1 FROM aborted a
-        |                   WHERE e.user_id = a.pid AND e.event_id BETWEEN a.first AND a.last)
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""$TxnCte,
+         | aborted AS (
+         |  SELECT o.partition, o.pid, o.txn_seq, min(o."offset") AS first, max(o."offset") AS last
+         |  FROM ofs o
+         |  WHERE NOT o.is_control AND EXISTS (
+         |    SELECT 1 FROM ofs m WHERE m.is_control AND m.decision = 'abort'
+         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
+         |  GROUP BY 1, 2, 3),
+         | open_tx AS (
+         |  SELECT o.partition, min(o."offset") AS open_min FROM ofs o
+         |  WHERE NOT o.is_control AND NOT EXISTS (
+         |    SELECT 1 FROM ofs m WHERE m.is_control
+         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
+         |  GROUP BY 1),
+         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs GROUP BY 1),
+         | lso AS (SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
+         |         FROM hw h LEFT JOIN open_tx o ON h.partition = o.partition)
+         | SELECT o.event_type, count(*) AS n,
+         |        CAST(sum(CAST(o.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+         | FROM ofs o JOIN lso l ON o.partition = l.partition
+         | WHERE NOT o.is_control AND o.batch_type = 1 AND o."offset" < l.lso
+         |   AND NOT EXISTS (SELECT 1 FROM aborted a
+         |     WHERE a.partition = o.partition AND a.pid = o.pid
+         |       AND o."offset" BETWEEN a.first AND a.last)
+         | GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t4_last_stable_offset" ->
-      s"""$LogCte, latest AS (
-         |  SELECT partition, user_id, "offset", event_type FROM log
-         |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1),
-         | open_tx AS (SELECT partition, min("offset") AS open_min FROM latest
-         |             WHERE event_type = 'signup' GROUP BY 1),
-         | hwm AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
+      s"""$TxnCte,
+         | open_tx AS (
+         |  SELECT o.partition, min(o."offset") AS open_min FROM ofs o
+         |  WHERE NOT o.is_control AND NOT EXISTS (
+         |    SELECT 1 FROM ofs m WHERE m.is_control
+         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
+         |  GROUP BY 1),
+         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs GROUP BY 1)
          | SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
-         | FROM hwm h LEFT JOIN open_tx o ON h.partition = o.partition ORDER BY 1""".stripMargin,
+         | FROM hw h LEFT JOIN open_tx o ON h.partition = o.partition ORDER BY 1""".stripMargin,
 
     "d2_record_translation" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
