@@ -247,6 +247,21 @@ object SparkEntry {
         .orderBy("window_start", "grp")),
 
     // ----- §2.5 groups / idempotence -----
+    "g1_group_membership" -> ((s, dir) => {
+      // Command log: signup => join, error => leave, else heartbeat;
+      // 3 groups of up to 50 members replay the membership FSM in
+      // recovery mode (see GroupFsm scaladoc).
+      val cmds = events(s, dir).select(
+        concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+        col("event_id").as("seq"),
+        concat(lit("m"), col("user_id").cast("string")).as("member"),
+        when(col("event_type") === "signup", "join")
+          .when(col("event_type") === "error", "leave")
+          .otherwise("heartbeat").as("cmd"),
+        array(lit("range"), lit("roundrobin")).as("protocols"))
+      graft.groups.GroupEngine.describeGroups(cmds).orderBy("group")
+    }),
+
     "g2_group_offsets" -> ((s, dir) => {
       val commits = events(s, dir).where(col("event_type") === "purchase")
         .select(
@@ -476,6 +491,45 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g1_group_membership" ->
+      """WITH cmds AS (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, event_id AS seq,
+        |         'm' || CAST(user_id AS VARCHAR) AS member,
+        |         CASE WHEN event_type = 'signup' THEN 'join'
+        |              WHEN event_type = 'error' THEN 'leave'
+        |              ELSE 'heartbeat' END AS cmd
+        |  FROM events),
+        | mc AS (
+        |  SELECT grp, seq, member, cmd,
+        |         COALESCE(lag(cmd) OVER (PARTITION BY grp, member ORDER BY seq), 'leave') AS prev
+        |  FROM cmds WHERE cmd IN ('join', 'leave')),
+        | eff AS (
+        |  SELECT * FROM mc
+        |  WHERE (cmd = 'join' AND prev = 'leave') OR (cmd = 'leave' AND prev = 'join')),
+        | gen AS (SELECT grp, count(*) AS generation FROM eff GROUP BY 1),
+        | last_eff AS (
+        |  SELECT grp, member, cmd, seq,
+        |         row_number() OVER (PARTITION BY grp, member ORDER BY seq DESC) AS rn
+        |  FROM eff),
+        | cur AS (SELECT grp, member, seq AS joined_seq FROM last_eff WHERE rn = 1 AND cmd = 'join'),
+        | nm AS (SELECT grp, count(*) AS n_members FROM cur GROUP BY 1),
+        | ldr AS (
+        |  SELECT grp, member AS leader FROM (
+        |    SELECT grp, member, row_number() OVER (PARTITION BY grp ORDER BY joined_seq, member) AS rn
+        |    FROM cur) WHERE rn = 1),
+        | grps AS (SELECT DISTINCT grp FROM cmds)
+        | SELECT g.grp AS "group",
+        |        CASE WHEN COALESCE(n.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state,
+        |        COALESCE(ge.generation, 0) AS generation,
+        |        COALESCE(n.n_members, 0) AS n_members,
+        |        COALESCE(l.leader, '') AS leader,
+        |        CASE WHEN COALESCE(n.n_members, 0) = 0 THEN '' ELSE 'range' END AS protocol
+        | FROM grps g
+        | LEFT JOIN gen ge ON g.grp = ge.grp
+        | LEFT JOIN nm n ON g.grp = n.grp
+        | LEFT JOIN ldr l ON g.grp = l.grp
+        | ORDER BY 1""".stripMargin,
 
     "g2_group_offsets" ->
       """SELECT "group", topic, partition, committed_offset FROM (

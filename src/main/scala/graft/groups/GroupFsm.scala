@@ -1,0 +1,183 @@
+package graft.groups
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * G1 group-membership FSM (SURVEY §2.5): join / sync / heartbeat / leave,
+ * rebalance generations, protocol selection, leader choice.
+ *
+ * Reference: `kafka/server/group.h:90-105` (states empty /
+ * preparing_rebalance / completing_rebalance / stable / dead),
+ * `handle_join_group` `group.h:499-530`, `handle_sync_group` `group.h:553`,
+ * `remove_member`/rebalance in `group.cc` (3.6k LoC).
+ *
+ * Two replay modes, mirroring the reference's two paths:
+ *  - **live**: the full join→sync barrier protocol. A join moves the group
+ *    to preparing_rebalance; the first sync completes the join round
+ *    (generation bump, protocol vote, leader = earliest member) and moves
+ *    to completing_rebalance; the leader's sync distributes assignments
+ *    and lands the group in stable. Exercised by the ScalaTest replays of
+ *    `kafka/server/tests/group_test.cc` scenarios.
+ *  - **recovery**: log-replay semantics as in
+ *    `group_recovery_consumer.cc` — there are no live timers or
+ *    await-all-member barriers when rebuilding state from a command log,
+ *    so each membership change completes its rebalance immediately.
+ *    This is the mode the distributed describe-groups query uses.
+ *
+ * The FSM itself is a pure function (Command, State) => State; the
+ * distributed application groups the command log by group id and folds
+ * commands in sequence order — state per group is tiny, so a
+ * groupByKey+flatMapGroups scales to any number of groups (one shuffle
+ * keyed by group).
+ */
+object GroupFsm {
+
+  /** group_state names as Kafka reports them (group.h:90-105). */
+  object State {
+    val Empty = "Empty"
+    val PreparingRebalance = "PreparingRebalance"
+    val CompletingRebalance = "CompletingRebalance"
+    val Stable = "Stable"
+    val Dead = "Dead"
+  }
+
+  sealed trait Command { def seq: Long; def member: String }
+  final case class Join(seq: Long, member: String, protocols: Seq[String]) extends Command
+  final case class Sync(seq: Long, member: String) extends Command
+  final case class Heartbeat(seq: Long, member: String) extends Command
+  final case class Leave(seq: Long, member: String) extends Command
+
+  /** joinedSeq = when the member last (re)joined; protocols = supported
+    * partition-assignment protocols in preference order. */
+  final case class Member(id: String, protocols: Seq[String], joinedSeq: Long)
+
+  final case class Group(
+      state: String = State.Empty,
+      generation: Long = 0L,
+      leader: Option[String] = None,
+      protocol: Option[String] = None,
+      members: Map[String, Member] = Map.empty,
+      pendingSync: Boolean = false) {
+    def earliestMember: Option[String] =
+      if (members.isEmpty) None
+      else Some(members.values.minBy(m => (m.joinedSeq, m.id)).id)
+  }
+
+  /** Protocol vote: the highest-preference protocol supported by every
+    * member (each member lists protocols in preference order; the group
+    * picks the first of the leader's list all members support). */
+  private def selectProtocol(g: Group): Option[String] = {
+    val all = g.members.values.toSeq
+    g.leader.flatMap(l => g.members.get(l)).flatMap { lead =>
+      lead.protocols.find(p => all.forall(_.protocols.contains(p)))
+    }
+  }
+
+  /** Complete a join round: bump generation, elect leader + protocol. */
+  private def completeJoin(g: Group): Group = {
+    if (g.members.isEmpty) g.copy(state = State.Empty, generation = g.generation + 1,
+      leader = None, protocol = None)
+    else {
+      val withLeader = g.copy(leader = g.earliestMember)
+      withLeader.copy(
+        state = State.CompletingRebalance,
+        generation = g.generation + 1,
+        protocol = selectProtocol(withLeader))
+    }
+  }
+
+  /** One live-mode FSM step. */
+  def step(g: Group, cmd: Command): Group = cmd match {
+    case Join(seq, m, protos) =>
+      val known = g.members.contains(m)
+      val updated = g.copy(members =
+        g.members.updated(m, Member(m, protos, if (known) g.members(m).joinedSeq else seq)))
+      if (known && g.state == State.Stable && g.members(m).protocols == protos) g // rejoin, no-op
+      else updated.copy(state = State.PreparingRebalance)
+    case Sync(_, m) =>
+      g.state match {
+        case State.PreparingRebalance =>
+          val done = completeJoin(g)
+          if (done.state == State.CompletingRebalance && done.leader.contains(m))
+            done.copy(state = State.Stable)
+          else done
+        case State.CompletingRebalance if g.leader.contains(m) => g.copy(state = State.Stable)
+        case _ => g
+      }
+    case Heartbeat(_, _) => g // liveness only; membership unchanged
+    case Leave(_, m) =>
+      if (!g.members.contains(m)) g
+      else {
+        val rest = g.members - m
+        if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
+        else g.copy(members = rest, state = State.PreparingRebalance,
+          leader = if (g.leader.contains(m)) None else g.leader)
+      }
+  }
+
+  /** One recovery-mode step: membership changes complete immediately
+    * (no sync barrier, as in group_recovery_consumer log replay). */
+  def recoveryStep(g: Group, cmd: Command): Group = cmd match {
+    case Join(seq, m, protos) =>
+      val known = g.members.contains(m)
+      if (known && g.members(m).protocols == protos) g // idempotent rejoin
+      else {
+        val updated = g.copy(members =
+          g.members.updated(m, Member(m, protos, if (known) g.members(m).joinedSeq else seq)))
+        completeJoin(updated).copy(state = State.Stable)
+      }
+    case Leave(_, m) =>
+      if (!g.members.contains(m)) g
+      else {
+        val rest = g.members - m
+        if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
+        else completeJoin(g.copy(members = rest)).copy(state = State.Stable)
+      }
+    case _ => g
+  }
+
+  def replay(cmds: Seq[Command]): Group =
+    cmds.sortBy(c => (c.seq, c.member)).foldLeft(Group())(step)
+
+  def replayRecovery(cmds: Seq[Command]): Group =
+    cmds.sortBy(c => (c.seq, c.member)).foldLeft(Group())(recoveryStep)
+}
+
+/** Distributed application of the FSM over a command-log DataFrame. */
+object GroupEngine {
+
+  final case class Cmd(group: String, seq: Long, member: String, cmd: String, protocols: Seq[String])
+  final case class GroupSummary(
+      group: String, state: String, generation: Long,
+      n_members: Long, leader: String, protocol: String)
+
+  /**
+   * describe_groups over a command log with columns
+   * (group, seq, member, cmd ['join'|'sync'|'heartbeat'|'leave'],
+   * protocols array<string>). One shuffle keyed by group; each group's
+   * commands fold through the FSM in seq order.
+   */
+  def describeGroups(commandLog: DataFrame, recovery: Boolean = true): DataFrame = {
+    val spark = commandLog.sparkSession
+    import spark.implicits._
+    val ds = commandLog
+      .select(col("group"), col("seq").cast("long"), col("member"), col("cmd"), col("protocols"))
+      .as[Cmd]
+    ds.groupByKey(_.group)
+      .flatMapGroups { (group, it) =>
+        val cmds: Seq[GroupFsm.Command] = it.map { c =>
+          c.cmd match {
+            case "join"  => GroupFsm.Join(c.seq, c.member, c.protocols)
+            case "sync"  => GroupFsm.Sync(c.seq, c.member)
+            case "leave" => GroupFsm.Leave(c.seq, c.member)
+            case _       => GroupFsm.Heartbeat(c.seq, c.member)
+          }
+        }.toSeq
+        val g = if (recovery) GroupFsm.replayRecovery(cmds) else GroupFsm.replay(cmds)
+        Iterator.single(GroupSummary(group, g.state, g.generation,
+          g.members.size.toLong, g.leader.getOrElse(""), g.protocol.getOrElse("")))
+      }(Encoders.product[GroupSummary])
+      .toDF()
+  }
+}
