@@ -95,6 +95,16 @@ object SparkEntry {
     TxnEngine.interleaveMarkers(data, txnEnds(data))
   }
 
+  /** Deterministic alter-configs command log for the admin queries. */
+  private def configAlters(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "events", "cleanup.policy", "compact"),
+      (2L, "events", "retention.ms", "259200000"),
+      (3L, "events", "cleanup.policy", "compact,delete"))
+      .toDF("seq", "topic", "key", "value")
+  }
+
   /** SQL replica of [[txnLog]] for the DuckDB oracle. */
   private val TxnCte =
     """WITH pids AS (
@@ -219,6 +229,38 @@ object SparkEntry {
         .groupBy("partition")
         .agg(min("offset").as("log_start"), count(lit(1)).as("remaining"))
         .orderBy("partition")),
+
+    "q4_offset_for_leader_epoch" -> ((s, dir) =>
+      // epochs advance every 500 records of a partition's log — a
+      // deterministic stand-in for leadership changes over time
+      RecordLog.offsetsForLeaderEpoch(eventLog(s, dir),
+          floor(col("offset") / 500).cast("int"))
+        .orderBy("partition", "leader_epoch")),
+
+    "q6_metadata" -> ((s, dir) =>
+      graft.admin.Admin.metadata(eventLog(s, dir), "events").orderBy("partition")),
+
+    // ----- §2.10 admin: configs as a compacted command log -----
+    "adm_describe_configs" -> ((s, dir) => {
+      import s.implicits._
+      graft.admin.Admin.describeConfigs(s, Seq("events"), configAlters(s)).orderBy("key")
+    }),
+
+    "adm_config_cleanup" -> ((s, dir) => {
+      // Effective config read back from the alter log drives housekeeping
+      // (alter_config_test.cc shape: alter, then observe behavior change).
+      val cfg = graft.admin.Admin.currentConfigs(configAlters(s))
+        .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+      graft.admin.Admin.applyCleanupPolicy(eventLog(s, dir),
+          policy = cfg("cleanup.policy"),
+          keyCols = Seq("partition", "user_id"),
+          tsCol = col("ts"),
+          now = lit("2024-01-28 00:00:00").cast("timestamp"),
+          retentionMs = cfg("retention.ms").toLong)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("survivors"), max("offset").as("max_offset"))
+        .orderBy("partition")
+    }),
 
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
@@ -469,6 +511,38 @@ object SparkEntry {
     "q4_delete_records" ->
       s"""$LogCte SELECT partition, min("offset") AS log_start, count(*) AS remaining
          | FROM log WHERE "offset" >= 100 GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "q4_offset_for_leader_epoch" ->
+      s"""$LogCte, ep AS (
+         |  SELECT partition, CAST("offset" // 500 AS INTEGER) AS leader_epoch,
+         |         min("offset") AS epoch_start, max("offset") AS epoch_last
+         |  FROM log GROUP BY 1, 2)
+         | SELECT partition, leader_epoch,
+         |        COALESCE(lead(epoch_start) OVER (PARTITION BY partition ORDER BY leader_epoch),
+         |                 epoch_last + 1) AS end_offset
+         | FROM ep ORDER BY 1, 2""".stripMargin,
+
+    "q6_metadata" ->
+      s"""$LogCte SELECT 'events' AS topic, partition, 0 AS leader, 1 AS replicas,
+         |        min("offset") AS start_offset, max("offset") + 1 AS hwm, count(*) AS n_records
+         | FROM log GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "adm_describe_configs" ->
+      """SELECT * FROM (VALUES
+        |  ('events', 'cleanup.policy', 'compact,delete', 'DYNAMIC_TOPIC_CONFIG'),
+        |  ('events', 'compression.type', 'producer', 'DEFAULT_CONFIG'),
+        |  ('events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG'),
+        |  ('events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG'),
+        |  ('events', 'retention.bytes', '-1', 'DEFAULT_CONFIG'),
+        |  ('events', 'retention.ms', '259200000', 'DYNAMIC_TOPIC_CONFIG'))
+        | t(topic, key, value, source) ORDER BY key""".stripMargin,
+
+    "adm_config_cleanup" ->
+      s"""$LogCte SELECT partition, count(*) AS survivors, max("offset") AS max_offset FROM (
+         |  SELECT partition, user_id, "offset" FROM log
+         |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+         |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1)
+         | GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log

@@ -1,0 +1,91 @@
+package graft.admin
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.log.{Compaction, RecordLog}
+
+/**
+ * Admin/metadata surface (SURVEY §2.3 Q6, §2.10): topic metadata query,
+ * describe/alter configs backed by a config command log, and
+ * config-driven log housekeeping.
+ *
+ * Reference: metadata handler `kafka/server/handlers/metadata.cc` (629
+ * LoC), config handlers `kafka/server/handlers/handlers.h:71-112`
+ * (describe/alter/incremental-alter configs), topic knobs
+ * `cluster/topic_properties.h:123-128+`.
+ *
+ * Spark design: topic configuration is itself a compacted log —
+ * alter_configs appends (seq, topic, key, value) and the current config
+ * is last-write-wins per (topic, key), i.e. exactly the A1 compaction
+ * operator. describe_configs overlays dynamic entries on the static
+ * defaults, mirroring the DEFAULT_CONFIG / DYNAMIC_TOPIC_CONFIG config
+ * sources of the Kafka protocol.
+ */
+object Admin {
+
+  /** Default topic knobs (cluster/topic_properties.h:123-128 defaults). */
+  val Defaults: Seq[(String, String)] = Seq(
+    "cleanup.policy" -> "delete",
+    "compression.type" -> "producer",
+    "delete.retention.ms" -> "86400000",
+    "message.timestamp.type" -> "CreateTime",
+    "retention.bytes" -> "-1",
+    "retention.ms" -> "604800000")
+
+  /** Current dynamic config: latest value per (topic, key) over the
+    * alter-configs command log — the same LWW compaction as A1. */
+  def currentConfigs(alterLog: DataFrame): DataFrame =
+    Compaction.compact(alterLog, Seq("topic", "key"), "seq")
+      .select("topic", "key", "value")
+
+  /**
+   * describe_configs: every known key per topic with its effective value
+   * and config source (dynamic override or static default).
+   */
+  def describeConfigs(spark: SparkSession, topics: Seq[String], alterLog: DataFrame): DataFrame = {
+    import spark.implicits._
+    val defaults = topics.flatMap(t => Defaults.map { case (k, v) => (t, k, v) })
+      .toDF("topic", "key", "value")
+      .withColumn("source", lit("DEFAULT_CONFIG"))
+    val dynamic = currentConfigs(alterLog).withColumn("source", lit("DYNAMIC_TOPIC_CONFIG"))
+    val defaultsKept = defaults.join(dynamic.select("topic", "key"), Seq("topic", "key"), "left_anti")
+    defaultsKept.unionByName(dynamic)
+  }
+
+  /**
+   * Q6 metadata: topics/partitions/leader/offset-bounds listing
+   * (`metadata.cc`). Leader/replica fields are engine constants — Spark
+   * owns placement — kept for API parity.
+   */
+  def metadata(log: DataFrame, topic: String): DataFrame =
+    log.groupBy("partition")
+      .agg(min("offset").as("start_offset"), (max("offset") + 1).as("hwm"),
+        count(lit(1)).as("n_records"))
+      .select(lit(topic).as("topic"), col("partition"),
+        lit(0).as("leader"), lit(1).as("replicas"),
+        col("start_offset"), col("hwm"), col("n_records"))
+
+  /**
+   * Config-driven housekeeping: apply a topic's effective cleanup policy
+   * to its log, exactly as the reference's housekeeping loop reads
+   * topic_properties (`storage/disk_log_impl.h:86-88`): 'delete' applies
+   * retention GC first (prefix by time), 'compact' applies key LWW
+   * compaction; 'compact,delete' applies retention then compaction.
+   */
+  def applyCleanupPolicy(
+      log: DataFrame,
+      policy: String,
+      keyCols: Seq[String],
+      tsCol: Column,
+      now: Column,
+      retentionMs: Long): DataFrame = {
+    val policies = policy.split(",").map(_.trim).toSet
+    val afterRetention =
+      if (policies.contains("delete") && retentionMs >= 0)
+        RecordLog.retainAfter(log, tsCol, timestamp_millis(unix_millis(now) - lit(retentionMs)))
+      else log
+    if (policies.contains("compact")) Compaction.compact(afterRetention, keyCols)
+    else afterRetention
+  }
+}

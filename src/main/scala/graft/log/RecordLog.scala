@@ -104,6 +104,23 @@ object RecordLog {
     log.where(tsCol >= cutoff)
 
   /**
+   * Q4 offset_for_leader_epoch (KIP-320): for each leader epoch present
+   * on a partition, the epoch's end offset = first offset of the next
+   * epoch, or the log end offset for the latest epoch
+   * (`kafka/server/handlers/offset_for_leader_epoch.cc`, epoch check on
+   * fetch `fetch.cc:338-342`). One shuffle on (partition, epoch) then a
+   * tiny per-partition window over the per-epoch aggregates.
+   */
+  def offsetsForLeaderEpoch(log: DataFrame, epochCol: Column): DataFrame = {
+    val agg = log.groupBy(col("partition"), epochCol.as("leader_epoch"))
+      .agg(min("offset").as("epoch_start"), max("offset").as("epoch_last"))
+    val w = Window.partitionBy("partition").orderBy("leader_epoch")
+    agg.withColumn("end_offset",
+        coalesce(lead("epoch_start", 1).over(w), col("epoch_last") + 1))
+      .select("partition", "leader_epoch", "end_offset")
+  }
+
+  /**
    * delete_records (prefix truncation to `truncateAt`), per
    * `kafka/server/handlers/delete_records.cc:36-70`: new log start becomes
    * `truncateAt`; everything below is removed.
