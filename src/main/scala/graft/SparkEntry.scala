@@ -353,6 +353,43 @@ object SparkEntry {
     "t4_last_stable_offset" -> ((s, dir) =>
       TxnEngine.lastStableOffsets(txnLog(s, dir)).orderBy("partition")),
 
+    // ----- §2.2 ingest validation (P5/P6) + registry read path -----
+    "p5_schema_validation" -> ((s, dir) => {
+      // Real wire-format bytes: magic 0x00 + int32 BE schema id + payload;
+      // ids 0..7 registered, ids 8-9 rejected (produce.cc:417 semantics).
+      val wire = events(s, dir).select(col("event_id"),
+        concat(unhex(lit("00")),
+          unhex(lpad(hex(pmod(col("user_id"), lit(10))), 8, "0")),
+          encode(col("props"), "UTF-8")).as("value"))
+      graft.registry.Ingest.validateSchemaIds(wire, col("value"), 0 to 7)
+        .groupBy("route", "schema_id").agg(count(lit(1)).as("n"))
+        .orderBy("route", "schema_id")
+    }),
+
+    "p6_crc_validation" -> ((s, dir) => {
+      // Deterministically corrupt every 97th record's stored CRC; the
+      // engine recomputes and routes mismatches (kafka_batch_adapter.h:54-75).
+      val wire = events(s, dir)
+        .select(col("event_id"), encode(col("props"), "UTF-8").as("value"))
+        .withColumn("stored_crc",
+          crc32(col("value")) + when(pmod(col("event_id"), lit(97)) === 0, 1L).otherwise(0L))
+      graft.registry.Ingest.validateCrc(wire, col("value"), col("stored_crc"))
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")
+    }),
+
+    "sr_latest_schemas" -> ((s, dir) => {
+      import s.implicits._
+      val schemaLog = Seq(
+        (1L, "events-value", 1, """{"type":"record"}"""),
+        (2L, "events-value", 2, """{"type":"record-v2"}"""),
+        (3L, "orders-value", 1, """{"type":"order"}"""),
+        (4L, "events-key", 1, """{"type":"string"}"""))
+        .toDF("seq", "subject", "version", "schema")
+      graft.registry.SchemaRegistry.latestSchemas(schemaLog)
+        .select("subject", "version", "schema").orderBy("subject")
+    }),
+
     // ----- §2.7 datalake translation / partition transforms -----
     "d2_record_translation" -> ((s, dir) =>
       events(s, dir)
@@ -674,6 +711,23 @@ object SparkEntry {
          | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs GROUP BY 1)
          | SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
          | FROM hw h LEFT JOIN open_tx o ON h.partition = o.partition ORDER BY 1""".stripMargin,
+
+    "p5_schema_validation" ->
+      """SELECT CASE WHEN user_id % 10 <= 7 THEN 'valid' ELSE 'invalid_schema_id' END AS route,
+        |       CAST(user_id % 10 AS INTEGER) AS schema_id, count(*) AS n
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p6_crc_validation" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN 'corrupt' ELSE 'valid' END AS route,
+        |       count(*) AS n
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sr_latest_schemas" ->
+      """SELECT * FROM (VALUES
+        |  ('events-key', 1, '{"type":"string"}'),
+        |  ('events-value', 2, '{"type":"record-v2"}'),
+        |  ('orders-value', 1, '{"type":"order"}'))
+        | t(subject, version, schema) ORDER BY subject""".stripMargin,
 
     "d2_record_translation" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n

@@ -95,8 +95,16 @@ object SchemaRegistry {
     }
   }
 
+  /** JSON-schema read-compatibility (subset of schema_registry/json.cc
+    * rules; see [[JsonSchemaCompat]]). Schemas are JSON strings. */
+  object JsonChecker extends Checker[String] {
+    def canRead(reader: String, writer: String): Boolean =
+      JsonSchemaCompat.canRead(reader, writer)
+  }
+
   implicit val avroChecker: Checker[Schema] = AvroChecker
   implicit val structChecker: Checker[StructType] = StructChecker
+  implicit val jsonChecker: Checker[String] = JsonChecker
 
   /**
    * Subject store read path: latest schema per subject from the

@@ -1,0 +1,122 @@
+package graft.registry
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import SchemaRegistry._
+
+/** Compatibility-algebra scenarios from the reference's registry tests
+  * (compatibility levels types.h:481-488, avro/json checker rules). */
+class CompatSpec extends AnyFunSuite {
+
+  private val v1 = parseAvro(
+    """{"type":"record","name":"r","fields":[{"name":"a","type":"int"}]}""")
+  private val v2 = parseAvro( // adds a defaulted field: backward compatible
+    """{"type":"record","name":"r","fields":[
+      |{"name":"a","type":"int"},{"name":"b","type":"string","default":""}]}""".stripMargin)
+  private val v3 = parseAvro( // drops field a entirely
+    """{"type":"record","name":"r","fields":[{"name":"b","type":"string","default":""}]}""")
+
+  test("avro: adding a defaulted field is backward compatible") {
+    assert(isCompatible(v2, Seq(v1), Backward))
+    assert(isCompatible(v3, Seq(v1, v2), Backward)) // reads latest (v2) fine
+  }
+
+  test("avro: forward compatibility = previous version reads the proposed") {
+    assert(isCompatible(v2, Seq(v1), Forward)) // v1 reads v2 data, ignoring field b
+    // a reader missing a defaulted field is fine; missing a non-defaulted one is not
+    val noDefault = parseAvro(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"a","type":"int"},{"name":"c","type":"long"}]}""".stripMargin)
+    assert(isCompatible(noDefault, Seq(v1), Backward) === false) // c lacks a default
+  }
+
+  test("validateChain flags the first incompatible version") {
+    val incompatible = parseAvro(
+      """{"type":"record","name":"r","fields":[{"name":"z","type":"long"}]}""")
+    // v1 -> v2 ok; v2 -> incompatible lacks defaults for a? z has no default
+    assert(validateChain(Seq(v1, v2, incompatible), BackwardTransitive) === 2)
+    assert(validateChain(Seq(v1, v2), BackwardTransitive) === -1)
+  }
+
+  test("struct checker: promotions and nullable-as-default") {
+    val w = StructType(Seq(StructField("a", IntegerType, nullable = false)))
+    val rPromoted = StructType(Seq(StructField("a", LongType, nullable = false)))
+    val rExtra = StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = true)))
+    val rLossy = StructType(Seq(StructField("a", StringType, nullable = false)))
+    assert(StructChecker.canRead(rPromoted, w))
+    assert(StructChecker.canRead(rExtra, w))
+    assert(!StructChecker.canRead(rLossy, w))
+  }
+
+  test("json: numeric widening, enum narrowing, required/properties rules") {
+    val wInt = """{"type":"integer"}"""
+    val rNum = """{"type":"number"}"""
+    assert(JsonChecker.canRead(rNum, wInt))
+    assert(!JsonChecker.canRead(wInt, rNum)) // number -> integer narrows
+
+    val wEnum = """{"type":"string","enum":["a","b"]}"""
+    val rEnum = """{"type":"string","enum":["a","b","c"]}"""
+    assert(JsonChecker.canRead(rEnum, wEnum))
+    assert(!JsonChecker.canRead(wEnum, rEnum))
+    assert(!JsonChecker.canRead(wEnum, """{"type":"string"}""")) // open writer
+
+    val wObj = """{"type":"object","properties":{"x":{"type":"integer"}},"required":["x"]}"""
+    val rObjOk = """{"type":"object","properties":{"x":{"type":"number"}},"required":["x"]}"""
+    val rObjMoreReq = """{"type":"object","properties":{"x":{"type":"integer"},"y":{"type":"string"}},"required":["x","y"]}"""
+    assert(JsonChecker.canRead(rObjOk, wObj))
+    assert(!JsonChecker.canRead(rObjMoreReq, wObj)) // reader requires y, writer doesn't guarantee it
+
+    val rClosed = """{"type":"object","properties":{"x":{"type":"integer"}},"additionalProperties":false}"""
+    val wClosed = """{"type":"object","properties":{"x":{"type":"integer"}},"additionalProperties":false}"""
+    assert(JsonChecker.canRead(rClosed, wClosed))
+    assert(!JsonChecker.canRead(rClosed, wObj)) // writer allows extras
+
+    val wArr = """{"type":"array","items":{"type":"integer"}}"""
+    val rArr = """{"type":"array","items":{"type":"number"}}"""
+    assert(JsonChecker.canRead(rArr, wArr))
+    assert(!JsonChecker.canRead(wArr, rArr))
+
+    // full = backward && forward: only identical-ish schemas pass
+    assert(isCompatible(wEnum, Seq(wEnum), Full)(JsonChecker))
+    assert(!isCompatible(rEnum, Seq(wEnum), Full)(JsonChecker))
+  }
+}
+
+/** P5/P6 ingest validation over real wire-format bytes. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schema-id wire format parses and routes by registered set") {
+    val rows = Seq(
+      (1L, 3), (2L, 7), (3L, 9))  // ids 0-7 registered; 9 is not
+      .toDF("id", "sid")
+      .withColumn("value",
+        concat(unhex(lit("00")), unhex(lpad(hex(col("sid")), 8, "0")),
+          encode(lit("payload"), "UTF-8")))
+    val badMagic = Seq((4L, 0)).toDF("id", "sid")
+      .withColumn("value", encode(lit("no-magic-here"), "UTF-8"))
+    val routed = Ingest.validateSchemaIds(rows.unionByName(badMagic), col("value"), 0 to 7)
+    val got = routed.select("id", "schema_id", "route")
+      .as[(Long, Option[Int], String)].collect().toSet
+    assert(got === Set(
+      (1L, Some(3), "valid"), (2L, Some(7), "valid"),
+      (3L, Some(9), "invalid_schema_id"), (4L, None, "invalid_magic")))
+    assert(Ingest.accepted(routed).count() === 2)
+    assert(Ingest.rejected(routed).count() === 2)
+  }
+
+  test("crc validation routes corrupted payloads to dead-letter") {
+    val rows = Seq((1L, "ok", false), (2L, "bad", true), (3L, "ok2", false))
+      .toDF("id", "payload", "corrupt")
+      .withColumn("value", encode(col("payload"), "UTF-8"))
+      .withColumn("stored_crc",
+        crc32(col("value")) + when(col("corrupt"), 1L).otherwise(0L))
+    val got = Ingest.validateCrc(rows, col("value"), col("stored_crc"))
+      .select("id", "route").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "valid"), (2L, "corrupt"), (3L, "valid")))
+  }
+}
