@@ -390,6 +390,40 @@ object SparkEntry {
         .select("subject", "version", "schema").orderBy("subject")
     }),
 
+    // ----- §2.7 datalake materialization (real write path) -----
+    "d1_materialize" -> ((s, dir) => {
+      // Run the record multiplexer for real: route events to per-type
+      // output tables, hour-partitioned, then read the outputs back.
+      val base = java.nio.file.Files.createTempDirectory("graft_d1").toString
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+      val written = graft.streaming.Datalake.writeMultiplexed(
+        ev, concat(lit("events_"), col("event_type")), col("ts"), base)
+      written.map { case (o, _) =>
+          s.read.parquet(s"$base/$o").withColumn("output", lit(o)) }
+        .reduce(_ unionByName _)
+        .groupBy("output", "p_hour")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("output", "p_hour")
+    }),
+
+    "d6_snapshots" -> ((s, dir) => {
+      // Three real snapshot commits (10-day chunks), then expiry to the
+      // last two; the readback sees exactly the surviving snapshots.
+      val out = java.nio.file.Files.createTempDirectory("graft_d6").toString
+      val ev = events(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val days = ev.select("day").distinct().orderBy("day").collect().map(_.getString(0))
+      days.zipWithIndex.groupBy(_._2 / 10).toSeq.sortBy(_._1).foreach { case (_, ds) =>
+        graft.streaming.Datalake.commit(
+          ev.where(col("day").isin(ds.map(_._1): _*)).select("event_id", "ts", "event_type"),
+          col("ts"), out)
+      }
+      graft.streaming.Datalake.expireSnapshots(s, out, keepLast = 2)
+      graft.streaming.Datalake.readTable(s, out)
+        .groupBy(col("snapshot_id").cast("long").as("snapshot_id"))
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("snapshot_id")
+    }),
+
     // ----- §2.7 datalake translation / partition transforms -----
     "d2_record_translation" -> ((s, dir) =>
       events(s, dir)
@@ -732,6 +766,20 @@ object SparkEntry {
     "d2_record_translation" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d1_materialize" ->
+      """SELECT 'events_' || event_type AS output,
+        |       strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS p_hour,
+        |       count(*) AS n, sum(event_id) AS sum_id
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d6_snapshots" ->
+      """WITH dr AS (
+        |  SELECT event_id,
+        |         CAST((dense_rank() OVER (ORDER BY date_trunc('day', ts)) - 1) // 10 + 1 AS BIGINT) AS snapshot_id
+        |  FROM events)
+        | SELECT snapshot_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        | FROM dr WHERE snapshot_id > 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d4_partition_transforms" ->
       """SELECT CAST(year(ts) AS INTEGER) AS t_year, CAST(month(ts) AS INTEGER) AS t_month,

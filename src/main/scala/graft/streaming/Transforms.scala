@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StructType, StructField}
 
 /**
  * Data transforms (SURVEY §2.8): the reference's only user-extension
@@ -11,14 +13,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * Reference: engine loop `transform/transform_processor.h:78` (consumer /
  * transform / producer loops `:110-114`); deploy/pause/delete management
  * `transform/transform_manager.cc`; offset start options
- * `model/transform.h:90-185`.
+ * `model/transform.h:90-185`; multi-topic output
+ * `model/transform.h:197-228` (output topic list in metadata).
  *
  * Spark design: one named StreamingQuery per transform —
  * `readStream → flatMap → writeStream`, checkpoint = the reference's
- * commit batcher (`transform/commit_batcher.h:127`). Multi-output topics
- * route on a per-record output column inside `foreachBatch` (one pass +
- * N filtered appends). Pause/resume = stop/restart by name
- * (`spark.streams`), exactly the reference's transform_manager states.
+ * commit batcher (`transform/commit_batcher.h:127`). Offset start options
+ * map to source positioning: FromStart/FromCommitted are the checkpoint
+ * semantics (a fresh checkpoint starts from the beginning; an existing
+ * one resumes), FromEnd snapshots the input's high watermark at deploy
+ * time and skips everything at or below it, FromTimestamp filters on the
+ * record timestamp. Multi-output topics route on a per-record output tag
+ * inside `foreachBatch` (one cached pass + N filtered appends).
+ * Pause/resume = stop/restart by name (`spark.streams`), exactly the
+ * reference's transform_manager states.
  */
 object Transforms {
 
@@ -26,14 +34,28 @@ object Transforms {
   sealed trait OffsetStart
   case object FromCommitted extends OffsetStart // resume checkpoint (default)
   case object FromStart extends OffsetStart     // earliest
-  case object FromEnd extends OffsetStart       // latest only
+  case object FromEnd extends OffsetStart       // only records after deploy
   final case class FromTimestamp(tsMillis: Long) extends OffsetStart
 
-  /** A deployed transform: flatMap over rows, emitting (outputTopic, row). */
+  /** Transform input: a catalog table or a parquet path. */
+  sealed trait Input {
+    def stream(spark: SparkSession): DataFrame
+    def batch(spark: SparkSession): DataFrame
+  }
+  final case class TableInput(name: String) extends Input {
+    def stream(spark: SparkSession): DataFrame = spark.readStream.table(name)
+    def batch(spark: SparkSession): DataFrame = spark.read.table(name)
+  }
+  final case class PathInput(path: String, schema: StructType) extends Input {
+    def stream(spark: SparkSession): DataFrame =
+      spark.readStream.schema(schema).parquet(path)
+    def batch(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  }
+
+  /** A deployed transform: flatMap over rows, emitting 0..N records. */
   final case class TransformSpec[T](
       name: String,
-      inputTable: String,
-      outputTables: Seq[String],
+      input: Input,
       fn: Row => IterableOnce[T],
       start: OffsetStart = FromCommitted)
 
@@ -41,25 +63,76 @@ object Transforms {
    * Batch-mode application (the semantics under test; streaming adds
    * only the trigger). Returns the transformed dataset.
    */
-  def applyBatch[T: org.apache.spark.sql.Encoder](df: DataFrame, fn: Row => IterableOnce[T]): Dataset[T] =
+  def applyBatch[T: Encoder](df: DataFrame, fn: Row => IterableOnce[T]): Dataset[T] =
     df.flatMap(fn)
 
+  /** Position the source stream per the start option (U2). FromEnd and
+    * FromTimestamp require `offset` / `timestamp` columns on the input —
+    * present on every canonical topic table. */
+  private def applyStart(spark: SparkSession, input: Input, start: OffsetStart,
+      stream: DataFrame): DataFrame = start match {
+    case FromCommitted | FromStart => stream
+    case FromEnd =>
+      val row = input.batch(spark).agg(max("offset")).collect()(0)
+      val hwm = if (row.isNullAt(0)) -1L else row.getLong(0)
+      stream.where(col("offset") > hwm)
+    case FromTimestamp(ms) =>
+      stream.where(col("timestamp") >= timestamp_millis(lit(ms)))
+  }
+
   /**
-   * Deploy as a named continuous query writing to a single output table.
-   * `checkpointDir` carries committed progress across restarts.
+   * Deploy as a named continuous query writing to a single output path.
+   * `checkpointDir` carries committed progress across restarts — pausing
+   * (stop) and redeploying with the same name/checkpoint resumes exactly
+   * after the last committed batch.
    */
-  def deploy[T: org.apache.spark.sql.Encoder](
+  def deploy[T: Encoder](
       spark: SparkSession,
       spec: TransformSpec[T],
       checkpointDir: String,
       outputPath: String): StreamingQuery = {
-    val in = spark.readStream.table(spec.inputTable)
+    val in = applyStart(spark, spec.input, spec.start, spec.input.stream(spark))
     applyBatch(in, spec.fn).writeStream
       .queryName(spec.name)
       .option("checkpointLocation", s"$checkpointDir/${spec.name}")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .option("path", outputPath)
+      .start()
+  }
+
+  /**
+   * Deploy a multi-output transform: `fn` emits (outputTable, record)
+   * pairs; each micro-batch fans out to `basePath/<outputTable>` — the
+   * record-multiplexer shape (D1) driven from a transform (U1).
+   */
+  def deployMulti[T: Encoder](
+      spark: SparkSession,
+      spec: TransformSpec[(String, T)],
+      checkpointDir: String,
+      basePath: String): StreamingQuery = {
+    implicit val tup: Encoder[(String, T)] =
+      Encoders.tuple(Encoders.STRING, implicitly[Encoder[T]])
+    val in = applyStart(spark, spec.input, spec.start, spec.input.stream(spark))
+    val routed = applyBatch(in, spec.fn)(tup)
+    routed.writeStream
+      .queryName(spec.name)
+      .option("checkpointLocation", s"$checkpointDir/${spec.name}")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[(String, T)], _: Long) =>
+        val df = batch.toDF("_output", "_value").cache()
+        try {
+          val outputs = df.select("_output").distinct().collect().map(_.getString(0)).sorted
+          outputs.foreach { o =>
+            val rows = df.where(col("_output") === o)
+            val payload = rows.schema("_value").dataType match {
+              case _: StructType => rows.select("_value.*")
+              case _             => rows.select(col("_value").as("value"))
+            }
+            payload.write.mode("append").parquet(s"$basePath/$o")
+          }
+        } finally df.unpersist()
+      }
       .start()
   }
 
