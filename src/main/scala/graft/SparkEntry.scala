@@ -206,6 +206,32 @@ object SparkEntry {
         .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
         .orderBy("partition", "offset")),
 
+    "s1_produce_scalable" -> ((s, dir) =>
+      // Two-phase assignment (counts -> prefix-sum bases -> local rank);
+      // must be bit-identical to the window plan of s1_produce.
+      RecordLog.assignOffsetsScalable(events(s, dir),
+          pmod(col("user_id"), lit(8)), col("event_id"),
+          chunkCol = floor(col("event_id") / 4096))
+        .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
+        .orderBy("partition", "offset")),
+
+    "s1_append_incremental" -> ((s, dir) => {
+      // Replay the first half as the existing log, append the second half
+      // on its high watermarks; the union must equal one-shot assignment.
+      val ev = events(s, dir)
+      val cut = ev.count() / 2
+      val part = pmod(col("user_id"), lit(8))
+      val base = RecordLog.assignOffsets(ev.where(col("event_id") < cut), part, col("event_id"))
+      val appended = RecordLog.appendBatch(
+        ev.where(col("event_id") >= cut), RecordLog.latestOffsets(base), part, col("event_id"))
+      base.select("partition", "offset", "event_id")
+        .unionByName(appended.select("partition", "offset", "event_id"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
+          sum(col("offset") * col("event_id")).as("weighted"))
+        .orderBy("partition")
+    }),
+
     "s2_fetch" -> ((s, dir) =>
       RecordLog.fetch(eventLog(s, dir), partition = 3, fromOffset = 50, maxRows = 500)
         .select("partition", "offset", "user_id", "event_type", "value")
@@ -566,6 +592,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "s1_produce" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
+
+    "s1_produce_scalable" ->
+      s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
+
+    "s1_append_incremental" ->
+      s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS lo, max("offset") AS hi,
+         |        sum("offset" * event_id) AS weighted
+         | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s2_fetch" ->
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log

@@ -38,6 +38,42 @@ object RecordLog {
   }
 
   /**
+   * Scale-safe two-phase offset assignment. [[assignOffsets]]'s window
+   * gives one task per topic partition that must sort that partition's
+   * entirety — at 100 TB / few partitions that is a handful of giant
+   * single-threaded sorts. Here the caller supplies `chunkCol`, an
+   * arrival-ordered sub-division of each partition (every arrival in
+   * chunk k sorts before every arrival in chunk k+1 — e.g. a segment id
+   * or `floor(arrival / 4096)`; the reference's log is chunked into
+   * segments exactly like this, `storage/segment_appender.h`). Then:
+   *
+   *  phase 1: count rows per (partition, chunk) — a tiny aggregate;
+   *           prefix-sum those counts per partition (window over
+   *           #partitions × #chunks rows, not over the data) to get each
+   *           chunk's base offset;
+   *  phase 2: broadcast the bases back and number rows inside each
+   *           (partition, chunk) independently.
+   *
+   * Result is identical to [[assignOffsets]]; parallelism is
+   * partitions × chunks instead of partitions.
+   */
+  def assignOffsetsScalable(
+      df: DataFrame, partitionCol: Column, arrivalCol: Column, chunkCol: Column): DataFrame = {
+    val tagged = df
+      .withColumn("partition", partitionCol.cast("int"))
+      .withColumn("__chunk", chunkCol.cast("long"))
+    val counts = tagged.groupBy("partition", "__chunk").agg(count(lit(1)).as("__n"))
+    val baseW = Window.partitionBy("partition").orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts.withColumn("__base", coalesce(sum("__n").over(baseW), lit(0L)))
+      .select("partition", "__chunk", "__base")
+    val localW = Window.partitionBy("partition", "__chunk").orderBy(arrivalCol)
+    tagged.join(broadcast(bases), Seq("partition", "__chunk"))
+      .withColumn("offset", (col("__base") + row_number().over(localW) - lit(1)).cast("long"))
+      .drop("__chunk", "__base")
+  }
+
+  /**
    * Incremental produce: append a new micro-batch on top of existing
    * high watermarks. `hwm` is small (one row per partition) and is
    * broadcast; the batch itself shuffles once on `partition`.

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import graft.log.RecordLog
+
+/**
+ * S1 streaming produce path: continuous append with dense per-partition
+ * offsets. Each micro-batch lands on the topic's current high
+ * watermarks, exactly the reference's per-partition append
+ * (`storage/disk_log_appender.h`, `produce.cc:176`): read hwm (one tiny
+ * aggregate over the existing log's parquet footers), stamp
+ * `hwm + local rank`, append. Offset assignment is serialized per
+ * partition *across* micro-batches by the stream's own sequencing —
+ * micro-batches commit in order — which is the same guarantee raft
+ * replication gives the reference's appends.
+ */
+object Produce {
+
+  private val hwmSchema = StructType(Seq(
+    StructField("partition", IntegerType), StructField("hwm", LongType)))
+
+  /** Current high watermarks of the topic table; empty when the table
+    * doesn't exist yet (or holds no data files). */
+  def highWatermarks(spark: SparkSession, outPath: String): DataFrame =
+    try RecordLog.latestOffsets(spark.read.parquet(outPath))
+      .select(col("partition"), col("hwm").cast("long"))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hwmSchema)
+    }
+
+  /**
+   * Deploy the continuous producer: every micro-batch of `input` is
+   * offset-stamped on top of the live hwm and appended to `outPath`.
+   */
+  def appendStream(
+      spark: SparkSession,
+      input: Transforms.Input,
+      outPath: String,
+      checkpointDir: String,
+      partitionCol: Column,
+      arrivalCol: Column): StreamingQuery =
+    input.stream(spark).writeStream
+      .queryName(s"produce:$outPath")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hwm = highWatermarks(batch.sparkSession, outPath)
+        RecordLog.appendBatch(batch, hwm, partitionCol, arrivalCol)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+}

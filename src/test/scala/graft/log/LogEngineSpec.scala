@@ -35,6 +35,53 @@ class LogEngineSpec extends SparkSpec {
     assert(p1.toSeq === Seq(0L, 1L))
   }
 
+  test("two-phase scalable offset assignment matches the window plan exactly") {
+    val df = (0 until 200).map(i => ((i * 7) % 5, i.toLong)).toDF("p", "arrival")
+    val plain = RecordLog.assignOffsets(df, col("p"), col("arrival"))
+      .select("partition", "arrival", "offset").as[(Int, Long, Long)].collect().toSet
+    val scalable = RecordLog.assignOffsetsScalable(df, col("p"), col("arrival"),
+        chunkCol = floor(col("arrival") / 16))
+      .select("partition", "arrival", "offset").as[(Int, Long, Long)].collect().toSet
+    assert(scalable === plain)
+  }
+
+  test("appendBatch continues offsets from the high watermark") {
+    val base = mkLog()
+    val hwm = RecordLog.latestOffsets(base)
+    val batch = Seq((0, 10L, "k9", "v9"), (0, 11L, "k9", "v10"), (2, 12L, "kN", "vN"))
+      .toDF("p", "arrival", "key", "value")
+    val appended = RecordLog.appendBatch(batch, hwm, col("p"), col("arrival"))
+      .select("partition", "offset", "key").as[(Int, Long, String)].collect().toSet
+    // partition 0 had hwm 4 => new offsets 4,5; partition 2 is new => 0
+    assert(appended === Set((0, 4L, "k9"), (0, 5L, "k9"), (2, 0L, "kN")))
+  }
+
+  test("streaming produce appends dense offsets across micro-batch restarts") {
+    import graft.streaming.{Produce, Transforms}
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("pr_in").toString
+    val out = java.nio.file.Files.createTempDirectory("pr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val sch = StructType(Seq(StructField("p", IntegerType), StructField("arrival", LongType)))
+    def write(ids: Range): Unit =
+      ids.map(i => (i % 2, i.toLong)).toDF("p", "arrival").write.mode("append").parquet(in)
+    val input = Transforms.PathInput(in, sch)
+
+    write(0 until 10)
+    Produce.appendStream(spark, input, out, ckpt, col("p"), col("arrival")).awaitTermination()
+    write(10 until 16)
+    Produce.appendStream(spark, input, out, ckpt, col("p"), col("arrival")).awaitTermination()
+
+    val log = spark.read.parquet(out)
+    val perPart = log.groupBy("partition").agg(count(lit(1)).as("n"),
+      min("offset").as("lo"), max("offset").as("hi"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(perPart === Set((0, 8L, 0L, 7L), (1, 8L, 0L, 7L))) // dense 0..7 both partitions
+    // arrival order preserved within each partition
+    val p0 = log.where($"partition" === 0).orderBy("offset").select("arrival").as[Long].collect()
+    assert(p0.toSeq === p0.toSeq.sorted)
+  }
+
   test("fetch honors offset lower bound and max rows") {
     val got = RecordLog.fetch(mkLog(), 0, 1, 2).select("offset").as[Long].collect()
     assert(got.toSeq === Seq(1L, 2L))
