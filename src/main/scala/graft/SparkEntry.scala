@@ -488,12 +488,18 @@ object SparkEntry {
 
     // ----- §4 murmur2 partition routing (parity-critical custom expr) -----
     "op_murmur2_routing" -> ((s, dir) => {
+      // Golden-vector conformance: the SQL expression must reproduce the
+      // published Kafka murmur2 values and the REFERENCE's unsigned-mod
+      // routing (kafka/client/partitioners.cc:41-44) at a non-power-of-2
+      // partition count — where Kafka-Java's toPositive would diverge.
       GraftFunctions.register(s)
-      events(s, dir)
-        .select(pmod(expr("murmur2(encode(cast(user_id as string), 'UTF-8'))")
-          .bitwiseAND(lit(0x7fffffff)), lit(16)).as("route"))
-        .groupBy("route").agg(count(lit(1)).as("n"))
-        .orderBy("route")
+      import s.implicits._
+      Seq("", "0123456789", "a", "ab", "abc", "hello-kafka", "redpanda", "user-42")
+        .toDF("key")
+        .selectExpr("key", "murmur2(encode(key, 'UTF-8')) AS hash")
+        .withColumn("route6",
+          pmod(col("hash").cast("long").bitwiseAND(lit(0xffffffffL)), lit(6)).cast("int"))
+        .orderBy("key")
     }),
 
     // ----- analytics headliners (Spark built-ins; bench anchors) -----
@@ -521,6 +527,70 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       Dedup.simHash(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")),
+
+    // Driver-checkable LSH quality assertions: recall vs the exact
+    // (oracle-verified) counterpart, plus precision-by-construction.
+    "dd_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.05)
+        .select("doc_a", "doc_b")
+      val lsh = Dedup.minHashNearDups(docs, col("doc_id"), col("text"), 3, 16, 8, 0.05)
+        .select("doc_a", "doc_b")
+      val nExact = exact.count()
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b")).count()
+      Seq(("minhash_recall_ge_75", nExact, hit.toDouble / nExact >= 0.75))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "ann_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5).select("query_id", "vec_id")
+      val n = bf.count()
+      val hit = bf.join(lsh, Seq("query_id", "vec_id")).count()
+      // Random synthetic embeddings: true neighbors sit at low cosine, so
+      // banded LSH recall is bucket-collision bound; 0.4 pins the floor.
+      Seq(("ann_recall_at5_ge_40", n, hit.toDouble / n >= 0.4))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "dd_embed_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val exact = Similarity.cosineNearDupsExact(emb, 0.4).select("vec_a", "vec_b")
+      val lsh = Similarity.cosineNearDups(emb, 64, 0.4).select("vec_a", "vec_b")
+      val nExact = exact.count()
+      val hit = exact.join(lsh, Seq("vec_a", "vec_b")).count()
+      val spurious = lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti").count()
+      // 0.4 is far below the near-dup regime the banding targets (scaladoc
+      // documents the recall math); assert the documented floor AND that
+      // the verify stage keeps precision exact (no spurious pairs).
+      Seq(("embed_lsh_recall_ge_15_precision_1", nExact,
+        hit.toDouble / nExact >= 0.15 && spurious == 0))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "dd_simhash_invariance" -> ((s, dir) => {
+      // Case/whitespace invariance proven on constructed variants (the
+      // corpus has no planted duplicates): upper-cased, padded text must
+      // fingerprint identically.
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val variant = docs.select(col("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+      val a = Dedup.simHash(docs, col("doc_id"), col("text"))
+        .withColumnRenamed("simhash", "fp_a")
+      val b = Dedup.simHash(variant, col("doc_id"), col("text"))
+        .withColumnRenamed("simhash", "fp_b")
+      a.join(b, "doc_id")
+        .select(col("doc_id"), (col("fp_a") === col("fp_b")).as("invariant"))
+        .orderBy("doc_id")
+    }),
 
     // ----- training-data pipeline: similarity search -----
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -576,6 +646,16 @@ object SparkEntry {
     "txt_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "txt_fingerprint_invariance" -> ((s, dir) =>
+      // The rolling hash must ignore case/leading whitespace but react to
+      // any content change (order-sensitive chain).
+      T(s, dir, "documents").select(col("doc_id"),
+          (TextAnalysis.fingerprint(col("text")) ===
+            TextAnalysis.fingerprint(concat(lit("  "), upper(col("text"))))).as("case_ws_invariant"),
+          (TextAnalysis.fingerprint(col("text")) =!=
+            TextAnalysis.fingerprint(concat(col("text"), lit(" xyzzy")))).as("content_sensitive"))
         .orderBy("doc_id")),
 
     // ----- training-data pipeline: multimodal plumbing -----
@@ -926,6 +1006,49 @@ object SparkEntry {
         |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         | ORDER BY 1, 2""".stripMargin,
 
+    "op_murmur2_routing" ->
+      """SELECT * FROM (VALUES
+        |  ('', 275646681, 3), ('0123456789', -631703640, 4), ('a', -1563381124, 0),
+        |  ('ab', 316155434, 2), ('abc', 479470107, 3), ('hello-kafka', -540832233, 1),
+        |  ('redpanda', -232303994, 2), ('user-42', 1459644460, 4))
+        | t(key, hash, route6) ORDER BY key""".stripMargin,
+
+    "dd_minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh_all AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 1000)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT 'minhash_recall_ge_75' AS check, count(*) AS n_exact, CAST(true AS BOOLEAN) AS ok
+        | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05""".stripMargin,
+
+    "ann_lsh_recall" ->
+      """SELECT 'ann_recall_at5_ge_40' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "dd_embed_lsh_recall" ->
+      """SELECT 'embed_lsh_recall_ge_15_precision_1' AS check,
+        |       count(*) AS n_exact, CAST(true AS BOOLEAN) AS ok
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "dd_simhash_invariance" ->
+      """SELECT doc_id, CAST(true AS BOOLEAN) AS invariant FROM documents ORDER BY doc_id""",
+
+    "txt_fingerprint_invariance" ->
+      """SELECT doc_id, CAST(true AS BOOLEAN) AS case_ws_invariant,
+        |       CAST(true AS BOOLEAN) AS content_sensitive
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
     "dd_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -944,8 +1067,10 @@ object SparkEntry {
         | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
         | ORDER BY doc_a, doc_b""".stripMargin
-    // dd_minhash_lsh, dd_simhash, txt_fingerprint, op_murmur2_routing,
-    // ann_* and dd_embed_cosine use Spark-specific hashes / float kernels
-    // => rows-only driver check.
+    // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
+    // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
+    // driver check, but each now has an oracle-checked companion
+    // (dd_minhash_recall, dd_simhash_invariance, txt_fingerprint_invariance,
+    // ann_lsh_recall, dd_embed_lsh_recall) asserting its quality contract.
   )
 }

@@ -52,8 +52,21 @@ object Murmur2 {
     h
   }
 
-  /** Kafka default partitioner: toPositive(murmur2(key)) % numPartitions. */
+  /**
+   * Key→partition routing, matching the REFERENCE client's partitioner:
+   * unsigned uint32 modulo (`kafka/client/partitioners.cc:41-44` computes
+   * `murmur2(key) % partition_count` on a uint32_t). This deliberately
+   * follows the reference, not Kafka-Java's `toPositive(hash) % n`
+   * ([[partitionForJavaClient]]): the two agree for power-of-two counts
+   * and diverge otherwise (golden-tested in Murmur2Spec).
+   */
   def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    ((hash(key) & 0xffffffffL) % numPartitions).toInt
+
+  /** Kafka-Java's default partitioner: toPositive(murmur2(key)) % n
+    * (Utils.toPositive in the Java client). Kept for ecosystems pinned to
+    * Java-client routing. */
+  def partitionForJavaClient(key: Array[Byte], numPartitions: Int): Int =
     (hash(key) & 0x7fffffff) % numPartitions
 }
 

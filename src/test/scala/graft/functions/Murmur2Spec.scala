@@ -22,6 +22,23 @@ class Murmur2Spec extends AnyFunSuite {
     }
   }
 
+  test("non-power-of-2 routing: reference unsigned modulo, diverging from Kafka-Java") {
+    // Golden vectors cross-checked against an independent implementation
+    // of the published algorithm; reference semantics =
+    // kafka/client/partitioners.cc:41-44 (uint32 % n).
+    def ref(k: String) = Murmur2.partitionFor(k.getBytes("UTF-8"), 6)
+    def java(k: String) = Murmur2.partitionForJavaClient(k.getBytes("UTF-8"), 6)
+    assert(Murmur2.hash("a".getBytes("UTF-8")) === -1563381124)
+    assert(Murmur2.hash("hello-kafka".getBytes("UTF-8")) === -540832233)
+    assert(ref("a") === 0 && java("a") === 4)          // negative hash: they diverge
+    assert(ref("hello-kafka") === 1 && java("hello-kafka") === 5)
+    assert(ref("abc") === 3 && java("abc") === 3)      // positive hash: they agree
+    // power-of-two counts always agree (low bits identical)
+    for (k <- Seq("", "a", "ab", "abc", "hello-kafka", "redpanda"))
+      assert(Murmur2.partitionFor(k.getBytes("UTF-8"), 16)
+        === Murmur2.partitionForJavaClient(k.getBytes("UTF-8"), 16))
+  }
+
   test("murmur2 SQL expression equals scala impl") {
     val spark = graft.SparkSpec.session
     GraftFunctions.register(spark)
