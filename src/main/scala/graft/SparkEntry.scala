@@ -76,7 +76,7 @@ object SparkEntry {
       .select(pmod(col("user_id"), lit(8)).cast("int").as("partition"),
         (col("event_id") * 2).as("arrival"),
         col("pid"), lit(0).as("epoch"), col("txn_seq"),
-        col("event_id"), col("event_type"), col("value"))
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
   private def txnEnds(data: DataFrame): DataFrame =
@@ -113,7 +113,7 @@ object SparkEntry {
       | d AS (
       |  SELECT CAST(e.user_id % 8 AS INTEGER) AS partition, e.event_id * 2 AS arr, p.pid,
       |         CAST((row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id) - 1) // 5 AS BIGINT) AS txn_seq,
-      |         e.event_type, e.value
+      |         e.event_id, e.user_id, e.event_type, e.value
       |  FROM events e JOIN pids p ON e.user_id = p.user_id),
       | tx AS (
       |  SELECT pid, txn_seq, min(partition) AS partition, count(*) AS n,
@@ -122,15 +122,15 @@ object SparkEntry {
       |  FROM d GROUP BY 1, 2),
       | lg AS (
       |  SELECT partition, arr, 1 AS slot, pid, txn_seq, FALSE AS is_control, 1 AS batch_type,
-      |         CAST(NULL AS VARCHAR) AS decision, event_type, value FROM d
+      |         CAST(NULL AS VARCHAR) AS decision, event_id, user_id, event_type, value FROM d
       |  UNION ALL
-      |  SELECT partition, first_arr, 0, pid, txn_seq, FALSE, 10, NULL, NULL, NULL FROM tx
+      |  SELECT partition, first_arr, 0, pid, txn_seq, FALSE, 10, NULL, NULL, NULL, NULL, NULL FROM tx
       |  UNION ALL
       |  SELECT partition, last_arr + 1, 2, pid, txn_seq, TRUE, 1,
-      |         CASE WHEN has_err = 1 THEN 'abort' ELSE 'commit' END, NULL, NULL
+      |         CASE WHEN has_err = 1 THEN 'abort' ELSE 'commit' END, NULL, NULL, NULL, NULL
       |  FROM tx WHERE n = 5),
       | ofs AS (
-      |  SELECT partition, pid, txn_seq, is_control, batch_type, decision, event_type, value,
+      |  SELECT partition, pid, txn_seq, is_control, batch_type, decision, event_id, user_id, event_type, value,
       |         CAST(row_number() OVER (PARTITION BY partition ORDER BY arr, slot, pid, txn_seq) - 1 AS BIGINT) AS "offset"
       |  FROM lg)""".stripMargin
 
@@ -379,6 +379,23 @@ object SparkEntry {
     "t4_last_stable_offset" -> ((s, dir) =>
       TxnEngine.lastStableOffsets(txnLog(s, dir)).orderBy("partition")),
 
+    "a3_txn_compaction" -> ((s, dir) =>
+      TxnEngine.compactCommitted(txnLog(s, dir), Seq("partition", "user_id"))
+        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
+        .orderBy("partition", "key")),
+
+    "g3_group_tx" -> ((s, dir) => {
+      val log = txnLog(s, dir)
+      val commits = log.where(!col("is_control") && col("event_type") === "purchase")
+        .select(col("pid"), col("txn_seq"),
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          lit("events").as("topic"), col("partition"),
+          col("event_id").as("committed_offset"), col("event_id").as("commit_seq"))
+      TxnEngine.commitTxOffsets(commits, log)
+        .select("group", "topic", "partition", "committed_offset")
+        .orderBy("group", "partition")
+    }),
+
     // ----- §2.2 ingest validation (P5/P6) + registry read path -----
     "p5_schema_validation" -> ((s, dir) => {
       // Real wire-format bytes: magic 0x00 + int32 BE schema id + payload;
@@ -402,6 +419,22 @@ object SparkEntry {
       graft.registry.Ingest.validateCrc(wire, col("value"), col("stored_crc"))
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")
+    }),
+
+    "d3_schema_evolution" -> ((s, dir) => {
+      // Rows written under schema v1 (k int, v string) evolved to v2
+      // (k long, v string, score double nullable): promotable cast +
+      // null-filled new field, gated by the compatibility checker.
+      val old = events(s, dir)
+        .select(col("user_id").cast("int").as("k"), col("event_type").as("v"))
+      val target = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType),
+        StructField("score", DoubleType)))
+      graft.registry.SchemaRegistry.evolve(old, target)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count("score").as("non_null_scores"))
+        .orderBy("v")
     }),
 
     "sr_latest_schemas" -> ((s, dir) => {
@@ -659,14 +692,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ----- training-data pipeline: multimodal plumbing -----
-    "mm_media_meta" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), lit("image/fake").as("mime"),
-          encode(col("text"), "UTF-8").as("media"))
-        .select(col("doc_id"), col("mime"),
-          length(col("media")).as("byte_len"),
-          (lit(16) + pmod(length(col("media")), lit(64))).as("width"))
-        .orderBy("doc_id"))
+    "mm_media_meta" -> ((s, dir) => {
+      // Runs the REAL mapPartitions decode path (stub codec, declared in
+      // Multimodal.MediaCodec): binary payloads in, typed features out.
+      implicit val sp: SparkSession = s
+      val media = graft.analytics.Multimodal.fakeMediaFromText(T(s, dir, "documents"))
+      graft.analytics.Multimodal.extractFeatures(media).toDF()
+        .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -881,6 +915,40 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "a3_txn_compaction" ->
+      s"""$TxnCte,
+         | aborted AS (
+         |  SELECT o.partition, o.pid, o.txn_seq, min(o."offset") AS first, max(o."offset") AS last
+         |  FROM ofs o
+         |  WHERE NOT o.is_control AND EXISTS (
+         |    SELECT 1 FROM ofs m WHERE m.is_control AND m.decision = 'abort'
+         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
+         |  GROUP BY 1, 2, 3)
+         | SELECT partition, user_id AS key, "offset", event_type FROM (
+         |  SELECT o.*, row_number() OVER (PARTITION BY o.partition, o.user_id ORDER BY o."offset" DESC) AS rn
+         |  FROM ofs o
+         |  WHERE NOT o.is_control AND o.batch_type = 1
+         |    AND NOT EXISTS (SELECT 1 FROM aborted a
+         |      WHERE a.partition = o.partition AND a.pid = o.pid
+         |        AND o."offset" BETWEEN a.first AND a.last))
+         | WHERE rn = 1 ORDER BY partition, key""".stripMargin,
+
+    "g3_group_tx" ->
+      s"""$TxnCte,
+         | committed AS (SELECT DISTINCT pid, txn_seq FROM ofs WHERE is_control AND decision = 'commit')
+         | SELECT "group", topic, partition, committed_offset FROM (
+         |  SELECT 'g' || CAST(o.user_id % 3 AS VARCHAR) AS "group", 'events' AS topic, o.partition,
+         |         o.event_id AS committed_offset,
+         |         row_number() OVER (PARTITION BY o.user_id % 3, o.partition ORDER BY o.event_id DESC) AS rn
+         |  FROM ofs o JOIN committed c ON o.pid = c.pid AND o.txn_seq = c.txn_seq
+         |  WHERE NOT o.is_control AND o.batch_type = 1 AND o.event_type = 'purchase')
+         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    "d3_schema_evolution" ->
+      """SELECT event_type AS v, count(*) AS n, sum(user_id) AS sum_k,
+        |       CAST(0 AS BIGINT) AS non_null_scores
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d1_materialize" ->
       """SELECT 'events_' || event_type AS output,
         |       strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS p_hour,
@@ -985,7 +1053,9 @@ object SparkEntry {
     "mm_media_meta" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width
+        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+        |  1 AS n_frames
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce_topk" ->

@@ -125,6 +125,41 @@ object TxnEngine {
     Transactions.lastStableOffsets(log, openTransactions(log))
 
   /**
+   * A3 txn-marker compaction: the compaction rewrite removes data of
+   * aborted transactions and all control/fence batches, then applies key
+   * LWW (`storage/compaction_reducers.h:217-231` tx_reducer). Unlike
+   * read_committed this does NOT cap at the LSO — open-txn data survives
+   * the rewrite.
+   */
+  def compactCommitted(log: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val ar = broadcast(abortedRanges(log).select(
+      col("partition").as("a_partition"), col("pid").as("a_pid"),
+      col("first"), col("last")))
+    val data = log.where(!col("is_control") && col("batch_type") === BatchType.RaftData)
+      .join(ar,
+        col("partition") === col("a_partition") && col("pid") === col("a_pid") &&
+          col("offset").between(col("first"), col("last")),
+        "left_anti")
+    Compaction.compact(data, keyCols)
+  }
+
+  /**
+   * G3 group-transaction tracking: offset commits made inside a
+   * transaction become visible only when that transaction commits
+   * (`group_tx_tracker_stm.cc`, `txn_offset_commit.cc`; group tx batch
+   * types `record_batch_types.h:34-36`). `commitLog` rows carry
+   * (group, topic, partition, committed_offset, commit_seq, pid,
+   * txn_seq); the result is the latest committed offset per group key,
+   * considering only commits whose txn has a commit marker in `log`.
+   */
+  def commitTxOffsets(commitLog: DataFrame, log: DataFrame): DataFrame = {
+    val committedTxns = log.where(col("is_control") && col("decision") === "commit")
+      .select("pid", "txn_seq").distinct()
+    graft.groups.ConsumerGroups.fetchOffsets(
+      commitLog.join(committedTxns, Seq("pid", "txn_seq")))
+  }
+
+  /**
    * P4 read_committed over engine-produced state: drop control records,
    * aborted ranges, and rows at or past the LSO — all three inputs
    * derived from the marker-carrying log itself. Aborted ranges and LSO

@@ -117,6 +117,23 @@ object SchemaRegistry {
   /** Parse an Avro schema (the subject payload format of the reference). */
   def parseAvro(json: String): Schema = new Schema.Parser().parse(json)
 
+  /**
+   * D3 schema evolution: rewrite rows written under an old schema to the
+   * current reader schema — missing nullable fields become nulls,
+   * promotable types are cast (`datalake/catalog_schema_manager.cc`,
+   * `iceberg/compatibility.cc` semantics). Refuses evolutions the
+   * compatibility checker rejects.
+   */
+  def evolve(df: org.apache.spark.sql.DataFrame, target: StructType): org.apache.spark.sql.DataFrame = {
+    require(StructChecker.canRead(target, df.schema),
+      s"target schema cannot read rows written as ${df.schema.simpleString}")
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Validate a version chain under one level; returns first bad index or -1. */
   def validateChain[S](chain: Seq[S], level: CompatibilityLevel)(implicit c: Checker[S]): Int = {
     var i = 1
