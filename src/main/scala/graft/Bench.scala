@@ -23,7 +23,7 @@ object Bench {
   private def force(df: DataFrame): Long = {
     // xor-fold of a row hash over every output column: forces full
     // decode + compute of all cells (no ANSI overflow, unlike sum).
-    val h = xxhash64(struct(df.columns.map(col): _*))
+    val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
     df.agg(count(lit(1)), bit_xor(h)).collect()(0).getLong(0)
   }
 
@@ -58,11 +58,29 @@ object Bench {
     val (produceRows, produceSec) = timed(force(SparkEntry.fullLog(spark, sfDir)))
     val (fetchRows, fetchSec) = timed(
       force(SparkEntry.fullLog(spark, sfDir).where(col("offset") >= 0)))
+    // End-to-end streaming produce: offset-stamped append of the whole
+    // events table through the micro-batch path, durably written.
+    val (streamRows, streamSec) = timed {
+      import graft.streaming.{Produce, Transforms}
+      import java.nio.file.{Files, Paths}
+      val tmp = Files.createTempDirectory("bench_stream").toString
+      val src = s"$sfDir/events.parquet"
+      // the file-stream source needs a directory; link the input into one
+      val inDir = Files.createDirectory(Paths.get(s"$tmp/in"))
+      Files.createSymbolicLink(inDir.resolve("events.parquet"), Paths.get(src))
+      val schema = spark.read.parquet(src).schema
+      Produce.appendStream(spark, Transforms.PathInput(inDir.toString, schema),
+        s"$tmp/log", s"$tmp/ckpt",
+        pmod(col("user_id"), lit(8)), col("event_id")).awaitTermination()
+      spark.read.parquet(s"$tmp/log").count()
+    }
     val thr =
       s""""throughput":{"produce_rows_per_s":${produceRows / produceSec},""" +
       s""""produce_mb_per_s":${eventsBytes / 1e6 / produceSec},""" +
       s""""fetch_rows_per_s":${fetchRows / fetchSec},""" +
-      s""""fetch_mb_per_s":${eventsBytes / 1e6 / fetchSec}}"""
+      s""""fetch_mb_per_s":${eventsBytes / 1e6 / fetchSec},""" +
+      s""""stream_produce_rows_per_s":${streamRows / streamSec},""" +
+      s""""stream_produce_mb_per_s":${eventsBytes / 1e6 / streamSec}}"""
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

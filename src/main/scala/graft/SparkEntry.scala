@@ -20,8 +20,14 @@ import graft.operators.Operators
  *
  * The `events` table plays the role of a topic's record log: key =
  * user_id, arrival order = event_id, partition = user_id % 8 (the oracle
- * can't run murmur2, so the parity-critical murmur2 routing is exercised
- * separately in `op_murmur2_routing` + ScalaTest golden vectors).
+ * can't run murmur2, so the parity-critical murmur2 routing is checked
+ * against pinned golden vectors in `op_murmur2_routing` + ScalaTest).
+ *
+ * The transactional scenario (txnData/txnEnds/TxnCte) derives a
+ * deterministic txn workload from events so that read_committed, LSO,
+ * compaction and group-tx queries all run on state the ENGINE produces
+ * (fences, control markers, aborted ranges) — replicated column-for-
+ * column by the DuckDB oracle CTE.
  */
 object SparkEntry {
 
@@ -238,6 +244,21 @@ object SparkEntry {
         .orderBy("offset")),
 
     // ----- §2.3 offset/time queries -----
+    "s2_fetch_stored" -> ((s, dir) => {
+      // Fetch against the STORED topic layout: log materialized
+      // partitioned-by-partition with offsets as a real column, so the
+      // partition predicate prunes directories and the offset bound
+      // pushes into parquet row-group stats (PushedFilters) — the plan
+      // shape a 100 TB fetch actually runs. (The plain s2_fetch variant
+      // derives offsets on the fly and cannot push them down.)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s2s").toString
+      eventLog(s, dir).write.partitionBy("partition").parquet(s"$tmp/log")
+      s.read.parquet(s"$tmp/log")
+        .where(col("partition") === 3 && col("offset") >= 50)
+        .orderBy("offset").limit(500)
+        .select("partition", "offset", "user_id", "event_type", "value")
+    }),
+
     "q1_q2_list_offsets" -> ((s, dir) => {
       val log = eventLog(s, dir)
       RecordLog.earliestOffsets(log)
@@ -452,17 +473,20 @@ object SparkEntry {
     // ----- §2.7 datalake materialization (real write path) -----
     "d1_materialize" -> ((s, dir) => {
       // Run the record multiplexer for real: route events to per-type
-      // output tables, hour-partitioned, then read the outputs back.
+      // output tables, then read the outputs back. Daily partition
+      // granularity: this corpus carries ~1 MB/day — hourly dirs would
+      // be the small-files anti-pattern (Datalake.dayPartition scaladoc).
       val base = java.nio.file.Files.createTempDirectory("graft_d1").toString
       val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
       val written = graft.streaming.Datalake.writeMultiplexed(
-        ev, concat(lit("events_"), col("event_type")), col("ts"), base)
+        ev, concat(lit("events_"), col("event_type")), col("ts"), base,
+        partFn = graft.streaming.Datalake.dayPartition)
       written.map { case (o, _) =>
           s.read.parquet(s"$base/$o").withColumn("output", lit(o)) }
         .reduce(_ unionByName _)
-        .groupBy("output", "p_hour")
+        .groupBy("output", "p_key")
         .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("output", "p_hour")
+        .orderBy("output", "p_key")
     }),
 
     "d6_snapshots" -> ((s, dir) => {
@@ -473,8 +497,8 @@ object SparkEntry {
       val days = ev.select("day").distinct().orderBy("day").collect().map(_.getString(0))
       days.zipWithIndex.groupBy(_._2 / 10).toSeq.sortBy(_._1).foreach { case (_, ds) =>
         graft.streaming.Datalake.commit(
-          ev.where(col("day").isin(ds.map(_._1): _*)).select("event_id", "ts", "event_type"),
-          col("ts"), out)
+          ev.where(col("day").isin(ds.toIndexedSeq.map(_._1): _*)).select("event_id", "ts", "event_type"),
+          col("ts"), out, partFn = graft.streaming.Datalake.dayPartition)
       }
       graft.streaming.Datalake.expireSnapshots(s, out, keepLast = 2)
       graft.streaming.Datalake.readTable(s, out)
@@ -719,6 +743,10 @@ object SparkEntry {
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
          | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
 
+    "s2_fetch_stored" ->
+      s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
+         | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
+
     "q1_q2_list_offsets" ->
       s"""$LogCte SELECT partition, min("offset") AS earliest, max("offset") + 1 AS hwm
          | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
@@ -951,7 +979,7 @@ object SparkEntry {
 
     "d1_materialize" ->
       """SELECT 'events_' || event_type AS output,
-        |       strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS p_hour,
+        |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_key,
         |       count(*) AS n, sum(event_id) AS sum_id
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

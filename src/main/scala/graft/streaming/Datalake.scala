@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
  * `datalake/coordinator/`), and retention expires old snapshots.
  *
  * Spark design: each commit appends hour-partitioned parquet under
- * `data/snapshot_id=N/p_hour=...` plus one row of snapshot metadata —
+ * `data/snapshot_id=N/p_key=...` plus one row of snapshot metadata —
  * Spark's dynamic-partition writer IS the partitioning writer, so the
  * multiplexer reduces to a routed write per output table inside
  * `foreachBatch`. Readers see exactly the surviving-snapshot set
@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
  */
 object Datalake {
 
-  /** Hourly partition value (iceberg `hour(timestamp)` transform,
-    * table_definition.cc:57-66). */
+  /** Hourly partition value — the reference's default spec (iceberg
+    * `hour(timestamp)` transform, table_definition.cc:57-66). */
   def hourPartition(ts: Column): Column = date_format(ts, "yyyy-MM-dd-HH")
+
+  /** Daily partition value (iceberg `day(timestamp)`). Partition
+    * granularity must match data volume: a partition should hold at
+    * least a target-file-size of data, or the table devolves into
+    * per-directory commit overhead and tiny files. Callers pick the
+    * transform; hour is the reference default, day the low-volume choice. */
+  def dayPartition(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
 
   private def snapshotsPath(outPath: String) = s"$outPath/snapshots"
   private def dataPath(outPath: String) = s"$outPath/data"
@@ -53,13 +60,21 @@ object Datalake {
    * D1/D6 commit: append `df` hour-partitioned under a fresh snapshot id
    * and record the snapshot. Returns the snapshot id.
    */
-  def commit(df: DataFrame, tsCol: Column, outPath: String): Long = {
+  def commit(df: DataFrame, tsCol: Column, outPath: String,
+      partFn: Column => Column = hourPartition): Long = {
     val spark = df.sparkSession
     val snap = nextSnapshotId(spark, outPath)
     val n = df.count()
-    df.withColumn("p_hour", hourPartition(tsCol))
+    // Cluster rows by target partition before the dynamic-partition
+    // write: one task per partition directory instead of every task
+    // touching every directory (tasks × dirs tiny files — the classic
+    // small-files failure; the reference's partitioning_writer groups
+    // rows per partition key for exactly this reason,
+    // datalake/partitioning_writer.h).
+    df.withColumn("p_key", partFn(tsCol))
       .withColumn("snapshot_id", lit(snap))
-      .write.mode("append").partitionBy("snapshot_id", "p_hour")
+      .repartition(col("p_key"))
+      .write.mode("append").partitionBy("snapshot_id", "p_key")
       .parquet(dataPath(outPath))
     import spark.implicits._
     Seq((snap, System.currentTimeMillis(), n))
@@ -111,16 +126,19 @@ object Datalake {
       batch: DataFrame,
       routeCol: Column,
       tsCol: Column,
-      basePath: String): Seq[(String, Long)] = {
+      basePath: String,
+      partFn: Column => Column = hourPartition): Seq[(String, Long)] = {
     val routed = batch
       .withColumn("_output", routeCol)
-      .withColumn("p_hour", hourPartition(tsCol))
+      .withColumn("p_key", partFn(tsCol))
       .cache()
     try {
       val outputs = routed.select("_output").distinct().collect().map(_.getString(0)).sorted
       outputs.toSeq.map { o =>
         val rows = routed.where(col("_output") === o).drop("_output")
-        rows.write.mode("append").partitionBy("p_hour").parquet(s"$basePath/$o")
+        // cluster by partition key before the write — see commit() note
+        rows.repartition(col("p_key"))
+          .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$o")
         o -> rows.count()
       }
     } finally routed.unpersist()

@@ -26,7 +26,7 @@ class DatalakeSpec extends SparkSpec {
     assert(Seq(s1, s2, s3) === Seq(1L, 2L, 3L))
     assert(Datalake.readTable(spark, out).count() === 35)
     // hourly partition directories exist (hour(timestamp) spec)
-    val hours = Datalake.readTable(spark, out).select("p_hour").distinct().count()
+    val hours = Datalake.readTable(spark, out).select("p_key").distinct().count()
     assert(hours > 1)
 
     val expired = Datalake.expireSnapshots(spark, out, keepLast = 2)
@@ -43,7 +43,7 @@ class DatalakeSpec extends SparkSpec {
       col("timestamp"), base)
     assert(written.toMap === Map("t_a" -> 7L, "t_b" -> 13L))
     assert(spark.read.parquet(s"$base/t_a").count() === 7)
-    assert(spark.read.parquet(s"$base/t_b").where(col("p_hour").isNotNull).count() === 13)
+    assert(spark.read.parquet(s"$base/t_b").where(col("p_key").isNotNull).count() === 13)
   }
 
   private val inputSchema = StructType(Seq(
