@@ -96,9 +96,27 @@ object SparkEntry {
         (col("last_arr") + 1).as("arrival"))
 
   /** The marker-carrying transactional log (fences + data + end markers). */
-  private def txnLog(s: SparkSession, dir: String): DataFrame = {
+  private def txnLogDerived(s: SparkSession, dir: String): DataFrame = {
     val data = txnData(s, dir)
     TxnEngine.interleaveMarkers(data, txnEnds(data))
+  }
+
+  private val txnLogStore = scala.collection.concurrent.TrieMap[String, String]()
+
+  /**
+   * The transactional log as a STORED topic table (materialized once per
+   * scale factor, then read back). This is the shape the engine actually
+   * serves reads from — rm_stm state is derived from the stored log, not
+   * recomputed from raw inputs per query — and it lets offset/partition
+   * predicates push into the parquet scan.
+   */
+  private def txnLog(s: SparkSession, dir: String): DataFrame = {
+    val path = txnLogStore.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_txnlog").toString
+      txnLogDerived(s, dir).write.parquet(s"$tmp/log")
+      s"$tmp/log"
+    })
+    s.read.parquet(path)
   }
 
   /** Deterministic alter-configs command log for the admin queries. */
