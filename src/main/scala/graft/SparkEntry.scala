@@ -608,14 +608,16 @@ object SparkEntry {
     "dd_minhash_recall" -> ((s, dir) => {
       import s.implicits._
       val docs = T(s, dir, "documents")
-      val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.05)
-        .select("doc_a", "doc_b")
-      val lsh = Dedup.minHashNearDups(docs, col("doc_id"), col("text"), 3, 16, 8, 0.05)
-        .select("doc_a", "doc_b")
-      val nExact = exact.count()
-      val hit = exact.join(lsh, Seq("doc_a", "doc_b")).count()
-      Seq(("minhash_recall_ge_75", nExact, hit.toDouble / nExact >= 0.75))
-        .toDF("check", "n_exact", "ok")
+      // one shingling pass feeds both the exact and the LSH method
+      val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).cache()
+      try {
+        val exact = Dedup.ngramJaccardFromShingles(sh, 0.05).select("doc_a", "doc_b")
+        val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
+        val nExact = exact.count()
+        val hit = exact.join(lsh, Seq("doc_a", "doc_b")).count()
+        Seq(("minhash_recall_ge_75", nExact, hit.toDouble / nExact >= 0.75))
+          .toDF("check", "n_exact", "ok")
+      } finally sh.unpersist()
     }),
 
     "ann_lsh_recall" -> ((s, dir) => {

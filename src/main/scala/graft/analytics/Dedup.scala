@@ -83,8 +83,13 @@ object Dedup {
 
   /** MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify. */
   def minHashNearDups(df: DataFrame, idCol: Column, textCol: Column,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
-    val sh = shingled(df, idCol, textCol, shingleN)
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.2): DataFrame =
+    minHashNearDupsFromShingles(shingled(df, idCol, textCol, shingleN), k, bands, threshold)
+
+  /** MinHash+LSH over a pre-shingled (doc_id, shingle) set — lets callers
+    * share one shingling pass across several dedup methods. */
+  def minHashNearDupsFromShingles(sh: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
     val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
     verifyJaccard(cands, sh).where(col("jaccard") >= threshold)
   }
@@ -97,8 +102,11 @@ object Dedup {
    * quadratic bucket).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n)
+      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame =
+    ngramJaccardFromShingles(shingled(df, idCol, textCol, n), threshold, maxDf)
+
+  /** Exact n-gram Jaccard over a pre-shingled (doc_id, shingle) set. */
+  def ngramJaccardFromShingles(sh: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
       .where(col("df_cnt") <= maxDf)
     // Jaccard is computed over the capped shingle space (sizes AND
