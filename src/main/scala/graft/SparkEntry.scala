@@ -382,6 +382,22 @@ object SparkEntry {
         .orderBy("group", "partition")
     }),
 
+    "g5_sequence_check" -> ((s, dir) => {
+      // Hand-computed admission scenario replayed through the stateful
+      // fold (producer_state.h:126 semantics); oracle pins every status.
+      import s.implicits._
+      val log = Seq(
+        // pid 1, epoch 0: dense, one duplicate, one gap, then the gap fills
+        (1L, 0, 0L, 1L), (1L, 0, 1L, 2L), (1L, 0, 1L, 3L),
+        (1L, 0, 2L, 4L), (1L, 0, 4L, 5L), (1L, 0, 3L, 6L),
+        // pid 2: first write must be seq 0
+        (2L, 0, 5L, 1L), (2L, 0, 0L, 2L), (2L, 0, 1L, 3L),
+        // pid 3: epoch bump resets expectation; stale epoch is fenced
+        (3L, 0, 0L, 1L), (3L, 1, 0L, 2L), (3L, 0, 1L, 3L), (3L, 1, 1L, 4L))
+        .toDF("pid", "epoch", "seq", "arrival")
+      ConsumerGroups.validateSequences(log).orderBy("pid", "arrival")
+    }),
+
     "g5_idempotent_producer" -> ((s, dir) =>
       ConsumerGroups.dedupProducer(
           events(s, dir).withColumn("seq", get_json_object(col("props"), "$.k").cast("int")),
@@ -879,6 +895,23 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    "g5_sequence_check" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'ok'),
+        |  (1, 0, 1, 2, 'ok'),
+        |  (1, 0, 1, 3, 'duplicate_sequence'),
+        |  (1, 0, 2, 4, 'ok'),
+        |  (1, 0, 4, 5, 'out_of_order_sequence'),
+        |  (1, 0, 3, 6, 'ok'),
+        |  (2, 0, 5, 1, 'out_of_order_sequence'),
+        |  (2, 0, 0, 2, 'ok'),
+        |  (2, 0, 1, 3, 'ok'),
+        |  (3, 0, 0, 1, 'ok'),
+        |  (3, 1, 0, 2, 'ok'),
+        |  (3, 0, 1, 3, 'fenced_epoch'),
+        |  (3, 1, 1, 4, 'ok'))
+        | t(pid, epoch, seq, arrival, status) ORDER BY pid, arrival""".stripMargin,
 
     "g5_idempotent_producer" ->
       """SELECT user_id, seq, event_id AS first_arrival, event_type, attempts FROM (

@@ -57,4 +57,42 @@ object ConsumerGroups {
     val maxEpoch = max(col(epochCol)).over(Window.partitionBy(col(pidCol)))
     log.withColumn("__me", maxEpoch).where(col(epochCol) === col("__me")).drop("__me")
   }
+
+  final case class SeqRec(pid: Long, epoch: Int, seq: Long, arrival: Long)
+  final case class SeqStatus(pid: Long, epoch: Int, seq: Long, arrival: Long, status: String)
+
+  /**
+   * G5 sequence validation — the replay of the reference's
+   * `is_valid_sequence` admission (`cluster/producer_state.h:126`):
+   * within a (pid, epoch) the next accepted sequence must be exactly
+   * lastSeq+1 (0 for a fresh epoch); `seq <= last` is an idempotent
+   * duplicate, `seq > last+1` is an out-of-order gap (rejected, state
+   * unchanged); an epoch bump resets the expectation to 0 and any write
+   * from an older epoch is fenced. One shuffle keyed by pid; per-pid
+   * state is a pair of longs, so the fold scales to any producer count.
+   */
+  def validateSequences(log: DataFrame): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(col("pid").cast("long"), col("epoch").cast("int"),
+        col("seq").cast("long"), col("arrival").cast("long"))
+      .as[SeqRec]
+      .groupByKey(_.pid)
+      .flatMapGroups { (_, it) =>
+        var curEpoch = Int.MinValue
+        var next = 0L
+        it.toSeq.sortBy(_.arrival).iterator.map { r =>
+          val status =
+            if (r.epoch < curEpoch) "fenced_epoch"
+            else {
+              if (r.epoch > curEpoch) { curEpoch = r.epoch; next = 0L }
+              if (r.seq == next) { next += 1; "ok" }
+              else if (r.seq < next) "duplicate_sequence"
+              else "out_of_order_sequence"
+            }
+          SeqStatus(r.pid, r.epoch, r.seq, r.arrival, status)
+        }
+      }
+      .toDF()
+  }
 }

@@ -48,9 +48,11 @@ object GroupFsm {
   final case class Heartbeat(seq: Long, member: String) extends Command
   final case class Leave(seq: Long, member: String) extends Command
 
-  /** joinedSeq = when the member last (re)joined; protocols = supported
-    * partition-assignment protocols in preference order. */
-  final case class Member(id: String, protocols: Seq[String], joinedSeq: Long)
+  /** joinedSeq = when the member last (re)joined; lastSeen = seq of its
+    * last join/sync/heartbeat (drives session expiry); protocols =
+    * supported partition-assignment protocols in preference order. */
+  final case class Member(id: String, protocols: Seq[String], joinedSeq: Long,
+      lastSeen: Long = 0L)
 
   final case class Group(
       state: String = State.Empty,
@@ -91,30 +93,51 @@ object GroupFsm {
   def step(g: Group, cmd: Command): Group = cmd match {
     case Join(seq, m, protos) =>
       val known = g.members.contains(m)
+      val kept = if (known) g.members(m).joinedSeq else seq
       val updated = g.copy(members =
-        g.members.updated(m, Member(m, protos, if (known) g.members(m).joinedSeq else seq)))
-      if (known && g.state == State.Stable && g.members(m).protocols == protos) g // rejoin, no-op
+        g.members.updated(m, Member(m, protos, kept, lastSeen = seq)))
+      if (known && g.state == State.Stable && g.members(m).protocols == protos)
+        updated // rejoin: refresh liveness, no rebalance
       else updated.copy(state = State.PreparingRebalance)
-    case Sync(_, m) =>
-      g.state match {
+    case Sync(seq, m) =>
+      val alive = touch(g, m, seq)
+      alive.state match {
         case State.PreparingRebalance =>
-          val done = completeJoin(g)
+          val done = completeJoin(alive)
           if (done.state == State.CompletingRebalance && done.leader.contains(m))
             done.copy(state = State.Stable)
           else done
-        case State.CompletingRebalance if g.leader.contains(m) => g.copy(state = State.Stable)
-        case _ => g
+        case State.CompletingRebalance if alive.leader.contains(m) =>
+          alive.copy(state = State.Stable)
+        case _ => alive
       }
-    case Heartbeat(_, _) => g // liveness only; membership unchanged
-    case Leave(_, m) =>
-      if (!g.members.contains(m)) g
-      else {
-        val rest = g.members - m
-        if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
-        else g.copy(members = rest, state = State.PreparingRebalance,
-          leader = if (g.leader.contains(m)) None else g.leader)
-      }
+    case Heartbeat(seq, m) => touch(g, m, seq) // liveness only
+    case Leave(_, m) => removeMember(g, m)
   }
+
+  private def touch(g: Group, m: String, seq: Long): Group =
+    g.members.get(m) match {
+      case Some(mem) => g.copy(members = g.members.updated(m, mem.copy(lastSeen = seq)))
+      case None      => g
+    }
+
+  private def removeMember(g: Group, m: String): Group =
+    if (!g.members.contains(m)) g
+    else {
+      val rest = g.members - m
+      if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
+      else g.copy(members = rest, state = State.PreparingRebalance,
+        leader = if (g.leader.contains(m)) None else g.leader)
+    }
+
+  /**
+   * Session expiry (`heartbeat_expire`, group.h:538-540): every member
+   * whose last sign of life is at or before `deadline` is removed, each
+   * removal triggering a rebalance exactly as an explicit leave would.
+   */
+  def expireSessions(g: Group, deadline: Long): Group =
+    g.members.values.filter(_.lastSeen <= deadline).map(_.id)
+      .foldLeft(g)(removeMember)
 
   /** One recovery-mode step: membership changes complete immediately
     * (no sync barrier, as in group_recovery_consumer log replay). */

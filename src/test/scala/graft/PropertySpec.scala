@@ -1,0 +1,107 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.functions.{Murmur2, VectorKernels}
+import graft.groups.GroupFsm
+import graft.log.{Compaction, RecordLog}
+
+/** Seeded randomized property checks over operator invariants — the
+  * edge-case net around the example-based specs. Seeds are fixed so
+  * every run replays the same corpus. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("offset assignment: dense per partition, arrival-ordered, scalable variant identical") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 3) {
+      val n = 200 + rnd.nextInt(200)
+      val parts = 1 + rnd.nextInt(5)
+      val arrivals = rnd.shuffle((0 until n).toList)
+      val rows = arrivals.map(a => (rnd.nextInt(parts), a.toLong))
+      val df = rows.toDF("p", "arrival")
+      val log = RecordLog.assignOffsets(df, col("p"), col("arrival"))
+        .select("partition", "arrival", "offset")
+        .as[(Int, Long, Long)].collect()
+      // dense 0..k-1 per partition
+      log.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq === rs.indices.map(_.toLong))
+        // arrival order == offset order
+        assert(rs.sortBy(_._3).map(_._2).toSeq === rs.map(_._2).sorted.toSeq)
+      }
+      val scalable = RecordLog.assignOffsetsScalable(df, col("p"), col("arrival"),
+          chunkCol = floor(col("arrival") / (1 + rnd.nextInt(50))))
+        .select("partition", "arrival", "offset")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(scalable === log.toSet)
+    }
+  }
+
+  test("compaction: exactly one survivor per key and it is the max-offset record") {
+    val rnd = new Random(7)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(3), s"k${rnd.nextInt(40)}", i.toLong, s"v$i")
+    }
+    val df = rows.toDF("partition", "key", "offset", "v")
+    val got = Compaction.compact(df, Seq("partition", "key"))
+      .select("partition", "key", "offset")
+      .as[(Int, String, Long)].collect()
+    val expected = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).max).toMap
+    assert(got.length === expected.size)
+    got.foreach { case (p, k, o) => assert(expected((p, k)) === o) }
+  }
+
+  test("murmur2 routing: always in range, reference- and java-mod agree on powers of two") {
+    val rnd = new Random(1234)
+    for (_ <- 1 to 200) {
+      val key = Array.fill(rnd.nextInt(40))(rnd.nextInt().toByte)
+      for (n <- Seq(1, 3, 6, 7, 16, 100)) {
+        val p = Murmur2.partitionFor(key, n)
+        assert(p >= 0 && p < n)
+        val pj = Murmur2.partitionForJavaClient(key, n)
+        assert(pj >= 0 && pj < n)
+        if ((n & (n - 1)) == 0) assert(p === pj)
+      }
+    }
+  }
+
+  test("sign sketch: deterministic and invariant under positive scaling") {
+    val rnd = new Random(99)
+    for (_ <- 1 to 50) {
+      val v = Array.fill(16 + rnd.nextInt(48))(rnd.nextGaussian())
+      val a = ArrayData.toArrayData(v)
+      val factor = 0.1 + rnd.nextDouble() * 10
+      val scaled = ArrayData.toArrayData(v.map(_ * factor))
+      assert(VectorKernels.signSketch(a, 64) === VectorKernels.signSketch(a, 64))
+      assert(VectorKernels.signSketch(a, 64) === VectorKernels.signSketch(scaled, 64))
+    }
+  }
+
+  test("group FSM: generation never decreases; a stable leader is a member") {
+    val rnd = new Random(5)
+    val members = (1 to 6).map(i => s"m$i")
+    for (_ <- 1 to 20) {
+      var g = GroupFsm.Group()
+      var lastGen = 0L
+      for (seq <- 1 to 60) {
+        val m = members(rnd.nextInt(members.length))
+        val cmd: GroupFsm.Command = rnd.nextInt(4) match {
+          case 0 => GroupFsm.Join(seq, m, Seq("range"))
+          case 1 => GroupFsm.Sync(seq, m)
+          case 2 => GroupFsm.Heartbeat(seq, m)
+          case _ => GroupFsm.Leave(seq, m)
+        }
+        g = GroupFsm.step(g, cmd)
+        assert(g.generation >= lastGen)
+        lastGen = g.generation
+        if (g.state == GroupFsm.State.Stable)
+          assert(g.leader.exists(g.members.contains))
+        if (g.state == GroupFsm.State.Empty) assert(g.members.isEmpty)
+      }
+    }
+  }
+}

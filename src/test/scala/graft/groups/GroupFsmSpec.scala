@@ -80,6 +80,19 @@ class GroupFsmSpec extends AnyFunSuite {
     assert(g.members.keySet === Set("m1"))
   }
 
+  test("session expiry removes silent members and rebalances (heartbeat_expire)") {
+    val g = replay(Seq(
+      Join(1, "m1", P), Join(2, "m2", P), Sync(3, "m1"),
+      Heartbeat(10, "m1"))) // m2 silent since seq 2
+    val expired = GroupFsm.expireSessions(g, deadline = 5)
+    assert(expired.members.keySet === Set("m1"))
+    assert(expired.state === State.PreparingRebalance)
+    // everyone silent => group empties with a generation bump
+    val allGone = GroupFsm.expireSessions(g, deadline = 100)
+    assert(allGone.state === State.Empty)
+    assert(allGone.members.isEmpty)
+  }
+
   test("recovery replay: immediate completion, generation counts effective changes") {
     val g = replayRecovery(Seq(
       Join(1, "m1", P),      // gen 1

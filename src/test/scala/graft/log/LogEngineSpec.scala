@@ -176,6 +176,18 @@ class LogEngineSpec extends SparkSpec {
       (1L, 0, 100L, "first", 2L), (1L, 1, 102L, "ok", 1L), (2L, 0, 103L, "ok", 1L)))
   }
 
+  test("sequence admission: duplicates, gaps, gap-fill, and epoch resets") {
+    val log = Seq(
+      (1L, 0, 0L, 1L), (1L, 0, 2L, 2L), (1L, 0, 1L, 3L), (1L, 0, 2L, 4L),
+      (7L, 2, 0L, 1L), (7L, 3, 0L, 2L), (7L, 2, 5L, 3L))
+      .toDF("pid", "epoch", "seq", "arrival")
+    val got = graft.groups.ConsumerGroups.validateSequences(log)
+      .select("pid", "arrival", "status").as[(Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, "ok"), (1L, 2L, "out_of_order_sequence"), (1L, 3L, "ok"), (1L, 4L, "ok"),
+      (7L, 1L, "ok"), (7L, 2L, "ok"), (7L, 3L, "fenced_epoch")))
+  }
+
   test("epoch fencing drops writes from stale producer epochs") {
     val log = Seq((1L, 0, "old"), (1L, 1, "new1"), (1L, 1, "new2"), (2L, 0, "only"))
       .toDF("pid", "epoch", "v")
