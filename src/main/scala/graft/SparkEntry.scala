@@ -542,11 +542,30 @@ object SparkEntry {
     }),
 
     // ----- §2.7 datalake translation / partition transforms -----
-    "d2_record_translation" -> ((s, dir) =>
-      events(s, dir)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
-        .orderBy("k")),
+    "d2_record_translation" -> ((s, dir) => {
+      // Full default-translator path: canonical binary log rows (key,
+      // value, headers as bytes) -> redpanda system struct + value
+      // (record_translator.h:28-66), then verifiable projections of BOTH
+      // the struct fields and the decoded payload.
+      val log = eventLog(s, dir).select(
+        col("partition"), col("offset"), col("ts").as("timestamp"),
+        array(struct(
+          encode(lit("type"), "UTF-8").as("key"),
+          encode(col("event_type"), "UTF-8").as("value"))).as("headers"),
+        encode(col("user_id").cast("string"), "UTF-8").as("key"),
+        encode(col("props"), "UTF-8").as("value"))
+      graft.streaming.Datalake.translateDefault(log)
+        .select(
+          col("redpanda.partition").as("p"),
+          col("redpanda.offset").as("o"),
+          decode(col("redpanda.headers")(0)("value"), "UTF-8").as("h_type"),
+          length(col("redpanda.key")).as("key_len"),
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("int").as("k"))
+        .groupBy("h_type")
+        .agg(count(lit(1)).as("n"), max("o").as("max_offset"),
+          sum("key_len").as("sum_key_len"), sum("k").as("sum_k"))
+        .orderBy("h_type")
+    }),
 
     "d4_partition_transforms" -> ((s, dir) =>
       Operators.icebergTransforms(events(s, dir), col("ts"), col("user_id"), col("event_type"), 16)
@@ -993,8 +1012,10 @@ object SparkEntry {
         | t(subject, version, schema) ORDER BY subject""".stripMargin,
 
     "d2_record_translation" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,
+         |        CAST(sum(length(CAST(user_id AS VARCHAR))) AS BIGINT) AS sum_key_len,
+         |        sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS sum_k
+         | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a3_txn_compaction" ->
       s"""$TxnCte,

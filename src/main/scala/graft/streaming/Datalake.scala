@@ -38,6 +38,19 @@ object Datalake {
     * transform; hour is the reference default, day the low-volume choice. */
   def dayPartition(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
 
+  /**
+   * D2 default record translation (`datalake/record_translator.h:28-66`):
+   * the canonical log row becomes the reference's default Iceberg shape —
+   * a `redpanda` system struct (partition, offset, timestamp, headers,
+   * key; `table_definition.cc:20-45`) alongside the (possibly
+   * schema-decoded) value.
+   */
+  def translateDefault(log: DataFrame): DataFrame =
+    log.select(
+      struct(col("partition"), col("offset"), col("timestamp"),
+        col("headers"), col("key")).as("redpanda"),
+      col("value"))
+
   private def snapshotsPath(outPath: String) = s"$outPath/snapshots"
   private def dataPath(outPath: String) = s"$outPath/data"
 
