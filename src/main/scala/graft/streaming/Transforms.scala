@@ -144,6 +144,16 @@ object Transforms {
       case None    => false
     }
 
+  /** Delete = stop AND drop committed progress; a later deploy with the
+    * same name starts from scratch (transform_manager delete semantics —
+    * the reference also discards the transform's committed offsets). */
+  def delete(spark: SparkSession, name: String, checkpointDir: String): Boolean = {
+    pause(spark, name)
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
   /** Report running transforms (model/transform.h:320-344 report shape). */
   def report(spark: SparkSession): Seq[(String, String, Boolean)] =
     spark.streams.active.toSeq.map(q => (q.name, q.id.toString, q.isActive))

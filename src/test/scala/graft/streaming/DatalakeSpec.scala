@@ -101,6 +101,23 @@ class DatalakeSpec extends SparkSpec {
     assert(gotTs === (6 until 12).map(i => s"v$i").toSet)
   }
 
+  test("transform delete drops committed progress; redeploy reprocesses from scratch") {
+    val in = tmp("d_in"); val outDir = tmp("d_out"); val ckpt = tmp("d_ckpt")
+    mkRows(0 until 6).select("offset", "timestamp", "v").write.mode("append").parquet(in)
+    val spec = Transforms.TransformSpec[String]("deleteme",
+      Transforms.PathInput(in, inputSchema),
+      (r: org.apache.spark.sql.Row) => Seq(r.getAs[String]("v")))
+    Transforms.deploy(spark, spec, ckpt, outDir).awaitTermination()
+    assert(spark.read.parquet(outDir).count() === 6)
+    assert(Transforms.delete(spark, "deleteme", ckpt))
+    // Redeploy after delete is a NEW transform instance: with progress
+    // gone it reprocesses ALL input (a paused-then-resumed one would
+    // process none — see the lifecycle test above).
+    val outDir2 = tmp("d_out2")
+    Transforms.deploy(spark, spec, ckpt, outDir2).awaitTermination()
+    assert(spark.read.parquet(outDir2).count() === 6)
+  }
+
   test("multi-output transform fans out to per-table paths under one checkpoint") {
     val in = tmp("m_in"); val base = tmp("m_base"); val ckpt = tmp("m_ckpt")
     mkRows(0 until 9).select("offset", "timestamp", "v").write.mode("append").parquet(in)
