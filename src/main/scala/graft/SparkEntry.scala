@@ -311,6 +311,23 @@ object SparkEntry {
       graft.admin.Admin.describeConfigs(s, Seq("events"), configAlters(s)).orderBy("key")
     }),
 
+    "adm_topic_catalog" -> ((s, dir) => {
+      // create/alter/delete/recreate lifecycle over the compacted
+      // catalog log; the listing shows the surviving topics only.
+      import s.implicits._
+      val topicLog = Seq(
+        (1L, "t1", 8, "delete", false),
+        (2L, "t2", 4, "compact", false),
+        (3L, "t1", 16, "delete", false),          // alter partitions
+        (4L, "t2", 4, "compact", true),           // delete t2
+        (5L, "t3", 2, "compact,delete", false),
+        (6L, "t4", 1, "delete", false),
+        (7L, "t4", 1, "delete", true),            // delete t4
+        (8L, "t4", 6, "compact", false))          // recreate t4
+        .toDF("seq", "topic", "partitions", "cleanup_policy", "deleted")
+      graft.admin.Admin.listTopics(topicLog).orderBy("topic")
+    }),
+
     "adm_config_cleanup" -> ((s, dir) => {
       // Effective config read back from the alter log drives housekeeping
       // (alter_config_test.cc shape: alter, then observe behavior change).
@@ -842,6 +859,11 @@ object SparkEntry {
         |  ('events', 'retention.bytes', '-1', 'DEFAULT_CONFIG'),
         |  ('events', 'retention.ms', '259200000', 'DYNAMIC_TOPIC_CONFIG'))
         | t(topic, key, value, source) ORDER BY key""".stripMargin,
+
+    "adm_topic_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('t1', 16, 'delete'), ('t3', 2, 'compact,delete'), ('t4', 6, 'compact'))
+        | t(topic, partitions, cleanup_policy) ORDER BY topic""".stripMargin,
 
     "adm_config_cleanup" ->
       s"""$LogCte SELECT partition, count(*) AS survivors, max("offset") AS max_offset FROM (

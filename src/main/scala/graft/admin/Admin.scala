@@ -54,6 +54,19 @@ object Admin {
   }
 
   /**
+   * Topic lifecycle (`create/delete_topics` handlers,
+   * `kafka/server/handlers/handlers.h:71-112`) as a compacted command
+   * log: create/alter upsert the topic row, delete writes a tombstone.
+   * The live catalog is last-write-wins per topic with tombstones
+   * dropped — recreation after delete is simply a later create. Command
+   * columns: (seq, topic, partitions, cleanup_policy, deleted).
+   */
+  def listTopics(topicLog: DataFrame): DataFrame =
+    Compaction.compact(topicLog, Seq("topic"), "seq")
+      .where(!col("deleted"))
+      .drop("deleted", "seq")
+
+  /**
    * Q6 metadata: topics/partitions/leader/offset-bounds listing
    * (`metadata.cc`). Leader/replica fields are engine constants — Spark
    * owns placement — kept for API parity.

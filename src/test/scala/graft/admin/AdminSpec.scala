@@ -23,6 +23,20 @@ class AdminSpec extends SparkSpec {
     assert(got.size === Admin.Defaults.size)
   }
 
+  test("topic catalog: create/alter/delete/recreate lifecycle") {
+    val log = Seq(
+      (1L, "a", 1, "delete", false),
+      (2L, "a", 8, "delete", false),   // alter
+      (3L, "b", 2, "compact", false),
+      (4L, "b", 2, "compact", true),   // delete
+      (5L, "b", 4, "delete", false))   // recreate with new config
+      .toDF("seq", "topic", "partitions", "cleanup_policy", "deleted")
+    val got = Admin.listTopics(log)
+      .select("topic", "partitions", "cleanup_policy")
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(("a", 8, "delete"), ("b", 4, "delete")))
+  }
+
   test("cleanup policy drives which housekeeping operators run") {
     val log = Seq(
       (0, 0L, "k1", "2024-01-01 00:00:00"),
