@@ -175,6 +175,17 @@ object GroupEngine {
       group: String, state: String, generation: Long,
       n_members: Long, leader: String, protocol: String)
 
+  private def toCommand(c: Cmd): GroupFsm.Command = c.cmd match {
+    case "join"  => GroupFsm.Join(c.seq, c.member, c.protocols)
+    case "sync"  => GroupFsm.Sync(c.seq, c.member)
+    case "leave" => GroupFsm.Leave(c.seq, c.member)
+    case _       => GroupFsm.Heartbeat(c.seq, c.member)
+  }
+
+  private def summarize(group: String, g: GroupFsm.Group): GroupSummary =
+    GroupSummary(group, g.state, g.generation, g.members.size.toLong,
+      g.leader.getOrElse(""), g.protocol.getOrElse(""))
+
   /**
    * describe_groups over a command log with columns
    * (group, seq, member, cmd ['join'|'sync'|'heartbeat'|'leave'],
@@ -189,18 +200,32 @@ object GroupEngine {
       .as[Cmd]
     ds.groupByKey(_.group)
       .flatMapGroups { (group, it) =>
-        val cmds: Seq[GroupFsm.Command] = it.map { c =>
-          c.cmd match {
-            case "join"  => GroupFsm.Join(c.seq, c.member, c.protocols)
-            case "sync"  => GroupFsm.Sync(c.seq, c.member)
-            case "leave" => GroupFsm.Leave(c.seq, c.member)
-            case _       => GroupFsm.Heartbeat(c.seq, c.member)
-          }
-        }.toSeq
+        val cmds = it.map(toCommand).toSeq
         val g = if (recovery) GroupFsm.replayRecovery(cmds) else GroupFsm.replay(cmds)
-        Iterator.single(GroupSummary(group, g.state, g.generation,
-          g.members.size.toLong, g.leader.getOrElse(""), g.protocol.getOrElse("")))
+        Iterator.single(summarize(group, g))
       }(Encoders.product[GroupSummary])
       .toDF()
+  }
+
+  /**
+   * Continuous coordinator: the same FSM as a stateful streaming
+   * operator — each micro-batch of commands folds into the group's
+   * checkpointed state (`mapGroupsWithState`; the Spark analogue of the
+   * raft-replicated group STM consuming its log). Emits the updated
+   * summary per group per batch; pair with outputMode("update").
+   */
+  def describeGroupsStream(commands: org.apache.spark.sql.Dataset[Cmd])
+      : org.apache.spark.sql.Dataset[GroupSummary] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import commands.sparkSession.implicits._
+    commands.groupByKey(_.group)
+      .mapGroupsWithState[GroupFsm.Group, GroupSummary](GroupStateTimeout.NoTimeout) {
+        (group, it, state) =>
+          val prev = state.getOption.getOrElse(GroupFsm.Group())
+          val next = it.map(toCommand).toSeq.sortBy(c => (c.seq, c.member))
+            .foldLeft(prev)(GroupFsm.recoveryStep)
+          state.update(next)
+          summarize(group, next)
+      }
   }
 }
