@@ -613,6 +613,24 @@ object SparkEntry {
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")),
 
+    // ----- log-native extensions: as-of join -----
+    "op_asof_join" -> ((s, dir) => {
+      // For every purchase, the user's latest signup at or before it —
+      // the classic as-of shape, as one window pass (no range scan).
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val signups = Compaction.compact(
+        ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("signup_event"), col("value").as("signup_value")),
+        Seq("user_id", "ts"), "signup_event")
+      Operators.asofJoin(purchases, signups, Seq("user_id"), "ts",
+          Seq("signup_event", "signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_event"), col("signup_value"))
+        .orderBy("event_id")
+    }),
+
     // ----- §4 murmur2 partition routing (parity-critical custom expr) -----
     "op_murmur2_routing" -> ((s, dir) => {
       // Golden-vector conformance: the SQL expression must reproduce the
@@ -1203,6 +1221,16 @@ object SparkEntry {
         | WHERE a.vec_id < b.vec_id
         |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         | ORDER BY 1, 2""".stripMargin,
+
+    "op_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        | s0 AS (SELECT user_id, ts, event_id AS signup_event, value AS signup_value
+        |        FROM events WHERE event_type = 'signup'),
+        | s AS (SELECT user_id, ts, signup_event, signup_value FROM s0
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY signup_event DESC) = 1)
+        | SELECT p.event_id, p.user_id, s.signup_event, s.signup_value
+        | FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        | ORDER BY p.event_id""".stripMargin,
 
     "op_murmur2_routing" ->
       """SELECT * FROM (VALUES

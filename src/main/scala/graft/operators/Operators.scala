@@ -1,14 +1,80 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Remaining reference operators that are plain declarative plans:
  * usage metering (A5), Iceberg partition transforms (D4), record
- * translation (D2), and the WASM-transform semantic corpus (U1/U3).
+ * translation (D2), and the WASM-transform semantic corpus (U1/U3) —
+ * plus log-native extensions (as-of join, salted skew join).
  */
 object Operators {
+
+  /**
+   * As-of join: for every left row, the most recent right row with
+   * `right.ts <= left.ts` per key (LEFT semantics: unmatched left rows
+   * keep null right values). The classic log/timeseries operator Spark
+   * lacks natively.
+   *
+   * Scale design: NOT a per-row range scan or an inequality join (which
+   * Spark would execute as a broadcast-nested-loop). Both sides union
+   * into one stream sorted per key by (ts, side) — right rows first on
+   * ties, so same-timestamp matches are inclusive — and one running
+   * `last(non-null)` window carries each right row's payload forward to
+   * every following left row. One shuffle on the key, one sort, linear
+   * in total rows; right payloads travel as a struct so genuinely-null
+   * payload FIELDS don't break the carry.
+   *
+   * `right` must be unique per (keys, ts) — pre-compact it otherwise.
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val l = left
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightValueCols.map(c => org.apache.spark.sql.types.StructField(c,
+            right.schema(c).dataType)))))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      (keyCols :+ tsCol).map(col) ++
+        Seq(struct(rightValueCols.map(col): _*).as("__rv"), lit(0).as("__side")) ++
+        leftCols.filterNot((keyCols :+ tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__carried", last("__rv", ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+
+  /**
+   * Salted equi-join for skewed keys: the big side gets a random-free
+   * deterministic salt, the small side is replicated `salts` times, and
+   * the join key becomes (key, salt) — spreading one hot key over
+   * `salts` tasks (the manual form of AQE's skew-join split, usable when
+   * AQE can't see the skew, e.g. under a window or in streaming).
+   */
+  def skewSaltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keyCols: Seq[String],
+      salts: Int,
+      saltSource: Column): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, keyCols :+ "__salt").drop("__salt")
+  }
 
   /**
    * A5 usage metering: fixed-width tumbling windows of bytes, aligned to

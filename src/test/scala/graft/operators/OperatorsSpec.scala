@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: latest right row at or before each left timestamp, per key") {
+    val trades = Seq(
+      ("A", 10L, 1), ("A", 20L, 2), ("A", 5L, 3), ("B", 10L, 4), ("C", 10L, 5))
+      .toDF("k", "ts", "trade_id")
+    val quotes = Seq(
+      ("A", 5L, 1.0), ("A", 15L, 2.0), ("B", 10L, 9.0)) // B quote exactly at trade ts
+      .toDF("k", "ts", "px")
+    val got = Operators.asofJoin(trades, quotes, Seq("k"), "ts", Seq("px"))
+      .select("trade_id", "px").as[(Int, Option[Double])].collect().toMap
+    assert(got === Map(
+      1 -> Some(1.0),  // A@10 -> quote@5
+      2 -> Some(2.0),  // A@20 -> quote@15
+      3 -> Some(1.0),  // A@5  -> quote@5 (inclusive tie)
+      4 -> Some(9.0),  // B@10 -> quote@10 (inclusive tie)
+      5 -> None))      // C has no quotes
+  }
+
+  test("asof join carries null-valued right FIELDS correctly") {
+    val left = Seq(("A", 10L, 1)).toDF("k", "ts", "id")
+    val right = Seq(("A", 1L, Some(5.0)), ("A", 5L, Option.empty[Double]))
+      .toDF("k", "ts", "px")
+    // latest right row (ts=5) has a null px; the join must return that
+    // null, not skip back to ts=1's value
+    val got = Operators.asofJoin(left, right, Seq("k"), "ts", Seq("px"))
+      .select("px").as[Option[Double]].head()
+    assert(got === None)
+  }
+
+  test("salted skew join equals the plain join") {
+    val big = (0 until 2000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 100), ("k1", 1), ("k2", 2)).toDF("k", "w")
+    val plain = big.join(small, "k").select("k", "v", "w")
+      .as[(String, Int, Int)].collect().toSet
+    val salted = Operators.skewSaltedJoin(big, small, Seq("k"), salts = 8,
+        saltSource = col("v"))
+      .select("k", "v", "w").as[(String, Int, Int)].collect().toSet
+    assert(salted === plain)
+    assert(plain.count(_._1 == "hot") === 200)
+  }
+}
