@@ -631,6 +631,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "op_range_join" -> ((s, dir) => {
+      // Purchases inside a 3-day window after any signup of the same
+      // user: interval-containment via the bucketed equi-join plan.
+      val ev = events(s, dir)
+      val points = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+          col("event_id").as("purchase_id"))
+      val intervals = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("lo"),
+          (unix_timestamp(col("ts")) + 3 * 86400L).as("hi"),
+          col("event_id").as("signup_id"))
+      Operators.rangeJoin(points, intervals, Seq("user_id"), "t", "lo", "hi", 86400L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("purchase_id").as("sum_purchase"), sum("signup_id").as("sum_signup"))
+        .orderBy("user_id")
+    }),
+
     // ----- §4 murmur2 partition routing (parity-critical custom expr) -----
     "op_murmur2_routing" -> ((s, dir) => {
       // Golden-vector conformance: the SQL expression must reproduce the
@@ -761,6 +779,31 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.lshTopK(emb, queries, dim = 64, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val ivf = Similarity.ivfTopK(emb, queries, 5).select("query_id", "vec_id")
+      val n = bf.count()
+      val hit = bf.join(ivf, Seq("query_id", "vec_id")).count()
+      // measured 0.52-0.72 across SFs while scoring ~nProbe/nLists = 25%
+      // of the corpus; 0.4 pins the floor
+      Seq(("ann_ivf_recall_at5_ge_40", n, hit.toDouble / n >= 0.4))
+        .toDF("check", "n_exact", "ok")
     }),
 
     "dd_embed_cosine" -> ((s, dir) => {
@@ -1222,6 +1265,17 @@ object SparkEntry {
         |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         | ORDER BY 1, 2""".stripMargin,
 
+    "op_range_join" ->
+      """WITH p AS (SELECT user_id, epoch(ts) AS t, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        | i AS (SELECT user_id, epoch(ts) AS lo, epoch(ts) + 259200 AS hi,
+        |              event_id AS signup_id
+        |       FROM events WHERE event_type = 'signup')
+        | SELECT p.user_id, count(*) AS n_pairs,
+        |        sum(purchase_id) AS sum_purchase, sum(signup_id) AS sum_signup
+        | FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.lo AND i.hi
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "op_asof_join" ->
       """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
         | s0 AS (SELECT user_id, ts, event_id AS signup_event, value AS signup_value
@@ -1258,6 +1312,10 @@ object SparkEntry {
 
     "ann_lsh_recall" ->
       """SELECT 'ann_recall_at5_ge_25' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """SELECT 'ann_ivf_recall_at5_ge_40' AS check, CAST(25 AS BIGINT) AS n_exact,
         | CAST(true AS BOOLEAN) AS ok""".stripMargin,
 
     "dd_embed_lsh_recall" ->

@@ -110,6 +110,49 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /**
+   * IVF (inverted-file) ANN: coarse k-means centroids split the corpus
+   * into `nLists` posting lists; each query probes only its `nProbe`
+   * closest centroids' lists, so the scored candidate volume is
+   * ~ n * nProbe / nLists of the corpus instead of all of it. Centroids
+   * are a tiny broadcast table; corpus assignment is one ML pass + one
+   * narrow column; the probe ranking runs on queries × nLists rows.
+   * Training is seeded for reproducibility.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
+    val featured = c.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(featured)
+    val assigned = model.transform(featured)
+      .withColumnRenamed("prediction", "list_id").drop("features")
+    val centDf = model.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
+    val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
+    // rank centroids per query by L2 distance (the k-means metric):
+    // ||q-c||^2 = ||q||^2 - 2 q.c + ||c||^2; ||q||^2 is constant per query
+    val probeW = Window.partitionBy("query_id").orderBy(col("_cd"), col("list_id"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("_cd",
+        norm(col("centroid")) * norm(col("centroid")) -
+          lit(2.0) * dot(col("query_vec"), col("centroid")))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nProbe)
+      .select("query_id", "query_vec", "_qn", "list_id")
+    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+      .where(col("query_id") =!= col("vec_id"))
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (all pairs >= threshold)
    *  via self-join — quadratic in corpus size but each pair costs a
    *  single fused dot product; the baseline the LSH variant is judged

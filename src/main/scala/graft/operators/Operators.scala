@@ -58,6 +58,32 @@ object Operators {
   }
 
   /**
+   * Range (interval-containment) join: pair every point row with the
+   * interval rows of the same key that contain it
+   * (`start <= pt <= end`). Spark plans a raw inequality join as a
+   * nested loop; here both sides map to fixed-width buckets — an
+   * interval explodes to every bucket it overlaps, a point to its one
+   * bucket — so the join is an equi-join on (key, bucket) with an exact
+   * containment filter behind it. Linear in points + interval-bucket
+   * overlap; pick `bucketWidth` near the typical interval length.
+   */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      ptCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    val p = points.withColumn("__bucket", floor(col(ptCol) / bucketWidth))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / bucketWidth), floor(col(endCol) / bucketWidth))))
+    p.join(i, keyCols :+ "__bucket")
+      .where(col(ptCol).between(col(startCol), col(endCol)))
+      .drop("__bucket")
+  }
+
+  /**
    * Salted equi-join for skewed keys: the big side gets a random-free
    * deterministic salt, the small side is replicated `salts` times, and
    * the join key becomes (key, salt) — spreading one hot key over

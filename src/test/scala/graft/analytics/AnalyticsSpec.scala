@@ -92,6 +92,21 @@ class AnalyticsSpec extends SparkSpec {
     assert((bf intersect lsh).size >= 4) // >= 2/3 recall on this easy layout
   }
 
+  test("similarity: IVF topk recall vs brute force on clustered vectors") {
+    val corpus = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0) else Array.tabulate(8)(j => if (j % 2 == 0) 1.0 else -1.0)
+      (i.toLong, base.zipWithIndex.map { case (x, j) => x + 0.01 * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(corpus, queries, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 3, nLists = 4, nProbe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // two clean clusters: probing half the lists must find the true cluster
+    assert((bf intersect ivf).size >= 4)
+  }
+
   test("multimodal plumbing: batch decode stub produces typed features") {
     implicit val s = spark
     val media = Multimodal.fakeMediaFromText(docs)

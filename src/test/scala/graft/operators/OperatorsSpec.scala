@@ -34,6 +34,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got === None)
   }
 
+  test("range join pairs points with containing intervals only, per key") {
+    val points = Seq(("A", 5L, 1), ("A", 15L, 2), ("A", 99L, 3), ("B", 5L, 4))
+      .toDF("k", "t", "pt_id")
+    val intervals = Seq(("A", 0L, 10L, "i1"), ("A", 4L, 20L, "i2"), ("B", 50L, 60L, "i3"))
+      .toDF("k", "lo", "hi", "iv_id")
+    val got = Operators.rangeJoin(points, intervals, Seq("k"), "t", "lo", "hi", bucketWidth = 7)
+      .select("pt_id", "iv_id").as[(Int, String)].collect().toSet
+    assert(got === Set((1, "i1"), (1, "i2"), (2, "i2"))) // 99 and B@5 match nothing
+    // bucket width must not change results
+    val wide = Operators.rangeJoin(points, intervals, Seq("k"), "t", "lo", "hi", bucketWidth = 1000)
+      .select("pt_id", "iv_id").as[(Int, String)].collect().toSet
+    assert(wide === got)
+  }
+
   test("salted skew join equals the plain join") {
     val big = (0 until 2000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i))
       .toDF("k", "v")
