@@ -50,37 +50,67 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Produce/fetch throughput in rows/s and MB/s of input parquet bytes.
+    // Produce/fetch throughput in rows/s and MB/s. Two byte measures:
+    // parquet (compressed on-disk input) and raw row bytes (decoded cell
+    // widths: 8 per fixed-width column + string/binary lengths) — the raw
+    // figure is the apples-to-apples one against BASELINE's OMB MB/s,
+    // which counts uncompressed 1 KiB message payloads.
     val eventsBytes = new java.io.File(s"$sfDir/events.parquet").length().toDouble
+    val rawBytes: Double = {
+      import org.apache.spark.sql.types.{BinaryType, StringType}
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val widths = ev.schema.fields.map { f =>
+        f.dataType match {
+          case StringType | BinaryType => coalesce(length(col(f.name)).cast("long"), lit(0L))
+          case _                       => lit(8L)
+        }
+      }
+      ev.agg(sum(widths.reduce(_ + _))).collect()(0).getLong(0).toDouble
+    }
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val (produceRows, produceSec) = timed(force(SparkEntry.fullLog(spark, sfDir)))
     val (fetchRows, fetchSec) = timed(
       force(SparkEntry.fullLog(spark, sfDir).where(col("offset") >= 0)))
-    // End-to-end streaming produce: offset-stamped append of the whole
-    // events table through the micro-batch path, durably written.
-    val (streamRows, streamSec) = timed {
+    // Steady-state streaming produce: the events table appended 4 times as
+    // sequential micro-batches (maxFilesPerTrigger=1), durably written,
+    // offsets continuing across batches from coordinator HWM state. A tiny
+    // untimed run first pays the one-time streaming-engine init cost, so
+    // the timed figure is the per-batch steady state a long-lived producer
+    // sees rather than cold-start.
+    def runStream(links: Int, srcDir: String): Long = {
       import graft.streaming.{Produce, Transforms}
       import java.nio.file.{Files, Paths}
       val tmp = Files.createTempDirectory("bench_stream").toString
-      val src = s"$sfDir/events.parquet"
-      // the file-stream source needs a directory; link the input into one
+      val src = s"$srcDir/events.parquet"
       val inDir = Files.createDirectory(Paths.get(s"$tmp/in"))
-      Files.createSymbolicLink(inDir.resolve("events.parquet"), Paths.get(src))
+      (1 to links).foreach(i =>
+        Files.createSymbolicLink(inDir.resolve(s"events_$i.parquet"), Paths.get(src)))
       val schema = spark.read.parquet(src).schema
-      Produce.appendStream(spark, Transforms.PathInput(inDir.toString, schema),
+      Produce.appendStream(spark, Transforms.PathInput(inDir.toString, schema,
+          maxFilesPerTrigger = Some(1)),
         s"$tmp/log", s"$tmp/ckpt",
         pmod(col("user_id"), lit(8)), col("event_id")).awaitTermination()
       spark.read.parquet(s"$tmp/log").count()
     }
+    val StreamLinks = 4
+    val warmupDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(s"$small/events.parquet").exists()) small else sfDir
+    }
+    try runStream(1, warmupDir) catch { case _: Throwable => () }
+    val (streamRows, streamSec) = timed(runStream(StreamLinks, sfDir))
     val thr =
       s""""throughput":{"produce_rows_per_s":${produceRows / produceSec},""" +
       s""""produce_mb_per_s":${eventsBytes / 1e6 / produceSec},""" +
+      s""""produce_raw_mb_per_s":${rawBytes / 1e6 / produceSec},""" +
       s""""fetch_rows_per_s":${fetchRows / fetchSec},""" +
       s""""fetch_mb_per_s":${eventsBytes / 1e6 / fetchSec},""" +
+      s""""fetch_raw_mb_per_s":${rawBytes / 1e6 / fetchSec},""" +
       s""""stream_produce_rows_per_s":${streamRows / streamSec},""" +
-      s""""stream_produce_mb_per_s":${eventsBytes / 1e6 / streamSec}}"""
+      s""""stream_produce_mb_per_s":${StreamLinks * eventsBytes / 1e6 / streamSec},""" +
+      s""""stream_produce_raw_mb_per_s":${StreamLinks * rawBytes / 1e6 / streamSec}}"""
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -46,11 +46,24 @@ object SparkEntry {
     }
   }
 
+  /** Partition count of the canonical events topic (the oracle CTEs
+    * replicate `user_id % EventPartitions`). */
+  private val EventPartitions = 8
+
+  /** Arrival-block size for two-phase offset assignment — the analogue of
+    * a log segment: parallelism is partitions × (rows/4096) instead of
+    * one task per partition. */
+  private val OffsetChunk = 4096
+
   /** The canonical record log derived from events (SURVEY §1.1):
     * partition = user_id % 8, offsets dense per partition in event_id
-    * (arrival) order. */
+    * (arrival) order. Default path is the scale-safe two-phase
+    * assignment (proved bit-identical to the window variant, which
+    * `s1_produce_window` keeps as the cross-check). */
   private def eventLog(s: SparkSession, dir: String): DataFrame =
-    RecordLog.assignOffsets(events(s, dir), pmod(col("user_id"), lit(8)), col("event_id"))
+    RecordLog.assignOffsetsScalable(events(s, dir),
+      pmod(col("user_id"), lit(EventPartitions)), col("event_id"),
+      chunkCol = floor(col("event_id") / OffsetChunk))
 
   /** Full-column record log, exposed for the throughput bench (the real
     * produce path stamps offsets onto complete records, not a projection). */
@@ -119,6 +132,48 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  // ------------------------------------------------ avro registry scenario
+
+  /** Writer schema v1: the pre-evolution event payload. */
+  private val AvroV1 =
+    """{"type":"record","name":"Event","fields":[
+      |  {"name":"event_id","type":"long"},
+      |  {"name":"user_id","type":"long"},
+      |  {"name":"event_type","type":"string"}]}""".stripMargin
+
+  /** Writer schema v2 = v1 + nullable `value` (default null) — a
+    * backward-compatible evolution; also the subject's reader schema. */
+  private val AvroV2 =
+    """{"type":"record","name":"Event","fields":[
+      |  {"name":"event_id","type":"long"},
+      |  {"name":"user_id","type":"long"},
+      |  {"name":"event_type","type":"string"},
+      |  {"name":"value","type":["null","double"],"default":null}]}""".stripMargin
+
+  private val AvroSchemasById = Map(1 -> AvroV1, 2 -> AvroV2)
+
+  /**
+   * The canonical log with its payload Avro-encoded in the registry wire
+   * format, split across two writer-schema generations: even event_ids
+   * were produced under v1 (no `value` field), odd under v2. This is the
+   * corpus the registry-driven decode must resolve per record — exactly
+   * the mixed-generation state of a long-lived schematized topic.
+   */
+  private def avroLog(s: SparkSession, dir: String): DataFrame = {
+    import graft.registry.AvroDecode
+    val log = eventLog(s, dir)
+    val v1 = AvroDecode.encode(
+      log.where(col("event_id") % 2 === 0)
+        .select("partition", "offset", "ts", "event_id", "user_id", "event_type"),
+      "value_bin", AvroV1, schemaId = 1)
+    val v2 = AvroDecode.encode(
+      log.where(col("event_id") % 2 === 1)
+        .select("partition", "offset", "ts", "event_id", "user_id", "event_type", "value"),
+      "value_bin", AvroV2, schemaId = 2)
+    v1.withColumn("value", lit(null).cast("double")).unionByName(v2)
+      .select("partition", "offset", "ts", "event_id", "user_id", "event_type", "value_bin")
+  }
+
   /** Deterministic alter-configs command log for the admin queries. */
   private def configAlters(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -129,14 +184,20 @@ object SparkEntry {
       .toDF("seq", "topic", "key", "value")
   }
 
-  /** SQL replica of [[txnLog]] for the DuckDB oracle. */
+  /**
+   * SQL replica of [[txnLog]] for the DuckDB oracle. Interpolates
+   * [[TxnSize]]; note the scenario ends each txn on the partition of its
+   * FIRST record (min(partition)) — with user-keyed routing every record
+   * of a txn lands on one partition, so this is exact here, while real
+   * multi-partition marker fan-out (T3) is covered by `TxnEngineSpec`.
+   */
   private val TxnCte =
-    """WITH pids AS (
+    s"""WITH pids AS (
       |  SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS pid
       |  FROM (SELECT DISTINCT user_id FROM events)),
       | d AS (
       |  SELECT CAST(e.user_id % 8 AS INTEGER) AS partition, e.event_id * 2 AS arr, p.pid,
-      |         CAST((row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id) - 1) // 5 AS BIGINT) AS txn_seq,
+      |         CAST((row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id) - 1) // $TxnSize AS BIGINT) AS txn_seq,
       |         e.event_id, e.user_id, e.event_type, e.value
       |  FROM events e JOIN pids p ON e.user_id = p.user_id),
       | tx AS (
@@ -152,7 +213,7 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT partition, last_arr + 1, 2, pid, txn_seq, TRUE, 1,
       |         CASE WHEN has_err = 1 THEN 'abort' ELSE 'commit' END, NULL, NULL, NULL, NULL
-      |  FROM tx WHERE n = 5),
+      |  FROM tx WHERE n = $TxnSize),
       | ofs AS (
       |  SELECT partition, pid, txn_seq, is_control, batch_type, decision, event_id, user_id, event_type, value,
       |         CAST(row_number() OVER (PARTITION BY partition ORDER BY arr, slot, pid, txn_seq) - 1 AS BIGINT) AS "offset"
@@ -230,12 +291,11 @@ object SparkEntry {
         .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
         .orderBy("partition", "offset")),
 
-    "s1_produce_scalable" -> ((s, dir) =>
-      // Two-phase assignment (counts -> prefix-sum bases -> local rank);
-      // must be bit-identical to the window plan of s1_produce.
-      RecordLog.assignOffsetsScalable(events(s, dir),
-          pmod(col("user_id"), lit(8)), col("event_id"),
-          chunkCol = floor(col("event_id") / 4096))
+    "s1_produce_window" -> ((s, dir) =>
+      // Single-window assignment kept as the cross-check: must stay
+      // bit-identical to the two-phase plan s1_produce now runs.
+      RecordLog.assignOffsets(events(s, dir),
+          pmod(col("user_id"), lit(EventPartitions)), col("event_id"))
         .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
         .orderBy("partition", "offset")),
 
@@ -364,6 +424,25 @@ object SparkEntry {
         .agg(min("offset").as("new_start"), count(lit(1)).as("remaining"))
         .orderBy("partition")),
 
+    "a4_retention_bytes" -> ((s, dir) => {
+      // Size-based retention via the housekeeping path: retention.ms is
+      // set loose (10y) so the `retention.bytes` budget is the binding
+      // cut — keep the newest 16 KiB per partition, drop the prefix.
+      val sz = length(col("props")) + length(col("event_type")) + lit(24)
+      graft.admin.Admin.applyCleanupPolicy(eventLog(s, dir),
+          policy = "delete",
+          keyCols = Seq("partition", "user_id"),
+          tsCol = col("ts"),
+          now = lit("2024-02-01 00:00:00").cast("timestamp"),
+          retentionMs = 10L * 365 * 86400 * 1000,
+          retentionBytes = 16384L,
+          sizeCol = sz)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("remaining"), min("offset").as("new_start"),
+          sum(sz.cast("long")).as("bytes"))
+        .orderBy("partition")
+    }),
+
     "a5_usage_windows" -> ((s, dir) =>
       Operators.usageWindows(events(s, dir), col("ts"), col("event_type"), length(col("props")))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -384,6 +463,40 @@ object SparkEntry {
           .otherwise("heartbeat").as("cmd"),
         array(lit("range"), lit("roundrobin")).as("protocols"))
       graft.groups.GroupEngine.describeGroups(cmds).orderBy("group")
+    }),
+
+    "g1_group_live" -> ((s, dir) => {
+      // LIVE join→sync barrier protocol (group.h:499-553), driven from
+      // events: each user joins at its first event (seq 3*fe) and
+      // immediately syncs (3*fe+1) — completing the round and bumping the
+      // generation; later events heartbeat (3*eid+2); a final sync from
+      // the group leader (earliest joiner) lands the group Stable. Then a
+      // session sweep expires members whose last sign of life is in the
+      // first 99% of the seq domain — each expiry rebalancing the group
+      // exactly as a leave would (so groups with expiries end
+      // PreparingRebalance). Oracle derives the same final state in SQL.
+      val ev = events(s, dir)
+      val maxe = ev.agg(max("event_id")).collect()(0).getLong(0)
+      val grp = concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group")
+      val mem = concat(lit("m"), col("user_id").cast("string")).as("member")
+      val protos = array(lit("range"), lit("roundrobin")).as("protocols")
+      val firsts = ev.groupBy("user_id").agg(min("event_id").as("fe"))
+      val joins = firsts.select(grp, (col("fe") * 3).as("seq"), mem,
+        lit("join").as("cmd"), protos)
+      val syncs = firsts.select(grp, (col("fe") * 3 + 1).as("seq"), mem,
+        lit("sync").as("cmd"), protos)
+      val beats = ev.join(firsts, "user_id").where(col("event_id") > col("fe"))
+        .select(grp, (col("event_id") * 3 + 2).as("seq"), mem,
+          lit("heartbeat").as("cmd"), protos)
+      val leaderW = Window.partitionBy("group").orderBy("seq")
+      val leaderSyncs = joins.withColumn("rn", row_number().over(leaderW))
+        .where(col("rn") === 1).drop("rn")
+        .withColumn("seq", lit(maxe * 3 + 3))
+        .withColumn("cmd", lit("sync"))
+      val cmds = joins.unionByName(syncs).unionByName(beats).unionByName(leaderSyncs)
+      graft.groups.GroupEngine.describeGroups(cmds, recovery = false,
+          expireDeadline = Some(maxe * 99 / 100 * 3 + 2))
+        .orderBy("group")
     }),
 
     "g2_group_offsets" -> ((s, dir) => {
@@ -519,6 +632,80 @@ object SparkEntry {
         .toDF("seq", "subject", "version", "schema")
       graft.registry.SchemaRegistry.latestSchemas(schemaLog)
         .select("subject", "version", "schema").orderBy("subject")
+    }),
+
+    "sr_avro_decode" -> ((s, dir) => {
+      // Registry-driven typed decode (record_schema_resolver.h +
+      // schema_avro.cc): wire-framed payloads written under two schema
+      // generations resolve per embedded id and project to the latest
+      // reader schema — v1 rows surface `value` as the reader default
+      // (null). Aggregates run on DECODED fields only; the oracle
+      // re-derives them from the plaintext columns.
+      val dec = graft.registry.AvroDecode.decode(
+        avroLog(s, dir).select("value_bin"), "value_bin", AvroSchemasById, AvroV2)
+      dec.groupBy(col("decoded.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decoded.event_id")).as("sum_id"),
+          count(col("decoded.value")).as("n_value"),
+          sum(coalesce(round(col("decoded.value") * 100).cast("long"), lit(0L))).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
+    "d2_avro_translation" -> ((s, dir) => {
+      // D2 with a TYPED value: the decoded struct rides through the
+      // default translator next to the redpanda system struct — the
+      // datalake writer's schema-resolved path (schema_avro.cc →
+      // record_translator.h), not stringly JSON extraction.
+      val log = avroLog(s, dir)
+      val dec = graft.registry.AvroDecode.decode(log, "value_bin", AvroSchemasById, AvroV2)
+        .select(col("partition"), col("offset"), col("ts").as("timestamp"),
+          array(struct(encode(lit("src"), "UTF-8").as("key"),
+            encode(lit("avro"), "UTF-8").as("value"))).as("headers"),
+          encode(col("user_id").cast("string"), "UTF-8").as("key"),
+          col("decoded").as("value"))
+      graft.streaming.Datalake.translateDefault(dec)
+        .groupBy(col("value.event_type").as("h_type"))
+        .agg(count(lit(1)).as("n"), max(col("redpanda.offset")).as("max_offset"),
+          sum(col("value.event_id")).as("sum_id"),
+          count(col("value.value")).as("n_value"))
+        .orderBy("h_type")
+    }),
+
+    "sr_protobuf_compat" -> ((s, dir) => {
+      // Protobuf checker conformance corpus (protobuf.cc rules): field
+      // numbers carry identity; wire-family widening OK, family/
+      // cardinality changes and new required fields are breaking.
+      import s.implicits._
+      import graft.registry.ProtobufCompat.ProtobufChecker
+      val base = "message E { optional int32 a = 1; optional string b = 2; }"
+      val cases: Seq[(String, String, String)] = Seq(
+        ("01_identity", base, base),
+        ("02_widen_int32_to_int64",
+          "message E { optional int64 a = 1; optional string b = 2; }", base),
+        ("03_rename_field",
+          "message E { optional int32 renamed = 1; optional string b = 2; }", base),
+        ("04_reader_skips_writer_field",
+          "message E { optional int32 a = 1; }", base),
+        ("05_new_optional_field",
+          "message E { optional int32 a = 1; optional string b = 2; optional bool c = 3; }", base),
+        ("06_new_required_field",
+          "message E { optional int32 a = 1; optional string b = 2; required bool c = 3; }", base),
+        ("07_string_bytes_interchange",
+          "message E { optional int32 a = 1; optional bytes b = 2; }", base),
+        ("08_family_change_int_string",
+          "message E { optional string a = 1; optional string b = 2; }", base),
+        ("09_zigzag_not_varint",
+          "message E { optional sint32 a = 1; optional string b = 2; }", base),
+        ("10_repeated_flip",
+          "message E { repeated int32 a = 1; optional string b = 2; }", base),
+        ("11_nested_compatible",
+          "message O { message N { optional int64 x = 1; } optional N m = 1; }",
+          "message O { message N { optional int32 x = 1; } optional N m = 1; }"),
+        ("12_nested_incompatible",
+          "message O { message N { optional float x = 1; } optional N m = 1; }",
+          "message O { message N { optional int32 x = 1; } optional N m = 1; }"))
+      cases.map { case (nm, r, w) => (nm, ProtobufChecker.canRead(r, w)) }
+        .toDF("case", "compatible").orderBy("case")
     }),
 
     // ----- §2.7 datalake materialization (real write path) -----
@@ -868,12 +1055,12 @@ object SparkEntry {
     "s1_produce" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
 
-    "s1_produce_scalable" ->
+    "s1_produce_window" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
 
     "s1_append_incremental" ->
       s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS lo, max("offset") AS hi,
-         |        sum("offset" * event_id) AS weighted
+         |        CAST(sum("offset" * event_id) AS BIGINT) AS weighted
          | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s2_fetch" ->
@@ -950,6 +1137,18 @@ object SparkEntry {
       s"""$LogCte SELECT partition, min("offset") AS new_start, count(*) AS remaining
          | FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
 
+    // suffix byte budget from the log tail, newest-first cumulative sum
+    "a4_retention_bytes" ->
+      s"""$LogCte, sized AS (
+         |  SELECT partition, "offset", length(props) + length(event_type) + 24 AS sz FROM log),
+         | c AS (
+         |  SELECT *, sum(sz) OVER (PARTITION BY partition ORDER BY "offset" DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sized)
+         | SELECT partition, count(*) AS remaining, min("offset") AS new_start,
+         |        CAST(sum(sz) AS BIGINT) AS bytes
+         | FROM c WHERE cum <= 16384 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "a5_usage_windows" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
@@ -993,6 +1192,33 @@ object SparkEntry {
         | LEFT JOIN nm n ON g.grp = n.grp
         | LEFT JOIN ldr l ON g.grp = l.grp
         | ORDER BY 1""".stripMargin,
+
+    // Live-mode final state, derived in SQL: every member completes one
+    // join round (generation = member count), the leader is the earliest
+    // joiner, the leader's closing sync makes the group Stable, and the
+    // session sweep expires members with no activity past the 99th
+    // percentile of the seq domain (any expiry leaves the group
+    // PreparingRebalance with the generation unchanged).
+    "g1_group_live" ->
+      """WITH mx AS (SELECT max(event_id) AS maxe FROM events),
+        | ue AS (SELECT CAST(user_id % 3 AS INTEGER) AS gi, user_id,
+        |               min(event_id) AS fe, max(event_id) AS le
+        |        FROM events GROUP BY 1, 2),
+        | ld AS (SELECT gi, user_id AS leader_uid,
+        |               row_number() OVER (PARTITION BY gi ORDER BY fe) AS rn FROM ue),
+        | l AS (SELECT gi, leader_uid FROM ld WHERE rn = 1),
+        | agg AS (
+        |   SELECT u.gi, count(*) AS n_total,
+        |          CAST(sum(CASE WHEN u.le > (SELECT maxe * 99 // 100 FROM mx)
+        |                          OR u.user_id = l2.leader_uid THEN 1 ELSE 0 END) AS BIGINT) AS n_surv
+        |   FROM ue u JOIN l l2 ON u.gi = l2.gi GROUP BY 1)
+        | SELECT 'g' || CAST(a.gi AS VARCHAR) AS "group",
+        |        CASE WHEN a.n_surv < a.n_total THEN 'PreparingRebalance' ELSE 'Stable' END AS state,
+        |        CAST(a.n_total AS BIGINT) AS generation,
+        |        CAST(a.n_surv AS BIGINT) AS n_members,
+        |        'm' || CAST(l.leader_uid AS VARCHAR) AS leader,
+        |        'range' AS protocol
+        | FROM agg a JOIN l ON a.gi = l.gi ORDER BY 1""".stripMargin,
 
     "g2_group_offsets" ->
       """SELECT "group", topic, partition, committed_offset FROM (
@@ -1098,10 +1324,36 @@ object SparkEntry {
         |  ('orders-value', 1, '{"type":"order"}'))
         | t(subject, version, schema) ORDER BY subject""".stripMargin,
 
+    // Oracle re-derives the avro-decoded aggregates from the plaintext
+    // columns; parity proves the wire framing + per-id schema resolution
+    // + reader projection returned exactly the original values.
+    "sr_avro_decode" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+        |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_cents
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_avro_translation" ->
+      s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,
+         |        CAST(sum(event_id) AS BIGINT) AS sum_id,
+         |        CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value
+         | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sr_protobuf_compat" ->
+      """SELECT * FROM (VALUES
+        |  ('01_identity', TRUE), ('02_widen_int32_to_int64', TRUE),
+        |  ('03_rename_field', TRUE), ('04_reader_skips_writer_field', TRUE),
+        |  ('05_new_optional_field', TRUE), ('06_new_required_field', FALSE),
+        |  ('07_string_bytes_interchange', TRUE), ('08_family_change_int_string', FALSE),
+        |  ('09_zigzag_not_varint', FALSE), ('10_repeated_flip', FALSE),
+        |  ('11_nested_compatible', TRUE), ('12_nested_incompatible', FALSE))
+        | t("case", compatible) ORDER BY "case"""".stripMargin,
+
     "d2_record_translation" ->
       s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,
          |        CAST(sum(length(CAST(user_id AS VARCHAR))) AS BIGINT) AS sum_key_len,
-         |        sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS sum_k
+         |        CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k
          | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a3_txn_compaction" ->
@@ -1134,14 +1386,14 @@ object SparkEntry {
          | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
 
     "d3_schema_evolution" ->
-      """SELECT event_type AS v, count(*) AS n, sum(user_id) AS sum_k,
+      """SELECT event_type AS v, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_k,
         |       CAST(0 AS BIGINT) AS non_null_scores
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d1_materialize" ->
       """SELECT 'events_' || event_type AS output,
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_key,
-        |       count(*) AS n, sum(event_id) AS sum_id
+        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d6_snapshots" ->
@@ -1150,7 +1402,8 @@ object SparkEntry {
         |         CAST((dense_rank() OVER (ORDER BY date_trunc('day', ts)) - 1) // 10 + 1 AS BIGINT) AS snapshot_id
         |  FROM events)
         | SELECT snapshot_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
-        | FROM dr WHERE snapshot_id > 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+        | FROM dr WHERE snapshot_id > (SELECT max(snapshot_id) - 2 FROM dr)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d4_partition_transforms" ->
       """SELECT CAST(year(ts) AS INTEGER) AS t_year, CAST(month(ts) AS INTEGER) AS t_month,
@@ -1272,7 +1525,8 @@ object SparkEntry {
         |              event_id AS signup_id
         |       FROM events WHERE event_type = 'signup')
         | SELECT p.user_id, count(*) AS n_pairs,
-        |        sum(purchase_id) AS sum_purchase, sum(signup_id) AS sum_signup
+        |        CAST(sum(purchase_id) AS BIGINT) AS sum_purchase,
+        |        CAST(sum(signup_id) AS BIGINT) AS sum_signup
         | FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.lo AND i.hi
         | GROUP BY 1 ORDER BY 1""".stripMargin,
 

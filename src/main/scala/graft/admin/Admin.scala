@@ -83,8 +83,12 @@ object Admin {
    * Config-driven housekeeping: apply a topic's effective cleanup policy
    * to its log, exactly as the reference's housekeeping loop reads
    * topic_properties (`storage/disk_log_impl.h:86-88`): 'delete' applies
-   * retention GC first (prefix by time), 'compact' applies key LWW
-   * compaction; 'compact,delete' applies retention then compaction.
+   * retention GC first — the prefix cut is the more aggressive of the
+   * time cutoff and the `retention.bytes` budget, as in
+   * `disk_log_impl.h:197` where retention_offset combines both — then
+   * 'compact' applies key LWW compaction ('compact,delete' does both).
+   * `retentionBytes < 0` (the default knob) disables the size bound;
+   * `sizeCol` is the per-record byte size it meters.
    */
   def applyCleanupPolicy(
       log: DataFrame,
@@ -92,13 +96,19 @@ object Admin {
       keyCols: Seq[String],
       tsCol: Column,
       now: Column,
-      retentionMs: Long): DataFrame = {
+      retentionMs: Long,
+      retentionBytes: Long = -1L,
+      sizeCol: Column = lit(1L)): DataFrame = {
     val policies = policy.split(",").map(_.trim).toSet
-    val afterRetention =
+    val afterTime =
       if (policies.contains("delete") && retentionMs >= 0)
         RecordLog.retainAfter(log, tsCol, timestamp_millis(unix_millis(now) - lit(retentionMs)))
       else log
-    if (policies.contains("compact")) Compaction.compact(afterRetention, keyCols)
-    else afterRetention
+    val afterSize =
+      if (policies.contains("delete") && retentionBytes >= 0)
+        RecordLog.retainBytes(afterTime, sizeCol, retentionBytes)
+      else afterTime
+    if (policies.contains("compact")) Compaction.compact(afterSize, keyCols)
+    else afterSize
   }
 }

@@ -74,14 +74,20 @@ object ConsumerGroups {
   def validateSequences(log: DataFrame): DataFrame = {
     val spark = log.sparkSession
     import spark.implicits._
+    // Secondary sort (repartition by pid + in-partition (pid, arrival)
+    // order) so the admission fold streams each pid's history — a hot
+    // producer never buffers its full command log in one task's heap.
     log.select(col("pid").cast("long"), col("epoch").cast("int"),
         col("seq").cast("long"), col("arrival").cast("long"))
       .as[SeqRec]
-      .groupByKey(_.pid)
-      .flatMapGroups { (_, it) =>
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("arrival"))
+      .mapPartitions { it =>
+        var curPid = Long.MinValue
         var curEpoch = Int.MinValue
         var next = 0L
-        it.toSeq.sortBy(_.arrival).iterator.map { r =>
+        it.map { r =>
+          if (r.pid != curPid) { curPid = r.pid; curEpoch = Int.MinValue; next = 0L }
           val status =
             if (r.epoch < curEpoch) "fenced_epoch"
             else {

@@ -100,16 +100,21 @@ object GroupFsm {
         updated // rejoin: refresh liveness, no rebalance
       else updated.copy(state = State.PreparingRebalance)
     case Sync(seq, m) =>
-      val alive = touch(g, m, seq)
-      alive.state match {
-        case State.PreparingRebalance =>
-          val done = completeJoin(alive)
-          if (done.state == State.CompletingRebalance && done.leader.contains(m))
-            done.copy(state = State.Stable)
-          else done
-        case State.CompletingRebalance if alive.leader.contains(m) =>
-          alive.copy(state = State.Stable)
-        case _ => alive
+      // Sync from an unknown member is rejected with no state change
+      // (the reference answers UNKNOWN_MEMBER_ID and leaves the group as-is).
+      if (!g.members.contains(m)) g
+      else {
+        val alive = touch(g, m, seq)
+        alive.state match {
+          case State.PreparingRebalance =>
+            val done = completeJoin(alive)
+            if (done.state == State.CompletingRebalance && done.leader.contains(m))
+              done.copy(state = State.Stable)
+            else done
+          case State.CompletingRebalance if alive.leader.contains(m) =>
+            alive.copy(state = State.Stable)
+          case _ => alive
+        }
       }
     case Heartbeat(seq, m) => touch(g, m, seq) // liveness only
     case Leave(_, m) => removeMember(g, m)
@@ -144,10 +149,12 @@ object GroupFsm {
   def recoveryStep(g: Group, cmd: Command): Group = cmd match {
     case Join(seq, m, protos) =>
       val known = g.members.contains(m)
-      if (known && g.members(m).protocols == protos) g // idempotent rejoin
+      if (known && g.members(m).protocols == protos)
+        touch(g, m, seq) // idempotent rejoin still proves liveness
       else {
         val updated = g.copy(members =
-          g.members.updated(m, Member(m, protos, if (known) g.members(m).joinedSeq else seq)))
+          g.members.updated(m, Member(m, protos,
+            if (known) g.members(m).joinedSeq else seq, lastSeen = seq)))
         completeJoin(updated).copy(state = State.Stable)
       }
     case Leave(_, m) =>
@@ -157,7 +164,10 @@ object GroupFsm {
         if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
         else completeJoin(g.copy(members = rest)).copy(state = State.Stable)
       }
-    case _ => g
+    // sync/heartbeat carry no membership change on recovery replay, but
+    // their seqs still advance lastSeen so expireSessions stays valid.
+    case Sync(seq, m)      => touch(g, m, seq)
+    case Heartbeat(seq, m) => touch(g, m, seq)
   }
 
   def replay(cmds: Seq[Command]): Group =
@@ -192,18 +202,46 @@ object GroupEngine {
    * protocols array<string>). One shuffle keyed by group; each group's
    * commands fold through the FSM in seq order.
    */
-  def describeGroups(commandLog: DataFrame, recovery: Boolean = true): DataFrame = {
+  /**
+   * Streaming fold over a (group, seq, member)-sorted iterator: one run per
+   * group, O(1) FSM state held at a time — a hot group with a billion
+   * commands streams through without buffering its history in heap.
+   */
+  private def foldSortedRuns(it: Iterator[Cmd], recovery: Boolean,
+      expireDeadline: Option[Long]): Iterator[GroupSummary] = {
+    val step: (GroupFsm.Group, GroupFsm.Command) => GroupFsm.Group =
+      if (recovery) GroupFsm.recoveryStep else GroupFsm.step
+    val buf = it.buffered
+    new Iterator[GroupSummary] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): GroupSummary = {
+        val group = buf.head.group
+        var g = GroupFsm.Group()
+        while (buf.hasNext && buf.head.group == group) g = step(g, toCommand(buf.next()))
+        expireDeadline.foreach(d => g = GroupFsm.expireSessions(g, d))
+        summarize(group, g)
+      }
+    }
+  }
+
+  /**
+   * describe_groups over the command log. `expireDeadline` runs a session
+   * sweep after replay: members whose lastSeen is at or before the
+   * deadline are expired as if the heartbeat timer fired (group.h:538).
+   */
+  def describeGroups(commandLog: DataFrame, recovery: Boolean = true,
+      expireDeadline: Option[Long] = None): DataFrame = {
     val spark = commandLog.sparkSession
     import spark.implicits._
-    val ds = commandLog
+    // Secondary sort: hash-partition by group, sort runs within each
+    // partition, then fold each run streamingly (no per-group toSeq).
+    commandLog
       .select(col("group"), col("seq").cast("long"), col("member"), col("cmd"), col("protocols"))
       .as[Cmd]
-    ds.groupByKey(_.group)
-      .flatMapGroups { (group, it) =>
-        val cmds = it.map(toCommand).toSeq
-        val g = if (recovery) GroupFsm.replayRecovery(cmds) else GroupFsm.replay(cmds)
-        Iterator.single(summarize(group, g))
-      }(Encoders.product[GroupSummary])
+      .repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("seq"), col("member"))
+      .mapPartitions(it => foldSortedRuns(it, recovery, expireDeadline))(
+        Encoders.product[GroupSummary])
       .toDF()
   }
 

@@ -140,6 +140,38 @@ object RecordLog {
     log.where(tsCol >= cutoff)
 
   /**
+   * A4 Retention GC (size-based, `retention.bytes`): keep the newest
+   * `budgetBytes` per partition, dropping the prefix beyond the budget —
+   * the reference's size-based retention_offset combined with time GC in
+   * `storage/disk_log_impl.h:197` (kafka overrides `:349`). Record-level
+   * granularity (the reference drops whole segments; a record log on
+   * columnar storage can cut exactly).
+   *
+   * Scale shape mirrors [[assignOffsetsScalable]]: the suffix byte sum is
+   * NOT one monolithic window per partition — chunk aggregates (4096
+   * offsets per chunk) are suffix-summed on the tiny per-chunk table and
+   * broadcast back, so each task only ranks its own chunk.
+   */
+  def retainBytes(log: DataFrame, sizeCol: Column, budgetBytes: Long): DataFrame = {
+    val tagged = log.withColumn("__chunk", floor(col("offset") / 4096).cast("long"))
+      .withColumn("__sz", sizeCol.cast("long"))
+    val chunkAgg = tagged.groupBy("partition", "__chunk").agg(sum("__sz").as("__n"))
+    // bytes in strictly-later chunks of the same partition
+    val afterW = Window.partitionBy("partition").orderBy(col("__chunk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = chunkAgg
+      .withColumn("__after", coalesce(sum("__n").over(afterW), lit(0L)))
+      .select("partition", "__chunk", "__after")
+    // within-chunk suffix sum (newest first), including the current row
+    val localW = Window.partitionBy("partition", "__chunk").orderBy(col("offset").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged.join(broadcast(bases), Seq("partition", "__chunk"))
+      .withColumn("__cum", col("__after") + sum("__sz").over(localW))
+      .where(col("__cum") <= budgetBytes)
+      .drop("__chunk", "__sz", "__after", "__cum")
+  }
+
+  /**
    * Q4 offset_for_leader_epoch (KIP-320): for each leader epoch present
    * on a partition, the epoch's end offset = first offset of the next
    * epoch, or the log end offset for the latest epoch

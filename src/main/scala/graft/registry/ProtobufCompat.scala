@@ -1,0 +1,134 @@
+package graft.registry
+
+/**
+ * Protobuf read-compatibility subset (SURVEY §1.3), completing the
+ * registry's checker family (Avro / JSON / Struct / Protobuf).
+ *
+ * Reference: `pandaproxy/schema_registry/protobuf.cc` — compatibility is
+ * decided on the wire contract, field NUMBERS not names:
+ *  - a field number present in both schemas must keep a wire-compatible
+ *    type (the varint / zigzag / fixed32 / fixed64 / length-delimited
+ *    families below; message fields recurse) and the same cardinality
+ *    (singular vs repeated);
+ *  - a writer field the reader lacks is skipped (unknown-field
+ *    semantics) — compatible;
+ *  - a reader field the writer lacks takes its default — compatible
+ *    unless the reader marks it `required` (proto2);
+ *  - renames are compatible (numbers carry identity), number reuse with
+ *    an incompatible type is not.
+ *
+ * Schemas are modeled structurally plus a parser for the (proto2/proto3)
+ * message-definition subset the tests and registry scenarios use.
+ */
+object ProtobufCompat {
+
+  sealed trait PType
+  final case class Scalar(name: String) extends PType
+  final case class MessageRef(name: String) extends PType
+
+  final case class PField(number: Int, name: String, tpe: PType,
+      repeated: Boolean = false, required: Boolean = false)
+  final case class PMessage(name: String, fields: Seq[PField],
+      nested: Map[String, PMessage] = Map.empty)
+
+  /** Wire families: types in one family decode each other's bytes
+    * (int64 reading int32 etc. — the widening the reference accepts). */
+  private val families: Seq[Set[String]] = Seq(
+    Set("int32", "int64", "uint32", "uint64", "bool", "enum"), // varint
+    Set("sint32", "sint64"),                                   // zigzag varint
+    Set("fixed32", "sfixed32", "float"),                       // fixed 32-bit
+    Set("fixed64", "sfixed64", "double"),                      // fixed 64-bit
+    Set("string", "bytes"))                                    // length-delimited
+
+  private def sameFamily(a: String, b: String): Boolean =
+    a == b || families.exists(f => f.contains(a) && f.contains(b))
+
+  private def typeCompatible(reader: PType, writer: PType,
+      readerMsgs: Map[String, PMessage], writerMsgs: Map[String, PMessage]): Boolean =
+    (reader, writer) match {
+      case (Scalar(a), Scalar(b)) => sameFamily(a, b)
+      case (MessageRef(a), MessageRef(b)) =>
+        (readerMsgs.get(a), writerMsgs.get(b)) match {
+          case (Some(rm), Some(wm)) => canRead(rm, wm, readerMsgs, writerMsgs)
+          case _                    => false // unresolvable reference
+        }
+      // a message field and a scalar share a wire type only for
+      // length-delimited scalars, but the reference rejects that switch
+      case _ => false
+    }
+
+  /** Can `reader` decode bytes written with `writer`? */
+  def canRead(reader: PMessage, writer: PMessage,
+      readerMsgs: Map[String, PMessage] = Map.empty,
+      writerMsgs: Map[String, PMessage] = Map.empty): Boolean = {
+    val rEnv = readerMsgs ++ reader.nested
+    val wEnv = writerMsgs ++ writer.nested
+    val writerByNum = writer.fields.map(f => f.number -> f).toMap
+    reader.fields.forall { rf =>
+      writerByNum.get(rf.number) match {
+        case Some(wf) =>
+          rf.repeated == wf.repeated && typeCompatible(rf.tpe, wf.tpe, rEnv, wEnv)
+        case None => !rf.required // absent in writer: default, unless required
+      }
+    }
+  }
+
+  /** Registry checker over .proto message-definition strings. */
+  object ProtobufChecker extends SchemaRegistry.Checker[String] {
+    def canRead(reader: String, writer: String): Boolean = {
+      val (rm, rEnv) = parse(reader)
+      val (wm, wEnv) = parse(writer)
+      ProtobufCompat.canRead(rm, wm, rEnv, wEnv)
+    }
+  }
+
+  private val scalarNames = families.flatten.toSet - "enum"
+
+  /**
+   * Parse the message-definition subset: one top-level message, optional
+   * nested `message` blocks, fields of the form
+   * `[required|optional|repeated] <type> <name> = <number>;`.
+   */
+  def parse(proto: String): (PMessage, Map[String, PMessage]) = {
+    val tokens = proto
+      .replaceAll("//.*", " ")
+      .replaceAll("[{};=]", " $0 ")
+      .split("\\s+").filter(_.nonEmpty).toList
+
+    def parseMessage(ts: List[String]): (PMessage, List[String]) = ts match {
+      case "message" :: name :: "{" :: rest =>
+        var cur = rest
+        var fields = Vector.empty[PField]
+        var nested = Map.empty[String, PMessage]
+        while (cur.headOption.exists(_ != "}")) {
+          cur match {
+            case "message" :: _ =>
+              val (m, after) = parseMessage(cur)
+              nested += (m.name -> m); cur = after
+            case _ =>
+              val (label, rest1) = cur match {
+                case ("required" | "optional" | "repeated") :: r => (cur.head, r)
+                case _ => ("", cur)
+              }
+              rest1 match {
+                case tpe :: fname :: "=" :: num :: ";" :: r =>
+                  val t = if (scalarNames.contains(tpe)) Scalar(tpe) else MessageRef(tpe)
+                  fields :+= PField(num.toInt, fname, t,
+                    repeated = label == "repeated", required = label == "required")
+                  cur = r
+                case bad => sys.error(s"unparseable field at: ${bad.take(6).mkString(" ")}")
+              }
+          }
+        }
+        (PMessage(name, fields, nested), cur.drop(1))
+      case bad => sys.error(s"expected 'message <name> {' at: ${bad.take(4).mkString(" ")}")
+    }
+
+    // skip syntax/package preamble if present
+    val body = tokens.dropWhile(_ != "message")
+    val (msg, _) = parseMessage(body)
+    (msg, msg.nested)
+  }
+
+  implicit val protobufChecker: SchemaRegistry.Checker[String] = ProtobufChecker
+}

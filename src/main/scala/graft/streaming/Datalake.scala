@@ -51,33 +51,82 @@ object Datalake {
         col("headers"), col("key")).as("redpanda"),
       col("value"))
 
-  private def snapshotsPath(outPath: String) = s"$outPath/snapshots"
+  private def metaRoot(outPath: String) = s"$outPath/snapshots"
   private def dataPath(outPath: String) = s"$outPath/data"
 
-  /** Snapshot metadata table: (snapshot_id, committed_at_ms, n_rows). */
-  def snapshots(spark: SparkSession, outPath: String): DataFrame = {
-    val p = new Path(snapshotsPath(outPath))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("snapshot_id", "committed_at_ms", "n_rows")
-    } else spark.read.parquet(snapshotsPath(outPath))
+  /**
+   * Crash-atomic snapshot metadata: the full snapshot set is written as a
+   * fresh immutable version directory `snapshots/v=N` on every metadata
+   * change, and readers use the HIGHEST version whose `_SUCCESS` marker
+   * exists — Iceberg's versioned `v{N}.metadata.json` scheme
+   * (`iceberg/manifest_io.cc`, catalog commit). A crash mid-write leaves a
+   * partial dir without `_SUCCESS` that readers skip; a crash before
+   * pruning leaves stale versions that are harmless. There is no window
+   * in which the table has no valid metadata (the round-2 delete-then-
+   * rename flaw).
+   */
+  private def latestMetaVersion(spark: SparkSession, outPath: String): Option[(Long, Path)] = {
+    val root = new Path(metaRoot(outPath))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v=") && fs.exists(new Path(st.getPath, "_SUCCESS")))
+          Some(name.stripPrefix("v=").toLong -> st.getPath)
+        else None
+      }
+      .sortBy(-_._1).headOption
   }
 
-  private def nextSnapshotId(spark: SparkSession, outPath: String): Long = {
-    val row = snapshots(spark, outPath).agg(max("snapshot_id")).collect()(0)
-    if (row.isNullAt(0)) 1L else row.getLong(0) + 1
+  /** Snapshot metadata table: (snapshot_id, committed_at_ms, n_rows). */
+  def snapshots(spark: SparkSession, outPath: String): DataFrame =
+    latestMetaVersion(spark, outPath) match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("snapshot_id", "committed_at_ms", "n_rows")
+    }
+
+  /** Write `rows` as the next metadata version, then prune all but the
+    * newest `KeepMetaVersions` versions (reader-safe in any crash order). */
+  private val KeepMetaVersions = 3
+  private def writeMetaVersion(spark: SparkSession, outPath: String,
+      rows: Seq[(Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val next = latestMetaVersion(spark, outPath).map(_._1 + 1).getOrElse(1L)
+    val dir = new Path(s"${metaRoot(outPath)}/v=$next")
+    rows.toDF("snapshot_id", "committed_at_ms", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(metaRoot(outPath))).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(st => st.getPath.getName.stripPrefix("v=").toLong -> st.getPath)
+      .sortBy(-_._1).drop(KeepMetaVersions)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
+
+  private def snapshotRows(spark: SparkSession, outPath: String): Seq[(Long, Long, Long)] =
+    snapshots(spark, outPath).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
   /**
    * D1/D6 commit: append `df` hour-partitioned under a fresh snapshot id
    * and record the snapshot. Returns the snapshot id.
+   *
+   * Order is data-then-metadata: rows land under the new snapshot id
+   * first and only become visible when the metadata version including the
+   * id commits — a crash in between leaves invisible orphan files, never
+   * a snapshot pointing at missing data. The row count comes from the
+   * footers of the files this commit just wrote (bounded metadata read),
+   * not from a separate full pass over `df` before the write.
    */
   def commit(df: DataFrame, tsCol: Column, outPath: String,
       partFn: Column => Column = hourPartition): Long = {
     val spark = df.sparkSession
-    val snap = nextSnapshotId(spark, outPath)
-    val n = df.count()
+    val existing = snapshotRows(spark, outPath)
+    val snap = existing.map(_._1).maxOption.getOrElse(0L) + 1
     // Cluster rows by target partition before the dynamic-partition
     // write: one task per partition directory instead of every task
     // touching every directory (tasks × dirs tiny files — the classic
@@ -89,10 +138,9 @@ object Datalake {
       .repartition(col("p_key"))
       .write.mode("append").partitionBy("snapshot_id", "p_key")
       .parquet(dataPath(outPath))
-    import spark.implicits._
-    Seq((snap, System.currentTimeMillis(), n))
-      .toDF("snapshot_id", "committed_at_ms", "n_rows")
-      .write.mode("append").parquet(snapshotsPath(outPath))
+    val n = spark.read.parquet(s"${dataPath(outPath)}/snapshot_id=$snap").count()
+    writeMetaVersion(spark, outPath,
+      existing :+ ((snap, System.currentTimeMillis(), n)))
     snap
   }
 

@@ -35,6 +35,16 @@ object Produce {
   /**
    * Deploy the continuous producer: every micro-batch of `input` is
    * offset-stamped on top of the live hwm and appended to `outPath`.
+   *
+   * The per-partition high watermark is kept in coordinator state across
+   * micro-batches (the reference keeps it in the partition leader's
+   * in-memory log state, `storage/disk_log_impl.h`): seeded ONCE from the
+   * existing table at deploy, then advanced by each batch's per-partition
+   * row count. Per-batch cost is one tiny aggregate over the batch — not
+   * a metadata scan of the whole log, which grows with topic size.
+   * Delivery matches the previous footer-rescan variant: micro-batches
+   * commit in order, and a post-crash batch replay appends again either
+   * way (at-least-once, as with any non-transactional sink).
    */
   def appendStream(
       spark: SparkSession,
@@ -42,15 +52,29 @@ object Produce {
       outPath: String,
       checkpointDir: String,
       partitionCol: Column,
-      arrivalCol: Column): StreamingQuery =
+      arrivalCol: Column): StreamingQuery = {
+    val state = scala.collection.mutable.Map.empty[Int, Long] // partition -> hwm
+    var seeded = false
     input.stream(spark).writeStream
       .queryName(s"produce:$outPath")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hwm = highWatermarks(batch.sparkSession, outPath)
+        val s = batch.sparkSession
+        import s.implicits._
+        if (!seeded) {
+          highWatermarks(s, outPath).collect()
+            .foreach(r => state(r.getInt(0)) = r.getLong(1))
+          seeded = true
+        }
+        val counts = batch.groupBy(partitionCol.cast("int").as("partition"))
+          .agg(count(lit(1)).as("n")).collect()
+        val hwm = state.toSeq.toDF("partition", "hwm")
         RecordLog.appendBatch(batch, hwm, partitionCol, arrivalCol)
           .write.mode("append").parquet(outPath)
+        counts.foreach(r =>
+          state(r.getInt(0)) = state.getOrElse(r.getInt(0), 0L) + r.getLong(1))
       }
       .start()
+  }
 }

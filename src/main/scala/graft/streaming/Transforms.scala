@@ -46,9 +46,13 @@ object Transforms {
     def stream(spark: SparkSession): DataFrame = spark.readStream.table(name)
     def batch(spark: SparkSession): DataFrame = spark.read.table(name)
   }
-  final case class PathInput(path: String, schema: StructType) extends Input {
-    def stream(spark: SparkSession): DataFrame =
-      spark.readStream.schema(schema).parquet(path)
+  final case class PathInput(path: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None) extends Input {
+    def stream(spark: SparkSession): DataFrame = {
+      val r = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(path)
+    }
     def batch(spark: SparkSession): DataFrame = spark.read.parquet(path)
   }
 
