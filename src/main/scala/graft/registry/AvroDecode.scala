@@ -135,7 +135,12 @@ object AvroDecode {
               try {
                 val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
                 Option(toCatalyst(r.read(null, dec), reader))
-              } catch { case _: java.io.IOException => None }
+              } catch {
+                // Avro resolution/corruption failures surface as
+                // AvroTypeException/AvroRuntimeException (RuntimeExceptions),
+                // not just IOException — all map to the documented null struct.
+                case scala.util.control.NonFatal(_) => None
+              }
             }.orNull
           }
         Row.fromSeq(row.toSeq :+ decoded)

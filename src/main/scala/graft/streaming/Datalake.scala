@@ -127,6 +127,13 @@ object Datalake {
     val spark = df.sparkSession
     val existing = snapshotRows(spark, outPath)
     val snap = existing.map(_._1).maxOption.getOrElse(0L) + 1
+    // A crash between the data write and the metadata commit leaves
+    // orphan files under this (never-published) snapshot id; a retry
+    // reuses the id, so clear any such orphans first — otherwise the
+    // appended retry would publish duplicated rows.
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDir = new Path(s"${dataPath(outPath)}/snapshot_id=$snap")
+    if (fs.exists(snapDir)) fs.delete(snapDir, true)
     // Cluster rows by target partition before the dynamic-partition
     // write: one task per partition directory instead of every task
     // touching every directory (tasks × dirs tiny files — the classic
@@ -138,7 +145,8 @@ object Datalake {
       .repartition(col("p_key"))
       .write.mode("append").partitionBy("snapshot_id", "p_key")
       .parquet(dataPath(outPath))
-    val n = spark.read.parquet(s"${dataPath(outPath)}/snapshot_id=$snap").count()
+    // Empty input writes no partition directory at all — record n=0.
+    val n = if (fs.exists(snapDir)) spark.read.parquet(snapDir.toString).count() else 0L
     writeMetaVersion(spark, outPath,
       existing :+ ((snap, System.currentTimeMillis(), n)))
     snap
@@ -164,14 +172,10 @@ object Datalake {
       expire.foreach { r =>
         fs.delete(new Path(s"${dataPath(outPath)}/snapshot_id=${r.getLong(0)}"), true)
       }
-      import spark.implicits._
+      // Expiry commits a fresh immutable metadata version holding only
+      // the surviving snapshots — same crash-atomic path as commit().
       val kept = keep.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-        .toDF("snapshot_id", "committed_at_ms", "n_rows")
-      // rewrite metadata atomically: write fresh, then swap
-      val tmp = s"${snapshotsPath(outPath)}__new"
-      kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-      fs.delete(new Path(snapshotsPath(outPath)), true)
-      fs.rename(new Path(tmp), new Path(snapshotsPath(outPath)))
+      writeMetaVersion(spark, outPath, kept)
     }
     expire.map(_.getLong(0)).toSeq
   }
@@ -194,13 +198,16 @@ object Datalake {
       .withColumn("p_key", partFn(tsCol))
       .cache()
     try {
-      val outputs = routed.select("_output").distinct().collect().map(_.getString(0)).sorted
-      outputs.toSeq.map { o =>
+      // One aggregation pass yields both the output list and the per-output
+      // row counts — no per-output count() job after each write.
+      val counts = routed.groupBy("_output").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.keys.toSeq.sorted.map { o =>
         val rows = routed.where(col("_output") === o).drop("_output")
         // cluster by partition key before the write — see commit() note
         rows.repartition(col("p_key"))
           .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$o")
-        o -> rows.count()
+        o -> counts(o)
       }
     } finally routed.unpersist()
   }
