@@ -316,6 +316,36 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "s1_logappend_time" -> ((s, dir) => {
+      // message.timestamp.type applied on produce (model/timestamp.h:30):
+      // a dynamic config override flips 'events' to LogAppendTime — every
+      // record of the produce batch gets the broker clock at append
+      // (deterministic here so the oracle re-derives it) — while
+      // 'events_mirror' keeps the CreateTime default and passes producer
+      // stamps through. The knob is read back from describe_configs, not
+      // hardcoded in the produce call.
+      import s.implicits._
+      val alters = configAlters(s).unionByName(
+        Seq((4L, "events", "message.timestamp.type", "LogAppendTime"))
+          .toDF("seq", "topic", "key", "value"))
+      val tsType = graft.admin.Admin
+        .describeConfigs(s, Seq("events", "events_mirror"), alters)
+        .where(col("key") === "message.timestamp.type")
+        .collect().map(r => (r.getString(0), r.getString(2))).toMap
+      val appendClock = lit("2024-06-01 00:00:00").cast("timestamp")
+      def produce(topic: String): DataFrame =
+        RecordLog.stampTimestamp(eventLog(s, dir), tsType(topic),
+            producerTs = col("ts"), appendTs = appendClock)
+          .select(lit(topic).as("topic"), col("partition"), col("offset"),
+            unix_millis(col("timestamp")).as("ts_ms"))
+      produce("events").unionByName(produce("events_mirror"))
+        .groupBy("topic", "partition")
+        .agg(count(lit(1)).as("n"), max("offset").as("max_offset"),
+          countDistinct("ts_ms").as("n_stamps"),
+          min("ts_ms").as("min_ts_ms"), max("ts_ms").as("max_ts_ms"))
+        .orderBy("topic", "partition")
+    }),
+
     "s2_fetch" -> ((s, dir) =>
       RecordLog.fetch(eventLog(s, dir), partition = 3, fromOffset = 50, maxRows = 500)
         .select("partition", "offset", "user_id", "event_type", "value")
@@ -1062,6 +1092,17 @@ object SparkEntry {
       s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS lo, max("offset") AS hi,
          |        CAST(sum("offset" * event_id) AS BIGINT) AS weighted
          | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s1_logappend_time" ->
+      s"""$LogCte, stamped AS (
+         |  SELECT 'events' AS topic, partition, "offset",
+         |         epoch_ms(TIMESTAMP '2024-06-01 00:00:00') AS ts_ms FROM log
+         |  UNION ALL
+         |  SELECT 'events_mirror' AS topic, partition, "offset", epoch_ms(ts) AS ts_ms FROM log)
+         | SELECT topic, partition, count(*) AS n, max("offset") AS max_offset,
+         |        count(DISTINCT ts_ms) AS n_stamps,
+         |        min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms
+         | FROM stamped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s2_fetch" ->
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log

@@ -74,6 +74,25 @@ object RecordLog {
   }
 
   /**
+   * `message.timestamp.type` semantics, applied on append
+   * (`model/timestamp.h:30`; topic knob `cluster/topic_properties.h`):
+   * CreateTime keeps the producer-supplied stamp, LogAppendTime
+   * overwrites every record's `timestamp` with the broker clock at
+   * append. `appendTs` is that clock — `current_timestamp()` in
+   * production; correctness scenarios pass a deterministic stamp so the
+   * oracle can re-derive it. Pure column projection — no shuffle, stays
+   * inside whole-stage codegen on the produce path.
+   */
+  def stampTimestamp(df: DataFrame, timestampType: String,
+      producerTs: Column, appendTs: Column): DataFrame =
+    timestampType match {
+      case "LogAppendTime" => df.withColumn("timestamp", appendTs)
+      case "CreateTime"    => df.withColumn("timestamp", producerTs)
+      case other =>
+        throw new IllegalArgumentException(s"unknown message.timestamp.type: $other")
+    }
+
+  /**
    * Incremental produce: append a new micro-batch on top of existing
    * high watermarks. `hwm` is small (one row per partition) and is
    * broadcast; the batch itself shuffles once on `partition`.

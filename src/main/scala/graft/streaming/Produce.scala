@@ -45,6 +45,13 @@ object Produce {
    * Delivery matches the previous footer-rescan variant: micro-batches
    * commit in order, and a post-crash batch replay appends again either
    * way (at-least-once, as with any non-transactional sink).
+   *
+   * `timestampType` applies the topic's `message.timestamp.type` knob on
+   * append (`model/timestamp.h:30`): under LogAppendTime every record of
+   * a micro-batch gets `appendClock()` — the broker clock sampled once
+   * per batch, the reference's batch-level append stamp — as its
+   * `timestamp`; under CreateTime (default) records keep whatever the
+   * producer supplied.
    */
   def appendStream(
       spark: SparkSession,
@@ -52,7 +59,9 @@ object Produce {
       outPath: String,
       checkpointDir: String,
       partitionCol: Column,
-      arrivalCol: Column): StreamingQuery = {
+      arrivalCol: Column,
+      timestampType: String = "CreateTime",
+      appendClock: () => Column = () => current_timestamp()): StreamingQuery = {
     val state = scala.collection.mutable.Map.empty[Int, Long] // partition -> hwm
     var seeded = false
     input.stream(spark).writeStream
@@ -70,7 +79,11 @@ object Produce {
         val counts = batch.groupBy(partitionCol.cast("int").as("partition"))
           .agg(count(lit(1)).as("n")).collect()
         val hwm = state.toSeq.toDF("partition", "hwm")
-        RecordLog.appendBatch(batch, hwm, partitionCol, arrivalCol)
+        val stamped =
+          if (timestampType == "LogAppendTime")
+            batch.withColumn("timestamp", appendClock())
+          else batch
+        RecordLog.appendBatch(stamped, hwm, partitionCol, arrivalCol)
           .write.mode("append").parquet(outPath)
         counts.foreach(r =>
           state(r.getInt(0)) = state.getOrElse(r.getInt(0), 0L) + r.getLong(1))

@@ -82,6 +82,46 @@ class LogEngineSpec extends SparkSpec {
     assert(p0.toSeq === p0.toSeq.sorted)
   }
 
+  test("LogAppendTime produce stamps the broker clock; CreateTime keeps producer stamps") {
+    import graft.streaming.{Produce, Transforms}
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("lat_in").toString
+    val out = java.nio.file.Files.createTempDirectory("lat_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lat_ckpt").toString
+    val sch = StructType(Seq(StructField("p", IntegerType), StructField("arrival", LongType),
+      StructField("timestamp", TimestampType)))
+    (0 until 6).map(i => (i % 2, i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$i")))
+      .toDF("p", "arrival", "timestamp").write.mode("append").parquet(in)
+    val clock = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    Produce.appendStream(spark, Transforms.PathInput(in, sch), out, ckpt,
+        col("p"), col("arrival"),
+        timestampType = "LogAppendTime", appendClock = () => lit(clock))
+      .awaitTermination()
+    val stamps = spark.read.parquet(out).select("timestamp")
+      .as[java.sql.Timestamp].collect().toSet
+    assert(stamps === Set(clock)) // every record re-stamped with the append clock
+
+    // CreateTime (default) passes producer stamps through untouched
+    val out2 = java.nio.file.Files.createTempDirectory("lat_out2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("lat_ckpt2").toString
+    Produce.appendStream(spark, Transforms.PathInput(in, sch), out2, ckpt2,
+      col("p"), col("arrival")).awaitTermination()
+    val kept = spark.read.parquet(out2).select("timestamp").as[java.sql.Timestamp].collect().toSet
+    assert(kept.size === 6 && !kept.contains(clock))
+
+    // batch-path semantic: stampTimestamp applies the same knob
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-02-02 00:00:00")))
+      .toDF("offset", "produced_ts")
+    val lat = RecordLog.stampTimestamp(df, "LogAppendTime", col("produced_ts"), lit(clock))
+    assert(lat.select("timestamp").as[java.sql.Timestamp].head() === clock)
+    val ct = RecordLog.stampTimestamp(df, "CreateTime", col("produced_ts"), lit(clock))
+    assert(ct.select("timestamp").as[java.sql.Timestamp].head() ===
+      java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
+    intercept[IllegalArgumentException] {
+      RecordLog.stampTimestamp(df, "Bogus", col("produced_ts"), lit(clock))
+    }
+  }
+
   test("fetch honors offset lower bound and max rows") {
     val got = RecordLog.fetch(mkLog(), 0, 1, 2).select("offset").as[Long].collect()
     assert(got.toSeq === Seq(1L, 2L))

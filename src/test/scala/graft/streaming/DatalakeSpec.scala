@@ -35,6 +35,44 @@ class DatalakeSpec extends SparkSpec {
     assert(Datalake.readTable(spark, out).count() === 25) // snapshot 1's 10 rows physically gone
   }
 
+  test("a crashed metadata version (no _SUCCESS) is skipped by readers and overwritten by the next write") {
+    val out = tmp("dlcrash")
+    Datalake.commit(mkRows(0 until 10), col("timestamp"), out) // metadata v=1
+    // Simulate a crash mid-metadata-write: a partial v=2 dir whose
+    // _SUCCESS marker never landed.
+    val partial = s"$out/snapshots/v=2"
+    Seq((999L, 0L, 0L)).toDF("snapshot_id", "committed_at_ms", "n_rows")
+      .coalesce(1).write.parquet(partial)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$partial/_SUCCESS"), false)
+    // Readers must ignore the partial version — phantom snapshot 999 invisible.
+    assert(Datalake.snapshots(spark, out).select("snapshot_id").as[Long].collect().toSet === Set(1L))
+    // The next commit targets v=2 again and harmlessly overwrites the wreck.
+    Datalake.commit(mkRows(10 until 15), col("timestamp"), out)
+    assert(Datalake.snapshots(spark, out).select("snapshot_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(Datalake.readTable(spark, out).count() === 15)
+    // Expiry commits through the same versioned path and stays readable.
+    Datalake.expireSnapshots(spark, out, keepLast = 1)
+    assert(Datalake.snapshots(spark, out).select("snapshot_id").as[Long].collect().toSet === Set(2L))
+    assert(Datalake.readTable(spark, out).count() === 5)
+  }
+
+  test("commit of an empty batch records n_rows=0; a crash-retried snapshot id does not duplicate rows") {
+    val out = tmp("dledge")
+    val s1 = Datalake.commit(mkRows(0 until 0), col("timestamp"), out)
+    assert(Datalake.snapshots(spark, out).select("n_rows").as[Long].collect().toSeq === Seq(0L))
+    assert(s1 === 1L)
+    // Simulate a crash between data write and metadata commit: orphan
+    // rows already sit under the id the retry will reuse (snapshot 2).
+    mkRows(0 until 7).withColumn("p_key", lit("2024-01-01-00"))
+      .withColumn("snapshot_id", lit(2L))
+      .write.mode("append").partitionBy("snapshot_id", "p_key").parquet(s"$out/data")
+    Datalake.commit(mkRows(0 until 7), col("timestamp"), out)
+    // The retry must publish exactly the 7 committed rows, not 14.
+    assert(Datalake.readTable(spark, out).count() === 7)
+  }
+
   test("multiplexer routes rows to per-output hour-partitioned tables") {
     val base = tmp("mux")
     val rows = mkRows(0 until 20).withColumn("kind",
