@@ -174,6 +174,68 @@ object SparkEntry {
       .select("partition", "offset", "ts", "event_id", "user_id", "event_type", "value_bin")
   }
 
+  // -------------------------------------------- protobuf registry scenario
+
+  /** Protobuf writer descriptor v1 (registry subject generation 1). */
+  private val ProtoV1 =
+    """message Event {
+      |  optional int64 event_id = 1;
+      |  optional int64 user_id = 2;
+      |  optional string event_type = 3;
+      |  optional double value = 4;
+      |}""".stripMargin
+
+  /** v2 renames field 3 (numbers carry identity — still readable) and
+    * adds a sint64 the reader will skip as unknown. */
+  private val ProtoV2 =
+    """message Event {
+      |  optional int64 event_id = 1;
+      |  optional int64 user_id = 2;
+      |  optional string kind = 3;
+      |  optional double value = 4;
+      |  optional sint64 delta = 5;
+      |}""".stripMargin
+
+  /** Reader descriptor: skips writer fields 2/5, and field 6 (absent in
+    * every writer) takes the proto3 default. */
+  private val ProtoReader =
+    """message Event {
+      |  optional int64 event_id = 1;
+      |  optional string event_type = 3;
+      |  optional double value = 4;
+      |  optional int32 missing = 6;
+      |}""".stripMargin
+
+  private val ProtoSchemasById = Map(11 -> ProtoV1, 12 -> ProtoV2)
+
+  /**
+   * The canonical log protobuf-framed across two descriptor generations
+   * (even event_ids under v1, odd under v2), plus a slice produced under
+   * an id the registry does not know (every 100th event) — those must
+   * decode to null structs.
+   */
+  private def protoLog(s: SparkSession, dir: String): DataFrame = {
+    import graft.registry.ProtobufDecode
+    val log = eventLog(s, dir)
+    val v1 = ProtobufDecode.encode(
+      log.where(col("event_id") % 2 === 0 && col("event_id") % 100 =!= 0)
+        .select("partition", "offset", "event_id", "user_id", "event_type", "value"),
+      "value_bin", ProtoV1, schemaId = 11)
+    val unknown = ProtobufDecode.encode(
+      log.where(col("event_id") % 100 === 0)
+        .select("partition", "offset", "event_id", "user_id", "event_type", "value"),
+      "value_bin", ProtoV1, schemaId = 99)
+    val v2 = ProtobufDecode.encode(
+      log.where(col("event_id") % 2 === 1)
+        .select(col("partition"), col("offset"), col("event_id"), col("user_id"),
+          col("event_type").as("kind"), col("value"),
+          (col("event_id") - col("user_id")).as("delta")),
+      "value_bin", ProtoV2, schemaId = 12)
+    v1.select("partition", "offset", "value_bin")
+      .unionByName(unknown.select("partition", "offset", "value_bin"))
+      .unionByName(v2.select("partition", "offset", "value_bin"))
+  }
+
   /** Deterministic alter-configs command log for the admin queries. */
   private def configAlters(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -699,6 +761,25 @@ object SparkEntry {
           sum(col("value.event_id")).as("sum_id"),
           count(col("value.value")).as("n_value"))
         .orderBy("h_type")
+    }),
+
+    "sr_protobuf_decode" -> ((s, dir) => {
+      // Registry-driven typed protobuf decode (schema_protobuf.cc): wire-
+      // framed payloads under two descriptor generations — field 3
+      // renamed (numbers carry identity) and a new sint64 the reader
+      // skips — decode with the READER descriptor; unknown registry ids
+      // yield null structs; absent scalars take proto3 defaults (value →
+      // 0.0 where the producer sent nothing, missing → 0 everywhere).
+      // Aggregates run on DECODED fields only; the oracle re-derives
+      // them from the plaintext columns.
+      val dec = graft.registry.ProtobufDecode.decode(
+        protoLog(s, dir), "value_bin", ProtoSchemasById, ProtoReader)
+      dec.groupBy(coalesce(col("decoded.event_type"), lit("__undecoded")).as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decoded.event_id")).as("sum_id"),
+          sum(round(col("decoded.value") * 100).cast("long")).as("sum_cents"),
+          max(col("decoded.missing")).as("max_missing"))
+        .orderBy("event_type")
     }),
 
     "sr_protobuf_compat" -> ((s, dir) => {
@@ -1380,6 +1461,17 @@ object SparkEntry {
          |        CAST(sum(event_id) AS BIGINT) AS sum_id,
          |        CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value
          | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sr_protobuf_decode" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN event_id % 100 = 0 THEN '__undecoded' ELSE event_type END AS event_type,
+        |         CASE WHEN event_id % 100 = 0 THEN NULL ELSE event_id END AS d_id,
+        |         CASE WHEN event_id % 100 = 0 THEN NULL ELSE COALESCE(value, 0.0) END AS d_value
+        |  FROM events)
+        | SELECT event_type, count(*) AS n, CAST(sum(d_id) AS BIGINT) AS sum_id,
+        |        CAST(sum(CAST(round(d_value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |        CAST(max(CASE WHEN d_id IS NULL THEN NULL ELSE 0 END) AS INTEGER) AS max_missing
+        | FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sr_protobuf_compat" ->
       """SELECT * FROM (VALUES

@@ -86,6 +86,65 @@ class CompatSpec extends AnyFunSuite {
   }
 }
 
+/** Descriptor-driven protobuf wire decode (schema_protobuf.cc subset). */
+class ProtobufDecodeSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private val writerProto =
+    """message M {
+      |  optional int64 a = 1;
+      |  optional string s = 2;
+      |  optional sint32 z = 3;
+      |  repeated int32 xs = 4;
+      |  repeated string tags = 5;
+      |  optional Inner inner = 6;
+      |  optional double d = 7;
+      |  message Inner { optional int32 k = 1; optional string v = 2; }
+      |}""".stripMargin
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("s", StringType), StructField("z", IntegerType),
+    StructField("xs", ArrayType(IntegerType)), StructField("tags", ArrayType(StringType)),
+    StructField("inner", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))),
+    StructField("d", DoubleType)))
+
+  test("round-trip: scalars, zigzag negatives, packed repeated, nested message, defaults") {
+    val rows = Seq(
+      Row(1L, "hello", -7, Seq(1, 2, 300), Seq("x", "y"), Row(5, "in"), 1.25),
+      Row(2L, "", 0, Seq.empty[Int], Seq.empty[String], null, -0.5))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val framed = ProtobufDecode.encode(df, "bin", writerProto, 1)
+    val dec = ProtobufDecode.decode(framed.select("bin"), "bin",
+      Map(1 -> writerProto), writerProto)
+    val got = dec.select("decoded.*").orderBy("a").collect()
+    assert(got(0) === Row(1L, "hello", -7, Seq(1, 2, 300), Seq("x", "y"), Row(5, "in"), 1.25))
+    assert(got(1) === Row(2L, "", 0, Seq.empty, Seq.empty, null, -0.5))
+  }
+
+  test("reader projection: rename by number, skip unknown, default absent, reject incompatible/unknown ids") {
+    import spark.implicits._
+    val writer = "message E { optional int64 a = 1; optional string b = 2; optional sint64 c = 3; }"
+    val reader = "message E { optional int64 renamed = 1; optional int32 extra = 9; }"
+    val badWriter = "message E { optional string a = 1; }" // wire-family change on field 1
+    val df = Seq((10L, "x", -3L), (20L, "y", 4L)).toDF("a", "b", "c")
+    val ok = ProtobufDecode.encode(df, "bin", writer, 1).select("bin")
+    val unknownId = ProtobufDecode.encode(df.limit(1), "bin", writer, 99).select("bin")
+    val incompat = ProtobufDecode.encode(Seq(Tuple1("zz")).toDF("a"), "bin", badWriter, 2).select("bin")
+    val corrupt = Seq(Tuple1(Array[Byte](0, 0, 0))).toDF("bin")
+    val dec = ProtobufDecode.decode(
+      ok.unionByName(unknownId).unionByName(incompat).unionByName(corrupt),
+      "bin", Map(1 -> writer, 2 -> badWriter), reader)
+    val got = dec.select("decoded.renamed", "decoded.extra").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    // writer fields b/c skipped as unknown; reader field 9 defaults to 0
+    assert(got.count(_ == ((Some(10L), Some(0)))) === 1)
+    assert(got.count(_ == ((Some(20L), Some(0)))) === 1)
+    // unregistered id, unreadable writer, and corrupt frame → null struct
+    assert(got.count(_ == ((None, None))) === 3)
+  }
+}
+
 /** P5/P6 ingest validation over real wire-format bytes. */
 class IngestSpec extends SparkSpec {
   import spark.implicits._
