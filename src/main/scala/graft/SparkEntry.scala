@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.expressions.Window
 
-import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.analytics.{CleanPipeline, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.groups.ConsumerGroups
 import graft.log.{Compaction, RecordLog, Transactions, TxnEngine}
@@ -35,6 +35,16 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents plus planted exact duplicates (doc_id + 1000000,
+    * upper-cased text): the corpus has no natural exact dups, so the
+    * cleaning pipeline's dedup stage is exercised on constructed clones
+    * the oracle replicates column-for-column. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.where(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"), upper(col("text")).as("text")))
+  }
 
   /** events with a Spark-readable timestamp column regardless of whether
     * the parquet type is TIMESTAMP(NANOS) (read as long) or micros. */
@@ -1159,7 +1169,50 @@ object SparkEntry {
       graft.analytics.Multimodal.extractFeatures(media).toDF()
         .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ----- training-data pipeline: clustering, sampling, cleaning -----
+    "dd_cluster" -> ((s, dir) => {
+      // Near-dup pairs (exact n-gram Jaccard, the oracle-provable
+      // candidate source) -> connected components -> per-doc cluster id
+      // with the min-id canonical flag. Singletons cluster to themselves.
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.05)
+        .select("doc_a", "doc_b")
+      Dedup.connectedComponents(pairs, docs.select("doc_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") === col("doc_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    "smp_split" -> ((s, dir) =>
+      Sampling.split(T(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    "smp_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.8, "zh" -> 0.0), defaultRate = 0.2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "smp_topk_group" -> ((s, dir) =>
+      Sampling.topKPerGroup(T(s, dir, "documents"), col("source"), col("doc_id"), 3)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")),
+
+    "txt_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
+
+    "pipe_clean" -> ((s, dir) =>
+      CleanPipeline.clean(plantedDocs(s, dir), col("doc_id"), col("text"))
+        .select("doc_id", "copies")
+        .orderBy("doc_id")),
+
+    "pipe_clean_funnel" -> ((s, dir) =>
+      CleanPipeline.funnel(plantedDocs(s, dir), col("doc_id"), col("text")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1737,7 +1790,121 @@ object SparkEntry {
         |        round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 5) AS jaccard_r
         | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
-        | ORDER BY doc_a, doc_b""".stripMargin
+        | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh_all AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 1000)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05),
+        | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | reach(node, lbl) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+        | SELECT node AS doc_id, min(lbl) AS cluster_id, (min(lbl) = node) AS is_canonical
+        | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "smp_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
+        |       FROM documents)
+        | ORDER BY doc_id""".stripMargin,
+
+    "smp_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
+        |  FROM documents)
+        | WHERE b < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8
+        |                      WHEN 'zh' THEN 0.0 ELSE 0.2 END) * 10000
+        | ORDER BY doc_id""".stripMargin,
+
+    "smp_topk_group" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000,
+        |     doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        | WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "txt_vocab" ->
+      """SELECT tok, cnt FROM (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok)
+        | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    "pipe_clean" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 50),
+        | feat AS (
+        |  SELECT doc_id, text,
+        |   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
+        |     / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stopword_ratio,
+        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS en,
+        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS de,
+        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x))) AS fr
+        |  FROM all_docs),
+        | keep AS (
+        |  SELECT * FROM feat
+        |  WHERE (en >= de AND en >= fr AND en > 0)
+        |    AND n_tokens BETWEEN 30 AND 10000 AND stopword_ratio >= 0.03)
+        | SELECT min(doc_id) AS doc_id, count(*) AS copies
+        | FROM keep GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+
+    "pipe_clean_funnel" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 50),
+        | feat AS (
+        |  SELECT doc_id, text,
+        |   (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))
+        |      >= len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x)))
+        |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))
+        |      >= len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x)))
+        |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) > 0)
+        |     AS lang_ok,
+        |   (len(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 30 AND 10000
+        |    AND CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 0.03) AS qual_ok
+        |  FROM all_docs)
+        | SELECT CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual,
+        |  CAST(count(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(lower(text)) END) AS BIGINT) AS n_dedup
+        | FROM feat""".stripMargin
     // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
     // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
     // driver check, but each now has an oracle-checked companion

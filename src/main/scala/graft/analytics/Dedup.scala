@@ -128,6 +128,53 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list — turns pairwise
+   * matches into cluster ids so each duplicate group keeps exactly one
+   * canonical document (min doc_id in the component).
+   *
+   * Algorithm: iterative min-label propagation. Every vertex starts
+   * labeled with its own id; each round, a vertex adopts the minimum
+   * label among itself and its neighbors. Converges in O(cluster
+   * diameter) rounds — near-dup clusters are shallow (dups of a common
+   * ancestor), so a handful of rounds in practice, bounded by
+   * `maxIter`. Each round is ONE shuffle of the label table on vertex
+   * id joined against the cached edge list; `localCheckpoint` cuts the
+   * growing lineage so round N's plan does not replay rounds 1..N-1
+   * (at 100 TB, checkpointing per round is what keeps task graphs
+   * bounded — the same reason GraphX/GraphFrames checkpoint their
+   * Pregel loops).
+   *
+   * The convergence probe is a 1-row aggregate per round (no data
+   * collect). Returns (doc_id, cluster_id) for every vertex; singletons
+   * cluster to themselves.
+   */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().persist()
+    var labels = vertices
+      .select(col("doc_id").cast("long").as("node"), col("doc_id").cast("long").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val cand = labels.join(edges, labels("node") === edges("a"))
+        .groupBy(col("b").as("nbr")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(cand, labels("node") === cand("nbr"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("__chg"))
+        .localCheckpoint()
+      changed = next.where(col("__chg")).count()
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /**
    * SimHash fingerprint (64-bit): weighted sign-sum of token hashes.
    * Built as 64 conditional-sum aggregates in a single groupBy (one
    * shuffle), then bit-packed.

@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling and splitting for training-data pipelines.
+ *
+ * Assignment is a pure function of the row's id — the top 32 bits of
+ * `md5` over the id's decimal string — so splits are (a) reproducible
+ * run-to-run and across cluster sizes/partitionings, (b) stable under
+ * data re-ordering and re-partitioning, and (c) re-derivable by any
+ * other engine (the correctness oracle computes the identical
+ * expression in SQL). Never `rand()`: a seeded RNG depends on row
+ * order and partition count, which a 1000-executor re-run does not
+ * preserve.
+ *
+ * Scale shape: bucket assignment and rate filtering are narrow
+ * projections (whole-stage codegen, scan speed at 100 TB); the only
+ * shuffles are the tiny broadcast of the per-stratum rate table and,
+ * for [[topKPerGroup]], one hash shuffle on the group key.
+ */
+object Sampling {
+
+  /** Bucket granularity: rates/weights resolve to 1/10000ths. */
+  val Buckets = 10000
+
+  /** Deterministic hash bucket in [0, Buckets). */
+  def hashBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /**
+   * Train/val/test split by cumulative weight, e.g.
+   * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Buckets are
+   * carved into contiguous ranges in the order given; weights must sum
+   * to 1. Adds a `split` column.
+   */
+  def split(df: DataFrame, idCol: Column, weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1 (got $weights)")
+    val cuts = weights.scanLeft(0.0)(_ + _._2).map(w => math.round(w * Buckets))
+    val b = hashBucket(idCol)
+    val expr = weights.zipWithIndex.tail.foldLeft(
+        when(b < cuts(1), lit(weights.head._1))) {
+      case (acc, ((name, _), i)) => acc.when(b >= cuts(i) && b < cuts(i + 1), lit(name))
+    }
+    df.withColumn("split", expr)
+  }
+
+  /**
+   * Per-stratum deterministic sampling (training-mix construction):
+   * keep a row iff `bucket < rate(stratum) * Buckets`. Rates are a tiny
+   * broadcast-joined table; strata absent from `rates` use
+   * `defaultRate`. A rate of 1.0 keeps everything, 0.0 drops the
+   * stratum entirely.
+   */
+  def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq.toDF("__stratum", "__rate")
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(rdf), Seq("__stratum"), "left")
+      .where(hashBucket(idCol) <
+        coalesce(col("__rate"), lit(defaultRate)) * Buckets)
+      .drop("__stratum", "__rate")
+  }
+
+  /**
+   * Deterministic per-group top-k — a seedless "reservoir": rank rows
+   * inside each group by (hash bucket, id) and keep rank <= k. The hash
+   * makes the kept set a uniform, order-independent sample; the id
+   * tie-break makes it total. One shuffle on the group key; each task
+   * ranks only its own groups.
+   */
+  def topKPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(hashBucket(idCol), idCol)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

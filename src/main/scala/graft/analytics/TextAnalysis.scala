@@ -21,7 +21,8 @@ object TextAnalysis {
   val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
   val FrStopwords: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pas")
 
-  private def hitCount(toks: Column, words: Seq[String]): Column = {
+  /** Count of tokens present in `words` (stopword hits). */
+  def hitCount(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
     size(filter(toks, t => array_contains(set, t)))
   }
@@ -70,4 +71,17 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
+
+  /**
+   * Corpus vocabulary: token -> document-wide occurrence count, top-k
+   * by frequency (tie-break on token for determinism). One explode +
+   * one hash shuffle with map-side partial aggregation; the top-k is a
+   * TakeOrdered over the per-token aggregates, not a global sort of
+   * the corpus.
+   */
+  def vocabulary(df: DataFrame, textCol: Column, k: Int): DataFrame =
+    df.select(explode(tokens(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Sampling, TextAnalysis}
+import graft.log.RecordLog
+
+/**
+ * Physical-plan assertions for the scale-critical properties the
+ * operators claim in their scaladocs. Correctness tests prove the
+ * VALUES; these prove the PLAN — that filters reach the parquet scan,
+ * small sides broadcast instead of shuffling the big side, aggregates
+ * do map-side partial combine, and hot expressions stay inside
+ * whole-stage codegen. A regression here is invisible at test SF but
+ * fatal at 100 TB, which is exactly why it's pinned in CI.
+ */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private lazy val logDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("plan_log").toString
+    (0 until 4).flatMap(p => (0L until 100L).map(o => (p, o, o * 10, s"v$o")))
+      .toDF("partition", "offset", "timestamp", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("fetch pushes partition+offset predicates into the parquet scan") {
+    val p = plan(RecordLog.fetch(spark.read.parquet(logDir), 2, 40L, 10))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("EqualTo(partition,2)"), p)
+    assert(p.contains("GreaterThanOrEqual(offset,40)"), p)
+  }
+
+  test("timequery pushes the timestamp bound and partial-aggregates the min") {
+    val p = plan(RecordLog.offsetsForTimestamp(
+      spark.read.parquet(logDir), col("timestamp"), lit(500L)))
+    assert(p.contains("GreaterThanOrEqual(timestamp,500)"), p)
+    // map-side combine: a partial min under the shuffle, final above it
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("appendBatch broadcasts the HWM side, never sort-merge-joins the batch") {
+    val batch = (0L until 1000L).map(i => (i % 4, i, s"v$i")).toDF("pt", "arrival", "value")
+    val hwm = Seq((0, 100L), (1, 200L), (2, 300L), (3, 400L)).toDF("partition", "hwm")
+    val p = plan(RecordLog.appendBatch(batch, hwm, col("pt").cast("int"), col("arrival")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scalable offset assignment broadcasts chunk bases back to the data") {
+    val df = (0L until 1000L).map(i => (i % 4, i)).toDF("pt", "arrival")
+    val p = plan(RecordLog.assignOffsetsScalable(
+      df, col("pt"), col("arrival"), floor(col("arrival") / 64)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("datalake readTable semi-joins the live-snapshot set as a broadcast") {
+    val out = java.nio.file.Files.createTempDirectory("plan_dl").toString
+    val ev = (0L until 100L).map(i => (i, new java.sql.Timestamp(86400000L * (i % 3))))
+      .toDF("event_id", "ts")
+    graft.streaming.Datalake.commit(ev, col("ts"), out,
+      partFn = graft.streaming.Datalake.dayPartition)
+    val p = plan(graft.streaming.Datalake.readTable(spark, out))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  private lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("plan_docs").toString
+    (0L until 100L).map(i => (i, s"the quick brown fox $i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("stratified sampling broadcasts the rate table, no data-side shuffle") {
+    val rows = spark.read.parquet(docsDir)
+    val p = plan(Sampling.stratifiedSample(rows, col("doc_id"), col("lang"),
+      Map("l0" -> 0.5), defaultRate = 0.1))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Exchange is the broadcast of the tiny rate table
+    assert(!p.replace("BroadcastExchange", "").contains("Exchange"), p)
+  }
+
+  test("text quality features are one narrow projection over the scan") {
+    val docs = spark.read.parquet(docsDir)
+    val p = plan(TextAnalysis.qualityFeatures(docs, col("text"), col("doc_id")))
+    // no shuffle, no join, no sort — a single Project whose scan stage is
+    // codegen'd (the `*(n)` marker; the higher-order `filter` lambda
+    // itself is interpreted — Spark has no codegen for lambda exprs —
+    // but it remains a per-row narrow expression at scan parallelism)
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"), p)
+    assert(p.contains("*("), p)
+    assert(p.contains("FileScan parquet"), p)
+  }
+
+  test("vocabulary top-k is TakeOrdered over partial-aggregated counts, not a global sort") {
+    val docs = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    val p = plan(TextAnalysis.vocabulary(docs, col("text"), 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+}

@@ -107,6 +107,72 @@ class AnalyticsSpec extends SparkSpec {
     assert((bf intersect ivf).size >= 4)
   }
 
+  test("connected components: chains merge, singletons self-label, min id wins") {
+    val verts = (0L to 7L).toDF("doc_id")
+    // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    // pair 5-6, singletons 0 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("sampling: split is exhaustive, deterministic, and ~weight-proportional") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s1 = Sampling.split(ids, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byMap = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byMap.values.sum === 2000L)
+    assert(byMap("train") > 1400 && byMap("train") < 1800)
+    // repartitioned re-run assigns identically (order independence)
+    val s2 = Sampling.split(ids.repartition(13), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s1.except(s2).count() === 0 && s2.except(s1).count() === 0)
+  }
+
+  test("sampling: stratified rates honored per stratum; rate 0 drops all") {
+    val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(rows, col("doc_id"), col("lang"),
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("a", 0L) === 500L)
+    assert(kept.getOrElse("b", 0L) === 0L)
+  }
+
+  test("sampling: per-group top-k keeps exactly k and is order-stable") {
+    val rows = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "g")
+    val top = Sampling.topKPerGroup(rows, col("g"), col("doc_id"), 5)
+    assert(top.count() === 20)
+    val again = Sampling.topKPerGroup(rows.repartition(7), col("g"), col("doc_id"), 5)
+    assert(top.select("g", "doc_id").except(again.select("g", "doc_id")).count() === 0)
+  }
+
+  test("clean pipeline: stages filter and dedup collapses planted clones") {
+    val corpus = Seq(
+      (0L, "the cat sat and the dog ran to a tree in the park of it " * 3), // en, long
+      (1L, "the cat sat and the dog ran to a tree in the park of it " * 3), // exact dup of 0
+      (2L, "der hund ist nicht ein katze und das haus von mir " * 3),       // german
+      (3L, "the fox"),                                                      // too short
+      (4L, "word " * 40))                                                   // no stopwords
+      .toDF("doc_id", "text")
+    val cfg = CleanPipeline.Config(minTokens = 10, maxTokens = 1000, minStopwordRatio = 0.1)
+    val out = CleanPipeline.clean(corpus, col("doc_id"), col("text"), cfg)
+      .select("doc_id", "copies").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 2L))
+    val f = CleanPipeline.funnel(corpus, col("doc_id"), col("text"), cfg)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(f === ((5L, 3L, 2L, 1L)))
+  }
+
+  test("vocabulary: top-k by count with deterministic tie-break") {
+    val corpus = Seq((0L, "b b b a a c"), (1L, "a c d")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(corpus, col("text"), 3)
+      .as[(String, Long)].collect().toSeq
+    assert(v === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("multimodal plumbing: batch decode stub produces typed features") {
     implicit val s = spark
     val media = Multimodal.fakeMediaFromText(docs)
