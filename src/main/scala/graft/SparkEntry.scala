@@ -506,6 +506,47 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "adm_list_transactions" -> ((s, dir) =>
+      // Coordinator-visible txn listing over engine-produced state:
+      // Ongoing (trailing partials), CompleteCommit, CompleteAbort.
+      TxnEngine.listTransactions(txnLog(s, dir))
+        .orderBy("pid", "txn_seq")),
+
+    "adm_describe_producers" -> ((s, dir) =>
+      TxnEngine.describeProducers(txnLog(s, dir))
+        .orderBy("partition", "pid")),
+
+    "adm_describe_log_dirs" -> ((s, dir) =>
+      graft.admin.Admin.describeLogDirs(eventLog(s, dir),
+          length(col("props")).cast("long"))
+        .orderBy("partition")),
+
+    "adm_find_coordinator" -> ((s, dir) => {
+      // Golden-vector conformance at a 16-partition offsets topic: the
+      // unsigned-murmur2 routing must land each group on its pinned
+      // coordinator partition.
+      import s.implicits._
+      graft.admin.Admin.coordinatorFor(
+        Seq("", "0123456789", "a", "ab", "abc", "hello-kafka", "redpanda", "user-42")
+          .toDF("g"),
+        col("g"), nPartitions = 16)
+        .orderBy("group")
+    }),
+
+    "adm_create_partitions" -> ((s, dir) => {
+      // Partition growth 8 -> 12: history stays put; a re-produce of the
+      // events batch routes across 12 partitions, continuing offsets from
+      // each surviving partition's HWM and starting 8..11 at zero.
+      val log = eventLog(s, dir).select(col("partition"), col("offset"), lit(false).as("is_new"))
+      val batch = events(s, dir).select(col("user_id"),
+        (col("event_id") + 10000000L).as("arrival"), lit(true).as("is_new"))
+      graft.admin.Admin.createPartitions(log, batch, 12, col("user_id"), col("arrival"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), (max("offset") + 1).as("hwm"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+        .orderBy("partition")
+    }),
+
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
       Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
@@ -1294,6 +1335,69 @@ object SparkEntry {
          |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
          |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1)
          | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "adm_list_transactions" ->
+      s"""$TxnCte,
+         | dat AS (
+         |  SELECT pid, txn_seq, count(DISTINCT partition) AS n_partitions,
+         |         count(*) AS n_records, min("offset") AS min_first_offset
+         |  FROM ofs WHERE NOT is_control AND batch_type = 1 GROUP BY 1, 2),
+         | ended AS (SELECT DISTINCT pid, txn_seq, decision FROM ofs WHERE is_control)
+         | SELECT d.pid, d.txn_seq,
+         |   CASE WHEN e.decision = 'commit' THEN 'CompleteCommit'
+         |        WHEN e.decision = 'abort' THEN 'CompleteAbort'
+         |        ELSE 'Ongoing' END AS state,
+         |   d.n_partitions, d.n_records, d.min_first_offset
+         | FROM dat d LEFT JOIN ended e ON d.pid = e.pid AND d.txn_seq = e.txn_seq
+         | ORDER BY d.pid, d.txn_seq""".stripMargin,
+
+    "adm_describe_producers" ->
+      s"""$TxnCte,
+         | endedtx AS (SELECT DISTINCT pid, txn_seq FROM ofs WHERE is_control),
+         | openp AS (
+         |  -- open txn start includes its fence batch (the reference's txn
+         |  -- first offset is the fence rm_stm wrote on begin)
+         |  SELECT o.partition, o.pid, min(o."offset") AS current_txn_first_offset
+         |  FROM ofs o LEFT JOIN endedtx e ON o.pid = e.pid AND o.txn_seq = e.txn_seq
+         |  WHERE NOT o.is_control AND e.pid IS NULL
+         |  GROUP BY 1, 2),
+         | dat AS (
+         |  SELECT partition, pid, CAST(0 AS INTEGER) AS producer_epoch,
+         |         max("offset") AS last_offset, count(*) AS n_records
+         |  FROM ofs WHERE NOT is_control AND batch_type = 1 GROUP BY 1, 2)
+         | SELECT d.partition, d.pid, d.producer_epoch, d.last_offset, d.n_records,
+         |        o.current_txn_first_offset
+         | FROM dat d LEFT JOIN openp o ON d.partition = o.partition AND d.pid = o.pid
+         | ORDER BY d.partition, d.pid""".stripMargin,
+
+    "adm_describe_log_dirs" ->
+      s"""$LogCte SELECT partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
+         |  count(*) AS n_records, max("offset") + 1 AS log_end_offset
+         | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "adm_find_coordinator" ->
+      """SELECT * FROM (VALUES
+        |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
+        |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
+        | t("group", coordinator_partition) ORDER BY "group"""".stripMargin,
+
+    "adm_create_partitions" ->
+      """WITH lg AS (
+        |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+        |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+        |         FALSE AS is_new
+        |  FROM events),
+        | hwm AS (SELECT partition, max("offset") + 1 AS base FROM lg GROUP BY 1),
+        | nb AS (
+        |  SELECT CAST(user_id % 12 AS INTEGER) AS partition,
+        |         CAST(row_number() OVER (PARTITION BY user_id % 12 ORDER BY event_id) - 1 AS BIGINT) AS rn
+        |  FROM events),
+        | nb2 AS (SELECT n.partition, COALESCE(h.base, 0) + n.rn AS "offset", TRUE AS is_new
+        |         FROM nb n LEFT JOIN hwm h ON n.partition = h.partition),
+        | allr AS (SELECT * FROM lg UNION ALL SELECT * FROM nb2)
+        | SELECT partition, count(*) AS n, max("offset") + 1 AS hwm,
+        |   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        | FROM allr GROUP BY partition ORDER BY partition""".stripMargin,
 
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log

@@ -80,6 +80,48 @@ object Admin {
         col("start_offset"), col("hwm"), col("n_records"))
 
   /**
+   * describe_log_dirs (`kafka/server/handlers/handlers.h:71-112`):
+   * per-partition storage accounting — total payload bytes, record
+   * count, log end offset. One aggregate keyed on partition; at 100 TB
+   * the sums partial-combine map-side and the result is one row per
+   * partition.
+   */
+  def describeLogDirs(log: DataFrame, sizeCol: Column): DataFrame =
+    log.groupBy("partition")
+      .agg(sum(sizeCol).as("size_bytes"), count(lit(1)).as("n_records"),
+        (max("offset") + 1).as("log_end_offset"))
+
+  /**
+   * find_coordinator: group id -> coordinator partition of the offsets
+   * topic via the reference's murmur2 unsigned-modulo routing
+   * (`kafka/server/coordinator_mapper.h`; hashing as
+   * `kafka/client/partitioners.cc:41-44`). Narrow projection over the
+   * codegen'd murmur2 kernel.
+   */
+  def coordinatorFor(groups: DataFrame, groupCol: Column, nPartitions: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(groups.sparkSession)
+    groups.select(groupCol.as("group"))
+      .withColumn("coordinator_partition",
+        pmod(expr("murmur2(encode(group, 'UTF-8'))").cast("long")
+          .bitwiseAND(lit(0xffffffffL)), lit(nPartitions)).cast("int"))
+  }
+
+  /**
+   * create_partitions (partition-count increase): history is never
+   * re-shuffled — existing records keep their partition — and only new
+   * produce routes across the enlarged count, continuing each existing
+   * partition's offsets from its HWM and starting fresh partitions at 0
+   * (the reference rejects shrinking; growth only). The HWM side is one
+   * row per partition and broadcasts.
+   */
+  def createPartitions(log: DataFrame, batch: DataFrame, newCount: Int,
+      keyCol: Column, arrivalCol: Column): DataFrame = {
+    val hwm = log.groupBy("partition").agg((max("offset") + 1).as("hwm"))
+    val appended = RecordLog.appendBatch(batch, hwm, pmod(keyCol, lit(newCount)), arrivalCol)
+    log.unionByName(appended, allowMissingColumns = true)
+  }
+
+  /**
    * Config-driven housekeeping: apply a topic's effective cleanup policy
    * to its log, exactly as the reference's housekeeping loop reads
    * topic_properties (`storage/disk_log_impl.h:86-88`): 'delete' applies

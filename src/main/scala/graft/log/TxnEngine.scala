@@ -160,6 +160,49 @@ object TxnEngine {
   }
 
   /**
+   * list_transactions (`kafka/server/handlers/list_transactions.cc`):
+   * one row per transaction with its coordinator-visible state — Ongoing
+   * (no end marker yet), CompleteCommit or CompleteAbort — plus the
+   * fan-out breadth (T3's touched-partition count) and data footprint.
+   * One aggregate over data rows left-joined to the tiny distinct-marker
+   * set; no shuffle beyond the (pid, txn_seq) key.
+   */
+  def listTransactions(log: DataFrame): DataFrame = {
+    val data = log.where(!col("is_control") && col("batch_type") === BatchType.RaftData)
+      .groupBy("pid", "txn_seq")
+      .agg(countDistinct("partition").as("n_partitions"),
+        count(lit(1)).as("n_records"),
+        min("offset").as("min_first_offset"))
+    val ended = log.where(col("is_control"))
+      .select("pid", "txn_seq", "decision").distinct()
+    data.join(ended, Seq("pid", "txn_seq"), "left")
+      .select(col("pid"), col("txn_seq"),
+        when(col("decision") === "commit", "CompleteCommit")
+          .when(col("decision") === "abort", "CompleteAbort")
+          .otherwise("Ongoing").as("state"),
+        col("n_partitions"), col("n_records"), col("min_first_offset"))
+  }
+
+  /**
+   * describe_producers (`kafka/server/handlers/describe_producers.cc`):
+   * per (partition, producer) — latest epoch, last produced offset, data
+   * record count, and the first offset of its currently-open transaction
+   * (null when none; the txn starts at the fence batch rm_stm wrote on
+   * begin, so the fence's offset is the start), i.e. the per-producer
+   * state rm_stm serves.
+   */
+  def describeProducers(log: DataFrame): DataFrame = {
+    val open = openTransactions(log)
+      .groupBy("partition", "pid")
+      .agg(min("first_offset").as("current_txn_first_offset"))
+    log.where(!col("is_control") && col("batch_type") === BatchType.RaftData)
+      .groupBy("partition", "pid")
+      .agg(max("epoch").as("producer_epoch"), max("offset").as("last_offset"),
+        count(lit(1)).as("n_records"))
+      .join(open, Seq("partition", "pid"), "left")
+  }
+
+  /**
    * P4 read_committed over engine-produced state: drop control records,
    * aborted ranges, and rows at or past the LSO — all three inputs
    * derived from the marker-carrying log itself. Aborted ranges and LSO

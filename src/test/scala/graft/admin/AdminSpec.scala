@@ -63,6 +63,33 @@ class AdminSpec extends SparkSpec {
     assert(both.select("offset").as[Long].collect().toSet === Set(1L))
   }
 
+  test("create_partitions: history keeps placement, new produce spans the growth") {
+    val log = Seq((0, 0L), (0, 1L), (1, 0L)).toDF("partition", "offset")
+    // keys 0..7 route mod 4 into partitions 0..3
+    val batch = (0L until 8L).map(k => (k, k)).toDF("key", "arrival")
+    val got = Admin.createPartitions(log, batch, 4, col("key"), col("arrival"))
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1).as("hwm"))
+      .as[(Int, Long, Long)].collect().map { case (p, n, h) => p -> ((n, h)) }.toMap
+    // p0: 2 old + keys 0,4 continuing at hwm 2 -> hwm 4; p1: 1 old + 2 new;
+    // p2/p3 fresh from offset 0
+    assert(got === Map(0 -> ((4L, 4L)), 1 -> ((3L, 3L)), 2 -> ((2L, 2L)), 3 -> ((2L, 2L))))
+  }
+
+  test("describe_log_dirs sums payload bytes per partition") {
+    val log = Seq((0, 0L, "aa"), (0, 1L, "bbb"), (1, 0L, "c"))
+      .toDF("partition", "offset", "props")
+    val got = Admin.describeLogDirs(log, length(col("props")).cast("long"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === Set((0, 5L, 2L, 2L), (1, 1L, 1L, 1L)))
+  }
+
+  test("find_coordinator routes by unsigned murmur2 mod partition count") {
+    val got = Admin.coordinatorFor(Seq("redpanda", "user-42").toDF("g"), col("g"), 16)
+      .as[(String, Int)].collect().toMap
+    assert(got === Map("redpanda" -> 6, "user-42" -> 12))
+  }
+
   private implicit class Map2Ops(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -81,4 +81,24 @@ class TxnEngineSpec extends SparkSpec {
     // A committed (a, c); B aborted (b, d, e dropped); C open (f beyond LSO)
     assert(got === Set("a", "c"))
   }
+
+  test("list_transactions reports state, fan-out breadth, and footprint") {
+    val got = TxnEngine.listTransactions(mkLog())
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // p0 log: fence(A)@0 a@1 fence(B)@2 b@3 c@4 d@5 commit@6 abort@7 fence(C)@8 f@9
+    // p1 log: fence(B)@0 e@1 abort@2
+    assert(got === Set(
+      (0L, 0L, "CompleteCommit", 1L, 2L, 1L),
+      (1L, 0L, "CompleteAbort", 2L, 3L, 1L),
+      (0L, 1L, "Ongoing", 1L, 1L, 9L)))
+  }
+
+  test("describe_producers reports last offset and open-txn start per partition") {
+    val got = TxnEngine.describeProducers(mkLog())
+      .as[(Int, Long, Int, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (0, 0L, 0, 9L, 3L, Some(8L)),   // pid 0 on p0: a,c,f; open txn C starts at its fence@8
+      (0, 1L, 0, 5L, 2L, None),       // pid 1 on p0: b,d; aborted, not open
+      (1, 1L, 0, 1L, 1L, None)))      // pid 1 on p1: e
+  }
 }
