@@ -547,6 +547,40 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "adm_acls" -> ((s, dir) => {
+      // ACL conformance corpus over the compacted binding log: literal
+      // and prefixed patterns, wildcard principal/host, operation 'all',
+      // deny precedence over an all-operations allow, tombstoned binding,
+      // host-scoped entry, and the default-deny fallthrough.
+      import s.implicits._
+      val aclLog = Seq(
+        (1L, "alice", "*", "topic", "literal", "events", "read", "allow", false),
+        (2L, "alice", "*", "topic", "literal", "events", "write", "allow", false),
+        (3L, "*", "*", "topic", "prefixed", "logs-", "read", "allow", false),
+        (4L, "bob", "*", "topic", "literal", "events", "all", "allow", false),
+        (5L, "bob", "*", "topic", "literal", "events", "write", "deny", false),
+        (6L, "carol", "*", "group", "literal", "g1", "read", "allow", false),
+        (7L, "alice", "*", "topic", "literal", "events", "write", "allow", true),
+        (8L, "dave", "10.0.0.1", "topic", "literal", "events", "read", "allow", false))
+        .toDF("seq", "principal", "host", "resource_type", "pattern_type",
+          "resource_name", "operation", "permission", "deleted")
+      val requests = Seq(
+        ("alice", "10.0.0.9", "read", "topic", "events"),
+        ("alice", "10.0.0.9", "write", "topic", "events"),
+        ("anyone", "h", "read", "topic", "logs-2024"),
+        ("anyone", "h", "read", "topic", "events"),
+        ("bob", "h", "read", "topic", "events"),
+        ("bob", "h", "write", "topic", "events"),
+        ("carol", "h", "read", "group", "g1"),
+        ("carol", "h", "read", "topic", "g1"),
+        ("dave", "10.0.0.1", "read", "topic", "events"),
+        ("dave", "10.0.0.2", "read", "topic", "events"))
+        .toDF("principal", "host", "operation", "resource_type", "resource_name")
+      graft.security.Acls.authorize(requests,
+          graft.security.Acls.currentAcls(aclLog))
+        .orderBy("principal", "host", "operation", "resource_type", "resource_name")
+    }),
+
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
       Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
@@ -1398,6 +1432,49 @@ object SparkEntry {
         | SELECT partition, count(*) AS n, max("offset") + 1 AS hwm,
         |   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         | FROM allr GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "adm_acls" ->
+      """WITH acllog(seq, principal, host, resource_type, pattern_type, resource_name, operation, permission, deleted) AS (
+        |  VALUES
+        |   (1, 'alice', '*', 'topic', 'literal', 'events', 'read', 'allow', FALSE),
+        |   (2, 'alice', '*', 'topic', 'literal', 'events', 'write', 'allow', FALSE),
+        |   (3, '*', '*', 'topic', 'prefixed', 'logs-', 'read', 'allow', FALSE),
+        |   (4, 'bob', '*', 'topic', 'literal', 'events', 'all', 'allow', FALSE),
+        |   (5, 'bob', '*', 'topic', 'literal', 'events', 'write', 'deny', FALSE),
+        |   (6, 'carol', '*', 'group', 'literal', 'g1', 'read', 'allow', FALSE),
+        |   (7, 'alice', '*', 'topic', 'literal', 'events', 'write', 'allow', TRUE),
+        |   (8, 'dave', '10.0.0.1', 'topic', 'literal', 'events', 'read', 'allow', FALSE)),
+        | live AS (
+        |  SELECT * FROM acllog
+        |  QUALIFY row_number() OVER (PARTITION BY principal, host, resource_type,
+        |    pattern_type, resource_name, operation, permission ORDER BY seq DESC) = 1
+        |  ),
+        | livekept AS (SELECT * FROM live WHERE NOT deleted),
+        | req(principal, host, operation, resource_type, resource_name) AS (
+        |  VALUES
+        |   ('alice', '10.0.0.9', 'read', 'topic', 'events'),
+        |   ('alice', '10.0.0.9', 'write', 'topic', 'events'),
+        |   ('anyone', 'h', 'read', 'topic', 'logs-2024'),
+        |   ('anyone', 'h', 'read', 'topic', 'events'),
+        |   ('bob', 'h', 'read', 'topic', 'events'),
+        |   ('bob', 'h', 'write', 'topic', 'events'),
+        |   ('carol', 'h', 'read', 'group', 'g1'),
+        |   ('carol', 'h', 'read', 'topic', 'g1'),
+        |   ('dave', '10.0.0.1', 'read', 'topic', 'events'),
+        |   ('dave', '10.0.0.2', 'read', 'topic', 'events')),
+        | m AS (
+        |  SELECT r.*, a.permission AS perm
+        |  FROM req r LEFT JOIN livekept a ON a.resource_type = r.resource_type
+        |    AND (a.principal = r.principal OR a.principal = '*')
+        |    AND (a.host = r.host OR a.host = '*')
+        |    AND (a.operation = r.operation OR a.operation = 'all')
+        |    AND ((a.pattern_type = 'literal' AND a.resource_name = r.resource_name)
+        |      OR (a.pattern_type = 'prefixed' AND starts_with(r.resource_name, a.resource_name))))
+        | SELECT principal, host, operation, resource_type, resource_name,
+        |  CASE WHEN max(CASE WHEN perm = 'deny' THEN 1 ELSE 0 END) = 1 THEN 'denied'
+        |       WHEN max(CASE WHEN perm = 'allow' THEN 1 ELSE 0 END) = 1 THEN 'allowed'
+        |       ELSE 'denied' END AS decision
+        | FROM m GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log

@@ -1,0 +1,86 @@
+package graft.security
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.log.Compaction
+
+/**
+ * ACL store and authorizer (SURVEY §2.10: create/delete/describe ACLs).
+ *
+ * Reference: an ACL binding is a resource pattern plus an entry
+ * (`security/acl.h` — principal, host, operation, permission; pattern
+ * type literal or prefixed), stored and matched by
+ * `security/acl_store.h`; the authorizer applies Kafka semantics
+ * (`security/authorizer.h`): a request is DENIED if any matching deny
+ * ACL exists (deny precedence), else ALLOWED if any matching allow ACL
+ * exists, else default-denied. Wildcard `*` matches any principal/host;
+ * operation `all` matches any operation; a prefixed pattern matches
+ * every resource name it prefixes.
+ *
+ * Spark design: ACL create/delete is a compacted command log (the same
+ * LWW-with-tombstones shape as topic configs — the reference stores
+ * ACLs in the controller log the same way), and authorization is ONE
+ * broadcast join of the tiny ACL set against the request stream plus a
+ * per-request aggregate — the request side never shuffles, so the
+ * authorizer runs at stream speed no matter the request volume.
+ */
+object Acls {
+
+  /** Binding identity: the 7 fields that name an ACL. */
+  private val BindingKey = Seq(
+    "principal", "host", "resource_type", "pattern_type",
+    "resource_name", "operation", "permission")
+
+  /**
+   * Live ACL set from the create/delete command log
+   * (seq, <binding fields>, deleted): last write per binding wins,
+   * tombstones drop the binding.
+   */
+  def currentAcls(aclLog: DataFrame): DataFrame =
+    Compaction.compact(aclLog, BindingKey, "seq")
+      .where(!col("deleted"))
+      .drop("deleted", "seq")
+
+  /** describe_acls: the live bindings for one resource type, optionally
+    * filtered to patterns that could match `resourceName`. */
+  def describeAcls(acls: DataFrame, resourceType: String,
+      resourceName: Option[String] = None): DataFrame = {
+    val base = acls.where(col("resource_type") === resourceType)
+    resourceName.fold(base) { rn =>
+      base.where(
+        (col("pattern_type") === "literal" && col("resource_name") === rn) ||
+          (col("pattern_type") === "prefixed" && lit(rn).startsWith(col("resource_name"))))
+    }
+  }
+
+  /**
+   * Authorize a request set against the live ACLs. `requests` columns:
+   * (principal, host, operation, resource_type, resource_name); the
+   * result carries them plus a `decision` of 'allowed' | 'denied'.
+   */
+  def authorize(requests: DataFrame, acls: DataFrame): DataFrame = {
+    val a = broadcast(acls.select(
+      col("principal").as("a_principal"), col("host").as("a_host"),
+      col("resource_type").as("a_rtype"), col("pattern_type").as("a_ptype"),
+      col("resource_name").as("a_rname"), col("operation").as("a_op"),
+      col("permission").as("a_perm")))
+    val matched = requests.join(a,
+      col("a_rtype") === col("resource_type") &&
+        (col("a_principal") === col("principal") || col("a_principal") === "*") &&
+        (col("a_host") === col("host") || col("a_host") === "*") &&
+        (col("a_op") === col("operation") || col("a_op") === "all") &&
+        ((col("a_ptype") === "literal" && col("a_rname") === col("resource_name")) ||
+          (col("a_ptype") === "prefixed" && col("resource_name").startsWith(col("a_rname")))),
+      "left")
+    matched.groupBy(requests.columns.toIndexedSeq.map(col): _*)
+      .agg(
+        max((col("a_perm") === "deny").cast("int")).as("__deny"),
+        max((col("a_perm") === "allow").cast("int")).as("__allow"))
+      .withColumn("decision",
+        when(col("__deny") === 1, "denied")
+          .when(col("__allow") === 1, "allowed")
+          .otherwise("denied"))
+      .drop("__deny", "__allow")
+  }
+}

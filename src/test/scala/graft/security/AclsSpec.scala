@@ -1,0 +1,47 @@
+package graft.security
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Kafka ACL semantics: deny precedence, wildcard/prefix matching,
+  * tombstoned bindings, default deny (security/authorizer.h shapes). */
+class AclsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aclLog = Seq(
+    (1L, "u", "*", "topic", "literal", "t", "read", "allow", false),
+    (2L, "u", "*", "topic", "literal", "t", "read", "deny", false),
+    (3L, "*", "*", "topic", "prefixed", "pre-", "all", "allow", false),
+    (4L, "v", "*", "topic", "literal", "t", "write", "allow", false),
+    (5L, "v", "*", "topic", "literal", "t", "write", "allow", true))
+    .toDF("seq", "principal", "host", "resource_type", "pattern_type",
+      "resource_name", "operation", "permission", "deleted")
+
+  private def decide(reqs: Seq[(String, String, String, String, String)]): Map[String, String] =
+    Acls.authorize(
+        reqs.toDF("principal", "host", "operation", "resource_type", "resource_name"),
+        Acls.currentAcls(aclLog))
+      .select(concat_ws("/", col("principal"), col("operation"), col("resource_name")), col("decision"))
+      .as[(String, String)].collect().toMap
+
+  test("deny precedence, prefix wildcard, tombstone delete, default deny") {
+    val d = decide(Seq(
+      ("u", "h", "read", "topic", "t"),        // allow + deny coexist -> denied
+      ("w", "h", "write", "topic", "pre-x"),   // wildcard principal, all-op, prefix
+      ("v", "h", "write", "topic", "t"),       // binding tombstoned -> denied
+      ("u", "h", "describe", "topic", "t")))   // no matching acl -> denied
+    assert(d === Map(
+      "u/read/t" -> "denied",
+      "w/write/pre-x" -> "allowed",
+      "v/write/t" -> "denied",
+      "u/describe/t" -> "denied"))
+  }
+
+  test("describe_acls filters by resource type and matching pattern") {
+    val live = Acls.currentAcls(aclLog)
+    assert(Acls.describeAcls(live, "topic").count() === 3)
+    val forPre = Acls.describeAcls(live, "topic", Some("pre-abc"))
+      .select("resource_name").as[String].collect().toSeq
+    assert(forPre === Seq("pre-"))
+  }
+}
