@@ -1281,6 +1281,11 @@ object SparkEntry {
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
 
+    "txt_tokens_bpe" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
     "pipe_clean" -> ((s, dir) =>
       CleanPipeline.clean(plantedDocs(s, dir), col("doc_id"), col("text"))
         .select("doc_id", "copies")
@@ -2032,6 +2037,11 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY tok)
         | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipe_clean" ->
       """WITH all_docs AS (

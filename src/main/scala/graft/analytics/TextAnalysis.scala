@@ -73,6 +73,24 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
 
   /**
+   * BPE-ish regex pre-tokenizer: letter runs, digit runs, and single
+   * non-alphanumeric marks over the lowercased text — the shape of the
+   * GPT-2 pre-tokenizer pattern without lookahead (so RE2-based engines
+   * can evaluate the identical expression; the oracle does). Subword
+   * merge tables are model artifacts; the pre-tokenizer is the pipeline
+   * half — sub-token counts for quality filters and token budgeting.
+   * Narrow codegen-able projection, scan speed at 100 TB.
+   */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Sub-token array under [[BpeTokenPattern]]. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))
+
+  /** Sub-token count under [[BpeTokenPattern]]. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /**
    * Corpus vocabulary: token -> document-wide occurrence count, top-k
    * by frequency (tie-break on token for determinism). One explode +
    * one hash shuffle with map-side partial aggregation; the top-k is a

@@ -166,6 +166,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(f === ((5L, 3L, 2L, 1L)))
   }
 
+  test("bpe-ish pre-tokenizer splits letter runs, digit runs, and marks") {
+    val got = Seq((0L, "A, b2-c!"), (1L, "hello world"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // "a, b2-c!" -> a , b 2 - c !  => 7
+    assert(got === Map(0L -> 7, 1L -> 2, 2L -> 0))
+  }
+
   test("vocabulary: top-k by count with deterministic tie-break") {
     val corpus = Seq((0L, "b b b a a c"), (1L, "a c d")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(corpus, col("text"), 3)
