@@ -150,11 +150,14 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val edges = pairs.select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
       .distinct().persist()
-    var labels = vertices
-      .select(col("doc_id").cast("long").as("node"), col("doc_id").cast("long").as("lbl"))
+    // Iterate ONLY over vertices that appear in some edge: dup clusters
+    // are a small fraction of a corpus, so the loop's working set scales
+    // with |E|, not |V|. Isolated vertices self-label in one final union.
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -171,7 +174,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    val singletons = vertices.select(col("doc_id").cast("long").as("node"))
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .withColumn("lbl", col("node"))
+    labels.unionByName(singletons)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /**

@@ -202,13 +202,21 @@ object Datalake {
       // row counts — no per-output count() job after each write.
       val counts = routed.groupBy("_output").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      counts.keys.toSeq.sorted.map { o =>
-        val rows = routed.where(col("_output") === o).drop("_output")
-        // cluster by partition key before the write — see commit() note
-        rows.repartition(col("p_key"))
-          .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$o")
-        o -> counts(o)
+      // The per-output writes are independent jobs over the cached batch —
+      // run them concurrently (the reference's multiplexer drives its
+      // per-output partitioning writers concurrently too); each write
+      // still clusters by partition key first — see commit() note.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = counts.keys.toSeq.sorted.map { o =>
+        o -> Future {
+          routed.where(col("_output") === o).drop("_output")
+            .repartition(col("p_key"))
+            .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$o")
+        }
       }
+      writes.map { case (o, f) => Await.result(f, Duration.Inf); o -> counts(o) }
     } finally routed.unpersist()
   }
 }
