@@ -547,6 +547,15 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "q5_offset_translation" -> ((s, dir) =>
+      // Raft->kafka offset mapping over the marker-carrying log: fences
+      // and control markers occupy raft offsets but are invisible to
+      // consumers, so kafka offsets are the dense rank of data rows.
+      TxnEngine.offsetTranslation(txnLog(s, dir))
+        .where(col("kafka_offset").isNotNull)
+        .select(col("partition"), col("offset").as("log_offset"), col("kafka_offset"))
+        .orderBy("partition", "log_offset")),
+
     "adm_acls" -> ((s, dir) => {
       // ACL conformance corpus over the compacted binding log: literal
       // and prefixed patterns, wildcard principal/host, operation 'all',
@@ -1437,6 +1446,13 @@ object SparkEntry {
         | SELECT partition, count(*) AS n, max("offset") + 1 AS hwm,
         |   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         | FROM allr GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "q5_offset_translation" ->
+      s"""$TxnCte
+         | SELECT partition, "offset" AS log_offset,
+         |   CAST(row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS BIGINT) AS kafka_offset
+         | FROM ofs WHERE NOT is_control AND batch_type = 1
+         | ORDER BY partition, log_offset""".stripMargin,
 
     "adm_acls" ->
       """WITH acllog(seq, principal, host, resource_type, pattern_type, resource_name, operation, permission, deleted) AS (

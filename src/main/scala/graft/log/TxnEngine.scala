@@ -160,6 +160,27 @@ object TxnEngine {
   }
 
   /**
+   * Q5 offset translation (`storage/offset_translator_state.h:64-67`,
+   * `storage/offset_translator.h`): kafka-visible offsets subtract the
+   * non-data batches (fences, control markers) interleaved in the raft
+   * log, so user offsets are dense. Returns the log with a
+   * `kafka_offset` column — populated for data rows, null for batches
+   * invisible to consumers (`from_log_offset`; the inverse is a lookup
+   * on the same mapping).
+   *
+   * Scale note: this full-log projection is the bootstrap/audit path.
+   * The translator STATE the reference keeps is just the per-partition
+   * positions of non-data batches — bounded metadata, broadcastable —
+   * and incremental maintenance adds only per-batch counters.
+   */
+  def offsetTranslation(log: DataFrame): DataFrame = {
+    val isData = !col("is_control") && col("batch_type") === BatchType.RaftData
+    val w = Window.partitionBy("partition").orderBy("offset")
+    log.withColumn("kafka_offset",
+      when(isData, sum(isData.cast("long")).over(w) - 1))
+  }
+
+  /**
    * list_transactions (`kafka/server/handlers/list_transactions.cc`):
    * one row per transaction with its coordinator-visible state — Ongoing
    * (no end marker yet), CompleteCommit or CompleteAbort — plus the

@@ -82,6 +82,17 @@ class TxnEngineSpec extends SparkSpec {
     assert(got === Set("a", "c"))
   }
 
+  test("offset translation: kafka offsets are the dense rank of data rows") {
+    val got = TxnEngine.offsetTranslation(mkLog())
+      .where($"kafka_offset".isNotNull)
+      .select("partition", "offset", "kafka_offset")
+      .as[(Int, Long, Long)].collect().toSet
+    // p0 data rows at raft offsets 1,3,4,5,9 -> kafka 0..4; p1 e@1 -> 0
+    assert(got === Set(
+      (0, 1L, 0L), (0, 3L, 1L), (0, 4L, 2L), (0, 5L, 3L), (0, 9L, 4L),
+      (1, 1L, 0L)))
+  }
+
   test("list_transactions reports state, fan-out breadth, and footprint") {
     val got = TxnEngine.listTransactions(mkLog())
       .as[(Long, Long, String, Long, Long, Long)].collect().toSet
