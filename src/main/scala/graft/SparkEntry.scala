@@ -1282,6 +1282,11 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "smp_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(T(s, dir, "documents"), col("doc_id"), col("lang"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "smp_topk_group" -> ((s, dir) =>
       Sampling.topKPerGroup(T(s, dir, "documents"), col("source"), col("doc_id"), 3)
         .select(col("source"), col("rk"), col("doc_id"))
@@ -2036,6 +2041,13 @@ object SparkEntry {
         | WHERE b < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8
         |                      WHEN 'zh' THEN 0.0 ELSE 0.2 END) * 10000
         | ORDER BY doc_id""".stripMargin,
+
+    "smp_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c)
+        | SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000
+        | ORDER BY d.doc_id""".stripMargin,
 
     "smp_topk_group" ->
       """SELECT source, rk, doc_id FROM (

@@ -69,6 +69,30 @@ object Sampling {
   }
 
   /**
+   * Temperature-resampled mixture (the multilingual-corpus rebalancing
+   * op: upweight rare strata, downsample dominant ones). With
+   * temperature alpha = 0.5, stratum s with share p_s is kept at rate
+   * r_s = p_s^(alpha-1) normalized so the rarest stratum keeps
+   * everything — i.e. r_s = sqrt(n_min / n_s). sqrt and division are
+   * IEEE-correctly-rounded, so the oracle's doubles are bit-identical
+   * (a general pow would not be).
+   *
+   * Two tiny aggregates (stratum counts, their min — bounded metadata)
+   * feed a broadcast rate table; the corpus itself is filtered in one
+   * narrow pass.
+   */
+  def temperatureMixture(df: DataFrame, idCol: Column, strataCol: Column): DataFrame = {
+    val counts = df.groupBy(strataCol.as("__stratum")).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min("__n")).first().getLong(0)
+    val rates = counts.withColumn("__rate",
+      sqrt(lit(minN).cast("double") / col("__n").cast("double")))
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(rates), Seq("__stratum"))
+      .where(hashBucket(idCol) < col("__rate") * Buckets)
+      .drop("__stratum", "__n", "__rate")
+  }
+
+  /**
    * Deterministic per-group top-k — a seedless "reservoir": rank rows
    * inside each group by (hash bucket, id) and keep rank <= k. The hash
    * makes the kept set a uniform, order-independent sample; the id

@@ -141,6 +141,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept.getOrElse("b", 0L) === 0L)
   }
 
+  test("sampling: temperature mixture keeps the rarest stratum whole, downsamples the rest") {
+    val rows = ((0L until 900L).map(i => (i, "big")) ++ (900L until 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(rows, col("doc_id"), col("lang"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 100L)                       // rate 1.0: keeps all
+    // big: rate sqrt(100/900) = 1/3; hash-uniform so ~300 of 900
+    assert(kept("big") > 200L && kept("big") < 400L)
+  }
+
   test("sampling: per-group top-k keeps exactly k and is order-stable") {
     val rows = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "g")
     val top = Sampling.topKPerGroup(rows, col("g"), col("doc_id"), 5)
