@@ -1255,6 +1255,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "mm_frame_sample" -> ((s, dir) => {
+      // 1->N frame extraction through the real mapPartitions/flatMap
+      // path: video payloads (stub n_frames = 1 + len % 30) sampled
+      // every 7th frame at 25 fps stamps.
+      implicit val sp: SparkSession = s
+      val media = graft.analytics.Multimodal.fakeMediaFromText(
+        T(s, dir, "documents"), mime = "video/fake")
+      graft.analytics.Multimodal.sampleFrames(media, everyK = 7).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"))
+        .orderBy("doc_id")
+    }),
+
     // ----- training-data pipeline: clustering, sampling, cleaning -----
     "dd_cluster" -> ((s, dir) => {
       // Near-dup pairs (exact n-gram Jaccard, the oracle-provable
@@ -1998,6 +2011,12 @@ object SparkEntry {
         | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
         | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
+        |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     "dd_cluster" ->
       """WITH RECURSIVE toks AS (

@@ -57,11 +57,39 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: parent doc, frame index, stream timestamp, and
+   *  the frame's (stub) content hash. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, frame_hash: Long)
+
+  /**
+   * Frame sampling — every k-th frame of each video payload, the 1->N
+   * expansion a real extractor performs. The dataflow is the real thing
+   * (flatMap inside `mapPartitions`, per-partition codec init point, no
+   * shuffle, output cardinality data-dependent); the decode is the same
+   * declared stub. Timestamps assume 25 fps (40 ms per frame).
+   */
+  def sampleFrames(media: Dataset[MediaRecord], everyK: Int)(
+      implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    require(everyK > 0, "everyK must be positive")
+    media.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.flatMap { r =>
+        val f = MediaCodec.decodeStub(r)
+        (0 until f.n_frames by everyK).iterator.map { i =>
+          FrameSample(r.doc_id, i, i * 40L,
+            f.checksum ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        }
+      }
+    }
+  }
+
   /** Wrap a text table as fake media rows (payload = utf8 bytes) to
    *  exercise the binary-column pipeline end-to-end. */
-  def fakeMediaFromText(df: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+  def fakeMediaFromText(df: DataFrame, mime: String = "image/fake")(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    df.select(col("doc_id"), lit("image/fake").as("mime"),
+    df.select(col("doc_id"), lit(mime).as("mime"),
         encode(col("text"), "UTF-8").as("media"))
       .as[MediaRecord]
   }

@@ -192,6 +192,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(v === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("multimodal: frame sampling expands video payloads every k-th frame") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // payload of 10 bytes -> n_frames = 1 + 10 % 30 = 11; every 5th -> 0,5,10
+    val media = Multimodal.fakeMediaFromText(
+      Seq((7L, "0123456789")).toDF("doc_id", "text"), mime = "video/fake")
+    val frames = Multimodal.sampleFrames(media, everyK = 5).collect().toSeq
+    assert(frames.map(f => (f.frame_idx, f.ts_ms)) === Seq((0, 0L), (5, 200L), (10, 400L)))
+    assert(frames.map(_.frame_hash).distinct.size === 3)
+  }
+
   test("multimodal plumbing: batch decode stub produces typed features") {
     implicit val s = spark
     val media = Multimodal.fakeMediaFromText(docs)
