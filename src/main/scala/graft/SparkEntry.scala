@@ -698,6 +698,27 @@ object SparkEntry {
         .orderBy("group", "partition")
     }),
 
+    "g2_offset_delete" -> ((s, dir) => {
+      // Tombstone semantics on the compacted offsets store: a delete
+      // after the last commit removes the key (g0 partitions 0-3); a
+      // delete BEFORE later commits is superseded and the key survives
+      // (g1 partition 1, seq -1).
+      import s.implicits._
+      val commits = events(s, dir).where(col("event_type") === "purchase")
+        .select(
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("committed_offset"),
+          col("event_id").as("commit_seq"))
+      val deletes = ((0 to 3).map(p => ("g0", "events", p, 1000000000L)) :+
+        (("g1", "events", 1, -1L)))
+        .toDF("group", "topic", "partition", "commit_seq")
+      ConsumerGroups.deleteOffsets(commits, deletes)
+        .select("group", "topic", "partition", "committed_offset")
+        .orderBy("group", "partition")
+    }),
+
     "g5_sequence_check" -> ((s, dir) => {
       // Hand-computed admission scenario replayed through the stateful
       // fold (producer_state.h:126 semantics); oracle pins every status.
@@ -1622,6 +1643,26 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    "g2_offset_delete" ->
+      """WITH commits AS (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
+        |         CAST(user_id % 8 AS INTEGER) AS partition, event_id AS committed_offset,
+        |         event_id AS commit_seq, FALSE AS deleted
+        |  FROM events WHERE event_type = 'purchase'),
+        | dels("group", topic, partition, committed_offset, commit_seq, deleted) AS (
+        |  VALUES
+        |   ('g0', 'events', 0, CAST(NULL AS BIGINT), CAST(1000000000 AS BIGINT), TRUE),
+        |   ('g0', 'events', 1, NULL, 1000000000, TRUE),
+        |   ('g0', 'events', 2, NULL, 1000000000, TRUE),
+        |   ('g0', 'events', 3, NULL, 1000000000, TRUE),
+        |   ('g1', 'events', 1, NULL, -1, TRUE)),
+        | alllog AS (SELECT * FROM commits UNION ALL SELECT * FROM dels),
+        | lww AS (
+        |  SELECT * FROM alllog
+        |  QUALIFY row_number() OVER (PARTITION BY "group", topic, partition ORDER BY commit_seq DESC) = 1)
+        | SELECT "group", topic, partition, committed_offset FROM lww WHERE NOT deleted
+        | ORDER BY "group", partition""".stripMargin,
 
     "g5_sequence_check" ->
       """SELECT * FROM (VALUES

@@ -30,6 +30,26 @@ object ConsumerGroups {
     Compaction.compact(commitLog, Seq("group", "topic", "partition"), "commit_seq")
 
   /**
+   * offset_delete (`kafka/server/handlers/offset_delete.cc`): remove a
+   * group's committed offsets for given topic-partitions. On the
+   * compacted store this is a tombstone append — the delete supersedes
+   * earlier commits for its key, and a LATER commit resurrects the key —
+   * exactly the reference's compacted `__consumer_offsets` semantics.
+   * `deletes` columns: group, topic, partition, commit_seq. Returns the
+   * post-delete fetch view.
+   */
+  def deleteOffsets(commitLog: DataFrame, deletes: DataFrame): DataFrame = {
+    val commits = commitLog.withColumn("__deleted", lit(false))
+    val tombs = deletes
+      .withColumn("committed_offset", lit(null).cast("long"))
+      .withColumn("__deleted", lit(true))
+      .select(commits.columns.toIndexedSeq.map(col): _*)
+    Compaction.compact(commits.unionByName(tombs), Seq("group", "topic", "partition"), "commit_seq")
+      .where(!col("__deleted"))
+      .drop("__deleted")
+  }
+
+  /**
    * G5 idempotent-producer dedup: the first accepted write per
    * (producer_id, sequence) survives with all its payload columns —
    * exactly the reference's producer_state behavior, which keeps the first

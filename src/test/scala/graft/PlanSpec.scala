@@ -89,6 +89,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.replace("BroadcastExchange", "").contains("Exchange"), p)
   }
 
+  test("ACL authorization broadcasts the binding set over the request stream") {
+    val acls = Seq(("u", "*", "topic", "literal", "t", "read", "allow"))
+      .toDF("principal", "host", "resource_type", "pattern_type",
+        "resource_name", "operation", "permission")
+    val reqs = spark.read.parquet(docsDir)
+      .select(col("lang").as("principal"), lit("h").as("host"), lit("read").as("operation"),
+        lit("topic").as("resource_type"), lit("t").as("resource_name"))
+    val p = plan(graft.security.Acls.authorize(reqs, acls))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("temperature mixture broadcasts the rate table, one narrow corpus pass") {
+    val rows = spark.read.parquet(docsDir)
+    val p = plan(Sampling.temperatureMixture(rows, col("doc_id"), col("lang")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("text quality features are one narrow projection over the scan") {
     val docs = spark.read.parquet(docsDir)
     val p = plan(TextAnalysis.qualityFeatures(docs, col("text"), col("doc_id")))

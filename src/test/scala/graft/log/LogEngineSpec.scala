@@ -204,6 +204,20 @@ class LogEngineSpec extends SparkSpec {
     assert(got === Set(("g1", 0, 20L), ("g1", 1, 5L), ("g2", 0, 7L)))
   }
 
+  test("offset_delete tombstones a key; a later commit resurrects it") {
+    val commits = Seq(
+      ("g1", "t", 0, 10L, 1L), ("g1", "t", 0, 20L, 2L), ("g1", "t", 1, 5L, 3L))
+      .toDF("group", "topic", "partition", "committed_offset", "commit_seq")
+    val deletes = Seq(
+      ("g1", "t", 0, 0L),   // before both commits: superseded, key survives
+      ("g1", "t", 1, 99L))  // after every commit: key removed
+      .toDF("group", "topic", "partition", "commit_seq")
+    val got = graft.groups.ConsumerGroups.deleteOffsets(commits, deletes)
+      .select("group", "partition", "committed_offset")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(("g1", 0, 20L)))
+  }
+
   test("idempotent producer dedup keeps the first surviving record per (pid, seq)") {
     val log = Seq(
       (1L, 0, 100L, "first"), (1L, 0, 101L, "dup"), (1L, 1, 102L, "ok"), (2L, 0, 103L, "ok"))
