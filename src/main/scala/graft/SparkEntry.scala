@@ -506,6 +506,21 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "adm_incremental_alter" -> ((s, dir) => {
+      // SET overrides then a DELETE reverts retention.ms to its default;
+      // cleanup.policy's later SET wins; an orphan DELETE is a no-op.
+      import s.implicits._
+      val ops = Seq(
+        (1L, "events", "retention.ms", "1000", "set"),
+        (2L, "events", "cleanup.policy", "compact", "set"),
+        (3L, "events", "retention.ms", null, "delete"),
+        (4L, "events", "cleanup.policy", "compact,delete", "set"),
+        (5L, "events", "segment.bytes", null, "delete"))
+        .toDF("seq", "topic", "key", "value", "op")
+      graft.admin.Admin.describeConfigsIncremental(s, Seq("events"), ops)
+        .orderBy("key")
+    }),
+
     "adm_list_transactions" -> ((s, dir) =>
       // Coordinator-visible txn listing over engine-produced state:
       // Ongoing (trailing partials), CompleteCommit, CompleteAbort.
@@ -1422,6 +1437,16 @@ object SparkEntry {
          |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
          |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1)
          | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "adm_incremental_alter" ->
+      """SELECT * FROM (VALUES
+        |  ('events', 'cleanup.policy', 'compact,delete', 'DYNAMIC_TOPIC_CONFIG'),
+        |  ('events', 'compression.type', 'producer', 'DEFAULT_CONFIG'),
+        |  ('events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG'),
+        |  ('events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG'),
+        |  ('events', 'retention.bytes', '-1', 'DEFAULT_CONFIG'),
+        |  ('events', 'retention.ms', '604800000', 'DEFAULT_CONFIG'))
+        | t(topic, key, value, source) ORDER BY key""".stripMargin,
 
     "adm_list_transactions" ->
       s"""$TxnCte,

@@ -40,15 +40,37 @@ object Admin {
       .select("topic", "key", "value")
 
   /**
+   * incremental_alter_configs (`kafka/server/handlers/handlers.h:71-112`,
+   * distinct from the full-replace alter): the command log carries an
+   * `op` per entry — SET overrides the key, DELETE removes the override
+   * so the key reverts to its static default. Same compacted-log shape;
+   * a DELETE is a tombstone on the (topic, key) override.
+   */
+  def currentConfigsIncremental(alterLog: DataFrame): DataFrame =
+    Compaction.compact(alterLog, Seq("topic", "key"), "seq")
+      .where(col("op") === "set")
+      .select("topic", "key", "value")
+
+  /**
    * describe_configs: every known key per topic with its effective value
    * and config source (dynamic override or static default).
    */
-  def describeConfigs(spark: SparkSession, topics: Seq[String], alterLog: DataFrame): DataFrame = {
+  def describeConfigs(spark: SparkSession, topics: Seq[String], alterLog: DataFrame): DataFrame =
+    overlayDefaults(spark, topics, currentConfigs(alterLog))
+
+  /** describe_configs over an incremental (SET/DELETE-op) command log:
+    * deleted overrides fall back to DEFAULT_CONFIG. */
+  def describeConfigsIncremental(spark: SparkSession, topics: Seq[String],
+      alterLog: DataFrame): DataFrame =
+    overlayDefaults(spark, topics, currentConfigsIncremental(alterLog))
+
+  private def overlayDefaults(spark: SparkSession, topics: Seq[String],
+      dynamic0: DataFrame): DataFrame = {
     import spark.implicits._
     val defaults = topics.flatMap(t => Defaults.map { case (k, v) => (t, k, v) })
       .toDF("topic", "key", "value")
       .withColumn("source", lit("DEFAULT_CONFIG"))
-    val dynamic = currentConfigs(alterLog).withColumn("source", lit("DYNAMIC_TOPIC_CONFIG"))
+    val dynamic = dynamic0.withColumn("source", lit("DYNAMIC_TOPIC_CONFIG"))
     val defaultsKept = defaults.join(dynamic.select("topic", "key"), Seq("topic", "key"), "left_anti")
     defaultsKept.unionByName(dynamic)
   }

@@ -63,6 +63,19 @@ class AdminSpec extends SparkSpec {
     assert(both.select("offset").as[Long].collect().toSet === Set(1L))
   }
 
+  test("incremental alter: DELETE reverts an override to its static default") {
+    val ops = Seq(
+      (1L, "t", "retention.ms", "1000", "set"),
+      (2L, "t", "retention.ms", null, "delete"),
+      (3L, "t", "cleanup.policy", "compact", "set"))
+      .toDF("seq", "topic", "key", "value", "op")
+    val eff = Admin.describeConfigsIncremental(spark, Seq("t"), ops)
+      .select("key", "value", "source").as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(eff("retention.ms") === (("604800000", "DEFAULT_CONFIG")))
+    assert(eff("cleanup.policy") === (("compact", "DYNAMIC_TOPIC_CONFIG")))
+  }
+
   test("create_partitions: history keeps placement, new produce spans the growth") {
     val log = Seq((0, 0L), (0, 1L), (1, 0L)).toDF("partition", "offset")
     // keys 0..7 route mod 4 into partitions 0..3
