@@ -104,4 +104,37 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sampling: any weight vector partitions the corpus exactly; rates bound strata") {
+    import graft.analytics.Sampling
+    val rnd = new Random(11)
+    val ids = (0L until 1000L).toDF("doc_id")
+    for (_ <- 1 to 3) {
+      // random weight vector, normalized
+      val k = 2 + rnd.nextInt(4)
+      val raw = Seq.fill(k)(0.05 + rnd.nextDouble())
+      val weights = raw.zipWithIndex.map { case (w, i) => s"s$i" -> w / raw.sum }
+      val assigned = Sampling.split(ids, col("doc_id"), weights)
+      // exhaustive: every row gets exactly one split, none null
+      assert(assigned.where(col("split").isNull).count() === 0)
+      assert(assigned.count() === 1000)
+      // each split's share is within 5pp + small-sample slack of its weight
+      val bySplit = assigned.groupBy("split").count().as[(String, Long)].collect().toMap
+      weights.foreach { case (name, w) =>
+        val share = bySplit.getOrElse(name, 0L) / 1000.0
+        assert(math.abs(share - w) < 0.06, s"$name share $share vs weight $w")
+      }
+    }
+    // stratified: kept fraction per stratum never exceeds rate + slack,
+    // and is deterministic across partitionings
+    val rows = (0L until 2000L).map(i => (i, s"l${i % 4}")).toDF("doc_id", "lang")
+    val rates = Map("l0" -> 0.3, "l1" -> 0.7, "l2" -> 0.0)
+    val kept = graft.analytics.Sampling.stratifiedSample(
+      rows, col("doc_id"), col("lang"), rates, defaultRate = 1.0)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.getOrElse("l2", 0L) === 0L)
+    assert(byLang("l3") === 500L)
+    assert(math.abs(byLang("l0") / 500.0 - 0.3) < 0.07)
+    assert(math.abs(byLang("l1") / 500.0 - 0.7) < 0.07)
+  }
 }
