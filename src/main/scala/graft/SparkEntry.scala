@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.expressions.Window
 
-import graft.analytics.{CleanPipeline, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.groups.ConsumerGroups
 import graft.log.{Compaction, RecordLog, Transactions, TxnEngine}
@@ -44,6 +44,27 @@ object SparkEntry {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") < 50)
       .select((col("doc_id") + 1000000).as("doc_id"), upper(col("text")).as("text")))
+  }
+
+  /** documents plus planted repetitive boilerplate (doc_id + 400000,
+    * a two-word phrase repeated 30 times): the corpus is word salad
+    * with low n-gram repetition, so the Gopher repetition filter is
+    * exercised on constructed degenerate docs the oracle replicates. */
+  private def repetitiveDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(repeat(lit("lorem ipsum "), 29), lit("lorem ipsum")).as("text")))
+  }
+
+  /** documents plus planted PII carriers (doc_id + 500000, an email and
+    * a phone number appended to the original text). */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.where(col("doc_id") < 30)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" contact alice@example.com or call 555-123-4567 now"))
+          .as("text")))
   }
 
   /** events with a Spark-readable timestamp column regardless of whether
@@ -1355,7 +1376,53 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "pipe_clean_funnel" -> ((s, dir) =>
-      CleanPipeline.funnel(plantedDocs(s, dir), col("doc_id"), col("text")))
+      CleanPipeline.funnel(plantedDocs(s, dir), col("doc_id"), col("text"))),
+
+    "txt_repetition" -> ((s, dir) =>
+      // Corpus plus planted degenerate docs (doc_id+400000: 30x-repeated
+      // two-word phrase) — natural word-salad prose passes the Gopher
+      // thresholds, the planted boilerplate must fail them.
+      TextAnalysis.repetitionFeatures(repetitiveDocs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("distinct_frac"), 5).as("distinct_frac_r"),
+          round(col("top_word_frac"), 5).as("top_word_frac_r"),
+          round(col("top_bigram_frac"), 5).as("top_bigram_frac_r"),
+          col("keep"))
+        .orderBy("doc_id")),
+
+    "txt_pii" -> ((s, dir) =>
+      // Corpus plus planted PII carriers (doc_id+500000: an email and a
+      // phone number appended) — originals must scan clean, plants must
+      // count 1+1 and redact to placeholder text.
+      TextAnalysis.piiFeatures(piiDocs(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "dd_decontam" -> ((s, dir) => {
+      // Eval set = every 97th doc; corpus = all documents plus planted
+      // contaminated variants (doc_id+600000: an eval doc's full text
+      // wrapped in fresh words). Plants MUST flag; eval originals flag
+      // themselves; word-salad neighbours stay clean unless they truly
+      // share an 8-gram (the oracle recomputes the same rule).
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.union(evalSet.select((col("doc_id") + 600000).as("doc_id"),
+        concat(lit("prelude words "), col("text"), lit(" coda words")).as("text")))
+      Decontaminate.flagOverlap(corpus, evalSet, col("doc_id"), col("text"), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "dd_semdedup" -> ((s, dir) => {
+      // Embeddings plus exact clones (vec_id+100000 for vec_id<40; the
+      // corpus has no natural cos>=0.8 pairs, so survivors == originals
+      // and every clone is pruned by its lower-id twin).
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+        .select("vec_id", "embedding")
+      val corpus = emb.union(emb.where(col("vec_id") < 40)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.semDedup(corpus, Similarity.headCentroids(emb, 8), threshold = 0.9)
+        .orderBy("vec_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2208,7 +2275,84 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
         |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual,
         |  CAST(count(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(lower(text)) END) AS BIGINT) AS n_dedup
-        | FROM feat""".stripMargin
+        | FROM feat""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH rd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, repeat('lorem ipsum ', 29) || 'lorem ipsum'
+        |  FROM documents WHERE doc_id < 20),
+        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM rd),
+        | stats AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM toks),
+        | g1 AS (SELECT doc_id, max(c) AS top1 FROM (
+        |   SELECT doc_id, s, count(*) AS c FROM toks, unnest(t) u(s) GROUP BY 1, 2) GROUP BY 1),
+        | g2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |   SELECT doc_id, s, count(*) AS c FROM toks,
+        |     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(s)
+        |   GROUP BY 1, 2) GROUP BY 1)
+        | SELECT s.doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |   round(CAST(n_distinct AS DOUBLE) / n_words, 5) AS distinct_frac_r,
+        |   round(CAST(top1 AS DOUBLE) / n_words, 5) AS top_word_frac_r,
+        |   round(CAST(top2 AS DOUBLE) / (n_words - 1), 5) AS top_bigram_frac_r,
+        |   (CAST(top1 AS DOUBLE) / n_words <= 0.2 AND
+        |    CAST(top2 AS DOUBLE) / (n_words - 1) <= 0.18) AS keep
+        | FROM stats s JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
+
+    "txt_pii" ->
+      """WITH pd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' contact alice@example.com or call 555-123-4567 now'
+        |  FROM documents WHERE doc_id < 30)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        | FROM pd ORDER BY doc_id""".stripMargin,
+
+    "dd_decontam" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        | corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000, 'prelude words ' || text || ' coda words' FROM ev),
+        | evg AS (SELECT DISTINCT s FROM
+        |  (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ev),
+        |  unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) u(s)),
+        | cg AS (SELECT DISTINCT doc_id, s FROM
+        |  (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus),
+        |  unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) u(s)),
+        | hits AS (SELECT doc_id, count(*) AS n_hits FROM cg
+        |          WHERE s IN (SELECT s FROM evg) GROUP BY 1)
+        | SELECT c.doc_id, COALESCE(n_hits, 0) AS n_hits,
+        |        COALESCE(n_hits, 0) > 0 AS contaminated
+        | FROM corpus c LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dd_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 40),
+        | cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings ORDER BY vec_id LIMIT 8),
+        | asg AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT b.vec_id, c.centroid_id, row_number() OVER (PARTITION BY b.vec_id
+        |     ORDER BY list_cosine_similarity(b.e, c.ce) DESC, c.centroid_id) AS r
+        |   FROM base b, cent c) WHERE r = 1),
+        | dom AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  JOIN base ea ON ea.vec_id = a.vec_id
+        |  JOIN base eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.e, eb.e) >= 0.9)
+        | SELECT a.vec_id, a.centroid_id AS cluster_id, (d.vec_id IS NULL) AS kept
+        | FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id
+        | ORDER BY a.vec_id""".stripMargin
     // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
     // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
     // driver check, but each now has an oracle-checked companion

@@ -1,0 +1,43 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag training documents that share a word
+ * n-gram with a held-out evaluation set (the GPT-3 appendix-C /
+ * Llama-style 8-to-13-gram overlap rule). Training on eval data
+ * silently inflates benchmark scores, so a 100 TB corpus build runs
+ * this between dedup and sampling.
+ *
+ * Scale shape: the eval set is benchmark-sized (thousands of docs, not
+ * billions), so its distinct n-gram set is a broadcast; the corpus is
+ * shingled in one narrow pass, each shingle probed against the
+ * broadcast, and hit counts reduce in a single groupBy(doc_id) whose
+ * map-side partial aggregation collapses every mapper's shingles to
+ * one row per document before the shuffle. Documents too short to
+ * shingle rejoin via a narrow filter — nothing unbounded is ever
+ * broadcast or re-joined.
+ */
+object Decontaminate {
+
+  /** (doc_id, n_hits, contaminated) for every corpus row: n_hits =
+    * distinct eval n-grams of order `n` appearing in the doc. */
+  def flagOverlap(corpus: DataFrame, evalSet: DataFrame,
+      idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val evalGrams = evalSet.select(explode(Dedup.shingles(textCol, n)).as("shingle"))
+      .distinct().withColumn("__hit", lit(1))
+    // Per-doc dedup happens inside the row (array_distinct) so the only
+    // shuffle in the whole operator is the final partial-agg groupBy.
+    val counted = corpus
+      .select(idCol.as("doc_id"),
+        explode(array_distinct(Dedup.shingles(textCol, n))).as("shingle"))
+      .join(broadcast(evalGrams), Seq("shingle"), "left")
+      .groupBy("doc_id").agg(count(col("__hit")).as("n_hits"))
+    val tooShort = corpus
+      .where(size(split(trim(lower(textCol)), "\\s+")) < n)
+      .select(idCol.as("doc_id"), lit(0L).as("n_hits"))
+    counted.unionByName(tooShort)
+      .select(col("doc_id"), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
+  }
+}

@@ -192,4 +192,50 @@ object Similarity {
         cosPre(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+   * every vector to its nearest centroid by cosine, then inside each
+   * cluster drop any vector within `threshold` cosine of a lower-id
+   * clustermate — one representative survives per semantic duplicate
+   * group. Returns (vec_id, cluster_id, kept).
+   *
+   * Scale shape: centroids are a broadcast (the paper uses k ~ sqrt(N)
+   * clusters — pass a centroid set sized for the corpus); assignment is
+   * one narrow broadcast-scored pass + a per-vector top-1 window keyed
+   * by vec_id. The pairwise stage self-joins ONLY within a cluster, so
+   * the quadratic term is (N/k)^2 * k, not N^2 — growing k with the
+   * corpus keeps per-cluster work constant. Norms are computed once per
+   * vector before any pair join.
+   */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val c = kernels(corpus).withColumn("_n", norm(col("embedding")))
+    val cent = kernels(centroids)
+      .select(col("centroid_id"), col("centroid"), norm(col("centroid")).as("_cn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("_cs").desc, col("centroid_id"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("_cs", cosPre(col("embedding"), col("centroid"), col("_n"), col("_cn")))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("_n"), col("centroid_id").as("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("_n").as("n_a"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("_n").as("n_b"))
+    val dominated = a.join(b, Seq("cluster_id"))
+      .where(col("id_a") < col("id_b") &&
+        cosPre(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select("vec_id", "cluster_id")
+      .join(dominated.withColumn("_dom", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), coalesce(!col("_dom"), lit(true)).as("kept"))
+  }
+
+  /** The `k` lowest-id corpus vectors as a deterministic centroid set —
+    * reproducible across engines and partitionings (a k-means fit would
+    * not be); adequate for random-ish corpora, swappable for trained
+    * centroids in production. */
+  def headCentroids(corpus: DataFrame, k: Int): DataFrame =
+    corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 }

@@ -102,4 +102,65 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
+
+  /**
+   * Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
+   * fraction of the document claimed by its most frequent word and
+   * most frequent word bigram, plus the distinct-word fraction.
+   * Machine-generated or boilerplate text scores high on the top-n-gram
+   * fractions and low on distinctness; natural prose does not.
+   *
+   * Shape at 100 TB: one explode per n-gram order into a
+   * groupBy(doc_id, gram) count — map-side partial aggregation absorbs
+   * the within-document repetition (exactly the skew the metric
+   * detects), then a per-doc max. No all-pairs, no windows over the
+   * corpus. All ratios are single IEEE divisions of exact ints, so any
+   * engine re-derives them bit-identically.
+   */
+  def repetitionFeatures(df: DataFrame, idCol: Column, textCol: Column,
+      maxWordFrac: Double = 0.2, maxBigramFrac: Double = 0.18): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), textCol.as("__text"))
+    val stats = base.select(col("doc_id"),
+      size(tokens(col("__text"))).as("n_words"),
+      size(array_distinct(tokens(col("__text")))).as("n_distinct"))
+    // Dedup.shingles is length-guarded (docs shorter than n produce no
+    // grams); such docs re-enter through the left join with top count 0.
+    def topGramCount(n: Int): DataFrame =
+      base.select(col("doc_id"), explode(Dedup.shingles(col("__text"), n)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as(s"top_${n}gram"))
+    val wordFrac = col("top_1gram").cast("double") / col("n_words").cast("double")
+    val bigramFrac = col("top_2gram").cast("double") / (col("n_words") - 1).cast("double")
+    stats
+      .join(topGramCount(1), Seq("doc_id"), "left")
+      .join(topGramCount(2), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_1gram", "top_2gram"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_distinct").cast("double") / col("n_words").cast("double")).as("distinct_frac"),
+        wordFrac.as("top_word_frac"),
+        bigramFrac.as("top_bigram_frac"),
+        (wordFrac <= maxWordFrac && bigramFrac <= maxBigramFrac).as("keep"))
+  }
+
+  /** Email/phone detection patterns — shared Java-regex/RE2 subset (no
+    * lookahead, no backreferences) so the oracle evaluates the exact
+    * same automaton. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * PII scan + scrub: count emails/phone numbers and produce redacted
+   * text with `<EMAIL>`/`<PHONE>` placeholders. Narrow codegen'd
+   * projection — regex scan speed at 100 TB; no shuffle.
+   */
+  def piiFeatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val nEmails = size(regexp_extract_all(textCol, lit(EmailPattern), lit(0)))
+    val nPhones = size(regexp_extract_all(textCol, lit(PhonePattern), lit(0)))
+    val redacted = regexp_replace(
+      regexp_replace(textCol, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+    df.select(idCol.as("doc_id"),
+      nEmails.as("n_emails"), nPhones.as("n_phones"),
+      (nEmails + nPhones > 0).as("has_pii"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
 }

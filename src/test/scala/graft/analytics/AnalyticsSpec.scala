@@ -212,4 +212,70 @@ class AnalyticsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media).collect()
     assert(feats.map(_.checksum).toSet === again.map(_.checksum).toSet)
   }
+
+  test("repetition: boilerplate fails Gopher thresholds, prose passes") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over one lazy dog near a river bank today"),
+      (1L, "spam ham spam ham spam ham spam ham spam ham spam ham"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(corpus, col("doc_id"), col("text"))
+      .as[(Long, Int, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n0, d0, w0, _, keep0) = got(0L)
+    assert(n0 === 14 && keep0)
+    assert(d0 === 1.0 && w0 === 1.0 / 14.0) // all 14 words distinct
+    val (_, n1, _, w1, b1, keep1) = got(1L)
+    // 12 words, 6x "spam": top word 0.5, "spam ham" bigram 6/11
+    assert(n1 === 12 && w1 === 0.5 && b1 === 6.0 / 11.0 && !keep1)
+  }
+
+  test("pii: counts and redaction, clean docs untouched") {
+    val corpus = Seq(
+      (0L, "no personal data in this text"),
+      (1L, "reach me at a.b+c@mail-host.example.org or 555-123-4567 or x@y.io"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiFeatures(corpus, col("doc_id"), col("text"))
+      .as[(Long, Int, Int, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 0 && got(0L)._3 === 0 && !got(0L)._4)
+    assert(got(1L)._2 === 2 && got(1L)._3 === 1 && got(1L)._4)
+    // redaction is total: the redacted text of doc 1 equals the template
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("reach me at <EMAIL> or <PHONE> or <EMAIL>".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L)._5 === expected)
+  }
+
+  test("decontamination flags eval-overlapping docs only") {
+    val evalSet = Seq((100L, "alpha bravo charlie delta echo foxtrot golf hotel india")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "intro alpha bravo charlie delta echo foxtrot golf hotel outro"), // shares an 8-gram
+      (1L, "totally unrelated words that never overlap with benchmark content at all"),
+      (2L, "short doc")) // too short to shingle
+      .toDF("doc_id", "text")
+    val got = Decontaminate.flagOverlap(corpus, evalSet, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 1L && got(0L)._3)
+    assert(got(1L)._2 === 0L && !got(1L)._3)
+    assert(got(2L)._2 === 0L && !got(2L)._3)
+    assert(got.size === 3)
+  }
+
+  test("semdedup: clones pruned within cluster, one representative survives") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0)),
+      (2L, Array(1.0, 0.001, 0.0)),  // near-clone of 0
+      (3L, Array(0.0, 1.0, 0.001)),  // near-clone of 1
+      (4L, Array(-1.0, 0.0, 0.0)))   // opposite: same cluster as 1? no — nearest by cosine
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.headCentroids(vecs, 2) // centroids: vecs 0 and 1
+    val got = Similarity.semDedup(vecs, cents, threshold = 0.95)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 5)
+    assert(got(0L)._2 === 0L && got(0L)._3)   // survives its own cluster
+    assert(got(2L)._2 === 0L && !got(2L)._3)  // pruned by 0
+    assert(got(1L)._2 === 1L && got(1L)._3)
+    assert(got(3L)._2 === 1L && !got(3L)._3)  // pruned by 1
+    assert(got(4L)._3)                        // far from everything: kept
+  }
 }
