@@ -542,6 +542,66 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "adm_client_quotas" -> ((s, dir) => {
+      // describe_client_quotas resolution: per-client override beats the
+      // cluster default; a REMOVE reverts to the default (client-5) or
+      // to unlimited when the default itself was removed
+      // (request_percentage).
+      import s.implicits._
+      val quotaLog = Seq[(Long, Option[String], String, Option[Double], String)](
+        (1L, None, "producer_byte_rate", Some(1048576.0), "set"),
+        (2L, Some("client-5"), "producer_byte_rate", Some(2097152.0), "set"),
+        (3L, Some("client-7"), "consumer_byte_rate", Some(500000.0), "set"),
+        (4L, Some("client-5"), "producer_byte_rate", None, "remove"),
+        (5L, Some("client-9"), "producer_byte_rate", Some(4194304.0), "set"),
+        (6L, None, "request_percentage", Some(50.0), "set"),
+        (7L, None, "request_percentage", None, "remove"))
+        .toDF("seq", "entity_name", "key", "value", "op")
+      val clients = events(s, dir).select(
+        concat(lit("client-"), col("user_id").cast("string")).as("client_id")).distinct()
+      graft.admin.Admin.resolveClientQuotas(clients, quotaLog,
+          Seq("producer_byte_rate", "consumer_byte_rate", "request_percentage"))
+        .orderBy("client_id", "key")
+    }),
+
+    "adm_delete_groups" -> ((s, dir) => {
+      // delete_groups: g0 deleted after every commit (gone), g1 deleted
+      // at seq 1000 (commits after 1000 resurrect a fresh incarnation),
+      // g2 untouched.
+      import s.implicits._
+      val commits = events(s, dir).where(col("event_type") === "purchase")
+        .select(
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("committed_offset"),
+          col("event_id").as("commit_seq"))
+      val deletions = Seq(("g0", 1000000000L), ("g1", 1000L)).toDF("group", "commit_seq")
+      ConsumerGroups.deleteGroups(commits, deletions)
+        .select("group", "topic", "partition", "committed_offset")
+        .orderBy("group", "partition")
+    }),
+
+    "adm_reassignments" -> ((s, dir) => {
+      // alter/list_partition_reassignments state machine: p0 has an
+      // applied reassignment plus a new in-flight one, p1 is in-flight
+      // from the initial set, p2 was cancelled, p3 got a no-op complete.
+      import s.implicits._
+      val initial = (0 until EventPartitions)
+        .map(p => ("events", p, "0,1,2")).toDF("topic", "partition", "replicas")
+      val log = Seq[(Long, String, Int, String, Option[String])](
+        (1L, "events", 0, "alter", Some("1,2,3")),
+        (2L, "events", 0, "complete", None),
+        (3L, "events", 1, "alter", Some("3,4,5")),
+        (4L, "events", 2, "alter", Some("5,6,7")),
+        (5L, "events", 2, "cancel", None),
+        (6L, "events", 0, "alter", Some("2,3,4")),
+        (7L, "events", 3, "complete", None))
+        .toDF("seq", "topic", "partition", "op", "targets")
+      graft.admin.Admin.partitionReassignments(initial, log)
+        .orderBy("partition")
+    }),
+
     "adm_list_transactions" -> ((s, dir) =>
       // Coordinator-visible txn listing over engine-produced state:
       // Ongoing (trailing partials), CompleteCommit, CompleteAbort.
@@ -1514,6 +1574,86 @@ object SparkEntry {
         |  ('events', 'retention.bytes', '-1', 'DEFAULT_CONFIG'),
         |  ('events', 'retention.ms', '604800000', 'DEFAULT_CONFIG'))
         | t(topic, key, value, source) ORDER BY key""".stripMargin,
+
+    "adm_client_quotas" ->
+      """WITH clients AS (
+        |  SELECT DISTINCT 'client-' || CAST(user_id AS VARCHAR) AS client_id FROM events),
+        | keys(key) AS (VALUES ('producer_byte_rate'), ('consumer_byte_rate'), ('request_percentage')),
+        | qlog(seq, entity_name, key, value, op) AS (VALUES
+        |  (1, NULL, 'producer_byte_rate', 1048576.0, 'set'),
+        |  (2, 'client-5', 'producer_byte_rate', 2097152.0, 'set'),
+        |  (3, 'client-7', 'consumer_byte_rate', 500000.0, 'set'),
+        |  (4, 'client-5', 'producer_byte_rate', NULL, 'remove'),
+        |  (5, 'client-9', 'producer_byte_rate', 4194304.0, 'set'),
+        |  (6, NULL, 'request_percentage', 50.0, 'set'),
+        |  (7, NULL, 'request_percentage', NULL, 'remove')),
+        | liveset AS (SELECT * FROM qlog
+        |  QUALIFY row_number() OVER (PARTITION BY entity_name, key ORDER BY seq DESC) = 1),
+        | ex AS (SELECT entity_name AS client_id, key, value AS v_exact FROM liveset
+        |        WHERE entity_name IS NOT NULL AND op = 'set'),
+        | df AS (SELECT key, value AS v_default FROM liveset
+        |        WHERE entity_name IS NULL AND op = 'set')
+        | SELECT c.client_id, k.key,
+        |        COALESCE(v_exact, v_default, -1.0) AS value,
+        |        CASE WHEN v_exact IS NOT NULL THEN 'CLIENT'
+        |             WHEN v_default IS NOT NULL THEN 'DEFAULT'
+        |             ELSE 'NONE' END AS source
+        | FROM clients c CROSS JOIN keys k
+        | LEFT JOIN ex ON ex.client_id = c.client_id AND ex.key = k.key
+        | LEFT JOIN df ON df.key = k.key
+        | ORDER BY c.client_id, k.key""".stripMargin,
+
+    "adm_delete_groups" ->
+      """WITH commits AS (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
+        |         CAST(user_id % 8 AS INTEGER) AS partition, event_id AS committed_offset,
+        |         event_id AS commit_seq
+        |  FROM events WHERE event_type = 'purchase'),
+        | dels("group", del_seq) AS (VALUES ('g0', 1000000000), ('g1', 1000)),
+        | surv AS (
+        |  SELECT c.* FROM commits c LEFT JOIN dels d USING ("group")
+        |  WHERE d.del_seq IS NULL OR c.commit_seq > d.del_seq)
+        | SELECT "group", topic, partition, committed_offset FROM surv
+        | QUALIFY row_number() OVER (PARTITION BY "group", topic, partition
+        |                            ORDER BY commit_seq DESC) = 1
+        | ORDER BY "group", partition""".stripMargin,
+
+    "adm_reassignments" ->
+      """WITH init AS (
+        |  SELECT 'events' AS topic, CAST(p AS INTEGER) AS partition, '0,1,2' AS replicas
+        |  FROM range(8) t(p)),
+        | rlog(seq, topic, partition, op, targets) AS (VALUES
+        |  (1, 'events', 0, 'alter', '1,2,3'),
+        |  (2, 'events', 0, 'complete', NULL),
+        |  (3, 'events', 1, 'alter', '3,4,5'),
+        |  (4, 'events', 2, 'alter', '5,6,7'),
+        |  (5, 'events', 2, 'cancel', NULL),
+        |  (6, 'events', 0, 'alter', '2,3,4'),
+        |  (7, 'events', 3, 'complete', NULL)),
+        | term AS (
+        |  SELECT topic, partition,
+        |    max(seq) FILTER (WHERE op = 'complete') AS sc,
+        |    max(seq) FILTER (WHERE op IN ('complete', 'cancel')) AS st
+        |  FROM rlog GROUP BY 1, 2),
+        | alt AS (
+        |  SELECT l.topic, l.partition,
+        |    arg_max(targets, seq) FILTER (WHERE seq < sc) AS applied,
+        |    arg_max(targets, seq) FILTER (WHERE seq > COALESCE(st, -1)) AS pending
+        |  FROM rlog l LEFT JOIN term USING (topic, partition)
+        |  WHERE op = 'alter' GROUP BY 1, 2)
+        | SELECT i.topic, i.partition,
+        |   COALESCE(applied, i.replicas) AS replicas,
+        |   CASE WHEN pending IS NOT NULL THEN array_to_string(list_sort(list_filter(
+        |     string_split(pending, ','),
+        |     x -> NOT list_contains(string_split(COALESCE(applied, i.replicas), ','), x))), ',')
+        |     ELSE '' END AS adding,
+        |   CASE WHEN pending IS NOT NULL THEN array_to_string(list_sort(list_filter(
+        |     string_split(COALESCE(applied, i.replicas), ','),
+        |     x -> NOT list_contains(string_split(pending, ','), x))), ',')
+        |     ELSE '' END AS removing,
+        |   pending IS NOT NULL AS in_flight
+        | FROM init i LEFT JOIN alt USING (topic, partition)
+        | ORDER BY partition""".stripMargin,
 
     "adm_list_transactions" ->
       s"""$TxnCte,

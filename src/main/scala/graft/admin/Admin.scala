@@ -144,6 +144,85 @@ object Admin {
   }
 
   /**
+   * describe/alter_client_quotas (`kafka/server/quota_manager.cc`,
+   * `snc_quota_manager.cc`): quota targets (produce/fetch byte rates,
+   * request percentage) are configured per client-id entity or as the
+   * cluster default, and the effective quota for a client resolves with
+   * exact-entity-over-default precedence — the reference's
+   * quota_manager lookup order. Enforcement (token buckets) is runtime
+   * admission the survey marks N/A (A6); the CRUD + resolution surface
+   * is what a control plane queries.
+   *
+   * The quota store is the same compacted command log as configs:
+   * `quotaLog` columns (seq, entity_name [null = cluster default], key,
+   * value, op[set|remove]); REMOVE tombstones the override. Both the
+   * folded override table and the key list are admin-sized broadcasts;
+   * the client set is scanned once, never shuffled.
+   */
+  def resolveClientQuotas(clients: DataFrame, quotaLog: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val spark = clients.sparkSession
+    import spark.implicits._
+    val live = Compaction.compact(quotaLog, Seq("entity_name", "key"), "seq")
+      .where(col("op") === "set")
+    val exact = live.where(col("entity_name").isNotNull)
+      .select(col("entity_name").as("client_id"), col("key"), col("value").as("__exact"))
+    val dflt = live.where(col("entity_name").isNull)
+      .select(col("key"), col("value").as("__default"))
+    clients.select(col("client_id")).crossJoin(broadcast(keys.toDF("key")))
+      .join(broadcast(exact), Seq("client_id", "key"), "left")
+      .join(broadcast(dflt), Seq("key"), "left")
+      .select(col("client_id"), col("key"),
+        coalesce(col("__exact"), col("__default"), lit(-1.0)).as("value"),
+        when(col("__exact").isNotNull, lit("CLIENT"))
+          .when(col("__default").isNotNull, lit("DEFAULT"))
+          .otherwise(lit("NONE")).as("source"))
+  }
+
+  /**
+   * alter/list_partition_reassignments
+   * (`kafka/server/handlers/alter_partition_reassignments.cc`,
+   * `list_partition_reassignments.cc`): an alter sets a pending target
+   * replica set for a partition, a later complete applies the pending
+   * target as the current assignment, a cancel abandons it. list shows
+   * in-flight reassignments with their `adding` (target minus current)
+   * and `removing` (current minus target) replica deltas, exactly the
+   * AlterPartitionReassignments/ListPartitionReassignments response
+   * shape.
+   *
+   * Derivation is two bounded aggregates over the admin command log
+   * (`reassignLog` columns: seq, topic, partition, op[alter|complete|
+   * cancel], targets comma-string, null for terminal ops): per
+   * partition, the last terminal seq splits alters into applied (the
+   * newest one a complete ratified) and pending (any alter after the
+   * last terminal). Replica sets travel as sorted comma strings so any
+   * engine re-derives them byte-identically.
+   */
+  def partitionReassignments(initial: DataFrame, reassignLog: DataFrame): DataFrame = {
+    val terminals = reassignLog.groupBy("topic", "partition").agg(
+      max(when(col("op") === "complete", col("seq"))).as("__sc"),
+      max(when(col("op") === "complete" || col("op") === "cancel", col("seq"))).as("__st"))
+    val alters = reassignLog.where(col("op") === "alter")
+      .join(broadcast(terminals), Seq("topic", "partition"), "left")
+      .groupBy("topic", "partition").agg(
+        max_by(col("targets"), when(col("seq") < col("__sc"), col("seq"))).as("__applied"),
+        max_by(col("targets"), when(col("seq") > coalesce(col("__st"), lit(Long.MinValue)),
+          col("seq"))).as("__pending"))
+    val setDiff = (a: Column, b: Column) =>
+      array_join(array_sort(array_except(split(a, ","), split(b, ","))), ",")
+    initial.join(broadcast(alters), Seq("topic", "partition"), "left")
+      .select(col("topic"), col("partition"),
+        coalesce(col("__applied"), col("replicas")).as("replicas"),
+        when(col("__pending").isNotNull,
+          setDiff(col("__pending"), coalesce(col("__applied"), col("replicas"))))
+          .otherwise(lit("")).as("adding"),
+        when(col("__pending").isNotNull,
+          setDiff(coalesce(col("__applied"), col("replicas")), col("__pending")))
+          .otherwise(lit("")).as("removing"),
+        col("__pending").isNotNull.as("in_flight"))
+  }
+
+  /**
    * Config-driven housekeeping: apply a topic's effective cleanup policy
    * to its log, exactly as the reference's housekeeping loop reads
    * topic_properties (`storage/disk_log_impl.h:86-88`): 'delete' applies

@@ -50,6 +50,25 @@ object ConsumerGroups {
   }
 
   /**
+   * delete_groups (`kafka/server/handlers/delete_groups.cc`): drop an
+   * entire group — every offset key the group committed up to the
+   * deletion dies with it, while commits sequenced AFTER the deletion
+   * resurrect the group as a fresh incarnation (the compacted
+   * `__consumer_offsets` behavior: the deletion is a group-wide
+   * tombstone, not a key-by-key one). `deletions` columns: group,
+   * commit_seq. The deletion set is admin-command-sized, so its
+   * per-group max folds to a broadcast and the commit log is filtered
+   * in one narrow pass before the usual LWW fetch view.
+   */
+  def deleteGroups(commitLog: DataFrame, deletions: DataFrame): DataFrame = {
+    val delSeq = deletions.groupBy("group").agg(max("commit_seq").as("__del_seq"))
+    val surviving = commitLog.join(broadcast(delSeq), Seq("group"), "left")
+      .where(col("__del_seq").isNull || col("commit_seq") > col("__del_seq"))
+      .drop("__del_seq")
+    fetchOffsets(surviving)
+  }
+
+  /**
    * G5 idempotent-producer dedup: the first accepted write per
    * (producer_id, sequence) survives with all its payload columns —
    * exactly the reference's producer_state behavior, which keeps the first

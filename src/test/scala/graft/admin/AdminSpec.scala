@@ -103,6 +103,47 @@ class AdminSpec extends SparkSpec {
     assert(got === Map("redpanda" -> 6, "user-42" -> 12))
   }
 
+  test("client quotas: exact entity beats default, remove reverts") {
+    val qlog = Seq[(Long, Option[String], String, Option[Double], String)](
+      (1L, None, "producer_byte_rate", Some(100.0), "set"),
+      (2L, Some("c1"), "producer_byte_rate", Some(200.0), "set"),
+      (3L, Some("c2"), "producer_byte_rate", Some(300.0), "set"),
+      (4L, Some("c2"), "producer_byte_rate", None, "remove"),
+      (5L, Some("c1"), "fetch_rate", Some(7.0), "set"))
+      .toDF("seq", "entity_name", "key", "value", "op")
+    val clients = Seq("c1", "c2", "c3").toDF("client_id")
+    val got = Admin.resolveClientQuotas(clients, qlog, Seq("producer_byte_rate", "fetch_rate"))
+      .as[(String, String, Double, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("c1", "producer_byte_rate")) === ((200.0, "CLIENT")))
+    assert(got(("c2", "producer_byte_rate")) === ((100.0, "DEFAULT"))) // removed override
+    assert(got(("c3", "producer_byte_rate")) === ((100.0, "DEFAULT")))
+    assert(got(("c1", "fetch_rate")) === ((7.0, "CLIENT")))
+    assert(got(("c3", "fetch_rate")) === ((-1.0, "NONE")))
+    assert(got.size === 6)
+  }
+
+  test("partition reassignments: applied, in-flight, cancelled, no-op complete") {
+    val initial = Seq(("t", 0, "0,1,2"), ("t", 1, "0,1,2"), ("t", 2, "0,1,2"), ("t", 3, "0,1,2"))
+      .toDF("topic", "partition", "replicas")
+    val rlog = Seq[(Long, String, Int, String, Option[String])](
+      (1L, "t", 0, "alter", Some("1,2,3")),
+      (2L, "t", 0, "complete", None),
+      (3L, "t", 0, "alter", Some("2,3,4")),
+      (4L, "t", 1, "alter", Some("3,4,5")),
+      (5L, "t", 2, "alter", Some("5,6,7")),
+      (6L, "t", 2, "cancel", None),
+      (7L, "t", 3, "complete", None))
+      .toDF("seq", "topic", "partition", "op", "targets")
+    val got = Admin.partitionReassignments(initial, rlog)
+      .as[(String, Int, String, String, String, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(0) === (("1,2,3", "4", "1", true)))   // applied 1,2,3; pending 2,3,4
+    assert(got(1) === (("0,1,2", "3,4,5", "0,1,2", true)))
+    assert(got(2) === (("0,1,2", "", "", false)))    // cancelled
+    assert(got(3) === (("0,1,2", "", "", false)))    // complete without alter: no-op
+  }
+
   private implicit class Map2Ops(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

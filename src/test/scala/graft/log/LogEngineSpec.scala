@@ -218,6 +218,20 @@ class LogEngineSpec extends SparkSpec {
     assert(got === Set(("g1", 0, 20L)))
   }
 
+  test("delete_groups drops the whole group; later commits resurrect it") {
+    val commits = Seq(
+      ("g1", "t", 0, 10L, 1L), ("g1", "t", 1, 20L, 2L), ("g1", "t", 0, 30L, 8L),
+      ("g2", "t", 0, 7L, 4L), ("g3", "t", 2, 9L, 5L))
+      .toDF("group", "topic", "partition", "committed_offset", "commit_seq")
+    val deletions = Seq(("g1", 5L), ("g2", 99L)).toDF("group", "commit_seq")
+    val got = graft.groups.ConsumerGroups.deleteGroups(commits, deletions)
+      .select("group", "partition", "committed_offset")
+      .as[(String, Int, Long)].collect().toSet
+    // g1: commits 1,2 die with the deletion at 5; the seq-8 commit is a
+    // fresh incarnation. g2: deleted after everything. g3: untouched.
+    assert(got === Set(("g1", 0, 30L), ("g3", 2, 9L)))
+  }
+
   test("idempotent producer dedup keeps the first surviving record per (pid, seq)") {
     val log = Seq(
       (1L, 0, 100L, "first"), (1L, 0, 101L, "dup"), (1L, 1, 102L, "ok"), (2L, 0, 103L, "ok"))
