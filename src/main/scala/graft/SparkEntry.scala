@@ -686,6 +686,64 @@ object SparkEntry {
         .orderBy("principal", "host", "operation", "resource_type", "resource_name")
     }),
 
+    "sec_scram_describe" -> ((s, dir) => {
+      // describe_user_scram_credentials over the compacted credential
+      // log (scram_credential.h stored in the controller log): a
+      // rotation bumps iterations LWW, a tombstone deletes the user,
+      // and key material never appears in the description.
+      import s.implicits._
+      import graft.security.Scram
+      def cred(seq: Long, user: String, mech: Scram.Mechanism, pw: String, iters: Int) = {
+        val (salt, stored, server, i) =
+          Scram.makeCredential(pw, s"salt_$user".getBytes("UTF-8"), iters, mech)
+        (seq, user, mech.name, salt, stored, server, i, false)
+      }
+      // a delete is a tombstone marker — no key material to derive
+      def tomb(seq: Long, user: String, mech: Scram.Mechanism) =
+        (seq, user, mech.name, Array.empty[Byte], Array.empty[Byte], Array.empty[Byte], 0, true)
+      val log = Seq(
+        cred(1L, "alice", Scram.Sha256, "a-1", 1024),
+        cred(2L, "bob", Scram.Sha256, "b-1", 1024),
+        cred(3L, "alice", Scram.Sha256, "a-2", 2048),
+        cred(4L, "carol", Scram.Sha512, "c-1", 4096),
+        tomb(5L, "bob", Scram.Sha256),
+        cred(6L, "dave", Scram.Sha256, "d-1", 1024),
+        cred(7L, "dave", Scram.Sha512, "d-1", 1024))
+        .toDF("seq", "user", "mechanism", "salt", "stored_key", "server_key",
+          "iterations", "deleted")
+      Scram.describeCredentials(Scram.currentCredentials(log))
+        .withColumnRenamed("user", "username")
+        .orderBy("username", "mechanism")
+    }),
+
+    "sec_scram_auth" -> ((s, dir) => {
+      // SASL authenticate as a batch operator: 50 users provisioned from
+      // `customer` (distributed credential derivation — RFC 5802 Hi/
+      // client-key/stored-key per user), then 60 login attempts where
+      // every 3rd user presents a wrong password and users 51-60 were
+      // never provisioned. The engine decides purely via the stored-key
+      // crypto; the oracle re-derives the decision from the plaintext
+      // scenario rule — they agree only if the key derivation is right.
+      import s.implicits._
+      import graft.security.Scram
+      val users = T(s, dir, "customer").where(col("c_custkey") <= 60)
+        .select(col("c_custkey").cast("long").as("k"),
+          concat(lit("user_"), col("c_custkey")).as("user"))
+      val creds = users.where(col("k") <= 50).select("user").as[String]
+        .map { u =>
+          val (salt, stored, server, i) = Scram.makeCredential(
+            "pw_" + u, ("salt_" + u).getBytes("UTF-8"), 1024, Scram.Sha256)
+          (u, "SCRAM-SHA-256", salt, stored, server, i)
+        }
+        .toDF("user", "mechanism", "salt", "stored_key", "server_key", "iterations")
+      val attempts = users.select(col("user"), lit("SCRAM-SHA-256").as("mechanism"),
+        when(col("k") % 3 === 0, lit("wrong-password"))
+          .otherwise(concat(lit("pw_"), col("user"))).as("password"))
+      Scram.authenticate(attempts, creds)
+        .withColumnRenamed("user", "username")
+        .orderBy("username")
+    }),
+
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
       Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
@@ -1767,6 +1825,30 @@ object SparkEntry {
         |       WHEN max(CASE WHEN perm = 'allow' THEN 1 ELSE 0 END) = 1 THEN 'allowed'
         |       ELSE 'denied' END AS decision
         | FROM m GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "sec_scram_describe" ->
+      """WITH credlog(seq, username, mechanism, iterations, deleted) AS (
+        |  VALUES
+        |   (1, 'alice', 'SCRAM-SHA-256', 1024, FALSE),
+        |   (2, 'bob', 'SCRAM-SHA-256', 1024, FALSE),
+        |   (3, 'alice', 'SCRAM-SHA-256', 2048, FALSE),
+        |   (4, 'carol', 'SCRAM-SHA-512', 4096, FALSE),
+        |   (5, 'bob', 'SCRAM-SHA-256', 0, TRUE),
+        |   (6, 'dave', 'SCRAM-SHA-256', 1024, FALSE),
+        |   (7, 'dave', 'SCRAM-SHA-512', 1024, FALSE)),
+        | live AS (
+        |  SELECT * FROM credlog
+        |  QUALIFY row_number() OVER (PARTITION BY username, mechanism ORDER BY seq DESC) = 1)
+        | SELECT username, mechanism, CAST(iterations AS INT) AS iterations
+        | FROM live WHERE NOT deleted ORDER BY username, mechanism""".stripMargin,
+
+    "sec_scram_auth" ->
+      """SELECT 'user_' || c_custkey AS username,
+        |  'SCRAM-SHA-256' AS mechanism,
+        |  CASE WHEN c_custkey > 50 THEN 'unknown_user'
+        |       WHEN c_custkey % 3 = 0 THEN 'failed'
+        |       ELSE 'authenticated' END AS decision
+        | FROM customer WHERE c_custkey <= 60 ORDER BY username""".stripMargin,
 
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
