@@ -267,6 +267,14 @@ object SparkEntry {
       .unionByName(v2.select("partition", "offset", "value_bin"))
   }
 
+  /** Reader JSON Schema for the json.cc-leg decode scenario: the v2
+    * shape (v1 payloads surface `value` as null). */
+  private val JsonReaderSchema =
+    """{"type":"object","properties":{
+      |  "event_id":{"type":"integer"},
+      |  "event_type":{"type":"string"},
+      |  "value":{"type":"number"}}}""".stripMargin
+
   /** Deterministic alter-configs command log for the admin queries. */
   private def configAlters(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -1048,6 +1056,35 @@ object SparkEntry {
           sum(col("decoded.event_id")).as("sum_id"),
           sum(round(col("decoded.value") * 100).cast("long")).as("sum_cents"),
           max(col("decoded.missing")).as("max_missing"))
+        .orderBy("event_type")
+    }),
+
+    "sr_json_decode" -> ((s, dir) => {
+      // Registry-driven typed JSON decode (the json.cc leg of §1.3):
+      // two schema generations (v2 adds `value`), an unregistered id,
+      // and a bad-magic slice — the reader StructType decodes all
+      // registered frames via from_json (whole-stage codegen; no
+      // kernel), v1 rows surface `value` as null, unregistered/corrupt
+      // frames as null structs. Oracle re-derives from plaintext.
+      import graft.registry.JsonDecode
+      val log = eventLog(s, dir)
+      val v1 = JsonDecode.encode(log.where(col("event_id") % 4 === 0),
+        "value_bin", 40, col("event_id"), col("event_type"))
+      val v2 = JsonDecode.encode(log.where(col("event_id") % 4 === 2),
+        "value_bin", 41, col("event_id"), col("event_type"), col("value"))
+      val unreg = JsonDecode.encode(log.where(col("event_id") % 4 === 1),
+        "value_bin", 99, col("event_id"), col("event_type"))
+      val badMagic = log.where(col("event_id") % 4 === 3)
+        .withColumn("value_bin",
+          concat(lit(Array[Byte](1, 0, 0, 0, 40)),
+            encode(to_json(struct(col("event_id"))), "UTF-8")))
+      val framed = v1.unionByName(v2).unionByName(unreg).unionByName(badMagic)
+      val dec = JsonDecode.decode(framed, "value_bin", Seq(40, 41), JsonReaderSchema)
+      dec.groupBy(coalesce(col("decoded.event_type"), lit("__undecoded")).as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decoded.event_id")).as("sum_id"),
+          count(col("decoded.value")).as("n_value"),
+          sum(coalesce(round(col("decoded.value") * 100).cast("long"), lit(0L))).as("sum_cents"))
         .orderBy("event_type")
     }),
 
@@ -2099,6 +2136,20 @@ object SparkEntry {
         | SELECT event_type, count(*) AS n, CAST(sum(d_id) AS BIGINT) AS sum_id,
         |        CAST(sum(CAST(round(d_value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |        CAST(max(CASE WHEN d_id IS NULL THEN NULL ELSE 0 END) AS INTEGER) AS max_missing
+        | FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // JSON decode oracle: v1 (ids %4=0) has no value field, v2 (%4=2)
+    // carries it, %4=1 is an unregistered id and %4=3 bad magic — both
+    // must land in the '__undecoded' null-struct group.
+    "sr_json_decode" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN event_id % 4 IN (0, 2) THEN event_type ELSE '__undecoded' END AS event_type,
+        |         CASE WHEN event_id % 4 IN (0, 2) THEN event_id END AS d_id,
+        |         CASE WHEN event_id % 4 = 2 THEN value END AS d_value
+        |  FROM events)
+        | SELECT event_type, count(*) AS n, CAST(sum(d_id) AS BIGINT) AS sum_id,
+        |        CAST(count(d_value) AS BIGINT) AS n_value,
+        |        CAST(sum(COALESCE(CAST(round(d_value * 100) AS BIGINT), 0)) AS BIGINT) AS sum_cents
         | FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sr_protobuf_compat" ->

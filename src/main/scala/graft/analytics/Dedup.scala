@@ -132,17 +132,20 @@ object Dedup {
    * matches into cluster ids so each duplicate group keeps exactly one
    * canonical document (min doc_id in the component).
    *
-   * Algorithm: iterative min-label propagation. Every vertex starts
-   * labeled with its own id; each round, a vertex adopts the minimum
-   * label among itself and its neighbors. Converges in O(cluster
-   * diameter) rounds — near-dup clusters are shallow (dups of a common
-   * ancestor), so a handful of rounds in practice, bounded by
-   * `maxIter`. Each round is ONE shuffle of the label table on vertex
-   * id joined against the cached edge list; `localCheckpoint` cuts the
-   * growing lineage so round N's plan does not replay rounds 1..N-1
-   * (at 100 TB, checkpointing per round is what keeps task graphs
-   * bounded — the same reason GraphX/GraphFrames checkpoint their
-   * Pregel loops).
+   * Algorithm: min-label propagation with pointer jumping. Every vertex
+   * starts labeled with its own id; each round, a vertex adopts the
+   * minimum label among itself and its neighbors (one join against the
+   * cached edge list), then adopts its label's OWN label (a self-join of
+   * the label table — labels only ever shrink, so `lbl`'s row always
+   * holds an equal-or-smaller label). The jump halves chain depth each
+   * round, so convergence is O(log diameter) instead of O(diameter) —
+   * on a pathological chain of 1M near-dups that is ~20 rounds instead
+   * of 1M, and each round is a fixed number of shuffles of the label
+   * table (which scales with |E|, not the corpus). `localCheckpoint`
+   * cuts the growing lineage so round N's plan does not replay rounds
+   * 1..N-1 (at 100 TB, checkpointing per round is what keeps task
+   * graphs bounded — the same reason GraphX/GraphFrames checkpoint
+   * their Pregel loops).
    *
    * The convergence probe is a 1-row aggregate per round (no data
    * collect). Returns (doc_id, cluster_id) for every vertex; singletons
@@ -164,10 +167,15 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val cand = labels.join(edges, labels("node") === edges("a"))
         .groupBy(col("b").as("nbr")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(cand, labels("node") === cand("nbr"), "left")
+      val stepped = labels.join(cand, labels("node") === cand("nbr"), "left")
+        .select(col("node"), col("lbl").as("__prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: adopt the current label of your label
+      val jmap = stepped.select(col("node").as("__jn"), col("lbl").as("__jl"))
+      val next = stepped.join(jmap, stepped("lbl") === col("__jn"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("__chg"))
+          least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("__jl"), col("lbl"))) < col("__prev")).as("__chg"))
         .localCheckpoint()
       changed = next.where(col("__chg")).count()
       labels = next.drop("__chg")

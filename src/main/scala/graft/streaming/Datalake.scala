@@ -152,11 +152,17 @@ object Datalake {
     snap
   }
 
-  /** Read the table as of the surviving snapshot set. */
+  /** Read the table as of the surviving snapshot set. The live ids are
+    * bounded metadata (one row per kept snapshot), so they go in as a
+    * literal IN predicate on the `snapshot_id` partition directory —
+    * a planning-time PartitionFilter that never lists or reads expired
+    * -but-not-yet-deleted snapshot directories, where a semi-join would
+    * scan every directory's footers first (Iceberg's manifest-list
+    * pruning plays this role in the reference, `manifest_io.cc`). */
   def readTable(spark: SparkSession, outPath: String): DataFrame = {
-    val live = snapshots(spark, outPath).select("snapshot_id")
+    val live = snapshotRows(spark, outPath).map(_._1)
     spark.read.parquet(dataPath(outPath))
-      .join(broadcast(live), Seq("snapshot_id"), "left_semi")
+      .where(col("snapshot_id").isin(live: _*))
   }
 
   /**

@@ -61,14 +61,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("datalake readTable semi-joins the live-snapshot set as a broadcast") {
+  test("datalake readTable prunes snapshot directories at planning time — no join") {
     val out = java.nio.file.Files.createTempDirectory("plan_dl").toString
     val ev = (0L until 100L).map(i => (i, new java.sql.Timestamp(86400000L * (i % 3))))
       .toDF("event_id", "ts")
     graft.streaming.Datalake.commit(ev, col("ts"), out,
       partFn = graft.streaming.Datalake.dayPartition)
     val p = plan(graft.streaming.Datalake.readTable(spark, out))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // live snapshot ids are bounded metadata → a literal IN on the
+    // snapshot_id partition directory (PartitionFilters), not a join
+    // that would list and footer-read expired directories first
+    assert(p.contains("PartitionFilters") && p.contains("snapshot_id"), p)
+    assert(!p.contains("Join"), p)
   }
 
   private lazy val docsDir: String = {

@@ -146,6 +146,51 @@ class ProtobufDecodeSpec extends SparkSpec {
 }
 
 /** P5/P6 ingest validation over real wire-format bytes. */
+/** Registry-driven JSON decode: schema→StructType conversion, evolution
+  * nulls, frame validation (json.cc leg of §1.3). */
+class JsonDecodeSpec extends SparkSpec {
+
+  private val reader =
+    """{"type":"object","properties":{
+      |  "id":{"type":"integer"},
+      |  "name":{"type":"string"},
+      |  "score":{"type":"number"},
+      |  "ok":{"type":"boolean"},
+      |  "tags":{"type":"array","items":{"type":"string"}},
+      |  "inner":{"type":"object","properties":{"k":{"type":"integer"}}}}}""".stripMargin
+
+  test("JSON Schema subset converts to the declared StructType") {
+    val t = JsonDecode.schemaToDataType(reader).asInstanceOf[StructType]
+    assert(t.fieldNames.toSeq === Seq("id", "name", "score", "ok", "tags", "inner"))
+    assert(t("id").dataType === LongType)
+    assert(t("score").dataType === DoubleType)
+    assert(t("tags").dataType === ArrayType(StringType))
+    assert(t("inner").dataType === StructType(Seq(StructField("k", LongType))))
+  }
+
+  test("decode: typed round-trip, evolution null for absent fields, bad frames null out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val full = JsonDecode.encode(
+      Seq((1L, "a", 1.5, true)).toDF("id", "name", "score", "ok"),
+      "bin", 7, col("id"), col("name"), col("score"), col("ok"))
+    val v1 = JsonDecode.encode( // older writer: no score/ok
+      Seq((2L, "b")).toDF("id", "name"), "bin", 6, col("id"), col("name"))
+    val unreg = JsonDecode.encode(
+      Seq((3L, "c")).toDF("id", "name"), "bin", 99, col("id"), col("name"))
+    val corrupt = Seq(Tuple1("{not-framed-json}".getBytes("UTF-8"))).toDF("bin")
+    val dec = JsonDecode.decode(
+      full.select("bin").unionByName(v1.select("bin"))
+        .unionByName(unreg.select("bin")).unionByName(corrupt),
+      "bin", Seq(6, 7), reader)
+    val got = dec.select("schema_id", "decoded.id", "decoded.name", "decoded.score")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    assert(got.count(_ == ((Some(7), Some(1L), Some("a"), Some(1.5)))) === 1)
+    assert(got.count(_ == ((Some(6), Some(2L), Some("b"), None))) === 1)
+    assert(got.count(_ == ((None, None, None, None))) === 2)
+  }
+}
+
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
