@@ -275,6 +275,22 @@ object SparkEntry {
       |  "event_type":{"type":"string"},
       |  "value":{"type":"number"}}}""".stripMargin
 
+  /** Topic catalog for the G4 assignment scenarios: sizes chosen to
+    * exercise remainder runs (8 and 7 over 3 members) and P < M (1). */
+  private def G4Topics(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("t8", 8), ("t7", 7), ("t1", 1)).toDF("topic", "n_partitions")
+  }
+
+  /** Shared oracle CTE for the G4 scenarios: ranked members + exploded
+    * topic partitions (mirrors [[G4Topics]]). */
+  private val G4Cte =
+    """WITH mem(member_id) AS (VALUES ('a'), ('b'), ('c')),
+      | m AS (SELECT member_id,
+      |   row_number() OVER (ORDER BY member_id) - 1 AS idx FROM mem),
+      | t(topic, n) AS (VALUES ('t8', 8), ('t7', 7), ('t1', 1)),
+      | p AS (SELECT topic, n, unnest(range(n)) AS partition FROM t)""".stripMargin
+
   /** Deterministic alter-configs command log for the admin queries. */
   private def configAlters(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -948,6 +964,41 @@ object SparkEntry {
       TxnEngine.commitTxOffsets(commits, log)
         .select("group", "topic", "partition", "committed_offset")
         .orderBy("group", "partition")
+    }),
+
+    // ----- §2.5 G4 assignment strategies -----
+    "g4_assign_range" -> ((s, dir) => {
+      // range plan (assignment_plans.cc:60-86): contiguous runs, first
+      // P%M members take one extra; a 1-partition topic lands entirely
+      // on the first member.
+      import s.implicits._
+      graft.groups.Assignment.rangeAssign(
+          Seq("a", "b", "c").toDF("member_id"), G4Topics(s))
+        .orderBy("topic", "partition")
+    }),
+
+    "g4_assign_roundrobin" -> ((s, dir) => {
+      import s.implicits._
+      graft.groups.Assignment.roundRobinAssign(
+          Seq("a", "b", "c").toDF("member_id"), G4Topics(s))
+        .orderBy("topic", "partition")
+    }),
+
+    "g4_assign_sticky" -> ((s, dir) => {
+      // member d departed, c joined: d's partitions redistribute to the
+      // least-loaded members up to target=ceil(16/3); a/b keep every
+      // partition they owned.
+      import s.implicits._
+      val prior = Seq(
+        ("t8", 0L, "a"), ("t8", 1L, "a"), ("t8", 2L, "a"),
+        ("t8", 3L, "b"), ("t8", 4L, "b"), ("t8", 5L, "b"),
+        ("t8", 6L, "d"), ("t8", 7L, "d"),
+        ("t7", 0L, "a"), ("t7", 1L, "a"), ("t7", 2L, "b"), ("t7", 3L, "b"),
+        ("t7", 4L, "d"), ("t7", 5L, "d"), ("t7", 6L, "d"),
+        ("t1", 0L, "d")).toDF("topic", "partition", "member_id")
+      graft.groups.Assignment.stickyAssign(prior,
+          Seq("a", "b", "c").toDF("member_id"), G4Topics(s))
+        .orderBy("topic", "partition")
     }),
 
     // ----- §2.2 ingest validation (P5/P6) + registry read path -----
@@ -2196,6 +2247,53 @@ object SparkEntry {
          |  FROM ofs o JOIN committed c ON o.pid = c.pid AND o.txn_seq = c.txn_seq
          |  WHERE NOT o.is_control AND o.batch_type = 1 AND o.event_type = 'purchase')
          | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    "g4_assign_range" ->
+      s"""$G4Cte,
+         | x AS (SELECT topic, partition, n // 3 AS len, n % 3 AS rem FROM p),
+         | a AS (SELECT topic, partition,
+         |   CASE WHEN partition < rem * (len + 1) THEN partition // (len + 1)
+         |        ELSE rem + (partition - rem * (len + 1)) // greatest(len, 1) END AS idx
+         |   FROM x)
+         | SELECT a.topic, CAST(a.partition AS BIGINT) AS partition, m.member_id
+         | FROM a JOIN m ON m.idx = a.idx ORDER BY topic, partition""".stripMargin,
+
+    "g4_assign_roundrobin" ->
+      s"""$G4Cte,
+         | r AS (SELECT topic, partition,
+         |   (row_number() OVER (ORDER BY topic, partition) - 1) % 3 AS idx FROM p)
+         | SELECT r.topic, CAST(r.partition AS BIGINT) AS partition, m.member_id
+         | FROM r JOIN m ON m.idx = r.idx ORDER BY topic, partition""".stripMargin,
+
+    "g4_assign_sticky" ->
+      s"""$G4Cte,
+         | prior(topic, partition, member_id) AS (VALUES
+         |   ('t8', 0, 'a'), ('t8', 1, 'a'), ('t8', 2, 'a'),
+         |   ('t8', 3, 'b'), ('t8', 4, 'b'), ('t8', 5, 'b'),
+         |   ('t8', 6, 'd'), ('t8', 7, 'd'),
+         |   ('t7', 0, 'a'), ('t7', 1, 'a'), ('t7', 2, 'b'), ('t7', 3, 'b'),
+         |   ('t7', 4, 'd'), ('t7', 5, 'd'), ('t7', 6, 'd'),
+         |   ('t1', 0, 'd')),
+         | kept AS (SELECT pr.topic, pr.partition, pr.member_id FROM prior pr
+         |   JOIN mem ON mem.member_id = pr.member_id
+         |   JOIN p ON p.topic = pr.topic AND p.partition = pr.partition),
+         | orphans AS (SELECT topic, partition FROM p
+         |   EXCEPT SELECT topic, partition FROM kept),
+         | tgt AS (SELECT (count(*) + 2) // 3 AS target FROM p),
+         | loads AS (SELECT mem.member_id, COALESCE(k.cnt, 0) AS load FROM mem
+         |   LEFT JOIN (SELECT member_id, count(*) AS cnt FROM kept GROUP BY 1) k
+         |     USING (member_id)),
+         | slots AS (SELECT member_id, load,
+         |   unnest(range(greatest(target - load, 0))) AS round FROM loads, tgt),
+         | rslots AS (SELECT member_id,
+         |   row_number() OVER (ORDER BY round, load, member_id) - 1 AS slot FROM slots),
+         | ro AS (SELECT topic, partition,
+         |   row_number() OVER (ORDER BY topic, partition) - 1 AS slot FROM orphans)
+         | SELECT topic, CAST(partition AS BIGINT) AS partition, member_id FROM (
+         |  SELECT topic, partition, member_id FROM kept
+         |  UNION ALL
+         |  SELECT ro.topic, ro.partition, rs.member_id FROM ro JOIN rslots rs USING (slot))
+         | ORDER BY topic, partition""".stripMargin,
 
     "d3_schema_evolution" ->
       """SELECT event_type AS v, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_k,

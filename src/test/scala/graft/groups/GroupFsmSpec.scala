@@ -128,3 +128,60 @@ class GroupEngineSpec extends SparkSpec {
       ("gB", "Empty", 2L, 0L, "")))
   }
 }
+
+/** G4 assignment strategies: range per assignment_plans.cc, roundrobin
+  * and sticky per the public Kafka assignor semantics. */
+class AssignmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def members(ids: String*) = ids.toDF("member_id")
+  private val topics = Seq(("t8", 8), ("t7", 7), ("t1", 1)).toDF("topic", "n_partitions")
+
+  private def collectAssign(df: org.apache.spark.sql.DataFrame): Map[(String, Long), String] =
+    df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+
+  test("range: contiguous runs, first P%M members take one extra") {
+    val got = collectAssign(Assignment.rangeAssign(members("a", "b", "c"), topics))
+    // t8: len=2 rem=2 -> a:[0,1,2] b:[3,4,5] c:[6,7]
+    assert((0 to 2).forall(p => got(("t8", p.toLong)) == "a"))
+    assert((3 to 5).forall(p => got(("t8", p.toLong)) == "b"))
+    assert((6 to 7).forall(p => got(("t8", p.toLong)) == "c"))
+    // t7: len=2 rem=1 -> a:[0,1,2] b:[3,4] c:[5,6]
+    assert((0 to 2).forall(p => got(("t7", p.toLong)) == "a"))
+    assert((3 to 4).forall(p => got(("t7", p.toLong)) == "b"))
+    assert((5 to 6).forall(p => got(("t7", p.toLong)) == "c"))
+    // t1: P < M -> only the first member is assigned
+    assert(got(("t1", 0L)) == "a" && got.size == 16)
+  }
+
+  test("roundrobin: global cyclic deal over sorted members") {
+    val got = collectAssign(Assignment.roundRobinAssign(members("a", "b", "c"), topics))
+    // sorted order: (t1,0),(t7,0..6),(t8,0..7) dealt a,b,c,a,...
+    assert(got(("t1", 0L)) == "a" && got(("t7", 0L)) == "b" && got(("t7", 1L)) == "c")
+    assert(got(("t8", 7L)) == "a" && got.size == 16)
+    // balance within 1
+    val loads = got.values.groupBy(identity).map(_._2.size)
+    assert(loads.max - loads.min <= 1)
+  }
+
+  test("sticky: surviving ownership never moves; orphans fill least-loaded to target") {
+    val prior = Seq(
+      ("t8", 0L, "a"), ("t8", 1L, "a"), ("t8", 2L, "a"),
+      ("t8", 3L, "b"), ("t8", 4L, "b"), ("t8", 5L, "b"),
+      ("t8", 6L, "d"), ("t8", 7L, "d"),
+      ("t7", 0L, "a"), ("t7", 1L, "a"), ("t7", 2L, "b"), ("t7", 3L, "b"),
+      ("t7", 4L, "d"), ("t7", 5L, "d"), ("t7", 6L, "d"),
+      ("t1", 0L, "d")).toDF("topic", "partition", "member_id")
+    val got = collectAssign(Assignment.stickyAssign(prior, members("a", "b", "c"), topics))
+    // every partition assigned exactly once
+    assert(got.size == 16)
+    // survivors keep everything they had
+    prior.collect().filter(r => r.getString(2) != "d").foreach { r =>
+      assert(got((r.getString(0), r.getLong(1))) == r.getString(2))
+    }
+    // target = ceil(16/3) = 6: nobody exceeds it, newcomer c gets the bulk
+    val loads = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(loads.values.max <= 6)
+    assert(loads("c") == 4 && loads("a") == 6 && loads("b") == 6)
+  }
+}
