@@ -807,6 +807,23 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "a6_quota_throttle" -> ((s, dir) => {
+      // A6 token-bucket throttle (quota_manager.cc): 4 clients replay
+      // their request history through the secondary-sorted bucket fold;
+      // all arithmetic integral (rate 2 tokens/ms, burst 1000), so the
+      // DuckDB oracle reproduces the recurrence bit-exactly with a
+      // recursive CTE.
+      val reqs = events(s, dir).where(pmod(col("user_id"), lit(40)) < 4)
+        .select(concat(lit("c"), pmod(col("user_id"), lit(40)).cast("string")).as("client_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          length(col("props")).cast("long").as("bytes"),
+          col("event_id").as("seq"))
+      graft.admin.Quota.tokenBucketThrottle(reqs, col("client_id"), col("ts_ms"),
+          col("bytes"), col("seq"), ratePerMs = 2, burst = 1000)
+        .select("client_id", "seq", "tokens", "throttle_ms")
+        .orderBy("client_id", "seq")
+    }),
+
     "a5_usage_windows" -> ((s, dir) =>
       Operators.usageWindows(events(s, dir), col("ts"), col("event_type"), length(col("props")))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -1971,6 +1988,25 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a6_quota_throttle" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT 'c' || CAST(user_id % 40 AS VARCHAR) AS client_id,
+        |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |         CAST(length(props) AS BIGINT) AS bytes,
+        |         CAST(event_id AS BIGINT) AS seq
+        |  FROM events WHERE user_id % 40 < 4),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY client_id ORDER BY ts_ms, seq) AS rn
+        |       FROM base),
+        | tb AS (
+        |  SELECT client_id, rn, ts_ms, seq, 1000 - bytes AS tokens FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r2.client_id, r2.rn, r2.ts_ms, r2.seq,
+        |         least(1000, t.tokens + 2 * (r2.ts_ms - t.ts_ms)) - r2.bytes
+        |  FROM tb t JOIN r r2 ON r2.client_id = t.client_id AND r2.rn = t.rn + 1)
+        | SELECT client_id, seq, tokens,
+        |        CASE WHEN tokens < 0 THEN (-tokens + 1) // 2 ELSE CAST(0 AS BIGINT) END AS throttle_ms
+        | FROM tb ORDER BY client_id, seq""".stripMargin,
 
     "g1_group_membership" ->
       """WITH cmds AS (

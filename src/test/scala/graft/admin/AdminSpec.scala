@@ -148,3 +148,37 @@ class AdminSpec extends SparkSpec {
     def toMap2: Map[String, (String, String)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 }
+
+/** A6 token-bucket throttle semantics (quota_manager.cc shapes). */
+class QuotaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(reqs: Seq[(String, Long, Long, Long)], rate: Long = 2, burst: Long = 100) =
+    Quota.tokenBucketThrottle(
+        reqs.toDF("client_id", "ts_ms", "bytes", "seq"),
+        col("client_id"), col("ts_ms"), col("bytes"), col("seq"), rate, burst)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+
+  test("bucket starts full, refills at rate capped at burst, throttles on overdraw") {
+    val got = run(Seq(
+      ("c1", 0L, 60L, 1L),    // 100-60 = 40, no throttle
+      ("c1", 10L, 70L, 2L),   // refill 20 -> 60; 60-70 = -10 -> throttle ceil(10/2)=5
+      ("c1", 1000L, 50L, 3L), // refill caps at burst 100; 100-50=50
+      ("c2", 5L, 250L, 4L)))  // independent bucket: 100-250=-150 -> 75
+    assert(got(("c1", 1L)) == ((40L, 0L)))
+    assert(got(("c1", 2L)) == ((-10L, 5L)))
+    assert(got(("c1", 3L)) == ((50L, 0L)))
+    assert(got(("c2", 4L)) == ((-150L, 75L)))
+  }
+
+  test("equal timestamps break ties by seq; throttle ceiling is exact") {
+    val got = run(Seq(
+      ("c", 0L, 99L, 1L),  // 1 left
+      ("c", 0L, 2L, 2L),   // same ts, no refill: -1 -> ceil(1/2)=1
+      ("c", 2L, 0L, 3L)))  // refill 4 -> 3; 3-0=3
+    assert(got(("c", 1L)) == ((1L, 0L)))
+    assert(got(("c", 2L)) == ((-1L, 1L)))
+    assert(got(("c", 3L)) == ((3L, 0L)))
+  }
+}
