@@ -1563,6 +1563,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dd_line_dedup" -> ((s, dir) => {
+      // C4-style boilerplate-line removal: a newsletter header planted
+      // on every 3rd doc and a rights footer on every 4th cross the
+      // 10-distinct-docs threshold and are stripped corpus-wide; a
+      // once-per-50-docs promo line is rare and survives, as does every
+      // (unique) original text. Output hashes the surviving text so the
+      // compare is exact on content AND line order.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val multi = docs.withColumn("text", concat(
+        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nAll rights reserved")).otherwise(lit("")),
+        when(col("doc_id") % 50 === 0,
+          concat(lit("\npromo code "), col("doc_id"))).otherwise(lit(""))))
+      Dedup.dedupLines(multi, col("doc_id"), col("text"), maxDocs = 10)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          length(col("text")).as("len"))
+        .orderBy("doc_id")
+    }),
+
     "smp_split" -> ((s, dir) =>
       Sampling.split(T(s, dir, "documents"), col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -2583,6 +2603,28 @@ object SparkEntry {
         |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
         | SELECT node AS doc_id, min(lbl) AS cluster_id, (min(lbl) = node) AS is_canonical
         | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "dd_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END ||
+        |    CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'promo code ' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        | lines AS (
+        |  SELECT doc_id, p AS pos, sp[p + 1] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs),
+        |       UNNEST(range(len(sp))) AS t(p)),
+        | boiler AS (
+        |  SELECT trim(lower(line)) AS norm FROM lines
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10),
+        | kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  WHERE trim(lower(l.line)) NOT IN (SELECT norm FROM boiler))
+        | SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_hash,
+        |        CAST(length(string_agg(line, chr(10) ORDER BY pos)) AS INT) AS len
+        | FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "smp_split" ->
       """SELECT doc_id,

@@ -190,6 +190,38 @@ object Dedup {
   }
 
   /**
+   * C4-style line-level dedup: drop every line whose normalized form
+   * (trimmed, lowercased) appears in more than `maxDocs` DISTINCT
+   * documents — the boilerplate-removal step of C4/RefinedWeb-class
+   * pipelines (navigation chrome, cookie banners, "subscribe" footers
+   * repeat across a crawl; prose does not). Documents survive with
+   * their remaining lines in original order; a document whose every
+   * line is boilerplate is dropped entirely.
+   *
+   * Scale shape: one explode + one aggregate on the normalized line
+   * (partial aggregation absorbs hot boilerplate lines map-side), one
+   * join back (AQE skew-join splits the hot keys), and one groupBy(doc)
+   * to reassemble — order restored from the exploded position, so no
+   * window over the corpus. Never all-pairs, never a driver collect.
+   */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column,
+      maxDocs: Int): DataFrame = {
+    val lines = df.select(idCol.as("doc_id"),
+        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", trim(lower(col("line"))))
+    val freq = lines.groupBy("norm")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") > maxDocs)
+      .select(col("norm"), lit(true).as("__boiler"))
+    lines.join(freq, Seq("norm"), "left")
+      .where(col("__boiler").isNull)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+  }
+
+  /**
    * SimHash fingerprint (64-bit): weighted sign-sum of token hashes.
    * Built as 64 conditional-sum aggregates in a single groupBy (one
    * shuffle), then bit-packed.

@@ -278,4 +278,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(3L)._2 === 1L && !got(3L)._3)  // pruned by 1
     assert(got(4L)._3)                        // far from everything: kept
   }
+
+  test("line dedup strips cross-document boilerplate, keeps order, drops emptied docs") {
+    val docs = Seq(
+      (1L, "BOILER\nunique one\nFOOTER"),
+      (2L, "BOILER\nunique two\nFOOTER"),
+      (3L, "BOILER\nunique three"),
+      (4L, "boiler \nunique four"),   // normalization: case/trim-insensitive
+      (5L, "BOILER"))                  // nothing left -> dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, col("doc_id"), col("text"), maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // BOILER appears in 5 distinct docs (>2) -> stripped; FOOTER in 2 -> kept
+    assert(got(1L) == "unique one\nFOOTER")
+    assert(got(2L) == "unique two\nFOOTER")
+    assert(got(3L) == "unique three")
+    assert(got(4L) == "unique four")
+    assert(!got.contains(5L) && got.size == 4)
+  }
 }
