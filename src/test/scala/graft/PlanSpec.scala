@@ -130,4 +130,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count") || p.contains("partial count"), p)
   }
+
+  test("line dedup has no window and no sort over the corpus; reassembly is a hash aggregate") {
+    val rows = spark.read.parquet(docsDir)
+    val p = plan(graft.analytics.Dedup.dedupLines(rows, col("doc_id"), col("text"), 2))
+    assert(!p.contains("Window"), p)
+    // order is restored per-document from the exploded position via
+    // array_sort inside the aggregate, not a corpus-wide Sort node
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate") ||
+      p.contains("SortAggregate"), p)
+  }
+
+  test("quota fold is one client shuffle plus an in-partition sort — no window, no join") {
+    val reqs = (0L until 100L).map(i => (s"c${i % 4}", i * 7, i % 50, i))
+      .toDF("client_id", "ts_ms", "bytes", "seq")
+    val p = plan(graft.admin.Quota.tokenBucketThrottle(reqs,
+      col("client_id"), col("ts_ms"), col("bytes"), col("seq"), 2, 100))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("Exchange hashpartitioning(client_id"), p)
+    assert(p.contains("Sort [client_id"), p)
+  }
 }

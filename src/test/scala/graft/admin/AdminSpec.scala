@@ -182,3 +182,18 @@ class QuotaSpec extends SparkSpec {
     assert(got(("c", 3L)) == ((3L, 0L)))
   }
 }
+
+/** api_versions capability table (handlers.h:71-112 counterpart). */
+class ApiVersionsSpec extends SparkSpec {
+  test("api keys are unique, public-protocol numbered, and name real modules") {
+    val rows = Admin.ApiVersions
+    assert(rows.map(_._1).distinct.size == rows.size)
+    assert(rows.map(_._1).forall(k => k >= 0 && k <= 66))
+    // spot-check the public numbering of the core five
+    val byName = rows.map(r => r._2 -> r._1).toMap
+    assert(byName("produce") == 0 && byName("fetch") == 1 &&
+      byName("list_offsets") == 2 && byName("metadata") == 3 &&
+      byName("api_versions") == 18)
+    assert(Admin.apiVersions(spark).count() == rows.size)
+  }
+}
