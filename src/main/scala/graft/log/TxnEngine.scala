@@ -65,6 +65,14 @@ object TxnEngine {
    * control batches occupy offsets in the reference log. Tie order within
    * an arrival slot is fence < data < marker, then (pid, txn_seq) — fully
    * deterministic and replicable by the SQL oracle.
+   *
+   * Scale: offset stamping over the combined stream uses the same
+   * two-phase chunked assignment as the produce path
+   * ([[RecordLog.assignOffsetsScalable]]) — chunk counts are prefix-summed
+   * on a tiny (partition × chunk) table and broadcast back, so no task
+   * ever sorts a whole partition. Order key inside a chunk is the struct
+   * (arrival, slot, pid, txn_seq); chunking on arrival respects it because
+   * arrival is the leading field.
    */
   def interleaveMarkers(data: DataFrame, ends: DataFrame): DataFrame = {
     val payloadCols = data.columns.filterNot(Set("partition", "arrival", "pid", "epoch", "txn_seq"))
@@ -87,9 +95,10 @@ object TxnEngine {
         lit(null).cast("string").as("decision"), lit(1).as("_slot")) ++
         payloadCols.map(col): _*)
     val combined = dataRows.unionByName(fences).unionByName(markers)
-    val w = Window.partitionBy("partition")
-      .orderBy(col("arrival"), col("_slot"), col("pid"), col("txn_seq"))
-    combined.withColumn("offset", row_number().over(w).cast("long") - 1).drop("_slot")
+    RecordLog.assignOffsetsScalable(combined, col("partition"),
+        arrivalCol = struct(col("arrival"), col("_slot"), col("pid"), col("txn_seq")),
+        chunkCol = floor(col("arrival") / 4096))
+      .drop("_slot")
   }
 
   /**
@@ -168,16 +177,31 @@ object TxnEngine {
    * invisible to consumers (`from_log_offset`; the inverse is a lookup
    * on the same mapping).
    *
-   * Scale note: this full-log projection is the bootstrap/audit path.
-   * The translator STATE the reference keeps is just the per-partition
-   * positions of non-data batches — bounded metadata, broadcastable —
-   * and incremental maintenance adds only per-batch counters.
+   * Scale: the running data-row count is NOT one monolithic window per
+   * partition — the log chunks on `floor(offset / 4096)` (the analogue of
+   * a segment, and exactly the granularity of the reference's translator
+   * state: per-segment counts of non-data batches,
+   * `storage/offset_translator_state.h:64-67`). Phase 1 counts data rows
+   * per (partition, chunk) and prefix-sums that tiny table; phase 2
+   * broadcasts the bases back and ranks only inside each chunk, so
+   * parallelism is partitions × chunks and no task sorts a partition's
+   * entirety.
    */
   def offsetTranslation(log: DataFrame): DataFrame = {
     val isData = !col("is_control") && col("batch_type") === BatchType.RaftData
-    val w = Window.partitionBy("partition").orderBy("offset")
-    log.withColumn("kafka_offset",
-      when(isData, sum(isData.cast("long")).over(w) - 1))
+    val tagged = log.withColumn("__chunk", floor(col("offset") / 4096).cast("long"))
+      .withColumn("__d", isData.cast("long"))
+    val counts = tagged.groupBy("partition", "__chunk").agg(sum("__d").as("__n"))
+    val baseW = Window.partitionBy("partition").orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts.withColumn("__base", coalesce(sum("__n").over(baseW), lit(0L)))
+      .select("partition", "__chunk", "__base")
+    val localW = Window.partitionBy("partition", "__chunk").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged.join(broadcast(bases), Seq("partition", "__chunk"))
+      .withColumn("kafka_offset",
+        when(col("__d") === 1, col("__base") + sum("__d").over(localW) - 1))
+      .drop("__chunk", "__d", "__base")
   }
 
   /**

@@ -141,6 +141,35 @@ class PlanSpec extends SparkSpec {
       p.contains("SortAggregate"), p)
   }
 
+  // Every window in these two txn-path plans must be chunk-scoped: either
+  // the prefix-sum over the tiny (partition × chunk) count table or a
+  // chunk-local rank — never a monolithic per-partition pass over the log.
+  private def assertChunkedWindowsOnly(p: String): Unit = {
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("__chunk"), s"non-chunked window: $w\n$p"))
+  }
+
+  test("offset translation is two-phase chunked — broadcast bases, no full-partition window") {
+    val log = (0L until 1000L).map(i =>
+      (i % 4, i / 4, i % 7 == 0, if (i % 11 == 0) 10 else 1))
+      .toDF("partition", "offset", "is_control", "batch_type")
+    val p = plan(graft.log.TxnEngine.offsetTranslation(log))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assertChunkedWindowsOnly(p)
+  }
+
+  test("marker interleave is two-phase chunked — broadcast bases, no full-partition window") {
+    val data = (0L until 1000L).map(i => (i % 4, i * 2, i % 10, 0, i / 50, s"v$i"))
+      .toDF("partition", "arrival", "pid", "epoch", "txn_seq", "value")
+    val ends = (0L until 20L).map(i => (i % 10, i / 10, "commit", 100000L + i))
+      .toDF("pid", "txn_seq", "decision", "arrival")
+    val p = plan(graft.log.TxnEngine.interleaveMarkers(data, ends))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertChunkedWindowsOnly(p)
+  }
+
   test("quota fold is one client shuffle plus an in-partition sort — no window, no join") {
     val reqs = (0L until 100L).map(i => (s"c${i % 4}", i * 7, i % 50, i))
       .toDF("client_id", "ts_ms", "bytes", "seq")
