@@ -1285,6 +1285,74 @@ object SparkEntry {
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")),
 
+    // ----- §2.8 U2: offset start options -----
+    "u2_start_options" -> ((s, dir) => {
+      // All four transform start options against the same topic: the log
+      // as stored at deploy time (a per-partition prefix of varying
+      // length) vs the full log the stream eventually sees. Each option's
+      // cut is re-derived by the oracle. FromEnd snapshots per-partition
+      // HWMs from the STORED input; FromCommitted resumes after an
+      // explicit per-partition commit table (odd partitions have no
+      // commit and start from scratch).
+      import graft.streaming.Transforms
+      val log = eventLog(s, dir).withColumnRenamed("ts", "timestamp")
+      val snapshot = log.where(col("offset") < lit(50) + col("partition") * 13)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_u2").toString
+      snapshot.write.parquet(s"$tmp/in")
+      val input = Transforms.PathInput(s"$tmp/in", snapshot.schema)
+      val committed = log.where(col("partition") % 2 === 0)
+        .groupBy("partition")
+        .agg(floor(max("offset") / 2).cast("long").as("committed_offset"))
+      def cut(option: String, start: Transforms.OffsetStart,
+          commits: Option[DataFrame] = None): DataFrame =
+        Transforms.applyStart(s, input, start, log, commits)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n"), min("offset").as("first_offset"),
+            max("offset").as("last_offset"))
+          .withColumn("start_option", lit(option))
+      cut("from_start", Transforms.FromStart)
+        .unionByName(cut("from_end", Transforms.FromEnd))
+        .unionByName(cut("from_timestamp", Transforms.FromTimestamp(
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime)))
+        .unionByName(cut("from_committed", Transforms.FromCommitted, Some(committed)))
+        .select("start_option", "partition", "n", "first_offset", "last_offset")
+        .orderBy("start_option", "partition")
+    }),
+
+    // ----- §2.8 U4: management-plane lifecycle + error-state report -----
+    "u4_lifecycle" -> ((s, dir) => {
+      // Command log derived from events: each user_id%16 bucket is a
+      // transform whose deploy/pause/resume/delete commands arrive in
+      // event order — interleaved lifecycles with deletes and redeploys.
+      val cmds = events(s, dir)
+        .where(col("event_type").isin("signup", "view", "click", "purchase"))
+        .select(col("event_id").as("seq"),
+          concat(lit("tr-"), pmod(col("user_id"), lit(16)).cast("string")).as("transform"),
+          when(col("event_type") === "signup", "deploy")
+            .when(col("event_type") === "view", "pause")
+            .when(col("event_type") === "click", "resume")
+            .otherwise("delete").as("op"))
+      graft.streaming.Transforms.lifecycle(cmds).orderBy("transform")
+    }),
+
+    "u4_report" -> ((s, dir) => {
+      // Processor event log: commits carry the record's log offset,
+      // errors flip the partition to errored until a later start/commit;
+      // lag is measured against the partition HWM of the real log.
+      val log = eventLog(s, dir)
+      val proc = log
+        .where(col("event_type").isin("click", "error", "signup"))
+        .select(col("event_id").as("seq"),
+          concat(lit("tr-"), pmod(col("user_id"), lit(5)).cast("string")).as("transform"),
+          col("partition"),
+          when(col("event_type") === "click", "commit")
+            .when(col("event_type") === "error", "error")
+            .otherwise("start").as("kind"),
+          when(col("event_type") === "click", col("offset")).as("committed_offset"))
+      graft.streaming.Transforms.statusReport(proc, RecordLog.latestOffsets(log))
+        .orderBy("transform", "partition")
+    }),
+
     // ----- log-native extensions: as-of join -----
     "op_asof_join" -> ((s, dir) => {
       // For every purchase, the user's latest signup at or before it —
@@ -2392,6 +2460,72 @@ object SparkEntry {
     "u4_transform_validate" ->
       """SELECT CASE WHEN value <= 30.0 THEN 'output' ELSE 'dead_letter' END AS route, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u2_start_options" ->
+      (LogCte +
+      """, snap AS (SELECT partition, max("offset") AS hwm FROM log
+        |     WHERE "offset" < 50 + partition * 13 GROUP BY 1),
+        | comm AS (SELECT partition, CAST(floor(max("offset") / 2) AS BIGINT) AS coff
+        |     FROM log WHERE partition % 2 = 0 GROUP BY 1)
+        | SELECT * FROM (
+        |  SELECT 'from_start' AS start_option, partition, count(*) AS n,
+        |         min("offset") AS first_offset, max("offset") AS last_offset
+        |  FROM log GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'from_end', l.partition, count(*), min(l."offset"), max(l."offset")
+        |  FROM log l LEFT JOIN snap s ON l.partition = s.partition
+        |  WHERE s.hwm IS NULL OR l."offset" > s.hwm GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'from_timestamp', partition, count(*), min("offset"), max("offset")
+        |  FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'from_committed', l.partition, count(*), min(l."offset"), max(l."offset")
+        |  FROM log l LEFT JOIN comm c ON l.partition = c.partition
+        |  WHERE c.coff IS NULL OR l."offset" > c.coff GROUP BY 2
+        | ) ORDER BY start_option, partition""").stripMargin,
+
+    "u4_lifecycle" ->
+      """WITH cmd AS (
+        |  SELECT event_id AS seq, 'tr-' || CAST(user_id % 16 AS VARCHAR) AS transform,
+        |    CASE event_type WHEN 'signup' THEN 'deploy' WHEN 'view' THEN 'pause'
+        |      WHEN 'click' THEN 'resume' ELSE 'delete' END AS op
+        |  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        | bounds AS (
+        |  SELECT transform,
+        |    coalesce(max(CASE WHEN op = 'delete' THEN seq END), -1) AS last_del,
+        |    count(CASE WHEN op = 'deploy' THEN 1 END) AS n_deploys,
+        |    count(CASE WHEN op = 'delete' THEN 1 END) AS n_deletes
+        |  FROM cmd GROUP BY 1),
+        | dep AS (
+        |  SELECT c.transform, min(c.seq) AS deployed_seq
+        |  FROM cmd c JOIN bounds b ON c.transform = b.transform
+        |  WHERE c.seq > b.last_del AND c.op = 'deploy' GROUP BY 1)
+        | SELECT c.transform,
+        |  CASE WHEN arg_max(c.op, c.seq) = 'pause' THEN 'paused' ELSE 'running' END AS state,
+        |  any_value(b.n_deploys) AS n_deploys, any_value(b.n_deletes) AS n_deletes,
+        |  any_value(d.deployed_seq) AS deployed_seq, max(c.seq) AS last_seq
+        | FROM cmd c JOIN bounds b ON c.transform = b.transform
+        |  JOIN dep d ON c.transform = d.transform
+        | WHERE c.seq >= d.deployed_seq AND c.op IN ('deploy', 'pause', 'resume')
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u4_report" ->
+      (LogCte +
+      """, proc AS (
+        |  SELECT event_id AS seq, 'tr-' || CAST(user_id % 5 AS VARCHAR) AS transform,
+        |    partition,
+        |    CASE event_type WHEN 'click' THEN 'commit' WHEN 'error' THEN 'error'
+        |      ELSE 'start' END AS kind,
+        |    CASE WHEN event_type = 'click' THEN "offset" END AS committed_offset
+        |  FROM log WHERE event_type IN ('click', 'error', 'signup')),
+        | hwm AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
+        | SELECT p.transform, p.partition,
+        |  CASE WHEN arg_max(p.kind, p.seq) = 'error' THEN 'errored' ELSE 'running' END AS status,
+        |  max(CASE WHEN p.kind = 'commit' THEN p.committed_offset END) AS last_committed,
+        |  any_value(h.hwm) - coalesce(max(CASE WHEN p.kind = 'commit' THEN p.committed_offset END) + 1, 0) AS lag,
+        |  count(CASE WHEN p.kind = 'error' THEN 1 END) AS n_errors
+        | FROM proc p JOIN hwm h ON p.partition = h.partition
+        | GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -70,16 +70,50 @@ object Transforms {
   def applyBatch[T: Encoder](df: DataFrame, fn: Row => IterableOnce[T]): Dataset[T] =
     df.flatMap(fn)
 
-  /** Position the source stream per the start option (U2). FromEnd and
-    * FromTimestamp require `offset` / `timestamp` columns on the input —
-    * present on every canonical topic table. */
-  private def applyStart(spark: SparkSession, input: Input, start: OffsetStart,
-      stream: DataFrame): DataFrame = start match {
-    case FromCommitted | FromStart => stream
+  /** Position the source stream per the start option (U2,
+    * `model/transform.h:90-185`). FromEnd and FromTimestamp require
+    * `offset` / `timestamp` columns on the input — present on every
+    * canonical topic table.
+    *
+    *  - FromStart: the whole log (a fresh checkpoint reads from earliest).
+    *  - FromEnd: snapshot the input's high watermarks at deploy time and
+    *    process only records appended after them — per partition when the
+    *    input carries a `partition` column (`transform_from_end` stores
+    *    one offset per partition, `model/transform.h:118`), globally
+    *    otherwise; partitions absent from the snapshot start from 0.
+    *  - FromTimestamp: records with `timestamp >= t`
+    *    (`model/transform.h:149-160`).
+    *  - FromCommitted: resume after per-partition committed offsets when
+    *    an explicit commit table `(partition, committed_offset)` is given;
+    *    with none, the checkpoint IS the committed state and the stream
+    *    passes through (the default deploy path).
+    *
+    * The HWM / committed tables are bounded metadata (one row per
+    * partition) and broadcast; the log side never shuffles.
+    */
+  def applyStart(spark: SparkSession, input: Input, start: OffsetStart,
+      stream: DataFrame, committed: Option[DataFrame] = None): DataFrame = start match {
+    case FromStart => stream
+    case FromCommitted => committed match {
+      case None => stream
+      case Some(c) =>
+        val offs = c.select(col("partition"), col("committed_offset").as("__coff"))
+        stream.join(broadcast(offs), Seq("partition"), "left")
+          .where(col("__coff").isNull || col("offset") > col("__coff"))
+          .drop("__coff")
+    }
     case FromEnd =>
-      val row = input.batch(spark).agg(max("offset")).collect()(0)
-      val hwm = if (row.isNullAt(0)) -1L else row.getLong(0)
-      stream.where(col("offset") > hwm)
+      val b = input.batch(spark)
+      if (b.columns.contains("partition")) {
+        val hwm = b.groupBy("partition").agg(max("offset").as("__hwm"))
+        stream.join(broadcast(hwm), Seq("partition"), "left")
+          .where(col("__hwm").isNull || col("offset") > col("__hwm"))
+          .drop("__hwm")
+      } else {
+        val row = b.agg(max("offset")).collect()(0)
+        val hwm = if (row.isNullAt(0)) -1L else row.getLong(0)
+        stream.where(col("offset") > hwm)
+      }
     case FromTimestamp(ms) =>
       stream.where(col("timestamp") >= timestamp_millis(lit(ms)))
   }
@@ -161,4 +195,66 @@ object Transforms {
   /** Report running transforms (model/transform.h:320-344 report shape). */
   def report(spark: SparkSession): Seq[(String, String, Boolean)] =
     spark.streams.active.toSeq.map(q => (q.name, q.id.toString, q.isActive))
+
+  /**
+   * U4 management-plane fold: replay a deploy/pause/resume/delete command
+   * log `(seq, transform, op)` into the final per-transform state — the
+   * listing `transform_manager.cc` serves. Replay semantics:
+   * deploy (re)creates and runs; pause/resume toggle a live transform and
+   * no-op on a missing one; delete removes it (with its committed
+   * progress — see [[delete]]); a deploy after a delete is a fresh
+   * incarnation. Only transforms alive at the end are listed.
+   *
+   * The sequential replay collapses to aggregates because final state
+   * depends only on the current incarnation's window: ops after the last
+   * delete, from its first deploy on. Two keyed aggregate passes over the
+   * command log (both shuffles on `transform`, partial-agg absorbed) —
+   * no per-transform history is ever buffered, so a transform with a
+   * billion commands costs two combines, not a window sort.
+   */
+  def lifecycle(commandLog: DataFrame): DataFrame = {
+    val bounds = commandLog.groupBy("transform").agg(
+      coalesce(max(when(col("op") === "delete", col("seq"))), lit(-1L)).as("__last_del"),
+      sum(when(col("op") === "deploy", 1L).otherwise(0L)).as("n_deploys"),
+      sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"))
+    val current = commandLog.join(bounds, "transform")
+      .where(col("seq") > col("__last_del"))
+    // first deploy of the surviving incarnation; transforms with no deploy
+    // after their last delete are dead and drop out of the inner join
+    val deployed = current.where(col("op") === "deploy")
+      .groupBy("transform").agg(min(col("seq")).as("deployed_seq"))
+    current.join(deployed, "transform")
+      .where(col("seq") >= col("deployed_seq") &&
+        col("op").isin("deploy", "pause", "resume"))
+      .groupBy(col("transform"), col("deployed_seq"),
+        col("n_deploys"), col("n_deletes"))
+      .agg(max_by(col("op"), col("seq")).as("__last_op"),
+        max(col("seq")).as("last_seq"))
+      .select(col("transform"),
+        when(col("__last_op") === "pause", "paused").otherwise("running").as("state"),
+        col("n_deploys"), col("n_deletes"), col("deployed_seq"), col("last_seq"))
+  }
+
+  /**
+   * U4 error-state report (`model/transform.h:320-344`): fold a processor
+   * event log `(seq, transform, partition, kind ['start'|'commit'|'error'],
+   * committed_offset)` into per-(transform, partition) status — a
+   * processor is `errored` from its last error until a later start/commit,
+   * `running` otherwise — plus committed progress and lag against the
+   * partition's high watermark. One keyed aggregate over the event log;
+   * the HWM table `(partition, hwm)` is one row per partition, broadcast.
+   */
+  def statusReport(procLog: DataFrame, hwm: DataFrame): DataFrame =
+    procLog.groupBy("transform", "partition").agg(
+        max_by(col("kind"), col("seq")).as("__last_kind"),
+        max(when(col("kind") === "commit", col("committed_offset")))
+          .as("last_committed"),
+        sum((col("kind") === "error").cast("long")).as("n_errors"))
+      .join(broadcast(hwm), Seq("partition"))
+      .select(col("transform"), col("partition"),
+        when(col("__last_kind") === "error", "errored")
+          .otherwise("running").as("status"),
+        col("last_committed"),
+        (col("hwm") - coalesce(col("last_committed") + 1, lit(0L))).as("lag"),
+        col("n_errors"))
 }
