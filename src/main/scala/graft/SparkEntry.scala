@@ -636,6 +636,12 @@ object SparkEntry {
       TxnEngine.describeProducers(txnLog(s, dir))
         .orderBy("partition", "pid")),
 
+    "adm_describe_transactions" -> ((s, dir) =>
+      // Per-producer current-txn detail: state + exploded touched-
+      // partition list with per-partition start offset and footprint.
+      TxnEngine.describeTransactions(txnLog(s, dir))
+        .orderBy("pid", "partition")),
+
     "adm_describe_log_dirs" -> ((s, dir) =>
       graft.admin.Admin.describeLogDirs(eventLog(s, dir),
           length(col("props")).cast("long"))
@@ -877,6 +883,30 @@ object SparkEntry {
       val cmds = joins.unionByName(syncs).unionByName(beats).unionByName(leaderSyncs)
       graft.groups.GroupEngine.describeGroups(cmds, recovery = false,
           expireDeadline = Some(maxe * 99 / 100 * 3 + 2))
+        .orderBy("group")
+    }),
+
+    "g1_static_membership" -> ((s, dir) => {
+      // Static membership (KIP-345, group.h:520-528): every member is
+      // static (instance = i<user>), and every signup presents a FRESH
+      // member id (m<user>-<eventid>) — a client restart. A known
+      // instance's rejoin replaces its old member id with NO generation
+      // bump and NO rebalance; an error is an instance-keyed leave. The
+      // oracle derives generation from effective membership changes only
+      // and the leader/member ids from each instance's LAST join.
+      val ev = events(s, dir)
+      val grp = concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group")
+      val protos = array(lit("range"), lit("roundrobin")).as("protocols")
+      val inst = concat(lit("i"), col("user_id").cast("string")).as("instance")
+      val joins = ev.where(col("event_type") === "signup")
+        .select(grp, col("event_id").as("seq"),
+          concat(lit("m"), col("user_id").cast("string"), lit("-"),
+            col("event_id").cast("string")).as("member"),
+          lit("join").as("cmd"), protos, inst)
+      val leaves = ev.where(col("event_type") === "error")
+        .select(grp, col("event_id").as("seq"), lit("").as("member"),
+          lit("leave").as("cmd"), protos, inst)
+      graft.groups.GroupEngine.describeGroups(joins.unionByName(leaves))
         .orderBy("group")
     }),
 
@@ -1940,6 +1970,25 @@ object SparkEntry {
          | FROM dat d LEFT JOIN openp o ON d.partition = o.partition AND d.pid = o.pid
          | ORDER BY d.partition, d.pid""".stripMargin,
 
+    "adm_describe_transactions" ->
+      s"""$TxnCte,
+         | data AS (SELECT * FROM ofs WHERE NOT is_control AND batch_type = 1),
+         | latest AS (SELECT pid, max(txn_seq) AS txn_seq FROM data GROUP BY 1),
+         | touched AS (
+         |  SELECT d.pid, d.txn_seq, d.partition, CAST(0 AS INTEGER) AS producer_epoch,
+         |         min(d."offset") AS start_offset, max(d."offset") AS last_offset,
+         |         count(*) AS n_records
+         |  FROM data d JOIN latest l ON d.pid = l.pid AND d.txn_seq = l.txn_seq
+         |  GROUP BY 1, 2, 3),
+         | endedtx AS (SELECT DISTINCT pid, txn_seq, decision FROM ofs WHERE is_control)
+         | SELECT t.pid, t.txn_seq, t.partition,
+         |        CASE WHEN e.decision = 'commit' THEN 'CompleteCommit'
+         |             WHEN e.decision = 'abort' THEN 'CompleteAbort'
+         |             ELSE 'Ongoing' END AS state,
+         |        t.producer_epoch, t.start_offset, t.last_offset, t.n_records
+         | FROM touched t LEFT JOIN endedtx e ON t.pid = e.pid AND t.txn_seq = e.txn_seq
+         | ORDER BY t.pid, t.partition""".stripMargin,
+
     "adm_describe_log_dirs" ->
       s"""$LogCte SELECT partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
          |  count(*) AS n_records, max("offset") + 1 AS log_end_offset
@@ -2161,6 +2210,50 @@ object SparkEntry {
         |        'm' || CAST(l.leader_uid AS VARCHAR) AS leader,
         |        'range' AS protocol
         | FROM agg a JOIN l ON a.gi = l.gi ORDER BY 1""".stripMargin,
+
+    // Static-membership final state in SQL: generation counts only
+    // effective joins/leaves per (group, instance) — rejoins of a present
+    // instance replace the member id without bumping it; the surviving
+    // member id per instance is its LAST join; seniority (leader choice)
+    // is the last EFFECTIVE join.
+    "g1_static_membership" ->
+      """WITH mc AS (
+        |  SELECT user_id, event_id AS seq,
+        |         CASE WHEN event_type = 'signup' THEN 'join' ELSE 'leave' END AS cmd
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        | eff AS (
+        |  SELECT user_id, seq, cmd,
+        |         coalesce(lag(cmd) OVER (PARTITION BY user_id ORDER BY seq), 'leave') AS prev
+        |  FROM mc),
+        | e2 AS (SELECT * FROM eff
+        |        WHERE (cmd = 'join' AND prev = 'leave') OR (cmd = 'leave' AND prev = 'join')),
+        | gen AS (SELECT CAST(user_id % 3 AS INTEGER) AS gi, count(*) AS generation FROM e2 GROUP BY 1),
+        | last_eff AS (
+        |  SELECT user_id, cmd, seq,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn FROM e2),
+        | cur AS (SELECT user_id, seq AS joined_seq FROM last_eff WHERE rn = 1 AND cmd = 'join'),
+        | curid AS (
+        |  SELECT c.user_id, c.joined_seq,
+        |         'm' || CAST(c.user_id AS VARCHAR) || '-' || CAST(max(m.seq) AS VARCHAR) AS member_id
+        |  FROM cur c JOIN mc m ON c.user_id = m.user_id AND m.cmd = 'join'
+        |  GROUP BY 1, 2),
+        | nm AS (SELECT CAST(user_id % 3 AS INTEGER) AS gi, count(*) AS n_members FROM cur GROUP BY 1),
+        | ldr AS (SELECT gi, member_id AS leader FROM (
+        |    SELECT CAST(user_id % 3 AS INTEGER) AS gi, member_id,
+        |           row_number() OVER (PARTITION BY user_id % 3 ORDER BY joined_seq) AS rn
+        |    FROM curid) WHERE rn = 1),
+        | grps AS (SELECT DISTINCT CAST(user_id % 3 AS INTEGER) AS gi FROM mc)
+        | SELECT 'g' || CAST(g.gi AS VARCHAR) AS "group",
+        |        CASE WHEN coalesce(n.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state,
+        |        coalesce(ge.generation, 0) AS generation,
+        |        coalesce(n.n_members, 0) AS n_members,
+        |        coalesce(l.leader, '') AS leader,
+        |        CASE WHEN coalesce(n.n_members, 0) = 0 THEN '' ELSE 'range' END AS protocol
+        | FROM grps g
+        | LEFT JOIN gen ge ON g.gi = ge.gi
+        | LEFT JOIN nm n ON g.gi = n.gi
+        | LEFT JOIN ldr l ON g.gi = l.gi
+        | ORDER BY 1""".stripMargin,
 
     "g2_group_offsets" ->
       """SELECT "group", topic, partition, committed_offset FROM (
@@ -2752,6 +2845,7 @@ object SparkEntry {
         |       UNNEST(range(len(sp))) AS t(p)),
         | boiler AS (
         |  SELECT trim(lower(line)) AS norm FROM lines
+        |  WHERE trim(lower(line)) <> ''
         |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10),
         | kept AS (
         |  SELECT l.doc_id, l.pos, l.line FROM lines l

@@ -307,7 +307,7 @@ object Admin {
     (50, "describe_user_scram_credentials", "security.Scram.describeCredentials"),
     (51, "alter_user_scram_credentials", "security.Scram.currentCredentials"),
     (61, "describe_producers", "log.TxnEngine.describeProducers"),
-    (65, "describe_transactions", "log.TxnEngine"),
+    (65, "describe_transactions", "log.TxnEngine.describeTransactions"),
     (66, "list_transactions", "log.TxnEngine.listTransactions"))
 
   def apiVersions(spark: SparkSession): DataFrame = {

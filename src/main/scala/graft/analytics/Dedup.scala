@@ -167,9 +167,12 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val cand = labels.join(edges, labels("node") === edges("a"))
         .groupBy(col("b").as("nbr")).agg(min("lbl").as("nlbl"))
+      // checkpointed: referenced twice below (as itself and as jmap) —
+      // without it the neighbor-min join recomputes once per reference
       val stepped = labels.join(cand, labels("node") === cand("nbr"), "left")
         .select(col("node"), col("lbl").as("__prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // pointer jump: adopt the current label of your label
       val jmap = stepped.select(col("node").as("__jn"), col("lbl").as("__jl"))
       val next = stepped.join(jmap, stepped("lbl") === col("__jn"), "left")
@@ -209,7 +212,11 @@ object Dedup {
     val lines = df.select(idCol.as("doc_id"),
         posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
       .withColumn("norm", trim(lower(col("line"))))
-    val freq = lines.groupBy("norm")
+    // blank/whitespace-only lines all normalize to "" and would cross the
+    // frequency bar in any real corpus — they are intra-document structure
+    // (paragraph breaks), not boilerplate, so they never enter the set
+    val freq = lines.where(length(col("norm")) > 0)
+      .groupBy("norm")
       .agg(countDistinct("doc_id").as("n_docs"))
       .where(col("n_docs") > maxDocs)
       .select(col("norm"), lit(true).as("__boiler"))

@@ -110,12 +110,14 @@ object TextAnalysis {
    * Machine-generated or boilerplate text scores high on the top-n-gram
    * fractions and low on distinctness; natural prose does not.
    *
-   * Shape at 100 TB: one explode per n-gram order into a
-   * groupBy(doc_id, gram) count — map-side partial aggregation absorbs
-   * the within-document repetition (exactly the skew the metric
-   * detects), then a per-doc max. No all-pairs, no windows over the
-   * corpus. All ratios are single IEEE divisions of exact ints, so any
-   * engine re-derives them bit-identically.
+   * Shape at 100 TB: ONE explode pass over the corpus — both n-gram
+   * orders ride the same exploded (order, gram) table — into a
+   * groupBy(doc_id, order, gram) count; map-side partial aggregation
+   * absorbs the within-document repetition (exactly the skew the metric
+   * detects), then a per-doc conditional max collapses both orders in
+   * one aggregate. No all-pairs, no windows over the corpus. All ratios
+   * are single IEEE divisions of exact ints, so any engine re-derives
+   * them bit-identically.
    */
   def repetitionFeatures(df: DataFrame, idCol: Column, textCol: Column,
       maxWordFrac: Double = 0.2, maxBigramFrac: Double = 0.18): DataFrame = {
@@ -125,15 +127,20 @@ object TextAnalysis {
       size(array_distinct(tokens(col("__text")))).as("n_distinct"))
     // Dedup.shingles is length-guarded (docs shorter than n produce no
     // grams); such docs re-enter through the left join with top count 0.
-    def topGramCount(n: Int): DataFrame =
-      base.select(col("doc_id"), explode(Dedup.shingles(col("__text"), n)).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as(s"top_${n}gram"))
+    def tagged(n: Int) =
+      transform(Dedup.shingles(col("__text"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    val tops = base
+      .select(col("doc_id"), explode(concat(tagged(1), tagged(2))).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(when(col("n") === 1, col("c"))).as("top_1gram"),
+        max(when(col("n") === 2, col("c"))).as("top_2gram"))
     val wordFrac = col("top_1gram").cast("double") / col("n_words").cast("double")
     val bigramFrac = col("top_2gram").cast("double") / (col("n_words") - 1).cast("double")
     stats
-      .join(topGramCount(1), Seq("doc_id"), "left")
-      .join(topGramCount(2), Seq("doc_id"), "left")
+      .join(tops, Seq("doc_id"), "left")
       .na.fill(0L, Seq("top_1gram", "top_2gram"))
       .select(col("doc_id"), col("n_words"),
         (col("n_distinct").cast("double") / col("n_words").cast("double")).as("distinct_frac"),

@@ -80,29 +80,39 @@ object Assignment {
   /**
    * `sticky` (KIP-54 objective, deterministic one-shot form): every
    * prior-assignment row whose member is still in the group and whose
-   * partition still exists is KEPT; orphaned partitions (departed
-   * owners, brand-new partitions) fill members up to
-   * `target = ceil(total / M)` capacity, least-loaded member first.
+   * partition still exists is kept UP TO the balance target
+   * `target = ceil(total / M)` — a member holding more than target
+   * (e.g. after new members join) REVOKES its excess, highest
+   * (topic, partition) rows first, into the orphan pool. Orphaned
+   * partitions (departed owners, new partitions, revocations) then fill
+   * members up to target capacity, least-loaded member first.
    * Concretely: each member with `deficit = target - kept_load > 0`
    * contributes that many slots; slots order by (round, kept_load,
    * member_id) so each "round" gives one slot to every member that
    * still has room — exactly iterative least-loaded assignment,
    * expressed as one join; orphans in (topic, partition) order take
-   * slots in order. Both stickiness (kept rows never move) and balance
-   * (no member exceeds target) hold by construction.
+   * slots in order. Stickiness (kept rows never move) is subordinate to
+   * balance (no member exceeds target), as in KIP-54; both hold by
+   * construction.
    */
   def stickyAssign(prior: DataFrame, members: DataFrame, topics: DataFrame): DataFrame = {
     val m = ranked(members)
     val mc = m.count()
     val parts = partitionsOf(topics).select("topic", "partition")
-    val kept = parts.join(
-      prior.join(m.select("member_id"), Seq("member_id"))
-        .select("topic", "partition", "member_id"),
-      Seq("topic", "partition"))
-    val orphans = parts.join(kept.select("topic", "partition"),
-      Seq("topic", "partition"), "left_anti")
     val total = parts.count()
     val target = (total + mc - 1) / mc
+    // revoke excess above target: the per-member rank window is bounded
+    // by that member's prior load, never the corpus
+    val keptW = Window.partitionBy("member_id").orderBy("topic", "partition")
+    val kept = parts.join(
+        prior.join(m.select("member_id"), Seq("member_id"))
+          .select("topic", "partition", "member_id"),
+        Seq("topic", "partition"))
+      .withColumn("__rk", row_number().over(keptW))
+      .where(col("__rk") <= target)
+      .drop("__rk")
+    val orphans = parts.join(kept.select("topic", "partition"),
+      Seq("topic", "partition"), "left_anti")
     val loads = m.select(col("member_id"))
       .join(kept.groupBy("member_id").agg(count(lit(1)).as("__load")), Seq("member_id"), "left")
       .withColumn("__load", coalesce(col("__load"), lit(0L)))

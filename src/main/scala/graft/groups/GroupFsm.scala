@@ -43,10 +43,17 @@ object GroupFsm {
   }
 
   sealed trait Command { def seq: Long; def member: String }
-  final case class Join(seq: Long, member: String, protocols: Seq[String]) extends Command
+  /** `instance` = `group.instance.id` (static membership, KIP-345): a
+    * known instance rejoining under a NEW member id replaces its old
+    * member without a rebalance (`kafka/server/group.h:520-528`). */
+  final case class Join(seq: Long, member: String, protocols: Seq[String],
+      instance: Option[String] = None) extends Command
   final case class Sync(seq: Long, member: String) extends Command
   final case class Heartbeat(seq: Long, member: String) extends Command
-  final case class Leave(seq: Long, member: String) extends Command
+  /** A static member may leave by instance id alone (member resolved
+    * through the instance map, `group.h:922` `_static_members`). */
+  final case class Leave(seq: Long, member: String,
+      instance: Option[String] = None) extends Command
 
   /** joinedSeq = when the member last (re)joined; lastSeen = seq of its
     * last join/sync/heartbeat (drives session expiry); protocols =
@@ -60,7 +67,8 @@ object GroupFsm {
       leader: Option[String] = None,
       protocol: Option[String] = None,
       members: Map[String, Member] = Map.empty,
-      pendingSync: Boolean = false) {
+      pendingSync: Boolean = false,
+      staticInstances: Map[String, String] = Map.empty) {
     def earliestMember: Option[String] =
       if (members.isEmpty) None
       else Some(members.values.minBy(m => (m.joinedSeq, m.id)).id)
@@ -89,16 +97,43 @@ object GroupFsm {
     }
   }
 
+  /** A known static instance rejoining (usually under a fresh member id,
+    * e.g. after a client restart): the new id replaces the old member
+    * in place, keeping its join seniority — and when the group is settled
+    * and the protocols are unchanged, WITHOUT a rebalance or generation
+    * bump (`group.h:520-528` add/replace/update static member). Returns
+    * None when the join is not a static replacement. */
+  private def replaceStatic(g: Group, cmd: Join): Option[Group] =
+    for {
+      i <- cmd.instance
+      old <- g.staticInstances.get(i)
+      om <- g.members.get(old)
+    } yield {
+      val replaced = g.copy(
+        members = g.members - old +
+          (cmd.member -> Member(cmd.member, cmd.protocols, om.joinedSeq, lastSeen = cmd.seq)),
+        staticInstances = g.staticInstances.updated(i, cmd.member),
+        leader = g.leader.map(l => if (l == old) cmd.member else l))
+      if (g.state == State.Stable && om.protocols == cmd.protocols) replaced
+      else replaced.copy(state = State.PreparingRebalance)
+    }
+
+  private def registerInstance(g: Group, instance: Option[String], m: String): Map[String, String] =
+    instance.fold(g.staticInstances)(i => g.staticInstances.updated(i, m))
+
   /** One live-mode FSM step. */
   def step(g: Group, cmd: Command): Group = cmd match {
-    case Join(seq, m, protos) =>
-      val known = g.members.contains(m)
-      val kept = if (known) g.members(m).joinedSeq else seq
-      val updated = g.copy(members =
-        g.members.updated(m, Member(m, protos, kept, lastSeen = seq)))
-      if (known && g.state == State.Stable && g.members(m).protocols == protos)
-        updated // rejoin: refresh liveness, no rebalance
-      else updated.copy(state = State.PreparingRebalance)
+    case j @ Join(seq, m, protos, instance) =>
+      replaceStatic(g, j).getOrElse {
+        val known = g.members.contains(m)
+        val kept = if (known) g.members(m).joinedSeq else seq
+        val updated = g.copy(
+          members = g.members.updated(m, Member(m, protos, kept, lastSeen = seq)),
+          staticInstances = registerInstance(g, instance, m))
+        if (known && g.state == State.Stable && g.members(m).protocols == protos)
+          updated // rejoin: refresh liveness, no rebalance
+        else updated.copy(state = State.PreparingRebalance)
+      }
     case Sync(seq, m) =>
       // Sync from an unknown member is rejected with no state change
       // (the reference answers UNKNOWN_MEMBER_ID and leaves the group as-is).
@@ -117,7 +152,8 @@ object GroupFsm {
         }
       }
     case Heartbeat(seq, m) => touch(g, m, seq) // liveness only
-    case Leave(_, m) => removeMember(g, m)
+    case Leave(_, m, instance) =>
+      removeMember(g, instance.flatMap(g.staticInstances.get).getOrElse(m))
   }
 
   private def touch(g: Group, m: String, seq: Long): Group =
@@ -131,7 +167,9 @@ object GroupFsm {
     else {
       val rest = g.members - m
       if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
-      else g.copy(members = rest, state = State.PreparingRebalance,
+      else g.copy(members = rest,
+        staticInstances = g.staticInstances.filterNot(_._2 == m),
+        state = State.PreparingRebalance,
         leader = if (g.leader.contains(m)) None else g.leader)
     }
 
@@ -145,24 +183,37 @@ object GroupFsm {
       .foldLeft(g)(removeMember)
 
   /** One recovery-mode step: membership changes complete immediately
-    * (no sync barrier, as in group_recovery_consumer log replay). */
+    * (no sync barrier, as in group_recovery_consumer log replay). A
+    * static replacement with unchanged protocols completes with NO
+    * generation bump — the member swap never triggered a rebalance. */
   def recoveryStep(g: Group, cmd: Command): Group = cmd match {
-    case Join(seq, m, protos) =>
-      val known = g.members.contains(m)
-      if (known && g.members(m).protocols == protos)
-        touch(g, m, seq) // idempotent rejoin still proves liveness
-      else {
-        val updated = g.copy(members =
-          g.members.updated(m, Member(m, protos,
-            if (known) g.members(m).joinedSeq else seq, lastSeen = seq)))
-        completeJoin(updated).copy(state = State.Stable)
+    case j @ Join(seq, m, protos, instance) =>
+      replaceStatic(g, j) match {
+        case Some(replaced) =>
+          if (replaced.state == State.PreparingRebalance) // protocols changed
+            completeJoin(replaced).copy(state = State.Stable)
+          else replaced
+        case None =>
+          val known = g.members.contains(m)
+          if (known && g.members(m).protocols == protos)
+            touch(g, m, seq) // idempotent rejoin still proves liveness
+          else {
+            val updated = g.copy(members =
+              g.members.updated(m, Member(m, protos,
+                if (known) g.members(m).joinedSeq else seq, lastSeen = seq)),
+              staticInstances = registerInstance(g, instance, m))
+            completeJoin(updated).copy(state = State.Stable)
+          }
       }
-    case Leave(_, m) =>
-      if (!g.members.contains(m)) g
+    case Leave(_, m, instance) =>
+      val mid = instance.flatMap(g.staticInstances.get).getOrElse(m)
+      if (!g.members.contains(mid)) g
       else {
-        val rest = g.members - m
+        val rest = g.members - mid
         if (rest.isEmpty) Group(state = State.Empty, generation = g.generation + 1)
-        else completeJoin(g.copy(members = rest)).copy(state = State.Stable)
+        else completeJoin(g.copy(members = rest,
+          staticInstances = g.staticInstances.filterNot(_._2 == mid)))
+          .copy(state = State.Stable)
       }
     // sync/heartbeat carry no membership change on recovery replay, but
     // their seqs still advance lastSeen so expireSessions stays valid.
@@ -180,15 +231,16 @@ object GroupFsm {
 /** Distributed application of the FSM over a command-log DataFrame. */
 object GroupEngine {
 
-  final case class Cmd(group: String, seq: Long, member: String, cmd: String, protocols: Seq[String])
+  final case class Cmd(group: String, seq: Long, member: String, cmd: String,
+      protocols: Seq[String], instance: Option[String] = None)
   final case class GroupSummary(
       group: String, state: String, generation: Long,
       n_members: Long, leader: String, protocol: String)
 
   private def toCommand(c: Cmd): GroupFsm.Command = c.cmd match {
-    case "join"  => GroupFsm.Join(c.seq, c.member, c.protocols)
+    case "join"  => GroupFsm.Join(c.seq, c.member, c.protocols, c.instance)
     case "sync"  => GroupFsm.Sync(c.seq, c.member)
-    case "leave" => GroupFsm.Leave(c.seq, c.member)
+    case "leave" => GroupFsm.Leave(c.seq, c.member, c.instance)
     case _       => GroupFsm.Heartbeat(c.seq, c.member)
   }
 
@@ -235,8 +287,12 @@ object GroupEngine {
     import spark.implicits._
     // Secondary sort: hash-partition by group, sort runs within each
     // partition, then fold each run streamingly (no per-group toSeq).
-    commandLog
-      .select(col("group"), col("seq").cast("long"), col("member"), col("cmd"), col("protocols"))
+    val withInstance =
+      if (commandLog.columns.contains("instance")) commandLog
+      else commandLog.withColumn("instance", lit(null).cast("string"))
+    withInstance
+      .select(col("group"), col("seq").cast("long"), col("member"), col("cmd"),
+        col("protocols"), col("instance"))
       .as[Cmd]
       .repartition(col("group"))
       .sortWithinPartitions(col("group"), col("seq"), col("member"))

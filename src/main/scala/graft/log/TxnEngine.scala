@@ -229,6 +229,34 @@ object TxnEngine {
   }
 
   /**
+   * describe_transactions (`kafka/server/handlers/describe_transactions.cc`):
+   * per producer's CURRENT (latest) transaction, the coordinator-visible
+   * detail the handler serves — state, producer epoch, the transaction's
+   * start offset on each partition it touched, and its data footprint —
+   * one row per (pid, touched partition), i.e. T3's add_partitions list
+   * exploded. Two aggregates keyed on (pid[, txn_seq], partition) plus a
+   * join to the tiny distinct-marker set; no windows, no driver state.
+   */
+  def describeTransactions(log: DataFrame): DataFrame = {
+    val data = log.where(!col("is_control") && col("batch_type") === BatchType.RaftData)
+    val latest = data.groupBy("pid").agg(max("txn_seq").as("txn_seq"))
+    val touched = data.join(latest, Seq("pid", "txn_seq"))
+      .groupBy("pid", "txn_seq", "partition")
+      .agg(max("epoch").as("producer_epoch"),
+        min("offset").as("start_offset"), max("offset").as("last_offset"),
+        count(lit(1)).as("n_records"))
+    val ended = log.where(col("is_control"))
+      .select("pid", "txn_seq", "decision").distinct()
+    touched.join(ended, Seq("pid", "txn_seq"), "left")
+      .select(col("pid"), col("txn_seq"), col("partition"),
+        when(col("decision") === "commit", "CompleteCommit")
+          .when(col("decision") === "abort", "CompleteAbort")
+          .otherwise("Ongoing").as("state"),
+        col("producer_epoch"), col("start_offset"), col("last_offset"),
+        col("n_records"))
+  }
+
+  /**
    * describe_producers (`kafka/server/handlers/describe_producers.cc`):
    * per (partition, producer) — latest epoch, last produced offset, data
    * record count, and the first offset of its currently-open transaction

@@ -131,9 +131,12 @@ object Scram {
   def authenticate(attempts: DataFrame, creds: DataFrame): DataFrame = {
     val verify = udf { (password: String, mechName: String, salt: Array[Byte],
         stored: Array[Byte], iterations: Int) =>
-      val mech = mechanism(mechName)
-      val derived = storedKey(clientKey(hi(password, salt, iterations, mech), mech), mech)
-      MessageDigest.isEqual(derived, stored)
+      // null-safe: a null password is a failed attempt, not a job failure
+      password != null && {
+        val mech = mechanism(mechName)
+        val derived = storedKey(clientKey(hi(password, salt, iterations, mech), mech), mech)
+        MessageDigest.isEqual(derived, stored)
+      }
     }
     val c = broadcast(creds.select(
       col("user").as("c_user"), col("mechanism").as("c_mech"),

@@ -108,6 +108,66 @@ class GroupFsmSpec extends AnyFunSuite {
     assert(g.leader === Some("m1")) // earliest joinedSeq (1 < 7)
     assert(g.members("m2").joinedSeq === 7) // rejoin after leave resets join seq
   }
+
+  // --- static membership (KIP-345; group.h:520-528, _static_members :922) ---
+
+  test("static rejoin under a new member id: no rebalance, no generation bump") {
+    val base = Seq(
+      Join(1, "m1", P, instance = Some("i1")),
+      Join(2, "m2", P, instance = Some("i2")),
+      Sync(3, "m1")) // gen 1, stable, leader m1
+    val g = replay(base :+ Join(4, "m2b", P, instance = Some("i2")))
+    assert(g.state === State.Stable)       // NO rebalance
+    assert(g.generation === 1)             // NO generation bump
+    assert(g.members.keySet === Set("m1", "m2b")) // m2 replaced in place
+    assert(g.members("m2b").joinedSeq === 2)      // seniority kept
+    assert(g.leader === Some("m1"))
+  }
+
+  test("static leader restart keeps leadership under the new member id") {
+    val g = replay(Seq(
+      Join(1, "m1", P, instance = Some("i1")),
+      Join(2, "m2", P, instance = Some("i2")),
+      Sync(3, "m1"),
+      Join(4, "m1b", P, instance = Some("i1"))))
+    assert(g.state === State.Stable)
+    assert(g.generation === 1)
+    assert(g.leader === Some("m1b"))
+  }
+
+  test("static rejoin with CHANGED protocols still rebalances") {
+    val g = replay(Seq(
+      Join(1, "m1", P, instance = Some("i1")),
+      Join(2, "m2", P, instance = Some("i2")),
+      Sync(3, "m1"),
+      Join(4, "m2b", Seq("sticky"), instance = Some("i2"))))
+    assert(g.state === State.PreparingRebalance)
+    assert(g.members.keySet === Set("m1", "m2b"))
+  }
+
+  test("instance-keyed leave removes the static member and rebalances") {
+    val g = replay(Seq(
+      Join(1, "m1", P, instance = Some("i1")),
+      Join(2, "m2", P, instance = Some("i2")),
+      Sync(3, "m1"),
+      Join(4, "m2b", P, instance = Some("i2")), // restart first
+      Leave(5, "", instance = Some("i2"))))     // then leave by instance id
+    assert(g.members.keySet === Set("m1"))
+    assert(g.state === State.PreparingRebalance)
+    assert(g.staticInstances === Map("i1" -> "m1"))
+  }
+
+  test("a left instance rejoining is a NEW member: generation bumps, seniority resets") {
+    val g = replayRecovery(Seq(
+      Join(1, "m1", P, instance = Some("i1")),  // gen 1
+      Join(2, "m2", P, instance = Some("i2")),  // gen 2
+      Join(3, "m2b", P, instance = Some("i2")), // static replace: still gen 2
+      Leave(4, "", instance = Some("i2")),      // gen 3
+      Join(5, "m2c", P, instance = Some("i2")))) // effective join: gen 4
+    assert(g.generation === 4)
+    assert(g.members("m2c").joinedSeq === 5)
+    assert(g.leader === Some("m1"))
+  }
 }
 
 /** Distributed describe_groups over a command-log DataFrame. */
