@@ -44,10 +44,15 @@ object Bench {
       force(SparkEntry.queries.head._2(spark, sfDir))
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        // Every ~20 entries, drop cached tables and nudge the context
+        // cleaner: the 100+-entry suite otherwise accumulates old-gen
+        // broadcasts that tax every subsequent sub-second query.
+        if (i > 0 && i % 20 == 0) { spark.catalog.clearCache(); System.gc() }
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
 
     // Produce/fetch throughput in rows/s and MB/s. Two byte measures:
@@ -56,32 +61,41 @@ object Bench {
     // figure is the apples-to-apples one against BASELINE's OMB MB/s,
     // which counts uncompressed 1 KiB message payloads.
     val eventsBytes = new java.io.File(s"$sfDir/events.parquet").length().toDouble
-    val rawBytes: Double = {
+    def rawBytesOf(df: DataFrame): Double = {
       import org.apache.spark.sql.types.{BinaryType, StringType}
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      val widths = ev.schema.fields.map { f =>
+      val widths = df.schema.fields.map { f =>
         f.dataType match {
           case StringType | BinaryType => coalesce(length(col(f.name)).cast("long"), lit(0L))
           case _                       => lit(8L)
         }
       }
-      ev.agg(sum(widths.reduce(_ + _))).collect()(0).getLong(0).toDouble
+      df.agg(sum(widths.reduce(_ + _))).collect()(0).getLong(0).toDouble
     }
+    val rawBytes = rawBytesOf(spark.read.parquet(s"$sfDir/events.parquet"))
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    // Steady-state throughput: best of two runs. By this point ~100 query
-    // plans have churned the JVM (old-gen broadcasts, deoptimized code
-    // paths); a single cold run under-reports what a long-lived engine
-    // sustains, which is the figure BASELINE's sustained-rate gate is
-    // about. The first run re-JITs the path, the better run is reported.
-    def timedBest[A](f: => A): (A, Double) = {
+    // Both figures are reported: cold (first run, includes plan/JIT cost a
+    // fresh engine pays once) and steady (better of two runs — what a
+    // long-lived engine sustains, which is the figure BASELINE's
+    // sustained-rate gate is about). The headline *_per_s keys keep the
+    // steady figure; *_cold_* keys make the comparison basis explicit.
+    def timedBoth[A](f: => A): (A, Double, Double) = {
       val r1 = timed(f); val r2 = timed(f)
-      if (r2._2 < r1._2) r2 else r1
+      (r1._1, r1._2, math.min(r1._2, r2._2))
     }
-    val (produceRows, produceSec) = timedBest(force(SparkEntry.fullLog(spark, sfDir)))
-    val (fetchRows, fetchSec) = timedBest(
+    val (produceRows, produceCold, produceSec) =
+      timedBoth(force(SparkEntry.fullLog(spark, sfDir)))
+    val (fetchRows, fetchCold, fetchSec) = timedBoth(
       force(SparkEntry.fullLog(spark, sfDir).where(col("offset") >= 0)))
+    // 1 KiB-payload variant: apples-to-apples with BASELINE's OMB rows
+    // (CommonWorkload, 1 KiB messages, >= 70 MB/s produce on 3 brokers).
+    val rawBytes1k = rawBytesOf(
+      SparkEntry.fullLog1k(spark, sfDir).drop("partition", "offset"))
+    val (_, produce1kCold, produce1kSec) =
+      timedBoth(force(SparkEntry.fullLog1k(spark, sfDir)))
+    val (_, _, fetch1kSec) = timedBoth(
+      force(SparkEntry.fullLog1k(spark, sfDir).where(col("offset") >= 0)))
     // Steady-state streaming produce: the events table appended 4 times as
     // sequential micro-batches (maxFilesPerTrigger=1), durably written,
     // offsets continuing across batches from coordinator HWM state. A tiny
@@ -112,11 +126,16 @@ object Bench {
     val (streamRows, streamSec) = timed(runStream(StreamLinks, sfDir))
     val thr =
       s""""throughput":{"produce_rows_per_s":${produceRows / produceSec},""" +
+      s""""produce_cold_rows_per_s":${produceRows / produceCold},""" +
       s""""produce_mb_per_s":${eventsBytes / 1e6 / produceSec},""" +
       s""""produce_raw_mb_per_s":${rawBytes / 1e6 / produceSec},""" +
+      s""""produce_1k_raw_mb_per_s":${rawBytes1k / 1e6 / produce1kSec},""" +
+      s""""produce_1k_cold_raw_mb_per_s":${rawBytes1k / 1e6 / produce1kCold},""" +
       s""""fetch_rows_per_s":${fetchRows / fetchSec},""" +
+      s""""fetch_cold_rows_per_s":${fetchRows / fetchCold},""" +
       s""""fetch_mb_per_s":${eventsBytes / 1e6 / fetchSec},""" +
       s""""fetch_raw_mb_per_s":${rawBytes / 1e6 / fetchSec},""" +
+      s""""fetch_1k_raw_mb_per_s":${rawBytes1k / 1e6 / fetch1kSec},""" +
       s""""stream_produce_rows_per_s":${streamRows / streamSec},""" +
       s""""stream_produce_mb_per_s":${StreamLinks * eventsBytes / 1e6 / streamSec},""" +
       s""""stream_produce_raw_mb_per_s":${StreamLinks * rawBytes / 1e6 / streamSec}}"""

@@ -100,6 +100,17 @@ object SparkEntry {
     * produce path stamps offsets onto complete records, not a projection). */
   def fullLog(s: SparkSession, dir: String): DataFrame = eventLog(s, dir)
 
+  /** [[fullLog]] with the payload column padded to 1 KiB — the OMB message
+    * size BASELINE's MB/s rows are measured at (46-byte test rows make the
+    * raw-byte comparison meaningless otherwise). Same two-phase assignment
+    * path as the production log; only the payload width changes. */
+  def fullLog1k(s: SparkSession, dir: String): DataFrame =
+    RecordLog.assignOffsetsScalable(
+      events(s, dir).withColumn("props",
+        rpad(coalesce(col("props"), lit("")), 1024, "x")),
+      pmod(col("user_id"), lit(EventPartitions)), col("event_id"),
+      chunkCol = floor(col("event_id") / OffsetChunk))
+
   private val dec = DecimalType(12, 2)
   private def d(c: Column): Column = c.cast(dec)
   private val one = lit(1).cast(dec)
@@ -162,6 +173,109 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  // -------------------------------------------- fetch-session scenario
+
+  /**
+   * Deterministic KIP-227 request log derived from events: 8 sessions
+   * (user_id % 8), one single-partition request per event in event_id
+   * order. Each session's requests chunk into eras of 10: the era's
+   * first request is a full fetch (epoch 0); 'signup' rows close the
+   * session (FINAL_EPOCH -1, so the rest of the era lands not_found);
+   * 'error' rows carry a deliberately wrong epoch (era offset + 50);
+   * the rest carry exactly the epoch the FSM expects — era offset minus
+   * the error rows so far, which did not advance it. Request partition
+   * rows: topic 'events', partition event_id % 8, fetch_offset
+   * (event_id*31) % (N/4) — straddling the partition HWMs (~N/8) so the
+   * delta rule exercises both inclusion and omission — and 'purchase'
+   * rows forget their partition. Returns (requests, partitionRows, hwms).
+   */
+  private def fsnScenario(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val ev = events(s, dir)
+    val sid = concat(lit("s"), pmod(col("user_id"), lit(8)).cast("string"))
+    val sw = Window.partitionBy("session_id").orderBy("seq")
+    val base = ev.select(sid.as("session_id"), col("event_id").as("seq"), col("event_type"))
+      .withColumn("off", pmod(row_number().over(sw) - 1, lit(10)))
+      .withColumn("era0", floor((row_number().over(sw) - 1) / 10.0))
+    val ew = Window.partitionBy("session_id", "era0").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val reqs = base
+      .withColumn("errs",
+        coalesce(sum(when(col("event_type") === "error", 1L)).over(ew), lit(0L)))
+      .select(col("session_id"), col("seq"),
+        when(col("off") === 0, 0)
+          .when(col("event_type") === "signup", -1)
+          .when(col("event_type") === "error", col("off") + 50)
+          .otherwise(col("off") - col("errs")).cast("int").as("epoch"))
+    val prows = ev
+      .crossJoin(broadcast(ev.agg(
+        greatest(floor(count(lit(1)) / 4), lit(1L)).cast("long").as("__m"))))
+      .select(sid.as("session_id"), col("event_id").as("seq"),
+        lit("events").as("topic"),
+        pmod(col("event_id"), lit(8)).cast("int").as("partition"),
+        pmod(col("event_id") * 31, col("__m")).as("fetch_offset"),
+        (col("event_type") === "purchase").as("forget"))
+    val hwms = ev
+      .groupBy(pmod(col("event_id"), lit(8)).cast("int").as("partition"))
+      .agg(count(lit(1)).as("hwm"))
+      .select(lit("events").as("topic"), col("partition"), col("hwm"))
+    (reqs, prows, hwms)
+  }
+
+  /** The fetch-session request log + oracle CTE prefix, shared by the
+    * three fsn_* oracles: synthesis of the request epochs and the
+    * recursive-CTE replay of the epoch FSM (the Spark side folds it in
+    * one per-session pass — [[graft.log.FetchSessions.validateEpochs]]). */
+  private val FsnCte =
+    """WITH RECURSIVE req AS (
+      |  SELECT 's' || CAST(user_id % 8 AS VARCHAR) AS session_id,
+      |         CAST(event_id AS BIGINT) AS seq, event_type,
+      |         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) AS rn
+      |  FROM events),
+      | rq AS (
+      |  SELECT session_id, seq, rn,
+      |         COALESCE(count(*) FILTER (WHERE event_type = 'error') OVER (
+      |           PARTITION BY session_id, (rn-1)//10 ORDER BY seq
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS errs,
+      |         event_type, (rn-1) % 10 AS off
+      |  FROM req),
+      | r AS (
+      |  SELECT session_id, seq, rn,
+      |         CAST(CASE WHEN off = 0 THEN 0
+      |              WHEN event_type = 'signup' THEN -1
+      |              WHEN event_type = 'error' THEN off + 50
+      |              ELSE off - errs END AS INT) AS epoch
+      |  FROM rq),
+      | d AS (
+      |  SELECT session_id, rn, seq, epoch,
+      |         CASE WHEN epoch = 0 THEN 'created'
+      |              WHEN epoch = -1 THEN 'closed'
+      |              ELSE 'not_found' END AS decision,
+      |         (epoch = 0) AS live,
+      |         CASE WHEN epoch = 0 THEN 1 ELSE 0 END AS expected
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r2.session_id, r2.rn, r2.seq, r2.epoch,
+      |         CASE WHEN r2.epoch = 0 THEN 'created'
+      |              WHEN r2.epoch = -1 THEN 'closed'
+      |              WHEN NOT d.live THEN 'not_found'
+      |              WHEN r2.epoch = d.expected THEN 'ok'
+      |              ELSE 'invalid_epoch' END,
+      |         CASE WHEN r2.epoch = 0 THEN true
+      |              WHEN r2.epoch = -1 THEN false
+      |              ELSE d.live END,
+      |         CASE WHEN r2.epoch = 0 THEN 1
+      |              WHEN r2.epoch = -1 THEN 0
+      |              WHEN d.live AND r2.epoch = d.expected THEN d.expected + 1
+      |              ELSE d.expected END
+      |  FROM d JOIN r r2 ON r2.session_id = d.session_id AND r2.rn = d.rn + 1),
+      | prows AS (
+      |  SELECT 's' || CAST(user_id % 8 AS VARCHAR) AS session_id,
+      |         CAST(event_id AS BIGINT) AS seq, 'events' AS topic,
+      |         CAST(event_id % 8 AS INT) AS partition,
+      |         (event_id * 31) % greatest((SELECT count(*)//4 FROM events), 1) AS fetch_offset,
+      |         (event_type = 'purchase') AS forget
+      |  FROM events)""".stripMargin
 
   // ------------------------------------------------ avro registry scenario
 
@@ -511,6 +625,30 @@ object SparkEntry {
 
     "q6_metadata" -> ((s, dir) =>
       graft.admin.Admin.metadata(eventLog(s, dir), "events").orderBy("partition")),
+
+    // ----- §2.3 incremental fetch sessions (KIP-227) -----
+    "fsn_epochs" -> ((s, dir) => {
+      val (reqs, _, _) = fsnScenario(s, dir)
+      graft.log.FetchSessions.validateEpochs(reqs,
+          col("session_id"), col("seq"), col("epoch"))
+        .orderBy("session_id", "seq")
+    }),
+
+    "fsn_state" -> ((s, dir) => {
+      val (reqs, prows, _) = fsnScenario(s, dir)
+      val d = graft.log.FetchSessions.validateEpochs(reqs,
+        col("session_id"), col("seq"), col("epoch"))
+      graft.log.FetchSessions.sessionState(prows, d)
+        .orderBy("session_id", "topic", "partition")
+    }),
+
+    "fsn_responses" -> ((s, dir) => {
+      val (reqs, prows, hwms) = fsnScenario(s, dir)
+      val d = graft.log.FetchSessions.validateEpochs(reqs,
+        col("session_id"), col("seq"), col("epoch"))
+      graft.log.FetchSessions.incrementalResponses(prows, d, hwms)
+        .orderBy("seq", "session_id", "topic", "partition")
+    }),
 
     // ----- §2.10 admin: configs as a compacted command log -----
     "adm_describe_configs" -> ((s, dir) => {
@@ -1823,6 +1961,52 @@ object SparkEntry {
       s"""$LogCte SELECT 'events' AS topic, partition, 0 AS leader, 1 AS replicas,
          |        min("offset") AS start_offset, max("offset") + 1 AS hwm, count(*) AS n_records
          | FROM log GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "fsn_epochs" ->
+      s"""$FsnCte
+         | SELECT session_id, seq, epoch, decision FROM d
+         | ORDER BY session_id, seq""".stripMargin,
+
+    "fsn_state" ->
+      s"""$FsnCte,
+         | v AS (SELECT session_id, seq FROM d WHERE decision IN ('created','ok')),
+         | era AS (SELECT session_id,
+         |     max(CASE WHEN decision = 'created' THEN seq END) AS create_seq,
+         |     max(CASE WHEN decision = 'closed' THEN seq END) AS close_seq
+         |   FROM d GROUP BY 1),
+         | ls AS (SELECT session_id, create_seq FROM era
+         |   WHERE create_seq IS NOT NULL
+         |     AND (close_seq IS NULL OR close_seq < create_seq)),
+         | lr AS (SELECT p.session_id, p.topic, p.partition, p.fetch_offset, p.forget, p.seq
+         |   FROM prows p JOIN v USING (session_id, seq)
+         |   JOIN ls ON p.session_id = ls.session_id AND p.seq >= ls.create_seq),
+         | lww AS (SELECT session_id, topic, partition,
+         |     max_by(fetch_offset, seq) AS fetch_offset, max_by(forget, seq) AS forget
+         |   FROM lr GROUP BY 1, 2, 3)
+         | SELECT session_id, topic, partition, fetch_offset FROM lww WHERE NOT forget
+         | ORDER BY session_id, topic, partition""".stripMargin,
+
+    "fsn_responses" ->
+      s"""$FsnCte,
+         | we AS (SELECT session_id, seq, epoch,
+         |     sum(CASE WHEN decision = 'created' THEN 1 ELSE 0 END)
+         |       OVER (PARTITION BY session_id ORDER BY seq) AS era
+         |   FROM d WHERE decision IN ('created','ok')),
+         | cmds AS (SELECT p.session_id, w.era, p.seq AS cmd_seq, p.topic, p.partition,
+         |     p.fetch_offset, p.forget
+         |   FROM prows p JOIN we w ON p.session_id = w.session_id AND p.seq = w.seq),
+         | ao AS (SELECT r.seq, r.session_id, r.epoch, c.topic, c.partition,
+         |     max_by(c.fetch_offset, c.cmd_seq) AS fetch_offset,
+         |     max_by(c.forget, c.cmd_seq) AS forget
+         |   FROM we r JOIN cmds c ON c.session_id = r.session_id AND c.era = r.era
+         |     AND c.cmd_seq <= r.seq
+         |   GROUP BY 1, 2, 3, 4, 5),
+         | hw AS (SELECT 'events' AS topic, CAST(event_id % 8 AS INT) AS partition,
+         |     count(*) AS hwm FROM events GROUP BY 1, 2)
+         | SELECT a.seq, a.session_id, a.epoch, a.topic, a.partition, a.fetch_offset, h.hwm
+         | FROM ao a JOIN hw h USING (topic, partition)
+         | WHERE NOT a.forget AND h.hwm > a.fetch_offset
+         | ORDER BY seq, session_id, topic, partition""".stripMargin,
 
     "adm_describe_configs" ->
       """SELECT * FROM (VALUES

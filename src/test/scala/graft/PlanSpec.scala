@@ -179,4 +179,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(client_id"), p)
     assert(p.contains("Sort [client_id"), p)
   }
+
+  test("fetch-session epoch fold is one session shuffle; responses broadcast the hwm table") {
+    import graft.log.FetchSessions
+    val reqs = (0L until 200L).map(i => (s"s${i % 4}", i, (i % 10).toInt))
+      .toDF("session_id", "seq", "epoch")
+    val pf = plan(FetchSessions.validateEpochs(reqs,
+      col("session_id"), col("seq"), col("epoch")))
+    assert(!pf.contains("Window") && !pf.contains("Join"), pf)
+    assert(pf.contains("Exchange hashpartitioning(session_id"), pf)
+    val parts = (0L until 200L).map(i => (s"s${i % 4}", i, "t", (i % 8).toInt, i % 40, i % 9 == 0))
+      .toDF("session_id", "seq", "topic", "partition", "fetch_offset", "forget")
+    val hwms = (0 until 8).map(p => ("t", p, 100L)).toDF("topic", "partition", "hwm")
+    val d = FetchSessions.validateEpochs(reqs, col("session_id"), col("seq"), col("epoch"))
+    val pr = plan(FetchSessions.incrementalResponses(parts, d, hwms))
+    // the one-row-per-partition hwm table must broadcast, not shuffle the
+    // response set; the only windows are per-session (era running count)
+    assert(pr.contains("BroadcastHashJoin"), pr)
+    assert(pr.contains("windowpartitionspecdefinition(session_id")
+      || pr.contains("PartitionSpec: [session_id")
+      || pr.contains("Window [sum"), pr)
+  }
 }

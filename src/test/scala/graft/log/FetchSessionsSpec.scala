@@ -1,0 +1,92 @@
+package graft.log
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Incremental fetch session scenarios (kafka/server/fetch_session_cache.cc):
+ * epoch FSM decisions, partition-state folding with forgets and session
+ * re-creation, and the delta-shipping response rule.
+ */
+class FetchSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decide(rows: Seq[(String, Long, Int)]): Map[Long, String] =
+    FetchSessions.validateEpochs(
+        rows.toDF("session_id", "seq", "epoch"),
+        col("session_id"), col("seq"), col("epoch"))
+      .collect().map(r => r.getAs[Long]("seq") -> r.getAs[String]("decision")).toMap
+
+  test("epoch FSM: create, ok chain, wrong epoch, recovery by full fetch") {
+    val d = decide(Seq(
+      ("s1", 1L, 0),  // full fetch -> created, expects 1
+      ("s1", 2L, 1),  // ok, expects 2
+      ("s1", 3L, 2),  // ok, expects 3
+      ("s1", 4L, 5),  // wrong epoch -> invalid, state untouched
+      ("s1", 5L, 4),  // still wrong (expected is 3)
+      ("s1", 6L, 3),  // matches -> ok
+      ("s1", 7L, 0),  // client gives up, full fetch -> created again
+      ("s1", 8L, 1))) // ok in the new era
+    assert(d === Map(1L -> "created", 2L -> "ok", 3L -> "ok",
+      4L -> "invalid_epoch", 5L -> "invalid_epoch", 6L -> "ok",
+      7L -> "created", 8L -> "ok"))
+  }
+
+  test("epoch FSM: unknown session, close, and post-close not_found") {
+    val d = decide(Seq(
+      ("s1", 1L, 3),   // never created -> not_found
+      ("s1", 2L, 0),   // created
+      ("s1", 3L, -1),  // FINAL_EPOCH -> closed
+      ("s1", 4L, 1),   // session gone -> not_found
+      ("s2", 5L, -1))) // close of a session that never existed: no error
+    assert(d === Map(1L -> "not_found", 2L -> "created", 3L -> "closed",
+      4L -> "not_found", 5L -> "closed"))
+  }
+
+  private val parts = Seq(
+    // (session_id, seq, topic, partition, fetch_offset, forget)
+    ("s1", 1L, "t", 0, 0L, false),
+    ("s1", 1L, "t", 1, 0L, false),
+    ("s1", 2L, "t", 0, 50L, false),  // advance p0
+    ("s1", 3L, "t", 1, 0L, true),    // forget p1
+    ("s1", 4L, "t", 2, 10L, false),  // invalid request: must NOT apply
+    ("s2", 6L, "t", 0, 0L, false),   // pre-recreate era: must NOT survive
+    ("s2", 7L, "t", 1, 7L, false)
+  ).toDF("session_id", "seq", "topic", "partition", "fetch_offset", "forget")
+
+  private val reqs = Seq(
+    ("s1", 1L, 0), ("s1", 2L, 1), ("s1", 3L, 2), ("s1", 4L, 9),
+    ("s2", 6L, 0), ("s2", 7L, 0)
+  ).toDF("session_id", "seq", "epoch")
+
+  private lazy val decisions = FetchSessions.validateEpochs(
+    reqs, col("session_id"), col("seq"), col("epoch"))
+
+  test("session state: LWW with forgets, invalid requests ignored, era reset") {
+    val st = FetchSessions.sessionState(parts, decisions)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // s1: p0 at offset 50 (seq 2 wins), p1 forgotten, p2 never applied
+    // (seq 4 was invalid_epoch); s2: re-created at seq 7, so only p1.
+    assert(st === Set(("s1", "t", 0, 50L), ("s2", "t", 1, 7L)))
+  }
+
+  test("responses ship only partitions with data past the fetch offset") {
+    val hwms = Seq(("t", 0, 100L), ("t", 1, 40L)).toDF("topic", "partition", "hwm")
+    val resp = FetchSessions.incrementalResponses(parts, decisions, hwms)
+      .collect().map(r => (r.getAs[Long]("seq"), r.getAs[Int]("partition"),
+        r.getAs[Long]("fetch_offset"))).toSet
+    // seq 1 (s1 full fetch): p0@0 and p1@0 both have data.
+    // seq 2: p0 advanced to 50 (hwm 100 -> included), p1 still at 0.
+    // seq 3: p1 forgotten -> only p0@50.
+    // seq 4: invalid, no response row.
+    // seq 6 (s2 first create): p0@0. seq 7 re-create: p1@7 only.
+    assert(resp === Set(
+      (1L, 0, 0L), (1L, 1, 0L),
+      (2L, 0, 50L), (2L, 1, 0L),
+      (3L, 0, 50L),
+      (6L, 0, 0L),
+      (7L, 1, 7L)))
+  }
+}
