@@ -158,6 +158,22 @@ object SparkEntry {
 
   private val txnLogStore = scala.collection.concurrent.TrieMap[String, String]()
 
+  private val icebergStore = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Iceberg v2 table built once per scale factor: three appends of the
+    * event_id % 3 slices, day-partitioned. */
+  private def icebergTable(s: SparkSession, dir: String): String =
+    icebergStore.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_ice").toString + "/events_ice"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      (0 until 3).foreach { i =>
+        graft.streaming.IcebergFormat.commit(
+          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
+          partFn = graft.streaming.Datalake.dayPartition)
+      }
+      t
+    })
+
   /**
    * The transactional log as a STORED topic table (materialized once per
    * scale factor, then read back). This is the shape the engine actually
@@ -1378,6 +1394,27 @@ object SparkEntry {
         .groupBy("output", "p_key")
         .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
         .orderBy("output", "p_key")
+    }),
+
+    "d6_iceberg_catalog" -> ((s, dir) => {
+      // Real Iceberg v2 format: three appends (event_id % 3 slices) into
+      // a spec-faithful table (metadata.json + avro manifest lists +
+      // manifests + version hint); the catalog readback resolves row
+      // counts purely from manifest metadata — no data scan.
+      val t = icebergTable(s, dir)
+      graft.streaming.IcebergFormat.snapshotCatalog(s, t)
+        .select("snapshot_id", "sequence_number", "n_rows")
+        .orderBy("snapshot_id")
+    }),
+
+    "d6_iceberg_read" -> ((s, dir) => {
+      // Metadata-driven scan (version hint -> metadata.json -> manifest
+      // list -> manifests -> file set): per-day counts over all three
+      // appended snapshots, partition values reconstituted from metadata.
+      val t = icebergTable(s, dir)
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("p_key").agg(count(lit(1)).as("n"))
+        .orderBy("p_key")
     }),
 
     "d6_snapshots" -> ((s, dir) => {
@@ -2706,6 +2743,16 @@ object SparkEntry {
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_key,
         |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d6_iceberg_catalog" ->
+      """SELECT CAST(event_id % 3 + 1 AS BIGINT) AS snapshot_id,
+        |       CAST(event_id % 3 + 1 AS BIGINT) AS sequence_number,
+        |       count(*) AS n_rows
+        | FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_read" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_snapshots" ->
       """WITH dr AS (

@@ -1,0 +1,459 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Real Iceberg v2 table format, written against the PUBLIC Iceberg table
+ * spec (https://iceberg.apache.org/spec/) — no Iceberg runtime jars in
+ * this environment, so the metadata files are authored directly:
+ *
+ *  - `metadata/v{N}.metadata.json` — format-version 2 table metadata
+ *    (schemas with field ids, partition specs with transforms, snapshot
+ *    list, snapshot log, refs) plus the `version-hint.text` pointer —
+ *    the same commit protocol the reference drives through its REST
+ *    catalog (`iceberg/table_metadata.cc`, `iceberg/rest_catalog.cc`);
+ *  - `metadata/snap-{id}.avro` — the snapshot's manifest LIST: one avro
+ *    record per manifest with spec field-ids 500-519
+ *    (`iceberg/manifest_list.h`, `manifest_io.cc`);
+ *  - `metadata/manifest-{id}.avro` — the manifest: one `manifest_entry`
+ *    per data file (status/snapshot/sequence + a `data_file` struct with
+ *    field-ids 100-104/134), record counts from the parquet footers
+ *    (`iceberg/manifest.h`, `manifest_entry.h`);
+ *  - `data/...` — hour-partitioned parquet written by Spark's
+ *    partitioning writer (`datalake/partitioning_writer.h` analogue).
+ *
+ * The read path is metadata-driven exactly like an Iceberg reader:
+ * version-hint → metadata.json → current snapshot → manifest list →
+ * manifests → data file paths, so a scan plans from the manifest file
+ * set (planning-time pruning; expired-but-undeleted data is invisible)
+ * rather than directory listing. [[Datalake]] keeps the parquet-native
+ * emulation for the high-volume bench paths; this module is the
+ * format-faithful catalog surface.
+ *
+ * Scale note: all metadata here is bounded (one avro record per file /
+ * manifest / snapshot — the reference's manifests are the same); the
+ * data write is the standard clustered dynamic-partition write. Driver
+ * code touches only metadata, never rows.
+ */
+object IcebergFormat {
+
+  // ------------------------------------------------------------- field ids
+
+  /** Iceberg type name for a Spark type (spec "Primitive Types"). */
+  private def icebergType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(s"unsupported iceberg type: $other")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Iceberg schema JSON: fields get ids 1..n in declaration order. */
+  private def schemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": ${jsonStr(f.name)}, "required": ${!f.nullable}, "type": ${jsonStr(icebergType(f.dataType))}}"""
+    }
+    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  // ------------------------------------------------------------- avro io
+
+  /** manifest_entry schema with the spec's reserved field ids (status 0,
+    * snapshot_id 1, sequence_number 3, file_sequence_number 4,
+    * data_file 2; data_file fields 134/100/101/102/103/104). The
+    * partition struct carries the single hour/day field (id 1000) as its
+    * human-readable value — transform output as string for transparency. */
+  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{
+      |  "type": "record", "name": "manifest_entry", "fields": [
+      |    {"name": "status", "type": "int", "field-id": 0},
+      |    {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+      |    {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+      |    {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+      |    {"name": "data_file", "field-id": 2, "type": {
+      |      "type": "record", "name": "r2", "fields": [
+      |        {"name": "content", "type": "int", "field-id": 134},
+      |        {"name": "file_path", "type": "string", "field-id": 100},
+      |        {"name": "file_format", "type": "string", "field-id": 101},
+      |        {"name": "partition", "field-id": 102, "type": {
+      |          "type": "record", "name": "r102", "fields": [
+      |            {"name": "p_key", "type": ["null", "string"], "default": null, "field-id": 1000}
+      |          ]}},
+      |        {"name": "record_count", "type": "long", "field-id": 103},
+      |        {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+      |      ]}}
+      |  ]
+      |}""".stripMargin)
+
+  /** manifest_file (manifest list) schema, spec field ids 500-517. */
+  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+    """{
+      |  "type": "record", "name": "manifest_file", "fields": [
+      |    {"name": "manifest_path", "type": "string", "field-id": 500},
+      |    {"name": "manifest_length", "type": "long", "field-id": 501},
+      |    {"name": "partition_spec_id", "type": "int", "field-id": 502},
+      |    {"name": "content", "type": "int", "field-id": 517},
+      |    {"name": "sequence_number", "type": "long", "field-id": 515},
+      |    {"name": "min_sequence_number", "type": "long", "field-id": 516},
+      |    {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+      |    {"name": "added_files_count", "type": "int", "field-id": 504},
+      |    {"name": "existing_files_count", "type": "int", "field-id": 505},
+      |    {"name": "deleted_files_count", "type": "int", "field-id": 506},
+      |    {"name": "added_rows_count", "type": "long", "field-id": 512},
+      |    {"name": "existing_rows_count", "type": "long", "field-id": 513},
+      |    {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+      |  ]
+      |}""".stripMargin)
+
+  private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
+      records: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    val out = fs.create(path, true)
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+      w.close()
+    } finally out.close()
+    fs.getFileStatus(path).getLen
+  }
+
+  private def readAvro(fs: FileSystem, path: Path, schema: Schema): Seq[GenericRecord] = {
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    val buf = new Array[Byte](len.toInt)
+    try in.readFully(0, buf) finally in.close()
+    val reader = new DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(buf),
+      new GenericDatumReader[GenericRecord](schema))
+    try reader.iterator().asScala.toSeq finally reader.close()
+  }
+
+  // ------------------------------------------------------- table metadata
+
+  private def metaDir(table: String) = s"$table/metadata"
+  private def dataDir(table: String) = s"$table/data"
+
+  private def fsOf(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current metadata version from version-hint.text (the HadoopCatalog
+    * commit pointer); None for a fresh table. */
+  private def currentVersion(fs: FileSystem, table: String): Option[Int] = {
+    val hint = new Path(s"${metaDir(table)}/version-hint.text")
+    if (!fs.exists(hint)) None
+    else {
+      val in = fs.open(hint)
+      try Some(new String(in.readAllBytes(), UTF_8).trim.toInt) finally in.close()
+    }
+  }
+
+  private def readMetadataJson(fs: FileSystem, table: String, v: Int): String = {
+    val in = fs.open(new Path(s"${metaDir(table)}/v$v.metadata.json"))
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  /** Jackson (already on the Spark classpath) parses the metadata JSON —
+    * the same library the Iceberg reference implementation uses. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jsonStrField(json: String, key: String): Option[String] = {
+    val n = mapper.readTree(json).path(key)
+    if (n.isTextual) Some(n.asText) else None
+  }
+
+  final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
+      manifestList: String, addedRows: Long)
+
+  /** Parse the snapshots array out of the metadata JSON. */
+  private def parseSnapshots(json: String): Seq[SnapshotInfo] =
+    mapper.readTree(json).path("snapshots").elements().asScala.toSeq.map { s =>
+      SnapshotInfo(
+        s.path("snapshot-id").asLong,
+        s.path("sequence-number").asLong,
+        s.path("manifest-list").asText,
+        s.path("summary").path("added-rows").asText("0").toLong)
+    }
+
+  private def writeMetadataJson(fs: FileSystem, table: String, v: Int,
+      schema: StructType, snaps: Seq[SnapshotInfo], uuid: String,
+      partitionField: String): Unit = {
+    val now = System.currentTimeMillis()
+    val current = snaps.lastOption.map(_.snapshotId).getOrElse(-1L)
+    val lastSeq = snaps.lastOption.map(_.sequenceNumber).getOrElse(0L)
+    val snapJson = snaps.map { s =>
+      s"""{"snapshot-id": ${s.snapshotId}, "sequence-number": ${s.sequenceNumber},
+         |     "timestamp-ms": $now, "manifest-list": ${jsonStr(s.manifestList)},
+         |     "summary": {"operation": "append", "added-rows": "${s.addedRows}"},
+         |     "schema-id": 0}""".stripMargin
+    }.mkString("[", ", ", "]")
+    val logJson = snaps.map(s => s"""{"timestamp-ms": $now, "snapshot-id": ${s.snapshotId}}""")
+      .mkString("[", ", ", "]")
+    val refs =
+      if (current >= 0) s"""{"main": {"snapshot-id": $current, "type": "branch"}}"""
+      else "{}"
+    val json =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": ${jsonStr(uuid)},
+         |  "location": ${jsonStr(table)},
+         |  "last-sequence-number": $lastSeq,
+         |  "last-updated-ms": $now,
+         |  "last-column-id": ${schema.fields.length},
+         |  "current-schema-id": 0,
+         |  "schemas": [${schemaJson(schema)}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "p_key", "transform": "identity", "source-id": ${schema.fieldIndex(partitionField) + 1}, "field-id": 1000}]}],
+         |  "last-partition-id": 1000,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "properties": {"write.format.default": "parquet"},
+         |  "current-snapshot-id": $current,
+         |  "snapshots": $snapJson,
+         |  "snapshot-log": $logJson,
+         |  "metadata-log": [],
+         |  "refs": $refs
+         |}""".stripMargin
+    val p = new Path(s"${metaDir(table)}/v$v.metadata.json")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    // the version hint flips LAST — readers never see a version without
+    // its metadata file (same ordering as HadoopTableOperations.commit)
+    val hint = fs.create(new Path(s"${metaDir(table)}/version-hint.text"), true)
+    try hint.write(v.toString.getBytes(UTF_8)) finally hint.close()
+  }
+
+  // ------------------------------------------------------------- commits
+
+  /** Parquet footer record count (bounded metadata read, one footer per
+    * written file — the figure the manifest's `record_count` carries). */
+  private def footerRowCount(spark: SparkSession, file: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
+  /**
+   * Commit `df` as the next snapshot of an Iceberg v2 table at
+   * `table`: data files first, then manifest avro, manifest-list avro,
+   * metadata.json, and the version hint last — each step atomic w.r.t.
+   * readers, exactly the Iceberg commit order.
+   * The partition column is `partFn(tsCol)` as `p_key` (hour transform
+   * by default). Returns the new snapshot id.
+   */
+  def commit(df: DataFrame, tsCol: Column, table: String,
+      partFn: Column => Column = Datalake.hourPartition): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, table)
+    val prior = currentVersion(fs, table)
+    val priorJson = prior.map(readMetadataJson(fs, table, _))
+    val priorSnaps = priorJson.map(parseSnapshots).getOrElse(Seq.empty)
+    val uuid = priorJson.flatMap(jsonStrField(_, "table-uuid"))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val snapId = priorSnaps.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val seq = priorSnaps.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+
+    // 1. data files, clustered by partition, under a per-snapshot dir so
+    // a crashed retry can clear its own orphans (see Datalake.commit)
+    val snapData = new Path(s"${dataDir(table)}/snap=$snapId")
+    if (fs.exists(snapData)) fs.delete(snapData, true)
+    val out = df.withColumn("p_key", partFn(tsCol))
+    out.repartition(col("p_key"))
+      .write.mode("overwrite").partitionBy("p_key").parquet(snapData.toString)
+
+    // 2. manifest: one entry per data file (status 1 = ADDED)
+    val files =
+      if (!fs.exists(snapData)) Seq.empty
+      else fs.listStatus(snapData).toSeq.filter(_.isDirectory).flatMap { pdir =>
+        val pKey = pdir.getPath.getName.stripPrefix("p_key=")
+        fs.listStatus(pdir.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => (st.getPath, pKey, st.getLen))
+      }
+    val entries = files.map { case (p, pKey, len) =>
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val part = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema().getField("partition").schema())
+      part.put("p_key", pKey)
+      val d = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", part)
+      d.put("record_count", footerRowCount(spark, p))
+      d.put("file_size_in_bytes", len)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(s"${metaDir(table)}/manifest-$snapId.avro")
+    val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema, entries)
+    val addedRows = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+
+    // 3. manifest list: prior snapshots' manifests stay EXISTING; the
+    // new manifest is ADDED (merge-append, iceberg/merge_append_action.cc)
+    val priorList = priorSnaps.lastOption.toSeq.flatMap(s =>
+      readAvro(fs, new Path(s.manifestList), ManifestFileSchema))
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", files.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", addedRows)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
+
+    // 4. metadata.json + version hint
+    val schema = out.drop("p_key").schema
+    writeMetadataJson(fs, table, prior.map(_ + 1).getOrElse(1), schema,
+      priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows),
+      uuid, schema.fields.head.name)
+    snapId
+  }
+
+  /**
+   * Expire all but the newest `keepLast` snapshots — Iceberg
+   * `expireSnapshots` semantics: expiry removes TIME TRAVEL, not data.
+   * A new metadata version without the expired snapshots commits first;
+   * then only files no SURVIVING snapshot references are deleted (in an
+   * append-only table the current snapshot's manifest list carries every
+   * prior manifest as EXISTING, so data survives — exactly why Iceberg
+   * expiry is safe under concurrent reads). Readers on the old hint
+   * still resolve until the unreferenced-file delete lands.
+   */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int): Seq[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(return Seq.empty)
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    if (snaps.size <= keepLast) return Seq.empty
+    val (expire, keep) = snaps.splitAt(snaps.size - keepLast)
+    val uuid = jsonStrField(json, "table-uuid").get
+    // metadata version first
+    writeMetadataJsonKeeping(fs, table, v + 1, json, keep, uuid)
+    // then physical cleanup of UNREFERENCED files only
+    val keptManifests = keep.flatMap(s =>
+      readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
+        .map(_.get("manifest_path").toString)).toSet
+    expire.foreach { s =>
+      readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
+        .map(_.get("manifest_path").toString)
+        .filterNot(keptManifests)
+        .foreach { m =>
+          readAvro(fs, new Path(m), ManifestEntrySchema).foreach { e =>
+            val f = e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+            fs.delete(new Path(f), false)
+          }
+          fs.delete(new Path(m), false)
+        }
+      fs.delete(new Path(s.manifestList), false)
+    }
+    expire.map(_.snapshotId)
+  }
+
+  /** Rewrite metadata keeping a snapshot subset (schema/spec copied from
+    * the prior version by re-parsing its schema fields). */
+  private def writeMetadataJsonKeeping(fs: FileSystem, table: String, v: Int,
+      priorJson: String, keep: Seq[SnapshotInfo], uuid: String): Unit = {
+    // recover the Spark schema from the prior metadata's field list
+    val root = mapper.readTree(priorJson)
+    val fields = root.path("schemas").path(0).path("fields").elements().asScala.map { f =>
+      val dt = f.path("type").asText match {
+        case "long" => LongType
+        case "int" => IntegerType
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "boolean" => BooleanType
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case _ => StringType
+      }
+      StructField(f.path("name").asText, dt, nullable = !f.path("required").asBoolean)
+    }.toSeq
+    val partitionField = fields.headOption.map(_.name).getOrElse("id")
+    writeMetadataJson(fs, table, v, StructType(fields), keep, uuid, partitionField)
+  }
+
+  // ------------------------------------------------------------- reading
+
+  /** Snapshot catalog of the table: (snapshot_id, sequence_number,
+    * n_files, n_rows) from the CURRENT metadata version's manifest
+    * lists — all bounded metadata. */
+  def snapshotCatalog(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    val rows = currentVersion(fs, table).toSeq.flatMap { v =>
+      parseSnapshots(readMetadataJson(fs, table, v)).map { s =>
+        val mfs = readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
+        val added = mfs.filter(_.get("added_snapshot_id").asInstanceOf[Long] == s.snapshotId)
+        (s.snapshotId, s.sequenceNumber,
+          added.map(_.get("added_files_count").asInstanceOf[Int]).sum,
+          added.map(_.get("added_rows_count").asInstanceOf[Long]).sum)
+      }
+    }
+    rows.toDF("snapshot_id", "sequence_number", "n_files", "n_rows")
+  }
+
+  /** Metadata-driven scan: resolve the current snapshot's manifest list
+    * → manifests → data-file paths, and plan the scan over exactly that
+    * file set (Iceberg's manifest pruning; no directory listing). */
+  def readTable(spark: SparkSession, table: String): DataFrame = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val snaps = parseSnapshots(readMetadataJson(fs, table, v))
+    val current = snaps.lastOption.getOrElse(
+      return spark.emptyDataFrame)
+    val manifests = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+      .map(_.get("manifest_path").toString)
+    val files = manifests.flatMap(m =>
+      readAvro(fs, new Path(m), ManifestEntrySchema)
+        .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
+        .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+    if (files.isEmpty) spark.emptyDataFrame
+    else
+      // basePath reconstitutes the partition columns (snap, p_key) from
+      // the k=v path segments — Iceberg readers likewise materialize
+      // partition values from metadata, not from the data file bytes
+      spark.read.option("basePath", dataDir(table)).parquet(files: _*)
+        .drop("snap")
+  }
+}
