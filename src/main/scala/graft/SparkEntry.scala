@@ -1894,6 +1894,20 @@ object SparkEntry {
     "pipe_clean_funnel" -> ((s, dir) =>
       CleanPipeline.funnel(plantedDocs(s, dir), col("doc_id"), col("text"))),
 
+    "txt_chunks" -> ((s, dir) =>
+      // Token-window chunking: 32-token windows, 8-token overlap (the
+      // documents corpus averages ~55 tokens, so most docs split into
+      // 2-3 overlapping chunks); chunk text hashed to bound the payload.
+      TextAnalysis.chunkDocuments(T(s, dir, "documents"), col("doc_id"), col("text"),
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("start_pos"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    "txt_rarity" -> ((s, dir) =>
+      TextAnalysis.rarityFeatures(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     "txt_repetition" -> ((s, dir) =>
       // Corpus plus planted degenerate docs (doc_id+400000: 30x-repeated
       // two-word phrase) — natural word-salad prose passes the Gopher
@@ -3184,6 +3198,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual,
         |  CAST(count(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(lower(text)) END) AS BIGINT) AS n_dedup
         | FROM feat""".stripMargin,
+
+    "txt_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos, arr[p + 1] AS tok,
+        |         CAST(len(arr) AS BIGINT) AS n_doc
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |        FROM documents),
+        |       UNNEST(range(len(arr))) AS t(p)),
+        | ch AS (
+        |  SELECT doc_id, pos, tok, CAST(c AS BIGINT) AS chunk_id
+        |  FROM toks,
+        |       UNNEST(range(greatest(0, (pos + 24 - 32) // 24), pos // 24 + 1)) AS u(c)
+        |  WHERE c = 0 OR c * 24 < n_doc - 8)
+        | SELECT doc_id, chunk_id, count(*) AS n_tokens, min(pos) AS start_pos,
+        |        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        | FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "txt_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, count(*) AS n_in_doc
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        | vocab AS (SELECT tok, sum(n_in_doc) AS corpus_n FROM toks GROUP BY 1)
+        | SELECT t.doc_id, sum(t.n_in_doc) AS n_tokens,
+        |        CAST(sum(t.n_in_doc * v.corpus_n) AS DOUBLE)
+        |          / CAST(sum(t.n_in_doc) AS DOUBLE) AS mean_corpus_freq,
+        |        CAST(sum(CASE WHEN v.corpus_n = 1 THEN t.n_in_doc ELSE 0 END) AS DOUBLE)
+        |          / CAST(sum(t.n_in_doc) AS DOUBLE) AS hapax_frac,
+        |        min(v.corpus_n) AS min_corpus_n
+        | FROM toks t JOIN vocab v USING (tok)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "txt_repetition" ->
       """WITH rd AS (

@@ -149,6 +149,83 @@ object TextAnalysis {
         (wordFrac <= maxWordFrac && bigramFrac <= maxBigramFrac).as("keep"))
   }
 
+  /**
+   * Token-window chunking with overlap — the context-length budgeting
+   * primitive of training-data and retrieval pipelines: each document
+   * splits into windows of `maxTokens` tokens whose starts step by
+   * `stride = maxTokens - overlap`, so consecutive chunks share
+   * `overlap` tokens. The final partial window is kept; trailing
+   * windows that would only repeat already-covered tokens are not
+   * emitted (chunk i exists iff i == 0 or i*stride < n - overlap).
+   *
+   * Shape at 100 TB: ONE posexplode pass — each token computes the
+   * integral range of chunk ids containing it (at most
+   * ceil(maxTokens/stride) ids, a constant) and emits one row per id;
+   * reassembly is a hash aggregate per (doc, chunk) with order restored
+   * from token position. No window over the corpus, no self-join; the
+   * fan-out factor is exactly the overlap redundancy a downstream
+   * trainer pays anyway. All arithmetic integral — any engine
+   * re-derives chunk boundaries bit-identically.
+   */
+  def chunkDocuments(df: DataFrame, idCol: Column, textCol: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = df.select(idCol.as("doc_id"),
+        size(tokens(textCol)).as("n_doc"),
+        posexplode(tokens(textCol)).as(Seq("pos", "tok")))
+    // chunks containing pos: i in [ceil((pos-maxTokens+1)/stride), pos/stride]
+    // clamped at 0. ceil(a/b) = floor((a+b-1)/b) = (pos-maxTokens+stride)/stride;
+    // because of the max(0, ·) clamp the formula agrees under BOTH floor
+    // and truncating integer division (engines differ on negatives)
+    val lo = greatest(lit(0L),
+      floor((col("pos") + lit(stride - maxTokens)).cast("double") / stride).cast("long"))
+    val hi = floor(col("pos").cast("double") / stride).cast("long")
+    toks.select(col("doc_id"), col("n_doc"), col("pos"), col("tok"),
+        explode(sequence(lo, hi)).as("chunk_id"))
+      .where(col("chunk_id") === 0 ||
+        col("chunk_id") * stride < col("n_doc") - overlap)
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("start_pos"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
+  /**
+   * Corpus-rarity quality features: per document, statistics of its
+   * tokens' corpus-wide occurrence counts — mean corpus frequency
+   * (high = boilerplate-ish), hapax fraction (tokens occurring exactly
+   * once in the corpus; high = noisy/OCR garbage), and min frequency.
+   * The exact-arithmetic half of perplexity scoring: every figure is a
+   * ratio of exactly-counted integers, so any engine reproduces it
+   * bit-identically (a log-prob LM score would hang determinism on
+   * transcendental libm rounding).
+   *
+   * Shape at 100 TB: one explode into a (doc, token) partial-agg
+   * (absorbs within-doc repetition map-side), one token-keyed join
+   * against the corpus vocabulary (itself one shuffle; AQE splits the
+   * stop-token skew), one final doc aggregate. Never all-pairs.
+   */
+  def rarityFeatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n_in_doc"))
+    val vocab = toks.groupBy("tok").agg(sum("n_in_doc").as("corpus_n"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(sum("n_in_doc").as("n_tokens"),
+        sum(col("n_in_doc") * col("corpus_n")).as("freq_mass"),
+        sum(when(col("corpus_n") === 1, col("n_in_doc")).otherwise(0L)).as("n_hapax"),
+        min("corpus_n").as("min_corpus_n"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("freq_mass").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_corpus_freq"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_frac"),
+        col("min_corpus_n"))
+  }
+
   /** Email/phone detection patterns — shared Java-regex/RE2 subset (no
     * lookahead, no backreferences) so the oracle evaluates the exact
     * same automaton. */

@@ -279,6 +279,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(4L)._3)                        // far from everything: kept
   }
 
+  test("chunking: overlapping windows cover every token, boundaries exact") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // 10 tokens
+      (2L, "a b c"),                            // shorter than one window
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, col("doc_id"), col("text"),
+        maxTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: stride 2, chunks at 0,2,4,6,8: last (8) kept as partial;
+    // chunk starts beyond n-overlap=8 not emitted
+    assert(got((1L, 0L)) === ((4L, 0L, "t0 t1 t2 t3")))
+    assert(got((1L, 1L)) === ((4L, 2L, "t2 t3 t4 t5")))
+    assert(got((1L, 2L)) === ((4L, 4L, "t4 t5 t6 t7")))
+    assert(got((1L, 3L)) === ((4L, 6L, "t6 t7 t8 t9")))
+    assert(!got.contains((1L, 4L)))  // [8,12) adds nothing beyond overlap
+    assert(got((2L, 0L)) === ((3L, 0L, "a b c")))
+    assert(got((3L, 0L)) === ((1L, 0L, "x")))
+    assert(got.size === 6)
+  }
+
+  test("rarity: hapax fraction and mean corpus frequency") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2")).toDF("doc_id", "text")
+    val got = TextAnalysis.rarityFeatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // corpus: common=3, rare1=1, rare2=1; freq_mass weights each corpus
+    // count by the token's in-doc occurrences
+    assert(got(1L) === ((3L, (2 * 3 + 1).toDouble / 3, 1.0 / 3, 1L)))
+    assert(got(2L) === ((2L, (3 + 1).toDouble / 2, 1.0 / 2, 1L)))
+  }
+
   test("line dedup strips cross-document boilerplate, keeps order, drops emptied docs") {
     val docs = Seq(
       (1L, "BOILER\nunique one\nFOOTER"),
