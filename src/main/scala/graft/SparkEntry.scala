@@ -1417,6 +1417,40 @@ object SparkEntry {
         .orderBy("p_key")
     }),
 
+    "d6_iceberg_travel" -> ((s, dir) => {
+      // Time travel: the table exactly as of snapshot 2 (the first two
+      // event_id % 3 slices) — resolved from that snapshot's own
+      // manifest list, so the third append is invisible.
+      val t = icebergTable(s, dir)
+      graft.streaming.IcebergFormat.timeTravel(s, t, 2L)
+        .groupBy("p_key")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("p_key")
+    }),
+
+    "d6_iceberg_compaction" -> ((s, dir) => {
+      // rewrite_data_files maintenance: three day-partitioned appends
+      // leave up to 3 files per day partition; bin-pack compaction
+      // rewrites each multi-file partition to one file via a `replace`
+      // snapshot. Content is unchanged and the file inventory (from
+      // manifest metadata alone, no listing) shows one file/partition.
+      val t = java.nio.file.Files.createTempDirectory("graft_ice_rw").toString + "/t"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      (0 until 3).foreach { i =>
+        graft.streaming.IcebergFormat.commit(
+          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
+          partFn = graft.streaming.Datalake.dayPartition)
+      }
+      graft.streaming.IcebergFormat.rewriteDataFiles(s, t)
+      val inv = graft.streaming.IcebergFormat.fileInventory(s, t)
+        .select(col("p_key"), col("n_files"))
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("p_key")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .join(inv, Seq("p_key"))
+        .orderBy("p_key")
+    }),
+
     "d6_snapshots" -> ((s, dir) => {
       // Three real snapshot commits (10-day chunks), then expiry to the
       // last two; the readback sees exactly the surviving snapshots.
@@ -1748,6 +1782,44 @@ object SparkEntry {
       // measured 0.52-0.72 across SFs while scoring ~nProbe/nLists = 25%
       // of the corpus; 0.4 pins the floor
       Seq(("ann_ivf_recall_at5_ge_40", n, hit.toDouble / n >= 0.4))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    // PQ ADC scan + exact re-rank: the compressed-domain scan never reads
+    // raw vectors (16 byte-ish codes per 64-dim vector); rerank=100 raw
+    // fetches per query restore exact ordering on the shortlist.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Similarity.normalized(
+        T(s, dir, "embeddings")
+          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
+        "embedding")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val model = Similarity.pqTrain(emb, m = 16, k = 32)
+      Similarity.pqTopK(emb, queries, model, 5, rerank = 100)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Similarity.normalized(
+        T(s, dir, "embeddings")
+          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
+        "embedding")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val model = Similarity.pqTrain(emb, m = 16, k = 32)
+      val pq = Similarity.pqTopK(emb, queries, model, 5, rerank = 50)
+        .select("query_id", "vec_id")
+      val n = bf.count()
+      val hit = bf.join(pq, Seq("query_id", "vec_id")).count()
+      // measured 1.00 at sf0.001/sf0.01 (ADC@50 shortlist covers the true
+      // top-5 even on this adversarial Gaussian corpus); 0.6 pins the
+      // floor with headroom for codebook variance across partitionings
+      Seq(("ann_pq_recall_at5_ge_60", n, hit.toDouble / n >= 0.6))
         .toDF("check", "n_exact", "ok")
     }),
 
@@ -2768,6 +2840,16 @@ object SparkEntry {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "d6_iceberg_travel" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events WHERE event_id % 3 < 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_compaction" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id, CAST(1 AS BIGINT) AS n_files
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d6_snapshots" ->
       """WITH dr AS (
         |  SELECT event_id,
@@ -3008,6 +3090,10 @@ object SparkEntry {
 
     "ann_ivf_recall" ->
       """SELECT 'ann_ivf_recall_at5_ge_40' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_pq_recall" ->
+      """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
         | CAST(true AS BOOLEAN) AS ok""".stripMargin,
 
     "dd_embed_lsh_recall" ->

@@ -238,4 +238,156 @@ object Similarity {
   def headCentroids(corpus: DataFrame, k: Int): DataFrame =
     corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — compressed-domain ANN (Jegou et al. 2011,
+  // "Product Quantization for Nearest Neighbor Search").
+  //
+  // The 100 TB story: a 768-dim float corpus is ~3 KB/vector; PQ stores
+  // `m` small sub-space code indices instead (m bytes at k<=256), a
+  // 100-750x memory/scan-bandwidth reduction. Scoring a candidate is m
+  // table lookups (ADC — asymmetric distance computation) instead of a
+  // d-wide dot product, and both the codebooks and the per-query lookup
+  // tables are kilobyte-scale broadcasts, so the scan stays narrow:
+  // no shuffle until the final per-query top-k.
+  // ---------------------------------------------------------------------
+
+  /**
+   * PQ model: `codebooks(mi)(j)` = centroid `j` of subspace `mi`, each of
+   * length `subDim`. Tiny (m*k*subDim doubles — e.g. 8*16*8 = 1 KiB),
+   * so it rides the plan as literal arrays: encoding and scoring need no
+   * join against a codebook table.
+   */
+  final case class PqModel(subDim: Int,
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+  }
+
+  /** L2-normalize `vecCol` in place (unit vectors make inner product ==
+    * cosine, the standard PQ-for-cosine preparation). Norm is
+    * materialized once per row before the element-wise divide. */
+  def normalized(df: DataFrame, vecCol: String): DataFrame =
+    kernels(df).withColumn("__n", norm(col(vecCol)))
+      .withColumn(vecCol, transform(col(vecCol), x => x / col("__n")))
+      .drop("__n")
+
+  /**
+   * Train per-subspace codebooks: `m` independent seeded k-means fits,
+   * each over the `subDim`-wide slice of the (normalized) vectors.
+   * Training cost is bounded at scale by fitting on a deterministic
+   * hash-sample of the corpus (`trainMod` > 1 keeps every vec_id with
+   * xxhash64(vec_id) % trainMod == 0) — codebook quality needs a sample,
+   * not the corpus.
+   */
+  def pqTrain(corpus: DataFrame, vecCol: String = "embedding",
+      m: Int = 8, k: Int = 16, seed: Long = 42L, trainMod: Int = 1): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample =
+      if (trainMod <= 1) corpus
+      else corpus.where(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+    val dim = sample.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      val sliced = sample.select(
+        array_to_vector(slice(col(vecCol), mi * subDim + 1, subDim)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(5).fit(sliced)
+      model.clusterCenters.toIndexedSeq.map(_.toArray)
+    }
+    PqModel(subDim, books)
+  }
+
+  /** Nearest-codebook-entry index for one subspace slice: a single
+    * `aggregate` pass over the centroid literals (argmin of
+    * ||c_j||^2 - 2 s.c_j — the ||s||^2 term is constant over j, so it
+    * never needs computing). One pass, no duplicated distance subtree. */
+  private def argminCode(sliceCol: Column,
+      book: IndexedSeq[Array[Double]]): Column = {
+    val norms = typedlit(book.map(c => c.map(x => x * x).sum))
+    val cents = typedlit(book.map(_.toIndexedSeq))
+    aggregate(
+      sequence(lit(0), lit(book.length - 1)),
+      struct(lit(-1).cast("int").as("j"), lit(Double.MaxValue).as("d")),
+      (acc, j) => {
+        val ji = j.cast("int")
+        val d = element_at(norms, ji + 1) -
+          lit(2.0) * dot(sliceCol, element_at(cents, ji + 1))
+        when(d < acc.getField("d"), struct(ji.as("j"), d.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("j"))
+  }
+
+  /**
+   * Encode each vector as `m` codebook indices (`codes` array<int>).
+   * Entirely narrow: slices are materialized once per row, each code is
+   * one argmin fold over the broadcast-as-literal codebook — no join,
+   * no shuffle, safe to fuse into any downstream scan.
+   */
+  def pqEncode(corpus: DataFrame, model: PqModel,
+      vecCol: String = "embedding"): DataFrame = {
+    val sliced = (0 until model.m).foldLeft(kernels(corpus)) { (df, mi) =>
+      df.withColumn(s"__s$mi",
+        slice(col(vecCol), mi * model.subDim + 1, model.subDim))
+    }
+    val codes = (0 until model.m).map(mi =>
+      argminCode(col(s"__s$mi"), model.codebooks(mi)))
+    sliced.withColumn("codes", array(codes: _*))
+      .drop((0 until model.m).map(mi => s"__s$mi"): _*)
+  }
+
+  /**
+   * ADC top-k over PQ codes: each query precomputes an m x k lookup
+   * table of partial inner products against the codebook (a few KiB,
+   * broadcast with the query set); scoring a corpus row is then
+   * `sum(lut(mi)(codes(mi)))` — m table lookups via one `zip_with` +
+   * `aggregate`, never touching the raw vectors. On normalized input
+   * the ADC score approximates cosine. The only shuffle is the final
+   * per-query top-k.
+   *
+   * `rerank > 0` adds the standard exact re-rank stage (ADC+R): the ADC
+   * scan keeps a per-query shortlist of `rerank` candidates, whose RAW
+   * vectors are then fetched (a join on vec_id — queries x rerank rows,
+   * tiny) and scored exactly. Recall@k of the result equals ADC
+   * recall@rerank, at the cost of `rerank` exact dot products per query
+   * — the compressed scan still never touches the raw corpus.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+      excludeSelf: Boolean = true, rerank: Int = 0): DataFrame = {
+    val enc = pqEncode(corpus, model).select("vec_id", "codes")
+    val luts = (0 until model.m).map { mi =>
+      val s = slice(col("query_vec"), mi * model.subDim + 1, model.subDim)
+      transform(typedlit(model.codebooks(mi).map(_.toIndexedSeq)), c => dot(s, c))
+    }
+    val q = kernels(queries).withColumn("lut", array(luts: _*))
+      .select("query_id", "lut")
+    val scored = enc.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + 1)),
+          lit(0.0), (a, b) => a + b).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      shortlist.where(col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    else {
+      val cn = kernels(corpus)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("_cn"))
+      val qn = kernels(queries)
+        .select(col("query_id"), col("query_vec"), norm(col("query_vec")).as("_qn"))
+      val exact = shortlist.select("query_id", "vec_id")
+        .join(cn, Seq("vec_id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
+      val rw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      exact.withColumn("rank", row_number().over(rw))
+        .where(col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    }
+  }
 }

@@ -186,7 +186,7 @@ object IcebergFormat {
   }
 
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
-      manifestList: String, addedRows: Long)
+      manifestList: String, addedRows: Long, op: String = "append")
 
   /** Parse the snapshots array out of the metadata JSON. */
   private def parseSnapshots(json: String): Seq[SnapshotInfo] =
@@ -195,7 +195,8 @@ object IcebergFormat {
         s.path("snapshot-id").asLong,
         s.path("sequence-number").asLong,
         s.path("manifest-list").asText,
-        s.path("summary").path("added-rows").asText("0").toLong)
+        s.path("summary").path("added-rows").asText("0").toLong,
+        s.path("summary").path("operation").asText("append"))
     }
 
   private def writeMetadataJson(fs: FileSystem, table: String, v: Int,
@@ -207,7 +208,7 @@ object IcebergFormat {
     val snapJson = snaps.map { s =>
       s"""{"snapshot-id": ${s.snapshotId}, "sequence-number": ${s.sequenceNumber},
          |     "timestamp-ms": $now, "manifest-list": ${jsonStr(s.manifestList)},
-         |     "summary": {"operation": "append", "added-rows": "${s.addedRows}"},
+         |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"},
          |     "schema-id": 0}""".stripMargin
     }.mkString("[", ", ", "]")
     val logJson = snaps.map(s => s"""{"timestamp-ms": $now, "snapshot-id": ${s.snapshotId}}""")
@@ -368,23 +369,31 @@ object IcebergFormat {
     val uuid = jsonStrField(json, "table-uuid").get
     // metadata version first
     writeMetadataJsonKeeping(fs, table, v + 1, json, keep, uuid)
-    // then physical cleanup of UNREFERENCED files only
+    // then physical cleanup by FILE-level reachability: a data file
+    // survives iff ANY kept snapshot's manifests still reference it.
+    // (Manifest-level reachability is not enough once rewriteDataFiles
+    // has run — an untouched file appears both in an old append manifest
+    // and in the rewrite's consolidated manifest.)
     val keptManifests = keep.flatMap(s =>
       readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
         .map(_.get("manifest_path").toString)).toSet
-    expire.foreach { s =>
+    val keptFiles = keptManifests.flatMap(m =>
+      readAvro(fs, new Path(m), ManifestEntrySchema).map(
+        _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+    // union the expired snapshots' manifest sets FIRST (append commits
+    // accumulate manifests, so consecutive expired snapshots share them —
+    // each manifest must be read and deleted exactly once)
+    val expiredManifests = expire.flatMap(s =>
       readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
-        .map(_.get("manifest_path").toString)
-        .filterNot(keptManifests)
-        .foreach { m =>
-          readAvro(fs, new Path(m), ManifestEntrySchema).foreach { e =>
-            val f = e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
-            fs.delete(new Path(f), false)
-          }
-          fs.delete(new Path(m), false)
-        }
-      fs.delete(new Path(s.manifestList), false)
+        .map(_.get("manifest_path").toString)).toSet -- keptManifests
+    expiredManifests.foreach { m =>
+      readAvro(fs, new Path(m), ManifestEntrySchema).foreach { e =>
+        val f = e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+        if (!keptFiles.contains(f)) fs.delete(new Path(f), false)
+      }
+      fs.delete(new Path(m), false)
     }
+    expire.foreach(s => fs.delete(new Path(s.manifestList), false))
     expire.map(_.snapshotId)
   }
 
@@ -435,14 +444,29 @@ object IcebergFormat {
   /** Metadata-driven scan: resolve the current snapshot's manifest list
     * → manifests → data-file paths, and plan the scan over exactly that
     * file set (Iceberg's manifest pruning; no directory listing). */
-  def readTable(spark: SparkSession, table: String): DataFrame = {
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    readSnapshot(spark, table, None)
+
+  /** Time travel: the table exactly as of `snapshotId` — resolved from
+    * that snapshot's own manifest list, so later appends, rewrites, and
+    * deletes are invisible. Fails if the snapshot has been expired
+    * (expiry removes time travel — the Iceberg contract). */
+  def timeTravel(spark: SparkSession, table: String, snapshotId: Long): DataFrame =
+    readSnapshot(spark, table, Some(snapshotId))
+
+  private def readSnapshot(spark: SparkSession, table: String,
+      snapshotId: Option[Long]): DataFrame = {
     val fs = fsOf(spark, table)
     val v = currentVersion(fs, table).getOrElse(
       throw new IllegalStateException(s"no iceberg metadata at $table"))
     val snaps = parseSnapshots(readMetadataJson(fs, table, v))
-    val current = snaps.lastOption.getOrElse(
-      return spark.emptyDataFrame)
-    val manifests = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    val chosen = snapshotId match {
+      case Some(id) => snaps.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not found at $table (expired or never committed)"))
+      case None => snaps.lastOption.getOrElse(return spark.emptyDataFrame)
+    }
+    val manifests = readAvro(fs, new Path(chosen.manifestList), ManifestFileSchema)
       .map(_.get("manifest_path").toString)
     val files = manifests.flatMap(m =>
       readAvro(fs, new Path(m), ManifestEntrySchema)
@@ -455,5 +479,182 @@ object IcebergFormat {
       // partition values from metadata, not from the data file bytes
       spark.read.option("basePath", dataDir(table)).parquet(files: _*)
         .drop("snap")
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /**
+   * Bin-pack small-file compaction — Iceberg `rewriteDataFiles`
+   * semantics: partitions holding more than one data file have their
+   * files rewritten into ~`targetFileBytes`-sized files; untouched
+   * partitions' files are carried over unchanged. The commit is a
+   * `replace` snapshot whose single consolidated manifest lists the new
+   * files as ADDED and the carried files as EXISTING — table content is
+   * bit-identical before and after, only the file layout changes.
+   * Old files are NOT deleted (prior snapshots still reference them for
+   * time travel); [[expireSnapshots]] reclaims them once unreachable.
+   *
+   * Scale shape: the rewrite reads only the affected partitions' files
+   * (a planned file-set scan, no directory listing) and writes them back
+   * through the standard clustered partition writer, splitting output at
+   * `targetFileBytes` via `maxRecordsPerFile` derived from the measured
+   * bytes/row of the input — driver code touches only manifest metadata.
+   * This is the datalake answer to the log world's segment compaction:
+   * streaming commits produce file counts proportional to commit
+   * frequency, and scan cost at 100 TB is dominated by file count until
+   * they are bin-packed.
+   *
+   * Returns the new snapshot id, or None if no partition needed work.
+   */
+  def rewriteDataFiles(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    val current = snaps.lastOption.getOrElse(return None)
+    val uuid = jsonStrField(json, "table-uuid").get
+
+    // current file inventory: (path, p_key, bytes, rows) per entry
+    val manifests = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+      .map(_.get("manifest_path").toString)
+    val entries = manifests.flatMap(m =>
+      readAvro(fs, new Path(m), ManifestEntrySchema)
+        .filter(_.get("status").asInstanceOf[Int] != 2))
+      .map { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        val pKey = d.get("partition").asInstanceOf[GenericRecord].get("p_key")
+        (d.get("file_path").toString, String.valueOf(pKey),
+          d.get("file_size_in_bytes").asInstanceOf[Long],
+          d.get("record_count").asInstanceOf[Long])
+      }.distinct
+    val byPart = entries.groupBy(_._2)
+    val rewritten = byPart.filter { case (_, fsLst) =>
+      fsLst.size > 1 && fsLst.map(_._3).sum <= targetFileBytes * fsLst.size
+    }
+    if (rewritten.isEmpty) return None
+    val rewriteFiles = rewritten.values.flatten.toSeq
+    val carried = entries.filterNot(e => rewritten.contains(e._2))
+
+    val snapId = snaps.map(_.snapshotId).max + 1
+    val seq = snaps.map(_.sequenceNumber).max + 1
+
+    // rewrite: planned scan over exactly the affected files, clustered
+    // write split at targetFileBytes via measured bytes/row
+    val totBytes = rewriteFiles.map(_._3).sum
+    val totRows = math.max(1L, rewriteFiles.map(_._4).sum)
+    val maxRecords = math.max(1L, targetFileBytes * totRows / math.max(1L, totBytes))
+    val snapData = new Path(s"${dataDir(table)}/snap=$snapId")
+    if (fs.exists(snapData)) fs.delete(snapData, true)
+    spark.read.option("basePath", dataDir(table))
+      .parquet(rewriteFiles.map(_._1): _*)
+      .drop("snap")
+      .repartition(col("p_key"))
+      .write.mode("overwrite").partitionBy("p_key")
+      .option("maxRecordsPerFile", maxRecords)
+      .parquet(snapData.toString)
+
+    val entrySchema = ManifestEntrySchema
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    def mkEntry(status: Int, path: String, pKey: String, bytes: Long, rows: Long) = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val part = new GenericData.Record(partSchema)
+      part.put("p_key", pKey)
+      val d = new GenericData.Record(dataFileSchema)
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", part)
+      d.put("record_count", rows)
+      d.put("file_size_in_bytes", bytes)
+      e.put("data_file", d)
+      e
+    }
+    val newFiles = fs.listStatus(snapData).toSeq.filter(_.isDirectory).flatMap { pdir =>
+      val pKey = pdir.getPath.getName.stripPrefix("p_key=")
+      fs.listStatus(pdir.getPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => mkEntry(1, st.getPath.toString, pKey, st.getLen,
+          footerRowCount(spark, st.getPath)))
+    }
+    val carriedEntries = carried.map { case (p, pKey, bytes, rows) =>
+      mkEntry(0, p, pKey, bytes, rows) // status 0 = EXISTING
+    }
+    val manifestPath = new Path(s"${metaDir(table)}/manifest-$snapId.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema,
+      newFiles ++ carriedEntries)
+
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", current.sequenceNumber)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", newFiles.size)
+    mf.put("existing_files_count", carriedEntries.size)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", newFiles.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum)
+    mf.put("existing_rows_count", carriedEntries.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    writeAvro(fs, listPath, ManifestFileSchema, Seq(mf))
+
+    // metadata: the replace snapshot appended to the log, hint flips last
+    val root = mapper.readTree(json)
+    val fields = root.path("schemas").path(0).path("fields").elements().asScala.map { f =>
+      val dt = f.path("type").asText match {
+        case "long" => LongType
+        case "int" => IntegerType
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "boolean" => BooleanType
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case _ => StringType
+      }
+      StructField(f.path("name").asText, dt, nullable = !f.path("required").asBoolean)
+    }.toSeq
+    writeMetadataJson(fs, table, v + 1, StructType(fields),
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace"),
+      uuid, fields.headOption.map(_.name).getOrElse("id"))
+    Some(snapId)
+  }
+
+  /** Data-file inventory of the CURRENT snapshot: (p_key, n_files,
+    * n_rows, bytes) per partition, from manifest metadata only. */
+  def fileInventory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    val rows = currentVersion(fs, table).toSeq.flatMap { v =>
+      val snaps = parseSnapshots(readMetadataJson(fs, table, v))
+      snaps.lastOption.toSeq.flatMap { s =>
+        readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
+          .map(_.get("manifest_path").toString)
+          .flatMap(m => readAvro(fs, new Path(m), ManifestEntrySchema))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            (String.valueOf(d.get("partition").asInstanceOf[GenericRecord].get("p_key")),
+              d.get("file_path").toString,
+              d.get("record_count").asInstanceOf[Long],
+              d.get("file_size_in_bytes").asInstanceOf[Long])
+          }.distinct
+      }
+    }
+    rows.toDF("p_key", "file_path", "n_rows", "bytes")
+      .groupBy("p_key")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        sum("bytes").as("bytes"))
   }
 }

@@ -107,6 +107,39 @@ class AnalyticsSpec extends SparkSpec {
     assert((bf intersect ivf).size >= 4)
   }
 
+  test("similarity: PQ codes round-trip and ADC topk recall on clustered vectors") {
+    val corpus = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0) else Array.tabulate(8)(j => if (j % 2 == 0) 1.0 else -1.0)
+      (i.toLong, base.zipWithIndex.map { case (x, j) => x + 0.01 * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val normed = Similarity.normalized(corpus, "embedding")
+    val model = Similarity.pqTrain(normed, m = 4, k = 4)
+    assert(model.m === 4 && model.k === 4 && model.subDim === 2)
+    // every vector gets m in-range codes
+    val codes = Similarity.pqEncode(normed, model)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.length === 60)
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 4)))
+    // two clean clusters: ADC over 4x4 codebooks must keep the true cluster
+    val queries = normed.where($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(normed, queries, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(normed, queries, model, k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(pq.length === 6) // 2 queries x k=3, self excluded
+    // ADC collapses same-code clustermates to equal scores, so exact-rank
+    // agreement is not guaranteed — cluster membership is: every PQ hit
+    // must share the query's cluster (even vec_ids with even queries).
+    val pqParity = pq.forall { case (q, v) => (q % 2) == (v % 2) }
+    assert(pqParity, s"PQ returned a cross-cluster hit: ${pq.toSeq}")
+    assert(bf.forall { case (q, v) => (q % 2) == (v % 2) })
+    // exact re-rank over an ADC shortlist of 20 must recover the exact top-3
+    val rr = Similarity.pqTopK(normed, queries, model, k = 3, rerank = 20)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rr === bf, s"re-ranked PQ diverged from brute force: $rr vs $bf")
+  }
+
   test("connected components: chains merge, singletons self-label, min id wins") {
     val verts = (0L to 7L).toDF("doc_id")
     // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),

@@ -75,6 +75,57 @@ class IcebergFormatSpec extends SparkSpec {
     assert(IcebergFormat.readTable(spark, t).count() === 9L)
   }
 
+  test("time travel resolves each snapshot's own manifest list") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    IcebergFormat.commit(batch(4, 7), col("ts"), t)
+    IcebergFormat.commit(batch(7, 9), col("ts"), t)
+    assert(IcebergFormat.timeTravel(spark, t, 1L).count() === 4L)
+    assert(IcebergFormat.timeTravel(spark, t, 2L).count() === 7L)
+    assert(IcebergFormat.timeTravel(spark, t, 3L).count() === 9L)
+    // travel to snapshot 2 sees exactly ids 0..6
+    assert(IcebergFormat.timeTravel(spark, t, 2L)
+      .select("id").as[Long].collect().sorted === (0L until 7L).toArray)
+    // expired snapshot refuses (expiry removes time travel)
+    IcebergFormat.expireSnapshots(spark, t, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      IcebergFormat.timeTravel(spark, t, 1L).count()
+    }
+  }
+
+  test("rewriteDataFiles bin-packs multi-file partitions, content unchanged") {
+    val t = freshTable()
+    // three appends land 3 files in each day partition
+    IcebergFormat.commit(batch(0, 3), col("ts"), t, Datalake.dayPartition)
+    IcebergFormat.commit(batch(3, 6), col("ts"), t, Datalake.dayPartition)
+    IcebergFormat.commit(batch(6, 9), col("ts"), t, Datalake.dayPartition)
+    val before = IcebergFormat.fileInventory(spark, t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.max > 1, s"setup should produce multi-file partitions: $before")
+    val contentBefore = IcebergFormat.readTable(spark, t)
+      .select("id").as[Long].collect().sorted
+
+    val snap = IcebergFormat.rewriteDataFiles(spark, t)
+    assert(snap === Some(4L))
+    val after = IcebergFormat.fileInventory(spark, t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ === 1L), s"compaction should leave one file/partition: $after")
+    // table content is bit-identical
+    val contentAfter = IcebergFormat.readTable(spark, t)
+      .select("id").as[Long].collect().sorted
+    assert(contentAfter === contentBefore)
+    // the pre-rewrite snapshot still time-travels to the old layout
+    assert(IcebergFormat.timeTravel(spark, t, 3L).count() === 9L)
+    // idempotent: nothing left to compact
+    assert(IcebergFormat.rewriteDataFiles(spark, t) === None)
+    // expiry after rewrite must NOT delete carried files still referenced
+    // by the replace snapshot (file-level reachability)
+    IcebergFormat.expireSnapshots(spark, t, keepLast = 1)
+    assert(IcebergFormat.readTable(spark, t)
+      .select("id").as[Long].collect().sorted === contentBefore)
+  }
+
   test("a reader never sees a half-committed version (hint flips last)") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 3), col("ts"), t)
