@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -75,6 +77,58 @@ object SparkEntry {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
+  }
+
+  /**
+   * Stage the events table as an ordered file-stream input directory.
+   * Batch 1 is the real table (copied, mtime pinned early). With
+   * `sentinel = true`, batch 2 is one far-future row (event_type
+   * `__sentinel`, mtime pinned later) whose only job is to BE a later
+   * micro-batch: processing it emits the append-mode windows finalized
+   * by the watermark the real data set. With `sentinel = false`,
+   * batch 2 is a second copy of the table — every row a duplicate for
+   * the streaming-dedup state to drop. `maxFilesPerTrigger=1` plus the
+   * explicit mtimes make the batch order deterministic.
+   */
+  private def stagedEventsStream(s: SparkSession, dir: String,
+      sentinel: Boolean): String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    val src = Paths.get(s"$dir/events.parquet")
+    val b0 = inDir.resolve("batch0.parquet")
+    Files.copy(src, b0)
+    Files.setLastModifiedTime(b0, FileTime.fromMillis(1700000000000L))
+    val b1 = inDir.resolve("batch1.parquet")
+    if (!sentinel) {
+      Files.copy(src, b1)
+    } else {
+      val raw = T(s, dir, "events")
+      val far = raw.schema("ts").dataType match {
+        case LongType =>
+          raw.agg(max("ts")).collect()(0).getLong(0) + 30L * 24 * 3600 * 1000000000L
+        case _ => // timestamp: carry as nanos via cast for the same arithmetic
+          raw.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L +
+            30L * 24 * 3600 * 1000000000L
+      }
+      val sentTs: Column = raw.schema("ts").dataType match {
+        case LongType => lit(far)
+        case _        => timestamp_micros(lit(far / 1000L))
+      }
+      val sentDir = Files.createTempDirectory("graft_sentinel")
+      raw.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("ts", sentTs)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(sentDir.toString)
+      val part = Files.list(sentDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, b1)
+    }
+    Files.setLastModifiedTime(b1, FileTime.fromMillis(1700000060000L))
+    inDir.toString
   }
 
   /** Partition count of the canonical events topic (the oracle CTEs
@@ -990,6 +1044,58 @@ object SparkEntry {
           col("grp"), col("bytes"), col("records"))
         .orderBy("window_start", "grp")),
 
+    "a5_usage_stream" -> ((s, dir) => {
+      // A5's STREAMING twin, run end-to-end through the append-mode
+      // watermark path: micro-batch 1 is the whole events table, micro-
+      // batch 2 a single far-future sentinel row (mtime-ordered files +
+      // maxFilesPerTrigger=1 pin the batch boundary). The sentinel
+      // advances the watermark past every real window, and AvailableNow
+      // finishes with a watermark-flush batch that emits them all — so
+      // the emitted stream deterministically equals the complete hourly
+      // aggregate, which is what the oracle asserts.
+      val inDir = stagedEventsStream(s, dir, sentinel = true)
+      val out = java.nio.file.Files.createTempDirectory("graft_a5s").toString
+      val raw = graft.streaming.Transforms.PathInput(
+        inDir, s.read.parquet(s"$dir/events.parquet").schema,
+        maxFilesPerTrigger = Some(1)).stream(s)
+      val prepared = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _        => raw
+      }
+      graft.streaming.StreamingOps.usageWindowsStream(
+        prepared, s"$out/data", s"$out/ckpt",
+        "ts", col("event_type"), length(col("props"))).awaitTermination()
+      s.read.parquet(s"$out/data")
+        .where(col("grp") =!= "__sentinel")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("grp"), col("bytes"), col("records"))
+        .orderBy("window_start", "grp")
+    }),
+
+    "dd_stream_dedup" -> ((s, dir) => {
+      // Watermark-bounded streaming dedup, end-to-end: the events table
+      // is fed TWICE as consecutive micro-batches; every batch-2 row is
+      // a duplicate of a batch-1 key held in the (watermark-bounded)
+      // state store, so the emitted stream equals the table itself —
+      // which is exactly what the oracle asserts.
+      val inDir = stagedEventsStream(s, dir, sentinel = false)
+      val out = java.nio.file.Files.createTempDirectory("graft_dds").toString
+      val raw = graft.streaming.Transforms.PathInput(
+        inDir, s.read.parquet(s"$dir/events.parquet").schema,
+        maxFilesPerTrigger = Some(1)).stream(s)
+      val prepared = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _        => raw
+      }
+      graft.streaming.StreamingOps.dedupStream(
+        prepared, s"$out/data", s"$out/ckpt",
+        "ts", Seq("event_id"), delay = "90 days").awaitTermination()
+      s.read.parquet(s"$out/data")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("event_type")
+    }),
+
     // ----- §2.5 groups / idempotence -----
     "g1_group_membership" -> ((s, dir) => {
       // Command log: signup => join, error => leave, else heartbeat;
@@ -1785,6 +1891,41 @@ object SparkEntry {
         .toDF("check", "n_exact", "ok")
     }),
 
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // IVFADC: coarse quantizer prunes to nProbe/nLists of the corpus,
+      // residual-PQ codes score candidates via 2m table lookups, exact
+      // re-rank on the shortlist.
+      val emb = Similarity.normalized(
+        T(s, dir, "embeddings")
+          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
+        "embedding")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqTopK(emb, queries, 5, rerank = 50)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Similarity.normalized(
+        T(s, dir, "embeddings")
+          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
+        "embedding")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val got = Similarity.ivfPqTopK(emb, queries, 5, rerank = 50)
+        .select("query_id", "vec_id")
+      val n = bf.count()
+      val hit = bf.join(got, Seq("query_id", "vec_id")).count()
+      // recall is capped by coarse-probe coverage (nProbe/nLists = 25% of
+      // the corpus scanned); the floor pins the contract
+      Seq(("ann_ivfpq_recall_at5_ge_30", n, hit.toDouble / n >= 0.3))
+        .toDF("check", "n_exact", "ok")
+    }),
+
     // PQ ADC scan + exact re-rank: the compressed-domain scan never reads
     // raw vectors (16 byte-ish codes per 64-dim vector); rerank=100 raw
     // fetches per query restore exact ordering on the shortlist.
@@ -2432,6 +2573,19 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Append-mode emission: the far-future sentinel batch advances the
+    // watermark past every real window, and AvailableNow's final
+    // watermark-flush batch then emits them all — so the emitted stream
+    // equals the complete hourly aggregate (sentinel filtered out).
+    "a5_usage_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dd_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a6_quota_throttle" ->
       """WITH RECURSIVE base AS (
@@ -3094,6 +3248,10 @@ object SparkEntry {
 
     "ann_pq_recall" ->
       """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_ivfpq_recall" ->
+      """SELECT 'ann_ivfpq_recall_at5_ge_30' AS check, CAST(25 AS BIGINT) AS n_exact,
         | CAST(true AS BOOLEAN) AS ok""".stripMargin,
 
     "dd_embed_lsh_recall" ->

@@ -374,20 +374,110 @@ object Similarity {
     if (rerank <= 0)
       shortlist.where(col("rank") <= k)
         .select("query_id", "vec_id", "adc", "rank")
-    else {
-      val cn = kernels(corpus)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("_cn"))
-      val qn = kernels(queries)
-        .select(col("query_id"), col("query_vec"), norm(col("query_vec")).as("_qn"))
-      val exact = shortlist.select("query_id", "vec_id")
-        .join(cn, Seq("vec_id"))
-        .join(broadcast(qn), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
-      val rw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      exact.withColumn("rank", row_number().over(rw))
-        .where(col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+    else exactRerank(shortlist, corpus, queries, k)
+  }
+
+  /** Exact cosine re-rank of a (query_id, vec_id) shortlist: fetch the
+    * raw vectors for the queries x shortlist rows (tiny) and re-score
+    * exactly — the standard ADC+R second stage. */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val cn = kernels(corpus)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("_cn"))
+    val qn = kernels(queries)
+      .select(col("query_id"), col("query_vec"), norm(col("query_vec")).as("_qn"))
+    val exact = shortlist.select("query_id", "vec_id")
+      .join(cn, Seq("vec_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
+    val rw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /**
+   * IVFADC (Jegou et al. 2011 §IV, the FAISS `IVFx,PQy` index): the
+   * coarse k-means quantizer splits the corpus into `nLists` posting
+   * lists, and each vector stores the PQ code of its RESIDUAL
+   * (x - coarse centroid) — residuals are smaller than raw vectors, so
+   * the same codebook budget quantizes them more finely. A query probes
+   * its `nProbe` closest lists; within a probed list the approximate
+   * squared L2 distance decomposes into three broadcast-resolvable
+   * terms:
+   *
+   *   ||q - (c_l + r_x)||^2 = ||q - c_l||^2 - 2 (q - c_l).r_x + ||r_x||^2
+   *
+   * term 1 is per (query, probed list); term 2 is `m` lookups in the
+   * per-(query, list) ADC table of the query residual; term 3 is `m`
+   * lookups in the static codeword-norm table (subspaces are disjoint
+   * coordinates, so cross-subspace terms vanish exactly).
+   *
+   * Scale shape: candidate volume ~ nProbe/nLists of the corpus, each
+   * candidate scored by 2m table lookups on its m-byte code — the raw
+   * corpus is touched only by the optional exact re-rank on the final
+   * shortlist. Probes (with their LUTs) broadcast; the only shuffle is
+   * the per-query top-k.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 16, pqK: Int = 32,
+      seed: Long = 42L, rerank: Int = 0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = kernels(corpus)
+    val featured = c.withColumn("features", array_to_vector(col("embedding")))
+    val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(featured)
+    val centDf = coarse.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
+    val assigned = coarse.transform(featured)
+      .withColumnRenamed("prediction", "list_id").drop("features")
+    // residual encode: r = x - c_list, PQ-coded with shared codebooks
+    val resid = assigned.join(broadcast(centDf), Seq("list_id"))
+      .withColumn("embedding", zip_with(col("embedding"), col("centroid"), _ - _))
+      .drop("centroid")
+    val model = pqTrain(resid, m = m, k = pqK, seed = seed)
+    val encoded = pqEncode(resid, model).select("vec_id", "list_id", "codes")
+    val codeNorms = typedlit(model.codebooks.map(_.map(cw => cw.map(x => x * x).sum).toIndexedSeq))
+
+    // probe ranking per query (L2 to coarse centroids), then per-probe
+    // residual LUTs — everything on the broadcast-bound query side
+    val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("_cd"), col("list_id"))
+    val probes0 = q.crossJoin(broadcast(centDf))
+      .withColumn("_cd",
+        norm(col("centroid")) * norm(col("centroid")) -
+          lit(2.0) * dot(col("query_vec"), col("centroid")))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nProbe)
+      .withColumn("qres", zip_with(col("query_vec"), col("centroid"), _ - _))
+    val luts = (0 until model.m).map { mi =>
+      val s = slice(col("qres"), mi * model.subDim + 1, model.subDim)
+      transform(typedlit(model.codebooks(mi).map(_.toIndexedSeq)), cw => dot(s, cw))
     }
+    val probes = probes0
+      .withColumn("term1", dot(col("qres"), col("qres")))
+      .withColumn("lut", array(luts: _*))
+      .select("query_id", "list_id", "term1", "lut")
+
+    val scored = encoded.join(broadcast(probes), Seq("list_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("term1")
+          - lit(2.0) * aggregate(
+              zip_with(col("codes"), col("lut"), (ci, t) => element_at(t, ci + 1)),
+              lit(0.0), (a, b) => a + b)
+          + aggregate(
+              zip_with(col("codes"), codeNorms, (ci, t) => element_at(t, ci + 1)),
+              lit(0.0), (a, b) => a + b)).as("dist2"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      shortlist.where(col("rank") <= k)
+        .select("query_id", "vec_id", "dist2", "rank")
+    else exactRerank(shortlist, corpus, queries, k)
   }
 }

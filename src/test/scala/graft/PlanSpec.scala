@@ -200,4 +200,24 @@ class PlanSpec extends SparkSpec {
       || pr.contains("PartitionSpec: [session_id")
       || pr.contains("Window [sum"), pr)
   }
+
+  test("PQ encode is narrow (no exchange) and the ADC scan joins nothing but a broadcast") {
+    import graft.analytics.Similarity
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 7 + j) % 5 / 4.0)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(corpus, m = 4, k = 4)
+    // encode: literal codebooks, per-row argmin folds — zero shuffles
+    val pe = plan(Similarity.pqEncode(corpus, model).select("vec_id", "codes"))
+    assert(!pe.contains("Exchange"), pe)
+    assert(!pe.contains("Join"), pe)
+    // ADC top-k: the query side broadcasts (codebook LUTs ride with it);
+    // the compressed scan itself must not shuffle before the final
+    // per-query top-k window
+    val queries = corpus.where($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val pt = plan(Similarity.pqTopK(corpus, queries, model, k = 3))
+    assert(pt.contains("BroadcastNestedLoopJoin") || pt.contains("BroadcastHashJoin"), pt)
+    assert(!pt.contains("SortMergeJoin"), pt)
+  }
 }

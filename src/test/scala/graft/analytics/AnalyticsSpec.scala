@@ -140,6 +140,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rr === bf, s"re-ranked PQ diverged from brute force: $rr vs $bf")
   }
 
+  test("similarity: IVFADC residual-PQ topk finds the true cluster; rerank recovers exact") {
+    val corpus = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0) else Array.tabulate(8)(j => if (j % 2 == 0) 1.0 else -1.0)
+      (i.toLong, base.zipWithIndex.map { case (x, j) => x + 0.01 * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val normed = Similarity.normalized(corpus, "embedding")
+    val queries = normed.where($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(normed, queries, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(normed, queries, k = 3,
+      nLists = 4, nProbe = 2, m = 4, pqK = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(ivfpq.length === 6)
+    // every hit shares the query's cluster (even ids with even queries)
+    assert(ivfpq.forall { case (q, v) => (q % 2) == (v % 2) },
+      s"IVFADC returned a cross-cluster hit: ${ivfpq.toSeq}")
+    // exact re-rank over a 20-candidate shortlist recovers the exact top-3
+    val rr = Similarity.ivfPqTopK(normed, queries, k = 3,
+      nLists = 4, nProbe = 2, m = 4, pqK = 4, rerank = 20)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rr === bf, s"re-ranked IVFADC diverged from brute force: $rr vs $bf")
+  }
+
   test("connected components: chains merge, singletons self-label, min id wins") {
     val verts = (0L to 7L).toDF("doc_id")
     // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
