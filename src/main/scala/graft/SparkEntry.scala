@@ -214,6 +214,52 @@ object SparkEntry {
 
   private val icebergStore = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Normalized embeddings per scale dir (the PQ/IVFADC entries share
+    * one preparation). */
+  private def normEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Similarity.normalized(
+      T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
+      "embedding")
+
+  /** PQ codebooks trained once per scale dir and reused across the
+    * ann_pq_* entries — training is a build step, not a query step. */
+  private val pqModelStore =
+    scala.collection.concurrent.TrieMap[String, Similarity.PqModel]()
+  private def pqModel(s: SparkSession, dir: String): Similarity.PqModel =
+    pqModelStore.getOrElseUpdate(dir,
+      Similarity.pqTrain(normEmbeddings(s, dir), m = 16, k = 32))
+
+  /** IVFADC index trained once per scale dir (coarse quantizer + residual
+    * PQ codebooks); the per-query residual encode is a narrow recompute. */
+  private val ivfPqStore =
+    scala.collection.concurrent.TrieMap[String, Similarity.IvfPqIndex]()
+  private def ivfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+    ivfPqStore.getOrElseUpdate(dir, Similarity.ivfPqBuild(normEmbeddings(s, dir)))
+
+  /** PQ / IVFADC codes MATERIALIZED once per scale dir — the production
+    * shape (codes are encoded at ingest and stored beside the table);
+    * queries scan the stored codes, not re-encode the corpus. */
+  private val codesStore = scala.collection.concurrent.TrieMap[String, String]()
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val p = codesStore.getOrElseUpdate(s"pq:$dir", {
+      val path = java.nio.file.Files.createTempDirectory("graft_pqcodes").toString
+      Similarity.pqEncode(normEmbeddings(s, dir), pqModel(s, dir))
+        .select("vec_id", "codes").write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+  private def ivfPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val p = codesStore.getOrElseUpdate(s"ivfpq:$dir", {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpqcodes").toString
+      Similarity.ivfPqEncode(normEmbeddings(s, dir), ivfPqIndex(s, dir))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   /** Iceberg v2 table built once per scale factor: three appends of the
     * event_id % 3 slices, day-partitioned. */
   private def icebergTable(s: SparkSession, dir: String): String =
@@ -1043,6 +1089,54 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("grp"), col("bytes"), col("records"))
         .orderBy("window_start", "grp")),
+
+    "op_interval_join_stream" -> ((s, dir) => {
+      // STREAM-STREAM interval join, end-to-end: purchases join signups
+      // within [signup, signup + 3 days] per user, both sides
+      // watermarked so buffered state is evicted as event time advances
+      // (bounded by the interval, not stream history). Over the finite
+      // input the emitted pair set equals the batch range join, which is
+      // what the oracle computes.
+      import java.nio.file.{Files, Paths}
+      val inDir = Files.createTempDirectory("graft_ssj")
+      Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("events.parquet"))
+      val out = Files.createTempDirectory("graft_ssj_out").toString
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src(): DataFrame = {
+        val raw = graft.streaming.Transforms.PathInput(inDir.toString, schema).stream(s)
+        raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _        => raw
+        }
+      }
+      val purchases = src().where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val signups = src().where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+        .withWatermark("s_ts", "1 hour")
+      graft.streaming.StreamingOps.intervalJoinStream(
+        purchases, signups,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 3 DAYS"),
+        s"$out/data", s"$out/ckpt").awaitTermination()
+      s.read.parquet(s"$out/data")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("purchase_id").as("sum_purchase"),
+          sum("signup_id").as("sum_signup"))
+        .orderBy("user_id")
+    }),
+
+    "a5_session_windows" -> ((s, dir) =>
+      // Gap-based sessionization (30-min silence closes a session): the
+      // oracle re-derives the same islands with lag + running sum.
+      Operators.sessionWindows(events(s, dir), col("ts"),
+          concat(lit("u"), col("user_id").cast("string")), "30 minutes")
+        .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("grp"), col("n_events"))
+        .orderBy("grp", "session_start")),
 
     "a5_usage_stream" -> ((s, dir) => {
       // A5's STREAMING twin, run end-to-end through the append-mode
@@ -1895,13 +1989,11 @@ object SparkEntry {
       // IVFADC: coarse quantizer prunes to nProbe/nLists of the corpus,
       // residual-PQ codes score candidates via 2m table lookups, exact
       // re-rank on the shortlist.
-      val emb = Similarity.normalized(
-        T(s, dir, "embeddings")
-          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
-        "embedding")
+      val emb = normEmbeddings(s, dir)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.ivfPqTopK(emb, queries, 5, rerank = 50)
+      Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
+          ivfPqIndex(s, dir), 5, rerank = 50)
         .select(col("query_id"), col("vec_id"), col("rank"),
           round(col("cos"), 5).as("cos_r"))
         .orderBy("query_id", "rank")
@@ -1909,14 +2001,12 @@ object SparkEntry {
 
     "ann_ivfpq_recall" -> ((s, dir) => {
       import s.implicits._
-      val emb = Similarity.normalized(
-        T(s, dir, "embeddings")
-          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
-        "embedding")
+      val emb = normEmbeddings(s, dir)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
-      val got = Similarity.ivfPqTopK(emb, queries, 5, rerank = 50)
+      val got = Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
+          ivfPqIndex(s, dir), 5, rerank = 50)
         .select("query_id", "vec_id")
       val n = bf.count()
       val hit = bf.join(got, Seq("query_id", "vec_id")).count()
@@ -1930,14 +2020,11 @@ object SparkEntry {
     // raw vectors (16 byte-ish codes per 64-dim vector); rerank=100 raw
     // fetches per query restore exact ordering on the shortlist.
     "ann_pq_topk" -> ((s, dir) => {
-      val emb = Similarity.normalized(
-        T(s, dir, "embeddings")
-          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
-        "embedding")
+      val emb = normEmbeddings(s, dir)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val model = Similarity.pqTrain(emb, m = 16, k = 32)
-      Similarity.pqTopK(emb, queries, model, 5, rerank = 100)
+      Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
+          pqModel(s, dir), 5, rerank = 100)
         .select(col("query_id"), col("vec_id"), col("rank"),
           round(col("cos"), 5).as("cos_r"))
         .orderBy("query_id", "rank")
@@ -1945,15 +2032,12 @@ object SparkEntry {
 
     "ann_pq_recall" -> ((s, dir) => {
       import s.implicits._
-      val emb = Similarity.normalized(
-        T(s, dir, "embeddings")
-          .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
-        "embedding")
+      val emb = normEmbeddings(s, dir)
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
-      val model = Similarity.pqTrain(emb, m = 16, k = 32)
-      val pq = Similarity.pqTopK(emb, queries, model, 5, rerank = 50)
+      val pq = Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
+          pqModel(s, dir), 5, rerank = 50)
         .select("query_id", "vec_id")
       val n = bf.count()
       val hit = bf.join(pq, Seq("query_id", "vec_id")).count()
@@ -2573,6 +2657,33 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "op_interval_join_stream" ->
+      """WITH p AS (SELECT user_id, epoch(ts) AS t, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        | i AS (SELECT user_id, epoch(ts) AS lo, epoch(ts) + 259200 AS hi,
+        |              event_id AS signup_id
+        |       FROM events WHERE event_type = 'signup')
+        | SELECT p.user_id, count(*) AS n_pairs,
+        |        CAST(sum(purchase_id) AS BIGINT) AS sum_purchase,
+        |        CAST(sum(signup_id) AS BIGINT) AS sum_signup
+        | FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.lo AND i.hi
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a5_session_windows" ->
+      """WITH marks AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM marks)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       'u' || CAST(user_id AS VARCHAR) AS grp, count(*) AS n_events
+        | FROM sess GROUP BY user_id, sid ORDER BY 2, 1""".stripMargin,
 
     // Append-mode emission: the far-future sentinel batch advances the
     // watermark past every real window, and AvailableNow's final

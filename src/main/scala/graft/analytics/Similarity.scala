@@ -354,8 +354,17 @@ object Similarity {
    * — the compressed scan still never touches the raw corpus.
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int,
-      excludeSelf: Boolean = true, rerank: Int = 0): DataFrame = {
-    val enc = pqEncode(corpus, model).select("vec_id", "codes")
+      excludeSelf: Boolean = true, rerank: Int = 0): DataFrame =
+    pqTopKFromCodes(pqEncode(corpus, model).select("vec_id", "codes"),
+      corpus, queries, model, k, excludeSelf, rerank)
+
+  /** [[pqTopK]] over PRE-MATERIALIZED codes — the production shape: the
+    * m-byte codes are encoded once at ingest and stored beside the
+    * table; a query scans only the stored codes (plus `rerank` raw
+    * fetches). */
+  def pqTopKFromCodes(enc: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, k: Int, excludeSelf: Boolean = true,
+      rerank: Int = 0): DataFrame = {
     val luts = (0 until model.m).map { mi =>
       val s = slice(col("query_vec"), mi * model.subDim + 1, model.subDim)
       transform(typedlit(model.codebooks(mi).map(_.toIndexedSeq)), c => dot(s, c))
@@ -422,24 +431,75 @@ object Similarity {
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, m: Int = 16, pqK: Int = 32,
-      seed: Long = 42L, rerank: Int = 0): DataFrame = {
+      seed: Long = 42L, rerank: Int = 0): DataFrame =
+    ivfPqQuery(corpus, queries,
+      ivfPqBuild(corpus, nLists = nLists, m = m, pqK = pqK, seed = seed),
+      k, nProbe = nProbe, rerank = rerank)
+
+  /** The trained halves of an IVFADC index: the coarse quantizer and the
+    * residual PQ codebooks. Training is the expensive build step; the
+    * index itself is kilobytes and reusable across query batches (the
+    * residual encode is a narrow recompute). */
+  final case class IvfPqIndex(
+      coarse: org.apache.spark.ml.clustering.KMeansModel, model: PqModel)
+
+  /** Train the IVFADC index: coarse k-means over the vectors, then PQ
+    * codebooks over the coarse residuals. */
+  def ivfPqBuild(corpus: DataFrame, nLists: Int = 16, m: Int = 16,
+      pqK: Int = 32, seed: Long = 42L): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = kernels(corpus)
-    val featured = c.withColumn("features", array_to_vector(col("embedding")))
+    val featured = kernels(corpus)
+      .withColumn("features", array_to_vector(col("embedding")))
     val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(featured)
     val centDf = coarse.clusterCenters.toIndexedSeq.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
     val assigned = coarse.transform(featured)
       .withColumnRenamed("prediction", "list_id").drop("features")
+    val resid = assigned.join(broadcast(centDf), Seq("list_id"))
+      .withColumn("embedding", zip_with(col("embedding"), col("centroid"), _ - _))
+      .drop("centroid")
+    IvfPqIndex(coarse, pqTrain(resid, m = m, k = pqK, seed = seed))
+  }
+
+  /** Residual-encode the corpus against an [[IvfPqIndex]]:
+    * (vec_id, list_id, codes) — the rows a production deployment stores
+    * beside the table at ingest. */
+  def ivfPqEncode(corpus: DataFrame, index: IvfPqIndex): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val featured = kernels(corpus)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val centDf = index.coarse.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
+    val assigned = index.coarse.transform(featured)
+      .withColumnRenamed("prediction", "list_id").drop("features")
     // residual encode: r = x - c_list, PQ-coded with shared codebooks
     val resid = assigned.join(broadcast(centDf), Seq("list_id"))
       .withColumn("embedding", zip_with(col("embedding"), col("centroid"), _ - _))
       .drop("centroid")
-    val model = pqTrain(resid, m = m, k = pqK, seed = seed)
-    val encoded = pqEncode(resid, model).select("vec_id", "list_id", "codes")
+    pqEncode(resid, model = index.model).select("vec_id", "list_id", "codes")
+  }
+
+  /** Query an [[IvfPqIndex]]: residual-encode the corpus (narrow), probe,
+    * ADC-score, optional exact re-rank. See [[ivfPqTopK]] for the math. */
+  def ivfPqQuery(corpus: DataFrame, queries: DataFrame, index: IvfPqIndex,
+      k: Int, nProbe: Int = 4, rerank: Int = 0): DataFrame =
+    ivfPqQueryFromCodes(ivfPqEncode(corpus, index), corpus, queries, index,
+      k, nProbe, rerank)
+
+  /** [[ivfPqQuery]] over PRE-MATERIALIZED (vec_id, list_id, codes) rows. */
+  def ivfPqQueryFromCodes(encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, index: IvfPqIndex, k: Int, nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = index.model
+    val centDf = index.coarse.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
     val codeNorms = typedlit(model.codebooks.map(_.map(cw => cw.map(x => x * x).sum).toIndexedSeq))
 
     // probe ranking per query (L2 to coarse centroids), then per-probe

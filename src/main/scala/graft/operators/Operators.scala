@@ -112,6 +112,21 @@ object Operators {
       .agg(sum(bytesCol).as("bytes"), count(lit(1)).as("records"))
 
   /**
+   * A5 session metering: gap-based session windows per group —
+   * consecutive events merge into one session while the gap between
+   * them stays at or under `gap`; a `> gap` silence starts a new session
+   * (Spark's `session_window`, the same islands semantics a SQL
+   * lag-and-running-sum derivation produces). One shuffle on the group
+   * key; the session merge runs inside the aggregation — no corpus
+   * window, no self-join.
+   */
+  def sessionWindows(df: DataFrame, tsCol: Column, groupCol: Column,
+      gap: String): DataFrame =
+    df.groupBy(session_window(tsCol, gap).as("w"), groupCol.as("grp"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("grp"), col("n_events"))
+
+  /**
    * D4 Iceberg partition transforms (`iceberg/transform.h:16-37`):
    * identity / bucket / truncate / year / month / day / hour. The
    * reference's default topic materialization partitions by

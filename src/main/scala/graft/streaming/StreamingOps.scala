@@ -74,4 +74,25 @@ object StreamingOps {
       .format("parquet")
       .option("path", outPath)
       .start()
+
+  /**
+   * Stream-stream interval join: both inputs must carry watermarks and
+   * the join condition must bound event time on both sides (an equality
+   * key plus a time range), so each side's buffered state is evicted
+   * once the other side's watermark passes the range — the
+   * bounded-state contract that makes a continuous join survive at
+   * 100 TB (state is O(in-flight interval), not O(stream history)).
+   * Matches are emitted as both sides arrive; with AvailableNow over
+   * finite inputs the emitted set is exactly the batch join's.
+   */
+  def intervalJoinStream(lhs: DataFrame, rhs: DataFrame,
+      joinExpr: Column, outPath: String, ckptDir: String): StreamingQuery =
+    lhs.join(rhs, joinExpr)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outPath)
+      .start()
 }

@@ -6,6 +6,19 @@ import graft.SparkSpec
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("session windows: gap > threshold closes a session, gap <= merges; groups isolated") {
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:20:00"), // 20m < 30m: same session
+      ("a", "2024-01-01 10:50:00"),                               // exactly 30m: still MERGES
+      ("a", "2024-01-01 11:21:00"),                               // 31m > 30m: NEW session
+      ("b", "2024-01-01 10:05:00"))                               // other group untouched
+      .toDF("grp", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Operators.sessionWindows(ev, col("ts"), col("grp"), "30 minutes")
+      .select(date_format(col("session_start"), "HH:mm").as("s"), col("grp"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("10:00", "a", 3L), ("11:21", "a", 1L), ("10:05", "b", 1L)))
+  }
+
   test("asof join: latest right row at or before each left timestamp, per key") {
     val trades = Seq(
       ("A", 10L, 1), ("A", 20L, 2), ("A", 5L, 3), ("B", 10L, 4), ("C", 10L, 5))
