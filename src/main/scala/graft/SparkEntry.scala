@@ -646,6 +646,33 @@ object SparkEntry {
         .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
         .orderBy("partition", "offset")),
 
+    "s1_produce_exactly_once" -> ((s, dir) => {
+      // The exactly-once produce path, DELIVERED TWICE: the same input
+      // runs through appendStreamExactlyOnce with a fresh checkpoint the
+      // second time, so every batch id is redelivered — committed batch
+      // markers turn the whole second delivery into no-ops. The read-back
+      // must equal ONE batch assignment (the s1 oracle), byte for byte.
+      import java.nio.file.{Files, Paths}
+      val stage = Files.createTempDirectory("graft_eo")
+      val in = stage.resolve("in")
+      Files.createDirectory(in)
+      Files.copy(Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
+      val out = s"$stage/log"
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def deliver(ckpt: String): Unit = {
+        val q = graft.streaming.Produce.appendStreamExactlyOnce(s,
+          graft.streaming.Transforms.PathInput(in.toString, schema),
+          out, s"$stage/$ckpt",
+          pmod(col("user_id"), lit(EventPartitions)), col("event_id"))
+        q.awaitTermination()
+      }
+      deliver("ckpt1")
+      deliver("ckpt2") // full redelivery: all batch ids repeat
+      s.read.parquet(out)
+        .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
+        .orderBy("partition", "offset")
+    }),
+
     "s1_append_incremental" -> ((s, dir) => {
       // Replay the first half as the existing log, append the second half
       // on its high watermarks; the union must equal one-shot assignment.
@@ -2257,6 +2284,9 @@ object SparkEntry {
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
 
     "s1_produce_window" ->
+      s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
+
+    "s1_produce_exactly_once" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
 
     "s1_append_incremental" ->

@@ -90,4 +90,72 @@ object Produce {
       }
       .start()
   }
+
+  /**
+   * One micro-batch of the EXACTLY-ONCE produce path: the batch lands in
+   * its own `batch=<id>` directory, committed by the parquet writer's
+   * `_SUCCESS` marker, and a redelivered batch id whose marker already
+   * exists is SKIPPED — offsets are not re-assigned, rows are not
+   * re-appended. batchId is Structured Streaming's replay-stable batch
+   * number, so crash-replays hit the committed marker and become no-ops:
+   * at-least-once delivery + idempotent commit = exactly-once, the same
+   * two-piece construction as the reference's idempotent producer
+   * (producer id + sequence dedup over at-least-once retries).
+   *
+   * Returns the rows appended by THIS call (0 for a duplicate). The
+   * per-partition HWM state advances only on first commit.
+   */
+  def appendBatchExactlyOnce(batch: DataFrame, batchId: Long, outPath: String,
+      state: scala.collection.mutable.Map[Int, Long],
+      partitionCol: Column, arrivalCol: Column): Long = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$outPath/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS")
+    if (fs.exists(marker)) return 0L // duplicate delivery: committed, skip
+    val counts = batch.groupBy(partitionCol.cast("int").as("partition"))
+      .agg(count(lit(1)).as("n")).collect()
+    val hwm = state.toSeq.toDF("partition", "hwm")
+    // a half-written (crashed, no marker) attempt is overwritten whole
+    RecordLog.appendBatch(batch, hwm, partitionCol, arrivalCol)
+      .write.mode("overwrite").parquet(batchDir.toString)
+    counts.foreach(r =>
+      state(r.getInt(0)) = state.getOrElse(r.getInt(0), 0L) + r.getLong(1))
+    counts.map(_.getLong(1)).sum
+  }
+
+  /**
+   * Deploy the exactly-once continuous producer: [[appendStream]]'s
+   * coordinator-HWM design with [[appendBatchExactlyOnce]] as the batch
+   * commit. The log lives under `outPath/batch=N/` directories; readers
+   * `spark.read.parquet(outPath)` and see each record exactly once no
+   * matter how many times a batch was delivered.
+   */
+  def appendStreamExactlyOnce(
+      spark: SparkSession,
+      input: Transforms.Input,
+      outPath: String,
+      checkpointDir: String,
+      partitionCol: Column,
+      arrivalCol: Column): StreamingQuery = {
+    val state = scala.collection.mutable.Map.empty[Int, Long]
+    var seeded = false
+    input.stream(spark).writeStream
+      .queryName(s"produce-eo:$outPath")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seeded) {
+          highWatermarks(batch.sparkSession, outPath).collect()
+            .foreach(r => state(r.getInt(0)) = r.getLong(1))
+          seeded = true
+        }
+        appendBatchExactlyOnce(batch, batchId, outPath, state,
+          partitionCol, arrivalCol)
+        ()
+      }
+      .start()
+  }
 }

@@ -73,6 +73,51 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once produce: a redelivered batch id commits nothing twice") {
+    val out = tmp()
+    val state = scala.collection.mutable.Map.empty[Int, Long]
+    val b1 = Seq((0, 10L, "a"), (0, 11L, "b"), (1, 20L, "c"))
+      .toDF("pt", "arrival", "value")
+    val n1 = Produce.appendBatchExactlyOnce(b1, 0L, out, state,
+      col("pt"), col("arrival"))
+    assert(n1 === 3L)
+    assert(state.toMap === Map(0 -> 2L, 1 -> 1L))
+    // crash-replay: same batch id delivered again — a committed marker
+    // makes it a no-op (no re-append, no HWM advance)
+    val n2 = Produce.appendBatchExactlyOnce(b1, 0L, out, state,
+      col("pt"), col("arrival"))
+    assert(n2 === 0L)
+    assert(state.toMap === Map(0 -> 2L, 1 -> 1L))
+    assert(spark.read.parquet(out).count() === 3L)
+    // next batch id lands on the advanced HWMs
+    val b2 = Seq((0, 12L, "d")).toDF("pt", "arrival", "value")
+    assert(Produce.appendBatchExactlyOnce(b2, 1L, out, state,
+      col("pt"), col("arrival")) === 1L)
+    val offsets = spark.read.parquet(out)
+      .where(col("partition") === 0).select("offset")
+      .as[Long].collect().sorted
+    assert(offsets === Array(0L, 1L, 2L)) // dense, no duplicate offsets
+  }
+
+  test("exactly-once produce stream end-to-end equals one batch assignment") {
+    val dir = tmp()
+    val out = s"$dir/log"; val ckpt = s"$dir/ckpt"
+    val in = s"$dir/in"
+    val rows = (0L until 500L).map(i => (i % 4, i, s"v$i"))
+    rows.toDF("pt", "arrival", "value").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    Produce.appendStreamExactlyOnce(spark,
+      Transforms.PathInput(in, schema, maxFilesPerTrigger = Some(1)),
+      out, ckpt, col("pt"), col("arrival")).awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 500L)
+    // dense per-partition offsets across all micro-batches
+    val perPart = got.groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"))
+      .select("n", "lo", "hi").as[(Long, Long, Long)].collect()
+    assert(perPart.forall { case (n, lo, hi) => lo == 0L && hi == n - 1 })
+  }
+
   test("producer dedup within watermark drops duplicate (pid, seq) across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Long, String)]
