@@ -228,14 +228,15 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[String, Similarity.PqModel]()
   private def pqModel(s: SparkSession, dir: String): Similarity.PqModel =
     pqModelStore.getOrElseUpdate(dir,
-      Similarity.pqTrain(normEmbeddings(s, dir), m = 16, k = 32))
+      Similarity.pqTrain(normEmbeddings(s, dir), m = 16, k = 32, trainMod = 4))
 
   /** IVFADC index trained once per scale dir (coarse quantizer + residual
     * PQ codebooks); the per-query residual encode is a narrow recompute. */
   private val ivfPqStore =
     scala.collection.concurrent.TrieMap[String, Similarity.IvfPqIndex]()
   private def ivfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex =
-    ivfPqStore.getOrElseUpdate(dir, Similarity.ivfPqBuild(normEmbeddings(s, dir)))
+    ivfPqStore.getOrElseUpdate(dir,
+      Similarity.ivfPqBuild(normEmbeddings(s, dir), trainMod = 4))
 
   /** PQ / IVFADC codes MATERIALIZED once per scale dir — the production
     * shape (codes are encoded at ingest and stored beside the table);
@@ -1675,6 +1676,46 @@ object SparkEntry {
         .groupBy("p_key")
         .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
         .join(inv, Seq("p_key"))
+        .orderBy("p_key")
+    }),
+
+    "d6_iceberg_stream" -> ((s, dir) => {
+      // Continuous Iceberg ingestion, DELIVERED TWICE: two event halves
+      // stream in as separate micro-batches, each committing a snapshot
+      // tagged with its batch id; a second full delivery (fresh
+      // checkpoint) replays both batch ids and must commit nothing — the
+      // table equals the events table exactly once.
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val stage = Files.createTempDirectory("graft_iceS")
+      val in = Files.createDirectory(stage.resolve("in"))
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      def stageHalf(name: String, rem: Int, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_iceS_half")
+        ev.where(pmod(col("event_id"), lit(2)) === rem)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val it = Files.list(tmp).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) Files.copy(p, in.resolve(name))
+        }
+        Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
+      }
+      stageHalf("a.parquet", 0, 1700000000000L)
+      stageHalf("b.parquet", 1, 1700000060000L)
+      val t = s"$stage/table"
+      val schema = s.read.parquet(in.toString).schema
+      def deliver(ck: String): Unit =
+        graft.streaming.IcebergFormat.icebergSink(
+          graft.streaming.Transforms.PathInput(in.toString, schema,
+            maxFilesPerTrigger = Some(1)).stream(s),
+          col("ts"), t, s"$stage/$ck",
+          graft.streaming.Datalake.dayPartition).awaitTermination()
+      deliver("ck1")
+      deliver("ck2") // full redelivery: both batch ids repeat, zero new snapshots
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("p_key")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
         .orderBy("p_key")
     }),
 
@@ -3139,6 +3180,11 @@ object SparkEntry {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events WHERE event_id % 3 < 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_stream" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_iceberg_compaction" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,

@@ -444,14 +444,19 @@ object Similarity {
       coarse: org.apache.spark.ml.clustering.KMeansModel, model: PqModel)
 
   /** Train the IVFADC index: coarse k-means over the vectors, then PQ
-    * codebooks over the coarse residuals. */
+    * codebooks over the coarse residuals. `trainMod > 1` fits both
+    * stages on a deterministic hash-sample (codebooks need a sample,
+    * not the corpus — the bounded-training-cost knob for 100 TB). */
   def ivfPqBuild(corpus: DataFrame, nLists: Int = 16, m: Int = 16,
-      pqK: Int = 32, seed: Long = 42L): IvfPqIndex = {
+      pqK: Int = 32, seed: Long = 42L, trainMod: Int = 1): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val featured = kernels(corpus)
+    val sample =
+      if (trainMod <= 1) corpus
+      else corpus.where(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+    val featured = kernels(sample)
       .withColumn("features", array_to_vector(col("embedding")))
     val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(featured)
     val centDf = coarse.clusterCenters.toIndexedSeq.zipWithIndex

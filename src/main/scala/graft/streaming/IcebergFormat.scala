@@ -186,17 +186,20 @@ object IcebergFormat {
   }
 
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
-      manifestList: String, addedRows: Long, op: String = "append")
+      manifestList: String, addedRows: Long, op: String = "append",
+      sourceBatchId: Option[Long] = None)
 
   /** Parse the snapshots array out of the metadata JSON. */
   private def parseSnapshots(json: String): Seq[SnapshotInfo] =
     mapper.readTree(json).path("snapshots").elements().asScala.toSeq.map { s =>
+      val bid = s.path("summary").path("streaming-batch-id")
       SnapshotInfo(
         s.path("snapshot-id").asLong,
         s.path("sequence-number").asLong,
         s.path("manifest-list").asText,
         s.path("summary").path("added-rows").asText("0").toLong,
-        s.path("summary").path("operation").asText("append"))
+        s.path("summary").path("operation").asText("append"),
+        if (bid.isMissingNode) None else Some(bid.asText.toLong))
     }
 
   private def writeMetadataJson(fs: FileSystem, table: String, v: Int,
@@ -206,9 +209,11 @@ object IcebergFormat {
     val current = snaps.lastOption.map(_.snapshotId).getOrElse(-1L)
     val lastSeq = snaps.lastOption.map(_.sequenceNumber).getOrElse(0L)
     val snapJson = snaps.map { s =>
+      val bid = s.sourceBatchId
+        .map(b => s""", "streaming-batch-id": "$b"""").getOrElse("")
       s"""{"snapshot-id": ${s.snapshotId}, "sequence-number": ${s.sequenceNumber},
          |     "timestamp-ms": $now, "manifest-list": ${jsonStr(s.manifestList)},
-         |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"},
+         |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"$bid},
          |     "schema-id": 0}""".stripMargin
     }.mkString("[", ", ", "]")
     val logJson = snaps.map(s => s"""{"timestamp-ms": $now, "snapshot-id": ${s.snapshotId}}""")
@@ -268,12 +273,20 @@ object IcebergFormat {
    * by default). Returns the new snapshot id.
    */
   def commit(df: DataFrame, tsCol: Column, table: String,
-      partFn: Column => Column = Datalake.hourPartition): Long = {
+      partFn: Column => Column = Datalake.hourPartition,
+      sourceBatchId: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, table)
     val prior = currentVersion(fs, table)
     val priorJson = prior.map(readMetadataJson(fs, table, _))
     val priorSnaps = priorJson.map(parseSnapshots).getOrElse(Seq.empty)
+    // exactly-once streaming ingestion: a snapshot carrying this source
+    // batch id is already committed — the redelivery is a no-op (the
+    // datalake-coordinator dedup the reference keeps per offset range)
+    sourceBatchId.foreach { bid =>
+      priorSnaps.find(_.sourceBatchId.contains(bid))
+        .foreach(s => return s.snapshotId)
+    }
     val uuid = priorJson.flatMap(jsonStrField(_, "table-uuid"))
       .getOrElse(java.util.UUID.randomUUID().toString)
     val snapId = priorSnaps.map(_.snapshotId).maxOption.getOrElse(0L) + 1
@@ -344,10 +357,33 @@ object IcebergFormat {
     // 4. metadata.json + version hint
     val schema = out.drop("p_key").schema
     writeMetadataJson(fs, table, prior.map(_ + 1).getOrElse(1), schema,
-      priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows),
+      priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
+        sourceBatchId = sourceBatchId),
       uuid, schema.fields.head.name)
     snapId
   }
+
+  /**
+   * Continuous Iceberg ingestion: every micro-batch commits one
+   * snapshot, tagged with its replay-stable streaming batch id so a
+   * crash-replayed batch is recognized and skipped — exactly-once table
+   * contents over at-least-once delivery, the contract the reference's
+   * datalake coordinator enforces per committed offset range
+   * (`datalake/coordinator/`).
+   */
+  def icebergSink(stream: DataFrame, tsCol: Column, table: String,
+      ckptDir: String,
+      partFn: Column => Column = Datalake.hourPartition)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(s"iceberg:$table")
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commit(batch, tsCol, table, partFn, sourceBatchId = Some(batchId))
+        ()
+      }
+      .start()
 
   /**
    * Expire all but the newest `keepLast` snapshots — Iceberg

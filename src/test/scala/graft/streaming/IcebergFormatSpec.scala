@@ -126,6 +126,44 @@ class IcebergFormatSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted === contentBefore)
   }
 
+  test("streaming sink: one snapshot per batch; redelivered batch ids are no-ops") {
+    import java.nio.file.attribute.FileTime
+    val stage = Files.createTempDirectory("ice_sink")
+    val in = Files.createDirectory(stage.resolve("in"))
+    def stageHalf(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("ice_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.copy(p, in.resolve(name)); moved = true
+        }
+      }
+      Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
+    }
+    stageHalf("a.parquet", batch(0, 5), 1700000000000L)
+    stageHalf("b.parquet", batch(5, 9), 1700000060000L)
+    val t = freshTable()
+    val schema = spark.read.parquet(in.toString).schema
+    def deliver(ck: String): Unit =
+      IcebergFormat.icebergSink(
+        Transforms.PathInput(in.toString, schema, maxFilesPerTrigger = Some(1))
+          .stream(spark),
+        col("ts"), t, s"$stage/$ck", Datalake.dayPartition).awaitTermination()
+    deliver("ck1")
+    val cat1 = IcebergFormat.snapshotCatalog(spark, t).orderBy("snapshot_id").collect()
+    assert(cat1.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 5L), (2L, 4L)))
+    assert(IcebergFormat.readTable(spark, t).count() === 9L)
+    // full redelivery with a fresh checkpoint: batch ids 0,1 repeat and
+    // their committed snapshots make both commits no-ops
+    deliver("ck2")
+    val cat2 = IcebergFormat.snapshotCatalog(spark, t).orderBy("snapshot_id").collect()
+    assert(cat2.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(IcebergFormat.readTable(spark, t).count() === 9L)
+  }
+
   test("a reader never sees a half-committed version (hint flips last)") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 3), col("ts"), t)
