@@ -742,6 +742,36 @@ object SparkEntry {
         .select("partition", "offset", "user_id", "event_type", "value")
     }),
 
+    "s2_fetch_budget" -> ((s, dir) => {
+      // Fetch byte-budget truncation (fetch.cc:1434-1437): every partition
+      // fetches from offset 10 under a 20 000-byte budget — the response
+      // stops at the first batch whose preceding bytes reach the budget
+      // (that batch is still delivered: the progress guarantee).
+      val log = eventLog(s, dir)
+      val from = log.select("partition").distinct()
+        .withColumn("fetch_offset", lit(10L))
+      RecordLog.fetchBudget(log, from, length(col("props")) + lit(24),
+          maxBytes = 20000L)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
+          sum("sz").as("bytes"), max(col("cum_before") + col("sz")).as("response_bytes"))
+        .orderBy("partition")
+    }),
+
+    "s2_fetch_budget_strict" -> ((s, dir) => {
+      // strict_max_bytes: only batches that fit ENTIRELY under the budget
+      // are delivered — same plan, tighter keep predicate; with a budget
+      // below the first batch's size a partition returns nothing.
+      val log = eventLog(s, dir)
+      val from = log.select("partition").distinct()
+        .withColumn("fetch_offset", lit(10L))
+      RecordLog.fetchBudget(log, from, length(col("props")) + lit(24),
+          maxBytes = 20000L, strict = true)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), max(col("cum_before") + col("sz")).as("response_bytes"))
+        .orderBy("partition")
+    }),
+
     "q1_q2_list_offsets" -> ((s, dir) => {
       val log = eventLog(s, dir)
       RecordLog.earliestOffsets(log)
@@ -2269,6 +2299,52 @@ object SparkEntry {
           md5(col("chunk_text").cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")),
 
+    "txt_bpe_merges" -> ((s, dir) =>
+      // Learned subword merge table (30 merges) — deterministic
+      // (lexicographic tie-break, integral counts) but not
+      // SQL-expressible beyond rank 1 (iterative re-counting);
+      // rows-only, with txt_bpe_learn_contract as the oracled anchor.
+      TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 30)
+        .orderBy("rank")),
+
+    "txt_bpe_learn_contract" -> ((s, dir) =>
+      // The FIRST merge is SQL-expressible: the corpus-wide argmax
+      // adjacent character pair weighted by word frequency. The oracle
+      // recomputes it independently in DuckDB. (maxWords cap left at its
+      // 100k default — far above the corpus vocabulary, so the oracle's
+      // uncapped count sees identical mass.)
+      TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 1)
+        .select("left", "right", "pair_count")),
+
+    "txt_bpe_encode_contract" -> ((s, dir) => {
+      // Encode the corpus with the learned merges. Per doc the un-merged
+      // symbol count is SQL-exact (letters per letter-word, 1 per other
+      // token); the encoded count must stay within [n_tokens, n_before].
+      import s.implicits._
+      val merges = TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"),
+          nMerges = 30)
+        .select("left", "right", "rank").as[(String, String, Int)].collect().toSeq
+      val encCount = TextAnalysis.bpeEncodedCount(merges)
+      val t = TextAnalysis.tokens(col("text"))
+      val nBefore = aggregate(
+        transform(t, w => when(w.rlike("^[a-z]+$"), length(w)).otherwise(lit(1))),
+        lit(0), (a, x) => a + x).cast("long")
+      T(s, dir, "documents")
+        .select(col("doc_id"), nBefore.as("n_before"), size(t).as("n_toks"),
+          encCount(col("text")).as("n_enc"))
+        .select(col("doc_id"), col("n_before"),
+          (col("n_enc") <= col("n_before") && col("n_enc") >= col("n_toks")).as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_pack_sequences" -> ((s, dir) =>
+      // Pretraining sequence packing: the corpus concatenated in doc_id
+      // order and cut into 256-token sequences; one row per
+      // (sequence, document-span), documents split at boundaries.
+      TextAnalysis.packSequences(T(s, dir, "documents"), col("doc_id"), col("text"),
+          contextLen = 256)
+        .orderBy("seq_id", "doc_id")),
+
     "txt_rarity" -> ((s, dir) =>
       TextAnalysis.rarityFeatures(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")),
@@ -2353,6 +2429,38 @@ object SparkEntry {
     "s2_fetch_stored" ->
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
          | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
+
+    "s2_fetch_budget" ->
+      s"""$LogCte,
+         | sized AS (
+         |  SELECT partition, "offset", CAST(length(props) + 24 AS BIGINT) AS sz
+         |  FROM log WHERE "offset" >= 10),
+         | c AS (
+         |  SELECT partition, "offset", sz,
+         |    COALESCE(SUM(sz) OVER (PARTITION BY partition ORDER BY "offset"
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM sized)
+         |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN("offset") AS lo, MAX("offset") AS hi,
+         |  CAST(SUM(sz) AS BIGINT) AS bytes,
+         |  CAST(MAX(cum_before + sz) AS BIGINT) AS response_bytes
+         |FROM c WHERE cum_before < 20000
+         |GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "s2_fetch_budget_strict" ->
+      s"""$LogCte,
+         | sized AS (
+         |  SELECT partition, "offset", CAST(length(props) + 24 AS BIGINT) AS sz
+         |  FROM log WHERE "offset" >= 10),
+         | c AS (
+         |  SELECT partition, "offset", sz,
+         |    COALESCE(SUM(sz) OVER (PARTITION BY partition ORDER BY "offset"
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM sized)
+         |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MAX(cum_before + sz) AS BIGINT) AS response_bytes
+         |FROM c WHERE cum_before + sz <= 20000
+         |GROUP BY partition ORDER BY partition""".stripMargin,
 
     "q1_q2_list_offsets" ->
       s"""$LogCte SELECT partition, min("offset") AS earliest, max("offset") + 1 AS hwm
@@ -3645,6 +3753,49 @@ object SparkEntry {
         | SELECT doc_id, chunk_id, count(*) AS n_tokens, min(pos) AS start_pos,
         |        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
         | FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "txt_bpe_learn_contract" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY tok),
+        | chars AS (SELECT regexp_split_to_array(w, '') AS ch, c FROM words),
+        | pairs AS (
+        |  SELECT ch[i] AS lft, ch[i+1] AS rgt, SUM(c) AS n
+        |  FROM chars, unnest(range(1, len(ch))) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT lft AS "left", rgt AS "right", CAST(n AS BIGINT) AS pair_count
+        |FROM pairs ORDER BY n DESC, lft, rgt LIMIT 1""".stripMargin,
+
+    "txt_bpe_encode_contract" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN length(w) ELSE 1 END))
+        |    AS BIGINT) AS n_before,
+        |  CAST(TRUE AS BOOLEAN) AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_pack_sequences" ->
+      """WITH n AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_doc
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, n_doc,
+        |    CAST(COALESCE(SUM(n_doc) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM n),
+        | x AS (
+        |  SELECT doc_id, n_doc, st,
+        |    unnest(generate_series(st // 256, (st + n_doc - 1) // 256)) AS seq_id
+        |  FROM s)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(GREATEST(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_pos,
+        |  CAST(GREATEST(st, seq_id * 256) - st AS BIGINT) AS doc_pos,
+        |  CAST(LEAST(st + n_doc, (seq_id + 1) * 256) - GREATEST(st, seq_id * 256) AS BIGINT) AS n_toks
+        |FROM x ORDER BY seq_id, doc_id""".stripMargin,
 
     "txt_rarity" ->
       """WITH toks AS (

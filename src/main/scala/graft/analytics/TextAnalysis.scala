@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -224,6 +225,158 @@ object TextAnalysis {
         (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
           .as("hapax_frac"),
         col("min_corpus_n"))
+  }
+
+  /**
+   * Sequence packing — the pretraining batch-assembly primitive: all
+   * documents are concatenated in `doc_id` order into one token stream,
+   * and the stream is cut into fixed sequences of `contextLen` tokens
+   * (documents crossing a boundary are split, exactly the GPT-style
+   * "concat then chunk" packing; no padding except in the final
+   * sequence). Returns one row per (sequence, document-span):
+   * `seq_id`, `doc_id`, `seq_pos` (span start inside the sequence),
+   * `doc_pos` (span start inside the document), `n_toks`.
+   *
+   * Shape at 100 TB: each document's start position in the global stream
+   * is a prefix sum of token counts — computed with the same two-phase
+   * chunked pattern as the log's offset assignment
+   * ([[graft.log.RecordLog.assignOffsetsScalable]]): per-4096-doc-chunk
+   * token totals are prefix-summed on the tiny chunk table and broadcast
+   * back, so no task scans more than one chunk and no window spans the
+   * corpus. Span emission is a constant-bounded explode (a document
+   * touches ceil(n/contextLen)+1 sequences at most). All arithmetic is
+   * integral — any engine re-derives every boundary bit-identically.
+   */
+  def packSequences(df: DataFrame, idCol: Column, textCol: Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val c = lit(contextLen.toLong)
+    val counts = df.select(idCol.cast("long").as("doc_id"),
+        size(tokens(textCol)).cast("long").as("n_doc"))
+      .withColumn("__chunk", floor(col("doc_id") / 4096).cast("long"))
+    val chunkAgg = counts.groupBy("__chunk").agg(sum("n_doc").as("__n"))
+    // global prefix over the chunk table: #docs/4096 rows, not the corpus
+    val baseW = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = chunkAgg
+      .withColumn("__base", coalesce(sum("__n").over(baseW), lit(0L)))
+      .select("__chunk", "__base")
+    val localW = Window.partitionBy("__chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val started = counts.join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__start", col("__base") + coalesce(sum("n_doc").over(localW), lit(0L)))
+    started
+      .select(col("doc_id"), col("n_doc"), col("__start"),
+        explode(sequence(floor(col("__start") / c).cast("long"),
+          floor((col("__start") + col("n_doc") - 1) / c).cast("long"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("__start"), col("seq_id") * c) - col("seq_id") * c).as("seq_pos"),
+        (greatest(col("__start"), col("seq_id") * c) - col("__start")).as("doc_pos"),
+        (least(col("__start") + col("n_doc"), (col("seq_id") + 1) * c) -
+          greatest(col("__start"), col("seq_id") * c)).as("n_toks"))
+  }
+
+  /**
+   * BPE merge-table learning (Sennrich et al. 2016) — the subword
+   * tokenizer-training half of a data pipeline. Classic BPE trainers
+   * operate on the corpus WORD-FREQUENCY table, not the corpus: the
+   * distributed part is one explode + one hash-shuffle count (scales to
+   * 100 TB like any vocabulary build), and the iterative merge loop runs
+   * on the bounded top-`maxWords` table on the driver — bounded driver
+   * state by construction, the same pattern every published BPE trainer
+   * uses (the word tail contributes negligible pair mass). Only
+   * lowercase pure-letter words train merges (punctuation and digit runs
+   * are their own symbols under [[BpeTokenPattern]]).
+   *
+   * Fully deterministic: pair argmax ties break lexicographically and
+   * all counts are integral, so any engine re-derives the same table.
+   * Returns (rank, left, right, pair_count), rank 1 = first merge.
+   */
+  def learnBpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
+      maxWords: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words: Array[(String, Long)] = df.select(explode(tokens(textCol)).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    var syms: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((s, c) <- syms; i <- 0 until s.length - 1)
+        pairCounts((s(i), s(i + 1))) = pairCounts.getOrElse((s(i), s(i + 1)), 0L) + c
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), n) = pairCounts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        merges += ((rank, l, r, n))
+        syms = syms.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /**
+   * BPE encoding with a learned merge table: per whitespace token, split
+   * pure-letter words to characters and apply merges lowest-rank-first
+   * (each round merges every occurrence of the best-ranked pair present,
+   * left to right) until none applies; other tokens stay single symbols.
+   * Returns the encoded sub-token count of the text.
+   *
+   * The per-token merge loop is genuinely imperative (priority-driven
+   * fixpoint over an array) — a Scala kernel closure over the broadcast
+   * merge table, like the SCRAM PBKDF2 kernel; everything around it
+   * (tokenize, aggregate) stays in codegen. Encoded length is
+   * deterministic: rank order is total and ties cannot arise within one
+   * token scan.
+   */
+  def bpeEncodedCount(merges: Seq[(String, String, Int)]): Column => Column = {
+    val rankOf: Map[(String, String), Int] =
+      merges.map { case (l, r, k) => ((l, r), k) }.toMap
+    val enc = udf { (toks: Seq[String]) =>
+      if (toks == null) 0
+      else toks.map { w =>
+        if (!w.forall(c => c >= 'a' && c <= 'z') || w.isEmpty) 1
+        else {
+          var s = w.split("").filter(_.nonEmpty)
+          var go = true
+          while (go && s.length > 1) {
+            var best = Int.MaxValue
+            var bi = -1
+            for (i <- 0 until s.length - 1) {
+              val k = rankOf.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+              if (k < best) { best = k; bi = i }
+            }
+            if (bi < 0) go = false
+            else {
+              val (l, r) = (s(bi), s(bi + 1))
+              val out = scala.collection.mutable.ArrayBuffer[String]()
+              var i = 0
+              while (i < s.length) {
+                if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+                else { out += s(i); i += 1 }
+              }
+              s = out.toArray
+            }
+          }
+          s.length
+        }
+      }.sum
+    }
+    text => enc(tokens(text))
   }
 
   /** Email/phone detection patterns — shared Java-regex/RE2 subset (no

@@ -118,6 +118,49 @@ object RecordLog {
       .orderBy("offset")
       .limit(maxRows)
 
+  /**
+   * S2 fetch response sizing: the per-partition byte budget of a fetch
+   * (`kafka/server/handlers/fetch.cc:1434-1437` — `max_bytes` and
+   * `strict_max_bytes` on the read plan, enforced by the reader's
+   * `over_budget` check in `storage/log_reader.h`). Each partition
+   * returns batches from its fetch offset while the bytes accumulated
+   * BEFORE a batch stay under `maxBytes`; with `strict = false` (Kafka
+   * default) the first batch is always delivered even when it alone
+   * exceeds the budget — the progress guarantee that lets consumers with
+   * small fetch sizes get past a large batch. `strict = true` caps the
+   * response at batches that fit entirely.
+   *
+   * `fromOffsets` is tiny (one `(partition, fetch_offset)` row per
+   * fetched partition) and broadcast. The running byte sum is NOT one
+   * monolithic window per partition — the same chunked two-phase shape
+   * as [[retainBytes]]: per-(partition, 4096-offset-chunk) byte totals
+   * are prefix-summed on the tiny chunk table and broadcast back, so each
+   * task ranks only its own chunk. Output adds `sz` (the batch's bytes)
+   * and `cum_before` (bytes accumulated before it).
+   */
+  def fetchBudget(log: DataFrame, fromOffsets: DataFrame, sizeCol: Column,
+      maxBytes: Long, strict: Boolean = false): DataFrame = {
+    val scoped = log.join(broadcast(fromOffsets), Seq("partition"))
+      .where(col("offset") >= col("fetch_offset"))
+      .drop("fetch_offset")
+      .withColumn("__chunk", floor(col("offset") / 4096).cast("long"))
+      .withColumn("sz", sizeCol.cast("long"))
+    val chunkAgg = scoped.groupBy("partition", "__chunk").agg(sum("sz").as("__n"))
+    val beforeW = Window.partitionBy("partition").orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = chunkAgg
+      .withColumn("__base", coalesce(sum("__n").over(beforeW), lit(0L)))
+      .select("partition", "__chunk", "__base")
+    val localW = Window.partitionBy("partition", "__chunk").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = scoped.join(broadcast(bases), Seq("partition", "__chunk"))
+      .withColumn("cum_before",
+        col("__base") + coalesce(sum("sz").over(localW), lit(0L)))
+    val keep = if (strict) col("cum_before") + col("sz") <= maxBytes
+               else col("cum_before") < maxBytes
+    cum.where(keep).drop("__chunk", "__base")
+  }
+
   /** Q1 list_offsets(earliest = -2): log start offset per partition
    *  (`kafka/server/handlers/list_offsets.cc:112-126`). */
   def earliestOffsets(log: DataFrame): DataFrame =

@@ -170,6 +170,24 @@ class PlanSpec extends SparkSpec {
     assertChunkedWindowsOnly(p)
   }
 
+  test("fetch byte budget is two-phase chunked — broadcast offsets and bases, no full-partition window") {
+    val log = (0L until 1000L).map(i => (i % 4, i / 4, 10L + i % 7))
+      .toDF("partition", "offset", "bytes")
+    val from = Seq((0, 0L), (1, 0L), (2, 5L), (3, 9L)).toDF("partition", "fetch_offset")
+    val p = plan(RecordLog.fetchBudget(log, from, col("bytes"), maxBytes = 500L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assertChunkedWindowsOnly(p)
+  }
+
+  test("sequence packing is two-phase chunked — broadcast bases, bounded span explode") {
+    val docs = spark.read.parquet(docsDir)
+    val p = plan(TextAnalysis.packSequences(docs, col("doc_id"), col("text"), 64))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assertChunkedWindowsOnly(p)
+  }
+
   test("quota fold is one client shuffle plus an in-partition sort — no window, no join") {
     val reqs = (0L until 100L).map(i => (s"c${i % 4}", i * 7, i % 50, i))
       .toDF("client_id", "ts_ms", "bytes", "seq")

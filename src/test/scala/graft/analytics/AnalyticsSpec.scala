@@ -387,4 +387,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(4L) == "unique four")
     assert(!got.contains(5L) && got.size == 4)
   }
+
+  test("bpe learning: golden merges and deterministic tie-break") {
+    // words: ab x3, abc x1 -> pair (a,b) mass 4 merges first; then (ab,c) mass 1
+    val docs = Seq((0L, "ab ab ab"), (1L, "abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, col("text"), nMerges = 5)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1, "a", "b", 4L), (2, "ab", "c", 1L)))
+    // loop stops when no pairs remain (2 merges exhaust the vocab, not 5)
+  }
+
+  test("bpe encoding applies merges lowest-rank-first and passes through non-letters") {
+    val docs = Seq((0L, "ab ab ab"), (1L, "abc"), (2L, "ab 42 x!")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b", 1), ("ab", "c", 2))
+    val enc = TextAnalysis.bpeEncodedCount(merges)
+    val got = docs.select(col("doc_id"), enc(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // "ab"->1 symbol each; "abc"->[ab,c]->[abc] 1; "42"/"x!" non-letter = 1 each
+    assert(got === Map(0L -> 3, 1L -> 1, 2L -> 3))
+  }
+
+  test("sequence packing splits documents exactly at context boundaries") {
+    // stream: doc0 [0,3) doc1 [3,8) doc2 [8,9); contextLen 4
+    val docs = Seq((0L, "a b c"), (1L, "d e f g h"), (2L, "i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, col("doc_id"), col("text"), contextLen = 4)
+      .select("seq_id", "doc_id", "seq_pos", "doc_pos", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 0L, 0L, 3L),  // doc0 fills seq0[0..3)
+      (0L, 1L, 3L, 0L, 1L),  // doc1's first token tops off seq0
+      (1L, 1L, 0L, 1L, 4L),  // doc1's tail fills all of seq1
+      (2L, 2L, 0L, 0L, 1L))) // doc2 starts seq2 (final partial sequence)
+  }
+
+  test("sequence packing conserves tokens and never overfills a sequence") {
+    val docs = (0L until 40L).map(i => (i, ("tok " * (i.toInt % 7 + 1)).trim)).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, col("doc_id"), col("text"), contextLen = 10)
+    // per-document spans reassemble the document
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("n_toks").as("n"), min("doc_pos").as("lo"))
+      .as[(Long, Long, Long)].collect()
+    perDoc.foreach { case (id, n, lo) => assert(n == id % 7 + 1 && lo == 0L) }
+    // per-sequence fill is exactly contextLen except the last
+    val perSeq = packed.groupBy("seq_id").agg(sum("n_toks").as("fill"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    perSeq.init.foreach { case (_, fill) => assert(fill == 10L) }
+    assert(perSeq.last._2 <= 10L)
+  }
 }

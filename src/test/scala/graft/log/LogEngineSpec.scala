@@ -263,4 +263,35 @@ class LogEngineSpec extends SparkSpec {
       .select("v").as[String].collect().toSet
     assert(got === Set("new1", "new2", "only"))
   }
+
+  test("fetch byte budget: progress guarantee vs strict_max_bytes") {
+    // p0: an oversized second batch; p1: first batch alone over budget
+    val log = Seq(
+      (0, 0L, 100L), (0, 1L, 5000L), (0, 2L, 100L), (0, 3L, 100L),
+      (1, 0L, 1000L), (1, 1L, 50L))
+      .toDF("partition", "offset", "bytes")
+    val from = Seq((0, 0L), (1, 0L)).toDF("partition", "fetch_offset")
+    // default max_bytes: a batch is delivered if the bytes BEFORE it are
+    // under budget — p0 ships the 5000-byte batch (cum_before=100), p1
+    // ships its oversized first batch (fetch.cc progress guarantee)
+    val got = RecordLog.fetchBudget(log, from, col("bytes"), maxBytes = 200L)
+      .select("partition", "offset").as[(Int, Long)].collect().toSet
+    assert(got === Set((0, 0L), (0, 1L), (1, 0L)))
+    // strict_max_bytes: only batches fitting ENTIRELY under the budget
+    val strict = RecordLog.fetchBudget(log, from, col("bytes"), maxBytes = 200L,
+        strict = true)
+      .select("partition", "offset").as[(Int, Long)].collect().toSet
+    assert(strict === Set((0, 0L)))
+  }
+
+  test("fetch byte budget honors per-partition fetch offsets") {
+    val log = Seq((0, 0L, 10L), (0, 1L, 10L), (0, 2L, 10L), (0, 3L, 10L))
+      .toDF("partition", "offset", "bytes")
+    val from = Seq((0, 2L)).toDF("partition", "fetch_offset")
+    val got = RecordLog.fetchBudget(log, from, col("bytes"), maxBytes = 15L)
+      .select("offset", "cum_before").as[(Long, Long)].collect().toSet
+    // scan starts at offset 2 and the byte count restarts there, so
+    // offset 3 still ships (10 bytes before it < 15-byte budget)
+    assert(got === Set((2L, 0L), (3L, 10L)))
+  }
 }
