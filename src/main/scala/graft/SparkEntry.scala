@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.groups.ConsumerGroups
-import graft.log.{Compaction, RecordLog, Transactions, TxnEngine}
+import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
 import graft.model.BatchType
 import graft.operators.Operators
 
@@ -772,12 +772,50 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
-    "q1_q2_list_offsets" -> ((s, dir) => {
-      val log = eventLog(s, dir)
-      RecordLog.earliestOffsets(log)
-        .join(RecordLog.latestOffsets(log), Seq("partition"))
+    "s4_tiered_manifest" -> ((s, dir) => {
+      // Tiered storage: archive the pre-Jan-20 prefix to the cold tier;
+      // the returned manifest (per tier+partition offset ranges) is the
+      // movement contract the oracle re-derives from the time split.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4m").toString
+      TieredStorage.archive(eventLog(s, dir), col("ts"),
+          lit("2024-01-20 00:00:00").cast("timestamp"),
+          s"$tmp/local", s"$tmp/archive")
+        .orderBy("tier", "partition")
+    }),
+
+    "s4_tiered_read" -> ((s, dir) => {
+      // The tier-spanning read: archive ∪ local must equal the one-tier
+      // log byte for byte (aggregate signature per partition).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4r").toString
+      TieredStorage.archive(eventLog(s, dir), col("ts"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        s"$tmp/local", s"$tmp/archive").count()
+      TieredStorage.read(s, s"$tmp/local", s"$tmp/archive")
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
+          sum(col("offset") * col("user_id")).as("weighted"))
         .orderBy("partition")
     }),
+
+    "s4_tiered_timequery" -> ((s, dir) => {
+      // Kafka timequery answered ACROSS tiers (remote_partition.h:87-92):
+      // the Jan-10 target falls inside the archived range, so the result
+      // offsets come from cold-tier data while the API stays one log.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4t").toString
+      TieredStorage.archive(eventLog(s, dir), col("ts"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        s"$tmp/local", s"$tmp/archive").count()
+      RecordLog.offsetsForTimestamp(
+          TieredStorage.read(s, s"$tmp/local", s"$tmp/archive"),
+          col("ts"), lit("2024-01-10 00:00:00").cast("timestamp"))
+        .orderBy("partition")
+    }),
+
+    "q1_q2_list_offsets" -> ((s, dir) =>
+      // One-pass batched list_offsets (the request carries a partition
+      // array; earliest+hwm answered from one probe) — one scan+agg,
+      // not earliestOffsets ⋈ latestOffsets re-deriving the log twice.
+      RecordLog.offsetBounds(eventLog(s, dir)).orderBy("partition")),
 
     "q3_timequery" -> ((s, dir) =>
       RecordLog.offsetsForTimestamp(eventLog(s, dir), col("ts"),
@@ -2469,6 +2507,23 @@ object SparkEntry {
     "q3_timequery" ->
       s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log
          | WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "s4_tiered_manifest" ->
+      s"""$LogCte SELECT
+         |  CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'archive' ELSE 'local' END AS tier,
+         |  partition, min("offset") AS base_offset, max("offset") AS last_offset,
+         |  CAST(count(*) AS BIGINT) AS n_records
+         |FROM log GROUP BY 1, 2 ORDER BY tier, partition""".stripMargin,
+
+    "s4_tiered_read" ->
+      s"""$LogCte SELECT partition, CAST(count(*) AS BIGINT) AS n,
+         |  min("offset") AS lo, max("offset") AS hi,
+         |  CAST(sum("offset" * user_id) AS BIGINT) AS weighted
+         |FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "s4_tiered_timequery" ->
+      s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log
+         | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
 
     "q4_delete_records" ->
       s"""$LogCte SELECT partition, min("offset") AS log_start, count(*) AS remaining

@@ -172,6 +172,18 @@ object RecordLog {
     log.groupBy("partition").agg((max("offset") + 1).as("hwm"))
 
   /**
+   * Q1+Q2 in one pass: a real list_offsets request batches many
+   * (partition, target) lookups (`kafka/protocol/list_offset.h` — the
+   * request carries a topic/partition array), and the handler answers
+   * earliest and latest from the same partition probe. One aggregate
+   * over one scan instead of two scans joined — half the work of
+   * composing [[earliestOffsets]] ⋈ [[latestOffsets]].
+   */
+  def offsetBounds(log: DataFrame): DataFrame =
+    log.groupBy("partition")
+      .agg(min("offset").as("earliest"), (max("offset") + 1).as("hwm"))
+
+  /**
    * Q3 list_offsets(timestamp) — Kafka timequery: for each partition the
    * first offset whose timestamp >= t (`list_offsets.cc:146-159`,
    * `storage/log_reader.h:296` batch_timequery). Partitions with no such

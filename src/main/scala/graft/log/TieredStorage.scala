@@ -1,0 +1,64 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * S4 tiered storage (SURVEY §2.1 S4; reference `cloud_storage/`, 52k LoC):
+ * aged log segments move to the remote tier; reads stay Kafka-transparent —
+ * one logical log spanning both tiers (`cloud_storage::remote_partition::
+ * make_reader`, `cloud_storage/remote_partition.h:80`; tiered timequery
+ * `:87-92`; the archiver upload loop in `cluster/archival/`).
+ *
+ * Spark design: a tier is a parquet directory (an object-store prefix in
+ * production — Spark scans are location-transparent, which is why the
+ * survey marked the READ side free). What is modeled here is the part
+ * that is not free — the movement contract and its query semantics:
+ *
+ *  - [[archive]] relocates the log prefix older than a cutoff to the
+ *    archive tier and returns the per-partition offset-range manifest of
+ *    both tiers (the reference's partition manifest,
+ *    `cloud_storage/partition_manifest.h`) — local retention advances
+ *    while archived data stays queryable;
+ *  - [[read]] unions archive + local into ONE log. Offset/time
+ *    predicates reach BOTH scans as pushed filters, so a hot-tail fetch
+ *    prunes every archive file via parquet min/max stats without reading
+ *    cold bytes — the Spark analogue of "offset < local start ⇒ go
+ *    remote, else never touch S3";
+ *  - a timequery over the union is ordinary Q3; results fall in
+ *    whichever tier holds the range (`remote_partition.h:87-92`).
+ *
+ * Scale: archive is one predicate-split rewrite (no shuffle — tier files
+ * inherit the log's partitioning); the manifest is bounded metadata
+ * (partitions × tiers rows). Nothing lists the cold tier on hot reads.
+ */
+object TieredStorage {
+
+  /**
+   * Split `log` at `cutoff` (rows strictly older go to the archive tier)
+   * and write both tiers partitioned by the topic partition. Returns the
+   * tier manifest: (tier, partition, base_offset, last_offset, n_records).
+   */
+  def archive(log: DataFrame, tsCol: Column, cutoff: Column,
+      localDir: String, archiveDir: String): DataFrame = {
+    val cold = log.where(tsCol < cutoff)
+    val hot = log.where(tsCol >= cutoff)
+    cold.write.mode("overwrite").partitionBy("partition").parquet(archiveDir)
+    hot.write.mode("overwrite").partitionBy("partition").parquet(localDir)
+    def manifest(df: DataFrame, tier: String) =
+      df.groupBy("partition").agg(
+        min("offset").as("base_offset"), max("offset").as("last_offset"),
+        count(lit(1)).as("n_records"))
+        .withColumn("tier", lit(tier))
+    manifest(cold, "archive").unionByName(manifest(hot, "local"))
+      .select("tier", "partition", "base_offset", "last_offset", "n_records")
+  }
+
+  /**
+   * The tier-spanning log: archive ∪ local read as one DataFrame.
+   * Predicates push into both scans; a fetch bounded to the hot tail
+   * never decodes archive bytes (row-group stats prune them).
+   */
+  def read(spark: SparkSession, localDir: String, archiveDir: String): DataFrame =
+    spark.read.parquet(archiveDir).unionByName(spark.read.parquet(localDir))
+}

@@ -180,6 +180,19 @@ class PlanSpec extends SparkSpec {
     assertChunkedWindowsOnly(p)
   }
 
+  test("tiered read pushes the hot-tail offset bound into BOTH tier scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("plan_tiered").toString
+    val log = spark.read.parquet(logDir)
+    graft.log.TieredStorage.archive(log, col("timestamp"), lit(500L),
+      s"$tmp/local", s"$tmp/archive")
+    val p = plan(graft.log.TieredStorage.read(spark, s"$tmp/local", s"$tmp/archive")
+      .where(col("offset") >= 90))
+    // the bound reaches the parquet scans of BOTH tiers — a hot-tail
+    // fetch prunes every cold-tier row group via min/max stats
+    assert(p.sliding("GreaterThanOrEqual(offset,90)".length)
+      .count(_ == "GreaterThanOrEqual(offset,90)") >= 2, p)
+  }
+
   test("sequence packing is two-phase chunked — broadcast bases, bounded span explode") {
     val docs = spark.read.parquet(docsDir)
     val p = plan(TextAnalysis.packSequences(docs, col("doc_id"), col("text"), 64))

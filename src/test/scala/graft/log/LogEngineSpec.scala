@@ -294,4 +294,25 @@ class LogEngineSpec extends SparkSpec {
     // offset 3 still ships (10 bytes before it < 15-byte budget)
     assert(got === Set((2L, 0L), (3L, 10L)))
   }
+
+  test("tiered storage: archive split, manifest ranges, transparent union read") {
+    val tmp = java.nio.file.Files.createTempDirectory("tiered").toString
+    val log = (0L until 100L).map(i => ((i % 2).toInt, i / 2, i * 10, s"v$i"))
+      .toDF("partition", "offset", "ts", "value")
+    val manifest = TieredStorage.archive(log, col("ts"), lit(600L),
+        s"$tmp/local", s"$tmp/archive")
+      .select("tier", "partition", "base_offset", "last_offset", "n_records")
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    // ts < 600 <=> i < 60: 30 rows per partition archived (offsets 0-29)
+    assert(manifest === Set(
+      ("archive", 0, 0L, 29L, 30L), ("archive", 1, 0L, 29L, 30L),
+      ("local", 0, 30L, 49L, 20L), ("local", 1, 30L, 49L, 20L)))
+    val union = TieredStorage.read(spark, s"$tmp/local", s"$tmp/archive")
+    assert(union.count() === 100L)
+    // the union IS the original log (offset-dense per partition)
+    val perPart = union.groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(perPart === Set((0, 50L, 0L, 49L), (1, 50L, 0L, 49L)))
+  }
 }
