@@ -1724,6 +1724,27 @@ object SparkEntry {
         .orderBy("p_key")
     }),
 
+    "d6_iceberg_deletes" -> ((s, dir) => {
+      // Iceberg v2 merge-on-read position deletes on a fresh 2-snapshot
+      // table: DELETE WHERE user_id % 7 = 0, then the current read
+      // reflects the delete while time travel to snapshot 1 still sees
+      // its full half — deletes are scan-time, no data file rewritten.
+      val t = java.nio.file.Files.createTempDirectory("graft_icedel").toString + "/t"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      (0 until 2).foreach { i =>
+        graft.streaming.IcebergFormat.commit(
+          ev.where(pmod(col("event_id"), lit(2)) === i), col("ts"), t,
+          partFn = graft.streaming.Datalake.dayPartition)
+      }
+      graft.streaming.IcebergFormat.deleteWhere(s, t, pmod(col("user_id"), lit(7)) === 0)
+      val now = graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("p_key")
+        .agg(count(lit(1)).as("n_now"), sum("event_id").as("sum_id_now"))
+      val snap1 = graft.streaming.IcebergFormat.timeTravel(s, t, 1L)
+        .groupBy("p_key").agg(count(lit(1)).as("n_snap1"))
+      now.join(snap1, Seq("p_key"), "left").orderBy("p_key")
+    }),
+
     "d6_iceberg_compaction" -> ((s, dir) => {
       // rewrite_data_files maintenance: three day-partitioned appends
       // leave up to 3 files per day partition; bin-pack compaction
@@ -3338,6 +3359,19 @@ object SparkEntry {
     "d6_iceberg_read" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_deletes" ->
+      """WITH now AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key,
+        |    CAST(count(*) AS BIGINT) AS n_now,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_id_now
+        |  FROM events WHERE user_id % 7 <> 0 GROUP BY 1),
+        | s1 AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key,
+        |    CAST(count(*) AS BIGINT) AS n_snap1
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+        |SELECT p_key, n_now, sum_id_now, n_snap1
+        |FROM now LEFT JOIN s1 USING (p_key) ORDER BY p_key""".stripMargin,
 
     "d6_iceberg_travel" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,

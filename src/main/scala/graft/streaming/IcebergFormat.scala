@@ -502,19 +502,135 @@ object IcebergFormat {
           s"snapshot $id not found at $table (expired or never committed)"))
       case None => snaps.lastOption.getOrElse(return spark.emptyDataFrame)
     }
-    val manifests = readAvro(fs, new Path(chosen.manifestList), ManifestFileSchema)
+    // manifest-list `content` (field-id 517) splits data manifests (0)
+    // from delete manifests (1) — v2 row-level deletes
+    val manifestRecs = readAvro(fs, new Path(chosen.manifestList), ManifestFileSchema)
+    def filesOf(content: Int) = manifestRecs
+      .filter(_.get("content").asInstanceOf[Int] == content)
       .map(_.get("manifest_path").toString)
-    val files = manifests.flatMap(m =>
-      readAvro(fs, new Path(m), ManifestEntrySchema)
+      .flatMap(m => readAvro(fs, new Path(m), ManifestEntrySchema)
         .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
         .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+    val files = filesOf(0)
+    val deleteFiles = filesOf(1)
     if (files.isEmpty) spark.emptyDataFrame
-    else
+    else {
       // basePath reconstitutes the partition columns (snap, p_key) from
       // the k=v path segments — Iceberg readers likewise materialize
       // partition values from metadata, not from the data file bytes
-      spark.read.option("basePath", dataDir(table)).parquet(files: _*)
+      val base = spark.read.option("basePath", dataDir(table)).parquet(files: _*)
         .drop("snap")
+      if (deleteFiles.isEmpty) base
+      else {
+        // merge-on-read: anti-join (file_path, pos) against the position
+        // deletes — the exact application rule of the v2 spec. The delete
+        // set is tiny relative to the table (AQE broadcasts it); the data
+        // side never shuffles.
+        val dels = spark.read.parquet(deleteFiles: _*)
+          .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
+        base
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dels, col("__fp") === col("__dfp") && col("__pos") === col("__dpos"),
+            "left_anti")
+          .drop("__fp", "__pos")
+      }
+    }
+  }
+
+  /**
+   * Row-level DELETE — Iceberg v2 merge-on-read position deletes: rows of
+   * the CURRENT snapshot matching `predicate` are recorded as
+   * (file_path, pos) pairs in position-delete files (spec field-ids
+   * 2147483546/2147483545), committed as a new snapshot whose manifest
+   * list carries the prior data manifests EXISTING plus one `content=1`
+   * delete manifest. No data file is rewritten — readers apply deletes at
+   * scan time ([[readTable]]); time travel to a pre-delete snapshot still
+   * sees every row, and [[expireSnapshots]] reclaims delete files by the
+   * same file-level reachability as data files.
+   *
+   * Scale: the match scan is one planned file-set read with the predicate
+   * pushed down; positions come from the parquet reader's own
+   * `_metadata.row_index` (no window, no shuffle); delete files are
+   * written sorted by (file_path, pos) as the spec requires.
+   * Returns the delete snapshot id, or None when nothing matched.
+   */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    val current = snaps.lastOption.getOrElse(return None)
+    val uuid = jsonStrField(json, "table-uuid").get
+    val manifestRecs = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    val dataFiles = manifestRecs
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .map(_.get("manifest_path").toString)
+      .flatMap(m => readAvro(fs, new Path(m), ManifestEntrySchema)
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+      .distinct
+    if (dataFiles.isEmpty) return None
+    val snapId = snaps.map(_.snapshotId).max + 1
+    val seq = snaps.map(_.sequenceNumber).max + 1
+    val delDir = new Path(s"${dataDir(table)}/deletes/snap=$snapId")
+    if (fs.exists(delDir)) fs.delete(delDir, true)
+    spark.read.option("basePath", dataDir(table)).parquet(dataFiles: _*)
+      .drop("snap")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .where(predicate)
+      .select("file_path", "pos")
+      .sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFiles = fs.listStatus(delDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath, st.getLen, footerRowCount(spark, st.getPath)))
+      .filter(_._3 > 0)
+    if (delFiles.isEmpty) { fs.delete(delDir, true); return None }
+    val entrySchema = ManifestEntrySchema
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val entries = delFiles.map { case (p, len, rows) =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val part = new GenericData.Record(dataFileSchema.getField("partition").schema())
+      part.put("p_key", null) // position deletes are partition-unscoped here
+      val d = new GenericData.Record(dataFileSchema)
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", part)
+      d.put("record_count", rows)
+      d.put("file_size_in_bytes", len)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(s"${metaDir(table)}/manifest-$snapId.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1) // DELETES manifest
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", delFiles.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 0L)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", delFiles.map(_._3).sum)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    val priorList = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
+    writeMetadataJsonKeeping(fs, table, v + 1, json,
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "delete"), uuid)
+    Some(snapId)
   }
 
   // -------------------------------------------------------- maintenance
@@ -552,9 +668,14 @@ object IcebergFormat {
     val current = snaps.lastOption.getOrElse(return None)
     val uuid = jsonStrField(json, "table-uuid").get
 
-    // current file inventory: (path, p_key, bytes, rows) per entry
-    val manifests = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
-      .map(_.get("manifest_path").toString)
+    // current file inventory: (path, p_key, bytes, rows) per entry.
+    // A pending delete manifest makes bin-pack unsafe (the rewrite would
+    // resurrect deleted rows — new file paths invalidate position
+    // deletes); Iceberg's RewriteDataFiles likewise special-cases delete
+    // files. Fold deletes first (out of scope here) or expire them.
+    val manifestRecs0 = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    if (manifestRecs0.exists(_.get("content").asInstanceOf[Int] == 1)) return None
+    val manifests = manifestRecs0.map(_.get("manifest_path").toString)
     val entries = manifests.flatMap(m =>
       readAvro(fs, new Path(m), ManifestEntrySchema)
         .filter(_.get("status").asInstanceOf[Int] != 2))
@@ -676,6 +797,7 @@ object IcebergFormat {
       val snaps = parseSnapshots(readMetadataJson(fs, table, v))
       snaps.lastOption.toSeq.flatMap { s =>
         readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
+          .filter(_.get("content").asInstanceOf[Int] == 0) // data manifests only
           .map(_.get("manifest_path").toString)
           .flatMap(m => readAvro(fs, new Path(m), ManifestEntrySchema))
           .filter(_.get("status").asInstanceOf[Int] != 2)

@@ -173,4 +173,35 @@ class IcebergFormatSpec extends SparkSpec {
       "{not json".getBytes)
     assert(IcebergFormat.readTable(spark, t).count() === 3L)
   }
+
+  test("position deletes: merge-on-read, time travel unaffected, later appends intact") {
+    val t = freshTable()
+    val s1 = IcebergFormat.commit(batch(0, 10), col("ts"), t)
+    val del = IcebergFormat.deleteWhere(spark, t, col("id") % 3 === 0)
+    assert(del.nonEmpty)
+    // current read drops ids 0,3,6,9
+    val now = IcebergFormat.readTable(spark, t).select("id").as[Long].collect().toSet
+    assert(now === (0L until 10L).filterNot(_ % 3 == 0).toSet)
+    // time travel to the pre-delete snapshot sees every row
+    val then_ = IcebergFormat.timeTravel(spark, t, s1).select("id").as[Long].collect().toSet
+    assert(then_ === (0L until 10L).toSet)
+    // an append after the delete: old deletes still apply, new rows whole
+    val more = (10 until 15).map(i => (i.toLong, s"u$i", f"2024-01-01 ${i % 24}%02d:00:00"))
+      .toDF("id", "user", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    IcebergFormat.commit(more, col("ts"), t)
+    val after = IcebergFormat.readTable(spark, t).select("id").as[Long].collect().toSet
+    assert(after === ((0L until 10L).filterNot(_ % 3 == 0) ++ (10L until 15L)).toSet)
+  }
+
+  test("deleteWhere with no matches commits nothing; bin-pack refuses pending deletes") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 6), col("ts"), t)
+    assert(IcebergFormat.deleteWhere(spark, t, col("id") > 1000).isEmpty)
+    assert(IcebergFormat.deleteWhere(spark, t, col("id") === 2L).nonEmpty)
+    // rewriteDataFiles must refuse while a delete manifest is live —
+    // rewritten file paths would orphan the position deletes
+    assert(IcebergFormat.rewriteDataFiles(spark, t, targetFileBytes = 1L << 20).isEmpty)
+    assert(IcebergFormat.readTable(spark, t).count() === 5L)
+  }
 }
