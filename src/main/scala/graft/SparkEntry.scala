@@ -1745,6 +1745,27 @@ object SparkEntry {
       now.join(snap1, Seq("p_key"), "left").orderBy("p_key")
     }),
 
+    "d6_iceberg_eq_deletes" -> ((s, dir) => {
+      // Equality deletes, the CDC/upsert flavor: delete-by-key the
+      // user_id % 10 = 4 cohort (no data scan at delete time), then
+      // append corrected rows for a subset of it. The delete applies only
+      // to the OLDER commit (sequence scoping), so the corrections
+      // survive — exactly the delete-old/append-new upsert contract.
+      val t = java.nio.file.Files.createTempDirectory("graft_iceeq").toString + "/t"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      graft.streaming.IcebergFormat.commit(ev, col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.deleteWhereEquality(s, t,
+        ev.where(pmod(col("user_id"), lit(10)) === 4).select("user_id").distinct())
+      graft.streaming.IcebergFormat.commit(
+        ev.where(pmod(col("user_id"), lit(10)) === 4 && pmod(col("event_id"), lit(5)) === 0),
+        col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("event_type")
+    }),
+
     "d6_iceberg_compaction" -> ((s, dir) => {
       // rewrite_data_files maintenance: three day-partitioned appends
       // leave up to 3 files per day partition; bin-pack compaction
@@ -3359,6 +3380,16 @@ object SparkEntry {
     "d6_iceberg_read" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_eq_deletes" ->
+      """WITH fin AS (
+        |  SELECT event_id, event_type FROM events WHERE user_id % 10 <> 4
+        |  UNION ALL
+        |  SELECT event_id, event_type FROM events
+        |  WHERE user_id % 10 = 4 AND event_id % 5 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_iceberg_deletes" ->
       """WITH now AS (

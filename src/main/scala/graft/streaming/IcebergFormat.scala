@@ -104,7 +104,8 @@ object IcebergFormat {
       |            {"name": "p_key", "type": ["null", "string"], "default": null, "field-id": 1000}
       |          ]}},
       |        {"name": "record_count", "type": "long", "field-id": 103},
-      |        {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+      |        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+      |        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "default": null, "field-id": 135}
       |      ]}}
       |  ]
       |}""".stripMargin)
@@ -503,39 +504,151 @@ object IcebergFormat {
       case None => snaps.lastOption.getOrElse(return spark.emptyDataFrame)
     }
     // manifest-list `content` (field-id 517) splits data manifests (0)
-    // from delete manifests (1) — v2 row-level deletes
+    // from delete manifests (1); inside a delete manifest,
+    // data_file.content distinguishes position (1) from equality (2)
+    // delete files — the two v2 row-level delete flavors
     val manifestRecs = readAvro(fs, new Path(chosen.manifestList), ManifestFileSchema)
-    def filesOf(content: Int) = manifestRecs
+    def entriesOf(content: Int): Seq[(String, Int, Long)] = manifestRecs
       .filter(_.get("content").asInstanceOf[Int] == content)
       .map(_.get("manifest_path").toString)
       .flatMap(m => readAvro(fs, new Path(m), ManifestEntrySchema)
         .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
-        .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
-    val files = filesOf(0)
-    val deleteFiles = filesOf(1)
-    if (files.isEmpty) spark.emptyDataFrame
+        .map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          (d.get("file_path").toString, d.get("content").asInstanceOf[Int],
+            Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L))
+        })
+    val dataEntries = entriesOf(0)
+    val delEntries = entriesOf(1)
+    val posDeleteFiles = delEntries.filter(_._2 == 1).map(_._1)
+    val eqDeleteFiles = delEntries.filter(_._2 == 2) // (path, _, seq)
+    if (dataEntries.isEmpty) spark.emptyDataFrame
     else {
       // basePath reconstitutes the partition columns (snap, p_key) from
       // the k=v path segments — Iceberg readers likewise materialize
       // partition values from metadata, not from the data file bytes
-      val base = spark.read.option("basePath", dataDir(table)).parquet(files: _*)
+      val base = spark.read.option("basePath", dataDir(table))
+        .parquet(dataEntries.map(_._1): _*)
         .drop("snap")
-      if (deleteFiles.isEmpty) base
+      if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) base
       else {
-        // merge-on-read: anti-join (file_path, pos) against the position
-        // deletes — the exact application rule of the v2 spec. The delete
-        // set is tiny relative to the table (AQE broadcasts it); the data
-        // side never shuffles.
-        val dels = spark.read.parquet(deleteFiles: _*)
-          .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
-        base
+        import spark.implicits._
+        var cur = base
           .withColumn("__fp", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
-          .join(dels, col("__fp") === col("__dfp") && col("__pos") === col("__dpos"),
-            "left_anti")
-          .drop("__fp", "__pos")
+        if (posDeleteFiles.nonEmpty) {
+          // position deletes: anti-join (file_path, pos) — the exact v2
+          // application rule. Delete sets are tiny vs the table (AQE
+          // broadcasts them); the data side never shuffles.
+          val dels = spark.read.parquet(posDeleteFiles: _*)
+            .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
+          cur = cur.join(dels,
+            col("__fp") === col("__dfp") && col("__pos") === col("__dpos"), "left_anti")
+        }
+        if (eqDeleteFiles.nonEmpty) {
+          // equality deletes apply only to data files with a STRICTLY
+          // OLDER sequence number (spec: "an equality delete file must be
+          // applied to data files from older commits") — attach each data
+          // file's seq via a bounded (file_path, seq) map, then anti-join
+          // on the key columns with the sequence bound.
+          val seqMap = dataEntries.map { case (p, _, sq) => (p, sq) }
+            .toDF("__sfp", "__seq")
+          cur = cur.join(broadcast(seqMap), col("__fp") === col("__sfp"), "left")
+            .drop("__sfp")
+          val keys = eqDeleteFiles.map { case (p, _, sq) =>
+            spark.read.parquet(p).withColumn("__dseq", lit(sq))
+          }.reduce(_ unionByName _)
+          val keyCols = keys.columns.filterNot(_ == "__dseq")
+          val cond = keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _) &&
+            col("__seq") < col("__dseq")
+          cur = cur.join(keys, cond, "left_anti").drop("__seq")
+        }
+        cur.drop("__fp", "__pos", "__seq")
       }
     }
+  }
+
+  /**
+   * Row-level DELETE by key — Iceberg v2 EQUALITY deletes: `keys` rows
+   * (one column per key field) are written as a content=2 delete file
+   * whose `equality_ids` list the key field ids; at scan time every data
+   * row from a STRICTLY OLDER commit whose key columns match any delete
+   * row is dropped. Unlike position deletes no data scan happens at
+   * delete time at all — the CDC/upsert-friendly flavor (a streaming
+   * writer deletes by primary key without knowing file layout).
+   * Later appends are unaffected by earlier equality deletes (their
+   * sequence number is higher — the spec's scoping rule, which is what
+   * makes "delete old value, append new value" upserts correct).
+   */
+  def deleteWhereEquality(spark: SparkSession, table: String, keys: DataFrame): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    if (snaps.isEmpty) return None
+    val uuid = jsonStrField(json, "table-uuid").get
+    val current = snaps.last
+    val snapId = snaps.map(_.snapshotId).max + 1
+    val seq = snaps.map(_.sequenceNumber).max + 1
+    val delDir = new Path(s"${dataDir(table)}/deletes/snap=$snapId")
+    if (fs.exists(delDir)) fs.delete(delDir, true)
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFiles = fs.listStatus(delDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath, st.getLen, footerRowCount(spark, st.getPath)))
+      .filter(_._3 > 0)
+    if (delFiles.isEmpty) { fs.delete(delDir, true); return None }
+    // field ids of the key columns in the table schema (ids are 1..n in
+    // declaration order — schemaJson's assignment)
+    val tableFields = mapper.readTree(json).path("schemas").path(0).path("fields")
+      .elements().asScala.map(_.path("name").asText).toSeq
+    val eqIds = keys.columns.toSeq.map(c =>
+      Integer.valueOf(tableFields.indexOf(c) + 1))
+    require(eqIds.forall(_ > 0), s"key columns ${keys.columns.mkString(",")} not in table schema")
+    val entrySchema = ManifestEntrySchema
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val entries = delFiles.map { case (p, len, rows) =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val part = new GenericData.Record(dataFileSchema.getField("partition").schema())
+      part.put("p_key", null)
+      val d = new GenericData.Record(dataFileSchema)
+      d.put("content", 2) // EQUALITY_DELETES
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", part)
+      d.put("record_count", rows)
+      d.put("file_size_in_bytes", len)
+      d.put("equality_ids", new java.util.ArrayList[Integer](eqIds.asJava))
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(s"${metaDir(table)}/manifest-$snapId.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", delFiles.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 0L)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", delFiles.map(_._3).sum)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    val priorList = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
+    writeMetadataJsonKeeping(fs, table, v + 1, json,
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "delete"), uuid)
+    Some(snapId)
   }
 
   /**

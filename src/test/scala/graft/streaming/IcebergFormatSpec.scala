@@ -194,6 +194,25 @@ class IcebergFormatSpec extends SparkSpec {
     assert(after === ((0L until 10L).filterNot(_ % 3 == 0) ++ (10L until 15L)).toSet)
   }
 
+  test("equality deletes: key-scoped, older-commits-only — the upsert pattern") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 8), col("ts"), t) // v1 of ids 0-7
+    // upsert ids 2,5: equality-delete the old rows, append new versions
+    val del = IcebergFormat.deleteWhereEquality(spark, t,
+      Seq(2L, 5L).toDF("id"))
+    assert(del.nonEmpty)
+    val fresh = Seq((2L, "u2-v2", "2024-01-01 05:00:00"), (5L, "u5-v2", "2024-01-01 06:00:00"))
+      .toDF("id", "user", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    IcebergFormat.commit(fresh, col("ts"), t)
+    val got = IcebergFormat.readTable(spark, t)
+      .select("id", "user").as[(Long, String)].collect().toSet
+    // old 2/5 gone (older commit than the delete), new 2/5 present
+    // (newer sequence number — the spec's scoping rule)
+    assert(got === ((0L until 8L).filterNot(Set(2L, 5L)).map(i => (i, s"u$i")) ++
+      Seq((2L, "u2-v2"), (5L, "u5-v2"))).toSet)
+  }
+
   test("deleteWhere with no matches commits nothing; bin-pack refuses pending deletes") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 6), col("ts"), t)
