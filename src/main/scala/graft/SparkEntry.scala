@@ -1745,6 +1745,30 @@ object SparkEntry {
       now.join(snap1, Seq("p_key"), "left").orderBy("p_key")
     }),
 
+    "d6_iceberg_evolution" -> ((s, dir) => {
+      // Add-column schema evolution (catalog_schema_manager.cc leg of
+      // D3, on the real v2 metadata): the even-event_id half commits with
+      // 4 columns, the odd half adds `value`; the merged read surfaces
+      // the old rows' missing column as null and the metadata carries the
+      // widened schema. Incompatible evolutions (drop/retype) reject.
+      val t = java.nio.file.Files.createTempDirectory("graft_icevo").toString + "/t"
+      val ev = events(s, dir)
+      val narrow = ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val wide = ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      graft.streaming.IcebergFormat.commit(
+        narrow.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.commit(
+        wide.where(pmod(col("event_id"), lit(2)) === 1), col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          sum(when(col("value").isNotNull, col("event_id"))).as("sum_id_with_value"))
+        .orderBy("event_type")
+    }),
+
     "d6_iceberg_eq_deletes" -> ((s, dir) => {
       // Equality deletes, the CDC/upsert flavor: delete-by-key the
       // user_id % 10 = 4 cohort (no data scan at delete time), then
@@ -3380,6 +3404,12 @@ object SparkEntry {
     "d6_iceberg_read" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_value,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id END) AS BIGINT) AS sum_id_with_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_iceberg_eq_deletes" ->
       """WITH fin AS (

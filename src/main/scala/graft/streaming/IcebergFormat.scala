@@ -290,6 +290,30 @@ object IcebergFormat {
     }
     val uuid = priorJson.flatMap(jsonStrField(_, "table-uuid"))
       .getOrElse(java.util.UUID.randomUUID().toString)
+    // Schema evolution gate (catalog_schema_manager.cc / iceberg/
+    // compatibility.cc): the batch schema must be a SUPERSET of the
+    // table's — prior columns in the same positions with identical
+    // types (field ids are positional, so prefix identity preserves
+    // every existing id — Iceberg's ids-never-reused rule), appended
+    // columns optional (old rows cannot supply a required value).
+    // Anything else (drop, rename, retype) is an incompatible evolution.
+    priorJson.foreach { pj =>
+      val prior = mapper.readTree(pj).path("schemas").path(0).path("fields")
+        .elements().asScala.map(f =>
+          (f.path("name").asText, f.path("type").asText)).toSeq
+      val cur = df.schema.fields.toSeq
+      require(cur.length >= prior.length,
+        s"incompatible evolution: cannot drop columns (table has ${prior.map(_._1)})")
+      prior.zip(cur).foreach { case ((pn, pt), f) =>
+        require(pn == f.name && pt == icebergType(f.dataType),
+          s"incompatible evolution: column $pn:$pt became ${f.name}:${icebergType(f.dataType)}")
+      }
+    }
+    // Appended columns are recorded OPTIONAL regardless of the batch
+    // schema's inferred nullability — old rows cannot supply a value, so
+    // Iceberg's union-by-name evolution always adds fields as optional.
+    val priorLen = priorJson.map(pj =>
+      mapper.readTree(pj).path("schemas").path(0).path("fields").size).getOrElse(0)
     val snapId = priorSnaps.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = priorSnaps.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
 
@@ -355,8 +379,11 @@ object IcebergFormat {
     val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
     writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
 
-    // 4. metadata.json + version hint
-    val schema = out.drop("p_key").schema
+    // 4. metadata.json + version hint (appended columns forced optional)
+    val rawSchema = out.drop("p_key").schema
+    val schema = StructType(rawSchema.fields.zipWithIndex.map { case (f, i) =>
+      if (priorLen > 0 && i >= priorLen) f.copy(nullable = true) else f
+    })
     writeMetadataJson(fs, table, prior.map(_ + 1).getOrElse(1), schema,
       priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
         sourceBatchId = sourceBatchId),
@@ -527,7 +554,11 @@ object IcebergFormat {
       // basePath reconstitutes the partition columns (snap, p_key) from
       // the k=v path segments — Iceberg readers likewise materialize
       // partition values from metadata, not from the data file bytes
+      // mergeSchema: after an add-column evolution, older files lack the
+      // appended columns — the merged read surfaces them as nulls (the
+      // Iceberg read contract for added optional fields)
       val base = spark.read.option("basePath", dataDir(table))
+        .option("mergeSchema", "true")
         .parquet(dataEntries.map(_._1): _*)
         .drop("snap")
       if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) base

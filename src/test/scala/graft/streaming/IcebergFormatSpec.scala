@@ -213,6 +213,34 @@ class IcebergFormatSpec extends SparkSpec {
       Seq((2L, "u2-v2"), (5L, "u5-v2"))).toSet)
   }
 
+  test("schema evolution: appended optional column merges as null for old rows") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    val wider = batch(4, 8).withColumn("score", col("id").cast("double") * 2)
+    IcebergFormat.commit(wider, col("ts"), t)
+    val got = IcebergFormat.readTable(spark, t)
+      .select("id", "score").as[(Long, Option[Double])].collect().toMap
+    (0L until 4L).foreach(i => assert(got(i).isEmpty))
+    (4L until 8L).foreach(i => assert(got(i).contains(i * 2.0)))
+    // metadata carries the widened schema
+    val meta = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$t/metadata/v2.metadata.json")))
+    assert(meta.contains(""""name": "score""""), meta)
+  }
+
+  test("schema evolution rejects drops, retypes, and required additions") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    intercept[IllegalArgumentException] { // drop a column
+      IcebergFormat.commit(batch(4, 6).drop("user"), col("ts"), t)
+    }
+    intercept[IllegalArgumentException] { // retype id long -> string
+      IcebergFormat.commit(batch(4, 6).withColumn("id", col("id").cast("string")),
+        col("ts"), t)
+    }
+    assert(IcebergFormat.readTable(spark, t).count() === 4L) // table intact
+  }
+
   test("deleteWhere with no matches commits nothing; bin-pack refuses pending deletes") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 6), col("ts"), t)
