@@ -1853,6 +1853,43 @@ object SparkEntry {
         .orderBy("p_key")
     }),
 
+    "d6_iceberg_upsert_stream" -> ((s, dir) => {
+      // Streaming CDC upsert, keyed on event_id: batch 1 inserts every
+      // event, batch 2 re-delivers ALL of them as "updates" (equality-
+      // delete each key, append the new version). If the delete half were
+      // broken the table would double; if the sequence scoping were wrong
+      // the update would delete itself — either way the oracle (exactly
+      // one copy of events) catches it.
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      val stage = Files.createTempDirectory("graft_iceU")
+      val in = Files.createDirectory(stage.resolve("in"))
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      def stageCopy(name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_iceU_half")
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val it = Files.list(tmp).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) Files.copy(p, in.resolve(name))
+        }
+        Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
+      }
+      stageCopy("a.parquet", 1700000000000L)
+      stageCopy("b.parquet", 1700000060000L)
+      val t = s"$stage/table"
+      val schema = s.read.parquet(in.toString).schema
+      graft.streaming.IcebergFormat.icebergUpsertSink(
+        graft.streaming.Transforms.PathInput(in.toString, schema,
+          maxFilesPerTrigger = Some(1)).stream(s),
+        col("ts"), t, s"$stage/ck", keyCols = Seq("event_id"),
+        partFn = graft.streaming.Datalake.dayPartition).awaitTermination()
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("p_key")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("p_key")
+    }),
+
     "d6_snapshots" -> ((s, dir) => {
       // Three real snapshot commits (10-day chunks), then expiry to the
       // last two; the readback sees exactly the surviving snapshots.
@@ -3442,6 +3479,11 @@ object SparkEntry {
     "d6_iceberg_stream" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_upsert_stream" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_iceberg_compaction" ->

@@ -414,6 +414,50 @@ object IcebergFormat {
       .start()
 
   /**
+   * One CDC upsert batch: delete-by-key then append, the classic
+   * equality-delete upsert. Replay-safe: if a snapshot already carries
+   * `sourceBatchId` the whole batch (delete AND append) is a no-op — the
+   * check runs BEFORE the delete, so a crash-replayed batch can never
+   * equality-delete the rows its own first delivery appended.
+   */
+  def upsertBatch(batch: DataFrame, tsCol: Column, table: String,
+      keyCols: Seq[String], sourceBatchId: Long,
+      partFn: Column => Column = Datalake.hourPartition): Long = {
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, table)
+    currentVersion(fs, table).foreach { v =>
+      val snaps = parseSnapshots(readMetadataJson(fs, table, v))
+      snaps.find(_.sourceBatchId.contains(sourceBatchId))
+        .foreach(s => return s.snapshotId)
+      if (snaps.nonEmpty)
+        deleteWhereEquality(spark, table,
+          batch.select(keyCols.map(col): _*).distinct())
+    }
+    commit(batch, tsCol, table, partFn, sourceBatchId = Some(sourceBatchId))
+  }
+
+  /**
+   * Continuous CDC ingestion — the upsert flavor of [[icebergSink]]:
+   * every micro-batch equality-deletes its keys then appends, so the
+   * table always holds each key's latest version (delete-old/append-new
+   * under the v2 sequence-scoping rule). Exactly-once table contents
+   * over at-least-once delivery via the same batch-id dedup.
+   */
+  def icebergUpsertSink(stream: DataFrame, tsCol: Column, table: String,
+      ckptDir: String, keyCols: Seq[String],
+      partFn: Column => Column = Datalake.hourPartition)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(s"iceberg-upsert:$table")
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, tsCol, table, keyCols, batchId, partFn)
+        ()
+      }
+      .start()
+
+  /**
    * Expire all but the newest `keepLast` snapshots — Iceberg
    * `expireSnapshots` semantics: expiry removes TIME TRAVEL, not data.
    * A new metadata version without the expired snapshots commits first;
@@ -929,6 +973,88 @@ object IcebergFormat {
     writeMetadataJson(fs, table, v + 1, StructType(fields),
       snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace"),
       uuid, fields.headOption.map(_.name).getOrElse("id"))
+    Some(snapId)
+  }
+
+  /**
+   * Major compaction — fold row-level deletes into the data: rewrites the
+   * CURRENT snapshot's net content (position and equality deletes
+   * applied) as a `replace` snapshot whose manifest list carries ONLY the
+   * consolidated data manifest — no delete manifests survive, so
+   * subsequent scans pay zero merge-on-read cost and
+   * [[rewriteDataFiles]] bin-packing is unblocked. Table content is
+   * bit-identical before and after ([[readTable]] already applied the
+   * deletes); prior snapshots keep their manifest lists, so time travel
+   * across the compaction still resolves, and [[expireSnapshots]]
+   * reclaims the obsolete data + delete files once unreachable.
+   * Returns the new snapshot id, or None when no delete manifest pends.
+   */
+  def compactDeletes(spark: SparkSession, table: String): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    val current = snaps.lastOption.getOrElse(return None)
+    val uuid = jsonStrField(json, "table-uuid").get
+    val manifestRecs = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    if (!manifestRecs.exists(_.get("content").asInstanceOf[Int] == 1)) return None
+    val snapId = snaps.map(_.snapshotId).max + 1
+    val seq = snaps.map(_.sequenceNumber).max + 1
+    // net content with deletes applied — the read path IS the merge
+    val materialized = readSnapshot(spark, table, None)
+    val snapData = new Path(s"${dataDir(table)}/snap=$snapId")
+    if (fs.exists(snapData)) fs.delete(snapData, true)
+    materialized.repartition(col("p_key"))
+      .write.mode("overwrite").partitionBy("p_key").parquet(snapData.toString)
+    val entrySchema = ManifestEntrySchema
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val entries =
+      if (!fs.exists(snapData)) Seq.empty
+      else fs.listStatus(snapData).toSeq.filter(_.isDirectory).flatMap { pdir =>
+        val pKey = pdir.getPath.getName.stripPrefix("p_key=")
+        fs.listStatus(pdir.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", snapId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            val part = new GenericData.Record(dataFileSchema.getField("partition").schema())
+            part.put("p_key", pKey)
+            val d = new GenericData.Record(dataFileSchema)
+            d.put("content", 0)
+            d.put("file_path", st.getPath.toString)
+            d.put("file_format", "PARQUET")
+            d.put("partition", part)
+            d.put("record_count", footerRowCount(spark, st.getPath))
+            d.put("file_size_in_bytes", st.getLen)
+            e.put("data_file", d)
+            e
+          }
+      }
+    val manifestPath = new Path(s"${metaDir(table)}/manifest-$snapId.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", entries.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", entries.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    writeAvro(fs, listPath, ManifestFileSchema, Seq(mf))
+    writeMetadataJsonKeeping(fs, table, v + 1, json,
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace"), uuid)
     Some(snapId)
   }
 

@@ -164,6 +164,48 @@ class IcebergFormatSpec extends SparkSpec {
     assert(IcebergFormat.readTable(spark, t).count() === 9L)
   }
 
+  test("streaming upsert sink: latest version per key; replay cannot re-delete") {
+    import java.nio.file.attribute.FileTime
+    val stage = Files.createTempDirectory("ice_upsert")
+    val in = Files.createDirectory(stage.resolve("in"))
+    def stageHalf(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("ice_uhalf")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.copy(p, in.resolve(name)); moved = true
+        }
+      }
+      Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
+    }
+    // batch 0: ids 0-5 (v1); batch 1: ids 3-7 updated (user suffixed -v2)
+    stageHalf("a.parquet", batch(0, 6), 1700000000000L)
+    stageHalf("b.parquet", batch(3, 8).withColumn("user", concat(col("user"), lit("-v2"))),
+      1700000060000L)
+    val t = freshTable()
+    val schema = spark.read.parquet(in.toString).schema
+    def deliver(ck: String): Unit =
+      IcebergFormat.icebergUpsertSink(
+        Transforms.PathInput(in.toString, schema, maxFilesPerTrigger = Some(1))
+          .stream(spark),
+        col("ts"), t, s"$stage/$ck", keyCols = Seq("id"),
+        partFn = Datalake.dayPartition).awaitTermination()
+    deliver("ck1")
+    val got = IcebergFormat.readTable(spark, t)
+      .select("id", "user").as[(Long, String)].collect().toSet
+    val want = (0L until 3L).map(i => (i, s"u$i")).toSet ++
+      (3L until 8L).map(i => (i, s"u$i-v2")).toSet
+    assert(got === want)
+    // full redelivery: batch-id dedup fires BEFORE the delete — the
+    // replayed batch 1 must not equality-delete its own appended rows
+    deliver("ck2")
+    assert(IcebergFormat.readTable(spark, t)
+      .select("id", "user").as[(Long, String)].collect().toSet === want)
+  }
+
   test("a reader never sees a half-committed version (hint flips last)") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 3), col("ts"), t)
@@ -250,5 +292,31 @@ class IcebergFormatSpec extends SparkSpec {
     // rewritten file paths would orphan the position deletes
     assert(IcebergFormat.rewriteDataFiles(spark, t, targetFileBytes = 1L << 20).isEmpty)
     assert(IcebergFormat.readTable(spark, t).count() === 5L)
+  }
+
+  test("compactDeletes folds both delete flavors into a replace snapshot") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 8), col("ts"), t)
+    IcebergFormat.deleteWhere(spark, t, col("id") === 1L)         // position
+    IcebergFormat.deleteWhereEquality(spark, t, Seq(4L).toDF("id")) // equality
+    val before = IcebergFormat.readTable(spark, t)
+      .select("id").as[Long].collect().toSet
+    assert(before === Set(0L, 2L, 3L, 5L, 6L, 7L))
+    val snap = IcebergFormat.compactDeletes(spark, t)
+    assert(snap.nonEmpty)
+    // content identical, merge-on-read cost gone, bin-pack unblocked
+    val after = IcebergFormat.readTable(spark, t).select("id").as[Long].collect().toSet
+    assert(after === before)
+    assert(IcebergFormat.compactDeletes(spark, t).isEmpty) // nothing pends
+    // bin-pack no longer blocked by deletes — and with one consolidated
+    // file per partition it correctly finds no work to do
+    assert(IcebergFormat.fileInventory(spark, t)
+      .agg(max("n_files")).collect()(0).getLong(0) === 1L)
+    // a fresh append creates a second file per touched partition; the
+    // previously-refusing bin-pack now runs
+    IcebergFormat.commit(batch(0, 4).withColumn("id", col("id") + 100), col("ts"), t)
+    assert(IcebergFormat.rewriteDataFiles(spark, t, targetFileBytes = 1L << 20).nonEmpty)
+    assert(IcebergFormat.readTable(spark, t).select("id").as[Long].collect().toSet ===
+      before ++ Set(100L, 101L, 102L, 103L))
   }
 }
