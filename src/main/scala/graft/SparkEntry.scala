@@ -1124,6 +1124,22 @@ object SparkEntry {
         .orderBy("username")
     }),
 
+    "sec_handshake" -> ((s, dir) => {
+      // SASL handshake mechanism negotiation
+      // (`kafka/server/handlers/sasl_handshake.cc`): 60 clients each
+      // request one of five mechanisms (key mod 5); only the two SCRAM
+      // mechanisms are enabled, so the rest get error 33
+      // (UNSUPPORTED_SASL_MECHANISM) plus the enabled list to retry with.
+      val mechs = array(lit("SCRAM-SHA-256"), lit("SCRAM-SHA-512"),
+        lit("PLAIN"), lit("GSSAPI"), lit("OAUTHBEARER"))
+      val reqs = T(s, dir, "customer").where(col("c_custkey") <= 60)
+        .select(concat(lit("client_"), col("c_custkey")).as("client"),
+          element_at(mechs, (pmod(col("c_custkey"), lit(5)) + 1).cast("int"))
+            .as("mechanism"))
+      graft.security.Scram.handshake(reqs, Seq("SCRAM-SHA-256", "SCRAM-SHA-512"))
+        .orderBy("client")
+    }),
+
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
       Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
@@ -1358,6 +1374,23 @@ object SparkEntry {
           lit("leave").as("cmd"), protos, inst)
       graft.groups.GroupEngine.describeGroups(joins.unionByName(leaves))
         .orderBy("group")
+    }),
+
+    "adm_list_groups" -> ((s, dir) => {
+      // list_groups with a KIP-518 states filter over the same command
+      // log as g1_group_membership: the listing is the (group, state)
+      // projection of the FSM's final state, narrowed to the requested
+      // states — the oracle recomputes the full membership fold and
+      // applies the identical filter.
+      val cmds = events(s, dir).select(
+        concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+        col("event_id").as("seq"),
+        concat(lit("m"), col("user_id").cast("string")).as("member"),
+        when(col("event_type") === "signup", "join")
+          .when(col("event_type") === "error", "leave")
+          .otherwise("heartbeat").as("cmd"),
+        array(lit("range"), lit("roundrobin")).as("protocols"))
+      graft.groups.GroupEngine.listGroups(cmds, Seq("Stable")).orderBy("group")
     }),
 
     "g2_group_offsets" -> ((s, dir) => {
@@ -2398,6 +2431,23 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    "smp_upsample" -> ((s, dir) =>
+      // Repeat-factor upsampling (the epoch-repeat rule for rare
+      // strata): de x2.5, fr x3, everything else passes through once.
+      // Each row contributes floor(f) or ceil(f) copies by hash bucket.
+      Sampling.upsampleRepeat(T(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("de" -> 2.5, "fr" -> 3.0))
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")),
+
+    "smp_epoch_shuffle" -> ((s, dir) =>
+      // Global deterministic permutation for epoch 7 — two-phase bucketed
+      // rank, no corpus-wide window (the oracle's row_number IS one; the
+      // engine must re-derive the identical order scalably).
+      Sampling.epochShuffle(T(s, dir, "documents"), col("doc_id"), epoch = 7)
+        .select("doc_id", "pos")
+        .orderBy("doc_id")),
+
     "smp_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(T(s, dir, "documents"), col("doc_id"), col("lang"),
           Map("en" -> 0.5, "de" -> 0.8, "zh" -> 0.0), defaultRate = 0.2)
@@ -2961,6 +3011,15 @@ object SparkEntry {
         |       ELSE 'authenticated' END AS decision
         | FROM customer WHERE c_custkey <= 60 ORDER BY username""".stripMargin,
 
+    "sec_handshake" ->
+      """SELECT 'client_' || c_custkey AS client, mech AS mechanism,
+        |  CASE WHEN mech IN ('SCRAM-SHA-256', 'SCRAM-SHA-512') THEN 0 ELSE 33 END AS error_code,
+        |  'SCRAM-SHA-256,SCRAM-SHA-512' AS enabled_mechanisms
+        | FROM (SELECT c_custkey,
+        |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER'])[(c_custkey % 5) + 1] AS mech
+        |       FROM customer WHERE c_custkey <= 60)
+        | ORDER BY client""".stripMargin,
+
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
          | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
@@ -3162,6 +3221,36 @@ object SparkEntry {
         | LEFT JOIN gen ge ON g.gi = ge.gi
         | LEFT JOIN nm n ON g.gi = n.gi
         | LEFT JOIN ldr l ON g.gi = l.gi
+        | ORDER BY 1""".stripMargin,
+
+    // The same membership fold as g1_group_membership, projected to
+    // (group, state) and narrowed by the KIP-518 states filter.
+    "adm_list_groups" ->
+      """WITH cmds AS (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, event_id AS seq,
+        |         'm' || CAST(user_id AS VARCHAR) AS member,
+        |         CASE WHEN event_type = 'signup' THEN 'join'
+        |              WHEN event_type = 'error' THEN 'leave'
+        |              ELSE 'heartbeat' END AS cmd
+        |  FROM events),
+        | mc AS (
+        |  SELECT grp, seq, member, cmd,
+        |         COALESCE(lag(cmd) OVER (PARTITION BY grp, member ORDER BY seq), 'leave') AS prev
+        |  FROM cmds WHERE cmd IN ('join', 'leave')),
+        | eff AS (
+        |  SELECT * FROM mc
+        |  WHERE (cmd = 'join' AND prev = 'leave') OR (cmd = 'leave' AND prev = 'join')),
+        | last_eff AS (
+        |  SELECT grp, member, cmd, seq,
+        |         row_number() OVER (PARTITION BY grp, member ORDER BY seq DESC) AS rn
+        |  FROM eff),
+        | cur AS (SELECT grp, member FROM last_eff WHERE rn = 1 AND cmd = 'join'),
+        | nm AS (SELECT grp, count(*) AS n_members FROM cur GROUP BY 1),
+        | grps AS (SELECT DISTINCT grp FROM cmds)
+        | SELECT g.grp AS "group",
+        |        CASE WHEN COALESCE(n.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state
+        | FROM grps g LEFT JOIN nm n ON g.grp = n.grp
+        | WHERE COALESCE(n.n_members, 0) > 0
         | ORDER BY 1""".stripMargin,
 
     "g2_group_offsets" ->
@@ -3837,6 +3926,30 @@ object SparkEntry {
         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
         |       FROM documents)
         | ORDER BY doc_id""".stripMargin,
+
+    // Repeat-factor upsampling: fb = round(f*10000) buckets; every row
+    // emits fb // 10000 copies plus one more iff its hash bucket falls
+    // under the fractional part — all-integer, so any engine re-derives
+    // the copy counts bit-identically.
+    "smp_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
+        |    CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, lang,
+        |         (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
+        |  FROM f)
+        | SELECT doc_id, lang, CAST(t.cp AS BIGINT) AS copy
+        | FROM c, UNNEST(range(copies)) AS t(cp)
+        | WHERE copies > 0
+        | ORDER BY doc_id, copy""".stripMargin,
+
+    "smp_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     "smp_stratified" ->
       """SELECT doc_id, lang FROM (

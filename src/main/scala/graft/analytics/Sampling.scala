@@ -93,6 +93,41 @@ object Sampling {
   }
 
   /**
+   * Repeat-factor UPSAMPLING — the other half of mixture construction
+   * ([[temperatureMixture]] can only downsample): stratum factor f >= 0
+   * emits floor(f) copies of every row, plus one more copy iff the
+   * row's hash bucket falls under the fractional part — so each row
+   * contributes exactly floor(f) or ceil(f) copies, deterministically,
+   * with stratum-level expectation f (the epoch-repeat rule multilingual
+   * training mixes use for underrepresented languages). A `copy` column
+   * (0-based) disambiguates duplicates downstream.
+   *
+   * Scale shape: a tiny broadcast factor table + one bounded
+   * `explode(sequence(...))` — fan-out is exactly the repeat factor a
+   * downstream trainer pays anyway; no shuffle, no window. All
+   * arithmetic integral once factors are resolved to 1/10000ths, so any
+   * engine re-derives copy counts bit-identically.
+   */
+  def upsampleRepeat(df: DataFrame, idCol: Column, strataCol: Column,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0), "factors must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fdf = factors.toSeq.map { case (s, f) =>
+      (s, math.round(f * Buckets)) }.toDF("__stratum", "__fb")
+    val fb = coalesce(col("__fb"), lit(math.round(defaultFactor * Buckets)))
+    val whole = (fb / Buckets).cast("long")             // floor(f)
+    val frac = fb - whole * Buckets                     // frac(f) in buckets
+    val copies = whole + (hashBucket(idCol) < frac).cast("long")
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(fdf), Seq("__stratum"), "left")
+      .withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__stratum", "__fb", "__copies")
+  }
+
+  /**
    * Deterministic per-group top-k — a seedless "reservoir": rank rows
    * inside each group by (hash bucket, id) and keep rank <= k. The hash
    * makes the kept set a uniform, order-independent sample; the id
@@ -102,5 +137,38 @@ object Sampling {
   def topKPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(hashBucket(idCol), idCol)
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /**
+   * Deterministic EPOCH SHUFFLE — the global training-order permutation:
+   * adds `pos`, the row's 0-based position in the order
+   * `(md5(epoch + ":" + id), id)`. Changing `epoch` re-permutes the
+   * corpus; the same epoch always re-derives the identical order on any
+   * engine, partitioning, or cluster size (the reproducible-epoch rule;
+   * never `rand()`-sorted, see the class scaladoc).
+   *
+   * Scale shape: a naive `row_number() OVER (ORDER BY key)` is a
+   * single-task corpus sort. Instead the key's first 16 bits bucket rows
+   * into 65536 uniform ranges (fixed-width lowercase hex, so bucket
+   * order IS key order); per-bucket counts are prefix-summed on the tiny
+   * bucket table and broadcast back, and each bucket ranks only its own
+   * ~corpus/65536 slice — the same two-phase shape as
+   * [[graft.analytics.TextAnalysis.packSequences]] and the log's offset
+   * assignment. No window or sort ever spans the corpus.
+   */
+  def epochShuffle(df: DataFrame, idCol: Column, epoch: Int): DataFrame = {
+    val key = md5(concat(lit(epoch + ":"), idCol.cast("string")).cast("binary"))
+    val keyed = df.withColumn("__key", key)
+      .withColumn("__bucket", substring(col("__key"), 1, 4))
+    val bucketAgg = keyed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+    // prefix over the bucket table: <= 65536 rows, not the corpus
+    val baseW = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketAgg
+      .withColumn("__base", coalesce(sum("__n").over(baseW), lit(0L)))
+      .select("__bucket", "__base")
+    val localW = Window.partitionBy("__bucket").orderBy(col("__key"), idCol)
+    keyed.join(broadcast(bases), Seq("__bucket"))
+      .withColumn("pos", col("__base") + row_number().over(localW) - 1)
+      .drop("__bucket", "__key")
   }
 }

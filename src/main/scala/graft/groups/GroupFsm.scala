@@ -302,6 +302,17 @@ object GroupEngine {
   }
 
   /**
+   * list_groups (`kafka/server/handlers/list_groups.cc`; states filter
+   * per KIP-518): one row per known group with its coordinator state —
+   * the listing projection of [[describeGroups]], optionally narrowed to
+   * the requested states. Bounded output (one row per group).
+   */
+  def listGroups(commandLog: DataFrame, statesFilter: Seq[String] = Nil): DataFrame = {
+    val all = describeGroups(commandLog).select("group", "state")
+    if (statesFilter.isEmpty) all else all.where(col("state").isin(statesFilter: _*))
+  }
+
+  /**
    * Continuous coordinator: the same FSM as a stateful streaming
    * operator — each micro-batch of commands folds into the group's
    * checkpointed state (`mapGroupsWithState`; the Spark analogue of the

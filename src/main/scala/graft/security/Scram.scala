@@ -120,6 +120,23 @@ object Scram {
   def describeCredentials(creds: DataFrame): DataFrame =
     creds.select("user", "mechanism", "iterations")
 
+  /** UNSUPPORTED_SASL_MECHANISM (Kafka error code 33). */
+  val UnsupportedMechanism = 33
+
+  /**
+   * SASL handshake (`kafka/server/handlers/sasl_handshake.cc`): the
+   * client names a mechanism; the broker answers error 0 when it is
+   * enabled, else UNSUPPORTED_SASL_MECHANISM plus the enabled list (the
+   * client retries with one of those). A batch of handshakes is one
+   * narrow codegen'd projection — the enabled set folds to a literal.
+   */
+  def handshake(requests: DataFrame, enabled: Seq[String]): DataFrame =
+    requests
+      .withColumn("error_code",
+        when(col("mechanism").isin(enabled: _*), lit(0))
+          .otherwise(lit(UnsupportedMechanism)))
+      .withColumn("enabled_mechanisms", lit(enabled.mkString(",")))
+
   /**
    * Batch-authenticate password attempts against the live credential
    * set: per attempt (user, mechanism, password) recompute the salted

@@ -201,6 +201,18 @@ class PlanSpec extends SparkSpec {
     assertChunkedWindowsOnly(p)
   }
 
+  test("epoch shuffle is two-phase bucketed — broadcast bases, no corpus-wide window") {
+    val docs = spark.read.parquet(docsDir)
+    val p = plan(graft.analytics.Sampling.epochShuffle(docs, col("doc_id"), epoch = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    // every window is bucket-scoped: the prefix sum over the <=65536-row
+    // bucket table or the bucket-local rank — never a corpus-wide sort
+    windows.foreach(w => assert(w.contains("__bucket"), s"non-bucketed window: $w\n$p"))
+  }
+
   test("quota fold is one client shuffle plus an in-partition sort — no window, no join") {
     val reqs = (0L until 100L).map(i => (s"c${i % 4}", i * 7, i % 50, i))
       .toDF("client_id", "ts_ms", "bytes", "seq")

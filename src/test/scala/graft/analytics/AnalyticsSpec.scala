@@ -208,6 +208,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept("big") > 200L && kept("big") < 400L)
   }
 
+  test("sampling: repeat-factor upsampling emits floor/ceil copies with exact expectation") {
+    val rows = ((0L until 800L).map(i => (i, "en")) ++ (800L until 1000L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val up = Sampling.upsampleRepeat(rows, col("doc_id"), col("lang"),
+      Map("de" -> 2.5, "drop" -> 0.0))
+    val byLang = up.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === 800L)                       // default factor 1.0: pass-through
+    // de x2.5: every row gives 2 or 3 copies; hash-uniform so ~500 total
+    assert(byLang("de") >= 400L && byLang("de") <= 600L)
+    val perDoc = up.where(col("lang") === "de").groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(n => n == 2L || n == 3L))
+    // copy column is a dense 0-based index within each doc
+    val copies = up.where(col("doc_id") === perDoc.keys.head)
+      .select("copy").as[Long].collect().sorted
+    assert(copies === (0L until copies.length).toArray)
+    // deterministic under repartitioning
+    val again = Sampling.upsampleRepeat(rows.repartition(7), col("doc_id"), col("lang"),
+      Map("de" -> 2.5, "drop" -> 0.0))
+    assert(up.except(again).count() === 0 && again.except(up).count() === 0)
+    // factor 0 drops the stratum entirely
+    val zeroed = Sampling.upsampleRepeat(rows, col("doc_id"), col("lang"), Map("de" -> 0.0))
+    assert(zeroed.where(col("lang") === "de").count() === 0)
+  }
+
+  test("sampling: epoch shuffle is a deterministic permutation that varies by epoch") {
+    val rows = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val e1 = Sampling.epochShuffle(rows, col("doc_id"), 1)
+    // a permutation: pos is exactly 0..n-1
+    val pos = e1.select("pos").as[Long].collect().sorted
+    assert(pos === (0L until 2000L).toArray)
+    // deterministic under repartitioning
+    val again = Sampling.epochShuffle(rows.repartition(13), col("doc_id"), 1)
+    assert(e1.except(again).count() === 0 && again.except(e1).count() === 0)
+    // a different epoch produces a different permutation
+    val m1 = e1.select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val m2 = Sampling.epochShuffle(rows, col("doc_id"), 2)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(m1 != m2)
+  }
+
   test("sampling: per-group top-k keeps exactly k and is order-stable") {
     val rows = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "g")
     val top = Sampling.topKPerGroup(rows, col("g"), col("doc_id"), 5)

@@ -187,6 +187,24 @@ class GroupEngineSpec extends SparkSpec {
       ("gA", "Stable", 3L, 1L, "m1"),
       ("gB", "Empty", 2L, 0L, "")))
   }
+
+  test("listGroups projects (group, state) and honors the KIP-518 states filter") {
+    val cmds = Seq(
+      ("gA", 1L, "m1", "join"),
+      ("gB", 1L, "m9", "join"), ("gB", 2L, "m9", "leave"),
+      ("gC", 1L, "m5", "heartbeat"))
+      .toDF("group", "seq", "member", "cmd")
+      .withColumn("protocols", array(lit("range")))
+    val all = GroupEngine.listGroups(cmds)
+      .as[(String, String)].collect().toSet
+    assert(all === Set(("gA", "Stable"), ("gB", "Empty"), ("gC", "Empty")))
+    val stable = GroupEngine.listGroups(cmds, Seq("Stable"))
+      .as[(String, String)].collect().toSet
+    assert(stable === Set(("gA", "Stable")))
+    val empty = GroupEngine.listGroups(cmds, Seq("Empty"))
+      .as[(String, String)].collect().toSet
+    assert(empty === Set(("gB", "Empty"), ("gC", "Empty")))
+  }
 }
 
 /** G4 assignment strategies: range per assignment_plans.cc, roundrobin

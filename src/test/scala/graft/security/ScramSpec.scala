@@ -51,6 +51,20 @@ class ScramSpec extends SparkSpec {
     assert(!wrong.sameElements(stored))
   }
 
+  test("handshake: enabled mechanisms get error 0, others UNSUPPORTED_SASL_MECHANISM") {
+    import spark.implicits._
+    val reqs = Seq(("c1", "SCRAM-SHA-256"), ("c2", "SCRAM-SHA-512"),
+      ("c3", "PLAIN"), ("c4", "GSSAPI"))
+      .toDF("client", "mechanism")
+    val got = Scram.handshake(reqs, Seq("SCRAM-SHA-256", "SCRAM-SHA-512"))
+      .select("client", "error_code", "enabled_mechanisms")
+      .as[(String, Int, String)].collect().toSet
+    val enabled = "SCRAM-SHA-256,SCRAM-SHA-512"
+    assert(got === Set(("c1", 0, enabled), ("c2", 0, enabled),
+      ("c3", Scram.UnsupportedMechanism, enabled),
+      ("c4", Scram.UnsupportedMechanism, enabled)))
+  }
+
   test("credential log compacts LWW per (user, mechanism); describe hides key material") {
     import spark.implicits._
     def cred(seq: Long, user: String, mech: Scram.Mechanism, pw: String, iters: Int) = {
