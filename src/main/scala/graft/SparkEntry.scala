@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.expressions.Window
 
-import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.groups.ConsumerGroups
 import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
@@ -2064,6 +2064,25 @@ object SparkEntry {
         .orderBy("transform", "partition")
     }),
 
+    // ----- §2.5 G6: transform offset tracking / commit batcher -----
+    "g6_commit_batcher" -> ((s, dir) => {
+      // Progress events for 32 (transform, partition) keys; flush
+      // interval = 500 seq ticks. The fold must coalesce every interval's
+      // enqueues to its LAST offset and carry one row per key per flush —
+      // the oracle re-derives flush counts and committed state in SQL.
+      // (Coordinator routing is murmur2 — golden-checked in the spec and
+      // by adm_find_coordinator, not SQL-expressible.)
+      val prog = events(s, dir).select(
+        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("transform"),
+        pmod(col("event_id"), lit(8)).cast("int").as("partition"),
+        lit(0).as("output_topic"),
+        col("event_id").as("seq"),
+        col("event_id").as("offset"))
+      graft.streaming.Transforms.commitBatcher(prog, intervalLen = 500L)
+        .drop("coordinator")
+        .orderBy("transform", "partition")
+    }),
+
     // ----- log-native extensions: as-of join -----
     "op_asof_join" -> ((s, dir) => {
       // For every purchase, the user's latest signup at or before it —
@@ -2466,6 +2485,13 @@ object SparkEntry {
 
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
+
+    "txt_sketch_contract" -> ((s, dir) =>
+      // HLL cardinality + approx-percentile error contracts: at 100 TB
+      // only the sketch side runs (fixed-size partial aggregates); here
+      // the exact companions certify the bound. The oracle re-derives
+      // exact_vocab independently and pins the certified booleans.
+      Sketches.sketchContracts(T(s, dir, "documents"), col("text"), col("n_chars"))),
 
     "txt_tokens_bpe" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -3677,6 +3703,23 @@ object SparkEntry {
         | FROM proc p JOIN hwm h ON p.partition = h.partition
         | GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
 
+    // Commit-batcher fold: per (key, interval) the LAST enqueued offset
+    // survives the flush; per key the last flush is the committed state.
+    "g6_commit_batcher" ->
+      """WITH prog AS (
+        |  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS transform,
+        |         CAST(event_id % 8 AS INTEGER) AS partition,
+        |         0 AS output_topic, event_id AS seq, event_id AS "offset"
+        |  FROM events),
+        | fl AS (
+        |  SELECT transform, partition, output_topic, seq // 500 AS iv,
+        |         arg_max("offset", seq) AS flush_off, count(*) AS n_enq
+        |  FROM prog GROUP BY 1, 2, 3, 4)
+        | SELECT transform, partition, output_topic,
+        |        arg_max(flush_off, iv) AS committed_offset,
+        |        count(*) AS n_flushes, CAST(sum(n_enq) AS BIGINT) AS n_enqueued
+        | FROM fl GROUP BY 1, 2, 3 ORDER BY transform, partition""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -3983,6 +4026,15 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY tok)
         | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    // Exact half re-derived; the sketch-error booleans are certified by
+    // the engine and pinned here (the sketches are deterministic).
+    "txt_sketch_contract" ->
+      """SELECT count(DISTINCT tok) AS exact_vocab,
+        |  CAST(TRUE AS BOOLEAN) AS vocab_ok, CAST(TRUE AS BOOLEAN) AS p50_ok,
+        |  CAST(TRUE AS BOOLEAN) AS p90_ok, CAST(TRUE AS BOOLEAN) AS p99_ok
+        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |       FROM documents)""".stripMargin,
 
     "txt_tokens_bpe" ->
       """SELECT doc_id,

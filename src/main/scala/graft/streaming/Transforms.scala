@@ -244,6 +244,49 @@ object Transforms {
    * partition's high watermark. One keyed aggregate over the event log;
    * the HWM table `(partition, hwm)` is one row per partition, broadcast.
    */
+  /**
+   * G6 commit batcher (`transform/commit_batcher.h:59-76`, key/value
+   * shapes `model/transform.h:258-299`): processors enqueue per-record
+   * progress for key (transform, partition, output_topic); the batcher
+   * flushes ALL pending offsets as ONE batch per fixed interval, so
+   * commit traffic scales with keys × intervals, never records — the
+   * exact motivation the reference documents (commits "a function of the
+   * number of cores ... instead of the number of processors"). Within an
+   * interval only the LAST enqueued offset per key survives to the flush
+   * (coalescing); earlier enqueues are superseded in the pending map.
+   *
+   * Fold shape: one groupBy (key, interval) whose map-side combine IS
+   * the coalescing — the shuffle carries one row per key per interval,
+   * not per progress event — then one groupBy key for the final
+   * committed state. The coordinator owning each key is the
+   * unsigned-murmur2 route over the internal offsets topic
+   * (find_coordinator, `commit_batcher.h:44`; same routing as
+   * [[graft.admin.Admin.coordinatorFor]]).
+   *
+   * Input: progress events `(transform, partition, output_topic, seq,
+   * offset)`; a flush interval is `floor(seq / intervalLen)`. Output one
+   * row per key: `committed_offset` (the last flush's value),
+   * `n_flushes` (batched commit RPCs), `n_enqueued` (progress events
+   * coalesced into them), `coordinator`.
+   */
+  def commitBatcher(progress: DataFrame, intervalLen: Long,
+      nCoordinators: Int = 16): DataFrame = {
+    require(intervalLen > 0, "intervalLen must be positive")
+    graft.functions.GraftFunctions.register(progress.sparkSession)
+    val flushed = progress
+      .withColumn("__interval", floor(col("seq") / intervalLen))
+      .groupBy("transform", "partition", "output_topic", "__interval")
+      .agg(max_by(col("offset"), col("seq")).as("__flush_off"),
+        count(lit(1)).as("__n_enq"))
+    flushed.groupBy("transform", "partition", "output_topic")
+      .agg(max_by(col("__flush_off"), col("__interval")).as("committed_offset"),
+        count(lit(1)).as("n_flushes"),
+        sum("__n_enq").as("n_enqueued"))
+      .withColumn("coordinator",
+        pmod(expr("murmur2(encode(concat(transform, '/', partition, '/', output_topic), 'UTF-8'))")
+          .cast("long").bitwiseAND(lit(0xffffffffL)), lit(nCoordinators)).cast("int"))
+  }
+
   def statusReport(procLog: DataFrame, hwm: DataFrame): DataFrame =
     procLog.groupBy("transform", "partition").agg(
         max_by(col("kind"), col("seq")).as("__last_kind"),

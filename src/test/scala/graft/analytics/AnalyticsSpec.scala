@@ -233,6 +233,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(zeroed.where(col("lang") === "de").count() === 0)
   }
 
+  test("sketches: HLL vocab and approx percentiles certify their error bounds") {
+    val docs = (0L until 1000L)
+      .map(i => (i, s"w${i % 37} w${i % 101} common token", 50L + i % 400))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Sketches.sketchContracts(docs, col("text"), col("n_chars")).collect()(0)
+    // exact vocab: w0..w100 (the %37 names are a subset) + common + token
+    assert(r.getLong(0) === 103L)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+  }
+
   test("sampling: epoch shuffle is a deterministic permutation that varies by epoch") {
     val rows = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
     val e1 = Sampling.epochShuffle(rows, col("doc_id"), 1)

@@ -65,6 +65,33 @@ class TransformPlaneSpec extends SparkSpec {
     assert(got(("u", 0)) === (("running", None, 10L, 0L)))
   }
 
+  test("commit batcher coalesces each interval to its last offset; coordinator is murmur2-routed") {
+    // key (t0,0,0): enqueues at seq 1,2,3 (interval 0) then 12 (interval 1)
+    // -> 2 flushes, 4 enqueued, committed = offset at seq 12.
+    // key (t1,1,0): one enqueue -> 1 flush, committed = its own offset.
+    val prog = Seq(
+      ("t0", 0, 0, 1L, 10L), ("t0", 0, 0, 2L, 20L), ("t0", 0, 0, 3L, 30L),
+      ("t0", 0, 0, 12L, 120L),
+      ("t1", 1, 0, 5L, 55L))
+      .toDF("transform", "partition", "output_topic", "seq", "offset")
+    val got = Transforms.commitBatcher(prog, intervalLen = 10L, nCoordinators = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))))
+      .toMap
+    val (c0, f0, e0, coord0) = got(("t0", 0))
+    assert((c0, f0, e0) === ((120L, 2L, 4L)))
+    val (c1, f1, e1, coord1) = got(("t1", 1))
+    assert((c1, f1, e1) === ((55L, 1L, 1L)))
+    // coordinator = unsigned murmur2 of the key string mod 16
+    def route(k: String): Int = {
+      val h = graft.functions.Murmur2.hash(k.getBytes("UTF-8")) & 0xffffffffL
+      (h % 16).toInt
+    }
+    assert(coord0 === route("t0/0/0"))
+    assert(coord1 === route("t1/1/0"))
+  }
+
   test("applyStart FromEnd snapshots per-partition HWMs; FromCommitted resumes after commits") {
     val dir = java.nio.file.Files.createTempDirectory("u2spec").toString
     val snapshot = Seq((0, 0L), (0, 1L), (1, 0L)).toDF("partition", "offset")
