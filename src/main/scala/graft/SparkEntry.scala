@@ -35,8 +35,22 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Table reader with adaptive fan-out: the driver's testdata ships one
+    * row group per file, so a bare scan is ONE task and every narrow
+    * phase (shingling, hashing, feature extraction) runs on one core.
+    * When the scan under-parallelizes the session, fan out to the
+    * session's parallelism; at real scale a 100 TB table carries
+    * thousands of splits and this is a no-op (no shuffle is added). */
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    val target = s.sparkContext.defaultParallelism
+    // Only the text corpus: per-row narrow work (shingling, hashing,
+    // tokenizing) dominates there and parallelizes linearly. The
+    // iterative trainers over `embeddings` (KMeans/PQ) do many tiny
+    // passes and lose 2x to per-task overhead when over-partitioned.
+    val fanOut = name == "documents"
+    if (fanOut && df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 
   /** documents plus planted exact duplicates (doc_id + 1000000,
     * upper-cased text): the corpus has no natural exact dups, so the
@@ -1443,6 +1457,39 @@ object SparkEntry {
       ConsumerGroups.deleteOffsets(commits, deletes)
         .select("group", "topic", "partition", "committed_offset")
         .orderBy("group", "partition")
+    }),
+
+    "g2_offset_expiry" -> ((s, dir) => {
+      // KIP-211 offset retention across the three policies at once:
+      // g0 is a Stable consumer subscribed only to 'events' (its 'aux'
+      // offsets age out on commit_ts; 'events' never expires), g1 is
+      // Empty since Jan 10 (everything ages out on the state timestamp),
+      // g2 is a standalone offset-storage client (pure commit_ts aging).
+      // Partition 7 offsets are non_reclaimable and always retained.
+      // now = 2024-02-01, retention = 36 h — the cutoff lands inside the
+      // span of per-key last-commit timestamps, so commit_ts-based
+      // policies split each group into expired AND retained keys.
+      import s.implicits._
+      val commits = events(s, dir).where(col("event_type") === "purchase")
+        .select(
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          when(pmod(col("user_id"), lit(2)) === 0, "events").otherwise("aux").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("committed_offset"),
+          col("event_id").as("commit_seq"),
+          unix_millis(col("ts")).as("commit_ts"))
+      val offsets = ConsumerGroups.fetchOffsets(commits)
+        .withColumn("non_reclaimable", col("partition") === 7)
+        .drop("commit_seq")
+      val meta = Seq(
+        ("g0", Some("consumer"), "Stable", None: Option[Long]),
+        ("g1", Some("consumer"), "Empty", Some(1704844800000L)),
+        ("g2", None: Option[String], "Standalone", None: Option[Long]))
+        .toDF("group", "protocol_type", "state", "state_ts")
+      val subs = Seq(("g0", "events")).toDF("group", "topic")
+      ConsumerGroups.expireOffsets(offsets, meta, subs,
+          nowMs = 1706745600000L, retentionMs = 129600000L)
+        .orderBy("group", "topic", "partition")
     }),
 
     "g5_sequence_check" -> ((s, dir) => {
@@ -3296,6 +3343,31 @@ object SparkEntry {
         | FROM grps g LEFT JOIN nm n ON g.grp = n.grp
         | WHERE COALESCE(n.n_members, 0) > 0
         | ORDER BY 1""".stripMargin,
+
+    // KIP-211 expiry re-derived: LWW per key, then the per-state policy.
+    // now = 2024-02-01 (1706745600000), retention = 36 h (129600000),
+    // g1 empty-since = 2024-01-10 (1704844800000).
+    "g2_offset_expiry" ->
+      """WITH c AS (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp,
+        |         CASE WHEN user_id % 2 = 0 THEN 'events' ELSE 'aux' END AS topic,
+        |         CAST(user_id % 8 AS INTEGER) AS partition,
+        |         event_id AS committed_offset, event_id AS commit_seq,
+        |         epoch_ms(ts) AS commit_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        | lww AS (
+        |  SELECT * FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY grp, topic, partition ORDER BY commit_seq DESC) = 1),
+        | o AS (SELECT *, partition = 7 AS non_reclaimable FROM lww)
+        | SELECT grp AS "group", topic, partition, committed_offset, commit_ts, non_reclaimable,
+        |  CASE
+        |   WHEN non_reclaimable THEN FALSE
+        |   WHEN grp = 'g0' AND topic = 'events' THEN FALSE
+        |   WHEN grp = 'g0' THEN 1706745600000 - commit_ts >= 129600000
+        |   WHEN grp = 'g1' THEN 1706745600000 - 1704844800000 >= 129600000
+        |   ELSE 1706745600000 - commit_ts >= 129600000
+        |  END AS expired
+        | FROM o ORDER BY "group", topic, partition""".stripMargin,
 
     "g2_group_offsets" ->
       """SELECT "group", topic, partition, committed_offset FROM (

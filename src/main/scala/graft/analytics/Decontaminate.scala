@@ -22,17 +22,25 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** (doc_id, n_hits, contaminated) for every corpus row: n_hits =
-    * distinct eval n-grams of order `n` appearing in the doc. */
+    * distinct eval n-grams of order `n` appearing in the doc.
+    *
+    * Shingles cross the explode/join as 64-bit hashes, not ~50-byte
+    * n-gram strings — an order-of-magnitude cut in the exploded
+    * intermediate and in broadcast probe cost. A collision would need
+    * two distinct grams sharing an xxhash64 (~1e-13 per eval-gram pair
+    * at benchmark scale), and the oracle's exact-string recomputation
+    * would catch one on test data. */
   def flagOverlap(corpus: DataFrame, evalSet: DataFrame,
       idCol: Column, textCol: Column, n: Int): DataFrame = {
-    val evalGrams = evalSet.select(explode(Dedup.shingles(textCol, n)).as("shingle"))
+    def hashed(c: Column): Column =
+      array_distinct(transform(Dedup.shingles(c, n), g => xxhash64(g)))
+    val evalGrams = evalSet.select(explode(hashed(textCol)).as("__g"))
       .distinct().withColumn("__hit", lit(1))
     // Per-doc dedup happens inside the row (array_distinct) so the only
     // shuffle in the whole operator is the final partial-agg groupBy.
     val counted = corpus
-      .select(idCol.as("doc_id"),
-        explode(array_distinct(Dedup.shingles(textCol, n))).as("shingle"))
-      .join(broadcast(evalGrams), Seq("shingle"), "left")
+      .select(idCol.as("doc_id"), explode(hashed(textCol)).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"), "left")
       .groupBy("doc_id").agg(count(col("__hit")).as("n_hits"))
     val tooShort = corpus
       .where(size(split(trim(lower(textCol)), "\\s+")) < n)

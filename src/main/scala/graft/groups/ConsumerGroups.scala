@@ -140,4 +140,68 @@ object ConsumerGroups {
       }
       .toDF()
   }
+
+  /**
+   * Offset retention / expiry (KIP-211; `group.cc:3432-3589`
+   * `filter_expired_offsets` / `get_expired_offsets` /
+   * `delete_expired_offsets`): mark each committed offset expired or
+   * retained under the per-state policy —
+   *
+   *  - consumer group, Stable: expire offsets of topics NOT in the
+   *    group's live subscription once `retention` has passed since the
+   *    offset's `commit_ts`; subscribed topics never expire.
+   *  - consumer group, Empty: expire everything once `retention` has
+   *    passed since the group BECAME empty (`state_ts`; falls back to
+   *    `commit_ts` for old metadata with no state timestamp).
+   *  - consumer group mid-rebalance (any other state): expire nothing.
+   *  - no protocol type (standalone offset-storage client): expire on
+   *    `commit_ts` alone.
+   *
+   * `non_reclaimable` offsets are always retained (the reference's
+   * per-offset opt-out). Group metadata and subscriptions are
+   * control-plane-sized and broadcast; the offsets table maps through
+   * one narrow filter — no shuffle at any corpus size.
+   *
+   * `offsets`: (group, topic, partition, committed_offset, commit_ts,
+   * non_reclaimable); `groupMeta`: (group, protocol_type nullable,
+   * state, state_ts nullable); `subscriptions`: (group, topic) live
+   * subscription pairs. Timestamps are epoch millis. Returns the
+   * offsets with an `expired` flag (the reference's
+   * delete_expired_offsets erases the true rows).
+   */
+  def expireOffsets(offsets: DataFrame, groupMeta: DataFrame,
+      subscriptions: DataFrame, nowMs: Long, retentionMs: Long): DataFrame = {
+    val subs = subscriptions.select(col("group"), col("topic"), lit(true).as("__sub"))
+    val meta = groupMeta.select(col("group"), col("protocol_type"),
+      col("state"), col("state_ts"))
+    offsets
+      .join(broadcast(meta), Seq("group"), "left")
+      .join(broadcast(subs), Seq("group", "topic"), "left")
+      .withColumn("__eligible",
+        !col("non_reclaimable") &&
+          (col("protocol_type").isNull ||
+            col("state") === "Empty" ||
+            (col("state") === "Stable" && coalesce(col("__sub"), lit(false)) === false)))
+      .withColumn("__basis",
+        when(col("protocol_type").isNull || col("state") === "Stable", col("commit_ts"))
+          .when(col("state") === "Empty", coalesce(col("state_ts"), col("commit_ts"))))
+      .withColumn("expired",
+        col("__eligible") && col("__basis").isNotNull &&
+          lit(nowMs) - col("__basis") >= lit(retentionMs))
+      .select((offsets.columns.toIndexedSeq.map(col) :+ col("expired")): _*)
+  }
+
+  /**
+   * The companion dead-group sweep (`group.cc:3584-3586`): an Empty
+   * group whose offsets have all expired transitions to Dead. One tiny
+   * aggregate over the post-expiry view joined back to the group table.
+   */
+  def deadGroups(expiryView: DataFrame, groupMeta: DataFrame): DataFrame = {
+    val surviving = expiryView.where(!col("expired"))
+      .groupBy("group").agg(count(lit(1)).as("__n"))
+    groupMeta.join(surviving, Seq("group"), "left")
+      .select(col("group"),
+        when(col("state") === "Empty" && coalesce(col("__n"), lit(0L)) === 0, "Dead")
+          .otherwise(col("state")).as("state"))
+  }
 }

@@ -218,6 +218,56 @@ class LogEngineSpec extends SparkSpec {
     assert(got === Set(("g1", 0, 20L)))
   }
 
+  test("offset expiry: per-state KIP-211 policies, non_reclaimable always retained") {
+    // retention 100ms, now = 1000
+    val offsets = Seq(
+      // Stable group: subscribed topic never expires, even when old
+      ("gs", "sub", 0, 1L, 100L, false),
+      // Stable group, unsubscribed topic: expires on commit_ts age
+      ("gs", "other", 0, 2L, 100L, false),  // 900ms old -> expired
+      ("gs", "other", 1, 3L, 950L, false),  // 50ms old -> retained
+      // Empty group: ages on the state timestamp (empty since 850)
+      ("ge", "t", 0, 4L, 999L, false),      // commit fresh but group long empty
+      ("ge", "t", 7, 5L, 100L, true),       // non_reclaimable: retained anyway
+      // Standalone (no protocol type): pure commit_ts aging
+      ("gx", "t", 0, 6L, 100L, false),
+      ("gx", "t", 1, 7L, 950L, false),
+      // Rebalancing consumer group: never expires
+      ("gr", "t", 0, 8L, 100L, false))
+      .toDF("group", "topic", "partition", "committed_offset", "commit_ts", "non_reclaimable")
+    val meta = Seq(
+      ("gs", Some("consumer"), "Stable", None: Option[Long]),
+      ("ge", Some("consumer"), "Empty", Some(850L)),
+      ("gx", None: Option[String], "Standalone", None: Option[Long]),
+      ("gr", Some("consumer"), "PreparingRebalance", None: Option[Long]))
+      .toDF("group", "protocol_type", "state", "state_ts")
+    val subs = Seq(("gs", "sub")).toDF("group", "topic")
+    val view = graft.groups.ConsumerGroups.expireOffsets(
+      offsets, meta, subs, nowMs = 1000L, retentionMs = 100L)
+    val got = view.select("group", "topic", "partition", "expired")
+      .as[(String, String, Int, Boolean)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got(("gs", "sub", 0)) === false)
+    assert(got(("gs", "other", 0)) === true)
+    assert(got(("gs", "other", 1)) === false)
+    assert(got(("ge", "t", 0)) === true)
+    assert(got(("ge", "t", 7)) === false)
+    assert(got(("gx", "t", 0)) === true)
+    assert(got(("gx", "t", 1)) === false)
+    assert(got(("gr", "t", 0)) === false)
+    // ge loses every reclaimable offset but keeps the non_reclaimable one
+    // -> NOT dead; with the pin removed it would be
+    val dead = graft.groups.ConsumerGroups.deadGroups(view, meta)
+      .as[(String, String)].collect().toMap
+    assert(dead("ge") === "Empty")
+    val viewNoPin = graft.groups.ConsumerGroups.expireOffsets(
+      offsets.withColumn("non_reclaimable", lit(false)), meta, subs, 1000L, 100L)
+    val dead2 = graft.groups.ConsumerGroups.deadGroups(viewNoPin, meta)
+      .as[(String, String)].collect().toMap
+    assert(dead2("ge") === "Dead")
+    assert(dead2("gs") === "Stable")
+  }
+
   test("delete_groups drops the whole group; later commits resurrect it") {
     val commits = Seq(
       ("g1", "t", 0, 10L, 1L), ("g1", "t", 1, 20L, 2L), ("g1", "t", 0, 30L, 8L),
