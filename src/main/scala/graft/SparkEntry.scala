@@ -105,7 +105,7 @@ object SparkEntry {
    * explicit mtimes make the batch order deterministic.
    */
   private def stagedEventsStream(s: SparkSession, dir: String,
-      sentinel: Boolean): String = {
+      sentinel: Boolean, farSeq: Boolean = false): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val inDir = Files.createTempDirectory("graft_stream_in")
@@ -131,7 +131,10 @@ object SparkEntry {
       }
       val sentDir = Files.createTempDirectory("graft_sentinel")
       raw.limit(1)
-        .withColumn("event_id", lit(-1L))
+        // watermark-on-ts entries want the sentinel OUT of the seq domain
+        // (-1); watermark-on-seq entries (g6_commit_stream) want it far
+        // ahead so the seq clock advances past every real interval
+        .withColumn("event_id", lit(if (farSeq) 10000000000L else -1L))
         .withColumn("user_id", lit(-1L))
         .withColumn("event_type", lit("__sentinel"))
         .withColumn("ts", sentTs)
@@ -2148,6 +2151,55 @@ object SparkEntry {
         .orderBy("transform", "partition")
     }),
 
+    "u5_transform_sr_decode" -> ((s, dir) => {
+      // U5: the schema-registry client in the guest
+      // (`wasm/schema_registry_module.h`) — the transform resolves its
+      // writer schemas from the registry schema LOG (bounded,
+      // driver-resolved, shipped with the task closure exactly like the
+      // guest's SR client cache), runs the per-partition decode loop
+      // (one resolving reader per schema id per task), and drops rows
+      // that fail to type — the guest's dead-letter path. The oracle
+      // re-derives the typed projection from the plaintext columns.
+      import s.implicits._
+      val schemaLog = Seq((1, AvroV1), (2, AvroV2)).toDF("id", "schema")
+      val resolved = graft.registry.AvroDecode.schemasById(schemaLog)
+      graft.registry.AvroDecode.decode(
+          avroLog(s, dir).select("value_bin"), "value_bin", resolved, AvroV2)
+        .where(col("decoded").isNotNull)
+        .select(col("decoded.event_id").as("event_id"),
+          col("decoded.event_type").as("event_type"),
+          col("decoded.value").as("value"))
+        .where(col("event_id") < 500)
+        .orderBy("event_id")
+    }),
+
+    "g6_commit_stream" -> ((s, dir) => {
+      // The commit batcher as the continuous loop the reference runs:
+      // progress events stream in (batch 1 = the real log, batch 2 = a
+      // far-seq sentinel that closes every interval), each flush interval
+      // is an event-time window on the seq clock, and append mode emits
+      // each (key, interval) flush exactly once. The oracle recomputes
+      // the flush log with the same fold the batch twin uses.
+      val inDir = stagedEventsStream(s, dir, sentinel = true, farSeq = true)
+      val out = java.nio.file.Files.createTempDirectory("graft_g6s").toString
+      val raw = graft.streaming.Transforms.PathInput(
+        inDir, s.read.parquet(s"$dir/events.parquet").schema,
+        maxFilesPerTrigger = Some(1)).stream(s)
+      val prog = raw.select(
+        when(col("event_type") === "__sentinel", "__sentinel")
+          .otherwise(concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")))
+          .as("transform"),
+        pmod(col("event_id"), lit(8)).cast("int").as("partition"),
+        lit(0).as("output_topic"),
+        col("event_id").as("seq"),
+        col("event_id").as("offset"))
+      graft.streaming.Transforms.commitBatcherStream(
+        prog, s"$out/data", s"$out/ckpt", intervalLen = 500L).awaitTermination()
+      s.read.parquet(s"$out/data")
+        .where(col("transform") =!= "__sentinel")
+        .orderBy("transform", "partition", "interval")
+    }),
+
     // ----- log-native extensions: as-of join -----
     "op_asof_join" -> ((s, dir) => {
       // For every purchase, the user's latest signup at or before it —
@@ -3809,6 +3861,26 @@ object SparkEntry {
         |        arg_max(flush_off, iv) AS committed_offset,
         |        count(*) AS n_flushes, CAST(sum(n_enq) AS BIGINT) AS n_enqueued
         | FROM fl GROUP BY 1, 2, 3 ORDER BY transform, partition""".stripMargin,
+
+    // v1 writers (even event_id) have no `value` field: the v2 reader
+    // surfaces its null default — re-derived here from plaintext.
+    "u5_transform_sr_decode" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_id % 2 = 1 THEN value END AS value
+        | FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    // The streaming twin emits the flush LOG itself (one row per key per
+    // interval) — the same fold, asserted row-for-row.
+    "g6_commit_stream" ->
+      """WITH prog AS (
+        |  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS transform,
+        |         CAST(event_id % 8 AS INTEGER) AS partition,
+        |         0 AS output_topic, event_id AS seq, event_id AS "offset"
+        |  FROM events)
+        | SELECT transform, partition, output_topic, seq // 500 AS interval,
+        |        arg_max("offset", seq) AS flush_off, count(*) AS n_enq
+        | FROM prog GROUP BY 1, 2, 3, 4
+        | ORDER BY transform, partition, interval""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

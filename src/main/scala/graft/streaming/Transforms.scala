@@ -287,6 +287,34 @@ object Transforms {
           .cast("long").bitwiseAND(lit(0xffffffffL)), lit(nCoordinators)).cast("int"))
   }
 
+  /**
+   * [[commitBatcher]]'s STREAMING twin — the shape the reference
+   * actually runs (a continuous loop flushing each interval's pending
+   * map). The logical clock (`seq`) becomes event time; each flush
+   * interval is an event-time window; append mode + watermark emit a
+   * (key, interval) flush row exactly once, when the interval closes —
+   * the same coalescing guarantee as the batch fold, with bounded state
+   * (open windows only, closed ones evicted by the watermark).
+   */
+  def commitBatcherStream(progress: DataFrame, dataPath: String,
+      ckptPath: String, intervalLen: Long): StreamingQuery = {
+    val flushed = progress
+      .withColumn("__ts", timestamp_millis(col("seq")))
+      .withWatermark("__ts", "0 milliseconds")
+      .groupBy(window(col("__ts"), s"$intervalLen milliseconds"),
+        col("transform"), col("partition"), col("output_topic"))
+      .agg(max_by(col("offset"), col("seq")).as("flush_off"),
+        count(lit(1)).as("n_enq"))
+      .select(col("transform"), col("partition"), col("output_topic"),
+        (unix_millis(col("window.start")) / intervalLen).cast("long").as("interval"),
+        col("flush_off"), col("n_enq"))
+    flushed.writeStream.outputMode("append")
+      .option("checkpointLocation", ckptPath)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", dataPath)
+      .start()
+  }
+
   def statusReport(procLog: DataFrame, hwm: DataFrame): DataFrame =
     procLog.groupBy("transform", "partition").agg(
         max_by(col("kind"), col("seq")).as("__last_kind"),
