@@ -818,6 +818,20 @@ object SparkEntry {
         .orderBy("tier", "partition")
     }),
 
+    "s4_archive_retention" -> ((s, dir) => {
+      // D7 cloud retention: after archiving the pre-Jan-20 prefix, sweep
+      // the archive tier down to rows at/after Jan-10 — base offsets
+      // advance, the swept tier lands on a fresh prefix, local untouched.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4r").toString
+      TieredStorage.archive(eventLog(s, dir), col("ts"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        s"$tmp/local", s"$tmp/archive").count()
+      TieredStorage.archiveRetention(s, s"$tmp/local", s"$tmp/archive",
+          col("ts"), lit("2024-01-10 00:00:00").cast("timestamp"),
+          s"$tmp/archive_v2")
+        .orderBy("tier", "partition")
+    }),
+
     "s4_tiered_read" -> ((s, dir) => {
       // The tier-spanning read: archive ∪ local must equal the one-tier
       // log byte for byte (aggregate signature per partition).
@@ -2810,6 +2824,20 @@ object SparkEntry {
          |  partition, min("offset") AS base_offset, max("offset") AS last_offset,
          |  CAST(count(*) AS BIGINT) AS n_records
          |FROM log GROUP BY 1, 2 ORDER BY tier, partition""".stripMargin,
+
+    // Post-sweep manifest: archive keeps only [Jan-10, Jan-20); local
+    // (>= Jan-20) is untouched by cloud retention.
+    "s4_archive_retention" ->
+      s"""$LogCte SELECT 'archive' AS tier, partition,
+         |  min("offset") AS base_offset, max("offset") AS last_offset,
+         |  CAST(count(*) AS BIGINT) AS n_records
+         |FROM log WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 2
+         |UNION ALL
+         |SELECT 'local' AS tier, partition, min("offset"), max("offset"),
+         |  CAST(count(*) AS BIGINT)
+         |FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 2
+         |ORDER BY tier, partition""".stripMargin,
 
     "s4_tiered_read" ->
       s"""$LogCte SELECT partition, CAST(count(*) AS BIGINT) AS n,

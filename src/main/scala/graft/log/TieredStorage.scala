@@ -61,4 +61,30 @@ object TieredStorage {
    */
   def read(spark: SparkSession, localDir: String, archiveDir: String): DataFrame =
     spark.read.parquet(archiveDir).unionByName(spark.read.parquet(localDir))
+
+  /**
+   * D7 cloud-retention sweep (`cluster/archival/` retention: the
+   * ntp_archiver truncates the partition manifest and advances the
+   * archive start offset): drop archived rows older than `retainAfter`,
+   * write the surviving cold tier to `sweptDir` (a NEW prefix — object
+   * stores version by writing fresh manifests, never in place), and
+   * return the post-sweep manifest of both tiers. A partition whose
+   * archive empties entirely leaves the archive manifest — its log now
+   * starts in the local tier. One predicate rewrite of the cold tier
+   * only; the hot tier is untouched and unlisted.
+   */
+  def archiveRetention(spark: SparkSession, localDir: String,
+      archiveDir: String, tsCol: Column, retainAfter: Column,
+      sweptDir: String): DataFrame = {
+    val kept = spark.read.parquet(archiveDir).where(tsCol >= retainAfter)
+    kept.write.mode("overwrite").partitionBy("partition").parquet(sweptDir)
+    def manifest(df: DataFrame, tier: String) =
+      df.groupBy("partition").agg(
+        min("offset").as("base_offset"), max("offset").as("last_offset"),
+        count(lit(1)).as("n_records"))
+        .withColumn("tier", lit(tier))
+    manifest(spark.read.parquet(sweptDir), "archive")
+      .unionByName(manifest(spark.read.parquet(localDir), "local"))
+      .select("tier", "partition", "base_offset", "last_offset", "n_records")
+  }
 }
