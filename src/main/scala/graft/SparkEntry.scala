@@ -2697,6 +2697,27 @@ object SparkEntry {
       TextAnalysis.rarityFeatures(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    "pipe_mixture" -> ((s, dir) => {
+      // The full mixture-construction pipeline composed end-to-end:
+      // temperature-rebalance the corpus, upsample rare strata (de x2.5,
+      // fr x3), epoch-3 deterministic shuffle, then pack the SHUFFLED
+      // stream into 128-token sequences (the shuffle's dense `pos` keys
+      // the packing order). Each stage is an already-oracled operator;
+      // the oracle replays the whole chain in SQL keyed by the composite
+      // uid = doc_id*4 + copy. Every boundary in the final packing
+      // depends on every upstream decision, so one hash-match certifies
+      // the entire composition bit-for-bit.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val mixed = Sampling.temperatureMixture(docs, col("doc_id"), col("lang"))
+      val up = Sampling.upsampleRepeat(mixed, col("doc_id"), col("lang"),
+        Map("de" -> 2.5, "fr" -> 3.0))
+      val keyed = up.select((col("doc_id") * 4 + col("copy")).as("uid"), col("text"))
+      val shuffled = Sampling.epochShuffle(keyed, col("uid"), epoch = 3)
+      TextAnalysis.packSequences(shuffled, col("pos"), col("text"), contextLen = 128)
+        .withColumnRenamed("doc_id", "pos")
+        .orderBy("seq_id", "pos")
+    }),
+
     "txt_repetition" -> ((s, dir) =>
       // Corpus plus planted degenerate docs (doc_id+400000: 30x-repeated
       // two-word phrase) — natural word-salad prose passes the Gopher
@@ -4343,6 +4364,41 @@ object SparkEntry {
         |  CAST(GREATEST(st, seq_id * 256) - st AS BIGINT) AS doc_pos,
         |  CAST(LEAST(st + n_doc, (seq_id + 1) * 256) - GREATEST(st, seq_id * 256) AS BIGINT) AS n_toks
         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // The whole mixture chain replayed: temperature rates -> hash-bucket
+    // keep -> floor/ceil upsample copies -> md5 epoch-shuffle rank ->
+    // prefix-sum packing, all integral or IEEE-exact.
+    "pipe_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c),
+        | mixed AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000),
+        | up AS (
+        |  SELECT doc_id, lang, text,
+        |    (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
+        |  FROM (SELECT doc_id, lang, text,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
+        |          CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
+        |        FROM mixed)),
+        | ks AS (
+        |  SELECT doc_id * 4 + t.cp AS uid, text
+        |  FROM up, UNNEST(range(copies)) AS t(cp) WHERE copies > 0),
+        | sh AS (
+        |  SELECT uid, text,
+        |    CAST(row_number() OVER (ORDER BY md5('3:' || CAST(uid AS VARCHAR)), uid) - 1 AS BIGINT) AS pos
+        |  FROM ks),
+        | n AS (SELECT pos, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_doc FROM sh),
+        | s AS (SELECT pos, n_doc,
+        |        CAST(COALESCE(SUM(n_doc) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |       FROM n),
+        | x AS (SELECT pos, n_doc, st,
+        |        unnest(generate_series(st // 128, (st + n_doc - 1) // 128)) AS seq_id FROM s)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, pos,
+        |  CAST(GREATEST(st, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |  CAST(GREATEST(st, seq_id * 128) - st AS BIGINT) AS doc_pos,
+        |  CAST(LEAST(st + n_doc, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128) AS BIGINT) AS n_toks
+        |FROM x ORDER BY seq_id, pos""".stripMargin,
 
     "txt_rarity" ->
       """WITH toks AS (
