@@ -201,6 +201,39 @@ class PlanSpec extends SparkSpec {
     assertChunkedWindowsOnly(p)
   }
 
+  test("commit batcher is two partial-agg folds — no window, no join on the progress stream") {
+    val prog = (0L until 1000L).map(i => (s"t${i % 4}", (i % 8).toInt, 0, i, i * 2))
+      .toDF("transform", "partition", "output_topic", "seq", "offset")
+    val p = plan(graft.streaming.Transforms.commitBatcher(prog, intervalLen = 100L))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("upsample broadcasts the factor table; fan-out is a bounded explode, no window") {
+    val docs = spark.read.parquet(docsDir)
+    val p = plan(graft.analytics.Sampling.upsampleRepeat(
+      docs, col("doc_id"), col("lang"), Map("de" -> 2.5)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("Generate"), p) // the explode
+  }
+
+  test("offset expiry is a narrow filter over broadcast control-plane tables — no shuffle") {
+    val offsets = (0L until 1000L).map(i =>
+      (s"g${i % 3}", "t", (i % 8).toInt, i, 1000L + i, false))
+      .toDF("group", "topic", "partition", "committed_offset", "commit_ts", "non_reclaimable")
+    val meta = Seq(("g0", Some("consumer"), "Stable", None: Option[Long]))
+      .toDF("group", "protocol_type", "state", "state_ts")
+    val subs = Seq(("g0", "t")).toDF("group", "topic")
+    val p = plan(graft.groups.ConsumerGroups.expireOffsets(
+      offsets, meta, subs, nowMs = 10000L, retentionMs = 100L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("epoch shuffle is two-phase bucketed — broadcast bases, no corpus-wide window") {
     val docs = spark.read.parquet(docsDir)
     val p = plan(graft.analytics.Sampling.epochShuffle(docs, col("doc_id"), epoch = 3))
