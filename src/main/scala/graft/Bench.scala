@@ -80,6 +80,11 @@ object Bench {
       return
     }
 
+    // Shed the 150+-query suite's accumulated broadcasts/cache before the
+    // throughput section — it measures the engine's sustained ingest rate,
+    // not the residue of an unrelated query history.
+    spark.catalog.clearCache(); System.gc()
+
     val eventsBytes = new java.io.File(s"$sfDir/events.parquet").length().toDouble
     def rawBytesOf(df: DataFrame): Double = {
       import org.apache.spark.sql.types.{BinaryType, StringType}

@@ -1046,6 +1046,11 @@ object SparkEntry {
           length(col("props")).cast("long"))
         .orderBy("partition")),
 
+    "adm_api_versions" -> ((s, dir) =>
+      // The full handler registry, oracle-pinned: any drift between the
+      // advertised api surface and this contract fails the gate.
+      graft.admin.Admin.apiVersions(s).orderBy("api_key")),
+
     "adm_find_coordinator" -> ((s, dir) => {
       // Golden-vector conformance at a 16-partition offsets topic: the
       // unsigned-murmur2 routing must land each group on its pinned
@@ -3104,6 +3109,54 @@ object SparkEntry {
       s"""$LogCte SELECT partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
          |  count(*) AS n_records, max("offset") + 1 AS log_end_offset
          | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "adm_api_versions" ->
+      """SELECT * FROM (VALUES
+        |   (0, 'produce', 'log.RecordLog/streaming.Produce'),
+        |   (1, 'fetch', 'log.RecordLog.fetch'),
+        |   (2, 'list_offsets', 'log.RecordLog.{earliest,latest,offsetsForTimestamp}'),
+        |   (3, 'metadata', 'admin.Admin.metadata'),
+        |   (8, 'offset_commit', 'groups.ConsumerGroups'),
+        |   (9, 'offset_fetch', 'groups.ConsumerGroups.fetchOffsets'),
+        |   (10, 'find_coordinator', 'admin.Admin.coordinatorFor'),
+        |   (11, 'join_group', 'groups.GroupFsm'),
+        |   (12, 'heartbeat', 'groups.GroupFsm'),
+        |   (13, 'leave_group', 'groups.GroupFsm'),
+        |   (14, 'sync_group', 'groups.GroupFsm/groups.Assignment'),
+        |   (15, 'describe_groups', 'groups.GroupEngine.describeGroups'),
+        |   (16, 'list_groups', 'groups.GroupEngine.listGroups'),
+        |   (17, 'sasl_handshake', 'security.Scram.handshake'),
+        |   (18, 'api_versions', 'admin.Admin.ApiVersions'),
+        |   (19, 'create_topics', 'admin.Admin topic lifecycle'),
+        |   (20, 'delete_topics', 'admin.Admin topic lifecycle'),
+        |   (21, 'delete_records', 'log.RecordLog.deleteRecords'),
+        |   (22, 'init_producer_id', 'log.TxnEngine.initProducerIds'),
+        |   (23, 'offset_for_leader_epoch', 'log.RecordLog.offsetsForLeaderEpoch'),
+        |   (24, 'add_partitions_to_txn', 'log.TxnEngine'),
+        |   (25, 'add_offsets_to_txn', 'log.TxnEngine'),
+        |   (26, 'end_txn', 'log.TxnEngine'),
+        |   (28, 'txn_offset_commit', 'log.TxnEngine.commitTxOffsets'),
+        |   (29, 'describe_acls', 'security.Acls.describeAcls'),
+        |   (30, 'create_acls', 'security.Acls'),
+        |   (31, 'delete_acls', 'security.Acls'),
+        |   (32, 'describe_configs', 'admin.Admin.describeConfigs'),
+        |   (33, 'alter_configs', 'admin.Admin.currentConfigs'),
+        |   (35, 'describe_log_dirs', 'admin.Admin.describeLogDirs'),
+        |   (36, 'sasl_authenticate', 'security.Scram.authenticate'),
+        |   (37, 'create_partitions', 'admin.Admin.createPartitions'),
+        |   (42, 'delete_groups', 'groups.ConsumerGroups'),
+        |   (44, 'incremental_alter_configs', 'admin.Admin.currentConfigsIncremental'),
+        |   (45, 'alter_partition_reassignments', 'admin.Admin.partitionReassignments'),
+        |   (46, 'list_partition_reassignments', 'admin.Admin.partitionReassignments'),
+        |   (47, 'offset_delete', 'groups.ConsumerGroups.deleteOffsets'),
+        |   (48, 'describe_client_quotas', 'admin.Admin.resolveClientQuotas'),
+        |   (49, 'alter_client_quotas', 'admin.Admin.resolveClientQuotas'),
+        |   (50, 'describe_user_scram_credentials', 'security.Scram.describeCredentials'),
+        |   (51, 'alter_user_scram_credentials', 'security.Scram.currentCredentials'),
+        |   (61, 'describe_producers', 'log.TxnEngine.describeProducers'),
+        |   (65, 'describe_transactions', 'log.TxnEngine.describeTransactions'),
+        |   (66, 'list_transactions', 'log.TxnEngine.listTransactions'))
+        | t(api_key, api_name, implemented_by) ORDER BY api_key""".stripMargin,
 
     "adm_find_coordinator" ->
       """SELECT * FROM (VALUES

@@ -277,8 +277,8 @@ object Admin {
     (13, "leave_group", "groups.GroupFsm"),
     (14, "sync_group", "groups.GroupFsm/groups.Assignment"),
     (15, "describe_groups", "groups.GroupEngine.describeGroups"),
-    (16, "list_groups", "groups.GroupEngine"),
-    (17, "sasl_handshake", "security.Scram.mechanism"),
+    (16, "list_groups", "groups.GroupEngine.listGroups"),
+    (17, "sasl_handshake", "security.Scram.handshake"),
     (18, "api_versions", "admin.Admin.ApiVersions"),
     (19, "create_topics", "admin.Admin topic lifecycle"),
     (20, "delete_topics", "admin.Admin topic lifecycle"),
