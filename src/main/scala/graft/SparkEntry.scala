@@ -4235,13 +4235,13 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin,
 
     // Repeat-factor upsampling: fb = round(f*10000) buckets; every row
-    // emits fb // 10000 copies plus one more iff its hash bucket falls
-    // under the fractional part — all-integer, so any engine re-derives
-    // the copy counts bit-identically.
+    // emits fb // 10000 copies plus one more iff its SALTED hash bucket
+    // ('up:' prefix — decorrelated from every other bucket decision)
+    // falls under the fractional part — all-integer, engine-independent.
     "smp_upsample" ->
       """WITH f AS (
         |  SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
+        |    CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
         |    CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
         |  FROM documents),
         | c AS (
@@ -4431,7 +4431,7 @@ object SparkEntry {
         |  SELECT doc_id, lang, text,
         |    (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
         |  FROM (SELECT doc_id, lang, text,
-        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
+        |          CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
         |          CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
         |        FROM mixed)),
         | ks AS (

@@ -107,6 +107,13 @@ object Sampling {
    * downstream trainer pays anyway; no shuffle, no window. All
    * arithmetic integral once factors are resolved to 1/10000ths, so any
    * engine re-derives copy counts bit-identically.
+   *
+   * The extra-copy bucket is SALTED (`"up:" + id`, the way
+   * [[epochShuffle]] salts by epoch): an unsalted bucket would correlate
+   * with every other hashBucket decision in a composed pipeline — e.g.
+   * after [[temperatureMixture]] keeps exactly the rows with bucket <
+   * rate, an unsalted ceil-copy draw on the survivors would be
+   * conditioned on that cut and the realized factor would drift off f.
    */
   def upsampleRepeat(df: DataFrame, idCol: Column, strataCol: Column,
       factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
@@ -118,7 +125,8 @@ object Sampling {
     val fb = coalesce(col("__fb"), lit(math.round(defaultFactor * Buckets)))
     val whole = (fb / Buckets).cast("long")             // floor(f)
     val frac = fb - whole * Buckets                     // frac(f) in buckets
-    val copies = whole + (hashBucket(idCol) < frac).cast("long")
+    val copies = whole +
+      (hashBucket(concat(lit("up:"), idCol.cast("string"))) < frac).cast("long")
     df.withColumn("__stratum", strataCol)
       .join(broadcast(fdf), Seq("__stratum"), "left")
       .withColumn("__copies", copies)

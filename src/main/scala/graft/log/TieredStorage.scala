@@ -39,19 +39,22 @@ object TieredStorage {
    * and write both tiers partitioned by the topic partition. Returns the
    * tier manifest: (tier, partition, base_offset, last_offset, n_records).
    */
+  /** Per-partition offset-range manifest of one tier — the oracle-pinned
+    * contract shape shared by [[archive]] and [[archiveRetention]]. */
+  private def manifest(df: DataFrame, tier: String): DataFrame =
+    df.groupBy("partition").agg(
+      min("offset").as("base_offset"), max("offset").as("last_offset"),
+      count(lit(1)).as("n_records"))
+      .withColumn("tier", lit(tier))
+      .select("tier", "partition", "base_offset", "last_offset", "n_records")
+
   def archive(log: DataFrame, tsCol: Column, cutoff: Column,
       localDir: String, archiveDir: String): DataFrame = {
     val cold = log.where(tsCol < cutoff)
     val hot = log.where(tsCol >= cutoff)
     cold.write.mode("overwrite").partitionBy("partition").parquet(archiveDir)
     hot.write.mode("overwrite").partitionBy("partition").parquet(localDir)
-    def manifest(df: DataFrame, tier: String) =
-      df.groupBy("partition").agg(
-        min("offset").as("base_offset"), max("offset").as("last_offset"),
-        count(lit(1)).as("n_records"))
-        .withColumn("tier", lit(tier))
     manifest(cold, "archive").unionByName(manifest(hot, "local"))
-      .select("tier", "partition", "base_offset", "last_offset", "n_records")
   }
 
   /**
@@ -78,13 +81,11 @@ object TieredStorage {
       sweptDir: String): DataFrame = {
     val kept = spark.read.parquet(archiveDir).where(tsCol >= retainAfter)
     kept.write.mode("overwrite").partitionBy("partition").parquet(sweptDir)
-    def manifest(df: DataFrame, tier: String) =
-      df.groupBy("partition").agg(
-        min("offset").as("base_offset"), max("offset").as("last_offset"),
-        count(lit(1)).as("n_records"))
-        .withColumn("tier", lit(tier))
-    manifest(spark.read.parquet(sweptDir), "archive")
+    // read back with the known schema: a fully-aged cold tier (zero rows
+    // kept anywhere) writes no data files, and schema inference on the
+    // empty directory would throw — the natural end state of retention
+    // must yield an archive-less manifest, not an error
+    manifest(spark.read.schema(kept.schema).parquet(sweptDir), "archive")
       .unionByName(manifest(spark.read.parquet(localDir), "local"))
-      .select("tier", "partition", "base_offset", "last_offset", "n_records")
   }
 }
