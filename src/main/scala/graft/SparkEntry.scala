@@ -818,6 +818,21 @@ object SparkEntry {
         .orderBy("tier", "partition")
     }),
 
+    "ct_l0_overlay" -> ((s, dir) => {
+      // Cloud-topics L0 packing (cloud_topics/batcher + dl_overlay): the
+      // whole multi-partition log packs into shared ~64 KiB cloud
+      // objects in global arrival order, batches never split; the
+      // overlay maps each partition's offset ranges to the object
+      // extents a reader materializes. The oracle re-derives every
+      // object boundary from the global byte prefix sum.
+      val log = eventLog(s, dir).withColumn("__sz",
+        (length(col("props")) + length(col("event_type")) + 24).cast("long"))
+      val packed = graft.log.CloudTopics.packL0(log, col("event_id"), col("__sz"),
+        objectBytes = 65536L)
+      graft.log.CloudTopics.overlay(packed, col("__sz"))
+        .orderBy("object_id", "partition")
+    }),
+
     "s4_archive_retention" -> ((s, dir) => {
       // D7 cloud retention: after archiving the pre-Jan-20 prefix, sweep
       // the archive tier down to rows at/after Jan-10 — base offsets
@@ -2850,6 +2865,23 @@ object SparkEntry {
          |  partition, min("offset") AS base_offset, max("offset") AS last_offset,
          |  CAST(count(*) AS BIGINT) AS n_records
          |FROM log GROUP BY 1, 2 ORDER BY tier, partition""".stripMargin,
+
+    // Global byte prefix sum in arrival order -> object id; overlay =
+    // per (object, partition) extent.
+    "ct_l0_overlay" ->
+      s"""$LogCte, sized AS (
+         |  SELECT partition, "offset", event_id,
+         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz
+         |  FROM log),
+         | c AS (
+         |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sized),
+         | p AS (SELECT partition, "offset", sz, cb // 65536 AS object_id FROM c)
+         |SELECT object_id, partition, min("offset") AS base_offset,
+         |       max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes,
+         |       count(*) AS n_batches
+         |FROM p GROUP BY 1, 2 ORDER BY object_id, partition""".stripMargin,
 
     // Post-sweep manifest: archive keeps only [Jan-10, Jan-20); local
     // (>= Jan-20) is untouched by cloud retention.

@@ -234,6 +234,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("L0 packing is two-phase chunked — broadcast bases, no log-wide window") {
+    val log = (0L until 1000L).map(i => ((i % 4).toInt, i / 4, i, 50L + i % 13))
+      .toDF("partition", "offset", "arrival", "sz")
+    val p = plan(graft.log.CloudTopics.packL0(log, col("arrival"), col("sz"), 4096L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assertChunkedWindowsOnly(p)
+  }
+
   test("epoch shuffle is two-phase bucketed — broadcast bases, no corpus-wide window") {
     val docs = spark.read.parquet(docsDir)
     val p = plan(graft.analytics.Sampling.epochShuffle(docs, col("doc_id"), epoch = 3))

@@ -366,6 +366,31 @@ class LogEngineSpec extends SparkSpec {
     assert(perPart === Set((0, 50L, 0L, 49L), (1, 50L, 0L, 49L)))
   }
 
+  test("cloud-topics L0 packing: arrival-order byte prefix, extents, fetch resolution") {
+    // 6 batches of 100 bytes across 2 partitions, 250-byte objects:
+    // cum starts 0,100,200,300,400,500 -> objects 0,0,1(200<250? 200//250=0)...
+    // object = cum_before // 250: 0,0,0,1,1,2
+    val log = Seq(
+      (0, 0L, 1L), (1, 0L, 2L), (0, 1L, 3L),
+      (1, 1L, 4L), (0, 2L, 5L), (1, 2L, 6L))
+      .toDF("partition", "offset", "arrival")
+      .withColumn("sz", lit(100L))
+    val packed = CloudTopics.packL0(log, col("arrival"), col("sz"), objectBytes = 250L)
+    val ids = packed.select("arrival", "object_id").as[(Long, Long)].collect().toMap
+    assert(ids === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+    val ov = CloudTopics.overlay(packed, col("sz"))
+    val rows = ov.select("object_id", "partition", "base_offset", "last_offset", "bytes", "n_batches")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (0L, 0, 0L, 1L, 200L, 2L), (0L, 1, 0L, 0L, 100L, 1L),
+      (1L, 0, 2L, 2L, 100L, 1L), (1L, 1, 1L, 1L, 100L, 1L),
+      (2L, 1, 2L, 2L, 100L, 1L)))
+    // fetch partition 1 from offset 1 -> needs objects 1 and 2, not 0
+    val need = CloudTopics.resolveFetch(ov, partition = 1, fromOffset = 1L)
+      .select("object_id").as[Long].collect().toSet
+    assert(need === Set(1L, 2L))
+  }
+
   test("archive retention sweeps the cold tier; a fully-aged tier empties cleanly") {
     val tmp = java.nio.file.Files.createTempDirectory("tiered_ret").toString
     val log = (0L until 100L).map(i => ((i % 2).toInt, i / 2, i * 10, s"v$i"))
