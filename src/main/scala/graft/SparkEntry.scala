@@ -2610,6 +2610,22 @@ object SparkEntry {
         .select("doc_id", "lang", "copy")
         .orderBy("doc_id", "copy")),
 
+    "smp_source_cap" -> ((s, dir) => {
+      // Per-source share cap at 30%: the corpus plus planted extra src0
+      // docs (doc_id+500000 for the first 40% of ids) makes src0
+      // over-represented — it alone thins to cap/share; every other
+      // source passes whole. The domain-cap rule pretraining mixes
+      // apply before temperature rebalancing.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val maxId = docs.agg(max("doc_id")).first().getLong(0)
+      val planted = docs.where(col("doc_id") < (maxId + 1) * 2 / 5)
+        .select((col("doc_id") + 500000).as("doc_id"), lit("src0").as("source"))
+      Sampling.capSourceShare(docs.unionByName(planted), col("doc_id"), col("source"),
+          cap = 0.30)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "smp_epoch_shuffle" -> ((s, dir) =>
       // Global deterministic permutation for epoch 7 — two-phase bucketed
       // rank, no corpus-wide window (the oracle's row_number IS one; the
@@ -4284,6 +4300,19 @@ object SparkEntry {
         | FROM c, UNNEST(range(copies)) AS t(cp)
         | WHERE copies > 0
         | ORDER BY doc_id, copy""".stripMargin,
+
+    "smp_source_cap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'src0' FROM documents
+        |  WHERE doc_id < ((SELECT max(doc_id) FROM documents) + 1) * 2 // 5),
+        | c AS (SELECT source, count(*) AS n FROM corpus GROUP BY 1),
+        | t AS (SELECT sum(n) AS total FROM c),
+        | r AS (SELECT source, LEAST(1.0, 0.30 * CAST((SELECT total FROM t) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c)
+        | SELECT d.doc_id, d.source FROM corpus d JOIN r ON d.source = r.source
+        | WHERE CAST(('0x' || substr(md5('cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000
+        | ORDER BY d.doc_id""".stripMargin,
 
     "smp_epoch_shuffle" ->
       """SELECT doc_id,

@@ -148,6 +148,32 @@ object Sampling {
   }
 
   /**
+   * Per-source SHARE CAP (the RefinedWeb/C4-style domain cap: no source
+   * may exceed `cap` of the corpus): any stratum whose share p_s
+   * exceeds `cap` is thinned at rate cap/p_s = cap*N/n_s, computed
+   * against the ORIGINAL corpus size in one pass (the single-pass
+   * contract — iterative waterfilling re-normalizes against the
+   * post-cap total and is a driver-side loop over the tiny rate table
+   * if wanted). Strata under the cap pass through whole. The thinning
+   * draw is salted (`"cap:" + id`) so composition with other samplers
+   * stays unbiased. Two tiny aggregates feed a broadcast rate table;
+   * the corpus maps through one narrow filter.
+   */
+  def capSourceShare(df: DataFrame, idCol: Column, sourceCol: Column,
+      cap: Double): DataFrame = {
+    require(cap > 0 && cap <= 1, s"cap must be in (0, 1] (got $cap)")
+    val counts = df.groupBy(sourceCol.as("__stratum")).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum("__n")).first().getLong(0)
+    val rates = counts.withColumn("__rate",
+      least(lit(1.0), lit(cap) * lit(total).cast("double") / col("__n").cast("double")))
+    df.withColumn("__stratum", sourceCol)
+      .join(broadcast(rates), Seq("__stratum"))
+      .where(hashBucket(concat(lit("cap:"), idCol.cast("string"))) <
+        col("__rate") * Buckets)
+      .drop("__stratum", "__n", "__rate")
+  }
+
+  /**
    * Deterministic EPOCH SHUFFLE — the global training-order permutation:
    * adds `pos`, the row's 0-based position in the order
    * `(md5(epoch + ":" + id), id)`. Changing `epoch` re-permutes the

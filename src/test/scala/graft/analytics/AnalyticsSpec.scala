@@ -233,6 +233,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(zeroed.where(col("lang") === "de").count() === 0)
   }
 
+  test("sampling: source share cap thins only over-represented sources") {
+    // a: 70%, b: 20%, c: 10%; cap 30% -> a thins to ~3/7, b and c whole
+    val rows = ((0L until 700L).map(i => (i, "a")) ++
+      (700L until 900L).map(i => (i, "b")) ++ (900L until 1000L).map(i => (i, "c")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.capSourceShare(rows, col("doc_id"), col("source"), cap = 0.30)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("b") === 200L && kept("c") === 100L)
+    // a: rate 300/700, hash-uniform -> ~300 of 700
+    assert(kept("a") > 230L && kept("a") < 370L)
+    // deterministic under repartitioning
+    val again = Sampling.capSourceShare(rows.repartition(11), col("doc_id"),
+      col("source"), cap = 0.30)
+    assert(Sampling.capSourceShare(rows, col("doc_id"), col("source"), 0.30)
+      .except(again).count() === 0)
+  }
+
   test("sketches: HLL vocab and approx percentiles certify their error bounds") {
     val docs = (0L until 1000L)
       .map(i => (i, s"w${i % 37} w${i % 101} common token", 50L + i % 400))
