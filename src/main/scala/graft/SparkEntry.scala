@@ -1209,6 +1209,31 @@ object SparkEntry {
         .orderBy("client")
     }),
 
+    "sec_audit_coalesce" -> ((s, dir) => {
+      // Audit-log coalescing: API events map to auditable records
+      // (purchase/view -> produce/fetch audit classes, the rest are
+      // management events); only produce+fetch are ENABLED (management
+      // events drop at admission — the event-type bitset), topic
+      // t3 and principal u7 are excluded, and within each 1000-seq
+      // drain interval identical (principal, type, topic, operation)
+      // events coalesce into ONE record with a count — the oracle
+      // replays admission and coalescing in SQL.
+      val api = events(s, dir).select(
+        col("event_id").as("seq"),
+        concat(lit("u"), pmod(col("user_id"), lit(10)).cast("string")).as("principal"),
+        when(col("event_type") === "purchase", "produce")
+          .when(col("event_type") === "view", "fetch")
+          .otherwise("mgmt").as("event_type"),
+        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("topic"),
+        when(col("event_type") === "purchase", "write")
+          .when(col("event_type") === "view", "read")
+          .otherwise("describe").as("operation"))
+      graft.security.Audit.coalesce(api, drainIntervalLen = 1000L,
+          enabledTypes = Seq("produce", "fetch"),
+          excludedTopics = Seq("t3"), excludedPrincipals = Seq("u7"))
+        .orderBy("interval", "principal", "event_type", "topic", "operation")
+    }),
+
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
       Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
@@ -3312,6 +3337,25 @@ object SparkEntry {
         |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER'])[(c_custkey % 5) + 1] AS mech
         |       FROM customer WHERE c_custkey <= 60)
         | ORDER BY client""".stripMargin,
+
+    // Admission filter then per-interval identical-event coalescing.
+    "sec_audit_coalesce" ->
+      """WITH api AS (
+        |  SELECT event_id AS seq,
+        |         'u' || CAST(user_id % 10 AS VARCHAR) AS principal,
+        |         CASE event_type WHEN 'purchase' THEN 'produce'
+        |              WHEN 'view' THEN 'fetch' ELSE 'mgmt' END AS etype,
+        |         't' || CAST(user_id % 4 AS VARCHAR) AS topic,
+        |         CASE event_type WHEN 'purchase' THEN 'write'
+        |              WHEN 'view' THEN 'read' ELSE 'describe' END AS operation
+        |  FROM events)
+        | SELECT seq // 1000 AS interval, principal, etype AS event_type, topic, operation,
+        |        count(*) AS count, min(seq) AS first_seq, max(seq) AS last_seq
+        | FROM api
+        | WHERE etype IN ('produce', 'fetch')
+        |   AND topic <> 't3' AND principal <> 'u7'
+        | GROUP BY 1, 2, 3, 4, 5
+        | ORDER BY interval, principal, event_type, topic, operation""".stripMargin,
 
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
