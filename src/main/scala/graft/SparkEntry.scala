@@ -1209,6 +1209,60 @@ object SparkEntry {
         .orderBy("client")
     }),
 
+    "sec_role_acls" -> ((s, dir) => {
+      // RBAC (role.h/role_store.h): Role:ops reads+writes topic events,
+      // Role:admins holds ALL on the prefixed logs- space; eve's
+      // user-level write deny beats her role allow (deny precedence
+      // ACROSS identities); frank has a direct allow and no roles; gus
+      // matches nothing and falls to default deny. Oracle pins each
+      // hand-derived decision.
+      import s.implicits._
+      val aclLog = Seq(
+        (1L, "Role:ops", "*", "topic", "literal", "events", "read", "allow", false),
+        (2L, "Role:ops", "*", "topic", "literal", "events", "write", "allow", false),
+        (3L, "Role:admins", "*", "topic", "prefixed", "logs-", "all", "allow", false),
+        (4L, "eve", "*", "topic", "literal", "events", "write", "deny", false),
+        (5L, "frank", "*", "topic", "literal", "events", "read", "allow", false))
+        .toDF("seq", "principal", "host", "resource_type", "pattern_type",
+          "resource_name", "operation", "permission", "deleted")
+      val roles = Seq(("ops", "dora"), ("ops", "eve"), ("admins", "dora"))
+        .toDF("role", "member")
+      val requests = Seq(
+        ("dora", "h", "read", "topic", "events"),
+        ("dora", "h", "write", "topic", "logs-7"),
+        ("eve", "h", "read", "topic", "events"),
+        ("eve", "h", "write", "topic", "events"),
+        ("frank", "h", "read", "topic", "events"),
+        ("frank", "h", "write", "topic", "events"),
+        ("gus", "h", "read", "topic", "events"))
+        .toDF("principal", "host", "operation", "resource_type", "resource_name")
+      graft.security.Acls.authorizeWithRoles(requests,
+          graft.security.Acls.currentAcls(aclLog), roles)
+        .orderBy("principal", "operation", "resource_name")
+    }),
+
+    "sec_principal_mapping" -> ((s, dir) => {
+      // mTLS DN -> local principal via ordered first-match rules
+      // (mtls_rule.h / Kafka ssl.principal.mapping.rules): service certs
+      // (CN=svc.N) hit the earlier rule and upper-case; other CNs
+      // extract and lower-case; DNs with no CN pass through verbatim
+      // (DEFAULT). One codegen'd nested-conditional projection.
+      import graft.security.PrincipalMapping, PrincipalMapping.Rule
+      val dns = T(s, dir, "customer").where(col("c_custkey") <= 100)
+        .select(col("c_custkey").cast("long").as("k"))
+        .select(col("k"),
+          when(col("k") % 7 === 0,
+            concat(lit("CN=svc."), col("k"), lit(",O=acme")))
+            .when(col("k") % 5 === 0,
+              concat(lit("O=acme,L=metropolis-"), col("k")))
+            .otherwise(concat(lit("CN=User_"), col("k"), lit(",OU=eng,O=acme")))
+            .as("dn"))
+      PrincipalMapping.mapPrincipal(dns, col("dn"), Seq(
+          Rule("^CN=svc\\.([0-9]+),.*$", "svc-$1", toUpper = true),
+          Rule("^CN=([^,]*),.*$", "$1", toLower = true)))
+        .orderBy("k")
+    }),
+
     "sec_audit_coalesce" -> ((s, dir) => {
       // Audit-log coalescing: API events map to auditable records
       // (purchase/view -> produce/fetch audit classes, the rest are
@@ -3337,6 +3391,35 @@ object SparkEntry {
         |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER'])[(c_custkey % 5) + 1] AS mech
         |       FROM customer WHERE c_custkey <= 60)
         | ORDER BY client""".stripMargin,
+
+    "sec_role_acls" ->
+      """SELECT * FROM (VALUES
+        |  ('dora', 'h', 'read', 'topic', 'events', 'allowed'),
+        |  ('dora', 'h', 'write', 'topic', 'logs-7', 'allowed'),
+        |  ('eve', 'h', 'read', 'topic', 'events', 'allowed'),
+        |  ('eve', 'h', 'write', 'topic', 'events', 'denied'),
+        |  ('frank', 'h', 'read', 'topic', 'events', 'allowed'),
+        |  ('frank', 'h', 'write', 'topic', 'events', 'denied'),
+        |  ('gus', 'h', 'read', 'topic', 'events', 'denied'))
+        | t(principal, host, operation, resource_type, resource_name, decision)
+        | ORDER BY principal, operation, resource_name""".stripMargin,
+
+    // First-match-wins ordered rules replayed as a CASE chain (RE2-safe
+    // patterns; DuckDB backrefs are \1 where Spark's are $1).
+    "sec_principal_mapping" ->
+      """WITH d AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'CN=svc.' || c_custkey || ',O=acme'
+        |         WHEN c_custkey % 5 = 0 THEN 'O=acme,L=metropolis-' || c_custkey
+        |         ELSE 'CN=User_' || c_custkey || ',OU=eng,O=acme' END AS dn
+        |  FROM customer WHERE c_custkey <= 100)
+        | SELECT k, dn,
+        |  CASE WHEN regexp_matches(dn, '^CN=svc\.([0-9]+),.*$')
+        |         THEN upper(regexp_replace(dn, '^CN=svc\.([0-9]+),.*$', 'svc-\1'))
+        |       WHEN regexp_matches(dn, '^CN=([^,]*),.*$')
+        |         THEN lower(regexp_replace(dn, '^CN=([^,]*),.*$', '\1'))
+        |       ELSE dn END AS principal
+        | FROM d ORDER BY k""".stripMargin,
 
     // Admission filter then per-interval identical-event coalescing.
     "sec_audit_coalesce" ->

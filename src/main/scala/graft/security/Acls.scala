@@ -59,21 +59,53 @@ object Acls {
    * (principal, host, operation, resource_type, resource_name); the
    * result carries them plus a `decision` of 'allowed' | 'denied'.
    */
-  def authorize(requests: DataFrame, acls: DataFrame): DataFrame = {
+  /**
+   * RBAC authorization (reference `security/role.h` / `role_store.h`:
+   * roles are named principal sets; a binding may name
+   * `Role:<name>` as its principal and then covers every member). Each
+   * request authorizes under ALL its identities — the user principal
+   * plus `Role:r` for every role r the user belongs to — with deny
+   * precedence ACROSS identities: a user-level deny beats a role-level
+   * allow and vice versa, exactly the flat-set semantics of evaluating
+   * the union of matching bindings.
+   *
+   * The role membership table is control-plane-bounded and broadcast;
+   * expansion multiplies each request by 1 + |roles(user)| (a handful),
+   * then the ordinary authorizer fold runs per original request.
+   */
+  def authorizeWithRoles(requests: DataFrame, acls: DataFrame,
+      roles: DataFrame): DataFrame = {
+    val mem = broadcast(roles.select(col("member"),
+      concat(lit("Role:"), col("role")).as("__identity")))
+    val asSelf = requests.withColumn("__identity", col("principal"))
+    val asRoles = requests.join(mem, col("member") === col("principal"))
+      .drop("member")
+    authorizeIdentities(asSelf.unionByName(asRoles), requests.columns, acls)
+  }
+
+  def authorize(requests: DataFrame, acls: DataFrame): DataFrame =
+    authorizeIdentities(requests.withColumn("__identity", col("principal")),
+      requests.columns, acls)
+
+  /** The authorizer fold over pre-expanded (request, identity) rows:
+    * match bindings against each identity, then deny-precedence
+    * aggregate per ORIGINAL request. */
+  private def authorizeIdentities(expanded: DataFrame,
+      requestCols: Seq[String], acls: DataFrame): DataFrame = {
     val a = broadcast(acls.select(
       col("principal").as("a_principal"), col("host").as("a_host"),
       col("resource_type").as("a_rtype"), col("pattern_type").as("a_ptype"),
       col("resource_name").as("a_rname"), col("operation").as("a_op"),
       col("permission").as("a_perm")))
-    val matched = requests.join(a,
+    val matched = expanded.join(a,
       col("a_rtype") === col("resource_type") &&
-        (col("a_principal") === col("principal") || col("a_principal") === "*") &&
+        (col("a_principal") === col("__identity") || col("a_principal") === "*") &&
         (col("a_host") === col("host") || col("a_host") === "*") &&
         (col("a_op") === col("operation") || col("a_op") === "all") &&
         ((col("a_ptype") === "literal" && col("a_rname") === col("resource_name")) ||
           (col("a_ptype") === "prefixed" && col("resource_name").startsWith(col("a_rname")))),
       "left")
-    matched.groupBy(requests.columns.toIndexedSeq.map(col): _*)
+    matched.groupBy(requestCols.toIndexedSeq.map(col): _*)
       .agg(
         max((col("a_perm") === "deny").cast("int")).as("__deny"),
         max((col("a_perm") === "allow").cast("int")).as("__allow"))

@@ -37,6 +37,31 @@ class AclsSpec extends SparkSpec {
       "u/describe/t" -> "denied"))
   }
 
+  test("role ACLs: role allows apply to members, deny precedence crosses identities") {
+    val log = Seq(
+      (1L, "Role:ops", "*", "topic", "literal", "t", "read", "allow", false),
+      (2L, "m1", "*", "topic", "literal", "t", "read", "deny", false),
+      (3L, "Role:ops", "*", "topic", "literal", "u", "write", "deny", false),
+      (4L, "m2", "*", "topic", "literal", "u", "write", "allow", false))
+      .toDF("seq", "principal", "host", "resource_type", "pattern_type",
+        "resource_name", "operation", "permission", "deleted")
+    val roles = Seq(("ops", "m1"), ("ops", "m2")).toDF("role", "member")
+    val reqs = Seq(
+      ("m1", "h", "read", "topic", "t"),   // role allow + USER deny -> denied
+      ("m2", "h", "read", "topic", "t"),   // role allow -> allowed
+      ("m2", "h", "write", "topic", "u"),  // user allow + ROLE deny -> denied
+      ("x", "h", "read", "topic", "t"))    // not a member -> denied
+      .toDF("principal", "host", "operation", "resource_type", "resource_name")
+    val got = Acls.authorizeWithRoles(reqs, Acls.currentAcls(log), roles)
+      .select("principal", "operation", "decision")
+      .as[(String, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("m1", "read")) === "denied")
+    assert(got(("m2", "read")) === "allowed")
+    assert(got(("m2", "write")) === "denied")
+    assert(got(("x", "read")) === "denied")
+  }
+
   test("describe_acls filters by resource type and matching pattern") {
     val live = Acls.currentAcls(aclLog)
     assert(Acls.describeAcls(live, "topic").count() === 3)
