@@ -55,11 +55,6 @@ object Acls {
   }
 
   /**
-   * Authorize a request set against the live ACLs. `requests` columns:
-   * (principal, host, operation, resource_type, resource_name); the
-   * result carries them plus a `decision` of 'allowed' | 'denied'.
-   */
-  /**
    * RBAC authorization (reference `security/role.h` / `role_store.h`:
    * roles are named principal sets; a binding may name
    * `Role:<name>` as its principal and then covers every member). Each
@@ -69,20 +64,30 @@ object Acls {
    * allow and vice versa, exactly the flat-set semantics of evaluating
    * the union of matching bindings.
    *
-   * The role membership table is control-plane-bounded and broadcast;
-   * expansion multiplies each request by 1 + |roles(user)| (a handful),
-   * then the ordinary authorizer fold runs per original request.
+   * The role membership table is control-plane-bounded: it aggregates
+   * to one identity ARRAY per member and broadcast-joins once, so the
+   * high-volume request stream is scanned a single time and expansion
+   * is an explode of 1 + |roles(user)| identities per request.
    */
   def authorizeWithRoles(requests: DataFrame, acls: DataFrame,
       roles: DataFrame): DataFrame = {
-    val mem = broadcast(roles.select(col("member"),
-      concat(lit("Role:"), col("role")).as("__identity")))
-    val asSelf = requests.withColumn("__identity", col("principal"))
-    val asRoles = requests.join(mem, col("member") === col("principal"))
-      .drop("member")
-    authorizeIdentities(asSelf.unionByName(asRoles), requests.columns, acls)
+    val mem = broadcast(roles
+      .groupBy(col("member"))
+      .agg(collect_list(concat(lit("Role:"), col("role"))).as("__roleIds")))
+    val expanded = requests
+      .join(mem, col("member") === col("principal"), "left")
+      .withColumn("__identity", explode(concat(
+        array(col("principal")),
+        coalesce(col("__roleIds"), array()))))
+      .drop("member", "__roleIds")
+    authorizeIdentities(expanded, requests.columns, acls)
   }
 
+  /**
+   * Authorize a request set against the live ACLs. `requests` columns:
+   * (principal, host, operation, resource_type, resource_name); the
+   * result carries them plus a `decision` of 'allowed' | 'denied'.
+   */
   def authorize(requests: DataFrame, acls: DataFrame): DataFrame =
     authorizeIdentities(requests.withColumn("__identity", col("principal")),
       requests.columns, acls)
