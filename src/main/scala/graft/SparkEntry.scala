@@ -1753,6 +1753,30 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    "sr_subject_delete" -> ((s, dir) => {
+      // SR soft-vs-hard delete: ev-value v2 soft-deleted (listed with
+      // is_deleted under include_deleted); ev-value v1 hard-deleted
+      // (gone); ord-value hard-deleted subject-wide at seq 6 but
+      // re-registered at seq 7 (resurrected). Oracle pins the view.
+      import s.implicits._
+      val schemaLog = Seq(
+        (1L, "ev-value", 1, "s1v1"),
+        (2L, "ev-value", 2, "s1v2"),
+        (3L, "ord-value", 1, "o1"),
+        (5L, "ev-value", 3, "s1v3"),
+        (7L, "ord-value", 1, "o1b"))
+        .toDF("seq", "subject", "version", "schema")
+      val deleteLog = Seq(
+        (4L, "ev-value", Some(2), false),
+        (6L, "ord-value", None: Option[Int], true),
+        (8L, "ev-value", Some(1), true))
+        .toDF("seq", "subject", "version", "hard")
+      graft.registry.SchemaRegistry.subjectVersions(schemaLog, deleteLog,
+          includeDeleted = true)
+        .select("subject", "version", "schema", "is_deleted")
+        .orderBy("subject", "version")
+    }),
+
     "sr_latest_schemas" -> ((s, dir) => {
       import s.implicits._
       val schemaLog = Seq(
@@ -3814,6 +3838,14 @@ object SparkEntry {
       """SELECT CASE WHEN event_id % 97 = 0 THEN 'corrupt' ELSE 'valid' END AS route,
         |       count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sr_subject_delete" ->
+      """SELECT * FROM (VALUES
+        |  ('ev-value', 2, 's1v2', TRUE),
+        |  ('ev-value', 3, 's1v3', FALSE),
+        |  ('ord-value', 1, 'o1b', FALSE))
+        | t(subject, version, schema, is_deleted)
+        | ORDER BY subject, version""".stripMargin,
 
     "sr_latest_schemas" ->
       """SELECT * FROM (VALUES

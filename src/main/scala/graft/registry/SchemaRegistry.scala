@@ -114,6 +114,46 @@ object SchemaRegistry {
   def latestSchemas(schemaLog: DataFrame): DataFrame =
     Compaction.compact(schemaLog, Seq("subject"), "seq")
 
+  /**
+   * Subject/version delete semantics
+   * (`pandaproxy/schema_registry/types.h:33-35,475` — `is_deleted` per
+   * version, `permanent_delete`, `include_deleted`; the public SR API's
+   * soft-vs-hard delete): fold the registration log and the
+   * admin-sized delete log into the subject-version view.
+   *
+   *  - a SOFT delete (version-scoped, or subject-wide when `version`
+   *    is null) marks versions registered before it `is_deleted`:
+   *    hidden from the default listing, visible with `includeDeleted`,
+   *    still resolvable by id (the decode path is unaffected);
+   *  - a HARD (permanent) delete removes such versions outright;
+   *  - a registration sequenced AFTER a delete re-creates the version.
+   *
+   * `deleteLog` columns: (seq, subject, version nullable, hard). The
+   * delete log broadcasts; the registration side takes one LWW compact
+   * plus one aggregate — no extra shuffle of the schema log.
+   */
+  def subjectVersions(schemaLog: DataFrame, deleteLog: DataFrame,
+      includeDeleted: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val regs = Compaction.compact(schemaLog, Seq("subject", "version"), "seq")
+      .withColumnRenamed("seq", "__reg_seq")
+    val d = broadcast(deleteLog.select(col("seq").as("__d_seq"),
+      col("subject").as("__d_subject"), col("version").as("__d_version"),
+      col("hard").as("__d_hard")))
+    val agg = regs.join(d,
+        col("__d_subject") === col("subject") &&
+          (col("__d_version").isNull || col("__d_version") === col("version")),
+        "left")
+      .groupBy(regs.columns.toIndexedSeq.map(col): _*)
+      .agg(max(when(!col("__d_hard"), col("__d_seq"))).as("__soft_seq"),
+        max(when(col("__d_hard"), col("__d_seq"))).as("__hard_seq"))
+      .where(col("__hard_seq").isNull || col("__hard_seq") < col("__reg_seq"))
+      .withColumn("is_deleted",
+        col("__soft_seq").isNotNull && col("__soft_seq") > col("__reg_seq"))
+      .drop("__soft_seq", "__hard_seq", "__reg_seq")
+    if (includeDeleted) agg else agg.where(!col("is_deleted")).drop("is_deleted")
+  }
+
   /** Parse an Avro schema (the subject payload format of the reference). */
   def parseAvro(json: String): Schema = new Schema.Parser().parse(json)
 

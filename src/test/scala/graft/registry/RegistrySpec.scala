@@ -224,3 +224,28 @@ class IngestSpec extends SparkSpec {
     assert(got === Set((1L, "valid"), (2L, "corrupt"), (3L, "valid")))
   }
 }
+
+/** SR subject/version soft-vs-hard delete semantics (types.h:33-35,475). */
+class SubjectDeleteSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("soft delete hides from default listing; hard removes; re-register resurrects") {
+    val regs = Seq(
+      (1L, "s", 1, "a"), (2L, "s", 2, "b"), (3L, "t", 1, "c"), (7L, "t", 1, "c2"))
+      .toDF("seq", "subject", "version", "schema")
+    val dels = Seq(
+      (4L, "s", Some(2), false),            // soft delete s v2
+      (6L, "t", None: Option[Int], true))   // hard delete subject t (pre-7)
+      .toDF("seq", "subject", "version", "hard")
+    val all = graft.registry.SchemaRegistry.subjectVersions(regs, dels,
+        includeDeleted = true)
+      .select("subject", "version", "is_deleted")
+      .as[(String, Int, Boolean)].collect().toSet
+    assert(all === Set(("s", 1, false), ("s", 2, true), ("t", 1, false)))
+    // default listing hides the soft-deleted version
+    val visible = graft.registry.SchemaRegistry.subjectVersions(regs, dels)
+      .select("subject", "version").as[(String, Int)].collect().toSet
+    assert(visible === Set(("s", 1), ("t", 1)))
+  }
+}
