@@ -1061,6 +1061,39 @@ object SparkEntry {
           length(col("props")).cast("long"))
         .orderBy("partition")),
 
+    "adm_topic_validation" -> ((s, dir) => {
+      // create_topics validator chain: each row violates exactly one
+      // rule (or none); first-failing-rule error code pinned by the
+      // oracle — invalid_partitions 37, invalid_replication_factor 38,
+      // invalid_config 40.
+      import s.implicits._
+      val reqs = Seq(
+        ("ok", 8, 3, Some(1048576), Some("zstd"), Some("compact"), Some("CreateTime")),
+        ("ok_defaults", 1, 1, None: Option[Int], None: Option[String],
+          None: Option[String], None: Option[String]),
+        ("bad_parts", 0, 3, None: Option[Int], None: Option[String],
+          None: Option[String], None: Option[String]),
+        ("bad_rf_even", 4, 2, None: Option[Int], None: Option[String],
+          None: Option[String], None: Option[String]),
+        ("bad_rf_neg", 4, -1, None: Option[Int], None: Option[String],
+          None: Option[String], None: Option[String]),
+        ("bad_max_bytes", 4, 3, Some(0), None: Option[String],
+          None: Option[String], None: Option[String]),
+        ("bad_compression", 4, 3, None: Option[Int], Some("brotli"),
+          None: Option[String], None: Option[String]),
+        ("bad_cleanup", 4, 3, None: Option[Int], None: Option[String],
+          Some("vacuum"), None: Option[String]),
+        ("bad_ts_type", 4, 3, None: Option[Int], None: Option[String],
+          None: Option[String], Some("BrokerTime")),
+        ("first_rule_wins", -1, 2, Some(-5), Some("brotli"),
+          Some("vacuum"), Some("BrokerTime")))
+        .toDF("topic", "partitions", "replication_factor", "max_message_bytes",
+          "compression", "cleanup_policy", "timestamp_type")
+      graft.admin.Admin.validateTopicConfigs(reqs)
+        .select("topic", "error_code")
+        .orderBy("topic")
+    }),
+
     "adm_api_versions" -> ((s, dir) =>
       // The full handler registry, oracle-pinned: any drift between the
       // advertised api surface and this contract fails the gate.
@@ -3260,6 +3293,14 @@ object SparkEntry {
       s"""$LogCte SELECT partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
          |  count(*) AS n_records, max("offset") + 1 AS log_end_offset
          | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "adm_topic_validation" ->
+      """SELECT * FROM (VALUES
+        |  ('ok', 0), ('ok_defaults', 0), ('bad_parts', 37),
+        |  ('bad_rf_even', 38), ('bad_rf_neg', 38), ('bad_max_bytes', 40),
+        |  ('bad_compression', 40), ('bad_cleanup', 40), ('bad_ts_type', 40),
+        |  ('first_rule_wins', 37))
+        | t(topic, error_code) ORDER BY topic""".stripMargin,
 
     "adm_api_versions" ->
       """SELECT * FROM (VALUES

@@ -314,4 +314,42 @@ object Admin {
     import spark.implicits._
     ApiVersions.toDF("api_key", "api_name", "implemented_by")
   }
+
+  /** Kafka error codes surfaced by topic validation. */
+  val InvalidPartitions = 37
+  val InvalidReplicationFactor = 38
+  val InvalidConfig = 40
+
+  private val ValidCompression =
+    Seq("none", "gzip", "snappy", "lz4", "zstd", "producer")
+  private val ValidCleanup = Seq("delete", "compact", "compact,delete", "delete,compact")
+  private val ValidTimestampType = Seq("CreateTime", "LogAppendTime")
+
+  /**
+   * create_topics/alter validation
+   * (`kafka/server/handlers/topics/validators.h`): the ordered rule
+   * chain each creatable topic runs — positive partition count
+   * (`partition_count_must_be_positive`), positive odd replication
+   * factor (`replication_factor_must_be_odd/positive`), positive
+   * max.message.bytes (`batch_max_bytes_limits`), enumerated
+   * compression / cleanup.policy / timestamp.type values — and the
+   * FIRST failing rule's error code is the topic's response, exactly
+   * the reference's sequential validator list. Null config values mean
+   * "not set" and validate trivially. One codegen'd conditional
+   * projection; no shuffle, request-batch sized.
+   */
+  def validateTopicConfigs(requests: DataFrame): DataFrame =
+    requests.withColumn("error_code",
+      when(col("partitions") <= 0, InvalidPartitions)
+        .when(col("replication_factor") <= 0 ||
+          pmod(col("replication_factor"), lit(2)) === 0, InvalidReplicationFactor)
+        .when(col("max_message_bytes").isNotNull &&
+          col("max_message_bytes") <= 0, InvalidConfig)
+        .when(col("compression").isNotNull &&
+          !col("compression").isin(ValidCompression: _*), InvalidConfig)
+        .when(col("cleanup_policy").isNotNull &&
+          !col("cleanup_policy").isin(ValidCleanup: _*), InvalidConfig)
+        .when(col("timestamp_type").isNotNull &&
+          !col("timestamp_type").isin(ValidTimestampType: _*), InvalidConfig)
+        .otherwise(0))
 }
