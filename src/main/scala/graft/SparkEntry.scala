@@ -2796,6 +2796,20 @@ object SparkEntry {
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
 
+    "txt_classifier_score" -> ((s, dir) => {
+      // Model-based quality filter: a 64-bucket hashed-linear classifier
+      // with deterministic integer pseudo-weights w(b) = (b*37) % 13 - 6
+      // (production loads trained weights; the DATAFLOW — broadcast
+      // model, narrow hash-projection, integer-exact margins — is what
+      // runs at 100 TB). The oracle re-derives every margin.
+      import s.implicits._
+      val weights = (0L until 64L).map(b => (b, (b * 37) % 13 - 6))
+        .toDF("bucket", "weight")
+      TextAnalysis.hashedLinearScore(T(s, dir, "documents"), col("doc_id"),
+          col("text"), weights, buckets = 64, bias = 2L)
+        .orderBy("doc_id")
+    }),
+
     "txt_sketch_contract" -> ((s, dir) =>
       // HLL cardinality + approx-percentile error contracts: at 100 TB
       // only the sketch side runs (fixed-size partial aggregates); here
@@ -4558,6 +4572,19 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY tok)
         | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    "txt_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        | b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
+        |  FROM toks)
+        | SELECT doc_id,
+        |        CAST(sum((bucket * 37) % 13 - 6) + 2 AS BIGINT) AS margin,
+        |        (sum((bucket * 37) % 13 - 6) + 2) > 0 AS keep
+        | FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact half re-derived; the sketch-error booleans are certified by
     // the engine and pinned here (the sketches are deterministic).

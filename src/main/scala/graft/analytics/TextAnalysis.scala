@@ -400,4 +400,34 @@ object TextAnalysis {
       (nEmails + nPhones > 0).as("has_pii"),
       md5(redacted.cast("binary")).as("redacted_md5"))
   }
+
+  /**
+   * Hashed-linear document scorer — the fastText-style model-based
+   * quality filter (the CCNet/DCLM shape: a linear classifier over
+   * hashed bag-of-words features decides keep/drop at corpus scale).
+   * Tokens hash to `buckets` feature slots via the md5-prefix bucket
+   * (engine-independent, the same device as [[Sampling.hashBucket]]);
+   * the weight table `(bucket, weight)` — in production the trained
+   * model, INTEGER weights so the margin is exact-summable in any
+   * order on any engine — broadcasts; a document's margin is the sum
+   * of its token-bucket weights plus `bias`, and `keep` = margin > 0.
+   *
+   * Scale shape: explode + broadcast join + one partial-agg groupBy per
+   * doc_id — map-side combine collapses each partition's tokens before
+   * the shuffle; the model rides the closure exactly like any broadcast
+   * dimension. No UDF, no driver loop, no floating-point order
+   * dependence.
+   */
+  def hashedLinearScore(df: DataFrame, idCol: Column, textCol: Column,
+      weights: DataFrame, buckets: Int, bias: Long = 0L): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("__tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("__tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg((sum("weight") + bias).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+  }
 }

@@ -233,6 +233,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(zeroed.where(col("lang") === "de").count() === 0)
   }
 
+  test("hashed-linear classifier: margin is the exact weight-sum, order-independent") {
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "beta"), (3L, ""))
+      .toDF("doc_id", "text")
+    val weights = (0L until 64L).map(b => (b, b % 5 - 2)).toDF("bucket", "weight")
+    val got = TextAnalysis.hashedLinearScore(docs, col("doc_id"), col("text"),
+        weights, buckets = 64, bias = 1L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // independently re-derive each margin from the same hash + weights
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 64
+    }
+    def margin(text: String): Long =
+      1L + text.trim.toLowerCase.split("\\s+").map(t => bucket(t) % 5 - 2).sum
+    for ((id, text) <- Seq(1L -> "alpha beta alpha gamma", 2L -> "beta", 3L -> "")) {
+      val m = margin(text)
+      assert(got(id) === ((m, m > 0)), s"doc $id")
+    }
+    // deterministic under repartitioning
+    val again = TextAnalysis.hashedLinearScore(docs.repartition(5), col("doc_id"),
+      col("text"), weights, buckets = 64, bias = 1L)
+    assert(TextAnalysis.hashedLinearScore(docs, col("doc_id"), col("text"),
+      weights, 64, 1L).except(again).count() === 0)
+  }
+
   test("sampling: source share cap thins only over-represented sources") {
     // a: 70%, b: 20%, c: 10%; cap 30% -> a thins to ~3/7, b and c whole
     val rows = ((0L until 700L).map(i => (i, "a")) ++
