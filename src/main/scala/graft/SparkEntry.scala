@@ -2467,7 +2467,9 @@ object SparkEntry {
         val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
         val nExact = exact.count()
         val hit = exact.join(lsh, Seq("doc_a", "doc_b")).count()
-        Seq(("minhash_recall_ge_75", nExact, hit.toDouble / nExact >= 0.75))
+        // an empty denominator is a vacuously satisfied contract, not NaN
+        Seq(("minhash_recall_ge_75", nExact,
+          nExact == 0 || hit.toDouble / nExact >= 0.75))
           .toDF("check", "n_exact", "ok")
       } finally sh.unpersist()
     }),
@@ -4573,6 +4575,8 @@ object SparkEntry {
         |  GROUP BY tok)
         | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
 
+    // Empty tokens carry no feature; docs with no scoreable tokens keep
+    // the bias-only margin (left join), never dropping from the verdict.
     "txt_classifier_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -4580,11 +4584,13 @@ object SparkEntry {
         | b AS (
         |  SELECT doc_id,
         |    CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
-        |  FROM toks)
-        | SELECT doc_id,
-        |        CAST(sum((bucket * 37) % 13 - 6) + 2 AS BIGINT) AS margin,
-        |        (sum((bucket * 37) % 13 - 6) + 2) > 0 AS keep
-        | FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM toks WHERE tok <> ''),
+        | m AS (
+        |  SELECT doc_id, sum((bucket * 37) % 13 - 6) AS s FROM b GROUP BY doc_id)
+        | SELECT d.doc_id, CAST(COALESCE(m.s, 0) + 2 AS BIGINT) AS margin,
+        |        (COALESCE(m.s, 0) + 2) > 0 AS keep
+        | FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        | ORDER BY d.doc_id""".stripMargin,
 
     // Exact half re-derived; the sketch-error booleans are certified by
     // the engine and pinned here (the sketches are deterministic).

@@ -334,15 +334,19 @@ object Admin {
    * max.message.bytes (`batch_max_bytes_limits`), enumerated
    * compression / cleanup.policy / timestamp.type values — and the
    * FIRST failing rule's error code is the topic's response, exactly
-   * the reference's sequential validator list. Null config values mean
-   * "not set" and validate trivially. One codegen'd conditional
-   * projection; no shuffle, request-batch sized.
+   * the reference's sequential validator list. Null CONFIG values mean
+   * "not set" and validate trivially; null partition/replication COUNTS
+   * mean "use the broker default" (the protocol's -1) and are
+   * explicitly valid — the positivity rules only judge counts the
+   * request actually carries. One codegen'd conditional projection; no
+   * shuffle, request-batch sized.
    */
   def validateTopicConfigs(requests: DataFrame): DataFrame =
     requests.withColumn("error_code",
-      when(col("partitions") <= 0, InvalidPartitions)
-        .when(col("replication_factor") <= 0 ||
-          pmod(col("replication_factor"), lit(2)) === 0, InvalidReplicationFactor)
+      when(col("partitions").isNotNull && col("partitions") <= 0, InvalidPartitions)
+        .when(col("replication_factor").isNotNull &&
+          (col("replication_factor") <= 0 ||
+            pmod(col("replication_factor"), lit(2)) === 0), InvalidReplicationFactor)
         .when(col("max_message_bytes").isNotNull &&
           col("max_message_bytes") <= 0, InvalidConfig)
         .when(col("compression").isNotNull &&

@@ -26,10 +26,13 @@ object Sampling {
   /** Bucket granularity: rates/weights resolve to 1/10000ths. */
   val Buckets = 10000
 
-  /** Deterministic hash bucket in [0, Buckets). */
-  def hashBucket(idCol: Column): Column =
+  /** Deterministic hash bucket in [0, nBuckets) — the engine-parity
+    * hashing device (the oracle computes the identical md5-prefix
+    * expression); every bucketed draw in the library routes through
+    * here so the convention cannot drift. */
+  def hashBucket(idCol: Column, nBuckets: Int = Buckets): Column =
     conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % Buckets
+      .cast("long") % nBuckets
 
   /**
    * Train/val/test split by cumulative weight, e.g.

@@ -421,13 +421,16 @@ object TextAnalysis {
   def hashedLinearScore(df: DataFrame, idCol: Column, textCol: Column,
       weights: DataFrame, buckets: Int, bias: Long = 0L): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("__tok"))
-      .withColumn("bucket",
-        conv(substring(md5(col("__tok").cast("binary")), 1, 8), 16, 10)
-          .cast("long") % buckets)
-      .join(broadcast(weights), Seq("bucket"))
+    // explode_outer + left join so every document gets a verdict:
+    // null/empty text (and tokens hashing to buckets a pruned model
+    // omits) contribute weight 0, degenerating the margin to the bias —
+    // never a silently unscored document.
+    df.select(idCol.as("doc_id"),
+        explode_outer(filter(tokens(textCol), t => length(t) > 0)).as("__tok"))
+      .withColumn("bucket", Sampling.hashBucket(col("__tok"), buckets))
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy("doc_id")
-      .agg((sum("weight") + bias).as("margin"))
+      .agg((coalesce(sum("weight"), lit(0L)) + bias).as("margin"))
       .withColumn("keep", col("margin") > 0)
   }
 }

@@ -234,7 +234,8 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("hashed-linear classifier: margin is the exact weight-sum, order-independent") {
-    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "beta"), (3L, ""))
+    val docs = Seq((1L, Some("alpha beta alpha gamma")), (2L, Some("beta")),
+      (3L, Some("")), (4L, None: Option[String]))
       .toDF("doc_id", "text")
     val weights = (0L until 64L).map(b => (b, b % 5 - 2)).toDF("bucket", "weight")
     val got = TextAnalysis.hashedLinearScore(docs, col("doc_id"), col("text"),
@@ -247,11 +248,14 @@ class AnalyticsSpec extends SparkSpec {
       java.lang.Long.parseLong(md.substring(0, 8), 16) % 64
     }
     def margin(text: String): Long =
-      1L + text.trim.toLowerCase.split("\\s+").map(t => bucket(t) % 5 - 2).sum
+      1L + text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => bucket(t) % 5 - 2).sum
     for ((id, text) <- Seq(1L -> "alpha beta alpha gamma", 2L -> "beta", 3L -> "")) {
       val m = margin(text)
       assert(got(id) === ((m, m > 0)), s"doc $id")
     }
+    // null text degenerates to the bias-only verdict, never disappears
+    assert(got(4L) === ((1L, true)))
     // deterministic under repartitioning
     val again = TextAnalysis.hashedLinearScore(docs.repartition(5), col("doc_id"),
       col("text"), weights, buckets = 64, bias = 1L)
