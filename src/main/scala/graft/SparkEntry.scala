@@ -1321,6 +1321,40 @@ object SparkEntry {
         .orderBy("interval", "principal", "event_type", "topic", "operation")
     }),
 
+    "sec_audit_stream" -> ((s, dir) => {
+      // The audit drain loop as it actually runs — continuous: same
+      // admission + coalescing as sec_audit_coalesce, but each drain
+      // interval closes on the watermark and emits its records exactly
+      // once (batch 1 = the API event log, batch 2 = a far-seq sentinel
+      // that closes every interval; the sentinel must be ADMISSIBLE to
+      // advance the pushed-down watermark clock, and its own far-future
+      // window never closes, so it is never emitted).
+      val inDir = stagedEventsStream(s, dir, sentinel = true, farSeq = true)
+      val out = java.nio.file.Files.createTempDirectory("graft_auds").toString
+      val raw = graft.streaming.Transforms.PathInput(
+        inDir, s.read.parquet(s"$dir/events.parquet").schema,
+        maxFilesPerTrigger = Some(1)).stream(s)
+      val api = raw.select(
+        col("event_id").as("seq"),
+        concat(lit("u"), pmod(col("user_id"), lit(10)).cast("string")).as("principal"),
+        when(col("event_type") === "purchase" || col("event_type") === "__sentinel",
+            "produce")
+          .when(col("event_type") === "view", "fetch")
+          .otherwise("mgmt").as("event_type"),
+        when(col("event_type") === "__sentinel", "t0")
+          .otherwise(concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")))
+          .as("topic"),
+        when(col("event_type") === "purchase", "write")
+          .when(col("event_type") === "view", "read")
+          .otherwise("describe").as("operation"))
+      graft.security.Audit.coalesceStream(api, s"$out/data", s"$out/ckpt",
+          drainIntervalLen = 1000L, enabledTypes = Seq("produce", "fetch"),
+          excludedTopics = Seq("t3"), excludedPrincipals = Seq("u7"))
+        .awaitTermination()
+      s.read.parquet(s"$out/data")
+        .orderBy("interval", "principal", "event_type", "topic", "operation")
+    }),
+
     // ----- §2.4 aggregations (compaction/retention/usage) -----
     "a1_compaction" -> ((s, dir) =>
       Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
@@ -3508,6 +3542,26 @@ object SparkEntry {
         |         THEN lower(regexp_replace(dn, '^CN=([^,]*),.*$', '\1'))
         |       ELSE dn END AS principal
         | FROM d ORDER BY k""".stripMargin,
+
+    // The streaming twin emits the same flush log (watermark-closed
+    // intervals) — identical fold, identical oracle.
+    "sec_audit_stream" ->
+      """WITH api AS (
+        |  SELECT event_id AS seq,
+        |         'u' || CAST(user_id % 10 AS VARCHAR) AS principal,
+        |         CASE event_type WHEN 'purchase' THEN 'produce'
+        |              WHEN 'view' THEN 'fetch' ELSE 'mgmt' END AS etype,
+        |         't' || CAST(user_id % 4 AS VARCHAR) AS topic,
+        |         CASE event_type WHEN 'purchase' THEN 'write'
+        |              WHEN 'view' THEN 'read' ELSE 'describe' END AS operation
+        |  FROM events)
+        | SELECT seq // 1000 AS interval, principal, etype AS event_type, topic, operation,
+        |        count(*) AS count, min(seq) AS first_seq, max(seq) AS last_seq
+        | FROM api
+        | WHERE etype IN ('produce', 'fetch')
+        |   AND topic <> 't3' AND principal <> 'u7'
+        | GROUP BY 1, 2, 3, 4, 5
+        | ORDER BY interval, principal, event_type, topic, operation""".stripMargin,
 
     // Admission filter then per-interval identical-event coalescing.
     "sec_audit_coalesce" ->

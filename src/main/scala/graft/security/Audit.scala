@@ -2,6 +2,7 @@ package graft.security
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
  * Audit-log manager semantics (reference
@@ -30,21 +31,61 @@ object Audit {
    * from excluded principals, are not auditable and drop before the
    * fold.
    */
+  private def admission(enabledTypes: Seq[String], excludedTopics: Seq[String],
+      excludedPrincipals: Seq[String]): Column =
+    col("event_type").isin(enabledTypes: _*) &&
+      (if (excludedTopics.isEmpty) lit(true)
+       else !col("topic").isin(excludedTopics: _*)) &&
+      (if (excludedPrincipals.isEmpty) lit(true)
+       else !col("principal").isin(excludedPrincipals: _*))
+
   def coalesce(events: DataFrame, drainIntervalLen: Long,
       enabledTypes: Seq[String], excludedTopics: Seq[String] = Nil,
       excludedPrincipals: Seq[String] = Nil): DataFrame = {
     require(drainIntervalLen > 0, "drainIntervalLen must be positive")
     require(enabledTypes.nonEmpty, "at least one enabled event type")
-    val admitted = events
-      .where(col("event_type").isin(enabledTypes: _*) &&
-        (if (excludedTopics.isEmpty) lit(true)
-         else !col("topic").isin(excludedTopics: _*)) &&
-        (if (excludedPrincipals.isEmpty) lit(true)
-         else !col("principal").isin(excludedPrincipals: _*)))
-    admitted
+    events
+      .where(admission(enabledTypes, excludedTopics, excludedPrincipals))
       .withColumn("interval", floor(col("seq") / drainIntervalLen).cast("long"))
       .groupBy("interval", "principal", "event_type", "topic", "operation")
       .agg(count(lit(1)).as("count"),
         min("seq").as("first_seq"), max("seq").as("last_seq"))
+  }
+
+  /**
+   * [[coalesce]]'s STREAMING twin — the `_drain_timer` loop the
+   * reference actually runs: the seq clock becomes event time, each
+   * drain interval an event-time window, and append mode emits each
+   * coalesced audit record exactly once when its interval closes, with
+   * watermark-bounded state (the shard-local pending map). NOTE: the
+   * optimizer pushes the admission predicate below the watermark node
+   * (wherever it is written), so the event-time clock advances only
+   * from ADMITTED events — a caller staging a clock-advancing sentinel
+   * (the AvailableNow flush idiom) must craft it admissible; its own
+   * far-future window never closes, so it is never emitted.
+   */
+  def coalesceStream(events: DataFrame, dataPath: String, ckptPath: String,
+      drainIntervalLen: Long, enabledTypes: Seq[String],
+      excludedTopics: Seq[String] = Nil,
+      excludedPrincipals: Seq[String] = Nil): StreamingQuery = {
+    require(drainIntervalLen > 0, "drainIntervalLen must be positive")
+    require(enabledTypes.nonEmpty, "at least one enabled event type")
+    events
+      .withColumn("__ts", timestamp_millis(col("seq")))
+      .withWatermark("__ts", "0 milliseconds")
+      .where(admission(enabledTypes, excludedTopics, excludedPrincipals))
+      .groupBy(window(col("__ts"), s"$drainIntervalLen milliseconds"),
+        col("principal"), col("event_type"), col("topic"), col("operation"))
+      .agg(count(lit(1)).as("count"),
+        min("seq").as("first_seq"), max("seq").as("last_seq"))
+      .select(
+        (unix_millis(col("window.start")) / drainIntervalLen).cast("long").as("interval"),
+        col("principal"), col("event_type"), col("topic"), col("operation"),
+        col("count"), col("first_seq"), col("last_seq"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptPath)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", dataPath)
+      .start()
   }
 }
