@@ -201,6 +201,27 @@ class PlanSpec extends SparkSpec {
     assertChunkedWindowsOnly(p)
   }
 
+  test("audit coalescing is one partial-agg fold behind a codegen'd admission filter") {
+    val events = (0L until 1000L).map(i =>
+      (i, s"u${i % 10}", if (i % 2 == 0) "produce" else "fetch", s"t${i % 4}", "rw"))
+      .toDF("seq", "principal", "event_type", "topic", "operation")
+    val p = plan(graft.security.Audit.coalesce(events, 100L,
+      Seq("produce", "fetch"), Seq("t3"), Seq("u7")))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("hashed-linear classifier broadcasts the model; one partial-agg per doc, no window") {
+    val docs = spark.read.parquet(docsDir)
+    val weights = spark.range(64).selectExpr("id as bucket", "id % 5 - 2 as weight")
+    val p = plan(graft.analytics.TextAnalysis.hashedLinearScore(
+      docs, col("doc_id"), col("text"), weights, buckets = 64, bias = 1L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("commit batcher is two partial-agg folds — no window, no join on the progress stream") {
     val prog = (0L until 1000L).map(i => (s"t${i % 4}", (i % 8).toInt, 0, i, i * 2))
       .toDF("transform", "partition", "output_topic", "seq", "offset")
