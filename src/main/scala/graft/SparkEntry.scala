@@ -105,7 +105,8 @@ object SparkEntry {
    * explicit mtimes make the batch order deterministic.
    */
   private def stagedEventsStream(s: SparkSession, dir: String,
-      sentinel: Boolean, farSeq: Boolean = false): String = {
+      sentinel: Boolean, farSeq: Boolean = false,
+      single: Boolean = false): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val inDir = Files.createTempDirectory("graft_stream_in")
@@ -113,6 +114,7 @@ object SparkEntry {
     val b0 = inDir.resolve("batch0.parquet")
     Files.copy(src, b0)
     Files.setLastModifiedTime(b0, FileTime.fromMillis(1700000000000L))
+    if (single) return inDir.toString
     val b1 = inDir.resolve("batch1.parquet")
     if (!sentinel) {
       Files.copy(src, b1)
@@ -1325,11 +1327,9 @@ object SparkEntry {
       // The audit drain loop as it actually runs — continuous: same
       // admission + coalescing as sec_audit_coalesce, but each drain
       // interval closes on the watermark and emits its records exactly
-      // once (batch 1 = the API event log, batch 2 = a far-seq sentinel
-      // that closes every interval; the sentinel must be ADMISSIBLE to
-      // advance the pushed-down watermark clock, and its own far-future
-      // window never closes, so it is never emitted).
-      val inDir = stagedEventsStream(s, dir, sentinel = true, farSeq = true)
+      // once; the still-open final interval is flushed from checkpointed
+      // state by coalesceStream's built-in drain (no sentinel staging).
+      val inDir = stagedEventsStream(s, dir, sentinel = false, single = true)
       val out = java.nio.file.Files.createTempDirectory("graft_auds").toString
       val raw = graft.streaming.Transforms.PathInput(
         inDir, s.read.parquet(s"$dir/events.parquet").schema,
@@ -1337,13 +1337,10 @@ object SparkEntry {
       val api = raw.select(
         col("event_id").as("seq"),
         concat(lit("u"), pmod(col("user_id"), lit(10)).cast("string")).as("principal"),
-        when(col("event_type") === "purchase" || col("event_type") === "__sentinel",
-            "produce")
+        when(col("event_type") === "purchase", "produce")
           .when(col("event_type") === "view", "fetch")
           .otherwise("mgmt").as("event_type"),
-        when(col("event_type") === "__sentinel", "t0")
-          .otherwise(concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")))
-          .as("topic"),
+        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("topic"),
         when(col("event_type") === "purchase", "write")
           .when(col("event_type") === "view", "read")
           .otherwise("describe").as("operation"))
@@ -2379,20 +2376,19 @@ object SparkEntry {
 
     "g6_commit_stream" -> ((s, dir) => {
       // The commit batcher as the continuous loop the reference runs:
-      // progress events stream in (batch 1 = the real log, batch 2 = a
-      // far-seq sentinel that closes every interval), each flush interval
-      // is an event-time window on the seq clock, and append mode emits
-      // each (key, interval) flush exactly once. The oracle recomputes
-      // the flush log with the same fold the batch twin uses.
-      val inDir = stagedEventsStream(s, dir, sentinel = true, farSeq = true)
+      // progress events stream in, each flush interval is an event-time
+      // window on the seq clock, and append mode emits each
+      // (key, interval) flush exactly once; the still-open final
+      // interval is flushed from checkpointed state by
+      // commitBatcherStream's built-in drain (no sentinel staging).
+      // The oracle recomputes the flush log with the batch twin's fold.
+      val inDir = stagedEventsStream(s, dir, sentinel = false, single = true)
       val out = java.nio.file.Files.createTempDirectory("graft_g6s").toString
       val raw = graft.streaming.Transforms.PathInput(
         inDir, s.read.parquet(s"$dir/events.parquet").schema,
         maxFilesPerTrigger = Some(1)).stream(s)
       val prog = raw.select(
-        when(col("event_type") === "__sentinel", "__sentinel")
-          .otherwise(concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")))
-          .as("transform"),
+        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("transform"),
         pmod(col("event_id"), lit(8)).cast("int").as("partition"),
         lit(0).as("output_topic"),
         col("event_id").as("seq"),
@@ -2400,7 +2396,6 @@ object SparkEntry {
       graft.streaming.Transforms.commitBatcherStream(
         prog, s"$out/data", s"$out/ckpt", intervalLen = 500L).awaitTermination()
       s.read.parquet(s"$out/data")
-        .where(col("transform") =!= "__sentinel")
         .orderBy("transform", "partition", "interval")
     }),
 
@@ -2923,7 +2918,13 @@ object SparkEntry {
         .orderBy("seq_id", "doc_id")),
 
     "txt_rarity" -> ((s, dir) =>
+      // Round the two ratio columns to 5 places (repo convention for every
+      // double output — raw IEEE doubles defeat the driver's hash compare).
       TextAnalysis.rarityFeatures(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_corpus_freq"), 5).as("mean_corpus_freq_r"),
+          round(col("hapax_frac"), 5).as("hapax_frac_r"),
+          col("min_corpus_n"))
         .orderBy("doc_id")),
 
     "pipe_mixture" -> ((s, dir) => {
@@ -4816,10 +4817,10 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         | vocab AS (SELECT tok, sum(n_in_doc) AS corpus_n FROM toks GROUP BY 1)
         | SELECT t.doc_id, sum(t.n_in_doc) AS n_tokens,
-        |        CAST(sum(t.n_in_doc * v.corpus_n) AS DOUBLE)
-        |          / CAST(sum(t.n_in_doc) AS DOUBLE) AS mean_corpus_freq,
-        |        CAST(sum(CASE WHEN v.corpus_n = 1 THEN t.n_in_doc ELSE 0 END) AS DOUBLE)
-        |          / CAST(sum(t.n_in_doc) AS DOUBLE) AS hapax_frac,
+        |        round(CAST(sum(t.n_in_doc * v.corpus_n) AS DOUBLE)
+        |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS mean_corpus_freq_r,
+        |        round(CAST(sum(CASE WHEN v.corpus_n = 1 THEN t.n_in_doc ELSE 0 END) AS DOUBLE)
+        |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS hapax_frac_r,
         |        min(v.corpus_n) AS min_corpus_n
         | FROM toks t JOIN vocab v USING (tok)
         | GROUP BY 1 ORDER BY 1""".stripMargin,

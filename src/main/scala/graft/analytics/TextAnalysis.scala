@@ -264,10 +264,17 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     val started = counts.join(broadcast(bases), Seq("__chunk"))
       .withColumn("__start", col("__base") + coalesce(sum("n_doc").over(localW), lit(0L)))
+    // A zero-token document landing exactly on a context boundary has
+    // upper < lower; Spark's sequence() would DESCEND and emit phantom
+    // spans (one out of range at seq_pos=contextLen), so the empty case
+    // is made explicit. Off-boundary empty docs keep their single
+    // zero-length span row (generate_series semantics).
+    val lo = floor(col("__start") / c).cast("long")
+    val hi = floor((col("__start") + col("n_doc") - 1) / c).cast("long")
     started
       .select(col("doc_id"), col("n_doc"), col("__start"),
-        explode(sequence(floor(col("__start") / c).cast("long"),
-          floor((col("__start") + col("n_doc") - 1) / c).cast("long"))).as("seq_id"))
+        explode(when(hi >= lo, sequence(lo, hi))
+          .otherwise(array().cast("array<bigint>"))).as("seq_id"))
       .select(col("seq_id"), col("doc_id"),
         (greatest(col("__start"), col("seq_id") * c) - col("seq_id") * c).as("seq_pos"),
         (greatest(col("__start"), col("seq_id") * c) - col("__start")).as("doc_pos"),

@@ -41,7 +41,10 @@ object CloudTopics {
     val base = log
       .withColumn("__seq", seqCol.cast("long"))
       .withColumn("__bytes", bytesCol.cast("long"))
-      .withColumn("__chunk", floor(col("__seq") / ChunkSize).cast("long"))
+      // `div` = integral division on longs: __seq >= 0, so identical to
+      // floor division but no double ever appears (bit-exact under any
+      // engine's hasher, unlike floor(double-quotient)).
+      .withColumn("__chunk", expr(s"__seq div ${ChunkSize}L"))
     val chunkAgg = base.groupBy("__chunk").agg(sum("__bytes").as("__n"))
     // prefix over the chunk table: #batches/4096 rows, not the log
     val baseW = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
@@ -53,7 +56,7 @@ object CloudTopics {
     base.join(broadcast(bases), Seq("__chunk"))
       .withColumn("__cum_before",
         col("__base") + coalesce(sum("__bytes").over(localW), lit(0L)))
-      .withColumn("object_id", floor(col("__cum_before") / objectBytes).cast("long"))
+      .withColumn("object_id", expr(s"__cum_before div ${objectBytes}L"))
       .withColumn("obj_byte_offset",
         col("__cum_before") - col("object_id") * objectBytes)
       .drop("__seq", "__bytes", "__chunk", "__base", "__cum_before")

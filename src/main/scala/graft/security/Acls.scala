@@ -71,15 +71,19 @@ object Acls {
    */
   def authorizeWithRoles(requests: DataFrame, acls: DataFrame,
       roles: DataFrame): DataFrame = {
+    // Reserved-named join columns: a caller whose requests already carry
+    // a `member` column must not collide with the membership table's key
+    // (an ambiguous join condition would silently drop caller data).
     val mem = broadcast(roles
       .groupBy(col("member"))
-      .agg(collect_list(concat(lit("Role:"), col("role"))).as("__roleIds")))
+      .agg(collect_list(concat(lit("Role:"), col("role"))).as("__roleIds"))
+      .select(col("member").as("__member"), col("__roleIds")))
     val expanded = requests
-      .join(mem, col("member") === col("principal"), "left")
+      .join(mem, col("__member") === col("principal"), "left")
       .withColumn("__identity", explode(concat(
         array(col("principal")),
         coalesce(col("__roleIds"), array()))))
-      .drop("member", "__roleIds")
+      .drop("__member", "__roleIds")
     authorizeIdentities(expanded, requests.columns, acls)
   }
 

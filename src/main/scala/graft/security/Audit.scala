@@ -57,12 +57,15 @@ object Audit {
    * reference actually runs: the seq clock becomes event time, each
    * drain interval an event-time window, and append mode emits each
    * coalesced audit record exactly once when its interval closes, with
-   * watermark-bounded state (the shard-local pending map). NOTE: the
-   * optimizer pushes the admission predicate below the watermark node
-   * (wherever it is written), so the event-time clock advances only
-   * from ADMITTED events — a caller staging a clock-advancing sentinel
-   * (the AvailableNow flush idiom) must craft it admissible; its own
-   * far-future window never closes, so it is never emitted.
+   * watermark-bounded state (the shard-local pending map).
+   *
+   * This is a ONE-SHOT AvailableNow run: after the query drains the
+   * source, the still-open windows (those the 0 ms watermark never
+   * closed — at minimum the final drain interval) are flushed from the
+   * aggregation's checkpointed state via the state-store reader and
+   * appended to `dataPath`, so the caller needs no clock-advancing
+   * sentinel and no audit record is ever lost. The state read is
+   * bounded by open (interval × identity) tuples — metadata scale.
    */
   def coalesceStream(events: DataFrame, dataPath: String, ckptPath: String,
       drainIntervalLen: Long, enabledTypes: Seq[String],
@@ -70,7 +73,7 @@ object Audit {
       excludedPrincipals: Seq[String] = Nil): StreamingQuery = {
     require(drainIntervalLen > 0, "drainIntervalLen must be positive")
     require(enabledTypes.nonEmpty, "at least one enabled event type")
-    events
+    val q = events
       .withColumn("__ts", timestamp_millis(col("seq")))
       .withWatermark("__ts", "0 milliseconds")
       .where(admission(enabledTypes, excludedTopics, excludedPrincipals))
@@ -87,5 +90,28 @@ object Audit {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", dataPath)
       .start()
+    q.awaitTermination()
+    // Final drain: rows still in the aggregation state are exactly the
+    // windows append mode has not emitted (emitted ones are evicted).
+    // The file sink's _spark_metadata log must go first — with it in
+    // place readers trust only sink-listed files and the drained append
+    // would be invisible; dropping it turns the one-shot output into a
+    // plain parquet dir (the checkpoint, which owns restart semantics,
+    // is untouched).
+    val spark = events.sparkSession
+    val meta = new org.apache.hadoop.fs.Path(dataPath, "_spark_metadata")
+    meta.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(meta, true)
+    // Buffer fields arrive in agg order: (count, min(seq), max(seq)).
+    val st = spark.read.format("statestore").load(ckptPath)
+    val vcols = st.select(col("value.*")).columns
+    st.select(
+        (unix_millis(col("key.window.start")) / drainIntervalLen).cast("long").as("interval"),
+        col("key.principal"), col("key.event_type"), col("key.topic"),
+        col("key.operation"),
+        col(s"value.${vcols(0)}").as("count"),
+        col(s"value.${vcols(1)}").as("first_seq"),
+        col(s"value.${vcols(2)}").as("last_seq"))
+      .write.mode("append").parquet(dataPath)
+    q
   }
 }

@@ -630,13 +630,20 @@ object IcebergFormat {
             .toDF("__sfp", "__seq")
           cur = cur.join(broadcast(seqMap), col("__fp") === col("__sfp"), "left")
             .drop("__sfp")
-          val keys = eqDeleteFiles.map { case (p, _, sq) =>
+          // equality_ids are PER FILE: two commits may delete by
+          // different key sets. Group delete files by key-column set and
+          // apply one anti-join per group (a single unionByName across
+          // heterogeneous key schemas would throw at read time).
+          eqDeleteFiles.map { case (p, _, sq) =>
             spark.read.parquet(p).withColumn("__dseq", lit(sq))
-          }.reduce(_ unionByName _)
-          val keyCols = keys.columns.filterNot(_ == "__dseq")
-          val cond = keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _) &&
-            col("__seq") < col("__dseq")
-          cur = cur.join(keys, cond, "left_anti").drop("__seq")
+          }.groupBy(_.columns.filterNot(_ == "__dseq").sorted.toSeq)
+            .foreach { case (keyCols, dfs) =>
+              val keys = dfs.reduce(_ unionByName _)
+              val cond = keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _) &&
+                col("__seq") < col("__dseq")
+              cur = cur.join(keys, cond, "left_anti")
+            }
+          cur = cur.drop("__seq")
         }
         cur.drop("__fp", "__pos", "__seq")
       }

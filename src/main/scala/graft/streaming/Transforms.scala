@@ -295,6 +295,13 @@ object Transforms {
    * (key, interval) flush row exactly once, when the interval closes —
    * the same coalescing guarantee as the batch fold, with bounded state
    * (open windows only, closed ones evicted by the watermark).
+   *
+   * ONE-SHOT AvailableNow run: after the source drains, the still-open
+   * windows (at minimum the final flush interval, which the 0 ms
+   * watermark never closes) are flushed from checkpointed state via the
+   * state-store reader and appended to `dataPath` — no sentinel event
+   * needed, no flush lost. State is bounded by open (key × interval)
+   * tuples.
    */
   def commitBatcherStream(progress: DataFrame, dataPath: String,
       ckptPath: String, intervalLen: Long): StreamingQuery = {
@@ -308,11 +315,30 @@ object Transforms {
       .select(col("transform"), col("partition"), col("output_topic"),
         (unix_millis(col("window.start")) / intervalLen).cast("long").as("interval"),
         col("flush_off"), col("n_enq"))
-    flushed.writeStream.outputMode("append")
+    val q = flushed.writeStream.outputMode("append")
       .option("checkpointLocation", ckptPath)
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", dataPath)
       .start()
+    q.awaitTermination()
+    // Drop the file sink's _spark_metadata first — readers trust only
+    // sink-listed files, so the drained append would otherwise be
+    // invisible (one-shot run; the checkpoint owns restart semantics).
+    val spark = progress.sparkSession
+    val meta = new org.apache.hadoop.fs.Path(dataPath, "_spark_metadata")
+    meta.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(meta, true)
+    // Buffer fields in agg order; max_by expands to two fields
+    // (valueWithExtremumOrdering, extremumOrdering), then count.
+    val st = spark.read.format("statestore").load(ckptPath)
+    val vcols = st.select(col("value.*")).columns
+    st.select(col("key.transform").as("transform"),
+        col("key.partition").as("partition"),
+        col("key.output_topic").as("output_topic"),
+        (unix_millis(col("key.window.start")) / intervalLen).cast("long").as("interval"),
+        col(s"value.${vcols(0)}").as("flush_off"),
+        col(s"value.${vcols(2)}").as("n_enq"))
+      .write.mode("append").parquet(dataPath)
+    q
   }
 
   def statusReport(procLog: DataFrame, hwm: DataFrame): DataFrame =
