@@ -47,19 +47,45 @@ object Dedup {
   }
 
   /**
+   * Hot-bucket cap shared by every banded candidate join: drop band
+   * buckets holding more than `maxBucket` members before the self-join.
+   * A candidate join is quadratic PER BUCKET — one boilerplate-heavy
+   * bucket (empty docs, templated pages, zero vectors) at 100 TB would
+   * otherwise self-join a million-row bucket into 10^12 candidate pairs.
+   * The same skew rule as [[ngramJaccardFromShingles]]'s `maxDf`: a
+   * bucket that large is stop-content, not near-duplicate signal (its
+   * pairs would be rejected by the exact verify anyway — or ARE mass
+   * duplicates, which exact dedup already catches far cheaper). The agg
+   * shuffles on the same keys as the candidate join itself, so the
+   * exchange is reused, not added.
+   */
+  private[analytics] def capBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val ok = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    banded.join(ok, keys)
+  }
+
+  /**
    * LSH banding: split the k-row signature into `bands` bands of k/bands
    * rows; docs sharing any band hash become candidates. Probability a
-   * pair with Jaccard s becomes a candidate: 1-(1-s^r)^b.
+   * pair with Jaccard s becomes a candidate: 1-(1-s^r)^b. Buckets larger
+   * than `maxBucket` are dropped before the self-join ([[capBuckets]]).
    */
-  def lshCandidates(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
     }
-    val banded = signatures
+    val banded = capBuckets(signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash")),
+      Seq("band_id", "band_hash"), maxBucket)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -252,9 +278,13 @@ object Dedup {
    * split the 64-bit print into `bands` chunks; pairs within maxDist
    * differing bits must agree on >= bands - maxDist chunks, so sharing
    * one 16-bit chunk (bands=4, maxDist<=3) is a complete candidate
-   * filter. Exact popcount verification on candidates only.
+   * filter. Exact popcount verification on candidates only. Chunk
+   * buckets larger than `maxBucket` are dropped before the self-join
+   * ([[capBuckets]] — completeness holds for every pair whose shared
+   * chunks all survive the cap).
    */
-  def simHashNearDups(fps: DataFrame, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+  def simHashNearDups(fps: DataFrame, bands: Int = 4, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     // Pigeonhole completeness: a pair within maxDist differing bits shares
     // at least one identical chunk only when maxDist <= bands - 1. Larger
     // maxDist would silently lose candidates.
@@ -266,9 +296,10 @@ object Dedup {
         shiftright(col("simhash"), b * width)
           .bitwiseAND((1L << width) - 1).as("chunk"))
     }
-    val banded = fps.select(col("doc_id"), col("simhash"),
+    val banded = capBuckets(fps.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk")),
+      Seq("chunk_id", "chunk"), maxBucket)
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -173,13 +173,19 @@ object Similarity {
    * pair = 1-(1-p^width)^bands with p = 1 - acos(cos)/pi, so this prunes
    * aggressively in the realistic near-dup regime (cos >= 0.9) and is
    * documented as lossy for low thresholds — use
-   * [[cosineNearDupsExact]] when the threshold is far from 1.
+   * [[cosineNearDupsExact]] when the threshold is far from 1. Band
+   * buckets larger than `maxBucket` are dropped before the self-join
+   * ([[Dedup.capBuckets]] — the hot-bucket skew cap; a degenerate
+   * bucket of near-identical or zero vectors would self-join
+   * quadratically at scale).
    */
   def cosineNearDups(corpus: DataFrame, dim: Int, threshold: Double,
-      nBits: Int = 64, bands: Int = 8): DataFrame = {
+      nBits: Int = 64, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val withNorm = kernels(corpus).withColumn("_n", norm(col("embedding")))
-    val banded = withBands(withNorm.select("vec_id", "embedding"), "embedding", nBits, bands)
-      .select("vec_id", "band_id", "band")
+    val banded = Dedup.capBuckets(
+      withBands(withNorm.select("vec_id", "embedding"), "embedding", nBits, bands)
+        .select("vec_id", "band_id", "band"),
+      Seq("band_id", "band"), maxBucket)
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -326,4 +326,22 @@ class PlanSpec extends SparkSpec {
     assert(pt.contains("BroadcastNestedLoopJoin") || pt.contains("BroadcastHashJoin"), pt)
     assert(!pt.contains("SortMergeJoin"), pt)
   }
+
+  test("every banded candidate join is bucket-capped (minhash, simhash, embed-LSH)") {
+    import graft.analytics.{Dedup, Similarity}
+    val docs = (0L until 50L).map(i => (i, s"text body number $i with shared words"))
+      .toDF("doc_id", "text")
+    // the cap shows up as a __bsz count-aggregate + filter feeding the
+    // self-join — its absence is the 100 TB quadratic-bucket regression
+    val pm = plan(Dedup.lshCandidates(
+      Dedup.minHashSignatures(Dedup.shingled(docs, col("doc_id"), col("text"), 2), 16), 16, 8))
+    assert(pm.contains("__bsz"), pm)
+    val ps = plan(Dedup.simHashNearDups(Dedup.simHash(docs, col("doc_id"), col("text"))))
+    assert(ps.contains("__bsz"), ps)
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 3 + j) % 7).toDouble)))
+      .toDF("vec_id", "embedding")
+    val pc = plan(Similarity.cosineNearDups(corpus, dim = 8, threshold = 0.8))
+    assert(pc.contains("__bsz"), pc)
+  }
 }

@@ -30,6 +30,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("band-bucket cap drops hot buckets but keeps ordinary near-dup pairs") {
+    // 12 identical boilerplate docs form a hot bucket in EVERY band;
+    // with maxBucket=10 they must produce zero candidates while the
+    // ordinary planted pair (0,1) still surfaces.
+    val boiler = (100L until 112L).map(i => (i, "lorem ipsum dolor sit amet boilerplate page"))
+    val mixed = docs.unionByName(boiler.toDF("doc_id", "text"))
+    val pairs = Dedup.lshCandidates(
+      Dedup.minHashSignatures(Dedup.shingled(mixed, col("doc_id"), col("text"), 2), 16),
+      k = 16, bands = 8, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L })
+    // uncapped control: the hot bucket does produce candidate pairs
+    val uncapped = Dedup.lshCandidates(
+      Dedup.minHashSignatures(Dedup.shingled(mixed, col("doc_id"), col("text"), 2), 16),
+      k = 16, bands = 8, maxBucket = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (a, b) => a >= 100L && b >= 100L })
+  }
+
   test("ngram jaccard exact pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 2, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
