@@ -1228,11 +1228,105 @@ object SparkEntry {
         .orderBy("username")
     }),
 
+    "sec_plain_auth" -> ((s, dir) => {
+      // SASL/PLAIN (plain_authenticator.cc): the wire blob is
+      // [authzid] NUL user NUL password, validated against the SCRAM
+      // credential store. Planted defects by key: %13 authzid present,
+      // %11 missing separator, %7 empty password (all malformed);
+      // k>50 never provisioned; %3 wrong password; else authenticates.
+      // The oracle replays the same precedence ladder in plaintext.
+      import s.implicits._
+      import graft.security.Scram
+      val users = T(s, dir, "customer").where(col("c_custkey") <= 70)
+        .select(col("c_custkey").cast("long").as("k"),
+          concat(lit("user_"), col("c_custkey")).as("user"))
+      val creds = users.where(col("k") <= 50).select("user").as[String]
+        .map { u =>
+          val (salt, stored, server, i) = Scram.makeCredential(
+            "pw_" + u, ("salt_" + u).getBytes("UTF-8"), 1024, Scram.Sha256)
+          (u, "SCRAM-SHA-256", salt, stored, server, i)
+        }
+        .toDF("user", "mechanism", "salt", "stored_key", "server_key", "iterations")
+      val nul = lit("\u0000")
+      val pw = concat(lit("pw_"), col("user"))
+      val blob =
+        when(col("k") % 13 === 0, concat(lit("authz"), nul, col("user"), nul, pw))
+          .when(col("k") % 11 === 0, concat(nul, col("user"), pw))
+          .when(col("k") % 7 === 0, concat(nul, col("user"), nul))
+          .when(col("k") % 3 === 0, concat(nul, col("user"), nul, lit("wrong-password")))
+          .otherwise(concat(nul, col("user"), nul, pw))
+      val attempts = users.select(col("user").as("username"),
+        encode(blob, "UTF-8").as("auth_bytes"))
+      Scram.authenticatePlain(attempts, creds).orderBy("username")
+    }),
+
+    "sec_oidc_auth" -> ((s, dir) => {
+      // SASL/OAUTHBEARER + OIDC (oidc_authenticator.cc): JWS tokens
+      // signed per-kid, validated signature-first then the claim ladder
+      // (iss, aud, exp, nbf), principal = mapped `sub`. Planted defects
+      // by key (first match builds the token): %17 garbage, %13 unknown
+      // kid, %11 wrong signing key, %7 wrong issuer, %5 wrong audience,
+      // %3 expired, %2 not-yet-valid; else valid. now/skew are pinned so
+      // the oracle re-derives every decision from the plaintext rule.
+      import s.implicits._
+      import graft.security.Oidc
+      val now = 1700000000L
+      val jwks = Seq(
+        Oidc.Jwk("k1", "HS256", "secret-one".getBytes("UTF-8")),
+        Oidc.Jwk("k2", "HS256", "secret-two".getBytes("UTF-8")))
+      val secrets = jwks.map(j => j.kid -> j.material).toMap
+      val users = T(s, dir, "customer").where(col("c_custkey") <= 60)
+        .select(col("c_custkey").cast("long").as("k")).as[Long]
+      val tokens = users.map { k =>
+        def b64(b: Array[Byte]) =
+          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+        def sign(kid: String, input: String): Array[Byte] = {
+          val m = javax.crypto.Mac.getInstance("HmacSHA256")
+          m.init(new javax.crypto.spec.SecretKeySpec(secrets(kid), "HmacSHA256"))
+          m.doFinal(input.getBytes("UTF-8"))
+        }
+        def jws(kid: String, signKid: String, iss: String, aud: String,
+            exp: Long, nbf: Long): String = {
+          val header = s"""{"alg":"HS256","kid":"$kid"}"""
+          val payload = s"""{"iss":"$iss","aud":$aud,"sub":"sub-$k","exp":$exp,"nbf":$nbf}"""
+          val si = b64(header.getBytes("UTF-8")) + "." + b64(payload.getBytes("UTF-8"))
+          si + "." + b64(sign(signKid, si))
+        }
+        val kid = if (k % 2 == 0) "k1" else "k2"
+        val other = if (kid == "k1") "k2" else "k1"
+        val aud = """["graft","other-svc"]"""
+        val token =
+          if (k % 17 == 0) "not-a-jwt"
+          // kX is not in the JWKS; signed with a real key so ONLY the
+          // kid check fires
+          else if (k % 13 == 0) jws("kX", kid, "https://idp.example", aud, now + 3600, now - 10)
+          else if (k % 11 == 0) jws(kid, other, "https://idp.example", aud, now + 3600, now - 10)
+          else if (k % 7 == 0) jws(kid, kid, "https://evil.example", aud, now + 3600, now - 10)
+          else if (k % 5 == 0) jws(kid, kid, "https://idp.example", "\"wrong-svc\"", now + 3600, now - 10)
+          else if (k % 3 == 0) jws(kid, kid, "https://idp.example", aud, now - 3600, now - 10)
+          else if (k % 2 == 0) jws(kid, kid, "https://idp.example", aud, now + 3600, now + 3600)
+          else jws(kid, kid, "https://idp.example", aud, now + 3600, now - 10)
+        (k, token)
+      }.toDF("k", "token")
+      Oidc.validate(tokens, col("token"), jwks,
+          issuer = "https://idp.example", audience = "graft",
+          skewSeconds = 60L, nowEpoch = now,
+          mappingRules = Seq(graft.security.PrincipalMapping.Rule(
+            "^sub-([0-9]+)$", "oidc_$1")))
+        // -1 for absent exp: a nullable int64 turns float64 in pandas /
+        // the driver's hasher — the same canonicalization trap as raw
+        // doubles (see txt_rarity)
+        .select(col("k"), col("error"), col("principal"), col("sub"),
+          coalesce(col("token_exp"), lit(-1L)).as("token_exp"))
+        .orderBy("k")
+    }),
+
     "sec_handshake" -> ((s, dir) => {
       // SASL handshake mechanism negotiation
       // (`kafka/server/handlers/sasl_handshake.cc`): 60 clients each
       // request one of five mechanisms (key mod 5); only the two SCRAM
-      // mechanisms are enabled, so the rest get error 33
+      // mechanisms are enabled: the four implemented ones (SCRAM x2,
+      // PLAIN, OAUTHBEARER), so only GSSAPI gets error 33
       // (UNSUPPORTED_SASL_MECHANISM) plus the enabled list to retry with.
       val mechs = array(lit("SCRAM-SHA-256"), lit("SCRAM-SHA-512"),
         lit("PLAIN"), lit("GSSAPI"), lit("OAUTHBEARER"))
@@ -1240,7 +1334,8 @@ object SparkEntry {
         .select(concat(lit("client_"), col("c_custkey")).as("client"),
           element_at(mechs, (pmod(col("c_custkey"), lit(5)) + 1).cast("int"))
             .as("mechanism"))
-      graft.security.Scram.handshake(reqs, Seq("SCRAM-SHA-256", "SCRAM-SHA-512"))
+      graft.security.Scram.handshake(reqs,
+          Seq("SCRAM-SHA-256", "SCRAM-SHA-512", "PLAIN", "OAUTHBEARER"))
         .orderBy("client")
     }),
 
@@ -3508,12 +3603,52 @@ object SparkEntry {
 
     "sec_handshake" ->
       """SELECT 'client_' || c_custkey AS client, mech AS mechanism,
-        |  CASE WHEN mech IN ('SCRAM-SHA-256', 'SCRAM-SHA-512') THEN 0 ELSE 33 END AS error_code,
-        |  'SCRAM-SHA-256,SCRAM-SHA-512' AS enabled_mechanisms
+        |  CASE WHEN mech IN ('SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'OAUTHBEARER')
+        |       THEN 0 ELSE 33 END AS error_code,
+        |  'SCRAM-SHA-256,SCRAM-SHA-512,PLAIN,OAUTHBEARER' AS enabled_mechanisms
         | FROM (SELECT c_custkey,
         |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER'])[(c_custkey % 5) + 1] AS mech
         |       FROM customer WHERE c_custkey <= 60)
         | ORDER BY client""".stripMargin,
+
+    // PLAIN replays the parse-ladder precedence in plaintext: malformed
+    // blobs (%13 authzid, %11 no separator, %7 empty password) beat the
+    // store lookup; unprovisioned users (k>50) beat the password check.
+    "sec_plain_auth" ->
+      """SELECT 'user_' || c_custkey AS username,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'malformed'
+        |       WHEN c_custkey % 11 = 0 THEN 'malformed'
+        |       WHEN c_custkey % 7 = 0 THEN 'malformed'
+        |       WHEN c_custkey > 50 THEN 'unknown_user'
+        |       WHEN c_custkey % 3 = 0 THEN 'failed'
+        |       ELSE 'authenticated' END AS decision
+        | FROM customer WHERE c_custkey <= 70 ORDER BY username""".stripMargin,
+
+    // OIDC: the token builder's first-match rule decides which single
+    // defect each token carries, so the oracle's CASE chain in the same
+    // precedence re-derives error/principal/exp without any crypto.
+    "sec_oidc_auth" ->
+      """WITH d AS (SELECT CAST(c_custkey AS BIGINT) AS k
+        |           FROM customer WHERE c_custkey <= 60)
+        |SELECT k,
+        |  CASE WHEN k % 17 = 0 THEN 'malformed'
+        |       WHEN k % 13 = 0 THEN 'unknown_kid'
+        |       WHEN k % 11 = 0 THEN 'invalid_signature'
+        |       WHEN k % 7 = 0 THEN 'invalid_iss'
+        |       WHEN k % 5 = 0 THEN 'invalid_aud'
+        |       WHEN k % 3 = 0 THEN 'expired'
+        |       WHEN k % 2 = 0 THEN 'not_yet_valid'
+        |       ELSE NULL END AS error,
+        |  CASE WHEN k % 17 = 0 OR k % 13 = 0 OR k % 11 = 0 OR k % 7 = 0
+        |         OR k % 5 = 0 OR k % 3 = 0 OR k % 2 = 0 THEN NULL
+        |       ELSE 'oidc_' || k END AS principal,
+        |  CASE WHEN k % 17 = 0 THEN NULL ELSE 'sub-' || k END AS sub,
+        |  CASE WHEN k % 17 = 0 THEN -1
+        |       WHEN k % 13 = 0 OR k % 11 = 0 OR k % 7 = 0 OR k % 5 = 0
+        |         THEN 1700003600
+        |       WHEN k % 3 = 0 THEN 1699996400
+        |       ELSE 1700003600 END AS token_exp
+        | FROM d ORDER BY k""".stripMargin,
 
     "sec_role_acls" ->
       """SELECT * FROM (VALUES

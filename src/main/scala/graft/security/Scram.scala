@@ -138,6 +138,72 @@ object Scram {
       .withColumn("enabled_mechanisms", lit(enabled.mkString(",")))
 
   /**
+   * SASL/PLAIN (`security/plain_authenticator.h:19` /
+   * `plain_authenticator.cc:26-100`): the client sends one wire blob
+   * `[authzid] NUL authcid NUL password`; the broker rejects a present
+   * authzid ("[authorization identity] not supported"), a missing
+   * separator, an empty or over-255-byte username/password, an unknown
+   * user — and otherwise validates the password against the user's
+   * STORED SCRAM credential (PBKDF2 re-derivation, exactly
+   * `validate_scram_credential`). The reference collapses every
+   * failure to invalid_credentials on the wire; the detailed ladder is
+   * surfaced here as `decision` (the wire view is
+   * `decision != 'authenticated'`).
+   *
+   * Shape: the parse ladder is one codegen'd projection; the
+   * credential store broadcasts (control-plane-bounded) and the only
+   * per-row kernel is the same PBKDF2 check SCRAM uses. A user may
+   * hold credentials for both mechanisms — the store is keyed by user
+   * in the reference (`credential_store.h`), so any stored credential
+   * validating the password authenticates; the deterministic fold is
+   * max(verified) over the user's credentials.
+   */
+  def authenticatePlain(attempts: DataFrame, creds: DataFrame): DataFrame = {
+    val verify = udf { (password: String, mechName: String, salt: Array[Byte],
+        stored: Array[Byte], iterations: Int) =>
+      password != null && salt != null && {
+        val mech = mechanism(mechName)
+        val derived = storedKey(clientKey(hi(password, salt, iterations, mech), mech), mech)
+        MessageDigest.isEqual(derived, stored)
+      }
+    }
+    val attemptCols = attempts.columns.filterNot(_ == "auth_bytes")
+    val s = decode(col("auth_bytes"), "UTF-8")
+    val sep = "\u0000"
+    val parsed = attempts
+      .withColumn("__s", s)
+      // authzid present (does not start with NUL) or no second NUL
+      .withColumn("__wellformed",
+        col("__s").startsWith(sep) &&
+          instr(col("__s").substr(lit(2), length(col("__s"))), sep) > 0)
+      .withColumn("__rest", col("__s").substr(lit(2), length(col("__s"))))
+      .withColumn("__user", substring_index(col("__rest"), sep, 1))
+      .withColumn("__pass",
+        col("__rest").substr(length(col("__user")) + 2, length(col("__rest"))))
+    val c = broadcast(creds.select(
+      col("user").as("c_user"), col("mechanism").as("c_mech"),
+      col("salt").as("c_salt"), col("stored_key").as("c_stored"),
+      col("iterations").as("c_iterations")))
+    val joined = parsed.join(c, col("__user") === col("c_user"), "left")
+      .withColumn("__ok", verify(col("__pass"), col("c_mech"), col("c_salt"),
+        col("c_stored"), col("c_iterations")))
+    // fold multi-mechanism users back to one row per attempt
+    joined
+      .groupBy((attemptCols.map(col) ++ Seq(col("__wellformed"), col("__user"),
+        col("__pass"))): _*)
+      .agg(max(col("c_user").isNotNull).as("__known"),
+        max(coalesce(col("__ok"), lit(false))).as("__verified"))
+      .withColumn("decision",
+        when(!col("__wellformed"), "malformed")
+          .when(length(col("__user")) === 0 || length(col("__user")) > 255 ||
+            length(col("__pass")) === 0 || length(col("__pass")) > 255, "malformed")
+          .when(!col("__known"), "unknown_user")
+          .when(col("__verified"), "authenticated")
+          .otherwise("failed"))
+      .select(attemptCols.map(col).toIndexedSeq :+ col("decision"): _*)
+  }
+
+  /**
    * Batch-authenticate password attempts against the live credential
    * set: per attempt (user, mechanism, password) recompute the salted
    * password with the STORED salt/iterations and compare the derived
