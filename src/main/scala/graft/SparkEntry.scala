@@ -2070,6 +2070,141 @@ object SparkEntry {
         .toDF("case", "compatible").orderBy("case")
     }),
 
+    "sr_proto_refs" -> ((s, dir) => {
+      // Cross-subject protobuf references (types.h:105 schema_reference;
+      // protobuf.cc:294 build_file_with_refs): events-proto imports
+      // common.proto stored under its own subject, writer v1 and reader
+      // v2 resolve through the store before any byte moves. The nested
+      // Common message round-trips; reader-only `note` takes the proto3
+      // default (empty → length 0). Oracle re-derives from plaintext.
+      import s.implicits._
+      import graft.registry.{ProtobufDecode, SchemaRefs}
+      val schemaLog = Seq(
+        (1L, "common-proto", 1, "PROTOBUF",
+          "message Common { optional int64 tag = 1; optional string label = 2; }",
+          Seq.empty[(String, String, Int)]),
+        (2L, "events-proto", 1, "PROTOBUF",
+          """import "common.proto";
+            |message Ev { optional int64 event_id = 1;
+            |  optional string event_type = 2; optional Common meta = 3; }""".stripMargin,
+          Seq(("common.proto", "common-proto", 1))),
+        (3L, "events-proto", 2, "PROTOBUF",
+          """import "common.proto";
+            |message Ev { optional int64 event_id = 1;
+            |  optional string event_type = 2; optional Common meta = 3;
+            |  optional string note = 4; }""".stripMargin,
+          Seq(("common.proto", "common-proto", 1))))
+        .toDF("seq", "subject", "version", "schema_type", "schema", "refs")
+      val store = SchemaRefs.storeFromLog(schemaLog)
+      val writer = SchemaRefs.resolveProtobuf(store, "events-proto", 1)
+      val reader = SchemaRefs.resolveProtobuf(store, "events-proto", 2)
+      val rows = T(s, dir, "events").select(
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        struct((col("event_id") * 3).cast("long").as("tag"),
+          concat(lit("L"), pmod(col("user_id"), lit(10))).as("label")).as("meta"))
+      val framed = ProtobufDecode.encodeResolved(rows, "value_bin", writer, schemaId = 21)
+      ProtobufDecode.decodeResolved(framed.select("value_bin"), "value_bin",
+          Map(21 -> writer), reader)
+        .groupBy(col("decoded.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decoded.event_id")).as("sum_id"),
+          sum(col("decoded.meta.tag")).as("sum_tag"),
+          max(col("decoded.meta.label")).as("max_label"),
+          max(length(col("decoded.note"))).as("max_note_len"))
+        .orderBy("event_type")
+    }),
+
+    "sr_avro_refs" -> ((s, dir) => {
+      // Avro cross-subject named-type reference (avro.cc:558
+      // collect_schema): orders-avro's record uses CommonMeta by NAME,
+      // defined under the common-types subject — unparseable alone,
+      // resolved deps-first into a self-contained schema. Reader v2's
+      // nullable `note` defaults to null for every writer-v1 record.
+      import s.implicits._
+      import graft.registry.{AvroDecode, SchemaRefs}
+      val common =
+        """{"type":"record","name":"CommonMeta","fields":[
+          |{"name":"tag","type":"long"},{"name":"label","type":"string"}]}""".stripMargin
+      val schemaLog = Seq(
+        (1L, "common-types", 1, "AVRO", common, Seq.empty[(String, String, Int)]),
+        (2L, "orders-avro", 1, "AVRO",
+          """{"type":"record","name":"Ev","fields":[
+            |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"},
+            |{"name":"meta","type":"CommonMeta"}]}""".stripMargin,
+          Seq(("CommonMeta", "common-types", 1))),
+        (3L, "orders-avro", 2, "AVRO",
+          """{"type":"record","name":"Ev","fields":[
+            |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"},
+            |{"name":"meta","type":"CommonMeta"},
+            |{"name":"note","type":["null","string"],"default":null}]}""".stripMargin,
+          Seq(("CommonMeta", "common-types", 1))))
+        .toDF("seq", "subject", "version", "schema_type", "schema", "refs")
+      val store = SchemaRefs.storeFromLog(schemaLog)
+      val writerJson = SchemaRefs.resolveAvro(store, "orders-avro", 1).toString
+      val readerJson = SchemaRefs.resolveAvro(store, "orders-avro", 2).toString
+      val rows = T(s, dir, "events").select(
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        struct((col("event_id") * 3).cast("long").as("tag"),
+          concat(lit("L"), pmod(col("user_id"), lit(10))).as("label")).as("meta"))
+      val framed = AvroDecode.encode(rows, "value_bin", writerJson, schemaId = 31)
+      AvroDecode.decode(framed.select("value_bin"), "value_bin",
+          Map(31 -> writerJson), readerJson)
+        .groupBy(col("decoded.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decoded.event_id")).as("sum_id"),
+          sum(col("decoded.meta.tag")).as("sum_tag"),
+          max(col("decoded.meta.label")).as("max_label"),
+          count(col("decoded.note")).as("n_note"))
+        .orderBy("event_type")
+    }),
+
+    "sr_subject_compat" -> ((s, dir) => {
+      // Per-subject compatibility levels (store.h:579-618): the config
+      // log sets global BACKWARD, overrides b-value NONE, c-value
+      // FULL_TRANSITIVE, d-value FORWARD (cleared at seq 45 → later
+      // registrations fall back to global). Registrations are gated
+      // under the level in force at their seq against the subject's
+      // ACCEPTED history. Oracle pins every decision.
+      import s.implicits._
+      import graft.registry.SchemaRegistry
+      val configLog = Seq(
+        (1L, null.asInstanceOf[String], "BACKWARD"),
+        (2L, "b-value", "NONE"),
+        (3L, "c-value", "FULL_TRANSITIVE"),
+        (4L, "d-value", "FORWARD"),
+        (45L, "d-value", null.asInstanceOf[String]))
+        .toDF("seq", "subject", "level")
+      def rec(fields: String*) =
+        SchemaRegistry.parseAvro(
+          s"""{"type":"record","name":"R","fields":[${fields.mkString(",")}]}""")
+      val a = """{"name":"a","type":"long"}"""
+      val aStr = """{"name":"a","type":"string"}"""
+      val bDef = """{"name":"b","type":"string","default":"x"}"""
+      val bNoDef = """{"name":"b","type":"string"}"""
+      val cNoDef = """{"name":"c","type":"int"}"""
+      val attempts = Seq(
+        (10L, "a-value", rec(a)),            // first version: accept
+        (11L, "a-value", rec(a, bDef)),      // backward, b defaulted: accept
+        (12L, "a-value", rec(aStr)),         // long→string: reject
+        (13L, "a-value", rec(a)),            // reader drops b: accept
+        (20L, "b-value", rec(a)),
+        (21L, "b-value", rec(aStr)),         // NONE: breaking accepted
+        (30L, "c-value", rec(a)),
+        (31L, "c-value", rec(a, bDef)),      // full both ways: accept
+        (32L, "c-value", rec(a, cNoDef)),    // c lacks default: reject
+        (40L, "d-value", rec(a)),
+        (41L, "d-value", rec(a, bNoDef)),    // FORWARD tolerates no-default add
+        (50L, "d-value", rec(a, bNoDef, cNoDef)), // post-clear BACKWARD: reject
+        (51L, "d-value", rec(a, bNoDef)))    // identity vs latest: accept
+      val configs = SchemaRegistry.compatibilityConfigs(configLog)
+      SchemaRegistry.registerChain(configs, attempts)
+        .toDF("seq", "subject", "level", "accepted", "version")
+        // -1 for rejected: a nullable int turns float64 in the driver's
+        // pandas hasher (same canonicalization trap as sec_oidc_auth)
+        .withColumn("version", coalesce(col("version"), lit(-1)))
+        .orderBy("seq")
+    }),
+
     // ----- §2.7 datalake materialization (real write path) -----
     "d1_materialize" -> ((s, dir) => {
       // Run the record multiplexer for real: route events to per-type
@@ -4158,6 +4293,46 @@ object SparkEntry {
         |  ('09_zigzag_not_varint', FALSE), ('10_repeated_flip', FALSE),
         |  ('11_nested_compatible', TRUE), ('12_nested_incompatible', FALSE))
         | t("case", compatible) ORDER BY "case"""".stripMargin,
+
+    // Refs decode oracles re-derive the nested Common fields from the
+    // plaintext events columns (tag = 3*event_id, label = 'L' || user_id%10);
+    // the reader-only field takes its default (proto3 "" → length 0;
+    // avro null → count 0).
+    "sr_proto_refs" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(event_id * 3) AS BIGINT) AS sum_tag,
+        |  max('L' || CAST(user_id % 10 AS VARCHAR)) AS max_label,
+        |  CAST(max(0) AS INTEGER) AS max_note_len
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sr_avro_refs" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(event_id * 3) AS BIGINT) AS sum_tag,
+        |  max('L' || CAST(user_id % 10 AS VARCHAR)) AS max_label,
+        |  CAST(sum(0) AS BIGINT) AS n_note
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Every registration decision pinned: (seq, subject, effective level,
+    // accepted, assigned version).
+    "sr_subject_compat" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, subject, level, accepted,
+        |       CAST(version AS INTEGER) AS version
+        | FROM (VALUES
+        |  (10, 'a-value', 'BACKWARD', TRUE, 1),
+        |  (11, 'a-value', 'BACKWARD', TRUE, 2),
+        |  (12, 'a-value', 'BACKWARD', FALSE, -1),
+        |  (13, 'a-value', 'BACKWARD', TRUE, 3),
+        |  (20, 'b-value', 'NONE', TRUE, 1),
+        |  (21, 'b-value', 'NONE', TRUE, 2),
+        |  (30, 'c-value', 'FULL_TRANSITIVE', TRUE, 1),
+        |  (31, 'c-value', 'FULL_TRANSITIVE', TRUE, 2),
+        |  (32, 'c-value', 'FULL_TRANSITIVE', FALSE, -1),
+        |  (40, 'd-value', 'FORWARD', TRUE, 1),
+        |  (41, 'd-value', 'FORWARD', TRUE, 2),
+        |  (50, 'd-value', 'BACKWARD', FALSE, -1),
+        |  (51, 'd-value', 'BACKWARD', TRUE, 3))
+        | t(seq, subject, level, accepted, version)
+        | ORDER BY seq""".stripMargin,
 
     "d2_record_translation" ->
       s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,

@@ -94,40 +94,68 @@ object ProtobufCompat {
       .replaceAll("//.*", " ")
       .replaceAll("[{};=]", " $0 ")
       .split("\\s+").filter(_.nonEmpty).toList
-
-    def parseMessage(ts: List[String]): (PMessage, List[String]) = ts match {
-      case "message" :: name :: "{" :: rest =>
-        var cur = rest
-        var fields = Vector.empty[PField]
-        var nested = Map.empty[String, PMessage]
-        while (cur.headOption.exists(_ != "}")) {
-          cur match {
-            case "message" :: _ =>
-              val (m, after) = parseMessage(cur)
-              nested += (m.name -> m); cur = after
-            case _ =>
-              val (label, rest1) = cur match {
-                case ("required" | "optional" | "repeated") :: r => (cur.head, r)
-                case _ => ("", cur)
-              }
-              rest1 match {
-                case tpe :: fname :: "=" :: num :: ";" :: r =>
-                  val t = if (scalarNames.contains(tpe)) Scalar(tpe) else MessageRef(tpe)
-                  fields :+= PField(num.toInt, fname, t,
-                    repeated = label == "repeated", required = label == "required")
-                  cur = r
-                case bad => sys.error(s"unparseable field at: ${bad.take(6).mkString(" ")}")
-              }
-          }
-        }
-        (PMessage(name, fields, nested), cur.drop(1))
-      case bad => sys.error(s"expected 'message <name> {' at: ${bad.take(4).mkString(" ")}")
-    }
-
     // skip syntax/package preamble if present
     val body = tokens.dropWhile(_ != "message")
-    val (msg, _) = parseMessage(body)
+    val (msg, _) = parseMessageAt(body)
     (msg, msg.nested)
+  }
+
+  private def parseMessageAt(ts: List[String]): (PMessage, List[String]) = ts match {
+    case "message" :: name :: "{" :: rest =>
+      var cur = rest
+      var fields = Vector.empty[PField]
+      var nested = Map.empty[String, PMessage]
+      while (cur.headOption.exists(_ != "}")) {
+        cur match {
+          case "message" :: _ =>
+            val (m, after) = parseMessageAt(cur)
+            nested += (m.name -> m); cur = after
+          case _ =>
+            val (label, rest1) = cur match {
+              case ("required" | "optional" | "repeated") :: r => (cur.head, r)
+              case _ => ("", cur)
+            }
+            rest1 match {
+              case tpe :: fname :: "=" :: num :: ";" :: r =>
+                val t = if (scalarNames.contains(tpe)) Scalar(tpe) else MessageRef(tpe)
+                fields :+= PField(num.toInt, fname, t,
+                  repeated = label == "repeated", required = label == "required")
+                cur = r
+              case bad => sys.error(s"unparseable field at: ${bad.take(6).mkString(" ")}")
+            }
+        }
+      }
+      (PMessage(name, fields, nested), cur.drop(1))
+    case bad => sys.error(s"expected 'message <name> {' at: ${bad.take(4).mkString(" ")}")
+  }
+
+  /** A message plus all transitively nested definitions, name-keyed —
+    * the env contribution of one file to a DescriptorPool. */
+  def flatten(m: PMessage): Map[String, PMessage] =
+    m.nested.values.foldLeft(Map(m.name -> m)) { (acc, n) => acc ++ flatten(n) }
+
+  /**
+   * Parse a whole `.proto` file: any number of top-level messages,
+   * `syntax`/`package`/`import` lines skipped (imports are resolved by
+   * the registry's reference list, not by path — `schema_reference.name`
+   * is the import string, `protobuf.cc:294` `build_file_with_refs`).
+   * Returns the top-level messages in file order plus the file's full
+   * name→message environment.
+   */
+  def parseFile(proto: String): (Seq[PMessage], Map[String, PMessage]) = {
+    val tokens = proto
+      .replaceAll("//.*", " ")
+      .replaceAll("[{};=]", " $0 ")
+      .split("\\s+").filter(_.nonEmpty).toList
+    var cur = tokens.dropWhile(_ != "message")
+    var msgs = Vector.empty[PMessage]
+    while (cur.nonEmpty) {
+      val (m, after) = parseMessageAt(cur)
+      msgs :+= m
+      cur = after.dropWhile(_ != "message")
+    }
+    require(msgs.nonEmpty, "no message definition in file")
+    (msgs, msgs.foldLeft(Map.empty[String, PMessage])((acc, m) => acc ++ flatten(m)))
   }
 
   implicit val protobufChecker: SchemaRegistry.Checker[String] = ProtobufChecker

@@ -265,18 +265,31 @@ object ProtobufDecode {
    */
   def decode(df: DataFrame, valueCol: String, writerProtosById: Map[Int, String],
       readerProto: String): DataFrame = {
-    val inSchema = df.schema
     val (readerMsg0, readerEnv0) = ProtobufCompat.parse(readerProto)
-    val readerType = sparkType(readerMsg0, readerEnv0)
+    decodeResolved(df, valueCol,
+      writerProtosById.map { case (id, p) => id -> ProtobufCompat.parse(p) },
+      (readerMsg0, readerEnv0))
+  }
+
+  /**
+   * [[decode]] over already-resolved descriptors — the path for schemas
+   * with cross-subject references ([[SchemaRefs.resolveProtobuf]]),
+   * where the message environment spans imported files and cannot be
+   * re-parsed from one `.proto` string inside the task. Descriptors are
+   * plain case classes and ship in the task closure.
+   */
+  def decodeResolved(df: DataFrame, valueCol: String,
+      writersById: Map[Int, (PMessage, Map[String, PMessage])],
+      readerResolved: (PMessage, Map[String, PMessage])): DataFrame = {
+    val inSchema = df.schema
+    val readerType = sparkType(readerResolved._1, readerResolved._2)
     val outSchema = inSchema.add(StructField("decoded", readerType, nullable = true))
     val valueIdx = inSchema.fieldIndex(valueCol)
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { it =>
-      // one-time per task: parse descriptors, pre-check readability per id
-      val (reader, readerEnv) = ProtobufCompat.parse(readerProto)
-      val readableIds: Set[Int] = writerProtosById.filter { case (_, proto) =>
-        val (w, wEnv) = ProtobufCompat.parse(proto)
+      val (reader, readerEnv) = readerResolved
+      val readableIds: Set[Int] = writersById.filter { case (_, (w, wEnv)) =>
         ProtobufCompat.canRead(reader, w, readerEnv, wEnv)
       }.keySet
       it.map { row =>
@@ -307,13 +320,19 @@ object ProtobufDecode {
    * The producer-side serializer a real ingest would run; the correctness
    * oracle re-derives results from the plaintext columns.
    */
-  def encode(df: DataFrame, valueCol: String, writerProto: String, schemaId: Int): DataFrame = {
+  def encode(df: DataFrame, valueCol: String, writerProto: String, schemaId: Int): DataFrame =
+    encodeResolved(df, valueCol, ProtobufCompat.parse(writerProto), schemaId)
+
+  /** [[encode]] over an already-resolved writer descriptor (imports in
+    * scope via [[SchemaRefs.resolveProtobuf]]). */
+  def encodeResolved(df: DataFrame, valueCol: String,
+      writerResolved: (PMessage, Map[String, PMessage]), schemaId: Int): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(valueCol, BinaryType, nullable = true))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { it =>
-      val (writer, env) = ProtobufCompat.parse(writerProto)
+      val (writer, env) = writerResolved
       val fieldIdx = writer.fields.map(f => inSchema.fieldIndex(f.name))
       val header = ByteBuffer.allocate(5).put(0x00.toByte).putInt(schemaId).array()
       it.map { row =>

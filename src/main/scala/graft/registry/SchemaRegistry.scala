@@ -174,6 +174,73 @@ object SchemaRegistry {
     }: _*)
   }
 
+  /** Wire names ↔ levels (types.h:490-508 to_string_view). */
+  val Levels: Map[String, CompatibilityLevel] = Map(
+    "NONE" -> None_, "BACKWARD" -> Backward,
+    "BACKWARD_TRANSITIVE" -> BackwardTransitive, "FORWARD" -> Forward,
+    "FORWARD_TRANSITIVE" -> ForwardTransitive, "FULL" -> Full,
+    "FULL_TRANSITIVE" -> FullTransitive)
+
+  private val levelName: Map[CompatibilityLevel, String] = Levels.map(_.swap)
+
+  /** The store's initial global level (`store.h:902`). */
+  val DefaultGlobalLevel: CompatibilityLevel = Backward
+
+  /**
+   * Per-subject compatibility configuration
+   * (`store.h:579-618` — `get/set/clear_compatibility(sub)`, subject
+   * level falling back to the global level; persisted as config records
+   * in the `_schemas` topic like every other registry mutation).
+   *
+   * `configLog` columns: `(seq, subject nullable, level nullable)` —
+   * a null `subject` sets the GLOBAL level; a null `level` CLEARS the
+   * subject's override (fallback to global thereafter). Returns the
+   * driver-side view the registration gate consults: chronological
+   * (seq, subject-or-null, level-or-null) — control-plane-bounded, so
+   * the collect is the same bounded read the reference's store does.
+   */
+  def compatibilityConfigs(configLog: DataFrame): Seq[(Long, Option[String], Option[CompatibilityLevel])] =
+    configLog.select("seq", "subject", "level").collect().toSeq
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)).map(l => Levels.getOrElse(l,
+          throw new IllegalArgumentException(s"unknown level $l")))))
+      .sortBy(_._1)
+
+  /** Effective level for `subject` considering only config records with
+    * `seq < asOfSeq` (the level in force when a registration at
+    * `asOfSeq` is checked); `asOfSeq = Long.MaxValue` reads the end
+    * state. Subject override wins; a clear falls back to global;
+    * no config at all means [[DefaultGlobalLevel]]. */
+  def levelAt(configs: Seq[(Long, Option[String], Option[CompatibilityLevel])],
+      subject: String, asOfSeq: Long = Long.MaxValue): CompatibilityLevel = {
+    val visible = configs.filter(_._1 < asOfSeq)
+    val subjectLevel = visible.filter(_._2.contains(subject)).lastOption.flatMap(_._3)
+    val globalLevel = visible.filter(_._2.isEmpty).lastOption.flatMap(_._3)
+    subjectLevel.orElse(globalLevel).getOrElse(DefaultGlobalLevel)
+  }
+
+  /**
+   * The registration gate over a chronological attempt log: each attempt
+   * `(seq, subject, schema)` is checked against the subject's ACCEPTED
+   * history under the level in force at its seq (rejected schemas never
+   * enter the history — `sharded_store::is_compatible` consults stored
+   * versions only). Returns one decision per attempt:
+   * `(seq, subject, level, accepted, version)` with `version` the
+   * 1-based assigned version for accepted attempts, null otherwise.
+   */
+  def registerChain[S](configs: Seq[(Long, Option[String], Option[CompatibilityLevel])],
+      attempts: Seq[(Long, String, S)])(implicit checker: Checker[S]):
+      Seq[(Long, String, String, Boolean, Option[Int])] = {
+    val history = scala.collection.mutable.Map.empty[String, Vector[S]]
+    attempts.sortBy(_._1).map { case (seq, sub, schema) =>
+      val level = levelAt(configs, sub, seq)
+      val prior = history.getOrElse(sub, Vector.empty)
+      val ok = isCompatible(schema, prior, level)
+      if (ok) history(sub) = prior :+ schema
+      (seq, sub, levelName(level), ok, if (ok) Some(history(sub).length) else None)
+    }
+  }
+
   /** Validate a version chain under one level; returns first bad index or -1. */
   def validateChain[S](chain: Seq[S], level: CompatibilityLevel)(implicit c: Checker[S]): Int = {
     var i = 1
