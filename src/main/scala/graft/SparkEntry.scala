@@ -835,6 +835,52 @@ object SparkEntry {
         .orderBy("object_id", "partition")
     }),
 
+    "ct_dl_snapshot" -> ((s, dir) => {
+      // dl_stm MVCC snapshots across one reconciliation (dl_stm_state.h
+      // + dl_snapshot.h + reconciler.h): L0 overlays live at version 1;
+      // reconciliation packs them whole into ~1 MiB L1 objects at
+      // version 2, removing the L0 entries. Snapshot v1 sees many small
+      // extents, v2 few big ones — and both MUST cover identical
+      // offsets and bytes per partition (the invariant this output
+      // pins, alongside the extent counts).
+      val log = eventLog(s, dir).withColumn("__sz",
+        (length(col("props")) + length(col("event_type")) + 24).cast("long"))
+      val packed = graft.log.CloudTopics.packL0(log, col("event_id"), col("__sz"),
+        objectBytes = 65536L)
+      val l0 = graft.log.CloudTopics.overlay(packed, col("__sz"))
+      val mvcc = graft.log.CloudTopics.reconcileLog(l0, l1Bytes = 1048576L,
+        l0AddedAt = 1L, version = 2L)
+      Seq(1L, 2L).map { v =>
+        graft.log.CloudTopics.snapshotAt(mvcc, v)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n_extents"), min("base_offset").as("lo"),
+            max("last_offset").as("hi"), sum("bytes").as("bytes"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select("version", "partition", "n_extents", "lo", "hi", "bytes")
+        .orderBy("version", "partition")
+    }),
+
+    "ct_lower_bound" -> ((s, dir) => {
+      // dl_stm_state::lower_bound over the post-reconciliation snapshot:
+      // probes at present offsets resolve to their containing L1 extent;
+      // probes past a partition's end return nothing (absent row). The
+      // oracle re-derives both packing layers and the min-base rule.
+      import s.implicits._
+      val log = eventLog(s, dir).withColumn("__sz",
+        (length(col("props")) + length(col("event_type")) + 24).cast("long"))
+      val packed = graft.log.CloudTopics.packL0(log, col("event_id"), col("__sz"),
+        objectBytes = 65536L)
+      val l0 = graft.log.CloudTopics.overlay(packed, col("__sz"))
+      val snap = graft.log.CloudTopics.snapshotAt(
+        graft.log.CloudTopics.reconcileLog(l0, 1048576L, 1L, 2L), 2L)
+      val probes = (0 until EventPartitions).flatMap(p =>
+        Seq(0L, 7L, 100L, 1000L, 4000L).map(o => (p, o)))
+        .toDF("partition", "probe_offset")
+      graft.log.CloudTopics.lowerBound(snap, probes)
+        .orderBy("partition", "probe_offset")
+    }),
+
     "s4_archive_retention" -> ((s, dir) => {
       // D7 cloud retention: after archiving the pre-Jan-20 prefix, sweep
       // the archive tier down to rows at/after Jan-10 — base offsets
@@ -3322,6 +3368,75 @@ object SparkEntry {
          |       max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes,
          |       count(*) AS n_batches
          |FROM p GROUP BY 1, 2 ORDER BY object_id, partition""".stripMargin,
+
+    // MVCC snapshots: v1 aggregates the L0 extents, v2 the L1 re-pack
+    // (objects packed whole under the 1 MiB budget via a second prefix
+    // sum over per-object byte totals). lo/hi/bytes are identical across
+    // versions; only the extent counts differ.
+    "ct_dl_snapshot" ->
+      s"""$LogCte, sized AS (
+         |  SELECT partition, "offset", event_id,
+         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz
+         |  FROM log),
+         | c AS (
+         |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sized),
+         | p AS (SELECT partition, "offset", sz, cb // 65536 AS l0_id FROM c),
+         | l0 AS (SELECT l0_id, partition, min("offset") AS base_offset,
+         |          max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes
+         |        FROM p GROUP BY 1, 2),
+         | ob AS (SELECT l0_id, CAST(sum(bytes) AS BIGINT) AS obytes FROM l0 GROUP BY 1),
+         | oc AS (SELECT l0_id, COALESCE(SUM(obytes) OVER (ORDER BY l0_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS l1_id
+         |        FROM ob),
+         | l1 AS (SELECT oc.l1_id, l0.partition, min(l0.base_offset) AS base_offset,
+         |          max(l0.last_offset) AS last_offset, CAST(sum(l0.bytes) AS BIGINT) AS bytes
+         |        FROM l0 JOIN oc USING (l0_id) GROUP BY 1, 2)
+         |SELECT CAST(1 AS BIGINT) AS version, partition, count(*) AS n_extents,
+         |       min(base_offset) AS lo, max(last_offset) AS hi,
+         |       CAST(sum(bytes) AS BIGINT) AS bytes
+         |FROM l0 GROUP BY 2
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), partition, count(*), min(base_offset),
+         |       max(last_offset), CAST(sum(bytes) AS BIGINT)
+         |FROM l1 GROUP BY 2
+         |ORDER BY version, partition""".stripMargin,
+
+    // lower_bound over the v2 snapshot: among L1 extents of the probed
+    // partition with last_offset >= probe, the smallest base_offset
+    // wins; probes past the partition end produce no row.
+    "ct_lower_bound" ->
+      s"""$LogCte, sized AS (
+         |  SELECT partition, "offset", event_id,
+         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz
+         |  FROM log),
+         | c AS (
+         |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sized),
+         | p AS (SELECT partition, "offset", sz, cb // 65536 AS l0_id FROM c),
+         | l0 AS (SELECT l0_id, partition, min("offset") AS base_offset,
+         |          max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes
+         |        FROM p GROUP BY 1, 2),
+         | ob AS (SELECT l0_id, CAST(sum(bytes) AS BIGINT) AS obytes FROM l0 GROUP BY 1),
+         | oc AS (SELECT l0_id, COALESCE(SUM(obytes) OVER (ORDER BY l0_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS l1_id
+         |        FROM ob),
+         | l1 AS (SELECT oc.l1_id AS object_id, l0.partition,
+         |          min(l0.base_offset) AS base_offset, max(l0.last_offset) AS last_offset
+         |        FROM l0 JOIN oc USING (l0_id) GROUP BY 1, 2),
+         | probes AS (SELECT pt.partition, po.probe_offset
+         |            FROM (SELECT CAST(unnest(range(8)) AS INTEGER) AS partition) pt
+         |            CROSS JOIN (SELECT CAST(unnest([0, 7, 100, 1000, 4000]) AS BIGINT)
+         |                        AS probe_offset) po)
+         |SELECT partition, probe_offset,
+         |       min_by(object_id, base_offset) AS object_id,
+         |       min(base_offset) AS base_offset,
+         |       min_by(last_offset, base_offset) AS last_offset
+         |FROM probes JOIN l1 USING (partition)
+         |WHERE last_offset >= probe_offset
+         |GROUP BY 1, 2 ORDER BY partition, probe_offset""".stripMargin,
 
     // Post-sweep manifest: archive keeps only [Jan-10, Jan-20); local
     // (>= Jan-20) is untouched by cloud retention.

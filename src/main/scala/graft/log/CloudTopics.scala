@@ -83,4 +83,85 @@ object CloudTopics {
   def resolveFetch(overlayDf: DataFrame, partition: Int, fromOffset: Long): DataFrame =
     overlayDf.where(col("partition") === partition &&
       col("last_offset") >= fromOffset)
+
+  // ------------------------------------------------- dl_stm MVCC read side
+
+  /**
+   * The data-layout STM's MVCC view (`cloud_topics/dl_stm/
+   * dl_stm_state.h`: `dl_overlay_entry{overlay, added_at, removed_at}`):
+   * a snapshot at version v (`dl_snapshot.h` — `dl_snapshot_payload` is
+   * "overlays visible at the snapshot version") is the entries with
+   * `added_at <= v` and no removal at or before v. A pure filter over
+   * the bounded overlay-entry metadata — snapshot reads never touch
+   * data objects.
+   */
+  def snapshotAt(overlayEntries: DataFrame, version: Long): DataFrame =
+    overlayEntries.where(col("added_at") <= version &&
+      (col("removed_at").isNull || col("removed_at") > version))
+
+  /**
+   * Reconciliation (`cloud_topics/reconciler/reconciler.h`: batches
+   * "are packaged up into L1 objects and uploaded into the cloud.
+   * Finally, overlay batches are committed into each partition"):
+   * re-pack the small arrival-interleaved L0 objects into L1 objects
+   * under a bigger byte budget — L0 objects pack whole, in object-id
+   * order, via the SAME chunked prefix-sum operator as L0 packing (the
+   * object table is log_bytes/objectBytes rows, so the scalable shape
+   * matters). Returns per-(l1_object, partition) overlay extents.
+   */
+  def reconcileL1(l0Overlay: DataFrame, l1Bytes: Long): DataFrame = {
+    require(l1Bytes > 0, "l1Bytes must be positive")
+    val objTable = l0Overlay.groupBy(col("object_id").as("__l0_id"))
+      .agg(sum("bytes").as("__l0_bytes"))
+    val l1Assign = packL0(objTable, col("__l0_id"), col("__l0_bytes"), l1Bytes)
+      .select(col("__l0_id"), col("object_id").as("__l1_id"))
+    // NOT broadcast: the object table is log_bytes/objectBytes rows
+    // (~1.6B at 100 TB / 64 KiB) — both sides are already keyed by
+    // object id, so this is a co-keyed shuffle join; AQE may still
+    // broadcast it at small scale.
+    l0Overlay.join(l1Assign, col("object_id") === col("__l0_id"))
+      .groupBy(col("__l1_id").as("object_id"), col("partition"))
+      .agg(min("base_offset").as("base_offset"), max("last_offset").as("last_offset"),
+        sum("bytes").as("bytes"), sum("n_batches").as("n_batches"))
+  }
+
+  /**
+   * The MVCC overlay-entry log across one reconciliation epoch: L0
+   * extents live [l0AddedAt, version), their L1 replacements
+   * [version, ∞) — `dl_stm_state::push_overlay` at `version` plus the
+   * removal marks on the superseded entries. Snapshots before `version`
+   * see L0; at/after see L1; both cover identical offsets (the
+   * invariant `ct_dl_snapshot` pins).
+   */
+  def reconcileLog(l0Overlay: DataFrame, l1Bytes: Long, l0AddedAt: Long,
+      version: Long): DataFrame = {
+    require(version > l0AddedAt,
+      "reconciliation version must advance past the L0 epoch (dl_version_monotonic_invariant)")
+    val l0 = l0Overlay
+      .withColumn("added_at", lit(l0AddedAt))
+      .withColumn("removed_at", lit(version))
+    val l1 = reconcileL1(l0Overlay, l1Bytes)
+      .withColumn("added_at", lit(version))
+      .withColumn("removed_at", lit(null).cast("long"))
+    l0.unionByName(l1)
+  }
+
+  /**
+   * `dl_stm_state::lower_bound`: per probe (partition, probe_offset),
+   * the overlay containing the offset — or, when the offset falls in a
+   * gap, the overlay covering the next closest AVAILABLE offset. Among
+   * extents with `last_offset >= probe`, the one with the smallest
+   * base_offset wins. Probes broadcast against the bounded overlay
+   * metadata; no data object is opened.
+   */
+  def lowerBound(overlayDf: DataFrame, probes: DataFrame): DataFrame =
+    overlayDf.join(broadcast(probes), Seq("partition"))
+      .where(col("last_offset") >= col("probe_offset"))
+      .groupBy("partition", "probe_offset")
+      .agg(min(struct(col("base_offset"), col("last_offset"), col("object_id")))
+        .as("__best"))
+      .select(col("partition"), col("probe_offset"),
+        col("__best.object_id").as("object_id"),
+        col("__best.base_offset").as("base_offset"),
+        col("__best.last_offset").as("last_offset"))
 }

@@ -391,6 +391,37 @@ class LogEngineSpec extends SparkSpec {
     assert(need === Set(1L, 2L))
   }
 
+  test("dl_stm MVCC: reconciliation swaps L0 for L1 extents; snapshots stay offset-identical") {
+    val log = Seq(
+      (0, 0L, 1L), (1, 0L, 2L), (0, 1L, 3L),
+      (1, 1L, 4L), (0, 2L, 5L), (1, 2L, 6L))
+      .toDF("partition", "offset", "arrival")
+      .withColumn("sz", lit(100L))
+    val packed = CloudTopics.packL0(log, col("arrival"), col("sz"), objectBytes = 250L)
+    val l0 = CloudTopics.overlay(packed, col("sz"))   // objects 0,1,2
+    val mvcc = CloudTopics.reconcileLog(l0, l1Bytes = 600L, l0AddedAt = 1L, version = 2L)
+    def snapAgg(v: Long) = CloudTopics.snapshotAt(mvcc, v)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("base_offset").as("lo"),
+        max("last_offset").as("hi"), sum("bytes").as("b"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val v1 = snapAgg(1L)
+    val v2 = snapAgg(2L)
+    // same coverage, fewer extents: all 600 bytes fit one L1 object
+    assert(v1 === Set((0, 2L, 0L, 2L, 300L), (1, 3L, 0L, 2L, 300L)))
+    assert(v2 === Set((0, 1L, 0L, 2L, 300L), (1, 1L, 0L, 2L, 300L)))
+    // lower_bound on v2: offset in range resolves; past-end probe is absent
+    val probes = Seq((1, 1L), (1, 99L)).toDF("partition", "probe_offset")
+    val lb = CloudTopics.lowerBound(CloudTopics.snapshotAt(mvcc, 2L), probes)
+      .select("partition", "probe_offset", "object_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(lb === Set((1, 1L, 0L)))
+    // monotonic-version invariant (dl_version_monotonic_invariant)
+    intercept[IllegalArgumentException] {
+      CloudTopics.reconcileLog(l0, 600L, l0AddedAt = 2L, version = 2L)
+    }
+  }
+
   test("archive retention sweeps the cold tier; a fully-aged tier empties cleanly") {
     val tmp = java.nio.file.Files.createTempDirectory("tiered_ret").toString
     val log = (0L until 100L).map(i => ((i % 2).toInt, i / 2, i * 10, s"v$i"))
