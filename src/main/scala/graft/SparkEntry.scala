@@ -2347,6 +2347,72 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "d6_iceberg_rename_drop" -> ((s, dir) => {
+      // Column rename + drop on the real v2 metadata (iceberg/
+      // compatibility.cc struct evolution): field ids carry identity, so
+      // files written before the rename surface under the NEW name, and
+      // a dropped column disappears from reads while its id is retired.
+      // Both halves of the data land in one aggregate under the renamed
+      // column — the oracle sees plain events.
+      val t = java.nio.file.Files.createTempDirectory("graft_icern").toString + "/t"
+      val ev = events(s, dir)
+      val base = ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      graft.streaming.IcebergFormat.commit(
+        base.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.renameColumn(s, t, "event_type", "kind")
+      graft.streaming.IcebergFormat.commit(
+        base.where(pmod(col("event_id"), lit(2)) === 1)
+          .withColumnRenamed("event_type", "kind"), col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.dropColumn(s, t, "user_id")
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("kind")
+    }),
+
+    "d6_iceberg_schema_history" -> ((s, dir) => {
+      // The schema-generation catalog after rename + drop + re-add: ids
+      // never reused (the re-added name gets a fresh id), every
+      // generation retained, current marked. Oracle pins the full
+      // history table.
+      val t = java.nio.file.Files.createTempDirectory("graft_icehist").toString + "/t"
+      val ev = events(s, dir).limit(64)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      graft.streaming.IcebergFormat.commit(ev, col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.renameColumn(s, t, "event_type", "kind")
+      graft.streaming.IcebergFormat.dropColumn(s, t, "user_id")
+      graft.streaming.IcebergFormat.commit(
+        ev.withColumnRenamed("event_type", "kind").drop("user_id")
+          .withColumn("user_id", concat(lit("u"), col("event_id") % 3)),
+        col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.schemaHistory(s, t)
+        .orderBy("schema_id", "field_id")
+    }),
+
+    "d6_iceberg_spec_evolution" -> ((s, dir) => {
+      // Partition-spec evolution (iceberg/transform.h): the first half
+      // lands under the hour layout, the spec evolves to day(ts), the
+      // second half lands under day dirs — one table, two live layouts,
+      // readers scan both. Output: rows and id-sum per layout
+      // (distinguished by the p_key shape).
+      val t = java.nio.file.Files.createTempDirectory("graft_icspec").toString + "/t"
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      graft.streaming.IcebergFormat.commit(
+        ev.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t)
+      graft.streaming.IcebergFormat.evolveSpec(s, t, "day", "ts")
+      graft.streaming.IcebergFormat.commit(
+        ev.where(pmod(col("event_id"), lit(2)) === 1), col("ts"), t)
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .groupBy(length(col("p_key")).as("layout_len"))
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
+          countDistinct("p_key").as("n_partitions"))
+        .orderBy("layout_len")
+    }),
+
     "d6_iceberg_eq_deletes" -> ((s, dir) => {
       // Equality deletes, the CDC/upsert flavor: delete-by-key the
       // user_id % 10 = 4 cohort (no data scan at delete time), then
@@ -4556,6 +4622,45 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_value,
         |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id END) AS BIGINT) AS sum_id_with_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Rename is metadata-only: every row (both halves) aggregates under
+    // the new name; the dropped column never surfaces.
+    "d6_iceberg_rename_drop" ->
+      """SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Field ids carry identity: rename keeps id 3, drop retires id 2,
+    // the re-added user_id gets fresh id 5. Every generation retained.
+    "d6_iceberg_schema_history" ->
+      """SELECT * FROM (VALUES
+        |  (0, 1, 'event_id',   FALSE, 'long',        FALSE),
+        |  (0, 2, 'user_id',    FALSE, 'long',        FALSE),
+        |  (0, 3, 'event_type', FALSE, 'string',      FALSE),
+        |  (0, 4, 'ts',         FALSE, 'timestamptz', FALSE),
+        |  (1, 1, 'event_id',   FALSE, 'long',        FALSE),
+        |  (1, 2, 'user_id',    FALSE, 'long',        FALSE),
+        |  (1, 3, 'kind',       FALSE, 'string',      FALSE),
+        |  (1, 4, 'ts',         FALSE, 'timestamptz', FALSE),
+        |  (2, 1, 'event_id',   FALSE, 'long',        FALSE),
+        |  (2, 3, 'kind',       FALSE, 'string',      FALSE),
+        |  (2, 4, 'ts',         FALSE, 'timestamptz', FALSE),
+        |  (3, 1, 'event_id',   FALSE, 'long',        TRUE),
+        |  (3, 3, 'kind',       FALSE, 'string',      TRUE),
+        |  (3, 4, 'ts',         FALSE, 'timestamptz', TRUE),
+        |  (3, 5, 'user_id',    FALSE, 'string',      TRUE))
+        | t(schema_id, field_id, name, required, type, is_current)
+        | ORDER BY schema_id, field_id""".stripMargin,
+
+    // Two live layouts: even ids under hour dirs (p_key length 13), odd
+    // under day dirs (length 10) after the spec evolved.
+    "d6_iceberg_spec_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 13 ELSE 10 END AS layout_len,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(count(DISTINCT CASE WHEN event_id % 2 = 0
+        |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H')
+        |    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END) AS BIGINT) AS n_partitions
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_iceberg_eq_deletes" ->

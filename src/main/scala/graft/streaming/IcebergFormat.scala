@@ -72,13 +72,69 @@ object IcebergFormat {
       case c => c.toString
     } + "\""
 
-  /** Iceberg schema JSON: fields get ids 1..n in declaration order. */
-  private def schemaJson(schema: StructType): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id": ${i + 1}, "name": ${jsonStr(f.name)}, "required": ${!f.nullable}, "type": ${jsonStr(icebergType(f.dataType))}}"""
-    }
-    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+  // ---------------------------------------- schema & spec history model
+
+  /** One schema field: `id` is the PERMANENT identity (Iceberg's
+    * ids-never-reused rule — renames keep it, drops retire it). */
+  final case class IceField(id: Int, name: String, required: Boolean, tpe: String) {
+    def sparkField: StructField = StructField(name, sparkTypeOf(tpe), nullable = !required)
   }
+  final case class IceSchema(schemaId: Int, fields: Seq[IceField])
+
+  /** Single-partition-field spec: p_key = transform(source field). The
+    * transform vocabulary is `iceberg/transform.h:16-37` (identity /
+    * bucket / truncate / year / month / day / hour / void). */
+  final case class IceSpec(specId: Int, transform: String, sourceId: Int)
+
+  private def sparkTypeOf(t: String): DataType = t match {
+    case "long" => LongType
+    case "int" => IntegerType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "boolean" => BooleanType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case _ => StringType
+  }
+
+  private def schemaJsonOf(s: IceSchema): String = {
+    val fields = s.fields.map { f =>
+      s"""{"id": ${f.id}, "name": ${jsonStr(f.name)}, "required": ${f.required}, "type": ${jsonStr(f.tpe)}}"""
+    }
+    s"""{"type": "struct", "schema-id": ${s.schemaId}, "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  /** Iceberg schema history from a Spark schema (fresh table: one
+    * generation, ids 1..n in declaration order). */
+  private def initialSchema(schema: StructType): IceSchema =
+    IceSchema(0, schema.fields.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, !f.nullable, icebergType(f.dataType))
+    }.toSeq)
+
+  private def parseSchemas(json: String): (Seq[IceSchema], Int) = {
+    val root = mapper.readTree(json)
+    val schemas = root.path("schemas").elements().asScala.toSeq.map { s =>
+      IceSchema(s.path("schema-id").asInt(0),
+        s.path("fields").elements().asScala.toSeq.map(f =>
+          IceField(f.path("id").asInt, f.path("name").asText,
+            f.path("required").asBoolean, f.path("type").asText)))
+    }
+    (schemas, root.path("current-schema-id").asInt(0))
+  }
+
+  private def parseSpecs(json: String): (Seq[IceSpec], Int) = {
+    val root = mapper.readTree(json)
+    val specs = root.path("partition-specs").elements().asScala.toSeq.map { s =>
+      val f = s.path("fields").path(0)
+      IceSpec(s.path("spec-id").asInt(0), f.path("transform").asText("identity"),
+        f.path("source-id").asInt(1))
+    }
+    (specs, root.path("default-spec-id").asInt(0))
+  }
+
+  private def lastColumnIdOf(json: String): Int =
+    mapper.readTree(json).path("last-column-id").asInt(0)
 
   // ------------------------------------------------------------- avro io
 
@@ -188,7 +244,7 @@ object IcebergFormat {
 
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
       manifestList: String, addedRows: Long, op: String = "append",
-      sourceBatchId: Option[Long] = None)
+      sourceBatchId: Option[Long] = None, schemaId: Int = 0)
 
   /** Parse the snapshots array out of the metadata JSON. */
   private def parseSnapshots(json: String): Seq[SnapshotInfo] =
@@ -200,12 +256,26 @@ object IcebergFormat {
         s.path("manifest-list").asText,
         s.path("summary").path("added-rows").asText("0").toLong,
         s.path("summary").path("operation").asText("append"),
-        if (bid.isMissingNode) None else Some(bid.asText.toLong))
+        if (bid.isMissingNode) None else Some(bid.asText.toLong),
+        s.path("schema-id").asInt(0))
     }
 
   private def writeMetadataJson(fs: FileSystem, table: String, v: Int,
       schema: StructType, snaps: Seq[SnapshotInfo], uuid: String,
-      partitionField: String): Unit = {
+      partitionField: String): Unit =
+    writeMetadataJsonFull(fs, table, v, Seq(initialSchema(schema)), 0,
+      Seq(IceSpec(0, "identity", schema.fieldIndex(partitionField) + 1)), 0,
+      schema.fields.length, snaps, uuid)
+
+  /** Write the full format-v2 metadata file: schema and partition-spec
+    * HISTORIES (current/default ids select the live generation — the
+    * evolution model of `iceberg/compatibility.cc` / `transform.h`),
+    * plus the snapshot list, each snapshot stamped with the schema-id it
+    * was committed under. */
+  private def writeMetadataJsonFull(fs: FileSystem, table: String, v: Int,
+      schemas: Seq[IceSchema], currentSchemaId: Int,
+      specs: Seq[IceSpec], defaultSpecId: Int, lastColumnId: Int,
+      snaps: Seq[SnapshotInfo], uuid: String): Unit = {
     val now = System.currentTimeMillis()
     val current = snaps.lastOption.map(_.snapshotId).getOrElse(-1L)
     val lastSeq = snaps.lastOption.map(_.sequenceNumber).getOrElse(0L)
@@ -215,10 +285,14 @@ object IcebergFormat {
       s"""{"snapshot-id": ${s.snapshotId}, "sequence-number": ${s.sequenceNumber},
          |     "timestamp-ms": $now, "manifest-list": ${jsonStr(s.manifestList)},
          |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"$bid},
-         |     "schema-id": 0}""".stripMargin
+         |     "schema-id": ${s.schemaId}}""".stripMargin
     }.mkString("[", ", ", "]")
     val logJson = snaps.map(s => s"""{"timestamp-ms": $now, "snapshot-id": ${s.snapshotId}}""")
       .mkString("[", ", ", "]")
+    val specJson = specs.map { sp =>
+      s"""{"spec-id": ${sp.specId}, "fields": [
+         |    {"name": "p_key", "transform": ${jsonStr(sp.transform)}, "source-id": ${sp.sourceId}, "field-id": 1000}]}""".stripMargin
+    }.mkString("[", ", ", "]")
     val refs =
       if (current >= 0) s"""{"main": {"snapshot-id": $current, "type": "branch"}}"""
       else "{}"
@@ -229,12 +303,11 @@ object IcebergFormat {
          |  "location": ${jsonStr(table)},
          |  "last-sequence-number": $lastSeq,
          |  "last-updated-ms": $now,
-         |  "last-column-id": ${schema.fields.length},
-         |  "current-schema-id": 0,
-         |  "schemas": [${schemaJson(schema)}],
-         |  "default-spec-id": 0,
-         |  "partition-specs": [{"spec-id": 0, "fields": [
-         |    {"name": "p_key", "transform": "identity", "source-id": ${schema.fieldIndex(partitionField) + 1}, "field-id": 1000}]}],
+         |  "last-column-id": $lastColumnId,
+         |  "current-schema-id": $currentSchemaId,
+         |  "schemas": [${schemas.map(schemaJsonOf).mkString(", ")}],
+         |  "default-spec-id": $defaultSpecId,
+         |  "partition-specs": $specJson,
          |  "last-partition-id": 1000,
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id": 0, "fields": []}],
@@ -291,37 +364,71 @@ object IcebergFormat {
     val uuid = priorJson.flatMap(jsonStrField(_, "table-uuid"))
       .getOrElse(java.util.UUID.randomUUID().toString)
     // Schema evolution gate (catalog_schema_manager.cc / iceberg/
-    // compatibility.cc): the batch schema must be a SUPERSET of the
-    // table's — prior columns in the same positions with identical
-    // types (field ids are positional, so prefix identity preserves
-    // every existing id — Iceberg's ids-never-reused rule), appended
-    // columns optional (old rows cannot supply a required value).
-    // Anything else (drop, rename, retype) is an incompatible evolution.
-    priorJson.foreach { pj =>
-      val prior = mapper.readTree(pj).path("schemas").path(0).path("fields")
-        .elements().asScala.map(f =>
-          (f.path("name").asText, f.path("type").asText)).toSeq
-      val cur = df.schema.fields.toSeq
-      require(cur.length >= prior.length,
-        s"incompatible evolution: cannot drop columns (table has ${prior.map(_._1)})")
-      prior.zip(cur).foreach { case ((pn, pt), f) =>
-        require(pn == f.name && pt == icebergType(f.dataType),
-          s"incompatible evolution: column $pn:$pt became ${f.name}:${icebergType(f.dataType)}")
+    // compatibility.cc): columns match the CURRENT schema generation BY
+    // NAME — every live column must arrive with an identical type
+    // (retype is incompatible; a missing column means a drop, which must
+    // go through dropColumn, not a write); extra batch columns are an
+    // add-column evolution: they get fresh field ids (ids are never
+    // reused) and a new schema generation, recorded OPTIONAL regardless
+    // of inferred nullability (old rows cannot supply a value).
+    val (priorSchemas, priorCurId) = priorJson.map(parseSchemas)
+      .getOrElse((Seq.empty[IceSchema], 0))
+    val priorCur = priorSchemas.find(_.schemaId == priorCurId)
+    val priorLastCol = priorJson.map(lastColumnIdOf).getOrElse(0)
+    priorCur.foreach { cur =>
+      val batchTypes = df.schema.fields.map(f => f.name -> icebergType(f.dataType)).toMap
+      cur.fields.foreach { f =>
+        val bt = batchTypes.getOrElse(f.name, throw new IllegalArgumentException(
+          s"incompatible evolution: column ${f.name} missing from batch (drop must go through dropColumn)"))
+        require(bt == f.tpe,
+          s"incompatible evolution: column ${f.name}:${f.tpe} became ${f.name}:$bt")
       }
     }
-    // Appended columns are recorded OPTIONAL regardless of the batch
-    // schema's inferred nullability — old rows cannot supply a value, so
-    // Iceberg's union-by-name evolution always adds fields as optional.
-    val priorLen = priorJson.map(pj =>
-      mapper.readTree(pj).path("schemas").path(0).path("fields").size).getOrElse(0)
+    val appended = priorCur match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val live = cur.fields.map(_.name).toSet
+        df.schema.fields.toSeq.filterNot(f => live.contains(f.name))
+    }
+    val (schemas, curSchemaId, lastColId) = priorCur match {
+      case None =>
+        val s0 = initialSchema(df.schema)
+        (Seq(s0), 0, s0.fields.map(_.id).maxOption.getOrElse(0))
+      case Some(cur) if appended.isEmpty => (priorSchemas, priorCurId, priorLastCol)
+      case Some(cur) =>
+        val newFields = appended.zipWithIndex.map { case (f, i) =>
+          IceField(priorLastCol + 1 + i, f.name, required = false, icebergType(f.dataType))
+        }
+        val next = IceSchema(priorSchemas.map(_.schemaId).max + 1, cur.fields ++ newFields)
+        (priorSchemas :+ next, next.schemaId, priorLastCol + newFields.size)
+    }
+    val curFields = schemas.find(_.schemaId == curSchemaId).get.fields
+    // Partition spec: a fresh table records spec 0 (identity over the
+    // first column, the legacy layout — p_key actually comes from
+    // partFn); after evolveSpec, the DEFAULT spec's named transform over
+    // its source field drives the layout of every subsequent write.
+    val (specs, specId) = priorJson.map(parseSpecs).getOrElse(
+      (Seq(IceSpec(0, "identity", 1)), 0))
+    val pKeyCol =
+      if (specId == 0) partFn(tsCol)
+      else {
+        val sp = specs.find(_.specId == specId).get
+        val srcName = curFields.find(_.id == sp.sourceId).getOrElse(
+          throw new IllegalStateException(
+            s"partition source field id ${sp.sourceId} dropped from schema")).name
+        applyTransform(sp.transform, col(srcName))
+      }
     val snapId = priorSnaps.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = priorSnaps.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
 
     // 1. data files, clustered by partition, under a per-snapshot dir so
-    // a crashed retry can clear its own orphans (see Datalake.commit)
+    // a crashed retry can clear its own orphans (see Datalake.commit).
+    // Columns are written in SCHEMA order, so every file of one schema
+    // generation has one layout.
     val snapData = new Path(s"${dataDir(table)}/snap=$snapId")
     if (fs.exists(snapData)) fs.delete(snapData, true)
-    val out = df.withColumn("p_key", partFn(tsCol))
+    val out = df.select(curFields.map(f => col(f.name)): _*)
+      .withColumn("p_key", pKeyCol)
     out.repartition(col("p_key"))
       .write.mode("overwrite").partitionBy("p_key").parquet(snapData.toString)
 
@@ -365,7 +472,7 @@ object IcebergFormat {
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
     mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", specId)
     mf.put("content", 0)
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number", seq)
@@ -379,16 +486,128 @@ object IcebergFormat {
     val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
     writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
 
-    // 4. metadata.json + version hint (appended columns forced optional)
-    val rawSchema = out.drop("p_key").schema
-    val schema = StructType(rawSchema.fields.zipWithIndex.map { case (f, i) =>
-      if (priorLen > 0 && i >= priorLen) f.copy(nullable = true) else f
-    })
-    writeMetadataJson(fs, table, prior.map(_ + 1).getOrElse(1), schema,
+    // 4. metadata.json + version hint — schema/spec histories carried
+    // forward, the snapshot stamped with the schema generation it was
+    // committed under
+    writeMetadataJsonFull(fs, table, prior.map(_ + 1).getOrElse(1),
+      schemas, curSchemaId, specs, specId, lastColId,
       priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
-        sourceBatchId = sourceBatchId),
-      uuid, schema.fields.head.name)
+        sourceBatchId = sourceBatchId, schemaId = curSchemaId),
+      uuid)
     snapId
+  }
+
+  // ---------------------------------------------------- schema evolution
+
+  /** Rename a column (`iceberg/compatibility.cc` struct evolution):
+    * metadata-only — a new schema generation where the field keeps its
+    * PERMANENT id under the new name. Data files are untouched; reads
+    * align them by field id. Returns the new schema id. */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Int =
+    evolveSchema(spark, table, s"rename $from -> $to") { cur =>
+      require(cur.fields.exists(_.name == from), s"no column $from")
+      require(!cur.fields.exists(_.name == to), s"column $to already exists")
+      cur.fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    }
+
+  /** Drop a column: metadata-only — the field id is retired (never
+    * reused); data files still carry the bytes, readers stop projecting
+    * them. Returns the new schema id. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int =
+    evolveSchema(spark, table, s"drop $name") { cur =>
+      require(cur.fields.exists(_.name == name), s"no column $name")
+      val remaining = cur.fields.filterNot(_.name == name)
+      require(remaining.nonEmpty, "cannot drop the last column")
+      remaining
+    }
+
+  private def evolveSchema(spark: SparkSession, table: String, what: String)(
+      change: IceSchema => Seq[IceField]): Int = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val (schemas, curId) = parseSchemas(json)
+    val cur = schemas.find(_.schemaId == curId).getOrElse(
+      throw new IllegalStateException(s"current schema $curId missing"))
+    val (specs, specId) = parseSpecs(json)
+    val next = IceSchema(schemas.map(_.schemaId).max + 1, change(cur))
+    // the default spec's source must survive (Iceberg refuses to drop a
+    // field an active partition spec references)
+    specs.find(_.specId == specId).foreach { sp =>
+      require(specId == 0 || next.fields.exists(_.id == sp.sourceId),
+        s"cannot $what: field id ${sp.sourceId} drives the default partition spec")
+    }
+    writeMetadataJsonFull(fs, table, v + 1, schemas :+ next, next.schemaId,
+      specs, specId, lastColumnIdOf(json), parseSnapshots(json),
+      jsonStrField(json, "table-uuid").get)
+    next.schemaId
+  }
+
+  /**
+   * Partition-spec evolution (`iceberg/transform.h`: specs are
+   * versioned; each manifest records the spec its files were written
+   * under): append a new default spec — `transform` over
+   * `sourceField` — used by every subsequent write. Existing data keeps
+   * its old layout (old manifests carry their old spec id); readers
+   * scan both, exactly Iceberg's mixed-spec table state. Returns the
+   * new spec id.
+   */
+  def evolveSpec(spark: SparkSession, table: String, transform: String,
+      sourceField: String): Int = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val (schemas, curId) = parseSchemas(json)
+    val cur = schemas.find(_.schemaId == curId).get
+    val src = cur.fields.find(_.name == sourceField).getOrElse(
+      throw new IllegalArgumentException(s"no column $sourceField"))
+    val _ = applyTransform(transform, col(sourceField)) // vocabulary check
+    val (specs, _) = parseSpecs(json)
+    val next = IceSpec(specs.map(_.specId).max + 1, transform, src.id)
+    writeMetadataJsonFull(fs, table, v + 1, schemas, curId,
+      specs :+ next, next.specId, lastColumnIdOf(json), parseSnapshots(json),
+      jsonStrField(json, "table-uuid").get)
+    next.specId
+  }
+
+  /** The `transform.h:16-37` vocabulary as partition-value columns
+    * (string-typed, human-readable — the p_key directory value).
+    * `bucket[N]` uses Spark's murmur3 hash (NOT byte-identical to
+    * Iceberg's murmur3 bucketing — same distribution contract, different
+    * seed/byte layout; this engine both writes and reads its own
+    * layout). */
+  def applyTransform(transform: String, c: Column): Column = {
+    val Bucket = """bucket\[(\d+)\]""".r
+    val Truncate = """truncate\[(\d+)\]""".r
+    transform match {
+      case "identity" => c.cast("string")
+      case "hour" => date_format(c, "yyyy-MM-dd-HH")
+      case "day" => date_format(c, "yyyy-MM-dd")
+      case "month" => date_format(c, "yyyy-MM")
+      case "year" => date_format(c, "yyyy")
+      case "void" => lit("null")
+      case Bucket(n) => pmod(hash(c), lit(n.toInt)).cast("string")
+      case Truncate(w) => when(c.cast("string").isNull, lit(null))
+        .otherwise(substring(c.cast("string"), 1, w.toInt))
+      case other => throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+  }
+
+  /** Schema history view: one row per (schema_id, field) generation,
+    * plus the current marker — the catalog surface of the evolution
+    * model. */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val (schemas, curId) = parseSchemas(json)
+    schemas.flatMap(s => s.fields.map(f =>
+      (s.schemaId, f.id, f.name, f.required, f.tpe, s.schemaId == curId)))
+      .toDF("schema_id", "field_id", "name", "required", "type", "is_current")
   }
 
   /**
@@ -505,28 +724,15 @@ object IcebergFormat {
     expire.map(_.snapshotId)
   }
 
-  /** Rewrite metadata keeping a snapshot subset (schema/spec copied from
-    * the prior version by re-parsing its schema fields). */
+  /** Rewrite metadata keeping a snapshot subset; the schema and
+    * partition-spec HISTORIES are copied verbatim from the prior
+    * version (a snapshot operation never mutates them). */
   private def writeMetadataJsonKeeping(fs: FileSystem, table: String, v: Int,
       priorJson: String, keep: Seq[SnapshotInfo], uuid: String): Unit = {
-    // recover the Spark schema from the prior metadata's field list
-    val root = mapper.readTree(priorJson)
-    val fields = root.path("schemas").path(0).path("fields").elements().asScala.map { f =>
-      val dt = f.path("type").asText match {
-        case "long" => LongType
-        case "int" => IntegerType
-        case "double" => DoubleType
-        case "float" => FloatType
-        case "boolean" => BooleanType
-        case "binary" => BinaryType
-        case "date" => DateType
-        case "timestamptz" => TimestampType
-        case _ => StringType
-      }
-      StructField(f.path("name").asText, dt, nullable = !f.path("required").asBoolean)
-    }.toSeq
-    val partitionField = fields.headOption.map(_.name).getOrElse("id")
-    writeMetadataJson(fs, table, v, StructType(fields), keep, uuid, partitionField)
+    val (schemas, curId) = parseSchemas(priorJson)
+    val (specs, specId) = parseSpecs(priorJson)
+    writeMetadataJsonFull(fs, table, v, schemas, curId, specs, specId,
+      lastColumnIdOf(priorJson), keep, uuid)
   }
 
   // ------------------------------------------------------------- reading
@@ -567,19 +773,30 @@ object IcebergFormat {
     val fs = fsOf(spark, table)
     val v = currentVersion(fs, table).getOrElse(
       throw new IllegalStateException(s"no iceberg metadata at $table"))
-    val snaps = parseSnapshots(readMetadataJson(fs, table, v))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
     val chosen = snapshotId match {
       case Some(id) => snaps.find(_.snapshotId == id).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot $id not found at $table (expired or never committed)"))
       case None => snaps.lastOption.getOrElse(return spark.emptyDataFrame)
     }
+    val (schemas, curIdNow) = parseSchemas(json)
+    // time travel reads with the snapshot's OWN schema generation (the
+    // Iceberg contract); the live read uses the current one
+    val targetId = snapshotId.map(_ => chosen.schemaId).getOrElse(curIdNow)
+    val target = schemas.find(_.schemaId == targetId)
+      .orElse(schemas.lastOption).getOrElse(return spark.emptyDataFrame)
+    val genOf: Long => Int =
+      snaps.map(s => s.snapshotId -> s.schemaId).toMap.getOrElse(_, 0)
     // manifest-list `content` (field-id 517) splits data manifests (0)
     // from delete manifests (1); inside a delete manifest,
     // data_file.content distinguishes position (1) from equality (2)
     // delete files — the two v2 row-level delete flavors
     val manifestRecs = readAvro(fs, new Path(chosen.manifestList), ManifestFileSchema)
-    def entriesOf(content: Int): Seq[(String, Int, Long)] = manifestRecs
+    // (path, content, seq, adding snapshot) — the adder's schema
+    // generation governs the file's column names
+    def entriesOf(content: Int): Seq[(String, Int, Long, Long)] = manifestRecs
       .filter(_.get("content").asInstanceOf[Int] == content)
       .map(_.get("manifest_path").toString)
       .flatMap(m => readAvro(fs, new Path(m), ManifestEntrySchema)
@@ -587,66 +804,93 @@ object IcebergFormat {
         .map { e =>
           val d = e.get("data_file").asInstanceOf[GenericRecord]
           (d.get("file_path").toString, d.get("content").asInstanceOf[Int],
-            Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L))
+            Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+            Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L))
         })
     val dataEntries = entriesOf(0)
     val delEntries = entriesOf(1)
     val posDeleteFiles = delEntries.filter(_._2 == 1).map(_._1)
-    val eqDeleteFiles = delEntries.filter(_._2 == 2) // (path, _, seq)
-    if (dataEntries.isEmpty) spark.emptyDataFrame
+    val eqDeleteFiles = delEntries.filter(_._2 == 2) // (path, _, seq, snap)
+    val withDeletes = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
+    if (dataEntries.isEmpty) return spark.emptyDataFrame
+
+    // Aligned read: files group by the schema generation that wrote
+    // them; each group projects to the TARGET generation BY FIELD ID —
+    // renamed fields surface under their target name, dropped ids are
+    // not selected, ids the group predates become nulls. One planned
+    // scan per live generation (bounded), unioned. basePath
+    // reconstitutes the partition columns (snap, p_key) from the k=v
+    // path segments — Iceberg readers likewise materialize partition
+    // values from metadata, not data bytes.
+    def alignedRead(entries: Seq[(String, Int, Long, Long)]): DataFrame =
+      entries.groupBy(e => genOf(e._4)).toSeq.sortBy(_._1).map { case (gid, es) =>
+        val gen = schemas.find(_.schemaId == gid).getOrElse(target)
+        val nameOfId = gen.fields.map(f => f.id -> f.name).toMap
+        val df = spark.read.option("basePath", dataDir(table))
+          .option("mergeSchema", "true")
+          .parquet(es.map(_._1): _*)
+        val meta =
+          if (withDeletes) Seq(col("_metadata.file_path").as("__fp"),
+            col("_metadata.row_index").as("__pos"))
+          else Seq.empty
+        val aligned = target.fields.map { f =>
+          nameOfId.get(f.id) match {
+            case Some(n) if df.columns.contains(n) => col(n).as(f.name)
+            case _ => lit(null).cast(sparkTypeOf(f.tpe)).as(f.name)
+          }
+        }
+        df.select(aligned ++ Seq(col("p_key")) ++ meta: _*)
+      }.reduce(_ unionByName _)
+
+    val base = alignedRead(dataEntries)
+    if (!withDeletes) base
     else {
-      // basePath reconstitutes the partition columns (snap, p_key) from
-      // the k=v path segments — Iceberg readers likewise materialize
-      // partition values from metadata, not from the data file bytes
-      // mergeSchema: after an add-column evolution, older files lack the
-      // appended columns — the merged read surfaces them as nulls (the
-      // Iceberg read contract for added optional fields)
-      val base = spark.read.option("basePath", dataDir(table))
-        .option("mergeSchema", "true")
-        .parquet(dataEntries.map(_._1): _*)
-        .drop("snap")
-      if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) base
-      else {
-        import spark.implicits._
-        var cur = base
-          .withColumn("__fp", col("_metadata.file_path"))
-          .withColumn("__pos", col("_metadata.row_index"))
-        if (posDeleteFiles.nonEmpty) {
-          // position deletes: anti-join (file_path, pos) — the exact v2
-          // application rule. Delete sets are tiny vs the table (AQE
-          // broadcasts them); the data side never shuffles.
-          val dels = spark.read.parquet(posDeleteFiles: _*)
-            .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
-          cur = cur.join(dels,
-            col("__fp") === col("__dfp") && col("__pos") === col("__dpos"), "left_anti")
-        }
-        if (eqDeleteFiles.nonEmpty) {
-          // equality deletes apply only to data files with a STRICTLY
-          // OLDER sequence number (spec: "an equality delete file must be
-          // applied to data files from older commits") — attach each data
-          // file's seq via a bounded (file_path, seq) map, then anti-join
-          // on the key columns with the sequence bound.
-          val seqMap = dataEntries.map { case (p, _, sq) => (p, sq) }
-            .toDF("__sfp", "__seq")
-          cur = cur.join(broadcast(seqMap), col("__fp") === col("__sfp"), "left")
-            .drop("__sfp")
-          // equality_ids are PER FILE: two commits may delete by
-          // different key sets. Group delete files by key-column set and
-          // apply one anti-join per group (a single unionByName across
-          // heterogeneous key schemas would throw at read time).
-          eqDeleteFiles.map { case (p, _, sq) =>
-            spark.read.parquet(p).withColumn("__dseq", lit(sq))
-          }.groupBy(_.columns.filterNot(_ == "__dseq").sorted.toSeq)
-            .foreach { case (keyCols, dfs) =>
-              val keys = dfs.reduce(_ unionByName _)
-              val cond = keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _) &&
-                col("__seq") < col("__dseq")
-              cur = cur.join(keys, cond, "left_anti")
-            }
-          cur = cur.drop("__seq")
-        }
-        cur.drop("__fp", "__pos", "__seq")
+      import spark.implicits._
+      var cur = base
+      if (posDeleteFiles.nonEmpty) {
+        // position deletes: anti-join (file_path, pos) — the exact v2
+        // application rule. Delete sets are tiny vs the table (AQE
+        // broadcasts them); the data side never shuffles.
+        val dels = spark.read.parquet(posDeleteFiles: _*)
+          .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
+        cur = cur.join(dels,
+          col("__fp") === col("__dfp") && col("__pos") === col("__dpos"), "left_anti")
       }
+      if (eqDeleteFiles.nonEmpty) {
+        // equality deletes apply only to data files with a STRICTLY
+        // OLDER sequence number (spec: "an equality delete file must be
+        // applied to data files from older commits") — attach each data
+        // file's seq via a bounded (file_path, seq) map, then anti-join
+        // on the key columns with the sequence bound.
+        val seqMap = dataEntries.map { case (p, _, sq, _) => (p, sq) }
+          .toDF("__sfp", "__seq")
+        cur = cur.join(broadcast(seqMap), col("__fp") === col("__sfp"), "left")
+          .drop("__sfp")
+        // equality_ids are PER FILE: two commits may delete by
+        // different key sets. Group delete files by key-column set and
+        // apply one anti-join per group (a single unionByName across
+        // heterogeneous key schemas would throw at read time). Delete
+        // files name keys under the schema generation of their OWN
+        // snapshot — rename to the target generation by field id first.
+        eqDeleteFiles.map { case (p, _, sq, sid) =>
+          val gen = schemas.find(_.schemaId == genOf(sid)).getOrElse(target)
+          val idOfName = gen.fields.map(f => f.name -> f.id).toMap
+          val tgtOfId = target.fields.map(f => f.id -> f.name).toMap
+          val raw = spark.read.parquet(p)
+          val renamed = raw.select(raw.columns.toSeq.map { c =>
+            col(c).as(idOfName.get(c).flatMap(tgtOfId.get).getOrElse(c))
+          }: _*)
+          renamed.withColumn("__dseq", lit(sq))
+        }.groupBy(_.columns.filterNot(_ == "__dseq").sorted.toSeq)
+          .foreach { case (keyCols, dfs) =>
+            val keys = dfs.reduce(_ unionByName _)
+            val cond = keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _) &&
+              col("__seq") < col("__dseq")
+            cur = cur.join(keys, cond, "left_anti")
+          }
+        cur = cur.drop("__seq")
+      }
+      cur.drop("__fp", "__pos", "__seq")
     }
   }
 
@@ -681,12 +925,13 @@ object IcebergFormat {
       .map(st => (st.getPath, st.getLen, footerRowCount(spark, st.getPath)))
       .filter(_._3 > 0)
     if (delFiles.isEmpty) { fs.delete(delDir, true); return None }
-    // field ids of the key columns in the table schema (ids are 1..n in
-    // declaration order — schemaJson's assignment)
-    val tableFields = mapper.readTree(json).path("schemas").path(0).path("fields")
-      .elements().asScala.map(_.path("name").asText).toSeq
+    // PERMANENT field ids of the key columns, resolved in the CURRENT
+    // schema generation (names may have been renamed since older data
+    // was written — the ids are what survive)
+    val (allSchemas, curSchemaId) = parseSchemas(json)
+    val curFields = allSchemas.find(_.schemaId == curSchemaId).get.fields
     val eqIds = keys.columns.toSeq.map(c =>
-      Integer.valueOf(tableFields.indexOf(c) + 1))
+      Integer.valueOf(curFields.find(_.name == c).map(_.id).getOrElse(0)))
     require(eqIds.forall(_ > 0), s"key columns ${keys.columns.mkString(",")} not in table schema")
     val entrySchema = ManifestEntrySchema
     val dataFileSchema = entrySchema.getField("data_file").schema()
@@ -729,7 +974,8 @@ object IcebergFormat {
     val priorList = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
     writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
     writeMetadataJsonKeeping(fs, table, v + 1, json,
-      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "delete"), uuid)
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "delete",
+        schemaId = curSchemaId), uuid)
     Some(snapId)
   }
 
@@ -824,7 +1070,8 @@ object IcebergFormat {
     val priorList = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
     writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
     writeMetadataJsonKeeping(fs, table, v + 1, json,
-      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "delete"), uuid)
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "delete",
+        schemaId = parseSchemas(json)._2), uuid)
     Some(snapId)
   }
 
@@ -870,10 +1117,19 @@ object IcebergFormat {
     // files. Fold deletes first (out of scope here) or expire them.
     val manifestRecs0 = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
     if (manifestRecs0.exists(_.get("content").asInstanceOf[Int] == 1)) return None
+    // Mixed schema generations among the data files make a raw
+    // re-read-and-rewrite unsafe (renamed columns would misalign) —
+    // like pending deletes, refuse and let the caller compact first.
+    val genBySnap = parseSnapshots(json).map(s => s.snapshotId -> s.schemaId).toMap
     val manifests = manifestRecs0.map(_.get("manifest_path").toString)
-    val entries = manifests.flatMap(m =>
+    val rawEntries = manifests.flatMap(m =>
       readAvro(fs, new Path(m), ManifestEntrySchema)
         .filter(_.get("status").asInstanceOf[Int] != 2))
+    val gens = rawEntries.map(e =>
+      genBySnap.getOrElse(Option(e.get("snapshot_id"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L), 0)).distinct
+    if (gens.length > 1) return None
+    val entries = rawEntries
       .map { e =>
         val d = e.get("data_file").asInstanceOf[GenericRecord]
         val pKey = d.get("partition").asInstanceOf[GenericRecord].get("p_key")
@@ -961,25 +1217,12 @@ object IcebergFormat {
     val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
     writeAvro(fs, listPath, ManifestFileSchema, Seq(mf))
 
-    // metadata: the replace snapshot appended to the log, hint flips last
-    val root = mapper.readTree(json)
-    val fields = root.path("schemas").path(0).path("fields").elements().asScala.map { f =>
-      val dt = f.path("type").asText match {
-        case "long" => LongType
-        case "int" => IntegerType
-        case "double" => DoubleType
-        case "float" => FloatType
-        case "boolean" => BooleanType
-        case "binary" => BinaryType
-        case "date" => DateType
-        case "timestamptz" => TimestampType
-        case _ => StringType
-      }
-      StructField(f.path("name").asText, dt, nullable = !f.path("required").asBoolean)
-    }.toSeq
-    writeMetadataJson(fs, table, v + 1, StructType(fields),
-      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace"),
-      uuid, fields.headOption.map(_.name).getOrElse("id"))
+    // metadata: the replace snapshot appended to the log, hint flips
+    // last; schema/spec histories are untouched by a rewrite
+    writeMetadataJsonKeeping(fs, table, v + 1, json,
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace",
+        schemaId = gens.headOption.getOrElse(0)),
+      uuid)
     Some(snapId)
   }
 
@@ -1060,8 +1303,11 @@ object IcebergFormat {
     mf.put("deleted_rows_count", 0L)
     val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
     writeAvro(fs, listPath, ManifestFileSchema, Seq(mf))
+    // the rewritten files carry the CURRENT generation's column names
+    // (readSnapshot aligned them) — stamp that generation
     writeMetadataJsonKeeping(fs, table, v + 1, json,
-      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace"), uuid)
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace",
+        schemaId = parseSchemas(json)._2), uuid)
     Some(snapId)
   }
 

@@ -319,4 +319,74 @@ class IcebergFormatSpec extends SparkSpec {
     assert(IcebergFormat.readTable(spark, t).select("id").as[Long].collect().toSet ===
       before ++ Set(100L, 101L, 102L, 103L))
   }
+
+  test("rename: field id survives, old files read under the new name, time travel keeps the old") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    val sid = IcebergFormat.renameColumn(spark, t, "user", "username")
+    assert(sid === 1)
+    // new-name writes commit; old-name writes are refused
+    IcebergFormat.commit(batch(4, 6).withColumnRenamed("user", "username"), col("ts"), t)
+    intercept[IllegalArgumentException] {
+      IcebergFormat.commit(batch(6, 8), col("ts"), t)
+    }
+    val rows = IcebergFormat.readTable(spark, t)
+    assert(rows.columns.contains("username") && !rows.columns.contains("user"))
+    // pre-rename rows surface under the NEW name (id-aligned, not null)
+    assert(rows.where(col("id") < 4 && col("username").isNotNull).count() === 4L)
+    assert(rows.count() === 6L)
+    // time travel to snapshot 1 reads with ITS schema: old name
+    val tt = IcebergFormat.timeTravel(spark, t, 1L)
+    assert(tt.columns.contains("user") && !tt.columns.contains("username"))
+    // history records both generations with the same field id
+    val hist = IcebergFormat.schemaHistory(spark, t)
+      .where(col("field_id") === 2).select("schema_id", "name", "is_current")
+      .as[(Int, String, Boolean)].collect().toSet
+    assert(hist === Set((0, "user", false), (1, "username", true)))
+  }
+
+  test("drop: column disappears from reads; id retired so re-add gets a fresh id") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    IcebergFormat.dropColumn(spark, t, "user")
+    // subsequent batches must not carry the dropped column
+    IcebergFormat.commit(batch(4, 6).drop("user"), col("ts"), t)
+    val rows = IcebergFormat.readTable(spark, t)
+    assert(!rows.columns.contains("user"))
+    assert(rows.count() === 6L)
+    // re-adding a column of the same name is an add-column evolution
+    // with a FRESH field id (ids never reused)
+    IcebergFormat.commit(batch(6, 8).drop("user")
+      .withColumn("user", lit("fresh")), col("ts"), t)
+    val ids = IcebergFormat.schemaHistory(spark, t)
+      .where(col("name") === "user").select("field_id")
+      .as[Int].collect().toSet
+    assert(ids === Set(2, 4)) // 2 retired, 4 fresh (after id 3 = ts)
+    val again = IcebergFormat.readTable(spark, t)
+    // old rows: null; new rows: "fresh"
+    assert(again.where(col("user") === "fresh").count() === 2L)
+    assert(again.where(col("user").isNull).count() === 6L)
+  }
+
+  test("partition-spec evolution: new writes use the new layout, old files keep theirs") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)      // hour layout
+    val spec = IcebergFormat.evolveSpec(spark, t, "day", "ts")
+    assert(spec === 1)
+    IcebergFormat.commit(batch(4, 8), col("ts"), t)      // day layout
+    val rows = IcebergFormat.readTable(spark, t)
+    assert(rows.count() === 8L)
+    val pk = rows.select("id", "p_key").as[(Long, String)].collect().toMap
+    assert(pk(0L).length === "yyyy-MM-dd-HH".length)     // old hour dirs
+    assert(pk(5L).length === "yyyy-MM-dd".length)        // new day dirs
+    // bucket + truncate transforms are part of the vocabulary
+    assert(IcebergFormat.applyTransform("bucket[4]", lit(7L)) != null)
+    intercept[IllegalArgumentException] {
+      IcebergFormat.evolveSpec(spark, t, "spiral", "ts")
+    }
+    // dropping the spec's source column is refused
+    intercept[IllegalArgumentException] {
+      IcebergFormat.dropColumn(spark, t, "ts")
+    }
+  }
 }
