@@ -52,6 +52,37 @@ object SparkEntry {
     if (fanOut && df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Balancer health-report scenario: 7 nodes over 3 racks — node 4
+    * decommissioning, node 6 dead, node 3 over the 0.8 soft disk
+    * ratio; partition b/0 carries a rack-duplicate replica set and f/0
+    * is too large to place anywhere. Shared by the violations and plan
+    * entries (and mirrored in BalancerSpec). */
+  private def balancerNodes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0, "r1", 1000L, 600L, true, false),
+      (1, "r1", 1000L, 300L, true, false),
+      (2, "r2", 1000L, 200L, true, false),
+      (3, "r2", 1000L, 900L, true, false),
+      (4, "r3", 1000L, 400L, true, true),
+      (5, "r3", 1000L, 250L, true, false),
+      (6, "r3", 1000L, 500L, false, false))
+      .toDF("node_id", "rack", "total_bytes", "used_bytes", "available", "decommissioning")
+  }
+
+  private def balancerReplicas(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("a", 0, 0, 100L), ("a", 0, 2, 100L), ("a", 0, 4, 100L),
+      ("b", 0, 0, 200L), ("b", 0, 1, 200L), ("b", 0, 2, 200L),
+      ("c", 0, 3, 400L), ("c", 0, 1, 100L), ("c", 0, 5, 100L),
+      ("c", 1, 3, 250L), ("c", 1, 0, 50L), ("c", 1, 5, 50L),
+      ("d", 0, 3, 200L), ("d", 0, 1, 60L), ("d", 0, 5, 60L),
+      ("e", 0, 6, 120L), ("e", 0, 1, 30L), ("e", 0, 2, 30L),
+      ("f", 0, 6, 900L), ("f", 0, 0, 50L), ("f", 0, 3, 50L))
+      .toDF("topic", "partition", "node_id", "size_bytes")
+  }
+
   /** documents plus planted exact duplicates (doc_id + 1000000,
     * upper-cased text): the corpus has no natural exact dups, so the
     * cleaning pipeline's dedup stage is exercised on constructed clones
@@ -1086,6 +1117,34 @@ object SparkEntry {
         .toDF("seq", "topic", "partition", "op", "targets")
       graft.admin.Admin.partitionReassignments(initial, log)
         .orderBy("partition")
+    }),
+
+    "adm_balancer_violations" -> ((s, dir) => {
+      // Partition balancer violation detection
+      // (partition_balancer_planner.h change_reason): node-scope flags
+      // (decommissioning / unavailable / over the soft disk ratio) plus
+      // rack-constraint duplicates, all declarative DataFrame work over
+      // the health-report tables.
+      import s.implicits._
+      graft.admin.Balancer.violations(balancerNodes(s), balancerReplicas(s), 0.8)
+        // -1/'' sentinels: nullable ints turn float64 in the driver's
+        // pandas hasher (same trap as sec_oidc_auth)
+        .withColumn("node_id", coalesce(col("node_id"), lit(-1)))
+        .withColumn("topic", coalesce(col("topic"), lit("")))
+        .withColumn("partition", coalesce(col("partition"), lit(-1)))
+        .orderBy("kind", "node_id", "topic", "partition")
+    }),
+
+    "adm_balancer_plan" -> ((s, dir) => {
+      // One planner round in the reference's priority order:
+      // decommission drain, dead-node repair (with an unplaceable
+      // 900-byte partition correctly failing), rack repair off the
+      // fullest duplicate, disk shed largest-first — allocation is
+      // rack-diverse, disk-headroom-checked, most-free-bytes,
+      // id-tie-broken. Oracle pins the exact plan.
+      import s.implicits._
+      graft.admin.Balancer.planActions(balancerNodes(s), balancerReplicas(s), 0.8)
+        .orderBy("ord")
     }),
 
     "adm_list_transactions" -> ((s, dir) =>
@@ -2251,6 +2310,81 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    "sr_json_refs" -> ((s, dir) => {
+      // JSON $ref resolution through registry references (json.cc
+      // bundled-schema map ≙ the reference list): person's schema TEXT
+      // never changes between v1 and v2 — only its addr ref re-pins to
+      // a version that REQUIRES zip, so read-compatibility flips purely
+      // through reference resolution, two levels deep for team.
+      import s.implicits._
+      import graft.registry.{SchemaRefs, JsonSchemaCompat}
+      import graft.registry.SchemaRefs.{SchemaRef, StoredSchema}
+      val addr1 = """{"type":"object","properties":{"city":{"type":"string"}}}"""
+      val addr2 =
+        """{"type":"object","properties":{"city":{"type":"string"},
+          |"zip":{"type":"string"}},"required":["zip"]}""".stripMargin
+      val person = // same text for both versions — only the ref moves
+        """{"type":"object","properties":{"name":{"type":"string"},
+          |"home":{"$ref":"addr.json"}}}""".stripMargin
+      val team =
+        """{"type":"object","properties":{"lead":{"$ref":"person.json"}},
+          |"required":["lead"]}""".stripMargin
+      val store: SchemaRefs.Store = Map(
+        ("addr", 1) -> StoredSchema("addr", 1, "JSON", addr1, Nil),
+        ("addr", 2) -> StoredSchema("addr", 2, "JSON", addr2, Nil),
+        ("person", 1) -> StoredSchema("person", 1, "JSON", person,
+          Seq(SchemaRef("addr.json", "addr", 1))),
+        ("person", 2) -> StoredSchema("person", 2, "JSON", person,
+          Seq(SchemaRef("addr.json", "addr", 2))),
+        ("team", 1) -> StoredSchema("team", 1, "JSON", team,
+          Seq(SchemaRef("person.json", "person", 1))),
+        ("team", 2) -> StoredSchema("team", 2, "JSON", team,
+          Seq(SchemaRef("person.json", "person", 2))))
+      def res(sub: String, v: Int) = SchemaRefs.resolveJson(store, sub, v)
+      Seq(
+        ("01_team_selfcontained", !res("team", 1).contains("$ref")),
+        ("02_person_v2_reads_v1",
+          JsonSchemaCompat.canRead(res("person", 2), res("person", 1))),
+        ("03_person_v1_reads_v2",
+          JsonSchemaCompat.canRead(res("person", 1), res("person", 2))),
+        ("04_team_v1_reads_v2",
+          JsonSchemaCompat.canRead(res("team", 1), res("team", 2))),
+        ("05_team_v2_reads_v1",
+          JsonSchemaCompat.canRead(res("team", 2), res("team", 1))))
+        .toDF("case", "compatible").orderBy("case")
+    }),
+
+    "sr_subject_mode" -> ((s, dir) => {
+      // Registry mode store (types.h:45 import/read_only/read_write;
+      // store.h get_mode with global fallback): READONLY refuses the
+      // write BEFORE any compatibility check, IMPORT admits, a cleared
+      // override falls back to the global READWRITE. Oracle pins every
+      // decision.
+      import s.implicits._
+      import graft.registry.SchemaRegistry
+      val modeLog = Seq(
+        (1L, null.asInstanceOf[String], "READWRITE"),
+        (2L, "frozen-value", "READONLY"),
+        (3L, "import-value", "IMPORT"),
+        (8L, "frozen-value", null.asInstanceOf[String]))
+        .toDF("seq", "subject", "mode")
+      def rec(fields: String*) =
+        SchemaRegistry.parseAvro(
+          s"""{"type":"record","name":"R","fields":[${fields.mkString(",")}]}""")
+      val a = """{"name":"a","type":"long"}"""
+      val attempts = Seq(
+        (4L, "a-value", rec(a)),
+        (5L, "frozen-value", rec(a)),                          // readonly
+        (6L, "import-value", rec(a)),                          // import admits
+        (7L, "a-value", rec("""{"name":"a","type":"string"}""")), // incompatible
+        (9L, "frozen-value", rec(a)))                          // post-clear: accepted
+      SchemaRegistry.registerChainWithModes(
+          Nil, SchemaRegistry.modeConfigs(modeLog), attempts)
+        .toDF("seq", "subject", "mode", "level", "outcome", "version")
+        .withColumn("version", coalesce(col("version"), lit(-1)))
+        .orderBy("seq")
+    }),
+
     // ----- §2.7 datalake materialization (real write path) -----
     "d1_materialize" -> ((s, dir) => {
       // Run the record multiplexer for real: route events to per-type
@@ -2394,16 +2528,19 @@ object SparkEntry {
 
     "d6_iceberg_spec_evolution" -> ((s, dir) => {
       // Partition-spec evolution (iceberg/transform.h): the first half
-      // lands under the hour layout, the spec evolves to day(ts), the
-      // second half lands under day dirs — one table, two live layouts,
-      // readers scan both. Output: rows and id-sum per layout
-      // (distinguished by the p_key shape).
+      // lands under the day layout, the spec evolves to month(ts), the
+      // second half lands under month dirs — one table, two live
+      // layouts, readers scan both. Output: rows and id-sum per layout
+      // (distinguished by the p_key shape). Day/month granularity, not
+      // hour: partition count must match data volume (an hour layout at
+      // this row density means hundreds of near-empty files).
       val t = java.nio.file.Files.createTempDirectory("graft_icspec").toString + "/t"
       val ev = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       graft.streaming.IcebergFormat.commit(
-        ev.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t)
-      graft.streaming.IcebergFormat.evolveSpec(s, t, "day", "ts")
+        ev.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      graft.streaming.IcebergFormat.evolveSpec(s, t, "month", "ts")
       graft.streaming.IcebergFormat.commit(
         ev.where(pmod(col("event_id"), lit(2)) === 1), col("ts"), t)
       graft.streaming.IcebergFormat.readTable(s, t)
@@ -3668,6 +3805,30 @@ object SparkEntry {
         |                            ORDER BY commit_seq DESC) = 1
         | ORDER BY "group", partition""".stripMargin,
 
+    // Violations re-derived declaratively; the kinds/ids are fixed by
+    // the scenario tables.
+    "adm_balancer_violations" ->
+      """SELECT * FROM (VALUES
+        |  ('disk_full', 3, '', -1),
+        |  ('node_decommissioning', 4, '', -1),
+        |  ('node_unavailable', 6, '', -1),
+        |  ('rack_constraint', -1, 'b', 0))
+        | t(kind, node_id, topic, partition)
+        | ORDER BY kind, node_id, topic, partition""".stripMargin,
+
+    // The deterministic one-round plan, traced by hand from the
+    // priority order + allocation rule (rack-diverse, disk-headroom,
+    // most-free, lowest-id ties).
+    "adm_balancer_plan" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'a', 0, 4, 5, 'node_decommissioning'),
+        |  (1, 'e', 0, 6, 5, 'node_unavailable'),
+        |  (2, 'f', 0, 6, -1, 'failed'),
+        |  (3, 'b', 0, 0, 5, 'rack_constraint_repair'),
+        |  (4, 'c', 0, 3, 2, 'disk_full'))
+        | t(ord, topic, partition, from_node, to_node, reason)
+        | ORDER BY ord""".stripMargin,
+
     "adm_reassignments" ->
       """WITH init AS (
         |  SELECT 'events' AS topic, CAST(p AS INTEGER) AS partition, '0,1,2' AS replicas
@@ -4515,6 +4676,33 @@ object SparkEntry {
         | t(seq, subject, level, accepted, version)
         | ORDER BY seq""".stripMargin,
 
+    // The ref re-pin flips compatibility with unchanged schema text:
+    // person v2's addr ref requires zip, so v2-reads-v1 fails (a
+    // required reader property the writer never guarantees) while
+    // v1-reads-v2 holds; team inherits both verdicts one $ref deeper.
+    "sr_json_refs" ->
+      """SELECT * FROM (VALUES
+        |  ('01_team_selfcontained', TRUE),
+        |  ('02_person_v2_reads_v1', FALSE),
+        |  ('03_person_v1_reads_v2', TRUE),
+        |  ('04_team_v1_reads_v2', TRUE),
+        |  ('05_team_v2_reads_v1', FALSE))
+        | t("case", compatible) ORDER BY "case"""".stripMargin,
+
+    // Mode precedence: readonly beats the compat check; import admits;
+    // clearing the override falls back to the global READWRITE.
+    "sr_subject_mode" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, subject, mode, level, outcome,
+        |       CAST(version AS INTEGER) AS version
+        | FROM (VALUES
+        |  (4, 'a-value', 'READWRITE', 'BACKWARD', 'accepted', 1),
+        |  (5, 'frozen-value', 'READONLY', 'BACKWARD', 'readonly', -1),
+        |  (6, 'import-value', 'IMPORT', 'BACKWARD', 'accepted', 1),
+        |  (7, 'a-value', 'READWRITE', 'BACKWARD', 'incompatible', -1),
+        |  (9, 'frozen-value', 'READWRITE', 'BACKWARD', 'accepted', 1))
+        | t(seq, subject, mode, level, outcome, version)
+        | ORDER BY seq""".stripMargin,
+
     "d2_record_translation" ->
       s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,
          |        CAST(sum(length(CAST(user_id AS VARCHAR))) AS BIGINT) AS sum_key_len,
@@ -4653,14 +4841,14 @@ object SparkEntry {
         | t(schema_id, field_id, name, required, type, is_current)
         | ORDER BY schema_id, field_id""".stripMargin,
 
-    // Two live layouts: even ids under hour dirs (p_key length 13), odd
-    // under day dirs (length 10) after the spec evolved.
+    // Two live layouts: odd ids under month dirs (p_key length 7) after
+    // the spec evolved, even ids under the original day dirs (length 10).
     "d6_iceberg_spec_evolution" ->
-      """SELECT CASE WHEN event_id % 2 = 0 THEN 13 ELSE 10 END AS layout_len,
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 10 ELSE 7 END AS layout_len,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
         |  CAST(count(DISTINCT CASE WHEN event_id % 2 = 0
-        |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H')
-        |    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END) AS BIGINT) AS n_partitions
+        |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m') END) AS BIGINT) AS n_partitions
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_iceberg_eq_deletes" ->

@@ -1,6 +1,7 @@
 package graft.registry
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
 import org.apache.spark.sql.{DataFrame, Row}
@@ -70,7 +71,13 @@ object SchemaRefs {
    * root last — the shared traversal under both resolvers. Throws on an
    * unknown (subject, version) or a reference cycle.
    */
-  def collect(store: Store, subject: String, version: Int): Seq[StoredSchema] = {
+  def collect(store: Store, subject: String, version: Int): Seq[StoredSchema] =
+    collectNamed(store, subject, version).map(_._2)
+
+  /** [[collect]] keeping each entry's reference NAME (the root under its
+    * subject) — the key both the protobuf import table and the JSON
+    * `$ref` substitution address dependencies by. */
+  def collectNamed(store: Store, subject: String, version: Int): Seq[(String, StoredSchema)] = {
     val out = mutable.LinkedHashMap.empty[String, StoredSchema]
     def go(name: String, sub: String, ver: Int, path: Set[(String, Int)]): Unit = {
       if (!out.contains(name)) {
@@ -83,7 +90,7 @@ object SchemaRefs {
       }
     }
     go(subject, subject, version, Set.empty)
-    out.values.toSeq
+    out.toSeq
   }
 
   /**
@@ -134,4 +141,41 @@ object SchemaRefs {
     SchemaRegistry.AvroChecker.canRead(
       resolveAvro(store, reader._1, reader._2),
       resolveAvro(store, writer._1, writer._2))
+
+  /**
+   * Resolve a JSON schema whose `$ref`s point at other subjects'
+   * schemas (`json.cc:2300-2340` — refs are normalized then resolved
+   * through the bundled-schema map; here the bundle IS the reference
+   * list): every `{"$ref": "<name>"}` node whose name matches a
+   * reference is replaced by that subject's schema, itself resolved
+   * first (deps-first, cycle-checked by [[collect]]). The result is one
+   * self-contained schema string that feeds the existing
+   * [[JsonDecode]]/[[JsonSchemaCompat]] kernels unchanged.
+   */
+  def resolveJson(store: Store, subject: String, version: Int): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val resolved = mutable.LinkedHashMap.empty[String, com.fasterxml.jackson.databind.JsonNode]
+    def subst(node: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = node match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val ref = o.path("$ref")
+        if (ref.isTextual && resolved.contains(ref.asText)) resolved(ref.asText).deepCopy()
+        else {
+          val out = o.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          o.fields().asScala.foreach(e => out.replace(e.getKey, subst(e.getValue)))
+          out
+        }
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val out = a.deepCopy[com.fasterxml.jackson.databind.node.ArrayNode]()
+        out.removeAll()
+        a.elements().asScala.foreach(e => out.add(subst(e)))
+        out
+      case other => other
+    }
+    // collectNamed returns deps first — by the time a schema
+    // substitutes, every schema it can name is already fully resolved
+    collectNamed(store, subject, version).foreach { case (name, s) =>
+      resolved(name) = subst(mapper.readTree(s.schema))
+    }
+    mapper.writeValueAsString(resolved.last._2)
+  }
 }

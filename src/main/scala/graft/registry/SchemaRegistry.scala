@@ -241,6 +241,65 @@ object SchemaRegistry {
     }
   }
 
+  /**
+   * Registry MODE (`types.h:45` — `mode { import, read_only,
+   * read_write }`; per-subject store in `store.h:532-547`
+   * `get_mode(sub, fallback)`): same compacted-config shape as the
+   * compatibility store — a null `subject` sets the GLOBAL mode, a null
+   * `mode` clears the subject override. Default READWRITE (the store's
+   * initial `_mode`). `import` permits registration (it exists to admit
+   * migrated schemas with explicit ids); `read_only` refuses writes.
+   */
+  val Modes: Set[String] = Set("IMPORT", "READONLY", "READWRITE")
+  val DefaultMode: String = "READWRITE"
+
+  def modeConfigs(configLog: DataFrame): Seq[(Long, Option[String], Option[String])] =
+    configLog.select("seq", "subject", "mode").collect().toSeq
+      .map { r =>
+        val m = Option(r.getString(2))
+        m.foreach(v => require(Modes.contains(v), s"unknown mode $v"))
+        (r.getLong(0), Option(r.getString(1)), m)
+      }.sortBy(_._1)
+
+  /** Effective mode for `subject` from config records with
+    * `seq < asOfSeq` — subject override, else global, else READWRITE. */
+  def modeAt(configs: Seq[(Long, Option[String], Option[String])],
+      subject: String, asOfSeq: Long = Long.MaxValue): String = {
+    val visible = configs.filter(_._1 < asOfSeq)
+    val subjectMode = visible.filter(_._2.contains(subject)).lastOption.flatMap(_._3)
+    val globalMode = visible.filter(_._2.isEmpty).lastOption.flatMap(_._3)
+    subjectMode.orElse(globalMode).getOrElse(DefaultMode)
+  }
+
+  /**
+   * [[registerChain]] with the mode gate in front (the order the
+   * reference applies them: a read-only subject refuses the write
+   * before any compatibility check runs). Returns one decision per
+   * attempt: `(seq, subject, mode, level, outcome, version)` with
+   * `outcome` ∈ accepted | readonly | incompatible.
+   */
+  def registerChainWithModes[S](
+      levels: Seq[(Long, Option[String], Option[CompatibilityLevel])],
+      modes: Seq[(Long, Option[String], Option[String])],
+      attempts: Seq[(Long, String, S)])(implicit checker: Checker[S]):
+      Seq[(Long, String, String, String, String, Option[Int])] = {
+    val history = scala.collection.mutable.Map.empty[String, Vector[S]]
+    attempts.sortBy(_._1).map { case (seq, sub, schema) =>
+      val mode = modeAt(modes, sub, seq)
+      val level = levelAt(levels, sub, seq)
+      val levelN = levelName(level)
+      if (mode == "READONLY")
+        (seq, sub, mode, levelN, "readonly", Option.empty[Int])
+      else {
+        val prior = history.getOrElse(sub, Vector.empty)
+        val ok = isCompatible(schema, prior, level)
+        if (ok) history(sub) = prior :+ schema
+        (seq, sub, mode, levelN, if (ok) "accepted" else "incompatible",
+          if (ok) Some(history(sub).length) else None)
+      }
+    }
+  }
+
   /** Validate a version chain under one level; returns first bad index or -1. */
   def validateChain[S](chain: Seq[S], level: CompatibilityLevel)(implicit c: Checker[S]): Int = {
     var i = 1

@@ -84,6 +84,50 @@ class SchemaRefsSpec extends SparkSpec {
     }
   }
 
+  test("json: $ref substitutes the referenced subject's schema, transitively") {
+    val store: SchemaRefs.Store = Map(
+      ("addr", 1) -> StoredSchema("addr", 1, "JSON",
+        """{"type":"object","properties":{"city":{"type":"string"}}}""", Nil),
+      ("person", 1) -> StoredSchema("person", 1, "JSON",
+        """{"type":"object","properties":{"name":{"type":"string"},
+          |"home":{"$ref":"addr.json"}}}""".stripMargin,
+        Seq(SchemaRef("addr.json", "addr", 1))),
+      ("team", 1) -> StoredSchema("team", 1, "JSON",
+        """{"type":"object","properties":{"lead":{"$ref":"person.json"}}}""",
+        Seq(SchemaRef("person.json", "person", 1))))
+    val out = SchemaRefs.resolveJson(store, "team", 1)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    // two levels of substitution: team -> person -> addr
+    assert(node.path("properties").path("lead").path("properties")
+      .path("home").path("properties").path("city").path("type").asText == "string")
+    // an unreferenced $ref is left alone
+    val loose = SchemaRefs.resolveJson(store +
+      (("x", 1) -> StoredSchema("x", 1, "JSON",
+        """{"$ref":"http://example/external"}""", Nil)), "x", 1)
+    assert(loose.contains("example/external"))
+  }
+
+  test("mode gate: read_only refuses before compatibility; import admits") {
+    import SchemaRegistry.structChecker
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("a", LongType, nullable = false)))
+    val modes = SchemaRegistry.modeConfigs(Seq(
+      (1L, "frozen", "READONLY"),
+      (2L, "importing", "IMPORT"),
+      (5L, "frozen", null.asInstanceOf[String])  // clear → global READWRITE
+    ).toDF("seq", "subject", "mode"))
+    assert(SchemaRegistry.modeAt(modes, "anything") == "READWRITE")
+    assert(SchemaRegistry.modeAt(modes, "frozen", 4L) == "READONLY")
+    assert(SchemaRegistry.modeAt(modes, "frozen", 10L) == "READWRITE")
+    val out = SchemaRegistry.registerChainWithModes(Nil, modes, Seq(
+      (3L, "frozen", st), (3L, "importing", st), (10L, "frozen", st)))
+    assert(out.map(o => (o._2, o._5)) === Seq(
+      ("frozen", "readonly"), ("importing", "accepted"), ("frozen", "accepted")))
+    intercept[IllegalArgumentException] {
+      SchemaRegistry.modeConfigs(Seq((1L, "s", "SIDEWAYS")).toDF("seq", "subject", "mode"))
+    }
+  }
+
   test("per-subject levels: override, clear-falls-back, default BACKWARD") {
     val configs = SchemaRegistry.compatibilityConfigs(Seq(
       (1L, null, "FULL_TRANSITIVE"),          // global
