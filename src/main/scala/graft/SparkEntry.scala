@@ -52,6 +52,18 @@ object SparkEntry {
     if (fanOut && df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Recall of `got` against the brute-force truth `bf` (both
+    * (query_id, vec_id) top-k sets): ONE evaluation of each DAG — the
+    * sets are k×queries rows, so collect-and-intersect beats the
+    * count + join + count pattern that re-runs both plans. */
+  private def recallOf(bf: DataFrame, got: DataFrame): (Long, Long) = {
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSet
+    val b = pairs(bf)
+    val g = pairs(got)
+    (b.size.toLong, b.intersect(g).size.toLong)
+  }
+
   /** Balancer health-report scenario: 7 nodes over 3 racks — node 4
     * decommissioning, node 6 dead, node 3 over the 0.8 soft disk
     * ratio; partition b/0 carries a rack-duplicate replica set and f/0
@@ -2990,8 +3002,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
       val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5).select("query_id", "vec_id")
-      val n = bf.count()
-      val hit = bf.join(lsh, Seq("query_id", "vec_id")).count()
+      val (n, hit) = recallOf(bf, lsh)
       // This synthetic corpus is adversarial for LSH: random Gaussian
       // vectors put the true top-5 at cos ~0.3, where banded collision
       // probability is barely above noise (measured 0.36-0.48 across
@@ -3072,8 +3083,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
       val ivf = Similarity.ivfTopK(emb, queries, 5).select("query_id", "vec_id")
-      val n = bf.count()
-      val hit = bf.join(ivf, Seq("query_id", "vec_id")).count()
+      val (n, hit) = recallOf(bf, ivf)
       // measured 0.52-0.72 across SFs while scoring ~nProbe/nLists = 25%
       // of the corpus; 0.4 pins the floor
       Seq(("ann_ivf_recall_at5_ge_40", n, hit.toDouble / n >= 0.4))
@@ -3103,8 +3113,7 @@ object SparkEntry {
       val got = Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
           ivfPqIndex(s, dir), 5, rerank = 50)
         .select("query_id", "vec_id")
-      val n = bf.count()
-      val hit = bf.join(got, Seq("query_id", "vec_id")).count()
+      val (n, hit) = recallOf(bf, got)
       // recall is capped by coarse-probe coverage (nProbe/nLists = 25% of
       // the corpus scanned); the floor pins the contract
       Seq(("ann_ivfpq_recall_at5_ge_30", n, hit.toDouble / n >= 0.3))
@@ -3134,8 +3143,7 @@ object SparkEntry {
       val pq = Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
           pqModel(s, dir), 5, rerank = 50)
         .select("query_id", "vec_id")
-      val n = bf.count()
-      val hit = bf.join(pq, Seq("query_id", "vec_id")).count()
+      val (n, hit) = recallOf(bf, pq)
       // measured 1.00 at sf0.001/sf0.01 (ADC@50 shortlist covers the true
       // top-5 even on this adversarial Gaussian corpus); 0.6 pins the
       // floor with headroom for codebook variance across partitionings

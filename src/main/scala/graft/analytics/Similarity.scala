@@ -115,23 +115,22 @@ object Similarity {
    * into `nLists` posting lists; each query probes only its `nProbe`
    * closest centroids' lists, so the scored candidate volume is
    * ~ n * nProbe / nLists of the corpus instead of all of it. Centroids
-   * are a tiny broadcast table; corpus assignment is one ML pass + one
-   * narrow column; the probe ranking runs on queries × nLists rows.
-   * Training is seeded for reproducibility.
+   * are a tiny broadcast table trained by [[localKmeans]] on a bounded
+   * hash-sample (`trainMod`); corpus assignment is one narrow argmin
+   * expression; the probe ranking runs on queries × nLists rows.
+   * Training is seeded AND partitioning-independent.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trainMod: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
-    val featured = c.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(featured)
-    val assigned = model.transform(featured)
-      .withColumnRenamed("prediction", "list_id").drop("features")
-    val centDf = model.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
+    val cents = localKmeans(collectSample(corpus, "embedding", trainMod),
+      nLists, iters = 10, seed = seed)
+    val assigned = c.withColumn("list_id", coarseAssign(col("embedding"), cents))
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toIndexedSeq) }.toDF("list_id", "centroid")
     val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
     // rank centroids per query by L2 distance (the k-means metric):
     // ||q-c||^2 = ||q||^2 - 2 q.c + ||c||^2; ||q||^2 is constant per query
@@ -279,31 +278,126 @@ object Similarity {
       .drop("__n")
 
   /**
+   * Driver-local seeded Lloyd's k-means over a BOUNDED training sample.
+   * Codebook/centroid training needs a sample, not the corpus — the
+   * distributed halves of every index here sample via `trainMod`
+   * (deterministic hash of vec_id), so the collected set stays small by
+   * construction and the fit is pure local arithmetic: no per-iteration
+   * Spark jobs (an ML-pipeline fit pays tens of scheduler round-trips
+   * per codebook; a PQ index trains m+1 codebooks). Fully deterministic
+   * AND partitioning-independent: init is maximin (farthest-point)
+   * seeding from the point with the smallest seeded id-hash — the
+   * deterministic cousin of k-means++ (one centroid lands per natural
+   * cluster before any splitting happens), ties on id; Lloyd's from a
+   * fixed init over the id-sorted sample is fully order-pinned. An
+   * engine re-derives identical codebooks from the same (sample, seed)
+   * regardless of cluster layout — a distributed seeded fit cannot
+   * promise that.
+   */
+  def localKmeans(points: IndexedSeq[(Long, Array[Double])], k: Int,
+      iters: Int, seed: Long): IndexedSeq[Array[Double]] = {
+    require(points.nonEmpty, "empty training sample")
+    val dim = points.head._2.length
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L + seed
+      h = (h ^ (h >>> 32)) * 0xBF58476D1CE4E5B9L
+      h ^ (h >>> 29)
+    }
+    val sorted = points.sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // maximin init: start from the smallest-hash point, then repeatedly
+    // take the point FARTHEST from its nearest chosen centroid (ties on
+    // id) — deterministic k-means++-style spread
+    val kk = math.min(k, points.length)
+    val first = points.minBy { case (id, _) => (mix(id), id) }._2
+    val init = scala.collection.mutable.ArrayBuffer(first.clone())
+    val minD = Array.fill(sorted.length)(Double.MaxValue)
+    while (init.length < kk) {
+      var bi = 0; var bd = -1.0
+      var i = 0
+      while (i < sorted.length) {
+        val d = math.min(minD(i), d2(sorted(i)._2, init.last))
+        minD(i) = d
+        if (d > bd) { bd = d; bi = i }
+        i += 1
+      }
+      init += sorted(bi)._2.clone()
+    }
+    var cents: IndexedSeq[Array[Double]] = init.toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      // assignment order irrelevant: per-cluster sums commute exactly
+      // only if summed in a fixed order — iterate the id-sorted sample
+      sorted.foreach { case (_, x) =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < kk) {
+          var d = 0.0; var i = 0
+          val c = cents(j)
+          while (i < dim) { val t = x(i) - c(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        var i = 0
+        val s = sums(best)
+        while (i < dim) { s(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = (0 until kk).map { j =>
+        if (counts(j) == 0) cents(j) // empty cluster keeps its centroid
+        else sums(j).map(_ / counts(j))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Collect the deterministic hash-sample as (vec_id, vector) pairs —
+    * the bounded local training set. */
+  private def collectSample(corpus: DataFrame, vecCol: String,
+      trainMod: Int): IndexedSeq[(Long, Array[Double])] = {
+    val sample =
+      if (trainMod <= 1) corpus
+      else corpus.where(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+    sample.select(col("vec_id").cast("long"), col(vecCol))
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Per-subspace codebooks over a local sample (shared by [[pqTrain]]
+    * and the residual stage of [[ivfPqBuild]]). */
+  private def trainBooks(pts: IndexedSeq[(Long, Array[Double])],
+      m: Int, k: Int, seed: Long): PqModel = {
+    val dim = pts.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      val sliced = pts.map { case (id, x) =>
+        (id, java.util.Arrays.copyOfRange(x, mi * subDim, (mi + 1) * subDim))
+      }
+      localKmeans(sliced, k, iters = 10, seed = seed + mi)
+    }
+    PqModel(subDim, books)
+  }
+
+  /**
    * Train per-subspace codebooks: `m` independent seeded k-means fits,
    * each over the `subDim`-wide slice of the (normalized) vectors.
    * Training cost is bounded at scale by fitting on a deterministic
    * hash-sample of the corpus (`trainMod` > 1 keeps every vec_id with
    * xxhash64(vec_id) % trainMod == 0) — codebook quality needs a sample,
-   * not the corpus.
+   * not the corpus. The fit itself is [[localKmeans]]: local, seeded,
+   * partitioning-independent.
    */
   def pqTrain(corpus: DataFrame, vecCol: String = "embedding",
-      m: Int = 8, k: Int = 16, seed: Long = 42L, trainMod: Int = 1): PqModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sample =
-      if (trainMod <= 1) corpus
-      else corpus.where(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
-    val dim = sample.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val books = (0 until m).map { mi =>
-      val sliced = sample.select(
-        array_to_vector(slice(col(vecCol), mi * subDim + 1, subDim)).as("features"))
-      val model = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(5).fit(sliced)
-      model.clusterCenters.toIndexedSeq.map(_.toArray)
-    }
-    PqModel(subDim, books)
-  }
+      m: Int = 8, k: Int = 16, seed: Long = 42L, trainMod: Int = 1): PqModel =
+    trainBooks(collectSample(corpus, vecCol, trainMod), m, k, seed)
 
   /** Nearest-codebook-entry index for one subspace slice: a single
     * `aggregate` pass over the centroid literals (argmin of
@@ -442,52 +536,56 @@ object Similarity {
       ivfPqBuild(corpus, nLists = nLists, m = m, pqK = pqK, seed = seed),
       k, nProbe = nProbe, rerank = rerank)
 
-  /** The trained halves of an IVFADC index: the coarse quantizer and the
-    * residual PQ codebooks. Training is the expensive build step; the
-    * index itself is kilobytes and reusable across query batches (the
-    * residual encode is a narrow recompute). */
+  /** The trained halves of an IVFADC index: the coarse quantizer's
+    * centroids and the residual PQ codebooks. Training is the expensive
+    * build step; the index itself is kilobytes and reusable across
+    * query batches (the residual encode is a narrow recompute). */
   final case class IvfPqIndex(
-      coarse: org.apache.spark.ml.clustering.KMeansModel, model: PqModel)
+      coarse: IndexedSeq[Array[Double]], model: PqModel)
 
   /** Train the IVFADC index: coarse k-means over the vectors, then PQ
     * codebooks over the coarse residuals. `trainMod > 1` fits both
     * stages on a deterministic hash-sample (codebooks need a sample,
-    * not the corpus — the bounded-training-cost knob for 100 TB). */
+    * not the corpus — the bounded-training-cost knob for 100 TB); the
+    * whole build is ONE sample collect + [[localKmeans]] fits, no
+    * per-iteration distributed jobs. */
   def ivfPqBuild(corpus: DataFrame, nLists: Int = 16, m: Int = 16,
       pqK: Int = 32, seed: Long = 42L, trainMod: Int = 1): IvfPqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val sample =
-      if (trainMod <= 1) corpus
-      else corpus.where(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
-    val featured = kernels(sample)
-      .withColumn("features", array_to_vector(col("embedding")))
-    val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(featured)
-    val centDf = coarse.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
-    val assigned = coarse.transform(featured)
-      .withColumnRenamed("prediction", "list_id").drop("features")
-    val resid = assigned.join(broadcast(centDf), Seq("list_id"))
-      .withColumn("embedding", zip_with(col("embedding"), col("centroid"), _ - _))
-      .drop("centroid")
-    IvfPqIndex(coarse, pqTrain(resid, m = m, k = pqK, seed = seed))
+    val pts = collectSample(corpus, "embedding", trainMod)
+    val coarse = localKmeans(pts, nLists, iters = 10, seed = seed)
+    val dim = pts.head._2.length
+    val resid = pts.map { case (id, x) =>
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < coarse.length) {
+        var d = 0.0; var i = 0
+        val c = coarse(j)
+        while (i < dim) { val t = x(i) - c(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      val c = coarse(best)
+      (id, Array.tabulate(dim)(i => x(i) - c(i)))
+    }
+    IvfPqIndex(coarse, trainBooks(resid, m, pqK, seed))
   }
+
+  /** Coarse-list assignment as a pure expression: argmin_j of
+    * ||c_j||^2 - 2 x.c_j (the ||x||^2 term is constant over j) — the
+    * same fold as [[argminCode]], against the broadcast-as-literal
+    * coarse centroids. Narrow, codegen'd, no ML pipeline pass. */
+  private def coarseAssign(vecCol: Column, coarse: IndexedSeq[Array[Double]]): Column =
+    argminCode(vecCol, coarse)
 
   /** Residual-encode the corpus against an [[IvfPqIndex]]:
     * (vec_id, list_id, codes) — the rows a production deployment stores
     * beside the table at ingest. */
   def ivfPqEncode(corpus: DataFrame, index: IvfPqIndex): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val featured = kernels(corpus)
-      .withColumn("features", array_to_vector(col("embedding")))
-    val centDf = index.coarse.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
-    val assigned = index.coarse.transform(featured)
-      .withColumnRenamed("prediction", "list_id").drop("features")
+    val centDf = index.coarse.zipWithIndex
+      .map { case (v, i) => (i, v.toIndexedSeq) }.toDF("list_id", "centroid")
+    val assigned = kernels(corpus)
+      .withColumn("list_id", coarseAssign(col("embedding"), index.coarse))
     // residual encode: r = x - c_list, PQ-coded with shared codebooks
     val resid = assigned.join(broadcast(centDf), Seq("list_id"))
       .withColumn("embedding", zip_with(col("embedding"), col("centroid"), _ - _))
@@ -509,8 +607,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val model = index.model
-    val centDf = index.coarse.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toDF("list_id", "centroid")
+    val centDf = index.coarse.zipWithIndex
+      .map { case (v, i) => (i, v.toIndexedSeq) }.toDF("list_id", "centroid")
     val codeNorms = typedlit(model.codebooks.map(_.map(cw => cw.map(x => x * x).sum).toIndexedSeq))
 
     // probe ranking per query (L2 to coarse centroids), then per-probe
