@@ -1159,6 +1159,24 @@ object SparkEntry {
         .orderBy("ord")
     }),
 
+    "adm_leader_balance" -> ((s, dir) => {
+      // Leadership balancer (scheduling/leader_balancer_constraints.cc):
+      // 5 of 6 leaders sit on node 0; the deterministic greedy moves
+      // leadership to replica holders only, largest shard-error
+      // reduction first with per-topic spread breaking ties, and stops
+      // at equilibrium (2,2,1,1 with topic t spread one-per-node).
+      import s.implicits._
+      val reps = Seq(
+        ("t", 0, 0, true), ("t", 0, 1, false), ("t", 0, 2, false),
+        ("t", 1, 0, true), ("t", 1, 1, false), ("t", 1, 3, false),
+        ("t", 2, 0, true), ("t", 2, 2, false), ("t", 2, 3, false),
+        ("t", 3, 0, true), ("t", 3, 1, false), ("t", 3, 2, false),
+        ("u", 0, 0, true), ("u", 0, 1, false), ("u", 0, 2, false),
+        ("u", 1, 1, true), ("u", 1, 2, false), ("u", 1, 3, false))
+        .toDF("topic", "partition", "node_id", "is_leader")
+      graft.admin.Balancer.leaderPlan(reps).orderBy("ord")
+    }),
+
     "adm_list_transactions" -> ((s, dir) =>
       // Coordinator-visible txn listing over engine-produced state:
       // Ongoing (trailing partials), CompleteCommit, CompleteAbort.
@@ -3835,6 +3853,16 @@ object SparkEntry {
         |  (3, 'b', 0, 0, 5, 'rack_constraint_repair'),
         |  (4, 'c', 0, 3, 2, 'disk_full'))
         | t(ord, topic, partition, from_node, to_node, reason)
+        | ORDER BY ord""".stripMargin,
+
+    // The greedy's three moves, traced by hand from the squared-error
+    // objectives (counts 5,1,0,0 -> 2,2,1,1; topic t one-per-node).
+    "adm_leader_balance" ->
+      """SELECT * FROM (VALUES
+        |  (0, 't', 0, 0, 2),
+        |  (1, 't', 1, 0, 3),
+        |  (2, 't', 3, 0, 1))
+        | t(ord, topic, partition, from_node, to_node)
         | ORDER BY ord""".stripMargin,
 
     "adm_reassignments" ->

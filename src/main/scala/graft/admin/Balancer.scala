@@ -177,4 +177,88 @@ object Balancer {
     }
     plan.toSeq.toDF("ord", "topic", "partition", "from_node", "to_node", "reason")
   }
+
+  /**
+   * Leadership balancer (`cluster/scheduling/leader_balancer.h` +
+   * `leader_balancer_constraints.cc`): leadership — not replicas —
+   * moves between a partition's existing replica holders to even out
+   * load. Two squared-error objectives, evaluated hierarchically
+   * exactly as `find_movement` does (shard load first, per-topic
+   * distribution as the tie-breaker, each behind an `error_jitter`
+   * threshold):
+   *
+   *  - even shard load: Σ over nodes of (leaders − total/n_nodes)²
+   *    (`even_shard_load_constraint::adjusted_error`);
+   *  - even topic distribution: per topic, Σ over nodes of
+   *    (topic_leaders − topic_total/n_nodes)²
+   *    (`even_topic_distribution_constraint`).
+   *
+   * The reference's production strategy samples random candidate moves;
+   * this engine's plan must be reproducible, so each round takes the
+   * BEST candidate (largest shard-error reduction, then largest topic
+   * reduction, then smallest (topic, partition, to_node)) until no move
+   * improves either objective. The reference balances per CORE
+   * (broker_shard); Spark has no per-core leadership, so the shard here
+   * is the node. Control-plane fold on the driver, like the reference's
+   * balancer fiber.
+   *
+   * `replicas` columns: (topic, partition, node_id, is_leader).
+   * Returns (ord, topic, partition, from_node, to_node).
+   */
+  def leaderPlan(replicas: DataFrame, maxMoves: Int = 1000): DataFrame = {
+    val spark = replicas.sparkSession
+    import spark.implicits._
+    val jitter = 1e-6
+    val rows = replicas.select("topic", "partition", "node_id", "is_leader")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    val nodes = rows.map(_._3).distinct.sorted
+    val holders = rows.groupBy(r => (r._1, r._2)).map { case (tp, rs) =>
+      tp -> rs.map(_._3).toSet
+    }
+    val leader = scala.collection.mutable.Map.empty[(String, Int), Int]
+    rows.filter(_._4).foreach(r => leader((r._1, r._2)) = r._3)
+    require(leader.keySet == holders.keySet, "every partition needs exactly one leader")
+    val nN = nodes.length.toDouble
+    val count = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    val topicCount = scala.collection.mutable.Map.empty[(String, Int), Int].withDefaultValue(0)
+    leader.foreach { case ((t, _), n) =>
+      count(n) += 1; topicCount((t, n)) += 1
+    }
+    val target = leader.size / nN
+    val topicTotals = leader.keys.groupBy(_._1).map { case (t, ps) => t -> ps.size }
+
+    def sq(x: Double) = x * x
+    // adjusted_error deltas: only the from/to terms change
+    def shardDelta(from: Int, to: Int): Double =
+      (sq(count(from) - target) + sq(count(to) - target)) -
+        (sq(count(from) - 1 - target) + sq(count(to) + 1 - target))
+    def topicDelta(t: String, from: Int, to: Int): Double = {
+      val opt = topicTotals(t) / nN
+      (sq(topicCount((t, from)) - opt) + sq(topicCount((t, to)) - opt)) -
+        (sq(topicCount((t, from)) - 1 - opt) + sq(topicCount((t, to)) + 1 - opt))
+    }
+
+    val plan = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Int, Int)]
+    var moved = true
+    while (moved && plan.length < maxMoves) {
+      moved = false
+      val candidates = leader.toSeq.flatMap { case ((t, p), from) =>
+        (holders((t, p)) - from).toSeq.map { to =>
+          (shardDelta(from, to), topicDelta(t, from, to), t, p, from, to)
+        }
+      }.filter { case (sd, td, _, _, _, _) =>
+        sd > jitter || (math.abs(sd) <= jitter && td > jitter)
+      }
+      if (candidates.nonEmpty) {
+        val (_, _, t, p, from, to) = candidates
+          .minBy { case (sd, td, ct, cp, _, cto) => (-sd, -td, ct, cp, cto) }
+        plan += ((plan.length, t, p, from, to))
+        leader((t, p)) = to
+        count(from) -= 1; count(to) += 1
+        topicCount((t, from)) -= 1; topicCount((t, to)) += 1
+        moved = true
+      }
+    }
+    plan.toSeq.toDF("ord", "topic", "partition", "from_node", "to_node")
+  }
 }

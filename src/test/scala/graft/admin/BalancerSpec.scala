@@ -55,6 +55,31 @@ class BalancerSpec extends SparkSpec {
       (4, "c", 0, 3, 2, "disk_full")))            // largest first, r2 stays diverse
   }
 
+  test("leader balancer: shard-load first, topic spread breaks ties, stops at equilibrium") {
+    // leaders skewed onto node 0 (5 of 6); moves must go to replica
+    // holders only
+    val reps = Seq(
+      ("t", 0, 0, true), ("t", 0, 1, false), ("t", 0, 2, false),
+      ("t", 1, 0, true), ("t", 1, 1, false), ("t", 1, 3, false),
+      ("t", 2, 0, true), ("t", 2, 2, false), ("t", 2, 3, false),
+      ("t", 3, 0, true), ("t", 3, 1, false), ("t", 3, 2, false),
+      ("u", 0, 0, true), ("u", 0, 1, false), ("u", 0, 2, false),
+      ("u", 1, 1, true), ("u", 1, 2, false), ("u", 1, 3, false))
+      .toDF("topic", "partition", "node_id", "is_leader")
+    val plan = Balancer.leaderPlan(reps)
+      .orderBy("ord").as[(Int, String, Int, Int, Int)].collect().toSeq
+    assert(plan === Seq(
+      (0, "t", 0, 0, 2),
+      (1, "t", 1, 0, 3),
+      (2, "t", 3, 0, 1)))
+    // already balanced: nothing moves
+    val even = Seq(
+      ("t", 0, 0, true), ("t", 0, 1, false),
+      ("t", 1, 1, true), ("t", 1, 0, false))
+      .toDF("topic", "partition", "node_id", "is_leader")
+    assert(Balancer.leaderPlan(even).count() === 0L)
+  }
+
   test("plan is empty on a healthy balanced cluster") {
     val ok = Seq(
       (0, "r1", 1000L, 300L, true, false),
