@@ -64,6 +64,20 @@ object SparkEntry {
     (b.size.toLong, b.intersect(g).size.toLong)
   }
 
+  /** Leader-balancer / health-monitor replica map: 6 partitions over 4
+    * nodes, 5 of 6 leaders skewed onto node 0. */
+  private def leaderReps(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("t", 0, 0, true), ("t", 0, 1, false), ("t", 0, 2, false),
+      ("t", 1, 0, true), ("t", 1, 1, false), ("t", 1, 3, false),
+      ("t", 2, 0, true), ("t", 2, 2, false), ("t", 2, 3, false),
+      ("t", 3, 0, true), ("t", 3, 1, false), ("t", 3, 2, false),
+      ("u", 0, 0, true), ("u", 0, 1, false), ("u", 0, 2, false),
+      ("u", 1, 1, true), ("u", 1, 2, false), ("u", 1, 3, false))
+      .toDF("topic", "partition", "node_id", "is_leader")
+  }
+
   /** Balancer health-report scenario: 7 nodes over 3 racks — node 4
     * decommissioning, node 6 dead, node 3 over the 0.8 soft disk
     * ratio; partition b/0 carries a rack-duplicate replica set and f/0
@@ -1165,16 +1179,25 @@ object SparkEntry {
       // leadership to replica holders only, largest shard-error
       // reduction first with per-topic spread breaking ties, and stops
       // at equilibrium (2,2,1,1 with topic t spread one-per-node).
+      graft.admin.Balancer.leaderPlan(leaderReps(s)).orderBy("ord")
+    }),
+
+    "adm_cluster_health" -> ((s, dir) => {
+      // Health-monitor rollup (health_monitor_types.h node_state +
+      // local_state): liveness = heartbeat staleness vs the 30s bound
+      // (node 2's 45s silence reads dead), disk as exact-integer
+      // permille, replica/leader counts from the same replica map the
+      // leader balancer consumes. The oracle re-derives the counts from
+      // the replica VALUES.
       import s.implicits._
-      val reps = Seq(
-        ("t", 0, 0, true), ("t", 0, 1, false), ("t", 0, 2, false),
-        ("t", 1, 0, true), ("t", 1, 1, false), ("t", 1, 3, false),
-        ("t", 2, 0, true), ("t", 2, 2, false), ("t", 2, 3, false),
-        ("t", 3, 0, true), ("t", 3, 1, false), ("t", 3, 2, false),
-        ("u", 0, 0, true), ("u", 0, 1, false), ("u", 0, 2, false),
-        ("u", 1, 1, true), ("u", 1, 2, false), ("u", 1, 3, false))
-        .toDF("topic", "partition", "node_id", "is_leader")
-      graft.admin.Balancer.leaderPlan(reps).orderBy("ord")
+      val now = 1700000000000L
+      val hb = Seq((0, now - 1000L), (1, now - 2000L), (2, now - 45000L),
+        (3, now - 500L)).toDF("node_id", "last_heartbeat_ms")
+      val disks = Seq((0, 1000L, 400L), (1, 1000L, 700L), (2, 1000L, 800L),
+        (3, 1000L, 100L)).toDF("node_id", "total_bytes", "free_bytes")
+      graft.admin.Admin.clusterHealth(hb, disks, leaderReps(s), now,
+          stalenessMs = 30000L)
+        .orderBy("node_id")
     }),
 
     "adm_list_transactions" -> ((s, dir) =>
@@ -3854,6 +3877,28 @@ object SparkEntry {
         |  (4, 'c', 0, 3, 2, 'disk_full'))
         | t(ord, topic, partition, from_node, to_node, reason)
         | ORDER BY ord""".stripMargin,
+
+    // Health rollup: counts re-derived from the replica VALUES; node 2
+    // is stale (45s > 30s); used_permille is exact-integer arithmetic.
+    "adm_cluster_health" ->
+      """WITH reps(topic, partition, node_id, is_leader) AS (VALUES
+        |  ('t', 0, 0, TRUE), ('t', 0, 1, FALSE), ('t', 0, 2, FALSE),
+        |  ('t', 1, 0, TRUE), ('t', 1, 1, FALSE), ('t', 1, 3, FALSE),
+        |  ('t', 2, 0, TRUE), ('t', 2, 2, FALSE), ('t', 2, 3, FALSE),
+        |  ('t', 3, 0, TRUE), ('t', 3, 1, FALSE), ('t', 3, 2, FALSE),
+        |  ('u', 0, 0, TRUE), ('u', 0, 1, FALSE), ('u', 0, 2, FALSE),
+        |  ('u', 1, 1, TRUE), ('u', 1, 2, FALSE), ('u', 1, 3, FALSE)),
+        | c AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_replicas,
+        |         CAST(sum(CASE WHEN is_leader THEN 1 ELSE 0 END) AS BIGINT) AS n_leaders
+        |       FROM reps GROUP BY 1),
+        | n(node_id, alive, total, free) AS (VALUES
+        |  (0, TRUE, 1000, 400), (1, TRUE, 1000, 700),
+        |  (2, FALSE, 1000, 800), (3, TRUE, 1000, 100))
+        |SELECT n.node_id, n.alive AS is_alive,
+        |  CAST(n.total AS BIGINT) AS total_bytes,
+        |  CAST((n.total - n.free) * 1000 / n.total AS BIGINT) AS used_permille,
+        |  c.n_replicas, c.n_leaders
+        |FROM n JOIN c USING (node_id) ORDER BY n.node_id""".stripMargin,
 
     // The greedy's three moves, traced by hand from the squared-error
     // objectives (counts 5,1,0,0 -> 2,2,1,1; topic t one-per-node).

@@ -356,4 +356,35 @@ object Admin {
         .when(col("timestamp_type").isNotNull &&
           !col("timestamp_type").isin(ValidTimestampType: _*), InvalidConfig)
         .otherwise(0))
+
+  /**
+   * Cluster health report rollup (`cluster/health_monitor_types.h` —
+   * `node_state{membership, is_alive}` + per-node `local_state` disks;
+   * `health_monitor_backend.cc` assembles the per-node reports the
+   * balancer consumes): liveness from heartbeat staleness against
+   * `nowMs`, disk ratio from the report, partition/leader counts from
+   * the replica map. Pure declarative aggregation over control-plane
+   * tables — join order keeps the (small) per-node side broadcast.
+   *
+   * Inputs: `heartbeats` (node_id, last_heartbeat_ms);
+   * `disks` (node_id, total_bytes, free_bytes);
+   * `replicas` (topic, partition, node_id, is_leader).
+   */
+  def clusterHealth(heartbeats: DataFrame, disks: DataFrame,
+      replicas: DataFrame, nowMs: Long, stalenessMs: Long): DataFrame = {
+    val counts = replicas.groupBy("node_id")
+      .agg(count(lit(1)).as("n_replicas"),
+        sum(when(col("is_leader"), 1L).otherwise(0L)).as("n_leaders"))
+    heartbeats
+      .join(broadcast(disks), Seq("node_id"), "left")
+      .join(counts, Seq("node_id"), "left")
+      .select(col("node_id"),
+        (lit(nowMs) - col("last_heartbeat_ms") <= stalenessMs).as("is_alive"),
+        col("total_bytes"),
+        // exact-integer permille, not a raw double (driver-hash safe)
+        ((col("total_bytes") - col("free_bytes")) * 1000L / col("total_bytes"))
+          .as("used_permille"),
+        coalesce(col("n_replicas"), lit(0L)).as("n_replicas"),
+        coalesce(col("n_leaders"), lit(0L)).as("n_leaders"))
+  }
 }
