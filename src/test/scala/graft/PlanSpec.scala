@@ -264,6 +264,37 @@ class PlanSpec extends SparkSpec {
     assertChunkedWindowsOnly(p)
   }
 
+  test("L1 reconciliation joins co-keyed on object id, never cartesian; lower_bound broadcasts probes") {
+    val log = (0L until 1000L).map(i => ((i % 4).toInt, i / 4, i, 50L + i % 13))
+      .toDF("partition", "offset", "arrival", "sz")
+    val packed = graft.log.CloudTopics.packL0(log, col("arrival"), col("sz"), 512L)
+    val l0 = graft.log.CloudTopics.overlay(packed, col("sz"))
+    // the L0→L1 assignment table is log_bytes/objectBytes rows — the
+    // join back must be a keyed join (hash or AQE-broadcast), never a
+    // cartesian/nested-loop product over the extent table
+    val pr = plan(graft.log.CloudTopics.reconcileL1(l0, 4096L))
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
+    assertChunkedWindowsOnly(pr)
+    val probes = Seq((1, 5L)).toDF("partition", "probe_offset")
+    val pl = plan(graft.log.CloudTopics.lowerBound(l0, probes))
+    assert(pl.contains("BroadcastHashJoin"), pl)
+    assert(!pl.contains("SortMergeJoin"), pl)
+  }
+
+  test("IVF coarse assignment is a narrow argmin fold — no ML pass, no pre-topk shuffle beyond the list join") {
+    import graft.analytics.Similarity
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 7 + j) % 5 / 4.0)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val p = plan(Similarity.ivfTopK(corpus, queries, k = 3, nLists = 4, nProbe = 2))
+    // probes ride a broadcast; the corpus side never sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("epoch shuffle is two-phase bucketed — broadcast bases, no corpus-wide window") {
     val docs = spark.read.parquet(docsDir)
     val p = plan(graft.analytics.Sampling.epochShuffle(docs, col("doc_id"), epoch = 3))
