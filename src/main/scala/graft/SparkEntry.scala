@@ -41,16 +41,26 @@ object SparkEntry {
     * When the scan under-parallelizes the session, fan out to the
     * session's parallelism; at real scale a 100 TB table carries
     * thousands of splits and this is a no-op (no shuffle is added). */
-  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    val target = s.sparkContext.defaultParallelism
-    // Only the text corpus: per-row narrow work (shingling, hashing,
-    // tokenizing) dominates there and parallelizes linearly. The
-    // iterative trainers over `embeddings` (KMeans/PQ) do many tiny
-    // passes and lose 2x to per-task overhead when over-partitioned.
-    val fanOut = name == "documents"
-    if (fanOut && df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
-  }
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    // Memoized per (session, dir, table): the cached DataFrame carries its
+    // resolved FileIndex, so file listing + parquet-footer schema inference
+    // happen ONCE per session instead of on every entry — the same way a
+    // broker opens partition state once and serves every request from it.
+    tableCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir + "|" + name, { _ =>
+        val df = s.read.parquet(s"$dir/$name.parquet")
+        val target = s.sparkContext.defaultParallelism
+        // Only the text corpus: per-row narrow work (shingling, hashing,
+        // tokenizing) dominates there and parallelizes linearly. The
+        // iterative trainers over `embeddings` (KMeans/PQ) do many tiny
+        // passes and lose 2x to per-task overhead when over-partitioned.
+        val fanOut = name == "documents"
+        if (fanOut && df.rdd.getNumPartitions * 2 < target) df.repartition(target)
+        else df
+      })
 
   /** Recall of `got` against the brute-force truth `bf` (both
     * (query_id, vec_id) top-k sets): ONE evaluation of each DAG — the
