@@ -3625,7 +3625,8 @@ object SparkEntry {
          |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM sized),
-         | p AS (SELECT partition, "offset", sz, cb // 65536 AS object_id FROM c)
+         | p AS (SELECT partition, "offset", sz,
+         |         CAST(cb // 65536 AS BIGINT) AS object_id FROM c)
          |SELECT object_id, partition, min("offset") AS base_offset,
          |       max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes,
          |       count(*) AS n_batches

@@ -381,9 +381,10 @@ object Admin {
       .select(col("node_id"),
         (lit(nowMs) - col("last_heartbeat_ms") <= stalenessMs).as("is_alive"),
         col("total_bytes"),
-        // exact-integer permille, not a raw double (driver-hash safe)
+        // exact-integer permille: Spark's `/` on longs yields DOUBLE, so
+        // cast back to long (driver-hash safe; inputs divide evenly)
         ((col("total_bytes") - col("free_bytes")) * 1000L / col("total_bytes"))
-          .as("used_permille"),
+          .cast("long").as("used_permille"),
         coalesce(col("n_replicas"), lit(0L)).as("n_replicas"),
         coalesce(col("n_leaders"), lit(0L)).as("n_leaders"))
   }
