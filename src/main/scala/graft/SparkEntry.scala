@@ -150,15 +150,24 @@ object SparkEntry {
           .as("text")))
   }
 
+  /** Normalize a ts column to TIMESTAMP (instant) regardless of the
+    * parquet encoding the driver generated: TIMESTAMP(NANOS) arrives as
+    * long under `nanosAsLong`, naive timestamp[us] arrives as
+    * TIMESTAMP_NTZ (Spark 4 infers NTZ when isAdjustedToUTC=false), and
+    * micros-UTC arrives already as TIMESTAMP. Session tz is UTC in
+    * Verify/Bench, so the NTZ→LTZ cast is wall-clock-preserving and the
+    * DuckDB oracle (which reads the same naive values) stays in step. */
+  private def withLtzTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
+      case LongType => raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType => raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => raw
+    }
+
   /** events with a Spark-readable timestamp column regardless of whether
     * the parquet type is TIMESTAMP(NANOS) (read as long) or micros. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = T(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    withLtzTs(T(s, dir, "events"))
 
   /**
    * Stage the events table as an ordered file-stream input directory.
@@ -190,13 +199,15 @@ object SparkEntry {
       val far = raw.schema("ts").dataType match {
         case LongType =>
           raw.agg(max("ts")).collect()(0).getLong(0) + 30L * 24 * 3600 * 1000000000L
-        case _ => // timestamp: carry as nanos via cast for the same arithmetic
-          raw.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L +
-            30L * 24 * 3600 * 1000000000L
+        case _ => // timestamp (LTZ or NTZ): carry as nanos for the same arithmetic
+          raw.agg(max(unix_micros(col("ts").cast(TimestampType))))
+            .collect()(0).getLong(0) * 1000L + 30L * 24 * 3600 * 1000000000L
       }
+      // The sentinel file must carry ts in the SAME parquet logical type
+      // as the real batches (the stream reader pins one schema for both).
       val sentTs: Column = raw.schema("ts").dataType match {
         case LongType => lit(far)
-        case _        => timestamp_micros(lit(far / 1000L))
+        case dt       => timestamp_micros(lit(far / 1000L)).cast(dt)
       }
       val sentDir = Files.createTempDirectory("graft_sentinel")
       raw.limit(1)
@@ -1689,13 +1700,8 @@ object SparkEntry {
       Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("events.parquet"))
       val out = Files.createTempDirectory("graft_ssj_out").toString
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src(): DataFrame = {
-        val raw = graft.streaming.Transforms.PathInput(inDir.toString, schema).stream(s)
-        raw.schema("ts").dataType match {
-          case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _        => raw
-        }
-      }
+      def src(): DataFrame = withLtzTs(
+        graft.streaming.Transforms.PathInput(inDir.toString, schema).stream(s))
       val purchases = src().where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
         .withWatermark("p_ts", "1 hour")
@@ -1739,10 +1745,7 @@ object SparkEntry {
       val raw = graft.streaming.Transforms.PathInput(
         inDir, s.read.parquet(s"$dir/events.parquet").schema,
         maxFilesPerTrigger = Some(1)).stream(s)
-      val prepared = raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _        => raw
-      }
+      val prepared = withLtzTs(raw)
       graft.streaming.StreamingOps.usageWindowsStream(
         prepared, s"$out/data", s"$out/ckpt",
         "ts", col("event_type"), length(col("props"))).awaitTermination()
@@ -1764,10 +1767,7 @@ object SparkEntry {
       val raw = graft.streaming.Transforms.PathInput(
         inDir, s.read.parquet(s"$dir/events.parquet").schema,
         maxFilesPerTrigger = Some(1)).stream(s)
-      val prepared = raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _        => raw
-      }
+      val prepared = withLtzTs(raw)
       graft.streaming.StreamingOps.dedupStream(
         prepared, s"$out/data", s"$out/ckpt",
         "ts", Seq("event_id"), delay = "90 days").awaitTermination()
@@ -2465,6 +2465,37 @@ object SparkEntry {
         .groupBy("output", "p_key")
         .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
         .orderBy("output", "p_key")
+    }),
+
+    "d1_dlq" -> ((s, dir) => {
+      // Invalid-record dead-letter route (record_multiplexer.cc:236):
+      // events wrapped in the registry wire envelope with a deterministic
+      // defect mix — event_id%10==0 bad magic, ==1 unregistered id 99,
+      // ==2 registered-but-incompatible id 7, rest valid id 1. Valid rows
+      // take the normal multiplexed write; invalid rows land in _dlq with
+      // their intended output + error_code. The summary unions both sides.
+      val base = java.nio.file.Files.createTempDirectory("graft_d1dlq").toString
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"))
+      val m = pmod(col("event_id"), lit(10))
+      val env = when(m === 0, lit(Array[Byte](1, 0, 0, 0, 1)))
+        .when(m === 1, lit(Array[Byte](0, 0, 0, 0, 99)))
+        .when(m === 2, lit(Array[Byte](0, 0, 0, 0, 7)))
+        .otherwise(lit(Array[Byte](0, 0, 0, 0, 1)))
+      val batch = ev.withColumn("value", concat(env, encode(col("event_type"), "UTF-8")))
+      val written = graft.streaming.Datalake.writeMultiplexedWithDlq(
+        batch, concat(lit("events_"), col("event_type")), col("ts"), base,
+        col("value"), registered = Seq(1, 7), incompatible = Seq(7),
+        partFn = graft.streaming.Datalake.dayPartition)
+      val dlqDir = graft.streaming.Datalake.DlqDir
+      val mains = written.collect { case (o, _) if o != dlqDir =>
+        s.read.parquet(s"$base/$o")
+          .select(col("event_id"), lit(o).as("output"), lit("ok").as("error_code")) }
+      val dlq = s.read.parquet(s"$base/$dlqDir")
+        .select(col("event_id"), col("_output").as("output"), col("error_code"))
+      (mains :+ dlq).reduce(_ unionByName _)
+        .groupBy("output", "error_code")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("output", "error_code")
     }),
 
     "d6_iceberg_catalog" -> ((s, dir) => {
@@ -3645,13 +3676,13 @@ object SparkEntry {
          |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM sized),
-         | p AS (SELECT partition, "offset", sz, cb // 65536 AS l0_id FROM c),
+         | p AS (SELECT partition, "offset", sz, CAST(cb // 65536 AS BIGINT) AS l0_id FROM c),
          | l0 AS (SELECT l0_id, partition, min("offset") AS base_offset,
          |          max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes
          |        FROM p GROUP BY 1, 2),
          | ob AS (SELECT l0_id, CAST(sum(bytes) AS BIGINT) AS obytes FROM l0 GROUP BY 1),
-         | oc AS (SELECT l0_id, COALESCE(SUM(obytes) OVER (ORDER BY l0_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS l1_id
+         | oc AS (SELECT l0_id, CAST(COALESCE(SUM(obytes) OVER (ORDER BY l0_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS BIGINT) AS l1_id
          |        FROM ob),
          | l1 AS (SELECT oc.l1_id, l0.partition, min(l0.base_offset) AS base_offset,
          |          max(l0.last_offset) AS last_offset, CAST(sum(l0.bytes) AS BIGINT) AS bytes
@@ -3678,13 +3709,13 @@ object SparkEntry {
          |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM sized),
-         | p AS (SELECT partition, "offset", sz, cb // 65536 AS l0_id FROM c),
+         | p AS (SELECT partition, "offset", sz, CAST(cb // 65536 AS BIGINT) AS l0_id FROM c),
          | l0 AS (SELECT l0_id, partition, min("offset") AS base_offset,
          |          max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes
          |        FROM p GROUP BY 1, 2),
          | ob AS (SELECT l0_id, CAST(sum(bytes) AS BIGINT) AS obytes FROM l0 GROUP BY 1),
-         | oc AS (SELECT l0_id, COALESCE(SUM(obytes) OVER (ORDER BY l0_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS l1_id
+         | oc AS (SELECT l0_id, CAST(COALESCE(SUM(obytes) OVER (ORDER BY l0_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS BIGINT) AS l1_id
          |        FROM ob),
          | l1 AS (SELECT oc.l1_id AS object_id, l0.partition,
          |          min(l0.base_offset) AS base_offset, max(l0.last_offset) AS last_offset
@@ -4888,6 +4919,18 @@ object SparkEntry {
         |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "d1_dlq" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 10 = 0 THEN 'bad_input'
+        |         WHEN event_id % 10 = 1 THEN 'translation_error'
+        |         WHEN event_id % 10 = 2 THEN 'incompatible_schema'
+        |         ELSE 'ok' END AS error_code
+        |  FROM events)
+        |SELECT 'events_' || event_type AS output, error_code,
+        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "d6_iceberg_catalog" ->
       """SELECT CAST(event_id % 3 + 1 AS BIGINT) AS snapshot_id,
         |       CAST(event_id % 3 + 1 AS BIGINT) AS sequence_number,
@@ -5626,12 +5669,12 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY 1, 2),
         | vocab AS (SELECT tok, sum(n_in_doc) AS corpus_n FROM toks GROUP BY 1)
-        | SELECT t.doc_id, sum(t.n_in_doc) AS n_tokens,
+        | SELECT t.doc_id, CAST(sum(t.n_in_doc) AS BIGINT) AS n_tokens,
         |        round(CAST(sum(t.n_in_doc * v.corpus_n) AS DOUBLE)
         |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS mean_corpus_freq_r,
         |        round(CAST(sum(CASE WHEN v.corpus_n = 1 THEN t.n_in_doc ELSE 0 END) AS DOUBLE)
         |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS hapax_frac_r,
-        |        min(v.corpus_n) AS min_corpus_n
+        |        CAST(min(v.corpus_n) AS BIGINT) AS min_corpus_n
         | FROM toks t JOIN vocab v USING (tok)
         | GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -381,10 +381,11 @@ object Admin {
       .select(col("node_id"),
         (lit(nowMs) - col("last_heartbeat_ms") <= stalenessMs).as("is_alive"),
         col("total_bytes"),
-        // exact-integer permille: Spark's `/` on longs yields DOUBLE, so
-        // cast back to long (driver-hash safe; inputs divide evenly)
-        ((col("total_bytes") - col("free_bytes")) * 1000L / col("total_bytes"))
-          .cast("long").as("used_permille"),
+        // exact long integer division (`div`): bit-exact at any disk
+        // size, where double-divide-then-cast can lose a permille once
+        // (total-free)*1000 exceeds 2^53 (~9 TB used).
+        expr("(total_bytes - free_bytes) * 1000 div total_bytes")
+          .as("used_permille"),
         coalesce(col("n_replicas"), lit(0L)).as("n_replicas"),
         coalesce(col("n_leaders"), lit(0L)).as("n_leaders"))
   }

@@ -122,32 +122,37 @@ object TextAnalysis {
    */
   def repetitionFeatures(df: DataFrame, idCol: Column, textCol: Column,
       maxWordFrac: Double = 0.2, maxBigramFrac: Double = 0.18): DataFrame = {
-    val base = df.select(idCol.as("doc_id"), textCol.as("__text"))
-    val stats = base.select(col("doc_id"),
-      size(tokens(col("__text"))).as("n_words"),
-      size(array_distinct(tokens(col("__text")))).as("n_distinct"))
-    // Dedup.shingles is length-guarded (docs shorter than n produce no
-    // grams); such docs re-enter through the left join with top count 0.
-    def tagged(n: Int) =
-      transform(Dedup.shingles(col("__text"), n),
-        g => struct(lit(n).as("n"), g.as("gram")))
-    val tops = base
-      .select(col("doc_id"), explode(concat(tagged(1), tagged(2))).as("g"))
+    // Single tokenize + single explode: both n-gram orders AND the word
+    // stats derive from the one (doc, n, gram) count table — n_words =
+    // Σ 1-gram counts, n_distinct = |1-gram rows| — so the regex split
+    // runs once per document, not once per consumer. (Every doc has at
+    // least one 1-gram row: tokens("") = [""], so no re-join is needed;
+    // input text is assumed non-null.) The tokens are projected BEFORE
+    // the explode so CollapseProject cannot inline the split twice.
+    def tagged(toks: Column, n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val agg = df
+      .select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"),
+        explode(concat(tagged(col("__toks"), 1), tagged(col("__toks"), 2))).as("g"))
       .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(max(when(col("n") === 1, col("c"))).as("top_1gram"),
-        max(when(col("n") === 2, col("c"))).as("top_2gram"))
+      .agg(sum(when(col("n") === 1, col("c"))).cast("int").as("n_words"),
+        count(when(col("n") === 1, lit(1))).cast("int").as("n_distinct"),
+        max(when(col("n") === 1, col("c"))).as("top_1gram"),
+        coalesce(max(when(col("n") === 2, col("c"))), lit(0L)).as("top_2gram"))
     val wordFrac = col("top_1gram").cast("double") / col("n_words").cast("double")
     val bigramFrac = col("top_2gram").cast("double") / (col("n_words") - 1).cast("double")
-    stats
-      .join(tops, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("top_1gram", "top_2gram"))
-      .select(col("doc_id"), col("n_words"),
-        (col("n_distinct").cast("double") / col("n_words").cast("double")).as("distinct_frac"),
-        wordFrac.as("top_word_frac"),
-        bigramFrac.as("top_bigram_frac"),
-        (wordFrac <= maxWordFrac && bigramFrac <= maxBigramFrac).as("keep"))
+    agg.select(col("doc_id"), col("n_words"),
+      (col("n_distinct").cast("double") / col("n_words").cast("double")).as("distinct_frac"),
+      wordFrac.as("top_word_frac"),
+      bigramFrac.as("top_bigram_frac"),
+      (wordFrac <= maxWordFrac && bigramFrac <= maxBigramFrac).as("keep"))
   }
 
   /**

@@ -40,9 +40,27 @@ object TxnEngine {
    * `cluster/id_allocator_stm.cc`). Returns `producers` with a `pid`
    * column. The input must be one row per producer identity.
    */
-  def initProducerIds(producers: DataFrame, identityCol: Column, base: Long = 0L): DataFrame =
-    producers.withColumn("pid",
-      row_number().over(Window.orderBy(identityCol)).cast("long") - 1 + base)
+  def initProducerIds(producers: DataFrame, identityCol: Column, base: Long = 0L): DataFrame = {
+    // Two-phase dense rank (the same shape as RecordLog.assignOffsetsScalable
+    // and Sampling.epochShuffle): range-partition by identity so partition i
+    // holds only identities ordered before partition i+1's, rank inside each
+    // partition, then add broadcast per-partition prefix bases. No global
+    // window or sort ever spans the producer table; identities are unique
+    // (one row per identity), so the result is independent of where the
+    // range boundaries fall.
+    val n = math.max(producers.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val parted = producers.repartitionByRange(n, identityCol)
+      .withColumn("__part", spark_partition_id())
+    val bases = parted.groupBy("__part").agg(count(lit(1)).as("__n"))
+      .withColumn("__base", coalesce(sum("__n").over(
+        Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__part", "__base")
+    parted.join(broadcast(bases), Seq("__part"))
+      .withColumn("pid",
+        col("__base") + row_number().over(
+          Window.partitionBy("__part").orderBy(identityCol)).cast("long") - 1 + base)
+      .drop("__part")
+  }
 
   /**
    * T2+T3: interleave per-txn fence batches and end-txn control markers

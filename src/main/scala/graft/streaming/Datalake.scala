@@ -225,4 +225,62 @@ object Datalake {
       writes.map { case (o, f) => Await.result(f, Duration.Inf); o -> counts(o) }
     } finally routed.unpersist()
   }
+
+  /** Dead-letter table directory name under the multiplexer base path. */
+  val DlqDir = "_dlq"
+
+  /**
+   * D1 invalid-record handling: the reference's multiplexer routes
+   * records that fail value-type resolution (`bad_input`), record
+   * translation (`translation_error`) or table compatibility
+   * (`incompatible_schema`) through `handle_invalid_record`
+   * (`datalake/record_multiplexer.cc:69-151,236` — which drops them with
+   * a "TODO: dead-letter table?"); here the dead-letter table is real.
+   *
+   * Classification is one narrow pass of codegen'd expressions over the
+   * registry wire envelope (magic byte + int32 schema id — the same
+   * accessors as the produce-path validator, `registry/Ingest.scala`):
+   *   - bad magic byte            → bad_input          (type_resolver::errc::bad_input)
+   *   - schema id not registered  → translation_error  (record_translator::errc::translation_error)
+   *   - id registered but not table-compatible → incompatible_schema
+   *                                 (table_creator::errc::incompatible_schema)
+   * Valid rows take the normal multiplexed write; invalid rows land in
+   * `basePath/_dlq` with their intended output and an `error_code`
+   * column, partitioned like every other output — accounted, not
+   * dropped, and never poisoning the commit. Returns (output, rows)
+   * per output table including the `_dlq` entry when non-empty.
+   */
+  def writeMultiplexedWithDlq(
+      batch: DataFrame,
+      routeCol: Column,
+      tsCol: Column,
+      basePath: String,
+      valueCol: Column,
+      registered: Seq[Int],
+      incompatible: Seq[Int],
+      partFn: Column => Column = hourPartition): Seq[(String, Long)] = {
+    import graft.registry.Ingest
+    val classified = batch
+      .withColumn("_schema_id",
+        when(Ingest.magicOf(valueCol) === lit(Array[Byte](0)), Ingest.schemaIdOf(valueCol)))
+      .withColumn("error_code",
+        when(col("_schema_id").isNull, "bad_input")
+          .when(!col("_schema_id").isin(registered: _*), "translation_error")
+          .when(col("_schema_id").isin(incompatible: _*), "incompatible_schema"))
+      .cache()
+    try {
+      val main = writeMultiplexed(
+        classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
+        routeCol, tsCol, basePath, partFn)
+      val dlq = classified.where(col("error_code").isNotNull)
+        .withColumn("_output", routeCol)
+        .withColumn("p_key", partFn(tsCol))
+        .drop("_schema_id")
+      val nDlq = dlq.count()
+      if (nDlq > 0)
+        dlq.repartition(col("p_key"))
+          .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$DlqDir")
+      if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
+    } finally classified.unpersist()
+  }
 }

@@ -60,6 +60,7 @@ object IcebergFormat {
     case BinaryType => "binary"
     case DateType => "date"
     case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp" // iceberg/datatypes.h:33 (no zone)
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(s"unsupported iceberg type: $other")
   }
@@ -95,6 +96,7 @@ object IcebergFormat {
     case "binary" => BinaryType
     case "date" => DateType
     case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
     case _ => StringType
   }
 

@@ -43,8 +43,17 @@ def main(sf_dir: str, out_dir: str) -> None:
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
         try:
+            rel = con.sql(sql)
+            # The driver hashes DuckDB output by physical type: an uncast
+            # SUM(int)/`//` emits HUGEINT, which hash-mismatches Spark's
+            # BIGINT even when values agree. Catch the class here.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: HUGEINT output columns {huge} — wrap in CAST(... AS BIGINT)")
+                n_fail += 1;  continue
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
-            want = norm(con.sql(sql).df())
+            want = norm(rel.df())
         except Exception as e:
             print(f"FAIL {name}: {e}");  n_fail += 1;  continue
         if list(got.columns) != list(want.columns):
