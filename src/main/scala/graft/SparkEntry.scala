@@ -44,20 +44,29 @@ object SparkEntry {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private def T(s: SparkSession, dir: String, name: String,
+      fan: Boolean = true): DataFrame =
     // Memoized per (session, dir, table): the cached DataFrame carries its
     // resolved FileIndex, so file listing + parquet-footer schema inference
     // happen ONCE per session instead of on every entry — the same way a
     // broker opens partition state once and serves every request from it.
     tableCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir + "|" + name, { _ =>
+      s.sparkContext.applicationId + "|" + dir + "|" + name + "|" + fan, { _ =>
         val df = s.read.parquet(s"$dir/$name.parquet")
         val target = s.sparkContext.defaultParallelism
-        // Only the text corpus: per-row narrow work (shingling, hashing,
-        // tokenizing) dominates there and parallelizes linearly. The
+        // The row-heavy tables: per-row narrow work (shingling, hashing,
+        // payload padding, decode kernels) dominates there and
+        // parallelizes linearly — and the driver's testdata ships ONE
+        // row group per file, so without the fan-out the whole scan
+        // pipeline (e.g. the 1 KiB produce padding) runs as a single
+        // task. Dimension tables stay as-is (they broadcast), and the
         // iterative trainers over `embeddings` (KMeans/PQ) do many tiny
         // passes and lose 2x to per-task overhead when over-partitioned.
-        val fanOut = name == "documents"
+        // Callers whose first post-scan step is itself an exchange (the
+        // canonical log's (partition, chunk) window) pass fan = false —
+        // an extra round-robin hop before an immediate re-shuffle is
+        // pure overhead.
+        val fanOut = fan && Set("documents", "events", "lineitem", "orders")(name)
         if (fanOut && df.rdd.getNumPartitions * 2 < target) df.repartition(target)
         else df
       })
@@ -166,8 +175,8 @@ object SparkEntry {
 
   /** events with a Spark-readable timestamp column regardless of whether
     * the parquet type is TIMESTAMP(NANOS) (read as long) or micros. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    withLtzTs(T(s, dir, "events"))
+  private def events(s: SparkSession, dir: String, fan: Boolean = true): DataFrame =
+    withLtzTs(T(s, dir, "events", fan))
 
   /**
    * Stage the events table as an ordered file-stream input directory.
@@ -243,7 +252,10 @@ object SparkEntry {
     * assignment (proved bit-identical to the window variant, which
     * `s1_produce_window` keeps as the cross-check). */
   private def eventLog(s: SparkSession, dir: String): DataFrame =
-    RecordLog.assignOffsetsScalable(events(s, dir),
+    // fan = false: the first step after the scan is the offset
+    // assignment's own (partition, chunk) exchange — narrow rows with no
+    // heavy map-side work gain nothing from a round-robin pre-shuffle.
+    RecordLog.assignOffsetsScalable(events(s, dir, fan = false),
       pmod(col("user_id"), lit(EventPartitions)), col("event_id"),
       chunkCol = floor(col("event_id") / OffsetChunk))
 
@@ -1503,19 +1515,74 @@ object SparkEntry {
     "sec_handshake" -> ((s, dir) => {
       // SASL handshake mechanism negotiation
       // (`kafka/server/handlers/sasl_handshake.cc`): 60 clients each
-      // request one of five mechanisms (key mod 5); only the two SCRAM
-      // mechanisms are enabled: the four implemented ones (SCRAM x2,
-      // PLAIN, OAUTHBEARER), so only GSSAPI gets error 33
-      // (UNSUPPORTED_SASL_MECHANISM) plus the enabled list to retry with.
+      // request one of six mechanisms (key mod 6). All five reference
+      // mechanisms (SCRAM x2, PLAIN, GSSAPI, OAUTHBEARER) are in the
+      // enabled-mechanisms config, so only the never-supported EXTERNAL
+      // gets error 33 (UNSUPPORTED_SASL_MECHANISM) plus the enabled
+      // list to retry with.
       val mechs = array(lit("SCRAM-SHA-256"), lit("SCRAM-SHA-512"),
-        lit("PLAIN"), lit("GSSAPI"), lit("OAUTHBEARER"))
+        lit("PLAIN"), lit("GSSAPI"), lit("OAUTHBEARER"), lit("EXTERNAL"))
       val reqs = T(s, dir, "customer").where(col("c_custkey") <= 60)
         .select(concat(lit("client_"), col("c_custkey")).as("client"),
-          element_at(mechs, (pmod(col("c_custkey"), lit(5)) + 1).cast("int"))
+          element_at(mechs, (pmod(col("c_custkey"), lit(6)) + 1).cast("int"))
             .as("mechanism"))
       graft.security.Scram.handshake(reqs,
-          Seq("SCRAM-SHA-256", "SCRAM-SHA-512", "PLAIN", "OAUTHBEARER"))
+          Seq("SCRAM-SHA-256", "SCRAM-SHA-512", "PLAIN", "GSSAPI", "OAUTHBEARER"))
         .orderBy("client")
+    }),
+
+    "sec_gssapi_principal" -> ((s, dir) => {
+      // GSSAPI principal-to-local rules (gssapi_rule.h:24,
+      // gssapi_principal_mapper.h:47): the reference's own test corpus —
+      // three rule sets (plain, /L, /U) over parsed kerberos names —
+      // mapped by the one-projection rule fold. Oracle pins each
+      // expected local name (the engine must reproduce them; same
+      // pinned-golden-vector pattern as op_murmur2_routing).
+      import s.implicits._
+      import graft.security.Gssapi
+      val setA = (Gssapi.parseRules(Seq(
+        "RULE:[1:$1](App\\..*)s/App\\.(.*)/$1/g",
+        "RULE:[2:$1](App\\..*)s/App\\.(.*)/$1/g",
+        "RULE:[2:$1data$2](redpanda.*)",
+        "DEFAULT")), "REALM.com")
+      val setB = (Gssapi.parseRules(Seq(
+        "RULE:[1:$1]/L",
+        "RULE:[2:$1](Test.*)s/ABC///L",
+        "RULE:[2:$1](ABC.*)s/ABC/XYZ/g/L",
+        "RULE:[2:$1](App\\..*)s/App\\.(.*)/$1/g/L",
+        "RULE:[2:$1]/L",
+        "DEFAULT")), "REALM.COM")
+      val setC = (Gssapi.parseRules(Seq(
+        "RULE:[1:$1]/U",
+        "RULE:[2:$1](Test.*)s/ABC///U",
+        "RULE:[2:$1](ABC.*)s/ABC/XYZ/g/U",
+        "RULE:[2:$1](App\\..*)s/App\\.(.*)/$1/g/U",
+        "RULE:[2:$1]/U",
+        "DEFAULT")), "REALM.COM")
+      val corpus = Seq(
+        (1, "A", "App.service-name/example.com@REALM.com"),
+        (2, "A", "App.service-name@REALM.com"),
+        (3, "A", "user/host@REALM.com"),
+        (4, "A", "redpanda/example.com@REALM.com"),
+        (5, "B", "User@REALM.com"),
+        (6, "B", "TestABC/host@FOO.COM"),
+        (7, "B", "ABC_User_ABC/host@FOO.COM"),
+        (8, "B", "App.SERVICE-name/example.com@REALM.COM"),
+        (9, "B", "User/root@REALM.COM"),
+        (10, "C", "User@REALM.com"),
+        (11, "C", "TestABC/host@FOO.COM"),
+        (12, "C", "ABC_User_ABC/host@FOO.COM"),
+        (13, "C", "App.SERVICE-name/example.com@REALM.COM"),
+        (14, "C", "User/root@REALM.COM"))
+        .toDF("k", "rule_set", "gssapi_name")
+      Seq(("A", setA), ("B", setB), ("C", setC)).map { case (tag, (rules, realm)) =>
+          Gssapi.mapPrincipals(corpus.where(col("rule_set") === tag),
+            col("gssapi_name"), realm, rules)
+            .select(col("k"), col("rule_set"), col("gssapi_name"),
+              col("principal").as("mapped"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("k")
     }),
 
     "sec_role_acls" -> ((s, dir) => {
@@ -2496,6 +2563,34 @@ object SparkEntry {
         .groupBy("output", "error_code")
         .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
         .orderBy("output", "error_code")
+    }),
+
+    "d6_commit_conflict" -> ((s, dir) => {
+      // Optimistic-concurrency commit (merge_append_action.cc /
+      // rest_catalog.cc): two writers stage appends against the SAME
+      // base snapshot; the first publishes cleanly (no rebase), the
+      // second detects the moved table version and rebases its manifest
+      // onto the new current — both append sets survive, the snapshot
+      // history stays linear, and the full read equals the union. A
+      // last-write-wins metadata overwrite would drop writer 1's rows.
+      val t = java.nio.file.Files.createTempDirectory("graft_icecc").toString + "/t"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
+      val fmt = graft.streaming.IcebergFormat
+      fmt.commit(slice(0), col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
+      val a = fmt.stageAppend(slice(1), col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
+      val b = fmt.stageAppend(slice(2), col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
+      val (_, rebasedA) = fmt.commitStaged(s, t, a)
+      val (_, rebasedB) = fmt.commitStaged(s, t, b)
+      import s.implicits._
+      val catalog = fmt.snapshotCatalog(s, t)
+        .select(concat(lit("snap_"), col("snapshot_id")).as("kind"), col("n_rows").as("n"))
+      val readBack = fmt.readTable(s, t)
+        .agg(count(lit(1)).as("n")).select(lit("read_rows").as("kind"), col("n"))
+      val flags = Seq(
+        ("rebase_a", if (rebasedA) 1L else 0L),
+        ("rebase_b", if (rebasedB) 1L else 0L)).toDF("kind", "n")
+      catalog.unionByName(readBack).unionByName(flags).orderBy("kind")
     }),
 
     "d6_iceberg_catalog" -> ((s, dir) => {
@@ -4203,13 +4298,33 @@ object SparkEntry {
 
     "sec_handshake" ->
       """SELECT 'client_' || c_custkey AS client, mech AS mechanism,
-        |  CASE WHEN mech IN ('SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'OAUTHBEARER')
+        |  CASE WHEN mech IN ('SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER')
         |       THEN 0 ELSE 33 END AS error_code,
-        |  'SCRAM-SHA-256,SCRAM-SHA-512,PLAIN,OAUTHBEARER' AS enabled_mechanisms
+        |  'SCRAM-SHA-256,SCRAM-SHA-512,PLAIN,GSSAPI,OAUTHBEARER' AS enabled_mechanisms
         | FROM (SELECT c_custkey,
-        |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER'])[(c_custkey % 5) + 1] AS mech
+        |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER', 'EXTERNAL'])[(c_custkey % 6) + 1] AS mech
         |       FROM customer WHERE c_custkey <= 60)
         | ORDER BY client""".stripMargin,
+
+    // The reference's own gssapi_principal_mapper test corpus; every
+    // expected local name pinned (the engine must reproduce them).
+    "sec_gssapi_principal" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'A', 'App.service-name/example.com@REALM.com', 'service-name'),
+        |  (2, 'A', 'App.service-name@REALM.com', 'service-name'),
+        |  (3, 'A', 'user/host@REALM.com', 'user'),
+        |  (4, 'A', 'redpanda/example.com@REALM.com', 'redpandadataexample.com'),
+        |  (5, 'B', 'User@REALM.com', 'user'),
+        |  (6, 'B', 'TestABC/host@FOO.COM', 'test'),
+        |  (7, 'B', 'ABC_User_ABC/host@FOO.COM', 'xyz_user_xyz'),
+        |  (8, 'B', 'App.SERVICE-name/example.com@REALM.COM', 'service-name'),
+        |  (9, 'B', 'User/root@REALM.COM', 'user'),
+        |  (10, 'C', 'User@REALM.com', 'USER'),
+        |  (11, 'C', 'TestABC/host@FOO.COM', 'TEST'),
+        |  (12, 'C', 'ABC_User_ABC/host@FOO.COM', 'XYZ_USER_XYZ'),
+        |  (13, 'C', 'App.SERVICE-name/example.com@REALM.COM', 'SERVICE-NAME'),
+        |  (14, 'C', 'User/root@REALM.COM', 'USER')
+        |) AS t(k, rule_set, gssapi_name, mapped) ORDER BY k""".stripMargin,
 
     // PLAIN replays the parse-ladder precedence in plaintext: malformed
     // blobs (%13 authzid, %11 no separator, %7 empty password) beat the
@@ -4930,6 +5045,16 @@ object SparkEntry {
         |SELECT 'events_' || event_type AS output, error_code,
         |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // writer 1 (slice 1) publishes first -> snap_2, no rebase; writer 2
+    // (slice 2) rebases -> snap_3; the read sees every slice.
+    "d6_commit_conflict" ->
+      """WITH c AS (SELECT event_id % 3 AS slice, count(*) AS n FROM events GROUP BY 1)
+        |SELECT 'snap_' || CAST(slice + 1 AS VARCHAR) AS kind, CAST(n AS BIGINT) AS n FROM c
+        |UNION ALL SELECT 'read_rows', CAST((SELECT count(*) FROM events) AS BIGINT)
+        |UNION ALL SELECT 'rebase_a', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'rebase_b', CAST(1 AS BIGINT)
+        |ORDER BY kind""".stripMargin,
 
     "d6_iceberg_catalog" ->
       """SELECT CAST(event_id % 3 + 1 AS BIGINT) AS snapshot_id,

@@ -435,14 +435,44 @@ object IcebergFormat {
       .write.mode("overwrite").partitionBy("p_key").parquet(snapData.toString)
 
     // 2. manifest: one entry per data file (status 1 = ADDED)
-    val files =
-      if (!fs.exists(snapData)) Seq.empty
-      else fs.listStatus(snapData).toSeq.filter(_.isDirectory).flatMap { pdir =>
-        val pKey = pdir.getPath.getName.stripPrefix("p_key=")
-        fs.listStatus(pdir.getPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(st => (st.getPath, pKey, st.getLen))
-      }
+    val files = listPartFiles(fs, snapData)
+    val (manifestPath, manifestLen, addedRows) =
+      writeAddManifest(spark, fs, table, snapId, seq, files)
+
+    // 3. manifest list: prior snapshots' manifests stay EXISTING; the
+    // new manifest is ADDED (merge-append, iceberg/merge_append_action.cc)
+    val priorList = priorSnaps.lastOption.toSeq.flatMap(s =>
+      readAvro(fs, new Path(s.manifestList), ManifestFileSchema))
+    val mf = manifestFileRec(manifestPath, manifestLen, specId, seq, snapId,
+      files.size, addedRows)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
+
+    // 4. metadata.json + version hint — schema/spec histories carried
+    // forward, the snapshot stamped with the schema generation it was
+    // committed under
+    writeMetadataJsonFull(fs, table, prior.map(_ + 1).getOrElse(1),
+      schemas, curSchemaId, specs, specId, lastColId,
+      priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
+        sourceBatchId = sourceBatchId, schemaId = curSchemaId),
+      uuid)
+    snapId
+  }
+
+  /** (file, partition value, length) triples under a partitioned dir. */
+  private def listPartFiles(fs: FileSystem, dir: Path): Seq[(Path, String, Long)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { pdir =>
+      val pKey = pdir.getPath.getName.stripPrefix("p_key=")
+      fs.listStatus(pdir.getPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath, pKey, st.getLen))
+    }
+
+  /** Write the ADDED-entries manifest avro for a snapshot; returns
+    * (manifest path, byte length, added row count). */
+  private def writeAddManifest(spark: SparkSession, fs: FileSystem, table: String,
+      snapId: Long, seq: Long, files: Seq[(Path, String, Long)]): (Path, Long, Long) = {
     val entries = files.map { case (p, pKey, len) =>
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1)
@@ -466,11 +496,11 @@ object IcebergFormat {
     val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema, entries)
     val addedRows = entries.map(_.get("data_file")
       .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+    (manifestPath, manifestLen, addedRows)
+  }
 
-    // 3. manifest list: prior snapshots' manifests stay EXISTING; the
-    // new manifest is ADDED (merge-append, iceberg/merge_append_action.cc)
-    val priorList = priorSnaps.lastOption.toSeq.flatMap(s =>
-      readAvro(fs, new Path(s.manifestList), ManifestFileSchema))
+  private def manifestFileRec(manifestPath: Path, manifestLen: Long, specId: Int,
+      seq: Long, snapId: Long, nFiles: Int, addedRows: Long): GenericRecord = {
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
     mf.put("manifest_length", manifestLen)
@@ -479,24 +509,102 @@ object IcebergFormat {
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number", seq)
     mf.put("added_snapshot_id", snapId)
-    mf.put("added_files_count", files.size)
+    mf.put("added_files_count", nFiles)
     mf.put("existing_files_count", 0)
     mf.put("deleted_files_count", 0)
     mf.put("added_rows_count", addedRows)
     mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
+    mf
+  }
+
+  /** A data-only append prepared against a base table version, not yet
+    * published: the expensive half (data files) is done; publication is
+    * bounded metadata work. */
+  final case class StagedAppend(stageDir: String, baseVersion: Int,
+      files: Seq[(String, String, Long)])
+
+  /**
+   * Optimistic-concurrency append, phase 1 (the reference's
+   * merge-append transaction: `iceberg/merge_append_action.cc`,
+   * submitted through the catalog with requirements,
+   * `iceberg/rest_catalog.cc:170`): write `df`'s data files under a
+   * staging directory and record the table version they were prepared
+   * against. No metadata is touched — a staged append is invisible
+   * until [[commitStaged]] publishes it, and any number of writers can
+   * stage concurrently against the same base.
+   *
+   * The staged path is data-only by design (no schema evolution): the
+   * batch must match the current schema exactly.
+   */
+  def stageAppend(df: DataFrame, tsCol: Column, table: String,
+      partFn: Column => Column = Datalake.hourPartition): StagedAppend = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, table)
+    val base = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException("stageAppend requires an existing table"))
+    val json = readMetadataJson(fs, table, base)
+    val (schemas, curId) = parseSchemas(json)
+    val curFields = schemas.find(_.schemaId == curId).get.fields
+    require(df.schema.fields.map(f => f.name -> icebergType(f.dataType)).toMap ==
+      curFields.map(f => f.name -> f.tpe).toMap,
+      "staged append must match the current schema exactly")
+    // `snap=staged-<uuid>`: the same directory depth as published
+    // snapshots, so a manifest-driven read mixing staged-origin and
+    // snap-origin files infers ONE consistent partition structure.
+    // Files stay here after publish (rebase is metadata-only); expiry
+    // reclaims them by manifest reachability, not by directory name.
+    val stageDir = new Path(
+      s"${dataDir(table)}/snap=staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.select(curFields.map(f => col(f.name)): _*)
+      .withColumn("p_key", partFn(tsCol))
+      .repartition(col("p_key"))
+      .write.mode("overwrite").partitionBy("p_key").parquet(stageDir.toString)
+    StagedAppend(stageDir.toString, base,
+      listPartFiles(fs, stageDir).map { case (p, k, l) => (p.toString, k, l) })
+  }
+
+  /**
+   * Optimistic-concurrency append, phase 2: publish a staged append.
+   * If the table is still at the staged base version, this is the fast
+   * path. If another writer committed first (the version moved), the
+   * conflict is detected and the append REBASES: its manifest is
+   * re-stamped with a fresh snapshot id / sequence number and merged
+   * onto the CURRENT manifest list — data files are not rewritten, the
+   * retry is metadata-only (exactly the catalog's
+   * commit-failed-then-refresh-and-reapply loop; a last-write-wins
+   * metadata overwrite here would silently drop the first writer's
+   * snapshot). Returns (snapshot id, rebased?).
+   */
+  def commitStaged(spark: SparkSession, table: String,
+      staged: StagedAppend): (Long, Boolean) = {
+    val fs = fsOf(spark, table)
+    val cur = currentVersion(fs, table).get
+    val rebased = cur != staged.baseVersion
+    val json = readMetadataJson(fs, table, cur)
+    val snaps = parseSnapshots(json)
+    val (schemas, curSchemaId) = parseSchemas(json)
+    val (specs, specId) = parseSpecs(json)
+    val lastColId = lastColumnIdOf(json)
+    val uuid = jsonStrField(json, "table-uuid")
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val snapId = snaps.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val seq = snaps.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+    val files = staged.files.map { case (p, k, l) => (new Path(p), k, l) }
+    val (manifestPath, manifestLen, addedRows) =
+      writeAddManifest(spark, fs, table, snapId, seq, files)
+    val priorList = snaps.lastOption.toSeq.flatMap(s =>
+      readAvro(fs, new Path(s.manifestList), ManifestFileSchema))
+    val mf = manifestFileRec(manifestPath, manifestLen, specId, seq, snapId,
+      files.size, addedRows)
     val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
     writeAvro(fs, listPath, ManifestFileSchema, priorList :+ mf)
-
-    // 4. metadata.json + version hint — schema/spec histories carried
-    // forward, the snapshot stamped with the schema generation it was
-    // committed under
-    writeMetadataJsonFull(fs, table, prior.map(_ + 1).getOrElse(1),
+    writeMetadataJsonFull(fs, table, cur + 1,
       schemas, curSchemaId, specs, specId, lastColId,
-      priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
-        sourceBatchId = sourceBatchId, schemaId = curSchemaId),
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
+        sourceBatchId = None, schemaId = curSchemaId),
       uuid)
-    snapId
+    (snapId, rebased)
   }
 
   // ---------------------------------------------------- schema evolution

@@ -56,6 +56,37 @@ class IcebergFormatSpec extends SparkSpec {
     assert(rows.select("p_key").distinct().count() >= 2)
   }
 
+  test("staged commits: conflict detected, rebase keeps both append sets") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    // both writers stage against base version 1
+    val a = IcebergFormat.stageAppend(batch(4, 7), col("ts"), t)
+    val b = IcebergFormat.stageAppend(batch(7, 10), col("ts"), t)
+    assert(a.baseVersion === 1 && b.baseVersion === 1)
+    // staged appends are invisible until published
+    assert(IcebergFormat.readTable(spark, t).count() === 4L)
+    val (snapA, rebasedA) = IcebergFormat.commitStaged(spark, t, a)
+    val (snapB, rebasedB) = IcebergFormat.commitStaged(spark, t, b)
+    assert((snapA, rebasedA) === (2L, false))
+    assert((snapB, rebasedB) === (3L, true)) // version moved under b -> rebase
+    // linear history, both writers' rows survive
+    val cat = IcebergFormat.snapshotCatalog(spark, t).orderBy("snapshot_id").collect()
+    assert(cat.map(r => (r.getLong(0), r.getLong(3))).toSeq ===
+      Seq((1L, 4L), (2L, 3L), (3L, 3L)))
+    assert(IcebergFormat.readTable(spark, t).select("id").as[Long].collect().sorted
+      === (0L until 10L).toArray)
+    // time travel to writer A's snapshot excludes writer B's rows
+    assert(IcebergFormat.timeTravel(spark, t, 2L).count() === 7L)
+  }
+
+  test("staged commit refuses a schema that drifted from the table") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    val drift = batch(4, 6).withColumn("extra", lit(1L))
+    assertThrows[IllegalArgumentException](
+      IcebergFormat.stageAppend(drift, col("ts"), t))
+  }
+
   test("expire removes time travel but keeps data referenced by survivors") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 4), col("ts"), t)
