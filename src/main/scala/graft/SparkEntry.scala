@@ -1585,6 +1585,28 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "s2_fetch_pid" -> ((s, dir) => {
+      // Adaptive fetch debounce (fetch_pid_controller.cc:62): per-shard
+      // PID over a deterministic reactor-load series derived from
+      // events — alternating saturated/idle kilo-windows, a varying
+      // fetch-group share, and every 97th sample out-of-range (busy >
+      // dt) to exercise the carry path. Integral micro-unit arithmetic
+      // end to end; the oracle replays the fold as a recursive CTE.
+      val sm = events(s, dir, fan = false).selectExpr(
+        "concat('s', user_id % 4) AS shard",
+        "event_id AS seq",
+        "1 + event_id % 4 AS dt_ms",
+        """CASE WHEN event_id % 97 = 0 THEN (1 + event_id % 4) + 5
+               WHEN (event_id div 1000) % 2 = 0 THEN 1 + event_id % 4
+               ELSE (1 + event_id % 4) div 2 END AS busy_ms""",
+        "((1 + event_id % 4) * (1 + event_id % 3)) div 4 AS sg_ms")
+      graft.admin.FetchPid.fetchDelays(sm,
+          col("shard"), col("seq"), col("dt_ms"), col("busy_ms"), col("sg_ms"),
+          pMicro = 50L, iMicro = 2L, dMicro = 10L,
+          targetPm = 400L, maxDelayMs = 100L)
+        .orderBy("shard", "seq")
+    }),
+
     "sec_role_acls" -> ((s, dir) => {
       // RBAC (role.h/role_store.h): Role:ops reads+writes topic events,
       // Role:admins holds ALL on the prefixed logs- space; eve's
@@ -4525,6 +4547,63 @@ object SparkEntry {
         | SELECT client_id, seq, tokens,
         |        CASE WHEN tokens < 0 THEN (-tokens + 1) // 2 ELSE CAST(0 AS BIGINT) END AS throttle_ms
         | FROM tb ORDER BY client_id, seq""".stripMargin,
+
+    // PID fold replayed exactly: permille utilizations, micro-unit
+    // coefficients (p=50, i=2, d=10, target=400pm, max=100ms), integral
+    // clamp to max_delay/i, truncating division throughout (DuckDB //
+    // truncates toward zero exactly like the engine's long division).
+    // Invalid samples (busy > dt) carry the previous state verbatim.
+    "s2_fetch_pid" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS shard,
+        |         CAST(event_id AS BIGINT) AS seq,
+        |         CAST(1 + event_id % 4 AS BIGINT) AS dt_ms,
+        |         CAST(CASE WHEN event_id % 97 = 0 THEN (1 + event_id % 4) + 5
+        |              WHEN (event_id // 1000) % 2 = 0 THEN 1 + event_id % 4
+        |              ELSE (1 + event_id % 4) // 2 END AS BIGINT) AS busy_ms,
+        |         CAST(((1 + event_id % 4) * (1 + event_id % 3)) // 4 AS BIGINT) AS sg_ms
+        |  FROM events),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY seq) AS rn FROM base),
+        | pid AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS seq,
+        |         CAST(0 AS BIGINT) AS error_pm, CAST(0 AS BIGINT) AS e_int,
+        |         CAST(0 AS BIGINT) AS last_e, CAST(0 AS BIGINT) AS delay_us
+        |  FROM (SELECT DISTINCT shard FROM base)
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.seq,
+        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
+        |         THEN (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
+        |                    THEN r.busy_ms * 1000 // r.dt_ms - 999
+        |                    ELSE r.sg_ms * 1000 // r.dt_ms - 400 END)
+        |         ELSE p.last_e END,
+        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
+        |         THEN greatest(0, least(50000000, p.e_int +
+        |                (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
+        |                      THEN r.busy_ms * 1000 // r.dt_ms - 999
+        |                      ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) * r.dt_ms))
+        |         ELSE p.e_int END,
+        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
+        |         THEN (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
+        |                    THEN r.busy_ms * 1000 // r.dt_ms - 999
+        |                    ELSE r.sg_ms * 1000 // r.dt_ms - 400 END)
+        |         ELSE p.last_e END,
+        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
+        |         THEN least(100000, greatest(0,
+        |                50 * (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
+        |                           THEN r.busy_ms * 1000 // r.dt_ms - 999
+        |                           ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) // 1000
+        |              + 2 * greatest(0, least(50000000, p.e_int +
+        |                    (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
+        |                          THEN r.busy_ms * 1000 // r.dt_ms - 999
+        |                          ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) * r.dt_ms)) // 1000
+        |              + (10 * ((CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
+        |                             THEN r.busy_ms * 1000 // r.dt_ms - 999
+        |                             ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) - p.last_e))
+        |                // r.dt_ms // 1000))
+        |         ELSE p.delay_us END
+        |  FROM pid p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT shard, seq, error_pm, e_int AS error_int, delay_us
+        | FROM pid WHERE rn > 0 ORDER BY shard, seq""".stripMargin,
 
     "g1_group_membership" ->
       """WITH cmds AS (

@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
       p.contains("SortAggregate"), p)
   }
 
+  test("initProducerIds range-partitions identities — no global-window sort") {
+    val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
+    val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))
+    // the identity rank runs inside range partitions with broadcast
+    // prefix bases — never one single-partition window over the table
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w =>
+      assert(w.contains("__part"), s"window not partition-scoped: $w\n$p"))
+  }
+
   // Every window in these two txn-path plans must be chunk-scoped: either
   // the prefix-sum over the tiny (partition × chunk) count table or a
   // chunk-local rank — never a monolithic per-partition pass over the log.
