@@ -177,11 +177,50 @@ object Dedup {
    * collect). Returns (doc_id, cluster_id) for every vertex; singletons
    * cluster to themselves.
    */
+  /** Edge-count cutoff below which the component labeling runs as a
+    * driver-side union-find instead of the distributed loop. The edge
+    * list is already the DISTINCT near-dup pair set — a tiny fraction
+    * of any corpus — and under this bound it is control-plane-sized
+    * state (≤ ~16 MB), where one union-find pass beats paying the
+    * multi-round shuffle loop's fixed costs. The same size-based plan
+    * choice Spark itself makes at the broadcast-join threshold; the
+    * distributed log-round loop remains the ≥threshold path. */
+  val DriverUnionFindMaxEdges = 1000000L
+
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
       .distinct().persist()
+    val nEdges = edges.count()
+    if (nEdges <= DriverUnionFindMaxEdges) {
+      // small-graph path: one pass of union-find with path compression,
+      // then each component labels with its MIN member — identical
+      // semantics to the converged min-label loop below.
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      val labeled = nodes.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
+      val singletons = vertices.select(col("doc_id").cast("long").as("node"))
+        .join(labeled.select("node"), Seq("node"), "left_anti")
+        .withColumn("lbl", col("node"))
+      return labeled.unionByName(singletons)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    }
     // Iterate ONLY over vertices that appear in some edge: dup clusters
     // are a small fraction of a corpus, so the loop's working set scales
     // with |E|, not |V|. Isolated vertices self-label in one final union.
