@@ -3513,6 +3513,18 @@ object SparkEntry {
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
 
+    "smp_dsir" -> ((s, dir) => {
+      // DSIR importance resampling: the 'en' slice is the target
+      // domain, the full corpus the raw pool; hashed-bigram LLR scores
+      // in integer micro-units plus hash-derived Gumbel noise pick
+      // k=100 docs without replacement. The oracle recomputes every
+      // bucket LLR, every score, and the exact top-k cut.
+      val docs = T(s, dir, "documents")
+      Sampling.importanceResample(docs, docs.where(col("lang") === "en"),
+          col("doc_id"), col("text"), k = 100)
+        .orderBy("doc_id")
+    }),
+
     "txt_classifier_score" -> ((s, dir) => {
       // Model-based quality filter: a 64-bucket hashed-linear classifier
       // with deterministic integer pseudo-weights w(b) = (b*37) % 13 - 6
@@ -5689,6 +5701,45 @@ object SparkEntry {
 
     // Empty tokens carry no feature; docs with no scoreable tokens keep
     // the bias-only margin (left join), never dropping from the verdict.
+    // Bucket LLRs and Gumbel noise floored to integer micro-units right
+    // after the single floating-point step, so sums and the top-k cut
+    // are exact-integer in both engines.
+    "smp_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | rg AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS bucket
+        |  FROM tok, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(g)),
+        | docb AS (SELECT doc_id, bucket, count(*) AS n FROM rg GROUP BY 1, 2),
+        | rawb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rn FROM docb GROUP BY 1),
+        | tgtb AS (SELECT rg.bucket, count(*) AS tn
+        |          FROM rg JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+        | tot AS (SELECT (SELECT CAST(sum(rn) AS BIGINT) FROM rawb) AS rt,
+        |                (SELECT CAST(COALESCE(sum(tn), 0) AS BIGINT) FROM tgtb) AS tt),
+        | llr AS (
+        |  SELECT r.bucket,
+        |    CAST(floor((ln(COALESCE(t.tn, 0) + 1)
+        |      - ln(CAST((SELECT tt FROM tot) + 8192 AS DOUBLE))
+        |      - ln(r.rn + 1)
+        |      + ln(CAST((SELECT rt FROM tot) + 8192 AS DOUBLE))) * 1000000.0) AS BIGINT) AS llr_u
+        |  FROM rawb r LEFT JOIN tgtb t USING (bucket)),
+        | sc AS (SELECT d.doc_id, CAST(sum(d.n * l.llr_u) AS BIGINT) AS score_u,
+        |          CAST(sum(d.n) AS BIGINT) AS n_grams
+        |        FROM docb d JOIN llr l USING (bucket) GROUP BY 1),
+        | wg AS (
+        |  SELECT doc.doc_id,
+        |    COALESCE(s.n_grams, 0) AS n_grams,
+        |    COALESCE(s.score_u, 0) AS score_u,
+        |    CAST(floor(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('dsir:' || CAST(doc.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |        % 1000000 + 0.5) / 1000000.0)) * 1000000.0) AS BIGINT) AS gumbel_u
+        |  FROM documents doc LEFT JOIN sc s USING (doc_id)),
+        | rk AS (SELECT *, row_number() OVER (ORDER BY score_u + gumbel_u DESC, doc_id) AS rnk
+        |        FROM wg)
+        |SELECT doc_id, n_grams, score_u, gumbel_u, rnk <= 100 AS selected
+        | FROM rk ORDER BY doc_id""".stripMargin,
+
     "txt_classifier_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

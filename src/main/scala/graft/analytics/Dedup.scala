@@ -188,13 +188,14 @@ object Dedup {
   val DriverUnionFindMaxEdges = 1000000L
 
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      smallGraphMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
       .distinct().persist()
     val nEdges = edges.count()
-    if (nEdges <= DriverUnionFindMaxEdges) {
+    if (nEdges <= smallGraphMaxEdges) {
       // small-graph path: one pass of union-find with path compression,
       // then each component labels with its MIN member — identical
       // semantics to the converged min-label loop below.

@@ -208,4 +208,69 @@ object Sampling {
       .withColumn("pos", col("__base") + row_number().over(localW) - 1)
       .drop("__bucket", "__key")
   }
+
+  /**
+   * DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every raw
+   * document by the log-likelihood ratio of hashed-bigram bag models —
+   * a smoothed multinomial over `buckets` hashed word-bigram features
+   * fit on the TARGET domain versus one fit on the RAW pool — then
+   * select `k` documents without replacement via the Gumbel top-k
+   * trick on the log-weights.
+   *
+   * Engine-parity arithmetic: each bucket's log-likelihood-ratio and
+   * each document's Gumbel noise are floored to integer MICRO-units
+   * immediately after the (only) floating-point step, so the per-doc
+   * score is an exact integer sum — reproducible bit-for-bit by any
+   * engine in any aggregation order, and the top-k cut is a total
+   * order (micro-key, then doc_id). Gumbel noise is hash-derived from
+   * the doc id ([[hashBucket]]), never `rand()`.
+   *
+   * Scale shape: two narrow gram passes (raw pool + target) into
+   * bucket count tables bounded by `buckets`; the LLR table broadcasts
+   * to a single hash aggregate per document; selection is a TakeOrdered
+   * top-k (never a global sort materialization) whose id set broadcasts
+   * back as the `selected` flag.
+   *
+   * Returns (doc_id, n_grams, score_u, gumbel_u, selected) with scores
+   * in micro-log units.
+   */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, k: Int, buckets: Int = 8192,
+      seed: String = "dsir"): DataFrame = {
+    require(k > 0 && buckets > 0, "need positive k and bucket count")
+    def grams(df: DataFrame) = df
+      .select(idCol.as("doc_id"), explode(Dedup.shingles(textCol, 2)).as("__g"))
+      .withColumn("bucket", hashBucket(col("__g"), buckets))
+    val docB = grams(raw).groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+    val rawB = docB.groupBy("bucket").agg(sum("n").as("rn"))
+    val tgtB = grams(target).groupBy("bucket").agg(count(lit(1)).as("tn"))
+    val rawTot = rawB.agg(sum("rn")).collect()(0).getLong(0)
+    val tgtTot = tgtB.agg(coalesce(sum("tn"), lit(0L))).collect()(0).getLong(0)
+    // add-one smoothing over the hashed feature space; a bucket absent
+    // from the target keeps the floor probability 1/(T+B)
+    val llr = rawB.join(tgtB, Seq("bucket"), "left")
+      .select(col("bucket"),
+        floor((log(coalesce(col("tn"), lit(0L)) + lit(1))
+          - log(lit((tgtTot + buckets).toDouble))
+          - log(col("rn") + lit(1))
+          + log(lit((rawTot + buckets).toDouble))) * lit(1000000.0)).as("llr_u"))
+    val scores = docB.join(broadcast(llr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("llr_u")).as("score_u"), sum("n").as("n_grams"))
+    val withG = raw.select(idCol.as("doc_id")).join(scores, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("score_u", "n_grams"))
+      .withColumn("__u",
+        (hashBucket(concat(lit(seed + ":"), col("doc_id")), 1000000) + lit(0.5))
+          / lit(1000000.0))
+      .withColumn("gumbel_u", floor(-log(-log(col("__u"))) * lit(1000000.0)))
+      .drop("__u")
+    val picked = withG
+      .orderBy((col("score_u") + col("gumbel_u")).desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), lit(true).as("__sel"))
+    withG.join(broadcast(picked), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("score_u"), col("gumbel_u"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
 }

@@ -196,6 +196,31 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // the distributed log-round loop (forced by a zero small-graph
+    // cutoff) must agree with the driver union-find path exactly
+    val loop = Dedup.connectedComponents(pairs, verts, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(loop === cc)
+  }
+
+  test("DSIR importance resampling: exact k picked, target domain scores higher") {
+    val target = (0L until 10L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val raw = ((0L until 10L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+      (10L until 30L).map(i => (i, s"uno dos tres cuatro cinco seis siete")) ++
+      Seq((30L, ""))) // gram-less doc: scores 0, still eligible
+      .toDF("doc_id", "text")
+    val out = Sampling.importanceResample(raw, target, col("doc_id"), col("text"), k = 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.count(_._5) === 8)
+    assert(out.size === 31)
+    val (inT, outT) = out.filter(_._2 > 0).partition(_._1 < 10L)
+    // target-domain docs carry strictly higher LLR scores than off-domain
+    assert(inT.map(_._3).min > outT.map(_._3).max, out)
+    // deterministic: a re-run reproduces the identical selection
+    val again = Sampling.importanceResample(raw, target, col("doc_id"), col("text"), k = 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(again === out)
   }
 
   test("sampling: split is exhaustive, deterministic, and ~weight-proportional") {
