@@ -2587,6 +2587,56 @@ object SparkEntry {
         .orderBy("output", "error_code")
     }),
 
+    "d1_dlq_stream" -> ((s, dir) => {
+      // The invalid-record route as it actually runs — continuously:
+      // the same defect mix as d1_dlq streams in as two mtime-ordered
+      // micro-batches; each batch appends its valid rows and dead
+      // letters, and the accumulated tables must equal the one-shot
+      // batch run (the d1_dlq oracle, shared verbatim below).
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      val stage = Files.createTempDirectory("graft_d1dlqS")
+      val in = Files.createDirectory(stage.resolve("in"))
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"))
+      val m = pmod(col("event_id"), lit(10))
+      val env = when(m === 0, lit(Array[Byte](1, 0, 0, 0, 1)))
+        .when(m === 1, lit(Array[Byte](0, 0, 0, 0, 99)))
+        .when(m === 2, lit(Array[Byte](0, 0, 0, 0, 7)))
+        .otherwise(lit(Array[Byte](0, 0, 0, 0, 1)))
+      val batch = ev.withColumn("value", concat(env, encode(col("event_type"), "UTF-8")))
+      def stageHalf(name: String, rem: Int, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_d1dlqS_half")
+        batch.where(pmod(col("event_id"), lit(2)) === rem)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val it = Files.list(tmp).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) Files.copy(p, in.resolve(name))
+        }
+        Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
+      }
+      stageHalf("a.parquet", 0, 1700000000000L)
+      stageHalf("b.parquet", 1, 1700000060000L)
+      val base = s"$stage/out"
+      val schema = s.read.parquet(in.toString).schema
+      graft.streaming.Datalake.multiplexedDlqSink(
+        graft.streaming.Transforms.PathInput(in.toString, schema,
+          maxFilesPerTrigger = Some(1)).stream(s),
+        concat(lit("events_"), col("event_type")), col("ts"), base, s"$stage/ckpt",
+        col("value"), registered = Seq(1, 7), incompatible = Seq(7),
+        partFn = graft.streaming.Datalake.dayPartition).awaitTermination()
+      val types = ev.select("event_type").distinct().collect().map(_.getString(0))
+      val mains = types.toSeq.map { t =>
+        s.read.parquet(s"$base/events_$t")
+          .select(col("event_id"), lit(s"events_$t").as("output"), lit("ok").as("error_code")) }
+      val dlq = s.read.parquet(s"$base/${graft.streaming.Datalake.DlqDir}")
+        .select(col("event_id"), col("_output").as("output"), col("error_code"))
+      (mains :+ dlq).reduce(_ unionByName _)
+        .groupBy("output", "error_code")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("output", "error_code")
+    }),
+
     "d6_commit_conflict" -> ((s, dir) => {
       // Optimistic-concurrency commit (merge_append_action.cc /
       // rest_catalog.cc): two writers stage appends against the SAME
@@ -5124,6 +5174,19 @@ object SparkEntry {
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_key,
         |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // accumulated stream == one-shot batch: same derivation as d1_dlq
+    "d1_dlq_stream" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 10 = 0 THEN 'bad_input'
+        |         WHEN event_id % 10 = 1 THEN 'translation_error'
+        |         WHEN event_id % 10 = 2 THEN 'incompatible_schema'
+        |         ELSE 'ok' END AS error_code
+        |  FROM events)
+        |SELECT 'events_' || event_type AS output, error_code,
+        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d1_dlq" ->
       """WITH ev AS (

@@ -283,4 +283,27 @@ object Datalake {
       if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
     } finally classified.unpersist()
   }
+
+  /**
+   * The multiplexer as it actually runs — continuously: each
+   * micro-batch takes one classified pass, appends its valid rows to
+   * their output tables and its invalid rows to the dead-letter table
+   * (`record_multiplexer.h:32` driven by the datalake sink loop).
+   * AvailableNow + checkpoint give the usual restartable semantics.
+   */
+  def multiplexedDlqSink(stream: DataFrame, routeCol: Column, tsCol: Column,
+      basePath: String, ckptDir: String, valueCol: Column,
+      registered: Seq[Int], incompatible: Seq[Int],
+      partFn: Column => Column = hourPartition)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(s"multiplex:$basePath")
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeMultiplexedWithDlq(batch, routeCol, tsCol, basePath,
+          valueCol, registered, incompatible, partFn)
+        ()
+      }
+      .start()
 }
