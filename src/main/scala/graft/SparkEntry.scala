@@ -1585,6 +1585,44 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "s2_fetch_follower" -> ((s, dir) => {
+      // KIP-392 rack-aware fetch-from-follower (fetch.cc:1841): 48
+      // consumers (rack r1 / r2 / none by key mod 3) probe 4 partitions
+      // whose replica sets cover the full decision surface — leader
+      // default, same-rack max-HW pick with lowest-node tie-break,
+      // maintenance and dead replicas filtered, not-caught-up replicas
+      // (leo < fetch_offset) skipped, and no-eligible -> stay on leader.
+      import s.implicits._
+      val nodes = Seq(
+        (0L, "r1", false), (1L, "r1", true), (2L, "r2", false),
+        (3L, "r2", false), (4L, "r1", false))
+        .toDF("node_id", "rack", "maintenance")
+      val replicas = Seq(
+        ("t", 0, 0L, true, 100L, 110L, true),
+        ("t", 0, 2L, false, 90L, 100L, true),
+        ("t", 0, 4L, false, 100L, 100L, true),
+        ("t", 1, 2L, true, 80L, 90L, true),
+        ("t", 1, 1L, false, 80L, 120L, true),
+        ("t", 1, 4L, false, 70L, 80L, true),
+        ("t", 2, 3L, true, 60L, 60L, true),
+        ("t", 2, 0L, false, 60L, 60L, false),
+        ("t", 2, 2L, false, 50L, 55L, true),
+        ("t", 3, 0L, true, 119L, 119L, true),
+        ("t", 3, 3L, false, 119L, 119L, true),
+        ("t", 3, 2L, false, 119L, 119L, true))
+        .toDF("topic", "partition", "node_id", "is_leader",
+          "high_watermark", "log_end_offset", "is_alive")
+      val consumers = T(s, dir, "customer").where(col("c_custkey") <= 48)
+        .select(concat(lit("client_"), col("c_custkey")).as("client"),
+          lit("t").as("topic"),
+          pmod(col("c_custkey"), lit(4)).cast("int").as("partition"),
+          (col("c_custkey") * 7 % 120).as("fetch_offset"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, "r1")
+            .when(pmod(col("c_custkey"), lit(3)) === 1, "r2").as("rack"))
+      graft.log.ReplicaSelector.selectPreferredReplicas(consumers, replicas, nodes)
+        .orderBy("client")
+    }),
+
     "s2_fetch_pid" -> ((s, dir) => {
       // Adaptive fetch debounce (fetch_pid_controller.cc:62): per-shard
       // PID over a deterministic reactor-load series derived from
@@ -4609,6 +4647,52 @@ object SparkEntry {
         | SELECT client_id, seq, tokens,
         |        CASE WHEN tokens < 0 THEN (-tokens + 1) // 2 ELSE CAST(0 AS BIGINT) END AS throttle_ms
         | FROM tb ORDER BY client_id, seq""".stripMargin,
+
+    "s2_fetch_follower" ->
+      """WITH nodes(node_id, rack, maintenance) AS (VALUES
+        |   (0, 'r1', false), (1, 'r1', true), (2, 'r2', false),
+        |   (3, 'r2', false), (4, 'r1', false)),
+        | reps(topic, partition, node_id, is_leader, hw, leo, is_alive) AS (VALUES
+        |   ('t', 0, 0, true, 100, 110, true),
+        |   ('t', 0, 2, false, 90, 100, true),
+        |   ('t', 0, 4, false, 100, 100, true),
+        |   ('t', 1, 2, true, 80, 90, true),
+        |   ('t', 1, 1, false, 80, 120, true),
+        |   ('t', 1, 4, false, 70, 80, true),
+        |   ('t', 2, 3, true, 60, 60, true),
+        |   ('t', 2, 0, false, 60, 60, false),
+        |   ('t', 2, 2, false, 50, 55, true),
+        |   ('t', 3, 0, true, 119, 119, true),
+        |   ('t', 3, 3, false, 119, 119, true),
+        |   ('t', 3, 2, false, 119, 119, true)),
+        | cons AS (
+        |  SELECT 'client_' || c_custkey AS client, 't' AS topic,
+        |    CAST(c_custkey % 4 AS INTEGER) AS partition,
+        |    CAST(c_custkey * 7 % 120 AS BIGINT) AS fetch_offset,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'r1'
+        |         WHEN c_custkey % 3 = 1 THEN 'r2' END AS rack
+        |  FROM customer WHERE c_custkey <= 48),
+        | lead AS (SELECT topic, partition, node_id AS leader_id FROM reps WHERE is_leader),
+        | cand AS (
+        |  SELECT c.client, c.topic, c.partition, r.node_id,
+        |    row_number() OVER (PARTITION BY c.client, c.topic, c.partition
+        |                       ORDER BY r.hw DESC, r.node_id ASC) AS rnk
+        |  FROM cons c
+        |  JOIN reps r ON r.topic = c.topic AND r.partition = c.partition
+        |  JOIN nodes n ON n.node_id = r.node_id
+        |  WHERE c.rack IS NOT NULL AND r.is_alive AND NOT n.maintenance
+        |    AND n.rack = c.rack AND r.leo >= c.fetch_offset),
+        | pick AS (SELECT client, topic, partition, node_id FROM cand WHERE rnk = 1)
+        |SELECT c.client, c.topic, c.partition, c.fetch_offset, c.rack,
+        |  CAST(CASE WHEN c.rack IS NULL THEN l.leader_id ELSE p.node_id END AS BIGINT)
+        |    AS preferred_replica,
+        |  CASE WHEN c.rack IS NULL THEN 'leader'
+        |       WHEN p.node_id IS NOT NULL THEN 'rack'
+        |       ELSE 'none' END AS selected_by
+        | FROM cons c
+        | LEFT JOIN pick p USING (client, topic, partition)
+        | LEFT JOIN lead l USING (topic, partition)
+        | ORDER BY c.client""".stripMargin,
 
     // PID fold replayed exactly: permille utilizations, micro-unit
     // coefficients (p=50, i=2, d=10, target=400pm, max=100ms), integral
