@@ -1759,6 +1759,18 @@ object SparkEntry {
         .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
         .orderBy("partition", "key")),
 
+    "a1_compact_delete" -> ((s, dir) =>
+      // cleanup.policy=compact,delete (storage/types.h:658, housekeeping
+      // in disk_log_impl.cc): retention truncates the aged prefix AND
+      // key compaction dedups the remainder — last record per key among
+      // records inside the retention window.
+      Compaction.compact(
+          RecordLog.retainAfter(eventLog(s, dir), col("ts"),
+            lit("2024-01-20 00:00:00").cast("timestamp")),
+          Seq("partition", "user_id"))
+        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
+        .orderBy("partition", "key")),
+
     "a2_tombstone_gc" -> ((s, dir) =>
       Compaction.compactWithTombstones(eventLog(s, dir), Seq("partition", "user_id"),
           isTombstone = col("event_type") === "error",
@@ -4557,6 +4569,12 @@ object SparkEntry {
 
     "a1_compaction" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
+         | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
+         | ORDER BY partition, key""".stripMargin,
+
+    "a1_compact_delete" ->
+      s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
+         | WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
          | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
          | ORDER BY partition, key""".stripMargin,
 
