@@ -39,34 +39,35 @@ object ReplicaSelector {
    */
   def selectPreferredReplicas(consumers: DataFrame, replicas: DataFrame,
       nodes: DataFrame): DataFrame = {
-    val reps = replicas.join(broadcast(nodes), Seq("node_id"))
-      .select(col("topic"), col("partition"), col("node_id"),
-        col("is_leader"), col("high_watermark"), col("log_end_offset"),
-        col("is_alive"), col("rack").as("replica_rack"), col("maintenance"))
-    val leaders = reps.where(col("is_leader"))
-      .select(col("topic"), col("partition"), col("node_id").as("leader_id"))
-    val joined = consumers
-      .join(broadcast(reps), Seq("topic", "partition"), "left")
-      .withColumn("eligible",
-        col("rack").isNotNull && col("is_alive") && !col("maintenance") &&
-          col("replica_rack") === col("rack") &&
-          col("log_end_offset") >= col("fetch_offset"))
-    // max HW, lowest-node tie-break: max over (hw, -node_id)
-    val picked = joined
-      .groupBy("client", "topic", "partition")
-      .agg(max(when(col("eligible"),
-        struct(col("high_watermark"), (-col("node_id")).as("neg_node")))).as("best"))
-      .select(col("client"), col("topic"), col("partition"),
-        (-col("best.neg_node")).as("rack_pick"))
+    // Fold each partition's replica set (bounded by the replication
+    // factor) into ONE broadcast row, so the decision is a single
+    // projection on the consumer side: broadcast join + array filter +
+    // array max. The consumer stream itself never shuffles and never
+    // aggregates — a billion consumers resolve at scan speed.
+    val repSets = replicas.join(broadcast(nodes), Seq("node_id"))
+      .groupBy("topic", "partition")
+      .agg(
+        collect_list(struct(
+          col("node_id"), col("high_watermark"), col("log_end_offset"),
+          col("is_alive"), col("rack").as("replica_rack"),
+          col("maintenance"))).as("reps"),
+        max(when(col("is_leader"), col("node_id"))).as("leader_id"))
+    // max HW, lowest-node tie-break: array_max over (hw, -node_id)
+    val best = array_max(transform(
+      filter(col("reps"), r =>
+        r("is_alive") && !r("maintenance") &&
+          r("replica_rack") === col("rack") &&
+          r("log_end_offset") >= col("fetch_offset")),
+      r => struct(r("high_watermark").as("hw"), (-r("node_id")).as("neg_node"))))
     consumers
-      .join(picked, Seq("client", "topic", "partition"), "left")
-      .join(broadcast(leaders), Seq("topic", "partition"), "left")
+      .join(broadcast(repSets), Seq("topic", "partition"), "left")
+      .withColumn("__best", best)
       .select(col("client"), col("topic"), col("partition"), col("fetch_offset"),
         col("rack"),
         when(col("rack").isNull, col("leader_id"))
-          .otherwise(col("rack_pick")).as("preferred_replica"),
+          .otherwise(-col("__best.neg_node")).as("preferred_replica"),
         when(col("rack").isNull, "leader")
-          .when(col("rack_pick").isNotNull, "rack")
+          .when(col("__best").isNotNull, "rack")
           .otherwise("none").as("selected_by"))
   }
 }

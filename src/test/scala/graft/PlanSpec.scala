@@ -141,6 +141,30 @@ class PlanSpec extends SparkSpec {
       p.contains("SortAggregate"), p)
   }
 
+  test("DSIR broadcasts the bucket model and cuts top-k without a global sort") {
+    val raw = (0L until 500L).map(i => (i, s"w${i % 7} w${i % 11} w${i % 13} w${i % 17}"))
+      .toDF("doc_id", "text")
+    val target = raw.where(col("doc_id") % 5 === 0)
+    val p = plan(Sampling.importanceResample(raw, target, col("doc_id"), col("text"), k = 50))
+    // the per-bucket LLR table and the selected-id set both broadcast;
+    // the k cut is a TakeOrdered, never a full Sort over the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("replica selection broadcasts control-plane tables — consumer stream never shuffles") {
+    val nodes = Seq((0L, "r1", false), (1L, "r2", false)).toDF("node_id", "rack", "maintenance")
+    val reps = Seq(("t", 0, 0L, true, 10L, 10L, true), ("t", 0, 1L, false, 10L, 10L, true))
+      .toDF("topic", "partition", "node_id", "is_leader",
+        "high_watermark", "log_end_offset", "is_alive")
+    val cons = (0L until 100L).map(i => (s"c$i", "t", 0, 0L, "r1"))
+      .toDF("client", "topic", "partition", "fetch_offset", "rack")
+    val p = plan(graft.log.ReplicaSelector.selectPreferredReplicas(cons, reps, nodes))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("initProducerIds range-partitions identities — no global-window sort") {
     val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
     val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))
