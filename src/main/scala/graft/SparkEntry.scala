@@ -149,6 +149,29 @@ object SparkEntry {
         concat(repeat(lit("lorem ipsum "), 29), lit("lorem ipsum")).as("text")))
   }
 
+  /** Transform log-event fixture over `documents`: four transforms
+    * round-robin, all five log levels, a 1 s arrival clock, and
+    * deterministic message decoration exercising every enqueue path —
+    * JSON-escapable quote/backslash prefix (%13), embedded tab+newline
+    * (%17), a trailing BEL control byte (%7 — which line-max truncation
+    * cuts off again for long docs, flipping the verdict back to valid),
+    * plus buffer-full drops from the per-window byte budget. */
+  private def xformLogEvents(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id").as("seq"),
+      concat(lit("xform-"), pmod(col("doc_id"), lit(4)).cast("string"))
+        .as("transform_name"),
+      pmod(col("doc_id"), lit(3)).cast("int").as("source_id"),
+      (lit(1700000000000L) + col("doc_id") * 1000L).as("ts_ms"),
+      element_at(typedLit(Seq("trace", "debug", "info", "warn", "error")),
+        pmod(col("doc_id"), lit(5)).cast("int") + 1).as("level"),
+      concat(
+        when(pmod(col("doc_id"), lit(13)) === 0, lit("\"q\" \\ ")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit("tab\there\nline ")).otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("\u0007")).otherwise(lit("")))
+        .as("message"))
+
   /** documents plus planted PII carriers (doc_id + 500000, an email and
     * a phone number appended to the original text). */
   private def piiDocs(s: SparkSession, dir: String): DataFrame = {
@@ -703,6 +726,50 @@ object SparkEntry {
       |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
       |         event_id, ts, user_id, event_type, value, props
       |  FROM events)""".stripMargin
+
+  /** The transform-log fixture + greedy admission replay shared by the
+    * `u6_*` oracles: `ev` mirrors [[xformLogEvents]] column-for-column,
+    * `t` the truncate/validate projection, and `adm` replays the
+    * per-flush-window semaphore fold (`log_manager.cc:332-345`) as a
+    * recursive CTE — a non-fitting event keeps `used` unchanged, so a
+    * later smaller event can still be admitted. Plain (uninterpolated)
+    * string: the SQL backslashes are literal. Interpolated into oracle
+    * strings that call .stripMargin AGAIN — no line here may start
+    * with `||` (the second strip would eat a pipe). */
+  private val XformLogCte: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT doc_id AS seq,
+      |    'xform-' || CAST(doc_id % 4 AS VARCHAR) AS transform_name,
+      |    CAST(doc_id % 3 AS INTEGER) AS source_id,
+      |    CAST(1700000000000 + doc_id * 1000 AS BIGINT) AS ts_ms,
+      |    CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'trace' WHEN 1 THEN 'debug'
+      |      WHEN 2 THEN 'info' WHEN 3 THEN 'warn' ELSE 'error' END AS level,
+      |    (CASE WHEN doc_id % 13 = 0 THEN '"q" \ ' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 17 = 0 THEN 'tab' || chr(9) || 'here' || chr(10) || 'line ' ELSE '' END) ||
+      |      text ||
+      |      (CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END) AS message
+      |  FROM documents),
+      | t AS (
+      |  SELECT seq, transform_name, source_id, ts_ms, level,
+      |    CASE level WHEN 'trace' THEN 1 WHEN 'debug' THEN 5 WHEN 'info' THEN 9
+      |      WHEN 'warn' THEN 13 ELSE 17 END AS sev,
+      |    substring(message, 1, 256) AS msg,
+      |    CAST(length(substring(message, 1, 256)) AS BIGINT) AS sz,
+      |    NOT regexp_matches(substring(message, 1, 256), '[\x00-\x08\x0B-\x1F\x7F]') AS valid,
+      |    CAST(ts_ms // 100000 AS BIGINT) AS win,
+      |    CAST(row_number() OVER (PARTITION BY ts_ms // 100000 ORDER BY seq) AS BIGINT) AS rn
+      |  FROM ev),
+      | adm AS (
+      |  SELECT win, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS used,
+      |         CAST(NULL AS BIGINT) AS seq, CAST(NULL AS VARCHAR) AS status
+      |  FROM (SELECT DISTINCT win FROM t)
+      |  UNION ALL
+      |  SELECT t.win, t.rn,
+      |    CASE WHEN a.used + t.sz <= 16384 AND t.valid THEN a.used + t.sz ELSE a.used END,
+      |    t.seq,
+      |    CASE WHEN a.used + t.sz > 16384 THEN 'dropped_buffer_full'
+      |         WHEN NOT t.valid THEN 'dropped_invalid' ELSE 'ok' END
+      |  FROM adm a JOIN t ON t.win = a.win AND t.rn = a.rn + 1)""".stripMargin
 
   // ---------------------------------------------------------------- contract
 
@@ -3164,6 +3231,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "u6_transform_logs" -> ((s, dir) =>
+      // U6: WASM transform log manager end-to-end
+      // (transform/logging/log_manager.cc): stdout/stderr lines →
+      // byte-truncate at line-max → per-flush-window greedy semaphore
+      // admission (fit checked BEFORE validity, non-fitting events
+      // consume no units) → control-char/UTF-8 validation → OTel
+      // LogRecord JSON (event.cc:81-99) routed to
+      // murmur2(name) % 8 (rpc_client.cc:92). The oracle replays the
+      // admission fold as a recursive CTE and pins the murmur2 routing
+      // with golden partition values.
+      graft.streaming.TransformLogs.publish(
+        graft.streaming.TransformLogs.enqueue(xformLogEvents(s, dir),
+          lineMaxBytes = 256, bufferCapacityBytes = 16384,
+          flushIntervalMs = 100000L),
+        nPartitions = 8)
+        .select("seq", "transform_name", "partition", "time_unix_nano",
+          "severity_number", "body_json")
+        .orderBy("seq")),
+
+    "u6_log_probes" -> ((s, dir) =>
+      // The per-transform probe counters (transform/logging/probes.h):
+      // log_event per attempt, dropped_log_event ONLY on buffer-full —
+      // validation failures are logged but not drop-counted
+      // (log_manager.cc:322,335), which the status split makes exact.
+      graft.streaming.TransformLogs.probes(
+        graft.streaming.TransformLogs.enqueue(xformLogEvents(s, dir),
+          lineMaxBytes = 256, bufferCapacityBytes = 16384,
+          flushIntervalMs = 100000L))
+        .orderBy("transform_name")),
+
     "g6_commit_stream" -> ((s, dir) => {
       // The commit batcher as the continuous loop the reference runs:
       // progress events stream in, each flush interval is an event-time
@@ -5530,6 +5627,34 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |  CASE WHEN event_id % 2 = 1 THEN value END AS value
         | FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "u6_transform_logs" ->
+      s"""$XformLogCte
+         |SELECT t.seq, t.transform_name,
+         |  CASE t.transform_name WHEN 'xform-0' THEN 4 WHEN 'xform-1' THEN 5
+         |    WHEN 'xform-2' THEN 2 ELSE 6 END AS partition,
+         |  CAST(t.ts_ms * 1000000 AS BIGINT) AS time_unix_nano,
+         |  t.sev AS severity_number,
+         |  '{"body":{"stringValue":"'
+         |    || replace(replace(replace(replace(t.msg, '\\', '\\\\'), '"', '\\"'),
+         |         chr(10), '\\n'), chr(9), '\\t')
+         |    || '"},"timeUnixNano":' || CAST(CAST(t.ts_ms * 1000000 AS BIGINT) AS VARCHAR)
+         |    || ',"severityNumber":' || CAST(t.sev AS VARCHAR)
+         |    || ',"attributes":[{"key":"transform_name","value":{"stringValue":"'
+         |    || t.transform_name
+         |    || '"}},{"key":"node","value":{"intValue":' || CAST(t.source_id AS VARCHAR)
+         |    || '}}]}' AS body_json
+         |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
+         |WHERE a.status = 'ok' ORDER BY t.seq""".stripMargin,
+
+    "u6_log_probes" ->
+      s"""$XformLogCte
+         |SELECT t.transform_name, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN a.status = 'dropped_buffer_full' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN a.status = 'dropped_invalid' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+         |  CAST(sum(CASE WHEN a.status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_published
+         |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The streaming twin emits the flush LOG itself (one row per key per
     // interval) — the same fold, asserted row-for-row.
