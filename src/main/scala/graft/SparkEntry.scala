@@ -172,6 +172,31 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(7)) === 0, lit("\u0007")).otherwise(lit("")))
         .as("message"))
 
+  /** SNC node-quota fixture: a bounded request window (event_id <
+    * 2000, fixed size at every SF so the recursive-CTE oracle stays
+    * cheap) with a dense 1 ms arrival clock, 4 nodes, 7 clients with
+    * every 11th request anonymous (missing client_id), and
+    * deterministic request/response byte sizes that overdraw both
+    * node buckets at the chosen rates. */
+  private def sncRequests(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").where(col("event_id") < 2000).select(
+      pmod(col("user_id"), lit(4)).cast("int").as("node_id"),
+      col("event_id").as("seq"),
+      (lit(1700000000000L) + col("event_id")).as("ts_ms"),
+      when(pmod(col("event_id"), lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("client-"), pmod(col("user_id"), lit(7)).cast("string")))
+        .as("client_id"),
+      (lit(20L) + pmod(col("event_id"), lit(200))).as("req_bytes"),
+      (lit(100L) + pmod(col("event_id"), lit(400))).as("resp_bytes"))
+
+  /** kafka_throughput_control for the snc_* fixtures: internal clients
+    * by regex, anonymous connections by the empty matcher. */
+  private val SncGroups = Seq(
+    graft.admin.SncQuota.ControlGroup("internal",
+      graft.admin.SncQuota.MatchRegex("client-[01]")),
+    graft.admin.SncQuota.ControlGroup("anon",
+      graft.admin.SncQuota.MatchMissing))
+
   /** documents plus planted PII carriers (doc_id + 500000, an email and
     * a phone number appended to the original text). */
   private def piiDocs(s: SparkSession, dir: String): DataFrame = {
@@ -770,6 +795,50 @@ object SparkEntry {
       |    CASE WHEN a.used + t.sz > 16384 THEN 'dropped_buffer_full'
       |         WHEN NOT t.valid THEN 'dropped_invalid' ELSE 'ok' END
       |  FROM adm a JOIN t ON t.win = a.win AND t.rn = a.rn + 1)""".stripMargin
+
+  /** The SNC node-quota fixture + bucket replay shared by the `snc_*`
+    * oracles: `req` mirrors [[sncRequests]], `g` the ordered
+    * first-match control-group assignment, `ne` the non-exempt stream,
+    * and `sim` replays the per-node in/eg token buckets
+    * (`snc_quota_manager.cc:251-303`) as a recursive CTE — refill
+    * `bps*dt//1000` capped at one second of burst, ingress debited
+    * before the delay calc, egress after. Uninterpolated string;
+    * interpolated into oracle strings that stripMargin AGAIN, so no
+    * line may start with `||`. */
+  private val SncQuotaCte: String =
+    """WITH RECURSIVE req AS (
+      |  SELECT CAST(user_id % 4 AS INTEGER) AS node_id,
+      |         event_id AS seq,
+      |         CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
+      |         CASE WHEN event_id % 11 = 0 THEN NULL
+      |              ELSE 'client-' || CAST(user_id % 7 AS VARCHAR) END AS client_id,
+      |         CAST(20 + event_id % 200 AS BIGINT) AS req_bytes,
+      |         CAST(100 + event_id % 400 AS BIGINT) AS resp_bytes
+      |  FROM events WHERE event_id < 2000),
+      | g AS (
+      |  SELECT *, CASE
+      |      WHEN client_id IS NOT NULL AND regexp_full_match(client_id, 'client-[01]') THEN 'internal'
+      |      WHEN client_id IS NULL THEN 'anon'
+      |      ELSE NULL END AS grp
+      |  FROM req),
+      | ne AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY node_id ORDER BY ts_ms, seq) AS BIGINT) AS rn
+      |  FROM g WHERE grp IS NULL),
+      | sim AS (
+      |  SELECT node_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS t_in, CAST(0 AS BIGINT) AS t_eg,
+      |         CAST(1700000000000 AS BIGINT) AS last_ts, CAST(NULL AS BIGINT) AS seq, CAST(0 AS BIGINT) AS throttle_ms
+      |  FROM (SELECT DISTINCT node_id FROM ne)
+      |  UNION ALL
+      |  SELECT n.node_id, n.rn,
+      |    LEAST(12000, s.t_in + 12000 * (n.ts_ms - s.last_ts) // 1000) - n.req_bytes,
+      |    LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000) - n.resp_bytes,
+      |    n.ts_ms, n.seq,
+      |    LEAST(30000, GREATEST(
+      |      CASE WHEN LEAST(12000, s.t_in + 12000 * (n.ts_ms - s.last_ts) // 1000) - n.req_bytes >= 0 THEN 0
+      |           ELSE (-(LEAST(12000, s.t_in + 12000 * (n.ts_ms - s.last_ts) // 1000) - n.req_bytes) * 1000 + 11999) // 12000 END,
+      |      CASE WHEN LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000) >= 0 THEN 0
+      |           ELSE (-(LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000)) * 1000 + 29999) // 30000 END))
+      |  FROM sim s JOIN ne n ON n.node_id = s.node_id AND n.rn = s.rn + 1)""".stripMargin
 
   // ---------------------------------------------------------------- contract
 
@@ -1886,6 +1955,35 @@ object SparkEntry {
           col("bytes"), col("seq"), ratePerMs = 2, burst = 1000)
         .select("client_id", "seq", "tokens", "throttle_ms")
         .orderBy("client_id", "seq")
+    }),
+
+    "snc_node_throttle" -> ((s, dir) =>
+      // Node-wide (SNC) throughput quotas, snc_quota_manager.cc: a
+      // bounded request window replays through the per-node in/eg
+      // bucket fold — ordered-first-match control groups exempt
+      // internal clients (regex) and anonymous connections (missing
+      // client_id), receive debits ingress BEFORE the delay calc while
+      // the response debits egress AFTER, and the requested delay is
+      // min(max_delay, max(in, eg)). Integral math; the oracle replays
+      // the recurrence with a recursive CTE.
+      graft.admin.SncQuota.nodeThrottle(sncRequests(s, dir), SncGroups,
+          inBps = Some(12000L), egBps = Some(30000L), maxDelayMs = 30000L,
+          epochMs = 1700000000000L)
+        .select("node_id", "seq", "client_id", "group", "exempt",
+          "throttle_ms", "tokens_in", "tokens_eg")
+        .orderBy("seq")),
+
+    "snc_quota_probe" -> ((s, dir) => {
+      // The snc_quotas_probe rollup: intake/egress traffic counted for
+      // non-exempt connections only, throttled-request count, and the
+      // effective quota metric.
+      val reqs = sncRequests(s, dir)
+      graft.admin.SncQuota.probes(
+        graft.admin.SncQuota.nodeThrottle(reqs, SncGroups,
+          inBps = Some(12000L), egBps = Some(30000L), maxDelayMs = 30000L,
+          epochMs = 1700000000000L),
+        reqs, Some(12000L), Some(30000L))
+        .orderBy("node_id")
     }),
 
     "a5_usage_windows" -> ((s, dir) =>
@@ -4762,6 +4860,31 @@ object SparkEntry {
         | SELECT client_id, seq, tokens,
         |        CASE WHEN tokens < 0 THEN (-tokens + 1) // 2 ELSE CAST(0 AS BIGINT) END AS throttle_ms
         | FROM tb ORDER BY client_id, seq""".stripMargin,
+
+    "snc_node_throttle" ->
+      s"""$SncQuotaCte
+         |SELECT g.node_id, g.seq, g.client_id,
+         |  CASE WHEN g.grp IS NOT NULL THEN g.grp END AS "group",
+         |  g.grp IS NOT NULL AS exempt,
+         |  COALESCE(s.throttle_ms, CAST(0 AS BIGINT)) AS throttle_ms,
+         |  s.t_in AS tokens_in, s.t_eg AS tokens_eg
+         |FROM g LEFT JOIN (SELECT node_id, seq, t_in, t_eg, throttle_ms
+         |                  FROM sim WHERE rn > 0) s
+         |  ON g.node_id = s.node_id AND g.seq = s.seq
+         |ORDER BY g.seq""".stripMargin,
+
+    "snc_quota_probe" ->
+      s"""$SncQuotaCte
+         |SELECT g.node_id,
+         |  CAST(sum(CASE WHEN g.grp IS NULL THEN g.req_bytes ELSE 0 END) AS BIGINT) AS traffic_intake,
+         |  CAST(sum(CASE WHEN g.grp IS NULL THEN g.resp_bytes ELSE 0 END) AS BIGINT) AS traffic_egress,
+         |  CAST(sum(CASE WHEN COALESCE(s.throttle_ms, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
+         |  CAST(count(*) AS BIGINT) AS n_requests,
+         |  CAST(12000 AS BIGINT) AS quota_effective_in,
+         |  CAST(30000 AS BIGINT) AS quota_effective_eg
+         |FROM g LEFT JOIN (SELECT node_id, seq, throttle_ms FROM sim WHERE rn > 0) s
+         |  ON g.node_id = s.node_id AND g.seq = s.seq
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s2_fetch_follower" ->
       """WITH nodes(node_id, rack, maintenance) AS (VALUES
