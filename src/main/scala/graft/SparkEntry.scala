@@ -197,6 +197,60 @@ object SparkEntry {
     graft.admin.SncQuota.ControlGroup("anon",
       graft.admin.SncQuota.MatchMissing))
 
+  /** Cluster topic table for the data-migration fixtures:
+    * (name, archival_enabled). `legacy_t` has archiving off, so it can
+    * never migrate out. */
+  private val MigClusterTopics = Seq(
+    ("orders_t", true), ("clicks_t", true), ("legacy_t", false))
+
+  /** Data-migration command log: 32 commands covering every errc path
+    * of table.cc — monotone-id rejection, empty definition, foreign
+    * namespace, missing topic, archiving disabled, busy resource,
+    * inbound name collision, the full outbound and inbound+cancel state
+    * ladders with an invalid transition, remove from a non-terminal
+    * state, resource release on cancel/finish, and re-migration of a
+    * freed resource. Final surface: mig 1 finished; 8 removed; 9
+    * inbound prepared (inb_t fully_blocked); 11 outbound executing
+    * (clicks_t, grp-a read_only). */
+  private def migCommandLog(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val n: String = null
+    Seq(
+      (1L, "create", 1L, "outbound", Seq("orders_t"), Seq("grp-a"), n, 1000L),
+      (2L, "create", 1L, "inbound", Seq("new_t"), Seq[String](), n, 1010L),
+      (3L, "create", 2L, "outbound", Seq[String](), Seq[String](), n, 1020L),
+      (4L, "create", 3L, "outbound", Seq("other/t"), Seq[String](), n, 1030L),
+      (5L, "create", 4L, "outbound", Seq("missing_t"), Seq[String](), n, 1040L),
+      (6L, "create", 5L, "outbound", Seq("legacy_t"), Seq[String](), n, 1050L),
+      (7L, "create", 6L, "outbound", Seq("orders_t"), Seq[String](), n, 1060L),
+      (8L, "create", 7L, "inbound", Seq("clicks_t"), Seq[String](), n, 1070L),
+      (9L, "create", 8L, "inbound", Seq("inb_t"), Seq("grp-b"), n, 1080L),
+      (10L, "update_state", 1L, n, Seq[String](), Seq[String](), "preparing", 1090L),
+      (11L, "update_state", 1L, n, Seq[String](), Seq[String](), "executing", 1100L),
+      (12L, "update_state", 1L, n, Seq[String](), Seq[String](), "prepared", 1110L),
+      (13L, "update_state", 1L, n, Seq[String](), Seq[String](), "executing", 1120L),
+      (14L, "update_state", 99L, n, Seq[String](), Seq[String](), "preparing", 1130L),
+      (15L, "remove", 1L, n, Seq[String](), Seq[String](), n, 1140L),
+      (16L, "update_state", 8L, n, Seq[String](), Seq[String](), "preparing", 1150L),
+      (17L, "update_state", 8L, n, Seq[String](), Seq[String](), "prepared", 1160L),
+      (18L, "update_state", 8L, n, Seq[String](), Seq[String](), "canceling", 1170L),
+      (19L, "update_state", 8L, n, Seq[String](), Seq[String](), "cancelled", 1180L),
+      (20L, "create", 9L, "inbound", Seq("inb_t"), Seq[String](), n, 1190L),
+      (21L, "remove", 8L, n, Seq[String](), Seq[String](), n, 1200L),
+      (22L, "update_state", 8L, n, Seq[String](), Seq[String](), "preparing", 1210L),
+      (23L, "update_state", 1L, n, Seq[String](), Seq[String](), "executed", 1220L),
+      (24L, "update_state", 1L, n, Seq[String](), Seq[String](), "cut_over", 1230L),
+      (25L, "create", 10L, "outbound", Seq("clicks_t"), Seq("grp-a"), n, 1240L),
+      (26L, "update_state", 1L, n, Seq[String](), Seq[String](), "finished", 1250L),
+      (27L, "create", 11L, "outbound", Seq("clicks_t"), Seq("grp-a"), n, 1260L),
+      (28L, "update_state", 9L, n, Seq[String](), Seq[String](), "preparing", 1270L),
+      (29L, "update_state", 9L, n, Seq[String](), Seq[String](), "prepared", 1280L),
+      (30L, "update_state", 11L, n, Seq[String](), Seq[String](), "preparing", 1290L),
+      (31L, "update_state", 11L, n, Seq[String](), Seq[String](), "prepared", 1300L),
+      (32L, "update_state", 11L, n, Seq[String](), Seq[String](), "executing", 1310L))
+      .toDF("seq", "op", "id", "direction", "topics", "groups", "target_state", "ts_ms")
+  }
+
   /** documents plus planted PII carriers (doc_id + 500000, an email and
     * a phone number appended to the original text). */
   private def piiDocs(s: SparkSession, dir: String): DataFrame = {
@@ -1984,6 +2038,56 @@ object SparkEntry {
           epochMs = 1700000000000L),
         reqs, Some(12000L), Some(30000L))
         .orderBy("node_id")
+    }),
+
+    "mig_outcomes" -> ((s, dir) =>
+      // Data-migration command-log replay (data_migration_table.cc):
+      // one outcome row per command — the errc of the first failing
+      // validation rule and the migration state after. The 32-command
+      // fixture exercises every errc path; the oracle pins the golden
+      // outcome table (the FSM is single-raft-shard sequential, like
+      // the api_versions registry pin).
+      graft.cluster.DataMigrations.outcomes(migCommandLog(s), MigClusterTopics)
+        .orderBy("seq")),
+
+    "mig_table" -> ((s, dir) => {
+      // The surviving migrations table: live (created, never removed)
+      // migrations with last state and created/completed stamps.
+      val cl = migCommandLog(s)
+      graft.cluster.DataMigrations.migrationsTable(cl,
+        graft.cluster.DataMigrations.outcomes(cl, MigClusterTopics))
+        .orderBy("id")
+    }),
+
+    "mig_resources" -> ((s, dir) => {
+      // migrated_resources: the restriction each live migration places
+      // on its topics/groups (direction × state map,
+      // data_migrated_resources.cc:49-88); finished/cancelled/removed
+      // migrations free their resources and drop out.
+      val cl = migCommandLog(s)
+      graft.cluster.DataMigrations.resourceStates(cl,
+        graft.cluster.DataMigrations.outcomes(cl, MigClusterTopics))
+        .orderBy("kind", "name")
+    }),
+
+    "mig_write_gate" -> ((s, dir) => {
+      // The data-plane half: every record of the event stream admitted
+      // or rejected against the broadcast restriction map — writes stop
+      // at read_only / fully_blocked. The oracle recomputes the per-
+      // topic admission rollup from the same event stream.
+      val cl = migCommandLog(s)
+      val res = graft.cluster.DataMigrations.resourceStates(cl,
+        graft.cluster.DataMigrations.outcomes(cl, MigClusterTopics))
+      graft.cluster.DataMigrations.writeGate(
+          T(s, dir, "events").select(col("event_id"), col("user_id")),
+          element_at(typedLit(Seq("orders_t", "clicks_t", "inb_t", "legacy_t")),
+            pmod(col("user_id"), lit(4)).cast("int") + 1),
+          res)
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          max(col("reject_reason")).as("reject_reason"))
+        .orderBy("topic")
     }),
 
     "a5_usage_windows" -> ((s, dir) =>
@@ -4885,6 +4989,81 @@ object SparkEntry {
          |FROM g LEFT JOIN (SELECT node_id, seq, throttle_ms FROM sim WHERE rn > 0) s
          |  ON g.node_id = s.node_id AND g.seq = s.seq
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Golden outcome table for the 32-command migration fixture — the
+    // FSM is single-raft-shard sequential; the pin is the regression
+    // gate (same style as adm_api_versions / adm_find_coordinator).
+    "mig_outcomes" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, op, CAST(id AS BIGINT) AS id,
+        |       errc, state_after
+        | FROM (VALUES
+        |  (1, 'create', 1, 'success', 'planned'),
+        |  (2, 'create', 1, 'data_migration_already_exists', CAST(NULL AS VARCHAR)),
+        |  (3, 'create', 2, 'data_migration_invalid_definition', NULL),
+        |  (4, 'create', 3, 'data_migration_invalid_resources', NULL),
+        |  (5, 'create', 4, 'topic_not_exists', NULL),
+        |  (6, 'create', 5, 'data_migration_invalid_resources', NULL),
+        |  (7, 'create', 6, 'resource_is_being_migrated', NULL),
+        |  (8, 'create', 7, 'topic_already_exists', NULL),
+        |  (9, 'create', 8, 'success', 'planned'),
+        |  (10, 'update_state', 1, 'success', 'preparing'),
+        |  (11, 'update_state', 1, 'invalid_data_migration_state', 'preparing'),
+        |  (12, 'update_state', 1, 'success', 'prepared'),
+        |  (13, 'update_state', 1, 'success', 'executing'),
+        |  (14, 'update_state', 99, 'data_migration_not_exists', NULL),
+        |  (15, 'remove', 1, 'invalid_data_migration_state', 'executing'),
+        |  (16, 'update_state', 8, 'success', 'preparing'),
+        |  (17, 'update_state', 8, 'success', 'prepared'),
+        |  (18, 'update_state', 8, 'success', 'canceling'),
+        |  (19, 'update_state', 8, 'success', 'cancelled'),
+        |  (20, 'create', 9, 'success', 'planned'),
+        |  (21, 'remove', 8, 'success', 'deleted'),
+        |  (22, 'update_state', 8, 'data_migration_not_exists', NULL),
+        |  (23, 'update_state', 1, 'success', 'executed'),
+        |  (24, 'update_state', 1, 'success', 'cut_over'),
+        |  (25, 'create', 10, 'resource_is_being_migrated', NULL),
+        |  (26, 'update_state', 1, 'success', 'finished'),
+        |  (27, 'create', 11, 'success', 'planned'),
+        |  (28, 'update_state', 9, 'success', 'preparing'),
+        |  (29, 'update_state', 9, 'success', 'prepared'),
+        |  (30, 'update_state', 11, 'success', 'preparing'),
+        |  (31, 'update_state', 11, 'success', 'prepared'),
+        |  (32, 'update_state', 11, 'success', 'executing'))
+        | t(seq, op, id, errc, state_after) ORDER BY seq""".stripMargin,
+
+    "mig_table" ->
+      """SELECT CAST(id AS BIGINT) AS id, direction,
+        |       CAST(created_ts AS BIGINT) AS created_ts,
+        |       CAST(n_topics AS INTEGER) AS n_topics,
+        |       CAST(n_groups AS INTEGER) AS n_groups, state,
+        |       CAST(completed_ts AS BIGINT) AS completed_ts
+        | FROM (VALUES
+        |  (1, 'outbound', 1000, 1, 1, 'finished', 1250),
+        |  (9, 'inbound', 1190, 1, 0, 'prepared', NULL),
+        |  (11, 'outbound', 1260, 1, 1, 'executing', NULL))
+        | t(id, direction, created_ts, n_topics, n_groups, state, completed_ts)
+        | ORDER BY id""".stripMargin,
+
+    "mig_resources" ->
+      """SELECT kind, name, CAST(migration_id AS BIGINT) AS migration_id,
+        |       direction, restriction
+        | FROM (VALUES
+        |  ('group', 'grp-a', 11, 'outbound', 'read_only'),
+        |  ('topic', 'clicks_t', 11, 'outbound', 'read_only'),
+        |  ('topic', 'inb_t', 9, 'inbound', 'fully_blocked'))
+        | t(kind, name, migration_id, direction, restriction)
+        | ORDER BY kind, name""".stripMargin,
+
+    "mig_write_gate" ->
+      """SELECT topic, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN topic IN ('clicks_t', 'inb_t') THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
+        |  CASE topic WHEN 'clicks_t' THEN 'read_only'
+        |             WHEN 'inb_t' THEN 'fully_blocked' END AS reject_reason
+        | FROM (SELECT CASE CAST(user_id % 4 AS INTEGER)
+        |         WHEN 0 THEN 'orders_t' WHEN 1 THEN 'clicks_t'
+        |         WHEN 2 THEN 'inb_t' ELSE 'legacy_t' END AS topic
+        |       FROM events)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s2_fetch_follower" ->
       """WITH nodes(node_id, rack, maintenance) AS (VALUES
