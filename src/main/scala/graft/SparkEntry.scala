@@ -197,6 +197,21 @@ object SparkEntry {
     graft.admin.SncQuota.ControlGroup("anon",
       graft.admin.SncQuota.MatchMissing))
 
+  /** Uploaded-segment manifest fixture for the adjacent segment merger:
+    * 50-offset segments over the canonical log, sizes from the real
+    * record bytes (~1.9 KB each), terms rotating every 200 offsets. */
+  private def segManifest(s: SparkSession, dir: String): DataFrame =
+    eventLog(s, dir)
+      .select(col("partition"), col("offset"),
+        (length(col("props")) + length(col("event_type")) + lit(24))
+          .cast("long").as("sz"))
+      .withColumn("__chunk", floor(col("offset") / 50))
+      .groupBy("partition", "__chunk")
+      .agg(min("offset").as("base_offset"), max("offset").as("committed_offset"),
+        sum("sz").as("size_bytes"))
+      .withColumn("term", floor(col("base_offset") / 200).cast("long"))
+      .drop("__chunk")
+
   /** Cluster topic table for the data-migration fixtures:
     * (name, archival_enabled). `legacy_t` has archiving off, so it can
     * never migrate out. */
@@ -893,6 +908,68 @@ object SparkEntry {
       |      CASE WHEN LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000) >= 0 THEN 0
       |           ELSE (-(LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000)) * 1000 + 29999) // 30000 END))
       |  FROM sim s JOIN ne n ON n.node_id = s.node_id AND n.rn = s.rn + 1)""".stripMargin
+
+  /** Adjacent-segment-merger oracle: the segment manifest derived from
+    * the canonical log (mirrors [[segManifest]]), then the
+    * `maybe_add_segment` scan replayed as a recursive CTE — the
+    * one-segment corner reset, same-term+fits extension, contiguity
+    * reset, and freeze at the first ≥2-segment candidate — with the
+    * size-or-wedged acceptance on the final state. Appended to
+    * `$LogCte,` by the `asm_*` oracles (which stripMargin AGAIN — no
+    * line here may start with `||`). */
+  private val AsmCte: String =
+    """ sized AS (SELECT partition, "offset",
+      |    CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz FROM log),
+      | seg AS (SELECT partition, CAST(min("offset") AS BIGINT) AS base_offset,
+      |    CAST(max("offset") AS BIGINT) AS committed_offset,
+      |    CAST(sum(sz) AS BIGINT) AS size_bytes,
+      |    CAST(min("offset") // 200 AS BIGINT) AS term
+      |   FROM sized GROUP BY partition, "offset" // 50),
+      | lasto AS (SELECT partition, max(committed_offset) AS last_offset FROM seg GROUP BY 1),
+      | sc AS (SELECT s.*, CAST(row_number() OVER (PARTITION BY s.partition ORDER BY s.base_offset) AS BIGINT) AS rn
+      |   FROM seg s WHERE s.committed_offset < 1000),
+      | scan AS (
+      |  SELECT partition, CAST(0 AS BIGINT) AS rn, 0 AS num, CAST(0 AS BIGINT) AS sz,
+      |         CAST(0 AS BIGINT) AS base, CAST(0 AS BIGINT) AS com, CAST(0 AS BIGINT) AS trm, FALSE AS found
+      |  FROM (SELECT DISTINCT partition FROM sc)
+      |  UNION ALL
+      |  SELECT s.partition, s.rn,
+      |    CASE WHEN t.found THEN t.num
+      |         WHEN (CASE WHEN t.num = 1 AND t.sz + s.size_bytes > 6000 THEN 0 ELSE t.num END) = 0
+      |           THEN CASE WHEN s.size_bytes < 6000 THEN 1 ELSE 0 END
+      |         WHEN t.trm = s.term AND t.sz + s.size_bytes <= 6000
+      |           THEN CASE WHEN t.com + 1 <> s.base_offset THEN 0 ELSE t.num + 1 END
+      |         ELSE t.num END,
+      |    CASE WHEN t.found THEN t.sz
+      |         WHEN (CASE WHEN t.num = 1 AND t.sz + s.size_bytes > 6000 THEN 0 ELSE t.num END) = 0
+      |           THEN CASE WHEN s.size_bytes < 6000 THEN s.size_bytes ELSE 0 END
+      |         WHEN t.trm = s.term AND t.sz + s.size_bytes <= 6000
+      |           THEN CASE WHEN t.com + 1 <> s.base_offset THEN 0 ELSE t.sz + s.size_bytes END
+      |         ELSE t.sz END,
+      |    CASE WHEN NOT t.found AND (CASE WHEN t.num = 1 AND t.sz + s.size_bytes > 6000 THEN 0 ELSE t.num END) = 0
+      |              AND s.size_bytes < 6000 THEN s.base_offset ELSE t.base END,
+      |    CASE WHEN t.found THEN t.com
+      |         WHEN (CASE WHEN t.num = 1 AND t.sz + s.size_bytes > 6000 THEN 0 ELSE t.num END) = 0
+      |           THEN CASE WHEN s.size_bytes < 6000 THEN s.committed_offset ELSE t.com END
+      |         WHEN t.trm = s.term AND t.sz + s.size_bytes <= 6000 AND t.com + 1 = s.base_offset
+      |           THEN s.committed_offset
+      |         ELSE t.com END,
+      |    CASE WHEN NOT t.found AND (CASE WHEN t.num = 1 AND t.sz + s.size_bytes > 6000 THEN 0 ELSE t.num END) = 0
+      |              AND s.size_bytes < 6000 THEN s.term ELSE t.trm END,
+      |    CASE WHEN t.found THEN TRUE
+      |         WHEN (CASE WHEN t.num = 1 AND t.sz + s.size_bytes > 6000 THEN 0 ELSE t.num END) >= 1
+      |              AND NOT (t.trm = s.term AND t.sz + s.size_bytes <= 6000)
+      |              AND t.num > 1 THEN TRUE
+      |         ELSE FALSE END
+      |  FROM scan t JOIN sc s ON s.partition = t.partition AND s.rn = t.rn + 1),
+      | runs AS (
+      |  SELECT t.partition, t.base AS base_offset, t.com AS committed_offset,
+      |    CAST(t.num AS INTEGER) AS num_segments, t.sz AS size_bytes, t.trm AS term
+      |  FROM scan t
+      |  JOIN (SELECT partition, max(rn) AS mx FROM scan GROUP BY 1) m
+      |    ON t.partition = m.partition AND t.rn = m.mx
+      |  JOIN lasto l ON l.partition = t.partition
+      |  WHERE t.num > 1 AND (t.sz > 3000 OR t.com <> l.last_offset))""".stripMargin
 
   // ---------------------------------------------------------------- contract
 
@@ -2038,6 +2115,27 @@ object SparkEntry {
           epochMs = 1700000000000L),
         reqs, Some(12000L), Some(30000L))
         .orderBy("node_id")
+    }),
+
+    "asm_runs" -> ((s, dir) =>
+      // Adjacent segment merger scan (archival/adjacent_segment_run.cc):
+      // per partition, the first run of >1 small adjacent same-term
+      // segments fitting the target size — with the one-segment corner
+      // reset, the freeze-at-first-candidate stop, the remote
+      // local-start cutoff, and the size-or-wedged acceptance rule. The
+      // oracle replays the scan as a recursive CTE.
+      graft.log.SegmentMerger.scanRuns(segManifest(s, dir),
+          maxSize = 6000, minSize = 3000, localStartOffset = 1000)
+        .orderBy("partition")),
+
+    "asm_manifest" -> ((s, dir) => {
+      // The manifest after one housekeeping round: run rows replaced by
+      // the consolidated re-uploaded segment.
+      val segs = segManifest(s, dir)
+      graft.log.SegmentMerger.mergeManifest(segs,
+          graft.log.SegmentMerger.scanRuns(segs,
+            maxSize = 6000, minSize = 3000, localStartOffset = 1000))
+        .orderBy("partition", "base_offset")
     }),
 
     "mig_outcomes" -> ((s, dir) =>
@@ -4989,6 +5087,21 @@ object SparkEntry {
          |FROM g LEFT JOIN (SELECT node_id, seq, throttle_ms FROM sim WHERE rn > 0) s
          |  ON g.node_id = s.node_id AND g.seq = s.seq
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "asm_runs" ->
+      s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$AsmCte
+         |SELECT partition, base_offset, committed_offset, num_segments, size_bytes, term
+         |FROM runs ORDER BY partition""".stripMargin,
+
+    "asm_manifest" ->
+      s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$AsmCte
+         |SELECT s.partition, s.base_offset, s.committed_offset, s.size_bytes, s.term, FALSE AS merged
+         |FROM seg s LEFT JOIN runs r ON s.partition = r.partition
+         |  AND s.base_offset >= r.base_offset AND s.base_offset <= r.committed_offset
+         |WHERE r.partition IS NULL
+         |UNION ALL
+         |SELECT partition, base_offset, committed_offset, size_bytes, term, TRUE FROM runs
+         |ORDER BY partition, base_offset""".stripMargin,
 
     // Golden outcome table for the 32-command migration fixture — the
     // FSM is single-raft-shard sequential; the pin is the regression
