@@ -3114,6 +3114,29 @@ object SparkEntry {
         .orderBy("p_key")
     }),
 
+    "d6_refs" -> ((s, dir) => {
+      // Named snapshot refs (iceberg/snapshot.h): tag v1 pins the first
+      // append, branch dev pins the first two, main advances to all
+      // three; snapshot expiry with keepLast=1 spares the ref-pinned
+      // snapshots, so all three views stay readable. The oracle
+      // recomputes each view from the event slices.
+      val t = java.nio.file.Files.createTempDirectory("graft_icerefs").toString + "/t"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      (0 until 3).foreach { i =>
+        graft.streaming.IcebergFormat.commit(
+          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
+          partFn = graft.streaming.Datalake.dayPartition)
+      }
+      graft.streaming.IcebergFormat.createTag(s, t, "v1", 1L)
+      graft.streaming.IcebergFormat.createBranch(s, t, "dev", 2L)
+      graft.streaming.IcebergFormat.expireSnapshots(s, t, keepLast = 1)
+      Seq("dev", "main", "v1").map { r =>
+        graft.streaming.IcebergFormat.readRef(s, t, r)
+          .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+          .select(lit(r).as("ref"), col("n"), col("sum_id"))
+      }.reduce(_ unionAll _).orderBy("ref")
+    }),
+
     "d6_iceberg_deletes" -> ((s, dir) => {
       // Iceberg v2 merge-on-read position deletes on a fresh 2-snapshot
       // table: DELETE WHERE user_id % 7 = 0, then the current read
@@ -5906,6 +5929,16 @@ object SparkEntry {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM events WHERE event_id % 3 < 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_refs" ->
+      """SELECT 'dev' AS ref, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events WHERE event_id % 3 < 2
+        |UNION ALL
+        |SELECT 'main', count(*), CAST(sum(event_id) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'v1', count(*), CAST(sum(event_id) AS BIGINT)
+        | FROM events WHERE event_id % 3 = 0
+        |ORDER BY ref""".stripMargin,
 
     "d6_iceberg_stream" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,

@@ -248,6 +248,26 @@ object IcebergFormat {
       manifestList: String, addedRows: Long, op: String = "append",
       sourceBatchId: Option[Long] = None, schemaId: Int = 0)
 
+  /** A named snapshot reference (`iceberg/snapshot.h:86-114`): a `tag`
+    * labels one snapshot forever; a `branch` is a mutable head. The
+    * `main` branch is implicit (always the current snapshot) and is not
+    * carried here. */
+  final case class RefInfo(name: String, snapshotId: Long, refType: String,
+      maxRefAgeMs: Option[Long] = None)
+
+  /** Parse the non-main entries of the metadata `refs` map. */
+  private def parseExtraRefs(json: String): Seq[RefInfo] = {
+    val refs = mapper.readTree(json).path("refs")
+    refs.fields().asScala.toSeq.collect {
+      case e if e.getKey != "main" =>
+        val v = e.getValue
+        RefInfo(e.getKey, v.path("snapshot-id").asLong,
+          v.path("type").asText("tag"),
+          if (v.path("max-ref-age-ms").isMissingNode) None
+          else Some(v.path("max-ref-age-ms").asLong))
+    }
+  }
+
   /** Parse the snapshots array out of the metadata JSON. */
   private def parseSnapshots(json: String): Seq[SnapshotInfo] =
     mapper.readTree(json).path("snapshots").elements().asScala.toSeq.map { s =>
@@ -277,7 +297,8 @@ object IcebergFormat {
   private def writeMetadataJsonFull(fs: FileSystem, table: String, v: Int,
       schemas: Seq[IceSchema], currentSchemaId: Int,
       specs: Seq[IceSpec], defaultSpecId: Int, lastColumnId: Int,
-      snaps: Seq[SnapshotInfo], uuid: String): Unit = {
+      snaps: Seq[SnapshotInfo], uuid: String,
+      extraRefs: Seq[RefInfo] = Nil): Unit = {
     val now = System.currentTimeMillis()
     val current = snaps.lastOption.map(_.snapshotId).getOrElse(-1L)
     val lastSeq = snaps.lastOption.map(_.sequenceNumber).getOrElse(0L)
@@ -295,9 +316,15 @@ object IcebergFormat {
       s"""{"spec-id": ${sp.specId}, "fields": [
          |    {"name": "p_key", "transform": ${jsonStr(sp.transform)}, "source-id": ${sp.sourceId}, "field-id": 1000}]}""".stripMargin
     }.mkString("[", ", ", "]")
-    val refs =
-      if (current >= 0) s"""{"main": {"snapshot-id": $current, "type": "branch"}}"""
-      else "{}"
+    val refEntries =
+      (if (current >= 0)
+         Seq(s""""main": {"snapshot-id": $current, "type": "branch"}""")
+       else Seq.empty) ++
+      extraRefs.map { r =>
+        val age = r.maxRefAgeMs.map(a => s""", "max-ref-age-ms": $a""").getOrElse("")
+        s"""${jsonStr(r.name)}: {"snapshot-id": ${r.snapshotId}, "type": "${r.refType}"$age}"""
+      }
+    val refs = refEntries.mkString("{", ", ", "}")
     val json =
       s"""{
          |  "format-version": 2,
@@ -455,7 +482,7 @@ object IcebergFormat {
       schemas, curSchemaId, specs, specId, lastColId,
       priorSnaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
         sourceBatchId = sourceBatchId, schemaId = curSchemaId),
-      uuid)
+      uuid, priorJson.map(parseExtraRefs).getOrElse(Nil))
     snapId
   }
 
@@ -603,7 +630,7 @@ object IcebergFormat {
       schemas, curSchemaId, specs, specId, lastColId,
       snaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
         sourceBatchId = None, schemaId = curSchemaId),
-      uuid)
+      uuid, parseExtraRefs(json))
     (snapId, rebased)
   }
 
@@ -650,7 +677,7 @@ object IcebergFormat {
     }
     writeMetadataJsonFull(fs, table, v + 1, schemas :+ next, next.schemaId,
       specs, specId, lastColumnIdOf(json), parseSnapshots(json),
-      jsonStrField(json, "table-uuid").get)
+      jsonStrField(json, "table-uuid").get, parseExtraRefs(json))
     next.schemaId
   }
 
@@ -678,7 +705,7 @@ object IcebergFormat {
     val next = IceSpec(specs.map(_.specId).max + 1, transform, src.id)
     writeMetadataJsonFull(fs, table, v + 1, schemas, curId,
       specs :+ next, next.specId, lastColumnIdOf(json), parseSnapshots(json),
-      jsonStrField(json, "table-uuid").get)
+      jsonStrField(json, "table-uuid").get, parseExtraRefs(json))
     next.specId
   }
 
@@ -802,7 +829,13 @@ object IcebergFormat {
     val json = readMetadataJson(fs, table, v)
     val snaps = parseSnapshots(json)
     if (snaps.size <= keepLast) return Seq.empty
-    val (expire, keep) = snaps.splitAt(snaps.size - keepLast)
+    // named refs PIN their snapshots through expiry (snapshot.h: refs
+    // govern retention — a tagged/branched snapshot survives even
+    // outside the keep-last window; it expires only once the ref drops)
+    val pinned = parseExtraRefs(json).map(_.snapshotId).toSet
+    val expire = snaps.take(snaps.size - keepLast).filterNot(s => pinned(s.snapshotId))
+    if (expire.isEmpty) return Seq.empty
+    val keep = snaps.filterNot(expire.contains)
     val uuid = jsonStrField(json, "table-uuid").get
     // metadata version first
     writeMetadataJsonKeeping(fs, table, v + 1, json, keep, uuid)
@@ -841,8 +874,12 @@ object IcebergFormat {
       priorJson: String, keep: Seq[SnapshotInfo], uuid: String): Unit = {
     val (schemas, curId) = parseSchemas(priorJson)
     val (specs, specId) = parseSpecs(priorJson)
+    // refs survive a snapshot operation, but a ref whose target is no
+    // longer in the kept set is dangling and must drop with it
+    val keptIds = keep.map(_.snapshotId).toSet
     writeMetadataJsonFull(fs, table, v, schemas, curId, specs, specId,
-      lastColumnIdOf(priorJson), keep, uuid)
+      lastColumnIdOf(priorJson), keep, uuid,
+      parseExtraRefs(priorJson).filter(r => keptIds(r.snapshotId)))
   }
 
   // ------------------------------------------------------------- reading
@@ -863,6 +900,81 @@ object IcebergFormat {
       }
     }
     rows.toDF("snapshot_id", "sequence_number", "n_files", "n_rows")
+  }
+
+  // ----------------------------------------------------- snapshot refs
+
+  /** Create or move a named snapshot reference
+    * (`iceberg/snapshot.h:86-114`): a `tag` permanently labels one
+    * snapshot, a `branch` is a mutable named head. Metadata-only — a
+    * new metadata version with the refs map updated; `main` stays
+    * implicit. The referenced snapshot must exist. */
+  def setRef(spark: SparkSession, table: String, name: String,
+      snapshotId: Long, refType: String, maxRefAgeMs: Option[Long] = None): Unit = {
+    require(refType == "tag" || refType == "branch", s"bad ref type $refType")
+    require(name != "main", "the main branch is managed by commits")
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    require(snaps.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId does not exist")
+    val refs = parseExtraRefs(json).filterNot(_.name == name) :+
+      RefInfo(name, snapshotId, refType, maxRefAgeMs)
+    val (schemas, curId) = parseSchemas(json)
+    val (specs, specId) = parseSpecs(json)
+    writeMetadataJsonFull(fs, table, v + 1, schemas, curId, specs, specId,
+      lastColumnIdOf(json), snaps, jsonStrField(json, "table-uuid").get, refs)
+  }
+
+  def createTag(spark: SparkSession, table: String, name: String,
+      snapshotId: Long, maxRefAgeMs: Option[Long] = None): Unit =
+    setRef(spark, table, name, snapshotId, "tag", maxRefAgeMs)
+
+  def createBranch(spark: SparkSession, table: String, name: String,
+      snapshotId: Long): Unit =
+    setRef(spark, table, name, snapshotId, "branch")
+
+  /** Drop a named ref: its snapshot loses the expiry pin. */
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(return)
+    val json = readMetadataJson(fs, table, v)
+    val refs = parseExtraRefs(json).filterNot(_.name == name)
+    val (schemas, curId) = parseSchemas(json)
+    val (specs, specId) = parseSpecs(json)
+    writeMetadataJsonFull(fs, table, v + 1, schemas, curId, specs, specId,
+      lastColumnIdOf(json), parseSnapshots(json),
+      jsonStrField(json, "table-uuid").get, refs)
+  }
+
+  /** Ref catalog: every named ref plus the implicit main head. */
+  def listRefs(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    val rows = currentVersion(fs, table).toSeq.flatMap { v =>
+      val json = readMetadataJson(fs, table, v)
+      val main = parseSnapshots(json).lastOption
+        .map(s => ("main", "branch", s.snapshotId, None: Option[Long])).toSeq
+      main ++ parseExtraRefs(json).map(r =>
+        (r.name, r.refType, r.snapshotId, r.maxRefAgeMs))
+    }
+    rows.toDF("name", "type", "snapshot_id", "max_ref_age_ms")
+  }
+
+  /** Read the table as of a named ref (`SELECT ... VERSION AS OF
+    * 'ref'`): main resolves to the current snapshot, any other ref to
+    * its pinned snapshot. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+    if (name == "main") return readSnapshot(spark, table, None)
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val ref = parseExtraRefs(readMetadataJson(fs, table, v))
+      .find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no ref $name"))
+    readSnapshot(spark, table, Some(ref.snapshotId))
   }
 
   /** Metadata-driven scan: resolve the current snapshot's manifest list

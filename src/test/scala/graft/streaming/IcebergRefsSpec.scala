@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Named snapshot refs (iceberg/snapshot.h): tags, branches, ref reads,
+  * survival across commits/evolutions, and expiry pinning. */
+class IcebergRefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("iceberg_refs").toString + "/t"
+
+  private def batch(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"u$i", s"2024-01-0${1 + i % 3} 0$i:00:00"))
+      .toDF("id", "user", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("a tag pins its snapshot view while main advances") {
+    val t = freshTable()
+    val s1 = IcebergFormat.commit(batch(0, 4), col("ts"), t)
+    IcebergFormat.createTag(spark, t, "v1.0", s1)
+    IcebergFormat.commit(batch(4, 9), col("ts"), t)
+    assert(IcebergFormat.readRef(spark, t, "v1.0").count() === 4L)
+    assert(IcebergFormat.readRef(spark, t, "main").count() === 9L)
+    val refs = IcebergFormat.listRefs(spark, t)
+      .select("name", "type", "snapshot_id")
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(refs === Map("main" -> (("branch", 2L)), "v1.0" -> (("tag", 1L))))
+  }
+
+  test("refs survive commits and schema evolution; drop removes them") {
+    val t = freshTable()
+    val s1 = IcebergFormat.commit(batch(0, 3), col("ts"), t)
+    IcebergFormat.createBranch(spark, t, "audit", s1)
+    IcebergFormat.renameColumn(spark, t, "user", "username")
+    val names = IcebergFormat.listRefs(spark, t).select("name")
+      .as[String].collect().toSet
+    assert(names === Set("main", "audit"))
+    IcebergFormat.dropRef(spark, t, "audit")
+    assert(IcebergFormat.listRefs(spark, t).select("name")
+      .as[String].collect().toSet === Set("main"))
+  }
+
+  test("expiry spares ref-pinned snapshots until the ref drops") {
+    val t = freshTable()
+    val s1 = IcebergFormat.commit(batch(0, 2), col("ts"), t)
+    IcebergFormat.commit(batch(2, 4), col("ts"), t)
+    IcebergFormat.commit(batch(4, 6), col("ts"), t)
+    IcebergFormat.createTag(spark, t, "keepme", s1)
+    // keepLast=1 would expire snapshots 1 and 2; the tag pins 1
+    val expired = IcebergFormat.expireSnapshots(spark, t, keepLast = 1)
+    assert(expired === Seq(2L))
+    // the pinned snapshot still time-travels
+    assert(IcebergFormat.readRef(spark, t, "keepme").count() === 2L)
+    // dropping the ref unpins: the next expiry takes it
+    IcebergFormat.dropRef(spark, t, "keepme")
+    assert(IcebergFormat.expireSnapshots(spark, t, keepLast = 1) === Seq(1L))
+  }
+
+  test("setRef validates the target and protects main") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 2), col("ts"), t)
+    intercept[IllegalArgumentException] {
+      IcebergFormat.createTag(spark, t, "ghost", 99L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergFormat.createBranch(spark, t, "main", 1L)
+    }
+  }
+}
