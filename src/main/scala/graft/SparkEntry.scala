@@ -3776,6 +3776,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_hard_negatives" -> ((s, dir) => {
+      // Contrastive triplet mining over the labeled embedding corpus:
+      // per anchor, the top same-label positive and the 3 most-similar
+      // cross-label hard negatives with the pos-neg margin. The oracle
+      // recomputes every cosine, both rank windows, and the margins.
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      Similarity.mineTriplets(emb, queries, kNeg = 3)
+        .select(col("query_id"), col("pos_id"), round(col("pos_cos"), 5).as("pos_cos_r"),
+          col("neg_id"), round(col("neg_cos"), 5).as("neg_cos_r"), col("neg_rank"),
+          round(col("margin"), 5).as("margin_r"))
+        .orderBy("query_id", "neg_rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
@@ -6199,6 +6216,25 @@ object SparkEntry {
         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_r
         |  FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        | q AS (SELECT * FROM e WHERE vec_id < 8),
+        | s AS (SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id, c.label,
+        |         list_cosine_similarity(q.v, c.v) AS cos
+        |       FROM q, e c WHERE c.vec_id != q.vec_id),
+        | pos AS (SELECT query_id, vec_id AS pos_id, cos AS pos_cos,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |         FROM s WHERE label = ql),
+        | neg AS (SELECT query_id, vec_id AS neg_id, cos AS neg_cos,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS neg_rank
+        |         FROM s WHERE label <> ql)
+        |SELECT n.query_id, p.pos_id, round(p.pos_cos, 5) AS pos_cos_r,
+        |  n.neg_id, round(n.neg_cos, 5) AS neg_cos_r, CAST(n.neg_rank AS INTEGER) AS neg_rank,
+        |  round(p.pos_cos - n.neg_cos, 5) AS margin_r
+        |FROM neg n JOIN pos p ON p.query_id = n.query_id AND p.rn = 1
+        |WHERE n.neg_rank <= 3
+        |ORDER BY n.query_id, n.neg_rank""".stripMargin,
 
     "dd_embed_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -61,6 +61,43 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /**
+   * Contrastive-pair mining for embedding-model training data: for each
+   * anchor query, the single most-similar SAME-label vector is the
+   * positive and the `kNeg` most-similar DIFFERENT-label vectors are the
+   * hard negatives — the standard triplet shape (anchor, positive,
+   * hard negative), with `margin = pos_cos - neg_cos` as the training
+   * signal. Anchors with no same-label partner cannot form a triplet
+   * and drop out.
+   *
+   * Dataflow: one broadcast of the bounded anchor batch against the
+   * corpus (the [[bruteForceTopK]] kernel -- at 100 TB anchors stream
+   * through in bounded batches, or the candidate set narrows first via
+   * the IVF/LSH buckets); the label split and both rank windows reuse
+   * the single scored pass, partitioned per anchor.
+   */
+  def mineTriplets(corpus: DataFrame, queries: DataFrame, kNeg: Int): DataFrame = {
+    val c = kernels(corpus).withColumn("_cn", norm(col("embedding")))
+    val q = kernels(queries).withColumn("_qn", norm(col("query_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
+        cosPre(col("query_vec"), col("embedding"), col("_qn"), col("_cn")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val pos = scored.where(col("label") === col("query_label"))
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored.where(col("label") =!= col("query_label"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= kNeg)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("neg_rank"))
+    neg.join(pos, Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("neg_rank"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** `nBits`-bit sign-random-projection sketch: one fused codegen loop
     * over hash-derived ±1 hyperplanes ([[graft.functions.VecSignSketch]]).
     * Deterministic on every executor; no literal plane arrays in the plan. */

@@ -581,4 +581,29 @@ class AnalyticsSpec extends SparkSpec {
     perSeq.init.foreach { case (_, fill) => assert(fill == 10L) }
     assert(perSeq.last._2 <= 10L)
   }
+
+  test("triplet mining picks the top same-label positive and cross-label negatives") {
+    // axis-aligned vectors: anchor 0 (label A) is closest to 1 (A, cos
+    // .9...), then 2 (B), 3 (B), 4 (C); 5 has label D with no partner
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), "A"),
+      (1L, Seq(0.9, 0.1, 0.0), "A"),   // positive for 0
+      (2L, Seq(0.8, 0.2, 0.0), "B"),   // hardest negative
+      (3L, Seq(0.5, 0.5, 0.0), "B"),
+      (4L, Seq(0.0, 1.0, 0.0), "C"),
+      (5L, Seq(0.0, 0.0, 1.0), "D"))   // lone label: no triplet
+      .toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id").isin(0L, 5L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("query_label"))
+    val got = Similarity.mineTriplets(vecs, queries, kNeg = 2)
+      .select("query_id", "pos_id", "neg_id", "neg_rank", "margin")
+      .as[(Long, Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._4))
+    // anchor 5 has no same-label partner: no rows
+    assert(got.map(_._1).toSet === Set(0L))
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq === Seq((1L, 2L, 1), (1L, 3L, 2)))
+    // margins ordered: the hardest negative has the smallest margin
+    assert(got(0)._5 < got(1)._5)
+    assert(got.forall(_._5 > 0.0))
+  }
 }
