@@ -2586,6 +2586,31 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    "sr_canonical_ids" -> ((s, dir) => {
+      // Sanitized-definition dedup + global id projection
+      // (avro.cc sanitize_avro_schema_definition / sharded_store
+      // get_schema_version): the same logical schema spelled with
+      // different whitespace, member order, dotted-vs-split fullname,
+      // and leading-dot union refs resolves to ONE global id across
+      // subjects, and re-registering a subject's existing definition
+      // returns the existing version without growing the chain.
+      import s.implicits._
+      val a1 = """{"type":"record","name":"com.ex.Ev","fields":[
+        {"name":"id","type":"long"},{"name":"who","type":[".U","null"]}]}"""
+      val a2 = """{ "fields": [ {"type":"long","name":"id"},
+        {"type":["U","null"],"name":"who"} ],
+        "namespace": "com.ex", "name": "Ev", "type": "record" }"""
+      val b = """{"type":"record","name":"com.ex.Ev","fields":[{"name":"id","type":"string"}]}"""
+      val b2 = """{"fields":[{"name":"id","type":"string"}],"type":"record","namespace":"com.ex","name":"Ev"}"""
+      val cEnum = """{"symbols":["A","B"],"type":"enum","name":"Lvl"}"""
+      graft.registry.AvroCanonical.projectIds(Seq(
+          (1L, "events-value", a1), (2L, "orders-value", a2),
+          (3L, "events-value", a2), (4L, "events-value", b),
+          (5L, "audit-value", cEnum), (6L, "orders-value", b2)))
+        .toDF("seq", "subject", "schema_id", "version", "new_id", "new_version")
+        .orderBy("seq")
+    }),
+
     "sr_subject_delete" -> ((s, dir) => {
       // SR soft-vs-hard delete: ev-value v2 soft-deleted (listed with
       // is_deleted under include_deleted); ev-value v1 hard-deleted
@@ -5602,6 +5627,20 @@ object SparkEntry {
       """SELECT CASE WHEN event_id % 97 = 0 THEN 'corrupt' ELSE 'valid' END AS route,
         |       count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sr_canonical_ids" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, subject,
+        |       CAST(schema_id AS BIGINT) AS schema_id,
+        |       CAST(version AS INTEGER) AS version, new_id, new_version
+        | FROM (VALUES
+        |  (1, 'events-value', 1, 1, TRUE, TRUE),
+        |  (2, 'orders-value', 1, 1, FALSE, TRUE),
+        |  (3, 'events-value', 1, 1, FALSE, FALSE),
+        |  (4, 'events-value', 2, 2, TRUE, TRUE),
+        |  (5, 'audit-value', 3, 1, TRUE, TRUE),
+        |  (6, 'orders-value', 2, 2, FALSE, TRUE))
+        | t(seq, subject, schema_id, version, new_id, new_version)
+        | ORDER BY seq""".stripMargin,
 
     "sr_subject_delete" ->
       """SELECT * FROM (VALUES
