@@ -212,6 +212,40 @@ object SparkEntry {
       .withColumn("term", floor(col("base_offset") / 200).cast("long"))
       .drop("__chunk")
 
+  /** Cloud-cache file-table fixture for the LRU trim: 100-offset
+    * segments of the canonical log as cached files across 2 broker
+    * nodes with a deterministic scrambled access clock, `.tx`/`.index`
+    * companions on every second segment, and per-node exempt
+    * (accesstime) and in-flight (`.part`) specials. */
+  private def cacheFiles(s: SparkSession, dir: String): DataFrame = {
+    val segs = eventLog(s, dir)
+      .select(col("partition"), col("offset"),
+        (length(col("props")) + length(col("event_type")) + lit(24)).cast("long").as("sz"))
+      .withColumn("__chunk", floor(col("offset") / 100))
+      .groupBy("partition", "__chunk")
+      .agg(min("offset").as("base"), sum("sz").as("size_bytes"))
+      .select(pmod(col("partition"), lit(2)).cast("int").as("node_id"),
+        concat(lit("p"), col("partition").cast("string"), lit("/seg-"),
+          col("base").cast("string"), lit(".log")).as("path"),
+        col("size_bytes"),
+        pmod(col("base") * 37 + col("partition") * 13, lit(991)).as("access_time"),
+        col("base"))
+    val comps = segs.where(pmod(col("base"), lit(200)) === 0)
+    val txs = comps.select(col("node_id"), concat(col("path"), lit(".tx")).as("path"),
+      lit(40L).as("size_bytes"), pmod(col("access_time") + 400, lit(991)).as("access_time"))
+    val idxs = comps.select(col("node_id"), concat(col("path"), lit(".index")).as("path"),
+      lit(60L).as("size_bytes"), pmod(col("access_time") + 700, lit(991)).as("access_time"))
+    val nodes = s.range(2).select(col("id").cast("int").as("node_id"))
+    val exempts = nodes.select(col("node_id"),
+      concat(lit("/cache"), col("node_id").cast("string"), lit("/accesstime")).as("path"),
+      lit(100L).as("size_bytes"), lit(0L).as("access_time"))
+    val parts = nodes.select(col("node_id"),
+      concat(lit("n"), col("node_id").cast("string"), lit("/upload.part")).as("path"),
+      lit(50L).as("size_bytes"), lit(0L).as("access_time"))
+    segs.select("node_id", "path", "size_bytes", "access_time")
+      .unionAll(txs).unionAll(idxs).unionAll(exempts).unionAll(parts)
+  }
+
   /** Cluster topic table for the data-migration fixtures:
     * (name, archival_enabled). `legacy_t` has archiving off, so it can
     * never migrate out. */
@@ -970,6 +1004,61 @@ object SparkEntry {
       |    ON t.partition = m.partition AND t.rn = m.mx
       |  JOIN lasto l ON l.partition = t.partition
       |  WHERE t.num > 1 AND (t.sz > 3000 OR t.com <> l.last_offset))""".stripMargin
+
+  /** Cache-trim oracle: the cache file table (mirrors [[cacheFiles]])
+    * and the LRU walk (`cache_service.cc do_trim`) replayed as a
+    * recursive CTE — quota checked before each candidate, skip rules,
+    * companion weights accruing at the segment's step. Appended to a
+    * RECURSIVE `$LogCte,` by the `ct_cache_trim` oracle (stripMargin
+    * runs twice — no line may start with `||`). */
+  private val CacheTrimCte: String =
+    """ sized AS (SELECT partition, "offset",
+      |    CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz FROM log),
+      | seg0 AS (SELECT partition, CAST(min("offset") AS BIGINT) AS base,
+      |    CAST(sum(sz) AS BIGINT) AS size_bytes
+      |   FROM sized GROUP BY partition, "offset" // 100),
+      | segf AS (SELECT CAST(partition % 2 AS INTEGER) AS node_id,
+      |    'p' || CAST(partition AS VARCHAR) || '/seg-' || CAST(base AS VARCHAR) || '.log' AS path,
+      |    size_bytes, CAST((base * 37 + partition * 13) % 991 AS BIGINT) AS access_time, base
+      |   FROM seg0),
+      | files AS (
+      |  SELECT node_id, path, size_bytes, access_time FROM segf
+      |  UNION ALL SELECT node_id, path || '.tx', CAST(40 AS BIGINT), (access_time + 400) % 991 FROM segf WHERE base % 200 = 0
+      |  UNION ALL SELECT node_id, path || '.index', CAST(60 AS BIGINT), (access_time + 700) % 991 FROM segf WHERE base % 200 = 0
+      |  UNION ALL SELECT CAST(n AS INTEGER), '/cache' || CAST(n AS VARCHAR) || '/accesstime', CAST(100 AS BIGINT), CAST(0 AS BIGINT) FROM range(2) t(n)
+      |  UNION ALL SELECT CAST(n AS INTEGER), 'n' || CAST(n AS VARCHAR) || '/upload.part', CAST(50 AS BIGINT), CAST(0 AS BIGINT) FROM range(2) t(n)),
+      | tot AS (SELECT node_id, CAST(sum(size_bytes) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS tn FROM files GROUP BY 1),
+      | need AS (SELECT node_id,
+      |    ts - LEAST(CASE WHEN ts > 120000 THEN 120000 * 800 // 1000 ELSE 120000 END, ts) AS s2d,
+      |    tn - LEAST(CASE WHEN tn > 1000 THEN 1000 * 800 // 1000 ELSE 1000 END, tn) AS o2d
+      |   FROM tot WHERE ts > 120000 OR tn > 1000),
+      | cw AS (SELECT f.node_id, f.path, f.size_bytes, f.access_time,
+      |    COALESCE(t.size_bytes, 0) + COALESCE(i.size_bytes, 0) AS comp_sz,
+      |    (CASE WHEN t.path IS NULL THEN 0 ELSE 1 END + CASE WHEN i.path IS NULL THEN 0 ELSE 1 END) AS comp_n,
+      |    regexp_full_match(f.path, '.*\.log(\.\d+)?') AS is_seg,
+      |    (f.path LIKE '%.tx' OR f.path LIKE '%.index') AS is_comp,
+      |    f.path LIKE '%.part' AS is_tmp,
+      |    f.path LIKE '%/accesstime' AS is_exempt
+      |   FROM files f
+      |   LEFT JOIN files t ON t.node_id = f.node_id AND t.path = f.path || '.tx'
+      |   LEFT JOIN files i ON i.node_id = f.node_id AND i.path = f.path || '.index'),
+      | cand AS (SELECT cw.*, n.s2d, n.o2d,
+      |    CAST(row_number() OVER (PARTITION BY cw.node_id ORDER BY access_time, path) AS BIGINT) AS rn
+      |   FROM cw JOIN need n USING (node_id)),
+      | walk AS (
+      |  SELECT node_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS ds, CAST(0 AS BIGINT) AS dc
+      |  FROM (SELECT DISTINCT node_id FROM cand)
+      |  UNION ALL
+      |  SELECT c.node_id, c.rn,
+      |    w.ds + CASE WHEN c.is_exempt OR c.is_tmp OR c.is_comp THEN 0
+      |                WHEN c.is_seg THEN c.size_bytes + c.comp_sz ELSE c.size_bytes END,
+      |    w.dc + CASE WHEN c.is_exempt OR c.is_tmp OR c.is_comp THEN 0
+      |                WHEN c.is_seg THEN 1 + c.comp_n ELSE 1 END
+      |  FROM walk w JOIN cand c ON c.node_id = w.node_id AND c.rn = w.rn + 1
+      |  WHERE NOT (w.ds >= c.s2d AND w.dc >= c.o2d)),
+      | lastw AS (SELECT node_id, max(rn) AS wmax FROM walk GROUP BY 1),
+      | delsegs AS (SELECT c.node_id, c.path FROM cand c JOIN lastw l USING (node_id)
+      |   WHERE c.rn <= l.wmax AND NOT (c.is_exempt OR c.is_tmp OR c.is_comp))""".stripMargin
 
   // ---------------------------------------------------------------- contract
 
@@ -2116,6 +2205,17 @@ object SparkEntry {
         reqs, Some(12000L), Some(30000L))
         .orderBy("node_id")
     }),
+
+    "ct_cache_trim" -> ((s, dir) =>
+      // Cloud-storage cache LRU eviction (cache_service.cc): per-node
+      // byte-limit overage trims in access-time order to the
+      // low-watermark target, skipping exempt/tmp/companion files, with
+      // segment deletion taking its .tx/.index companions and their
+      // bytes counting against the quota. The oracle replays the walk
+      // as a recursive CTE over the same file table.
+      graft.log.CacheTrim.trim(cacheFiles(s, dir),
+          maxBytes = 120000L, maxObjects = 1000L, lowWatermarkPermille = 800)
+        .orderBy("node_id", "path")),
 
     "asm_runs" -> ((s, dir) =>
       // Adjacent segment merger scan (archival/adjacent_segment_run.cc):
@@ -5152,6 +5252,25 @@ object SparkEntry {
          |FROM g LEFT JOIN (SELECT node_id, seq, throttle_ms FROM sim WHERE rn > 0) s
          |  ON g.node_id = s.node_id AND g.seq = s.seq
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ct_cache_trim" ->
+      s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$CacheTrimCte
+         |SELECT f.node_id, f.path, f.size_bytes,
+         |  CASE WHEN dc.path IS NOT NULL THEN 'deleted_companion'
+         |       WHEN c.rn IS NOT NULL AND c.rn <= l.wmax THEN
+         |         CASE WHEN c.is_exempt THEN 'skipped_exempt'
+         |              WHEN c.is_tmp THEN 'skipped_tmp'
+         |              WHEN c.is_comp THEN 'skipped_companion'
+         |              ELSE 'deleted_lru' END
+         |       ELSE 'kept' END AS action
+         |FROM files f
+         |LEFT JOIN cand c ON c.node_id = f.node_id AND c.path = f.path
+         |LEFT JOIN lastw l ON l.node_id = f.node_id
+         |LEFT JOIN (SELECT DISTINCT s.node_id, f2.path
+         |           FROM delsegs s JOIN files f2 ON f2.node_id = s.node_id
+         |             AND (f2.path = s.path || '.tx' OR f2.path = s.path || '.index')) dc
+         |  ON dc.node_id = f.node_id AND dc.path = f.path
+         |ORDER BY f.node_id, f.path""".stripMargin,
 
     "asm_runs" ->
       s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$AsmCte
