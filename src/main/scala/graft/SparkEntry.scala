@@ -157,7 +157,13 @@ object SparkEntry {
     * cuts off again for long docs, flipping the verdict back to valid),
     * plus buffer-full drops from the per-window byte budget. */
   private def xformLogEvents(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
+    xformLogProjection(T(s, dir, "documents"))
+
+  /** The [[xformLogEvents]] column recipe over any documents-shaped
+    * frame (shared with the streaming twin, which applies it to the
+    * staged file stream). */
+  private def xformLogProjection(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("seq"),
       concat(lit("xform-"), pmod(col("doc_id"), lit(4)).cast("string"))
         .as("transform_name"),
@@ -3698,6 +3704,48 @@ object SparkEntry {
           "severity_number", "body_json")
         .orderBy("seq")),
 
+    "u6_transform_logs_stream" -> ((s, dir) => {
+      // The flusher as it actually runs — continuous: log lines stream
+      // in, each flush interval is an event-time window, the greedy
+      // semaphore fold runs inside the windowed aggregate, and append
+      // mode emits each window's decisions exactly once. Two far-future
+      // sentinel batches close every real window (the second closes the
+      // first's); output is the per-(window, transform, status) batch
+      // rollup, oracle-recomputed from the batch CTE.
+      import s.implicits._
+      val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val inDir = java.nio.file.Files.createTempDirectory("graft_u6s")
+      val b0 = inDir.resolve("batch0.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), b0)
+      java.nio.file.Files.setLastModifiedTime(b0,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+      Seq(9000000L, 9100000L).zipWithIndex.foreach { case (id, i) =>
+        val tmp = inDir.resolve(s"__sent$i")
+        Seq((id, "sentinel", "xx", "sent", 8L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .selectExpr(docSchema.fieldNames.map(n => n): _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = inDir.resolve(s"batch${i + 1}.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000001000L + i * 1000L))
+      }
+      val raw = graft.streaming.Transforms.PathInput(
+        inDir.toString, docSchema, maxFilesPerTrigger = Some(1)).stream(s)
+      val out = java.nio.file.Files.createTempDirectory("graft_u6out").toString
+      graft.streaming.TransformLogs.publishStream(
+        xformLogProjection(raw), s"$out/data", s"$out/ckpt",
+        lineMaxBytes = 256, bufferCapacityBytes = 16384,
+        flushIntervalMs = 100000L, nPartitions = 8)
+      s.read.parquet(s"$out/data")
+        .where(col("seq") < 9000000L)
+        .groupBy("win", "transform_name", "partition", "status")
+        .agg(count(lit(1)).as("n"), sum("sz").as("bytes"))
+        .orderBy("win", "transform_name", "status")
+    }),
+
     "u6_log_probes" -> ((s, dir) =>
       // The per-transform probe counters (transform/logging/probes.h):
       // log_event per attempt, dropped_log_event ONLY on buffer-full —
@@ -6269,6 +6317,16 @@ object SparkEntry {
          |    || '}}]}' AS body_json
          |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
          |WHERE a.status = 'ok' ORDER BY t.seq""".stripMargin,
+
+    "u6_transform_logs_stream" ->
+      s"""$XformLogCte
+         |SELECT t.win, t.transform_name,
+         |  CASE t.transform_name WHEN 'xform-0' THEN 4 WHEN 'xform-1' THEN 5
+         |    WHEN 'xform-2' THEN 2 ELSE 6 END AS partition,
+         |  a.status, count(*) AS n, CAST(sum(t.sz) AS BIGINT) AS bytes
+         |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY t.win, t.transform_name, a.status""".stripMargin,
 
     "u6_log_probes" ->
       s"""$XformLogCte

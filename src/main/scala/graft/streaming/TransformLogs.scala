@@ -170,6 +170,70 @@ object TransformLogs {
           col("ts_ms") * 1000000L, col("level"), col("message")).as("body_json"))
   }
 
+  /**
+   * [[enqueue]]+[[publish]] as the CONTINUOUS flusher loop the
+   * reference runs (`flusher::flush_loop`): log events stream in, each
+   * flush interval is an event-time window on the arrival clock, and
+   * append mode emits each window's enqueue decisions exactly once when
+   * the watermark closes it. The greedy semaphore fold runs INSIDE the
+   * windowed aggregate (one `collect_list` + `aggregate()` per window —
+   * state bounded by the flush interval, exactly the manager's buffer
+   * bound); everything emitted is per-event `(win, seq, transform_name,
+   * partition, status, sz)`.
+   */
+  def publishStream(events: DataFrame, dataPath: String, ckptPath: String,
+      lineMaxBytes: Int, bufferCapacityBytes: Long, flushIntervalMs: Long,
+      nPartitions: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(lineMaxBytes > 0 && bufferCapacityBytes > 0 && flushIntervalMs > 0)
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val truncBytes = substring(col("message").cast("binary"), 1, lineMaxBytes)
+    val prepared = events.select(
+      col("transform_name"), col("seq"), col("ts_ms"),
+      truncBytes.cast("string").as("message"),
+      length(truncBytes).cast("long").as("sz"),
+      isValidMessage(truncBytes).as("valid"))
+    val stZero = struct(
+      lit(0L).as("used"),
+      array().cast("array<struct<seq:bigint,name:string,sz:bigint,st:string>>")
+        .as("out"))
+    val q = prepared
+      .withColumn("__ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("__ts", "0 milliseconds")
+      .groupBy(window(col("__ts"), s"$flushIntervalMs milliseconds"))
+      .agg(sort_array(collect_list(struct(
+        col("seq"), col("sz"), col("valid"), col("transform_name")))).as("evs"))
+      .select(
+        (unix_millis(col("window.start")) / flushIntervalMs).cast("long").as("win"),
+        explode(aggregate(col("evs"), stZero,
+          (st, e) => {
+            val fits = st.getField("used") + e.getField("sz") <= bufferCapacityBytes
+            val admit = fits && e.getField("valid")
+            struct(
+              when(admit, st.getField("used") + e.getField("sz"))
+                .otherwise(st.getField("used")).as("used"),
+              concat(st.getField("out"), array(struct(
+                e.getField("seq").as("seq"),
+                e.getField("transform_name").as("name"),
+                e.getField("sz").as("sz"),
+                when(!fits, "dropped_buffer_full")
+                  .when(!e.getField("valid"), "dropped_invalid")
+                  .otherwise("ok").as("st")))).as("out"))
+          }).getField("out")).as("r"))
+      .select(col("win"), col("r.seq").as("seq"),
+        col("r.name").as("transform_name"),
+        pmod(expr("murmur2(encode(r.name, 'UTF-8'))").cast("long")
+          .bitwiseAND(lit(0xffffffffL)), lit(nPartitions.toLong))
+          .cast("int").as("partition"),
+        col("r.st").as("status"), col("r.sz").as("sz"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", dataPath)
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Per-transform probe counters (`probes.h`): `log_event` fires per
    *  enqueue attempt, `dropped_log_event` only on buffer-full
    *  (`log_manager.cc:322,335` — validation failures are not counted
