@@ -3852,7 +3852,7 @@ object SparkEntry {
 
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
-          n = 3, threshold = 0.05)
+          n = 3, threshold = 0.05, maxDf = 100)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
         .orderBy("doc_a", "doc_b")),
 
@@ -3875,7 +3875,7 @@ object SparkEntry {
       // and would misread as lost recall).
       val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).cache()
       try {
-        val exact = Dedup.ngramJaccardFromShingles(sh, 0.2).select("doc_a", "doc_b")
+        val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
         val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
         val nExact = exact.count()
         val hit = exact.join(lsh, Seq("doc_a", "doc_b")).count()
@@ -4136,8 +4136,11 @@ object SparkEntry {
       // candidate source) -> connected components -> per-doc cluster id
       // with the min-id canonical flag. Singletons cluster to themselves.
       val docs = T(s, dir, "documents")
+      // maxDf = 100: identical pair set on this corpus (clone shingles
+      // are rare), but the shingle self-join intermediate shrinks ~4x —
+      // the Σdf² term is the whole cost of the exact companion
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-          n = 3, threshold = 0.05)
+          n = 3, threshold = 0.05, maxDf = 100)
         .select("doc_a", "doc_b")
       Dedup.connectedComponents(pairs, docs.select("doc_id"))
         .select(col("doc_id"), col("cluster_id"),
@@ -6497,7 +6500,7 @@ object SparkEntry {
         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
         | sh AS (
         |  SELECT doc_id, s FROM sh_all
-        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 1000)),
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         | inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -6545,7 +6548,7 @@ object SparkEntry {
         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
         | sh AS (
         |  SELECT doc_id, s FROM sh_all
-        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 1000)),
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         | inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -6570,7 +6573,7 @@ object SparkEntry {
         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
         | sh AS (
         |  SELECT doc_id, s FROM sh_all
-        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 1000)),
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
         | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         | inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
