@@ -3877,8 +3877,9 @@ object SparkEntry {
       try {
         val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
         val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
-        val nExact = exact.count()
-        val hit = exact.join(lsh, Seq("doc_a", "doc_b")).count()
+        // ONE evaluation of each DAG (the recallOf shape): the pair sets
+        // are tiny; count + join-count would run both plans twice
+        val (nExact, hit) = recallOf(exact, lsh)
         // an empty denominator is a vacuously satisfied contract, not NaN
         Seq(("minhash_recall_ge_75", nExact,
           nExact == 0 || hit.toDouble / nExact >= 0.75))
