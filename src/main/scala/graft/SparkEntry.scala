@@ -2244,6 +2244,32 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "t5_producer_eviction" -> ((s, dir) => {
+      // Producer-state LRU eviction (producer_state_manager.cc /
+      // namespaced_cache.h): a 17-command fixture drives insert-time
+      // eviction skipping open transactions, cache_full refusal,
+      // unknown_producer after eviction, reaper expiry honoring touch
+      // recency and the in-tx pin, and eviction re-enabled by end_tx.
+      // Golden-pinned (single-shard FSM, mig_outcomes style).
+      import s.implicits._
+      val log = Seq(
+        (1L, "register", 1L, 0L), (2L, "register", 2L, 10L),
+        (3L, "register", 3L, 20L), (4L, "begin_tx", 1L, 30L),
+        (5L, "register", 4L, 40L), (6L, "data", 2L, 50L),
+        (7L, "begin_tx", 2L, 60L), (8L, "begin_tx", 3L, 70L),
+        (9L, "begin_tx", 4L, 80L), (10L, "register", 5L, 90L),
+        (11L, "end_tx", 1L, 100L), (12L, "register", 5L, 110L),
+        (13L, "reaper", 0L, 1200L), (14L, "end_tx", 3L, 1300L),
+        (15L, "reaper", 0L, 1400L), (16L, "end_tx", 4L, 1500L),
+        (17L, "reaper", 0L, 2600L))
+        .toDF("seq", "op", "pid", "ts_ms")
+      graft.cluster.ProducerEviction.outcomes(log, maxIds = 3, expirationMs = 1000L)
+        .select(col("seq"), col("op"), col("pid"), col("outcome"),
+          concat_ws(",", col("evicted_pids").cast("array<string>")).as("evicted"),
+          col("n_active"))
+        .orderBy("seq")
+    }),
+
     "mig_outcomes" -> ((s, dir) =>
       // Data-migration command-log replay (data_migration_table.cc):
       // one outcome row per command — the errc of the first failing
@@ -5338,6 +5364,29 @@ object SparkEntry {
          |UNION ALL
          |SELECT partition, base_offset, committed_offset, size_bytes, term, TRUE FROM runs
          |ORDER BY partition, base_offset""".stripMargin,
+
+    "t5_producer_eviction" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, op, CAST(pid AS BIGINT) AS pid,
+        |       outcome, evicted, CAST(n_active AS INTEGER) AS n_active
+        | FROM (VALUES
+        |  (1, 'register', 1, 'ok', '', 1),
+        |  (2, 'register', 2, 'ok', '', 2),
+        |  (3, 'register', 3, 'ok', '', 3),
+        |  (4, 'begin_tx', 1, 'ok', '', 3),
+        |  (5, 'register', 4, 'ok', '2', 3),
+        |  (6, 'data', 2, 'unknown_producer', '', 3),
+        |  (7, 'begin_tx', 2, 'unknown_producer', '', 3),
+        |  (8, 'begin_tx', 3, 'ok', '', 3),
+        |  (9, 'begin_tx', 4, 'ok', '', 3),
+        |  (10, 'register', 5, 'cache_full', '', 3),
+        |  (11, 'end_tx', 1, 'ok', '', 3),
+        |  (12, 'register', 5, 'ok', '1', 3),
+        |  (13, 'reaper', 0, 'ok', '5', 2),
+        |  (14, 'end_tx', 3, 'ok', '', 2),
+        |  (15, 'reaper', 0, 'ok', '', 2),
+        |  (16, 'end_tx', 4, 'ok', '', 2),
+        |  (17, 'reaper', 0, 'ok', '3,4', 0))
+        | t(seq, op, pid, outcome, evicted, n_active) ORDER BY seq""".stripMargin,
 
     // Golden outcome table for the 32-command migration fixture — the
     // FSM is single-raft-shard sequential; the pin is the regression
