@@ -306,6 +306,18 @@ object SparkEntry {
       .toDF("seq", "op", "id", "direction", "topics", "groups", "target_state", "ts_ms")
   }
 
+  /** documents plus planted partial copies (doc_id + 700000, the full
+    * original text plus a unique tail): the corpus has no natural
+    * 20-token repeated spans, so exact substring dedup is exercised on
+    * constructed shared prefixes the oracle replicates. */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.where(col("doc_id") < 50)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        concat(col("text"), lit(" tail marker "), col("doc_id").cast("string"))
+          .as("text")))
+  }
+
   /** documents plus planted PII carriers (doc_id + 500000, an email and
     * a phone number appended to the original text). */
   private def piiDocs(s: SparkSession, dir: String): DataFrame = {
@@ -4291,6 +4303,16 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    "txt_dup_spans" -> ((s, dir) =>
+      // Exact repeated-span detection (the ExactSubstr-dedup primitive,
+      // k-gram-bucketed so it distributes): 20-token windows hash, a
+      // hash in >= 2 docs marks its span, per-doc spans merge into
+      // maximal regions. Planted partial copies share their prefix;
+      // short docs carry no windows. The oracle recomputes every
+      // window hash, the duplicate set, and the interval merge.
+      TextAnalysis.duplicateSpans(spanDocs(s, dir), col("doc_id"), col("text"), k = 20)
+        .orderBy("doc_id")),
+
     "pipe_clean" -> ((s, dir) =>
       CleanPipeline.clean(plantedDocs(s, dir), col("doc_id"), col("text"))
         .select("doc_id", "copies")
@@ -6975,6 +6997,43 @@ object SparkEntry {
         |        CAST(min(v.corpus_n) AS BIGINT) AS min_corpus_n
         | FROM toks t JOIN vocab v USING (tok)
         | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_dup_spans" ->
+      """WITH sdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text || ' tail marker ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 50),
+        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM sdocs),
+        | base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+        | grams AS (
+        |  SELECT doc_id, p, md5(array_to_string(t[p + 1:p + 20], ' ')) AS h
+        |  FROM base, unnest(range(0, n_tokens - 20 + 1)) u(p)
+        |  WHERE n_tokens >= 20),
+        | dh AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        | marked AS (SELECT g.doc_id, g.p, g.p + 19 AS pe FROM grams g JOIN dh USING (h)),
+        | regs AS (
+        |  SELECT doc_id, p, pe,
+        |    max(pe) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM marked),
+        | regs3 AS (
+        |  SELECT doc_id, p, pe,
+        |    sum(CASE WHEN rm IS NULL OR p > rm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM regs),
+        | rsum AS (SELECT doc_id, rid, min(p) AS rs, max(pe) AS re FROM regs3 GROUP BY 1, 2),
+        | perdoc AS (
+        |  SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_dup_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_regions
+        |  FROM rsum GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  CAST(COALESCE(p.n_regions, 0) AS BIGINT) AS n_regions,
+        |  round(CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 5) AS dup_frac_r
+        |FROM base b LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "txt_repetition" ->
       """WITH rd AS (

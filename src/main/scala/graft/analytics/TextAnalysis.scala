@@ -445,4 +445,63 @@ object TextAnalysis {
       .agg((coalesce(sum("weight"), lit(0L)) + bias).as("margin"))
       .withColumn("keep", col("margin") > 0)
   }
+
+  /**
+   * Exact repeated-span detection — the ExactSubstr-dedup primitive
+   * (suffix-array substring dedup re-expressed k-gram-bucketed, the
+   * shape that distributes): every k-token window of every document
+   * hashes; a window hash seen in >= 2 DISTINCT documents marks its
+   * k-token span as duplicated, and per document the overlapping
+   * duplicated spans merge into maximal repeated regions.
+   *
+   * Returns per doc: `n_tokens`, `n_dup_tokens` (tokens covered by a
+   * merged region), `dup_frac`, `n_regions`. Documents shorter than k
+   * carry no windows and report zero duplication.
+   *
+   * Scale shape: one posexplode (constant factor k in output width,
+   * linear in corpus tokens), one hash-group for the duplicate-hash
+   * set, a semi-join back, and per-DOC windows for the interval merge
+   * (never a global window). The hash is md5 so the DuckDB oracle
+   * reproduces it bit-exactly.
+   */
+  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int): DataFrame = {
+    require(k > 1, "span length must exceed one token")
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
+    val grams = base
+      .where(col("n_tokens") >= k)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => md5(encode(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))), "UTF-8")))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val dupHashes = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("__docs"))
+      .where(col("__docs") >= 2)
+      .select("h")
+    val marked = grams.join(dupHashes, "h")
+      .select(col("doc_id"), col("p"), (col("p") + k - 1).as("pe"))
+    // interval merge per doc (gaps and islands): a window starts a new
+    // region iff it begins past everything seen before it
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val regions = marked
+      .withColumn("__rm", max("pe").over(wPrev))
+      .withColumn("__new", (col("__rm").isNull || col("p") > col("__rm") + 1).cast("long"))
+      .withColumn("__rid", sum("__new").over(
+        Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__rid")
+      .agg(min("p").as("rs"), max("pe").as("re"))
+    val perDoc = regions.groupBy("doc_id")
+      .agg(sum(col("re") - col("rs") + 1).as("n_dup_tokens"),
+        count(lit(1)).as("n_regions"))
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 5).as("dup_frac_r"))
+  }
 }

@@ -606,4 +606,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0)._5 < got(1)._5)
     assert(got.forall(_._5 > 0.0))
   }
+
+  test("duplicate spans: shared prefixes merge into one region, short docs exempt") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),             // 8 toks, shared fully with 1
+      (1L, "a b c d e f g h x y z"),       // shares [0,7] with 0
+      (2L, "q r s t u v w q2 r2 s2 t2"),   // unique
+      (3L, "one two"))                     // shorter than k: no windows
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSpans(docs, col("doc_id"), col("text"), k = 4)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "n_regions")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 8, 8L, 1L)))   // fully covered, one region
+    assert(got(1L) === ((1L, 11, 8L, 1L)))  // prefix region only
+    assert(got(2L) === ((2L, 11, 0L, 0L)))
+    assert(got(3L) === ((3L, 2, 0L, 0L)))
+  }
+
+  test("duplicate spans: disjoint shared windows make separate regions") {
+    // docs share tokens [0,3] and [8,11] but differ in the middle
+    val docs = Seq(
+      (0L, "a b c d M1 M2 M3 M4 w x y z"),
+      (1L, "a b c d K1 K2 K3 K4 w x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSpans(docs, col("doc_id"), col("text"), k = 4)
+      .select("doc_id", "n_dup_tokens", "n_regions")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 8L, 2L)))
+    assert(got(1L) === ((1L, 8L, 2L)))
+  }
 }
