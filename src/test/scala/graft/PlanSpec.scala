@@ -412,4 +412,45 @@ class PlanSpec extends SparkSpec {
     val pc = plan(Similarity.cosineNearDups(corpus, dim = 8, threshold = 0.8))
     assert(pc.contains("__bsz"), pc)
   }
+
+  test("snc exemption is one codegen'd conditional; node fold is one shuffle + sort") {
+    val reqs = (0L until 100L).map(i =>
+      ((i % 4).toInt, i, 1000L + i, s"client-${i % 7}", 20L + i % 50, 100L + i % 70))
+      .toDF("node_id", "seq", "ts_ms", "client_id", "req_bytes", "resp_bytes")
+    val p = plan(graft.admin.SncQuota.nodeThrottle(reqs,
+      Seq(graft.admin.SncQuota.ControlGroup("internal",
+        graft.admin.SncQuota.MatchRegex("client-[01]")),
+        graft.admin.SncQuota.ControlGroup("anon", graft.admin.SncQuota.MatchMissing)),
+      Some(12000L), Some(30000L), 30000L, 1000L))
+    // group assignment folds into the projection: no join against a
+    // group table, a single node-keyed shuffle feeds the fold
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Exchange hashpartitioning(node_id"), p)
+    assert(p.contains("Sort [node_id"), p)
+  }
+
+  test("segment-merger scan broadcasts manifest tails; cache trim broadcasts totals") {
+    val segs = (0 until 4).flatMap(pt => (0L until 10L).map(c =>
+      (pt, c * 50, c * 50 + 49, 1900L + c, c / 4)))
+      .toDF("partition", "base_offset", "committed_offset", "size_bytes", "term")
+    val p1 = plan(graft.log.SegmentMerger.scanRuns(segs, 6000L, 3000L, 1000L))
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    assert(!p1.contains("SortMergeJoin"), p1)
+    val files = (0 until 2).flatMap(n => (0L until 20L).map(i =>
+      (n, s"p$n/seg-$i.log", 1000L + i, i * 37 % 97)))
+      .toDF("node_id", "path", "size_bytes", "access_time")
+    val p2 = plan(graft.log.CacheTrim.trim(files, 5000L, 100L))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+  }
+
+  test("duplicate-span detection never opens a corpus-wide window") {
+    val docs = (0L until 50L).map(i => (i, ("tok " * 30).trim + s" d$i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.analytics.TextAnalysis.duplicateSpans(
+      docs, col("doc_id"), col("text"), k = 4))
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("doc_id"), s"non-doc-scoped window: $w\n$p"))
+  }
 }
