@@ -2256,6 +2256,39 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "adm_feature_table" -> ((s, dir) => {
+      // Feature-table activation (features/feature_table.h): nine specs
+      // across the three availability policies and both prepare
+      // policies, resolved against node version reports (min wins), the
+      // original cluster version (new_clusters_only), admin
+      // enable/disable verdicts (disabled_* remembers the return
+      // state), and migration completion. The oracle recomputes the
+      // whole ladder in SQL.
+      import s.implicits._
+      val specs = Seq(
+        ("central_config", 1L, "always", "always"),
+        ("cloud_retention", 3L, "always", "requires_migration"),
+        ("node_isolation", 5L, "always", "always"),
+        ("schema_id_validation", 7L, "explicit_only", "always"),
+        ("remote_labels", 2L, "explicit_only", "always"),
+        ("new_cluster_opt", 4L, "new_clusters_only", "always"),
+        ("tiered_fast", 6L, "always", "requires_migration"),
+        ("iceberg_mode", 6L, "always", "requires_migration"),
+        ("future_feature", 12L, "always", "always"))
+        .toDF("name", "require_version", "available_policy", "prepare_policy")
+      val nodes = Seq((0, 8L), (1, 9L), (2, 8L), (3, 10L)).toDF("node_id", "version")
+      val cmds = Seq(
+        (1L, "enable", "schema_id_validation"),
+        (2L, "complete_migration", "cloud_retention"),
+        (3L, "disable", "node_isolation"),
+        (4L, "disable", "central_config"),
+        (5L, "enable", "central_config"),
+        (6L, "disable", "iceberg_mode"))
+        .toDF("seq", "op", "feature")
+      graft.cluster.FeatureTable.states(specs, nodes, cmds, originalVersion = 3L)
+        .orderBy("name")
+    }),
+
     "t5_producer_eviction" -> ((s, dir) => {
       // Producer-state LRU eviction (producer_state_manager.cc /
       // namespaced_cache.h): a 17-command fixture drives insert-time
@@ -5386,6 +5419,49 @@ object SparkEntry {
          |UNION ALL
          |SELECT partition, base_offset, committed_offset, size_bytes, term, TRUE FROM runs
          |ORDER BY partition, base_offset""".stripMargin,
+
+    "adm_feature_table" ->
+      """WITH specs(name, require_version, available_policy, prepare_policy) AS (VALUES
+        |   ('central_config', 1, 'always', 'always'),
+        |   ('cloud_retention', 3, 'always', 'requires_migration'),
+        |   ('node_isolation', 5, 'always', 'always'),
+        |   ('schema_id_validation', 7, 'explicit_only', 'always'),
+        |   ('remote_labels', 2, 'explicit_only', 'always'),
+        |   ('new_cluster_opt', 4, 'new_clusters_only', 'always'),
+        |   ('tiered_fast', 6, 'always', 'requires_migration'),
+        |   ('iceberg_mode', 6, 'always', 'requires_migration'),
+        |   ('future_feature', 12, 'always', 'always')),
+        | nodes(node_id, version) AS (VALUES (0, 8), (1, 9), (2, 8), (3, 10)),
+        | cmds(seq, op, feature) AS (VALUES
+        |   (1, 'enable', 'schema_id_validation'),
+        |   (2, 'complete_migration', 'cloud_retention'),
+        |   (3, 'disable', 'node_isolation'),
+        |   (4, 'disable', 'central_config'),
+        |   (5, 'enable', 'central_config'),
+        |   (6, 'disable', 'iceberg_mode')),
+        | mv AS (SELECT min(version) AS v FROM nodes),
+        | la AS (SELECT feature, arg_max(op, seq) AS last_admin FROM cmds
+        |        WHERE op IN ('enable', 'disable') GROUP BY 1),
+        | mg AS (SELECT DISTINCT feature FROM cmds WHERE op = 'complete_migration'),
+        | pr AS (SELECT s.name, s.require_version, s.available_policy, s.prepare_policy,
+        |    CASE
+        |     WHEN NOT (mv.v >= s.require_version AND
+        |               (s.available_policy <> 'new_clusters_only' OR 3 >= s.require_version))
+        |       THEN 'unavailable'
+        |     WHEN s.available_policy = 'explicit_only' AND la.last_admin IS NULL THEN 'available'
+        |     WHEN s.prepare_policy = 'requires_migration' AND mg.feature IS NULL THEN 'preparing'
+        |     ELSE 'active' END AS prog, la.last_admin
+        |   FROM specs s CROSS JOIN mv
+        |   LEFT JOIN la ON la.feature = s.name
+        |   LEFT JOIN mg ON mg.feature = s.name)
+        |SELECT name, CAST(require_version AS BIGINT) AS require_version,
+        |  available_policy, prepare_policy,
+        |  CASE WHEN last_admin = 'disable' THEN
+        |     CASE prog WHEN 'active' THEN 'disabled_active'
+        |               WHEN 'preparing' THEN 'disabled_preparing'
+        |               ELSE 'disabled_clean' END
+        |   ELSE prog END AS state
+        |FROM pr ORDER BY name""".stripMargin,
 
     "t5_producer_eviction" ->
       """SELECT CAST(seq AS BIGINT) AS seq, op, CAST(pid AS BIGINT) AS pid,
