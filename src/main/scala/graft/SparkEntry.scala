@@ -1373,6 +1373,29 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "s4_read_replica" -> ((s, dir) => {
+      // Read-replica topic: the origin archives its pre-cutoff prefix
+      // to the bucket; the replica cluster surfaces EXACTLY the
+      // uploaded range — origin offsets preserved, HWM = last uploaded
+      // + 1, the origin's hot tail invisible — and refuses every
+      // produced record. The oracle recomputes the uploaded range and
+      // the per-partition refusal count from the same log.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4rr").toString
+      TieredStorage.archive(eventLog(s, dir), col("ts"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        s"$tmp/local", s"$tmp/archive").count()
+      val surface = TieredStorage.readReplicaSurface(s, s"$tmp/archive")
+      val probe = events(s, dir).where(col("event_id") < 400)
+        .select(pmod(col("user_id"), lit(EventPartitions)).cast("int").as("partition"))
+      val refused = TieredStorage.refuseProduce(probe)
+        .groupBy("partition")
+        .agg(count(when(!col("admitted"), 1)).as("n_refused"),
+          max("error").as("error"))
+      surface.join(refused, Seq("partition"), "left")
+        .withColumn("n_refused", coalesce(col("n_refused"), lit(0L)))
+        .orderBy("partition")
+    }),
+
     "s4_tiered_timequery" -> ((s, dir) => {
       // Kafka timequery answered ACROSS tiers (remote_partition.h:87-92):
       // the Jan-10 target falls inside the archived range, so the result
@@ -4675,6 +4698,24 @@ object SparkEntry {
          |  min("offset") AS lo, max("offset") AS hi,
          |  CAST(sum("offset" * user_id) AS BIGINT) AS weighted
          |FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "s4_read_replica" ->
+      s"""$LogCte, arch AS (
+         |  SELECT partition, "offset" FROM log
+         |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         | surf AS (
+         |  SELECT partition, min("offset") AS base_offset,
+         |         max("offset") + 1 AS hwm,
+         |         CAST(count(*) AS BIGINT) AS n_records
+         |  FROM arch GROUP BY 1),
+         | probe AS (
+         |  SELECT CAST(user_id % 8 AS INTEGER) AS partition FROM events
+         |  WHERE event_id < 400)
+         |SELECT s.partition, s.base_offset, s.hwm, s.n_records,
+         |  CAST(count(p.partition) AS BIGINT) AS n_refused,
+         |  CASE WHEN count(p.partition) > 0 THEN 'invalid_topic_read_replica' END AS error
+         |FROM surf s LEFT JOIN probe p ON p.partition = s.partition
+         |GROUP BY 1, 2, 3, 4 ORDER BY s.partition""".stripMargin,
 
     "s4_tiered_timequery" ->
       s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log

@@ -88,4 +88,30 @@ object TieredStorage {
     manifest(spark.read.schema(kept.schema).parquet(sweptDir), "archive")
       .unionByName(manifest(spark.read.parquet(localDir), "local"))
   }
+
+  /**
+   * Read-replica topic surface (reference `cluster/topic_properties.h:
+   * 132-133` read_replica/read_replica_bucket,
+   * `cluster/remote_topic_properties.h`; partition read-replica mode):
+   * this cluster materializes ANOTHER cluster's topic read-only from
+   * the origin's uploaded tier. Offsets are the ORIGIN's (identity via
+   * the uploaded manifest — no re-sequencing), the replica HWM is the
+   * last uploaded offset + 1 — the origin's hot tail, which never
+   * reached the bucket, does not exist here — and produce is refused
+   * (`adjacent_segment_merger.cc:70` asserts the mode; the create path
+   * rejects writes with invalid_topic).
+   */
+  def readReplicaSurface(spark: SparkSession, archiveDir: String): DataFrame =
+    spark.read.parquet(archiveDir)
+      .groupBy("partition")
+      .agg(min("offset").as("base_offset"),
+        (max("offset") + 1).as("hwm"),
+        count(lit(1)).as("n_records"))
+
+  /** The produce guard on a read-replica topic: every record of the
+    * batch is refused with `invalid_topic` — one literal projection,
+    * no data movement. */
+  def refuseProduce(batch: DataFrame): DataFrame =
+    batch.withColumn("admitted", lit(false))
+      .withColumn("error", lit("invalid_topic_read_replica"))
 }
