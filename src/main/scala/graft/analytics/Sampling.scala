@@ -245,16 +245,19 @@ object Sampling {
     val docB = grams(raw).groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
     val rawB = docB.groupBy("bucket").agg(sum("n").as("rn"))
     val tgtB = grams(target).groupBy("bucket").agg(count(lit(1)).as("tn"))
-    val rawTot = rawB.agg(sum("rn")).collect()(0).getLong(0)
-    val tgtTot = tgtB.agg(coalesce(sum("tn"), lit(0L))).collect()(0).getLong(0)
+    // totals as broadcast one-row scalars INSIDE the plan — collecting
+    // them to the driver forced a full extra shingling pass per total
+    val rawTotDf = rawB.agg(sum("rn").as("__raw_tot"))
+    val tgtTotDf = tgtB.agg(coalesce(sum("tn"), lit(0L)).as("__tgt_tot"))
     // add-one smoothing over the hashed feature space; a bucket absent
     // from the target keeps the floor probability 1/(T+B)
     val llr = rawB.join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTotDf)).crossJoin(broadcast(tgtTotDf))
       .select(col("bucket"),
         floor((log(coalesce(col("tn"), lit(0L)) + lit(1))
-          - log(lit((tgtTot + buckets).toDouble))
+          - log((col("__tgt_tot") + lit(buckets)).cast("double"))
           - log(col("rn") + lit(1))
-          + log(lit((rawTot + buckets).toDouble))) * lit(1000000.0)).as("llr_u"))
+          + log((col("__raw_tot") + lit(buckets)).cast("double"))) * lit(1000000.0)).as("llr_u"))
     val scores = docB.join(broadcast(llr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("n") * col("llr_u")).as("score_u"), sum("n").as("n_grams"))
