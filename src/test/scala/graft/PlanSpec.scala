@@ -146,11 +146,18 @@ class PlanSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val target = raw.where(col("doc_id") % 5 === 0)
     val p = plan(Sampling.importanceResample(raw, target, col("doc_id"), col("text"), k = 50))
-    // the per-bucket LLR table and the selected-id set both broadcast;
-    // the k cut is a TakeOrdered, never a full Sort over the corpus
+    // the per-bucket LLR model and the selected-id set broadcast, and
+    // the k cut is a TakeOrdered, never a full Sort over the corpus.
+    // (The scores→ids resurrection join is corpus-to-corpus keyed on
+    // doc_id — a shuffle join IS its scale-correct shape, so no blanket
+    // no-SMJ assertion here.)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    // the LLR model side joins broadcast: no shuffle join keyed on bucket
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("doc_id"), s"non-doc-keyed shuffle join: $l\n$p")
+    }
   }
 
   test("replica selection broadcasts control-plane tables — consumer stream never shuffles") {
