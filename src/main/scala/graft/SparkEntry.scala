@@ -4359,6 +4359,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    "txt_perplexity" -> ((s, dir) =>
+      // CCNet-style hashed bigram-LM quality filter: the model trains
+      // on the 'en' slice (two broadcast count tables) and every doc
+      // scores its mean per-bigram negative log-likelihood in integer
+      // micro-units. The oracle retrains the model and rescores every
+      // document.
+      TextAnalysis.bigramPerplexity(T(s, dir, "documents"),
+          T(s, dir, "documents").where(col("lang") === "en"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     "txt_dup_spans" -> ((s, dir) =>
       // Exact repeated-span detection (the ExactSubstr-dedup primitive,
       // k-gram-bucketed so it distributes): 20-token windows hash, a
@@ -7114,6 +7125,34 @@ object SparkEntry {
         |        CAST(min(v.corpus_n) AS BIGINT) AS min_corpus_n
         | FROM toks t JOIN vocab v USING (tok)
         | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | rg AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b2,
+        |    CAST(CAST(('0x' || substr(md5(t[i]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b1
+        |  FROM tok, unnest(range(1, len(t))) u(i)),
+        | tg AS (SELECT rg.b2, rg.b1 FROM rg JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+        | c2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM tg GROUP BY 1),
+        | c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM tg GROUP BY 1),
+        | sc AS (
+        |  SELECT rg.doc_id,
+        |    CAST(floor((ln(COALESCE(c2.c2, 0) + 1)
+        |      - ln(CAST(COALESCE(c1.c1, 0) + 8192 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_u
+        |  FROM rg LEFT JOIN c2 USING (b2) LEFT JOIN c1 USING (b1)),
+        | pd AS (SELECT doc_id, CAST(sum(lp_u) AS BIGINT) AS sum_logp_u,
+        |               CAST(count(*) AS BIGINT) AS n_bigrams
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(p.sum_logp_u, 0) AS BIGINT) AS sum_logp_u,
+        |  CASE WHEN p.n_bigrams IS NULL THEN NULL
+        |       ELSE round(CAST(-p.sum_logp_u AS DOUBLE)
+        |              / CAST(p.n_bigrams AS DOUBLE) / 1000000.0, 5) END AS avg_nll_r
+        |FROM documents d LEFT JOIN pd p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "txt_dup_spans" ->
       """WITH sdocs AS (

@@ -504,4 +504,49 @@ object TextAnalysis {
         round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 5).as("dup_frac_r"))
   }
+
+  /**
+   * Hashed bigram-LM quality scoring — the CCNet-style perplexity
+   * filter: a bigram language model with Laplace smoothing trains as
+   * two hashed count tables over the TARGET corpus (the in-domain
+   * text), and every raw document scores its mean per-bigram negative
+   * log-likelihood against it; low scores read as in-domain, high as
+   * out-of-domain/noise. P(w2|w1) ~ (c(w1 w2)+1)/(c(w1)+B) over B hash
+   * buckets.
+   *
+   * Scale shape: the model IS the two bounded count tables (<= B rows
+   * each) — they broadcast; scoring is one explode + two broadcast
+   * joins + one partial-agg per document. Integer micro-unit log
+   * accumulation, so the DuckDB oracle reproduces every sum exactly;
+   * only the final mean is a rounded double.
+   */
+  def bigramPerplexity(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, buckets: Int = 8192): DataFrame = {
+    require(buckets > 0)
+    def bigrams(df: DataFrame) = df
+      .select(idCol.as("doc_id"), explode(Dedup.shingles(textCol, 2)).as("__g"))
+      .select(col("doc_id"),
+        Sampling.hashBucket(col("__g"), buckets).as("b2"),
+        Sampling.hashBucket(substring_index(col("__g"), " ", 1), buckets).as("b1"))
+    val tgt = bigrams(target)
+    val c2 = tgt.groupBy("b2").agg(count(lit(1)).as("c2"))
+    val c1 = tgt.groupBy("b1").agg(count(lit(1)).as("c1"))
+    val scored = bigrams(raw)
+      .join(broadcast(c2), Seq("b2"), "left")
+      .join(broadcast(c1), Seq("b1"), "left")
+      .select(col("doc_id"),
+        floor((log(coalesce(col("c2"), lit(0L)) + lit(1))
+          - log((coalesce(col("c1"), lit(0L)) + lit(buckets)).cast("double")))
+          * lit(1000000.0)).as("lp_u"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum("lp_u").as("sum_logp_u"), count(lit(1)).as("n_bigrams"))
+    raw.select(idCol.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_logp_u"), lit(0L)).as("sum_logp_u"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(round((-col("sum_logp_u")).cast("double")
+            / col("n_bigrams").cast("double") / lit(1000000.0), 5))
+          .as("avg_nll_r"))
+  }
 }

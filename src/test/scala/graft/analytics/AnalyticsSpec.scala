@@ -635,4 +635,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0L) === ((0L, 8L, 2L)))
     assert(got(1L) === ((1L, 8L, 2L)))
   }
+
+  test("bigram perplexity: in-domain docs score lower NLL; short docs null") {
+    val target = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox runs over the lazy cat"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "the quick brown fox jumps"),   // in-domain bigrams
+      (1L, "zzz qqq www eee rrr"),         // unseen bigrams
+      (2L, "one"))                          // < 2 tokens: no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(raw, target, col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "avg_nll_r")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 4L && got(1L)._2 === 4L)
+    assert(got(0L)._3.get < got(1L)._3.get)  // in-domain is likelier
+    assert(got(2L) === ((2L, 0L, None)))
+    // model tables broadcast; the scoring stream never shuffles on them
+    val p = TextAnalysis.bigramPerplexity(raw, target, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
