@@ -2279,6 +2279,30 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "adm_enterprise_report" -> ((s, dir) => {
+      // Enterprise feature report (features/enterprise_features.h):
+      // the 11 license-required capabilities detected from cluster
+      // config — with an expired license, every enabled one is a
+      // violation. The oracle recomputes the detection ladder from the
+      // same config fixture.
+      import s.implicits._
+      val cfg = Seq(
+        ("audit_enabled", "true"),
+        ("cloud_storage_enabled", "false"),
+        ("partition_autobalancing_mode", "continuous"),
+        ("core_balancing_continuous", "false"),
+        ("sasl_mechanisms", "SCRAM,GSSAPI"),
+        ("http_authentication", "BASIC"),
+        ("schema_id_validation", "compat"),
+        ("rbac_roles_defined", "0"),
+        ("fips_mode", "disabled"),
+        ("iceberg_enabled", "true"),
+        ("default_leaders_preference", "racks:r1"))
+        .toDF("key", "value")
+      graft.cluster.EnterpriseFeatures.report(cfg, licenseValid = false)
+        .orderBy("feature")
+    }),
+
     "adm_feature_table" -> ((s, dir) => {
       // Feature-table activation (features/feature_table.h): nine specs
       // across the three availability policies and both prepare
@@ -5471,6 +5495,43 @@ object SparkEntry {
          |UNION ALL
          |SELECT partition, base_offset, committed_offset, size_bytes, term, TRUE FROM runs
          |ORDER BY partition, base_offset""".stripMargin,
+
+    "adm_enterprise_report" ->
+      """WITH cfg(key, value) AS (VALUES
+        |  ('audit_enabled', 'true'), ('cloud_storage_enabled', 'false'),
+        |  ('partition_autobalancing_mode', 'continuous'),
+        |  ('core_balancing_continuous', 'false'),
+        |  ('sasl_mechanisms', 'SCRAM,GSSAPI'), ('http_authentication', 'BASIC'),
+        |  ('schema_id_validation', 'compat'), ('rbac_roles_defined', '0'),
+        |  ('fips_mode', 'disabled'), ('iceberg_enabled', 'true'),
+        |  ('default_leaders_preference', 'racks:r1')),
+        | one AS (SELECT
+        |  max(CASE WHEN key = 'audit_enabled' THEN value END) AS audit_enabled,
+        |  max(CASE WHEN key = 'cloud_storage_enabled' THEN value END) AS cloud_storage_enabled,
+        |  max(CASE WHEN key = 'partition_autobalancing_mode' THEN value END) AS pam,
+        |  max(CASE WHEN key = 'core_balancing_continuous' THEN value END) AS cbc,
+        |  max(CASE WHEN key = 'sasl_mechanisms' THEN value END) AS sasl,
+        |  max(CASE WHEN key = 'http_authentication' THEN value END) AS http_auth,
+        |  max(CASE WHEN key = 'schema_id_validation' THEN value END) AS siv,
+        |  max(CASE WHEN key = 'rbac_roles_defined' THEN value END) AS rbac_n,
+        |  max(CASE WHEN key = 'fips_mode' THEN value END) AS fips,
+        |  max(CASE WHEN key = 'iceberg_enabled' THEN value END) AS ice,
+        |  max(CASE WHEN key = 'default_leaders_preference' THEN value END) AS dlp
+        | FROM cfg),
+        | feats AS (
+        |  SELECT 'audit_logging' AS feature, COALESCE(audit_enabled = 'true', FALSE) AS enabled FROM one
+        |  UNION ALL SELECT 'cloud_storage', COALESCE(cloud_storage_enabled = 'true', FALSE) FROM one
+        |  UNION ALL SELECT 'partition_auto_balancing_continuous', COALESCE(pam = 'continuous', FALSE) FROM one
+        |  UNION ALL SELECT 'core_balancing_continuous', COALESCE(cbc = 'true', FALSE) FROM one
+        |  UNION ALL SELECT 'gssapi', COALESCE(list_contains(string_split(sasl, ','), 'GSSAPI'), FALSE) FROM one
+        |  UNION ALL SELECT 'oidc', COALESCE(list_contains(string_split(sasl, ','), 'OAUTHBEARER'), FALSE)
+        |            OR COALESCE(list_contains(string_split(http_auth, ','), 'OIDC'), FALSE) FROM one
+        |  UNION ALL SELECT 'schema_id_validation', siv IS NOT NULL AND siv <> 'none' FROM one
+        |  UNION ALL SELECT 'rbac', COALESCE(CAST(rbac_n AS BIGINT), 0) > 0 FROM one
+        |  UNION ALL SELECT 'fips', fips IS NOT NULL AND fips <> 'disabled' FROM one
+        |  UNION ALL SELECT 'datalake_iceberg', COALESCE(ice = 'true', FALSE) FROM one
+        |  UNION ALL SELECT 'leadership_pinning', dlp IS NOT NULL AND dlp <> 'none' FROM one)
+        |SELECT feature, enabled, enabled AS violation FROM feats ORDER BY feature""".stripMargin,
 
     "adm_feature_table" ->
       """WITH specs(name, require_version, available_policy, prepare_policy) AS (VALUES
