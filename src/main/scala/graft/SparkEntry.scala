@@ -218,6 +218,58 @@ object SparkEntry {
       .withColumn("term", floor(col("base_offset") / 200).cast("long"))
       .drop("__chunk")
 
+  /** Corrupted uploaded-manifest fixture for the scrubber: 50-offset
+    * segments of the canonical log with deterministic per-chunk
+    * corruption — delta offsets go missing at c%7=3 and non-monotone at
+    * c%7=5, end deltas regress at c%11=4, base offsets gap (+2) at
+    * c%13=6 and overlap (-2) at c%13=9, committed offsets fall below
+    * base at c%17=8. Every rule of `scrub_segment_meta`
+    * (cloud_storage/types.cc:150) has planted positives; untouched
+    * chunks must scan clean. */
+  private def scrubManifestFx(s: SparkSession, dir: String): DataFrame =
+    eventLog(s, dir)
+      .select(col("partition"), col("offset"))
+      .withColumn("c", floor(col("offset") / 50))
+      .groupBy("partition", "c")
+      .agg(min("offset").as("b0"), max("offset").as("cm0"))
+      .withColumn("base_offset",
+        (col("b0") + when(col("c") % 13 === 6 && col("c") > 0, 2)
+          .when(col("c") % 13 === 9 && col("c") > 0, -2).otherwise(0))
+          .cast("long"))
+      .withColumn("committed_offset",
+        when(col("c") % 17 === 8, col("base_offset") - 1).otherwise(col("cm0"))
+          .cast("long"))
+      .withColumn("delta_offset",
+        when(col("c") % 7 === 3 && col("c") > 0, lit(null).cast("long"))
+          .when(col("c") % 7 === 5, col("c") - 2)
+          .otherwise(col("c")).cast("long"))
+      .withColumn("delta_offset_end",
+        when(col("c") % 11 === 4, col("delta_offset") - 1)
+          .otherwise(col("delta_offset") + 2).cast("long"))
+      .withColumn("path",
+        concat(lit("p"), col("partition").cast("string"), lit("/seg-"),
+          col("c").cast("string")))
+      .select("partition", "c", "base_offset", "committed_offset",
+        "delta_offset", "delta_offset_end", "path")
+
+  /** Spillover-manifest references for the scrubber: two per partition;
+    * the bucket listing drops ref 1 on partitions ≡ 1 (mod 4). */
+  private def scrubSpilloverFx(s: SparkSession): DataFrame =
+    s.range(EventPartitions).select(col("id").cast("int").as("partition"))
+      .select(col("partition"), explode(array(lit(0), lit(1))).as("i"))
+      .select(col("partition"),
+        concat(lit("p"), col("partition").cast("string"),
+          lit("/manifest.bin."), col("i").cast("string")).as("path"))
+
+  /** The bucket object listing the scrubber checks against: every
+    * manifest segment except chunks ≡ 7 (mod 19), plus the
+    * non-missing spillover manifests. */
+  private def scrubObjectsFx(s: SparkSession, dir: String): DataFrame =
+    scrubManifestFx(s, dir).where(!(col("c") % 19 === 7)).select("path")
+      .unionByName(scrubSpilloverFx(s)
+        .where(!(col("partition") % 4 === 1 &&
+          col("path").endsWith(".1"))).select("path"))
+
   /** Cloud-cache file-table fixture for the LRU trim: 100-offset
     * segments of the canonical log as cached files across 2 broker
     * nodes with a deterministic scrambled access clock, `.tx`/`.index`
@@ -960,6 +1012,74 @@ object SparkEntry {
       |      CASE WHEN LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000) >= 0 THEN 0
       |           ELSE (-(LEAST(30000, s.t_eg + 30000 * (n.ts_ms - s.last_ts) // 1000)) * 1000 + 29999) // 30000 END))
       |  FROM sim s JOIN ne n ON n.node_id = s.node_id AND n.rn = s.rn + 1)""".stripMargin
+
+  /** Scrubber oracle CTE: the corrupted manifest derived from the
+    * canonical log (mirrors [[scrubManifestFx]] transform-for-
+    * transform), ranked to the run's visit depth, then the
+    * `scrub_segment_meta` rule ladder as lag() legs plus the two
+    * existence legs — the bucket listing is re-derived from the same
+    * planting rules (chunks ≡7 mod 19 absent; spillover ref 1 absent
+    * on partitions ≡1 mod 4). Appended to `$LogCte,` by the
+    * `ct_scrub_*` oracles (which stripMargin AGAIN — no line here may
+    * start with `||`). */
+  private def scrubCte(depth: Int): String =
+    s""" sseg AS (
+       |  SELECT partition, "offset" // 50 AS c,
+       |         min("offset") AS b0, max("offset") AS cm0
+       |  FROM log GROUP BY 1, 2),
+       | sm1 AS (
+       |  SELECT partition, c,
+       |    CAST(b0 + CASE WHEN c % 13 = 6 AND c > 0 THEN 2
+       |                   WHEN c % 13 = 9 AND c > 0 THEN -2
+       |                   ELSE 0 END AS BIGINT) AS base_offset,
+       |    cm0 FROM sseg),
+       | sm2 AS (
+       |  SELECT partition, c, base_offset,
+       |    CAST(CASE WHEN c % 17 = 8 THEN base_offset - 1 ELSE cm0 END AS BIGINT)
+       |      AS committed_offset,
+       |    CAST(CASE WHEN c % 7 = 3 AND c > 0 THEN NULL
+       |              WHEN c % 7 = 5 THEN c - 2 ELSE c END AS BIGINT) AS delta_offset
+       |  FROM sm1),
+       | sm3 AS (
+       |  SELECT *, CAST(CASE WHEN c % 11 = 4 THEN delta_offset - 1
+       |                      ELSE delta_offset + 2 END AS BIGINT) AS delta_offset_end
+       |  FROM sm2),
+       | srk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY partition ORDER BY base_offset) AS rn
+       |  FROM sm3),
+       | sctx AS (
+       |  SELECT *, lag(base_offset) OVER w AS pb, lag(committed_offset) OVER w AS pc,
+       |         lag(delta_offset) OVER w AS pd, lag(1) OVER w AS hp
+       |  FROM srk WHERE rn <= $depth
+       |  WINDOW w AS (PARTITION BY partition ORDER BY base_offset)),
+       | sanoms AS (
+       |  SELECT partition, 'missing_delta' AS anomaly_type,
+       |         base_offset AS at_base_offset, pb AS prev_base_offset
+       |  FROM sctx WHERE hp IS NOT NULL AND pd IS NOT NULL AND delta_offset IS NULL
+       |  UNION ALL
+       |  SELECT partition, 'non_monotonical_delta', base_offset, pb FROM sctx
+       |  WHERE hp IS NOT NULL AND pd IS NOT NULL AND delta_offset IS NOT NULL
+       |    AND pd > delta_offset
+       |  UNION ALL
+       |  SELECT partition, 'committed_smaller', base_offset, CAST(NULL AS BIGINT)
+       |  FROM sctx WHERE committed_offset < base_offset
+       |  UNION ALL
+       |  SELECT partition, 'end_delta_smaller', base_offset, CAST(NULL AS BIGINT)
+       |  FROM sctx WHERE delta_offset IS NOT NULL AND delta_offset_end IS NOT NULL
+       |    AND delta_offset_end < delta_offset
+       |  UNION ALL
+       |  SELECT partition, 'offset_gap', base_offset, pb FROM sctx
+       |  WHERE hp IS NOT NULL AND pc + 1 < base_offset
+       |  UNION ALL
+       |  SELECT partition, 'offset_overlap', base_offset, pb FROM sctx
+       |  WHERE hp IS NOT NULL AND pc + 1 > base_offset
+       |  UNION ALL
+       |  SELECT partition, 'missing_segment', base_offset, CAST(NULL AS BIGINT)
+       |  FROM srk WHERE rn <= $depth AND c % 19 = 7
+       |  UNION ALL
+       |  SELECT CAST(u AS INTEGER), 'missing_spillover_manifest',
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM (SELECT unnest(range(8)) AS u) WHERE u % 4 = 1)""".stripMargin
 
   /** Adjacent-segment-merger oracle: the segment manifest derived from
     * the canonical log (mirrors [[segManifest]]), then the
@@ -2278,6 +2398,27 @@ object SparkEntry {
             maxSize = 6000, minSize = 3000, localStartOffset = 1000))
         .orderBy("partition", "base_offset")
     }),
+
+    "ct_scrub_anomalies" -> ((s, dir) =>
+      // Tiered-storage scrubber (cloud_storage/anomalies_detector.cc +
+      // scrub_segment_meta, types.cc:150-216): the six-rule metadata
+      // ladder over a deterministically corrupted manifest, plus
+      // missing-segment / missing-spillover existence anti-joins
+      // against the bucket listing. The oracle replays the same ladder
+      // with SQL lag().
+      graft.log.Scrubber.scrub(scrubManifestFx(s, dir).drop("c"),
+          scrubObjectsFx(s, dir), scrubSpilloverFx(s))
+        .orderBy("partition", "anomaly_type", "at_base_offset")),
+
+    "ct_scrub_status" -> ((s, dir) =>
+      // The depth-bounded scrub run summary (anomalies_detector::result
+      // under quota_limit.max_num_segments): partitions with more than
+      // 100 manifest entries report scrub_status::partial with the last
+      // visited committed offset; anomaly counts cover only the visited
+      // slice (spillover existence is partition-level, never bounded).
+      graft.log.Scrubber.scrubStatus(scrubManifestFx(s, dir).drop("c"),
+          scrubObjectsFx(s, dir), scrubSpilloverFx(s), maxSegments = 100)
+        .orderBy("partition")),
 
     "adm_enterprise_report" -> ((s, dir) => {
       // Enterprise feature report (features/enterprise_features.h):
@@ -5495,6 +5636,35 @@ object SparkEntry {
          |UNION ALL
          |SELECT partition, base_offset, committed_offset, size_bytes, term, TRUE FROM runs
          |ORDER BY partition, base_offset""".stripMargin,
+
+    "ct_scrub_anomalies" ->
+      s"""$LogCte,${scrubCte(1000000000)}
+         |SELECT partition, anomaly_type, at_base_offset, prev_base_offset
+         |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
+
+    "ct_scrub_status" ->
+      s"""$LogCte,${scrubCte(100)},
+         | stot AS (SELECT partition, count(*) AS n_segments FROM sm3 GROUP BY 1),
+         | svis AS (SELECT partition, count(*) AS segments_visited,
+         |            max(committed_offset) AS last_v
+         |          FROM srk WHERE rn <= 100 GROUP BY 1),
+         | sagg AS (SELECT partition, count(*) AS n_anomalies,
+         |            count(CASE WHEN anomaly_type = 'missing_segment' THEN 1 END)
+         |              AS n_missing_segments,
+         |            count(CASE WHEN anomaly_type = 'missing_spillover_manifest' THEN 1 END)
+         |              AS n_missing_spillover
+         |          FROM sanoms GROUP BY 1)
+         |SELECT t.partition,
+         |  CASE WHEN COALESCE(v.segments_visited, 0) >= t.n_segments
+         |       THEN 'full' ELSE 'partial' END AS status,
+         |  CASE WHEN COALESCE(v.segments_visited, 0) < t.n_segments
+         |       THEN v.last_v END AS last_scrubbed_offset,
+         |  CAST(COALESCE(v.segments_visited, 0) AS BIGINT) AS segments_visited,
+         |  CAST(COALESCE(a.n_anomalies, 0) AS BIGINT) AS n_anomalies,
+         |  CAST(COALESCE(a.n_missing_segments, 0) AS BIGINT) AS n_missing_segments,
+         |  CAST(COALESCE(a.n_missing_spillover, 0) AS BIGINT) AS n_missing_spillover
+         |FROM stot t LEFT JOIN svis v USING (partition) LEFT JOIN sagg a USING (partition)
+         |ORDER BY t.partition""".stripMargin,
 
     "adm_enterprise_report" ->
       """WITH cfg(key, value) AS (VALUES
