@@ -380,6 +380,36 @@ object SparkEntry {
           .as("text")))
   }
 
+  /** Card-PII fixture: every 43rd doc gains a variant carrying two
+    * Luhn-valid test card numbers (one dash-free, one space-grouped)
+    * and one 16-digit run that fails the checksum. */
+  private def cardDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.where(col("doc_id") % 43 === 0)
+      .select((col("doc_id") + 730000).as("doc_id"),
+        concat(col("text"),
+          lit(" pay 4111111111111111 or 5500 0000 0000 0004 not 1234567890123456 end"))
+          .as("text")))
+  }
+
+  /** Gopher-rule fixture: the corpus plus three planted degenerate
+    * shapes — bullet-list boilerplate, ellipsis-trailing teasers, and
+    * symbol-dense tag soup. Every plant must fail at least one rule;
+    * the oracle recomputes all seven verdicts. */
+  private def gopherDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs
+      .union(docs.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          lit("- item x\n" * 12).as("text")))
+      .union(docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 710000).as("doc_id"),
+          lit("this line trails off...\n" * 10).as("text")))
+      .union(docs.where(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 720000).as("doc_id"),
+          lit("tag # word " * 30).as("text")))
+  }
+
   /** Normalize a ts column to TIMESTAMP (instant) regardless of the
     * parquet encoding the driver generated: TIMESTAMP(NANOS) arrives as
     * long under `nanosAsLong`, naive timestamp[us] arrives as
@@ -1080,6 +1110,77 @@ object SparkEntry {
        |  SELECT CAST(u AS INTEGER), 'missing_spillover_manifest',
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
        |  FROM (SELECT unnest(range(8)) AS u) WHERE u % 4 = 1)""".stripMargin
+
+  /** Purger-run oracle: the marker/manifest fixture as VALUES/ranges,
+    * the per-partition reverse manifest walk as a ranked aggregate, and
+    * the run's quota/abort prefix cut as running-sum windows — the
+    * same declarative replay [[graft.log.Purger.run]] executes. */
+  private val PurgerOracle: String =
+    """WITH mk(topic, revision, partition_count, remote_delete, read_replica, marker_ts_ms, idx) AS (VALUES
+      |  ('tp0', 1, 2, TRUE, FALSE, 0, 1),
+      |  ('tp1', 1, 2, FALSE, FALSE, 0, 2),
+      |  ('tp2', 1, 2, TRUE, FALSE, 600000, 3),
+      |  ('tp2r', 1, 3, TRUE, TRUE, 0, 4),
+      |  ('tp3', 1, 4, TRUE, FALSE, 0, 5),
+      |  ('tp4', 1, 8, TRUE, FALSE, 0, 6),
+      |  ('tp5', 1, 2, TRUE, FALSE, 0, 7)),
+      | el AS (SELECT * FROM mk
+      |   WHERE remote_delete AND NOT (1000000 - marker_ts_ms < 500000)),
+      | prt AS (SELECT idx, topic, read_replica,
+      |   unnest(range(partition_count)) AS partition FROM el),
+      | man AS (
+      |  SELECT tp.topic, tp.partition, mm.m, 500 + 2500 * mm.m AS n_segments,
+      |    CASE WHEN tp.topic = 'tp3' AND tp.partition = 2 AND mm.m = 1
+      |         THEN 'missing' ELSE 'ok' END AS state
+      |  FROM (SELECT topic, unnest(range(partition_count)) AS partition FROM mk) tp,
+      |       (SELECT unnest(range(3)) AS m) mm),
+      | rkd AS (SELECT *, row_number() OVER (PARTITION BY topic, partition ORDER BY m DESC) AS rk
+      |   FROM man),
+      | fb AS (SELECT topic, partition, min(rk) AS u FROM rkd
+      |   WHERE state = 'unreadable' GROUP BY 1, 2),
+      | pp AS (
+      |  SELECT r.topic, r.partition,
+      |    CAST(sum(CASE WHEN (f.u IS NULL OR r.rk < f.u) AND r.state = 'ok'
+      |         THEN greatest(n_segments // 1000, 1) ELSE 0 END) AS BIGINT) AS ops,
+      |    CAST(count(CASE WHEN (f.u IS NULL OR r.rk < f.u) AND r.state = 'missing'
+      |         THEN 1 END) AS BIGINT) AS n_permanent,
+      |    max(f.u IS NOT NULL) AS retryable
+      |  FROM rkd r LEFT JOIN fb f ON f.topic = r.topic AND f.partition = r.partition
+      |  GROUP BY 1, 2),
+      | seq0 AS (
+      |  SELECT p.idx, p.topic, p.partition,
+      |    CASE WHEN p.read_replica THEN 0 ELSE COALESCE(pp.ops, 0) END AS ops,
+      |    CASE WHEN p.read_replica THEN 0 ELSE COALESCE(pp.n_permanent, 0) END AS n_permanent,
+      |    (NOT p.read_replica AND COALESCE(pp.retryable, FALSE)) AS retryable
+      |  FROM prt p LEFT JOIN pp ON pp.topic = p.topic AND pp.partition = p.partition),
+      | cut AS (
+      |  SELECT *, COALESCE(SUM(ops) OVER w, 0) AS prior_ops,
+      |    COALESCE(MAX(CASE WHEN retryable THEN 1 ELSE 0 END) OVER w, 0) AS prior_retry
+      |  FROM seq0 WINDOW w AS (ORDER BY idx, partition
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      | proc AS (SELECT *, (prior_ops < 78 AND prior_retry = 0) AS processed FROM cut),
+      | fc AS (SELECT min(CASE WHEN NOT processed THEN idx END) AS cut_idx FROM proc),
+      | pt AS (
+      |  SELECT idx, count(CASE WHEN processed THEN 1 END) AS n_processed,
+      |    CAST(sum(CASE WHEN processed THEN ops ELSE 0 END) AS BIGINT) AS ops_consumed,
+      |    CAST(sum(CASE WHEN processed THEN n_permanent ELSE 0 END) AS BIGINT) AS n_perm,
+      |    max(processed AND retryable) AS has_retry,
+      |    CAST(count(CASE WHEN processed AND NOT retryable THEN 1 END) AS BIGINT)
+      |      AS partitions_purged
+      |  FROM proc GROUP BY 1)
+      |SELECT m.topic,
+      |  CASE WHEN NOT m.remote_delete THEN 'marker_dropped'
+      |       WHEN 1000000 - m.marker_ts_ms < 500000 THEN 'grace_skip'
+      |       WHEN COALESCE(p.has_retry, FALSE) THEN 'retry_pending'
+      |       WHEN p.n_processed = m.partition_count THEN 'purged'
+      |       WHEN COALESCE(p.n_processed, 0) > 0 THEN 'quota_exhausted'
+      |       WHEN f.cut_idx IS NOT NULL AND m.idx = f.cut_idx THEN 'quota_exhausted'
+      |       ELSE 'not_reached' END AS outcome,
+      |  CAST(COALESCE(p.ops_consumed, 0) AS BIGINT) AS ops_consumed,
+      |  CAST(COALESCE(p.partitions_purged, 0) AS BIGINT) AS partitions_purged,
+      |  CAST(COALESCE(p.n_perm, 0) AS BIGINT) AS n_permanent
+      |FROM mk m LEFT JOIN pt p ON p.idx = m.idx CROSS JOIN fc f
+      |ORDER BY m.topic""".stripMargin
 
   /** Adjacent-segment-merger oracle: the segment manifest derived from
     * the canonical log (mirrors [[segManifest]]), then the
@@ -2419,6 +2520,39 @@ object SparkEntry {
       graft.log.Scrubber.scrubStatus(scrubManifestFx(s, dir).drop("c"),
           scrubObjectsFx(s, dir), scrubSpilloverFx(s), maxSegments = 100)
         .orderBy("partition")),
+
+    "ct_purger_run" -> ((s, dir) => {
+      // Topic purger run (cluster/archival/purger.cc): seven lifecycle
+      // markers exercising every branch — remote_delete=false dropped,
+      // grace-period skip, a read-replica paranoia no-op purge, a
+      // missing manifest counted permanent without wedging the
+      // tombstone, quota exhaustion mid-topic, and a marker the run
+      // never reaches. The oracle replays the quota prefix cut with
+      // SQL windows over the same VALUES fixture.
+      import s.implicits._
+      val markers = Seq(
+        ("tp0", 1, 2, true, false, Some(0L)),
+        ("tp1", 1, 2, false, false, Some(0L)),
+        ("tp2", 1, 2, true, false, Some(600000L)),
+        ("tp2r", 1, 3, true, true, Some(0L)),
+        ("tp3", 1, 4, true, false, Some(0L)),
+        ("tp4", 1, 8, true, false, Some(0L)),
+        ("tp5", 1, 2, true, false, Some(0L)))
+        .toDF("topic", "revision", "partition_count", "remote_delete",
+          "read_replica", "marker_ts_ms")
+      val manifests = markers
+        .select(col("topic"),
+          explode(sequence(lit(0), col("partition_count") - 1)).as("partition"))
+        .select(col("topic"), col("partition"),
+          explode(sequence(lit(0), lit(2))).as("m"))
+        .select(col("topic"), col("partition"), col("m"),
+          (lit(500) + col("m") * 2500).cast("long").as("n_segments"),
+          when(col("topic") === "tp3" && col("partition") === 2 && col("m") === 1,
+            "missing").otherwise("ok").as("state"))
+      graft.log.Purger.run(markers, manifests, quota = 78L,
+          nowMs = 1000000L, graceMs = 500000L)
+        .orderBy("topic")
+    }),
 
     "adm_enterprise_report" -> ((s, dir) => {
       // Enterprise feature report (features/enterprise_features.h):
@@ -4659,6 +4793,39 @@ object SparkEntry {
       TextAnalysis.piiFeatures(piiDocs(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    "txt_card_pii" -> ((s, dir) =>
+      // Luhn-validated card detection: plants carry three 13-16-digit
+      // candidates of which exactly two pass the mod-10 checksum — only
+      // those two count and redact; the failing run survives untouched.
+      // The oracle replays the checksum with nested DuckDB list lambdas.
+      TextAnalysis.cardPiiFeatures(cardDocs(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "txt_gopher_rules" -> ((s, dir) =>
+      // The Gopher quality battery (Rae et al. 2021 §A1.1): seven rules
+      // over the corpus plus planted bullet/ellipsis/symbol degenerates.
+      // Ratios are single divisions of exact ints, rounded to 5 places
+      // at the output boundary only.
+      TextAnalysis.gopherRules(gopherDocs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 5).as("mean_word_len_r"),
+          round(col("symbol_ratio"), 5).as("symbol_ratio_r"),
+          round(col("bullet_frac"), 5).as("bullet_frac_r"),
+          round(col("ellipsis_frac"), 5).as("ellipsis_frac_r"),
+          round(col("alpha_frac"), 5).as("alpha_frac_r"),
+          col("stop_hits"), col("keep"))
+        .orderBy("doc_id")),
+
+    "txt_fertility" -> ((s, dir) =>
+      // Tokenizer fertility per language: sub-tokens per word and bytes
+      // per sub-token under the BPE-ish pre-tokenizer — exact long sums
+      // per language, single-division ratios.
+      TextAnalysis.tokenizerFertility(T(s, dir, "documents"), col("lang"), col("text"))
+        .select(col("lang"), col("n_words"), col("n_subtokens"), col("n_bytes"),
+          round(col("fertility"), 5).as("fertility_r"),
+          round(col("bytes_per_subtoken"), 5).as("bytes_per_subtoken_r"))
+        .orderBy("lang")),
+
     "dd_decontam" -> ((s, dir) => {
       // Eval set = every 97th doc; corpus = all documents plus planted
       // contaminated variants (doc_id+600000: an eval doc's full text
@@ -5641,6 +5808,8 @@ object SparkEntry {
       s"""$LogCte,${scrubCte(1000000000)}
          |SELECT partition, anomaly_type, at_base_offset, prev_base_offset
          |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
+
+    "ct_purger_run" -> PurgerOracle,
 
     "ct_scrub_status" ->
       s"""$LogCte,${scrubCte(100)},
@@ -7460,6 +7629,94 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         | FROM pd ORDER BY doc_id""".stripMargin,
+
+    "txt_card_pii" ->
+      """WITH cd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 730000,
+        |    text || ' pay 4111111111111111 or 5500 0000 0000 0004 not 1234567890123456 end'
+        |  FROM documents WHERE doc_id % 43 = 0),
+        | cands AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '\b(?:\d[ -]?){12,15}\d\b') AS cs
+        |  FROM cd),
+        | vc AS (
+        |  SELECT doc_id, text, cs,
+        |    list_filter(cs, c -> (list_sum(list_transform(
+        |      generate_series(1, len(regexp_extract_all(c, '\d'))),
+        |      i -> (CASE WHEN i % 2 = 0 THEN
+        |              CASE WHEN 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) > 9
+        |                   THEN 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) - 9
+        |                   ELSE 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) END
+        |            ELSE CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) END)))
+        |      % 10 = 0)) AS valid
+        |  FROM cands)
+        |SELECT doc_id,
+        |  CAST(len(cs) AS INTEGER) AS n_candidates,
+        |  CAST(len(valid) AS INTEGER) AS n_valid_cards,
+        |  len(valid) > 0 AS has_card,
+        |  md5(list_reduce(list_prepend(text, valid),
+        |      (acc, c) -> replace(acc, c, '<CARD>'))) AS redacted_md5
+        |FROM vc ORDER BY doc_id""".stripMargin,
+
+    "txt_gopher_rules" ->
+      """WITH gd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, repeat('- item x' || chr(10), 12)
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 710000, repeat('this line trails off...' || chr(10), 10)
+        |  FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 720000, repeat('tag # word ', 30)
+        |  FROM documents WHERE doc_id % 41 = 0),
+        | f AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS sumlen,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS nhash,
+        |    length(text) - length(replace(text, '…', '')) AS nhell,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ndots
+        |  FROM gd),
+        | g AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    CAST(sumlen AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |    CAST(nhash + nhell + ndots AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS INTEGER) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 5) AS mean_word_len_r,
+        |  round(symbol_ratio, 5) AS symbol_ratio_r,
+        |  round(bullet_frac, 5) AS bullet_frac_r,
+        |  round(ellipsis_frac, 5) AS ellipsis_frac_r,
+        |  round(alpha_frac, 5) AS alpha_frac_r,
+        |  stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "txt_fertility" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_subtokens,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |    / CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE), 5) AS fertility_r,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE)
+        |    / CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE), 5) AS bytes_per_subtoken_r
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dd_decontam" ->
       """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

@@ -549,4 +549,128 @@ object TextAnalysis {
             / col("n_bigrams").cast("double") / lit(1000000.0), 5))
           .as("avg_nll_r"))
   }
+
+  /** The Gopher stop-word rule's word list (Rae et al. 2021 §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * The full Gopher quality-rule battery (Rae et al. 2021 §A1.1) — the
+   * heuristic document filter of MassiveText and its descendants
+   * (RefinedWeb, FineWeb): word-count bounds, mean-word-length bounds,
+   * symbol-to-word ratio (`#` and ellipses), bullet-started and
+   * ellipsis-ended line fractions, the alphabetic-word fraction, and
+   * the ≥2-distinct-stop-words requirement. `keep` = every rule
+   * passes.
+   *
+   * Scale shape: one narrow codegen'd projection per document — the
+   * word and line arrays are computed once and folded with array
+   * lambdas; no explode, no shuffle, no UDF. Every emitted ratio is a
+   * single IEEE division of exactly-counted ints, so any engine
+   * re-derives the verdicts bit-identically.
+   */
+  def gopherRules(df: DataFrame, idCol: Column, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val toks = tokens(textCol)
+    val nWords = size(toks)
+    val meanLen = length(concat_ws("", toks)).cast("double") / nWords.cast("double")
+    val nHash = length(textCol) - length(replace(textCol, lit("#"), lit("")))
+    val nHell = length(textCol) - length(replace(textCol, lit("…"), lit("")))
+    val nDots = (length(textCol) - length(replace(textCol, lit("..."), lit("")))) / 3
+    val symbolRatio = (nHash + nHell + nDots).cast("double") / nWords.cast("double")
+    val lines = split(textCol, "\n")
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("double") / nLines.cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      w => array_contains(toks, w)))
+    df.select(idCol.as("doc_id"),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        symbolRatio <= maxSymbolRatio && bulletFrac <= maxBulletFrac &&
+        ellipsisFrac <= maxEllipsisFrac && alphaFrac >= minAlphaFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
+  /**
+   * Tokenizer fertility per language — the standard multilingual
+   * tokenizer-quality metric: sub-tokens per whitespace word
+   * (fertility) and UTF-8 bytes per sub-token (compression), under the
+   * [[BpeTokenPattern]] pre-tokenizer. High-fertility languages are
+   * under-served by the tokenizer and over-billed per word of content —
+   * the number that drives vocabulary-allocation decisions.
+   *
+   * Scale shape: a narrow per-doc count projection into a groupBy(lang)
+   * with map-side partial sums; ratios are single divisions of exact
+   * long sums — order-independent and engine-exact.
+   */
+  def tokenizerFertility(df: DataFrame, langCol: Column, textCol: Column): DataFrame =
+    df.select(langCol.as("lang"),
+        tokenCount(textCol).cast("long").as("__w"),
+        bpeTokenCount(textCol).cast("long").as("__t"),
+        octet_length(textCol).cast("long").as("__b"))
+      .groupBy("lang")
+      .agg(sum("__w").as("n_words"), sum("__t").as("n_subtokens"),
+        sum("__b").as("n_bytes"))
+      .select(col("lang"), col("n_words"), col("n_subtokens"), col("n_bytes"),
+        (col("n_subtokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_bytes").cast("double") / col("n_subtokens").cast("double"))
+          .as("bytes_per_subtoken"))
+
+  /** Candidate payment-card pattern: 13-16 digits with optional single
+    * space/dash separators between groups. */
+  val CardPattern = "\\b(?:\\d[ -]?){12,15}\\d\\b"
+
+  /**
+   * Luhn-validated payment-card detection — PII class two: candidate
+   * digit runs are cheap regex hits, but only candidates passing the
+   * Luhn mod-10 checksum count (and redact), which is what separates
+   * card redaction from destroying every long number in the corpus.
+   *
+   * The checksum is a pure array fold (`aggregate` over the reversed
+   * digit array, doubling every second digit with the 9-subtraction) —
+   * codegen'd Catalyst, no UDF; the oracle replays the identical fold
+   * with SQL list lambdas.
+   */
+  def luhnValid(candidate: Column): Column = {
+    val digits = split(regexp_replace(candidate, "[^0-9]", ""), "")
+    val n = size(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      // i-th digit from the right (1-based), doubled on even positions
+      val d = element_at(digits, n - i + 1).cast("long")
+      val dd = when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        .otherwise(d)
+      acc + dd
+    })
+    total % 10 === 0
+  }
+
+  /** Per-doc card-PII features: candidate count, Luhn-valid count, and
+    * the md5 of the text with valid cards redacted. */
+  def cardPiiFeatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val cands = regexp_extract_all(textCol, lit(CardPattern), lit(0))
+    val valid = filter(cands, luhnValid(_))
+    // Redact ONLY Luhn-valid hits: fold the valid candidates over the
+    // text with literal replacement (never re-regexing inside).
+    val redacted = aggregate(valid, textCol,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    df.select(idCol.as("doc_id"),
+      size(cands).as("n_candidates"),
+      size(valid).as("n_valid_cards"),
+      (size(valid) > 0).as("has_card"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Gopher rule battery, tokenizer fertility, and Luhn card PII. */
+class TextRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher rules: each planted degenerate fails its rule") {
+    val docs = Seq(
+      (0L, ("the cat sat upon the mat with dogs and that was all fine " * 5).trim), // passes
+      (1L, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten\n- end"),
+      (2L, "trails off...\nagain...\nmore...\nyes...\nstill...\nend..."),
+      (3L, ("# " * 80).trim),
+      (4L, "1 2 3 4 5 6 7 8 9 10 " * 6 + "the of and that be to have with more here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("keep"))
+    // bullet plant: every line bullet-started → bullet_frac 1.0 > 0.9
+    assert(got(1).getAs[Double]("bullet_frac") === 1.0 && !got(1).getAs[Boolean]("keep"))
+    // ellipsis plant: every line ends in "..." → frac 1.0 > 0.3
+    assert(got(2).getAs[Double]("ellipsis_frac") === 1.0 && !got(2).getAs[Boolean]("keep"))
+    // symbol plant: 80 '#' over 80 words → ratio 1.0 > 0.1
+    assert(got(3).getAs[Double]("symbol_ratio") === 1.0 && !got(3).getAs[Boolean]("keep"))
+    // digit plant: 60 digit words + 10 alpha → alpha_frac < 0.8
+    assert(got(4).getAs[Double]("alpha_frac") < 0.8 && !got(4).getAs[Boolean]("keep"))
+  }
+
+  test("gopher stop-word rule needs two distinct stop words") {
+    val docs = Seq(
+      (0L, ("the " * 60).trim),               // only one distinct stop word
+      (1L, ("the of cat dog bird " * 12).trim)) // two distinct
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("stop_hits") === 1 && !got(0).getAs[Boolean]("keep"))
+    assert(got(1).getAs[Int]("stop_hits") === 2)
+  }
+
+  test("fertility: subtokens per word and bytes per subtoken by language") {
+    val docs = Seq(
+      ("en", "cat dog"),        // 2 words, 2 subtokens, 7 bytes
+      ("en", "don't stop"),     // 2 words, 4 subtokens (don ' t stop), 10 bytes
+      ("de", "straße"))         // 1 word, 3 subtokens (stra, ß non-ascii mark, e), 7 bytes
+      .toDF("lang", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, col("lang"), col("text"))
+      .orderBy("lang").collect()
+    val en = got.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("n_words") === 4L)
+    assert(en.getAs[Long]("n_subtokens") === 6L)
+    assert(en.getAs[Long]("n_bytes") === 17L)
+    assert(en.getAs[Double]("fertility") === 6.0 / 4.0)
+    val de = got.find(_.getString(0) == "de").get
+    assert(de.getAs[Long]("n_bytes") === 7L) // ß is 2 UTF-8 bytes
+  }
+
+  test("luhn validation separates valid cards from matching-but-invalid runs") {
+    val docs = Seq(
+      (0L, "pay 4111111111111111 now"),            // valid
+      (1L, "ref 1234567890123456 thing"),          // 16 digits, invalid
+      (2L, "card 5500 0000 0000 0004 okay"),       // valid with spaces
+      (3L, "phone 555-123-4567 short 12345 safe")) // no 13+ digit run
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cardPiiFeatures(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq((1, 1, true), (1, 0, false), (1, 1, true), (0, 0, false)))
+  }
+
+  test("redaction only touches luhn-valid candidates") {
+    val docs = Seq(
+      (0L, "a 4111111111111111 b 1234567890123456 c"),
+      (1L, "a <CARD> b 1234567890123456 c"))
+      .toDF("doc_id", "text")
+    val md5s = TextAnalysis.cardPiiFeatures(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(_.getString(4))
+    // doc 0 redacts its valid card to exactly doc 1's literal text
+    assert(md5s(0) === md5s(1))
+  }
+}
