@@ -120,32 +120,40 @@ object TextAnalysis {
    * are single IEEE divisions of exact ints, so any engine re-derives
    * them bit-identically.
    */
+  /** Longest run of equal values in a SORTED string array — i.e. the
+    * mode's multiplicity — as one codegen'd array fold. */
+  private def maxRun(sorted: Column): Column = {
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val folded = aggregate(sorted, init, (acc, x) => {
+      val run = when(acc("prev") === x, acc("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+    })
+    folded("best")
+  }
+
   def repetitionFeatures(df: DataFrame, idCol: Column, textCol: Column,
       maxWordFrac: Double = 0.2, maxBigramFrac: Double = 0.18): DataFrame = {
-    // Single tokenize + single explode: both n-gram orders AND the word
-    // stats derive from the one (doc, n, gram) count table — n_words =
-    // Σ 1-gram counts, n_distinct = |1-gram rows| — so the regex split
-    // runs once per document, not once per consumer. (Every doc has at
-    // least one 1-gram row: tokens("") = [""], so no re-join is needed;
-    // input text is assumed non-null.) The tokens are projected BEFORE
-    // the explode so CollapseProject cannot inline the split twice.
-    def tagged(toks: Column, n: Int) =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    // Shuffle-FREE shape: both mode multiplicities are per-document
+    // facts, so they never need a corpus shuffle — sort each doc's
+    // (bounded, context-length) token array and take the longest equal
+    // run with one array fold; distinct count is array_distinct. The
+    // whole operator is a narrow projection the parquet scan streams
+    // through — zero exchanges at any corpus size. Arrays are projected
+    // once per stage so CollapseProject cannot inline the split twice.
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
     val agg = df
       .select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"), col("__toks"), bigrams.as("__bi"))
       .select(col("doc_id"),
-        explode(concat(tagged(col("__toks"), 1), tagged(col("__toks"), 2))).as("g"))
-      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("n") === 1, col("c"))).cast("int").as("n_words"),
-        count(when(col("n") === 1, lit(1))).cast("int").as("n_distinct"),
-        max(when(col("n") === 1, col("c"))).as("top_1gram"),
-        coalesce(max(when(col("n") === 2, col("c"))), lit(0L)).as("top_2gram"))
+        size(col("__toks")).as("n_words"),
+        size(array_distinct(col("__toks"))).as("n_distinct"),
+        maxRun(sort_array(col("__toks"))).as("top_1gram"),
+        coalesce(maxRun(sort_array(col("__bi"))), lit(0L)).as("top_2gram"))
     val wordFrac = col("top_1gram").cast("double") / col("n_words").cast("double")
     val bigramFrac = col("top_2gram").cast("double") / (col("n_words") - 1).cast("double")
     agg.select(col("doc_id"), col("n_words"),

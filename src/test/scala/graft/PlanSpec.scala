@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
     dir
   }
 
+  test("repetition features are one shuffle-free projection — no Exchange") {
+    val p = plan(TextAnalysis.repetitionFeatures(
+      spark.read.parquet(docsDir), col("doc_id"), col("text")))
+    // both n-gram modes fold per-document arrays; the corpus never
+    // shuffles, so the plan is scan → project with zero exchanges
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p) // no explode either
+  }
+
   test("stratified sampling broadcasts the rate table, no data-side shuffle") {
     val rows = spark.read.parquet(docsDir)
     val p = plan(Sampling.stratifiedSample(rows, col("doc_id"), col("lang"),
