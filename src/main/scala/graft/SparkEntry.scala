@@ -270,6 +270,26 @@ object SparkEntry {
         .where(!(col("partition") % 4 === 1 &&
           col("path").endsWith(".1"))).select("path"))
 
+  /** Uploaded-manifest fixture for topic recovery: 50-offset segments
+    * with real sizes and max timestamps, delta offsets unset on the
+    * first two chunks (exercising start_delta propagation) and chunks
+    * ≡11 (mod 23) missing from the manifest (planted offset gaps that
+    * spoil clean_download when they land inside the staged range). */
+  private def recManifestFx(s: SparkSession, dir: String): DataFrame =
+    eventLog(s, dir)
+      .select(col("partition"), col("offset"), col("ts"),
+        (length(col("props")) + length(col("event_type")) + lit(24))
+          .cast("long").as("sz"))
+      .withColumn("c", floor(col("offset") / 50))
+      .where(!(col("c") % 23 === 11))
+      .groupBy("partition", "c")
+      .agg(min("offset").as("base_offset"), max("offset").as("committed_offset"),
+        sum("sz").as("size_bytes"), max("ts").as("max_ts"))
+      .withColumn("delta_offset",
+        when(col("c") < 2, lit(null).cast("long"))
+          .otherwise((col("c") * 3).cast("long")))
+      .drop("c")
+
   /** Cloud-cache file-table fixture for the LRU trim: 100-offset
     * segments of the canonical log as cached files across 2 broker
     * nodes with a deterministic scrambled access clock, `.tx`/`.index`
@@ -2520,6 +2540,22 @@ object SparkEntry {
       graft.log.Scrubber.scrubStatus(scrubManifestFx(s, dir).drop("c"),
           scrubObjectsFx(s, dir), scrubSpilloverFx(s), maxSegments = 100)
         .orderBy("partition")),
+
+    "s4_topic_recovery" -> ((s, dir) => {
+      // Topic recovery (cluster/partition_recovery_manager.cc): rebuild
+      // each partition from its uploaded manifest under both retention
+      // walks — the size-capped suffix (stop where the running total
+      // would reach 30 KB) and the time-bounded suffix (stop at the
+      // first segment older than Jan-20). start_delta propagates the
+      // oldest staged delta actually set; manifest gaps landing inside
+      // the staged range spoil clean_download. The oracle replays both
+      // walks with descending-window SQL.
+      val m = recManifestFx(s, dir)
+      graft.log.TopicRecovery.recover(m, "size", maxSizeBytes = 30000L)
+        .unionByName(graft.log.TopicRecovery.recover(m, "time",
+          timeThreshold = lit("2024-01-20 00:00:00").cast("timestamp")))
+        .orderBy("policy", "partition")
+    }),
 
     "ct_purger_run" -> ((s, dir) => {
       // Topic purger run (cluster/archival/purger.cc): seven lifecycle
@@ -5810,6 +5846,49 @@ object SparkEntry {
          |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
 
     "ct_purger_run" -> PurgerOracle,
+
+    "s4_topic_recovery" ->
+      s"""$LogCte,
+         | rsized AS (SELECT partition, "offset", ts,
+         |    CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz FROM log),
+         | rseg AS (
+         |  SELECT partition, "offset" // 50 AS c, min("offset") AS base_offset,
+         |         max("offset") AS committed_offset, CAST(sum(sz) AS BIGINT) AS size_bytes,
+         |         max(ts) AS max_ts
+         |  FROM rsized WHERE ("offset" // 50) % 23 <> 11 GROUP BY 1, 2),
+         | rman AS (SELECT *, CASE WHEN c < 2 THEN NULL
+         |    ELSE CAST(c * 3 AS BIGINT) END AS delta_offset FROM rseg),
+         | ssz AS (
+         |  SELECT *, SUM(size_bytes) OVER (PARTITION BY partition ORDER BY base_offset DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) < 30000 AS staged
+         |  FROM rman),
+         | stm AS (
+         |  SELECT *, MAX(CASE WHEN max_ts IS NULL OR max_ts < TIMESTAMP '2024-01-20 00:00:00'
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY partition ORDER BY base_offset DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 AS staged
+         |  FROM rman),
+         | gsz AS (SELECT *, lag(committed_offset) OVER
+         |    (PARTITION BY partition ORDER BY base_offset) AS pc FROM ssz WHERE staged),
+         | gtm AS (SELECT *, lag(committed_offset) OVER
+         |    (PARTITION BY partition ORDER BY base_offset) AS pc FROM stm WHERE staged),
+         | asz AS (
+         |  SELECT partition, 'size' AS policy, min(base_offset) AS start_offset,
+         |    max(committed_offset) AS last_offset, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         |    CAST(COALESCE(min(delta_offset), 0) AS BIGINT) AS start_delta,
+         |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc + 1 <> base_offset THEN 1 ELSE 0 END)
+         |      AS BIGINT) = 0 AS clean_download
+         |  FROM gsz GROUP BY 1),
+         | atm AS (
+         |  SELECT partition, 'time' AS policy, min(base_offset) AS start_offset,
+         |    max(committed_offset) AS last_offset, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         |    CAST(COALESCE(min(delta_offset), 0) AS BIGINT) AS start_delta,
+         |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc + 1 <> base_offset THEN 1 ELSE 0 END)
+         |      AS BIGINT) = 0 AS clean_download
+         |  FROM gtm GROUP BY 1)
+         |SELECT * FROM asz UNION ALL SELECT * FROM atm
+         |ORDER BY policy, partition""".stripMargin,
 
     "ct_scrub_status" ->
       s"""$LogCte,${scrubCte(100)},
