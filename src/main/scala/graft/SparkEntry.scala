@@ -4852,6 +4852,25 @@ object SparkEntry {
           col("stop_hits"), col("keep"))
         .orderBy("doc_id")),
 
+    "smp_token_budget" -> ((s, dir) => {
+      // Token-budget mixture planner: 2M-token budget over the 20
+      // sources with index-derived ppm weights (every third source
+      // weighted tiny → pure downsample; the rest over-weighted →
+      // repeat epochs + a partial final epoch). Exact integer div
+      // everywhere; the oracle recomputes the identical plan.
+      val docs = T(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("__i", substring(col("source"), 4, 10).cast("int"))
+        .select(col("source"),
+          when(col("__i") % 3 === 0, 500L)
+            .otherwise(lit(20000L) + (col("__i") % 7) * 10000L)
+            .as("weight_ppm"))
+      graft.analytics.Sampling.tokenBudgetPlan(docs, col("source"),
+          TextAnalysis.bpeTokenCount(col("text")), weights,
+          budgetTokens = 2000000L)
+        .orderBy("source")
+    }),
+
     "txt_fertility" -> ((s, dir) =>
       // Tokenizer fertility per language: sub-tokens per word and bytes
       // per sub-token under the BPE-ish pre-tokenizer — exact long sums
@@ -7785,6 +7804,28 @@ object SparkEntry {
         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "smp_token_budget" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+        |      AS tokens_available
+        |  FROM documents GROUP BY 1),
+        | w AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN i % 3 = 0 THEN 500
+        |              ELSE 20000 + (i % 7) * 10000 END AS BIGINT) AS weight_ppm
+        |  FROM (SELECT source, CAST(substr(source, 4) AS INTEGER) AS i
+        |        FROM (SELECT DISTINCT source FROM documents))),
+        | plan AS (
+        |  SELECT t.source, t.tokens_available, w.weight_ppm,
+        |    CAST(2000000 * w.weight_ppm // 1000000 AS BIGINT) AS tokens_target
+        |  FROM tok t JOIN w USING (source))
+        |SELECT source, tokens_available, weight_ppm, tokens_target,
+        |  CAST(tokens_target // tokens_available AS BIGINT) AS n_full_epochs,
+        |  CAST((tokens_target % tokens_available) * 1000000 // tokens_available AS BIGINT)
+        |    AS remainder_rate_ppm
+        |FROM plan ORDER BY source""".stripMargin,
 
     "txt_fertility" ->
       """SELECT lang,

@@ -276,4 +276,39 @@ object Sampling {
       .select(col("doc_id"), col("n_grams"), col("score_u"), col("gumbel_u"),
         coalesce(col("__sel"), lit(false)).as("selected"))
   }
+
+  /**
+   * Token-budget mixture planner — the pre-training mixture arithmetic:
+   * given each source's available token mass, a per-source weight (in
+   * parts per million of the training budget), and the total token
+   * budget, derive the sampling plan per source: its token target,
+   * how many FULL epochs of the source that needs (over-weighted
+   * sources repeat), and the keep rate (in ppm) for the final partial
+   * epoch (under-weighted sources downsample; `n_full_epochs = 0`).
+   *
+   * All arithmetic is exact integer division (`div`, the repo
+   * convention), reproducible on any engine — the plan feeds
+   * [[upsampleRepeat]] / [[stratifiedSample]] to materialize the
+   * mixture. One token-count aggregate over the corpus + a broadcast
+   * weight join; the output is bounded source metadata.
+   *
+   * Long-overflow guard: `budget × ppm` and `remainder × 1e6` must fit
+   * i64, so the budget is capped at 9×10^12 tokens (9T — beyond any
+   * current training run; raise to DECIMAL if that changes).
+   */
+  def tokenBudgetPlan(docs: DataFrame, sourceCol: Column, nTokensCol: Column,
+      weights: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= 9000000000000L,
+      "budget must be in (0, 9e12] tokens")
+    val avail = docs.groupBy(sourceCol.as("source"))
+      .agg(sum(nTokensCol).as("tokens_available"))
+    avail.join(broadcast(weights), Seq("source"))
+      .withColumn("tokens_target",
+        expr(s"$budgetTokens * weight_ppm div 1000000"))
+      .select(col("source"), col("tokens_available"), col("weight_ppm"),
+        col("tokens_target"),
+        expr("tokens_target div tokens_available").as("n_full_epochs"),
+        expr("((tokens_target % tokens_available) * 1000000) div tokens_available")
+          .as("remainder_rate_ppm"))
+  }
 }

@@ -69,6 +69,20 @@ class TextRulesSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1, true), (1, 0, false), (1, 1, true), (0, 0, false)))
   }
 
+  test("token-budget plan: downsample rate and repeat epochs are exact") {
+    val docs = Seq(("a", 100L), ("a", 100L), ("b", 50L))
+      .toDF("source", "n_tok")
+    val weights = Seq(("a", 50000L), ("b", 400000L)).toDF("source", "weight_ppm")
+    val got = Sampling.tokenBudgetPlan(docs, col("source"), col("n_tok"),
+        weights, budgetTokens = 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // a: avail 200, target 50 → 0 epochs, rate 250000 ppm
+    // b: avail 50, target 400 → 8 full epochs, remainder 0
+    assert(got.toSeq === Seq(("a", 200L, 50L, 0L, 250000L),
+      ("b", 50L, 400L, 8L, 0L)))
+  }
+
   test("redaction only touches luhn-valid candidates") {
     val docs = Seq(
       (0L, "a 4111111111111111 b 1234567890123456 c"),
