@@ -4547,6 +4547,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "mm_header_parse" -> ((s, dir) => {
+      // REAL container-header parsing (no codec needed): synthesize a
+      // valid PNG / GIF / JPEG header per doc (format by id%3, dims and
+      // padding id-derived), then parse the bytes back through the
+      // mapPartitions batch path. The oracle recomputes the planted
+      // values arithmetically — a wrong byte order, offset, or marker
+      // walk shows up as a dimension mismatch.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      graft.analytics.Multimodal.parseHeaders(
+          graft.analytics.Multimodal.synthesizeMedia(ids)).toDF()
+        .orderBy("doc_id")
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       // 1->N frame extraction through the real mapPartitions/flatMap
       // path: video payloads (stub n_frames = 1 + len % 30) sampled
@@ -7123,6 +7138,17 @@ object SparkEntry {
         |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
         |  1 AS n_frames
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_header_parse" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(9 + doc_id % 700 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 * (1 + doc_id % 2) ELSE 8 END AS INTEGER)
+        |    AS bit_depth,
+        |  CAST((CASE doc_id % 3 WHEN 1 THEN 13 ELSE 33 END) + doc_id % 50 AS INTEGER)
+        |    AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce_topk" ->
       """SELECT query_id, vec_id, rank, cos_r FROM (
