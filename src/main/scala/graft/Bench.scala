@@ -53,7 +53,7 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       if (filter.isEmpty) {
-        SparkEntry.storedLog(spark, sfDir).count()
+        SparkEntry.prepareFixtures(spark, sfDir)
         force(SparkEntry.queries.head._2(spark, sfDir))
       }
     } catch { case _: Throwable => () }

@@ -54,4 +54,69 @@ object Sketches {
       ok(col("a90"), col("p90")).as("p90_ok"),
       ok(col("a99"), col("p99")).as("p99_ok"))
   }
+
+  /**
+   * Misra–Gries heavy-hitter candidates — the frequent-items sketch:
+   * each partition folds its token stream through k counters (an item
+   * either increments its counter, claims a free one, or decrements
+   * ALL counters — fixed memory, one pass), and partition summaries
+   * merge by summing per-token surviving counts. Mergeability gives
+   * the classical guarantee: any token with true frequency > N/k is
+   * present, and each merged estimate undercounts by at most N/k.
+   *
+   * At 100 TB this is the ONLY way to ask "which tokens dominate the
+   * corpus" — k×partitions bounded state, no shuffle of the token
+   * domain; the exact groupBy companion exists only to certify the
+   * bound at test scale.
+   */
+  def heavyHitterCandidates(toks: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("tok").cast("string")).as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m(t) = c + 1
+          case None if m.size < k => m(t) = 1L
+          case None =>
+            // decrement-all: amortized O(1) per input item
+            val dead = scala.collection.mutable.ArrayBuffer[String]()
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m(key) = c - 1 }
+            dead.foreach(m.remove)
+        }
+      }
+      m.iterator
+    }.toDF("tok", "est")
+      .groupBy("tok").agg(sum("est").as("est"))
+  }
+
+  /**
+   * One-row heavy-hitter contract: every token with exact count
+   * strictly above N/k is among the candidates (`cover_ok`), and every
+   * candidate's merged estimate is a lower bound within N/k of exact
+   * (`bound_ok`). Only partitioning-INDEPENDENT facts are emitted —
+   * the candidate set itself varies with partition layout; the
+   * guarantees do not. Integer cross-multiplication keeps the
+   * threshold exact on any engine.
+   */
+  def heavyHitterContract(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
+    val toks = docs.select(explode(TextAnalysis.tokens(textCol)).as("tok"))
+    val cands = heavyHitterCandidates(toks, k)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val total = exact.agg(sum("exact").as("n_tokens"))
+    exact.join(cands, Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("exact") * k > col("n_tokens"), 1L).otherwise(0L))
+          .as("n_heavy_exact"),
+        (max(when(col("exact") * k > col("n_tokens") && col("est").isNull, 1)
+          .otherwise(0)) === 0).as("cover_ok"),
+        (max(when(col("est").isNotNull &&
+            (col("est") > col("exact") ||
+              (col("exact") - col("est")) * k > col("n_tokens")), 1)
+          .otherwise(0)) === 0).as("bound_ok"))
+  }
 }

@@ -338,6 +338,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
   }
 
+  test("misra-gries: heavy tokens survive any partitioning; estimates lower-bound") {
+    // zipf-ish: token w0 appears 500 times, w1 250, ... plus a long tail
+    val rows = (0L until 2000L).flatMap { i =>
+      val tok = if (i < 500) "w0" else if (i < 750) "w1"
+        else if (i < 875) "w2" else s"tail${i}"
+      Seq(Tuple1(s"$tok"))
+    }.toDF("text")
+    val r = Sketches.heavyHitterContract(rows.repartition(7), col("text"), k = 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 2000L)
+    assert(r.getAs[Long]("n_heavy_exact") === 2L) // w0 (500), w1 (250); w2 = 125 < N/k = 200
+    assert(r.getAs[Boolean]("cover_ok"))
+    assert(r.getAs[Boolean]("bound_ok"))
+  }
+
+  test("misra-gries single partition: candidate estimates are exact lower bounds") {
+    val toks = ((0 until 90).map(_ => "hot") ++ (0 until 10).map(i => s"cold$i"))
+      .toDF("tok")
+    val got = Sketches.heavyHitterCandidates(toks.coalesce(1), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 'hot' dominates: survives with est >= 90 - 100/3
+    assert(got.contains("hot") && got("hot") >= 90L - 34L && got("hot") <= 90L)
+  }
+
   test("sampling: epoch shuffle is a deterministic permutation that varies by epoch") {
     val rows = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
     val e1 = Sampling.epochShuffle(rows, col("doc_id"), 1)
