@@ -1141,6 +1141,79 @@ object SparkEntry {
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
        |  FROM (SELECT unnest(range(8)) AS u) WHERE u % 4 = 1)""".stripMargin
 
+  /** Full-repetition-battery oracle: derives every Gopher signal via
+    * explode+groupBy — an algorithm independent of the operator's
+    * sorted-array folds that must agree bit-for-bit. Legs for each
+    * n-gram order are generated programmatically. */
+  private val RepSignalsOracle: String = {
+    val gramLegs = (2 to 10).map { n =>
+      s""" g$n AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - $n + 1),
+         |    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS g FROM b) GROUP BY 1, 2),
+         | s$n AS (SELECT doc_id,
+         |   CAST(COALESCE(max(CASE WHEN c >= 2 THEN c * ln END), 0) AS BIGINT) AS top,
+         |   CAST(sum(CASE WHEN c >= 2 THEN (c - 1) * ln ELSE 0 END) AS BIGINT) AS dup
+         |  FROM g$n GROUP BY 1),""".stripMargin
+    }.mkString("\n")
+    def seg(alias: String, src: String) =
+      s""" ${alias}g AS (SELECT doc_id, v, count(*) AS c, length(v) AS ln FROM (
+         |  SELECT doc_id, unnest($src) AS v FROM b) GROUP BY 1, 2),
+         | ${alias}stat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |   CAST(count(*) AS BIGINT) AS nd, CAST(sum(c * ln) AS BIGINT) AS total,
+         |   CAST(sum(CASE WHEN c >= 2 THEN (c - 1) * ln ELSE 0 END) AS BIGINT) AS dup
+         |  FROM ${alias}g GROUP BY 1),""".stripMargin
+    val topFr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, _) =>
+      s"CASE WHEN w.wchars > 0 THEN CAST(COALESCE(s$n.top, 0) AS DOUBLE) / w.wchars ELSE 0 END AS top_${n}gram_char_frac"
+    }.mkString(",\n    ")
+    val dupFr = (5 to 10).map { n =>
+      s"CASE WHEN w.wchars > 0 THEN CAST(COALESCE(s$n.dup, 0) AS DOUBLE) / w.wchars ELSE 0 END AS dup_${n}gram_char_frac"
+    }.mkString(",\n    ")
+    val joins = (2 to 10).map(n => s"LEFT JOIN s$n ON s$n.doc_id = b.doc_id").mkString(" ")
+    val rounded = (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac") ++ (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac"))
+      .map(c => s"round($c, 5) AS ${c}_r").mkString(",\n  ")
+    val keep = Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
+      "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20",
+      "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
+      "top_4gram_char_frac <= 0.16", "dup_5gram_char_frac <= 0.15",
+      "dup_6gram_char_frac <= 0.14", "dup_7gram_char_frac <= 0.13",
+      "dup_8gram_char_frac <= 0.12", "dup_9gram_char_frac <= 0.11",
+      "dup_10gram_char_frac <= 0.10").mkString(" AND ")
+    s"""WITH rfd AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 400000, repeat('lorem ipsum ', 29) || 'lorem ipsum'
+       |  FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 740000, repeat('repeat line alpha' || chr(10), 9)
+       |    || 'tail distinct line' || ' ' || text
+       |  FROM documents WHERE doc_id % 47 = 0),
+       | b AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |   string_split(text, chr(10)) AS lines,
+       |   string_split(text, chr(10) || chr(10)) AS paras FROM rfd),
+       | wc AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS wchars FROM b),
+       |${seg("l", "lines")}
+       |${seg("p", "paras")}
+       |$gramLegs
+       | fr AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN l.n > 0 THEN CAST(l.n - l.nd AS DOUBLE) / l.n ELSE 0 END AS dup_line_frac,
+       |    CASE WHEN l.total > 0 THEN CAST(l.dup AS DOUBLE) / l.total ELSE 0 END AS dup_line_char_frac,
+       |    CASE WHEN p.n > 0 THEN CAST(p.n - p.nd AS DOUBLE) / p.n ELSE 0 END AS dup_para_frac,
+       |    CASE WHEN p.total > 0 THEN CAST(p.dup AS DOUBLE) / p.total ELSE 0 END AS dup_para_char_frac,
+       |    $topFr,
+       |    $dupFr
+       |  FROM b JOIN wc w ON w.doc_id = b.doc_id
+       |    LEFT JOIN lstat l ON l.doc_id = b.doc_id
+       |    LEFT JOIN pstat p ON p.doc_id = b.doc_id
+       |    $joins)
+       |SELECT doc_id,
+       |  $rounded,
+       |  ($keep) AS keep
+       |FROM fr ORDER BY doc_id""".stripMargin
+  }
+
   /** Purger-run oracle: the marker/manifest fixture as VALUES/ranges,
     * the per-partition reverse manifest walk as a ranked aggregate, and
     * the run's quota/abort prefix cut as running-sum windows — the
@@ -4877,6 +4950,20 @@ object SparkEntry {
           col("stop_hits"), col("keep"))
         .orderBy("doc_id")),
 
+    "txt_repetition_full" -> ((s, dir) => {
+      // The complete Gopher repetition battery over the corpus plus the
+      // phrase-repeat plants (doc_id+400000) and planted duplicate-line
+      // docs (doc_id+740000). keep applies the published thresholds on
+      // the unrounded fractions; outputs are rounded at the boundary.
+      val docs = repetitiveDocs(s, dir)
+        .union(T(s, dir, "documents").where(col("doc_id") % 47 === 0)
+          .select((col("doc_id") + 740000).as("doc_id"),
+            concat(lit("repeat line alpha\n" * 9), lit("tail distinct line"),
+              lit(" "), col("text")).as("text")))
+      TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "txt_heavy_hitters" -> ((s, dir) =>
       // Misra–Gries frequent-items contract (k=100): coverage of every
       // token above N/k and the N/k lower-bound error, certified
@@ -7849,6 +7936,8 @@ object SparkEntry {
         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "txt_repetition_full" -> RepSignalsOracle,
 
     "txt_heavy_hitters" ->
       """WITH t AS (

@@ -558,6 +558,85 @@ object TextAnalysis {
           .as("avg_nll_r"))
   }
 
+  /** Sorted-array duplication stats in ONE fold: `top` = the maximum of
+    * count×length over equal-value runs that actually REPEAT (count ≥ 2
+    * — a once-only value carries no repetition signal, else every short
+    * document fails on its longest n-gram), `dup` = Σ (count−1)×length
+    * over values occurring ≥ 2 times (the char mass of repeated
+    * occurrences beyond the first). */
+  private def dupMass(sorted: Column): Column = {
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("top"), lit(0L).as("dup"))
+    aggregate(sorted, init, (acc, x) => {
+      val same = acc("prev") === x
+      val run = when(same, acc("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        when(same, greatest(acc("top"), run * length(x)))
+          .otherwise(acc("top")).as("top"),
+        when(same, acc("dup") + length(x)).otherwise(acc("dup")).as("dup"))
+    })
+  }
+
+  /** Space-joined n-gram array over a token array (n ≥ 2); empty when
+    * the document is shorter than n. */
+  private def ngramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * The FULL Gopher repetition-signal battery (Rae et al. 2021 §A1.1,
+   * the filters MassiveText/FineWeb/Dolma run document-by-document):
+   * duplicate line and paragraph fractions (count- and char-weighted),
+   * top-{2,3,4}-gram char fractions (the dominant n-gram's char mass),
+   * and duplicate-{5..10}-gram char fractions (char mass of repeated
+   * occurrences beyond the first). `keep` applies the published
+   * thresholds. Char fractions are over the space-joined token stream;
+   * line/paragraph chars over the concatenated segments — exact ints,
+   * single IEEE divisions, engine-reproducible.
+   *
+   * Scale shape: like [[repetitionFeatures]], entirely shuffle-free —
+   * every signal is a sorted-array fold over per-document (bounded,
+   * context-length) arrays inside one narrow projection; the corpus
+   * never exchanges. The oracle derives the same numbers via
+   * explode+groupBy — an independent algorithm agreeing bit-for-bit.
+   */
+  def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val thresholds: Map[String, Double] = Map(
+      "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+      "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20,
+      "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+      "top_4gram_char_frac" -> 0.16,
+      "dup_5gram_char_frac" -> 0.15, "dup_6gram_char_frac" -> 0.14,
+      "dup_7gram_char_frac" -> 0.13, "dup_8gram_char_frac" -> 0.12,
+      "dup_9gram_char_frac" -> 0.11, "dup_10gram_char_frac" -> 0.10)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"),
+      split(textCol, "\n").as("__lines"), split(textCol, "\n\n").as("__paras"))
+    def segStats(arr: Column, prefix: String): Seq[(String, Column)] = {
+      val m = dupMass(sort_array(arr))
+      Seq(
+        s"dup_${prefix}_frac" ->
+          frac(size(arr) - size(array_distinct(arr)), size(arr)),
+        s"dup_${prefix}_char_frac" ->
+          frac(m.getField("dup"), length(concat_ws("", arr))))
+    }
+    val wordChars = length(concat_ws(" ", col("__toks")))
+    val tops = (2 to 4).map(n => s"top_${n}gram_char_frac" ->
+      frac(dupMass(sort_array(ngramsOf(col("__toks"), n))).getField("top"), wordChars))
+    val dups = (5 to 10).map(n => s"dup_${n}gram_char_frac" ->
+      frac(dupMass(sort_array(ngramsOf(col("__toks"), n))).getField("dup"), wordChars))
+    val signals = segStats(col("__lines"), "line") ++
+      segStats(col("__paras"), "para") ++ tops ++ dups
+    val keep = signals.map { case (name, c) => c <= thresholds(name) }
+      .reduce(_ && _)
+    base.select(col("doc_id") +:
+      signals.map { case (name, c) => round(c, 5).as(name + "_r") } :+
+      keep.as("keep"): _*)
+  }
+
   /** The Gopher stop-word rule's word list (Rae et al. 2021 §A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -69,6 +69,28 @@ class TextRulesSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1, true), (1, 0, false), (1, 1, true), (0, 0, false)))
   }
 
+  test("repetition signals: dup lines, top-gram mass, and dup-gram mass are exact") {
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+        "nineteen twenty alpha beta gamma delta epsilon"), // clean & long enough
+      (1L, "same\nsame\nsame\nother"),                           // 2/4 dup lines
+      (2L, "a b a b a b a b c"))                                 // "a b" dominates
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("keep"))
+    // doc 1: 4 lines, 2 distinct → dup_line_frac = 0.5; dup chars =
+    // 2 extra "same" occurrences (8) over 17 total line chars
+    assert(got(1).getAs[Double]("dup_line_frac_r") === 0.5)
+    assert(got(1).getAs[Double]("dup_line_char_frac_r") ===
+      math.rint(8.0 / 17.0 * 100000) / 100000)
+    // doc 2: "a b" appears 4x of 8 bigrams → top mass 4*3=12 over 17 chars
+    assert(got(2).getAs[Double]("top_2gram_char_frac_r") ===
+      math.rint(12.0 / 17.0 * 100000) / 100000)
+    assert(!got(2).getAs[Boolean]("keep"))
+  }
+
   test("token-budget plan: downsample rate and repeat epochs are exact") {
     val docs = Seq(("a", 100L), ("a", 100L), ("b", 50L))
       .toDF("source", "n_tok")
