@@ -1141,6 +1141,49 @@ object SparkEntry {
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
        |  FROM (SELECT unnest(range(8)) AS u) WHERE u % 4 = 1)""".stripMargin
 
+  /** Well-formed page plant shared by the txt_c4_rules query and its
+    * oracle (the oracle re-derives the SQL literal from this string). */
+  private val C4GoodPage: String =
+    "This is the first sentence with enough words here.\n" +
+      "Another proper sentence follows it with several words.\n" +
+      "Finally a third sentence closes the page nicely."
+
+  /** [[C4GoodPage]] (+ an optional suffix line) as a DuckDB expression. */
+  private def c4PageSql(extra: String = ""): String =
+    (C4GoodPage + extra).split("\n")
+      .map(l => "'" + l.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+
+  private val C4RulesOracle: String =
+    s"""WITH cd AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 760000, ${c4PageSql()} FROM documents WHERE doc_id % 59 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 770000,
+       |    ${c4PageSql("\nPlease enable javascript to continue browsing.")}
+       |  FROM documents WHERE doc_id % 61 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 780000, ${c4PageSql(" { config }")}
+       |  FROM documents WHERE doc_id % 67 = 0),
+       | f AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+       |    list_filter(string_split(text, chr(10)), l ->
+       |      regexp_matches(l, '[.!?"]\\s*$$')
+       |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) AS kept,
+       |    length(text) - length(translate(text, '.!?', '')) AS n_sentences,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace
+       |  FROM cd)
+       |SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+       |  CAST(len(kept) AS INTEGER) AS n_kept_lines,
+       |  CAST(n_sentences AS INTEGER) AS n_sentences,
+       |  has_lorem, has_brace,
+       |  (len(kept) > 0 AND n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
+       |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+
   /** Full-repetition-battery oracle: derives every Gopher signal via
     * explode+groupBy — an algorithm independent of the operator's
     * sorted-array folds that must agree bit-for-bit. Legs for each
@@ -4950,6 +4993,26 @@ object SparkEntry {
           col("stop_hits"), col("keep"))
         .orderBy("doc_id")),
 
+    "txt_c4_rules" -> ((s, dir) => {
+      // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
+      // (no terminal punctuation), planted well-formed pages pass, and
+      // plants carrying javascript lines / braces / lorem ipsum fail
+      // their specific rules. cleaned_md5 pins the kept-line output.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val goodPage = C4GoodPage
+      val plants = docs.where(col("doc_id") % 59 === 0)
+        .select((col("doc_id") + 760000).as("doc_id"), lit(goodPage).as("text"))
+        .union(docs.where(col("doc_id") % 61 === 0)
+          .select((col("doc_id") + 770000).as("doc_id"),
+            lit(goodPage + "\nPlease enable javascript to continue browsing.")
+              .as("text")))
+        .union(docs.where(col("doc_id") % 67 === 0)
+          .select((col("doc_id") + 780000).as("doc_id"),
+            lit(goodPage + " { config }").as("text")))
+      TextAnalysis.c4Rules(docs.union(plants), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "txt_repetition_full" -> ((s, dir) => {
       // The complete Gopher repetition battery over the corpus plus the
       // phrase-repeat plants (doc_id+400000) and planted duplicate-line
@@ -7936,6 +7999,8 @@ object SparkEntry {
         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "txt_c4_rules" -> C4RulesOracle,
 
     "txt_repetition_full" -> RepSignalsOracle,
 

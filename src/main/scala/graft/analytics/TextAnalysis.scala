@@ -637,6 +637,40 @@ object TextAnalysis {
       keep.as("keep"): _*)
   }
 
+  /**
+   * The C4 cleaning rules (Raffel et al. 2020 §2.2 — the canonical
+   * web-corpus filter): LINE level, keep only lines that end in a
+   * terminal punctuation mark (`.!?"`), carry at least `minLineWords`
+   * words, and do not mention javascript; PAGE level, drop any page
+   * with fewer than `minSentences` sentences (counted as terminal
+   * marks across the page), or containing `lorem ipsum` or a curly
+   * brace. Returns the verdict columns plus the md5 of the CLEANED
+   * page (kept lines re-joined) — the actual C4 output artifact.
+   *
+   * One narrow array-lambda projection per document; no explode, no
+   * shuffle, engine-exact counts.
+   */
+  def c4Rules(df: DataFrame, idCol: Column, textCol: Column,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(textCol, "\n")
+    def lineKeep(l: Column): Column =
+      l.rlike("[.!?\"]\\s*$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, lineKeep(_))
+    val nSentences = length(textCol) - length(translate(textCol, ".!?", ""))
+    val hasLorem = lower(textCol).contains("lorem ipsum")
+    val hasBrace = textCol.contains("{")
+    df.select(idCol.as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+      (size(kept) > 0 && nSentences >= minSentences &&
+        !hasLorem && !hasBrace).as("keep"),
+      md5(concat_ws("\n", kept).cast("binary")).as("cleaned_md5"))
+  }
+
   /** The Gopher stop-word rule's word list (Rae et al. 2021 §A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
