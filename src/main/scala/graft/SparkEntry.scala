@@ -1141,6 +1141,30 @@ object SparkEntry {
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
        |  FROM (SELECT unnest(range(8)) AS u) WHERE u % 4 = 1)""".stripMargin
 
+  /** Hashed-bigram-LM scoring CTE shared by the txt_perplexity and
+    * smp_ccnet_buckets oracles: trains the Laplace-smoothed model on
+    * the 'en' slice and scores every document's integer-micro-unit
+    * log-likelihood sum (mirrors TextAnalysis.bigramPerplexity). */
+  private val PerplexityCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      | rg AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b2,
+      |    CAST(CAST(('0x' || substr(md5(t[i]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b1
+      |  FROM tok, unnest(range(1, len(t))) u(i)),
+      | tg AS (SELECT rg.b2, rg.b1 FROM rg JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+      | c2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM tg GROUP BY 1),
+      | c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM tg GROUP BY 1),
+      | sc AS (
+      |  SELECT rg.doc_id,
+      |    CAST(floor((ln(COALESCE(c2.c2, 0) + 1)
+      |      - ln(CAST(COALESCE(c1.c1, 0) + 8192 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_u
+      |  FROM rg LEFT JOIN c2 USING (b2) LEFT JOIN c1 USING (b1)),
+      | pd AS (SELECT doc_id, CAST(sum(lp_u) AS BIGINT) AS sum_logp_u,
+      |               CAST(count(*) AS BIGINT) AS n_bigrams
+      |        FROM sc GROUP BY 1)""".stripMargin
+
   /** Well-formed page plant shared by the txt_c4_rules query and its
     * oracle (the oracle re-derives the SQL literal from this string). */
   private val C4GoodPage: String =
@@ -4993,6 +5017,17 @@ object SparkEntry {
           col("stop_hits"), col("keep"))
         .orderBy("doc_id")),
 
+    "smp_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail stratification: exact integer mean-NLL
+      // sort key, two-phase range rank, equal-mass thirds. The oracle
+      // replays the rank with one SQL row_number over the same scores.
+      val docs = T(s, dir, "documents")
+      graft.analytics.Sampling.perplexityBuckets(
+          TextAnalysis.bigramPerplexity(docs, docs.where(col("lang") === "en"),
+            col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
     "txt_c4_rules" -> ((s, dir) => {
       // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
       // (no terminal punctuation), planted well-formed pages pass, and
@@ -7820,24 +7855,7 @@ object SparkEntry {
         | GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "txt_perplexity" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | rg AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b2,
-        |    CAST(CAST(('0x' || substr(md5(t[i]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b1
-        |  FROM tok, unnest(range(1, len(t))) u(i)),
-        | tg AS (SELECT rg.b2, rg.b1 FROM rg JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
-        | c2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM tg GROUP BY 1),
-        | c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM tg GROUP BY 1),
-        | sc AS (
-        |  SELECT rg.doc_id,
-        |    CAST(floor((ln(COALESCE(c2.c2, 0) + 1)
-        |      - ln(CAST(COALESCE(c1.c1, 0) + 8192 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_u
-        |  FROM rg LEFT JOIN c2 USING (b2) LEFT JOIN c1 USING (b1)),
-        | pd AS (SELECT doc_id, CAST(sum(lp_u) AS BIGINT) AS sum_logp_u,
-        |               CAST(count(*) AS BIGINT) AS n_bigrams
-        |        FROM sc GROUP BY 1)
+      s"""$PerplexityCte
         |SELECT d.doc_id,
         |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  CAST(COALESCE(p.sum_logp_u, 0) AS BIGINT) AS sum_logp_u,
@@ -7999,6 +8017,24 @@ object SparkEntry {
         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "smp_ccnet_buckets" ->
+      s"""$PerplexityCte,
+         | sc2 AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0
+         |         THEN 9223372036854775807
+         |         ELSE (-p.sum_logp_u) // p.n_bigrams END AS score_u
+         |  FROM documents d LEFT JOIN pd p USING (doc_id)),
+         | rk AS (
+         |  SELECT doc_id, score_u,
+         |    row_number() OVER (ORDER BY score_u, doc_id) - 1 AS r,
+         |    count(*) OVER () AS n
+         |  FROM sc2)
+         |SELECT doc_id, CAST(score_u AS BIGINT) AS score_u,
+         |  CASE CAST(r * 3 // n AS INTEGER)
+         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     "txt_c4_rules" -> C4RulesOracle,
 

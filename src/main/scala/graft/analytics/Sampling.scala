@@ -278,6 +278,45 @@ object Sampling {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+   * document by its language-model score and cut the corpus into
+   * equal-mass head / middle / tail thirds — the canonical quality
+   * stratification (head feeds training, tail gets dropped or
+   * re-scored). Input is [[TextAnalysis.bigramPerplexity]]'s output;
+   * the sort key is the exact integer mean NLL in micro-units
+   * (`-sum_logp_u div n_bigrams`, ties broken by doc id), so the cut
+   * is total and engine-reproducible; unscorable documents (no
+   * bigrams) sink to the tail via a MaxValue key.
+   *
+   * Scale shape: the global rank is the repo's two-phase
+   * range-partition pattern ([[epochShuffle]] /
+   * `RecordLog.assignOffsetsScalable`) — partition-local row_number
+   * plus broadcast per-partition bases; no corpus-wide window.
+   */
+  def perplexityBuckets(scored: DataFrame): DataFrame = {
+    val s = scored.withColumn("score_u",
+      when(col("n_bigrams") > 0, expr("(-sum_logp_u) div n_bigrams"))
+        .otherwise(lit(Long.MaxValue)))
+    val np = math.max(s.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val parted = s.repartitionByRange(np, col("score_u"), col("doc_id"))
+      .withColumn("__part", spark_partition_id())
+    val counts = parted.groupBy("__part").agg(count(lit(1)).as("__n"))
+    val bases = counts.withColumn("__base",
+      coalesce(sum("__n").over(Window.orderBy("__part")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = counts.agg(sum("__n").as("__total"))
+    parted
+      .join(broadcast(bases.select("__part", "__base")), Seq("__part"))
+      .crossJoin(broadcast(total))
+      .withColumn("__r", col("__base") - 1 + row_number().over(
+        Window.partitionBy("__part").orderBy("score_u", "doc_id")))
+      .select(col("doc_id"), col("score_u"),
+        when(expr("__r * 3 div __total") === 0, "head")
+          .when(expr("__r * 3 div __total") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /**
    * Token-budget mixture planner — the pre-training mixture arithmetic:
    * given each source's available token mass, a per-source weight (in
    * parts per million of the training budget), and the total token

@@ -181,6 +181,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("perplexity bucketing range-partitions the rank — no corpus-wide window") {
+    val scored = (0L until 1000L).map(i => (i, 10L + i % 7, -(i % 900) * 1000L))
+      .toDF("doc_id", "n_bigrams", "sum_logp_u")
+    val p = plan(graft.analytics.Sampling.perplexityBuckets(scored))
+    // the global rank is partition-local row_number + broadcast bases
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("initProducerIds range-partitions identities — no global-window sort") {
     val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
     val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))
