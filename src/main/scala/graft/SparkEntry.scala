@@ -5017,6 +5017,18 @@ object SparkEntry {
           col("stop_hits"), col("keep"))
         .orderBy("doc_id")),
 
+    "txt_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval: query = the corpus's 5 most frequent tokens
+      // (deterministic tie-break), top-20 documents by the exact
+      // integer micro-unit score. The oracle recomputes idf/tf/avgdl
+      // with the identical expression shape.
+      val docs = T(s, dir, "documents")
+      val q = TextAnalysis.vocabulary(docs, col("text"), 5)
+        .select(col("tok").as("term"))
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), q, k = 20)
+        .orderBy("rank")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -8017,6 +8029,33 @@ object SparkEntry {
         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "txt_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | tl AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        | q AS (SELECT term FROM (
+        |   SELECT term, count(*) AS c FROM tl GROUP BY 1
+        |   ORDER BY c DESC, term LIMIT 5)),
+        | dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tl JOIN q USING (term) GROUP BY 1, 2),
+        | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+        |          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+        |      * 1000000.0) AS BIGINT) AS cu
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        | agg AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS score_u FROM sc GROUP BY 1),
+        | topd AS (SELECT doc_id, score_u,
+        |   row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank FROM agg)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score_u
+        |FROM topd WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "smp_ccnet_buckets" ->
       s"""$PerplexityCte,

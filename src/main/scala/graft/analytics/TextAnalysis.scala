@@ -638,6 +638,55 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 top-k retrieval over the corpus — the lexical ranking half of
+   * training-data curation (targeted decontamination, retrieval-based
+   * selection, eval-set mining). Okapi BM25 with the +1 idf variant:
+   * `idf = ln((N - df + 0.5)/(df + 0.5) + 1)`, term score
+   * `idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`. Per-(doc, term)
+   * contributions are floored to integer MICRO-units immediately after
+   * the (only) floating-point step — the repo's engine-parity device
+   * ([[bigramPerplexity]]) — so document scores are exact integer sums
+   * in any aggregation order, and the top-k cut (score desc, doc_id)
+   * is total.
+   *
+   * Scale shape: the query-term table broadcasts; the corpus pass is
+   * one explode filtered DOWN to query terms before any shuffle, one
+   * (doc, term) count, and bounded broadcast stat joins (N, avgdl,
+   * df). The final cut is a TakeOrdered, never a global sort.
+   */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+      queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+    val dl = base.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .join(broadcast(queryTerms.select(col("term"))), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1))
+      .withColumn("__contrib_u",
+        floor(col("__idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+          * 1000000.0).cast("long"))
+      .groupBy("doc_id").agg(sum("__contrib_u").as("score_u"))
+    scored.orderBy(col("score_u").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_u").desc, col("doc_id"))))
+      .select("rank", "doc_id", "score_u")
+  }
+
+  /**
    * The C4 cleaning rules (Raffel et al. 2020 §2.2 — the canonical
    * web-corpus filter): LINE level, keep only lines that end in a
    * terminal punctuation mark (`.!?"`), carry at least `minLineWords`
