@@ -3961,6 +3961,30 @@ object SparkEntry {
         .orderBy("layout_len")
     }),
 
+    "d6_iceberg_orphans" -> ((s, dir) => {
+      // Orphan-file cleanup: plant three unreachable files under the
+      // table location; an age-guarded run (olderThan=0) removes
+      // nothing, the real run removes exactly the plants, and the
+      // table still reads every committed row afterwards.
+      import s.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft_iceorph").toString + "/t"
+      val ev = events(s, dir).where(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      graft.streaming.IcebergFormat.commit(ev, col("ts"), t,
+        partFn = graft.streaming.Datalake.dayPartition)
+      Seq("data/stray-0.parquet", "data/stray-1.tmp", "metadata/stray-manifest.avro")
+        .foreach { rel =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/$rel"),
+            "orphan".getBytes)
+        }
+      val guarded = graft.streaming.IcebergFormat
+        .removeOrphanFiles(s, t, olderThanMs = 0L)
+      val removed = graft.streaming.IcebergFormat.removeOrphanFiles(s, t)
+      val nRows = graft.streaming.IcebergFormat.readTable(s, t).count()
+      Seq((guarded.size, removed.mkString(","), nRows))
+        .toDF("n_guarded", "removed", "n_rows")
+    }),
+
     "d6_iceberg_eq_deletes" -> ((s, dir) => {
       // Equality deletes, the CDC/upsert flavor: delete-by-key the
       // user_id % 10 = 4 cohort (no data scan at delete time), then
@@ -7056,6 +7080,12 @@ object SparkEntry {
         |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
         |    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m') END) AS BIGINT) AS n_partitions
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_orphans" ->
+      """SELECT 0 AS n_guarded,
+        |  'stray-0.parquet,stray-1.tmp,stray-manifest.avro' AS removed,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events WHERE event_id < 2000""".stripMargin,
 
     "d6_iceberg_eq_deletes" ->
       """WITH fin AS (

@@ -1535,6 +1535,61 @@ object IcebergFormat {
 
   /** Data-file inventory of the CURRENT snapshot: (p_key, n_files,
     * n_rows, bytes) per partition, from manifest metadata only. */
+  /**
+   * Orphan-file cleanup — the third Iceberg maintenance action (with
+   * snapshot expiry and data-file compaction): delete files under the
+   * table location that NO snapshot of the current metadata version
+   * reaches. Reachability covers every snapshot's manifest list, every
+   * manifest (data and delete content), and every referenced file path
+   * of any status; `metadata/` artifacts (versioned metadata.json,
+   * version-hint) are always kept. Only files whose modification time
+   * is older than `olderThanMs` delete — the published safety
+   * guard against racing an in-flight commit whose files are written
+   * before its metadata publishes (exactly this repo's
+   * [[stageAppend]]/[[commitStaged]] window).
+   *
+   * All metadata-side work is bounded (snapshots × manifests); the
+   * listing is one recursive enumeration of the table prefix — the
+   * same object-store LIST a production cleanup pays.
+   */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long = Long.MaxValue): Seq[String] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(return Seq.empty)
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val reachable = scala.collection.mutable.Set[String]()
+    parseSnapshots(readMetadataJson(fs, table, v)).foreach { s =>
+      reachable += norm(s.manifestList)
+      readAvro(fs, new Path(s.manifestList), ManifestFileSchema).foreach { mf =>
+        val mp = mf.get("manifest_path").toString
+        reachable += norm(mp)
+        readAvro(fs, new Path(mp), ManifestEntrySchema).foreach { e =>
+          reachable += norm(e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+        }
+      }
+    }
+    def listRec(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) listRec(st.getPath) else Seq(st)
+      }
+    val candidates = listRec(new Path(dataDir(table))) ++
+      listRec(new Path(metaDir(table)))
+    val orphans = candidates.filter { st =>
+      val p = norm(st.getPath.toString)
+      val name = st.getPath.getName
+      !reachable(p) &&
+        !(name.endsWith(".metadata.json") || name == "version-hint.text") &&
+        // hidden/marker files (_SUCCESS, .crc, _temporary) are writer
+        // artifacts, not table content — never candidates
+        !name.startsWith("_") && !name.startsWith(".") &&
+        st.getModificationTime < olderThanMs
+    }
+    orphans.foreach(st => fs.delete(st.getPath, false))
+    orphans.map(_.getPath.getName).sorted
+  }
+
   def fileInventory(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, table)
