@@ -2670,6 +2670,22 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "ct_throttler" -> ((s, dir) =>
+      // Cloud-topics write throttler (cloud_topics/throttler): ingress
+      // token bucket with withheld-then-backfilled requests and
+      // deadline culling — pass / throttled / expired across a bounded
+      // request window. The oracle replays the per-shard recurrence as
+      // a recursive CTE.
+      graft.log.CloudTopics.throttleWrites(
+          T(s, dir, "events").where(col("event_id") < 3000).select(
+            pmod(col("user_id"), lit(4)).cast("int").as("shard"),
+            col("event_id").as("seq"),
+            (lit(1700000000000L) + col("event_id")).as("ts_ms"),
+            (lit(200L) + pmod(col("event_id"), lit(7)) * 400).as("bytes")),
+          col("shard"), col("seq"), col("ts_ms"), col("bytes"),
+          ratePerMs = 300L, burst = 3000L, timeoutMs = 6L)
+        .orderBy("seq")),
+
     "ct_scrub_anomalies" -> ((s, dir) =>
       // Tiered-storage scrubber (cloud_storage/anomalies_detector.cc +
       // scrub_segment_meta, types.cc:150-216): the six-rule metadata
@@ -6120,6 +6136,58 @@ object SparkEntry {
          |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
 
     "ct_purger_run" -> PurgerOracle,
+
+    "ct_throttler" ->
+      """WITH RECURSIVE req AS (
+        |  SELECT CAST(user_id % 4 AS INTEGER) AS shard, event_id AS seq,
+        |         CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
+        |         CAST(200 + (event_id % 7) * 400 AS BIGINT) AS bytes
+        |  FROM events WHERE event_id < 3000),
+        | rr AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ts_ms, seq) AS rn
+        |        FROM req),
+        | sim AS (
+        |  SELECT shard, rn, seq, ts_ms, bytes,
+        |    least(3000, 3000) AS rt, ts_ms AS rc,
+        |    CASE WHEN 3000 >= bytes THEN 0
+        |         ELSE (bytes - 3000 + 299) // 300 END AS w,
+        |    CASE WHEN 3000 >= bytes THEN 'pass'
+        |         WHEN (bytes - 3000 + 299) // 300 > 6 THEN 'expired'
+        |         ELSE 'throttled' END AS action,
+        |    CASE WHEN 3000 >= bytes THEN 3000 - bytes
+        |         WHEN (bytes - 3000 + 299) // 300 > 6 THEN 3000
+        |         ELSE 3000 + ((bytes - 3000 + 299) // 300) * 300 - bytes END AS tk,
+        |    CASE WHEN 3000 >= bytes OR (bytes - 3000 + 299) // 300 > 6 THEN ts_ms
+        |         ELSE ts_ms + (bytes - 3000 + 299) // 300 END AS ck
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.seq, r.ts_ms, r.bytes,
+        |    least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) AS rt,
+        |    greatest(s.ck, r.ts_ms) AS rc,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes THEN 0
+        |         ELSE (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300
+        |         END AS w,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes THEN 'pass'
+        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
+        |           THEN 'expired'
+        |         ELSE 'throttled' END AS action,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes
+        |           THEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) - r.bytes
+        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
+        |           THEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck))
+        |         ELSE least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck))
+        |              + ((r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300) * 300
+        |              - r.bytes END AS tk,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes
+        |           THEN greatest(s.ck, r.ts_ms)
+        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
+        |           THEN greatest(s.ck, r.ts_ms)
+        |         ELSE greatest(s.ck, r.ts_ms)
+        |              + (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300
+        |         END AS ck
+        |  FROM sim s JOIN rr r ON r.shard = s.shard AND r.rn = s.rn + 1)
+        |SELECT shard, seq, ts_ms, bytes, action,
+        |  CAST(w AS BIGINT) AS wait_ms, CAST(tk AS BIGINT) AS tokens_after
+        |FROM sim ORDER BY seq""".stripMargin,
 
     "s4_topic_recovery" ->
       s"""$LogCte,

@@ -164,4 +164,67 @@ object CloudTopics {
         col("__best.object_id").as("object_id"),
         col("__best.base_offset").as("base_offset"),
         col("__best.last_offset").as("last_offset"))
+
+  final case class WriteReq(shard: Int, seq: Long, ts_ms: Long, bytes: Long)
+  final case class ThrottleDecision(shard: Int, seq: Long, ts_ms: Long,
+      bytes: Long, action: String, wait_ms: Long, tokens_after: Long)
+
+  /**
+   * Cloud-topics write throttler (reference
+   * `cloud_topics/throttler/throttler.cc`): ingress bytes debit a
+   * per-shard token bucket; a request the bucket cannot cover is
+   * WITHHELD from the write pipeline until enough tokens accrue
+   * (`throttle_tput` + `token_bucket::maybe_throttle`), then
+   * backfilled; a request whose wait would outlive its own deadline
+   * expires instead — culled without ever debiting the bucket (the
+   * weak-ptr drop in `throttle_tput:58-60`).
+   *
+   * Deterministic per-shard fold (the [[graft.admin.Quota]] /
+   * SncQuota shape): bucket starts full, refills `ratePerMs` capped at
+   * `burst`; `pass` debits immediately, `throttled` completes at
+   * `ts + ceil((bytes - tokens)/rate)` leaving the residual tokens,
+   * `expired` leaves the bucket untouched. The clock never runs
+   * backwards (a request arriving during a backfill wait refills 0).
+   * Integral arithmetic throughout; the oracle replays the recurrence
+   * as a recursive CTE.
+   */
+  def throttleWrites(requests: DataFrame, shardCol: Column, seqCol: Column,
+      tsMsCol: Column, bytesCol: Column, ratePerMs: Long, burst: Long,
+      timeoutMs: Long): DataFrame = {
+    require(ratePerMs > 0 && burst > 0 && timeoutMs >= 0)
+    val spark = requests.sparkSession
+    import spark.implicits._
+    requests.select(shardCol.cast("int").as("shard"),
+        seqCol.cast("long").as("seq"), tsMsCol.cast("long").as("ts_ms"),
+        bytesCol.cast("long").as("bytes"))
+      .as[WriteReq]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ts_ms"), col("seq"))
+      .mapPartitions { it =>
+        var cur = Int.MinValue
+        var tokens = 0L
+        var clock = 0L
+        it.map { r =>
+          if (r.shard != cur) { cur = r.shard; tokens = burst; clock = r.ts_ms }
+          else {
+            tokens = math.min(burst, tokens + ratePerMs * math.max(0L, r.ts_ms - clock))
+            clock = math.max(clock, r.ts_ms)
+          }
+          if (tokens >= r.bytes) {
+            tokens -= r.bytes
+            ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "pass", 0L, tokens)
+          } else {
+            val wait = (r.bytes - tokens + ratePerMs - 1) / ratePerMs
+            if (wait > timeoutMs)
+              ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "expired", wait, tokens)
+            else {
+              tokens = tokens + wait * ratePerMs - r.bytes
+              clock = clock + wait
+              ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "throttled", wait, tokens)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
 }
