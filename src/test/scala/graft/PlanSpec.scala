@@ -83,6 +83,32 @@ class PlanSpec extends SparkSpec {
     dir
   }
 
+  test("repetition signals (full battery) are one shuffle-free projection") {
+    val p = plan(TextAnalysis.repetitionSignals(
+      spark.read.parquet(docsDir), col("doc_id"), col("text")))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("bm25 filters the corpus to query terms via broadcast before any shuffle") {
+    val q = Seq("the", "quick").toDF("term")
+    val p = plan(TextAnalysis.bm25TopK(
+      spark.read.parquet(docsDir), col("doc_id"), col("text"), q, k = 5))
+    // the query-term cut is a BroadcastHashJoin under the aggregate;
+    // the final cut is a TakeOrdered, never a global Sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrdered"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gopher rules and c4 rules are narrow projections — no Exchange") {
+    val df = spark.read.parquet(docsDir)
+    val pg = plan(TextAnalysis.gopherRules(df, col("doc_id"), col("text")))
+    val pc = plan(TextAnalysis.c4Rules(df, col("doc_id"), col("text")))
+    assert(!pg.contains("Exchange"), pg)
+    assert(!pc.contains("Exchange"), pc)
+  }
+
   test("repetition features are one shuffle-free projection — no Exchange") {
     val p = plan(TextAnalysis.repetitionFeatures(
       spark.read.parquet(docsDir), col("doc_id"), col("text")))
