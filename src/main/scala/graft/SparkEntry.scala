@@ -2670,6 +2670,28 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "a5_usage_ring" -> ((s, dir) => {
+      // Usage ring (usage_manager.h): 12 hourly timer fires with
+      // planted jitter — +60s and -90s snap to the grid (within the
+      // 2-minute threshold), +400s stays raw and flags unaligned —
+      // ring-retained to the newest 8 windows; bytes roll up into the
+      // window open at their timestamp, dropped windows lose theirs.
+      val B = 1700000000L - (1700000000L % 3600L)
+      val fires = s.range(12).select(
+        (lit(B) + col("id") * 3600 +
+          when(pmod(col("id"), lit(4)) === 0, 60)
+            .when(pmod(col("id"), lit(4)) === 1, -90)
+            .when(pmod(col("id"), lit(4)) === 2, 400)
+            .otherwise(0)).as("fire_s"))
+      val ev = T(s, dir, "events").select(
+        (lit(B) + pmod(col("event_id") * 7919, lit(43200))).as("ts_s"),
+        (lit(100L) + pmod(col("event_id"), lit(50))).as("sent"),
+        (lit(200L) + pmod(col("event_id"), lit(70))).as("recv"))
+      Operators.usageRing(fires, ev, col("ts_s"), col("sent"), col("recv"),
+          intervalS = 3600L, numWindows = 8)
+        .orderBy("begin_s")
+    }),
+
     "ct_throttler" -> ((s, dir) =>
       // Cloud-topics write throttler (cloud_topics/throttler): ingress
       // token bucket with withheld-then-backfilled requests and
@@ -6136,6 +6158,37 @@ object SparkEntry {
          |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
 
     "ct_purger_run" -> PurgerOracle,
+
+    "a5_usage_ring" ->
+      """WITH fires AS (
+        |  SELECT (1700000000 - (1700000000 % 3600)) + k * 3600 +
+        |    (CASE k % 4 WHEN 0 THEN 60 WHEN 1 THEN -90 WHEN 2 THEN 400 ELSE 0 END)
+        |    AS fire_s
+        |  FROM (SELECT unnest(range(12)) AS k)),
+        | sn AS (SELECT DISTINCT
+        |    CASE WHEN fire_s % 3600 <= 120 THEN fire_s - fire_s % 3600
+        |         WHEN 3600 - fire_s % 3600 <= 120 THEN fire_s - fire_s % 3600 + 3600
+        |         ELSE fire_s END AS begin_s
+        |  FROM fires),
+        | ring AS (
+        |  SELECT begin_s, begin_s % 3600 = 0 AS aligned,
+        |    lead(begin_s, 1, 9223372036854775807) OVER (ORDER BY begin_s) AS end_s,
+        |    row_number() OVER (ORDER BY begin_s DESC) AS w
+        |  FROM sn),
+        | kept AS (SELECT * FROM ring WHERE w <= 8),
+        | ev AS (SELECT (1700000000 - (1700000000 % 3600)) + (event_id * 7919) % 43200 AS ts_s,
+        |    100 + event_id % 50 AS sent, 200 + event_id % 70 AS recv FROM events),
+        | agg AS (SELECT k.begin_s, CAST(sum(e.sent) AS BIGINT) AS bs,
+        |    CAST(sum(e.recv) AS BIGINT) AS br
+        |  FROM kept k JOIN ev e ON e.ts_s >= k.begin_s AND e.ts_s < k.end_s
+        |  GROUP BY 1)
+        |SELECT CAST(k.w AS INTEGER) AS w, CAST(k.begin_s AS BIGINT) AS begin_s,
+        |  k.aligned,
+        |  CAST(COALESCE(a.bs, 0) AS BIGINT) AS bytes_sent,
+        |  CAST(COALESCE(a.br, 0) AS BIGINT) AS bytes_received,
+        |  k.w = 1 AS open
+        |FROM kept k LEFT JOIN agg a USING (begin_s)
+        |ORDER BY k.begin_s""".stripMargin,
 
     "ct_throttler" ->
       """WITH RECURSIVE req AS (

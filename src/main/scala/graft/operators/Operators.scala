@@ -160,4 +160,53 @@ object Operators {
   /** Validation: tag rows valid/dead-letter; caller routes on `route`. */
   def transformValidate(df: DataFrame, isValid: Column): DataFrame =
     df.withColumn("route", when(isValid, lit("output")).otherwise(lit("dead_letter")))
+
+  /**
+   * A5b usage ring (reference `kafka/server/usage_manager.h` /
+   * `usage_aggregator.h`): node usage is kept in a FIXED ring of
+   * `numWindows` windows of `intervalS` seconds. Window open
+   * timestamps come from timer fires and are SNAPPED to the interval
+   * grid when within the error threshold (2 s for sub-2-minute
+   * intervals, else 2 min — `detail::round_to_interval`); a fire
+   * outside the threshold keeps its raw stamp and flags unaligned.
+   * Only the newest `numWindows` windows survive (ring overwrite);
+   * bytes accumulate into the window open at their timestamp.
+   *
+   * Spark design: the fire list is bounded control-plane metadata —
+   * snap + lead() give each window its [begin, end) range; the byte
+   * roll-up is one broadcast range join + aggregate over the data.
+   */
+  def usageRing(fires: DataFrame, events: DataFrame, tsSCol: Column,
+      sentCol: Column, recvCol: Column, intervalS: Long,
+      numWindows: Int): DataFrame = {
+    val thr = if (intervalS < 120) 2L else 120L
+    val snapped = fires.select(col("fire_s"))
+      .withColumn("__cur", col("fire_s") - pmod(col("fire_s"), lit(intervalS)))
+      .withColumn("__next", col("__cur") + intervalS)
+      .withColumn("begin_s",
+        when(col("fire_s") - col("__cur") <= thr, col("__cur"))
+          .when(col("__next") - col("fire_s") <= thr, col("__next"))
+          .otherwise(col("fire_s")))
+      .withColumn("aligned", pmod(col("begin_s"), lit(intervalS)) === 0)
+      .select("begin_s", "aligned").distinct()
+    // bounded window list: rank + range ends via control-plane window
+    val w = org.apache.spark.sql.expressions.Window.orderBy("begin_s")
+    val ring = snapped
+      .withColumn("end_s", lead("begin_s", 1, Long.MaxValue).over(w))
+      .withColumn("__idx_desc", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("begin_s").desc)))
+      .where(col("__idx_desc") <= numWindows)
+    val rolled = events
+      .select(tsSCol.as("__ts"), sentCol.as("__sent"), recvCol.as("__recv"))
+      .join(broadcast(ring),
+        col("__ts") >= col("begin_s") && col("__ts") < col("end_s"))
+      .groupBy("begin_s", "aligned", "__idx_desc")
+      .agg(sum("__sent").as("bytes_sent"), sum("__recv").as("bytes_received"))
+    ring.select("begin_s", "aligned", "__idx_desc")
+      .join(rolled.drop("aligned").drop("__idx_desc"), Seq("begin_s"), "left")
+      .select(col("__idx_desc").as("w"), col("begin_s"), col("aligned"),
+        coalesce(col("bytes_sent"), lit(0L)).as("bytes_sent"),
+        coalesce(col("bytes_received"), lit(0L)).as("bytes_received"),
+        (col("__idx_desc") === 1).as("open"))
+  }
 }
