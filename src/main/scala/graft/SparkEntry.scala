@@ -270,6 +270,15 @@ object SparkEntry {
         .where(!(col("partition") % 4 === 1 &&
           col("path").endsWith(".1"))).select("path"))
 
+  /** Bounded write-request fixture for the cloud-topics throttler:
+    * 4 shards, a 1 ms arrival clock, sizes 200..2600 cycling mod 7. */
+  private def throttlerReqs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").where(col("event_id") < 3000).select(
+      pmod(col("user_id"), lit(4)).cast("int").as("shard"),
+      col("event_id").as("seq"),
+      (lit(1700000000000L) + col("event_id")).as("ts_ms"),
+      (lit(200L) + pmod(col("event_id"), lit(7)) * 400).as("bytes"))
+
   /** Uploaded-manifest fixture for topic recovery: 50-offset segments
     * with real sizes and max timestamps, delta offsets unset on the
     * first two chunks (exercising start_delta propagation) and chunks
@@ -1280,6 +1289,60 @@ object SparkEntry {
        |  ($keep) AS keep
        |FROM fr ORDER BY doc_id""".stripMargin
   }
+
+  /** Throttler recurrence oracle shared by the batch and streaming
+    * twins (identical decisions are the streaming contract). */
+  private val ThrottlerOracle: String =
+    """WITH RECURSIVE req AS (
+        |  SELECT CAST(user_id % 4 AS INTEGER) AS shard, event_id AS seq,
+        |         CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
+        |         CAST(200 + (event_id % 7) * 400 AS BIGINT) AS bytes
+        |  FROM events WHERE event_id < 3000),
+        | rr AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ts_ms, seq) AS rn
+        |        FROM req),
+        | sim AS (
+        |  SELECT shard, rn, seq, ts_ms, bytes,
+        |    least(3000, 3000) AS rt, ts_ms AS rc,
+        |    CASE WHEN 3000 >= bytes THEN 0
+        |         ELSE (bytes - 3000 + 299) // 300 END AS w,
+        |    CASE WHEN 3000 >= bytes THEN 'pass'
+        |         WHEN (bytes - 3000 + 299) // 300 > 6 THEN 'expired'
+        |         ELSE 'throttled' END AS action,
+        |    CASE WHEN 3000 >= bytes THEN 3000 - bytes
+        |         WHEN (bytes - 3000 + 299) // 300 > 6 THEN 3000
+        |         ELSE 3000 + ((bytes - 3000 + 299) // 300) * 300 - bytes END AS tk,
+        |    CASE WHEN 3000 >= bytes OR (bytes - 3000 + 299) // 300 > 6 THEN ts_ms
+        |         ELSE ts_ms + (bytes - 3000 + 299) // 300 END AS ck
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.seq, r.ts_ms, r.bytes,
+        |    least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) AS rt,
+        |    greatest(s.ck, r.ts_ms) AS rc,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes THEN 0
+        |         ELSE (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300
+        |         END AS w,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes THEN 'pass'
+        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
+        |           THEN 'expired'
+        |         ELSE 'throttled' END AS action,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes
+        |           THEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) - r.bytes
+        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
+        |           THEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck))
+        |         ELSE least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck))
+        |              + ((r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300) * 300
+        |              - r.bytes END AS tk,
+        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes
+        |           THEN greatest(s.ck, r.ts_ms)
+        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
+        |           THEN greatest(s.ck, r.ts_ms)
+        |         ELSE greatest(s.ck, r.ts_ms)
+        |              + (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300
+        |         END AS ck
+        |  FROM sim s JOIN rr r ON r.shard = s.shard AND r.rn = s.rn + 1)
+        |SELECT shard, seq, ts_ms, bytes, action,
+        |  CAST(w AS BIGINT) AS wait_ms, CAST(tk AS BIGINT) AS tokens_after
+        |FROM sim ORDER BY seq""".stripMargin
 
   /** Purger-run oracle: the marker/manifest fixture as VALUES/ranges,
     * the per-partition reverse manifest walk as a ranked aggregate, and
@@ -2698,15 +2761,39 @@ object SparkEntry {
       // deadline culling — pass / throttled / expired across a bounded
       // request window. The oracle replays the per-shard recurrence as
       // a recursive CTE.
-      graft.log.CloudTopics.throttleWrites(
-          T(s, dir, "events").where(col("event_id") < 3000).select(
-            pmod(col("user_id"), lit(4)).cast("int").as("shard"),
-            col("event_id").as("seq"),
-            (lit(1700000000000L) + col("event_id")).as("ts_ms"),
-            (lit(200L) + pmod(col("event_id"), lit(7)) * 400).as("bytes")),
+      graft.log.CloudTopics.throttleWrites(throttlerReqs(s, dir),
           col("shard"), col("seq"), col("ts_ms"), col("bytes"),
           ratePerMs = 300L, burst = 3000L, timeoutMs = 6L)
         .orderBy("seq")),
+
+    "ct_throttler_stream" -> ((s, dir) => {
+      // The throttler as a continuous query: the same request fixture
+      // split into two ordered micro-batches; per-shard bucket state
+      // persists in the checkpoint across batches, so the emitted
+      // decisions are byte-identical to the batch fold — certified by
+      // the SAME recursive-CTE oracle.
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val reqs = throttlerReqs(s, dir)
+      val inDir = Files.createTempDirectory("graft_thr_in")
+      Seq((col("seq") < 1500, "batch0", 1700000000000L),
+          (col("seq") >= 1500, "batch1", 1700000001000L)).foreach {
+        case (cond, name, mtime) =>
+          val tmp = Files.createTempDirectory("graft_thr_half")
+          reqs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).next()
+          val dst = inDir.resolve(s"$name.parquet")
+          Files.copy(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+      }
+      val out = Files.createTempDirectory("graft_thr_out").toString
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir.toString, reqs.schema, maxFilesPerTrigger = Some(1)).stream(s)
+      graft.log.CloudTopics.throttleWritesStream(stream, s"$out/data",
+        s"$out/ckpt", ratePerMs = 300L, burst = 3000L, timeoutMs = 6L)
+      s.read.parquet(s"$out/data").orderBy("seq")
+    }),
 
     "ct_scrub_anomalies" -> ((s, dir) =>
       // Tiered-storage scrubber (cloud_storage/anomalies_detector.cc +
@@ -6190,57 +6277,9 @@ object SparkEntry {
         |FROM kept k LEFT JOIN agg a USING (begin_s)
         |ORDER BY k.begin_s""".stripMargin,
 
-    "ct_throttler" ->
-      """WITH RECURSIVE req AS (
-        |  SELECT CAST(user_id % 4 AS INTEGER) AS shard, event_id AS seq,
-        |         CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
-        |         CAST(200 + (event_id % 7) * 400 AS BIGINT) AS bytes
-        |  FROM events WHERE event_id < 3000),
-        | rr AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ts_ms, seq) AS rn
-        |        FROM req),
-        | sim AS (
-        |  SELECT shard, rn, seq, ts_ms, bytes,
-        |    least(3000, 3000) AS rt, ts_ms AS rc,
-        |    CASE WHEN 3000 >= bytes THEN 0
-        |         ELSE (bytes - 3000 + 299) // 300 END AS w,
-        |    CASE WHEN 3000 >= bytes THEN 'pass'
-        |         WHEN (bytes - 3000 + 299) // 300 > 6 THEN 'expired'
-        |         ELSE 'throttled' END AS action,
-        |    CASE WHEN 3000 >= bytes THEN 3000 - bytes
-        |         WHEN (bytes - 3000 + 299) // 300 > 6 THEN 3000
-        |         ELSE 3000 + ((bytes - 3000 + 299) // 300) * 300 - bytes END AS tk,
-        |    CASE WHEN 3000 >= bytes OR (bytes - 3000 + 299) // 300 > 6 THEN ts_ms
-        |         ELSE ts_ms + (bytes - 3000 + 299) // 300 END AS ck
-        |  FROM rr WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.shard, r.rn, r.seq, r.ts_ms, r.bytes,
-        |    least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) AS rt,
-        |    greatest(s.ck, r.ts_ms) AS rc,
-        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes THEN 0
-        |         ELSE (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300
-        |         END AS w,
-        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes THEN 'pass'
-        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
-        |           THEN 'expired'
-        |         ELSE 'throttled' END AS action,
-        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes
-        |           THEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) - r.bytes
-        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
-        |           THEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck))
-        |         ELSE least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck))
-        |              + ((r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300) * 300
-        |              - r.bytes END AS tk,
-        |    CASE WHEN least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) >= r.bytes
-        |           THEN greatest(s.ck, r.ts_ms)
-        |         WHEN (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300 > 6
-        |           THEN greatest(s.ck, r.ts_ms)
-        |         ELSE greatest(s.ck, r.ts_ms)
-        |              + (r.bytes - least(3000, s.tk + 300 * greatest(0, r.ts_ms - s.ck)) + 299) // 300
-        |         END AS ck
-        |  FROM sim s JOIN rr r ON r.shard = s.shard AND r.rn = s.rn + 1)
-        |SELECT shard, seq, ts_ms, bytes, action,
-        |  CAST(w AS BIGINT) AS wait_ms, CAST(tk AS BIGINT) AS tokens_after
-        |FROM sim ORDER BY seq""".stripMargin,
+    "ct_throttler" -> ThrottlerOracle,
+
+    "ct_throttler_stream" -> ThrottlerOracle,
 
     "s4_topic_recovery" ->
       s"""$LogCte,

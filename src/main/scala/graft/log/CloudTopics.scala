@@ -188,6 +188,32 @@ object CloudTopics {
    * Integral arithmetic throughout; the oracle replays the recurrence
    * as a recursive CTE.
    */
+  final case class BucketState(tokens: Long, clock: Long)
+
+  /** One throttler step: refill (clock never runs backwards), then
+    * pass / throttle / expire. Shared by the batch fold and the
+    * streaming twin so the two DAGs cannot drift. */
+  private def throttleStep(st: BucketState, r: WriteReq, ratePerMs: Long,
+      burst: Long, timeoutMs: Long): (BucketState, ThrottleDecision) = {
+    val tokens = math.min(burst,
+      st.tokens + ratePerMs * math.max(0L, r.ts_ms - st.clock))
+    val clock = math.max(st.clock, r.ts_ms)
+    if (tokens >= r.bytes)
+      (BucketState(tokens - r.bytes, clock),
+        ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "pass", 0L,
+          tokens - r.bytes))
+    else {
+      val wait = (r.bytes - tokens + ratePerMs - 1) / ratePerMs
+      if (wait > timeoutMs)
+        (BucketState(tokens, clock),
+          ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "expired", wait, tokens))
+      else
+        (BucketState(tokens + wait * ratePerMs - r.bytes, clock + wait),
+          ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "throttled", wait,
+            tokens + wait * ratePerMs - r.bytes))
+    }
+  }
+
   def throttleWrites(requests: DataFrame, shardCol: Column, seqCol: Column,
       tsMsCol: Column, bytesCol: Column, ratePerMs: Long, burst: Long,
       timeoutMs: Long): DataFrame = {
@@ -202,29 +228,62 @@ object CloudTopics {
       .sortWithinPartitions(col("shard"), col("ts_ms"), col("seq"))
       .mapPartitions { it =>
         var cur = Int.MinValue
-        var tokens = 0L
-        var clock = 0L
+        var st = BucketState(0L, 0L)
         it.map { r =>
-          if (r.shard != cur) { cur = r.shard; tokens = burst; clock = r.ts_ms }
-          else {
-            tokens = math.min(burst, tokens + ratePerMs * math.max(0L, r.ts_ms - clock))
-            clock = math.max(clock, r.ts_ms)
-          }
-          if (tokens >= r.bytes) {
-            tokens -= r.bytes
-            ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "pass", 0L, tokens)
-          } else {
-            val wait = (r.bytes - tokens + ratePerMs - 1) / ratePerMs
-            if (wait > timeoutMs)
-              ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "expired", wait, tokens)
-            else {
-              tokens = tokens + wait * ratePerMs - r.bytes
-              clock = clock + wait
-              ThrottleDecision(r.shard, r.seq, r.ts_ms, r.bytes, "throttled", wait, tokens)
-            }
-          }
+          if (r.shard != cur) { cur = r.shard; st = BucketState(burst, r.ts_ms) }
+          val (next, d) = throttleStep(st, r, ratePerMs, burst, timeoutMs)
+          st = next
+          d
         }
       }
       .toDF()
+  }
+
+  /**
+   * The throttler as the CONTINUOUS loop the reference runs
+   * (`bg_throttle_write_pipeline`): requests stream in, per-shard
+   * bucket state persists in the checkpoint across micro-batches
+   * (`flatMapGroupsWithState`), and each batch's decisions emit
+   * exactly once. A batch's requests fold in (ts, seq) order; the
+   * carried (tokens, clock) state makes a restart resume exactly where
+   * the previous batch's bucket left off — byte-identical to the batch
+   * fold over the concatenated stream.
+   */
+  def throttleWritesStream(requests: DataFrame, dataPath: String,
+      ckptPath: String, ratePerMs: Long, burst: Long,
+      timeoutMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val decisions = requests.select(col("shard").cast("int").as("shard"),
+        col("seq").cast("long").as("seq"), col("ts_ms").cast("long").as("ts_ms"),
+        col("bytes").cast("long").as("bytes"))
+      .as[WriteReq]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[BucketState, ThrottleDecision](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        val batch = it.toSeq.sortBy(r => (r.ts_ms, r.seq))
+        if (batch.isEmpty) Iterator.empty
+        else {
+          var st = state.getOption.getOrElse(
+            BucketState(burst, batch.head.ts_ms))
+          val out = batch.map { r =>
+            val (next, d) = throttleStep(st, r, ratePerMs, burst, timeoutMs)
+            st = next
+            d
+          }
+          state.update(st)
+          out.iterator
+        }
+      }
+    val q = decisions.toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckptPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(dataPath)
+      }
+      .start()
+    q.awaitTermination()
+    q
   }
 }
