@@ -1554,9 +1554,12 @@ object IcebergFormat {
    */
   def removeOrphanFiles(spark: SparkSession, table: String,
       olderThanMs: Long = Long.MaxValue): Seq[String] = {
+    import spark.implicits._
     val fs = fsOf(spark, table)
     val v = currentVersion(fs, table).getOrElse(return Seq.empty)
     def norm(p: String): String = new Path(p).toUri.getPath
+    // Reachability: bounded metadata (snapshots × manifests), walked on
+    // the driver like every other metadata operation here.
     val reachable = scala.collection.mutable.Set[String]()
     parseSnapshots(readMetadataJson(fs, table, v)).foreach { s =>
       reachable += norm(s.manifestList)
@@ -1569,25 +1572,45 @@ object IcebergFormat {
         }
       }
     }
-    def listRec(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isDirectory) listRec(st.getPath) else Seq(st)
-      }
-    val candidates = listRec(new Path(dataDir(table))) ++
-      listRec(new Path(metaDir(table)))
-    val orphans = candidates.filter { st =>
-      val p = norm(st.getPath.toString)
-      val name = st.getPath.getName
-      !reachable(p) &&
-        !(name.endsWith(".metadata.json") || name == "version-hint.text") &&
+    // The LISTING is the unbounded half (a 100 TB table holds millions
+    // of files), so it runs DISTRIBUTED: first-level directories fan
+    // out to executors, each listing its own subtree — the shape of
+    // Iceberg's own remove_orphan_files Spark action. The diff is an
+    // anti-join; only the (few) orphans ever come back to the driver.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val roots = Seq(dataDir(table), metaDir(table)).map(new Path(_))
+      .filter(fs.exists)
+    val units = roots.flatMap { r =>
+      val (dirs, files) = fs.listStatus(r).toSeq.partition(_.isDirectory)
+      dirs.map(_.getPath.toString) ++ files.map(_.getPath.toString)
+    }
+    val listed = spark.sparkContext
+      .parallelize(units, math.max(1, math.min(units.size, 64)))
+      .flatMap { u =>
+        val p = new Path(u)
+        val tfs = p.getFileSystem(conf.value)
+        def rec(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+          val st = tfs.getFileStatus(d)
+          if (!st.isDirectory) Seq(st)
+          else tfs.listStatus(d).toSeq.flatMap(c =>
+            if (c.isDirectory) rec(c.getPath) else Seq(c))
+        }
+        rec(p).map(st => (st.getPath.toUri.getPath, st.getPath.getName,
+          st.getModificationTime))
+      }.toDF("path", "name", "mtime")
+    val reachDf = reachable.toSeq.toDF("path")
+    val orphans = listed
+      .join(reachDf, Seq("path"), "left_anti")
+      .where(!col("name").endsWith(".metadata.json") &&
+        col("name") =!= "version-hint.text" &&
         // hidden/marker files (_SUCCESS, .crc, _temporary) are writer
         // artifacts, not table content — never candidates
-        !name.startsWith("_") && !name.startsWith(".") &&
-        st.getModificationTime < olderThanMs
-    }
-    orphans.foreach(st => fs.delete(st.getPath, false))
-    orphans.map(_.getPath.getName).sorted
+        !col("name").startsWith("_") && !col("name").startsWith(".") &&
+        col("mtime") < olderThanMs)
+      .select("path", "name").collect()
+    orphans.foreach(r => fs.delete(new Path(r.getString(0)), false))
+    orphans.map(_.getString(1)).sorted.toSeq
   }
 
   def fileInventory(spark: SparkSession, table: String): DataFrame = {
