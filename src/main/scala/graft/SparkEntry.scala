@@ -2735,6 +2735,28 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "adm_controller_limiter" -> ((s, dir) =>
+      // Controller log rate limiter (cluster/controller_log_limiter.h):
+      // commands map to the five operation groups, each group's token
+      // bucket admits or REJECTS (never queues) at one token per
+      // command, unmapped commands ride free. The oracle replays each
+      // group's micro-token recurrence as a recursive CTE.
+      graft.admin.ControllerLimiter.admit(
+          T(s, dir, "events").where(col("event_id") < 4000).select(
+            col("event_id").as("seq"),
+            (lit(1700000000000L) + col("event_id")).as("ts_ms"),
+            element_at(array(lit("create_topic"), lit("delete_topic"),
+              lit("move_partition_replicas"), lit("create_acls"),
+              lit("create_user"), lit("cluster_config_delta"),
+              lit("decommission_node"), lit("metadata_snapshot")),
+              (pmod(col("event_id"), lit(8)) + 1).cast("int")).as("cmd_type")),
+          col("seq"), col("ts_ms"), col("cmd_type"),
+          rates = Map("topic_operations" -> 8L, "move_operations" -> 4L,
+            "acls_and_users_operations" -> 12L,
+            "configuration_operations" -> 2L,
+            "node_management_operations" -> 1L))
+        .orderBy("seq")),
+
     "a5_usage_ring" -> ((s, dir) => {
       // Usage ring (usage_manager.h): 12 hourly timer fires with
       // planted jitter — +60s and -90s snap to the grid (within the
@@ -6252,6 +6274,58 @@ object SparkEntry {
          |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
 
     "ct_purger_run" -> PurgerOracle,
+
+    "adm_controller_limiter" ->
+      """WITH RECURSIVE cmds AS (
+        |  SELECT event_id AS seq, CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
+        |    CASE CAST(event_id % 8 AS INTEGER)
+        |      WHEN 0 THEN 'create_topic' WHEN 1 THEN 'delete_topic'
+        |      WHEN 2 THEN 'move_partition_replicas' WHEN 3 THEN 'create_acls'
+        |      WHEN 4 THEN 'create_user' WHEN 5 THEN 'cluster_config_delta'
+        |      WHEN 6 THEN 'decommission_node' ELSE 'metadata_snapshot' END AS cmd_type
+        |  FROM events WHERE event_id < 4000),
+        | gm AS (SELECT seq, ts_ms,
+        |    CASE WHEN cmd_type IN ('create_topic','delete_topic','update_topic_properties',
+        |           'create_partition','set_topic_partitions_disabled') THEN 'topic_operations'
+        |         WHEN cmd_type IN ('move_partition_replicas','cancel_moving_partition_replicas',
+        |           'update_partition_replicas') THEN 'move_operations'
+        |         WHEN cmd_type IN ('create_user','delete_user','update_user','create_acls',
+        |           'delete_acls','create_role','delete_role','update_role')
+        |           THEN 'acls_and_users_operations'
+        |         WHEN cmd_type IN ('cluster_config_delta','feature_update_license_update')
+        |           THEN 'configuration_operations'
+        |         WHEN cmd_type IN ('maintenance_mode','recommission_node','decommission_node')
+        |           THEN 'node_management_operations'
+        |         ELSE 'unlimited' END AS grp
+        |  FROM cmds),
+        | gr AS (SELECT *,
+        |    CAST(CASE grp WHEN 'topic_operations' THEN 8 WHEN 'move_operations' THEN 4
+        |      WHEN 'acls_and_users_operations' THEN 12 WHEN 'configuration_operations' THEN 2
+        |      WHEN 'node_management_operations' THEN 1 ELSE 0 END AS BIGINT) AS rate,
+        |    row_number() OVER (PARTITION BY grp ORDER BY ts_ms, seq) AS rn
+        |  FROM gm),
+        | sim AS (
+        |  SELECT grp, rate, rn, seq, ts_ms,
+        |    (rate = 0 OR rate * 1000000 >= 1000000) AS accepted,
+        |    CASE WHEN rate = 0 THEN 0
+        |         ELSE rate * 1000000 - 1000000 END AS tk,
+        |    ts_ms AS ck
+        |  FROM gr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.grp, r.rate, r.rn, r.seq, r.ts_ms,
+        |    (r.rate = 0 OR least(r.rate * 1000000,
+        |       s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) >= 1000000) AS accepted,
+        |    CASE WHEN r.rate = 0 THEN 0
+        |         WHEN least(r.rate * 1000000,
+        |            s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) >= 1000000
+        |           THEN least(r.rate * 1000000,
+        |            s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) - 1000000
+        |         ELSE least(r.rate * 1000000,
+        |            s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) END AS tk,
+        |    greatest(s.ck, r.ts_ms) AS ck
+        |  FROM sim s JOIN gr r ON r.grp = s.grp AND r.rn = s.rn + 1)
+        |SELECT grp AS "group", seq, ts_ms, accepted, CAST(tk AS BIGINT) AS tokens_u
+        |FROM sim ORDER BY seq""".stripMargin,
 
     "a5_usage_ring" ->
       """WITH fires AS (
