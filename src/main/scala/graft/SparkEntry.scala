@@ -4110,6 +4110,33 @@ object SparkEntry {
         .orderBy("layout_len")
     }),
 
+    "d6_iceberg_rewrite_manifests" -> ((s, dir) => {
+      // Metadata-only manifest consolidation: three append commits
+      // accumulate three data manifests; rewrite_manifests folds them
+      // into ONE all-EXISTING manifest as a replace snapshot — no data
+      // moves, the table reads identically, and time travel to the
+      // first commit still resolves its own rows.
+      import s.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft_icerw").toString + "/t"
+      val ev = events(s, dir).where(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      (0 until 3).foreach { i =>
+        graft.streaming.IcebergFormat.commit(
+          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
+          partFn = graft.streaming.Datalake.dayPartition)
+      }
+      val before = graft.streaming.IcebergFormat.manifestCounts(s, t)._1
+      graft.streaming.IcebergFormat.rewriteManifests(s, t)
+      val after = graft.streaming.IcebergFormat.manifestCounts(s, t)._1
+      val nRows = graft.streaming.IcebergFormat.readTable(s, t).count()
+      val firstSnap = graft.streaming.IcebergFormat.snapshotCatalog(s, t)
+        .agg(min("snapshot_id")).collect()(0).getLong(0)
+      val travelRows = graft.streaming.IcebergFormat
+        .timeTravel(s, t, firstSnap).count()
+      Seq((before, after, nRows, travelRows))
+        .toDF("before_manifests", "after_manifests", "n_rows", "travel_rows")
+    }),
+
     "d6_iceberg_orphans" -> ((s, dir) => {
       // Orphan-file cleanup: plant three unreachable files under the
       // table location; an age-guarded run (olderThan=0) removes
@@ -7321,6 +7348,12 @@ object SparkEntry {
         |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
         |    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m') END) AS BIGINT) AS n_partitions
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_iceberg_rewrite_manifests" ->
+      """SELECT 3 AS before_manifests, 1 AS after_manifests,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS BIGINT) AS travel_rows
+        |FROM events WHERE event_id < 3000""".stripMargin,
 
     "d6_iceberg_orphans" ->
       """SELECT 0 AS n_guarded,

@@ -884,6 +884,19 @@ object IcebergFormat {
 
   // ------------------------------------------------------------- reading
 
+  /** (data, delete) manifest counts of the CURRENT snapshot — the
+    * planning-cost figure rewrite_manifests exists to shrink. */
+  def manifestCounts(spark: SparkSession, table: String): (Int, Int) = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(return (0, 0))
+    val snaps = parseSnapshots(readMetadataJson(fs, table, v))
+    snaps.lastOption.map { s =>
+      val recs = readAvro(fs, new Path(s.manifestList), ManifestFileSchema)
+      val (d, del) = recs.partition(_.get("content").asInstanceOf[Int] == 0)
+      (d.size, del.size)
+    }.getOrElse((0, 0))
+  }
+
   /** Snapshot catalog of the table: (snapshot_id, sequence_number,
     * n_files, n_rows) from the CURRENT metadata version's manifest
     * lists — all bounded metadata. */
@@ -1535,6 +1548,65 @@ object IcebergFormat {
 
   /** Data-file inventory of the CURRENT snapshot: (p_key, n_files,
     * n_rows, bytes) per partition, from manifest metadata only. */
+  /**
+   * Manifest consolidation — `rewrite_manifests`, the METADATA-ONLY
+   * maintenance action: append commits accumulate one manifest each,
+   * and planning cost grows with the manifest count even when the data
+   * layout is fine. This folds every data manifest of the current
+   * snapshot into ONE manifest whose entries are all EXISTING, each
+   * keeping its ORIGINAL snapshot id and sequence number (schema
+   * alignment and equality-delete sequence scoping both key off them);
+   * delete manifests carry over untouched; no data file moves. The
+   * result commits as a `replace` snapshot — prior snapshots keep
+   * their manifest lists, so time travel is unaffected.
+   */
+  def rewriteManifests(spark: SparkSession, table: String): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(
+      throw new IllegalStateException(s"no iceberg metadata at $table"))
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    val current = snaps.lastOption.getOrElse(return None)
+    val uuid = jsonStrField(json, "table-uuid").get
+    val mRecs = readAvro(fs, new Path(current.manifestList), ManifestFileSchema)
+    val (dataManifests, deleteManifests) =
+      mRecs.partition(_.get("content").asInstanceOf[Int] == 0)
+    if (dataManifests.size <= 1) return None
+    val entries = dataManifests
+      .flatMap(m => readAvro(fs,
+        new Path(m.get("manifest_path").toString), ManifestEntrySchema))
+      .filter(_.get("status").asInstanceOf[Int] != 2)
+    entries.foreach(_.put("status", 0)) // EXISTING; ids/sequences preserved
+    val snapId = snaps.map(_.snapshotId).max + 1
+    val seq = snaps.map(_.sequenceNumber).max + 1
+    val manifestPath = new Path(s"${metaDir(table)}/manifest-rw-$snapId.avro")
+    val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema, entries)
+    def rowsOf(e: GenericRecord): Long = e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number",
+      dataManifests.map(_.get("min_sequence_number").asInstanceOf[Long]).min)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", 0)
+    mf.put("existing_files_count", entries.size)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 0L)
+    mf.put("existing_rows_count", entries.map(rowsOf).sum)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(s"${metaDir(table)}/snap-$snapId.avro")
+    writeAvro(fs, listPath, ManifestFileSchema, mf +: deleteManifests)
+    writeMetadataJsonKeeping(fs, table, v + 1, json,
+      snaps :+ SnapshotInfo(snapId, seq, listPath.toString, 0L, op = "replace",
+        schemaId = current.schemaId),
+      uuid)
+    Some(snapId)
+  }
+
   /**
    * Orphan-file cleanup — the third Iceberg maintenance action (with
    * snapshot expiry and data-file compaction): delete files under the
