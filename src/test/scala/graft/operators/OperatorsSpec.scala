@@ -73,4 +73,22 @@ class OperatorsSpec extends SparkSpec {
     assert(salted === plain)
     assert(plain.count(_._1 == "hot") === 200)
   }
+  test("usage ring: interval snap, unaligned flag, and newest-N retention") {
+    import spark.implicits._
+    // hourly interval: fires at +60 (snaps back), -90 (snaps forward),
+    // +400 (stays raw, unaligned), exact
+    val fires = Seq(3600L + 60, 7200L - 90, 10800L + 400, 14400L)
+      .toDF("fire_s")
+    val ev = Seq((3700L, 10L, 1L), (7300L, 20L, 2L), (11300L, 30L, 3L),
+      (14500L, 40L, 4L)).toDF("ts_s", "sent", "recv")
+    val got = Operators.usageRing(fires, ev, col("ts_s"), col("sent"),
+        col("recv"), intervalS = 3600L, numWindows = 3)
+      .orderBy("begin_s").collect()
+    // ring keeps 3 of 4 windows: 7200, 11200 (unaligned), 14400
+    assert(got.map(_.getLong(1)).toSeq === Seq(7200L, 11200L, 14400L))
+    assert(got.map(_.getBoolean(2)).toSeq === Seq(true, false, true))
+    // the dropped 3600-window's bytes are gone; the rest roll up
+    assert(got.map(_.getLong(3)).toSeq === Seq(20L, 30L, 40L))
+    assert(got.last.getBoolean(5)) // newest window is open
+  }
 }
