@@ -1156,8 +1156,8 @@ object SparkEntry {
     * smp_ccnet_buckets oracles: trains the Laplace-smoothed model on
     * the 'en' slice and scores every document's integer-micro-unit
     * log-likelihood sum (mirrors TextAnalysis.bigramPerplexity). */
-  private val PerplexityCte: String =
-    """WITH tok AS (
+  private val PerplexityLegs: String =
+    """tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
       | rg AS (
       |  SELECT doc_id,
@@ -1175,6 +1175,64 @@ object SparkEntry {
       | pd AS (SELECT doc_id, CAST(sum(lp_u) AS BIGINT) AS sum_logp_u,
       |               CAST(count(*) AS BIGINT) AS n_bigrams
       |        FROM sc GROUP BY 1)""".stripMargin
+
+  private val PerplexityCte: String = "WITH " + PerplexityLegs
+
+  /** CCNet bucket legs over [[PerplexityLegs]]: the exact integer
+    * mean-NLL key and the equal-mass thirds rank (shared by the
+    * smp_ccnet_buckets oracle and the curation-funnel oracle). */
+  private val CcnetBucketLegs: String =
+    """ sc2 AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0
+      |         THEN 9223372036854775807
+      |         ELSE (-p.sum_logp_u) // p.n_bigrams END AS score_u
+      |  FROM documents d LEFT JOIN pd p USING (doc_id)),
+      | rk AS (
+      |  SELECT doc_id, score_u,
+      |    row_number() OVER (ORDER BY score_u, doc_id) - 1 AS r,
+      |    count(*) OVER () AS n
+      |  FROM sc2),
+      | bks AS (
+      |  SELECT doc_id, score_u,
+      |    CASE CAST(r * 3 // n AS INTEGER)
+      |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+      |  FROM rk)""".stripMargin
+
+  private def gopherKeepExpr(minWords: Int = 50, minStopHits: Int = 2): String =
+    s"n_words BETWEEN $minWords AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0" +
+      " AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3" +
+      s" AND alpha_frac >= 0.8 AND stop_hits >= $minStopHits"
+
+  /** Gopher-rule legs over a named corpus CTE `(doc_id, text)`:
+    * raw signal values in `gg`, the verdict in `gkeep(doc_id, gk)`.
+    * Shared by the txt_gopher_rules oracle and the funnel oracle. */
+  private def gopherLegs(corpus: String, minWords: Int = 50,
+      minStopHits: Int = 2): String =
+    s""" gf AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |    length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS sumlen,
+       |    string_split(text, chr(10)) AS lines,
+       |    length(text) - length(replace(text, '#', '')) AS nhash,
+       |    length(text) - length(replace(text, '\u2026', '')) AS nhell,
+       |    (length(text) - length(replace(text, '...', ''))) // 3 AS ndots
+       |  FROM $corpus),
+       | gg AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INTEGER) AS n_words,
+       |    CAST(sumlen AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |    CAST(nhash + nhell + ndots AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*\u2022]'))) AS DOUBLE)
+       |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)\\s*$$'))) AS DOUBLE)
+       |      / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+       |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+       |      w -> list_contains(toks, w))) AS INTEGER) AS stop_hits
+       |  FROM gf),
+       | gkeep AS (SELECT doc_id, (${gopherKeepExpr(minWords, minStopHits)}) AS gk FROM gg)""".stripMargin
 
   /** Well-formed page plant shared by the txt_c4_rules query and its
     * oracle (the oracle re-derives the SQL literal from this string). */
@@ -1223,7 +1281,20 @@ object SparkEntry {
     * explode+groupBy — an algorithm independent of the operator's
     * sorted-array folds that must agree bit-for-bit. Legs for each
     * n-gram order are generated programmatically. */
-  private val RepSignalsOracle: String = {
+  private val RepKeepExpr: String =
+    Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
+      "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20",
+      "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
+      "top_4gram_char_frac <= 0.16", "dup_5gram_char_frac <= 0.15",
+      "dup_6gram_char_frac <= 0.14", "dup_7gram_char_frac <= 0.13",
+      "dup_8gram_char_frac <= 0.12", "dup_9gram_char_frac <= 0.11",
+      "dup_10gram_char_frac <= 0.10").mkString(" AND ")
+
+  /** Repetition-battery legs over a named corpus CTE `(doc_id, text)`:
+    * derives every Gopher signal via explode+groupBy, ending in
+    * `fr` (raw fractions) and `rkeep(doc_id, rk)`. Shared by the
+    * txt_repetition_full oracle and the curation-funnel oracle. */
+  private def repSignalsLegs(corpus: String): String = {
     val gramLegs = (2 to 10).map { n =>
       s""" g$n AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln FROM (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - $n + 1),
@@ -1240,36 +1311,16 @@ object SparkEntry {
          |   CAST(count(*) AS BIGINT) AS nd, CAST(sum(c * ln) AS BIGINT) AS total,
          |   CAST(sum(CASE WHEN c >= 2 THEN (c - 1) * ln ELSE 0 END) AS BIGINT) AS dup
          |  FROM ${alias}g GROUP BY 1),""".stripMargin
-    val topFr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, _) =>
+    val topFr = Seq(2, 3, 4).map { n =>
       s"CASE WHEN w.wchars > 0 THEN CAST(COALESCE(s$n.top, 0) AS DOUBLE) / w.wchars ELSE 0 END AS top_${n}gram_char_frac"
     }.mkString(",\n    ")
     val dupFr = (5 to 10).map { n =>
       s"CASE WHEN w.wchars > 0 THEN CAST(COALESCE(s$n.dup, 0) AS DOUBLE) / w.wchars ELSE 0 END AS dup_${n}gram_char_frac"
     }.mkString(",\n    ")
     val joins = (2 to 10).map(n => s"LEFT JOIN s$n ON s$n.doc_id = b.doc_id").mkString(" ")
-    val rounded = (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
-      "dup_para_char_frac") ++ (2 to 4).map(n => s"top_${n}gram_char_frac") ++
-      (5 to 10).map(n => s"dup_${n}gram_char_frac"))
-      .map(c => s"round($c, 5) AS ${c}_r").mkString(",\n  ")
-    val keep = Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
-      "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20",
-      "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
-      "top_4gram_char_frac <= 0.16", "dup_5gram_char_frac <= 0.15",
-      "dup_6gram_char_frac <= 0.14", "dup_7gram_char_frac <= 0.13",
-      "dup_8gram_char_frac <= 0.12", "dup_9gram_char_frac <= 0.11",
-      "dup_10gram_char_frac <= 0.10").mkString(" AND ")
-    s"""WITH rfd AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 400000, repeat('lorem ipsum ', 29) || 'lorem ipsum'
-       |  FROM documents WHERE doc_id < 20
-       |  UNION ALL
-       |  SELECT doc_id + 740000, repeat('repeat line alpha' || chr(10), 9)
-       |    || 'tail distinct line' || ' ' || text
-       |  FROM documents WHERE doc_id % 47 = 0),
-       | b AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+    s""" b AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
        |   string_split(text, chr(10)) AS lines,
-       |   string_split(text, chr(10) || chr(10)) AS paras FROM rfd),
+       |   string_split(text, chr(10) || chr(10)) AS paras FROM $corpus),
        | wc AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS wchars FROM b),
        |${seg("l", "lines")}
        |${seg("p", "paras")}
@@ -1285,10 +1336,30 @@ object SparkEntry {
        |  FROM b JOIN wc w ON w.doc_id = b.doc_id
        |    LEFT JOIN lstat l ON l.doc_id = b.doc_id
        |    LEFT JOIN pstat p ON p.doc_id = b.doc_id
-       |    $joins)
+       |    $joins),
+       | rkeep AS (SELECT doc_id, ($RepKeepExpr) AS rk FROM fr)""".stripMargin
+  }
+
+  /** Full-repetition-battery oracle: the planted corpus + the shared
+    * legs; rounded outputs and the threshold keep come from `fr`. */
+  private val RepSignalsOracle: String = {
+    val rounded = (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac") ++ (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac"))
+      .map(c => s"round($c, 5) AS ${c}_r").mkString(",\n  ")
+    s"""WITH rfd AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 400000, repeat('lorem ipsum ', 29) || 'lorem ipsum'
+       |  FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 740000, repeat('repeat line alpha' || chr(10), 9)
+       |    || 'tail distinct line' || ' ' || text
+       |  FROM documents WHERE doc_id % 47 = 0),
+       |${repSignalsLegs("rfd")}
        |SELECT doc_id,
        |  $rounded,
-       |  ($keep) AS keep
+       |  ($RepKeepExpr) AS keep
        |FROM fr ORDER BY doc_id""".stripMargin
   }
 
@@ -5245,6 +5316,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipe_fineweb" -> ((s, dir) => {
+      // The modern curation recipe end-to-end over the raw corpus:
+      // Gopher quality battery AND repetition battery -> exact dedup
+      // (first id wins on normalized text) -> drop the CCNet
+      // perplexity tail. One row of funnel counts plus the exact
+      // doc-id sum of the final set — the oracle recomputes every
+      // stage from its own shared legs.
+      val docs = T(s, dir, "documents")
+      val buckets = graft.analytics.Sampling.perplexityBuckets(
+        TextAnalysis.bigramPerplexity(docs, docs.where(col("lang") === "en"),
+          col("doc_id"), col("text")))
+      // corpus-calibrated gates (the synthetic salad carries at most one
+      // canonical stop word and ~54 words/doc); same battery, same rules
+      CleanPipeline.fineWebFunnel(docs, col("doc_id"), col("text"), buckets,
+        minWords = 30, minStopHits = 1)
+    }),
+
     "txt_c4_rules" -> ((s, dir) => {
       // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
       // (no terminal punctuation), planted well-formed pages pass, and
@@ -8288,51 +8376,27 @@ object SparkEntry {
         |FROM vc ORDER BY doc_id""".stripMargin,
 
     "txt_gopher_rules" ->
-      """WITH gd AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 700000, repeat('- item x' || chr(10), 12)
-        |  FROM documents WHERE doc_id % 31 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 710000, repeat('this line trails off...' || chr(10), 10)
-        |  FROM documents WHERE doc_id % 37 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 720000, repeat('tag # word ', 30)
-        |  FROM documents WHERE doc_id % 41 = 0),
-        | f AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-        |    length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS sumlen,
-        |    string_split(text, chr(10)) AS lines,
-        |    length(text) - length(replace(text, '#', '')) AS nhash,
-        |    length(text) - length(replace(text, '…', '')) AS nhell,
-        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ndots
-        |  FROM gd),
-        | g AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS INTEGER) AS n_words,
-        |    CAST(sumlen AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-        |    CAST(nhash + nhell + ndots AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
-        |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
-        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
-        |      / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
-        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
-        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-        |      w -> list_contains(toks, w))) AS INTEGER) AS stop_hits
-        |  FROM f)
-        |SELECT doc_id, n_words,
-        |  round(mean_word_len, 5) AS mean_word_len_r,
-        |  round(symbol_ratio, 5) AS symbol_ratio_r,
-        |  round(bullet_frac, 5) AS bullet_frac_r,
-        |  round(ellipsis_frac, 5) AS ellipsis_frac_r,
-        |  round(alpha_frac, 5) AS alpha_frac_r,
-        |  stop_hits,
-        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
-        |FROM g ORDER BY doc_id""".stripMargin,
+      s"""WITH gd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, repeat('- item x' || chr(10), 12)
+         |  FROM documents WHERE doc_id % 31 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 710000, repeat('this line trails off...' || chr(10), 10)
+         |  FROM documents WHERE doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 720000, repeat('tag # word ', 30)
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |${gopherLegs("gd")}
+         |SELECT doc_id, n_words,
+         |  round(mean_word_len, 5) AS mean_word_len_r,
+         |  round(symbol_ratio, 5) AS symbol_ratio_r,
+         |  round(bullet_frac, 5) AS bullet_frac_r,
+         |  round(ellipsis_frac, 5) AS ellipsis_frac_r,
+         |  round(alpha_frac, 5) AS alpha_frac_r,
+         |  stop_hits,
+         |  (${gopherKeepExpr()}) AS keep
+         |FROM gg ORDER BY doc_id""".stripMargin,
 
     "txt_bm25_topk" ->
       """WITH tok AS (
@@ -8362,22 +8426,34 @@ object SparkEntry {
         |FROM topd WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "smp_ccnet_buckets" ->
-      s"""$PerplexityCte,
-         | sc2 AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0
-         |         THEN 9223372036854775807
-         |         ELSE (-p.sum_logp_u) // p.n_bigrams END AS score_u
-         |  FROM documents d LEFT JOIN pd p USING (doc_id)),
-         | rk AS (
-         |  SELECT doc_id, score_u,
-         |    row_number() OVER (ORDER BY score_u, doc_id) - 1 AS r,
-         |    count(*) OVER () AS n
-         |  FROM sc2)
-         |SELECT doc_id, CAST(score_u AS BIGINT) AS score_u,
-         |  CASE CAST(r * 3 // n AS INTEGER)
-         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM rk ORDER BY doc_id""".stripMargin,
+      s"""WITH $PerplexityLegs,
+         |$CcnetBucketLegs
+         |SELECT doc_id, CAST(score_u AS BIGINT) AS score_u, bucket
+         |FROM bks ORDER BY doc_id""".stripMargin,
+
+    "pipe_fineweb" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
+         |${repSignalsLegs("corpus")},
+         | $PerplexityLegs,
+         |$CcnetBucketLegs,
+         | keyd AS (
+         |  SELECT c.doc_id,
+         |    md5(regexp_replace(trim(lower(c.text)), '\\s+', ' ', 'g')) AS k,
+         |    g.gk, r.rk, bk.bucket
+         |  FROM corpus c JOIN gkeep g USING (doc_id)
+         |    JOIN rkeep r USING (doc_id) JOIN bks bk USING (doc_id)),
+         | canon AS (SELECT k, min(doc_id) AS cid FROM keyd WHERE gk AND rk GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(sum(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dedup,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
+         |FROM keyd LEFT JOIN canon USING (k)""".stripMargin,
 
     "txt_c4_rules" -> C4RulesOracle,
 

@@ -65,4 +65,46 @@ object CleanPipeline {
       sum(when(langOk(cfg) && qualOk(cfg), 1L).otherwise(0L)).as("n_qual"),
       count_distinct(when(langOk(cfg) && qualOk(cfg),
         md5(lower(col("text"))))).as("n_dedup"))
+
+  /**
+   * The MODERN curation funnel (the FineWeb recipe): the full Gopher
+   * quality-rule battery AND the repetition-signal battery gate first;
+   * survivors exact-dedup on whitespace-normalized text (first doc id
+   * wins); the deduped set then drops the CCNet perplexity TAIL.
+   * Returns ONE row: per-stage survivor counts plus the exact doc-id
+   * sum of the final set — a single scalar certifying the precise
+   * final membership (any off-by-one survivor shifts it).
+   *
+   * Scale shape: both rule batteries are shuffle-free projections,
+   * joined back on doc_id (co-partitioned hash joins); dedup is one
+   * hash aggregate on the normalized-text key; the funnel itself is
+   * one aggregate pass with conditional sums. `buckets` comes from
+   * [[Sampling.perplexityBuckets]] — its model is two broadcast count
+   * tables.
+   */
+  def fineWebFunnel(docs: DataFrame, idCol: Column, textCol: Column,
+      buckets: DataFrame, minWords: Int = 50, minStopHits: Int = 2): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val g = TextAnalysis.gopherRules(base, col("doc_id"), col("__text"),
+        minWords = minWords, minStopHits = minStopHits)
+      .select(col("doc_id"), col("keep").as("__gk"))
+    val r = TextAnalysis.repetitionSignals(base, col("doc_id"), col("__text"))
+      .select(col("doc_id"), col("keep").as("__rk"))
+    val joined = base
+      .join(g, "doc_id").join(r, "doc_id")
+      .join(buckets.select(col("doc_id"), col("bucket")), "doc_id")
+      .withColumn("__key",
+        md5(regexp_replace(trim(lower(col("__text"))), "\\s+", " ").cast("binary")))
+    val canon = joined.where(col("__gk") && col("__rk"))
+      .groupBy("__key").agg(min("doc_id").as("__cid"))
+    val kept = col("__gk") && col("__rk") && col("doc_id") === col("__cid")
+    val fin = kept && col("bucket") =!= "tail"
+    joined.join(canon, Seq("__key"), "left").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__gk"), 1L).otherwise(0L)).as("n_gopher"),
+      sum(when(col("__gk") && col("__rk"), 1L).otherwise(0L)).as("n_rules"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_dedup"),
+      sum(when(fin, 1L).otherwise(0L)).as("n_final"),
+      sum(when(fin, col("doc_id")).otherwise(0L)).as("final_id_sum"))
+  }
 }
