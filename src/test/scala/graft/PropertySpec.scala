@@ -137,4 +137,84 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(byLang("l0") / 500.0 - 0.3) < 0.07)
     assert(math.abs(byLang("l1") / 500.0 - 0.7) < 0.07)
   }
+  test("luhn: synthesized check digits always validate; any single-digit flip fails") {
+    val rnd = new Random(7)
+    val cards = (1 to 40).map { _ =>
+      val body = (1 to 15).map(_ => rnd.nextInt(10)).mkString
+      // standard check-digit construction over the 15-digit body
+      val digits = body.reverse.map(_ - '0')
+      val sum = digits.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      body + ((10 - sum % 10) % 10).toString
+    }
+    val df = cards.zipWithIndex.map { case (c, i) => (i.toLong, s"pay $c now") }
+      .toDF("doc_id", "text")
+    val ok = graft.analytics.TextAnalysis.cardPiiFeatures(df, col("doc_id"), col("text"))
+      .agg(sum(col("n_valid_cards"))).as[Long].collect()(0)
+    assert(ok === 40L)
+    // flip one digit of each card (never the one that makes it identical)
+    val broken = cards.zipWithIndex.map { case (c, i) =>
+      val pos = i % 16
+      val d = c(pos) - '0'
+      (i.toLong, s"pay ${c.updated(pos, (('0' + (d + 1) % 10)).toChar)} now")
+    }.toDF("doc_id", "text")
+    val bad = graft.analytics.TextAnalysis.cardPiiFeatures(broken, col("doc_id"), col("text"))
+      .agg(sum(col("n_valid_cards"))).as[Long].collect()(0)
+    assert(bad === 0L)
+  }
+
+  test("throttler: tokens never exceed burst or go negative; expired never debits") {
+    val rnd = new Random(11)
+    val reqs = (0 until 600).map { i =>
+      (rnd.nextInt(3), i.toLong, 1000L + i * rnd.nextInt(3), 50L + rnd.nextInt(4000))
+    }.toDF("shard", "seq", "ts_ms", "bytes")
+    val got = graft.log.CloudTopics.throttleWrites(reqs, col("shard"), col("seq"),
+        col("ts_ms"), col("bytes"), ratePerMs = 200L, burst = 2000L, timeoutMs = 8L)
+      .collect()
+    got.foreach { r =>
+      val tokens = r.getAs[Long]("tokens_after")
+      assert(tokens >= 0L && tokens <= 2000L, r.toString)
+      val action = r.getAs[String]("action")
+      assert(Set("pass", "throttled", "expired")(action))
+      if (action == "pass") assert(r.getAs[Long]("wait_ms") === 0L)
+    }
+  }
+
+  test("repetition signals: count-weighted fractions stay within [0, 1]") {
+    val rnd = new Random(13)
+    val docs = (0 until 60).map { i =>
+      val words = (0 until 5 + rnd.nextInt(60)).map(_ => s"w${rnd.nextInt(12)}")
+      (i.toLong, words.grouped(7).map(_.mkString(" ")).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis.repetitionSignals(
+      docs, col("doc_id"), col("text")).collect()
+    got.foreach { r =>
+      Seq("dup_line_frac_r", "dup_para_frac_r").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+  }
+
+  test("token budget: the plan reconstructs the target exactly") {
+    val rnd = new Random(17)
+    val docs = (0 until 400).map(i => (s"s${i % 6}", 10L + rnd.nextInt(500)))
+      .toDF("source", "n_tok")
+    val weights = (0 until 6).map(i => (s"s$i", 1000L * (1 + i))).toDF("source", "weight_ppm")
+    val plan = graft.analytics.Sampling.tokenBudgetPlan(docs, col("source"),
+        col("n_tok"), weights, budgetTokens = 500000L).collect()
+    plan.foreach { r =>
+      val avail = r.getAs[Long]("tokens_available")
+      val target = r.getAs[Long]("tokens_target")
+      val epochs = r.getAs[Long]("n_full_epochs")
+      val remPpm = r.getAs[Long]("remainder_rate_ppm")
+      // epochs*avail plus the remainder-rate mass reconstructs the target
+      // to within the ppm floor (< avail/1e6 tokens of rounding)
+      val reconstructed = epochs * avail + remPpm * avail / 1000000L
+      assert(reconstructed <= target, r.toString)
+      assert(target - reconstructed <= avail / 1000000L + 1, r.toString)
+      assert(remPpm >= 0 && remPpm < 1000000L)
+    }
+  }
 }
