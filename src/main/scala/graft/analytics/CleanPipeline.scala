@@ -95,11 +95,15 @@ object CleanPipeline {
       .join(buckets.select(col("doc_id"), col("bucket")), "doc_id")
       .withColumn("__key",
         md5(regexp_replace(trim(lower(col("__text"))), "\\s+", " ").cast("binary")))
-    val canon = joined.where(col("__gk") && col("__rk"))
-      .groupBy("__key").agg(min("doc_id").as("__cid"))
+    // canonical id per text key via an unordered key-partitioned window —
+    // ONE pass over the composed tree (a self-join against an aggregate
+    // of the same tree would evaluate the batteries twice)
+    val keyW = org.apache.spark.sql.expressions.Window.partitionBy("__key")
+    val withCanon = joined.withColumn("__cid",
+      min(when(col("__gk") && col("__rk"), col("doc_id"))).over(keyW))
     val kept = col("__gk") && col("__rk") && col("doc_id") === col("__cid")
     val fin = kept && col("bucket") =!= "tail"
-    joined.join(canon, Seq("__key"), "left").agg(
+    withCanon.agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("__gk"), 1L).otherwise(0L)).as("n_gopher"),
       sum(when(col("__gk") && col("__rk"), 1L).otherwise(0L)).as("n_rules"),
