@@ -2911,6 +2911,18 @@ object SparkEntry {
           scrubObjectsFx(s, dir), scrubSpilloverFx(s), maxSegments = 100)
         .orderBy("partition")),
 
+    "s2_read_distribution" -> ((s, dir) => {
+      // Read-distribution probe (read_distribution_probe.h): every log
+      // offset fetched at a fixed "now" (2024-02-01Z) records its data
+      // age in the 16-bucket log2 minutes histogram (first bound 4 min)
+      // — the figure that sizes the hot tail vs the tiered cold store.
+      val lg = eventLog(s, dir).select(col("partition"), col("offset"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val fetches = lg.select(col("partition"), col("offset"),
+        lit(1706745600000L).as("fetch_ts_ms"))
+      RecordLog.readDistribution(fetches, lg).orderBy("bucket")
+    }),
+
     "s4_topic_recovery" -> ((s, dir) => {
       // Topic recovery (cluster/partition_recovery_manager.cc): rebuild
       // each partition from its uploaded manifest under both retention
@@ -6476,6 +6488,20 @@ object SparkEntry {
     "ct_throttler" -> ThrottlerOracle,
 
     "ct_throttler_stream" -> ThrottlerOracle,
+
+    "s2_read_distribution" ->
+      s"""$LogCte,
+         | lts AS (SELECT partition, "offset", epoch_ms(ts) AS ts_ms FROM log),
+         | fch AS (SELECT partition, "offset", CAST(1706745600000 AS BIGINT) AS fts FROM lts),
+         | jn AS (SELECT greatest(0, f.fts - l.ts_ms) // 60000 AS age_min
+         |        FROM fch f JOIN lts l USING (partition, "offset")),
+         | bk AS (SELECT CASE WHEN age_min < 4 THEN 0
+         |          ELSE least(15, CAST(length(bin(age_min)) - 2 AS INTEGER)) END AS bucket
+         |        FROM jn)
+         |SELECT bucket,
+         |  CASE WHEN bucket < 15 THEN CAST(1 AS BIGINT) << (bucket + 2) END AS upper_min,
+         |  CAST(count(*) AS BIGINT) AS n_reads
+         |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "s4_topic_recovery" ->
       s"""$LogCte,

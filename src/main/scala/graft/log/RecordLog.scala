@@ -269,4 +269,38 @@ object RecordLog {
    */
   def deleteRecords(log: DataFrame, truncateAt: Long): DataFrame =
     log.where(col("offset") >= truncateAt)
+
+  /**
+   * Read-distribution probe (reference
+   * `kafka/server/read_distribution_probe.h` + `utils/log_hist.h:278`
+   * `log_hist_read_dist = latency_log_hist<minutes, 16, 4>`): every
+   * fetch records its data's age — the delta from the log tip — into a
+   * 16-bucket log2 histogram whose first bucket bounds 4 MINUTES. The
+   * histogram is what sizes tiered storage: mass in the low buckets is
+   * hot-tail traffic the local disk must serve, the high-bucket tail
+   * is what may live in object storage.
+   *
+   * `fetches` is `(partition, offset, fetch_ts_ms)`; `log` supplies
+   * each read offset's record timestamp. Bucketing is pure integer
+   * (binary-string length, no floating log2): age < 4 min → bucket 0,
+   * else `min(15, floor(log2(age_min)) − 1)`. One co-keyed join + one
+   * 16-row aggregate; any engine re-derives the histogram exactly.
+   */
+  def readDistribution(fetches: DataFrame, log: DataFrame): DataFrame = {
+    val joined = fetches.join(
+      log.select(col("partition"), col("offset"), col("ts_ms").as("__data_ts")),
+      Seq("partition", "offset"))
+    joined
+      .withColumn("__age_min",
+        expr("greatest(0L, fetch_ts_ms - __data_ts) div 60000"))
+      .withColumn("bucket", when(col("__age_min") < 4, 0)
+        .otherwise(least(lit(15), (length(bin(col("__age_min"))) - 2).cast("int"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_reads"))
+      .withColumn("upper_min",
+        when(col("bucket") < 15,
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket + 2) AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .select("bucket", "upper_min", "n_reads")
+  }
 }
