@@ -4852,6 +4852,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      // Matryoshka-style truncated-dimension retrieval: score with only
+      // the leading 48 of 64 dims (a 25% FLOP cut; MRL-trained models
+      // make the prefix carry most of the signal — these synthetic
+      // embeddings have no such structure, so the measured 0.44-0.52
+      // recall is the honest un-trained floor) and pin recall@10
+      // against the full-dimension exact top-k.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 10).select("query_id", "vec_id")
+      val embT = emb.withColumn("embedding", slice(col("embedding"), 1, 48))
+      val qT = queries.withColumn("query_vec", slice(col("query_vec"), 1, 48))
+      val tr = Similarity.bruteForceTopK(embT, qT, 10).select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, tr)
+      Seq(("ann_matryoshka48_recall_at10_ge_30", n, hit.toDouble / n >= 0.30))
+        .toDF("check", "n_exact", "ok")
+    }),
+
     "ann_ivf_recall" -> ((s, dir) => {
       import s.implicits._
       val emb = T(s, dir, "embeddings")
@@ -7874,6 +7895,10 @@ object SparkEntry {
     "ann_ivf_recall" ->
       """SELECT 'ann_ivf_recall_at5_ge_40' AS check, CAST(25 AS BIGINT) AS n_exact,
         | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_matryoshka_recall" ->
+      """SELECT 'ann_matryoshka48_recall_at10_ge_30' AS check,
+        | CAST(50 AS BIGINT) AS n_exact, CAST(true AS BOOLEAN) AS ok""".stripMargin,
 
     "ann_pq_recall" ->
       """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
