@@ -2887,7 +2887,7 @@ object SparkEntry {
         inDir.toString, reqs.schema, maxFilesPerTrigger = Some(1)).stream(s)
       graft.log.CloudTopics.throttleWritesStream(stream, s"$out/data",
         s"$out/ckpt", ratePerMs = 300L, burst = 3000L, timeoutMs = 6L)
-      s.read.parquet(s"$out/data").orderBy("seq")
+      s.read.parquet(s"$out/data").drop("batch").orderBy("seq")
     }),
 
     "ct_scrub_anomalies" -> ((s, dir) =>

@@ -279,8 +279,10 @@ object CloudTopics {
     val q = decisions.toDF().writeStream.outputMode("update")
       .option("checkpointLocation", ckptPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(dataPath)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // idempotent per-batch sink: a retried micro-batch overwrites its
+        // own directory instead of appending duplicates
+        b.write.mode("overwrite").parquet(s"$dataPath/batch=$id")
       }
       .start()
     q.awaitTermination()
