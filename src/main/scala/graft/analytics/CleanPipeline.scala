@@ -90,9 +90,13 @@ object CleanPipeline {
       .select(col("doc_id"), col("keep").as("__gk"))
     val r = TextAnalysis.repetitionSignals(base, col("doc_id"), col("__text"))
       .select(col("doc_id"), col("keep").as("__rk"))
+    // the bucket table is tiny ((doc_id, bucket) rows) but its lineage —
+    // LM training + two-phase rank — is not; materialize it once so the
+    // funnel's plan cannot re-derive the model per consumer
+    val bk = buckets.select(col("doc_id"), col("bucket")).localCheckpoint(true)
     val joined = base
       .join(g, "doc_id").join(r, "doc_id")
-      .join(buckets.select(col("doc_id"), col("bucket")), "doc_id")
+      .join(bk, "doc_id")
       .withColumn("__key",
         md5(regexp_replace(trim(lower(col("__text"))), "\\s+", " ").cast("binary")))
     // canonical id per text key via an unordered key-partitioned window —
