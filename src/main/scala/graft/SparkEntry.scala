@@ -517,6 +517,31 @@ object SparkEntry {
     inDir.toString
   }
 
+  /** First .parquet part file in a directory — closes the listing
+    * stream (an unclosed Files.list leaks a file handle per call). */
+  private def firstParquetPart(dir: java.nio.file.Path): java.nio.file.Path = {
+    val st = java.nio.file.Files.list(dir)
+    try st.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally st.close()
+  }
+
+  /** Recursive delete (files before parents). */
+  private def deleteDirTree(dir: java.nio.file.Path): Unit = {
+    val st = java.nio.file.Files.walk(dir)
+    val paths = try st.iterator().asScala.toSeq finally st.close()
+    paths.reverse.foreach(p =>
+      try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+  }
+
+  /** Register a temp dir tree for JVM-exit cleanup (fixture dirs that
+    * must outlive the lazy DataFrames reading from them). */
+  private def cleanupOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteDirTree(dir) catch { case _: Throwable => () }))
+    dir
+  }
+
   /** Partition count of the canonical events topic (the oracle CTEs
     * replicate `user_id % EventPartitions`). */
   private val EventPartitions = 8
@@ -711,6 +736,46 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  private val txnExpiryStore = scala.collection.concurrent.TrieMap[String, String]()
+
+  /**
+   * The expiry-sweep scenario (`tx_gateway_frontend.h:263-265`
+   * `expire_old_txs` / `tm_stm.h:317` `expire_tx`), built once per scale
+   * dir. Producers with `user_id % 4 == 0` CRASH at half the arrival
+   * span (their later records never arrive), so their trailing open txns
+   * hang; everyone else produces to the end. The coordinator sweeps at
+   * `maxArr + 3` with `transaction.timeout` = `maxArr / 4` in arrival
+   * units: the crashed producers' txns (idle since ≤ maxArr/2) expire,
+   * recently-active opens stay. Every still-open txn with `pid % 3 == 0`
+   * then attempts a late commit at `maxArr + 8`: fresh txns commit,
+   * expired ones fence with `invalid_producer_epoch`. Materializes the
+   * post-sweep marker log plus the tiny expired / fenced key tables.
+   */
+  private def txnExpiryFixture(s: SparkSession, dir: String): String =
+    txnExpiryStore.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_txnexp").toString
+      val data0 = txnData(s, dir)
+      val maxArr = data0.agg(max("arrival")).head.getLong(0)
+      val data = data0.where(
+        !(pmod(col("user_id"), lit(4)) === 0 && col("arrival") > lit(maxArr / 2)))
+      val sweep = maxArr + 3
+      val timeout = maxArr / 4
+      val lateAttempts = data.groupBy("pid", "txn_seq")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") < TxnSize && pmod(col("pid"), lit(3)) === 0)
+        .select(col("pid"), col("txn_seq"),
+          lit("commit").as("decision"), lit(sweep + 5).as("arrival"))
+      val allEnds = txnEnds(data)
+        .select("pid", "txn_seq", "decision", "arrival")
+        .unionByName(lateAttempts)
+      val (applied, rejected) = TxnEngine.expireSweep(data, allEnds, timeout, sweep)
+      TxnEngine.interleaveMarkers(data, applied).write.parquet(s"$tmp/log")
+      rejected.select("pid", "txn_seq").write.parquet(s"$tmp/rejected")
+      TxnEngine.expiredTransactions(data, allEnds, timeout, sweep)
+        .select("pid", "txn_seq").write.parquet(s"$tmp/expired")
+      tmp
+    })
 
   // -------------------------------------------- fetch-session scenario
 
@@ -987,6 +1052,53 @@ object SparkEntry {
       |  SELECT partition, pid, txn_seq, is_control, batch_type, decision, event_id, user_id, event_type, value,
       |         CAST(row_number() OVER (PARTITION BY partition ORDER BY arr, slot, pid, txn_seq) - 1 AS BIGINT) AS "offset"
       |  FROM lg)""".stripMargin
+
+  /**
+   * [[TxnCte]]'s `d` re-chunked for the expiry-sweep replay
+   * ([[txnExpiryFixture]]): `d2` = the record stream with the pid%4
+   * producers crashing at half the span, `tx2`/`open_tx` its per-txn
+   * state, `exp` = opens idle past the timeout at sweep time, `late` =
+   * the pid%3 late-commit attempts, `lg2` = the marker log with
+   * coordinator expiry aborts (at maxarr+3) and the non-fenced late
+   * commits (at maxarr+8) interleaved, `ofs2` = dense offsets over it.
+   */
+  private val TxnExpiryCte =
+    s"""$TxnCte,
+      | mx AS (SELECT max(arr) AS maxarr FROM d),
+      | d2 AS (SELECT d.* FROM d, mx
+      |        WHERE NOT (d.user_id % 4 = 0 AND d.arr > mx.maxarr // 2)),
+      | tx2 AS (
+      |  SELECT pid, txn_seq, min(partition) AS partition, count(*) AS n,
+      |         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err,
+      |         min(arr) AS first_arr, max(arr) AS last_arr
+      |  FROM d2 GROUP BY 1, 2),
+      | open_tx AS (SELECT pid, txn_seq, partition, last_arr FROM tx2 WHERE n < $TxnSize),
+      | exp AS (
+      |  SELECT o.pid, o.txn_seq FROM open_tx o, mx
+      |  WHERE o.last_arr + (mx.maxarr // 4) < mx.maxarr + 3),
+      | late AS (SELECT o.pid, o.txn_seq FROM open_tx o WHERE o.pid % 3 = 0),
+      | lg2 AS (
+      |  SELECT partition, arr, 1 AS slot, pid, txn_seq, FALSE AS is_control, 1 AS batch_type,
+      |         CAST(NULL AS VARCHAR) AS decision, event_id, user_id, event_type, value FROM d2
+      |  UNION ALL
+      |  SELECT partition, first_arr, 0, pid, txn_seq, FALSE, 10, NULL, NULL, NULL, NULL, NULL FROM tx2
+      |  UNION ALL
+      |  SELECT partition, last_arr + 1, 2, pid, txn_seq, TRUE, 1,
+      |         CASE WHEN has_err = 1 THEN 'abort' ELSE 'commit' END, NULL, NULL, NULL, NULL
+      |  FROM tx2 WHERE n = $TxnSize
+      |  UNION ALL
+      |  SELECT t.partition, mx.maxarr + 3, 2, t.pid, t.txn_seq, TRUE, 1, 'abort',
+      |         NULL, NULL, NULL, NULL
+      |  FROM tx2 t JOIN exp e ON t.pid = e.pid AND t.txn_seq = e.txn_seq, mx
+      |  UNION ALL
+      |  SELECT t.partition, mx.maxarr + 8, 2, t.pid, t.txn_seq, TRUE, 1, 'commit',
+      |         NULL, NULL, NULL, NULL
+      |  FROM tx2 t JOIN late l ON t.pid = l.pid AND t.txn_seq = l.txn_seq, mx
+      |  WHERE NOT EXISTS (SELECT 1 FROM exp e WHERE e.pid = t.pid AND e.txn_seq = t.txn_seq)),
+      | ofs2 AS (
+      |  SELECT partition, pid, txn_seq, is_control, batch_type, decision, event_id, user_id, event_type, value,
+      |         CAST(row_number() OVER (PARTITION BY partition ORDER BY arr, slot, pid, txn_seq) - 1 AS BIGINT) AS "offset"
+      |  FROM lg2)""".stripMargin
 
   // SQL fragment shared by log-shaped oracles.
   private val LogCte =
@@ -2870,19 +2982,18 @@ object SparkEntry {
       import java.nio.file.{Files, Paths}
       import java.nio.file.attribute.FileTime
       val reqs = throttlerReqs(s, dir)
-      val inDir = Files.createTempDirectory("graft_thr_in")
+      val inDir = cleanupOnExit(Files.createTempDirectory("graft_thr_in"))
       Seq((col("seq") < 1500, "batch0", 1700000000000L),
           (col("seq") >= 1500, "batch1", 1700000001000L)).foreach {
         case (cond, name, mtime) =>
           val tmp = Files.createTempDirectory("graft_thr_half")
           reqs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).next()
           val dst = inDir.resolve(s"$name.parquet")
-          Files.copy(part, dst)
+          Files.copy(firstParquetPart(tmp), dst)
           Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+          deleteDirTree(tmp) // the staging half is fully copied out
       }
-      val out = Files.createTempDirectory("graft_thr_out").toString
+      val out = cleanupOnExit(Files.createTempDirectory("graft_thr_out")).toString
       val stream = graft.streaming.Transforms.PathInput(
         inDir.toString, reqs.schema, maxFilesPerTrigger = Some(1)).stream(s)
       graft.log.CloudTopics.throttleWritesStream(stream, s"$out/data",
@@ -3409,6 +3520,30 @@ object SparkEntry {
 
     "t4_last_stable_offset" -> ((s, dir) =>
       TxnEngine.lastStableOffsets(txnLog(s, dir)).orderBy("partition")),
+
+    // Coordinator expiry sweep (tx_gateway_frontend.h:263 expire_old_txs /
+    // tm_stm.h:317 expire_tx): hung txns get coordinator abort markers,
+    // late commits from their fenced producers are rejected, fresh late
+    // commits apply. One row per txn with its post-sweep state.
+    "t2_tx_expiry" -> ((s, dir) => {
+      val fix = txnExpiryFixture(s, dir)
+      val expired = s.read.parquet(s"$fix/expired").withColumn("expired", lit(true))
+      val fenced = s.read.parquet(s"$fix/rejected").withColumn("fenced", lit(true))
+      TxnEngine.listTransactions(s.read.parquet(s"$fix/log"))
+        .join(expired, Seq("pid", "txn_seq"), "left")
+        .join(fenced, Seq("pid", "txn_seq"), "left")
+        .select(col("pid"), col("txn_seq"), col("state"),
+          coalesce(col("expired"), lit(false)).as("expired"),
+          coalesce(col("fenced"), lit(false)).as("fenced"),
+          col("n_partitions"), col("n_records"), col("min_first_offset"))
+        .orderBy("pid", "txn_seq")
+    }),
+
+    // LSO recomputed over the post-sweep log: partitions whose only open
+    // txns expired advance to the HWM — the observable point of the sweep.
+    "t4_lso_after_expiry" -> ((s, dir) =>
+      TxnEngine.lastStableOffsets(s.read.parquet(s"${txnExpiryFixture(s, dir)}/log"))
+        .orderBy("partition")),
 
     "a3_txn_compaction" -> ((s, dir) =>
       TxnEngine.compactCommitted(txnLog(s, dir), Seq("partition", "user_id"))
@@ -4222,9 +4357,10 @@ object SparkEntry {
 
     "d6_iceberg_orphans" -> ((s, dir) => {
       // Orphan-file cleanup: plant three unreachable files under the
-      // table location; an age-guarded run (olderThan=0) removes
-      // nothing, the real run removes exactly the plants, and the
-      // table still reads every committed row afterwards.
+      // table location; the DEFAULT (3-day guard) run removes nothing
+      // because the plants are fresh — the age guard doing its job —
+      // then an explicit-cutoff run removes exactly the plants, and
+      // the table still reads every committed row afterwards.
       import s.implicits._
       val t = java.nio.file.Files.createTempDirectory("graft_iceorph").toString + "/t"
       val ev = events(s, dir).where(col("event_id") < 2000)
@@ -4236,9 +4372,9 @@ object SparkEntry {
           java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/$rel"),
             "orphan".getBytes)
         }
-      val guarded = graft.streaming.IcebergFormat
-        .removeOrphanFiles(s, t, olderThanMs = 0L)
-      val removed = graft.streaming.IcebergFormat.removeOrphanFiles(s, t)
+      val guarded = graft.streaming.IcebergFormat.removeOrphanFiles(s, t)
+      val removed = graft.streaming.IcebergFormat
+        .removeOrphanFiles(s, t, olderThanMs = Long.MaxValue)
       val nRows = graft.streaming.IcebergFormat.readTable(s, t).count()
       Seq((guarded.size, removed.mkString(","), nRows))
         .toDF("n_guarded", "removed", "n_rows")
@@ -6552,7 +6688,8 @@ object SparkEntry {
          |  SELECT partition, 'size' AS policy, min(base_offset) AS start_offset,
          |    max(committed_offset) AS last_offset, CAST(count(*) AS BIGINT) AS n_segments,
          |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-         |    CAST(COALESCE(min(delta_offset), 0) AS BIGINT) AS start_delta,
+         |    CAST(COALESCE(min_by(delta_offset, base_offset)
+         |      FILTER (WHERE delta_offset IS NOT NULL), 0) AS BIGINT) AS start_delta,
          |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc + 1 <> base_offset THEN 1 ELSE 0 END)
          |      AS BIGINT) = 0 AS clean_download
          |  FROM gsz GROUP BY 1),
@@ -6560,7 +6697,8 @@ object SparkEntry {
          |  SELECT partition, 'time' AS policy, min(base_offset) AS start_offset,
          |    max(committed_offset) AS last_offset, CAST(count(*) AS BIGINT) AS n_segments,
          |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-         |    CAST(COALESCE(min(delta_offset), 0) AS BIGINT) AS start_delta,
+         |    CAST(COALESCE(min_by(delta_offset, base_offset)
+         |      FILTER (WHERE delta_offset IS NOT NULL), 0) AS BIGINT) AS start_delta,
          |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc + 1 <> base_offset THEN 1 ELSE 0 END)
          |      AS BIGINT) = 0 AS clean_download
          |  FROM gtm GROUP BY 1)
@@ -7131,6 +7269,37 @@ object SparkEntry {
          |     WHERE a.partition = o.partition AND a.pid = o.pid
          |       AND o."offset" BETWEEN a.first AND a.last)
          | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t2_tx_expiry" ->
+      s"""$TxnExpiryCte,
+         | st AS (
+         |  SELECT o.pid, o.txn_seq, CAST(count(DISTINCT o.partition) AS BIGINT) AS n_partitions,
+         |         count(*) AS n_records, min(o."offset") AS min_first_offset
+         |  FROM ofs2 o WHERE NOT o.is_control AND o.batch_type = 1
+         |  GROUP BY 1, 2),
+         | ended AS (SELECT DISTINCT pid, txn_seq, decision FROM ofs2 WHERE is_control)
+         | SELECT s.pid, s.txn_seq,
+         |        CASE WHEN e.decision = 'commit' THEN 'CompleteCommit'
+         |             WHEN e.decision = 'abort' THEN 'CompleteAbort'
+         |             ELSE 'Ongoing' END AS state,
+         |        EXISTS (SELECT 1 FROM exp x WHERE x.pid = s.pid AND x.txn_seq = s.txn_seq) AS expired,
+         |        EXISTS (SELECT 1 FROM late l JOIN exp x ON l.pid = x.pid AND l.txn_seq = x.txn_seq
+         |                WHERE l.pid = s.pid AND l.txn_seq = s.txn_seq) AS fenced,
+         |        s.n_partitions, s.n_records, s.min_first_offset
+         | FROM st s LEFT JOIN ended e ON s.pid = e.pid AND s.txn_seq = e.txn_seq
+         | ORDER BY 1, 2""".stripMargin,
+
+    "t4_lso_after_expiry" ->
+      s"""$TxnExpiryCte,
+         | open2 AS (
+         |  SELECT o.partition, min(o."offset") AS open_min FROM ofs2 o
+         |  WHERE NOT o.is_control AND NOT EXISTS (
+         |    SELECT 1 FROM ofs2 m WHERE m.is_control
+         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
+         |  GROUP BY 1),
+         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs2 GROUP BY 1)
+         | SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
+         | FROM hw h LEFT JOIN open2 o ON h.partition = o.partition ORDER BY 1""".stripMargin,
 
     "t4_last_stable_offset" ->
       s"""$TxnCte,
@@ -8328,10 +8497,16 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 50),
         | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM sdocs),
         | base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+        | th AS (
+        |  SELECT doc_id, n_tokens,
+        |    list_transform(t, s ->
+        |      CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT)) AS v
+        |  FROM base WHERE n_tokens >= 20),
         | grams AS (
-        |  SELECT doc_id, p, md5(array_to_string(t[p + 1:p + 20], ' ')) AS h
-        |  FROM base, unnest(range(0, n_tokens - 20 + 1)) u(p)
-        |  WHERE n_tokens >= 20),
+        |  SELECT doc_id, p,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
+        |      (acc, x) -> (acc * 131 + x) % 36028797018963913) AS h
+        |  FROM th, unnest(range(0, n_tokens - 20 + 1)) u(p)),
         | dh AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         | marked AS (SELECT g.doc_id, g.p, g.p + 19 AS pe FROM grams g JOIN dh USING (h)),
         | regs AS (

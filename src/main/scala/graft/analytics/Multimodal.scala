@@ -134,7 +134,14 @@ object Multimodal {
           val marker = u8(i + 1)
           if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
             return ("jpeg", be16(i + 7), be16(i + 5), u8(i + 4))
-          i += 2 + be16(i + 2)
+          // Standalone markers carry NO length field: TEM (0x01),
+          // RST0-7 (0xD0-0xD7), EOI (0xD9) — and 0xFF fill bytes before
+          // a marker are legal padding. Reading a 2-byte length there
+          // would misparse adjacent bytes as a segment size.
+          if (marker == 0xff) i += 1
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+          else if (marker == 0xd9) return ("jpeg_nosof", 0, 0, 0) // EOI before SOF
+          else i += 2 + be16(i + 2)
         }
         ("jpeg_nosof", 0, 0, 0)
       } else ("unknown", 0, 0, 0)

@@ -469,9 +469,16 @@ object TextAnalysis {
    * Scale shape: one posexplode (constant factor k in output width,
    * linear in corpus tokens), one hash-group for the duplicate-hash
    * set, a semi-join back, and per-DOC windows for the interval merge
-   * (never a global window). The hash is md5 so the DuckDB oracle
-   * reproduces it bit-exactly.
+   * (never a global window). Window hashing is ONE md5-prefix per
+   * TOKEN followed by a base-[[SpanHashBase]] polynomial fold mod the
+   * 55-bit prime [[SpanHashMod]] per window — pure integer arithmetic
+   * (every intermediate < 2^63, so the DuckDB oracle reproduces it
+   * bit-exactly without overflow), ~k× fewer hashed bytes than
+   * hashing each window's concatenated text.
    */
+  val SpanHashBase = 131L
+  val SpanHashMod = 36028797018963913L // 2^55 - 55, prime
+
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int): DataFrame = {
     require(k > 1, "span length must exceed one token")
@@ -479,9 +486,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
     val grams = base
       .where(col("n_tokens") >= k)
+      .withColumn("__th", transform(col("__toks"),
+        t => conv(substring(md5(encode(t, "UTF-8")), 1, 8), 16, 10).cast("long")))
       .select(col("doc_id"), col("n_tokens"),
         posexplode(transform(sequence(lit(0), col("n_tokens") - k),
-          i => md5(encode(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))), "UTF-8")))))
+          i => aggregate(slice(col("__th"), i + 1, lit(k)), lit(0L),
+            (acc, t) => (acc * SpanHashBase + t) % SpanHashMod))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct("doc_id").as("__docs"))

@@ -33,6 +33,11 @@ import graft.model.BatchType
  */
 object TxnEngine {
 
+  /** Below this row count [[initProducerIds]] takes the single-partition
+    * rank instead of the chunked two-phase path (see
+    * `Dedup.DriverUnionFindMaxEdges` for the same gate shape). */
+  val SmallProducerTableMaxRows = 1L << 20
+
   /**
    * T1 init_producer_id: allocate dense producer ids to producer
    * identities, deterministically (allocation order = identity order —
@@ -40,7 +45,16 @@ object TxnEngine {
    * `cluster/id_allocator_stm.cc`). Returns `producers` with a `pid`
    * column. The input must be one row per producer identity.
    */
-  def initProducerIds(producers: DataFrame, identityCol: Column, base: Long = 0L): DataFrame = {
+  def initProducerIds(
+      producers: DataFrame, identityCol: Column, base: Long = 0L,
+      smallInputMaxRows: Long = SmallProducerTableMaxRows): DataFrame = {
+    // Producer-identity tables are control-plane-sized in practice (one row
+    // per transactional.id), so below the gate a single-partition rank is
+    // both correct and cheaper than three shuffles — the same size-gated
+    // two-path shape as Dedup.connectedComponents/DriverUnionFindMaxEdges.
+    if (smallInputMaxRows > 0 && producers.count() <= smallInputMaxRows)
+      return producers.withColumn("pid",
+        row_number().over(Window.orderBy(identityCol)).cast("long") - 1 + base)
     // Two-phase dense rank (the same shape as RecordLog.assignOffsetsScalable
     // and Sampling.epochShuffle): range-partition by identity so partition i
     // holds only identities ordered before partition i+1's, rank inside each
@@ -117,6 +131,62 @@ object TxnEngine {
         arrivalCol = struct(col("arrival"), col("_slot"), col("pid"), col("txn_seq")),
         chunkCol = floor(col("arrival") / 4096))
       .drop("_slot")
+  }
+
+  /**
+   * Transactions the coordinator's expiry sweep would abort: open at
+   * `sweepArrival` (data seen, no end command applied by then) and idle
+   * longer than `timeoutArrival` — `tm_stm::is_expired`
+   * (`cluster/tm_stm.cc:751-754`: `last_update_ts + expiration < now`) as
+   * consumed by `tx_gateway_frontend::expire_old_txs`
+   * (`cluster/tx_gateway_frontend.h:263-265`). All times are in the
+   * engine's arrival domain. The result — (pid, txn_seq, last_update,
+   * expired_at) — is control-plane-sized (one row per hung txn).
+   */
+  def expiredTransactions(
+      data: DataFrame, ends: DataFrame,
+      timeoutArrival: Long, sweepArrival: Long): DataFrame = {
+    val ended = ends.where(col("arrival") <= sweepArrival)
+      .select("pid", "txn_seq").distinct()
+    data.where(col("arrival") <= sweepArrival)
+      .groupBy("pid", "txn_seq")
+      .agg(max("arrival").as("last_update"))
+      .join(ended, Seq("pid", "txn_seq"), "left_anti")
+      .where(col("last_update") + timeoutArrival < lit(sweepArrival))
+      .withColumn("expired_at", lit(sweepArrival))
+  }
+
+  /**
+   * The expiry sweep itself (`tm_stm::expire_tx`, `cluster/tm_stm.h:317`;
+   * `tx_gateway_frontend::do_expire_old_tx`): every expired transaction
+   * gets a coordinator-authored ABORT end command at the sweep time, and
+   * any end command the (now fenced) producer sends after the sweep is
+   * rejected with `invalid_producer_epoch` instead of being applied —
+   * the tail of a crashed producer can no longer resurrect its txn.
+   *
+   * Returns (effectiveEnds, rejected): feed `effectiveEnds` to
+   * [[interleaveMarkers]] to build the post-sweep log (the synthesized
+   * abort markers occupy offsets like any end marker, so the LSO advances
+   * past the hung txns — the whole point of the sweep); `rejected` is the
+   * fenced-command audit table. The expired set is tiny (hung txns only)
+   * and broadcasts against the end stream; no data-sized shuffle is added.
+   */
+  def expireSweep(
+      data: DataFrame, ends: DataFrame,
+      timeoutArrival: Long, sweepArrival: Long): (DataFrame, DataFrame) = {
+    val expired = expiredTransactions(data, ends, timeoutArrival, sweepArrival)
+    val keys = broadcast(expired.select("pid", "txn_seq"))
+    // An end command at arrival <= sweep would have kept the txn out of the
+    // expired set, so every end of an expired txn is by construction late —
+    // fenced, not applied.
+    val rejected = ends.join(keys, Seq("pid", "txn_seq"))
+      .withColumn("error", lit("invalid_producer_epoch"))
+    val synthesized = expired.select(col("pid"), col("txn_seq"),
+      lit("abort").as("decision"), col("expired_at").as("arrival"))
+    val applied = ends.join(keys, Seq("pid", "txn_seq"), "left_anti")
+      .select("pid", "txn_seq", "decision", "arrival")
+      .unionByName(synthesized)
+    (applied, rejected)
   }
 
   /**

@@ -1618,14 +1618,23 @@ object IcebergFormat {
    * is older than `olderThanMs` delete — the published safety
    * guard against racing an in-flight commit whose files are written
    * before its metadata publishes (exactly this repo's
-   * [[stageAppend]]/[[commitStaged]] window).
+   * [[stageAppend]]/[[commitStaged]] window). The DEFAULT is
+   * conservative — now minus [[OrphanDefaultGuardMs]] (3 days, the
+   * upstream Iceberg default) — so a default-parameter call can never
+   * delete a just-written in-flight file; pass an explicit cutoff to
+   * collect younger orphans deliberately.
    *
    * All metadata-side work is bounded (snapshots × manifests); the
    * listing is one recursive enumeration of the table prefix — the
    * same object-store LIST a production cleanup pays.
    */
+  val OrphanDefaultGuardMs: Long = 3L * 24 * 3600 * 1000
+
   def removeOrphanFiles(spark: SparkSession, table: String,
-      olderThanMs: Long = Long.MaxValue): Seq[String] = {
+      olderThanMs: Long = -1L): Seq[String] = {
+    val cutoffMs =
+      if (olderThanMs >= 0) olderThanMs
+      else System.currentTimeMillis() - OrphanDefaultGuardMs
     import spark.implicits._
     val fs = fsOf(spark, table)
     val v = currentVersion(fs, table).getOrElse(return Seq.empty)
@@ -1679,7 +1688,7 @@ object IcebergFormat {
         // hidden/marker files (_SUCCESS, .crc, _temporary) are writer
         // artifacts, not table content — never candidates
         !col("name").startsWith("_") && !col("name").startsWith(".") &&
-        col("mtime") < olderThanMs)
+        col("mtime") < cutoffMs)
       .select("path", "name").collect()
     orphans.foreach(r => fs.delete(new Path(r.getString(0)), false))
     orphans.map(_.getString(1)).sorted.toSeq

@@ -230,7 +230,10 @@ class PlanSpec extends SparkSpec {
 
   test("initProducerIds range-partitions identities — no global-window sort") {
     val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
-    val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))
+    // force the large-input path: the default size gate would route 1000
+    // rows to the single-partition rank (pinned separately below)
+    val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid"),
+      smallInputMaxRows = 0))
     // the identity rank runs inside range partitions with broadcast
     // prefix bases — never one single-partition window over the table
     assert(p.contains("rangepartitioning"), p)
@@ -239,6 +242,14 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty, p)
     windows.foreach(w =>
       assert(w.contains("__part"), s"window not partition-scoped: $w\n$p"))
+  }
+
+  test("initProducerIds small-input gate skips the chunked shuffles") {
+    val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
+    val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))
+    // control-plane-sized input: one rank, no range repartition, no join
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   // Every window in these two txn-path plans must be chunk-scoped: either

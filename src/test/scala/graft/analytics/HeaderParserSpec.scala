@@ -34,6 +34,23 @@ class HeaderParserSpec extends SparkSpec {
     assert(HeaderParser.parse(jpeg) === (("jpeg", 256, 42, 8)))
   }
 
+  test("jpeg walk handles length-less markers: TEM, RSTn, fill bytes, early EOI") {
+    // TEM and RST4 carry no length field; a 0xFF fill byte pads before
+    // a marker — none of these may be misread as segment lengths.
+    val jpeg = bytes(0xff, 0xd8) ++
+      bytes(0xff, 0x01) ++                         // TEM, standalone
+      bytes(0xff, 0xd4) ++                         // RST4, standalone
+      bytes(0xff, 0xff, 0xe0, 0x00, 0x04, 0, 0) ++ // fill byte + APP0 len 4
+      bytes(0xff, 0xc0, 0x00, 0x0b, 8,
+        0x00, 0x07,  // height 7
+        0x00, 0x15,  // width 21
+        1, 1, 0x11, 0)
+    assert(HeaderParser.parse(jpeg) === (("jpeg", 21, 7, 8)))
+    // EOI before any SOF: a headerless (but valid) stream, not corrupt
+    val eoiFirst = bytes(0xff, 0xd8, 0xff, 0xd9, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert(HeaderParser.parse(eoiFirst)._1 === "jpeg_nosof")
+  }
+
   test("corrupt jpeg (non-marker byte mid-walk) and unknown magic are flagged") {
     val corrupt = bytes(0xff, 0xd8, 0x00, 0x11, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     assert(HeaderParser.parse(corrupt)._1 === "jpeg_corrupt")

@@ -104,6 +104,50 @@ class TxnEngineSpec extends SparkSpec {
       (0L, 1L, "Ongoing", 1L, 1L, 9L)))
   }
 
+  test("expiry sweep aborts hung txns, fences their late commits, advances LSO") {
+    // txn C (pid 0, seq 1) idle since arr 7; txn D (pid 1, seq 1) still
+    // active at arr 18. Sweep at 20 with timeout 5: C expired (7+5 < 20),
+    // D fresh. Both producers then attempt late commits at arr 25.
+    val data = mkData().unionByName(
+      Seq((0, 18L, 1L, 0, 1L, "g")).toDF("partition", "arrival", "pid", "epoch", "txn_seq", "v"))
+    val allEnds = mkEnds().unionByName(
+      Seq((0L, 1L, "commit", 25L), (1L, 1L, "commit", 25L))
+        .toDF("pid", "txn_seq", "decision", "arrival"))
+    val exp = TxnEngine.expiredTransactions(data, allEnds, 5L, 20L)
+      .select("pid", "txn_seq", "last_update").as[(Long, Long, Long)].collect().toSet
+    assert(exp === Set((0L, 1L, 7L)))
+    val (applied, rejected) = TxnEngine.expireSweep(data, allEnds, 5L, 20L)
+    // C's producer is fenced: its late commit is rejected, not applied
+    assert(rejected.select("pid", "txn_seq", "error").as[(Long, Long, String)]
+      .collect().toSet === Set((0L, 1L, "invalid_producer_epoch")))
+    val log = TxnEngine.interleaveMarkers(data, applied)
+    // C carries a coordinator abort; D's late commit applied normally
+    val states = TxnEngine.listTransactions(log)
+      .select("pid", "txn_seq", "state").as[(Long, Long, String)].collect().toSet
+    assert(states === Set(
+      (0L, 0L, "CompleteCommit"), (1L, 0L, "CompleteAbort"),
+      (0L, 1L, "CompleteAbort"), (1L, 1L, "CompleteCommit")))
+    // nothing is open after the sweep: LSO = HWM everywhere, and
+    // read_committed no longer stalls behind the hung txn
+    val lso = TxnEngine.lastStableOffsets(log).as[(Int, Long)].collect().toMap
+    val hwm = log.groupBy("partition").agg((max("offset") + 1).as("hwm"))
+      .as[(Int, Long)].collect().toMap
+    assert(lso === hwm)
+    val visible = TxnEngine.readCommitted(log).select("v").as[String].collect().toSet
+    assert(visible === Set("a", "c", "g"))
+  }
+
+  test("initProducerIds: chunked large path matches the small-input gate") {
+    val producers = (0L until 500L).map(i => f"tx-${(i * 131) % 500}%04d")
+      .distinct.toDF("name")
+    val small = TxnEngine.initProducerIds(producers, col("name"))
+      .select("name", "pid").as[(String, Long)].collect().toSet
+    val large = TxnEngine.initProducerIds(producers, col("name"), smallInputMaxRows = 0)
+      .select("name", "pid").as[(String, Long)].collect().toSet
+    assert(small === large)
+    assert(small.map(_._2) === (0L until 500L).toSet)
+  }
+
   test("describe_producers reports last offset and open-txn start per partition") {
     val got = TxnEngine.describeProducers(mkLog())
       .as[(Int, Long, Int, Long, Long, Option[Long])].collect().toSet
