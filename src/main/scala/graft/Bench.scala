@@ -132,6 +132,10 @@ object Bench {
     }
     try {
       force(SparkEntry.fullLog(spark, warmDir))
+      // warm the plain-payload FETCH shape too (produce warms above;
+      // without this the small-row fetch-cold figure swings with JIT
+      // state left by whichever entries ran last)
+      force(SparkEntry.fullLog(spark, warmDir).where(col("offset") >= 0))
       for (_ <- 1 to 3) {
         force(SparkEntry.fullLog1k(spark, warmDir))
         force(SparkEntry.fullLog1k(spark, warmDir).where(col("offset") >= 0))

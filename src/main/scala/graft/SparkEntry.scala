@@ -596,6 +596,17 @@ object SparkEntry {
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     storedLog(s, dir).count()
     txnLog(s, dir).count()
+    // Every memoized per-scale-dir fixture store builds here too, so the
+    // FIRST entry to touch one (alphabetical order — which SHIFTS as
+    // rounds add entries) doesn't pay its construction inside its own
+    // timed run. All are build steps: deploy snapshots, codebook
+    // training, encoded-code tables, iceberg table commits, the
+    // expiry-swept txn log.
+    txnExpiryFixture(s, dir)
+    icebergTable(s, dir)
+    u2SnapshotPath(s, dir)
+    pqCodes(s, dir).count()
+    ivfPqCodes(s, dir).count()
   }
 
   /** [[fullLog]] with the payload column padded to 1 KiB — the OMB message
@@ -657,6 +668,17 @@ object SparkEntry {
   private val txnLogStore = scala.collection.concurrent.TrieMap[String, String]()
 
   private val u2SnapshotStore = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** u2 deploy-time snapshot materialized ONCE per scale dir (a deploy
+    * is a build step; re-benching the same entry must not re-write it). */
+  private def u2SnapshotPath(s: SparkSession, dir: String): String =
+    u2SnapshotStore.getOrElseUpdate(dir, {
+      val log = eventLog(s, dir).withColumnRenamed("ts", "timestamp")
+      val snapshot = log.where(col("offset") < lit(50) + col("partition") * 13)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_u2").toString
+      snapshot.write.parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
 
   private val icebergStore = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -1268,9 +1290,9 @@ object SparkEntry {
     * smp_ccnet_buckets oracles: trains the Laplace-smoothed model on
     * the 'en' slice and scores every document's integer-micro-unit
     * log-likelihood sum (mirrors TextAnalysis.bigramPerplexity). */
-  private val PerplexityLegs: String =
-    """tok AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+  private def perplexityLegs(corpus: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM $corpus),
       | rg AS (
       |  SELECT doc_id,
       |    CAST(CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS b2,
@@ -1288,18 +1310,20 @@ object SparkEntry {
       |               CAST(count(*) AS BIGINT) AS n_bigrams
       |        FROM sc GROUP BY 1)""".stripMargin
 
+  private val PerplexityLegs: String = perplexityLegs("documents")
+
   private val PerplexityCte: String = "WITH " + PerplexityLegs
 
-  /** CCNet bucket legs over [[PerplexityLegs]]: the exact integer
+  /** CCNet bucket legs over [[perplexityLegs]]: the exact integer
     * mean-NLL key and the equal-mass thirds rank (shared by the
-    * smp_ccnet_buckets oracle and the curation-funnel oracle). */
-  private val CcnetBucketLegs: String =
-    """ sc2 AS (
+    * smp_ccnet_buckets oracle and the curation-funnel oracles). */
+  private def ccnetBucketLegs(corpus: String): String =
+    s""" sc2 AS (
       |  SELECT d.doc_id,
       |    CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0
       |         THEN 9223372036854775807
       |         ELSE (-p.sum_logp_u) // p.n_bigrams END AS score_u
-      |  FROM documents d LEFT JOIN pd p USING (doc_id)),
+      |  FROM $corpus d LEFT JOIN pd p USING (doc_id)),
       | rk AS (
       |  SELECT doc_id, score_u,
       |    row_number() OVER (ORDER BY score_u, doc_id) - 1 AS r,
@@ -1310,6 +1334,8 @@ object SparkEntry {
       |    CASE CAST(r * 3 // n AS INTEGER)
       |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
       |  FROM rk)""".stripMargin
+
+  private val CcnetBucketLegs: String = ccnetBucketLegs("documents")
 
   private def gopherKeepExpr(minWords: Int = 50, minStopHits: Int = 2): String =
     s"n_words BETWEEN $minWords AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0" +
@@ -1861,6 +1887,27 @@ object SparkEntry {
           countDistinct("ts_ms").as("n_stamps"),
           min("ts_ms").as("min_ts_ms"), max("ts_ms").as("max_ts_ms"))
         .orderBy("topic", "partition")
+    }),
+
+    "s1_write_caching" -> ((s, dir) => {
+      // write_caching (metadata.h:548, ntp_config.h:273-301,
+      // consensus.cc:874): cached mode acks from memory — the HWM runs
+      // ahead of the durable offset until a flush_bytes (2 KiB) or
+      // flush_ms (1 h of batch clock) trigger fires; sync mode flushes
+      // per batch and the watermarks coincide. The corpus' ts gaps
+      // (median ~24 min) exercise BOTH trigger kinds. The oracle
+      // replays the reset-on-flush fold as a recursive CTE.
+      val log = storedLog(s, dir)
+      val bytes = (length(col("props")) + length(col("event_type")) + lit(24)).cast("long")
+      def run(mode: String, caching: Boolean) =
+        graft.log.WriteCaching.watermarks(log, col("partition"), col("offset"),
+            unix_millis(col("ts")), bytes, cachingEnabled = caching,
+            flushBytes = 2048L, flushMs = 3600000L)
+          .withColumn("mode", lit(mode))
+      run("cached", caching = true).unionByName(run("sync", caching = false))
+        .select("mode", "partition", "hwm", "durable_offset",
+          "unflushed_rows", "n_flushes")
+        .orderBy("mode", "partition")
     }),
 
     "s2_fetch" -> ((s, dir) =>
@@ -3663,6 +3710,34 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    "sr_normalize" -> ((s, dir) => {
+      // Normalize-on-register (types.h:38 `normalize` bool_class): with
+      // the flag, a re-spelling (JSON key order / protobuf field order
+      // + comments) registers ONCE and shares the global id; without
+      // it, the raw spelling is the identity and mints a new id. Avro
+      // sanitizes unconditionally (avro.cc:596), so dotted-name vs
+      // split-namespace spellings share an id flag or no flag.
+      import s.implicits._
+      import graft.registry.{Normalize, SchemaRegistry => SR}
+      val json1 = """{"type":"object","properties":{"a":{"type":"integer"},"b":{"type":"string"}}}"""
+      val json2 = """{ "properties": { "b": {"type":"string"}, "a": {"type":"integer"} }, "type": "object" }"""
+      val proto1 = """syntax = "proto3"; message Ev { int64 id = 1; string who = 2; }"""
+      val proto2 = "message Ev { string who = 2; // renamed later\n int64 id = 1; }"
+      val avro1 = """{"type":"record","name":"com.ex.Ev","fields":[{"name":"id","type":"long"}]}"""
+      val avro2 = """{ "fields": [{"name":"id","type":"long"}], "namespace": "com.ex", "name": "Ev", "type": "record" }"""
+      Normalize.projectIds(Seq(
+          (1L, "cfg-value", SR.JsonType, json1, true),
+          (2L, "cfg-value", SR.JsonType, json2, true),
+          (3L, "cfg-raw", SR.JsonType, json2, false),
+          (4L, "ev-proto", SR.ProtobufType, proto1, true),
+          (5L, "ev-proto", SR.ProtobufType, proto2, true),
+          (6L, "ev-proto-raw", SR.ProtobufType, proto2, false),
+          (7L, "ev-avro", SR.AvroType, avro1, false),
+          (8L, "ev-avro2", SR.AvroType, avro2, false)))
+        .toDF("seq", "subject", "schema_id", "version", "new_id", "new_version")
+        .orderBy("seq")
+    }),
+
     "sr_subject_delete" -> ((s, dir) => {
       // SR soft-vs-hard delete: ev-value v2 soft-deleted (listed with
       // is_deleted under include_deleted); ev-value v1 hard-deleted
@@ -4586,14 +4661,7 @@ object SparkEntry {
       import graft.streaming.Transforms
       val log = eventLog(s, dir).withColumnRenamed("ts", "timestamp")
       val snapshot = log.where(col("offset") < lit(50) + col("partition") * 13)
-      // deploy-time snapshot materialized ONCE per scale dir (a deploy
-      // is a build step; re-benching the same entry must not re-write it)
-      val path = u2SnapshotStore.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_u2").toString
-        snapshot.write.parquet(s"$tmp/in")
-        s"$tmp/in"
-      })
-      val input = Transforms.PathInput(path, snapshot.schema)
+      val input = Transforms.PathInput(u2SnapshotPath(s, dir), snapshot.schema)
       val committed = log.where(col("partition") % 2 === 0)
         .groupBy("partition")
         .agg(floor(max("offset") / 2).cast("long").as("committed_offset"))
@@ -5502,6 +5570,30 @@ object SparkEntry {
         minWords = 30, minStopHits = 1)
     }),
 
+    "pipe_fineweb_fuzzy" -> ((s, dir) => {
+      // The funnel with the dedup stage the real FineWeb recipe uses:
+      // MinHash-LSH near-dup clustering instead of exact text hashing.
+      // Plants: every 23rd doc gets a NEAR-dup copy (5 appended words,
+      // Jaccard ~0.9 — exact dedup would MISS it), every 41st an exact
+      // copy. Survivor shingles sign with the parity hash family, band
+      // (r=2, hot buckets capped), Jaccard-verify at 0.5, and cluster;
+      // min id per cluster survives into the CCNet tail drop. The
+      // oracle replays signatures, banding, verification, and a
+      // recursive-CTE component labeling end-to-end.
+      val docs = T(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(col("text"), lit(" shared tail marker words here")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+      val buckets = graft.analytics.Sampling.perplexityBuckets(
+        TextAnalysis.bigramPerplexity(corpus, docs.where(col("lang") === "en"),
+          col("doc_id"), col("text")))
+      CleanPipeline.fineWebFunnelFuzzy(corpus, col("doc_id"), col("text"),
+        buckets, minWords = 30, minStopHits = 1)
+    }),
+
     "txt_c4_rules" -> ((s, dir) => {
       // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
       // (no terminal punctuation), planted well-formed pages pass, and
@@ -5627,6 +5719,40 @@ object SparkEntry {
          |        count(DISTINCT ts_ms) AS n_stamps,
          |        min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms
          | FROM stamped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s1_write_caching" ->
+      s"""${LogCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | r0 AS (
+         |  SELECT partition, "offset", epoch_ms(ts) AS ts_ms,
+         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS b,
+         |         row_number() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+         |  FROM log),
+         | f(partition, rn, acc, last_ts, durable, nf) AS (
+         |   SELECT partition, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ts_ms,
+         |          CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+         |   FROM r0 WHERE rn = 1
+         |   UNION ALL
+         |   SELECT r.partition, r.rn,
+         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN 0 ELSE r.b + f.acc END,
+         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN r.ts_ms ELSE f.last_ts END,
+         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN r."offset" ELSE f.durable END,
+         |     f.nf + CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN 1 ELSE 0 END
+         |   FROM f JOIN r0 r ON r.partition = f.partition AND r.rn = f.rn + 1),
+         | cstats AS (
+         |  SELECT partition, durable AS durable_offset, nf AS n_flushes
+         |  FROM f QUALIFY rn = max(rn) OVER (PARTITION BY partition)),
+         | hw AS (SELECT partition, max("offset") + 1 AS hwm,
+         |               CAST(count(*) AS BIGINT) AS n FROM log GROUP BY 1)
+         | SELECT 'cached' AS mode, h.partition, h.hwm, c.durable_offset,
+         |        h.hwm - 1 - c.durable_offset AS unflushed_rows, c.n_flushes
+         | FROM hw h JOIN cstats c USING (partition)
+         | UNION ALL
+         | SELECT 'sync', partition, hwm, hwm - 1, CAST(0 AS BIGINT), n FROM hw
+         | ORDER BY mode, partition""".stripMargin,
 
     "s2_fetch" ->
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
@@ -7337,6 +7463,22 @@ object SparkEntry {
         | t(seq, subject, schema_id, version, new_id, new_version)
         | ORDER BY seq""".stripMargin,
 
+    "sr_normalize" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, subject,
+        |       CAST(schema_id AS BIGINT) AS schema_id,
+        |       CAST(version AS INTEGER) AS version, new_id, new_version
+        | FROM (VALUES
+        |  (1, 'cfg-value', 1, 1, TRUE, TRUE),
+        |  (2, 'cfg-value', 1, 1, FALSE, FALSE),
+        |  (3, 'cfg-raw', 2, 1, TRUE, TRUE),
+        |  (4, 'ev-proto', 3, 1, TRUE, TRUE),
+        |  (5, 'ev-proto', 3, 1, FALSE, FALSE),
+        |  (6, 'ev-proto-raw', 4, 1, TRUE, TRUE),
+        |  (7, 'ev-avro', 5, 1, TRUE, TRUE),
+        |  (8, 'ev-avro2', 5, 1, FALSE, TRUE))
+        | t(seq, subject, schema_id, version, new_id, new_version)
+        | ORDER BY seq""".stripMargin,
+
     "sr_subject_delete" ->
       """SELECT * FROM (VALUES
         |  ('ev-value', 2, 's1v2', TRUE),
@@ -8680,6 +8822,73 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
          |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
          |FROM keyd LEFT JOIN canon USING (k)""".stripMargin,
+
+    "pipe_fineweb_fuzzy" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000, text || ' shared tail marker words here'
+         |  FROM documents WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 41 = 0),
+         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
+         |${repSignalsLegs("corpus")},
+         | ${perplexityLegs("corpus")},
+         |${ccnetBucketLegs("corpus")},
+         | surv AS (
+         |  SELECT c.doc_id, c.text FROM corpus c
+         |  JOIN gkeep g USING (doc_id) JOIN rkeep r USING (doc_id)
+         |  WHERE g.gk AND r.rk),
+         | shf AS (
+         |  SELECT DISTINCT doc_id, s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM surv),
+         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+         | sig AS (
+         |  SELECT doc_id, i,
+         |    min(CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 8)) AS UBIGINT) AS BIGINT)) AS mh
+         |  FROM shf, unnest(range(12)) u(i) GROUP BY 1, 2),
+         | bandsig AS (
+         |  SELECT doc_id, i // 2 AS band_id,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         | bb AS (SELECT band_id, bh FROM bandsig GROUP BY 1, 2 HAVING count(*) <= 1000),
+         | banded AS (SELECT bs.* FROM bandsig bs JOIN bb USING (band_id, bh)),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+         | inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+         |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         | fpairs AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |    JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5),
+         | edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM fpairs),
+         | reach(node, lbl) AS (
+         |   SELECT doc_id, doc_id FROM surv
+         |   UNION
+         |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         | comp AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY 1),
+         | lab AS (
+         |  SELECT c.doc_id, g.gk, r.rk, bk.bucket, cm.cid
+         |  FROM corpus c JOIN gkeep g USING (doc_id) JOIN rkeep r USING (doc_id)
+         |    JOIN bks bk USING (doc_id) LEFT JOIN comp cm USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(sum(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dedup,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
+         |FROM lab""".stripMargin,
 
     "txt_c4_rules" -> C4RulesOracle,
 

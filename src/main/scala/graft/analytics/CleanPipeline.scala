@@ -115,4 +115,56 @@ object CleanPipeline {
       sum(when(fin, 1L).otherwise(0L)).as("n_final"),
       sum(when(fin, col("doc_id")).otherwise(0L)).as("final_id_sum"))
   }
+
+  /**
+   * [[fineWebFunnel]] with the dedup stage the actual FineWeb recipe
+   * uses — FUZZY MinHash-LSH, not exact text hashing: rule survivors
+   * shingle, sign ([[Dedup.minHashSignaturesParity]] so a SQL oracle
+   * replays the banding), band into candidates (hot buckets capped),
+   * verify exact Jaccard, and the surviving near-dup pairs cluster by
+   * connected components; each cluster keeps its minimum doc id. The
+   * CCNet tail drop then applies to the cluster canonicals. Returns
+   * the same one-row funnel shape as [[fineWebFunnel]].
+   *
+   * Scale shape: everything before dedup is a shuffle-free projection;
+   * the LSH stage is the [[Dedup]] machinery unchanged (banded join
+   * bucket-capped, candidate verify per pair, log-round / size-gated
+   * components). The shingle set is `localCheckpoint`ed because BOTH
+   * the signature pass and the Jaccard verify consume it — at
+   * production scale that materialization is a persisted table, same
+   * shape.
+   */
+  def fineWebFunnelFuzzy(docs: DataFrame, idCol: Column, textCol: Column,
+      buckets: DataFrame, minWords: Int = 50, minStopHits: Int = 2,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val g = TextAnalysis.gopherRules(base, col("doc_id"), col("__text"),
+        minWords = minWords, minStopHits = minStopHits)
+      .select(col("doc_id"), col("keep").as("__gk"))
+    val r = TextAnalysis.repetitionSignals(base, col("doc_id"), col("__text"))
+      .select(col("doc_id"), col("keep").as("__rk"))
+    val bk = buckets.select(col("doc_id"), col("bucket")).localCheckpoint(true)
+    val flags = base.join(g, "doc_id").join(r, "doc_id").join(bk, "doc_id")
+    // FineWeb dedups AFTER the quality gates: only rule survivors shingle
+    val survivors = flags.where(col("__gk") && col("__rk"))
+      .select(col("doc_id"), col("__text"))
+    val sh = Dedup.shingled(survivors, col("doc_id"), col("__text"), shingleN)
+      .localCheckpoint(true)
+    val cands = Dedup.lshCandidates(
+      Dedup.minHashSignaturesParity(sh, k), k, bands, maxBucket)
+    val pairs = Dedup.verifyJaccard(cands, sh)
+      .where(col("jaccard") >= threshold).select("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, survivors.select("doc_id"))
+    val lab = flags.join(comp, Seq("doc_id"), "left")
+    val kept = col("__gk") && col("__rk") && col("cluster_id") === col("doc_id")
+    val fin = kept && col("bucket") =!= "tail"
+    lab.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__gk"), 1L).otherwise(0L)).as("n_gopher"),
+      sum(when(col("__gk") && col("__rk"), 1L).otherwise(0L)).as("n_rules"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_dedup"),
+      sum(when(fin, 1L).otherwise(0L)).as("n_final"),
+      sum(when(fin, col("doc_id")).otherwise(0L)).as("final_id_sum"))
+  }
 }

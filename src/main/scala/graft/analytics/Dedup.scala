@@ -46,6 +46,21 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minHashSignatures]] with the engine-parity hash family — the
+    * md5-prefix device (`Sampling.hashBucket`) salted by function
+    * index — so an external SQL engine replays the signatures (and
+    * therefore the banded candidate set) bit-exactly. Same algebra,
+    * ~2× the hash cost of xxhash64; use where a cross-engine oracle
+    * must certify the LSH stage itself. */
+  def minHashSignaturesParity(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      min(conv(substring(md5(
+        concat(lit(s"$i:"), col("shingle")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /**
    * Hot-bucket cap shared by every banded candidate join: drop band
    * buckets holding more than `maxBucket` members before the self-join.

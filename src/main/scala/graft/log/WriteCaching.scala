@@ -1,0 +1,89 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * S1+ write-caching durability accounting (reference
+ * `model/metadata.h:548` `write_caching_mode`, `storage/ntp_config.h:
+ * 273-301` `write_caching`/`flush_ms`/`flush_bytes`,
+ * `raft/consensus.cc:874` — `flush = force_flush || !write_caching`):
+ * with the knob ON, a produced batch ACKs from replicated MEMORY — the
+ * HWM advances immediately — and the log fsyncs only when the bytes
+ * accumulated since the last flush reach `flush_bytes` or the batch
+ * clock has advanced `flush_ms` past it. The DURABLE offset therefore
+ * trails the HWM by the unflushed suffix, which is exactly the data a
+ * simultaneous whole-cluster crash may lose; with the knob OFF every
+ * batch flushes and the two watermarks coincide.
+ *
+ * Spark shape: the flush decision is a reset-on-flush recurrence (the
+ * accumulator zeroes at each flush), so it folds per PARTITION in
+ * offset order — `repartition(partition) + sortWithinPartitions +
+ * mapPartitions`, the same bounded-state fold as
+ * [[CloudTopics.throttleWrites]]. State is three scalars per
+ * partition; parallelism is the partition count, the natural unit of
+ * the reference's per-replica flush bookkeeping.
+ */
+object WriteCaching {
+
+  final case class In(partition: Int, offset: Long, ts_ms: Long, bytes: Long)
+  final case class Out(partition: Int, offset: Long, bytes: Long,
+      flushed: Boolean, flushed_offset: Long)
+
+  /**
+   * Per-batch flush replay. Input: one row per batch with dense
+   * per-partition offsets. Output adds `flushed` (this batch triggered
+   * an fsync) and `flushed_offset` (the durable watermark AFTER this
+   * batch; -1 until the first flush). The partition-open instant
+   * counts as flushed at the first batch's timestamp, so the time
+   * trigger measures from stream start.
+   */
+  def flushAccounting(log: DataFrame, partitionCol: Column, offsetCol: Column,
+      tsMsCol: Column, bytesCol: Column, cachingEnabled: Boolean,
+      flushBytes: Long, flushMs: Long): DataFrame = {
+    require(flushBytes > 0 && flushMs > 0)
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(partitionCol.cast("int").as("partition"),
+        offsetCol.cast("long").as("offset"),
+        tsMsCol.cast("long").as("ts_ms"),
+        bytesCol.cast("long").as("bytes"))
+      .as[In]
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("offset"))
+      .mapPartitions { it =>
+        var cur = Int.MinValue
+        var acc = 0L
+        var lastFlushTs = 0L
+        var durable = -1L
+        it.map { r =>
+          if (r.partition != cur) {
+            cur = r.partition; acc = 0L; lastFlushTs = r.ts_ms; durable = -1L
+          }
+          acc += r.bytes
+          val flush = !cachingEnabled || acc >= flushBytes ||
+            r.ts_ms - lastFlushTs >= flushMs
+          if (flush) { acc = 0L; lastFlushTs = r.ts_ms; durable = r.offset }
+          Out(r.partition, r.offset, r.bytes, flush, durable)
+        }
+      }
+      .toDF()
+  }
+
+  /**
+   * The per-partition watermark ledger under the knob: HWM (ack
+   * watermark), the durable offset, the acked-but-unflushed row count
+   * (dense offsets make it `hwm - 1 - durable`), and the flush count —
+   * the divergence a produce path with relaxed acks exposes.
+   */
+  def watermarks(log: DataFrame, partitionCol: Column, offsetCol: Column,
+      tsMsCol: Column, bytesCol: Column, cachingEnabled: Boolean,
+      flushBytes: Long, flushMs: Long): DataFrame =
+    flushAccounting(log, partitionCol, offsetCol, tsMsCol, bytesCol,
+        cachingEnabled, flushBytes, flushMs)
+      .groupBy("partition")
+      .agg((max("offset") + 1).as("hwm"),
+        max("flushed_offset").as("durable_offset"),
+        (max("offset") - max("flushed_offset")).as("unflushed_rows"),
+        sum(col("flushed").cast("long")).as("n_flushes"))
+}

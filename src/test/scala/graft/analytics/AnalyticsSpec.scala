@@ -403,6 +403,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(f === ((5L, 3L, 2L, 1L)))
   }
 
+  test("fineweb fuzzy funnel clusters near-dups and exact copies via minhash-lsh") {
+    // doc 2 is a NEAR dup of doc 1 (3 appended words, Jaccard 10/13) —
+    // exact text hashing would keep both; doc 4 is an exact copy of 3.
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima extra tail words"),
+      (3L, "mango nectar orange papaya quince raisin salmon tomato ugli vanilla walnut xigua"),
+      (4L, "mango nectar orange papaya quince raisin salmon tomato ugli vanilla walnut xigua"))
+      .toDF("doc_id", "text")
+    val buckets = docs.select(col("doc_id"), lit(0L).as("score_u"), lit("head").as("bucket"))
+    val got = CleanPipeline.fineWebFunnelFuzzy(docs, col("doc_id"), col("text"),
+        buckets, minWords = 5, minStopHits = 0, threshold = 0.5)
+      .collect().head
+    assert(got.getAs[Long]("n_raw") === 4L)
+    assert(got.getAs[Long]("n_rules") === 4L)
+    assert(got.getAs[Long]("n_dedup") === 2L)
+    assert(got.getAs[Long]("n_final") === 2L)
+    assert(got.getAs[Long]("final_id_sum") === 4L) // canonicals: 1 and 3
+  }
+
+  test("parity minhash signatures agree with the xxhash64 family's candidate algebra") {
+    // identical shingle sets ⇒ identical signatures in ANY family; the
+    // parity family must therefore band exact copies together
+    val sh = Seq((1L, "a b c"), (1L, "b c d"), (2L, "a b c"), (2L, "b c d"),
+      (3L, "x y z")).toDF("doc_id", "shingle")
+    val cands = Dedup.lshCandidates(Dedup.minHashSignaturesParity(sh, 8), 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands === Set((1L, 2L)))
+  }
+
   test("bpe-ish pre-tokenizer splits letter runs, digit runs, and marks") {
     val got = Seq((0L, "A, b2-c!"), (1L, "hello world"), (2L, ""))
       .toDF("doc_id", "text")
