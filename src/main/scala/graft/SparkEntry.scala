@@ -2965,6 +2965,62 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "adm_self_test_report" -> ((s, dir) => {
+      // Cluster self-test result reduction (self_test_rpc_types.h:261
+      // self_test_result): request-level disk/net samples reduce to
+      // exact rank-selected p50/p90/p99/p999/max latencies plus
+      // integer-exact rps/bps/timeout accounting per (node, test).
+      val samples = T(s, dir, "events").select(
+        pmod(col("user_id"), lit(5)).as("node"),
+        when(pmod(col("event_id"), lit(2)) === 0, "disk").otherwise("net").as("test_type"),
+        col("event_id").as("seq"),
+        (lit(100L) + pmod(col("event_id") * 7919, lit(5000))).as("lat_us"),
+        (lit(512L) + pmod(col("event_id"), lit(1024))).as("bytes"),
+        (pmod(col("event_id"), lit(53)) =!= 0).as("ok"))
+      graft.admin.SelfTest.report(samples, col("node"), col("test_type"),
+          col("seq"), col("lat_us"), col("bytes"), col("ok"))
+        .orderBy("node", "test_type")
+    }),
+
+    "adm_self_test_status" -> ((s, dir) => {
+      // Frontend status collection (self_test_rpc_types.h:33,39 +
+      // self_test_frontend.h): heartbeating nodes report running at
+      // their stage, finished nodes idle, missing nodes unreachable.
+      import s.implicits._
+      val nodes = (0 to 4).toDF("node")
+      val hb = Seq((0, "disk", true), (1, "net", false),
+        (2, "cloud", false), (3, "disk", true)).toDF("node", "stage", "done")
+      graft.admin.SelfTest.statusView(nodes, hb).orderBy("node")
+    }),
+
+    "adm_debug_bundle" -> ((s, dir) => {
+      // Debug-bundle service lifecycle (debug_bundle_service.cc,
+      // types.h:122, error.h:22-33): the full command ladder — refused
+      // double-initiate, stale-id cancel, the get_file error ladder,
+      // TTL expiry — replayed as the single-shard fold; golden oracle.
+      import s.implicits._
+      val log = Seq(
+        (1L, "get_file", "j0", true, 0L, 0L),
+        (2L, "cancel", "j0", true, 0L, 0L),
+        (3L, "initiate", "j1", true, 0L, 100L),
+        (4L, "initiate", "j2", true, 0L, 200L),
+        (5L, "get_file", "j1", true, 0L, 300L),
+        (6L, "finish", "j1", true, 4096L, 1000L),
+        (7L, "get_file", "j1", true, 0L, 1100L),
+        (8L, "get_file", "j9", true, 0L, 1200L),
+        (9L, "cancel", "j1", true, 0L, 1300L),
+        (10L, "initiate", "j2", true, 0L, 1400L),
+        (11L, "cancel", "j0", true, 0L, 1500L),
+        (12L, "cancel", "j2", true, 0L, 1600L),
+        (13L, "get_file", "j2", true, 0L, 1700L),
+        (14L, "initiate", "j3", true, 0L, 1800L),
+        (15L, "finish", "j3", true, 8192L, 2000L),
+        (16L, "expire_sweep", "", true, 0L, 3001L),
+        (17L, "get_file", "j3", true, 0L, 3100L))
+        .toDF("seq", "op", "job_id", "ok", "file_size", "ts_ms")
+      graft.admin.DebugBundle.outcomes(log, ttlMs = 1000L).orderBy("seq")
+    }),
+
     "adm_controller_limiter" -> ((s, dir) =>
       // Controller log rate limiter (cluster/controller_log_limiter.h):
       // commands map to the five operation groups, each group's token
@@ -6685,6 +6741,66 @@ object SparkEntry {
 
     "ct_purger_run" -> PurgerOracle,
 
+    "adm_self_test_report" ->
+      """WITH smp AS (
+        |  SELECT CAST(user_id % 5 AS INTEGER) AS node,
+        |    CASE WHEN event_id % 2 = 0 THEN 'disk' ELSE 'net' END AS test_type,
+        |    event_id AS seq,
+        |    CAST(100 + (event_id * 7919) % 5000 AS BIGINT) AS lat_us,
+        |    CAST(512 + event_id % 1024 AS BIGINT) AS bytes,
+        |    event_id % 53 <> 0 AS ok
+        |  FROM events),
+        | rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY node, test_type
+        |      ORDER BY lat_us, seq) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY node, test_type) AS n
+        |  FROM smp),
+        | agg AS (
+        |  SELECT node, test_type, CAST(count(*) AS BIGINT) AS n_requests,
+        |    CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS timeouts,
+        |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lat_us END) AS p50_us,
+        |    max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_us END) AS p90_us,
+        |    max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN lat_us END) AS p99_us,
+        |    max(CASE WHEN rn = CAST(ceil(0.999 * n) AS BIGINT) THEN lat_us END) AS p999_us,
+        |    max(lat_us) AS max_us,
+        |    CAST(sum(bytes) AS BIGINT) AS bytes_total,
+        |    max(seq) - min(seq) + 1 AS duration_ms
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT node, test_type, n_requests, timeouts, p50_us, p90_us, p99_us,
+        |  p999_us, max_us, bytes_total, duration_ms,
+        |  n_requests * 1000000 // duration_ms AS rps_x1000,
+        |  bytes_total * 1000000 // duration_ms AS bps_x1000
+        |FROM agg ORDER BY node, test_type""".stripMargin,
+
+    "adm_self_test_status" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'idle', 'idle'), (1, 'running', 'net'), (2, 'running', 'cloud'),
+        |  (3, 'idle', 'idle'), (4, 'unreachable', 'idle'))
+        | t(node, status, stage) ORDER BY node""".stripMargin,
+
+    "adm_debug_bundle" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, op, job_id, errc, status_after, current_job
+        | FROM (VALUES
+        |  (1, 'get_file', 'j0', 'debug_bundle_process_never_started', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (2, 'cancel', 'j0', 'debug_bundle_process_never_started', NULL, NULL),
+        |  (3, 'initiate', 'j1', 'success', 'running', 'j1'),
+        |  (4, 'initiate', 'j2', 'debug_bundle_process_running', 'running', 'j1'),
+        |  (5, 'get_file', 'j1', 'debug_bundle_process_running', 'running', 'j1'),
+        |  (6, 'finish', 'j1', 'success', 'success', 'j1'),
+        |  (7, 'get_file', 'j1', 'success', 'success', 'j1'),
+        |  (8, 'get_file', 'j9', 'job_id_not_recognized', 'success', 'j1'),
+        |  (9, 'cancel', 'j1', 'debug_bundle_process_not_running', 'success', 'j1'),
+        |  (10, 'initiate', 'j2', 'success', 'running', 'j2'),
+        |  (11, 'cancel', 'j0', 'job_id_not_recognized', 'running', 'j2'),
+        |  (12, 'cancel', 'j2', 'success', 'error', 'j2'),
+        |  (13, 'get_file', 'j2', 'process_failed', 'error', 'j2'),
+        |  (14, 'initiate', 'j3', 'success', 'running', 'j3'),
+        |  (15, 'finish', 'j3', 'success', 'success', 'j3'),
+        |  (16, 'expire_sweep', '', 'success', 'expired', 'j3'),
+        |  (17, 'get_file', 'j3', 'debug_bundle_expired', 'expired', 'j3'))
+        | t(seq, op, job_id, errc, status_after, current_job)
+        | ORDER BY seq""".stripMargin,
+
     "adm_controller_limiter" ->
       """WITH RECURSIVE cmds AS (
         |  SELECT event_id AS seq, CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
@@ -8843,10 +8959,20 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, s
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM surv),
          |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+         | sh1 AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+         |  FROM shf),
+         | co AS (
+         |  SELECT i,
+         |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483646 + 1 AS a,
+         |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483647 AS b
+         |  FROM unnest(range(12)) u(i)),
          | sig AS (
-         |  SELECT doc_id, i,
-         |    min(CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 8)) AS UBIGINT) AS BIGINT)) AS mh
-         |  FROM shf, unnest(range(12)) u(i) GROUP BY 1, 2),
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+         |  FROM sh1, co GROUP BY 1, 2),
          | bandsig AS (
          |  SELECT doc_id, i // 2 AS band_id,
          |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh

@@ -145,7 +145,11 @@ object CleanPipeline {
     val r = TextAnalysis.repetitionSignals(base, col("doc_id"), col("__text"))
       .select(col("doc_id"), col("keep").as("__rk"))
     val bk = buckets.select(col("doc_id"), col("bucket")).localCheckpoint(true)
+    // The flag table is consumed by THREE actions (the shingle
+    // materialization, the components' edge count, the final funnel
+    // aggregate) — checkpoint it so the rule batteries evaluate once.
     val flags = base.join(g, "doc_id").join(r, "doc_id").join(bk, "doc_id")
+      .localCheckpoint(true)
     // FineWeb dedups AFTER the quality gates: only rule survivors shingle
     val survivors = flags.where(col("__gk") && col("__rk"))
       .select(col("doc_id"), col("__text"))

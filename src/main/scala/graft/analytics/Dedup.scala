@@ -46,17 +46,35 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Modulus and affine coefficients of the parity min-hash family:
+    * `mh_i(s) = (a_i * h(s) + b_i) mod M` over the 31-bit prime M,
+    * where `h` is ONE md5-prefix per shingle reduced mod M — the
+    * classic universal-hash minwise family, one crypto hash per
+    * shingle regardless of k, every intermediate < 2^62 so an
+    * external SQL engine reproduces it with plain BIGINT math. The
+    * coefficients themselves are md5-derived per function index:
+    * coefficients LINEAR in i (a seeded LCG, say) make consecutive
+    * functions correlated — one shingle whose a_i·h lands small stays
+    * the minimum across a whole arithmetic run of functions, which
+    * collapses the family's effective independence. */
+  val ParityMod = 2147483647L // 2^31 - 1, prime
+  private def md5Prefix(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+  private[analytics] def parityA(i: Int): Long = md5Prefix(s"a:$i") % (ParityMod - 1) + 1
+  private[analytics] def parityB(i: Int): Long = md5Prefix(s"b:$i") % ParityMod
+
   /** [[minHashSignatures]] with the engine-parity hash family — the
-    * md5-prefix device (`Sampling.hashBucket`) salted by function
-    * index — so an external SQL engine replays the signatures (and
-    * therefore the banded candidate set) bit-exactly. Same algebra,
-    * ~2× the hash cost of xxhash64; use where a cross-engine oracle
-    * must certify the LSH stage itself. */
+    * md5-prefix device (`Sampling.hashBucket`) through k affine maps —
+    * so an external SQL engine replays the signatures (and therefore
+    * the banded candidate set) bit-exactly. Use where a cross-engine
+    * oracle must certify the LSH stage itself. */
   def minHashSignaturesParity(sh: DataFrame, k: Int): DataFrame = {
+    val h = conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % ParityMod
     val aggs = (0 until k).map { i =>
-      min(conv(substring(md5(
-        concat(lit(s"$i:"), col("shingle")).cast("binary")), 1, 8), 16, 10)
-        .cast("long")).as(s"mh_$i")
+      min((lit(parityA(i)) * h + parityB(i)) % ParityMod).as(s"mh_$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }

@@ -52,9 +52,16 @@ object TxnEngine {
     // per transactional.id), so below the gate a single-partition rank is
     // both correct and cheaper than three shuffles — the same size-gated
     // two-path shape as Dedup.connectedComponents/DriverUnionFindMaxEdges.
-    if (smallInputMaxRows > 0 && producers.count() <= smallInputMaxRows)
-      return producers.withColumn("pid",
-        row_number().over(Window.orderBy(identityCol)).cast("long") - 1 + base)
+    // The gate's count() needs one pass anyway, so the input checkpoints
+    // first: whichever path runs reads the materialized table instead of
+    // re-deriving the (usually distinct-aggregated) lineage.
+    if (smallInputMaxRows > 0) {
+      val cp = producers.localCheckpoint(true)
+      if (cp.count() <= smallInputMaxRows)
+        return cp.withColumn("pid",
+          row_number().over(Window.orderBy(identityCol)).cast("long") - 1 + base)
+      return initProducerIds(cp, identityCol, base, smallInputMaxRows = 0)
+    }
     // Two-phase dense rank (the same shape as RecordLog.assignOffsetsScalable
     // and Sampling.epochShuffle): range-partition by identity so partition i
     // holds only identities ordered before partition i+1's, rank inside each

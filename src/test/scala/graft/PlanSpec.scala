@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("fuzzy fineweb funnel: no cartesian product on data sides") {
+    val docs = spark.read.parquet(docsDir)
+    val buckets = docs.select(col("doc_id"),
+      (col("doc_id") % 3).cast("long").as("score_u"),
+      when(col("doc_id") % 3 === 0, "head").otherwise("tail").as("bucket"))
+    val p = plan(graft.analytics.CleanPipeline.fineWebFunnelFuzzy(
+      docs, col("doc_id"), col("text"), buckets))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("gopher rules and c4 rules are narrow projections — no Exchange") {
     val df = spark.read.parquet(docsDir)
     val pg = plan(TextAnalysis.gopherRules(df, col("doc_id"), col("text")))
