@@ -2842,6 +2842,23 @@ object SparkEntry {
         .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
         .orderBy("partition", "key")),
 
+    "a1_sliding_window" -> ((s, dir) => {
+      // Memory-bounded sliding-window compaction (disk_log_impl.cc:560,
+      // key_offset_map.h capacity): one round with a 120-key map over
+      // 50-record segments — keys whose last write sits in the indexed
+      // suffix dedupe fully, overflow keys keep one record per segment
+      // until the window slides back. Stats + an exact survivor digest
+      // per partition; the oracle replays the occupancy rule.
+      val log = storedLog(s, dir)
+        .withColumn("key", pmod(col("event_id"), lit(200)))
+      val (compacted, stats) = Compaction.slidingWindowCompact(log,
+        col("partition"), col("offset"), col("key"),
+        segSize = 50L, maxKeys = 120L)
+      val digest = compacted.groupBy("partition")
+        .agg(count(lit(1)).as("n_after"), sum("offset").as("sum_offsets"))
+      stats.join(digest, "partition").orderBy("partition")
+    }),
+
     "a1_compact_delete" -> ((s, dir) =>
       // cleanup.policy=compact,delete (storage/types.h:658, housekeeping
       // in disk_log_impl.cc): retention truncates the aged prefix AND
@@ -6580,6 +6597,39 @@ object SparkEntry {
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
          | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
          | ORDER BY partition, key""".stripMargin,
+
+    "a1_sliding_window" ->
+      s"""$LogCte,
+         | t AS (SELECT partition AS p, "offset" AS o, event_id % 200 AS k,
+         |              "offset" // 50 AS seg FROM log),
+         | ls AS (SELECT p, k, max(seg) AS lseg, max(o) AS maxo FROM t GROUP BY 1, 2),
+         | occ AS (
+         |  SELECT p, lseg, count(*) AS nn,
+         |    sum(count(*)) OVER (PARTITION BY p ORDER BY lseg DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix
+         |  FROM ls GROUP BY 1, 2),
+         | bad AS (SELECT p, max(lseg) AS maxbad FROM occ WHERE suffix > 120 GROUP BY 1),
+         | base AS (SELECT p, min(seg) AS b FROM t GROUP BY 1),
+         | bounds AS (
+         |  SELECT base.p, base.b, COALESCE(bad.maxbad + 1, base.b) AS strt
+         |  FROM base LEFT JOIN bad ON base.p = bad.p),
+         | nk AS (SELECT ls.p, CAST(count(*) AS BIGINT) AS n_keys_indexed
+         |        FROM ls JOIN bounds ON ls.p = bounds.p
+         |        WHERE ls.lseg >= bounds.strt GROUP BY 1),
+         | rnk AS (
+         |  SELECT t.p, t.o, ls.lseg, ls.maxo, bounds.strt,
+         |    row_number() OVER (PARTITION BY t.p, t.seg, t.k ORDER BY t.o DESC) AS segrn
+         |  FROM t JOIN bounds ON t.p = bounds.p JOIN ls ON ls.p = t.p AND ls.k = t.k),
+         | kept AS (SELECT p, o FROM rnk
+         |   WHERE CASE WHEN lseg >= strt THEN o = maxo ELSE segrn = 1 END),
+         | dg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_after,
+         |               CAST(sum(o) AS BIGINT) AS sum_offsets FROM kept GROUP BY 1)
+         |SELECT bounds.p AS partition, bounds.strt AS idx_start_seg,
+         |  COALESCE(nk.n_keys_indexed, 0) AS n_keys_indexed,
+         |  bounds.strt <= bounds.b AS window_complete,
+         |  dg.n_after, dg.sum_offsets
+         |FROM bounds LEFT JOIN nk ON nk.p = bounds.p JOIN dg ON dg.p = bounds.p
+         |ORDER BY 1""".stripMargin,
 
     "a1_compact_delete" ->
       s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log

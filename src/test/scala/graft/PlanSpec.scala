@@ -255,6 +255,42 @@ class PlanSpec extends SparkSpec {
       assert(w.contains("__part"), s"window not partition-scoped: $w\n$p"))
   }
 
+  test("write-caching fold shuffles once by partition — no global sort") {
+    val log = (0 until 100).map(i => (i % 4, i.toLong, i.toLong * 3, 50L))
+      .toDF("partition", "offset", "ts_ms", "bytes")
+    val p = plan(graft.log.WriteCaching.flushAccounting(log, col("partition"),
+      col("offset"), col("ts_ms"), col("bytes"), cachingEnabled = true,
+      flushBytes = 1000L, flushMs = 500L))
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // the sort is partition-local (sortWithinPartitions), never global
+    assert(!p.linesIterator.exists(l => l.contains("Sort") && l.contains("], true")), p)
+  }
+
+  test("self-test percentile windows are (node, test)-scoped — never fleet-wide") {
+    val samples = (0 until 200)
+      .map(i => (i % 3, if (i % 2 == 0) "disk" else "net", i.toLong, i.toLong % 97, 100L, true))
+      .toDF("node", "test_type", "seq", "lat_us", "bytes", "ok")
+    val p = plan(graft.admin.SelfTest.report(samples, col("node"), col("test_type"),
+      col("seq"), col("lat_us"), col("bytes"), col("ok")))
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("node"), s"fleet-wide window: $w\n$p"))
+  }
+
+  test("expiry sweep broadcasts the expired-key set against the end stream") {
+    val data = (0 until 500).map(i => (i % 4, i.toLong, (i % 50).toLong, 0, 0L))
+      .toDF("partition", "arrival", "pid", "epoch", "txn_seq")
+    val ends = (0 until 25).map(i => (i.toLong, 0L, "commit", 600L + i))
+      .toDF("pid", "txn_seq", "decision", "arrival")
+    val (applied, rejected) = graft.log.TxnEngine.expireSweep(data, ends, 100L, 550L)
+    Seq(applied, rejected).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
   test("initProducerIds small-input gate skips the chunked shuffles") {
     val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
     val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))

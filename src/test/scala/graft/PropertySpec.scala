@@ -217,4 +217,71 @@ class PropertySpec extends SparkSpec {
       assert(remPpm >= 0 && remPpm < 1000000L)
     }
   }
+
+  test("write caching: durable never passes the HWM; sync pins them equal") {
+    val rnd = new Random(19)
+    val log = (0 until 4).flatMap { p =>
+      (0 until 200).map(o => (p, o.toLong, o.toLong * (1 + rnd.nextInt(40)),
+        20L + rnd.nextInt(400)))
+    }.toDF("partition", "offset", "ts_ms", "bytes")
+    val cached = graft.log.WriteCaching.watermarks(log, col("partition"),
+        col("offset"), col("ts_ms"), col("bytes"), cachingEnabled = true,
+        flushBytes = 1000L, flushMs = 2000L).collect()
+    cached.foreach { r =>
+      val hwm = r.getAs[Long]("hwm")
+      val durable = r.getAs[Long]("durable_offset")
+      assert(durable <= hwm - 1, r.toString)
+      assert(r.getAs[Long]("unflushed_rows") === hwm - 1 - durable, r.toString)
+      assert(r.getAs[Long]("n_flushes") <= 200L, r.toString)
+    }
+    val sync = graft.log.WriteCaching.watermarks(log, col("partition"),
+        col("offset"), col("ts_ms"), col("bytes"), cachingEnabled = false,
+        flushBytes = 1000L, flushMs = 2000L).collect()
+    sync.foreach { r =>
+      assert(r.getAs[Long]("durable_offset") === r.getAs[Long]("hwm") - 1, r.toString)
+      assert(r.getAs[Long]("n_flushes") === 200L, r.toString)
+    }
+  }
+
+  test("tx expiry: sweep closes exactly the idle opens; nothing stays open past it") {
+    val rnd = new Random(23)
+    val data = (0 until 40).flatMap { pid =>
+      val quietAfter = if (pid % 3 == 0) 50L else 180L
+      (0 until 12).map(i => (pid % 4, i * 16L + pid, pid.toLong, 0, (i / 4).toLong))
+        .filter(_._2 <= quietAfter)
+    }.toDF("partition", "arrival", "pid", "epoch", "txn_seq")
+    val ends = data.groupBy("pid", "txn_seq")
+      .agg(count(lit(1)).as("n"), max("arrival").as("la"))
+      .where(col("n") === 4 && pmod(col("pid"), lit(5)) =!= 0)
+      .select(col("pid"), col("txn_seq"), lit("commit").as("decision"),
+        (col("la") + 1).as("arrival"))
+    val (sweep, timeout) = (200L, 60L)
+    val (applied, rejected) = graft.log.TxnEngine.expireSweep(data, ends, timeout, sweep)
+    // applied + rejected partition the command stream plus the synthesized aborts
+    val nEnds = ends.count()
+    val nExpired = graft.log.TxnEngine.expiredTransactions(data, ends, timeout, sweep).count()
+    assert(applied.count() + rejected.count() === nEnds + nExpired)
+    // post-sweep: every txn idle past the timeout is closed
+    val log = graft.log.TxnEngine.interleaveMarkers(data, applied)
+    val stillOpen = graft.log.TxnEngine.openTransactions(log)
+      .join(data.groupBy("pid", "txn_seq").agg(max("arrival").as("lu")),
+        Seq("pid", "txn_seq"))
+      .where(col("lu") + timeout < sweep)
+    assert(stillOpen.count() === 0L)
+  }
+
+  test("parity minhash: signatures invariant under row order and duplication") {
+    val rnd = new Random(29)
+    val sh = (0 until 400).map(i => (i.toLong % 20, s"sh${rnd.nextInt(50)}"))
+      .toDF("doc_id", "shingle")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Dedup.minHashSignaturesParity(df, 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val a = sigs(sh)
+    val b = sigs(sh.orderBy(rand(7)).repartition(13).union(sh.limit(50)))
+    assert(a === b)
+    a.values.foreach(_.foreach(v =>
+      assert(v.asInstanceOf[Long] >= 0 &&
+        v.asInstanceOf[Long] < graft.analytics.Dedup.ParityMod)))
+  }
 }

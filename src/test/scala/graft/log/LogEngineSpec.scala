@@ -153,6 +153,28 @@ class LogEngineSpec extends SparkSpec {
     assert(got === Set((0, "k1", 2L), (0, "k2", 3L), (1, "k3", 1L)))
   }
 
+  test("sliding-window compaction: mapped keys fully dedupe, overflow keys per-segment") {
+    // segSize 2: seg0 = offsets 0-1, seg1 = 2-3, seg2 = 4-5.
+    // a @ 0,2,4 (last seg 2); b @ 1,3 (last seg 1); c @ 5 (last seg 2).
+    val log = Seq(
+      (0, 0L, "a"), (0, 1L, "b"), (0, 2L, "a"),
+      (0, 3L, "b"), (0, 4L, "a"), (0, 5L, "c"))
+      .toDF("partition", "offset", "key")
+    // maxKeys 2: {a, c} fit (suffix at seg2 = 2); adding seg1's b
+    // overflows → idx_start = 2. a and c dedupe fully; b keeps one
+    // record PER SEGMENT until a later round.
+    val (c1, s1) = Compaction.slidingWindowCompact(log, col("partition"),
+      col("offset"), col("key"), segSize = 2L, maxKeys = 2L)
+    assert(c1.select("offset").as[Long].collect().toSet === Set(1L, 3L, 4L, 5L))
+    val st1 = s1.as[(Int, Long, Long, Boolean)].collect().head
+    assert(st1 === ((0, 2L, 2L, false)))
+    // maxKeys 3: everything fits — one round converges to full compact
+    val (c2, s2) = Compaction.slidingWindowCompact(log, col("partition"),
+      col("offset"), col("key"), segSize = 2L, maxKeys = 3L)
+    assert(c2.select("offset").as[Long].collect().toSet === Set(3L, 4L, 5L))
+    assert(s2.as[(Int, Long, Long, Boolean)].collect().head === ((0, 0L, 3L, true)))
+  }
+
   test("tombstone survives until delete_retention then disappears") {
     val log = mkLog()
     val tomb = col("value").isNull
