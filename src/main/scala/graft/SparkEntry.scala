@@ -2982,6 +2982,44 @@ object SparkEntry {
         .orderBy("partition", "base_offset")
     }),
 
+    "res_disk_eviction" -> ((s, dir) => {
+      // Disk-space manager (resource_mgmt/storage.cc): usage over the
+      // retention target builds a balanced eviction schedule — four
+      // policy levels, round-robin across partitions within each,
+      // marking until the (coefficient-adjusted) excess is covered.
+      // Fixture levels: each partition's older half is local-retention
+      // overshoot, the next quarter low-space (hinted on odd
+      // partitions), the newest quarter active-segment; the disk is
+      // exactly full with a 12.5% reservation and an 80%-of-usable
+      // target, so ~30% of bytes must evict.
+      val segs = storedLog(s, dir)
+        .groupBy(col("partition"), floor(col("offset") / 50).as("seg"))
+        .agg(sum(length(col("props")) + length(col("event_type")) + lit(24))
+          .cast("long").as("size"))
+      val mx = segs.groupBy("partition").agg(max("seg").as("ms"))
+      val lv = segs.join(mx, "partition")
+        .withColumn("level",
+          when(col("seg") * 2 <= col("ms"), "local_retention")
+            .when(col("seg") * 4 <= col("ms") * 3,
+              when(pmod(col("partition"), lit(2)) === 0, "low_space_non_hinted")
+                .otherwise("low_space_hinted"))
+            .otherwise("active_segment"))
+        .select("partition", "level", "seg", "size")
+      val usage = lv.agg(sum("size")).head.getLong(0)
+      val target = graft.cluster.DiskSpaceManager.targetSize(
+        usage, reservationPercent = 12.5, targetPercent = Some(80.0), targetBytes = None)
+      // coefficient 2: over-reclaim in anticipation of the next tick —
+      // and the doubled excess overruns the local-retention level, so
+      // the schedule demonstrably chains into the low-space levels
+      val excess = graft.cluster.DiskSpaceManager.adjustedExcess(
+        usage, target, segmentSize = 1000L, overageCoeff = 2.0)
+      graft.cluster.DiskSpaceManager.levelEstimates(
+          graft.cluster.DiskSpaceManager.evictionSchedule(lv, excess))
+        .withColumn("target_size", lit(target))
+        .withColumn("target_excess", lit(excess))
+        .orderBy("level")
+    }),
+
     "adm_self_test_report" -> ((s, dir) => {
       // Cluster self-test result reduction (self_test_rpc_types.h:261
       // self_test_result): request-level disk/net samples reduce to
@@ -6790,6 +6828,48 @@ object SparkEntry {
          |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
 
     "ct_purger_run" -> PurgerOracle,
+
+    "res_disk_eviction" ->
+      s"""$LogCte,
+         | segs AS (
+         |  SELECT partition AS p, "offset" // 50 AS seg,
+         |         CAST(sum(length(props) + length(event_type) + 24) AS BIGINT) AS size
+         |  FROM log GROUP BY 1, 2),
+         | mx AS (SELECT p, max(seg) AS ms FROM segs GROUP BY 1),
+         | lv AS (
+         |  SELECT s.p, s.seg, s.size,
+         |    CASE WHEN s.seg * 2 <= m.ms THEN 'local_retention'
+         |         WHEN s.seg * 4 <= m.ms * 3 THEN
+         |           CASE WHEN s.p % 2 = 0 THEN 'low_space_non_hinted'
+         |                ELSE 'low_space_hinted' END
+         |         ELSE 'active_segment' END AS level
+         |  FROM segs s JOIN mx m ON s.p = m.p),
+         | tot AS (SELECT CAST(sum(size) AS BIGINT) AS usage_b FROM lv),
+         | tgt AS (
+         |  SELECT usage_b,
+         |    CAST(floor((usage_b - CAST(floor(usage_b * (12.5 / 100.0)) AS BIGINT))
+         |      * (80 / 100.0)) AS BIGINT) AS target
+         |  FROM tot),
+         | exc AS (SELECT usage_b, target,
+         |    CASE WHEN usage_b - target <= 1000 THEN 0
+         |         ELSE CAST(floor((usage_b - target) * 2.0) AS BIGINT) END AS excess
+         |  FROM tgt),
+         | rk AS (
+         |  SELECT lv.*,
+         |    CASE level WHEN 'local_retention' THEN 0 WHEN 'low_space_non_hinted' THEN 1
+         |         WHEN 'low_space_hinted' THEN 2 ELSE 3 END AS lrank,
+         |    row_number() OVER (PARTITION BY p, level ORDER BY seg) AS idx
+         |  FROM lv),
+         | sched AS (
+         |  SELECT rk.*, e.excess, e.target,
+         |    COALESCE(sum(size) OVER (ORDER BY lrank, idx, p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+         |  FROM rk, exc e)
+         |SELECT level, CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN excess > 0 AND bfr <= excess THEN 1 ELSE 0 END) AS BIGINT) AS n_marked,
+         |  CAST(sum(CASE WHEN excess > 0 AND bfr <= excess THEN size ELSE 0 END) AS BIGINT) AS bytes_marked,
+         |  max(target) AS target_size, max(excess) AS target_excess
+         |FROM sched GROUP BY level ORDER BY level""".stripMargin,
 
     "adm_self_test_report" ->
       """WITH smp AS (
