@@ -5350,6 +5350,44 @@ object SparkEntry {
     }),
 
     // ----- training-data pipeline: clustering, sampling, cleaning -----
+    "dd_bloom_dedup" -> ((s, dir) => {
+      // Dolma-style cross-shard Bloom dedup: the already-ingested shard
+      // (doc_id % 3 == 0) folds its 10-token paragraphs into a 4096-bit
+      // filter (k=3, parity hash family); the incoming shard — plus
+      // re-crawled exact copies of every 21st ingested doc — probes it.
+      // One-sided: every true re-crawl paragraph flags (n_flagged >=
+      // n_true always); the small bit array makes false positives
+      // deterministic and visible, and the oracle replays the exact
+      // bit array, probe, and truth columns.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      def paras(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) > 0)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), floor((size(col("__t")) + 9) / 10) - 1),
+          i => concat_ws(" ", slice(col("__t"), i * 10 + 1, lit(10))))).as("para"))
+        .distinct()
+      val ref = docs.where(col("doc_id") % 3 === 0)
+      val cands = docs.where(col("doc_id") % 3 =!= 0)
+        .unionByName(ref.where(col("doc_id") % 21 === 0)
+          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
+      val refParas = paras(ref)
+      val bits = Dedup.bloomBits(refParas, col("para"), mBits = 4096L, k = 3)
+      val probed = Dedup.bloomProbe(paras(cands), col("doc_id"), col("para"),
+        bits, mBits = 4096L, k = 3)
+      val truth = refParas.select(col("para").as("key")).distinct()
+        .withColumn("__t", lit(1))
+      probed.join(truth, Seq("key"), "left")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(col("possibly_present").cast("long")).as("n_flagged"),
+          count(col("__t")).as("n_true"))
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_flagged"),
+          col("n_true"), (col("n_flagged") > 0).as("any_flagged"),
+          (col("n_true") > 0).as("any_true"))
+        .orderBy("doc_id")
+    }),
+
     "dd_cluster" -> ((s, dir) => {
       // Near-dup pairs (exact n-gram Jaccard, the oracle-provable
       // candidate source) -> connected components -> per-doc cluster id
@@ -8504,6 +8542,48 @@ object SparkEntry {
         |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
         |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_bloom_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        | ref AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
+        | cand AS (
+        |  SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 950000, text FROM ref WHERE doc_id % 21 = 0),
+        | co AS (SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(3)) u(i)),
+        | rp AS (
+        |  SELECT DISTINCT array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ref),
+        |       unnest(range(0, (len(t)+9)//10)) u(i)),
+        | rph AS (SELECT para,
+        |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM rp),
+        | bits AS (SELECT DISTINCT (co.a * rph.h + co.b) % 2147483647 % 4096 AS pos
+        |  FROM rph, co),
+        | cp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM cand),
+        |       unnest(range(0, (len(t)+9)//10)) u(i)),
+        | cph AS (SELECT doc_id, para,
+        |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM cp),
+        | cpos AS (SELECT c.doc_id, c.para,
+        |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
+        | probe AS (
+        |  SELECT cpos.doc_id, cpos.para, count(b.pos) = 3 AS flagged
+        |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) > 0 AS any_flagged,
+        |  sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) > 0 AS any_true
+        |FROM probe p LEFT JOIN rp t ON t.para = p.para
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dd_cluster" ->
       """WITH RECURSIVE toks AS (

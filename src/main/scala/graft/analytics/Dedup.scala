@@ -65,6 +65,52 @@ object Dedup {
   private[analytics] def parityA(i: Int): Long = md5Prefix(s"a:$i") % (ParityMod - 1) + 1
   private[analytics] def parityB(i: Int): Long = md5Prefix(s"b:$i") % ParityMod
 
+  /**
+   * Bloom-filter membership dedup — the Dolma deduper's primitive (a
+   * paragraph-content Bloom filter shared across the whole corpus
+   * build): the reference keys fold into an m-bit array, candidates
+   * probe all k positions and flag iff every one is set. One-sided
+   * error — a true member ALWAYS flags; false positives bounded by
+   * (1 - e^(-kn/m))^k. Distinct from [[graft.analytics.Decontaminate]]
+   * (broadcast of a benchmark-sized gram set): the bit array stays
+   * ≤ m rows no matter how large the reference corpus grows — the
+   * shape for cross-shard dedup where BOTH sides are petabyte-scale.
+   *
+   * Representation: the distributed bit array IS the distinct table of
+   * set positions (int rows), joinable and unionable across shards;
+   * hash family = the md5-parity affine maps, so a SQL oracle replays
+   * the array bit-exactly.
+   */
+  def bloomBits(keys: DataFrame, keyCol: Column, mBits: Long, k: Int): DataFrame = {
+    require(mBits > 0 && k > 0)
+    val h = conv(substring(md5(keyCol.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % ParityMod
+    val positions = (0 until k).map(i =>
+      (lit(parityA(i)) * h + parityB(i)) % ParityMod % mBits)
+    keys.select(explode(array(positions: _*)).as("pos")).distinct()
+  }
+
+  /**
+   * Probe candidates against [[bloomBits]]: per (id, key) row adds
+   * `possibly_present` (all k positions set). The probe is an
+   * int-keyed join against the ≤m-row bit table plus one
+   * groupBy(id, key) — both map-side-combining hash shuffles; nothing
+   * corpus-sized broadcasts.
+   */
+  def bloomProbe(candidates: DataFrame, idCol: Column, keyCol: Column,
+      bits: DataFrame, mBits: Long, k: Int): DataFrame = {
+    val h = conv(substring(md5(keyCol.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % ParityMod
+    val positions = (0 until k).map(i =>
+      (lit(parityA(i)) * h + parityB(i)) % ParityMod % mBits)
+    candidates
+      .select(idCol.as("id"), keyCol.as("key"),
+        explode(array(positions: _*)).as("pos"))
+      .join(bits.withColumn("__set", lit(1)), Seq("pos"), "left")
+      .groupBy("id", "key")
+      .agg((count(col("__set")) === k).as("possibly_present"))
+  }
+
   /** [[minHashSignatures]] with the engine-parity hash family — the
     * md5-prefix device (`Sampling.hashBucket`) through k affine maps —
     * so an external SQL engine replays the signatures (and therefore

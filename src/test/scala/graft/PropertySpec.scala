@@ -270,6 +270,28 @@ class PropertySpec extends SparkSpec {
     assert(stillOpen.count() === 0L)
   }
 
+  test("bloom dedup: one-sided — every true member flags; FP rate near theory") {
+    val rnd = new Random(31)
+    val refKeys = (0 until 800).map(i => s"ref-key-$i")
+    val candTrue = rnd.shuffle(refKeys).take(150)
+    val candNew = (0 until 850).map(i => s"cand-key-$i")
+    val (m, k) = (8192L, 3)
+    val bits = graft.analytics.Dedup.bloomBits(
+      refKeys.toDF("key"), col("key"), m, k)
+    val probe = graft.analytics.Dedup.bloomProbe(
+        (candTrue ++ candNew).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "key"),
+        col("id"), col("key"), bits, m, k)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Boolean]("possibly_present"))
+      .toMap
+    // one-sided: no false negatives, ever
+    candTrue.foreach(s => assert(probe(s), s))
+    // false positives exist but stay near (1 - e^{-kn/m})^k ≈ 6.4%
+    val fp = candNew.count(probe(_)).toDouble / candNew.size
+    val bound = math.pow(1 - math.exp(-k.toDouble * refKeys.size / m), k)
+    assert(fp <= 3 * bound + 0.02, s"fp=$fp bound=$bound")
+  }
+
   test("parity minhash: signatures invariant under row order and duplication") {
     val rnd = new Random(29)
     val sh = (0 until 400).map(i => (i.toLong % 20, s"sh${rnd.nextInt(50)}"))
