@@ -1910,6 +1910,43 @@ object SparkEntry {
         .orderBy("mode", "partition")
     }),
 
+    "s1_write_caching_stream" -> ((s, dir) => {
+      // The flush fold as a continuous query: the stored log split into
+      // two ordered micro-batches; per-partition accumulator state
+      // persists in the checkpoint, so the emitted flush decisions are
+      // byte-identical to the batch fold — certified by the SAME
+      // recursive-CTE oracle (cached leg).
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      val log = storedLog(s, dir).select(col("partition"), col("offset"),
+        unix_millis(col("ts")).as("ts_ms"),
+        (length(col("props")) + length(col("event_type")) + lit(24))
+          .cast("long").as("bytes"))
+      val inDir = cleanupOnExit(Files.createTempDirectory("graft_wc_in"))
+      Seq((col("offset") < 600, "batch0", 1700000000000L),
+          (col("offset") >= 600, "batch1", 1700000001000L)).foreach {
+        case (cond, name, mtime) =>
+          val tmp = Files.createTempDirectory("graft_wc_half")
+          log.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val dst = inDir.resolve(s"$name.parquet")
+          Files.copy(firstParquetPart(tmp), dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+          deleteDirTree(tmp)
+      }
+      val out = cleanupOnExit(Files.createTempDirectory("graft_wc_out")).toString
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir.toString, log.schema, maxFilesPerTrigger = Some(1)).stream(s)
+      graft.log.WriteCaching.flushAccountingStream(stream, s"$out/data",
+        s"$out/ckpt", cachingEnabled = true, flushBytes = 2048L, flushMs = 3600000L)
+      s.read.parquet(s"$out/data")
+        .groupBy("partition")
+        .agg((max("offset") + 1).as("hwm"),
+          max("flushed_offset").as("durable_offset"),
+          (max("offset") - max("flushed_offset")).as("unflushed_rows"),
+          sum(col("flushed").cast("long")).as("n_flushes"))
+        .orderBy("partition")
+    }),
+
     "s2_fetch" -> ((s, dir) =>
       RecordLog.fetch(eventLog(s, dir), partition = 3, fromOffset = 50, maxRows = 500)
         .select("partition", "offset", "user_id", "event_type", "value")
@@ -5902,6 +5939,37 @@ object SparkEntry {
          | UNION ALL
          | SELECT 'sync', partition, hwm, hwm - 1, CAST(0 AS BIGINT), n FROM hw
          | ORDER BY mode, partition""".stripMargin,
+
+    // the streaming twin must land exactly the batch fold's cached leg
+    "s1_write_caching_stream" ->
+      s"""${LogCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | r0 AS (
+         |  SELECT partition, "offset", epoch_ms(ts) AS ts_ms,
+         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS b,
+         |         row_number() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+         |  FROM log),
+         | f(partition, rn, acc, last_ts, durable, nf) AS (
+         |   SELECT partition, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ts_ms,
+         |          CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+         |   FROM r0 WHERE rn = 1
+         |   UNION ALL
+         |   SELECT r.partition, r.rn,
+         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN 0 ELSE r.b + f.acc END,
+         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN r.ts_ms ELSE f.last_ts END,
+         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN r."offset" ELSE f.durable END,
+         |     f.nf + CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+         |          THEN 1 ELSE 0 END
+         |   FROM f JOIN r0 r ON r.partition = f.partition AND r.rn = f.rn + 1),
+         | cstats AS (
+         |  SELECT partition, durable AS durable_offset, nf AS n_flushes
+         |  FROM f QUALIFY rn = max(rn) OVER (PARTITION BY partition)),
+         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
+         | SELECT h.partition, h.hwm, c.durable_offset,
+         |        h.hwm - 1 - c.durable_offset AS unflushed_rows, c.n_flushes
+         | FROM hw h JOIN cstats c USING (partition) ORDER BY 1""".stripMargin,
 
     "s2_fetch" ->
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log

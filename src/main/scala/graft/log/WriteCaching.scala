@@ -70,6 +70,64 @@ object WriteCaching {
       .toDF()
   }
 
+  final case class FlushState(acc: Long, lastFlushTs: Long, durable: Long,
+      opened: Boolean)
+
+  /**
+   * The flush fold as the CONTINUOUS query a long-lived produce path
+   * runs: batches stream in, per-partition (acc, lastFlushTs, durable)
+   * state persists in the checkpoint across micro-batches
+   * (`flatMapGroupsWithState`), and each batch's flush decisions emit
+   * exactly once — byte-identical to [[flushAccounting]] over the
+   * concatenated stream, certified by the same oracle. Restart-safe:
+   * the carried state makes batch N+1 resume exactly where batch N's
+   * accumulator left off.
+   */
+  def flushAccountingStream(log: DataFrame, dataPath: String, ckptPath: String,
+      cachingEnabled: Boolean, flushBytes: Long,
+      flushMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    val spark = log.sparkSession
+    import spark.implicits._
+    val out = log.select(col("partition").cast("int").as("partition"),
+        col("offset").cast("long").as("offset"),
+        col("ts_ms").cast("long").as("ts_ms"),
+        col("bytes").cast("long").as("bytes"))
+      .as[In]
+      .groupByKey(_.partition)
+      .flatMapGroupsWithState[FlushState, Out](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (p, it, state) =>
+        val batch = it.toSeq.sortBy(_.offset)
+        if (batch.isEmpty) Iterator.empty
+        else {
+          var st = state.getOption.getOrElse(
+            FlushState(0L, batch.head.ts_ms, -1L, opened = true))
+          val rows = batch.map { r =>
+            val acc = st.acc + r.bytes
+            val flush = !cachingEnabled || acc >= flushBytes ||
+              r.ts_ms - st.lastFlushTs >= flushMs
+            st =
+              if (flush) FlushState(0L, r.ts_ms, r.offset, opened = true)
+              else st.copy(acc = acc)
+            Out(p, r.offset, r.bytes, flush, st.durable)
+          }
+          state.update(st)
+          rows.iterator
+        }
+      }
+    val q = out.toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckptPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // idempotent per-batch sink: a retried micro-batch overwrites
+        // its own directory instead of appending duplicates
+        b.write.mode("overwrite").parquet(s"$dataPath/batch=$id")
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /**
    * The per-partition watermark ledger under the knob: HWM (ack
    * watermark), the durable offset, the acked-but-unflushed row count
