@@ -535,10 +535,18 @@ object SparkEntry {
   }
 
   /** Register a temp dir tree for JVM-exit cleanup (fixture dirs that
-    * must outlive the lazy DataFrames reading from them). */
-  private def cleanupOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    * must outlive the lazy DataFrames reading from them). ONE static
+    * hook drains the queue — registering per-dir hooks would
+    * accumulate a thread per entry invocation for the JVM lifetime. */
+  private val cleanupQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try deleteDirTree(dir) catch { case _: Throwable => () }))
+      cleanupQueue.forEach(d =>
+        try deleteDirTree(d) catch { case _: Throwable => () })))
+  private def cleanupOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    cleanupHook
+    cleanupQueue.add(dir)
     dir
   }
 
@@ -1039,6 +1047,38 @@ object SparkEntry {
       (3L, "events", "cleanup.policy", "compact,delete"))
       .toDF("seq", "topic", "key", "value")
   }
+
+  /** Recursive flush-fold legs shared by the s1_write_caching batch
+    * and stream oracles — one copy, so the twins cannot desynchronize:
+    * `r0` sizes/clocks the log, `f` replays the reset-on-flush
+    * recurrence (2 KiB / 1 h triggers), `cstats` takes each
+    * partition's final state, `hw` the HWM. */
+  private val WriteCachingLegs: String =
+    """ r0 AS (
+      |  SELECT partition, "offset", epoch_ms(ts) AS ts_ms,
+      |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS b,
+      |         row_number() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+      |  FROM log),
+      | f(partition, rn, acc, last_ts, durable, nf) AS (
+      |   SELECT partition, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ts_ms,
+      |          CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+      |   FROM r0 WHERE rn = 1
+      |   UNION ALL
+      |   SELECT r.partition, r.rn,
+      |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+      |          THEN 0 ELSE r.b + f.acc END,
+      |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+      |          THEN r.ts_ms ELSE f.last_ts END,
+      |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+      |          THEN r."offset" ELSE f.durable END,
+      |     f.nf + CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
+      |          THEN 1 ELSE 0 END
+      |   FROM f JOIN r0 r ON r.partition = f.partition AND r.rn = f.rn + 1),
+      | cstats AS (
+      |  SELECT partition, durable AS durable_offset, nf AS n_flushes
+      |  FROM f QUALIFY rn = max(rn) OVER (PARTITION BY partition)),
+      | hw AS (SELECT partition, max("offset") + 1 AS hwm,
+      |               CAST(count(*) AS BIGINT) AS n FROM log GROUP BY 1)""".stripMargin
 
   /**
    * SQL replica of [[txnLog]] for the DuckDB oracle. Interpolates
@@ -4808,8 +4848,10 @@ object SparkEntry {
       // commit and start from scratch).
       import graft.streaming.Transforms
       val log = eventLog(s, dir).withColumnRenamed("ts", "timestamp")
-      val snapshot = log.where(col("offset") < lit(50) + col("partition") * 13)
-      val input = Transforms.PathInput(u2SnapshotPath(s, dir), snapshot.schema)
+      // schema read back from the materialized snapshot — the cut
+      // formula lives only in u2SnapshotPath
+      val snapPath = u2SnapshotPath(s, dir)
+      val input = Transforms.PathInput(snapPath, s.read.parquet(snapPath).schema)
       val committed = log.where(col("partition") % 2 === 0)
         .groupBy("partition")
         .agg(floor(max("offset") / 2).cast("long").as("committed_offset"))
@@ -5908,31 +5950,7 @@ object SparkEntry {
 
     "s1_write_caching" ->
       s"""${LogCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         | r0 AS (
-         |  SELECT partition, "offset", epoch_ms(ts) AS ts_ms,
-         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS b,
-         |         row_number() OVER (PARTITION BY partition ORDER BY "offset") AS rn
-         |  FROM log),
-         | f(partition, rn, acc, last_ts, durable, nf) AS (
-         |   SELECT partition, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ts_ms,
-         |          CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-         |   FROM r0 WHERE rn = 1
-         |   UNION ALL
-         |   SELECT r.partition, r.rn,
-         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN 0 ELSE r.b + f.acc END,
-         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN r.ts_ms ELSE f.last_ts END,
-         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN r."offset" ELSE f.durable END,
-         |     f.nf + CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN 1 ELSE 0 END
-         |   FROM f JOIN r0 r ON r.partition = f.partition AND r.rn = f.rn + 1),
-         | cstats AS (
-         |  SELECT partition, durable AS durable_offset, nf AS n_flushes
-         |  FROM f QUALIFY rn = max(rn) OVER (PARTITION BY partition)),
-         | hw AS (SELECT partition, max("offset") + 1 AS hwm,
-         |               CAST(count(*) AS BIGINT) AS n FROM log GROUP BY 1)
+         |$WriteCachingLegs
          | SELECT 'cached' AS mode, h.partition, h.hwm, c.durable_offset,
          |        h.hwm - 1 - c.durable_offset AS unflushed_rows, c.n_flushes
          | FROM hw h JOIN cstats c USING (partition)
@@ -5943,30 +5961,7 @@ object SparkEntry {
     // the streaming twin must land exactly the batch fold's cached leg
     "s1_write_caching_stream" ->
       s"""${LogCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         | r0 AS (
-         |  SELECT partition, "offset", epoch_ms(ts) AS ts_ms,
-         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS b,
-         |         row_number() OVER (PARTITION BY partition ORDER BY "offset") AS rn
-         |  FROM log),
-         | f(partition, rn, acc, last_ts, durable, nf) AS (
-         |   SELECT partition, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ts_ms,
-         |          CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-         |   FROM r0 WHERE rn = 1
-         |   UNION ALL
-         |   SELECT r.partition, r.rn,
-         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN 0 ELSE r.b + f.acc END,
-         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN r.ts_ms ELSE f.last_ts END,
-         |     CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN r."offset" ELSE f.durable END,
-         |     f.nf + CASE WHEN r.b + f.acc >= 2048 OR r.ts_ms - f.last_ts >= 3600000
-         |          THEN 1 ELSE 0 END
-         |   FROM f JOIN r0 r ON r.partition = f.partition AND r.rn = f.rn + 1),
-         | cstats AS (
-         |  SELECT partition, durable AS durable_offset, nf AS n_flushes
-         |  FROM f QUALIFY rn = max(rn) OVER (PARTITION BY partition)),
-         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
+         |$WriteCachingLegs
          | SELECT h.partition, h.hwm, c.durable_offset,
          |        h.hwm - 1 - c.durable_offset AS unflushed_rows, c.n_flushes
          | FROM hw h JOIN cstats c USING (partition) ORDER BY 1""".stripMargin,
@@ -9036,12 +9031,14 @@ object SparkEntry {
         | th AS (
         |  SELECT doc_id, n_tokens,
         |    list_transform(t, s ->
-        |      CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT)) AS v
+        |      CAST(CAST(('0x' || substr(md5(s), 1, 12)) AS UBIGINT) AS BIGINT)) AS v
         |  FROM base WHERE n_tokens >= 20),
         | grams AS (
         |  SELECT doc_id, p,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
-        |      (acc, x) -> (acc * 131 + x) % 36028797018963913) AS h
+        |      (acc, x) -> (acc * 131 + x) % 2147483647) * 2147483629
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
+        |      (acc, x) -> (acc * 137 + x) % 2147483629) AS h
         |  FROM th, unnest(range(0, n_tokens - 20 + 1)) u(p)),
         | dh AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         | marked AS (SELECT g.doc_id, g.p, g.p + 19 AS pe FROM grams g JOIN dh USING (h)),

@@ -470,28 +470,38 @@ object TextAnalysis {
    * linear in corpus tokens), one hash-group for the duplicate-hash
    * set, a semi-join back, and per-DOC windows for the interval merge
    * (never a global window). Window hashing is ONE md5-prefix per
-   * TOKEN followed by a base-[[SpanHashBase]] polynomial fold mod the
-   * 55-bit prime [[SpanHashMod]] per window — pure integer arithmetic
-   * (every intermediate < 2^63, so the DuckDB oracle reproduces it
-   * bit-exactly without overflow), ~k× fewer hashed bytes than
-   * hashing each window's concatenated text.
+   * TOKEN (48 bits — wide enough that token aliasing is negligible at
+   * billion-token vocabulary scale) followed by TWO polynomial folds
+   * mod coprime 31-bit primes whose pair packs into one 62-bit key —
+   * a ~2^62 window-hash space, so span aliasing stays negligible at
+   * 10^12 windows (a single 31-bit fold would alias constantly, and a
+   * 32-bit token prefix would merge real tokens). Pure integer
+   * arithmetic, every intermediate < 2^63, so the DuckDB oracle
+   * reproduces it bit-exactly without overflow; still ~k× fewer
+   * hashed bytes than hashing each window's concatenated text.
    */
-  val SpanHashBase = 131L
-  val SpanHashMod = 36028797018963913L // 2^55 - 55, prime
+  val SpanHashBase1 = 131L
+  val SpanHashBase2 = 137L
+  val SpanHashMod1 = 2147483647L // 2^31 - 1, prime
+  val SpanHashMod2 = 2147483629L // prime
 
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int): DataFrame = {
     require(k > 1, "span length must exceed one token")
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
       .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
+    def fold(w: Column, b: Long, m: Long): Column =
+      aggregate(w, lit(0L), (acc, t) => (acc * b + t) % m)
     val grams = base
       .where(col("n_tokens") >= k)
       .withColumn("__th", transform(col("__toks"),
-        t => conv(substring(md5(encode(t, "UTF-8")), 1, 8), 16, 10).cast("long")))
+        t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
       .select(col("doc_id"), col("n_tokens"),
-        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
-          i => aggregate(slice(col("__th"), i + 1, lit(k)), lit(0L),
-            (acc, t) => (acc * SpanHashBase + t) % SpanHashMod))))
+        posexplode(transform(sequence(lit(0), col("n_tokens") - k), i => {
+          val w = slice(col("__th"), i + 1, lit(k))
+          fold(w, SpanHashBase1, SpanHashMod1) * SpanHashMod2 +
+            fold(w, SpanHashBase2, SpanHashMod2)
+        })))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct("doc_id").as("__docs"))

@@ -70,8 +70,7 @@ object WriteCaching {
       .toDF()
   }
 
-  final case class FlushState(acc: Long, lastFlushTs: Long, durable: Long,
-      opened: Boolean)
+  final case class FlushState(acc: Long, lastFlushTs: Long, durable: Long)
 
   /**
    * The flush fold as the CONTINUOUS query a long-lived produce path
@@ -101,13 +100,13 @@ object WriteCaching {
         if (batch.isEmpty) Iterator.empty
         else {
           var st = state.getOption.getOrElse(
-            FlushState(0L, batch.head.ts_ms, -1L, opened = true))
+            FlushState(0L, batch.head.ts_ms, -1L))
           val rows = batch.map { r =>
             val acc = st.acc + r.bytes
             val flush = !cachingEnabled || acc >= flushBytes ||
               r.ts_ms - st.lastFlushTs >= flushMs
             st =
-              if (flush) FlushState(0L, r.ts_ms, r.offset, opened = true)
+              if (flush) FlushState(0L, r.ts_ms, r.offset)
               else st.copy(acc = acc)
             Out(p, r.offset, r.bytes, flush, st.durable)
           }

@@ -1607,6 +1607,8 @@ object IcebergFormat {
     Some(snapId)
   }
 
+  val OrphanDefaultGuardMs: Long = 3L * 24 * 3600 * 1000
+
   /**
    * Orphan-file cleanup — the third Iceberg maintenance action (with
    * snapshot expiry and data-file compaction): delete files under the
@@ -1628,8 +1630,6 @@ object IcebergFormat {
    * listing is one recursive enumeration of the table prefix — the
    * same object-store LIST a production cleanup pays.
    */
-  val OrphanDefaultGuardMs: Long = 3L * 24 * 3600 * 1000
-
   def removeOrphanFiles(spark: SparkSession, table: String,
       olderThanMs: Long = -1L): Seq[String] = {
     val cutoffMs =
