@@ -5374,6 +5374,42 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    "txt_compress_contract" -> ((s, dir) => {
+      // zlib compression-ratio quality signal (the Data-Juicer /
+      // MassiveText-style redundancy filter): planted repetitive text,
+      // the prose corpus, and hex-noise plants must order strictly by
+      // ratio. Deflate bytes are JVM-deterministic but not SQL-
+      // reproducible, so the oracle certifies the ORDERING contract
+      // (measured margins at sf0.01: repeat ≤ 58k ppm, prose ≥ 398k,
+      // noise 587k-607k) plus corpus-derived class counts.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val repeat = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("lorem ipsum dolor sit amet " * 30),
+            col("doc_id").cast("string")).as("text"))
+      val noise = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 650000).as("doc_id"),
+          concat((0 until 10).map(i =>
+            md5(concat(col("doc_id").cast("string"), lit(s":$i")))): _*).as("text"))
+      val r = TextAnalysis.compressionRatio(
+          docs.unionByName(repeat).unionByName(noise), col("doc_id"), col("text"))
+        .withColumn("cls", when(col("doc_id") >= 650000, "noise")
+          .when(col("doc_id") >= 600000, "repeat").otherwise("salad"))
+      r.groupBy("cls").agg(count(lit(1)).as("n"),
+          min("ratio_ppm").as("mn"), max("ratio_ppm").as("mx"),
+          expr("percentile(ratio_ppm, 0.5)").as("md"))
+        .agg(
+          max(when(col("cls") === "repeat", col("n"))).as("n_repeat"),
+          max(when(col("cls") === "salad", col("n"))).as("n_salad"),
+          max(when(col("cls") === "noise", col("n"))).as("n_noise"),
+          (max(when(col("cls") === "repeat", col("mx"))) <
+            max(when(col("cls") === "salad", col("mn")))).as("repeat_lt_prose"),
+          (max(when(col("cls") === "salad", col("md"))) <
+            max(when(col("cls") === "noise", col("md")))).as("prose_lt_noise_median"),
+          (max(when(col("cls") === "repeat", col("mx"))) < 200000L).as("repeat_band_ok"),
+          (max(when(col("cls") === "noise", col("mn"))) > 450000L).as("noise_band_ok"))
+    }),
+
     "txt_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -8580,6 +8616,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(true AS BOOLEAN) AS case_ws_invariant,
         |       CAST(true AS BOOLEAN) AS content_sensitive
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_compress_contract" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS BIGINT) AS n_repeat,
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_salad,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 13 = 0) AS BIGINT) AS n_noise,
+        |  TRUE AS repeat_lt_prose, TRUE AS prose_lt_noise_median,
+        |  TRUE AS repeat_band_ok, TRUE AS noise_band_ok""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH toks AS (

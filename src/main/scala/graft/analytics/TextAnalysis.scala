@@ -848,6 +848,49 @@ object TextAnalysis {
     total % 10 === 0
   }
 
+  final case class CompressionRow(doc_id: Long, raw_bytes: Long,
+      compressed_bytes: Long, ratio_ppm: Long)
+
+  /**
+   * zlib compression ratio — the classic redundancy signal a curation
+   * pipeline thresholds on (boilerplate repetition compresses far
+   * below prose; high-entropy noise barely compresses at all). The
+   * deflate byte count is JVM-deterministic for a fixed input and
+   * level but NOT reproducible by an external SQL engine, so entries
+   * certify ORDERING CONTRACTS over planted classes (repetitive <
+   * prose < noise) rather than hashing raw ratios.
+   *
+   * Scale shape: a narrow mapPartitions projection (one Deflater per
+   * partition, reset per row — no per-row allocation of the 256 KiB
+   * zlib state); no shuffle.
+   */
+  def compressionRatio(df: DataFrame, idCol: Column, textCol: Column,
+      level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("doc_id"),
+        coalesce(textCol, lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val ppm =
+            if (raw.length == 0) 1000000L
+            else compressed * 1000000L / raw.length
+          CompressionRow(id, raw.length.toLong, compressed, ppm)
+        }
+      }
+      .toDF()
+  }
+
   /** Per-doc card-PII features: candidate count, Luhn-valid count, and
     * the md5 of the text with valid cards redacted. */
   def cardPiiFeatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {

@@ -7,6 +7,24 @@ import graft.SparkSpec
 class TextRulesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compression ratio: repetition compresses far below prose, noise barely") {
+    val docs = Seq(
+      (1L, "spam ham " * 200),
+      (2L, "the quick brown fox jumps over a lazy dog while rain falls on the quiet hills and birds return home " * 3),
+      (3L, (0 until 20).map(i => java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString).mkString),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs, col("doc_id"), col("text"))
+      .select("doc_id", "ratio_ppm").as[(Long, Long)].collect().toMap
+    assert(r(1L) < r(2L), r.toString)   // repetition << prose
+    assert(r(2L) < r(3L), r.toString)   // prose << high-entropy noise
+    assert(r(4L) === 1000000L)          // empty text: neutral ratio
+    // determinism: identical inputs give identical byte counts
+    val again = TextAnalysis.compressionRatio(docs.repartition(5), col("doc_id"), col("text"))
+      .select("doc_id", "ratio_ppm").as[(Long, Long)].collect().toMap
+    assert(again === r)
+  }
+
   test("gopher rules: each planted degenerate fails its rule") {
     val docs = Seq(
       (0L, ("the cat sat upon the mat with dogs and that was all fine " * 5).trim), // passes
