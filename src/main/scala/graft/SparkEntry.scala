@@ -550,6 +550,27 @@ object SparkEntry {
     dir
   }
 
+  /** Per-language plant phrases for the rank-profile language-ID
+    * scenario (the synthetic corpus' lang labels sit on identical
+    * word salad, so discriminative text must be planted). Order fixes
+    * the plant-id layout: doc_id*5 + index. */
+  private val LangPhrases: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then runs " +
+      "away with great joy through the green fields "),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und " +
+      "läuft dann mit großer freude durch die grünen felder davon "),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux " +
+      "et s'enfuit avec une grande joie à travers les champs verts "),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso y " +
+      "luego huye con gran alegría por los campos verdes "),
+    "zh" -> "敏捷的棕色狐狸跳过懒狗然后带着巨大的喜悦穿过绿色的田野逃走了 ")
+
+  private val LangCaseSql: String = LangPhrases.zipWithIndex
+    .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+  private val PhraseCaseSql: String = LangPhrases.zipWithIndex
+    .map { case ((_, p), i) => s"WHEN $i THEN '${p.replace("'", "''")}'" }
+    .mkString(" ")
+
   /** Partition count of the canonical events topic (the oracle CTEs
     * replicate `user_id % EventPartitions`). */
   private val EventPartitions = 8
@@ -5374,6 +5395,36 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    "txt_langid_profile" -> ((s, dir) => {
+      // Cavnar-Trenkle (1994) rank-profile language ID: char-trigram
+      // top-50 profiles train on the EVEN half of genuinely-labeled
+      // plants (the corpus' own lang labels sit on identical word
+      // salad, so plants carry the real per-language text — with
+      // accented and CJK scripts); the odd half of plants AND corpus
+      // classifies by the out-of-place measure. Plant rows must land
+      // on the diagonal; salad rows disperse deterministically. The
+      // oracle recomputes profiles, ranks, penalties, and argmins.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val plantBase = docs.where(col("doc_id") % 17 === 0)
+      val plants = LangPhrases.zipWithIndex.map { case ((l, phrase), li) =>
+        plantBase.select(
+          (lit(900000L) + col("doc_id") * 5 + li).as("doc_id"),
+          lit(l).as("lang"),
+          concat_ws("", array_repeat(lit(phrase),
+            (pmod(col("doc_id"), lit(3)) + 2).cast("int"))).as("text"))
+      }.reduce(_ unionByName _)
+      val all = docs.unionByName(plants)
+      val profiles = TextAnalysis.languageProfiles(
+        plants.where(col("doc_id") % 2 === 0), col("lang"), col("text"))
+      TextAnalysis.classifyByProfile(
+          all.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"), profiles)
+        .join(all.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+        .groupBy((col("doc_id") >= 900000L).as("is_plant"),
+          col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"), sum("distance").as("dist_sum"))
+        .orderBy("is_plant", "true_lang", "pred_lang")
+    }),
+
     "txt_compress_contract" -> ((s, dir) => {
       // zlib compression-ratio quality signal (the Data-Juicer /
       // MassiveText-style redundancy filter): planted repetitive text,
@@ -8616,6 +8667,54 @@ object SparkEntry {
       """SELECT doc_id, CAST(true AS BOOLEAN) AS case_ws_invariant,
         |       CAST(true AS BOOLEAN) AS content_sensitive
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid_profile" ->
+      s"""WITH pl AS (
+        |  SELECT 900000 + doc_id * 5 + li AS doc_id,
+        |    CASE li $LangCaseSql END AS lang,
+        |    repeat(CASE li $PhraseCaseSql END,
+        |      CAST(doc_id % 3 + 2 AS INTEGER)) AS text
+        |  FROM documents, unnest(range(5)) u(li) WHERE doc_id % 17 = 0),
+        | allc AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id, lang, text FROM pl),
+        | d AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+        |  FROM allc),
+        | tg AS (
+        |  SELECT lang, substr(t, i, 3) AS gram
+        |  FROM d, unnest(range(1, length(t) - 1)) u(i)
+        |  WHERE doc_id >= 900000 AND doc_id % 2 = 0),
+        | lp AS (
+        |  SELECT lang, gram,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS BIGINT) AS rnk
+        |  FROM tg GROUP BY lang, gram
+        |  QUALIFY rnk <= 50),
+        | dg AS (
+        |  SELECT doc_id, substr(t, i, 3) AS gram
+        |  FROM d, unnest(range(1, length(t) - 1)) u(i)
+        |  WHERE doc_id % 2 = 1),
+        | dt AS (
+        |  SELECT doc_id, gram,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS BIGINT) AS drank
+        |  FROM dg GROUP BY doc_id, gram
+        |  QUALIFY drank <= 50),
+        | langs AS (SELECT DISTINCT lang FROM lp),
+        | dist AS (
+        |  SELECT dt.doc_id, l.lang,
+        |    CAST(sum(COALESCE(abs(dt.drank - lp.rnk), 50)) AS BIGINT) AS dist
+        |  FROM dt CROSS JOIN langs l
+        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dt.gram
+        |  GROUP BY 1, 2),
+        | pred AS (
+        |  SELECT doc_id, lang AS pred_lang, dist
+        |  FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1)
+        |SELECT d.doc_id >= 900000 AS is_plant, d.lang AS true_lang, p.pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(p.dist) AS BIGINT) AS dist_sum
+        |FROM pred p JOIN d ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "txt_compress_contract" ->
       """SELECT

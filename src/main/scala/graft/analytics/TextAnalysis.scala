@@ -44,6 +44,63 @@ object TextAnalysis {
   }
 
   /**
+   * Cavnar–Trenkle (1994) rank-profile language ID — the published
+   * n-gram algorithm behind textcat-style classifiers, upgrading the
+   * stopword heuristic for languages no stopword table covers (the
+   * corpus' zh/es slices): per language, the top-K most frequent char
+   * n-grams rank by (count desc, gram asc — a deterministic total
+   * order); a document's own top-K profile compares by the
+   * OUT-OF-PLACE measure — Σ |doc_rank − lang_rank|, max penalty K
+   * for grams absent from the language profile — and the argmin
+   * language wins (lang asc on ties).
+   *
+   * Scale shape: profiles are one (lang, gram) count + a per-LANG rank
+   * window, then a (K × #languages)-row broadcast; documents rank
+   * their own grams in per-DOC windows and join the broadcast — the
+   * only corpus-sized shuffle is the per-doc gram aggregation.
+   */
+  private def charGrams(textCol: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(lower(textCol)), "\\s+", " ")
+    // empty array for too-short text — sequence(1, <1) would descend
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => substring(norm, i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def languageProfiles(docs: DataFrame, langCol: Column, textCol: Column,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("__c").desc, col("gram"))
+    docs
+      .select(langCol.as("lang"), explode(charGrams(textCol, n)).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("__c"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("lang", "gram", "rank")
+  }
+
+  def classifyByProfile(docs: DataFrame, idCol: Column, textCol: Column,
+      profiles: DataFrame, n: Int = 3, topK: Int = 50): DataFrame = {
+    val dw = Window.partitionBy("doc_id").orderBy(col("__c").desc, col("gram"))
+    val docTop = docs
+      .select(idCol.as("doc_id"), explode(charGrams(textCol, n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("__c"))
+      .withColumn("drank", row_number().over(dw))
+      .where(col("drank") <= topK)
+      .select("doc_id", "gram", "drank")
+    val langs = profiles.select("lang").distinct()
+    docTop.crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(coalesce(abs(col("drank") - col("rank")), lit(topK.toLong)))
+        .as("dist"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("lang"))).as("__best"))
+      .select(col("doc_id"), col("__best.lang").as("pred_lang"),
+        col("__best.dist").as("distance"))
+  }
+
+  /**
    * Quality features: char/token counts, mean token length, stopword
    * ratio, punctuation count. Ratios are plain double divisions of
    * exactly-computed integers (deterministic across engines).

@@ -7,6 +7,30 @@ import graft.SparkSpec
 class TextRulesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rank-profile language id: out-of-place measure picks the right profile") {
+    val train = Seq(
+      (0L, "aa", "aaa aab aac aaa aab aaa"),
+      (2L, "bb", "bbb bba bbc bbb bba bbb"))
+      .toDF("doc_id", "lang", "text")
+    val profiles = TextAnalysis.languageProfiles(train, col("lang"), col("text"), n = 3, topK = 10)
+    // profiles rank by (count desc, gram asc); grams slide over the
+    // whole normalized string, so the boundary gram " aa" (5 hits)
+    // outranks the tripled letter (3 hits) — exactly C-T's profiles,
+    // where space-padded grams carry word-boundary signal
+    val top = profiles.where(col("rank") === 1)
+      .select("lang", "gram").as[(String, String)].collect().toMap
+    assert(top("aa") === " aa" && top("bb") === " bb")
+    val got = TextAnalysis.classifyByProfile(
+        Seq((1L, "aab aaa aac aaa"), (3L, "bba bbb bbc bbb"), (5L, "zzz zzy zzx"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), profiles, n = 3, topK = 10)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) === "aa")
+    assert(got(3L) === "bb")
+    // an out-of-vocabulary doc still resolves deterministically (lang asc tie)
+    assert(got(5L) === "aa")
+  }
+
   test("compression ratio: repetition compresses far below prose, noise barely") {
     val docs = Seq(
       (1L, "spam ham " * 200),
