@@ -805,7 +805,8 @@ object SparkEntry {
    */
   private def txnExpiryFixture(s: SparkSession, dir: String): String =
     txnExpiryStore.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_txnexp").toString
+      val tmp = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_txnexp")).toString
       val data0 = txnData(s, dir)
       val maxArr = data0.agg(max("arrival")).head.getLong(0)
       val data = data0.where(
@@ -9179,9 +9180,8 @@ object SparkEntry {
         | grams AS (
         |  SELECT doc_id, p,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
-        |      (acc, x) -> (acc * 131 + x) % 2147483647) * 2147483629
-        |    + list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
-        |      (acc, x) -> (acc * 137 + x) % 2147483629) AS h
+        |      (acc, x) -> ((acc >> 31) * 131 + x) % 2147483647 * 2147483648
+        |                  + ((acc & 2147483647) * 137 + x) % 2147483629) AS h
         |  FROM th, unnest(range(0, n_tokens - 20 + 1)) u(p)),
         | dh AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         | marked AS (SELECT g.doc_id, g.p, g.p + 19 AS pe FROM grams g JOIN dh USING (h)),

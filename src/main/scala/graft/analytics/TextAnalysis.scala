@@ -547,18 +547,21 @@ object TextAnalysis {
     require(k > 1, "span length must exceed one token")
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
       .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
-    def fold(w: Column, b: Long, m: Long): Column =
-      aggregate(w, lit(0L), (acc, t) => (acc * b + t) % m)
+    // both 31-bit folds run in ONE pass with a packed accumulator
+    // (h1 in the high 31 bits, h2 low) — one slice and one lambda fold
+    // per window instead of two; bit ops unpack exactly (no double
+    // division, which would lose precision past 2^53)
+    def packedFold(w: Column): Column =
+      aggregate(w, lit(0L), (acc, t) =>
+        (shiftright(acc, 31) * SpanHashBase1 + t) % SpanHashMod1 * 2147483648L +
+          (acc.bitwiseAND(lit(2147483647L)) * SpanHashBase2 + t) % SpanHashMod2)
     val grams = base
       .where(col("n_tokens") >= k)
       .withColumn("__th", transform(col("__toks"),
         t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
       .select(col("doc_id"), col("n_tokens"),
-        posexplode(transform(sequence(lit(0), col("n_tokens") - k), i => {
-          val w = slice(col("__th"), i + 1, lit(k))
-          fold(w, SpanHashBase1, SpanHashMod1) * SpanHashMod2 +
-            fold(w, SpanHashBase2, SpanHashMod2)
-        })))
+        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => packedFold(slice(col("__th"), i + 1, lit(k))))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct("doc_id").as("__docs"))
