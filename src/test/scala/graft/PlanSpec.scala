@@ -291,6 +291,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sliding-window compaction windows stay partition-scoped; bounds broadcast") {
+    val log = (0 until 400).map(i => (i % 4, i.toLong, s"k${i % 37}"))
+      .toDF("partition", "offset", "key")
+    val (compacted, _) = graft.log.Compaction.slidingWindowCompact(log,
+      col("partition"), col("offset"), col("key"), segSize = 20L, maxKeys = 15L)
+    val p = plan(compacted)
+    // the occupancy prefix-sum runs over the tiny (partition × segment)
+    // table and the LWW rank inside (partition, segment, key) — no
+    // window may span a whole partition of DATA rows unscoped
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("__p"), s"unscoped window: $w\n$p"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bloom probe joins on int positions — no cartesian, no corpus broadcast") {
+    val keys = (0 until 500).map(i => s"k$i").toDF("key")
+    val bits = graft.analytics.Dedup.bloomBits(keys, col("key"), 4096L, 3)
+    val cands = (0 until 500).map(i => (i.toLong, s"c$i")).toDF("id", "key")
+    val p = plan(graft.analytics.Dedup.bloomProbe(cands, col("id"), col("key"),
+      bits, 4096L, 3))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("language-id doc rankings run in per-doc windows, profiles per-lang") {
+    val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "aa" else "bb",
+      s"some text body number $i with words")).toDF("doc_id", "lang", "text")
+    val profiles = graft.analytics.TextAnalysis.languageProfiles(
+      docs, col("lang"), col("text"))
+    val p = plan(graft.analytics.TextAnalysis.classifyByProfile(
+      docs, col("doc_id"), col("text"), profiles))
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w =>
+      assert(w.contains("doc_id") || w.contains("lang"), s"unscoped window: $w\n$p"))
+  }
+
   test("initProducerIds small-input gate skips the chunked shuffles") {
     val producers = (0L until 1000L).map(i => (f"tx-$i%04d", i)).toDF("txid", "first_seen")
     val p = plan(graft.log.TxnEngine.initProducerIds(producers, col("txid")))
