@@ -509,9 +509,7 @@ object SparkEntry {
         .withColumn("ts", sentTs)
         .coalesce(1)
         .write.mode("overwrite").parquet(sentDir.toString)
-      val part = Files.list(sentDir).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.copy(part, b1)
+      Files.copy(firstParquetPart(sentDir), b1)
     }
     Files.setLastModifiedTime(b1, FileTime.fromMillis(1700000060000L))
     inDir.toString
@@ -4387,11 +4385,7 @@ object SparkEntry {
         val tmp = Files.createTempDirectory("graft_d1dlqS_half")
         batch.where(pmod(col("event_id"), lit(2)) === rem)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val it = Files.list(tmp).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) Files.copy(p, in.resolve(name))
-        }
+        Files.copy(firstParquetPart(tmp), in.resolve(name))
         Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
       }
       stageHalf("a.parquet", 0, 1700000000000L)
@@ -4724,11 +4718,7 @@ object SparkEntry {
         val tmp = Files.createTempDirectory("graft_iceS_half")
         ev.where(pmod(col("event_id"), lit(2)) === rem)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val it = Files.list(tmp).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) Files.copy(p, in.resolve(name))
-        }
+        Files.copy(firstParquetPart(tmp), in.resolve(name))
         Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
       }
       stageHalf("a.parquet", 0, 1700000000000L)
@@ -4764,11 +4754,7 @@ object SparkEntry {
       def stageCopy(name: String, mtime: Long): Unit = {
         val tmp = Files.createTempDirectory("graft_iceU_half")
         ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val it = Files.list(tmp).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) Files.copy(p, in.resolve(name))
-        }
+        Files.copy(firstParquetPart(tmp), in.resolve(name))
         Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
       }
       stageCopy("a.parquet", 1700000000000L)
@@ -5008,10 +4994,8 @@ object SparkEntry {
           .toDF("doc_id", "text", "lang", "source", "n_chars")
           .selectExpr(docSchema.fieldNames.map(n => n): _*)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
         val dst = inDir.resolve(s"batch${i + 1}.parquet")
-        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.move(firstParquetPart(tmp), dst)
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1700000001000L + i * 1000L))
       }
