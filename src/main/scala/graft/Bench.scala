@@ -58,15 +58,29 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // Entries whose first shot exceeds this are re-measured once and the
+    // min reported: single-shot timing of a 200-entry suite confuses
+    // GC/neighbor pressure with plan regressions (r9 measured identical
+    // code at 1.45 s and 7.4 s). The sub-2 s tail stays single-shot so
+    // suite wall-clock only grows by the genuinely-slow entries' second
+    // run (~15 entries at sf0.1).
+    val RerunThresholdSec = 2.0
+    val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         // Every ~20 entries, drop cached tables and nudge the context
         // cleaner: the 100+-entry suite otherwise accumulates old-gen
         // broadcasts that tax every subsequent sub-second query.
         if (i > 0 && i % 20 == 0) { spark.catalog.clearCache(); System.gc() }
-        val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def shot(): Double = {
+          val t0 = System.nanoTime()
+          try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t1 = shot()
+        val t = if (t1 > RerunThresholdSec) { reruns += name; math.min(t1, shot()) }
+                else t1
+        name -> t
     }
 
     // Produce/fetch throughput in rows/s and MB/s. Two byte measures:
@@ -78,8 +92,9 @@ object Bench {
       // iteration mode: query timings only, no throughput section
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val rr = reruns.map("\"" + _ + "\":2").mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":{},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,"throughput":{},"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -199,8 +214,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // "runs" records which entries were measured twice (min reported);
+    // absent names were single-shot.
+    val rr = reruns.map("\"" + _ + "\":2").mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$thr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,$thr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3930,7 +3930,11 @@ object SparkEntry {
       val json1 = """{"type":"object","properties":{"a":{"type":"integer"},"b":{"type":"string"}}}"""
       val json2 = """{ "properties": { "b": {"type":"string"}, "a": {"type":"integer"} }, "type": "object" }"""
       val proto1 = """syntax = "proto3"; message Ev { int64 id = 1; string who = 2; }"""
-      val proto2 = "message Ev { string who = 2; // renamed later\n int64 id = 1; }"
+      val proto2 = "syntax = \"proto3\";\nmessage Ev { string who = 2; // renamed later\n int64 id = 1; }"
+      // same body, proto2 semantics: a DIFFERENT contract (field
+      // presence), so the normal form keeps the syntax line and the
+      // registration mints a new id even under the flag
+      val proto3as2 = """syntax = "proto2"; message Ev { optional string who = 2; optional int64 id = 1; }"""
       val avro1 = """{"type":"record","name":"com.ex.Ev","fields":[{"name":"id","type":"long"}]}"""
       val avro2 = """{ "fields": [{"name":"id","type":"long"}], "namespace": "com.ex", "name": "Ev", "type": "record" }"""
       Normalize.projectIds(Seq(
@@ -3941,7 +3945,8 @@ object SparkEntry {
           (5L, "ev-proto", SR.ProtobufType, proto2, true),
           (6L, "ev-proto-raw", SR.ProtobufType, proto2, false),
           (7L, "ev-avro", SR.AvroType, avro1, false),
-          (8L, "ev-avro2", SR.AvroType, avro2, false)))
+          (8L, "ev-avro2", SR.AvroType, avro2, false),
+          (9L, "ev-proto2", SR.ProtobufType, proto3as2, true)))
         .toDF("seq", "subject", "schema_id", "version", "new_id", "new_version")
         .orderBy("seq")
     }),
@@ -7894,7 +7899,8 @@ object SparkEntry {
         |  (5, 'ev-proto', 3, 1, FALSE, FALSE),
         |  (6, 'ev-proto-raw', 4, 1, TRUE, TRUE),
         |  (7, 'ev-avro', 5, 1, TRUE, TRUE),
-        |  (8, 'ev-avro2', 5, 1, FALSE, TRUE))
+        |  (8, 'ev-avro2', 5, 1, FALSE, TRUE),
+        |  (9, 'ev-proto2', 6, 1, TRUE, TRUE))
         | t(seq, subject, schema_id, version, new_id, new_version)
         | ORDER BY seq""".stripMargin,
 

@@ -96,6 +96,15 @@ object Dedup {
    * int-keyed join against the ≤m-row bit table plus one
    * groupBy(id, key) — both map-side-combining hash shuffles; nothing
    * corpus-sized broadcasts.
+   *
+   * Multiplicity-proof: the bit table is distinct'd before the join
+   * (a union of shard [[bloomBits]] outputs may carry duplicate pos
+   * rows) and membership compares distinct SET positions against
+   * distinct PROBED positions, so neither duplicate bit rows nor
+   * duplicate (id, key) candidate rows can inflate a count past k and
+   * flip a true member to absent — the one-sided-error guarantee
+   * holds for any input multiplicity. (countDistinct, not === k: the
+   * k affine maps may collide mod mBits for a given key.)
    */
   def bloomProbe(candidates: DataFrame, idCol: Column, keyCol: Column,
       bits: DataFrame, mBits: Long, k: Int): DataFrame = {
@@ -106,9 +115,11 @@ object Dedup {
     candidates
       .select(idCol.as("id"), keyCol.as("key"),
         explode(array(positions: _*)).as("pos"))
-      .join(bits.withColumn("__set", lit(1)), Seq("pos"), "left")
+      .join(bits.select(col("pos")).distinct().withColumn("__set", lit(1)),
+        Seq("pos"), "left")
       .groupBy("id", "key")
-      .agg((count(col("__set")) === k).as("possibly_present"))
+      .agg((countDistinct(when(col("__set").isNotNull, col("pos"))) ===
+        countDistinct(col("pos"))).as("possibly_present"))
   }
 
   /** [[minHashSignatures]] with the engine-parity hash family — the

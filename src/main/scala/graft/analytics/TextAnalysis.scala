@@ -933,6 +933,10 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // Release the ~256 KiB native zlib state when the task ends —
+        // finalization is too late for executors running many tasks.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")

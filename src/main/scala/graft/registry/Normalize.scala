@@ -64,10 +64,18 @@ object Normalize {
     (s"${indent}message ${m.name} {" +: (fs ++ ns) :+ s"$indent}").mkString("\n")
   }
 
-  /** Protobuf normal form: descriptor-ordered canonical rendering. */
+  /** Protobuf normal form: descriptor-ordered canonical rendering.
+    * The (defaulted) `syntax` declaration leads the normal form:
+    * proto2 and proto3 files with identical message bodies are
+    * DIFFERENT contracts (field-presence semantics differ), so they
+    * must not collapse to one registration identity — upstream
+    * protobuf normalization preserves syntax likewise. An undeclared
+    * syntax defaults to proto2, per the language spec. */
   def protobufNormalForm(proto: String): String = {
+    val syntax = """syntax\s*=\s*"(proto[23])"""".r
+      .findFirstMatchIn(proto).map(_.group(1)).getOrElse("proto2")
     val (msgs, _) = ProtobufCompat.parseFile(proto)
-    msgs.map(renderMessage(_, "")).mkString("\n")
+    (s"""syntax = "$syntax";""" +: msgs.map(renderMessage(_, ""))).mkString("\n")
   }
 
   /** The registration identity of a definition under the flag. */

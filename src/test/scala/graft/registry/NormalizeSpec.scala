@@ -18,11 +18,24 @@ class NormalizeSpec extends AnyFunSuite {
 
   test("protobuf normal form orders fields by number and drops comments") {
     val a = """syntax = "proto3"; message Ev { int64 id = 1; string who = 2; }"""
-    val b = "message Ev { string who = 2; // renamed later\n int64 id = 1; }"
+    val b = "syntax = \"proto3\";\nmessage Ev { string who = 2; // renamed later\n int64 id = 1; }"
     assert(Normalize.protobufNormalForm(a) === Normalize.protobufNormalForm(b))
     // a genuinely different wire contract stays different
-    val c = """message Ev { int64 id = 3; string who = 2; }"""
+    val c = """syntax = "proto3"; message Ev { int64 id = 3; string who = 2; }"""
     assert(Normalize.protobufNormalForm(a) !== Normalize.protobufNormalForm(c))
+  }
+
+  test("protobuf normal form preserves the (defaulted) syntax declaration") {
+    // proto2 and proto3 files with identical bodies are different
+    // contracts (field presence) and must not collapse to one identity
+    val p3 = """syntax = "proto3"; message Ev { int64 id = 1; }"""
+    val p2 = """syntax = "proto2"; message Ev { int64 id = 1; }"""
+    val undeclared = """message Ev { int64 id = 1; }"""
+    assert(Normalize.protobufNormalForm(p3) !== Normalize.protobufNormalForm(p2))
+    // undeclared syntax defaults to proto2, per the language spec
+    assert(Normalize.protobufNormalForm(undeclared) ===
+      Normalize.protobufNormalForm(p2))
+    assert(Normalize.protobufNormalForm(p3).startsWith("syntax = \"proto3\";"))
   }
 
   test("nested messages render name-sorted in the normal form") {
