@@ -545,23 +545,22 @@ object TextAnalysis {
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int): DataFrame = {
     require(k > 1, "span length must exceed one token")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
       .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
-    // both 31-bit folds run in ONE pass with a packed accumulator
-    // (h1 in the high 31 bits, h2 low) — one slice and one lambda fold
-    // per window instead of two; bit ops unpack exactly (no double
-    // division, which would lose precision past 2^53)
-    def packedFold(w: Column): Column =
-      aggregate(w, lit(0L), (acc, t) =>
-        (shiftright(acc, 31) * SpanHashBase1 + t) % SpanHashMod1 * 2147483648L +
-          (acc.bitwiseAND(lit(2147483647L)) * SpanHashBase2 + t) % SpanHashMod2)
+    // Both 31-bit folds and the 62-bit packing run inside the native
+    // [[graft.functions.SpanWindowHashes]] kernel — one O(n) rolling
+    // primitive loop per document instead of an interpreted lambda per
+    // window element (higher-order functions are CodegenFallback; the
+    // per-window `aggregate(slice(...))` spelling cost O(n·k) boxed
+    // steps and dominated this operator's runtime). Values are
+    // bit-identical to the fold, so the SQL oracle is unchanged.
     val grams = base
       .where(col("n_tokens") >= k)
       .withColumn("__th", transform(col("__toks"),
         t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
       .select(col("doc_id"), col("n_tokens"),
-        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
-          i => packedFold(slice(col("__th"), i + 1, lit(k))))))
+        posexplode(call_function("span_window_hashes", col("__th"), lit(k))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct("doc_id").as("__docs"))

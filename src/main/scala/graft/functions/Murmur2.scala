@@ -102,5 +102,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vec_sign_sketch", (args: Seq[Expression]) =>
         VecSignSketch(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "span_window_hashes", (args: Seq[Expression]) =>
+        SpanWindowHashes(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

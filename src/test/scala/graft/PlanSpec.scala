@@ -611,5 +611,16 @@ class PlanSpec extends SparkSpec {
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(windows.nonEmpty, p)
     windows.foreach(w => assert(w.contains("doc_id"), s"non-doc-scoped window: $w\n$p"))
+    // the window hashing runs through the native kernel, not the old
+    // interpreted per-window HOF fold (AQE's pre-execution plan carries
+    // no '*' codegen markers, so pin codegen-ability at the expression:
+    // SpanWindowHashes implements doGenCode, i.e. is NOT CodegenFallback)
+    assert(p.contains("span_window_hashes"), p)
+    assert(!p.contains("aggregate(slice"), p)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val kernel = graft.functions.SpanWindowHashes(
+      Literal.create(Seq(1L, 2L, 3L, 4L, 5L)), 4)
+    assert(!kernel.isInstanceOf[CodegenFallback])
   }
 }
