@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
  * exclusive prefix of marked bytes has not yet covered the target
  * (the reference stops only AFTER the running total exceeds it). The
  * cross-level chaining needs no special handling — the stop condition
- * composes into the same global prefix rule. (Divergence note: when a
+ * composes into the same global prefix rule. (Divergence notes: when a
  * level total equals the target to the exact byte the reference skips
- * the next level while the prefix rule admits one more segment; real
- * byte totals never hit the boundary exactly.)
+ * the next level while the prefix rule admits one more segment; and
+ * within the BOUNDARY round of each level the reference's schedule
+ * cursor carries over from the previous level — `sched.current()` in
+ * `manage_data_disk` persists across the chained `evict_*_from_level`
+ * calls — so it may mark a different same-total subset of that round's
+ * equal-candidate segments than this partition-ascending prefix rule:
+ * marked byte totals agree; the specific segments of the one boundary
+ * round may not. Real byte totals never hit either boundary exactly.)
  */
 object DiskSpaceManager {
 
@@ -76,16 +82,33 @@ object DiskSpaceManager {
       case (acc, (n, i)) => when(col("level") === n, i).otherwise(acc)
     }
     val idxW = Window.partitionBy("partition", "level").orderBy("seg")
-    // global metadata-sized window: the schedule is (partition × segment)
-    // rows, the same bounded table the reference walks on the controller
-    val rrW = Window.orderBy(col("__lvl"), col("__idx"), col("partition"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    segments.withColumn("__lvl", lvlRank)
+    // Two-phase chunked prefix sum (the repo's offset-translation /
+    // L0-packing shape): visit order is (level, round, partition), so
+    // chunk = (level, round) — packed into one long key. Phase 1
+    // aggregates per-chunk byte totals (a tiny levels × rounds table;
+    // only IT flows through an ordered prefix) and broadcasts the
+    // exclusive chunk bases back; phase 2 ranks only INSIDE each chunk
+    // by partition. No task ever sorts the whole (partition × segment)
+    // schedule — the one global sort touches the ≤rounds×4-row base
+    // table.
+    val tagged = segments.withColumn("__lvl", lvlRank)
       .withColumn("__idx", row_number().over(idxW))
-      .withColumn("bytes_before", coalesce(sum("size").over(rrW), lit(0L)))
+      .withColumn("__chunk",
+        col("__lvl").cast("long") * 4294967296L + col("__idx"))
+    val chunkAgg = tagged.groupBy("__chunk").agg(sum("size").as("__n"))
+    val baseW = Window.orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = chunkAgg
+      .withColumn("__base", coalesce(sum("__n").over(baseW), lit(0L)))
+      .select("__chunk", "__base")
+    val localW = Window.partitionBy("__chunk").orderBy("partition")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged.join(broadcast(bases), Seq("__chunk"))
+      .withColumn("bytes_before",
+        col("__base") + coalesce(sum("size").over(localW), lit(0L)))
       .withColumn("marked", lit(targetExcess) > 0 && col("bytes_before") <= targetExcess)
       .withColumn("rr_round", col("__idx"))
-      .drop("__lvl", "__idx")
+      .drop("__lvl", "__idx", "__chunk", "__base")
   }
 
   /** Per-level reclaim estimate — the probe figures

@@ -603,6 +603,31 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"), p2)
   }
 
+  // Two-phase chunked eviction schedule: the only windows over segment
+  // rows are the per-(partition, level) round index and the chunk-local
+  // rank; the visit-order prefix runs on the aggregated (level, round)
+  // base table, broadcast back. The old single-task global sort spelled
+  // windowspecdefinition(__lvl, __idx ASC, partition ASC) with no
+  // partition clause — pin its absence.
+  test("disk eviction schedule is two-phase chunked — broadcast bases, no schedule-wide sort") {
+    val lv = graft.cluster.DiskSpaceManager.Levels
+    val segs = (0 until 8).flatMap(pt => (0 until 5).map(sg =>
+      (pt, lv(sg % 4), sg, 100L + sg)))
+      .toDF("partition", "level", "seg", "size")
+    val p = plan(graft.cluster.DiskSpaceManager.evictionSchedule(segs, 2000L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach { w =>
+      val chunkScoped = w.contains("__chunk")
+      val roundIndex = w.contains("partition") && w.contains("level")
+      assert(chunkScoped || roundIndex, s"schedule-wide window: $w\n$p")
+      assert(!(w.contains("__lvl") && w.contains("partition")),
+        s"global visit-order sort resurfaced: $w\n$p")
+    }
+  }
+
   test("duplicate-span detection never opens a corpus-wide window") {
     val docs = (0L until 50L).map(i => (i, ("tok " * 30).trim + s" d$i"))
       .toDF("doc_id", "text")
