@@ -5544,6 +5544,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dd_url_dedup" -> ((s, dir) => {
+      // URL-canonicalization dedup (the CommonCrawl stage-0): each
+      // logical page (page = doc_id div 3) is planted as THREE crawl
+      // spellings — tracking params + unsorted query + fragment /
+      // uppercase scheme+host + default port / plain unsorted — with
+      // https:443 twists every 5th page and a no-path group every
+      // 11th. Canonicalization collapses each page's spellings to one
+      // key; dedup keeps the minimum doc id. The oracle replays the
+      // URL construction AND the normalization in SQL.
+      val page = expr("doc_id div 3")
+      val v = pmod(col("doc_id"), lit(3))
+      val h = concat(lit("www.s"), pmod(page, lit(7)), lit(".example.com"))
+      val sec = pmod(page, lit(5)) === 0
+      val sch = when(sec, "https://").otherwise("http://")
+      val schUp = when(sec, "HTTPS://").otherwise("HTTP://")
+      val prt = when(sec, ":443").otherwise(":80")
+      val url = when(pmod(page, lit(11)) === 0,
+          when(v === 0, concat(lit("http://"), h, lit("#frag")))
+            .when(v === 1, concat(lit("HTTP://"), upper(h), lit(":80/")))
+            .otherwise(concat(lit("http://"), h)))
+        .otherwise(
+          when(v === 0, concat(sch, h, lit("/p/"), page,
+              lit("?id="), page, lit("&ref=rss&b=2&a=1#top")))
+            .when(v === 1, concat(schUp, upper(h), prt, lit("/p/"), page,
+              lit("?a=1&b=2&id="), page, lit("&utm_campaign=x")))
+            .otherwise(concat(sch, h, lit("/p/"), page,
+              lit("?a=1&id="), page, lit("&b=2"))))
+      val crawls = T(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      Dedup.urlDedup(crawls, col("doc_id"), col("url"))
+        .orderBy("canonical_url")
+    }),
+
     "dd_cluster" -> ((s, dir) => {
       // Near-dup pairs (exact n-gram Jaccard, the oracle-provable
       // candidate source) -> connected components -> per-doc cluster id
@@ -8781,6 +8813,60 @@ object SparkEntry {
         |  sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) > 0 AS any_true
         |FROM probe p LEFT JOIN rp t ON t.para = p.para
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dd_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id // 3 AS page, doc_id % 3 AS v,
+        |    'www.s' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.example.com' AS h,
+        |    (doc_id // 3) % 5 = 0 AS sec,
+        |    (doc_id // 3) % 11 = 0 AS nopath
+        |  FROM documents),
+        | raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nopath THEN
+        |      CASE v WHEN 0 THEN 'http://' || h || '#frag'
+        |             WHEN 1 THEN 'HTTP://' || upper(h) || ':80/'
+        |             ELSE 'http://' || h END
+        |    ELSE
+        |      CASE v
+        |        WHEN 0 THEN (CASE WHEN sec THEN 'https://' ELSE 'http://' END)
+        |          || h || '/p/' || CAST(page AS VARCHAR)
+        |          || '?id=' || CAST(page AS VARCHAR) || '&ref=rss&b=2&a=1#top'
+        |        WHEN 1 THEN (CASE WHEN sec THEN 'HTTPS://' ELSE 'HTTP://' END)
+        |          || upper(h) || (CASE WHEN sec THEN ':443' ELSE ':80' END)
+        |          || '/p/' || CAST(page AS VARCHAR)
+        |          || '?a=1&b=2&id=' || CAST(page AS VARCHAR) || '&utm_campaign=x'
+        |        ELSE (CASE WHEN sec THEN 'https://' ELSE 'http://' END)
+        |          || h || '/p/' || CAST(page AS VARCHAR)
+        |          || '?a=1&id=' || CAST(page AS VARCHAR) || '&b=2' END
+        |    END AS url
+        |  FROM u),
+        | parts AS (
+        |  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nf FROM raw),
+        | comp AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS q
+        |  FROM parts),
+        | canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || lower(regexp_replace(auth, ':[0-9]+$', '')) ||
+        |    (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
+        |       OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
+        |       OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+        |     THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END) ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canonical_url
+        |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+        |          string_split(q, '&'),
+        |          p -> p <> '' AND NOT regexp_matches(p,
+        |            '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&'), '') AS sq
+        |        FROM comp))
+        |SELECT canonical_url, MIN(doc_id) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS copies
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dd_cluster" ->
       """WITH RECURSIVE toks AS (

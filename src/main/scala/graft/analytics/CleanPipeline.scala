@@ -54,6 +54,24 @@ object CleanPipeline {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
 
   /**
+   * Optional stage 0 — URL-canonicalization dedup ahead of the text
+   * stages (the stage every CommonCrawl-derived corpus runs BEFORE
+   * text dedup: two crawl visits of one page differ in tracking
+   * params / fragment / case long before their texts differ). Keeps
+   * each canonical URL's minimum doc id ([[Dedup.urlDedup]]), then
+   * runs [[clean]] on the survivors. Scale shape: one extra hash
+   * aggregate on the canonical-URL key plus a doc-id semi join back;
+   * the text stages are unchanged.
+   */
+  def cleanFromUrls(docs: DataFrame, idCol: Column, textCol: Column,
+      urlCol: Column, cfg: Config = Config()): DataFrame = {
+    val keep = Dedup.urlDedup(docs, idCol, urlCol)
+      .select(col("doc_id").as("__url_keep_id"))
+    clean(docs.join(keep, idCol === col("__url_keep_id"), "left_semi"),
+      idCol, textCol, cfg)
+  }
+
+  /**
    * Per-stage survivor counts in ONE pass: rows in, rows after language
    * ID, rows after quality thresholds, distinct texts after dedup.
    */

@@ -36,6 +36,56 @@ object Dedup {
   def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
     df.select(idCol.as("doc_id"), explode(shingles(textCol, n)).as("shingle")).distinct()
 
+  /** Query parameters dropped by [[canonicalUrl]] — the tracking keys
+    * (utm_*, click ids, referrer tags) that vary per crawl visit
+    * without changing the fetched page. */
+  val TrackingParamPattern = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+  /**
+   * RFC-3986-style URL canonicalization — the dedup key every
+   * CommonCrawl-derived corpus computes BEFORE text dedup (two crawls
+   * of one page differ in tracking params / fragment / case long
+   * before their texts differ): lowercase scheme and host, strip the
+   * scheme's default port (http:80, https:443), drop the fragment,
+   * default an empty path to "/", drop tracking query parameters and
+   * sort the survivors bytewise.
+   *
+   * Pure Catalyst string expressions — regexp_extract / filter /
+   * array_sort — so a SQL oracle replays the normalization verbatim
+   * and the whole stage is a narrow scan-speed projection (the only
+   * shuffle in [[urlDedup]] is the final hash aggregate on the
+   * canonical key). Percent-encoding case and dot-segment removal are
+   * deliberately out of scope: crawlers emit already-resolved absolute
+   * URLs.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val portKept = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portKept, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** Exact dedup on the canonical URL: one hash aggregate on
+    * [[canonicalUrl]] — (canonical_url, min doc id, copies). The
+    * stage-0 companion of [[exact]] text dedup. */
+  def urlDedup(df: DataFrame, idCol: Column, urlCol: Column): DataFrame =
+    df.groupBy(canonicalUrl(urlCol).as("canonical_url"))
+      .agg(min(idCol).as("doc_id"), count(lit(1)).as("copies"))
+
   /**
    * MinHash signatures: k minimums of independent hash functions over the
    * shingle set. Hash family = xxhash64 salted by function index (64-bit,

@@ -22,6 +22,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("copies") === 2L)
   }
 
+  test("url canonicalization: case, default ports, fragments, tracking params, param order") {
+    val pairs = Seq(
+      // same page, six crawl spellings
+      "http://www.Ex.COM/p/1?id=1&ref=rss&b=2&a=1#top",
+      "HTTP://WWW.EX.COM:80/p/1?a=1&b=2&id=1&utm_campaign=x",
+      "http://www.ex.com/p/1?utm_source=feed&b=2&id=1&a=1",
+      "http://www.ex.com:80/p/1?a=1&b=2&id=1",
+      "http://www.ex.com/p/1?a=1&b=2&id=1&gclid=zzz&fbclid=yyy",
+      "http://www.ex.com/p/1?a=1&b=2&id=1#middle-of-page").zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val canon = pairs.select(Dedup.canonicalUrl(col("url")).as("c"))
+      .distinct().as[String].collect()
+    assert(canon.toSeq === Seq("http://www.ex.com/p/1?a=1&b=2&id=1"))
+    // non-default port kept; https default port stripped; empty path -> "/"
+    val more = Seq(
+      (0L, "https://ex.com:443/x"), (1L, "https://ex.com:8443/x"),
+      (2L, "http://ex.com"), (3L, "http://ex.com/#f"), (4L, "http://ex.com?ref=a"))
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), Dedup.canonicalUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(more(0L) === "https://ex.com/x")
+    assert(more(1L) === "https://ex.com:8443/x")
+    assert(more(2L) === "http://ex.com/")
+    assert(more(3L) === "http://ex.com/")
+    assert(more(4L) === "http://ex.com/")
+    val dd = Dedup.urlDedup(pairs, col("doc_id"), col("url"))
+    assert(dd.count() === 1L)
+    assert(dd.select("doc_id", "copies").as[(Long, Long)].head() === ((0L, 6L)))
+  }
+
+  test("url-dedup stage 0 composes ahead of the cleaning pipeline") {
+    val docs = Seq(
+      (10L, "http://a.com/p?x=1&utm_s=1", ("tok " * 40) + "the of and to in is"),
+      (11L, "HTTP://A.COM:80/p?x=1", ("tok " * 40) + "the of and to in is"),
+      (12L, "http://b.com/q", ("word " * 40) + "the of and to in is"))
+      .toDF("doc_id", "url", "text")
+    val out = CleanPipeline.cleanFromUrls(docs, col("doc_id"), col("text"),
+      col("url"), CleanPipeline.Config(minTokens = 10, minStopwordRatio = 0.0))
+    // 11 is a crawl-dup of 10 (dropped before text stages); 10 and 12 survive
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 12L))
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val pairs = Dedup.minHashNearDups(docs, col("doc_id"), col("text"),
       shingleN = 2, k = 16, bands = 8, threshold = 0.3)
