@@ -5931,6 +5931,30 @@ object SparkEntry {
         buckets, minWords = 30, minStopHits = 1)
     }),
 
+    "pipe_dolma" -> ((s, dir) => {
+      // Dolma curation funnel: the Gopher battery gates the incoming
+      // shard, then cross-shard paragraph Bloom dedup fires INSIDE
+      // the funnel — the ingested shard (doc_id % 3 == 0) folds its
+      // 10-token paragraphs into the 4096-bit filter (k=3, parity
+      // family); incoming docs (plus re-crawled exact copies of every
+      // 21st ingested doc) probe it, possibly-present paragraphs
+      // drop, and a doc survives with >= 1 retained paragraph. The
+      // exact companion runs beside the probe, so the one funnel row
+      // also prices the small filter's false-positive loss
+      // (n_exact - n_bloom docs, fp_paras_dropped paragraphs). Stage
+      // counts + final id-sum; the oracle replays battery, bit
+      // array, probe, and truth. Reuses Dedup.bloomBits/bloomProbe
+      // unchanged.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ingested = docs.where(col("doc_id") % 3 === 0)
+      val incoming = docs.where(col("doc_id") % 3 =!= 0)
+        .unionByName(ingested.where(col("doc_id") % 21 === 0)
+          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
+      CleanPipeline.dolmaFunnel(incoming, ingested, col("doc_id"),
+        col("text"), mBits = 4096L, k = 3, paraTokens = 10,
+        minWords = 30, minStopHits = 1)
+    }),
+
     "txt_c4_rules" -> ((s, dir) => {
       // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
       // (no terminal punctuation), planted well-formed pages pass, and
@@ -8804,7 +8828,9 @@ object SparkEntry {
         | cpos AS (SELECT c.doc_id, c.para,
         |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
         | probe AS (
-        |  SELECT cpos.doc_id, cpos.para, count(b.pos) = 3 AS flagged
+        |  SELECT cpos.doc_id, cpos.para,
+        |    count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN cpos.pos END)
+        |      = count(DISTINCT cpos.pos) AS flagged
         |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2)
         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
         |  CAST(sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
@@ -9508,6 +9534,66 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
          |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
          |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
+         |FROM lab""".stripMargin,
+
+    "pipe_dolma" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         | ing AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
+         | corpus AS (
+         |  SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 950000, text FROM ing WHERE doc_id % 21 = 0),
+         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
+         | co AS (SELECT i,
+         |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483646 + 1 AS a,
+         |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483647 AS b
+         |  FROM unnest(range(3)) u(i)),
+         | rp AS (
+         |  SELECT DISTINCT array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+         |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ing),
+         |       unnest(range(0, (len(t)+9)//10)) u(i)),
+         | rph AS (SELECT para,
+         |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+         |  FROM rp),
+         | bits AS (SELECT DISTINCT (co.a * rph.h + co.b) % 2147483647 % 4096 AS pos
+         |  FROM rph, co),
+         | cp AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM corpus),
+         |       unnest(range(0, (len(t)+9)//10)) u(i)),
+         | cph AS (SELECT doc_id, para,
+         |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+         |  FROM cp),
+         | cpos AS (SELECT c.doc_id, c.para,
+         |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
+         | probe AS (
+         |  SELECT cpos.doc_id, cpos.para,
+         |    count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN cpos.pos END)
+         |      = count(DISTINCT cpos.pos) AS flagged
+         |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2),
+         | pd AS (
+         |  SELECT p.doc_id,
+         |    sum(CASE WHEN NOT p.flagged THEN 1 ELSE 0 END) AS nkeep,
+         |    sum(CASE WHEN t.para IS NULL THEN 1 ELSE 0 END) AS nkeep_exact,
+         |    sum(CASE WHEN p.flagged AND t.para IS NULL THEN 1 ELSE 0 END) AS nfp
+         |  FROM probe p LEFT JOIN rp t ON t.para = p.para GROUP BY 1),
+         | lab AS (
+         |  SELECT c.doc_id, g.gk,
+         |    COALESCE(pd.nkeep, 0) AS nkeep,
+         |    COALESCE(pd.nkeep_exact, 0) AS nkeep_exact,
+         |    COALESCE(pd.nfp, 0) AS nfp
+         |  FROM corpus c JOIN gkeep g USING (doc_id) LEFT JOIN pd USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN gk AND nkeep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+         |  CAST(sum(CASE WHEN gk AND nkeep_exact > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN gk THEN nfp ELSE 0 END) AS BIGINT) AS fp_paras_dropped,
+         |  CAST(sum(CASE WHEN gk AND nkeep > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS final_id_sum
          |FROM lab""".stripMargin,
 
     "txt_c4_rules" -> C4RulesOracle,

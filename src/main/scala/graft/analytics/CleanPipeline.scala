@@ -135,6 +135,62 @@ object CleanPipeline {
   }
 
   /**
+   * The Dolma curation funnel: the Gopher quality battery gates the
+   * INCOMING shard, then cross-shard paragraph Bloom dedup fires
+   * INSIDE the funnel — the already-ingested shard's `paraTokens`-token
+   * paragraphs fold into the shared bit array ([[Dedup.bloomBits]]),
+   * each incoming quality survivor's paragraphs probe it
+   * ([[Dedup.bloomProbe]] unchanged), possibly-present paragraphs
+   * drop, and a document survives iff it retains at least one
+   * paragraph. The EXACT-membership companion (true membership in the
+   * reference paragraph set) runs beside the probe, so the one funnel
+   * row also prices what the one-sided filter cost: `n_exact` is the
+   * survivor count a lossless dedup would keep, `fp_paras_dropped`
+   * the paragraphs dropped only to false positives.
+   *
+   * Scale shape: the battery is a shuffle-free projection; the bit
+   * array stays ≤ mBits rows no matter how large the ingested corpus
+   * (the cross-shard property Dolma's deduper is built on); the probe
+   * is an int-keyed join + per-doc partial agg; the funnel is one
+   * aggregate row.
+   */
+  def dolmaFunnel(incoming: DataFrame, ingested: DataFrame, idCol: Column,
+      textCol: Column, mBits: Long, k: Int, paraTokens: Int = 10,
+      minWords: Int = 50, minStopHits: Int = 2): DataFrame = {
+    val base = incoming.select(idCol.as("doc_id"), textCol.as("__text"))
+    val g = TextAnalysis.gopherRules(base, col("doc_id"), col("__text"),
+        minWords = minWords, minStopHits = minStopHits)
+      .select(col("doc_id"), col("keep").as("__gk"))
+    val refParas = Dedup.tokenParagraphs(ingested, idCol, textCol, paraTokens)
+    val bits = Dedup.bloomBits(refParas, col("para"), mBits, k)
+    val incParas = Dedup.tokenParagraphs(base, col("doc_id"), col("__text"),
+      paraTokens)
+    val probed = Dedup.bloomProbe(incParas, col("doc_id"), col("para"),
+      bits, mBits, k)
+    val truth = refParas.select(col("para").as("key")).distinct()
+      .withColumn("__t", lit(1))
+    val perDoc = probed.join(truth, Seq("key"), "left")
+      .groupBy("id")
+      .agg(sum(when(!col("possibly_present"), 1L).otherwise(0L)).as("__nkeep"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("__nkeep_exact"),
+        sum(when(col("possibly_present") && col("__t").isNull, 1L)
+          .otherwise(0L)).as("__nfp"))
+      .withColumnRenamed("id", "doc_id")
+    val lab = base.select("doc_id").join(g, "doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+    val bloomKept = col("__gk") && coalesce(col("__nkeep"), lit(0L)) > 0
+    val exactKept = col("__gk") && coalesce(col("__nkeep_exact"), lit(0L)) > 0
+    lab.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__gk"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(bloomKept, 1L).otherwise(0L)).as("n_bloom"),
+      sum(when(exactKept, 1L).otherwise(0L)).as("n_exact"),
+      sum(when(col("__gk"), coalesce(col("__nfp"), lit(0L))).otherwise(0L))
+        .as("fp_paras_dropped"),
+      sum(when(bloomKept, col("doc_id")).otherwise(0L)).as("final_id_sum"))
+  }
+
+  /**
    * [[fineWebFunnel]] with the dedup stage the actual FineWeb recipe
    * uses — FUZZY MinHash-LSH, not exact text hashing: rule survivors
    * shingle, sign ([[Dedup.minHashSignaturesParity]] so a SQL oracle

@@ -172,6 +172,21 @@ object Dedup {
         countDistinct(col("pos"))).as("possibly_present"))
   }
 
+  /** Fixed-width token paragraphs — the Dolma deduper's unit: the
+    * lowercased whitespace tokens cut into `width`-token slices,
+    * distinct (doc_id, para) rows. Documents with no tokens produce
+    * no paragraphs. */
+  def tokenParagraphs(df: DataFrame, idCol: Column, textCol: Column,
+      width: Int): DataFrame = {
+    require(width > 0)
+    df.select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((size(col("__t")) + (width - 1)) / width) - 1),
+        i => concat_ws(" ", slice(col("__t"), i * width + 1, lit(width))))).as("para"))
+      .distinct()
+  }
+
   /** [[minHashSignatures]] with the engine-parity hash family — the
     * md5-prefix device (`Sampling.hashBucket`) through k affine maps —
     * so an external SQL engine replays the signatures (and therefore

@@ -465,6 +465,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("final_id_sum") === 4L) // canonicals: 1 and 3
   }
 
+  test("dolma funnel: paragraph bloom drops ingested content, exact companion prices FP loss") {
+    // incoming doc 1's single paragraph is already ingested (true dup —
+    // bloom MUST flag it, one-sided); doc 2 is fresh; doc 3 fails quality
+    val mkText = (s: String) => s + " the of and to in is was it for on"
+    val ingested = Seq((100L, mkText("alpha bravo charlie delta echo")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, mkText("alpha bravo charlie delta echo")),
+      (2L, mkText("zulu yankee xray whiskey victor")),
+      (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = CleanPipeline.dolmaFunnel(incoming, ingested, col("doc_id"),
+        col("text"), mBits = 4096L, k = 3, paraTokens = 15,
+        minWords = 5, minStopHits = 1)
+      .collect().head
+    assert(got.getAs[Long]("n_raw") === 3L)
+    assert(got.getAs[Long]("n_quality") === 2L)
+    // doc 1 loses its only (ingested) paragraph; doc 2 survives unless a
+    // 4096-bit FP hits its one paragraph — n_bloom <= n_exact always
+    assert(got.getAs[Long]("n_exact") === 1L)
+    assert(got.getAs[Long]("n_bloom") <= got.getAs[Long]("n_exact"))
+    assert(got.getAs[Long]("final_id_sum") ===
+      (if (got.getAs[Long]("n_bloom") == 1L) 2L else 0L))
+  }
+
   test("parity minhash signatures agree with the xxhash64 family's candidate algebra") {
     // identical shingle sets ⇒ identical signatures in ANY family; the
     // parity family must therefore band exact copies together
