@@ -930,6 +930,28 @@ object SparkEntry {
       |         (event_type = 'purchase') AS forget
       |  FROM events)""".stripMargin
 
+  /** fsn_state's replay — shared verbatim by the continuous twin
+    * (fsn_state_stream): the checkpointed micro-batch fold must be
+    * byte-identical to the one-pass batch fold. */
+  private val FsnStateOracle: String =
+    s"""$FsnCte,
+       | v AS (SELECT session_id, seq FROM d WHERE decision IN ('created','ok')),
+       | era AS (SELECT session_id,
+       |     max(CASE WHEN decision = 'created' THEN seq END) AS create_seq,
+       |     max(CASE WHEN decision = 'closed' THEN seq END) AS close_seq
+       |   FROM d GROUP BY 1),
+       | ls AS (SELECT session_id, create_seq FROM era
+       |   WHERE create_seq IS NOT NULL
+       |     AND (close_seq IS NULL OR close_seq < create_seq)),
+       | lr AS (SELECT p.session_id, p.topic, p.partition, p.fetch_offset, p.forget, p.seq
+       |   FROM prows p JOIN v USING (session_id, seq)
+       |   JOIN ls ON p.session_id = ls.session_id AND p.seq >= ls.create_seq),
+       | lww AS (SELECT session_id, topic, partition,
+       |     max_by(fetch_offset, seq) AS fetch_offset, max_by(forget, seq) AS forget
+       |   FROM lr GROUP BY 1, 2, 3)
+       | SELECT session_id, topic, partition, fetch_offset FROM lww WHERE NOT forget
+       | ORDER BY session_id, topic, partition""".stripMargin
+
   // ------------------------------------------------ avro registry scenario
 
   /** Writer schema v1: the pre-evolution event payload. */
@@ -2242,6 +2264,37 @@ object SparkEntry {
         col("session_id"), col("seq"), col("epoch"))
       graft.log.FetchSessions.incrementalResponses(prows, d, hwms)
         .orderBy("seq", "session_id", "topic", "partition")
+    }),
+
+    "fsn_state_stream" -> ((s, dir) => {
+      // The epoch FSM as a continuous query: the request log split
+      // into two seq-ordered micro-batches; per-session (live,
+      // expected-epoch) state persists in the checkpoint, so the
+      // decisions — and the session state assembled from them — are
+      // byte-identical to the batch fold, certified by the SAME
+      // oracle as fsn_state.
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      val (reqs, prows, _) = fsnScenario(s, dir)
+      val typed = reqs.select(col("session_id"),
+        col("seq").cast("long").as("seq"), col("epoch").cast("int").as("epoch"))
+      val inDir = cleanupOnExit(Files.createTempDirectory("graft_fsn_in"))
+      Seq((col("seq") < 15000, "batch0", 1700000000000L),
+          (col("seq") >= 15000, "batch1", 1700000001000L)).foreach {
+        case (cond, name, mtime) =>
+          val tmp = Files.createTempDirectory("graft_fsn_half")
+          typed.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val dst = inDir.resolve(s"$name.parquet")
+          Files.copy(firstParquetPart(tmp), dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+          deleteDirTree(tmp)
+      }
+      val out = cleanupOnExit(Files.createTempDirectory("graft_fsn_out")).toString
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir.toString, typed.schema, maxFilesPerTrigger = Some(1)).stream(s)
+      graft.log.FetchSessions.validateEpochsStream(stream, s"$out/data", s"$out/ckpt")
+      graft.log.FetchSessions.sessionState(prows, s.read.parquet(s"$out/data"))
+        .orderBy("session_id", "topic", "partition")
     }),
 
     // ----- §2.10 admin: configs as a compacted command log -----
@@ -6307,24 +6360,11 @@ object SparkEntry {
          | SELECT session_id, seq, epoch, decision FROM d
          | ORDER BY session_id, seq""".stripMargin,
 
-    "fsn_state" ->
-      s"""$FsnCte,
-         | v AS (SELECT session_id, seq FROM d WHERE decision IN ('created','ok')),
-         | era AS (SELECT session_id,
-         |     max(CASE WHEN decision = 'created' THEN seq END) AS create_seq,
-         |     max(CASE WHEN decision = 'closed' THEN seq END) AS close_seq
-         |   FROM d GROUP BY 1),
-         | ls AS (SELECT session_id, create_seq FROM era
-         |   WHERE create_seq IS NOT NULL
-         |     AND (close_seq IS NULL OR close_seq < create_seq)),
-         | lr AS (SELECT p.session_id, p.topic, p.partition, p.fetch_offset, p.forget, p.seq
-         |   FROM prows p JOIN v USING (session_id, seq)
-         |   JOIN ls ON p.session_id = ls.session_id AND p.seq >= ls.create_seq),
-         | lww AS (SELECT session_id, topic, partition,
-         |     max_by(fetch_offset, seq) AS fetch_offset, max_by(forget, seq) AS forget
-         |   FROM lr GROUP BY 1, 2, 3)
-         | SELECT session_id, topic, partition, fetch_offset FROM lww WHERE NOT forget
-         | ORDER BY session_id, topic, partition""".stripMargin,
+    "fsn_state" -> FsnStateOracle,
+
+    // the continuous twin shares the batch oracle: checkpointed
+    // micro-batches must reproduce the one-pass fold byte-identically
+    "fsn_state_stream" -> FsnStateOracle,
 
     "fsn_responses" ->
       s"""$FsnCte,

@@ -80,6 +80,61 @@ object FetchSessions {
       .toDF()
   }
 
+  final case class EpochState(live: Boolean, expected: Int)
+
+  /**
+   * The epoch FSM as the CONTINUOUS query a long-lived fetch frontend
+   * runs: requests stream in, per-session (live, expected-epoch) state
+   * persists in the checkpoint across micro-batches
+   * (`flatMapGroupsWithState` — the same pattern as
+   * [[WriteCaching.flushAccountingStream]] and the commit batcher), and
+   * each batch's decisions emit exactly once — byte-identical to
+   * [[validateEpochs]] over the concatenated stream, certified by the
+   * same oracle. Restart-safe: the carried state makes batch N+1 resume
+   * exactly where batch N's session counters left off.
+   */
+  def validateEpochsStream(requests: DataFrame, dataPath: String,
+      ckptPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val out = requests.select(col("session_id").cast("string").as("session_id"),
+        col("seq").cast("long").as("seq"), col("epoch").cast("int").as("epoch"))
+      .as[Req]
+      .groupByKey(_.session_id)
+      .flatMapGroupsWithState[EpochState, Decision](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (sid, it, state) =>
+        val batch = it.toSeq.sortBy(_.seq)
+        if (batch.isEmpty) Iterator.empty
+        else {
+          var st = state.getOption.getOrElse(EpochState(live = false, expected = 0))
+          val rows = batch.map { r =>
+            val d =
+              if (r.epoch == 0) { st = EpochState(live = true, expected = 1); "created" }
+              else if (r.epoch == -1) { st = st.copy(live = false); "closed" }
+              else if (!st.live) "not_found"
+              else if (r.epoch == st.expected) {
+                st = st.copy(expected = st.expected + 1); "ok"
+              } else "invalid_epoch"
+            Decision(sid, r.seq, r.epoch, d)
+          }
+          state.update(st)
+          rows.iterator
+        }
+      }
+    val q = out.toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckptPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // idempotent per-batch sink: a retried micro-batch overwrites
+        // its own directory instead of appending duplicates
+        b.write.mode("overwrite").parquet(s"$dataPath/batch=$id")
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Requests that mutate session state: creates and valid incrementals. */
   private def validSeqs(decisions: DataFrame): DataFrame =
     decisions.where(col("decision").isin("created", "ok"))

@@ -89,4 +89,49 @@ class FetchSessionsSpec extends SparkSpec {
       (6L, 0, 0L),
       (7L, 1, 7L)))
   }
+
+  test("streaming epoch FSM matches the batch fold across micro-batch boundaries") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    // s1's ok-chain and s2's session both straddle the seq<=3 boundary —
+    // the carried checkpoint state must resume them mid-chain
+    val rows = Seq(
+      ("s1", 1L, 0), ("s1", 2L, 1), ("s1", 3L, 2),
+      ("s2", 1L, 5), ("s2", 2L, 0), ("s2", 3L, 1),
+      ("s1", 4L, 3), ("s1", 5L, 9), ("s1", 6L, 0),
+      ("s2", 4L, -1), ("s2", 5L, 1))
+    val typed = rows.toDF("session_id", "seq", "epoch")
+      .select(col("session_id"), col("seq").cast("long").as("seq"),
+        col("epoch").cast("int").as("epoch"))
+    val inDir = Files.createTempDirectory("fsn_stream_in")
+    Seq((col("seq") <= 3, "b0", 1700000000000L),
+        (col("seq") > 3, "b1", 1700000001000L)).foreach {
+      case (cond, name, mt) =>
+        val tmp = Files.createTempDirectory("fsn_stream_half")
+        typed.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val part = try ls.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get finally ls.close()
+        val dst = inDir.resolve(s"$name.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mt))
+    }
+    val out = Files.createTempDirectory("fsn_stream_out").toString
+    val stream = graft.streaming.Transforms.PathInput(
+      inDir.toString, typed.schema, maxFilesPerTrigger = Some(1)).stream(spark)
+    FetchSessions.validateEpochsStream(stream, s"$out/data", s"$out/ckpt")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("session_id"), r.getAs[Long]("seq")) ->
+        r.getAs[String]("decision")).toMap
+    val streamed = key(spark.read.parquet(s"$out/data"))
+    val batch = key(FetchSessions.validateEpochs(typed,
+      col("session_id"), col("seq"), col("epoch")))
+    assert(streamed === batch)
+    // boundary carries: s1 seq 4 resumes the chain (expected=3 -> ok);
+    // s2 seq 4 closes; s2 seq 5 is sessionless
+    assert(streamed(("s1", 4L)) === "ok")
+    assert(streamed(("s1", 5L)) === "invalid_epoch")
+    assert(streamed(("s2", 4L)) === "closed")
+    assert(streamed(("s2", 5L)) === "not_found")
+  }
 }
