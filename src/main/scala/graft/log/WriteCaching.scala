@@ -72,55 +72,98 @@ object WriteCaching {
 
   final case class FlushState(acc: Long, lastFlushTs: Long, durable: Long)
 
+  final case class OutSt(partition: Int, offset: Long, bytes: Long,
+      flushed: Boolean, flushed_offset: Long, acc: Long, last_flush_ts: Long)
+
   /**
    * The flush fold as the CONTINUOUS query a long-lived produce path
    * runs: batches stream in, per-partition (acc, lastFlushTs, durable)
-   * state persists in the checkpoint across micro-batches
-   * (`flatMapGroupsWithState`), and each batch's flush decisions emit
-   * exactly once — byte-identical to [[flushAccounting]] over the
-   * concatenated stream, certified by the same oracle. Restart-safe:
-   * the carried state makes batch N+1 resume exactly where batch N's
-   * accumulator left off.
+   * state persists across micro-batches, and each batch's flush
+   * decisions emit exactly once — byte-identical to
+   * [[flushAccounting]] over the concatenated stream, certified by
+   * the same oracle.
+   *
+   * Shape: each micro-batch folds with the SAME
+   * `repartition(partition) + sortWithinPartitions + mapPartitions`
+   * pass as the batch operator — a spillable SortExec feeding a
+   * streaming iterator, never an in-memory whole-group buffer (the
+   * earlier `flatMapGroupsWithState` spelling materialized every
+   * partition's rows of the trigger as one Seq; a busy partition in a
+   * large trigger would hold its whole slice on one task's heap).
+   * State is three scalars per partition, persisted as a
+   * batch-id-versioned parquet table under the checkpoint: batch N
+   * seeds from the newest state < N, so a RETRIED micro-batch
+   * re-reads the same seed and overwrites its own output and state
+   * directories — idempotent, restart-safe. The driver-side seed map
+   * is one row per partition (control-plane-sized, like the
+   * reference's per-replica flush bookkeeping).
    */
   def flushAccountingStream(log: DataFrame, dataPath: String, ckptPath: String,
       cachingEnabled: Boolean, flushBytes: Long,
       flushMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
-    val spark = log.sparkSession
-    import spark.implicits._
-    val out = log.select(col("partition").cast("int").as("partition"),
+    import org.apache.spark.sql.streaming.Trigger
+    val stateRoot = s"$ckptPath/flush_state"
+    val q = log.select(col("partition").cast("int").as("partition"),
         col("offset").cast("long").as("offset"),
         col("ts_ms").cast("long").as("ts_ms"),
         col("bytes").cast("long").as("bytes"))
-      .as[In]
-      .groupByKey(_.partition)
-      .flatMapGroupsWithState[FlushState, Out](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) { (p, it, state) =>
-        val batch = it.toSeq.sortBy(_.offset)
-        if (batch.isEmpty) Iterator.empty
-        else {
-          var st = state.getOption.getOrElse(
-            FlushState(0L, batch.head.ts_ms, -1L))
-          val rows = batch.map { r =>
-            val acc = st.acc + r.bytes
-            val flush = !cachingEnabled || acc >= flushBytes ||
-              r.ts_ms - st.lastFlushTs >= flushMs
-            st =
-              if (flush) FlushState(0L, r.ts_ms, r.offset)
-              else st.copy(acc = acc)
-            Out(p, r.offset, r.bytes, flush, st.durable)
-          }
-          state.update(st)
-          rows.iterator
-        }
-      }
-    val q = out.toDF().writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .option("checkpointLocation", ckptPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        // idempotent per-batch sink: a retried micro-batch overwrites
-        // its own directory instead of appending duplicates
-        b.write.mode("overwrite").parquet(s"$dataPath/batch=$id")
+        val spark = b.sparkSession
+        import spark.implicits._
+        val root = new org.apache.hadoop.fs.Path(stateRoot)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorIds =
+          if (!fs.exists(root)) Array.empty[Long]
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+            .filter(_ < id)
+        val prior: Map[Int, FlushState] =
+          if (priorIds.isEmpty) Map.empty
+          else spark.read.parquet(s"$stateRoot/batch=${priorIds.max}")
+            .select("partition", "acc", "last_flush_ts", "durable")
+            .as[(Int, Long, Long, Long)].collect()
+            .map(r => r._1 -> FlushState(r._2, r._3, r._4)).toMap
+        val folded = b.as[In]
+          .repartition(col("partition"))
+          .sortWithinPartitions(col("partition"), col("offset"))
+          .mapPartitions { it =>
+            var cur = Int.MinValue
+            var st = FlushState(0L, 0L, -1L)
+            it.map { r =>
+              if (r.partition != cur) {
+                cur = r.partition
+                st = prior.getOrElse(cur, FlushState(0L, r.ts_ms, -1L))
+              }
+              val acc = st.acc + r.bytes
+              val flush = !cachingEnabled || acc >= flushBytes ||
+                r.ts_ms - st.lastFlushTs >= flushMs
+              st = if (flush) FlushState(0L, r.ts_ms, r.offset)
+                   else st.copy(acc = acc)
+              OutSt(r.partition, r.offset, r.bytes, flush, st.durable,
+                st.acc, st.lastFlushTs)
+            }
+          }
+          .toDF().persist()
+        try {
+          folded
+            .select("partition", "offset", "bytes", "flushed", "flushed_offset")
+            .write.mode("overwrite").parquet(s"$dataPath/batch=$id")
+          val ended = folded.groupBy("partition")
+            .agg(max_by(struct(col("acc"), col("last_flush_ts"),
+              col("flushed_offset")), col("offset")).as("s"))
+            .select(col("partition"), col("s.acc").as("acc"),
+              col("s.last_flush_ts").as("last_flush_ts"),
+              col("s.flushed_offset").as("durable"))
+          val carried = prior.toSeq
+            .map { case (p, s) => (p, s.acc, s.lastFlushTs, s.durable) }
+            .toDF("partition", "acc", "last_flush_ts", "durable")
+            .join(ended.select("partition"), Seq("partition"), "left_anti")
+          ended.unionByName(carried)
+            .write.mode("overwrite").parquet(s"$stateRoot/batch=$id")
+        } finally folded.unpersist()
       }
       .start()
     q.awaitTermination()
