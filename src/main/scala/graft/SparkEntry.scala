@@ -5185,6 +5185,13 @@ object SparkEntry {
       Dedup.simHash(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    "dd_simhash_parity" -> ((s, dir) =>
+      // The engine-parity simhash twin: 48-bit md5 token prefixes supply
+      // the per-token bits, so the oracle recomputes every print exactly
+      // (the 64-bit xxhash64 variant above stays rows-only).
+      Dedup.simHashParity(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // Driver-checkable LSH quality assertions: recall vs the exact
     // (oracle-verified) counterpart, plus precision-by-construction.
     "dd_minhash_recall" -> ((s, dir) => {
@@ -5518,6 +5525,17 @@ object SparkEntry {
           (TextAnalysis.fingerprint(col("text")) =!=
             TextAnalysis.fingerprint(concat(col("text"), lit(" xyzzy")))).as("content_sensitive"))
         .orderBy("doc_id")),
+
+    "txt_fingerprint_parity" -> ((s, dir) => {
+      // The engine-parity fingerprint: 48-bit md5 token prefixes through
+      // the packed double polynomial fold (the codegen'd poly_fingerprint
+      // kernel). Unlike the xxhash64 chain (rows-only), the oracle
+      // replays every print bit-exactly via list_reduce.
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.fingerprintParity(d, col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
 
     // ----- training-data pipeline: multimodal plumbing -----
     "mm_media_meta" -> ((s, dir) => {
@@ -8933,6 +8951,35 @@ object SparkEntry {
         |SELECT canonical_url, MIN(doc_id) AS doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS copies
         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_fingerprint_parity" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      tok -> CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT)) AS th
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+        |    (acc, t) -> ((acc // 2147483648) * 131 + t) % 2147483647 * 2147483648
+        |              + ((acc % 2147483648) * 137 + t) % 2147483629) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_parity" -> {
+      val sums = (0 until 48)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i")
+        .mkString(", ")
+      val pack = (0 until 48)
+        .map(i => s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         | h AS (SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM t),
+         | s AS (SELECT doc_id, $sums FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "dd_cluster" ->
       """WITH RECURSIVE toks AS (

@@ -469,6 +469,31 @@ object Dedup {
   }
 
   /**
+   * [[simHash]] with the engine-parity hash family: the 48-bit md5
+   * token prefix supplies the per-token bits (one crypto hash per
+   * token; bit i of the print = sign of the ±1 sum over bit i of the
+   * token hashes, i < 48), so an external SQL engine replays the
+   * prints bit-exactly — 48 conditional sums in one groupBy, the same
+   * one-shuffle shape as [[simHash]]. Use where a cross-engine oracle
+   * must certify the prints; the 64-bit xxhash64 variant stays the
+   * production default (wider, cheaper per token).
+   */
+  def simHashParity(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10).cast("long"))
+    val bitSums = (0 until 48).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 48).map { i =>
+      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /**
    * SimHash near-dup candidates with Hamming distance <= maxDist, banded:
    * split the 64-bit print into `bands` chunks; pairs within maxDist
    * differing bits must agree on >= bands - maxDist chunks, so sharing

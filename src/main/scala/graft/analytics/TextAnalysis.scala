@@ -131,6 +131,22 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
 
   /**
+   * [[fingerprint]] with the engine-parity hash family: 48-bit md5
+   * token prefixes chained through the packed double 31-bit polynomial
+   * fold ([[graft.functions.PolyFingerprint]], a codegen'd O(n) loop —
+   * the same arithmetic as the duplicate-span window hash with k = n).
+   * Same invariances (case/whitespace-insensitive, order- and
+   * content-sensitive), but an external SQL engine replays it
+   * bit-exactly (DuckDB `list_reduce` over the same lambda). Use where
+   * a cross-engine oracle must certify the prints themselves.
+   */
+  def fingerprintParity(df: DataFrame, text: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function("poly_fingerprint", transform(tokens(text),
+      t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
+  }
+
+  /**
    * BPE-ish regex pre-tokenizer: letter runs, digit runs, and single
    * non-alphanumeric marks over the lowercased text — the shape of the
    * GPT-2 pre-tokenizer pattern without lookahead (so RE2-based engines

@@ -105,5 +105,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "span_window_hashes", (args: Seq[Expression]) =>
         SpanWindowHashes(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly_fingerprint", (args: Seq[Expression]) =>
+        PolyFingerprint(args.head), "built-in")
   }
 }

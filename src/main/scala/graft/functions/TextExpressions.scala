@@ -61,6 +61,45 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  def polyFingerprint(th: ArrayData): Long = {
+    val n = th.numElements()
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < n) {
+      val t = th.getLong(i)
+      h1 = (h1 * SpanHashBase1 + t) % SpanHashMod1
+      h2 = (h2 * SpanHashBase2 + t) % SpanHashMod2
+      i += 1
+    }
+    h1 * 2147483648L + h2
+  }
+}
+
+/** `poly_fingerprint(array<long>) -> long` — the whole-array packed
+  * double polynomial fold (the k = n degenerate case of
+  * [[SpanWindowHashes]]): an order-sensitive document fingerprint over
+  * 48-bit token hashes that an external SQL engine replays exactly
+  * (DuckDB: `list_reduce` with the same packed lambda). Empty array
+  * folds to 0. */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly_fingerprint requires array<long> input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.polyFingerprint(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.polyFingerprint($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
 }
 
 /** `span_window_hashes(array<long>, k) -> array<long>` — every k-token

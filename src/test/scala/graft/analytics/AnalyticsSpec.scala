@@ -490,6 +490,27 @@ class AnalyticsSpec extends SparkSpec {
       (if (got.getAs[Long]("n_bloom") == 1L) 2L else 0L))
   }
 
+  test("parity fingerprint and simhash keep the family's invariances") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "  ALPHA Bravo CHARLIE delta"),  // case/ws twin of 1
+      (3L, "delta charlie bravo alpha"),    // same bag, different order
+      (4L, "alpha bravo charlie delta echo"))
+      .toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprintParity(docs, col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))   // case/whitespace-invariant
+    assert(fp(1L) !== fp(3L))   // order-sensitive
+    assert(fp(1L) !== fp(4L))   // content-sensitive
+    val sh = Dedup.simHashParity(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))   // identical token multiset -> identical print
+    assert(sh(1L) === sh(3L))   // simhash is order-INSENSITIVE by design
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) <= 16,
+      "one extra token must stay Hamming-close on a 48-bit print")
+  }
+
   test("parity minhash signatures agree with the xxhash64 family's candidate algebra") {
     // identical shingle sets ⇒ identical signatures in ANY family; the
     // parity family must therefore band exact copies together
