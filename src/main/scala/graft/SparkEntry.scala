@@ -4551,6 +4551,44 @@ object SparkEntry {
       }.reduce(_ unionAll _).orderBy("ref")
     }),
 
+    "d6_expire_policy" -> ((s, dir) => {
+      // Age-policy snapshot expiration (snapshot.h:95-118 retention
+      // fields through the remove_snapshots applier,
+      // table_update_applier.cc:108-127): five commits (snap 1..5);
+      // tag pin2 pins snap 2 forever; tag stale1 (max-ref-age-ms=0)
+      // expires at the sweep and unpins snap 1; branch dev@4
+      // (max-snapshot-age-ms=0, min-snapshots-to-keep=2) keeps {3,4};
+      // main under the table defaults (maxAge=0, minKeep=1) keeps {5}.
+      // Snap 1 alone expires. Age thresholds of 0 make every decision
+      // count-driven — deterministic under any wall clock.
+      import s.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft_icepol").toString + "/t"
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"))
+      (0 until 5).foreach { i =>
+        graft.streaming.IcebergFormat.commit(
+          ev.where(pmod(col("event_id"), lit(5)) === i), col("ts"), t,
+          partFn = graft.streaming.Datalake.dayPartition)
+      }
+      graft.streaming.IcebergFormat.createTag(s, t, "pin2", 2L)
+      graft.streaming.IcebergFormat.createTag(s, t, "stale1", 1L,
+        maxRefAgeMs = Some(0L))
+      graft.streaming.IcebergFormat.createBranch(s, t, "dev", 4L,
+        maxSnapshotAgeMs = Some(0L), minSnapshotsToKeep = Some(2))
+      val expired = graft.streaming.IcebergFormat.expireSnapshotsByPolicy(
+        s, t, nowMs = System.currentTimeMillis() + 3600000L,
+        defaultMaxAgeMs = 0L, defaultMinToKeep = 1)
+      val nRefs = graft.streaming.IcebergFormat.listRefs(s, t).count()
+      Seq("dev", "main", "pin2").map { r =>
+        graft.streaming.IcebergFormat.readRef(s, t, r)
+          .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+          .select(lit(r).as("ref"), col("n"), col("sum_id"))
+      }.reduce(_ unionAll _)
+        .unionAll(Seq(("expired", expired.size.toLong, expired.sum),
+          ("live_refs", nRefs, 0L)).toDF("ref", "n", "sum_id"))
+        .orderBy("ref")
+    }),
+
     "d6_iceberg_deletes" -> ((s, dir) => {
       // Iceberg v2 merge-on-read position deletes on a fresh 2-snapshot
       // table: DELETE WHERE user_id % 7 = 0, then the current read
@@ -8382,6 +8420,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'v1', count(*), CAST(sum(event_id) AS BIGINT)
         | FROM events WHERE event_id % 3 = 0
+        |ORDER BY ref""".stripMargin,
+
+    "d6_expire_policy" ->
+      """SELECT 'dev' AS ref, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        | FROM events WHERE event_id % 5 < 4
+        |UNION ALL
+        |SELECT 'expired', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'live_refs', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'main', count(*), CAST(sum(event_id) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'pin2', count(*), CAST(sum(event_id) AS BIGINT)
+        | FROM events WHERE event_id % 5 < 2
         |ORDER BY ref""".stripMargin,
 
     "d6_iceberg_stream" ->

@@ -246,14 +246,21 @@ object IcebergFormat {
 
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
       manifestList: String, addedRows: Long, op: String = "append",
-      sourceBatchId: Option[Long] = None, schemaId: Int = 0)
+      sourceBatchId: Option[Long] = None, schemaId: Int = 0,
+      timestampMs: Long = 0L)
 
-  /** A named snapshot reference (`iceberg/snapshot.h:86-114`): a `tag`
-    * labels one snapshot forever; a `branch` is a mutable head. The
-    * `main` branch is implicit (always the current snapshot) and is not
-    * carried here. */
+  /** A named snapshot reference (`iceberg/snapshot.h:86-118`): a `tag`
+    * labels one snapshot forever; a `branch` is a mutable head. Refs
+    * carry their own expiry retention (`snapshot.h:102-112`,
+    * field names per `snapshot_json.cc:129-136`): `maxRefAgeMs` expires
+    * the REF itself; branch-only `maxSnapshotAgeMs` /
+    * `minSnapshotsToKeep` govern how much of the branch's history
+    * snapshot expiry retains. The `main` branch is implicit (always the
+    * current snapshot) and is not carried here. */
   final case class RefInfo(name: String, snapshotId: Long, refType: String,
-      maxRefAgeMs: Option[Long] = None)
+      maxRefAgeMs: Option[Long] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None)
 
   /** Parse the non-main entries of the metadata `refs` map. */
   private def parseExtraRefs(json: String): Seq[RefInfo] = {
@@ -261,10 +268,13 @@ object IcebergFormat {
     refs.fields().asScala.toSeq.collect {
       case e if e.getKey != "main" =>
         val v = e.getValue
+        def optL(f: String): Option[Long] =
+          if (v.path(f).isMissingNode) None else Some(v.path(f).asLong)
         RefInfo(e.getKey, v.path("snapshot-id").asLong,
           v.path("type").asText("tag"),
-          if (v.path("max-ref-age-ms").isMissingNode) None
-          else Some(v.path("max-ref-age-ms").asLong))
+          optL("max-ref-age-ms"),
+          optL("max-snapshot-age-ms"),
+          optL("min-snapshots-to-keep").map(_.toInt))
     }
   }
 
@@ -279,7 +289,8 @@ object IcebergFormat {
         s.path("summary").path("added-rows").asText("0").toLong,
         s.path("summary").path("operation").asText("append"),
         if (bid.isMissingNode) None else Some(bid.asText.toLong),
-        s.path("schema-id").asInt(0))
+        s.path("schema-id").asInt(0),
+        s.path("timestamp-ms").asLong(0L))
     }
 
   private def writeMetadataJson(fs: FileSystem, table: String, v: Int,
@@ -302,16 +313,22 @@ object IcebergFormat {
     val now = System.currentTimeMillis()
     val current = snaps.lastOption.map(_.snapshotId).getOrElse(-1L)
     val lastSeq = snaps.lastOption.map(_.sequenceNumber).getOrElse(0L)
+    // each snapshot keeps its ORIGINAL commit timestamp across metadata
+    // rewrites (a snapshot operation never re-dates history — age-based
+    // expiry depends on it); only a snapshot new to this write stamps now
     val snapJson = snaps.map { s =>
       val bid = s.sourceBatchId
         .map(b => s""", "streaming-batch-id": "$b"""").getOrElse("")
+      val ts = if (s.timestampMs > 0) s.timestampMs else now
       s"""{"snapshot-id": ${s.snapshotId}, "sequence-number": ${s.sequenceNumber},
-         |     "timestamp-ms": $now, "manifest-list": ${jsonStr(s.manifestList)},
+         |     "timestamp-ms": $ts, "manifest-list": ${jsonStr(s.manifestList)},
          |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"$bid},
          |     "schema-id": ${s.schemaId}}""".stripMargin
     }.mkString("[", ", ", "]")
-    val logJson = snaps.map(s => s"""{"timestamp-ms": $now, "snapshot-id": ${s.snapshotId}}""")
-      .mkString("[", ", ", "]")
+    val logJson = snaps.map { s =>
+      val ts = if (s.timestampMs > 0) s.timestampMs else now
+      s"""{"timestamp-ms": $ts, "snapshot-id": ${s.snapshotId}}"""
+    }.mkString("[", ", ", "]")
     val specJson = specs.map { sp =>
       s"""{"spec-id": ${sp.specId}, "fields": [
          |    {"name": "p_key", "transform": ${jsonStr(sp.transform)}, "source-id": ${sp.sourceId}, "field-id": 1000}]}""".stripMargin
@@ -321,7 +338,9 @@ object IcebergFormat {
          Seq(s""""main": {"snapshot-id": $current, "type": "branch"}""")
        else Seq.empty) ++
       extraRefs.map { r =>
-        val age = r.maxRefAgeMs.map(a => s""", "max-ref-age-ms": $a""").getOrElse("")
+        val age = r.maxRefAgeMs.map(a => s""", "max-ref-age-ms": $a""").getOrElse("") +
+          r.maxSnapshotAgeMs.map(a => s""", "max-snapshot-age-ms": $a""").getOrElse("") +
+          r.minSnapshotsToKeep.map(k => s""", "min-snapshots-to-keep": $k""").getOrElse("")
         s"""${jsonStr(r.name)}: {"snapshot-id": ${r.snapshotId}, "type": "${r.refType}"$age}"""
       }
     val refs = refEntries.mkString("{", ", ", "}")
@@ -834,11 +853,80 @@ object IcebergFormat {
     // outside the keep-last window; it expires only once the ref drops)
     val pinned = parseExtraRefs(json).map(_.snapshotId).toSet
     val expire = snaps.take(snaps.size - keepLast).filterNot(s => pinned(s.snapshotId))
+    removeSnapshots(fs, table, v, json, snaps, expire)
+  }
+
+  /**
+   * Age-policy snapshot expiration — the retention model of
+   * `iceberg/snapshot.h:95-118` (ref-carried `max-ref-age-ms`,
+   * branch-only `max-snapshot-age-ms` / `min-snapshots-to-keep`,
+   * JSON field names per `snapshot_json.cc:129-136`) applied through
+   * the `remove_snapshots` metadata update
+   * (`table_update_applier.cc:108-127`):
+   *
+   *  1. a non-main ref whose snapshot is older than its own
+   *     `max-ref-age-ms` (measured at `nowMs`) expires FIRST and drops
+   *     from the refs map;
+   *  2. every surviving TAG pins its snapshot unconditionally;
+   *  3. every surviving BRANCH — and `main`, which takes the table
+   *     defaults — keeps the newest `min-snapshots-to-keep` snapshots
+   *     of its history (this linear-history model: all snapshots up to
+   *     the branch head) plus every history snapshot younger than its
+   *     `max-snapshot-age-ms`;
+   *  4. snapshots retained by no rule are removed, with the same
+   *     file-level-reachability physical cleanup as [[expireSnapshots]].
+   *
+   * `nowMs` is an explicit parameter (not wall clock) so retention
+   * decisions are reproducible — the caller supplies the sweep time,
+   * exactly as the reference's housekeeping passes a clock in.
+   * Returns the expired snapshot ids.
+   */
+  def expireSnapshotsByPolicy(spark: SparkSession, table: String, nowMs: Long,
+      defaultMaxAgeMs: Long, defaultMinToKeep: Int = 1): Seq[Long] = {
+    val fs = fsOf(spark, table)
+    val v = currentVersion(fs, table).getOrElse(return Seq.empty)
+    val json = readMetadataJson(fs, table, v)
+    val snaps = parseSnapshots(json)
+    if (snaps.isEmpty) return Seq.empty
+    val tsOf = snaps.map(s => s.snapshotId -> s.timestampMs).toMap
+    val (staleRefs, liveRefs) = parseExtraRefs(json).partition(r =>
+      r.maxRefAgeMs.exists(a => nowMs - tsOf.getOrElse(r.snapshotId, nowMs) > a))
+    val tagPinned = liveRefs.filter(_.refType == "tag").map(_.snapshotId).toSet
+    // branch retention: main (table defaults) + every surviving branch
+    val branches = liveRefs.filter(_.refType == "branch")
+      .map(b => (b.snapshotId, b.maxSnapshotAgeMs.getOrElse(defaultMaxAgeMs),
+        b.minSnapshotsToKeep.getOrElse(defaultMinToKeep))) :+
+      ((snaps.last.snapshotId, defaultMaxAgeMs, defaultMinToKeep))
+    val branchKept = branches.flatMap { case (head, maxAge, minKeep) =>
+      val history = snaps.filter(_.snapshotId <= head)
+      val byAge = history.filter(s => nowMs - s.timestampMs <= maxAge)
+      val byCount = history.takeRight(math.max(minKeep, 1))
+      (byAge ++ byCount).map(_.snapshotId)
+    }.toSet
+    val expire = snaps.filterNot(s =>
+      tagPinned(s.snapshotId) || branchKept(s.snapshotId))
+    if (staleRefs.nonEmpty && expire.isEmpty) {
+      // ref expiry alone still rewrites metadata (the refs map shrank)
+      val (schemas, curId) = parseSchemas(json)
+      val (specs, specId) = parseSpecs(json)
+      writeMetadataJsonFull(fs, table, v + 1, schemas, curId, specs, specId,
+        lastColumnIdOf(json), snaps, jsonStrField(json, "table-uuid").get, liveRefs)
+      return Seq.empty
+    }
+    removeSnapshots(fs, table, v, json, snaps, expire,
+      refsOverride = Some(liveRefs))
+  }
+
+  /** The `remove_snapshots` applier + physical cleanup shared by
+    * [[expireSnapshots]] and [[expireSnapshotsByPolicy]]. */
+  private def removeSnapshots(fs: FileSystem, table: String, v: Int,
+      json: String, snaps: Seq[SnapshotInfo], expire: Seq[SnapshotInfo],
+      refsOverride: Option[Seq[RefInfo]] = None): Seq[Long] = {
     if (expire.isEmpty) return Seq.empty
     val keep = snaps.filterNot(expire.contains)
     val uuid = jsonStrField(json, "table-uuid").get
     // metadata version first
-    writeMetadataJsonKeeping(fs, table, v + 1, json, keep, uuid)
+    writeMetadataJsonKeeping(fs, table, v + 1, json, keep, uuid, refsOverride)
     // then physical cleanup by FILE-level reachability: a data file
     // survives iff ANY kept snapshot's manifests still reference it.
     // (Manifest-level reachability is not enough once rewriteDataFiles
@@ -871,7 +959,8 @@ object IcebergFormat {
     * partition-spec HISTORIES are copied verbatim from the prior
     * version (a snapshot operation never mutates them). */
   private def writeMetadataJsonKeeping(fs: FileSystem, table: String, v: Int,
-      priorJson: String, keep: Seq[SnapshotInfo], uuid: String): Unit = {
+      priorJson: String, keep: Seq[SnapshotInfo], uuid: String,
+      refsOverride: Option[Seq[RefInfo]] = None): Unit = {
     val (schemas, curId) = parseSchemas(priorJson)
     val (specs, specId) = parseSpecs(priorJson)
     // refs survive a snapshot operation, but a ref whose target is no
@@ -879,7 +968,8 @@ object IcebergFormat {
     val keptIds = keep.map(_.snapshotId).toSet
     writeMetadataJsonFull(fs, table, v, schemas, curId, specs, specId,
       lastColumnIdOf(priorJson), keep, uuid,
-      parseExtraRefs(priorJson).filter(r => keptIds(r.snapshotId)))
+      refsOverride.getOrElse(parseExtraRefs(priorJson))
+        .filter(r => keptIds(r.snapshotId)))
   }
 
   // ------------------------------------------------------------- reading
@@ -923,7 +1013,9 @@ object IcebergFormat {
     * new metadata version with the refs map updated; `main` stays
     * implicit. The referenced snapshot must exist. */
   def setRef(spark: SparkSession, table: String, name: String,
-      snapshotId: Long, refType: String, maxRefAgeMs: Option[Long] = None): Unit = {
+      snapshotId: Long, refType: String, maxRefAgeMs: Option[Long] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None): Unit = {
     require(refType == "tag" || refType == "branch", s"bad ref type $refType")
     require(name != "main", "the main branch is managed by commits")
     val fs = fsOf(spark, table)
@@ -934,7 +1026,8 @@ object IcebergFormat {
     require(snaps.exists(_.snapshotId == snapshotId),
       s"snapshot $snapshotId does not exist")
     val refs = parseExtraRefs(json).filterNot(_.name == name) :+
-      RefInfo(name, snapshotId, refType, maxRefAgeMs)
+      RefInfo(name, snapshotId, refType, maxRefAgeMs, maxSnapshotAgeMs,
+        minSnapshotsToKeep)
     val (schemas, curId) = parseSchemas(json)
     val (specs, specId) = parseSpecs(json)
     writeMetadataJsonFull(fs, table, v + 1, schemas, curId, specs, specId,
@@ -946,8 +1039,11 @@ object IcebergFormat {
     setRef(spark, table, name, snapshotId, "tag", maxRefAgeMs)
 
   def createBranch(spark: SparkSession, table: String, name: String,
-      snapshotId: Long): Unit =
-    setRef(spark, table, name, snapshotId, "branch")
+      snapshotId: Long, maxRefAgeMs: Option[Long] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None): Unit =
+    setRef(spark, table, name, snapshotId, "branch", maxRefAgeMs,
+      maxSnapshotAgeMs, minSnapshotsToKeep)
 
   /** Drop a named ref: its snapshot loses the expiry pin. */
   def dropRef(spark: SparkSession, table: String, name: String): Unit = {

@@ -62,6 +62,30 @@ class IcebergRefsSpec extends SparkSpec {
     assert(IcebergFormat.expireSnapshots(spark, t, keepLast = 1) === Seq(1L))
   }
 
+  test("age-policy expiry: stale refs drop first, tags pin, branches keep min count") {
+    val t = freshTable()
+    (0 until 5).foreach(i => IcebergFormat.commit(batch(i * 2, i * 2 + 2), col("ts"), t))
+    IcebergFormat.createTag(spark, t, "pin2", 2L)
+    IcebergFormat.createTag(spark, t, "stale1", 1L, maxRefAgeMs = Some(0L))
+    IcebergFormat.createBranch(spark, t, "dev", 4L,
+      maxSnapshotAgeMs = Some(0L), minSnapshotsToKeep = Some(2))
+    val expired = IcebergFormat.expireSnapshotsByPolicy(spark, t,
+      nowMs = System.currentTimeMillis() + 3600000L,
+      defaultMaxAgeMs = 0L, defaultMinToKeep = 1)
+    // stale1 (max-ref-age 0) dropped -> snap 1 unpinned and expired;
+    // pin2 keeps 2; dev (min-keep 2) keeps {3,4}; main default keeps {5}
+    assert(expired === Seq(1L))
+    assert(IcebergFormat.listRefs(spark, t).select("name")
+      .as[String].collect().toSet === Set("main", "pin2", "dev"))
+    assert(IcebergFormat.readRef(spark, t, "pin2").count() === 4L)
+    assert(IcebergFormat.readRef(spark, t, "dev").count() === 8L)
+    assert(IcebergFormat.readRef(spark, t, "main").count() === 10L)
+    // large age thresholds retain everything: a second sweep is a no-op
+    assert(IcebergFormat.expireSnapshotsByPolicy(spark, t,
+      nowMs = System.currentTimeMillis() + 3600000L,
+      defaultMaxAgeMs = Long.MaxValue / 2, defaultMinToKeep = 1) === Seq.empty)
+  }
+
   test("setRef validates the target and protects main") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 2), col("ts"), t)
