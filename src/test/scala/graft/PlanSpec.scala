@@ -603,6 +603,19 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"), p2)
   }
 
+  // URL-canonicalization dedup: the normalization must stay a narrow
+  // scan-speed projection — the ONLY shuffle is the final hash
+  // aggregate on the canonical key (no window, no join, one Exchange).
+  test("url dedup is one hash aggregate over a narrow projection") {
+    val crawls = (0L until 100L)
+      .map(i => (i, s"HTTP://Ex.COM:80/p/${i / 3}?b=2&a=1&utm_s=x#f"))
+      .toDF("doc_id", "url")
+    val p = plan(graft.analytics.Dedup.urlDedup(crawls, col("doc_id"), col("url")))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+  }
+
   // Two-phase chunked eviction schedule: the only windows over segment
   // rows are the per-(partition, level) round index and the chunk-local
   // rank; the visit-order prefix runs on the aggregated (level, round)
