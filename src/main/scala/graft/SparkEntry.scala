@@ -5213,6 +5213,28 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
         .orderBy("doc_a", "doc_b")),
 
+    "dd_minhash_lsh_parity" -> ((s, dir) => {
+      // The standalone LSH near-dup stage under the PARITY hash family
+      // (the fuzzy funnel's machinery surfaced as its own operator):
+      // near-dup plants (every 23rd doc, 5 appended words, Jaccard
+      // ~0.9) sign with k=12 md5-affine minhashes, band r=2 with hot
+      // buckets capped, and exact-Jaccard verify at 0.5. Unlike
+      // dd_minhash_lsh (xxhash64 family, rows-only), the oracle
+      // replays signatures, banding, cap, and verification end-to-end.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" shared tail marker words here")).as("text")))
+      val sh = Dedup.shingled(corpus, col("doc_id"), col("text"), 3)
+        .localCheckpoint(true)
+      val cands = Dedup.lshCandidates(
+        Dedup.minHashSignaturesParity(sh, 12), 12, 6, 1000)
+      Dedup.verifyJaccard(cands, sh).where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 5).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
           n = 3, threshold = 0.05, maxDf = 100)
@@ -8880,6 +8902,53 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 13 = 0) AS BIGINT) AS n_noise,
         |  TRUE AS repeat_lt_prose, TRUE AS prose_lt_noise_median,
         |  TRUE AS repeat_band_ok, TRUE AS noise_band_ok""".stripMargin,
+
+    "dd_minhash_lsh_parity" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text || ' shared tail marker words here'
+        |  FROM documents WHERE doc_id % 23 = 0),
+        | shf AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus),
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh1 AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM shf),
+        | co AS (
+        |  SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(12)) u(i)),
+        | sig AS (
+        |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+        |  FROM sh1, co GROUP BY 1, 2),
+        | bandsig AS (
+        |  SELECT doc_id, i // 2 AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        | bb AS (SELECT band_id, bh FROM bandsig GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | banded AS (SELECT bs.* FROM bandsig bs JOIN bb USING (band_id, bh)),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+        | inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 5) AS jaccard_r
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH toks AS (

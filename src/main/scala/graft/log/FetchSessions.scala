@@ -86,12 +86,15 @@ object FetchSessions {
    * The epoch FSM as the CONTINUOUS query a long-lived fetch frontend
    * runs: requests stream in, per-session (live, expected-epoch) state
    * persists in the checkpoint across micro-batches
-   * (`flatMapGroupsWithState` — the same pattern as
-   * [[WriteCaching.flushAccountingStream]] and the commit batcher), and
-   * each batch's decisions emit exactly once — byte-identical to
+   * (`flatMapGroupsWithState`, the commit-batcher pattern), and each
+   * batch's decisions emit exactly once — byte-identical to
    * [[validateEpochs]] over the concatenated stream, certified by the
    * same oracle. Restart-safe: the carried state makes batch N+1 resume
-   * exactly where batch N's session counters left off.
+   * exactly where batch N's session counters left off. The per-group
+   * sort buffers ONE SESSION's requests within one trigger — bounded by
+   * a single consumer's request rate, unlike a produce partition's
+   * volume (which is why [[WriteCaching.flushAccountingStream]] instead
+   * folds each micro-batch through a spillable repartition+sort pass).
    */
   def validateEpochsStream(requests: DataFrame, dataPath: String,
       ckptPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
