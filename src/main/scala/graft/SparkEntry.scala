@@ -4162,6 +4162,37 @@ object SparkEntry {
         .toDF("case", "compatible").orderBy("case")
     }),
 
+    "sr_proto_oneof_map" -> ((s, dir) => {
+      // Oneof + map conformance corpus (protobuf.cc:553-645: the
+      // writer-oneof member check driving oneof_field_removed, the
+      // reader-oneof count driving multiple_fields_moved_to_oneof; map
+      // fields compared structurally as entry types).
+      import s.implicits._
+      import graft.registry.ProtobufCompat.ProtobufChecker
+      val plain = "message E { int32 a = 1; string b = 2; }"
+      val oneofBoth = "message E { oneof alt { int32 a = 1; string b = 2; } }"
+      val mapBase = "message E { map<string, int32> m = 1; }"
+      val cases: Seq[(String, String, String)] = Seq(
+        ("01_single_moved_into_oneof",
+          "message E { oneof alt { int32 a = 1; } string b = 2; }", plain),
+        ("02_two_moved_into_oneof", oneofBoth, plain),
+        ("03_oneof_member_removed",
+          "message E { oneof alt { int32 a = 1; } }", oneofBoth),
+        ("04_whole_oneof_dropped", plain, oneofBoth),
+        ("05_oneof_identity", oneofBoth, oneofBoth),
+        ("06_members_in_other_oneofs",
+          "message E { oneof other { int32 a = 1; } oneof alt2 { string b = 2; } }",
+          oneofBoth),
+        ("07_map_value_widen",
+          "message E { map<string, int64> m = 1; }", mapBase),
+        ("08_map_key_family_change",
+          "message E { map<int32, int32> m = 1; }", mapBase),
+        ("09_map_vs_scalar",
+          "message E { optional string m = 1; }", mapBase))
+      cases.map { case (nm, r, w) => (nm, ProtobufChecker.canRead(r, w)) }
+        .toDF("case", "compatible").orderBy("case")
+    }),
+
     "sr_proto_refs" -> ((s, dir) => {
       // Cross-subject protobuf references (types.h:105 schema_reference;
       // protobuf.cc:294 build_file_with_refs): events-proto imports
@@ -8142,6 +8173,19 @@ object SparkEntry {
         |  ('07_string_bytes_interchange', TRUE), ('08_family_change_int_string', FALSE),
         |  ('09_zigzag_not_varint', FALSE), ('10_repeated_flip', FALSE),
         |  ('11_nested_compatible', TRUE), ('12_nested_incompatible', FALSE))
+        | t("case", compatible) ORDER BY "case"""".stripMargin,
+
+    "sr_proto_oneof_map" ->
+      """SELECT * FROM (VALUES
+        |  ('01_single_moved_into_oneof', TRUE),
+        |  ('02_two_moved_into_oneof', FALSE),
+        |  ('03_oneof_member_removed', FALSE),
+        |  ('04_whole_oneof_dropped', TRUE),
+        |  ('05_oneof_identity', TRUE),
+        |  ('06_members_in_other_oneofs', TRUE),
+        |  ('07_map_value_widen', TRUE),
+        |  ('08_map_key_family_change', FALSE),
+        |  ('09_map_vs_scalar', FALSE))
         | t("case", compatible) ORDER BY "case"""".stripMargin,
 
     // Refs decode oracles re-derive the nested Common fields from the

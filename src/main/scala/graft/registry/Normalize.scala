@@ -48,20 +48,31 @@ object Normalize {
   def jsonNormalForm(json: String): String =
     mapper.writeValueAsString(sortNode(mapper.readTree(json)))
 
+  private def tpeName(t: ProtobufCompat.PType): String = t match {
+    case ProtobufCompat.Scalar(n)     => n
+    case ProtobufCompat.MessageRef(n) => n
+    case ProtobufCompat.PMap(k, v)    => s"map<$k, ${tpeName(v)}>"
+  }
+
   private def renderMessage(m: ProtobufCompat.PMessage, indent: String): String = {
-    val fs = m.fields.sortBy(_.number).map { f =>
+    // oneof membership is part of the contract (field presence), so the
+    // normal form renders oneof blocks (name-sorted, members by number)
+    // separately from plain fields
+    val oneofNums = m.oneofs.values.flatten.toSet
+    val fs = m.fields.filterNot(f => oneofNums(f.number)).sortBy(_.number).map { f =>
       val label =
         if (f.repeated) "repeated " else if (f.required) "required " else ""
-      val t = f.tpe match {
-        case ProtobufCompat.Scalar(n)     => n
-        case ProtobufCompat.MessageRef(n) => n
-      }
-      s"$indent  $label$t ${f.name} = ${f.number};"
+      s"$indent  $label${tpeName(f.tpe)} ${f.name} = ${f.number};"
+    }
+    val os = m.oneofs.toSeq.sortBy(_._1).map { case (oname, nums) =>
+      val members = m.fields.filter(f => nums(f.number)).sortBy(_.number)
+        .map(f => s"$indent    ${tpeName(f.tpe)} ${f.name} = ${f.number};")
+      (s"$indent  oneof $oname {" +: members :+ s"$indent  }").mkString("\n")
     }
     val ns = m.nested.toSeq.sortBy(_._1).map { case (_, n) =>
       renderMessage(n, indent + "  ")
     }
-    (s"${indent}message ${m.name} {" +: (fs ++ ns) :+ s"$indent}").mkString("\n")
+    (s"${indent}message ${m.name} {" +: (fs ++ os ++ ns) :+ s"$indent}").mkString("\n")
   }
 
   /** Protobuf normal form: descriptor-ordered canonical rendering.

@@ -25,11 +25,18 @@ object ProtobufCompat {
   sealed trait PType
   final case class Scalar(name: String) extends PType
   final case class MessageRef(name: String) extends PType
+  /** `map<key, value>` — on the wire a repeated entry message (key=1,
+    * value=2), modeled structurally; compat compares map to map. */
+  final case class PMap(key: String, value: PType) extends PType
 
   final case class PField(number: Int, name: String, tpe: PType,
       repeated: Boolean = false, required: Boolean = false)
+  /** `oneofs` maps each real oneof's name to the member field numbers;
+    * the member fields also appear in `fields` (as protoc's descriptor
+    * does — oneof members are regular fields with a containing-oneof). */
   final case class PMessage(name: String, fields: Seq[PField],
-      nested: Map[String, PMessage] = Map.empty)
+      nested: Map[String, PMessage] = Map.empty,
+      oneofs: Map[String, Set[Int]] = Map.empty)
 
   /** Wire families: types in one family decode each other's bytes
     * (int64 reading int32 etc. — the widening the reference accepts). */
@@ -52,8 +59,13 @@ object ProtobufCompat {
           case (Some(rm), Some(wm)) => canRead(rm, wm, readerMsgs, writerMsgs)
           case _                    => false // unresolvable reference
         }
+      // map decodes map: key and value follow the entry message's field
+      // rules (key wire family; value family or message recursion)
+      case (PMap(rk, rv), PMap(wk, wv)) =>
+        sameFamily(rk, wk) && typeCompatible(rv, wv, readerMsgs, writerMsgs)
       // a message field and a scalar share a wire type only for
       // length-delimited scalars, but the reference rejects that switch
+      // (field_kind_changed); likewise map vs non-map
       case _ => false
     }
 
@@ -64,13 +76,33 @@ object ProtobufCompat {
     val rEnv = readerMsgs ++ reader.nested
     val wEnv = writerMsgs ++ writer.nested
     val writerByNum = writer.fields.map(f => f.number -> f).toMap
-    reader.fields.forall { rf =>
+    val readerNums = reader.fields.map(_.number).toSet
+    val fieldsOk = reader.fields.forall { rf =>
       writerByNum.get(rf.number) match {
         case Some(wf) =>
           rf.repeated == wf.repeated && typeCompatible(rf.tpe, wf.tpe, rEnv, wEnv)
         case None => !rf.required // absent in writer: default, unless required
       }
     }
+    // oneof rules (`protobuf.cc:553-560` driving `:604-645`):
+    //  1. for each WRITER oneof whose NAME the reader also declares,
+    //     every member field must exist in the reader inside SOME real
+    //     oneof — else oneof_field_removed (a reader that dropped the
+    //     whole oneof name skips the check entirely);
+    val writerOneofsOk = writer.oneofs.forall { case (name, wNums) =>
+      !reader.oneofs.contains(name) ||
+        wNums.forall(n =>
+          readerNums.contains(n) && reader.oneofs.values.exists(_.contains(n)))
+    }
+    //  2. at most ONE member of each reader oneof may exist in the
+    //     writer OUTSIDE any oneof — two independently-settable writer
+    //     fields collapsing into one reader oneof would silently drop
+    //     data (multiple_fields_moved_to_oneof)
+    val readerOneofsOk = reader.oneofs.forall { case (_, rNums) =>
+      rNums.count(n => writerByNum.contains(n) &&
+        !writer.oneofs.values.exists(_.contains(n))) <= 1
+    }
+    fieldsOk && writerOneofsOk && readerOneofsOk
   }
 
   /** Registry checker over .proto message-definition strings. */
@@ -92,7 +124,7 @@ object ProtobufCompat {
   def parse(proto: String): (PMessage, Map[String, PMessage]) = {
     val tokens = proto
       .replaceAll("//.*", " ")
-      .replaceAll("[{};=]", " $0 ")
+      .replaceAll("[{};=<>,]", " $0 ")
       .split("\\s+").filter(_.nonEmpty).toList
     // skip syntax/package preamble if present
     val body = tokens.dropWhile(_ != "message")
@@ -105,11 +137,34 @@ object ProtobufCompat {
       var cur = rest
       var fields = Vector.empty[PField]
       var nested = Map.empty[String, PMessage]
+      var oneofs = Map.empty[String, Set[Int]]
       while (cur.headOption.exists(_ != "}")) {
         cur match {
           case "message" :: _ =>
             val (m, after) = parseMessageAt(cur)
             nested += (m.name -> m); cur = after
+          case "oneof" :: oname :: "{" :: r0 =>
+            // oneof members are label-less singular fields; protoc's
+            // descriptor keeps them as regular fields with a
+            // containing-oneof, mirrored here
+            var cur2 = r0
+            var nums = Set.empty[Int]
+            while (cur2.headOption.exists(_ != "}")) {
+              cur2 match {
+                case tpe :: fname :: "=" :: num :: ";" :: r =>
+                  val t = if (scalarNames.contains(tpe)) Scalar(tpe) else MessageRef(tpe)
+                  fields :+= PField(num.toInt, fname, t)
+                  nums += num.toInt
+                  cur2 = r
+                case bad => sys.error(s"unparseable oneof field at: ${bad.take(6).mkString(" ")}")
+              }
+            }
+            oneofs += (oname -> nums)
+            cur = cur2.drop(1)
+          case "map" :: "<" :: k :: "," :: v :: ">" :: fname :: "=" :: num :: ";" :: r =>
+            val vt = if (scalarNames.contains(v)) Scalar(v) else MessageRef(v)
+            fields :+= PField(num.toInt, fname, PMap(k, vt))
+            cur = r
           case _ =>
             val (label, rest1) = cur match {
               case ("required" | "optional" | "repeated") :: r => (cur.head, r)
@@ -125,7 +180,7 @@ object ProtobufCompat {
             }
         }
       }
-      (PMessage(name, fields, nested), cur.drop(1))
+      (PMessage(name, fields, nested, oneofs), cur.drop(1))
     case bad => sys.error(s"expected 'message <name> {' at: ${bad.take(4).mkString(" ")}")
   }
 
@@ -145,7 +200,7 @@ object ProtobufCompat {
   def parseFile(proto: String): (Seq[PMessage], Map[String, PMessage]) = {
     val tokens = proto
       .replaceAll("//.*", " ")
-      .replaceAll("[{};=]", " $0 ")
+      .replaceAll("[{};=<>,]", " $0 ")
       .split("\\s+").filter(_.nonEmpty).toList
     var cur = tokens.dropWhile(_ != "message")
     var msgs = Vector.empty[PMessage]

@@ -1,0 +1,54 @@
+package graft.registry
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.registry.ProtobufCompat.ProtobufChecker
+
+/** Oneof and map compatibility (`protobuf.cc:553-645` oneof rule pair;
+  * map fields as structural entry types) plus their normal forms. */
+class ProtobufOneofMapSpec extends AnyFunSuite {
+
+  private def can(reader: String, writer: String): Boolean =
+    ProtobufChecker.canRead(reader, writer)
+
+  test("one field moved into a reader oneof is compatible; two are not") {
+    val writer = "message E { int32 a = 1; string b = 2; }"
+    assert(can("message E { oneof alt { int32 a = 1; } string b = 2; }", writer))
+    // two independently-settable writer fields collapsing into one
+    // reader oneof -> multiple_fields_moved_to_oneof
+    assert(!can("message E { oneof alt { int32 a = 1; string b = 2; } }", writer))
+  }
+
+  test("a writer-oneof member missing from the reader's same-named oneof breaks") {
+    val writer = "message E { oneof alt { int32 a = 1; string b = 2; } }"
+    // reader keeps the oneof name but dropped member 2 -> oneof_field_removed
+    assert(!can("message E { oneof alt { int32 a = 1; } }", writer))
+    // reader dropped the WHOLE oneof name: no oneof check applies
+    assert(can("message E { int32 a = 1; string b = 2; }", writer))
+    // identical oneofs are compatible
+    assert(can(writer, writer))
+    // member moved to a DIFFERENT-named oneof: name lookup misses, and
+    // the reader-oneof rule sees the writer field inside a oneof
+    assert(can("message E { oneof other { int32 a = 1; } oneof alt2 { string b = 2; } }", writer))
+  }
+
+  test("map fields: value widening OK, key family change or kind change breaks") {
+    val writer = "message E { map<string, int32> m = 1; }"
+    assert(can("message E { map<string, int64> m = 1; }", writer))
+    assert(!can("message E { map<int32, int32> m = 1; }", writer))
+    assert(!can("message E { optional string m = 1; }", writer))
+    assert(!can(writer, "message E { optional string m = 1; }"))
+  }
+
+  test("normal form renders oneof blocks and map types stably") {
+    val a = "message E { oneof alt { string b = 2; int32 a = 1; } map<string, int64> m = 3; }"
+    val b = "message E { map<string, int64> m = 3; oneof alt { int32 a = 1; string b = 2; } }"
+    assert(Normalize.protobufNormalForm(a) === Normalize.protobufNormalForm(b))
+    assert(Normalize.protobufNormalForm(a).contains("oneof alt {"))
+    assert(Normalize.protobufNormalForm(a).contains("map<string, int64> m = 3;"))
+    // oneof membership is contract: the same fields OUTSIDE the oneof
+    // normal-form differently
+    val c = "message E { int32 a = 1; string b = 2; map<string, int64> m = 3; }"
+    assert(Normalize.protobufNormalForm(a) !== Normalize.protobufNormalForm(c))
+  }
+}
