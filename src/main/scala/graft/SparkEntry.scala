@@ -4188,7 +4188,16 @@ object SparkEntry {
         ("08_map_key_family_change",
           "message E { map<int32, int32> m = 1; }", mapBase),
         ("09_map_vs_scalar",
-          "message E { optional string m = 1; }", mapBase))
+          "message E { optional string m = 1; }", mapBase),
+        ("10_enum_reads_int32",
+          "message E { enum Lvl { LOW = 0; HIGH = 1; } Lvl level = 1; }",
+          "message E { int32 level = 1; }"),
+        ("11_enum_vs_string",
+          "message E { enum Lvl { LOW = 0; } Lvl level = 1; }",
+          "message E { string level = 1; }"),
+        ("12_enum_symbols_added",
+          "message E { enum Lvl { LOW = 0; HIGH = 1; EXTRA = 2; } Lvl level = 1; }",
+          "message E { enum Lvl { LOW = 0; HIGH = 1; } Lvl level = 1; }"))
       cases.map { case (nm, r, w) => (nm, ProtobufChecker.canRead(r, w)) }
         .toDF("case", "compatible").orderBy("case")
     }),
@@ -8185,7 +8194,10 @@ object SparkEntry {
         |  ('06_members_in_other_oneofs', TRUE),
         |  ('07_map_value_widen', TRUE),
         |  ('08_map_key_family_change', FALSE),
-        |  ('09_map_vs_scalar', FALSE))
+        |  ('09_map_vs_scalar', FALSE),
+        |  ('10_enum_reads_int32', TRUE),
+        |  ('11_enum_vs_string', FALSE),
+        |  ('12_enum_symbols_added', TRUE))
         | t("case", compatible) ORDER BY "case"""".stripMargin,
 
     // Refs decode oracles re-derive the nested Common fields from the

@@ -69,10 +69,17 @@ object Normalize {
         .map(f => s"$indent    ${tpeName(f.tpe)} ${f.name} = ${f.number};")
       (s"$indent  oneof $oname {" +: members :+ s"$indent  }").mkString("\n")
     }
+    // enum symbol sets are contract (symbol meanings; proto3 default =
+    // first symbol), so nested enums render name-sorted, symbols in
+    // declaration order
+    val es = m.enums.toSeq.sortBy(_._1).map { case (ename, syms) =>
+      val lines = syms.map { case (sym, n) => s"$indent    $sym = $n;" }
+      (s"$indent  enum $ename {" +: lines :+ s"$indent  }").mkString("\n")
+    }
     val ns = m.nested.toSeq.sortBy(_._1).map { case (_, n) =>
       renderMessage(n, indent + "  ")
     }
-    (s"${indent}message ${m.name} {" +: (fs ++ os ++ ns) :+ s"$indent}").mkString("\n")
+    (s"${indent}message ${m.name} {" +: (fs ++ os ++ es ++ ns) :+ s"$indent}").mkString("\n")
   }
 
   /** Protobuf normal form: descriptor-ordered canonical rendering.

@@ -33,10 +33,16 @@ object ProtobufCompat {
       repeated: Boolean = false, required: Boolean = false)
   /** `oneofs` maps each real oneof's name to the member field numbers;
     * the member fields also appear in `fields` (as protoc's descriptor
-    * does — oneof members are regular fields with a containing-oneof). */
+    * does — oneof members are regular fields with a containing-oneof).
+    * `enums` holds nested enum definitions (name → symbols in
+    * declaration order): fields of an enum type compare as the varint
+    * wire family (the reference's kind model — symbol sets are NOT a
+    * wire-compat input), but the symbols ARE contract for the
+    * registration normal form. */
   final case class PMessage(name: String, fields: Seq[PField],
       nested: Map[String, PMessage] = Map.empty,
-      oneofs: Map[String, Set[Int]] = Map.empty)
+      oneofs: Map[String, Set[Int]] = Map.empty,
+      enums: Map[String, Seq[(String, Int)]] = Map.empty)
 
   /** Wire families: types in one family decode each other's bytes
     * (int64 reading int32 etc. — the widening the reference accepts). */
@@ -128,21 +134,45 @@ object ProtobufCompat {
       .split("\\s+").filter(_.nonEmpty).toList
     // skip syntax/package preamble if present
     val body = tokens.dropWhile(_ != "message")
-    val (msg, _) = parseMessageAt(body)
+    val (msg, _) = parseMessageAt(body, enumNamesOf(tokens))
     (msg, msg.nested)
   }
 
-  private def parseMessageAt(ts: List[String]): (PMessage, List[String]) = ts match {
+  /** Enum declaration names anywhere in the token stream — resolved
+    * BEFORE field typing so a field may reference an enum defined
+    * later in the file (protoc's two-pass behavior). */
+  private def enumNamesOf(tokens: List[String]): Set[String] =
+    tokens.sliding(2).collect { case List("enum", n) => n }.toSet
+
+  private def parseMessageAt(ts: List[String],
+      enumNames: Set[String] = Set.empty): (PMessage, List[String]) = ts match {
     case "message" :: name :: "{" :: rest =>
       var cur = rest
       var fields = Vector.empty[PField]
       var nested = Map.empty[String, PMessage]
       var oneofs = Map.empty[String, Set[Int]]
+      var enums = Map.empty[String, Seq[(String, Int)]]
+      def fieldType(tpe: String): PType =
+        if (scalarNames.contains(tpe)) Scalar(tpe)
+        else if (enumNames.contains(tpe)) Scalar("enum")
+        else MessageRef(tpe)
       while (cur.headOption.exists(_ != "}")) {
         cur match {
           case "message" :: _ =>
-            val (m, after) = parseMessageAt(cur)
+            val (m, after) = parseMessageAt(cur, enumNames)
             nested += (m.name -> m); cur = after
+          case "enum" :: ename :: "{" :: r0 =>
+            var cur2 = r0
+            var syms = Vector.empty[(String, Int)]
+            while (cur2.headOption.exists(_ != "}")) {
+              cur2 match {
+                case sym :: "=" :: num :: ";" :: r =>
+                  syms :+= (sym -> num.toInt); cur2 = r
+                case bad => sys.error(s"unparseable enum entry at: ${bad.take(4).mkString(" ")}")
+              }
+            }
+            enums += (ename -> syms)
+            cur = cur2.drop(1)
           case "oneof" :: oname :: "{" :: r0 =>
             // oneof members are label-less singular fields; protoc's
             // descriptor keeps them as regular fields with a
@@ -152,8 +182,7 @@ object ProtobufCompat {
             while (cur2.headOption.exists(_ != "}")) {
               cur2 match {
                 case tpe :: fname :: "=" :: num :: ";" :: r =>
-                  val t = if (scalarNames.contains(tpe)) Scalar(tpe) else MessageRef(tpe)
-                  fields :+= PField(num.toInt, fname, t)
+                  fields :+= PField(num.toInt, fname, fieldType(tpe))
                   nums += num.toInt
                   cur2 = r
                 case bad => sys.error(s"unparseable oneof field at: ${bad.take(6).mkString(" ")}")
@@ -162,8 +191,7 @@ object ProtobufCompat {
             oneofs += (oname -> nums)
             cur = cur2.drop(1)
           case "map" :: "<" :: k :: "," :: v :: ">" :: fname :: "=" :: num :: ";" :: r =>
-            val vt = if (scalarNames.contains(v)) Scalar(v) else MessageRef(v)
-            fields :+= PField(num.toInt, fname, PMap(k, vt))
+            fields :+= PField(num.toInt, fname, PMap(k, fieldType(v)))
             cur = r
           case _ =>
             val (label, rest1) = cur match {
@@ -172,15 +200,14 @@ object ProtobufCompat {
             }
             rest1 match {
               case tpe :: fname :: "=" :: num :: ";" :: r =>
-                val t = if (scalarNames.contains(tpe)) Scalar(tpe) else MessageRef(tpe)
-                fields :+= PField(num.toInt, fname, t,
+                fields :+= PField(num.toInt, fname, fieldType(tpe),
                   repeated = label == "repeated", required = label == "required")
                 cur = r
               case bad => sys.error(s"unparseable field at: ${bad.take(6).mkString(" ")}")
             }
         }
       }
-      (PMessage(name, fields, nested, oneofs), cur.drop(1))
+      (PMessage(name, fields, nested, oneofs, enums), cur.drop(1))
     case bad => sys.error(s"expected 'message <name> {' at: ${bad.take(4).mkString(" ")}")
   }
 
@@ -202,10 +229,11 @@ object ProtobufCompat {
       .replaceAll("//.*", " ")
       .replaceAll("[{};=<>,]", " $0 ")
       .split("\\s+").filter(_.nonEmpty).toList
+    val enumNames = enumNamesOf(tokens)
     var cur = tokens.dropWhile(_ != "message")
     var msgs = Vector.empty[PMessage]
     while (cur.nonEmpty) {
-      val (m, after) = parseMessageAt(cur)
+      val (m, after) = parseMessageAt(cur, enumNames)
       msgs :+= m
       cur = after.dropWhile(_ != "message")
     }

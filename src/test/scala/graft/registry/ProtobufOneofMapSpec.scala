@@ -40,6 +40,27 @@ class ProtobufOneofMapSpec extends AnyFunSuite {
     assert(!can(writer, "message E { optional string m = 1; }"))
   }
 
+  test("enum fields compare as the varint wire family; symbols are normal-form contract") {
+    val withEnum =
+      "message E { enum Lvl { LOW = 0; HIGH = 1; } Lvl level = 1; }"
+    // enum <-> int32/int64: same varint family (the reference's kind model)
+    assert(can("message E { int32 level = 1; }", withEnum))
+    assert(can(withEnum, "message E { int64 level = 1; }"))
+    // but not a length-delimited kind
+    assert(!can("message E { string level = 1; }", withEnum))
+    // symbol sets don't affect wire compat...
+    val moreSyms =
+      "message E { enum Lvl { LOW = 0; HIGH = 1; EXTRA = 2; } Lvl level = 1; }"
+    assert(can(withEnum, moreSyms) && can(moreSyms, withEnum))
+    // ...but they ARE registration contract: normal forms differ
+    assert(Normalize.protobufNormalForm(withEnum) !==
+      Normalize.protobufNormalForm(moreSyms))
+    assert(Normalize.protobufNormalForm(withEnum).contains("enum Lvl {"))
+    // and an enum defined AFTER its use still resolves (two-pass)
+    val lateEnum = "message E { Lvl level = 1; enum Lvl { LOW = 0; } }"
+    assert(can("message E { int32 level = 1; }", lateEnum))
+  }
+
   test("normal form renders oneof blocks and map types stably") {
     val a = "message E { oneof alt { string b = 2; int32 a = 1; } map<string, int64> m = 3; }"
     val b = "message E { map<string, int64> m = 3; oneof alt { int32 a = 1; string b = 2; } }"
