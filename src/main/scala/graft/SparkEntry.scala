@@ -4162,6 +4162,47 @@ object SparkEntry {
         .toDF("case", "compatible").orderBy("case")
     }),
 
+    "sr_json_bounds" -> ((s, dir) => {
+      // JSON-schema constraint-bound conformance corpus
+      // (json.cc:1124-1320 is_string_superset / is_numeric_superset /
+      // array bounds): a reader bound may only RELAX what the writer
+      // guarantees — tightening or ADDING a bound breaks; pattern must
+      // be absent or string-identical; writer multipleOf must be an
+      // integer multiple of the reader's; uniqueItems:true on the
+      // reader needs the writer to guarantee it.
+      import s.implicits._
+      import graft.registry.SchemaRegistry.JsonChecker
+      val wStr = """{"type":"string","minLength":2,"maxLength":10}"""
+      val wNum = """{"type":"integer","minimum":0,"maximum":100,"multipleOf":4}"""
+      val wArr = """{"type":"array","items":{"type":"integer"},"minItems":1,"maxItems":5,"uniqueItems":true}"""
+      val cases: Seq[(String, String, String)] = Seq(
+        ("01_length_relaxed",
+          """{"type":"string","minLength":1,"maxLength":20}""", wStr),
+        ("02_min_length_increased", """{"type":"string","minLength":3}""", wStr),
+        ("03_max_length_added", """{"type":"string","maxLength":10}""",
+          """{"type":"string"}"""),
+        ("04_bounds_dropped", """{"type":"string"}""", wStr),
+        ("05_pattern_identical",
+          """{"type":"string","pattern":"^a+$"}""",
+          """{"type":"string","pattern":"^a+$"}"""),
+        ("06_pattern_changed",
+          """{"type":"string","pattern":"^b+$"}""",
+          """{"type":"string","pattern":"^a+$"}"""),
+        ("07_numeric_relaxed",
+          """{"type":"integer","minimum":-5,"maximum":200,"multipleOf":2}""", wNum),
+        ("08_maximum_decreased", """{"type":"integer","maximum":50}""", wNum),
+        ("09_multiple_of_changed", """{"type":"integer","multipleOf":3}""", wNum),
+        ("10_minimum_added", """{"type":"integer","minimum":0}""",
+          """{"type":"integer"}"""),
+        ("11_array_relaxed",
+          """{"type":"array","items":{"type":"integer"},"maxItems":10,"uniqueItems":true}""", wArr),
+        ("12_unique_items_added",
+          """{"type":"array","items":{"type":"integer"},"uniqueItems":true}""",
+          """{"type":"array","items":{"type":"integer"}}"""))
+      cases.map { case (nm, r, w) => (nm, JsonChecker.canRead(r, w)) }
+        .toDF("case", "compatible").orderBy("case")
+    }),
+
     "sr_proto_oneof_map" -> ((s, dir) => {
       // Oneof + map conformance corpus (protobuf.cc:553-645: the
       // writer-oneof member check driving oneof_field_removed, the
@@ -8182,6 +8223,22 @@ object SparkEntry {
         |  ('07_string_bytes_interchange', TRUE), ('08_family_change_int_string', FALSE),
         |  ('09_zigzag_not_varint', FALSE), ('10_repeated_flip', FALSE),
         |  ('11_nested_compatible', TRUE), ('12_nested_incompatible', FALSE))
+        | t("case", compatible) ORDER BY "case"""".stripMargin,
+
+    "sr_json_bounds" ->
+      """SELECT * FROM (VALUES
+        |  ('01_length_relaxed', TRUE),
+        |  ('02_min_length_increased', FALSE),
+        |  ('03_max_length_added', FALSE),
+        |  ('04_bounds_dropped', TRUE),
+        |  ('05_pattern_identical', TRUE),
+        |  ('06_pattern_changed', FALSE),
+        |  ('07_numeric_relaxed', TRUE),
+        |  ('08_maximum_decreased', FALSE),
+        |  ('09_multiple_of_changed', FALSE),
+        |  ('10_minimum_added', FALSE),
+        |  ('11_array_relaxed', TRUE),
+        |  ('12_unique_items_added', FALSE))
         | t("case", compatible) ORDER BY "case"""".stripMargin,
 
     "sr_proto_oneof_map" ->

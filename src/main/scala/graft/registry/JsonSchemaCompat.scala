@@ -101,6 +101,60 @@ object JsonSchemaCompat {
       if (ri != null && wi == null) return false
       if (ri != null && wi != null && !canRead(ri, wi)) return false
     }
-    true
+    boundsOk(r, w)
+  }
+
+  private def numOf(n: JsonNode, field: String): Option[Double] = {
+    val v = n.get(field)
+    if (v == null || !v.isNumber) None else Some(v.asDouble())
+  }
+
+  /**
+   * Constraint-bound superset checks (`json.cc:1124-1320`
+   * `is_string_superset` / `is_numeric_superset` / array bounds): a
+   * reader bound may only RELAX what the writer guarantees —
+   *
+   *  - `minLength`/`minItems` (default 0) must not increase and
+   *    `maxLength`/`maxItems`/`minimum`/`maximum`/`exclusive*` must not
+   *    tighten; a reader adding a bound the writer lacks is
+   *    `*_added` (the unconstrained writer can exceed it);
+   *  - `pattern` must be absent in the reader or string-identical
+   *    (`pattern_changed` — regex implication is undecidable, json.cc
+   *    compares the source text);
+   *  - `multipleOf`: every writer multiple must be a reader multiple —
+   *    the writer's factor must be an integer multiple of the reader's
+   *    (`multiple_of_changed`/`_added`);
+   *  - `uniqueItems: true` on the reader requires the writer to
+   *    guarantee it too.
+   */
+  private def boundsOk(r: JsonNode, w: JsonNode): Boolean = {
+    // lower bounds with a spec default of 0: absent writer = 0
+    def lowerZeroDefault(field: String): Boolean =
+      numOf(r, field).forall(rv => rv <= numOf(w, field).getOrElse(0.0))
+    // lower bounds with no default: reader bound needs a writer bound
+    def lower(field: String): Boolean = numOf(r, field).forall(rv =>
+      numOf(w, field).exists(wv => rv <= wv))
+    def upper(field: String): Boolean = numOf(r, field).forall(rv =>
+      numOf(w, field).exists(wv => rv >= wv))
+    val patternOk = {
+      val rp = r.get("pattern")
+      rp == null || (w.get("pattern") != null &&
+        rp.asText() == w.get("pattern").asText())
+    }
+    val multipleOk = numOf(r, "multipleOf").forall(rm =>
+      numOf(w, "multipleOf").exists { wm =>
+        val q = wm / rm
+        math.abs(q - math.rint(q)) < 1e-9
+      })
+    val uniqueOk = {
+      val ru = r.get("uniqueItems")
+      ru == null || !ru.asBoolean(false) ||
+        (w.get("uniqueItems") != null && w.get("uniqueItems").asBoolean(false))
+    }
+    lowerZeroDefault("minLength") && upper("maxLength") &&
+      lowerZeroDefault("minItems") && upper("maxItems") &&
+      lower("minimum") && upper("maximum") &&
+      lower("exclusiveMinimum") && upper("exclusiveMaximum") &&
+      patternOk && multipleOk && uniqueOk
   }
 }

@@ -84,6 +84,36 @@ class CompatSpec extends AnyFunSuite {
     assert(isCompatible(wEnum, Seq(wEnum), Full)(JsonChecker))
     assert(!isCompatible(rEnum, Seq(wEnum), Full)(JsonChecker))
   }
+
+  test("json: constraint bounds may only relax (json.cc is_*_superset)") {
+    // string length: reader may widen, never tighten or add
+    val wLen = """{"type":"string","minLength":2,"maxLength":10}"""
+    assert(JsonChecker.canRead("""{"type":"string","minLength":1,"maxLength":20}""", wLen))
+    assert(!JsonChecker.canRead("""{"type":"string","minLength":3}""", wLen))
+    assert(!JsonChecker.canRead("""{"type":"string","maxLength":5}""", wLen))
+    assert(!JsonChecker.canRead("""{"type":"string","maxLength":10}""",
+      """{"type":"string"}""")) // max_length_added
+    assert(JsonChecker.canRead("""{"type":"string"}""", wLen))
+    // pattern: absent or string-identical
+    val wPat = """{"type":"string","pattern":"^a+$"}"""
+    assert(JsonChecker.canRead(wPat, wPat))
+    assert(!JsonChecker.canRead("""{"type":"string","pattern":"^b+$"}""", wPat))
+    assert(!JsonChecker.canRead(wPat, """{"type":"string"}""")) // pattern_added
+    // numeric bounds + multipleOf
+    val wNum = """{"type":"integer","minimum":0,"maximum":100,"multipleOf":4}"""
+    assert(JsonChecker.canRead("""{"type":"integer","minimum":-5,"maximum":200,"multipleOf":2}""", wNum))
+    assert(!JsonChecker.canRead("""{"type":"integer","minimum":1}""", wNum))
+    assert(!JsonChecker.canRead("""{"type":"integer","maximum":50}""", wNum))
+    assert(!JsonChecker.canRead("""{"type":"integer","multipleOf":3}""", wNum))
+    assert(!JsonChecker.canRead("""{"type":"integer","minimum":0}""",
+      """{"type":"integer"}""")) // minimum_added
+    // array bounds + uniqueItems
+    val wArrB = """{"type":"array","items":{"type":"integer"},"minItems":1,"maxItems":5,"uniqueItems":true}"""
+    assert(JsonChecker.canRead("""{"type":"array","items":{"type":"integer"},"maxItems":10,"uniqueItems":true}""", wArrB))
+    assert(!JsonChecker.canRead("""{"type":"array","items":{"type":"integer"},"minItems":2}""", wArrB))
+    assert(!JsonChecker.canRead("""{"type":"array","items":{"type":"integer"},"uniqueItems":true}""",
+      """{"type":"array","items":{"type":"integer"}}"""))
+  }
 }
 
 /** Descriptor-driven protobuf wire decode (schema_protobuf.cc subset). */
