@@ -4644,12 +4644,19 @@ object SparkEntry {
       // count-driven — deterministic under any wall clock.
       import s.implicits._
       val t = java.nio.file.Files.createTempDirectory("graft_icepol").toString + "/t"
-      val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), col("ts"))
+      // two columns only: the ref views read n + sum(event_id); ts
+      // drives the day partitioning — writing more would just tax the
+      // 5-commit fixture, not the operator under test
+      val ev = events(s, dir).select(col("event_id"), col("ts"))
+      // month granularity: the retention policy is partition-agnostic,
+      // and 5 commits x ~300 day-files would measure small-file IO, not
+      // the expiry operator
+      val monthPartition = (ts: org.apache.spark.sql.Column) =>
+        date_format(ts, "yyyy-MM")
       (0 until 5).foreach { i =>
         graft.streaming.IcebergFormat.commit(
           ev.where(pmod(col("event_id"), lit(5)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.dayPartition)
+          partFn = monthPartition)
       }
       graft.streaming.IcebergFormat.createTag(s, t, "pin2", 2L)
       graft.streaming.IcebergFormat.createTag(s, t, "stale1", 1L,
