@@ -4616,11 +4616,13 @@ object SparkEntry {
       // snapshots, so all three views stay readable. The oracle
       // recomputes each view from the event slices.
       val t = java.nio.file.Files.createTempDirectory("graft_icerefs").toString + "/t"
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      // month partitioning + the two consumed columns: ref semantics are
+      // partition-agnostic; day granularity only measured small-file IO
+      val ev = events(s, dir).select(col("event_id"), col("ts"))
       (0 until 3).foreach { i =>
         graft.streaming.IcebergFormat.commit(
           ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.dayPartition)
+          partFn = ts => date_format(ts, "yyyy-MM"))
       }
       graft.streaming.IcebergFormat.createTag(s, t, "v1", 1L)
       graft.streaming.IcebergFormat.createBranch(s, t, "dev", 2L)
