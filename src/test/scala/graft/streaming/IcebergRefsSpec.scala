@@ -86,6 +86,22 @@ class IcebergRefsSpec extends SparkSpec {
       defaultMaxAgeMs = Long.MaxValue / 2, defaultMinToKeep = 1) === Seq.empty)
   }
 
+  test("ref-only sweep: a stale ref on a still-kept snapshot drops without expiring it") {
+    val t = freshTable()
+    IcebergFormat.commit(batch(0, 2), col("ts"), t)
+    IcebergFormat.commit(batch(2, 4), col("ts"), t)
+    // stale ref points at the CURRENT head — main keeps the snapshot,
+    // so only the refs map shrinks
+    IcebergFormat.createTag(spark, t, "stale_head", 2L, maxRefAgeMs = Some(0L))
+    val expired = IcebergFormat.expireSnapshotsByPolicy(spark, t,
+      nowMs = System.currentTimeMillis() + 3600000L,
+      defaultMaxAgeMs = Long.MaxValue / 2, defaultMinToKeep = 1)
+    assert(expired === Seq.empty)
+    assert(IcebergFormat.listRefs(spark, t).select("name")
+      .as[String].collect().toSet === Set("main"))
+    assert(IcebergFormat.readRef(spark, t, "main").count() === 4L)
+  }
+
   test("setRef validates the target and protects main") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 2), col("ts"), t)
