@@ -4622,7 +4622,7 @@ object SparkEntry {
       (0 until 3).foreach { i =>
         graft.streaming.IcebergFormat.commit(
           ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
-          partFn = ts => date_format(ts, "yyyy-MM"))
+          partFn = graft.streaming.Datalake.monthPartition)
       }
       graft.streaming.IcebergFormat.createTag(s, t, "v1", 1L)
       graft.streaming.IcebergFormat.createBranch(s, t, "dev", 2L)
@@ -4647,18 +4647,16 @@ object SparkEntry {
       import s.implicits._
       val t = java.nio.file.Files.createTempDirectory("graft_icepol").toString + "/t"
       // two columns only: the ref views read n + sum(event_id); ts
-      // drives the day partitioning — writing more would just tax the
-      // 5-commit fixture, not the operator under test
+      // drives the month partitioning — writing more would just tax
+      // the 5-commit fixture, not the operator under test
       val ev = events(s, dir).select(col("event_id"), col("ts"))
       // month granularity: the retention policy is partition-agnostic,
       // and 5 commits x ~300 day-files would measure small-file IO, not
       // the expiry operator
-      val monthPartition = (ts: org.apache.spark.sql.Column) =>
-        date_format(ts, "yyyy-MM")
       (0 until 5).foreach { i =>
         graft.streaming.IcebergFormat.commit(
           ev.where(pmod(col("event_id"), lit(5)) === i), col("ts"), t,
-          partFn = monthPartition)
+          partFn = graft.streaming.Datalake.monthPartition)
       }
       graft.streaming.IcebergFormat.createTag(s, t, "pin2", 2L)
       graft.streaming.IcebergFormat.createTag(s, t, "stale1", 1L,
@@ -5681,9 +5679,9 @@ object SparkEntry {
       // the packed double polynomial fold (the codegen'd poly_fingerprint
       // kernel). Unlike the xxhash64 chain (rows-only), the oracle
       // replays every print bit-exactly via list_reduce.
-      val d = T(s, dir, "documents")
-      d.select(col("doc_id"),
-          TextAnalysis.fingerprintParity(d, col("text")).as("fp"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintParity(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 

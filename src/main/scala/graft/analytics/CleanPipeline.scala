@@ -158,13 +158,20 @@ object CleanPipeline {
       textCol: Column, mBits: Long, k: Int, paraTokens: Int = 10,
       minWords: Int = 50, minStopHits: Int = 2): DataFrame = {
     val base = incoming.select(idCol.as("doc_id"), textCol.as("__text"))
-    val g = TextAnalysis.gopherRules(base, col("doc_id"), col("__text"),
-        minWords = minWords, minStopHits = minStopHits)
-      .select(col("doc_id"), col("keep").as("__gk"))
+    // checkpoint the flags so the battery evaluates once although both
+    // the probe stage (survivors only) and the funnel aggregate read it
+    val flags = base.join(
+      TextAnalysis.gopherRules(base, col("doc_id"), col("__text"),
+          minWords = minWords, minStopHits = minStopHits)
+        .select(col("doc_id"), col("keep").as("__gk")),
+      "doc_id").localCheckpoint(true)
     val refParas = Dedup.tokenParagraphs(ingested, idCol, textCol, paraTokens)
     val bits = Dedup.bloomBits(refParas, col("para"), mBits, k)
-    val incParas = Dedup.tokenParagraphs(base, col("doc_id"), col("__text"),
-      paraTokens)
+    // only quality SURVIVORS probe: rejects can never reach the output,
+    // so hashing/exploding their paragraphs (and the distinct shuffle
+    // over them) would be pure waste at corpus scale
+    val incParas = Dedup.tokenParagraphs(flags.where(col("__gk")),
+      col("doc_id"), col("__text"), paraTokens)
     val probed = Dedup.bloomProbe(incParas, col("doc_id"), col("para"),
       bits, mBits, k)
     val truth = refParas.select(col("para").as("key")).distinct()
@@ -176,7 +183,7 @@ object CleanPipeline {
         sum(when(col("possibly_present") && col("__t").isNull, 1L)
           .otherwise(0L)).as("__nfp"))
       .withColumnRenamed("id", "doc_id")
-    val lab = base.select("doc_id").join(g, "doc_id")
+    val lab = flags.select("doc_id", "__gk")
       .join(perDoc, Seq("doc_id"), "left")
     val bloomKept = col("__gk") && coalesce(col("__nkeep"), lit(0L)) > 0
     val exactKept = col("__gk") && coalesce(col("__nkeep_exact"), lit(0L)) > 0

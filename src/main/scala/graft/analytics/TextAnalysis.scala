@@ -140,8 +140,11 @@ object TextAnalysis {
    * bit-exactly (DuckDB `list_reduce` over the same lambda). Use where
    * a cross-engine oracle must certify the prints themselves.
    */
-  def fingerprintParity(df: DataFrame, text: Column): Column = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+  def fingerprintParity(text: Column): Column = {
+    // Column=>Column like its sibling above; the kernel registers
+    // against the active session (entries/specs always evaluate on it)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
     call_function("poly_fingerprint", transform(tokens(text),
       t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
   }

@@ -101,6 +101,7 @@ object WriteCaching {
   def flushAccountingStream(log: DataFrame, dataPath: String, ckptPath: String,
       cachingEnabled: Boolean, flushBytes: Long,
       flushMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(flushBytes > 0 && flushMs > 0)
     import org.apache.spark.sql.streaming.Trigger
     val stateRoot = s"$ckptPath/flush_state"
     val q = log.select(col("partition").cast("int").as("partition"),
@@ -163,6 +164,12 @@ object WriteCaching {
             .join(ended.select("partition"), Seq("partition"), "left_anti")
           ended.unionByName(carried)
             .write.mode("overwrite").parquet(s"$stateRoot/batch=$id")
+          // bound the state history: a retry of batch N re-reads the
+          // newest state < N, so only the seed this batch used must
+          // survive — older snapshots are dead and a long-lived query
+          // would otherwise accumulate one directory per trigger
+          if (priorIds.nonEmpty) priorIds.filter(_ < priorIds.max).foreach(k =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateRoot/batch=$k"), true))
         } finally folded.unpersist()
       }
       .start()

@@ -51,6 +51,7 @@ object Normalize {
   private def tpeName(t: ProtobufCompat.PType): String = t match {
     case ProtobufCompat.Scalar(n)     => n
     case ProtobufCompat.MessageRef(n) => n
+    case ProtobufCompat.EnumRef(n)    => n
     case ProtobufCompat.PMap(k, v)    => s"map<$k, ${tpeName(v)}>"
   }
 
@@ -90,8 +91,11 @@ object Normalize {
     * protobuf normalization preserves syntax likewise. An undeclared
     * syntax defaults to proto2, per the language spec. */
   def protobufNormalForm(proto: String): String = {
+    // comments are stripped BEFORE the syntax scan — a commented-out
+    // syntax line must not determine the registration identity
+    val effective = proto.replaceAll("//.*", " ")
     val syntax = """syntax\s*=\s*"(proto[23])"""".r
-      .findFirstMatchIn(proto).map(_.group(1)).getOrElse("proto2")
+      .findFirstMatchIn(effective).map(_.group(1)).getOrElse("proto2")
     val (msgs, _) = ProtobufCompat.parseFile(proto)
     (s"""syntax = "$syntax";""" +: msgs.map(renderMessage(_, ""))).mkString("\n")
   }

@@ -25,6 +25,10 @@ object ProtobufCompat {
   sealed trait PType
   final case class Scalar(name: String) extends PType
   final case class MessageRef(name: String) extends PType
+  /** A named enum type: wire-compat as the varint family (symbol sets
+    * are not a wire input), but the NAME survives so the normal form
+    * distinguishes fields of different enum types. */
+  final case class EnumRef(name: String) extends PType
   /** `map<key, value>` — on the wire a repeated entry message (key=1,
     * value=2), modeled structurally; compat compares map to map. */
   final case class PMap(key: String, value: PType) extends PType
@@ -60,6 +64,10 @@ object ProtobufCompat {
       readerMsgs: Map[String, PMessage], writerMsgs: Map[String, PMessage]): Boolean =
     (reader, writer) match {
       case (Scalar(a), Scalar(b)) => sameFamily(a, b)
+      // enum fields are varint-family on the wire, whatever their name
+      case (EnumRef(_), EnumRef(_)) => true
+      case (EnumRef(_), Scalar(b))  => sameFamily("enum", b)
+      case (Scalar(a), EnumRef(_))  => sameFamily(a, "enum")
       case (MessageRef(a), MessageRef(b)) =>
         (readerMsgs.get(a), writerMsgs.get(b)) match {
           case (Some(rm), Some(wm)) => canRead(rm, wm, readerMsgs, writerMsgs)
@@ -138,11 +146,17 @@ object ProtobufCompat {
     (msg, msg.nested)
   }
 
-  /** Enum declaration names anywhere in the token stream — resolved
-    * BEFORE field typing so a field may reference an enum defined
-    * later in the file (protoc's two-pass behavior). */
-  private def enumNamesOf(tokens: List[String]): Set[String] =
-    tokens.sliding(2).collect { case List("enum", n) => n }.toSet
+  /** Enum and message declaration names anywhere in the token stream —
+    * resolved BEFORE field typing so a field may reference a type
+    * defined later in the file (protoc's two-pass behavior). A name
+    * declared as BOTH resolves as the message (protoc would reject the
+    * ambiguity in one scope; across scopes the message wins here so a
+    * message-typed field is never silently widened to varint). */
+  private def enumNamesOf(tokens: List[String]): Set[String] = {
+    val enums = tokens.sliding(2).collect { case List("enum", n) => n }.toSet
+    val msgs = tokens.sliding(2).collect { case List("message", n) => n }.toSet
+    enums -- msgs
+  }
 
   private def parseMessageAt(ts: List[String],
       enumNames: Set[String] = Set.empty): (PMessage, List[String]) = ts match {
@@ -154,7 +168,7 @@ object ProtobufCompat {
       var enums = Map.empty[String, Seq[(String, Int)]]
       def fieldType(tpe: String): PType =
         if (scalarNames.contains(tpe)) Scalar(tpe)
-        else if (enumNames.contains(tpe)) Scalar("enum")
+        else if (enumNames.contains(tpe)) EnumRef(tpe)
         else MessageRef(tpe)
       while (cur.headOption.exists(_ != "}")) {
         cur match {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.types._
 
-import ProtobufCompat.{MessageRef, PField, PMap, PMessage, Scalar}
+import ProtobufCompat.{EnumRef, MessageRef, PField, PMap, PMessage, Scalar}
 
 /**
  * Registry-driven typed Protobuf payload decode (SURVEY §1.3 / §2.7 D2) —
@@ -65,8 +65,8 @@ object ProtobufDecode {
         case Scalar(n)     => scalarSparkType(n)
         case MessageRef(n) =>
           sparkType(env.getOrElse(n, sys.error(s"unresolved message: $n")), env)
-        case PMap(_, _) =>
-          sys.error("map fields are outside the typed-decode subset (compat/normal form support them)")
+        case PMap(_, _) | EnumRef(_) =>
+          sys.error("map/enum fields are outside the typed-decode subset (compat/normal form support them)")
       }
       val t = if (f.repeated) ArrayType(base) else base
       StructField(f.name, t, nullable = f.tpe.isInstanceOf[MessageRef] || f.repeated)
@@ -76,8 +76,8 @@ object ProtobufDecode {
     if (f.repeated) Seq.empty
     else f.tpe match {
       case MessageRef(_) => null
-      case PMap(_, _)    =>
-        sys.error("map fields are outside the typed-decode subset")
+      case PMap(_, _) | EnumRef(_) =>
+        sys.error("map/enum fields are outside the typed-decode subset")
       case Scalar(n) => scalarSparkType(n) match {
         case IntegerType => 0
         case LongType    => 0L
@@ -175,8 +175,8 @@ object ProtobufDecode {
         case Some((f, i)) =>
           def one(): Any = f.tpe match {
             case Scalar(n) => readScalar(r, n)
-            case PMap(_, _) =>
-              throw new java.io.IOException("map fields are outside the typed-decode subset")
+            case PMap(_, _) | EnumRef(_) =>
+              throw new java.io.IOException("map/enum fields are outside the typed-decode subset")
             case MessageRef(n) =>
               val m = env.getOrElse(n, throw new java.io.IOException(s"unresolved message $n"))
               val (s, e) = r.readDelimited()
@@ -236,8 +236,8 @@ object ProtobufDecode {
     msg.fields.zipWithIndex.foreach { case (f, i) =>
       val v = row.get(i)
       def field(value: Any): Unit = f.tpe match {
-        case PMap(_, _) =>
-          sys.error("map fields are outside the typed-decode subset")
+        case PMap(_, _) | EnumRef(_) =>
+          sys.error("map/enum fields are outside the typed-decode subset")
         case Scalar(n) =>
           writeVarint(out, (f.number.toLong << 3) | wireOf(n)); writeScalar(out, n, value)
         case MessageRef(n) =>

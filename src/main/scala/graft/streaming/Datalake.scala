@@ -38,6 +38,9 @@ object Datalake {
     * transform; hour is the reference default, day the low-volume choice. */
   def dayPartition(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
 
+  /** Month granularity — the coarse end of the same trade-off. */
+  def monthPartition(ts: Column): Column = date_format(ts, "yyyy-MM")
+
   /**
    * D2 default record translation (`datalake/record_translator.h:28-66`):
    * the canonical log row becomes the reference's default Iceberg shape —

@@ -498,7 +498,7 @@ class AnalyticsSpec extends SparkSpec {
       (4L, "alpha bravo charlie delta echo"))
       .toDF("doc_id", "text")
     val fp = docs.select(col("doc_id"),
-        TextAnalysis.fingerprintParity(docs, col("text")).as("fp"))
+        TextAnalysis.fingerprintParity(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
     assert(fp(1L) === fp(2L))   // case/whitespace-invariant
     assert(fp(1L) !== fp(3L))   // order-sensitive

@@ -61,6 +61,32 @@ class ProtobufOneofMapSpec extends AnyFunSuite {
     assert(can("message E { int32 level = 1; }", lateEnum))
   }
 
+  test("enum names survive typing: shadowed messages and distinct enums stay distinct") {
+    // a message named like an enum elsewhere in the file must stay a
+    // message type — int32 cannot read it (field_kind_changed)
+    val shadowed = "message A { enum Status { OK = 0; } Status s = 1; }\n" +
+      "message B { message Status { int32 code = 1; } Status st = 1; }"
+    val readerB = "message B { int32 st = 1; }"
+    assert(!ProtobufCompat.parseFile(shadowed)._1.exists { m =>
+      m.name == "B" && m.fields.exists(_.tpe == ProtobufCompat.Scalar("enum"))
+    })
+    // two enum types with different names render distinctly in the
+    // normal form even with identical field numbers
+    val fieldOfA = "message E { enum A { X = 0; } enum B { Y = 0; } A f = 1; }"
+    val fieldOfB = "message E { enum A { X = 0; } enum B { Y = 0; } B f = 1; }"
+    assert(Normalize.protobufNormalForm(fieldOfA) !==
+      Normalize.protobufNormalForm(fieldOfB))
+    assert(can(readerB, readerB))
+  }
+
+  test("a commented-out syntax line does not set the registration identity") {
+    val commented = "// legacy: syntax = \"proto3\"\nmessage Ev { int64 id = 1; }"
+    val p2 = """syntax = "proto2"; message Ev { int64 id = 1; }"""
+    assert(Normalize.protobufNormalForm(commented) ===
+      Normalize.protobufNormalForm(p2))
+    assert(Normalize.protobufNormalForm(commented).startsWith("syntax = \"proto2\";"))
+  }
+
   test("normal form renders oneof blocks and map types stably") {
     val a = "message E { oneof alt { string b = 2; int32 a = 1; } map<string, int64> m = 3; }"
     val b = "message E { map<string, int64> m = 3; oneof alt { int32 a = 1; string b = 2; } }"
