@@ -126,8 +126,17 @@ object Bench {
     // decision must not ride on one GC/neighbor-pressure draw). The
     // headline *_per_s keys keep the steady figure; *_cold_* keys make
     // the comparison basis explicit.
-    def timedBoth[A](f: => A): (A, Double, Double) = {
+    // Every sample is also recorded verbatim (throughput_samples in the
+    // output JSON, first sample = cold): the r10 driver/judge runs
+    // measured the same commit's cold produce 32% apart, and a
+    // single-shot cold figure can't distinguish session noise from a
+    // regression — the full sample list can. Each leg GCs first so the
+    // cold draw isn't taxed by the previous leg's garbage.
+    val thrSamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def timedBoth[A](leg: String)(f: => A): (A, Double, Double) = {
+      spark.catalog.clearCache(); System.gc()
       val r1 = timed(f); val r2 = timed(f); val r3 = timed(f)
+      thrSamples(leg) = Seq(r1._2, r2._2, r3._2)
       (r1._1, r1._2, math.min(r1._2, math.min(r2._2, r3._2)))
     }
     // Untimed small-SF warmup of the exact produce/fetch plan shapes —
@@ -159,16 +168,16 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val (produceRows, produceCold, produceSec) =
-      timedBoth(force(SparkEntry.fullLog(spark, sfDir)))
-    val (fetchRows, fetchCold, fetchSec) = timedBoth(
+      timedBoth("produce")(force(SparkEntry.fullLog(spark, sfDir)))
+    val (fetchRows, fetchCold, fetchSec) = timedBoth("fetch")(
       force(SparkEntry.fullLog(spark, sfDir).where(col("offset") >= 0)))
     // 1 KiB-payload variant: apples-to-apples with BASELINE's OMB rows
     // (CommonWorkload, 1 KiB messages, >= 70 MB/s produce on 3 brokers).
     val rawBytes1k = rawBytesOf(
       SparkEntry.fullLog1k(spark, sfDir).drop("partition", "offset"))
     val (_, produce1kCold, produce1kSec) =
-      timedBoth(force(SparkEntry.fullLog1k(spark, sfDir)))
-    val (_, _, fetch1kSec) = timedBoth(
+      timedBoth("produce_1k")(force(SparkEntry.fullLog1k(spark, sfDir)))
+    val (_, _, fetch1kSec) = timedBoth("fetch_1k")(
       force(SparkEntry.fullLog1k(spark, sfDir).where(col("offset") >= 0)))
     // Steady-state streaming produce: the events table appended 4 times as
     // sequential micro-batches (maxFilesPerTrigger=1), durably written,
@@ -212,7 +221,11 @@ object Bench {
       s""""fetch_1k_raw_mb_per_s":${rawBytes1k / 1e6 / fetch1kSec},""" +
       s""""stream_produce_rows_per_s":${streamRows / streamSec},""" +
       s""""stream_produce_mb_per_s":${StreamLinks * eventsBytes / 1e6 / streamSec},""" +
-      s""""stream_produce_raw_mb_per_s":${StreamLinks * rawBytes / 1e6 / streamSec}}"""
+      s""""stream_produce_raw_mb_per_s":${StreamLinks * rawBytes / 1e6 / streamSec}},""" +
+      // all raw timing samples per leg, first = cold: lets a reader
+      // separate a noisy session from a real regression without a re-run
+      thrSamples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("\"throughput_samples\":{", ",", "}")
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -387,6 +387,69 @@ object SparkEntry {
       .toDF("seq", "op", "id", "direction", "topics", "groups", "target_state", "ts_ms")
   }
 
+  /**
+   * Datalake-coordinator control-log fixture
+   * ([[graft.streaming.DatalakeCoordinator]], reference
+   * `datalake/coordinator/state_update.cc`). Topic `pv` (3 partitions,
+   * registered once up front) exercises the pure exactly-once admission
+   * ladder: first-add at any start, contiguous multi-entry adds, gap
+   * and retried-duplicate rejections, boundary/stale/no-files commit
+   * refusals, and add-after-drain contiguity against last_committed.
+   * Topic `clk` (single partition, so the per-partition oracle chain
+   * carries its lifecycle in-band) walks the full lifecycle ladder:
+   * revision mismatch, obsolete/premature revisions, closed-topic add
+   * refusal vs closed-topic commit acceptance, purge-with-pending
+   * refusal, purge clearing state, re-registration at a new revision.
+   * Topic `orphan` is never registered. Oracle constraint (fixture,
+   * not engine): lifecycle commands of a multi-partition topic all
+   * precede its first data command.
+   */
+  private def dlcControlLog(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val L = "lifecycle"; val A = "add_files"; val M = "mark_committed"
+    val e = Seq.empty[Long]
+    Seq(
+      (1L, L, "pv", 0, 1L, "live", -1L, e, -1L),
+      (2L, A, "pv", 0, 1L, "", 0L, Seq(99L), -1L),
+      (3L, A, "pv", 0, 1L, "", 100L, Seq(149L, 199L), -1L),
+      (4L, A, "pv", 0, 1L, "", 250L, Seq(299L), -1L),
+      (5L, A, "pv", 0, 1L, "", 100L, Seq(149L), -1L),
+      (6L, A, "pv", 1, 1L, "", 0L, Seq(49L), -1L),
+      (7L, M, "pv", 0, 1L, "", -1L, e, 149L),
+      (8L, M, "pv", 0, 1L, "", -1L, e, 160L),
+      (9L, M, "pv", 0, 1L, "", -1L, e, 149L),
+      (10L, M, "pv", 1, 1L, "", -1L, e, 49L),
+      (11L, M, "pv", 1, 1L, "", -1L, e, 49L),
+      (12L, A, "pv", 1, 1L, "", 50L, Seq(89L), -1L),
+      (13L, A, "pv", 1, 1L, "", 50L, Seq(89L), -1L),
+      (14L, A, "pv", 2, 1L, "", 0L, e, -1L),
+      (15L, M, "pv", 2, 1L, "", -1L, e, 10L),
+      (16L, A, "pv", 2, 1L, "", 5L, Seq(20L), -1L),
+      (17L, M, "pv", 0, 1L, "", -1L, e, 199L),
+      (18L, A, "pv", 0, 1L, "", 200L, Seq(240L), -1L),
+      (19L, A, "orphan", 0, 1L, "", 0L, Seq(10L), -1L),
+      (20L, M, "orphan", 0, 1L, "", -1L, e, 10L),
+      (21L, L, "clk", 0, 1L, "live", -1L, e, -1L),
+      (22L, A, "clk", 0, 1L, "", 0L, Seq(9L), -1L),
+      (23L, A, "clk", 0, 2L, "", 10L, Seq(19L), -1L),
+      (24L, L, "clk", 0, 0L, "live", -1L, e, -1L),
+      (25L, L, "clk", 0, 2L, "live", -1L, e, -1L),
+      (26L, L, "clk", 0, 1L, "closed", -1L, e, -1L),
+      (27L, A, "clk", 0, 1L, "", 10L, Seq(19L), -1L),
+      (28L, L, "clk", 0, 1L, "purged", -1L, e, -1L),
+      (29L, M, "clk", 0, 1L, "", -1L, e, 9L),
+      (30L, L, "clk", 0, 1L, "live", -1L, e, -1L),
+      (31L, L, "clk", 0, 1L, "purged", -1L, e, -1L),
+      (32L, A, "clk", 0, 1L, "", 10L, Seq(19L), -1L),
+      (33L, L, "clk", 0, 2L, "live", -1L, e, -1L),
+      (34L, A, "clk", 0, 2L, "", 100L, Seq(120L), -1L),
+      (35L, M, "clk", 0, 2L, "", -1L, e, 120L),
+      (36L, L, "clk", 0, 2L, "live", -1L, e, -1L),
+      (37L, M, "clk", 0, 1L, "", -1L, e, 120L))
+      .toDF("seq", "op", "topic", "partition", "revision", "target",
+        "add_start", "entry_ends", "new_committed")
+  }
+
   /** documents plus planted partial copies (doc_id + 700000, the full
     * original text plus a unique tail): the corpus has no natural
     * 20-token repeated spans, so exact substring dedup is exercised on
@@ -951,6 +1014,134 @@ object SparkEntry {
        |   FROM lr GROUP BY 1, 2, 3)
        | SELECT session_id, topic, partition, fetch_offset FROM lww WHERE NOT forget
        | ORDER BY session_id, topic, partition""".stripMargin
+
+  /**
+   * Shared replay prefix for the two dlc_* oracles: the datalake
+   * coordinator control-log fixture (mirrors [[dlcControlLog]] value
+   * for value) re-folded from scratch in DuckDB — a per-(topic,
+   * partition) recursive chain carrying (lifecycle, revision,
+   * last_committed, pending-entry ends) and re-deriving every rung of
+   * the reference admission ladders (`state_update.cc:47-98` add,
+   * `:147-189` commit, `:211-266` lifecycle). Chains are seeded `live`
+   * when the topic's registration precedes the chain's first command
+   * (the fixture keeps multi-partition topics registration-only, so
+   * single-partition chains carry lifecycle transitions in-band).
+   */
+  private val DlcCte: String =
+    """WITH RECURSIVE raw AS (
+      | SELECT * FROM (VALUES
+      |  (1,'lifecycle','pv',0,1,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (2,'add_files','pv',0,1,'',0,[99],-1),
+      |  (3,'add_files','pv',0,1,'',100,[149,199],-1),
+      |  (4,'add_files','pv',0,1,'',250,[299],-1),
+      |  (5,'add_files','pv',0,1,'',100,[149],-1),
+      |  (6,'add_files','pv',1,1,'',0,[49],-1),
+      |  (7,'mark_committed','pv',0,1,'',-1,CAST([] AS BIGINT[]),149),
+      |  (8,'mark_committed','pv',0,1,'',-1,CAST([] AS BIGINT[]),160),
+      |  (9,'mark_committed','pv',0,1,'',-1,CAST([] AS BIGINT[]),149),
+      |  (10,'mark_committed','pv',1,1,'',-1,CAST([] AS BIGINT[]),49),
+      |  (11,'mark_committed','pv',1,1,'',-1,CAST([] AS BIGINT[]),49),
+      |  (12,'add_files','pv',1,1,'',50,[89],-1),
+      |  (13,'add_files','pv',1,1,'',50,[89],-1),
+      |  (14,'add_files','pv',2,1,'',0,CAST([] AS BIGINT[]),-1),
+      |  (15,'mark_committed','pv',2,1,'',-1,CAST([] AS BIGINT[]),10),
+      |  (16,'add_files','pv',2,1,'',5,[20],-1),
+      |  (17,'mark_committed','pv',0,1,'',-1,CAST([] AS BIGINT[]),199),
+      |  (18,'add_files','pv',0,1,'',200,[240],-1),
+      |  (19,'add_files','orphan',0,1,'',0,[10],-1),
+      |  (20,'mark_committed','orphan',0,1,'',-1,CAST([] AS BIGINT[]),10),
+      |  (21,'lifecycle','clk',0,1,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (22,'add_files','clk',0,1,'',0,[9],-1),
+      |  (23,'add_files','clk',0,2,'',10,[19],-1),
+      |  (24,'lifecycle','clk',0,0,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (25,'lifecycle','clk',0,2,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (26,'lifecycle','clk',0,1,'closed',-1,CAST([] AS BIGINT[]),-1),
+      |  (27,'add_files','clk',0,1,'',10,[19],-1),
+      |  (28,'lifecycle','clk',0,1,'purged',-1,CAST([] AS BIGINT[]),-1),
+      |  (29,'mark_committed','clk',0,1,'',-1,CAST([] AS BIGINT[]),9),
+      |  (30,'lifecycle','clk',0,1,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (31,'lifecycle','clk',0,1,'purged',-1,CAST([] AS BIGINT[]),-1),
+      |  (32,'add_files','clk',0,1,'',10,[19],-1),
+      |  (33,'lifecycle','clk',0,2,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (34,'add_files','clk',0,2,'',100,[120],-1),
+      |  (35,'mark_committed','clk',0,2,'',-1,CAST([] AS BIGINT[]),120),
+      |  (36,'lifecycle','clk',0,2,'live',-1,CAST([] AS BIGINT[]),-1),
+      |  (37,'mark_committed','clk',0,1,'',-1,CAST([] AS BIGINT[]),120))
+      | t(seq, op, topic, part, rev, target, add_start, entry_ends, new_committed)),
+      | cmds AS (
+      |  SELECT CAST(seq AS BIGINT) AS seq, op, topic, CAST(part AS INT) AS part,
+      |         CAST(rev AS BIGINT) AS rev, target,
+      |         CAST(add_start AS BIGINT) AS add_start, entry_ends,
+      |         CAST(new_committed AS BIGINT) AS new_committed,
+      |         row_number() OVER (PARTITION BY topic, part ORDER BY seq) AS rn
+      |  FROM raw),
+      | chains AS (SELECT topic, part, min(seq) AS first_seq FROM cmds GROUP BY 1, 2),
+      | seed AS (
+      |  SELECT ch.topic, ch.part,
+      |         CASE WHEN reg.rev IS NOT NULL THEN 'live' ELSE 'unregistered' END AS lc,
+      |         COALESCE(reg.rev, -1) AS rev
+      |  FROM chains ch LEFT JOIN (
+      |    SELECT c2.topic, ch2.part, max_by(c2.rev, c2.seq) AS rev
+      |    FROM cmds c2 JOIN chains ch2 ON ch2.topic = c2.topic
+      |    WHERE c2.op = 'lifecycle' AND c2.target = 'live' AND c2.seq < ch2.first_seq
+      |    GROUP BY 1, 2) reg ON reg.topic = ch.topic AND reg.part = ch.part),
+      | st AS (
+      |  SELECT topic, part, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS seq,
+      |         CAST(NULL AS VARCHAR) AS op, CAST(NULL AS VARCHAR) AS errc,
+      |         lc, rev, CAST(NULL AS BIGINT) AS lcm, CAST([] AS BIGINT[]) AS pe
+      |  FROM seed
+      |  UNION ALL
+      |  SELECT c.topic, c.part, c.rn, c.seq, c.op,
+      |     CASE c.op
+      |      WHEN 'add_files' THEN
+      |       CASE WHEN len(c.entry_ends) = 0 THEN 'no_entries'
+      |            WHEN s.lc = 'unregistered' THEN 'not_registered'
+      |            WHEN c.rev <> s.rev THEN 'revision_mismatch'
+      |            WHEN s.lc <> 'live' THEN 'topic_closed'
+      |            WHEN len(s.pe) = 0 AND s.lcm IS NULL THEN 'success'
+      |            WHEN COALESCE(s.pe[-1], s.lcm) + 1 = c.add_start THEN 'success'
+      |            ELSE 'not_contiguous' END
+      |      WHEN 'mark_committed' THEN
+      |       CASE WHEN s.lc = 'unregistered' THEN 'not_registered'
+      |            WHEN c.rev <> s.rev THEN 'revision_mismatch'
+      |            WHEN len(s.pe) = 0 THEN 'no_files'
+      |            WHEN s.lcm IS NOT NULL AND s.lcm >= c.new_committed THEN 'stale_commit'
+      |            WHEN NOT list_contains(s.pe, c.new_committed) THEN 'no_entry_boundary'
+      |            ELSE 'success' END
+      |      ELSE
+      |       CASE WHEN s.lc = 'unregistered' THEN 'success'
+      |            WHEN c.rev < s.rev THEN 'obsolete_revision'
+      |            WHEN c.rev > s.rev AND s.lc <> 'purged' THEN 'not_purged'
+      |            WHEN c.rev > s.rev THEN 'success'
+      |            WHEN (CASE c.target WHEN 'live' THEN 0 WHEN 'closed' THEN 1 ELSE 2 END)
+      |               < (CASE s.lc WHEN 'live' THEN 0 WHEN 'closed' THEN 1 ELSE 2 END)
+      |              THEN 'invalid_transition'
+      |            WHEN (CASE c.target WHEN 'live' THEN 0 WHEN 'closed' THEN 1 ELSE 2 END)
+      |               > (CASE s.lc WHEN 'live' THEN 0 WHEN 'closed' THEN 1 ELSE 2 END)
+      |              THEN CASE WHEN c.target = 'purged' AND len(s.pe) > 0
+      |                        THEN 'has_pending' ELSE 'success' END
+      |            ELSE 'noop' END
+      |     END AS ne,
+      |     CASE WHEN c.op = 'lifecycle' AND ne = 'success' THEN c.target ELSE s.lc END,
+      |     CASE WHEN c.op = 'lifecycle' AND ne = 'success' THEN c.rev ELSE s.rev END,
+      |     CASE WHEN c.op = 'mark_committed' AND ne = 'success' THEN c.new_committed
+      |          WHEN c.op = 'lifecycle' AND ne = 'success' AND c.target = 'purged'
+      |            THEN NULL
+      |          ELSE s.lcm END,
+      |     CASE WHEN c.op = 'add_files' AND ne = 'success'
+      |            THEN list_concat(s.pe, c.entry_ends)
+      |          WHEN c.op = 'mark_committed' AND ne = 'success'
+      |            THEN list_filter(s.pe, x -> x > c.new_committed)
+      |          WHEN c.op = 'lifecycle' AND ne = 'success' AND c.target = 'purged'
+      |            THEN CAST([] AS BIGINT[])
+      |          ELSE s.pe END
+      |  FROM st s JOIN cmds c
+      |    ON c.topic = s.topic AND c.part = s.part AND c.rn = s.rn + 1),
+      | outs AS (
+      |  SELECT seq, op, topic, part, errc, lc AS lifecycle, rev AS revision,
+      |         lcm AS last_committed, CAST(len(pe) AS INT) AS pending_count,
+      |         pe[-1] AS pending_last
+      |  FROM st WHERE rn >= 1)""".stripMargin
 
   // ------------------------------------------------ avro registry scenario
 
@@ -3524,6 +3715,27 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    "dlc_admission" -> ((s, dir) =>
+      // Datalake coordinator exactly-once file-admission FSM
+      // (datalake/coordinator/state_update.cc:47-98,147-189,211-266):
+      // one outcome row per control-log command — errc of the first
+      // failing validation rule plus the affected partition's state
+      // after. The oracle replays the same ladder in pure DuckDB SQL
+      // via a per-(topic,partition) recursive CTE carrying
+      // (lifecycle, revision, last_committed, pending-entry ends).
+      graft.streaming.DatalakeCoordinator.outcomes(dlcControlLog(s))
+        .orderBy("seq")),
+
+    "dlc_committed" -> ((s, dir) => {
+      // Final coordinator state per partition: last_committed plus the
+      // surviving pending entries — the exactly-once ledger feeding the
+      // Iceberg committer (state.h:53-76). Derived declaratively over
+      // the outcome log; a successful purge clears partition state.
+      val outs = graft.streaming.DatalakeCoordinator.outcomes(dlcControlLog(s))
+      graft.streaming.DatalakeCoordinator.finalState(outs)
+        .orderBy("topic", "partition")
+    }),
+
     "a5_usage_windows" -> ((s, dir) =>
       Operators.usageWindows(events(s, dir), col("ts"), col("event_type"), length(col("props")))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -4203,6 +4415,106 @@ object SparkEntry {
         .toDF("case", "compatible").orderBy("case")
     }),
 
+    "sr_json_combinators" -> ((s, dir) => {
+      // Combinator / dependency / patternProperties / tuple-items
+      // conformance corpus (json.cc:1852 is_not_combinator_superset,
+      // :1903 is_positive_combinator_superset incl. the bipartite
+      // subschema matching, :1653 is_object_dependencies_superset,
+      // :1511 the patternProperties/additionalProperties property walk,
+      // :1324 the tuple-form items branch, plus the exact-BigDecimal
+      // multipleOf divisibility).
+      import s.implicits._
+      import graft.registry.SchemaRegistry.JsonChecker
+      val i = """{"type":"integer"}"""
+      val st = """{"type":"string"}"""
+      val cases: Seq[(String, String, String)] = Seq(
+        ("01_not_identical", s"""{"not":$st}""", s"""{"not":$st}"""),
+        ("02_not_added", s"""{"not":$st}""", i),
+        ("03_not_writer_stricter", s"""{"not":$st}""",
+          """{"not":{"type":["string","integer"]}}"""),
+        ("04_not_narrowed", """{"not":{"type":["string","integer"]}}""",
+          s"""{"not":$st}"""),
+        ("05_anyof_subset", s"""{"anyOf":[$i,$st,{"type":"boolean"}]}""",
+          s"""{"anyOf":[$i,$st]}"""),
+        ("06_sum_type_narrowed", s"""{"anyOf":[$i,$st]}""",
+          s"""{"anyOf":[$i,$st,{"type":"boolean"}]}"""),
+        ("07_allof_writer_stricter",
+          """{"allOf":[{"type":"integer","minimum":0},{"type":"integer","maximum":10}]}""",
+          """{"allOf":[{"type":"integer","minimum":0},{"type":"integer","maximum":10},{"type":"integer","multipleOf":2}]}"""),
+        ("08_product_type_extended",
+          s"""{"allOf":[$i,{"type":"integer","minimum":0},{"type":"integer","maximum":9}]}""",
+          s"""{"allOf":[$i,{"type":"integer","minimum":0}]}"""),
+        ("09_oneof_branch_dropped", s"""{"oneOf":[$i,$st]}""",
+          s"""{"oneOf":[$st]}"""),
+        ("10_mixed_single_single", s"""{"allOf":[$i]}""", s"""{"anyOf":[$i]}"""),
+        ("11_single_vs_allof", s"""{"oneOf":[$i]}""",
+          s"""{"allOf":[{"type":"integer","minimum":0},$i]}"""),
+        ("12_mixed_combined_changed",
+          s"""{"allOf":[$i,{"type":"integer","minimum":0}]}""",
+          s"""{"anyOf":[$i,$st]}"""),
+        ("13_combinator_dropped", s"""{"oneOf":[$i,$st]}""", i),
+        ("14_anyof_reads_allof", s"""{"anyOf":[$i,$st]}""", s"""{"allOf":[$i]}"""),
+        ("15_dep_array_kept",
+          """{"type":"object","dependencies":{"a":["b"]}}""",
+          """{"type":"object","dependencies":{"a":["b","c"]}}"""),
+        ("16_dep_array_narrowed",
+          """{"type":"object","dependencies":{"a":["b","c"]}}""",
+          """{"type":"object","dependencies":{"a":["b"]}}"""),
+        ("17_dep_added",
+          """{"type":"object","dependencies":{"a":["b"]}}""",
+          """{"type":"object"}"""),
+        ("18_dep_schema_kept",
+          """{"type":"object","dependencies":{"a":{"required":["b"]}}}""",
+          """{"type":"object","dependencies":{"a":{"required":["b"]}}}"""),
+        ("19_dep_schema_incompatible",
+          s"""{"type":"object","dependencies":{"a":$i}}""",
+          s"""{"type":"object","dependencies":{"a":$st}}"""),
+        ("20_pattern_covers_new_prop",
+          s"""{"type":"object","patternProperties":{"^x_":$i}}""",
+          s"""{"type":"object","properties":{"x_a":$i}}"""),
+        ("21_pattern_schema_mismatch",
+          s"""{"type":"object","patternProperties":{"^x_":$i}}""",
+          s"""{"type":"object","properties":{"x_a":$st}}"""),
+        ("22_additional_schema_covers",
+          s"""{"type":"object","additionalProperties":$i}""",
+          s"""{"type":"object","properties":{"n":$i},"additionalProperties":$i}"""),
+        ("23_additional_narrowed",
+          s"""{"type":"object","additionalProperties":$i}""",
+          """{"type":"object"}"""),
+        ("24_closed_model_new_prop",
+          s"""{"type":"object","properties":{"a":$i},"additionalProperties":false}""",
+          s"""{"type":"object","properties":{"a":$i,"b":$i},"additionalProperties":false}"""),
+        ("25_tuple_identical",
+          s"""{"type":"array","items":[$i,$st],"additionalItems":false}""",
+          s"""{"type":"array","items":[$i,$st],"additionalItems":false}"""),
+        ("26_tuple_vs_array",
+          s"""{"type":"array","items":[$i]}""",
+          s"""{"type":"array","items":$i}"""),
+        ("27_tuple_writer_longer_covered",
+          s"""{"type":"array","items":[$i],"additionalItems":$i}""",
+          s"""{"type":"array","items":[$i,$i],"additionalItems":$i}"""),
+        ("28_tuple_excess_uncovered",
+          s"""{"type":"array","items":[$i],"additionalItems":$i}""",
+          s"""{"type":"array","items":[$i,$st],"additionalItems":$i}"""),
+        ("29_tuple_reader_longer_covered",
+          s"""{"type":"array","items":[$i,$st]}""",
+          s"""{"type":"array","items":[$i],"additionalItems":$st}"""),
+        ("30_multiple_of_decimal",
+          """{"type":"number","multipleOf":0.01}""",
+          """{"type":"number","multipleOf":0.07}"""),
+        ("31_multiple_of_indivisible",
+          """{"type":"number","multipleOf":0.02}""",
+          """{"type":"number","multipleOf":0.07}"""),
+        ("32_required_with_default",
+          """{"type":"object","properties":{"a":{"type":"integer","default":5}},"required":["a"]}""",
+          s"""{"type":"object","properties":{"a":$i}}"""),
+        ("33_required_added",
+          s"""{"type":"object","properties":{"a":$i},"required":["a"]}""",
+          s"""{"type":"object","properties":{"a":$i}}"""))
+      cases.map { case (nm, r, w) => (nm, JsonChecker.canRead(r, w)) }
+        .toDF("case", "compatible").orderBy("case")
+    }),
+
     "sr_proto_oneof_map" -> ((s, dir) => {
       // Oneof + map conformance corpus (protobuf.cc:553-645: the
       // writer-oneof member check driving oneof_field_removed, the
@@ -4382,14 +4694,17 @@ object SparkEntry {
       // JSON $ref resolution through registry references (json.cc
       // bundled-schema map ≙ the reference list): person's schema TEXT
       // never changes between v1 and v2 — only its addr ref re-pins to
-      // a version that REQUIRES zip, so read-compatibility flips purely
-      // through reference resolution, two levels deep for team.
+      // a version that TIGHTENS city's minLength (a reader-added bound,
+      // json.cc min_length_increased — required-added alone wouldn't
+      // flip: is_object_required_superset:1623-1630 only examines
+      // properties declared on BOTH sides), so read-compatibility flips
+      // purely through reference resolution, two levels deep for team.
       import s.implicits._
       import graft.registry.{SchemaRefs, JsonSchemaCompat}
       import graft.registry.SchemaRefs.{SchemaRef, StoredSchema}
       val addr1 = """{"type":"object","properties":{"city":{"type":"string"}}}"""
       val addr2 =
-        """{"type":"object","properties":{"city":{"type":"string"},
+        """{"type":"object","properties":{"city":{"type":"string","minLength":1},
           |"zip":{"type":"string"}},"required":["zip"]}""".stripMargin
       val person = // same text for both versions — only the ref moves
         """{"type":"object","properties":{"name":{"type":"string"},
@@ -5427,6 +5742,18 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(emb, queries, 5)
         .select(col("query_id"), col("vec_id"), col("rank"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_parity_topk" -> ((s, dir) => {
+      // Integer-parity ANN ranking: micro-unit quantization + exact
+      // int64 inner products + vec_id tie-break, so DuckDB replays the
+      // FULL ranking bit-for-bit (the certification leg for the top-k
+      // machinery; the float ann_* variants keep recall contracts).
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.quantizedTopK(emb, queries, 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -7644,6 +7971,44 @@ object SparkEntry {
         |  (17, 'reaper', 0, 'ok', '3,4', 0))
         | t(seq, op, pid, outcome, evicted, n_active) ORDER BY seq""".stripMargin,
 
+    // Datalake coordinator admission log — the oracle re-folds the
+    // control log from scratch (recursive per-partition chain; see
+    // DlcCte) rather than pinning a golden table: every rung of the
+    // add/commit/lifecycle ladders is re-derived in DuckDB SQL.
+    "dlc_admission" ->
+      s"""$DlcCte
+         | SELECT seq, op, topic, part AS "partition", errc, lifecycle, revision,
+         |        last_committed, pending_count, pending_last
+         | FROM outs ORDER BY seq""".stripMargin,
+
+    // Final coordinator state: same replay, then the declarative
+    // rollup — last successful data op per partition, topic lifecycle
+    // from the last applied lifecycle row, purge clears partitions
+    // whose last touch precedes it (state_update.cc:280-283).
+    "dlc_committed" ->
+      s"""$DlcCte,
+         | datap AS (SELECT * FROM outs
+         |   WHERE op IN ('add_files', 'mark_committed') AND errc = 'success'),
+         | lastseq AS (SELECT topic, part, max(seq) AS last_seq
+         |   FROM datap GROUP BY 1, 2),
+         | lastpp AS (SELECT d.topic, d.part, s.last_seq, d.last_committed,
+         |     d.pending_count, d.pending_last
+         |   FROM datap d JOIN lastseq s
+         |     ON s.topic = d.topic AND s.part = d.part AND s.last_seq = d.seq),
+         | lastlc AS (SELECT topic, max_by(lifecycle, seq) AS lifecycle,
+         |     max_by(revision, seq) AS revision
+         |   FROM outs WHERE op = 'lifecycle' AND errc IN ('success', 'noop')
+         |   GROUP BY 1),
+         | lastpurge AS (SELECT topic, max(seq) AS purge_seq FROM outs
+         |   WHERE op = 'lifecycle' AND errc = 'success' AND lifecycle = 'purged'
+         |   GROUP BY 1)
+         | SELECT p.topic, p.part AS "partition", l.lifecycle, l.revision,
+         |        p.last_committed, p.pending_count, p.pending_last
+         | FROM lastpp p LEFT JOIN lastpurge g ON g.topic = p.topic
+         | LEFT JOIN lastlc l ON l.topic = p.topic
+         | WHERE g.purge_seq IS NULL OR p.last_seq > g.purge_seq
+         | ORDER BY p.topic, p.part""".stripMargin,
+
     // Golden outcome table for the 32-command migration fixture — the
     // FSM is single-raft-shard sequential; the pin is the regression
     // gate (same style as adm_api_versions / adm_find_coordinator).
@@ -8246,6 +8611,48 @@ object SparkEntry {
         |  ('10_minimum_added', FALSE),
         |  ('11_array_relaxed', TRUE),
         |  ('12_unique_items_added', FALSE))
+        | t("case", compatible) ORDER BY "case"""".stripMargin,
+
+    // Combinator corpus golden pin (each row exercises one json.cc
+    // incompatibility type: not_type_extended, sum_type_narrowed,
+    // product_type_extended, combined_type_changed, dependency_*,
+    // property_removed_*, item_*_not_covered, multiple_of_changed,
+    // required_attribute_added).
+    "sr_json_combinators" ->
+      """SELECT * FROM (VALUES
+        |  ('01_not_identical', TRUE),
+        |  ('02_not_added', FALSE),
+        |  ('03_not_writer_stricter', TRUE),
+        |  ('04_not_narrowed', FALSE),
+        |  ('05_anyof_subset', TRUE),
+        |  ('06_sum_type_narrowed', FALSE),
+        |  ('07_allof_writer_stricter', TRUE),
+        |  ('08_product_type_extended', FALSE),
+        |  ('09_oneof_branch_dropped', TRUE),
+        |  ('10_mixed_single_single', TRUE),
+        |  ('11_single_vs_allof', TRUE),
+        |  ('12_mixed_combined_changed', FALSE),
+        |  ('13_combinator_dropped', FALSE),
+        |  ('14_anyof_reads_allof', TRUE),
+        |  ('15_dep_array_kept', TRUE),
+        |  ('16_dep_array_narrowed', FALSE),
+        |  ('17_dep_added', FALSE),
+        |  ('18_dep_schema_kept', TRUE),
+        |  ('19_dep_schema_incompatible', FALSE),
+        |  ('20_pattern_covers_new_prop', TRUE),
+        |  ('21_pattern_schema_mismatch', FALSE),
+        |  ('22_additional_schema_covers', TRUE),
+        |  ('23_additional_narrowed', FALSE),
+        |  ('24_closed_model_new_prop', FALSE),
+        |  ('25_tuple_identical', TRUE),
+        |  ('26_tuple_vs_array', FALSE),
+        |  ('27_tuple_writer_longer_covered', TRUE),
+        |  ('28_tuple_excess_uncovered', FALSE),
+        |  ('29_tuple_reader_longer_covered', TRUE),
+        |  ('30_multiple_of_decimal', TRUE),
+        |  ('31_multiple_of_indivisible', FALSE),
+        |  ('32_required_with_default', TRUE),
+        |  ('33_required_added', FALSE))
         | t("case", compatible) ORDER BY "case"""".stripMargin,
 
     "sr_proto_oneof_map" ->
@@ -8858,6 +9265,24 @@ object SparkEntry {
         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_r
         |  FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Full-rank integer replay: quantization, every inner product, and
+    // the rank window re-derived in exact integer arithmetic.
+    "ann_parity_topk" ->
+      """WITH c AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, qe AS qq FROM c WHERE vec_id < 5),
+        | s AS (SELECT q.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.qe) + 1),
+        |      i -> c.qe[i] * q.qq[i])) AS BIGINT) AS iscore
+        |  FROM c, q WHERE c.vec_id <> q.query_id),
+        | r AS (SELECT query_id, vec_id, iscore,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY iscore DESC, vec_id) AS rank FROM s)
+        |SELECT query_id, vec_id, iscore, rank FROM r WHERE rank <= 5
+        | ORDER BY query_id, rank""".stripMargin,
 
     "ann_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

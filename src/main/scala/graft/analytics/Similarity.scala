@@ -62,6 +62,36 @@ object Similarity {
   }
 
   /**
+   * Integer-parity inner-product top-k: the oracle-certified twin of
+   * the float ANN rankings. Embeddings quantize to integer micro-units
+   * (`floor(x * scale + 0.5)` — round-half-up spelled as `floor` so
+   * Spark and DuckDB agree bit-for-bit; float→double widening and the
+   * double product are IEEE-exact on both engines), scores are EXACT
+   * int64 inner products (order-independent summation, no float
+   * accumulation anywhere), and ranks tie-break on vec_id. Every rank
+   * is therefore bit-replayable in pure integer SQL — certifying the
+   * scan→score→window top-k machinery the float `ann_*` variants share
+   * (those keep recall contracts: float cosine ranks are
+   * order-of-summation sensitive).
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      scale: Int = 10000): DataFrame = {
+    def qz(v: Column): Column =
+      transform(v, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+    val c = corpus.select(col("vec_id"), qz(col("embedding")).as("_qe"))
+    val q = queries.select(col("query_id"), qz(col("query_vec")).as("_qq"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("_qe"), col("_qq"), _ * _), lit(0L), _ + _)
+          .as("iscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("iscore").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "iscore", "rank")
+  }
+
+  /**
    * Contrastive-pair mining for embedding-model training data: for each
    * anchor query, the single most-similar SAME-label vector is the
    * positive and the `kNeg` most-similar DIFFERENT-label vectors are the

@@ -99,12 +99,23 @@ object GraftFunctions {
       "vec_dot", (args: Seq[Expression]) => VecDot(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_norm", (args: Seq[Expression]) => VecNorm(args.head), "built-in")
+    // the second argument parameterizes codegen, so it must be a
+    // literal — reject non-foldable args at analysis time instead of
+    // crashing in eval()
+    def litInt(fn: String, e: Expression): Int = {
+      if (!e.foldable)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map("funcName" -> s"`$fn`",
+            "paramName" -> "`size`", "paramType" -> "\"INT\""))
+      e.eval().asInstanceOf[Number].intValue()
+    }
     reg.createOrReplaceTempFunction(
       "vec_sign_sketch", (args: Seq[Expression]) =>
-        VecSignSketch(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+        VecSignSketch(args(0), litInt("vec_sign_sketch", args(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "span_window_hashes", (args: Seq[Expression]) =>
-        SpanWindowHashes(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+        SpanWindowHashes(args(0), litInt("span_window_hashes", args(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_fingerprint", (args: Seq[Expression]) =>
         PolyFingerprint(args.head), "built-in")

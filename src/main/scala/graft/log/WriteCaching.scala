@@ -72,6 +72,11 @@ object WriteCaching {
 
   final case class FlushState(acc: Long, lastFlushTs: Long, durable: Long)
 
+  /** A batch row stamped (via broadcast join) with its partition's
+    * carried seed state; null seeds mean a first-seen partition. */
+  final case class InSeed(partition: Int, offset: Long, ts_ms: Long, bytes: Long,
+      _sacc: java.lang.Long, _sts: java.lang.Long, _sdur: java.lang.Long)
+
   final case class OutSt(partition: Int, offset: Long, bytes: Long,
       flushed: Boolean, flushed_offset: Long, acc: Long, last_flush_ts: Long)
 
@@ -94,9 +99,11 @@ object WriteCaching {
    * batch-id-versioned parquet table under the checkpoint: batch N
    * seeds from the newest state < N, so a RETRIED micro-batch
    * re-reads the same seed and overwrites its own output and state
-   * directories — idempotent, restart-safe. The driver-side seed map
-   * is one row per partition (control-plane-sized, like the
-   * reference's per-replica flush bookkeeping).
+   * directories — idempotent, restart-safe. The seed state rides the
+   * PLAN, not the closure: a broadcast left-join stamps each row with
+   * its partition's carried (acc, lastFlushTs, durable) before the
+   * fold, so nothing is collected to the driver and a fleet-scale
+   * partition count never serializes a seed map into every task.
    */
   def flushAccountingStream(log: DataFrame, dataPath: String, ckptPath: String,
       cachingEnabled: Boolean, flushBytes: Long,
@@ -121,13 +128,18 @@ object WriteCaching {
           else fs.listStatus(root).map(_.getPath.getName)
             .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
             .filter(_ < id)
-        val prior: Map[Int, FlushState] =
-          if (priorIds.isEmpty) Map.empty
+        val prior: DataFrame =
+          if (priorIds.isEmpty)
+            Seq.empty[(Int, Long, Long, Long)]
+              .toDF("partition", "acc", "last_flush_ts", "durable")
           else spark.read.parquet(s"$stateRoot/batch=${priorIds.max}")
             .select("partition", "acc", "last_flush_ts", "durable")
-            .as[(Int, Long, Long, Long)].collect()
-            .map(r => r._1 -> FlushState(r._2, r._3, r._4)).toMap
-        val folded = b.as[In]
+        val folded = b
+          .join(broadcast(prior.select(col("partition"),
+              col("acc").as("_sacc"), col("last_flush_ts").as("_sts"),
+              col("durable").as("_sdur"))),
+            Seq("partition"), "left")
+          .as[InSeed]
           .repartition(col("partition"))
           .sortWithinPartitions(col("partition"), col("offset"))
           .mapPartitions { it =>
@@ -136,7 +148,8 @@ object WriteCaching {
             it.map { r =>
               if (r.partition != cur) {
                 cur = r.partition
-                st = prior.getOrElse(cur, FlushState(0L, r.ts_ms, -1L))
+                st = if (r._sacc == null) FlushState(0L, r.ts_ms, -1L)
+                     else FlushState(r._sacc, r._sts, r._sdur)
               }
               val acc = st.acc + r.bytes
               val flush = !cachingEnabled || acc >= flushBytes ||
@@ -158,9 +171,7 @@ object WriteCaching {
             .select(col("partition"), col("s.acc").as("acc"),
               col("s.last_flush_ts").as("last_flush_ts"),
               col("s.flushed_offset").as("durable"))
-          val carried = prior.toSeq
-            .map { case (p, s) => (p, s.acc, s.lastFlushTs, s.durable) }
-            .toDF("partition", "acc", "last_flush_ts", "durable")
+          val carried = prior
             .join(ended.select("partition"), Seq("partition"), "left_anti")
           ended.unionByName(carried)
             .write.mode("overwrite").parquet(s"$stateRoot/batch=$id")

@@ -143,19 +143,40 @@ object ProtobufCompat {
     // skip syntax/package preamble if present
     val body = tokens.dropWhile(_ != "message")
     val (msg, _) = parseMessageAt(body, enumNamesOf(tokens))
-    (msg, msg.nested)
+    val resolved = resolveScopes(msg, Set.empty)
+    (resolved, resolved.nested)
   }
 
   /** Enum and message declaration names anywhere in the token stream —
     * resolved BEFORE field typing so a field may reference a type
     * defined later in the file (protoc's two-pass behavior). A name
-    * declared as BOTH resolves as the message (protoc would reject the
-    * ambiguity in one scope; across scopes the message wins here so a
-    * message-typed field is never silently widened to varint). */
+    * declared as BOTH an enum and a message (in different scopes —
+    * protoc rejects the ambiguity within one) defaults to the message
+    * here; [[resolveScopes]] then re-types fields per enclosing scope,
+    * innermost first, so the enum-declaring scope still sees its enum. */
   private def enumNamesOf(tokens: List[String]): Set[String] = {
     val enums = tokens.sliding(2).collect { case List("enum", n) => n }.toSet
     val msgs = tokens.sliding(2).collect { case List("message", n) => n }.toSet
     enums -- msgs
+  }
+
+  /** Protoc scoping pass: a field naming a type declared as an enum in
+    * its own or an enclosing scope resolves to that enum (innermost
+    * wins; a local nested MESSAGE of the same name shadows an inherited
+    * enum), even when an unrelated scope declares a message of the same
+    * name — without this, the global default above would leave such
+    * fields as unresolvable MessageRefs that fail compat against an
+    * identical schema. */
+  private def resolveScopes(m: PMessage, inheritedEnums: Set[String]): PMessage = {
+    val scopeEnums = m.enums.keySet ++ (inheritedEnums -- m.nested.keySet)
+    def retype(t: PType): PType = t match {
+      case MessageRef(n) if scopeEnums.contains(n) => EnumRef(n)
+      case PMap(k, v)                              => PMap(k, retype(v))
+      case other                                   => other
+    }
+    m.copy(
+      fields = m.fields.map(f => f.copy(tpe = retype(f.tpe))),
+      nested = m.nested.map { case (k, v) => k -> resolveScopes(v, scopeEnums) })
   }
 
   private def parseMessageAt(ts: List[String],

@@ -68,7 +68,16 @@ class CompatSpec extends AnyFunSuite {
     val rObjOk = """{"type":"object","properties":{"x":{"type":"number"}},"required":["x"]}"""
     val rObjMoreReq = """{"type":"object","properties":{"x":{"type":"integer"},"y":{"type":"string"}},"required":["x","y"]}"""
     assert(JsonChecker.canRead(rObjOk, wObj))
-    assert(!JsonChecker.canRead(rObjMoreReq, wObj)) // reader requires y, writer doesn't guarantee it
+    // json.cc is_object_required_superset:1623-1630 examines only
+    // properties declared on BOTH sides: reader-required y is unknown to
+    // the writer's properties, so the reference does NOT flag it
+    assert(JsonChecker.canRead(rObjMoreReq, wObj))
+    // ... but a both-sides property the reader newly requires DOES break,
+    // unless the reader's property carries a default (json.cc:1636-1646)
+    val wXY = """{"type":"object","properties":{"x":{"type":"integer"},"y":{"type":"string"}},"required":["x"]}"""
+    assert(!JsonChecker.canRead(rObjMoreReq, wXY)) // required_attribute_added
+    val rDefaulted = """{"type":"object","properties":{"x":{"type":"integer"},"y":{"type":"string","default":"z"}},"required":["x","y"]}"""
+    assert(JsonChecker.canRead(rDefaulted, wXY))
 
     val rClosed = """{"type":"object","properties":{"x":{"type":"integer"}},"additionalProperties":false}"""
     val wClosed = """{"type":"object","properties":{"x":{"type":"integer"}},"additionalProperties":false}"""

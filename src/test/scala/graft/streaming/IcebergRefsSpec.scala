@@ -102,6 +102,32 @@ class IcebergRefsSpec extends SparkSpec {
     assert(IcebergFormat.readRef(spark, t, "main").count() === 4L)
   }
 
+  test("branch history is the linear id-prefix of its head (documented model)") {
+    // Pins the linear-history contract of expireSnapshotsByPolicy
+    // (IcebergFormat `snapshots.filter(_.snapshotId <= head)`): this
+    // engine's commit() assigns monotone ids on ONE line of history, so
+    // a branch's history is exactly the snapshots with id <= its head —
+    // snapshots numbered after the head belong to main's continuation,
+    // not the branch. Real Iceberg permits divergent branch histories;
+    // if branches ever gain independent commits, this test forces the
+    // history computation to be revisited (else it would silently
+    // over-retain the other branch's line).
+    val t = freshTable()
+    (0 until 6).foreach(i => IcebergFormat.commit(batch(i, i + 1), col("ts"), t))
+    // branch at snapshot 3: its history must be {1,2,3}, NOT {1..5};
+    // min-keep 2 counts back from the BRANCH head -> keeps {2,3}
+    IcebergFormat.createBranch(spark, t, "b3", 3L,
+      maxSnapshotAgeMs = Some(0L), minSnapshotsToKeep = Some(2))
+    val expired = IcebergFormat.expireSnapshotsByPolicy(spark, t,
+      nowMs = System.currentTimeMillis() + 3600000L,
+      defaultMaxAgeMs = 0L, defaultMinToKeep = 1)
+    // main keeps {6}; b3 keeps {2,3}; 4 and 5 sit AFTER the branch head
+    // on main's line and are claimed by no rule -> expired with 1
+    assert(expired === Seq(1L, 4L, 5L))
+    assert(IcebergFormat.readRef(spark, t, "b3").count() === 3L)
+    assert(IcebergFormat.readRef(spark, t, "main").count() === 6L)
+  }
+
   test("setRef validates the target and protects main") {
     val t = freshTable()
     IcebergFormat.commit(batch(0, 2), col("ts"), t)
