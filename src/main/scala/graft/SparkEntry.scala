@@ -4142,6 +4142,67 @@ object SparkEntry {
         .orderBy("route")
     }),
 
+    "p6_batch_roundtrip" -> ((s, dir) => {
+      // §5 protocol-golden leg: the event log packed into Kafka
+      // record-batch v2 wire envelopes (61-byte big-endian header,
+      // zigzag-varint records, CRC32-C over the region below the crc
+      // field — kafka_batch_adapter.h:25-41, .cc:31-128), decoded back,
+      // and RE-encoded: bytes and fields must survive both directions
+      // and every CRC must verify. The oracle re-derives base_offset /
+      // record_count / batch_length / wire_bytes from the raw events —
+      // including every zigzag-varint length — and pins the round-trip
+      // invariants.
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy("partition", "batch_no")
+      val recs = eventLog(s, dir)
+        .select(col("partition"), col("offset"), col("event_id"),
+          col("user_id"), col("event_type"))
+        .withColumn("batch_no", floor(col("offset") / 200).cast("long"))
+        .withColumn("base_offset", min("offset").over(w))
+        .withColumn("first_ts", min("event_id").over(w))
+      val batches = recs.groupBy("partition", "batch_no")
+        .agg(first(col("base_offset")).as("base_offset"),
+          first(col("first_ts")).as("first_timestamp"),
+          max(col("event_id")).as("max_timestamp"),
+          sort_array(collect_list(struct(
+            (col("offset") - col("base_offset")).cast("int").as("offset_delta"),
+            (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
+            col("user_id").cast("string").cast("binary").as("key"),
+            col("event_type").cast("binary").as("value"),
+            array().cast("array<struct<header_key:string,header_value:binary>>")
+              .as("headers")))).as("records"))
+      val enc = batches.select(col("partition"), col("batch_no"), col("records"),
+        call_function("kafka_batch_encode", struct(
+          col("base_offset"),
+          lit(5).as("partition_leader_epoch"),
+          lit(0).as("attributes"),
+          col("first_timestamp"),
+          col("max_timestamp"),
+          (col("partition") * 1000L).cast("long").as("producer_id"),
+          lit(3).as("producer_epoch"),
+          col("base_offset").cast("int").as("base_sequence"),
+          col("records"))).as("wire"))
+      enc.withColumn("dec", call_function("kafka_batch_decode", col("wire")))
+        .withColumn("wire2", call_function("kafka_batch_encode", struct(
+          col("dec.base_offset"), col("dec.partition_leader_epoch"),
+          col("dec.attributes"), col("dec.first_timestamp"),
+          col("dec.max_timestamp"), col("dec.producer_id"),
+          col("dec.producer_epoch"), col("dec.base_sequence"),
+          col("dec.records"))))
+        .select(col("partition"), col("batch_no"),
+          col("dec.base_offset").as("base_offset"),
+          col("dec.record_count").as("record_count"),
+          col("dec.batch_length").as("batch_length"),
+          length(col("wire")).as("wire_bytes"),
+          col("dec.magic").as("magic"),
+          col("dec.crc_valid").as("crc_valid"),
+          (col("dec.last_offset_delta") === col("dec.record_count") - 1)
+            .as("dense_delta"),
+          (md5(col("wire")) === md5(col("wire2"))).as("bytes_match"),
+          (col("dec.records") === col("records")).as("fields_match"))
+        .orderBy("partition", "batch_no")
+    }),
+
     "d3_schema_evolution" -> ((s, dir) => {
       // Rows written under schema v1 (k int, v string) evolved to v2
       // (k long, v string, score double nullable): promotable cast +
@@ -8499,6 +8560,43 @@ object SparkEntry {
       """SELECT CASE WHEN event_id % 97 = 0 THEN 'corrupt' ELSE 'valid' END AS route,
         |       count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Wire-envelope golden: base_offset / record_count / batch_length /
+    // wire_bytes re-derived from the raw events INCLUDING every
+    // zigzag-varint length (vl(x) = bytes of varint(zigzag(x)) for
+    // x >= 0: 1 + floor(log2(2x)/7)); header constants per
+    // kafka_batch_adapter.h:25-41 (61-byte header, batchLength counts
+    // bytes after its own field -> 49 + records). The round-trip
+    // invariants (magic 2, CRC valid, re-encode byte-identical,
+    // decoded records == inputs) are pinned TRUE.
+    "p6_batch_roundtrip" -> {
+      def vl(e: String) =
+        s"(CASE WHEN ($e) = 0 THEN 1 ELSE CAST(floor(log2(CAST(2 * ($e) AS DOUBLE)) / 7) AS BIGINT) + 1 END)"
+      val body = s"1 + ${vl("event_id - first_ts")} + ${vl("\"offset\" - base_offset")}" +
+        s" + ${vl("strlen(CAST(user_id AS VARCHAR))")} + strlen(CAST(user_id AS VARCHAR))" +
+        s" + ${vl("strlen(event_type)")} + strlen(event_type) + 1"
+      s"""WITH log AS (
+         |  SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+         |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+         |         event_id, user_id, event_type
+         |  FROM events),
+         | r AS (SELECT *, "offset" // 200 AS batch_no,
+         |         min("offset") OVER (PARTITION BY partition, "offset" // 200) AS base_offset,
+         |         min(event_id) OVER (PARTITION BY partition, "offset" // 200) AS first_ts
+         |   FROM log),
+         | sz AS (SELECT partition, batch_no, base_offset,
+         |     ($body) AS rec_body
+         |   FROM r),
+         | g AS (SELECT partition, batch_no, min(base_offset) AS base_offset,
+         |     CAST(count(*) AS INT) AS record_count,
+         |     CAST(49 + SUM(${vl("rec_body")} + rec_body) AS INT) AS batch_length,
+         |     CAST(61 + SUM(${vl("rec_body")} + rec_body) AS INT) AS wire_bytes
+         |   FROM sz GROUP BY 1, 2)
+         | SELECT partition, batch_no, base_offset, record_count, batch_length,
+         |        wire_bytes, CAST(2 AS INT) AS magic, TRUE AS crc_valid,
+         |        TRUE AS dense_delta, TRUE AS bytes_match, TRUE AS fields_match
+         | FROM g ORDER BY partition, batch_no""".stripMargin
+    },
 
     "sr_canonical_ids" ->
       """SELECT CAST(seq AS BIGINT) AS seq, subject,

@@ -119,5 +119,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "poly_fingerprint", (args: Seq[Expression]) =>
         PolyFingerprint(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kafka_batch_encode", (args: Seq[Expression]) =>
+        KafkaBatchEncode(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kafka_batch_decode", (args: Seq[Expression]) =>
+        KafkaBatchDecode(args.head), "built-in")
   }
 }
