@@ -450,6 +450,17 @@ object SparkEntry {
         "add_start", "entry_ends", "new_committed")
   }
 
+  /** The three table states the committer corpus judges pending entries
+    * against: no `redpanda.commit-metadata` property, a mid-stream one,
+    * and one past every pending entry. */
+  private def dlcCommitScenarios(s: SparkSession): Seq[(String, DataFrame)] = {
+    import s.implicits._
+    Seq(
+      ("none", Seq.empty[(String, Long)].toDF("topic", "committed_at")),
+      ("mid", Seq(("pv", 15L)).toDF("topic", "committed_at")),
+      ("all", Seq(("pv", 99L)).toDF("topic", "committed_at")))
+  }
+
   /** documents plus planted partial copies (doc_id + 700000, the full
     * original text plus a unique tail): the corpus has no natural
     * 20-token repeated spans, so exact substring dedup is exercised on
@@ -1142,6 +1153,45 @@ object SparkEntry {
       |         lcm AS last_committed, CAST(len(pe) AS INT) AS pending_count,
       |         pe[-1] AS pending_last
       |  FROM st WHERE rn >= 1)""".stripMargin
+
+  /** Committer-oracle extension of [[DlcCte]]: pending entries
+    * re-derived in SQL (successful adds post-purge, unnested ends above
+    * the final last_committed), then judged per scenario against the
+    * table-property rows — the full
+    * `iceberg_file_committer.cc:152-175` dedup ladder in DuckDB. */
+  private val DlcCommitCte: String =
+    s"""$DlcCte,
+       | datap AS (SELECT * FROM outs
+       |   WHERE op IN ('add_files', 'mark_committed') AND errc = 'success'),
+       | lastseq AS (SELECT topic, part, max(seq) AS last_seq
+       |   FROM datap GROUP BY 1, 2),
+       | finals AS (SELECT d.topic, d.part, d.last_committed
+       |   FROM datap d JOIN lastseq s
+       |     ON s.topic = d.topic AND s.part = d.part AND s.last_seq = d.seq),
+       | purges AS (SELECT topic, max(seq) AS purge_seq FROM outs
+       |   WHERE op = 'lifecycle' AND errc = 'success' AND lifecycle = 'purged'
+       |   GROUP BY 1),
+       | okadds AS (SELECT seq, topic, part FROM outs
+       |   WHERE op = 'add_files' AND errc = 'success'),
+       | pend0 AS (SELECT c.seq, c.topic, c.part,
+       |     UNNEST(c.entry_ends) AS entry_end
+       |   FROM cmds c JOIN okadds a
+       |     ON a.seq = c.seq AND a.topic = c.topic AND a.part = c.part),
+       | pend AS (SELECT p.seq, p.topic, p.part, p.entry_end
+       |   FROM pend0 p
+       |   LEFT JOIN purges g ON g.topic = p.topic
+       |   JOIN finals f ON f.topic = p.topic AND f.part = p.part
+       |   WHERE (g.purge_seq IS NULL OR p.seq > g.purge_seq)
+       |     AND p.entry_end > COALESCE(f.last_committed, -1)),
+       | dec AS (SELECT s.scenario, p.topic, p.part, p.seq AS added_at,
+       |     p.entry_end,
+       |     CASE WHEN pr.committed_at IS NOT NULL AND p.seq <= pr.committed_at
+       |          THEN 'dedup_skip' ELSE 'append' END AS action
+       |   FROM (VALUES ('none'), ('mid'), ('all')) s(scenario)
+       |   CROSS JOIN pend p
+       |   LEFT JOIN (VALUES ('mid', 'pv', 15), ('all', 'pv', 99))
+       |     pr(scenario, topic, committed_at)
+       |     ON pr.scenario = s.scenario AND pr.topic = p.topic)""".stripMargin
 
   // ------------------------------------------------ avro registry scenario
 
@@ -3734,6 +3784,47 @@ object SparkEntry {
       val outs = graft.streaming.DatalakeCoordinator.outcomes(dlcControlLog(s))
       graft.streaming.DatalakeCoordinator.finalState(outs)
         .orderBy("topic", "partition")
+    }),
+
+    "dlc_commit_decisions" -> ((s, dir) => {
+      // Iceberg file-committer dedup pass
+      // (iceberg_file_committer.cc:101-258): pending entries derived
+      // from the SAME control-log replay, then judged against three
+      // table states — no commit property yet (fresh table), a
+      // mid-stream property (partial crash-retry: older entries
+      // dedup-skip, newer append), and a property past every entry
+      // (full retry after the Iceberg commit landed but the STM marks
+      // didn't: everything dedups, updates still emitted).
+      import s.implicits._
+      val cl = dlcControlLog(s)
+      val pend = graft.streaming.DatalakeCoordinator.pendingEntries(cl,
+        graft.streaming.DatalakeCoordinator.outcomes(cl))
+      dlcCommitScenarios(s).map { case (nm, tc) =>
+        graft.streaming.DatalakeCoordinator.commitDecisions(pend, tc)
+          .withColumn("scenario", lit(nm))
+      }.reduce(_ unionByName _)
+        .select("scenario", "topic", "partition", "added_at", "entry_end", "action")
+        .orderBy("scenario", "topic", "partition", "added_at")
+    }),
+
+    "dlc_commit_updates" -> ((s, dir) => {
+      // The mark_files_committed updates + txn outcome per scenario:
+      // every pending partition commits at its last pending end
+      // regardless of dedup (:147,203-216); iceberg_txn false when all
+      // files deduplicated (:218-226); new_property = max appended
+      // added_pending_at (:176-178,230).
+      import s.implicits._
+      val cl = dlcControlLog(s)
+      val pend = graft.streaming.DatalakeCoordinator.pendingEntries(cl,
+        graft.streaming.DatalakeCoordinator.outcomes(cl))
+      dlcCommitScenarios(s).map { case (nm, tc) =>
+        graft.streaming.DatalakeCoordinator.commitUpdates(
+            graft.streaming.DatalakeCoordinator.commitDecisions(pend, tc))
+          .withColumn("scenario", lit(nm))
+      }.reduce(_ unionByName _)
+        .select("scenario", "topic", "partition", "new_committed",
+          "iceberg_txn", "new_property")
+        .orderBy("scenario", "topic", "partition")
     }),
 
     "a5_usage_windows" -> ((s, dir) =>
@@ -8069,6 +8160,26 @@ object SparkEntry {
          | LEFT JOIN lastlc l ON l.topic = p.topic
          | WHERE g.purge_seq IS NULL OR p.last_seq > g.purge_seq
          | ORDER BY p.topic, p.part""".stripMargin,
+
+    "dlc_commit_decisions" ->
+      s"""$DlcCommitCte
+         | SELECT scenario, topic, part AS "partition", added_at, entry_end, action
+         | FROM dec ORDER BY scenario, topic, "partition", added_at""".stripMargin,
+
+    "dlc_commit_updates" ->
+      s"""$DlcCommitCte,
+         | pertopic AS (SELECT scenario, topic,
+         |     max(CASE WHEN action = 'append' THEN added_at END) AS new_property,
+         |     count(CASE WHEN action = 'append' THEN 1 END) > 0 AS iceberg_txn
+         |   FROM dec GROUP BY 1, 2)
+         | SELECT d.scenario, d.topic, d.part AS "partition",
+         |        max(d.entry_end) AS new_committed,
+         |        any_value(t.iceberg_txn) AS iceberg_txn,
+         |        any_value(t.new_property) AS new_property
+         | FROM dec d JOIN pertopic t
+         |   ON t.scenario = d.scenario AND t.topic = d.topic
+         | GROUP BY 1, 2, 3
+         | ORDER BY d.scenario, d.topic, "partition"""".stripMargin,
 
     // Golden outcome table for the 32-command migration fixture — the
     // FSM is single-raft-shard sequential; the pin is the regression

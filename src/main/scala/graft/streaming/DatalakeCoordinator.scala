@@ -179,6 +179,82 @@ object DatalakeCoordinator {
       .toDF()
   }
 
+  /**
+   * Surviving pending ENTRIES (entry-level, with their
+   * `added_pending_at` control-log offsets — `state.h:24-36`),
+   * declarative over the control log + outcome log: a pending entry is
+   * a successfully-admitted add that post-dates the topic's last purge
+   * and whose end offset is above the partition's final
+   * `last_committed` (commits prefix-drop, purges clear —
+   * `state_update.cc:200-207,280-283`).
+   */
+  def pendingEntries(controlLog: DataFrame, outcomesDf: DataFrame): DataFrame = {
+    val okAdds = outcomesDf
+      .where(col("op") === "add_files" && col("errc") === "success")
+      .select(col("seq"), col("topic"), col("partition"), col("revision"))
+    val lastPurge = outcomesDf
+      .where(col("op") === "lifecycle" && col("errc") === "success" &&
+        col("lifecycle") === "purged")
+      .groupBy("topic").agg(max(col("seq")).as("purge_seq"))
+    val finals = finalState(outcomesDf)
+      .select(col("topic"), col("partition"),
+        coalesce(col("last_committed"), lit(-1L)).as("final_committed"))
+    controlLog
+      .select(col("seq").cast("long"), col("topic"),
+        col("partition").cast("int"),
+        explode(col("entry_ends").cast("array<long>")).as("entry_end"))
+      .join(okAdds, Seq("seq", "topic", "partition"))
+      .join(lastPurge, Seq("topic"), "left")
+      .where(col("purge_seq").isNull || col("seq") > col("purge_seq"))
+      .join(finals, Seq("topic", "partition"))
+      .where(col("entry_end") > col("final_committed"))
+      .select(col("topic"), col("partition"), col("revision"),
+        col("seq").as("added_at"), col("entry_end"))
+  }
+
+  /**
+   * The Iceberg file-committer decision pass
+   * (`iceberg_file_committer.cc:101-258`): given each topic's committed
+   * coordinator offset read back from the table's snapshot-property
+   * chain (`redpanda.commit-metadata`, `:59-95` — the crash-recovery
+   * dedup marker), decide per pending entry whether its files APPEND to
+   * the table or are DEDUP-SKIPPED (`added_pending_at <=` the table's
+   * offset means a previous run already committed them, `:152-175`);
+   * every pending entry still contributes its end offset to the
+   * per-partition `mark_files_committed` update (`:147,203-216`), and
+   * the table transaction is skipped entirely when every file
+   * deduplicated (`:218-226`). The new property value is the max
+   * `added_pending_at` among appended entries (`:176-178,230`).
+   *
+   * `tableCommitted`: one `(topic, committed_at)` row per topic that
+   * has the property (absent topic = no property yet).
+   */
+  def commitDecisions(pending: DataFrame, tableCommitted: DataFrame): DataFrame =
+    pending
+      .join(broadcast(tableCommitted), Seq("topic"), "left")
+      .withColumn("action",
+        when(col("committed_at").isNotNull && col("added_at") <= col("committed_at"),
+          "dedup_skip").otherwise("append"))
+      .select(col("topic"), col("partition"), col("added_at"),
+        col("entry_end"), col("action"))
+
+  /** The per-partition `mark_files_committed` updates + per-topic txn
+    * outcome the committer returns: every partition with pending
+    * entries commits at its LAST pending end; `iceberg_txn` is false
+    * when all files deduplicated; `new_property` stamps the appended
+    * max `added_pending_at` into the next snapshot (null = table
+    * untouched). */
+  def commitUpdates(decisions: DataFrame): DataFrame = {
+    val perTopic = decisions.groupBy("topic").agg(
+      max(when(col("action") === "append", col("added_at"))).as("new_property"),
+      (count(when(col("action") === "append", 1)) > 0).as("iceberg_txn"))
+    decisions.groupBy("topic", "partition")
+      .agg(max(col("entry_end")).as("new_committed"))
+      .join(perTopic, Seq("topic"))
+      .select(col("topic"), col("partition"), col("new_committed"),
+        col("iceberg_txn"), col("new_property"))
+  }
+
   /** Final per-partition coordinator state, declarative over the
     * outcome log: the last outcome row touching each (topic, partition)
     * already carries the state after it; a later successful purge of

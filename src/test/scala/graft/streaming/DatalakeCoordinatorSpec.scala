@@ -112,6 +112,41 @@ class DatalakeCoordinatorSpec extends SparkSpec {
     assert(out(8L)._1 == "success")
   }
 
+  test("committer crash-retry: the table property dedups files, marks replay") {
+    // iceberg_file_committer.cc:152-226 — first run against a fresh
+    // table appends everything and stamps the property; if the
+    // coordinator dies AFTER the Iceberg commit but BEFORE the STM
+    // marks apply, the retry sees the property at max(added_at):
+    // every file dedups, no Iceberg txn, and the SAME mark updates
+    // re-emit so the STM converges.
+    val log = Seq(
+      (1L, L, "t", 0, 1L, "live", -1L, e, -1L),
+      (2L, A, "t", 0, 1L, "", 0L, Seq(9L), -1L),
+      (3L, A, "t", 1, 1L, "", 0L, Seq(4L), -1L),
+      (4L, A, "t", 0, 1L, "", 10L, Seq(19L), -1L))
+      .toDF("seq", "op", "topic", "partition", "revision", "target",
+        "add_start", "entry_ends", "new_committed")
+    val pend = DatalakeCoordinator.pendingEntries(log,
+      DatalakeCoordinator.outcomes(log))
+    def run(tc: org.apache.spark.sql.DataFrame) = {
+      val dec = DatalakeCoordinator.commitDecisions(pend, tc)
+      (dec.collect().map(r => (r.getLong(2), r.getString(4))).sortBy(_._1),
+        DatalakeCoordinator.commitUpdates(dec)
+          .select("partition", "new_committed", "iceberg_txn", "new_property")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1))
+    }
+    val fresh = Seq.empty[(String, Long)].toDF("topic", "committed_at")
+    val (dec1, upd1) = run(fresh)
+    assert(dec1.toSeq === Seq((2L, "append"), (3L, "append"), (4L, "append")))
+    assert(upd1.toSeq === Seq((0, 19L, true, 4L), (1, 4L, true, 4L)))
+    // crash-retry: the property now carries max(added_at) = 4
+    val (dec2, upd2) = run(Seq(("t", 4L)).toDF("topic", "committed_at"))
+    assert(dec2.forall(_._2 == "dedup_skip"))
+    assert(upd2.map(u => (u._1, u._2)).toSeq === upd1.map(u => (u._1, u._2)).toSeq)
+    assert(upd2.forall(!_._3)) // no Iceberg txn on the retry
+  }
+
   test("finalState: last data op per partition, purge clears older partitions") {
     val log = Seq(
       (1L, L, "t", 0, 1L, "live", -1L, e, -1L),
