@@ -450,6 +450,44 @@ object SparkEntry {
         "add_start", "entry_ends", "new_committed")
   }
 
+  /** The event log packed into per-(partition, 200-offset) wire-batch
+    * inputs for the p6_batch_* golden legs: dense deltas, user_id keys,
+    * event_type values, no headers. */
+  private def p6WireBatches(s: SparkSession, dir: String,
+      maxPartitions: Int = EventPartitions): DataFrame = {
+    val w = Window.partitionBy("partition", "batch_no")
+    eventLog(s, dir)
+      .where(col("partition") < maxPartitions)
+      .select(col("partition"), col("offset"), col("event_id"),
+        col("user_id"), col("event_type"))
+      .withColumn("batch_no", floor(col("offset") / 200).cast("long"))
+      .withColumn("base_offset", min("offset").over(w))
+      .withColumn("first_ts", min("event_id").over(w))
+      .groupBy("partition", "batch_no")
+      .agg(first(col("base_offset")).as("base_offset"),
+        first(col("first_ts")).as("first_timestamp"),
+        max(col("event_id")).as("max_timestamp"),
+        sort_array(collect_list(struct(
+          (col("offset") - col("base_offset")).cast("int").as("offset_delta"),
+          (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
+          col("user_id").cast("string").cast("binary").as("key"),
+          col("event_type").cast("binary").as("value"),
+          array().cast("array<struct<header_key:string,header_value:binary>>")
+            .as("headers")))).as("records"))
+  }
+
+  /** The kafka_batch_encode input struct over [[p6WireBatches]] columns. */
+  private def p6EncodeStruct: Column = struct(
+    col("base_offset"),
+    lit(5).as("partition_leader_epoch"),
+    lit(0).as("attributes"),
+    col("first_timestamp"),
+    col("max_timestamp"),
+    (col("partition") * 1000L).cast("long").as("producer_id"),
+    lit(3).as("producer_epoch"),
+    col("base_offset").cast("int").as("base_sequence"),
+    col("records"))
+
   /** The three table states the committer corpus judges pending entries
     * against: no `redpanda.commit-metadata` property, a mid-stream one,
     * and one past every pending entry. */
@@ -4244,35 +4282,9 @@ object SparkEntry {
       // including every zigzag-varint length — and pins the round-trip
       // invariants.
       graft.functions.GraftFunctions.register(s)
-      val w = Window.partitionBy("partition", "batch_no")
-      val recs = eventLog(s, dir)
-        .select(col("partition"), col("offset"), col("event_id"),
-          col("user_id"), col("event_type"))
-        .withColumn("batch_no", floor(col("offset") / 200).cast("long"))
-        .withColumn("base_offset", min("offset").over(w))
-        .withColumn("first_ts", min("event_id").over(w))
-      val batches = recs.groupBy("partition", "batch_no")
-        .agg(first(col("base_offset")).as("base_offset"),
-          first(col("first_ts")).as("first_timestamp"),
-          max(col("event_id")).as("max_timestamp"),
-          sort_array(collect_list(struct(
-            (col("offset") - col("base_offset")).cast("int").as("offset_delta"),
-            (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
-            col("user_id").cast("string").cast("binary").as("key"),
-            col("event_type").cast("binary").as("value"),
-            array().cast("array<struct<header_key:string,header_value:binary>>")
-              .as("headers")))).as("records"))
-      val enc = batches.select(col("partition"), col("batch_no"), col("records"),
-        call_function("kafka_batch_encode", struct(
-          col("base_offset"),
-          lit(5).as("partition_leader_epoch"),
-          lit(0).as("attributes"),
-          col("first_timestamp"),
-          col("max_timestamp"),
-          (col("partition") * 1000L).cast("long").as("producer_id"),
-          lit(3).as("producer_epoch"),
-          col("base_offset").cast("int").as("base_sequence"),
-          col("records"))).as("wire"))
+      val enc = p6WireBatches(s, dir).select(col("partition"), col("batch_no"),
+        col("records"),
+        call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
       enc.withColumn("dec", call_function("kafka_batch_decode", col("wire")))
         .withColumn("wire2", call_function("kafka_batch_encode", struct(
           col("dec.base_offset"), col("dec.partition_leader_epoch"),
@@ -4292,6 +4304,81 @@ object SparkEntry {
           (md5(col("wire")) === md5(col("wire2"))).as("bytes_match"),
           (col("dec.records") === col("records")).as("fields_match"))
         .orderBy("partition", "batch_no")
+    }),
+
+    "p6_batch_compressed" -> ((s, dir) => {
+      // Compressed wire envelopes (model/compression.h:36-48 numbering,
+      // storage/parser_utils.cc:50-66 body-only decompression): the
+      // same batches encoded under every codec — none/gzip/snappy
+      // (xerial framing)/lz4 (frame)/zstd — must decode to identical
+      // records with a valid CRC, carry the codec in attribute bits
+      // 0-2, and (for real codecs) shrink the total wire bytes.
+      // Two of eight partitions: the contract is per-batch, so a
+      // hundred-batch sample certifies it; the full-coverage byte
+      // round-trip is p6_batch_roundtrip's job.
+      graft.functions.GraftFunctions.register(s)
+      val names = Seq("0_none", "1_gzip", "2_snappy", "3_lz4", "4_zstd")
+      val wires = p6WireBatches(s, dir, maxPartitions = 2)
+        .select(col("partition"), col("records"),
+          explode(array((0 to 4).map(c => struct(
+            lit(names(c)).as("codec"), lit(c).as("codec_id"),
+            call_function("kafka_batch_encode", p6EncodeStruct, lit(c))
+              .as("wire"))): _*)).as("e"))
+        .select(col("partition"), col("records"), col("e.codec").as("codec"),
+          col("e.codec_id").as("codec_id"), col("e.wire").as("wire"))
+        .withColumn("dec", call_function("kafka_batch_decode", col("wire")))
+      val perCodec = wires.groupBy("codec", "codec_id")
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          bool_and(col("dec.crc_valid")).as("crc_ok"),
+          bool_and(col("dec.records") === col("records")).as("records_match"),
+          bool_and(pmod(col("dec.attributes"), lit(8)) === col("codec_id"))
+            .as("attr_ok"),
+          sum(length(col("wire")).cast("long")).as("wire_bytes"))
+      val plainBytes = perCodec.where(col("codec_id") === 0)
+        .select(col("wire_bytes").as("plain_bytes"))
+      perCodec.crossJoin(broadcast(plainBytes))
+        .select(col("codec"), col("n_batches"), col("crc_ok"),
+          col("records_match"), col("attr_ok"),
+          (col("wire_bytes") < col("plain_bytes")).as("smaller"))
+        .orderBy("codec")
+    }),
+
+    "p6_batch_normalize" -> ((s, dir) => {
+      // The storage-side decompress-normalize + threshold-gated
+      // recompress passes (storage/parser_utils.cc:50-66 decompress,
+      // clear bits FIRST, reset size+CRC; :68-86 compress only batches
+      // >= threshold, set bits BEFORE the reset). Pinned golden:
+      // normalize(encode(codec)) is BYTE-IDENTICAL to the plain
+      // encode; recompress at threshold 0 stamps every batch's
+      // attribute bits and still decodes to the same records;
+      // recompress at a never-reached threshold is a byte-identical
+      // pass-through.
+      graft.functions.GraftFunctions.register(s)
+      val names = Seq("1_gzip", "2_snappy", "3_lz4", "4_zstd")
+      p6WireBatches(s, dir, maxPartitions = 2)
+        .select(col("partition"), col("records"),
+          call_function("kafka_batch_encode", p6EncodeStruct).as("plain"),
+          explode(array((1 to 4).map(c => struct(
+            lit(names(c - 1)).as("codec"), lit(c).as("codec_id"),
+            call_function("kafka_batch_encode", p6EncodeStruct, lit(c))
+              .as("wire"))): _*)).as("e"))
+        .select(col("records"), col("plain"), col("e.codec").as("codec"),
+          col("e.codec_id").as("codec_id"), col("e.wire").as("wire"))
+        .withColumn("norm", call_function("kafka_batch_normalize", col("wire")))
+        .withColumn("rec_all", call_function("kafka_batch_recompress",
+          col("plain"), col("codec_id"), lit(0)))
+        .withColumn("rec_none", call_function("kafka_batch_recompress",
+          col("plain"), col("codec_id"), lit(Int.MaxValue)))
+        .withColumn("rec_dec", call_function("kafka_batch_decode", col("rec_all")))
+        .groupBy("codec")
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          bool_and(col("norm") === col("plain")).as("norm_eq_plain"),
+          bool_and(pmod(col("rec_dec.attributes"), lit(8)) === col("codec_id"))
+            .as("recompress_bits"),
+          bool_and(col("rec_dec.crc_valid") &&
+            col("rec_dec.records") === col("records")).as("recompress_records"),
+          bool_and(col("rec_none") === col("plain")).as("passthrough"))
+        .orderBy("codec")
     }),
 
     "d3_schema_evolution" -> ((s, dir) => {
@@ -8708,6 +8795,39 @@ object SparkEntry {
          |        TRUE AS dense_delta, TRUE AS bytes_match, TRUE AS fields_match
          | FROM g ORDER BY partition, batch_no""".stripMargin
     },
+
+    // Per-codec invariants pinned; n_batches re-derived from the raw
+    // events (count of (partition, 200-offset) groups). Compressed
+    // byte sizes are codec-implementation detail, so `smaller` is the
+    // contract, not the exact count.
+    "p6_batch_compressed" ->
+      """WITH log AS (
+        |  SELECT user_id % 8 AS partition,
+        |         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
+        |  FROM events WHERE user_id % 8 < 2),
+        | nb AS (SELECT CAST(count(DISTINCT (partition, "offset" // 200)) AS BIGINT) AS n
+        |   FROM log)
+        | SELECT c.codec, nb.n AS n_batches, TRUE AS crc_ok,
+        |        TRUE AS records_match, TRUE AS attr_ok,
+        |        (c.codec <> '0_none') AS smaller
+        | FROM (VALUES ('0_none'), ('1_gzip'), ('2_snappy'), ('3_lz4'), ('4_zstd')) c(codec),
+        |      nb
+        | ORDER BY c.codec""".stripMargin,
+
+    // Golden invariants all hold by construction; n_batches re-derived
+    // from the raw events as in p6_batch_compressed.
+    "p6_batch_normalize" ->
+      """WITH log AS (
+        |  SELECT user_id % 8 AS partition,
+        |         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
+        |  FROM events WHERE user_id % 8 < 2),
+        | nb AS (SELECT CAST(count(DISTINCT (partition, "offset" // 200)) AS BIGINT) AS n
+        |   FROM log)
+        | SELECT c.codec, nb.n AS n_batches, TRUE AS norm_eq_plain,
+        |        TRUE AS recompress_bits, TRUE AS recompress_records,
+        |        TRUE AS passthrough
+        | FROM (VALUES ('1_gzip'), ('2_snappy'), ('3_lz4'), ('4_zstd')) c(codec), nb
+        | ORDER BY c.codec""".stripMargin,
 
     "sr_canonical_ids" ->
       """SELECT CAST(seq AS BIGINT) AS seq, subject,

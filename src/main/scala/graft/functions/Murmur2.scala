@@ -121,9 +121,18 @@ object GraftFunctions {
         PolyFingerprint(args.head), "built-in")
     reg.createOrReplaceTempFunction(
       "kafka_batch_encode", (args: Seq[Expression]) =>
-        KafkaBatchEncode(args.head), "built-in")
+        KafkaBatchEncode(args.head,
+          if (args.size > 1) litInt("kafka_batch_encode", args(1)) else 0),
+        "built-in")
     reg.createOrReplaceTempFunction(
       "kafka_batch_decode", (args: Seq[Expression]) =>
         KafkaBatchDecode(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kafka_batch_normalize", (args: Seq[Expression]) =>
+        KafkaBatchNormalize(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kafka_batch_recompress", (args: Seq[Expression]) =>
+        KafkaBatchRecompress(args.head, args(1),
+          litInt("kafka_batch_recompress", args(2))), "built-in")
   }
 }

@@ -98,6 +98,50 @@ object RecordBatchCodec {
     c.getValue
   }
 
+  // ------------------------------------------------------ compression
+
+  /** Batch compression codecs, attribute bits 0-2
+    * (`model/compression.h:36-48`): 0 none, 1 gzip, 2 snappy (xerial
+    * java framing — the reference notes it is NOT raw google snappy),
+    * 3 lz4 (frame format), 4 zstd. Only the RECORDS section compresses;
+    * the 61-byte header stays plain (`storage/parser_utils.cc:50-66`
+    * decompresses the body then clears the attribute bits). */
+  val CompressionMask = 0x7
+
+  def compress(codec: Int, raw: Array[Byte]): Array[Byte] = codec match {
+    case 0 => raw
+    case _ =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out: java.io.OutputStream = codec match {
+        case 1 => new java.util.zip.GZIPOutputStream(bos)
+        case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+        case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case 4 => new com.github.luben.zstd.ZstdOutputStream(bos)
+        case other => throw new IllegalArgumentException(s"codec $other")
+      }
+      out.write(raw); out.close()
+      bos.toByteArray
+  }
+
+  def decompress(codec: Int, body: Array[Byte]): Array[Byte] = codec match {
+    case 0 => body
+    case _ =>
+      val bis = new java.io.ByteArrayInputStream(body)
+      val in: java.io.InputStream = codec match {
+        case 1 => new java.util.zip.GZIPInputStream(bis)
+        case 2 => new org.xerial.snappy.SnappyInputStream(bis)
+        case 3 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+        case 4 => new com.github.luben.zstd.ZstdInputStream(bis)
+        case other => throw new IllegalArgumentException(s"codec $other")
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+  }
+
   // ----------------------------------------------------------- encode
 
   private def recordBodySize(r: Rec): Int = {
@@ -115,27 +159,11 @@ object RecordBatchCodec {
       }.sum
   }
 
-  def encode(baseOffset: Long, partitionLeaderEpoch: Int, attributes: Short,
-      firstTimestamp: Long, maxTimestamp: Long, producerId: Long,
-      producerEpoch: Short, baseSequence: Int, records: Seq[Rec]): Array[Byte] = {
+  /** The plain (uncompressed) records section. */
+  private def encodeRecords(records: Seq[Rec]): Array[Byte] = {
     val bodies = records.map(recordBodySize)
-    val recBytes = records.zip(bodies).map { case (r, b) => varintSize(b.toLong) + b }.sum
-    val total = HeaderSize + recBytes
-    val buf = ByteBuffer.allocate(total)
-    buf.putLong(baseOffset)
-    buf.putInt(total - LengthFieldOffset) // batchLength: bytes after this field
-    buf.putInt(partitionLeaderEpoch)
-    buf.put(2.toByte)                     // magic
-    val crcPos = buf.position()
-    buf.putInt(0)                         // crc placeholder
-    buf.putShort(attributes)
-    buf.putInt(if (records.isEmpty) 0 else records.map(_.offsetDelta).max)
-    buf.putLong(firstTimestamp)
-    buf.putLong(maxTimestamp)
-    buf.putLong(producerId)
-    buf.putShort(producerEpoch)
-    buf.putInt(baseSequence)
-    buf.putInt(records.size)
+    val buf = ByteBuffer.allocate(
+      records.zip(bodies).map { case (_, b) => varintSize(b.toLong) + b }.sum)
     records.zip(bodies).foreach { case (r, body) =>
       putVarint(buf, body.toLong)
       buf.put(0.toByte) // record attributes: unused by the protocol
@@ -153,6 +181,31 @@ object RecordBatchCodec {
         else { putVarint(buf, v.length.toLong); buf.put(v) }
       }
     }
+    buf.array()
+  }
+
+  def encode(baseOffset: Long, partitionLeaderEpoch: Int, attributes: Short,
+      firstTimestamp: Long, maxTimestamp: Long, producerId: Long,
+      producerEpoch: Short, baseSequence: Int, records: Seq[Rec],
+      codec: Int = 0): Array[Byte] = {
+    val recBytes = compress(codec, encodeRecords(records))
+    val total = HeaderSize + recBytes.length
+    val buf = ByteBuffer.allocate(total)
+    buf.putLong(baseOffset)
+    buf.putInt(total - LengthFieldOffset) // batchLength: bytes after this field
+    buf.putInt(partitionLeaderEpoch)
+    buf.put(2.toByte)                     // magic
+    val crcPos = buf.position()
+    buf.putInt(0)                         // crc placeholder
+    buf.putShort(((attributes & ~CompressionMask) | codec).toShort)
+    buf.putInt(if (records.isEmpty) 0 else records.map(_.offsetDelta).max)
+    buf.putLong(firstTimestamp)
+    buf.putLong(maxTimestamp)
+    buf.putLong(producerId)
+    buf.putShort(producerEpoch)
+    buf.putInt(baseSequence)
+    buf.putInt(records.size)
+    buf.put(recBytes)
     val out = buf.array()
     val crc = crc32c(out, CrcDataStart, total)
     ByteBuffer.wrap(out, crcPos, 4).putInt(crc.toInt)
@@ -179,9 +232,17 @@ object RecordBatchCodec {
       recordCount = b.getInt())
   }
 
-  def decodeRecords(bytes: Array[Byte], count: Int): Seq[Rec] = {
-    val b = ByteBuffer.wrap(bytes)
-    b.position(HeaderSize)
+  /** The records section of a wire batch, decompressed per the
+    * attribute codec bits. */
+  def recordsRegion(bytes: Array[Byte]): Array[Byte] = {
+    val h = decodeHeader(bytes)
+    decompress(h.attributes & CompressionMask,
+      java.util.Arrays.copyOfRange(bytes, HeaderSize, bytes.length))
+  }
+
+  /** Parse `count` records from a PLAIN records section. */
+  def decodeRecords(recordsBytes: Array[Byte], count: Int): Seq[Rec] = {
+    val b = ByteBuffer.wrap(recordsBytes)
     (0 until count).map { _ =>
       getVarint(b) // record body length (framing; fields are self-describing)
       b.get()      // record attributes
@@ -207,6 +268,70 @@ object RecordBatchCodec {
   /** Recomputed-CRC validity, as verify_crc (adapter.cc:98-128). */
   def crcValid(bytes: Array[Byte]): Boolean =
     decodeHeader(bytes).crc == crc32c(bytes, CrcDataStart, bytes.length)
+
+  // ---------------------------------------------------- normalization
+
+  /** Byte offset of the attributes field (start of the CRC region). */
+  private val AttributesOffset = CrcDataStart
+  /** Byte offset of the crc field (after 8+4+4+1 header bytes). */
+  private val CrcFieldOffset = 17
+  /** Byte offset of the batchLength field. */
+  private val BatchLengthOffset = 8
+
+  /** Stamp `batchLength` and re-CRC a fully-assembled wire batch —
+    * `storage/parser_utils.cc:110-117` `reset_size_checksum_metadata`
+    * (size, then payload crc; the reference's separate header-only crc
+    * is an internal storage field, not part of the wire envelope). */
+  private def resetSizeChecksum(out: Array[Byte]): Array[Byte] = {
+    ByteBuffer.wrap(out, BatchLengthOffset, 4)
+      .putInt(out.length - LengthFieldOffset)
+    val crc = crc32c(out, CrcDataStart, out.length)
+    ByteBuffer.wrap(out, CrcFieldOffset, 4).putInt(crc.toInt)
+    out
+  }
+
+  /** Header bytes + a new records section, length/CRC re-stamped. */
+  private def withRecordsSection(bytes: Array[Byte], attributes: Short,
+      section: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](HeaderSize + section.length)
+    System.arraycopy(bytes, 0, out, 0, HeaderSize)
+    ByteBuffer.wrap(out, AttributesOffset, 2).putShort(attributes)
+    System.arraycopy(section, 0, out, HeaderSize, section.length)
+    resetSizeChecksum(out)
+  }
+
+  /** Decompress-normalize a wire batch, per `storage/parser_utils.cc:
+    * 50-66` (`maybe_decompress_batch_sync`): decompress the records
+    * section, clear the compression attribute bits ("must remove
+    * compression first!"), then reset size + checksum. The result is
+    * byte-identical to encoding the same logical batch uncompressed.
+    * Already-plain batches pass through untouched
+    * (`decompress_batch_sync`'s `!b.compressed()` early-out). */
+  def normalize(bytes: Array[Byte]): Array[Byte] = {
+    val h = decodeHeader(bytes)
+    val codec = h.attributes & CompressionMask
+    if (codec == 0) bytes
+    else withRecordsSection(bytes, (h.attributes & ~CompressionMask).toShort,
+      decompress(codec,
+        java.util.Arrays.copyOfRange(bytes, HeaderSize, bytes.length)))
+  }
+
+  /** Threshold-gated recompression, per `storage/parser_utils.cc:68-86`
+    * (`compress_batch_consumer`): batches whose total wire size is
+    * below the threshold stay as-is; larger ones get their (plain)
+    * records section compressed under `codec`, attribute bits set
+    * BEFORE the size/checksum reset (`compress_batch`'s "compression
+    * bit must be set first!"). Input must be a plain batch, mirroring
+    * the reference's `none`-compression vassert. */
+  def recompress(bytes: Array[Byte], codec: Int, threshold: Int): Array[Byte] = {
+    val h = decodeHeader(bytes)
+    require((h.attributes & CompressionMask) == 0,
+      s"recompress expects a plain batch, got codec ${h.attributes & CompressionMask}")
+    if (codec == 0 || bytes.length < threshold) bytes
+    else withRecordsSection(bytes, ((h.attributes & ~CompressionMask) | codec).toShort,
+      compress(codec,
+        java.util.Arrays.copyOfRange(bytes, HeaderSize, bytes.length)))
+  }
 
   // ------------------------------------------------------ spark types
 
@@ -274,8 +399,10 @@ object RecordBatchCodec {
     }.toArray[Any])
 }
 
-/** `kafka_batch_encode(struct)` → the v2 wire bytes, CRC32-C stamped. */
-case class KafkaBatchEncode(child: Expression)
+/** `kafka_batch_encode(struct[, codec])` → the v2 wire bytes, CRC32-C
+  * stamped; `codec` (attribute bits 0-2) compresses the records
+  * section. */
+case class KafkaBatchEncode(child: Expression, codec: Int = 0)
     extends UnaryExpression with CodegenFallback {
   import RecordBatchCodec._
 
@@ -292,7 +419,7 @@ case class KafkaBatchEncode(child: Expression)
     encode(l("base_offset"), i("partition_leader_epoch"),
       i("attributes").toShort, l("first_timestamp"), l("max_timestamp"),
       l("producer_id"), i("producer_epoch").toShort, i("base_sequence"),
-      recsFromArrayData(row.getArray(pos("records"))))
+      recsFromArrayData(row.getArray(pos("records"))), codec)
   }
 
   override protected def withNewChildInternal(newChild: Expression): KafkaBatchEncode =
@@ -311,7 +438,8 @@ case class KafkaBatchDecode(child: Expression)
     val bytes = input.asInstanceOf[Array[Byte]]
     val h = decodeHeader(bytes)
     val recs =
-      if (h.magic == 2) decodeRecords(bytes, h.recordCount) else Seq.empty
+      if (h.magic == 2) decodeRecords(recordsRegion(bytes), h.recordCount)
+      else Seq.empty
     InternalRow(h.baseOffset, h.batchLength, h.partitionLeaderEpoch,
       h.magic.toInt, h.crc, h.attributes.toInt, h.lastOffsetDelta,
       h.firstTimestamp, h.maxTimestamp, h.producerId, h.producerEpoch.toInt,
@@ -320,4 +448,36 @@ case class KafkaBatchDecode(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): KafkaBatchDecode =
     copy(child = newChild)
+}
+
+/** `kafka_batch_normalize(binary)` → the batch with its records section
+  * decompressed, compression attribute bits cleared, and length + CRC
+  * re-stamped (`storage/parser_utils.cc:50-66,110-117`). Byte-identical
+  * to the uncompressed encoding of the same logical batch. */
+case class KafkaBatchNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kafka_batch_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    RecordBatchCodec.normalize(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): KafkaBatchNormalize =
+    copy(child = newChild)
+}
+
+/** `kafka_batch_recompress(binary, codec, threshold)` → the
+  * threshold-gated compression pass of `storage/parser_utils.cc:68-86`:
+  * plain batches at least `threshold` wire bytes get their records
+  * section compressed under `codec` (a per-row column); smaller ones
+  * pass through. */
+case class KafkaBatchRecompress(left: Expression, right: Expression, threshold: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kafka_batch_recompress"
+  override protected def nullSafeEval(bytes: Any, codec: Any): Any =
+    RecordBatchCodec.recompress(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[Int], threshold)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KafkaBatchRecompress =
+    copy(left = newLeft, right = newRight)
 }

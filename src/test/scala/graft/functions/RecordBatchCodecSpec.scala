@@ -64,7 +64,7 @@ class RecordBatchCodecSpec extends AnyFunSuite {
     assert(h.firstTimestamp === 500L && h.maxTimestamp === 505L)
     assert(h.baseSequence === 17 && h.producerEpoch === 3)
     assert(crcValid(bytes))
-    val recs = decodeRecords(bytes, 1)
+    val recs = decodeRecords(recordsRegion(bytes), 1)
     assert(recs.head.tsDelta === 5L && recs.head.offsetDelta === 0)
     assert(new String(recs.head.key, "ASCII") === "k")
     assert(new String(recs.head.value, "ASCII") === "val")
@@ -85,11 +85,60 @@ class RecordBatchCodecSpec extends AnyFunSuite {
     val h = decodeHeader(enc)
     assert(h.recordCount === 3 && h.lastOffsetDelta === 2)
     assert(h.batchLength === enc.length - 12)
-    val back = decodeRecords(enc, 3)
+    val back = decodeRecords(recordsRegion(enc), 3)
     val re = encode(h.baseOffset, h.partitionLeaderEpoch, h.attributes,
       h.firstTimestamp, h.maxTimestamp, h.producerId, h.producerEpoch,
       h.baseSequence, back)
     assert(re.toSeq === enc.toSeq)
+  }
+
+  test("compressed batches: every codec round-trips, attributes carry the bits") {
+    // gzip=1, snappy(xerial framing)=2, lz4(frame)=3, zstd=4 — the
+    // model/compression.h numbering; only the records section
+    // compresses, the 61-byte header stays plain
+    val recs = (0 until 50).map(i =>
+      Rec(i, i.toLong, s"key$i".getBytes, ("the quick brown fox " * 10).getBytes, Seq.empty))
+    val plain = encode(100L, 1, 0, 0L, 49L, 7L, 0, 0, recs)
+    for (codec <- 1 to 4) {
+      val enc = encode(100L, 1, 0, 0L, 49L, 7L, 0, 0, recs, codec)
+      val h = decodeHeader(enc)
+      assert((h.attributes & CompressionMask) === codec)
+      assert(crcValid(enc), s"codec $codec CRC")
+      assert(enc.length < plain.length, s"codec $codec should shrink this payload")
+      val back = decodeRecords(recordsRegion(enc), h.recordCount)
+      assert(back.map(r => (r.offsetDelta, r.tsDelta, r.key.toSeq, r.value.toSeq)) ===
+        recs.map(r => (r.offsetDelta, r.tsDelta, r.key.toSeq, r.value.toSeq)))
+    }
+  }
+
+  test("normalize: decompress + clear bits + re-CRC is byte-identical to plain") {
+    // parser_utils.cc:50-66 maybe_decompress_batch_sync semantics
+    val recs = (0 until 40).map(i =>
+      Rec(i, i * 2L, s"k$i".getBytes, ("lorem ipsum dolor " * 8).getBytes, Seq.empty))
+    val plain = encode(7L, 2, 0, 10L, 90L, 55L, 1, 3, recs)
+    for (codec <- 1 to 4) {
+      val norm = normalize(encode(7L, 2, 0, 10L, 90L, 55L, 1, 3, recs, codec))
+      assert(norm.toSeq === plain.toSeq, s"codec $codec normalize")
+    }
+    // plain batches pass through untouched (the !compressed() early-out)
+    assert(normalize(plain) eq plain)
+  }
+
+  test("recompress: threshold gates; set-bits-then-reset matches direct encode") {
+    val recs = (0 until 40).map(i =>
+      Rec(i, i.toLong, null, ("abcdefgh" * 16).getBytes, Seq.empty))
+    val plain = encode(0L, 0, 0, 0L, 39L, -1L, -1, -1, recs)
+    // below threshold: unchanged
+    assert(recompress(plain, 4, plain.length + 1) eq plain)
+    // at/above threshold: identical to encoding compressed directly
+    for (codec <- 1 to 4) {
+      val direct = encode(0L, 0, 0, 0L, 39L, -1L, -1, -1, recs, codec)
+      assert(recompress(plain, codec, plain.length).toSeq === direct.toSeq,
+        s"codec $codec recompress")
+    }
+    // compressed input is rejected (the reference's vassert)
+    val gz = encode(0L, 0, 0, 0L, 39L, -1L, -1, -1, recs, 1)
+    intercept[IllegalArgumentException](recompress(gz, 2, 0))
   }
 
   test("corruption flips crc_valid") {
