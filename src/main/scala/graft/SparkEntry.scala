@@ -488,6 +488,27 @@ object SparkEntry {
     col("base_offset").cast("int").as("base_sequence"),
     col("records"))
 
+  /** Batch-level log frame for the segment-index legs (`s3_index_*`):
+    * batches of 100 offsets, segments of 500, batch sizes derived
+    * deterministically from the payload (61-byte header + 24 bytes of
+    * fixed fields + the event_type bytes per record) so the DuckDB
+    * oracle can re-derive every byte count. */
+  private def s3Batches(s: SparkSession, dir: String): DataFrame =
+    eventLog(s, dir)
+      .select(col("partition"), col("offset"), col("event_id"), col("event_type"))
+      .withColumn("segment", floor(col("offset") / 500).cast("long"))
+      .withColumn("batch_no", floor(col("offset") / 100).cast("long"))
+      .groupBy("partition", "segment", "batch_no")
+      .agg(min("offset").as("base_offset"), max("offset").as("last_offset"),
+        min("event_id").as("first_ts"), max("event_id").as("max_ts"),
+        (lit(61L) + sum(lit(24L) + length(col("event_type")).cast("long")))
+          .as("size_bytes"))
+
+  /** The segment-index byte step for the `s3_index_*` legs: ~1.3×
+    * the typical 100-record batch, so the accumulator indexes roughly
+    * every second batch — both maybe_index branches exercised. */
+  private val S3IndexStep = 4000L
+
   /** The three table states the committer corpus judges pending entries
     * against: no `redpanda.commit-metadata` property, a mid-stream one,
     * and one past every pending entry. */
@@ -1484,6 +1505,62 @@ object SparkEntry {
       |  FROM lg2)""".stripMargin
 
   // SQL fragment shared by log-shaped oracles.
+  /** Shared prefix of the `s3_index_*` oracles: re-derives the log,
+    * the 100-offset batch frame with deterministic byte sizes, and
+    * replays the maybe_index accumulator ladder (first batch indexed,
+    * reset on index, step 4000) with a recursive CTE, yielding the
+    * `entries` and `st` (per-segment header state) tables. */
+  private val S3IndexCte =
+    """WITH RECURSIVE log AS (
+      |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+      |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS o,
+      |         event_id, event_type
+      |  FROM events),
+      | b AS (
+      |  SELECT partition, o // 500 AS segment, o // 100 AS batch_no,
+      |         min(o) AS base_offset, max(o) AS last_offset,
+      |         min(event_id) AS first_ts, max(event_id) AS max_ts,
+      |         61 + sum(24 + length(event_type)) AS size_bytes
+      |  FROM log GROUP BY 1, 2, 3),
+      | bs AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY partition, segment ORDER BY base_offset) AS seq,
+      |         coalesce(sum(size_bytes) OVER (PARTITION BY partition, segment ORDER BY base_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS filepos,
+      |         min(base_offset) OVER (PARTITION BY partition, segment) AS seg_base,
+      |         min(first_ts) OVER (PARTITION BY partition, segment) AS base_ts
+      |  FROM b),
+      | r AS (
+      |  SELECT partition, segment, seq, TRUE AS indexed, CAST(0 AS BIGINT) AS acc
+      |  FROM bs WHERE seq = 1
+      |  UNION ALL
+      |  SELECT bs.partition, bs.segment, bs.seq,
+      |         r.acc + bs.size_bytes >= 4000 AS indexed,
+      |         CASE WHEN r.acc + bs.size_bytes >= 4000 THEN CAST(0 AS BIGINT)
+      |              ELSE r.acc + bs.size_bytes END AS acc
+      |  FROM r JOIN bs ON bs.partition = r.partition AND bs.segment = r.segment
+      |                AND bs.seq = r.seq + 1),
+      | entries AS (
+      |  SELECT bs.partition, bs.segment,
+      |         CAST(row_number() OVER (PARTITION BY bs.partition, bs.segment ORDER BY bs.seq) - 1 AS INTEGER) AS entry_seq,
+      |         CAST(bs.base_offset - bs.seg_base AS BIGINT) AS rel_offset,
+      |         CAST(greatest(bs.first_ts, bs.max_ts) - bs.base_ts AS BIGINT) AS rel_time,
+      |         CAST(bs.filepos AS BIGINT) AS filepos
+      |  FROM bs JOIN r ON r.partition = bs.partition AND r.segment = bs.segment AND r.seq = bs.seq
+      |  WHERE r.indexed),
+      | st AS (
+      |  SELECT partition, segment,
+      |         CAST(min(base_offset) AS BIGINT) AS base_offset,
+      |         CAST(max(last_offset) AS BIGINT) AS max_offset,
+      |         CAST(min(first_ts) AS BIGINT) AS base_timestamp,
+      |         CAST(max(greatest(first_ts, max_ts)) AS BIGINT) AS max_timestamp,
+      |         coalesce(bool_and(ok), TRUE) AS timestamps_monotonic,
+      |         CAST(count(*) AS BIGINT) AS n_batches
+      |  FROM (SELECT *, max_ts >= lag(greatest(first_ts, max_ts))
+      |          OVER (PARTITION BY partition, segment ORDER BY base_offset) AS ok
+      |        FROM b)
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val LogCte =
     """WITH log AS (
       |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
@@ -4379,6 +4456,52 @@ object SparkEntry {
             col("rec_dec.records") === col("records")).as("recompress_records"),
           bool_and(col("rec_none") === col("plain")).as("passthrough"))
         .orderBy("codec")
+    }),
+
+    "s3_index_entries" -> ((s, dir) =>
+      // The per-segment sparse offset/time index the reference samples
+      // on append (storage/index_state.cc:223-312 maybe_index: first
+      // batch always, then whenever the byte accumulator since the
+      // last sample reaches the step; an indexed batch resets it).
+      // Oracle replays the accumulator ladder with a recursive CTE.
+      graft.log.SegmentIndex.indexEntries(s3Batches(s, dir), S3IndexStep)
+        .orderBy("partition", "segment", "entry_seq")),
+
+    "s3_index_state" -> ((s, dir) =>
+      // index_state header fields: offset/timestamp bounds + the
+      // batch-timestamp monotonicity flag (segment_index.cc:121-126).
+      graft.log.SegmentIndex.indexState(s3Batches(s, dir))
+        .orderBy("partition", "segment")),
+
+    "s3_index_lookup" -> ((s, dir) => {
+      // find_nearest lookups (index_state.cc:673-690 offset floor;
+      // :654-670 time lower_bound stepped back one, null out of
+      // range). Probes bracket each segment: below-base (miss), base,
+      // midpoint, and max (offset) / past-max (time).
+      // the batch frame feeds entries, state, AND both probe sets —
+      // checkpoint it once instead of replaying the offset-assignment
+      // shuffle four times (the CleanPipeline shared-stage pattern)
+      val batches = s3Batches(s, dir).localCheckpoint(true)
+      val entries = graft.log.SegmentIndex.indexEntries(batches, S3IndexStep)
+      val state = graft.log.SegmentIndex.indexState(batches)
+      val oprobes = state.select(col("partition"), col("segment"),
+        explode(array(col("base_offset") - 1, col("base_offset"),
+          floor((col("base_offset") + col("max_offset")) / 2).cast("long"),
+          col("max_offset"))).as("probe"))
+      val tprobes = state.select(col("partition"), col("segment"),
+        explode(array(col("base_timestamp") - 1, col("base_timestamp"),
+          floor((col("base_timestamp") + col("max_timestamp")) / 2).cast("long"),
+          col("max_timestamp") + 1000)).as("probe"))
+      graft.log.SegmentIndex.findNearestOffset(entries, state, oprobes)
+        .withColumn("kind", lit("offset"))
+        .unionByName(graft.log.SegmentIndex.findNearestTime(entries, state, tprobes)
+          .withColumn("kind", lit("time")))
+        // driver-hash hygiene: misses as -1 sentinels, not NULLs
+        .select(col("kind"), col("partition"), col("segment"), col("probe"),
+          col("found"), coalesce(col("rel_offset"), lit(-1L)).as("rel_offset"),
+          coalesce(col("rel_time"), lit(-1L)).as("rel_time"),
+          coalesce(col("filepos"), lit(-1L)).as("filepos"))
+        .orderBy("kind", "partition", "segment", "probe")
     }),
 
     "d3_schema_evolution" -> ((s, dir) => {
@@ -8828,6 +8951,62 @@ object SparkEntry {
         |        TRUE AS passthrough
         | FROM (VALUES ('1_gzip'), ('2_snappy'), ('3_lz4'), ('4_zstd')) c(codec), nb
         | ORDER BY c.codec""".stripMargin,
+
+    "s3_index_entries" ->
+      s"""$S3IndexCte
+         | SELECT partition, segment, entry_seq, rel_offset, rel_time, filepos
+         | FROM entries ORDER BY partition, segment, entry_seq""".stripMargin,
+
+    "s3_index_state" ->
+      s"""$S3IndexCte
+         | SELECT partition, segment, base_offset, max_offset, base_timestamp,
+         |        max_timestamp, timestamps_monotonic, n_batches
+         | FROM st ORDER BY partition, segment""".stripMargin,
+
+    "s3_index_lookup" ->
+      s"""$S3IndexCte,
+         | oprobes AS (
+         |  SELECT DISTINCT partition, segment, base_offset, unnest([
+         |    base_offset - 1, base_offset, (base_offset + max_offset) // 2,
+         |    max_offset]) AS probe
+         |  FROM st),
+         | olook AS (
+         |  SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
+         |         max(e.rel_offset) AS mo
+         |  FROM oprobes p LEFT JOIN entries e
+         |    ON e.partition = p.partition AND e.segment = p.segment
+         |   AND p.probe >= p.base_offset AND e.rel_offset <= p.probe - p.base_offset
+         |  GROUP BY 1, 2, 3),
+         | ores AS (
+         |  SELECT l.partition, l.segment, l.probe, l.mo IS NOT NULL AS found,
+         |         coalesce(e.rel_offset, -1) AS rel_offset,
+         |         coalesce(e.rel_time, -1) AS rel_time,
+         |         coalesce(e.filepos, -1) AS filepos, 'offset' AS kind
+         |  FROM olook l LEFT JOIN entries e
+         |    ON e.partition = l.partition AND e.segment = l.segment AND e.rel_offset = l.mo),
+         | tprobes AS (
+         |  SELECT DISTINCT partition, segment, base_timestamp, unnest([
+         |    base_timestamp - 1, base_timestamp,
+         |    (base_timestamp + max_timestamp) // 2, max_timestamp + 1000]) AS probe
+         |  FROM st),
+         | tlb AS (
+         |  SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
+         |         min(e.entry_seq) AS lb_seq
+         |  FROM tprobes p LEFT JOIN entries e
+         |    ON e.partition = p.partition AND e.segment = p.segment
+         |   AND p.probe >= p.base_timestamp AND e.rel_time >= p.probe - p.base_timestamp
+         |  GROUP BY 1, 2, 3),
+         | tres AS (
+         |  SELECT l.partition, l.segment, l.probe, e.entry_seq IS NOT NULL AS found,
+         |         coalesce(e.rel_offset, -1) AS rel_offset,
+         |         coalesce(e.rel_time, -1) AS rel_time,
+         |         coalesce(e.filepos, -1) AS filepos, 'time' AS kind
+         |  FROM tlb l LEFT JOIN entries e
+         |    ON l.lb_seq IS NOT NULL AND e.partition = l.partition AND e.segment = l.segment
+         |   AND e.entry_seq = greatest(l.lb_seq - 1, 0))
+         | SELECT partition, segment, probe, found, rel_offset, rel_time, filepos, kind
+         | FROM (SELECT * FROM ores UNION ALL SELECT * FROM tres)
+         | ORDER BY kind, partition, segment, probe""".stripMargin,
 
     "sr_canonical_ids" ->
       """SELECT CAST(seq AS BIGINT) AS seq, subject,

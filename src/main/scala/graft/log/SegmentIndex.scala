@@ -1,0 +1,173 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-segment sparse offset/time index — the mechanism behind the
+ * reference's in-segment seek and timequery
+ * (`storage/segment_index.cc:117-143` `maybe_track`,
+ * `storage/index_state.cc:223-312` `maybe_index`,
+ * `:673-745` the `find_*` lookups).
+ *
+ * The reference appends batches to a segment and samples an index entry
+ * (relative offset, relative timestamp, file position) whenever the
+ * byte accumulator since the last sample reaches `step` (default 32
+ * KiB); the segment's FIRST batch is always indexed ("always saving the
+ * first batch simplifies a lot of book keeping"), and an indexed batch
+ * resets the accumulator (`maybe_track`: `if (_state.maybe_index(...))
+ * _acc = 0`). Lookups:
+ *
+ *  - `find_nearest(offset)`: the greatest entry with
+ *    `rel_offset <= o - base_offset`, null when `o < base_offset`
+ *    (`index_state.cc:673-690` — lower_bound then walk back);
+ *  - `find_nearest(timestamp)`: lower_bound on the relative-time
+ *    column, then ONE ENTRY BACK (a sparse index cannot guarantee the
+ *    needle's timestamp is inside the landed batch, `index_state.cc:
+ *    654-670`), clamped at entry 0; null when `t < base_timestamp` or
+ *    when every entry's time is below the needle.
+ *
+ * Scope note: the reference additionally overrides the first entry's
+ * timestamps when a segment STARTS with an internal config batch
+ * (walltime stamps, `non_data_timestamps` — `index_state.cc:246-264`);
+ * this model indexes user-data batches only, so that leg is out of
+ * scope here.
+ *
+ * Scale: the entry fold is sequential per (partition, segment) — state
+ * is one accumulator — and segments distribute across executors via a
+ * hash repartition, exactly like the repo's other control-log FSFs.
+ * Everything else (segment bounds, monotonicity, both lookups) is
+ * declarative: lookups are a broadcast-or-shuffle join of probes
+ * against the tiny entries table, never a scan of the log itself.
+ */
+object SegmentIndex {
+
+  final case class BatchRow(partition: Int, segment: Long, base_offset: Long,
+      last_offset: Long, first_ts: Long, max_ts: Long, size_bytes: Long)
+
+  final case class EntryRow(partition: Int, segment: Long, entry_seq: Int,
+      rel_offset: Long, rel_time: Long, filepos: Long)
+
+  /**
+   * Build the sparse index entries. `batches` carries one row per
+   * appended batch: `partition, segment, base_offset, last_offset,
+   * first_ts, max_ts, size_bytes`. Entries are emitted per
+   * (partition, segment), `entry_seq` dense from 0.
+   */
+  def indexEntries(batches: DataFrame, step: Long): DataFrame = {
+    val spark = batches.sparkSession
+    import spark.implicits._
+    batches.select(col("partition").cast("int").as("partition"),
+        col("segment").cast("long").as("segment"),
+        col("base_offset").cast("long").as("base_offset"),
+        col("last_offset").cast("long").as("last_offset"),
+        col("first_ts").cast("long").as("first_ts"),
+        col("max_ts").cast("long").as("max_ts"),
+        col("size_bytes").cast("long").as("size_bytes"))
+      .as[BatchRow]
+      .repartition(col("partition"), col("segment"))
+      .sortWithinPartitions(col("partition"), col("segment"), col("base_offset"))
+      .mapPartitions { it =>
+        var curP = Int.MinValue; var curS = Long.MinValue
+        var acc = 0L; var filepos = 0L; var segBase = 0L; var baseTs = 0L
+        var seq = 0; var empty = true
+        it.flatMap { b =>
+          if (b.partition != curP || b.segment != curS) {
+            curP = b.partition; curS = b.segment
+            acc = 0L; filepos = 0L; seq = 0; empty = true
+          }
+          val pos = filepos
+          filepos += b.size_bytes
+          acc += b.size_bytes
+          if (empty) { segBase = b.base_offset; baseTs = b.first_ts }
+          // maybe_index: first batch always, else accumulator >= step;
+          // an indexed batch resets the accumulator (maybe_track)
+          val indexed = empty || acc >= step
+          empty = false
+          if (indexed) {
+            acc = 0L
+            val e = EntryRow(b.partition, b.segment, seq,
+              b.base_offset - segBase,
+              math.max(b.first_ts, b.max_ts) - baseTs, pos)
+            seq += 1
+            Some(e)
+          } else None
+        }
+      }
+      .toDF()
+  }
+
+  /**
+   * Per-segment index header state (`index_state` fields): offset and
+   * timestamp bounds plus the batch-timestamp monotonicity flag
+   * (`segment_index.cc:121-126` — ANDed `hdr.max_timestamp >=
+   * max(prev first, prev max)` over the append order). Declarative:
+   * one window + one aggregate over the BATCH-level frame (tiny next
+   * to the log itself).
+   */
+  def indexState(batches: DataFrame): DataFrame = {
+    val w = Window.partitionBy("partition", "segment").orderBy("base_offset")
+    batches
+      .withColumn("prev_last_ts",
+        lag(greatest(col("first_ts"), col("max_ts")), 1).over(w))
+      .groupBy("partition", "segment")
+      .agg(min("base_offset").as("base_offset"),
+        max("last_offset").as("max_offset"),
+        min_by(col("first_ts"), col("base_offset")).as("base_timestamp"),
+        max(greatest(col("first_ts"), col("max_ts"))).as("max_timestamp"),
+        coalesce(bool_and(col("max_ts") >= col("prev_last_ts")), lit(true))
+          .as("timestamps_monotonic"),
+        count(lit(1)).cast("long").as("n_batches"))
+  }
+
+  /**
+   * `find_nearest(offset)` for a probe frame `(partition, segment,
+   * probe)`: greatest entry at-or-below the needle, null below the
+   * segment base. The entries/state tables are index-sized, so the
+   * join is broadcast-able at any log scale.
+   */
+  private def renamedEntries(entries: DataFrame): DataFrame =
+    entries.select(col("partition").as("ep"), col("segment").as("es"),
+      col("entry_seq"), col("rel_offset"), col("rel_time"), col("filepos"))
+
+  def findNearestOffset(entries: DataFrame, state: DataFrame,
+      probes: DataFrame): DataFrame =
+    probes.join(broadcast(state.select(col("partition"), col("segment"),
+        col("base_offset"))), Seq("partition", "segment"))
+      .join(broadcast(renamedEntries(entries)),
+        col("ep") === col("partition") && col("es") === col("segment") &&
+          col("probe") >= col("base_offset") &&
+          col("rel_offset") <= col("probe") - col("base_offset"), "left")
+      .groupBy(col("partition"), col("segment"), col("probe"))
+      .agg(max(when(col("entry_seq").isNotNull, struct(
+        col("rel_offset"), col("rel_time"), col("filepos")))).as("e"))
+      .select(col("partition"), col("segment"), col("probe"),
+        col("e").isNotNull.as("found"),
+        col("e.rel_offset").as("rel_offset"), col("e.rel_time").as("rel_time"),
+        col("e.filepos").as("filepos"))
+
+  /**
+   * `find_nearest(timestamp)`: lower_bound on relative time, stepped
+   * back one entry (clamped at 0); null when the needle precedes
+   * `base_timestamp` or exceeds every indexed time.
+   */
+  def findNearestTime(entries: DataFrame, state: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val lb = probes.join(broadcast(state.select(col("partition"), col("segment"),
+        col("base_timestamp"))), Seq("partition", "segment"))
+      .join(broadcast(renamedEntries(entries)),
+        col("ep") === col("partition") && col("es") === col("segment") &&
+          col("probe") >= col("base_timestamp") &&
+          col("rel_time") >= col("probe") - col("base_timestamp"), "left")
+      .groupBy(col("partition"), col("segment"), col("probe"))
+      .agg(min(col("entry_seq")).as("lb_seq"))
+    lb.join(broadcast(renamedEntries(entries)),
+        col("lb_seq").isNotNull &&
+          col("ep") === col("partition") && col("es") === col("segment") &&
+          col("entry_seq") === greatest(col("lb_seq") - 1, lit(0)), "left")
+      .select(col("partition"), col("segment"), col("probe"),
+        col("entry_seq").isNotNull.as("found"),
+        col("rel_offset"), col("rel_time"), col("filepos"))
+  }
+}
