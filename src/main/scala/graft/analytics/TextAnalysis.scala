@@ -81,13 +81,21 @@ object TextAnalysis {
 
   def classifyByProfile(docs: DataFrame, idCol: Column, textCol: Column,
       profiles: DataFrame, n: Int = 3, topK: Int = 50): DataFrame = {
-    val dw = Window.partitionBy("doc_id").orderBy(col("__c").desc, col("gram"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Per-doc profiles run inside the [[graft.functions.TopGramProfile]]
+    // kernel: the former explode-every-gram → groupBy(doc, gram) →
+    // per-doc rank window spelling shuffled one row per CHARACTER of
+    // the corpus; the kernel counts and ranks in-row (same (count
+    // desc, gram asc) total order, same short-text empty guard), so
+    // only topK rows per document reach the exchange. Equivalence is
+    // pinned by TextExpressionsSpec against the window spelling.
+    val norm = regexp_replace(trim(lower(textCol)), "\\s+", " ")
     val docTop = docs
-      .select(idCol.as("doc_id"), explode(charGrams(textCol, n)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("__c"))
-      .withColumn("drank", row_number().over(dw))
-      .where(col("drank") <= topK)
-      .select("doc_id", "gram", "drank")
+      .select(idCol.as("doc_id"),
+        explode(call_function("top_gram_profile", norm, lit(n), lit(topK)))
+          .as("__e"))
+      .select(col("doc_id"), col("__e.gram").as("gram"),
+        col("__e.drank").as("drank"))
     val langs = profiles.select("lang").distinct()
     docTop.crossJoin(broadcast(langs))
       .join(broadcast(profiles), Seq("lang", "gram"), "left")

@@ -128,6 +128,11 @@ object GraftFunctions {
       "kafka_batch_decode", (args: Seq[Expression]) =>
         KafkaBatchDecode(args.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "top_gram_profile", (args: Seq[Expression]) =>
+        TopGramProfile(args.head,
+          litInt("top_gram_profile", args(1)),
+          litInt("top_gram_profile", args(2))), "built-in")
+    reg.createOrReplaceTempFunction(
       "kafka_batch_normalize", (args: Seq[Expression]) =>
         KafkaBatchNormalize(args.head), "built-in")
     reg.createOrReplaceTempFunction(

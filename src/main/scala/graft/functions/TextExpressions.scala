@@ -62,6 +62,71 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /**
+   * Top-K character-n-gram profile of a (pre-normalized) string — the
+   * per-document half of the Cavnar–Trenkle rank profile, fused into
+   * one pass. Replaces the declarative explode-every-gram →
+   * groupBy(doc, gram) → per-doc rank window spelling, whose shuffle
+   * carries one row per CHARACTER of the corpus; this kernel counts
+   * and ranks inside the row, so only K rows per document ever reach
+   * an exchange. Semantics are bit-identical to the window spelling:
+   * grams are code-point substrings, ranked by (count desc, gram asc
+   * in UTF-8 binary order = code-point order), first K returned with
+   * 1-based ranks. Shorter-than-n text yields an empty profile (the
+   * declarative `when(length < n, array())` guard).
+   */
+  def topGramProfile(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, k: Int): ArrayData = {
+    val s = text.toString
+    // code-point start offsets (UTF-16 indices)
+    val cps = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var ci = 0; var off = 0
+    while (off < s.length) {
+      cps(ci) = off; ci += 1
+      off += Character.charCount(s.codePointAt(off))
+    }
+    cps(ci) = s.length
+    val total = ci // code points
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    var i = 0
+    while (i + n <= total) {
+      val g = s.substring(cps(i), cps(i + n))
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val entries = new Array[(String, Int)](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next(); entries(j) = (e.getKey, e.getValue()(0)); j += 1
+    }
+    // (count desc, gram asc by code point — UTF8String binary order)
+    java.util.Arrays.sort(entries, new java.util.Comparator[(String, Int)] {
+      override def compare(a: (String, Int), b: (String, Int)): Int = {
+        if (a._2 != b._2) return Integer.compare(b._2, a._2)
+        val x = a._1; val y = b._1
+        var p = 0; var q = 0
+        while (p < x.length && q < y.length) {
+          val cx = x.codePointAt(p); val cy = y.codePointAt(q)
+          if (cx != cy) return Integer.compare(cx, cy)
+          p += Character.charCount(cx); q += Character.charCount(cy)
+        }
+        Integer.compare(x.length - p, y.length - q)
+      }
+    })
+    val m = math.min(k, entries.length)
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(entries(r)._1), r + 1)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def polyFingerprint(th: ArrayData): Long = {
     val n = th.numElements()
     var h1 = 0L; var h2 = 0L
@@ -99,6 +164,38 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.polyFingerprint($a)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+/** `top_gram_profile(string, n, k) -> array<struct<gram,drank>>` — the
+  * per-document Cavnar–Trenkle top-K n-gram rank profile in one pass
+  * (no per-character explode, no per-doc rank window). */
+case class TopGramProfile(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n > 0 && k > 0, "n-gram size and profile size must be positive")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("drank",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "top_gram_profile"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_gram_profile requires string input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.topGramProfile(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.topGramProfile($a, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramProfile =
     copy(child = newChild)
 }
 
