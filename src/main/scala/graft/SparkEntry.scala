@@ -454,13 +454,13 @@ object SparkEntry {
     * inputs for the p6_batch_* golden legs: dense deltas, user_id keys,
     * event_type values, no headers. */
   private def p6WireBatches(s: SparkSession, dir: String,
-      maxPartitions: Int = EventPartitions): DataFrame = {
+      maxPartitions: Int = EventPartitions, span: Int = 200): DataFrame = {
     val w = Window.partitionBy("partition", "batch_no")
     eventLog(s, dir)
       .where(col("partition") < maxPartitions)
       .select(col("partition"), col("offset"), col("event_id"),
         col("user_id"), col("event_type"))
-      .withColumn("batch_no", floor(col("offset") / 200).cast("long"))
+      .withColumn("batch_no", floor(col("offset") / span).cast("long"))
       .withColumn("base_offset", min("offset").over(w))
       .withColumn("first_ts", min("event_id").over(w))
       .groupBy("partition", "batch_no")
@@ -764,6 +764,7 @@ object SparkEntry {
     // expiry-swept txn log.
     txnExpiryFixture(s, dir)
     icebergTable(s, dir)
+    dlcE2eFixture(s, dir)
     u2SnapshotPath(s, dir)
     pqCodes(s, dir).count()
     ivfPqCodes(s, dir).count()
@@ -888,6 +889,111 @@ object SparkEntry {
     })
     s.read.parquet(p)
   }
+
+  private val dlcE2eStore = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /**
+   * End-to-end topic→Iceberg delivery fixture (built once per scale
+   * dir): produce → multiplex → coordinator admission → file committer
+   * → Iceberg snapshot, with a crash-retry replay in the middle —
+   * the full seam of `datalake/coordinator/iceberg_file_committer.cc`
+   * + `state_update.cc` + `commit_offset_metadata.cc`.
+   *
+   * Topic `ev`: an sf-proportional slice of events (event_id % 17 == 0)
+   * produced into 2 partitions (offsets by event_id order), multiplexed
+   * into exactly 4 offset-range files per partition. Pass 1 admits and
+   * commits the first 2 entries per partition (property = max
+   * added_pending_at). Pass 2 replays the SAME pending set (crash
+   * between the Iceberg commit and the coordinator's marks): everything
+   * dedup-skips, the table version must not move. Pass 3 retries with
+   * the old entries PLUS 4 newly-admitted ones: old dedup, new append.
+   * Marks then apply cleanly through the coordinator FSM.
+   *
+   * Returns (iceberg table path, pass-summary parquet path).
+   */
+  private def dlcE2eFixture(s: SparkSession, dir: String): (String, String) =
+    dlcE2eStore.getOrElseUpdate(dir, {
+      import graft.streaming.{DatalakeCoordinator, IcebergCommitter, IcebergFormat}
+      import IcebergCommitter.PendingFiles
+      val tmp = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_dlce2e")).toString
+      val t = s"$tmp/ev_ice"
+      val log = RecordLog.assignOffsets(
+          events(s, dir).where(pmod(col("event_id"), lit(17)) === 0),
+          pmod(col("user_id"), lit(2)), col("event_id"))
+        .select(col("partition"), col("offset"), col("event_id"), col("event_type"))
+      // materialize the produced log once — 8 staged appends slice it
+      log.write.mode("overwrite").parquet(s"$tmp/log")
+      val stored = s.read.parquet(s"$tmp/log")
+      IcebergFormat.ensureTable(s, t, stored.schema, "partition")
+      // exactly 4 entries per partition at any SF: span = floor(max/4)+1
+      val spans = stored.groupBy("partition").agg(max("offset").as("mx"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def entry(p: Int, e: Int): (Long, Long) = {
+        val span = spans(p) / 4 + 1
+        (e * span, math.min((e + 1) * span - 1, spans(p)))
+      }
+      // multiplexer output: one staged file set per (partition, entry);
+      // added_pending_at = the control-log seq of its add command
+      val pend = for (e <- 0 until 4; p <- 0 to 1) yield {
+        val (lo, hi) = entry(p, e)
+        val seq = 2L + e * 2 + p
+        PendingFiles(p, seq, hi, IcebergFormat.stageAppend(
+          stored.where(col("partition") === p &&
+            col("offset").between(lo, hi)), col("partition"), t, c => c))
+      }
+      val (old4, new4) = pend.partition(_.addedAt <= 5L)
+      // coordinator admission of the pass-1 adds (exercises the FSM for
+      // real — any errc other than success would corrupt the ledger)
+      import s.implicits._
+      def addCmd(pf: PendingFiles, lo: Long) =
+        (pf.addedAt, "add_files", "ev", pf.partition, 1L, "", lo, Seq(pf.entryEnd), -1L)
+      val cmds1 = Seq((1L, "lifecycle", "ev", 0, 1L, "live", -1L, Seq.empty[Long], -1L)) ++
+        old4.map(pf => addCmd(pf, entry(pf.partition, ((pf.addedAt - 2) / 2).toInt)._1))
+      val cl1 = cmds1.toDF("seq", "op", "topic", "partition", "revision",
+        "target", "add_start", "entry_ends", "new_committed")
+      val ok1 = DatalakeCoordinator.outcomes(cl1)
+        .where(col("errc") =!= "success").count()
+      require(ok1 == 0, s"dlc_e2e admission rejected $ok1 pass-1 commands")
+      def version(): Int = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/metadata/version-hint.text"))).trim.toInt
+      def prop(): Long = IcebergCommitter.committedOffset(s, t).getOrElse(-1L)
+      val pass1 = IcebergCommitter.commitTopicFiles(s, t, old4)
+      val row1 = (1, pass1.icebergTxn, pass1.appended, pass1.dedupSkipped,
+        pass1.snapshotId.getOrElse(-1L), version(), prop())
+      // crash-retry: the marks were lost; the identical pending set
+      // re-presents and must leave the catalog untouched
+      val pass2 = IcebergCommitter.commitTopicFiles(s, t, old4)
+      val row2 = (2, pass2.icebergTxn, pass2.appended, pass2.dedupSkipped,
+        pass2.snapshotId.getOrElse(-1L), version(), prop())
+      // pass 3: 4 more entries admitted after the crash, old ones still
+      // unmarked — dedup the old, append the new
+      val cmds3 = cmds1 ++
+        new4.map(pf => addCmd(pf, entry(pf.partition, ((pf.addedAt - 2) / 2).toInt)._1))
+      val cl3 = cmds3.toDF("seq", "op", "topic", "partition", "revision",
+        "target", "add_start", "entry_ends", "new_committed")
+      require(DatalakeCoordinator.outcomes(cl3)
+        .where(col("errc") =!= "success").count() == 0, "pass-3 admission failed")
+      val pass3 = IcebergCommitter.commitTopicFiles(s, t, pend)
+      val row3 = (3, pass3.icebergTxn, pass3.appended, pass3.dedupSkipped,
+        pass3.snapshotId.getOrElse(-1L), version(), prop())
+      // the updates apply cleanly through the FSM and drain the ledger
+      val marks = pass3.updates.zipWithIndex.map { case ((p, off), i) =>
+        (100L + i, "mark_committed", "ev", p, 1L, "", -1L, Seq.empty[Long], off)
+      }
+      val clFinal = (cmds3 ++ marks).toDF("seq", "op", "topic", "partition",
+        "revision", "target", "add_start", "entry_ends", "new_committed")
+      val outsFinal = DatalakeCoordinator.outcomes(clFinal)
+      require(outsFinal.where(col("errc") =!= "success").count() == 0,
+        "mark_files_committed rejected")
+      require(DatalakeCoordinator.finalState(outsFinal)
+        .agg(sum("pending_count")).head.getLong(0) == 0, "ledger not drained")
+      Seq(row1, row2, row3)
+        .toDF("pass", "iceberg_txn", "appended", "dedup_skipped",
+          "snapshot_id", "table_version", "property_offset")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/passes")
+      (t, s"$tmp/passes")
+    })
 
   /** Iceberg v2 table built once per scale factor: three appends of the
     * event_id % 3 slices, day-partitioned. */
@@ -2253,6 +2359,39 @@ object SparkEntry {
         .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
         .orderBy("partition", "offset")),
 
+    "s1_wire_ingest" -> ((s, dir) => {
+      // The produce path fed RAW wire envelopes — the
+      // kafka_batch_adapter.cc adapt step: 2 partitions of the event
+      // log packed into 50-offset batches, each encoded under codec
+      // batch_no % 5 (none/gzip/snappy/lz4/zstd via the threshold-0
+      // recompress pass), then every batch_no % 7 == 0 gets one byte
+      // of its CRC REGION flipped (attributes high byte — CRC fails,
+      // fields still parse) and every remaining batch_no % 11 == 0 is
+      // TRUNCATED to 40 bytes (fails the size/magic gate before any
+      // field parse). Ingest rejects those batches wholesale and
+      // assigns dense offsets to the records of the survivors.
+      graft.functions.GraftFunctions.register(s)
+      val wires = p6WireBatches(s, dir, maxPartitions = 2, span = 50)
+        .withColumn("codec", pmod(col("batch_no"), lit(5)).cast("int"))
+        .select(col("partition"), col("batch_no"),
+          call_function("kafka_batch_recompress",
+            call_function("kafka_batch_encode", p6EncodeStruct),
+            col("codec"), lit(0)).as("wire"))
+        .withColumn("wire",
+          when(pmod(col("batch_no"), lit(7)) === 0,
+            concat(substring(col("wire"), 1, 21),
+              lit(Array[Byte](0x7f.toByte)),
+              substring(col("wire"), 23, Int.MaxValue)))
+          .when(pmod(col("batch_no"), lit(11)) === 0,
+            substring(col("wire"), 1, 40))
+          .otherwise(col("wire")))
+      RecordLog.wireIngest(wires, col("wire"), col("partition"), col("batch_no"))
+        .select(col("route"), col("partition"), col("offset"),
+          col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+        .orderBy("route", "partition", "offset", "key")
+    }),
+
     "s1_produce_exactly_once" -> ((s, dir) => {
       // The exactly-once produce path, DELIVERED TWICE: the same input
       // runs through appendStreamExactlyOnce with a fresh checkpoint the
@@ -2603,6 +2742,25 @@ object SparkEntry {
       val (reqs, _, _) = fsnScenario(s, dir)
       graft.log.FetchSessions.validateEpochs(reqs,
           col("session_id"), col("seq"), col("epoch"))
+        .orderBy("session_id", "seq")
+    }),
+
+    "fsn_eviction" -> ((s, dir) => {
+      // The session-cache housekeeping fold (fetch_session_cache.cc:
+      // 155-170 gc_sessions + :137-145 capacity guard): same request
+      // log, request clock = seq, eviction after 25 idle ticks. A
+      // session idle past the duration is swept; its next incremental
+      // fetch errors not_found (the same error an unknown id gets),
+      // while recently-used sessions survive. last_used advances only
+      // on create/ok (fetch_session.h:202,218-221), so a stream of
+      // invalid_epoch retries cannot keep a session alive. Two shard
+      // caches (the per-core split); decisions are shard-independent
+      // because capacity is unbounded here (the guard is spec-covered).
+      val (reqs, _, _) = fsnScenario(s, dir)
+      graft.log.FetchSessions.sessionCacheFold(
+          reqs.withColumn("ts", col("seq")),
+          col("session_id"), col("seq"), col("epoch"), col("ts"),
+          evictionMs = 25L, nShards = 2)
         .orderBy("session_id", "seq")
     }),
 
@@ -3942,6 +4100,30 @@ object SparkEntry {
         .orderBy("scenario", "topic", "partition")
     }),
 
+    "dlc_e2e" -> ((s, dir) => {
+      // End-to-end exactly-once delivery: the Iceberg table read back
+      // after produce → multiplex → coordinator admission → committer
+      // passes INCLUDING a crash-retry replay (iceberg_file_committer
+      // .cc:101-258). The oracle recomputes the produced slice directly
+      // — any dedup failure in the retry doubles rows and breaks the
+      // hash; any lost entry drops rows.
+      val (t, _) = dlcE2eFixture(s, dir)
+      graft.streaming.IcebergFormat.readTable(s, t)
+        .select(col("partition"), col("offset"), col("event_id"), col("event_type"))
+        .orderBy("partition", "offset")
+    }),
+
+    "dlc_e2e_passes" -> ((s, dir) => {
+      // The committer-pass audit ledger: pass 1 commits all 4 pending
+      // entries (snapshot 1, property = max added_pending_at = 5);
+      // pass 2 is the crash-retry on identical pending state — no
+      // transaction, version pinned; pass 3 dedups the old 4 and
+      // appends the 4 newly-admitted (property advances to 9). These
+      // seven columns are scale-invariant protocol constants.
+      val (_, passes) = dlcE2eFixture(s, dir)
+      s.read.parquet(passes).orderBy("pass")
+    }),
+
     "a5_usage_windows" -> ((s, dir) =>
       Operators.usageWindows(events(s, dir), col("ts"), col("event_type"), length(col("props")))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -4472,6 +4654,45 @@ object SparkEntry {
       // batch-timestamp monotonicity flag (segment_index.cc:121-126).
       graft.log.SegmentIndex.indexState(s3Batches(s, dir))
         .orderBy("partition", "segment")),
+
+    "s3_index_nondata" -> ((s, dir) => {
+      // The non-data-timestamp override (index_state.cc:246-264):
+      // segments whose head is an internal CONFIG batch (walltime
+      // stamps ~9e9) index it ("first batch always") but flag
+      // non_data_timestamps; the first USER batch resets entry 0's
+      // time cell to its raw last_timestamp and re-seeds the time
+      // base; config batches never extend timestamp bounds nor trip
+      // the sampler (:287-297,303). Four segments: config head + user,
+      // all user (control), double-config head, and all-config (flag
+      // stays true, walltime bounds kept). Deterministic 24-batch
+      // frame; the oracle pins the fold's golden output
+      // (mig_outcomes-style — scale-invariant protocol constants).
+      val idx = (col("id") / 2).cast("long")
+      val frame = s.range(24).select(
+        (col("id") % 2).cast("int").as("partition"),
+        (idx / 6).cast("long").as("segment"),
+        (idx * 10).as("base_offset"),
+        (idx * 10 + 9).as("last_offset"),
+        idx.as("idx"),
+        when((col("id") % 2) === 0, idx === 0)
+          .otherwise(idx <= 1 || idx >= 6).as("is_config"))
+        .withColumn("first_ts", when(col("is_config"), lit(9000000000L) + col("idx") * 10)
+          .otherwise(lit(1000L) + col("idx") * 100))
+        .withColumn("max_ts", col("first_ts") +
+          when(col("is_config"), 5L).otherwise(50L))
+        .withColumn("size_bytes", lit(3000L))
+        .withColumn("user_data", !col("is_config"))
+        .drop("idx", "is_config")
+      val entries = graft.log.SegmentIndex.indexEntries(frame, 4000L)
+      val state = graft.log.SegmentIndex.indexState(frame)
+        .select(col("partition"), col("segment"), col("base_timestamp"),
+          col("max_timestamp"), col("non_data_timestamps"))
+      entries.join(state, Seq("partition", "segment"))
+        .select(col("partition"), col("segment"), col("entry_seq"),
+          col("rel_offset"), col("rel_time"), col("filepos"),
+          col("base_timestamp"), col("max_timestamp"), col("non_data_timestamps"))
+        .orderBy("partition", "segment", "entry_seq")
+    }),
 
     "s3_index_lookup" -> ((s, dir) => {
       // find_nearest lookups (index_state.cc:673-690 offset floor;
@@ -6970,6 +7191,30 @@ object SparkEntry {
     "s1_produce_window" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
 
+    // Wire-ingest adapt step: batches of 50 offsets; batch_no % 7 == 0
+    // CRC-rejects, else % 11 == 0 is truncated (malformed); survivors'
+    // records renumber densely per partition in batch order.
+    "s1_wire_ingest" ->
+      s"""$LogCte,
+         | b AS (SELECT partition, "offset", user_id, event_type,
+         |         CAST(floor("offset" / 50) AS BIGINT) AS batch_no
+         |       FROM log WHERE partition < 2),
+         | cls AS (SELECT *,
+         |     CASE WHEN batch_no % 7 = 0 THEN 'crc_reject'
+         |          WHEN batch_no % 11 = 0 THEN 'malformed'
+         |          ELSE 'accept' END AS route FROM b),
+         | acc AS (SELECT 'accept' AS route, partition,
+         |     CAST(row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1
+         |       AS BIGINT) AS "offset",
+         |     CAST(user_id AS VARCHAR) AS key, event_type AS value
+         |   FROM cls WHERE route = 'accept'),
+         | rej AS (SELECT route, partition, CAST(-1 AS BIGINT) AS "offset",
+         |     CAST(batch_no AS VARCHAR) AS key, CAST(NULL AS VARCHAR) AS value
+         |   FROM (SELECT DISTINCT route, partition, batch_no FROM cls
+         |         WHERE route <> 'accept') r)
+         | SELECT * FROM acc UNION ALL SELECT * FROM rej
+         | ORDER BY route, partition, "offset", key""".stripMargin,
+
     "s1_produce_exactly_once" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
 
@@ -7213,6 +7458,45 @@ object SparkEntry {
     "fsn_epochs" ->
       s"""$FsnCte
          | SELECT session_id, seq, epoch, decision FROM d
+         | ORDER BY session_id, seq""".stripMargin,
+
+    // The epoch FSM re-replayed WITH the eviction sweep: the recursive
+    // chain carries last_used (advances on created/ok only); a request
+    // arriving >= 25 ticks after it finds the session swept.
+    "fsn_eviction" ->
+      s"""$FsnCte,
+         | d2 AS (
+         |  SELECT session_id, rn, seq, epoch,
+         |         CASE WHEN epoch = 0 THEN 'created'
+         |              WHEN epoch = -1 THEN 'closed'
+         |              ELSE 'not_found' END AS decision,
+         |         (epoch = 0) AS live,
+         |         CASE WHEN epoch = 0 THEN 1 ELSE 0 END AS expected,
+         |         CASE WHEN epoch = 0 THEN seq ELSE 0 END AS last_used
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r2.session_id, r2.rn, r2.seq, r2.epoch,
+         |         CASE WHEN r2.epoch = 0 THEN 'created'
+         |              WHEN r2.epoch = -1 THEN 'closed'
+         |              WHEN NOT d2.live OR r2.seq - d2.last_used >= 25
+         |                THEN 'not_found'
+         |              WHEN r2.epoch = d2.expected THEN 'ok'
+         |              ELSE 'invalid_epoch' END,
+         |         CASE WHEN r2.epoch = 0 THEN true
+         |              WHEN r2.epoch = -1 THEN false
+         |              WHEN d2.live AND r2.seq - d2.last_used >= 25 THEN false
+         |              ELSE d2.live END,
+         |         CASE WHEN r2.epoch = 0 THEN 1
+         |              WHEN r2.epoch = -1 THEN 0
+         |              WHEN d2.live AND r2.seq - d2.last_used < 25
+         |                   AND r2.epoch = d2.expected THEN d2.expected + 1
+         |              ELSE d2.expected END,
+         |         CASE WHEN r2.epoch = 0 THEN r2.seq
+         |              WHEN d2.live AND r2.seq - d2.last_used < 25
+         |                   AND r2.epoch = d2.expected AND r2.epoch > 0 THEN r2.seq
+         |              ELSE d2.last_used END
+         |  FROM d2 JOIN r r2 ON r2.session_id = d2.session_id AND r2.rn = d2.rn + 1)
+         | SELECT session_id, seq, epoch, decision FROM d2
          | ORDER BY session_id, seq""".stripMargin,
 
     "fsn_state" -> FsnStateOracle,
@@ -8391,6 +8675,35 @@ object SparkEntry {
          | GROUP BY 1, 2, 3
          | ORDER BY d.scenario, d.topic, "partition"""".stripMargin,
 
+    // End-to-end delivery read-back: the produced slice recomputed
+    // directly — exactly-once means the Iceberg table equals it even
+    // though the committer ran a crash-retry replay in between.
+    "dlc_e2e" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 17 = 0),
+        | log AS (SELECT CAST(user_id % 2 AS INTEGER) AS partition,
+        |   CAST(row_number() OVER (PARTITION BY user_id % 2 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+        |   event_id, event_type FROM src)
+        | SELECT partition, "offset", event_id, event_type
+        | FROM log ORDER BY partition, "offset"""".stripMargin,
+
+    // Scale-invariant committer-pass protocol constants (see the
+    // fixture scaladoc): snapshot ids, versions, property offsets and
+    // dedup splits are fixed by the protocol, not the data volume.
+    "dlc_e2e_passes" ->
+      """SELECT CAST(pass AS INTEGER) AS pass, iceberg_txn,
+        |       CAST(appended AS INTEGER) AS appended,
+        |       CAST(dedup_skipped AS INTEGER) AS dedup_skipped,
+        |       CAST(snapshot_id AS BIGINT) AS snapshot_id,
+        |       CAST(table_version AS INTEGER) AS table_version,
+        |       CAST(property_offset AS BIGINT) AS property_offset
+        | FROM (VALUES
+        |  (1, TRUE, 4, 0, 1, 2, 5),
+        |  (2, FALSE, 0, 4, -1, 2, 5),
+        |  (3, TRUE, 4, 4, 2, 3, 9))
+        |  t(pass, iceberg_txn, appended, dedup_skipped, snapshot_id,
+        |    table_version, property_offset)
+        | ORDER BY pass""".stripMargin,
+
     // Golden outcome table for the 32-command migration fixture — the
     // FSM is single-raft-shard sequential; the pin is the regression
     // gate (same style as adm_api_versions / adm_find_coordinator).
@@ -8960,8 +9273,39 @@ object SparkEntry {
     "s3_index_state" ->
       s"""$S3IndexCte
          | SELECT partition, segment, base_offset, max_offset, base_timestamp,
-         |        max_timestamp, timestamps_monotonic, n_batches
+         |        max_timestamp, timestamps_monotonic,
+         |        FALSE AS non_data_timestamps, n_batches
          | FROM st ORDER BY partition, segment""".stripMargin,
+
+    // Golden fold output for the non-data-timestamp override fixture
+    // (hand-traced against index_state.cc:246-312; see the entry's
+    // scaladoc for the four segment shapes). Entry 0 of a config-head
+    // segment carries the first user batch's RAW last_timestamp
+    // (try_reset_relative_time_index stores the absolute value).
+    "s3_index_nondata" ->
+      """SELECT CAST(partition AS INTEGER) AS partition,
+        |       CAST(segment AS BIGINT) AS segment,
+        |       CAST(entry_seq AS INTEGER) AS entry_seq,
+        |       CAST(rel_offset AS BIGINT) AS rel_offset,
+        |       CAST(rel_time AS BIGINT) AS rel_time,
+        |       CAST(filepos AS BIGINT) AS filepos,
+        |       CAST(base_timestamp AS BIGINT) AS base_timestamp,
+        |       CAST(max_timestamp AS BIGINT) AS max_timestamp,
+        |       non_data_timestamps
+        | FROM (VALUES
+        |  (0, 0, 0, 0, 1150, 0, 1100, 1550, FALSE),
+        |  (0, 0, 1, 20, 150, 6000, 1100, 1550, FALSE),
+        |  (0, 0, 2, 40, 350, 12000, 1100, 1550, FALSE),
+        |  (0, 1, 0, 0, 50, 0, 1600, 2150, FALSE),
+        |  (0, 1, 1, 20, 250, 6000, 1600, 2150, FALSE),
+        |  (0, 1, 2, 40, 450, 12000, 1600, 2150, FALSE),
+        |  (1, 0, 0, 0, 1250, 0, 1200, 1550, FALSE),
+        |  (1, 0, 1, 20, 50, 6000, 1200, 1550, FALSE),
+        |  (1, 0, 2, 40, 250, 12000, 1200, 1550, FALSE),
+        |  (1, 1, 0, 0, 5, 0, 9000000060, 9000000060, TRUE))
+        |  t(partition, segment, entry_seq, rel_offset, rel_time, filepos,
+        |    base_timestamp, max_timestamp, non_data_timestamps)
+        | ORDER BY partition, segment, entry_seq""".stripMargin,
 
     "s3_index_lookup" ->
       s"""$S3IndexCte,

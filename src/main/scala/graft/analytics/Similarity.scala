@@ -424,17 +424,36 @@ object Similarity {
     cents
   }
 
+  /** Hard ceiling on rows collected to the driver for codebook /
+    * centroid training. The `trainMod` ratio alone scales the sample
+    * WITH the corpus (100× corpus → 100× driver rows → OOM); the
+    * absolute cap keeps driver memory constant at any corpus size.
+    * 65536 × ~1 KB vectors ≈ 64 MB — ample for k-means quality. */
+  val MaxTrain = 65536
+
   /** Collect the deterministic hash-sample as (vec_id, vector) pairs —
-    * the bounded local training set. */
-  private def collectSample(corpus: DataFrame, vecCol: String,
-      trainMod: Int): IndexedSeq[(Long, Array[Double])] = {
+    * the bounded local training set. The sample is the first `maxTrain`
+    * rows in (xxhash64(vec_id), vec_id) order — deterministic,
+    * partitioning-independent, and executed as a distributed top-k
+    * (TakeOrdered), so at most `maxTrain` rows ever reach the driver. */
+  private[graft] def collectSample(corpus: DataFrame, vecCol: String,
+      trainMod: Int, maxTrain: Int = MaxTrain): IndexedSeq[(Long, Array[Double])] =
+    samplePlan(corpus, vecCol, trainMod, maxTrain)
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** The capped sample plan, exposed for plan pinning: PlanSpec asserts
+    * the GlobalLimit sits above the scan so the collect is a bounded
+    * top-k, never a full-corpus materialization. */
+  private[graft] def samplePlan(corpus: DataFrame, vecCol: String,
+      trainMod: Int, maxTrain: Int = MaxTrain): DataFrame = {
     val sample =
       if (trainMod <= 1) corpus
       else corpus.where(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
     sample.select(col("vec_id").cast("long"), col(vecCol))
-      .collect().toIndexedSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
   }
 
   /** Per-subspace codebooks over a local sample (shared by [[pqTrain]]

@@ -108,36 +108,64 @@ object GraftFunctions {
           errorClass = "NON_FOLDABLE_ARGUMENT",
           messageParameters = Map("funcName" -> s"`$fn`",
             "paramName" -> "`size`", "paramType" -> "\"INT\""))
-      e.eval().asInstanceOf[Number].intValue()
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "UNEXPECTED_INPUT_TYPE",
+            messageParameters = Map("functionName" -> s"`$fn`",
+              "paramIndex" -> "second", "requiredType" -> "\"INT\"",
+              "inputSql" -> s"\"${e.sql}\"",
+              "inputType" -> (if (other == null) "\"NULL\"" else s"\"${e.dataType.sql}\"")))
+      }
     }
+    // Wrong argument counts should be AnalysisExceptions, not
+    // IndexOutOfBounds from blind args(i) indexing.
+    def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+      if (args.size < lo || args.size > hi)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> s"`$fn`",
+            "expectedNum" -> (if (lo == hi) s"$lo" else s"[$lo, $hi]"),
+            "actualNum" -> args.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
     reg.createOrReplaceTempFunction(
-      "vec_sign_sketch", (args: Seq[Expression]) =>
-        VecSignSketch(args(0), litInt("vec_sign_sketch", args(1))), "built-in")
+      "vec_sign_sketch", (args: Seq[Expression]) => {
+        arity("vec_sign_sketch", args, 2, 2)
+        VecSignSketch(args(0), litInt("vec_sign_sketch", args(1)))
+      }, "built-in")
     reg.createOrReplaceTempFunction(
-      "span_window_hashes", (args: Seq[Expression]) =>
-        SpanWindowHashes(args(0), litInt("span_window_hashes", args(1))), "built-in")
+      "span_window_hashes", (args: Seq[Expression]) => {
+        arity("span_window_hashes", args, 2, 2)
+        SpanWindowHashes(args(0), litInt("span_window_hashes", args(1)))
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "poly_fingerprint", (args: Seq[Expression]) =>
         PolyFingerprint(args.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "kafka_batch_encode", (args: Seq[Expression]) =>
+      "kafka_batch_encode", (args: Seq[Expression]) => {
+        arity("kafka_batch_encode", args, 1, 2)
         KafkaBatchEncode(args.head,
-          if (args.size > 1) litInt("kafka_batch_encode", args(1)) else 0),
-        "built-in")
+          if (args.size > 1) litInt("kafka_batch_encode", args(1)) else 0)
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "kafka_batch_decode", (args: Seq[Expression]) =>
         KafkaBatchDecode(args.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "top_gram_profile", (args: Seq[Expression]) =>
+      "top_gram_profile", (args: Seq[Expression]) => {
+        arity("top_gram_profile", args, 3, 3)
         TopGramProfile(args.head,
           litInt("top_gram_profile", args(1)),
-          litInt("top_gram_profile", args(2))), "built-in")
+          litInt("top_gram_profile", args(2)))
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "kafka_batch_normalize", (args: Seq[Expression]) =>
         KafkaBatchNormalize(args.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "kafka_batch_recompress", (args: Seq[Expression]) =>
+      "kafka_batch_recompress", (args: Seq[Expression]) => {
+        arity("kafka_batch_recompress", args, 3, 3)
         KafkaBatchRecompress(args.head, args(1),
-          litInt("kafka_batch_recompress", args(2))), "built-in")
+          litInt("kafka_batch_recompress", args(2)))
+      }, "built-in")
   }
 }

@@ -82,10 +82,15 @@ object RecordBatchCodec {
   }
 
   private def getVarint(b: ByteBuffer): Long = {
+    // Bounded like the reference's vint parsing (utils/vint.h caps at
+    // 10 continuation bytes): past shift 63 Scala's `<<` masks the
+    // shift amount and would silently wrap corrupt input into garbage.
     var u = 0L; var shift = 0; var cur = 0
     do {
+      if (shift >= 70)
+        throw new IllegalArgumentException("overlong varint (>10 bytes)")
       cur = b.get() & 0xff
-      u |= (cur & 0x7fL) << shift
+      if (shift < 64) u |= (cur & 0x7fL) << shift
       shift += 7
     } while ((cur & 0x80) != 0)
     unzigzag(u)
@@ -265,9 +270,20 @@ object RecordBatchCodec {
     }
   }
 
+  /** Well-formedness gate the reference's adapter applies BEFORE any
+    * field parse (`kafka_batch_adapter.cc:31-47` checks size then
+    * magic): at least a full 61-byte header, v2 magic, and a
+    * batchLength consistent with the buffer. */
+  def wellFormed(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= HeaderSize &&
+      bytes(16) == 2.toByte && // magic byte at offset 8+4+4
+      ByteBuffer.wrap(bytes, BatchLengthOffset, 4).getInt ==
+        bytes.length - LengthFieldOffset
+
   /** Recomputed-CRC validity, as verify_crc (adapter.cc:98-128). */
   def crcValid(bytes: Array[Byte]): Boolean =
-    decodeHeader(bytes).crc == crc32c(bytes, CrcDataStart, bytes.length)
+    bytes.length >= HeaderSize &&
+      decodeHeader(bytes).crc == crc32c(bytes, CrcDataStart, bytes.length)
 
   // ---------------------------------------------------- normalization
 
@@ -436,9 +452,21 @@ case class KafkaBatchDecode(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
+    // The reference adapter gates on size/magic before parsing
+    // (kafka_batch_adapter.cc:31-47); a truncated or non-Kafka buffer
+    // yields a crc_valid=false row instead of a BufferUnderflow crash.
+    if (bytes == null || bytes.length < HeaderSize)
+      return InternalRow(null, null, null,
+        if (bytes != null && bytes.length > 16) bytes(16).toInt else null,
+        null, null, null, null, null, null, null, null, null,
+        false, recsToArrayData(Seq.empty))
     val h = decodeHeader(bytes)
+    // A CRC-corrupt body may not even varint-parse; surface it as the
+    // crc_valid=false row with no records rather than a thrown task.
     val recs =
-      if (h.magic == 2) decodeRecords(recordsRegion(bytes), h.recordCount)
+      if (h.magic == 2)
+        try decodeRecords(recordsRegion(bytes), h.recordCount)
+        catch { case _: RuntimeException | _: java.io.IOException => Seq.empty }
       else Seq.empty
     InternalRow(h.baseOffset, h.batchLength, h.partitionLeaderEpoch,
       h.magic.toInt, h.crc, h.attributes.toInt, h.lastOffsetDelta,
@@ -472,8 +500,17 @@ case class KafkaBatchNormalize(child: Expression)
 case class KafkaBatchRecompress(left: Expression, right: Expression, threshold: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kafka_batch_recompress"
+  // Reject a non-binary batch / non-int codec at analysis time instead
+  // of a ClassCastException mid-execution.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, INT) arguments, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
   override protected def nullSafeEval(bytes: Any, codec: Any): Any =
     RecordBatchCodec.recompress(bytes.asInstanceOf[Array[Byte]],
       codec.asInstanceOf[Int], threshold)

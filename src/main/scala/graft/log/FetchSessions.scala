@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
  * until closed or replaced — the observable response content of an
  * empty session is empty either way.
  *
+ * Cache housekeeping ([[sessionCacheFold]]): the reference's
+ * time-based GC sweep (`gc_sessions`, `fetch_session_cache.cc:155-170`
+ * — evict every session idle for `_session_eviction_duration`, skip
+ * locked or recently-used) and the capacity guard on session creation
+ * (`new_session_id`, `:137-145` — cache over its mem/session budget →
+ * no session id, the fetch is served sessionless). `_last_used`
+ * advances only on create and on a successful incremental
+ * (`fetch_session.h:202,218-221` — a wrong-epoch request does not
+ * touch it).
+ *
  * Spark design: epoch validation is an inherently sequential per-session
  * recurrence (each decision depends on how many prior requests were
  * valid), so it runs as the same secondary-sorted one-pass streaming
@@ -75,6 +85,78 @@ object FetchSessions {
             else if (r.epoch == expected) { expected += 1; "ok" }
             else "invalid_epoch"
           Decision(r.session_id, r.seq, r.epoch, d)
+        }
+      }
+      .toDF()
+  }
+
+  final case class CacheReq(session_id: String, seq: Long, epoch: Int,
+      ts: Long, shard: Int)
+  final case class CacheDecision(session_id: String, seq: Long, epoch: Int,
+      decision: String)
+
+  /**
+   * The session-cache fold WITH housekeeping: the epoch FSM of
+   * [[validateEpochs]] plus the reference's time-based GC
+   * (`fetch_session_cache.cc:155-170`) and creation capacity guard
+   * (`:137-145`). Sessions hash-route to `nShards` shard caches (the
+   * reference's per-core split); each shard folds its request stream
+   * sequentially with a live-session table — state bounded by the cache
+   * itself, exactly the structure being modeled.
+   *
+   * The GC sweep runs at every request's clock (`tsCol`). Sequentially
+   * that is STRICTER than a periodic timer — and with no concurrent
+   * fetches there are no locked sessions to skip — but the observable
+   * rule collapses to the session's own idle gap: a session is gone at
+   * its next touch iff that touch arrives `evictionMs` or more after
+   * its `last_used` (any earlier sweep that could have evicted it
+   * implies the final gap also exceeds the duration). Decisions:
+   * `created`, `sessionless_full` (capacity guard — served without a
+   * session), `closed`, `ok`, `invalid_epoch`, `not_found` (unknown OR
+   * evicted — the same error the reference returns for both).
+   */
+  def sessionCacheFold(requests: DataFrame, sessionCol: Column, seqCol: Column,
+      epochCol: Column, tsCol: Column, evictionMs: Long,
+      maxSessions: Int = Int.MaxValue, nShards: Int = 1): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    final class Sess { var expected = 1; var lastUsed = 0L }
+    requests.select(sessionCol.cast("string").as("session_id"),
+        seqCol.cast("long").as("seq"), epochCol.cast("int").as("epoch"),
+        tsCol.cast("long").as("ts"),
+        pmod(xxhash64(sessionCol), lit(nShards)).cast("int").as("shard"))
+      .as[CacheReq]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var sessions: scala.collection.mutable.LinkedHashMap[String, Sess] = null
+        it.map { r =>
+          if (r.shard != curShard) {
+            curShard = r.shard
+            sessions = scala.collection.mutable.LinkedHashMap.empty
+          }
+          // gc_sessions at the request clock (:158-167): evict everything
+          // idle >= evictionMs; recently-used sessions survive the sweep
+          sessions.filterInPlace((_, st) => r.ts - st.lastUsed < evictionMs)
+          val d =
+            if (r.epoch == 0) {
+              if (!sessions.contains(r.session_id) && sessions.size >= maxSessions)
+                "sessionless_full" // new_session_id -> nullopt (:137-145)
+              else {
+                val st = new Sess; st.lastUsed = r.ts
+                sessions(r.session_id) = st
+                "created"
+              }
+            } else if (r.epoch == -1) { sessions.remove(r.session_id); "closed" }
+            else sessions.get(r.session_id) match {
+              case None => "not_found"
+              case Some(st) if r.epoch != st.expected => "invalid_epoch"
+              case Some(st) =>
+                st.expected += 1; st.lastUsed = r.ts // advance_epoch (h:218-221)
+                "ok"
+            }
+          CacheDecision(r.session_id, r.seq, r.epoch, d)
         }
       }
       .toDF()

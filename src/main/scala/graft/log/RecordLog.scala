@@ -74,6 +74,58 @@ object RecordLog {
   }
 
   /**
+   * S1 wire ingest — the adapt step a produce request's raw Kafka
+   * record-batch v2 envelopes go through before append
+   * (`kafka/protocol/kafka_batch_adapter.cc`): gate on size/magic
+   * (`:31-47` — a truncated or non-v2 buffer rejects the batch, it
+   * never reaches field parsing), verify the CRC32-C over the region
+   * below the crc field (`:98-128` — mismatch rejects the batch
+   * wholesale), decompress-normalize the records section per the
+   * attribute codec bits (`storage/parser_utils.cc:50-66`), then stamp
+   * broker offsets onto the surviving records in arrival order.
+   *
+   * `batches` carries one wire envelope per row; `arrivalCol` is the
+   * batch's arrival sequence within its partition. Returns one row per
+   * ACCEPTED record — `(route='accept', partition, offset, key, value)`
+   * with offsets dense per partition — plus one row per REJECTED batch
+   * (`route` = `crc_reject` or `malformed`, offset -1, key = the
+   * arrival seq) so rejects route like the P4/P6 DLQ legs rather than
+   * failing the ingest.
+   *
+   * Scale: decode + CRC + route are per-row expressions (no shuffle);
+   * offset assignment is the two-phase [[assignOffsetsScalable]] with
+   * the batch itself as the chunk — parallelism is partitions × batches,
+   * and record order inside a batch follows its offset deltas.
+   */
+  def wireIngest(batches: DataFrame, wireCol: Column, partCol: Column,
+      arrivalCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(batches.sparkSession)
+    val routed = batches
+      .select(partCol.cast("int").as("partition"),
+        arrivalCol.cast("long").as("_arr"),
+        call_function("kafka_batch_decode", wireCol).as("_d"))
+      .withColumn("route",
+        when(col("_d.base_offset").isNull, lit("malformed"))
+          .when(!col("_d.crc_valid"), lit("crc_reject"))
+          .otherwise(lit("accept")))
+    // offset deltas are < 2^16 within one wire batch (the reference caps
+    // batches well below that), so (arrival, delta) packs into one long
+    val accepted = assignOffsetsScalable(
+      routed.where(col("route") === "accept")
+        .select(col("partition"), col("_arr"), explode(col("_d.records")).as("r")),
+      col("partition"),
+      col("_arr") * 65536L + col("r.offset_delta"),
+      chunkCol = col("_arr"))
+      .select(lit("accept").as("route"), col("partition"), col("offset"),
+        col("r.key").as("key"), col("r.value").as("value"))
+    val rejected = routed.where(col("route") =!= "accept")
+      .select(col("route"), col("partition"), lit(-1L).as("offset"),
+        col("_arr").cast("string").cast("binary").as("key"),
+        lit(null).cast("binary").as("value"))
+    accepted.unionByName(rejected)
+  }
+
+  /**
    * `message.timestamp.type` semantics, applied on append
    * (`model/timestamp.h:30`; topic knob `cluster/topic_properties.h`):
    * CreateTime keeps the producer-supplied stamp, LogAppendTime

@@ -28,11 +28,18 @@ import org.apache.spark.sql.functions._
  *    654-670`), clamped at entry 0; null when `t < base_timestamp` or
  *    when every entry's time is below the needle.
  *
- * Scope note: the reference additionally overrides the first entry's
- * timestamps when a segment STARTS with an internal config batch
- * (walltime stamps, `non_data_timestamps` — `index_state.cc:246-264`);
- * this model indexes user-data batches only, so that leg is out of
- * scope here.
+ * Non-data timestamps (`index_state.cc:246-264,268-280`): a segment
+ * whose FIRST batch is an internal config batch (walltime stamps, not
+ * user time) still indexes that batch ("always saving the first
+ * batch"), but sets the `non_data_timestamps` flag; the first USER
+ * batch then overrides — the single existing entry's time cell is
+ * RESET to that batch's last_timestamp raw (`try_reset_relative_time
+ * _index`, `:248-249` — the reference stores the absolute value here,
+ * which dominates later relative deltas so a timequery conservatively
+ * lands on entry 0), `base/max_timestamp` re-seed from the user batch,
+ * and the flag clears. Config batches never extend the timestamp
+ * bounds nor trigger accumulator sampling (`user_data` gates both,
+ * `:287-297,303`).
  *
  * Scale: the entry fold is sequential per (partition, segment) — state
  * is one accumulator — and segments distribute across executors via a
@@ -44,56 +51,88 @@ import org.apache.spark.sql.functions._
 object SegmentIndex {
 
   final case class BatchRow(partition: Int, segment: Long, base_offset: Long,
-      last_offset: Long, first_ts: Long, max_ts: Long, size_bytes: Long)
+      last_offset: Long, first_ts: Long, max_ts: Long, size_bytes: Long,
+      user_data: Boolean)
 
   final case class EntryRow(partition: Int, segment: Long, entry_seq: Int,
       rel_offset: Long, rel_time: Long, filepos: Long)
 
+  /** Frames without a `user_data` column treat every batch as user data
+    * (the all-user-data topic; `segment_index.cc:136-138` — internal
+    * topics and raft_data batches count as user data). */
+  private def withUserData(batches: DataFrame): DataFrame =
+    if (batches.columns.contains("user_data")) batches
+    else batches.withColumn("user_data", lit(true))
+
   /**
    * Build the sparse index entries. `batches` carries one row per
    * appended batch: `partition, segment, base_offset, last_offset,
-   * first_ts, max_ts, size_bytes`. Entries are emitted per
-   * (partition, segment), `entry_seq` dense from 0.
+   * first_ts, max_ts, size_bytes[, user_data]`. Entries are emitted per
+   * (partition, segment), `entry_seq` dense from 0, with the non-data
+   * timestamp override applied (`index_state.cc:246-264`: the first
+   * user batch after a config-batch segment head resets entry 0's time
+   * cell to its raw last_timestamp).
    */
   def indexEntries(batches: DataFrame, step: Long): DataFrame = {
     val spark = batches.sparkSession
     import spark.implicits._
-    batches.select(col("partition").cast("int").as("partition"),
+    withUserData(batches).select(col("partition").cast("int").as("partition"),
         col("segment").cast("long").as("segment"),
         col("base_offset").cast("long").as("base_offset"),
         col("last_offset").cast("long").as("last_offset"),
         col("first_ts").cast("long").as("first_ts"),
         col("max_ts").cast("long").as("max_ts"),
-        col("size_bytes").cast("long").as("size_bytes"))
+        col("size_bytes").cast("long").as("size_bytes"),
+        col("user_data").cast("boolean").as("user_data"))
       .as[BatchRow]
       .repartition(col("partition"), col("segment"))
       .sortWithinPartitions(col("partition"), col("segment"), col("base_offset"))
       .mapPartitions { it =>
-        var curP = Int.MinValue; var curS = Long.MinValue
-        var acc = 0L; var filepos = 0L; var segBase = 0L; var baseTs = 0L
-        var seq = 0; var empty = true
-        it.flatMap { b =>
-          if (b.partition != curP || b.segment != curS) {
-            curP = b.partition; curS = b.segment
-            acc = 0L; filepos = 0L; seq = 0; empty = true
+        // Entries buffer per (partition, segment): the non-data override
+        // mutates entry 0 after it was emitted, so a segment's entries
+        // flush only at its end. Bounded: segment bytes / step entries.
+        val buf = it.buffered
+        new Iterator[Seq[EntryRow]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[EntryRow] = {
+            val first = buf.head
+            val entries = scala.collection.mutable.ArrayBuffer.empty[EntryRow]
+            var acc = 0L; var filepos = 0L; var seq = 0; var empty = true
+            var nonData = false
+            val segBase = first.base_offset; var baseTs = 0L
+            while (buf.hasNext && buf.head.partition == first.partition &&
+                buf.head.segment == first.segment) {
+              val b = buf.next()
+              val pos = filepos
+              filepos += b.size_bytes
+              acc += b.size_bytes
+              val lastTs = math.max(b.first_ts, b.max_ts)
+              if (b.user_data && nonData) {
+                // first user batch after a config head: reset entry 0's
+                // time cell RAW (:248-249) and re-seed the time base
+                entries(0) = entries(0).copy(rel_time = lastTs)
+                baseTs = b.first_ts
+                nonData = false
+              }
+              if (empty) {
+                nonData = !b.user_data
+                baseTs = b.first_ts
+              }
+              // maybe_index: first batch always; else accumulator >= step
+              // AND user data (:303); an indexed batch resets the
+              // accumulator (maybe_track)
+              val indexed = empty || (acc >= step && b.user_data)
+              empty = false
+              if (indexed) {
+                acc = 0L
+                entries += EntryRow(b.partition, b.segment, seq,
+                  b.base_offset - segBase, lastTs - baseTs, pos)
+                seq += 1
+              }
+            }
+            entries.toSeq
           }
-          val pos = filepos
-          filepos += b.size_bytes
-          acc += b.size_bytes
-          if (empty) { segBase = b.base_offset; baseTs = b.first_ts }
-          // maybe_index: first batch always, else accumulator >= step;
-          // an indexed batch resets the accumulator (maybe_track)
-          val indexed = empty || acc >= step
-          empty = false
-          if (indexed) {
-            acc = 0L
-            val e = EntryRow(b.partition, b.segment, seq,
-              b.base_offset - segBase,
-              math.max(b.first_ts, b.max_ts) - baseTs, pos)
-            seq += 1
-            Some(e)
-          } else None
-        }
+        }.flatMap(identity)
       }
       .toDF()
   }
@@ -108,16 +147,29 @@ object SegmentIndex {
    */
   def indexState(batches: DataFrame): DataFrame = {
     val w = Window.partitionBy("partition", "segment").orderBy("base_offset")
-    batches
+    // Config batches never contribute to the segment's timestamp bounds
+    // (index_state.cc:287-297: user_data gates max_timestamp; :268-280:
+    // the first user batch re-seeds base_timestamp after a config head).
+    // A segment with no user data at all keeps the config head's
+    // walltime stamps and reports non_data_timestamps = true.
+    withUserData(batches)
       .withColumn("prev_last_ts",
         lag(greatest(col("first_ts"), col("max_ts")), 1).over(w))
       .groupBy("partition", "segment")
       .agg(min("base_offset").as("base_offset"),
         max("last_offset").as("max_offset"),
-        min_by(col("first_ts"), col("base_offset")).as("base_timestamp"),
-        max(greatest(col("first_ts"), col("max_ts"))).as("max_timestamp"),
+        coalesce(
+          min_by(when(col("user_data"), col("first_ts")),
+            when(col("user_data"), col("base_offset"))),
+          min_by(col("first_ts"), col("base_offset"))).as("base_timestamp"),
+        coalesce(
+          max(when(col("user_data"), greatest(col("first_ts"), col("max_ts")))),
+          min_by(col("first_ts"), col("base_offset"))).as("max_timestamp"),
         coalesce(bool_and(col("max_ts") >= col("prev_last_ts")), lit(true))
           .as("timestamps_monotonic"),
+        // still true only while NO user batch has arrived (a user batch
+        // anywhere implies the override ran or the head was user data)
+        (!bool_or(col("user_data"))).as("non_data_timestamps"),
         count(lit(1)).cast("long").as("n_batches"))
   }
 

@@ -148,7 +148,10 @@ object DatalakeCoordinator {
               }
             case "lifecycle" =>
               // Ladder per topic_lifecycle_update::can_apply (:211-266).
-              cur match {
+              // An unparseable target (the reference's enum decode step)
+              // is a graceful outcome row, not a thrown executor task.
+              if (!LifecycleRank.contains(c.target)) out(c, "unknown_target", cur)
+              else cur match {
                 case None =>
                   val ts = new TopicState(c.revision, c.target)
                   topics(c.topic) = ts

@@ -247,7 +247,12 @@ object IcebergFormat {
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
       manifestList: String, addedRows: Long, op: String = "append",
       sourceBatchId: Option[Long] = None, schemaId: Int = 0,
-      timestampMs: Long = 0L)
+      timestampMs: Long = 0L,
+      // extra snapshot-summary properties (iceberg snapshot.summary's
+      // free-form string map) — the datalake committer stamps its
+      // crash-recovery marker here (`redpanda.commit-metadata`,
+      // iceberg_file_committer.cc:59 / transaction merge_append props)
+      properties: Map[String, String] = Map.empty)
 
   /** A named snapshot reference (`iceberg/snapshot.h:86-118`): a `tag`
     * labels one snapshot forever; a `branch` is a mutable head. Refs
@@ -278,19 +283,28 @@ object IcebergFormat {
     }
   }
 
+  private val ReservedSummaryKeys =
+    Set("operation", "added-rows", "streaming-batch-id")
+
   /** Parse the snapshots array out of the metadata JSON. */
   private def parseSnapshots(json: String): Seq[SnapshotInfo] =
     mapper.readTree(json).path("snapshots").elements().asScala.toSeq.map { s =>
-      val bid = s.path("summary").path("streaming-batch-id")
+      val summary = s.path("summary")
+      val bid = summary.path("streaming-batch-id")
+      val props = summary.fields().asScala.collect {
+        case e if !ReservedSummaryKeys.contains(e.getKey) =>
+          e.getKey -> e.getValue.asText
+      }.toMap
       SnapshotInfo(
         s.path("snapshot-id").asLong,
         s.path("sequence-number").asLong,
         s.path("manifest-list").asText,
-        s.path("summary").path("added-rows").asText("0").toLong,
-        s.path("summary").path("operation").asText("append"),
+        summary.path("added-rows").asText("0").toLong,
+        summary.path("operation").asText("append"),
         if (bid.isMissingNode) None else Some(bid.asText.toLong),
         s.path("schema-id").asInt(0),
-        s.path("timestamp-ms").asLong(0L))
+        s.path("timestamp-ms").asLong(0L),
+        props)
     }
 
   private def writeMetadataJson(fs: FileSystem, table: String, v: Int,
@@ -319,10 +333,15 @@ object IcebergFormat {
     val snapJson = snaps.map { s =>
       val bid = s.sourceBatchId
         .map(b => s""", "streaming-batch-id": "$b"""").getOrElse("")
+      // free-form summary properties ride every metadata rewrite — the
+      // committer's crash-recovery marker must survive expiry/evolution
+      val props = s.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""", ${jsonStr(k)}: ${jsonStr(v)}"""
+      }.mkString
       val ts = if (s.timestampMs > 0) s.timestampMs else now
       s"""{"snapshot-id": ${s.snapshotId}, "sequence-number": ${s.sequenceNumber},
          |     "timestamp-ms": $ts, "manifest-list": ${jsonStr(s.manifestList)},
-         |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"$bid},
+         |     "summary": {"operation": "${s.op}", "added-rows": "${s.addedRows}"$bid$props},
          |     "schema-id": ${s.schemaId}}""".stripMargin
     }.mkString("[", ", ", "]")
     val logJson = snaps.map { s =>
@@ -623,10 +642,24 @@ object IcebergFormat {
    * snapshot). Returns (snapshot id, rebased?).
    */
   def commitStaged(spark: SparkSession, table: String,
-      staged: StagedAppend): (Long, Boolean) = {
+      staged: StagedAppend): (Long, Boolean) =
+    commitStagedMany(spark, table, Seq(staged))
+
+  /**
+   * Publish MANY staged appends as ONE snapshot — the committer's
+   * merge-append shape (`iceberg_file_committer.cc:230-244`: every
+   * appended pending entry's files ride a single `txn.merge_append`,
+   * stamped with the transaction's summary `properties`). Rebase
+   * semantics per [[commitStaged]]; `rebased` is true when ANY staged
+   * append's base version moved.
+   */
+  def commitStagedMany(spark: SparkSession, table: String,
+      staged: Seq[StagedAppend],
+      properties: Map[String, String] = Map.empty): (Long, Boolean) = {
+    require(staged.nonEmpty, "commitStagedMany requires at least one staged append")
     val fs = fsOf(spark, table)
     val cur = currentVersion(fs, table).get
-    val rebased = cur != staged.baseVersion
+    val rebased = staged.exists(_.baseVersion != cur)
     val json = readMetadataJson(fs, table, cur)
     val snaps = parseSnapshots(json)
     val (schemas, curSchemaId) = parseSchemas(json)
@@ -636,7 +669,7 @@ object IcebergFormat {
       .getOrElse(java.util.UUID.randomUUID().toString)
     val snapId = snaps.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = snaps.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
-    val files = staged.files.map { case (p, k, l) => (new Path(p), k, l) }
+    val files = staged.flatMap(_.files).map { case (p, k, l) => (new Path(p), k, l) }
     val (manifestPath, manifestLen, addedRows) =
       writeAddManifest(spark, fs, table, snapId, seq, files)
     val priorList = snaps.lastOption.toSeq.flatMap(s =>
@@ -648,9 +681,43 @@ object IcebergFormat {
     writeMetadataJsonFull(fs, table, cur + 1,
       schemas, curSchemaId, specs, specId, lastColId,
       snaps :+ SnapshotInfo(snapId, seq, listPath.toString, addedRows,
-        sourceBatchId = None, schemaId = curSchemaId),
+        sourceBatchId = None, schemaId = curSchemaId, properties = properties),
       uuid, parseExtraRefs(json))
     (snapId, rebased)
+  }
+
+  /**
+   * Create the table's metadata with a schema but NO snapshots if it
+   * does not exist yet — the catalog's ensure-table-exists step the
+   * datalake takes before its first commit (the reference creates the
+   * table from the translated schema, `datalake/catalog_schema_manager
+   * .cc` ensure path). Idempotent; returns true when created.
+   */
+  def ensureTable(spark: SparkSession, table: String,
+      schema: StructType, partitionField: String): Boolean = {
+    val fs = fsOf(spark, table)
+    if (currentVersion(fs, table).isDefined) false
+    else {
+      writeMetadataJson(fs, table, 1, schema, Seq.empty,
+        java.util.UUID.randomUUID().toString, partitionField)
+      true
+    }
+  }
+
+  /**
+   * The table's committed coordinator offset: the value of summary
+   * property `key` on the current snapshot, or the most recent ancestor
+   * carrying it (`iceberg_file_committer.cc:61-96`
+   * `get_iceberg_committed_offset` — our snapshot history is linear, so
+   * the parent walk is a last-to-first scan). None = no property yet.
+   */
+  def snapshotProperty(spark: SparkSession, table: String,
+      key: String): Option[String] = {
+    val fs = fsOf(spark, table)
+    currentVersion(fs, table).flatMap { v =>
+      parseSnapshots(readMetadataJson(fs, table, v))
+        .reverse.iterator.flatMap(_.properties.get(key)).nextOption()
+    }
   }
 
   // ---------------------------------------------------- schema evolution

@@ -554,6 +554,25 @@ class PlanSpec extends SparkSpec {
     assert(!pt.contains("SortMergeJoin"), pt)
   }
 
+  test("ANN training sample is a bounded top-k — GlobalLimit above the scan") {
+    import graft.analytics.Similarity
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 7 + j) % 5 / 4.0)))
+      .toDF("vec_id", "embedding")
+    // the collect is TakeOrdered/GlobalLimit-bounded: driver memory is
+    // MaxTrain rows at ANY corpus size, not corpus/trainMod rows
+    val p = plan(Similarity.samplePlan(corpus, "embedding", trainMod = 2, maxTrain = 16))
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // and the capped sample path yields identical codebooks when the cap
+    // doesn't bind (cap >= sample size) — determinism of the hash order
+    val s1 = Similarity.collectSample(corpus, "embedding", 1, maxTrain = 1000)
+    val s2 = Similarity.collectSample(corpus.repartition(7), "embedding", 1, maxTrain = 1000)
+    assert(s1.map(_._1) == s2.map(_._1))
+    val capped = Similarity.collectSample(corpus, "embedding", 1, maxTrain = 16)
+    assert(capped.size == 16)
+  }
+
   test("every banded candidate join is bucket-capped (minhash, simhash, embed-LSH)") {
     import graft.analytics.{Dedup, Similarity}
     val docs = (0L until 50L).map(i => (i, s"text body number $i with shared words"))

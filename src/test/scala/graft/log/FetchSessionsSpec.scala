@@ -134,4 +134,70 @@ class FetchSessionsSpec extends SparkSpec {
     assert(streamed(("s2", 4L)) === "closed")
     assert(streamed(("s2", 5L)) === "not_found")
   }
+
+  private def cacheDecide(rows: Seq[(String, Long, Int, Long)],
+      evictionMs: Long, maxSessions: Int = Int.MaxValue): Map[(String, Long), String] =
+    FetchSessions.sessionCacheFold(
+        rows.toDF("session_id", "seq", "epoch", "ts"),
+        col("session_id"), col("seq"), col("epoch"), col("ts"),
+        evictionMs, maxSessions)
+      .collect().map(r => (r.getAs[String]("session_id"), r.getAs[Long]("seq")) ->
+        r.getAs[String]("decision")).toMap
+
+  test("gc sweep: idle session evicted -> not_found; recently-used survives") {
+    val d = cacheDecide(Seq(
+      ("s1", 1L, 0, 100L),   // created, last_used 100
+      ("s2", 2L, 0, 105L),   // created, last_used 105
+      ("s1", 3L, 1, 150L),   // gap 50 >= 50: swept before handling -> not_found
+      ("s2", 4L, 1, 150L),   // gap 45 < 50: survives -> ok, last_used 150
+      ("s1", 5L, 0, 151L),   // recreate after eviction
+      ("s1", 6L, 1, 160L),   // ok
+      ("s2", 7L, 2, 210L)),  // gap 60 >= 50: evicted despite correct epoch
+      evictionMs = 50L)
+    assert(d(("s1", 3L)) === "not_found")
+    assert(d(("s2", 4L)) === "ok")
+    assert(d(("s1", 5L)) === "created")
+    assert(d(("s1", 6L)) === "ok")
+    assert(d(("s2", 7L)) === "not_found")
+  }
+
+  test("invalid_epoch does not advance last_used — retries cannot keep a session alive") {
+    val d = cacheDecide(Seq(
+      ("s1", 1L, 0, 100L),
+      ("s1", 2L, 9, 130L),   // wrong epoch: session untouched (h:218-221)
+      ("s1", 3L, 9, 140L),   // still wrong, still not refreshed
+      ("s1", 4L, 1, 155L)),  // 155 - 100 >= 50: swept -> not_found
+      evictionMs = 50L)
+    assert(d(("s1", 2L)) === "invalid_epoch")
+    assert(d(("s1", 3L)) === "invalid_epoch")
+    assert(d(("s1", 4L)) === "not_found")
+  }
+
+  test("capacity guard: cache at max sessions serves new creates sessionless (:137-145)") {
+    val d = cacheDecide(Seq(
+      ("s1", 1L, 0, 100L),
+      ("s2", 2L, 0, 101L),
+      ("s3", 3L, 0, 102L),   // cache full (max 2) -> sessionless
+      ("s3", 4L, 1, 103L),   // no session was created -> not_found
+      ("s1", 5L, 0, 104L),   // existing id replaces in place: no capacity hit
+      ("s2", 6L, -1, 105L),  // close frees a slot
+      ("s3", 7L, 0, 106L),   // now fits
+      ("s3", 8L, 1, 107L)),
+      evictionMs = 1000L, maxSessions = 2)
+    assert(d(("s3", 3L)) === "sessionless_full")
+    assert(d(("s3", 4L)) === "not_found")
+    assert(d(("s1", 5L)) === "created")
+    assert(d(("s3", 7L)) === "created")
+    assert(d(("s3", 8L)) === "ok")
+  }
+
+  test("eviction frees capacity: the sweep runs before the create decision") {
+    val d = cacheDecide(Seq(
+      ("s1", 1L, 0, 100L),
+      ("s2", 2L, 0, 200L),   // s1 idle 100 >= 50: swept; s2 takes the slot
+      ("s1", 3L, 1, 201L)),  // s1 is gone
+      evictionMs = 50L, maxSessions = 1)
+    assert(d(("s2", 2L)) === "created")
+    assert(d(("s1", 3L)) === "not_found")
+  }
 }

@@ -61,6 +61,36 @@ class SegmentIndexSpec extends SparkSpec {
       (20L, true, 20L), (39L, true, 20L)))
   }
 
+  test("non-data timestamps: config head indexed, first user batch overrides entry 0") {
+    // (partition, segment, base, last, first_ts, max_ts, size, user_data)
+    val mixed = Seq(
+      (0, 0L, 0L, 9L, 9000000000L, 9000000005L, 40L, false), // config head
+      (0, 0L, 10L, 19L, 1100L, 1150L, 40L, true),  // first user: override
+      (0, 0L, 20L, 29L, 1200L, 1250L, 70L, true),  // acc 150 >= 100: indexed
+      (1, 0L, 0L, 9L, 9000000000L, 9000000005L, 40L, false), // all-config seg
+      (1, 0L, 10L, 19L, 9000000010L, 9000000015L, 200L, false) // no sampling
+    ).toDF("partition", "segment", "base_offset", "last_offset",
+      "first_ts", "max_ts", "size_bytes", "user_data")
+    val e = SegmentIndex.indexEntries(mixed, step = 100L)
+      .orderBy("partition", "entry_seq").collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(e === Seq(
+      // entry 0's time cell reset to the user batch's RAW last_timestamp
+      // (index_state.cc:248-249), base re-seeded to its first_ts
+      (0, 0, 0L, 1150L, 0L),
+      (0, 1, 20L, 150L, 80L),   // 1250 - 1100, sampled (acc 110 >= 100)
+      // config-only segment: head indexed with walltime, never reset;
+      // later config batches cannot trip the sampler (user_data gate)
+      (1, 0, 0L, 5L, 0L)))
+    val st = SegmentIndex.indexState(mixed).orderBy("partition").collect()
+    assert(st(0).getAs[Long]("base_timestamp") === 1100L)
+    assert(st(0).getAs[Long]("max_timestamp") === 1250L)
+    assert(!st(0).getAs[Boolean]("non_data_timestamps"))
+    assert(st(1).getAs[Long]("base_timestamp") === 9000000000L)
+    assert(st(1).getAs[Long]("max_timestamp") === 9000000000L)
+    assert(st(1).getAs[Boolean]("non_data_timestamps"))
+  }
+
   test("find_nearest(time): lower_bound minus one, clamped; null out of range") {
     val st = SegmentIndex.indexState(batchesDf)
     val probes = Seq((0, 0L, 999L), (0, 0L, 1000L), (0, 0L, 1015L),
