@@ -4640,6 +4640,34 @@ object SparkEntry {
         .orderBy("codec")
     }),
 
+    "p6_wire_framing" -> ((s, dir) => {
+      // Request/response FRAMING above the record-batch envelope
+      // (kafka/server/protocol_utils.cc:23-120): the full 44-key
+      // handler registry encoded as an ApiVersions response under
+      // every serde version (v0 legacy array, v1/v2 + throttle, v3
+      // flexible: compact array + tag buffers, response header pinned
+      // at v0 per the schema's bootstrap quirk), framed, decoded back.
+      // The oracle recomputes the byte-size laws independently.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{ApiRange, ApiVersionsResponse}
+      // the handler registry is the bounded control-plane table every
+      // admin entry already pins (44 rows)
+      val keys = graft.admin.Admin.apiVersions(s)
+        .select(col("api_key").cast("int")).as[Int].collect().sorted
+      val resp = ApiVersionsResponse(0,
+        keys.map(k => ApiRange(k.toShort, 0, ((k % 7) + 1).toShort)).toSeq, 0)
+      Seq(0, 1, 2, 3).map { v =>
+        val body = WireHeaders.encodeApiVersions(resp, v)
+        val frame = WireHeaders.encodeResponseFrame(100 + v, body)
+        val (corr, body2) = WireHeaders.decodeResponseFrame(frame)
+        val dec = WireHeaders.decodeApiVersions(body2, v)
+        (v, keys.length, body.length, frame.length, corr, dec == resp)
+      }.toDF("version", "n_apis", "body_bytes", "frame_bytes",
+        "correlation", "roundtrip_ok")
+        .orderBy("version")
+    }),
+
     "s3_index_entries" -> ((s, dir) =>
       // The per-segment sparse offset/time index the reference samples
       // on append (storage/index_state.cc:223-312 maybe_index: first
@@ -5921,6 +5949,56 @@ object SparkEntry {
           concat(lit("user="), col("user_id").cast("string"),
             lit(";type="), col("event_type")).as("value"))
         .orderBy("event_id")),
+
+    "u3_sdk_vectors" -> ((s, dir) => {
+      // The SDK example corpus replayed over its golden vectors through
+      // the transform surface (example_{mirror,regexp_filter,
+      // transcoding,validation}_test.go — see
+      // graft.streaming.SdkExamples): byte-level outputs incl. Go
+      // Marshal's < HTML escape, RFC-4180 quoted CSV fields, and
+      // json.Valid's trailing-garbage rejection. Oracle pins the
+      // vectors (the semantics are the Go SDK's, not re-derivable from
+      // the tables).
+      import s.implicits._
+      import graft.streaming.SdkExamples
+      import SdkExamples.Rec
+      def b(x: String): Array[Byte] = if (x == null) null else x.getBytes("UTF-8")
+      def str(x: Array[Byte]): String = if (x == null) null else new String(x, "UTF-8")
+      val in = (
+        Seq(("mirror", "k1", "v1"), ("mirror", null, "v2"), ("mirror", "k3", null)) ++
+        Seq(("filter_key", "order-17", "a"), ("filter_key", "xx order-9 yy", "b"),
+          ("filter_key", "ORDER-17", "c"), ("filter_key", "order-", "d"),
+          ("filter_key", null, "order-3")) ++
+        Seq(("filter_value", "order-17", "a"), ("filter_value", null, "order-3")) ++
+        Seq(("transcode", "r1", "k1,hello,42\n"),
+          ("transcode", "r2", "k2,\"x,y\",3\nk3,z,7"),
+          ("transcode", "r3", "k4,a<b,-5\r\n")) ++
+        Seq(("validate", "a", "{\"x\": 1}"), ("validate", "b", "[1, 2]"),
+          ("validate", "c", "123"), ("validate", "e", "{x: 1}"),
+          ("validate", "f", "{\"x\": 1} extra"), ("validate", "h", ""))
+      ).toDF("example", "key", "value")
+      graft.streaming.Transforms.applyBatch(in, (row: org.apache.spark.sql.Row) => {
+        val rec = Rec(b(row.getAs[String]("key")), b(row.getAs[String]("value")))
+        row.getAs[String]("example") match {
+          case "mirror" =>
+            SdkExamples.mirror(rec).map(r => ("mirror", str(r.key), str(r.value)))
+          case "filter_key" =>
+            SdkExamples.regexFilter("order-\\d+", matchValue = false)(rec)
+              .map(r => ("filter_key", str(r.key), str(r.value)))
+          case "filter_value" =>
+            SdkExamples.regexFilter("order-\\d+", matchValue = true)(rec)
+              .map(r => ("filter_value", str(r.key), str(r.value)))
+          case "transcode" =>
+            SdkExamples.csvToJson(rec).map(r => ("transcode", str(r.key), str(r.value)))
+          case "validate" =>
+            SdkExamples.jsonValidate(rec).map { case (topic, r) =>
+              (s"validate_$topic", str(r.key), str(r.value))
+            }
+        }
+      })
+        .toDF("example", "out_key", "out_value")
+        .orderBy("example", "out_key", "out_value")
+    }),
 
     "u4_transform_validate" -> ((s, dir) =>
       Operators.transformValidate(events(s, dir), col("value") <= 30.0)
@@ -9265,6 +9343,27 @@ object SparkEntry {
         | FROM (VALUES ('1_gzip'), ('2_snappy'), ('3_lz4'), ('4_zstd')) c(codec), nb
         | ORDER BY c.codec""".stripMargin,
 
+    // Byte-size laws of the framing codecs, recomputed from first
+    // principles: v0 = err(2) + count(4) + n*6; v1/v2 append
+    // throttle(4); v3 = err(2) + uvarint(n+1)(1 for n<127) + n*(6 +
+    // 1 tag buffer) + throttle(4) + body tags(1). Frame adds
+    // size(4) + correlation(4); ApiVersions' response header stays v0.
+    "p6_wire_framing" ->
+      """SELECT CAST(version AS INTEGER) AS version,
+        |       CAST(n AS INTEGER) AS n_apis,
+        |       CAST(body AS INTEGER) AS body_bytes,
+        |       CAST(body + 8 AS INTEGER) AS frame_bytes,
+        |       CAST(100 + version AS INTEGER) AS correlation,
+        |       TRUE AS roundtrip_ok
+        | FROM (
+        |   SELECT v.version, t.n,
+        |          CASE WHEN v.version = 0 THEN 2 + 4 + t.n * 6
+        |               WHEN v.version <= 2 THEN 2 + 4 + t.n * 6 + 4
+        |               ELSE 2 + 1 + t.n * 7 + 4 + 1 END AS body
+        |   FROM (VALUES (0), (1), (2), (3)) v(version),
+        |        (SELECT 44 AS n) t)
+        | ORDER BY version""".stripMargin,
+
     "s3_index_entries" ->
       s"""$S3IndexCte
          | SELECT partition, segment, entry_seq, rel_offset, rel_time, filepos
@@ -9882,6 +9981,31 @@ object SparkEntry {
     "u4_transform_validate" ->
       """SELECT CASE WHEN value <= 30.0 THEN 'output' ELSE 'dead_letter' END AS route, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Golden pins of the Go SDK example behaviors (the semantics live
+    // in the SDK's example tests, not in the data tables).
+    "u3_sdk_vectors" ->
+      """SELECT example, CAST(out_key AS VARCHAR) AS out_key,
+        |       CAST(out_value AS VARCHAR) AS out_value
+        | FROM (VALUES
+        |  ('mirror', 'k1', 'v1'),
+        |  ('mirror', NULL, 'v2'),
+        |  ('mirror', 'k3', NULL),
+        |  ('filter_key', 'order-17', 'a'),
+        |  ('filter_key', 'xx order-9 yy', 'b'),
+        |  ('filter_value', NULL, 'order-3'),
+        |  ('transcode', 'k1', '{"a":"hello","b":42}'),
+        |  ('transcode', 'k2', '{"a":"x,y","b":3}'),
+        |  ('transcode', 'k3', '{"a":"z","b":7}'),
+        |  ('transcode', 'k4', '{"a":"a' || chr(92) || 'u003cb","b":-5}'),
+        |  ('validate_output', 'a', '{"x": 1}'),
+        |  ('validate_output', 'b', '[1, 2]'),
+        |  ('validate_output', 'c', '123'),
+        |  ('validate_invalid_json', 'e', '{x: 1}'),
+        |  ('validate_invalid_json', 'f', '{"x": 1} extra'),
+        |  ('validate_invalid_json', 'h', ''))
+        |  t(example, out_key, out_value)
+        | ORDER BY example, out_key, out_value""".stripMargin,
 
     "u2_start_options" ->
       (LogCte +

@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.functions.WireHeaders._
+
+/**
+ * Golden bytes + round-trips for the request/response framing layer
+ * (`kafka/server/protocol_utils.cc:23-120`, ApiVersions schema in
+ * `protocol/schemata/api_versions_response.json`).
+ */
+class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("request frame golden bytes: flexible header with client id and empty tags") {
+    val frame = encodeRequestFrame(
+      RequestHeader(18, 3, 7, Some("cli")), Array.empty, flexible = true)
+    // size=14 | key 0012 | ver 0003 | corr 00000007 | cid len 0003 "cli" | tags 00
+    assert(hex(frame) === "0000000e" + "0012" + "0003" + "00000007" +
+      "0003" + "636c69" + "00")
+    val (h, payload) = decodeRequestFrame(frame, flexible = true)
+    assert(h === RequestHeader(18, 3, 7, Some("cli")))
+    assert(payload.isEmpty)
+  }
+
+  test("request header: null client id encodes length -1; negative length rejects") {
+    val frame = encodeRequestFrame(
+      RequestHeader(1, 11, -2, None), Array[Byte](9), flexible = false)
+    assert(hex(frame).contains("ffff")) // the -1 legacy null marker
+    val (h, p) = decodeRequestFrame(frame, flexible = false)
+    assert(h.clientId.isEmpty && p.toSeq === Seq(9.toByte))
+    // corrupt the length to -2: malformed, connection-shutdown error
+    val bad = frame.clone()
+    bad(12) = 0xff.toByte; bad(13) = 0xfe.toByte
+    assertThrows[IllegalArgumentException](decodeRequestFrame(bad, flexible = false))
+  }
+
+  test("request header tags round-trip (parse_tags)") {
+    val tags = Seq((0L, Array[Byte](1, 2)), (3L, Array[Byte](7)))
+    val frame = encodeRequestFrame(
+      RequestHeader(18, 3, 1, Some("x"), tags), Array.empty, flexible = true)
+    val (h, _) = decodeRequestFrame(frame, flexible = true)
+    assert(h.tags.map(_._1) === Seq(0L, 3L))
+    assert(h.tags.map(_._2.toSeq) === tags.map(_._2.toSeq))
+  }
+
+  test("ApiVersions v3 golden bytes: compact array, tag buffers, trailing throttle") {
+    val r = ApiVersionsResponse(0, Seq(ApiRange(0, 0, 9), ApiRange(18, 0, 3)), 0)
+    val body = encodeApiVersions(r, 3)
+    assert(hex(body) === "0000" + "03" +
+      "0000" + "0000" + "0009" + "00" +
+      "0012" + "0000" + "0003" + "00" +
+      "00000000" + "00")
+    assert(body.length === apiVersionsBodySize(3, 2))
+    assert(decodeApiVersions(body, 3) === r)
+  }
+
+  test("ApiVersions v0 golden bytes: int32 array, no throttle field") {
+    val r = ApiVersionsResponse(0, Seq(ApiRange(0, 0, 9), ApiRange(18, 0, 3)), 0)
+    val body = encodeApiVersions(r, 0)
+    assert(hex(body) === "0000" + "00000002" +
+      "000000000009" + "001200000003")
+    assert(body.length === apiVersionsBodySize(0, 2))
+    assert(decodeApiVersions(body, 0) === r)
+  }
+
+  test("every serde version round-trips through the response frame") {
+    val r = ApiVersionsResponse(35, (0 until 44).map(k =>
+      ApiRange(k.toShort, 0, ((k % 7) + 1).toShort)), 12)
+    (0 to 3).foreach { v =>
+      val frame = encodeResponseFrame(99, encodeApiVersions(r, v))
+      val (corr, body) = decodeResponseFrame(frame)
+      assert(corr === 99)
+      val dec = decodeApiVersions(body, v)
+      // v0 has no throttle on the wire; it decodes as 0
+      assert(dec === (if (v == 0) r.copy(throttleMs = 0) else r))
+      assert(body.length === apiVersionsBodySize(v, 44))
+    }
+  }
+
+  test("uvarint: boundaries and overlong rejection") {
+    val b = java.nio.ByteBuffer.allocate(32)
+    Seq(0L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong).foreach { v =>
+      b.clear(); putUvarint(b, v); b.flip()
+      assert(getUvarint(b) === v)
+      assert(b.position() === uvarintSize(v))
+    }
+    val overlong = Array.fill[Byte](11)(0x80.toByte)
+    assertThrows[IllegalArgumentException](
+      getUvarint(java.nio.ByteBuffer.wrap(overlong)))
+  }
+}
