@@ -2716,6 +2716,64 @@ object SparkEntry {
       // not earliestOffsets ⋈ latestOffsets re-deriving the log twice.
       RecordLog.offsetBounds(storedLog(s, dir)).orderBy("partition")),
 
+    "q1_wire_list_offsets" -> ((s, dir) => {
+      // Wire-in/wire-out list_offsets: three v5 request FRAMES (api key
+      // 2 — the reference pins 0-5 non-flexible) carrying earliest(-2) /
+      // latest(-1) / timestamp probes for all 8 partitions are decoded,
+      // answered from the stored log per list_offsets.cc:112-159
+      // (earliest -> start offset with ts -1, latest -> hwm with ts -1,
+      // timequery -> first offset with ts >= t plus ITS record
+      // timestamp; no match -> (-1, -1)), re-encoded as response frames
+      // and decoded back — the emitted rows come from the re-decoded
+      // BYTES, so the whole serde chain is under the oracle. Byte sizes
+      // follow the v5 layout laws the oracle recomputes.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.ListOffsets
+      val log = storedLog(s, dir)
+      val nParts = EventPartitions
+      val T = 1705276800000L // 2024-01-15T00:00:00Z, the q3 probe
+      // bounded metadata-plane reads: one row per partition
+      val bounds = RecordLog.offsetBounds(log).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val tq = log.where(col("ts") >= timestamp_millis(lit(T)))
+        .groupBy("partition")
+        .agg(min("offset").as("off"),
+          min_by(unix_millis(col("ts")), col("offset")).as("rts"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val probes = Seq(("earliest", 1, -2L), ("latest", 2, -1L), ("timequery", 3, T))
+      probes.flatMap { case (kind, corr, ts) =>
+        val reqFrame = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(2, 5, corr, Some("graft")),
+          ListOffsets.encodeRequest(ListOffsets.Request(-1, 0, Seq(
+            ListOffsets.Topic("events",
+              (0 until nParts).map(p => ListOffsets.Part(p, -1, ts)))))),
+          flexible = false)
+        val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = false)
+        val req = ListOffsets.decodeRequest(reqBody)
+        val resp = ListOffsets.Response(0, req.topics.map(t =>
+          ListOffsets.RespTopic(t.name, t.partitions.map { p =>
+            val (rts, off) = p.timestamp match {
+              case ListOffsets.EarliestTimestamp =>
+                (-1L, bounds(p.partitionIndex)._1)
+              case ListOffsets.LatestTimestamp =>
+                (-1L, bounds(p.partitionIndex)._2)
+              case _ => tq.get(p.partitionIndex)
+                .map { case (o, t0) => (t0, o) }.getOrElse((-1L, -1L))
+            }
+            ListOffsets.RespPart(p.partitionIndex, 0, rts, off, 0)
+          })))
+        val respFrame = WireHeaders.encodeResponseFrame(
+          hdr.correlationId, ListOffsets.encodeResponse(resp))
+        val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame)
+        ListOffsets.decodeResponse(respBody).topics.flatMap(_.partitions).map(p =>
+          (kind, p.partitionIndex, p.errorCode.toInt, p.timestamp, p.offset,
+            p.leaderEpoch, reqFrame.length, respFrame.length, corrBack == corr))
+      }.toDF("req", "partition", "error_code", "timestamp", "offset",
+        "leader_epoch", "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("req", "partition")
+    }),
+
     "q3_timequery" -> ((s, dir) =>
       RecordLog.offsetsForTimestamp(storedLog(s, dir), col("ts"),
           lit("2024-01-15 00:00:00").cast("timestamp"))
@@ -4682,6 +4740,47 @@ object SparkEntry {
       // batch-timestamp monotonicity flag (segment_index.cc:121-126).
       graft.log.SegmentIndex.indexState(s3Batches(s, dir))
         .orderBy("partition", "segment")),
+
+    "s3_index_size_seek" -> ((s, dir) => {
+      // The size-distance lookups (index_state.cc:708-736):
+      // find_above_size_bytes = first entry strictly past the byte
+      // needle (upper_bound), find_below_size_bytes = last entry at or
+      // below it (upper_bound minus one). Probes bracket each
+      // segment's filepos range: 0, the midpoint, the max, past-max.
+      val batches = s3Batches(s, dir).localCheckpoint(true)
+      val entries = graft.log.SegmentIndex.indexEntries(batches, S3IndexStep)
+      val fp = entries.groupBy("partition", "segment").agg(max("filepos").as("mx"))
+      val probes = fp.select(col("partition"), col("segment"),
+        explode(array(lit(0L), floor(col("mx") / 2).cast("long"),
+          col("mx"), col("mx") + 1)).as("probe"))
+      graft.log.SegmentIndex.findAboveSizeBytes(entries, probes)
+        .withColumn("mode", lit("above"))
+        .unionByName(graft.log.SegmentIndex.findBelowSizeBytes(entries, probes)
+          .withColumn("mode", lit("below")))
+        .orderBy("mode", "partition", "segment", "probe")
+    }),
+
+    "s3_index_truncate" -> ((s, dir) => {
+      // index_state::truncate (index_state.cc:739-763): a cut below the
+      // base is a no-op; otherwise entries from offset_lower_bound on
+      // drop, and the header bounds shrink to the cut (or collapse to
+      // the base when the cut emptied the index). Three cut shapes per
+      // segment: below-base, midpoint, and the base itself.
+      val batches = s3Batches(s, dir).localCheckpoint(true)
+      val entries = graft.log.SegmentIndex.indexEntries(batches, S3IndexStep)
+      val state = graft.log.SegmentIndex.indexState(batches)
+      def run(tag: String, cut: Column): DataFrame =
+        graft.log.SegmentIndex.truncatedState(entries, state,
+            state.select(col("partition"), col("segment"),
+              cut.as("new_max_offset"),
+              (col("base_timestamp") + 5L).as("new_max_ts")))
+          .withColumn("scenario", lit(tag))
+      run("noop", col("base_offset") - 1)
+        .unionByName(run("mid",
+          floor((col("base_offset") + col("max_offset")) / 2).cast("long")))
+        .unionByName(run("empty", col("base_offset")))
+        .orderBy("scenario", "partition", "segment")
+    }),
 
     "s3_index_nondata" -> ((s, dir) => {
       // The non-data-timestamp override (index_state.cc:246-264):
@@ -7378,6 +7477,35 @@ object SparkEntry {
       s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log
          | WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
 
+    // The wire round-trip re-derived: query results from the log, byte
+    // sizes from the v5 layout laws (request frame = 4 size + 15 header
+    // [2+2+4 + 2+len('graft')] + body [4+1+4 + 2+len('events') + 4 +
+    // n*16] = 40 + 16n; response frame = 4 + 4 + body [4+4 + 2+6 + 4 +
+    // n*26] = 28 + 26n).
+    "q1_wire_list_offsets" ->
+      s"""$LogCte,
+         | b AS (SELECT partition, min("offset") AS earliest,
+         |     max("offset") + 1 AS hwm FROM log GROUP BY 1),
+         | t AS (SELECT partition, min("offset") AS off,
+         |     min_by(CAST(epoch_ms(ts) AS BIGINT), "offset") AS rts
+         |   FROM log WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+         | n AS (SELECT count(*) AS np FROM b),
+         | res AS (
+         |  SELECT 'earliest' AS req, partition, CAST(-1 AS BIGINT) AS "timestamp",
+         |         CAST(earliest AS BIGINT) AS "offset" FROM b
+         |  UNION ALL
+         |  SELECT 'latest', partition, -1, hwm FROM b
+         |  UNION ALL
+         |  SELECT 'timequery', b.partition, coalesce(t.rts, -1),
+         |         coalesce(t.off, -1)
+         |  FROM b LEFT JOIN t ON t.partition = b.partition)
+         | SELECT r.req, r.partition, 0 AS error_code, r."timestamp", r."offset",
+         |        0 AS leader_epoch,
+         |        CAST(40 + 16 * n.np AS INTEGER) AS req_bytes,
+         |        CAST(28 + 26 * n.np AS INTEGER) AS resp_bytes,
+         |        TRUE AS corr_ok
+         | FROM res r, n ORDER BY r.req, r.partition""".stripMargin,
+
     "s4_tiered_manifest" ->
       s"""$LogCte SELECT
          |  CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'archive' ELSE 'local' END AS tier,
@@ -9375,6 +9503,61 @@ object SparkEntry {
          |        max_timestamp, timestamps_monotonic,
          |        FALSE AS non_data_timestamps, n_batches
          | FROM st ORDER BY partition, segment""".stripMargin,
+
+    "s3_index_size_seek" ->
+      s"""$S3IndexCte,
+         | fp AS (SELECT partition, segment, max(filepos) AS mx
+         |   FROM entries GROUP BY 1, 2),
+         | pr AS (SELECT DISTINCT partition, segment,
+         |   unnest([0, mx // 2, mx, mx + 1]) AS probe FROM fp),
+         | ab AS (SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
+         |     min(e.filepos) AS fpos
+         |   FROM pr p LEFT JOIN entries e ON e.partition = p.partition
+         |     AND e.segment = p.segment AND e.filepos > p.probe
+         |   GROUP BY 1, 2, 3),
+         | bl AS (SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
+         |     max(e.filepos) AS fpos
+         |   FROM pr p LEFT JOIN entries e ON e.partition = p.partition
+         |     AND e.segment = p.segment AND e.filepos <= p.probe
+         |   GROUP BY 1, 2, 3),
+         | res AS (
+         |  SELECT 'above' AS mode, a.partition, a.segment, a.probe,
+         |         a.fpos IS NOT NULL AS found, e.rel_offset, e.rel_time, e.filepos
+         |  FROM ab a LEFT JOIN entries e ON e.partition = a.partition
+         |    AND e.segment = a.segment AND e.filepos = a.fpos
+         |  UNION ALL
+         |  SELECT 'below', b.partition, b.segment, b.probe,
+         |         b.fpos IS NOT NULL, e.rel_offset, e.rel_time, e.filepos
+         |  FROM bl b LEFT JOIN entries e ON e.partition = b.partition
+         |    AND e.segment = b.segment AND e.filepos = b.fpos)
+         | SELECT partition, segment, probe, found, rel_offset, rel_time,
+         |        filepos, mode
+         | FROM res ORDER BY mode, partition, segment, probe""".stripMargin,
+
+    "s3_index_truncate" ->
+      s"""$S3IndexCte,
+         | cuts AS (SELECT partition, segment, base_offset AS b, max_offset AS m,
+         |     base_timestamp AS bt, max_timestamp AS mt, n,
+         |     unnest(['noop', 'mid', 'empty']) AS scenario
+         |   FROM (SELECT st.*, (SELECT count(*) FROM entries e
+         |       WHERE e.partition = st.partition AND e.segment = st.segment) AS n
+         |     FROM st)),
+         | ap AS (SELECT *,
+         |     CASE scenario WHEN 'noop' THEN b - 1
+         |          WHEN 'mid' THEN (b + m) // 2 ELSE b END AS nmo
+         |   FROM cuts),
+         | k AS (SELECT a.*, (SELECT count(*) FROM entries e
+         |     WHERE e.partition = a.partition AND e.segment = a.segment
+         |       AND (a.nmo < a.b OR e.rel_offset < a.nmo - a.b)) AS kept
+         |   FROM ap a)
+         | SELECT partition, segment, CAST(b AS BIGINT) AS base_offset,
+         |        CAST(CASE WHEN nmo < b OR nmo >= m THEN m
+         |             WHEN kept = 0 THEN b ELSE nmo END AS BIGINT) AS max_offset,
+         |        CAST(bt AS BIGINT) AS base_timestamp,
+         |        CAST(CASE WHEN nmo < b OR nmo >= m THEN mt
+         |             WHEN kept = 0 THEN bt ELSE bt + 5 END AS BIGINT) AS max_timestamp,
+         |        CAST(kept AS BIGINT) AS n_entries, scenario
+         | FROM k ORDER BY scenario, partition, segment""".stripMargin,
 
     // Golden fold output for the non-data-timestamp override fixture
     // (hand-traced against index_state.cc:246-312; see the entry's

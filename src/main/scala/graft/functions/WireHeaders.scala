@@ -192,6 +192,100 @@ object WireHeaders {
     b.array()
   }
 
+  // ------------------------------------------------ ListOffsets serde
+
+  /** Legacy (non-compact) string: int16 length + bytes. */
+  private def putLegacyString(b: ByteBuffer, s: String): Unit = {
+    val bts = s.getBytes("UTF-8")
+    b.putShort(bts.length.toShort); b.put(bts)
+  }
+  private def getLegacyString(b: ByteBuffer): String = {
+    val n = b.getShort()
+    require(n >= 0, s"null string where non-null expected ($n)")
+    val a = new Array[Byte](n); b.get(a); new String(a, "UTF-8")
+  }
+
+  /** ListOffsets (api key 2) v5 — the reference supports 0-5 with NO
+    * flexible versions (`schemata/list_offset_request.json`
+    * validVersions 0-5, flexibleVersions none), so arrays are
+    * int32-counted and strings legacy. Special request timestamps:
+    * -2 earliest, -1 latest (`list_offsets.cc:112-133`). */
+  object ListOffsets {
+    val EarliestTimestamp: Long = -2L
+    val LatestTimestamp: Long = -1L
+
+    final case class Part(partitionIndex: Int, currentLeaderEpoch: Int,
+        timestamp: Long)
+    final case class Topic(name: String, partitions: Seq[Part])
+    final case class Request(replicaId: Int, isolationLevel: Byte,
+        topics: Seq[Topic])
+    final case class RespPart(partitionIndex: Int, errorCode: Short,
+        timestamp: Long, offset: Long, leaderEpoch: Int)
+    final case class RespTopic(name: String, partitions: Seq[RespPart])
+    final case class Response(throttleMs: Int, topics: Seq[RespTopic])
+
+    def requestBodySize(r: Request): Int =
+      4 + 1 + 4 + r.topics.map(t =>
+        2 + t.name.getBytes("UTF-8").length + 4 + t.partitions.size * 16).sum
+
+    def responseBodySize(r: Response): Int =
+      4 + 4 + r.topics.map(t =>
+        2 + t.name.getBytes("UTF-8").length + 4 + t.partitions.size * 26).sum
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(requestBodySize(r))
+      b.putInt(r.replicaId)
+      b.put(r.isolationLevel)
+      b.putInt(r.topics.size)
+      r.topics.foreach { t =>
+        putLegacyString(b, t.name)
+        b.putInt(t.partitions.size)
+        t.partitions.foreach { p =>
+          b.putInt(p.partitionIndex); b.putInt(p.currentLeaderEpoch)
+          b.putLong(p.timestamp)
+        }
+      }
+      b.array()
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val replica = b.getInt(); val iso = b.get()
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getLegacyString(b)
+        Topic(name, (0 until b.getInt()).map(_ =>
+          Part(b.getInt(), b.getInt(), b.getLong())))
+      }
+      Request(replica, iso, topics)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(responseBodySize(r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.topics.size)
+      r.topics.foreach { t =>
+        putLegacyString(b, t.name)
+        b.putInt(t.partitions.size)
+        t.partitions.foreach { p =>
+          b.putInt(p.partitionIndex); b.putShort(p.errorCode)
+          b.putLong(p.timestamp); b.putLong(p.offset); b.putInt(p.leaderEpoch)
+        }
+      }
+      b.array()
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getLegacyString(b)
+        RespTopic(name, (0 until b.getInt()).map(_ =>
+          RespPart(b.getInt(), b.getShort(), b.getLong(), b.getLong(), b.getInt())))
+      }
+      Response(throttle, topics)
+    }
+  }
+
   def decodeApiVersions(bytes: Array[Byte], version: Int): ApiVersionsResponse = {
     val b = ByteBuffer.wrap(bytes)
     val err = b.getShort()

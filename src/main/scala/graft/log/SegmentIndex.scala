@@ -200,6 +200,95 @@ object SegmentIndex {
         col("e.filepos").as("filepos"))
 
   /**
+   * `find_above_size_bytes(distance)` (`index_state.cc:708-720`): the
+   * FIRST entry whose file position is strictly above the needle —
+   * `position_upper_bound` then translate; null when every entry sits
+   * at-or-below (or the index is empty). Used by the reader to skip
+   * `distance` bytes into a segment.
+   */
+  def findAboveSizeBytes(entries: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(broadcast(renamedEntries(entries)),
+        col("ep") === col("partition") && col("es") === col("segment") &&
+          col("filepos") > col("probe"), "left")
+      .groupBy(col("partition"), col("segment"), col("probe"))
+      // entries ascend in filepos, so min(struct) with filepos leading
+      // is the upper_bound entry
+      .agg(min(when(col("entry_seq").isNotNull, struct(
+        col("filepos"), col("rel_offset"), col("rel_time")))).as("e"))
+      .select(col("partition"), col("segment"), col("probe"),
+        col("e").isNotNull.as("found"),
+        col("e.rel_offset").as("rel_offset"), col("e.rel_time").as("rel_time"),
+        col("e.filepos").as("filepos"))
+
+  /**
+   * `find_below_size_bytes(distance)` (`:722-736`): the LAST entry at
+   * or below the needle (upper_bound minus one); null when even entry
+   * 0 sits above. Bounds a read that must not exceed `distance` bytes.
+   */
+  def findBelowSizeBytes(entries: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(broadcast(renamedEntries(entries)),
+        col("ep") === col("partition") && col("es") === col("segment") &&
+          col("filepos") <= col("probe"), "left")
+      .groupBy(col("partition"), col("segment"), col("probe"))
+      .agg(max(when(col("entry_seq").isNotNull, struct(
+        col("filepos"), col("rel_offset"), col("rel_time")))).as("e"))
+      .select(col("partition"), col("segment"), col("probe"),
+        col("e").isNotNull.as("found"),
+        col("e.rel_offset").as("rel_offset"), col("e.rel_time").as("rel_time"),
+        col("e.filepos").as("filepos"))
+
+  /**
+   * Index truncation (`index_state::truncate`, `:739-763`) as the
+   * surviving entries: a cut at `new_max_offset` drops every entry
+   * with `rel_offset >= new_max_offset - base_offset`
+   * (offset_lower_bound onward); a cut below the segment base is a
+   * no-op. `cuts`: one `(partition, segment, new_max_offset)` row per
+   * segment (absent segments keep everything).
+   */
+  def truncatedEntries(entries: DataFrame, state: DataFrame,
+      cuts: DataFrame): DataFrame =
+    entries
+      .join(broadcast(state.select(col("partition"), col("segment"),
+        col("base_offset"))), Seq("partition", "segment"))
+      .join(broadcast(cuts), Seq("partition", "segment"), "left")
+      .where(col("new_max_offset").isNull ||
+        col("new_max_offset") < col("base_offset") ||
+        col("rel_offset") < col("new_max_offset") - col("base_offset"))
+      .select(col("partition"), col("segment"), col("entry_seq"),
+        col("rel_offset"), col("rel_time"), col("filepos"))
+
+  /**
+   * Post-truncation header state (`:753-762`): bounds shrink to
+   * `(new_max_offset, new_max_timestamp)` when the cut lowered
+   * `max_offset`; if the cut emptied the index they collapse to the
+   * base instead. `cuts` carries `(partition, segment, new_max_offset,
+   * new_max_ts)`.
+   */
+  def truncatedState(entries: DataFrame, state: DataFrame,
+      cuts: DataFrame): DataFrame = {
+    val surviving = truncatedEntries(entries, state, cuts)
+      .groupBy("partition", "segment")
+      .agg(count(lit(1)).as("__kept"))
+    state
+      .join(broadcast(cuts), Seq("partition", "segment"), "left")
+      .join(broadcast(surviving), Seq("partition", "segment"), "left")
+      .withColumn("__kept", coalesce(col("__kept"), lit(0L)))
+      .withColumn("__applies",
+        col("new_max_offset").isNotNull &&
+          col("new_max_offset") >= col("base_offset") &&
+          col("new_max_offset") < col("max_offset"))
+      .select(col("partition"), col("segment"), col("base_offset"),
+        when(!col("__applies"), col("max_offset"))
+          .when(col("__kept") === 0, col("base_offset"))
+          .otherwise(col("new_max_offset")).as("max_offset"),
+        col("base_timestamp"),
+        when(!col("__applies"), col("max_timestamp"))
+          .when(col("__kept") === 0, col("base_timestamp"))
+          .otherwise(col("new_max_ts")).as("max_timestamp"),
+        col("__kept").as("n_entries"))
+  }
+
+  /**
    * `find_nearest(timestamp)`: lower_bound on relative time, stepped
    * back one entry (clamped at 0); null when the needle precedes
    * `base_timestamp` or exceeds every indexed time.

@@ -61,6 +61,55 @@ class SegmentIndexSpec extends SparkSpec {
       (20L, true, 20L), (39L, true, 20L)))
   }
 
+  test("find_above/below_size_bytes: upper_bound and upper_bound-minus-one") {
+    // p0 seg0 entries sit at filepos 0 and 80 (see the entries test)
+    val st = SegmentIndex.indexState(batchesDf)
+    val probes = Seq((0, 0L, 0L), (0, 0L, 79L), (0, 0L, 80L), (0, 0L, 200L))
+      .toDF("partition", "segment", "probe")
+    val above = SegmentIndex.findAboveSizeBytes(entries, probes)
+      .orderBy("probe").collect()
+      .map(r => (r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(6)) -99L else r.getLong(6)))
+    assert(above === Seq(
+      (0L, true, 80L),    // first entry strictly past byte 0
+      (79L, true, 80L),
+      (80L, false, -99L), // nothing past the last entry
+      (200L, false, -99L)))
+    val below = SegmentIndex.findBelowSizeBytes(entries, probes)
+      .orderBy("probe").collect()
+      .map(r => (r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(6)) -99L else r.getLong(6)))
+    assert(below === Seq(
+      (0L, true, 0L),     // entry 0 is at-or-below byte 0
+      (79L, true, 0L),
+      (80L, true, 80L),
+      (200L, true, 80L)))
+  }
+
+  test("truncate: below-base no-op, midpoint cut shrinks, base cut collapses to base") {
+    val st = SegmentIndex.indexState(batchesDf)
+    def cutAt(c: Long) = Seq((0, 0L, c, 7777L))
+      .toDF("partition", "segment", "new_max_offset", "new_max_ts")
+    def stateRow(c: Long) = SegmentIndex.truncatedState(entries, st, cutAt(c))
+      .where($"partition" === 0 && $"segment" === 0).collect()(0)
+    // p0 seg0: base 0, max 39, entries at rel 0 and 20
+    val noop = stateRow(-1L)
+    assert(noop.getAs[Long]("max_offset") === 39L)
+    assert(noop.getAs[Long]("n_entries") === 2L)
+    val mid = stateRow(20L) // lower_bound(20) drops the rel-20 entry
+    assert(mid.getAs[Long]("max_offset") === 20L)
+    assert(mid.getAs[Long]("max_timestamp") === 7777L)
+    assert(mid.getAs[Long]("n_entries") === 1L)
+    val empty = stateRow(0L) // every entry dropped: collapse to base
+    assert(empty.getAs[Long]("max_offset") === 0L)
+    assert(empty.getAs[Long]("max_timestamp") ===
+      empty.getAs[Long]("base_timestamp"))
+    assert(empty.getAs[Long]("n_entries") === 0L)
+    // entry table itself shrinks in step
+    assert(SegmentIndex.truncatedEntries(entries, st, cutAt(20L))
+      .where($"partition" === 0 && $"segment" === 0).count() === 1L)
+  }
+
   test("non-data timestamps: config head indexed, first user batch overrides entry 0") {
     // (partition, segment, base, last, first_ts, max_ts, size, user_data)
     val mixed = Seq(
