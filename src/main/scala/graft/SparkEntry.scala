@@ -2795,6 +2795,47 @@ object SparkEntry {
     "q6_metadata" -> ((s, dir) =>
       graft.admin.Admin.metadata(storedLog(s, dir), "events").orderBy("partition")),
 
+    "q6_wire_metadata" -> ((s, dir) => {
+      // Wire-in/wire-out metadata: a FLEXIBLE v9 Metadata frame (api
+      // key 3 — the reference's first flexible version, compact
+      // strings/arrays + tag buffers per KIP-482) is decoded, answered
+      // from the stored log's partition state, re-encoded and decoded
+      // back; emitted rows come from the re-decoded bytes so the
+      // compact serde is under the oracle, and the frame byte sizes
+      // follow the v9 layout laws the oracle recomputes.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.Metadata
+      val parts = graft.admin.Admin.metadata(storedLog(s, dir), "events")
+        .select("partition").collect().map(_.getInt(0)).sorted // metadata-plane, 8 rows
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(3, 9, 7, Some("graft")),
+        Metadata.encodeRequest(Metadata.Request(Seq("events"),
+          allowAutoTopicCreation = false, includeClusterAuthorizedOps = false,
+          includeTopicAuthorizedOps = false)),
+        flexible = true)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
+      val req = Metadata.decodeRequest(reqBody)
+      val resp = Metadata.Response(0,
+        brokers = Seq(Metadata.Broker(0, "localhost", 9092, None)),
+        clusterId = None, controllerId = 0,
+        topics = req.topics.map(t => Metadata.Topic(0, t, isInternal = false,
+          parts.toIndexedSeq.map(p =>
+            Metadata.Part(0, p, 0, 0, Seq(0), Seq(0), Nil)))))
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        Metadata.encodeResponse(resp), flexibleHeader = true)
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
+        flexibleHeader = true)
+      Metadata.decodeResponse(respBody).topics.flatMap(t =>
+        t.partitions.map(p => (t.name, p.partitionIndex,
+          p.errorCode.toInt, p.leaderId, p.leaderEpoch,
+          p.replicas.size, p.isr.size, reqFrame.length, respFrame.length,
+          corrBack == 7)))
+        .toDF("topic", "partition", "error_code", "leader", "leader_epoch",
+          "n_replicas", "n_isr", "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("partition")
+    }),
+
     // ----- §2.3 incremental fetch sessions (KIP-227) -----
     "fsn_epochs" -> ((s, dir) => {
       val (reqs, _, _) = fsnScenario(s, dir)
@@ -4379,6 +4420,53 @@ object SparkEntry {
       ConsumerGroups.fetchOffsets(commits)
         .select("group", "topic", "partition", "committed_offset")
         .orderBy("group", "partition")
+    }),
+
+    "g2_wire_offset_fetch" -> ((s, dir) => {
+      // Wire-in/wire-out offset_fetch: a flexible v7 frame (api key 9,
+      // flexible from v6, require_stable per KIP-447) asking for group
+      // g0's committed offsets on all 8 partitions of `events`; the
+      // store answers from the compacted offsets log, missing
+      // partitions report committed_offset -1 with no error (the
+      // handler's absent-partition contract). Rows are decoded back
+      // from the response BYTES; sizes follow the v7 compact layout.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.OffsetFetch
+      val commits = events(s, dir).where(col("event_type") === "purchase")
+        .select(
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("committed_offset"),
+          col("event_id").as("commit_seq"))
+      val committed = ConsumerGroups.fetchOffsets(commits)
+        .where(col("group") === "g0")
+        .select("partition", "committed_offset").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ #partitions rows
+      val nParts = EventPartitions
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(9, 7, 11, Some("graft")),
+        OffsetFetch.encodeRequest(OffsetFetch.Request("g0",
+          Seq(("events", 0 until nParts)), requireStable = true)),
+        flexible = true)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
+      val req = OffsetFetch.decodeRequest(reqBody)
+      val resp = OffsetFetch.Response(0, req.topics.map { case (name, ps) =>
+        OffsetFetch.RespTopic(name, ps.map(p =>
+          OffsetFetch.RespPart(p, committed.getOrElse(p, -1L), -1, None, 0)))
+      }, errorCode = 0)
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        OffsetFetch.encodeResponse(resp), flexibleHeader = true)
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
+        flexibleHeader = true)
+      OffsetFetch.decodeResponse(respBody).topics.flatMap(t =>
+        t.partitions.map(p => (req.groupId, t.name, p.partitionIndex,
+          p.committedOffset, p.committedLeaderEpoch, p.errorCode.toInt,
+          reqFrame.length, respFrame.length, corrBack == 11)))
+        .toDF("group", "topic", "partition", "committed_offset",
+          "leader_epoch", "error_code", "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("partition")
     }),
 
     "g2_offset_delete" -> ((s, dir) => {
@@ -6049,6 +6137,56 @@ object SparkEntry {
             lit(";type="), col("event_type")).as("value"))
         .orderBy("event_id")),
 
+    "u1_wasm_mirror" -> ((s, dir) => {
+      // A REAL .wasm guest binary — GuestModules.mirror, assembled to
+      // the wasm 1.0 spec and executed per executor task by the graft
+      // interpreter against the reference's redpanda_transform host ABI
+      // (wasm/transform_module.h:137-158) — not a Scala re-statement of
+      // the transform. The guest loops read_batch_header /
+      // read_next_record / write_record exactly like an SDK build; the
+      // emitted payloads come back through the validated-write path
+      // (model/transform.cc:324) and are decoded for the oracle.
+      val in = storedLog(s, dir).select(col("partition"), col("offset"),
+        unix_millis(col("ts")).as("timestamp"),
+        col("event_id").cast("string").cast("binary").as("key"),
+        col("event_type").cast("binary").as("value"))
+      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.mirror)
+        .select(col("partition"),
+          decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
+          decode(col("value"), "UTF-8").as("event_type"))
+        .orderBy("event_id")
+    }),
+
+    "u3_wasm_upper" -> ((s, dir) => {
+      // The transcoding example as guest BYTECODE: GuestModules.
+      // upperValue parses the payload's zigzag-varint key/value framing
+      // and uppercases the value's ASCII letters inside wasm linear
+      // memory — the host only sees the already-transformed payload.
+      val in = storedLog(s, dir).select(col("partition"), col("offset"),
+        unix_millis(col("ts")).as("timestamp"),
+        col("event_id").cast("string").cast("binary").as("key"),
+        concat(lit("type="), col("event_type")).cast("binary").as("value"))
+      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.upperValue)
+        .select(decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
+          decode(col("value"), "UTF-8").as("value"))
+        .orderBy("event_id")
+    }),
+
+    "u1_wasm_router" -> ((s, dir) => {
+      // write_record_with_options from guest code: odd log offsets are
+      // routed to topic "odd" (options frame 0x01 + vint-sized name,
+      // wasm/transform_module.cc:40-55), even offsets to the default
+      // output; the fold counts per route.
+      val in = storedLog(s, dir).select(col("partition"), col("offset"),
+        unix_millis(col("ts")).as("timestamp"),
+        col("event_id").cast("string").cast("binary").as("key"),
+        col("event_type").cast("binary").as("value"))
+      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.oddEvenRouter)
+        .groupBy(coalesce(col("topic"), lit("default")).as("route"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("route")
+    }),
+
     "u3_sdk_vectors" -> ((s, dir) => {
       // The SDK example corpus replayed over its golden vectors through
       // the transform surface (example_{mirror,regexp_filter,
@@ -7661,6 +7799,25 @@ object SparkEntry {
          |        min("offset") AS start_offset, max("offset") + 1 AS hwm, count(*) AS n_records
          | FROM log GROUP BY 2 ORDER BY 2""".stripMargin,
 
+    // Metadata v9 frame-size laws: request = 4 frame + 16 header v2
+    //   ("graft" client id + tag buffer) + body 13 (1 array len +
+    //   (1+6 name + 1 tags) + 3 bools + 1 tags); response = 4 frame +
+    //   5 header v1 + body 61-less-partitions: 4 throttle + 21 brokers
+    //   (1 len + 4 id + 10 "localhost" + 4 port + 1 null rack + 1 tags)
+    //   + 1 null cluster_id + 4 controller + 1 topics len + 10 topic
+    //   head (2 err + 7 name + 1 internal) + 1 partitions len +
+    //   26/partition (2+4+4+4 + 5 replicas + 5 isr + 1 offline + 1 tags)
+    //   + 5 topic tail (4 auth ops + 1 tags) + 4 cluster ops + 1 tags.
+    "q6_wire_metadata" ->
+      s"""$LogCte, b AS (SELECT partition FROM log GROUP BY 1),
+         | n AS (SELECT count(*) AS np FROM b)
+         | SELECT 'events' AS topic, b.partition, 0 AS error_code, 0 AS leader,
+         |        0 AS leader_epoch, 1 AS n_replicas, 1 AS n_isr,
+         |        CAST(33 AS INTEGER) AS req_bytes,
+         |        CAST(61 + 26 * n.np AS INTEGER) AS resp_bytes,
+         |        TRUE AS corr_ok
+         | FROM b, n ORDER BY b.partition""".stripMargin,
+
     "fsn_epochs" ->
       s"""$FsnCte
          | SELECT session_id, seq, epoch, decision FROM d
@@ -9261,6 +9418,27 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
 
+    // OffsetFetch v7 frame-size laws: request = 4 frame + 16 header v2 +
+    //   body (3 "g0" + 1 topics len + 7 name + 1 parts len + 4/partition
+    //   + 1 tags + 1 require_stable + 1 tags) = 35 + 4·np; response =
+    //   4 frame + 5 header v1 + body (4 throttle + 1 topics len + 7 name
+    //   + 1 parts len + 20/partition (4+8+4 + 1 null metadata + 2 err +
+    //   1 tags) + 1 tags + 2 error + 1 tags) = 26 + 20·np.
+    "g2_wire_offset_fetch" ->
+      """WITH o AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+        |           max(event_id) AS off
+        |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1),
+        | p AS (SELECT CAST(range AS INTEGER) AS partition FROM range(8)),
+        | n AS (SELECT count(*) AS np FROM p)
+        | SELECT 'g0' AS "group", 'events' AS topic, p.partition,
+        |        CAST(coalesce(o.off, -1) AS BIGINT) AS committed_offset,
+        |        -1 AS leader_epoch, 0 AS error_code,
+        |        CAST(35 + 4 * n.np AS INTEGER) AS req_bytes,
+        |        CAST(26 + 20 * n.np AS INTEGER) AS resp_bytes,
+        |        TRUE AS corr_ok
+        | FROM p LEFT JOIN o ON o.partition = p.partition, n
+        | ORDER BY p.partition""".stripMargin,
+
     "g2_offset_delete" ->
       """WITH commits AS (
         |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
@@ -10164,6 +10342,20 @@ object SparkEntry {
     "u4_transform_validate" ->
       """SELECT CASE WHEN value <= 30.0 THEN 'output' ELSE 'dead_letter' END AS route, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u1_wasm_mirror" ->
+      """SELECT CAST(user_id % 8 AS INTEGER) AS partition, event_id, event_type
+        | FROM events ORDER BY event_id""".stripMargin,
+
+    "u3_wasm_upper" ->
+      """SELECT event_id, UPPER('type=' || event_type) AS value
+        | FROM events ORDER BY event_id""".stripMargin,
+
+    "u1_wasm_router" ->
+      """SELECT CASE WHEN ("offset" % 2) = 1 THEN 'odd' ELSE 'default' END AS route,
+        |       count(*) AS n
+        | FROM (SELECT row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
+        |       FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Golden pins of the Go SDK example behaviors (the semantics live
     // in the SDK's example tests, not in the data tables).

@@ -76,6 +76,43 @@ object WireHeaders {
     }
   }
 
+  // ---------------------------------------------- flexible (compact) helpers
+
+  /** COMPACT_STRING: uvarint(len + 1) then bytes (KIP-482). */
+  def putCompactString(b: ByteBuffer, s: String): Unit = {
+    val bts = s.getBytes("UTF-8")
+    putUvarint(b, bts.length + 1L); b.put(bts)
+  }
+  def getCompactString(b: ByteBuffer): String = {
+    val n = getUvarint(b)
+    require(n > 0, "null compact string where non-null expected")
+    val a = new Array[Byte](n.toInt - 1); b.get(a); new String(a, "UTF-8")
+  }
+  /** COMPACT_NULLABLE_STRING: uvarint 0 = null. */
+  def putCompactNullableString(b: ByteBuffer, s: Option[String]): Unit =
+    s match {
+      case None => putUvarint(b, 0L)
+      case Some(v) => putCompactString(b, v)
+    }
+  def getCompactNullableString(b: ByteBuffer): Option[String] = {
+    val n = getUvarint(b)
+    if (n == 0) None
+    else {
+      val a = new Array[Byte](n.toInt - 1); b.get(a)
+      Some(new String(a, "UTF-8"))
+    }
+  }
+  /** COMPACT_ARRAY length prefix: uvarint(n + 1). */
+  def putCompactArrayLen(b: ByteBuffer, n: Int): Unit = putUvarint(b, n + 1L)
+  def getCompactArrayLen(b: ByteBuffer): Int = {
+    val n = getUvarint(b)
+    require(n > 0, "null compact array where non-null expected")
+    n.toInt - 1
+  }
+  def compactStringSize(s: String): Int = {
+    val n = s.getBytes("UTF-8").length; uvarintSize(n + 1L) + n
+  }
+
   // ----------------------------------------------------- request header
 
   final case class RequestHeader(apiKey: Short, apiVersion: Short,
@@ -283,6 +320,193 @@ object WireHeaders {
           RespPart(b.getInt(), b.getShort(), b.getLong(), b.getLong(), b.getInt())))
       }
       Response(throttle, topics)
+    }
+  }
+
+  // ------------------------------------------------ Metadata v9 serde
+
+  /** Metadata (api key 3) v9 — the reference's first FLEXIBLE version
+    * (`schemata/metadata_request.json` validVersions 0-9, flexible 9+):
+    * compact strings/arrays, nullable rack/cluster_id, per-struct tag
+    * buffers. Topic authorized-operations default to INT32_MIN_VALUE
+    * (-2147483648) when not requested, as the schema's default. */
+  object Metadata {
+    final case class Request(topics: Seq[String], allowAutoTopicCreation: Boolean,
+        includeClusterAuthorizedOps: Boolean, includeTopicAuthorizedOps: Boolean)
+    final case class Broker(nodeId: Int, host: String, port: Int, rack: Option[String])
+    final case class Part(errorCode: Short, partitionIndex: Int, leaderId: Int,
+        leaderEpoch: Int, replicas: Seq[Int], isr: Seq[Int], offline: Seq[Int])
+    final case class Topic(errorCode: Short, name: String, isInternal: Boolean,
+        partitions: Seq[Part], topicAuthorizedOps: Int = Int.MinValue)
+    final case class Response(throttleMs: Int, brokers: Seq[Broker],
+        clusterId: Option[String], controllerId: Int, topics: Seq[Topic],
+        clusterAuthorizedOps: Int = Int.MinValue)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + r.topics.map(compactStringSize).sum)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t => putCompactString(b, t); putEmptyTags(b) }
+      b.put(if (r.allowAutoTopicCreation) 1.toByte else 0.toByte)
+      b.put(if (r.includeClusterAuthorizedOps) 1.toByte else 0.toByte)
+      b.put(if (r.includeTopicAuthorizedOps) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val n = getCompactString(b); getTags(b); n
+      }
+      val auto = b.get() == 1; val ic = b.get() == 1; val it = b.get() == 1
+      getTags(b)
+      Request(topics, auto, ic, it)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(256 + r.brokers.size * 64 +
+        r.topics.map(t => 64 + compactStringSize(t.name) +
+          t.partitions.map(p => 32 +
+            4 * (p.replicas.size + p.isr.size + p.offline.size)).sum).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.brokers.size)
+      r.brokers.foreach { br =>
+        b.putInt(br.nodeId); putCompactString(b, br.host); b.putInt(br.port)
+        putCompactNullableString(b, br.rack); putEmptyTags(b)
+      }
+      putCompactNullableString(b, r.clusterId)
+      b.putInt(r.controllerId)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t =>
+        b.putShort(t.errorCode); putCompactString(b, t.name)
+        b.put(if (t.isInternal) 1.toByte else 0.toByte)
+        putCompactArrayLen(b, t.partitions.size)
+        t.partitions.foreach { p =>
+          b.putShort(p.errorCode); b.putInt(p.partitionIndex)
+          b.putInt(p.leaderId); b.putInt(p.leaderEpoch)
+          def ints(xs: Seq[Int]): Unit = {
+            putCompactArrayLen(b, xs.size); xs.foreach(b.putInt)
+          }
+          ints(p.replicas); ints(p.isr); ints(p.offline)
+          putEmptyTags(b)
+        }
+        b.putInt(t.topicAuthorizedOps); putEmptyTags(b)
+      }
+      b.putInt(r.clusterAuthorizedOps)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val brokers = (0 until getCompactArrayLen(b)).map { _ =>
+        val br = Broker(b.getInt(), getCompactString(b), b.getInt(),
+          getCompactNullableString(b))
+        getTags(b); br
+      }
+      val clusterId = getCompactNullableString(b)
+      val controller = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val err = b.getShort(); val name = getCompactString(b)
+        val internal = b.get() == 1
+        val parts = (0 until getCompactArrayLen(b)).map { _ =>
+          def ints(): Seq[Int] =
+            (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          val p = Part(b.getShort(), b.getInt(), b.getInt(), b.getInt(),
+            ints(), ints(), ints())
+          getTags(b); p
+        }
+        val ops = b.getInt(); getTags(b)
+        Topic(err, name, internal, parts, ops)
+      }
+      val cops = b.getInt(); getTags(b)
+      Response(throttle, brokers, clusterId, controller, topics, cops)
+    }
+  }
+
+  // ---------------------------------------------- OffsetFetch v7 serde
+
+  /** OffsetFetch (api key 9) v7 — flexible from v6
+    * (`schemata/offset_fetch_request.json` validVersions 0-7, flexible
+    * 6+); v7 adds require_stable (KIP-447). Missing partitions answer
+    * committed_offset -1 / no error, per the handler. */
+  object OffsetFetch {
+    final case class Request(groupId: String,
+        topics: Seq[(String, Seq[Int])], requireStable: Boolean)
+    final case class RespPart(partitionIndex: Int, committedOffset: Long,
+        committedLeaderEpoch: Int, metadata: Option[String], errorCode: Short)
+    final case class RespTopic(name: String, partitions: Seq[RespPart])
+    final case class Response(throttleMs: Int, topics: Seq[RespTopic],
+        errorCode: Short)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.groupId) +
+        r.topics.map { case (n, ps) => 16 + compactStringSize(n) + 4 * ps.size }.sum)
+      putCompactString(b, r.groupId)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putCompactString(b, name)
+        putCompactArrayLen(b, parts.size)
+        parts.foreach(b.putInt)
+        putEmptyTags(b)
+      }
+      b.put(if (r.requireStable) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val gid = getCompactString(b)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val parts = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+        getTags(b)
+        (name, parts: Seq[Int])
+      }
+      val stable = b.get() == 1
+      getTags(b)
+      Request(gid, topics, stable)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + r.topics.map { t =>
+        16 + compactStringSize(t.name) + t.partitions.map(p =>
+          24 + p.metadata.map(compactStringSize).getOrElse(1)).sum }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t =>
+        putCompactString(b, t.name)
+        putCompactArrayLen(b, t.partitions.size)
+        t.partitions.foreach { p =>
+          b.putInt(p.partitionIndex); b.putLong(p.committedOffset)
+          b.putInt(p.committedLeaderEpoch)
+          putCompactNullableString(b, p.metadata)
+          b.putShort(p.errorCode); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.putShort(r.errorCode)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val parts = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = RespPart(b.getInt(), b.getLong(), b.getInt(),
+            getCompactNullableString(b), b.getShort())
+          getTags(b); p
+        }
+        getTags(b)
+        RespTopic(name, parts)
+      }
+      val err = b.getShort(); getTags(b)
+      Response(throttle, topics, err)
     }
   }
 

@@ -1,0 +1,168 @@
+package graft.wasm
+
+import WasmAssembler._
+import WasmModule.I32
+
+/**
+ * Golden guest transforms as genuine `.wasm` binaries, assembled
+ * deterministically (no toolchain in this container). Each follows the
+ * SDK's processing loop (`transform-sdk/go/transform/processor.go`):
+ * `check_abi_version_2`, then per batch `read_batch_header` →
+ * `read_next_record`* → `write_record`*, exiting via wasi `proc_exit`
+ * once the host hands back NO_ACTIVE_TRANSFORM.
+ *
+ * Shared guest memory layout (all scratch below the 1 KiB line):
+ *   0 base_offset i64 · 8 record_count i32 · 12 leader_epoch i32 ·
+ *   16 attrs i16 · 20 last_offset_delta i32 · 24 base_ts i64 ·
+ *   32 max_ts i64 · 40 producer_id i64 · 48 producer_epoch i16 ·
+ *   52 base_seq i32 · 56 rec_attrs u8 · 64 rec_ts i64 · 72 rec_off i64 ·
+ *   120 varint cursor i32 · 128 write-options bytes · 1024 payload buf
+ */
+object GuestModules {
+
+  // function types, shared across guests
+  private val types = Seq(
+    (Seq.empty[Byte], Seq.empty[Byte]),                 // 0: () -> ()
+    (Seq.fill[Byte](10)(I32), Seq(I32)),                // 1: read_batch_header
+    (Seq.fill[Byte](5)(I32), Seq(I32)),                 // 2: read_next_record
+    (Seq[Byte](I32, I32), Seq(I32)),                    // 3: write_record
+    (Seq.fill[Byte](4)(I32), Seq(I32)),                 // 4: write_record_with_options
+    (Seq[Byte](I32), Seq.empty[Byte]),                  // 5: proc_exit
+    (Seq.empty[Byte], Seq(I32)))                        // 6: () -> i32 (varint)
+
+  private val abiImports = Seq(
+    FuncImport("redpanda_transform", "check_abi_version_2", 0),  // 0
+    FuncImport("redpanda_transform", "read_batch_header", 1),    // 1
+    FuncImport("redpanda_transform", "read_next_record", 2),     // 2
+    FuncImport("redpanda_transform", "write_record", 3),         // 3
+    FuncImport("redpanda_transform", "write_record_with_options", 4), // 4
+    FuncImport("wasi_snapshot_preview1", "proc_exit", 5))        // 5
+
+  /** `read_batch_header` call with the standard scratch pointers. */
+  private def callReadBatchHeader(b: Body): Body = {
+    Seq(0, 8, 12, 16, 20, 24, 32, 40, 48, 52).foreach(p => b.i32Const(p))
+    b.call(1)
+  }
+
+  /**
+   * The batch/record double loop shared by every guest, with
+   * `perRecord` splicing the guest's own logic between read and
+   * advance. Locals: 0 = bufSize, 1 = record index, 2 = payload size.
+   */
+  private def processingLoop(perRecord: Body => Unit, extraLocals: Int): Func = {
+    val b = body()
+    b.call(0)                                    // check_abi_version_2
+    b.block()                                    //   L_EXIT
+    b.loop()                                     //     L_BATCH
+    callReadBatchHeader(b)
+    b.localTee(0).i32Const(0).i32LtS().brIf(1)   // no more batches → exit
+    b.i32Const(0).localSet(1)                    // i = 0
+    b.block()                                    //     L_RECS_DONE
+    b.loop()                                     //       L_REC
+    b.localGet(1).i32Const(8).i32Load().i32GeS().brIf(1) // i >= record_count
+    b.i32Const(56).i32Const(64).i32Const(72).i32Const(1024).localGet(0)
+    b.call(2).localSet(2)                        // n = read_next_record
+    b.localGet(2).i32Const(0).i32LtS().brIf(1)   // defensive: host says done
+    perRecord(b)
+    b.localGet(1).i32Const(1).i32Add().localSet(1)
+    b.br(0)                                      // next record
+    b.end().end()                                // L_REC, L_RECS_DONE
+    b.br(0)                                      // next batch
+    b.end().end()                                // L_BATCH, L_EXIT
+    b.i32Const(0).call(5)                        // proc_exit(0)
+    Func(0, 3 + extraLocals, 0, b)
+  }
+
+  /** Identity transform: every payload written back unchanged
+    * (`example_mirror_test.go`). */
+  lazy val mirror: Array[Byte] = module(
+    types = types,
+    imports = abiImports,
+    funcs = Seq(processingLoop(b => {
+      b.i32Const(1024).localGet(2).call(3).drop()
+    }, extraLocals = 0)),
+    memPages = 4,
+    exports = Seq(Export("_start", 6)))
+
+  /**
+   * Uppercase transcoder: parses the payload's key/value varint
+   * framing IN GUEST CODE and uppercases ASCII a-z in the value
+   * bytes in place, leaving key and headers untouched.
+   * Locals (beyond the loop's 0-2): 3 = key len, 4 = value len,
+   * 5 = j, 6 = addr, 7 = byte.
+   */
+  lazy val upperValue: Array[Byte] = {
+    // varint helper (type 6): zigzag-decode an i32 at *cursor, advance
+    // cursor. Locals: 0 = u, 1 = byte, 2 = shift.
+    val v = body()
+    v.i32Const(0).localSet(0)
+    v.i32Const(0).localSet(2)
+    v.loop()
+    v.i32Const(120).i32Load().i32Load8U().localSet(1)        // b = *cursor
+    v.i32Const(120).i32Const(120).i32Load().i32Const(1).i32Add().i32Store()
+    v.localGet(0)
+    v.localGet(1).i32Const(0x7f).i32And()
+    v.localGet(2).i32Shl()
+    v.i32Or().localSet(0)                                    // u |= (b&0x7f)<<shift
+    v.localGet(2).i32Const(7).i32Add().localSet(2)
+    v.localGet(1).i32Const(0x80).i32And().brIf(0)            // continuation bit
+    v.end()
+    v.localGet(0).i32Const(1).i32ShrU()                      // u >>> 1
+    v.i32Const(0).localGet(0).i32Const(1).i32And().i32Sub()  // -(u & 1)
+    v.i32Xor()
+    val varintFunc = Func(6, 3, 0, v)
+
+    val main = processingLoop(b => {
+      b.i32Const(120).i32Const(1024).i32Store()              // cursor = buf
+      b.call(7).localSet(3)                                  // key len
+      b.localGet(3).i32Const(0).i32GtS()
+      b.ifOp()                                               // skip key bytes
+      b.i32Const(120).i32Const(120).i32Load().localGet(3).i32Add().i32Store()
+      b.end()
+      b.call(7).localSet(4)                                  // value len
+      b.i32Const(0).localSet(5)                              // j = 0
+      b.block().loop()
+      b.localGet(5).localGet(4).i32GeS().brIf(1)             // j >= len (null = -1 skips)
+      b.i32Const(120).i32Load().localGet(5).i32Add().localSet(6)
+      b.localGet(6).i32Load8U().localSet(7)
+      b.localGet(7).i32Const('a'.toInt).i32GeS()
+      b.localGet(7).i32Const('z'.toInt).i32LeS().i32And()
+      b.ifOp()
+      b.localGet(6).localGet(7).i32Const(32).i32Sub().i32Store8()
+      b.end()
+      b.localGet(5).i32Const(1).i32Add().localSet(5)
+      b.br(0)
+      b.end().end()
+      b.i32Const(1024).localGet(2).call(3).drop()            // write_record
+    }, extraLocals = 5)
+
+    module(
+      types = types,
+      imports = abiImports,
+      funcs = Seq(main, varintFunc),                         // 6 = _start, 7 = varint
+      memPages = 4,
+      exports = Seq(Export("_start", 6)))
+  }
+
+  /**
+   * Topic router: odd record offsets are written with options routing
+   * them to topic "odd" (`write_record_with_options`, options layout
+   * per `write_options::parse`: 0x01 + vint-sized name), even offsets
+   * to the default output.
+   */
+  lazy val oddEvenRouter: Array[Byte] = module(
+    types = types,
+    imports = abiImports,
+    funcs = Seq(processingLoop(b => {
+      b.i32Const(72).i64Load().i64Const(1L).op(0x83) // i64.and
+      b.op(0xa7)                                     // i32.wrap_i64
+      b.ifOp()
+      b.i32Const(1024).localGet(2).i32Const(128).i32Const(5).call(4).drop()
+      b.elseOp()
+      b.i32Const(1024).localGet(2).call(3).drop()
+      b.end()
+    }, extraLocals = 0)),
+    memPages = 4,
+    exports = Seq(Export("_start", 6)),
+    datas = Seq(Data(128, Array[Byte](0x01, 0x06, 'o', 'd', 'd'))))
+}

@@ -77,6 +77,33 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("Metadata v9: flexible round trip with nullable rack/cluster_id") {
+    import WireHeaders.Metadata._
+    val req = Request(Seq("events", "logs"), allowAutoTopicCreation = true,
+      includeClusterAuthorizedOps = false, includeTopicAuthorizedOps = true)
+    assert(decodeRequest(encodeRequest(req)) === req)
+    val resp = Response(5,
+      Seq(Broker(0, "a", 9092, None), Broker(1, "b", 9093, Some("r1"))),
+      Some("cid"), 1,
+      Seq(Topic(0, "events", isInternal = false,
+        Seq(Part(0, 0, 1, 3, Seq(0, 1), Seq(1), Nil),
+          Part(0, 1, 0, 2, Seq(0), Seq(0), Seq(1))))))
+    assert(decodeResponse(encodeResponse(resp)) === resp)
+    // null cluster/rack leg
+    val bare = Response(0, Seq(Broker(0, "h", 1, None)), None, 0, Nil)
+    assert(decodeResponse(encodeResponse(bare)) === bare)
+  }
+
+  test("OffsetFetch v7: flexible round trip incl. missing-partition answers") {
+    import WireHeaders.OffsetFetch._
+    val req = Request("g0", Seq(("events", Seq(0, 1, 2))), requireStable = true)
+    assert(decodeRequest(encodeRequest(req)) === req)
+    val resp = Response(0, Seq(RespTopic("events", Seq(
+      RespPart(0, 42L, 3, Some("m"), 0),
+      RespPart(1, -1L, -1, None, 0)))), 0)
+    assert(decodeResponse(encodeResponse(resp)) === resp)
+  }
+
   test("uvarint: boundaries and overlong rejection") {
     val b = java.nio.ByteBuffer.allocate(32)
     Seq(0L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong).foreach { v =>

@@ -1,0 +1,87 @@
+package graft.wasm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RecordBatchCodec.Rec
+import TransformAbi._
+
+/** End-to-end guest-VM tests: genuine wasm binaries ([[GuestModules]])
+  * executed by [[WasmInterp]] against the redpanda_transform host ABI,
+  * with payload/validation semantics pinned to model/transform.cc. */
+class TransformAbiSpec extends AnyFunSuite {
+
+  private def bytes(s: String): Array[Byte] = if (s == null) null else s.getBytes("UTF-8")
+  private def str(b: Array[Byte]): String = if (b == null) null else new String(b, "UTF-8")
+
+  private def header(base: Long, n: Int, attrs: Short = 0): BatchHeader =
+    BatchHeader(base, n, 0, attrs, n - 1, 1700000000000L,
+      1700000000000L + n - 1, -1L, -1, -1)
+
+  private def batch(base: Long, kvs: (String, String)*): BatchIn =
+    position(header(base, kvs.size),
+      kvs.zipWithIndex.map { case ((k, v), i) =>
+        Rec(i, i.toLong, bytes(k), bytes(v), Nil) }.toSeq)
+
+  test("payload codec round trip + validation rejects") {
+    val p = encodePayload(bytes("k"), bytes("vvv"),
+      Seq((bytes("h1"), bytes("x")), (bytes("h2"), null)))
+    val Some((k, v, hs)) = parsePayload(p)
+    assert(str(k) === "k" && str(v) === "vvv")
+    assert(hs.map { case (a, b) => (str(a), str(b)) } === Seq(("h1", "x"), ("h2", null)))
+    // null key/value and empty distinguishable
+    val Some((nk, ev, _)) = parsePayload(encodePayload(null, Array.empty[Byte]))
+    assert(nk === null && ev.length === 0)
+    // trailing garbage / negative header count / truncation rejected
+    assert(parsePayload(p ++ Array[Byte](0)) === None)
+    assert(parsePayload(Array[Byte](3)) === None)     // varint -2 key size
+    assert(parsePayload(p.dropRight(1)) === None)
+  }
+
+  test("write options parse") {
+    assert(parseWriteOptions(Array.empty) === Some(None))
+    assert(parseWriteOptions(Array[Byte](0x01, 0x06, 'o', 'd', 'd')) === Some(Some("odd")))
+    assert(parseWriteOptions(Array[Byte](0x02, 0x06, 'o', 'd', 'd')) === None)
+    assert(parseWriteOptions(Array[Byte](0x01, 0x06, 'o')) === None)
+  }
+
+  test("mirror guest: every record echoed, across multiple batches") {
+    val in = Seq(
+      batch(100L, ("k1", "v1"), (null, "v2"), ("k3", null)),
+      batch(200L, ("a", "b")))
+    val (out, _) = TransformAbi.run(GuestModules.mirror, in.iterator)
+    assert(out.size === 4)
+    assert(out.map(_.batchIndex) === Vector(0, 0, 0, 1))
+    assert(out.forall(_.topic.isEmpty))
+    val kvs = out.map(e => { val Some((k, v, _)) = parsePayload(e.payload); (str(k), str(v)) })
+    assert(kvs === Vector(("k1", "v1"), (null, "v2"), ("k3", null), ("a", "b")))
+  }
+
+  test("upperValue guest: value ASCII-uppercased in guest code, key intact") {
+    val in = Seq(batch(0L, ("Key1", "hello, World-42!"), (null, "abc"), ("k", null)))
+    val (out, _) = TransformAbi.run(GuestModules.upperValue, in.iterator)
+    val kvs = out.map(e => { val Some((k, v, _)) = parsePayload(e.payload); (str(k), str(v)) })
+    assert(kvs === Vector(("Key1", "HELLO, WORLD-42!"), (null, "ABC"), ("k", null)))
+  }
+
+  test("router guest: odd offsets rerouted via write_record_with_options") {
+    val in = Seq(batch(10L, ("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")))
+    val (out, _) = TransformAbi.run(GuestModules.oddEvenRouter, in.iterator)
+    assert(out.map(_.topic) === Vector(None, Some("odd"), None, Some("odd")))
+  }
+
+  test("append-time batches pin record timestamp to max_timestamp") {
+    val h = header(0L, 2, attrs = 0x8)
+    val b = position(h, Seq(Rec(0, 0L, bytes("k"), bytes("v"), Nil),
+      Rec(1, 1L, bytes("k"), bytes("v"), Nil)))
+    assert(b.records.map(_.timestamp).distinct === Seq(h.maxTimestamp))
+    // create-time: first + delta
+    val c = position(header(0L, 2), Seq(Rec(0, 0L, null, null, Nil),
+      Rec(1, 5L, null, null, Nil)))
+    assert(c.records.map(_.timestamp) ===
+      Seq(1700000000000L, 1700000000005L))
+  }
+
+  test("empty feed: guest exits cleanly with nothing emitted") {
+    val (out, _) = TransformAbi.run(GuestModules.mirror, Iterator.empty)
+    assert(out.isEmpty)
+  }
+}
