@@ -3150,6 +3150,45 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    "adm_wire_find_coordinator" -> ((s, dir) => {
+      // The golden coordinator vectors over the wire: each group rides
+      // its own flexible v3 FindCoordinator frame (api key 10, key_type
+      // 0 = group); the answer node is the murmur2-routed coordinator
+      // partition, surfaced as node-id/host/port and decoded back from
+      // the response bytes. Request size varies with the group name,
+      // response size with the node id's digits — both recomputed by
+      // the oracle.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.FindCoordinator
+      val groups = Seq("", "0123456789", "a", "ab", "abc", "hello-kafka",
+        "redpanda", "user-42")
+      val coord = graft.admin.Admin.coordinatorFor(groups.toDF("g"),
+          col("g"), nPartitions = 16)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap // 8 rows
+      groups.zipWithIndex.map { case (g, corr) =>
+        val reqFrame = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(10, 3, corr, Some("graft")),
+          FindCoordinator.encodeRequest(FindCoordinator.Request(g, 0)),
+          flexible = true)
+        val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
+        val req = FindCoordinator.decodeRequest(reqBody)
+        val node = coord(req.key)
+        val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+          FindCoordinator.encodeResponse(FindCoordinator.Response(0, 0, None,
+            node, s"node-$node", 9092 + node)),
+          flexibleHeader = true)
+        val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
+          flexibleHeader = true)
+        val r = FindCoordinator.decodeResponse(respBody)
+        (req.key, req.keyType.toInt, r.nodeId, r.host, r.port,
+          r.errorCode.toInt, reqFrame.length, respFrame.length,
+          corrBack == corr)
+      }.toDF("group", "key_type", "node_id", "host", "port", "error_code",
+        "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("group")
+    }),
+
     "adm_create_partitions" -> ((s, dir) => {
       // Partition growth 8 -> 12: history stays put; a re-produce of the
       // events batch routes across 12 partitions, continuing offsets from
@@ -4466,6 +4505,53 @@ object SparkEntry {
           reqFrame.length, respFrame.length, corrBack == 11)))
         .toDF("group", "topic", "partition", "committed_offset",
           "leader_epoch", "error_code", "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("partition")
+    }),
+
+    "g2_wire_offset_commit" -> ((s, dir) => {
+      // The commit side over the wire: group g0's latest purchase
+      // offsets ride a flexible v8 OffsetCommit frame (api key 8;
+      // nullable static-member group_instance_id, no retention field
+      // past v4); the store accepts every partition (error 0). The
+      // emitted committed_offset comes from the DECODED REQUEST and the
+      // error from the decoded response, so both directions of the
+      // serde are under the oracle along with the v8 size laws.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.OffsetCommit
+      val commits = events(s, dir).where(col("event_type") === "purchase")
+        .select(
+          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("committed_offset"),
+          col("event_id").as("commit_seq"))
+      val latest = ConsumerGroups.fetchOffsets(commits)
+        .where(col("group") === "g0")
+        .select("partition", "committed_offset").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1) // ≤ #partitions
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(8, 8, 21, Some("graft")),
+        OffsetCommit.encodeRequest(OffsetCommit.Request("g0", 1, "m1", None,
+          Seq(("events", latest.toIndexedSeq.map { case (p, off) =>
+            OffsetCommit.ReqPart(p, off, -1, None) })))),
+        flexible = true)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
+      val req = OffsetCommit.decodeRequest(reqBody)
+      val resp = OffsetCommit.Response(0, req.topics.map { case (name, ps) =>
+        (name, ps.map(p => (p.partitionIndex, 0.toShort)))
+      })
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        OffsetCommit.encodeResponse(resp), flexibleHeader = true)
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
+        flexibleHeader = true)
+      val errs = OffsetCommit.decodeResponse(respBody).topics.flatMap(_._2).toMap
+      req.topics.flatMap { case (name, ps) => ps.map(p =>
+        (req.groupId, name, p.partitionIndex, p.committedOffset,
+          errs(p.partitionIndex).toInt, reqFrame.length, respFrame.length,
+          corrBack == 21)) }
+        .toDF("group", "topic", "partition", "committed_offset",
+          "error_code", "req_bytes", "resp_bytes", "corr_ok")
         .orderBy("partition")
     }),
 
@@ -8178,6 +8264,22 @@ object SparkEntry {
         |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
         | t("group", coordinator_partition) ORDER BY "group"""".stripMargin,
 
+    // FindCoordinator v3 size laws: request = 20 frame+header + (1+len
+    //   compact key + 1 key_type + 1 tags) = 23 + len(group); response =
+    //   9 + 4 throttle + 2 err + 1 null msg + 4 node + (1 + 5+digits
+    //   "node-N" host) + 4 port + 1 tags = 31 + digits(node).
+    "adm_wire_find_coordinator" ->
+      """SELECT "group", 0 AS key_type, node_id,
+        |       'node-' || CAST(node_id AS VARCHAR) AS host,
+        |       CAST(9092 + node_id AS INTEGER) AS port, 0 AS error_code,
+        |       CAST(23 + length("group") AS INTEGER) AS req_bytes,
+        |       CAST(31 + length(CAST(node_id AS VARCHAR)) AS INTEGER) AS resp_bytes,
+        |       TRUE AS corr_ok
+        | FROM (VALUES
+        |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
+        |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
+        | t("group", node_id) ORDER BY "group"""".stripMargin,
+
     "adm_create_partitions" ->
       """WITH lg AS (
         |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
@@ -9417,6 +9519,24 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    // OffsetCommit v8 size laws: request = 20 frame+header + body
+    //   (3 "g0" + 4 generation + 3 "m1" + 1 null instance + 1 topics len
+    //   + 7 name + 1 parts len + 18/partition (4+8+4 + 1 null metadata +
+    //   1 tags) + 1 + 1 tags) = 42 + 18·np; response = 9 + (4 throttle +
+    //   1 + 7 + 1 + 7/partition (4+2+1) + 1 + 1) = 24 + 7·np, np = the
+    //   partitions g0 actually committed.
+    "g2_wire_offset_commit" ->
+      """WITH o AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+        |           max(event_id) AS off
+        |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1),
+        | n AS (SELECT count(*) AS np FROM o)
+        | SELECT 'g0' AS "group", 'events' AS topic, o.partition,
+        |        CAST(o.off AS BIGINT) AS committed_offset, 0 AS error_code,
+        |        CAST(42 + 18 * n.np AS INTEGER) AS req_bytes,
+        |        CAST(24 + 7 * n.np AS INTEGER) AS resp_bytes,
+        |        TRUE AS corr_ok
+        | FROM o, n ORDER BY o.partition""".stripMargin,
 
     // OffsetFetch v7 frame-size laws: request = 4 frame + 16 header v2 +
     //   body (3 "g0" + 1 topics len + 7 name + 1 parts len + 4/partition

@@ -510,6 +510,136 @@ object WireHeaders {
     }
   }
 
+  // --------------------------------------------- OffsetCommit v8 serde
+
+  /** OffsetCommit (api key 8) v8 — flexible from v8
+    * (`schemata/offset_commit_request.json` validVersions 0-8); v7+
+    * carries the nullable static-membership group_instance_id,
+    * retention_time_ms is gone after v4. */
+  object OffsetCommit {
+    final case class ReqPart(partitionIndex: Int, committedOffset: Long,
+        committedLeaderEpoch: Int, metadata: Option[String])
+    final case class Request(groupId: String, generationId: Int,
+        memberId: String, groupInstanceId: Option[String],
+        topics: Seq[(String, Seq[ReqPart])])
+    final case class Response(throttleMs: Int,
+        topics: Seq[(String, Seq[(Int, Short)])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.groupId) +
+        compactStringSize(r.memberId) +
+        r.groupInstanceId.map(compactStringSize).getOrElse(1) +
+        r.topics.map { case (n, ps) => 16 + compactStringSize(n) +
+          ps.map(p => 24 + p.metadata.map(compactStringSize).getOrElse(1)).sum }.sum)
+      putCompactString(b, r.groupId)
+      b.putInt(r.generationId)
+      putCompactString(b, r.memberId)
+      putCompactNullableString(b, r.groupInstanceId)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putCompactString(b, name)
+        putCompactArrayLen(b, parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putLong(p.committedOffset)
+          b.putInt(p.committedLeaderEpoch)
+          putCompactNullableString(b, p.metadata)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val gid = getCompactString(b)
+      val gen = b.getInt()
+      val member = getCompactString(b)
+      val inst = getCompactNullableString(b)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val parts = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = ReqPart(b.getInt(), b.getLong(), b.getInt(),
+            getCompactNullableString(b))
+          getTags(b); p
+        }
+        getTags(b)
+        (name, parts: Seq[ReqPart])
+      }
+      getTags(b)
+      Request(gid, gen, member, inst, topics)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(32 + r.topics.map { case (n, ps) =>
+        16 + compactStringSize(n) + ps.size * 8 }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putCompactString(b, name)
+        putCompactArrayLen(b, parts.size)
+        parts.foreach { case (idx, err) =>
+          b.putInt(idx); b.putShort(err); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val parts = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = (b.getInt(), b.getShort()); getTags(b); p
+        }
+        getTags(b)
+        (name, parts: Seq[(Int, Short)])
+      }
+      getTags(b)
+      Response(throttle, topics)
+    }
+  }
+
+  // ------------------------------------------ FindCoordinator v3 serde
+
+  /** FindCoordinator (api key 10) v3 — flexible
+    * (`schemata/find_coordinator_request.json` validVersions 0-3);
+    * key_type 0 = consumer group, 1 = transaction id. */
+  object FindCoordinator {
+    final case class Request(key: String, keyType: Byte)
+    final case class Response(throttleMs: Int, errorCode: Short,
+        errorMessage: Option[String], nodeId: Int, host: String, port: Int)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + compactStringSize(r.key))
+      putCompactString(b, r.key); b.put(r.keyType); putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Request(getCompactString(b), b.get()); getTags(b); r
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(32 + compactStringSize(r.host) +
+        r.errorMessage.map(compactStringSize).getOrElse(1))
+      b.putInt(r.throttleMs); b.putShort(r.errorCode)
+      putCompactNullableString(b, r.errorMessage)
+      b.putInt(r.nodeId); putCompactString(b, r.host); b.putInt(r.port)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Response(b.getInt(), b.getShort(), getCompactNullableString(b),
+        b.getInt(), getCompactString(b), b.getInt())
+      getTags(b); r
+    }
+  }
+
   def decodeApiVersions(bytes: Array[Byte], version: Int): ApiVersionsResponse = {
     val b = ByteBuffer.wrap(bytes)
     val err = b.getShort()
