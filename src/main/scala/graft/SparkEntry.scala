@@ -2392,6 +2392,67 @@ object SparkEntry {
         .orderBy("route", "partition", "offset", "key")
     }),
 
+    "s1_wire_produce" -> ((s, dir) => {
+      // The produce path END-TO-END over the wire: a v8 Produce frame
+      // (api key 0 — the reference pins 0-8, never flexible) carries
+      // one record-batch v2 envelope per partition as NULLABLE_BYTES;
+      // partition 7's envelope gets a byte of its CRC region flipped.
+      // The frame is decoded, the envelopes run the distributed
+      // kafka_batch_adapter ingest (size/magic + CRC gate, then offset
+      // assignment), and the response reports base_offset per accepted
+      // partition and corrupt_message (error 2) for the reject —
+      // emitted rows come from the re-decoded response BYTES, with the
+      // v8 response-size law under the oracle.
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.Produce
+      val envs = p6WireBatches(s, dir, span = 100)
+        .where(col("batch_no") === 0)
+        .select(col("partition"),
+          call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
+        .withColumn("wire",
+          when(col("partition") === 7,
+            concat(substring(col("wire"), 1, 21),
+              lit(Array[Byte](0x7f.toByte)),
+              substring(col("wire"), 23, Int.MaxValue)))
+          .otherwise(col("wire")))
+        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("wire")))
+        .sortBy(_._1) // one small envelope per partition
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(0, 8, 31, Some("graft")),
+        Produce.encodeRequest(Produce.Request(None, -1, 30000,
+          Seq(("events", envs.toIndexedSeq.map { case (p, w) => (p, Some(w)) })))),
+        flexible = false)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = false)
+      val req = Produce.decodeRequest(reqBody)
+      val wires = req.topics.head._2.map { case (p, w) => (p, w.get) }
+        .toDF("partition", "wire")
+      val stats = RecordLog.wireIngest(wires, col("wire"), col("partition"), lit(0L))
+        .groupBy("partition")
+        .agg(sum(when(col("route") === "accept", 1L).otherwise(0L)).as("appended"),
+          min(when(col("route") === "accept", col("offset"))).as("base"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val resp = Produce.Response(Seq(("events",
+        req.topics.head._2.map { case (p, _) =>
+          val (appended, base) = stats(p)
+          if (appended == 0L)
+            Produce.RespPart(p, 2, -1L, -1L, -1L, Nil, None) // corrupt_message
+          else Produce.RespPart(p, 0, base, -1L, 0L, Nil, None)
+        })), 0)
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        Produce.encodeResponse(resp))
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame)
+      Produce.decodeResponse(respBody).responses.flatMap { case (_, ps) =>
+        ps.map(p => (p.partitionIndex, p.errorCode.toInt, p.baseOffset,
+          p.logStartOffset, stats(p.partitionIndex)._1,
+          respFrame.length, corrBack == 31)) }
+        .toDF("partition", "error_code", "base_offset", "log_start_offset",
+          "appended", "resp_bytes", "corr_ok")
+        .orderBy("partition")
+    }),
+
     "s1_produce_exactly_once" -> ((s, dir) => {
       // The exactly-once produce path, DELIVERED TWICE: the same input
       // runs through appendStreamExactlyOnce with a fresh checkpoint the
@@ -7615,6 +7676,26 @@ object SparkEntry {
          |         WHERE route <> 'accept') r)
          | SELECT * FROM acc UNION ALL SELECT * FROM rej
          | ORDER BY route, partition, "offset", key""".stripMargin,
+
+    // Produce v8 wire round trip: one 100-offset envelope per partition,
+    // partition 7 CRC-corrupted → error 2, base_offset/log_start -1,
+    // nothing appended. Response-size law: 4 frame + 4 corr + 4 topics
+    // len + 8 name "events" + 4 parts len + 36/partition (4 idx + 2 err
+    // + 8 base + 8 log_append + 8 log_start + 4 empty record_errors +
+    // 2 null error_message) + 4 throttle = 28 + 36·np.
+    "s1_wire_produce" ->
+      s"""$LogCte,
+         | b AS (SELECT partition, count(*) AS appended
+         |       FROM log WHERE "offset" < 100 GROUP BY 1),
+         | n AS (SELECT count(*) AS np FROM b)
+         | SELECT b.partition,
+         |        CASE WHEN b.partition = 7 THEN 2 ELSE 0 END AS error_code,
+         |        CAST(CASE WHEN b.partition = 7 THEN -1 ELSE 0 END AS BIGINT) AS base_offset,
+         |        CAST(CASE WHEN b.partition = 7 THEN -1 ELSE 0 END AS BIGINT) AS log_start_offset,
+         |        CAST(CASE WHEN b.partition = 7 THEN 0 ELSE b.appended END AS BIGINT) AS appended,
+         |        CAST(28 + 36 * n.np AS INTEGER) AS resp_bytes,
+         |        TRUE AS corr_ok
+         | FROM b, n ORDER BY b.partition""".stripMargin,
 
     "s1_produce_exactly_once" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",

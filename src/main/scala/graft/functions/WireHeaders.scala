@@ -323,6 +323,127 @@ object WireHeaders {
     }
   }
 
+  // --------------------------------------------------- Produce v8 serde
+
+  /** Produce (api key 0) v8 — the reference pins 0-8 with NO flexible
+    * versions (`schemata/produce_request.json`): legacy int16 strings,
+    * int32 arrays, and partition `records` as NULLABLE_BYTES carrying
+    * raw record-batch v2 envelopes (the kafka_batch_adapter input).
+    * v8 adds per-batch `record_errors` + `error_message` to the
+    * response. */
+  object Produce {
+    final case class Request(transactionalId: Option[String], acks: Short,
+        timeoutMs: Int,
+        topics: Seq[(String, Seq[(Int, Option[Array[Byte]])])])
+    final case class RespPart(partitionIndex: Int, errorCode: Short,
+        baseOffset: Long, logAppendTimeMs: Long, logStartOffset: Long,
+        recordErrors: Seq[(Int, Option[String])], errorMessage: Option[String])
+    final case class Response(responses: Seq[(String, Seq[RespPart])],
+        throttleMs: Int)
+
+    private def putLegacyNullable(b: ByteBuffer, s: Option[String]): Unit =
+      s match {
+        case None => b.putShort(-1)
+        case Some(v) =>
+          val bts = v.getBytes("UTF-8")
+          b.putShort(bts.length.toShort); b.put(bts)
+      }
+    private def getLegacyNullable(b: ByteBuffer): Option[String] = {
+      val n = b.getShort()
+      if (n < 0) None
+      else { val a = new Array[Byte](n); b.get(a); Some(new String(a, "UTF-8")) }
+    }
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val size = 2 + r.transactionalId.map(_.getBytes("UTF-8").length).getOrElse(0) +
+        2 + 4 + 4 + r.topics.map { case (n, ps) =>
+          2 + n.getBytes("UTF-8").length + 4 +
+            ps.map { case (_, recs) => 4 + 4 + recs.map(_.length).getOrElse(0) }.sum
+        }.sum
+      val b = ByteBuffer.allocate(size)
+      putLegacyNullable(b, r.transactionalId)
+      b.putShort(r.acks); b.putInt(r.timeoutMs)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        val nb = name.getBytes("UTF-8")
+        b.putShort(nb.length.toShort); b.put(nb)
+        b.putInt(parts.size)
+        parts.foreach { case (idx, recs) =>
+          b.putInt(idx)
+          recs match {
+            case None => b.putInt(-1)
+            case Some(bytes) => b.putInt(bytes.length); b.put(bytes)
+          }
+        }
+      }
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val tid = getLegacyNullable(b)
+      val acks = b.getShort(); val timeout = b.getInt()
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = { val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
+          new String(a, "UTF-8") }
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt()
+          val len = b.getInt()
+          val recs = if (len < 0) None
+            else { val a = new Array[Byte](len); b.get(a); Some(a) }
+          (idx, recs)
+        }
+        (name, parts: Seq[(Int, Option[Array[Byte]])])
+      }
+      Request(tid, acks, timeout, topics)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val size = 4 + r.responses.map { case (n, ps) =>
+        2 + n.getBytes("UTF-8").length + 4 + ps.map { p =>
+          34 + 4 + p.recordErrors.map { case (_, m) =>
+            4 + 2 + m.map(_.getBytes("UTF-8").length).getOrElse(0) }.sum +
+            2 + p.errorMessage.map(_.getBytes("UTF-8").length).getOrElse(0)
+        }.sum
+      }.sum + 4
+      val b = ByteBuffer.allocate(size)
+      b.putInt(r.responses.size)
+      r.responses.foreach { case (name, parts) =>
+        val nb = name.getBytes("UTF-8")
+        b.putShort(nb.length.toShort); b.put(nb)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putShort(p.errorCode)
+          b.putLong(p.baseOffset); b.putLong(p.logAppendTimeMs)
+          b.putLong(p.logStartOffset)
+          b.putInt(p.recordErrors.size)
+          p.recordErrors.foreach { case (i, m) =>
+            b.putInt(i); putLegacyNullable(b, m)
+          }
+          putLegacyNullable(b, p.errorMessage)
+        }
+      }
+      b.putInt(r.throttleMs)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val responses = (0 until b.getInt()).map { _ =>
+        val name = { val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
+          new String(a, "UTF-8") }
+        val parts = (0 until b.getInt()).map { _ =>
+          RespPart(b.getInt(), b.getShort(), b.getLong(), b.getLong(),
+            b.getLong(),
+            (0 until b.getInt()).map(_ => (b.getInt(), getLegacyNullable(b))),
+            getLegacyNullable(b))
+        }
+        (name, parts: Seq[RespPart])
+      }
+      Response(responses, b.getInt())
+    }
+  }
+
   // ------------------------------------------------ Metadata v9 serde
 
   /** Metadata (api key 3) v9 — the reference's first FLEXIBLE version

@@ -104,6 +104,23 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(decodeResponse(encodeResponse(resp)) === resp)
   }
 
+  test("Produce v8: legacy round trip with null records and record errors") {
+    import WireHeaders.Produce._
+    val req = Request(Some("tx-1"), -1, 30000, Seq(
+      ("events", Seq((0, Some(Array[Byte](1, 2, 3))), (1, None)))))
+    val back = decodeRequest(encodeRequest(req))
+    assert(back.transactionalId === req.transactionalId)
+    assert(back.acks === -1 && back.timeoutMs === 30000)
+    assert(back.topics.head._1 === "events")
+    assert(back.topics.head._2.map(_._1) === Seq(0, 1))
+    assert(back.topics.head._2.head._2.get.toSeq === Seq[Byte](1, 2, 3))
+    assert(back.topics.head._2(1)._2 === None)
+    val resp = Response(Seq(("events", Seq(
+      RespPart(0, 0, 42L, -1L, 0L, Nil, None),
+      RespPart(1, 2, -1L, -1L, -1L, Seq((0, Some("bad crc"))), Some("boom"))))), 7)
+    assert(decodeResponse(encodeResponse(resp)) === resp)
+  }
+
   test("uvarint: boundaries and overlong rejection") {
     val b = java.nio.ByteBuffer.allocate(32)
     Seq(0L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong).foreach { v =>
