@@ -2585,6 +2585,76 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "s2_wire_fetch" -> ((s, dir) => {
+      // The fetch path over the wire: a v11 Fetch frame (api key 1 —
+      // the reference pins 0-11, never flexible) asks for offsets
+      // 100+ on every partition; the served span [100, 200) comes back
+      // as ONE record-batch v2 envelope per partition inside the
+      // response's NULLABLE_BYTES records field — a fetch returns the
+      // log's stored bytes, not rows. The emitted rows are decoded from
+      // the re-decoded response frame's envelopes, so request serde,
+      // response serde, AND the batch codec sit under the oracle.
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.Fetch
+      import graft.functions.RecordBatchCodec
+      val nParts = EventPartitions
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(1, 11, 41, Some("graft")),
+        Fetch.encodeRequest(Fetch.Request(-1, 500, 1, 52428800, 0, 0, -1,
+          Seq(("events", (0 until nParts).map(p =>
+            Fetch.ReqPart(p, -1, 100L, 0L, 1048576)))), Nil, "")),
+        flexible = false)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = false)
+      val req = Fetch.decodeRequest(reqBody)
+      val w = Window.partitionBy("partition")
+      val lo = req.topics.head._2.head.fetchOffset
+      val envs = storedLog(s, dir)
+        .where(col("offset") >= lo && col("offset") < lo + 100)
+        .select(col("partition"), col("offset"), col("event_id"),
+          col("user_id"), col("event_type"))
+        .withColumn("base_offset", min("offset").over(w))
+        .withColumn("first_ts", min("event_id").over(w))
+        .groupBy("partition")
+        .agg(first(col("base_offset")).as("base_offset"),
+          first(col("first_ts")).as("first_timestamp"),
+          max(col("event_id")).as("max_timestamp"),
+          sort_array(collect_list(struct(
+            (col("offset") - col("base_offset")).cast("int").as("offset_delta"),
+            (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
+            col("user_id").cast("string").cast("binary").as("key"),
+            col("event_type").cast("binary").as("value"),
+            array().cast("array<struct<header_key:string,header_value:binary>>")
+              .as("headers")))).as("records"))
+        .select(col("partition"),
+          call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("wire")).toMap
+      val hwms = RecordLog.offsetBounds(storedLog(s, dir)).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap // partition -> hwm
+      val resp = Fetch.Response(0, 0, 0, Seq(("events",
+        req.topics.head._2.map { p =>
+          Fetch.RespPart(p.partitionIndex, 0, hwms(p.partitionIndex),
+            hwms(p.partitionIndex), 0L, Some(Nil), -1,
+            envs.get(p.partitionIndex))
+        })))
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        Fetch.encodeResponse(resp))
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame)
+      Fetch.decodeResponse(respBody).topics.flatMap { case (_, ps) =>
+        ps.flatMap { p => p.records.toSeq.flatMap { env =>
+          val bh = RecordBatchCodec.decodeHeader(env)
+          RecordBatchCodec.decodeRecords(
+              RecordBatchCodec.recordsRegion(env), bh.recordCount)
+            .map(r => (p.partitionIndex, bh.baseOffset + r.offsetDelta,
+              new String(r.key, "UTF-8"), new String(r.value, "UTF-8"),
+              p.errorCode.toInt, p.highWatermark, corrBack == 41))
+        } } }
+        .toDF("partition", "offset", "key", "value", "error_code", "hwm",
+          "corr_ok")
+        .orderBy("partition", "offset")
+    }),
+
     "s2_fetch" -> ((s, dir) =>
       RecordLog.fetch(eventLog(s, dir), partition = 3, fromOffset = 50, maxRows = 500)
         .select("partition", "offset", "user_id", "event_type", "value")
@@ -7741,6 +7811,17 @@ object SparkEntry {
     "s2_fetch_stored" ->
       s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
          | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
+
+    // Fetch v11 wire round trip: the served span [100, 200) per
+    // partition, records decoded back out of the response envelopes.
+    "s2_wire_fetch" ->
+      s"""$LogCte,
+         | h AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
+         | SELECT f.partition, f."offset", CAST(f.user_id AS VARCHAR) AS key,
+         |        f.event_type AS value, 0 AS error_code, h.hwm, TRUE AS corr_ok
+         | FROM log f JOIN h ON h.partition = f.partition
+         | WHERE f."offset" >= 100 AND f."offset" < 200
+         | ORDER BY f.partition, f."offset"""".stripMargin,
 
     "s2_fetch_budget" ->
       s"""$LogCte,

@@ -444,6 +444,134 @@ object WireHeaders {
     }
   }
 
+  // ----------------------------------------------------- Fetch v11 serde
+
+  /** Fetch (api key 1) v11 — the reference pins 0-11, never flexible
+    * (`schemata/fetch_request.json`): v7+ incremental-session fields,
+    * v11 rack_id + preferred_read_replica; partition `records` are
+    * NULLABLE_BYTES of raw record-batch v2 envelopes (the log served
+    * back as stored bytes). */
+  object Fetch {
+    final case class ReqPart(partitionIndex: Int, currentLeaderEpoch: Int,
+        fetchOffset: Long, logStartOffset: Long, maxBytes: Int)
+    final case class Request(replicaId: Int, maxWaitMs: Int, minBytes: Int,
+        maxBytes: Int, isolationLevel: Byte, sessionId: Int, sessionEpoch: Int,
+        topics: Seq[(String, Seq[ReqPart])],
+        forgotten: Seq[(String, Seq[Int])], rackId: String)
+    final case class Aborted(producerId: Long, firstOffset: Long)
+    final case class RespPart(partitionIndex: Int, errorCode: Short,
+        highWatermark: Long, lastStableOffset: Long, logStartOffset: Long,
+        aborted: Option[Seq[Aborted]], preferredReadReplica: Int,
+        records: Option[Array[Byte]])
+    final case class Response(throttleMs: Int, errorCode: Short,
+        sessionId: Int, topics: Seq[(String, Seq[RespPart])])
+
+    private def legacyStr(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + legacyStr(r.rackId).length +
+        r.topics.map { case (n, ps) => 8 + legacyStr(n).length + ps.size * 28 }.sum +
+        r.forgotten.map { case (n, ps) => 8 + legacyStr(n).length + 4 * ps.size }.sum)
+      b.putInt(r.replicaId); b.putInt(r.maxWaitMs); b.putInt(r.minBytes)
+      b.putInt(r.maxBytes); b.put(r.isolationLevel)
+      b.putInt(r.sessionId); b.putInt(r.sessionEpoch)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        val nb = legacyStr(name)
+        b.putShort(nb.length.toShort); b.put(nb)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putInt(p.currentLeaderEpoch)
+          b.putLong(p.fetchOffset); b.putLong(p.logStartOffset)
+          b.putInt(p.maxBytes)
+        }
+      }
+      b.putInt(r.forgotten.size)
+      r.forgotten.foreach { case (name, ps) =>
+        val nb = legacyStr(name)
+        b.putShort(nb.length.toShort); b.put(nb)
+        b.putInt(ps.size); ps.foreach(b.putInt)
+      }
+      val rb = legacyStr(r.rackId)
+      b.putShort(rb.length.toShort); b.put(rb)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      def str(): String = {
+        val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
+        new String(a, "UTF-8")
+      }
+      val (rep, wait, minB, maxB) = (b.getInt(), b.getInt(), b.getInt(), b.getInt())
+      val iso = b.get(); val sid = b.getInt(); val sep = b.getInt()
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = str()
+        (name, (0 until b.getInt()).map(_ => ReqPart(b.getInt(), b.getInt(),
+          b.getLong(), b.getLong(), b.getInt())): Seq[ReqPart])
+      }
+      val forgotten = (0 until b.getInt()).map { _ =>
+        val name = str()
+        (name, (0 until b.getInt()).map(_ => b.getInt()): Seq[Int])
+      }
+      Request(rep, wait, minB, maxB, iso, sid, sep, topics, forgotten, str())
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + r.topics.map { case (n, ps) =>
+        8 + legacyStr(n).length + ps.map(p => 48 +
+          p.aborted.map(_.size * 16).getOrElse(0) +
+          p.records.map(_.length).getOrElse(0)).sum }.sum)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode); b.putInt(r.sessionId)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        val nb = legacyStr(name)
+        b.putShort(nb.length.toShort); b.put(nb)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putShort(p.errorCode)
+          b.putLong(p.highWatermark); b.putLong(p.lastStableOffset)
+          b.putLong(p.logStartOffset)
+          p.aborted match {
+            case None => b.putInt(-1)
+            case Some(as) =>
+              b.putInt(as.size)
+              as.foreach(a => { b.putLong(a.producerId); b.putLong(a.firstOffset) })
+          }
+          b.putInt(p.preferredReadReplica)
+          p.records match {
+            case None => b.putInt(-1)
+            case Some(bytes) => b.putInt(bytes.length); b.put(bytes)
+          }
+        }
+      }
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort(); val sid = b.getInt()
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = { val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
+          new String(a, "UTF-8") }
+        val parts = (0 until b.getInt()).map { _ =>
+          val (idx, perr) = (b.getInt(), b.getShort())
+          val (hwm, lso, lstart) = (b.getLong(), b.getLong(), b.getLong())
+          val nAborted = b.getInt()
+          val aborted = if (nAborted < 0) None
+            else Some((0 until nAborted).map(_ => Aborted(b.getLong(), b.getLong())): Seq[Aborted])
+          val prr = b.getInt()
+          val recLen = b.getInt()
+          val recs = if (recLen < 0) None
+            else { val a = new Array[Byte](recLen); b.get(a); Some(a) }
+          RespPart(idx, perr, hwm, lso, lstart, aborted, prr, recs)
+        }
+        (name, parts: Seq[RespPart])
+      }
+      Response(throttle, err, sid, topics)
+    }
+  }
+
   // ------------------------------------------------ Metadata v9 serde
 
   /** Metadata (api key 3) v9 — the reference's first FLEXIBLE version

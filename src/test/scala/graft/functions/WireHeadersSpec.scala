@@ -121,6 +121,24 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(decodeResponse(encodeResponse(resp)) === resp)
   }
 
+  test("Fetch v11: legacy round trip with session fields, aborted txns, null records") {
+    import WireHeaders.Fetch._
+    val req = Request(-1, 500, 1, 52428800, 1, 77, 3,
+      Seq(("events", Seq(ReqPart(0, -1, 100L, 0L, 1048576)))),
+      Seq(("old", Seq(1, 2))), "rack-a")
+    assert(decodeRequest(encodeRequest(req)) === req)
+    val resp = Response(9, 0, 77, Seq(("events", Seq(
+      RespPart(0, 0, 1000L, 990L, 0L,
+        Some(Seq(Aborted(5L, 42L))), -1, Some(Array[Byte](9, 9))),
+      RespPart(1, 6, -1L, -1L, -1L, None, -1, None)))))
+    val back = decodeResponse(encodeResponse(resp))
+    assert(back.copy(topics = Nil) === resp.copy(topics = Nil))
+    val (p0, p1) = (back.topics.head._2.head, back.topics.head._2(1))
+    assert(p0.aborted === Some(Seq(Aborted(5L, 42L))))
+    assert(p0.records.get.toSeq === Seq[Byte](9, 9))
+    assert(p1.aborted === None && p1.records === None && p1.errorCode === 6)
+  }
+
   test("uvarint: boundaries and overlong rejection") {
     val b = java.nio.ByteBuffer.allocate(32)
     Seq(0L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong).foreach { v =>
