@@ -6404,6 +6404,43 @@ object SparkEntry {
         .orderBy("route")
     }),
 
+    "u1_wasm_stream" -> ((s, dir) => {
+      // The guest VM in its ACTUAL deployment shape — a continuous
+      // per-partition processor over arriving batches
+      // (transform/transform_processor.cc run loops): the events table
+      // streams in as two mtime-ordered micro-batches, each runs the
+      // SAME wasm mirror binary distributed via foreachBatch, and the
+      // accumulated output must equal two mirrored copies of the table.
+      // Per-batch-id overwrite dirs keep a replay from duplicating.
+      val inDir = stagedEventsStream(s, dir, sentinel = false)
+      val out = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_wasm_stream")).toString
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = withLtzTs(graft.streaming.Transforms.PathInput(
+        inDir, schema, maxFilesPerTrigger = Some(1)).stream(s))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val in = batch.select(
+            pmod(col("user_id"), lit(EventPartitions)).cast("int").as("partition"),
+            col("event_id").as("offset"),
+            unix_millis(col("ts")).as("timestamp"),
+            col("event_id").cast("string").cast("binary").as("key"),
+            col("event_type").cast("binary").as("value"))
+          graft.wasm.WasmTransform(in, graft.wasm.GuestModules.mirror)
+            .write.mode("overwrite").parquet(s"$out/data/batch=$id")
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data")
+        .select(decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
+          decode(col("value"), "UTF-8").as("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("event_type")
+    }),
+
     "u3_sdk_vectors" -> ((s, dir) => {
       // The SDK example corpus replayed over its golden vectors through
       // the transform surface (example_{mirror,regexp_filter,
@@ -10632,6 +10669,11 @@ object SparkEntry {
     "u3_wasm_upper" ->
       """SELECT event_id, UPPER('type=' || event_type) AS value
         | FROM events ORDER BY event_id""".stripMargin,
+
+    "u1_wasm_stream" ->
+      """SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,
+        |       CAST(2 * sum(event_id) AS BIGINT) AS sum_id
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u1_wasm_router" ->
       """SELECT CASE WHEN ("offset" % 2) = 1 THEN 'odd' ELSE 'default' END AS route,

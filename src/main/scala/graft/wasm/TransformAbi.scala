@@ -324,9 +324,15 @@ object TransformAbi {
    * `read_batch_header` hands back NO_ACTIVE_TRANSFORM.
    */
   def run(moduleBytes: Array[Byte], batches: Iterator[BatchIn])
+      : (Vector[Emitted], Vector[String]) =
+    runModule(WasmModule.decode(moduleBytes), batches)
+
+  /** As [[run]], over an already-decoded module (executor-side caches
+    * decode once and instantiate per run). */
+  def runModule(module: WasmModule.Module, batches: Iterator[BatchIn])
       : (Vector[Emitted], Vector[String]) = {
     val engine = new Engine(batches)
-    val inst = WasmInterp.instantiate(moduleBytes, engine.hostFuncs)
+    val inst = new WasmInterp.Instance(module, engine.hostFuncs)
     try {
       inst.runStart()
       inst.module.exportedFunc("_start")

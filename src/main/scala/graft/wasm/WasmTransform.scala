@@ -33,6 +33,21 @@ object WasmTransform {
   val DefaultRecordsPerBatch = 256
   val DefaultRecordsPerRun = 8192
 
+  /** Executor-local decoded-module cache (the reference's engine cache,
+    * `wasm/cache.cc`: one compiled module shared by every processor on
+    * a shard): instances are per-run (they own mutable memory) but the
+    * decode happens once per executor per module. */
+  private val moduleCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, WasmModule.Module]()
+
+  private[wasm] def decoded(bytes: Array[Byte]): WasmModule.Module = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    moduleCache.computeIfAbsent(h ^ bytes.length.toLong,
+      _ => WasmModule.decode(bytes))
+  }
+
   /** Build the batch feed for one partition's offset-ordered records:
     * contiguous chunks become CreateTime batches whose header fields
     * follow the produce path's assignment rules. */
@@ -83,7 +98,7 @@ object WasmTransform {
             while (src.hasNext && src.head.partition == p &&
                 run.size < perRun)
               run += src.next()
-            val (emitted, _) = TransformAbi.run(bc.value,
+            val (emitted, _) = TransformAbi.runModule(decoded(bc.value),
               toBatches(run.iterator, perBatch))
             pending = emitted.iterator.map { e: Emitted =>
               val (k, v) = TransformAbi.parsePayload(e.payload) match {
