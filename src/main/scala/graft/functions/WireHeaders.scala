@@ -86,6 +86,7 @@ object WireHeaders {
   def getCompactString(b: ByteBuffer): String = {
     val n = getUvarint(b)
     require(n > 0, "null compact string where non-null expected")
+    require(n - 1 <= b.remaining(), s"compact string length ${n - 1} exceeds frame")
     val a = new Array[Byte](n.toInt - 1); b.get(a); new String(a, "UTF-8")
   }
   /** COMPACT_NULLABLE_STRING: uvarint 0 = null. */
@@ -98,6 +99,7 @@ object WireHeaders {
     val n = getUvarint(b)
     if (n == 0) None
     else {
+      require(n - 1 <= b.remaining(), s"compact string length ${n - 1} exceeds frame")
       val a = new Array[Byte](n.toInt - 1); b.get(a)
       Some(new String(a, "UTF-8"))
     }
@@ -107,6 +109,9 @@ object WireHeaders {
   def getCompactArrayLen(b: ByteBuffer): Int = {
     val n = getUvarint(b)
     require(n > 0, "null compact array where non-null expected")
+    // every element costs >= 1 byte: reject lengths a truncated or
+    // corrupt frame cannot hold instead of allocating on them
+    require(n - 1 <= b.remaining(), s"compact array length ${n - 1} exceeds frame")
     n.toInt - 1
   }
   def compactStringSize(s: String): Int = {

@@ -99,8 +99,21 @@ object WasmInterp {
     }
   }
 
+  /**
+   * @param maxFuel instruction budget — the interpreter's stand-in for
+   *   wasmtime's epoch interruption (`wasm/wasmtime.cc` arms an epoch
+   *   deadline so a runaway guest cannot pin the reactor): a guest that
+   *   exceeds it traps instead of hanging the executor task.
+   * @param maxCallDepth guards guest recursion from killing the JVM
+   *   thread with a StackOverflowError (wasmtime's stack limit).
+   */
   final class Instance(val module: Module,
-      hostFuncs: Map[(String, String), HostFunc]) {
+      hostFuncs: Map[(String, String), HostFunc],
+      maxFuel: Long = 2_000_000_000L,
+      maxCallDepth: Int = 250) {
+
+    private var fuel = maxFuel
+    private var callDepth = 0
 
     val memory: Memory = module.memories.headOption match {
       case Some(Limits(min, max)) => new Memory(min, max.getOrElse(65536))
@@ -151,6 +164,14 @@ object WasmInterp {
     def invoke(funcIdx: Int, args: Array[Long]): Array[Long] = {
       val n = module.numImportedFuncs
       if (funcIdx < n) return resolvedHosts(funcIdx).invoke(this, args)
+      if (callDepth >= maxCallDepth)
+        throw new WasmTrap(s"call stack exhausted (depth $maxCallDepth)")
+      callDepth += 1
+      try invokeGuest(funcIdx, args) finally callDepth -= 1
+    }
+
+    private def invokeGuest(funcIdx: Int, args: Array[Long]): Array[Long] = {
+      val n = module.numImportedFuncs
       val ft = module.funcType(funcIdx)
       val code = module.codes(funcIdx - n)
       val locals = new Array[Long](ft.params.size + code.locals.size)
@@ -170,6 +191,9 @@ object WasmInterp {
         depth: Int, funcArity: Int): Int = {
       var i = 0
       val n = body.size
+      fuel -= n
+      if (fuel < 0)
+        throw new WasmTrap(s"fuel exhausted ($maxFuel instructions)")
       while (i < n) {
         body(i) match {
           case Unreachable => throw new WasmTrap("unreachable executed")

@@ -139,6 +139,22 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p1.aborted === None && p1.records === None && p1.errorCode === 6)
   }
 
+  test("compact decoders reject lengths a truncated frame cannot hold") {
+    import java.nio.ByteBuffer
+    // compact string claiming 200 bytes with 1 present
+    val claim = ByteBuffer.allocate(8)
+    WireHeaders.putUvarint(claim, 201L); claim.put('x'.toByte); claim.flip()
+    val arr = new Array[Byte](claim.remaining()); claim.get(arr)
+    assertThrows[IllegalArgumentException](
+      WireHeaders.getCompactString(ByteBuffer.wrap(arr)))
+    // compact array claiming 1000 elements in a 3-byte frame
+    val arrB = ByteBuffer.allocate(8)
+    WireHeaders.putUvarint(arrB, 1001L); arrB.put(0.toByte); arrB.flip()
+    val arr2 = new Array[Byte](arrB.remaining()); arrB.get(arr2)
+    assertThrows[IllegalArgumentException](
+      WireHeaders.getCompactArrayLen(ByteBuffer.wrap(arr2)))
+  }
+
   test("uvarint: boundaries and overlong rejection") {
     val b = java.nio.ByteBuffer.allocate(32)
     Seq(0L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong).foreach { v =>

@@ -134,6 +134,32 @@ class WasmInterpSpec extends AnyFunSuite {
     assert(seen === 21L)
   }
 
+  test("runaway guests trap: fuel exhaustion and call-depth guard") {
+    // infinite loop: loop { br 0 }
+    val spin = module(
+      types = Seq((Seq.empty, Seq.empty)),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0, body().loop().br(0).end())),
+      memPages = 1,
+      exports = Seq(Export("spin", 0)))
+    val inst = new WasmInterp.Instance(WasmModule.decode(spin), noHost,
+      maxFuel = 10000)
+    val t1 = intercept[WasmTrap] { inst.invokeExport("spin", Array.empty) }
+    assert(t1.getMessage.contains("fuel"))
+    // unbounded recursion: f() = call f
+    val recur = module(
+      types = Seq((Seq.empty, Seq.empty)),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0, body().call(0))),
+      memPages = 1,
+      exports = Seq(Export("f", 0)))
+    val t2 = intercept[WasmTrap] {
+      new WasmInterp.Instance(WasmModule.decode(recur), noHost)
+        .invokeExport("f", Array.empty)
+    }
+    assert(t2.getMessage.contains("call stack"))
+  }
+
   test("unreachable traps; select and eqz behave") {
     val sel = body().localGet(0).localGet(1).localGet(2).select()
     val bytes = module(
