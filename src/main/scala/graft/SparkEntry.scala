@@ -4639,6 +4639,84 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "g4_wire_rebalance" -> ((s, dir) => {
+      // A FULL rebalance round over the wire: six members send
+      // JoinGroup v6 frames whose protocol metadata is a real consumer
+      // subscription blob (legacy-encoded embedded protocol inside the
+      // flexible message); the coordinator elects the first sorted
+      // member leader at generation 1, echoes all subscriptions to the
+      // leader; the leader runs the RANGE assignor (the engine's
+      // distributed g4 plan) over the decoded subscriptions and sends
+      // one SyncGroup v4 frame carrying per-member assignment blobs;
+      // every member's SyncGroup response hands back its slice. The
+      // emitted rows decode each member's OWN response bytes.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{JoinGroup, SyncGroup, ConsumerProtocol}
+      val members = (0 until 6).map(i => s"m$i")
+      // --- join round
+      val joins = members.zipWithIndex.map { case (m, corr) =>
+        val frame = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(11, 6, corr, Some(m)),
+          JoinGroup.encodeRequest(JoinGroup.Request("g-wire", 30000, 60000,
+            m, None, "consumer", Seq(JoinGroup.Protocol("range",
+              ConsumerProtocol.encodeSubscription(Seq("events")))))),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(frame, flexible = true)
+        (h, JoinGroup.decodeRequest(body))
+      }
+      val leader = joins.map(_._2.memberId).sorted.head
+      val roster = joins.map { case (_, req) =>
+        JoinGroup.Member(req.memberId, None, req.protocols.head.metadata) }
+      val joinResponses = joins.map { case (h, req) =>
+        val resp = JoinGroup.Response(0, 0, 1, "range", leader, req.memberId,
+          if (req.memberId == leader) roster else Nil)
+        val frame = WireHeaders.encodeResponseFrame(h.correlationId,
+          JoinGroup.encodeResponse(resp), flexibleHeader = true)
+        val (_, body) = WireHeaders.decodeResponseFrame(frame, flexibleHeader = true)
+        JoinGroup.decodeResponse(body)
+      }
+      // --- leader computes the range plan from the DECODED roster
+      val ldr = joinResponses.find(_.memberId == leader).get
+      val subs = ldr.members.map(m =>
+        m.memberId -> ConsumerProtocol.decodeSubscription(m.metadata))
+      val topics = subs.flatMap(_._2).distinct.map(t => (t, EventPartitions))
+        .toDF("topic", "n_partitions")
+      val plan = graft.groups.Assignment.rangeAssign(
+          subs.map(_._1).toDF("member_id"), topics)
+        .collect().map(r => (r.getString(2), r.getString(0),
+          r.getAs[Number](1).intValue()))
+        .groupBy(_._1).map { case (m, rows) =>
+          m -> rows.groupBy(_._2).map { case (t, ps) =>
+            (t, ps.map(_._3).sorted.toSeq) }.toSeq }
+      // --- sync round: leader distributes, each member decodes its own
+      val syncFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(14, 4, 99, Some(leader)),
+        SyncGroup.encodeRequest(SyncGroup.Request("g-wire", 1, leader, None,
+          members.map(m => m -> ConsumerProtocol.encodeAssignment(
+            plan.getOrElse(m, Seq.empty))))),
+        flexible = true)
+      val (_, syncBody) = WireHeaders.decodeRequestFrame(syncFrame, flexible = true)
+      val syncReq = SyncGroup.decodeRequest(syncBody)
+      val byMember = syncReq.assignments.toMap
+      joinResponses.flatMap { jr =>
+        val respFrame = WireHeaders.encodeResponseFrame(0,
+          SyncGroup.encodeResponse(SyncGroup.Response(0, 0,
+            byMember(jr.memberId))), flexibleHeader = true)
+        val (_, body) = WireHeaders.decodeResponseFrame(respFrame,
+          flexibleHeader = true)
+        val sr = SyncGroup.decodeResponse(body)
+        ConsumerProtocol.decodeAssignment(sr.assignment).flatMap {
+          case (topic, parts) => parts.map(p =>
+            (jr.memberId, jr.generationId, jr.protocolName,
+              jr.leader == jr.memberId, topic, p,
+              jr.errorCode.toInt + sr.errorCode.toInt))
+        }
+      }.toDF("member", "generation", "protocol", "is_leader", "topic",
+        "partition", "error_code")
+        .orderBy("partition")
+    }),
+
     "g2_wire_offset_commit" -> ((s, dir) => {
       // The commit side over the wire: group g0's latest purchase
       // offsets ride a flexible v8 OffsetCommit frame (api key 8;
@@ -9718,6 +9796,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    // Full rebalance round: 6 members, 8 partitions, range assignor →
+    // len 1 rem 2: partitions 0-3 pair onto m0/m1, 4-7 spread m2-m5.
+    "g4_wire_rebalance" ->
+      """WITH p AS (SELECT CAST(range AS INTEGER) AS partition FROM range(8)),
+        | a AS (SELECT partition,
+        |   CASE WHEN partition < 4 THEN partition // 2 ELSE partition - 2 END AS idx
+        |   FROM p)
+        | SELECT 'm' || CAST(idx AS VARCHAR) AS member, 1 AS generation,
+        |        'range' AS protocol, (idx = 0) AS is_leader,
+        |        'events' AS topic, partition, 0 AS error_code
+        | FROM a ORDER BY partition""".stripMargin,
 
     // OffsetCommit v8 size laws: request = 20 frame+header + body
     //   (3 "g0" + 4 generation + 3 "m1" + 1 null instance + 1 topics len

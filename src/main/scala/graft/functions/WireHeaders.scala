@@ -894,6 +894,210 @@ object WireHeaders {
     }
   }
 
+  // ------------------------------------- JoinGroup v6 / SyncGroup v4
+
+  /** The rebalance pair (api keys 11/14) at their first flexible
+    * versions (`schemata/join_group_request.json` 0-6 flexible 6+,
+    * `sync_group_request.json` 0-4 flexible 4+). Protocol metadata and
+    * assignments ride as COMPACT_BYTES blobs in the classic consumer
+    * protocol layout — see [[ConsumerProtocol]]. */
+  object JoinGroup {
+    final case class Protocol(name: String, metadata: Array[Byte])
+    final case class Request(groupId: String, sessionTimeoutMs: Int,
+        rebalanceTimeoutMs: Int, memberId: String,
+        groupInstanceId: Option[String], protocolType: String,
+        protocols: Seq[Protocol])
+    final case class Member(memberId: String, groupInstanceId: Option[String],
+        metadata: Array[Byte])
+    final case class Response(throttleMs: Int, errorCode: Short,
+        generationId: Int, protocolName: String, leader: String,
+        memberId: String, members: Seq[Member])
+
+    private def putCompactBytes(b: ByteBuffer, bytes: Array[Byte]): Unit = {
+      putUvarint(b, bytes.length + 1L); b.put(bytes)
+    }
+    private[WireHeaders] def getCompactBytes(b: ByteBuffer): Array[Byte] = {
+      val n = getUvarint(b)
+      require(n > 0, "null compact bytes where non-null expected")
+      require(n - 1 <= b.remaining(), s"compact bytes length ${n - 1} exceeds frame")
+      val a = new Array[Byte](n.toInt - 1); b.get(a); a
+    }
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.groupId) +
+        compactStringSize(r.memberId) + compactStringSize(r.protocolType) +
+        r.groupInstanceId.map(compactStringSize).getOrElse(1) +
+        r.protocols.map(p => 8 + compactStringSize(p.name) + p.metadata.length).sum)
+      putCompactString(b, r.groupId)
+      b.putInt(r.sessionTimeoutMs); b.putInt(r.rebalanceTimeoutMs)
+      putCompactString(b, r.memberId)
+      putCompactNullableString(b, r.groupInstanceId)
+      putCompactString(b, r.protocolType)
+      putCompactArrayLen(b, r.protocols.size)
+      r.protocols.foreach { p =>
+        putCompactString(b, p.name); putCompactBytes(b, p.metadata)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val gid = getCompactString(b)
+      val st = b.getInt(); val rt = b.getInt()
+      val mid = getCompactString(b)
+      val inst = getCompactNullableString(b)
+      val ptype = getCompactString(b)
+      val protos = (0 until getCompactArrayLen(b)).map { _ =>
+        val p = Protocol(getCompactString(b), getCompactBytes(b))
+        getTags(b); p
+      }
+      getTags(b)
+      Request(gid, st, rt, mid, inst, ptype, protos)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.protocolName) +
+        compactStringSize(r.leader) + compactStringSize(r.memberId) +
+        r.members.map(m => 8 + compactStringSize(m.memberId) +
+          m.groupInstanceId.map(compactStringSize).getOrElse(1) +
+          m.metadata.length).sum)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode)
+      b.putInt(r.generationId)
+      putCompactString(b, r.protocolName)
+      putCompactString(b, r.leader)
+      putCompactString(b, r.memberId)
+      putCompactArrayLen(b, r.members.size)
+      r.members.foreach { m =>
+        putCompactString(b, m.memberId)
+        putCompactNullableString(b, m.groupInstanceId)
+        putCompactBytes(b, m.metadata)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort(); val gen = b.getInt()
+      val proto = getCompactString(b); val leader = getCompactString(b)
+      val mid = getCompactString(b)
+      val members = (0 until getCompactArrayLen(b)).map { _ =>
+        val m = Member(getCompactString(b), getCompactNullableString(b),
+          getCompactBytes(b))
+        getTags(b); m
+      }
+      getTags(b)
+      Response(throttle, err, gen, proto, leader, mid, members)
+    }
+  }
+
+  object SyncGroup {
+    final case class Request(groupId: String, generationId: Int,
+        memberId: String, groupInstanceId: Option[String],
+        assignments: Seq[(String, Array[Byte])])
+    final case class Response(throttleMs: Int, errorCode: Short,
+        assignment: Array[Byte])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.groupId) +
+        compactStringSize(r.memberId) +
+        r.groupInstanceId.map(compactStringSize).getOrElse(1) +
+        r.assignments.map { case (m, a) => 8 + compactStringSize(m) + a.length }.sum)
+      putCompactString(b, r.groupId)
+      b.putInt(r.generationId)
+      putCompactString(b, r.memberId)
+      putCompactNullableString(b, r.groupInstanceId)
+      putCompactArrayLen(b, r.assignments.size)
+      r.assignments.foreach { case (m, a) =>
+        putCompactString(b, m)
+        putUvarint(b, a.length + 1L); b.put(a)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val gid = getCompactString(b)
+      val gen = b.getInt()
+      val mid = getCompactString(b)
+      val inst = getCompactNullableString(b)
+      val assigns = (0 until getCompactArrayLen(b)).map { _ =>
+        val p = (getCompactString(b), JoinGroup.getCompactBytes(b))
+        getTags(b); p
+      }
+      getTags(b)
+      Request(gid, gen, mid, inst, assigns)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.assignment.length)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode)
+      putUvarint(b, r.assignment.length + 1L); b.put(r.assignment)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Response(b.getInt(), b.getShort(), JoinGroup.getCompactBytes(b))
+      getTags(b); r
+    }
+  }
+
+  /** The classic consumer embedded protocol (the bytes inside JoinGroup
+    * metadata / SyncGroup assignments — Kafka's ConsumerProtocol,
+    * legacy-encoded regardless of the enclosing message's flexibility):
+    * Subscription v0 = version + topic list + nullable user data;
+    * Assignment v0 = version + per-topic partition lists + user data. */
+  object ConsumerProtocol {
+    def encodeSubscription(topics: Seq[String]): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + topics.map(_.length + 2).sum)
+      b.putShort(0) // version
+      b.putInt(topics.size)
+      topics.foreach { t =>
+        val tb = t.getBytes("UTF-8")
+        b.putShort(tb.length.toShort); b.put(tb)
+      }
+      b.putInt(-1) // null user data
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeSubscription(bytes: Array[Byte]): Seq[String] = {
+      val b = ByteBuffer.wrap(bytes)
+      require(b.getShort() >= 0, "bad subscription version")
+      (0 until b.getInt()).map { _ =>
+        val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
+        new String(a, "UTF-8")
+      }
+    }
+    def encodeAssignment(parts: Seq[(String, Seq[Int])]): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 +
+        parts.map { case (t, ps) => 10 + t.length + 4 * ps.size }.sum)
+      b.putShort(0)
+      b.putInt(parts.size)
+      parts.foreach { case (t, ps) =>
+        val tb = t.getBytes("UTF-8")
+        b.putShort(tb.length.toShort); b.put(tb)
+        b.putInt(ps.size); ps.foreach(b.putInt)
+      }
+      b.putInt(-1)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeAssignment(bytes: Array[Byte]): Seq[(String, Seq[Int])] = {
+      val b = ByteBuffer.wrap(bytes)
+      require(b.getShort() >= 0, "bad assignment version")
+      (0 until b.getInt()).map { _ =>
+        val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
+        val topic = new String(a, "UTF-8")
+        (topic, (0 until b.getInt()).map(_ => b.getInt()): Seq[Int])
+      }
+    }
+  }
+
   def decodeApiVersions(bytes: Array[Byte], version: Int): ApiVersionsResponse = {
     val b = ByteBuffer.wrap(bytes)
     val err = b.getShort()

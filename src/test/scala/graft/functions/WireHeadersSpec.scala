@@ -139,6 +139,35 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p1.aborted === None && p1.records === None && p1.errorCode === 6)
   }
 
+  test("JoinGroup v6 / SyncGroup v4 / consumer protocol round trips") {
+    import WireHeaders.{JoinGroup, SyncGroup, ConsumerProtocol}
+    val sub = ConsumerProtocol.encodeSubscription(Seq("a", "b"))
+    assert(ConsumerProtocol.decodeSubscription(sub) === Seq("a", "b"))
+    val asg = ConsumerProtocol.encodeAssignment(Seq(("t", Seq(0, 2, 5))))
+    assert(ConsumerProtocol.decodeAssignment(asg) === Seq(("t", Seq(0, 2, 5))))
+
+    val jreq = JoinGroup.Request("g", 30000, 60000, "m1", Some("static-1"),
+      "consumer", Seq(JoinGroup.Protocol("range", sub)))
+    val jback = JoinGroup.decodeRequest(JoinGroup.encodeRequest(jreq))
+    assert(jback.copy(protocols = Nil) === jreq.copy(protocols = Nil))
+    assert(jback.protocols.head.name === "range")
+    assert(jback.protocols.head.metadata.toSeq === sub.toSeq)
+
+    val jresp = JoinGroup.Response(0, 0, 3, "range", "m1", "m2",
+      Seq(JoinGroup.Member("m1", None, sub)))
+    val jrback = JoinGroup.decodeResponse(JoinGroup.encodeResponse(jresp))
+    assert(jrback.copy(members = Nil) === jresp.copy(members = Nil))
+    assert(jrback.members.head.metadata.toSeq === sub.toSeq)
+
+    val sreq = SyncGroup.Request("g", 3, "m1", None, Seq(("m2", asg)))
+    val sback = SyncGroup.decodeRequest(SyncGroup.encodeRequest(sreq))
+    assert(sback.copy(assignments = Nil) === sreq.copy(assignments = Nil))
+    assert(sback.assignments.head._2.toSeq === asg.toSeq)
+    val sresp = SyncGroup.decodeResponse(SyncGroup.encodeResponse(
+      SyncGroup.Response(0, 0, asg)))
+    assert(sresp.assignment.toSeq === asg.toSeq)
+  }
+
   test("compact decoders reject lengths a truncated frame cannot hold") {
     import java.nio.ByteBuffer
     // compact string claiming 200 bytes with 1 present
