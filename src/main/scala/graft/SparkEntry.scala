@@ -6482,6 +6482,24 @@ object SparkEntry {
         .orderBy("route")
     }),
 
+    "u1_wasm_filter" -> ((s, dir) => {
+      // STATEFUL guest: a counter in linear memory keeps every 3rd
+      // record per partition, running straight through batch boundaries
+      // (256-record batches) — one long-lived VM per partition run, as
+      // the reference keeps one VM per partition processor. The counter
+      // resets only at the documented 8192-record run boundary, which
+      // the oracle reproduces with ((rank mod 8192) mod 3).
+      val in = storedLog(s, dir).select(col("partition"), col("offset"),
+        unix_millis(col("ts")).as("timestamp"),
+        col("event_id").cast("string").cast("binary").as("key"),
+        col("event_type").cast("binary").as("value"))
+      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.everyThird)
+        .select(col("partition"),
+          decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
+          decode(col("value"), "UTF-8").as("event_type"))
+        .orderBy("event_id")
+    }),
+
     "u1_wasm_stream" -> ((s, dir) => {
       // The guest VM in its ACTUAL deployment shape — a continuous
       // per-partition processor over arriving batches
@@ -10759,6 +10777,15 @@ object SparkEntry {
     "u3_wasm_upper" ->
       """SELECT event_id, UPPER('type=' || event_type) AS value
         | FROM events ORDER BY event_id""".stripMargin,
+
+    "u1_wasm_filter" ->
+      s"""$LogCte, r AS (
+         |  SELECT partition, event_id, event_type,
+         |         CAST(row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1
+         |           AS BIGINT) AS rk
+         |  FROM log)
+         | SELECT partition, event_id, event_type FROM r
+         | WHERE (rk % 8192) % 3 = 0 ORDER BY event_id""".stripMargin,
 
     "u1_wasm_stream" ->
       """SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,

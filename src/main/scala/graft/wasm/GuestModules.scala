@@ -145,6 +145,28 @@ object GuestModules {
   }
 
   /**
+   * Stateful sampler: a counter in guest linear memory (cell 116)
+   * persists across records AND batches within a VM run — the guest
+   * emits every 3rd record it sees. Distinguishes a real long-lived VM
+   * from per-batch re-instantiation: the modulo runs straight through
+   * batch boundaries.
+   */
+  lazy val everyThird: Array[Byte] = module(
+    types = types,
+    imports = abiImports,
+    funcs = Seq(processingLoop(b => {
+      b.i32Const(116).i32Load()                    // cnt
+      b.i32Const(3).op(0x6f)                       // i32.rem_s
+      b.i32Eqz()
+      b.ifOp()
+      b.i32Const(1024).localGet(2).call(3).drop()  // write_record
+      b.end()
+      b.i32Const(116).i32Const(116).i32Load().i32Const(1).i32Add().i32Store()
+    }, extraLocals = 0)),
+    memPages = 4,
+    exports = Seq(Export("_start", 6)))
+
+  /**
    * Topic router: odd record offsets are written with options routing
    * them to topic "odd" (`write_record_with_options`, options layout
    * per `write_options::parse`: 0x01 + vint-sized name), even offsets

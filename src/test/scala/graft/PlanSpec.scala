@@ -680,4 +680,20 @@ class PlanSpec extends SparkSpec {
       Literal.create(Seq(1L, 2L, 3L, 4L, 5L)), 4)
     assert(!kernel.isInstanceOf[CodegenFallback])
   }
+
+  test("wasm transform shuffles once on partition and sorts within tasks") {
+    val in = (0L until 400L).map(i => (i % 4, i, i * 10))
+      .toDF("partition", "offset", "timestamp")
+      .withColumn("key", col("offset").cast("string").cast("binary"))
+      .withColumn("value", col("offset").cast("string").cast("binary"))
+    val p = plan(graft.wasm.WasmTransform(in, graft.wasm.GuestModules.mirror))
+    // exactly one exchange: the hash repartition on the Kafka partition —
+    // per-partition VMs need co-located, offset-ordered feeds and nothing else
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"want 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(partition"), p)
+    // the in-task sort that gives each VM its offset-ordered span
+    assert(p.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("offset") && !l.contains("global=true")), p)
+  }
 }

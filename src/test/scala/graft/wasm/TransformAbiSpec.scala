@@ -68,6 +68,19 @@ class TransformAbiSpec extends AnyFunSuite {
     assert(out.map(_.topic) === Vector(None, Some("odd"), None, Some("odd")))
   }
 
+  test("everyThird guest: counter survives batch boundaries") {
+    // 7 records split over 3 batches: kept indices 0, 3, 6 — index 3
+    // sits in batch 2 and index 6 in batch 3, so a per-batch re-init
+    // would keep the wrong set.
+    val in = Seq(
+      batch(0L, ("a", "0"), ("b", "1"), ("c", "2")),
+      batch(10L, ("d", "3"), ("e", "4")),
+      batch(20L, ("f", "5"), ("g", "6")))
+    val (out, _) = TransformAbi.run(GuestModules.everyThird, in.iterator)
+    val kvs = out.map(e => { val Some((k, _, _)) = parsePayload(e.payload); str(k) })
+    assert(kvs === Vector("a", "d", "g"))
+  }
+
   test("append-time batches pin record timestamp to max_timestamp") {
     val h = header(0L, 2, attrs = 0x8)
     val b = position(h, Seq(Rec(0, 0L, bytes("k"), bytes("v"), Nil),
