@@ -4639,6 +4639,75 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "g1_wire_lifecycle" -> ((s, dir) => {
+      // Heartbeat/LeaveGroup v4 frames against the live group FSM —
+      // the reference's heartbeat ladder checks member existence first
+      // (unknown_member_id 25), then the generation (illegal_generation
+      // 22); LeaveGroup v4 batches member identities with PER-MEMBER
+      // error codes (KIP-345). Sizes follow the flexible layout laws.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{Heartbeat => HB, LeaveGroup => LG}
+      import graft.groups.GroupFsm
+      var g = GroupFsm.replay(Seq(
+        GroupFsm.Join(1, "m0", Seq("range")),
+        GroupFsm.Join(2, "m1", Seq("range")),
+        GroupFsm.Join(3, "m2", Seq("range")),
+        GroupFsm.Sync(4, "m0")))
+      def hbStep(step: Int, member: String, gen: Long) = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(12, 4, step, Some("graft")),
+          HB.encodeRequest(HB.Request("g-wire", gen.toInt, member, None)),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = HB.decodeRequest(body)
+        val err: Short =
+          if (!g.members.contains(req.memberId)) 25
+          else if (req.generationId != g.generation) 22
+          else {
+            g = GroupFsm.step(g, GroupFsm.Heartbeat(10 + step, req.memberId))
+            0
+          }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          HB.encodeResponse(HB.Response(0, err)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        (step, "heartbeat", member, gen, HB.decodeResponse(rb).errorCode.toInt,
+          reqF.length, respF.length, corr == step)
+      }
+      def leaveStep(step: Int, member: String) = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(13, 4, step, Some("graft")),
+          LG.encodeRequest(LG.Request("g-wire", Seq((member, None)))),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = LG.decodeRequest(body)
+        val resp = LG.Response(0, 0, req.members.map { case (m, inst) =>
+          val err: Short =
+            if (g.members.contains(m)) {
+              g = GroupFsm.step(g, GroupFsm.Leave(10 + step, m)); 0
+            } else 25
+          LG.MemberResp(m, inst, err)
+        })
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          LG.encodeResponse(resp), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        (step, "leave", member, -1L,
+          LG.decodeResponse(rb).members.head.errorCode.toInt,
+          reqF.length, respF.length, corr == step)
+      }
+      val gen1 = g.generation
+      Seq(
+        hbStep(1, "m0", gen1),
+        hbStep(2, "m9", gen1),     // never joined
+        hbStep(3, "m1", gen1 + 1), // stale/future generation
+        leaveStep(4, "m1"),
+        leaveStep(5, "m9"),
+        hbStep(6, "m1", gen1))     // left above: unknown again
+        .toDF("step", "api", "member", "generation_sent", "error_code",
+          "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("step")
+    }),
+
     "g4_wire_rebalance" -> ((s, dir) => {
       // A FULL rebalance round over the wire: six members send
       // JoinGroup v6 frames whose protocol metadata is a real consumer
@@ -9814,6 +9883,21 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    // Heartbeat v4: 20 frame+header + (1+6 group + 4 gen + 1+2 member +
+    //   1 null instance + 1 tags) = 36; response 9 + 4 + 2 + 1 = 16.
+    // LeaveGroup v4: 20 + (1+6 + 1 len + (1+2 + 1 + 1) + 1) = 34;
+    //   response 9 + (4 + 2 + 1 + (1+2 + 1 + 2 + 1) + 1) = 24.
+    "g1_wire_lifecycle" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'heartbeat', 'm0', CAST(1 AS BIGINT), 0, 36, 16, TRUE),
+        |  (2, 'heartbeat', 'm9', 1, 25, 36, 16, TRUE),
+        |  (3, 'heartbeat', 'm1', 2, 22, 36, 16, TRUE),
+        |  (4, 'leave', 'm1', -1, 0, 34, 24, TRUE),
+        |  (5, 'leave', 'm9', -1, 25, 34, 24, TRUE),
+        |  (6, 'heartbeat', 'm1', 1, 25, 36, 16, TRUE))
+        | t(step, api, member, generation_sent, error_code, req_bytes,
+        |   resp_bytes, corr_ok) ORDER BY step""".stripMargin,
 
     // Full rebalance round: 6 members, 8 partitions, range assignor →
     // len 1 rem 2: partitions 0-3 pair onto m0/m1, 4-7 spread m2-m5.

@@ -1049,6 +1049,99 @@ object WireHeaders {
     }
   }
 
+  /** Heartbeat (api key 12) v4 / LeaveGroup (api key 13) v4 — both
+    * flexible at v4; LeaveGroup v3+ batches member identities (KIP-345)
+    * with per-member error codes in the response. */
+  object Heartbeat {
+    final case class Request(groupId: String, generationId: Int,
+        memberId: String, groupInstanceId: Option[String])
+    final case class Response(throttleMs: Int, errorCode: Short)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + compactStringSize(r.groupId) +
+        compactStringSize(r.memberId) +
+        r.groupInstanceId.map(compactStringSize).getOrElse(1))
+      putCompactString(b, r.groupId); b.putInt(r.generationId)
+      putCompactString(b, r.memberId)
+      putCompactNullableString(b, r.groupInstanceId)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Request(getCompactString(b), b.getInt(), getCompactString(b),
+        getCompactNullableString(b))
+      getTags(b); r
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(8)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode); putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Response(b.getInt(), b.getShort()); getTags(b); r
+    }
+  }
+
+  object LeaveGroup {
+    final case class Request(groupId: String,
+        members: Seq[(String, Option[String])])
+    final case class MemberResp(memberId: String,
+        groupInstanceId: Option[String], errorCode: Short)
+    final case class Response(throttleMs: Int, errorCode: Short,
+        members: Seq[MemberResp])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + compactStringSize(r.groupId) +
+        r.members.map { case (m, i) => 4 + compactStringSize(m) +
+          i.map(compactStringSize).getOrElse(1) }.sum)
+      putCompactString(b, r.groupId)
+      putCompactArrayLen(b, r.members.size)
+      r.members.foreach { case (m, inst) =>
+        putCompactString(b, m); putCompactNullableString(b, inst)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val gid = getCompactString(b)
+      val members = (0 until getCompactArrayLen(b)).map { _ =>
+        val p = (getCompactString(b), getCompactNullableString(b))
+        getTags(b); p
+      }
+      getTags(b)
+      Request(gid, members)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.members.map(m =>
+        8 + compactStringSize(m.memberId) +
+          m.groupInstanceId.map(compactStringSize).getOrElse(1)).sum)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode)
+      putCompactArrayLen(b, r.members.size)
+      r.members.foreach { m =>
+        putCompactString(b, m.memberId)
+        putCompactNullableString(b, m.groupInstanceId)
+        b.putShort(m.errorCode); putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val members = (0 until getCompactArrayLen(b)).map { _ =>
+        val m = MemberResp(getCompactString(b), getCompactNullableString(b),
+          b.getShort())
+        getTags(b); m
+      }
+      getTags(b)
+      Response(throttle, err, members)
+    }
+  }
+
   /** The classic consumer embedded protocol (the bytes inside JoinGroup
     * metadata / SyncGroup assignments — Kafka's ConsumerProtocol,
     * legacy-encoded regardless of the enclosing message's flexibility):

@@ -168,6 +168,20 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sresp.assignment.toSeq === asg.toSeq)
   }
 
+  test("Heartbeat v4 / LeaveGroup v4 round trips") {
+    import WireHeaders.{Heartbeat, LeaveGroup}
+    val hb = Heartbeat.Request("g", 3, "m1", Some("inst"))
+    assert(Heartbeat.decodeRequest(Heartbeat.encodeRequest(hb)) === hb)
+    assert(Heartbeat.decodeResponse(Heartbeat.encodeResponse(
+      Heartbeat.Response(5, 22))) === Heartbeat.Response(5, 22))
+    val lv = LeaveGroup.Request("g", Seq(("m1", None), ("m2", Some("i2"))))
+    assert(LeaveGroup.decodeRequest(LeaveGroup.encodeRequest(lv)) === lv)
+    val resp = LeaveGroup.Response(0, 0, Seq(
+      LeaveGroup.MemberResp("m1", None, 0),
+      LeaveGroup.MemberResp("m2", Some("i2"), 25)))
+    assert(LeaveGroup.decodeResponse(LeaveGroup.encodeResponse(resp)) === resp)
+  }
+
   test("compact decoders reject lengths a truncated frame cannot hold") {
     import java.nio.ByteBuffer
     // compact string claiming 200 bytes with 1 present
