@@ -5402,6 +5402,56 @@ object SparkEntry {
         .orderBy("subject", "version")
     }),
 
+    "sr_rest_api" -> ((s, dir) => {
+      // The registry's REST protocol — the Confluent-compatible JSON
+      // surface the reference serves (pandaproxy/schema_registry/
+      // handlers.cc) — scripted end-to-end: register (global ids shared
+      // across subjects, idempotent re-registration, 409 on
+      // incompatible), reads (latest/by-version/by-id with the
+      // 40401/40402/40403 ladder), soft→permanent delete
+      // (40404/40405), and the compatibility probe. Each step's
+      // `detail` is extracted from the parsed RESPONSE body.
+      import s.implicits._
+      import graft.registry.RestApi
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      def body(schema: String) = Some(s"""{"schema":${
+        m.writeValueAsString(m.getNodeFactory.textNode(schema))}}""")
+      val v1 = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"}]}"""
+      val v2 = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"},{"name":"b","type":"int","default":0}]}"""
+      val bad = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"int"}]}"""
+      val srv = new RestApi.Server()
+      def jf(b: String, f: String): String = {
+        val n = m.readTree(b).get(f)
+        if (n == null) "" else n.asText()
+      }
+      val script: Seq[(String, String, Option[String], RestApi.Resp => String)] = Seq(
+        ("POST", "/subjects/ev-value/versions", body(v1), r => "id=" + jf(r.body, "id")),
+        ("POST", "/subjects/ev-value/versions", body(v1), r => "id=" + jf(r.body, "id")),
+        ("POST", "/subjects/ev-value/versions", body(v2), r => "id=" + jf(r.body, "id")),
+        ("POST", "/subjects/other-value/versions", body(v1), r => "id=" + jf(r.body, "id")),
+        ("POST", "/subjects/ev-value/versions", body(bad), r => "error=" + jf(r.body, "error_code")),
+        ("GET", "/subjects", None, r => "list=" + r.body),
+        ("GET", "/subjects/ev-value/versions", None, r => "list=" + r.body),
+        ("GET", "/subjects/ev-value/versions/latest", None,
+          r => s"latest=${jf(r.body, "subject")}/${jf(r.body, "version")}/${jf(r.body, "id")}"),
+        ("GET", "/schemas/ids/1", None,
+          r => "name=" + m.readTree(jf(r.body, "schema")).get("name").asText()),
+        ("GET", "/subjects/nope/versions", None, r => "error=" + jf(r.body, "error_code")),
+        ("POST", "/compatibility/subjects/ev-value/versions/latest", body(v2),
+          r => "compatible=" + jf(r.body, "is_compatible")),
+        ("POST", "/compatibility/subjects/ev-value/versions/latest", body(bad),
+          r => "compatible=" + jf(r.body, "is_compatible")),
+        ("DELETE", "/subjects/other-value", None, r => "list=" + r.body),
+        ("DELETE", "/subjects/other-value", None, r => "error=" + jf(r.body, "error_code")),
+        ("DELETE", "/subjects/other-value?permanent=true", None, r => "list=" + r.body),
+        ("GET", "/subjects", None, r => "list=" + r.body))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b)
+        (i + 1, method, path, resp.status, extract(resp))
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
     "sr_latest_schemas" -> ((s, dir) => {
       import s.implicits._
       val schemaLog = Seq(
@@ -10361,6 +10411,28 @@ object SparkEntry {
         |  ('ord-value', 1, 'o1b', FALSE))
         | t(subject, version, schema, is_deleted)
         | ORDER BY subject, version""".stripMargin,
+
+    // Golden pin of the REST protocol script (routes, status codes,
+    // reference error ladder, global-id sharing, delete semantics).
+    "sr_rest_api" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'POST', '/subjects/ev-value/versions', 200, 'id=1'),
+        |  (2, 'POST', '/subjects/ev-value/versions', 200, 'id=1'),
+        |  (3, 'POST', '/subjects/ev-value/versions', 200, 'id=2'),
+        |  (4, 'POST', '/subjects/other-value/versions', 200, 'id=1'),
+        |  (5, 'POST', '/subjects/ev-value/versions', 409, 'error=409'),
+        |  (6, 'GET', '/subjects', 200, 'list=["ev-value","other-value"]'),
+        |  (7, 'GET', '/subjects/ev-value/versions', 200, 'list=[1,2]'),
+        |  (8, 'GET', '/subjects/ev-value/versions/latest', 200, 'latest=ev-value/2/2'),
+        |  (9, 'GET', '/schemas/ids/1', 200, 'name=Ev'),
+        |  (10, 'GET', '/subjects/nope/versions', 404, 'error=40401'),
+        |  (11, 'POST', '/compatibility/subjects/ev-value/versions/latest', 200, 'compatible=true'),
+        |  (12, 'POST', '/compatibility/subjects/ev-value/versions/latest', 200, 'compatible=false'),
+        |  (13, 'DELETE', '/subjects/other-value', 200, 'list=[1]'),
+        |  (14, 'DELETE', '/subjects/other-value', 404, 'error=40404'),
+        |  (15, 'DELETE', '/subjects/other-value?permanent=true', 200, 'list=[1]'),
+        |  (16, 'GET', '/subjects', 200, 'list=["ev-value"]'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     "sr_latest_schemas" ->
       """SELECT * FROM (VALUES
