@@ -5402,6 +5402,69 @@ object SparkEntry {
         .orderBy("subject", "version")
     }),
 
+    "s5_rest_proxy" -> ((s, dir) => {
+      // The S5 HTTP proxy's protocol contract (pandaproxy/rest/
+      // handlers.h routes, v2 embedded formats, 404xx ladder) scripted
+      // end-to-end: binary_v2 produce (explicit + murmur2-routed +
+      // out-of-range partition), record reads by offset, the full
+      // consumer lifecycle (create → subscribe → fetch → position
+      // advance → commit → offset fetch → remove → 40403), and the
+      // produce/fetch payload round trip. Details parse the RESPONSE
+      // bodies; the routed partition pins the unsigned-murmur2
+      // partitioner.
+      import s.implicits._
+      import graft.proxy.RestProxy
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      def b64(x: String) = java.util.Base64.getEncoder.encodeToString(
+        x.getBytes("UTF-8"))
+      val srv = new RestProxy.Server(nPartitions = 3)
+      srv.createTopic("events-rest")
+      def offsetsDetail(b: String): String =
+        "offsets=" + {
+          val a = m.readTree(b).get("offsets")
+          (0 until a.size()).map { i =>
+            val o = a.get(i)
+            if (o.has("error_code")) s"p${o.get("partition").asInt()}:err${o.get("error_code").asInt()}"
+            else s"p${o.get("partition").asInt()}:${o.get("offset").asLong()}"
+          }.mkString(",")
+        }
+      def countDetail(b: String): String = "n=" + m.readTree(b).size()
+      def errDetail(b: String): String = "error=" + m.readTree(b).get("error_code").asInt()
+      val script: Seq[(String, String, Option[String], RestProxy.Resp => String)] = Seq(
+        ("GET", "/brokers", None, r => "body=" + r.body),
+        ("GET", "/topics", None, r => "body=" + r.body),
+        ("POST", "/topics/events-rest", Some(
+          s"""{"records":[{"partition":0,"key":"${b64("k1")}","value":"${b64("v1")}"},
+             |{"partition":0,"value":"${b64("v2")}"},
+             |{"key":"${b64("user-42")}","value":"${b64("v3")}"},
+             |{"partition":7,"value":"${b64("x")}"}]}""".stripMargin),
+          r => offsetsDetail(r.body)),
+        ("GET", "/topics/events-rest/partitions/0/records?offset=1", None,
+          r => countDetail(r.body) + ";first_value=" + new String(
+            java.util.Base64.getDecoder.decode(
+              m.readTree(r.body).get(0).get("value").asText()), "UTF-8")),
+        ("POST", "/consumers/cg", Some("""{"name":"c1","format":"binary"}"""),
+          r => "instance=" + m.readTree(r.body).get("instance_id").asText()),
+        ("POST", "/consumers/cg/instances/c1/subscription",
+          Some("""{"topics":["events-rest"]}"""), _ => "subscribed"),
+        ("GET", "/consumers/cg/instances/c1/records", None, r => countDetail(r.body)),
+        ("GET", "/consumers/cg/instances/c1/records", None, r => countDetail(r.body)),
+        ("POST", "/consumers/cg/instances/c1/offsets", Some(
+          """{"partitions":[{"topic":"events-rest","partition":0,"offset":2}]}"""),
+          _ => "committed"),
+        ("GET", "/consumers/cg/instances/c1/offsets", Some(
+          """{"partitions":[{"topic":"events-rest","partition":0}]}"""),
+          r => "offset=" + m.readTree(r.body).get("offsets").get(0).get("offset").asLong()),
+        ("DELETE", "/consumers/cg/instances/c1", None, _ => "removed"),
+        ("GET", "/consumers/cg/instances/c1/records", None, r => errDetail(r.body)),
+        ("GET", "/topics/nope/partitions/0/records", None, r => errDetail(r.body)))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b)
+        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
     "sr_rest_api" -> ((s, dir) => {
       // The registry's REST protocol — the Confluent-compatible JSON
       // surface the reference serves (pandaproxy/schema_registry/
@@ -10411,6 +10474,27 @@ object SparkEntry {
         |  ('ord-value', 1, 'o1b', FALSE))
         | t(subject, version, schema, is_deleted)
         | ORDER BY subject, version""".stripMargin,
+
+    // Golden pin of the S5 proxy script — murmur2("user-42") % 3 = 1
+    // routes the partitionless record to p1; the consumer's first fetch
+    // drains all 3 stored records, the second sees the advanced
+    // position.
+    "s5_rest_proxy" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GET', '/brokers', 200, 'body={"brokers":[0]}'),
+        |  (2, 'GET', '/topics', 200, 'body=["events-rest"]'),
+        |  (3, 'POST', '/topics/events-rest', 200, 'offsets=p0:0,p0:1,p1:0,p7:err40402'),
+        |  (4, 'GET', '/topics/events-rest/partitions/0/records', 200, 'n=1;first_value=v2'),
+        |  (5, 'POST', '/consumers/cg', 200, 'instance=c1'),
+        |  (6, 'POST', '/consumers/cg/instances/c1/subscription', 204, 'subscribed'),
+        |  (7, 'GET', '/consumers/cg/instances/c1/records', 200, 'n=3'),
+        |  (8, 'GET', '/consumers/cg/instances/c1/records', 200, 'n=0'),
+        |  (9, 'POST', '/consumers/cg/instances/c1/offsets', 204, 'committed'),
+        |  (10, 'GET', '/consumers/cg/instances/c1/offsets', 200, 'offset=2'),
+        |  (11, 'DELETE', '/consumers/cg/instances/c1', 204, 'removed'),
+        |  (12, 'GET', '/consumers/cg/instances/c1/records', 404, 'error=40403'),
+        |  (13, 'GET', '/topics/nope/partitions/0/records', 404, 'error=40401'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the REST protocol script (routes, status codes,
     // reference error ladder, global-id sharing, delete semantics).
