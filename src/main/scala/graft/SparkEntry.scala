@@ -6682,6 +6682,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "u5_wasm_schema" -> ((s, dir) => {
+      // U5 as an ACTUAL guest capability: the schemaEcho wasm binary
+      // imports the redpanda_schema_registry host module
+      // (wasm/schema_registry_module.h:37-44), fetches schema id 1 at
+      // startup, parses the encoded-def framing with its own varint
+      // reader, and emits the raw definition as every record's value —
+      // payload varints encoded in guest bytecode. Each executor task
+      // rebuilds the SR node from the broadcast schema list, as every
+      // reference shard holds its own SR replica.
+      val raw = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"}]}"""
+      val expect = graft.registry.AvroCanonical.sanitize(raw)
+      val factory: () => Map[(String, String), graft.wasm.WasmInterp.HostFunc] =
+        () => {
+          val srv = new graft.registry.RestApi.Server()
+          srv.handle("POST", "/subjects/ev-value/versions",
+            Some(s"""{"schema":${new com.fasterxml.jackson.databind.ObjectMapper()
+              .writeValueAsString(new com.fasterxml.jackson.databind.ObjectMapper()
+                .getNodeFactory.textNode(raw))}}"""))
+          graft.wasm.SchemaRegistryAbi.hostFuncs(srv)
+        }
+      val in = storedLog(s, dir).where(col("offset") < 50)
+        .select(col("partition"), col("offset"),
+          unix_millis(col("ts")).as("timestamp"),
+          col("event_id").cast("string").cast("binary").as("key"),
+          col("event_type").cast("binary").as("value"))
+      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.schemaEcho,
+          extraHostFactory = Some(factory))
+        .groupBy(decode(col("value"), "UTF-8").as("schema"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("matches_registered", col("schema") === lit(expect))
+        .select("matches_registered", "n")
+        .orderBy("n")
+    }),
+
     "u1_wasm_stream" -> ((s, dir) => {
       // The guest VM in its ACTUAL deployment shape — a continuous
       // per-partition processor over arriving batches
@@ -11026,6 +11060,12 @@ object SparkEntry {
          |  FROM log)
          | SELECT partition, event_id, event_type FROM r
          | WHERE (rk % 8192) % 3 = 0 ORDER BY event_id""".stripMargin,
+
+    // 8 partitions × first 50 offsets, every record carrying the one
+    // registered schema.
+    "u5_wasm_schema" ->
+      s"""$LogCte SELECT TRUE AS matches_registered,
+         |  CAST(count(*) AS BIGINT) AS n FROM log WHERE "offset" < 50""".stripMargin,
 
     "u1_wasm_stream" ->
       """SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,

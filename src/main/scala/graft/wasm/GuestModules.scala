@@ -49,9 +49,11 @@ object GuestModules {
    * `perRecord` splicing the guest's own logic between read and
    * advance. Locals: 0 = bufSize, 1 = record index, 2 = payload size.
    */
-  private def processingLoop(perRecord: Body => Unit, extraLocals: Int): Func = {
+  private def processingLoop(perRecord: Body => Unit, extraLocals: Int,
+      prologue: Body => Unit = _ => ()): Func = {
     val b = body()
     b.call(0)                                    // check_abi_version_2
+    prologue(b)
     b.block()                                    //   L_EXIT
     b.loop()                                     //     L_BATCH
     callReadBatchHeader(b)
@@ -165,6 +167,109 @@ object GuestModules {
     }, extraLocals = 0)),
     memPages = 4,
     exports = Seq(Export("_start", 6)))
+
+  /**
+   * Schema-registry client IN GUEST CODE: at startup the guest fetches
+   * schema id 1 through the `redpanda_schema_registry` ABI
+   * (`wasm/schema_registry_module.h:37-44`), parses the encoded-def
+   * framing (vint type + vint-sized raw — `schema_registry_module.cc:
+   * 55-66`) with its own varint reader, and then emits one record per
+   * input whose value IS the raw schema definition — payload varints
+   * encoded by guest bytecode too. Demonstrates U5 as an actual guest
+   * capability, not a host-side convenience.
+   *
+   * Extra memory cells: 200 size_out, 208 schema ptr; encoded def at
+   * 4096, output payload staged at 8192. Locals beyond the loop's 3:
+   * 3 = schema len.
+   */
+  lazy val schemaEcho: Array[Byte] = {
+    val srImports = abiImports ++ Seq(
+      FuncImport("redpanda_schema_registry", "check_abi_version_0", 0), // 6
+      FuncImport("redpanda_schema_registry", "get_schema_definition_len", 7), // 7
+      FuncImport("redpanda_schema_registry", "get_schema_definition", 8)) // 8
+    // func indices: 9 = _start, 10 = varint parse, 11 = varint encode
+
+    // zigzag-varint reader at *cursor (cell 120) — same as upperValue's
+    val vparse = body()
+    vparse.i32Const(0).localSet(0)
+    vparse.i32Const(0).localSet(2)
+    vparse.loop()
+    vparse.i32Const(120).i32Load().i32Load8U().localSet(1)
+    vparse.i32Const(120).i32Const(120).i32Load().i32Const(1).i32Add().i32Store()
+    vparse.localGet(0)
+    vparse.localGet(1).i32Const(0x7f).i32And()
+    vparse.localGet(2).i32Shl()
+    vparse.i32Or().localSet(0)
+    vparse.localGet(2).i32Const(7).i32Add().localSet(2)
+    vparse.localGet(1).i32Const(0x80).i32And().brIf(0)
+    vparse.end()
+    vparse.localGet(0).i32Const(1).i32ShrU()
+    vparse.i32Const(0).localGet(0).i32Const(1).i32And().i32Sub()
+    vparse.i32Xor()
+    val vparseFunc = Func(6, 3, 0, vparse)
+
+    // zigzag-varint writer at *cursor: param 0 = value; locals 1 = u, 2 = low7
+    val venc = body()
+    venc.localGet(0).i32Const(1).i32Shl()
+    venc.localGet(0).i32Const(31).i32ShrS()
+    venc.i32Xor().localSet(1)
+    venc.loop()
+    venc.localGet(1).i32Const(0x7f).i32And().localSet(2)
+    venc.localGet(1).i32Const(7).i32ShrU().localSet(1)
+    venc.i32Const(120).i32Load()
+    venc.localGet(2)                                  // plain low7 if done
+    venc.localGet(2).i32Const(0x80).i32Or()           // else continuation
+    venc.localGet(1).i32Eqz()
+    venc.select()
+    venc.i32Store8()
+    venc.i32Const(120).i32Const(120).i32Load().i32Const(1).i32Add().i32Store()
+    venc.localGet(1).brIf(0)
+    venc.end()
+    val vencFunc = Func(5, 2, 0, venc)
+
+    val main = processingLoop(
+      perRecord = b => {
+        // stage payload at 8192: null key, schema value, no headers
+        b.i32Const(8192).i32Const(1).i32Store8()          // varint(-1) key
+        b.i32Const(120).i32Const(8193).i32Store()         // cursor
+        b.i32Const(212).i32Load().localSet(3)             // schema len
+        b.localGet(3).call(11)                            // varint(value len)
+        b.i32Const(120).i32Load()
+        b.i32Const(208).i32Load()
+        b.localGet(3).memoryCopy()                        // schema bytes
+        b.i32Const(120).i32Const(120).i32Load().localGet(3).i32Add().i32Store()
+        b.i32Const(120).i32Load().i32Const(0).i32Store8() // headers: varint 0
+        b.i32Const(120).i32Const(120).i32Load().i32Const(1).i32Add().i32Store()
+        b.i32Const(8192)
+        b.i32Const(120).i32Load().i32Const(8192).i32Sub()
+        b.call(3).drop()                                  // write_record
+      },
+      extraLocals = 1,
+      prologue = b => {
+        b.call(6)                                         // check_abi_version_0
+        b.i32Const(1).i32Const(200).call(7).drop()        // len(id=1)
+        b.i32Const(1).i32Const(4096)
+        b.i32Const(200).i32Load().call(8).drop()          // fetch encoded def
+        b.i32Const(120).i32Const(4096).i32Store()         // cursor = def
+        b.call(10).drop()                                 // type vint
+        b.call(10).localSet(3)                            // raw len
+        b.i32Const(208).i32Const(120).i32Load().i32Store() // raw ptr
+        b.i32Const(212).localGet(3).i32Store()            // raw len cell
+      })
+
+    module(
+      types = types ++ Seq(
+        (Seq[Byte](I32, I32), Seq(I32)),        // 7: get_schema_definition_len
+        (Seq[Byte](I32, I32, I32), Seq(I32))),  // 8: get_schema_definition
+      imports = srImports.map {
+        case f if f.name == "get_schema_definition_len" => f.copy(typeIdx = 7)
+        case f if f.name == "get_schema_definition" => f.copy(typeIdx = 8)
+        case f => f
+      },
+      funcs = Seq(main, vparseFunc, vencFunc),
+      memPages = 4,
+      exports = Seq(Export("_start", 9)))
+  }
 
   /**
    * Topic router: odd record offsets are written with options routing

@@ -328,11 +328,13 @@ object TransformAbi {
     runModule(WasmModule.decode(moduleBytes), batches)
 
   /** As [[run]], over an already-decoded module (executor-side caches
-    * decode once and instantiate per run). */
-  def runModule(module: WasmModule.Module, batches: Iterator[BatchIn])
+    * decode once and instantiate per run). `extraHost` adds further
+    * host modules (e.g. the [[SchemaRegistryAbi]] functions). */
+  def runModule(module: WasmModule.Module, batches: Iterator[BatchIn],
+      extraHost: Map[(String, String), WasmInterp.HostFunc] = Map.empty)
       : (Vector[Emitted], Vector[String]) = {
     val engine = new Engine(batches)
-    val inst = new WasmInterp.Instance(module, engine.hostFuncs)
+    val inst = new WasmInterp.Instance(module, engine.hostFuncs ++ extraHost)
     try {
       inst.runStart()
       inst.module.exportedFunc("_start")

@@ -69,9 +69,16 @@ object WasmTransform {
    * where `topic` is null for the default output and `seq` is the
    * guest's emit order within its partition run.
    */
+  /** `extraHostFactory` builds additional host modules PER TASK (it
+    * runs on executors, so it must close over serializable state only
+    * — e.g. the schema list a per-task [[graft.registry.RestApi.Server]]
+    * is rebuilt from, mirroring how every shard holds its own SR
+    * replica in the reference). */
   def apply(input: DataFrame, moduleBytes: Array[Byte],
       recordsPerBatch: Int = DefaultRecordsPerBatch,
-      recordsPerRun: Int = DefaultRecordsPerRun): DataFrame = {
+      recordsPerRun: Int = DefaultRecordsPerRun,
+      extraHostFactory: Option[() => Map[(String, String), WasmInterp.HostFunc]] =
+        None): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(moduleBytes)
@@ -84,9 +91,12 @@ object WasmTransform {
       .as[In]
       .repartition(col("partition"))
       .sortWithinPartitions("partition", "offset")
+    val hostFactory = extraHostFactory
     ds.mapPartitions { (rows: Iterator[In]) =>
       // consecutive same-partition runs: the sort guarantees each Kafka
       // partition is one contiguous span of the task's iterator
+      val extraHost = hostFactory.map(_()).getOrElse(
+        Map.empty[(String, String), WasmInterp.HostFunc])
       val src = rows.buffered
       new Iterator[Out] {
         private var pending: Iterator[Out] = Iterator.empty
@@ -99,7 +109,7 @@ object WasmTransform {
                 run.size < perRun)
               run += src.next()
             val (emitted, _) = TransformAbi.runModule(decoded(bc.value),
-              toBatches(run.iterator, perBatch))
+              toBatches(run.iterator, perBatch), extraHost)
             pending = emitted.iterator.map { e: Emitted =>
               val (k, v) = TransformAbi.parsePayload(e.payload) match {
                 case Some((k0, v0, _)) => (k0, v0)

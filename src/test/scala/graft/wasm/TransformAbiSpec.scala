@@ -93,6 +93,40 @@ class TransformAbiSpec extends AnyFunSuite {
       Seq(1700000000000L, 1700000000005L))
   }
 
+  test("schemaEcho guest: fetches schema id 1 via the SR ABI, emits it per record") {
+    val mapperQ = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"}]}"""
+    val srv = new graft.registry.RestApi.Server()
+    val body = mapperQ.createObjectNode(); body.put("schema", raw)
+    assert(srv.handle("POST", "/subjects/ev/versions",
+      Some(mapperQ.writeValueAsString(body))).body === """{"id":1}""")
+    // run with BOTH host modules wired to the same nodes
+    val in = Seq(batch(0L, ("k1", "v1"), ("k2", "v2")))
+    val engine = new Engine(in.iterator)
+    val inst = new WasmInterp.Instance(
+      WasmModule.decode(GuestModules.schemaEcho),
+      engine.hostFuncs ++ SchemaRegistryAbi.hostFuncs(srv))
+    try inst.runStart() catch { case e: WasmInterp.ProcExit if e.code == 0 => }
+    try inst.module.exportedFunc("_start").foreach(i => inst.invoke(i, Array.empty))
+    catch { case e: WasmInterp.ProcExit if e.code == 0 => }
+    val out = engine.emitted.toVector
+    assert(out.size === 2)
+    out.foreach { e =>
+      val Some((k, v, hs)) = parsePayload(e.payload)
+      assert(k === null)
+      // the RestApi store serves the SANITIZED definition by id
+      assert(str(v) === graft.registry.AvroCanonical.sanitize(raw))
+      assert(hs.isEmpty)
+    }
+  }
+
+  test("SR ABI: encoded-def round trip and create_subject_schema parse") {
+    val raw = """{"type":"string"}"""
+    assert(SchemaRegistryAbi.parseEncodedDef(
+      SchemaRegistryAbi.encodeDef(raw)) === Some(raw))
+    assert(SchemaRegistryAbi.parseEncodedDef(Array[Byte](9, 9)) === None)
+  }
+
   test("empty feed: guest exits cleanly with nothing emitted") {
     val (out, _) = TransformAbi.run(GuestModules.mirror, Iterator.empty)
     assert(out.isEmpty)
