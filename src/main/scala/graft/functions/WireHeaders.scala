@@ -61,6 +61,20 @@ object WireHeaders {
     n
   }
 
+  /** Bounds-checked legacy reads: a truncated or corrupt frame reports
+    * a clean length error instead of BufferUnderflow/NegativeArraySize
+    * from blind allocation (the adapter-style gate the record-batch
+    * codec applies before parsing). */
+  def readLegacyString(b: ByteBuffer): String = {
+    val n = b.getShort()
+    require(n >= 0 && n <= b.remaining(), s"legacy string length $n exceeds frame")
+    val a = new Array[Byte](n); b.get(a); new String(a, "UTF-8")
+  }
+  def readLegacyBytes(b: ByteBuffer, n: Int): Array[Byte] = {
+    require(n >= 0 && n <= b.remaining(), s"legacy bytes length $n exceeds frame")
+    val a = new Array[Byte](n); b.get(a); a
+  }
+
   /** One empty tagged-field buffer (uvarint 0). Non-empty tag sets are
     * (count, then per tag: uvarint key, uvarint size, raw bytes). */
   def putEmptyTags(b: ByteBuffer): Unit = putUvarint(b, 0L)
@@ -389,13 +403,12 @@ object WireHeaders {
       val tid = getLegacyNullable(b)
       val acks = b.getShort(); val timeout = b.getInt()
       val topics = (0 until b.getInt()).map { _ =>
-        val name = { val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
-          new String(a, "UTF-8") }
+        val name = readLegacyString(b)
         val parts = (0 until b.getInt()).map { _ =>
           val idx = b.getInt()
           val len = b.getInt()
           val recs = if (len < 0) None
-            else { val a = new Array[Byte](len); b.get(a); Some(a) }
+            else Some(readLegacyBytes(b, len))
           (idx, recs)
         }
         (name, parts: Seq[(Int, Option[Array[Byte]])])
@@ -435,8 +448,7 @@ object WireHeaders {
     def decodeResponse(bytes: Array[Byte]): Response = {
       val b = ByteBuffer.wrap(bytes)
       val responses = (0 until b.getInt()).map { _ =>
-        val name = { val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
-          new String(a, "UTF-8") }
+        val name = readLegacyString(b)
         val parts = (0 until b.getInt()).map { _ =>
           RespPart(b.getInt(), b.getShort(), b.getLong(), b.getLong(),
             b.getLong(),
@@ -505,8 +517,7 @@ object WireHeaders {
     def decodeRequest(bytes: Array[Byte]): Request = {
       val b = ByteBuffer.wrap(bytes)
       def str(): String = {
-        val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
-        new String(a, "UTF-8")
+        readLegacyString(b)
       }
       val (rep, wait, minB, maxB) = (b.getInt(), b.getInt(), b.getInt(), b.getInt())
       val iso = b.get(); val sid = b.getInt(); val sep = b.getInt()
@@ -557,8 +568,7 @@ object WireHeaders {
       val b = ByteBuffer.wrap(bytes)
       val throttle = b.getInt(); val err = b.getShort(); val sid = b.getInt()
       val topics = (0 until b.getInt()).map { _ =>
-        val name = { val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
-          new String(a, "UTF-8") }
+        val name = readLegacyString(b)
         val parts = (0 until b.getInt()).map { _ =>
           val (idx, perr) = (b.getInt(), b.getShort())
           val (hwm, lso, lstart) = (b.getLong(), b.getLong(), b.getLong())
@@ -568,7 +578,7 @@ object WireHeaders {
           val prr = b.getInt()
           val recLen = b.getInt()
           val recs = if (recLen < 0) None
-            else { val a = new Array[Byte](recLen); b.get(a); Some(a) }
+            else Some(readLegacyBytes(b, recLen))
           RespPart(idx, perr, hwm, lso, lstart, aborted, prr, recs)
         }
         (name, parts: Seq[RespPart])
@@ -1163,8 +1173,7 @@ object WireHeaders {
       val b = ByteBuffer.wrap(bytes)
       require(b.getShort() >= 0, "bad subscription version")
       (0 until b.getInt()).map { _ =>
-        val n = b.getShort(); val a = new Array[Byte](n); b.get(a)
-        new String(a, "UTF-8")
+        readLegacyString(b)
       }
     }
     def encodeAssignment(parts: Seq[(String, Seq[Int])]): Array[Byte] = {
