@@ -2916,6 +2916,46 @@ object SparkEntry {
         .agg(min("offset").as("log_start"), count(lit(1)).as("remaining"))
         .orderBy("partition")),
 
+    "q4_wire_delete_records" -> ((s, dir) => {
+      // DeleteRecords v2 over the wire: truncate every partition of the
+      // log at offset 100 plus an unknown partition (error 3,
+      // unknown_topic_or_partition); low watermarks come from the
+      // engine's distributed truncation fold and ride back through the
+      // response bytes.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.DeleteRecords
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(21, 2, 51, Some("graft")),
+        DeleteRecords.encodeRequest(DeleteRecords.Request(Seq(("events",
+          (0 until EventPartitions).map(p => (p, 100L)) :+ ((9, 100L)))),
+          30000)),
+        flexible = true)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
+      val req = DeleteRecords.decodeRequest(reqBody)
+      val cut = req.topics.head._2.head._2
+      val lwm = RecordLog.deleteRecords(eventLog(s, dir), cut)
+        .groupBy("partition").agg(min("offset").as("lwm"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // 8 rows
+      val resp = DeleteRecords.Response(0, req.topics.map { case (name, ps) =>
+        (name, ps.map { case (p, _) => lwm.get(p) match {
+          case Some(w) => DeleteRecords.RespPart(p, w, 0)
+          case None if p < EventPartitions =>
+            // known partition, cut beyond its HWM: offset_out_of_range
+            DeleteRecords.RespPart(p, -1L, 1)
+          case None => DeleteRecords.RespPart(p, -1L, 3) // unknown partition
+        } })
+      })
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        DeleteRecords.encodeResponse(resp), flexibleHeader = true)
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
+        flexibleHeader = true)
+      DeleteRecords.decodeResponse(respBody).topics.flatMap(_._2).map(p =>
+        (p.partitionIndex, p.lowWatermark, p.errorCode.toInt, corrBack == 51))
+        .toDF("partition", "low_watermark", "error_code", "corr_ok")
+        .orderBy("partition")
+    }),
+
     "q4_offset_for_leader_epoch" -> ((s, dir) =>
       // epochs advance every 500 records of a partition's log — a
       // deterministic stand-in for leadership changes over time
@@ -4916,6 +4956,73 @@ object SparkEntry {
       TxnEngine.initProducerIds(events(s, dir).select("user_id").distinct(), col("user_id"))
         .select("user_id", "pid")
         .orderBy("user_id")),
+
+    "t1_wire_txn" -> ((s, dir) => {
+      // The txn coordinator's wire entry/exit: InitProducerId v3 frames
+      // get engine-assigned dense pids (the t1 fold); re-initializing a
+      // known tid bumps the producer epoch, so a later EndTxn v3 at the
+      // stale epoch fences with invalid_producer_epoch (47) and an
+      // unknown tid answers invalid_producer_id_mapping (49). All rows
+      // decode from the response BYTES.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{InitProducerId => IPI, EndTxn}
+      val pids = TxnEngine.initProducerIds(
+          Seq("tx-0", "tx-1", "tx-2").toDF("tid"), col("tid"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // 3 rows
+      val epochs = scala.collection.mutable.Map.empty[String, Int]
+      var nextPid = pids.size.toLong
+      def init(step: Int, tid: Option[String]) = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(22, 3, step, Some("graft")),
+          IPI.encodeRequest(IPI.Request(tid, 60000, -1L, -1)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = IPI.decodeRequest(body)
+        val (pid, epoch) = req.transactionalId match {
+          case Some(t) =>
+            val e = epochs.getOrElse(t, -1) + 1
+            epochs(t) = e
+            (pids(t), e)
+          case None => // idempotent-only producer: fresh pid, epoch 0
+            val p = nextPid; nextPid += 1; (p, 0)
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          IPI.encodeResponse(IPI.Response(0, 0, pid, epoch.toShort)),
+          flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        val resp = IPI.decodeResponse(rb)
+        (step, "init", req.transactionalId.getOrElse("<none>"),
+          resp.producerId, resp.producerEpoch.toInt, resp.errorCode.toInt,
+          corr == step)
+      }
+      def end(step: Int, tid: String, pid: Long, epoch: Int, commit: Boolean) = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(26, 3, step, Some("graft")),
+          EndTxn.encodeRequest(EndTxn.Request(tid, pid, epoch.toShort, commit)),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = EndTxn.decodeRequest(body)
+        val err: Short =
+          if (!epochs.contains(req.transactionalId)) 49
+          else if (req.producerEpoch != epochs(req.transactionalId)) 47
+          else 0
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          EndTxn.encodeResponse(EndTxn.Response(0, err)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        (step, if (commit) "end_commit" else "end_abort", tid, pid, epoch,
+          EndTxn.decodeResponse(rb).errorCode.toInt, corr == step)
+      }
+      Seq(
+        init(1, Some("tx-0")), init(2, Some("tx-1")), init(3, Some("tx-2")),
+        init(4, Some("tx-1")),  // bump: epoch 1
+        init(5, None),          // idempotent-only
+        end(6, "tx-0", pids("tx-0"), 0, commit = true),
+        end(7, "tx-1", pids("tx-1"), 0, commit = false), // fenced
+        end(8, "tx-1", pids("tx-1"), 1, commit = true),
+        end(9, "tx-9", 7L, 0, commit = true))            // unknown tid
+        .toDF("step", "api", "tid", "pid", "epoch", "error_code", "corr_ok")
+        .orderBy("step")
+    }),
 
     "t2_commit_abort" -> ((s, dir) =>
       txnLog(s, dir).where(col("is_control"))
@@ -8118,6 +8225,37 @@ object SparkEntry {
 
     "s1_produce_exactly_once" ->
       s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
+
+    // Txn wire round: dense pids by sorted tid (the t1 fold), epoch
+    // bump on re-init, fence (47) at stale epoch, unknown tid (49).
+    "t1_wire_txn" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'init', 'tx-0', CAST(0 AS BIGINT), 0, 0, TRUE),
+        |  (2, 'init', 'tx-1', 1, 0, 0, TRUE),
+        |  (3, 'init', 'tx-2', 2, 0, 0, TRUE),
+        |  (4, 'init', 'tx-1', 1, 1, 0, TRUE),
+        |  (5, 'init', '<none>', 3, 0, 0, TRUE),
+        |  (6, 'end_commit', 'tx-0', 0, 0, 0, TRUE),
+        |  (7, 'end_abort', 'tx-1', 1, 0, 47, TRUE),
+        |  (8, 'end_commit', 'tx-1', 1, 1, 0, TRUE),
+        |  (9, 'end_commit', 'tx-9', 7, 0, 49, TRUE))
+        | t(step, api, tid, pid, epoch, error_code, corr_ok) ORDER BY step""".stripMargin,
+
+    // Per-partition outcomes: lwm = first surviving offset; a known
+    // partition whose whole log sits below the cut answers
+    // offset_out_of_range (1); the unknown partition 9 answers 3.
+    "q4_wire_delete_records" ->
+      s"""$LogCte,
+         | l AS (SELECT partition, CAST(min("offset") AS BIGINT) AS low_watermark,
+         |         0 AS error_code
+         |       FROM log WHERE "offset" >= 100 GROUP BY 1)
+         | SELECT partition, low_watermark, error_code, TRUE AS corr_ok FROM l
+         | UNION ALL
+         | SELECT partition, CAST(-1 AS BIGINT), 1, TRUE
+         | FROM (SELECT DISTINCT partition FROM log) a
+         | WHERE partition NOT IN (SELECT partition FROM l)
+         | UNION ALL SELECT 9, CAST(-1 AS BIGINT), 3, TRUE
+         | ORDER BY partition""".stripMargin,
 
     "s1_append_incremental" ->
       s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS lo, max("offset") AS hi,

@@ -1152,6 +1152,147 @@ object WireHeaders {
     }
   }
 
+  /** InitProducerId (api key 22) v3 / EndTxn (api key 26) v3 — the txn
+    * coordinator's entry and exit (flexible 2+/3+); v3 init carries the
+    * KIP-360 producer_id/epoch the client already holds (-1 = none). */
+  object InitProducerId {
+    final case class Request(transactionalId: Option[String],
+        transactionTimeoutMs: Int, producerId: Long, producerEpoch: Short)
+    final case class Response(throttleMs: Int, errorCode: Short,
+        producerId: Long, producerEpoch: Short)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(32 +
+        r.transactionalId.map(compactStringSize).getOrElse(1))
+      putCompactNullableString(b, r.transactionalId)
+      b.putInt(r.transactionTimeoutMs)
+      b.putLong(r.producerId); b.putShort(r.producerEpoch)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Request(getCompactNullableString(b), b.getInt(), b.getLong(),
+        b.getShort())
+      getTags(b); r
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(24)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode)
+      b.putLong(r.producerId); b.putShort(r.producerEpoch)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Response(b.getInt(), b.getShort(), b.getLong(), b.getShort())
+      getTags(b); r
+    }
+  }
+
+  object EndTxn {
+    final case class Request(transactionalId: String, producerId: Long,
+        producerEpoch: Short, committed: Boolean)
+    final case class Response(throttleMs: Int, errorCode: Short)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 + compactStringSize(r.transactionalId))
+      putCompactString(b, r.transactionalId)
+      b.putLong(r.producerId); b.putShort(r.producerEpoch)
+      b.put(if (r.committed) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Request(getCompactString(b), b.getLong(), b.getShort(),
+        b.get() == 1)
+      getTags(b); r
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(12)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode); putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Response(b.getInt(), b.getShort()); getTags(b); r
+    }
+  }
+
+  /** DeleteRecords (api key 21) v2 — flexible; truncation to an offset
+    * per partition, -1 = the high watermark. */
+  object DeleteRecords {
+    final case class Request(topics: Seq[(String, Seq[(Int, Long)])],
+        timeoutMs: Int)
+    final case class RespPart(partitionIndex: Int, lowWatermark: Long,
+        errorCode: Short)
+    final case class Response(throttleMs: Int,
+        topics: Seq[(String, Seq[RespPart])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map { case (n, ps) =>
+        8 + compactStringSize(n) + ps.size * 16 }.sum)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putCompactString(b, name)
+        putCompactArrayLen(b, parts.size)
+        parts.foreach { case (p, off) =>
+          b.putInt(p); b.putLong(off); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.putInt(r.timeoutMs)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val parts = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = (b.getInt(), b.getLong()); getTags(b); p
+        }
+        getTags(b)
+        (name, parts: Seq[(Int, Long)])
+      }
+      val timeout = b.getInt(); getTags(b)
+      Request(topics, timeout)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map { case (n, ps) =>
+        8 + compactStringSize(n) + ps.size * 16 }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putCompactString(b, name)
+        putCompactArrayLen(b, parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putLong(p.lowWatermark)
+          b.putShort(p.errorCode); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val parts = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = RespPart(b.getInt(), b.getLong(), b.getShort())
+          getTags(b); p
+        }
+        getTags(b)
+        (name, parts: Seq[RespPart])
+      }
+      getTags(b)
+      Response(throttle, topics)
+    }
+  }
+
   /** The classic consumer embedded protocol (the bytes inside JoinGroup
     * metadata / SyncGroup assignments — Kafka's ConsumerProtocol,
     * legacy-encoded regardless of the enclosing message's flexibility):

@@ -182,6 +182,26 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(LeaveGroup.decodeResponse(LeaveGroup.encodeResponse(resp)) === resp)
   }
 
+  test("InitProducerId v3 / EndTxn v3 / DeleteRecords v2 round trips") {
+    import WireHeaders.{InitProducerId, EndTxn, DeleteRecords}
+    val ipi = InitProducerId.Request(Some("tx"), 60000, -1L, -1)
+    assert(InitProducerId.decodeRequest(InitProducerId.encodeRequest(ipi)) === ipi)
+    val ipiN = InitProducerId.Request(None, 60000, 5L, 2)
+    assert(InitProducerId.decodeRequest(InitProducerId.encodeRequest(ipiN)) === ipiN)
+    assert(InitProducerId.decodeResponse(InitProducerId.encodeResponse(
+      InitProducerId.Response(0, 0, 42L, 3))) ===
+      InitProducerId.Response(0, 0, 42L, 3))
+    val et = EndTxn.Request("tx", 42L, 3, committed = true)
+    assert(EndTxn.decodeRequest(EndTxn.encodeRequest(et)) === et)
+    assert(EndTxn.decodeResponse(EndTxn.encodeResponse(EndTxn.Response(1, 47)))
+      === EndTxn.Response(1, 47))
+    val dr = DeleteRecords.Request(Seq(("t", Seq((0, 100L), (1, -1L)))), 30000)
+    assert(DeleteRecords.decodeRequest(DeleteRecords.encodeRequest(dr)) === dr)
+    val drr = DeleteRecords.Response(0, Seq(("t", Seq(
+      DeleteRecords.RespPart(0, 100L, 0), DeleteRecords.RespPart(9, -1L, 3)))))
+    assert(DeleteRecords.decodeResponse(DeleteRecords.encodeResponse(drr)) === drr)
+  }
+
   test("compact decoders reject lengths a truncated frame cannot hold") {
     import java.nio.ByteBuffer
     // compact string claiming 200 bytes with 1 present
