@@ -3304,6 +3304,66 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    "adm_wire_create_topics" -> ((s, dir) => {
+      // CreateTopics v7 over the wire: the decoded request's topic
+      // specs (configs as name/value pairs) run the engine's
+      // first-failing-rule validator chain (validators.h — 37 invalid
+      // partitions, 38 invalid replication factor, 40 invalid config);
+      // accepted topics echo effective partitions/rf/configs, rejects
+      // answer -1/-1 with null configs and carry the config error as
+      // the response's TAGGED field (tag 0, emitted only when set).
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.CreateTopics
+      val reqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(19, 7, 61, Some("graft")),
+        CreateTopics.encodeRequest(CreateTopics.Request(Seq(
+          CreateTopics.ReqTopic("wire_ok", 8, 3, Seq(
+            ("max.message.bytes", Some("1048576")),
+            ("compression.type", Some("zstd")))),
+          CreateTopics.ReqTopic("wire_bad_parts", 0, 3, Nil),
+          CreateTopics.ReqTopic("wire_bad_rf", 4, 2, Nil),
+          CreateTopics.ReqTopic("wire_bad_config", 4, 3, Seq(
+            ("cleanup.policy", Some("vacuum"))))),
+          30000, validateOnly = true)),
+        flexible = true)
+      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
+      val req = CreateTopics.decodeRequest(reqBody)
+      def cfg(t: CreateTopics.ReqTopic, k: String): Option[String] =
+        t.configs.find(_._1 == k).flatMap(_._2)
+      val specs = req.topics.map(t => (t.name, t.numPartitions,
+        t.replicationFactor.toInt, cfg(t, "max.message.bytes").map(_.toInt),
+        cfg(t, "compression.type"), cfg(t, "cleanup.policy"),
+        cfg(t, "message.timestamp.type")))
+        .toDF("topic", "partitions", "replication_factor",
+          "max_message_bytes", "compression", "cleanup_policy",
+          "timestamp_type")
+      val verdicts = graft.admin.Admin.validateTopicConfigs(specs)
+        .select("topic", "error_code").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap // one row per spec
+      val resp = CreateTopics.Response(0, req.topics.map { t =>
+        val err = verdicts(t.name)
+        if (err == 0)
+          CreateTopics.RespTopic(t.name, new Array[Byte](16), 0, None, 0,
+            t.numPartitions, t.replicationFactor, Some(t.configs))
+        else
+          CreateTopics.RespTopic(t.name, new Array[Byte](16), err.toShort,
+            Some(s"validation failed with error $err"),
+            if (err == 40) 40 else 0, -1, -1, None)
+      })
+      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
+        CreateTopics.encodeResponse(resp), flexibleHeader = true)
+      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
+        flexibleHeader = true)
+      CreateTopics.decodeResponse(respBody).topics.map(t =>
+        (t.name, t.errorCode.toInt, t.numPartitions,
+          t.replicationFactor.toInt, t.topicConfigErrorCode.toInt,
+          t.configs.map(_.size).getOrElse(-1), corrBack == 61))
+        .toDF("topic", "error_code", "num_partitions", "replication_factor",
+          "config_error", "n_configs", "corr_ok")
+        .orderBy("topic")
+    }),
+
     "adm_api_versions" -> ((s, dir) =>
       // The full handler registry, oracle-pinned: any drift between the
       // advertised api surface and this contract fails the gate.
@@ -8912,6 +8972,17 @@ object SparkEntry {
         |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
         |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
         | t("group", coordinator_partition) ORDER BY "group"""".stripMargin,
+
+    // CreateTopics v7 wire: validator-chain outcomes over the wire,
+    // config error riding the response's tagged field.
+    "adm_wire_create_topics" ->
+      """SELECT * FROM (VALUES
+        |  ('wire_bad_config', 40, -1, -1, 40, -1, TRUE),
+        |  ('wire_bad_parts', 37, -1, -1, 0, -1, TRUE),
+        |  ('wire_bad_rf', 38, -1, -1, 0, -1, TRUE),
+        |  ('wire_ok', 0, 8, 3, 0, 2, TRUE))
+        | t(topic, error_code, num_partitions, replication_factor,
+        |   config_error, n_configs, corr_ok) ORDER BY topic""".stripMargin,
 
     // FindCoordinator v3 size laws: request = 20 frame+header + (1+len
     //   compact key + 1 key_type + 1 tags) = 23 + len(group); response =

@@ -1293,6 +1293,126 @@ object WireHeaders {
     }
   }
 
+  /** CreateTopics (api key 19) v7 — flexible from v5; the response's
+    * topic_config_error_code is a TAGGED field (tag 0, emitted only
+    * when non-zero, KIP-482), num_partitions/replication_factor echo
+    * the effective values (-1 on error), configs nullable. */
+  object CreateTopics {
+    final case class ReqTopic(name: String, numPartitions: Int,
+        replicationFactor: Short, configs: Seq[(String, Option[String])])
+    final case class Request(topics: Seq[ReqTopic], timeoutMs: Int,
+        validateOnly: Boolean)
+    final case class RespTopic(name: String, topicId: Array[Byte],
+        errorCode: Short, errorMessage: Option[String],
+        topicConfigErrorCode: Short, numPartitions: Int,
+        replicationFactor: Short, configs: Option[Seq[(String, Option[String])]])
+    final case class Response(throttleMs: Int, topics: Seq[RespTopic])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(32 + r.topics.map(t =>
+        24 + compactStringSize(t.name) + t.configs.map { case (k, v) =>
+          4 + compactStringSize(k) + v.map(compactStringSize).getOrElse(1) }.sum).sum)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t =>
+        putCompactString(b, t.name)
+        b.putInt(t.numPartitions); b.putShort(t.replicationFactor)
+        putCompactArrayLen(b, 0) // assignments: broker placement unused here
+        putCompactArrayLen(b, t.configs.size)
+        t.configs.foreach { case (k, v) =>
+          putCompactString(b, k); putCompactNullableString(b, v)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.putInt(r.timeoutMs)
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val np = b.getInt(); val rf = b.getShort()
+        val nAssign = getCompactArrayLen(b)
+        require(nAssign == 0, "manual assignments unsupported")
+        val configs = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = (getCompactString(b), getCompactNullableString(b))
+          getTags(b); p
+        }
+        getTags(b)
+        ReqTopic(name, np, rf, configs)
+      }
+      val timeout = b.getInt(); val vo = b.get() == 1
+      getTags(b)
+      Request(topics, timeout, vo)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(32 + r.topics.map(t =>
+        64 + compactStringSize(t.name) +
+          t.errorMessage.map(compactStringSize).getOrElse(1) +
+          t.configs.map(_.map { case (k, v) => 8 + compactStringSize(k) +
+            v.map(compactStringSize).getOrElse(1) }.sum).getOrElse(0)).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t =>
+        putCompactString(b, t.name)
+        b.put(t.topicId, 0, 16)
+        b.putShort(t.errorCode)
+        putCompactNullableString(b, t.errorMessage)
+        b.putInt(t.numPartitions); b.putShort(t.replicationFactor)
+        t.configs match {
+          case None => putUvarint(b, 0L)
+          case Some(cs) =>
+            putCompactArrayLen(b, cs.size)
+            cs.foreach { case (k, v) =>
+              putCompactString(b, k); putCompactNullableString(b, v)
+              b.put(0.toByte)    // read_only
+              b.put(5.toByte)    // config source: DEFAULT_CONFIG
+              b.put(0.toByte)    // is_sensitive
+              putEmptyTags(b)
+            }
+        }
+        if (t.topicConfigErrorCode != 0) {
+          // one tagged field: key 0, two bytes of int16
+          putUvarint(b, 1L); putUvarint(b, 0L); putUvarint(b, 2L)
+          b.putShort(t.topicConfigErrorCode)
+        } else putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val id = new Array[Byte](16); b.get(id)
+        val err = b.getShort()
+        val msg = getCompactNullableString(b)
+        val np = b.getInt(); val rf = b.getShort()
+        val nCfg = getUvarint(b)
+        val configs =
+          if (nCfg == 0) None
+          else Some((0L until nCfg - 1).map { _ =>
+            val k = getCompactString(b); val v = getCompactNullableString(b)
+            b.get(); b.get(); b.get() // read_only, source, sensitive
+            getTags(b)
+            (k, v)
+          }: Seq[(String, Option[String])])
+        val tags = getTags(b)
+        val cfgErr = tags.find(_._1 == 0L)
+          .map(t => ByteBuffer.wrap(t._2).getShort()).getOrElse(0.toShort)
+        RespTopic(name, id, err, msg, cfgErr, np, rf, configs)
+      }
+      getTags(b)
+      Response(throttle, topics)
+    }
+  }
+
   /** The classic consumer embedded protocol (the bytes inside JoinGroup
     * metadata / SyncGroup assignments — Kafka's ConsumerProtocol,
     * legacy-encoded regardless of the enclosing message's flexibility):

@@ -202,6 +202,25 @@ class WireHeadersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DeleteRecords.decodeResponse(DeleteRecords.encodeResponse(drr)) === drr)
   }
 
+  test("CreateTopics v7: round trip incl. the tagged config-error field") {
+    import WireHeaders.CreateTopics._
+    val req = Request(Seq(
+      ReqTopic("t1", 8, 3, Seq(("compression.type", Some("zstd")),
+        ("x", None))),
+      ReqTopic("t2", 1, 1, Nil)), 30000, validateOnly = true)
+    assert(decodeRequest(encodeRequest(req)) === req)
+    val resp = Response(7, Seq(
+      RespTopic("t1", new Array[Byte](16), 0, None, 0, 8, 3,
+        Some(Seq(("compression.type", Some("zstd"))))),
+      RespTopic("t2", new Array[Byte](16), 40, Some("bad"), 40, -1, -1, None)))
+    val back = decodeResponse(encodeResponse(resp))
+    assert(back.throttleMs === 7)
+    assert(back.topics.map(t => (t.name, t.errorCode, t.errorMessage,
+      t.topicConfigErrorCode, t.numPartitions, t.replicationFactor, t.configs))
+      === resp.topics.map(t => (t.name, t.errorCode, t.errorMessage,
+        t.topicConfigErrorCode, t.numPartitions, t.replicationFactor, t.configs)))
+  }
+
   test("compact decoders reject lengths a truncated frame cannot hold") {
     import java.nio.ByteBuffer
     // compact string claiming 200 bytes with 1 present
