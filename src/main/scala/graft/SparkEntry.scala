@@ -3647,6 +3647,52 @@ object SparkEntry {
         .orderBy("client")
     }),
 
+    "sec_wire_sasl" -> ((s, dir) => {
+      // The full SASL/SCRAM conversation over the wire: SaslHandshake
+      // v1 picks the mechanism, then every RFC 5802 message rides its
+      // own SaslAuthenticate v2 flexible frame through a byte-driven
+      // server FSM (scram_authenticator.cc handle_client_first /
+      // handle_client_final; failures surface as error 58 with the
+      // errc message per kafka/server/server.cc:470-541). Seven
+      // scenarios: clean SHA-256 and SHA-512 exchanges (mutual auth —
+      // the client checks v= against its own server key), a wrong
+      // password (fails at client-final), an unknown user / authzid
+      // mismatch / below-minimum iterations (each rejected at
+      // client-first), and an unsupported mechanism (handshake 33).
+      // Every frame size is a closed-form law the oracle recomputes.
+      import graft.security.{SaslWire, Scram}
+      def salt(u: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest((u + "/salt").getBytes("UTF-8")).take(12)
+      def cred(u: String, pw: String, mech: Scram.Mechanism, iters: Int) = {
+        val (sl, stored, server, it) = Scram.makeCredential(pw, salt(u), iters, mech)
+        (u, mech.name) -> SaslWire.Cred(sl, stored, server, it)
+      }
+      val creds = Map(
+        cred("alice", "alice-secret", Scram.Sha256, 4096),
+        cred("bob", "bob-secret", Scram.Sha512, 4096),
+        cred("carol", "carol-secret", Scram.Sha256, 4096),
+        cred("frank", "frank-secret", Scram.Sha256, 1024))
+      def cn(u: String) = (u + "00000000").take(8)
+      def sn(u: String) = ("s" + u + "00000000").take(8)
+      val attempts = Seq(
+        SaslWire.Attempt("s1_ok_256", "alice", "SCRAM-SHA-256",
+          "alice-secret", cn("alice"), sn("alice"), None),
+        SaslWire.Attempt("s2_wrong_pw", "alice", "SCRAM-SHA-256",
+          "not-the-password", cn("alice"), sn("alice"), None),
+        SaslWire.Attempt("s3_ok_512", "bob", "SCRAM-SHA-512",
+          "bob-secret", cn("bob"), sn("bob"), None),
+        SaslWire.Attempt("s4_unknown_user", "eve", "SCRAM-SHA-256",
+          "whatever", cn("eve"), sn("eve"), None),
+        SaslWire.Attempt("s5_authzid_mismatch", "carol", "SCRAM-SHA-256",
+          "carol-secret", cn("carol"), sn("carol"), Some("other")),
+        SaslWire.Attempt("s6_low_iterations", "frank", "SCRAM-SHA-256",
+          "frank-secret", cn("frank"), sn("frank"), None),
+        SaslWire.Attempt("s7_bad_mechanism", "dave", "SCRAM-SHA-224",
+          "whatever", cn("dave"), sn("dave"), None))
+      SaslWire.run(s, attempts, creds).orderBy("scenario")
+    }),
+
     "sec_gssapi_principal" -> ((s, dir) => {
       // GSSAPI principal-to-local rules (gssapi_rule.h:24,
       // gssapi_principal_mapper.h:47): the reference's own test corpus —
@@ -5145,6 +5191,161 @@ object SparkEntry {
       TxnEngine.commitTxOffsets(commits, log)
         .select("group", "topic", "partition", "committed_offset")
         .orderBy("group", "partition")
+    }),
+
+    "g3_wire_txn_offsets" -> ((s, dir) => {
+      // The transactional-offsets conversation over the wire (KIP-447
+      // flow): AddPartitionsToTxn v3 declares the txn's partitions,
+      // AddOffsetsToTxn v1 ties in the group, TxnOffsetCommit v3 lands
+      // offsets PENDING, EndTxn v3 seals or discards them — and the
+      // final OffsetFetch v7 response bytes serve what the engine's
+      // commitTxOffsets fold (group::commit_tx) actually made visible:
+      // tx-a's 100/200 commit, tx-b's 555 vanishes with its abort.
+      // Fencing ladder per leg: stale epoch 47 invalid_producer_epoch,
+      // unknown tid 49 invalid_producer_id_mapping, wrong generation 22
+      // illegal_generation (group::handle_txn_offset_commit). Every
+      // frame size is a closed-form law (tid 4 chars, group "g-wire",
+      // member "m-1", topic "events").
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{AddPartitionsToTxn => APT, AddOffsetsToTxn => AOT,
+        TxnOffsetCommit => TOC, EndTxn, OffsetFetch}
+      val Group = "g-wire"; val Topic = "events"; val Gen = 7; val Member = "m-1"
+      val txns = Map("tx-a" -> (10L, 2), "tx-b" -> (11L, 0)) // tid -> (pid, epoch)
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Int, Long, Int, Int, Int, Int, Boolean)]
+      val commitLog = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, String, Int, Long, Long)]
+      val controlLog = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Boolean, String)]
+      def fence(tid: String, pid: Long, epoch: Int): Short =
+        txns.get(tid) match {
+          case None => 49
+          case Some((p, e)) => if (p != pid || e != epoch) 47 else 0
+        }
+      def addParts(step: Int, tid: String, epoch: Int, parts: Seq[Int]): Unit = {
+        val pid = txns.get(tid).map(_._1).getOrElse(-1L)
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(24, 3, step, Some("graft")),
+          APT.encodeRequest(APT.Request(tid, pid, epoch.toShort,
+            Seq(Topic -> parts))), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = APT.decodeRequest(body)
+        val err = fence(req.transactionalId, req.producerId, req.producerEpoch)
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          APT.encodeResponse(APT.Response(0, req.topics.map { case (t, ps) =>
+            t -> ps.map(_ -> err) })), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        APT.decodeResponse(rb).results.foreach { case (_, ps) =>
+          ps.foreach { case (p, e) =>
+            rows += ((step, "add_partitions", tid, p, -1L, e.toInt, parts.size,
+              reqF.length, respF.length, corr == step))
+          }
+        }
+      }
+      def addOffsets(step: Int, tid: String, epoch: Int): Unit = {
+        val pid = txns.get(tid).map(_._1).getOrElse(-1L)
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(25, 1, step, Some("graft")),
+          AOT.encodeRequest(AOT.Request(tid, pid, epoch.toShort, Group)),
+          flexible = false)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = false)
+        val req = AOT.decodeRequest(body)
+        val err = fence(req.transactionalId, req.producerId, req.producerEpoch)
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          AOT.encodeResponse(AOT.Response(0, err)), flexibleHeader = false)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = false)
+        rows += ((step, "add_offsets", tid, -1, -1L,
+          AOT.decodeResponse(rb).errorCode.toInt, -1, reqF.length, respF.length,
+          corr == step))
+      }
+      def tocommit(step: Int, tid: String, epoch: Int, gen: Int,
+          offs: Seq[(Int, Long)]): Unit = {
+        val pid = txns.get(tid).map(_._1).getOrElse(-1L)
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(28, 3, step, Some("graft")),
+          TOC.encodeRequest(TOC.Request(tid, Group, pid, epoch.toShort, gen,
+            Member, None, Seq(Topic -> offs.map { case (p, o) =>
+              TOC.ReqPartition(p, o, -1, None) }))), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = TOC.decodeRequest(body)
+        val fenceErr = fence(req.transactionalId, req.producerId, req.producerEpoch)
+        val err: Short = if (fenceErr != 0) fenceErr
+          else if (req.generationId != Gen || req.memberId != Member) 22
+          else 0
+        if (err == 0) req.topics.foreach { case (t, ps) =>
+          ps.foreach(p => commitLog += ((req.producerId, 0L, req.groupId, t,
+            p.partition, p.offset, step.toLong)))
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          TOC.encodeResponse(TOC.Response(0, req.topics.map { case (t, ps) =>
+            t -> ps.map(_.partition -> err) })), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        TOC.decodeResponse(rb).topics.foreach { case (_, ps) =>
+          ps.foreach { case (p, e) =>
+            rows += ((step, "txn_offset_commit", tid, p,
+              offs.toMap.getOrElse(p, -1L), e.toInt, offs.size,
+              reqF.length, respF.length, corr == step))
+          }
+        }
+      }
+      def endTxn(step: Int, tid: String, commit: Boolean): Unit = {
+        val (pid, epoch) = txns(tid)
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(26, 3, step, Some("graft")),
+          EndTxn.encodeRequest(EndTxn.Request(tid, pid, epoch.toShort, commit)),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = EndTxn.decodeRequest(body)
+        controlLog += ((req.producerId, 0L, true,
+          if (req.committed) "commit" else "abort"))
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          EndTxn.encodeResponse(EndTxn.Response(0, 0)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        rows += ((step, if (commit) "end_commit" else "end_abort", tid, -1, -1L,
+          EndTxn.decodeResponse(rb).errorCode.toInt, -1, reqF.length,
+          respF.length, corr == step))
+      }
+      addParts(1, "tx-a", 2, Seq(0, 1))
+      addParts(2, "tx-z", 0, Seq(0, 1))          // unknown tid -> 49
+      addParts(3, "tx-b", 5, Seq(0, 1))          // stale epoch -> 47
+      addOffsets(4, "tx-a", 2)
+      addOffsets(5, "tx-z", 0)                   // unknown tid -> 49
+      tocommit(6, "tx-a", 2, Gen, Seq(0 -> 100L, 1 -> 200L))
+      tocommit(7, "tx-b", 0, Gen, Seq(0 -> 555L))
+      tocommit(8, "tx-a", 1, Gen, Seq(0 -> 150L)) // stale epoch -> 47
+      tocommit(9, "tx-b", 0, 3, Seq(1 -> 650L))   // wrong generation -> 22
+      endTxn(10, "tx-a", commit = true)
+      endTxn(11, "tx-b", commit = false)
+      // the engine seals pending offsets with the commit markers
+      val visible = TxnEngine.commitTxOffsets(
+          commitLog.toSeq.toDF("pid", "txn_seq", "group", "topic",
+            "partition", "committed_offset", "commit_seq"),
+          controlLog.toSeq.toDF("pid", "txn_seq", "is_control", "decision"))
+        .select("partition", "committed_offset")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= 2 rows
+      val ofReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(9, 7, 12, Some("graft")),
+        OffsetFetch.encodeRequest(OffsetFetch.Request(Group,
+          Seq(Topic -> Seq(0, 1)), requireStable = true)), flexible = true)
+      val (ofH, ofBody) = WireHeaders.decodeRequestFrame(ofReqF, flexible = true)
+      val ofReq = OffsetFetch.decodeRequest(ofBody)
+      val ofRespF = WireHeaders.encodeResponseFrame(ofH.correlationId,
+        OffsetFetch.encodeResponse(OffsetFetch.Response(0,
+          ofReq.topics.map { case (t, ps) => OffsetFetch.RespTopic(t,
+            ps.map(p => OffsetFetch.RespPart(p, visible.getOrElse(p, -1L),
+              -1, None, 0))) }, 0)), flexibleHeader = true)
+      val (ofCorr, ofRb) = WireHeaders.decodeResponseFrame(ofRespF, flexibleHeader = true)
+      OffsetFetch.decodeResponse(ofRb).topics.foreach { t =>
+        t.partitions.foreach { p =>
+          rows += ((12, "offset_fetch", Group, p.partitionIndex,
+            p.committedOffset, p.errorCode.toInt, t.partitions.size,
+            ofReqF.length, ofRespF.length, ofCorr == 12))
+        }
+      }
+      rows.toSeq.toDF("step", "api", "scope", "partition", "offset",
+        "error_code", "leg_parts", "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("step", "partition")
     }),
 
     // ----- §2.5 G4 assignment strategies -----
@@ -9102,6 +9303,57 @@ object SparkEntry {
         |       FROM customer WHERE c_custkey <= 60)
         | ORDER BY client""".stripMargin,
 
+    // SCRAM over the wire. Size laws: handshake v1 request = 4 frame +
+    //   15 non-flexible header ("graft" client) + 2+len(mech) = 21+len;
+    //   response = 4 + 4 corr + 2 err + 4 arraylen + 2*(2+13) = 44.
+    // SaslAuthenticate v2 request = 4 + 16 flexible header + 1 compact
+    //   len + authbytes + 1 tags = 22 + len(auth); auth response =
+    //   4 + 5 header + 2 err + msg(1 if null else 1+len) + 1+payload +
+    //   8 lifetime + 1 tags = 22 + payload (success) / 22 + len(msg)
+    //   (failure, empty payload). client-first = gs2(3, or 5+authzid) +
+    //   "n=,r=" (5) + user + 8-char nonce; server-first = "r=" + 16 +
+    //   ",s=" + 16 (12-byte salt) + ",i=" + 4 = 44; client-final =
+    //   "c=biws,r=" + 16 + ",p=" + proof-b64 (44 SHA-256 / 88 SHA-512);
+    //   server-final = "v=" + sig-b64.
+    "sec_wire_sasl" ->
+      """SELECT scenario, "user", mechanism,
+        |  CAST(hs_error AS INTEGER) AS hs_error, fail_leg,
+        |  CAST(error_code AS INTEGER) AS error_code, error_message,
+        |  CAST(iterations AS INTEGER) AS iterations, nonce_ok, server_sig_ok,
+        |  CAST(21 + length(mechanism) AS INTEGER) AS hs_req_bytes,
+        |  CAST(44 AS INTEGER) AS hs_resp_bytes,
+        |  CAST(CASE WHEN fail_leg = 'handshake' THEN -1
+        |            ELSE 38 + length("user")
+        |                 + CASE WHEN authzid IS NULL THEN 0
+        |                        ELSE 2 + length(authzid) END
+        |       END AS INTEGER) AS a1_req_bytes,
+        |  CAST(CASE WHEN fail_leg = 'handshake' THEN -1
+        |            WHEN fail_leg = 'server_first' THEN 22 + length(error_message)
+        |            ELSE 66 END AS INTEGER) AS a1_resp_bytes,
+        |  CAST(CASE WHEN fail_leg IN ('handshake', 'server_first') THEN -1
+        |            WHEN mechanism = 'SCRAM-SHA-512' THEN 138
+        |            ELSE 94 END AS INTEGER) AS a2_req_bytes,
+        |  CAST(CASE WHEN fail_leg IN ('handshake', 'server_first') THEN -1
+        |            WHEN fail_leg = 'server_final' THEN 22 + length(error_message)
+        |            WHEN mechanism = 'SCRAM-SHA-512' THEN 112
+        |            ELSE 68 END AS INTEGER) AS a2_resp_bytes,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  ('s1_ok_256', 'alice', 'SCRAM-SHA-256', 0, 'none', 0, NULL, 4096, TRUE, TRUE, NULL),
+        |  ('s2_wrong_pw', 'alice', 'SCRAM-SHA-256', 0, 'server_final', 58,
+        |   'SASL authentication failed: security: Invalid credentials', 4096, TRUE, FALSE, NULL),
+        |  ('s3_ok_512', 'bob', 'SCRAM-SHA-512', 0, 'none', 0, NULL, 4096, TRUE, TRUE, NULL),
+        |  ('s4_unknown_user', 'eve', 'SCRAM-SHA-256', 0, 'server_first', 58,
+        |   'SASL authentication failed: security: Invalid credentials', -1, FALSE, FALSE, NULL),
+        |  ('s5_authzid_mismatch', 'carol', 'SCRAM-SHA-256', 0, 'server_first', 58,
+        |   'SASL authentication failed: security: Invalid credentials', -1, FALSE, FALSE, 'other'),
+        |  ('s6_low_iterations', 'frank', 'SCRAM-SHA-256', 0, 'server_first', 58,
+        |   'SASL authentication failed: security: Invalid credentials', -1, FALSE, FALSE, NULL),
+        |  ('s7_bad_mechanism', 'dave', 'SCRAM-SHA-224', 33, 'handshake', 33, NULL, -1, FALSE, FALSE, NULL))
+        | t(scenario, "user", mechanism, hs_error, fail_leg, error_code,
+        |   error_message, iterations, nonce_ok, server_sig_ok, authzid)
+        | ORDER BY scenario""".stripMargin,
+
     // The reference's own gssapi_principal_mapper test corpus; every
     // expected local name pinned (the engine must reproduce them).
     "sec_gssapi_principal" ->
@@ -10994,6 +11246,53 @@ object SparkEntry {
          |  FROM ofs o JOIN committed c ON o.pid = c.pid AND o.txn_seq = c.txn_seq
          |  WHERE NOT o.is_control AND o.batch_type = 1 AND o.event_type = 'purchase')
          | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
+
+    // Transactional offsets over the wire. Size laws (tid 4 chars,
+    // group "g-wire" 6, member "m-1" 3, topic "events" 6, flexible
+    // header 16 / legacy 15 with client "graft", response header 5
+    // flexible / 4 legacy):
+    //   AddPartitionsToTxn v3 req = 46 + 4*np, resp = 24 + 7*np
+    //   AddOffsetsToTxn v1 (legacy) req = 43, resp = 14
+    //   TxnOffsetCommit v3 req = 62 + 18*np, resp = 24 + 7*np
+    //   EndTxn v3 req = 37, resp = 16
+    //   OffsetFetch v7 req = 47, resp = 26 + 20*np
+    "g3_wire_txn_offsets" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, scope,
+        |  CAST(partition AS INTEGER) AS partition,
+        |  CAST("offset" AS BIGINT) AS "offset",
+        |  CAST(error_code AS INTEGER) AS error_code,
+        |  CAST(leg_parts AS INTEGER) AS leg_parts,
+        |  CAST(CASE api WHEN 'add_partitions' THEN 46 + 4 * leg_parts
+        |                WHEN 'add_offsets' THEN 43
+        |                WHEN 'txn_offset_commit' THEN 62 + 18 * leg_parts
+        |                WHEN 'offset_fetch' THEN 47
+        |                ELSE 37 END AS INTEGER) AS req_bytes,
+        |  CAST(CASE api WHEN 'add_partitions' THEN 24 + 7 * leg_parts
+        |                WHEN 'add_offsets' THEN 14
+        |                WHEN 'txn_offset_commit' THEN 24 + 7 * leg_parts
+        |                WHEN 'offset_fetch' THEN 26 + 20 * leg_parts
+        |                ELSE 16 END AS INTEGER) AS resp_bytes,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'add_partitions', 'tx-a', 0, -1, 0, 2),
+        |  (1, 'add_partitions', 'tx-a', 1, -1, 0, 2),
+        |  (2, 'add_partitions', 'tx-z', 0, -1, 49, 2),
+        |  (2, 'add_partitions', 'tx-z', 1, -1, 49, 2),
+        |  (3, 'add_partitions', 'tx-b', 0, -1, 47, 2),
+        |  (3, 'add_partitions', 'tx-b', 1, -1, 47, 2),
+        |  (4, 'add_offsets', 'tx-a', -1, -1, 0, -1),
+        |  (5, 'add_offsets', 'tx-z', -1, -1, 49, -1),
+        |  (6, 'txn_offset_commit', 'tx-a', 0, 100, 0, 2),
+        |  (6, 'txn_offset_commit', 'tx-a', 1, 200, 0, 2),
+        |  (7, 'txn_offset_commit', 'tx-b', 0, 555, 0, 1),
+        |  (8, 'txn_offset_commit', 'tx-a', 0, 150, 47, 1),
+        |  (9, 'txn_offset_commit', 'tx-b', 1, 650, 22, 1),
+        |  (10, 'end_commit', 'tx-a', -1, -1, 0, -1),
+        |  (11, 'end_abort', 'tx-b', -1, -1, 0, -1),
+        |  (12, 'offset_fetch', 'g-wire', 0, 100, 0, 2),
+        |  (12, 'offset_fetch', 'g-wire', 1, 200, 0, 2))
+        | t(step, api, scope, partition, "offset", error_code, leg_parts)
+        | ORDER BY step, partition""".stripMargin,
 
     "g4_assign_range" ->
       s"""$G4Cte,

@@ -1220,6 +1220,204 @@ object WireHeaders {
     }
   }
 
+  /** AddPartitionsToTxn (api key 24) v3 — flexible from v3
+    * (`add_partitions_to_txn_request.json`): the producer declares
+    * which topic-partitions its open transaction will write, the
+    * coordinator answers a per-partition error grid. */
+  object AddPartitionsToTxn {
+    final case class Request(transactionalId: String, producerId: Long,
+        producerEpoch: Short, topics: Seq[(String, Seq[Int])])
+    final case class Response(throttleMs: Int,
+        results: Seq[(String, Seq[(Int, Short)])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.transactionalId) +
+        r.topics.map { case (t, ps) => compactStringSize(t) + 2 + 4 * ps.size }.sum)
+      putCompactString(b, r.transactionalId)
+      b.putLong(r.producerId); b.putShort(r.producerEpoch)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach(b.putInt)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val tid = getCompactString(b)
+      val pid = b.getLong(); val epoch = b.getShort()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+        getTags(b)
+        (t, ps: Seq[Int])
+      }
+      getTags(b)
+      Request(tid, pid, epoch, topics)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 +
+        r.results.map { case (t, ps) => compactStringSize(t) + 2 + 8 * ps.size }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { case (idx, err) =>
+          b.putInt(idx); b.putShort(err); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val r = (b.getInt(), b.getShort()); getTags(b); r
+        }
+        getTags(b)
+        (t, ps: Seq[(Int, Short)])
+      }
+      getTags(b)
+      Response(throttle, results)
+    }
+  }
+
+  /** AddOffsetsToTxn (api key 25) v1 — NEVER flexible (reference pins
+    * 0-1): ties a consumer group's offsets topic into the transaction
+    * before TxnOffsetCommit may land. */
+  object AddOffsetsToTxn {
+    final case class Request(transactionalId: String, producerId: Long,
+        producerEpoch: Short, groupId: String)
+    final case class Response(throttleMs: Int, errorCode: Short)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(14 +
+        r.transactionalId.getBytes("UTF-8").length +
+        r.groupId.getBytes("UTF-8").length)
+      putLegacyString(b, r.transactionalId)
+      b.putLong(r.producerId); b.putShort(r.producerEpoch)
+      putLegacyString(b, r.groupId)
+      b.array()
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      Request(readLegacyString(b), b.getLong(), b.getShort(), readLegacyString(b))
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(6)
+      b.putInt(r.throttleMs); b.putShort(r.errorCode)
+      b.array()
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      Response(b.getInt(), b.getShort())
+    }
+  }
+
+  /** TxnOffsetCommit (api key 28) v3 — flexible from v3; v3 adds the
+    * group-fencing fields (generation, member, group instance,
+    * KIP-447). Offsets land PENDING and only become fetchable when the
+    * transaction's EndTxn commit marker seals them
+    * (`group::handle_txn_offset_commit` / `commit_tx`). */
+  object TxnOffsetCommit {
+    final case class ReqPartition(partition: Int, offset: Long,
+        leaderEpoch: Int, metadata: Option[String])
+    final case class Request(transactionalId: String, groupId: String,
+        producerId: Long, producerEpoch: Short, generationId: Int,
+        memberId: String, groupInstanceId: Option[String],
+        topics: Seq[(String, Seq[ReqPartition])])
+    final case class Response(throttleMs: Int,
+        topics: Seq[(String, Seq[(Int, Short)])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(64 + compactStringSize(r.transactionalId) +
+        compactStringSize(r.groupId) + compactStringSize(r.memberId) +
+        r.groupInstanceId.map(compactStringSize).getOrElse(1) +
+        r.topics.map { case (t, ps) =>
+          compactStringSize(t) + 2 +
+            ps.map(p => 18 + p.metadata.map(compactStringSize).getOrElse(1)).sum
+        }.sum)
+      putCompactString(b, r.transactionalId)
+      putCompactString(b, r.groupId)
+      b.putLong(r.producerId); b.putShort(r.producerEpoch)
+      b.putInt(r.generationId)
+      putCompactString(b, r.memberId)
+      putCompactNullableString(b, r.groupInstanceId)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partition); b.putLong(p.offset); b.putInt(p.leaderEpoch)
+          putCompactNullableString(b, p.metadata)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val tid = getCompactString(b)
+      val gid = getCompactString(b)
+      val pid = b.getLong(); val epoch = b.getShort()
+      val gen = b.getInt()
+      val member = getCompactString(b)
+      val inst = getCompactNullableString(b)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = ReqPartition(b.getInt(), b.getLong(), b.getInt(),
+            getCompactNullableString(b))
+          getTags(b); p
+        }
+        getTags(b)
+        (t, ps: Seq[ReqPartition])
+      }
+      getTags(b)
+      Request(tid, gid, pid, epoch, gen, member, inst, topics)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 +
+        r.topics.map { case (t, ps) => compactStringSize(t) + 2 + 8 * ps.size }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { case (idx, err) =>
+          b.putInt(idx); b.putShort(err); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val r = (b.getInt(), b.getShort()); getTags(b); r
+        }
+        getTags(b)
+        (t, ps: Seq[(Int, Short)])
+      }
+      getTags(b)
+      Response(throttle, topics)
+    }
+  }
+
   /** DeleteRecords (api key 21) v2 — flexible; truncation to an offset
     * per partition, -1 = the high watermark. */
   object DeleteRecords {
@@ -1410,6 +1608,93 @@ object WireHeaders {
       }
       getTags(b)
       Response(throttle, topics)
+    }
+  }
+
+  /** SaslHandshake (api key 17) v1 — NEVER flexible (reference pins
+    * 0-1, `sasl_handshake_request.json`): legacy string mechanism in;
+    * int16 error + legacy string array of enabled mechanisms out
+    * (`kafka/server/server.cc:683-743` answers the configured list on
+    * both success and UNSUPPORTED_SASL_MECHANISM). */
+  object SaslHandshake {
+    final case class Request(mechanism: String)
+    final case class Response(errorCode: Short, mechanisms: Seq[String])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 + r.mechanism.getBytes("UTF-8").length)
+      putLegacyString(b, r.mechanism)
+      b.array()
+    }
+    def decodeRequest(bytes: Array[Byte]): Request =
+      Request(readLegacyString(ByteBuffer.wrap(bytes)))
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(
+        2 + 4 + r.mechanisms.map(2 + _.getBytes("UTF-8").length).sum)
+      b.putShort(r.errorCode)
+      b.putInt(r.mechanisms.size)
+      r.mechanisms.foreach(putLegacyString(b, _))
+      b.array()
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val err = b.getShort()
+      val n = b.getInt()
+      require(n >= 0 && n <= b.remaining() / 2, s"mechanism count $n exceeds frame")
+      Response(err, (0 until n).map(_ => readLegacyString(b)))
+    }
+  }
+
+  /** SaslAuthenticate (api key 36) v2 — flexible from v2
+    * (`sasl_authenticate_request.json`). The request is one COMPACT_BYTES
+    * auth blob; the response carries error, nullable message, the
+    * server's SASL reply bytes, and session_lifetime_ms (v1+), exactly
+    * the shape `sasl_authenticate_handler::handle` fills
+    * (`kafka/server/server.cc:470-541`). */
+  object SaslAuthenticate {
+    final case class Request(authBytes: Array[Byte])
+    final case class Response(errorCode: Short, errorMessage: Option[String],
+        authBytes: Array[Byte], sessionLifetimeMs: Long)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(
+        uvarintSize(r.authBytes.length + 1L) + r.authBytes.length + 1)
+      putUvarint(b, r.authBytes.length + 1L); b.put(r.authBytes)
+      putEmptyTags(b)
+      b.array()
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val n = getUvarint(b)
+      require(n > 0, "null auth_bytes")
+      require(n - 1 <= b.remaining(), s"auth_bytes length ${n - 1} exceeds frame")
+      val a = new Array[Byte](n.toInt - 1); b.get(a)
+      getTags(b)
+      Request(a)
+    }
+
+    def encodeResponse(r: Response): Array[Byte] = {
+      val msgLen = r.errorMessage.map(compactStringSize).getOrElse(1)
+      val b = ByteBuffer.allocate(2 + msgLen +
+        uvarintSize(r.authBytes.length + 1L) + r.authBytes.length + 8 + 1)
+      b.putShort(r.errorCode)
+      putCompactNullableString(b, r.errorMessage)
+      putUvarint(b, r.authBytes.length + 1L); b.put(r.authBytes)
+      b.putLong(r.sessionLifetimeMs)
+      putEmptyTags(b)
+      b.array()
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val err = b.getShort()
+      val msg = getCompactNullableString(b)
+      val n = getUvarint(b)
+      require(n > 0, "null auth_bytes")
+      require(n - 1 <= b.remaining(), s"auth_bytes length ${n - 1} exceeds frame")
+      val a = new Array[Byte](n.toInt - 1); b.get(a)
+      val lifetime = b.getLong()
+      getTags(b)
+      Response(err, msg, a, lifetime)
     }
   }
 
