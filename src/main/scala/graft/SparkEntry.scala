@@ -3647,6 +3647,191 @@ object SparkEntry {
         .orderBy("client")
     }),
 
+    "sec_wire_acls" -> ((s, dir) => {
+      // The ACL control plane over the wire: one CreateAcls v3 frame
+      // carrying six creations (two invalid — a prefixless principal
+      // and resource type 99 — answered 42 with the reference's
+      // conversion messages, security.h:33-107), a DescribeAcls v3
+      // MATCH-filter read served from the engine's compacted live set
+      // through filterAcls (acl.cc:496-527: literal equality, stored
+      // '*' wildcard, prefix evaluation), a DeleteAcls v3 frame whose
+      // valid filter tombstones every User:bob binding and whose
+      // invalid filter errors per-filter without touching the store,
+      // and a second describe proving the deletion. All rows decode
+      // from response bytes.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{AclEnums => E, CreateAcls, DescribeAcls, DeleteAcls}
+      import graft.security.Acls
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Int, Int, Option[String], Option[String], Option[String],
+        Option[String], Option[String], Option[String], Option[String],
+        Option[String], Boolean)]
+      val aclLog = scala.collection.mutable.ArrayBuffer.empty[(Long, String,
+        String, String, String, String, String, String, Boolean)]
+      var nextSeq = 0L
+      def logDf = aclLog.toSeq.toDF("seq", "principal", "host",
+        "resource_type", "pattern_type", "resource_name", "operation",
+        "permission", "deleted")
+      def convert(a: CreateAcls.Acl): Either[String,
+          (String, String, String, String, String, String, String)] =
+        try {
+          if (a.resourceName.isEmpty)
+            throw new IllegalArgumentException("Empty resource name")
+          Right((E.validatePrincipal(a.principal), a.host,
+            E.resourceType(a.resourceType), E.patternType(a.patternType),
+            a.resourceName, E.operation(a.operation),
+            E.permission(a.permission)))
+        } catch { case e: IllegalArgumentException => Left(e.getMessage) }
+      def optCode(b: Byte, m: Map[Byte, String]): Option[String] =
+        if (b == 1) None else Some(m.getOrElse(b,
+          throw new IllegalArgumentException(s"Invalid filter code: $b")))
+      def runFilter(rtype: Byte, rname: Option[String], ptype: Byte,
+          principal: Option[String], host: Option[String], op: Byte,
+          perm: Byte) = {
+        principal.foreach(E.validatePrincipal) // filters validate too
+        Acls.filterAcls(Acls.currentAcls(logDf),
+          optCode(rtype, E.ResourceTypes), rname,
+          if (ptype == 1) None
+          else if (ptype == 2) Some("match")
+          else Some(E.patternType(ptype)),
+          principal, host,
+          optCode(op, E.Operations), optCode(perm, E.Permissions))
+          .collect() // the live ACL set is control-plane-bounded
+          .map(r => (r.getAs[String]("principal"), r.getAs[String]("host"),
+            r.getAs[String]("resource_type"), r.getAs[String]("pattern_type"),
+            r.getAs[String]("resource_name"), r.getAs[String]("operation"),
+            r.getAs[String]("permission")))
+          .sortBy(x => (x._3, x._5, x._1))
+      }
+
+      // ---- step 1: CreateAcls v3
+      val createReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(30, 3, 31, Some("graft")),
+        CreateAcls.encodeRequest(CreateAcls.Request(Seq(
+          CreateAcls.Acl(2, "payments", 3, "User:alice", "*", 3, 3),
+          CreateAcls.Acl(2, "pay", 4, "User:bob", "*", 4, 3),
+          CreateAcls.Acl(3, "analytics", 3, "User:bob", "*", 3, 2),
+          CreateAcls.Acl(2, "*", 3, "User:*", "*", 8, 3),
+          CreateAcls.Acl(2, "payments-eu", 3, "alice", "*", 4, 3),
+          CreateAcls.Acl(99.toByte, "orders", 3, "User:carol", "*", 3, 3)))),
+        flexible = true)
+      val (ch, cBody) = WireHeaders.decodeRequestFrame(createReqF, flexible = true)
+      val createReq = CreateAcls.decodeRequest(cBody)
+      val converted = createReq.creations.map(convert)
+      converted.foreach {
+        case Right((p, h, rt, pt, rn, op, pm)) =>
+          aclLog += ((nextSeq, p, h, rt, pt, rn, op, pm, false)); nextSeq += 1
+        case Left(_) => ()
+      }
+      val createRespF = WireHeaders.encodeResponseFrame(ch.correlationId,
+        CreateAcls.encodeResponse(CreateAcls.Response(0, converted.map {
+          case Right(_) => (0.toShort, None)
+          case Left(m) => (42.toShort, Some(m))
+        })), flexibleHeader = true)
+      val (cCorr, cRespBody) = WireHeaders.decodeResponseFrame(createRespF,
+        flexibleHeader = true)
+      CreateAcls.decodeResponse(cRespBody).results.zipWithIndex.foreach {
+        case ((err, msg), i) =>
+          val a = createReq.creations(i)
+          rows += ((1, "create", i, err.toInt, msg, Some(a.principal),
+            Some(a.host), E.ResourceTypes.get(a.resourceType),
+            E.PatternTypes.get(a.patternType), Some(a.resourceName),
+            E.Operations.get(a.operation), E.Permissions.get(a.permission),
+            cCorr == 31))
+      }
+
+      // ---- steps 2 & 4: DescribeAcls v3 with a MATCH filter
+      def describe(step: Int, corr: Int): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(29, 3, corr, Some("graft")),
+          DescribeAcls.encodeRequest(DescribeAcls.Request(2,
+            Some("payments"), 2, None, None, 1, 1)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = DescribeAcls.decodeRequest(body)
+        val matched = runFilter(req.resourceTypeFilter,
+          req.resourceNameFilter, req.patternTypeFilter,
+          req.principalFilter, req.hostFilter, req.operation, req.permission)
+        val resources = matched.groupBy(x => (x._3, x._5, x._4)).toSeq
+          .sortBy(_._1).map { case ((rt, rn, pt), as) =>
+            DescribeAcls.Resource(E.ResourceTypeCodes(rt), rn,
+              E.PatternTypeCodes(pt), as.toSeq.map(a =>
+                DescribeAcls.RespAcl(a._1, a._2, E.OperationCodes(a._6),
+                  E.PermissionCodes(a._7))))
+          }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          DescribeAcls.encodeResponse(DescribeAcls.Response(0, 0, None,
+            resources)), flexibleHeader = true)
+        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
+          flexibleHeader = true)
+        DescribeAcls.decodeResponse(rb).resources.foreach { res =>
+          res.acls.foreach { a =>
+            rows += ((step, "describe", -1, 0, None, Some(a.principal),
+              Some(a.host), Some(E.resourceType(res.resourceType)),
+              Some(E.patternType(res.patternType)), Some(res.resourceName),
+              Some(E.operation(a.operation)),
+              Some(E.permission(a.permission)), corrBack == corr))
+          }
+        }
+      }
+      describe(2, 32)
+
+      // ---- step 3: DeleteAcls v3 — one valid filter, one invalid
+      val delReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(31, 3, 33, Some("graft")),
+        DeleteAcls.encodeRequest(DeleteAcls.Request(Seq(
+          DeleteAcls.Filter(1, None, 1, Some("User:bob"), None, 1, 1),
+          DeleteAcls.Filter(1, None, 1, Some("bob"), None, 1, 1)))),
+        flexible = true)
+      val (dh, dBody) = WireHeaders.decodeRequestFrame(delReqF, flexible = true)
+      val delReq = DeleteAcls.decodeRequest(dBody)
+      val delResults = delReq.filters.map { f =>
+        try {
+          val matched = runFilter(f.resourceTypeFilter, f.resourceNameFilter,
+            f.patternTypeFilter, f.principalFilter, f.hostFilter,
+            f.operation, f.permission)
+          matched.foreach { m =>
+            aclLog += ((nextSeq, m._1, m._2, m._3, m._4, m._5, m._6, m._7,
+              true)) // tombstone
+            nextSeq += 1
+          }
+          DeleteAcls.FilterResult(0, None, matched.toSeq.map(m =>
+            DeleteAcls.MatchingAcl(0, None, E.ResourceTypeCodes(m._3), m._5,
+              E.PatternTypeCodes(m._4), m._1, m._2, E.OperationCodes(m._6),
+              E.PermissionCodes(m._7))))
+        } catch {
+          case e: IllegalArgumentException =>
+            DeleteAcls.FilterResult(42, Some(e.getMessage), Nil)
+        }
+      }
+      val delRespF = WireHeaders.encodeResponseFrame(dh.correlationId,
+        DeleteAcls.encodeResponse(DeleteAcls.Response(0, delResults)),
+        flexibleHeader = true)
+      val (dCorr, dRespBody) = WireHeaders.decodeResponseFrame(delRespF,
+        flexibleHeader = true)
+      DeleteAcls.decodeResponse(dRespBody).results.zipWithIndex.foreach {
+        case (fr, i) =>
+          if (fr.matchingAcls.isEmpty)
+            rows += ((3, "delete", i, fr.errorCode.toInt, fr.errorMessage,
+              None, None, None, None, None, None, None, dCorr == 33))
+          else fr.matchingAcls.foreach { m =>
+            rows += ((3, "delete", i, m.errorCode.toInt, m.errorMessage,
+              Some(m.principal), Some(m.host),
+              Some(E.resourceType(m.resourceType)),
+              Some(E.patternType(m.patternType)), Some(m.resourceName),
+              Some(E.operation(m.operation)),
+              Some(E.permission(m.permission)), dCorr == 33))
+          }
+      }
+
+      describe(4, 34)
+
+      rows.toSeq.toDF("step", "api", "item", "error_code", "error_message",
+        "principal", "host", "resource_type", "pattern_type",
+        "resource_name", "operation", "permission", "corr_ok")
+        .orderBy("step", "item", "resource_type", "resource_name", "principal")
+    }),
+
     "sec_wire_sasl" -> ((s, dir) => {
       // The full SASL/SCRAM conversation over the wire: SaslHandshake
       // v1 picks the mechanism, then every RFC 5802 message rides its
@@ -9302,6 +9487,33 @@ object SparkEntry {
         |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER', 'EXTERNAL'])[(c_custkey % 6) + 1] AS mech
         |       FROM customer WHERE c_custkey <= 60)
         | ORDER BY client""".stripMargin,
+
+    // The ACL control plane over the wire: creation error ladder with
+    // the reference's conversion messages, MATCH-filter describe,
+    // per-filter delete with tombstoned matches, post-delete re-read.
+    "sec_wire_acls" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
+        |  CAST(error_code AS INTEGER) AS error_code, error_message,
+        |  principal, host, resource_type, pattern_type, resource_name,
+        |  operation, permission, TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'create', 0, 0, NULL, 'User:alice', '*', 'topic', 'literal', 'payments', 'read', 'allow'),
+        |  (1, 'create', 1, 0, NULL, 'User:bob', '*', 'topic', 'prefixed', 'pay', 'write', 'allow'),
+        |  (1, 'create', 2, 0, NULL, 'User:bob', '*', 'group', 'literal', 'analytics', 'read', 'deny'),
+        |  (1, 'create', 3, 0, NULL, 'User:*', '*', 'topic', 'literal', '*', 'describe', 'allow'),
+        |  (1, 'create', 4, 42, 'Invalid principal name: {alice}', 'alice', '*', 'topic', 'literal', 'payments-eu', 'write', 'allow'),
+        |  (1, 'create', 5, 42, 'Invalid resource type: 99', 'User:carol', '*', NULL, 'literal', 'orders', 'read', 'allow'),
+        |  (2, 'describe', -1, 0, NULL, 'User:*', '*', 'topic', 'literal', '*', 'describe', 'allow'),
+        |  (2, 'describe', -1, 0, NULL, 'User:alice', '*', 'topic', 'literal', 'payments', 'read', 'allow'),
+        |  (2, 'describe', -1, 0, NULL, 'User:bob', '*', 'topic', 'prefixed', 'pay', 'write', 'allow'),
+        |  (3, 'delete', 0, 0, NULL, 'User:bob', '*', 'group', 'literal', 'analytics', 'read', 'deny'),
+        |  (3, 'delete', 0, 0, NULL, 'User:bob', '*', 'topic', 'prefixed', 'pay', 'write', 'allow'),
+        |  (3, 'delete', 1, 42, 'Invalid principal name: {bob}', NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (4, 'describe', -1, 0, NULL, 'User:*', '*', 'topic', 'literal', '*', 'describe', 'allow'),
+        |  (4, 'describe', -1, 0, NULL, 'User:alice', '*', 'topic', 'literal', 'payments', 'read', 'allow'))
+        | t(step, api, item, error_code, error_message, principal, host,
+        |   resource_type, pattern_type, resource_name, operation, permission)
+        | ORDER BY step, item, resource_type, resource_name, principal""".stripMargin,
 
     // SCRAM over the wire. Size laws: handshake v1 request = 4 frame +
     //   15 non-flexible header ("graft" client) + 2+len(mech) = 21+len;

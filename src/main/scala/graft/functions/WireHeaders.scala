@@ -1611,6 +1611,293 @@ object WireHeaders {
     }
   }
 
+  /** Kafka ACL wire enum tables, exactly the reference's conversion
+    * switches (`kafka/server/handlers/details/security.h:75-140`):
+    * unknown codes throw with the reference's message text, which the
+    * handlers surface as invalid_request (42). */
+  object AclEnums {
+    val ResourceTypes: Map[Byte, String] = Map(
+      2.toByte -> "topic", 3.toByte -> "group", 4.toByte -> "cluster",
+      5.toByte -> "transactional_id")
+    val PatternTypes: Map[Byte, String] = Map(
+      3.toByte -> "literal", 4.toByte -> "prefixed")
+    val Operations: Map[Byte, String] = Map(
+      2.toByte -> "all", 3.toByte -> "read", 4.toByte -> "write",
+      5.toByte -> "create", 6.toByte -> "delete", 7.toByte -> "alter",
+      8.toByte -> "describe", 9.toByte -> "cluster_action",
+      10.toByte -> "describe_configs", 11.toByte -> "alter_configs",
+      12.toByte -> "idempotent_write")
+    val Permissions: Map[Byte, String] = Map(
+      2.toByte -> "deny", 3.toByte -> "allow")
+
+    def resourceType(b: Byte): String = ResourceTypes.getOrElse(b,
+      throw new IllegalArgumentException(s"Invalid resource type: $b"))
+    def patternType(b: Byte): String = PatternTypes.getOrElse(b,
+      throw new IllegalArgumentException(s"Invalid resource pattern type: $b"))
+    def operation(b: Byte): String = Operations.getOrElse(b,
+      throw new IllegalArgumentException(s"Invalid operation: $b"))
+    def permission(b: Byte): String = Permissions.getOrElse(b,
+      throw new IllegalArgumentException(s"Invalid permission: $b"))
+
+    /** `to_acl_principal` (security.h:33-60): "User:" or
+      * "RedpandaRole:" prefix required, name non-empty, wildcard only
+      * for users. */
+    def validatePrincipal(p: String): String = {
+      val usr = p.startsWith("User:")
+      val rol = !usr && p.startsWith("RedpandaRole:")
+      if (!usr && !rol)
+        throw new IllegalArgumentException(s"Invalid principal name: {$p}")
+      val name = p.substring(if (usr) 5 else 13)
+      if (name.isEmpty)
+        throw new IllegalArgumentException("Principal name cannot be empty")
+      if (name == "*" && !rol) p
+      else if (name == "*")
+        throw new IllegalArgumentException(s"Illegal wildcard role: {$p}")
+      else p
+    }
+
+    private def rev(m: Map[Byte, String]): Map[String, Byte] = m.map(_.swap)
+    val ResourceTypeCodes: Map[String, Byte] = rev(ResourceTypes)
+    val PatternTypeCodes: Map[String, Byte] = rev(PatternTypes)
+    val OperationCodes: Map[String, Byte] = rev(Operations)
+    val PermissionCodes: Map[String, Byte] = rev(Permissions)
+  }
+
+  /** CreateAcls (api key 30) v3 — flexible from v2
+    * (`create_acls_request.json`): an array of creatable bindings in,
+    * a per-creation (error, message) ladder out. */
+  object CreateAcls {
+    final case class Acl(resourceType: Byte, resourceName: String,
+        patternType: Byte, principal: String, host: String,
+        operation: Byte, permission: Byte)
+    final case class Request(creations: Seq[Acl])
+    final case class Response(throttleMs: Int,
+        results: Seq[(Short, Option[String])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.creations.map(a =>
+        8 + compactStringSize(a.resourceName) +
+          compactStringSize(a.principal) + compactStringSize(a.host)).sum)
+      putCompactArrayLen(b, r.creations.size)
+      r.creations.foreach { a =>
+        b.put(a.resourceType)
+        putCompactString(b, a.resourceName)
+        b.put(a.patternType)
+        putCompactString(b, a.principal)
+        putCompactString(b, a.host)
+        b.put(a.operation); b.put(a.permission)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val creations = (0 until getCompactArrayLen(b)).map { _ =>
+        val a = Acl(b.get(), getCompactString(b), b.get(),
+          getCompactString(b), getCompactString(b), b.get(), b.get())
+        getTags(b); a
+      }
+      getTags(b)
+      Request(creations)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.results.map(x =>
+        4 + x._2.map(compactStringSize).getOrElse(1)).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { case (err, msg) =>
+        b.putShort(err); putCompactNullableString(b, msg); putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val r = (b.getShort(), getCompactNullableString(b)); getTags(b); r
+      }
+      getTags(b)
+      Response(throttle, results)
+    }
+  }
+
+  /** DescribeAcls (api key 29) v3 — flexible from v2: a 7-leg binding
+    * filter in, matching bindings grouped by resource out. */
+  object DescribeAcls {
+    final case class Request(resourceTypeFilter: Byte,
+        resourceNameFilter: Option[String], patternTypeFilter: Byte,
+        principalFilter: Option[String], hostFilter: Option[String],
+        operation: Byte, permission: Byte)
+    final case class RespAcl(principal: String, host: String,
+        operation: Byte, permission: Byte)
+    final case class Resource(resourceType: Byte, resourceName: String,
+        patternType: Byte, acls: Seq[RespAcl])
+    final case class Response(throttleMs: Int, errorCode: Short,
+        errorMessage: Option[String], resources: Seq[Resource])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 +
+        r.resourceNameFilter.map(compactStringSize).getOrElse(1) +
+        r.principalFilter.map(compactStringSize).getOrElse(1) +
+        r.hostFilter.map(compactStringSize).getOrElse(1))
+      b.put(r.resourceTypeFilter)
+      putCompactNullableString(b, r.resourceNameFilter)
+      b.put(r.patternTypeFilter)
+      putCompactNullableString(b, r.principalFilter)
+      putCompactNullableString(b, r.hostFilter)
+      b.put(r.operation); b.put(r.permission)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val r = Request(b.get(), getCompactNullableString(b), b.get(),
+        getCompactNullableString(b), getCompactNullableString(b),
+        b.get(), b.get())
+      getTags(b); r
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(32 +
+        r.errorMessage.map(compactStringSize).getOrElse(1) +
+        r.resources.map(res => 8 + compactStringSize(res.resourceName) +
+          res.acls.map(a => 8 + compactStringSize(a.principal) +
+            compactStringSize(a.host)).sum).sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactNullableString(b, r.errorMessage)
+      putCompactArrayLen(b, r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putCompactString(b, res.resourceName)
+        b.put(res.patternType)
+        putCompactArrayLen(b, res.acls.size)
+        res.acls.foreach { a =>
+          putCompactString(b, a.principal)
+          putCompactString(b, a.host)
+          b.put(a.operation); b.put(a.permission)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val err = b.getShort()
+      val msg = getCompactNullableString(b)
+      val resources = (0 until getCompactArrayLen(b)).map { _ =>
+        val rt = b.get(); val rn = getCompactString(b); val pt = b.get()
+        val acls = (0 until getCompactArrayLen(b)).map { _ =>
+          val a = RespAcl(getCompactString(b), getCompactString(b),
+            b.get(), b.get())
+          getTags(b); a
+        }
+        getTags(b)
+        Resource(rt, rn, pt, acls)
+      }
+      getTags(b)
+      Response(throttle, err, msg, resources)
+    }
+  }
+
+  /** DeleteAcls (api key 31) v3 — flexible from v2: an array of binding
+    * filters in; per filter, the MATCHING (now deleted) bindings out. */
+  object DeleteAcls {
+    final case class Filter(resourceTypeFilter: Byte,
+        resourceNameFilter: Option[String], patternTypeFilter: Byte,
+        principalFilter: Option[String], hostFilter: Option[String],
+        operation: Byte, permission: Byte)
+    final case class Request(filters: Seq[Filter])
+    final case class MatchingAcl(errorCode: Short,
+        errorMessage: Option[String], resourceType: Byte,
+        resourceName: String, patternType: Byte, principal: String,
+        host: String, operation: Byte, permission: Byte)
+    final case class FilterResult(errorCode: Short,
+        errorMessage: Option[String], matchingAcls: Seq[MatchingAcl])
+    final case class Response(throttleMs: Int, results: Seq[FilterResult])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.filters.map(f => 8 +
+        f.resourceNameFilter.map(compactStringSize).getOrElse(1) +
+        f.principalFilter.map(compactStringSize).getOrElse(1) +
+        f.hostFilter.map(compactStringSize).getOrElse(1)).sum)
+      putCompactArrayLen(b, r.filters.size)
+      r.filters.foreach { f =>
+        b.put(f.resourceTypeFilter)
+        putCompactNullableString(b, f.resourceNameFilter)
+        b.put(f.patternTypeFilter)
+        putCompactNullableString(b, f.principalFilter)
+        putCompactNullableString(b, f.hostFilter)
+        b.put(f.operation); b.put(f.permission)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val filters = (0 until getCompactArrayLen(b)).map { _ =>
+        val f = Filter(b.get(), getCompactNullableString(b), b.get(),
+          getCompactNullableString(b), getCompactNullableString(b),
+          b.get(), b.get())
+        getTags(b); f
+      }
+      getTags(b)
+      Request(filters)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.results.map(fr => 8 +
+        fr.errorMessage.map(compactStringSize).getOrElse(1) +
+        fr.matchingAcls.map(m => 16 +
+          m.errorMessage.map(compactStringSize).getOrElse(1) +
+          compactStringSize(m.resourceName) +
+          compactStringSize(m.principal) + compactStringSize(m.host)).sum).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { fr =>
+        b.putShort(fr.errorCode)
+        putCompactNullableString(b, fr.errorMessage)
+        putCompactArrayLen(b, fr.matchingAcls.size)
+        fr.matchingAcls.foreach { m =>
+          b.putShort(m.errorCode)
+          putCompactNullableString(b, m.errorMessage)
+          b.put(m.resourceType)
+          putCompactString(b, m.resourceName)
+          b.put(m.patternType)
+          putCompactString(b, m.principal)
+          putCompactString(b, m.host)
+          b.put(m.operation); b.put(m.permission)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val err = b.getShort()
+        val msg = getCompactNullableString(b)
+        val matches = (0 until getCompactArrayLen(b)).map { _ =>
+          val m = MatchingAcl(b.getShort(), getCompactNullableString(b),
+            b.get(), getCompactString(b), b.get(), getCompactString(b),
+            getCompactString(b), b.get(), b.get())
+          getTags(b); m
+        }
+        getTags(b)
+        FilterResult(err, msg, matches)
+      }
+      getTags(b)
+      Response(throttle, results)
+    }
+  }
+
   /** SaslHandshake (api key 17) v1 — NEVER flexible (reference pins
     * 0-1, `sasl_handshake_request.json`): legacy string mechanism in;
     * int16 error + legacy string array of enabled mechanisms out

@@ -55,6 +55,45 @@ object Acls {
   }
 
   /**
+   * ACL binding filter (`security/acl.cc:496-527`
+   * resource_pattern_filter::matches + acl_entry_filter): each absent
+   * leg matches anything; a CONCRETE pattern filter ('literal' /
+   * 'prefixed') requires the stored pattern type to equal it and then
+   * compares names exactly; the 'match' filter evaluates the stored
+   * pattern against the filter name — literal matches on equality OR a
+   * stored wildcard '*', prefixed matches when the filter name starts
+   * with the stored prefix. Entry legs (principal/host/op/perm) are
+   * exact-match-or-absent. This is the shared evaluator behind
+   * describe_acls and delete_acls. One codegen'd filter over the
+   * broadcast-small live set.
+   */
+  def filterAcls(acls: DataFrame,
+      resourceType: Option[String], nameFilter: Option[String],
+      patternFilter: Option[String], principalFilter: Option[String],
+      hostFilter: Option[String], opFilter: Option[String],
+      permFilter: Option[String]): DataFrame = {
+    def eq(c: String, v: Option[String]): Column =
+      v.map(col(c) === _).getOrElse(lit(true))
+    val patternOk: Column = patternFilter match {
+      case None => lit(true)
+      case Some("match") => lit(true) // name leg below decides
+      case Some(p) => col("pattern_type") === p
+    }
+    val nameOk: Column = nameFilter match {
+      case None => lit(true)
+      case Some(n) if patternFilter.contains("match") =>
+        (col("pattern_type") === "literal" &&
+          (col("resource_name") === n || col("resource_name") === "*")) ||
+          (col("pattern_type") === "prefixed" &&
+            lit(n).startsWith(col("resource_name")))
+      case Some(n) => col("resource_name") === n
+    }
+    acls.where(eq("resource_type", resourceType) && patternOk && nameOk &&
+      eq("principal", principalFilter) && eq("host", hostFilter) &&
+      eq("operation", opFilter) && eq("permission", permFilter))
+  }
+
+  /**
    * RBAC authorization (reference `security/role.h` / `role_store.h`:
    * roles are named principal sets; a binding may name
    * `Role:<name>` as its principal and then covers every member). Each
