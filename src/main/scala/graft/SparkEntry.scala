@@ -5185,6 +5185,210 @@ object SparkEntry {
         .orderBy("group", "partition")
     }),
 
+    "g2_wire_group_admin" -> ((s, dir) => {
+      // The group admin plane over the wire: ListGroups v4 (states
+      // filter; an unparseable state fails the request 42,
+      // server.cc:612-640), DescribeGroups v5 (stable group with
+      // protocol + real embedded subscription metadata, unknown group
+      // answers the DEAD shell with error 0, describe_groups.h:64-72),
+      // DeleteGroups v2 (group::remove ladder — 68 non-empty, 0 +
+      // offset tombstones for empty, 69 unknown), OffsetDelete v0
+      // (per-partition 86 for live subscriptions,
+      // group_manager.cc:1523-1573). Group states fold through the
+      // live-mode FSM; offsets live in the compacted store and the
+      // final read shows exactly what survived.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{ListGroups => LG, DescribeGroups => DG,
+        DeleteGroups => DelG, OffsetDelete => OD, ConsumerProtocol}
+      val cmdLog = Seq(
+        ("g-stable", 1L, "m1", "join", Seq("range", "roundrobin")),
+        ("g-stable", 2L, "m2", "join", Seq("range")),
+        ("g-stable", 3L, "m1", "sync", Seq.empty[String]),
+        ("g-stable", 4L, "m2", "sync", Seq.empty[String]),
+        ("g-empty", 5L, "m3", "join", Seq("range")),
+        ("g-empty", 6L, "m3", "leave", Seq.empty[String]),
+        ("g-prep", 7L, "m4", "join", Seq("range")),
+        ("g-prep", 8L, "m5", "join", Seq("range")))
+        .toDF("group", "seq", "member", "cmd", "protocols")
+      val summaries = graft.groups.GroupEngine
+        .describeGroups(cmdLog, recovery = false)
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toMap // 3 groups
+      val subscriptions = Map("g-stable" -> Seq("events")) // member metadata
+      var store = Seq(
+        ("g-stable", "events", 0, 100L, 1L),
+        ("g-stable", "other", 0, 5L, 2L),
+        ("g-empty", "events", 1, 20L, 3L))
+        .toDF("group", "topic", "partition", "committed_offset", "commit_seq")
+      var nextSeq = 10L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Option[String], Option[String], Option[String], Option[String],
+        Option[String], Int, Long, Int, Int, Boolean)]
+
+      // ---- steps 1-2: ListGroups v4
+      def list(step: Int, states: Seq[String]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(16, 4, step, Some("graft")),
+          LG.encodeRequest(LG.Request(states)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = LG.decodeRequest(body)
+        val valid = Set("Empty", "PreparingRebalance", "CompletingRebalance",
+          "Stable", "Dead")
+        // group_state_from_kafka_name (group.cc:2833): any unparseable
+        // state fails the whole request; otherwise filter the summaries
+        // (the engine's listGroups projection, already folded above)
+        val answer =
+          if (!req.statesFilter.forall(valid)) LG.Response(0, 42, Nil)
+          else LG.Response(0, 0, summaries.toSeq
+            .filter(g => req.statesFilter.isEmpty ||
+              req.statesFilter.contains(g._2._1))
+            .sortBy(_._1)
+            .map { case (g, (state, _, _, _, _)) =>
+              LG.Group(g, "consumer", state) })
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          LG.encodeResponse(answer), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        val got = LG.decodeResponse(rb)
+        if (got.errorCode != 0)
+          rows += ((step, "list", None, None, None, None, None, -1, -1L, -1,
+            got.errorCode.toInt, corr == step))
+        else got.groups.foreach(g =>
+          rows += ((step, "list", Some(g.groupId), Some(g.groupState),
+            Some(g.protocolType), None, None, -1, -1L, -1, 0, corr == step)))
+      }
+      list(1, Seq("Stable", "Empty"))
+      list(2, Seq("Flying"))
+
+      // ---- step 3: DescribeGroups v5
+      {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(15, 5, 3, Some("graft")),
+          DG.encodeRequest(DG.Request(Seq("g-stable", "g-empty", "g-ghost"),
+            includeAuthorizedOperations = false)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = DG.decodeRequest(body)
+        val groups = req.groups.map { g =>
+          summaries.get(g) match {
+            case None => DG.Group(0, g, "Dead", "", "", Nil, -2147483648)
+            case Some((state, _, n, leader, protocol)) =>
+              val members =
+                if (state == "Stable")
+                  (1 to n.toInt).map(i => DG.Member(s"m$i", None,
+                    s"m$i-client", "/10.0.0.1",
+                    ConsumerProtocol.encodeSubscription(
+                      subscriptions.getOrElse(g, Nil)),
+                    Array.emptyByteArray))
+                else Nil
+              DG.Group(0, g, state, "consumer",
+                if (state == "Stable") protocol else "", members, -2147483648)
+          }
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          DG.encodeResponse(DG.Response(0, groups)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        DG.decodeResponse(rb).groups.foreach { g =>
+          rows += ((3, "describe", Some(g.groupId), Some(g.groupState),
+            Some(if (summaries.contains(g.groupId)) "consumer" else ""),
+            Some(g.protocolData), None, -1, -1L, g.members.size,
+            g.errorCode.toInt, corr == 3))
+        }
+      }
+
+      // ---- step 4: DeleteGroups v2
+      {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(42, 2, 4, Some("graft")),
+          DelG.encodeRequest(DelG.Request(
+            Seq("g-stable", "g-empty", "g-ghost"))), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = DelG.decodeRequest(body)
+        val results = req.groups.map { g =>
+          summaries.get(g) match {
+            case None => (g, 69.toShort)
+            case Some((state, _, _, _, _)) if state != "Empty" => (g, 68.toShort)
+            case Some(_) =>
+              // empty group: tombstone every stored offset (group.cc:2597)
+              val deletes = store.where(col("group") === g)
+                .select(col("group"), col("topic"), col("partition"))
+                .withColumn("commit_seq", lit(nextSeq))
+              nextSeq += 1
+              store = graft.groups.ConsumerGroups.deleteOffsets(store, deletes)
+                .select("group", "topic", "partition", "committed_offset",
+                  "commit_seq")
+              (g, 0.toShort)
+          }
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          DelG.encodeResponse(DelG.Response(0, results)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        DelG.decodeResponse(rb).results.foreach { case (g, err) =>
+          rows += ((4, "delete", Some(g), None, None, None, None, -1, -1L, -1,
+            err.toInt, corr == 4))
+        }
+      }
+
+      // ---- steps 5-6: OffsetDelete v0 (legacy encoding)
+      def offsetDelete(step: Int, group: String,
+          topics: Seq[(String, Seq[Int])]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(47, 0, step, Some("graft")),
+          OD.encodeRequest(OD.Request(group, topics)), flexible = false)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = false)
+        val req = OD.decodeRequest(body)
+        val resp = summaries.get(req.groupId) match {
+          case None => OD.Response(69, 0, Nil)
+          case Some(_) =>
+            val subscribed = subscriptions.getOrElse(req.groupId, Nil).toSet
+            val answered = req.topics.map { case (t, ps) =>
+              val err: Short = if (subscribed(t)) 86 else 0
+              if (err == 0) {
+                val deletes = ps.toDF("partition")
+                  .withColumn("group", lit(req.groupId))
+                  .withColumn("topic", lit(t))
+                  .withColumn("commit_seq", lit(nextSeq))
+                nextSeq += 1
+                store = graft.groups.ConsumerGroups.deleteOffsets(store, deletes)
+                  .select("group", "topic", "partition", "committed_offset",
+                    "commit_seq")
+              }
+              (t, ps.map(_ -> err))
+            }
+            OD.Response(0, 0, answered)
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          OD.encodeResponse(resp), flexibleHeader = false)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF,
+          flexibleHeader = false)
+        val got = OD.decodeResponse(rb)
+        if (got.topics.isEmpty)
+          rows += ((step, "offset_delete", Some(group), None, None, None,
+            None, -1, -1L, -1, got.errorCode.toInt, corr == step))
+        else got.topics.foreach { case (t, ps) =>
+          ps.foreach { case (p, err) =>
+            rows += ((step, "offset_delete", Some(group), None, None, None,
+              Some(t), p, -1L, -1, err.toInt, corr == step))
+          }
+        }
+      }
+      offsetDelete(5, "g-stable", Seq("events" -> Seq(0), "other" -> Seq(0)))
+      offsetDelete(6, "g-nope", Seq("events" -> Seq(0)))
+
+      // ---- step 7: what the compacted store still serves
+      graft.groups.ConsumerGroups.fetchOffsets(store)
+        .select("group", "topic", "partition", "committed_offset")
+        .collect().foreach { r =>
+          rows += ((7, "offsets_after", Some(r.getString(0)), None, None,
+            None, Some(r.getString(1)), r.getInt(2), r.getLong(3), -1, 0,
+            true))
+        }
+
+      rows.toSeq.toDF("step", "api", "group", "state", "protocol_type",
+        "protocol", "topic", "partition", "offset", "n_members",
+        "error_code", "corr_ok")
+        .orderBy("step", "group", "topic", "partition")
+    }),
+
     "g2_offset_expiry" -> ((s, dir) => {
       // KIP-211 offset retention across the three policies at once:
       // g0 is a Stable consumer subscribed only to 'events' (its 'aux'
@@ -11505,6 +11709,34 @@ object SparkEntry {
         |  (12, 'offset_fetch', 'g-wire', 1, 200, 0, 2))
         | t(step, api, scope, partition, "offset", error_code, leg_parts)
         | ORDER BY step, partition""".stripMargin,
+
+    // Group admin over the wire: list/describe/delete groups +
+    // offset_delete, states from the live FSM, store effects pinned by
+    // the final fetch view.
+    "g2_wire_group_admin" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, "group", state,
+        |  protocol_type, protocol, topic,
+        |  CAST(partition AS INTEGER) AS partition,
+        |  CAST("offset" AS BIGINT) AS "offset",
+        |  CAST(n_members AS INTEGER) AS n_members,
+        |  CAST(error_code AS INTEGER) AS error_code, TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'list', 'g-empty', 'Empty', 'consumer', NULL, NULL, -1, -1, -1, 0),
+        |  (1, 'list', 'g-stable', 'Stable', 'consumer', NULL, NULL, -1, -1, -1, 0),
+        |  (2, 'list', NULL, NULL, NULL, NULL, NULL, -1, -1, -1, 42),
+        |  (3, 'describe', 'g-empty', 'Empty', 'consumer', '', NULL, -1, -1, 0, 0),
+        |  (3, 'describe', 'g-ghost', 'Dead', '', '', NULL, -1, -1, 0, 0),
+        |  (3, 'describe', 'g-stable', 'Stable', 'consumer', 'range', NULL, -1, -1, 2, 0),
+        |  (4, 'delete', 'g-empty', NULL, NULL, NULL, NULL, -1, -1, -1, 0),
+        |  (4, 'delete', 'g-ghost', NULL, NULL, NULL, NULL, -1, -1, -1, 69),
+        |  (4, 'delete', 'g-stable', NULL, NULL, NULL, NULL, -1, -1, -1, 68),
+        |  (5, 'offset_delete', 'g-stable', NULL, NULL, NULL, 'events', 0, -1, -1, 86),
+        |  (5, 'offset_delete', 'g-stable', NULL, NULL, NULL, 'other', 0, -1, -1, 0),
+        |  (6, 'offset_delete', 'g-nope', NULL, NULL, NULL, NULL, -1, -1, -1, 69),
+        |  (7, 'offsets_after', 'g-stable', NULL, NULL, NULL, 'events', 0, 100, -1, 0))
+        | t(step, api, "group", state, protocol_type, protocol, topic,
+        |   partition, "offset", n_members, error_code)
+        | ORDER BY step, "group", topic, partition""".stripMargin,
 
     "g4_assign_range" ->
       s"""$G4Cte,

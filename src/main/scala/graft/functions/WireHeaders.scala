@@ -1611,6 +1611,261 @@ object WireHeaders {
     }
   }
 
+  /** ListGroups (api key 16) v4 — flexible from v3; v4 adds the
+    * states filter (KIP-518) and the per-group state. An unparseable
+    * state name fails the whole request with invalid_request
+    * (`kafka/server/server.cc:612-640`). */
+  object ListGroups {
+    final case class Request(statesFilter: Seq[String])
+    final case class Group(groupId: String, protocolType: String,
+        groupState: String)
+    final case class Response(throttleMs: Int, errorCode: Short,
+        groups: Seq[Group])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.statesFilter.map(compactStringSize).sum)
+      putCompactArrayLen(b, r.statesFilter.size)
+      r.statesFilter.foreach(putCompactString(b, _))
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val states = (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+      getTags(b)
+      Request(states)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.groups.map(g =>
+        4 + compactStringSize(g.groupId) + compactStringSize(g.protocolType) +
+          compactStringSize(g.groupState)).sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactArrayLen(b, r.groups.size)
+      r.groups.foreach { g =>
+        putCompactString(b, g.groupId)
+        putCompactString(b, g.protocolType)
+        putCompactString(b, g.groupState)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val groups = (0 until getCompactArrayLen(b)).map { _ =>
+        val g = Group(getCompactString(b), getCompactString(b),
+          getCompactString(b))
+        getTags(b); g
+      }
+      getTags(b)
+      Response(throttle, err, groups)
+    }
+  }
+
+  /** DescribeGroups (api key 15) v5 — flexible from v5. Unknown groups
+    * answer a DEAD shell with error 0
+    * (`describe_groups.h:64-72` make_dead_described_group); stable
+    * groups carry the protocol and member metadata, rebalancing ones
+    * members-without-metadata (`group.cc:2532-2556`). */
+  object DescribeGroups {
+    final case class Request(groups: Seq[String],
+        includeAuthorizedOperations: Boolean)
+    final case class Member(memberId: String, groupInstanceId: Option[String],
+        clientId: String, clientHost: String, metadata: Array[Byte],
+        assignment: Array[Byte])
+    final case class Group(errorCode: Short, groupId: String,
+        groupState: String, protocolType: String, protocolData: String,
+        members: Seq[Member], authorizedOperations: Int)
+    final case class Response(throttleMs: Int, groups: Seq[Group])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.groups.map(compactStringSize).sum)
+      putCompactArrayLen(b, r.groups.size)
+      r.groups.foreach(putCompactString(b, _))
+      b.put(if (r.includeAuthorizedOperations) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val groups = (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+      val incl = b.get() == 1
+      getTags(b)
+      Request(groups, incl)
+    }
+    private def putCompactBytes(b: ByteBuffer, bytes: Array[Byte]): Unit = {
+      putUvarint(b, bytes.length + 1L); b.put(bytes)
+    }
+    private def getCompactBytes(b: ByteBuffer): Array[Byte] = {
+      val n = getUvarint(b)
+      require(n > 0, "null compact bytes where non-null expected")
+      require(n - 1 <= b.remaining(), s"compact bytes length ${n - 1} exceeds frame")
+      val a = new Array[Byte](n.toInt - 1); b.get(a); a
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.groups.map(g =>
+        16 + compactStringSize(g.groupId) + compactStringSize(g.groupState) +
+          compactStringSize(g.protocolType) + compactStringSize(g.protocolData) +
+          g.members.map(m => 8 + compactStringSize(m.memberId) +
+            m.groupInstanceId.map(compactStringSize).getOrElse(1) +
+            compactStringSize(m.clientId) + compactStringSize(m.clientHost) +
+            m.metadata.length + m.assignment.length + 4).sum).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.groups.size)
+      r.groups.foreach { g =>
+        b.putShort(g.errorCode)
+        putCompactString(b, g.groupId)
+        putCompactString(b, g.groupState)
+        putCompactString(b, g.protocolType)
+        putCompactString(b, g.protocolData)
+        putCompactArrayLen(b, g.members.size)
+        g.members.foreach { m =>
+          putCompactString(b, m.memberId)
+          putCompactNullableString(b, m.groupInstanceId)
+          putCompactString(b, m.clientId)
+          putCompactString(b, m.clientHost)
+          putCompactBytes(b, m.metadata)
+          putCompactBytes(b, m.assignment)
+          putEmptyTags(b)
+        }
+        b.putInt(g.authorizedOperations)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val groups = (0 until getCompactArrayLen(b)).map { _ =>
+        val err = b.getShort()
+        val gid = getCompactString(b)
+        val state = getCompactString(b)
+        val ptype = getCompactString(b)
+        val pdata = getCompactString(b)
+        val members = (0 until getCompactArrayLen(b)).map { _ =>
+          val m = Member(getCompactString(b), getCompactNullableString(b),
+            getCompactString(b), getCompactString(b), getCompactBytes(b),
+            getCompactBytes(b))
+          getTags(b); m
+        }
+        val authOps = b.getInt()
+        getTags(b)
+        Group(err, gid, state, ptype, pdata, members, authOps)
+      }
+      getTags(b)
+      Response(throttle, groups)
+    }
+  }
+
+  /** DeleteGroups (api key 42) v2 — flexible from v2. Per-group ladder
+    * from `group::remove` (`group.cc:2580-2591`): dead/unknown 69
+    * group_id_not_found, non-empty 68 non_empty_group, empty groups
+    * tombstone their offsets and answer 0. */
+  object DeleteGroups {
+    final case class Request(groups: Seq[String])
+    final case class Response(throttleMs: Int, results: Seq[(String, Short)])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.groups.map(compactStringSize).sum)
+      putCompactArrayLen(b, r.groups.size)
+      r.groups.foreach(putCompactString(b, _))
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val groups = (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+      getTags(b)
+      Request(groups)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.results.map(x =>
+        4 + compactStringSize(x._1)).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { case (g, err) =>
+        putCompactString(b, g); b.putShort(err); putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val r = (getCompactString(b), b.getShort()); getTags(b); r
+      }
+      getTags(b)
+      Response(throttle, results)
+    }
+  }
+
+  /** OffsetDelete (api key 47) v0 — NEVER flexible. Group ladder from
+    * `group_manager::offset_delete` (`group_manager.cc:1523-1573`):
+    * unknown/dead 69, non-empty non-consumer 68; per partition a live
+    * subscription refuses with 86 group_subscribed_to_topic, the rest
+    * delete. Response error_code comes FIRST (schema order). */
+  object OffsetDelete {
+    final case class Request(groupId: String, topics: Seq[(String, Seq[Int])])
+    final case class Response(errorCode: Short, throttleMs: Int,
+        topics: Seq[(String, Seq[(Int, Short)])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.groupId.getBytes("UTF-8").length +
+        r.topics.map { case (t, ps) =>
+          6 + t.getBytes("UTF-8").length + 4 * ps.size }.sum)
+      putLegacyString(b, r.groupId)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putLegacyString(b, t)
+        b.putInt(ps.size)
+        ps.foreach(b.putInt)
+      }
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val gid = readLegacyString(b)
+      val nt = b.getInt()
+      require(nt >= 0 && nt <= b.remaining(), s"topic count $nt exceeds frame")
+      Request(gid, (0 until nt).map { _ =>
+        val t = readLegacyString(b)
+        val np = b.getInt()
+        require(np >= 0 && np * 4 <= b.remaining(), s"partition count $np exceeds frame")
+        (t, (0 until np).map(_ => b.getInt()): Seq[Int])
+      })
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(10 + r.topics.map { case (t, ps) =>
+        6 + t.getBytes("UTF-8").length + 6 * ps.size }.sum)
+      b.putShort(r.errorCode)
+      b.putInt(r.throttleMs)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putLegacyString(b, t)
+        b.putInt(ps.size)
+        ps.foreach { case (idx, err) => b.putInt(idx); b.putShort(err) }
+      }
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val err = b.getShort()
+      val throttle = b.getInt()
+      val nt = b.getInt()
+      require(nt >= 0 && nt <= b.remaining(), s"topic count $nt exceeds frame")
+      Response(err, throttle, (0 until nt).map { _ =>
+        val t = readLegacyString(b)
+        val np = b.getInt()
+        require(np >= 0 && np * 6 <= b.remaining(), s"partition count $np exceeds frame")
+        (t, (0 until np).map(_ => (b.getInt(), b.getShort())): Seq[(Int, Short)])
+      })
+    }
+  }
+
   /** Kafka ACL wire enum tables, exactly the reference's conversion
     * switches (`kafka/server/handlers/details/security.h:75-140`):
     * unknown codes throw with the reference's message text, which the
