@@ -3135,6 +3135,154 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "adm_wire_configs" -> ((s, dir) => {
+      // The topic-config surface over the wire: IncrementalAlterConfigs
+      // v1 frames run the handler's per-resource validation ladder
+      // (incremental_alter_configs.cc:76-160 — append/subtract
+      // unsupported, set needs a value, remove needs none, op codes
+      // outside 0-3 reject; all invalid_config 40 with the handler's
+      // message text), accepted resources land in the incremental
+      // command log; a remove reverts retention.ms to its default.
+      // DescribeConfigs v4 then reads back through the engine's
+      // default-overlay fold with the per-resource error ladder
+      // (describe_configs.cc:125-172 — bad topic name 17, unknown
+      // topic 3, broker_logger 42) and per-config source codes
+      // (1 dynamic topic, 5 default).
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{DescribeConfigs => DC, IncrementalAlterConfigs => IAC}
+      val knownTopics = Set("events", "metrics")
+      val opsLog = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, String)]
+      var nextSeq = 1L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Int, Option[String], Option[String], Option[String], Option[String],
+        Option[String], Int, Option[String], Boolean)]
+      def rtName(b: Byte): String = b match {
+        case 2 => "topic"; case 4 => "broker"; case 8 => "broker_logger"
+        case other => s"unknown($other)"
+      }
+      def validateCfg(c: IAC.ReqConfig): Option[String] =
+        IAC.OpNames.get(c.configOperation) match {
+          case None => Some(s"invalid operation code ${c.configOperation}")
+          case Some(op @ ("append" | "subtract")) =>
+            Some(s"$op operation isn't supported for ${c.name} configuration")
+          case Some("set") if c.value.isEmpty =>
+            Some(s"set operation for configuration ${c.name} requires a value to be set")
+          case Some("remove") if c.value.nonEmpty =>
+            Some(s"remove operation for configuration ${c.name} requires a value to be empty")
+          case _ => None
+        }
+      def alter(step: Int, resources: Seq[IAC.ReqResource]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(44, 1, step, Some("graft")),
+          IAC.encodeRequest(IAC.Request(resources, validateOnly = false)),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = IAC.decodeRequest(body)
+        val results = req.resources.map { res =>
+          res.configs.flatMap(validateCfg).headOption match {
+            case Some(msg) =>
+              IAC.RespResource(40, Some(msg), res.resourceType, res.resourceName)
+            case None =>
+              res.configs.foreach { c =>
+                opsLog += ((nextSeq, res.resourceName, c.name,
+                  c.value.orNull,
+                  if (c.configOperation == 1) "delete" else "set"))
+                nextSeq += 1
+              }
+              IAC.RespResource(0, None, res.resourceType, res.resourceName)
+          }
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          IAC.encodeResponse(IAC.Response(0, results)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        IAC.decodeResponse(rb).responses.zipWithIndex.foreach { case (r, i) =>
+          rows += ((step, "alter", i, Some(rtName(r.resourceType)),
+            Some(r.resourceName), None, None, None, r.errorCode.toInt,
+            r.errorMessage, corr == step))
+        }
+      }
+      alter(1, Seq(
+        IAC.ReqResource(2, "events", Seq(
+          IAC.ReqConfig("retention.ms", 0, Some("1000")),
+          IAC.ReqConfig("cleanup.policy", 0, Some("compact")))),
+        IAC.ReqResource(2, "events", Seq(
+          IAC.ReqConfig("redpanda.remote.read", 2, Some("x")))),
+        IAC.ReqResource(2, "events", Seq(
+          IAC.ReqConfig("max.message.bytes", 0, None))),
+        IAC.ReqResource(2, "events", Seq(
+          IAC.ReqConfig("retention.ms", 1, Some("9")))),
+        IAC.ReqResource(2, "events", Seq(
+          IAC.ReqConfig("some.key", 7, None))),
+        IAC.ReqResource(2, "metrics", Seq(
+          IAC.ReqConfig("retention.ms", 0, Some("5000"))))))
+      alter(2, Seq(
+        IAC.ReqResource(2, "events", Seq(
+          IAC.ReqConfig("retention.ms", 1, None)))))
+
+      // effective configs through the engine's overlay fold
+      val effective = graft.admin.Admin.describeConfigsIncremental(s,
+          Seq("events", "metrics"),
+          opsLog.toSeq.toDF("seq", "topic", "key", "value", "op"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getString(3))) // topics x 6 keys, bounded
+      def validTopicName(n: String): Boolean =
+        n.nonEmpty && n.length <= 249 && n != "." && n != ".." &&
+          n.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+      val srcCode = Map("DYNAMIC_TOPIC_CONFIG" -> 1.toByte,
+        "DEFAULT_CONFIG" -> 5.toByte)
+      val srcName = srcCode.map(_.swap)
+      val dReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(32, 4, 3, Some("graft")),
+        DC.encodeRequest(DC.Request(Seq(
+          DC.ReqResource(2, "events", None),
+          DC.ReqResource(2, "metrics", Some(Seq("retention.ms"))),
+          DC.ReqResource(2, "bad name!", None),
+          DC.ReqResource(2, "ghost", None),
+          DC.ReqResource(8, "kafka", None)),
+          includeSynonyms = false, includeDocumentation = false)),
+        flexible = true)
+      val (dH, dBody) = WireHeaders.decodeRequestFrame(dReqF, flexible = true)
+      val dReq = DC.decodeRequest(dBody)
+      val dResults = dReq.resources.map { res =>
+        if (res.resourceType == 8)
+          DC.Result(42, None, res.resourceType, res.resourceName, Nil)
+        else if (!validTopicName(res.resourceName))
+          DC.Result(17, None, res.resourceType, res.resourceName, Nil)
+        else if (!knownTopics(res.resourceName))
+          DC.Result(3, None, res.resourceType, res.resourceName, Nil)
+        else {
+          val cfgs = effective
+            .filter(_._1 == res.resourceName)
+            .filter(e => res.configurationKeys.forall(_.contains(e._2)))
+            .sortBy(_._2)
+            .map(e => DC.Config(e._2, Option(e._3), readOnly = false,
+              srcCode(e._4), isSensitive = false, 0, None))
+          DC.Result(0, None, res.resourceType, res.resourceName, cfgs.toSeq)
+        }
+      }
+      val dRespF = WireHeaders.encodeResponseFrame(dH.correlationId,
+        DC.encodeResponse(DC.Response(0, dResults)), flexibleHeader = true)
+      val (dCorr, dRb) = WireHeaders.decodeResponseFrame(dRespF,
+        flexibleHeader = true)
+      DC.decodeResponse(dRb).results.zipWithIndex.foreach { case (res, i) =>
+        if (res.configs.isEmpty)
+          rows += ((3, "describe", i, Some(rtName(res.resourceType)),
+            Some(res.resourceName), None, None, None, res.errorCode.toInt,
+            res.errorMessage, dCorr == 3))
+        else res.configs.foreach { c =>
+          rows += ((3, "describe", i, Some(rtName(res.resourceType)),
+            Some(res.resourceName), Some(c.name), c.value,
+            Some(srcName(c.configSource)), res.errorCode.toInt,
+            res.errorMessage, dCorr == 3))
+        }
+      }
+      rows.toSeq.toDF("step", "api", "item", "resource_type", "resource",
+        "key", "value", "source", "error_code", "error_message", "corr_ok")
+        .orderBy("step", "item", "key")
+    }),
+
     "adm_client_quotas" -> ((s, dir) => {
       // describe_client_quotas resolution: per-client override beats the
       // cluster default; a REMOVE reverts to the default (client-5) or
@@ -9274,6 +9422,40 @@ object SparkEntry {
          | FROM ao a JOIN hw h USING (topic, partition)
          | WHERE NOT a.forget AND h.hwm > a.fetch_offset
          | ORDER BY seq, session_id, topic, partition""".stripMargin,
+
+    // Topic configs over the wire: the incremental-alter validation
+    // ladder with the handler's message text, then the default-overlay
+    // describe with per-resource errors and source codes.
+    "adm_wire_configs" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
+        |  resource_type, resource, "key", "value", source,
+        |  CAST(error_code AS INTEGER) AS error_code, error_message,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'alter', 0, 'topic', 'events', NULL, NULL, NULL, 0, NULL),
+        |  (1, 'alter', 1, 'topic', 'events', NULL, NULL, NULL, 40,
+        |   'append operation isn''t supported for redpanda.remote.read configuration'),
+        |  (1, 'alter', 2, 'topic', 'events', NULL, NULL, NULL, 40,
+        |   'set operation for configuration max.message.bytes requires a value to be set'),
+        |  (1, 'alter', 3, 'topic', 'events', NULL, NULL, NULL, 40,
+        |   'remove operation for configuration retention.ms requires a value to be empty'),
+        |  (1, 'alter', 4, 'topic', 'events', NULL, NULL, NULL, 40,
+        |   'invalid operation code 7'),
+        |  (1, 'alter', 5, 'topic', 'metrics', NULL, NULL, NULL, 0, NULL),
+        |  (2, 'alter', 0, 'topic', 'events', NULL, NULL, NULL, 0, NULL),
+        |  (3, 'describe', 0, 'topic', 'events', 'cleanup.policy', 'compact', 'DYNAMIC_TOPIC_CONFIG', 0, NULL),
+        |  (3, 'describe', 0, 'topic', 'events', 'compression.type', 'producer', 'DEFAULT_CONFIG', 0, NULL),
+        |  (3, 'describe', 0, 'topic', 'events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG', 0, NULL),
+        |  (3, 'describe', 0, 'topic', 'events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG', 0, NULL),
+        |  (3, 'describe', 0, 'topic', 'events', 'retention.bytes', '-1', 'DEFAULT_CONFIG', 0, NULL),
+        |  (3, 'describe', 0, 'topic', 'events', 'retention.ms', '604800000', 'DEFAULT_CONFIG', 0, NULL),
+        |  (3, 'describe', 1, 'topic', 'metrics', 'retention.ms', '5000', 'DYNAMIC_TOPIC_CONFIG', 0, NULL),
+        |  (3, 'describe', 2, 'topic', 'bad name!', NULL, NULL, NULL, 17, NULL),
+        |  (3, 'describe', 3, 'topic', 'ghost', NULL, NULL, NULL, 3, NULL),
+        |  (3, 'describe', 4, 'broker_logger', 'kafka', NULL, NULL, NULL, 42, NULL))
+        | t(step, api, item, resource_type, resource, "key", "value", source,
+        |   error_code, error_message)
+        | ORDER BY step, item, "key"""".stripMargin,
 
     "adm_describe_configs" ->
       """SELECT * FROM (VALUES

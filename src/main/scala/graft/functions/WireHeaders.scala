@@ -1611,6 +1611,206 @@ object WireHeaders {
     }
   }
 
+  /** DescribeConfigs (api key 32) v4 — flexible from v4. Per-resource
+    * ladder (`describe_configs.cc:100-180`): invalid topic name 17,
+    * unknown topic 3, broker_logger 42; configs carry value, source
+    * (1 dynamic topic / 5 default) and sensitivity. */
+  object DescribeConfigs {
+    final case class ReqResource(resourceType: Byte, resourceName: String,
+        configurationKeys: Option[Seq[String]])
+    final case class Request(resources: Seq[ReqResource],
+        includeSynonyms: Boolean, includeDocumentation: Boolean)
+    final case class Config(name: String, value: Option[String],
+        readOnly: Boolean, configSource: Byte, isSensitive: Boolean,
+        configType: Byte, documentation: Option[String])
+    final case class Result(errorCode: Short, errorMessage: Option[String],
+        resourceType: Byte, resourceName: String, configs: Seq[Config])
+    final case class Response(throttleMs: Int, results: Seq[Result])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.resources.map(res =>
+        8 + compactStringSize(res.resourceName) +
+          res.configurationKeys.map(_.map(compactStringSize).sum + 2).getOrElse(1)).sum)
+      putCompactArrayLen(b, r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putCompactString(b, res.resourceName)
+        res.configurationKeys match {
+          case None => putUvarint(b, 0L) // null compact array
+          case Some(keys) =>
+            putCompactArrayLen(b, keys.size)
+            keys.foreach(putCompactString(b, _))
+        }
+        putEmptyTags(b)
+      }
+      b.put(if (r.includeSynonyms) 1.toByte else 0.toByte)
+      b.put(if (r.includeDocumentation) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val resources = (0 until getCompactArrayLen(b)).map { _ =>
+        val rt = b.get()
+        val rn = getCompactString(b)
+        val n = getUvarint(b)
+        val keys =
+          if (n == 0) None
+          else Some((0L until n - 1).map(_ => getCompactString(b)): Seq[String])
+        getTags(b)
+        ReqResource(rt, rn, keys)
+      }
+      val syn = b.get() == 1; val doc = b.get() == 1
+      getTags(b)
+      Request(resources, syn, doc)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.results.map(res =>
+        16 + res.errorMessage.map(compactStringSize).getOrElse(1) +
+          compactStringSize(res.resourceName) +
+          res.configs.map(c => 16 + compactStringSize(c.name) +
+            c.value.map(compactStringSize).getOrElse(1) +
+            c.documentation.map(compactStringSize).getOrElse(1)).sum).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { res =>
+        b.putShort(res.errorCode)
+        putCompactNullableString(b, res.errorMessage)
+        b.put(res.resourceType)
+        putCompactString(b, res.resourceName)
+        putCompactArrayLen(b, res.configs.size)
+        res.configs.foreach { c =>
+          putCompactString(b, c.name)
+          putCompactNullableString(b, c.value)
+          b.put(if (c.readOnly) 1.toByte else 0.toByte)
+          b.put(c.configSource)
+          b.put(if (c.isSensitive) 1.toByte else 0.toByte)
+          putCompactArrayLen(b, 0) // synonyms omitted
+          b.put(c.configType)
+          putCompactNullableString(b, c.documentation)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val err = b.getShort()
+        val msg = getCompactNullableString(b)
+        val rt = b.get()
+        val rn = getCompactString(b)
+        val configs = (0 until getCompactArrayLen(b)).map { _ =>
+          val name = getCompactString(b)
+          val value = getCompactNullableString(b)
+          val readOnly = b.get() == 1
+          val source = b.get()
+          val sensitive = b.get() == 1
+          val nSyn = getCompactArrayLen(b)
+          require(nSyn == 0, "synonyms not supported")
+          val ctype = b.get()
+          val doc = getCompactNullableString(b)
+          getTags(b)
+          Config(name, value, readOnly, source, sensitive, ctype, doc)
+        }
+        getTags(b)
+        Result(err, msg, rt, rn, configs)
+      }
+      getTags(b)
+      Response(throttle, results)
+    }
+  }
+
+  /** IncrementalAlterConfigs (api key 44) v1 — flexible from v1.
+    * Per-resource validation (`incremental_alter_configs.cc:76-160`):
+    * append/subtract unsupported, set requires a value, remove
+    * requires none, out-of-range op codes reject — all as
+    * invalid_config (40) with the handler's message text. Op codes:
+    * set 0, remove 1, append 2, subtract 3 (`protocol/types.h:243`). */
+  object IncrementalAlterConfigs {
+    final case class ReqConfig(name: String, configOperation: Byte,
+        value: Option[String])
+    final case class ReqResource(resourceType: Byte, resourceName: String,
+        configs: Seq[ReqConfig])
+    final case class Request(resources: Seq[ReqResource], validateOnly: Boolean)
+    final case class RespResource(errorCode: Short,
+        errorMessage: Option[String], resourceType: Byte, resourceName: String)
+    final case class Response(throttleMs: Int, responses: Seq[RespResource])
+
+    val OpNames: Map[Byte, String] = Map(0.toByte -> "set",
+      1.toByte -> "remove", 2.toByte -> "append", 3.toByte -> "subtract")
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.resources.map(res =>
+        8 + compactStringSize(res.resourceName) + res.configs.map(c =>
+          8 + compactStringSize(c.name) +
+            c.value.map(compactStringSize).getOrElse(1)).sum).sum)
+      putCompactArrayLen(b, r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putCompactString(b, res.resourceName)
+        putCompactArrayLen(b, res.configs.size)
+        res.configs.foreach { c =>
+          putCompactString(b, c.name)
+          b.put(c.configOperation)
+          putCompactNullableString(b, c.value)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val resources = (0 until getCompactArrayLen(b)).map { _ =>
+        val rt = b.get()
+        val rn = getCompactString(b)
+        val configs = (0 until getCompactArrayLen(b)).map { _ =>
+          val c = ReqConfig(getCompactString(b), b.get(),
+            getCompactNullableString(b))
+          getTags(b); c
+        }
+        getTags(b)
+        ReqResource(rt, rn, configs)
+      }
+      val vo = b.get() == 1
+      getTags(b)
+      Request(resources, vo)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.responses.map(res =>
+        8 + res.errorMessage.map(compactStringSize).getOrElse(1) +
+          compactStringSize(res.resourceName)).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.responses.size)
+      r.responses.foreach { res =>
+        b.putShort(res.errorCode)
+        putCompactNullableString(b, res.errorMessage)
+        b.put(res.resourceType)
+        putCompactString(b, res.resourceName)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val responses = (0 until getCompactArrayLen(b)).map { _ =>
+        val r = RespResource(b.getShort(), getCompactNullableString(b),
+          b.get(), getCompactString(b))
+        getTags(b); r
+      }
+      getTags(b)
+      Response(throttle, responses)
+    }
+  }
+
   /** ListGroups (api key 16) v4 — flexible from v3; v4 adds the
     * states filter (KIP-518) and the per-group state. An unparseable
     * state name fails the whole request with invalid_request
