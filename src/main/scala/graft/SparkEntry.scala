@@ -2963,6 +2963,61 @@ object SparkEntry {
           floor(col("offset") / 500).cast("int"))
         .orderBy("partition", "leader_epoch")),
 
+    "q4_wire_leader_epoch" -> ((s, dir) => {
+      // KIP-320 over the wire: twelve probes ride one
+      // OffsetForLeaderEpoch v4 frame; the engine's per-epoch table
+      // (q4's fold over the real event log) answers end offsets, the
+      // current_leader_epoch gate fences stale readers (74) and rejects
+      // future epochs (75) exactly as details/leader_epoch.h:20-36, and
+      // a never-led epoch answers -1. The epoch table is
+      // partitions x epochs — metadata-plane-bounded — and every row
+      // decodes from the response bytes; the oracle recomputes all of
+      // it from the events table, so the entry stays SF-robust.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{OffsetForLeaderEpoch => OLE}
+      val table = RecordLog.offsetsForLeaderEpoch(eventLog(s, dir),
+          floor(col("offset") / 500).cast("int"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val current = table.keys.groupBy(_._1).map { case (p, ks) =>
+        p -> ks.map(_._2).max }
+      val probes = (0 until EventPartitions).map(p =>
+        OLE.ReqPartition(p, -1, 1)) ++ Seq(
+        OLE.ReqPartition(0, -1, 0),
+        OLE.ReqPartition(0, -1, 999999),       // never led -> -1
+        OLE.ReqPartition(0, 999999, 1),        // future cur epoch -> 75
+        OLE.ReqPartition(0, 0, 0))             // stale cur -> 74 when current > 0
+      val reqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(23, 4, 23, Some("graft")),
+        OLE.encodeRequest(OLE.Request(-1, Seq("events" -> probes))),
+        flexible = true)
+      val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+      val req = OLE.decodeRequest(body)
+      val answered = req.topics.map { case (t, ps) =>
+        t -> ps.map { p =>
+          val cur = current.getOrElse(p.partition, -1)
+          if (p.currentLeaderEpoch >= 0 && p.currentLeaderEpoch > cur)
+            OLE.RespPartition(75, p.partition, -1, -1L)
+          else if (p.currentLeaderEpoch >= 0 && p.currentLeaderEpoch < cur)
+            OLE.RespPartition(74, p.partition, -1, -1L)
+          else
+            OLE.RespPartition(0, p.partition, p.leaderEpoch,
+              table.getOrElse((p.partition, p.leaderEpoch), -1L))
+        }
+      }
+      val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+        OLE.encodeResponse(OLE.Response(0, answered)), flexibleHeader = true)
+      val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+      OLE.decodeResponse(rb).topics.flatMap { case (_, ps) =>
+        ps.zipWithIndex.map { case (p, i) =>
+          (i, p.partition, p.errorCode.toInt, p.leaderEpoch, p.endOffset,
+            corr == 23)
+        }
+      }.toDF("probe", "partition", "error_code", "leader_epoch",
+        "end_offset", "corr_ok")
+        .orderBy("probe")
+    }),
+
     "q6_metadata" -> ((s, dir) =>
       graft.admin.Admin.metadata(storedLog(s, dir), "events").orderBy("partition")),
 
@@ -9316,6 +9371,37 @@ object SparkEntry {
     "q4_delete_records" ->
       s"""$LogCte SELECT partition, min("offset") AS log_start, count(*) AS remaining
          | FROM log WHERE "offset" >= 100 GROUP BY partition ORDER BY partition""".stripMargin,
+
+    // KIP-320 over the wire: probes against the per-epoch table with
+    // the current-epoch gate; fully recomputed from the events table.
+    "q4_wire_leader_epoch" ->
+      s"""$LogCte, ep AS (
+         |  SELECT partition, CAST("offset" // 500 AS INTEGER) AS leader_epoch,
+         |         min("offset") AS epoch_start, max("offset") AS epoch_last
+         |  FROM log GROUP BY 1, 2),
+         | eo AS (
+         |  SELECT partition, leader_epoch,
+         |         COALESCE(lead(epoch_start) OVER (PARTITION BY partition ORDER BY leader_epoch),
+         |                  epoch_last + 1) AS end_offset
+         |  FROM ep),
+         | cur AS (SELECT partition, max(leader_epoch) AS cur_epoch FROM eo GROUP BY 1),
+         | probes(probe, partition, cur_e, req_e) AS (VALUES
+         |  (0, 0, -1, 1), (1, 1, -1, 1), (2, 2, -1, 1), (3, 3, -1, 1),
+         |  (4, 4, -1, 1), (5, 5, -1, 1), (6, 6, -1, 1), (7, 7, -1, 1),
+         |  (8, 0, -1, 0), (9, 0, -1, 999999), (10, 0, 999999, 1), (11, 0, 0, 0))
+         | SELECT CAST(p.probe AS INTEGER) AS probe,
+         |   CAST(p.partition AS INTEGER) AS partition,
+         |   CAST(CASE WHEN p.cur_e >= 0 AND p.cur_e > c.cur_epoch THEN 75
+         |             WHEN p.cur_e >= 0 AND p.cur_e < c.cur_epoch THEN 74
+         |             ELSE 0 END AS INTEGER) AS error_code,
+         |   CAST(CASE WHEN p.cur_e >= 0 AND p.cur_e <> c.cur_epoch THEN -1
+         |             ELSE p.req_e END AS INTEGER) AS leader_epoch,
+         |   CAST(CASE WHEN p.cur_e >= 0 AND p.cur_e <> c.cur_epoch THEN -1
+         |             ELSE COALESCE(e.end_offset, -1) END AS BIGINT) AS end_offset,
+         |   TRUE AS corr_ok
+         | FROM probes p JOIN cur c ON c.partition = p.partition
+         | LEFT JOIN eo e ON e.partition = p.partition AND e.leader_epoch = p.req_e
+         | ORDER BY probe""".stripMargin,
 
     "q4_offset_for_leader_epoch" ->
       s"""$LogCte, ep AS (

@@ -1611,6 +1611,90 @@ object WireHeaders {
     }
   }
 
+  /** OffsetForLeaderEpoch (api key 23) v4 — flexible from v4
+    * (KIP-320). Per-partition: the optional current_leader_epoch gate
+    * (`details/leader_epoch.h:20-36` — above the partition's epoch 75
+    * unknown_leader_epoch, below it 74 fenced_leader_epoch), then the
+    * epoch end offset = first offset of the next epoch / log end for
+    * the latest / -1 when the epoch was never led
+    * (`offset_for_leader_epoch.cc:52-57`). */
+  object OffsetForLeaderEpoch {
+    final case class ReqPartition(partition: Int, currentLeaderEpoch: Int,
+        leaderEpoch: Int)
+    final case class Request(replicaId: Int,
+        topics: Seq[(String, Seq[ReqPartition])])
+    final case class RespPartition(errorCode: Short, partition: Int,
+        leaderEpoch: Int, endOffset: Long)
+    final case class Response(throttleMs: Int,
+        topics: Seq[(String, Seq[RespPartition])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map { case (t, ps) =>
+        4 + compactStringSize(t) + 13 * ps.size }.sum)
+      b.putInt(r.replicaId)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partition); b.putInt(p.currentLeaderEpoch)
+          b.putInt(p.leaderEpoch); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val replica = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = ReqPartition(b.getInt(), b.getInt(), b.getInt())
+          getTags(b); p
+        }
+        getTags(b)
+        (t, ps: Seq[ReqPartition])
+      }
+      getTags(b)
+      Request(replica, topics)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map { case (t, ps) =>
+        4 + compactStringSize(t) + 19 * ps.size }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putShort(p.errorCode); b.putInt(p.partition)
+          b.putInt(p.leaderEpoch); b.putLong(p.endOffset); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = RespPartition(b.getShort(), b.getInt(), b.getInt(),
+            b.getLong())
+          getTags(b); p
+        }
+        getTags(b)
+        (t, ps: Seq[RespPartition])
+      }
+      getTags(b)
+      Response(throttle, topics)
+    }
+  }
+
   /** DescribeConfigs (api key 32) v4 — flexible from v4. Per-resource
     * ladder (`describe_configs.cc:100-180`): invalid topic name 17,
     * unknown topic 3, broker_logger 42; configs carry value, source
