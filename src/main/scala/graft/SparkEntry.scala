@@ -3159,6 +3159,130 @@ object SparkEntry {
       graft.admin.Admin.listTopics(topicLog).orderBy("topic")
     }),
 
+    "adm_wire_topic_lifecycle" -> ((s, dir) => {
+      // Topic lifecycle over the wire against the compacted catalog:
+      // one CreatePartitions v3 frame runs the handler's full validate
+      // chain in order (create_partitions.cc:50-263 — duplicated
+      // topics, "Topic does not exist", count-not-above-current with
+      // the handler's exact text, custom assignments unsupported),
+      // the surviving topic's count lands in the catalog; one
+      // DeleteTopics v6 frame deletes by NAME and by TOPIC ID
+      // (unknown name 3, unknown id 100), tombstoning the catalog; the
+      // final listing is the engine's compacted view.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{CreatePartitions => CP, DeleteTopics => DT}
+      def uuid(topic: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(topic.getBytes("UTF-8"))
+      val catalog = scala.collection.mutable.ArrayBuffer(
+        (1L, "t1", 8, "delete", false),
+        (2L, "t2", 4, "compact", false),
+        (3L, "t3", 2, "delete", false),
+        (4L, "t4", 1, "delete", false),
+        (5L, "t5", 2, "delete", false))
+      var nextSeq = 6L
+      def live: Map[String, Int] = {
+        val df = catalog.toSeq
+          .toDF("seq", "topic", "partitions", "cleanup_policy", "deleted")
+        graft.admin.Admin.listTopics(df)
+          .collect().map(r => r.getAs[String]("topic") ->
+            r.getAs[Int]("partitions")).toMap // catalog-sized
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Option[String], Int, Int, Option[String], Boolean)]
+
+      // ---- step 1: CreatePartitions v3
+      val cpReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(37, 3, 71, Some("graft")),
+        CP.encodeRequest(CP.Request(Seq(
+          CP.ReqTopic("t1", 12, None),
+          CP.ReqTopic("t1", 16, None),
+          CP.ReqTopic("ghost", 4, None),
+          CP.ReqTopic("t2", 4, None),
+          CP.ReqTopic("t3", 0, None),
+          CP.ReqTopic("t4", 4, Some(Seq(Seq(1, 2), Seq(2, 3), Seq(3, 1)))),
+          CP.ReqTopic("t5", 6, None)),
+          timeoutMs = 30000, validateOnly = false)), flexible = true)
+      val (cpH, cpBody) = WireHeaders.decodeRequestFrame(cpReqF, flexible = true)
+      val cpReq = CP.decodeRequest(cpBody)
+      val cat0 = live
+      val freq = cpReq.topics.groupBy(_.name).view.mapValues(_.size).toMap
+      val cpResults = cpReq.topics.map { t =>
+        if (freq(t.name) > 1)
+          CP.Result(t.name, 42, Some("request contains duplicated topics"))
+        else if (!cat0.contains(t.name))
+          CP.Result(t.name, 17, Some("Topic does not exist"))
+        else if (t.count <= cat0(t.name))
+          CP.Result(t.name, 42, Some(
+            "Partition count must be greater then current number of partitions"))
+        else if (t.assignments.isDefined)
+          CP.Result(t.name, 42, Some(
+            "Redpanda does not yet support custom partitions assignment"))
+        else {
+          catalog += ((nextSeq, t.name, t.count, "delete", false))
+          nextSeq += 1
+          CP.Result(t.name, 0, None)
+        }
+      }
+      val cpRespF = WireHeaders.encodeResponseFrame(cpH.correlationId,
+        CP.encodeResponse(CP.Response(0, cpResults)), flexibleHeader = true)
+      val (cpCorr, cpRb) = WireHeaders.decodeResponseFrame(cpRespF,
+        flexibleHeader = true)
+      CP.decodeResponse(cpRb).results.zipWithIndex.foreach { case (r, i) =>
+        rows += ((1, "create_partitions", Some(r.name), i, r.errorCode.toInt,
+          r.errorMessage, cpCorr == 71))
+      }
+
+      // ---- step 2: DeleteTopics v6, by name and by topic id
+      val ids = cat0.keys.map(t => t -> uuid(t)).toMap
+      val dtReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(20, 6, 72, Some("graft")),
+        DT.encodeRequest(DT.Request(Seq(
+          DT.ReqTopic(Some("t3"), DT.ZeroUuid),
+          DT.ReqTopic(Some("ghost"), DT.ZeroUuid),
+          DT.ReqTopic(None, uuid("t4")),
+          DT.ReqTopic(None, uuid("never-created"))),
+          timeoutMs = 30000)), flexible = true)
+      val (dtH, dtBody) = WireHeaders.decodeRequestFrame(dtReqF, flexible = true)
+      val dtReq = DT.decodeRequest(dtBody)
+      val cat1 = live
+      val dtResults = dtReq.topics.map { t =>
+        val resolved = t.name match {
+          case Some(n) => if (cat1.contains(n)) Some(n) else None
+          case None => ids.find(_._2.sameElements(t.topicId)).map(_._1)
+        }
+        resolved match {
+          case Some(n) =>
+            catalog += ((nextSeq, n, cat1(n), "delete", true)) // tombstone
+            nextSeq += 1
+            DT.Result(Some(n), ids(n), 0, None)
+          case None if t.name.isDefined =>
+            DT.Result(t.name, DT.ZeroUuid, 3,
+              Some("unknown topic or partition"))
+          case None =>
+            DT.Result(None, t.topicId, 100, Some("unknown topic id"))
+        }
+      }
+      val dtRespF = WireHeaders.encodeResponseFrame(dtH.correlationId,
+        DT.encodeResponse(DT.Response(0, dtResults)), flexibleHeader = true)
+      val (dtCorr, dtRb) = WireHeaders.decodeResponseFrame(dtRespF,
+        flexibleHeader = true)
+      DT.decodeResponse(dtRb).responses.zipWithIndex.foreach { case (r, i) =>
+        rows += ((2, "delete_topics", r.name, i, r.errorCode.toInt,
+          r.errorMessage, dtCorr == 72))
+      }
+
+      // ---- step 3: the surviving catalog
+      live.toSeq.sortBy(_._1).foreach { case (t, parts) =>
+        rows += ((3, "catalog", Some(t), parts, 0, None, true))
+      }
+
+      rows.toSeq.toDF("step", "api", "topic", "item", "error_code",
+        "error_message", "corr_ok")
+        .orderBy("step", "item", "topic")
+    }),
+
     "adm_config_cleanup" -> ((s, dir) => {
       // Effective config read back from the alter log drives housekeeping
       // (alter_config_test.cc shape: alter, then observe behavior change).
@@ -9857,6 +9981,36 @@ object SparkEntry {
         |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
         |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
         | t("group", node_id) ORDER BY "group"""".stripMargin,
+
+    // Topic lifecycle over the wire: the create_partitions validate
+    // chain (handler message text verbatim, typo included), delete by
+    // name and by topic id, surviving catalog. item = request ordinal
+    // for steps 1-2, partition count for the step-3 catalog rows.
+    "adm_wire_topic_lifecycle" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, topic,
+        |  CAST(item AS INTEGER) AS item,
+        |  CAST(error_code AS INTEGER) AS error_code, error_message,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'create_partitions', 't1', 0, 42, 'request contains duplicated topics'),
+        |  (1, 'create_partitions', 't1', 1, 42, 'request contains duplicated topics'),
+        |  (1, 'create_partitions', 'ghost', 2, 17, 'Topic does not exist'),
+        |  (1, 'create_partitions', 't2', 3, 42,
+        |   'Partition count must be greater then current number of partitions'),
+        |  (1, 'create_partitions', 't3', 4, 42,
+        |   'Partition count must be greater then current number of partitions'),
+        |  (1, 'create_partitions', 't4', 5, 42,
+        |   'Redpanda does not yet support custom partitions assignment'),
+        |  (1, 'create_partitions', 't5', 6, 0, NULL),
+        |  (2, 'delete_topics', 't3', 0, 0, NULL),
+        |  (2, 'delete_topics', 'ghost', 1, 3, 'unknown topic or partition'),
+        |  (2, 'delete_topics', 't4', 2, 0, NULL),
+        |  (2, 'delete_topics', NULL, 3, 100, 'unknown topic id'),
+        |  (3, 'catalog', 't1', 8, 0, NULL),
+        |  (3, 'catalog', 't2', 4, 0, NULL),
+        |  (3, 'catalog', 't5', 6, 0, NULL))
+        | t(step, api, topic, item, error_code, error_message)
+        | ORDER BY step, item, topic""".stripMargin,
 
     "adm_create_partitions" ->
       """WITH lg AS (

@@ -1611,6 +1611,165 @@ object WireHeaders {
     }
   }
 
+  /** CreatePartitions (api key 37) v3 — flexible from v2. The
+    * handler's partition-validate chain
+    * (`create_partitions.cc:50-263`): duplicated topics 42, unknown
+    * topic 17 "Topic does not exist", count not above current 42,
+    * custom assignments unsupported 42 — each with the handler's
+    * message text (typos included). */
+  object CreatePartitions {
+    final case class ReqTopic(name: String, count: Int,
+        assignments: Option[Seq[Seq[Int]]])
+    final case class Request(topics: Seq[ReqTopic], timeoutMs: Int,
+        validateOnly: Boolean)
+    final case class Result(name: String, errorCode: Short,
+        errorMessage: Option[String])
+    final case class Response(throttleMs: Int, results: Seq[Result])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 + r.topics.map(t =>
+        12 + compactStringSize(t.name) +
+          t.assignments.map(_.map(a => 2 + 4 * a.size).sum + 2).getOrElse(1)).sum)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t =>
+        putCompactString(b, t.name)
+        b.putInt(t.count)
+        t.assignments match {
+          case None => putUvarint(b, 0L) // null compact array
+          case Some(as) =>
+            putCompactArrayLen(b, as.size)
+            as.foreach { brokers =>
+              putCompactArrayLen(b, brokers.size)
+              brokers.foreach(b.putInt)
+              putEmptyTags(b)
+            }
+        }
+        putEmptyTags(b)
+      }
+      b.putInt(r.timeoutMs)
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactString(b)
+        val count = b.getInt()
+        val n = getUvarint(b)
+        val assignments =
+          if (n == 0) None
+          else Some((0L until n - 1).map { _ =>
+            val brokers = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+            getTags(b)
+            brokers: Seq[Int]
+          }: Seq[Seq[Int]])
+        getTags(b)
+        ReqTopic(name, count, assignments)
+      }
+      val timeout = b.getInt(); val vo = b.get() == 1
+      getTags(b)
+      Request(topics, timeout, vo)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.results.map(x =>
+        4 + compactStringSize(x.name) +
+          x.errorMessage.map(compactStringSize).getOrElse(1)).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { x =>
+        putCompactString(b, x.name)
+        b.putShort(x.errorCode)
+        putCompactNullableString(b, x.errorMessage)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val r = Result(getCompactString(b), b.getShort(),
+          getCompactNullableString(b))
+        getTags(b); r
+      }
+      getTags(b)
+      Response(throttle, results)
+    }
+  }
+
+  /** DeleteTopics (api key 20) v6 — flexible from v4; v6 replaces the
+    * name list with (nullable name, topic id) states so topics delete
+    * by either handle. Unknown name 3 unknown_topic_or_partition,
+    * unknown id 100 unknown_topic_id. */
+  object DeleteTopics {
+    final case class ReqTopic(name: Option[String], topicId: Array[Byte])
+    final case class Request(topics: Seq[ReqTopic], timeoutMs: Int)
+    final case class Result(name: Option[String], topicId: Array[Byte],
+        errorCode: Short, errorMessage: Option[String])
+    final case class Response(throttleMs: Int, responses: Seq[Result])
+
+    val ZeroUuid: Array[Byte] = new Array[Byte](16)
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map(t =>
+        18 + t.name.map(compactStringSize).getOrElse(1)).sum)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { t =>
+        putCompactNullableString(b, t.name)
+        require(t.topicId.length == 16, "uuid must be 16 bytes")
+        b.put(t.topicId)
+        putEmptyTags(b)
+      }
+      b.putInt(r.timeoutMs)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactNullableString(b)
+        val id = new Array[Byte](16); b.get(id)
+        getTags(b)
+        ReqTopic(name, id)
+      }
+      val timeout = b.getInt()
+      getTags(b)
+      Request(topics, timeout)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.responses.map(t =>
+        20 + t.name.map(compactStringSize).getOrElse(1) +
+          t.errorMessage.map(compactStringSize).getOrElse(1)).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.responses.size)
+      r.responses.foreach { t =>
+        putCompactNullableString(b, t.name)
+        b.put(t.topicId)
+        b.putShort(t.errorCode)
+        putCompactNullableString(b, t.errorMessage)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val responses = (0 until getCompactArrayLen(b)).map { _ =>
+        val name = getCompactNullableString(b)
+        val id = new Array[Byte](16); b.get(id)
+        val err = b.getShort()
+        val msg = getCompactNullableString(b)
+        getTags(b)
+        Result(name, id, err, msg)
+      }
+      getTags(b)
+      Response(throttle, responses)
+    }
+  }
+
   /** OffsetForLeaderEpoch (api key 23) v4 — flexible from v4
     * (KIP-320). Per-partition: the optional current_leader_epoch gate
     * (`details/leader_epoch.h:20-36` — above the partition's epoch 75
