@@ -3502,6 +3502,277 @@ object SparkEntry {
         .orderBy("group", "partition")
     }),
 
+    "adm_wire_client_quotas" -> ((s, dir) => {
+      // KIP-546 over the wire: AlterClientQuotas v1 writes default and
+      // per-client overrides (remove tombstones one; unsupported
+      // entity types answer 35 with the handler's message,
+      // client_quotas.cc:102-151), DescribeClientQuotas v1 reads the
+      // configured table back under exact/default/any match types, and
+      // the engine's resolveClientQuotas fold pins the effective
+      // precedence (exact client over default).
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{ClientQuotas => CQ}
+      val quotaLog = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Double, String)]
+      var nextSeq = 1L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Int, Option[String], Option[String], Option[String], Double,
+        Option[String], Int, Option[String], Boolean)]
+
+      // ---- step 1: AlterClientQuotas v1
+      val alterReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(49, 1, 91, Some("graft")),
+        CQ.encodeAlterRequest(CQ.AlterRequest(Seq(
+          CQ.AlterEntry(Seq(CQ.Entity("client-id", None)), Seq(
+            CQ.Op("producer_byte_rate", 1048576.0, remove = false),
+            CQ.Op("consumer_byte_rate", 2097152.0, remove = false))),
+          CQ.AlterEntry(Seq(CQ.Entity("client-id", Some("etl-1"))), Seq(
+            CQ.Op("producer_byte_rate", 524288.0, remove = false))),
+          CQ.AlterEntry(Seq(CQ.Entity("client-id", Some("etl-2"))), Seq(
+            CQ.Op("producer_byte_rate", 777.0, remove = false))),
+          CQ.AlterEntry(Seq(CQ.Entity("user", Some("alice"))), Seq(
+            CQ.Op("producer_byte_rate", 1.0, remove = false))),
+          CQ.AlterEntry(Seq(CQ.Entity("client-id", Some("etl-2"))), Seq(
+            CQ.Op("producer_byte_rate", 0.0, remove = true)))),
+          validateOnly = false)), flexible = true)
+      val (aH, aBody) = WireHeaders.decodeRequestFrame(alterReqF, flexible = true)
+      val alterReq = CQ.decodeAlterRequest(aBody)
+      val alterResults = alterReq.entries.map { e =>
+        val bad = e.entity.find(x =>
+          x.entityType != "client-id" && x.entityType != "client-id-prefix")
+        bad match {
+          case Some(x) =>
+            CQ.AlterResult(35,
+              Some(s"Entity type '${x.entityType}' not yet supported"),
+              e.entity)
+          case None =>
+            e.ops.foreach { o =>
+              quotaLog += ((nextSeq, e.entity.head.entityName.orNull, o.key,
+                o.value, if (o.remove) "remove" else "set"))
+              nextSeq += 1
+            }
+            CQ.AlterResult(0, None, e.entity)
+        }
+      }
+      val alterRespF = WireHeaders.encodeResponseFrame(aH.correlationId,
+        CQ.encodeAlterResponse(CQ.AlterResponse(0, alterResults)),
+        flexibleHeader = true)
+      val (aCorr, aRb) = WireHeaders.decodeResponseFrame(alterRespF,
+        flexibleHeader = true)
+      CQ.decodeAlterResponse(aRb).results.zipWithIndex.foreach { case (r, i) =>
+        rows += ((1, "alter", i, Some(r.entity.head.entityType),
+          r.entity.head.entityName, None, -1.0, None, r.errorCode.toInt,
+          r.errorMessage, aCorr == 91))
+      }
+
+      // the configured (compacted) table the describe legs serve
+      def liveQuotas: Seq[(Option[String], String, Double)] = {
+        val df = quotaLog.toSeq.toDF("seq", "entity_name", "key", "value", "op")
+        Compaction.compact(df, Seq("entity_name", "key"), "seq")
+          .where(col("op") === "set")
+          .collect().map(r => (Option(r.getString(1)), r.getString(2),
+            r.getDouble(3))).toSeq // admin-sized
+      }
+
+      // ---- steps 2-4: DescribeClientQuotas v1 (exact / default / any)
+      def describe(step: Int, corr: Int, matchType: Byte,
+          matchName: Option[String]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(48, 1, corr, Some("graft")),
+          CQ.encodeDescribeRequest(CQ.DescribeRequest(Seq(
+            CQ.DescribeComponent("client-id", matchType, matchName)),
+            strict = false)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = CQ.decodeDescribeRequest(body)
+        val comp = req.components.head
+        val matched = liveQuotas.filter { case (name, _, _) =>
+          comp.matchType match {
+            case 0 => name == comp.matchName // exact
+            case 1 => name.isEmpty           // the default entity
+            case _ => true                   // any
+          }
+        }
+        val entries = matched.groupBy(_._1).toSeq
+          .sortBy(_._1.getOrElse(""))
+          .map { case (name, vs) =>
+            CQ.Entry(Seq(CQ.Entity("client-id", name)),
+              vs.map(v => (v._2, v._3)).sortBy(_._1))
+          }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          CQ.encodeDescribeResponse(CQ.DescribeResponse(0, 0, None, entries)),
+          flexibleHeader = true)
+        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
+          flexibleHeader = true)
+        CQ.decodeDescribeResponse(rb).entries.foreach { e =>
+          e.values.foreach { case (k, v) =>
+            rows += ((step, "describe", -1, Some(e.entity.head.entityType),
+              e.entity.head.entityName, Some(k), v, None, 0, None,
+              corrBack == corr))
+          }
+        }
+      }
+      describe(2, 92, 0, Some("etl-1"))
+      describe(3, 93, 1, None)
+      describe(4, 94, 2, None)
+
+      // ---- step 5: effective resolution through the engine fold
+      graft.admin.Admin.resolveClientQuotas(
+          Seq("etl-1", "etl-2").toDF("client_id"),
+          quotaLog.toSeq.toDF("seq", "entity_name", "key", "value", "op"),
+          Seq("producer_byte_rate", "consumer_byte_rate"))
+        .collect().foreach { r =>
+          rows += ((5, "resolved", -1, Some("client-id"),
+            Some(r.getString(0)), Some(r.getString(1)), r.getDouble(2),
+            Some(r.getString(3)), 0, None, true))
+        }
+
+      rows.toSeq.toDF("step", "api", "item", "entity_type", "entity_name",
+        "key", "value", "source", "error_code", "error_message", "corr_ok")
+        .orderBy("step", "item", "entity_name", "key")
+    }),
+
+    "adm_wire_reassignments" -> ((s, dir) => {
+      // KIP-455 over the wire: AlterPartitionReassignments v0 frames
+      // drive the reassignment command log (a null replica list
+      // CANCELS; cancelling nothing answers 85
+      // no_reassignment_in_progress), a controller completion ratifies
+      // p0's first move internally, and ListPartitionReassignments v0
+      // serves the engine fold's in-flight view — replicas, adding,
+      // removing — with and without a topic filter.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{PartitionReassignments => PR}
+      val initial = (0 until EventPartitions)
+        .map(p => ("events", p, "0,1,2")).toDF("topic", "partition", "replicas")
+      val log = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Int, String, Option[String])]
+      var nextSeq = 1L
+      def inFlight(p: Int): Boolean = {
+        val forP = log.filter(x => x._3 == p)
+        val lastTerminal = forP.filter(x => x._4 != "alter")
+          .map(_._1).maxOption.getOrElse(Long.MinValue)
+        forP.exists(x => x._4 == "alter" && x._1 > lastTerminal)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Int, String, String, String, Int, Boolean)]
+      def alter(step: Int, corr: Int, parts: Seq[(Int, Option[Seq[Int]])]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(45, 0, corr, Some("graft")),
+          PR.encodeAlterRequest(PR.AlterRequest(60000, Seq(
+            "events" -> parts.map { case (p, r) => PR.AlterPartition(p, r) }))),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = PR.decodeAlterRequest(body)
+        val results = req.topics.map { case (t, ps) =>
+          t -> ps.map { p =>
+            p.replicas match {
+              case Some(rs) =>
+                log += ((nextSeq, t, p.partitionIndex, "alter",
+                  Some(rs.mkString(","))))
+                nextSeq += 1
+                PR.PartResult(p.partitionIndex, 0, None)
+              case None if inFlight(p.partitionIndex) =>
+                log += ((nextSeq, t, p.partitionIndex, "cancel", None))
+                nextSeq += 1
+                PR.PartResult(p.partitionIndex, 0, None)
+              case None =>
+                PR.PartResult(p.partitionIndex, 85,
+                  Some("No partition reassignment is in progress."))
+            }
+          }
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          PR.encodeAlterResponse(PR.AlterResponse(0, 0, None, results)),
+          flexibleHeader = true)
+        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
+          flexibleHeader = true)
+        PR.decodeAlterResponse(rb).responses.foreach { case (_, ps) =>
+          ps.foreach(p =>
+            rows += ((step, "alter", p.partitionIndex, "", "", "",
+              p.errorCode.toInt, corrBack == corr)))
+        }
+      }
+      def list(step: Int, corr: Int, filter: Option[Seq[Int]]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(46, 0, corr, Some("graft")),
+          PR.encodeListRequest(PR.ListRequest(60000,
+            filter.map(ps => Seq("events" -> ps)))), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = PR.decodeListRequest(body)
+        val view = graft.admin.Admin.partitionReassignments(initial,
+            log.toSeq.toDF("seq", "topic", "partition", "op", "targets"))
+          .where(col("in_flight"))
+          .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
+            r.getString(4))) // partition-count-bounded
+          .filter(x => req.topics.forall(_.head._2.contains(x._1)))
+          .sortBy(_._1)
+        def ints(s0: String): Seq[Int] =
+          if (s0.isEmpty) Nil else s0.split(",").map(_.toInt).toSeq
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          PR.encodeListResponse(PR.ListResponse(0, 0, None, Seq(
+            "events" -> view.toSeq.map(x =>
+              PR.Ongoing(x._1, ints(x._2), ints(x._3), ints(x._4)))))),
+          flexibleHeader = true)
+        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
+          flexibleHeader = true)
+        PR.decodeListResponse(rb).topics.foreach { case (_, ps) =>
+          ps.foreach(p =>
+            rows += ((step, "list", p.partitionIndex,
+              p.replicas.mkString(","), p.adding.mkString(","),
+              p.removing.mkString(","), 0, corrBack == corr)))
+        }
+      }
+      alter(1, 45, Seq(0 -> Some(Seq(1, 2, 3))))
+      // the controller ratifies p0's move (complete is not a wire op)
+      log += ((nextSeq, "events", 0, "complete", None)); nextSeq += 1
+      alter(2, 46, Seq(0 -> Some(Seq(2, 3, 4)), 1 -> Some(Seq(3, 4, 5)),
+        2 -> Some(Seq(5, 6, 7))))
+      alter(3, 47, Seq(2 -> None, 5 -> None))
+      list(4, 48, None)
+      list(5, 49, Some(Seq(1)))
+      rows.toSeq.toDF("step", "api", "partition", "replicas", "adding",
+        "removing", "error_code", "corr_ok")
+        .orderBy("step", "partition")
+    }),
+
+    "adm_wire_log_dirs" -> ((s, dir) => {
+      // DescribeLogDirs v4 over the wire: a null topics filter asks for
+      // everything, the engine's per-partition storage accounting fills
+      // one dir result (size, offset lag 0 — no future replicas — and
+      // the v4 total/usable rollup), and every row decodes from the
+      // response bytes. Oracle recomputes sizes from the events table.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{DescribeLogDirs => DLD}
+      val stats = graft.admin.Admin.describeLogDirs(eventLog(s, dir),
+          length(col("props")).cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+        .sortBy(_._1) // one row per partition
+      val reqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(35, 4, 35, Some("graft")),
+        DLD.encodeRequest(DLD.Request(None)), flexible = true)
+      val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+      require(DLD.decodeRequest(body).topics.isEmpty)
+      val total = stats.map(_._2).sum
+      val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+        DLD.encodeResponse(DLD.Response(0, 0, Seq(
+          DLD.DirResult(0, "/var/lib/graft/data", Seq(
+            "events" -> stats.toSeq.map(x =>
+              DLD.Partition(x._1, x._2, 0L, isFutureKey = false))),
+            total, -1L)))), flexibleHeader = true)
+      val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+      val got = DLD.decodeResponse(rb)
+      got.results.flatMap { d =>
+        d.topics.flatMap { case (t, ps) =>
+          ps.map(p => (d.logDir, t, p.partitionIndex, p.partitionSize,
+            p.offsetLag, d.totalBytes, d.usableBytes, corr == 35))
+        }
+      }.toDF("log_dir", "topic", "partition", "size_bytes", "offset_lag",
+        "total_bytes", "usable_bytes", "corr_ok")
+        .orderBy("partition")
+    }),
+
     "adm_reassignments" -> ((s, dir) => {
       // alter/list_partition_reassignments state machine: p0 has an
       // applied reassignment plus a new in-flight one, p1 is in-flight
@@ -3575,6 +3846,156 @@ object SparkEntry {
       graft.admin.Admin.clusterHealth(hb, disks, leaderReps(s), now,
           stalenessMs = 30000L)
         .orderBy("node_id")
+    }),
+
+    "t3_wire_introspection" -> ((s, dir) => {
+      // KIP-664 over the wire: ListTransactions v0 (state filters with
+      // unknown names echoed back, producer-id filters),
+      // DescribeTransactions v0 (unknown tid 105, known states with
+      // the touched topic-partition set) and DescribeProducers v0
+      // (per-partition active producer states incl. the open txn's
+      // first offset) — all three answered by the engine's
+      // introspection folds over a marker-carrying fixture log with
+      // one ongoing, one committed and one aborted transaction.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{ListTransactions => LT, DescribeTransactions => DX,
+        DescribeProducers => DP}
+      val log = Seq(
+        (0, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (0, 1L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (1, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (0, 2L, 11L, 1, 0L, false, null.asInstanceOf[String], 1),
+        (0, 3L, 11L, 1, 0L, true, "commit", 1),
+        (1, 1L, 12L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (1, 2L, 12L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (1, 3L, 12L, 0, 0L, true, "abort", 1))
+        .toDF("partition", "offset", "pid", "epoch", "txn_seq",
+          "is_control", "decision", "batch_type")
+      def tid(pid: Long) = s"tx-$pid"
+      val listed = TxnEngine.listTransactions(log)
+        .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1) // 3 txns
+      val described = TxnEngine.describeTransactions(log)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3),
+          r.getInt(4))) // (pid, partition, state, epoch), bounded
+      val producers = TxnEngine.describeProducers(log)
+        .collect().map { r =>
+          (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+            if (r.isNullAt(5)) -1L else r.getLong(5))
+        } // (partition, pid, epoch, last_offset, open_first), bounded
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Option[String], Option[String], Long, Int, Int, Long, Long, Int,
+        Boolean)]
+
+      val ValidStates = Set("Ongoing", "PrepareCommit", "PrepareAbort",
+        "CompleteCommit", "CompleteAbort", "Empty", "Dead", "PrepareEpochFence")
+      def list(step: Int, states: Seq[String], pids: Seq[Long]): Unit = {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(66, 0, step, Some("graft")),
+          LT.encodeRequest(LT.Request(states, pids)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = LT.decodeRequest(body)
+        val (known, unknown) = req.stateFilters.partition(ValidStates)
+        val matches = listed
+          .filter { case (pid, state) =>
+            (known.isEmpty && req.stateFilters.isEmpty || known.contains(state)) &&
+              (req.producerIdFilters.isEmpty || req.producerIdFilters.contains(pid))
+          }
+          .map { case (pid, state) => LT.TxnState(tid(pid), pid, state) }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          LT.encodeResponse(LT.Response(0, 0, unknown, matches.toSeq)),
+          flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        val got = LT.decodeResponse(rb)
+        got.unknownStateFilters.foreach(f =>
+          rows += ((step, "list_unknown", None, Some(f), -1L, -1, -1, -1L,
+            -1L, 0, corr == step)))
+        got.states.foreach(st =>
+          rows += ((step, "list", Some(st.transactionalId),
+            Some(st.transactionState), st.producerId, -1, -1, -1L, -1L, 0,
+            corr == step)))
+      }
+      list(1, Nil, Nil)
+      list(2, Seq("CompleteCommit", "Retrying"), Nil)
+      list(3, Nil, Seq(12L))
+
+      // ---- DescribeTransactions v0
+      {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(65, 0, 4, Some("graft")),
+          DX.encodeRequest(DX.Request(Seq("tx-10", "tx-99"))), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = DX.decodeRequest(body)
+        val byPid = described.groupBy(_._1)
+        val states = req.transactionalIds.map { t =>
+          val pid = t.stripPrefix("tx-").toLongOption.filter(p =>
+            byPid.contains(p))
+          pid match {
+            case None =>
+              DX.TxnState(105, t, "", 0, -1L, -1L, -1, Nil)
+            case Some(p) =>
+              val rows0 = byPid(p)
+              DX.TxnState(0, t, rows0.head._3, 60000, -1L, p,
+                rows0.map(_._4).max.toShort,
+                Seq("events" -> rows0.map(_._2).sorted))
+          }
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          DX.encodeResponse(DX.Response(0, states)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        DX.decodeResponse(rb).states.foreach { st =>
+          if (st.errorCode != 0)
+            rows += ((4, "describe", Some(st.transactionalId), None, -1L, -1,
+              -1, -1L, -1L, st.errorCode.toInt, corr == 4))
+          else st.topics.foreach { case (_, ps) =>
+            ps.foreach(p =>
+              rows += ((4, "describe", Some(st.transactionalId),
+                Some(st.transactionState), st.producerId,
+                st.producerEpoch.toInt, p, -1L, -1L, 0, corr == 4)))
+          }
+        }
+      }
+
+      // ---- DescribeProducers v0
+      {
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(61, 0, 5, Some("graft")),
+          DP.encodeRequest(DP.Request(Seq("events" -> Seq(0, 1, 5)))),
+          flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = DP.decodeRequest(body)
+        val byPart = producers.groupBy(_._1)
+        val answered = req.topics.map { case (t, ps) =>
+          t -> ps.map { p =>
+            DP.RespPartition(p, 0, None,
+              byPart.getOrElse(p, Array.empty[(Int, Long, Int, Long, Long)])
+                .sortBy(_._2)
+                .map(x => DP.Producer(x._2, x._3, -1, -1L, 0, x._5)).toSeq)
+          }
+        }
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          DP.encodeResponse(DP.Response(0, answered)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        DP.decodeResponse(rb).topics.foreach { case (_, ps) =>
+          ps.foreach { p =>
+            if (p.activeProducers.isEmpty)
+              rows += ((5, "producers", None, None, -1L, -1,
+                p.partitionIndex, -1L, -1L, 0, corr == 5))
+            else p.activeProducers.foreach { ap =>
+              val last = producers.find(x =>
+                x._1 == p.partitionIndex && x._2 == ap.producerId).get._4
+              rows += ((5, "producers", None, None, ap.producerId,
+                ap.producerEpoch, p.partitionIndex,
+                ap.currentTxnStartOffset, last, 0, corr == 5))
+            }
+          }
+        }
+      }
+
+      rows.toSeq.toDF("step", "api", "tid", "state", "pid", "epoch",
+        "partition", "txn_start_offset", "last_offset", "error_code",
+        "corr_ok")
+        .orderBy("step", "tid", "pid", "partition", "state")
     }),
 
     "adm_list_transactions" -> ((s, dir) =>
@@ -9888,6 +10309,64 @@ object SparkEntry {
          | FROM touched t LEFT JOIN endedtx e ON t.pid = e.pid AND t.txn_seq = e.txn_seq
          | ORDER BY t.pid, t.partition""".stripMargin,
 
+    // KIP-546 over the wire: alter ladder (35 for unsupported entity
+    // types), configured reads under exact/default/any match, and the
+    // exact-over-default effective resolution.
+    "adm_wire_client_quotas" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
+        |  entity_type, entity_name, "key", CAST("value" AS DOUBLE) AS "value",
+        |  source, CAST(error_code AS INTEGER) AS error_code, error_message,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'alter', 0, 'client-id', NULL, NULL, -1.0, NULL, 0, NULL),
+        |  (1, 'alter', 1, 'client-id', 'etl-1', NULL, -1.0, NULL, 0, NULL),
+        |  (1, 'alter', 2, 'client-id', 'etl-2', NULL, -1.0, NULL, 0, NULL),
+        |  (1, 'alter', 3, 'user', 'alice', NULL, -1.0, NULL, 35,
+        |   'Entity type ''user'' not yet supported'),
+        |  (1, 'alter', 4, 'client-id', 'etl-2', NULL, -1.0, NULL, 0, NULL),
+        |  (2, 'describe', -1, 'client-id', 'etl-1', 'producer_byte_rate', 524288.0, NULL, 0, NULL),
+        |  (3, 'describe', -1, 'client-id', NULL, 'consumer_byte_rate', 2097152.0, NULL, 0, NULL),
+        |  (3, 'describe', -1, 'client-id', NULL, 'producer_byte_rate', 1048576.0, NULL, 0, NULL),
+        |  (4, 'describe', -1, 'client-id', NULL, 'consumer_byte_rate', 2097152.0, NULL, 0, NULL),
+        |  (4, 'describe', -1, 'client-id', NULL, 'producer_byte_rate', 1048576.0, NULL, 0, NULL),
+        |  (4, 'describe', -1, 'client-id', 'etl-1', 'producer_byte_rate', 524288.0, NULL, 0, NULL),
+        |  (5, 'resolved', -1, 'client-id', 'etl-1', 'consumer_byte_rate', 2097152.0, 'DEFAULT', 0, NULL),
+        |  (5, 'resolved', -1, 'client-id', 'etl-1', 'producer_byte_rate', 524288.0, 'CLIENT', 0, NULL),
+        |  (5, 'resolved', -1, 'client-id', 'etl-2', 'consumer_byte_rate', 2097152.0, 'DEFAULT', 0, NULL),
+        |  (5, 'resolved', -1, 'client-id', 'etl-2', 'producer_byte_rate', 1048576.0, 'DEFAULT', 0, NULL))
+        | t(step, api, item, entity_type, entity_name, "key", "value", source,
+        |   error_code, error_message)
+        | ORDER BY step, item, entity_name, "key"""".stripMargin,
+
+    // KIP-455 over the wire: alters (null = cancel, 85 when nothing in
+    // flight), controller completion, in-flight listing with deltas.
+    "adm_wire_reassignments" ->
+      """SELECT CAST(step AS INTEGER) AS step, api,
+        |  CAST(partition AS INTEGER) AS partition, replicas, adding,
+        |  removing, CAST(error_code AS INTEGER) AS error_code,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'alter', 0, '', '', '', 0),
+        |  (2, 'alter', 0, '', '', '', 0),
+        |  (2, 'alter', 1, '', '', '', 0),
+        |  (2, 'alter', 2, '', '', '', 0),
+        |  (3, 'alter', 2, '', '', '', 0),
+        |  (3, 'alter', 5, '', '', '', 85),
+        |  (4, 'list', 0, '1,2,3', '4', '1', 0),
+        |  (4, 'list', 1, '0,1,2', '3,4,5', '0,1,2', 0),
+        |  (5, 'list', 1, '0,1,2', '3,4,5', '0,1,2', 0))
+        | t(step, api, partition, replicas, adding, removing, error_code)
+        | ORDER BY step, partition""".stripMargin,
+
+    // DescribeLogDirs v4 over the wire; sizes recomputed from events.
+    "adm_wire_log_dirs" ->
+      s"""$LogCte SELECT '/var/lib/graft/data' AS log_dir, 'events' AS topic,
+         |  partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
+         |  CAST(0 AS BIGINT) AS offset_lag,
+         |  (SELECT CAST(sum(length(props)) AS BIGINT) FROM log) AS total_bytes,
+         |  CAST(-1 AS BIGINT) AS usable_bytes, TRUE AS corr_ok
+         | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
+
     "adm_describe_log_dirs" ->
       s"""$LogCte SELECT partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
          |  count(*) AS n_records, max("offset") + 1 AS log_end_offset
@@ -9981,6 +10460,35 @@ object SparkEntry {
         |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
         |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
         | t("group", node_id) ORDER BY "group"""".stripMargin,
+
+    // KIP-664 introspection over the wire: list (filters + unknown
+    // echo), describe (105 for unknown tids, touched partitions),
+    // producers (active states incl. open-txn first offset).
+    "t3_wire_introspection" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, tid, state,
+        |  CAST(pid AS BIGINT) AS pid, CAST(epoch AS INTEGER) AS epoch,
+        |  CAST(partition AS INTEGER) AS partition,
+        |  CAST(txn_start_offset AS BIGINT) AS txn_start_offset,
+        |  CAST(last_offset AS BIGINT) AS last_offset,
+        |  CAST(error_code AS INTEGER) AS error_code, TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'list', 'tx-10', 'Ongoing', 10, -1, -1, -1, -1, 0),
+        |  (1, 'list', 'tx-11', 'CompleteCommit', 11, -1, -1, -1, -1, 0),
+        |  (1, 'list', 'tx-12', 'CompleteAbort', 12, -1, -1, -1, -1, 0),
+        |  (2, 'list', 'tx-11', 'CompleteCommit', 11, -1, -1, -1, -1, 0),
+        |  (2, 'list_unknown', NULL, 'Retrying', -1, -1, -1, -1, -1, 0),
+        |  (3, 'list', 'tx-12', 'CompleteAbort', 12, -1, -1, -1, -1, 0),
+        |  (4, 'describe', 'tx-10', 'Ongoing', 10, 0, 0, -1, -1, 0),
+        |  (4, 'describe', 'tx-10', 'Ongoing', 10, 0, 1, -1, -1, 0),
+        |  (4, 'describe', 'tx-99', NULL, -1, -1, -1, -1, -1, 105),
+        |  (5, 'producers', NULL, NULL, 10, 0, 0, 0, 1, 0),
+        |  (5, 'producers', NULL, NULL, 11, 1, 0, -1, 2, 0),
+        |  (5, 'producers', NULL, NULL, 10, 0, 1, 0, 0, 0),
+        |  (5, 'producers', NULL, NULL, 12, 0, 1, -1, 2, 0),
+        |  (5, 'producers', NULL, NULL, -1, -1, 5, -1, -1, 0))
+        | t(step, api, tid, state, pid, epoch, partition, txn_start_offset,
+        |   last_offset, error_code)
+        | ORDER BY step, tid, pid, partition, state""".stripMargin,
 
     // Topic lifecycle over the wire: the create_partitions validate
     // chain (handler message text verbatim, typo included), delete by

@@ -1611,6 +1611,741 @@ object WireHeaders {
     }
   }
 
+  /** DescribeClientQuotas (api key 48) v1 / AlterClientQuotas (api
+    * key 49) v1 — both flexible from v1 (KIP-546). Entities are
+    * (entity_type, nullable entity_name — null names the default);
+    * quota values are float64; REMOVE tombstones an override. */
+  object ClientQuotas {
+    final case class Entity(entityType: String, entityName: Option[String])
+    final case class DescribeComponent(entityType: String, matchType: Byte,
+        matchName: Option[String])
+    final case class DescribeRequest(components: Seq[DescribeComponent],
+        strict: Boolean)
+    final case class Entry(entity: Seq[Entity], values: Seq[(String, Double)])
+    final case class DescribeResponse(throttleMs: Int, errorCode: Short,
+        errorMessage: Option[String], entries: Seq[Entry])
+    final case class Op(key: String, value: Double, remove: Boolean)
+    final case class AlterEntry(entity: Seq[Entity], ops: Seq[Op])
+    final case class AlterRequest(entries: Seq[AlterEntry], validateOnly: Boolean)
+    final case class AlterResult(errorCode: Short, errorMessage: Option[String],
+        entity: Seq[Entity])
+    final case class AlterResponse(throttleMs: Int, results: Seq[AlterResult])
+
+    private def putEntity(b: ByteBuffer, es: Seq[Entity]): Unit = {
+      putCompactArrayLen(b, es.size)
+      es.foreach { e =>
+        putCompactString(b, e.entityType)
+        putCompactNullableString(b, e.entityName)
+        putEmptyTags(b)
+      }
+    }
+    private def getEntity(b: ByteBuffer): Seq[Entity] =
+      (0 until getCompactArrayLen(b)).map { _ =>
+        val e = Entity(getCompactString(b), getCompactNullableString(b))
+        getTags(b); e
+      }
+
+    def encodeDescribeRequest(r: DescribeRequest): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.components.map(c =>
+        8 + compactStringSize(c.entityType) +
+          c.matchName.map(compactStringSize).getOrElse(1)).sum)
+      putCompactArrayLen(b, r.components.size)
+      r.components.foreach { c =>
+        putCompactString(b, c.entityType)
+        b.put(c.matchType)
+        putCompactNullableString(b, c.matchName)
+        putEmptyTags(b)
+      }
+      b.put(if (r.strict) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeDescribeRequest(bytes: Array[Byte]): DescribeRequest = {
+      val b = ByteBuffer.wrap(bytes)
+      val comps = (0 until getCompactArrayLen(b)).map { _ =>
+        val c = DescribeComponent(getCompactString(b), b.get(),
+          getCompactNullableString(b))
+        getTags(b); c
+      }
+      val strict = b.get() == 1
+      getTags(b)
+      DescribeRequest(comps, strict)
+    }
+    def encodeDescribeResponse(r: DescribeResponse): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 +
+        r.errorMessage.map(compactStringSize).getOrElse(1) +
+        r.entries.map(e => 8 +
+          e.entity.map(x => 4 + compactStringSize(x.entityType) +
+            x.entityName.map(compactStringSize).getOrElse(1)).sum +
+          e.values.map(v => 12 + compactStringSize(v._1)).sum).sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactNullableString(b, r.errorMessage)
+      putCompactArrayLen(b, r.entries.size)
+      r.entries.foreach { e =>
+        putEntity(b, e.entity)
+        putCompactArrayLen(b, e.values.size)
+        e.values.foreach { case (k, v) =>
+          putCompactString(b, k); b.putDouble(v); putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeDescribeResponse(bytes: Array[Byte]): DescribeResponse = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val msg = getCompactNullableString(b)
+      val entries = (0 until getCompactArrayLen(b)).map { _ =>
+        val entity = getEntity(b)
+        val values = (0 until getCompactArrayLen(b)).map { _ =>
+          val v = (getCompactString(b), b.getDouble()); getTags(b); v
+        }
+        getTags(b)
+        Entry(entity, values)
+      }
+      getTags(b)
+      DescribeResponse(throttle, err, msg, entries)
+    }
+    def encodeAlterRequest(r: AlterRequest): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.entries.map(e => 4 +
+        e.entity.map(x => 4 + compactStringSize(x.entityType) +
+          x.entityName.map(compactStringSize).getOrElse(1)).sum +
+        e.ops.map(o => 13 + compactStringSize(o.key)).sum).sum)
+      putCompactArrayLen(b, r.entries.size)
+      r.entries.foreach { e =>
+        putEntity(b, e.entity)
+        putCompactArrayLen(b, e.ops.size)
+        e.ops.foreach { o =>
+          putCompactString(b, o.key)
+          b.putDouble(o.value)
+          b.put(if (o.remove) 1.toByte else 0.toByte)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeAlterRequest(bytes: Array[Byte]): AlterRequest = {
+      val b = ByteBuffer.wrap(bytes)
+      val entries = (0 until getCompactArrayLen(b)).map { _ =>
+        val entity = getEntity(b)
+        val ops = (0 until getCompactArrayLen(b)).map { _ =>
+          val o = Op(getCompactString(b), b.getDouble(), b.get() == 1)
+          getTags(b); o
+        }
+        getTags(b)
+        AlterEntry(entity, ops)
+      }
+      val vo = b.get() == 1
+      getTags(b)
+      AlterRequest(entries, vo)
+    }
+    def encodeAlterResponse(r: AlterResponse): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.results.map(x => 8 +
+        x.errorMessage.map(compactStringSize).getOrElse(1) +
+        x.entity.map(e => 4 + compactStringSize(e.entityType) +
+          e.entityName.map(compactStringSize).getOrElse(1)).sum).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { x =>
+        b.putShort(x.errorCode)
+        putCompactNullableString(b, x.errorMessage)
+        putEntity(b, x.entity)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeAlterResponse(bytes: Array[Byte]): AlterResponse = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val err = b.getShort()
+        val msg = getCompactNullableString(b)
+        val entity = getEntity(b)
+        getTags(b)
+        AlterResult(err, msg, entity)
+      }
+      getTags(b)
+      AlterResponse(throttle, results)
+    }
+  }
+
+  /** AlterConfigs (api key 33) v2 — the FULL-REPLACE legacy sibling of
+    * IncrementalAlterConfigs: every config of the resource is replaced
+    * by the request's set (absent keys revert to defaults). Flexible
+    * from v2. */
+  object AlterConfigs {
+    final case class ReqResource(resourceType: Byte, resourceName: String,
+        configs: Seq[(String, Option[String])])
+    final case class Request(resources: Seq[ReqResource], validateOnly: Boolean)
+    final case class RespResource(errorCode: Short,
+        errorMessage: Option[String], resourceType: Byte, resourceName: String)
+    final case class Response(throttleMs: Int, responses: Seq[RespResource])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.resources.map(res =>
+        8 + compactStringSize(res.resourceName) + res.configs.map(c =>
+          4 + compactStringSize(c._1) +
+            c._2.map(compactStringSize).getOrElse(1)).sum).sum)
+      putCompactArrayLen(b, r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putCompactString(b, res.resourceName)
+        putCompactArrayLen(b, res.configs.size)
+        res.configs.foreach { case (k, v) =>
+          putCompactString(b, k)
+          putCompactNullableString(b, v)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val resources = (0 until getCompactArrayLen(b)).map { _ =>
+        val rt = b.get()
+        val rn = getCompactString(b)
+        val configs = (0 until getCompactArrayLen(b)).map { _ =>
+          val c = (getCompactString(b), getCompactNullableString(b))
+          getTags(b); c
+        }
+        getTags(b)
+        ReqResource(rt, rn, configs)
+      }
+      val vo = b.get() == 1
+      getTags(b)
+      Request(resources, vo)
+    }
+    def encodeResponse(r: Response): Array[Byte] =
+      IncrementalAlterConfigs.encodeResponse(IncrementalAlterConfigs.Response(
+        r.throttleMs, r.responses.map(x =>
+          IncrementalAlterConfigs.RespResource(x.errorCode, x.errorMessage,
+            x.resourceType, x.resourceName))))
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val d = IncrementalAlterConfigs.decodeResponse(bytes)
+      Response(d.throttleMs, d.responses.map(x =>
+        RespResource(x.errorCode, x.errorMessage, x.resourceType,
+          x.resourceName)))
+    }
+  }
+
+  /** DescribeLogDirs (api key 35) v4 — flexible from v2; v4 adds
+    * total/usable bytes per dir. */
+  object DescribeLogDirs {
+    final case class Request(topics: Option[Seq[(String, Seq[Int])]])
+    final case class Partition(partitionIndex: Int, partitionSize: Long,
+        offsetLag: Long, isFutureKey: Boolean)
+    final case class DirResult(errorCode: Short, logDir: String,
+        topics: Seq[(String, Seq[Partition])], totalBytes: Long,
+        usableBytes: Long)
+    final case class Response(throttleMs: Int, errorCode: Short,
+        results: Seq[DirResult])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.topics.map(_.map { case (t, ps) =>
+        4 + compactStringSize(t) + 4 * ps.size }.sum).getOrElse(0))
+      r.topics match {
+        case None => putUvarint(b, 0L)
+        case Some(ts) =>
+          putCompactArrayLen(b, ts.size)
+          ts.foreach { case (t, ps) =>
+            putCompactString(b, t)
+            putCompactArrayLen(b, ps.size)
+            ps.foreach(b.putInt)
+            putEmptyTags(b)
+          }
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val n = getUvarint(b)
+      val topics =
+        if (n == 0) None
+        else Some((0L until n - 1).map { _ =>
+          val t = getCompactString(b)
+          val ps = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          getTags(b)
+          (t, ps: Seq[Int])
+        }: Seq[(String, Seq[Int])])
+      getTags(b)
+      Request(topics)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 + r.results.map(d =>
+        24 + compactStringSize(d.logDir) + d.topics.map { case (t, ps) =>
+          4 + compactStringSize(t) + 22 * ps.size }.sum).sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactArrayLen(b, r.results.size)
+      r.results.foreach { d =>
+        b.putShort(d.errorCode)
+        putCompactString(b, d.logDir)
+        putCompactArrayLen(b, d.topics.size)
+        d.topics.foreach { case (t, ps) =>
+          putCompactString(b, t)
+          putCompactArrayLen(b, ps.size)
+          ps.foreach { p =>
+            b.putInt(p.partitionIndex); b.putLong(p.partitionSize)
+            b.putLong(p.offsetLag)
+            b.put(if (p.isFutureKey) 1.toByte else 0.toByte)
+            putEmptyTags(b)
+          }
+          putEmptyTags(b)
+        }
+        b.putLong(d.totalBytes)
+        b.putLong(d.usableBytes)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val results = (0 until getCompactArrayLen(b)).map { _ =>
+        val derr = b.getShort()
+        val dir = getCompactString(b)
+        val topics = (0 until getCompactArrayLen(b)).map { _ =>
+          val t = getCompactString(b)
+          val ps = (0 until getCompactArrayLen(b)).map { _ =>
+            val p = Partition(b.getInt(), b.getLong(), b.getLong(),
+              b.get() == 1)
+            getTags(b); p
+          }
+          getTags(b)
+          (t, ps: Seq[Partition])
+        }
+        val total = b.getLong(); val usable = b.getLong()
+        getTags(b)
+        DirResult(derr, dir, topics, total, usable)
+      }
+      getTags(b)
+      Response(throttle, err, results)
+    }
+  }
+
+  /** AlterPartitionReassignments (api key 45) v0 /
+    * ListPartitionReassignments (api key 46) v0 — both flexible from
+    * v0 (KIP-455). A null replica list in an alter CANCELS the pending
+    * reassignment; list shows in-flight targets with adding/removing
+    * deltas. */
+  object PartitionReassignments {
+    final case class AlterPartition(partitionIndex: Int,
+        replicas: Option[Seq[Int]])
+    final case class AlterRequest(timeoutMs: Int,
+        topics: Seq[(String, Seq[AlterPartition])])
+    final case class PartResult(partitionIndex: Int, errorCode: Short,
+        errorMessage: Option[String])
+    final case class AlterResponse(throttleMs: Int, errorCode: Short,
+        errorMessage: Option[String], responses: Seq[(String, Seq[PartResult])])
+    final case class ListRequest(timeoutMs: Int,
+        topics: Option[Seq[(String, Seq[Int])]])
+    final case class Ongoing(partitionIndex: Int, replicas: Seq[Int],
+        adding: Seq[Int], removing: Seq[Int])
+    final case class ListResponse(throttleMs: Int, errorCode: Short,
+        errorMessage: Option[String], topics: Seq[(String, Seq[Ongoing])])
+
+    def encodeAlterRequest(r: AlterRequest): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map { case (t, ps) =>
+        4 + compactStringSize(t) + ps.map(p =>
+          8 + p.replicas.map(4 * _.size + 2).getOrElse(1)).sum }.sum)
+      b.putInt(r.timeoutMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partitionIndex)
+          p.replicas match {
+            case None => putUvarint(b, 0L)
+            case Some(rs) => putCompactArrayLen(b, rs.size); rs.foreach(b.putInt)
+          }
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeAlterRequest(bytes: Array[Byte]): AlterRequest = {
+      val b = ByteBuffer.wrap(bytes)
+      val timeout = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val idx = b.getInt()
+          val n = getUvarint(b)
+          val reps =
+            if (n == 0) None
+            else Some((0L until n - 1).map(_ => b.getInt()): Seq[Int])
+          getTags(b)
+          AlterPartition(idx, reps)
+        }
+        getTags(b)
+        (t, ps: Seq[AlterPartition])
+      }
+      getTags(b)
+      AlterRequest(timeout, topics)
+    }
+    def encodeAlterResponse(r: AlterResponse): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 +
+        r.errorMessage.map(compactStringSize).getOrElse(1) +
+        r.responses.map { case (t, ps) => 4 + compactStringSize(t) +
+          ps.map(p => 8 + p.errorMessage.map(compactStringSize).getOrElse(1)).sum }.sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactNullableString(b, r.errorMessage)
+      putCompactArrayLen(b, r.responses.size)
+      r.responses.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partitionIndex)
+          b.putShort(p.errorCode)
+          putCompactNullableString(b, p.errorMessage)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeAlterResponse(bytes: Array[Byte]): AlterResponse = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val msg = getCompactNullableString(b)
+      val responses = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val p = PartResult(b.getInt(), b.getShort(),
+            getCompactNullableString(b))
+          getTags(b); p
+        }
+        getTags(b)
+        (t, ps: Seq[PartResult])
+      }
+      getTags(b)
+      AlterResponse(throttle, err, msg, responses)
+    }
+    def encodeListRequest(r: ListRequest): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map(_.map { case (t, ps) =>
+        4 + compactStringSize(t) + 4 * ps.size }.sum).getOrElse(0))
+      b.putInt(r.timeoutMs)
+      r.topics match {
+        case None => putUvarint(b, 0L)
+        case Some(ts) =>
+          putCompactArrayLen(b, ts.size)
+          ts.foreach { case (t, ps) =>
+            putCompactString(b, t)
+            putCompactArrayLen(b, ps.size)
+            ps.foreach(b.putInt)
+            putEmptyTags(b)
+          }
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeListRequest(bytes: Array[Byte]): ListRequest = {
+      val b = ByteBuffer.wrap(bytes)
+      val timeout = b.getInt()
+      val n = getUvarint(b)
+      val topics =
+        if (n == 0) None
+        else Some((0L until n - 1).map { _ =>
+          val t = getCompactString(b)
+          val ps = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          getTags(b)
+          (t, ps: Seq[Int])
+        }: Seq[(String, Seq[Int])])
+      getTags(b)
+      ListRequest(timeout, topics)
+    }
+    def encodeListResponse(r: ListResponse): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 +
+        r.errorMessage.map(compactStringSize).getOrElse(1) +
+        r.topics.map { case (t, ps) => 4 + compactStringSize(t) +
+          ps.map(p => 16 + 4 * (p.replicas.size + p.adding.size +
+            p.removing.size)).sum }.sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactNullableString(b, r.errorMessage)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partitionIndex)
+          putCompactArrayLen(b, p.replicas.size); p.replicas.foreach(b.putInt)
+          putCompactArrayLen(b, p.adding.size); p.adding.foreach(b.putInt)
+          putCompactArrayLen(b, p.removing.size); p.removing.foreach(b.putInt)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeListResponse(bytes: Array[Byte]): ListResponse = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val msg = getCompactNullableString(b)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val idx = b.getInt()
+          val reps = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          val add = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          val rem = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          getTags(b)
+          Ongoing(idx, reps, add, rem)
+        }
+        getTags(b)
+        (t, ps: Seq[Ongoing])
+      }
+      getTags(b)
+      ListResponse(throttle, err, msg, topics)
+    }
+  }
+
+  /** ListTransactions (api key 66) v0 — flexible from v0 (KIP-664).
+    * Unknown state filters are echoed back in unknown_state_filters
+    * and simply never match; producer-id filters intersect. */
+  object ListTransactions {
+    final case class Request(stateFilters: Seq[String],
+        producerIdFilters: Seq[Long])
+    final case class TxnState(transactionalId: String, producerId: Long,
+        transactionState: String)
+    final case class Response(throttleMs: Int, errorCode: Short,
+        unknownStateFilters: Seq[String], states: Seq[TxnState])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.stateFilters.map(compactStringSize).sum
+        + 8 * r.producerIdFilters.size)
+      putCompactArrayLen(b, r.stateFilters.size)
+      r.stateFilters.foreach(putCompactString(b, _))
+      putCompactArrayLen(b, r.producerIdFilters.size)
+      r.producerIdFilters.foreach(b.putLong)
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val states = (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+      val pids = (0 until getCompactArrayLen(b)).map(_ => b.getLong())
+      getTags(b)
+      Request(states, pids)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 +
+        r.unknownStateFilters.map(compactStringSize).sum +
+        r.states.map(s => 12 + compactStringSize(s.transactionalId) +
+          compactStringSize(s.transactionState)).sum)
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putCompactArrayLen(b, r.unknownStateFilters.size)
+      r.unknownStateFilters.foreach(putCompactString(b, _))
+      putCompactArrayLen(b, r.states.size)
+      r.states.foreach { s =>
+        putCompactString(b, s.transactionalId)
+        b.putLong(s.producerId)
+        putCompactString(b, s.transactionState)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val err = b.getShort()
+      val unknown = (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+      val states = (0 until getCompactArrayLen(b)).map { _ =>
+        val s = TxnState(getCompactString(b), b.getLong(), getCompactString(b))
+        getTags(b); s
+      }
+      getTags(b)
+      Response(throttle, err, unknown, states)
+    }
+  }
+
+  /** DescribeTransactions (api key 65) v0 — flexible from v0. Unknown
+    * transactional ids answer 105 transactional_id_not_found; known
+    * ones carry the coordinator's state plus the touched
+    * topic-partition set. */
+  object DescribeTransactions {
+    final case class Request(transactionalIds: Seq[String])
+    final case class TxnState(errorCode: Short, transactionalId: String,
+        transactionState: String, transactionTimeoutMs: Int,
+        transactionStartTimeMs: Long, producerId: Long,
+        producerEpoch: Short, topics: Seq[(String, Seq[Int])])
+    final case class Response(throttleMs: Int, states: Seq[TxnState])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.transactionalIds.map(compactStringSize).sum)
+      putCompactArrayLen(b, r.transactionalIds.size)
+      r.transactionalIds.foreach(putCompactString(b, _))
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val ids = (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+      getTags(b)
+      Request(ids)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.states.map(s =>
+        32 + compactStringSize(s.transactionalId) +
+          compactStringSize(s.transactionState) +
+          s.topics.map { case (t, ps) =>
+            4 + compactStringSize(t) + 4 * ps.size }.sum).sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.states.size)
+      r.states.foreach { s =>
+        b.putShort(s.errorCode)
+        putCompactString(b, s.transactionalId)
+        putCompactString(b, s.transactionState)
+        b.putInt(s.transactionTimeoutMs)
+        b.putLong(s.transactionStartTimeMs)
+        b.putLong(s.producerId)
+        b.putShort(s.producerEpoch)
+        putCompactArrayLen(b, s.topics.size)
+        s.topics.foreach { case (t, ps) =>
+          putCompactString(b, t)
+          putCompactArrayLen(b, ps.size)
+          ps.foreach(b.putInt)
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val states = (0 until getCompactArrayLen(b)).map { _ =>
+        val err = b.getShort()
+        val tid = getCompactString(b)
+        val state = getCompactString(b)
+        val timeout = b.getInt()
+        val start = b.getLong()
+        val pid = b.getLong()
+        val epoch = b.getShort()
+        val topics = (0 until getCompactArrayLen(b)).map { _ =>
+          val t = getCompactString(b)
+          val ps = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+          getTags(b)
+          (t, ps: Seq[Int])
+        }
+        getTags(b)
+        TxnState(err, tid, state, timeout, start, pid, epoch, topics)
+      }
+      getTags(b)
+      Response(throttle, states)
+    }
+  }
+
+  /** DescribeProducers (api key 61) v0 — flexible from v0 (KIP-664):
+    * per requested partition, the rm_stm's active producer states —
+    * epoch, last offset, and the open transaction's first offset (-1
+    * when none). */
+  object DescribeProducers {
+    final case class Producer(producerId: Long, producerEpoch: Int,
+        lastSequence: Int, lastTimestamp: Long, coordinatorEpoch: Int,
+        currentTxnStartOffset: Long)
+    final case class RespPartition(partitionIndex: Int, errorCode: Short,
+        errorMessage: Option[String], activeProducers: Seq[Producer])
+    final case class Request(topics: Seq[(String, Seq[Int])])
+    final case class Response(throttleMs: Int,
+        topics: Seq[(String, Seq[RespPartition])])
+
+    def encodeRequest(r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + r.topics.map { case (t, ps) =>
+        4 + compactStringSize(t) + 4 * ps.size }.sum)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach(b.putInt)
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeRequest(bytes: Array[Byte]): Request = {
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map(_ => b.getInt())
+        getTags(b)
+        (t, ps: Seq[Int])
+      }
+      getTags(b)
+      Request(topics)
+    }
+    def encodeResponse(r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + r.topics.map { case (t, ps) =>
+        4 + compactStringSize(t) + ps.map(p =>
+          12 + p.errorMessage.map(compactStringSize).getOrElse(1) +
+            37 * p.activeProducers.size).sum }.sum)
+      b.putInt(r.throttleMs)
+      putCompactArrayLen(b, r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putCompactString(b, t)
+        putCompactArrayLen(b, ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partitionIndex)
+          b.putShort(p.errorCode)
+          putCompactNullableString(b, p.errorMessage)
+          putCompactArrayLen(b, p.activeProducers.size)
+          p.activeProducers.foreach { ap =>
+            b.putLong(ap.producerId); b.putInt(ap.producerEpoch)
+            b.putInt(ap.lastSequence); b.putLong(ap.lastTimestamp)
+            b.putInt(ap.coordinatorEpoch); b.putLong(ap.currentTxnStartOffset)
+            putEmptyTags(b)
+          }
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      putEmptyTags(b)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    def decodeResponse(bytes: Array[Byte]): Response = {
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val topics = (0 until getCompactArrayLen(b)).map { _ =>
+        val t = getCompactString(b)
+        val ps = (0 until getCompactArrayLen(b)).map { _ =>
+          val idx = b.getInt()
+          val err = b.getShort()
+          val msg = getCompactNullableString(b)
+          val producers = (0 until getCompactArrayLen(b)).map { _ =>
+            val p = Producer(b.getLong(), b.getInt(), b.getInt(), b.getLong(),
+              b.getInt(), b.getLong())
+            getTags(b); p
+          }
+          getTags(b)
+          RespPartition(idx, err, msg, producers)
+        }
+        getTags(b)
+        (t, ps: Seq[RespPartition])
+      }
+      getTags(b)
+      Response(throttle, topics)
+    }
+  }
+
   /** CreatePartitions (api key 37) v3 — flexible from v2. The
     * handler's partition-validate chain
     * (`create_partitions.cc:50-263`): duplicated topics 42, unknown
