@@ -3462,6 +3462,101 @@ object SparkEntry {
         .orderBy("step", "item", "key")
     }),
 
+    "adm_wire_alter_configs" -> ((s, dir) => {
+      // The FULL-REPLACE AlterConfigs v2 (the legacy sibling of the
+      // incremental path, alter_configs.cc): the request's config set
+      // replaces the topic's entire dynamic overlay — keys absent from
+      // the request revert to defaults (expressed as delete ops on the
+      // incremental log) — and an unknown property rejects the whole
+      // resource with the handler's "invalid topic property" message.
+      // The DescribeConfigs v4 read-back proves both the set and the
+      // reverts through bytes.
+      import s.implicits._
+      import graft.functions.WireHeaders
+      import WireHeaders.{AlterConfigs => AC, DescribeConfigs => DC}
+      val KnownKeys = graft.admin.Admin.Defaults.map(_._1).toSet
+      val opsLog = scala.collection.mutable.ArrayBuffer[(Long, String,
+        String, String, String)](
+        (1L, "events", "cleanup.policy", "compact", "set"),
+        (2L, "events", "retention.ms", "259200000", "set"))
+      var nextSeq = 3L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
+        Int, Option[String], Option[String], Option[String], Option[String],
+        Int, Option[String], Boolean)]
+
+      val reqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(33, 2, 33, Some("graft")),
+        AC.encodeRequest(AC.Request(Seq(
+          AC.ReqResource(2, "events", Seq(
+            ("retention.bytes", Some("1073741824")))),
+          AC.ReqResource(2, "metrics", Seq(
+            ("zz.unknown", Some("1"))))), validateOnly = false)),
+        flexible = true)
+      val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+      val req = AC.decodeRequest(body)
+      val results = req.resources.map { res =>
+        res.configs.find(c => !KnownKeys(c._1)) match {
+          case Some((k, _)) =>
+            AC.RespResource(40, Some(s"invalid topic property: $k"),
+              res.resourceType, res.resourceName)
+          case None =>
+            // full replace: set the request's keys, revert the rest
+            val requested = res.configs.map(_._1).toSet
+            val previouslySet = opsLog.filter(_._2 == res.resourceName)
+              .map(_._3).toSet
+            res.configs.foreach { case (k, v) =>
+              opsLog += ((nextSeq, res.resourceName, k, v.orNull, "set"))
+              nextSeq += 1
+            }
+            (previouslySet -- requested).toSeq.sorted.foreach { k =>
+              opsLog += ((nextSeq, res.resourceName, k, null, "delete"))
+              nextSeq += 1
+            }
+            AC.RespResource(0, None, res.resourceType, res.resourceName)
+        }
+      }
+      val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+        AC.encodeResponse(AC.Response(0, results)), flexibleHeader = true)
+      val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+      AC.decodeResponse(rb).responses.zipWithIndex.foreach { case (r, i) =>
+        rows += ((1, "alter", i, Some(r.resourceName), None, None, None,
+          r.errorCode.toInt, r.errorMessage, corr == 33))
+      }
+
+      // read-back: the replace left ONLY retention.bytes dynamic
+      val effective = graft.admin.Admin.describeConfigsIncremental(s,
+          Seq("events"),
+          opsLog.toSeq.toDF("seq", "topic", "key", "value", "op"))
+        .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+        .sortBy(_._1) // 6 keys
+      val dReqF = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(32, 4, 34, Some("graft")),
+        DC.encodeRequest(DC.Request(Seq(DC.ReqResource(2, "events", None)),
+          includeSynonyms = false, includeDocumentation = false)),
+        flexible = true)
+      val (dH, dBody) = WireHeaders.decodeRequestFrame(dReqF, flexible = true)
+      DC.decodeRequest(dBody)
+      val srcCode = Map("DYNAMIC_TOPIC_CONFIG" -> 1.toByte,
+        "DEFAULT_CONFIG" -> 5.toByte)
+      val dRespF = WireHeaders.encodeResponseFrame(dH.correlationId,
+        DC.encodeResponse(DC.Response(0, Seq(DC.Result(0, None, 2, "events",
+          effective.toSeq.map(e => DC.Config(e._1, Option(e._2),
+            readOnly = false, srcCode(e._3), isSensitive = false, 0, None)))))),
+        flexibleHeader = true)
+      val (dCorr, dRb) = WireHeaders.decodeResponseFrame(dRespF,
+        flexibleHeader = true)
+      val srcName = srcCode.map(_.swap)
+      DC.decodeResponse(dRb).results.foreach { res =>
+        res.configs.foreach { c =>
+          rows += ((2, "describe", -1, Some(res.resourceName), Some(c.name),
+            c.value, Some(srcName(c.configSource)), 0, None, dCorr == 34))
+        }
+      }
+      rows.toSeq.toDF("step", "api", "item", "resource", "key", "value",
+        "source", "error_code", "error_message", "corr_ok")
+        .orderBy("step", "item", "key")
+    }),
+
     "adm_client_quotas" -> ((s, dir) => {
       // describe_client_quotas resolution: per-client override beats the
       // cluster default; a REMOVE reverts to the default (client-5) or
@@ -10308,6 +10403,27 @@ object SparkEntry {
          |        t.producer_epoch, t.start_offset, t.last_offset, t.n_records
          | FROM touched t LEFT JOIN endedtx e ON t.pid = e.pid AND t.txn_seq = e.txn_seq
          | ORDER BY t.pid, t.partition""".stripMargin,
+
+    // Full-replace AlterConfigs v2: the set lands, absent keys revert,
+    // unknown properties reject the resource.
+    "adm_wire_alter_configs" ->
+      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
+        |  resource, "key", "value", source,
+        |  CAST(error_code AS INTEGER) AS error_code, error_message,
+        |  TRUE AS corr_ok
+        | FROM (VALUES
+        |  (1, 'alter', 0, 'events', NULL, NULL, NULL, 0, NULL),
+        |  (1, 'alter', 1, 'metrics', NULL, NULL, NULL, 40,
+        |   'invalid topic property: zz.unknown'),
+        |  (2, 'describe', -1, 'events', 'cleanup.policy', 'delete', 'DEFAULT_CONFIG', 0, NULL),
+        |  (2, 'describe', -1, 'events', 'compression.type', 'producer', 'DEFAULT_CONFIG', 0, NULL),
+        |  (2, 'describe', -1, 'events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG', 0, NULL),
+        |  (2, 'describe', -1, 'events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG', 0, NULL),
+        |  (2, 'describe', -1, 'events', 'retention.bytes', '1073741824', 'DYNAMIC_TOPIC_CONFIG', 0, NULL),
+        |  (2, 'describe', -1, 'events', 'retention.ms', '604800000', 'DEFAULT_CONFIG', 0, NULL))
+        | t(step, api, item, resource, "key", "value", source, error_code,
+        |   error_message)
+        | ORDER BY step, item, "key"""".stripMargin,
 
     // KIP-546 over the wire: alter ladder (35 for unsupported entity
     // types), configured reads under exact/default/any match, and the
