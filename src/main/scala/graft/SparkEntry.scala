@@ -828,6 +828,33 @@ object SparkEntry {
 
   private val txnLogStore = scala.collection.concurrent.TrieMap[String, String]()
 
+  private val dsv2Store = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** On-disk wire-format log for the DSv2 source: segments of 2000
+    * offsets (4 batches x 500 records) per partition, written
+    * EXECUTOR-SIDE per (partition, segment) group — only the sidecar
+    * index lines return to the driver. Executor-local file writes are a
+    * local-mode convenience; on a cluster the same writer targets
+    * shared storage. */
+  private def dsv2LogPath(s: SparkSession, dir: String): String =
+    dsv2Store.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+      val lines = eventLog(s, dir)
+        .select(col("partition"), col("offset"), col("event_id"),
+          col("user_id").cast("string").as("k"), col("event_type").as("v"))
+        .as[(Int, Long, Long, String, String)]
+        .groupByKey(r => (r._1, r._2 / 2000))
+        .mapGroups { (key: (Int, Long),
+            it: Iterator[(Int, Long, Long, String, String)]) =>
+          val rows = it.map(r => (r._2, r._3, r._4.getBytes("UTF-8"),
+            r._5.getBytes("UTF-8"))).toSeq
+          graft.sources.LogSource.writeSegment(root, key._1, rows, 500)
+        }.collect() // one index LINE per segment — metadata-sized
+      graft.sources.LogSource.writeIndex(root, lines.toIndexedSeq)
+      root
+    })
+
   private val u2SnapshotStore = scala.collection.concurrent.TrieMap[String, String]()
 
   /** u2 deploy-time snapshot materialized ONCE per scale dir (a deploy
@@ -6778,6 +6805,38 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    "s3_dsv2_scan" -> ((s, dir) => {
+      // The log as a Spark DataSourceV2 table: wire-format segment
+      // files + sparse index sidecar, read through graft.sources
+      // .LogSource. Pushed partition/offset predicates prune whole
+      // segments at plan time (the scan description pins
+      // segments=kept/total) and skip batch payloads at read time —
+      // the reference's segment_index + log_reader seek, expressed as
+      // DSv2 pushdown. Key/value bytes decode from the wire batches.
+      val df = s.read.format("graft.sources.LogSource")
+        .option("path", dsv2LogPath(s, dir)).load()
+      df.where(col("partition") === 2 && col("offset") >= 40 &&
+          col("offset") < 100)
+        .select(col("partition"), col("offset"), col("timestamp"),
+          col("key").cast("string").as("key_str"),
+          col("value").cast("string").as("value_str"))
+        .orderBy("offset")
+    }),
+
+    "s3_dsv2_prune" -> ((s, dir) => {
+      // The header-only projection path: the aggregate needs only
+      // (partition, offset), so dense batches inside the offset window
+      // synthesize rows from the 61-byte header without parsing — let
+      // alone decompressing — any records region.
+      val df = s.read.format("graft.sources.LogSource")
+        .option("path", dsv2LogPath(s, dir)).load()
+      df.where(col("offset") < 120)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
+          max("offset").as("max_offset"))
+        .orderBy("partition")
+    }),
+
     "s3_index_entries" -> ((s, dir) =>
       // The per-segment sparse offset/time index the reference samples
       // on append (storage/index_state.cc:223-312 maybe_index: first
@@ -12250,6 +12309,22 @@ object SparkEntry {
         |   FROM (VALUES (0), (1), (2), (3)) v(version),
         |        (SELECT 44 AS n) t)
         | ORDER BY version""".stripMargin,
+
+    // DSv2 log source: rows decoded from wire-format segment files
+    // under pushed partition/offset predicates.
+    "s3_dsv2_scan" ->
+      s"""$LogCte SELECT partition, "offset", event_id AS timestamp,
+         |  CAST(user_id AS VARCHAR) AS key_str, event_type AS value_str
+         | FROM log WHERE partition = 2 AND "offset" >= 40 AND "offset" < 100
+         | ORDER BY "offset"""".stripMargin,
+
+    // Header-only projection: counts and offset bounds per partition
+    // under the pushed offset window.
+    "s3_dsv2_prune" ->
+      s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS min_offset,
+         |  max("offset") AS max_offset
+         | FROM log WHERE "offset" < 120 GROUP BY partition
+         | ORDER BY partition""".stripMargin,
 
     "s3_index_entries" ->
       s"""$S3IndexCte

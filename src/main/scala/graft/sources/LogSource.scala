@@ -1,0 +1,308 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.RecordBatchCodec
+
+/**
+ * A DataSourceV2 reader over an on-disk Kafka-format log: segment files
+ * of concatenated v2 wire record batches plus a sparse per-segment
+ * index sidecar — the storage shape of the reference's log
+ * (`storage/segment.h` + `storage/segment_index.h`; readers seek by
+ * batch header, `storage/log_reader.h:270-296` skips whole batches
+ * whose bounds fall outside the requested window).
+ *
+ * Spark-first execution mapping:
+ *  - SEGMENT PRUNING happens at plan time: pushed partition/offset/
+ *    timestamp bounds drop whole segment files against the sidecar
+ *    index (one InputPartition per surviving segment — the analogue of
+ *    parquet partition pruning, but over log segments). The scan
+ *    description carries `segments=<kept>/<total>` so plans pin it.
+ *  - BATCH SEEKING happens at read time: each reader walks 61-byte
+ *    batch headers and skips the payload of any batch whose
+ *    offset/timestamp bounds miss the residual predicate — payloads
+ *    are never decompressed, the exact `log_reader` skip.
+ *  - COLUMN PRUNING: when neither key, value nor timestamp survives
+ *    projection and the batch is dense, rows are synthesized from the
+ *    header alone — the records region is never parsed.
+ *
+ * Layout: `<root>/p<partition>/<base padded to 20>.log` segment files;
+ * `<root>/_index.jsonl` sidecar with one line per segment
+ * (path, partition, base_offset, last_offset, min_ts, max_ts).
+ */
+class LogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new LogTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LogSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true)))
+
+  final case class Segment(path: String, partition: Int, baseOffset: Long,
+      lastOffset: Long, minTs: Long, maxTs: Long)
+
+  /** Bounds a pushed-filter set resolves to (inclusive). */
+  final case class Bounds(partitions: Option[Set[Int]], minOffset: Long,
+      maxOffset: Long, minTs: Long, maxTs: Long) {
+    def segmentSurvives(s: Segment): Boolean =
+      partitions.forall(_.contains(s.partition)) &&
+        s.lastOffset >= minOffset && s.baseOffset <= maxOffset &&
+        s.maxTs >= minTs && s.minTs <= maxTs
+  }
+
+  def parseIndex(root: String): Seq[Segment] = {
+    val p = Paths.get(root, "_index.jsonl")
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      // fixed-shape JSONL written by the segment writer; parsed
+      // positionally to keep the reader dependency-free
+      val fields = line.stripPrefix("{").stripSuffix("}").split(",")
+        .map(_.split(":", 2)).map(a => a(0).trim.stripPrefix("\"")
+          .stripSuffix("\"") -> a(1).trim.stripPrefix("\"").stripSuffix("\""))
+        .toMap
+      Segment(fields("path"), fields("partition").toInt,
+        fields("base_offset").toLong, fields("last_offset").toLong,
+        fields("min_ts").toLong, fields("max_ts").toLong)
+    }
+  }
+
+  /**
+   * Segment writer (fixtures run it EXECUTOR-SIDE, one call per
+   * (partition, segment) group, so the corpus never funnels through
+   * the driver): rows (offset, timestamp, key, value) become
+   * `batchRecords`-sized wire batches appended to one segment file.
+   * Returns the sidecar index line for the segment.
+   */
+  def writeSegment(root: String, partition: Int,
+      rows: Seq[(Long, Long, Array[Byte], Array[Byte])],
+      batchRecords: Int): String = {
+    val sorted = rows.sortBy(_._1)
+    val segBase = sorted.head._1
+    val dir = Paths.get(root, s"p$partition")
+    Files.createDirectories(dir)
+    val path = dir.resolve(f"$segBase%020d.log")
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(path))
+    sorted.grouped(batchRecords).foreach { group =>
+      val base = group.head._1
+      val firstTs = group.head._2
+      val recs = group.map(r => RecordBatchCodec.Rec((r._1 - base).toInt,
+        r._2 - firstTs, r._3, r._4, Nil))
+      val maxTs = group.map(_._2).max
+      out.write(RecordBatchCodec.encode(base, 0, 0, firstTs, maxTs,
+        -1L, -1, -1, recs.toSeq))
+    }
+    out.close()
+    s"""{"path":"${path.toString}","partition":$partition,""" +
+      s""""base_offset":$segBase,"last_offset":${sorted.last._1},""" +
+      s""""min_ts":${rows.map(_._2).min},"max_ts":${rows.map(_._2).max}}"""
+  }
+
+  def writeIndex(root: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(root, "_index.jsonl"),
+      lines.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+}
+
+class LogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graftlog(`$path`)"
+  override def schema(): StructType = LogSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LogScanBuilder(path)
+}
+
+class LogScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = LogSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo(a, _) => a == "partition" || a == "offset" || a == "timestamp"
+      case In(a, _) => a == "partition"
+      case GreaterThan(a, _) => a == "offset" || a == "timestamp"
+      case GreaterThanOrEqual(a, _) => a == "offset" || a == "timestamp"
+      case LessThan(a, _) => a == "offset" || a == "timestamp"
+      case LessThanOrEqual(a, _) => a == "offset" || a == "timestamp"
+      case _ => false
+    }
+    pushed = supported
+    rest // the source enforces its pushed set exactly; nothing re-runs
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new LogScan(path, pushed, required)
+}
+
+class LogScan(path: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def longOf(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case other => other.toString.toLong
+  }
+
+  private[sources] val bounds: LogSource.Bounds = {
+    var parts: Option[Set[Int]] = None
+    var minOff = Long.MinValue; var maxOff = Long.MaxValue
+    var minTs = Long.MinValue; var maxTs = Long.MaxValue
+    pushed.foreach {
+      case EqualTo("partition", v) => parts = Some(Set(longOf(v).toInt))
+      case In("partition", vs) => parts = Some(vs.map(longOf(_).toInt).toSet)
+      case EqualTo("offset", v) =>
+        minOff = math.max(minOff, longOf(v)); maxOff = math.min(maxOff, longOf(v))
+      case GreaterThan("offset", v) => minOff = math.max(minOff, longOf(v) + 1)
+      case GreaterThanOrEqual("offset", v) => minOff = math.max(minOff, longOf(v))
+      case LessThan("offset", v) => maxOff = math.min(maxOff, longOf(v) - 1)
+      case LessThanOrEqual("offset", v) => maxOff = math.min(maxOff, longOf(v))
+      case EqualTo("timestamp", v) =>
+        minTs = math.max(minTs, longOf(v)); maxTs = math.min(maxTs, longOf(v))
+      case GreaterThan("timestamp", v) => minTs = math.max(minTs, longOf(v) + 1)
+      case GreaterThanOrEqual("timestamp", v) => minTs = math.max(minTs, longOf(v))
+      case LessThan("timestamp", v) => maxTs = math.min(maxTs, longOf(v) - 1)
+      case LessThanOrEqual("timestamp", v) => maxTs = math.min(maxTs, longOf(v))
+      case _ => ()
+    }
+    LogSource.Bounds(parts, minOff, maxOff, minTs, maxTs)
+  }
+
+  private lazy val all = LogSource.parseIndex(path)
+  private lazy val kept = all.filter(bounds.segmentSurvives)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLogScan segments=${kept.size}/${all.size} " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(s => LogInputPartition(s, bounds)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory(required.fieldNames.toIndexedSeq)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(
+      kept.map(s => Files.size(Paths.get(s.path))).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+final case class LogInputPartition(segment: LogSource.Segment,
+    bounds: LogSource.Bounds) extends InputPartition
+
+class LogReaderFactory(fields: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LogPartitionReader(partition.asInstanceOf[LogInputPartition], fields)
+}
+
+/**
+ * Streams one segment: per batch, a 61-byte header read decides —
+ * outside the offset/timestamp window the PAYLOAD IS SKIPPED whole
+ * (never decompressed); inside it, records decode unless projection
+ * needs none of timestamp/key/value and offsets are dense, in which
+ * case rows come from header math alone.
+ */
+class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
+    extends PartitionReader[InternalRow] {
+  import graft.functions.RecordBatchCodec._
+
+  private val bytes = Files.readAllBytes(Path.of(p.segment.path))
+  private var pos = 0
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+  private val needsRecords =
+    fields.contains("timestamp") || fields.contains("key") ||
+      fields.contains("value")
+
+  private def rowOf(offset: Long, ts: Long, key: Array[Byte],
+      value: Array[Byte]): InternalRow = {
+    val vals = fields.map {
+      case "partition" => p.segment.partition
+      case "offset" => offset
+      case "timestamp" => ts
+      case "key" => key
+      case "value" => value
+    }
+    new GenericInternalRow(vals.toArray[Any])
+  }
+
+  private def nextBatch(): Boolean = {
+    while (pos + HeaderSize <= bytes.length) {
+      val view = java.util.Arrays.copyOfRange(bytes, pos,
+        math.min(bytes.length, pos + HeaderSize))
+      val h = decodeHeader(view)
+      val total = h.batchLength + LengthFieldOffset
+      val batchLast = h.baseOffset + h.lastOffsetDelta
+      val inWindow = batchLast >= p.bounds.minOffset &&
+        h.baseOffset <= p.bounds.maxOffset &&
+        h.maxTimestamp >= p.bounds.minTs && h.firstTimestamp <= p.bounds.maxTs
+      // header math can only replace a record parse when the batch
+      // lies ENTIRELY inside the time window — a partially-overlapping
+      // batch needs per-record timestamps to filter exactly
+      val tsWhole = h.firstTimestamp >= p.bounds.minTs &&
+        h.maxTimestamp <= p.bounds.maxTs
+      if (!inWindow) {
+        pos += total // log_reader-style skip: payload never touched
+      } else if (!needsRecords && tsWhole &&
+          h.lastOffsetDelta == h.recordCount - 1) {
+        // dense batch + header-only projection: no record parse at all
+        val base = h.baseOffset
+        rows = (0 until h.recordCount).iterator
+          .map(i => base + i)
+          .filter(o => o >= p.bounds.minOffset && o <= p.bounds.maxOffset)
+          .map(o => rowOf(o, -1L, null, null))
+        pos += total
+        if (rows.hasNext) return true
+      } else {
+        val batch = java.util.Arrays.copyOfRange(bytes, pos, pos + total)
+        val recs = decodeRecords(recordsRegion(batch), h.recordCount)
+        val base = h.baseOffset; val firstTs = h.firstTimestamp
+        rows = recs.iterator
+          .map(r => (base + r.offsetDelta, firstTs + r.tsDelta, r.key, r.value))
+          .filter { case (o, ts, _, _) =>
+            o >= p.bounds.minOffset && o <= p.bounds.maxOffset &&
+              ts >= p.bounds.minTs && ts <= p.bounds.maxTs
+          }
+          .map { case (o, ts, k, v) => rowOf(o, ts, k, v) }
+        pos += total
+        if (rows.hasNext) return true
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (!rows.hasNext) if (!nextBatch()) return false
+    current = rows.next()
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
