@@ -6837,6 +6837,66 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "s3_dsv2_stream" -> ((s, dir) => {
+      // The same on-disk log as a Structured Streaming source: the
+      // sparse index is the discovery mechanism, the per-partition
+      // next-offset cursor is the exactly-once checkpoint state. Two
+      // availableNow runs share one checkpoint — the first drains the
+      // phase-1 segments, new segment files + index appear between
+      // runs, and the second run reads ONLY the new offsets (a
+      // consumer-group resume, expressed as MicroBatchStream offsets).
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dsv2s_ck").toString
+      val allLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      def writePhase(lo: Long, hi: Long): Unit = {
+        val lines = eventLog(s, dir)
+          .where(col("offset") >= lo && col("offset") < hi)
+          .select(col("partition"), col("offset"), col("event_id"),
+            col("user_id").cast("string").as("k"), col("event_type").as("v"))
+          .as[(Int, Long, Long, String, String)]
+          .groupByKey(r => (r._1, r._2 / 2000))
+          .mapGroups { (key: (Int, Long),
+              it: Iterator[(Int, Long, Long, String, String)]) =>
+            val rows = it.map(r => (r._2, r._3, r._4.getBytes("UTF-8"),
+              r._5.getBytes("UTF-8"))).toSeq
+            graft.sources.LogSource.writeSegment(root, key._1, rows, 30)
+          }.collect()
+        allLines ++= lines
+        graft.sources.LogSource.writeIndex(root, allLines.toSeq)
+      }
+      // rows are bounded by the fixed offset windows (<= 120 per
+      // partition at ANY scale factor), so the driver-side collector
+      // is control-plane-sized; foreachBatch is the checkpoint-
+      // recoverable sink (memory sink refuses restarts)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      def drain(phase: Int): Unit = {
+        val q = s.readStream.format("graft.sources.LogSource")
+          .option("path", root).load()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val rows = df.select("partition", "offset").collect()
+            got.synchronized {
+              got ++= rows.map(r => (phase, r.getInt(0), r.getLong(1)))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      writePhase(0, 60)
+      drain(1)
+      writePhase(60, 120)
+      drain(2)
+      got.toSeq.toDF("phase", "partition", "offset")
+        .groupBy("phase", "partition")
+        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
+          max("offset").as("max_offset"))
+        .orderBy("phase", "partition")
+    }),
+
     "s3_index_entries" -> ((s, dir) =>
       // The per-segment sparse offset/time index the reference samples
       // on append (storage/index_state.cc:223-312 maybe_index: first
@@ -12309,6 +12369,17 @@ object SparkEntry {
         |   FROM (VALUES (0), (1), (2), (3)) v(version),
         |        (SELECT 44 AS n) t)
         | ORDER BY version""".stripMargin,
+
+    // Streaming DSv2: phase 1 drains offsets < 60, the checkpoint
+    // resume reads exactly the appended [60, 120) window.
+    "s3_dsv2_stream" ->
+      s"""$LogCte SELECT 1 AS phase, partition, count(*) AS n,
+         |  min("offset") AS min_offset, max("offset") AS max_offset
+         | FROM log WHERE "offset" < 60 GROUP BY partition
+         | UNION ALL
+         | SELECT 2, partition, count(*), min("offset"), max("offset")
+         | FROM log WHERE "offset" >= 60 AND "offset" < 120 GROUP BY partition
+         | ORDER BY phase, partition""".stripMargin,
 
     // DSv2 log source: rows decoded from wire-format segment files
     // under pushed partition/offset predicates.

@@ -127,7 +127,8 @@ class LogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graftlog(`$path`)"
   override def schema(): StructType = LogSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(path)
 }
@@ -198,6 +199,9 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LogMicroBatchStream(path, bounds, required.fieldNames.toIndexedSeq)
   override def description(): String =
     s"GraftLogScan segments=${kept.size}/${all.size} " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -216,6 +220,75 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
 
 final case class LogInputPartition(segment: LogSource.Segment,
     bounds: LogSource.Bounds) extends InputPartition
+
+/** Per-partition next-offset watermark, the stream's exactly-once
+  * cursor (the consumer-offset analogue). */
+final case class LogStreamOffset(ends: Map[Int, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    ends.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object LogStreamOffset {
+  def parse(json: String): LogStreamOffset = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}")
+    if (body.isEmpty) LogStreamOffset(Map.empty)
+    else LogStreamOffset(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap)
+  }
+}
+
+/**
+ * Structured Streaming over the same on-disk log: the segment index IS
+ * the discovery mechanism — `latestOffset` re-reads the sidecar, each
+ * micro-batch plans the segments overlapping (start, end] per
+ * partition, and the readers are the identical header-seeking scanners
+ * the batch path uses, with the batch window carried in the pushed
+ * bounds. Restarting from a checkpoint resumes at the committed
+ * per-partition cursor — new segments appended between runs are read
+ * exactly once.
+ */
+class LogMicroBatchStream(path: String, pushed: LogSource.Bounds,
+    fields: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def segments = LogSource.parseIndex(path)
+    .filter(s => pushed.partitions.forall(_.contains(s.partition)))
+
+  override def latestOffset(): Offset =
+    LogStreamOffset(segments.groupBy(_.partition).map { case (p, ss) =>
+      p -> (ss.map(_.lastOffset).max + 1)
+    })
+  override def initialOffset(): Offset = LogStreamOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset =
+    LogStreamOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[LogStreamOffset].ends
+    val e0 = end.asInstanceOf[LogStreamOffset].ends
+    val segs = segments
+    e0.toSeq.flatMap { case (p, endOff) =>
+      val startOff = s0.getOrElse(p, 0L)
+      if (endOff <= startOff) Nil
+      else segs.filter(s => s.partition == p &&
+          s.lastOffset >= startOff && s.baseOffset < endOff)
+        .map { seg =>
+          val b = pushed.copy(
+            minOffset = math.max(pushed.minOffset, startOff),
+            maxOffset = math.min(pushed.maxOffset, endOff - 1))
+          LogInputPartition(seg, b)
+        }
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory(fields)
+}
 
 class LogReaderFactory(fields: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
