@@ -43,7 +43,9 @@ import graft.functions.RecordBatchCodec
  * `<root>/_index.jsonl` sidecar with one line per segment
  * (path, partition, base_offset, last_offset, min_ts, max_ts).
  */
-class LogSource extends TableProvider {
+class LogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graftlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     LogSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
