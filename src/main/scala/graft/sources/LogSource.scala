@@ -330,10 +330,13 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
 
   private def nextBatch(): Boolean = {
     while (pos + HeaderSize <= bytes.length) {
-      val view = java.util.Arrays.copyOfRange(bytes, pos,
-        math.min(bytes.length, pos + HeaderSize))
+      val view = java.util.Arrays.copyOfRange(bytes, pos, pos + HeaderSize)
       val h = decodeHeader(view)
       val total = h.batchLength + LengthFieldOffset
+      // a torn tail (crash mid-append) must fail loudly, not decode the
+      // zero-padding copyOfRange would fabricate
+      require(total >= HeaderSize && pos + total <= bytes.length,
+        s"segment ${p.segment.path} truncated at $pos (batch claims $total bytes)")
       val batchLast = h.baseOffset + h.lastOffsetDelta
       val inWindow = batchLast >= p.bounds.minOffset &&
         h.baseOffset <= p.bounds.maxOffset &&

@@ -65,6 +65,58 @@ class LogSourceSpec extends SparkSpec {
       Seq(Seq(0, 6L, 5L), Seq(1, 6L, 5L)))
   }
 
+  test("a torn segment tail fails loudly instead of decoding padding") {
+    val dir = Files.createTempDirectory("logsource_torn").toString
+    val line = LogSource.writeSegment(dir, 0,
+      (0 until 6).map(i => (i.toLong, 100L + i,
+        s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))), batchRecords = 3)
+    LogSource.writeIndex(dir, Seq(line))
+    val seg = java.nio.file.Paths.get(dir, "p0").toFile.listFiles().head.toPath
+    val bytes = Files.readAllBytes(seg)
+    Files.write(seg, java.util.Arrays.copyOf(bytes, bytes.length - 5))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graftlog").option("path", dir).load().count()
+    }
+    assert(ex.getMessage.contains("truncated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncated")))
+  }
+
+  test("streaming resume reads appended segments exactly once") {
+    val dir = Files.createTempDirectory("logsource_stream").toString
+    val ckpt = Files.createTempDirectory("logsource_ckpt").toString
+    def phase(base: Long, ts0: Long): Unit = {
+      val line = LogSource.writeSegment(dir, 0,
+        (0 until 6).map(i => (base + i, ts0 + i,
+          s"k${base + i}".getBytes("UTF-8"), Array.emptyByteArray)),
+        batchRecords = 3)
+      val prior = if (Files.exists(java.nio.file.Paths.get(dir, "_index.jsonl")))
+        LogSource.parseIndex(dir).map(s =>
+          s"""{"path":"${s.path}","partition":${s.partition},""" +
+            s""""base_offset":${s.baseOffset},"last_offset":${s.lastOffset},""" +
+            s""""min_ts":${s.minTs},"max_ts":${s.maxTs}}""")
+      else Nil
+      LogSource.writeIndex(dir, prior :+ line)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").option("path", dir).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val offs = df.select("offset").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= offs }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    phase(0, 100); drain()
+    assert(seen.sorted.toSeq === (0L until 6L))
+    phase(6, 200); drain()
+    assert(seen.sorted.toSeq === (0L until 12L)) // no re-read of 0-5
+  }
+
   test("unsupported filters stay with Spark, supported ones bind exactly") {
     // value-based predicate is NOT pushable; correctness must hold
     val n = table.where(col("value").cast("string") === "v3").count()
