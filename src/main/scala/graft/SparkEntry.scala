@@ -6837,6 +6837,28 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    "s3_dsv2_write" -> ((s, dir) => {
+      // Round-trip through BOTH DSv2 paths: the write side declares
+      // clustering-by-partition + offset ordering
+      // (RequiresDistributionAndOrdering — Spark plans the exchange,
+      // nothing is hand-repartitioned), tasks roll wire-format
+      // segments and the driver publishes the merged index atomically;
+      // the read side then serves the aggregate under offset pushdown.
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2w").toString
+      eventLog(s, dir)
+        .select(col("partition").cast("int").as("partition"),
+          col("offset"), col("event_id").as("timestamp"),
+          col("user_id").cast("string").cast("binary").as("key"),
+          col("event_type").cast("binary").as("value"))
+        .write.format("graftlog").mode("append").option("path", root).save()
+      s.read.format("graftlog").option("path", root).load()
+        .where(col("offset") < 200)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), max("timestamp").as("max_ts"),
+          sum(length(col("value"))).as("value_bytes"))
+        .orderBy("partition")
+    }),
+
     "s3_dsv2_stream" -> ((s, dir) => {
       // The same on-disk log as a Structured Streaming source: the
       // sparse index is the discovery mechanism, the per-partition
@@ -12369,6 +12391,14 @@ object SparkEntry {
         |   FROM (VALUES (0), (1), (2), (3)) v(version),
         |        (SELECT 44 AS n) t)
         | ORDER BY version""".stripMargin,
+
+    // DSv2 write+read round trip: per-partition counts/bounds of what
+    // the written segments serve back under offset pushdown.
+    "s3_dsv2_write" ->
+      s"""$LogCte SELECT partition, count(*) AS n, max(event_id) AS max_ts,
+         |  CAST(sum(length(event_type)) AS BIGINT) AS value_bytes
+         | FROM log WHERE "offset" < 200 GROUP BY partition
+         | ORDER BY partition""".stripMargin,
 
     // Streaming DSv2: phase 1 drains offsets < 60, the checkpoint
     // resume reads exactly the appended [60, 120) window.

@@ -55,10 +55,13 @@ class LogSource extends TableProvider
 }
 
 object LogSource {
+  // all-nullable so computed columns (pmod partitions, derived
+  // offsets) append without a nullability-widening refusal; the
+  // writer itself rejects null partition/offset values
   val Schema: StructType = StructType(Seq(
-    StructField("partition", IntegerType, nullable = false),
-    StructField("offset", LongType, nullable = false),
-    StructField("timestamp", LongType, nullable = false),
+    StructField("partition", IntegerType, nullable = true),
+    StructField("offset", LongType, nullable = true),
+    StructField("timestamp", LongType, nullable = true),
     StructField("key", BinaryType, nullable = true),
     StructField("value", BinaryType, nullable = true)))
 
@@ -125,14 +128,19 @@ object LogSource {
       lines.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
 }
 
-class LogTable(path: String) extends Table with SupportsRead {
+class LogTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftlog(`$path`)"
   override def schema(): StructType = LogSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LogWriteBuilder(path, info.schema())
 }
 
 class LogScanBuilder(path: String) extends ScanBuilder
@@ -222,6 +230,118 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
 
 final case class LogInputPartition(segment: LogSource.Segment,
     bounds: LogSource.Bounds) extends InputPartition
+
+/**
+ * The WRITE path: the writer DECLARES what a log segment needs —
+ * clustering by `partition` and in-task ordering by `offset`
+ * (RequiresDistributionAndOrdering) — and Spark plans the exchange and
+ * sort; no hand-rolled repartition. Each task streams its clustered,
+ * sorted rows into `batchRecords`-sized wire batches, rolling segment
+ * files every `segmentRecords` offsets, and ships only sidecar index
+ * lines in its commit message; the driver's commit() merges them with
+ * the existing index ATOMICALLY (write-then-move), so readers never
+ * observe a half-published log — the segment-roll + index-publish
+ * protocol of the reference's storage layer.
+ */
+class LogWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity("partition")))
+    override def requiredOrdering(): Array[SortOrder] = Array(
+      Expressions.sort(Expressions.identity("partition"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.identity("offset"), SortDirection.ASCENDING))
+    override def requiredNumPartitions(): Int = 0 // planner's choice
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new LogWriterFactory(path, schema.fieldNames.toIndexedSeq)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val fresh = messages.flatMap(_.asInstanceOf[LogCommitMessage].indexLines)
+        val existing =
+          if (Files.exists(Paths.get(path, "_index.jsonl")))
+            Files.readAllLines(Paths.get(path, "_index.jsonl")).asScala.toSeq
+              .filter(_.nonEmpty)
+          else Nil
+        val tmp = Paths.get(path, "_index.jsonl.tmp")
+        Files.write(tmp, (existing ++ fresh).sorted
+          .mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, Paths.get(path, "_index.jsonl"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+final case class LogCommitMessage(indexLines: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class LogWriterFactory(path: String, fields: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new LogDataWriter(path, fields)
+}
+
+class LogDataWriter(path: String, fields: Seq[String],
+    batchRecords: Int = 500, segmentRecords: Int = 2000)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val iPart = fields.indexOf("partition")
+  private val iOff = fields.indexOf("offset")
+  private val iTs = fields.indexOf("timestamp")
+  private val iKey = fields.indexOf("key")
+  private val iVal = fields.indexOf("value")
+
+  private val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val buf =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte], Array[Byte])]
+  private var curPartition = Int.MinValue
+  private var lastOffset = Long.MinValue
+
+  private def flushSegment(): Unit = {
+    if (buf.nonEmpty) {
+      lines += LogSource.writeSegment(path, curPartition, buf.toSeq, batchRecords)
+      buf.clear()
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(iPart) && !row.isNullAt(iOff),
+      "partition and offset are required")
+    val p = row.getInt(iPart)
+    val o = row.getLong(iOff)
+    if (p != curPartition) {
+      flushSegment()
+      curPartition = p
+      lastOffset = Long.MinValue
+    } else if (buf.size >= segmentRecords) {
+      flushSegment()
+    }
+    require(o > lastOffset,
+      s"offsets must be strictly increasing per partition ($o after $lastOffset)")
+    lastOffset = o
+    buf += ((o,
+      if (iTs >= 0) row.getLong(iTs) else -1L,
+      if (iKey >= 0 && !row.isNullAt(iKey)) row.getBinary(iKey) else Array.emptyByteArray,
+      if (iVal >= 0 && !row.isNullAt(iVal)) row.getBinary(iVal) else Array.emptyByteArray))
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flushSegment()
+    LogCommitMessage(lines.toSeq)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
 
 /** Per-partition next-offset watermark, the stream's exactly-once
   * cursor (the consumer-offset analogue). */

@@ -117,6 +117,35 @@ class LogSourceSpec extends SparkSpec {
     assert(seen.sorted.toSeq === (0L until 12L)) // no re-read of 0-5
   }
 
+  test("write path: Spark plans the clustering/sort the writer declares; round-trip is exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("logsource_write").toString
+    val rows = (0 until 3).flatMap(p => (0L until 25L).map(o =>
+      (p, o, 1000L + o, s"k$o".getBytes("UTF-8"), s"v$p-$o".getBytes("UTF-8"))))
+    val df = spark.createDataFrame(
+      rows.toDF("partition", "offset", "timestamp", "key", "value").rdd,
+      LogSource.Schema)
+    // deliberately unsorted, un-clustered input: the source's
+    // RequiresDistributionAndOrdering must make Spark fix it
+    df.repartition(7).write.format("graftlog").mode("append")
+      .option("path", dir).save()
+    val back = spark.read.format("graftlog").option("path", dir).load()
+    assert(back.count() === 75)
+    val one = back.where(col("partition") === 1 && col("offset") === 7)
+      .select(col("timestamp"), col("value").cast("string")).collect()
+    assert(one.map(_.toSeq).toSeq === Seq(Seq(1007L, "v1-7")))
+    // append merges the index atomically; both generations readable
+    spark.createDataFrame(
+        Seq((0, 25L, 1025L, "k25".getBytes("UTF-8"), "late".getBytes("UTF-8")))
+          .toDF("partition", "offset", "timestamp", "key", "value").rdd,
+        LogSource.Schema)
+      .write.format("graftlog").mode("append").option("path", dir).save()
+    assert(spark.read.format("graftlog").option("path", dir).load().count() === 76)
+    assert(spark.read.format("graftlog").option("path", dir).load()
+      .where(col("offset") === 25).select(col("value").cast("string"))
+      .head().getString(0) === "late")
+  }
+
   test("unsupported filters stay with Spark, supported ones bind exactly") {
     // value-based predicate is NOT pushable; correctness must hold
     val n = table.where(col("value").cast("string") === "v3").count()
