@@ -82,9 +82,16 @@ object WireHeaders {
   /** Skip/collect a tag buffer; returns (tagKey -> bytes) in order. */
   def getTags(b: ByteBuffer): Seq[(Long, Array[Byte])] = {
     val n = getUvarint(b)
+    // a tag costs >= 2 bytes (key + size uvarints), so the count is
+    // bounded by the remaining frame — a corrupt count must raise a
+    // clean length error, not drive a huge range / allocation
+    require(n >= 0 && n <= b.remaining() / 2,
+      s"tagged-field count $n exceeds frame")
     (0L until n).map { _ =>
       val key = getUvarint(b)
       val size = getUvarint(b).toInt
+      require(size >= 0 && size <= b.remaining(),
+        s"tagged-field size $size exceeds frame")
       val bytes = new Array[Byte](size); b.get(bytes)
       (key, bytes)
     }

@@ -108,13 +108,14 @@ object RecordLog {
         when(col("_d.base_offset").isNull, lit("malformed"))
           .when(!col("_d.crc_valid"), lit("crc_reject"))
           .otherwise(lit("accept")))
-    // offset deltas are < 2^16 within one wire batch (the reference caps
-    // batches well below that), so (arrival, delta) packs into one long
+    // a v2 offset_delta is an int32, so (arrival << 32) + delta packs
+    // collision-free into one long for EVERY decodable batch (no batch
+    // can carry >= 2^32 records by construction of the wire format)
     val accepted = assignOffsetsScalable(
       routed.where(col("route") === "accept")
         .select(col("partition"), col("_arr"), explode(col("_d.records")).as("r")),
       col("partition"),
-      col("_arr") * 65536L + col("r.offset_delta"),
+      col("_arr") * 4294967296L + col("r.offset_delta"),
       chunkCol = col("_arr"))
       .select(lit("accept").as("route"), col("partition"), col("offset"),
         col("r.key").as("key"), col("r.value").as("value"))

@@ -101,12 +101,31 @@ object LogSource {
    */
   def writeSegment(root: String, partition: Int,
       rows: Seq[(Long, Long, Array[Byte], Array[Byte])],
-      batchRecords: Int): String = {
+      batchRecords: Int): String =
+    writeSegmentAs(root, partition, rows, batchRecords, tmpToken = None)._2
+
+  /**
+   * Like [[writeSegment]] but, when `tmpToken` is set, the bytes land at
+   * an attempt-unique temp path (`<final>.<token>.tmp`) while the index
+   * line still references the FINAL path — the driver's commit() renames
+   * winners into place, so a speculative duplicate task attempt can
+   * never interleave bytes into the file the winner publishes (the
+   * reference's segment-roll protocol likewise appends to an unpublished
+   * file and exposes it only via the index). Returns
+   * (pathWritten, indexLine).
+   */
+  def writeSegmentAs(root: String, partition: Int,
+      rows: Seq[(Long, Long, Array[Byte], Array[Byte])],
+      batchRecords: Int, tmpToken: Option[String]): (String, String) = {
     val sorted = rows.sortBy(_._1)
     val segBase = sorted.head._1
     val dir = Paths.get(root, s"p$partition")
     Files.createDirectories(dir)
-    val path = dir.resolve(f"$segBase%020d.log")
+    val finalPath = dir.resolve(f"$segBase%020d.log")
+    val path = tmpToken match {
+      case Some(t) => dir.resolve(f"$segBase%020d.log.$t%s.tmp")
+      case None => finalPath
+    }
     val out = new java.io.BufferedOutputStream(Files.newOutputStream(path))
     sorted.grouped(batchRecords).foreach { group =>
       val base = group.head._1
@@ -118,9 +137,10 @@ object LogSource {
         -1L, -1, -1, recs.toSeq))
     }
     out.close()
-    s"""{"path":"${path.toString}","partition":$partition,""" +
-      s""""base_offset":$segBase,"last_offset":${sorted.last._1},""" +
-      s""""min_ts":${rows.map(_._2).min},"max_ts":${rows.map(_._2).max}}"""
+    (path.toString,
+      s"""{"path":"${finalPath.toString}","partition":$partition,""" +
+        s""""base_offset":$segBase,"last_offset":${sorted.last._1},""" +
+        s""""min_ts":${rows.map(_._2).min},"max_ts":${rows.map(_._2).max}}""")
   }
 
   def writeIndex(root: String, lines: Seq[String]): Unit =
@@ -140,7 +160,7 @@ class LogTable(path: String) extends Table with SupportsRead
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new LogWriteBuilder(path, info.schema())
+    new LogWriteBuilder(path, info.schema(), info.options())
 }
 
 class LogScanBuilder(path: String) extends ScanBuilder
@@ -243,9 +263,18 @@ final case class LogInputPartition(segment: LogSource.Segment,
  * observe a half-published log — the segment-roll + index-publish
  * protocol of the reference's storage layer.
  */
-class LogWriteBuilder(path: String, schema: StructType)
+class LogWriteBuilder(path: String, schema: StructType,
+    options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write._
+
+  // the reference rolls segments on accumulated bytes (`segment.bytes`,
+  // storage/disk_log_impl defaults 128 MiB); record count is only a
+  // secondary cap
+  private val segmentBytes =
+    options.getLong("segment.bytes", 128L * 1024 * 1024)
+  private val segmentRecords = options.getInt("segment.records", 2000)
+  private val batchRecords = options.getInt("batch.records", 500)
 
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
@@ -261,39 +290,60 @@ class LogWriteBuilder(path: String, schema: StructType)
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new LogWriterFactory(path, schema.fieldNames.toIndexedSeq)
+        new LogWriterFactory(path, schema.fieldNames.toIndexedSeq,
+          batchRecords, segmentRecords, segmentBytes)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val fresh = messages.flatMap(_.asInstanceOf[LogCommitMessage].indexLines)
+        val msgs = messages.map(_.asInstanceOf[LogCommitMessage])
+        // winners publish: rename each attempt-unique temp segment to its
+        // final path (a retried idempotent attempt re-renames identical
+        // bytes; a speculative loser's temp file is simply never renamed)
+        msgs.flatMap(_.renames).foreach { case (tmp, dst) =>
+          Files.move(Paths.get(tmp), Paths.get(dst),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val fresh = msgs.flatMap(_.indexLines)
         val existing =
           if (Files.exists(Paths.get(path, "_index.jsonl")))
             Files.readAllLines(Paths.get(path, "_index.jsonl")).asScala.toSeq
               .filter(_.nonEmpty)
           else Nil
         val tmp = Paths.get(path, "_index.jsonl.tmp")
-        Files.write(tmp, (existing ++ fresh).sorted
+        // .distinct: an idempotent task re-run must not double-publish
+        // the same segment's line (rows would read twice)
+        Files.write(tmp, (existing ++ fresh).distinct.sorted
           .mkString("", "\n", "\n").getBytes(UTF_8))
         Files.move(tmp, Paths.get(path, "_index.jsonl"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.collect { case m: LogCommitMessage => m }
+          .flatMap(_.renames).foreach { case (tmp, _) =>
+            Files.deleteIfExists(Paths.get(tmp))
+          }
     }
   }
 }
 
-final case class LogCommitMessage(indexLines: Seq[String])
+final case class LogCommitMessage(indexLines: Seq[String],
+    renames: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class LogWriterFactory(path: String, fields: Seq[String])
+class LogWriterFactory(path: String, fields: Seq[String],
+    batchRecords: Int, segmentRecords: Int, segmentBytes: Long)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new LogDataWriter(path, fields)
+    new LogDataWriter(path, fields, batchRecords, segmentRecords,
+      segmentBytes, token = s"$partitionId-$taskId")
 }
 
 class LogDataWriter(path: String, fields: Seq[String],
-    batchRecords: Int = 500, segmentRecords: Int = 2000)
+    batchRecords: Int = 500, segmentRecords: Int = 2000,
+    segmentBytes: Long = 128L * 1024 * 1024, token: String = "w")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import graft.functions.RecordBatchCodec.{varintSize, HeaderSize}
 
   private val iPart = fields.indexOf("partition")
   private val iOff = fields.indexOf("offset")
@@ -302,16 +352,35 @@ class LogDataWriter(path: String, fields: Seq[String],
   private val iVal = fields.indexOf("value")
 
   private val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val renames =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte], Array[Byte])]
   private var curPartition = Int.MinValue
   private var lastOffset = Long.MinValue
+  private var curBytes = 0L
 
   private def flushSegment(): Unit = {
     if (buf.nonEmpty) {
-      lines += LogSource.writeSegment(path, curPartition, buf.toSeq, batchRecords)
+      val (written, line) = LogSource.writeSegmentAs(
+        path, curPartition, buf.toSeq, batchRecords, Some(token))
+      lines += line
+      val dst = written.stripSuffix(s".$token.tmp")
+      renames += ((written, dst))
       buf.clear()
+      curBytes = 0L
     }
+  }
+
+  /** Wire-size accounting for the byte roll: exact record body size for
+    * a headerless record with offsetDelta/tsDelta bounded by the batch
+    * span, plus the per-batch 61-byte header amortized at batch starts. */
+  private def wireSize(key: Array[Byte], value: Array[Byte]): Long = {
+    val body = 1 + 5 + 5 + // attributes + tsDelta + offsetDelta (bounded)
+      varintSize(key.length.toLong) + key.length +
+      varintSize(value.length.toLong) + value.length + 1 // headers count
+    val batchStart = if (buf.size % batchRecords == 0) HeaderSize.toLong else 0L
+    batchStart + varintSize(body.toLong) + body
   }
 
   override def write(row: InternalRow): Unit = {
@@ -323,23 +392,26 @@ class LogDataWriter(path: String, fields: Seq[String],
       flushSegment()
       curPartition = p
       lastOffset = Long.MinValue
-    } else if (buf.size >= segmentRecords) {
+    } else if (buf.size >= segmentRecords || curBytes >= segmentBytes) {
       flushSegment()
     }
     require(o > lastOffset,
       s"offsets must be strictly increasing per partition ($o after $lastOffset)")
     lastOffset = o
-    buf += ((o,
-      if (iTs >= 0) row.getLong(iTs) else -1L,
-      if (iKey >= 0 && !row.isNullAt(iKey)) row.getBinary(iKey) else Array.emptyByteArray,
-      if (iVal >= 0 && !row.isNullAt(iVal)) row.getBinary(iVal) else Array.emptyByteArray))
+    val key =
+      if (iKey >= 0 && !row.isNullAt(iKey)) row.getBinary(iKey) else Array.emptyByteArray
+    val value =
+      if (iVal >= 0 && !row.isNullAt(iVal)) row.getBinary(iVal) else Array.emptyByteArray
+    curBytes += wireSize(key, value)
+    buf += ((o, if (iTs >= 0) row.getLong(iTs) else -1L, key, value))
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     flushSegment()
-    LogCommitMessage(lines.toSeq)
+    LogCommitMessage(lines.toSeq, renames.toSeq)
   }
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    renames.foreach { case (tmp, _) => Files.deleteIfExists(Paths.get(tmp)) }
   override def close(): Unit = ()
 }
 
@@ -418,23 +490,52 @@ class LogReaderFactory(fields: Seq[String]) extends PartitionReaderFactory {
 }
 
 /**
- * Streams one segment: per batch, a 61-byte header read decides —
- * outside the offset/timestamp window the PAYLOAD IS SKIPPED whole
- * (never decompressed); inside it, records decode unless projection
- * needs none of timestamp/key/value and offsets are dense, in which
- * case rows come from header math alone.
+ * Streams one segment through a FileChannel — the whole file is NEVER
+ * materialized (reference segments run 128 MiB–1 GiB,
+ * `storage/disk_log_impl.h`; a whole-file read would be an unbounded
+ * heap spike per task). Per batch, a 61-byte positional header read
+ * decides: outside the offset/timestamp window the reader re-positions
+ * PAST the payload without touching it (a true seek — the
+ * `storage/log_reader.h:270-296` skip saves I/O, not just
+ * decompression); inside it, only that batch's bytes are read, and
+ * records decode unless projection needs none of timestamp/key/value
+ * and offsets are dense, in which case rows come from header math
+ * alone. Peak heap per reader is one surviving batch.
  */
 class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
     extends PartitionReader[InternalRow] {
   import graft.functions.RecordBatchCodec._
 
-  private val bytes = Files.readAllBytes(Path.of(p.segment.path))
-  private var pos = 0
+  private val ch = java.nio.channels.FileChannel.open(
+    Path.of(p.segment.path), java.nio.file.StandardOpenOption.READ)
+  private val fileSize = ch.size()
+  private val headerArr = new Array[Byte](HeaderSize)
+  private var pos = 0L
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  /** Bytes actually fetched from the channel (headers + surviving
+    * batches) — the spec's bounded-I/O accounting hook. */
+  private[sources] var bytesFetched = 0L
   private val needsRecords =
     fields.contains("timestamp") || fields.contains("key") ||
       fields.contains("value")
+
+  /** Positional read of exactly `len` bytes at `at`; loud on short reads
+    * (a file truncated between size() and here must not decode). */
+  private def readFully(at: Long, len: Int,
+      into: Array[Byte] = null): Array[Byte] = {
+    val arr = if (into != null) into else new Array[Byte](len)
+    val bb = java.nio.ByteBuffer.wrap(arr, 0, len)
+    var off = at
+    while (bb.hasRemaining) {
+      val n = ch.read(bb, off)
+      require(n > 0,
+        s"segment ${p.segment.path} truncated at $off (wanted $len bytes at $at)")
+      off += n
+    }
+    bytesFetched += len
+    arr
+  }
 
   private def rowOf(offset: Long, ts: Long, key: Array[Byte],
       value: Array[Byte]): InternalRow = {
@@ -449,13 +550,13 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
   }
 
   private def nextBatch(): Boolean = {
-    while (pos + HeaderSize <= bytes.length) {
-      val view = java.util.Arrays.copyOfRange(bytes, pos, pos + HeaderSize)
-      val h = decodeHeader(view)
-      val total = h.batchLength + LengthFieldOffset
-      // a torn tail (crash mid-append) must fail loudly, not decode the
-      // zero-padding copyOfRange would fabricate
-      require(total >= HeaderSize && pos + total <= bytes.length,
+    while (pos + HeaderSize <= fileSize) {
+      readFully(pos, HeaderSize, into = headerArr)
+      val h = decodeHeader(headerArr)
+      val total = h.batchLength.toLong + LengthFieldOffset
+      // a torn tail (crash mid-append) must fail loudly, not decode
+      // fabricated bytes
+      require(total >= HeaderSize && pos + total <= fileSize,
         s"segment ${p.segment.path} truncated at $pos (batch claims $total bytes)")
       val batchLast = h.baseOffset + h.lastOffsetDelta
       val inWindow = batchLast >= p.bounds.minOffset &&
@@ -467,7 +568,7 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
       val tsWhole = h.firstTimestamp >= p.bounds.minTs &&
         h.maxTimestamp <= p.bounds.maxTs
       if (!inWindow) {
-        pos += total // log_reader-style skip: payload never touched
+        pos += total // log_reader-style skip: payload never read at all
       } else if (!needsRecords && tsWhole &&
           h.lastOffsetDelta == h.recordCount - 1) {
         // dense batch + header-only projection: no record parse at all
@@ -479,7 +580,7 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
         pos += total
         if (rows.hasNext) return true
       } else {
-        val batch = java.util.Arrays.copyOfRange(bytes, pos, pos + total)
+        val batch = readFully(pos, total.toInt)
         val recs = decodeRecords(recordsRegion(batch), h.recordCount)
         val base = h.baseOffset; val firstTs = h.firstTimestamp
         rows = recs.iterator
@@ -493,6 +594,11 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
         if (rows.hasNext) return true
       }
     }
+    // a non-empty tail shorter than a header is still a torn append —
+    // the mid-header variant of the truncation guard
+    require(pos == fileSize,
+      s"segment ${p.segment.path} truncated at $pos " +
+        s"(${fileSize - pos} trailing bytes, shorter than a batch header)")
     false
   }
 
@@ -502,5 +608,5 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
     true
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = ch.close()
 }

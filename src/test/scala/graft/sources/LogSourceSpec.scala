@@ -146,6 +146,150 @@ class LogSourceSpec extends SparkSpec {
       .head().getString(0) === "late")
   }
 
+  test("a tail torn mid-header (shorter than 61 bytes) also fails loudly") {
+    val dir = Files.createTempDirectory("logsource_midheader").toString
+    val line = LogSource.writeSegment(dir, 0,
+      (0 until 6).map(i => (i.toLong, 100L + i,
+        s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))), batchRecords = 3)
+    LogSource.writeIndex(dir, Seq(line))
+    val seg = java.nio.file.Paths.get(dir, "p0").toFile.listFiles().head.toPath
+    val bytes = Files.readAllBytes(seg)
+    // append a 30-byte torn header fragment (a crash mid-append)
+    Files.write(seg, java.util.Arrays.copyOf(bytes, bytes.length + 30))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graftlog").option("path", dir).load().count()
+    }
+    assert(ex.getMessage.contains("truncated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncated")))
+  }
+
+  test("reader streams a 256 MiB segment: skipped payloads are never read") {
+    import graft.functions.RecordBatchCodec
+    // A sparse segment: real in-window batches at both ends, 8 filler
+    // batches of 32 MiB whose payload region is a file hole — if the
+    // reader materialized the file (or read skipped payloads) the byte
+    // accounting would show ~256 MiB; a header-seek reader fetches KBs.
+    val dir = Files.createTempDirectory("logsource_sparse")
+    val pdir = dir.resolve("p0"); Files.createDirectories(pdir)
+    val seg = pdir.resolve(f"${0L}%020d.log")
+    val ch = java.nio.channels.FileChannel.open(seg,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    def realBatch(base: Long, ts0: Long): Array[Byte] =
+      RecordBatchCodec.encode(base, 0, 0, ts0, ts0 + 2, -1L, -1, -1,
+        (0 until 3).map(i => RecordBatchCodec.Rec(i, i.toLong,
+          s"k${base + i}".getBytes("UTF-8"), s"v${base + i}".getBytes("UTF-8"),
+          Nil)))
+    def fillerHeader(base: Long, payload: Int): Array[Byte] = {
+      // a syntactically-valid 61-byte v2 header claiming `payload` bytes
+      // of records that are never written (the hole reads as zeros —
+      // which is exactly why a correct reader must not touch them)
+      val b = java.nio.ByteBuffer.allocate(RecordBatchCodec.HeaderSize)
+      b.putLong(base)
+      b.putInt(RecordBatchCodec.HeaderSize - RecordBatchCodec.LengthFieldOffset + payload)
+      b.putInt(0); b.put(2.toByte); b.putInt(0); b.putShort(0.toShort)
+      b.putInt(99) // lastOffsetDelta
+      b.putLong(500L); b.putLong(501L) // timestamps (irrelevant: offset-pruned)
+      b.putLong(-1L); b.putShort((-1).toShort); b.putInt(-1); b.putInt(100)
+      b.array()
+    }
+    var at = 0L
+    def writeAt(bytes: Array[Byte]): Unit = {
+      ch.write(java.nio.ByteBuffer.wrap(bytes), at); at += bytes.length
+    }
+    writeAt(realBatch(0, 100))
+    val hole = 32 * 1024 * 1024
+    (0 until 8).foreach { i =>
+      writeAt(fillerHeader(1000L + i * 100, hole))
+      at += hole // the payload is a hole: never written, never read
+    }
+    val lastReal = realBatch(2000, 900)
+    writeAt(lastReal)
+    ch.close()
+    assert(Files.size(seg) >= 256L * 1024 * 1024)
+    LogSource.writeIndex(dir.toString, Seq(
+      s"""{"path":"$seg","partition":0,"base_offset":0,"last_offset":2002,""" +
+        s""""min_ts":100,"max_ts":902}"""))
+    // window hits only the first real batch → everything else is seeked past
+    val part = LogInputPartition(
+      LogSource.parseIndex(dir.toString).head,
+      LogSource.Bounds(None, Long.MinValue, 5L, Long.MinValue, Long.MaxValue))
+    val reader = new LogPartitionReader(part,
+      Seq("partition", "offset", "timestamp", "key", "value"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (reader.next()) got += reader.get().getLong(1)
+    reader.close()
+    assert(got.toSeq === Seq(0L, 1L, 2L))
+    // 9 headers + 2 real batches ≪ 1 MiB; whole-file would be ≥ 256 MiB
+    assert(reader.bytesFetched < 1024 * 1024,
+      s"reader fetched ${reader.bytesFetched} bytes — not streaming")
+    // and a full unpruned scan through Spark still decodes the ends
+    // correctly while seeking the 256 MiB of holes (offset-bounded)
+    val df = spark.read.format("graftlog").option("path", dir.toString).load()
+      .where(col("offset") >= 2000)
+    assert(df.select("offset").collect().map(_.getLong(0)).sorted ===
+      Array(2000L, 2001L, 2002L))
+  }
+
+  test("writer rolls segments on accumulated wire bytes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("logsource_byteroll").toString
+    // 40 records x ~1 KiB values, segment.bytes=8 KiB → ~6 segments of
+    // ~8 records, not one 40-record segment (the record cap is 2000)
+    val rows = (0L until 40L).map(o =>
+      (0, o, 1000L + o, s"k$o".getBytes("UTF-8"), Array.fill[Byte](1024)(7)))
+    spark.createDataFrame(
+        rows.toDF("partition", "offset", "timestamp", "key", "value").rdd,
+        LogSource.Schema)
+      .write.format("graftlog").mode("append")
+      .option("path", dir).option("segment.bytes", 8L * 1024)
+      .save()
+    val segs = LogSource.parseIndex(dir)
+    assert(segs.size >= 4, s"expected byte-rolled segments, got ${segs.size}")
+    // every segment file is near the byte bound, never the record cap
+    segs.foreach { s =>
+      val sz = Files.size(java.nio.file.Paths.get(s.path))
+      assert(sz <= 2L * 8 * 1024, s"segment ${s.path} is $sz bytes")
+    }
+    // and nothing is lost or reordered by rolling
+    val back = spark.read.format("graftlog").option("path", dir).load()
+    assert(back.select("offset").collect().map(_.getLong(0)).sorted ===
+      (0L until 40L).toArray)
+    // no stray temp files after commit renames winners into place
+    val leftovers = java.nio.file.Paths.get(dir, "p0").toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("an idempotent re-commit of the same segment does not duplicate rows") {
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val dir = Files.createTempDirectory("logsource_recommit").toString
+    val writerA = new LogDataWriter(dir, LogSource.Schema.fieldNames.toIndexedSeq,
+      token = "attempt1")
+    val rows = (0L until 5L).map(o => (0, o, 100L + o,
+      s"k$o".getBytes("UTF-8"), s"v$o".getBytes("UTF-8")))
+    def internalRow(r: (Int, Long, Long, Array[Byte], Array[Byte])) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](r._1, r._2, r._3, r._4, r._5))
+    rows.foreach(r => writerA.write(internalRow(r)))
+    val msg = writerA.commit()
+    val builder = new LogWriteBuilder(dir, LogSource.Schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val batchWrite = builder.build().toBatch
+    // the driver retries commit() with the same message set (a crash
+    // between rename and index publish): index lines must dedupe
+    batchWrite.commit(Array[WriterCommitMessage](msg))
+    // re-running the identical attempt (speculative duplicate): its temp
+    // file was already renamed; re-commit of the same lines is a no-op
+    val writerB = new LogDataWriter(dir, LogSource.Schema.fieldNames.toIndexedSeq,
+      token = "attempt2")
+    rows.foreach(r => writerB.write(internalRow(r)))
+    batchWrite.commit(Array[WriterCommitMessage](writerB.commit()))
+    assert(LogSource.parseIndex(dir).size === 1)
+    assert(spark.read.format("graftlog").option("path", dir).load().count() === 5)
+  }
+
   test("unsupported filters stay with Spark, supported ones bind exactly") {
     // value-based predicate is NOT pushable; correctness must hold
     val n = table.where(col("value").cast("string") === "v3").count()
