@@ -32,8 +32,12 @@ object WasmAssembler {
     def end(): Body = b(0x0b)
     def br(d: Int): Body = { b(0x0c); uleb(d) }
     def brIf(d: Int): Body = { b(0x0d); uleb(d) }
+    def brTable(ds: Seq[Int], dflt: Int): Body = {
+      b(0x0e); uleb(ds.size); ds.foreach(uleb(_)); uleb(dflt)
+    }
     def ret(): Body = b(0x0f)
     def call(f: Int): Body = { b(0x10); uleb(f) }
+    def callIndirect(typeIdx: Int): Body = { b(0x11); uleb(typeIdx); b(0x00) }
     def drop(): Body = b(0x1a)
     def select(): Body = b(0x1b)
     def localGet(i: Int): Body = { b(0x20); uleb(i) }
@@ -118,7 +122,8 @@ object WasmAssembler {
       exports: Seq[Export],
       datas: Seq[Data] = Nil,
       start: Option[Int] = None,
-      exportMemory: Boolean = true): Array[Byte] = {
+      exportMemory: Boolean = true,
+      tableFuncs: Seq[Int] = Nil): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0)
 
@@ -143,6 +148,9 @@ object WasmAssembler {
       }.toArray))
     // function section
     section(3, vec(funcs.size, funcs.flatMap(f => ulebBytes(f.typeIdx)).toArray))
+    // table section (funcref table sized to the elem vector)
+    if (tableFuncs.nonEmpty)
+      section(4, vec(1, Array[Byte](0x70, 0) ++ ulebBytes(tableFuncs.size)))
     // memory section
     section(5, vec(1, Array[Byte](0) ++ ulebBytes(memPages)))
     // export section
@@ -153,6 +161,10 @@ object WasmAssembler {
         memExport).flatten.toArray))
     // start section
     start.foreach(s => section(8, ulebBytes(s)))
+    // element section (active, table 0, offset 0)
+    if (tableFuncs.nonEmpty)
+      section(9, vec(1, Array[Byte](0, 0x41, 0, 0x0b) ++
+        ulebBytes(tableFuncs.size) ++ tableFuncs.flatMap(ulebBytes(_)).toArray))
     // code section
     section(10, vec(funcs.size, funcs.flatMap { f =>
       val localDecls =
