@@ -56,28 +56,74 @@ object TransformAbi {
 
   // ------------------------------------------------------ payload codec
 
-  private def putVarint(out: ArrayBuffer[Byte], v: Long): Unit = {
-    var u = zigzag(v)
-    do {
-      var b = (u & 0x7f).toInt
-      u >>>= 7
-      if (u != 0) b |= 0x80
-      out += b.toByte
-    } while (u != 0)
+  private def varintSize(v: Long): Int = {
+    var u = zigzag(v); var n = 1
+    while ((u & ~0x7fL) != 0) { u >>>= 7; n += 1 }
+    n
   }
 
   /** key/value/headers → the ABI payload (Kafka record wire layout
-    * minus length/attrs/deltas — `transform.cc:from_record`). */
+    * minus length/attrs/deltas — `transform.cc:from_record`). Sized
+    * exactly up front and filled in place: this runs once per input
+    * record on the transform data path. */
   def encodePayload(key: Array[Byte], value: Array[Byte],
       headers: Seq[(Array[Byte], Array[Byte])] = Nil): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](32)
+    def kvSize(b: Array[Byte]): Int =
+      if (b == null) varintSize(-1L) else varintSize(b.length.toLong) + b.length
+    val size = kvSize(key) + kvSize(value) + varintSize(headers.size.toLong) +
+      headers.iterator.map { case (k, v) => kvSize(k) + kvSize(v) }.sum
+    val out = new Array[Byte](size)
+    var pos = 0
+    def putVarint(v: Long): Unit = {
+      var u = zigzag(v)
+      do {
+        var b = (u & 0x7f).toInt
+        u >>>= 7
+        if (u != 0) b |= 0x80
+        out(pos) = b.toByte; pos += 1
+      } while (u != 0)
+    }
     def kv(bytes: Array[Byte]): Unit =
-      if (bytes == null) putVarint(out, -1L)
-      else { putVarint(out, bytes.length.toLong); out ++= bytes }
+      if (bytes == null) putVarint(-1L)
+      else {
+        putVarint(bytes.length.toLong)
+        System.arraycopy(bytes, 0, out, pos, bytes.length)
+        pos += bytes.length
+      }
     kv(key); kv(value)
-    putVarint(out, headers.size.toLong)
+    putVarint(headers.size.toLong)
     headers.foreach { case (k, v) => kv(k); kv(v) }
-    out.toArray
+    out
+  }
+
+  /** Allocation-free `validate_record_payload` walk: structure checks
+    * only, no key/value copies — the write_record fast path. */
+  def validatePayload(bytes: Array[Byte]): Boolean = {
+    var pos = 0
+    var bad = false
+    def varint(): Long = {
+      var u = 0L; var shift = 0; var b = 0x80
+      while ((b & 0x80) != 0 && !bad) {
+        if (pos >= bytes.length || shift >= 70) bad = true
+        else {
+          b = bytes(pos) & 0xff; pos += 1
+          if (shift < 64) u |= (b & 0x7fL) << shift
+          shift += 7
+        }
+      }
+      unzigzag(u)
+    }
+    def kv(): Unit = {
+      val n = varint()
+      if (bad || n < -1 || n > bytes.length - pos) bad = true
+      else if (n > 0) pos += n.toInt
+    }
+    kv(); kv()
+    val hc = varint()
+    if (hc < 0) bad = true
+    var i = 0L
+    while (i < hc && !bad) { kv(); kv(); i += 1 }
+    !bad && pos == bytes.length
   }
 
   /** Parse-or-reject, mirroring `validate_record_payload`: sizes < -1
@@ -226,12 +272,11 @@ object TransformAbi {
     private def doWrite(inst: Instance, ptr: Long, len: Int,
         topic: Option[String]): Long = {
       val bytes = inst.memory.readBytes(ptr, len)
-      parsePayload(bytes) match {
-        case None => InvalidBuffer.toLong
-        case Some(_) =>
-          emitted += Emitted(batchIndex, seq, topic, bytes)
-          seq += 1
-          len.toLong
+      if (!validatePayload(bytes)) InvalidBuffer.toLong
+      else {
+        emitted += Emitted(batchIndex, seq, topic, bytes)
+        seq += 1
+        len.toLong
       }
     }
 
