@@ -7206,6 +7206,102 @@ object SparkEntry {
       }.toDF("step", "method", "path", "status", "detail").orderBy("step")
     }),
 
+    "adm_rest_api" -> ((s, dir) => {
+      // The broker Admin HTTP API protocol (redpanda/admin/server.cc
+      // routes + api-doc JSON shapes) scripted end-to-end over the
+      // deterministic cluster model: broker listing/maintenance/
+      // decommission ladder, health_overview before/after a node drop,
+      // cluster_config get/patch (per-key 400 error map, dry_run,
+      // version bump), features state transition, partition detail +
+      // leadership transfer ladder, self-test lifecycle, debug-bundle
+      // conflict ladder, cluster uuid. Details parse the RESPONSE
+      // bodies — the JSON field names are the pinned contract.
+      import s.implicits._
+      import graft.admin.AdminApi
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
+      srv.addPartition("kafka", "audit", 0, leader = 2, replicas = Seq(2))
+      def j(b: String) = m.readTree(b)
+      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
+        ("GET", "/v1/brokers", None, r =>
+          s"n=${j(r.body).size()};b0=${j(r.body).get(0).get("membership_status").asText()}" +
+            s",alive=${j(r.body).get(0).get("is_alive").asBoolean()}"),
+        ("PUT", "/v1/brokers/1/maintenance", None, _ => "drained"),
+        ("GET", "/v1/brokers/1", None, r => {
+          val ms = j(r.body).get("maintenance_status")
+          s"draining=${ms.get("draining").asBoolean()},partitions=${ms.get("partitions").asInt()}"
+        }),
+        ("DELETE", "/v1/brokers/1/maintenance", None, _ => "restored"),
+        ("PUT", "/v1/brokers/2/decommission", None, _ => "decommissioning"),
+        ("PUT", "/v1/brokers/2/decommission", None, r =>
+          "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/brokers/2/recommission", None, _ => "recommissioned"),
+        ("PUT", "/v1/brokers/9/decommission", None, r =>
+          "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/cluster/health_overview", None, r =>
+          s"healthy=${j(r.body).get("is_healthy").asBoolean()}" +
+            s",nodes=${j(r.body).get("all_nodes").size()}"),
+        ("GET", "/v1/cluster_config", None, r =>
+          "segment_size=" + j(r.body).get("log_segment_size").asLong()),
+        ("PUT", "/v1/cluster_config", Some(
+          """{"upsert":{"log_segment_size":268435456},"remove":[]}"""),
+          r => "config_version=" + j(r.body).get("config_version").asLong()),
+        ("PUT", "/v1/cluster_config", Some(
+          """{"upsert":{"nope_prop":1,"enable_rack_awareness":"yes"},"remove":[]}"""),
+          r => s"nope_prop=${j(r.body).get("nope_prop").asText()};" +
+            s"rack=${j(r.body).get("enable_rack_awareness").asText()}"),
+        ("PUT", "/v1/cluster_config?dry_run=true", Some(
+          """{"upsert":{"default_topic_replications":3},"remove":[]}"""),
+          r => "config_version=" + j(r.body).get("config_version").asLong()),
+        ("GET", "/v1/cluster_config/status", None, r =>
+          s"n=${j(r.body).size()};v=${j(r.body).get(0).get("config_version").asLong()}"),
+        ("GET", "/v1/cluster_config/schema", None, r => {
+          val p = j(r.body).get("properties").get("cloud_storage_enabled")
+          s"type=${p.get("type").asText()},needs_restart=${p.get("needs_restart").asBoolean()}"
+        }),
+        ("GET", "/v1/features", None, r =>
+          s"cluster_version=${j(r.body).get("cluster_version").asLong()}" +
+            s",n=${j(r.body).get("features").size()}"),
+        ("PUT", "/v1/features/datalake_iceberg", Some("""{"state":"active"}"""),
+          _ => "activated"),
+        ("GET", "/v1/partitions/kafka/events/1", None, r =>
+          s"leader=${j(r.body).get("leader_id").asInt()}" +
+            s",replicas=${j(r.body).get("replicas").size()}"),
+        ("POST", "/v1/partitions/kafka/events/1/transfer_leadership?target=2",
+          None, _ => "transferred"),
+        ("POST", "/v1/partitions/kafka/audit/0/transfer_leadership?target=1",
+          None, r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/debug/self_test/start", Some(
+          """{"tests":[{"type":"disk"},{"type":"network"}]}"""),
+          r => "id=" + j(r.body).asText().takeRight(6)),
+        ("GET", "/v1/debug/self_test/status", None, r =>
+          s"status=${j(r.body).get(0).get("status").asText()}" +
+            s",stage=${j(r.body).get(0).get("stage").asText()}"),
+        ("POST", "/v1/debug/self_test/stop", None, _ => "stopped"),
+        ("GET", "/v1/debug/self_test/status", None, r => {
+          val n0 = j(r.body).get(0)
+          s"status=${n0.get("status").asText()},results=${n0.get("results").size()}" +
+            s",p99=${n0.get("results").get(0).get("p99").asLong()}"
+        }),
+        ("POST", "/v1/debug_bundle", None, r =>
+          "job=" + j(r.body).get("job_id").asText().takeRight(6)),
+        ("POST", "/v1/debug_bundle", None, r =>
+          "code=" + j(r.body).get("code").asInt()),
+        ("DELETE", "/v1/debug_bundle/10000000-0000-4000-8000-000000000001",
+          None, _ => "cancelled"),
+        ("GET", "/v1/debug_bundle/10000000-0000-4000-8000-000000000001",
+          None, r => "status=" + j(r.body).get("status").asText()),
+        ("GET", "/v1/cluster/uuid", None, r =>
+          "uuid=" + j(r.body).get("cluster_uuid").asText().takeRight(1)))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b)
+        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
     "sr_rest_api" -> ((s, dir) => {
       // The registry's REST protocol — the Confluent-compatible JSON
       // surface the reference serves (pandaproxy/schema_registry/
@@ -12627,6 +12723,41 @@ object SparkEntry {
         |  (11, 'DELETE', '/consumers/cg/instances/c1', 204, 'removed'),
         |  (12, 'GET', '/consumers/cg/instances/c1/records', 404, 'error=40403'),
         |  (13, 'GET', '/topics/nope/partitions/0/records', 404, 'error=40401'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the Admin API protocol script (server.cc routes,
+    // api-doc JSON field names, throw_on_error ladders).
+    "adm_rest_api" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GET', '/v1/brokers', 200, 'n=3;b0=active,alive=true'),
+        |  (2, 'PUT', '/v1/brokers/1/maintenance', 200, 'drained'),
+        |  (3, 'GET', '/v1/brokers/1', 200, 'draining=true,partitions=2'),
+        |  (4, 'DELETE', '/v1/brokers/1/maintenance', 200, 'restored'),
+        |  (5, 'PUT', '/v1/brokers/2/decommission', 200, 'decommissioning'),
+        |  (6, 'PUT', '/v1/brokers/2/decommission', 400, 'message=can not update broker 2 state, invalid state transition'),
+        |  (7, 'PUT', '/v1/brokers/2/recommission', 200, 'recommissioned'),
+        |  (8, 'PUT', '/v1/brokers/9/decommission', 404, 'message=broker with id 9 not found'),
+        |  (9, 'GET', '/v1/cluster/health_overview', 200, 'healthy=true,nodes=3'),
+        |  (10, 'GET', '/v1/cluster_config', 200, 'segment_size=134217728'),
+        |  (11, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
+        |  (12, 'PUT', '/v1/cluster_config', 400, 'nope_prop=Unknown property;rack=expected type boolean'),
+        |  (13, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
+        |  (14, 'GET', '/v1/cluster_config/status', 200, 'n=3;v=2'),
+        |  (15, 'GET', '/v1/cluster_config/schema', 200, 'type=boolean,needs_restart=true'),
+        |  (16, 'GET', '/v1/features', 200, 'cluster_version=13,n=3'),
+        |  (17, 'PUT', '/v1/features/datalake_iceberg', 200, 'activated'),
+        |  (18, 'GET', '/v1/partitions/kafka/events/1', 200, 'leader=1,replicas=3'),
+        |  (19, 'POST', '/v1/partitions/kafka/events/1/transfer_leadership', 200, 'transferred'),
+        |  (20, 'POST', '/v1/partitions/kafka/audit/0/transfer_leadership', 400, 'message=Node 1 is not a replica of the partition'),
+        |  (21, 'POST', '/v1/debug/self_test/start', 200, 'id=000001'),
+        |  (22, 'GET', '/v1/debug/self_test/status', 200, 'status=running,stage=disk'),
+        |  (23, 'POST', '/v1/debug/self_test/stop', 200, 'stopped'),
+        |  (24, 'GET', '/v1/debug/self_test/status', 200, 'status=idle,results=2,p99=400'),
+        |  (25, 'POST', '/v1/debug_bundle', 200, 'job=000001'),
+        |  (26, 'POST', '/v1/debug_bundle', 409, 'code=409'),
+        |  (27, 'DELETE', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 204, 'cancelled'),
+        |  (28, 'GET', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 200, 'status=error'),
+        |  (29, 'GET', '/v1/cluster/uuid', 200, 'uuid=1'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the REST protocol script (routes, status codes,

@@ -1,0 +1,248 @@
+package graft.admin
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import AdminApi.{Server, Resp}
+
+/** The Admin HTTP API protocol layer: route grammar, reference JSON
+  * field names, status codes, and the throw_on_error ladders — all as
+  * pure request→response assertions over the deterministic model. */
+class AdminApiSpec extends AnyFunSuite {
+
+  private val m = new ObjectMapper()
+
+  private def freshServer(): Server = {
+    val s = new Server(nodeIds = Seq(0, 1, 2))
+    s.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
+    s.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
+    s.addPartition("kafka", "audit", 0, leader = 2, replicas = Seq(2))
+    s
+  }
+
+  test("brokers: listing carries the get_brokers field set") {
+    val s = freshServer()
+    val r = s.handle("GET", "/v1/brokers")
+    assert(r.status === 200)
+    val a = m.readTree(r.body)
+    assert(a.size() === 3)
+    val b0 = a.get(0)
+    assert(b0.get("node_id").asInt() === 0)
+    assert(b0.get("num_cores").asInt() === 32)
+    assert(b0.get("membership_status").asText() === "active")
+    assert(b0.get("is_alive").asBoolean())
+    assert(!b0.get("maintenance_status").get("draining").asBoolean())
+    assert(b0.get("disk_space").get(0).has("path"))
+    assert(b0.get("disk_space").get(0).get("total").asLong() > 0)
+    // single broker + unknown id
+    assert(s.handle("GET", "/v1/brokers/1").status === 200)
+    val nf = s.handle("GET", "/v1/brokers/9")
+    assert(nf.status === 404)
+    assert(m.readTree(nf.body).get("message").asText().contains("broker with id 9"))
+  }
+
+  test("maintenance and decommission follow the state-transition ladder") {
+    val s = freshServer()
+    assert(s.handle("PUT", "/v1/brokers/1/maintenance").status === 200)
+    val b1 = m.readTree(s.handle("GET", "/v1/brokers/1").body)
+    val ms = b1.get("maintenance_status")
+    assert(ms.get("draining").asBoolean())
+    assert(ms.get("finished").asBoolean())
+    assert(ms.get("partitions").asInt() === 2) // replica of events/0, events/1
+    assert(s.handle("DELETE", "/v1/brokers/1/maintenance").status === 200)
+    // decommission: active -> draining; double-decommission is invalid
+    assert(s.handle("PUT", "/v1/brokers/2/decommission").status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/brokers/2").body)
+      .get("membership_status").asText() === "draining")
+    val dbl = s.handle("PUT", "/v1/brokers/2/decommission")
+    assert(dbl.status === 400)
+    assert(m.readTree(dbl.body).get("message").asText()
+      .contains("invalid state transition"))
+    // recommission restores active; recommission of an active broker 400s
+    assert(s.handle("PUT", "/v1/brokers/2/recommission").status === 200)
+    assert(s.handle("PUT", "/v1/brokers/2/recommission").status === 400)
+    // maintenance on a decommissioning broker is an invalid transition
+    s.handle("PUT", "/v1/brokers/2/decommission")
+    assert(s.handle("PUT", "/v1/brokers/2/maintenance").status === 400)
+    assert(s.handle("PUT", "/v1/brokers/9/decommission").status === 404)
+  }
+
+  test("health_overview reflects down nodes and leaderless partitions") {
+    val s = freshServer()
+    val healthy = m.readTree(s.handle("GET", "/v1/cluster/health_overview").body)
+    assert(healthy.get("is_healthy").asBoolean())
+    assert(healthy.get("all_nodes").size() === 3)
+    assert(healthy.get("leaderless_count").asInt() === 0)
+    s.setAlive(2, alive = false)
+    val sick = m.readTree(s.handle("GET", "/v1/cluster/health_overview").body)
+    assert(!sick.get("is_healthy").asBoolean())
+    assert(sick.get("nodes_down").get(0).asInt() === 2)
+    assert(sick.get("leaderless_count").asInt() === 1) // audit/0 led by 2
+    assert(sick.get("leaderless_partitions").get(0).asText() === "kafka/audit/0")
+    assert(sick.get("unhealthy_reasons").toString.contains("nodes_down"))
+  }
+
+  test("cluster_config: get, schema, status, and patch semantics") {
+    val s = freshServer()
+    val cfg = m.readTree(s.handle("GET", "/v1/cluster_config").body)
+    assert(cfg.get("log_segment_size").asLong() === 134217728L)
+    val schema = m.readTree(s.handle("GET", "/v1/cluster_config/schema").body)
+    val prop = schema.get("properties").get("cloud_storage_enabled")
+    assert(prop.get("type").asText() === "boolean")
+    assert(prop.get("needs_restart").asBoolean())
+    val st0 = m.readTree(s.handle("GET", "/v1/cluster_config/status").body)
+    assert(st0.size() === 3)
+    assert(st0.get(0).get("config_version").asLong() === 1L)
+    assert(!st0.get(0).get("restart").asBoolean())
+
+    // a valid patch bumps the version on every node's status row
+    val ok = s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"log_segment_size":268435456},"remove":[]}"""))
+    assert(ok.status === 200)
+    assert(m.readTree(ok.body).get("config_version").asLong() === 2L)
+    assert(m.readTree(s.handle("GET", "/v1/cluster_config").body)
+      .get("log_segment_size").asLong() === 268435456L)
+
+    // per-key validation errors come back as the 400 JSON map
+    val bad = s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"nope_prop":1,"enable_rack_awareness":"yes"},"remove":["also_nope"]}"""))
+    assert(bad.status === 400)
+    val errs = m.readTree(bad.body)
+    assert(errs.get("nope_prop").asText() === "Unknown property")
+    assert(errs.get("enable_rack_awareness").asText() === "expected type boolean")
+    assert(errs.get("also_nope").asText() === "Unknown property")
+
+    // out-of-range int32 and dry_run
+    val oor = s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"kafka_batch_max_bytes":99999999999},"remove":[]}"""))
+    assert(oor.status === 400)
+    assert(m.readTree(oor.body).get("kafka_batch_max_bytes").asText()
+      === "out of range: '99999999999'")
+    val dry = s.handle("PUT", "/v1/cluster_config?dry_run=true",
+      Some("""{"upsert":{"default_topic_replications":3},"remove":[]}"""))
+    assert(m.readTree(dry.body).get("config_version").asLong() === 2L) // unchanged
+    // force skips validation
+    assert(s.handle("PUT", "/v1/cluster_config?force=true",
+      Some("""{"upsert":{"nope_prop":1},"remove":[]}""")).status === 200)
+    // restart-needing property flips the status flag
+    s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"cloud_storage_enabled":true},"remove":[]}"""))
+    val st1 = m.readTree(s.handle("GET", "/v1/cluster_config/status").body)
+    assert(st1.get(0).get("restart").asBoolean())
+  }
+
+  test("features: listing and state transitions") {
+    val s = freshServer()
+    val f = m.readTree(s.handle("GET", "/v1/features").body)
+    assert(f.get("cluster_version").asLong() === 13L)
+    val byName = (0 until f.get("features").size())
+      .map(i => f.get("features").get(i))
+      .map(n => n.get("name").asText() -> n).toMap
+    assert(byName("datalake_iceberg").get("state").asText() === "available")
+    assert(!byName("datalake_iceberg").get("was_active").asBoolean())
+    assert(s.handle("PUT", "/v1/features/datalake_iceberg",
+      Some("""{"state":"active"}""")).status === 200)
+    val f2 = m.readTree(s.handle("GET", "/v1/features").body)
+    val row = (0 until f2.get("features").size())
+      .map(i => f2.get("features").get(i))
+      .find(_.get("name").asText() == "datalake_iceberg").get
+    assert(row.get("state").asText() === "active")
+    assert(row.get("was_active").asBoolean())
+    assert(s.handle("PUT", "/v1/features/nope",
+      Some("""{"state":"active"}""")).status === 404)
+    assert(s.handle("PUT", "/v1/features/rbac",
+      Some("""{"state":"bogus"}""")).status === 400)
+  }
+
+  test("partitions: listing, detail, and leadership transfer ladder") {
+    val s = freshServer()
+    val all = m.readTree(s.handle("GET", "/v1/partitions").body)
+    assert(all.size() === 3)
+    val one = m.readTree(s.handle("GET", "/v1/partitions/kafka/events/1").body)
+    assert(one.get("leader_id").asInt() === 1)
+    assert(one.get("replicas").size() === 3)
+    assert(one.get("ns").asText() === "kafka")
+    assert(s.handle("GET", "/v1/partitions/kafka/nope/0").status === 404)
+    // transfer to an explicit target
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/events/1/transfer_leadership?target=2").status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/partitions/kafka/events/1").body)
+      .get("leader_id").asInt() === 2)
+    // ladder: non-integer, negative, non-replica targets
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/events/1/transfer_leadership?target=abc").status === 400)
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/events/1/transfer_leadership?target=-1").status === 400)
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/audit/0/transfer_leadership?target=1").status === 400)
+    // no target: deterministic next replica
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/events/1/transfer_leadership").status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/partitions/kafka/events/1").body)
+      .get("leader_id").asInt() === 0)
+  }
+
+  test("self test: start/status/stop lifecycle with node reports") {
+    val s = freshServer()
+    val idle = m.readTree(s.handle("GET", "/v1/debug/self_test/status").body)
+    assert(idle.size() === 3)
+    assert(idle.get(0).get("status").asText() === "idle")
+    val start = s.handle("POST", "/v1/debug/self_test/start",
+      Some("""{"tests":[{"type":"disk"},{"type":"network"}]}"""))
+    assert(start.status === 200)
+    val id = m.readTree(start.body).asText()
+    assert(id.endsWith("000001"))
+    val running = m.readTree(s.handle("GET", "/v1/debug/self_test/status").body)
+    assert(running.get(0).get("status").asText() === "running")
+    assert(running.get(0).get("stage").asText() === "disk")
+    assert(s.handle("POST", "/v1/debug/self_test/stop").status === 200)
+    val done = m.readTree(s.handle("GET", "/v1/debug/self_test/status").body)
+    assert(done.get(0).get("status").asText() === "idle")
+    val results = done.get(0).get("results")
+    assert(results.size() === 2)
+    assert(results.get(0).get("test_type").asText() === "disk")
+    assert(results.get(0).get("test_id").asText() === id)
+    assert(results.get(0).get("p99").asLong() === 400L)
+    // bad test type rejected up front
+    assert(s.handle("POST", "/v1/debug/self_test/start",
+      Some("""{"tests":[{"type":"quantum"}]}""")).status === 400)
+  }
+
+  test("debug bundle: start/status/conflict/cancel ladder") {
+    val s = freshServer()
+    val start = s.handle("POST", "/v1/debug_bundle")
+    assert(start.status === 200)
+    val job = m.readTree(start.body).get("job_id").asText()
+    // conflicting second start
+    val conflict = s.handle("POST", "/v1/debug_bundle")
+    assert(conflict.status === 409)
+    assert(m.readTree(conflict.body).get("code").asInt() === 409)
+    val st = m.readTree(s.handle("GET", s"/v1/debug_bundle/$job").body)
+    assert(st.get("status").asText() === "running")
+    assert(st.get("created").asLong() > 0)
+    // finish -> success with file metadata
+    assert(s.handle("PUT", s"/v1/debug_bundle/$job/finish").status === 200)
+    val ok = m.readTree(s.handle("GET", s"/v1/debug_bundle/$job").body)
+    assert(ok.get("status").asText() === "success")
+    assert(ok.get("filename").asText() === s"$job.zip")
+    // cancelling a finished job conflicts; unknown job 404s
+    assert(s.handle("DELETE", s"/v1/debug_bundle/$job").status === 409)
+    assert(s.handle("GET", "/v1/debug_bundle/nope").status === 404)
+    // a new bundle can start once the old one is terminal, and cancel works
+    val j2 = m.readTree(s.handle("POST", "/v1/debug_bundle").body)
+      .get("job_id").asText()
+    assert(s.handle("DELETE", s"/v1/debug_bundle/$j2").status === 204)
+    assert(m.readTree(s.handle("GET", s"/v1/debug_bundle/$j2").body)
+      .get("status").asText() === "error")
+  }
+
+  test("cluster uuid, readiness, and unknown routes") {
+    val s = freshServer()
+    assert(m.readTree(s.handle("GET", "/v1/cluster/uuid").body)
+      .get("cluster_uuid").asText().nonEmpty)
+    assert(s.handle("GET", "/v1/status/ready").status === 200)
+    val nf: Resp = s.handle("GET", "/v1/nope")
+    assert(nf.status === 404)
+    assert(m.readTree(nf.body).get("code").asInt() === 404)
+  }
+}
