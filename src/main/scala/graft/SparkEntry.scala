@@ -8004,6 +8004,84 @@ object SparkEntry {
       catalog.unionByName(readBack).unionByName(flags).orderBy("kind")
     }),
 
+    "d6_rest_catalog" -> ((s, dir) => {
+      // The Iceberg REST catalog protocol (rest_catalog.cc commit with
+      // requirements at :170; route/body shapes from the public REST
+      // OpenAPI spec) scripted over real testdata: namespace/table
+      // lifecycle with the 404/409 ladder, then the OCC conversation —
+      // two writers stage events slices against the same base, writer A
+      // commits, writer B's stale assert-ref-snapshot-id requirement
+      // 409s with CommitFailedException, B reloads and the retry
+      // publishes as a metadata-only rebase. Detail strings parse the
+      // RESPONSE bodies; the final read proves no snapshot was dropped.
+      import s.implicits._
+      import graft.streaming.{IcebergFormat, IcebergRestCatalog}
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      val root = java.nio.file.Files.createTempDirectory("graft_restcat").toString
+      val srv = new IcebergRestCatalog.Server(s, root)
+      val table = s"$root/lake/events"
+      val ev = events(s, dir).select(col("event_id"), col("ts"))
+      def stage(i: Int) = IcebergFormat.stageAppend(
+        ev.where(pmod(col("event_id"), lit(2)) === i), col("ts"), table,
+        partFn = graft.streaming.Datalake.dayPartition)
+      def commitBody(st: IcebergFormat.StagedAppend, baseSnap: Long): String = {
+        val files = st.files.map { case (p, k, l) => s"""["$p","$k",$l]""" }
+          .mkString("[", ",", "]")
+        val snap = if (baseSnap < 0) "null" else baseSnap.toString
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$snap}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"stage-dir":"${st.stageDir}","base-version":${st.baseVersion},
+           |"files":$files}}]}""".stripMargin
+      }
+      def j(b: String) = m.readTree(b)
+      var stagedA: IcebergFormat.StagedAppend = null
+      var stagedB: IcebergFormat.StagedAppend = null
+      val script: Seq[(String, String, () => Option[String],
+          IcebergRestCatalog.Resp => String)] = Seq(
+        ("GET", "/v1/namespaces/lake", () => None,
+          r => "type=" + j(r.body).get("error").get("type").asText()),
+        ("POST", "/v1/namespaces", () => Some("""{"namespace":["lake"]}"""),
+          r => "ns=" + j(r.body).get("namespace").get(0).asText()),
+        ("POST", "/v1/namespaces", () => Some("""{"namespace":["lake"]}"""),
+          r => "type=" + j(r.body).get("error").get("type").asText()),
+        ("POST", "/v1/namespaces/lake/tables", () =>
+          Some("""{"name":"events","schema":[["event_id","long"],["ts","timestamp"]]}"""),
+          r => s"snap=${j(r.body).get("metadata").get("current-snapshot-id").asLong()}"),
+        ("POST", "/v1/namespaces/lake/tables", () =>
+          Some("""{"name":"events","schema":[["event_id","long"]]}"""),
+          r => "type=" + j(r.body).get("error").get("type").asText()),
+        ("POST", "/v1/namespaces/lake/tables/events/commit", () => {
+          stagedA = stage(0); stagedB = stage(1)
+          Some(commitBody(stagedA, -1L))
+        }, r => s"snap=${j(r.body).get("commit").get("snapshot-id").asLong()}"),
+        ("POST", "/v1/namespaces/lake/tables/events/commit", () =>
+          Some(commitBody(stagedB, -1L)),
+          r => s"type=${j(r.body).get("error").get("type").asText()};" +
+            s"msg=${j(r.body).get("error").get("message").asText()}"),
+        ("GET", "/v1/namespaces/lake/tables/events", () => None,
+          r => s"snap=${j(r.body).get("metadata").get("current-snapshot-id").asLong()}"),
+        ("POST", "/v1/namespaces/lake/tables/events/commit", () =>
+          Some(commitBody(stagedB, 1L)),
+          r => s"snap=${j(r.body).get("commit").get("snapshot-id").asLong()}"),
+        ("GET", "/v1/namespaces/lake/tables/events", () =>
+          None, r => {
+            val md = j(r.body).get("metadata")
+            s"snapshots=${md.get("snapshots").size()}" +
+              s",main=${md.get("refs").get("main").get("snapshot-id").asLong()}"
+          }))
+      val steps = script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b())
+        (i + 1, method, path, resp.status, extract(resp))
+      }
+      // the OCC retry preserved both writers' rows: read equals source
+      val total = IcebergFormat.readTable(s, table).count()
+      val expected = ev.count()
+      val rows = steps :+ ((steps.size + 1, "READ", "/table", 200,
+        s"complete=${total == expected}"))
+      rows.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
     "d6_iceberg_catalog" -> ((s, dir) => {
       // Real Iceberg v2 format: three appends (event_id % 3 slices) into
       // a spec-faithful table (metadata.json + avro manifest lists +
@@ -13173,6 +13251,23 @@ object SparkEntry {
         |SELECT 'events_' || event_type AS output, error_code,
         |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         | FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Golden pin of the Iceberg REST catalog protocol script (route
+    // grammar, error types, requirement-failed OCC retry).
+    "d6_rest_catalog" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GET', '/v1/namespaces/lake', 404, 'type=NoSuchNamespaceException'),
+        |  (2, 'POST', '/v1/namespaces', 200, 'ns=lake'),
+        |  (3, 'POST', '/v1/namespaces', 409, 'type=AlreadyExistsException'),
+        |  (4, 'POST', '/v1/namespaces/lake/tables', 200, 'snap=-1'),
+        |  (5, 'POST', '/v1/namespaces/lake/tables', 409, 'type=AlreadyExistsException'),
+        |  (6, 'POST', '/v1/namespaces/lake/tables/events/commit', 200, 'snap=1'),
+        |  (7, 'POST', '/v1/namespaces/lake/tables/events/commit', 409, 'type=CommitFailedException;msg=Requirement failed: branch main was created concurrently'),
+        |  (8, 'GET', '/v1/namespaces/lake/tables/events', 200, 'snap=1'),
+        |  (9, 'POST', '/v1/namespaces/lake/tables/events/commit', 200, 'snap=2'),
+        |  (10, 'GET', '/v1/namespaces/lake/tables/events', 200, 'snapshots=2,main=2'),
+        |  (11, 'READ', '/table', 200, 'complete=true'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // writer 1 (slice 1) publishes first -> snap_2, no rebase; writer 2
     // (slice 2) rebases -> snap_3; the read sees every slice.

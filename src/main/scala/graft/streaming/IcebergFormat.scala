@@ -216,12 +216,12 @@ object IcebergFormat {
   private def metaDir(table: String) = s"$table/metadata"
   private def dataDir(table: String) = s"$table/data"
 
-  private def fsOf(spark: SparkSession, table: String): FileSystem =
+  private[streaming] def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Current metadata version from version-hint.text (the HadoopCatalog
     * commit pointer); None for a fresh table. */
-  private def currentVersion(fs: FileSystem, table: String): Option[Int] = {
+  private[streaming] def currentVersion(fs: FileSystem, table: String): Option[Int] = {
     val hint = new Path(s"${metaDir(table)}/version-hint.text")
     if (!fs.exists(hint)) None
     else {
@@ -230,7 +230,7 @@ object IcebergFormat {
     }
   }
 
-  private def readMetadataJson(fs: FileSystem, table: String, v: Int): String = {
+  private[streaming] def readMetadataJson(fs: FileSystem, table: String, v: Int): String = {
     val in = fs.open(new Path(s"${metaDir(table)}/v$v.metadata.json"))
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
@@ -239,7 +239,7 @@ object IcebergFormat {
     * the same library the Iceberg reference implementation uses. */
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def jsonStrField(json: String, key: String): Option[String] = {
+  private[streaming] def jsonStrField(json: String, key: String): Option[String] = {
     val n = mapper.readTree(json).path(key)
     if (n.isTextual) Some(n.asText) else None
   }
@@ -268,7 +268,7 @@ object IcebergFormat {
       minSnapshotsToKeep: Option[Int] = None)
 
   /** Parse the non-main entries of the metadata `refs` map. */
-  private def parseExtraRefs(json: String): Seq[RefInfo] = {
+  private[streaming] def parseExtraRefs(json: String): Seq[RefInfo] = {
     val refs = mapper.readTree(json).path("refs")
     refs.fields().asScala.toSeq.collect {
       case e if e.getKey != "main" =>
@@ -287,7 +287,7 @@ object IcebergFormat {
     Set("operation", "added-rows", "streaming-batch-id")
 
   /** Parse the snapshots array out of the metadata JSON. */
-  private def parseSnapshots(json: String): Seq[SnapshotInfo] =
+  private[streaming] def parseSnapshots(json: String): Seq[SnapshotInfo] =
     mapper.readTree(json).path("snapshots").elements().asScala.toSeq.map { s =>
       val summary = s.path("summary")
       val bid = summary.path("streaming-batch-id")
