@@ -6777,6 +6777,75 @@ object SparkEntry {
         .orderBy("codec")
     }),
 
+    "p6_wire_versions" -> ((s, dir) => {
+      // The big-five version MATRIX (handlers.h:71-112 ranges; per-field
+      // gates from the schemata): a fixed fixture request per family is
+      // encoded at EVERY declared version, decoded back from the bytes,
+      // and summarized — req_bytes pins each version's exact layout and
+      // the detail pins which fields exist (absent ones surface as the
+      // schema defaults, exactly what the handler would see from an old
+      // client). Produce 0-8, Fetch 0-11, ListOffsets 0-5, OffsetCommit
+      // 0-8 (flexible 8+), JoinGroup 0-6 (flexible 6+).
+      import s.implicits._
+      import graft.functions.{WireHeaders => WH, WireVersions => WV}
+      val recs = Array.tabulate(120)(_.toByte)
+      val produceReq = WH.Produce.Request(Some("txn-1"), -1, 30000,
+        Seq(("events", Seq((0, Some(recs)), (1, None)))))
+      val fetchReq = WV.FetchV.Request(-1, 500, 1, 52428800, 1, 77, 3,
+        Seq(("events", Seq(WV.FetchV.Part(0, 5, 42L, 7L, 1048576),
+          WV.FetchV.Part(1, 5, 100L, 7L, 1048576)))),
+        Seq(("stale", Seq(0, 1))), "rack-1")
+      val listReq = WV.ListOffsetsV.Request(-1, 1, Seq(("events", Seq(
+        WV.ListOffsetsV.Part(0, 5, -1L, 1), WV.ListOffsetsV.Part(1, 5, -2L, 1)))))
+      val commitReq = WV.OffsetCommitV.Request("cg", 7, "m-1", Some("inst-1"),
+        86400000L, Seq(("events", Seq(
+          WV.OffsetCommitV.Part(0, 42L, 5, 1700000000000L, Some("m")),
+          WV.OffsetCommitV.Part(1, 43L, 5, 1700000000000L, None)))))
+      val joinReq = WH.JoinGroup.Request("cg", 30000, 60000, "",
+        Some("inst-1"), "consumer",
+        Seq(WH.JoinGroup.Protocol("range", Array.tabulate(10)(_.toByte)),
+          WH.JoinGroup.Protocol("sticky", Array.tabulate(6)(_.toByte))))
+      val rows =
+        WV.ProduceV.ValidVersions.map { v =>
+          val bytes = WV.ProduceV.encode(v, produceReq)
+          val r = WV.ProduceV.decode(v, bytes)
+          ("produce", v, bytes.length,
+            s"tid=${r.transactionalId.getOrElse("")}|recs=${
+              r.topics.head._2.head._2.get.length}")
+        } ++ WV.FetchV.ValidVersions.map { v =>
+          val bytes = WV.FetchV.encode(v, fetchReq)
+          val r = WV.FetchV.decode(v, bytes)
+          val p0 = r.topics.head._2.head
+          ("fetch", v, bytes.length,
+            s"max=${r.maxBytes}|iso=${r.isolationLevel}|session=${r.sessionId}:${
+              r.sessionEpoch}|epoch=${p0.currentLeaderEpoch}|lso=${
+              p0.logStartOffset}|forgot=${r.forgotten.size}|rack=${r.rackId}")
+        } ++ WV.ListOffsetsV.ValidVersions.map { v =>
+          val bytes = WV.ListOffsetsV.encode(v, listReq)
+          val r = WV.ListOffsetsV.decode(v, bytes)
+          val p0 = r.topics.head._2.head
+          ("list_offsets", v, bytes.length,
+            s"iso=${r.isolationLevel}|epoch=${p0.currentLeaderEpoch}|maxnum=${
+              p0.maxNumOffsets}")
+        } ++ WV.OffsetCommitV.ValidVersions.map { v =>
+          val bytes = WV.OffsetCommitV.encode(v, commitReq)
+          val r = WV.OffsetCommitV.decode(v, bytes)
+          val p0 = r.topics.head._2.head
+          ("offset_commit", v, bytes.length,
+            s"gen=${r.generationId}|member=${r.memberId}|inst=${
+              r.groupInstanceId.getOrElse("")}|ret=${r.retentionTimeMs}|epoch=${
+              p0.committedLeaderEpoch}|ts=${p0.commitTimestamp}")
+        } ++ WV.JoinGroupV.ValidVersions.map { v =>
+          val bytes = WV.JoinGroupV.encode(v, joinReq)
+          val r = WV.JoinGroupV.decode(v, bytes)
+          ("join_group", v, bytes.length,
+            s"rebalance=${r.rebalanceTimeoutMs}|inst=${
+              r.groupInstanceId.getOrElse("")}|protos=${r.protocols.size}")
+        }
+      rows.toDF("family", "version", "req_bytes", "detail")
+        .orderBy("family", "version")
+    }),
+
     "p6_wire_framing" -> ((s, dir) => {
       // Request/response FRAMING above the record-batch envelope
       // (kafka/server/protocol_utils.cc:23-120): the full 44-key
@@ -12550,6 +12619,55 @@ object SparkEntry {
     // throttle(4); v3 = err(2) + uvarint(n+1)(1 for n<127) + n*(6 +
     // 1 tag buffer) + throttle(4) + body tags(1). Frame adds
     // size(4) + correlation(4); ApiVersions' response header stays v0.
+    // Golden pin of the big-five version matrix: every version's exact
+    // byte size and version-visible field set (schemata gates).
+    "p6_wire_versions" ->
+      """SELECT * FROM (VALUES
+        |  ('fetch', 0, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
+        |  ('fetch', 1, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
+        |  ('fetch', 2, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
+        |  ('fetch', 3, 64, 'max=52428800|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
+        |  ('fetch', 4, 65, 'max=52428800|iso=1|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
+        |  ('fetch', 5, 81, 'max=52428800|iso=1|session=0:-1|epoch=-1|lso=7|forgot=0|rack='),
+        |  ('fetch', 6, 81, 'max=52428800|iso=1|session=0:-1|epoch=-1|lso=7|forgot=0|rack='),
+        |  ('fetch', 7, 112, 'max=52428800|iso=1|session=77:3|epoch=-1|lso=7|forgot=1|rack='),
+        |  ('fetch', 8, 112, 'max=52428800|iso=1|session=77:3|epoch=-1|lso=7|forgot=1|rack='),
+        |  ('fetch', 9, 120, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack='),
+        |  ('fetch', 10, 120, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack='),
+        |  ('fetch', 11, 128, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack=rack-1'),
+        |  ('join_group', 0, 63, 'rebalance=-1|inst=|protos=2'),
+        |  ('join_group', 1, 67, 'rebalance=60000|inst=|protos=2'),
+        |  ('join_group', 2, 67, 'rebalance=60000|inst=|protos=2'),
+        |  ('join_group', 3, 67, 'rebalance=60000|inst=|protos=2'),
+        |  ('join_group', 4, 67, 'rebalance=60000|inst=|protos=2'),
+        |  ('join_group', 5, 75, 'rebalance=60000|inst=inst-1|protos=2'),
+        |  ('join_group', 6, 63, 'rebalance=60000|inst=inst-1|protos=2'),
+        |  ('list_offsets', 0, 52, 'iso=0|epoch=-1|maxnum=1'),
+        |  ('list_offsets', 1, 44, 'iso=0|epoch=-1|maxnum=0'),
+        |  ('list_offsets', 2, 45, 'iso=1|epoch=-1|maxnum=0'),
+        |  ('list_offsets', 3, 45, 'iso=1|epoch=-1|maxnum=0'),
+        |  ('list_offsets', 4, 53, 'iso=1|epoch=5|maxnum=0'),
+        |  ('list_offsets', 5, 53, 'iso=1|epoch=5|maxnum=0'),
+        |  ('offset_commit', 0, 49, 'gen=-1|member=|inst=|ret=-1|epoch=-1|ts=-1'),
+        |  ('offset_commit', 1, 74, 'gen=7|member=m-1|inst=|ret=-1|epoch=-1|ts=1700000000000'),
+        |  ('offset_commit', 2, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
+        |  ('offset_commit', 3, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
+        |  ('offset_commit', 4, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
+        |  ('offset_commit', 5, 58, 'gen=7|member=m-1|inst=|ret=-1|epoch=-1|ts=-1'),
+        |  ('offset_commit', 6, 66, 'gen=7|member=m-1|inst=|ret=-1|epoch=5|ts=-1'),
+        |  ('offset_commit', 7, 74, 'gen=7|member=m-1|inst=inst-1|ret=-1|epoch=5|ts=-1'),
+        |  ('offset_commit', 8, 66, 'gen=7|member=m-1|inst=inst-1|ret=-1|epoch=5|ts=-1'),
+        |  ('produce', 0, 158, 'tid=|recs=120'),
+        |  ('produce', 1, 158, 'tid=|recs=120'),
+        |  ('produce', 2, 158, 'tid=|recs=120'),
+        |  ('produce', 3, 165, 'tid=txn-1|recs=120'),
+        |  ('produce', 4, 165, 'tid=txn-1|recs=120'),
+        |  ('produce', 5, 165, 'tid=txn-1|recs=120'),
+        |  ('produce', 6, 165, 'tid=txn-1|recs=120'),
+        |  ('produce', 7, 165, 'tid=txn-1|recs=120'),
+        |  ('produce', 8, 165, 'tid=txn-1|recs=120'))
+        | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
+
     "p6_wire_framing" ->
       """SELECT CAST(version AS INTEGER) AS version,
         |       CAST(n AS INTEGER) AS n_apis,

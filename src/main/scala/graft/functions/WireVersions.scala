@@ -1,0 +1,440 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import WireHeaders.{putUvarint, getUvarint, putCompactString, getCompactString,
+  putCompactNullableString, getCompactNullableString, putCompactArrayLen,
+  getCompactArrayLen, putEmptyTags, getTags, compactStringSize, uvarintSize,
+  readLegacyBytes}
+
+/**
+ * The big-five request serdes across their FULL declared version
+ * ranges — the reference handles every version from min to max per
+ * `kafka/server/handlers/handlers.h:71-112`, with the per-field
+ * version gates declared in `kafka/protocol/schemata`:
+ *
+ *  - Produce 0-8 (no flexible): `transactional_id` v3+ (nullable).
+ *  - Fetch 0-11 (no flexible): `max_bytes` v3+, `isolation_level`
+ *    v4+, `session_id`/`session_epoch` v7+, per-partition
+ *    `current_leader_epoch` v9+ and `log_start_offset` v5+,
+ *    `forgotten_topics_data` v7+, `rack_id` v11+.
+ *  - ListOffsets 0-5 (no flexible): `isolation_level` v2+,
+ *    `current_leader_epoch` v4+, `max_num_offsets` v0 ONLY.
+ *  - OffsetCommit 0-8 (flexible 8+): `generation_id`/`member_id` v1+,
+ *    `group_instance_id` v7+ (nullable), `retention_time_ms` v2-4,
+ *    per-partition `committed_leader_epoch` v6+ and
+ *    `commit_timestamp` v1 only.
+ *  - JoinGroup 0-6 (flexible 6+): `rebalance_timeout_ms` v1+,
+ *    `group_instance_id` v5+ (nullable).
+ *
+ * Each serde decodes to a NORMALIZED superset request: fields absent
+ * at a version come back as the schema's declared defaults (so an
+ * old-client frame means exactly what the reference's handler would
+ * see). Flexible versions switch strings/arrays to compact form and
+ * add per-struct tag buffers (KIP-482).
+ */
+object WireVersions {
+
+  // ----------------------------------------------------- legacy helpers
+
+  private def putStr(b: ByteBuffer, s: String): Unit = {
+    val bts = s.getBytes("UTF-8")
+    b.putShort(bts.length.toShort); b.put(bts)
+  }
+  private def getStr(b: ByteBuffer): String = {
+    val n = b.getShort()
+    require(n >= 0 && n <= b.remaining(), s"string length $n exceeds frame")
+    val a = new Array[Byte](n); b.get(a); new String(a, "UTF-8")
+  }
+  private def putNullableStr(b: ByteBuffer, s: Option[String]): Unit = s match {
+    case None => b.putShort(-1)
+    case Some(v) => putStr(b, v)
+  }
+  private def getNullableStr(b: ByteBuffer): Option[String] = {
+    val n = b.getShort()
+    if (n < 0) None
+    else {
+      require(n <= b.remaining(), s"string length $n exceeds frame")
+      val a = new Array[Byte](n); b.get(a); Some(new String(a, "UTF-8"))
+    }
+  }
+  private def strSize(s: String): Int = 2 + s.getBytes("UTF-8").length
+  private def nullableStrSize(s: Option[String]): Int =
+    s.map(strSize).getOrElse(2)
+  private def compactNullableStrSize(s: Option[String]): Int =
+    s.map(compactStringSize).getOrElse(1)
+
+  // -------------------------------------------------------- Produce 0-8
+
+  object ProduceV {
+    val ValidVersions: Range = 0 to 8
+
+    def size(version: Int, r: WireHeaders.Produce.Request): Int = {
+      require(ValidVersions.contains(version), s"produce version $version")
+      (if (version >= 3) nullableStrSize(r.transactionalId) else 0) +
+        2 + 4 + 4 + r.topics.map { case (n, ps) =>
+          strSize(n) + 4 +
+            ps.map { case (_, recs) => 4 + 4 + recs.map(_.length).getOrElse(0) }.sum
+        }.sum
+    }
+
+    def encode(version: Int, r: WireHeaders.Produce.Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (version >= 3) putNullableStr(b, r.transactionalId)
+      b.putShort(r.acks); b.putInt(r.timeoutMs)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putStr(b, name)
+        b.putInt(parts.size)
+        parts.foreach { case (idx, recs) =>
+          b.putInt(idx)
+          recs match {
+            case None => b.putInt(-1)
+            case Some(bytes) => b.putInt(bytes.length); b.put(bytes)
+          }
+        }
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.Produce.Request = {
+      require(ValidVersions.contains(version), s"produce version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val tid = if (version >= 3) getNullableStr(b) else None
+      val acks = b.getShort(); val timeout = b.getInt()
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt()
+          val len = b.getInt()
+          (idx, if (len < 0) None else Some(readLegacyBytes(b, len)))
+        }
+        (name, parts: Seq[(Int, Option[Array[Byte]])])
+      }
+      require(!b.hasRemaining, "trailing bytes after produce request")
+      WireHeaders.Produce.Request(tid, acks, timeout, topics)
+    }
+  }
+
+  // --------------------------------------------------------- Fetch 0-11
+
+  object FetchV {
+    val ValidVersions: Range = 0 to 11
+
+    final case class Part(partitionIndex: Int, currentLeaderEpoch: Int,
+        fetchOffset: Long, logStartOffset: Long, maxBytes: Int)
+    final case class Request(replicaId: Int, maxWaitMs: Int, minBytes: Int,
+        maxBytes: Int, isolationLevel: Byte, sessionId: Int, sessionEpoch: Int,
+        topics: Seq[(String, Seq[Part])],
+        forgotten: Seq[(String, Seq[Int])], rackId: String)
+
+    def size(version: Int, r: Request): Int = {
+      require(ValidVersions.contains(version), s"fetch version $version")
+      4 + 4 + 4 +
+        (if (version >= 3) 4 else 0) +
+        (if (version >= 4) 1 else 0) +
+        (if (version >= 7) 8 else 0) +
+        4 + r.topics.map { case (n, ps) =>
+          strSize(n) + 4 + ps.size * (4 + (if (version >= 9) 4 else 0) +
+            8 + (if (version >= 5) 8 else 0) + 4)
+        }.sum +
+        (if (version >= 7)
+          4 + r.forgotten.map { case (n, is) => strSize(n) + 4 + 4 * is.size }.sum
+         else 0) +
+        (if (version >= 11) strSize(r.rackId) else 0)
+    }
+
+    def encode(version: Int, r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.replicaId); b.putInt(r.maxWaitMs); b.putInt(r.minBytes)
+      if (version >= 3) b.putInt(r.maxBytes)
+      if (version >= 4) b.put(r.isolationLevel)
+      if (version >= 7) { b.putInt(r.sessionId); b.putInt(r.sessionEpoch) }
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putStr(b, name)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex)
+          if (version >= 9) b.putInt(p.currentLeaderEpoch)
+          b.putLong(p.fetchOffset)
+          if (version >= 5) b.putLong(p.logStartOffset)
+          b.putInt(p.maxBytes)
+        }
+      }
+      if (version >= 7) {
+        b.putInt(r.forgotten.size)
+        r.forgotten.foreach { case (name, idxs) =>
+          putStr(b, name)
+          b.putInt(idxs.size); idxs.foreach(b.putInt)
+        }
+      }
+      if (version >= 11) putStr(b, r.rackId)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Request = {
+      require(ValidVersions.contains(version), s"fetch version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val replica = b.getInt(); val maxWait = b.getInt(); val minBytes = b.getInt()
+      val maxBytes = if (version >= 3) b.getInt() else Int.MaxValue
+      val iso = if (version >= 4) b.get() else 0.toByte
+      val (sid, sepoch) = if (version >= 7) (b.getInt(), b.getInt()) else (0, -1)
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt()
+          val epoch = if (version >= 9) b.getInt() else -1
+          val off = b.getLong()
+          val lso = if (version >= 5) b.getLong() else -1L
+          Part(idx, epoch, off, lso, b.getInt())
+        }
+        (name, parts: Seq[Part])
+      }
+      val forgotten = if (version >= 7)
+        (0 until b.getInt()).map { _ =>
+          val name = getStr(b)
+          (name, (0 until b.getInt()).map(_ => b.getInt()): Seq[Int])
+        }
+      else Seq.empty
+      val rack = if (version >= 11) getStr(b) else ""
+      require(!b.hasRemaining, "trailing bytes after fetch request")
+      Request(replica, maxWait, minBytes, maxBytes, iso, sid, sepoch,
+        topics, forgotten, rack)
+    }
+  }
+
+  // --------------------------------------------------- ListOffsets 0-5
+
+  object ListOffsetsV {
+    val ValidVersions: Range = 0 to 5
+
+    final case class Part(partitionIndex: Int, currentLeaderEpoch: Int,
+        timestamp: Long, maxNumOffsets: Int)
+    final case class Request(replicaId: Int, isolationLevel: Byte,
+        topics: Seq[(String, Seq[Part])])
+
+    def size(version: Int, r: Request): Int = {
+      require(ValidVersions.contains(version), s"list_offsets version $version")
+      4 + (if (version >= 2) 1 else 0) + 4 + r.topics.map { case (n, ps) =>
+        strSize(n) + 4 + ps.size * (4 + (if (version >= 4) 4 else 0) + 8 +
+          (if (version == 0) 4 else 0))
+      }.sum
+    }
+
+    def encode(version: Int, r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.replicaId)
+      if (version >= 2) b.put(r.isolationLevel)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putStr(b, name)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex)
+          if (version >= 4) b.putInt(p.currentLeaderEpoch)
+          b.putLong(p.timestamp)
+          if (version == 0) b.putInt(p.maxNumOffsets)
+        }
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Request = {
+      require(ValidVersions.contains(version), s"list_offsets version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val replica = b.getInt()
+      val iso = if (version >= 2) b.get() else 0.toByte
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt()
+          val epoch = if (version >= 4) b.getInt() else -1
+          val ts = b.getLong()
+          val maxNum = if (version == 0) b.getInt() else 0
+          Part(idx, epoch, ts, maxNum)
+        }
+        (name, parts: Seq[Part])
+      }
+      require(!b.hasRemaining, "trailing bytes after list_offsets request")
+      Request(replica, iso, topics)
+    }
+  }
+
+  // -------------------------------------------------- OffsetCommit 0-8
+
+  object OffsetCommitV {
+    val ValidVersions: Range = 0 to 8
+    def flexible(version: Int): Boolean = version >= 8
+
+    final case class Part(partitionIndex: Int, committedOffset: Long,
+        committedLeaderEpoch: Int, commitTimestamp: Long,
+        metadata: Option[String])
+    final case class Request(groupId: String, generationId: Int,
+        memberId: String, groupInstanceId: Option[String],
+        retentionTimeMs: Long, topics: Seq[(String, Seq[Part])])
+
+    def size(version: Int, r: Request): Int = {
+      require(ValidVersions.contains(version), s"offset_commit version $version")
+      if (!flexible(version))
+        strSize(r.groupId) +
+          (if (version >= 1) 4 + strSize(r.memberId) else 0) +
+          (if (version >= 7) nullableStrSize(r.groupInstanceId) else 0) +
+          (if (version >= 2 && version <= 4) 8 else 0) +
+          4 + r.topics.map { case (n, ps) =>
+            strSize(n) + 4 + ps.map(p =>
+              4 + 8 + (if (version >= 6) 4 else 0) + (if (version == 1) 8 else 0) +
+                nullableStrSize(p.metadata)).sum
+          }.sum
+      else
+        compactStringSize(r.groupId) + 4 + compactStringSize(r.memberId) +
+          compactNullableStrSize(r.groupInstanceId) +
+          uvarintSize(r.topics.size + 1L) + r.topics.map { case (n, ps) =>
+            compactStringSize(n) + uvarintSize(ps.size + 1L) + ps.map(p =>
+              4 + 8 + 4 + compactNullableStrSize(p.metadata) + 1).sum + 1
+          }.sum + 1
+    }
+
+    def encode(version: Int, r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (!flexible(version)) {
+        putStr(b, r.groupId)
+        if (version >= 1) { b.putInt(r.generationId); putStr(b, r.memberId) }
+        if (version >= 7) putNullableStr(b, r.groupInstanceId)
+        if (version >= 2 && version <= 4) b.putLong(r.retentionTimeMs)
+        b.putInt(r.topics.size)
+        r.topics.foreach { case (name, parts) =>
+          putStr(b, name)
+          b.putInt(parts.size)
+          parts.foreach { p =>
+            b.putInt(p.partitionIndex); b.putLong(p.committedOffset)
+            if (version >= 6) b.putInt(p.committedLeaderEpoch)
+            if (version == 1) b.putLong(p.commitTimestamp)
+            putNullableStr(b, p.metadata)
+          }
+        }
+      } else {
+        putCompactString(b, r.groupId)
+        b.putInt(r.generationId)
+        putCompactString(b, r.memberId)
+        putCompactNullableString(b, r.groupInstanceId)
+        putCompactArrayLen(b, r.topics.size)
+        r.topics.foreach { case (name, parts) =>
+          putCompactString(b, name)
+          putCompactArrayLen(b, parts.size)
+          parts.foreach { p =>
+            b.putInt(p.partitionIndex); b.putLong(p.committedOffset)
+            b.putInt(p.committedLeaderEpoch)
+            putCompactNullableString(b, p.metadata)
+            putEmptyTags(b)
+          }
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Request = {
+      require(ValidVersions.contains(version), s"offset_commit version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val r =
+        if (!flexible(version)) {
+          val gid = getStr(b)
+          val (gen, mid) = if (version >= 1) (b.getInt(), getStr(b)) else (-1, "")
+          val gi = if (version >= 7) getNullableStr(b) else None
+          val ret = if (version >= 2 && version <= 4) b.getLong() else -1L
+          val topics = (0 until b.getInt()).map { _ =>
+            val name = getStr(b)
+            val parts = (0 until b.getInt()).map { _ =>
+              val idx = b.getInt(); val off = b.getLong()
+              val epoch = if (version >= 6) b.getInt() else -1
+              val ts = if (version == 1) b.getLong() else -1L
+              Part(idx, off, epoch, ts, getNullableStr(b))
+            }
+            (name, parts: Seq[Part])
+          }
+          Request(gid, gen, mid, gi, ret, topics)
+        } else {
+          val gid = getCompactString(b)
+          val gen = b.getInt()
+          val mid = getCompactString(b)
+          val gi = getCompactNullableString(b)
+          val topics = (0 until getCompactArrayLen(b)).map { _ =>
+            val name = getCompactString(b)
+            val parts = (0 until getCompactArrayLen(b)).map { _ =>
+              val p = Part(b.getInt(), b.getLong(), b.getInt(), -1L,
+                getCompactNullableString(b))
+              getTags(b); p
+            }
+            getTags(b)
+            (name, parts: Seq[Part])
+          }
+          getTags(b)
+          Request(gid, gen, mid, gi, -1L, topics)
+        }
+      require(!b.hasRemaining, "trailing bytes after offset_commit request")
+      r
+    }
+  }
+
+  // ----------------------------------------------------- JoinGroup 0-6
+
+  object JoinGroupV {
+    val ValidVersions: Range = 0 to 6
+    def flexible(version: Int): Boolean = version >= 6
+
+    def size(version: Int, r: WireHeaders.JoinGroup.Request): Int = {
+      require(ValidVersions.contains(version), s"join_group version $version")
+      if (!flexible(version))
+        strSize(r.groupId) + 4 + (if (version >= 1) 4 else 0) +
+          strSize(r.memberId) +
+          (if (version >= 5) nullableStrSize(r.groupInstanceId) else 0) +
+          strSize(r.protocolType) + 4 + r.protocols.map(p =>
+            strSize(p.name) + 4 + p.metadata.length).sum
+      else
+        compactStringSize(r.groupId) + 4 + 4 + compactStringSize(r.memberId) +
+          compactNullableStrSize(r.groupInstanceId) +
+          compactStringSize(r.protocolType) +
+          uvarintSize(r.protocols.size + 1L) + r.protocols.map(p =>
+            compactStringSize(p.name) +
+              uvarintSize(p.metadata.length + 1L) + p.metadata.length + 1).sum + 1
+    }
+
+    def encode(version: Int, r: WireHeaders.JoinGroup.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.JoinGroup.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      putStr(b, r.groupId)
+      b.putInt(r.sessionTimeoutMs)
+      if (version >= 1) b.putInt(r.rebalanceTimeoutMs)
+      putStr(b, r.memberId)
+      if (version >= 5) putNullableStr(b, r.groupInstanceId)
+      putStr(b, r.protocolType)
+      b.putInt(r.protocols.size)
+      r.protocols.foreach { p =>
+        putStr(b, p.name)
+        b.putInt(p.metadata.length); b.put(p.metadata)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.JoinGroup.Request = {
+      require(ValidVersions.contains(version), s"join_group version $version")
+      if (flexible(version)) return WireHeaders.JoinGroup.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val gid = getStr(b)
+      val st = b.getInt()
+      val rt = if (version >= 1) b.getInt() else -1
+      val mid = getStr(b)
+      val gi = if (version >= 5) getNullableStr(b) else None
+      val ptype = getStr(b)
+      val protos = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val n = b.getInt()
+        WireHeaders.JoinGroup.Protocol(name, readLegacyBytes(b, n))
+      }
+      require(!b.hasRemaining, "trailing bytes after join_group request")
+      WireHeaders.JoinGroup.Request(gid, st, rt, mid, gi, ptype, protos)
+    }
+  }
+}

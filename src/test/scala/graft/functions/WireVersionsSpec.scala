@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import WireVersions._
+
+/** The big-five request serdes across their full version ranges:
+  * every version round-trips through bytes to the normalized request
+  * with the schema's defaults filled for absent fields, and selected
+  * versions' byte sizes match HAND-COMPUTED layout laws (independent
+  * of the encoder's own size function). */
+class WireVersionsSpec extends AnyFunSuite {
+
+  private val recs = Array.tabulate(120)(_.toByte)
+
+  private val produceReq = WireHeaders.Produce.Request(
+    Some("txn-1"), acks = -1, timeoutMs = 30000,
+    topics = Seq(("events", Seq((0, Some(recs)), (1, None)))))
+
+  test("produce 0-8: round trip and the v3 transactional_id gate") {
+    for (v <- ProduceV.ValidVersions) {
+      val bytes = ProduceV.encode(v, produceReq)
+      assert(bytes.length === ProduceV.size(v, produceReq), s"v$v size")
+      val back = ProduceV.decode(v, bytes)
+      assert(back.acks === -1); assert(back.timeoutMs === 30000)
+      assert(back.transactionalId === (if (v >= 3) Some("txn-1") else None), s"v$v")
+      assert(back.topics.head._2.head._2.get.toSeq === recs.toSeq)
+      assert(back.topics.head._2(1)._2 === None)
+    }
+    // hand-computed: v0 = acks(2)+timeout(4)+n(4) + "events"(2+6)+np(4)
+    //   + p0(4)+len(4)+120 + p1(4)+len(4) = 158; v3 adds tid 2+5
+    assert(ProduceV.encode(0, produceReq).length === 158)
+    assert(ProduceV.encode(3, produceReq).length === 165)
+    assert(ProduceV.encode(8, produceReq).length === 165)
+  }
+
+  private val fetchReq = FetchV.Request(replicaId = -1, maxWaitMs = 500,
+    minBytes = 1, maxBytes = 52428800, isolationLevel = 1,
+    sessionId = 77, sessionEpoch = 3,
+    topics = Seq(("events", Seq(
+      FetchV.Part(0, 5, 42L, 7L, 1048576),
+      FetchV.Part(1, 5, 100L, 7L, 1048576)))),
+    forgotten = Seq(("stale", Seq(0, 1))), rackId = "rack-1")
+
+  test("fetch 0-11: the field ladder appears exactly at its gate version") {
+    for (v <- FetchV.ValidVersions) {
+      val bytes = FetchV.encode(v, fetchReq)
+      assert(bytes.length === FetchV.size(v, fetchReq), s"v$v size")
+      val back = FetchV.decode(v, bytes)
+      assert(back.replicaId === -1 && back.maxWaitMs === 500)
+      assert(back.maxBytes === (if (v >= 3) 52428800 else Int.MaxValue), s"v$v")
+      assert(back.isolationLevel === (if (v >= 4) 1 else 0).toByte, s"v$v")
+      assert(back.sessionId === (if (v >= 7) 77 else 0), s"v$v")
+      assert(back.sessionEpoch === (if (v >= 7) 3 else -1), s"v$v")
+      val p0 = back.topics.head._2.head
+      assert(p0.currentLeaderEpoch === (if (v >= 9) 5 else -1), s"v$v")
+      assert(p0.fetchOffset === 42L)
+      assert(p0.logStartOffset === (if (v >= 5) 7L else -1L), s"v$v")
+      assert(back.forgotten === (if (v >= 7) fetchReq.forgotten else Nil), s"v$v")
+      assert(back.rackId === (if (v >= 11) "rack-1" else ""), s"v$v")
+    }
+    // hand-computed v0: 3*4 + 4 + (2+6) + 4 + 2*(4+8+4) = 60
+    assert(FetchV.encode(0, fetchReq).length === 60)
+    // v4 adds maxBytes(4)+iso(1); v5 two 8-byte log-starts; v7 session 8
+    // + forgotten 4+(2+5)+4+8=23; v9 two 4-byte epochs; v11 rack 2+6
+    assert(FetchV.encode(4, fetchReq).length === 65)
+    assert(FetchV.encode(7, fetchReq).length === 65 + 16 + 8 + 23)
+    assert(FetchV.encode(11, fetchReq).length === 65 + 16 + 8 + 23 + 8 + 8)
+  }
+
+  private val listReq = ListOffsetsV.Request(-1, 1, Seq(("events", Seq(
+    ListOffsetsV.Part(0, 5, -1L, 1), ListOffsetsV.Part(1, 5, -2L, 1)))))
+
+  test("list_offsets 0-5: v0-only max_num_offsets and the later gates") {
+    for (v <- ListOffsetsV.ValidVersions) {
+      val bytes = ListOffsetsV.encode(v, listReq)
+      assert(bytes.length === ListOffsetsV.size(v, listReq), s"v$v size")
+      val back = ListOffsetsV.decode(v, bytes)
+      assert(back.isolationLevel === (if (v >= 2) 1 else 0).toByte, s"v$v")
+      val p0 = back.topics.head._2.head
+      assert(p0.currentLeaderEpoch === (if (v >= 4) 5 else -1), s"v$v")
+      assert(p0.timestamp === -1L)
+      assert(p0.maxNumOffsets === (if (v == 0) 1 else 0), s"v$v")
+    }
+    // v0: 4 + 4 + (2+6) + 4 + 2*(4+8+4) = 52; v2: -2*4 maxNum +1 iso
+    assert(ListOffsetsV.encode(0, listReq).length === 52)
+    assert(ListOffsetsV.encode(2, listReq).length === 45)
+    assert(ListOffsetsV.encode(5, listReq).length === 53) // +2*4 epochs
+  }
+
+  private val commitReq = OffsetCommitV.Request("cg", 7, "m-1", Some("inst-1"),
+    86400000L, Seq(("events", Seq(
+      OffsetCommitV.Part(0, 42L, 5, 1700000000000L, Some("m")),
+      OffsetCommitV.Part(1, 43L, 5, 1700000000000L, None)))))
+
+  test("offset_commit 0-8: retention window, v1-only timestamp, flexible v8") {
+    for (v <- OffsetCommitV.ValidVersions) {
+      val bytes = OffsetCommitV.encode(v, commitReq)
+      assert(bytes.length === OffsetCommitV.size(v, commitReq), s"v$v size")
+      val back = OffsetCommitV.decode(v, bytes)
+      assert(back.groupId === "cg")
+      assert(back.generationId === (if (v >= 1) 7 else -1), s"v$v")
+      assert(back.memberId === (if (v >= 1) "m-1" else ""), s"v$v")
+      assert(back.groupInstanceId ===
+        (if (v >= 7) Some("inst-1") else None), s"v$v")
+      assert(back.retentionTimeMs ===
+        (if (v >= 2 && v <= 4) 86400000L else -1L), s"v$v")
+      val p0 = back.topics.head._2.head
+      assert(p0.committedOffset === 42L)
+      assert(p0.committedLeaderEpoch === (if (v >= 6) 5 else -1), s"v$v")
+      assert(p0.commitTimestamp === (if (v == 1) 1700000000000L else -1L), s"v$v")
+      assert(p0.metadata === Some("m"))
+      assert(back.topics.head._2(1).metadata === None)
+    }
+    // hand-computed v0: (2+2)+4 + (2+6)+4 + p0(4+8+2+1) + p1(4+8+2) = 49
+    assert(OffsetCommitV.encode(0, commitReq).length === 49)
+    // v1 adds gen(4)+member(2+3)+2*ts(8); v2 adds retention(8)
+    assert(OffsetCommitV.encode(1, commitReq).length === 49 + 9 + 16)
+    assert(OffsetCommitV.encode(2, commitReq).length === 49 + 9 + 8)
+    // flexible v8 hand-computed: cg(1+2)+gen(4)+m-1(1+3)+inst-1(1+6)
+    //  +arr(1)+events(1+6)+arr(1)+p0(4+8+4+(1+1)+tag1)+p1(4+8+4+1+tag1)
+    //  +topicTag(1)+topTag(1) = 66
+    assert(OffsetCommitV.encode(8, commitReq).length === 66)
+  }
+
+  private val joinReq = WireHeaders.JoinGroup.Request("cg", 30000, 60000, "",
+    Some("inst-1"), "consumer",
+    Seq(WireHeaders.JoinGroup.Protocol("range", Array.tabulate(10)(_.toByte)),
+      WireHeaders.JoinGroup.Protocol("sticky", Array.tabulate(6)(_.toByte))))
+
+  test("join_group 0-6: rebalance/instance gates and the flexible cutover") {
+    for (v <- JoinGroupV.ValidVersions) {
+      val bytes = JoinGroupV.encode(v, joinReq)
+      assert(bytes.length === JoinGroupV.size(v, joinReq), s"v$v size")
+      val back = JoinGroupV.decode(v, bytes)
+      assert(back.groupId === "cg" && back.sessionTimeoutMs === 30000)
+      assert(back.rebalanceTimeoutMs === (if (v >= 1) 60000 else -1), s"v$v")
+      assert(back.groupInstanceId ===
+        (if (v >= 5) Some("inst-1") else None), s"v$v")
+      assert(back.protocolType === "consumer")
+      assert(back.protocols.map(_.name) === Seq("range", "sticky"))
+      assert(back.protocols.head.metadata.toSeq ===
+        joinReq.protocols.head.metadata.toSeq)
+    }
+    // v0: cg(2+2)+session(4)+member(2)+consumer(2+8)+arr(4)
+    //  +range(2+5)+len(4)+10 + sticky(2+6)+len(4)+6 = 63
+    assert(JoinGroupV.encode(0, joinReq).length === 63)
+    // v1 adds rebalance(4); v5 adds instance(2+6)
+    assert(JoinGroupV.encode(1, joinReq).length === 67)
+    assert(JoinGroupV.encode(5, joinReq).length === 75)
+    // flexible v6: cg(1+2)+4+4+member(1)+inst(1+6)+consumer(1+8)+arr(1)
+    //  +range(1+5)+meta(1+10)+tag + sticky(1+6)+meta(1+6)+tag + topTag = 63
+    assert(JoinGroupV.encode(6, joinReq).length === 63)
+  }
+
+  test("corrupt frames are rejected cleanly across versions") {
+    val bytes = FetchV.encode(11, fetchReq)
+    // trailing garbage
+    intercept[IllegalArgumentException] {
+      FetchV.decode(11, bytes ++ Array[Byte](0))
+    }
+    // decoding at the WRONG version mis-frames and must error, not
+    // fabricate a request
+    intercept[Exception] { ProduceV.decode(0,
+      ProduceV.encode(8, produceReq)) }
+    intercept[Exception] { OffsetCommitV.decode(8,
+      OffsetCommitV.encode(0, commitReq)) }
+    // truncated frame
+    intercept[Exception] { ListOffsetsV.decode(5,
+      java.util.Arrays.copyOf(ListOffsetsV.encode(5, listReq), 20)) }
+  }
+}
