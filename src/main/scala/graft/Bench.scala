@@ -42,8 +42,14 @@ object Bench {
     // the driver's per-round run sets no filter and times every entry).
     val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = filter.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (k, _) => f(k) })
+    // "__throughput__" = isolation mode: ONLY the throughput block, in a
+    // fresh session — the instrument for telling a suite artifact from a
+    // real ingest regression (the r10→r11 cold-produce methodology).
+    val throughputOnly = filter.exists(_.contains("__throughput__"))
+    val selected =
+      if (throughputOnly) Map.empty[String, (SparkSession, String) => DataFrame]
+      else filter.fold(SparkEntry.queries)(f =>
+        SparkEntry.queries.filter { case (k, _) => f(k) })
 
     // JVM/codegen warmup so the first measured work doesn't pay JIT tax.
     try spark.range(1000000).selectExpr("sum(id)").collect()
@@ -58,7 +64,8 @@ object Bench {
     // old-gen/neighbor pressure (r11 measured the same cold-produce
     // code 25% below r10 purely from schedule position).
     val thrJson: Option[String] =
-      if (filter.isDefined) None else Some(throughputBlock(spark, sfDir, reruns))
+      if (filter.isDefined && !throughputOnly) None
+      else Some(throughputBlock(spark, sfDir, reruns))
 
     // Engine startup for the query suite: materialize the stored log
     // once, as a broker opens its partition state before serving
