@@ -6841,6 +6841,59 @@ object SparkEntry {
           ("join_group", v, bytes.length,
             s"rebalance=${r.rebalanceTimeoutMs}|inst=${
               r.groupInstanceId.getOrElse("")}|protos=${r.protocols.size}")
+        } ++ {
+          // RESPONSE side of the matrix, same discipline
+          val pResp = WH.Produce.Response(Seq(("events", Seq(
+            WH.Produce.RespPart(0, 0, 42L, 1700000000000L, 7L,
+              Seq((2, Some("bad"))), Some("oops"))))), 5)
+          val fResp = WV.FetchRespV.Response(5, 0, 77, Seq(("events", Seq(
+            WV.FetchRespV.Part(0, 0, 100L, 90L, 3L, Some(Seq((9L, 50L))), 2,
+              Some(Array.tabulate(64)(_.toByte)))))))
+          val lResp = WV.ListOffsetsRespV.Response(5, Seq(("events", Seq(
+            WV.ListOffsetsRespV.Part(0, 0, Seq(10L, 20L), 1700000000000L, 42L, 3)))))
+          val cResp = WV.OffsetCommitRespV.Response(5,
+            Seq(("events", Seq((0, 0.toShort), (1, 16.toShort)))))
+          val jResp = WH.JoinGroup.Response(5, 0, 3, "range", "m-1", "m-2",
+            Seq(WH.JoinGroup.Member("m-1", Some("inst-1"),
+              Array.tabulate(8)(_.toByte))))
+          WV.ProduceRespV.ValidVersions.map { v =>
+            val bytes = WV.ProduceRespV.encode(v, pResp)
+            val r = WV.ProduceRespV.decode(v, bytes)
+            val p = r.responses.head._2.head
+            ("produce_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|lat=${p.logAppendTimeMs}|lso=${
+                p.logStartOffset}|recerrs=${p.recordErrors.size}|msg=${
+                p.errorMessage.getOrElse("")}")
+          } ++ WV.FetchRespV.ValidVersions.map { v =>
+            val bytes = WV.FetchRespV.encode(v, fResp)
+            val r = WV.FetchRespV.decode(v, bytes)
+            val p = r.topics.head._2.head
+            ("fetch_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|session=${r.sessionId}|lso=${
+                p.lastStableOffset}|logstart=${p.logStartOffset}|aborted=${
+                p.aborted.map(_.size).getOrElse(-1)}|replica=${
+                p.preferredReadReplica}|recs=${p.records.get.length}")
+          } ++ WV.ListOffsetsRespV.ValidVersions.map { v =>
+            val bytes = WV.ListOffsetsRespV.encode(v, lResp)
+            val r = WV.ListOffsetsRespV.decode(v, bytes)
+            val p = r.topics.head._2.head
+            ("list_offsets_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|old=${p.oldStyleOffsets.size}|off=${
+                p.offset}|epoch=${p.leaderEpoch}")
+          } ++ WV.OffsetCommitRespV.ValidVersions.map { v =>
+            val bytes = WV.OffsetCommitRespV.encode(v, cResp)
+            val r = WV.OffsetCommitRespV.decode(v, bytes)
+            ("offset_commit_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|errs=${
+                r.topics.head._2.map(_._2).mkString(",")}")
+          } ++ WV.JoinGroupRespV.ValidVersions.map { v =>
+            val bytes = WV.JoinGroupRespV.encode(v, jResp)
+            val r = WV.JoinGroupRespV.decode(v, bytes)
+            ("join_group_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|gen=${r.generationId}|proto=${
+                r.protocolName}|inst=${
+                r.members.head.groupInstanceId.getOrElse("")}")
+          }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
         .orderBy("family", "version")
@@ -12619,8 +12672,9 @@ object SparkEntry {
     // throttle(4); v3 = err(2) + uvarint(n+1)(1 for n<127) + n*(6 +
     // 1 tag buffer) + throttle(4) + body tags(1). Frame adds
     // size(4) + correlation(4); ApiVersions' response header stays v0.
-    // Golden pin of the big-five version matrix: every version's exact
-    // byte size and version-visible field set (schemata gates).
+    // Golden pin of the big-five version matrix (requests AND
+    // responses): every version's exact byte size and version-visible
+    // field set (schemata gates).
     "p6_wire_versions" ->
       """SELECT * FROM (VALUES
         |  ('fetch', 0, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
@@ -12635,6 +12689,18 @@ object SparkEntry {
         |  ('fetch', 9, 120, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack='),
         |  ('fetch', 10, 120, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack='),
         |  ('fetch', 11, 128, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack=rack-1'),
+        |  ('fetch_resp', 0, 98, 'throttle=0|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
+        |  ('fetch_resp', 1, 102, 'throttle=5|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
+        |  ('fetch_resp', 2, 102, 'throttle=5|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
+        |  ('fetch_resp', 3, 102, 'throttle=5|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
+        |  ('fetch_resp', 4, 130, 'throttle=5|session=0|lso=90|logstart=-1|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 5, 138, 'throttle=5|session=0|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 6, 138, 'throttle=5|session=0|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 7, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 8, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 9, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 10, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
+        |  ('fetch_resp', 11, 148, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=2|recs=64'),
         |  ('join_group', 0, 63, 'rebalance=-1|inst=|protos=2'),
         |  ('join_group', 1, 67, 'rebalance=60000|inst=|protos=2'),
         |  ('join_group', 2, 67, 'rebalance=60000|inst=|protos=2'),
@@ -12642,12 +12708,25 @@ object SparkEntry {
         |  ('join_group', 4, 67, 'rebalance=60000|inst=|protos=2'),
         |  ('join_group', 5, 75, 'rebalance=60000|inst=inst-1|protos=2'),
         |  ('join_group', 6, 63, 'rebalance=60000|inst=inst-1|protos=2'),
+        |  ('join_group_resp', 0, 44, 'throttle=0|gen=3|proto=range|inst='),
+        |  ('join_group_resp', 1, 44, 'throttle=0|gen=3|proto=range|inst='),
+        |  ('join_group_resp', 2, 48, 'throttle=5|gen=3|proto=range|inst='),
+        |  ('join_group_resp', 3, 48, 'throttle=5|gen=3|proto=range|inst='),
+        |  ('join_group_resp', 4, 48, 'throttle=5|gen=3|proto=range|inst='),
+        |  ('join_group_resp', 5, 56, 'throttle=5|gen=3|proto=range|inst=inst-1'),
+        |  ('join_group_resp', 6, 47, 'throttle=5|gen=3|proto=range|inst=inst-1'),
         |  ('list_offsets', 0, 52, 'iso=0|epoch=-1|maxnum=1'),
         |  ('list_offsets', 1, 44, 'iso=0|epoch=-1|maxnum=0'),
         |  ('list_offsets', 2, 45, 'iso=1|epoch=-1|maxnum=0'),
         |  ('list_offsets', 3, 45, 'iso=1|epoch=-1|maxnum=0'),
         |  ('list_offsets', 4, 53, 'iso=1|epoch=5|maxnum=0'),
         |  ('list_offsets', 5, 53, 'iso=1|epoch=5|maxnum=0'),
+        |  ('list_offsets_resp', 0, 42, 'throttle=0|old=2|off=-1|epoch=-1'),
+        |  ('list_offsets_resp', 1, 38, 'throttle=0|old=0|off=42|epoch=-1'),
+        |  ('list_offsets_resp', 2, 42, 'throttle=5|old=0|off=42|epoch=-1'),
+        |  ('list_offsets_resp', 3, 42, 'throttle=5|old=0|off=42|epoch=-1'),
+        |  ('list_offsets_resp', 4, 46, 'throttle=5|old=0|off=42|epoch=3'),
+        |  ('list_offsets_resp', 5, 46, 'throttle=5|old=0|off=42|epoch=3'),
         |  ('offset_commit', 0, 49, 'gen=-1|member=|inst=|ret=-1|epoch=-1|ts=-1'),
         |  ('offset_commit', 1, 74, 'gen=7|member=m-1|inst=|ret=-1|epoch=-1|ts=1700000000000'),
         |  ('offset_commit', 2, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
@@ -12657,6 +12736,15 @@ object SparkEntry {
         |  ('offset_commit', 6, 66, 'gen=7|member=m-1|inst=|ret=-1|epoch=5|ts=-1'),
         |  ('offset_commit', 7, 74, 'gen=7|member=m-1|inst=inst-1|ret=-1|epoch=5|ts=-1'),
         |  ('offset_commit', 8, 66, 'gen=7|member=m-1|inst=inst-1|ret=-1|epoch=5|ts=-1'),
+        |  ('offset_commit_resp', 0, 28, 'throttle=0|errs=0,16'),
+        |  ('offset_commit_resp', 1, 28, 'throttle=0|errs=0,16'),
+        |  ('offset_commit_resp', 2, 28, 'throttle=0|errs=0,16'),
+        |  ('offset_commit_resp', 3, 32, 'throttle=5|errs=0,16'),
+        |  ('offset_commit_resp', 4, 32, 'throttle=5|errs=0,16'),
+        |  ('offset_commit_resp', 5, 32, 'throttle=5|errs=0,16'),
+        |  ('offset_commit_resp', 6, 32, 'throttle=5|errs=0,16'),
+        |  ('offset_commit_resp', 7, 32, 'throttle=5|errs=0,16'),
+        |  ('offset_commit_resp', 8, 29, 'throttle=5|errs=0,16'),
         |  ('produce', 0, 158, 'tid=|recs=120'),
         |  ('produce', 1, 158, 'tid=|recs=120'),
         |  ('produce', 2, 158, 'tid=|recs=120'),
@@ -12665,7 +12753,16 @@ object SparkEntry {
         |  ('produce', 5, 165, 'tid=txn-1|recs=120'),
         |  ('produce', 6, 165, 'tid=txn-1|recs=120'),
         |  ('produce', 7, 165, 'tid=txn-1|recs=120'),
-        |  ('produce', 8, 165, 'tid=txn-1|recs=120'))
+        |  ('produce', 8, 165, 'tid=txn-1|recs=120'),
+        |  ('produce_resp', 0, 30, 'throttle=0|lat=-1|lso=-1|recerrs=0|msg='),
+        |  ('produce_resp', 1, 34, 'throttle=5|lat=-1|lso=-1|recerrs=0|msg='),
+        |  ('produce_resp', 2, 42, 'throttle=5|lat=1700000000000|lso=-1|recerrs=0|msg='),
+        |  ('produce_resp', 3, 42, 'throttle=5|lat=1700000000000|lso=-1|recerrs=0|msg='),
+        |  ('produce_resp', 4, 42, 'throttle=5|lat=1700000000000|lso=-1|recerrs=0|msg='),
+        |  ('produce_resp', 5, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
+        |  ('produce_resp', 6, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
+        |  ('produce_resp', 7, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
+        |  ('produce_resp', 8, 69, 'throttle=5|lat=1700000000000|lso=7|recerrs=1|msg=oops'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
 
     "p6_wire_framing" ->

@@ -378,6 +378,340 @@ object WireVersions {
     }
   }
 
+  // ------------------------------------------------ Produce response 0-8
+
+  object ProduceRespV {
+    import WireHeaders.Produce.{Response, RespPart}
+    val ValidVersions: Range = 0 to 8
+
+    def size(version: Int, r: Response): Int = {
+      require(ValidVersions.contains(version), s"produce_resp version $version")
+      4 + r.responses.map { case (n, ps) =>
+        strSize(n) + 4 + ps.map { p =>
+          4 + 2 + 8 + (if (version >= 2) 8 else 0) + (if (version >= 5) 8 else 0) +
+            (if (version >= 8)
+              4 + p.recordErrors.map { case (_, m) => 4 + nullableStrSize(m) }.sum +
+                nullableStrSize(p.errorMessage)
+             else 0)
+        }.sum
+      }.sum + (if (version >= 1) 4 else 0)
+    }
+
+    def encode(version: Int, r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.responses.size)
+      r.responses.foreach { case (name, parts) =>
+        putStr(b, name)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putShort(p.errorCode)
+          b.putLong(p.baseOffset)
+          if (version >= 2) b.putLong(p.logAppendTimeMs)
+          if (version >= 5) b.putLong(p.logStartOffset)
+          if (version >= 8) {
+            b.putInt(p.recordErrors.size)
+            p.recordErrors.foreach { case (i, m) => b.putInt(i); putNullableStr(b, m) }
+            putNullableStr(b, p.errorMessage)
+          }
+        }
+      }
+      if (version >= 1) b.putInt(r.throttleMs)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Response = {
+      require(ValidVersions.contains(version), s"produce_resp version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val responses = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt(); val err = b.getShort(); val base = b.getLong()
+          val lat = if (version >= 2) b.getLong() else -1L
+          val lso = if (version >= 5) b.getLong() else -1L
+          val (recErrs, errMsg) =
+            if (version >= 8)
+              ((0 until b.getInt()).map(_ => (b.getInt(), getNullableStr(b))),
+                getNullableStr(b))
+            else (Seq.empty, None)
+          RespPart(idx, err, base, lat, lso, recErrs, errMsg)
+        }
+        (name, parts: Seq[RespPart])
+      }
+      val throttle = if (version >= 1) b.getInt() else 0
+      require(!b.hasRemaining, "trailing bytes after produce response")
+      Response(responses, throttle)
+    }
+  }
+
+  // -------------------------------------------------- Fetch response 0-11
+
+  object FetchRespV {
+    val ValidVersions: Range = 0 to 11
+
+    final case class Part(partitionIndex: Int, errorCode: Short,
+        highWatermark: Long, lastStableOffset: Long, logStartOffset: Long,
+        aborted: Option[Seq[(Long, Long)]], preferredReadReplica: Int,
+        records: Option[Array[Byte]])
+    final case class Response(throttleMs: Int, errorCode: Short,
+        sessionId: Int, topics: Seq[(String, Seq[Part])])
+
+    def size(version: Int, r: Response): Int = {
+      require(ValidVersions.contains(version), s"fetch_resp version $version")
+      (if (version >= 1) 4 else 0) + (if (version >= 7) 2 + 4 else 0) +
+        4 + r.topics.map { case (n, ps) =>
+          strSize(n) + 4 + ps.map { p =>
+            4 + 2 + 8 + (if (version >= 4) 8 else 0) +
+              (if (version >= 5) 8 else 0) +
+              (if (version >= 4) 4 + p.aborted.map(_.size * 16).getOrElse(0) else 0) +
+              (if (version >= 11) 4 else 0) +
+              4 + p.records.map(_.length).getOrElse(0)
+          }.sum
+        }.sum
+    }
+
+    def encode(version: Int, r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (version >= 1) b.putInt(r.throttleMs)
+      if (version >= 7) { b.putShort(r.errorCode); b.putInt(r.sessionId) }
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putStr(b, name)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putShort(p.errorCode)
+          b.putLong(p.highWatermark)
+          if (version >= 4) b.putLong(p.lastStableOffset)
+          if (version >= 5) b.putLong(p.logStartOffset)
+          if (version >= 4) p.aborted match {
+            case None => b.putInt(-1)
+            case Some(as) =>
+              b.putInt(as.size)
+              as.foreach { case (pid, off) => b.putLong(pid); b.putLong(off) }
+          }
+          if (version >= 11) b.putInt(p.preferredReadReplica)
+          p.records match {
+            case None => b.putInt(-1)
+            case Some(bytes) => b.putInt(bytes.length); b.put(bytes)
+          }
+        }
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Response = {
+      require(ValidVersions.contains(version), s"fetch_resp version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = if (version >= 1) b.getInt() else 0
+      val (err, sid) = if (version >= 7) (b.getShort(), b.getInt())
+        else (0.toShort, 0)
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt(); val perr = b.getShort(); val hwm = b.getLong()
+          val lso = if (version >= 4) b.getLong() else -1L
+          val logStart = if (version >= 5) b.getLong() else -1L
+          val aborted = if (version >= 4) {
+            val n = b.getInt()
+            if (n < 0) None
+            else Some((0 until n).map(_ => (b.getLong(), b.getLong())): Seq[(Long, Long)])
+          } else None
+          val prr = if (version >= 11) b.getInt() else -1
+          val rl = b.getInt()
+          val recs = if (rl < 0) None else Some(readLegacyBytes(b, rl))
+          Part(idx, perr, hwm, lso, logStart, aborted, prr, recs)
+        }
+        (name, parts: Seq[Part])
+      }
+      require(!b.hasRemaining, "trailing bytes after fetch response")
+      Response(throttle, err, sid, topics)
+    }
+  }
+
+  // -------------------------------------------- ListOffsets response 0-5
+
+  object ListOffsetsRespV {
+    val ValidVersions: Range = 0 to 5
+
+    final case class Part(partitionIndex: Int, errorCode: Short,
+        oldStyleOffsets: Seq[Long], timestamp: Long, offset: Long,
+        leaderEpoch: Int)
+    final case class Response(throttleMs: Int, topics: Seq[(String, Seq[Part])])
+
+    def size(version: Int, r: Response): Int = {
+      require(ValidVersions.contains(version), s"list_offsets_resp version $version")
+      (if (version >= 2) 4 else 0) + 4 + r.topics.map { case (n, ps) =>
+        strSize(n) + 4 + ps.map(p =>
+          4 + 2 + (if (version == 0) 4 + 8 * p.oldStyleOffsets.size else 8 + 8) +
+            (if (version >= 4) 4 else 0)).sum
+      }.sum
+    }
+
+    def encode(version: Int, r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (version >= 2) b.putInt(r.throttleMs)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (name, parts) =>
+        putStr(b, name)
+        b.putInt(parts.size)
+        parts.foreach { p =>
+          b.putInt(p.partitionIndex); b.putShort(p.errorCode)
+          if (version == 0) {
+            b.putInt(p.oldStyleOffsets.size); p.oldStyleOffsets.foreach(b.putLong)
+          } else { b.putLong(p.timestamp); b.putLong(p.offset) }
+          if (version >= 4) b.putInt(p.leaderEpoch)
+        }
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Response = {
+      require(ValidVersions.contains(version), s"list_offsets_resp version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = if (version >= 2) b.getInt() else 0
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val parts = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt(); val err = b.getShort()
+          val (old, ts, off) =
+            if (version == 0)
+              (((0 until b.getInt()).map(_ => b.getLong())): Seq[Long], -1L, -1L)
+            else (Seq.empty[Long], b.getLong(), b.getLong())
+          val epoch = if (version >= 4) b.getInt() else -1
+          Part(idx, err, old, ts, off, epoch)
+        }
+        (name, parts: Seq[Part])
+      }
+      require(!b.hasRemaining, "trailing bytes after list_offsets response")
+      Response(throttle, topics)
+    }
+  }
+
+  // ------------------------------------------- OffsetCommit response 0-8
+
+  object OffsetCommitRespV {
+    val ValidVersions: Range = 0 to 8
+    def flexible(version: Int): Boolean = version >= 8
+
+    final case class Response(throttleMs: Int,
+        topics: Seq[(String, Seq[(Int, Short)])])
+
+    def size(version: Int, r: Response): Int = {
+      require(ValidVersions.contains(version), s"offset_commit_resp version $version")
+      if (!flexible(version))
+        (if (version >= 3) 4 else 0) + 4 + r.topics.map { case (n, ps) =>
+          strSize(n) + 4 + 6 * ps.size
+        }.sum
+      else
+        4 + uvarintSize(r.topics.size + 1L) + r.topics.map { case (n, ps) =>
+          compactStringSize(n) + uvarintSize(ps.size + 1L) + 7 * ps.size + 1
+        }.sum + 1
+    }
+
+    def encode(version: Int, r: Response): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (!flexible(version)) {
+        if (version >= 3) b.putInt(r.throttleMs)
+        b.putInt(r.topics.size)
+        r.topics.foreach { case (name, parts) =>
+          putStr(b, name)
+          b.putInt(parts.size)
+          parts.foreach { case (idx, err) => b.putInt(idx); b.putShort(err) }
+        }
+      } else {
+        b.putInt(r.throttleMs)
+        putCompactArrayLen(b, r.topics.size)
+        r.topics.foreach { case (name, parts) =>
+          putCompactString(b, name)
+          putCompactArrayLen(b, parts.size)
+          parts.foreach { case (idx, err) =>
+            b.putInt(idx); b.putShort(err); putEmptyTags(b)
+          }
+          putEmptyTags(b)
+        }
+        putEmptyTags(b)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Response = {
+      require(ValidVersions.contains(version), s"offset_commit_resp version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val r =
+        if (!flexible(version)) {
+          val throttle = if (version >= 3) b.getInt() else 0
+          Response(throttle, (0 until b.getInt()).map { _ =>
+            val name = getStr(b)
+            (name, (0 until b.getInt()).map(_ =>
+              (b.getInt(), b.getShort())): Seq[(Int, Short)])
+          })
+        } else {
+          val throttle = b.getInt()
+          val topics = (0 until getCompactArrayLen(b)).map { _ =>
+            val name = getCompactString(b)
+            val parts = (0 until getCompactArrayLen(b)).map { _ =>
+              val p = (b.getInt(), b.getShort()); getTags(b); p
+            }
+            getTags(b)
+            (name, parts: Seq[(Int, Short)])
+          }
+          getTags(b)
+          Response(throttle, topics)
+        }
+      require(!b.hasRemaining, "trailing bytes after offset_commit response")
+      r
+    }
+  }
+
+  // ---------------------------------------------- JoinGroup response 0-6
+
+  object JoinGroupRespV {
+    import WireHeaders.JoinGroup.{Response, Member}
+    val ValidVersions: Range = 0 to 6
+    def flexible(version: Int): Boolean = version >= 6
+
+    def size(version: Int, r: Response): Int = {
+      require(ValidVersions.contains(version), s"join_group_resp version $version")
+      require(!flexible(version), "flexible size comes from the encoder")
+      (if (version >= 2) 4 else 0) + 2 + 4 + strSize(r.protocolName) +
+        strSize(r.leader) + strSize(r.memberId) + 4 + r.members.map(m =>
+          strSize(m.memberId) +
+            (if (version >= 5) nullableStrSize(m.groupInstanceId) else 0) +
+            4 + m.metadata.length).sum
+    }
+
+    def encode(version: Int, r: Response): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.JoinGroup.encodeResponse(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      if (version >= 2) b.putInt(r.throttleMs)
+      b.putShort(r.errorCode); b.putInt(r.generationId)
+      putStr(b, r.protocolName); putStr(b, r.leader); putStr(b, r.memberId)
+      b.putInt(r.members.size)
+      r.members.foreach { m =>
+        putStr(b, m.memberId)
+        if (version >= 5) putNullableStr(b, m.groupInstanceId)
+        b.putInt(m.metadata.length); b.put(m.metadata)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Response = {
+      require(ValidVersions.contains(version), s"join_group_resp version $version")
+      if (flexible(version)) return WireHeaders.JoinGroup.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = if (version >= 2) b.getInt() else 0
+      val err = b.getShort(); val gen = b.getInt()
+      val proto = getStr(b); val leader = getStr(b); val mid = getStr(b)
+      val members = (0 until b.getInt()).map { _ =>
+        val m = getStr(b)
+        val gi = if (version >= 5) getNullableStr(b) else None
+        val n = b.getInt()
+        Member(m, gi, readLegacyBytes(b, n))
+      }
+      require(!b.hasRemaining, "trailing bytes after join_group response")
+      Response(throttle, err, gen, proto, leader, mid, members)
+    }
+  }
+
   // ----------------------------------------------------- JoinGroup 0-6
 
   object JoinGroupV {

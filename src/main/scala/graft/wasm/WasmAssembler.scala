@@ -111,6 +111,8 @@ object WasmAssembler {
   final case class Func(typeIdx: Int, localI32s: Int, localI64s: Int, body: Body)
   final case class Export(name: String, funcIdx: Int)
   final case class Data(offset: Int, bytes: Array[Byte])
+  /** (valtype byte, mutable, init value as an i32/i64 const). */
+  final case class Global(valType: Byte, mutable: Boolean, init: Long)
 
   /** Assemble a module: types, imports, funcs (in order), memory pages,
     * exports, data segments, optional start function index. */
@@ -123,7 +125,8 @@ object WasmAssembler {
       datas: Seq[Data] = Nil,
       start: Option[Int] = None,
       exportMemory: Boolean = true,
-      tableFuncs: Seq[Int] = Nil): Array[Byte] = {
+      tableFuncs: Seq[Int] = Nil,
+      globals: Seq[Global] = Nil): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0)
 
@@ -153,6 +156,13 @@ object WasmAssembler {
       section(4, vec(1, Array[Byte](0x70, 0) ++ ulebBytes(tableFuncs.size)))
     // memory section
     section(5, vec(1, Array[Byte](0) ++ ulebBytes(memPages)))
+    // global section (valtype, mut flag, const-init expr)
+    if (globals.nonEmpty)
+      section(6, vec(globals.size, globals.flatMap { g =>
+        Array[Byte](g.valType, if (g.mutable) 1 else 0,
+          if (g.valType == 0x7e.toByte) 0x42.toByte else 0x41.toByte) ++
+          slebBytes(g.init) ++ Array[Byte](0x0b)
+      }.toArray))
     // export section
     val memExport = if (exportMemory)
       Seq(str("memory") ++ Array[Byte](2) ++ ulebBytes(0)) else Nil

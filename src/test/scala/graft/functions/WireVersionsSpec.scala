@@ -153,6 +153,98 @@ class WireVersionsSpec extends AnyFunSuite {
     assert(JoinGroupV.encode(6, joinReq).length === 63)
   }
 
+  private val produceResp = WireHeaders.Produce.Response(
+    Seq(("events", Seq(WireHeaders.Produce.RespPart(0, 0, 42L, 1700000000000L,
+      7L, Seq((2, Some("bad"))), Some("oops"))))), throttleMs = 5)
+
+  test("produce response 0-8: append-time/log-start/record-errors gates") {
+    for (v <- ProduceRespV.ValidVersions) {
+      val bytes = ProduceRespV.encode(v, produceResp)
+      assert(bytes.length === ProduceRespV.size(v, produceResp), s"v$v size")
+      val back = ProduceRespV.decode(v, bytes)
+      val p = back.responses.head._2.head
+      assert(p.baseOffset === 42L)
+      assert(p.logAppendTimeMs === (if (v >= 2) 1700000000000L else -1L), s"v$v")
+      assert(p.logStartOffset === (if (v >= 5) 7L else -1L), s"v$v")
+      assert(p.recordErrors === (if (v >= 8) Seq((2, Some("bad"))) else Nil), s"v$v")
+      assert(p.errorMessage === (if (v >= 8) Some("oops") else None), s"v$v")
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+    }
+    // v0: n(4)+events(2+6)+np(4)+p(4+2+8) = 30; v1 +throttle 4;
+    // v2 +8; v5 +8; v8 + recErrs 4+(4+2+3) + errMsg (2+4)
+    assert(ProduceRespV.encode(0, produceResp).length === 30)
+    assert(ProduceRespV.encode(8, produceResp).length === 30 + 4 + 16 + 13 + 6)
+  }
+
+  private val fetchResp = FetchRespV.Response(5, 0, 77, Seq(("events", Seq(
+    FetchRespV.Part(0, 0, 100L, 90L, 3L, Some(Seq((9L, 50L))), 2,
+      Some(Array.tabulate(64)(_.toByte)))))))
+
+  test("fetch response 0-11: lso/aborted/session/replica gates") {
+    for (v <- FetchRespV.ValidVersions) {
+      val bytes = FetchRespV.encode(v, fetchResp)
+      assert(bytes.length === FetchRespV.size(v, fetchResp), s"v$v size")
+      val back = FetchRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(back.sessionId === (if (v >= 7) 77 else 0), s"v$v")
+      val p = back.topics.head._2.head
+      assert(p.highWatermark === 100L)
+      assert(p.lastStableOffset === (if (v >= 4) 90L else -1L), s"v$v")
+      assert(p.logStartOffset === (if (v >= 5) 3L else -1L), s"v$v")
+      assert(p.aborted === (if (v >= 4) Some(Seq((9L, 50L))) else None), s"v$v")
+      assert(p.preferredReadReplica === (if (v >= 11) 2 else -1), s"v$v")
+      assert(p.records.get.length === 64)
+    }
+    // v0: n(4)+events(8)+np(4)+p(4+2+8+reclen 4+64) = 98
+    assert(FetchRespV.encode(0, fetchResp).length === 98)
+    // v4 +throttle(4)+lso(8)+aborted(4+16); v5 +8; v7 +6; v11 +4
+    assert(FetchRespV.encode(11, fetchResp).length === 98 + 4 + 8 + 20 + 8 + 6 + 4)
+  }
+
+  test("list_offsets response 0-5: v0 old-style offsets vs v1+ pair") {
+    val resp = ListOffsetsRespV.Response(5, Seq(("events", Seq(
+      ListOffsetsRespV.Part(0, 0, Seq(10L, 20L), 1700000000000L, 42L, 3)))))
+    for (v <- ListOffsetsRespV.ValidVersions) {
+      val bytes = ListOffsetsRespV.encode(v, resp)
+      assert(bytes.length === ListOffsetsRespV.size(v, resp), s"v$v size")
+      val back = ListOffsetsRespV.decode(v, bytes)
+      val p = back.topics.head._2.head
+      assert(p.oldStyleOffsets === (if (v == 0) Seq(10L, 20L) else Nil), s"v$v")
+      assert(p.timestamp === (if (v >= 1) 1700000000000L else -1L), s"v$v")
+      assert(p.offset === (if (v >= 1) 42L else -1L), s"v$v")
+      assert(p.leaderEpoch === (if (v >= 4) 3 else -1), s"v$v")
+      assert(back.throttleMs === (if (v >= 2) 5 else 0), s"v$v")
+    }
+  }
+
+  test("offset_commit response 0-8 and join_group response 0-6") {
+    val cResp = OffsetCommitRespV.Response(5,
+      Seq(("events", Seq((0, 0.toShort), (1, 16.toShort)))))
+    for (v <- OffsetCommitRespV.ValidVersions) {
+      val bytes = OffsetCommitRespV.encode(v, cResp)
+      assert(bytes.length === OffsetCommitRespV.size(v, cResp), s"v$v size")
+      val back = OffsetCommitRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 3) 5 else 0), s"v$v")
+      assert(back.topics.head._2 === Seq((0, 0.toShort), (1, 16.toShort)))
+    }
+    // flexible v8: throttle(4)+arr(1)+events(1+6)+arr(1)
+    //  +2*(4+2+tag1)+topicTag(1)+topTag(1) = 29
+    assert(OffsetCommitRespV.encode(8, cResp).length === 29)
+    val jResp = WireHeaders.JoinGroup.Response(5, 0, 3, "range", "m-1", "m-2",
+      Seq(WireHeaders.JoinGroup.Member("m-1", Some("inst-1"),
+        Array.tabulate(8)(_.toByte))))
+    for (v <- JoinGroupRespV.ValidVersions) {
+      val bytes = JoinGroupRespV.encode(v, jResp)
+      val back = JoinGroupRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 2) 5 else 0), s"v$v")
+      assert(back.generationId === 3 && back.protocolName === "range")
+      assert(back.members.head.groupInstanceId ===
+        (if (v >= 5) Some("inst-1") else None), s"v$v")
+      assert(back.members.head.metadata.length === 8)
+      if (v < 6) assert(bytes.length === JoinGroupRespV.size(v, jResp), s"v$v size")
+    }
+  }
+
   test("corrupt frames are rejected cleanly across versions") {
     val bytes = FetchV.encode(11, fetchReq)
     // trailing garbage

@@ -568,6 +568,35 @@ class WasmSpecVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("globals: mutable counter persists across calls; i64 init decodes") {
+    import WasmAssembler.Global
+    // bump() = { g0 = g0 + 1; return g0 }; big() = g1 (i64 const init)
+    val bump = body().globalGet(0).i32Const(1).i32Add().globalSet(0).globalGet(0)
+    val big = body().globalGet(1)
+    val inst = instantiate(module(
+      types = Seq((Seq.empty, Seq(I32)), (Seq.empty, Seq(I64))),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0, bump), Func(1, 0, 0, big)),
+      memPages = 1,
+      exports = Seq(Export("bump", 0), Export("big", 1)),
+      globals = Seq(Global(I32, mutable = true, 10),
+        Global(I64, mutable = false, 0x123456789abL))), noHost)
+    assert(inst.invokeExport("bump", Array.empty).head === 11L)
+    assert(inst.invokeExport("bump", Array.empty).head === 12L)
+    assert(inst.invokeExport("bump", Array.empty).head === 13L)
+    assert(inst.invokeExport("big", Array.empty).head === 0x123456789abL)
+    // a second instance of the same module starts from the init value
+    val inst2 = instantiate(module(
+      types = Seq((Seq.empty, Seq(I32))),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0,
+        body().globalGet(0).i32Const(1).i32Add().globalSet(0).globalGet(0))),
+      memPages = 1,
+      exports = Seq(Export("bump", 0)),
+      globals = Seq(Global(I32, mutable = true, 0))), noHost)
+    assert(inst2.invokeExport("bump", Array.empty).head === 1L)
+  }
+
   test("memory.grow observes the declared max and memory.size tracks it") {
     val grow = body().localGet(0).memoryGrow()
     val size = body().memorySize()
