@@ -683,14 +683,6 @@ object TextAnalysis {
     })
   }
 
-  /** Space-joined n-gram array over a token array (n ≥ 2); empty when
-    * the document is shorter than n. */
-  private def ngramsOf(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /**
    * The FULL Gopher repetition-signal battery (Rae et al. 2021 §A1.1,
    * the filters MassiveText/FineWeb/Dolma run document-by-document):
@@ -709,6 +701,7 @@ object TextAnalysis {
    * explode+groupBy — an independent algorithm agreeing bit-for-bit.
    */
   def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val thresholds: Map[String, Double] = Map(
       "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
       "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20,
@@ -721,6 +714,12 @@ object TextAnalysis {
       when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"),
       split(textCol, "\n").as("__lines"), split(textCol, "\n\n").as("__paras"))
+      // all nine n-gram masses from the native one-pass kernel
+      // ([[graft.functions.RepetitionNgramStats]]) — bit-identical to
+      // the per-n sort_array + dupMass fold, which built and sorted
+      // nine joined-gram string arrays per document and dominated this
+      // operator's runtime (the steepest entry in the 10x scale probe)
+      .withColumn("__rep", call_function("repetition_ngram_stats", col("__toks")))
     def segStats(arr: Column, prefix: String): Seq[(String, Column)] = {
       val m = dupMass(sort_array(arr))
       Seq(
@@ -731,9 +730,9 @@ object TextAnalysis {
     }
     val wordChars = length(concat_ws(" ", col("__toks")))
     val tops = (2 to 4).map(n => s"top_${n}gram_char_frac" ->
-      frac(dupMass(sort_array(ngramsOf(col("__toks"), n))).getField("top"), wordChars))
+      frac(col("__rep").getField(s"top$n"), wordChars))
     val dups = (5 to 10).map(n => s"dup_${n}gram_char_frac" ->
-      frac(dupMass(sort_array(ngramsOf(col("__toks"), n))).getField("dup"), wordChars))
+      frac(col("__rep").getField(s"dup$n"), wordChars))
     val signals = segStats(col("__lines"), "line") ++
       segStats(col("__paras"), "para") ++ tops ++ dups
     val keep = signals.map { case (name, c) => c <= thresholds(name) }

@@ -143,6 +143,9 @@ object GraftFunctions {
       "poly_fingerprint", (args: Seq[Expression]) =>
         PolyFingerprint(args.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "repetition_ngram_stats", (args: Seq[Expression]) =>
+        RepetitionNgramStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "kafka_batch_encode", (args: Seq[Expression]) => {
         arity("kafka_batch_encode", args, 1, 2)
         KafkaBatchEncode(args.head,

@@ -127,6 +127,83 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One n-gram group key: a token-array slice compared by CONTENT
+    * (exact sequence equality — tokens are whitespace-free, so this is
+    * identical to equality of the space-joined gram string). */
+  private final class Gram(val ts: Array[org.apache.spark.unsafe.types.UTF8String],
+      val start: Int, val n: Int) {
+    override val hashCode: Int = {
+      var h = 1; var i = start
+      while (i < start + n) { h = h * 31 + ts(i).hashCode(); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = {
+      val g = o.asInstanceOf[Gram]
+      if (g.start == start) return true
+      var i = 0
+      while (i < n) {
+        if (!ts(start + i).equals(g.ts(g.start + i))) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /**
+   * The FULL Gopher n-gram repetition battery in ONE pass over the
+   * token array: top-{2,3,4}-gram char masses (max over grams occurring
+   * ≥ 2 times of count × joined char length) and duplicate-{5..10}-gram
+   * char masses (Σ (count−1) × length) — bit-identical to the
+   * sort_array + fold spelling ([[graft.analytics.TextAnalysis]]
+   * `dupMass`), which builds, sorts and folds NINE arrays of joined
+   * gram strings per document. Here grams are grouped by token-slice
+   * content (no join strings materialize) and the char length comes
+   * from a prefix sum of token lengths (+ n−1 joiner spaces).
+   */
+  def repetitionNgramStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val l = toks.numElements()
+    val ts = new Array[org.apache.spark.unsafe.types.UTF8String](l)
+    val pre = new Array[Long](l + 1)
+    var i = 0
+    while (i < l) {
+      val t = toks.getUTF8String(i)
+      ts(i) = t
+      pre(i + 1) = pre(i) + t.numChars()
+      i += 1
+    }
+    val out = new Array[Long](9)
+    var n = 2
+    while (n <= 10) {
+      if (l >= n) {
+        val map = new java.util.HashMap[Gram, Array[Int]](l * 2)
+        var s = 0
+        while (s + n <= l) {
+          val g = new Gram(ts, s, n)
+          val v = map.get(g)
+          if (v == null) map.put(g, Array(1, s)) else v(0) += 1
+          s += 1
+        }
+        var top = 0L; var dup = 0L
+        val it = map.values().iterator()
+        while (it.hasNext) {
+          val v = it.next()
+          val c = v(0)
+          if (c >= 2) {
+            val st = v(1)
+            val len = pre(st + n) - pre(st) + (n - 1)
+            val mass = c.toLong * len
+            if (mass > top) top = mass
+            dup += (c - 1).toLong * len
+          }
+        }
+        out(n - 2) = if (n <= 4) top else dup
+      }
+      n += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(out(0), out(1), out(2), out(3),
+      out(4), out(5), out(6), out(7), out(8))
+  }
+
   def polyFingerprint(th: ArrayData): Long = {
     val n = th.numElements()
     var h1 = 0L; var h2 = 0L
@@ -196,6 +273,33 @@ case class TopGramProfile(child: Expression, n: Int, k: Int)
     defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.topGramProfile($a, $n, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): TopGramProfile =
+    copy(child = newChild)
+}
+
+/** `repetition_ngram_stats(array<string>) -> struct<top2..top4,
+  * dup5..dup10: long>` — all nine Gopher n-gram repetition masses in
+  * one pass (no per-n gram-array build + sort + fold). */
+case class RepetitionNgramStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    (Seq("top2", "top3", "top4") ++ (5 to 10).map(n => s"dup$n")).map(f =>
+      org.apache.spark.sql.types.StructField(f, LongType, nullable = false)))
+  override def prettyName: String = "repetition_ngram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_ngram_stats requires array<string> input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.repetitionNgramStats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernels.repetitionNgramStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionNgramStats =
     copy(child = newChild)
 }
 
