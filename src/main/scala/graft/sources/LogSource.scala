@@ -191,7 +191,8 @@ class LogScanBuilder(path: String) extends ScanBuilder
 }
 
 class LogScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private def longOf(v: Any): Long = v match {
     case i: Int => i.toLong
@@ -227,6 +228,32 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
   private lazy val all = LogSource.parseIndex(path)
   private lazy val kept = all.filter(bounds.segmentSurvives)
 
+  // Runtime (join-driven) partition restriction — dynamic partition
+  // pruning's DSv2 hook: a selective dimension join on `partition`
+  // hands the surviving keys here AFTER the build side runs, and whole
+  // segment files drop before any task launches. At 100 TB this is the
+  // difference between scanning every partition's segments and only
+  // the joined ones.
+  private var runtimePartitions: Option[Set[Int]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("partition"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("partition", vs) =>
+        runtimePartitions = Some(vs.map(longOf(_).toInt).toSet)
+      case EqualTo("partition", v) =>
+        runtimePartitions = Some(Set(longOf(v).toInt))
+      case _ => () // non-partition runtime filters don't prune segments
+    }
+
+  private def runtimeKept: Seq[LogSource.Segment] = runtimePartitions match {
+    case None => kept
+    case Some(ps) => kept.filter(s => ps.contains(s.partition))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -237,7 +264,7 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
       s"pushed=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(s => LogInputPartition(s, bounds)).toArray
+    runtimeKept.map(s => LogInputPartition(s, bounds)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new LogReaderFactory(required.fieldNames.toIndexedSeq)
 

@@ -290,6 +290,31 @@ class LogSourceSpec extends SparkSpec {
     assert(spark.read.format("graftlog").option("path", dir).load().count() === 5)
   }
 
+  test("runtime (join-driven) filters prune whole segments before task launch") {
+    import org.apache.spark.sql.sources.{In => SIn}
+    // direct contract: the planner hands the surviving join keys to
+    // filter() after the build side runs; planInputPartitions shrinks
+    val builder = new LogScanBuilder(root)
+    val scan = builder.build().asInstanceOf[LogScan]
+    assert(scan.planInputPartitions().length === 4)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("partition"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("partition", Array(1))))
+    assert(scan.planInputPartitions().length === 2) // only p1's segments
+    // a non-partition runtime filter must not prune anything
+    val scan2 = new LogScanBuilder(root).build().asInstanceOf[LogScan]
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("offset", Array(1L))))
+    assert(scan2.planInputPartitions().length === 4)
+    // end-to-end: a selective dimension join stays correct
+    import spark.implicits._
+    val dim = Seq((1, "keep")).toDF("partition", "tag")
+    val joined = table.join(dim, Seq("partition"))
+    assert(joined.count() === 12)
+    assert(joined.select("offset").collect().map(_.getLong(0)).sorted ===
+      (0L until 12L).toArray)
+  }
+
   test("unsupported filters stay with Spark, supported ones bind exactly") {
     // value-based predicate is NOT pushable; correctness must hold
     val n = table.where(col("value").cast("string") === "v3").count()
