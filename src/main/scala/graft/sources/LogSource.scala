@@ -164,9 +164,16 @@ class LogTable(path: String) extends Table with SupportsRead
 }
 
 class LogScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = LogSource.Schema
+  private var limit: Int = -1
+
+  // Per-reader early exit: each task stops walking batch headers after
+  // `limit` surviving rows (Spark still applies the global LIMIT on
+  // top — hence `false` = partial pushdown).
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -187,10 +194,11 @@ class LogScanBuilder(path: String) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new LogScan(path, pushed, required)
+    new LogScan(path, pushed, required, limit)
 }
 
-class LogScan(path: String, pushed: Array[Filter], required: StructType)
+class LogScan(path: String, pushed: Array[Filter], required: StructType,
+    limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -261,10 +269,11 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
     new LogMicroBatchStream(path, bounds, required.fieldNames.toIndexedSeq)
   override def description(): String =
     s"GraftLogScan segments=${kept.size}/${all.size} " +
-      s"pushed=[${pushed.mkString(", ")}]"
+      s"pushed=[${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    runtimeKept.map(s => LogInputPartition(s, bounds)).toArray
+    runtimeKept.map(s => LogInputPartition(s, bounds, limit)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new LogReaderFactory(required.fieldNames.toIndexedSeq)
 
@@ -276,7 +285,7 @@ class LogScan(path: String, pushed: Array[Filter], required: StructType)
 }
 
 final case class LogInputPartition(segment: LogSource.Segment,
-    bounds: LogSource.Bounds) extends InputPartition
+    bounds: LogSource.Bounds, limit: Int = -1) extends InputPartition
 
 /**
  * The WRITE path: the writer DECLARES what a log segment needs —
@@ -629,9 +638,15 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
     false
   }
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    // pushed LIMIT: stop walking headers once this reader has produced
+    // enough rows for the global limit on its own
+    if (p.limit >= 0 && emitted >= p.limit) return false
     while (!rows.hasNext) if (!nextBatch()) return false
     current = rows.next()
+    emitted += 1
     true
   }
   override def get(): InternalRow = current

@@ -315,6 +315,24 @@ class LogSourceSpec extends SparkSpec {
       (0L until 12L).toArray)
   }
 
+  test("pushed LIMIT stops each reader early; global limit stays exact") {
+    val q = table.limit(3)
+    assert(q.queryExecution.executedPlan.toString.contains("limit=3"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() === 3)
+    // reader-level: a limited reader emits exactly `limit` rows and
+    // stops walking headers (bytesFetched stays below the full segment)
+    val seg = LogSource.parseIndex(root).head
+    val r = new LogPartitionReader(LogInputPartition(seg,
+      LogSource.Bounds(None, Long.MinValue, Long.MaxValue,
+        Long.MinValue, Long.MaxValue), limit = 2),
+      Seq("partition", "offset"))
+    var n = 0
+    while (r.next()) n += 1
+    r.close()
+    assert(n === 2)
+  }
+
   test("unsupported filters stay with Spark, supported ones bind exactly") {
     // value-based predicate is NOT pushable; correctness must hold
     val n = table.where(col("value").cast("string") === "v3").count()
