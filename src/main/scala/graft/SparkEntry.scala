@@ -7340,9 +7340,50 @@ object SparkEntry {
       // bodies — the JSON field names are the pinned contract.
       import s.implicits._
       import graft.admin.AdminApi
+      import graft.log.TxnEngine
       import com.fasterxml.jackson.databind.ObjectMapper
       val m = new ObjectMapper()
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
+      // /v1/transactions renders the COORDINATOR ENGINE's state: the
+      // same marker-carrying fixture shape t3 uses (one ongoing, one
+      // committed, one aborted txn), listed by TxnEngine.listTransactions
+      // and detailed by describeTransactions (bounded collects, 3 txns)
+      val txnLog = Seq(
+        (0, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (1, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (0, 1L, 11L, 1, 0L, false, null.asInstanceOf[String], 1),
+        (0, 2L, 11L, 1, 0L, true, "commit", 1),
+        (1, 1L, 12L, 0, 0L, false, null.asInstanceOf[String], 1),
+        (1, 2L, 12L, 0, 0L, true, "abort", 1))
+        .toDF("partition", "offset", "pid", "epoch", "txn_seq",
+          "is_control", "decision", "batch_type")
+      val txnParts = TxnEngine.describeTransactions(txnLog).collect()
+        .groupBy(_.getLong(0))
+        .map { case (pid, rs) =>
+          pid -> rs.map(r => ("kafka", "events", r.getInt(2))).toSeq.sorted
+        }
+      val txnProvider = () => TxnEngine.listTransactions(txnLog).collect()
+        .map(r => AdminApi.TxnSummary(s"tx-${r.getLong(0)}", r.getLong(0),
+          0, r.getLong(1), r.getString(2), 60000L,
+          txnParts.getOrElse(r.getLong(0), Nil)))
+        .sortBy(_.producerId).toSeq
+      // /v1/usage renders the METERING ENGINE's tumbling windows
+      // (Operators.usageWindows) over a fixed event slice
+      val usageSrc = Seq(
+        (1700000000000L, "n0", 100L), (1700000060000L, "n0", 200L),
+        (1700003600000L, "n0", 500L))
+        .toDF("ts", "grp", "bytes")
+      val usageProvider = () => {
+        val ws = graft.operators.Operators.usageWindows(usageSrc,
+          timestamp_millis(col("ts")), col("grp"), col("bytes"))
+          .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(2)))
+          .sortBy(_._1).toSeq
+        ws.zipWithIndex.map { case ((start, bytes), i) =>
+          AdminApi.UsageWindow(start, start + 3600000L, i == ws.size - 1,
+            bytes, bytes)
+        }
+      }
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
+        transactions = txnProvider, usage = usageProvider)
       srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
       srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
       srv.addPartition("kafka", "audit", 0, leader = 2, replicas = Seq(2))
@@ -7417,7 +7458,21 @@ object SparkEntry {
         ("GET", "/v1/debug_bundle/10000000-0000-4000-8000-000000000001",
           None, r => "status=" + j(r.body).get("status").asText()),
         ("GET", "/v1/cluster/uuid", None, r =>
-          "uuid=" + j(r.body).get("cluster_uuid").asText().takeRight(1)))
+          "uuid=" + j(r.body).get("cluster_uuid").asText().takeRight(1)),
+        ("GET", "/v1/transactions", None, r => {
+          val a = j(r.body)
+          val rows = (0 until a.size()).map(a.get)
+          s"n=${a.size()};" + rows.map(t =>
+            s"${t.get("transactional_id").asText()}:${t.get("status").asText()}" +
+              s":p${t.get("partitions").size()}").mkString(",")
+        }),
+        ("GET", "/v1/usage", None, r => {
+          val a = j(r.body)
+          val rows = (0 until a.size()).map(a.get)
+          s"windows=${a.size()};" + rows.map(w =>
+            s"${w.get("kafka_bytes_sent_count").asLong()}@${
+              w.get("open").asBoolean()}").mkString(",")
+        }))
       script.zipWithIndex.map { case ((method, path, b, extract), i) =>
         val resp = srv.handle(method, path, b)
         (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
@@ -13050,7 +13105,9 @@ object SparkEntry {
         |  (26, 'POST', '/v1/debug_bundle', 409, 'code=409'),
         |  (27, 'DELETE', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 204, 'cancelled'),
         |  (28, 'GET', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 200, 'status=error'),
-        |  (29, 'GET', '/v1/cluster/uuid', 200, 'uuid=1'))
+        |  (29, 'GET', '/v1/cluster/uuid', 200, 'uuid=1'),
+        |  (30, 'GET', '/v1/transactions', 200, 'n=3;tx-10:Ongoing:p2,tx-11:CompleteCommit:p1,tx-12:CompleteAbort:p1'),
+        |  (31, 'GET', '/v1/usage', 200, 'windows=2;300@false,500@true'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the REST protocol script (routes, status codes,

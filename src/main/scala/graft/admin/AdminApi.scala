@@ -60,8 +60,23 @@ object AdminApi {
   final case class PropMeta(typeName: String, description: String,
       needsRestart: Boolean, nullable: Boolean, visibility: String)
 
+  /** One coordinator-visible transaction (`transaction_summary` in
+    * `api-doc/transaction.json`). */
+  final case class TxnSummary(transactionalId: String, producerId: Long,
+      producerEpoch: Short, txSeq: Long, status: String, timeoutMs: Long,
+      partitions: Seq[(String, String, Int)])
+
+  /** One metering window (`usage_response` in `api-doc/usage.json`). */
+  final case class UsageWindow(beginTs: Long, endTs: Long, open: Boolean,
+      bytesSent: Long, bytesReceived: Long)
+
   final class Server(nodeIds: Seq[Int] = Seq(0, 1, 2), clusterUuid: String =
-      "00000000-0000-4000-8000-000000000001") {
+      "00000000-0000-4000-8000-000000000001",
+      // ENGINE-backed listings: the route layer renders whatever the
+      // transaction coordinator / usage-metering engines currently hold
+      // (bounded control-plane reads, one row per txn / window)
+      transactions: () => Seq[TxnSummary] = () => Nil,
+      usage: () => Seq[UsageWindow] = () => Nil) {
 
     // ------------------------------------------------------------ model
 
@@ -542,6 +557,46 @@ object AdminApi {
               bundleJob = Some((id, "success", created)); Resp(200, "{}")
             case _ => err(404, s"Job $job not running")
           }
+
+        // -------------------------------------------- engine listings
+        case ("GET", "v1" :: "transactions" :: Nil) =>
+          // transaction_summary rows (api-doc/transaction.json) straight
+          // from the coordinator's state table
+          val a = mapper.createArrayNode()
+          transactions().foreach { t =>
+            val o = a.addObject()
+            o.put("transactional_id", t.transactionalId)
+            val pid = o.putObject("pid")
+            pid.put("id", t.producerId); pid.put("epoch", t.producerEpoch.toInt)
+            o.put("tx_seq", t.txSeq)
+            o.put("etag", 0)
+            o.put("status", t.status)
+            o.put("timeout_ms", t.timeoutMs)
+            o.put("staleness_ms", 0L)
+            val ps = o.putArray("partitions")
+            t.partitions.foreach { case (ns, topic, p) =>
+              val po = ps.addObject()
+              po.put("ns", ns); po.put("topic", topic)
+              po.put("partition_id", p); po.put("etag", 0)
+            }
+            o.putArray("groups")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "usage" :: Nil) =>
+          // usage_response windows (api-doc/usage.json), newest first —
+          // the metering engine's ring in the shape rpk reads
+          val a = mapper.createArrayNode()
+          usage().foreach { w =>
+            val o = a.addObject()
+            o.put("begin_timestamp", w.beginTs / 1000) // seconds on the wire
+            o.put("end_timestamp", w.endTs / 1000)
+            o.put("open", w.open)
+            o.put("kafka_bytes_sent_count", w.bytesSent)
+            o.put("kafka_bytes_received_count", w.bytesReceived)
+            o.put("cloud_storage_bytes_gauge", 0L)
+          }
+          Resp(200, mapper.writeValueAsString(a))
 
         // -------------------------------------------------------- status
         case ("GET", "v1" :: "status" :: "ready" :: Nil) =>

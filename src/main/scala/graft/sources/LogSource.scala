@@ -77,8 +77,27 @@ object LogSource {
         s.maxTs >= minTs && s.minTs <= maxTs
   }
 
+  // Parsed-index cache keyed by the sidecar file's identity (mtime +
+  // size): every query — and every streaming micro-batch discovery —
+  // re-reads the index, and at reference scale the sidecar is the
+  // planner's hottest metadata object. An appended index changes mtime
+  // and re-parses; an unchanged one is served from memory.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[Segment]]()
+
   def parseIndex(root: String): Seq[Segment] = {
     val p = Paths.get(root, "_index.jsonl")
+    val key = (p.toString, Files.getLastModifiedTime(p).toMillis, Files.size(p))
+    val hit = indexCache.get(key)
+    if (hit != null) return hit
+    val parsed = parseIndexUncached(p)
+    // drop stale generations of the same path before publishing
+    indexCache.keySet.removeIf(k => k._1 == key._1 && k != key)
+    indexCache.put(key, parsed)
+    parsed
+  }
+
+  private def parseIndexUncached(p: Path): Seq[Segment] = {
     Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
       // fixed-shape JSONL written by the segment writer; parsed
       // positionally to keep the reader dependency-free

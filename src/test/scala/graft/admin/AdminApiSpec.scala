@@ -236,6 +236,35 @@ class AdminApiSpec extends AnyFunSuite {
       .get("status").asText() === "error")
   }
 
+  test("transactions and usage render the engine providers' state") {
+    val s = new Server(nodeIds = Seq(0),
+      transactions = () => Seq(
+        AdminApi.TxnSummary("tx-10", 10L, 2, 3L, "Ongoing", 60000L,
+          Seq(("kafka", "events", 0), ("kafka", "events", 1))),
+        AdminApi.TxnSummary("tx-11", 11L, 0, 1L, "CompleteCommit", 60000L, Nil)),
+      usage = () => Seq(
+        AdminApi.UsageWindow(1700000000000L, 1700003600000L, open = false, 300L, 280L),
+        AdminApi.UsageWindow(1700003600000L, 1700007200000L, open = true, 500L, 450L)))
+    val txns = m.readTree(s.handle("GET", "/v1/transactions").body)
+    assert(txns.size() === 2)
+    val t0 = txns.get(0)
+    assert(t0.get("transactional_id").asText() === "tx-10")
+    assert(t0.get("pid").get("id").asLong() === 10L)
+    assert(t0.get("pid").get("epoch").asInt() === 2)
+    assert(t0.get("status").asText() === "Ongoing")
+    assert(t0.get("partitions").size() === 2)
+    assert(t0.get("partitions").get(0).get("topic").asText() === "events")
+    assert(txns.get(1).get("status").asText() === "CompleteCommit")
+    val usage = m.readTree(s.handle("GET", "/v1/usage").body)
+    assert(usage.size() === 2)
+    val w0 = usage.get(0)
+    assert(w0.get("begin_timestamp").asLong() === 1700000000L) // seconds
+    assert(!w0.get("open").asBoolean())
+    assert(w0.get("kafka_bytes_sent_count").asLong() === 300L)
+    assert(w0.get("kafka_bytes_received_count").asLong() === 280L)
+    assert(usage.get(1).get("open").asBoolean())
+  }
+
   test("cluster uuid, readiness, and unknown routes") {
     val s = freshServer()
     assert(m.readTree(s.handle("GET", "/v1/cluster/uuid").body)
