@@ -568,6 +568,76 @@ class WasmSpecVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("f32/f64 loads and stores round-trip raw IEEE bits") {
+    // st32(addr, bits) = f32.store then f32.load; st64 likewise
+    def fn(store: Int, load: Int) = Func(0, 0, 0,
+      body().localGet(0).localGet(1)
+        .op(store).uleb(0).uleb(0)
+        .localGet(0).op(load).uleb(0).uleb(0))
+    val inst = instantiate(module(
+      types = Seq((Seq(I32, I64), Seq(I64))),
+      imports = Nil,
+      funcs = Seq(fn(0x38, 0x2a), fn(0x39, 0x2b)),
+      memPages = 1,
+      exports = Seq(Export("f32rt", 0), Export("f64rt", 1))), noHost)
+    def rt32(x: Float): Long =
+      inst.invokeExport("f32rt", Array(64L, fb(x))).head
+    def rt64(x: Double): Long =
+      inst.invokeExport("f64rt", Array(64L, db(x))).head
+    assert(rt32(1.5f) === fb(1.5f))
+    assert(rt32(-0.0f) === fb(-0.0f))
+    assert(isNaN32(rt32(Float.NaN)))
+    assert(rt64(math.Pi) === db(math.Pi))
+    assert(rt64(Double.NegativeInfinity) === db(Double.NegativeInfinity))
+    // f32 store narrows: only 4 bytes written (the neighbor survives)
+    val probe = instantiate(module(
+      types = Seq((Seq.empty, Seq(I64))),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0, body()
+        .i32Const(64).i64Const(-1L).op(0x37).uleb(0).uleb(0) // i64.store -1
+        .i32Const(64).i32Const(0).op(0x38).uleb(0).uleb(0)   // f32.store 0.0
+        .i32Const(64).op(0x29).uleb(0).uleb(0))),            // i64.load
+      memPages = 1,
+      exports = Seq(Export("f", 0))), noHost)
+    assert(probe.invokeExport("f", Array.empty).head === 0xffffffff00000000L)
+  }
+
+  test("if/else with a value-typed result on both arms") {
+    // f(c, a, b) = if (c) result i32 { a*2 } else { b+1 }
+    val b = body()
+      .localGet(0)
+      .ifOp(0x7f)
+        .localGet(1).i32Const(2).i32Mul()
+      .elseOp()
+        .localGet(2).i32Const(1).i32Add()
+      .end()
+    val inst = instantiate(module(
+      types = Seq((Seq(I32, I32, I32), Seq(I32))),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0, b)),
+      memPages = 1,
+      exports = Seq(Export("f", 0))), noHost)
+    assert(inst.invokeExport("f", Array(1L, 21L, 100L)).head === 42L)
+    assert(inst.invokeExport("f", Array(0L, 21L, 100L)).head === 101L)
+    // branch OUT of a valued if-arm to the function label
+    val early = body()
+      .localGet(0)
+      .ifOp(0x7f)
+        .i32Const(7).ret()
+      .elseOp()
+        .i32Const(9)
+      .end()
+      .i32Const(1).i32Add()
+    val inst2 = instantiate(module(
+      types = Seq((Seq(I32), Seq(I32))),
+      imports = Nil,
+      funcs = Seq(Func(0, 0, 0, early)),
+      memPages = 1,
+      exports = Seq(Export("f", 0))), noHost)
+    assert(inst2.invokeExport("f", Array(1L)).head === 7L)
+    assert(inst2.invokeExport("f", Array(0L)).head === 10L)
+  }
+
   test("globals: mutable counter persists across calls; i64 init decodes") {
     import WasmAssembler.Global
     // bump() = { g0 = g0 + 1; return g0 }; big() = g1 (i64 const init)
