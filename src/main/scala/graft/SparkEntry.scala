@@ -6893,6 +6893,35 @@ object SparkEntry {
               s"throttle=${r.throttleMs}|gen=${r.generationId}|proto=${
                 r.protocolName}|inst=${
                 r.members.head.groupInstanceId.getOrElse("")}")
+          } ++ {
+            val mReq = WV.MetadataV.Request(Some(Seq("events", "audit")),
+              allowAutoTopicCreation = false,
+              includeClusterAuthorizedOperations = true,
+              includeTopicAuthorizedOperations = true)
+            val mResp = WV.MetadataRespV.Response(5,
+              Seq((0, "host-a", 9092, Some("r0")), (1, "host-b", 9092, None)),
+              Some("cluster-1"), 0,
+              Seq(WV.MetadataRespV.Topic(0, "events", isInternal = false,
+                Seq(WV.MetadataRespV.Part(0, 0, 0, 3, Seq(0, 1), Seq(0, 1),
+                  Seq(2))), authorizedOps = 1020)),
+              clusterAuthorizedOps = 2044)
+            WV.MetadataV.ValidVersions.map { v =>
+              val bytes = WV.MetadataV.encode(v, mReq)
+              val r = WV.MetadataV.decode(v, bytes)
+              ("metadata", v, bytes.length,
+                s"topics=${r.topics.map(_.size).getOrElse(-1)}|auto=${
+                  r.allowAutoTopicCreation}|ops=${
+                  r.includeClusterAuthorizedOperations}")
+            } ++ WV.MetadataRespV.ValidVersions.map { v =>
+              val bytes = WV.MetadataRespV.encode(v, mResp)
+              val r = WV.MetadataRespV.decode(v, bytes)
+              val p = r.topics.head.partitions.head
+              ("metadata_resp", v, bytes.length,
+                s"throttle=${r.throttleMs}|rack=${
+                  r.brokers.head._4.getOrElse("")}|cluster=${
+                  r.clusterId.getOrElse("")}|epoch=${p.leaderEpoch}|offline=${
+                  p.offline.size}|ops=${r.clusterAuthorizedOps}")
+            }
           }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
@@ -12727,7 +12756,7 @@ object SparkEntry {
     // throttle(4); v3 = err(2) + uvarint(n+1)(1 for n<127) + n*(6 +
     // 1 tag buffer) + throttle(4) + body tags(1). Frame adds
     // size(4) + correlation(4); ApiVersions' response header stays v0.
-    // Golden pin of the big-five version matrix (requests AND
+    // Golden pin of the big-six version matrix (requests AND
     // responses): every version's exact byte size and version-visible
     // field set (schemata gates).
     "p6_wire_versions" ->
@@ -12782,6 +12811,26 @@ object SparkEntry {
         |  ('list_offsets_resp', 3, 42, 'throttle=5|old=0|off=42|epoch=-1'),
         |  ('list_offsets_resp', 4, 46, 'throttle=5|old=0|off=42|epoch=3'),
         |  ('list_offsets_resp', 5, 46, 'throttle=5|old=0|off=42|epoch=3'),
+        |  ('metadata', 0, 19, 'topics=2|auto=true|ops=false'),
+        |  ('metadata', 1, 19, 'topics=2|auto=true|ops=false'),
+        |  ('metadata', 2, 19, 'topics=2|auto=true|ops=false'),
+        |  ('metadata', 3, 19, 'topics=2|auto=true|ops=false'),
+        |  ('metadata', 4, 20, 'topics=2|auto=false|ops=false'),
+        |  ('metadata', 5, 20, 'topics=2|auto=false|ops=false'),
+        |  ('metadata', 6, 20, 'topics=2|auto=false|ops=false'),
+        |  ('metadata', 7, 20, 'topics=2|auto=false|ops=false'),
+        |  ('metadata', 8, 22, 'topics=2|auto=false|ops=true'),
+        |  ('metadata', 9, 20, 'topics=2|auto=false|ops=true'),
+        |  ('metadata_resp', 0, 88, 'throttle=0|rack=|cluster=|epoch=-1|offline=0|ops=-2147483648'),
+        |  ('metadata_resp', 1, 99, 'throttle=0|rack=r0|cluster=|epoch=-1|offline=0|ops=-2147483648'),
+        |  ('metadata_resp', 2, 110, 'throttle=0|rack=r0|cluster=cluster-1|epoch=-1|offline=0|ops=-2147483648'),
+        |  ('metadata_resp', 3, 114, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=0|ops=-2147483648'),
+        |  ('metadata_resp', 4, 114, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=0|ops=-2147483648'),
+        |  ('metadata_resp', 5, 122, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=1|ops=-2147483648'),
+        |  ('metadata_resp', 6, 122, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=1|ops=-2147483648'),
+        |  ('metadata_resp', 7, 126, 'throttle=5|rack=r0|cluster=cluster-1|epoch=3|offline=1|ops=-2147483648'),
+        |  ('metadata_resp', 8, 134, 'throttle=5|rack=r0|cluster=cluster-1|epoch=3|offline=1|ops=2044'),
+        |  ('metadata_resp', 9, 115, 'throttle=5|rack=r0|cluster=cluster-1|epoch=3|offline=1|ops=2044'),
         |  ('offset_commit', 0, 49, 'gen=-1|member=|inst=|ret=-1|epoch=-1|ts=-1'),
         |  ('offset_commit', 1, 74, 'gen=7|member=m-1|inst=|ret=-1|epoch=-1|ts=1700000000000'),
         |  ('offset_commit', 2, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),

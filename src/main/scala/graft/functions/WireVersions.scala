@@ -378,6 +378,211 @@ object WireVersions {
     }
   }
 
+  // ------------------------------------------------------ Metadata 0-9
+
+  object MetadataV {
+    val ValidVersions: Range = 0 to 9
+    def flexible(version: Int): Boolean = version >= 9
+
+    /** topics = None means "all topics" (nullable from v1). */
+    final case class Request(topics: Option[Seq[String]],
+        allowAutoTopicCreation: Boolean,
+        includeClusterAuthorizedOperations: Boolean,
+        includeTopicAuthorizedOperations: Boolean)
+
+    def size(version: Int, r: Request): Int = {
+      require(ValidVersions.contains(version), s"metadata version $version")
+      if (!flexible(version))
+        (r.topics match {
+          case None if version >= 1 => 4 // null array = int32 -1
+          case None => 4 // v0 cannot express null: encoded as empty
+          case Some(ts) => 4 + ts.map(t => strSize(t)).sum
+        }) + (if (version >= 4) 1 else 0) + (if (version >= 8) 2 else 0)
+      else
+        (r.topics match {
+          case None => 1
+          case Some(ts) =>
+            uvarintSize(ts.size + 1L) +
+              ts.map(t => compactStringSize(t) + 1).sum // + per-topic tags
+        }) + 1 + 2 + 1 // auto-create + 2 include flags + top tags
+    }
+
+    def encode(version: Int, r: Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (!flexible(version)) {
+        r.topics match {
+          case None if version >= 1 => b.putInt(-1)
+          case None => b.putInt(0)
+          case Some(ts) =>
+            b.putInt(ts.size); ts.foreach(t => putStr(b, t))
+        }
+        if (version >= 4) b.put(if (r.allowAutoTopicCreation) 1.toByte else 0.toByte)
+        if (version >= 8) {
+          b.put(if (r.includeClusterAuthorizedOperations) 1.toByte else 0.toByte)
+          b.put(if (r.includeTopicAuthorizedOperations) 1.toByte else 0.toByte)
+        }
+      } else {
+        r.topics match {
+          case None => putUvarint(b, 0L)
+          case Some(ts) =>
+            putCompactArrayLen(b, ts.size)
+            ts.foreach { t => putCompactString(b, t); putEmptyTags(b) }
+        }
+        b.put(if (r.allowAutoTopicCreation) 1.toByte else 0.toByte)
+        b.put(if (r.includeClusterAuthorizedOperations) 1.toByte else 0.toByte)
+        b.put(if (r.includeTopicAuthorizedOperations) 1.toByte else 0.toByte)
+        putEmptyTags(b)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Request = {
+      require(ValidVersions.contains(version), s"metadata version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val r =
+        if (!flexible(version)) {
+          val n = b.getInt()
+          val topics =
+            if (n < 0) None
+            else Some((0 until n).map(_ => getStr(b)): Seq[String])
+          val auto = if (version >= 4) b.get() != 0 else true
+          val (ic, it) = if (version >= 8) (b.get() != 0, b.get() != 0)
+            else (false, false)
+          Request(topics, auto, ic, it)
+        } else {
+          val n = getUvarint(b)
+          val topics =
+            if (n == 0) None
+            else Some((0 until (n - 1).toInt).map { _ =>
+              val t = getCompactString(b); getTags(b); t
+            }: Seq[String])
+          val auto = b.get() != 0
+          val ic = b.get() != 0; val it = b.get() != 0
+          getTags(b)
+          Request(topics, auto, ic, it)
+        }
+      require(!b.hasRemaining, "trailing bytes after metadata request")
+      r
+    }
+  }
+
+  object MetadataRespV {
+    val ValidVersions: Range = 0 to 9
+    def flexible(version: Int): Boolean = version >= 9
+
+    final case class Part(errorCode: Short, partitionIndex: Int, leaderId: Int,
+        leaderEpoch: Int, replicas: Seq[Int], isr: Seq[Int], offline: Seq[Int])
+    final case class Topic(errorCode: Short, name: String, isInternal: Boolean,
+        partitions: Seq[Part], authorizedOps: Int)
+    final case class Response(throttleMs: Int,
+        brokers: Seq[(Int, String, Int, Option[String])],
+        clusterId: Option[String], controllerId: Int, topics: Seq[Topic],
+        clusterAuthorizedOps: Int)
+
+    def size(version: Int, r: Response): Int = {
+      require(ValidVersions.contains(version), s"metadata_resp version $version")
+      require(!flexible(version), "flexible size from the encoder position")
+      (if (version >= 3) 4 else 0) +
+        4 + r.brokers.map { case (_, h, _, rack) =>
+          4 + strSize(h) + 4 + (if (version >= 1) nullableStrSize(rack) else 0)
+        }.sum +
+        (if (version >= 2) nullableStrSize(r.clusterId) else 0) +
+        (if (version >= 1) 4 else 0) +
+        4 + r.topics.map { t =>
+          2 + strSize(t.name) + (if (version >= 1) 1 else 0) +
+            4 + t.partitions.map { p =>
+              2 + 4 + 4 + (if (version >= 7) 4 else 0) +
+                4 + 4 * p.replicas.size + 4 + 4 * p.isr.size +
+                (if (version >= 5) 4 + 4 * p.offline.size else 0)
+            }.sum + (if (version >= 8) 4 else 0)
+        }.sum + (if (version >= 8) 4 else 0)
+    }
+
+    def encode(version: Int, r: Response): Array[Byte] = {
+      val cap = if (flexible(version)) 4096 else size(version, r)
+      val b = ByteBuffer.allocate(cap)
+      def arr(n: Int): Unit =
+        if (flexible(version)) putCompactArrayLen(b, n) else b.putInt(n)
+      def str(s: String): Unit =
+        if (flexible(version)) putCompactString(b, s) else putStr(b, s)
+      def nstr(s: Option[String]): Unit =
+        if (flexible(version)) putCompactNullableString(b, s)
+        else putNullableStr(b, s)
+      def tags(): Unit = if (flexible(version)) putEmptyTags(b)
+      if (version >= 3) b.putInt(r.throttleMs)
+      arr(r.brokers.size)
+      r.brokers.foreach { case (id, host, port, rack) =>
+        b.putInt(id); str(host); b.putInt(port)
+        if (version >= 1) nstr(rack)
+        tags()
+      }
+      if (version >= 2) nstr(r.clusterId)
+      if (version >= 1) b.putInt(r.controllerId)
+      arr(r.topics.size)
+      r.topics.foreach { t =>
+        b.putShort(t.errorCode); str(t.name)
+        if (version >= 1) b.put(if (t.isInternal) 1.toByte else 0.toByte)
+        arr(t.partitions.size)
+        t.partitions.foreach { p =>
+          b.putShort(p.errorCode); b.putInt(p.partitionIndex)
+          b.putInt(p.leaderId)
+          if (version >= 7) b.putInt(p.leaderEpoch)
+          arr(p.replicas.size); p.replicas.foreach(b.putInt)
+          arr(p.isr.size); p.isr.foreach(b.putInt)
+          if (version >= 5) { arr(p.offline.size); p.offline.foreach(b.putInt) }
+          tags()
+        }
+        if (version >= 8) b.putInt(t.authorizedOps)
+        tags()
+      }
+      if (version >= 8) b.putInt(r.clusterAuthorizedOps)
+      tags()
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Response = {
+      require(ValidVersions.contains(version), s"metadata_resp version $version")
+      val b = ByteBuffer.wrap(bytes)
+      def arr(): Int =
+        if (flexible(version)) getCompactArrayLen(b) else b.getInt()
+      def str(): String =
+        if (flexible(version)) getCompactString(b) else getStr(b)
+      def nstr(): Option[String] =
+        if (flexible(version)) getCompactNullableString(b) else getNullableStr(b)
+      def tags(): Unit = if (flexible(version)) { getTags(b); () }
+      val throttle = if (version >= 3) b.getInt() else 0
+      val brokers = (0 until arr()).map { _ =>
+        val id = b.getInt(); val host = str(); val port = b.getInt()
+        val rack = if (version >= 1) nstr() else None
+        tags()
+        (id, host, port, rack)
+      }
+      val clusterId = if (version >= 2) nstr() else None
+      val controllerId = if (version >= 1) b.getInt() else -1
+      val topics = (0 until arr()).map { _ =>
+        val err = b.getShort(); val name = str()
+        val internal = if (version >= 1) b.get() != 0 else false
+        val parts = (0 until arr()).map { _ =>
+          val perr = b.getShort(); val idx = b.getInt(); val leader = b.getInt()
+          val epoch = if (version >= 7) b.getInt() else -1
+          val reps = (0 until arr()).map(_ => b.getInt())
+          val isr = (0 until arr()).map(_ => b.getInt())
+          val off = if (version >= 5) (0 until arr()).map(_ => b.getInt())
+            else Seq.empty[Int]
+          tags()
+          Part(perr, idx, leader, epoch, reps, isr, off)
+        }
+        val ops = if (version >= 8) b.getInt() else Int.MinValue
+        tags()
+        Topic(err, name, internal, parts, ops)
+      }
+      val clusterOps = if (version >= 8) b.getInt() else Int.MinValue
+      tags()
+      require(!b.hasRemaining, "trailing bytes after metadata response")
+      Response(throttle, brokers, clusterId, controllerId, topics, clusterOps)
+    }
+  }
+
   // ------------------------------------------------ Produce response 0-8
 
   object ProduceRespV {

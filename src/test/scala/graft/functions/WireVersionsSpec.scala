@@ -245,6 +245,59 @@ class WireVersionsSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata request/response 0-9: nullable topics, flexible cutover") {
+    val named = MetadataV.Request(Some(Seq("events", "audit")),
+      allowAutoTopicCreation = false,
+      includeClusterAuthorizedOperations = true,
+      includeTopicAuthorizedOperations = true)
+    val allTopics = MetadataV.Request(None, allowAutoTopicCreation = true,
+      includeClusterAuthorizedOperations = false,
+      includeTopicAuthorizedOperations = false)
+    for (v <- MetadataV.ValidVersions) {
+      val bytes = MetadataV.encode(v, named)
+      assert(bytes.length === MetadataV.size(v, named), s"v$v size")
+      val back = MetadataV.decode(v, bytes)
+      assert(back.topics === Some(Seq("events", "audit")))
+      assert(back.allowAutoTopicCreation === (v < 4), s"v$v") // default true
+      assert(back.includeClusterAuthorizedOperations === (v >= 8), s"v$v")
+      // null topics = "all topics" from v1 (v0 degrades to empty list)
+      val all = MetadataV.decode(v, MetadataV.encode(v, allTopics))
+      assert(all.topics === (if (v >= 1) None else Some(Nil)), s"v$v")
+    }
+    // v0: n(4)+2 names(2+6, 2+5); v4 +1; v8 +2; flexible v9 compact
+    assert(MetadataV.encode(0, named).length === 19)
+    assert(MetadataV.encode(4, named).length === 20)
+    assert(MetadataV.encode(8, named).length === 22)
+    // v9: arr(1)+events(1+6+tag1)+audit(1+5+tag1)+flags(3)+tags(1) = 20
+    assert(MetadataV.encode(9, named).length === 20)
+
+    val resp = MetadataRespV.Response(5,
+      Seq((0, "host-a", 9092, Some("r0")), (1, "host-b", 9092, None)),
+      Some("cluster-1"), 0,
+      Seq(MetadataRespV.Topic(0, "events", isInternal = false,
+        Seq(MetadataRespV.Part(0, 0, 0, 3, Seq(0, 1), Seq(0, 1), Seq(2))),
+        authorizedOps = 0x3fc)),
+      clusterAuthorizedOps = 0x7fc)
+    for (v <- MetadataRespV.ValidVersions) {
+      val bytes = MetadataRespV.encode(v, resp)
+      if (v < 9)
+        assert(bytes.length === MetadataRespV.size(v, resp), s"v$v size")
+      val back = MetadataRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 3) 5 else 0), s"v$v")
+      assert(back.brokers.head._4 === (if (v >= 1) Some("r0") else None), s"v$v")
+      assert(back.clusterId === (if (v >= 2) Some("cluster-1") else None), s"v$v")
+      assert(back.controllerId === (if (v >= 1) 0 else -1), s"v$v")
+      val p = back.topics.head.partitions.head
+      assert(p.leaderEpoch === (if (v >= 7) 3 else -1), s"v$v")
+      assert(p.offline === (if (v >= 5) Seq(2) else Nil), s"v$v")
+      assert(p.replicas === Seq(0, 1) && p.isr === Seq(0, 1))
+      assert(back.topics.head.authorizedOps ===
+        (if (v >= 8) 0x3fc else Int.MinValue), s"v$v")
+      assert(back.clusterAuthorizedOps ===
+        (if (v >= 8) 0x7fc else Int.MinValue), s"v$v")
+    }
+  }
+
   test("corrupt frames are rejected cleanly across versions") {
     val bytes = FetchV.encode(11, fetchReq)
     // trailing garbage
