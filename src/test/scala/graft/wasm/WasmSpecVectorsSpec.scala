@@ -435,6 +435,34 @@ class WasmSpecVectorsSpec extends AnyFunSuite {
     assert(inst.invokeExport("f", Array(-1L)).head === 99L) // u32 index clamps
   }
 
+  test("br_table arm targeting a loop head re-enters the loop (backward arm)") {
+    // f(n): acc = 0; loop { if n == 0 exit; acc += n; n--;
+    //   br_table[loop, exit](n > 0 ? 0 : 1) } — arm 0 is BACKWARD to the
+    // loop head, arm 1 forward out of the block; computes sum 1..n
+    val b = body()
+      .i32Const(0).localSet(1)
+      .block()
+        .loop()
+          .localGet(0).i32Eqz().brIf(1)
+          .localGet(1).localGet(0).i32Add().localSet(1)
+          .localGet(0).i32Const(1).i32Sub().localSet(0)
+          .localGet(0).i32Const(0).i32GtS()
+          .ifOp(0x7f).i32Const(0).elseOp().i32Const(1).end()
+          .brTable(Seq(0), 1)
+        .end()
+      .end()
+      .localGet(1)
+    val inst = instantiate(module(
+      types = Seq((Seq(I32), Seq(I32))),
+      imports = Nil,
+      funcs = Seq(Func(0, 1, 0, b)),
+      memPages = 1,
+      exports = Seq(Export("f", 0))), noHost)
+    assert(inst.invokeExport("f", Array(10L)).head === 55L)
+    assert(inst.invokeExport("f", Array(1L)).head === 1L)
+    assert(inst.invokeExport("f", Array(0L)).head === 0L)
+  }
+
   test("call_indirect dispatches through the table; type mismatch traps") {
     // table = [add, mul, bad]; f(i, a, b) = table[i](a, b)
     val add = body().localGet(0).localGet(1).i32Add()
