@@ -90,22 +90,24 @@ object TextAnalysis {
     // only topK rows per document reach the exchange. Equivalence is
     // pinned by TextExpressionsSpec against the window spelling.
     val norm = regexp_replace(trim(lower(textCol)), "\\s+", " ")
-    val docTop = docs
-      .select(idCol.as("doc_id"),
-        explode(call_function("top_gram_profile", norm, lit(n), lit(topK)))
-          .as("__e"))
-      .select(col("doc_id"), col("__e.gram").as("gram"),
-        col("__e.drank").as("drank"))
-    val langs = profiles.select("lang").distinct()
-    docTop.crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("lang", "gram"), "left")
-      .groupBy("doc_id", "lang")
-      .agg(sum(coalesce(abs(col("drank") - col("rank")), lit(topK.toLong)))
-        .as("dist"))
-      .groupBy("doc_id")
-      .agg(min(struct(col("dist"), col("lang"))).as("__best"))
-      .select(col("doc_id"), col("__best.lang").as("pred_lang"),
-        col("__best.dist").as("distance"))
+    // The profile table is tiny by construction (|langs| × topK rows —
+    // a bounded control-plane read); it rides the classifier kernel's
+    // closure, and the whole out-of-place distance + argmin runs
+    // in-row: ZERO shuffles and no docs × langs intermediate (the
+    // former crossJoin + two-level aggregation spelling exchanged
+    // topK × |langs| rows per document twice).
+    val profRows = profiles.select(col("lang"), col("gram"), col("rank"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        (l, rs.map(r => (r.getString(1), r.getInt(2))).toSeq)
+      }.toSeq
+    val classify = call_function("profile_classify", norm, lit(n), lit(topK),
+      lit(graft.functions.ProfileClassify.encodeProfiles(profRows)))
+    docs.select(idCol.as("doc_id"), classify.as("__best"))
+      .where(col("__best").isNotNull)
+      .select(col("doc_id"), col("__best.pred_lang").as("pred_lang"),
+        col("__best.distance").as("distance"))
   }
 
   /**

@@ -146,6 +146,21 @@ object GraftFunctions {
       "repetition_ngram_stats", (args: Seq[Expression]) =>
         RepetitionNgramStats(args.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "profile_classify", (args: Seq[Expression]) => {
+        arity("profile_classify", args, 4, 4)
+        def litStr(e: Expression): String = {
+          if (!e.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map("funcName" -> "`profile_classify`",
+                "paramName" -> "`profiles`", "paramType" -> "\"STRING\""))
+          e.eval().toString
+        }
+        ProfileClassify(args.head, litInt("profile_classify", args(1)),
+          litInt("profile_classify", args(2)),
+          ProfileClassify.parseProfiles(litStr(args(3))))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "kafka_batch_encode", (args: Seq[Expression]) => {
         arity("kafka_batch_encode", args, 1, 2)
         KafkaBatchEncode(args.head,

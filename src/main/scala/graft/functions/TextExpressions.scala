@@ -204,6 +204,43 @@ object TextKernels {
       out(4), out(5), out(6), out(7), out(8))
   }
 
+  /** The per-document half of Cavnar–Trenkle classification fused end
+    * to end: top-K gram ranks (same total order as [[topGramProfile]])
+    * PLUS the out-of-place distance against every language profile and
+    * the argmin — all in-row. Returns null when the document is shorter
+    * than n (no profile → unclassifiable, matching the join spelling
+    * where such docs never reach the output). `profiles` maps lang →
+    * (gram → rank); ties break on lang ascending (binary order). */
+  def profileClassify(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, k: Int,
+      profiles: Array[(String, java.util.HashMap[String, Integer])]): Any = {
+    val grams = topGramProfile(text, n, k)
+    val m = grams.numElements()
+    if (m == 0) return null
+    var bestLang: String = null
+    var bestDist = Long.MaxValue
+    var li = 0
+    while (li < profiles.length) {
+      val (lang, prof) = profiles(li)
+      var dist = 0L
+      var i = 0
+      while (i < m) {
+        val e = grams.getStruct(i, 2)
+        val r = prof.get(e.getUTF8String(0).toString)
+        dist += (if (r == null) k.toLong
+                 else math.abs(e.getInt(1).toLong - r.longValue()))
+        i += 1
+      }
+      if (dist < bestDist || (dist == bestDist &&
+          (bestLang == null || lang.compareTo(bestLang) < 0))) {
+        bestDist = dist; bestLang = lang
+      }
+      li += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(bestLang), bestDist)
+  }
+
   def polyFingerprint(th: ArrayData): Long = {
     val n = th.numElements()
     var h1 = 0L; var h2 = 0L
@@ -274,6 +311,90 @@ case class TopGramProfile(child: Expression, n: Int, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): TopGramProfile =
     copy(child = newChild)
+}
+
+/** `ProfileClassify(text) -> struct<pred_lang, distance>` — the fused
+  * Cavnar–Trenkle classifier: per-doc top-K gram profile, out-of-place
+  * distance against every (broadcast-by-closure) language profile, and
+  * the (dist, lang) argmin, in one row-local pass. Null for docs
+  * shorter than n (no profile — the join spelling drops them too). */
+case class ProfileClassify(child: Expression, n: Int, k: Int,
+    profiles: Seq[(String, Seq[(String, Int)])])
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pred_lang",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("distance", LongType,
+      nullable = false)))
+  override def prettyName: String = "profile_classify"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"profile_classify requires string input, got $other")
+  }
+
+  @transient private lazy val lookup: Array[(String, java.util.HashMap[String, Integer])] =
+    profiles.sortBy(_._1).map { case (lang, entries) =>
+      val m = new java.util.HashMap[String, Integer](entries.size * 2)
+      entries.foreach { case (g, r) => m.put(g, Integer.valueOf(r)) }
+      (lang, m)
+    }.toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.profileClassify(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k, lookup)
+
+  // the profile table rides the closure; interpreted eval is one
+  // row-local pass (the surrounding projection stays codegen'd —
+  // CodegenFallback only splits this expression out)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("profileClassify", this,
+      classOf[ProfileClassify].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |Object r = $self.kernelEval($a);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point (reference-object call). */
+  def kernelEval(a: Object): Object =
+    TextKernels.profileClassify(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k, lookup)
+      .asInstanceOf[Object]
+
+  override protected def withNewChildInternal(newChild: Expression): ProfileClassify =
+    copy(child = newChild)
+}
+
+object ProfileClassify {
+  // profile table as a foldable string argument (the public-API path
+  // into the function registry): blocks separated by control chars
+  // \u0001 (language blocks) / \u0002 (entries) / \u0003 (gram|rank)
+  // - none can occur in grams (text is whitespace-normalized lowercase)
+  private final val LangSep = '\u0001'
+  private final val EntrySep = '\u0002'
+  private final val RankSep = '\u0003'
+
+  def encodeProfiles(profiles: Seq[(String, Seq[(String, Int)])]): String =
+    profiles.map { case (lang, entries) =>
+      lang + EntrySep + entries.map { case (g, r) => g + RankSep + r }
+        .mkString(EntrySep.toString)
+    }.mkString(LangSep.toString)
+
+  def parseProfiles(s: String): Seq[(String, Seq[(String, Int)])] =
+    if (s.isEmpty) Nil
+    else s.split(LangSep).toSeq.map { block =>
+      val parts = block.split(EntrySep)
+      (parts.head, parts.tail.toSeq.map { e =>
+        val i = e.lastIndexOf(RankSep.toInt)
+        (e.substring(0, i), e.substring(i + 1).toInt)
+      })
+    }
 }
 
 /** `repetition_ngram_stats(array<string>) -> struct<top2..top4,

@@ -35,4 +35,61 @@ class TextExpressionsSpec extends AnyFunSuite {
     val th = new GenericArrayData(Array(7L, 8L))
     assert(TextKernels.spanWindowHashes(th, 3).numElements() === 0)
   }
+
+  test("repetition_ngram_stats equals the sort+fold reference spelling") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(toks: Seq[String], n: Int): (Long, Long) = {
+      if (toks.size < n) return (0L, 0L)
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity).view.mapValues(_.size)
+      val rep = byGram.filter(_._2 >= 2)
+      val top = rep.map { case (g, c) => c.toLong * g.length }
+        .maxOption.getOrElse(0L)
+      val dup = rep.map { case (g, c) => (c - 1).toLong * g.length }.sum
+      (top, dup)
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "ffff")
+    for (len <- Seq(0, 1, 5, 30, 200)) {
+      val toks = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = TextKernels.repetitionNgramStats(arr)
+      for (n <- 2 to 10) {
+        val (top, dup) = ref(toks, n)
+        val want = if (n <= 4) top else dup
+        assert(got.getLong(n - 2) === want, s"len=$len n=$n")
+      }
+    }
+  }
+
+  test("profileClassify: penalties for absent grams, lang tie-break, null short text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{ProfileClassify => PC}
+    // encode/parse round trip
+    val profs = Seq(
+      ("de", Seq(("der", 1), ("ein", 2))),
+      ("en", Seq(("the", 1), ("he ", 2), ("e q", 3))))
+    assert(PC.parseProfiles(PC.encodeProfiles(profs)) === profs)
+    val lookup = profs.map { case (l, es) =>
+      val m = new java.util.HashMap[String, Integer]()
+      es.foreach { case (g, r) => m.put(g, Integer.valueOf(r)) }
+      (l, m)
+    }.toArray
+    // "the" doc: grams rank 1.. ; en matches some, de none (all penalties)
+    val r = TextKernels.profileClassify(UTF8String.fromString("the"), 3, 50, lookup)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(r.getUTF8String(0).toString === "en") // |1-1|=0 beats de's 50
+    assert(r.getLong(1) === 0L)
+    // text with no profile grams at all: every lang scores m*k; tie
+    // breaks on lang ascending
+    val t = TextKernels.profileClassify(UTF8String.fromString("zzzz"), 3, 50, lookup)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(t.getUTF8String(0).toString === "de")
+    // "zzzz" has windows zzz,zzz -> ONE distinct profile gram -> 1 * k
+    assert(t.getLong(1) === 50L)
+    // shorter than n -> null (unclassifiable)
+    assert(TextKernels.profileClassify(UTF8String.fromString("ab"), 3, 50, lookup)
+      == null)
+  }
 }
