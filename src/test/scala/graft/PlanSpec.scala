@@ -316,17 +316,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("language-id doc rankings run in per-doc windows, profiles per-lang") {
-    val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "aa" else "bb",
-      s"some text body number $i with words")).toDF("doc_id", "lang", "text")
+  test("language-id classification is one shuffle-free in-row pass") {
+    // parquet-backed docs: a LocalRelation would constant-fold the whole
+    // classify into a LocalTableScan and erase the plan under test
+    val docs = spark.read.parquet(docsDir)
+      .select(col("doc_id"), (col("doc_id") % 2).cast("string").as("lang"),
+        col("text"))
     val profiles = graft.analytics.TextAnalysis.languageProfiles(
       docs, col("lang"), col("text"))
     val p = plan(graft.analytics.TextAnalysis.classifyByProfile(
       docs, col("doc_id"), col("text"), profiles))
-    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windows.nonEmpty, p)
-    windows.foreach(w =>
-      assert(w.contains("doc_id") || w.contains("lang"), s"unscoped window: $w\n$p"))
+    // the fused classifier kernel carries the (bounded) profile table in
+    // its closure: no docs × langs exchange, no per-doc aggregation
+    // shuffle, no window, no join — the corpus never leaves its tasks
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("profile_classify"), p)
+    // the profile TRAINING side keeps its per-lang window scoping
+    val tp = plan(profiles)
+    val windows = tp.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, tp)
+    windows.foreach(w => assert(w.contains("lang"), s"unscoped window: $w\n$tp"))
   }
 
   test("initProducerIds small-input gate skips the chunked shuffles") {
