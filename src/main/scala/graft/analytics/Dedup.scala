@@ -262,10 +262,34 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))).cast("double")).as("jaccard"))
   }
 
-  /** MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify. */
+  /** Per-doc MinHash signatures computed IN-ROW from the text: the
+    * [[graft.functions.MinhashSignature]] kernel produces the k minima
+    * of `xxhash64(i, shingle)` inside one projection — bit-identical
+    * values to [[minHashSignatures]] over the exploded set, without the
+    * corpus-wide (doc × shingle) explode + groupBy shuffle the exploded
+    * spelling pays. Docs with no shingles are absent, as before. */
+  def minHashSignaturesFromText(df: DataFrame, idCol: Column, textCol: Column,
+      shingleN: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(idCol.as("doc_id"),
+        call_function("minhash_signature",
+          shingles(textCol, shingleN), lit(k)).as("__sig"))
+      .where(col("__sig").isNotNull)
+      .select(col("doc_id") +: (0 until k).map(i =>
+        col("__sig").getItem(i).as(s"mh_$i")): _*)
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify.
+    * Signatures come from the in-row kernel (no signature shuffle); the
+    * exploded shingle set is built once, only for candidate
+    * verification. */
   def minHashNearDups(df: DataFrame, idCol: Column, textCol: Column,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.2): DataFrame =
-    minHashNearDupsFromShingles(shingled(df, idCol, textCol, shingleN), k, bands, threshold)
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val cands = lshCandidates(
+      minHashSignaturesFromText(df, idCol, textCol, shingleN, k), k, bands)
+    verifyJaccard(cands, shingled(df, idCol, textCol, shingleN))
+      .where(col("jaccard") >= threshold)
+  }
 
   /** MinHash+LSH over a pre-shingled (doc_id, shingle) set — lets callers
     * share one shingling pass across several dedup methods. */

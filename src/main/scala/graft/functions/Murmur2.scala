@@ -146,6 +146,11 @@ object GraftFunctions {
       "repetition_ngram_stats", (args: Seq[Expression]) =>
         RepetitionNgramStats(args.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_signature", (args: Seq[Expression]) => {
+        arity("minhash_signature", args, 2, 2)
+        MinhashSignature(args.head, litInt("minhash_signature", args(1)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "profile_classify", (args: Seq[Expression]) => {
         arity("profile_classify", args, 4, 4)
         def litStr(e: Expression): String = {

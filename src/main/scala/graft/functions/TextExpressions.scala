@@ -241,6 +241,40 @@ object TextKernels {
       org.apache.spark.unsafe.types.UTF8String.fromString(bestLang), bestDist)
   }
 
+  /**
+   * MinHash signature in-row: k minima of `xxhash64(i, shingle)` over
+   * the shingle array — BIT-IDENTICAL to Spark's
+   * `min(xxhash64(lit(i), col("shingle")))` aggregate (seed 42, int
+   * child then string child chained), but computed inside the row so
+   * the corpus-wide (doc × shingle) explode + groupBy shuffle
+   * disappears from the production signature pass. Duplicate shingles
+   * are harmless (min over a multiset equals min over its set — the
+   * exploded spelling deduped first). Null for shingle-less docs (the
+   * aggregate spelling never emitted them).
+   */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes
+      i = 0
+      while (i < k) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def polyFingerprint(th: ArrayData): Long = {
     val n = th.numElements()
     var h1 = 0L; var h2 = 0L
@@ -395,6 +429,37 @@ object ProfileClassify {
         (e.substring(0, i), e.substring(i + 1).toInt)
       })
     }
+}
+
+/** `minhash_signature(array<string>, k) -> array<long>` — the k-minima
+  * MinHash signature in one row-local pass (values identical to the
+  * min(xxhash64(i, shingle)) aggregate; null for shingle-less docs). */
+case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "signature length must be positive")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string> input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.minhashSignature(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels.minhashSignature($a, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
 }
 
 /** `repetition_ngram_stats(array<string>) -> struct<top2..top4,

@@ -63,6 +63,34 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashSignature matches Spark's min(xxhash64(i, shingle)) aggregate") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal, BoundReference}
+    val rnd = new scala.util.Random(11)
+    val k = 16
+    for (docLen <- Seq(1, 3, 40)) {
+      val shingles = Seq.fill(docLen)(
+        Seq.fill(3)(('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(4)))
+          .mkString(" "))
+      val arr = new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s)).toArray[Any])
+      val got = TextKernels.minhashSignature(arr, k)
+      // reference: evaluate the real XxHash64 expression per (i, shingle)
+      (0 until k).foreach { i =>
+        val want = shingles.map { s =>
+          XxHash64(Seq(Literal(i),
+            Literal(UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType)), 42L).eval(null)
+            .asInstanceOf[Long]
+        }.min
+        assert(got.getLong(i) === want, s"docLen=$docLen i=$i")
+      }
+    }
+    // shingle-less doc -> null (the aggregate spelling never emits it)
+    assert(TextKernels.minhashSignature(
+      new GenericArrayData(Array.empty[Any]), k) == null)
+  }
+
   test("profileClassify: penalties for absent grams, lang tie-break, null short text") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.{ProfileClassify => PC}
