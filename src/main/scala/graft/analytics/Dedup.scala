@@ -475,21 +475,17 @@ object Dedup {
 
   /**
    * SimHash fingerprint (64-bit): weighted sign-sum of token hashes.
-   * Built as 64 conditional-sum aggregates in a single groupBy (one
-   * shuffle), then bit-packed.
+   * The bit votes and the sign-pack run inside the row
+   * ([[graft.functions.SimhashFingerprint]] — values bit-identical to
+   * the 64-conditional-sum groupBy spelling, pinned in the kernel
+   * spec), so the corpus-wide token explode + shuffle disappears: one
+   * narrow projection at any scale.
    */
   def simHash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"),
-      explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("doc_id"), fp.as("simhash"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(idCol.as("doc_id"),
+      call_function("simhash_fingerprint",
+        split(trim(lower(textCol)), "\\s+")).as("simhash"))
   }
 
   /**

@@ -151,6 +151,9 @@ object GraftFunctions {
         MinhashSignature(args.head, litInt("minhash_signature", args(1)))
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash_fingerprint", (args: Seq[Expression]) =>
+        SimhashFingerprint(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "profile_classify", (args: Seq[Expression]) => {
         arity("profile_classify", args, 4, 4)
         def litStr(e: Expression): String = {

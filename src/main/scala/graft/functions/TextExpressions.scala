@@ -275,6 +275,33 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** SimHash fingerprint in-row: the 64 ±1 bit votes over
+    * `xxhash64(token)` and the sign-pack, one pass over the token
+    * array — bit-identical to the 64-conditional-sum groupBy spelling
+    * (seed 42 single-child hash; ties vote 0 → bit stays clear), minus
+    * its corpus-wide token shuffle. */
+  def simhashFingerprint(toks: ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val t = toks.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
   def polyFingerprint(th: ArrayData): Long = {
     val n = th.numElements()
     var h1 = 0L; var h2 = 0L
@@ -429,6 +456,31 @@ object ProfileClassify {
         (e.substring(0, i), e.substring(i + 1).toInt)
       })
     }
+}
+
+/** `simhash_fingerprint(array<string>) -> long` — the 64-bit SimHash
+  * sign-pack in one row-local pass (values identical to the
+  * 64-conditional-sum aggregate spelling). */
+case class SimhashFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_fingerprint requires array<string> input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.simhashFingerprint(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernels.simhashFingerprint($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
+    copy(child = newChild)
 }
 
 /** `minhash_signature(array<string>, k) -> array<long>` — the k-minima

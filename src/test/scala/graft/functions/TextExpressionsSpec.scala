@@ -91,6 +91,27 @@ class TextExpressionsSpec extends AnyFunSuite {
       new GenericArrayData(Array.empty[Any]), k) == null)
   }
 
+  test("simhashFingerprint matches the 64-conditional-sum aggregate spelling") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal}
+    val rnd = new scala.util.Random(23)
+    for (docLen <- Seq(1, 2, 17, 100)) {
+      val toks = Seq.fill(docLen)(
+        ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5)))
+      val hs = toks.map(t => XxHash64(Seq(Literal(UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null)
+        .asInstanceOf[Long])
+      var want = 0L
+      (0 until 64).foreach { i =>
+        val s = hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) want |= (1L << i)
+      }
+      val got = TextKernels.simhashFingerprint(new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any]))
+      assert(got === want, s"docLen=$docLen")
+    }
+  }
+
   test("profileClassify: penalties for absent grams, lang tie-break, null short text") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.{ProfileClassify => PC}
