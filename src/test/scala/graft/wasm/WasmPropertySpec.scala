@@ -1,0 +1,143 @@
+package graft.wasm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import WasmAssembler.{body, module, Func, Export, Body}
+import WasmInterp.{instantiate, HostFunc}
+import WasmModule.I64
+
+/**
+ * Property test for the flat-compiled interpreter: random expression
+ * programs are built twice — once as a Scala evaluator, once as a
+ * genuine wasm binary through the assembler — and every (program,
+ * inputs) pair must agree. This drives the whole pipeline
+ * (assemble → decode → FlatCompiler → dispatch loop) through shapes
+ * no hand-written vector enumerates: deeply nested arithmetic,
+ * value-carrying if/else, local get/set/tee chains, and the peephole
+ * superinstruction fusions (local/local, local/const, fused branch
+ * tests) interleaved at random.
+ */
+class WasmPropertySpec extends AnyFunSuite {
+
+  private val noHost = Map.empty[(String, String), HostFunc]
+
+  /** A random i64 expression over 2 params + 2 locals, emitted in
+    * parallel into a Scala closure and the wasm body. Division is
+    * excluded (trap semantics tested separately); shifts mask to 0-63
+    * like wasm itself. */
+  private final class Gen(rnd: scala.util.Random, b: Body) {
+    // locals: 0,1 = params; 2,3 = scratch (written before any read)
+    private var scratchWritten = 0
+
+    def expr(depth: Int, env: Array[Long]): Long = {
+      val choice = if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(10)
+      choice match {
+        case 0 => // constant
+          val c = rnd.nextLong() >> rnd.nextInt(40)
+          b.i64Const(c); c
+        case 1 => // param
+          val i = rnd.nextInt(2)
+          b.localGet(i); env(i)
+        case 2 => // scratch local (written first if never set)
+          if (scratchWritten == 0) { b.i64Const(7); b.localSet(2)
+            env(2) = 7; scratchWritten = 1 }
+          val i = 2 + rnd.nextInt(scratchWritten)
+          b.localGet(i); env(i)
+        case 3 => // tee into scratch
+          val v = expr(depth - 1, env)
+          val i = 2 + rnd.nextInt(2)
+          b.localTee(i); env(i) = v
+          if (i == 2 && scratchWritten == 0) scratchWritten = 1
+          if (i == 3 && scratchWritten <= 1) scratchWritten = 2
+          v
+        case 4 => // if/else with i64 result
+          val c = expr(depth - 1, env)
+          // wasm brIf/if consume an I32 condition; compare the i64
+          b.i64Const(0L); b.op(0x52) // i64.ne
+          b.ifOp(0x7e)
+          val snapshot = env.clone()
+          val t = expr(depth - 1, env)
+          val envT = env.clone()
+          b.elseOp()
+          // the untaken arm must not leak locals: restore for tracking
+          Array.copy(snapshot, 0, env, 0, env.length)
+          val e = expr(depth - 1, env)
+          val envE = env.clone()
+          b.end()
+          val taken = c != 0L
+          Array.copy(if (taken) envT else envE, 0, env, 0, env.length)
+          if (taken) t else e
+        case _ => // binary op
+          val a = expr(depth - 1, env)
+          val c = expr(depth - 1, env)
+          rnd.nextInt(8) match {
+            case 0 => b.op(0x7c); a + c
+            case 1 => b.op(0x7d); a - c
+            case 2 => b.op(0x7e); a * c
+            case 3 => b.op(0x83); a & c
+            case 4 => b.op(0x84); a | c
+            case 5 => b.op(0x85); a ^ c
+            case 6 => b.op(0x86); a << c
+            case 7 => b.op(0x87); a >> c
+          }
+      }
+    }
+  }
+
+  test("random expression programs agree with the Scala evaluator") {
+    val rnd = new scala.util.Random(2026)
+    var programs = 0
+    while (programs < 60) {
+      val inputs = Array(rnd.nextLong() >> rnd.nextInt(32),
+        rnd.nextLong() >> rnd.nextInt(32))
+      val bb = body()
+      val env = Array(inputs(0), inputs(1), 0L, 0L)
+      val gen = new Gen(rnd, bb)
+      val want = gen.expr(depth = 5, env)
+      val bytes = module(
+        types = Seq((Seq(I64, I64), Seq(I64))),
+        imports = Nil,
+        funcs = Seq(Func(0, 0, 2, bb)),
+        memPages = 1,
+        exports = Seq(Export("f", 0)))
+      val got = instantiate(bytes, noHost).invokeExport("f", inputs).head
+      assert(got === want, s"program $programs inputs ${inputs.toList}")
+      programs += 1
+    }
+  }
+
+  test("random loop programs: iterated accumulator agrees") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 25) {
+      val iters = 1 + rnd.nextInt(50)
+      val mul = rnd.nextLong() >> 40
+      val add = rnd.nextLong() >> 40
+      // acc = p0; repeat iters: acc = acc * mul + add (wasm loop with
+      // a counter in a local, fused compare-branch shapes)
+      val b = body()
+        .localGet(0).localSet(2)          // acc
+        .i64Const(iters.toLong).localSet(3) // n
+        .block()
+          .loop()
+            .localGet(3).op(0x50).brIf(1) // i64.eqz n -> exit
+            .localGet(2).i64Const(mul).op(0x7e)
+            .i64Const(add).op(0x7c).localSet(2)
+            .localGet(3).i64Const(1L).op(0x7d).localSet(3)
+            .br(0)
+          .end()
+        .end()
+        .localGet(2)
+      val bytes = module(
+        types = Seq((Seq(I64, I64), Seq(I64))),
+        imports = Nil,
+        funcs = Seq(Func(0, 0, 2, b)),
+        memPages = 1,
+        exports = Seq(Export("f", 0)))
+      val p0 = rnd.nextLong() >> 30
+      var want = p0
+      (0 until iters).foreach(_ => want = want * mul + add)
+      val got = instantiate(bytes, noHost).invokeExport("f", Array(p0, 0L)).head
+      assert(got === want, s"trial $trial iters=$iters")
+    }
+  }
+}
