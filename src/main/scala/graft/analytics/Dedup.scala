@@ -237,10 +237,16 @@ object Dedup {
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
     }
-    val banded = capBuckets(signatures
+    candidatesFromBanded(signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash")),
-      Seq("band_id", "band_hash"), maxBucket)
+      maxBucket)
+  }
+
+  /** Candidate pairs from an already-banded (doc_id, band_id,
+    * band_hash) table: cap hot buckets, self-join within buckets. */
+  private def candidatesFromBanded(raw: DataFrame, maxBucket: Int): DataFrame = {
+    val banded = capBuckets(raw, Seq("band_id", "band_hash"), maxBucket)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -251,9 +257,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given pairs, via each doc's shingle set. */
+  /** Exact Jaccard for given pairs, via each doc's shingle set. Sets
+    * are built ONLY for docs that appear in some candidate pair (a
+    * semi-join cut before the collect_set): candidates are a vanishing
+    * fraction of a deduped corpus, so the verification aggregate scales
+    * with |candidates|, not |corpus|. Values are unchanged — the cut
+    * only drops sets no pair ever reads. */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("sset"))
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set("shingle").as("sset"))
     pairs
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
@@ -280,13 +294,22 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify.
-    * Signatures come from the in-row kernel (no signature shuffle); the
-    * exploded shingle set is built once, only for candidate
-    * verification. */
+    * Signature AND banding run inside ONE kernel evaluation per
+    * document ([[graft.functions.MinhashBands]] — buckets identical to
+    * the column spelling), consumed by a single explode: no signature
+    * shuffle and no per-column kernel re-evaluation (project collapse
+    * would re-run a separate signature kernel once per mh column). The
+    * exploded shingle set is built only for candidate verification. */
   def minHashNearDups(df: DataFrame, idCol: Column, textCol: Column,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
-    val cands = lshCandidates(
-      minHashSignaturesFromText(df, idCol, textCol, shingleN, k), k, bands)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val banded = df
+      .select(idCol.as("doc_id"),
+        explode(call_function("minhash_bands",
+          split(trim(lower(textCol)), "\\s+"),
+          lit(shingleN), lit(k), lit(bands))).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val cands = candidatesFromBanded(banded, maxBucket = 1000)
     verifyJaccard(cands, shingled(df, idCol, textCol, shingleN))
       .where(col("jaccard") >= threshold)
   }

@@ -154,6 +154,12 @@ object GraftFunctions {
       "simhash_fingerprint", (args: Seq[Expression]) =>
         SimhashFingerprint(args.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_bands", (args: Seq[Expression]) => {
+        arity("minhash_bands", args, 4, 4)
+        MinhashBands(args.head, litInt("minhash_bands", args(1)),
+          litInt("minhash_bands", args(2)), litInt("minhash_bands", args(3)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "profile_classify", (args: Seq[Expression]) => {
         arity("profile_classify", args, 4, 4)
         def litStr(e: Expression): String = {

@@ -302,6 +302,78 @@ object TextKernels {
     fp
   }
 
+  /** MinHash signature AND LSH band hashes in one pass straight from
+    * the TOKEN array: n-token shingles are byte-joined with 0x20 into
+    * a reused scratch buffer (identical bytes to the
+    * `concat_ws(" ", slice(...))` shingle string — no interpreted HOF,
+    * no per-window string allocation), each window feeds the k minima
+    * of `xxhash64(i, shingle)` (as [[minhashSignature]]), and the
+    * signature folds into `bands` band hashes, each the chained-seed
+    * xxhash64 of its r slots — exactly `xxhash64(mh_{b·r} …)` (seed
+    * 42, hashLong chain), so the candidate buckets are identical to
+    * the exploded column spelling. ONE evaluation per document feeds
+    * one explode; neither the shingle array nor the 16-column
+    * signature table ever materializes. Null for docs shorter than n
+    * tokens (no shingles — such docs never pair). */
+  def minhashBands(toks: ArrayData, n: Int, k: Int, bands: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val l = toks.numElements()
+    if (l < n) return null
+    val ts = new Array[org.apache.spark.unsafe.types.UTF8String](l)
+    var i = 0
+    var maxWin = 0
+    while (i < l) {
+      ts(i) = toks.getUTF8String(i)
+      i += 1
+    }
+    i = 0
+    var winBytes = n - 1 // joiner spaces
+    while (i < n) { winBytes += ts(i).numBytes; i += 1 }
+    maxWin = winBytes
+    var w = 1
+    while (w + n <= l) {
+      winBytes += ts(w + n - 1).numBytes - ts(w - 1).numBytes
+      if (winBytes > maxWin) maxWin = winBytes
+      w += 1
+    }
+    val buf = new Array[Byte](maxWin)
+    val seeds = new Array[Long](k)
+    i = 0
+    while (i < k) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val sig = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s + n <= l) {
+      var pos = 0
+      var j = s
+      while (j < s + n) {
+        if (j > s) { buf(pos) = ' '; pos += 1 }
+        val t = ts(j)
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes
+        j += 1
+      }
+      i = 0
+      while (i < k) {
+        val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    val r = k / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      i = b * r
+      while (i < (b + 1) * r) { h = XXH64.hashLong(sig(i), h); i += 1 }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def polyFingerprint(th: ArrayData): Long = {
     val n = th.numElements()
     var h1 = 0L; var h2 = 0L
@@ -480,6 +552,47 @@ case class SimhashFingerprint(child: Expression) extends UnaryExpression {
       a => s"graft.functions.TextKernels.simhashFingerprint($a)")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(tokens array<string>, n, k, bands) ->
+  * array<struct<band_id, band_hash>>` — in-kernel shingling +
+  * signature + LSH banding in one row-local pass (buckets identical
+  * to xxhash64 over the mh columns; null for sub-n-token docs). */
+case class MinhashBands(child: Expression, n: Int, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+  require(k > 0 && bands > 0 && k % bands == 0,
+    "signature length must be a positive multiple of the band count")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("band_hash", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires array<string> input, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.minhashBands(a.asInstanceOf[ArrayData], n, k, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels.minhashBands($a, $n, $k, $bands);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)
 }
 

@@ -91,6 +91,36 @@ class TextExpressionsSpec extends AnyFunSuite {
       new GenericArrayData(Array.empty[Any]), k) == null)
   }
 
+  test("minhashBands: in-kernel shingling + buckets equal the column spelling") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal}
+    val rnd = new scala.util.Random(5)
+    val (n, k, bands) = (3, 16, 8)
+    // include multi-byte tokens to exercise the byte-join path
+    val vocab = Seq("alpha", "b", "gamma", "déjà", "ε", "zz")
+    val toks = Seq.fill(27)(vocab(rnd.nextInt(vocab.size)))
+    val tokArr = new GenericArrayData(
+      toks.map(t => UTF8String.fromString(t)).toArray[Any])
+    // reference: shingle strings via mkString, signature via the pinned
+    // kernel over the shingle ARRAY, band hash via the real expression
+    val shingleStrs = toks.sliding(n).map(_.mkString(" ")).toSeq
+    val sig = TextKernels.minhashSignature(new GenericArrayData(
+      shingleStrs.map(s => UTF8String.fromString(s)).toArray[Any]), k)
+    val got = TextKernels.minhashBands(tokArr, n, k, bands)
+    val r = k / bands
+    (0 until bands).foreach { b =>
+      val row = got.getStruct(b, 2)
+      assert(row.getInt(0) === b)
+      val want = XxHash64((b * r until (b + 1) * r).map(i =>
+        Literal(sig.getLong(i))), 42L).eval(null).asInstanceOf[Long]
+      assert(row.getLong(1) === want, s"band $b")
+    }
+    // sub-n-token docs yield null (no shingles, never pair)
+    assert(TextKernels.minhashBands(new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"))),
+      n, k, bands) == null)
+  }
+
   test("simhashFingerprint matches the 64-conditional-sum aggregate spelling") {
     import org.apache.spark.unsafe.types.UTF8String
     import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal}
