@@ -111,6 +111,25 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val thr = thrJson.getOrElse("\"throughput\":{}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,$thr,"sf":"$sfDir"}""")
+    // Persist per-entry timings as a repo artifact: the driver truncates
+    // long stdout lines, so round-over-round per-query regressions were
+    // only diffable transiently. Full (unfiltered) runs only — an
+    // iteration run with SPARK_GRAFT_BENCH_ONLY must not clobber the
+    // committed full-suite figures.
+    if (filter.isEmpty) {
+      val rerunSet = reruns.toSet
+      val entries = results.sortBy(_._1).map { case (k, v) =>
+        val runs = if (rerunSet(k)) 2 else 1
+        s"  \"$k\": {\"min_secs\": $v, \"runs\": $runs}"
+      }
+      val body = entries.mkString(
+        "{\n  \"_sf\": \"" + sfDir + "\",\n  \"_total_secs\": " + total + ",\n",
+        ",\n", "\n}\n")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_TIMES.json"),
+        body.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 

@@ -6923,6 +6923,92 @@ object SparkEntry {
                   p.offline.size}|ops=${r.clusterAuthorizedOps}")
             }
           }
+        } ++ {
+          // Tier-2 keys (the next most-used handler ranges): OffsetFetch
+          // 0-8 (flexible 6+, KIP-709 batching at 8), FindCoordinator
+          // 0-4 (flexible 3+, KIP-699 batching at 4), SyncGroup 0-5,
+          // Heartbeat 0-4, LeaveGroup 0-5 (all flexible 4+), ApiVersions
+          // request 0-3 (KIP-511 at 3) — requests AND responses.
+          val ofReq = WV.OffsetFetchV.Request(
+            Seq(WV.OffsetFetchV.Group("cg", Some(Seq(("events", Seq(0, 1)))))),
+            requireStable = true)
+          val ofResp = WV.OffsetFetchRespV.Response(5,
+            Seq(WV.OffsetFetchRespV.Group("cg", Seq(("events", Seq(
+              WV.OffsetFetchRespV.Part(0, 42L, 3, Some("m"), 0)))), 0)))
+          val fcReq = WV.FindCoordinatorV.Request(1, Seq("cg"))
+          val fcResp = WV.FindCoordinatorRespV.Response(5, Seq(
+            WV.FindCoordinatorRespV.Coord("cg", 2, "host-a", 9092, 0, Some("ok"))))
+          val sgReq = WV.SyncGroupV.Request("cg", 7, "m-1", Some("inst-1"),
+            Some("consumer"), Some("range"),
+            Seq(("m-1", Array.tabulate(8)(_.toByte))))
+          val sgResp = WV.SyncGroupRespV.Response(5, 0, Some("consumer"),
+            Some("range"), Array.tabulate(8)(_.toByte))
+          val hbReq = WV.HeartbeatV.Request("cg", 7, "m-1", Some("inst-1"))
+          val lgReq = WV.LeaveGroupV.Request("cg", Seq(
+            WV.LeaveGroupV.Member("m-1", Some("inst-1"), Some("bye"))))
+          val lgResp = WV.LeaveGroupRespV.Response(5, 0, Seq(
+            WV.LeaveGroupRespV.MemberResp("m-1", Some("inst-1"), 0)))
+          val avReq = WV.ApiVersionsReqV.Request("rpk", "v25.1")
+          WV.OffsetFetchV.ValidVersions.map { v =>
+            val bytes = WV.OffsetFetchV.encode(v, ofReq)
+            val r = WV.OffsetFetchV.decode(v, bytes)
+            ("offset_fetch", v, bytes.length,
+              s"stable=${r.requireStable}|groups=${r.groups.size}|parts=${
+                r.groups.head.topics.map(_.head._2.size).getOrElse(-1)}")
+          } ++ WV.OffsetFetchRespV.ValidVersions.map { v =>
+            val bytes = WV.OffsetFetchRespV.encode(v, ofResp)
+            val r = WV.OffsetFetchRespV.decode(v, bytes)
+            val p = r.groups.head.topics.head._2.head
+            ("offset_fetch_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|epoch=${p.committedLeaderEpoch}|gid=${
+                r.groups.head.groupId}")
+          } ++ WV.FindCoordinatorV.ValidVersions.map { v =>
+            val bytes = WV.FindCoordinatorV.encode(v, fcReq)
+            val r = WV.FindCoordinatorV.decode(v, bytes)
+            ("find_coordinator", v, bytes.length,
+              s"type=${r.keyType}|keys=${r.keys.mkString("+")}")
+          } ++ WV.FindCoordinatorRespV.ValidVersions.map { v =>
+            val bytes = WV.FindCoordinatorRespV.encode(v, fcResp)
+            val r = WV.FindCoordinatorRespV.decode(v, bytes)
+            val c = r.coordinators.head
+            ("find_coordinator_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|key=${c.key}|node=${c.nodeId}|msg=${
+                c.errorMessage.getOrElse("")}")
+          } ++ WV.SyncGroupV.ValidVersions.map { v =>
+            val bytes = WV.SyncGroupV.encode(v, sgReq)
+            val r = WV.SyncGroupV.decode(v, bytes)
+            ("sync_group", v, bytes.length,
+              s"inst=${r.groupInstanceId.getOrElse("")}|proto=${
+                r.protocolName.getOrElse("")}|assigns=${r.assignments.size}")
+          } ++ WV.SyncGroupRespV.ValidVersions.map { v =>
+            val bytes = WV.SyncGroupRespV.encode(v, sgResp)
+            val r = WV.SyncGroupRespV.decode(v, bytes)
+            ("sync_group_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|proto=${
+                r.protocolName.getOrElse("")}|asg=${r.assignment.length}")
+          } ++ WV.HeartbeatV.ValidVersions.map { v =>
+            val bytes = WV.HeartbeatV.encode(v, hbReq)
+            val r = WV.HeartbeatV.decode(v, bytes)
+            ("heartbeat", v, bytes.length,
+              s"gen=${r.generationId}|inst=${r.groupInstanceId.getOrElse("")}")
+          } ++ WV.LeaveGroupV.ValidVersions.map { v =>
+            val bytes = WV.LeaveGroupV.encode(v, lgReq)
+            val r = WV.LeaveGroupV.decode(v, bytes)
+            val mem = r.members.head
+            ("leave_group", v, bytes.length,
+              s"inst=${mem.groupInstanceId.getOrElse("")}|reason=${
+                mem.reason.getOrElse("")}|members=${r.members.size}")
+          } ++ WV.LeaveGroupRespV.ValidVersions.map { v =>
+            val bytes = WV.LeaveGroupRespV.encode(v, lgResp)
+            val r = WV.LeaveGroupRespV.decode(v, bytes)
+            ("leave_group_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|members=${r.members.size}")
+          } ++ WV.ApiVersionsReqV.ValidVersions.map { v =>
+            val bytes = WV.ApiVersionsReqV.encode(v, avReq)
+            val r = WV.ApiVersionsReqV.decode(v, bytes)
+            ("api_versions", v, bytes.length,
+              s"name=${r.clientSoftwareName}|ver=${r.clientSoftwareVersion}")
+          }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
         .orderBy("family", "version")
@@ -7502,6 +7588,186 @@ object SparkEntry {
             s"${w.get("kafka_bytes_sent_count").asLong()}@${
               w.get("open").asBoolean()}").mkString(",")
         }))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b)
+        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
+    "adm_rest_security" -> ((s, dir) => {
+      // The admin security surface (redpanda/admin/security.cc): SCRAM
+      // user CRUD over the graft.security.Scram credential kernel
+      // (create/update derive real stored keys; idempotent re-create
+      // accepts only a matching password) and the RBAC role routes with
+      // the role_errc JSON ladder (40001/40004/40401/40901 — HTTP
+      // status = code/100). Validation wording is pinned verbatim,
+      // including the reference's "password smissing" typo.
+      import s.implicits._
+      import graft.admin.AdminApi
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
+      def j(b: String) = m.readTree(b)
+      def cred(alg: String, pw: String, user: String = null) =
+        Some((if (user == null) s"""{"algorithm":"$alg","password":"$pw"}"""
+          else s"""{"algorithm":"$alg","password":"$pw","username":"$user"}"""))
+      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
+        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "pw1", "alice"),
+          _ => "created"),
+        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "pw1", "alice"),
+          _ => "idempotent"),
+        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "other", "alice"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/security/users", cred("SCRAM-MD5", "x", "carl"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "x"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/security/users", cred("SCRAM-SHA-512", "pw2", "bob"),
+          _ => "created"),
+        ("GET", "/v1/security/users", None, r => {
+          val a = j(r.body)
+          s"n=${a.size()};" + (0 until a.size()).map(a.get(_).asText()).mkString(",")
+        }),
+        ("PUT", "/v1/security/users/alice", cred("SCRAM-SHA-512", "rotated"),
+          _ => "updated"),
+        ("PUT", "/v1/security/users/nobody", cred("SCRAM-SHA-256", "x"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("DELETE", "/v1/security/users/bob", None, _ => "deleted"),
+        ("DELETE", "/v1/security/users/bob", None, _ => "idempotent"),
+        ("POST", "/v1/security/roles", Some("""{"role":"ops"}"""),
+          r => "role=" + j(r.body).get("role").asText()),
+        ("POST", "/v1/security/roles", Some("""{"role":"ops"}"""),
+          _ => "idempotent"),
+        ("POST", "/v1/security/roles", Some("""{"nope":1}"""),
+          r => s"code=${j(r.body).get("code").asInt()}"),
+        ("POST", "/v1/security/roles", Some("""{"role":"a=b"}"""),
+          r => s"code=${j(r.body).get("code").asInt()}" +
+            s",message=${j(r.body).get("message").asText()}"),
+        ("POST", "/v1/security/roles/ops/members", Some(
+          """{"add":[{"name":"alice","principal_type":"User"},""" +
+            """{"name":"bob","principal_type":"User"}]}"""),
+          r => s"added=${j(r.body).get("added").size()}" +
+            s",removed=${j(r.body).get("removed").size()}" +
+            s",created=${j(r.body).get("created").asBoolean()}"),
+        ("POST", "/v1/security/roles/ops/members", Some(
+          """{"add":[{"name":"alice","principal_type":"User"}]}"""),
+          r => s"added=${j(r.body).get("added").size()}"),
+        ("POST", "/v1/security/roles/ops/members", Some(
+          """{"add":[{"name":"x","principal_type":"User"}],""" +
+            """"remove":[{"name":"x","principal_type":"User"}]}"""),
+          r => s"code=${j(r.body).get("code").asInt()}"),
+        ("POST", "/v1/security/roles/ops/members", Some(
+          """{"add":[{"name":"g1","principal_type":"Group"}]}"""),
+          r => s"code=${j(r.body).get("code").asInt()}"),
+        ("POST", "/v1/security/roles/new1/members", Some("""{"add":[]}"""),
+          r => s"code=${j(r.body).get("code").asInt()}"),
+        ("POST", "/v1/security/roles/new1/members?create=true", Some(
+          """{"add":[{"name":"carol","principal_type":"User"}]}"""),
+          r => s"created=${j(r.body).get("created").asBoolean()}"),
+        ("GET", "/v1/security/roles", None,
+          r => s"roles=${j(r.body).get("roles").size()}"),
+        ("GET", "/v1/security/roles?principal=carol", None,
+          r => s"roles=${j(r.body).get("roles").size()}" +
+            s",first=${j(r.body).get("roles").get(0).get("name").asText()}"),
+        ("GET", "/v1/security/roles?principal_type=Group", None,
+          r => s"code=${j(r.body).get("code").asInt()}"),
+        ("GET", "/v1/security/roles/ops", None,
+          r => s"name=${j(r.body).get("name").asText()}" +
+            s",members=${j(r.body).get("members").size()}" +
+            s",t0=${j(r.body).get("members").get(0).get("principal_type").asText()}"),
+        ("GET", "/v1/security/roles/nope", None,
+          r => s"code=${j(r.body).get("code").asInt()}" +
+            s",message=${j(r.body).get("message").asText()}"),
+        ("DELETE", "/v1/security/roles/ops", None, _ => "deleted"),
+        ("GET", "/v1/security/roles/ops", None,
+          r => s"code=${j(r.body).get("code").asInt()}"))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b)
+        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
+    "adm_rest_transform" -> ((s, dir) => {
+      // The wasm-transform admin surface (redpanda/admin/transform.cc):
+      // gated on data_transforms_enabled (flipped mid-script through the
+      // cluster_config PUT route, the same knob rpk sets), deploy with
+      // the JSON-header-then-binary wire format and the validation
+      // ladder, transform_metadata listing with per-partition status,
+      // metadata patch (pause), delete, and the committed-offsets debug
+      // listing + GC. Committed offsets come from the TRANSFORM ENGINE:
+      // Transforms.commitBatcher folds a progress log to final offsets
+      // (bounded collect, 2 keys), fed to the admin model.
+      import s.implicits._
+      import graft.admin.AdminApi
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
+      // engine-side: the commit batcher's final committed offset per
+      // (transform, partition) seeds the admin debug table
+      val progress = Seq(
+        ("mirror", 0, "events_out", 0L, 10L), ("mirror", 0, "events_out", 1L, 41L),
+        ("mirror", 1, "events_out", 0L, 7L))
+        .toDF("transform", "partition", "output_topic", "seq", "offset")
+      graft.streaming.Transforms.commitBatcher(progress, intervalLen = 16)
+        .select("transform", "partition", "committed_offset")
+        .orderBy("transform", "partition").collect()
+        .foreach(r => srv.commitTransformOffset(r.getString(0), r.getInt(1), r.getLong(2)))
+      def j(b: String) = m.readTree(b)
+      val meta = """{"name":"mirror","input_topic":"events",""" +
+        """"output_topics":["events_out"],""" +
+        """"environment":[{"key":"MODE","value":"upper"}],"compression":"lz4"}"""
+      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
+        ("GET", "/v1/transform", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/cluster_config", Some(
+          """{"upsert":{"data_transforms_enabled":true},"remove":[]}"""),
+          r => "config_version=" + j(r.body).get("config_version").asLong()),
+        ("POST", "/v1/transform/deploy", Some(meta + " asmwasm-bytes"),
+          _ => "deployed"),
+        ("POST", "/v1/transform/deploy", Some(
+          """{"name":"x","input_topic":"t"}bin"""),
+          r => "message=" + j(r.body).get("message").asText().takeWhile(_ != ':')),
+        ("POST", "/v1/transform/deploy", Some(
+          """{"name":"x","input_topic":"t","output_topics":["o"],""" +
+            """"offset":{"format":"from_start","value":-3}}bin"""),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/transform", None, r => {
+          val t0 = j(r.body).get(0)
+          s"n=${j(r.body).size()};${t0.get("name").asText()}:" +
+            s"${t0.get("input_topic").asText()}->" +
+            s"${t0.get("output_topics").get(0).asText()}" +
+            s",parts=${t0.get("status").size()}" +
+            s",comp=${t0.get("compression").asText()}" +
+            s",st=${t0.get("status").get(0).get("status").asText()}"
+        }),
+        ("PUT", "/v1/transform/mirror/meta", Some("""{"is_paused":true}"""),
+          _ => "paused"),
+        ("GET", "/v1/transform", None, r =>
+          "st=" + j(r.body).get(0).get("status").get(0).get("status").asText()),
+        ("PUT", "/v1/transform/ghost/meta", Some("{}"), _ => "noop"),
+        ("PUT", "/v1/transform/ghost/meta", Some("""{"is_paused":true}"""),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/transform/debug/committed_offsets", None, r => {
+          val a = j(r.body)
+          s"n=${a.size()};" + (0 until a.size()).map { i =>
+            val o = a.get(i)
+            s"${o.get("transform_name").asText()}:${o.get("partition").asInt()}" +
+              s"@${o.get("offset").asLong()}"
+          }.mkString(",")
+        }),
+        ("DELETE", "/v1/transform/mirror", None, _ => "deleted"),
+        ("DELETE", "/v1/transform/mirror", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/transform/debug/committed_offsets", None,
+          r => s"n=${j(r.body).size()}"),
+        ("GET", "/v1/transform/debug/committed_offsets?show_unknown=true", None,
+          r => s"n=${j(r.body).size()}"),
+        ("POST", "/v1/transform/debug/committed_offsets/garbage_collect", None,
+          _ => "swept"),
+        ("GET", "/v1/transform/debug/committed_offsets?show_unknown=true", None,
+          r => s"n=${j(r.body).size()}"))
       script.zipWithIndex.map { case ((method, path, b, extract), i) =>
         val resp = srv.handle(method, path, b)
         (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
@@ -12866,7 +13132,68 @@ object SparkEntry {
         |  ('produce_resp', 5, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
         |  ('produce_resp', 6, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
         |  ('produce_resp', 7, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
-        |  ('produce_resp', 8, 69, 'throttle=5|lat=1700000000000|lso=7|recerrs=1|msg=oops'))
+        |  ('produce_resp', 8, 69, 'throttle=5|lat=1700000000000|lso=7|recerrs=1|msg=oops'),
+        |  ('offset_fetch', 0, 28, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 1, 28, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 2, 28, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 3, 28, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 4, 28, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 5, 28, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 6, 22, 'stable=false|groups=1|parts=2'),
+        |  ('offset_fetch', 7, 23, 'stable=true|groups=1|parts=2'),
+        |  ('offset_fetch', 8, 25, 'stable=true|groups=1|parts=2'),
+        |  ('offset_fetch_resp', 0, 33, 'throttle=0|epoch=-1|gid='),
+        |  ('offset_fetch_resp', 1, 33, 'throttle=0|epoch=-1|gid='),
+        |  ('offset_fetch_resp', 2, 35, 'throttle=0|epoch=-1|gid='),
+        |  ('offset_fetch_resp', 3, 39, 'throttle=5|epoch=-1|gid='),
+        |  ('offset_fetch_resp', 4, 39, 'throttle=5|epoch=-1|gid='),
+        |  ('offset_fetch_resp', 5, 43, 'throttle=5|epoch=3|gid='),
+        |  ('offset_fetch_resp', 6, 38, 'throttle=5|epoch=3|gid='),
+        |  ('offset_fetch_resp', 7, 38, 'throttle=5|epoch=3|gid='),
+        |  ('offset_fetch_resp', 8, 43, 'throttle=5|epoch=3|gid=cg'),
+        |  ('find_coordinator', 0, 4, 'type=0|keys=cg'),
+        |  ('find_coordinator', 1, 5, 'type=1|keys=cg'),
+        |  ('find_coordinator', 2, 5, 'type=1|keys=cg'),
+        |  ('find_coordinator', 3, 5, 'type=1|keys=cg'),
+        |  ('find_coordinator', 4, 6, 'type=1|keys=cg'),
+        |  ('find_coordinator_resp', 0, 18, 'throttle=0|key=|node=2|msg='),
+        |  ('find_coordinator_resp', 1, 26, 'throttle=5|key=|node=2|msg=ok'),
+        |  ('find_coordinator_resp', 2, 26, 'throttle=5|key=|node=2|msg=ok'),
+        |  ('find_coordinator_resp', 3, 25, 'throttle=5|key=|node=2|msg=ok'),
+        |  ('find_coordinator_resp', 4, 30, 'throttle=5|key=cg|node=2|msg=ok'),
+        |  ('sync_group', 0, 34, 'inst=|proto=|assigns=1'),
+        |  ('sync_group', 1, 34, 'inst=|proto=|assigns=1'),
+        |  ('sync_group', 2, 34, 'inst=|proto=|assigns=1'),
+        |  ('sync_group', 3, 42, 'inst=inst-1|proto=|assigns=1'),
+        |  ('sync_group', 4, 34, 'inst=inst-1|proto=|assigns=1'),
+        |  ('sync_group', 5, 49, 'inst=inst-1|proto=range|assigns=1'),
+        |  ('sync_group_resp', 0, 14, 'throttle=0|proto=|asg=8'),
+        |  ('sync_group_resp', 1, 18, 'throttle=5|proto=|asg=8'),
+        |  ('sync_group_resp', 2, 18, 'throttle=5|proto=|asg=8'),
+        |  ('sync_group_resp', 3, 18, 'throttle=5|proto=|asg=8'),
+        |  ('sync_group_resp', 4, 16, 'throttle=5|proto=|asg=8'),
+        |  ('sync_group_resp', 5, 31, 'throttle=5|proto=range|asg=8'),
+        |  ('heartbeat', 0, 13, 'gen=7|inst='),
+        |  ('heartbeat', 1, 13, 'gen=7|inst='),
+        |  ('heartbeat', 2, 13, 'gen=7|inst='),
+        |  ('heartbeat', 3, 21, 'gen=7|inst=inst-1'),
+        |  ('heartbeat', 4, 19, 'gen=7|inst=inst-1'),
+        |  ('leave_group', 0, 9, 'inst=|reason=|members=1'),
+        |  ('leave_group', 1, 9, 'inst=|reason=|members=1'),
+        |  ('leave_group', 2, 9, 'inst=|reason=|members=1'),
+        |  ('leave_group', 3, 21, 'inst=inst-1|reason=|members=1'),
+        |  ('leave_group', 4, 17, 'inst=inst-1|reason=|members=1'),
+        |  ('leave_group', 5, 21, 'inst=inst-1|reason=bye|members=1'),
+        |  ('leave_group_resp', 0, 2, 'throttle=0|members=0'),
+        |  ('leave_group_resp', 1, 6, 'throttle=5|members=0'),
+        |  ('leave_group_resp', 2, 6, 'throttle=5|members=0'),
+        |  ('leave_group_resp', 3, 25, 'throttle=5|members=1'),
+        |  ('leave_group_resp', 4, 22, 'throttle=5|members=1'),
+        |  ('leave_group_resp', 5, 22, 'throttle=5|members=1'),
+        |  ('api_versions', 0, 0, 'name=|ver='),
+        |  ('api_versions', 1, 0, 'name=|ver='),
+        |  ('api_versions', 2, 0, 'name=|ver='),
+        |  ('api_versions', 3, 11, 'name=rpk|ver=v25.1'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
 
     "p6_wire_framing" ->
@@ -13157,6 +13484,63 @@ object SparkEntry {
         |  (29, 'GET', '/v1/cluster/uuid', 200, 'uuid=1'),
         |  (30, 'GET', '/v1/transactions', 200, 'n=3;tx-10:Ongoing:p2,tx-11:CompleteCommit:p1,tx-12:CompleteAbort:p1'),
         |  (31, 'GET', '/v1/usage', 200, 'windows=2;300@false,500@true'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the admin security surface (security.cc user CRUD
+    // wording incl. the "smissing" typo, role_errc codes, diffs).
+    "adm_rest_security" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'POST', '/v1/security/users', 200, 'created'),
+        |  (2, 'POST', '/v1/security/users', 200, 'idempotent'),
+        |  (3, 'POST', '/v1/security/users', 500, 'message=Unexpected cluster error: User already exists'),
+        |  (4, 'POST', '/v1/security/users', 400, 'message=Unknown scram algorithm: SCRAM-MD5'),
+        |  (5, 'POST', '/v1/security/users', 400, 'message=String username missing'),
+        |  (6, 'POST', '/v1/security/users', 200, 'created'),
+        |  (7, 'GET', '/v1/security/users', 200, 'n=2;alice,bob'),
+        |  (8, 'PUT', '/v1/security/users/alice', 200, 'updated'),
+        |  (9, 'PUT', '/v1/security/users/nobody', 500, 'message=Unexpected cluster error: User does not exist'),
+        |  (10, 'DELETE', '/v1/security/users/bob', 200, 'deleted'),
+        |  (11, 'DELETE', '/v1/security/users/bob', 200, 'idempotent'),
+        |  (12, 'POST', '/v1/security/roles', 201, 'role=ops'),
+        |  (13, 'POST', '/v1/security/roles', 201, 'idempotent'),
+        |  (14, 'POST', '/v1/security/roles', 400, 'code=40001'),
+        |  (15, 'POST', '/v1/security/roles', 400, 'code=40002,message=Invalid role name'),
+        |  (16, 'POST', '/v1/security/roles/ops/members', 200, 'added=2,removed=0,created=false'),
+        |  (17, 'POST', '/v1/security/roles/ops/members', 200, 'added=0'),
+        |  (18, 'POST', '/v1/security/roles/ops/members', 400, 'code=40004'),
+        |  (19, 'POST', '/v1/security/roles/ops/members', 400, 'code=40001'),
+        |  (20, 'POST', '/v1/security/roles/new1/members', 404, 'code=40401'),
+        |  (21, 'POST', '/v1/security/roles/new1/members', 200, 'created=true'),
+        |  (22, 'GET', '/v1/security/roles', 200, 'roles=2'),
+        |  (23, 'GET', '/v1/security/roles', 200, 'roles=1,first=new1'),
+        |  (24, 'GET', '/v1/security/roles', 400, 'code=40001'),
+        |  (25, 'GET', '/v1/security/roles/ops', 200, 'name=ops,members=2,t0=User'),
+        |  (26, 'GET', '/v1/security/roles/nope', 404, 'code=40401,message=Role not found'),
+        |  (27, 'DELETE', '/v1/security/roles/ops', 204, 'deleted'),
+        |  (28, 'GET', '/v1/security/roles/ops', 404, 'code=40401'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the wasm-transform admin surface (transform.cc:
+    // enable gate wording, deploy ladder, metadata shape, offsets+GC).
+    "adm_rest_transform" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GET', '/v1/transform', 400, 'message=data transforms disabled - use `rpk cluster config set data_transforms_enabled true` to enable'),
+        |  (2, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
+        |  (3, 'POST', '/v1/transform/deploy', 200, 'deployed'),
+        |  (4, 'POST', '/v1/transform/deploy', 400, 'message=invalid JSON request body'),
+        |  (5, 'POST', '/v1/transform/deploy', 400, 'message=Bad offset: expected value >= 0, got -3'),
+        |  (6, 'GET', '/v1/transform', 200, 'n=1;mirror:events->events_out,parts=2,comp=lz4,st=running'),
+        |  (7, 'PUT', '/v1/transform/mirror/meta', 200, 'paused'),
+        |  (8, 'GET', '/v1/transform', 200, 'st=inactive'),
+        |  (9, 'PUT', '/v1/transform/ghost/meta', 200, 'noop'),
+        |  (10, 'PUT', '/v1/transform/ghost/meta', 400, 'message=Transform does not exist'),
+        |  (11, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=2;mirror:0@41,mirror:1@7'),
+        |  (12, 'DELETE', '/v1/transform/mirror', 200, 'deleted'),
+        |  (13, 'DELETE', '/v1/transform/mirror', 400, 'message=Transform does not exist'),
+        |  (14, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=0'),
+        |  (15, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=2'),
+        |  (16, 'POST', '/v1/transform/debug/committed_offsets/garbage_collect', 200, 'swept'),
+        |  (17, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=0'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the REST protocol script (routes, status codes,

@@ -41,6 +41,21 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  *  - debug_bundle: start/status/cancel with the 409-conflict and
  *    404/410 ladder (`admin/debug_bundle.cc:73-99`,
  *    `debug_bundle/types.h:122-131` status strings).
+ *  - security: SCRAM user CRUD (`admin/security.cc:446-567` create/
+ *    update/delete with the no-op idempotency checks and the exact
+ *    validation wording incl. the reference's "password smissing"
+ *    typo), user listing, and the RBAC role surface (`security.cc:
+ *    322-894`): create/get/delete role, list with filter/principal,
+ *    member listing and the add/remove update with the
+ *    `role_errc` JSON error ladder (40001..40902, HTTP status =
+ *    code/100 per `role_errc_to_status`).
+ *  - wasm transforms (`admin/transform.cc`): deploy (JSON metadata
+ *    header immediately followed by the wasm binary, schema-validated
+ *    body, offset/compression ladders), list (`transform_metadata`
+ *    shape with per-partition status), delete, metadata patch
+ *    (env/is_paused/compression), committed-offset debug listing and
+ *    garbage collection — all gated on `data_transforms_enabled`
+ *    with the reference's exact disabled message.
  */
 object AdminApi {
 
@@ -124,7 +139,10 @@ object AdminApi {
         needsRestart = false, nullable = false, "user"),
       "superusers" -> PropMeta("array",
         "List of superuser usernames.", needsRestart = false,
-        nullable = false, "user"))
+        nullable = false, "user"),
+      "data_transforms_enabled" -> PropMeta("boolean",
+        "Enables WebAssembly-powered data transforms.",
+        needsRestart = false, nullable = false, "user"))
     private val config = mutable.LinkedHashMap[String, JsonNode](
       "log_retention_ms" -> mapper.getNodeFactory.numberNode(604800000L),
       "log_segment_size" -> mapper.getNodeFactory.numberNode(134217728L),
@@ -132,9 +150,40 @@ object AdminApi {
       "enable_rack_awareness" -> mapper.getNodeFactory.booleanNode(false),
       "cloud_storage_enabled" -> mapper.getNodeFactory.booleanNode(false),
       "kafka_batch_max_bytes" -> mapper.getNodeFactory.numberNode(1048576),
-      "superusers" -> mapper.createArrayNode())
+      "superusers" -> mapper.createArrayNode(),
+      "data_transforms_enabled" -> mapper.getNodeFactory.booleanNode(false))
     private var configVersion = 1L
     private var pendingRestart = false
+
+    // SCRAM credential store (security.cc user CRUD): user ->
+    // (algorithm, salt, stored_key, iterations). Salts are derived
+    // deterministically from the username so the protocol layer stays
+    // replayable; password checks recompute the stored key with the
+    // stored salt — validate_password semantics, the password itself
+    // is never kept.
+    private val users =
+      mutable.LinkedHashMap.empty[String, (String, Array[Byte], Array[Byte], Int)]
+
+    // RBAC role store: role -> ordered member names (all type User —
+    // `parse_json_members_list` rejects any other principal_type).
+    private val roles =
+      mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+
+    // wasm transform registry (transform.cc deploy/list/patch/delete)
+    private final case class TransformMeta(name: String, inputTopic: String,
+        outputTopics: Seq[String], env: mutable.LinkedHashMap[String, String],
+        var compression: String, var paused: Boolean, binaryBytes: Int)
+    private val transforms = mutable.LinkedHashMap.empty[String, TransformMeta]
+    // (transform, partition) -> committed offset; rows persist across
+    // transform deletion until the garbage_collect route sweeps them —
+    // exactly why the debug listing + GC pair exists in the reference
+    private val txCommitted = mutable.LinkedHashMap.empty[(String, Int), Long]
+
+    /** Deterministic stand-in for a processor committing progress (the
+      * transform runtime is [[graft.streaming.Transforms]]; the admin
+      * surface only reads the table). */
+    def commitTransformOffset(name: String, partition: Int, offset: Long): Unit =
+      txCommitted((name, partition)) = offset
 
     // features (feature_state.h high-level states)
     private val features = mutable.LinkedHashMap(
@@ -218,9 +267,224 @@ object AdminApi {
         }
       }
 
+    // ----------------------------------------------------- security helpers
+
+    /** `role_errc` ladder (`security.cc:117-150`): body is the
+      * rbac_error_body {message, code}; HTTP status = code / 100. */
+    private def rbacErr(code: Int, detail: Option[String] = None): Resp = {
+      val base = code match {
+        case 40001 => "Malformed request"
+        case 40002 => "Invalid role name"
+        case 40003 => "Unrecognized field"
+        case 40004 => "Conflict between 'add' and 'remove' lists"
+        case 40401 => "Role not found"
+        case 40901 => "Role already exists"
+        case 40902 => "Role name conflict"
+      }
+      val o = mapper.createObjectNode()
+      o.put("message", detail.fold(base)(d => s"$base: $d"))
+      o.put("code", code)
+      Resp(code / 100, mapper.writeValueAsString(o))
+    }
+
+    /** `validate_scram_username` (`scram_algorithm.cc:361`): the name
+      * must round-trip through saslname — printable, no ',' / '='. */
+    private def validScramName(name: String): Boolean =
+      name.nonEmpty && name.forall(c => c >= 0x21 && c <= 0x7e &&
+        c != ',' && c != '=')
+
+    /** parse_scram_credential (`security.cc:44-82`) — validation order
+      * and exact wording, including the reference's "smissing" typo. */
+    private def parseScramCredential(doc: JsonNode):
+        Either[Resp, (String, String)] = {
+      if (doc == null || !doc.isObject)
+        return Left(err(400, "Not an object"))
+      val alg = doc.get("algorithm")
+      if (alg == null || !alg.isTextual)
+        return Left(err(400, "String algo missing"))
+      val pw = doc.get("password")
+      if (pw == null || !pw.isTextual)
+        return Left(err(400, "String password smissing"))
+      val a = alg.asText()
+      if (a != "SCRAM-SHA-256" && a != "SCRAM-SHA-512")
+        return Left(err(400, s"Unknown scram algorithm: $a"))
+      Right((a, pw.asText()))
+    }
+
+    /** make_credentials at the mechanism's min_iterations (4096 for
+      * both — `scram_algorithm.h:354-357`), deterministic per-user salt. */
+    private def makeStoredKey(user: String, alg: String, password: String):
+        (Array[Byte], Array[Byte], Int) = {
+      import graft.security.Scram
+      val mech = Scram.mechanism(alg)
+      val salt = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"salt:$user".getBytes("UTF-8"))
+      val (_, stored, _, iters) = Scram.makeCredential(password, salt, 4096, mech)
+      (salt, stored, iters)
+    }
+
+    /** validate_password: recompute with the STORED salt and compare. */
+    private def passwordMatches(user: String, alg: String, password: String):
+        Boolean = users.get(user).exists { case (storedAlg, salt, stored, iters) =>
+      import graft.security.Scram
+      storedAlg == alg && java.security.MessageDigest.isEqual(stored,
+        Scram.makeCredential(password, salt, iters,
+          Scram.mechanism(alg))._2)
+    }
+
+    private def roleMembersJson(members: Iterable[String]) = {
+      val a = mapper.createArrayNode()
+      members.foreach { m =>
+        val o = a.addObject()
+        o.put("name", m); o.put("principal_type", "User")
+      }
+      a
+    }
+
+    /** parse_json_members_list (`security.cc:216-265`): optional array
+      * of {name, principal_type: "User"} — anything else is 40001. */
+    private def parseMembers(doc: JsonNode, key: String):
+        Either[Resp, Seq[String]] = {
+      val n = doc.get(key)
+      if (n == null) return Right(Nil)
+      if (!n.isArray)
+        return Left(rbacErr(40001, Some(s"Array '$key' missing.")))
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < n.size()) {
+        val p = n.get(i)
+        if (!p.isObject)
+          return Left(rbacErr(40001, Some("Role member is not a JSON object")))
+        if (p.get("name") == null || !p.get("name").isTextual)
+          return Left(rbacErr(40001,
+            Some("String 'name' missing from role_member")))
+        if (p.get("principal_type") == null || !p.get("principal_type").isTextual)
+          return Left(rbacErr(40001,
+            Some("String 'principal_type' missing from role_member")))
+        val pt = p.get("principal_type").asText()
+        val nm = p.get("name").asText()
+        if (pt != "User")
+          return Left(rbacErr(40001, Some(
+            s"Role membership reserved for user principals, got {$pt:$nm}")))
+        out += nm
+        i += 1
+      }
+      Right(out.toSeq)
+    }
+
+    // ---------------------------------------------------- transform helpers
+
+    private def transformsDisabled: Boolean =
+      !config.get("data_transforms_enabled").exists(_.asBoolean(false))
+
+    private val transformsDisabledMsg =
+      "data transforms disabled - use `rpk cluster config set " +
+        "data_transforms_enabled true` to enable"
+
+    /** Splits a deploy body into (metadata JSON, wasm binary): the wire
+      * format is the JSON object immediately followed by the binary with
+      * no delimiter (`transform.cc:218-236`, kParseStopWhenDoneFlag) —
+      * so scan to the end of the top-level object respecting strings. */
+    private def splitDeployBody(body: String): Option[(String, String)] = {
+      var depth = 0; var inStr = false; var esc = false; var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (esc) esc = false
+        else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+        else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) return Some((body.substring(0, i + 1), body.substring(i + 1)))
+          case _ if depth == 0 && !c.isWhitespace => return None
+          case _ => ()
+        }
+        i += 1
+      }
+      None
+    }
+
+    private val compressionModes = Set("none", "gzip", "snappy", "lz4", "zstd")
+
+    /** validate_transform_deploy_document (`transform.cc:138-210`):
+      * required name/input_topic/output_topics, additionalProperties
+      * false, typed environment entries, compression enum, offset
+      * {format, value}. Returns the reference's bad-request wording. */
+    private def validateDeployDoc(doc: JsonNode): Option[String] = {
+      def bad(what: String) = Some(s"invalid JSON request body: $what")
+      if (!doc.isObject) return bad("expected object")
+      val allowed = Set("name", "input_topic", "output_topics", "environment",
+        "compression", "offset")
+      val it = doc.fieldNames()
+      while (it.hasNext) { val f = it.next(); if (!allowed(f)) return bad(s"unexpected field '$f'") }
+      for (req <- Seq("name", "input_topic", "output_topics"))
+        if (doc.get(req) == null) return bad(s"missing required field '$req'")
+      if (!doc.get("name").isTextual) return bad("'name' must be a string")
+      if (!doc.get("input_topic").isTextual) return bad("'input_topic' must be a string")
+      val ot = doc.get("output_topics")
+      if (!ot.isArray) return bad("'output_topics' must be an array")
+      for (i <- 0 until ot.size())
+        if (!ot.get(i).isTextual) return bad("'output_topics' items must be strings")
+      val env = doc.get("environment")
+      if (env != null) {
+        if (!env.isArray) return bad("'environment' must be an array")
+        for (i <- 0 until env.size()) {
+          val e = env.get(i)
+          if (!e.isObject || e.get("key") == null || !e.get("key").isTextual ||
+              e.get("value") == null || !e.get("value").isTextual || e.size() != 2)
+            return bad("'environment' items must be {key, value} strings")
+        }
+      }
+      val comp = doc.get("compression")
+      if (comp != null && (!comp.isTextual || !compressionModes(comp.asText())))
+        return bad("'compression' not one of none/gzip/snappy/lz4/zstd")
+      val off = doc.get("offset")
+      if (off != null) {
+        if (!off.isObject || off.get("format") == null || off.get("value") == null ||
+            off.size() != 2)
+          return bad("'offset' must be {format, value}")
+        if (!off.get("format").isTextual ||
+            !Set("from_start", "from_end", "timestamp")(off.get("format").asText()))
+          return bad("'offset' format not one of from_start/from_end/timestamp")
+        if (!off.get("value").isIntegralNumber)
+          return bad("'offset' value must be an integer")
+      }
+      None
+    }
+
+    private def transformJson(t: TransformMeta): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("name", t.name)
+      o.put("input_topic", t.inputTopic)
+      val ots = o.putArray("output_topics")
+      t.outputTopics.foreach(ots.add)
+      val envs = o.putArray("environment")
+      t.env.foreach { case (k, v) =>
+        val e = envs.addObject(); e.put("key", k); e.put("value", v)
+      }
+      // one partition_transform_status row per input-topic partition
+      // known to the cluster model (at least partition 0): the admin
+      // surface aggregates what the processors report
+      val known = partitions.filter(p => p.ns == "kafka" && p.topic == t.inputTopic)
+      val sts = o.putArray("status")
+      val rows = if (known.nonEmpty) known.map(p => (p.partition, p.leader))
+                 else Seq((0, brokers.keys.headOption.getOrElse(0)))
+      rows.foreach { case (part, node) =>
+        val s = sts.addObject()
+        s.put("partition", part)
+        s.put("node_id", node)
+        s.put("status", if (t.paused) "inactive" else "running")
+        s.put("lag", 0)
+      }
+      o.put("compression", t.compression)
+      o
+    }
+
     // ------------------------------------------------------------ routes
 
-    def handle(method: String, path: String, body: Option[String] = None): Resp = {
+    def handle(method: String, path: String, body: Option[String] = None,
+        principal: String = "admin"): Resp = {
       val parts = path.stripPrefix("/").split("\\?")(0).split("/").toList
       val query = if (path.contains("?")) path.split("\\?")(1) else ""
       def qp(name: String): Option[String] =
@@ -597,6 +861,275 @@ object AdminApi {
             o.put("cloud_storage_bytes_gauge", 0L)
           }
           Resp(200, mapper.writeValueAsString(a))
+
+        // ------------------------------------------------ security: users
+        case ("POST", "v1" :: "security" :: "users" :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          parseScramCredential(doc) match {
+            case Left(e) => e
+            case Right((alg, pw)) =>
+              val un = Option(doc.get("username")).filter(_.isTextual)
+              if (un.isEmpty) return err(400, "String username missing")
+              val username = un.get.asText()
+              if (!validScramName(username))
+                return err(400, s"Invalid SCRAM username {$username}")
+              if (users.contains(username)) {
+                // idempotency: same credential → success; different →
+                // user_exists falls to throw_on_error's default arm
+                if (passwordMatches(username, alg, pw)) Resp(200, "{}")
+                else err(500, "Unexpected cluster error: User already exists")
+              } else {
+                val (salt, stored, iters) = makeStoredKey(username, alg, pw)
+                users(username) = (alg, salt, stored, iters)
+                Resp(200, "{}")
+              }
+          }
+
+        case ("GET", "v1" :: "security" :: "users" :: Nil) =>
+          // bare array of usernames (list_users, `security.cc:360-378`);
+          // this model holds no ephemeral credentials, so the
+          // include_ephemeral query param does not change the listing
+          val a = mapper.createArrayNode()
+          users.keys.foreach(a.add)
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "security" :: "users" :: "roles" :: Nil) =>
+          // roles of the AUTHENTICATED principal (list_user_roles)
+          val filter = qp("filter").getOrElse("")
+          val o = mapper.createObjectNode()
+          val rs = o.putArray("roles")
+          roles.foreach { case (name, members) =>
+            if (members.contains(principal) && name.startsWith(filter)) {
+              val r = rs.addObject(); r.put("name", name)
+            }
+          }
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("PUT", "v1" :: "security" :: "users" :: user :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          parseScramCredential(doc) match {
+            case Left(e) => e
+            case Right((alg, pw)) =>
+              if (passwordMatches(user, alg, pw)) Resp(200, "{}") // no-op
+              else if (!users.contains(user))
+                err(500, "Unexpected cluster error: User does not exist")
+              else {
+                val (salt, stored, iters) = makeStoredKey(user, alg, pw)
+                users(user) = (alg, salt, stored, iters)
+                Resp(200, "{}")
+              }
+          }
+
+        case ("DELETE", "v1" :: "security" :: "users" :: user :: Nil) =>
+          // removing a non-existent user is successful (idempotency)
+          users.remove(user)
+          Resp(200, "{}")
+
+        // ------------------------------------------------ security: roles
+        case ("GET", "v1" :: "security" :: "roles" :: Nil) =>
+          val filter = qp("filter").getOrElse("")
+          val member = qp("principal").getOrElse("")
+          val ptype = qp("principal_type").getOrElse("")
+          if (ptype.nonEmpty && ptype != "User")
+            return rbacErr(40001, Some(
+              s"Role membership reserved for user principals, got {$ptype}"))
+          val o = mapper.createObjectNode()
+          val rs = o.putArray("roles")
+          roles.foreach { case (name, members) =>
+            if (name.startsWith(filter) &&
+                (member.isEmpty || members.contains(member))) {
+              val r = rs.addObject(); r.put("name", name)
+            }
+          }
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("POST", "v1" :: "security" :: "roles" :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isObject)
+            return rbacErr(40001, Some("Request body is not a JSON object"))
+          val rn = Option(doc.get("role")).filter(_.isTextual)
+          if (rn.isEmpty)
+            return rbacErr(40001, Some("Missing string field 'role'"))
+          val name = rn.get.asText()
+          if (!validScramName(name)) return rbacErr(40002)
+          val resBody = {
+            val o = mapper.createObjectNode(); o.put("role", name)
+            mapper.writeValueAsString(o)
+          }
+          roles.get(name) match {
+            case Some(members) if members.nonEmpty => rbacErr(40901)
+            case Some(_) => Resp(201, resBody) // empty role: idempotent
+            case None =>
+              roles(name) = mutable.LinkedHashSet.empty[String]
+              Resp(201, resBody)
+          }
+
+        case ("GET", "v1" :: "security" :: "roles" :: role :: Nil) =>
+          roles.get(role) match {
+            case None => rbacErr(40401)
+            case Some(members) =>
+              val o = mapper.createObjectNode()
+              o.put("name", role)
+              o.set[JsonNode]("members", roleMembersJson(members))
+              Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("DELETE", "v1" :: "security" :: "roles" :: role :: Nil) =>
+          // idempotent; ?delete_acls=true additionally sweeps the
+          // role's ACL bindings (binding store lives in admin/Admin)
+          roles.remove(role)
+          Resp(204, "")
+
+        case ("GET", "v1" :: "security" :: "roles" :: role :: "members" :: Nil) =>
+          roles.get(role) match {
+            case None => rbacErr(40401)
+            case Some(members) =>
+              val o = mapper.createObjectNode()
+              o.set[JsonNode]("members", roleMembersJson(members))
+              Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("POST", "v1" :: "security" :: "roles" :: role :: "members" :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isObject)
+            return rbacErr(40001, Some("Request body is not a JSON object"))
+          val add = parseMembers(doc, "add") match {
+            case Left(e) => return e; case Right(m) => m
+          }
+          val remove = parseMembers(doc, "remove") match {
+            case Left(e) => return e; case Right(m) => m
+          }
+          if (remove.exists(add.contains)) return rbacErr(40004)
+          val existing = roles.get(role)
+          val created = existing.isEmpty
+          if (created && !qflag("create")) return rbacErr(40401)
+          val members = existing.getOrElse {
+            val s = mutable.LinkedHashSet.empty[String]; roles(role) = s; s
+          }
+          // response reports the DIFF actually applied (already-present
+          // adds and absent removes are dropped — `security.cc:721-727`)
+          val added = add.filterNot(members.contains)
+          val removed = remove.filter(members.contains)
+          added.foreach(members.add)
+          removed.foreach(members.remove)
+          val o = mapper.createObjectNode()
+          o.put("role", role)
+          o.set[JsonNode]("added", roleMembersJson(added))
+          o.set[JsonNode]("removed", roleMembersJson(removed))
+          o.put("created", created)
+          Resp(200, mapper.writeValueAsString(o))
+
+        // -------------------------------------------------- wasm transforms
+        case (_, "v1" :: "transform" :: _) if transformsDisabled =>
+          err(400, transformsDisabledMsg)
+
+        case ("POST", "v1" :: "transform" :: "deploy" :: Nil) =>
+          val raw = body.getOrElse("")
+          val (metaJson, wasm) = splitDeployBody(raw) match {
+            case None => return err(400, "JSON parse error: metadata header")
+            case Some(p) => p
+          }
+          val doc = try mapper.readTree(metaJson) catch {
+            case _: Throwable => return err(400, "JSON parse error: metadata header")
+          }
+          validateDeployDoc(doc).foreach(m => return err(400, m))
+          val off = doc.get("offset")
+          if (off != null) {
+            val v = off.get("value").asLong()
+            if (v < 0)
+              return err(400, s"Bad offset: expected value >= 0, got $v")
+          }
+          val env = mutable.LinkedHashMap.empty[String, String]
+          val envArr = doc.get("environment")
+          if (envArr != null) (0 until envArr.size()).foreach { i =>
+            env(envArr.get(i).get("key").asText()) =
+              envArr.get(i).get("value").asText()
+          }
+          val name = doc.get("name").asText()
+          val outs = (0 until doc.get("output_topics").size())
+            .map(doc.get("output_topics").get(_).asText())
+          transforms(name) = TransformMeta(name,
+            doc.get("input_topic").asText(), outs, env,
+            Option(doc.get("compression")).map(_.asText()).getOrElse("none"),
+            paused = false, binaryBytes = wasm.getBytes("UTF-8").length)
+          Resp(200, "{}")
+
+        case ("GET", "v1" :: "transform" :: Nil) =>
+          val a = mapper.createArrayNode()
+          transforms.values.foreach(t => a.add(transformJson(t)))
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "transform" :: "debug" :: "committed_offsets" :: Nil) =>
+          val showUnknown = qflag("show_unknown")
+          val a = mapper.createArrayNode()
+          txCommitted.foreach { case ((name, part), offset) =>
+            if (showUnknown || transforms.contains(name)) {
+              val o = a.addObject()
+              o.put("transform_name", name)
+              o.put("partition", part)
+              o.put("offset", offset)
+            }
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("POST", "v1" :: "transform" :: "debug" :: "committed_offsets" ::
+            "garbage_collect" :: Nil) =>
+          txCommitted.filterInPlace { case ((name, _), _) =>
+            transforms.contains(name)
+          }
+          Resp(200, "{}")
+
+        case ("DELETE", "v1" :: "transform" :: name :: Nil) =>
+          if (transforms.remove(name).isEmpty)
+            err(400, "Transform does not exist")
+          else Resp(200, "{}")
+
+        case ("PUT", "v1" :: "transform" :: name :: "meta" :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isObject)
+            return err(400, "Request body is not a JSON object")
+          val allowed = Set("env", "is_paused", "compression")
+          val it = doc.fieldNames()
+          while (it.hasNext) {
+            val f = it.next()
+            if (!allowed(f))
+              return err(400, s"invalid JSON request body: unexpected field '$f'")
+          }
+          val envN = doc.get("env")
+          if (envN != null) {
+            if (!envN.isArray)
+              return err(400, "invalid JSON request body: 'env' must be an array")
+            for (i <- 0 until envN.size()) {
+              val e = envN.get(i)
+              if (!e.isObject || e.get("key") == null || !e.get("key").isTextual ||
+                  e.get("value") == null || !e.get("value").isTextual || e.size() != 2)
+                return err(400,
+                  "invalid JSON request body: 'env' items must be {key, value} strings")
+            }
+          }
+          val pausedN = doc.get("is_paused")
+          if (pausedN != null && !pausedN.isBoolean)
+            return err(400, "invalid JSON request body: 'is_paused' must be a boolean")
+          val compN = doc.get("compression")
+          if (compN != null && (!compN.isTextual || !compressionModes(compN.asText())))
+            return err(400,
+              "invalid JSON request body: 'compression' not one of none/gzip/snappy/lz4/zstd")
+          if (envN == null && pausedN == null && compN == null)
+            return Resp(200, "{}") // empty patch: no-op before any lookup
+          transforms.get(name) match {
+            case None => err(400, "Transform does not exist")
+            case Some(t) =>
+              if (envN != null) {
+                t.env.clear()
+                (0 until envN.size()).foreach { i =>
+                  t.env(envN.get(i).get("key").asText()) =
+                    envN.get(i).get("value").asText()
+                }
+              }
+              if (pausedN != null) t.paused = pausedN.asBoolean()
+              if (compN != null) t.compression = compN.asText()
+              Resp(200, "{}")
+          }
 
         // -------------------------------------------------------- status
         case ("GET", "v1" :: "status" :: "ready" :: Nil) =>

@@ -626,7 +626,14 @@ class LogPartitionReader(p: LogInputPartition, fields: Seq[String])
         pos += total // log_reader-style skip: payload never read at all
       } else if (!needsRecords && tsWhole &&
           h.lastOffsetDelta == h.recordCount - 1) {
-        // dense batch + header-only projection: no record parse at all
+        // dense batch + header-only projection: no record parse at all.
+        // rowOf below synthesizes ts = -1; that sentinel must never be
+        // observable, so the projection is re-checked loudly here rather
+        // than trusted to stay in sync with needsRecords.
+        require(!fields.contains("timestamp") && !fields.contains("key") &&
+          !fields.contains("value"),
+          s"header-only fast path reached with projection $fields — " +
+            "would surface sentinel timestamp/null payload")
         val base = h.baseOffset
         rows = (0 until h.recordCount).iterator
           .map(i => base + i)

@@ -274,4 +274,203 @@ class AdminApiSpec extends AnyFunSuite {
     assert(nf.status === 404)
     assert(m.readTree(nf.body).get("code").asInt() === 404)
   }
+
+  test("security users: create/list/update/delete with the reference ladder") {
+    val s = freshServer()
+    def create(b: String) = s.handle("POST", "/v1/security/users", Some(b))
+    // validation order matches parse_scram_credential: algorithm first,
+    // then password (with the reference's "smissing" typo), then username
+    assert(m.readTree(create("""{"username":"u"}""").body)
+      .get("message").asText() === "String algo missing")
+    assert(m.readTree(create("""{"algorithm":"SCRAM-SHA-256"}""").body)
+      .get("message").asText() === "String password smissing")
+    assert(m.readTree(create(
+      """{"algorithm":"SCRAM-SHA-1","password":"p"}""").body)
+      .get("message").asText() === "Unknown scram algorithm: SCRAM-SHA-1")
+    assert(m.readTree(create(
+      """{"algorithm":"SCRAM-SHA-256","password":"p"}""").body)
+      .get("message").asText() === "String username missing")
+    val badName = create(
+      """{"algorithm":"SCRAM-SHA-256","password":"p","username":"a,b"}""")
+    assert(badName.status === 400)
+    assert(m.readTree(badName.body).get("message").asText() ===
+      "Invalid SCRAM username {a,b}")
+    // create, idempotent re-create, conflicting re-create
+    assert(create(
+      """{"algorithm":"SCRAM-SHA-256","password":"pw1","username":"alice"}""")
+      .status === 200)
+    assert(create(
+      """{"algorithm":"SCRAM-SHA-256","password":"pw1","username":"alice"}""")
+      .status === 200)
+    val conflict = create(
+      """{"algorithm":"SCRAM-SHA-256","password":"OTHER","username":"alice"}""")
+    assert(conflict.status === 500)
+    assert(m.readTree(conflict.body).get("message").asText() ===
+      "Unexpected cluster error: User already exists")
+    assert(create(
+      """{"algorithm":"SCRAM-SHA-512","password":"pw2","username":"bob"}""")
+      .status === 200)
+    val list = m.readTree(s.handle("GET", "/v1/security/users").body)
+    assert((0 until list.size()).map(list.get(_).asText()) === Seq("alice", "bob"))
+    // update: no-op, real change, unknown user
+    assert(s.handle("PUT", "/v1/security/users/alice",
+      Some("""{"algorithm":"SCRAM-SHA-256","password":"pw1"}""")).status === 200)
+    assert(s.handle("PUT", "/v1/security/users/alice",
+      Some("""{"algorithm":"SCRAM-SHA-256","password":"pw9"}""")).status === 200)
+    val missing = s.handle("PUT", "/v1/security/users/nobody",
+      Some("""{"algorithm":"SCRAM-SHA-256","password":"x"}"""))
+    assert(missing.status === 500)
+    assert(m.readTree(missing.body).get("message").asText() ===
+      "Unexpected cluster error: User does not exist")
+    // delete is idempotent
+    assert(s.handle("DELETE", "/v1/security/users/bob").status === 200)
+    assert(s.handle("DELETE", "/v1/security/users/bob").status === 200)
+    val after = m.readTree(s.handle("GET", "/v1/security/users").body)
+    assert(after.size() === 1)
+  }
+
+  test("security roles: CRUD, membership diff, and the role_errc ladder") {
+    val s = freshServer()
+    // create: 201 with {role}; idempotent while empty; malformed bodies
+    val created = s.handle("POST", "/v1/security/roles", Some("""{"role":"ops"}"""))
+    assert(created.status === 201)
+    assert(m.readTree(created.body).get("role").asText() === "ops")
+    assert(s.handle("POST", "/v1/security/roles", Some("""{"role":"ops"}"""))
+      .status === 201)
+    val noRole = s.handle("POST", "/v1/security/roles", Some("""{"x":1}"""))
+    assert(noRole.status === 400)
+    assert(m.readTree(noRole.body).get("code").asInt() === 40001)
+    assert(m.readTree(noRole.body).get("message").asText() ===
+      "Malformed request: Missing string field 'role'")
+    val badName = s.handle("POST", "/v1/security/roles", Some("""{"role":"a=b"}"""))
+    assert(badName.status === 400)
+    assert(m.readTree(badName.body).get("code").asInt() === 40002)
+    // membership update: add two, diff reported, conflict rejected
+    val upd = s.handle("POST", "/v1/security/roles/ops/members",
+      Some("""{"add":[{"name":"alice","principal_type":"User"},
+               {"name":"bob","principal_type":"User"}]}"""))
+    assert(upd.status === 200)
+    val uj = m.readTree(upd.body)
+    assert(uj.get("added").size() === 2 && uj.get("removed").size() === 0)
+    assert(!uj.get("created").asBoolean())
+    // re-adding an existing member reports an empty diff
+    val noop = m.readTree(s.handle("POST", "/v1/security/roles/ops/members",
+      Some("""{"add":[{"name":"alice","principal_type":"User"}]}""")).body)
+    assert(noop.get("added").size() === 0)
+    val conflict = s.handle("POST", "/v1/security/roles/ops/members",
+      Some("""{"add":[{"name":"x","principal_type":"User"}],
+               "remove":[{"name":"x","principal_type":"User"}]}"""))
+    assert(conflict.status === 400)
+    assert(m.readTree(conflict.body).get("code").asInt() === 40004)
+    val badPrincipal = s.handle("POST", "/v1/security/roles/ops/members",
+      Some("""{"add":[{"name":"g1","principal_type":"Group"}]}"""))
+    assert(badPrincipal.status === 400)
+    assert(m.readTree(badPrincipal.body).get("message").asText() ===
+      "Malformed request: Role membership reserved for user principals, got {Group:g1}")
+    // unknown role 40401 unless ?create=true
+    assert(m.readTree(s.handle("POST", "/v1/security/roles/new1/members",
+      Some("""{"add":[]}""")).body).get("code").asInt() === 40401)
+    val createdVia = m.readTree(s.handle("POST",
+      "/v1/security/roles/new1/members?create=true",
+      Some("""{"add":[{"name":"carol","principal_type":"User"}]}""")).body)
+    assert(createdVia.get("created").asBoolean())
+    // get / members / list with filters
+    val got = m.readTree(s.handle("GET", "/v1/security/roles/ops").body)
+    assert(got.get("name").asText() === "ops")
+    assert(got.get("members").size() === 2)
+    assert(got.get("members").get(0).get("principal_type").asText() === "User")
+    assert(m.readTree(s.handle("GET", "/v1/security/roles/ops/members").body)
+      .get("members").size() === 2)
+    assert(s.handle("GET", "/v1/security/roles/nope").status === 404)
+    val all = m.readTree(s.handle("GET", "/v1/security/roles").body)
+    assert(all.get("roles").size() === 2)
+    assert(m.readTree(s.handle("GET", "/v1/security/roles?principal=carol").body)
+      .get("roles").size() === 1)
+    assert(m.readTree(s.handle(
+      "GET", "/v1/security/roles?principal_type=Group").body)
+      .get("code").asInt() === 40001)
+    // the authenticated principal's own roles
+    assert(m.readTree(s.handle("GET", "/v1/security/users/roles", None,
+      principal = "alice").body).get("roles").size() === 1)
+    // delete: 204, idempotent
+    assert(s.handle("DELETE", "/v1/security/roles/ops").status === 204)
+    assert(s.handle("DELETE", "/v1/security/roles/ops").status === 204)
+    assert(s.handle("GET", "/v1/security/roles/ops").status === 404)
+  }
+
+  test("transforms: enable gate, deploy validation, list/patch/delete, offsets") {
+    val s = freshServer()
+    // every transform route is gated until data_transforms_enabled
+    val gated = s.handle("GET", "/v1/transform")
+    assert(gated.status === 400)
+    assert(m.readTree(gated.body).get("message").asText() ===
+      "data transforms disabled - use `rpk cluster config set " +
+        "data_transforms_enabled true` to enable")
+    assert(s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"data_transforms_enabled":true},"remove":[]}"""))
+      .status === 200)
+    // deploy: metadata JSON immediately followed by the wasm binary
+    val meta = """{"name":"mirror","input_topic":"events",""" +
+      """"output_topics":["events_out"],""" +
+      """"environment":[{"key":"MODE","value":"upper"}],"compression":"lz4"}"""
+    assert(s.handle("POST", "/v1/transform/deploy",
+      Some(meta + " asm-binary-bytes")).status === 200)
+    // validation ladder
+    assert(m.readTree(s.handle("POST", "/v1/transform/deploy",
+      Some("""{"name":"x","input_topic":"t"}""")).body)
+      .get("message").asText()
+      .startsWith("invalid JSON request body"))     // missing output_topics
+    assert(m.readTree(s.handle("POST", "/v1/transform/deploy",
+      Some("""{"name":"x","input_topic":"t","output_topics":["o"],"nope":1}x"""))
+      .body).get("message").asText()
+      .startsWith("invalid JSON request body"))     // additionalProperties
+    val badOff = s.handle("POST", "/v1/transform/deploy",
+      Some("""{"name":"x","input_topic":"t","output_topics":["o"],""" +
+        """"offset":{"format":"from_start","value":-3}}bin"""))
+    assert(m.readTree(badOff.body).get("message").asText() ===
+      "Bad offset: expected value >= 0, got -3")
+    // list: transform_metadata shape with per-partition status rows
+    val listed = m.readTree(s.handle("GET", "/v1/transform").body)
+    assert(listed.size() === 1)
+    val t0 = listed.get(0)
+    assert(t0.get("name").asText() === "mirror")
+    assert(t0.get("input_topic").asText() === "events")
+    assert(t0.get("output_topics").get(0).asText() === "events_out")
+    assert(t0.get("environment").get(0).get("key").asText() === "MODE")
+    assert(t0.get("compression").asText() === "lz4")
+    assert(t0.get("status").size() === 2) // events has 2 partitions
+    assert(t0.get("status").get(0).get("status").asText() === "running")
+    // patch: pause flips status; empty patch is a no-op even for unknown
+    assert(s.handle("PUT", "/v1/transform/mirror/meta",
+      Some("""{"is_paused":true}""")).status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/transform").body)
+      .get(0).get("status").get(0).get("status").asText() === "inactive")
+    assert(s.handle("PUT", "/v1/transform/ghost/meta", Some("{}")).status === 200)
+    val ghostPatch = s.handle("PUT", "/v1/transform/ghost/meta",
+      Some("""{"is_paused":true}"""))
+    assert(ghostPatch.status === 400)
+    assert(m.readTree(ghostPatch.body).get("message").asText() ===
+      "Transform does not exist")
+    // committed offsets: hidden for deleted transforms unless show_unknown
+    s.commitTransformOffset("mirror", 0, 41L)
+    s.commitTransformOffset("mirror", 1, 7L)
+    val offs = m.readTree(s.handle(
+      "GET", "/v1/transform/debug/committed_offsets").body)
+    assert(offs.size() === 2)
+    assert(offs.get(0).get("transform_name").asText() === "mirror")
+    assert(offs.get(0).get("offset").asLong() === 41L)
+    assert(s.handle("DELETE", "/v1/transform/mirror").status === 200)
+    assert(m.readTree(s.handle("DELETE", "/v1/transform/mirror").body)
+      .get("message").asText() === "Transform does not exist")
+    assert(m.readTree(s.handle(
+      "GET", "/v1/transform/debug/committed_offsets").body).size() === 0)
+    assert(m.readTree(s.handle(
+      "GET", "/v1/transform/debug/committed_offsets?show_unknown=true").body)
+      .size() === 2)
+    assert(s.handle("POST",
+      "/v1/transform/debug/committed_offsets/garbage_collect").status === 200)
+    assert(m.readTree(s.handle(
+      "GET", "/v1/transform/debug/committed_offsets?show_unknown=true").body)
+      .size() === 0)
+  }
 }

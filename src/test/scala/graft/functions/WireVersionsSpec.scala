@@ -298,6 +298,186 @@ class WireVersionsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ tier-2 keys
+
+  private val ofReq = OffsetFetchV.Request(
+    Seq(OffsetFetchV.Group("cg", Some(Seq(("events", Seq(0, 1)))))),
+    requireStable = true)
+
+  test("offset_fetch 0-8: nullable topics v2+, require_stable v7+, batched v8") {
+    for (v <- OffsetFetchV.ValidVersions) {
+      val bytes = OffsetFetchV.encode(v, ofReq)
+      assert(bytes.length === OffsetFetchV.size(v, ofReq), s"v$v size")
+      val back = OffsetFetchV.decode(v, bytes)
+      assert(back.groups.head.groupId === "cg")
+      assert(back.groups.head.topics === ofReq.groups.head.topics, s"v$v")
+      assert(back.requireStable === (v >= 7), s"v$v")
+    }
+    // hand-computed: v0 gid(2+2) + ntopics(4) + name(2+6) + nparts(4)
+    //   + 2*4 = 28; v6 flex 3+1+(7+1+8+1)+1 = 22; v7 +stable = 23;
+    //   v8 batched: 1+(3+1+17+1)+1+1 = 25
+    assert(OffsetFetchV.encode(0, ofReq).length === 28)
+    assert(OffsetFetchV.encode(6, ofReq).length === 22)
+    assert(OffsetFetchV.encode(7, ofReq).length === 23)
+    assert(OffsetFetchV.encode(8, ofReq).length === 25)
+    // all-topics (null) form exists from v2: gid 4 + (-1) 4
+    val allT = OffsetFetchV.Request(Seq(OffsetFetchV.Group("cg", None)), false)
+    assert(OffsetFetchV.encode(2, allT).length === 8)
+    assert(OffsetFetchV.decode(2, OffsetFetchV.encode(2, allT))
+      .groups.head.topics === None)
+    intercept[IllegalArgumentException] { OffsetFetchV.encode(1, allT) }
+  }
+
+  private val ofResp = OffsetFetchRespV.Response(5, Seq(OffsetFetchRespV.Group(
+    "cg", Seq(("events", Seq(
+      OffsetFetchRespV.Part(0, 42L, 3, Some("m"), 0)))), 0)))
+
+  test("offset_fetch response 0-8: epoch v5+, top error v2+, groups v8") {
+    for (v <- OffsetFetchRespV.ValidVersions) {
+      val bytes = OffsetFetchRespV.encode(v, ofResp)
+      assert(bytes.length === OffsetFetchRespV.size(v, ofResp), s"v$v size")
+      val back = OffsetFetchRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 3) 5 else 0), s"v$v")
+      val p = back.groups.head.topics.head._2.head
+      assert(p.committedOffset === 42L)
+      assert(p.committedLeaderEpoch === (if (v >= 5) 3 else -1), s"v$v")
+      assert(p.metadata === Some("m"))
+      assert(back.groups.head.groupId === (if (v >= 8) "cg" else ""), s"v$v")
+    }
+    // v0: 4+(2+6)+4+(4+8+3+2)=33; v2 +2; v3 +4; v5 +4; v6 flex 38; v8 43
+    assert(OffsetFetchRespV.encode(0, ofResp).length === 33)
+    assert(OffsetFetchRespV.encode(2, ofResp).length === 35)
+    assert(OffsetFetchRespV.encode(3, ofResp).length === 39)
+    assert(OffsetFetchRespV.encode(5, ofResp).length === 43)
+    assert(OffsetFetchRespV.encode(6, ofResp).length === 38)
+    assert(OffsetFetchRespV.encode(8, ofResp).length === 43)
+  }
+
+  test("find_coordinator 0-4: key_type v1+, flexible v3, batched keys v4") {
+    val req = FindCoordinatorV.Request(1, Seq("cg"))
+    for (v <- FindCoordinatorV.ValidVersions) {
+      val bytes = FindCoordinatorV.encode(v, req)
+      assert(bytes.length === FindCoordinatorV.size(v, req), s"v$v size")
+      val back = FindCoordinatorV.decode(v, bytes)
+      assert(back.keys === Seq("cg"))
+      assert(back.keyType === (if (v >= 1) 1 else 0).toByte, s"v$v")
+    }
+    assert(FindCoordinatorV.encode(0, req).length === 4) // str(2+2)
+    assert(FindCoordinatorV.encode(1, req).length === 5) // +type
+    assert(FindCoordinatorV.encode(3, req).length === 5) // 3+1+tags
+    assert(FindCoordinatorV.encode(4, req).length === 6) // 1+1+3+tags
+    // v4 carries several keys at once (KIP-699)
+    val multi = FindCoordinatorV.Request(0, Seq("a", "bb"))
+    assert(FindCoordinatorV.decode(4,
+      FindCoordinatorV.encode(4, multi)).keys === Seq("a", "bb"))
+    val resp = FindCoordinatorRespV.Response(5, Seq(
+      FindCoordinatorRespV.Coord("cg", 2, "host-a", 9092, 0, Some("ok"))))
+    for (v <- FindCoordinatorRespV.ValidVersions) {
+      val bytes = FindCoordinatorRespV.encode(v, resp)
+      assert(bytes.length === FindCoordinatorRespV.size(v, resp), s"v$v size")
+      val back = FindCoordinatorRespV.decode(v, bytes)
+      val c = back.coordinators.head
+      assert(c.nodeId === 2 && c.host === "host-a" && c.port === 9092)
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(c.errorMessage === (if (v >= 1) Some("ok") else None), s"v$v")
+      assert(c.key === (if (v >= 4) "cg" else ""), s"v$v")
+    }
+    assert(FindCoordinatorRespV.encode(0, resp).length === 18)
+    assert(FindCoordinatorRespV.encode(1, resp).length === 26)
+    assert(FindCoordinatorRespV.encode(3, resp).length === 25)
+    assert(FindCoordinatorRespV.encode(4, resp).length === 30)
+  }
+
+  private val sgReq = SyncGroupV.Request("cg", 7, "m-1", Some("inst-1"),
+    Some("consumer"), Some("range"), Seq(("m-1", Array.tabulate(8)(_.toByte))))
+
+  test("sync_group 0-5: instance v3+, flexible v4, protocol pair v5") {
+    for (v <- SyncGroupV.ValidVersions) {
+      val bytes = SyncGroupV.encode(v, sgReq)
+      assert(bytes.length === SyncGroupV.size(v, sgReq), s"v$v size")
+      val back = SyncGroupV.decode(v, bytes)
+      assert(back.groupId === "cg" && back.generationId === 7)
+      assert(back.groupInstanceId === (if (v >= 3) Some("inst-1") else None), s"v$v")
+      assert(back.protocolType === (if (v >= 5) Some("consumer") else None), s"v$v")
+      assert(back.protocolName === (if (v >= 5) Some("range") else None), s"v$v")
+      assert(back.assignments.head._2.toSeq === sgReq.assignments.head._2.toSeq)
+    }
+    assert(SyncGroupV.encode(0, sgReq).length === 34)
+    assert(SyncGroupV.encode(3, sgReq).length === 42)
+    assert(SyncGroupV.encode(4, sgReq).length === 34)
+    assert(SyncGroupV.encode(5, sgReq).length === 49)
+    val resp = SyncGroupRespV.Response(5, 0, Some("consumer"), Some("range"),
+      Array.tabulate(8)(_.toByte))
+    for (v <- SyncGroupRespV.ValidVersions) {
+      val bytes = SyncGroupRespV.encode(v, resp)
+      assert(bytes.length === SyncGroupRespV.size(v, resp), s"v$v size")
+      val back = SyncGroupRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(back.protocolName === (if (v >= 5) Some("range") else None), s"v$v")
+      assert(back.assignment.toSeq === resp.assignment.toSeq)
+    }
+    assert(SyncGroupRespV.encode(0, resp).length === 14)
+    assert(SyncGroupRespV.encode(1, resp).length === 18)
+    assert(SyncGroupRespV.encode(4, resp).length === 16)
+    assert(SyncGroupRespV.encode(5, resp).length === 31)
+  }
+
+  test("heartbeat 0-4 and leave_group 0-5: instance gates, batched members") {
+    val hb = HeartbeatV.Request("cg", 7, "m-1", Some("inst-1"))
+    for (v <- HeartbeatV.ValidVersions) {
+      val bytes = HeartbeatV.encode(v, hb)
+      assert(bytes.length === HeartbeatV.size(v, hb), s"v$v size")
+      val back = HeartbeatV.decode(v, bytes)
+      assert(back.generationId === 7 && back.memberId === "m-1")
+      assert(back.groupInstanceId === (if (v >= 3) Some("inst-1") else None), s"v$v")
+    }
+    assert(HeartbeatV.encode(0, hb).length === 13)
+    assert(HeartbeatV.encode(3, hb).length === 21)
+    assert(HeartbeatV.encode(4, hb).length === 19)
+    val lg = LeaveGroupV.Request("cg", Seq(
+      LeaveGroupV.Member("m-1", Some("inst-1"), Some("bye"))))
+    for (v <- LeaveGroupV.ValidVersions) {
+      val bytes = LeaveGroupV.encode(v, lg)
+      assert(bytes.length === LeaveGroupV.size(v, lg), s"v$v size")
+      val back = LeaveGroupV.decode(v, bytes)
+      assert(back.groupId === "cg")
+      val mem = back.members.head
+      assert(mem.memberId === "m-1")
+      assert(mem.groupInstanceId === (if (v >= 3) Some("inst-1") else None), s"v$v")
+      assert(mem.reason === (if (v >= 5) Some("bye") else None), s"v$v")
+    }
+    assert(LeaveGroupV.encode(0, lg).length === 9)
+    assert(LeaveGroupV.encode(3, lg).length === 21)
+    assert(LeaveGroupV.encode(4, lg).length === 17)
+    assert(LeaveGroupV.encode(5, lg).length === 21)
+    val lgr = LeaveGroupRespV.Response(5, 0, Seq(
+      LeaveGroupRespV.MemberResp("m-1", Some("inst-1"), 0)))
+    for (v <- LeaveGroupRespV.ValidVersions) {
+      val bytes = LeaveGroupRespV.encode(v, lgr)
+      assert(bytes.length === LeaveGroupRespV.size(v, lgr), s"v$v size")
+      val back = LeaveGroupRespV.decode(v, bytes)
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(back.members === (if (v >= 3) lgr.members else Nil), s"v$v")
+    }
+    assert(LeaveGroupRespV.encode(0, lgr).length === 2)
+    assert(LeaveGroupRespV.encode(1, lgr).length === 6)
+    assert(LeaveGroupRespV.encode(3, lgr).length === 25)
+    assert(LeaveGroupRespV.encode(4, lgr).length === 22)
+  }
+
+  test("api_versions request 0-3: empty legacy bodies, KIP-511 pair at v3") {
+    val req = ApiVersionsReqV.Request("rpk", "v25.1")
+    for (v <- ApiVersionsReqV.ValidVersions) {
+      val bytes = ApiVersionsReqV.encode(v, req)
+      assert(bytes.length === ApiVersionsReqV.size(v, req), s"v$v size")
+      val back = ApiVersionsReqV.decode(v, bytes)
+      assert(back.clientSoftwareName === (if (v >= 3) "rpk" else ""), s"v$v")
+    }
+    assert(ApiVersionsReqV.encode(0, req).length === 0)
+    assert(ApiVersionsReqV.encode(2, req).length === 0)
+    assert(ApiVersionsReqV.encode(3, req).length === 11) // 4+6+tags
+  }
+
   test("corrupt frames are rejected cleanly across versions") {
     val bytes = FetchV.encode(11, fetchReq)
     // trailing garbage

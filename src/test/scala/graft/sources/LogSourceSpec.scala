@@ -333,6 +333,24 @@ class LogSourceSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("header-only sentinel never leaks: timestamp projection takes the record path") {
+    // the same dense, fully-in-window batches that the header-only fast
+    // path handles for offset-only projections: with `timestamp` in the
+    // projection the reader must parse records (rowOf's -1 sentinel is
+    // guarded by a require on the fast path), so every ts is real
+    val seg = LogSource.parseIndex(root).head
+    val r = new LogPartitionReader(LogInputPartition(seg,
+      LogSource.Bounds(None, Long.MinValue, Long.MaxValue,
+        Long.MinValue, Long.MaxValue)),
+      Seq("offset", "timestamp"))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (r.next()) ts += r.get().getLong(1)
+    r.close()
+    assert(ts.nonEmpty && ts.forall(_ >= 0), ts.mkString(","))
+    // and end-to-end through Spark: no -1 anywhere in the table
+    assert(table.where(col("timestamp") < 0).count() === 0)
+  }
+
   test("unsupported filters stay with Spark, supported ones bind exactly") {
     // value-based predicate is NOT pushable; correctness must hold
     val n = table.where(col("value").cast("string") === "v3").count()
