@@ -9036,6 +9036,49 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "u1_wasm_wasi" -> ((s, dir) => {
+      // The WASI ABI surface end-to-end: GuestModules.wasiStartup runs
+      // the exact wasi_snapshot_preview1 startup sequence a TinyGo SDK
+      // build's runtime emits (args_sizes_get/args_get, environ_sizes_
+      // get/environ_get, two monotonic clock_time_get reads, random_
+      // get) against the host's reference-shaped serialization
+      // (wasi.cc:125-148 NUL-terminated ptr tables; wasmtime.cc:465
+      // args=[name], environ=deploy env + REDPANDA_INPUT_TOPIC/
+      // REDPANDA_OUTPUT_TOPIC_n), reports what it saw via multi-iovec
+      // fd_write(2), and mirrors the feed. The fd_write lines land in
+      // the U6 transform-log path (enqueue admission → OTel JSON →
+      // murmur2 routing); n_mirrored binds the transform half.
+      import s.implicits._
+      import graft.wasm.{TransformAbi, GuestModules}
+      import graft.functions.RecordBatchCodec.Rec
+      // bounded fixture feed (3 rows) from the events table
+      val rows = T(s, dir, "events").where(col("event_id") < 3)
+        .select(col("event_id"), col("event_type")).orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(0).toString.getBytes("UTF-8"),
+          r.getString(1).getBytes("UTF-8")))
+      val hdr = TransformAbi.BatchHeader(0L, rows.length, 0, 0,
+        rows.length - 1, 1700000000000L, 1700000000000L + rows.length - 1,
+        -1L, -1, -1)
+      val feed = Iterator(TransformAbi.position(hdr,
+        rows.zipWithIndex.map { case ((k, v), i) => Rec(i, i.toLong, k, v, Nil) }))
+      val (emitted, logs) = TransformAbi.run(GuestModules.wasiStartup, feed,
+        args = Seq("wasi-demo"),
+        environ = Seq("REDPANDA_INPUT_TOPIC=events",
+          "REDPANDA_OUTPUT_TOPIC_0=events_out"))
+      val logDf = logs.zipWithIndex.map { case (line, i) =>
+        (i.toLong, "wasi-demo", 2, 1700000000000L + i, "info", line) }
+        .toDF("seq", "transform_name", "source_id", "ts_ms", "level", "message")
+      graft.streaming.TransformLogs.publish(
+        graft.streaming.TransformLogs.enqueue(logDf, lineMaxBytes = 256,
+          bufferCapacityBytes = 16384, flushIntervalMs = 100000L),
+        nPartitions = 8)
+        .select(col("seq"), col("transform_name"), col("partition"),
+          col("severity_number"), col("body_json"))
+        .withColumn("n_mirrored", lit(emitted.size))
+        .orderBy("seq")
+    }),
+
     "u1_wasm_router" -> ((s, dir) => {
       // write_record_with_options from guest code: odd log offsets are
       // routed to topic "odd" (options frame 0x01 + vint-sized name,
@@ -14152,6 +14195,18 @@ object SparkEntry {
     "u1_wasm_mirror" ->
       """SELECT CAST(user_id % 8 AS INTEGER) AS partition, event_id, event_type
         | FROM events ORDER BY event_id""".stripMargin,
+
+    // Golden pin of the WASI startup surface: the guest's fd_write(2)
+    // report lines as published OTel log rows (murmur2('wasi-demo')%8
+    // = 2, severity info = 9), plus the mirrored-record count.
+    "u1_wasm_wasi" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"init wasi-demo"},"timeUnixNano":1700000000000000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3),
+        |  (CAST(1 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"env REDPANDA_INPUT_TOPIC=events"},"timeUnixNano":1700000000001000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3),
+        |  (CAST(2 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"clock ok"},"timeUnixNano":1700000000002000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3),
+        |  (CAST(3 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"rand ok"},"timeUnixNano":1700000000003000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3))
+        | t(seq, transform_name, partition, severity_number, body_json, n_mirrored)
+        | ORDER BY seq""".stripMargin,
 
     "u3_wasm_upper" ->
       """SELECT event_id, UPPER('type=' || event_type) AS value

@@ -272,6 +272,113 @@ object GuestModules {
   }
 
   /**
+   * WASI-startup guest: performs the exact wasi_snapshot_preview1
+   * startup sequence a TinyGo-built SDK binary's runtime emits before
+   * `main` (`transform-sdk/go` builds link wasi libc init) —
+   * args_sizes_get/args_get, environ_sizes_get/environ_get, TWO
+   * monotonic clock_time_get reads, random_get — then REPORTS what it
+   * saw through fd_write to fd 2 (multi-iovec, landing in the
+   * transform-log path) and runs a mirror transform loop. The guest
+   * echoes arg0 and the first environ string byte-for-byte from the
+   * pointers the host serialized, asserts the monotonic clock
+   * advanced between reads, and that random_get filled its buffer —
+   * closing the WASI ABI-surface risk without a toolchain.
+   *
+   * Memory: 160/168/176/192/200 data strings; 300 argc, 304 args
+   * size, 308 arg ptr table, 324 envc, 328 env size, 332 env ptr
+   * table, 368/376 clock reads (i64), 384 random bytes, 392
+   * nwritten, 400 iovec array; args buf 512, env buf 640.
+   */
+  lazy val wasiStartup: Array[Byte] = {
+    val wasiImports = abiImports ++ Seq(
+      FuncImport("wasi_snapshot_preview1", "args_sizes_get", 3),     // 6
+      FuncImport("wasi_snapshot_preview1", "args_get", 3),           // 7
+      FuncImport("wasi_snapshot_preview1", "environ_sizes_get", 3),  // 8
+      FuncImport("wasi_snapshot_preview1", "environ_get", 3),        // 9
+      FuncImport("wasi_snapshot_preview1", "clock_time_get", 8),     // 10
+      FuncImport("wasi_snapshot_preview1", "random_get", 3),         // 11
+      FuncImport("wasi_snapshot_preview1", "fd_write", 4))           // 12
+    // func indices: 13 = _start, 14 = strlen
+
+    // strlen(ptr) -> i32: scan for the serializer's NUL terminator
+    val sl = body()
+    sl.i32Const(0).localSet(1)
+    sl.block().loop()
+    sl.localGet(0).localGet(1).i32Add().i32Load8U().i32Eqz().brIf(1)
+    sl.localGet(1).i32Const(1).i32Add().localSet(1)
+    sl.br(0)
+    sl.end().end()
+    sl.localGet(1)
+    val strlenFunc = Func(7, 1, 0, sl)
+
+    val main = processingLoop(
+      perRecord = b => {
+        b.i32Const(1024).localGet(2).call(3).drop() // mirror
+      },
+      extraLocals = 0,
+      prologue = b => {
+        // --- TinyGo runtime startup sequence
+        b.i32Const(300).i32Const(304).call(6).drop()   // args_sizes_get
+        b.i32Const(308).i32Const(512).call(7).drop()   // args_get
+        b.i32Const(324).i32Const(328).call(8).drop()   // environ_sizes_get
+        b.i32Const(332).i32Const(640).call(9).drop()   // environ_get
+        b.i32Const(1).i64Const(0L).i32Const(368).call(10).drop() // monotonic
+        b.i32Const(1).i64Const(0L).i32Const(376).call(10).drop() // again
+        b.i32Const(384).i32Const(8).call(11).drop()    // random_get
+        // --- "init " + arg0 + "\n" via a 3-iovec fd_write to fd 2
+        b.i32Const(400).i32Const(160).i32Store()
+        b.i32Const(404).i32Const(5).i32Store()
+        b.i32Const(408).i32Const(308).i32Load().i32Store()
+        b.i32Const(412).i32Const(308).i32Load().call(14).i32Store()
+        b.i32Const(416).i32Const(200).i32Store()
+        b.i32Const(420).i32Const(1).i32Store()
+        b.i32Const(2).i32Const(400).i32Const(3).i32Const(392).call(12).drop()
+        // --- "env " + environ[0] + "\n" when the host passed any
+        b.i32Const(324).i32Load().i32Const(0).i32GtS()
+        b.ifOp()
+        b.i32Const(400).i32Const(168).i32Store()
+        b.i32Const(404).i32Const(4).i32Store()
+        b.i32Const(408).i32Const(332).i32Load().i32Store()
+        b.i32Const(412).i32Const(332).i32Load().call(14).i32Store()
+        b.i32Const(2).i32Const(400).i32Const(3).i32Const(392).call(12).drop()
+        b.end()
+        // --- monotonic clock advanced between the two reads?
+        b.i32Const(376).i64Load()
+        b.i32Const(368).i64Load()
+        b.op(0x55)                                     // i64.gt_s
+        b.ifOp()
+        b.i32Const(400).i32Const(176).i32Store()
+        b.i32Const(404).i32Const(9).i32Store()
+        b.i32Const(2).i32Const(400).i32Const(1).i32Const(392).call(12).drop()
+        b.end()
+        // --- random_get filled the 8-byte buffer with entropy?
+        b.i32Const(384).i64Load()
+        b.i64Const(0L)
+        b.op(0x52)                                     // i64.ne
+        b.ifOp()
+        b.i32Const(400).i32Const(192).i32Store()
+        b.i32Const(404).i32Const(8).i32Store()
+        b.i32Const(2).i32Const(400).i32Const(1).i32Const(392).call(12).drop()
+        b.end()
+      })
+
+    module(
+      types = types ++ Seq(
+        (Seq[Byte](I32), Seq(I32)),                     // 7: strlen
+        (Seq[Byte](I32, WasmModule.I64, I32), Seq(I32))), // 8: clock_time_get
+      imports = wasiImports,
+      funcs = Seq(main, strlenFunc),
+      memPages = 4,
+      exports = Seq(Export("_start", 13)),
+      datas = Seq(
+        Data(160, "init ".getBytes("UTF-8")),
+        Data(168, "env ".getBytes("UTF-8")),
+        Data(176, "clock ok\n".getBytes("UTF-8")),
+        Data(192, "rand ok\n".getBytes("UTF-8")),
+        Data(200, "\n".getBytes("UTF-8"))))
+  }
+
+  /**
    * Topic router: odd record offsets are written with options routing
    * them to topic "odd" (`write_record_with_options`, options layout
    * per `write_options::parse`: 0x01 + vint-sized name), even offsets

@@ -206,12 +206,16 @@ object TransformAbi {
    * the iterator instead of blocking on a host signal; observable guest
    * behavior is identical.
    */
-  final class Engine(batches: Iterator[BatchIn]) {
+  final class Engine(batches: Iterator[BatchIn],
+      args: Seq[String] = Nil, environ: Seq[String] = Nil) {
     private var current: BatchIn = _
     private var remaining: List[RecordIn] = Nil
     private var batchIndex = -1
     private var seq = 0
     private var walltimeMs = 0L
+    // monotonic clock: 1 ms resolution, bumped per read so guest busy
+    // loops on CLOCK_MONOTONIC make progress (`wasi.cc:114-117`)
+    private var monotonicMs = 0L
     val emitted = new ArrayBuffer[Emitted]()
     val logLines = new ArrayBuffer[String]()
     private val logBuf = new StringBuilder
@@ -323,12 +327,40 @@ object TransformAbi {
       Array(0L)
     }
     private val clockTimeGet = hf { (inst, a) =>
-      // record-pinned walltime, in nanos (wasi.cc set_walltime)
-      inst.memory.writeN(a(2), 8, walltimeMs * 1000000L)
+      // REALTIME (0) is the record-pinned walltime (wasi.cc
+      // set_walltime); MONOTONIC/CPUTIME (1-3) read a 1 ms-resolution
+      // counter bumped per read; unknown ids are EINVAL (28)
+      a(0).toInt match {
+        case 0 =>
+          inst.memory.writeN(a(2), 8, walltimeMs * 1000000L); Array(0L)
+        case 1 | 2 | 3 =>
+          inst.memory.writeN(a(2), 8, monotonicMs * 1000000L)
+          monotonicMs += 1
+          Array(0L)
+        case _ => Array(28L)
+      }
+    }
+    // args/environ per `wasi.cc:125-148`: sizes = (count, Σ len+1);
+    // get = u32 pointer table + NUL-terminated strings packed at the
+    // guest-supplied buffer. The reference passes [transform name] as
+    // args and the deployment env (+REDPANDA_INPUT_TOPIC/
+    // REDPANDA_OUTPUT_TOPIC_n) as environ (`wasmtime.cc:465-492`).
+    private def sizesOf(xs: Seq[String]) = hf { (inst, a) =>
+      inst.memory.writeN(a(0), 4, xs.size.toLong)
+      inst.memory.writeN(a(1), 4,
+        xs.map(_.getBytes("UTF-8").length + 1L).sum)
       Array(0L)
     }
-    private val zeroSizes = hf { (inst, a) =>
-      inst.memory.writeN(a(0), 4, 0L); inst.memory.writeN(a(1), 4, 0L)
+    private def listOf(xs: Seq[String]) = hf { (inst, a) =>
+      val m = inst.memory
+      var ptr = a(1)
+      xs.zipWithIndex.foreach { case (s, i) =>
+        m.writeN(a(0) + i * 4L, 4, ptr)
+        val bytes = s.getBytes("UTF-8")
+        m.writeBytes(ptr, bytes)
+        m.writeByte(ptr + bytes.length, 0)
+        ptr += bytes.length + 1
+      }
       Array(0L)
     }
     private val ok = hf((_, _) => Array(0L))
@@ -354,10 +386,10 @@ object TransformAbi {
       ("wasi_snapshot_preview1", "proc_exit") -> procExit,
       ("wasi_snapshot_preview1", "fd_write") -> fdWrite,
       ("wasi_snapshot_preview1", "clock_time_get") -> clockTimeGet,
-      ("wasi_snapshot_preview1", "environ_sizes_get") -> zeroSizes,
-      ("wasi_snapshot_preview1", "environ_get") -> ok,
-      ("wasi_snapshot_preview1", "args_sizes_get") -> zeroSizes,
-      ("wasi_snapshot_preview1", "args_get") -> ok,
+      ("wasi_snapshot_preview1", "environ_sizes_get") -> sizesOf(environ),
+      ("wasi_snapshot_preview1", "environ_get") -> listOf(environ),
+      ("wasi_snapshot_preview1", "args_sizes_get") -> sizesOf(args),
+      ("wasi_snapshot_preview1", "args_get") -> listOf(args),
       ("wasi_snapshot_preview1", "random_get") -> randomGet,
       ("wasi_snapshot_preview1", "sched_yield") -> ok)
   }
@@ -368,17 +400,22 @@ object TransformAbi {
    * model) and finishes by `proc_exit` or by returning once
    * `read_batch_header` hands back NO_ACTIVE_TRANSFORM.
    */
-  def run(moduleBytes: Array[Byte], batches: Iterator[BatchIn])
+  def run(moduleBytes: Array[Byte], batches: Iterator[BatchIn],
+      args: Seq[String] = Nil, environ: Seq[String] = Nil)
       : (Vector[Emitted], Vector[String]) =
-    runModule(WasmModule.decode(moduleBytes), batches)
+    runModule(WasmModule.decode(moduleBytes), batches, args = args,
+      environ = environ)
 
   /** As [[run]], over an already-decoded module (executor-side caches
     * decode once and instantiate per run). `extraHost` adds further
-    * host modules (e.g. the [[SchemaRegistryAbi]] functions). */
+    * host modules (e.g. the [[SchemaRegistryAbi]] functions);
+    * `args`/`environ` seed the wasi program arguments and environment
+    * strings ("K=V") the reference passes to every guest. */
   def runModule(module: WasmModule.Module, batches: Iterator[BatchIn],
-      extraHost: Map[(String, String), WasmInterp.HostFunc] = Map.empty)
+      extraHost: Map[(String, String), WasmInterp.HostFunc] = Map.empty,
+      args: Seq[String] = Nil, environ: Seq[String] = Nil)
       : (Vector[Emitted], Vector[String]) = {
-    val engine = new Engine(batches)
+    val engine = new Engine(batches, args, environ)
     val inst = new WasmInterp.Instance(module, engine.hostFuncs ++ extraHost)
     try {
       inst.runStart()

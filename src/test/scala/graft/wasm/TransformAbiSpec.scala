@@ -127,6 +127,30 @@ class TransformAbiSpec extends AnyFunSuite {
     assert(SchemaRegistryAbi.parseEncodedDef(Array[Byte](9, 9)) === None)
   }
 
+  test("wasiStartup guest: TinyGo-style startup sequence over the full WASI surface") {
+    val in = Seq(batch(0L, ("k1", "v1"), ("k2", "v2")), batch(10L, ("k3", "v3")))
+    val (out, logs) = TransformAbi.run(GuestModules.wasiStartup, in.iterator,
+      args = Seq("wasi-demo"),
+      environ = Seq("REDPANDA_INPUT_TOPIC=events", "MODE=mirror"))
+    // the transform loop still ran: every record mirrored
+    assert(out.size === 3)
+    val kvs = out.map(e => { val Some((k, v, _)) = parsePayload(e.payload); (str(k), str(v)) })
+    assert(kvs === Vector(("k1", "v1"), ("k2", "v2"), ("k3", "v3")))
+    // the guest echoed arg0 and environ[0] byte-for-byte from the
+    // host-serialized NUL-terminated tables, verified the monotonic
+    // clock advanced between two reads, and that random_get wrote
+    // entropy — each as an fd_write(2) line through the log path
+    assert(logs === Vector(
+      "init wasi-demo",
+      "env REDPANDA_INPUT_TOPIC=events",
+      "clock ok",
+      "rand ok"))
+    // without environ the env line is skipped, the rest still runs
+    val (_, logs2) = TransformAbi.run(GuestModules.wasiStartup,
+      Seq(batch(0L, ("k", "v"))).iterator, args = Seq("t2"))
+    assert(logs2 === Vector("init t2", "clock ok", "rand ok"))
+  }
+
   test("empty feed: guest exits cleanly with nothing emitted") {
     val (out, _) = TransformAbi.run(GuestModules.mirror, Iterator.empty)
     assert(out.isEmpty)
