@@ -34,6 +34,10 @@ object WasmInterp {
   /** Linear memory with little-endian accessors; grows by whole pages. */
   final class Memory(initPages: Int, maxPages: Int) {
     private[wasm] var data = new Array[Byte](initPages * PageSize)
+    // little-endian view over `data` so the 2/4/8-byte accessors are
+    // single intrinsified reads instead of per-byte assembly loops
+    private var bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def sizePages: Int = data.length / PageSize
     def grow(delta: Int): Int = {
       val old = sizePages
@@ -41,6 +45,8 @@ object WasmInterp {
       if (delta < 0 || next > maxPages) -1
       else {
         data = java.util.Arrays.copyOf(data, next * PageSize)
+        bb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         old
       }
     }
@@ -52,13 +58,29 @@ object WasmInterp {
     def readByte(a: Long): Int = data(ck(a, 1)) & 0xff
     def writeByte(a: Long, v: Int): Unit = data(ck(a, 1)) = v.toByte
     def readN(a: Long, n: Int): Long = {
-      val p = ck(a, n); var v = 0L; var i = n - 1
-      while (i >= 0) { v = (v << 8) | (data(p + i) & 0xffL); i -= 1 }
-      v
+      val p = ck(a, n)
+      n match {
+        case 4 => bb.getInt(p).toLong & 0xffffffffL
+        case 8 => bb.getLong(p)
+        case 2 => bb.getShort(p).toLong & 0xffffL
+        case 1 => (data(p) & 0xff).toLong
+        case _ =>
+          var v = 0L; var i = n - 1
+          while (i >= 0) { v = (v << 8) | (data(p + i) & 0xffL); i -= 1 }
+          v
+      }
     }
     def writeN(a: Long, n: Int, v: Long): Unit = {
-      val p = ck(a, n); var i = 0
-      while (i < n) { data(p + i) = (v >>> (8 * i)).toByte; i += 1 }
+      val p = ck(a, n)
+      n match {
+        case 4 => bb.putInt(p, v.toInt)
+        case 8 => bb.putLong(p, v)
+        case 2 => bb.putShort(p, v.toShort)
+        case 1 => data(p) = v.toByte
+        case _ =>
+          var i = 0
+          while (i < n) { data(p + i) = (v >>> (8 * i)).toByte; i += 1 }
+      }
     }
     def readBytes(a: Long, n: Int): Array[Byte] = {
       val p = ck(a, n); java.util.Arrays.copyOfRange(data, p, p + n)
@@ -179,6 +201,13 @@ object WasmInterp {
     // the module is compiled once, not once per run).
     private val flatCache = WasmInterp.flatCacheFor(module)
 
+    // Per-depth frame pools: calls nest strictly, so depth-indexed
+    // reuse is safe and turns the per-call Stack (2 KB) and locals
+    // allocations into plain resets — the dominant cost of call-heavy
+    // guests (a varint helper called per record allocated ~4 KB/rec).
+    private val stackPool = new Array[Stack](maxCallDepth + 2)
+    private val localsPool = new Array[Array[Long]](maxCallDepth + 2)
+
     private def invokeGuest(funcIdx: Int, args: Array[Long]): Array[Long] = {
       val n = module.numImportedFuncs
       val ft = module.funcType(funcIdx)
@@ -188,9 +217,16 @@ object WasmInterp {
         fn = FlatCompiler.compile(module, code.body, ft.results.size)
         flatCache(funcIdx - n) = fn
       }
-      val locals = new Array[Long](ft.params.size + code.locals.size)
+      val nLoc = ft.params.size + code.locals.size
+      var locals = localsPool(callDepth)
+      if (locals == null || locals.length < nLoc) {
+        locals = new Array[Long](math.max(nLoc, 16))
+        localsPool(callDepth) = locals
+      } else java.util.Arrays.fill(locals, ft.params.size, nLoc, 0L)
       System.arraycopy(args, 0, locals, 0, ft.params.size)
-      val stack = new Stack
+      var stack = stackPool(callDepth)
+      if (stack == null) { stack = new Stack; stackPool(callDepth) = stack }
+      stack.top = 0
       execFlat(fn, stack, locals)
       val res = new Array[Long](ft.results.size)
       var i = ft.results.size - 1
@@ -265,6 +301,67 @@ object WasmInterp {
             } else pc += 1
           case LdAOp => stack.push(loadVal(zs(pc), ys(pc))); pc += 1
           case ConstSetOp => locals(xs(pc)) = ys(pc); pc += 1
+          case LdLSOp =>
+            val z = zs(pc)
+            locals(z & 0xffff) =
+              loadVal(z >>> 16, (locals(xs(pc)) & 0xffffffffL) + ys(pc))
+            pc += 1
+          case LdASOp => locals(xs(pc)) = loadVal(zs(pc), ys(pc)); pc += 1
+          case LdTosSOp =>
+            locals(xs(pc)) =
+              loadVal(zs(pc), (stack.pop() & 0xffffffffL) + ys(pc))
+            pc += 1
+          case StACOp =>
+            storeVal(zs(pc), xs(pc).toLong & 0xffffffffL, ys(pc)); pc += 1
+          case TosBinCOp =>
+            stack.push(binOp(zs(pc), stack.pop(), ys(pc))); pc += 1
+          case TosBinCSOp =>
+            locals(xs(pc)) = binOp(zs(pc), stack.pop(), ys(pc)); pc += 1
+          case BinSSSOp =>
+            val b = stack.pop()
+            locals(xs(pc)) = binOp(ys(pc).toInt, stack.pop(), b); pc += 1
+          case JzBinOp =>
+            val b = stack.pop(); val a = stack.pop()
+            if (binOp(zs(pc), a, b).toInt == 0) {
+              val y = ys(pc)
+              if (y >= 0) stack.unwind((y >>> 32).toInt, y.toInt)
+              val t = xs(pc)
+              if (t < 0) return
+              if (t <= pc) { fuel -= pc - t + 1
+                if (fuel < 0) throw new WasmTrap(s"fuel exhausted ($maxFuel instructions)") }
+              pc = t
+            } else pc += 1
+          case JnzBinOp =>
+            val b = stack.pop(); val a = stack.pop()
+            if (binOp(zs(pc), a, b).toInt != 0) {
+              val y = ys(pc)
+              if (y >= 0) stack.unwind((y >>> 32).toInt, y.toInt)
+              val t = xs(pc)
+              if (t < 0) return
+              if (t <= pc) { fuel -= pc - t + 1
+                if (fuel < 0) throw new WasmTrap(s"fuel exhausted ($maxFuel instructions)") }
+              pc = t
+            } else pc += 1
+          case JzBinLCOp =>
+            val z = zs(pc)
+            if (binOp(z >>> 16, locals(z & 0xffff), ys(pc)).toInt == 0) {
+              val t = xs(pc)
+              if (t < 0) return
+              if (t <= pc) { fuel -= pc - t + 1
+                if (fuel < 0) throw new WasmTrap(s"fuel exhausted ($maxFuel instructions)") }
+              pc = t
+            } else pc += 1
+          case StLBinLCOp =>
+            val z = zs(pc); val y = ys(pc)
+            storeVal((z >>> 16) & 0xff,
+              (locals(xs(pc)) & 0xffffffffL) + (y >>> 32),
+              binOp(z >>> 24, locals(z & 0xffff), y.toInt.toLong))
+            pc += 1
+          case LdATosBinLSOp =>
+            val z = zs(pc)
+            locals(xs(pc)) = binOp((z >>> 16) & 0xff,
+              loadVal(z >>> 24, ys(pc)), locals(z & 0xffff))
+            pc += 1
           case JzLOp =>
             if (locals(zs(pc)).toInt == 0) {
               val y = ys(pc)
@@ -677,6 +774,14 @@ object WasmInterp {
     }
   }
 
+  /** Test hook: the flat opcode stream of one guest function (by
+    * body index), for pinning which superinstructions fire. */
+  private[wasm] def flatOpsOf(module: Module, bodyIdx: Int): Array[Int] = {
+    val ft = module.funcType(module.numImportedFuncs + bodyIdx)
+    FlatCompiler.compile(module, module.codes(bodyIdx).body,
+      ft.results.size).ops
+  }
+
   // -------------------------------------------------- flat compilation
 
   /** Synthetic opcodes for the flat program; real wasm opcodes
@@ -718,6 +823,20 @@ object WasmInterp {
     final val JCmpLLOp = 0x21f  // if (binop(z>>>24, l[z>>12&fff], l[z&fff])) br
     final val LdAOp = 0x220     // push(load(z, y))                   y=abs addr
     final val ConstSetOp = 0x221 // l[x] = y
+    // memory-run superinstructions (round 14): the load→modify→store→
+    // advance shapes of byte-looping guests collapse to one dispatch
+    final val LdLSOp = 0x222    // l[z&ffff] = load(z>>>16, l[x]+y)
+    final val LdASOp = 0x223    // l[x] = load(z, y)                  y=abs addr
+    final val LdTosSOp = 0x224  // l[x] = load(z, pop+y)
+    final val StACOp = 0x225    // store(z, x, y)                     x=abs addr
+    final val TosBinCOp = 0x226 // push(binop(z, pop, y))             y=const
+    final val TosBinCSOp = 0x227 // l[x] = binop(z, pop, y)
+    final val BinSSSOp = 0x228  // b=pop; l[x] = binop(y, pop, b)
+    final val JzBinOp = 0x229   // b=pop; if (binop(z, pop, b)==0) br x (y=unwind)
+    final val JnzBinOp = 0x22a  // b=pop; if (binop(z, pop, b)!=0) br x
+    final val JzBinLCOp = 0x22b // if (binop(z>>>16, l[z&ffff], y)==0) br x
+    final val StLBinLCOp = 0x22c // store((z>>>16)&ff, l[x]+(y>>>32), binop(z>>>24, l[z&ffff], y.toInt))
+    final val LdATosBinLSOp = 0x22d // l[x] = binop((z>>>16)&ff, load(z>>>24, y), l[z&ffff])
 
     def isBinary(op: Int): Boolean =
       (op >= 0x46 && op <= 0x66 && op != 0x50) ||
@@ -799,7 +918,17 @@ object WasmInterp {
         var h = h0
         var i = 0
         val n = instrs.size
+        // condition-fusion bookkeeping: when the op emitted by the
+        // PREVIOUS step of this sequence produced the value an `if`
+        // is about to test, the If rewrites that slot into a fused
+        // conditional jump. Only same-sequence adjacency is safe —
+        // a label can never target the interior of the pair.
+        var condPc = -1   // pc of the rewritable condition producer
+        var condKind = 0  // 1 = raw stack binop, 2 = BinLC (local op const)
         while (i < n) {
+          val prevCondPc = if (condPc == ops.size - 1) condPc else -1
+          val prevCondKind = condKind
+          condPc = -1; condKind = 0
           // peephole superinstructions: local/const/arith runs and fused
           // branch tests collapse to one dispatch with no stack traffic
           // (labels can only target block boundaries, never a fused
@@ -820,18 +949,36 @@ object WasmInterp {
                   (if (i + 3 < n) instrs(i + 3) else Nop) match {
                     case LocalSet(d) if d <= 0xffff =>
                       emit(BinLCSOp, a, c.toLong, (op << 16) | d); 4
-                    case _ => emit(BinLCOp, a, c.toLong, op); h += 1; 3
+                    case _ =>
+                      condPc = emit(BinLCOp, a, c.toLong, op); condKind = 2
+                      h += 1; 3
                   }
                 case (I64Const(c), Num(op)) if isBinary(op) =>
                   (if (i + 3 < n) instrs(i + 3) else Nop) match {
                     case LocalSet(d) if d <= 0xffff =>
                       emit(BinLCSOp, a, c, (op << 16) | d); 4
-                    case _ => emit(BinLCOp, a, c, op); h += 1; 3
+                    case _ =>
+                      condPc = emit(BinLCOp, a, c, op); condKind = 2
+                      h += 1; 3
                   }
                 case (Num(0x45), BrIf(d)) => emitBr(JzLOp, d, frames, a); 3
                 case (BrIf(d), _) => emitBr(JnzLOp, d, frames, a); 2
+                // read-modify-write of a guest memory cell in one
+                // dispatch: store(sop, l[a]+off, binop(op, l[b], c))
+                case (LocalGet(b), I32Const(c)) if b <= 0xffff && i + 4 < n &&
+                    (instrs(i + 3) match {
+                      case Num(op) if isBinary(op) => true; case _ => false
+                    }) && instrs(i + 4).isInstanceOf[Store] =>
+                  val op = instrs(i + 3).asInstanceOf[Num].op
+                  val st = instrs(i + 4).asInstanceOf[Store]
+                  emit(StLBinLCOp, a,
+                    ((st.offset & 0xffffffffL) << 32) | (c.toLong & 0xffffffffL),
+                    (op << 24) | (st.op << 16) | b)
+                  5
                 case (LocalGet(b), Store(sop, off)) if b <= 0xffff =>
                   emit(StLLOp, a, off.toLong, (sop << 16) | b); 3
+                case (Load(lop, off), LocalSet(d)) if d <= 0xffff =>
+                  emit(LdLSOp, a, off.toLong, (lop << 16) | d); 3
                 case (Load(lop, off), _) =>
                   emit(LdLOp, a, off.toLong, lop); h += 1; 2
                 case (Num(op), LocalSet(d)) if isBinary(op) && d <= 0xffff =>
@@ -850,13 +997,56 @@ object WasmInterp {
             case I32Const(c) if i + 1 < n =>
               instrs(i + 1) match {
                 case Load(lop, off) =>
-                  emit(LdAOp, 0, (c.toLong & 0xffffffffL) + off, lop); h += 1; 2
+                  val abs = (c.toLong & 0xffffffffL) + off
+                  (if (i + 2 < n) instrs(i + 2) else Nop) match {
+                    case LocalSet(d) => emit(LdASOp, d, abs, lop); 3
+                    case LocalGet(b) if b <= 0xffff && i + 4 < n &&
+                        (instrs(i + 3) match {
+                          case Num(op) if isBinary(op) => true; case _ => false
+                        }) && instrs(i + 4).isInstanceOf[LocalSet] =>
+                      // l[d] = binop(op, load(lop, abs), l[b]) — the
+                      // cursor+index address computation of byte loops
+                      val op = instrs(i + 3).asInstanceOf[Num].op
+                      val d = instrs(i + 4).asInstanceOf[LocalSet].i
+                      emit(LdATosBinLSOp, d, abs, (lop << 24) | (op << 16) | b)
+                      5
+                    case _ => emit(LdAOp, 0, abs, lop); h += 1; 2
+                  }
+                case I32Const(v) if i + 2 < n && c >= 0 &&
+                    instrs(i + 2).isInstanceOf[Store] &&
+                    c.toLong + instrs(i + 2).asInstanceOf[Store].offset <= 0x7fffffffL =>
+                  val st = instrs(i + 2).asInstanceOf[Store]
+                  emit(StACOp, (c.toLong + st.offset).toInt, v.toLong, st.op); 3
+                case Num(op) if isBinary(op) =>
+                  (if (i + 2 < n) instrs(i + 2) else Nop) match {
+                    case LocalSet(d) =>
+                      emit(TosBinCSOp, d, c.toLong, op); h -= 1; 3
+                    case _ => emit(TosBinCOp, 0, c.toLong, op); 2
+                  }
                 case LocalSet(d) => emit(ConstSetOp, d, c.toLong); 2
                 case _ => 0
               }
             case I64Const(c) if i + 1 < n =>
               instrs(i + 1) match {
+                case Num(op) if isBinary(op) =>
+                  (if (i + 2 < n) instrs(i + 2) else Nop) match {
+                    case LocalSet(d) => emit(TosBinCSOp, d, c, op); h -= 1; 3
+                    case _ => emit(TosBinCOp, 0, c, op); 2
+                  }
                 case LocalSet(d) => emit(ConstSetOp, d, c); 2
+                case _ => 0
+              }
+            // raw stack shapes: binop feeding a local/branch, load into
+            // a local — each one dispatch instead of two
+            case Num(op) if isBinary(op) && i + 1 < n =>
+              instrs(i + 1) match {
+                case LocalSet(d) => emit(BinSSSOp, d, op.toLong); h -= 2; 2
+                case BrIf(d) => emitBr(JnzBinOp, d, frames, op); h -= 2; 2
+                case _ => 0
+              }
+            case Load(lop, off) if i + 1 < n =>
+              instrs(i + 1) match {
+                case LocalSet(d) => emit(LdTosSOp, d, off, lop); h -= 1; 2
                 case _ => 0
               }
             case _ => 0
@@ -882,7 +1072,19 @@ object WasmInterp {
               val hIn = h - 1 // condition popped by the jump
               val entryBase = hIn - bt.params
               val f = new Frame(false, entryBase, bt.results, -1)
-              val jz = emit(JzOp, 0, -1L) // structural: no unwind
+              // condition fusion: if the previous step of THIS sequence
+              // emitted the compare/and that produced the condition,
+              // fold the test into the jump itself (one dispatch)
+              val jz =
+                if (prevCondPc >= 0 && prevCondKind == 1) {
+                  val k = prevCondPc
+                  zs(k) = ops(k); ops(k) = JzBinOp; xs(k) = 0; ys(k) = -1L
+                  k
+                } else if (prevCondPc >= 0 && prevCondKind == 2) {
+                  val k = prevCondPc
+                  zs(k) = (zs(k) << 16) | xs(k); ops(k) = JzBinLCOp; xs(k) = 0
+                  k
+                } else emit(JzOp, 0, -1L) // structural: no unwind
               val tTerm = seq(t, f :: frames, hIn)
               if (e.nonEmpty) {
                 val skip = if (!tTerm) Some(emit(JmpOp, 0, -1L)) else None
@@ -943,7 +1145,10 @@ object WasmInterp {
               emit(ConstOp, 0, java.lang.Float.floatToRawIntBits(v).toLong); h += 1
             case F64Const(v) =>
               emit(ConstOp, 0, java.lang.Double.doubleToRawLongBits(v)); h += 1
-            case Num(op) => emit(op); h += numDelta(op)
+            case Num(op) =>
+              val pcN = emit(op)
+              if (isBinary(op)) { condPc = pcN; condKind = 1 }
+              h += numDelta(op)
             case TruncSat(op) => emit(TruncSatOp, op)
           }
           i += 1
