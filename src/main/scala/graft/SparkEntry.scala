@@ -7774,6 +7774,112 @@ object SparkEntry {
       }.toDF("step", "method", "path", "status", "detail").orderBy("step")
     }),
 
+    "adm_rest_migrations" -> ((s, dir) => {
+      // The data-migration admin surface (redpanda/admin/migrations.cc
+      // + topics.cc): creation gated on cloud storage (flipped through
+      // the cluster_config route), the add/get/list/action/delete
+      // ladder over the FSM in data_migration_table.cc:57 (user
+      // actions move planned→preparing→…, ADVANCE steps stand in for
+      // the backend completing a stage), topic mount/unmount as
+      // auto-advancing inbound/outbound migrations, and the mountable
+      // listing — ENGINE-backed: TieredStorage.archive's manifest
+      // (bounded, one row per tier×partition) decides what is
+      // mountable and its revision.
+      import s.implicits._
+      import graft.admin.AdminApi
+      val archived = graft.log.TieredStorage.archive(
+        storedLog(s, dir).where(col("offset") < 200)
+          .withColumn("ts", col("ts").cast("timestamp")),
+        col("ts"), lit("2200-01-01").cast("timestamp"),
+        java.nio.file.Files.createTempDirectory("adm_mig_local").toString,
+        java.nio.file.Files.createTempDirectory("adm_mig_arch").toString)
+        .where(col("tier") === "archive").count().toInt
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
+        mountableTopics = () =>
+          if (archived > 0)
+            Seq(("kafka", "events",
+              s"events/00000000-0000-4000-8000-000000000001/$archived"))
+          else Nil)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def j(b: String) = m.readTree(b)
+      val outboundBody = Some(
+        """{"migration_type":"outbound","topics":[{"topic":"events"}],""" +
+          """"consumer_groups":["cg1"]}""")
+      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
+        ("PUT", "/v1/migrations", outboundBody,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/cluster_config", Some(
+          """{"upsert":{"cloud_storage_enabled":true},"remove":[]}"""),
+          r => "config_version=" + j(r.body).get("config_version").asLong()),
+        ("PUT", "/v1/migrations", Some("""{"migration_type":"sideways"}"""),
+          r => "message=" + j(r.body).get("message").asText().takeWhile(_ != ':')),
+        ("PUT", "/v1/migrations", outboundBody,
+          r => "id=" + j(r.body).get("id").asLong()),
+        ("GET", "/v1/migrations/1", None, r =>
+          s"state=${j(r.body).get("state").asText()}" +
+            s",type=${j(r.body).get("migration").get("migration_type").asText()}" +
+            s",topics=${j(r.body).get("migration").get("topics").size()}" +
+            s",groups=${j(r.body).get("migration").get("consumer_groups").size()}" +
+            s",auto=${j(r.body).get("migration").get("auto_advance").asBoolean()}"),
+        ("POST", "/v1/migrations/1?action=execute", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/migrations/1?action=prepare", None, _ => "accepted"),
+        ("ADVANCE", "1", None, _ => "advanced"),
+        ("GET", "/v1/migrations/1", None,
+          r => "state=" + j(r.body).get("state").asText()),
+        ("POST", "/v1/migrations/1?action=execute", None, _ => "accepted"),
+        ("ADVANCE", "1", None, _ => "advanced"),
+        ("POST", "/v1/migrations/1?action=finish", None, _ => "accepted"),
+        ("DELETE", "/v1/migrations/1", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("ADVANCE", "1", None, _ => "advanced"),
+        ("GET", "/v1/migrations/1", None, r =>
+          s"state=${j(r.body).get("state").asText()}" +
+            s",completed=${j(r.body).has("completed_timestamp")}"),
+        ("DELETE", "/v1/migrations/1", None, _ => "deleted"),
+        ("GET", "/v1/migrations/1", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/topics/mountable", None, r => {
+          val a = j(r.body).get("topics")
+          s"n=${a.size()};" + (0 until a.size()).map(i =>
+            s"${a.get(i).get("topic").asText()}@${
+              a.get(i).get("topic_location").asText()}").mkString(",")
+        }),
+        ("POST", "/v1/topics/mount", Some(
+          """{"topics":[{"source_topic_reference":{"topic":"orders"},""" +
+            """"alias":{"topic":"orders2"}}]}"""),
+          r => "id=" + j(r.body).get("id").asLong()),
+        ("GET", "/v1/migrations/2", None, r =>
+          s"type=${j(r.body).get("migration").get("migration_type").asText()}" +
+            s",auto=${j(r.body).get("migration").get("auto_advance").asBoolean()}" +
+            s",src=${j(r.body).get("migration").get("topics").get(0)
+              .get("source_topic_reference").get("topic").asText()}" +
+            s",alias=${j(r.body).get("migration").get("topics").get(0)
+              .get("alias").get("topic").asText()}"),
+        ("POST", "/v1/topics/unmount", Some(
+          """{"topics":[{"topic":"orders2","ns":"kafka"}]}"""),
+          r => "id=" + j(r.body).get("id").asLong()),
+        ("POST", "/v1/migrations/3?action=prepare", None, _ => "accepted"),
+        ("POST", "/v1/migrations/3?action=cancel", None, _ => "accepted"),
+        ("ADVANCE", "3", None, _ => "advanced"),
+        ("GET", "/v1/migrations/3", None,
+          r => "state=" + j(r.body).get("state").asText()),
+        ("GET", "/v1/migrations", None, r => "n=" + j(r.body).size()),
+        ("POST", "/v1/migrations/2?action=jump", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/migrations/zap", None,
+          r => "message=" + j(r.body).get("message").asText()))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        if (method == "ADVANCE") {
+          srv.advanceMigration(path.toLong)
+          (i + 1, method, "/v1/migrations/" + path, 200, "advanced")
+        } else {
+          val resp = srv.handle(method, path, b)
+          (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+        }
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
     "sr_rest_api" -> ((s, dir) => {
       // The registry's REST protocol — the Confluent-compatible JSON
       // surface the reference serves (pandaproxy/schema_registry/
@@ -13584,6 +13690,40 @@ object SparkEntry {
         |  (15, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=2'),
         |  (16, 'POST', '/v1/transform/debug/committed_offsets/garbage_collect', 200, 'swept'),
         |  (17, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=0'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the data-migration admin surface (migrations.cc
+    // FSM ladder, topics.cc mount/unmount, engine-backed mountable).
+    "adm_rest_migrations" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'PUT', '/v1/migrations', 400, 'message=Data migrations are disabled for this cluster'),
+        |  (2, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
+        |  (3, 'PUT', '/v1/migrations', 400, 'message=JSON request body does not conform to schema'),
+        |  (4, 'PUT', '/v1/migrations', 200, 'id=1'),
+        |  (5, 'GET', '/v1/migrations/1', 200, 'state=planned,type=outbound,topics=1,groups=1,auto=false'),
+        |  (6, 'POST', '/v1/migrations/1', 400, 'message=Invalid data migration state transition requested'),
+        |  (7, 'POST', '/v1/migrations/1', 200, 'accepted'),
+        |  (8, 'ADVANCE', '/v1/migrations/1', 200, 'advanced'),
+        |  (9, 'GET', '/v1/migrations/1', 200, 'state=prepared'),
+        |  (10, 'POST', '/v1/migrations/1', 200, 'accepted'),
+        |  (11, 'ADVANCE', '/v1/migrations/1', 200, 'advanced'),
+        |  (12, 'POST', '/v1/migrations/1', 200, 'accepted'),
+        |  (13, 'DELETE', '/v1/migrations/1', 400, 'message=Invalid data migration state transition requested'),
+        |  (14, 'ADVANCE', '/v1/migrations/1', 200, 'advanced'),
+        |  (15, 'GET', '/v1/migrations/1', 200, 'state=finished,completed=true'),
+        |  (16, 'DELETE', '/v1/migrations/1', 200, 'deleted'),
+        |  (17, 'GET', '/v1/migrations/1', 404, 'message=Data migration does not exist: Requested data migration does not exist'),
+        |  (18, 'GET', '/v1/topics/mountable', 200, 'n=1;events@events/00000000-0000-4000-8000-000000000001/8'),
+        |  (19, 'POST', '/v1/topics/mount', 200, 'id=2'),
+        |  (20, 'GET', '/v1/migrations/2', 200, 'type=inbound,auto=true,src=orders,alias=orders2'),
+        |  (21, 'POST', '/v1/topics/unmount', 200, 'id=3'),
+        |  (22, 'POST', '/v1/migrations/3', 200, 'accepted'),
+        |  (23, 'POST', '/v1/migrations/3', 200, 'accepted'),
+        |  (24, 'ADVANCE', '/v1/migrations/3', 200, 'advanced'),
+        |  (25, 'GET', '/v1/migrations/3', 200, 'state=cancelled'),
+        |  (26, 'GET', '/v1/migrations', 200, 'n=2'),
+        |  (27, 'POST', '/v1/migrations/2', 400, 'message=unknown data migration action: jump'),
+        |  (28, 'GET', '/v1/migrations/zap', 400, 'message=bad lexical cast: source type value could not be interpreted as target'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the REST protocol script (routes, status codes,

@@ -49,6 +49,13 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  *    member listing and the add/remove update with the
  *    `role_errc` JSON error ladder (40001..40902, HTTP status =
  *    code/100 per `role_errc_to_status`).
+ *  - data migrations (`admin/migrations.cc` + `admin/topics.cc`):
+ *    add/get/list/action/delete over the migration FSM
+ *    (`data_migration_table.cc:57` transitions, `throw_on_error`
+ *    wording for invalid-state/not-exists), creation gated on cloud
+ *    storage exactly like `data_migration_table.cc:231`, topic
+ *    mount/unmount as auto-advancing inbound/outbound migrations,
+ *    and the mountable-topics listing fed by a manifest-scan hook.
  *  - wasm transforms (`admin/transform.cc`): deploy (JSON metadata
  *    header immediately followed by the wasm binary, schema-validated
  *    body, offset/compression ladders), list (`transform_metadata`
@@ -91,7 +98,10 @@ object AdminApi {
       // transaction coordinator / usage-metering engines currently hold
       // (bounded control-plane reads, one row per txn / window)
       transactions: () => Seq[TxnSummary] = () => Nil,
-      usage: () => Seq[UsageWindow] = () => Nil) {
+      usage: () => Seq[UsageWindow] = () => Nil,
+      // cloud-manifest scan results for GET /v1/topics/mountable:
+      // (ns, topic, topic_location) rows per topic_mount_manifest_path
+      mountableTopics: () => Seq[(String, String, String)] = () => Nil) {
 
     // ------------------------------------------------------------ model
 
@@ -184,6 +194,50 @@ object AdminApi {
       * surface only reads the table). */
     def commitTransformOffset(name: String, partition: Int, offset: Long): Unit =
       txCommitted((name, partition)) = offset
+
+    // data migrations (migrations.cc routes over the data_migration
+    // FSM in data_migration_table.cc; the distributed command-log
+    // twin of the same FSM is cluster/DataMigrations.scala)
+    private final case class MigTopic(ns: String, topic: String,
+        alias: Option[(String, String)])
+    private final case class Migration(id: Long, direction: String,
+        topics: Seq[MigTopic], groups: Seq[String], autoAdvance: Boolean,
+        var state: String, createdTs: Long, var completedTs: Option[Long])
+    private val migrationStore = mutable.LinkedHashMap.empty[Long, Migration]
+    private var nextMigrationId = 0L
+
+    /** Allowed FSM moves (`data_migration_table.cc:57-82`). */
+    private def migTransitionOk(cur: String, target: String): Boolean =
+      (cur, target) match {
+        case ("planned", "preparing") => true
+        case ("preparing", "prepared") | ("preparing", "canceling") => true
+        case ("prepared", "executing") | ("prepared", "canceling") => true
+        case ("executing", "executed") | ("executing", "canceling") => true
+        case ("executed", "cut_over") | ("executed", "canceling") => true
+        case ("cut_over", "finished") => true
+        case ("canceling", "cancelled") => true
+        case _ => false
+      }
+
+    /** Deterministic stand-in for the migration backend finishing the
+      * in-flight stage (the dispatcher's work completing): preparing →
+      * prepared, executing → executed, canceling → cancelled,
+      * cut_over → finished. */
+    def advanceMigration(id: Long): Unit =
+      migrationStore.get(id).foreach { m =>
+        val next = m.state match {
+          case "preparing" => "prepared"
+          case "executing" => "executed"
+          case "canceling" => "cancelled"
+          case "cut_over" => "finished"
+          case other => other
+        }
+        if (next != m.state) {
+          m.state = next
+          if (next == "finished" || next == "cancelled")
+            m.completedTs = Some(1700000000000L + id * 1000L + 500L)
+        }
+      }
 
     // features (feature_state.h high-level states)
     private val features = mutable.LinkedHashMap(
@@ -479,6 +533,103 @@ object AdminApi {
       }
       o.put("compression", t.compression)
       o
+    }
+
+    // ---------------------------------------------------- migration helpers
+
+    private def migrationsDisabled: Boolean =
+      !config.get("cloud_storage_enabled").exists(_.asBoolean(false))
+
+    private val migrationsDisabledMsg =
+      "Data migrations are disabled for this cluster"
+
+    private def schemaErr(what: String): Resp =
+      err(400, s"JSON request body does not conform to schema: $what")
+
+    /** namespaced_topic: {topic required, ns optional, nothing else}. */
+    private def parseNamespacedTopic(n: JsonNode): Either[Resp, (String, String)] = {
+      if (n == null || !n.isObject || n.get("topic") == null ||
+          !n.get("topic").isTextual)
+        return Left(schemaErr("namespaced_topic requires string 'topic'"))
+      val it = n.fieldNames()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f != "topic" && f != "ns")
+          return Left(schemaErr(s"unexpected field '$f'"))
+      }
+      val ns = Option(n.get("ns")).filter(_.isTextual).map(_.asText())
+        .getOrElse("kafka")
+      Right((ns, n.get("topic").asText()))
+    }
+
+    /** inbound_topic: {source_topic_reference required, alias optional}. */
+    private def parseInboundTopic(n: JsonNode): Either[Resp, MigTopic] = {
+      if (n == null || !n.isObject || n.get("source_topic_reference") == null)
+        return Left(schemaErr("inbound_topic requires 'source_topic_reference'"))
+      val it = n.fieldNames()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f != "source_topic_reference" && f != "alias")
+          return Left(schemaErr(s"unexpected field '$f'"))
+      }
+      for {
+        src <- parseNamespacedTopic(n.get("source_topic_reference"))
+        alias <- Option(n.get("alias")) match {
+          case None => Right(None)
+          case Some(a) => parseNamespacedTopic(a).map(Some(_))
+        }
+      } yield MigTopic(src._1, src._2, alias)
+    }
+
+    private def parseStringArray(n: JsonNode, what: String):
+        Either[Resp, Seq[String]] = {
+      if (n == null || !n.isArray)
+        return Left(schemaErr(s"'$what' must be an array"))
+      val out = mutable.ArrayBuffer.empty[String]
+      for (i <- 0 until n.size()) {
+        if (!n.get(i).isTextual)
+          return Left(schemaErr(s"'$what' items must be strings"))
+        out += n.get(i).asText()
+      }
+      Right(out.toSeq)
+    }
+
+    private def migrationJson(m: Migration): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("id", m.id)
+      o.put("state", m.state)
+      val mig = o.putObject("migration")
+      mig.put("migration_type", m.direction)
+      val ts = mig.putArray("topics")
+      m.topics.foreach { t =>
+        if (m.direction == "inbound") {
+          val ti = ts.addObject()
+          val src = ti.putObject("source_topic_reference")
+          src.put("ns", t.ns); src.put("topic", t.topic)
+          t.alias.foreach { case (ans, atp) =>
+            val a = ti.putObject("alias")
+            a.put("ns", ans); a.put("topic", atp)
+          }
+        } else {
+          val to = ts.addObject()
+          to.put("ns", t.ns); to.put("topic", t.topic)
+        }
+      }
+      val gs = mig.putArray("consumer_groups")
+      m.groups.foreach(gs.add)
+      mig.put("auto_advance", m.autoAdvance)
+      o.put("created_timestamp", m.createdTs)
+      m.completedTs.foreach(o.put("completed_timestamp", _))
+      o
+    }
+
+    private def createMigration(direction: String, topics: Seq[MigTopic],
+        groups: Seq[String], autoAdvance: Boolean): Long = {
+      nextMigrationId += 1
+      val id = nextMigrationId
+      migrationStore(id) = Migration(id, direction, topics, groups,
+        autoAdvance, "planned", 1700000000000L + id * 1000L, None)
+      id
     }
 
     // ------------------------------------------------------------ routes
@@ -1130,6 +1281,144 @@ object AdminApi {
               if (compN != null) t.compression = compN.asText()
               Resp(200, "{}")
           }
+
+        // ------------------------------------------------ data migrations
+        case ("GET", "v1" :: "migrations" :: Nil) =>
+          val a = mapper.createArrayNode()
+          migrationStore.values.foreach(m => a.add(migrationJson(m)))
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("PUT", "v1" :: "migrations" :: Nil) =>
+          // add_migration: the anyOf(inbound|outbound) schema with
+          // required migration_type/topics/consumer_groups
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isObject)
+            return schemaErr("expected object")
+          val it = doc.fieldNames()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f != "migration_type" && f != "topics" && f != "consumer_groups")
+              return schemaErr(s"unexpected field '$f'")
+          }
+          for (req <- Seq("migration_type", "topics", "consumer_groups"))
+            if (doc.get(req) == null)
+              return schemaErr(s"missing required field '$req'")
+          val mt = doc.get("migration_type").asText()
+          if (mt != "inbound" && mt != "outbound")
+            return err(400, s"unknown migration type: $mt")
+          if (migrationsDisabled) return err(400, migrationsDisabledMsg)
+          val groups = parseStringArray(doc.get("consumer_groups"),
+            "consumer_groups") match {
+            case Left(e) => return e; case Right(g) => g
+          }
+          val ts = doc.get("topics")
+          if (!ts.isArray) return schemaErr("'topics' must be an array")
+          val topics = (0 until ts.size()).map { i =>
+            (if (mt == "inbound") parseInboundTopic(ts.get(i))
+             else parseNamespacedTopic(ts.get(i)).map(t =>
+               MigTopic(t._1, t._2, None))) match {
+              case Left(e) => return e; case Right(t) => t
+            }
+          }
+          val id = createMigration(mt, topics, groups, autoAdvance = false)
+          val o = mapper.createObjectNode(); o.put("id", id)
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "migrations" :: idStr :: Nil) =>
+          idStr.toLongOption match {
+            case None => err(400, "bad lexical cast: source type value could " +
+              "not be interpreted as target")
+            case Some(id) => migrationStore.get(id) match {
+              case None => err(404, "Data migration does not exist: " +
+                "Requested data migration does not exist")
+              case Some(m) => Resp(200, mapper.writeValueAsString(migrationJson(m)))
+            }
+          }
+
+        case ("POST", "v1" :: "migrations" :: idStr :: Nil) =>
+          // execute_migration_action?action=prepare|execute|finish|cancel
+          val target = qp("action") match {
+            case Some("prepare") => "preparing"
+            case Some("execute") => "executing"
+            case Some("cancel") => "canceling"
+            case Some("finish") => "cut_over"
+            case other =>
+              return err(400,
+                s"unknown data migration action: ${other.getOrElse("")}")
+          }
+          idStr.toLongOption match {
+            case None => err(400, "bad lexical cast: source type value could " +
+              "not be interpreted as target")
+            case Some(id) => migrationStore.get(id) match {
+              case None => err(404, "Data migration does not exist: " +
+                "Requested data migration does not exist")
+              case Some(m) if !migTransitionOk(m.state, target) =>
+                err(400, "Invalid data migration state transition requested")
+              case Some(m) =>
+                m.state = target
+                Resp(200, "{}")
+            }
+          }
+
+        case ("DELETE", "v1" :: "migrations" :: idStr :: Nil) =>
+          idStr.toLongOption match {
+            case None => err(400, "bad lexical cast: source type value could " +
+              "not be interpreted as target")
+            case Some(id) => migrationStore.get(id) match {
+              case None => err(404, "Data migration does not exist: " +
+                "Requested data migration does not exist")
+              case Some(m)
+                  if m.state == "planned" || m.state == "cancelled" ||
+                    m.state == "finished" =>
+                migrationStore.remove(id)
+                Resp(200, "{}")
+              case Some(_) =>
+                err(400, "Invalid data migration state transition requested")
+            }
+          }
+
+        // ------------------------------------- topic mount/unmount (topics.cc)
+        case ("GET", "v1" :: "topics" :: "mountable" :: Nil) =>
+          val o = mapper.createObjectNode()
+          val a = o.putArray("topics")
+          mountableTopics().foreach { case (ns, topic, location) =>
+            val t = a.addObject()
+            t.put("topic_location", location)
+            t.put("topic", topic)
+            t.put("ns", ns)
+          }
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("POST", "v1" :: "topics" :: "mount" :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isObject || doc.get("topics") == null ||
+              !doc.get("topics").isArray || doc.size() != 1)
+            return schemaErr("mount_configuration requires 'topics' array")
+          if (migrationsDisabled) return err(400, migrationsDisabledMsg)
+          val ts = doc.get("topics")
+          val topics = (0 until ts.size()).map(i =>
+            parseInboundTopic(ts.get(i)) match {
+              case Left(e) => return e; case Right(t) => t
+            })
+          val id = createMigration("inbound", topics, Nil, autoAdvance = true)
+          val o = mapper.createObjectNode(); o.put("id", id)
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("POST", "v1" :: "topics" :: "unmount" :: Nil) =>
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isObject || doc.get("topics") == null ||
+              !doc.get("topics").isArray || doc.size() != 1)
+            return schemaErr("unmount requires 'topics' array")
+          if (migrationsDisabled) return err(400, migrationsDisabledMsg)
+          val ts = doc.get("topics")
+          val topics = (0 until ts.size()).map(i =>
+            parseNamespacedTopic(ts.get(i)) match {
+              case Left(e) => return e
+              case Right(t) => MigTopic(t._1, t._2, None)
+            })
+          val id = createMigration("outbound", topics, Nil, autoAdvance = true)
+          val o = mapper.createObjectNode(); o.put("id", id)
+          Resp(200, mapper.writeValueAsString(o))
 
         // -------------------------------------------------------- status
         case ("GET", "v1" :: "status" :: "ready" :: Nil) =>

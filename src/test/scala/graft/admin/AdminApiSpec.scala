@@ -398,6 +398,96 @@ class AdminApiSpec extends AnyFunSuite {
     assert(s.handle("GET", "/v1/security/roles/ops").status === 404)
   }
 
+  test("data migrations: FSM ladder, mount/unmount, mountable listing") {
+    val s = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
+      mountableTopics = () => Seq(
+        ("kafka", "orders", "orders/00000000-0000-4000-8000-000000000001/21")))
+    // creation is gated on cloud storage (data_migration_table.cc:231)
+    val gated = s.handle("PUT", "/v1/migrations", Some(
+      """{"migration_type":"outbound","topics":[{"topic":"events"}],
+         "consumer_groups":[]}"""))
+    assert(gated.status === 400)
+    assert(m.readTree(gated.body).get("message").asText() ===
+      "Data migrations are disabled for this cluster")
+    assert(s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"cloud_storage_enabled":true},"remove":[]}"""))
+      .status === 200)
+    // add: schema validation then id assignment
+    val bad = s.handle("PUT", "/v1/migrations", Some("""{"migration_type":"x"}"""))
+    assert(bad.status === 400)
+    assert(m.readTree(bad.body).get("message").asText()
+      .startsWith("JSON request body does not conform to schema"))
+    val created = s.handle("PUT", "/v1/migrations", Some(
+      """{"migration_type":"outbound","topics":[{"topic":"events"}],
+         "consumer_groups":["cg1"]}"""))
+    assert(created.status === 200)
+    val id = m.readTree(created.body).get("id").asLong()
+    // get: full state shape
+    val got = m.readTree(s.handle("GET", s"/v1/migrations/$id").body)
+    assert(got.get("state").asText() === "planned")
+    assert(got.get("migration").get("migration_type").asText() === "outbound")
+    assert(got.get("migration").get("topics").get(0).get("topic").asText() === "events")
+    assert(got.get("migration").get("consumer_groups").get(0).asText() === "cg1")
+    assert(!got.get("migration").get("auto_advance").asBoolean())
+    assert(got.get("created_timestamp").asLong() > 0)
+    assert(!got.has("completed_timestamp"))
+    // the action ladder: only valid FSM moves are accepted
+    def act(a: String) = s.handle("POST", s"/v1/migrations/$id?action=$a")
+    assert(m.readTree(act("execute").body).get("message").asText() ===
+      "Invalid data migration state transition requested") // planned !> executing
+    assert(act("prepare").status === 200)                  // planned > preparing
+    s.advanceMigration(id)                                 // backend: prepared
+    assert(m.readTree(s.handle("GET", s"/v1/migrations/$id").body)
+      .get("state").asText() === "prepared")
+    assert(act("execute").status === 200)
+    s.advanceMigration(id)                                 // executed
+    assert(act("finish").status === 200)                   // executed > cut_over
+    // delete refused while non-terminal; allowed once finished
+    assert(s.handle("DELETE", s"/v1/migrations/$id").status === 400)
+    s.advanceMigration(id)                                 // finished
+    val fin = m.readTree(s.handle("GET", s"/v1/migrations/$id").body)
+    assert(fin.get("state").asText() === "finished")
+    assert(fin.has("completed_timestamp"))
+    assert(s.handle("DELETE", s"/v1/migrations/$id").status === 200)
+    assert(s.handle("GET", s"/v1/migrations/$id").status === 404)
+    // unknown action / bad id
+    assert(m.readTree(s.handle("POST", "/v1/migrations/1?action=jump").body)
+      .get("message").asText() === "unknown data migration action: jump")
+    assert(s.handle("GET", "/v1/migrations/zap").status === 400)
+    // topic mount/unmount ride auto-advancing migrations
+    val mnt = s.handle("POST", "/v1/topics/mount", Some(
+      """{"topics":[{"source_topic_reference":{"topic":"orders"},
+         "alias":{"topic":"orders2"}}]}"""))
+    assert(mnt.status === 200)
+    val mid = m.readTree(mnt.body).get("id").asLong()
+    val mMig = m.readTree(s.handle("GET", s"/v1/migrations/$mid").body)
+    assert(mMig.get("migration").get("migration_type").asText() === "inbound")
+    assert(mMig.get("migration").get("auto_advance").asBoolean())
+    assert(mMig.get("migration").get("topics").get(0)
+      .get("source_topic_reference").get("topic").asText() === "orders")
+    assert(mMig.get("migration").get("topics").get(0)
+      .get("alias").get("topic").asText() === "orders2")
+    val umnt = s.handle("POST", "/v1/topics/unmount", Some(
+      """{"topics":[{"topic":"orders2","ns":"kafka"}]}"""))
+    assert(umnt.status === 200)
+    // cancel path: planned > preparing > canceling > cancelled
+    val c = m.readTree(s.handle("PUT", "/v1/migrations", Some(
+      """{"migration_type":"outbound","topics":[{"topic":"t2"}],
+         "consumer_groups":[]}""")).body).get("id").asLong()
+    assert(s.handle("POST", s"/v1/migrations/$c?action=prepare").status === 200)
+    assert(s.handle("POST", s"/v1/migrations/$c?action=cancel").status === 200)
+    s.advanceMigration(c)
+    assert(m.readTree(s.handle("GET", s"/v1/migrations/$c").body)
+      .get("state").asText() === "cancelled")
+    // mountable listing renders manifest-path rows
+    val mtbl = m.readTree(s.handle("GET", "/v1/topics/mountable").body)
+    assert(mtbl.get("topics").size() === 1)
+    assert(mtbl.get("topics").get(0).get("topic_location").asText() ===
+      "orders/00000000-0000-4000-8000-000000000001/21")
+    // list carries every live migration
+    assert(m.readTree(s.handle("GET", "/v1/migrations").body).size() === 3)
+  }
+
   test("transforms: enable gate, deploy validation, list/patch/delete, offsets") {
     val s = freshServer()
     // every transform route is gated until data_transforms_enabled
