@@ -7009,6 +7009,116 @@ object SparkEntry {
             ("api_versions", v, bytes.length,
               s"name=${r.clientSoftwareName}|ver=${r.clientSoftwareVersion}")
           }
+        } ++ {
+          // Tier-3: the TRANSACTION family full ranges (InitProducerId
+          // 0-5 KIP-360 at 3, AddPartitionsToTxn 0-5 KIP-890 batched
+          // at 4, AddOffsetsToTxn/EndTxn/TxnOffsetCommit 0-4 KIP-447
+          // at 3) + DeleteRecords 0-2 + SASL Handshake 0-1 /
+          // Authenticate 0-2 — requests AND responses.
+          val ipReq = WH.InitProducerId.Request(Some("txn-1"), 60000, 9L, 1)
+          val ipResp = WH.InitProducerId.Response(5, 0, 9L, 1)
+          val apTxn = WV.AddPartitionsToTxnV.Txn("txn-1", 9L, 1,
+            verifyOnly = true, Seq(("events", Seq(0, 1))))
+          val apReq = WV.AddPartitionsToTxnV.Request(Seq(apTxn))
+          val apResp = WV.AddPartitionsToTxnV.Response(5, 0, Seq(
+            WV.AddPartitionsToTxnV.RespTxn("txn-1",
+              Seq(("events", Seq((0, 0.toShort), (1, 16.toShort)))))))
+          val aoReq = WH.AddOffsetsToTxn.Request("txn-1", 9L, 1, "cg")
+          val etReq = WH.EndTxn.Request("txn-1", 9L, 1, committed = true)
+          val etResp = WH.EndTxn.Response(5, 0)
+          val tocReq = WV.TxnOffsetCommitV.Request("txn-1", "cg", 9L, 1, 7,
+            "m-1", Some("inst-1"), Seq(("events",
+              Seq(WV.TxnOffsetCommitV.Part(0, 42L, 5, Some("m"))))))
+          val tocResp = WV.TxnOffsetCommitV.Response(5,
+            Seq(("events", Seq((0, 0.toShort)))))
+          val drReq = WV.DeleteRecordsV.Request(
+            Seq(("events", Seq((0, 42L), (1, 7L)))), 30000)
+          val drResp = WV.DeleteRecordsV.Response(5,
+            Seq(("events", Seq((0, 10L, 0.toShort)))))
+          val saResp = WV.SaslAuthenticateV.Response(0, Some("ok"),
+            Array.tabulate(8)(_.toByte), 3600000L)
+          WV.InitProducerIdV.ValidVersions.map { v =>
+            val bytes = WV.InitProducerIdV.encode(v, ipReq)
+            val r = WV.InitProducerIdV.decode(v, bytes)
+            ("init_producer_id", v, bytes.length,
+              s"tid=${r.transactionalId.getOrElse("")}|pid=${r.producerId}" +
+                s"|epoch=${r.producerEpoch}")
+          } ++ WV.InitProducerIdV.ValidVersions.map { v =>
+            val bytes = WV.InitProducerIdV.encodeResp(v, ipResp)
+            val r = WV.InitProducerIdV.decodeResp(v, bytes)
+            ("init_producer_id_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|pid=${r.producerId}")
+          } ++ WV.AddPartitionsToTxnV.ValidVersions.map { v =>
+            val bytes = WV.AddPartitionsToTxnV.encode(v, apReq)
+            val r = WV.AddPartitionsToTxnV.decode(v, bytes)
+            val t = r.transactions.head
+            ("add_partitions_txn", v, bytes.length,
+              s"tid=${t.transactionalId}|verify=${t.verifyOnly}|parts=${
+                t.topics.head._2.size}")
+          } ++ WV.AddPartitionsToTxnV.ValidVersions.map { v =>
+            val bytes = WV.AddPartitionsToTxnV.encodeResp(v, apResp)
+            val r = WV.AddPartitionsToTxnV.decodeResp(v, bytes)
+            ("add_partitions_txn_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|tid=${
+                r.transactions.head.transactionalId}|errs=${
+                r.transactions.head.results.head._2.map(_._2).mkString(",")}")
+          } ++ WV.AddOffsetsToTxnV.ValidVersions.map { v =>
+            val bytes = WV.AddOffsetsToTxnV.encode(v, aoReq)
+            val r = WV.AddOffsetsToTxnV.decode(v, bytes)
+            ("add_offsets_txn", v, bytes.length,
+              s"tid=${r.transactionalId}|group=${r.groupId}")
+          } ++ WV.EndTxnV.ValidVersions.map { v =>
+            val bytes = WV.EndTxnV.encode(v, etReq)
+            val r = WV.EndTxnV.decode(v, bytes)
+            ("end_txn", v, bytes.length,
+              s"tid=${r.transactionalId}|committed=${r.committed}")
+          } ++ WV.EndTxnV.ValidVersions.map { v =>
+            val bytes = WV.EndTxnV.encodeResp(v, etResp)
+            val r = WV.EndTxnV.decodeResp(v, bytes)
+            ("end_txn_resp", v, bytes.length, s"throttle=${r.throttleMs}")
+          } ++ WV.TxnOffsetCommitV.ValidVersions.map { v =>
+            val bytes = WV.TxnOffsetCommitV.encode(v, tocReq)
+            val r = WV.TxnOffsetCommitV.decode(v, bytes)
+            val p = r.topics.head._2.head
+            ("txn_offset_commit", v, bytes.length,
+              s"gen=${r.generationId}|member=${r.memberId}|inst=${
+                r.groupInstanceId.getOrElse("")}|epoch=${p.leaderEpoch}")
+          } ++ WV.TxnOffsetCommitV.ValidVersions.map { v =>
+            val bytes = WV.TxnOffsetCommitV.encodeResp(v, tocResp)
+            val r = WV.TxnOffsetCommitV.decodeResp(v, bytes)
+            ("txn_offset_commit_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|errs=${
+                r.topics.head._2.map(_._2).mkString(",")}")
+          } ++ WV.DeleteRecordsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteRecordsV.encode(v, drReq)
+            val r = WV.DeleteRecordsV.decode(v, bytes)
+            ("delete_records", v, bytes.length,
+              s"timeout=${r.timeoutMs}|parts=${r.topics.head._2.size}")
+          } ++ WV.DeleteRecordsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteRecordsV.encodeResp(v, drResp)
+            val r = WV.DeleteRecordsV.decodeResp(v, bytes)
+            ("delete_records_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|lwm=${r.topics.head._2.head._2}")
+          } ++ WV.SaslHandshakeV.ValidVersions.map { v =>
+            val bytes = WV.SaslHandshakeV.encode(v, "SCRAM-SHA-256")
+            ("sasl_handshake", v, bytes.length,
+              s"mech=${WV.SaslHandshakeV.decode(v, bytes)}")
+          } ++ WV.SaslHandshakeV.ValidVersions.map { v =>
+            val bytes = WV.SaslHandshakeV.encodeResp(v, 0,
+              Seq("PLAIN", "SCRAM-SHA-256"))
+            val (ec, ms) = WV.SaslHandshakeV.decodeResp(v, bytes)
+            ("sasl_handshake_resp", v, bytes.length, s"err=$ec|mechs=${ms.size}")
+          } ++ WV.SaslAuthenticateV.ValidVersions.map { v =>
+            val auth = Array.tabulate(16)(_.toByte)
+            val bytes = WV.SaslAuthenticateV.encode(v, auth)
+            ("sasl_authenticate", v, bytes.length,
+              s"auth=${WV.SaslAuthenticateV.decode(v, bytes).length}")
+          } ++ WV.SaslAuthenticateV.ValidVersions.map { v =>
+            val bytes = WV.SaslAuthenticateV.encodeResp(v, saResp)
+            val r = WV.SaslAuthenticateV.decodeResp(v, bytes)
+            ("sasl_authenticate_resp", v, bytes.length,
+              s"msg=${r.errorMessage.getOrElse("")}|lifetime=${r.sessionLifetimeMs}")
+          }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
         .orderBy("family", "version")
@@ -13342,7 +13452,72 @@ object SparkEntry {
         |  ('api_versions', 0, 0, 'name=|ver='),
         |  ('api_versions', 1, 0, 'name=|ver='),
         |  ('api_versions', 2, 0, 'name=|ver='),
-        |  ('api_versions', 3, 11, 'name=rpk|ver=v25.1'))
+        |  ('api_versions', 3, 11, 'name=rpk|ver=v25.1'),
+        |  ('init_producer_id', 0, 11, 'tid=txn-1|pid=-1|epoch=-1'),
+        |  ('init_producer_id', 1, 11, 'tid=txn-1|pid=-1|epoch=-1'),
+        |  ('init_producer_id', 2, 11, 'tid=txn-1|pid=-1|epoch=-1'),
+        |  ('init_producer_id', 3, 21, 'tid=txn-1|pid=9|epoch=1'),
+        |  ('init_producer_id', 4, 21, 'tid=txn-1|pid=9|epoch=1'),
+        |  ('init_producer_id', 5, 21, 'tid=txn-1|pid=9|epoch=1'),
+        |  ('init_producer_id_resp', 0, 16, 'throttle=5|pid=9'),
+        |  ('init_producer_id_resp', 1, 16, 'throttle=5|pid=9'),
+        |  ('init_producer_id_resp', 2, 17, 'throttle=5|pid=9'),
+        |  ('init_producer_id_resp', 3, 17, 'throttle=5|pid=9'),
+        |  ('init_producer_id_resp', 4, 17, 'throttle=5|pid=9'),
+        |  ('init_producer_id_resp', 5, 17, 'throttle=5|pid=9'),
+        |  ('add_partitions_txn', 0, 41, 'tid=txn-1|verify=false|parts=2'),
+        |  ('add_partitions_txn', 1, 41, 'tid=txn-1|verify=false|parts=2'),
+        |  ('add_partitions_txn', 2, 41, 'tid=txn-1|verify=false|parts=2'),
+        |  ('add_partitions_txn', 3, 35, 'tid=txn-1|verify=false|parts=2'),
+        |  ('add_partitions_txn', 4, 38, 'tid=txn-1|verify=true|parts=2'),
+        |  ('add_partitions_txn', 5, 38, 'tid=txn-1|verify=true|parts=2'),
+        |  ('add_partitions_txn_resp', 0, 32, 'throttle=5|tid=|errs=0,16'),
+        |  ('add_partitions_txn_resp', 1, 32, 'throttle=5|tid=|errs=0,16'),
+        |  ('add_partitions_txn_resp', 2, 32, 'throttle=5|tid=|errs=0,16'),
+        |  ('add_partitions_txn_resp', 3, 29, 'throttle=5|tid=|errs=0,16'),
+        |  ('add_partitions_txn_resp', 4, 39, 'throttle=5|tid=txn-1|errs=0,16'),
+        |  ('add_partitions_txn_resp', 5, 39, 'throttle=5|tid=txn-1|errs=0,16'),
+        |  ('add_offsets_txn', 0, 21, 'tid=txn-1|group=cg'),
+        |  ('add_offsets_txn', 1, 21, 'tid=txn-1|group=cg'),
+        |  ('add_offsets_txn', 2, 21, 'tid=txn-1|group=cg'),
+        |  ('add_offsets_txn', 3, 20, 'tid=txn-1|group=cg'),
+        |  ('add_offsets_txn', 4, 20, 'tid=txn-1|group=cg'),
+        |  ('end_txn', 0, 18, 'tid=txn-1|committed=true'),
+        |  ('end_txn', 1, 18, 'tid=txn-1|committed=true'),
+        |  ('end_txn', 2, 18, 'tid=txn-1|committed=true'),
+        |  ('end_txn', 3, 18, 'tid=txn-1|committed=true'),
+        |  ('end_txn', 4, 18, 'tid=txn-1|committed=true'),
+        |  ('end_txn_resp', 0, 6, 'throttle=5'),
+        |  ('end_txn_resp', 1, 6, 'throttle=5'),
+        |  ('end_txn_resp', 2, 6, 'throttle=5'),
+        |  ('end_txn_resp', 3, 7, 'throttle=5'),
+        |  ('end_txn_resp', 4, 7, 'throttle=5'),
+        |  ('txn_offset_commit', 0, 52, 'gen=-1|member=|inst=|epoch=-1'),
+        |  ('txn_offset_commit', 1, 52, 'gen=-1|member=|inst=|epoch=-1'),
+        |  ('txn_offset_commit', 2, 56, 'gen=-1|member=|inst=|epoch=5'),
+        |  ('txn_offset_commit', 3, 64, 'gen=7|member=m-1|inst=inst-1|epoch=5'),
+        |  ('txn_offset_commit', 4, 64, 'gen=7|member=m-1|inst=inst-1|epoch=5'),
+        |  ('txn_offset_commit_resp', 0, 26, 'throttle=5|errs=0'),
+        |  ('txn_offset_commit_resp', 1, 26, 'throttle=5|errs=0'),
+        |  ('txn_offset_commit_resp', 2, 26, 'throttle=5|errs=0'),
+        |  ('txn_offset_commit_resp', 3, 22, 'throttle=5|errs=0'),
+        |  ('txn_offset_commit_resp', 4, 22, 'throttle=5|errs=0'),
+        |  ('delete_records', 0, 44, 'timeout=30000|parts=2'),
+        |  ('delete_records', 1, 44, 'timeout=30000|parts=2'),
+        |  ('delete_records', 2, 41, 'timeout=30000|parts=2'),
+        |  ('delete_records_resp', 0, 34, 'throttle=5|lwm=10'),
+        |  ('delete_records_resp', 1, 34, 'throttle=5|lwm=10'),
+        |  ('delete_records_resp', 2, 30, 'throttle=5|lwm=10'),
+        |  ('sasl_handshake', 0, 15, 'mech=SCRAM-SHA-256'),
+        |  ('sasl_handshake', 1, 15, 'mech=SCRAM-SHA-256'),
+        |  ('sasl_handshake_resp', 0, 28, 'err=0|mechs=2'),
+        |  ('sasl_handshake_resp', 1, 28, 'err=0|mechs=2'),
+        |  ('sasl_authenticate', 0, 20, 'auth=16'),
+        |  ('sasl_authenticate', 1, 20, 'auth=16'),
+        |  ('sasl_authenticate', 2, 18, 'auth=16'),
+        |  ('sasl_authenticate_resp', 0, 18, 'msg=ok|lifetime=0'),
+        |  ('sasl_authenticate_resp', 1, 26, 'msg=ok|lifetime=3600000'),
+        |  ('sasl_authenticate_resp', 2, 23, 'msg=ok|lifetime=3600000'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
 
     "p6_wire_framing" ->

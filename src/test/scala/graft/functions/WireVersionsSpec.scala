@@ -465,6 +465,165 @@ class WireVersionsSpec extends AnyFunSuite {
     assert(LeaveGroupRespV.encode(4, lgr).length === 22)
   }
 
+  // ------------------------------------------------------ tier-3 keys
+
+  test("init_producer_id 0-5: KIP-360 identity at v3, flexible cutover at v2") {
+    val req = WireHeaders.InitProducerId.Request(Some("txn-1"), 60000, 9L, 1)
+    for (v <- InitProducerIdV.ValidVersions) {
+      val bytes = InitProducerIdV.encode(v, req)
+      assert(bytes.length === InitProducerIdV.size(v, req), s"v$v size")
+      val back = InitProducerIdV.decode(v, bytes)
+      assert(back.transactionalId === Some("txn-1"))
+      assert(back.producerId === (if (v >= 3) 9L else -1L), s"v$v")
+      assert(back.producerEpoch === (if (v >= 3) 1 else -1).toShort, s"v$v")
+    }
+    assert(InitProducerIdV.encode(0, req).length === 11) // nstr(7)+4
+    assert(InitProducerIdV.encode(2, req).length === 11) // 6+4+tags
+    assert(InitProducerIdV.encode(3, req).length === 21) // +pid/epoch
+    val resp = WireHeaders.InitProducerId.Response(5, 0, 9L, 1)
+    for (v <- InitProducerIdV.ValidVersions) {
+      val bytes = InitProducerIdV.encodeResp(v, resp)
+      assert(bytes.length === InitProducerIdV.sizeResp(v), s"v$v size")
+      assert(InitProducerIdV.decodeResp(v, bytes) === resp)
+    }
+    assert(InitProducerIdV.encodeResp(0, resp).length === 16)
+    assert(InitProducerIdV.encodeResp(2, resp).length === 17)
+  }
+
+  test("add_partitions_to_txn 0-5: KIP-890 batched transactions at v4") {
+    val txn = AddPartitionsToTxnV.Txn("txn-1", 9L, 1, verifyOnly = true,
+      Seq(("events", Seq(0, 1))))
+    val req = AddPartitionsToTxnV.Request(Seq(txn))
+    for (v <- AddPartitionsToTxnV.ValidVersions) {
+      val bytes = AddPartitionsToTxnV.encode(v, req)
+      assert(bytes.length === AddPartitionsToTxnV.size(v, req), s"v$v size")
+      val back = AddPartitionsToTxnV.decode(v, bytes)
+      val t = back.transactions.head
+      assert(t.transactionalId === "txn-1" && t.producerId === 9L)
+      assert(t.topics === txn.topics)
+      assert(t.verifyOnly === (v >= 4), s"v$v") // field exists only batched
+    }
+    assert(AddPartitionsToTxnV.encode(0, req).length === 41)
+    assert(AddPartitionsToTxnV.encode(3, req).length === 35)
+    assert(AddPartitionsToTxnV.encode(4, req).length === 38)
+    val resp = AddPartitionsToTxnV.Response(5, 0, Seq(
+      AddPartitionsToTxnV.RespTxn("txn-1",
+        Seq(("events", Seq((0, 0.toShort), (1, 16.toShort)))))))
+    for (v <- AddPartitionsToTxnV.ValidVersions) {
+      val bytes = AddPartitionsToTxnV.encodeResp(v, resp)
+      assert(bytes.length === AddPartitionsToTxnV.sizeResp(v, resp), s"v$v size")
+      val back = AddPartitionsToTxnV.decodeResp(v, bytes)
+      assert(back.transactions.head.results === resp.transactions.head.results)
+      assert(back.transactions.head.transactionalId ===
+        (if (v >= 4) "txn-1" else ""), s"v$v")
+    }
+    assert(AddPartitionsToTxnV.encodeResp(0, resp).length === 32)
+    assert(AddPartitionsToTxnV.encodeResp(3, resp).length === 29)
+    assert(AddPartitionsToTxnV.encodeResp(4, resp).length === 39)
+  }
+
+  test("add_offsets/end_txn 0-4 and txn_offset_commit 0-4 gates") {
+    val ao = WireHeaders.AddOffsetsToTxn.Request("txn-1", 9L, 1, "cg")
+    for (v <- AddOffsetsToTxnV.ValidVersions) {
+      val bytes = AddOffsetsToTxnV.encode(v, ao)
+      assert(bytes.length === AddOffsetsToTxnV.size(v, ao), s"v$v size")
+      assert(AddOffsetsToTxnV.decode(v, bytes) === ao)
+    }
+    assert(AddOffsetsToTxnV.encode(0, ao).length === 21)
+    assert(AddOffsetsToTxnV.encode(3, ao).length === 20)
+    val et = WireHeaders.EndTxn.Request("txn-1", 9L, 1, committed = true)
+    for (v <- EndTxnV.ValidVersions) {
+      val bytes = EndTxnV.encode(v, et)
+      assert(bytes.length === EndTxnV.size(v, et), s"v$v size")
+      assert(EndTxnV.decode(v, bytes) === et)
+    }
+    assert(EndTxnV.encode(0, et).length === 18)
+    assert(EndTxnV.encode(3, et).length === 18)
+    assert(EndTxnV.encodeResp(0, WireHeaders.EndTxn.Response(5, 0)).length === 6)
+    assert(EndTxnV.encodeResp(3, WireHeaders.EndTxn.Response(5, 0)).length === 7)
+    val toc = TxnOffsetCommitV.Request("txn-1", "cg", 9L, 1, 7, "m-1",
+      Some("inst-1"), Seq(("events",
+        Seq(TxnOffsetCommitV.Part(0, 42L, 5, Some("m"))))))
+    for (v <- TxnOffsetCommitV.ValidVersions) {
+      val bytes = TxnOffsetCommitV.encode(v, toc)
+      assert(bytes.length === TxnOffsetCommitV.size(v, toc), s"v$v size")
+      val back = TxnOffsetCommitV.decode(v, bytes)
+      assert(back.generationId === (if (v >= 3) 7 else -1), s"v$v")
+      assert(back.memberId === (if (v >= 3) "m-1" else ""), s"v$v")
+      assert(back.groupInstanceId ===
+        (if (v >= 3) Some("inst-1") else None), s"v$v")
+      val p = back.topics.head._2.head
+      assert(p.offset === 42L)
+      assert(p.leaderEpoch === (if (v >= 2) 5 else -1), s"v$v")
+      assert(p.metadata === Some("m"))
+    }
+    assert(TxnOffsetCommitV.encode(0, toc).length === 52)
+    assert(TxnOffsetCommitV.encode(2, toc).length === 56)
+    assert(TxnOffsetCommitV.encode(3, toc).length === 64)
+    val tocResp = TxnOffsetCommitV.Response(5,
+      Seq(("events", Seq((0, 0.toShort)))))
+    for (v <- TxnOffsetCommitV.ValidVersions) {
+      val bytes = TxnOffsetCommitV.encodeResp(v, tocResp)
+      assert(bytes.length === TxnOffsetCommitV.sizeResp(v, tocResp), s"v$v size")
+      assert(TxnOffsetCommitV.decodeResp(v, bytes) === tocResp)
+    }
+    assert(TxnOffsetCommitV.encodeResp(0, tocResp).length === 26)
+    assert(TxnOffsetCommitV.encodeResp(3, tocResp).length === 22)
+  }
+
+  test("delete_records 0-2 and the SASL pair ranges") {
+    val dr = DeleteRecordsV.Request(
+      Seq(("events", Seq((0, 42L), (1, 7L)))), 30000)
+    for (v <- DeleteRecordsV.ValidVersions) {
+      val bytes = DeleteRecordsV.encode(v, dr)
+      assert(bytes.length === DeleteRecordsV.size(v, dr), s"v$v size")
+      assert(DeleteRecordsV.decode(v, bytes) === dr)
+    }
+    assert(DeleteRecordsV.encode(0, dr).length === 44)
+    assert(DeleteRecordsV.encode(2, dr).length === 41)
+    val drResp = DeleteRecordsV.Response(5,
+      Seq(("events", Seq((0, 10L, 0.toShort)))))
+    for (v <- DeleteRecordsV.ValidVersions) {
+      val bytes = DeleteRecordsV.encodeResp(v, drResp)
+      assert(bytes.length === DeleteRecordsV.sizeResp(v, drResp), s"v$v size")
+      assert(DeleteRecordsV.decodeResp(v, bytes) === drResp)
+    }
+    assert(DeleteRecordsV.encodeResp(0, drResp).length === 34)
+    assert(DeleteRecordsV.encodeResp(2, drResp).length === 30)
+    // SASL: handshake is NEVER flexible; authenticate cuts over at 2
+    for (v <- SaslHandshakeV.ValidVersions) {
+      val bytes = SaslHandshakeV.encode(v, "SCRAM-SHA-256")
+      assert(bytes.length === 15, s"v$v")
+      assert(SaslHandshakeV.decode(v, bytes) === "SCRAM-SHA-256")
+      val rb = SaslHandshakeV.encodeResp(v, 0, Seq("PLAIN", "SCRAM-SHA-256"))
+      assert(rb.length === SaslHandshakeV.sizeResp(v, Seq("PLAIN", "SCRAM-SHA-256")))
+      assert(rb.length === 28)
+      assert(SaslHandshakeV.decodeResp(v, rb) ===
+        ((0.toShort, Seq("PLAIN", "SCRAM-SHA-256"))))
+    }
+    val auth = Array.tabulate(16)(_.toByte)
+    for (v <- SaslAuthenticateV.ValidVersions) {
+      val bytes = SaslAuthenticateV.encode(v, auth)
+      assert(bytes.length === SaslAuthenticateV.size(v, auth), s"v$v size")
+      assert(SaslAuthenticateV.decode(v, bytes).toSeq === auth.toSeq)
+    }
+    assert(SaslAuthenticateV.encode(0, auth).length === 20)
+    assert(SaslAuthenticateV.encode(2, auth).length === 18)
+    val ar = SaslAuthenticateV.Response(0, Some("ok"),
+      Array.tabulate(8)(_.toByte), 3600000L)
+    for (v <- SaslAuthenticateV.ValidVersions) {
+      val bytes = SaslAuthenticateV.encodeResp(v, ar)
+      assert(bytes.length === SaslAuthenticateV.sizeResp(v, ar), s"v$v size")
+      val back = SaslAuthenticateV.decodeResp(v, bytes)
+      assert(back.errorMessage === Some("ok"))
+      assert(back.authBytes.toSeq === ar.authBytes.toSeq)
+      assert(back.sessionLifetimeMs === (if (v >= 1) 3600000L else 0L), s"v$v")
+    }
+    assert(SaslAuthenticateV.encodeResp(0, ar).length === 18)
+    assert(SaslAuthenticateV.encodeResp(1, ar).length === 26)
+    assert(SaslAuthenticateV.encodeResp(2, ar).length === 23)
+  }
+
   test("api_versions request 0-3: empty legacy bodies, KIP-511 pair at v3") {
     val req = ApiVersionsReqV.Request("rpk", "v25.1")
     for (v <- ApiVersionsReqV.ValidVersions) {
