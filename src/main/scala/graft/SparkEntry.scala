@@ -7119,6 +7119,111 @@ object SparkEntry {
             ("sasl_authenticate_resp", v, bytes.length,
               s"msg=${r.errorMessage.getOrElse("")}|lifetime=${r.sessionLifetimeMs}")
           }
+        } ++ {
+          // Tier-4: topic lifecycle + group admin full ranges
+          // (CreateTopics 0-7 topic_id at 7 / config report at 5,
+          // DeleteTopics 0-6 KIP-516 states at 6, CreatePartitions 0-3,
+          // DescribeGroups 0-5, ListGroups 0-4 states filter at 4,
+          // DeleteGroups 0-2) — requests AND responses.
+          val uuid = Array.tabulate(16)(_.toByte)
+          val ctReq = WH.CreateTopics.Request(Seq(
+            WH.CreateTopics.ReqTopic("events", 8, 3,
+              Seq(("retention.ms", Some("604800000"))))), 30000,
+            validateOnly = true)
+          val ctResp = WH.CreateTopics.Response(5, Seq(
+            WH.CreateTopics.RespTopic("events", uuid, 0, Some("ok"), 7,
+              8, 3, Some(Seq(("retention.ms", Some("604800000")))))))
+          val dtReq = WH.DeleteTopics.Request(Seq(
+            WH.DeleteTopics.ReqTopic(Some("events"), uuid)), 30000)
+          val dtResp = WH.DeleteTopics.Response(5, Seq(
+            WH.DeleteTopics.Result(Some("events"), uuid, 0, Some("gone"))))
+          val cpReq = WH.CreatePartitions.Request(Seq(
+            WH.CreatePartitions.ReqTopic("events", 16, Some(Seq(Seq(0, 1))))),
+            30000, validateOnly = false)
+          val cpResp = WH.CreatePartitions.Response(5, Seq(
+            WH.CreatePartitions.Result("events", 0, None)))
+          val dgReq = WH.DescribeGroups.Request(Seq("cg"),
+            includeAuthorizedOperations = true)
+          val dgResp = WH.DescribeGroups.Response(5, Seq(
+            WH.DescribeGroups.Group(0, "cg", "Stable", "consumer", "range",
+              Seq(WH.DescribeGroups.Member("m-1", Some("inst-1"), "cli",
+                "host-a", Array.tabulate(8)(_.toByte),
+                Array.tabulate(4)(_.toByte))), 1020)))
+          val lgReq2 = WH.ListGroups.Request(Seq("Stable"))
+          val lgResp2 = WH.ListGroups.Response(5, 0, Seq(
+            WH.ListGroups.Group("cg", "consumer", "Stable")))
+          WV.CreateTopicsV.ValidVersions.map { v =>
+            val bytes = WV.CreateTopicsV.encode(v, ctReq)
+            val r = WV.CreateTopicsV.decode(v, bytes)
+            ("create_topics", v, bytes.length,
+              s"name=${r.topics.head.name}|cfgs=${r.topics.head.configs.size}" +
+                s"|validate=${r.validateOnly}")
+          } ++ WV.CreateTopicsV.ValidVersions.map { v =>
+            val bytes = WV.CreateTopicsV.encodeResp(v, ctResp)
+            val r = WV.CreateTopicsV.decodeResp(v, bytes)
+            val t = r.topics.head
+            ("create_topics_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|msg=${t.errorMessage.getOrElse("")}" +
+                s"|np=${t.numPartitions}|cfgerr=${t.topicConfigErrorCode}" +
+                s"|uuid=${t.topicId.exists(_ != 0)}")
+          } ++ WV.DeleteTopicsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteTopicsV.encode(v, dtReq)
+            val r = WV.DeleteTopicsV.decode(v, bytes)
+            ("delete_topics", v, bytes.length,
+              s"name=${r.topics.head.name.getOrElse("")}|uuid=${
+                r.topics.head.topicId.exists(_ != 0)}")
+          } ++ WV.DeleteTopicsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteTopicsV.encodeResp(v, dtResp)
+            val r = WV.DeleteTopicsV.decodeResp(v, bytes)
+            ("delete_topics_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|msg=${
+                r.responses.head.errorMessage.getOrElse("")}")
+          } ++ WV.CreatePartitionsV.ValidVersions.map { v =>
+            val bytes = WV.CreatePartitionsV.encode(v, cpReq)
+            val r = WV.CreatePartitionsV.decode(v, bytes)
+            ("create_partitions", v, bytes.length,
+              s"count=${r.topics.head.count}|assigns=${
+                r.topics.head.assignments.map(_.size).getOrElse(-1)}")
+          } ++ WV.CreatePartitionsV.ValidVersions.map { v =>
+            val bytes = WV.CreatePartitionsV.encodeResp(v, cpResp)
+            val r = WV.CreatePartitionsV.decodeResp(v, bytes)
+            ("create_partitions_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|err=${r.results.head.errorCode}")
+          } ++ WV.DescribeGroupsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeGroupsV.encode(v, dgReq)
+            val r = WV.DescribeGroupsV.decode(v, bytes)
+            ("describe_groups", v, bytes.length,
+              s"groups=${r.groups.mkString(",")}|ops=${
+                r.includeAuthorizedOperations}")
+          } ++ WV.DescribeGroupsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeGroupsV.encodeResp(v, dgResp)
+            val r = WV.DescribeGroupsV.decodeResp(v, bytes)
+            val g = r.groups.head
+            ("describe_groups_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|inst=${
+                g.members.head.groupInstanceId.getOrElse("")}|ops=${
+                g.authorizedOperations}")
+          } ++ WV.ListGroupsV.ValidVersions.map { v =>
+            val bytes = WV.ListGroupsV.encode(v, lgReq2)
+            val r = WV.ListGroupsV.decode(v, bytes)
+            ("list_groups", v, bytes.length,
+              s"states=${r.statesFilter.mkString(",")}")
+          } ++ WV.ListGroupsV.ValidVersions.map { v =>
+            val bytes = WV.ListGroupsV.encodeResp(v, lgResp2)
+            val r = WV.ListGroupsV.decodeResp(v, bytes)
+            ("list_groups_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|state=${r.groups.head.groupState}")
+          } ++ WV.DeleteGroupsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteGroupsV.encode(v, Seq("cg1", "cg2"))
+            val r = WV.DeleteGroupsV.decode(v, bytes)
+            ("delete_groups", v, bytes.length, s"groups=${r.mkString(",")}")
+          } ++ WV.DeleteGroupsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteGroupsV.encodeResp(v, 5,
+              Seq(("cg1", 0.toShort), ("cg2", 16.toShort)))
+            val (throttle, rs) = WV.DeleteGroupsV.decodeResp(v, bytes)
+            ("delete_groups_resp", v, bytes.length,
+              s"throttle=$throttle|errs=${rs.map(_._2).mkString(",")}")
+          }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
         .orderBy("family", "version")
@@ -13517,7 +13622,73 @@ object SparkEntry {
         |  ('sasl_authenticate', 2, 18, 'auth=16'),
         |  ('sasl_authenticate_resp', 0, 18, 'msg=ok|lifetime=0'),
         |  ('sasl_authenticate_resp', 1, 26, 'msg=ok|lifetime=3600000'),
-        |  ('sasl_authenticate_resp', 2, 23, 'msg=ok|lifetime=3600000'))
+        |  ('sasl_authenticate_resp', 2, 23, 'msg=ok|lifetime=3600000'),
+        |  ('create_topics', 0, 55, 'name=events|cfgs=1|validate=false'),
+        |  ('create_topics', 1, 56, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics', 2, 56, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics', 3, 56, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics', 4, 56, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics', 5, 47, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics', 6, 47, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics', 7, 47, 'name=events|cfgs=1|validate=true'),
+        |  ('create_topics_resp', 0, 14, 'throttle=0|msg=|np=-1|cfgerr=0|uuid=false'),
+        |  ('create_topics_resp', 1, 18, 'throttle=0|msg=ok|np=-1|cfgerr=0|uuid=false'),
+        |  ('create_topics_resp', 2, 22, 'throttle=5|msg=ok|np=-1|cfgerr=0|uuid=false'),
+        |  ('create_topics_resp', 3, 22, 'throttle=5|msg=ok|np=-1|cfgerr=0|uuid=false'),
+        |  ('create_topics_resp', 4, 22, 'throttle=5|msg=ok|np=-1|cfgerr=0|uuid=false'),
+        |  ('create_topics_resp', 5, 57, 'throttle=5|msg=ok|np=8|cfgerr=7|uuid=false'),
+        |  ('create_topics_resp', 6, 57, 'throttle=5|msg=ok|np=8|cfgerr=7|uuid=false'),
+        |  ('create_topics_resp', 7, 73, 'throttle=5|msg=ok|np=8|cfgerr=7|uuid=true'),
+        |  ('delete_topics', 0, 16, 'name=events|uuid=false'),
+        |  ('delete_topics', 1, 16, 'name=events|uuid=false'),
+        |  ('delete_topics', 2, 16, 'name=events|uuid=false'),
+        |  ('delete_topics', 3, 16, 'name=events|uuid=false'),
+        |  ('delete_topics', 4, 13, 'name=events|uuid=false'),
+        |  ('delete_topics', 5, 13, 'name=events|uuid=false'),
+        |  ('delete_topics', 6, 30, 'name=events|uuid=true'),
+        |  ('delete_topics_resp', 0, 14, 'throttle=0|msg='),
+        |  ('delete_topics_resp', 1, 18, 'throttle=5|msg='),
+        |  ('delete_topics_resp', 2, 18, 'throttle=5|msg='),
+        |  ('delete_topics_resp', 3, 18, 'throttle=5|msg='),
+        |  ('delete_topics_resp', 4, 16, 'throttle=5|msg='),
+        |  ('delete_topics_resp', 5, 21, 'throttle=5|msg=gone'),
+        |  ('delete_topics_resp', 6, 37, 'throttle=5|msg=gone'),
+        |  ('create_partitions', 0, 37, 'count=16|assigns=1'),
+        |  ('create_partitions', 1, 37, 'count=16|assigns=1'),
+        |  ('create_partitions', 2, 30, 'count=16|assigns=1'),
+        |  ('create_partitions', 3, 30, 'count=16|assigns=1'),
+        |  ('create_partitions_resp', 0, 20, 'throttle=5|err=0'),
+        |  ('create_partitions_resp', 1, 20, 'throttle=5|err=0'),
+        |  ('create_partitions_resp', 2, 17, 'throttle=5|err=0'),
+        |  ('create_partitions_resp', 3, 17, 'throttle=5|err=0'),
+        |  ('describe_groups', 0, 8, 'groups=cg|ops=false'),
+        |  ('describe_groups', 1, 8, 'groups=cg|ops=false'),
+        |  ('describe_groups', 2, 8, 'groups=cg|ops=false'),
+        |  ('describe_groups', 3, 9, 'groups=cg|ops=true'),
+        |  ('describe_groups', 4, 9, 'groups=cg|ops=true'),
+        |  ('describe_groups', 5, 6, 'groups=cg|ops=true'),
+        |  ('describe_groups_resp', 0, 77, 'throttle=0|inst=|ops=-2147483648'),
+        |  ('describe_groups_resp', 1, 81, 'throttle=5|inst=|ops=-2147483648'),
+        |  ('describe_groups_resp', 2, 81, 'throttle=5|inst=|ops=-2147483648'),
+        |  ('describe_groups_resp', 3, 85, 'throttle=5|inst=|ops=1020'),
+        |  ('describe_groups_resp', 4, 93, 'throttle=5|inst=inst-1|ops=1020'),
+        |  ('describe_groups_resp', 5, 76, 'throttle=5|inst=inst-1|ops=1020'),
+        |  ('list_groups', 0, 0, 'states='),
+        |  ('list_groups', 1, 0, 'states='),
+        |  ('list_groups', 2, 0, 'states='),
+        |  ('list_groups', 3, 1, 'states='),
+        |  ('list_groups', 4, 9, 'states=Stable'),
+        |  ('list_groups_resp', 0, 20, 'throttle=0|state='),
+        |  ('list_groups_resp', 1, 24, 'throttle=5|state='),
+        |  ('list_groups_resp', 2, 24, 'throttle=5|state='),
+        |  ('list_groups_resp', 3, 21, 'throttle=5|state='),
+        |  ('list_groups_resp', 4, 28, 'throttle=5|state=Stable'),
+        |  ('delete_groups', 0, 14, 'groups=cg1,cg2'),
+        |  ('delete_groups', 1, 14, 'groups=cg1,cg2'),
+        |  ('delete_groups', 2, 10, 'groups=cg1,cg2'),
+        |  ('delete_groups_resp', 0, 22, 'throttle=5|errs=0,16'),
+        |  ('delete_groups_resp', 1, 22, 'throttle=5|errs=0,16'),
+        |  ('delete_groups_resp', 2, 20, 'throttle=5|errs=0,16'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
 
     "p6_wire_framing" ->

@@ -2420,6 +2420,668 @@ object WireVersions {
     }
   }
 
+  // =================================================================
+  // Tier-4 keys: topic lifecycle + group admin across full ranges —
+  // CreateTopics 0-7 (flexible 5+, topic_id at 7, config report +
+  // tagged config-error at 5), DeleteTopics 0-6 (flexible 4+, KIP-516
+  // name-or-id states at 6), CreatePartitions 0-3 (flexible 2+),
+  // DescribeGroups 0-5 (flexible 5+, authorized ops at 3, instance
+  // ids at 4), ListGroups 0-4 (flexible 3+, states filter at 4),
+  // DeleteGroups 0-2 (flexible 2+).
+  // =================================================================
+
+  // -------------------------------------------------- CreateTopics 0-7
+
+  object CreateTopicsV {
+    val ValidVersions: Range = 0 to 7
+    def flexible(version: Int): Boolean = version >= 5
+
+    def size(version: Int, r: WireHeaders.CreateTopics.Request): Int = {
+      require(ValidVersions.contains(version), s"create_topics version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      (if (flex) uvarintSize(r.topics.size + 1L) else 4) +
+        r.topics.map { t =>
+          str(t.name) + 4 + 2 + (if (flex) 1 else 4) /* empty assignments */ +
+            (if (flex) uvarintSize(t.configs.size + 1L) else 4) +
+            t.configs.map { case (k, v) =>
+              str(k) + nstr(v) + (if (flex) 1 else 0)
+            }.sum + (if (flex) 1 else 0)
+        }.sum + 4 + (if (version >= 1) 1 else 0) + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.CreateTopics.Request): Array[Byte] = {
+      require(ValidVersions.contains(version), s"create_topics version $version")
+      // v7 IS the pinned WireHeaders layout
+      if (version == 7) return WireHeaders.CreateTopics.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      val flex = flexible(version)
+      def str(s: String): Unit = if (flex) putCompactString(b, s) else putStr(b, s)
+      def nstr(s: Option[String]): Unit =
+        if (flex) putCompactNullableString(b, s) else putNullableStr(b, s)
+      if (flex) putCompactArrayLen(b, r.topics.size) else b.putInt(r.topics.size)
+      r.topics.foreach { t =>
+        str(t.name)
+        b.putInt(t.numPartitions); b.putShort(t.replicationFactor)
+        if (flex) putCompactArrayLen(b, 0) else b.putInt(0) // assignments
+        if (flex) putCompactArrayLen(b, t.configs.size) else b.putInt(t.configs.size)
+        t.configs.foreach { case (k, v) =>
+          str(k); nstr(v)
+          if (flex) putEmptyTags(b)
+        }
+        if (flex) putEmptyTags(b)
+      }
+      b.putInt(r.timeoutMs)
+      if (version >= 1) b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.CreateTopics.Request = {
+      require(ValidVersions.contains(version), s"create_topics version $version")
+      if (version >= 7) return WireHeaders.CreateTopics.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      def str() = if (flex) getCompactString(b) else getStr(b)
+      def nstr() = if (flex) getCompactNullableString(b) else getNullableStr(b)
+      val nt = if (flex) getCompactArrayLen(b) else b.getInt()
+      val topics = (0 until nt).map { _ =>
+        val name = str()
+        val np = b.getInt(); val rf = b.getShort()
+        val na = if (flex) getCompactArrayLen(b) else b.getInt()
+        require(na == 0, "manual assignments unsupported")
+        val nc = if (flex) getCompactArrayLen(b) else b.getInt()
+        val configs = (0 until nc).map { _ =>
+          val p = (str(), nstr())
+          if (flex) getTags(b)
+          p
+        }
+        if (flex) getTags(b)
+        WireHeaders.CreateTopics.ReqTopic(name, np, rf, configs)
+      }
+      val timeout = b.getInt()
+      val vo = if (version >= 1) b.get() == 1 else false
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after create_topics request")
+      WireHeaders.CreateTopics.Request(topics, timeout, vo)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.CreateTopics.Response): Int = {
+      require(ValidVersions.contains(version), s"create_topics version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      (if (version >= 2) 4 else 0) +
+        (if (flex) uvarintSize(r.topics.size + 1L) else 4) +
+        r.topics.map { t =>
+          str(t.name) + (if (version >= 7) 16 else 0) + 2 +
+            (if (version >= 1) nstr(t.errorMessage) else 0) +
+            (if (version >= 5) {
+              4 + 2 + t.configs.map(cs => uvarintSize(cs.size + 1L) +
+                cs.map { case (k, v) =>
+                  compactStringSize(k) + compactNullableStrSize(v) + 3 + 1
+                }.sum).getOrElse(1) +
+                (if (t.topicConfigErrorCode != 0) 1 + 1 + 1 + 2 else 1)
+            } else 0) +
+            (if (flex && version < 5) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.CreateTopics.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"create_topics version $version")
+      if (version == 7) return WireHeaders.CreateTopics.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      val flex = flexible(version)
+      if (version >= 2) b.putInt(r.throttleMs)
+      if (flex) putCompactArrayLen(b, r.topics.size) else b.putInt(r.topics.size)
+      r.topics.foreach { t =>
+        if (flex) putCompactString(b, t.name) else putStr(b, t.name)
+        b.putShort(t.errorCode)
+        if (version >= 1) {
+          if (flex) putCompactNullableString(b, t.errorMessage)
+          else putNullableStr(b, t.errorMessage)
+        }
+        if (version >= 5) {
+          b.putInt(t.numPartitions); b.putShort(t.replicationFactor)
+          t.configs match {
+            case None => putUvarint(b, 0L)
+            case Some(cs) =>
+              putCompactArrayLen(b, cs.size)
+              cs.foreach { case (k, v) =>
+                putCompactString(b, k); putCompactNullableString(b, v)
+                b.put(0.toByte); b.put(5.toByte); b.put(0.toByte)
+                putEmptyTags(b)
+              }
+          }
+          if (t.topicConfigErrorCode != 0) {
+            putUvarint(b, 1L); putUvarint(b, 0L); putUvarint(b, 2L)
+            b.putShort(t.topicConfigErrorCode)
+          } else putEmptyTags(b)
+        }
+      }
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.CreateTopics.Response = {
+      require(ValidVersions.contains(version), s"create_topics version $version")
+      if (version == 7) return WireHeaders.CreateTopics.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      val throttle = if (version >= 2) b.getInt() else 0
+      val nt = if (flex) getCompactArrayLen(b) else b.getInt()
+      val topics = (0 until nt).map { _ =>
+        val name = if (flex) getCompactString(b) else getStr(b)
+        val err = b.getShort()
+        val msg = if (version >= 1) {
+          if (flex) getCompactNullableString(b) else getNullableStr(b)
+        } else None
+        if (version >= 5) {
+          val np = b.getInt(); val rf = b.getShort()
+          val nCfg = getUvarint(b)
+          val configs =
+            if (nCfg == 0) None
+            else Some((0L until nCfg - 1).map { _ =>
+              val k = getCompactString(b); val v = getCompactNullableString(b)
+              b.get(); b.get(); b.get()
+              getTags(b)
+              (k, v)
+            }: Seq[(String, Option[String])])
+          val tags = getTags(b)
+          val cfgErr = tags.find(_._1 == 0L)
+            .map(x => ByteBuffer.wrap(x._2).getShort()).getOrElse(0.toShort)
+          WireHeaders.CreateTopics.RespTopic(name,
+            WireHeaders.DeleteTopics.ZeroUuid, err, msg, cfgErr, np, rf, configs)
+        } else
+          WireHeaders.CreateTopics.RespTopic(name,
+            WireHeaders.DeleteTopics.ZeroUuid, err, msg, 0, -1, -1, None)
+      }
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after create_topics response")
+      WireHeaders.CreateTopics.Response(throttle, topics)
+    }
+  }
+
+  // -------------------------------------------------- DeleteTopics 0-6
+
+  object DeleteTopicsV {
+    val ValidVersions: Range = 0 to 6
+    def flexible(version: Int): Boolean = version >= 4
+
+    def size(version: Int, r: WireHeaders.DeleteTopics.Request): Int = {
+      require(ValidVersions.contains(version), s"delete_topics version $version")
+      val flex = flexible(version)
+      (if (version >= 6)
+        uvarintSize(r.topics.size + 1L) + r.topics.map(t =>
+          compactNullableStrSize(t.name) + 16 + 1).sum
+      else
+        (if (flex) uvarintSize(r.topics.size + 1L) else 4) +
+          r.topics.map(t => if (flex) compactStringSize(t.name.get)
+            else strSize(t.name.get)).sum) +
+        4 + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.DeleteTopics.Request): Array[Byte] = {
+      if (version == 6) return WireHeaders.DeleteTopics.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      val flex = flexible(version)
+      if (flex) putCompactArrayLen(b, r.topics.size) else b.putInt(r.topics.size)
+      r.topics.foreach { t =>
+        if (flex) putCompactString(b, t.name.get) else putStr(b, t.name.get)
+      }
+      b.putInt(r.timeoutMs)
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.DeleteTopics.Request = {
+      require(ValidVersions.contains(version), s"delete_topics version $version")
+      if (version == 6) return WireHeaders.DeleteTopics.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      val nt = if (flex) getCompactArrayLen(b) else b.getInt()
+      val topics = (0 until nt).map { _ =>
+        WireHeaders.DeleteTopics.ReqTopic(
+          Some(if (flex) getCompactString(b) else getStr(b)),
+          WireHeaders.DeleteTopics.ZeroUuid)
+      }
+      val timeout = b.getInt()
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after delete_topics request")
+      WireHeaders.DeleteTopics.Request(topics, timeout)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.DeleteTopics.Response): Int = {
+      require(ValidVersions.contains(version), s"delete_topics version $version")
+      val flex = flexible(version)
+      (if (version >= 1) 4 else 0) +
+        (if (flex) uvarintSize(r.responses.size + 1L) else 4) +
+        r.responses.map { t =>
+          (if (version >= 6) compactNullableStrSize(t.name) + 16
+           else if (flex) compactStringSize(t.name.get)
+           else strSize(t.name.get)) + 2 +
+            (if (version >= 5) compactNullableStrSize(t.errorMessage) else 0) +
+            (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.DeleteTopics.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"delete_topics version $version")
+      if (version == 6) return WireHeaders.DeleteTopics.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      val flex = flexible(version)
+      if (version >= 1) b.putInt(r.throttleMs)
+      if (flex) putCompactArrayLen(b, r.responses.size)
+      else b.putInt(r.responses.size)
+      r.responses.foreach { t =>
+        if (flex) putCompactString(b, t.name.get) else putStr(b, t.name.get)
+        b.putShort(t.errorCode)
+        if (version >= 5) putCompactNullableString(b, t.errorMessage)
+        if (flex) putEmptyTags(b)
+      }
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.DeleteTopics.Response = {
+      require(ValidVersions.contains(version), s"delete_topics version $version")
+      if (version == 6) return WireHeaders.DeleteTopics.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      val throttle = if (version >= 1) b.getInt() else 0
+      val nt = if (flex) getCompactArrayLen(b) else b.getInt()
+      val rs = (0 until nt).map { _ =>
+        val name = if (flex) getCompactString(b) else getStr(b)
+        val err = b.getShort()
+        val msg = if (version >= 5) getCompactNullableString(b) else None
+        if (flex) getTags(b)
+        WireHeaders.DeleteTopics.Result(Some(name),
+          WireHeaders.DeleteTopics.ZeroUuid, err, msg)
+      }
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after delete_topics response")
+      WireHeaders.DeleteTopics.Response(throttle, rs)
+    }
+  }
+
+  // ---------------------------------------------- CreatePartitions 0-3
+
+  object CreatePartitionsV {
+    val ValidVersions: Range = 0 to 3
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, r: WireHeaders.CreatePartitions.Request): Int = {
+      require(ValidVersions.contains(version), s"create_partitions version $version")
+      val flex = flexible(version)
+      (if (flex) uvarintSize(r.topics.size + 1L) else 4) +
+        r.topics.map { t =>
+          (if (flex) compactStringSize(t.name) else strSize(t.name)) + 4 +
+            (t.assignments match {
+              case None => if (flex) 1 else 4
+              case Some(as) =>
+                (if (flex) uvarintSize(as.size + 1L) else 4) +
+                  as.map(a => (if (flex) uvarintSize(a.size + 1L) else 4) +
+                    4 * a.size + (if (flex) 1 else 0)).sum
+            }) + (if (flex) 1 else 0)
+        }.sum + 4 + 1 + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.CreatePartitions.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.CreatePartitions.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.topics.size)
+      r.topics.foreach { t =>
+        putStr(b, t.name)
+        b.putInt(t.count)
+        t.assignments match {
+          case None => b.putInt(-1)
+          case Some(as) =>
+            b.putInt(as.size)
+            as.foreach { brokers =>
+              b.putInt(brokers.size); brokers.foreach(b.putInt)
+            }
+        }
+      }
+      b.putInt(r.timeoutMs)
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.CreatePartitions.Request = {
+      require(ValidVersions.contains(version), s"create_partitions version $version")
+      if (flexible(version)) return WireHeaders.CreatePartitions.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val topics = (0 until b.getInt()).map { _ =>
+        val name = getStr(b)
+        val count = b.getInt()
+        val na = b.getInt()
+        val assignments =
+          if (na < 0) None
+          else Some((0 until na).map { _ =>
+            (0 until b.getInt()).map(_ => b.getInt()): Seq[Int]
+          }: Seq[Seq[Int]])
+        WireHeaders.CreatePartitions.ReqTopic(name, count, assignments)
+      }
+      val timeout = b.getInt(); val vo = b.get() == 1
+      require(!b.hasRemaining, "trailing bytes after create_partitions request")
+      WireHeaders.CreatePartitions.Request(topics, timeout, vo)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.CreatePartitions.Response): Int = {
+      require(ValidVersions.contains(version), s"create_partitions version $version")
+      val flex = flexible(version)
+      4 + (if (flex) uvarintSize(r.results.size + 1L) else 4) +
+        r.results.map { x =>
+          (if (flex) compactStringSize(x.name) else strSize(x.name)) + 2 +
+            (if (flex) compactNullableStrSize(x.errorMessage)
+             else nullableStrSize(x.errorMessage)) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.CreatePartitions.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"create_partitions version $version")
+      if (flexible(version)) return WireHeaders.CreatePartitions.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.results.size)
+      r.results.foreach { x =>
+        putStr(b, x.name); b.putShort(x.errorCode)
+        putNullableStr(b, x.errorMessage)
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.CreatePartitions.Response = {
+      require(ValidVersions.contains(version), s"create_partitions version $version")
+      if (flexible(version)) return WireHeaders.CreatePartitions.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val rs = (0 until b.getInt()).map { _ =>
+        WireHeaders.CreatePartitions.Result(getStr(b), b.getShort(),
+          getNullableStr(b))
+      }
+      require(!b.hasRemaining, "trailing bytes after create_partitions response")
+      WireHeaders.CreatePartitions.Response(throttle, rs)
+    }
+  }
+
+  // ------------------------------------------------ DescribeGroups 0-5
+
+  object DescribeGroupsV {
+    val ValidVersions: Range = 0 to 5
+    def flexible(version: Int): Boolean = version >= 5
+
+    def size(version: Int, r: WireHeaders.DescribeGroups.Request): Int = {
+      require(ValidVersions.contains(version), s"describe_groups version $version")
+      val flex = flexible(version)
+      (if (flex) uvarintSize(r.groups.size + 1L) else 4) +
+        r.groups.map(g => if (flex) compactStringSize(g) else strSize(g)).sum +
+        (if (version >= 3) 1 else 0) + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.DescribeGroups.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.DescribeGroups.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.groups.size)
+      r.groups.foreach(putStr(b, _))
+      if (version >= 3)
+        b.put(if (r.includeAuthorizedOperations) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.DescribeGroups.Request = {
+      require(ValidVersions.contains(version), s"describe_groups version $version")
+      if (flexible(version)) return WireHeaders.DescribeGroups.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val groups = (0 until b.getInt()).map(_ => getStr(b))
+      val incl = if (version >= 3) b.get() == 1 else false
+      require(!b.hasRemaining, "trailing bytes after describe_groups request")
+      WireHeaders.DescribeGroups.Request(groups, incl)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.DescribeGroups.Response): Int = {
+      require(ValidVersions.contains(version), s"describe_groups version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      (if (version >= 1) 4 else 0) +
+        (if (flex) uvarintSize(r.groups.size + 1L) else 4) +
+        r.groups.map { g =>
+          2 + str(g.groupId) + str(g.groupState) + str(g.protocolType) +
+            str(g.protocolData) +
+            (if (flex) uvarintSize(g.members.size + 1L) else 4) +
+            g.members.map { m =>
+              str(m.memberId) +
+                (if (version >= 4) {
+                  if (flex) compactNullableStrSize(m.groupInstanceId)
+                  else nullableStrSize(m.groupInstanceId)
+                } else 0) +
+                str(m.clientId) + str(m.clientHost) +
+                (if (flex) compactBytesSize(m.metadata) else 4 + m.metadata.length) +
+                (if (flex) compactBytesSize(m.assignment) else 4 + m.assignment.length) +
+                (if (flex) 1 else 0)
+            }.sum +
+            (if (version >= 3) 4 else 0) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.DescribeGroups.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"describe_groups version $version")
+      if (flexible(version)) return WireHeaders.DescribeGroups.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      if (version >= 1) b.putInt(r.throttleMs)
+      b.putInt(r.groups.size)
+      r.groups.foreach { g =>
+        b.putShort(g.errorCode)
+        putStr(b, g.groupId); putStr(b, g.groupState)
+        putStr(b, g.protocolType); putStr(b, g.protocolData)
+        b.putInt(g.members.size)
+        g.members.foreach { m =>
+          putStr(b, m.memberId)
+          if (version >= 4) putNullableStr(b, m.groupInstanceId)
+          putStr(b, m.clientId); putStr(b, m.clientHost)
+          putLegacyBytes(b, m.metadata)
+          putLegacyBytes(b, m.assignment)
+        }
+        if (version >= 3) b.putInt(g.authorizedOperations)
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.DescribeGroups.Response = {
+      require(ValidVersions.contains(version), s"describe_groups version $version")
+      if (flexible(version)) return WireHeaders.DescribeGroups.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = if (version >= 1) b.getInt() else 0
+      val groups = (0 until b.getInt()).map { _ =>
+        val ec = b.getShort()
+        val gid = getStr(b); val state = getStr(b)
+        val ptype = getStr(b); val pdata = getStr(b)
+        val members = (0 until b.getInt()).map { _ =>
+          val mid = getStr(b)
+          val gi = if (version >= 4) getNullableStr(b) else None
+          val cid = getStr(b); val host = getStr(b)
+          val md = readLegacyBytes(b, b.getInt())
+          val asg = readLegacyBytes(b, b.getInt())
+          WireHeaders.DescribeGroups.Member(mid, gi, cid, host, md, asg)
+        }
+        val ops = if (version >= 3) b.getInt() else Int.MinValue
+        WireHeaders.DescribeGroups.Group(ec, gid, state, ptype, pdata,
+          members, ops)
+      }
+      require(!b.hasRemaining, "trailing bytes after describe_groups response")
+      WireHeaders.DescribeGroups.Response(throttle, groups)
+    }
+  }
+
+  // --------------------------------------------------- ListGroups 0-4
+
+  object ListGroupsV {
+    val ValidVersions: Range = 0 to 4
+    def flexible(version: Int): Boolean = version >= 3
+
+    def size(version: Int, r: WireHeaders.ListGroups.Request): Int = {
+      require(ValidVersions.contains(version), s"list_groups version $version")
+      val flex = flexible(version)
+      (if (version >= 4)
+        uvarintSize(r.statesFilter.size + 1L) +
+          r.statesFilter.map(compactStringSize).sum
+      else 0) + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.ListGroups.Request): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, r))
+      if (version >= 4) {
+        putCompactArrayLen(b, r.statesFilter.size)
+        r.statesFilter.foreach(putCompactString(b, _))
+      }
+      if (flexible(version)) putEmptyTags(b)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.ListGroups.Request = {
+      require(ValidVersions.contains(version), s"list_groups version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val states =
+        if (version >= 4)
+          (0 until getCompactArrayLen(b)).map(_ => getCompactString(b))
+        else Nil
+      if (flexible(version)) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after list_groups request")
+      WireHeaders.ListGroups.Request(states)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.ListGroups.Response): Int = {
+      require(ValidVersions.contains(version), s"list_groups version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      (if (version >= 1) 4 else 0) + 2 +
+        (if (flex) uvarintSize(r.groups.size + 1L) else 4) +
+        r.groups.map { g =>
+          str(g.groupId) + str(g.protocolType) +
+            (if (version >= 4) str(g.groupState) else 0) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.ListGroups.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"list_groups version $version")
+      if (version == 4) return WireHeaders.ListGroups.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      val flex = flexible(version)
+      if (version >= 1) b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      if (flex) putCompactArrayLen(b, r.groups.size) else b.putInt(r.groups.size)
+      r.groups.foreach { g =>
+        if (flex) {
+          putCompactString(b, g.groupId); putCompactString(b, g.protocolType)
+          putEmptyTags(b)
+        } else { putStr(b, g.groupId); putStr(b, g.protocolType) }
+      }
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.ListGroups.Response = {
+      require(ValidVersions.contains(version), s"list_groups version $version")
+      if (version == 4) return WireHeaders.ListGroups.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      val throttle = if (version >= 1) b.getInt() else 0
+      val ec = b.getShort()
+      val n = if (flex) getCompactArrayLen(b) else b.getInt()
+      val groups = (0 until n).map { _ =>
+        val g = WireHeaders.ListGroups.Group(
+          if (flex) getCompactString(b) else getStr(b),
+          if (flex) getCompactString(b) else getStr(b), "")
+        if (flex) getTags(b)
+        g
+      }
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after list_groups response")
+      WireHeaders.ListGroups.Response(throttle, ec, groups)
+    }
+  }
+
+  // -------------------------------------------------- DeleteGroups 0-2
+
+  object DeleteGroupsV {
+    val ValidVersions: Range = 0 to 2
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, groups: Seq[String]): Int = {
+      require(ValidVersions.contains(version), s"delete_groups version $version")
+      val flex = flexible(version)
+      (if (flex) uvarintSize(groups.size + 1L) else 4) +
+        groups.map(g => if (flex) compactStringSize(g) else strSize(g)).sum +
+        (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, groups: Seq[String]): Array[Byte] = {
+      val b = ByteBuffer.allocate(size(version, groups))
+      val flex = flexible(version)
+      if (flex) putCompactArrayLen(b, groups.size) else b.putInt(groups.size)
+      groups.foreach(g => if (flex) putCompactString(b, g) else putStr(b, g))
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): Seq[String] = {
+      require(ValidVersions.contains(version), s"delete_groups version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      val n = if (flex) getCompactArrayLen(b) else b.getInt()
+      val gs = (0 until n).map(_ =>
+        if (flex) getCompactString(b) else getStr(b))
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after delete_groups request")
+      gs
+    }
+
+    def sizeResp(version: Int, results: Seq[(String, Short)]): Int = {
+      require(ValidVersions.contains(version), s"delete_groups version $version")
+      val flex = flexible(version)
+      4 + (if (flex) uvarintSize(results.size + 1L) else 4) +
+        results.map { case (g, _) =>
+          (if (flex) compactStringSize(g) else strSize(g)) + 2 +
+            (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, throttleMs: Int,
+        results: Seq[(String, Short)]): Array[Byte] = {
+      require(ValidVersions.contains(version), s"delete_groups version $version")
+      val b = ByteBuffer.allocate(sizeResp(version, results))
+      val flex = flexible(version)
+      b.putInt(throttleMs)
+      if (flex) putCompactArrayLen(b, results.size) else b.putInt(results.size)
+      results.foreach { case (g, ec) =>
+        if (flex) putCompactString(b, g) else putStr(b, g)
+        b.putShort(ec)
+        if (flex) putEmptyTags(b)
+      }
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): (Int, Seq[(String, Short)]) = {
+      require(ValidVersions.contains(version), s"delete_groups version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      val throttle = b.getInt()
+      val n = if (flex) getCompactArrayLen(b) else b.getInt()
+      val rs = (0 until n).map { _ =>
+        val r = ((if (flex) getCompactString(b) else getStr(b)), b.getShort())
+        if (flex) getTags(b)
+        r
+      }
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after delete_groups response")
+      (throttle, rs)
+    }
+  }
+
   // ------------------------------------------ ApiVersions request 0-3
 
   object ApiVersionsReqV {

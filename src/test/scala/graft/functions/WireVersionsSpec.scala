@@ -624,6 +624,179 @@ class WireVersionsSpec extends AnyFunSuite {
     assert(SaslAuthenticateV.encodeResp(2, ar).length === 23)
   }
 
+  // ------------------------------------------------------ tier-4 keys
+
+  test("create_topics 0-7: validate_only v1, config report v5, topic_id v7") {
+    val req = WireHeaders.CreateTopics.Request(Seq(
+      WireHeaders.CreateTopics.ReqTopic("events", 8, 3,
+        Seq(("retention.ms", Some("604800000"))))), 30000, validateOnly = true)
+    for (v <- CreateTopicsV.ValidVersions) {
+      val bytes = CreateTopicsV.encode(v, req)
+      assert(bytes.length === CreateTopicsV.size(v, req), s"v$v size")
+      val back = CreateTopicsV.decode(v, bytes)
+      assert(back.topics.head.name === "events")
+      assert(back.topics.head.configs === req.topics.head.configs)
+      assert(back.validateOnly === (v >= 1), s"v$v")
+    }
+    assert(CreateTopicsV.encode(0, req).length === 55)
+    assert(CreateTopicsV.encode(1, req).length === 56)
+    assert(CreateTopicsV.encode(5, req).length === 47)
+    assert(CreateTopicsV.encode(7, req).length === 47)
+    val uuid = Array.tabulate(16)(_.toByte)
+    val resp = WireHeaders.CreateTopics.Response(5, Seq(
+      WireHeaders.CreateTopics.RespTopic("events", uuid, 0, Some("ok"), 7,
+        8, 3, Some(Seq(("retention.ms", Some("604800000")))))))
+    for (v <- CreateTopicsV.ValidVersions) {
+      val bytes = CreateTopicsV.encodeResp(v, resp)
+      assert(bytes.length === CreateTopicsV.sizeResp(v, resp), s"v$v size")
+      val back = CreateTopicsV.decodeResp(v, bytes)
+      val t = back.topics.head
+      assert(back.throttleMs === (if (v >= 2) 5 else 0), s"v$v")
+      assert(t.errorMessage === (if (v >= 1) Some("ok") else None), s"v$v")
+      assert(t.numPartitions === (if (v >= 5) 8 else -1), s"v$v")
+      assert(t.topicConfigErrorCode === (if (v >= 5) 7 else 0).toShort, s"v$v")
+      assert(t.configs.isDefined === (v >= 5), s"v$v")
+      assert(t.topicId.toSeq === (if (v >= 7) uuid.toSeq
+        else WireHeaders.DeleteTopics.ZeroUuid.toSeq), s"v$v")
+    }
+    assert(CreateTopicsV.encodeResp(0, resp).length === 14)
+    assert(CreateTopicsV.encodeResp(1, resp).length === 18)
+    assert(CreateTopicsV.encodeResp(2, resp).length === 22)
+    assert(CreateTopicsV.encodeResp(5, resp).length === 57) // incl top tags
+    assert(CreateTopicsV.encodeResp(7, resp).length === 73) // + uuid 16
+  }
+
+  test("delete_topics 0-6: flexible v4, KIP-516 name-or-id states at v6") {
+    val uuid = Array.tabulate(16)(_.toByte)
+    val req = WireHeaders.DeleteTopics.Request(Seq(
+      WireHeaders.DeleteTopics.ReqTopic(Some("events"), uuid)), 30000)
+    for (v <- DeleteTopicsV.ValidVersions) {
+      val bytes = DeleteTopicsV.encode(v, req)
+      assert(bytes.length === DeleteTopicsV.size(v, req), s"v$v size")
+      val back = DeleteTopicsV.decode(v, bytes)
+      assert(back.topics.head.name === Some("events"))
+      assert(back.topics.head.topicId.toSeq === (if (v >= 6) uuid.toSeq
+        else WireHeaders.DeleteTopics.ZeroUuid.toSeq), s"v$v")
+    }
+    assert(DeleteTopicsV.encode(0, req).length === 16)
+    assert(DeleteTopicsV.encode(4, req).length === 13)
+    assert(DeleteTopicsV.encode(6, req).length === 30)
+    val resp = WireHeaders.DeleteTopics.Response(5, Seq(
+      WireHeaders.DeleteTopics.Result(Some("events"), uuid, 0, Some("gone"))))
+    for (v <- DeleteTopicsV.ValidVersions) {
+      val bytes = DeleteTopicsV.encodeResp(v, resp)
+      assert(bytes.length === DeleteTopicsV.sizeResp(v, resp), s"v$v size")
+      val back = DeleteTopicsV.decodeResp(v, bytes)
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(back.responses.head.errorMessage ===
+        (if (v >= 5) Some("gone") else None), s"v$v")
+    }
+    assert(DeleteTopicsV.encodeResp(0, resp).length === 14)
+    assert(DeleteTopicsV.encodeResp(1, resp).length === 18)
+    assert(DeleteTopicsV.encodeResp(4, resp).length === 16) // incl result tags
+    assert(DeleteTopicsV.encodeResp(5, resp).length === 21)
+    assert(DeleteTopicsV.encodeResp(6, resp).length === 37)
+  }
+
+  test("create_partitions 0-3 and delete_groups 0-2 ranges") {
+    val req = WireHeaders.CreatePartitions.Request(Seq(
+      WireHeaders.CreatePartitions.ReqTopic("events", 16, Some(Seq(Seq(0, 1))))),
+      30000, validateOnly = false)
+    for (v <- CreatePartitionsV.ValidVersions) {
+      val bytes = CreatePartitionsV.encode(v, req)
+      assert(bytes.length === CreatePartitionsV.size(v, req), s"v$v size")
+      val back = CreatePartitionsV.decode(v, bytes)
+      assert(back.topics.head.count === 16)
+      assert(back.topics.head.assignments === Some(Seq(Seq(0, 1))))
+    }
+    assert(CreatePartitionsV.encode(0, req).length === 37)
+    assert(CreatePartitionsV.encode(2, req).length === 30)
+    val resp = WireHeaders.CreatePartitions.Response(5, Seq(
+      WireHeaders.CreatePartitions.Result("events", 0, None)))
+    for (v <- CreatePartitionsV.ValidVersions) {
+      val bytes = CreatePartitionsV.encodeResp(v, resp)
+      assert(bytes.length === CreatePartitionsV.sizeResp(v, resp), s"v$v size")
+      assert(CreatePartitionsV.decodeResp(v, bytes) === resp)
+    }
+    assert(CreatePartitionsV.encodeResp(0, resp).length === 20)
+    assert(CreatePartitionsV.encodeResp(2, resp).length === 17)
+    val groups = Seq("cg1", "cg2")
+    for (v <- DeleteGroupsV.ValidVersions) {
+      val bytes = DeleteGroupsV.encode(v, groups)
+      assert(bytes.length === DeleteGroupsV.size(v, groups), s"v$v size")
+      assert(DeleteGroupsV.decode(v, bytes) === groups)
+      val rb = DeleteGroupsV.encodeResp(v, 5,
+        Seq(("cg1", 0.toShort), ("cg2", 16.toShort)))
+      assert(rb.length === DeleteGroupsV.sizeResp(v,
+        Seq(("cg1", 0.toShort), ("cg2", 16.toShort))), s"v$v size")
+      val (throttle, rs) = DeleteGroupsV.decodeResp(v, rb)
+      assert(throttle === 5 && rs.map(_._2) === Seq(0, 16))
+    }
+    assert(DeleteGroupsV.encode(0, groups).length === 14)
+    assert(DeleteGroupsV.encode(2, groups).length === 10)
+  }
+
+  test("describe_groups 0-5 and list_groups 0-4 gates") {
+    val req = WireHeaders.DescribeGroups.Request(Seq("cg"),
+      includeAuthorizedOperations = true)
+    for (v <- DescribeGroupsV.ValidVersions) {
+      val bytes = DescribeGroupsV.encode(v, req)
+      assert(bytes.length === DescribeGroupsV.size(v, req), s"v$v size")
+      val back = DescribeGroupsV.decode(v, bytes)
+      assert(back.groups === Seq("cg"))
+      assert(back.includeAuthorizedOperations === (v >= 3), s"v$v")
+    }
+    assert(DescribeGroupsV.encode(0, req).length === 8)
+    assert(DescribeGroupsV.encode(3, req).length === 9)
+    assert(DescribeGroupsV.encode(5, req).length === 6)
+    val resp = WireHeaders.DescribeGroups.Response(5, Seq(
+      WireHeaders.DescribeGroups.Group(0, "cg", "Stable", "consumer", "range",
+        Seq(WireHeaders.DescribeGroups.Member("m-1", Some("inst-1"), "cli",
+          "host-a", Array.tabulate(8)(_.toByte), Array.tabulate(4)(_.toByte))),
+        1020)))
+    for (v <- DescribeGroupsV.ValidVersions) {
+      val bytes = DescribeGroupsV.encodeResp(v, resp)
+      assert(bytes.length === DescribeGroupsV.sizeResp(v, resp), s"v$v size")
+      val back = DescribeGroupsV.decodeResp(v, bytes)
+      val g = back.groups.head
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(g.members.head.groupInstanceId ===
+        (if (v >= 4) Some("inst-1") else None), s"v$v")
+      assert(g.authorizedOperations ===
+        (if (v >= 3) 1020 else Int.MinValue), s"v$v")
+      assert(g.members.head.metadata.length === 8)
+    }
+    assert(DescribeGroupsV.encodeResp(0, resp).length === 77)
+    assert(DescribeGroupsV.encodeResp(1, resp).length === 81)
+    assert(DescribeGroupsV.encodeResp(3, resp).length === 85)
+    assert(DescribeGroupsV.encodeResp(4, resp).length === 93)
+    assert(DescribeGroupsV.encodeResp(5, resp).length === 76)
+    val lreq = WireHeaders.ListGroups.Request(Seq("Stable"))
+    for (v <- ListGroupsV.ValidVersions) {
+      val bytes = ListGroupsV.encode(v, lreq)
+      assert(bytes.length === ListGroupsV.size(v, lreq), s"v$v size")
+      assert(ListGroupsV.decode(v, bytes).statesFilter ===
+        (if (v >= 4) Seq("Stable") else Nil), s"v$v")
+    }
+    assert(ListGroupsV.encode(0, lreq).length === 0)
+    assert(ListGroupsV.encode(3, lreq).length === 1)
+    assert(ListGroupsV.encode(4, lreq).length === 9)
+    val lresp = WireHeaders.ListGroups.Response(5, 0, Seq(
+      WireHeaders.ListGroups.Group("cg", "consumer", "Stable")))
+    for (v <- ListGroupsV.ValidVersions) {
+      val bytes = ListGroupsV.encodeResp(v, lresp)
+      assert(bytes.length === ListGroupsV.sizeResp(v, lresp), s"v$v size")
+      val back = ListGroupsV.decodeResp(v, bytes)
+      assert(back.throttleMs === (if (v >= 1) 5 else 0), s"v$v")
+      assert(back.groups.head.groupState ===
+        (if (v >= 4) "Stable" else ""), s"v$v")
+    }
+    assert(ListGroupsV.encodeResp(0, lresp).length === 20)
+    assert(ListGroupsV.encodeResp(1, lresp).length === 24)
+    assert(ListGroupsV.encodeResp(3, lresp).length === 21)
+    assert(ListGroupsV.encodeResp(4, lresp).length === 28)
+  }
+
   test("api_versions request 0-3: empty legacy bodies, KIP-511 pair at v3") {
     val req = ApiVersionsReqV.Request("rpk", "v25.1")
     for (v <- ApiVersionsReqV.ValidVersions) {
