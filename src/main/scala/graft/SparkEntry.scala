@@ -7224,6 +7224,121 @@ object SparkEntry {
             ("delete_groups_resp", v, bytes.length,
               s"throttle=$throttle|errs=${rs.map(_._2).mkString(",")}")
           }
+        } ++ {
+          // Tier-5: configs + ACLs + leader-epoch full ranges
+          // (OffsetForLeaderEpoch 0-4, DescribeConfigs 0-4, AlterConfigs
+          // 0-2, IncrementalAlterConfigs 0-1, ACL trio 0-3).
+          val oleReq = WH.OffsetForLeaderEpoch.Request(-2, Seq(("events",
+            Seq(WH.OffsetForLeaderEpoch.ReqPartition(0, 5, 3)))))
+          val oleResp = WH.OffsetForLeaderEpoch.Response(5, Seq(("events",
+            Seq(WH.OffsetForLeaderEpoch.RespPartition(0, 0, 5, 42L)))))
+          val dcReq = WH.DescribeConfigs.Request(Seq(
+            WH.DescribeConfigs.ReqResource(2, "events",
+              Some(Seq("retention.ms")))), includeSynonyms = true,
+            includeDocumentation = true)
+          val dcResp = WH.DescribeConfigs.Response(5, Seq(
+            WH.DescribeConfigs.Result(0, None, 2, "events", Seq(
+              WH.DescribeConfigs.Config("retention.ms", Some("604800000"),
+                readOnly = false, configSource = 5, isSensitive = false,
+                configType = 5, Some("docs"))))))
+          val acReq = WH.AlterConfigs.Request(Seq(
+            WH.AlterConfigs.ReqResource(2, "events",
+              Seq(("retention.ms", Some("604800000"))))), validateOnly = true)
+          val acResp = WH.AlterConfigs.Response(5, Seq(
+            WH.AlterConfigs.RespResource(0, None, 2, "events")))
+          val iaReq = WH.IncrementalAlterConfigs.Request(Seq(
+            WH.IncrementalAlterConfigs.ReqResource(2, "events", Seq(
+              WH.IncrementalAlterConfigs.ReqConfig("retention.ms", 0,
+                Some("604800000"))))), validateOnly = false)
+          val daReq = WH.DescribeAcls.Request(2, Some("events"), 3,
+            Some("User:alice"), None, 3, 3)
+          val daResp = WH.DescribeAcls.Response(5, 0, None, Seq(
+            WH.DescribeAcls.Resource(2, "events", 3, Seq(
+              WH.DescribeAcls.RespAcl("User:alice", "*", 3, 3)))))
+          val caReq = WH.CreateAcls.Request(Seq(
+            WH.CreateAcls.Acl(2, "events", 3, "User:alice", "*", 3, 3)))
+          val caResp = WH.CreateAcls.Response(5, Seq((0.toShort, None)))
+          val delReq = WH.DeleteAcls.Request(Seq(
+            WH.DeleteAcls.Filter(2, Some("events"), 3, None, None, 3, 3)))
+          val delResp = WH.DeleteAcls.Response(5, Seq(
+            WH.DeleteAcls.FilterResult(0, None, Seq(
+              WH.DeleteAcls.MatchingAcl(0, None, 2, "events", 3,
+                "User:alice", "*", 3, 3)))))
+          WV.OffsetForLeaderEpochV.ValidVersions.map { v =>
+            val bytes = WV.OffsetForLeaderEpochV.encode(v, oleReq)
+            val r = WV.OffsetForLeaderEpochV.decode(v, bytes)
+            val p = r.topics.head._2.head
+            ("offset_for_leader_epoch", v, bytes.length,
+              s"cur=${p.currentLeaderEpoch}|epoch=${p.leaderEpoch}")
+          } ++ WV.OffsetForLeaderEpochV.ValidVersions.map { v =>
+            val bytes = WV.OffsetForLeaderEpochV.encodeResp(v, oleResp)
+            val r = WV.OffsetForLeaderEpochV.decodeResp(v, bytes)
+            val p = r.topics.head._2.head
+            ("offset_for_leader_epoch_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|epoch=${p.leaderEpoch}|end=${p.endOffset}")
+          } ++ WV.DescribeConfigsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeConfigsV.encode(v, dcReq)
+            val r = WV.DescribeConfigsV.decode(v, bytes)
+            ("describe_configs", v, bytes.length,
+              s"syn=${r.includeSynonyms}|doc=${r.includeDocumentation}")
+          } ++ WV.DescribeConfigsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeConfigsV.encodeResp(v, dcResp)
+            val r = WV.DescribeConfigsV.decodeResp(v, bytes)
+            val c = r.results.head.configs.head
+            ("describe_configs_resp", v, bytes.length,
+              s"src=${c.configSource}|type=${c.configType}|doc=${
+                c.documentation.getOrElse("")}")
+          } ++ WV.AlterConfigsV.ValidVersions.map { v =>
+            val bytes = WV.AlterConfigsV.encode(v, acReq)
+            val r = WV.AlterConfigsV.decode(v, bytes)
+            ("alter_configs", v, bytes.length,
+              s"n=${r.resources.head.configs.size}|validate=${r.validateOnly}")
+          } ++ WV.AlterConfigsV.ValidVersions.map { v =>
+            val bytes = WV.AlterConfigsV.encodeResp(v, acResp)
+            val r = WV.AlterConfigsV.decodeResp(v, bytes)
+            ("alter_configs_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|err=${r.responses.head.errorCode}")
+          } ++ WV.IncrementalAlterConfigsV.ValidVersions.map { v =>
+            val bytes = WV.IncrementalAlterConfigsV.encode(v, iaReq)
+            val r = WV.IncrementalAlterConfigsV.decode(v, bytes)
+            ("incremental_alter_configs", v, bytes.length,
+              s"op=${WH.IncrementalAlterConfigs.OpNames(
+                r.resources.head.configs.head.configOperation)}|validate=${
+                r.validateOnly}")
+          } ++ WV.DescribeAclsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeAclsV.encode(v, daReq)
+            val r = WV.DescribeAclsV.decode(v, bytes)
+            ("describe_acls", v, bytes.length,
+              s"pt=${r.patternTypeFilter}|principal=${
+                r.principalFilter.getOrElse("")}")
+          } ++ WV.DescribeAclsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeAclsV.encodeResp(v, daResp)
+            val r = WV.DescribeAclsV.decodeResp(v, bytes)
+            ("describe_acls_resp", v, bytes.length,
+              s"acls=${r.resources.head.acls.size}|pt=${
+                r.resources.head.patternType}")
+          } ++ WV.CreateAclsV.ValidVersions.map { v =>
+            val bytes = WV.CreateAclsV.encode(v, caReq)
+            val r = WV.CreateAclsV.decode(v, bytes)
+            ("create_acls", v, bytes.length,
+              s"n=${r.creations.size}|pt=${r.creations.head.patternType}")
+          } ++ WV.CreateAclsV.ValidVersions.map { v =>
+            val bytes = WV.CreateAclsV.encodeResp(v, caResp)
+            val r = WV.CreateAclsV.decodeResp(v, bytes)
+            ("create_acls_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|errs=${r.results.map(_._1).mkString(",")}")
+          } ++ WV.DeleteAclsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteAclsV.encode(v, delReq)
+            val r = WV.DeleteAclsV.decode(v, bytes)
+            ("delete_acls", v, bytes.length,
+              s"filters=${r.filters.size}|pt=${r.filters.head.patternTypeFilter}")
+          } ++ WV.DeleteAclsV.ValidVersions.map { v =>
+            val bytes = WV.DeleteAclsV.encodeResp(v, delResp)
+            val r = WV.DeleteAclsV.decodeResp(v, bytes)
+            ("delete_acls_resp", v, bytes.length,
+              s"matches=${r.results.head.matchingAcls.size}|principal=${
+                r.results.head.matchingAcls.head.principal}")
+          }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
         .orderBy("family", "version")
@@ -13688,7 +13803,59 @@ object SparkEntry {
         |  ('delete_groups', 2, 10, 'groups=cg1,cg2'),
         |  ('delete_groups_resp', 0, 22, 'throttle=5|errs=0,16'),
         |  ('delete_groups_resp', 1, 22, 'throttle=5|errs=0,16'),
-        |  ('delete_groups_resp', 2, 20, 'throttle=5|errs=0,16'))
+        |  ('delete_groups_resp', 2, 20, 'throttle=5|errs=0,16'),
+        |  ('offset_for_leader_epoch', 0, 24, 'cur=-1|epoch=3'),
+        |  ('offset_for_leader_epoch', 1, 24, 'cur=-1|epoch=3'),
+        |  ('offset_for_leader_epoch', 2, 28, 'cur=5|epoch=3'),
+        |  ('offset_for_leader_epoch', 3, 32, 'cur=5|epoch=3'),
+        |  ('offset_for_leader_epoch', 4, 28, 'cur=5|epoch=3'),
+        |  ('offset_for_leader_epoch_resp', 0, 30, 'throttle=0|epoch=-1|end=42'),
+        |  ('offset_for_leader_epoch_resp', 1, 34, 'throttle=0|epoch=5|end=42'),
+        |  ('offset_for_leader_epoch_resp', 2, 38, 'throttle=5|epoch=5|end=42'),
+        |  ('offset_for_leader_epoch_resp', 3, 38, 'throttle=5|epoch=5|end=42'),
+        |  ('offset_for_leader_epoch_resp', 4, 34, 'throttle=5|epoch=5|end=42'),
+        |  ('describe_configs', 0, 31, 'syn=false|doc=false'),
+        |  ('describe_configs', 1, 32, 'syn=true|doc=false'),
+        |  ('describe_configs', 2, 32, 'syn=true|doc=false'),
+        |  ('describe_configs', 3, 33, 'syn=true|doc=true'),
+        |  ('describe_configs', 4, 27, 'syn=true|doc=true'),
+        |  ('describe_configs_resp', 0, 53, 'src=5|type=0|doc='),
+        |  ('describe_configs_resp', 1, 57, 'src=5|type=0|doc='),
+        |  ('describe_configs_resp', 2, 57, 'src=5|type=0|doc='),
+        |  ('describe_configs_resp', 3, 64, 'src=5|type=5|doc=docs'),
+        |  ('describe_configs_resp', 4, 53, 'src=5|type=5|doc=docs'),
+        |  ('alter_configs', 0, 43, 'n=1|validate=true'),
+        |  ('alter_configs', 1, 43, 'n=1|validate=true'),
+        |  ('alter_configs', 2, 37, 'n=1|validate=true'),
+        |  ('alter_configs_resp', 0, 21, 'throttle=5|err=0'),
+        |  ('alter_configs_resp', 1, 21, 'throttle=5|err=0'),
+        |  ('alter_configs_resp', 2, 18, 'throttle=5|err=0'),
+        |  ('incremental_alter_configs', 0, 44, 'op=set|validate=false'),
+        |  ('incremental_alter_configs', 1, 38, 'op=set|validate=false'),
+        |  ('describe_acls', 0, 25, 'pt=3|principal=User:alice'),
+        |  ('describe_acls', 1, 26, 'pt=3|principal=User:alice'),
+        |  ('describe_acls', 2, 24, 'pt=3|principal=User:alice'),
+        |  ('describe_acls', 3, 24, 'pt=3|principal=User:alice'),
+        |  ('describe_acls_resp', 0, 42, 'acls=1|pt=3'),
+        |  ('describe_acls_resp', 1, 43, 'acls=1|pt=3'),
+        |  ('describe_acls_resp', 2, 36, 'acls=1|pt=3'),
+        |  ('describe_acls_resp', 3, 36, 'acls=1|pt=3'),
+        |  ('create_acls', 0, 30, 'n=1|pt=3'),
+        |  ('create_acls', 1, 31, 'n=1|pt=3'),
+        |  ('create_acls', 2, 27, 'n=1|pt=3'),
+        |  ('create_acls', 3, 27, 'n=1|pt=3'),
+        |  ('create_acls_resp', 0, 12, 'throttle=5|errs=0'),
+        |  ('create_acls_resp', 1, 12, 'throttle=5|errs=0'),
+        |  ('create_acls_resp', 2, 10, 'throttle=5|errs=0'),
+        |  ('create_acls_resp', 3, 10, 'throttle=5|errs=0'),
+        |  ('delete_acls', 0, 19, 'filters=1|pt=3'),
+        |  ('delete_acls', 1, 20, 'filters=1|pt=3'),
+        |  ('delete_acls', 2, 16, 'filters=1|pt=3'),
+        |  ('delete_acls', 3, 16, 'filters=1|pt=3'),
+        |  ('delete_acls_resp', 0, 46, 'matches=1|principal=User:alice'),
+        |  ('delete_acls_resp', 1, 47, 'matches=1|principal=User:alice'),
+        |  ('delete_acls_resp', 2, 39, 'matches=1|principal=User:alice'),
+        |  ('delete_acls_resp', 3, 39, 'matches=1|principal=User:alice'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
 
     "p6_wire_framing" ->

@@ -3082,6 +3082,700 @@ object WireVersions {
     }
   }
 
+  // =================================================================
+  // Tier-5 keys: configs + ACLs + leader-epoch full ranges —
+  // OffsetForLeaderEpoch 0-4 (flexible 4+, replica_id at 3, current
+  // epoch at 2), DescribeConfigs 0-4 (flexible 4+, synonyms/source at
+  // 1, type/documentation at 3, v0-only is_default), AlterConfigs
+  // 0-2 / DescribeAcls / CreateAcls / DeleteAcls 0-3 (flexible 2+,
+  // ACL pattern types at 1), IncrementalAlterConfigs 0-1.
+  // =================================================================
+
+  // --------------------------------------- OffsetForLeaderEpoch 0-4
+
+  object OffsetForLeaderEpochV {
+    val ValidVersions: Range = 0 to 4
+    def flexible(version: Int): Boolean = version >= 4
+
+    def size(version: Int, r: WireHeaders.OffsetForLeaderEpoch.Request): Int = {
+      require(ValidVersions.contains(version), s"offset_for_leader_epoch version $version")
+      val flex = flexible(version)
+      (if (version >= 3) 4 else 0) +
+        (if (flex) uvarintSize(r.topics.size + 1L) else 4) +
+        r.topics.map { case (t, ps) =>
+          (if (flex) compactStringSize(t) else strSize(t)) +
+            (if (flex) uvarintSize(ps.size + 1L) else 4) +
+            ps.size * (4 + (if (version >= 2) 4 else 0) + 4 +
+              (if (flex) 1 else 0)) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.OffsetForLeaderEpoch.Request): Array[Byte] = {
+      if (version == 4) return WireHeaders.OffsetForLeaderEpoch.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      if (version >= 3) b.putInt(r.replicaId)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putStr(b, t)
+        b.putInt(ps.size)
+        ps.foreach { p =>
+          b.putInt(p.partition)
+          if (version >= 2) b.putInt(p.currentLeaderEpoch)
+          b.putInt(p.leaderEpoch)
+        }
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.OffsetForLeaderEpoch.Request = {
+      require(ValidVersions.contains(version), s"offset_for_leader_epoch version $version")
+      if (version == 4) return WireHeaders.OffsetForLeaderEpoch.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val replica = if (version >= 3) b.getInt() else -2
+      val topics = (0 until b.getInt()).map { _ =>
+        val t = getStr(b)
+        val ps = (0 until b.getInt()).map { _ =>
+          val idx = b.getInt()
+          val cur = if (version >= 2) b.getInt() else -1
+          WireHeaders.OffsetForLeaderEpoch.ReqPartition(idx, cur, b.getInt())
+        }
+        (t, ps: Seq[WireHeaders.OffsetForLeaderEpoch.ReqPartition])
+      }
+      require(!b.hasRemaining, "trailing bytes after offset_for_leader_epoch request")
+      WireHeaders.OffsetForLeaderEpoch.Request(replica, topics)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.OffsetForLeaderEpoch.Response): Int = {
+      require(ValidVersions.contains(version), s"offset_for_leader_epoch version $version")
+      val flex = flexible(version)
+      (if (version >= 2) 4 else 0) +
+        (if (flex) uvarintSize(r.topics.size + 1L) else 4) +
+        r.topics.map { case (t, ps) =>
+          (if (flex) compactStringSize(t) else strSize(t)) +
+            (if (flex) uvarintSize(ps.size + 1L) else 4) +
+            ps.size * (2 + 4 + (if (version >= 1) 4 else 0) + 8 +
+              (if (flex) 1 else 0)) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.OffsetForLeaderEpoch.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"offset_for_leader_epoch version $version")
+      if (version == 4) return WireHeaders.OffsetForLeaderEpoch.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      if (version >= 2) b.putInt(r.throttleMs)
+      b.putInt(r.topics.size)
+      r.topics.foreach { case (t, ps) =>
+        putStr(b, t)
+        b.putInt(ps.size)
+        ps.foreach { p =>
+          b.putShort(p.errorCode); b.putInt(p.partition)
+          if (version >= 1) b.putInt(p.leaderEpoch)
+          b.putLong(p.endOffset)
+        }
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.OffsetForLeaderEpoch.Response = {
+      require(ValidVersions.contains(version), s"offset_for_leader_epoch version $version")
+      if (version == 4) return WireHeaders.OffsetForLeaderEpoch.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = if (version >= 2) b.getInt() else 0
+      val topics = (0 until b.getInt()).map { _ =>
+        val t = getStr(b)
+        val ps = (0 until b.getInt()).map { _ =>
+          val ec = b.getShort(); val idx = b.getInt()
+          val epoch = if (version >= 1) b.getInt() else -1
+          WireHeaders.OffsetForLeaderEpoch.RespPartition(ec, idx, epoch,
+            b.getLong())
+        }
+        (t, ps: Seq[WireHeaders.OffsetForLeaderEpoch.RespPartition])
+      }
+      require(!b.hasRemaining, "trailing bytes after offset_for_leader_epoch response")
+      WireHeaders.OffsetForLeaderEpoch.Response(throttle, topics)
+    }
+  }
+
+  // ------------------------------------------------ DescribeConfigs 0-4
+
+  object DescribeConfigsV {
+    val ValidVersions: Range = 0 to 4
+    def flexible(version: Int): Boolean = version >= 4
+
+    def size(version: Int, r: WireHeaders.DescribeConfigs.Request): Int = {
+      require(ValidVersions.contains(version), s"describe_configs version $version")
+      val flex = flexible(version)
+      (if (flex) uvarintSize(r.resources.size + 1L) else 4) +
+        r.resources.map { res =>
+          1 + (if (flex) compactStringSize(res.resourceName)
+               else strSize(res.resourceName)) +
+            (res.configurationKeys match {
+              case None => if (flex) 1 else 4
+              case Some(ks) =>
+                (if (flex) uvarintSize(ks.size + 1L) else 4) +
+                  ks.map(k => if (flex) compactStringSize(k) else strSize(k)).sum
+            }) + (if (flex) 1 else 0)
+        }.sum + (if (version >= 1) 1 else 0) + (if (version >= 3) 1 else 0) +
+        (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.DescribeConfigs.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.DescribeConfigs.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putStr(b, res.resourceName)
+        res.configurationKeys match {
+          case None => b.putInt(-1)
+          case Some(ks) => b.putInt(ks.size); ks.foreach(putStr(b, _))
+        }
+      }
+      if (version >= 1) b.put(if (r.includeSynonyms) 1.toByte else 0.toByte)
+      if (version >= 3) b.put(if (r.includeDocumentation) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.DescribeConfigs.Request = {
+      require(ValidVersions.contains(version), s"describe_configs version $version")
+      if (flexible(version)) return WireHeaders.DescribeConfigs.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val resources = (0 until b.getInt()).map { _ =>
+        val rt = b.get()
+        val rn = getStr(b)
+        val n = b.getInt()
+        val keys = if (n < 0) None else Some((0 until n).map(_ => getStr(b)): Seq[String])
+        WireHeaders.DescribeConfigs.ReqResource(rt, rn, keys)
+      }
+      val syn = if (version >= 1) b.get() == 1 else false
+      val doc = if (version >= 3) b.get() == 1 else false
+      require(!b.hasRemaining, "trailing bytes after describe_configs request")
+      WireHeaders.DescribeConfigs.Request(resources, syn, doc)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.DescribeConfigs.Response): Int = {
+      require(ValidVersions.contains(version), s"describe_configs version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      4 + (if (flex) uvarintSize(r.results.size + 1L) else 4) +
+        r.results.map { res =>
+          2 + nstr(res.errorMessage) + 1 + str(res.resourceName) +
+            (if (flex) uvarintSize(res.configs.size + 1L) else 4) +
+            res.configs.map { c =>
+              str(c.name) + nstr(c.value) + 1 +
+                (if (version == 0) 1 else 1) + // v0 is_default / v1+ source
+                1 +
+                (if (version >= 1) { if (flex) 1 else 4 } else 0) + // synonyms
+                (if (version >= 3) 1 + nstr(c.documentation) else 0) +
+                (if (flex) 1 else 0)
+            }.sum + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.DescribeConfigs.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"describe_configs version $version")
+      if (flexible(version)) return WireHeaders.DescribeConfigs.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.results.size)
+      r.results.foreach { res =>
+        b.putShort(res.errorCode)
+        putNullableStr(b, res.errorMessage)
+        b.put(res.resourceType)
+        putStr(b, res.resourceName)
+        b.putInt(res.configs.size)
+        res.configs.foreach { c =>
+          putStr(b, c.name)
+          putNullableStr(b, c.value)
+          b.put(if (c.readOnly) 1.toByte else 0.toByte)
+          if (version == 0)
+            b.put(if (c.configSource == 5) 1.toByte else 0.toByte) // is_default
+          else b.put(c.configSource)
+          b.put(if (c.isSensitive) 1.toByte else 0.toByte)
+          if (version >= 1) b.putInt(0) // synonyms (empty)
+          if (version >= 3) {
+            b.put(c.configType)
+            putNullableStr(b, c.documentation)
+          }
+        }
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.DescribeConfigs.Response = {
+      require(ValidVersions.contains(version), s"describe_configs version $version")
+      if (flexible(version)) return WireHeaders.DescribeConfigs.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until b.getInt()).map { _ =>
+        val ec = b.getShort()
+        val msg = getNullableStr(b)
+        val rt = b.get()
+        val rn = getStr(b)
+        val configs = (0 until b.getInt()).map { _ =>
+          val name = getStr(b)
+          val value = getNullableStr(b)
+          val ro = b.get() == 1
+          val source =
+            if (version == 0) { if (b.get() == 1) 5.toByte else 1.toByte }
+            else b.get()
+          val sensitive = b.get() == 1
+          if (version >= 1) {
+            val nSyn = b.getInt()
+            require(nSyn == 0, "synonyms not supported")
+          }
+          val (ctype, doc) =
+            if (version >= 3) (b.get(), getNullableStr(b))
+            else (0.toByte, None)
+          WireHeaders.DescribeConfigs.Config(name, value, ro, source,
+            sensitive, ctype, doc)
+        }
+        WireHeaders.DescribeConfigs.Result(ec, msg, rt, rn, configs)
+      }
+      require(!b.hasRemaining, "trailing bytes after describe_configs response")
+      WireHeaders.DescribeConfigs.Response(throttle, results)
+    }
+  }
+
+  // -------------------------------- AlterConfigs 0-2 / Incremental 0-1
+
+  object AlterConfigsV {
+    val ValidVersions: Range = 0 to 2
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, r: WireHeaders.AlterConfigs.Request): Int = {
+      require(ValidVersions.contains(version), s"alter_configs version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      (if (flex) uvarintSize(r.resources.size + 1L) else 4) +
+        r.resources.map { res =>
+          1 + str(res.resourceName) +
+            (if (flex) uvarintSize(res.configs.size + 1L) else 4) +
+            res.configs.map { case (k, v) =>
+              str(k) + nstr(v) + (if (flex) 1 else 0)
+            }.sum + (if (flex) 1 else 0)
+        }.sum + 1 + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.AlterConfigs.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.AlterConfigs.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putStr(b, res.resourceName)
+        b.putInt(res.configs.size)
+        res.configs.foreach { case (k, v) =>
+          putStr(b, k); putNullableStr(b, v)
+        }
+      }
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.AlterConfigs.Request = {
+      require(ValidVersions.contains(version), s"alter_configs version $version")
+      if (flexible(version)) return WireHeaders.AlterConfigs.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val resources = (0 until b.getInt()).map { _ =>
+        val rt = b.get()
+        val rn = getStr(b)
+        val configs = (0 until b.getInt()).map(_ => (getStr(b), getNullableStr(b)))
+        WireHeaders.AlterConfigs.ReqResource(rt, rn, configs)
+      }
+      val vo = b.get() == 1
+      require(!b.hasRemaining, "trailing bytes after alter_configs request")
+      WireHeaders.AlterConfigs.Request(resources, vo)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.AlterConfigs.Response): Int = {
+      require(ValidVersions.contains(version), s"alter_configs version $version")
+      val flex = flexible(version)
+      4 + (if (flex) uvarintSize(r.responses.size + 1L) else 4) +
+        r.responses.map { res =>
+          2 + (if (flex) compactNullableStrSize(res.errorMessage)
+               else nullableStrSize(res.errorMessage)) + 1 +
+            (if (flex) compactStringSize(res.resourceName)
+             else strSize(res.resourceName)) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.AlterConfigs.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"alter_configs version $version")
+      if (flexible(version)) return WireHeaders.AlterConfigs.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.responses.size)
+      r.responses.foreach { res =>
+        b.putShort(res.errorCode)
+        putNullableStr(b, res.errorMessage)
+        b.put(res.resourceType)
+        putStr(b, res.resourceName)
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.AlterConfigs.Response = {
+      require(ValidVersions.contains(version), s"alter_configs version $version")
+      if (flexible(version)) return WireHeaders.AlterConfigs.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val rs = (0 until b.getInt()).map { _ =>
+        WireHeaders.AlterConfigs.RespResource(b.getShort(), getNullableStr(b),
+          b.get(), getStr(b))
+      }
+      require(!b.hasRemaining, "trailing bytes after alter_configs response")
+      WireHeaders.AlterConfigs.Response(throttle, rs)
+    }
+  }
+
+  object IncrementalAlterConfigsV {
+    val ValidVersions: Range = 0 to 1
+    def flexible(version: Int): Boolean = version >= 1
+
+    def size(version: Int, r: WireHeaders.IncrementalAlterConfigs.Request): Int = {
+      require(ValidVersions.contains(version), s"incremental_alter version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      (if (flex) uvarintSize(r.resources.size + 1L) else 4) +
+        r.resources.map { res =>
+          1 + str(res.resourceName) +
+            (if (flex) uvarintSize(res.configs.size + 1L) else 4) +
+            res.configs.map(c =>
+              str(c.name) + 1 + nstr(c.value) + (if (flex) 1 else 0)).sum +
+            (if (flex) 1 else 0)
+        }.sum + 1 + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.IncrementalAlterConfigs.Request): Array[Byte] = {
+      if (flexible(version))
+        return WireHeaders.IncrementalAlterConfigs.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putStr(b, res.resourceName)
+        b.putInt(res.configs.size)
+        res.configs.foreach { c =>
+          putStr(b, c.name); b.put(c.configOperation)
+          putNullableStr(b, c.value)
+        }
+      }
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.IncrementalAlterConfigs.Request = {
+      require(ValidVersions.contains(version), s"incremental_alter version $version")
+      if (flexible(version))
+        return WireHeaders.IncrementalAlterConfigs.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val resources = (0 until b.getInt()).map { _ =>
+        val rt = b.get()
+        val rn = getStr(b)
+        val configs = (0 until b.getInt()).map(_ =>
+          WireHeaders.IncrementalAlterConfigs.ReqConfig(getStr(b), b.get(),
+            getNullableStr(b)))
+        WireHeaders.IncrementalAlterConfigs.ReqResource(rt, rn, configs)
+      }
+      val vo = b.get() == 1
+      require(!b.hasRemaining, "trailing bytes after incremental_alter request")
+      WireHeaders.IncrementalAlterConfigs.Request(resources, vo)
+    }
+  }
+
+  // --------------------------------------------------- ACL trio 0-3
+
+  object DescribeAclsV {
+    val ValidVersions: Range = 0 to 3
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, r: WireHeaders.DescribeAcls.Request): Int = {
+      require(ValidVersions.contains(version), s"describe_acls version $version")
+      val flex = flexible(version)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      1 + nstr(r.resourceNameFilter) + (if (version >= 1) 1 else 0) +
+        nstr(r.principalFilter) + nstr(r.hostFilter) + 2 +
+        (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.DescribeAcls.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.DescribeAcls.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.put(r.resourceTypeFilter)
+      putNullableStr(b, r.resourceNameFilter)
+      if (version >= 1) b.put(r.patternTypeFilter)
+      putNullableStr(b, r.principalFilter)
+      putNullableStr(b, r.hostFilter)
+      b.put(r.operation); b.put(r.permission)
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.DescribeAcls.Request = {
+      require(ValidVersions.contains(version), s"describe_acls version $version")
+      if (flexible(version)) return WireHeaders.DescribeAcls.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val rt = b.get()
+      val rn = getNullableStr(b)
+      val pt = if (version >= 1) b.get() else 3.toByte // LITERAL
+      val r = WireHeaders.DescribeAcls.Request(rt, rn, pt, getNullableStr(b),
+        getNullableStr(b), b.get(), b.get())
+      require(!b.hasRemaining, "trailing bytes after describe_acls request")
+      r
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.DescribeAcls.Response): Int = {
+      require(ValidVersions.contains(version), s"describe_acls version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      4 + 2 + (if (flex) compactNullableStrSize(r.errorMessage)
+               else nullableStrSize(r.errorMessage)) +
+        (if (flex) uvarintSize(r.resources.size + 1L) else 4) +
+        r.resources.map { res =>
+          1 + str(res.resourceName) + (if (version >= 1) 1 else 0) +
+            (if (flex) uvarintSize(res.acls.size + 1L) else 4) +
+            res.acls.map(a => str(a.principal) + str(a.host) + 2 +
+              (if (flex) 1 else 0)).sum + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.DescribeAcls.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"describe_acls version $version")
+      if (flexible(version)) return WireHeaders.DescribeAcls.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putNullableStr(b, r.errorMessage)
+      b.putInt(r.resources.size)
+      r.resources.foreach { res =>
+        b.put(res.resourceType)
+        putStr(b, res.resourceName)
+        if (version >= 1) b.put(res.patternType)
+        b.putInt(res.acls.size)
+        res.acls.foreach { a =>
+          putStr(b, a.principal); putStr(b, a.host)
+          b.put(a.operation); b.put(a.permission)
+        }
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.DescribeAcls.Response = {
+      require(ValidVersions.contains(version), s"describe_acls version $version")
+      if (flexible(version)) return WireHeaders.DescribeAcls.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val ec = b.getShort()
+      val msg = getNullableStr(b)
+      val resources = (0 until b.getInt()).map { _ =>
+        val rt = b.get()
+        val rn = getStr(b)
+        val pt = if (version >= 1) b.get() else 3.toByte
+        val acls = (0 until b.getInt()).map(_ =>
+          WireHeaders.DescribeAcls.RespAcl(getStr(b), getStr(b), b.get(), b.get()))
+        WireHeaders.DescribeAcls.Resource(rt, rn, pt, acls)
+      }
+      require(!b.hasRemaining, "trailing bytes after describe_acls response")
+      WireHeaders.DescribeAcls.Response(throttle, ec, msg, resources)
+    }
+  }
+
+  object CreateAclsV {
+    val ValidVersions: Range = 0 to 3
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, r: WireHeaders.CreateAcls.Request): Int = {
+      require(ValidVersions.contains(version), s"create_acls version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      (if (flex) uvarintSize(r.creations.size + 1L) else 4) +
+        r.creations.map { a =>
+          1 + str(a.resourceName) + (if (version >= 1) 1 else 0) +
+            str(a.principal) + str(a.host) + 2 + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.CreateAcls.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.CreateAcls.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.creations.size)
+      r.creations.foreach { a =>
+        b.put(a.resourceType)
+        putStr(b, a.resourceName)
+        if (version >= 1) b.put(a.patternType)
+        putStr(b, a.principal); putStr(b, a.host)
+        b.put(a.operation); b.put(a.permission)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.CreateAcls.Request = {
+      require(ValidVersions.contains(version), s"create_acls version $version")
+      if (flexible(version)) return WireHeaders.CreateAcls.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val creations = (0 until b.getInt()).map { _ =>
+        val rt = b.get()
+        val rn = getStr(b)
+        val pt = if (version >= 1) b.get() else 3.toByte
+        WireHeaders.CreateAcls.Acl(rt, rn, pt, getStr(b), getStr(b),
+          b.get(), b.get())
+      }
+      require(!b.hasRemaining, "trailing bytes after create_acls request")
+      WireHeaders.CreateAcls.Request(creations)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.CreateAcls.Response): Int = {
+      require(ValidVersions.contains(version), s"create_acls version $version")
+      val flex = flexible(version)
+      4 + (if (flex) uvarintSize(r.results.size + 1L) else 4) +
+        r.results.map { case (_, msg) =>
+          2 + (if (flex) compactNullableStrSize(msg)
+               else nullableStrSize(msg)) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.CreateAcls.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"create_acls version $version")
+      if (flexible(version)) return WireHeaders.CreateAcls.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.results.size)
+      r.results.foreach { case (ec, msg) =>
+        b.putShort(ec); putNullableStr(b, msg)
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.CreateAcls.Response = {
+      require(ValidVersions.contains(version), s"create_acls version $version")
+      if (flexible(version)) return WireHeaders.CreateAcls.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val rs = (0 until b.getInt()).map(_ => (b.getShort(), getNullableStr(b)))
+      require(!b.hasRemaining, "trailing bytes after create_acls response")
+      WireHeaders.CreateAcls.Response(throttle, rs)
+    }
+  }
+
+  object DeleteAclsV {
+    val ValidVersions: Range = 0 to 3
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, r: WireHeaders.DeleteAcls.Request): Int = {
+      require(ValidVersions.contains(version), s"delete_acls version $version")
+      val flex = flexible(version)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      (if (flex) uvarintSize(r.filters.size + 1L) else 4) +
+        r.filters.map { f =>
+          1 + nstr(f.resourceNameFilter) + (if (version >= 1) 1 else 0) +
+            nstr(f.principalFilter) + nstr(f.hostFilter) + 2 +
+            (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.DeleteAcls.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.DeleteAcls.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      b.putInt(r.filters.size)
+      r.filters.foreach { f =>
+        b.put(f.resourceTypeFilter)
+        putNullableStr(b, f.resourceNameFilter)
+        if (version >= 1) b.put(f.patternTypeFilter)
+        putNullableStr(b, f.principalFilter)
+        putNullableStr(b, f.hostFilter)
+        b.put(f.operation); b.put(f.permission)
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.DeleteAcls.Request = {
+      require(ValidVersions.contains(version), s"delete_acls version $version")
+      if (flexible(version)) return WireHeaders.DeleteAcls.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val filters = (0 until b.getInt()).map { _ =>
+        val rt = b.get()
+        val rn = getNullableStr(b)
+        val pt = if (version >= 1) b.get() else 3.toByte
+        WireHeaders.DeleteAcls.Filter(rt, rn, pt, getNullableStr(b),
+          getNullableStr(b), b.get(), b.get())
+      }
+      require(!b.hasRemaining, "trailing bytes after delete_acls request")
+      WireHeaders.DeleteAcls.Request(filters)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.DeleteAcls.Response): Int = {
+      require(ValidVersions.contains(version), s"delete_acls version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      def nstr(s: Option[String]) =
+        if (flex) compactNullableStrSize(s) else nullableStrSize(s)
+      4 + (if (flex) uvarintSize(r.results.size + 1L) else 4) +
+        r.results.map { fr =>
+          2 + nstr(fr.errorMessage) +
+            (if (flex) uvarintSize(fr.matchingAcls.size + 1L) else 4) +
+            fr.matchingAcls.map { m =>
+              2 + nstr(m.errorMessage) + 1 + str(m.resourceName) +
+                (if (version >= 1) 1 else 0) + str(m.principal) +
+                str(m.host) + 2 + (if (flex) 1 else 0)
+            }.sum + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.DeleteAcls.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"delete_acls version $version")
+      if (flexible(version)) return WireHeaders.DeleteAcls.encodeResponse(r)
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.results.size)
+      r.results.foreach { fr =>
+        b.putShort(fr.errorCode)
+        putNullableStr(b, fr.errorMessage)
+        b.putInt(fr.matchingAcls.size)
+        fr.matchingAcls.foreach { m =>
+          b.putShort(m.errorCode)
+          putNullableStr(b, m.errorMessage)
+          b.put(m.resourceType)
+          putStr(b, m.resourceName)
+          if (version >= 1) b.put(m.patternType)
+          putStr(b, m.principal); putStr(b, m.host)
+          b.put(m.operation); b.put(m.permission)
+        }
+      }
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.DeleteAcls.Response = {
+      require(ValidVersions.contains(version), s"delete_acls version $version")
+      if (flexible(version)) return WireHeaders.DeleteAcls.decodeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until b.getInt()).map { _ =>
+        val ec = b.getShort()
+        val msg = getNullableStr(b)
+        val matches = (0 until b.getInt()).map { _ =>
+          val mec = b.getShort()
+          val mmsg = getNullableStr(b)
+          val rt = b.get()
+          val rn = getStr(b)
+          val pt = if (version >= 1) b.get() else 3.toByte
+          WireHeaders.DeleteAcls.MatchingAcl(mec, mmsg, rt, rn, pt,
+            getStr(b), getStr(b), b.get(), b.get())
+        }
+        WireHeaders.DeleteAcls.FilterResult(ec, msg, matches)
+      }
+      require(!b.hasRemaining, "trailing bytes after delete_acls response")
+      WireHeaders.DeleteAcls.Response(throttle, results)
+    }
+  }
+
   // ------------------------------------------ ApiVersions request 0-3
 
   object ApiVersionsReqV {

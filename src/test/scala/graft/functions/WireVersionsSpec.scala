@@ -797,6 +797,176 @@ class WireVersionsSpec extends AnyFunSuite {
     assert(ListGroupsV.encodeResp(4, lresp).length === 28)
   }
 
+  // ------------------------------------------------------ tier-5 keys
+
+  test("offset_for_leader_epoch 0-4: current epoch v2, replica v3, flexible v4") {
+    val req = WireHeaders.OffsetForLeaderEpoch.Request(-2, Seq(("events",
+      Seq(WireHeaders.OffsetForLeaderEpoch.ReqPartition(0, 5, 3)))))
+    for (v <- OffsetForLeaderEpochV.ValidVersions) {
+      val bytes = OffsetForLeaderEpochV.encode(v, req)
+      assert(bytes.length === OffsetForLeaderEpochV.size(v, req), s"v$v size")
+      val back = OffsetForLeaderEpochV.decode(v, bytes)
+      val p = back.topics.head._2.head
+      assert(p.leaderEpoch === 3)
+      assert(p.currentLeaderEpoch === (if (v >= 2) 5 else -1), s"v$v")
+      assert(back.replicaId === -2) // default matches the fixture
+    }
+    assert(OffsetForLeaderEpochV.encode(0, req).length === 24)
+    assert(OffsetForLeaderEpochV.encode(2, req).length === 28)
+    assert(OffsetForLeaderEpochV.encode(3, req).length === 32)
+    assert(OffsetForLeaderEpochV.encode(4, req).length === 28)
+    val resp = WireHeaders.OffsetForLeaderEpoch.Response(5, Seq(("events",
+      Seq(WireHeaders.OffsetForLeaderEpoch.RespPartition(0, 0, 5, 42L)))))
+    for (v <- OffsetForLeaderEpochV.ValidVersions) {
+      val bytes = OffsetForLeaderEpochV.encodeResp(v, resp)
+      assert(bytes.length === OffsetForLeaderEpochV.sizeResp(v, resp), s"v$v size")
+      val back = OffsetForLeaderEpochV.decodeResp(v, bytes)
+      assert(back.throttleMs === (if (v >= 2) 5 else 0), s"v$v")
+      assert(back.topics.head._2.head.leaderEpoch ===
+        (if (v >= 1) 5 else -1), s"v$v")
+      assert(back.topics.head._2.head.endOffset === 42L)
+    }
+    assert(OffsetForLeaderEpochV.encodeResp(0, resp).length === 30)
+    assert(OffsetForLeaderEpochV.encodeResp(1, resp).length === 34)
+    assert(OffsetForLeaderEpochV.encodeResp(2, resp).length === 38)
+    assert(OffsetForLeaderEpochV.encodeResp(4, resp).length === 34)
+  }
+
+  test("describe/alter/incremental configs version ladders") {
+    val dcReq = WireHeaders.DescribeConfigs.Request(Seq(
+      WireHeaders.DescribeConfigs.ReqResource(2, "events",
+        Some(Seq("retention.ms")))), includeSynonyms = true,
+      includeDocumentation = true)
+    for (v <- DescribeConfigsV.ValidVersions) {
+      val bytes = DescribeConfigsV.encode(v, dcReq)
+      assert(bytes.length === DescribeConfigsV.size(v, dcReq), s"v$v size")
+      val back = DescribeConfigsV.decode(v, bytes)
+      assert(back.resources.head.configurationKeys === Some(Seq("retention.ms")))
+      assert(back.includeSynonyms === (v >= 1), s"v$v")
+      assert(back.includeDocumentation === (v >= 3), s"v$v")
+    }
+    assert(DescribeConfigsV.encode(0, dcReq).length === 31)
+    assert(DescribeConfigsV.encode(1, dcReq).length === 32)
+    assert(DescribeConfigsV.encode(3, dcReq).length === 33)
+    assert(DescribeConfigsV.encode(4, dcReq).length === 27)
+    val dcResp = WireHeaders.DescribeConfigs.Response(5, Seq(
+      WireHeaders.DescribeConfigs.Result(0, None, 2, "events", Seq(
+        WireHeaders.DescribeConfigs.Config("retention.ms", Some("604800000"),
+          readOnly = false, configSource = 5, isSensitive = false,
+          configType = 5, Some("docs"))))))
+    for (v <- DescribeConfigsV.ValidVersions) {
+      val bytes = DescribeConfigsV.encodeResp(v, dcResp)
+      assert(bytes.length === DescribeConfigsV.sizeResp(v, dcResp), s"v$v size")
+      val back = DescribeConfigsV.decodeResp(v, bytes)
+      val c = back.results.head.configs.head
+      assert(c.value === Some("604800000"))
+      assert(c.configSource === 5) // v0 round-trips through is_default
+      assert(c.configType === (if (v >= 3) 5 else 0).toByte, s"v$v")
+      assert(c.documentation === (if (v >= 3) Some("docs") else None), s"v$v")
+    }
+    assert(DescribeConfigsV.encodeResp(0, dcResp).length === 53)
+    assert(DescribeConfigsV.encodeResp(1, dcResp).length === 57)
+    assert(DescribeConfigsV.encodeResp(3, dcResp).length === 64)
+    assert(DescribeConfigsV.encodeResp(4, dcResp).length === 53)
+    val acReq = WireHeaders.AlterConfigs.Request(Seq(
+      WireHeaders.AlterConfigs.ReqResource(2, "events",
+        Seq(("retention.ms", Some("604800000"))))), validateOnly = true)
+    for (v <- AlterConfigsV.ValidVersions) {
+      val bytes = AlterConfigsV.encode(v, acReq)
+      assert(bytes.length === AlterConfigsV.size(v, acReq), s"v$v size")
+      assert(AlterConfigsV.decode(v, bytes) === acReq)
+    }
+    assert(AlterConfigsV.encode(0, acReq).length === 43)
+    assert(AlterConfigsV.encode(2, acReq).length === 37)
+    val acResp = WireHeaders.AlterConfigs.Response(5, Seq(
+      WireHeaders.AlterConfigs.RespResource(0, None, 2, "events")))
+    for (v <- AlterConfigsV.ValidVersions) {
+      val bytes = AlterConfigsV.encodeResp(v, acResp)
+      assert(bytes.length === AlterConfigsV.sizeResp(v, acResp), s"v$v size")
+      assert(AlterConfigsV.decodeResp(v, bytes) === acResp)
+    }
+    assert(AlterConfigsV.encodeResp(0, acResp).length === 21)
+    assert(AlterConfigsV.encodeResp(2, acResp).length === 18)
+    val iaReq = WireHeaders.IncrementalAlterConfigs.Request(Seq(
+      WireHeaders.IncrementalAlterConfigs.ReqResource(2, "events", Seq(
+        WireHeaders.IncrementalAlterConfigs.ReqConfig("retention.ms", 0,
+          Some("604800000"))))), validateOnly = false)
+    for (v <- IncrementalAlterConfigsV.ValidVersions) {
+      val bytes = IncrementalAlterConfigsV.encode(v, iaReq)
+      assert(bytes.length === IncrementalAlterConfigsV.size(v, iaReq), s"v$v size")
+      assert(IncrementalAlterConfigsV.decode(v, bytes) === iaReq)
+    }
+    assert(IncrementalAlterConfigsV.encode(0, iaReq).length === 44)
+    assert(IncrementalAlterConfigsV.encode(1, iaReq).length === 38)
+  }
+
+  test("ACL trio 0-3: pattern types at v1, flexible at v2") {
+    val dReq = WireHeaders.DescribeAcls.Request(2, Some("events"), 3,
+      Some("User:alice"), None, 3, 3)
+    for (v <- DescribeAclsV.ValidVersions) {
+      val bytes = DescribeAclsV.encode(v, dReq)
+      assert(bytes.length === DescribeAclsV.size(v, dReq), s"v$v size")
+      assert(DescribeAclsV.decode(v, bytes) === dReq)
+    }
+    assert(DescribeAclsV.encode(0, dReq).length === 25)
+    assert(DescribeAclsV.encode(1, dReq).length === 26)
+    assert(DescribeAclsV.encode(2, dReq).length === 24)
+    val dResp = WireHeaders.DescribeAcls.Response(5, 0, None, Seq(
+      WireHeaders.DescribeAcls.Resource(2, "events", 3, Seq(
+        WireHeaders.DescribeAcls.RespAcl("User:alice", "*", 3, 3)))))
+    for (v <- DescribeAclsV.ValidVersions) {
+      val bytes = DescribeAclsV.encodeResp(v, dResp)
+      assert(bytes.length === DescribeAclsV.sizeResp(v, dResp), s"v$v size")
+      val back = DescribeAclsV.decodeResp(v, bytes)
+      assert(back.resources.head.acls.head.principal === "User:alice")
+      assert(back.resources.head.patternType === 3)
+    }
+    assert(DescribeAclsV.encodeResp(0, dResp).length === 42)
+    assert(DescribeAclsV.encodeResp(1, dResp).length === 43)
+    assert(DescribeAclsV.encodeResp(2, dResp).length === 36)
+    val cReq = WireHeaders.CreateAcls.Request(Seq(
+      WireHeaders.CreateAcls.Acl(2, "events", 3, "User:alice", "*", 3, 3)))
+    for (v <- CreateAclsV.ValidVersions) {
+      val bytes = CreateAclsV.encode(v, cReq)
+      assert(bytes.length === CreateAclsV.size(v, cReq), s"v$v size")
+      assert(CreateAclsV.decode(v, bytes) === cReq)
+    }
+    assert(CreateAclsV.encode(0, cReq).length === 30)
+    assert(CreateAclsV.encode(1, cReq).length === 31)
+    assert(CreateAclsV.encode(2, cReq).length === 27)
+    val cResp = WireHeaders.CreateAcls.Response(5, Seq((0.toShort, None)))
+    for (v <- CreateAclsV.ValidVersions) {
+      val bytes = CreateAclsV.encodeResp(v, cResp)
+      assert(bytes.length === CreateAclsV.sizeResp(v, cResp), s"v$v size")
+      assert(CreateAclsV.decodeResp(v, bytes) === cResp)
+    }
+    assert(CreateAclsV.encodeResp(0, cResp).length === 12)
+    assert(CreateAclsV.encodeResp(2, cResp).length === 10)
+    val delReq = WireHeaders.DeleteAcls.Request(Seq(
+      WireHeaders.DeleteAcls.Filter(2, Some("events"), 3, None, None, 3, 3)))
+    for (v <- DeleteAclsV.ValidVersions) {
+      val bytes = DeleteAclsV.encode(v, delReq)
+      assert(bytes.length === DeleteAclsV.size(v, delReq), s"v$v size")
+      assert(DeleteAclsV.decode(v, bytes) === delReq)
+    }
+    assert(DeleteAclsV.encode(0, delReq).length === 19)
+    assert(DeleteAclsV.encode(1, delReq).length === 20)
+    assert(DeleteAclsV.encode(2, delReq).length === 16)
+    val delResp = WireHeaders.DeleteAcls.Response(5, Seq(
+      WireHeaders.DeleteAcls.FilterResult(0, None, Seq(
+        WireHeaders.DeleteAcls.MatchingAcl(0, None, 2, "events", 3,
+          "User:alice", "*", 3, 3)))))
+    for (v <- DeleteAclsV.ValidVersions) {
+      val bytes = DeleteAclsV.encodeResp(v, delResp)
+      assert(bytes.length === DeleteAclsV.sizeResp(v, delResp), s"v$v size")
+      val back = DeleteAclsV.decodeResp(v, bytes)
+      assert(back.results.head.matchingAcls.head.principal === "User:alice")
+    }
+    assert(DeleteAclsV.encodeResp(0, delResp).length === 46)
+    assert(DeleteAclsV.encodeResp(1, delResp).length === 47)
+    assert(DeleteAclsV.encodeResp(2, delResp).length === 39)
+  }
+
   test("api_versions request 0-3: empty legacy bodies, KIP-511 pair at v3") {
     val req = ApiVersionsReqV.Request("rpk", "v25.1")
     for (v <- ApiVersionsReqV.ValidVersions) {
