@@ -8104,6 +8104,86 @@ object SparkEntry {
       }.toDF("step", "method", "path", "status", "detail").orderBy("step")
     }),
 
+    "adm_rest_partitions" -> ((s, dir) => {
+      // The partition admin surface (redpanda/admin/partition.cc):
+      // set_partition_replicas with the validate_set_replicas ladder
+      // (controller refusal, typed entries, known node/shard, distinct
+      // nodes, no-op short-circuit), the reconfigurations listing
+      // (previous/current assignments, byte progress, policy),
+      // topic-level partition listing with in-progress status, the
+      // local summary, cancel (restores the previous assignment) and
+      // its no-move 400, and the on-demand rebalance trigger. FINISH
+      // pseudo-steps stand in for the backend completing a move.
+      import s.implicits._
+      import graft.admin.AdminApi
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
+      srv.addPartition("kafka", "audit", 0, leader = 2, replicas = Seq(2))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def j(b: String) = m.readTree(b)
+      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
+        ("POST", "/v1/partitions/redpanda/controller/0/replicas", Some("[]"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/partitions/kafka/events/0/replicas",
+          Some("""[{"node_id":9,"core":0}]"""),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/partitions/kafka/events/0/replicas",
+          Some("""[{"node_id":"a","core":0}]"""),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/partitions/kafka/events/0/replicas",
+          Some("""[{"node_id":0,"core":0},{"node_id":1,"core":0},""" +
+            """{"node_id":2,"core":0}]"""),
+          _ => "noop"),
+        ("POST", "/v1/partitions/kafka/events/0/replicas",
+          Some("""[{"node_id":0,"core":0},{"node_id":1,"core":0}]"""),
+          _ => "moved"),
+        ("GET", "/v1/partitions/reconfigurations", None, r => {
+          val a = j(r.body)
+          s"n=${a.size()};prev=${a.get(0).get("previous_replicas").size()}" +
+            s",cur=${a.get(0).get("current_replicas").size()}" +
+            s",policy=${a.get(0).get("reconfiguration_policy").asText()}"
+        }),
+        ("GET", "/v1/partitions/kafka/events", None, r => {
+          val a = j(r.body)
+          s"n=${a.size()};" + (0 until a.size()).map { i =>
+            val p = a.get(i)
+            s"p${p.get("partition_id").asInt()}=${p.get("status").asText()}:" +
+              s"${p.get("replicas").size()}"
+          }.mkString(",")
+        }),
+        ("GET", "/v1/partitions/local_summary", None, r =>
+          s"count=${j(r.body).get("count").asInt()}" +
+            s",leaderless=${j(r.body).get("leaderless").asInt()}" +
+            s",under_replicated=${j(r.body).get("under_replicated").asInt()}"),
+        ("POST", "/v1/partitions/kafka/events/0/cancel_reconfiguration", None,
+          _ => "cancelled"),
+        ("GET", "/v1/partitions/kafka/events", None, r =>
+          s"p0_replicas=${j(r.body).get(0).get("replicas").size()}"),
+        ("POST", "/v1/partitions/kafka/events/0/cancel_reconfiguration", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("POST", "/v1/partitions/kafka/events/1/replicas",
+          Some("""[{"node_id":2,"core":0}]"""), _ => "moved"),
+        ("FINISH", "kafka/events/1", None, _ => "finished"),
+        ("GET", "/v1/partitions/reconfigurations", None,
+          r => s"n=${j(r.body).size()}"),
+        ("GET", "/v1/partitions/kafka/events", None, r =>
+          s"p1_replicas=${j(r.body).get(1).get("replicas").size()}"),
+        ("POST", "/v1/partitions/rebalance", None, _ => "accepted"),
+        ("GET", "/v1/partitions/kafka/nope", None,
+          r => "message=" + j(r.body).get("message").asText()))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        if (method == "FINISH") {
+          val Array(ns, topic, part) = path.split("/")
+          srv.finishReconfiguration(ns, topic, part.toInt)
+          (i + 1, method, "/v1/partitions/" + path, 200, "finished")
+        } else {
+          val resp = srv.handle(method, path, b)
+          (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+        }
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
     "adm_rest_migrations" -> ((s, dir) => {
       // The data-migration admin surface (redpanda/admin/migrations.cc
       // + topics.cc): creation gated on cloud storage (flipped through
@@ -14203,6 +14283,29 @@ object SparkEntry {
         |  (15, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=2'),
         |  (16, 'POST', '/v1/transform/debug/committed_offsets/garbage_collect', 200, 'swept'),
         |  (17, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=0'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the partition admin surface (partition.cc replica
+    // moves: validate_set_replicas ladder, reconfigurations, cancel).
+    "adm_rest_partitions" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'POST', '/v1/partitions/redpanda/controller/0/replicas', 400, 'message=Can''t reconfigure a controller'),
+        |  (2, 'POST', '/v1/partitions/kafka/events/0/replicas', 400, 'message=Replica set refers to non-existent node/shard (node 9 shard 0)'),
+        |  (3, 'POST', '/v1/partitions/kafka/events/0/replicas', 400, 'message=`node_id` and `core` must be integers'),
+        |  (4, 'POST', '/v1/partitions/kafka/events/0/replicas', 200, 'noop'),
+        |  (5, 'POST', '/v1/partitions/kafka/events/0/replicas', 200, 'moved'),
+        |  (6, 'GET', '/v1/partitions/reconfigurations', 200, 'n=1;prev=3,cur=2,policy=full_local_retention'),
+        |  (7, 'GET', '/v1/partitions/kafka/events', 200, 'n=2;p0=in_progress:2,p1=done:3'),
+        |  (8, 'GET', '/v1/partitions/local_summary', 200, 'count=3,leaderless=0,under_replicated=1'),
+        |  (9, 'POST', '/v1/partitions/kafka/events/0/cancel_reconfiguration', 200, 'cancelled'),
+        |  (10, 'GET', '/v1/partitions/kafka/events', 200, 'p0_replicas=3'),
+        |  (11, 'POST', '/v1/partitions/kafka/events/0/cancel_reconfiguration', 400, 'message=Cannot cancel partition move operation as there is no move in progress'),
+        |  (12, 'POST', '/v1/partitions/kafka/events/1/replicas', 200, 'moved'),
+        |  (13, 'FINISH', '/v1/partitions/kafka/events/1', 200, 'finished'),
+        |  (14, 'GET', '/v1/partitions/reconfigurations', 200, 'n=0'),
+        |  (15, 'GET', '/v1/partitions/kafka/events', 200, 'p1_replicas=1'),
+        |  (16, 'POST', '/v1/partitions/rebalance', 200, 'accepted'),
+        |  (17, 'GET', '/v1/partitions/kafka/nope', 404, 'message=Could not find topic: kafka/nope'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the data-migration admin surface (migrations.cc

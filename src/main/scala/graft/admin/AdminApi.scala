@@ -34,7 +34,11 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  *    `features.json`), PUT /features/{name} state transitions.
  *  - partitions: list/get (`partition.json` shapes), leadership
  *    transfer with target validation (`server.cc` raft transfer
- *    ladder: 400 non-integer/invalid target, 404 unknown).
+ *    ladder: 400 non-integer/invalid target, 404 unknown), replica
+ *    moves (`partition.cc`: set_partition_replicas with the
+ *    validate_set_replicas ladder, the reconfigurations listing,
+ *    cancel/unclean-abort with the no-move 400, topic-level
+ *    partition listing, local summary, on-demand rebalance).
  *  - debug/self_test: start (uuid, test selection per the start
  *    validator `server.cc:2876-2904`), stop, status node reports
  *    (status/stage strings from `self_test_rpc_types.cc:21-53`).
@@ -117,12 +121,26 @@ object AdminApi {
       nodeIds.map(id => id -> new Broker(id, 32, s"rack-${id % 2}")): _*)
 
     private final case class PartitionRow(ns: String, topic: String,
-        partition: Int, var leader: Int, replicas: Seq[Int])
+        partition: Int, var leader: Int, var replicas: Seq[Int])
     private val partitions = mutable.ArrayBuffer.empty[PartitionRow]
 
     def addPartition(ns: String, topic: String, partition: Int, leader: Int,
         replicas: Seq[Int]): Unit =
       partitions += PartitionRow(ns, topic, partition, leader, replicas)
+
+    // in-flight replica moves (`partition.cc` set_partition_replicas →
+    // topic_table updates_in_progress): ntp -> (previous, target)
+    private val reconfigs =
+      mutable.LinkedHashMap.empty[(String, String, Int), (Seq[Int], Seq[Int])]
+
+    /** Deterministic stand-in for the reconfiguration backend finishing
+      * a move: the update leaves the in-progress set (the target
+      * assignment became current when the move was requested, exactly
+      * as topic_table applies the update eagerly). */
+    def finishReconfiguration(ns: String, topic: String, partition: Int): Unit = {
+      reconfigs.remove((ns, topic, partition))
+      ()
+    }
 
     def setAlive(id: Int, alive: Boolean): Unit =
       brokers.get(id).foreach(_.alive = alive)
@@ -823,6 +841,128 @@ object AdminApi {
           val a = mapper.createArrayNode()
           partitions.foreach(p => a.add(partitionJson(p)))
           Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "partitions" :: "local_summary" :: Nil) =>
+          val o = mapper.createObjectNode()
+          o.put("count", partitions.size)
+          o.put("leaderless", partitions.count(p =>
+            !brokers.get(p.leader).exists(_.alive)))
+          o.put("under_replicated", reconfigs.size)
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "partitions" :: "reconfigurations" :: Nil) =>
+          val a = mapper.createArrayNode()
+          reconfigs.foreach { case ((ns, topic, part), (prev, cur)) =>
+            val o = a.addObject()
+            o.put("ns", ns); o.put("topic", topic); o.put("partition", part)
+            def assigns(key: String, rs: Seq[Int]): Unit = {
+              val arr = o.putArray(key)
+              rs.foreach { n =>
+                val x = arr.addObject(); x.put("node_id", n); x.put("core", 0)
+              }
+            }
+            assigns("previous_replicas", prev)
+            assigns("current_replicas", cur)
+            // no per-replica progress reports in the deterministic model:
+            // everything is still to move, as the handler reports when no
+            // partition has checked in yet
+            o.put("bytes_left_to_move", 1048576L)
+            o.put("bytes_moved", 0L)
+            o.put("partition_size", 1048576L)
+            o.put("reconfiguration_policy", "full_local_retention")
+            o.putArray("reconciliation_statuses")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "partitions" :: ns :: topic :: Nil) =>
+          val rows = partitions.filter(p => p.ns == ns && p.topic == topic)
+          if (rows.isEmpty)
+            return err(404, s"Could not find topic: $ns/$topic")
+          val a = mapper.createArrayNode()
+          rows.foreach { p =>
+            val o = a.addObject()
+            o.put("ns", p.ns); o.put("topic", p.topic)
+            o.put("partition_id", p.partition)
+            o.put("raft_group_id", partitions.indexOf(p) + 1)
+            val rs = o.putArray("replicas")
+            p.replicas.foreach { r =>
+              val x = rs.addObject(); x.put("node_id", r); x.put("core", 0)
+            }
+            o.put("leader_id", p.leader)
+            o.put("disabled", false)
+            o.put("status",
+              if (reconfigs.contains((p.ns, p.topic, p.partition)))
+                "in_progress" else "done")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("POST", "v1" :: "partitions" :: ns :: topic :: pStr ::
+            "replicas" :: Nil) =>
+          if (ns == "redpanda" && topic == "controller")
+            return err(400, "Can't reconfigure a controller")
+          val doc = mapper.readTree(body.getOrElse("null"))
+          if (doc == null || !doc.isArray)
+            return err(400, "Expected array")
+          // validate_set_replicas (partition.cc:384): typed entries,
+          // known node/shard, no duplicate nodes
+          val replicas = mutable.ArrayBuffer.empty[Int]
+          for (i <- 0 until doc.size()) {
+            val r = doc.get(i)
+            if (!r.isObject || r.get("node_id") == null || r.get("core") == null ||
+                r.size() != 2)
+              return err(400, "JSON request body does not conform to schema: " +
+                "set_replicas entries are {node_id, core}")
+            if (!r.get("node_id").isInt || !r.get("core").isInt)
+              return err(400, "`node_id` and `core` must be integers")
+            val node = r.get("node_id").asInt()
+            val core = r.get("core").asInt()
+            if (!brokers.contains(node) || core < 0 ||
+                core >= brokers(node).cores)
+              return err(400, "Replica set refers to non-existent node/shard " +
+                s"(node $node shard $core)")
+            if (replicas.contains(node))
+              return err(400, "All the replicas must be placed on separate " +
+                s"nodes. Requested replica set contains node: $node more " +
+                "than once")
+            replicas += node
+          }
+          partitions.find(p => p.ns == ns && p.topic == topic &&
+              p.partition == pStr.toInt) match {
+            case None => err(404, s"Could not find ntp: {$ns/$topic/$pStr}")
+            case Some(p) if p.replicas == replicas.toSeq =>
+              Resp(200, "{}") // no-op change: no raft writes
+            case Some(p) =>
+              reconfigs((ns, topic, p.partition)) =
+                (p.replicas, replicas.toSeq)
+              p.replicas = replicas.toSeq
+              Resp(200, "{}")
+          }
+
+        case ("POST", "v1" :: "partitions" :: ns :: topic :: pStr ::
+            "cancel_reconfiguration" :: Nil) =>
+          reconfigs.remove((ns, topic, pStr.toInt)) match {
+            case None => err(400, "Cannot cancel partition move operation " +
+              "as there is no move in progress")
+            case Some((prev, _)) =>
+              partitions.find(p => p.ns == ns && p.topic == topic &&
+                p.partition == pStr.toInt).foreach(_.replicas = prev)
+              Resp(200, "{}")
+          }
+
+        case ("POST", "v1" :: "partitions" :: ns :: topic :: pStr ::
+            "unclean_abort_reconfiguration" :: Nil) =>
+          if (ns == "redpanda" && topic == "controller")
+            return err(400, "Can't unclean abort controller reconfiguration")
+          reconfigs.remove((ns, topic, pStr.toInt)) match {
+            case None => err(400, "Cannot cancel partition move operation " +
+              "as there is no move in progress")
+            case Some(_) => Resp(200, "{}") // keeps the forced assignment
+          }
+
+        case ("POST", "v1" :: "partitions" :: "rebalance" :: Nil) =>
+          // trigger_partitions_rebalance: accepted; the balancer engines
+          // (admin/Admin balancer plan) do the actual planning
+          Resp(200, "{}")
 
         case ("GET", "v1" :: "partitions" :: ns :: topic :: pStr :: Nil) =>
           partitions.find(p => p.ns == ns && p.topic == topic &&

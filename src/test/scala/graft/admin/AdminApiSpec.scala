@@ -398,6 +398,83 @@ class AdminApiSpec extends AnyFunSuite {
     assert(s.handle("GET", "/v1/security/roles/ops").status === 404)
   }
 
+  test("partition replica moves: validation ladder, reconfigurations, cancel") {
+    val s = freshServer()
+    def setReplicas(p: String, body: String) =
+      s.handle("POST", s"/v1/partitions/kafka/events/$p/replicas", Some(body))
+    // validation ladder (partition.cc:384 validate_set_replicas)
+    assert(m.readTree(s.handle("POST",
+      "/v1/partitions/redpanda/controller/0/replicas", Some("[]")).body)
+      .get("message").asText() === "Can't reconfigure a controller")
+    assert(m.readTree(setReplicas("0", """{"x":1}""").body)
+      .get("message").asText() === "Expected array")
+    assert(m.readTree(setReplicas("0",
+      """[{"node_id":"a","core":0}]""").body)
+      .get("message").asText() === "`node_id` and `core` must be integers")
+    assert(m.readTree(setReplicas("0",
+      """[{"node_id":9,"core":0}]""").body).get("message").asText() ===
+      "Replica set refers to non-existent node/shard (node 9 shard 0)")
+    assert(m.readTree(setReplicas("0",
+      """[{"node_id":0,"core":0},{"node_id":0,"core":1}]""").body)
+      .get("message").asText() ===
+      "All the replicas must be placed on separate nodes. Requested " +
+        "replica set contains node: 0 more than once")
+    // no-op change short-circuits; a real move registers a reconfiguration
+    assert(setReplicas("0",
+      """[{"node_id":0,"core":0},{"node_id":1,"core":0},{"node_id":2,"core":0}]""")
+      .status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/partitions/reconfigurations").body)
+      .size() === 0) // no-op did not register
+    assert(setReplicas("0",
+      """[{"node_id":0,"core":0},{"node_id":1,"core":0}]""").status === 200)
+    val rec = m.readTree(s.handle("GET", "/v1/partitions/reconfigurations").body)
+    assert(rec.size() === 1)
+    assert(rec.get(0).get("previous_replicas").size() === 3)
+    assert(rec.get(0).get("current_replicas").size() === 2)
+    assert(rec.get(0).get("reconfiguration_policy").asText() ===
+      "full_local_retention")
+    assert(rec.get(0).get("bytes_left_to_move").asLong() ===
+      rec.get(0).get("partition_size").asLong())
+    // topic listing reflects the new assignment and in-progress status
+    val tp = m.readTree(s.handle("GET", "/v1/partitions/kafka/events").body)
+    assert(tp.size() === 2)
+    assert(tp.get(0).get("replicas").size() === 2)
+    assert(tp.get(0).get("status").asText() === "in_progress")
+    assert(tp.get(1).get("status").asText() === "done")
+    assert(s.handle("GET", "/v1/partitions/kafka/nope").status === 404)
+    // local summary counts the in-flight move as under-replication
+    val sum = m.readTree(s.handle("GET", "/v1/partitions/local_summary").body)
+    assert(sum.get("count").asInt() === 3)
+    assert(sum.get("leaderless").asInt() === 0)
+    assert(sum.get("under_replicated").asInt() === 1)
+    // cancel restores the previous assignment; a second cancel 400s
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/events/0/cancel_reconfiguration").status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/partitions/kafka/events").body)
+      .get(0).get("replicas").size() === 3)
+    assert(m.readTree(s.handle("POST",
+      "/v1/partitions/kafka/events/0/cancel_reconfiguration").body)
+      .get("message").asText() ===
+      "Cannot cancel partition move operation as there is no move in progress")
+    // finish path: backend completion keeps the target
+    assert(setReplicas("1", """[{"node_id":2,"core":0}]""").status === 200)
+    s.finishReconfiguration("kafka", "events", 1)
+    assert(m.readTree(s.handle("GET", "/v1/partitions/reconfigurations").body)
+      .size() === 0)
+    assert(m.readTree(s.handle("GET", "/v1/partitions/kafka/events").body)
+      .get(1).get("replicas").size() === 1)
+    // unclean abort: in-progress required, controller refused
+    assert(setReplicas("1", """[{"node_id":0,"core":0}]""").status === 200)
+    assert(s.handle("POST",
+      "/v1/partitions/kafka/events/1/unclean_abort_reconfiguration")
+      .status === 200)
+    assert(m.readTree(s.handle("POST",
+      "/v1/partitions/redpanda/controller/0/unclean_abort_reconfiguration")
+      .body).get("message").asText() ===
+      "Can't unclean abort controller reconfiguration")
+    assert(s.handle("POST", "/v1/partitions/rebalance").status === 200)
+  }
+
   test("data migrations: FSM ladder, mount/unmount, mountable listing") {
     val s = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
       mountableTopics = () => Seq(
