@@ -7339,6 +7339,61 @@ object SparkEntry {
               s"matches=${r.results.head.matchingAcls.size}|principal=${
                 r.results.head.matchingAcls.head.principal}")
           }
+        } ++ {
+          // Tier-6 (the last multi-version keys): DescribeLogDirs 0-4,
+          // DescribeClientQuotas / AlterClientQuotas 0-1.
+          val ldReq = WH.DescribeLogDirs.Request(Some(Seq(("events", Seq(0, 1)))))
+          val ldResp = WH.DescribeLogDirs.Response(5, 0, Seq(
+            WH.DescribeLogDirs.DirResult(0, "/var/lib/d0", Seq(("events",
+              Seq(WH.DescribeLogDirs.Partition(0, 4096L, 10L,
+                isFutureKey = false)))), 1000000L, 900000L)))
+          val qdReq = WH.ClientQuotas.DescribeRequest(Seq(
+            WH.ClientQuotas.DescribeComponent("client-id", 0, Some("cli"))),
+            strict = true)
+          val qdResp = WH.ClientQuotas.DescribeResponse(5, 0, None, Seq(
+            WH.ClientQuotas.Entry(
+              Seq(WH.ClientQuotas.Entity("client-id", Some("cli"))),
+              Seq(("producer_byte_rate", 1024.0)))))
+          val qaReq = WH.ClientQuotas.AlterRequest(Seq(
+            WH.ClientQuotas.AlterEntry(
+              Seq(WH.ClientQuotas.Entity("client-id", Some("cli"))),
+              Seq(WH.ClientQuotas.Op("producer_byte_rate", 2048.0,
+                remove = false)))), validateOnly = false)
+          val qaResp = WH.ClientQuotas.AlterResponse(5, Seq(
+            WH.ClientQuotas.AlterResult(0, None,
+              Seq(WH.ClientQuotas.Entity("client-id", Some("cli"))))))
+          WV.DescribeLogDirsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeLogDirsV.encode(v, ldReq)
+            val r = WV.DescribeLogDirsV.decode(v, bytes)
+            ("describe_log_dirs", v, bytes.length,
+              s"topics=${r.topics.map(_.size).getOrElse(-1)}|parts=${
+                r.topics.map(_.head._2.size).getOrElse(-1)}")
+          } ++ WV.DescribeLogDirsV.ValidVersions.map { v =>
+            val bytes = WV.DescribeLogDirsV.encodeResp(v, ldResp)
+            val r = WV.DescribeLogDirsV.decodeResp(v, bytes)
+            ("describe_log_dirs_resp", v, bytes.length,
+              s"dir=${r.results.head.logDir}|total=${r.results.head.totalBytes}")
+          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
+            val bytes = WV.ClientQuotasV.encodeDescribe(v, qdReq)
+            val r = WV.ClientQuotasV.decodeDescribe(v, bytes)
+            ("describe_client_quotas", v, bytes.length,
+              s"strict=${r.strict}|comps=${r.components.size}")
+          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
+            val bytes = WV.ClientQuotasV.encodeDescribeResp(v, qdResp)
+            val r = WV.ClientQuotasV.decodeDescribeResp(v, bytes)
+            ("describe_client_quotas_resp", v, bytes.length,
+              s"entries=${r.entries.size}|v=${r.entries.head.values.head._2}")
+          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
+            val bytes = WV.ClientQuotasV.encodeAlter(v, qaReq)
+            val r = WV.ClientQuotasV.decodeAlter(v, bytes)
+            ("alter_client_quotas", v, bytes.length,
+              s"ops=${r.entries.head.ops.size}|v=${r.entries.head.ops.head.value}")
+          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
+            val bytes = WV.ClientQuotasV.encodeAlterResp(v, qaResp)
+            val r = WV.ClientQuotasV.decodeAlterResp(v, bytes)
+            ("alter_client_quotas_resp", v, bytes.length,
+              s"throttle=${r.throttleMs}|results=${r.results.size}")
+          }
         }
       rows.toDF("family", "version", "req_bytes", "detail")
         .orderBy("family", "version")
@@ -13935,7 +13990,25 @@ object SparkEntry {
         |  ('delete_acls_resp', 0, 46, 'matches=1|principal=User:alice'),
         |  ('delete_acls_resp', 1, 47, 'matches=1|principal=User:alice'),
         |  ('delete_acls_resp', 2, 39, 'matches=1|principal=User:alice'),
-        |  ('delete_acls_resp', 3, 39, 'matches=1|principal=User:alice'))
+        |  ('delete_acls_resp', 3, 39, 'matches=1|principal=User:alice'),
+        |  ('describe_log_dirs', 0, 24, 'topics=1|parts=2'),
+        |  ('describe_log_dirs', 1, 24, 'topics=1|parts=2'),
+        |  ('describe_log_dirs', 2, 19, 'topics=1|parts=2'),
+        |  ('describe_log_dirs', 3, 19, 'topics=1|parts=2'),
+        |  ('describe_log_dirs', 4, 19, 'topics=1|parts=2'),
+        |  ('describe_log_dirs_resp', 0, 60, 'dir=/var/lib/d0|total=-1'),
+        |  ('describe_log_dirs_resp', 1, 60, 'dir=/var/lib/d0|total=-1'),
+        |  ('describe_log_dirs_resp', 2, 53, 'dir=/var/lib/d0|total=-1'),
+        |  ('describe_log_dirs_resp', 3, 55, 'dir=/var/lib/d0|total=-1'),
+        |  ('describe_log_dirs_resp', 4, 71, 'dir=/var/lib/d0|total=1000000'),
+        |  ('describe_client_quotas', 0, 22, 'strict=true|comps=1'),
+        |  ('describe_client_quotas', 1, 19, 'strict=true|comps=1'),
+        |  ('describe_client_quotas_resp', 0, 64, 'entries=1|v=1024.0'),
+        |  ('describe_client_quotas_resp', 1, 55, 'entries=1|v=1024.0'),
+        |  ('alter_client_quotas', 0, 58, 'ops=1|v=2048.0'),
+        |  ('alter_client_quotas', 1, 50, 'ops=1|v=2048.0'),
+        |  ('alter_client_quotas_resp', 0, 32, 'throttle=5|results=1'),
+        |  ('alter_client_quotas_resp', 1, 26, 'throttle=5|results=1'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
 
     "p6_wire_framing" ->

@@ -3776,6 +3776,368 @@ object WireVersions {
     }
   }
 
+  // =================================================================
+  // Tier-6 (the last multi-version keys in the handler registry):
+  // DescribeLogDirs 0-4 (flexible 2+, top error_code at 3,
+  // total/usable bytes at 4), DescribeClientQuotas /
+  // AlterClientQuotas 0-1 (flexible 1+).
+  // =================================================================
+
+  object DescribeLogDirsV {
+    val ValidVersions: Range = 0 to 4
+    def flexible(version: Int): Boolean = version >= 2
+
+    def size(version: Int, r: WireHeaders.DescribeLogDirs.Request): Int = {
+      require(ValidVersions.contains(version), s"describe_log_dirs version $version")
+      val flex = flexible(version)
+      (r.topics match {
+        case None => if (flex) 1 else 4
+        case Some(ts) =>
+          (if (flex) uvarintSize(ts.size + 1L) else 4) +
+            ts.map { case (t, ps) =>
+              (if (flex) compactStringSize(t) else strSize(t)) +
+                (if (flex) uvarintSize(ps.size + 1L) else 4) + 4 * ps.size +
+                (if (flex) 1 else 0)
+            }.sum
+      }) + (if (flex) 1 else 0)
+    }
+
+    def encode(version: Int, r: WireHeaders.DescribeLogDirs.Request): Array[Byte] = {
+      if (flexible(version)) return WireHeaders.DescribeLogDirs.encodeRequest(r)
+      val b = ByteBuffer.allocate(size(version, r))
+      r.topics match {
+        case None => b.putInt(-1)
+        case Some(ts) =>
+          b.putInt(ts.size)
+          ts.foreach { case (t, ps) =>
+            putStr(b, t); b.putInt(ps.size); ps.foreach(b.putInt)
+          }
+      }
+      b.array()
+    }
+
+    def decode(version: Int, bytes: Array[Byte]): WireHeaders.DescribeLogDirs.Request = {
+      require(ValidVersions.contains(version), s"describe_log_dirs version $version")
+      if (flexible(version)) return WireHeaders.DescribeLogDirs.decodeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val n = b.getInt()
+      val topics =
+        if (n < 0) None
+        else Some((0 until n).map { _ =>
+          val t = getStr(b)
+          (t, (0 until b.getInt()).map(_ => b.getInt()): Seq[Int])
+        }: Seq[(String, Seq[Int])])
+      require(!b.hasRemaining, "trailing bytes after describe_log_dirs request")
+      WireHeaders.DescribeLogDirs.Request(topics)
+    }
+
+    def sizeResp(version: Int, r: WireHeaders.DescribeLogDirs.Response): Int = {
+      require(ValidVersions.contains(version), s"describe_log_dirs version $version")
+      val flex = flexible(version)
+      def str(s: String) = if (flex) compactStringSize(s) else strSize(s)
+      4 + (if (version >= 3) 2 else 0) +
+        (if (flex) uvarintSize(r.results.size + 1L) else 4) +
+        r.results.map { d =>
+          2 + str(d.logDir) +
+            (if (flex) uvarintSize(d.topics.size + 1L) else 4) +
+            d.topics.map { case (t, ps) =>
+              str(t) + (if (flex) uvarintSize(ps.size + 1L) else 4) +
+                ps.size * (21 + (if (flex) 1 else 0)) + (if (flex) 1 else 0)
+            }.sum + (if (version >= 4) 16 else 0) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeResp(version: Int, r: WireHeaders.DescribeLogDirs.Response): Array[Byte] = {
+      require(ValidVersions.contains(version), s"describe_log_dirs version $version")
+      val b = ByteBuffer.allocate(sizeResp(version, r))
+      val flex = flexible(version)
+      def str(s: String): Unit = if (flex) putCompactString(b, s) else putStr(b, s)
+      b.putInt(r.throttleMs)
+      if (version >= 3) b.putShort(r.errorCode)
+      if (flex) putCompactArrayLen(b, r.results.size) else b.putInt(r.results.size)
+      r.results.foreach { d =>
+        b.putShort(d.errorCode)
+        str(d.logDir)
+        if (flex) putCompactArrayLen(b, d.topics.size) else b.putInt(d.topics.size)
+        d.topics.foreach { case (t, ps) =>
+          str(t)
+          if (flex) putCompactArrayLen(b, ps.size) else b.putInt(ps.size)
+          ps.foreach { p =>
+            b.putInt(p.partitionIndex); b.putLong(p.partitionSize)
+            b.putLong(p.offsetLag)
+            b.put(if (p.isFutureKey) 1.toByte else 0.toByte)
+            if (flex) putEmptyTags(b)
+          }
+          if (flex) putEmptyTags(b)
+        }
+        if (version >= 4) { b.putLong(d.totalBytes); b.putLong(d.usableBytes) }
+        if (flex) putEmptyTags(b)
+      }
+      if (flex) putEmptyTags(b)
+      b.array()
+    }
+
+    def decodeResp(version: Int, bytes: Array[Byte]): WireHeaders.DescribeLogDirs.Response = {
+      require(ValidVersions.contains(version), s"describe_log_dirs version $version")
+      val b = ByteBuffer.wrap(bytes)
+      val flex = flexible(version)
+      def str() = if (flex) getCompactString(b) else getStr(b)
+      val throttle = b.getInt()
+      val ec = if (version >= 3) b.getShort() else 0.toShort
+      val nd = if (flex) getCompactArrayLen(b) else b.getInt()
+      val results = (0 until nd).map { _ =>
+        val derr = b.getShort()
+        val dir = str()
+        val nt = if (flex) getCompactArrayLen(b) else b.getInt()
+        val topics = (0 until nt).map { _ =>
+          val t = str()
+          val np = if (flex) getCompactArrayLen(b) else b.getInt()
+          val ps = (0 until np).map { _ =>
+            val p = WireHeaders.DescribeLogDirs.Partition(b.getInt(),
+              b.getLong(), b.getLong(), b.get() == 1)
+            if (flex) getTags(b)
+            p
+          }
+          if (flex) getTags(b)
+          (t, ps: Seq[WireHeaders.DescribeLogDirs.Partition])
+        }
+        val (total, usable) =
+          if (version >= 4) (b.getLong(), b.getLong()) else (-1L, -1L)
+        if (flex) getTags(b)
+        WireHeaders.DescribeLogDirs.DirResult(derr, dir, topics, total, usable)
+      }
+      if (flex) getTags(b)
+      require(!b.hasRemaining, "trailing bytes after describe_log_dirs response")
+      WireHeaders.DescribeLogDirs.Response(throttle, ec, results)
+    }
+  }
+
+  object ClientQuotasV {
+    val ValidVersions: Range = 0 to 1
+    def flexible(version: Int): Boolean = version >= 1
+
+    private def entitySize(flex: Boolean,
+        es: Seq[WireHeaders.ClientQuotas.Entity]): Int =
+      (if (flex) uvarintSize(es.size + 1L) else 4) + es.map { e =>
+        (if (flex) compactStringSize(e.entityType) else strSize(e.entityType)) +
+          (if (flex) compactNullableStrSize(e.entityName)
+           else nullableStrSize(e.entityName)) + (if (flex) 1 else 0)
+      }.sum
+
+    private def putEntityV(b: ByteBuffer, flex: Boolean,
+        es: Seq[WireHeaders.ClientQuotas.Entity]): Unit = {
+      if (flex) putCompactArrayLen(b, es.size) else b.putInt(es.size)
+      es.foreach { e =>
+        if (flex) {
+          putCompactString(b, e.entityType)
+          putCompactNullableString(b, e.entityName)
+          putEmptyTags(b)
+        } else { putStr(b, e.entityType); putNullableStr(b, e.entityName) }
+      }
+    }
+
+    private def getEntityV(b: ByteBuffer, flex: Boolean):
+        Seq[WireHeaders.ClientQuotas.Entity] = {
+      val n = if (flex) getCompactArrayLen(b) else b.getInt()
+      (0 until n).map { _ =>
+        val e = WireHeaders.ClientQuotas.Entity(
+          if (flex) getCompactString(b) else getStr(b),
+          if (flex) getCompactNullableString(b) else getNullableStr(b))
+        if (flex) getTags(b)
+        e
+      }
+    }
+
+    def sizeDescribe(version: Int,
+        r: WireHeaders.ClientQuotas.DescribeRequest): Int = {
+      require(ValidVersions.contains(version), s"describe_client_quotas version $version")
+      val flex = flexible(version)
+      (if (flex) uvarintSize(r.components.size + 1L) else 4) +
+        r.components.map { c =>
+          (if (flex) compactStringSize(c.entityType) else strSize(c.entityType)) +
+            1 + (if (flex) compactNullableStrSize(c.matchName)
+                 else nullableStrSize(c.matchName)) + (if (flex) 1 else 0)
+        }.sum + 1 + (if (flex) 1 else 0)
+    }
+
+    def encodeDescribe(version: Int,
+        r: WireHeaders.ClientQuotas.DescribeRequest): Array[Byte] = {
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.encodeDescribeRequest(r)
+      val b = ByteBuffer.allocate(sizeDescribe(version, r))
+      b.putInt(r.components.size)
+      r.components.foreach { c =>
+        putStr(b, c.entityType)
+        b.put(c.matchType)
+        putNullableStr(b, c.matchName)
+      }
+      b.put(if (r.strict) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decodeDescribe(version: Int, bytes: Array[Byte]):
+        WireHeaders.ClientQuotas.DescribeRequest = {
+      require(ValidVersions.contains(version), s"describe_client_quotas version $version")
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.decodeDescribeRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val comps = (0 until b.getInt()).map { _ =>
+        WireHeaders.ClientQuotas.DescribeComponent(getStr(b), b.get(),
+          getNullableStr(b))
+      }
+      val strict = b.get() == 1
+      require(!b.hasRemaining, "trailing bytes after describe_client_quotas request")
+      WireHeaders.ClientQuotas.DescribeRequest(comps, strict)
+    }
+
+    def sizeDescribeResp(version: Int,
+        r: WireHeaders.ClientQuotas.DescribeResponse): Int = {
+      require(ValidVersions.contains(version), s"describe_client_quotas version $version")
+      val flex = flexible(version)
+      4 + 2 + (if (flex) compactNullableStrSize(r.errorMessage)
+               else nullableStrSize(r.errorMessage)) +
+        (if (flex) uvarintSize(r.entries.size + 1L) else 4) +
+        r.entries.map { e =>
+          entitySize(flex, e.entity) +
+            (if (flex) uvarintSize(e.values.size + 1L) else 4) +
+            e.values.map { case (k, _) =>
+              (if (flex) compactStringSize(k) else strSize(k)) + 8 +
+                (if (flex) 1 else 0)
+            }.sum + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeDescribeResp(version: Int,
+        r: WireHeaders.ClientQuotas.DescribeResponse): Array[Byte] = {
+      require(ValidVersions.contains(version), s"describe_client_quotas version $version")
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.encodeDescribeResponse(r)
+      val b = ByteBuffer.allocate(sizeDescribeResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putShort(r.errorCode)
+      putNullableStr(b, r.errorMessage)
+      b.putInt(r.entries.size)
+      r.entries.foreach { e =>
+        putEntityV(b, flex = false, e.entity)
+        b.putInt(e.values.size)
+        e.values.foreach { case (k, v) => putStr(b, k); b.putDouble(v) }
+      }
+      b.array()
+    }
+
+    def decodeDescribeResp(version: Int, bytes: Array[Byte]):
+        WireHeaders.ClientQuotas.DescribeResponse = {
+      require(ValidVersions.contains(version), s"describe_client_quotas version $version")
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.decodeDescribeResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt(); val ec = b.getShort()
+      val msg = getNullableStr(b)
+      val entries = (0 until b.getInt()).map { _ =>
+        val entity = getEntityV(b, flex = false)
+        val values = (0 until b.getInt()).map(_ => (getStr(b), b.getDouble()))
+        WireHeaders.ClientQuotas.Entry(entity, values)
+      }
+      require(!b.hasRemaining, "trailing bytes after describe_client_quotas response")
+      WireHeaders.ClientQuotas.DescribeResponse(throttle, ec, msg, entries)
+    }
+
+    def sizeAlter(version: Int,
+        r: WireHeaders.ClientQuotas.AlterRequest): Int = {
+      require(ValidVersions.contains(version), s"alter_client_quotas version $version")
+      val flex = flexible(version)
+      (if (flex) uvarintSize(r.entries.size + 1L) else 4) +
+        r.entries.map { e =>
+          entitySize(flex, e.entity) +
+            (if (flex) uvarintSize(e.ops.size + 1L) else 4) +
+            e.ops.map { o =>
+              (if (flex) compactStringSize(o.key) else strSize(o.key)) + 9 +
+                (if (flex) 1 else 0)
+            }.sum + (if (flex) 1 else 0)
+        }.sum + 1 + (if (flex) 1 else 0)
+    }
+
+    def encodeAlter(version: Int,
+        r: WireHeaders.ClientQuotas.AlterRequest): Array[Byte] = {
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.encodeAlterRequest(r)
+      val b = ByteBuffer.allocate(sizeAlter(version, r))
+      b.putInt(r.entries.size)
+      r.entries.foreach { e =>
+        putEntityV(b, flex = false, e.entity)
+        b.putInt(e.ops.size)
+        e.ops.foreach { o =>
+          putStr(b, o.key); b.putDouble(o.value)
+          b.put(if (o.remove) 1.toByte else 0.toByte)
+        }
+      }
+      b.put(if (r.validateOnly) 1.toByte else 0.toByte)
+      b.array()
+    }
+
+    def decodeAlter(version: Int, bytes: Array[Byte]):
+        WireHeaders.ClientQuotas.AlterRequest = {
+      require(ValidVersions.contains(version), s"alter_client_quotas version $version")
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.decodeAlterRequest(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val entries = (0 until b.getInt()).map { _ =>
+        val entity = getEntityV(b, flex = false)
+        val ops = (0 until b.getInt()).map(_ =>
+          WireHeaders.ClientQuotas.Op(getStr(b), b.getDouble(), b.get() == 1))
+        WireHeaders.ClientQuotas.AlterEntry(entity, ops)
+      }
+      val vo = b.get() == 1
+      require(!b.hasRemaining, "trailing bytes after alter_client_quotas request")
+      WireHeaders.ClientQuotas.AlterRequest(entries, vo)
+    }
+
+    def sizeAlterResp(version: Int,
+        r: WireHeaders.ClientQuotas.AlterResponse): Int = {
+      require(ValidVersions.contains(version), s"alter_client_quotas version $version")
+      val flex = flexible(version)
+      4 + (if (flex) uvarintSize(r.results.size + 1L) else 4) +
+        r.results.map { x =>
+          2 + (if (flex) compactNullableStrSize(x.errorMessage)
+               else nullableStrSize(x.errorMessage)) +
+            entitySize(flex, x.entity) + (if (flex) 1 else 0)
+        }.sum + (if (flex) 1 else 0)
+    }
+
+    def encodeAlterResp(version: Int,
+        r: WireHeaders.ClientQuotas.AlterResponse): Array[Byte] = {
+      require(ValidVersions.contains(version), s"alter_client_quotas version $version")
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.encodeAlterResponse(r)
+      val b = ByteBuffer.allocate(sizeAlterResp(version, r))
+      b.putInt(r.throttleMs)
+      b.putInt(r.results.size)
+      r.results.foreach { x =>
+        b.putShort(x.errorCode)
+        putNullableStr(b, x.errorMessage)
+        putEntityV(b, flex = false, x.entity)
+      }
+      b.array()
+    }
+
+    def decodeAlterResp(version: Int, bytes: Array[Byte]):
+        WireHeaders.ClientQuotas.AlterResponse = {
+      require(ValidVersions.contains(version), s"alter_client_quotas version $version")
+      if (flexible(version))
+        return WireHeaders.ClientQuotas.decodeAlterResponse(bytes)
+      val b = ByteBuffer.wrap(bytes)
+      val throttle = b.getInt()
+      val results = (0 until b.getInt()).map { _ =>
+        val ec = b.getShort()
+        val msg = getNullableStr(b)
+        val entity = getEntityV(b, flex = false)
+        WireHeaders.ClientQuotas.AlterResult(ec, msg, entity)
+      }
+      require(!b.hasRemaining, "trailing bytes after alter_client_quotas response")
+      WireHeaders.ClientQuotas.AlterResponse(throttle, results)
+    }
+  }
+
   // ------------------------------------------ ApiVersions request 0-3
 
   object ApiVersionsReqV {

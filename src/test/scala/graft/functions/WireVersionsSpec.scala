@@ -967,6 +967,91 @@ class WireVersionsSpec extends AnyFunSuite {
     assert(DeleteAclsV.encodeResp(2, delResp).length === 39)
   }
 
+  // ------------------------------------------------------ tier-6 keys
+
+  test("describe_log_dirs 0-4: top error at v3, dir byte gauges at v4") {
+    val req = WireHeaders.DescribeLogDirs.Request(Some(Seq(("events", Seq(0, 1)))))
+    for (v <- DescribeLogDirsV.ValidVersions) {
+      val bytes = DescribeLogDirsV.encode(v, req)
+      assert(bytes.length === DescribeLogDirsV.size(v, req), s"v$v size")
+      assert(DescribeLogDirsV.decode(v, bytes) === req)
+    }
+    // v0: topics 4 + name(2+6) + nparts 4 + 8 = 24; v2 flex: 1+7+1+8+1+1 = 19
+    assert(DescribeLogDirsV.encode(0, req).length === 24)
+    assert(DescribeLogDirsV.encode(2, req).length === 19)
+    // null topics (all dirs) round-trips at every version
+    val allT = WireHeaders.DescribeLogDirs.Request(None)
+    for (v <- DescribeLogDirsV.ValidVersions)
+      assert(DescribeLogDirsV.decode(v, DescribeLogDirsV.encode(v, allT)) === allT)
+    val resp = WireHeaders.DescribeLogDirs.Response(5, 0, Seq(
+      WireHeaders.DescribeLogDirs.DirResult(0, "/var/lib/d0", Seq(("events",
+        Seq(WireHeaders.DescribeLogDirs.Partition(0, 4096L, 10L,
+          isFutureKey = false)))), 1000000L, 900000L)))
+    for (v <- DescribeLogDirsV.ValidVersions) {
+      val bytes = DescribeLogDirsV.encodeResp(v, resp)
+      assert(bytes.length === DescribeLogDirsV.sizeResp(v, resp), s"v$v size")
+      val back = DescribeLogDirsV.decodeResp(v, bytes)
+      val d = back.results.head
+      assert(d.logDir === "/var/lib/d0")
+      assert(d.topics.head._2.head.partitionSize === 4096L)
+      assert(d.totalBytes === (if (v >= 4) 1000000L else -1L), s"v$v")
+      assert(d.usableBytes === (if (v >= 4) 900000L else -1L), s"v$v")
+    }
+    // v0: 4 + 4 + (2 + (2+11) + 4 + (2+6) + 4 + 21) = 60
+    assert(DescribeLogDirsV.encodeResp(0, resp).length === 60)
+    assert(DescribeLogDirsV.encodeResp(3, resp).length === 55) // flex + error_code
+    // v4 flex: 4+2+1+(2+12+1+7+1+22+1+16+1)+1 = 71
+    assert(DescribeLogDirsV.encodeResp(4, resp).length === 71)
+  }
+
+  test("client quotas describe/alter 0-1: flexible cutover at v1") {
+    val dReq = WireHeaders.ClientQuotas.DescribeRequest(Seq(
+      WireHeaders.ClientQuotas.DescribeComponent("client-id", 0, Some("cli"))),
+      strict = true)
+    for (v <- ClientQuotasV.ValidVersions) {
+      val bytes = ClientQuotasV.encodeDescribe(v, dReq)
+      assert(bytes.length === ClientQuotasV.sizeDescribe(v, dReq), s"v$v size")
+      assert(ClientQuotasV.decodeDescribe(v, bytes) === dReq)
+    }
+    // v0: comps 4 + ((2+9) + 1 + (2+3)) + strict 1 = 22
+    assert(ClientQuotasV.encodeDescribe(0, dReq).length === 22)
+    assert(ClientQuotasV.encodeDescribe(1, dReq).length === 19)
+    val dResp = WireHeaders.ClientQuotas.DescribeResponse(5, 0, None, Seq(
+      WireHeaders.ClientQuotas.Entry(
+        Seq(WireHeaders.ClientQuotas.Entity("client-id", Some("cli"))),
+        Seq(("producer_byte_rate", 1024.0)))))
+    for (v <- ClientQuotasV.ValidVersions) {
+      val bytes = ClientQuotasV.encodeDescribeResp(v, dResp)
+      assert(bytes.length === ClientQuotasV.sizeDescribeResp(v, dResp), s"v$v size")
+      val back = ClientQuotasV.decodeDescribeResp(v, bytes)
+      assert(back.entries.head.values === Seq(("producer_byte_rate", 1024.0)))
+    }
+    // v0: 4+2+2 + 4 + (entity 4+(11+5) + values 4+((2+18)+8)) = 64
+    assert(ClientQuotasV.encodeDescribeResp(0, dResp).length === 64)
+    val aReq = WireHeaders.ClientQuotas.AlterRequest(Seq(
+      WireHeaders.ClientQuotas.AlterEntry(
+        Seq(WireHeaders.ClientQuotas.Entity("client-id", Some("cli"))),
+        Seq(WireHeaders.ClientQuotas.Op("producer_byte_rate", 2048.0,
+          remove = false)))), validateOnly = false)
+    for (v <- ClientQuotasV.ValidVersions) {
+      val bytes = ClientQuotasV.encodeAlter(v, aReq)
+      assert(bytes.length === ClientQuotasV.sizeAlter(v, aReq), s"v$v size")
+      assert(ClientQuotasV.decodeAlter(v, bytes) === aReq)
+    }
+    // v0: 4 + (entity 4+16 + ops 4+(20+8+1)) + 1 = 58
+    assert(ClientQuotasV.encodeAlter(0, aReq).length === 58)
+    val aResp = WireHeaders.ClientQuotas.AlterResponse(5, Seq(
+      WireHeaders.ClientQuotas.AlterResult(0, None,
+        Seq(WireHeaders.ClientQuotas.Entity("client-id", Some("cli"))))))
+    for (v <- ClientQuotasV.ValidVersions) {
+      val bytes = ClientQuotasV.encodeAlterResp(v, aResp)
+      assert(bytes.length === ClientQuotasV.sizeAlterResp(v, aResp), s"v$v size")
+      assert(ClientQuotasV.decodeAlterResp(v, bytes) === aResp)
+    }
+    // v0: 4 + 4 + (2 + 2 + entity 4+16) = 32
+    assert(ClientQuotasV.encodeAlterResp(0, aResp).length === 32)
+  }
+
   test("api_versions request 0-3: empty legacy bodies, KIP-511 pair at v3") {
     val req = ApiVersionsReqV.Request("rpk", "v25.1")
     for (v <- ApiVersionsReqV.ValidVersions) {
