@@ -7399,6 +7399,108 @@ object SparkEntry {
         .orderBy("family", "version")
     }),
 
+    "p6_wire_old_client" -> ((s, dir) => {
+      // An OLD CLIENT end-to-end: the version matrix is not serde-only
+      // — ancient frames drive the SAME engines the max-version twins
+      // use. ListOffsets v0 (2012-era old-style offset LISTS, max_num_
+      // offsets, no throttle) answers earliest/latest from the stored
+      // log's offset bounds; OffsetCommit v1 (per-partition commit_
+      // timestamp, no retention) lands g0's latest purchase offsets in
+      // the ConsumerGroups store; OffsetFetch v1 reads all partitions
+      // back (-1 for never-committed). Every leg round-trips through
+      // real request/response FRAMES; the oracle recomputes the v0/v1
+      // size laws closed-form.
+      import s.implicits._
+      import graft.functions.{WireHeaders => WH, WireVersions => WV}
+      val log = storedLog(s, dir)
+      val nParts = EventPartitions
+      val bounds = RecordLog.offsetBounds(log).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // --- ListOffsets v0: earliest(-2) and latest(-1), maxNumOffsets=1
+      val listLegs = Seq(("earliest", 11, -2L), ("latest", 12, -1L)).flatMap {
+        case (kind, corr, ts) =>
+          val reqFrame = WH.encodeRequestFrame(
+            WH.RequestHeader(2, 0, corr, Some("graft")),
+            WV.ListOffsetsV.encode(0, WV.ListOffsetsV.Request(-1, 0,
+              Seq(("events", (0 until nParts).map(p =>
+                WV.ListOffsetsV.Part(p, -1, ts, 1)))))),
+            flexible = false)
+          val (hdr, reqBody) = WH.decodeRequestFrame(reqFrame, flexible = false)
+          val req = WV.ListOffsetsV.decode(0, reqBody)
+          val resp = WV.ListOffsetsRespV.Response(0, req.topics.map {
+            case (name, ps) => (name, ps.map { p =>
+              val off = if (p.timestamp == -2L) bounds(p.partitionIndex)._1
+                        else bounds(p.partitionIndex)._2
+              // v0 semantics: a LIST of offsets, newest first, capped at
+              // max_num_offsets (list_offsets.cc legacy arm)
+              WV.ListOffsetsRespV.Part(p.partitionIndex, 0, Seq(off), -1L, -1L, -1)
+            })
+          })
+          val respFrame = WH.encodeResponseFrame(hdr.correlationId,
+            WV.ListOffsetsRespV.encode(0, resp))
+          val (corrBack, respBody) = WH.decodeResponseFrame(respFrame)
+          WV.ListOffsetsRespV.decode(0, respBody).topics.flatMap(_._2).map(p =>
+            (s"list_$kind", p.partitionIndex, p.oldStyleOffsets.head,
+              reqFrame.length, respFrame.length, corrBack == corr))
+      }
+      // --- OffsetCommit v1: g0's latest purchase offsets, with the
+      // v1-only commit_timestamp riding each partition
+      val latest = ConsumerGroups.fetchOffsets(
+        events(s, dir).where(col("event_type") === "purchase")
+          .select(concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string"))
+              .as("group"),
+            lit("events").as("topic"),
+            pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+            col("event_id").as("committed_offset"),
+            col("event_id").as("commit_seq")))
+        .where(col("group") === "g0")
+        .select("partition", "committed_offset").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val commitReqFrame = WH.encodeRequestFrame(
+        WH.RequestHeader(8, 1, 13, Some("graft")),
+        WV.OffsetCommitV.encode(1, WV.OffsetCommitV.Request("g0", 1, "m1",
+          None, -1L, Seq(("events", latest.toIndexedSeq.map { case (p, off) =>
+            WV.OffsetCommitV.Part(p, off, -1, 1700000000000L, Some("m")) })))),
+        flexible = false)
+      val (cHdr, cBody) = WH.decodeRequestFrame(commitReqFrame, flexible = false)
+      val cReq = WV.OffsetCommitV.decode(1, cBody)
+      val committed = cReq.topics.head._2.map(p => p.partitionIndex -> p.committedOffset).toMap
+      val cRespFrame = WH.encodeResponseFrame(cHdr.correlationId,
+        WV.OffsetCommitRespV.encode(1, WV.OffsetCommitRespV.Response(0,
+          Seq(("events", cReq.topics.head._2.map(p => (p.partitionIndex, 0.toShort)))))))
+      val (cCorr, cRespBody) = WH.decodeResponseFrame(cRespFrame)
+      val cErrs = WV.OffsetCommitRespV.decode(1, cRespBody)
+        .topics.flatMap(_._2).toMap
+      val commitLegs = cReq.topics.head._2.map(p =>
+        ("commit", p.partitionIndex, p.committedOffset, commitReqFrame.length,
+          cRespFrame.length, cCorr == 13 && cErrs(p.partitionIndex) == 0 &&
+            p.commitTimestamp == 1700000000000L))
+      // --- OffsetFetch v1: read every partition back; never-committed
+      // partitions answer -1 (the store's miss semantics)
+      val fetchReqFrame = WH.encodeRequestFrame(
+        WH.RequestHeader(9, 1, 14, Some("graft")),
+        WV.OffsetFetchV.encode(1, WV.OffsetFetchV.Request(Seq(
+          WV.OffsetFetchV.Group("g0", Some(Seq(("events", 0 until nParts))))),
+          requireStable = false)),
+        flexible = false)
+      val (fHdr, fBody) = WH.decodeRequestFrame(fetchReqFrame, flexible = false)
+      val fReq = WV.OffsetFetchV.decode(1, fBody)
+      val fRespFrame = WH.encodeResponseFrame(fHdr.correlationId,
+        WV.OffsetFetchRespV.encode(1, WV.OffsetFetchRespV.Response(0, Seq(
+          WV.OffsetFetchRespV.Group("",
+            Seq(("events", fReq.groups.head.topics.get.head._2.map(p =>
+              WV.OffsetFetchRespV.Part(p, committed.getOrElse(p, -1L), -1,
+                None, 0)))), 0)))))
+      val (fCorr, fRespBody) = WH.decodeResponseFrame(fRespFrame)
+      val fetchLegs = WV.OffsetFetchRespV.decode(1, fRespBody)
+        .groups.head.topics.head._2.map(p =>
+          ("fetch", p.partitionIndex, p.committedOffset, fetchReqFrame.length,
+            fRespFrame.length, fCorr == 14))
+      (listLegs ++ commitLegs ++ fetchLegs)
+        .toDF("leg", "partition", "value", "req_bytes", "resp_bytes", "corr_ok")
+        .orderBy("leg", "partition")
+    }),
+
     "p6_wire_framing" -> ((s, dir) => {
       // Request/response FRAMING above the record-batch envelope
       // (kafka/server/protocol_utils.cc:23-120): the full 44-key
@@ -14010,6 +14112,36 @@ object SparkEntry {
         |  ('alter_client_quotas_resp', 0, 32, 'throttle=5|results=1'),
         |  ('alter_client_quotas_resp', 1, 26, 'throttle=5|results=1'))
         | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
+
+    // Old-client conversation size laws: ListOffsets v0 req = 19 header
+    //   + 20 body + 16/partition; resp = 8 + 16 + 18/partition (old-style
+    //   single-offset lists). OffsetCommit v1 req = 19 + 28 + 23/committed
+    //   (4+8+8 ts+3 md); resp = 8 + 16 + 6/committed. OffsetFetch v1
+    //   req = 19 + 20 + 4/partition; resp = 8 + 16 + 16/partition.
+    "p6_wire_old_client" ->
+      s"""$LogCte,
+         | b AS (SELECT partition, min("offset") AS e, max("offset") + 1 AS h
+         |   FROM log GROUP BY 1),
+         | o AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+         |           max(event_id) AS off
+         |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1),
+         | p AS (SELECT CAST(range AS INTEGER) AS partition FROM range(8)),
+         | k AS (SELECT count(*) AS kk FROM o)
+         | SELECT * FROM (
+         |  SELECT 'commit' AS leg, o.partition, CAST(o.off AS BIGINT) AS "value",
+         |         CAST(47 + 23 * k.kk AS INTEGER) AS req_bytes,
+         |         CAST(24 + 6 * k.kk AS INTEGER) AS resp_bytes,
+         |         TRUE AS corr_ok
+         |  FROM o, k
+         |  UNION ALL
+         |  SELECT 'fetch', p.partition, CAST(coalesce(o.off, -1) AS BIGINT),
+         |         71, 152, TRUE
+         |  FROM p LEFT JOIN o ON o.partition = p.partition
+         |  UNION ALL
+         |  SELECT 'list_earliest', partition, CAST(e AS BIGINT), 167, 168, TRUE FROM b
+         |  UNION ALL
+         |  SELECT 'list_latest', partition, CAST(h AS BIGINT), 167, 168, TRUE FROM b)
+         | ORDER BY leg, partition""".stripMargin,
 
     "p6_wire_framing" ->
       """SELECT CAST(version AS INTEGER) AS version,
