@@ -362,6 +362,42 @@ object WasmInterp {
             locals(xs(pc)) = binOp((z >>> 16) & 0xff,
               loadVal(z >>> 24, ys(pc)), locals(z & 0xffff))
             pc += 1
+          case RangeAndOp =>
+            val z = zs(pc); val y = ys(pc)
+            stack.push(binOp(z >>> 24, locals((z >>> 8) & 0xff),
+              (y >>> 32).toInt.toLong) &
+              binOp((z >>> 16) & 0xff, locals(z & 0xff), y.toInt.toLong))
+            pc += 1
+          case RangeOrOp =>
+            val z = zs(pc); val y = ys(pc)
+            stack.push(binOp(z >>> 24, locals((z >>> 8) & 0xff),
+              (y >>> 32).toInt.toLong) |
+              binOp((z >>> 16) & 0xff, locals(z & 0xff), y.toInt.toLong))
+            pc += 1
+          case JzRangeAndOp =>
+            val z = zs(pc); val y = ys(pc)
+            if ((binOp(z >>> 24, locals((z >>> 8) & 0xff),
+                (y >>> 32).toInt.toLong) &
+                binOp((z >>> 16) & 0xff, locals(z & 0xff),
+                  y.toInt.toLong)).toInt == 0) {
+              val t = xs(pc)
+              if (t < 0) return
+              if (t <= pc) { fuel -= pc - t + 1
+                if (fuel < 0) throw new WasmTrap(s"fuel exhausted ($maxFuel instructions)") }
+              pc = t
+            } else pc += 1
+          case JzRangeOrOp =>
+            val z = zs(pc); val y = ys(pc)
+            if ((binOp(z >>> 24, locals((z >>> 8) & 0xff),
+                (y >>> 32).toInt.toLong) |
+                binOp((z >>> 16) & 0xff, locals(z & 0xff),
+                  y.toInt.toLong)).toInt == 0) {
+              val t = xs(pc)
+              if (t < 0) return
+              if (t <= pc) { fuel -= pc - t + 1
+                if (fuel < 0) throw new WasmTrap(s"fuel exhausted ($maxFuel instructions)") }
+              pc = t
+            } else pc += 1
           case JzLOp =>
             if (locals(zs(pc)).toInt == 0) {
               val y = ys(pc)
@@ -837,6 +873,13 @@ object WasmInterp {
     final val JzBinLCOp = 0x22b // if (binop(z>>>16, l[z&ffff], y)==0) br x
     final val StLBinLCOp = 0x22c // store((z>>>16)&ff, l[x]+(y>>>32), binop(z>>>24, l[z&ffff], y.toInt))
     final val LdATosBinLSOp = 0x22d // l[x] = binop((z>>>16)&ff, load(z>>>24, y), l[z&ffff])
+    // combined two-comparison tests (the range-check shape):
+    //   push(binop(op1, l[a], c1) <&/|> binop(op2, l[b], c2))
+    // ys = (c1<<32)|c2, zs = (op1<<24)|(op2<<16)|(a<<8)|b
+    final val RangeAndOp = 0x22e
+    final val RangeOrOp = 0x22f
+    final val JzRangeAndOp = 0x230 // ...== 0 -> jump xs (structural)
+    final val JzRangeOrOp = 0x231
 
     def isBinary(op: Int): Boolean =
       (op >= 0x46 && op <= 0x66 && op != 0x50) ||
@@ -945,6 +988,29 @@ object WasmInterp {
                         (op << 24) | (a << 12) | b); 4
                     case _ => emit(BinLLOp, a, op.toLong, b); h += 1; 3
                   }
+                // two local-vs-const comparisons combined by and/or — the
+                // range-check shape — collapse to ONE dispatch (and fuse
+                // into the following `if` when there is one)
+                case (I32Const(c1), Num(op1)) if a <= 0xff && isBinary(op1) &&
+                    i + 6 < n &&
+                    (instrs(i + 3) match {
+                      case LocalGet(b) => b <= 0xff; case _ => false
+                    }) && instrs(i + 4).isInstanceOf[I32Const] &&
+                    (instrs(i + 5) match {
+                      case Num(op2) => isBinary(op2); case _ => false
+                    }) &&
+                    (instrs(i + 6) match {
+                      case Num(0x71) | Num(0x72) => true; case _ => false
+                    }) =>
+                  val b2 = instrs(i + 3).asInstanceOf[LocalGet].i
+                  val c2 = instrs(i + 4).asInstanceOf[I32Const].v
+                  val op2 = instrs(i + 5).asInstanceOf[Num].op
+                  val comb = instrs(i + 6).asInstanceOf[Num].op
+                  condPc = emit(if (comb == 0x71) RangeAndOp else RangeOrOp, 0,
+                    ((c1.toLong & 0xffffffffL) << 32) | (c2.toLong & 0xffffffffL),
+                    (op1 << 24) | (op2 << 16) | (a << 8) | b2)
+                  condKind = 3
+                  h += 1; 7
                 case (I32Const(c), Num(op)) if isBinary(op) =>
                   (if (i + 3 < n) instrs(i + 3) else Nop) match {
                     case LocalSet(d) if d <= 0xffff =>
@@ -1083,6 +1149,12 @@ object WasmInterp {
                 } else if (prevCondPc >= 0 && prevCondKind == 2) {
                   val k = prevCondPc
                   zs(k) = (zs(k) << 16) | xs(k); ops(k) = JzBinLCOp; xs(k) = 0
+                  k
+                } else if (prevCondPc >= 0 && prevCondKind == 3) {
+                  val k = prevCondPc
+                  ops(k) = if (ops(k) == RangeAndOp) JzRangeAndOp
+                           else JzRangeOrOp
+                  xs(k) = 0
                   k
                 } else emit(JzOp, 0, -1L) // structural: no unwind
               val tTerm = seq(t, f :: frames, hIn)

@@ -178,17 +178,17 @@ class WasmInterpSpec extends AnyFunSuite {
     // the load→modify→store→advance shapes must stay single dispatches:
     // a regression here silently multiplies byte-loop cost. Pinned
     // opcodes (WasmInterp.Flat): 0x21f JCmpLL, 0x22d LdATosBinLS,
-    // 0x222 LdLS, 0x229 JzBin, 0x22c StLBinLC, 0x218 BinLCS.
+    // 0x222 LdLS, 0x230 JzRangeAnd (the fused a-z range check + if),
+    // 0x22c StLBinLC, 0x218 BinLCS.
     val m = WasmModule.decode(GuestModules.upperValue)
     val main = WasmInterp.flatOpsOf(m, 0)
-    for (op <- Seq(0x21f, 0x22d, 0x222, 0x229, 0x22c, 0x218))
+    for (op <- Seq(0x21f, 0x22d, 0x222, 0x230, 0x22c, 0x218))
       assert(main.contains(op), f"missing fused op 0x$op%x in ${
         main.map(o => f"0x$o%x").mkString(" ")}")
-    // the whole inner byte loop is the 9-op window ending at its
-    // backward jump: JCmpLL LdATosBinLS LdLS BinLC BinLC JzBin
-    // StLBinLC BinLCS Jmp
-    val window = Seq(0x21f, 0x22d, 0x222, 0x217, 0x217, 0x229, 0x22c,
-      0x218, 0x200)
+    // the whole inner byte loop is the 7-op window ending at its
+    // backward jump: JCmpLL LdATosBinLS LdLS JzRangeAnd StLBinLC
+    // BinLCS Jmp
+    val window = Seq(0x21f, 0x22d, 0x222, 0x230, 0x22c, 0x218, 0x200)
     assert(main.sliding(window.size).exists(_.toSeq == window),
       main.map(o => f"0x$o%x").mkString(" "))
   }
