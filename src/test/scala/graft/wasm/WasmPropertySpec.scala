@@ -106,6 +106,58 @@ class WasmPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random range-check programs: fused two-comparison tests agree") {
+    // drives the RangeAnd/RangeOr superinstructions and their fused
+    // conditional-jump forms (JzRangeAnd/Or): two i32 local-vs-const
+    // comparisons combined by and/or, randomly either returned as a
+    // value (Range* push path) or feeding an if (Jz* rewrite path)
+    import WasmModule.I32
+    val cmps: Seq[(Int, (Int, Int) => Boolean)] = Seq(
+      (0x46, (a, b) => a == b), (0x47, (a, b) => a != b),
+      (0x48, (a, b) => a < b), (0x4a, (a, b) => a > b),
+      (0x4c, (a, b) => a <= b), (0x4e, (a, b) => a >= b),
+      (0x49, (a, b) => java.lang.Integer.compareUnsigned(a, b) < 0),
+      (0x4b, (a, b) => java.lang.Integer.compareUnsigned(a, b) > 0))
+    val rnd = new scala.util.Random(414)
+    for (trial <- 0 until 120) {
+      val (op1, f1) = cmps(rnd.nextInt(cmps.size))
+      val (op2, f2) = cmps(rnd.nextInt(cmps.size))
+      val c1 = rnd.nextInt() >> rnd.nextInt(24)
+      val c2 = rnd.nextInt() >> rnd.nextInt(24)
+      val useAnd = rnd.nextBoolean()
+      val viaIf = rnd.nextBoolean()
+      val sameLocal = rnd.nextBoolean() // x in [c1, c2] vs two locals
+      val b = body()
+      b.localGet(0).i32Const(c1).op(op1)
+      b.localGet(if (sameLocal) 0 else 1).i32Const(c2).op(op2)
+      b.op(if (useAnd) 0x71 else 0x72)
+      if (viaIf) {
+        b.ifOp(0x7f)
+        b.i32Const(17)
+        b.elseOp()
+        b.i32Const(-5)
+        b.end()
+      }
+      val bytes = module(
+        types = Seq((Seq(I32, I32), Seq(I32))),
+        imports = Nil,
+        funcs = Seq(Func(0, 0, 0, b)),
+        memPages = 1,
+        exports = Seq(Export("f", 0)))
+      val x = rnd.nextInt() >> rnd.nextInt(24)
+      val y = rnd.nextInt() >> rnd.nextInt(24)
+      val t1 = if (f1(x, c1)) 1 else 0
+      val t2 = if (f2(if (sameLocal) x else y, c2)) 1 else 0
+      val comb = if (useAnd) t1 & t2 else t1 | t2
+      val want = if (viaIf) { if (comb != 0) 17 else -5 } else comb
+      val got = instantiate(bytes, noHost)
+        .invokeExport("f", Array(x.toLong, y.toLong)).head.toInt
+      assert(got === want,
+        s"trial $trial x=$x y=$y c1=$c1 c2=$c2 op1=$op1%x op2=$op2%x " +
+          s"and=$useAnd if=$viaIf same=$sameLocal")
+    }
+  }
+
   test("random loop programs: iterated accumulator agrees") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 25) {
