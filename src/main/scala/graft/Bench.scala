@@ -122,8 +122,16 @@ object Bench {
         val runs = if (rerunSet(k)) 2 else 1
         s"  \"$k\": {\"min_secs\": $v, \"runs\": $runs}"
       }
+      // the throughput block rides along too — the driver's stdout tail
+      // truncation is exactly what this artifact works around
+      val thrLine = thrJson.map { t =>
+        val block = t.split(",\"throughput_samples\":")(0)
+          .stripPrefix("\"throughput\":")
+        "  \"_throughput\": " + block
+      }
       val body = entries.mkString(
-        "{\n  \"_sf\": \"" + sfDir + "\",\n  \"_total_secs\": " + total + ",\n",
+        "{\n  \"_sf\": \"" + sfDir + "\",\n  \"_total_secs\": " + total +
+          thrLine.fold("")(",\n" + _) + ",\n",
         ",\n", "\n}\n")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_TIMES.json"),
