@@ -12,7 +12,7 @@ object EntryProbe {
          name <- args.drop(1)) {
       val df = SparkEntry.queries(name)(spark, s"/root/testdata/$sf")
       println(s"ENTRYPROBE $sf $name rows=${df.count()}")
-      df.show(10, truncate = false)
+      df.show(sys.env.getOrElse("ENTRYPROBE_ROWS", "10").toInt, truncate = false)
     }
     spark.stop()
   }

@@ -8211,7 +8211,7 @@ object SparkEntry {
         ("PUT", "/v1/cluster_config", Some(
           """{"upsert":{"data_transforms_enabled":true},"remove":[]}"""),
           r => "config_version=" + j(r.body).get("config_version").asLong()),
-        ("POST", "/v1/transform/deploy", Some(meta + " asmwasm-bytes"),
+        ("POST", "/v1/transform/deploy", Some(meta + "\u0000asm\u0001wasm-bytes"),
           _ => "deployed"),
         ("POST", "/v1/transform/deploy", Some(
           """{"name":"x","input_topic":"t"}bin"""),
@@ -8443,6 +8443,237 @@ object SparkEntry {
         } else {
           val resp = srv.handle(method, path, b)
           (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+        }
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
+    "adm_rest_debug" -> ((s, dir) => {
+      // The incident-time debug surface (redpanda/admin/debug.cc):
+      // leaders-table dump + reset, the stress-fiber validation ladder,
+      // peer status, controller/isolation status, blocked-reactor
+      // clamping, sampled memory/cpu profiles with shard validation,
+      // service restart, per-ntp partition state, storage failure
+      // injection, local/cloud storage usage, disk-stat overrides, the
+      // offset-translator route, and the broker-uuid override ladder.
+      // ENGINE-backed: offset translation wraps TxnEngine's translator
+      // state for partition 0 (per-partition translator state is
+      // control-plane-sized in the reference too), partition state and
+      // local_storage_usage render the stored log's real offsets/bytes.
+      import s.implicits._
+      import graft.admin.AdminApi
+      val trans = TxnEngine.offsetTranslation(txnLog(s, dir))
+        .where(col("partition") === 0 && col("offset") < 64)
+        .select("offset", "kafka_offset").collect()
+      val rpToKafka: Map[Long, Long] = trans.collect {
+        case r if !r.isNullAt(1) => r.getLong(0) -> r.getLong(1)
+      }.toMap
+      val kafkaToRp = rpToKafka.map(_.swap)
+      val logStats = storedLog(s, dir)
+        .where(col("partition") === 0 && col("offset") < 200)
+        .agg(min("offset"), max("offset"),
+          sum(length(col("props").cast("string"))), count(lit(1))).collect()(0)
+      val (startOff, hwm) = (logStats.getLong(0), logStats.getLong(1) + 1)
+      val dataBytes = logStats.getLong(2)
+      val nRows = logStats.getLong(3)
+      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
+        cloudStorageUsage = () => Some(dataBytes),
+        localStorageUsage = () => Map(
+          "data" -> dataBytes, "index" -> 16L * nRows,
+          "target_min_capacity" -> (dataBytes * 2)),
+        offsetTranslator = (ns, topic, p) =>
+          if (ns == "kafka" && topic == "events" && p == 0)
+            Some((off, toKafka) =>
+              if (toKafka) rpToKafka.get(off).map(k => (k, off))
+              else kafkaToRp.get(off).map(rp => (off, rp)))
+          else None,
+        partitionLogState = (ns, topic, p) =>
+          if (ns == "kafka" && topic == "events" && p == 0)
+            Some((startOff, hwm, hwm, hwm, hwm, dataBytes))
+          else None)
+      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
+      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def j(b: String) = m.readTree(b)
+      val kOf3 = rpToKafka.getOrElse(3L, -1L)
+      val rpOf2 = kafkaToRp.getOrElse(2L, -1L)
+      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
+        ("GET", "/v1/debug/partition_leaders_table", None, r => {
+          val a = j(r.body)
+          s"n=${a.size()};p0=${a.get(0).get("leader").asInt()}" +
+            s",prev=${a.get(0).get("previous_leader").asInt()}"
+        }),
+        ("POST", "/v1/partitions/kafka/events/0/transfer_leadership?target=1",
+          None, _ => "transferred"),
+        ("GET", "/v1/debug/partition_leaders_table", None, r =>
+          s"p0=${j(r.body).get(0).get("leader").asInt()}" +
+            s",prev=${j(r.body).get(0).get("previous_leader").asInt()}" +
+            s",term=${j(r.body).get(0).get("update_term").asLong()}"),
+        ("POST", "/v1/debug/reset_leaders", None, _ => "reset"),
+        ("GET", "/v1/debug/partition_leaders_table", None, r =>
+          s"prev=${j(r.body).get(0).get("previous_leader").asInt()}"),
+        ("PUT", "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=10",
+          None, r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/stress_fiber_start", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=5" +
+          "&max_spins_per_scheduling_point=2", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/stress_fiber_start?min_ms_per_scheduling_point=1" +
+          "&max_ms_per_scheduling_point=5&num_fibers=x", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=1" +
+          "&max_spins_per_scheduling_point=5&num_fibers=2", None, _ => "started"),
+        ("PUT", "/v1/debug/stress_fiber_stop", None, _ => "stopped"),
+        ("GET", "/v1/debug/peer_status/abc", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/peer_status/9", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/peer_status/1", None,
+          r => s"since=${j(r.body).get("since_last_status").asLong()}"),
+        ("GET", "/v1/debug/is_node_isolated", None, r => "isolated=" + r.body),
+        ("GET", "/v1/debug/controller_status", None, r =>
+          s"applied=${j(r.body).get("last_applied_offset").asLong()}" +
+            s",start=${j(r.body).get("start_offset").asLong()}"),
+        ("GET", "/v1/debug/cloud_storage_usage?batch_size=x", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/cloud_storage_usage", None, r => "bytes=" + r.body),
+        ("PUT", "/v1/debug/blocked_reactor_notify_ms?timeout=abc", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/blocked_reactor_notify_ms?timeout=10&expires=60",
+          None, _ => "set"),
+        ("GET", "/v1/debug/sampled_memory_profile?shard=5", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/sampled_memory_profile?shard=1", None, r =>
+          s"n=${j(r.body).size()};shard=${j(r.body).get(0).get("shard").asInt()}" +
+            s",sites=${j(r.body).get(0).get("allocation_sites").size()}"),
+        ("GET", "/v1/debug/cpu_profile?wait_ms=0", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/cpu_profile?shard=0", None, r =>
+          s"n=${j(r.body).size()};occ=${j(r.body).get(0).get("samples")
+            .get(0).get("occurrences").asInt()}"),
+        ("PUT", "/v1/debug/restart_service?service=foo", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/restart_service?service=schema-registry", None,
+          _ => "restarted"),
+        ("GET", "/v1/debug/partition/kafka/events/0", None, r => {
+          val rep = j(r.body).get("replicas").get(0)
+          s"ntp=${j(r.body).get("ntp").asText()}" +
+            s",replicas=${j(r.body).get("replicas").size()}" +
+            s",start=${rep.get("start_offset").asLong()}" +
+            s",hwm=${rep.get("high_watermark").asLong()}" +
+            s",leader=${rep.get("raft_state").get("is_leader").asBoolean()}" +
+            s",stm=${rep.get("raft_state").get("stms").get(0).get("name").asText()}"
+        }),
+        ("GET", "/v1/debug/partition/kafka/ghost/0", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/set_storage_failure_injection_enabled?value=yes",
+          None, r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/set_storage_failure_injection_enabled?value=true",
+          None, _ => "enabled"),
+        ("GET", "/v1/debug/local_storage_usage", None, r =>
+          s"data=${j(r.body).get("data").asLong()}" +
+            s",index=${j(r.body).get("index").asLong()}" +
+            s",cache=${j(r.body).get("cloud_storage_cache_bytes").asLong()}"),
+        ("GET", "/v1/debug/storage/disk_stat/ssd", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/storage/disk_stat/data", None, r =>
+          s"total=${j(r.body).get("total_bytes").asLong()}" +
+            s",free=${j(r.body).get("free_bytes").asLong()}"),
+        ("PUT", "/v1/debug/storage/disk_stat/data",
+          Some("""{"free_bytes":1000}"""), _ => "overridden"),
+        ("PUT", "/v1/debug/storage/disk_stat/data",
+          Some("""{"fs":"ext4"}"""),
+          r => "message=" + j(r.body).get("message").asText().takeWhile(_ != ':')),
+        ("GET", "/v1/debug/storage/disk_stat/data", None, r =>
+          s"free=${j(r.body).get("free_bytes").asLong()}"),
+        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0" +
+          "?translate_to=bogus", Some("[0]"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/storage/offset_translator/kafka/ghost/0", Some("[0]"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0",
+          Some("[not json"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0",
+          Some("[3]"), r => {
+            val o = j(r.body).get(0)
+            s"kafka=${o.get("kafka_offset").asLong()}" +
+              s",rp=${o.get("rp_offset").asLong()}" +
+              s",engine=${o.get("kafka_offset").asLong() == kOf3}"
+          }),
+        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0" +
+          "?translate_to=redpanda", Some("[2]"), r => {
+            val o = j(r.body).get(0)
+            s"kafka=${o.get("kafka_offset").asLong()}" +
+              s",rp=${o.get("rp_offset").asLong()}" +
+              s",engine=${o.get("rp_offset").asLong() == rpOf2}"
+          }),
+        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0",
+          Some("[99999]"),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("GET", "/v1/debug/broker_uuid", None, r =>
+          s"uuid=${j(r.body).get("node_uuid").asText()}" +
+            s",id=${j(r.body).get("node_id").asInt()}"),
+        ("PUT", "/v1/debug/broker_uuid", Some(
+          """{"current_node_uuid":"99999999-9999-4999-8999-999999999999",""" +
+            """"new_node_uuid":"22222222-2222-4222-8222-000000000002",""" +
+            """"new_node_id":7}"""),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/broker_uuid", Some(
+          """{"current_node_uuid":"11111111-1111-4111-8111-000000000001",""" +
+            """"new_node_uuid":"22222222-2222-4222-8222-000000000002",""" +
+            """"new_node_id":-1}"""),
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/debug/broker_uuid", Some(
+          """{"current_node_uuid":"11111111-1111-4111-8111-000000000001",""" +
+            """"new_node_uuid":"22222222-2222-4222-8222-000000000002",""" +
+            """"new_node_id":7}"""), _ => "overridden"),
+        ("GET", "/v1/debug/broker_uuid", None, r =>
+          s"uuid=${j(r.body).get("node_uuid").asText()}" +
+            s",id=${j(r.body).get("node_id").asInt()}"))
+      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
+        val resp = srv.handle(method, path, b)
+        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
+      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
+    }),
+
+    "adm_rest_recovery" -> ((s, dir) => {
+      // The recovery-mode surface (redpanda/admin/recovery.cc:28-55):
+      // the tx-manager migrator pair — migrate (with the 503 "Migration
+      // error: …" arm on a migrator error) and the status report — only
+      // registered when the broker boots in recovery mode (outside it
+      // the paths 404 like any unregistered route).
+      import s.implicits._
+      import graft.admin.AdminApi
+      val normal = new AdminApi.Server(nodeIds = Seq(0))
+      val srv = new AdminApi.Server(nodeIds = Seq(0), recoveryMode = true)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def j(b: String) = m.readTree(b)
+      val script: Seq[(String, AdminApi.Server, String, AdminApi.Resp => String)] = Seq(
+        ("GET", normal, "/v1/recovery/migrate_tx_manager",
+          r => s"code=${j(r.body).get("code").asInt()}"),
+        ("GET", srv, "/v1/recovery/migrate_tx_manager", r =>
+          s"required=${j(r.body).get("required").asBoolean()}" +
+            s",in_progress=${j(r.body).get("in_progress").asBoolean()}"),
+        ("FAIL", srv, "stuck controller", _ => "injected"),
+        ("POST", srv, "/v1/recovery/migrate_tx_manager",
+          r => "message=" + j(r.body).get("message").asText()),
+        ("HEAL", srv, "", _ => "healed"),
+        ("POST", srv, "/v1/recovery/migrate_tx_manager", _ => "migrated"),
+        ("GET", srv, "/v1/recovery/migrate_tx_manager", r =>
+          s"required=${j(r.body).get("required").asBoolean()}" +
+            s",in_progress=${j(r.body).get("in_progress").asBoolean()}"))
+      script.zipWithIndex.map { case ((method, server, path, extract), i) =>
+        method match {
+          case "FAIL" =>
+            server.setTxMigratorError(Some(path))
+            (i + 1, method, "/v1/recovery/migrate_tx_manager", 200, "injected")
+          case "HEAL" =>
+            server.setTxMigratorError(None)
+            (i + 1, method, "/v1/recovery/migrate_tx_manager", 200, "healed")
+          case _ =>
+            val resp = server.handle(method, path)
+            (i + 1, method, path, resp.status, extract(resp))
         }
       }.toDF("step", "method", "path", "status", "detail").orderBy("step")
     }),
@@ -14545,6 +14776,75 @@ object SparkEntry {
         |  (26, 'GET', '/v1/migrations', 200, 'n=2'),
         |  (27, 'POST', '/v1/migrations/2', 400, 'message=unknown data migration action: jump'),
         |  (28, 'GET', '/v1/migrations/zap', 400, 'message=bad lexical cast: source type value could not be interpreted as target'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the debug diagnostics surface (debug.cc route
+    // grammar, validation-ladder wording, engine-backed offsets/bytes
+    // at sf0.01: stored-log partition 0 slice = 200 rows / 1779 bytes,
+    // txn translator kafka(3)=1, rp(2)=4).
+    "adm_rest_debug" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GET', '/v1/debug/partition_leaders_table', 200, 'n=2;p0=0,prev=-1'),
+        |  (2, 'POST', '/v1/partitions/kafka/events/0/transfer_leadership', 200, 'transferred'),
+        |  (3, 'GET', '/v1/debug/partition_leaders_table', 200, 'p0=1,prev=0,term=2'),
+        |  (4, 'POST', '/v1/debug/reset_leaders', 200, 'reset'),
+        |  (5, 'GET', '/v1/debug/partition_leaders_table', 200, 'prev=-1'),
+        |  (6, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Expected ''max_spins_per_scheduling_point'' set with ''min_spins_per_scheduling_point'''),
+        |  (7, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Expected either spins or delay to be defined'),
+        |  (8, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Invalid parameter ''max_spins_per_scheduling_point'' value is too low: 2 < 5'),
+        |  (9, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Invalid parameter ''num_fibers'' value {x}'),
+        |  (10, 'PUT', '/v1/debug/stress_fiber_start', 200, 'started'),
+        |  (11, 'PUT', '/v1/debug/stress_fiber_stop', 200, 'stopped'),
+        |  (12, 'GET', '/v1/debug/peer_status/abc', 400, 'message=Broker id: abc, must be an integer'),
+        |  (13, 'GET', '/v1/debug/peer_status/9', 400, 'message=Unknown node with id 9'),
+        |  (14, 'GET', '/v1/debug/peer_status/1', 200, 'since=101'),
+        |  (15, 'GET', '/v1/debug/is_node_isolated', 200, 'isolated=false'),
+        |  (16, 'GET', '/v1/debug/controller_status', 200, 'applied=1,start=0'),
+        |  (17, 'GET', '/v1/debug/cloud_storage_usage', 400, 'message=batch_size must be an integer: x'),
+        |  (18, 'GET', '/v1/debug/cloud_storage_usage', 200, 'bytes=1779'),
+        |  (19, 'PUT', '/v1/debug/blocked_reactor_notify_ms', 400, 'message=Invalid parameter ''timeout'' value {abc}'),
+        |  (20, 'PUT', '/v1/debug/blocked_reactor_notify_ms', 200, 'set'),
+        |  (21, 'GET', '/v1/debug/sampled_memory_profile', 400, 'message=Shard id too high, max shard id is 1'),
+        |  (22, 'GET', '/v1/debug/sampled_memory_profile', 200, 'n=1;shard=1,sites=1'),
+        |  (23, 'GET', '/v1/debug/cpu_profile', 400, 'message=wait_ms must be between 1ms and 15min'),
+        |  (24, 'GET', '/v1/debug/cpu_profile', 200, 'n=1;occ=10'),
+        |  (25, 'PUT', '/v1/debug/restart_service', 404, 'message=Invalid service: foo'),
+        |  (26, 'PUT', '/v1/debug/restart_service', 200, 'restarted'),
+        |  (27, 'GET', '/v1/debug/partition/kafka/events/0', 200, 'ntp={kafka/events/0},replicas=3,start=0,hwm=200,leader=false,stm=rm_stm'),
+        |  (28, 'GET', '/v1/debug/partition/kafka/ghost/0', 500, 'message=Error cluster::errc:16 processing partition state for ntp: {kafka/ghost/0}'),
+        |  (29, 'PUT', '/v1/debug/set_storage_failure_injection_enabled', 400, 'message=Invalid parameter ''value'' {yes}. Should be ''true'' or ''false'''),
+        |  (30, 'PUT', '/v1/debug/set_storage_failure_injection_enabled', 200, 'enabled'),
+        |  (31, 'GET', '/v1/debug/local_storage_usage', 200, 'data=1779,index=3200,cache=0'),
+        |  (32, 'GET', '/v1/debug/storage/disk_stat/ssd', 400, 'message=Unknown disk type: ssd'),
+        |  (33, 'GET', '/v1/debug/storage/disk_stat/data', 200, 'total=1099511627776,free=805306368000'),
+        |  (34, 'PUT', '/v1/debug/storage/disk_stat/data', 200, 'overridden'),
+        |  (35, 'PUT', '/v1/debug/storage/disk_stat/data', 400, 'message=JSON request body does not conform to schema'),
+        |  (36, 'GET', '/v1/debug/storage/disk_stat/data', 200, 'free=1000'),
+        |  (37, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 400, 'message=''translate_to'' parameter must be one of either kafka or redpanda'),
+        |  (38, 'GET', '/v1/debug/storage/offset_translator/kafka/ghost/0', 404, 'message=ntp {kafka/ghost/0} could not be found on the node'),
+        |  (39, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 400, 'message=Request body must be JSON array of integers'),
+        |  (40, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 200, 'kafka=1,rp=3,engine=true'),
+        |  (41, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 200, 'kafka=2,rp=4,engine=true'),
+        |  (42, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 400, 'message=Offset provided 99999 was out of offset translator range'),
+        |  (43, 'GET', '/v1/debug/broker_uuid', 200, 'uuid=11111111-1111-4111-8111-000000000001,id=0'),
+        |  (44, 'PUT', '/v1/debug/broker_uuid', 400, 'message=Requested current node UUID: 11111111-1111-4111-8111-000000000001 does not match node UUID: 99999999-9999-4999-8999-999999999999'),
+        |  (45, 'PUT', '/v1/debug/broker_uuid', 400, 'message=node_id must not be negative'),
+        |  (46, 'PUT', '/v1/debug/broker_uuid', 200, 'overridden'),
+        |  (47, 'GET', '/v1/debug/broker_uuid', 200, 'uuid=22222222-2222-4222-8222-000000000002,id=7'))
+        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
+
+    // Golden pin of the recovery-mode pair (recovery.cc): 404 outside
+    // recovery mode, status flip across a successful migrate, the 503
+    // "Migration error" arm on an injected migrator failure.
+    "adm_rest_recovery" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GET', '/v1/recovery/migrate_tx_manager', 404, 'code=404'),
+        |  (2, 'GET', '/v1/recovery/migrate_tx_manager', 200, 'required=true,in_progress=false'),
+        |  (3, 'FAIL', '/v1/recovery/migrate_tx_manager', 200, 'injected'),
+        |  (4, 'POST', '/v1/recovery/migrate_tx_manager', 503, 'message=Migration error: stuck controller'),
+        |  (5, 'HEAL', '/v1/recovery/migrate_tx_manager', 200, 'healed'),
+        |  (6, 'POST', '/v1/recovery/migrate_tx_manager', 200, 'migrated'),
+        |  (7, 'GET', '/v1/recovery/migrate_tx_manager', 200, 'required=false,in_progress=false'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the REST protocol script (routes, status codes,

@@ -105,7 +105,30 @@ object AdminApi {
       usage: () => Seq[UsageWindow] = () => Nil,
       // cloud-manifest scan results for GET /v1/topics/mountable:
       // (ns, topic, topic_location) rows per topic_mount_manifest_path
-      mountableTopics: () => Seq[(String, String, String)] = () => Nil) {
+      mountableTopics: () => Seq[(String, String, String)] = () => Nil,
+      // ENGINE hooks for the debug surface (`admin/debug.cc`):
+      // total cloud-storage usage in bytes, or None when the reducer
+      // fails (the 503 "Please retry." arm of cloud_storage_usage)
+      cloudStorageUsage: () => Option[Long] = () => Some(0L),
+      // local_storage_usage byte counters keyed data/index/compaction/
+      // reclaimable_by_retention (fed from the storage engine's segment
+      // table; missing keys render as 0)
+      localStorageUsage: () => Map[String, Long] = () => Map.empty,
+      // offset-translator hook for /v1/debug/storage/offset_translator:
+      // (ns, topic, partition) -> Some(translate) when the ntp is local;
+      // translate(offset, toKafka) yields Some((kafka, rp)) or None when
+      // the offset is outside the translator range
+      offsetTranslator: (String, String, Int) =>
+        Option[(Long, Boolean) => Option[(Long, Long)]] = (_, _, _) => None,
+      // log-state hook for /v1/debug/partition/...: (ns, topic, part) ->
+      // (start, committed, lso, hwm, dirty, log_size_bytes) from the log
+      // engine; None falls back to an empty-log rendering
+      partitionLogState: (String, String, Int) =>
+        Option[(Long, Long, Long, Long, Long, Long)] = (_, _, _) => None,
+      // recovery mode registers the /v1/recovery routes (`admin/
+      // recovery.cc` is only wired when the broker boots in recovery
+      // mode — outside it the routes 404 like any unknown path)
+      recoveryMode: Boolean = false) {
 
     // ------------------------------------------------------------ model
 
@@ -121,7 +144,11 @@ object AdminApi {
       nodeIds.map(id => id -> new Broker(id, 32, s"rack-${id % 2}")): _*)
 
     private final case class PartitionRow(ns: String, topic: String,
-        partition: Int, var leader: Int, var replicas: Seq[Int])
+        partition: Int, var leader: Int, var replicas: Seq[Int],
+        // previous leader (-1 = none) + stability bookkeeping as the
+        // partition_leaders_table keeps them; the debug leaders-info
+        // route renders these (`debug.cc:251-286`)
+        var prevLeader: Int = -1, var updateTerm: Long = 1L)
     private val partitions = mutable.ArrayBuffer.empty[PartitionRow]
 
     def addPartition(ns: String, topic: String, partition: Int, leader: Int,
@@ -272,6 +299,36 @@ object AdminApi {
     // debug bundle
     private var bundleJob: Option[(String, String, Long)] = None // id, status, created
     private var bundleSeq = 0
+
+    // ---- debug-surface state (`admin/debug.cc`) ----
+    // stress fiber manager: 0 = stopped (stress_fiber_start/stop)
+    private var stressFibers = 0
+    // engine blocked-reactor threshold; the PUT clamps requests to
+    // [1ms, default] exactly like `debug.cc:341-399`
+    private val defaultBlockedReactorNotifyMs = 25L
+    private var blockedReactorNotifyMs = defaultBlockedReactorNotifyMs
+    private var storageFailureInjection = false
+    // node identity for the broker_uuid pair; the PUT override rewrites
+    // both after the current-uuid match check (`debug.cc:871-938`)
+    private var nodeUuid = "11111111-1111-4111-8111-000000000001"
+    private var overriddenNodeId: Option[Int] = None
+    // statvfs overrides per disk type (total, free, free_delta) — the
+    // PUT disk_stat failure-injection knob (`server.cc:3115-3140`)
+    private val diskOverrides =
+      mutable.Map.empty[String, (Option[Long], Option[Long], Long)]
+    // seastar smp::count for shard-id validation (check_shard_id)
+    private val smpCount = 2
+    // recovery-mode tx-manager migrator (`cluster/migrations/
+    // tx_manager_migrator`): migration required until run once; an
+    // injected error string makes the next migrate attempt fail with
+    // the 503 "Migration error: …" arm
+    private var txMigrationRequired = true
+    private var txMigrationInProgress = false
+    private var txMigratorError: Option[String] = None
+
+    /** Injects a tx-manager migration failure (the deterministic
+      * stand-in for the migrator returning an error code). */
+    def setTxMigratorError(e: Option[String]): Unit = txMigratorError = e
 
     // ---------------------------------------------------------- helpers
 
@@ -984,11 +1041,16 @@ object AdminApi {
                   err(400, s"Invalid target node id ${t.toInt}")
                 case Some(t) if !p.replicas.contains(t.toInt) =>
                   err(400, s"Node ${t.toInt} is not a replica of the partition")
-                case Some(t) => p.leader = t.toInt; Resp(200, "{}")
+                case Some(t) =>
+                  p.prevLeader = p.leader; p.leader = t.toInt
+                  p.updateTerm += 1; Resp(200, "{}")
                 case None =>
                   // no target: pick the next replica deterministically
                   val others = p.replicas.filter(_ != p.leader)
-                  if (others.nonEmpty) p.leader = others.min
+                  if (others.nonEmpty) {
+                    p.prevLeader = p.leader; p.leader = others.min
+                    p.updateTerm += 1
+                  }
                   Resp(200, "{}")
               }
           }
@@ -1052,6 +1114,402 @@ object AdminApi {
             selfTestResults.getOrElse(id, Nil).foreach(rs.add)
           }
           Resp(200, mapper.writeValueAsString(a))
+
+        // -------------------- debug diagnostics (redpanda/admin/debug.cc)
+        case ("POST", "v1" :: "debug" :: "reset_leaders" :: Nil) =>
+          // reset_leaders_info: clears the leaders table hints
+          partitions.foreach(_.prevLeader = -1)
+          Resp(200, "{}")
+
+        case ("GET", "v1" :: "debug" :: "partition_leaders_table" :: Nil) =>
+          // leader_info rows straight from the partitions model
+          // (`debug.cc:251-286` field set)
+          val a = mapper.createArrayNode()
+          partitions.foreach { p =>
+            val o = a.addObject()
+            o.put("ns", p.ns); o.put("topic", p.topic)
+            o.put("partition_id", p.partition)
+            o.put("leader", p.leader)
+            o.put("previous_leader", p.prevLeader)
+            o.put("last_stable_leader_term", p.updateTerm)
+            o.put("update_term", p.updateTerm)
+            o.put("partition_revision", 0L)
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("PUT", "v1" :: "debug" :: "stress_fiber_start" :: Nil) =>
+          // the stress_config validation ladder, in the reference's
+          // exact order and wording (`debug.cc:128-217`)
+          def parseIntParam(name: String): Either[Resp, Option[Int]] =
+            qp(name) match {
+              case None => Right(None)
+              case Some(e) => e.toIntOption match {
+                case Some(v) => Right(Some(v))
+                case None =>
+                  Left(err(400, s"Invalid parameter '$name' value {$e}"))
+              }
+            }
+          val parsed = for {
+            minSpins <- parseIntParam("min_spins_per_scheduling_point")
+            maxSpins <- parseIntParam("max_spins_per_scheduling_point")
+            minMs <- parseIntParam("min_ms_per_scheduling_point")
+            maxMs <- parseIntParam("max_ms_per_scheduling_point")
+          } yield (minSpins, maxSpins, minMs, maxMs)
+          parsed match {
+            case Left(e) => e
+            case Right((minSpins, maxSpins, minMs, maxMs)) =>
+              if (maxSpins.isDefined != minSpins.isDefined)
+                err(400, "Expected 'max_spins_per_scheduling_point' set " +
+                  "with 'min_spins_per_scheduling_point'")
+              else if (maxMs.isDefined != minMs.isDefined)
+                err(400, "Expected 'max_ms_per_scheduling_point' set " +
+                  "with 'min_ms_per_scheduling_point'")
+              else if (maxSpins.isDefined == maxMs.isDefined)
+                err(400, "Expected either spins or delay to be defined")
+              else if (maxSpins.exists(_ < minSpins.getOrElse(0)))
+                err(400, "Invalid parameter 'max_spins_per_scheduling_" +
+                  s"point' value is too low: ${maxSpins.get} < ${minSpins.get}")
+              else if (maxMs.exists(_ < minMs.getOrElse(0)))
+                err(400, "Invalid parameter 'max_ms_per_scheduling_" +
+                  s"point' value is too low: ${maxMs.get} < ${minMs.get}")
+              else qp("num_fibers") match {
+                case Some(e) if e.toIntOption.isEmpty =>
+                  err(400, s"Invalid parameter 'num_fibers' value {$e}")
+                case nf =>
+                  stressFibers = nf.flatMap(_.toIntOption).getOrElse(1)
+                  Resp(200, "{}")
+              }
+          }
+
+        case ("PUT", "v1" :: "debug" :: "stress_fiber_stop" :: Nil) =>
+          stressFibers = 0
+          Resp(200, "{}")
+
+        case ("GET", "v1" :: "debug" :: "peer_status" :: id :: Nil) =>
+          // node_status_table lookup: peers only (self has no row)
+          id.toIntOption match {
+            case None => err(400, s"Broker id: $id, must be an integer")
+            case Some(n) if n != 0 && brokers.contains(n) =>
+              val o = mapper.createObjectNode()
+              // deterministic ms-since-last-heartbeat per peer
+              o.put("since_last_status", 100L + n)
+              Resp(200, mapper.writeValueAsString(o))
+            case Some(n) => err(400, s"Unknown node with id $n")
+          }
+
+        case ("GET", "v1" :: "debug" :: "is_node_isolated" :: Nil) =>
+          // bare boolean body (json_return_type over a bool)
+          Resp(200, brokers.values.forall(!_.alive).toString)
+
+        case ("GET", "v1" :: "debug" :: "controller_status" :: Nil) =>
+          // the controller log advances one command per applied config
+          // change in this model, so the offsets track configVersion
+          val o = mapper.createObjectNode()
+          o.put("start_offset", 0L)
+          o.put("last_applied_offset", configVersion)
+          o.put("committed_index", configVersion)
+          o.put("dirty_offset", configVersion)
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "debug" :: "cloud_storage_usage" :: Nil) =>
+          qp("batch_size").filter(_.toIntOption.isEmpty).foreach(b =>
+            return err(400, s"batch_size must be an integer: $b"))
+          qp("retries_allowed").filter(_.toIntOption.isEmpty).foreach(r =>
+            return err(400, s"retries_allowed must be an integer: $r"))
+          cloudStorageUsage() match {
+            case Some(v) => Resp(200, v.toString) // bare byte count
+            case None => err(503,
+              "Failed to generate total cloud storage usage. Please retry.")
+          }
+
+        case ("PUT", "v1" :: "debug" :: "blocked_reactor_notify_ms" :: Nil) =>
+          // clamp to [1ms, default]: the knob can only LOWER the
+          // threshold (`debug.cc:341-399`); expires clamps to [1s, 30min]
+          val timeout = qp("timeout") match {
+            case Some(e) => e.toLongOption match {
+              case None =>
+                return err(400, s"Invalid parameter 'timeout' value {$e}")
+              case Some(v) =>
+                math.max(1L, math.min(v, defaultBlockedReactorNotifyMs))
+            }
+            case None => 0L
+          }
+          qp("expires").foreach(e => if (e.toLongOption.isEmpty)
+            return err(400, s"Invalid parameter 'expires' value {$e}"))
+          blockedReactorNotifyMs = timeout
+          Resp(200, "{}")
+
+        case ("GET", "v1" :: "debug" :: "sampled_memory_profile" :: Nil) =>
+          val shard = qp("shard") match {
+            case Some(e) => e.toIntOption match {
+              case None =>
+                return err(400, s"Invalid parameter 'shard_id' value {$e}")
+              case s => s
+            }
+            case None => None
+          }
+          shard.filter(_ > smpCount - 1).foreach(_ =>
+            return err(400, s"Shard id too high, max shard id is ${smpCount - 1}"))
+          val a = mapper.createArrayNode()
+          (0 until smpCount).filter(i => shard.forall(_ == i)).foreach { sh =>
+            val o = a.addObject(); o.put("shard", sh)
+            val sites = o.putArray("allocation_sites")
+            val site = sites.addObject()
+            site.put("size", 4096L); site.put("count", 64L)
+            site.put("backtrace", "0x1 0x2 0x3")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "debug" :: "cpu_profile" :: Nil) =>
+          val shard = qp("shard") match {
+            case Some(e) => e.toIntOption match {
+              case None =>
+                return err(400, s"Invalid parameter 'shard_id' value {$e}")
+              case s => s
+            }
+            case None => None
+          }
+          shard.filter(_ > smpCount - 1).foreach(_ =>
+            return err(400, s"Shard id too high, max shard id is ${smpCount - 1}"))
+          qp("wait_ms").foreach { e =>
+            val v = e.toLongOption.getOrElse(
+              return err(400, s"Invalid parameter 'wait_ms' value {$e}"))
+            if (v < 1 || v > 15 * 60 * 1000)
+              return err(400, "wait_ms must be between 1ms and 15min")
+          }
+          val a = mapper.createArrayNode()
+          (0 until smpCount).filter(i => shard.forall(_ == i)).foreach { sh =>
+            val o = a.addObject()
+            o.put("shard_id", sh); o.put("dropped_samples", 0L)
+            val samples = o.putArray("samples")
+            val smp = samples.addObject()
+            smp.put("occurrences", 10 + sh)
+            smp.put("user_backtrace", "0xA 0xB")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("PUT", "v1" :: "debug" :: "restart_service" :: Nil) =>
+          val svc = qp("service").getOrElse("")
+          if (svc != "schema-registry" && svc != "http-proxy")
+            err(404, s"Invalid service: $svc")
+          else Resp(200, "{}")
+
+        case ("GET", "v1" :: "debug" :: "partition" :: ns :: topic ::
+            pStr :: Nil) =>
+          // partition_state with per-replica raft_replica_state
+          // (`debug.cc:49-114` + `debug.cc:773-811` field sets), offsets
+          // from the log-engine hook when wired
+          partitions.find(p => p.ns == ns && p.topic == topic &&
+              p.partition == pStr.toInt) match {
+            case None => err(500, "Error cluster::errc:16 processing " +
+              s"partition state for ntp: {$ns/$topic/$pStr}")
+            case Some(p) =>
+              val (start, committed, lso, hwm, dirty, bytes) =
+                partitionLogState(ns, topic, p.partition)
+                  .getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+              val o = mapper.createObjectNode()
+              o.put("ntp", s"{$ns/$topic/${p.partition}}")
+              val reps = o.putArray("replicas")
+              p.replicas.foreach { node =>
+                val r = reps.addObject()
+                r.put("start_offset", start)
+                r.put("committed_offset", committed)
+                r.put("last_stable_offset", lso)
+                r.put("high_watermark", hwm)
+                r.put("dirty_offset", dirty)
+                r.put("latest_configuration_offset", 0L)
+                r.put("revision_id", 0L)
+                r.put("log_size_bytes", bytes)
+                r.put("non_log_disk_size_bytes", 0L)
+                r.put("is_read_replica_mode_enabled", false)
+                r.put("read_replica_bucket", "")
+                r.put("is_remote_fetch_enabled", false)
+                r.put("is_cloud_data_available", false)
+                r.put("start_cloud_offset", -1L)
+                r.put("next_cloud_offset", -1L)
+                r.put("iceberg_mode", "disabled")
+                val rs = r.putObject("raft_state")
+                rs.put("node_id", node)
+                rs.put("term", p.updateTerm)
+                rs.put("offset_translator_state", "{}")
+                rs.put("group_configuration", "{}")
+                rs.put("confirmed_term", p.updateTerm)
+                rs.put("flushed_offset", committed)
+                rs.put("commit_index", committed)
+                rs.put("majority_replicated_index", committed)
+                rs.put("visibility_upper_bound_index", committed)
+                rs.put("last_quorum_replicated_index", committed)
+                rs.put("last_snapshot_term", 0L)
+                rs.put("last_snapshot_index", -1L)
+                rs.put("received_snapshot_index", -1L)
+                rs.put("received_snapshot_bytes", 0L)
+                rs.put("has_pending_flushes", false)
+                rs.put("is_leader", node == p.leader)
+                rs.put("is_elected_leader", node == p.leader)
+                rs.put("write_caching_enabled", false)
+                rs.put("flush_bytes", 262144L)
+                rs.put("flush_ms", 100L)
+                rs.put("time_since_last_flush", 10L)
+                rs.put("replication_monitor_state", "idle")
+                val stms = rs.putArray("stms")
+                val stm = stms.addObject()
+                stm.put("name", "rm_stm")
+                stm.put("last_applied_offset", committed)
+                stm.put("max_collectible_offset", lso)
+              }
+              Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("PUT", "v1" :: "debug" ::
+            "set_storage_failure_injection_enabled" :: Nil) =>
+          qp("value") match {
+            case Some("true") =>
+              storageFailureInjection = true; Resp(200, "{}")
+            case Some("false") =>
+              storageFailureInjection = false; Resp(200, "{}")
+            case v => err(400, s"Invalid parameter 'value' " +
+              s"{${v.getOrElse("")}}. Should be 'true' or 'false'")
+          }
+
+        case ("GET", "v1" :: "debug" :: "local_storage_usage" :: Nil) =>
+          val u = localStorageUsage()
+          val o = mapper.createObjectNode()
+          Seq("data", "index", "compaction", "reclaimable_by_retention",
+            "target_min_capacity", "target_min_capacity_wanted",
+            "cloud_storage_cache_bytes", "cloud_storage_cache_objects")
+            .foreach(k => o.put(k, u.getOrElse(k, 0L)))
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "debug" :: "storage" :: "disk_stat" ::
+            typ :: Nil) =>
+          if (typ != "data" && typ != "cache")
+            err(400, s"Unknown disk type: $typ")
+          else {
+            val b = brokers.head._2
+            val (tOv, fOv, delta) =
+              diskOverrides.getOrElse(typ, (None, None, 0L))
+            val o = mapper.createObjectNode()
+            o.put("total_bytes", tOv.getOrElse(b.diskTotal))
+            o.put("free_bytes", fOv.getOrElse(b.diskFree) + delta)
+            Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("PUT", "v1" :: "debug" :: "storage" :: "disk_stat" ::
+            typ :: Nil) =>
+          // body validated BEFORE the type resolves (`server.cc:3115`)
+          val doc = try mapper.readTree(body.getOrElse("null"))
+            catch { case _: Exception => null }
+          if (doc == null || !doc.isObject)
+            return schemaErr("expected object")
+          val allowed = Set("total_bytes", "free_bytes", "free_bytes_delta")
+          val it = doc.fieldNames()
+          while (it.hasNext) {
+            val f = it.next()
+            if (!allowed(f)) return schemaErr(s"unexpected field '$f'")
+            if (!doc.get(f).isIntegralNumber)
+              return schemaErr(s"'$f' must be an integer")
+          }
+          if (typ != "data" && typ != "cache")
+            err(400, s"Unknown disk type: $typ")
+          else {
+            val prev = diskOverrides.getOrElse(typ, (None, None, 0L))
+            diskOverrides(typ) = (
+              Option(doc.get("total_bytes")).map(_.asLong()).orElse(prev._1),
+              Option(doc.get("free_bytes")).map(_.asLong()).orElse(prev._2),
+              Option(doc.get("free_bytes_delta")).map(_.asLong())
+                .getOrElse(prev._3))
+            Resp(200, "{}")
+          }
+
+        case ("GET", "v1" :: "debug" :: "storage" :: "offset_translator" ::
+            ns :: topic :: pStr :: Nil) =>
+          // engine-backed: the hook wraps the log's offset-translation
+          // state; ladder order per `debug.cc:569-636`
+          val translateTo = qp("translate_to").getOrElse("kafka")
+          if (translateTo != "kafka" && translateTo != "redpanda")
+            return err(400, "'translate_to' parameter must be one of " +
+              "either kafka or redpanda")
+          offsetTranslator(ns, topic, pStr.toInt) match {
+            case None =>
+              err(404, s"ntp {$ns/$topic/$pStr} could not be found on the node")
+            case Some(tr) =>
+              val doc = try mapper.readTree(body.getOrElse(""))
+                catch { case _: Exception => null }
+              if (doc == null || !doc.isArray)
+                return err(400, "Request body must be JSON array of integers")
+              val a = mapper.createArrayNode()
+              for (i <- 0 until doc.size()) {
+                val item = doc.get(i)
+                if (!item.isInt)
+                  return err(400, "Offsets must all be integers")
+                val off = item.asLong()
+                tr(off, translateTo == "kafka") match {
+                  case None => return err(400,
+                    s"Offset provided $off was out of offset translator range")
+                  case Some((k, rp)) =>
+                    val o = a.addObject()
+                    o.put("kafka_offset", k); o.put("rp_offset", rp)
+                }
+              }
+              Resp(200, mapper.writeValueAsString(a))
+          }
+
+        case ("GET", "v1" :: "debug" :: "broker_uuid" :: Nil) =>
+          val o = mapper.createObjectNode()
+          o.put("node_uuid", nodeUuid)
+          o.put("node_id", overriddenNodeId.getOrElse(0))
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("PUT", "v1" :: "debug" :: "broker_uuid" :: Nil) =>
+          // broker-id override: schema-validated body, current-uuid
+          // match gate, non-negative id (`debug.cc:825-938`)
+          val doc = try mapper.readTree(body.getOrElse("null"))
+            catch { case _: Exception => null }
+          if (doc == null || !doc.isObject)
+            return schemaErr("expected object")
+          val required = Seq("current_node_uuid", "new_node_id", "new_node_uuid")
+          required.find(doc.get(_) == null).foreach(f =>
+            return schemaErr(s"missing required field '$f'"))
+          val itU = doc.fieldNames()
+          while (itU.hasNext) {
+            val f = itU.next()
+            if (!required.contains(f))
+              return schemaErr(s"unexpected field '$f'")
+          }
+          val cur = doc.get("current_node_uuid").asText()
+          if (!cur.matches("[0-9a-fA-F-]{36}"))
+            return err(400, s"failed parsing current_node_uuid: $cur - invalid uuid")
+          if (cur != nodeUuid)
+            return err(400, s"Requested current node UUID: $nodeUuid " +
+              s"does not match node UUID: $cur")
+          val newUuid = doc.get("new_node_uuid").asText()
+          if (!newUuid.matches("[0-9a-fA-F-]{36}"))
+            return err(400, s"failed parsing new_node_uuid: $newUuid - invalid uuid")
+          if (!doc.get("new_node_id").isIntegralNumber)
+            return schemaErr("'new_node_id' must be an integer")
+          val newId = doc.get("new_node_id").asInt()
+          if (newId < 0) return err(400, "node_id must not be negative")
+          nodeUuid = newUuid
+          overriddenNodeId = Some(newId)
+          Resp(200, "{}")
+
+        // ---------------- recovery mode (redpanda/admin/recovery.cc)
+        case ("POST", "v1" :: "recovery" :: "migrate_tx_manager" :: Nil)
+            if recoveryMode =>
+          txMigratorError match {
+            case Some(e) => err(503, s"Migration error: $e")
+            case None =>
+              txMigrationInProgress = false
+              txMigrationRequired = false
+              Resp(200, "{}")
+          }
+
+        case ("GET", "v1" :: "recovery" :: "migrate_tx_manager" :: Nil)
+            if recoveryMode =>
+          val o = mapper.createObjectNode()
+          o.put("in_progress", txMigrationInProgress)
+          o.put("required", txMigrationRequired)
+          Resp(200, mapper.writeValueAsString(o))
 
         // -------------------------------------------------- debug bundle
         case ("POST", "v1" :: "debug_bundle" :: Nil) =>

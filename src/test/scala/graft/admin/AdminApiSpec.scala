@@ -640,4 +640,171 @@ class AdminApiSpec extends AnyFunSuite {
       "GET", "/v1/transform/debug/committed_offsets?show_unknown=true").body)
       .size() === 0)
   }
+
+  test("debug: stress-fiber validation ladder in reference order") {
+    val s = freshServer()
+    def msg(r: Resp) = m.readTree(r.body).get("message").asText()
+    val r1 = s.handle("PUT",
+      "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=10")
+    assert(r1.status === 400)
+    assert(msg(r1) === "Expected 'max_spins_per_scheduling_point' set " +
+      "with 'min_spins_per_scheduling_point'")
+    val r2 = s.handle("PUT", "/v1/debug/stress_fiber_start")
+    assert(msg(r2) === "Expected either spins or delay to be defined")
+    val r3 = s.handle("PUT", "/v1/debug/stress_fiber_start" +
+      "?min_spins_per_scheduling_point=9&max_spins_per_scheduling_point=3")
+    assert(msg(r3) ===
+      "Invalid parameter 'max_spins_per_scheduling_point' value is too low: 3 < 9")
+    val r4 = s.handle("PUT", "/v1/debug/stress_fiber_start" +
+      "?min_ms_per_scheduling_point=z&max_ms_per_scheduling_point=5")
+    assert(msg(r4) === "Invalid parameter 'min_ms_per_scheduling_point' value {z}")
+    assert(s.handle("PUT", "/v1/debug/stress_fiber_start" +
+      "?min_ms_per_scheduling_point=1&max_ms_per_scheduling_point=5")
+      .status === 200)
+    assert(s.handle("PUT", "/v1/debug/stress_fiber_stop").status === 200)
+  }
+
+  test("debug: leaders table tracks transfers and reset clears hints") {
+    val s = freshServer()
+    val before = m.readTree(
+      s.handle("GET", "/v1/debug/partition_leaders_table").body)
+    assert(before.size() === 3)
+    assert(before.get(0).get("previous_leader").asInt() === -1)
+    s.handle("POST", "/v1/partitions/kafka/events/0/transfer_leadership?target=2")
+    val after = m.readTree(
+      s.handle("GET", "/v1/debug/partition_leaders_table").body)
+    assert(after.get(0).get("leader").asInt() === 2)
+    assert(after.get(0).get("previous_leader").asInt() === 0)
+    assert(after.get(0).get("update_term").asLong() === 2L)
+    s.handle("POST", "/v1/debug/reset_leaders")
+    assert(m.readTree(s.handle("GET", "/v1/debug/partition_leaders_table").body)
+      .get(0).get("previous_leader").asInt() === -1)
+  }
+
+  test("debug: peer status, isolation, controller status") {
+    val s = freshServer()
+    assert(m.readTree(s.handle("GET", "/v1/debug/peer_status/abc").body)
+      .get("message").asText() === "Broker id: abc, must be an integer")
+    assert(m.readTree(s.handle("GET", "/v1/debug/peer_status/7").body)
+      .get("message").asText() === "Unknown node with id 7")
+    assert(m.readTree(s.handle("GET", "/v1/debug/peer_status/2").body)
+      .get("since_last_status").asLong() === 102L)
+    assert(s.handle("GET", "/v1/debug/is_node_isolated").body === "false")
+    val cs = m.readTree(s.handle("GET", "/v1/debug/controller_status").body)
+    assert(cs.get("start_offset").asLong() === 0L)
+    assert(cs.get("last_applied_offset").asLong() ===
+      cs.get("committed_index").asLong())
+  }
+
+  test("debug: profiles validate shard ids; disk stats apply overrides") {
+    val s = freshServer()
+    assert(m.readTree(
+      s.handle("GET", "/v1/debug/sampled_memory_profile?shard=9").body)
+      .get("message").asText() === "Shard id too high, max shard id is 1")
+    assert(m.readTree(
+      s.handle("GET", "/v1/debug/sampled_memory_profile").body).size() === 2)
+    assert(m.readTree(
+      s.handle("GET", "/v1/debug/cpu_profile?wait_ms=990000").body)
+      .get("message").asText() === "wait_ms must be between 1ms and 15min")
+    assert(m.readTree(s.handle("GET", "/v1/debug/cpu_profile?shard=1").body)
+      .get(0).get("shard_id").asInt() === 1)
+    assert(m.readTree(s.handle("GET", "/v1/debug/storage/disk_stat/ssd").body)
+      .get("message").asText() === "Unknown disk type: ssd")
+    val before = m.readTree(
+      s.handle("GET", "/v1/debug/storage/disk_stat/cache").body)
+    assert(before.get("total_bytes").asLong() > 0)
+    assert(s.handle("PUT", "/v1/debug/storage/disk_stat/cache",
+      Some("""{"free_bytes":123,"free_bytes_delta":7}""")).status === 200)
+    val after = m.readTree(
+      s.handle("GET", "/v1/debug/storage/disk_stat/cache").body)
+    assert(after.get("free_bytes").asLong() === 130L)
+    // schema: unexpected field rejected before the type resolves
+    val bad = s.handle("PUT", "/v1/debug/storage/disk_stat/ssd",
+      Some("""{"fs":"ext4"}"""))
+    assert(bad.status === 400)
+    assert(m.readTree(bad.body).get("message").asText()
+      .startsWith("JSON request body does not conform to schema"))
+  }
+
+  test("debug: offset translator ladder routes through the hook") {
+    val table = Map(3L -> 1L, 4L -> 2L) // rp -> kafka
+    val inv = table.map(_.swap)
+    val s = new Server(nodeIds = Seq(0),
+      offsetTranslator = (ns, topic, p) =>
+        if (ns == "kafka" && topic == "t" && p == 0)
+          Some((off, toKafka) =>
+            if (toKafka) table.get(off).map(k => (k, off))
+            else inv.get(off).map(rp => (off, rp)))
+        else None)
+    def msg(r: Resp) = m.readTree(r.body).get("message").asText()
+    assert(msg(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/t/0?translate_to=x",
+      Some("[1]"))) ===
+      "'translate_to' parameter must be one of either kafka or redpanda")
+    assert(msg(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/ghost/0", Some("[1]"))) ===
+      "ntp {kafka/ghost/0} could not be found on the node")
+    assert(msg(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/t/0", Some("17"))) ===
+      "Request body must be JSON array of integers")
+    assert(msg(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/t/0", Some("[1.5]"))) ===
+      "Offsets must all be integers")
+    val ok = m.readTree(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/t/0", Some("[3,4]")).body)
+    assert(ok.get(0).get("kafka_offset").asLong() === 1L)
+    assert(ok.get(1).get("rp_offset").asLong() === 4L)
+    val rev = m.readTree(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/t/0?translate_to=redpanda",
+      Some("[2]")).body)
+    assert(rev.get(0).get("rp_offset").asLong() === 4L)
+    assert(msg(s.handle("GET",
+      "/v1/debug/storage/offset_translator/kafka/t/0", Some("[99]"))) ===
+      "Offset provided 99 was out of offset translator range")
+  }
+
+  test("debug: broker uuid override gates on the current uuid") {
+    val s = freshServer()
+    val cur = m.readTree(s.handle("GET", "/v1/debug/broker_uuid").body)
+    assert(cur.get("node_id").asInt() === 0)
+    val uuid = cur.get("node_uuid").asText()
+    val mismatch = s.handle("PUT", "/v1/debug/broker_uuid", Some(
+      s"""{"current_node_uuid":"99999999-9999-4999-8999-999999999999",""" +
+        s""""new_node_uuid":"22222222-2222-4222-8222-000000000002","new_node_id":4}"""))
+    assert(mismatch.status === 400)
+    assert(m.readTree(mismatch.body).get("message").asText() ===
+      s"Requested current node UUID: $uuid does not match node UUID: " +
+        "99999999-9999-4999-8999-999999999999")
+    val neg = s.handle("PUT", "/v1/debug/broker_uuid", Some(
+      s"""{"current_node_uuid":"$uuid","new_node_uuid":""" +
+        s""""22222222-2222-4222-8222-000000000002","new_node_id":-2}"""))
+    assert(m.readTree(neg.body).get("message").asText() ===
+      "node_id must not be negative")
+    assert(s.handle("PUT", "/v1/debug/broker_uuid", Some(
+      s"""{"current_node_uuid":"$uuid","new_node_uuid":""" +
+        s""""22222222-2222-4222-8222-000000000002","new_node_id":4}"""))
+      .status === 200)
+    val after = m.readTree(s.handle("GET", "/v1/debug/broker_uuid").body)
+    assert(after.get("node_uuid").asText() ===
+      "22222222-2222-4222-8222-000000000002")
+    assert(after.get("node_id").asInt() === 4)
+  }
+
+  test("recovery: routes only exist in recovery mode; migrate flips status") {
+    val normal = new Server(nodeIds = Seq(0))
+    assert(normal.handle("GET", "/v1/recovery/migrate_tx_manager").status === 404)
+    val s = new Server(nodeIds = Seq(0), recoveryMode = true)
+    val st = m.readTree(s.handle("GET", "/v1/recovery/migrate_tx_manager").body)
+    assert(st.get("required").asBoolean())
+    assert(!st.get("in_progress").asBoolean())
+    s.setTxMigratorError(Some("no quorum"))
+    val fail = s.handle("POST", "/v1/recovery/migrate_tx_manager")
+    assert(fail.status === 503)
+    assert(m.readTree(fail.body).get("message").asText() ===
+      "Migration error: no quorum")
+    s.setTxMigratorError(None)
+    assert(s.handle("POST", "/v1/recovery/migrate_tx_manager").status === 200)
+    assert(!m.readTree(s.handle("GET", "/v1/recovery/migrate_tx_manager").body)
+      .get("required").asBoolean())
+  }
 }
