@@ -158,6 +158,106 @@ class WasmPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random float memory-run programs agree bit-exactly") {
+    // drives f32/f64 load→modify→store runs through the memory-run
+    // superinstruction window (LdA/LdL/TosBinC/store fusions) that the
+    // integer property fleet and the hand-written vectors only
+    // spot-check for floats: random slot tables are initialized with
+    // const stores, then mutated by random add/sub/mul chains against
+    // constants, addressed half the time by absolute const and half via
+    // a base local + offset immediate (the two fusion shapes). The
+    // result is read back via reinterpret so comparison is BIT-exact.
+    // Constants are small integers, so no intermediate overflows to
+    // inf/NaN (whose payload bits the Scala model could not mirror).
+    import WasmModule.I64
+    val rnd = new scala.util.Random(1515)
+    def f64Const(b: Body, v: Double): Unit = {
+      b.op(0x44)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      b.raw(Array.tabulate(8)(i => ((bits >>> (8 * i)) & 0xff).toByte))
+      ()
+    }
+    def f32Const(b: Body, v: Float): Unit = {
+      b.op(0x43)
+      val bits = java.lang.Float.floatToIntBits(v)
+      b.raw(Array.tabulate(4)(i => ((bits >>> (8 * i)) & 0xff).toByte))
+      ()
+    }
+    for (trial <- 0 until 60) {
+      val wide = rnd.nextBoolean() // f64 vs f32
+      val stride = if (wide) 8 else 4
+      val slots = 2 + rnd.nextInt(6)
+      val viaLocal = rnd.nextBoolean() // base-local+offset vs abs const
+      val b = body()
+      val model = Array.fill(slots)(0.0) // f32 modeled through Float
+      def emitLoad(slot: Int): Unit = {
+        if (viaLocal) { b.localGet(0); () } else { b.i32Const(slot * stride); () }
+        b.op(if (wide) 0x2b else 0x2a)
+        b.uleb(if (wide) 3 else 2)
+        b.uleb(if (viaLocal) slot * stride else 0)
+        ()
+      }
+      def emitStoreAddr(slot: Int): Unit = {
+        if (viaLocal) { b.localGet(0); () } else { b.i32Const(slot * stride); () }
+        ()
+      }
+      def emitStoreOp(slot: Int): Unit = {
+        b.op(if (wide) 0x39 else 0x38)
+        b.uleb(if (wide) 3 else 2)
+        b.uleb(if (viaLocal) slot * stride else 0)
+        ()
+      }
+      // init: const stores (the StAC fusion shape when abs-addressed)
+      for (i <- 0 until slots) {
+        val v = (rnd.nextInt(129) - 64).toDouble
+        emitStoreAddr(i)
+        if (wide) f64Const(b, v) else f32Const(b, v.toFloat)
+        emitStoreOp(i)
+        model(i) = if (wide) v else v.toFloat.toDouble
+      }
+      // modify run: slot op= const, random slot/op/const per step
+      val steps = 1 + rnd.nextInt(16)
+      for (_ <- 0 until steps) {
+        val s = rnd.nextInt(slots)
+        val c = (rnd.nextInt(17) - 8).toDouble
+        val opi = rnd.nextInt(3) // add, sub, mul
+        emitStoreAddr(s)
+        emitLoad(s)
+        if (wide) f64Const(b, c) else f32Const(b, c.toFloat)
+        b.op(if (wide) 0xa0 + opi else 0x92 + opi)
+        emitStoreOp(s)
+        val cur = model(s)
+        val next =
+          if (wide) (opi: @unchecked) match {
+            case 0 => cur + c; case 1 => cur - c; case 2 => cur * c
+          } else {
+            val cf = cur.toFloat; val ccf = c.toFloat
+            ((opi: @unchecked) match {
+              case 0 => cf + ccf; case 1 => cf - ccf; case 2 => cf * ccf
+            }).toDouble
+          }
+        model(s) = next
+      }
+      // read one slot back, reinterpret to integer bits
+      val out = rnd.nextInt(slots)
+      emitLoad(out)
+      if (wide) b.op(0xbd) // i64.reinterpret_f64
+      else { b.op(0xbc); b.op(0xad) } // i32.reinterpret_f32; i64.extend_i32_u
+      val bytes = module(
+        types = Seq((Seq(I64, I64), Seq(I64))),
+        imports = Nil,
+        funcs = Seq(Func(0, 0, 0, b)),
+        memPages = 1,
+        exports = Seq(Export("f", 0)))
+      val want =
+        if (wide) java.lang.Double.doubleToLongBits(model(out))
+        else java.lang.Float.floatToIntBits(model(out).toFloat).toLong & 0xffffffffL
+      val got = instantiate(bytes, noHost).invokeExport("f", Array(0L, 0L)).head
+      assert(got === want,
+        s"trial $trial wide=$wide slots=$slots steps=$steps viaLocal=$viaLocal out=$out")
+    }
+  }
+
   test("random loop programs: iterated accumulator agrees") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 25) {
