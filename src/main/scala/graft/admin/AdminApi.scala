@@ -128,7 +128,19 @@ object AdminApi {
       // recovery mode registers the /v1/recovery routes (`admin/
       // recovery.cc` is only wired when the broker boots in recovery
       // mode — outside it the routes 404 like any unknown path)
-      recoveryMode: Boolean = false) {
+      recoveryMode: Boolean = false,
+      // `shard_local_cfg().enable_transactions` gate for the
+      // transaction routes (`admin/transaction.cc:44-45`)
+      transactionsEnabled: Boolean = true,
+      // cloud-storage engine hooks (`register_shadow_indexing_routes`):
+      // the partition manifest JSON (TieredStorage manifest), the
+      // scrubber's anomaly counters per ntp, and manual cache trim
+      // (CacheTrim) returning (bytes, objects) removed
+      cloudManifest: (String, Int) => Option[String] = (_, _) => None,
+      cloudAnomalies: (String, String, Int) => Option[Map[String, Long]] =
+        (_, _, _) => None,
+      cacheTrim: (Option[Long], Option[Long]) => (Long, Long) =
+        (_, _) => (0L, 0L)) {
 
     // ------------------------------------------------------------ model
 
@@ -329,6 +341,25 @@ object AdminApi {
     /** Injects a tx-manager migration failure (the deterministic
       * stand-in for the migrator returning an error code). */
     def setTxMigratorError(e: Option[String]): Unit = txMigratorError = e
+
+    // ---- licensing (features.cc get/put_license, get_enterprise) ----
+    // model license text: "org:type:expiresEpochSec"; anything else is
+    // malformed. (org, type, expires, sha256-of-body)
+    private var license: Option[(String, String, Long, String)] = None
+    private val LicenseNowSec = 1700000000L
+    // members_table.version(): bumps on every membership command
+    private var membersVersion = nodeIds.size.toLong
+    // cloud-storage lifecycle markers: (ns, topic, revision) -> status
+    private val lifecycleMarkers =
+      mutable.LinkedHashMap.empty[(String, String, Long), String]
+    /** Seeds a purging lifecycle marker (the stand-in for a topic
+      * deletion whose cloud data is still being scrubbed away). */
+    def addLifecycleMarker(ns: String, topic: String, revision: Long): Unit =
+      lifecycleMarkers((ns, topic, revision)) = "purging"
+    private var topicRecoveryActive = false
+    // cluster_recovery_table stage, printed like the reference's
+    // recovery_stage operator<< ("recovery_stage::initialized", …)
+    private var clusterRecoveryStage: Option[String] = None
 
     // ---------------------------------------------------------- helpers
 
@@ -879,7 +910,7 @@ object AdminApi {
           }
           Resp(200, mapper.writeValueAsString(o))
 
-        case ("PUT", "v1" :: "features" :: name :: Nil) =>
+        case ("PUT", "v1" :: "features" :: name :: Nil) if name != "license" =>
           features.get(name) match {
             case None => err(404, s"Unknown feature '$name'")
             case Some((_, wasActive)) =>
@@ -1114,6 +1145,390 @@ object AdminApi {
             selfTestResults.getOrElse(id, Nil).foreach(rs.add)
           }
           Resp(200, mapper.writeValueAsString(a))
+
+        // ----------------- transaction coordinator (admin/transaction.cc)
+        case ("GET", "v1" :: "transaction" :: tid :: "find_coordinator" :: Nil) =>
+          // find_coordinator_reply: coordinator node + the tx-manager
+          // ntp hosting this id (`transaction.cc:141-162`); the model
+          // routes ids to coordinator partitions by a stable hash
+          val part = math.abs(tid.hashCode) % 4
+          val coord = brokers.keys.toSeq(part % brokers.size)
+          val o = mapper.createObjectNode()
+          o.put("coordinator", coord)
+          val ntp = o.putObject("ntp")
+          ntp.put("ns", "kafka_internal"); ntp.put("topic", "tx")
+          ntp.put("partition", part)
+          o.put("ec", 0)
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("POST", "v1" :: "transaction" :: tid :: "delete_partition" :: Nil) =>
+          // delete_partition_handler ladder (`transaction.cc:164-214`)
+          if (!transactionsEnabled)
+            return err(400, "Transaction are disabled")
+          val etagStr = qp("etag").getOrElse("")
+          val etag = etagStr.toLongOption.getOrElse(
+            return err(400, s"Etag must be an integer: $etagStr"))
+          if (etag < 0) return err(400, s"Invalid etag $etag")
+          Resp(200, "{}")
+
+        case ("GET", "v1" :: "partitions" :: ns :: topic :: pStr ::
+            "transactions" :: Nil) =>
+          // per-partition transaction listing (partition.cc
+          // get_transactions): split into active/expired, with -1
+          // timeout/staleness on the expired side
+          partitions.find(p => p.ns == ns && p.topic == topic &&
+              p.partition == pStr.toInt) match {
+            case None => err(404, s"Could not find ntp: {$ns/$topic/$pStr}")
+            case Some(_) =>
+              val o = mapper.createObjectNode()
+              val act = o.putArray("active_transactions")
+              val exp = o.putArray("expired_transactions")
+              transactions().filter(_.partitions.exists { case (n, t, p) =>
+                n == ns && t == topic && p == pStr.toInt
+              }).foreach { t =>
+                val expired = t.status == "expired"
+                val row = (if (expired) exp else act).addObject()
+                val pid = row.putObject("producer_id")
+                pid.put("id", t.producerId); pid.put("epoch", t.producerEpoch.toInt)
+                row.put("lso_bound", 0L)
+                row.put("staleness_ms", if (expired) -1L else 0L)
+                row.put("timeout_ms", if (expired) -1L else t.timeoutMs)
+                row.put("status", t.status)
+              }
+              Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("POST", "v1" :: "partitions" :: ns :: topic :: pStr ::
+            "mark_transaction_expired" :: Nil) =>
+          // mark_transaction_expired_handler id/epoch ladder
+          // (`partition.cc:130-156`)
+          val idStr = qp("id").getOrElse("")
+          if (idStr.toLongOption.isEmpty)
+            return err(400, s"Invalid producer id: $idStr")
+          val epStr = qp("epoch").getOrElse("")
+          if (epStr.toIntOption.isEmpty)
+            return err(400, s"Invalid producer epoch: $epStr")
+          partitions.find(p => p.ns == ns && p.topic == topic &&
+              p.partition == pStr.toInt) match {
+            case None =>
+              err(500, s"Can not find partition {$topic/$pStr}")
+            case Some(_) => Resp(200, "{}")
+          }
+
+        // --------------------------- broker extras (register_broker_routes)
+        case ("GET", "v1" :: "broker_uuids" :: Nil) =>
+          // members_manager id-by-uuid map (`server.cc:2493-2508`);
+          // node 0's row is the live nodeUuid the debug override rewrites
+          val a = mapper.createArrayNode()
+          brokers.keys.foreach { id =>
+            val o = a.addObject()
+            o.put("node_id", id)
+            o.put("uuid", if (id == 0) nodeUuid
+              else f"11111111-1111-4111-8111-${id}%012d")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("GET", "v1" :: "cluster_view" :: Nil) =>
+          val o = mapper.createObjectNode()
+          o.put("version", membersVersion)
+          val bs = o.putArray("brokers")
+          brokers.values.foreach(b => bs.add(brokerJson(b)))
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("POST", "v1" :: "brokers" :: id :: "cancel_partition_moves" :: Nil) =>
+          // cancel_moving_partition_replicas_node: aborts every
+          // reconfiguration touching the node; partition_result rows
+          // carry make_error_code(...).message() ("Success")
+          id.toIntOption match {
+            case None => err(400, s"Broker id: $id, must be an integer")
+            case Some(n) =>
+              val touched = reconfigs.filter { case (_, (prev, cur)) =>
+                prev.contains(n) || cur.contains(n) }.keys.toSeq
+              val a = mapper.createArrayNode()
+              touched.foreach { key =>
+                val (prev, _) = reconfigs(key)
+                partitions.find(p => p.ns == key._1 && p.topic == key._2 &&
+                  p.partition == key._3).foreach(_.replicas = prev)
+                reconfigs.remove(key)
+                val o = a.addObject()
+                o.put("ns", key._1); o.put("topic", key._2)
+                o.put("partition", key._3); o.put("result", "Success")
+              }
+              Resp(200, mapper.writeValueAsString(a))
+          }
+
+        case ("PUT", "v1" :: "reset_crash_tracking" :: Nil) =>
+          Resp(200, "{}")
+
+        case ("POST", "v1" :: "cluster" :: "cancel_reconfigurations" :: Nil) =>
+          // cancel_all_partitions_reconfigurations: same partition_result
+          // shape over EVERY in-flight move
+          val a = mapper.createArrayNode()
+          reconfigs.keys.toSeq.foreach { key =>
+            val (prev, _) = reconfigs(key)
+            partitions.find(p => p.ns == key._1 && p.topic == key._2 &&
+              p.partition == key._3).foreach(_.replicas = prev)
+            reconfigs.remove(key)
+            val o = a.addObject()
+            o.put("ns", key._1); o.put("topic", key._2)
+            o.put("partition", key._3); o.put("result", "Success")
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        // --------------------- partition recovery surface (partition.cc)
+        case ("GET", "v1" :: "partitions" :: "majority_lost" :: Nil) =>
+          // partitions whose replica majority sits on the dead-node set
+          // (`partition.cc:997-1085` ladder + ntp_with_majority_loss rows)
+          val input = qp("dead_nodes").getOrElse("")
+          if (input.isEmpty)
+            return err(400, "Query parameter dead_nodes not set, expecting " +
+              "a csv of integers (broker_ids)")
+          val dead = input.split(",").map { tok =>
+            tok.trim.toIntOption.getOrElse(return err(400,
+              s"Token $tok doesn't parse to an integer in input: $input, " +
+                "expecting a csv of integer broker_ids"))
+          }.toSet
+          val a = mapper.createArrayNode()
+          partitions.foreach { p =>
+            val lost = p.replicas.count(dead.contains)
+            if (lost * 2 > p.replicas.size) {
+              val row = a.addObject()
+              val ntp = row.putObject("ntp")
+              ntp.put("ns", p.ns); ntp.put("topic", p.topic)
+              ntp.put("partition", p.partition)
+              row.put("topic_revision", 0L)
+              val reps = row.putArray("replicas")
+              p.replicas.foreach { r =>
+                val ro = reps.addObject()
+                ro.put("node_id", r); ro.put("core", 0)
+              }
+              val dn = row.putArray("dead_nodes")
+              p.replicas.filter(dead.contains).foreach(dn.add)
+            }
+          }
+          Resp(200, mapper.writeValueAsString(a))
+
+        case ("POST", "v1" :: "partitions" :: "force_recover_from_nodes" :: Nil) =>
+          // force-recovery body: {dead_nodes: [ints],
+          // partitions_to_force_recover: [...]}, schema-validated
+          val doc = try mapper.readTree(body.getOrElse("null"))
+            catch { case _: Exception => null }
+          if (doc == null || !doc.isObject ||
+              doc.get("dead_nodes") == null ||
+              !doc.get("dead_nodes").isArray)
+            return schemaErr("expected 'dead_nodes' integer array")
+          Resp(200, "{}")
+
+        case ("POST", "v1" :: "partitions" :: "rebalance_cores" :: Nil) =>
+          Resp(200, "{}")
+
+        // -------------------- licensing (features.cc license/enterprise)
+        case ("GET", "v1" :: "features" :: "license" :: Nil) =>
+          val o = mapper.createObjectNode()
+          o.put("loaded", license.isDefined)
+          license.foreach { case (org, typ, expires, sha) =>
+            val lc = o.putObject("license")
+            lc.put("format_version", 0)
+            lc.put("org", org); lc.put("type", typ)
+            lc.put("expires", expires - LicenseNowSec)
+            lc.put("sha256", sha)
+          }
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("PUT", "v1" :: "features" :: "license" :: Nil) =>
+          // put_license ladder (`server.cc:2270-2312`); model license
+          // text is "org:type:expiresEpochSec"
+          val raw = body.getOrElse("").trim
+          if (raw.isEmpty)
+            return err(400, "Missing redpanda license from request body")
+          raw.split(":") match {
+            case Array(org, typ, expS) if expS.toLongOption.isDefined =>
+              val exp = expS.toLong
+              if (exp < LicenseNowSec)
+                return err(400, s"License is expired: {org: $org}")
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(raw.getBytes("UTF-8"))
+                .map(b => f"$b%02x").mkString
+              license = Some((org, typ, exp, sha))
+              Resp(200, "{}")
+            case _ =>
+              err(400, s"License is malformed: $raw")
+          }
+
+        case ("GET", "v1" :: "features" :: "enterprise" :: Nil) =>
+          // enterprise_response: license_status + per-feature in-use
+          // rows over the license_required_feature set
+          // (`features/enterprise_features.cc:20-46`)
+          val status = license match {
+            case None => "not_present"
+            case Some((_, _, exp, _)) =>
+              if (exp < LicenseNowSec) "expired" else "valid"
+          }
+          val enabled: Set[String] =
+            if (config.get("cloud_storage_enabled").exists(_.asBoolean()))
+              Set("cloud_storage") else Set.empty
+          val o = mapper.createObjectNode()
+          o.put("license_status", status)
+          o.put("violation", status != "valid" && enabled.nonEmpty)
+          val fs = o.putArray("features")
+          Seq("audit_logging", "cloud_storage",
+            "partition_auto_balancing_continuous",
+            "core_balancing_continuous", "gssapi", "oidc",
+            "schema_id_validation", "rbac", "fips", "datalake_iceberg",
+            "leadership_pinning").foreach { name =>
+            val f = fs.addObject()
+            f.put("name", name); f.put("enabled", enabled.contains(name))
+          }
+          Resp(200, mapper.writeValueAsString(o))
+
+        // ---------- cloud storage (register_shadow_indexing_routes)
+        case ("POST", "v1" :: "cloud_storage" :: "sync_local_state" ::
+            topic :: pStr :: Nil) =>
+          Resp(200, "{}")
+
+        case ("POST", "v1" :: "cloud_storage" :: "automated_recovery" :: Nil) =>
+          // initialize_cluster_recovery ladder (`server.cc:3896-3946`)
+          if (recoveryMode)
+            return err(400,
+              "Cluster restore is not available, recovery mode enabled")
+          if (!config.get("cloud_storage_enabled").exists(_.asBoolean()))
+            return err(400,
+              "Cluster recovery is not available. Missing bucket property")
+          clusterRecoveryStage = Some("recovery_stage::initialized")
+          val o = mapper.createObjectNode()
+          o.put("status", "Recovery initialized")
+          Resp(202, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "cloud_storage" :: "automated_recovery" :: Nil) =>
+          val o = mapper.createObjectNode()
+          o.put("state", clusterRecoveryStage.getOrElse("inactive"))
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("POST", "v1" :: "cloud_storage" :: "topic_recovery" :: Nil) =>
+          // initiate_topic_scan_and_recovery: cloud-storage gate, then
+          // 202 "recovery started" / 409 already-active
+          // (`server.cc:3825-3852`, `topic_recovery_service.cc:156-178`)
+          if (!config.get("cloud_storage_enabled").exists(_.asBoolean()))
+            return err(400,
+              "Topic recovery is not available. is cloud storage enabled?")
+          if (topicRecoveryActive)
+            return err(409, "A recovery is already active")
+          topicRecoveryActive = true
+          val o = mapper.createObjectNode()
+          o.put("status", "recovery started")
+          Resp(202, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "cloud_storage" :: "topic_recovery" :: Nil) =>
+          // query_automated_recovery status (topic_recovery_status)
+          val o = mapper.createObjectNode()
+          o.put("state", if (topicRecoveryActive) "recovering" else "inactive")
+          o.putArray("topic_download_counts")
+          val r = o.putObject("request")
+          r.put("topic_names_pattern", "none")
+          r.put("retention_bytes", -1L)
+          r.put("retention_ms", -1L)
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("GET", "v1" :: "cloud_storage" :: "status" :: topic :: pStr :: Nil) =>
+          // partition_cloud_storage_status (`server.cc:4010-4058`), byte
+          // figures from the manifest hook when wired
+          partitions.find(p => p.ns == "kafka" && p.topic == topic &&
+              p.partition == pStr.toInt) match {
+            case None => err(404, s"Could not find {kafka/$topic/$pStr} on the cluster")
+            case Some(_) =>
+              val manifest = cloudManifest(topic, pStr.toInt)
+              val cloudBytes = manifest.map(_.length.toLong).getOrElse(0L)
+              val o = mapper.createObjectNode()
+              o.put("cloud_storage_mode", "full")
+              o.put("metadata_update_pending", false)
+              o.put("total_log_size_bytes", cloudBytes)
+              o.put("cloud_log_size_bytes", cloudBytes)
+              o.put("stm_region_size_bytes", cloudBytes)
+              o.put("archive_size_bytes", 0L)
+              o.put("local_log_size_bytes", 0L)
+              o.put("stm_region_segment_count", if (cloudBytes > 0) 1 else 0)
+              o.put("cloud_log_segment_count", if (cloudBytes > 0) 1 else 0)
+              o.put("local_log_segment_count", 0)
+              Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("GET", "v1" :: "cloud_storage" :: "manifest" :: topic :: pStr :: Nil) =>
+          // get_manifest streams the partition manifest JSON; the hook
+          // wraps the tiered-storage engine's manifest for the ntp
+          if (!partitions.exists(p => p.ns == "kafka" && p.topic == topic &&
+              p.partition == pStr.toInt))
+            return err(404, s"Could not find {kafka/$topic/$pStr} on the cluster")
+          cloudManifest(topic, pStr.toInt) match {
+            case None =>
+              err(400, "Cluster is not configured for cloud storage")
+            case Some(json) => Resp(200, json)
+          }
+
+        case ("GET", "v1" :: "cloud_storage" :: "lifecycle" :: Nil) =>
+          val o = mapper.createObjectNode()
+          val ms = o.putArray("markers")
+          lifecycleMarkers.foreach { case ((ns, topic, rev), status) =>
+            val m = ms.addObject()
+            m.put("ns", ns); m.put("topic", topic)
+            m.put("revision_id", rev); m.put("status", status)
+          }
+          Resp(200, mapper.writeValueAsString(o))
+
+        case ("DELETE", "v1" :: "cloud_storage" :: "lifecycle" ::
+            topic :: revStr :: Nil) =>
+          revStr.toLongOption match {
+            case None =>
+              err(400, s"Revision id must be an integer: $revStr")
+            case Some(rev) =>
+              lifecycleMarkers.remove(("kafka", topic, rev))
+              Resp(200, "{}")
+          }
+
+        case ("POST", "v1" :: "cloud_storage" :: "cache" :: "trim" :: Nil) =>
+          val bytes = qp("bytes").flatMap(_.toLongOption)
+          val objects = qp("objects").flatMap(_.toLongOption)
+          cacheTrim(bytes, objects)
+          Resp(200, "{}")
+
+        case ("GET", "v1" :: "cloud_storage" :: "anomalies" ::
+            ns :: topic :: pStr :: Nil) =>
+          // cloud_storage_partition_anomalies (`server.cc:4185-4250`),
+          // counters straight from the scrubber engine's report
+          cloudAnomalies(ns, topic, pStr.toInt) match {
+            case None => err(404, s"topic {$topic} not found")
+            case Some(counts) =>
+              val o = mapper.createObjectNode()
+              o.put("ns", ns); o.put("topic", topic)
+              o.put("partition", pStr.toInt)
+              o.put("revision_id", counts.getOrElse("revision_id", 0L))
+              counts.get("last_complete_scrub_at")
+                .foreach(o.put("last_complete_scrub_at", _))
+              if (counts.getOrElse("missing_partition_manifest", 0L) > 0)
+                o.put("missing_partition_manifest", true)
+              Seq("num_discarded_missing_spillover_manifests",
+                "num_discarded_missing_segments",
+                "num_discarded_metadata_anomalies").foreach { k =>
+                counts.get(k).filter(_ > 0).foreach(o.put(k, _))
+              }
+              val segs = o.putArray("missing_segments")
+              (0L until counts.getOrElse("missing_segments", 0L)).foreach(i =>
+                segs.add(s"$topic/$pStr/seg-$i.log"))
+              Resp(200, mapper.writeValueAsString(o))
+          }
+
+        case ("POST", "v1" :: "cloud_storage" ::
+            "unsafe_reset_metadata_from_cloud" :: ns :: topic :: pStr :: Nil) =>
+          if (!partitions.exists(p => p.ns == ns && p.topic == topic &&
+              p.partition == pStr.toInt))
+            return err(404, s"Could not find ntp: {$ns/$topic/$pStr}")
+          Resp(200, "{}")
+
+        case ("POST", "v1" :: "cloud_storage" :: "reset_scrubbing_metadata" ::
+            ns :: topic :: pStr :: Nil) =>
+          if (!partitions.exists(p => p.ns == ns && p.topic == topic &&
+              p.partition == pStr.toInt))
+            return err(404, s"{$ns/$topic/$pStr} could not be found on shard 0.")
+          Resp(200, "{}")
 
         // -------------------- debug diagnostics (redpanda/admin/debug.cc)
         case ("POST", "v1" :: "debug" :: "reset_leaders" :: Nil) =>
@@ -1574,7 +1989,15 @@ object AdminApi {
         // -------------------------------------------- engine listings
         case ("GET", "v1" :: "transactions" :: Nil) =>
           // transaction_summary rows (api-doc/transaction.json) straight
-          // from the coordinator's state table
+          // from the coordinator's state table; gated + param-validated
+          // per get_all_transactions_handler (`admin/transaction.cc:41-61`)
+          if (!transactionsEnabled)
+            return err(400, "Transaction are disabled")
+          val cps = qp("coordinator_partition_id").getOrElse("")
+          val cp = cps.toIntOption.getOrElse(
+            return err(400, s"Partition must be an integer: $cps"))
+          if (cp < 0)
+            return err(400, s"Invalid coordinator partition $cp")
           val a = mapper.createArrayNode()
           transactions().foreach { t =>
             val o = a.addObject()

@@ -245,7 +245,14 @@ class AdminApiSpec extends AnyFunSuite {
       usage = () => Seq(
         AdminApi.UsageWindow(1700000000000L, 1700003600000L, open = false, 300L, 280L),
         AdminApi.UsageWindow(1700003600000L, 1700007200000L, open = true, 500L, 450L)))
-    val txns = m.readTree(s.handle("GET", "/v1/transactions").body)
+    // param required per transaction.cc:48-61 (ladder tested below)
+    assert(m.readTree(s.handle("GET", "/v1/transactions").body)
+      .get("message").asText() === "Partition must be an integer: ")
+    assert(m.readTree(
+      s.handle("GET", "/v1/transactions?coordinator_partition_id=-1").body)
+      .get("message").asText() === "Invalid coordinator partition -1")
+    val txns = m.readTree(s.handle(
+      "GET", "/v1/transactions?coordinator_partition_id=0").body)
     assert(txns.size() === 2)
     val t0 = txns.get(0)
     assert(t0.get("transactional_id").asText() === "tx-10")
@@ -581,7 +588,7 @@ class AdminApiSpec extends AnyFunSuite {
       """"output_topics":["events_out"],""" +
       """"environment":[{"key":"MODE","value":"upper"}],"compression":"lz4"}"""
     assert(s.handle("POST", "/v1/transform/deploy",
-      Some(meta + " asm-binary-bytes")).status === 200)
+      Some(meta + "\u0000asm-binary-bytes")).status === 200)
     // validation ladder
     assert(m.readTree(s.handle("POST", "/v1/transform/deploy",
       Some("""{"name":"x","input_topic":"t"}""")).body)
@@ -806,5 +813,110 @@ class AdminApiSpec extends AnyFunSuite {
     assert(s.handle("POST", "/v1/recovery/migrate_tx_manager").status === 200)
     assert(!m.readTree(s.handle("GET", "/v1/recovery/migrate_tx_manager").body)
       .get("required").asBoolean())
+  }
+
+  test("transactions: gate + coordinator partition ladder") {
+    val off = new Server(nodeIds = Seq(0), transactionsEnabled = false)
+    assert(m.readTree(off.handle("GET",
+      "/v1/transactions?coordinator_partition_id=0").body)
+      .get("message").asText() === "Transaction are disabled")
+    val s = freshServer()
+    val fc = m.readTree(
+      s.handle("GET", "/v1/transaction/my-tx/find_coordinator").body)
+    assert(fc.get("ec").asInt() === 0)
+    assert(fc.get("ntp").get("ns").asText() === "kafka_internal")
+    assert(fc.get("ntp").get("topic").asText() === "tx")
+    assert(m.readTree(s.handle("POST",
+      "/v1/transaction/my-tx/delete_partition?etag=zz").body)
+      .get("message").asText() === "Etag must be an integer: zz")
+    assert(m.readTree(s.handle("POST",
+      "/v1/partitions/kafka/events/0/mark_transaction_expired?id=1&epoch=zz")
+      .body).get("message").asText() === "Invalid producer epoch: zz")
+  }
+
+  test("cluster extras: cancel moves restore assignments; majority lost") {
+    val s = freshServer()
+    s.handle("POST", "/v1/partitions/kafka/events/0/replicas",
+      Some("""[{"node_id":0,"core":0},{"node_id":1,"core":0}]"""))
+    val res = m.readTree(
+      s.handle("POST", "/v1/brokers/2/cancel_partition_moves").body)
+    assert(res.size() === 1)
+    assert(res.get(0).get("result").asText() === "Success")
+    assert(m.readTree(s.handle("GET", "/v1/partitions/kafka/events").body)
+      .get(0).get("replicas").size() === 3)
+    val lost = m.readTree(
+      s.handle("GET", "/v1/partitions/majority_lost?dead_nodes=2").body)
+    // only audit/0 (replicas = [2]) loses its majority to node 2 alone
+    assert(lost.size() === 1)
+    assert(lost.get(0).get("ntp").get("topic").asText() === "audit")
+    val uuids = m.readTree(s.handle("GET", "/v1/broker_uuids").body)
+    assert(uuids.size() === 3)
+    assert(m.readTree(s.handle("GET", "/v1/cluster_view").body)
+      .get("brokers").size() === 3)
+  }
+
+  test("license: put ladder, read-back, enterprise violation flip") {
+    val s = freshServer()
+    assert(!m.readTree(s.handle("GET", "/v1/features/license").body)
+      .get("loaded").asBoolean())
+    assert(m.readTree(s.handle("PUT", "/v1/features/license", Some("")).body)
+      .get("message").asText() === "Missing redpanda license from request body")
+    assert(m.readTree(s.handle("PUT", "/v1/features/license", Some("junk")).body)
+      .get("message").asText() === "License is malformed: junk")
+    s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"cloud_storage_enabled":true},"remove":[]}"""))
+    val before = m.readTree(s.handle("GET", "/v1/features/enterprise").body)
+    assert(before.get("license_status").asText() === "not_present")
+    assert(before.get("violation").asBoolean())
+    assert(s.handle("PUT", "/v1/features/license",
+      Some("acme:enterprise:1800000000")).status === 200)
+    val lic = m.readTree(s.handle("GET", "/v1/features/license").body)
+    assert(lic.get("loaded").asBoolean())
+    assert(lic.get("license").get("org").asText() === "acme")
+    assert(lic.get("license").get("sha256").asText().length === 64)
+    val after = m.readTree(s.handle("GET", "/v1/features/enterprise").body)
+    assert(after.get("license_status").asText() === "valid")
+    assert(!after.get("violation").asBoolean())
+    // feature list carries the full license_required_feature set
+    assert(after.get("features").size() === 11)
+  }
+
+  test("cloud storage: recovery gates, lifecycle, hooks route through") {
+    var trimArgs: (Option[Long], Option[Long]) = (None, None)
+    val s = new Server(nodeIds = Seq(0, 1),
+      cloudManifest = (t, p) =>
+        if (t == "logs" && p == 0) Some("""{"segments":[]}""") else None,
+      cloudAnomalies = (_, t, _) =>
+        if (t == "logs") Some(Map("missing_segments" -> 2L)) else None,
+      cacheTrim = (b, o) => { trimArgs = (b, o); (100L, 5L) })
+    s.addPartition("kafka", "logs", 0, leader = 0, replicas = Seq(0, 1))
+    assert(m.readTree(
+      s.handle("POST", "/v1/cloud_storage/topic_recovery").body)
+      .get("message").asText() ===
+      "Topic recovery is not available. is cloud storage enabled?")
+    s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"cloud_storage_enabled":true},"remove":[]}"""))
+    assert(s.handle("POST", "/v1/cloud_storage/topic_recovery").status === 202)
+    assert(s.handle("POST", "/v1/cloud_storage/topic_recovery").status === 409)
+    assert(s.handle("POST", "/v1/cloud_storage/automated_recovery").status === 202)
+    assert(m.readTree(
+      s.handle("GET", "/v1/cloud_storage/automated_recovery").body)
+      .get("state").asText() === "recovery_stage::initialized")
+    assert(s.handle("GET", "/v1/cloud_storage/manifest/logs/0").body ===
+      """{"segments":[]}""")
+    assert(m.readTree(
+      s.handle("GET", "/v1/cloud_storage/manifest/logs/1").body)
+      .get("code").asInt() === 404)
+    s.addLifecycleMarker("kafka", "gone", 9L)
+    assert(m.readTree(s.handle("GET", "/v1/cloud_storage/lifecycle").body)
+      .get("markers").size() === 1)
+    assert(s.handle("DELETE", "/v1/cloud_storage/lifecycle/gone/9").status === 200)
+    assert(m.readTree(s.handle("GET", "/v1/cloud_storage/lifecycle").body)
+      .get("markers").size() === 0)
+    s.handle("POST", "/v1/cloud_storage/cache/trim?bytes=50&objects=7")
+    assert(trimArgs === (Some(50L), Some(7L)))
+    val anom = m.readTree(
+      s.handle("GET", "/v1/cloud_storage/anomalies/kafka/logs/0").body)
+    assert(anom.get("missing_segments").size() === 2)
   }
 }
