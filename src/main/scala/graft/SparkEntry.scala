@@ -41,10 +41,10 @@ object SparkEntry {
     * When the scan under-parallelizes the session, fan out to the
     * session's parallelism; at real scale a 100 TB table carries
     * thousands of splits and this is a no-op (no shuffle is added). */
-  private val tableCache =
+  private[graft] val tableCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def T(s: SparkSession, dir: String, name: String,
+  private[graft] def T(s: SparkSession, dir: String, name: String,
       fan: Boolean = true): DataFrame =
     // Memoized per (session, dir, table): the cached DataFrame carries its
     // resolved FileIndex, so file listing + parquet-footer schema inference
@@ -75,7 +75,7 @@ object SparkEntry {
     * (query_id, vec_id) top-k sets): ONE evaluation of each DAG — the
     * sets are k×queries rows, so collect-and-intersect beats the
     * count + join + count pattern that re-runs both plans. */
-  private def recallOf(bf: DataFrame, got: DataFrame): (Long, Long) = {
+  private[graft] def recallOf(bf: DataFrame, got: DataFrame): (Long, Long) = {
     def pairs(df: DataFrame) = df.collect()
       .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSet
     val b = pairs(bf)
@@ -85,7 +85,7 @@ object SparkEntry {
 
   /** Leader-balancer / health-monitor replica map: 6 partitions over 4
     * nodes, 5 of 6 leaders skewed onto node 0. */
-  private def leaderReps(s: SparkSession): DataFrame = {
+  private[graft] def leaderReps(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       ("t", 0, 0, true), ("t", 0, 1, false), ("t", 0, 2, false),
@@ -102,7 +102,7 @@ object SparkEntry {
     * ratio; partition b/0 carries a rack-duplicate replica set and f/0
     * is too large to place anywhere. Shared by the violations and plan
     * entries (and mirrored in BalancerSpec). */
-  private def balancerNodes(s: SparkSession): DataFrame = {
+  private[graft] def balancerNodes(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       (0, "r1", 1000L, 600L, true, false),
@@ -115,7 +115,7 @@ object SparkEntry {
       .toDF("node_id", "rack", "total_bytes", "used_bytes", "available", "decommissioning")
   }
 
-  private def balancerReplicas(s: SparkSession): DataFrame = {
+  private[graft] def balancerReplicas(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       ("a", 0, 0, 100L), ("a", 0, 2, 100L), ("a", 0, 4, 100L),
@@ -132,7 +132,7 @@ object SparkEntry {
     * upper-cased text): the corpus has no natural exact dups, so the
     * cleaning pipeline's dedup stage is exercised on constructed clones
     * the oracle replicates column-for-column. */
-  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") < 50)
       .select((col("doc_id") + 1000000).as("doc_id"), upper(col("text")).as("text")))
@@ -142,7 +142,7 @@ object SparkEntry {
     * a two-word phrase repeated 30 times): the corpus is word salad
     * with low n-gram repetition, so the Gopher repetition filter is
     * exercised on constructed degenerate docs the oracle replicates. */
-  private def repetitiveDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def repetitiveDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") < 20)
       .select((col("doc_id") + 400000).as("doc_id"),
@@ -156,13 +156,13 @@ object SparkEntry {
     * (%17), a trailing BEL control byte (%7 — which line-max truncation
     * cuts off again for long docs, flipping the verdict back to valid),
     * plus buffer-full drops from the per-window byte budget. */
-  private def xformLogEvents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def xformLogEvents(s: SparkSession, dir: String): DataFrame =
     xformLogProjection(T(s, dir, "documents"))
 
   /** The [[xformLogEvents]] column recipe over any documents-shaped
     * frame (shared with the streaming twin, which applies it to the
     * staged file stream). */
-  private def xformLogProjection(docs: DataFrame): DataFrame =
+  private[graft] def xformLogProjection(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("seq"),
       concat(lit("xform-"), pmod(col("doc_id"), lit(4)).cast("string"))
@@ -184,7 +184,7 @@ object SparkEntry {
     * every 11th request anonymous (missing client_id), and
     * deterministic request/response byte sizes that overdraw both
     * node buckets at the chosen rates. */
-  private def sncRequests(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sncRequests(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events").where(col("event_id") < 2000).select(
       pmod(col("user_id"), lit(4)).cast("int").as("node_id"),
       col("event_id").as("seq"),
@@ -197,7 +197,7 @@ object SparkEntry {
 
   /** kafka_throughput_control for the snc_* fixtures: internal clients
     * by regex, anonymous connections by the empty matcher. */
-  private val SncGroups = Seq(
+  private[graft] val SncGroups = Seq(
     graft.admin.SncQuota.ControlGroup("internal",
       graft.admin.SncQuota.MatchRegex("client-[01]")),
     graft.admin.SncQuota.ControlGroup("anon",
@@ -206,7 +206,7 @@ object SparkEntry {
   /** Uploaded-segment manifest fixture for the adjacent segment merger:
     * 50-offset segments over the canonical log, sizes from the real
     * record bytes (~1.9 KB each), terms rotating every 200 offsets. */
-  private def segManifest(s: SparkSession, dir: String): DataFrame =
+  private[graft] def segManifest(s: SparkSession, dir: String): DataFrame =
     eventLog(s, dir)
       .select(col("partition"), col("offset"),
         (length(col("props")) + length(col("event_type")) + lit(24))
@@ -226,7 +226,7 @@ object SparkEntry {
     * base at c%17=8. Every rule of `scrub_segment_meta`
     * (cloud_storage/types.cc:150) has planted positives; untouched
     * chunks must scan clean. */
-  private def scrubManifestFx(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scrubManifestFx(s: SparkSession, dir: String): DataFrame =
     eventLog(s, dir)
       .select(col("partition"), col("offset"))
       .withColumn("c", floor(col("offset") / 50))
@@ -254,7 +254,7 @@ object SparkEntry {
 
   /** Spillover-manifest references for the scrubber: two per partition;
     * the bucket listing drops ref 1 on partitions ≡ 1 (mod 4). */
-  private def scrubSpilloverFx(s: SparkSession): DataFrame =
+  private[graft] def scrubSpilloverFx(s: SparkSession): DataFrame =
     s.range(EventPartitions).select(col("id").cast("int").as("partition"))
       .select(col("partition"), explode(array(lit(0), lit(1))).as("i"))
       .select(col("partition"),
@@ -264,7 +264,7 @@ object SparkEntry {
   /** The bucket object listing the scrubber checks against: every
     * manifest segment except chunks ≡ 7 (mod 19), plus the
     * non-missing spillover manifests. */
-  private def scrubObjectsFx(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scrubObjectsFx(s: SparkSession, dir: String): DataFrame =
     scrubManifestFx(s, dir).where(!(col("c") % 19 === 7)).select("path")
       .unionByName(scrubSpilloverFx(s)
         .where(!(col("partition") % 4 === 1 &&
@@ -272,7 +272,7 @@ object SparkEntry {
 
   /** Bounded write-request fixture for the cloud-topics throttler:
     * 4 shards, a 1 ms arrival clock, sizes 200..2600 cycling mod 7. */
-  private def throttlerReqs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def throttlerReqs(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events").where(col("event_id") < 3000).select(
       pmod(col("user_id"), lit(4)).cast("int").as("shard"),
       col("event_id").as("seq"),
@@ -284,7 +284,7 @@ object SparkEntry {
     * first two chunks (exercising start_delta propagation) and chunks
     * ≡11 (mod 23) missing from the manifest (planted offset gaps that
     * spoil clean_download when they land inside the staged range). */
-  private def recManifestFx(s: SparkSession, dir: String): DataFrame =
+  private[graft] def recManifestFx(s: SparkSession, dir: String): DataFrame =
     eventLog(s, dir)
       .select(col("partition"), col("offset"), col("ts"),
         (length(col("props")) + length(col("event_type")) + lit(24))
@@ -304,7 +304,7 @@ object SparkEntry {
     * nodes with a deterministic scrambled access clock, `.tx`/`.index`
     * companions on every second segment, and per-node exempt
     * (accesstime) and in-flight (`.part`) specials. */
-  private def cacheFiles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def cacheFiles(s: SparkSession, dir: String): DataFrame = {
     val segs = eventLog(s, dir)
       .select(col("partition"), col("offset"),
         (length(col("props")) + length(col("event_type")) + lit(24)).cast("long").as("sz"))
@@ -336,7 +336,7 @@ object SparkEntry {
   /** Cluster topic table for the data-migration fixtures:
     * (name, archival_enabled). `legacy_t` has archiving off, so it can
     * never migrate out. */
-  private val MigClusterTopics = Seq(
+  private[graft] val MigClusterTopics = Seq(
     ("orders_t", true), ("clicks_t", true), ("legacy_t", false))
 
   /** Data-migration command log: 32 commands covering every errc path
@@ -348,7 +348,7 @@ object SparkEntry {
     * freed resource. Final surface: mig 1 finished; 8 removed; 9
     * inbound prepared (inb_t fully_blocked); 11 outbound executing
     * (clicks_t, grp-a read_only). */
-  private def migCommandLog(s: SparkSession): DataFrame = {
+  private[graft] def migCommandLog(s: SparkSession): DataFrame = {
     import s.implicits._
     val n: String = null
     Seq(
@@ -404,7 +404,7 @@ object SparkEntry {
    * not engine): lifecycle commands of a multi-partition topic all
    * precede its first data command.
    */
-  private def dlcControlLog(s: SparkSession): DataFrame = {
+  private[graft] def dlcControlLog(s: SparkSession): DataFrame = {
     import s.implicits._
     val L = "lifecycle"; val A = "add_files"; val M = "mark_committed"
     val e = Seq.empty[Long]
@@ -453,7 +453,7 @@ object SparkEntry {
   /** The event log packed into per-(partition, 200-offset) wire-batch
     * inputs for the p6_batch_* golden legs: dense deltas, user_id keys,
     * event_type values, no headers. */
-  private def p6WireBatches(s: SparkSession, dir: String,
+  private[graft] def p6WireBatches(s: SparkSession, dir: String,
       maxPartitions: Int = EventPartitions, span: Int = 200): DataFrame = {
     val w = Window.partitionBy("partition", "batch_no")
     eventLog(s, dir)
@@ -477,7 +477,7 @@ object SparkEntry {
   }
 
   /** The kafka_batch_encode input struct over [[p6WireBatches]] columns. */
-  private def p6EncodeStruct: Column = struct(
+  private[graft] def p6EncodeStruct: Column = struct(
     col("base_offset"),
     lit(5).as("partition_leader_epoch"),
     lit(0).as("attributes"),
@@ -493,7 +493,7 @@ object SparkEntry {
     * deterministically from the payload (61-byte header + 24 bytes of
     * fixed fields + the event_type bytes per record) so the DuckDB
     * oracle can re-derive every byte count. */
-  private def s3Batches(s: SparkSession, dir: String): DataFrame =
+  private[graft] def s3Batches(s: SparkSession, dir: String): DataFrame =
     eventLog(s, dir)
       .select(col("partition"), col("offset"), col("event_id"), col("event_type"))
       .withColumn("segment", floor(col("offset") / 500).cast("long"))
@@ -507,12 +507,12 @@ object SparkEntry {
   /** The segment-index byte step for the `s3_index_*` legs: ~1.3×
     * the typical 100-record batch, so the accumulator indexes roughly
     * every second batch — both maybe_index branches exercised. */
-  private val S3IndexStep = 4000L
+  private[graft] val S3IndexStep = 4000L
 
   /** The three table states the committer corpus judges pending entries
     * against: no `redpanda.commit-metadata` property, a mid-stream one,
     * and one past every pending entry. */
-  private def dlcCommitScenarios(s: SparkSession): Seq[(String, DataFrame)] = {
+  private[graft] def dlcCommitScenarios(s: SparkSession): Seq[(String, DataFrame)] = {
     import s.implicits._
     Seq(
       ("none", Seq.empty[(String, Long)].toDF("topic", "committed_at")),
@@ -524,7 +524,7 @@ object SparkEntry {
     * original text plus a unique tail): the corpus has no natural
     * 20-token repeated spans, so exact substring dedup is exercised on
     * constructed shared prefixes the oracle replicates. */
-  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def spanDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") < 50)
       .select((col("doc_id") + 700000).as("doc_id"),
@@ -534,7 +534,7 @@ object SparkEntry {
 
   /** documents plus planted PII carriers (doc_id + 500000, an email and
     * a phone number appended to the original text). */
-  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def piiDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") < 30)
       .select((col("doc_id") + 500000).as("doc_id"),
@@ -545,7 +545,7 @@ object SparkEntry {
   /** Card-PII fixture: every 43rd doc gains a variant carrying two
     * Luhn-valid test card numbers (one dash-free, one space-grouped)
     * and one 16-digit run that fails the checksum. */
-  private def cardDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def cardDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") % 43 === 0)
       .select((col("doc_id") + 730000).as("doc_id"),
@@ -558,7 +558,7 @@ object SparkEntry {
     * shapes — bullet-list boilerplate, ellipsis-trailing teasers, and
     * symbol-dense tag soup. Every plant must fail at least one rule;
     * the oracle recomputes all seven verdicts. */
-  private def gopherDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gopherDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs
       .union(docs.where(col("doc_id") % 31 === 0)
@@ -579,7 +579,7 @@ object SparkEntry {
     * micros-UTC arrives already as TIMESTAMP. Session tz is UTC in
     * Verify/Bench, so the NTZ→LTZ cast is wall-clock-preserving and the
     * DuckDB oracle (which reads the same naive values) stays in step. */
-  private def withLtzTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+  private[graft] def withLtzTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
     raw.schema(tsCol).dataType match {
       case LongType => raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
       case TimestampNTZType => raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
@@ -588,7 +588,7 @@ object SparkEntry {
 
   /** events with a Spark-readable timestamp column regardless of whether
     * the parquet type is TIMESTAMP(NANOS) (read as long) or micros. */
-  private def events(s: SparkSession, dir: String, fan: Boolean = true): DataFrame =
+  private[graft] def events(s: SparkSession, dir: String, fan: Boolean = true): DataFrame =
     withLtzTs(T(s, dir, "events", fan))
 
   /**
@@ -602,7 +602,7 @@ object SparkEntry {
    * the streaming-dedup state to drop. `maxFilesPerTrigger=1` plus the
    * explicit mtimes make the batch order deterministic.
    */
-  private def stagedEventsStream(s: SparkSession, dir: String,
+  private[graft] def stagedEventsStream(s: SparkSession, dir: String,
       sentinel: Boolean, farSeq: Boolean = false,
       single: Boolean = false): String = {
     import java.nio.file.{Files, Paths}
@@ -650,7 +650,7 @@ object SparkEntry {
 
   /** First .parquet part file in a directory — closes the listing
     * stream (an unclosed Files.list leaks a file handle per call). */
-  private def firstParquetPart(dir: java.nio.file.Path): java.nio.file.Path = {
+  private[graft] def firstParquetPart(dir: java.nio.file.Path): java.nio.file.Path = {
     val st = java.nio.file.Files.list(dir)
     try st.iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -658,7 +658,7 @@ object SparkEntry {
   }
 
   /** Recursive delete (files before parents). */
-  private def deleteDirTree(dir: java.nio.file.Path): Unit = {
+  private[graft] def deleteDirTree(dir: java.nio.file.Path): Unit = {
     val st = java.nio.file.Files.walk(dir)
     val paths = try st.iterator().asScala.toSeq finally st.close()
     paths.reverse.foreach(p =>
@@ -669,13 +669,13 @@ object SparkEntry {
     * must outlive the lazy DataFrames reading from them). ONE static
     * hook drains the queue — registering per-dir hooks would
     * accumulate a thread per entry invocation for the JVM lifetime. */
-  private val cleanupQueue =
+  private[graft] val cleanupQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val cleanupHook: Unit =
+  private[graft] lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       cleanupQueue.forEach(d =>
         try deleteDirTree(d) catch { case _: Throwable => () })))
-  private def cleanupOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+  private[graft] def cleanupOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
     cleanupHook
     cleanupQueue.add(dir)
     dir
@@ -685,7 +685,7 @@ object SparkEntry {
     * scenario (the synthetic corpus' lang labels sit on identical
     * word salad, so discriminative text must be planted). Order fixes
     * the plant-id layout: doc_id*5 + index. */
-  private val LangPhrases: Seq[(String, String)] = Seq(
+  private[graft] val LangPhrases: Seq[(String, String)] = Seq(
     "en" -> ("the quick brown fox jumps over the lazy dog and then runs " +
       "away with great joy through the green fields "),
     "de" -> ("der schnelle braune fuchs springt über den faulen hund und " +
@@ -696,27 +696,27 @@ object SparkEntry {
       "luego huye con gran alegría por los campos verdes "),
     "zh" -> "敏捷的棕色狐狸跳过懒狗然后带着巨大的喜悦穿过绿色的田野逃走了 ")
 
-  private val LangCaseSql: String = LangPhrases.zipWithIndex
+  private[graft] val LangCaseSql: String = LangPhrases.zipWithIndex
     .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
-  private val PhraseCaseSql: String = LangPhrases.zipWithIndex
+  private[graft] val PhraseCaseSql: String = LangPhrases.zipWithIndex
     .map { case ((_, p), i) => s"WHEN $i THEN '${p.replace("'", "''")}'" }
     .mkString(" ")
 
   /** Partition count of the canonical events topic (the oracle CTEs
     * replicate `user_id % EventPartitions`). */
-  private val EventPartitions = 8
+  private[graft] val EventPartitions = 8
 
   /** Arrival-block size for two-phase offset assignment — the analogue of
     * a log segment: parallelism is partitions × (rows/4096) instead of
     * one task per partition. */
-  private val OffsetChunk = 4096
+  private[graft] val OffsetChunk = 4096
 
   /** The canonical record log derived from events (SURVEY §1.1):
     * partition = user_id % 8, offsets dense per partition in event_id
     * (arrival) order. Default path is the scale-safe two-phase
     * assignment (proved bit-identical to the window variant, which
     * `s1_produce_window` keeps as the cross-check). */
-  private def eventLog(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventLog(s: SparkSession, dir: String): DataFrame =
     // fan = false: the first step after the scan is the offset
     // assignment's own (partition, chunk) exchange — narrow rows with no
     // heavy map-side work gain nothing from a round-robin pre-shuffle.
@@ -728,7 +728,7 @@ object SparkEntry {
     * produce path stamps offsets onto complete records, not a projection). */
   def fullLog(s: SparkSession, dir: String): DataFrame = eventLog(s, dir)
 
-  private val storedLogDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val storedLogDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The log as a broker STORES it: materialized once per (session, dir)
     * — partitioned by partition, offsets a real column — then served
@@ -781,13 +781,13 @@ object SparkEntry {
       pmod(col("user_id"), lit(EventPartitions)), col("event_id"),
       chunkCol = floor(col("event_id") / OffsetChunk))
 
-  private val dec = DecimalType(12, 2)
-  private def d(c: Column): Column = c.cast(dec)
-  private val one = lit(1).cast(dec)
+  private[graft] val dec = DecimalType(12, 2)
+  private[graft] def d(c: Column): Column = c.cast(dec)
+  private[graft] val one = lit(1).cast(dec)
 
   // ------------------------------------------------- transactional scenario
 
-  private val TxnSize = 5
+  private[graft] val TxnSize = 5
 
   /**
    * Deterministic transactional workload over `events`: each user is a
@@ -798,7 +798,7 @@ object SparkEntry {
    * commands at last_event_arrival+1, so commands land strictly after
    * their txn's data and before the producer's next txn.
    */
-  private def txnData(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def txnData(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val pids = TxnEngine.initProducerIds(ev.select("user_id").distinct(), col("user_id"))
     val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -810,7 +810,7 @@ object SparkEntry {
         col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
-  private def txnEnds(data: DataFrame): DataFrame =
+  private[graft] def txnEnds(data: DataFrame): DataFrame =
     data.groupBy("pid", "txn_seq")
       .agg(count(lit(1)).as("n"),
         max((col("event_type") === "error").cast("int")).as("has_err"),
@@ -821,14 +821,14 @@ object SparkEntry {
         (col("last_arr") + 1).as("arrival"))
 
   /** The marker-carrying transactional log (fences + data + end markers). */
-  private def txnLogDerived(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def txnLogDerived(s: SparkSession, dir: String): DataFrame = {
     val data = txnData(s, dir)
     TxnEngine.interleaveMarkers(data, txnEnds(data))
   }
 
-  private val txnLogStore = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] val txnLogStore = scala.collection.concurrent.TrieMap[String, String]()
 
-  private val dsv2Store = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] val dsv2Store = scala.collection.concurrent.TrieMap[String, String]()
 
   /** On-disk wire-format log for the DSv2 source: segments of 2000
     * offsets (4 batches x 500 records) per partition, written
@@ -836,7 +836,7 @@ object SparkEntry {
     * index lines return to the driver. Executor-local file writes are a
     * local-mode convenience; on a cluster the same writer targets
     * shared storage. */
-  private def dsv2LogPath(s: SparkSession, dir: String): String =
+  private[graft] def dsv2LogPath(s: SparkSession, dir: String): String =
     dsv2Store.getOrElseUpdate(dir, {
       import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
@@ -855,11 +855,11 @@ object SparkEntry {
       root
     })
 
-  private val u2SnapshotStore = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] val u2SnapshotStore = scala.collection.concurrent.TrieMap[String, String]()
 
   /** u2 deploy-time snapshot materialized ONCE per scale dir (a deploy
     * is a build step; re-benching the same entry must not re-write it). */
-  private def u2SnapshotPath(s: SparkSession, dir: String): String =
+  private[graft] def u2SnapshotPath(s: SparkSession, dir: String): String =
     u2SnapshotStore.getOrElseUpdate(dir, {
       val log = eventLog(s, dir).withColumnRenamed("ts", "timestamp")
       val snapshot = log.where(col("offset") < lit(50) + col("partition") * 13)
@@ -868,11 +868,11 @@ object SparkEntry {
       s"$tmp/in"
     })
 
-  private val icebergStore = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] val icebergStore = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Normalized embeddings per scale dir (the PQ/IVFADC entries share
     * one preparation). */
-  private def normEmbeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normEmbeddings(s: SparkSession, dir: String): DataFrame =
     Similarity.normalized(
       T(s, dir, "embeddings")
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double"))),
@@ -880,25 +880,25 @@ object SparkEntry {
 
   /** PQ codebooks trained once per scale dir and reused across the
     * ann_pq_* entries — training is a build step, not a query step. */
-  private val pqModelStore =
+  private[graft] val pqModelStore =
     scala.collection.concurrent.TrieMap[String, Similarity.PqModel]()
-  private def pqModel(s: SparkSession, dir: String): Similarity.PqModel =
+  private[graft] def pqModel(s: SparkSession, dir: String): Similarity.PqModel =
     pqModelStore.getOrElseUpdate(dir,
       Similarity.pqTrain(normEmbeddings(s, dir), m = 16, k = 32, trainMod = 4))
 
   /** IVFADC index trained once per scale dir (coarse quantizer + residual
     * PQ codebooks); the per-query residual encode is a narrow recompute. */
-  private val ivfPqStore =
+  private[graft] val ivfPqStore =
     scala.collection.concurrent.TrieMap[String, Similarity.IvfPqIndex]()
-  private def ivfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex =
     ivfPqStore.getOrElseUpdate(dir,
       Similarity.ivfPqBuild(normEmbeddings(s, dir), trainMod = 4))
 
   /** PQ / IVFADC codes MATERIALIZED once per scale dir — the production
     * shape (codes are encoded at ingest and stored beside the table);
     * queries scan the stored codes, not re-encode the corpus. */
-  private val codesStore = scala.collection.concurrent.TrieMap[String, String]()
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val codesStore = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val p = codesStore.getOrElseUpdate(s"pq:$dir", {
       val path = java.nio.file.Files.createTempDirectory("graft_pqcodes").toString
       Similarity.pqEncode(normEmbeddings(s, dir), pqModel(s, dir))
@@ -907,7 +907,7 @@ object SparkEntry {
     })
     s.read.parquet(p)
   }
-  private def ivfPqCodes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfPqCodes(s: SparkSession, dir: String): DataFrame = {
     val p = codesStore.getOrElseUpdate(s"ivfpq:$dir", {
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpqcodes").toString
       Similarity.ivfPqEncode(normEmbeddings(s, dir), ivfPqIndex(s, dir))
@@ -917,7 +917,7 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
-  private val dlcE2eStore = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private[graft] val dlcE2eStore = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /**
    * End-to-end topic→Iceberg delivery fixture (built once per scale
@@ -938,7 +938,7 @@ object SparkEntry {
    *
    * Returns (iceberg table path, pass-summary parquet path).
    */
-  private def dlcE2eFixture(s: SparkSession, dir: String): (String, String) =
+  private[graft] def dlcE2eFixture(s: SparkSession, dir: String): (String, String) =
     dlcE2eStore.getOrElseUpdate(dir, {
       import graft.streaming.{DatalakeCoordinator, IcebergCommitter, IcebergFormat}
       import IcebergCommitter.PendingFiles
@@ -1024,7 +1024,7 @@ object SparkEntry {
 
   /** Iceberg v2 table built once per scale factor: three appends of the
     * event_id % 3 slices, day-partitioned. */
-  private def icebergTable(s: SparkSession, dir: String): String =
+  private[graft] def icebergTable(s: SparkSession, dir: String): String =
     icebergStore.getOrElseUpdate(dir, {
       val t = java.nio.file.Files.createTempDirectory("graft_ice").toString + "/events_ice"
       val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
@@ -1043,7 +1043,7 @@ object SparkEntry {
    * recomputed from raw inputs per query — and it lets offset/partition
    * predicates push into the parquet scan.
    */
-  private def txnLog(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def txnLog(s: SparkSession, dir: String): DataFrame = {
     val path = txnLogStore.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_txnlog").toString
       txnLogDerived(s, dir).write.parquet(s"$tmp/log")
@@ -1052,7 +1052,7 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
-  private val txnExpiryStore = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] val txnExpiryStore = scala.collection.concurrent.TrieMap[String, String]()
 
   /**
    * The expiry-sweep scenario (`tx_gateway_frontend.h:263-265`
@@ -1067,7 +1067,7 @@ object SparkEntry {
    * expired ones fence with `invalid_producer_epoch`. Materializes the
    * post-sweep marker log plus the tiny expired / fenced key tables.
    */
-  private def txnExpiryFixture(s: SparkSession, dir: String): String =
+  private[graft] def txnExpiryFixture(s: SparkSession, dir: String): String =
     txnExpiryStore.getOrElseUpdate(dir, {
       val tmp = cleanupOnExit(
         java.nio.file.Files.createTempDirectory("graft_txnexp")).toString
@@ -1109,7 +1109,7 @@ object SparkEntry {
    * delta rule exercises both inclusion and omission — and 'purchase'
    * rows forget their partition. Returns (requests, partitionRows, hwms).
    */
-  private def fsnScenario(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def fsnScenario(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ev = events(s, dir)
     val sid = concat(lit("s"), pmod(col("user_id"), lit(8)).cast("string"))
     val sw = Window.partitionBy("session_id").orderBy("seq")
@@ -1145,7 +1145,7 @@ object SparkEntry {
     * three fsn_* oracles: synthesis of the request epochs and the
     * recursive-CTE replay of the epoch FSM (the Spark side folds it in
     * one per-session pass — [[graft.log.FetchSessions.validateEpochs]]). */
-  private val FsnCte =
+  private[graft] val FsnCte =
     """WITH RECURSIVE req AS (
       |  SELECT 's' || CAST(user_id % 8 AS VARCHAR) AS session_id,
       |         CAST(event_id AS BIGINT) AS seq, event_type,
@@ -1199,7 +1199,7 @@ object SparkEntry {
   /** fsn_state's replay — shared verbatim by the continuous twin
     * (fsn_state_stream): the checkpointed micro-batch fold must be
     * byte-identical to the one-pass batch fold. */
-  private val FsnStateOracle: String =
+  private[graft] val FsnStateOracle: String =
     s"""$FsnCte,
        | v AS (SELECT session_id, seq FROM d WHERE decision IN ('created','ok')),
        | era AS (SELECT session_id,
@@ -1230,7 +1230,7 @@ object SparkEntry {
    * (the fixture keeps multi-partition topics registration-only, so
    * single-partition chains carry lifecycle transitions in-band).
    */
-  private val DlcCte: String =
+  private[graft] val DlcCte: String =
     """WITH RECURSIVE raw AS (
       | SELECT * FROM (VALUES
       |  (1,'lifecycle','pv',0,1,'live',-1,CAST([] AS BIGINT[]),-1),
@@ -1351,7 +1351,7 @@ object SparkEntry {
     * the final last_committed), then judged per scenario against the
     * table-property rows — the full
     * `iceberg_file_committer.cc:152-175` dedup ladder in DuckDB. */
-  private val DlcCommitCte: String =
+  private[graft] val DlcCommitCte: String =
     s"""$DlcCte,
        | datap AS (SELECT * FROM outs
        |   WHERE op IN ('add_files', 'mark_committed') AND errc = 'success'),
@@ -1388,7 +1388,7 @@ object SparkEntry {
   // ------------------------------------------------ avro registry scenario
 
   /** Writer schema v1: the pre-evolution event payload. */
-  private val AvroV1 =
+  private[graft] val AvroV1 =
     """{"type":"record","name":"Event","fields":[
       |  {"name":"event_id","type":"long"},
       |  {"name":"user_id","type":"long"},
@@ -1396,14 +1396,14 @@ object SparkEntry {
 
   /** Writer schema v2 = v1 + nullable `value` (default null) — a
     * backward-compatible evolution; also the subject's reader schema. */
-  private val AvroV2 =
+  private[graft] val AvroV2 =
     """{"type":"record","name":"Event","fields":[
       |  {"name":"event_id","type":"long"},
       |  {"name":"user_id","type":"long"},
       |  {"name":"event_type","type":"string"},
       |  {"name":"value","type":["null","double"],"default":null}]}""".stripMargin
 
-  private val AvroSchemasById = Map(1 -> AvroV1, 2 -> AvroV2)
+  private[graft] val AvroSchemasById = Map(1 -> AvroV1, 2 -> AvroV2)
 
   /**
    * The canonical log with its payload Avro-encoded in the registry wire
@@ -1412,7 +1412,7 @@ object SparkEntry {
    * corpus the registry-driven decode must resolve per record — exactly
    * the mixed-generation state of a long-lived schematized topic.
    */
-  private def avroLog(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def avroLog(s: SparkSession, dir: String): DataFrame = {
     import graft.registry.AvroDecode
     val log = eventLog(s, dir)
     val v1 = AvroDecode.encode(
@@ -1430,7 +1430,7 @@ object SparkEntry {
   // -------------------------------------------- protobuf registry scenario
 
   /** Protobuf writer descriptor v1 (registry subject generation 1). */
-  private val ProtoV1 =
+  private[graft] val ProtoV1 =
     """message Event {
       |  optional int64 event_id = 1;
       |  optional int64 user_id = 2;
@@ -1440,7 +1440,7 @@ object SparkEntry {
 
   /** v2 renames field 3 (numbers carry identity — still readable) and
     * adds a sint64 the reader will skip as unknown. */
-  private val ProtoV2 =
+  private[graft] val ProtoV2 =
     """message Event {
       |  optional int64 event_id = 1;
       |  optional int64 user_id = 2;
@@ -1451,7 +1451,7 @@ object SparkEntry {
 
   /** Reader descriptor: skips writer fields 2/5, and field 6 (absent in
     * every writer) takes the proto3 default. */
-  private val ProtoReader =
+  private[graft] val ProtoReader =
     """message Event {
       |  optional int64 event_id = 1;
       |  optional string event_type = 3;
@@ -1459,7 +1459,7 @@ object SparkEntry {
       |  optional int32 missing = 6;
       |}""".stripMargin
 
-  private val ProtoSchemasById = Map(11 -> ProtoV1, 12 -> ProtoV2)
+  private[graft] val ProtoSchemasById = Map(11 -> ProtoV1, 12 -> ProtoV2)
 
   /**
    * The canonical log protobuf-framed across two descriptor generations
@@ -1467,7 +1467,7 @@ object SparkEntry {
    * an id the registry does not know (every 100th event) — those must
    * decode to null structs.
    */
-  private def protoLog(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def protoLog(s: SparkSession, dir: String): DataFrame = {
     import graft.registry.ProtobufDecode
     val log = eventLog(s, dir)
     val v1 = ProtobufDecode.encode(
@@ -1491,7 +1491,7 @@ object SparkEntry {
 
   /** Reader JSON Schema for the json.cc-leg decode scenario: the v2
     * shape (v1 payloads surface `value` as null). */
-  private val JsonReaderSchema =
+  private[graft] val JsonReaderSchema =
     """{"type":"object","properties":{
       |  "event_id":{"type":"integer"},
       |  "event_type":{"type":"string"},
@@ -1499,14 +1499,14 @@ object SparkEntry {
 
   /** Topic catalog for the G4 assignment scenarios: sizes chosen to
     * exercise remainder runs (8 and 7 over 3 members) and P < M (1). */
-  private def G4Topics(s: SparkSession): DataFrame = {
+  private[graft] def G4Topics(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("t8", 8), ("t7", 7), ("t1", 1)).toDF("topic", "n_partitions")
   }
 
   /** Shared oracle CTE for the G4 scenarios: ranked members + exploded
     * topic partitions (mirrors [[G4Topics]]). */
-  private val G4Cte =
+  private[graft] val G4Cte =
     """WITH mem(member_id) AS (VALUES ('a'), ('b'), ('c')),
       | m AS (SELECT member_id,
       |   row_number() OVER (ORDER BY member_id) - 1 AS idx FROM mem),
@@ -1514,7 +1514,7 @@ object SparkEntry {
       | p AS (SELECT topic, n, unnest(range(n)) AS partition FROM t)""".stripMargin
 
   /** Deterministic alter-configs command log for the admin queries. */
-  private def configAlters(s: SparkSession): DataFrame = {
+  private[graft] def configAlters(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       (1L, "events", "cleanup.policy", "compact"),
@@ -1528,7 +1528,7 @@ object SparkEntry {
     * `r0` sizes/clocks the log, `f` replays the reset-on-flush
     * recurrence (2 KiB / 1 h triggers), `cstats` takes each
     * partition's final state, `hw` the HWM. */
-  private val WriteCachingLegs: String =
+  private[graft] val WriteCachingLegs: String =
     """ r0 AS (
       |  SELECT partition, "offset", epoch_ms(ts) AS ts_ms,
       |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS b,
@@ -1562,7 +1562,7 @@ object SparkEntry {
    * of a txn lands on one partition, so this is exact here, while real
    * multi-partition marker fan-out (T3) is covered by `TxnEngineSpec`.
    */
-  private val TxnCte =
+  private[graft] val TxnCte =
     s"""WITH pids AS (
       |  SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS pid
       |  FROM (SELECT DISTINCT user_id FROM events)),
@@ -1599,7 +1599,7 @@ object SparkEntry {
    * coordinator expiry aborts (at maxarr+3) and the non-fenced late
    * commits (at maxarr+8) interleaved, `ofs2` = dense offsets over it.
    */
-  private val TxnExpiryCte =
+  private[graft] val TxnExpiryCte =
     s"""$TxnCte,
       | mx AS (SELECT max(arr) AS maxarr FROM d),
       | d2 AS (SELECT d.* FROM d, mx
@@ -1643,7 +1643,7 @@ object SparkEntry {
     * replays the maybe_index accumulator ladder (first batch indexed,
     * reset on index, step 4000) with a recursive CTE, yielding the
     * `entries` and `st` (per-segment header state) tables. */
-  private val S3IndexCte =
+  private[graft] val S3IndexCte =
     """WITH RECURSIVE log AS (
       |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
       |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS o,
@@ -1694,7 +1694,7 @@ object SparkEntry {
       |        FROM b)
       |  GROUP BY 1, 2)""".stripMargin
 
-  private val LogCte =
+  private[graft] val LogCte =
     """WITH log AS (
       |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
       |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
@@ -1710,7 +1710,7 @@ object SparkEntry {
     * string: the SQL backslashes are literal. Interpolated into oracle
     * strings that call .stripMargin AGAIN — no line here may start
     * with `||` (the second strip would eat a pipe). */
-  private val XformLogCte: String =
+  private[graft] val XformLogCte: String =
     """WITH RECURSIVE ev AS (
       |  SELECT doc_id AS seq,
       |    'xform-' || CAST(doc_id % 4 AS VARCHAR) AS transform_name,
@@ -1754,7 +1754,7 @@ object SparkEntry {
     * before the delay calc, egress after. Uninterpolated string;
     * interpolated into oracle strings that stripMargin AGAIN, so no
     * line may start with `||`. */
-  private val SncQuotaCte: String =
+  private[graft] val SncQuotaCte: String =
     """WITH RECURSIVE req AS (
       |  SELECT CAST(user_id % 4 AS INTEGER) AS node_id,
       |         event_id AS seq,
@@ -1798,7 +1798,7 @@ object SparkEntry {
     * on partitions ≡1 mod 4). Appended to `$LogCte,` by the
     * `ct_scrub_*` oracles (which stripMargin AGAIN — no line here may
     * start with `||`). */
-  private def scrubCte(depth: Int): String =
+  private[graft] def scrubCte(depth: Int): String =
     s""" sseg AS (
        |  SELECT partition, "offset" // 50 AS c,
        |         min("offset") AS b0, max("offset") AS cm0
@@ -1861,7 +1861,7 @@ object SparkEntry {
     * smp_ccnet_buckets oracles: trains the Laplace-smoothed model on
     * the 'en' slice and scores every document's integer-micro-unit
     * log-likelihood sum (mirrors TextAnalysis.bigramPerplexity). */
-  private def perplexityLegs(corpus: String): String =
+  private[graft] def perplexityLegs(corpus: String): String =
     s"""tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM $corpus),
       | rg AS (
@@ -1881,14 +1881,14 @@ object SparkEntry {
       |               CAST(count(*) AS BIGINT) AS n_bigrams
       |        FROM sc GROUP BY 1)""".stripMargin
 
-  private val PerplexityLegs: String = perplexityLegs("documents")
+  private[graft] val PerplexityLegs: String = perplexityLegs("documents")
 
-  private val PerplexityCte: String = "WITH " + PerplexityLegs
+  private[graft] val PerplexityCte: String = "WITH " + PerplexityLegs
 
   /** CCNet bucket legs over [[perplexityLegs]]: the exact integer
     * mean-NLL key and the equal-mass thirds rank (shared by the
     * smp_ccnet_buckets oracle and the curation-funnel oracles). */
-  private def ccnetBucketLegs(corpus: String): String =
+  private[graft] def ccnetBucketLegs(corpus: String): String =
     s""" sc2 AS (
       |  SELECT d.doc_id,
       |    CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0
@@ -1906,9 +1906,9 @@ object SparkEntry {
       |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
       |  FROM rk)""".stripMargin
 
-  private val CcnetBucketLegs: String = ccnetBucketLegs("documents")
+  private[graft] val CcnetBucketLegs: String = ccnetBucketLegs("documents")
 
-  private def gopherKeepExpr(minWords: Int = 50, minStopHits: Int = 2): String =
+  private[graft] def gopherKeepExpr(minWords: Int = 50, minStopHits: Int = 2): String =
     s"n_words BETWEEN $minWords AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0" +
       " AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3" +
       s" AND alpha_frac >= 0.8 AND stop_hits >= $minStopHits"
@@ -1916,7 +1916,7 @@ object SparkEntry {
   /** Gopher-rule legs over a named corpus CTE `(doc_id, text)`:
     * raw signal values in `gg`, the verdict in `gkeep(doc_id, gk)`.
     * Shared by the txt_gopher_rules oracle and the funnel oracle. */
-  private def gopherLegs(corpus: String, minWords: Int = 50,
+  private[graft] def gopherLegs(corpus: String, minWords: Int = 50,
       minStopHits: Int = 2): String =
     s""" gf AS (
        |  SELECT doc_id,
@@ -1945,18 +1945,18 @@ object SparkEntry {
 
   /** Well-formed page plant shared by the txt_c4_rules query and its
     * oracle (the oracle re-derives the SQL literal from this string). */
-  private val C4GoodPage: String =
+  private[graft] val C4GoodPage: String =
     "This is the first sentence with enough words here.\n" +
       "Another proper sentence follows it with several words.\n" +
       "Finally a third sentence closes the page nicely."
 
   /** [[C4GoodPage]] (+ an optional suffix line) as a DuckDB expression. */
-  private def c4PageSql(extra: String = ""): String =
+  private[graft] def c4PageSql(extra: String = ""): String =
     (C4GoodPage + extra).split("\n")
       .map(l => "'" + l.replace("'", "''") + "'")
       .mkString(" || chr(10) || ")
 
-  private val C4RulesOracle: String =
+  private[graft] val C4RulesOracle: String =
     s"""WITH cd AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -1990,7 +1990,7 @@ object SparkEntry {
     * explode+groupBy — an algorithm independent of the operator's
     * sorted-array folds that must agree bit-for-bit. Legs for each
     * n-gram order are generated programmatically. */
-  private val RepKeepExpr: String =
+  private[graft] val RepKeepExpr: String =
     Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
       "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20",
       "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
@@ -2003,7 +2003,7 @@ object SparkEntry {
     * derives every Gopher signal via explode+groupBy, ending in
     * `fr` (raw fractions) and `rkeep(doc_id, rk)`. Shared by the
     * txt_repetition_full oracle and the curation-funnel oracle. */
-  private def repSignalsLegs(corpus: String): String = {
+  private[graft] def repSignalsLegs(corpus: String): String = {
     val gramLegs = (2 to 10).map { n =>
       s""" g$n AS (SELECT doc_id, g, count(*) AS c, length(g) AS ln FROM (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - $n + 1),
@@ -2051,7 +2051,7 @@ object SparkEntry {
 
   /** Full-repetition-battery oracle: the planted corpus + the shared
     * legs; rounded outputs and the threshold keep come from `fr`. */
-  private val RepSignalsOracle: String = {
+  private[graft] val RepSignalsOracle: String = {
     val rounded = (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
       "dup_para_char_frac") ++ (2 to 4).map(n => s"top_${n}gram_char_frac") ++
       (5 to 10).map(n => s"dup_${n}gram_char_frac"))
@@ -2074,7 +2074,7 @@ object SparkEntry {
 
   /** Throttler recurrence oracle shared by the batch and streaming
     * twins (identical decisions are the streaming contract). */
-  private val ThrottlerOracle: String =
+  private[graft] val ThrottlerOracle: String =
     """WITH RECURSIVE req AS (
         |  SELECT CAST(user_id % 4 AS INTEGER) AS shard, event_id AS seq,
         |         CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
@@ -2130,7 +2130,7 @@ object SparkEntry {
     * the per-partition reverse manifest walk as a ranked aggregate, and
     * the run's quota/abort prefix cut as running-sum windows — the
     * same declarative replay [[graft.log.Purger.run]] executes. */
-  private val PurgerOracle: String =
+  private[graft] val PurgerOracle: String =
     """WITH mk(topic, revision, partition_count, remote_delete, read_replica, marker_ts_ms, idx) AS (VALUES
       |  ('tp0', 1, 2, TRUE, FALSE, 0, 1),
       |  ('tp1', 1, 2, FALSE, FALSE, 0, 2),
@@ -2205,7 +2205,7 @@ object SparkEntry {
     * size-or-wedged acceptance on the final state. Appended to
     * `$LogCte,` by the `asm_*` oracles (which stripMargin AGAIN — no
     * line here may start with `||`). */
-  private val AsmCte: String =
+  private[graft] val AsmCte: String =
     """ sized AS (SELECT partition, "offset",
       |    CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz FROM log),
       | seg AS (SELECT partition, CAST(min("offset") AS BIGINT) AS base_offset,
@@ -2265,7 +2265,7 @@ object SparkEntry {
     * companion weights accruing at the segment's step. Appended to a
     * RECURSIVE `$LogCte,` by the `ct_cache_trim` oracle (stripMargin
     * runs twice — no line may start with `||`). */
-  private val CacheTrimCte: String =
+  private[graft] val CacheTrimCte: String =
     """ sized AS (SELECT partition, "offset",
       |    CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz FROM log),
       | seg0 AS (SELECT partition, CAST(min("offset") AS BIGINT) AS base,
@@ -2321,7 +2321,7 @@ object SparkEntry {
     q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   // TPC-H-shaped analytics headliners (Spark built-ins over our data model).
-  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
     val l = T(s, dir, "lineitem").where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
     val ep = d(col("l_extendedprice"))
     val disc = d(col("l_discount"))
@@ -2338,7 +2338,7 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  private def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cut = lit("1996-03-15").cast("timestamp")
     val c = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val o = T(s, dir, "orders").where(col("o_orderdate") < cut)
@@ -2352,7 +2352,7 @@ object SparkEntry {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
-  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer")
     val o = T(s, dir, "orders")
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2371,14567 +2371,19 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ----- §2.1 sources/sinks -----
-    "s1_produce" -> ((s, dir) =>
-      eventLog(s, dir)
-        .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
-        .orderBy("partition", "offset")),
-
-    "s1_produce_window" -> ((s, dir) =>
-      // Single-window assignment kept as the cross-check: must stay
-      // bit-identical to the two-phase plan s1_produce now runs.
-      RecordLog.assignOffsets(events(s, dir),
-          pmod(col("user_id"), lit(EventPartitions)), col("event_id"))
-        .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
-        .orderBy("partition", "offset")),
-
-    "s1_wire_ingest" -> ((s, dir) => {
-      // The produce path fed RAW wire envelopes — the
-      // kafka_batch_adapter.cc adapt step: 2 partitions of the event
-      // log packed into 50-offset batches, each encoded under codec
-      // batch_no % 5 (none/gzip/snappy/lz4/zstd via the threshold-0
-      // recompress pass), then every batch_no % 7 == 0 gets one byte
-      // of its CRC REGION flipped (attributes high byte — CRC fails,
-      // fields still parse) and every remaining batch_no % 11 == 0 is
-      // TRUNCATED to 40 bytes (fails the size/magic gate before any
-      // field parse). Ingest rejects those batches wholesale and
-      // assigns dense offsets to the records of the survivors.
-      graft.functions.GraftFunctions.register(s)
-      val wires = p6WireBatches(s, dir, maxPartitions = 2, span = 50)
-        .withColumn("codec", pmod(col("batch_no"), lit(5)).cast("int"))
-        .select(col("partition"), col("batch_no"),
-          call_function("kafka_batch_recompress",
-            call_function("kafka_batch_encode", p6EncodeStruct),
-            col("codec"), lit(0)).as("wire"))
-        .withColumn("wire",
-          when(pmod(col("batch_no"), lit(7)) === 0,
-            concat(substring(col("wire"), 1, 21),
-              lit(Array[Byte](0x7f.toByte)),
-              substring(col("wire"), 23, Int.MaxValue)))
-          .when(pmod(col("batch_no"), lit(11)) === 0,
-            substring(col("wire"), 1, 40))
-          .otherwise(col("wire")))
-      RecordLog.wireIngest(wires, col("wire"), col("partition"), col("batch_no"))
-        .select(col("route"), col("partition"), col("offset"),
-          col("key").cast("string").as("key"),
-          col("value").cast("string").as("value"))
-        .orderBy("route", "partition", "offset", "key")
-    }),
-
-    "s1_wire_produce" -> ((s, dir) => {
-      // The produce path END-TO-END over the wire: a v8 Produce frame
-      // (api key 0 — the reference pins 0-8, never flexible) carries
-      // one record-batch v2 envelope per partition as NULLABLE_BYTES;
-      // partition 7's envelope gets a byte of its CRC region flipped.
-      // The frame is decoded, the envelopes run the distributed
-      // kafka_batch_adapter ingest (size/magic + CRC gate, then offset
-      // assignment), and the response reports base_offset per accepted
-      // partition and corrupt_message (error 2) for the reject —
-      // emitted rows come from the re-decoded response BYTES, with the
-      // v8 response-size law under the oracle.
-      graft.functions.GraftFunctions.register(s)
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.Produce
-      val envs = p6WireBatches(s, dir, span = 100)
-        .where(col("batch_no") === 0)
-        .select(col("partition"),
-          call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
-        .withColumn("wire",
-          when(col("partition") === 7,
-            concat(substring(col("wire"), 1, 21),
-              lit(Array[Byte](0x7f.toByte)),
-              substring(col("wire"), 23, Int.MaxValue)))
-          .otherwise(col("wire")))
-        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("wire")))
-        .sortBy(_._1) // one small envelope per partition
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(0, 8, 31, Some("graft")),
-        Produce.encodeRequest(Produce.Request(None, -1, 30000,
-          Seq(("events", envs.toIndexedSeq.map { case (p, w) => (p, Some(w)) })))),
-        flexible = false)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = false)
-      val req = Produce.decodeRequest(reqBody)
-      val wires = req.topics.head._2.map { case (p, w) => (p, w.get) }
-        .toDF("partition", "wire")
-      val stats = RecordLog.wireIngest(wires, col("wire"), col("partition"), lit(0L))
-        .groupBy("partition")
-        .agg(sum(when(col("route") === "accept", 1L).otherwise(0L)).as("appended"),
-          min(when(col("route") === "accept", col("offset"))).as("base"))
-        .collect().map(r => r.getInt(0) ->
-          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
-      val resp = Produce.Response(Seq(("events",
-        req.topics.head._2.map { case (p, _) =>
-          val (appended, base) = stats(p)
-          if (appended == 0L)
-            Produce.RespPart(p, 2, -1L, -1L, -1L, Nil, None) // corrupt_message
-          else Produce.RespPart(p, 0, base, -1L, 0L, Nil, None)
-        })), 0)
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        Produce.encodeResponse(resp))
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame)
-      Produce.decodeResponse(respBody).responses.flatMap { case (_, ps) =>
-        ps.map(p => (p.partitionIndex, p.errorCode.toInt, p.baseOffset,
-          p.logStartOffset, stats(p.partitionIndex)._1,
-          respFrame.length, corrBack == 31)) }
-        .toDF("partition", "error_code", "base_offset", "log_start_offset",
-          "appended", "resp_bytes", "corr_ok")
-        .orderBy("partition")
-    }),
-
-    "s1_produce_exactly_once" -> ((s, dir) => {
-      // The exactly-once produce path, DELIVERED TWICE: the same input
-      // runs through appendStreamExactlyOnce with a fresh checkpoint the
-      // second time, so every batch id is redelivered — committed batch
-      // markers turn the whole second delivery into no-ops. The read-back
-      // must equal ONE batch assignment (the s1 oracle), byte for byte.
-      import java.nio.file.{Files, Paths}
-      val stage = Files.createTempDirectory("graft_eo")
-      val in = stage.resolve("in")
-      Files.createDirectory(in)
-      Files.copy(Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
-      val out = s"$stage/log"
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def deliver(ckpt: String): Unit = {
-        val q = graft.streaming.Produce.appendStreamExactlyOnce(s,
-          graft.streaming.Transforms.PathInput(in.toString, schema),
-          out, s"$stage/$ckpt",
-          pmod(col("user_id"), lit(EventPartitions)), col("event_id"))
-        q.awaitTermination()
-      }
-      deliver("ckpt1")
-      deliver("ckpt2") // full redelivery: all batch ids repeat
-      s.read.parquet(out)
-        .select(col("partition"), col("offset"), col("user_id").as("key"), col("event_type"))
-        .orderBy("partition", "offset")
-    }),
-
-    "s1_append_incremental" -> ((s, dir) => {
-      // Replay the first half as the existing log, append the second half
-      // on its high watermarks; the union must equal one-shot assignment.
-      val ev = events(s, dir)
-      val cut = ev.count() / 2
-      val part = pmod(col("user_id"), lit(8))
-      val base = RecordLog.assignOffsets(ev.where(col("event_id") < cut), part, col("event_id"))
-      val appended = RecordLog.appendBatch(
-        ev.where(col("event_id") >= cut), RecordLog.latestOffsets(base), part, col("event_id"))
-      base.select("partition", "offset", "event_id")
-        .unionByName(appended.select("partition", "offset", "event_id"))
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
-          sum(col("offset") * col("event_id")).as("weighted"))
-        .orderBy("partition")
-    }),
-
-    "s1_logappend_time" -> ((s, dir) => {
-      // message.timestamp.type applied on produce (model/timestamp.h:30):
-      // a dynamic config override flips 'events' to LogAppendTime — every
-      // record of the produce batch gets the broker clock at append
-      // (deterministic here so the oracle re-derives it) — while
-      // 'events_mirror' keeps the CreateTime default and passes producer
-      // stamps through. The knob is read back from describe_configs, not
-      // hardcoded in the produce call.
-      import s.implicits._
-      val alters = configAlters(s).unionByName(
-        Seq((4L, "events", "message.timestamp.type", "LogAppendTime"))
-          .toDF("seq", "topic", "key", "value"))
-      val tsType = graft.admin.Admin
-        .describeConfigs(s, Seq("events", "events_mirror"), alters)
-        .where(col("key") === "message.timestamp.type")
-        .collect().map(r => (r.getString(0), r.getString(2))).toMap
-      val appendClock = lit("2024-06-01 00:00:00").cast("timestamp")
-      def produce(topic: String): DataFrame =
-        RecordLog.stampTimestamp(eventLog(s, dir), tsType(topic),
-            producerTs = col("ts"), appendTs = appendClock)
-          .select(lit(topic).as("topic"), col("partition"), col("offset"),
-            unix_millis(col("timestamp")).as("ts_ms"))
-      produce("events").unionByName(produce("events_mirror"))
-        .groupBy("topic", "partition")
-        .agg(count(lit(1)).as("n"), max("offset").as("max_offset"),
-          countDistinct("ts_ms").as("n_stamps"),
-          min("ts_ms").as("min_ts_ms"), max("ts_ms").as("max_ts_ms"))
-        .orderBy("topic", "partition")
-    }),
-
-    "s1_write_caching" -> ((s, dir) => {
-      // write_caching (metadata.h:548, ntp_config.h:273-301,
-      // consensus.cc:874): cached mode acks from memory — the HWM runs
-      // ahead of the durable offset until a flush_bytes (2 KiB) or
-      // flush_ms (1 h of batch clock) trigger fires; sync mode flushes
-      // per batch and the watermarks coincide. The corpus' ts gaps
-      // (median ~24 min) exercise BOTH trigger kinds. The oracle
-      // replays the reset-on-flush fold as a recursive CTE.
-      val log = storedLog(s, dir)
-      val bytes = (length(col("props")) + length(col("event_type")) + lit(24)).cast("long")
-      def run(mode: String, caching: Boolean) =
-        graft.log.WriteCaching.watermarks(log, col("partition"), col("offset"),
-            unix_millis(col("ts")), bytes, cachingEnabled = caching,
-            flushBytes = 2048L, flushMs = 3600000L)
-          .withColumn("mode", lit(mode))
-      run("cached", caching = true).unionByName(run("sync", caching = false))
-        .select("mode", "partition", "hwm", "durable_offset",
-          "unflushed_rows", "n_flushes")
-        .orderBy("mode", "partition")
-    }),
-
-    "s1_write_caching_stream" -> ((s, dir) => {
-      // The flush fold as a continuous query: the stored log split into
-      // two ordered micro-batches; per-partition accumulator state
-      // persists in the checkpoint, so the emitted flush decisions are
-      // byte-identical to the batch fold — certified by the SAME
-      // recursive-CTE oracle (cached leg).
-      import java.nio.file.Files
-      import java.nio.file.attribute.FileTime
-      val log = storedLog(s, dir).select(col("partition"), col("offset"),
-        unix_millis(col("ts")).as("ts_ms"),
-        (length(col("props")) + length(col("event_type")) + lit(24))
-          .cast("long").as("bytes"))
-      val inDir = cleanupOnExit(Files.createTempDirectory("graft_wc_in"))
-      Seq((col("offset") < 600, "batch0", 1700000000000L),
-          (col("offset") >= 600, "batch1", 1700000001000L)).foreach {
-        case (cond, name, mtime) =>
-          val tmp = Files.createTempDirectory("graft_wc_half")
-          log.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val dst = inDir.resolve(s"$name.parquet")
-          Files.copy(firstParquetPart(tmp), dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-          deleteDirTree(tmp)
-      }
-      val out = cleanupOnExit(Files.createTempDirectory("graft_wc_out")).toString
-      val stream = graft.streaming.Transforms.PathInput(
-        inDir.toString, log.schema, maxFilesPerTrigger = Some(1)).stream(s)
-      graft.log.WriteCaching.flushAccountingStream(stream, s"$out/data",
-        s"$out/ckpt", cachingEnabled = true, flushBytes = 2048L, flushMs = 3600000L)
-      s.read.parquet(s"$out/data")
-        .groupBy("partition")
-        .agg((max("offset") + 1).as("hwm"),
-          max("flushed_offset").as("durable_offset"),
-          (max("offset") - max("flushed_offset")).as("unflushed_rows"),
-          sum(col("flushed").cast("long")).as("n_flushes"))
-        .orderBy("partition")
-    }),
-
-    "s2_wire_fetch" -> ((s, dir) => {
-      // The fetch path over the wire: a v11 Fetch frame (api key 1 —
-      // the reference pins 0-11, never flexible) asks for offsets
-      // 100+ on every partition; the served span [100, 200) comes back
-      // as ONE record-batch v2 envelope per partition inside the
-      // response's NULLABLE_BYTES records field — a fetch returns the
-      // log's stored bytes, not rows. The emitted rows are decoded from
-      // the re-decoded response frame's envelopes, so request serde,
-      // response serde, AND the batch codec sit under the oracle.
-      graft.functions.GraftFunctions.register(s)
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.Fetch
-      import graft.functions.RecordBatchCodec
-      val nParts = EventPartitions
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(1, 11, 41, Some("graft")),
-        Fetch.encodeRequest(Fetch.Request(-1, 500, 1, 52428800, 0, 0, -1,
-          Seq(("events", (0 until nParts).map(p =>
-            Fetch.ReqPart(p, -1, 100L, 0L, 1048576)))), Nil, "")),
-        flexible = false)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = false)
-      val req = Fetch.decodeRequest(reqBody)
-      val w = Window.partitionBy("partition")
-      val lo = req.topics.head._2.head.fetchOffset
-      val envs = storedLog(s, dir)
-        .where(col("offset") >= lo && col("offset") < lo + 100)
-        .select(col("partition"), col("offset"), col("event_id"),
-          col("user_id"), col("event_type"))
-        .withColumn("base_offset", min("offset").over(w))
-        .withColumn("first_ts", min("event_id").over(w))
-        .groupBy("partition")
-        .agg(first(col("base_offset")).as("base_offset"),
-          first(col("first_ts")).as("first_timestamp"),
-          max(col("event_id")).as("max_timestamp"),
-          sort_array(collect_list(struct(
-            (col("offset") - col("base_offset")).cast("int").as("offset_delta"),
-            (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
-            col("user_id").cast("string").cast("binary").as("key"),
-            col("event_type").cast("binary").as("value"),
-            array().cast("array<struct<header_key:string,header_value:binary>>")
-              .as("headers")))).as("records"))
-        .select(col("partition"),
-          call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
-        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("wire")).toMap
-      val hwms = RecordLog.offsetBounds(storedLog(s, dir)).collect()
-        .map(r => r.getInt(0) -> r.getLong(2)).toMap // partition -> hwm
-      val resp = Fetch.Response(0, 0, 0, Seq(("events",
-        req.topics.head._2.map { p =>
-          Fetch.RespPart(p.partitionIndex, 0, hwms(p.partitionIndex),
-            hwms(p.partitionIndex), 0L, Some(Nil), -1,
-            envs.get(p.partitionIndex))
-        })))
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        Fetch.encodeResponse(resp))
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame)
-      Fetch.decodeResponse(respBody).topics.flatMap { case (_, ps) =>
-        ps.flatMap { p => p.records.toSeq.flatMap { env =>
-          val bh = RecordBatchCodec.decodeHeader(env)
-          RecordBatchCodec.decodeRecords(
-              RecordBatchCodec.recordsRegion(env), bh.recordCount)
-            .map(r => (p.partitionIndex, bh.baseOffset + r.offsetDelta,
-              new String(r.key, "UTF-8"), new String(r.value, "UTF-8"),
-              p.errorCode.toInt, p.highWatermark, corrBack == 41))
-        } } }
-        .toDF("partition", "offset", "key", "value", "error_code", "hwm",
-          "corr_ok")
-        .orderBy("partition", "offset")
-    }),
-
-    "s2_fetch" -> ((s, dir) =>
-      RecordLog.fetch(eventLog(s, dir), partition = 3, fromOffset = 50, maxRows = 500)
-        .select("partition", "offset", "user_id", "event_type", "value")
-        .orderBy("offset")),
-
-    // ----- §2.3 offset/time queries -----
-    "s2_fetch_stored" -> ((s, dir) => {
-      // Fetch against the STORED topic layout: log materialized
-      // partitioned-by-partition with offsets as a real column, so the
-      // partition predicate prunes directories and the offset bound
-      // pushes into parquet row-group stats (PushedFilters) — the plan
-      // shape a 100 TB fetch actually runs. (The plain s2_fetch variant
-      // derives offsets on the fly and cannot push them down.)
-      storedLog(s, dir)
-        .where(col("partition") === 3 && col("offset") >= 50)
-        .orderBy("offset").limit(500)
-        .select("partition", "offset", "user_id", "event_type", "value")
-    }),
-
-    "s2_fetch_budget" -> ((s, dir) => {
-      // Fetch byte-budget truncation (fetch.cc:1434-1437): every partition
-      // fetches from offset 10 under a 20 000-byte budget — the response
-      // stops at the first batch whose preceding bytes reach the budget
-      // (that batch is still delivered: the progress guarantee).
-      val log = eventLog(s, dir)
-      val from = log.select("partition").distinct()
-        .withColumn("fetch_offset", lit(10L))
-      RecordLog.fetchBudget(log, from, length(col("props")) + lit(24),
-          maxBytes = 20000L)
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
-          sum("sz").as("bytes"), max(col("cum_before") + col("sz")).as("response_bytes"))
-        .orderBy("partition")
-    }),
-
-    "s2_fetch_budget_strict" -> ((s, dir) => {
-      // strict_max_bytes: only batches that fit ENTIRELY under the budget
-      // are delivered — same plan, tighter keep predicate; with a budget
-      // below the first batch's size a partition returns nothing.
-      val log = eventLog(s, dir)
-      val from = log.select("partition").distinct()
-        .withColumn("fetch_offset", lit(10L))
-      RecordLog.fetchBudget(log, from, length(col("props")) + lit(24),
-          maxBytes = 20000L, strict = true)
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), max(col("cum_before") + col("sz")).as("response_bytes"))
-        .orderBy("partition")
-    }),
-
-    "s4_tiered_manifest" -> ((s, dir) => {
-      // Tiered storage: archive the pre-Jan-20 prefix to the cold tier;
-      // the returned manifest (per tier+partition offset ranges) is the
-      // movement contract the oracle re-derives from the time split.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4m").toString
-      TieredStorage.archive(eventLog(s, dir), col("ts"),
-          lit("2024-01-20 00:00:00").cast("timestamp"),
-          s"$tmp/local", s"$tmp/archive")
-        .orderBy("tier", "partition")
-    }),
-
-    "ct_l0_overlay" -> ((s, dir) => {
-      // Cloud-topics L0 packing (cloud_topics/batcher + dl_overlay): the
-      // whole multi-partition log packs into shared ~64 KiB cloud
-      // objects in global arrival order, batches never split; the
-      // overlay maps each partition's offset ranges to the object
-      // extents a reader materializes. The oracle re-derives every
-      // object boundary from the global byte prefix sum.
-      val log = eventLog(s, dir).withColumn("__sz",
-        (length(col("props")) + length(col("event_type")) + 24).cast("long"))
-      val packed = graft.log.CloudTopics.packL0(log, col("event_id"), col("__sz"),
-        objectBytes = 65536L)
-      graft.log.CloudTopics.overlay(packed, col("__sz"))
-        .orderBy("object_id", "partition")
-    }),
-
-    "ct_dl_snapshot" -> ((s, dir) => {
-      // dl_stm MVCC snapshots across one reconciliation (dl_stm_state.h
-      // + dl_snapshot.h + reconciler.h): L0 overlays live at version 1;
-      // reconciliation packs them whole into ~1 MiB L1 objects at
-      // version 2, removing the L0 entries. Snapshot v1 sees many small
-      // extents, v2 few big ones — and both MUST cover identical
-      // offsets and bytes per partition (the invariant this output
-      // pins, alongside the extent counts).
-      val log = eventLog(s, dir).withColumn("__sz",
-        (length(col("props")) + length(col("event_type")) + 24).cast("long"))
-      val packed = graft.log.CloudTopics.packL0(log, col("event_id"), col("__sz"),
-        objectBytes = 65536L)
-      val l0 = graft.log.CloudTopics.overlay(packed, col("__sz"))
-      val mvcc = graft.log.CloudTopics.reconcileLog(l0, l1Bytes = 1048576L,
-        l0AddedAt = 1L, version = 2L)
-      Seq(1L, 2L).map { v =>
-        graft.log.CloudTopics.snapshotAt(mvcc, v)
-          .groupBy("partition")
-          .agg(count(lit(1)).as("n_extents"), min("base_offset").as("lo"),
-            max("last_offset").as("hi"), sum("bytes").as("bytes"))
-          .withColumn("version", lit(v))
-      }.reduce(_ unionByName _)
-        .select("version", "partition", "n_extents", "lo", "hi", "bytes")
-        .orderBy("version", "partition")
-    }),
-
-    "ct_lower_bound" -> ((s, dir) => {
-      // dl_stm_state::lower_bound over the post-reconciliation snapshot:
-      // probes at present offsets resolve to their containing L1 extent;
-      // probes past a partition's end return nothing (absent row). The
-      // oracle re-derives both packing layers and the min-base rule.
-      import s.implicits._
-      val log = eventLog(s, dir).withColumn("__sz",
-        (length(col("props")) + length(col("event_type")) + 24).cast("long"))
-      val packed = graft.log.CloudTopics.packL0(log, col("event_id"), col("__sz"),
-        objectBytes = 65536L)
-      val l0 = graft.log.CloudTopics.overlay(packed, col("__sz"))
-      val snap = graft.log.CloudTopics.snapshotAt(
-        graft.log.CloudTopics.reconcileLog(l0, 1048576L, 1L, 2L), 2L)
-      val probes = (0 until EventPartitions).flatMap(p =>
-        Seq(0L, 7L, 100L, 1000L, 4000L).map(o => (p, o)))
-        .toDF("partition", "probe_offset")
-      graft.log.CloudTopics.lowerBound(snap, probes)
-        .orderBy("partition", "probe_offset")
-    }),
-
-    "s4_archive_retention" -> ((s, dir) => {
-      // D7 cloud retention: after archiving the pre-Jan-20 prefix, sweep
-      // the archive tier down to rows at/after Jan-10 — base offsets
-      // advance, the swept tier lands on a fresh prefix, local untouched.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4r").toString
-      TieredStorage.archive(eventLog(s, dir), col("ts"),
-        lit("2024-01-20 00:00:00").cast("timestamp"),
-        s"$tmp/local", s"$tmp/archive").count()
-      TieredStorage.archiveRetention(s, s"$tmp/local", s"$tmp/archive",
-          col("ts"), lit("2024-01-10 00:00:00").cast("timestamp"),
-          s"$tmp/archive_v2")
-        .orderBy("tier", "partition")
-    }),
-
-    "s4_tiered_read" -> ((s, dir) => {
-      // The tier-spanning read: archive ∪ local must equal the one-tier
-      // log byte for byte (aggregate signature per partition).
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4r").toString
-      TieredStorage.archive(eventLog(s, dir), col("ts"),
-        lit("2024-01-20 00:00:00").cast("timestamp"),
-        s"$tmp/local", s"$tmp/archive").count()
-      TieredStorage.read(s, s"$tmp/local", s"$tmp/archive")
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
-          sum(col("offset") * col("user_id")).as("weighted"))
-        .orderBy("partition")
-    }),
-
-    "s4_read_replica" -> ((s, dir) => {
-      // Read-replica topic: the origin archives its pre-cutoff prefix
-      // to the bucket; the replica cluster surfaces EXACTLY the
-      // uploaded range — origin offsets preserved, HWM = last uploaded
-      // + 1, the origin's hot tail invisible — and refuses every
-      // produced record. The oracle recomputes the uploaded range and
-      // the per-partition refusal count from the same log.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4rr").toString
-      TieredStorage.archive(eventLog(s, dir), col("ts"),
-        lit("2024-01-20 00:00:00").cast("timestamp"),
-        s"$tmp/local", s"$tmp/archive").count()
-      val surface = TieredStorage.readReplicaSurface(s, s"$tmp/archive")
-      val probe = events(s, dir).where(col("event_id") < 400)
-        .select(pmod(col("user_id"), lit(EventPartitions)).cast("int").as("partition"))
-      val refused = TieredStorage.refuseProduce(probe)
-        .groupBy("partition")
-        .agg(count(when(!col("admitted"), 1)).as("n_refused"),
-          max("error").as("error"))
-      surface.join(refused, Seq("partition"), "left")
-        .withColumn("n_refused", coalesce(col("n_refused"), lit(0L)))
-        .orderBy("partition")
-    }),
-
-    "s4_tiered_timequery" -> ((s, dir) => {
-      // Kafka timequery answered ACROSS tiers (remote_partition.h:87-92):
-      // the Jan-10 target falls inside the archived range, so the result
-      // offsets come from cold-tier data while the API stays one log.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4t").toString
-      TieredStorage.archive(eventLog(s, dir), col("ts"),
-        lit("2024-01-20 00:00:00").cast("timestamp"),
-        s"$tmp/local", s"$tmp/archive").count()
-      RecordLog.offsetsForTimestamp(
-          TieredStorage.read(s, s"$tmp/local", s"$tmp/archive"),
-          col("ts"), lit("2024-01-10 00:00:00").cast("timestamp"))
-        .orderBy("partition")
-    }),
-
-    "q1_q2_list_offsets" -> ((s, dir) =>
-      // One-pass batched list_offsets (the request carries a partition
-      // array; earliest+hwm answered from one probe) — one scan+agg,
-      // not earliestOffsets ⋈ latestOffsets re-deriving the log twice.
-      RecordLog.offsetBounds(storedLog(s, dir)).orderBy("partition")),
-
-    "q1_wire_list_offsets" -> ((s, dir) => {
-      // Wire-in/wire-out list_offsets: three v5 request FRAMES (api key
-      // 2 — the reference pins 0-5 non-flexible) carrying earliest(-2) /
-      // latest(-1) / timestamp probes for all 8 partitions are decoded,
-      // answered from the stored log per list_offsets.cc:112-159
-      // (earliest -> start offset with ts -1, latest -> hwm with ts -1,
-      // timequery -> first offset with ts >= t plus ITS record
-      // timestamp; no match -> (-1, -1)), re-encoded as response frames
-      // and decoded back — the emitted rows come from the re-decoded
-      // BYTES, so the whole serde chain is under the oracle. Byte sizes
-      // follow the v5 layout laws the oracle recomputes.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.ListOffsets
-      val log = storedLog(s, dir)
-      val nParts = EventPartitions
-      val T = 1705276800000L // 2024-01-15T00:00:00Z, the q3 probe
-      // bounded metadata-plane reads: one row per partition
-      val bounds = RecordLog.offsetBounds(log).collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val tq = log.where(col("ts") >= timestamp_millis(lit(T)))
-        .groupBy("partition")
-        .agg(min("offset").as("off"),
-          min_by(unix_millis(col("ts")), col("offset")).as("rts"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val probes = Seq(("earliest", 1, -2L), ("latest", 2, -1L), ("timequery", 3, T))
-      probes.flatMap { case (kind, corr, ts) =>
-        val reqFrame = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(2, 5, corr, Some("graft")),
-          ListOffsets.encodeRequest(ListOffsets.Request(-1, 0, Seq(
-            ListOffsets.Topic("events",
-              (0 until nParts).map(p => ListOffsets.Part(p, -1, ts)))))),
-          flexible = false)
-        val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = false)
-        val req = ListOffsets.decodeRequest(reqBody)
-        val resp = ListOffsets.Response(0, req.topics.map(t =>
-          ListOffsets.RespTopic(t.name, t.partitions.map { p =>
-            val (rts, off) = p.timestamp match {
-              case ListOffsets.EarliestTimestamp =>
-                (-1L, bounds(p.partitionIndex)._1)
-              case ListOffsets.LatestTimestamp =>
-                (-1L, bounds(p.partitionIndex)._2)
-              case _ => tq.get(p.partitionIndex)
-                .map { case (o, t0) => (t0, o) }.getOrElse((-1L, -1L))
-            }
-            ListOffsets.RespPart(p.partitionIndex, 0, rts, off, 0)
-          })))
-        val respFrame = WireHeaders.encodeResponseFrame(
-          hdr.correlationId, ListOffsets.encodeResponse(resp))
-        val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame)
-        ListOffsets.decodeResponse(respBody).topics.flatMap(_.partitions).map(p =>
-          (kind, p.partitionIndex, p.errorCode.toInt, p.timestamp, p.offset,
-            p.leaderEpoch, reqFrame.length, respFrame.length, corrBack == corr))
-      }.toDF("req", "partition", "error_code", "timestamp", "offset",
-        "leader_epoch", "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("req", "partition")
-    }),
-
-    "q3_timequery" -> ((s, dir) =>
-      RecordLog.offsetsForTimestamp(storedLog(s, dir), col("ts"),
-          lit("2024-01-15 00:00:00").cast("timestamp"))
-        .orderBy("partition")),
-
-    "q4_delete_records" -> ((s, dir) =>
-      RecordLog.deleteRecords(eventLog(s, dir), 100)
-        .groupBy("partition")
-        .agg(min("offset").as("log_start"), count(lit(1)).as("remaining"))
-        .orderBy("partition")),
-
-    "q4_wire_delete_records" -> ((s, dir) => {
-      // DeleteRecords v2 over the wire: truncate every partition of the
-      // log at offset 100 plus an unknown partition (error 3,
-      // unknown_topic_or_partition); low watermarks come from the
-      // engine's distributed truncation fold and ride back through the
-      // response bytes.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.DeleteRecords
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(21, 2, 51, Some("graft")),
-        DeleteRecords.encodeRequest(DeleteRecords.Request(Seq(("events",
-          (0 until EventPartitions).map(p => (p, 100L)) :+ ((9, 100L)))),
-          30000)),
-        flexible = true)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
-      val req = DeleteRecords.decodeRequest(reqBody)
-      val cut = req.topics.head._2.head._2
-      val lwm = RecordLog.deleteRecords(eventLog(s, dir), cut)
-        .groupBy("partition").agg(min("offset").as("lwm"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // 8 rows
-      val resp = DeleteRecords.Response(0, req.topics.map { case (name, ps) =>
-        (name, ps.map { case (p, _) => lwm.get(p) match {
-          case Some(w) => DeleteRecords.RespPart(p, w, 0)
-          case None if p < EventPartitions =>
-            // known partition, cut beyond its HWM: offset_out_of_range
-            DeleteRecords.RespPart(p, -1L, 1)
-          case None => DeleteRecords.RespPart(p, -1L, 3) // unknown partition
-        } })
-      })
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        DeleteRecords.encodeResponse(resp), flexibleHeader = true)
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
-        flexibleHeader = true)
-      DeleteRecords.decodeResponse(respBody).topics.flatMap(_._2).map(p =>
-        (p.partitionIndex, p.lowWatermark, p.errorCode.toInt, corrBack == 51))
-        .toDF("partition", "low_watermark", "error_code", "corr_ok")
-        .orderBy("partition")
-    }),
-
-    "q4_offset_for_leader_epoch" -> ((s, dir) =>
-      // epochs advance every 500 records of a partition's log — a
-      // deterministic stand-in for leadership changes over time
-      RecordLog.offsetsForLeaderEpoch(eventLog(s, dir),
-          floor(col("offset") / 500).cast("int"))
-        .orderBy("partition", "leader_epoch")),
-
-    "q4_wire_leader_epoch" -> ((s, dir) => {
-      // KIP-320 over the wire: twelve probes ride one
-      // OffsetForLeaderEpoch v4 frame; the engine's per-epoch table
-      // (q4's fold over the real event log) answers end offsets, the
-      // current_leader_epoch gate fences stale readers (74) and rejects
-      // future epochs (75) exactly as details/leader_epoch.h:20-36, and
-      // a never-led epoch answers -1. The epoch table is
-      // partitions x epochs — metadata-plane-bounded — and every row
-      // decodes from the response bytes; the oracle recomputes all of
-      // it from the events table, so the entry stays SF-robust.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{OffsetForLeaderEpoch => OLE}
-      val table = RecordLog.offsetsForLeaderEpoch(eventLog(s, dir),
-          floor(col("offset") / 500).cast("int"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-      val current = table.keys.groupBy(_._1).map { case (p, ks) =>
-        p -> ks.map(_._2).max }
-      val probes = (0 until EventPartitions).map(p =>
-        OLE.ReqPartition(p, -1, 1)) ++ Seq(
-        OLE.ReqPartition(0, -1, 0),
-        OLE.ReqPartition(0, -1, 999999),       // never led -> -1
-        OLE.ReqPartition(0, 999999, 1),        // future cur epoch -> 75
-        OLE.ReqPartition(0, 0, 0))             // stale cur -> 74 when current > 0
-      val reqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(23, 4, 23, Some("graft")),
-        OLE.encodeRequest(OLE.Request(-1, Seq("events" -> probes))),
-        flexible = true)
-      val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-      val req = OLE.decodeRequest(body)
-      val answered = req.topics.map { case (t, ps) =>
-        t -> ps.map { p =>
-          val cur = current.getOrElse(p.partition, -1)
-          if (p.currentLeaderEpoch >= 0 && p.currentLeaderEpoch > cur)
-            OLE.RespPartition(75, p.partition, -1, -1L)
-          else if (p.currentLeaderEpoch >= 0 && p.currentLeaderEpoch < cur)
-            OLE.RespPartition(74, p.partition, -1, -1L)
-          else
-            OLE.RespPartition(0, p.partition, p.leaderEpoch,
-              table.getOrElse((p.partition, p.leaderEpoch), -1L))
-        }
-      }
-      val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-        OLE.encodeResponse(OLE.Response(0, answered)), flexibleHeader = true)
-      val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-      OLE.decodeResponse(rb).topics.flatMap { case (_, ps) =>
-        ps.zipWithIndex.map { case (p, i) =>
-          (i, p.partition, p.errorCode.toInt, p.leaderEpoch, p.endOffset,
-            corr == 23)
-        }
-      }.toDF("probe", "partition", "error_code", "leader_epoch",
-        "end_offset", "corr_ok")
-        .orderBy("probe")
-    }),
-
-    "q6_metadata" -> ((s, dir) =>
-      graft.admin.Admin.metadata(storedLog(s, dir), "events").orderBy("partition")),
-
-    "q6_wire_metadata" -> ((s, dir) => {
-      // Wire-in/wire-out metadata: a FLEXIBLE v9 Metadata frame (api
-      // key 3 — the reference's first flexible version, compact
-      // strings/arrays + tag buffers per KIP-482) is decoded, answered
-      // from the stored log's partition state, re-encoded and decoded
-      // back; emitted rows come from the re-decoded bytes so the
-      // compact serde is under the oracle, and the frame byte sizes
-      // follow the v9 layout laws the oracle recomputes.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.Metadata
-      val parts = graft.admin.Admin.metadata(storedLog(s, dir), "events")
-        .select("partition").collect().map(_.getInt(0)).sorted // metadata-plane, 8 rows
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(3, 9, 7, Some("graft")),
-        Metadata.encodeRequest(Metadata.Request(Seq("events"),
-          allowAutoTopicCreation = false, includeClusterAuthorizedOps = false,
-          includeTopicAuthorizedOps = false)),
-        flexible = true)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
-      val req = Metadata.decodeRequest(reqBody)
-      val resp = Metadata.Response(0,
-        brokers = Seq(Metadata.Broker(0, "localhost", 9092, None)),
-        clusterId = None, controllerId = 0,
-        topics = req.topics.map(t => Metadata.Topic(0, t, isInternal = false,
-          parts.toIndexedSeq.map(p =>
-            Metadata.Part(0, p, 0, 0, Seq(0), Seq(0), Nil)))))
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        Metadata.encodeResponse(resp), flexibleHeader = true)
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
-        flexibleHeader = true)
-      Metadata.decodeResponse(respBody).topics.flatMap(t =>
-        t.partitions.map(p => (t.name, p.partitionIndex,
-          p.errorCode.toInt, p.leaderId, p.leaderEpoch,
-          p.replicas.size, p.isr.size, reqFrame.length, respFrame.length,
-          corrBack == 7)))
-        .toDF("topic", "partition", "error_code", "leader", "leader_epoch",
-          "n_replicas", "n_isr", "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("partition")
-    }),
-
-    // ----- §2.3 incremental fetch sessions (KIP-227) -----
-    "fsn_epochs" -> ((s, dir) => {
-      val (reqs, _, _) = fsnScenario(s, dir)
-      graft.log.FetchSessions.validateEpochs(reqs,
-          col("session_id"), col("seq"), col("epoch"))
-        .orderBy("session_id", "seq")
-    }),
-
-    "fsn_eviction" -> ((s, dir) => {
-      // The session-cache housekeeping fold (fetch_session_cache.cc:
-      // 155-170 gc_sessions + :137-145 capacity guard): same request
-      // log, request clock = seq, eviction after 25 idle ticks. A
-      // session idle past the duration is swept; its next incremental
-      // fetch errors not_found (the same error an unknown id gets),
-      // while recently-used sessions survive. last_used advances only
-      // on create/ok (fetch_session.h:202,218-221), so a stream of
-      // invalid_epoch retries cannot keep a session alive. Two shard
-      // caches (the per-core split); decisions are shard-independent
-      // because capacity is unbounded here (the guard is spec-covered).
-      val (reqs, _, _) = fsnScenario(s, dir)
-      graft.log.FetchSessions.sessionCacheFold(
-          reqs.withColumn("ts", col("seq")),
-          col("session_id"), col("seq"), col("epoch"), col("ts"),
-          evictionMs = 25L, nShards = 2)
-        .orderBy("session_id", "seq")
-    }),
-
-    "fsn_state" -> ((s, dir) => {
-      val (reqs, prows, _) = fsnScenario(s, dir)
-      val d = graft.log.FetchSessions.validateEpochs(reqs,
-        col("session_id"), col("seq"), col("epoch"))
-      graft.log.FetchSessions.sessionState(prows, d)
-        .orderBy("session_id", "topic", "partition")
-    }),
-
-    "fsn_responses" -> ((s, dir) => {
-      val (reqs, prows, hwms) = fsnScenario(s, dir)
-      val d = graft.log.FetchSessions.validateEpochs(reqs,
-        col("session_id"), col("seq"), col("epoch"))
-      graft.log.FetchSessions.incrementalResponses(prows, d, hwms)
-        .orderBy("seq", "session_id", "topic", "partition")
-    }),
-
-    "fsn_state_stream" -> ((s, dir) => {
-      // The epoch FSM as a continuous query: the request log split
-      // into two seq-ordered micro-batches; per-session (live,
-      // expected-epoch) state persists in the checkpoint, so the
-      // decisions — and the session state assembled from them — are
-      // byte-identical to the batch fold, certified by the SAME
-      // oracle as fsn_state.
-      import java.nio.file.Files
-      import java.nio.file.attribute.FileTime
-      val (reqs, prows, _) = fsnScenario(s, dir)
-      val typed = reqs.select(col("session_id"),
-        col("seq").cast("long").as("seq"), col("epoch").cast("int").as("epoch"))
-      val inDir = cleanupOnExit(Files.createTempDirectory("graft_fsn_in"))
-      Seq((col("seq") < 15000, "batch0", 1700000000000L),
-          (col("seq") >= 15000, "batch1", 1700000001000L)).foreach {
-        case (cond, name, mtime) =>
-          val tmp = Files.createTempDirectory("graft_fsn_half")
-          typed.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val dst = inDir.resolve(s"$name.parquet")
-          Files.copy(firstParquetPart(tmp), dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-          deleteDirTree(tmp)
-      }
-      val out = cleanupOnExit(Files.createTempDirectory("graft_fsn_out")).toString
-      val stream = graft.streaming.Transforms.PathInput(
-        inDir.toString, typed.schema, maxFilesPerTrigger = Some(1)).stream(s)
-      graft.log.FetchSessions.validateEpochsStream(stream, s"$out/data", s"$out/ckpt")
-      graft.log.FetchSessions.sessionState(prows, s.read.parquet(s"$out/data"))
-        .orderBy("session_id", "topic", "partition")
-    }),
-
-    // ----- §2.10 admin: configs as a compacted command log -----
-    "adm_describe_configs" -> ((s, dir) => {
-      import s.implicits._
-      graft.admin.Admin.describeConfigs(s, Seq("events"), configAlters(s)).orderBy("key")
-    }),
-
-    "adm_topic_catalog" -> ((s, dir) => {
-      // create/alter/delete/recreate lifecycle over the compacted
-      // catalog log; the listing shows the surviving topics only.
-      import s.implicits._
-      val topicLog = Seq(
-        (1L, "t1", 8, "delete", false),
-        (2L, "t2", 4, "compact", false),
-        (3L, "t1", 16, "delete", false),          // alter partitions
-        (4L, "t2", 4, "compact", true),           // delete t2
-        (5L, "t3", 2, "compact,delete", false),
-        (6L, "t4", 1, "delete", false),
-        (7L, "t4", 1, "delete", true),            // delete t4
-        (8L, "t4", 6, "compact", false))          // recreate t4
-        .toDF("seq", "topic", "partitions", "cleanup_policy", "deleted")
-      graft.admin.Admin.listTopics(topicLog).orderBy("topic")
-    }),
-
-    "adm_wire_topic_lifecycle" -> ((s, dir) => {
-      // Topic lifecycle over the wire against the compacted catalog:
-      // one CreatePartitions v3 frame runs the handler's full validate
-      // chain in order (create_partitions.cc:50-263 — duplicated
-      // topics, "Topic does not exist", count-not-above-current with
-      // the handler's exact text, custom assignments unsupported),
-      // the surviving topic's count lands in the catalog; one
-      // DeleteTopics v6 frame deletes by NAME and by TOPIC ID
-      // (unknown name 3, unknown id 100), tombstoning the catalog; the
-      // final listing is the engine's compacted view.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{CreatePartitions => CP, DeleteTopics => DT}
-      def uuid(topic: String): Array[Byte] =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(topic.getBytes("UTF-8"))
-      val catalog = scala.collection.mutable.ArrayBuffer(
-        (1L, "t1", 8, "delete", false),
-        (2L, "t2", 4, "compact", false),
-        (3L, "t3", 2, "delete", false),
-        (4L, "t4", 1, "delete", false),
-        (5L, "t5", 2, "delete", false))
-      var nextSeq = 6L
-      def live: Map[String, Int] = {
-        val df = catalog.toSeq
-          .toDF("seq", "topic", "partitions", "cleanup_policy", "deleted")
-        graft.admin.Admin.listTopics(df)
-          .collect().map(r => r.getAs[String]("topic") ->
-            r.getAs[Int]("partitions")).toMap // catalog-sized
-      }
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Option[String], Int, Int, Option[String], Boolean)]
-
-      // ---- step 1: CreatePartitions v3
-      val cpReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(37, 3, 71, Some("graft")),
-        CP.encodeRequest(CP.Request(Seq(
-          CP.ReqTopic("t1", 12, None),
-          CP.ReqTopic("t1", 16, None),
-          CP.ReqTopic("ghost", 4, None),
-          CP.ReqTopic("t2", 4, None),
-          CP.ReqTopic("t3", 0, None),
-          CP.ReqTopic("t4", 4, Some(Seq(Seq(1, 2), Seq(2, 3), Seq(3, 1)))),
-          CP.ReqTopic("t5", 6, None)),
-          timeoutMs = 30000, validateOnly = false)), flexible = true)
-      val (cpH, cpBody) = WireHeaders.decodeRequestFrame(cpReqF, flexible = true)
-      val cpReq = CP.decodeRequest(cpBody)
-      val cat0 = live
-      val freq = cpReq.topics.groupBy(_.name).view.mapValues(_.size).toMap
-      val cpResults = cpReq.topics.map { t =>
-        if (freq(t.name) > 1)
-          CP.Result(t.name, 42, Some("request contains duplicated topics"))
-        else if (!cat0.contains(t.name))
-          CP.Result(t.name, 17, Some("Topic does not exist"))
-        else if (t.count <= cat0(t.name))
-          CP.Result(t.name, 42, Some(
-            "Partition count must be greater then current number of partitions"))
-        else if (t.assignments.isDefined)
-          CP.Result(t.name, 42, Some(
-            "Redpanda does not yet support custom partitions assignment"))
-        else {
-          catalog += ((nextSeq, t.name, t.count, "delete", false))
-          nextSeq += 1
-          CP.Result(t.name, 0, None)
-        }
-      }
-      val cpRespF = WireHeaders.encodeResponseFrame(cpH.correlationId,
-        CP.encodeResponse(CP.Response(0, cpResults)), flexibleHeader = true)
-      val (cpCorr, cpRb) = WireHeaders.decodeResponseFrame(cpRespF,
-        flexibleHeader = true)
-      CP.decodeResponse(cpRb).results.zipWithIndex.foreach { case (r, i) =>
-        rows += ((1, "create_partitions", Some(r.name), i, r.errorCode.toInt,
-          r.errorMessage, cpCorr == 71))
-      }
-
-      // ---- step 2: DeleteTopics v6, by name and by topic id
-      val ids = cat0.keys.map(t => t -> uuid(t)).toMap
-      val dtReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(20, 6, 72, Some("graft")),
-        DT.encodeRequest(DT.Request(Seq(
-          DT.ReqTopic(Some("t3"), DT.ZeroUuid),
-          DT.ReqTopic(Some("ghost"), DT.ZeroUuid),
-          DT.ReqTopic(None, uuid("t4")),
-          DT.ReqTopic(None, uuid("never-created"))),
-          timeoutMs = 30000)), flexible = true)
-      val (dtH, dtBody) = WireHeaders.decodeRequestFrame(dtReqF, flexible = true)
-      val dtReq = DT.decodeRequest(dtBody)
-      val cat1 = live
-      val dtResults = dtReq.topics.map { t =>
-        val resolved = t.name match {
-          case Some(n) => if (cat1.contains(n)) Some(n) else None
-          case None => ids.find(_._2.sameElements(t.topicId)).map(_._1)
-        }
-        resolved match {
-          case Some(n) =>
-            catalog += ((nextSeq, n, cat1(n), "delete", true)) // tombstone
-            nextSeq += 1
-            DT.Result(Some(n), ids(n), 0, None)
-          case None if t.name.isDefined =>
-            DT.Result(t.name, DT.ZeroUuid, 3,
-              Some("unknown topic or partition"))
-          case None =>
-            DT.Result(None, t.topicId, 100, Some("unknown topic id"))
-        }
-      }
-      val dtRespF = WireHeaders.encodeResponseFrame(dtH.correlationId,
-        DT.encodeResponse(DT.Response(0, dtResults)), flexibleHeader = true)
-      val (dtCorr, dtRb) = WireHeaders.decodeResponseFrame(dtRespF,
-        flexibleHeader = true)
-      DT.decodeResponse(dtRb).responses.zipWithIndex.foreach { case (r, i) =>
-        rows += ((2, "delete_topics", r.name, i, r.errorCode.toInt,
-          r.errorMessage, dtCorr == 72))
-      }
-
-      // ---- step 3: the surviving catalog
-      live.toSeq.sortBy(_._1).foreach { case (t, parts) =>
-        rows += ((3, "catalog", Some(t), parts, 0, None, true))
-      }
-
-      rows.toSeq.toDF("step", "api", "topic", "item", "error_code",
-        "error_message", "corr_ok")
-        .orderBy("step", "item", "topic")
-    }),
-
-    "adm_config_cleanup" -> ((s, dir) => {
-      // Effective config read back from the alter log drives housekeeping
-      // (alter_config_test.cc shape: alter, then observe behavior change).
-      val cfg = graft.admin.Admin.currentConfigs(configAlters(s))
-        .collect().map(r => r.getString(1) -> r.getString(2)).toMap
-      graft.admin.Admin.applyCleanupPolicy(eventLog(s, dir),
-          policy = cfg("cleanup.policy"),
-          keyCols = Seq("partition", "user_id"),
-          tsCol = col("ts"),
-          now = lit("2024-01-28 00:00:00").cast("timestamp"),
-          retentionMs = cfg("retention.ms").toLong)
-        .groupBy("partition")
-        .agg(count(lit(1)).as("survivors"), max("offset").as("max_offset"))
-        .orderBy("partition")
-    }),
-
-    "adm_incremental_alter" -> ((s, dir) => {
-      // SET overrides then a DELETE reverts retention.ms to its default;
-      // cleanup.policy's later SET wins; an orphan DELETE is a no-op.
-      import s.implicits._
-      val ops = Seq(
-        (1L, "events", "retention.ms", "1000", "set"),
-        (2L, "events", "cleanup.policy", "compact", "set"),
-        (3L, "events", "retention.ms", null, "delete"),
-        (4L, "events", "cleanup.policy", "compact,delete", "set"),
-        (5L, "events", "segment.bytes", null, "delete"))
-        .toDF("seq", "topic", "key", "value", "op")
-      graft.admin.Admin.describeConfigsIncremental(s, Seq("events"), ops)
-        .orderBy("key")
-    }),
-
-    "adm_wire_configs" -> ((s, dir) => {
-      // The topic-config surface over the wire: IncrementalAlterConfigs
-      // v1 frames run the handler's per-resource validation ladder
-      // (incremental_alter_configs.cc:76-160 — append/subtract
-      // unsupported, set needs a value, remove needs none, op codes
-      // outside 0-3 reject; all invalid_config 40 with the handler's
-      // message text), accepted resources land in the incremental
-      // command log; a remove reverts retention.ms to its default.
-      // DescribeConfigs v4 then reads back through the engine's
-      // default-overlay fold with the per-resource error ladder
-      // (describe_configs.cc:125-172 — bad topic name 17, unknown
-      // topic 3, broker_logger 42) and per-config source codes
-      // (1 dynamic topic, 5 default).
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{DescribeConfigs => DC, IncrementalAlterConfigs => IAC}
-      val knownTopics = Set("events", "metrics")
-      val opsLog = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, String, String)]
-      var nextSeq = 1L
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Int, Option[String], Option[String], Option[String], Option[String],
-        Option[String], Int, Option[String], Boolean)]
-      def rtName(b: Byte): String = b match {
-        case 2 => "topic"; case 4 => "broker"; case 8 => "broker_logger"
-        case other => s"unknown($other)"
-      }
-      def validateCfg(c: IAC.ReqConfig): Option[String] =
-        IAC.OpNames.get(c.configOperation) match {
-          case None => Some(s"invalid operation code ${c.configOperation}")
-          case Some(op @ ("append" | "subtract")) =>
-            Some(s"$op operation isn't supported for ${c.name} configuration")
-          case Some("set") if c.value.isEmpty =>
-            Some(s"set operation for configuration ${c.name} requires a value to be set")
-          case Some("remove") if c.value.nonEmpty =>
-            Some(s"remove operation for configuration ${c.name} requires a value to be empty")
-          case _ => None
-        }
-      def alter(step: Int, resources: Seq[IAC.ReqResource]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(44, 1, step, Some("graft")),
-          IAC.encodeRequest(IAC.Request(resources, validateOnly = false)),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = IAC.decodeRequest(body)
-        val results = req.resources.map { res =>
-          res.configs.flatMap(validateCfg).headOption match {
-            case Some(msg) =>
-              IAC.RespResource(40, Some(msg), res.resourceType, res.resourceName)
-            case None =>
-              res.configs.foreach { c =>
-                opsLog += ((nextSeq, res.resourceName, c.name,
-                  c.value.orNull,
-                  if (c.configOperation == 1) "delete" else "set"))
-                nextSeq += 1
-              }
-              IAC.RespResource(0, None, res.resourceType, res.resourceName)
-          }
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          IAC.encodeResponse(IAC.Response(0, results)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        IAC.decodeResponse(rb).responses.zipWithIndex.foreach { case (r, i) =>
-          rows += ((step, "alter", i, Some(rtName(r.resourceType)),
-            Some(r.resourceName), None, None, None, r.errorCode.toInt,
-            r.errorMessage, corr == step))
-        }
-      }
-      alter(1, Seq(
-        IAC.ReqResource(2, "events", Seq(
-          IAC.ReqConfig("retention.ms", 0, Some("1000")),
-          IAC.ReqConfig("cleanup.policy", 0, Some("compact")))),
-        IAC.ReqResource(2, "events", Seq(
-          IAC.ReqConfig("redpanda.remote.read", 2, Some("x")))),
-        IAC.ReqResource(2, "events", Seq(
-          IAC.ReqConfig("max.message.bytes", 0, None))),
-        IAC.ReqResource(2, "events", Seq(
-          IAC.ReqConfig("retention.ms", 1, Some("9")))),
-        IAC.ReqResource(2, "events", Seq(
-          IAC.ReqConfig("some.key", 7, None))),
-        IAC.ReqResource(2, "metrics", Seq(
-          IAC.ReqConfig("retention.ms", 0, Some("5000"))))))
-      alter(2, Seq(
-        IAC.ReqResource(2, "events", Seq(
-          IAC.ReqConfig("retention.ms", 1, None)))))
-
-      // effective configs through the engine's overlay fold
-      val effective = graft.admin.Admin.describeConfigsIncremental(s,
-          Seq("events", "metrics"),
-          opsLog.toSeq.toDF("seq", "topic", "key", "value", "op"))
-        .collect().map(r => (r.getString(0), r.getString(1),
-          r.getString(2), r.getString(3))) // topics x 6 keys, bounded
-      def validTopicName(n: String): Boolean =
-        n.nonEmpty && n.length <= 249 && n != "." && n != ".." &&
-          n.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
-      val srcCode = Map("DYNAMIC_TOPIC_CONFIG" -> 1.toByte,
-        "DEFAULT_CONFIG" -> 5.toByte)
-      val srcName = srcCode.map(_.swap)
-      val dReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(32, 4, 3, Some("graft")),
-        DC.encodeRequest(DC.Request(Seq(
-          DC.ReqResource(2, "events", None),
-          DC.ReqResource(2, "metrics", Some(Seq("retention.ms"))),
-          DC.ReqResource(2, "bad name!", None),
-          DC.ReqResource(2, "ghost", None),
-          DC.ReqResource(8, "kafka", None)),
-          includeSynonyms = false, includeDocumentation = false)),
-        flexible = true)
-      val (dH, dBody) = WireHeaders.decodeRequestFrame(dReqF, flexible = true)
-      val dReq = DC.decodeRequest(dBody)
-      val dResults = dReq.resources.map { res =>
-        if (res.resourceType == 8)
-          DC.Result(42, None, res.resourceType, res.resourceName, Nil)
-        else if (!validTopicName(res.resourceName))
-          DC.Result(17, None, res.resourceType, res.resourceName, Nil)
-        else if (!knownTopics(res.resourceName))
-          DC.Result(3, None, res.resourceType, res.resourceName, Nil)
-        else {
-          val cfgs = effective
-            .filter(_._1 == res.resourceName)
-            .filter(e => res.configurationKeys.forall(_.contains(e._2)))
-            .sortBy(_._2)
-            .map(e => DC.Config(e._2, Option(e._3), readOnly = false,
-              srcCode(e._4), isSensitive = false, 0, None))
-          DC.Result(0, None, res.resourceType, res.resourceName, cfgs.toSeq)
-        }
-      }
-      val dRespF = WireHeaders.encodeResponseFrame(dH.correlationId,
-        DC.encodeResponse(DC.Response(0, dResults)), flexibleHeader = true)
-      val (dCorr, dRb) = WireHeaders.decodeResponseFrame(dRespF,
-        flexibleHeader = true)
-      DC.decodeResponse(dRb).results.zipWithIndex.foreach { case (res, i) =>
-        if (res.configs.isEmpty)
-          rows += ((3, "describe", i, Some(rtName(res.resourceType)),
-            Some(res.resourceName), None, None, None, res.errorCode.toInt,
-            res.errorMessage, dCorr == 3))
-        else res.configs.foreach { c =>
-          rows += ((3, "describe", i, Some(rtName(res.resourceType)),
-            Some(res.resourceName), Some(c.name), c.value,
-            Some(srcName(c.configSource)), res.errorCode.toInt,
-            res.errorMessage, dCorr == 3))
-        }
-      }
-      rows.toSeq.toDF("step", "api", "item", "resource_type", "resource",
-        "key", "value", "source", "error_code", "error_message", "corr_ok")
-        .orderBy("step", "item", "key")
-    }),
-
-    "adm_wire_alter_configs" -> ((s, dir) => {
-      // The FULL-REPLACE AlterConfigs v2 (the legacy sibling of the
-      // incremental path, alter_configs.cc): the request's config set
-      // replaces the topic's entire dynamic overlay — keys absent from
-      // the request revert to defaults (expressed as delete ops on the
-      // incremental log) — and an unknown property rejects the whole
-      // resource with the handler's "invalid topic property" message.
-      // The DescribeConfigs v4 read-back proves both the set and the
-      // reverts through bytes.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{AlterConfigs => AC, DescribeConfigs => DC}
-      val KnownKeys = graft.admin.Admin.Defaults.map(_._1).toSet
-      val opsLog = scala.collection.mutable.ArrayBuffer[(Long, String,
-        String, String, String)](
-        (1L, "events", "cleanup.policy", "compact", "set"),
-        (2L, "events", "retention.ms", "259200000", "set"))
-      var nextSeq = 3L
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Int, Option[String], Option[String], Option[String], Option[String],
-        Int, Option[String], Boolean)]
-
-      val reqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(33, 2, 33, Some("graft")),
-        AC.encodeRequest(AC.Request(Seq(
-          AC.ReqResource(2, "events", Seq(
-            ("retention.bytes", Some("1073741824")))),
-          AC.ReqResource(2, "metrics", Seq(
-            ("zz.unknown", Some("1"))))), validateOnly = false)),
-        flexible = true)
-      val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-      val req = AC.decodeRequest(body)
-      val results = req.resources.map { res =>
-        res.configs.find(c => !KnownKeys(c._1)) match {
-          case Some((k, _)) =>
-            AC.RespResource(40, Some(s"invalid topic property: $k"),
-              res.resourceType, res.resourceName)
-          case None =>
-            // full replace: set the request's keys, revert the rest
-            val requested = res.configs.map(_._1).toSet
-            val previouslySet = opsLog.filter(_._2 == res.resourceName)
-              .map(_._3).toSet
-            res.configs.foreach { case (k, v) =>
-              opsLog += ((nextSeq, res.resourceName, k, v.orNull, "set"))
-              nextSeq += 1
-            }
-            (previouslySet -- requested).toSeq.sorted.foreach { k =>
-              opsLog += ((nextSeq, res.resourceName, k, null, "delete"))
-              nextSeq += 1
-            }
-            AC.RespResource(0, None, res.resourceType, res.resourceName)
-        }
-      }
-      val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-        AC.encodeResponse(AC.Response(0, results)), flexibleHeader = true)
-      val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-      AC.decodeResponse(rb).responses.zipWithIndex.foreach { case (r, i) =>
-        rows += ((1, "alter", i, Some(r.resourceName), None, None, None,
-          r.errorCode.toInt, r.errorMessage, corr == 33))
-      }
-
-      // read-back: the replace left ONLY retention.bytes dynamic
-      val effective = graft.admin.Admin.describeConfigsIncremental(s,
-          Seq("events"),
-          opsLog.toSeq.toDF("seq", "topic", "key", "value", "op"))
-        .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
-        .sortBy(_._1) // 6 keys
-      val dReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(32, 4, 34, Some("graft")),
-        DC.encodeRequest(DC.Request(Seq(DC.ReqResource(2, "events", None)),
-          includeSynonyms = false, includeDocumentation = false)),
-        flexible = true)
-      val (dH, dBody) = WireHeaders.decodeRequestFrame(dReqF, flexible = true)
-      DC.decodeRequest(dBody)
-      val srcCode = Map("DYNAMIC_TOPIC_CONFIG" -> 1.toByte,
-        "DEFAULT_CONFIG" -> 5.toByte)
-      val dRespF = WireHeaders.encodeResponseFrame(dH.correlationId,
-        DC.encodeResponse(DC.Response(0, Seq(DC.Result(0, None, 2, "events",
-          effective.toSeq.map(e => DC.Config(e._1, Option(e._2),
-            readOnly = false, srcCode(e._3), isSensitive = false, 0, None)))))),
-        flexibleHeader = true)
-      val (dCorr, dRb) = WireHeaders.decodeResponseFrame(dRespF,
-        flexibleHeader = true)
-      val srcName = srcCode.map(_.swap)
-      DC.decodeResponse(dRb).results.foreach { res =>
-        res.configs.foreach { c =>
-          rows += ((2, "describe", -1, Some(res.resourceName), Some(c.name),
-            c.value, Some(srcName(c.configSource)), 0, None, dCorr == 34))
-        }
-      }
-      rows.toSeq.toDF("step", "api", "item", "resource", "key", "value",
-        "source", "error_code", "error_message", "corr_ok")
-        .orderBy("step", "item", "key")
-    }),
-
-    "adm_client_quotas" -> ((s, dir) => {
-      // describe_client_quotas resolution: per-client override beats the
-      // cluster default; a REMOVE reverts to the default (client-5) or
-      // to unlimited when the default itself was removed
-      // (request_percentage).
-      import s.implicits._
-      val quotaLog = Seq[(Long, Option[String], String, Option[Double], String)](
-        (1L, None, "producer_byte_rate", Some(1048576.0), "set"),
-        (2L, Some("client-5"), "producer_byte_rate", Some(2097152.0), "set"),
-        (3L, Some("client-7"), "consumer_byte_rate", Some(500000.0), "set"),
-        (4L, Some("client-5"), "producer_byte_rate", None, "remove"),
-        (5L, Some("client-9"), "producer_byte_rate", Some(4194304.0), "set"),
-        (6L, None, "request_percentage", Some(50.0), "set"),
-        (7L, None, "request_percentage", None, "remove"))
-        .toDF("seq", "entity_name", "key", "value", "op")
-      val clients = events(s, dir).select(
-        concat(lit("client-"), col("user_id").cast("string")).as("client_id")).distinct()
-      graft.admin.Admin.resolveClientQuotas(clients, quotaLog,
-          Seq("producer_byte_rate", "consumer_byte_rate", "request_percentage"))
-        .orderBy("client_id", "key")
-    }),
-
-    "adm_delete_groups" -> ((s, dir) => {
-      // delete_groups: g0 deleted after every commit (gone), g1 deleted
-      // at seq 1000 (commits after 1000 resurrect a fresh incarnation),
-      // g2 untouched.
-      import s.implicits._
-      val commits = events(s, dir).where(col("event_type") === "purchase")
-        .select(
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          lit("events").as("topic"),
-          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-          col("event_id").as("committed_offset"),
-          col("event_id").as("commit_seq"))
-      val deletions = Seq(("g0", 1000000000L), ("g1", 1000L)).toDF("group", "commit_seq")
-      ConsumerGroups.deleteGroups(commits, deletions)
-        .select("group", "topic", "partition", "committed_offset")
-        .orderBy("group", "partition")
-    }),
-
-    "adm_wire_client_quotas" -> ((s, dir) => {
-      // KIP-546 over the wire: AlterClientQuotas v1 writes default and
-      // per-client overrides (remove tombstones one; unsupported
-      // entity types answer 35 with the handler's message,
-      // client_quotas.cc:102-151), DescribeClientQuotas v1 reads the
-      // configured table back under exact/default/any match types, and
-      // the engine's resolveClientQuotas fold pins the effective
-      // precedence (exact client over default).
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{ClientQuotas => CQ}
-      val quotaLog = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, Double, String)]
-      var nextSeq = 1L
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Int, Option[String], Option[String], Option[String], Double,
-        Option[String], Int, Option[String], Boolean)]
-
-      // ---- step 1: AlterClientQuotas v1
-      val alterReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(49, 1, 91, Some("graft")),
-        CQ.encodeAlterRequest(CQ.AlterRequest(Seq(
-          CQ.AlterEntry(Seq(CQ.Entity("client-id", None)), Seq(
-            CQ.Op("producer_byte_rate", 1048576.0, remove = false),
-            CQ.Op("consumer_byte_rate", 2097152.0, remove = false))),
-          CQ.AlterEntry(Seq(CQ.Entity("client-id", Some("etl-1"))), Seq(
-            CQ.Op("producer_byte_rate", 524288.0, remove = false))),
-          CQ.AlterEntry(Seq(CQ.Entity("client-id", Some("etl-2"))), Seq(
-            CQ.Op("producer_byte_rate", 777.0, remove = false))),
-          CQ.AlterEntry(Seq(CQ.Entity("user", Some("alice"))), Seq(
-            CQ.Op("producer_byte_rate", 1.0, remove = false))),
-          CQ.AlterEntry(Seq(CQ.Entity("client-id", Some("etl-2"))), Seq(
-            CQ.Op("producer_byte_rate", 0.0, remove = true)))),
-          validateOnly = false)), flexible = true)
-      val (aH, aBody) = WireHeaders.decodeRequestFrame(alterReqF, flexible = true)
-      val alterReq = CQ.decodeAlterRequest(aBody)
-      val alterResults = alterReq.entries.map { e =>
-        val bad = e.entity.find(x =>
-          x.entityType != "client-id" && x.entityType != "client-id-prefix")
-        bad match {
-          case Some(x) =>
-            CQ.AlterResult(35,
-              Some(s"Entity type '${x.entityType}' not yet supported"),
-              e.entity)
-          case None =>
-            e.ops.foreach { o =>
-              quotaLog += ((nextSeq, e.entity.head.entityName.orNull, o.key,
-                o.value, if (o.remove) "remove" else "set"))
-              nextSeq += 1
-            }
-            CQ.AlterResult(0, None, e.entity)
-        }
-      }
-      val alterRespF = WireHeaders.encodeResponseFrame(aH.correlationId,
-        CQ.encodeAlterResponse(CQ.AlterResponse(0, alterResults)),
-        flexibleHeader = true)
-      val (aCorr, aRb) = WireHeaders.decodeResponseFrame(alterRespF,
-        flexibleHeader = true)
-      CQ.decodeAlterResponse(aRb).results.zipWithIndex.foreach { case (r, i) =>
-        rows += ((1, "alter", i, Some(r.entity.head.entityType),
-          r.entity.head.entityName, None, -1.0, None, r.errorCode.toInt,
-          r.errorMessage, aCorr == 91))
-      }
-
-      // the configured (compacted) table the describe legs serve
-      def liveQuotas: Seq[(Option[String], String, Double)] = {
-        val df = quotaLog.toSeq.toDF("seq", "entity_name", "key", "value", "op")
-        Compaction.compact(df, Seq("entity_name", "key"), "seq")
-          .where(col("op") === "set")
-          .collect().map(r => (Option(r.getString(1)), r.getString(2),
-            r.getDouble(3))).toSeq // admin-sized
-      }
-
-      // ---- steps 2-4: DescribeClientQuotas v1 (exact / default / any)
-      def describe(step: Int, corr: Int, matchType: Byte,
-          matchName: Option[String]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(48, 1, corr, Some("graft")),
-          CQ.encodeDescribeRequest(CQ.DescribeRequest(Seq(
-            CQ.DescribeComponent("client-id", matchType, matchName)),
-            strict = false)), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = CQ.decodeDescribeRequest(body)
-        val comp = req.components.head
-        val matched = liveQuotas.filter { case (name, _, _) =>
-          comp.matchType match {
-            case 0 => name == comp.matchName // exact
-            case 1 => name.isEmpty           // the default entity
-            case _ => true                   // any
-          }
-        }
-        val entries = matched.groupBy(_._1).toSeq
-          .sortBy(_._1.getOrElse(""))
-          .map { case (name, vs) =>
-            CQ.Entry(Seq(CQ.Entity("client-id", name)),
-              vs.map(v => (v._2, v._3)).sortBy(_._1))
-          }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          CQ.encodeDescribeResponse(CQ.DescribeResponse(0, 0, None, entries)),
-          flexibleHeader = true)
-        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
-          flexibleHeader = true)
-        CQ.decodeDescribeResponse(rb).entries.foreach { e =>
-          e.values.foreach { case (k, v) =>
-            rows += ((step, "describe", -1, Some(e.entity.head.entityType),
-              e.entity.head.entityName, Some(k), v, None, 0, None,
-              corrBack == corr))
-          }
-        }
-      }
-      describe(2, 92, 0, Some("etl-1"))
-      describe(3, 93, 1, None)
-      describe(4, 94, 2, None)
-
-      // ---- step 5: effective resolution through the engine fold
-      graft.admin.Admin.resolveClientQuotas(
-          Seq("etl-1", "etl-2").toDF("client_id"),
-          quotaLog.toSeq.toDF("seq", "entity_name", "key", "value", "op"),
-          Seq("producer_byte_rate", "consumer_byte_rate"))
-        .collect().foreach { r =>
-          rows += ((5, "resolved", -1, Some("client-id"),
-            Some(r.getString(0)), Some(r.getString(1)), r.getDouble(2),
-            Some(r.getString(3)), 0, None, true))
-        }
-
-      rows.toSeq.toDF("step", "api", "item", "entity_type", "entity_name",
-        "key", "value", "source", "error_code", "error_message", "corr_ok")
-        .orderBy("step", "item", "entity_name", "key")
-    }),
-
-    "adm_wire_reassignments" -> ((s, dir) => {
-      // KIP-455 over the wire: AlterPartitionReassignments v0 frames
-      // drive the reassignment command log (a null replica list
-      // CANCELS; cancelling nothing answers 85
-      // no_reassignment_in_progress), a controller completion ratifies
-      // p0's first move internally, and ListPartitionReassignments v0
-      // serves the engine fold's in-flight view — replicas, adding,
-      // removing — with and without a topic filter.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{PartitionReassignments => PR}
-      val initial = (0 until EventPartitions)
-        .map(p => ("events", p, "0,1,2")).toDF("topic", "partition", "replicas")
-      val log = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, Int, String, Option[String])]
-      var nextSeq = 1L
-      def inFlight(p: Int): Boolean = {
-        val forP = log.filter(x => x._3 == p)
-        val lastTerminal = forP.filter(x => x._4 != "alter")
-          .map(_._1).maxOption.getOrElse(Long.MinValue)
-        forP.exists(x => x._4 == "alter" && x._1 > lastTerminal)
-      }
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Int, String, String, String, Int, Boolean)]
-      def alter(step: Int, corr: Int, parts: Seq[(Int, Option[Seq[Int]])]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(45, 0, corr, Some("graft")),
-          PR.encodeAlterRequest(PR.AlterRequest(60000, Seq(
-            "events" -> parts.map { case (p, r) => PR.AlterPartition(p, r) }))),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = PR.decodeAlterRequest(body)
-        val results = req.topics.map { case (t, ps) =>
-          t -> ps.map { p =>
-            p.replicas match {
-              case Some(rs) =>
-                log += ((nextSeq, t, p.partitionIndex, "alter",
-                  Some(rs.mkString(","))))
-                nextSeq += 1
-                PR.PartResult(p.partitionIndex, 0, None)
-              case None if inFlight(p.partitionIndex) =>
-                log += ((nextSeq, t, p.partitionIndex, "cancel", None))
-                nextSeq += 1
-                PR.PartResult(p.partitionIndex, 0, None)
-              case None =>
-                PR.PartResult(p.partitionIndex, 85,
-                  Some("No partition reassignment is in progress."))
-            }
-          }
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          PR.encodeAlterResponse(PR.AlterResponse(0, 0, None, results)),
-          flexibleHeader = true)
-        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
-          flexibleHeader = true)
-        PR.decodeAlterResponse(rb).responses.foreach { case (_, ps) =>
-          ps.foreach(p =>
-            rows += ((step, "alter", p.partitionIndex, "", "", "",
-              p.errorCode.toInt, corrBack == corr)))
-        }
-      }
-      def list(step: Int, corr: Int, filter: Option[Seq[Int]]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(46, 0, corr, Some("graft")),
-          PR.encodeListRequest(PR.ListRequest(60000,
-            filter.map(ps => Seq("events" -> ps)))), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = PR.decodeListRequest(body)
-        val view = graft.admin.Admin.partitionReassignments(initial,
-            log.toSeq.toDF("seq", "topic", "partition", "op", "targets"))
-          .where(col("in_flight"))
-          .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
-            r.getString(4))) // partition-count-bounded
-          .filter(x => req.topics.forall(_.head._2.contains(x._1)))
-          .sortBy(_._1)
-        def ints(s0: String): Seq[Int] =
-          if (s0.isEmpty) Nil else s0.split(",").map(_.toInt).toSeq
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          PR.encodeListResponse(PR.ListResponse(0, 0, None, Seq(
-            "events" -> view.toSeq.map(x =>
-              PR.Ongoing(x._1, ints(x._2), ints(x._3), ints(x._4)))))),
-          flexibleHeader = true)
-        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
-          flexibleHeader = true)
-        PR.decodeListResponse(rb).topics.foreach { case (_, ps) =>
-          ps.foreach(p =>
-            rows += ((step, "list", p.partitionIndex,
-              p.replicas.mkString(","), p.adding.mkString(","),
-              p.removing.mkString(","), 0, corrBack == corr)))
-        }
-      }
-      alter(1, 45, Seq(0 -> Some(Seq(1, 2, 3))))
-      // the controller ratifies p0's move (complete is not a wire op)
-      log += ((nextSeq, "events", 0, "complete", None)); nextSeq += 1
-      alter(2, 46, Seq(0 -> Some(Seq(2, 3, 4)), 1 -> Some(Seq(3, 4, 5)),
-        2 -> Some(Seq(5, 6, 7))))
-      alter(3, 47, Seq(2 -> None, 5 -> None))
-      list(4, 48, None)
-      list(5, 49, Some(Seq(1)))
-      rows.toSeq.toDF("step", "api", "partition", "replicas", "adding",
-        "removing", "error_code", "corr_ok")
-        .orderBy("step", "partition")
-    }),
-
-    "adm_wire_log_dirs" -> ((s, dir) => {
-      // DescribeLogDirs v4 over the wire: a null topics filter asks for
-      // everything, the engine's per-partition storage accounting fills
-      // one dir result (size, offset lag 0 — no future replicas — and
-      // the v4 total/usable rollup), and every row decodes from the
-      // response bytes. Oracle recomputes sizes from the events table.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{DescribeLogDirs => DLD}
-      val stats = graft.admin.Admin.describeLogDirs(eventLog(s, dir),
-          length(col("props")).cast("long"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
-        .sortBy(_._1) // one row per partition
-      val reqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(35, 4, 35, Some("graft")),
-        DLD.encodeRequest(DLD.Request(None)), flexible = true)
-      val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-      require(DLD.decodeRequest(body).topics.isEmpty)
-      val total = stats.map(_._2).sum
-      val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-        DLD.encodeResponse(DLD.Response(0, 0, Seq(
-          DLD.DirResult(0, "/var/lib/graft/data", Seq(
-            "events" -> stats.toSeq.map(x =>
-              DLD.Partition(x._1, x._2, 0L, isFutureKey = false))),
-            total, -1L)))), flexibleHeader = true)
-      val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-      val got = DLD.decodeResponse(rb)
-      got.results.flatMap { d =>
-        d.topics.flatMap { case (t, ps) =>
-          ps.map(p => (d.logDir, t, p.partitionIndex, p.partitionSize,
-            p.offsetLag, d.totalBytes, d.usableBytes, corr == 35))
-        }
-      }.toDF("log_dir", "topic", "partition", "size_bytes", "offset_lag",
-        "total_bytes", "usable_bytes", "corr_ok")
-        .orderBy("partition")
-    }),
-
-    "adm_reassignments" -> ((s, dir) => {
-      // alter/list_partition_reassignments state machine: p0 has an
-      // applied reassignment plus a new in-flight one, p1 is in-flight
-      // from the initial set, p2 was cancelled, p3 got a no-op complete.
-      import s.implicits._
-      val initial = (0 until EventPartitions)
-        .map(p => ("events", p, "0,1,2")).toDF("topic", "partition", "replicas")
-      val log = Seq[(Long, String, Int, String, Option[String])](
-        (1L, "events", 0, "alter", Some("1,2,3")),
-        (2L, "events", 0, "complete", None),
-        (3L, "events", 1, "alter", Some("3,4,5")),
-        (4L, "events", 2, "alter", Some("5,6,7")),
-        (5L, "events", 2, "cancel", None),
-        (6L, "events", 0, "alter", Some("2,3,4")),
-        (7L, "events", 3, "complete", None))
-        .toDF("seq", "topic", "partition", "op", "targets")
-      graft.admin.Admin.partitionReassignments(initial, log)
-        .orderBy("partition")
-    }),
-
-    "adm_balancer_violations" -> ((s, dir) => {
-      // Partition balancer violation detection
-      // (partition_balancer_planner.h change_reason): node-scope flags
-      // (decommissioning / unavailable / over the soft disk ratio) plus
-      // rack-constraint duplicates, all declarative DataFrame work over
-      // the health-report tables.
-      import s.implicits._
-      graft.admin.Balancer.violations(balancerNodes(s), balancerReplicas(s), 0.8)
-        // -1/'' sentinels: nullable ints turn float64 in the driver's
-        // pandas hasher (same trap as sec_oidc_auth)
-        .withColumn("node_id", coalesce(col("node_id"), lit(-1)))
-        .withColumn("topic", coalesce(col("topic"), lit("")))
-        .withColumn("partition", coalesce(col("partition"), lit(-1)))
-        .orderBy("kind", "node_id", "topic", "partition")
-    }),
-
-    "adm_balancer_plan" -> ((s, dir) => {
-      // One planner round in the reference's priority order:
-      // decommission drain, dead-node repair (with an unplaceable
-      // 900-byte partition correctly failing), rack repair off the
-      // fullest duplicate, disk shed largest-first — allocation is
-      // rack-diverse, disk-headroom-checked, most-free-bytes,
-      // id-tie-broken. Oracle pins the exact plan.
-      import s.implicits._
-      graft.admin.Balancer.planActions(balancerNodes(s), balancerReplicas(s), 0.8)
-        .orderBy("ord")
-    }),
-
-    "adm_leader_balance" -> ((s, dir) => {
-      // Leadership balancer (scheduling/leader_balancer_constraints.cc):
-      // 5 of 6 leaders sit on node 0; the deterministic greedy moves
-      // leadership to replica holders only, largest shard-error
-      // reduction first with per-topic spread breaking ties, and stops
-      // at equilibrium (2,2,1,1 with topic t spread one-per-node).
-      graft.admin.Balancer.leaderPlan(leaderReps(s)).orderBy("ord")
-    }),
-
-    "adm_cluster_health" -> ((s, dir) => {
-      // Health-monitor rollup (health_monitor_types.h node_state +
-      // local_state): liveness = heartbeat staleness vs the 30s bound
-      // (node 2's 45s silence reads dead), disk as exact-integer
-      // permille, replica/leader counts from the same replica map the
-      // leader balancer consumes. The oracle re-derives the counts from
-      // the replica VALUES.
-      import s.implicits._
-      val now = 1700000000000L
-      val hb = Seq((0, now - 1000L), (1, now - 2000L), (2, now - 45000L),
-        (3, now - 500L)).toDF("node_id", "last_heartbeat_ms")
-      val disks = Seq((0, 1000L, 400L), (1, 1000L, 700L), (2, 1000L, 800L),
-        (3, 1000L, 100L)).toDF("node_id", "total_bytes", "free_bytes")
-      graft.admin.Admin.clusterHealth(hb, disks, leaderReps(s), now,
-          stalenessMs = 30000L)
-        .orderBy("node_id")
-    }),
-
-    "t3_wire_introspection" -> ((s, dir) => {
-      // KIP-664 over the wire: ListTransactions v0 (state filters with
-      // unknown names echoed back, producer-id filters),
-      // DescribeTransactions v0 (unknown tid 105, known states with
-      // the touched topic-partition set) and DescribeProducers v0
-      // (per-partition active producer states incl. the open txn's
-      // first offset) — all three answered by the engine's
-      // introspection folds over a marker-carrying fixture log with
-      // one ongoing, one committed and one aborted transaction.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{ListTransactions => LT, DescribeTransactions => DX,
-        DescribeProducers => DP}
-      val log = Seq(
-        (0, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (0, 1L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (1, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (0, 2L, 11L, 1, 0L, false, null.asInstanceOf[String], 1),
-        (0, 3L, 11L, 1, 0L, true, "commit", 1),
-        (1, 1L, 12L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (1, 2L, 12L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (1, 3L, 12L, 0, 0L, true, "abort", 1))
-        .toDF("partition", "offset", "pid", "epoch", "txn_seq",
-          "is_control", "decision", "batch_type")
-      def tid(pid: Long) = s"tx-$pid"
-      val listed = TxnEngine.listTransactions(log)
-        .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1) // 3 txns
-      val described = TxnEngine.describeTransactions(log)
-        .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3),
-          r.getInt(4))) // (pid, partition, state, epoch), bounded
-      val producers = TxnEngine.describeProducers(log)
-        .collect().map { r =>
-          (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
-            if (r.isNullAt(5)) -1L else r.getLong(5))
-        } // (partition, pid, epoch, last_offset, open_first), bounded
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Option[String], Option[String], Long, Int, Int, Long, Long, Int,
-        Boolean)]
-
-      val ValidStates = Set("Ongoing", "PrepareCommit", "PrepareAbort",
-        "CompleteCommit", "CompleteAbort", "Empty", "Dead", "PrepareEpochFence")
-      def list(step: Int, states: Seq[String], pids: Seq[Long]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(66, 0, step, Some("graft")),
-          LT.encodeRequest(LT.Request(states, pids)), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = LT.decodeRequest(body)
-        val (known, unknown) = req.stateFilters.partition(ValidStates)
-        val matches = listed
-          .filter { case (pid, state) =>
-            (known.isEmpty && req.stateFilters.isEmpty || known.contains(state)) &&
-              (req.producerIdFilters.isEmpty || req.producerIdFilters.contains(pid))
-          }
-          .map { case (pid, state) => LT.TxnState(tid(pid), pid, state) }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          LT.encodeResponse(LT.Response(0, 0, unknown, matches.toSeq)),
-          flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        val got = LT.decodeResponse(rb)
-        got.unknownStateFilters.foreach(f =>
-          rows += ((step, "list_unknown", None, Some(f), -1L, -1, -1, -1L,
-            -1L, 0, corr == step)))
-        got.states.foreach(st =>
-          rows += ((step, "list", Some(st.transactionalId),
-            Some(st.transactionState), st.producerId, -1, -1, -1L, -1L, 0,
-            corr == step)))
-      }
-      list(1, Nil, Nil)
-      list(2, Seq("CompleteCommit", "Retrying"), Nil)
-      list(3, Nil, Seq(12L))
-
-      // ---- DescribeTransactions v0
-      {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(65, 0, 4, Some("graft")),
-          DX.encodeRequest(DX.Request(Seq("tx-10", "tx-99"))), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = DX.decodeRequest(body)
-        val byPid = described.groupBy(_._1)
-        val states = req.transactionalIds.map { t =>
-          val pid = t.stripPrefix("tx-").toLongOption.filter(p =>
-            byPid.contains(p))
-          pid match {
-            case None =>
-              DX.TxnState(105, t, "", 0, -1L, -1L, -1, Nil)
-            case Some(p) =>
-              val rows0 = byPid(p)
-              DX.TxnState(0, t, rows0.head._3, 60000, -1L, p,
-                rows0.map(_._4).max.toShort,
-                Seq("events" -> rows0.map(_._2).sorted))
-          }
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          DX.encodeResponse(DX.Response(0, states)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        DX.decodeResponse(rb).states.foreach { st =>
-          if (st.errorCode != 0)
-            rows += ((4, "describe", Some(st.transactionalId), None, -1L, -1,
-              -1, -1L, -1L, st.errorCode.toInt, corr == 4))
-          else st.topics.foreach { case (_, ps) =>
-            ps.foreach(p =>
-              rows += ((4, "describe", Some(st.transactionalId),
-                Some(st.transactionState), st.producerId,
-                st.producerEpoch.toInt, p, -1L, -1L, 0, corr == 4)))
-          }
-        }
-      }
-
-      // ---- DescribeProducers v0
-      {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(61, 0, 5, Some("graft")),
-          DP.encodeRequest(DP.Request(Seq("events" -> Seq(0, 1, 5)))),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = DP.decodeRequest(body)
-        val byPart = producers.groupBy(_._1)
-        val answered = req.topics.map { case (t, ps) =>
-          t -> ps.map { p =>
-            DP.RespPartition(p, 0, None,
-              byPart.getOrElse(p, Array.empty[(Int, Long, Int, Long, Long)])
-                .sortBy(_._2)
-                .map(x => DP.Producer(x._2, x._3, -1, -1L, 0, x._5)).toSeq)
-          }
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          DP.encodeResponse(DP.Response(0, answered)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        DP.decodeResponse(rb).topics.foreach { case (_, ps) =>
-          ps.foreach { p =>
-            if (p.activeProducers.isEmpty)
-              rows += ((5, "producers", None, None, -1L, -1,
-                p.partitionIndex, -1L, -1L, 0, corr == 5))
-            else p.activeProducers.foreach { ap =>
-              val last = producers.find(x =>
-                x._1 == p.partitionIndex && x._2 == ap.producerId).get._4
-              rows += ((5, "producers", None, None, ap.producerId,
-                ap.producerEpoch, p.partitionIndex,
-                ap.currentTxnStartOffset, last, 0, corr == 5))
-            }
-          }
-        }
-      }
-
-      rows.toSeq.toDF("step", "api", "tid", "state", "pid", "epoch",
-        "partition", "txn_start_offset", "last_offset", "error_code",
-        "corr_ok")
-        .orderBy("step", "tid", "pid", "partition", "state")
-    }),
-
-    "adm_list_transactions" -> ((s, dir) =>
-      // Coordinator-visible txn listing over engine-produced state:
-      // Ongoing (trailing partials), CompleteCommit, CompleteAbort.
-      TxnEngine.listTransactions(txnLog(s, dir))
-        .orderBy("pid", "txn_seq")),
-
-    "adm_describe_producers" -> ((s, dir) =>
-      TxnEngine.describeProducers(txnLog(s, dir))
-        .orderBy("partition", "pid")),
-
-    "adm_describe_transactions" -> ((s, dir) =>
-      // Per-producer current-txn detail: state + exploded touched-
-      // partition list with per-partition start offset and footprint.
-      TxnEngine.describeTransactions(txnLog(s, dir))
-        .orderBy("pid", "partition")),
-
-    "adm_describe_log_dirs" -> ((s, dir) =>
-      graft.admin.Admin.describeLogDirs(eventLog(s, dir),
-          length(col("props")).cast("long"))
-        .orderBy("partition")),
-
-    "adm_topic_validation" -> ((s, dir) => {
-      // create_topics validator chain: each row violates exactly one
-      // rule (or none); first-failing-rule error code pinned by the
-      // oracle — invalid_partitions 37, invalid_replication_factor 38,
-      // invalid_config 40.
-      import s.implicits._
-      val reqs = Seq(
-        ("ok", 8, 3, Some(1048576), Some("zstd"), Some("compact"), Some("CreateTime")),
-        ("ok_defaults", 1, 1, None: Option[Int], None: Option[String],
-          None: Option[String], None: Option[String]),
-        ("bad_parts", 0, 3, None: Option[Int], None: Option[String],
-          None: Option[String], None: Option[String]),
-        ("bad_rf_even", 4, 2, None: Option[Int], None: Option[String],
-          None: Option[String], None: Option[String]),
-        ("bad_rf_neg", 4, -1, None: Option[Int], None: Option[String],
-          None: Option[String], None: Option[String]),
-        ("bad_max_bytes", 4, 3, Some(0), None: Option[String],
-          None: Option[String], None: Option[String]),
-        ("bad_compression", 4, 3, None: Option[Int], Some("brotli"),
-          None: Option[String], None: Option[String]),
-        ("bad_cleanup", 4, 3, None: Option[Int], None: Option[String],
-          Some("vacuum"), None: Option[String]),
-        ("bad_ts_type", 4, 3, None: Option[Int], None: Option[String],
-          None: Option[String], Some("BrokerTime")),
-        ("first_rule_wins", -1, 2, Some(-5), Some("brotli"),
-          Some("vacuum"), Some("BrokerTime")))
-        .toDF("topic", "partitions", "replication_factor", "max_message_bytes",
-          "compression", "cleanup_policy", "timestamp_type")
-      graft.admin.Admin.validateTopicConfigs(reqs)
-        .select("topic", "error_code")
-        .orderBy("topic")
-    }),
-
-    "adm_wire_create_topics" -> ((s, dir) => {
-      // CreateTopics v7 over the wire: the decoded request's topic
-      // specs (configs as name/value pairs) run the engine's
-      // first-failing-rule validator chain (validators.h — 37 invalid
-      // partitions, 38 invalid replication factor, 40 invalid config);
-      // accepted topics echo effective partitions/rf/configs, rejects
-      // answer -1/-1 with null configs and carry the config error as
-      // the response's TAGGED field (tag 0, emitted only when set).
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.CreateTopics
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(19, 7, 61, Some("graft")),
-        CreateTopics.encodeRequest(CreateTopics.Request(Seq(
-          CreateTopics.ReqTopic("wire_ok", 8, 3, Seq(
-            ("max.message.bytes", Some("1048576")),
-            ("compression.type", Some("zstd")))),
-          CreateTopics.ReqTopic("wire_bad_parts", 0, 3, Nil),
-          CreateTopics.ReqTopic("wire_bad_rf", 4, 2, Nil),
-          CreateTopics.ReqTopic("wire_bad_config", 4, 3, Seq(
-            ("cleanup.policy", Some("vacuum"))))),
-          30000, validateOnly = true)),
-        flexible = true)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
-      val req = CreateTopics.decodeRequest(reqBody)
-      def cfg(t: CreateTopics.ReqTopic, k: String): Option[String] =
-        t.configs.find(_._1 == k).flatMap(_._2)
-      val specs = req.topics.map(t => (t.name, t.numPartitions,
-        t.replicationFactor.toInt, cfg(t, "max.message.bytes").map(_.toInt),
-        cfg(t, "compression.type"), cfg(t, "cleanup.policy"),
-        cfg(t, "message.timestamp.type")))
-        .toDF("topic", "partitions", "replication_factor",
-          "max_message_bytes", "compression", "cleanup_policy",
-          "timestamp_type")
-      val verdicts = graft.admin.Admin.validateTopicConfigs(specs)
-        .select("topic", "error_code").collect()
-        .map(r => r.getString(0) -> r.getInt(1)).toMap // one row per spec
-      val resp = CreateTopics.Response(0, req.topics.map { t =>
-        val err = verdicts(t.name)
-        if (err == 0)
-          CreateTopics.RespTopic(t.name, new Array[Byte](16), 0, None, 0,
-            t.numPartitions, t.replicationFactor, Some(t.configs))
-        else
-          CreateTopics.RespTopic(t.name, new Array[Byte](16), err.toShort,
-            Some(s"validation failed with error $err"),
-            if (err == 40) 40 else 0, -1, -1, None)
-      })
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        CreateTopics.encodeResponse(resp), flexibleHeader = true)
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
-        flexibleHeader = true)
-      CreateTopics.decodeResponse(respBody).topics.map(t =>
-        (t.name, t.errorCode.toInt, t.numPartitions,
-          t.replicationFactor.toInt, t.topicConfigErrorCode.toInt,
-          t.configs.map(_.size).getOrElse(-1), corrBack == 61))
-        .toDF("topic", "error_code", "num_partitions", "replication_factor",
-          "config_error", "n_configs", "corr_ok")
-        .orderBy("topic")
-    }),
-
-    "adm_api_versions" -> ((s, dir) =>
-      // The full handler registry, oracle-pinned: any drift between the
-      // advertised api surface and this contract fails the gate.
-      graft.admin.Admin.apiVersions(s).orderBy("api_key")),
-
-    "adm_find_coordinator" -> ((s, dir) => {
-      // Golden-vector conformance at a 16-partition offsets topic: the
-      // unsigned-murmur2 routing must land each group on its pinned
-      // coordinator partition.
-      import s.implicits._
-      graft.admin.Admin.coordinatorFor(
-        Seq("", "0123456789", "a", "ab", "abc", "hello-kafka", "redpanda", "user-42")
-          .toDF("g"),
-        col("g"), nPartitions = 16)
-        .orderBy("group")
-    }),
-
-    "adm_wire_find_coordinator" -> ((s, dir) => {
-      // The golden coordinator vectors over the wire: each group rides
-      // its own flexible v3 FindCoordinator frame (api key 10, key_type
-      // 0 = group); the answer node is the murmur2-routed coordinator
-      // partition, surfaced as node-id/host/port and decoded back from
-      // the response bytes. Request size varies with the group name,
-      // response size with the node id's digits — both recomputed by
-      // the oracle.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.FindCoordinator
-      val groups = Seq("", "0123456789", "a", "ab", "abc", "hello-kafka",
-        "redpanda", "user-42")
-      val coord = graft.admin.Admin.coordinatorFor(groups.toDF("g"),
-          col("g"), nPartitions = 16)
-        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap // 8 rows
-      groups.zipWithIndex.map { case (g, corr) =>
-        val reqFrame = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(10, 3, corr, Some("graft")),
-          FindCoordinator.encodeRequest(FindCoordinator.Request(g, 0)),
-          flexible = true)
-        val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
-        val req = FindCoordinator.decodeRequest(reqBody)
-        val node = coord(req.key)
-        val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-          FindCoordinator.encodeResponse(FindCoordinator.Response(0, 0, None,
-            node, s"node-$node", 9092 + node)),
-          flexibleHeader = true)
-        val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
-          flexibleHeader = true)
-        val r = FindCoordinator.decodeResponse(respBody)
-        (req.key, req.keyType.toInt, r.nodeId, r.host, r.port,
-          r.errorCode.toInt, reqFrame.length, respFrame.length,
-          corrBack == corr)
-      }.toDF("group", "key_type", "node_id", "host", "port", "error_code",
-        "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("group")
-    }),
-
-    "adm_create_partitions" -> ((s, dir) => {
-      // Partition growth 8 -> 12: history stays put; a re-produce of the
-      // events batch routes across 12 partitions, continuing offsets from
-      // each surviving partition's HWM and starting 8..11 at zero.
-      val log = eventLog(s, dir).select(col("partition"), col("offset"), lit(false).as("is_new"))
-      val batch = events(s, dir).select(col("user_id"),
-        (col("event_id") + 10000000L).as("arrival"), lit(true).as("is_new"))
-      graft.admin.Admin.createPartitions(log, batch, 12, col("user_id"), col("arrival"))
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), (max("offset") + 1).as("hwm"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
-        .orderBy("partition")
-    }),
-
-    "q5_offset_translation" -> ((s, dir) =>
-      // Raft->kafka offset mapping over the marker-carrying log: fences
-      // and control markers occupy raft offsets but are invisible to
-      // consumers, so kafka offsets are the dense rank of data rows.
-      TxnEngine.offsetTranslation(txnLog(s, dir))
-        .where(col("kafka_offset").isNotNull)
-        .select(col("partition"), col("offset").as("log_offset"), col("kafka_offset"))
-        .orderBy("partition", "log_offset")),
-
-    "adm_acls" -> ((s, dir) => {
-      // ACL conformance corpus over the compacted binding log: literal
-      // and prefixed patterns, wildcard principal/host, operation 'all',
-      // deny precedence over an all-operations allow, tombstoned binding,
-      // host-scoped entry, and the default-deny fallthrough.
-      import s.implicits._
-      val aclLog = Seq(
-        (1L, "alice", "*", "topic", "literal", "events", "read", "allow", false),
-        (2L, "alice", "*", "topic", "literal", "events", "write", "allow", false),
-        (3L, "*", "*", "topic", "prefixed", "logs-", "read", "allow", false),
-        (4L, "bob", "*", "topic", "literal", "events", "all", "allow", false),
-        (5L, "bob", "*", "topic", "literal", "events", "write", "deny", false),
-        (6L, "carol", "*", "group", "literal", "g1", "read", "allow", false),
-        (7L, "alice", "*", "topic", "literal", "events", "write", "allow", true),
-        (8L, "dave", "10.0.0.1", "topic", "literal", "events", "read", "allow", false))
-        .toDF("seq", "principal", "host", "resource_type", "pattern_type",
-          "resource_name", "operation", "permission", "deleted")
-      val requests = Seq(
-        ("alice", "10.0.0.9", "read", "topic", "events"),
-        ("alice", "10.0.0.9", "write", "topic", "events"),
-        ("anyone", "h", "read", "topic", "logs-2024"),
-        ("anyone", "h", "read", "topic", "events"),
-        ("bob", "h", "read", "topic", "events"),
-        ("bob", "h", "write", "topic", "events"),
-        ("carol", "h", "read", "group", "g1"),
-        ("carol", "h", "read", "topic", "g1"),
-        ("dave", "10.0.0.1", "read", "topic", "events"),
-        ("dave", "10.0.0.2", "read", "topic", "events"))
-        .toDF("principal", "host", "operation", "resource_type", "resource_name")
-      graft.security.Acls.authorize(requests,
-          graft.security.Acls.currentAcls(aclLog))
-        .orderBy("principal", "host", "operation", "resource_type", "resource_name")
-    }),
-
-    "sec_scram_describe" -> ((s, dir) => {
-      // describe_user_scram_credentials over the compacted credential
-      // log (scram_credential.h stored in the controller log): a
-      // rotation bumps iterations LWW, a tombstone deletes the user,
-      // and key material never appears in the description.
-      import s.implicits._
-      import graft.security.Scram
-      def cred(seq: Long, user: String, mech: Scram.Mechanism, pw: String, iters: Int) = {
-        val (salt, stored, server, i) =
-          Scram.makeCredential(pw, s"salt_$user".getBytes("UTF-8"), iters, mech)
-        (seq, user, mech.name, salt, stored, server, i, false)
-      }
-      // a delete is a tombstone marker — no key material to derive
-      def tomb(seq: Long, user: String, mech: Scram.Mechanism) =
-        (seq, user, mech.name, Array.empty[Byte], Array.empty[Byte], Array.empty[Byte], 0, true)
-      val log = Seq(
-        cred(1L, "alice", Scram.Sha256, "a-1", 1024),
-        cred(2L, "bob", Scram.Sha256, "b-1", 1024),
-        cred(3L, "alice", Scram.Sha256, "a-2", 2048),
-        cred(4L, "carol", Scram.Sha512, "c-1", 4096),
-        tomb(5L, "bob", Scram.Sha256),
-        cred(6L, "dave", Scram.Sha256, "d-1", 1024),
-        cred(7L, "dave", Scram.Sha512, "d-1", 1024))
-        .toDF("seq", "user", "mechanism", "salt", "stored_key", "server_key",
-          "iterations", "deleted")
-      Scram.describeCredentials(Scram.currentCredentials(log))
-        .withColumnRenamed("user", "username")
-        .orderBy("username", "mechanism")
-    }),
-
-    "sec_scram_auth" -> ((s, dir) => {
-      // SASL authenticate as a batch operator: 50 users provisioned from
-      // `customer` (distributed credential derivation — RFC 5802 Hi/
-      // client-key/stored-key per user), then 60 login attempts where
-      // every 3rd user presents a wrong password and users 51-60 were
-      // never provisioned. The engine decides purely via the stored-key
-      // crypto; the oracle re-derives the decision from the plaintext
-      // scenario rule — they agree only if the key derivation is right.
-      import s.implicits._
-      import graft.security.Scram
-      val users = T(s, dir, "customer").where(col("c_custkey") <= 60)
-        .select(col("c_custkey").cast("long").as("k"),
-          concat(lit("user_"), col("c_custkey")).as("user"))
-      val creds = users.where(col("k") <= 50).select("user").as[String]
-        .map { u =>
-          val (salt, stored, server, i) = Scram.makeCredential(
-            "pw_" + u, ("salt_" + u).getBytes("UTF-8"), 1024, Scram.Sha256)
-          (u, "SCRAM-SHA-256", salt, stored, server, i)
-        }
-        .toDF("user", "mechanism", "salt", "stored_key", "server_key", "iterations")
-      val attempts = users.select(col("user"), lit("SCRAM-SHA-256").as("mechanism"),
-        when(col("k") % 3 === 0, lit("wrong-password"))
-          .otherwise(concat(lit("pw_"), col("user"))).as("password"))
-      Scram.authenticate(attempts, creds)
-        .withColumnRenamed("user", "username")
-        .orderBy("username")
-    }),
-
-    "sec_plain_auth" -> ((s, dir) => {
-      // SASL/PLAIN (plain_authenticator.cc): the wire blob is
-      // [authzid] NUL user NUL password, validated against the SCRAM
-      // credential store. Planted defects by key: %13 authzid present,
-      // %11 missing separator, %7 empty password (all malformed);
-      // k>50 never provisioned; %3 wrong password; else authenticates.
-      // The oracle replays the same precedence ladder in plaintext.
-      import s.implicits._
-      import graft.security.Scram
-      val users = T(s, dir, "customer").where(col("c_custkey") <= 70)
-        .select(col("c_custkey").cast("long").as("k"),
-          concat(lit("user_"), col("c_custkey")).as("user"))
-      val creds = users.where(col("k") <= 50).select("user").as[String]
-        .map { u =>
-          val (salt, stored, server, i) = Scram.makeCredential(
-            "pw_" + u, ("salt_" + u).getBytes("UTF-8"), 1024, Scram.Sha256)
-          (u, "SCRAM-SHA-256", salt, stored, server, i)
-        }
-        .toDF("user", "mechanism", "salt", "stored_key", "server_key", "iterations")
-      val nul = lit("\u0000")
-      val pw = concat(lit("pw_"), col("user"))
-      val blob =
-        when(col("k") % 13 === 0, concat(lit("authz"), nul, col("user"), nul, pw))
-          .when(col("k") % 11 === 0, concat(nul, col("user"), pw))
-          .when(col("k") % 7 === 0, concat(nul, col("user"), nul))
-          .when(col("k") % 3 === 0, concat(nul, col("user"), nul, lit("wrong-password")))
-          .otherwise(concat(nul, col("user"), nul, pw))
-      val attempts = users.select(col("user").as("username"),
-        encode(blob, "UTF-8").as("auth_bytes"))
-      Scram.authenticatePlain(attempts, creds).orderBy("username")
-    }),
-
-    "sec_oidc_auth" -> ((s, dir) => {
-      // SASL/OAUTHBEARER + OIDC (oidc_authenticator.cc): JWS tokens
-      // signed per-kid, validated signature-first then the claim ladder
-      // (iss, aud, exp, nbf), principal = mapped `sub`. Planted defects
-      // by key (first match builds the token): %17 garbage, %13 unknown
-      // kid, %11 wrong signing key, %7 wrong issuer, %5 wrong audience,
-      // %3 expired, %2 not-yet-valid; else valid. now/skew are pinned so
-      // the oracle re-derives every decision from the plaintext rule.
-      import s.implicits._
-      import graft.security.Oidc
-      val now = 1700000000L
-      val jwks = Seq(
-        Oidc.Jwk("k1", "HS256", "secret-one".getBytes("UTF-8")),
-        Oidc.Jwk("k2", "HS256", "secret-two".getBytes("UTF-8")))
-      val secrets = jwks.map(j => j.kid -> j.material).toMap
-      val users = T(s, dir, "customer").where(col("c_custkey") <= 60)
-        .select(col("c_custkey").cast("long").as("k")).as[Long]
-      val tokens = users.map { k =>
-        def b64(b: Array[Byte]) =
-          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
-        def sign(kid: String, input: String): Array[Byte] = {
-          val m = javax.crypto.Mac.getInstance("HmacSHA256")
-          m.init(new javax.crypto.spec.SecretKeySpec(secrets(kid), "HmacSHA256"))
-          m.doFinal(input.getBytes("UTF-8"))
-        }
-        def jws(kid: String, signKid: String, iss: String, aud: String,
-            exp: Long, nbf: Long): String = {
-          val header = s"""{"alg":"HS256","kid":"$kid"}"""
-          val payload = s"""{"iss":"$iss","aud":$aud,"sub":"sub-$k","exp":$exp,"nbf":$nbf}"""
-          val si = b64(header.getBytes("UTF-8")) + "." + b64(payload.getBytes("UTF-8"))
-          si + "." + b64(sign(signKid, si))
-        }
-        val kid = if (k % 2 == 0) "k1" else "k2"
-        val other = if (kid == "k1") "k2" else "k1"
-        val aud = """["graft","other-svc"]"""
-        val token =
-          if (k % 17 == 0) "not-a-jwt"
-          // kX is not in the JWKS; signed with a real key so ONLY the
-          // kid check fires
-          else if (k % 13 == 0) jws("kX", kid, "https://idp.example", aud, now + 3600, now - 10)
-          else if (k % 11 == 0) jws(kid, other, "https://idp.example", aud, now + 3600, now - 10)
-          else if (k % 7 == 0) jws(kid, kid, "https://evil.example", aud, now + 3600, now - 10)
-          else if (k % 5 == 0) jws(kid, kid, "https://idp.example", "\"wrong-svc\"", now + 3600, now - 10)
-          else if (k % 3 == 0) jws(kid, kid, "https://idp.example", aud, now - 3600, now - 10)
-          else if (k % 2 == 0) jws(kid, kid, "https://idp.example", aud, now + 3600, now + 3600)
-          else jws(kid, kid, "https://idp.example", aud, now + 3600, now - 10)
-        (k, token)
-      }.toDF("k", "token")
-      Oidc.validate(tokens, col("token"), jwks,
-          issuer = "https://idp.example", audience = "graft",
-          skewSeconds = 60L, nowEpoch = now,
-          mappingRules = Seq(graft.security.PrincipalMapping.Rule(
-            "^sub-([0-9]+)$", "oidc_$1")))
-        // -1 for absent exp: a nullable int64 turns float64 in pandas /
-        // the driver's hasher — the same canonicalization trap as raw
-        // doubles (see txt_rarity)
-        .select(col("k"), col("error"), col("principal"), col("sub"),
-          coalesce(col("token_exp"), lit(-1L)).as("token_exp"))
-        .orderBy("k")
-    }),
-
-    "sec_handshake" -> ((s, dir) => {
-      // SASL handshake mechanism negotiation
-      // (`kafka/server/handlers/sasl_handshake.cc`): 60 clients each
-      // request one of six mechanisms (key mod 6). All five reference
-      // mechanisms (SCRAM x2, PLAIN, GSSAPI, OAUTHBEARER) are in the
-      // enabled-mechanisms config, so only the never-supported EXTERNAL
-      // gets error 33 (UNSUPPORTED_SASL_MECHANISM) plus the enabled
-      // list to retry with.
-      val mechs = array(lit("SCRAM-SHA-256"), lit("SCRAM-SHA-512"),
-        lit("PLAIN"), lit("GSSAPI"), lit("OAUTHBEARER"), lit("EXTERNAL"))
-      val reqs = T(s, dir, "customer").where(col("c_custkey") <= 60)
-        .select(concat(lit("client_"), col("c_custkey")).as("client"),
-          element_at(mechs, (pmod(col("c_custkey"), lit(6)) + 1).cast("int"))
-            .as("mechanism"))
-      graft.security.Scram.handshake(reqs,
-          Seq("SCRAM-SHA-256", "SCRAM-SHA-512", "PLAIN", "GSSAPI", "OAUTHBEARER"))
-        .orderBy("client")
-    }),
-
-    "sec_wire_acls" -> ((s, dir) => {
-      // The ACL control plane over the wire: one CreateAcls v3 frame
-      // carrying six creations (two invalid — a prefixless principal
-      // and resource type 99 — answered 42 with the reference's
-      // conversion messages, security.h:33-107), a DescribeAcls v3
-      // MATCH-filter read served from the engine's compacted live set
-      // through filterAcls (acl.cc:496-527: literal equality, stored
-      // '*' wildcard, prefix evaluation), a DeleteAcls v3 frame whose
-      // valid filter tombstones every User:bob binding and whose
-      // invalid filter errors per-filter without touching the store,
-      // and a second describe proving the deletion. All rows decode
-      // from response bytes.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{AclEnums => E, CreateAcls, DescribeAcls, DeleteAcls}
-      import graft.security.Acls
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Int, Int, Option[String], Option[String], Option[String],
-        Option[String], Option[String], Option[String], Option[String],
-        Option[String], Boolean)]
-      val aclLog = scala.collection.mutable.ArrayBuffer.empty[(Long, String,
-        String, String, String, String, String, String, Boolean)]
-      var nextSeq = 0L
-      def logDf = aclLog.toSeq.toDF("seq", "principal", "host",
-        "resource_type", "pattern_type", "resource_name", "operation",
-        "permission", "deleted")
-      def convert(a: CreateAcls.Acl): Either[String,
-          (String, String, String, String, String, String, String)] =
-        try {
-          if (a.resourceName.isEmpty)
-            throw new IllegalArgumentException("Empty resource name")
-          Right((E.validatePrincipal(a.principal), a.host,
-            E.resourceType(a.resourceType), E.patternType(a.patternType),
-            a.resourceName, E.operation(a.operation),
-            E.permission(a.permission)))
-        } catch { case e: IllegalArgumentException => Left(e.getMessage) }
-      def optCode(b: Byte, m: Map[Byte, String]): Option[String] =
-        if (b == 1) None else Some(m.getOrElse(b,
-          throw new IllegalArgumentException(s"Invalid filter code: $b")))
-      def runFilter(rtype: Byte, rname: Option[String], ptype: Byte,
-          principal: Option[String], host: Option[String], op: Byte,
-          perm: Byte) = {
-        principal.foreach(E.validatePrincipal) // filters validate too
-        Acls.filterAcls(Acls.currentAcls(logDf),
-          optCode(rtype, E.ResourceTypes), rname,
-          if (ptype == 1) None
-          else if (ptype == 2) Some("match")
-          else Some(E.patternType(ptype)),
-          principal, host,
-          optCode(op, E.Operations), optCode(perm, E.Permissions))
-          .collect() // the live ACL set is control-plane-bounded
-          .map(r => (r.getAs[String]("principal"), r.getAs[String]("host"),
-            r.getAs[String]("resource_type"), r.getAs[String]("pattern_type"),
-            r.getAs[String]("resource_name"), r.getAs[String]("operation"),
-            r.getAs[String]("permission")))
-          .sortBy(x => (x._3, x._5, x._1))
-      }
-
-      // ---- step 1: CreateAcls v3
-      val createReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(30, 3, 31, Some("graft")),
-        CreateAcls.encodeRequest(CreateAcls.Request(Seq(
-          CreateAcls.Acl(2, "payments", 3, "User:alice", "*", 3, 3),
-          CreateAcls.Acl(2, "pay", 4, "User:bob", "*", 4, 3),
-          CreateAcls.Acl(3, "analytics", 3, "User:bob", "*", 3, 2),
-          CreateAcls.Acl(2, "*", 3, "User:*", "*", 8, 3),
-          CreateAcls.Acl(2, "payments-eu", 3, "alice", "*", 4, 3),
-          CreateAcls.Acl(99.toByte, "orders", 3, "User:carol", "*", 3, 3)))),
-        flexible = true)
-      val (ch, cBody) = WireHeaders.decodeRequestFrame(createReqF, flexible = true)
-      val createReq = CreateAcls.decodeRequest(cBody)
-      val converted = createReq.creations.map(convert)
-      converted.foreach {
-        case Right((p, h, rt, pt, rn, op, pm)) =>
-          aclLog += ((nextSeq, p, h, rt, pt, rn, op, pm, false)); nextSeq += 1
-        case Left(_) => ()
-      }
-      val createRespF = WireHeaders.encodeResponseFrame(ch.correlationId,
-        CreateAcls.encodeResponse(CreateAcls.Response(0, converted.map {
-          case Right(_) => (0.toShort, None)
-          case Left(m) => (42.toShort, Some(m))
-        })), flexibleHeader = true)
-      val (cCorr, cRespBody) = WireHeaders.decodeResponseFrame(createRespF,
-        flexibleHeader = true)
-      CreateAcls.decodeResponse(cRespBody).results.zipWithIndex.foreach {
-        case ((err, msg), i) =>
-          val a = createReq.creations(i)
-          rows += ((1, "create", i, err.toInt, msg, Some(a.principal),
-            Some(a.host), E.ResourceTypes.get(a.resourceType),
-            E.PatternTypes.get(a.patternType), Some(a.resourceName),
-            E.Operations.get(a.operation), E.Permissions.get(a.permission),
-            cCorr == 31))
-      }
-
-      // ---- steps 2 & 4: DescribeAcls v3 with a MATCH filter
-      def describe(step: Int, corr: Int): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(29, 3, corr, Some("graft")),
-          DescribeAcls.encodeRequest(DescribeAcls.Request(2,
-            Some("payments"), 2, None, None, 1, 1)), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = DescribeAcls.decodeRequest(body)
-        val matched = runFilter(req.resourceTypeFilter,
-          req.resourceNameFilter, req.patternTypeFilter,
-          req.principalFilter, req.hostFilter, req.operation, req.permission)
-        val resources = matched.groupBy(x => (x._3, x._5, x._4)).toSeq
-          .sortBy(_._1).map { case ((rt, rn, pt), as) =>
-            DescribeAcls.Resource(E.ResourceTypeCodes(rt), rn,
-              E.PatternTypeCodes(pt), as.toSeq.map(a =>
-                DescribeAcls.RespAcl(a._1, a._2, E.OperationCodes(a._6),
-                  E.PermissionCodes(a._7))))
-          }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          DescribeAcls.encodeResponse(DescribeAcls.Response(0, 0, None,
-            resources)), flexibleHeader = true)
-        val (corrBack, rb) = WireHeaders.decodeResponseFrame(respF,
-          flexibleHeader = true)
-        DescribeAcls.decodeResponse(rb).resources.foreach { res =>
-          res.acls.foreach { a =>
-            rows += ((step, "describe", -1, 0, None, Some(a.principal),
-              Some(a.host), Some(E.resourceType(res.resourceType)),
-              Some(E.patternType(res.patternType)), Some(res.resourceName),
-              Some(E.operation(a.operation)),
-              Some(E.permission(a.permission)), corrBack == corr))
-          }
-        }
-      }
-      describe(2, 32)
-
-      // ---- step 3: DeleteAcls v3 — one valid filter, one invalid
-      val delReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(31, 3, 33, Some("graft")),
-        DeleteAcls.encodeRequest(DeleteAcls.Request(Seq(
-          DeleteAcls.Filter(1, None, 1, Some("User:bob"), None, 1, 1),
-          DeleteAcls.Filter(1, None, 1, Some("bob"), None, 1, 1)))),
-        flexible = true)
-      val (dh, dBody) = WireHeaders.decodeRequestFrame(delReqF, flexible = true)
-      val delReq = DeleteAcls.decodeRequest(dBody)
-      val delResults = delReq.filters.map { f =>
-        try {
-          val matched = runFilter(f.resourceTypeFilter, f.resourceNameFilter,
-            f.patternTypeFilter, f.principalFilter, f.hostFilter,
-            f.operation, f.permission)
-          matched.foreach { m =>
-            aclLog += ((nextSeq, m._1, m._2, m._3, m._4, m._5, m._6, m._7,
-              true)) // tombstone
-            nextSeq += 1
-          }
-          DeleteAcls.FilterResult(0, None, matched.toSeq.map(m =>
-            DeleteAcls.MatchingAcl(0, None, E.ResourceTypeCodes(m._3), m._5,
-              E.PatternTypeCodes(m._4), m._1, m._2, E.OperationCodes(m._6),
-              E.PermissionCodes(m._7))))
-        } catch {
-          case e: IllegalArgumentException =>
-            DeleteAcls.FilterResult(42, Some(e.getMessage), Nil)
-        }
-      }
-      val delRespF = WireHeaders.encodeResponseFrame(dh.correlationId,
-        DeleteAcls.encodeResponse(DeleteAcls.Response(0, delResults)),
-        flexibleHeader = true)
-      val (dCorr, dRespBody) = WireHeaders.decodeResponseFrame(delRespF,
-        flexibleHeader = true)
-      DeleteAcls.decodeResponse(dRespBody).results.zipWithIndex.foreach {
-        case (fr, i) =>
-          if (fr.matchingAcls.isEmpty)
-            rows += ((3, "delete", i, fr.errorCode.toInt, fr.errorMessage,
-              None, None, None, None, None, None, None, dCorr == 33))
-          else fr.matchingAcls.foreach { m =>
-            rows += ((3, "delete", i, m.errorCode.toInt, m.errorMessage,
-              Some(m.principal), Some(m.host),
-              Some(E.resourceType(m.resourceType)),
-              Some(E.patternType(m.patternType)), Some(m.resourceName),
-              Some(E.operation(m.operation)),
-              Some(E.permission(m.permission)), dCorr == 33))
-          }
-      }
-
-      describe(4, 34)
-
-      rows.toSeq.toDF("step", "api", "item", "error_code", "error_message",
-        "principal", "host", "resource_type", "pattern_type",
-        "resource_name", "operation", "permission", "corr_ok")
-        .orderBy("step", "item", "resource_type", "resource_name", "principal")
-    }),
-
-    "sec_wire_sasl" -> ((s, dir) => {
-      // The full SASL/SCRAM conversation over the wire: SaslHandshake
-      // v1 picks the mechanism, then every RFC 5802 message rides its
-      // own SaslAuthenticate v2 flexible frame through a byte-driven
-      // server FSM (scram_authenticator.cc handle_client_first /
-      // handle_client_final; failures surface as error 58 with the
-      // errc message per kafka/server/server.cc:470-541). Seven
-      // scenarios: clean SHA-256 and SHA-512 exchanges (mutual auth —
-      // the client checks v= against its own server key), a wrong
-      // password (fails at client-final), an unknown user / authzid
-      // mismatch / below-minimum iterations (each rejected at
-      // client-first), and an unsupported mechanism (handshake 33).
-      // Every frame size is a closed-form law the oracle recomputes.
-      import graft.security.{SaslWire, Scram}
-      def salt(u: String): Array[Byte] =
-        java.security.MessageDigest.getInstance("SHA-256")
-          .digest((u + "/salt").getBytes("UTF-8")).take(12)
-      def cred(u: String, pw: String, mech: Scram.Mechanism, iters: Int) = {
-        val (sl, stored, server, it) = Scram.makeCredential(pw, salt(u), iters, mech)
-        (u, mech.name) -> SaslWire.Cred(sl, stored, server, it)
-      }
-      val creds = Map(
-        cred("alice", "alice-secret", Scram.Sha256, 4096),
-        cred("bob", "bob-secret", Scram.Sha512, 4096),
-        cred("carol", "carol-secret", Scram.Sha256, 4096),
-        cred("frank", "frank-secret", Scram.Sha256, 1024))
-      def cn(u: String) = (u + "00000000").take(8)
-      def sn(u: String) = ("s" + u + "00000000").take(8)
-      val attempts = Seq(
-        SaslWire.Attempt("s1_ok_256", "alice", "SCRAM-SHA-256",
-          "alice-secret", cn("alice"), sn("alice"), None),
-        SaslWire.Attempt("s2_wrong_pw", "alice", "SCRAM-SHA-256",
-          "not-the-password", cn("alice"), sn("alice"), None),
-        SaslWire.Attempt("s3_ok_512", "bob", "SCRAM-SHA-512",
-          "bob-secret", cn("bob"), sn("bob"), None),
-        SaslWire.Attempt("s4_unknown_user", "eve", "SCRAM-SHA-256",
-          "whatever", cn("eve"), sn("eve"), None),
-        SaslWire.Attempt("s5_authzid_mismatch", "carol", "SCRAM-SHA-256",
-          "carol-secret", cn("carol"), sn("carol"), Some("other")),
-        SaslWire.Attempt("s6_low_iterations", "frank", "SCRAM-SHA-256",
-          "frank-secret", cn("frank"), sn("frank"), None),
-        SaslWire.Attempt("s7_bad_mechanism", "dave", "SCRAM-SHA-224",
-          "whatever", cn("dave"), sn("dave"), None))
-      SaslWire.run(s, attempts, creds).orderBy("scenario")
-    }),
-
-    "sec_gssapi_principal" -> ((s, dir) => {
-      // GSSAPI principal-to-local rules (gssapi_rule.h:24,
-      // gssapi_principal_mapper.h:47): the reference's own test corpus —
-      // three rule sets (plain, /L, /U) over parsed kerberos names —
-      // mapped by the one-projection rule fold. Oracle pins each
-      // expected local name (the engine must reproduce them; same
-      // pinned-golden-vector pattern as op_murmur2_routing).
-      import s.implicits._
-      import graft.security.Gssapi
-      val setA = (Gssapi.parseRules(Seq(
-        "RULE:[1:$1](App\\..*)s/App\\.(.*)/$1/g",
-        "RULE:[2:$1](App\\..*)s/App\\.(.*)/$1/g",
-        "RULE:[2:$1data$2](redpanda.*)",
-        "DEFAULT")), "REALM.com")
-      val setB = (Gssapi.parseRules(Seq(
-        "RULE:[1:$1]/L",
-        "RULE:[2:$1](Test.*)s/ABC///L",
-        "RULE:[2:$1](ABC.*)s/ABC/XYZ/g/L",
-        "RULE:[2:$1](App\\..*)s/App\\.(.*)/$1/g/L",
-        "RULE:[2:$1]/L",
-        "DEFAULT")), "REALM.COM")
-      val setC = (Gssapi.parseRules(Seq(
-        "RULE:[1:$1]/U",
-        "RULE:[2:$1](Test.*)s/ABC///U",
-        "RULE:[2:$1](ABC.*)s/ABC/XYZ/g/U",
-        "RULE:[2:$1](App\\..*)s/App\\.(.*)/$1/g/U",
-        "RULE:[2:$1]/U",
-        "DEFAULT")), "REALM.COM")
-      val corpus = Seq(
-        (1, "A", "App.service-name/example.com@REALM.com"),
-        (2, "A", "App.service-name@REALM.com"),
-        (3, "A", "user/host@REALM.com"),
-        (4, "A", "redpanda/example.com@REALM.com"),
-        (5, "B", "User@REALM.com"),
-        (6, "B", "TestABC/host@FOO.COM"),
-        (7, "B", "ABC_User_ABC/host@FOO.COM"),
-        (8, "B", "App.SERVICE-name/example.com@REALM.COM"),
-        (9, "B", "User/root@REALM.COM"),
-        (10, "C", "User@REALM.com"),
-        (11, "C", "TestABC/host@FOO.COM"),
-        (12, "C", "ABC_User_ABC/host@FOO.COM"),
-        (13, "C", "App.SERVICE-name/example.com@REALM.COM"),
-        (14, "C", "User/root@REALM.COM"))
-        .toDF("k", "rule_set", "gssapi_name")
-      Seq(("A", setA), ("B", setB), ("C", setC)).map { case (tag, (rules, realm)) =>
-          Gssapi.mapPrincipals(corpus.where(col("rule_set") === tag),
-            col("gssapi_name"), realm, rules)
-            .select(col("k"), col("rule_set"), col("gssapi_name"),
-              col("principal").as("mapped"))
-        }
-        .reduce(_ unionByName _)
-        .orderBy("k")
-    }),
-
-    "s2_fetch_follower" -> ((s, dir) => {
-      // KIP-392 rack-aware fetch-from-follower (fetch.cc:1841): 48
-      // consumers (rack r1 / r2 / none by key mod 3) probe 4 partitions
-      // whose replica sets cover the full decision surface — leader
-      // default, same-rack max-HW pick with lowest-node tie-break,
-      // maintenance and dead replicas filtered, not-caught-up replicas
-      // (leo < fetch_offset) skipped, and no-eligible -> stay on leader.
-      import s.implicits._
-      val nodes = Seq(
-        (0L, "r1", false), (1L, "r1", true), (2L, "r2", false),
-        (3L, "r2", false), (4L, "r1", false))
-        .toDF("node_id", "rack", "maintenance")
-      val replicas = Seq(
-        ("t", 0, 0L, true, 100L, 110L, true),
-        ("t", 0, 2L, false, 90L, 100L, true),
-        ("t", 0, 4L, false, 100L, 100L, true),
-        ("t", 1, 2L, true, 80L, 90L, true),
-        ("t", 1, 1L, false, 80L, 120L, true),
-        ("t", 1, 4L, false, 70L, 80L, true),
-        ("t", 2, 3L, true, 60L, 60L, true),
-        ("t", 2, 0L, false, 60L, 60L, false),
-        ("t", 2, 2L, false, 50L, 55L, true),
-        ("t", 3, 0L, true, 119L, 119L, true),
-        ("t", 3, 3L, false, 119L, 119L, true),
-        ("t", 3, 2L, false, 119L, 119L, true))
-        .toDF("topic", "partition", "node_id", "is_leader",
-          "high_watermark", "log_end_offset", "is_alive")
-      val consumers = T(s, dir, "customer").where(col("c_custkey") <= 48)
-        .select(concat(lit("client_"), col("c_custkey")).as("client"),
-          lit("t").as("topic"),
-          pmod(col("c_custkey"), lit(4)).cast("int").as("partition"),
-          (col("c_custkey") * 7 % 120).as("fetch_offset"),
-          when(pmod(col("c_custkey"), lit(3)) === 0, "r1")
-            .when(pmod(col("c_custkey"), lit(3)) === 1, "r2").as("rack"))
-      graft.log.ReplicaSelector.selectPreferredReplicas(consumers, replicas, nodes)
-        .orderBy("client")
-    }),
-
-    "s2_fetch_pid" -> ((s, dir) => {
-      // Adaptive fetch debounce (fetch_pid_controller.cc:62): per-shard
-      // PID over a deterministic reactor-load series derived from
-      // events — alternating saturated/idle kilo-windows, a varying
-      // fetch-group share, and every 97th sample out-of-range (busy >
-      // dt) to exercise the carry path. Integral micro-unit arithmetic
-      // end to end; the oracle replays the fold as a recursive CTE.
-      val sm = events(s, dir, fan = false).selectExpr(
-        "concat('s', user_id % 4) AS shard",
-        "event_id AS seq",
-        "1 + event_id % 4 AS dt_ms",
-        """CASE WHEN event_id % 97 = 0 THEN (1 + event_id % 4) + 5
-               WHEN (event_id div 1000) % 2 = 0 THEN 1 + event_id % 4
-               ELSE (1 + event_id % 4) div 2 END AS busy_ms""",
-        "((1 + event_id % 4) * (1 + event_id % 3)) div 4 AS sg_ms")
-      graft.admin.FetchPid.fetchDelays(sm,
-          col("shard"), col("seq"), col("dt_ms"), col("busy_ms"), col("sg_ms"),
-          pMicro = 50L, iMicro = 2L, dMicro = 10L,
-          targetPm = 400L, maxDelayMs = 100L)
-        .orderBy("shard", "seq")
-    }),
-
-    "sec_role_acls" -> ((s, dir) => {
-      // RBAC (role.h/role_store.h): Role:ops reads+writes topic events,
-      // Role:admins holds ALL on the prefixed logs- space; eve's
-      // user-level write deny beats her role allow (deny precedence
-      // ACROSS identities); frank has a direct allow and no roles; gus
-      // matches nothing and falls to default deny. Oracle pins each
-      // hand-derived decision.
-      import s.implicits._
-      val aclLog = Seq(
-        (1L, "Role:ops", "*", "topic", "literal", "events", "read", "allow", false),
-        (2L, "Role:ops", "*", "topic", "literal", "events", "write", "allow", false),
-        (3L, "Role:admins", "*", "topic", "prefixed", "logs-", "all", "allow", false),
-        (4L, "eve", "*", "topic", "literal", "events", "write", "deny", false),
-        (5L, "frank", "*", "topic", "literal", "events", "read", "allow", false))
-        .toDF("seq", "principal", "host", "resource_type", "pattern_type",
-          "resource_name", "operation", "permission", "deleted")
-      val roles = Seq(("ops", "dora"), ("ops", "eve"), ("admins", "dora"))
-        .toDF("role", "member")
-      val requests = Seq(
-        ("dora", "h", "read", "topic", "events"),
-        ("dora", "h", "write", "topic", "logs-7"),
-        ("eve", "h", "read", "topic", "events"),
-        ("eve", "h", "write", "topic", "events"),
-        ("frank", "h", "read", "topic", "events"),
-        ("frank", "h", "write", "topic", "events"),
-        ("gus", "h", "read", "topic", "events"))
-        .toDF("principal", "host", "operation", "resource_type", "resource_name")
-      graft.security.Acls.authorizeWithRoles(requests,
-          graft.security.Acls.currentAcls(aclLog), roles)
-        .orderBy("principal", "operation", "resource_name")
-    }),
-
-    "sec_principal_mapping" -> ((s, dir) => {
-      // mTLS DN -> local principal via ordered first-match rules
-      // (mtls_rule.h / Kafka ssl.principal.mapping.rules): service certs
-      // (CN=svc.N) hit the earlier rule and upper-case; other CNs
-      // extract and lower-case; DNs with no CN pass through verbatim
-      // (DEFAULT). One codegen'd nested-conditional projection.
-      import graft.security.PrincipalMapping, PrincipalMapping.Rule
-      val dns = T(s, dir, "customer").where(col("c_custkey") <= 100)
-        .select(col("c_custkey").cast("long").as("k"))
-        .select(col("k"),
-          when(col("k") % 7 === 0,
-            concat(lit("CN=svc."), col("k"), lit(",O=acme")))
-            .when(col("k") % 5 === 0,
-              concat(lit("O=acme,L=metropolis-"), col("k")))
-            .otherwise(concat(lit("CN=User_"), col("k"), lit(",OU=eng,O=acme")))
-            .as("dn"))
-      PrincipalMapping.mapPrincipal(dns, col("dn"), Seq(
-          Rule("^CN=svc\\.([0-9]+),.*$", "svc-$1", toUpper = true),
-          Rule("^CN=([^,]*),.*$", "$1", toLower = true)))
-        .orderBy("k")
-    }),
-
-    "sec_audit_coalesce" -> ((s, dir) => {
-      // Audit-log coalescing: API events map to auditable records
-      // (purchase/view -> produce/fetch audit classes, the rest are
-      // management events); only produce+fetch are ENABLED (management
-      // events drop at admission — the event-type bitset), topic
-      // t3 and principal u7 are excluded, and within each 1000-seq
-      // drain interval identical (principal, type, topic, operation)
-      // events coalesce into ONE record with a count — the oracle
-      // replays admission and coalescing in SQL.
-      val api = events(s, dir).select(
-        col("event_id").as("seq"),
-        concat(lit("u"), pmod(col("user_id"), lit(10)).cast("string")).as("principal"),
-        when(col("event_type") === "purchase", "produce")
-          .when(col("event_type") === "view", "fetch")
-          .otherwise("mgmt").as("event_type"),
-        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("topic"),
-        when(col("event_type") === "purchase", "write")
-          .when(col("event_type") === "view", "read")
-          .otherwise("describe").as("operation"))
-      graft.security.Audit.coalesce(api, drainIntervalLen = 1000L,
-          enabledTypes = Seq("produce", "fetch"),
-          excludedTopics = Seq("t3"), excludedPrincipals = Seq("u7"))
-        .orderBy("interval", "principal", "event_type", "topic", "operation")
-    }),
-
-    "sec_audit_stream" -> ((s, dir) => {
-      // The audit drain loop as it actually runs — continuous: same
-      // admission + coalescing as sec_audit_coalesce, but each drain
-      // interval closes on the watermark and emits its records exactly
-      // once; the still-open final interval is flushed from checkpointed
-      // state by coalesceStream's built-in drain (no sentinel staging).
-      val inDir = stagedEventsStream(s, dir, sentinel = false, single = true)
-      val out = java.nio.file.Files.createTempDirectory("graft_auds").toString
-      val raw = graft.streaming.Transforms.PathInput(
-        inDir, s.read.parquet(s"$dir/events.parquet").schema,
-        maxFilesPerTrigger = Some(1)).stream(s)
-      val api = raw.select(
-        col("event_id").as("seq"),
-        concat(lit("u"), pmod(col("user_id"), lit(10)).cast("string")).as("principal"),
-        when(col("event_type") === "purchase", "produce")
-          .when(col("event_type") === "view", "fetch")
-          .otherwise("mgmt").as("event_type"),
-        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("topic"),
-        when(col("event_type") === "purchase", "write")
-          .when(col("event_type") === "view", "read")
-          .otherwise("describe").as("operation"))
-      graft.security.Audit.coalesceStream(api, s"$out/data", s"$out/ckpt",
-          drainIntervalLen = 1000L, enabledTypes = Seq("produce", "fetch"),
-          excludedTopics = Seq("t3"), excludedPrincipals = Seq("u7"))
-        .awaitTermination()
-      s.read.parquet(s"$out/data")
-        .orderBy("interval", "principal", "event_type", "topic", "operation")
-    }),
-
-    // ----- §2.4 aggregations (compaction/retention/usage) -----
-    "a1_compaction" -> ((s, dir) =>
-      Compaction.compact(eventLog(s, dir), Seq("partition", "user_id"))
-        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
-        .orderBy("partition", "key")),
-
-    "a1_sliding_window" -> ((s, dir) => {
-      // Memory-bounded sliding-window compaction (disk_log_impl.cc:560,
-      // key_offset_map.h capacity): one round with a 120-key map over
-      // 50-record segments — keys whose last write sits in the indexed
-      // suffix dedupe fully, overflow keys keep one record per segment
-      // until the window slides back. Stats + an exact survivor digest
-      // per partition; the oracle replays the occupancy rule.
-      val log = storedLog(s, dir)
-        .withColumn("key", pmod(col("event_id"), lit(200)))
-      val (compacted, stats) = Compaction.slidingWindowCompact(log,
-        col("partition"), col("offset"), col("key"),
-        segSize = 50L, maxKeys = 120L)
-      val digest = compacted.groupBy("partition")
-        .agg(count(lit(1)).as("n_after"), sum("offset").as("sum_offsets"))
-      stats.join(digest, "partition").orderBy("partition")
-    }),
-
-    "a1_compact_delete" -> ((s, dir) =>
-      // cleanup.policy=compact,delete (storage/types.h:658, housekeeping
-      // in disk_log_impl.cc): retention truncates the aged prefix AND
-      // key compaction dedups the remainder — last record per key among
-      // records inside the retention window.
-      Compaction.compact(
-          RecordLog.retainAfter(eventLog(s, dir), col("ts"),
-            lit("2024-01-20 00:00:00").cast("timestamp")),
-          Seq("partition", "user_id"))
-        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
-        .orderBy("partition", "key")),
-
-    "a2_tombstone_gc" -> ((s, dir) =>
-      Compaction.compactWithTombstones(eventLog(s, dir), Seq("partition", "user_id"),
-          isTombstone = col("event_type") === "error",
-          tsCol = col("ts"),
-          tombstoneCutoff = lit("2024-01-25 00:00:00").cast("timestamp"))
-        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
-        .orderBy("partition", "key")),
-
-    "a4_retention" -> ((s, dir) =>
-      RecordLog.retainAfter(eventLog(s, dir), col("ts"), lit("2024-01-20 00:00:00").cast("timestamp"))
-        .groupBy("partition")
-        .agg(min("offset").as("new_start"), count(lit(1)).as("remaining"))
-        .orderBy("partition")),
-
-    "a4_retention_bytes" -> ((s, dir) => {
-      // Size-based retention via the housekeeping path: retention.ms is
-      // set loose (10y) so the `retention.bytes` budget is the binding
-      // cut — keep the newest 16 KiB per partition, drop the prefix.
-      val sz = length(col("props")) + length(col("event_type")) + lit(24)
-      graft.admin.Admin.applyCleanupPolicy(eventLog(s, dir),
-          policy = "delete",
-          keyCols = Seq("partition", "user_id"),
-          tsCol = col("ts"),
-          now = lit("2024-02-01 00:00:00").cast("timestamp"),
-          retentionMs = 10L * 365 * 86400 * 1000,
-          retentionBytes = 16384L,
-          sizeCol = sz)
-        .groupBy("partition")
-        .agg(count(lit(1)).as("remaining"), min("offset").as("new_start"),
-          sum(sz.cast("long")).as("bytes"))
-        .orderBy("partition")
-    }),
-
-    "a6_quota_throttle" -> ((s, dir) => {
-      // A6 token-bucket throttle (quota_manager.cc): 4 clients replay
-      // their request history through the secondary-sorted bucket fold;
-      // all arithmetic integral (rate 2 tokens/ms, burst 1000), so the
-      // DuckDB oracle reproduces the recurrence bit-exactly with a
-      // recursive CTE.
-      val reqs = events(s, dir).where(pmod(col("user_id"), lit(40)) < 4)
-        .select(concat(lit("c"), pmod(col("user_id"), lit(40)).cast("string")).as("client_id"),
-          unix_millis(col("ts")).as("ts_ms"),
-          length(col("props")).cast("long").as("bytes"),
-          col("event_id").as("seq"))
-      graft.admin.Quota.tokenBucketThrottle(reqs, col("client_id"), col("ts_ms"),
-          col("bytes"), col("seq"), ratePerMs = 2, burst = 1000)
-        .select("client_id", "seq", "tokens", "throttle_ms")
-        .orderBy("client_id", "seq")
-    }),
-
-    "snc_node_throttle" -> ((s, dir) =>
-      // Node-wide (SNC) throughput quotas, snc_quota_manager.cc: a
-      // bounded request window replays through the per-node in/eg
-      // bucket fold — ordered-first-match control groups exempt
-      // internal clients (regex) and anonymous connections (missing
-      // client_id), receive debits ingress BEFORE the delay calc while
-      // the response debits egress AFTER, and the requested delay is
-      // min(max_delay, max(in, eg)). Integral math; the oracle replays
-      // the recurrence with a recursive CTE.
-      graft.admin.SncQuota.nodeThrottle(sncRequests(s, dir), SncGroups,
-          inBps = Some(12000L), egBps = Some(30000L), maxDelayMs = 30000L,
-          epochMs = 1700000000000L)
-        .select("node_id", "seq", "client_id", "group", "exempt",
-          "throttle_ms", "tokens_in", "tokens_eg")
-        .orderBy("seq")),
-
-    "snc_quota_probe" -> ((s, dir) => {
-      // The snc_quotas_probe rollup: intake/egress traffic counted for
-      // non-exempt connections only, throttled-request count, and the
-      // effective quota metric.
-      val reqs = sncRequests(s, dir)
-      graft.admin.SncQuota.probes(
-        graft.admin.SncQuota.nodeThrottle(reqs, SncGroups,
-          inBps = Some(12000L), egBps = Some(30000L), maxDelayMs = 30000L,
-          epochMs = 1700000000000L),
-        reqs, Some(12000L), Some(30000L))
-        .orderBy("node_id")
-    }),
-
-    "ct_cache_trim" -> ((s, dir) =>
-      // Cloud-storage cache LRU eviction (cache_service.cc): per-node
-      // byte-limit overage trims in access-time order to the
-      // low-watermark target, skipping exempt/tmp/companion files, with
-      // segment deletion taking its .tx/.index companions and their
-      // bytes counting against the quota. The oracle replays the walk
-      // as a recursive CTE over the same file table.
-      graft.log.CacheTrim.trim(cacheFiles(s, dir),
-          maxBytes = 120000L, maxObjects = 1000L, lowWatermarkPermille = 800)
-        .orderBy("node_id", "path")),
-
-    "asm_runs" -> ((s, dir) =>
-      // Adjacent segment merger scan (archival/adjacent_segment_run.cc):
-      // per partition, the first run of >1 small adjacent same-term
-      // segments fitting the target size — with the one-segment corner
-      // reset, the freeze-at-first-candidate stop, the remote
-      // local-start cutoff, and the size-or-wedged acceptance rule. The
-      // oracle replays the scan as a recursive CTE.
-      graft.log.SegmentMerger.scanRuns(segManifest(s, dir),
-          maxSize = 6000, minSize = 3000, localStartOffset = 1000)
-        .orderBy("partition")),
-
-    "asm_manifest" -> ((s, dir) => {
-      // The manifest after one housekeeping round: run rows replaced by
-      // the consolidated re-uploaded segment.
-      val segs = segManifest(s, dir)
-      graft.log.SegmentMerger.mergeManifest(segs,
-          graft.log.SegmentMerger.scanRuns(segs,
-            maxSize = 6000, minSize = 3000, localStartOffset = 1000))
-        .orderBy("partition", "base_offset")
-    }),
-
-    "res_disk_eviction" -> ((s, dir) => {
-      // Disk-space manager (resource_mgmt/storage.cc): usage over the
-      // retention target builds a balanced eviction schedule — four
-      // policy levels, round-robin across partitions within each,
-      // marking until the (coefficient-adjusted) excess is covered.
-      // Fixture levels: each partition's older half is local-retention
-      // overshoot, the next quarter low-space (hinted on odd
-      // partitions), the newest quarter active-segment; the disk is
-      // exactly full with a 12.5% reservation and an 80%-of-usable
-      // target, so ~30% of bytes must evict.
-      val segs = storedLog(s, dir)
-        .groupBy(col("partition"), floor(col("offset") / 50).as("seg"))
-        .agg(sum(length(col("props")) + length(col("event_type")) + lit(24))
-          .cast("long").as("size"))
-      val mx = segs.groupBy("partition").agg(max("seg").as("ms"))
-      val lv = segs.join(mx, "partition")
-        .withColumn("level",
-          when(col("seg") * 2 <= col("ms"), "local_retention")
-            .when(col("seg") * 4 <= col("ms") * 3,
-              when(pmod(col("partition"), lit(2)) === 0, "low_space_non_hinted")
-                .otherwise("low_space_hinted"))
-            .otherwise("active_segment"))
-        .select("partition", "level", "seg", "size")
-      val usage = lv.agg(sum("size")).head.getLong(0)
-      val target = graft.cluster.DiskSpaceManager.targetSize(
-        usage, reservationPercent = 12.5, targetPercent = Some(80.0), targetBytes = None)
-      // coefficient 2: over-reclaim in anticipation of the next tick —
-      // and the doubled excess overruns the local-retention level, so
-      // the schedule demonstrably chains into the low-space levels
-      val excess = graft.cluster.DiskSpaceManager.adjustedExcess(
-        usage, target, segmentSize = 1000L, overageCoeff = 2.0)
-      graft.cluster.DiskSpaceManager.levelEstimates(
-          graft.cluster.DiskSpaceManager.evictionSchedule(lv, excess))
-        .withColumn("target_size", lit(target))
-        .withColumn("target_excess", lit(excess))
-        .orderBy("level")
-    }),
-
-    "adm_self_test_report" -> ((s, dir) => {
-      // Cluster self-test result reduction (self_test_rpc_types.h:261
-      // self_test_result): request-level disk/net samples reduce to
-      // exact rank-selected p50/p90/p99/p999/max latencies plus
-      // integer-exact rps/bps/timeout accounting per (node, test).
-      val samples = T(s, dir, "events").select(
-        pmod(col("user_id"), lit(5)).as("node"),
-        when(pmod(col("event_id"), lit(2)) === 0, "disk").otherwise("net").as("test_type"),
-        col("event_id").as("seq"),
-        (lit(100L) + pmod(col("event_id") * 7919, lit(5000))).as("lat_us"),
-        (lit(512L) + pmod(col("event_id"), lit(1024))).as("bytes"),
-        (pmod(col("event_id"), lit(53)) =!= 0).as("ok"))
-      graft.admin.SelfTest.report(samples, col("node"), col("test_type"),
-          col("seq"), col("lat_us"), col("bytes"), col("ok"))
-        .orderBy("node", "test_type")
-    }),
-
-    "adm_self_test_status" -> ((s, dir) => {
-      // Frontend status collection (self_test_rpc_types.h:33,39 +
-      // self_test_frontend.h): heartbeating nodes report running at
-      // their stage, finished nodes idle, missing nodes unreachable.
-      import s.implicits._
-      val nodes = (0 to 4).toDF("node")
-      val hb = Seq((0, "disk", true), (1, "net", false),
-        (2, "cloud", false), (3, "disk", true)).toDF("node", "stage", "done")
-      graft.admin.SelfTest.statusView(nodes, hb).orderBy("node")
-    }),
-
-    "adm_debug_bundle" -> ((s, dir) => {
-      // Debug-bundle service lifecycle (debug_bundle_service.cc,
-      // types.h:122, error.h:22-33): the full command ladder — refused
-      // double-initiate, stale-id cancel, the get_file error ladder,
-      // TTL expiry — replayed as the single-shard fold; golden oracle.
-      import s.implicits._
-      val log = Seq(
-        (1L, "get_file", "j0", true, 0L, 0L),
-        (2L, "cancel", "j0", true, 0L, 0L),
-        (3L, "initiate", "j1", true, 0L, 100L),
-        (4L, "initiate", "j2", true, 0L, 200L),
-        (5L, "get_file", "j1", true, 0L, 300L),
-        (6L, "finish", "j1", true, 4096L, 1000L),
-        (7L, "get_file", "j1", true, 0L, 1100L),
-        (8L, "get_file", "j9", true, 0L, 1200L),
-        (9L, "cancel", "j1", true, 0L, 1300L),
-        (10L, "initiate", "j2", true, 0L, 1400L),
-        (11L, "cancel", "j0", true, 0L, 1500L),
-        (12L, "cancel", "j2", true, 0L, 1600L),
-        (13L, "get_file", "j2", true, 0L, 1700L),
-        (14L, "initiate", "j3", true, 0L, 1800L),
-        (15L, "finish", "j3", true, 8192L, 2000L),
-        (16L, "expire_sweep", "", true, 0L, 3001L),
-        (17L, "get_file", "j3", true, 0L, 3100L))
-        .toDF("seq", "op", "job_id", "ok", "file_size", "ts_ms")
-      graft.admin.DebugBundle.outcomes(log, ttlMs = 1000L).orderBy("seq")
-    }),
-
-    "adm_controller_limiter" -> ((s, dir) =>
-      // Controller log rate limiter (cluster/controller_log_limiter.h):
-      // commands map to the five operation groups, each group's token
-      // bucket admits or REJECTS (never queues) at one token per
-      // command, unmapped commands ride free. The oracle replays each
-      // group's micro-token recurrence as a recursive CTE.
-      graft.admin.ControllerLimiter.admit(
-          T(s, dir, "events").where(col("event_id") < 4000).select(
-            col("event_id").as("seq"),
-            (lit(1700000000000L) + col("event_id")).as("ts_ms"),
-            element_at(array(lit("create_topic"), lit("delete_topic"),
-              lit("move_partition_replicas"), lit("create_acls"),
-              lit("create_user"), lit("cluster_config_delta"),
-              lit("decommission_node"), lit("metadata_snapshot")),
-              (pmod(col("event_id"), lit(8)) + 1).cast("int")).as("cmd_type")),
-          col("seq"), col("ts_ms"), col("cmd_type"),
-          rates = Map("topic_operations" -> 8L, "move_operations" -> 4L,
-            "acls_and_users_operations" -> 12L,
-            "configuration_operations" -> 2L,
-            "node_management_operations" -> 1L))
-        .orderBy("seq")),
-
-    "a5_usage_ring" -> ((s, dir) => {
-      // Usage ring (usage_manager.h): 12 hourly timer fires with
-      // planted jitter — +60s and -90s snap to the grid (within the
-      // 2-minute threshold), +400s stays raw and flags unaligned —
-      // ring-retained to the newest 8 windows; bytes roll up into the
-      // window open at their timestamp, dropped windows lose theirs.
-      val B = 1700000000L - (1700000000L % 3600L)
-      val fires = s.range(12).select(
-        (lit(B) + col("id") * 3600 +
-          when(pmod(col("id"), lit(4)) === 0, 60)
-            .when(pmod(col("id"), lit(4)) === 1, -90)
-            .when(pmod(col("id"), lit(4)) === 2, 400)
-            .otherwise(0)).as("fire_s"))
-      val ev = T(s, dir, "events").select(
-        (lit(B) + pmod(col("event_id") * 7919, lit(43200))).as("ts_s"),
-        (lit(100L) + pmod(col("event_id"), lit(50))).as("sent"),
-        (lit(200L) + pmod(col("event_id"), lit(70))).as("recv"))
-      Operators.usageRing(fires, ev, col("ts_s"), col("sent"), col("recv"),
-          intervalS = 3600L, numWindows = 8)
-        .orderBy("begin_s")
-    }),
-
-    "ct_throttler" -> ((s, dir) =>
-      // Cloud-topics write throttler (cloud_topics/throttler): ingress
-      // token bucket with withheld-then-backfilled requests and
-      // deadline culling — pass / throttled / expired across a bounded
-      // request window. The oracle replays the per-shard recurrence as
-      // a recursive CTE.
-      graft.log.CloudTopics.throttleWrites(throttlerReqs(s, dir),
-          col("shard"), col("seq"), col("ts_ms"), col("bytes"),
-          ratePerMs = 300L, burst = 3000L, timeoutMs = 6L)
-        .orderBy("seq")),
-
-    "ct_throttler_stream" -> ((s, dir) => {
-      // The throttler as a continuous query: the same request fixture
-      // split into two ordered micro-batches; per-shard bucket state
-      // persists in the checkpoint across batches, so the emitted
-      // decisions are byte-identical to the batch fold — certified by
-      // the SAME recursive-CTE oracle.
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
-      val reqs = throttlerReqs(s, dir)
-      val inDir = cleanupOnExit(Files.createTempDirectory("graft_thr_in"))
-      Seq((col("seq") < 1500, "batch0", 1700000000000L),
-          (col("seq") >= 1500, "batch1", 1700000001000L)).foreach {
-        case (cond, name, mtime) =>
-          val tmp = Files.createTempDirectory("graft_thr_half")
-          reqs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val dst = inDir.resolve(s"$name.parquet")
-          Files.copy(firstParquetPart(tmp), dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-          deleteDirTree(tmp) // the staging half is fully copied out
-      }
-      val out = cleanupOnExit(Files.createTempDirectory("graft_thr_out")).toString
-      val stream = graft.streaming.Transforms.PathInput(
-        inDir.toString, reqs.schema, maxFilesPerTrigger = Some(1)).stream(s)
-      graft.log.CloudTopics.throttleWritesStream(stream, s"$out/data",
-        s"$out/ckpt", ratePerMs = 300L, burst = 3000L, timeoutMs = 6L)
-      s.read.parquet(s"$out/data").drop("batch").orderBy("seq")
-    }),
-
-    "ct_scrub_anomalies" -> ((s, dir) =>
-      // Tiered-storage scrubber (cloud_storage/anomalies_detector.cc +
-      // scrub_segment_meta, types.cc:150-216): the six-rule metadata
-      // ladder over a deterministically corrupted manifest, plus
-      // missing-segment / missing-spillover existence anti-joins
-      // against the bucket listing. The oracle replays the same ladder
-      // with SQL lag().
-      graft.log.Scrubber.scrub(scrubManifestFx(s, dir).drop("c"),
-          scrubObjectsFx(s, dir), scrubSpilloverFx(s))
-        .orderBy("partition", "anomaly_type", "at_base_offset")),
-
-    "ct_scrub_status" -> ((s, dir) =>
-      // The depth-bounded scrub run summary (anomalies_detector::result
-      // under quota_limit.max_num_segments): partitions with more than
-      // 100 manifest entries report scrub_status::partial with the last
-      // visited committed offset; anomaly counts cover only the visited
-      // slice (spillover existence is partition-level, never bounded).
-      graft.log.Scrubber.scrubStatus(scrubManifestFx(s, dir).drop("c"),
-          scrubObjectsFx(s, dir), scrubSpilloverFx(s), maxSegments = 100)
-        .orderBy("partition")),
-
-    "s2_read_distribution" -> ((s, dir) => {
-      // Read-distribution probe (read_distribution_probe.h): every log
-      // offset fetched at a fixed "now" (2024-02-01Z) records its data
-      // age in the 16-bucket log2 minutes histogram (first bound 4 min)
-      // — the figure that sizes the hot tail vs the tiered cold store.
-      val lg = eventLog(s, dir).select(col("partition"), col("offset"),
-        unix_millis(col("ts")).as("ts_ms"))
-      val fetches = lg.select(col("partition"), col("offset"),
-        lit(1706745600000L).as("fetch_ts_ms"))
-      RecordLog.readDistribution(fetches, lg).orderBy("bucket")
-    }),
-
-    "s4_topic_recovery" -> ((s, dir) => {
-      // Topic recovery (cluster/partition_recovery_manager.cc): rebuild
-      // each partition from its uploaded manifest under both retention
-      // walks — the size-capped suffix (stop where the running total
-      // would reach 30 KB) and the time-bounded suffix (stop at the
-      // first segment older than Jan-20). start_delta propagates the
-      // oldest staged delta actually set; manifest gaps landing inside
-      // the staged range spoil clean_download. The oracle replays both
-      // walks with descending-window SQL.
-      val m = recManifestFx(s, dir)
-      graft.log.TopicRecovery.recover(m, "size", maxSizeBytes = 30000L)
-        .unionByName(graft.log.TopicRecovery.recover(m, "time",
-          timeThreshold = lit("2024-01-20 00:00:00").cast("timestamp")))
-        .orderBy("policy", "partition")
-    }),
-
-    "ct_purger_run" -> ((s, dir) => {
-      // Topic purger run (cluster/archival/purger.cc): seven lifecycle
-      // markers exercising every branch — remote_delete=false dropped,
-      // grace-period skip, a read-replica paranoia no-op purge, a
-      // missing manifest counted permanent without wedging the
-      // tombstone, quota exhaustion mid-topic, and a marker the run
-      // never reaches. The oracle replays the quota prefix cut with
-      // SQL windows over the same VALUES fixture.
-      import s.implicits._
-      val markers = Seq(
-        ("tp0", 1, 2, true, false, Some(0L)),
-        ("tp1", 1, 2, false, false, Some(0L)),
-        ("tp2", 1, 2, true, false, Some(600000L)),
-        ("tp2r", 1, 3, true, true, Some(0L)),
-        ("tp3", 1, 4, true, false, Some(0L)),
-        ("tp4", 1, 8, true, false, Some(0L)),
-        ("tp5", 1, 2, true, false, Some(0L)))
-        .toDF("topic", "revision", "partition_count", "remote_delete",
-          "read_replica", "marker_ts_ms")
-      val manifests = markers
-        .select(col("topic"),
-          explode(sequence(lit(0), col("partition_count") - 1)).as("partition"))
-        .select(col("topic"), col("partition"),
-          explode(sequence(lit(0), lit(2))).as("m"))
-        .select(col("topic"), col("partition"), col("m"),
-          (lit(500) + col("m") * 2500).cast("long").as("n_segments"),
-          when(col("topic") === "tp3" && col("partition") === 2 && col("m") === 1,
-            "missing").otherwise("ok").as("state"))
-      graft.log.Purger.run(markers, manifests, quota = 78L,
-          nowMs = 1000000L, graceMs = 500000L)
-        .orderBy("topic")
-    }),
-
-    "adm_enterprise_report" -> ((s, dir) => {
-      // Enterprise feature report (features/enterprise_features.h):
-      // the 11 license-required capabilities detected from cluster
-      // config — with an expired license, every enabled one is a
-      // violation. The oracle recomputes the detection ladder from the
-      // same config fixture.
-      import s.implicits._
-      val cfg = Seq(
-        ("audit_enabled", "true"),
-        ("cloud_storage_enabled", "false"),
-        ("partition_autobalancing_mode", "continuous"),
-        ("core_balancing_continuous", "false"),
-        ("sasl_mechanisms", "SCRAM,GSSAPI"),
-        ("http_authentication", "BASIC"),
-        ("schema_id_validation", "compat"),
-        ("rbac_roles_defined", "0"),
-        ("fips_mode", "disabled"),
-        ("iceberg_enabled", "true"),
-        ("default_leaders_preference", "racks:r1"))
-        .toDF("key", "value")
-      graft.cluster.EnterpriseFeatures.report(cfg, licenseValid = false)
-        .orderBy("feature")
-    }),
-
-    "adm_feature_table" -> ((s, dir) => {
-      // Feature-table activation (features/feature_table.h): nine specs
-      // across the three availability policies and both prepare
-      // policies, resolved against node version reports (min wins), the
-      // original cluster version (new_clusters_only), admin
-      // enable/disable verdicts (disabled_* remembers the return
-      // state), and migration completion. The oracle recomputes the
-      // whole ladder in SQL.
-      import s.implicits._
-      val specs = Seq(
-        ("central_config", 1L, "always", "always"),
-        ("cloud_retention", 3L, "always", "requires_migration"),
-        ("node_isolation", 5L, "always", "always"),
-        ("schema_id_validation", 7L, "explicit_only", "always"),
-        ("remote_labels", 2L, "explicit_only", "always"),
-        ("new_cluster_opt", 4L, "new_clusters_only", "always"),
-        ("tiered_fast", 6L, "always", "requires_migration"),
-        ("iceberg_mode", 6L, "always", "requires_migration"),
-        ("future_feature", 12L, "always", "always"))
-        .toDF("name", "require_version", "available_policy", "prepare_policy")
-      val nodes = Seq((0, 8L), (1, 9L), (2, 8L), (3, 10L)).toDF("node_id", "version")
-      val cmds = Seq(
-        (1L, "enable", "schema_id_validation"),
-        (2L, "complete_migration", "cloud_retention"),
-        (3L, "disable", "node_isolation"),
-        (4L, "disable", "central_config"),
-        (5L, "enable", "central_config"),
-        (6L, "disable", "iceberg_mode"))
-        .toDF("seq", "op", "feature")
-      graft.cluster.FeatureTable.states(specs, nodes, cmds, originalVersion = 3L)
-        .orderBy("name")
-    }),
-
-    "t5_producer_eviction" -> ((s, dir) => {
-      // Producer-state LRU eviction (producer_state_manager.cc /
-      // namespaced_cache.h): a 17-command fixture drives insert-time
-      // eviction skipping open transactions, cache_full refusal,
-      // unknown_producer after eviction, reaper expiry honoring touch
-      // recency and the in-tx pin, and eviction re-enabled by end_tx.
-      // Golden-pinned (single-shard FSM, mig_outcomes style).
-      import s.implicits._
-      val log = Seq(
-        (1L, "register", 1L, 0L), (2L, "register", 2L, 10L),
-        (3L, "register", 3L, 20L), (4L, "begin_tx", 1L, 30L),
-        (5L, "register", 4L, 40L), (6L, "data", 2L, 50L),
-        (7L, "begin_tx", 2L, 60L), (8L, "begin_tx", 3L, 70L),
-        (9L, "begin_tx", 4L, 80L), (10L, "register", 5L, 90L),
-        (11L, "end_tx", 1L, 100L), (12L, "register", 5L, 110L),
-        (13L, "reaper", 0L, 1200L), (14L, "end_tx", 3L, 1300L),
-        (15L, "reaper", 0L, 1400L), (16L, "end_tx", 4L, 1500L),
-        (17L, "reaper", 0L, 2600L))
-        .toDF("seq", "op", "pid", "ts_ms")
-      graft.cluster.ProducerEviction.outcomes(log, maxIds = 3, expirationMs = 1000L)
-        .select(col("seq"), col("op"), col("pid"), col("outcome"),
-          concat_ws(",", col("evicted_pids").cast("array<string>")).as("evicted"),
-          col("n_active"))
-        .orderBy("seq")
-    }),
-
-    "mig_outcomes" -> ((s, dir) =>
-      // Data-migration command-log replay (data_migration_table.cc):
-      // one outcome row per command — the errc of the first failing
-      // validation rule and the migration state after. The 32-command
-      // fixture exercises every errc path; the oracle pins the golden
-      // outcome table (the FSM is single-raft-shard sequential, like
-      // the api_versions registry pin).
-      graft.cluster.DataMigrations.outcomes(migCommandLog(s), MigClusterTopics)
-        .orderBy("seq")),
-
-    "mig_table" -> ((s, dir) => {
-      // The surviving migrations table: live (created, never removed)
-      // migrations with last state and created/completed stamps.
-      val cl = migCommandLog(s)
-      graft.cluster.DataMigrations.migrationsTable(cl,
-        graft.cluster.DataMigrations.outcomes(cl, MigClusterTopics))
-        .orderBy("id")
-    }),
-
-    "mig_resources" -> ((s, dir) => {
-      // migrated_resources: the restriction each live migration places
-      // on its topics/groups (direction × state map,
-      // data_migrated_resources.cc:49-88); finished/cancelled/removed
-      // migrations free their resources and drop out.
-      val cl = migCommandLog(s)
-      graft.cluster.DataMigrations.resourceStates(cl,
-        graft.cluster.DataMigrations.outcomes(cl, MigClusterTopics))
-        .orderBy("kind", "name")
-    }),
-
-    "mig_write_gate" -> ((s, dir) => {
-      // The data-plane half: every record of the event stream admitted
-      // or rejected against the broadcast restriction map — writes stop
-      // at read_only / fully_blocked. The oracle recomputes the per-
-      // topic admission rollup from the same event stream.
-      val cl = migCommandLog(s)
-      val res = graft.cluster.DataMigrations.resourceStates(cl,
-        graft.cluster.DataMigrations.outcomes(cl, MigClusterTopics))
-      graft.cluster.DataMigrations.writeGate(
-          T(s, dir, "events").select(col("event_id"), col("user_id")),
-          element_at(typedLit(Seq("orders_t", "clicks_t", "inb_t", "legacy_t")),
-            pmod(col("user_id"), lit(4)).cast("int") + 1),
-          res)
-        .groupBy("topic")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
-          max(col("reject_reason")).as("reject_reason"))
-        .orderBy("topic")
-    }),
-
-    "dlc_admission" -> ((s, dir) =>
-      // Datalake coordinator exactly-once file-admission FSM
-      // (datalake/coordinator/state_update.cc:47-98,147-189,211-266):
-      // one outcome row per control-log command — errc of the first
-      // failing validation rule plus the affected partition's state
-      // after. The oracle replays the same ladder in pure DuckDB SQL
-      // via a per-(topic,partition) recursive CTE carrying
-      // (lifecycle, revision, last_committed, pending-entry ends).
-      graft.streaming.DatalakeCoordinator.outcomes(dlcControlLog(s))
-        .orderBy("seq")),
-
-    "dlc_committed" -> ((s, dir) => {
-      // Final coordinator state per partition: last_committed plus the
-      // surviving pending entries — the exactly-once ledger feeding the
-      // Iceberg committer (state.h:53-76). Derived declaratively over
-      // the outcome log; a successful purge clears partition state.
-      val outs = graft.streaming.DatalakeCoordinator.outcomes(dlcControlLog(s))
-      graft.streaming.DatalakeCoordinator.finalState(outs)
-        .orderBy("topic", "partition")
-    }),
-
-    "dlc_commit_decisions" -> ((s, dir) => {
-      // Iceberg file-committer dedup pass
-      // (iceberg_file_committer.cc:101-258): pending entries derived
-      // from the SAME control-log replay, then judged against three
-      // table states — no commit property yet (fresh table), a
-      // mid-stream property (partial crash-retry: older entries
-      // dedup-skip, newer append), and a property past every entry
-      // (full retry after the Iceberg commit landed but the STM marks
-      // didn't: everything dedups, updates still emitted).
-      import s.implicits._
-      val cl = dlcControlLog(s)
-      val pend = graft.streaming.DatalakeCoordinator.pendingEntries(cl,
-        graft.streaming.DatalakeCoordinator.outcomes(cl))
-      dlcCommitScenarios(s).map { case (nm, tc) =>
-        graft.streaming.DatalakeCoordinator.commitDecisions(pend, tc)
-          .withColumn("scenario", lit(nm))
-      }.reduce(_ unionByName _)
-        .select("scenario", "topic", "partition", "added_at", "entry_end", "action")
-        .orderBy("scenario", "topic", "partition", "added_at")
-    }),
-
-    "dlc_commit_updates" -> ((s, dir) => {
-      // The mark_files_committed updates + txn outcome per scenario:
-      // every pending partition commits at its last pending end
-      // regardless of dedup (:147,203-216); iceberg_txn false when all
-      // files deduplicated (:218-226); new_property = max appended
-      // added_pending_at (:176-178,230).
-      import s.implicits._
-      val cl = dlcControlLog(s)
-      val pend = graft.streaming.DatalakeCoordinator.pendingEntries(cl,
-        graft.streaming.DatalakeCoordinator.outcomes(cl))
-      dlcCommitScenarios(s).map { case (nm, tc) =>
-        graft.streaming.DatalakeCoordinator.commitUpdates(
-            graft.streaming.DatalakeCoordinator.commitDecisions(pend, tc))
-          .withColumn("scenario", lit(nm))
-      }.reduce(_ unionByName _)
-        .select("scenario", "topic", "partition", "new_committed",
-          "iceberg_txn", "new_property")
-        .orderBy("scenario", "topic", "partition")
-    }),
-
-    "dlc_e2e" -> ((s, dir) => {
-      // End-to-end exactly-once delivery: the Iceberg table read back
-      // after produce → multiplex → coordinator admission → committer
-      // passes INCLUDING a crash-retry replay (iceberg_file_committer
-      // .cc:101-258). The oracle recomputes the produced slice directly
-      // — any dedup failure in the retry doubles rows and breaks the
-      // hash; any lost entry drops rows.
-      val (t, _) = dlcE2eFixture(s, dir)
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .select(col("partition"), col("offset"), col("event_id"), col("event_type"))
-        .orderBy("partition", "offset")
-    }),
-
-    "dlc_e2e_passes" -> ((s, dir) => {
-      // The committer-pass audit ledger: pass 1 commits all 4 pending
-      // entries (snapshot 1, property = max added_pending_at = 5);
-      // pass 2 is the crash-retry on identical pending state — no
-      // transaction, version pinned; pass 3 dedups the old 4 and
-      // appends the 4 newly-admitted (property advances to 9). These
-      // seven columns are scale-invariant protocol constants.
-      val (_, passes) = dlcE2eFixture(s, dir)
-      s.read.parquet(passes).orderBy("pass")
-    }),
-
-    "a5_usage_windows" -> ((s, dir) =>
-      Operators.usageWindows(events(s, dir), col("ts"), col("event_type"), length(col("props")))
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("grp"), col("bytes"), col("records"))
-        .orderBy("window_start", "grp")),
-
-    "op_interval_join_stream" -> ((s, dir) => {
-      // STREAM-STREAM interval join, end-to-end: purchases join signups
-      // within [signup, signup + 3 days] per user, both sides
-      // watermarked so buffered state is evicted as event time advances
-      // (bounded by the interval, not stream history). Over the finite
-      // input the emitted pair set equals the batch range join, which is
-      // what the oracle computes.
-      import java.nio.file.{Files, Paths}
-      val inDir = Files.createTempDirectory("graft_ssj")
-      Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("events.parquet"))
-      val out = Files.createTempDirectory("graft_ssj_out").toString
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src(): DataFrame = withLtzTs(
-        graft.streaming.Transforms.PathInput(inDir.toString, schema).stream(s))
-      val purchases = src().where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
-        .withWatermark("p_ts", "1 hour")
-      val signups = src().where(col("event_type") === "signup")
-        .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
-        .withWatermark("s_ts", "1 hour")
-      graft.streaming.StreamingOps.intervalJoinStream(
-        purchases, signups,
-        col("user_id") === col("s_user") &&
-          col("p_ts") >= col("s_ts") &&
-          col("p_ts") <= col("s_ts") + expr("INTERVAL 3 DAYS"),
-        s"$out/data", s"$out/ckpt").awaitTermination()
-      s.read.parquet(s"$out/data")
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum("purchase_id").as("sum_purchase"),
-          sum("signup_id").as("sum_signup"))
-        .orderBy("user_id")
-    }),
-
-    "a5_session_windows" -> ((s, dir) =>
-      // Gap-based sessionization (30-min silence closes a session): the
-      // oracle re-derives the same islands with lag + running sum.
-      Operators.sessionWindows(events(s, dir), col("ts"),
-          concat(lit("u"), col("user_id").cast("string")), "30 minutes")
-        .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          col("grp"), col("n_events"))
-        .orderBy("grp", "session_start")),
-
-    "a5_usage_stream" -> ((s, dir) => {
-      // A5's STREAMING twin, run end-to-end through the append-mode
-      // watermark path: micro-batch 1 is the whole events table, micro-
-      // batch 2 a single far-future sentinel row (mtime-ordered files +
-      // maxFilesPerTrigger=1 pin the batch boundary). The sentinel
-      // advances the watermark past every real window, and AvailableNow
-      // finishes with a watermark-flush batch that emits them all — so
-      // the emitted stream deterministically equals the complete hourly
-      // aggregate, which is what the oracle asserts.
-      val inDir = stagedEventsStream(s, dir, sentinel = true)
-      val out = java.nio.file.Files.createTempDirectory("graft_a5s").toString
-      val raw = graft.streaming.Transforms.PathInput(
-        inDir, s.read.parquet(s"$dir/events.parquet").schema,
-        maxFilesPerTrigger = Some(1)).stream(s)
-      val prepared = withLtzTs(raw)
-      graft.streaming.StreamingOps.usageWindowsStream(
-        prepared, s"$out/data", s"$out/ckpt",
-        "ts", col("event_type"), length(col("props"))).awaitTermination()
-      s.read.parquet(s"$out/data")
-        .where(col("grp") =!= "__sentinel")
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("grp"), col("bytes"), col("records"))
-        .orderBy("window_start", "grp")
-    }),
-
-    "dd_stream_dedup" -> ((s, dir) => {
-      // Watermark-bounded streaming dedup, end-to-end: the events table
-      // is fed TWICE as consecutive micro-batches; every batch-2 row is
-      // a duplicate of a batch-1 key held in the (watermark-bounded)
-      // state store, so the emitted stream equals the table itself —
-      // which is exactly what the oracle asserts.
-      val inDir = stagedEventsStream(s, dir, sentinel = false)
-      val out = java.nio.file.Files.createTempDirectory("graft_dds").toString
-      val raw = graft.streaming.Transforms.PathInput(
-        inDir, s.read.parquet(s"$dir/events.parquet").schema,
-        maxFilesPerTrigger = Some(1)).stream(s)
-      val prepared = withLtzTs(raw)
-      graft.streaming.StreamingOps.dedupStream(
-        prepared, s"$out/data", s"$out/ckpt",
-        "ts", Seq("event_id"), delay = "90 days").awaitTermination()
-      s.read.parquet(s"$out/data")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("event_type")
-    }),
-
-    // ----- §2.5 groups / idempotence -----
-    "g1_group_membership" -> ((s, dir) => {
-      // Command log: signup => join, error => leave, else heartbeat;
-      // 3 groups of up to 50 members replay the membership FSM in
-      // recovery mode (see GroupFsm scaladoc).
-      val cmds = events(s, dir).select(
-        concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-        col("event_id").as("seq"),
-        concat(lit("m"), col("user_id").cast("string")).as("member"),
-        when(col("event_type") === "signup", "join")
-          .when(col("event_type") === "error", "leave")
-          .otherwise("heartbeat").as("cmd"),
-        array(lit("range"), lit("roundrobin")).as("protocols"))
-      graft.groups.GroupEngine.describeGroups(cmds).orderBy("group")
-    }),
-
-    "g1_group_live" -> ((s, dir) => {
-      // LIVE join→sync barrier protocol (group.h:499-553), driven from
-      // events: each user joins at its first event (seq 3*fe) and
-      // immediately syncs (3*fe+1) — completing the round and bumping the
-      // generation; later events heartbeat (3*eid+2); a final sync from
-      // the group leader (earliest joiner) lands the group Stable. Then a
-      // session sweep expires members whose last sign of life is in the
-      // first 99% of the seq domain — each expiry rebalancing the group
-      // exactly as a leave would (so groups with expiries end
-      // PreparingRebalance). Oracle derives the same final state in SQL.
-      val ev = events(s, dir)
-      val maxe = ev.agg(max("event_id")).collect()(0).getLong(0)
-      val grp = concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group")
-      val mem = concat(lit("m"), col("user_id").cast("string")).as("member")
-      val protos = array(lit("range"), lit("roundrobin")).as("protocols")
-      val firsts = ev.groupBy("user_id").agg(min("event_id").as("fe"))
-      val joins = firsts.select(grp, (col("fe") * 3).as("seq"), mem,
-        lit("join").as("cmd"), protos)
-      val syncs = firsts.select(grp, (col("fe") * 3 + 1).as("seq"), mem,
-        lit("sync").as("cmd"), protos)
-      val beats = ev.join(firsts, "user_id").where(col("event_id") > col("fe"))
-        .select(grp, (col("event_id") * 3 + 2).as("seq"), mem,
-          lit("heartbeat").as("cmd"), protos)
-      val leaderW = Window.partitionBy("group").orderBy("seq")
-      val leaderSyncs = joins.withColumn("rn", row_number().over(leaderW))
-        .where(col("rn") === 1).drop("rn")
-        .withColumn("seq", lit(maxe * 3 + 3))
-        .withColumn("cmd", lit("sync"))
-      val cmds = joins.unionByName(syncs).unionByName(beats).unionByName(leaderSyncs)
-      graft.groups.GroupEngine.describeGroups(cmds, recovery = false,
-          expireDeadline = Some(maxe * 99 / 100 * 3 + 2))
-        .orderBy("group")
-    }),
-
-    "g1_static_membership" -> ((s, dir) => {
-      // Static membership (KIP-345, group.h:520-528): every member is
-      // static (instance = i<user>), and every signup presents a FRESH
-      // member id (m<user>-<eventid>) — a client restart. A known
-      // instance's rejoin replaces its old member id with NO generation
-      // bump and NO rebalance; an error is an instance-keyed leave. The
-      // oracle derives generation from effective membership changes only
-      // and the leader/member ids from each instance's LAST join.
-      val ev = events(s, dir)
-      val grp = concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group")
-      val protos = array(lit("range"), lit("roundrobin")).as("protocols")
-      val inst = concat(lit("i"), col("user_id").cast("string")).as("instance")
-      val joins = ev.where(col("event_type") === "signup")
-        .select(grp, col("event_id").as("seq"),
-          concat(lit("m"), col("user_id").cast("string"), lit("-"),
-            col("event_id").cast("string")).as("member"),
-          lit("join").as("cmd"), protos, inst)
-      val leaves = ev.where(col("event_type") === "error")
-        .select(grp, col("event_id").as("seq"), lit("").as("member"),
-          lit("leave").as("cmd"), protos, inst)
-      graft.groups.GroupEngine.describeGroups(joins.unionByName(leaves))
-        .orderBy("group")
-    }),
-
-    "adm_list_groups" -> ((s, dir) => {
-      // list_groups with a KIP-518 states filter over the same command
-      // log as g1_group_membership: the listing is the (group, state)
-      // projection of the FSM's final state, narrowed to the requested
-      // states — the oracle recomputes the full membership fold and
-      // applies the identical filter.
-      val cmds = events(s, dir).select(
-        concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-        col("event_id").as("seq"),
-        concat(lit("m"), col("user_id").cast("string")).as("member"),
-        when(col("event_type") === "signup", "join")
-          .when(col("event_type") === "error", "leave")
-          .otherwise("heartbeat").as("cmd"),
-        array(lit("range"), lit("roundrobin")).as("protocols"))
-      graft.groups.GroupEngine.listGroups(cmds, Seq("Stable")).orderBy("group")
-    }),
-
-    "g2_group_offsets" -> ((s, dir) => {
-      val commits = events(s, dir).where(col("event_type") === "purchase")
-        .select(
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          lit("events").as("topic"),
-          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-          col("event_id").as("committed_offset"),
-          col("event_id").as("commit_seq"))
-      ConsumerGroups.fetchOffsets(commits)
-        .select("group", "topic", "partition", "committed_offset")
-        .orderBy("group", "partition")
-    }),
-
-    "g2_wire_offset_fetch" -> ((s, dir) => {
-      // Wire-in/wire-out offset_fetch: a flexible v7 frame (api key 9,
-      // flexible from v6, require_stable per KIP-447) asking for group
-      // g0's committed offsets on all 8 partitions of `events`; the
-      // store answers from the compacted offsets log, missing
-      // partitions report committed_offset -1 with no error (the
-      // handler's absent-partition contract). Rows are decoded back
-      // from the response BYTES; sizes follow the v7 compact layout.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.OffsetFetch
-      val commits = events(s, dir).where(col("event_type") === "purchase")
-        .select(
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          lit("events").as("topic"),
-          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-          col("event_id").as("committed_offset"),
-          col("event_id").as("commit_seq"))
-      val committed = ConsumerGroups.fetchOffsets(commits)
-        .where(col("group") === "g0")
-        .select("partition", "committed_offset").collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ #partitions rows
-      val nParts = EventPartitions
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(9, 7, 11, Some("graft")),
-        OffsetFetch.encodeRequest(OffsetFetch.Request("g0",
-          Seq(("events", 0 until nParts)), requireStable = true)),
-        flexible = true)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
-      val req = OffsetFetch.decodeRequest(reqBody)
-      val resp = OffsetFetch.Response(0, req.topics.map { case (name, ps) =>
-        OffsetFetch.RespTopic(name, ps.map(p =>
-          OffsetFetch.RespPart(p, committed.getOrElse(p, -1L), -1, None, 0)))
-      }, errorCode = 0)
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        OffsetFetch.encodeResponse(resp), flexibleHeader = true)
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
-        flexibleHeader = true)
-      OffsetFetch.decodeResponse(respBody).topics.flatMap(t =>
-        t.partitions.map(p => (req.groupId, t.name, p.partitionIndex,
-          p.committedOffset, p.committedLeaderEpoch, p.errorCode.toInt,
-          reqFrame.length, respFrame.length, corrBack == 11)))
-        .toDF("group", "topic", "partition", "committed_offset",
-          "leader_epoch", "error_code", "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("partition")
-    }),
-
-    "g1_wire_lifecycle" -> ((s, dir) => {
-      // Heartbeat/LeaveGroup v4 frames against the live group FSM —
-      // the reference's heartbeat ladder checks member existence first
-      // (unknown_member_id 25), then the generation (illegal_generation
-      // 22); LeaveGroup v4 batches member identities with PER-MEMBER
-      // error codes (KIP-345). Sizes follow the flexible layout laws.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{Heartbeat => HB, LeaveGroup => LG}
-      import graft.groups.GroupFsm
-      var g = GroupFsm.replay(Seq(
-        GroupFsm.Join(1, "m0", Seq("range")),
-        GroupFsm.Join(2, "m1", Seq("range")),
-        GroupFsm.Join(3, "m2", Seq("range")),
-        GroupFsm.Sync(4, "m0")))
-      def hbStep(step: Int, member: String, gen: Long) = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(12, 4, step, Some("graft")),
-          HB.encodeRequest(HB.Request("g-wire", gen.toInt, member, None)),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = HB.decodeRequest(body)
-        val err: Short =
-          if (!g.members.contains(req.memberId)) 25
-          else if (req.generationId != g.generation) 22
-          else {
-            g = GroupFsm.step(g, GroupFsm.Heartbeat(10 + step, req.memberId))
-            0
-          }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          HB.encodeResponse(HB.Response(0, err)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        (step, "heartbeat", member, gen, HB.decodeResponse(rb).errorCode.toInt,
-          reqF.length, respF.length, corr == step)
-      }
-      def leaveStep(step: Int, member: String) = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(13, 4, step, Some("graft")),
-          LG.encodeRequest(LG.Request("g-wire", Seq((member, None)))),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = LG.decodeRequest(body)
-        val resp = LG.Response(0, 0, req.members.map { case (m, inst) =>
-          val err: Short =
-            if (g.members.contains(m)) {
-              g = GroupFsm.step(g, GroupFsm.Leave(10 + step, m)); 0
-            } else 25
-          LG.MemberResp(m, inst, err)
-        })
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          LG.encodeResponse(resp), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        (step, "leave", member, -1L,
-          LG.decodeResponse(rb).members.head.errorCode.toInt,
-          reqF.length, respF.length, corr == step)
-      }
-      val gen1 = g.generation
-      Seq(
-        hbStep(1, "m0", gen1),
-        hbStep(2, "m9", gen1),     // never joined
-        hbStep(3, "m1", gen1 + 1), // stale/future generation
-        leaveStep(4, "m1"),
-        leaveStep(5, "m9"),
-        hbStep(6, "m1", gen1))     // left above: unknown again
-        .toDF("step", "api", "member", "generation_sent", "error_code",
-          "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("step")
-    }),
-
-    "g4_wire_rebalance" -> ((s, dir) => {
-      // A FULL rebalance round over the wire: six members send
-      // JoinGroup v6 frames whose protocol metadata is a real consumer
-      // subscription blob (legacy-encoded embedded protocol inside the
-      // flexible message); the coordinator elects the first sorted
-      // member leader at generation 1, echoes all subscriptions to the
-      // leader; the leader runs the RANGE assignor (the engine's
-      // distributed g4 plan) over the decoded subscriptions and sends
-      // one SyncGroup v4 frame carrying per-member assignment blobs;
-      // every member's SyncGroup response hands back its slice. The
-      // emitted rows decode each member's OWN response bytes.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{JoinGroup, SyncGroup, ConsumerProtocol}
-      val members = (0 until 6).map(i => s"m$i")
-      // --- join round
-      val joins = members.zipWithIndex.map { case (m, corr) =>
-        val frame = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(11, 6, corr, Some(m)),
-          JoinGroup.encodeRequest(JoinGroup.Request("g-wire", 30000, 60000,
-            m, None, "consumer", Seq(JoinGroup.Protocol("range",
-              ConsumerProtocol.encodeSubscription(Seq("events")))))),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(frame, flexible = true)
-        (h, JoinGroup.decodeRequest(body))
-      }
-      val leader = joins.map(_._2.memberId).sorted.head
-      val roster = joins.map { case (_, req) =>
-        JoinGroup.Member(req.memberId, None, req.protocols.head.metadata) }
-      val joinResponses = joins.map { case (h, req) =>
-        val resp = JoinGroup.Response(0, 0, 1, "range", leader, req.memberId,
-          if (req.memberId == leader) roster else Nil)
-        val frame = WireHeaders.encodeResponseFrame(h.correlationId,
-          JoinGroup.encodeResponse(resp), flexibleHeader = true)
-        val (_, body) = WireHeaders.decodeResponseFrame(frame, flexibleHeader = true)
-        JoinGroup.decodeResponse(body)
-      }
-      // --- leader computes the range plan from the DECODED roster
-      val ldr = joinResponses.find(_.memberId == leader).get
-      val subs = ldr.members.map(m =>
-        m.memberId -> ConsumerProtocol.decodeSubscription(m.metadata))
-      val topics = subs.flatMap(_._2).distinct.map(t => (t, EventPartitions))
-        .toDF("topic", "n_partitions")
-      val plan = graft.groups.Assignment.rangeAssign(
-          subs.map(_._1).toDF("member_id"), topics)
-        .collect().map(r => (r.getString(2), r.getString(0),
-          r.getAs[Number](1).intValue()))
-        .groupBy(_._1).map { case (m, rows) =>
-          m -> rows.groupBy(_._2).map { case (t, ps) =>
-            (t, ps.map(_._3).sorted.toSeq) }.toSeq }
-      // --- sync round: leader distributes, each member decodes its own
-      val syncFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(14, 4, 99, Some(leader)),
-        SyncGroup.encodeRequest(SyncGroup.Request("g-wire", 1, leader, None,
-          members.map(m => m -> ConsumerProtocol.encodeAssignment(
-            plan.getOrElse(m, Seq.empty))))),
-        flexible = true)
-      val (_, syncBody) = WireHeaders.decodeRequestFrame(syncFrame, flexible = true)
-      val syncReq = SyncGroup.decodeRequest(syncBody)
-      val byMember = syncReq.assignments.toMap
-      joinResponses.flatMap { jr =>
-        val respFrame = WireHeaders.encodeResponseFrame(0,
-          SyncGroup.encodeResponse(SyncGroup.Response(0, 0,
-            byMember(jr.memberId))), flexibleHeader = true)
-        val (_, body) = WireHeaders.decodeResponseFrame(respFrame,
-          flexibleHeader = true)
-        val sr = SyncGroup.decodeResponse(body)
-        ConsumerProtocol.decodeAssignment(sr.assignment).flatMap {
-          case (topic, parts) => parts.map(p =>
-            (jr.memberId, jr.generationId, jr.protocolName,
-              jr.leader == jr.memberId, topic, p,
-              jr.errorCode.toInt + sr.errorCode.toInt))
-        }
-      }.toDF("member", "generation", "protocol", "is_leader", "topic",
-        "partition", "error_code")
-        .orderBy("partition")
-    }),
-
-    "g2_wire_offset_commit" -> ((s, dir) => {
-      // The commit side over the wire: group g0's latest purchase
-      // offsets ride a flexible v8 OffsetCommit frame (api key 8;
-      // nullable static-member group_instance_id, no retention field
-      // past v4); the store accepts every partition (error 0). The
-      // emitted committed_offset comes from the DECODED REQUEST and the
-      // error from the decoded response, so both directions of the
-      // serde are under the oracle along with the v8 size laws.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.OffsetCommit
-      val commits = events(s, dir).where(col("event_type") === "purchase")
-        .select(
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          lit("events").as("topic"),
-          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-          col("event_id").as("committed_offset"),
-          col("event_id").as("commit_seq"))
-      val latest = ConsumerGroups.fetchOffsets(commits)
-        .where(col("group") === "g0")
-        .select("partition", "committed_offset").collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1) // ≤ #partitions
-      val reqFrame = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(8, 8, 21, Some("graft")),
-        OffsetCommit.encodeRequest(OffsetCommit.Request("g0", 1, "m1", None,
-          Seq(("events", latest.toIndexedSeq.map { case (p, off) =>
-            OffsetCommit.ReqPart(p, off, -1, None) })))),
-        flexible = true)
-      val (hdr, reqBody) = WireHeaders.decodeRequestFrame(reqFrame, flexible = true)
-      val req = OffsetCommit.decodeRequest(reqBody)
-      val resp = OffsetCommit.Response(0, req.topics.map { case (name, ps) =>
-        (name, ps.map(p => (p.partitionIndex, 0.toShort)))
-      })
-      val respFrame = WireHeaders.encodeResponseFrame(hdr.correlationId,
-        OffsetCommit.encodeResponse(resp), flexibleHeader = true)
-      val (corrBack, respBody) = WireHeaders.decodeResponseFrame(respFrame,
-        flexibleHeader = true)
-      val errs = OffsetCommit.decodeResponse(respBody).topics.flatMap(_._2).toMap
-      req.topics.flatMap { case (name, ps) => ps.map(p =>
-        (req.groupId, name, p.partitionIndex, p.committedOffset,
-          errs(p.partitionIndex).toInt, reqFrame.length, respFrame.length,
-          corrBack == 21)) }
-        .toDF("group", "topic", "partition", "committed_offset",
-          "error_code", "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("partition")
-    }),
-
-    "g2_offset_delete" -> ((s, dir) => {
-      // Tombstone semantics on the compacted offsets store: a delete
-      // after the last commit removes the key (g0 partitions 0-3); a
-      // delete BEFORE later commits is superseded and the key survives
-      // (g1 partition 1, seq -1).
-      import s.implicits._
-      val commits = events(s, dir).where(col("event_type") === "purchase")
-        .select(
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          lit("events").as("topic"),
-          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-          col("event_id").as("committed_offset"),
-          col("event_id").as("commit_seq"))
-      val deletes = ((0 to 3).map(p => ("g0", "events", p, 1000000000L)) :+
-        (("g1", "events", 1, -1L)))
-        .toDF("group", "topic", "partition", "commit_seq")
-      ConsumerGroups.deleteOffsets(commits, deletes)
-        .select("group", "topic", "partition", "committed_offset")
-        .orderBy("group", "partition")
-    }),
-
-    "g2_wire_group_admin" -> ((s, dir) => {
-      // The group admin plane over the wire: ListGroups v4 (states
-      // filter; an unparseable state fails the request 42,
-      // server.cc:612-640), DescribeGroups v5 (stable group with
-      // protocol + real embedded subscription metadata, unknown group
-      // answers the DEAD shell with error 0, describe_groups.h:64-72),
-      // DeleteGroups v2 (group::remove ladder — 68 non-empty, 0 +
-      // offset tombstones for empty, 69 unknown), OffsetDelete v0
-      // (per-partition 86 for live subscriptions,
-      // group_manager.cc:1523-1573). Group states fold through the
-      // live-mode FSM; offsets live in the compacted store and the
-      // final read shows exactly what survived.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{ListGroups => LG, DescribeGroups => DG,
-        DeleteGroups => DelG, OffsetDelete => OD, ConsumerProtocol}
-      val cmdLog = Seq(
-        ("g-stable", 1L, "m1", "join", Seq("range", "roundrobin")),
-        ("g-stable", 2L, "m2", "join", Seq("range")),
-        ("g-stable", 3L, "m1", "sync", Seq.empty[String]),
-        ("g-stable", 4L, "m2", "sync", Seq.empty[String]),
-        ("g-empty", 5L, "m3", "join", Seq("range")),
-        ("g-empty", 6L, "m3", "leave", Seq.empty[String]),
-        ("g-prep", 7L, "m4", "join", Seq("range")),
-        ("g-prep", 8L, "m5", "join", Seq("range")))
-        .toDF("group", "seq", "member", "cmd", "protocols")
-      val summaries = graft.groups.GroupEngine
-        .describeGroups(cmdLog, recovery = false)
-        .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
-          r.getLong(3), r.getString(4), r.getString(5))).toMap // 3 groups
-      val subscriptions = Map("g-stable" -> Seq("events")) // member metadata
-      var store = Seq(
-        ("g-stable", "events", 0, 100L, 1L),
-        ("g-stable", "other", 0, 5L, 2L),
-        ("g-empty", "events", 1, 20L, 3L))
-        .toDF("group", "topic", "partition", "committed_offset", "commit_seq")
-      var nextSeq = 10L
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String,
-        Option[String], Option[String], Option[String], Option[String],
-        Option[String], Int, Long, Int, Int, Boolean)]
-
-      // ---- steps 1-2: ListGroups v4
-      def list(step: Int, states: Seq[String]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(16, 4, step, Some("graft")),
-          LG.encodeRequest(LG.Request(states)), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = LG.decodeRequest(body)
-        val valid = Set("Empty", "PreparingRebalance", "CompletingRebalance",
-          "Stable", "Dead")
-        // group_state_from_kafka_name (group.cc:2833): any unparseable
-        // state fails the whole request; otherwise filter the summaries
-        // (the engine's listGroups projection, already folded above)
-        val answer =
-          if (!req.statesFilter.forall(valid)) LG.Response(0, 42, Nil)
-          else LG.Response(0, 0, summaries.toSeq
-            .filter(g => req.statesFilter.isEmpty ||
-              req.statesFilter.contains(g._2._1))
-            .sortBy(_._1)
-            .map { case (g, (state, _, _, _, _)) =>
-              LG.Group(g, "consumer", state) })
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          LG.encodeResponse(answer), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        val got = LG.decodeResponse(rb)
-        if (got.errorCode != 0)
-          rows += ((step, "list", None, None, None, None, None, -1, -1L, -1,
-            got.errorCode.toInt, corr == step))
-        else got.groups.foreach(g =>
-          rows += ((step, "list", Some(g.groupId), Some(g.groupState),
-            Some(g.protocolType), None, None, -1, -1L, -1, 0, corr == step)))
-      }
-      list(1, Seq("Stable", "Empty"))
-      list(2, Seq("Flying"))
-
-      // ---- step 3: DescribeGroups v5
-      {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(15, 5, 3, Some("graft")),
-          DG.encodeRequest(DG.Request(Seq("g-stable", "g-empty", "g-ghost"),
-            includeAuthorizedOperations = false)), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = DG.decodeRequest(body)
-        val groups = req.groups.map { g =>
-          summaries.get(g) match {
-            case None => DG.Group(0, g, "Dead", "", "", Nil, -2147483648)
-            case Some((state, _, n, leader, protocol)) =>
-              val members =
-                if (state == "Stable")
-                  (1 to n.toInt).map(i => DG.Member(s"m$i", None,
-                    s"m$i-client", "/10.0.0.1",
-                    ConsumerProtocol.encodeSubscription(
-                      subscriptions.getOrElse(g, Nil)),
-                    Array.emptyByteArray))
-                else Nil
-              DG.Group(0, g, state, "consumer",
-                if (state == "Stable") protocol else "", members, -2147483648)
-          }
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          DG.encodeResponse(DG.Response(0, groups)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        DG.decodeResponse(rb).groups.foreach { g =>
-          rows += ((3, "describe", Some(g.groupId), Some(g.groupState),
-            Some(if (summaries.contains(g.groupId)) "consumer" else ""),
-            Some(g.protocolData), None, -1, -1L, g.members.size,
-            g.errorCode.toInt, corr == 3))
-        }
-      }
-
-      // ---- step 4: DeleteGroups v2
-      {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(42, 2, 4, Some("graft")),
-          DelG.encodeRequest(DelG.Request(
-            Seq("g-stable", "g-empty", "g-ghost"))), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = DelG.decodeRequest(body)
-        val results = req.groups.map { g =>
-          summaries.get(g) match {
-            case None => (g, 69.toShort)
-            case Some((state, _, _, _, _)) if state != "Empty" => (g, 68.toShort)
-            case Some(_) =>
-              // empty group: tombstone every stored offset (group.cc:2597)
-              val deletes = store.where(col("group") === g)
-                .select(col("group"), col("topic"), col("partition"))
-                .withColumn("commit_seq", lit(nextSeq))
-              nextSeq += 1
-              store = graft.groups.ConsumerGroups.deleteOffsets(store, deletes)
-                .select("group", "topic", "partition", "committed_offset",
-                  "commit_seq")
-              (g, 0.toShort)
-          }
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          DelG.encodeResponse(DelG.Response(0, results)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        DelG.decodeResponse(rb).results.foreach { case (g, err) =>
-          rows += ((4, "delete", Some(g), None, None, None, None, -1, -1L, -1,
-            err.toInt, corr == 4))
-        }
-      }
-
-      // ---- steps 5-6: OffsetDelete v0 (legacy encoding)
-      def offsetDelete(step: Int, group: String,
-          topics: Seq[(String, Seq[Int])]): Unit = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(47, 0, step, Some("graft")),
-          OD.encodeRequest(OD.Request(group, topics)), flexible = false)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = false)
-        val req = OD.decodeRequest(body)
-        val resp = summaries.get(req.groupId) match {
-          case None => OD.Response(69, 0, Nil)
-          case Some(_) =>
-            val subscribed = subscriptions.getOrElse(req.groupId, Nil).toSet
-            val answered = req.topics.map { case (t, ps) =>
-              val err: Short = if (subscribed(t)) 86 else 0
-              if (err == 0) {
-                val deletes = ps.toDF("partition")
-                  .withColumn("group", lit(req.groupId))
-                  .withColumn("topic", lit(t))
-                  .withColumn("commit_seq", lit(nextSeq))
-                nextSeq += 1
-                store = graft.groups.ConsumerGroups.deleteOffsets(store, deletes)
-                  .select("group", "topic", "partition", "committed_offset",
-                    "commit_seq")
-              }
-              (t, ps.map(_ -> err))
-            }
-            OD.Response(0, 0, answered)
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          OD.encodeResponse(resp), flexibleHeader = false)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF,
-          flexibleHeader = false)
-        val got = OD.decodeResponse(rb)
-        if (got.topics.isEmpty)
-          rows += ((step, "offset_delete", Some(group), None, None, None,
-            None, -1, -1L, -1, got.errorCode.toInt, corr == step))
-        else got.topics.foreach { case (t, ps) =>
-          ps.foreach { case (p, err) =>
-            rows += ((step, "offset_delete", Some(group), None, None, None,
-              Some(t), p, -1L, -1, err.toInt, corr == step))
-          }
-        }
-      }
-      offsetDelete(5, "g-stable", Seq("events" -> Seq(0), "other" -> Seq(0)))
-      offsetDelete(6, "g-nope", Seq("events" -> Seq(0)))
-
-      // ---- step 7: what the compacted store still serves
-      graft.groups.ConsumerGroups.fetchOffsets(store)
-        .select("group", "topic", "partition", "committed_offset")
-        .collect().foreach { r =>
-          rows += ((7, "offsets_after", Some(r.getString(0)), None, None,
-            None, Some(r.getString(1)), r.getInt(2), r.getLong(3), -1, 0,
-            true))
-        }
-
-      rows.toSeq.toDF("step", "api", "group", "state", "protocol_type",
-        "protocol", "topic", "partition", "offset", "n_members",
-        "error_code", "corr_ok")
-        .orderBy("step", "group", "topic", "partition")
-    }),
-
-    "g2_offset_expiry" -> ((s, dir) => {
-      // KIP-211 offset retention across the three policies at once:
-      // g0 is a Stable consumer subscribed only to 'events' (its 'aux'
-      // offsets age out on commit_ts; 'events' never expires), g1 is
-      // Empty since Jan 10 (everything ages out on the state timestamp),
-      // g2 is a standalone offset-storage client (pure commit_ts aging).
-      // Partition 7 offsets are non_reclaimable and always retained.
-      // now = 2024-02-01, retention = 36 h — the cutoff lands inside the
-      // span of per-key last-commit timestamps, so commit_ts-based
-      // policies split each group into expired AND retained keys.
-      import s.implicits._
-      val commits = events(s, dir).where(col("event_type") === "purchase")
-        .select(
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          when(pmod(col("user_id"), lit(2)) === 0, "events").otherwise("aux").as("topic"),
-          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-          col("event_id").as("committed_offset"),
-          col("event_id").as("commit_seq"),
-          unix_millis(col("ts")).as("commit_ts"))
-      val offsets = ConsumerGroups.fetchOffsets(commits)
-        .withColumn("non_reclaimable", col("partition") === 7)
-        .drop("commit_seq")
-      val meta = Seq(
-        ("g0", Some("consumer"), "Stable", None: Option[Long]),
-        ("g1", Some("consumer"), "Empty", Some(1704844800000L)),
-        ("g2", None: Option[String], "Standalone", None: Option[Long]))
-        .toDF("group", "protocol_type", "state", "state_ts")
-      val subs = Seq(("g0", "events")).toDF("group", "topic")
-      ConsumerGroups.expireOffsets(offsets, meta, subs,
-          nowMs = 1706745600000L, retentionMs = 129600000L)
-        .orderBy("group", "topic", "partition")
-    }),
-
-    "g5_sequence_check" -> ((s, dir) => {
-      // Hand-computed admission scenario replayed through the stateful
-      // fold (producer_state.h:126 semantics); oracle pins every status.
-      import s.implicits._
-      val log = Seq(
-        // pid 1, epoch 0: dense, one duplicate, one gap, then the gap fills
-        (1L, 0, 0L, 1L), (1L, 0, 1L, 2L), (1L, 0, 1L, 3L),
-        (1L, 0, 2L, 4L), (1L, 0, 4L, 5L), (1L, 0, 3L, 6L),
-        // pid 2: first write must be seq 0
-        (2L, 0, 5L, 1L), (2L, 0, 0L, 2L), (2L, 0, 1L, 3L),
-        // pid 3: epoch bump resets expectation; stale epoch is fenced
-        (3L, 0, 0L, 1L), (3L, 1, 0L, 2L), (3L, 0, 1L, 3L), (3L, 1, 1L, 4L))
-        .toDF("pid", "epoch", "seq", "arrival")
-      ConsumerGroups.validateSequences(log).orderBy("pid", "arrival")
-    }),
-
-    "g5_idempotent_producer" -> ((s, dir) =>
-      ConsumerGroups.dedupProducer(
-          events(s, dir).withColumn("seq", get_json_object(col("props"), "$.k").cast("int")),
-          "user_id", "seq", "event_id")
-        .select(col("user_id"), col("seq"), col("event_id").as("first_arrival"),
-          col("event_type"), col("attempts"))
-        .orderBy("user_id", "seq")),
-
-    // ----- §2.6 transactions (engine-produced state) -----
-    "t1_init_producer_id" -> ((s, dir) =>
-      TxnEngine.initProducerIds(events(s, dir).select("user_id").distinct(), col("user_id"))
-        .select("user_id", "pid")
-        .orderBy("user_id")),
-
-    "t1_wire_txn" -> ((s, dir) => {
-      // The txn coordinator's wire entry/exit: InitProducerId v3 frames
-      // get engine-assigned dense pids (the t1 fold); re-initializing a
-      // known tid bumps the producer epoch, so a later EndTxn v3 at the
-      // stale epoch fences with invalid_producer_epoch (47) and an
-      // unknown tid answers invalid_producer_id_mapping (49). All rows
-      // decode from the response BYTES.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{InitProducerId => IPI, EndTxn}
-      val pids = TxnEngine.initProducerIds(
-          Seq("tx-0", "tx-1", "tx-2").toDF("tid"), col("tid"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // 3 rows
-      val epochs = scala.collection.mutable.Map.empty[String, Int]
-      var nextPid = pids.size.toLong
-      def init(step: Int, tid: Option[String]) = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(22, 3, step, Some("graft")),
-          IPI.encodeRequest(IPI.Request(tid, 60000, -1L, -1)), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = IPI.decodeRequest(body)
-        val (pid, epoch) = req.transactionalId match {
-          case Some(t) =>
-            val e = epochs.getOrElse(t, -1) + 1
-            epochs(t) = e
-            (pids(t), e)
-          case None => // idempotent-only producer: fresh pid, epoch 0
-            val p = nextPid; nextPid += 1; (p, 0)
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          IPI.encodeResponse(IPI.Response(0, 0, pid, epoch.toShort)),
-          flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        val resp = IPI.decodeResponse(rb)
-        (step, "init", req.transactionalId.getOrElse("<none>"),
-          resp.producerId, resp.producerEpoch.toInt, resp.errorCode.toInt,
-          corr == step)
-      }
-      def end(step: Int, tid: String, pid: Long, epoch: Int, commit: Boolean) = {
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(26, 3, step, Some("graft")),
-          EndTxn.encodeRequest(EndTxn.Request(tid, pid, epoch.toShort, commit)),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = EndTxn.decodeRequest(body)
-        val err: Short =
-          if (!epochs.contains(req.transactionalId)) 49
-          else if (req.producerEpoch != epochs(req.transactionalId)) 47
-          else 0
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          EndTxn.encodeResponse(EndTxn.Response(0, err)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        (step, if (commit) "end_commit" else "end_abort", tid, pid, epoch,
-          EndTxn.decodeResponse(rb).errorCode.toInt, corr == step)
-      }
-      Seq(
-        init(1, Some("tx-0")), init(2, Some("tx-1")), init(3, Some("tx-2")),
-        init(4, Some("tx-1")),  // bump: epoch 1
-        init(5, None),          // idempotent-only
-        end(6, "tx-0", pids("tx-0"), 0, commit = true),
-        end(7, "tx-1", pids("tx-1"), 0, commit = false), // fenced
-        end(8, "tx-1", pids("tx-1"), 1, commit = true),
-        end(9, "tx-9", 7L, 0, commit = true))            // unknown tid
-        .toDF("step", "api", "tid", "pid", "epoch", "error_code", "corr_ok")
-        .orderBy("step")
-    }),
-
-    "t2_commit_abort" -> ((s, dir) =>
-      txnLog(s, dir).where(col("is_control"))
-        .select("partition", "offset", "pid", "txn_seq", "decision")
-        .orderBy("partition", "offset")),
-
-    "p1_batch_type_filter" -> ((s, dir) =>
-      RecordLog.typeFilter(txnLog(s, dir), Seq(BatchType.RaftData))
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n_raft_data"),
-          sum(col("is_control").cast("int")).as("n_control"),
-          max("offset").as("max_offset"))
-        .orderBy("partition")),
-
-    "p4_read_committed" -> ((s, dir) =>
-      TxnEngine.readCommitted(txnLog(s, dir))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(d(col("value"))).cast("double").as("total"))
-        .orderBy("event_type")),
-
-    "t4_last_stable_offset" -> ((s, dir) =>
-      TxnEngine.lastStableOffsets(txnLog(s, dir)).orderBy("partition")),
-
-    // Coordinator expiry sweep (tx_gateway_frontend.h:263 expire_old_txs /
-    // tm_stm.h:317 expire_tx): hung txns get coordinator abort markers,
-    // late commits from their fenced producers are rejected, fresh late
-    // commits apply. One row per txn with its post-sweep state.
-    "t2_tx_expiry" -> ((s, dir) => {
-      val fix = txnExpiryFixture(s, dir)
-      val expired = s.read.parquet(s"$fix/expired").withColumn("expired", lit(true))
-      val fenced = s.read.parquet(s"$fix/rejected").withColumn("fenced", lit(true))
-      TxnEngine.listTransactions(s.read.parquet(s"$fix/log"))
-        .join(expired, Seq("pid", "txn_seq"), "left")
-        .join(fenced, Seq("pid", "txn_seq"), "left")
-        .select(col("pid"), col("txn_seq"), col("state"),
-          coalesce(col("expired"), lit(false)).as("expired"),
-          coalesce(col("fenced"), lit(false)).as("fenced"),
-          col("n_partitions"), col("n_records"), col("min_first_offset"))
-        .orderBy("pid", "txn_seq")
-    }),
-
-    // LSO recomputed over the post-sweep log: partitions whose only open
-    // txns expired advance to the HWM — the observable point of the sweep.
-    "t4_lso_after_expiry" -> ((s, dir) =>
-      TxnEngine.lastStableOffsets(s.read.parquet(s"${txnExpiryFixture(s, dir)}/log"))
-        .orderBy("partition")),
-
-    "a3_txn_compaction" -> ((s, dir) =>
-      TxnEngine.compactCommitted(txnLog(s, dir), Seq("partition", "user_id"))
-        .select(col("partition"), col("user_id").as("key"), col("offset"), col("event_type"))
-        .orderBy("partition", "key")),
-
-    "g3_group_tx" -> ((s, dir) => {
-      val log = txnLog(s, dir)
-      val commits = log.where(!col("is_control") && col("event_type") === "purchase")
-        .select(col("pid"), col("txn_seq"),
-          concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")).as("group"),
-          lit("events").as("topic"), col("partition"),
-          col("event_id").as("committed_offset"), col("event_id").as("commit_seq"))
-      TxnEngine.commitTxOffsets(commits, log)
-        .select("group", "topic", "partition", "committed_offset")
-        .orderBy("group", "partition")
-    }),
-
-    "g3_wire_txn_offsets" -> ((s, dir) => {
-      // The transactional-offsets conversation over the wire (KIP-447
-      // flow): AddPartitionsToTxn v3 declares the txn's partitions,
-      // AddOffsetsToTxn v1 ties in the group, TxnOffsetCommit v3 lands
-      // offsets PENDING, EndTxn v3 seals or discards them — and the
-      // final OffsetFetch v7 response bytes serve what the engine's
-      // commitTxOffsets fold (group::commit_tx) actually made visible:
-      // tx-a's 100/200 commit, tx-b's 555 vanishes with its abort.
-      // Fencing ladder per leg: stale epoch 47 invalid_producer_epoch,
-      // unknown tid 49 invalid_producer_id_mapping, wrong generation 22
-      // illegal_generation (group::handle_txn_offset_commit). Every
-      // frame size is a closed-form law (tid 4 chars, group "g-wire",
-      // member "m-1", topic "events").
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{AddPartitionsToTxn => APT, AddOffsetsToTxn => AOT,
-        TxnOffsetCommit => TOC, EndTxn, OffsetFetch}
-      val Group = "g-wire"; val Topic = "events"; val Gen = 7; val Member = "m-1"
-      val txns = Map("tx-a" -> (10L, 2), "tx-b" -> (11L, 0)) // tid -> (pid, epoch)
-      val rows = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, Int, Long, Int, Int, Int, Int, Boolean)]
-      val commitLog = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, String, String, Int, Long, Long)]
-      val controlLog = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Boolean, String)]
-      def fence(tid: String, pid: Long, epoch: Int): Short =
-        txns.get(tid) match {
-          case None => 49
-          case Some((p, e)) => if (p != pid || e != epoch) 47 else 0
-        }
-      def addParts(step: Int, tid: String, epoch: Int, parts: Seq[Int]): Unit = {
-        val pid = txns.get(tid).map(_._1).getOrElse(-1L)
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(24, 3, step, Some("graft")),
-          APT.encodeRequest(APT.Request(tid, pid, epoch.toShort,
-            Seq(Topic -> parts))), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = APT.decodeRequest(body)
-        val err = fence(req.transactionalId, req.producerId, req.producerEpoch)
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          APT.encodeResponse(APT.Response(0, req.topics.map { case (t, ps) =>
-            t -> ps.map(_ -> err) })), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        APT.decodeResponse(rb).results.foreach { case (_, ps) =>
-          ps.foreach { case (p, e) =>
-            rows += ((step, "add_partitions", tid, p, -1L, e.toInt, parts.size,
-              reqF.length, respF.length, corr == step))
-          }
-        }
-      }
-      def addOffsets(step: Int, tid: String, epoch: Int): Unit = {
-        val pid = txns.get(tid).map(_._1).getOrElse(-1L)
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(25, 1, step, Some("graft")),
-          AOT.encodeRequest(AOT.Request(tid, pid, epoch.toShort, Group)),
-          flexible = false)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = false)
-        val req = AOT.decodeRequest(body)
-        val err = fence(req.transactionalId, req.producerId, req.producerEpoch)
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          AOT.encodeResponse(AOT.Response(0, err)), flexibleHeader = false)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = false)
-        rows += ((step, "add_offsets", tid, -1, -1L,
-          AOT.decodeResponse(rb).errorCode.toInt, -1, reqF.length, respF.length,
-          corr == step))
-      }
-      def tocommit(step: Int, tid: String, epoch: Int, gen: Int,
-          offs: Seq[(Int, Long)]): Unit = {
-        val pid = txns.get(tid).map(_._1).getOrElse(-1L)
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(28, 3, step, Some("graft")),
-          TOC.encodeRequest(TOC.Request(tid, Group, pid, epoch.toShort, gen,
-            Member, None, Seq(Topic -> offs.map { case (p, o) =>
-              TOC.ReqPartition(p, o, -1, None) }))), flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = TOC.decodeRequest(body)
-        val fenceErr = fence(req.transactionalId, req.producerId, req.producerEpoch)
-        val err: Short = if (fenceErr != 0) fenceErr
-          else if (req.generationId != Gen || req.memberId != Member) 22
-          else 0
-        if (err == 0) req.topics.foreach { case (t, ps) =>
-          ps.foreach(p => commitLog += ((req.producerId, 0L, req.groupId, t,
-            p.partition, p.offset, step.toLong)))
-        }
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          TOC.encodeResponse(TOC.Response(0, req.topics.map { case (t, ps) =>
-            t -> ps.map(_.partition -> err) })), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        TOC.decodeResponse(rb).topics.foreach { case (_, ps) =>
-          ps.foreach { case (p, e) =>
-            rows += ((step, "txn_offset_commit", tid, p,
-              offs.toMap.getOrElse(p, -1L), e.toInt, offs.size,
-              reqF.length, respF.length, corr == step))
-          }
-        }
-      }
-      def endTxn(step: Int, tid: String, commit: Boolean): Unit = {
-        val (pid, epoch) = txns(tid)
-        val reqF = WireHeaders.encodeRequestFrame(
-          WireHeaders.RequestHeader(26, 3, step, Some("graft")),
-          EndTxn.encodeRequest(EndTxn.Request(tid, pid, epoch.toShort, commit)),
-          flexible = true)
-        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
-        val req = EndTxn.decodeRequest(body)
-        controlLog += ((req.producerId, 0L, true,
-          if (req.committed) "commit" else "abort"))
-        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
-          EndTxn.encodeResponse(EndTxn.Response(0, 0)), flexibleHeader = true)
-        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
-        rows += ((step, if (commit) "end_commit" else "end_abort", tid, -1, -1L,
-          EndTxn.decodeResponse(rb).errorCode.toInt, -1, reqF.length,
-          respF.length, corr == step))
-      }
-      addParts(1, "tx-a", 2, Seq(0, 1))
-      addParts(2, "tx-z", 0, Seq(0, 1))          // unknown tid -> 49
-      addParts(3, "tx-b", 5, Seq(0, 1))          // stale epoch -> 47
-      addOffsets(4, "tx-a", 2)
-      addOffsets(5, "tx-z", 0)                   // unknown tid -> 49
-      tocommit(6, "tx-a", 2, Gen, Seq(0 -> 100L, 1 -> 200L))
-      tocommit(7, "tx-b", 0, Gen, Seq(0 -> 555L))
-      tocommit(8, "tx-a", 1, Gen, Seq(0 -> 150L)) // stale epoch -> 47
-      tocommit(9, "tx-b", 0, 3, Seq(1 -> 650L))   // wrong generation -> 22
-      endTxn(10, "tx-a", commit = true)
-      endTxn(11, "tx-b", commit = false)
-      // the engine seals pending offsets with the commit markers
-      val visible = TxnEngine.commitTxOffsets(
-          commitLog.toSeq.toDF("pid", "txn_seq", "group", "topic",
-            "partition", "committed_offset", "commit_seq"),
-          controlLog.toSeq.toDF("pid", "txn_seq", "is_control", "decision"))
-        .select("partition", "committed_offset")
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= 2 rows
-      val ofReqF = WireHeaders.encodeRequestFrame(
-        WireHeaders.RequestHeader(9, 7, 12, Some("graft")),
-        OffsetFetch.encodeRequest(OffsetFetch.Request(Group,
-          Seq(Topic -> Seq(0, 1)), requireStable = true)), flexible = true)
-      val (ofH, ofBody) = WireHeaders.decodeRequestFrame(ofReqF, flexible = true)
-      val ofReq = OffsetFetch.decodeRequest(ofBody)
-      val ofRespF = WireHeaders.encodeResponseFrame(ofH.correlationId,
-        OffsetFetch.encodeResponse(OffsetFetch.Response(0,
-          ofReq.topics.map { case (t, ps) => OffsetFetch.RespTopic(t,
-            ps.map(p => OffsetFetch.RespPart(p, visible.getOrElse(p, -1L),
-              -1, None, 0))) }, 0)), flexibleHeader = true)
-      val (ofCorr, ofRb) = WireHeaders.decodeResponseFrame(ofRespF, flexibleHeader = true)
-      OffsetFetch.decodeResponse(ofRb).topics.foreach { t =>
-        t.partitions.foreach { p =>
-          rows += ((12, "offset_fetch", Group, p.partitionIndex,
-            p.committedOffset, p.errorCode.toInt, t.partitions.size,
-            ofReqF.length, ofRespF.length, ofCorr == 12))
-        }
-      }
-      rows.toSeq.toDF("step", "api", "scope", "partition", "offset",
-        "error_code", "leg_parts", "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("step", "partition")
-    }),
-
-    // ----- §2.5 G4 assignment strategies -----
-    "g4_assign_range" -> ((s, dir) => {
-      // range plan (assignment_plans.cc:60-86): contiguous runs, first
-      // P%M members take one extra; a 1-partition topic lands entirely
-      // on the first member.
-      import s.implicits._
-      graft.groups.Assignment.rangeAssign(
-          Seq("a", "b", "c").toDF("member_id"), G4Topics(s))
-        .orderBy("topic", "partition")
-    }),
-
-    "g4_assign_roundrobin" -> ((s, dir) => {
-      import s.implicits._
-      graft.groups.Assignment.roundRobinAssign(
-          Seq("a", "b", "c").toDF("member_id"), G4Topics(s))
-        .orderBy("topic", "partition")
-    }),
-
-    "g4_assign_sticky" -> ((s, dir) => {
-      // member d departed, c joined: d's partitions redistribute to the
-      // least-loaded members up to target=ceil(16/3); a/b keep every
-      // partition they owned.
-      import s.implicits._
-      val prior = Seq(
-        ("t8", 0L, "a"), ("t8", 1L, "a"), ("t8", 2L, "a"),
-        ("t8", 3L, "b"), ("t8", 4L, "b"), ("t8", 5L, "b"),
-        ("t8", 6L, "d"), ("t8", 7L, "d"),
-        ("t7", 0L, "a"), ("t7", 1L, "a"), ("t7", 2L, "b"), ("t7", 3L, "b"),
-        ("t7", 4L, "d"), ("t7", 5L, "d"), ("t7", 6L, "d"),
-        ("t1", 0L, "d")).toDF("topic", "partition", "member_id")
-      graft.groups.Assignment.stickyAssign(prior,
-          Seq("a", "b", "c").toDF("member_id"), G4Topics(s))
-        .orderBy("topic", "partition")
-    }),
-
-    // ----- §2.2 ingest validation (P5/P6) + registry read path -----
-    "p5_schema_validation" -> ((s, dir) => {
-      // Real wire-format bytes: magic 0x00 + int32 BE schema id + payload;
-      // ids 0..7 registered, ids 8-9 rejected (produce.cc:417 semantics).
-      val wire = events(s, dir).select(col("event_id"),
-        concat(unhex(lit("00")),
-          unhex(lpad(hex(pmod(col("user_id"), lit(10))), 8, "0")),
-          encode(col("props"), "UTF-8")).as("value"))
-      graft.registry.Ingest.validateSchemaIds(wire, col("value"), 0 to 7)
-        .groupBy("route", "schema_id").agg(count(lit(1)).as("n"))
-        .orderBy("route", "schema_id")
-    }),
-
-    "p6_crc_validation" -> ((s, dir) => {
-      // Deterministically corrupt every 97th record's stored CRC; the
-      // engine recomputes and routes mismatches (kafka_batch_adapter.h:54-75).
-      val wire = events(s, dir)
-        .select(col("event_id"), encode(col("props"), "UTF-8").as("value"))
-        .withColumn("stored_crc",
-          crc32(col("value")) + when(pmod(col("event_id"), lit(97)) === 0, 1L).otherwise(0L))
-      graft.registry.Ingest.validateCrc(wire, col("value"), col("stored_crc"))
-        .groupBy("route").agg(count(lit(1)).as("n"))
-        .orderBy("route")
-    }),
-
-    "p6_batch_roundtrip" -> ((s, dir) => {
-      // §5 protocol-golden leg: the event log packed into Kafka
-      // record-batch v2 wire envelopes (61-byte big-endian header,
-      // zigzag-varint records, CRC32-C over the region below the crc
-      // field — kafka_batch_adapter.h:25-41, .cc:31-128), decoded back,
-      // and RE-encoded: bytes and fields must survive both directions
-      // and every CRC must verify. The oracle re-derives base_offset /
-      // record_count / batch_length / wire_bytes from the raw events —
-      // including every zigzag-varint length — and pins the round-trip
-      // invariants.
-      graft.functions.GraftFunctions.register(s)
-      val enc = p6WireBatches(s, dir).select(col("partition"), col("batch_no"),
-        col("records"),
-        call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
-      enc.withColumn("dec", call_function("kafka_batch_decode", col("wire")))
-        .withColumn("wire2", call_function("kafka_batch_encode", struct(
-          col("dec.base_offset"), col("dec.partition_leader_epoch"),
-          col("dec.attributes"), col("dec.first_timestamp"),
-          col("dec.max_timestamp"), col("dec.producer_id"),
-          col("dec.producer_epoch"), col("dec.base_sequence"),
-          col("dec.records"))))
-        .select(col("partition"), col("batch_no"),
-          col("dec.base_offset").as("base_offset"),
-          col("dec.record_count").as("record_count"),
-          col("dec.batch_length").as("batch_length"),
-          length(col("wire")).as("wire_bytes"),
-          col("dec.magic").as("magic"),
-          col("dec.crc_valid").as("crc_valid"),
-          (col("dec.last_offset_delta") === col("dec.record_count") - 1)
-            .as("dense_delta"),
-          (md5(col("wire")) === md5(col("wire2"))).as("bytes_match"),
-          (col("dec.records") === col("records")).as("fields_match"))
-        .orderBy("partition", "batch_no")
-    }),
-
-    "p6_batch_compressed" -> ((s, dir) => {
-      // Compressed wire envelopes (model/compression.h:36-48 numbering,
-      // storage/parser_utils.cc:50-66 body-only decompression): the
-      // same batches encoded under every codec — none/gzip/snappy
-      // (xerial framing)/lz4 (frame)/zstd — must decode to identical
-      // records with a valid CRC, carry the codec in attribute bits
-      // 0-2, and (for real codecs) shrink the total wire bytes.
-      // Two of eight partitions: the contract is per-batch, so a
-      // hundred-batch sample certifies it; the full-coverage byte
-      // round-trip is p6_batch_roundtrip's job.
-      graft.functions.GraftFunctions.register(s)
-      val names = Seq("0_none", "1_gzip", "2_snappy", "3_lz4", "4_zstd")
-      val wires = p6WireBatches(s, dir, maxPartitions = 2)
-        .select(col("partition"), col("records"),
-          explode(array((0 to 4).map(c => struct(
-            lit(names(c)).as("codec"), lit(c).as("codec_id"),
-            call_function("kafka_batch_encode", p6EncodeStruct, lit(c))
-              .as("wire"))): _*)).as("e"))
-        .select(col("partition"), col("records"), col("e.codec").as("codec"),
-          col("e.codec_id").as("codec_id"), col("e.wire").as("wire"))
-        .withColumn("dec", call_function("kafka_batch_decode", col("wire")))
-      val perCodec = wires.groupBy("codec", "codec_id")
-        .agg(count(lit(1)).cast("long").as("n_batches"),
-          bool_and(col("dec.crc_valid")).as("crc_ok"),
-          bool_and(col("dec.records") === col("records")).as("records_match"),
-          bool_and(pmod(col("dec.attributes"), lit(8)) === col("codec_id"))
-            .as("attr_ok"),
-          sum(length(col("wire")).cast("long")).as("wire_bytes"))
-      val plainBytes = perCodec.where(col("codec_id") === 0)
-        .select(col("wire_bytes").as("plain_bytes"))
-      perCodec.crossJoin(broadcast(plainBytes))
-        .select(col("codec"), col("n_batches"), col("crc_ok"),
-          col("records_match"), col("attr_ok"),
-          (col("wire_bytes") < col("plain_bytes")).as("smaller"))
-        .orderBy("codec")
-    }),
-
-    "p6_batch_normalize" -> ((s, dir) => {
-      // The storage-side decompress-normalize + threshold-gated
-      // recompress passes (storage/parser_utils.cc:50-66 decompress,
-      // clear bits FIRST, reset size+CRC; :68-86 compress only batches
-      // >= threshold, set bits BEFORE the reset). Pinned golden:
-      // normalize(encode(codec)) is BYTE-IDENTICAL to the plain
-      // encode; recompress at threshold 0 stamps every batch's
-      // attribute bits and still decodes to the same records;
-      // recompress at a never-reached threshold is a byte-identical
-      // pass-through.
-      graft.functions.GraftFunctions.register(s)
-      val names = Seq("1_gzip", "2_snappy", "3_lz4", "4_zstd")
-      p6WireBatches(s, dir, maxPartitions = 2)
-        .select(col("partition"), col("records"),
-          call_function("kafka_batch_encode", p6EncodeStruct).as("plain"),
-          explode(array((1 to 4).map(c => struct(
-            lit(names(c - 1)).as("codec"), lit(c).as("codec_id"),
-            call_function("kafka_batch_encode", p6EncodeStruct, lit(c))
-              .as("wire"))): _*)).as("e"))
-        .select(col("records"), col("plain"), col("e.codec").as("codec"),
-          col("e.codec_id").as("codec_id"), col("e.wire").as("wire"))
-        .withColumn("norm", call_function("kafka_batch_normalize", col("wire")))
-        .withColumn("rec_all", call_function("kafka_batch_recompress",
-          col("plain"), col("codec_id"), lit(0)))
-        .withColumn("rec_none", call_function("kafka_batch_recompress",
-          col("plain"), col("codec_id"), lit(Int.MaxValue)))
-        .withColumn("rec_dec", call_function("kafka_batch_decode", col("rec_all")))
-        .groupBy("codec")
-        .agg(count(lit(1)).cast("long").as("n_batches"),
-          bool_and(col("norm") === col("plain")).as("norm_eq_plain"),
-          bool_and(pmod(col("rec_dec.attributes"), lit(8)) === col("codec_id"))
-            .as("recompress_bits"),
-          bool_and(col("rec_dec.crc_valid") &&
-            col("rec_dec.records") === col("records")).as("recompress_records"),
-          bool_and(col("rec_none") === col("plain")).as("passthrough"))
-        .orderBy("codec")
-    }),
-
-    "p6_wire_versions" -> ((s, dir) => {
-      // The big-five version MATRIX (handlers.h:71-112 ranges; per-field
-      // gates from the schemata): a fixed fixture request per family is
-      // encoded at EVERY declared version, decoded back from the bytes,
-      // and summarized — req_bytes pins each version's exact layout and
-      // the detail pins which fields exist (absent ones surface as the
-      // schema defaults, exactly what the handler would see from an old
-      // client). Produce 0-8, Fetch 0-11, ListOffsets 0-5, OffsetCommit
-      // 0-8 (flexible 8+), JoinGroup 0-6 (flexible 6+).
-      import s.implicits._
-      import graft.functions.{WireHeaders => WH, WireVersions => WV}
-      val recs = Array.tabulate(120)(_.toByte)
-      val produceReq = WH.Produce.Request(Some("txn-1"), -1, 30000,
-        Seq(("events", Seq((0, Some(recs)), (1, None)))))
-      val fetchReq = WV.FetchV.Request(-1, 500, 1, 52428800, 1, 77, 3,
-        Seq(("events", Seq(WV.FetchV.Part(0, 5, 42L, 7L, 1048576),
-          WV.FetchV.Part(1, 5, 100L, 7L, 1048576)))),
-        Seq(("stale", Seq(0, 1))), "rack-1")
-      val listReq = WV.ListOffsetsV.Request(-1, 1, Seq(("events", Seq(
-        WV.ListOffsetsV.Part(0, 5, -1L, 1), WV.ListOffsetsV.Part(1, 5, -2L, 1)))))
-      val commitReq = WV.OffsetCommitV.Request("cg", 7, "m-1", Some("inst-1"),
-        86400000L, Seq(("events", Seq(
-          WV.OffsetCommitV.Part(0, 42L, 5, 1700000000000L, Some("m")),
-          WV.OffsetCommitV.Part(1, 43L, 5, 1700000000000L, None)))))
-      val joinReq = WH.JoinGroup.Request("cg", 30000, 60000, "",
-        Some("inst-1"), "consumer",
-        Seq(WH.JoinGroup.Protocol("range", Array.tabulate(10)(_.toByte)),
-          WH.JoinGroup.Protocol("sticky", Array.tabulate(6)(_.toByte))))
-      val rows =
-        WV.ProduceV.ValidVersions.map { v =>
-          val bytes = WV.ProduceV.encode(v, produceReq)
-          val r = WV.ProduceV.decode(v, bytes)
-          ("produce", v, bytes.length,
-            s"tid=${r.transactionalId.getOrElse("")}|recs=${
-              r.topics.head._2.head._2.get.length}")
-        } ++ WV.FetchV.ValidVersions.map { v =>
-          val bytes = WV.FetchV.encode(v, fetchReq)
-          val r = WV.FetchV.decode(v, bytes)
-          val p0 = r.topics.head._2.head
-          ("fetch", v, bytes.length,
-            s"max=${r.maxBytes}|iso=${r.isolationLevel}|session=${r.sessionId}:${
-              r.sessionEpoch}|epoch=${p0.currentLeaderEpoch}|lso=${
-              p0.logStartOffset}|forgot=${r.forgotten.size}|rack=${r.rackId}")
-        } ++ WV.ListOffsetsV.ValidVersions.map { v =>
-          val bytes = WV.ListOffsetsV.encode(v, listReq)
-          val r = WV.ListOffsetsV.decode(v, bytes)
-          val p0 = r.topics.head._2.head
-          ("list_offsets", v, bytes.length,
-            s"iso=${r.isolationLevel}|epoch=${p0.currentLeaderEpoch}|maxnum=${
-              p0.maxNumOffsets}")
-        } ++ WV.OffsetCommitV.ValidVersions.map { v =>
-          val bytes = WV.OffsetCommitV.encode(v, commitReq)
-          val r = WV.OffsetCommitV.decode(v, bytes)
-          val p0 = r.topics.head._2.head
-          ("offset_commit", v, bytes.length,
-            s"gen=${r.generationId}|member=${r.memberId}|inst=${
-              r.groupInstanceId.getOrElse("")}|ret=${r.retentionTimeMs}|epoch=${
-              p0.committedLeaderEpoch}|ts=${p0.commitTimestamp}")
-        } ++ WV.JoinGroupV.ValidVersions.map { v =>
-          val bytes = WV.JoinGroupV.encode(v, joinReq)
-          val r = WV.JoinGroupV.decode(v, bytes)
-          ("join_group", v, bytes.length,
-            s"rebalance=${r.rebalanceTimeoutMs}|inst=${
-              r.groupInstanceId.getOrElse("")}|protos=${r.protocols.size}")
-        } ++ {
-          // RESPONSE side of the matrix, same discipline
-          val pResp = WH.Produce.Response(Seq(("events", Seq(
-            WH.Produce.RespPart(0, 0, 42L, 1700000000000L, 7L,
-              Seq((2, Some("bad"))), Some("oops"))))), 5)
-          val fResp = WV.FetchRespV.Response(5, 0, 77, Seq(("events", Seq(
-            WV.FetchRespV.Part(0, 0, 100L, 90L, 3L, Some(Seq((9L, 50L))), 2,
-              Some(Array.tabulate(64)(_.toByte)))))))
-          val lResp = WV.ListOffsetsRespV.Response(5, Seq(("events", Seq(
-            WV.ListOffsetsRespV.Part(0, 0, Seq(10L, 20L), 1700000000000L, 42L, 3)))))
-          val cResp = WV.OffsetCommitRespV.Response(5,
-            Seq(("events", Seq((0, 0.toShort), (1, 16.toShort)))))
-          val jResp = WH.JoinGroup.Response(5, 0, 3, "range", "m-1", "m-2",
-            Seq(WH.JoinGroup.Member("m-1", Some("inst-1"),
-              Array.tabulate(8)(_.toByte))))
-          WV.ProduceRespV.ValidVersions.map { v =>
-            val bytes = WV.ProduceRespV.encode(v, pResp)
-            val r = WV.ProduceRespV.decode(v, bytes)
-            val p = r.responses.head._2.head
-            ("produce_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|lat=${p.logAppendTimeMs}|lso=${
-                p.logStartOffset}|recerrs=${p.recordErrors.size}|msg=${
-                p.errorMessage.getOrElse("")}")
-          } ++ WV.FetchRespV.ValidVersions.map { v =>
-            val bytes = WV.FetchRespV.encode(v, fResp)
-            val r = WV.FetchRespV.decode(v, bytes)
-            val p = r.topics.head._2.head
-            ("fetch_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|session=${r.sessionId}|lso=${
-                p.lastStableOffset}|logstart=${p.logStartOffset}|aborted=${
-                p.aborted.map(_.size).getOrElse(-1)}|replica=${
-                p.preferredReadReplica}|recs=${p.records.get.length}")
-          } ++ WV.ListOffsetsRespV.ValidVersions.map { v =>
-            val bytes = WV.ListOffsetsRespV.encode(v, lResp)
-            val r = WV.ListOffsetsRespV.decode(v, bytes)
-            val p = r.topics.head._2.head
-            ("list_offsets_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|old=${p.oldStyleOffsets.size}|off=${
-                p.offset}|epoch=${p.leaderEpoch}")
-          } ++ WV.OffsetCommitRespV.ValidVersions.map { v =>
-            val bytes = WV.OffsetCommitRespV.encode(v, cResp)
-            val r = WV.OffsetCommitRespV.decode(v, bytes)
-            ("offset_commit_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|errs=${
-                r.topics.head._2.map(_._2).mkString(",")}")
-          } ++ WV.JoinGroupRespV.ValidVersions.map { v =>
-            val bytes = WV.JoinGroupRespV.encode(v, jResp)
-            val r = WV.JoinGroupRespV.decode(v, bytes)
-            ("join_group_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|gen=${r.generationId}|proto=${
-                r.protocolName}|inst=${
-                r.members.head.groupInstanceId.getOrElse("")}")
-          } ++ {
-            val mReq = WV.MetadataV.Request(Some(Seq("events", "audit")),
-              allowAutoTopicCreation = false,
-              includeClusterAuthorizedOperations = true,
-              includeTopicAuthorizedOperations = true)
-            val mResp = WV.MetadataRespV.Response(5,
-              Seq((0, "host-a", 9092, Some("r0")), (1, "host-b", 9092, None)),
-              Some("cluster-1"), 0,
-              Seq(WV.MetadataRespV.Topic(0, "events", isInternal = false,
-                Seq(WV.MetadataRespV.Part(0, 0, 0, 3, Seq(0, 1), Seq(0, 1),
-                  Seq(2))), authorizedOps = 1020)),
-              clusterAuthorizedOps = 2044)
-            WV.MetadataV.ValidVersions.map { v =>
-              val bytes = WV.MetadataV.encode(v, mReq)
-              val r = WV.MetadataV.decode(v, bytes)
-              ("metadata", v, bytes.length,
-                s"topics=${r.topics.map(_.size).getOrElse(-1)}|auto=${
-                  r.allowAutoTopicCreation}|ops=${
-                  r.includeClusterAuthorizedOperations}")
-            } ++ WV.MetadataRespV.ValidVersions.map { v =>
-              val bytes = WV.MetadataRespV.encode(v, mResp)
-              val r = WV.MetadataRespV.decode(v, bytes)
-              val p = r.topics.head.partitions.head
-              ("metadata_resp", v, bytes.length,
-                s"throttle=${r.throttleMs}|rack=${
-                  r.brokers.head._4.getOrElse("")}|cluster=${
-                  r.clusterId.getOrElse("")}|epoch=${p.leaderEpoch}|offline=${
-                  p.offline.size}|ops=${r.clusterAuthorizedOps}")
-            }
-          }
-        } ++ {
-          // Tier-2 keys (the next most-used handler ranges): OffsetFetch
-          // 0-8 (flexible 6+, KIP-709 batching at 8), FindCoordinator
-          // 0-4 (flexible 3+, KIP-699 batching at 4), SyncGroup 0-5,
-          // Heartbeat 0-4, LeaveGroup 0-5 (all flexible 4+), ApiVersions
-          // request 0-3 (KIP-511 at 3) — requests AND responses.
-          val ofReq = WV.OffsetFetchV.Request(
-            Seq(WV.OffsetFetchV.Group("cg", Some(Seq(("events", Seq(0, 1)))))),
-            requireStable = true)
-          val ofResp = WV.OffsetFetchRespV.Response(5,
-            Seq(WV.OffsetFetchRespV.Group("cg", Seq(("events", Seq(
-              WV.OffsetFetchRespV.Part(0, 42L, 3, Some("m"), 0)))), 0)))
-          val fcReq = WV.FindCoordinatorV.Request(1, Seq("cg"))
-          val fcResp = WV.FindCoordinatorRespV.Response(5, Seq(
-            WV.FindCoordinatorRespV.Coord("cg", 2, "host-a", 9092, 0, Some("ok"))))
-          val sgReq = WV.SyncGroupV.Request("cg", 7, "m-1", Some("inst-1"),
-            Some("consumer"), Some("range"),
-            Seq(("m-1", Array.tabulate(8)(_.toByte))))
-          val sgResp = WV.SyncGroupRespV.Response(5, 0, Some("consumer"),
-            Some("range"), Array.tabulate(8)(_.toByte))
-          val hbReq = WV.HeartbeatV.Request("cg", 7, "m-1", Some("inst-1"))
-          val lgReq = WV.LeaveGroupV.Request("cg", Seq(
-            WV.LeaveGroupV.Member("m-1", Some("inst-1"), Some("bye"))))
-          val lgResp = WV.LeaveGroupRespV.Response(5, 0, Seq(
-            WV.LeaveGroupRespV.MemberResp("m-1", Some("inst-1"), 0)))
-          val avReq = WV.ApiVersionsReqV.Request("rpk", "v25.1")
-          WV.OffsetFetchV.ValidVersions.map { v =>
-            val bytes = WV.OffsetFetchV.encode(v, ofReq)
-            val r = WV.OffsetFetchV.decode(v, bytes)
-            ("offset_fetch", v, bytes.length,
-              s"stable=${r.requireStable}|groups=${r.groups.size}|parts=${
-                r.groups.head.topics.map(_.head._2.size).getOrElse(-1)}")
-          } ++ WV.OffsetFetchRespV.ValidVersions.map { v =>
-            val bytes = WV.OffsetFetchRespV.encode(v, ofResp)
-            val r = WV.OffsetFetchRespV.decode(v, bytes)
-            val p = r.groups.head.topics.head._2.head
-            ("offset_fetch_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|epoch=${p.committedLeaderEpoch}|gid=${
-                r.groups.head.groupId}")
-          } ++ WV.FindCoordinatorV.ValidVersions.map { v =>
-            val bytes = WV.FindCoordinatorV.encode(v, fcReq)
-            val r = WV.FindCoordinatorV.decode(v, bytes)
-            ("find_coordinator", v, bytes.length,
-              s"type=${r.keyType}|keys=${r.keys.mkString("+")}")
-          } ++ WV.FindCoordinatorRespV.ValidVersions.map { v =>
-            val bytes = WV.FindCoordinatorRespV.encode(v, fcResp)
-            val r = WV.FindCoordinatorRespV.decode(v, bytes)
-            val c = r.coordinators.head
-            ("find_coordinator_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|key=${c.key}|node=${c.nodeId}|msg=${
-                c.errorMessage.getOrElse("")}")
-          } ++ WV.SyncGroupV.ValidVersions.map { v =>
-            val bytes = WV.SyncGroupV.encode(v, sgReq)
-            val r = WV.SyncGroupV.decode(v, bytes)
-            ("sync_group", v, bytes.length,
-              s"inst=${r.groupInstanceId.getOrElse("")}|proto=${
-                r.protocolName.getOrElse("")}|assigns=${r.assignments.size}")
-          } ++ WV.SyncGroupRespV.ValidVersions.map { v =>
-            val bytes = WV.SyncGroupRespV.encode(v, sgResp)
-            val r = WV.SyncGroupRespV.decode(v, bytes)
-            ("sync_group_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|proto=${
-                r.protocolName.getOrElse("")}|asg=${r.assignment.length}")
-          } ++ WV.HeartbeatV.ValidVersions.map { v =>
-            val bytes = WV.HeartbeatV.encode(v, hbReq)
-            val r = WV.HeartbeatV.decode(v, bytes)
-            ("heartbeat", v, bytes.length,
-              s"gen=${r.generationId}|inst=${r.groupInstanceId.getOrElse("")}")
-          } ++ WV.LeaveGroupV.ValidVersions.map { v =>
-            val bytes = WV.LeaveGroupV.encode(v, lgReq)
-            val r = WV.LeaveGroupV.decode(v, bytes)
-            val mem = r.members.head
-            ("leave_group", v, bytes.length,
-              s"inst=${mem.groupInstanceId.getOrElse("")}|reason=${
-                mem.reason.getOrElse("")}|members=${r.members.size}")
-          } ++ WV.LeaveGroupRespV.ValidVersions.map { v =>
-            val bytes = WV.LeaveGroupRespV.encode(v, lgResp)
-            val r = WV.LeaveGroupRespV.decode(v, bytes)
-            ("leave_group_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|members=${r.members.size}")
-          } ++ WV.ApiVersionsReqV.ValidVersions.map { v =>
-            val bytes = WV.ApiVersionsReqV.encode(v, avReq)
-            val r = WV.ApiVersionsReqV.decode(v, bytes)
-            ("api_versions", v, bytes.length,
-              s"name=${r.clientSoftwareName}|ver=${r.clientSoftwareVersion}")
-          }
-        } ++ {
-          // Tier-3: the TRANSACTION family full ranges (InitProducerId
-          // 0-5 KIP-360 at 3, AddPartitionsToTxn 0-5 KIP-890 batched
-          // at 4, AddOffsetsToTxn/EndTxn/TxnOffsetCommit 0-4 KIP-447
-          // at 3) + DeleteRecords 0-2 + SASL Handshake 0-1 /
-          // Authenticate 0-2 — requests AND responses.
-          val ipReq = WH.InitProducerId.Request(Some("txn-1"), 60000, 9L, 1)
-          val ipResp = WH.InitProducerId.Response(5, 0, 9L, 1)
-          val apTxn = WV.AddPartitionsToTxnV.Txn("txn-1", 9L, 1,
-            verifyOnly = true, Seq(("events", Seq(0, 1))))
-          val apReq = WV.AddPartitionsToTxnV.Request(Seq(apTxn))
-          val apResp = WV.AddPartitionsToTxnV.Response(5, 0, Seq(
-            WV.AddPartitionsToTxnV.RespTxn("txn-1",
-              Seq(("events", Seq((0, 0.toShort), (1, 16.toShort)))))))
-          val aoReq = WH.AddOffsetsToTxn.Request("txn-1", 9L, 1, "cg")
-          val etReq = WH.EndTxn.Request("txn-1", 9L, 1, committed = true)
-          val etResp = WH.EndTxn.Response(5, 0)
-          val tocReq = WV.TxnOffsetCommitV.Request("txn-1", "cg", 9L, 1, 7,
-            "m-1", Some("inst-1"), Seq(("events",
-              Seq(WV.TxnOffsetCommitV.Part(0, 42L, 5, Some("m"))))))
-          val tocResp = WV.TxnOffsetCommitV.Response(5,
-            Seq(("events", Seq((0, 0.toShort)))))
-          val drReq = WV.DeleteRecordsV.Request(
-            Seq(("events", Seq((0, 42L), (1, 7L)))), 30000)
-          val drResp = WV.DeleteRecordsV.Response(5,
-            Seq(("events", Seq((0, 10L, 0.toShort)))))
-          val saResp = WV.SaslAuthenticateV.Response(0, Some("ok"),
-            Array.tabulate(8)(_.toByte), 3600000L)
-          WV.InitProducerIdV.ValidVersions.map { v =>
-            val bytes = WV.InitProducerIdV.encode(v, ipReq)
-            val r = WV.InitProducerIdV.decode(v, bytes)
-            ("init_producer_id", v, bytes.length,
-              s"tid=${r.transactionalId.getOrElse("")}|pid=${r.producerId}" +
-                s"|epoch=${r.producerEpoch}")
-          } ++ WV.InitProducerIdV.ValidVersions.map { v =>
-            val bytes = WV.InitProducerIdV.encodeResp(v, ipResp)
-            val r = WV.InitProducerIdV.decodeResp(v, bytes)
-            ("init_producer_id_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|pid=${r.producerId}")
-          } ++ WV.AddPartitionsToTxnV.ValidVersions.map { v =>
-            val bytes = WV.AddPartitionsToTxnV.encode(v, apReq)
-            val r = WV.AddPartitionsToTxnV.decode(v, bytes)
-            val t = r.transactions.head
-            ("add_partitions_txn", v, bytes.length,
-              s"tid=${t.transactionalId}|verify=${t.verifyOnly}|parts=${
-                t.topics.head._2.size}")
-          } ++ WV.AddPartitionsToTxnV.ValidVersions.map { v =>
-            val bytes = WV.AddPartitionsToTxnV.encodeResp(v, apResp)
-            val r = WV.AddPartitionsToTxnV.decodeResp(v, bytes)
-            ("add_partitions_txn_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|tid=${
-                r.transactions.head.transactionalId}|errs=${
-                r.transactions.head.results.head._2.map(_._2).mkString(",")}")
-          } ++ WV.AddOffsetsToTxnV.ValidVersions.map { v =>
-            val bytes = WV.AddOffsetsToTxnV.encode(v, aoReq)
-            val r = WV.AddOffsetsToTxnV.decode(v, bytes)
-            ("add_offsets_txn", v, bytes.length,
-              s"tid=${r.transactionalId}|group=${r.groupId}")
-          } ++ WV.EndTxnV.ValidVersions.map { v =>
-            val bytes = WV.EndTxnV.encode(v, etReq)
-            val r = WV.EndTxnV.decode(v, bytes)
-            ("end_txn", v, bytes.length,
-              s"tid=${r.transactionalId}|committed=${r.committed}")
-          } ++ WV.EndTxnV.ValidVersions.map { v =>
-            val bytes = WV.EndTxnV.encodeResp(v, etResp)
-            val r = WV.EndTxnV.decodeResp(v, bytes)
-            ("end_txn_resp", v, bytes.length, s"throttle=${r.throttleMs}")
-          } ++ WV.TxnOffsetCommitV.ValidVersions.map { v =>
-            val bytes = WV.TxnOffsetCommitV.encode(v, tocReq)
-            val r = WV.TxnOffsetCommitV.decode(v, bytes)
-            val p = r.topics.head._2.head
-            ("txn_offset_commit", v, bytes.length,
-              s"gen=${r.generationId}|member=${r.memberId}|inst=${
-                r.groupInstanceId.getOrElse("")}|epoch=${p.leaderEpoch}")
-          } ++ WV.TxnOffsetCommitV.ValidVersions.map { v =>
-            val bytes = WV.TxnOffsetCommitV.encodeResp(v, tocResp)
-            val r = WV.TxnOffsetCommitV.decodeResp(v, bytes)
-            ("txn_offset_commit_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|errs=${
-                r.topics.head._2.map(_._2).mkString(",")}")
-          } ++ WV.DeleteRecordsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteRecordsV.encode(v, drReq)
-            val r = WV.DeleteRecordsV.decode(v, bytes)
-            ("delete_records", v, bytes.length,
-              s"timeout=${r.timeoutMs}|parts=${r.topics.head._2.size}")
-          } ++ WV.DeleteRecordsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteRecordsV.encodeResp(v, drResp)
-            val r = WV.DeleteRecordsV.decodeResp(v, bytes)
-            ("delete_records_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|lwm=${r.topics.head._2.head._2}")
-          } ++ WV.SaslHandshakeV.ValidVersions.map { v =>
-            val bytes = WV.SaslHandshakeV.encode(v, "SCRAM-SHA-256")
-            ("sasl_handshake", v, bytes.length,
-              s"mech=${WV.SaslHandshakeV.decode(v, bytes)}")
-          } ++ WV.SaslHandshakeV.ValidVersions.map { v =>
-            val bytes = WV.SaslHandshakeV.encodeResp(v, 0,
-              Seq("PLAIN", "SCRAM-SHA-256"))
-            val (ec, ms) = WV.SaslHandshakeV.decodeResp(v, bytes)
-            ("sasl_handshake_resp", v, bytes.length, s"err=$ec|mechs=${ms.size}")
-          } ++ WV.SaslAuthenticateV.ValidVersions.map { v =>
-            val auth = Array.tabulate(16)(_.toByte)
-            val bytes = WV.SaslAuthenticateV.encode(v, auth)
-            ("sasl_authenticate", v, bytes.length,
-              s"auth=${WV.SaslAuthenticateV.decode(v, bytes).length}")
-          } ++ WV.SaslAuthenticateV.ValidVersions.map { v =>
-            val bytes = WV.SaslAuthenticateV.encodeResp(v, saResp)
-            val r = WV.SaslAuthenticateV.decodeResp(v, bytes)
-            ("sasl_authenticate_resp", v, bytes.length,
-              s"msg=${r.errorMessage.getOrElse("")}|lifetime=${r.sessionLifetimeMs}")
-          }
-        } ++ {
-          // Tier-4: topic lifecycle + group admin full ranges
-          // (CreateTopics 0-7 topic_id at 7 / config report at 5,
-          // DeleteTopics 0-6 KIP-516 states at 6, CreatePartitions 0-3,
-          // DescribeGroups 0-5, ListGroups 0-4 states filter at 4,
-          // DeleteGroups 0-2) — requests AND responses.
-          val uuid = Array.tabulate(16)(_.toByte)
-          val ctReq = WH.CreateTopics.Request(Seq(
-            WH.CreateTopics.ReqTopic("events", 8, 3,
-              Seq(("retention.ms", Some("604800000"))))), 30000,
-            validateOnly = true)
-          val ctResp = WH.CreateTopics.Response(5, Seq(
-            WH.CreateTopics.RespTopic("events", uuid, 0, Some("ok"), 7,
-              8, 3, Some(Seq(("retention.ms", Some("604800000")))))))
-          val dtReq = WH.DeleteTopics.Request(Seq(
-            WH.DeleteTopics.ReqTopic(Some("events"), uuid)), 30000)
-          val dtResp = WH.DeleteTopics.Response(5, Seq(
-            WH.DeleteTopics.Result(Some("events"), uuid, 0, Some("gone"))))
-          val cpReq = WH.CreatePartitions.Request(Seq(
-            WH.CreatePartitions.ReqTopic("events", 16, Some(Seq(Seq(0, 1))))),
-            30000, validateOnly = false)
-          val cpResp = WH.CreatePartitions.Response(5, Seq(
-            WH.CreatePartitions.Result("events", 0, None)))
-          val dgReq = WH.DescribeGroups.Request(Seq("cg"),
-            includeAuthorizedOperations = true)
-          val dgResp = WH.DescribeGroups.Response(5, Seq(
-            WH.DescribeGroups.Group(0, "cg", "Stable", "consumer", "range",
-              Seq(WH.DescribeGroups.Member("m-1", Some("inst-1"), "cli",
-                "host-a", Array.tabulate(8)(_.toByte),
-                Array.tabulate(4)(_.toByte))), 1020)))
-          val lgReq2 = WH.ListGroups.Request(Seq("Stable"))
-          val lgResp2 = WH.ListGroups.Response(5, 0, Seq(
-            WH.ListGroups.Group("cg", "consumer", "Stable")))
-          WV.CreateTopicsV.ValidVersions.map { v =>
-            val bytes = WV.CreateTopicsV.encode(v, ctReq)
-            val r = WV.CreateTopicsV.decode(v, bytes)
-            ("create_topics", v, bytes.length,
-              s"name=${r.topics.head.name}|cfgs=${r.topics.head.configs.size}" +
-                s"|validate=${r.validateOnly}")
-          } ++ WV.CreateTopicsV.ValidVersions.map { v =>
-            val bytes = WV.CreateTopicsV.encodeResp(v, ctResp)
-            val r = WV.CreateTopicsV.decodeResp(v, bytes)
-            val t = r.topics.head
-            ("create_topics_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|msg=${t.errorMessage.getOrElse("")}" +
-                s"|np=${t.numPartitions}|cfgerr=${t.topicConfigErrorCode}" +
-                s"|uuid=${t.topicId.exists(_ != 0)}")
-          } ++ WV.DeleteTopicsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteTopicsV.encode(v, dtReq)
-            val r = WV.DeleteTopicsV.decode(v, bytes)
-            ("delete_topics", v, bytes.length,
-              s"name=${r.topics.head.name.getOrElse("")}|uuid=${
-                r.topics.head.topicId.exists(_ != 0)}")
-          } ++ WV.DeleteTopicsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteTopicsV.encodeResp(v, dtResp)
-            val r = WV.DeleteTopicsV.decodeResp(v, bytes)
-            ("delete_topics_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|msg=${
-                r.responses.head.errorMessage.getOrElse("")}")
-          } ++ WV.CreatePartitionsV.ValidVersions.map { v =>
-            val bytes = WV.CreatePartitionsV.encode(v, cpReq)
-            val r = WV.CreatePartitionsV.decode(v, bytes)
-            ("create_partitions", v, bytes.length,
-              s"count=${r.topics.head.count}|assigns=${
-                r.topics.head.assignments.map(_.size).getOrElse(-1)}")
-          } ++ WV.CreatePartitionsV.ValidVersions.map { v =>
-            val bytes = WV.CreatePartitionsV.encodeResp(v, cpResp)
-            val r = WV.CreatePartitionsV.decodeResp(v, bytes)
-            ("create_partitions_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|err=${r.results.head.errorCode}")
-          } ++ WV.DescribeGroupsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeGroupsV.encode(v, dgReq)
-            val r = WV.DescribeGroupsV.decode(v, bytes)
-            ("describe_groups", v, bytes.length,
-              s"groups=${r.groups.mkString(",")}|ops=${
-                r.includeAuthorizedOperations}")
-          } ++ WV.DescribeGroupsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeGroupsV.encodeResp(v, dgResp)
-            val r = WV.DescribeGroupsV.decodeResp(v, bytes)
-            val g = r.groups.head
-            ("describe_groups_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|inst=${
-                g.members.head.groupInstanceId.getOrElse("")}|ops=${
-                g.authorizedOperations}")
-          } ++ WV.ListGroupsV.ValidVersions.map { v =>
-            val bytes = WV.ListGroupsV.encode(v, lgReq2)
-            val r = WV.ListGroupsV.decode(v, bytes)
-            ("list_groups", v, bytes.length,
-              s"states=${r.statesFilter.mkString(",")}")
-          } ++ WV.ListGroupsV.ValidVersions.map { v =>
-            val bytes = WV.ListGroupsV.encodeResp(v, lgResp2)
-            val r = WV.ListGroupsV.decodeResp(v, bytes)
-            ("list_groups_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|state=${r.groups.head.groupState}")
-          } ++ WV.DeleteGroupsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteGroupsV.encode(v, Seq("cg1", "cg2"))
-            val r = WV.DeleteGroupsV.decode(v, bytes)
-            ("delete_groups", v, bytes.length, s"groups=${r.mkString(",")}")
-          } ++ WV.DeleteGroupsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteGroupsV.encodeResp(v, 5,
-              Seq(("cg1", 0.toShort), ("cg2", 16.toShort)))
-            val (throttle, rs) = WV.DeleteGroupsV.decodeResp(v, bytes)
-            ("delete_groups_resp", v, bytes.length,
-              s"throttle=$throttle|errs=${rs.map(_._2).mkString(",")}")
-          }
-        } ++ {
-          // Tier-5: configs + ACLs + leader-epoch full ranges
-          // (OffsetForLeaderEpoch 0-4, DescribeConfigs 0-4, AlterConfigs
-          // 0-2, IncrementalAlterConfigs 0-1, ACL trio 0-3).
-          val oleReq = WH.OffsetForLeaderEpoch.Request(-2, Seq(("events",
-            Seq(WH.OffsetForLeaderEpoch.ReqPartition(0, 5, 3)))))
-          val oleResp = WH.OffsetForLeaderEpoch.Response(5, Seq(("events",
-            Seq(WH.OffsetForLeaderEpoch.RespPartition(0, 0, 5, 42L)))))
-          val dcReq = WH.DescribeConfigs.Request(Seq(
-            WH.DescribeConfigs.ReqResource(2, "events",
-              Some(Seq("retention.ms")))), includeSynonyms = true,
-            includeDocumentation = true)
-          val dcResp = WH.DescribeConfigs.Response(5, Seq(
-            WH.DescribeConfigs.Result(0, None, 2, "events", Seq(
-              WH.DescribeConfigs.Config("retention.ms", Some("604800000"),
-                readOnly = false, configSource = 5, isSensitive = false,
-                configType = 5, Some("docs"))))))
-          val acReq = WH.AlterConfigs.Request(Seq(
-            WH.AlterConfigs.ReqResource(2, "events",
-              Seq(("retention.ms", Some("604800000"))))), validateOnly = true)
-          val acResp = WH.AlterConfigs.Response(5, Seq(
-            WH.AlterConfigs.RespResource(0, None, 2, "events")))
-          val iaReq = WH.IncrementalAlterConfigs.Request(Seq(
-            WH.IncrementalAlterConfigs.ReqResource(2, "events", Seq(
-              WH.IncrementalAlterConfigs.ReqConfig("retention.ms", 0,
-                Some("604800000"))))), validateOnly = false)
-          val daReq = WH.DescribeAcls.Request(2, Some("events"), 3,
-            Some("User:alice"), None, 3, 3)
-          val daResp = WH.DescribeAcls.Response(5, 0, None, Seq(
-            WH.DescribeAcls.Resource(2, "events", 3, Seq(
-              WH.DescribeAcls.RespAcl("User:alice", "*", 3, 3)))))
-          val caReq = WH.CreateAcls.Request(Seq(
-            WH.CreateAcls.Acl(2, "events", 3, "User:alice", "*", 3, 3)))
-          val caResp = WH.CreateAcls.Response(5, Seq((0.toShort, None)))
-          val delReq = WH.DeleteAcls.Request(Seq(
-            WH.DeleteAcls.Filter(2, Some("events"), 3, None, None, 3, 3)))
-          val delResp = WH.DeleteAcls.Response(5, Seq(
-            WH.DeleteAcls.FilterResult(0, None, Seq(
-              WH.DeleteAcls.MatchingAcl(0, None, 2, "events", 3,
-                "User:alice", "*", 3, 3)))))
-          WV.OffsetForLeaderEpochV.ValidVersions.map { v =>
-            val bytes = WV.OffsetForLeaderEpochV.encode(v, oleReq)
-            val r = WV.OffsetForLeaderEpochV.decode(v, bytes)
-            val p = r.topics.head._2.head
-            ("offset_for_leader_epoch", v, bytes.length,
-              s"cur=${p.currentLeaderEpoch}|epoch=${p.leaderEpoch}")
-          } ++ WV.OffsetForLeaderEpochV.ValidVersions.map { v =>
-            val bytes = WV.OffsetForLeaderEpochV.encodeResp(v, oleResp)
-            val r = WV.OffsetForLeaderEpochV.decodeResp(v, bytes)
-            val p = r.topics.head._2.head
-            ("offset_for_leader_epoch_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|epoch=${p.leaderEpoch}|end=${p.endOffset}")
-          } ++ WV.DescribeConfigsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeConfigsV.encode(v, dcReq)
-            val r = WV.DescribeConfigsV.decode(v, bytes)
-            ("describe_configs", v, bytes.length,
-              s"syn=${r.includeSynonyms}|doc=${r.includeDocumentation}")
-          } ++ WV.DescribeConfigsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeConfigsV.encodeResp(v, dcResp)
-            val r = WV.DescribeConfigsV.decodeResp(v, bytes)
-            val c = r.results.head.configs.head
-            ("describe_configs_resp", v, bytes.length,
-              s"src=${c.configSource}|type=${c.configType}|doc=${
-                c.documentation.getOrElse("")}")
-          } ++ WV.AlterConfigsV.ValidVersions.map { v =>
-            val bytes = WV.AlterConfigsV.encode(v, acReq)
-            val r = WV.AlterConfigsV.decode(v, bytes)
-            ("alter_configs", v, bytes.length,
-              s"n=${r.resources.head.configs.size}|validate=${r.validateOnly}")
-          } ++ WV.AlterConfigsV.ValidVersions.map { v =>
-            val bytes = WV.AlterConfigsV.encodeResp(v, acResp)
-            val r = WV.AlterConfigsV.decodeResp(v, bytes)
-            ("alter_configs_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|err=${r.responses.head.errorCode}")
-          } ++ WV.IncrementalAlterConfigsV.ValidVersions.map { v =>
-            val bytes = WV.IncrementalAlterConfigsV.encode(v, iaReq)
-            val r = WV.IncrementalAlterConfigsV.decode(v, bytes)
-            ("incremental_alter_configs", v, bytes.length,
-              s"op=${WH.IncrementalAlterConfigs.OpNames(
-                r.resources.head.configs.head.configOperation)}|validate=${
-                r.validateOnly}")
-          } ++ WV.DescribeAclsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeAclsV.encode(v, daReq)
-            val r = WV.DescribeAclsV.decode(v, bytes)
-            ("describe_acls", v, bytes.length,
-              s"pt=${r.patternTypeFilter}|principal=${
-                r.principalFilter.getOrElse("")}")
-          } ++ WV.DescribeAclsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeAclsV.encodeResp(v, daResp)
-            val r = WV.DescribeAclsV.decodeResp(v, bytes)
-            ("describe_acls_resp", v, bytes.length,
-              s"acls=${r.resources.head.acls.size}|pt=${
-                r.resources.head.patternType}")
-          } ++ WV.CreateAclsV.ValidVersions.map { v =>
-            val bytes = WV.CreateAclsV.encode(v, caReq)
-            val r = WV.CreateAclsV.decode(v, bytes)
-            ("create_acls", v, bytes.length,
-              s"n=${r.creations.size}|pt=${r.creations.head.patternType}")
-          } ++ WV.CreateAclsV.ValidVersions.map { v =>
-            val bytes = WV.CreateAclsV.encodeResp(v, caResp)
-            val r = WV.CreateAclsV.decodeResp(v, bytes)
-            ("create_acls_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|errs=${r.results.map(_._1).mkString(",")}")
-          } ++ WV.DeleteAclsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteAclsV.encode(v, delReq)
-            val r = WV.DeleteAclsV.decode(v, bytes)
-            ("delete_acls", v, bytes.length,
-              s"filters=${r.filters.size}|pt=${r.filters.head.patternTypeFilter}")
-          } ++ WV.DeleteAclsV.ValidVersions.map { v =>
-            val bytes = WV.DeleteAclsV.encodeResp(v, delResp)
-            val r = WV.DeleteAclsV.decodeResp(v, bytes)
-            ("delete_acls_resp", v, bytes.length,
-              s"matches=${r.results.head.matchingAcls.size}|principal=${
-                r.results.head.matchingAcls.head.principal}")
-          }
-        } ++ {
-          // Tier-6 (the last multi-version keys): DescribeLogDirs 0-4,
-          // DescribeClientQuotas / AlterClientQuotas 0-1.
-          val ldReq = WH.DescribeLogDirs.Request(Some(Seq(("events", Seq(0, 1)))))
-          val ldResp = WH.DescribeLogDirs.Response(5, 0, Seq(
-            WH.DescribeLogDirs.DirResult(0, "/var/lib/d0", Seq(("events",
-              Seq(WH.DescribeLogDirs.Partition(0, 4096L, 10L,
-                isFutureKey = false)))), 1000000L, 900000L)))
-          val qdReq = WH.ClientQuotas.DescribeRequest(Seq(
-            WH.ClientQuotas.DescribeComponent("client-id", 0, Some("cli"))),
-            strict = true)
-          val qdResp = WH.ClientQuotas.DescribeResponse(5, 0, None, Seq(
-            WH.ClientQuotas.Entry(
-              Seq(WH.ClientQuotas.Entity("client-id", Some("cli"))),
-              Seq(("producer_byte_rate", 1024.0)))))
-          val qaReq = WH.ClientQuotas.AlterRequest(Seq(
-            WH.ClientQuotas.AlterEntry(
-              Seq(WH.ClientQuotas.Entity("client-id", Some("cli"))),
-              Seq(WH.ClientQuotas.Op("producer_byte_rate", 2048.0,
-                remove = false)))), validateOnly = false)
-          val qaResp = WH.ClientQuotas.AlterResponse(5, Seq(
-            WH.ClientQuotas.AlterResult(0, None,
-              Seq(WH.ClientQuotas.Entity("client-id", Some("cli"))))))
-          WV.DescribeLogDirsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeLogDirsV.encode(v, ldReq)
-            val r = WV.DescribeLogDirsV.decode(v, bytes)
-            ("describe_log_dirs", v, bytes.length,
-              s"topics=${r.topics.map(_.size).getOrElse(-1)}|parts=${
-                r.topics.map(_.head._2.size).getOrElse(-1)}")
-          } ++ WV.DescribeLogDirsV.ValidVersions.map { v =>
-            val bytes = WV.DescribeLogDirsV.encodeResp(v, ldResp)
-            val r = WV.DescribeLogDirsV.decodeResp(v, bytes)
-            ("describe_log_dirs_resp", v, bytes.length,
-              s"dir=${r.results.head.logDir}|total=${r.results.head.totalBytes}")
-          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
-            val bytes = WV.ClientQuotasV.encodeDescribe(v, qdReq)
-            val r = WV.ClientQuotasV.decodeDescribe(v, bytes)
-            ("describe_client_quotas", v, bytes.length,
-              s"strict=${r.strict}|comps=${r.components.size}")
-          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
-            val bytes = WV.ClientQuotasV.encodeDescribeResp(v, qdResp)
-            val r = WV.ClientQuotasV.decodeDescribeResp(v, bytes)
-            ("describe_client_quotas_resp", v, bytes.length,
-              s"entries=${r.entries.size}|v=${r.entries.head.values.head._2}")
-          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
-            val bytes = WV.ClientQuotasV.encodeAlter(v, qaReq)
-            val r = WV.ClientQuotasV.decodeAlter(v, bytes)
-            ("alter_client_quotas", v, bytes.length,
-              s"ops=${r.entries.head.ops.size}|v=${r.entries.head.ops.head.value}")
-          } ++ WV.ClientQuotasV.ValidVersions.map { v =>
-            val bytes = WV.ClientQuotasV.encodeAlterResp(v, qaResp)
-            val r = WV.ClientQuotasV.decodeAlterResp(v, bytes)
-            ("alter_client_quotas_resp", v, bytes.length,
-              s"throttle=${r.throttleMs}|results=${r.results.size}")
-          }
-        }
-      rows.toDF("family", "version", "req_bytes", "detail")
-        .orderBy("family", "version")
-    }),
-
-    "p6_wire_old_client" -> ((s, dir) => {
-      // An OLD CLIENT end-to-end: the version matrix is not serde-only
-      // — ancient frames drive the SAME engines the max-version twins
-      // use. ListOffsets v0 (2012-era old-style offset LISTS, max_num_
-      // offsets, no throttle) answers earliest/latest from the stored
-      // log's offset bounds; OffsetCommit v1 (per-partition commit_
-      // timestamp, no retention) lands g0's latest purchase offsets in
-      // the ConsumerGroups store; OffsetFetch v1 reads all partitions
-      // back (-1 for never-committed). Every leg round-trips through
-      // real request/response FRAMES; the oracle recomputes the v0/v1
-      // size laws closed-form.
-      import s.implicits._
-      import graft.functions.{WireHeaders => WH, WireVersions => WV}
-      val log = storedLog(s, dir)
-      val nParts = EventPartitions
-      val bounds = RecordLog.offsetBounds(log).collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      // --- ListOffsets v0: earliest(-2) and latest(-1), maxNumOffsets=1
-      val listLegs = Seq(("earliest", 11, -2L), ("latest", 12, -1L)).flatMap {
-        case (kind, corr, ts) =>
-          val reqFrame = WH.encodeRequestFrame(
-            WH.RequestHeader(2, 0, corr, Some("graft")),
-            WV.ListOffsetsV.encode(0, WV.ListOffsetsV.Request(-1, 0,
-              Seq(("events", (0 until nParts).map(p =>
-                WV.ListOffsetsV.Part(p, -1, ts, 1)))))),
-            flexible = false)
-          val (hdr, reqBody) = WH.decodeRequestFrame(reqFrame, flexible = false)
-          val req = WV.ListOffsetsV.decode(0, reqBody)
-          val resp = WV.ListOffsetsRespV.Response(0, req.topics.map {
-            case (name, ps) => (name, ps.map { p =>
-              val off = if (p.timestamp == -2L) bounds(p.partitionIndex)._1
-                        else bounds(p.partitionIndex)._2
-              // v0 semantics: a LIST of offsets, newest first, capped at
-              // max_num_offsets (list_offsets.cc legacy arm)
-              WV.ListOffsetsRespV.Part(p.partitionIndex, 0, Seq(off), -1L, -1L, -1)
-            })
-          })
-          val respFrame = WH.encodeResponseFrame(hdr.correlationId,
-            WV.ListOffsetsRespV.encode(0, resp))
-          val (corrBack, respBody) = WH.decodeResponseFrame(respFrame)
-          WV.ListOffsetsRespV.decode(0, respBody).topics.flatMap(_._2).map(p =>
-            (s"list_$kind", p.partitionIndex, p.oldStyleOffsets.head,
-              reqFrame.length, respFrame.length, corrBack == corr))
-      }
-      // --- OffsetCommit v1: g0's latest purchase offsets, with the
-      // v1-only commit_timestamp riding each partition
-      val latest = ConsumerGroups.fetchOffsets(
-        events(s, dir).where(col("event_type") === "purchase")
-          .select(concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string"))
-              .as("group"),
-            lit("events").as("topic"),
-            pmod(col("user_id"), lit(8)).cast("int").as("partition"),
-            col("event_id").as("committed_offset"),
-            col("event_id").as("commit_seq")))
-        .where(col("group") === "g0")
-        .select("partition", "committed_offset").collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val commitReqFrame = WH.encodeRequestFrame(
-        WH.RequestHeader(8, 1, 13, Some("graft")),
-        WV.OffsetCommitV.encode(1, WV.OffsetCommitV.Request("g0", 1, "m1",
-          None, -1L, Seq(("events", latest.toIndexedSeq.map { case (p, off) =>
-            WV.OffsetCommitV.Part(p, off, -1, 1700000000000L, Some("m")) })))),
-        flexible = false)
-      val (cHdr, cBody) = WH.decodeRequestFrame(commitReqFrame, flexible = false)
-      val cReq = WV.OffsetCommitV.decode(1, cBody)
-      val committed = cReq.topics.head._2.map(p => p.partitionIndex -> p.committedOffset).toMap
-      val cRespFrame = WH.encodeResponseFrame(cHdr.correlationId,
-        WV.OffsetCommitRespV.encode(1, WV.OffsetCommitRespV.Response(0,
-          Seq(("events", cReq.topics.head._2.map(p => (p.partitionIndex, 0.toShort)))))))
-      val (cCorr, cRespBody) = WH.decodeResponseFrame(cRespFrame)
-      val cErrs = WV.OffsetCommitRespV.decode(1, cRespBody)
-        .topics.flatMap(_._2).toMap
-      val commitLegs = cReq.topics.head._2.map(p =>
-        ("commit", p.partitionIndex, p.committedOffset, commitReqFrame.length,
-          cRespFrame.length, cCorr == 13 && cErrs(p.partitionIndex) == 0 &&
-            p.commitTimestamp == 1700000000000L))
-      // --- OffsetFetch v1: read every partition back; never-committed
-      // partitions answer -1 (the store's miss semantics)
-      val fetchReqFrame = WH.encodeRequestFrame(
-        WH.RequestHeader(9, 1, 14, Some("graft")),
-        WV.OffsetFetchV.encode(1, WV.OffsetFetchV.Request(Seq(
-          WV.OffsetFetchV.Group("g0", Some(Seq(("events", 0 until nParts))))),
-          requireStable = false)),
-        flexible = false)
-      val (fHdr, fBody) = WH.decodeRequestFrame(fetchReqFrame, flexible = false)
-      val fReq = WV.OffsetFetchV.decode(1, fBody)
-      val fRespFrame = WH.encodeResponseFrame(fHdr.correlationId,
-        WV.OffsetFetchRespV.encode(1, WV.OffsetFetchRespV.Response(0, Seq(
-          WV.OffsetFetchRespV.Group("",
-            Seq(("events", fReq.groups.head.topics.get.head._2.map(p =>
-              WV.OffsetFetchRespV.Part(p, committed.getOrElse(p, -1L), -1,
-                None, 0)))), 0)))))
-      val (fCorr, fRespBody) = WH.decodeResponseFrame(fRespFrame)
-      val fetchLegs = WV.OffsetFetchRespV.decode(1, fRespBody)
-        .groups.head.topics.head._2.map(p =>
-          ("fetch", p.partitionIndex, p.committedOffset, fetchReqFrame.length,
-            fRespFrame.length, fCorr == 14))
-      (listLegs ++ commitLegs ++ fetchLegs)
-        .toDF("leg", "partition", "value", "req_bytes", "resp_bytes", "corr_ok")
-        .orderBy("leg", "partition")
-    }),
-
-    "p6_wire_framing" -> ((s, dir) => {
-      // Request/response FRAMING above the record-batch envelope
-      // (kafka/server/protocol_utils.cc:23-120): the full 44-key
-      // handler registry encoded as an ApiVersions response under
-      // every serde version (v0 legacy array, v1/v2 + throttle, v3
-      // flexible: compact array + tag buffers, response header pinned
-      // at v0 per the schema's bootstrap quirk), framed, decoded back.
-      // The oracle recomputes the byte-size laws independently.
-      import s.implicits._
-      import graft.functions.WireHeaders
-      import WireHeaders.{ApiRange, ApiVersionsResponse}
-      // the handler registry is the bounded control-plane table every
-      // admin entry already pins (44 rows)
-      val keys = graft.admin.Admin.apiVersions(s)
-        .select(col("api_key").cast("int")).as[Int].collect().sorted
-      val resp = ApiVersionsResponse(0,
-        keys.map(k => ApiRange(k.toShort, 0, ((k % 7) + 1).toShort)).toSeq, 0)
-      Seq(0, 1, 2, 3).map { v =>
-        val body = WireHeaders.encodeApiVersions(resp, v)
-        val frame = WireHeaders.encodeResponseFrame(100 + v, body)
-        val (corr, body2) = WireHeaders.decodeResponseFrame(frame)
-        val dec = WireHeaders.decodeApiVersions(body2, v)
-        (v, keys.length, body.length, frame.length, corr, dec == resp)
-      }.toDF("version", "n_apis", "body_bytes", "frame_bytes",
-        "correlation", "roundtrip_ok")
-        .orderBy("version")
-    }),
-
-    "s3_dsv2_scan" -> ((s, dir) => {
-      // The log as a Spark DataSourceV2 table: wire-format segment
-      // files + sparse index sidecar, read through graft.sources
-      // .LogSource. Pushed partition/offset predicates prune whole
-      // segments at plan time (the scan description pins
-      // segments=kept/total) and skip batch payloads at read time —
-      // the reference's segment_index + log_reader seek, expressed as
-      // DSv2 pushdown. Key/value bytes decode from the wire batches.
-      val df = s.read.format("graft.sources.LogSource")
-        .option("path", dsv2LogPath(s, dir)).load()
-      df.where(col("partition") === 2 && col("offset") >= 40 &&
-          col("offset") < 100)
-        .select(col("partition"), col("offset"), col("timestamp"),
-          col("key").cast("string").as("key_str"),
-          col("value").cast("string").as("value_str"))
-        .orderBy("offset")
-    }),
-
-    "s3_dsv2_prune" -> ((s, dir) => {
-      // The header-only projection path: the aggregate needs only
-      // (partition, offset), so dense batches inside the offset window
-      // synthesize rows from the 61-byte header without parsing — let
-      // alone decompressing — any records region.
-      val df = s.read.format("graft.sources.LogSource")
-        .option("path", dsv2LogPath(s, dir)).load()
-      df.where(col("offset") < 120)
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
-          max("offset").as("max_offset"))
-        .orderBy("partition")
-    }),
-
-    "s3_dsv2_write" -> ((s, dir) => {
-      // Round-trip through BOTH DSv2 paths: the write side declares
-      // clustering-by-partition + offset ordering
-      // (RequiresDistributionAndOrdering — Spark plans the exchange,
-      // nothing is hand-repartitioned), tasks roll wire-format
-      // segments and the driver publishes the merged index atomically;
-      // the read side then serves the aggregate under offset pushdown.
-      val root = java.nio.file.Files.createTempDirectory("graft_dsv2w").toString
-      eventLog(s, dir)
-        .select(col("partition").cast("int").as("partition"),
-          col("offset"), col("event_id").as("timestamp"),
-          col("user_id").cast("string").cast("binary").as("key"),
-          col("event_type").cast("binary").as("value"))
-        .write.format("graftlog").mode("append").option("path", root).save()
-      s.read.format("graftlog").option("path", root).load()
-        .where(col("offset") < 200)
-        .groupBy("partition")
-        .agg(count(lit(1)).as("n"), max("timestamp").as("max_ts"),
-          sum(length(col("value"))).as("value_bytes"))
-        .orderBy("partition")
-    }),
-
-    "s3_dsv2_stream" -> ((s, dir) => {
-      // The same on-disk log as a Structured Streaming source: the
-      // sparse index is the discovery mechanism, the per-partition
-      // next-offset cursor is the exactly-once checkpoint state. Two
-      // availableNow runs share one checkpoint — the first drains the
-      // phase-1 segments, new segment files + index appear between
-      // runs, and the second run reads ONLY the new offsets (a
-      // consumer-group resume, expressed as MicroBatchStream offsets).
-      import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft_dsv2s").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_dsv2s_ck").toString
-      val allLines = scala.collection.mutable.ArrayBuffer.empty[String]
-      def writePhase(lo: Long, hi: Long): Unit = {
-        val lines = eventLog(s, dir)
-          .where(col("offset") >= lo && col("offset") < hi)
-          .select(col("partition"), col("offset"), col("event_id"),
-            col("user_id").cast("string").as("k"), col("event_type").as("v"))
-          .as[(Int, Long, Long, String, String)]
-          .groupByKey(r => (r._1, r._2 / 2000))
-          .mapGroups { (key: (Int, Long),
-              it: Iterator[(Int, Long, Long, String, String)]) =>
-            val rows = it.map(r => (r._2, r._3, r._4.getBytes("UTF-8"),
-              r._5.getBytes("UTF-8"))).toSeq
-            graft.sources.LogSource.writeSegment(root, key._1, rows, 30)
-          }.collect()
-        allLines ++= lines
-        graft.sources.LogSource.writeIndex(root, allLines.toSeq)
-      }
-      // rows are bounded by the fixed offset windows (<= 120 per
-      // partition at ANY scale factor), so the driver-side collector
-      // is control-plane-sized; foreachBatch is the checkpoint-
-      // recoverable sink (memory sink refuses restarts)
-      val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-      def drain(phase: Int): Unit = {
-        val q = s.readStream.format("graft.sources.LogSource")
-          .option("path", root).load()
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            val rows = df.select("partition", "offset").collect()
-            got.synchronized {
-              got ++= rows.map(r => (phase, r.getInt(0), r.getLong(1)))
-            }
-            ()
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      writePhase(0, 60)
-      drain(1)
-      writePhase(60, 120)
-      drain(2)
-      got.toSeq.toDF("phase", "partition", "offset")
-        .groupBy("phase", "partition")
-        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
-          max("offset").as("max_offset"))
-        .orderBy("phase", "partition")
-    }),
-
-    "s3_index_entries" -> ((s, dir) =>
-      // The per-segment sparse offset/time index the reference samples
-      // on append (storage/index_state.cc:223-312 maybe_index: first
-      // batch always, then whenever the byte accumulator since the
-      // last sample reaches the step; an indexed batch resets it).
-      // Oracle replays the accumulator ladder with a recursive CTE.
-      graft.log.SegmentIndex.indexEntries(s3Batches(s, dir), S3IndexStep)
-        .orderBy("partition", "segment", "entry_seq")),
-
-    "s3_index_state" -> ((s, dir) =>
-      // index_state header fields: offset/timestamp bounds + the
-      // batch-timestamp monotonicity flag (segment_index.cc:121-126).
-      graft.log.SegmentIndex.indexState(s3Batches(s, dir))
-        .orderBy("partition", "segment")),
-
-    "s3_index_size_seek" -> ((s, dir) => {
-      // The size-distance lookups (index_state.cc:708-736):
-      // find_above_size_bytes = first entry strictly past the byte
-      // needle (upper_bound), find_below_size_bytes = last entry at or
-      // below it (upper_bound minus one). Probes bracket each
-      // segment's filepos range: 0, the midpoint, the max, past-max.
-      val batches = s3Batches(s, dir).localCheckpoint(true)
-      val entries = graft.log.SegmentIndex.indexEntries(batches, S3IndexStep)
-      val fp = entries.groupBy("partition", "segment").agg(max("filepos").as("mx"))
-      val probes = fp.select(col("partition"), col("segment"),
-        explode(array(lit(0L), floor(col("mx") / 2).cast("long"),
-          col("mx"), col("mx") + 1)).as("probe"))
-      graft.log.SegmentIndex.findAboveSizeBytes(entries, probes)
-        .withColumn("mode", lit("above"))
-        .unionByName(graft.log.SegmentIndex.findBelowSizeBytes(entries, probes)
-          .withColumn("mode", lit("below")))
-        .orderBy("mode", "partition", "segment", "probe")
-    }),
-
-    "s3_index_truncate" -> ((s, dir) => {
-      // index_state::truncate (index_state.cc:739-763): a cut below the
-      // base is a no-op; otherwise entries from offset_lower_bound on
-      // drop, and the header bounds shrink to the cut (or collapse to
-      // the base when the cut emptied the index). Three cut shapes per
-      // segment: below-base, midpoint, and the base itself.
-      val batches = s3Batches(s, dir).localCheckpoint(true)
-      val entries = graft.log.SegmentIndex.indexEntries(batches, S3IndexStep)
-      val state = graft.log.SegmentIndex.indexState(batches)
-      def run(tag: String, cut: Column): DataFrame =
-        graft.log.SegmentIndex.truncatedState(entries, state,
-            state.select(col("partition"), col("segment"),
-              cut.as("new_max_offset"),
-              (col("base_timestamp") + 5L).as("new_max_ts")))
-          .withColumn("scenario", lit(tag))
-      run("noop", col("base_offset") - 1)
-        .unionByName(run("mid",
-          floor((col("base_offset") + col("max_offset")) / 2).cast("long")))
-        .unionByName(run("empty", col("base_offset")))
-        .orderBy("scenario", "partition", "segment")
-    }),
-
-    "s3_index_nondata" -> ((s, dir) => {
-      // The non-data-timestamp override (index_state.cc:246-264):
-      // segments whose head is an internal CONFIG batch (walltime
-      // stamps ~9e9) index it ("first batch always") but flag
-      // non_data_timestamps; the first USER batch resets entry 0's
-      // time cell to its raw last_timestamp and re-seeds the time
-      // base; config batches never extend timestamp bounds nor trip
-      // the sampler (:287-297,303). Four segments: config head + user,
-      // all user (control), double-config head, and all-config (flag
-      // stays true, walltime bounds kept). Deterministic 24-batch
-      // frame; the oracle pins the fold's golden output
-      // (mig_outcomes-style — scale-invariant protocol constants).
-      val idx = (col("id") / 2).cast("long")
-      val frame = s.range(24).select(
-        (col("id") % 2).cast("int").as("partition"),
-        (idx / 6).cast("long").as("segment"),
-        (idx * 10).as("base_offset"),
-        (idx * 10 + 9).as("last_offset"),
-        idx.as("idx"),
-        when((col("id") % 2) === 0, idx === 0)
-          .otherwise(idx <= 1 || idx >= 6).as("is_config"))
-        .withColumn("first_ts", when(col("is_config"), lit(9000000000L) + col("idx") * 10)
-          .otherwise(lit(1000L) + col("idx") * 100))
-        .withColumn("max_ts", col("first_ts") +
-          when(col("is_config"), 5L).otherwise(50L))
-        .withColumn("size_bytes", lit(3000L))
-        .withColumn("user_data", !col("is_config"))
-        .drop("idx", "is_config")
-      val entries = graft.log.SegmentIndex.indexEntries(frame, 4000L)
-      val state = graft.log.SegmentIndex.indexState(frame)
-        .select(col("partition"), col("segment"), col("base_timestamp"),
-          col("max_timestamp"), col("non_data_timestamps"))
-      entries.join(state, Seq("partition", "segment"))
-        .select(col("partition"), col("segment"), col("entry_seq"),
-          col("rel_offset"), col("rel_time"), col("filepos"),
-          col("base_timestamp"), col("max_timestamp"), col("non_data_timestamps"))
-        .orderBy("partition", "segment", "entry_seq")
-    }),
-
-    "s3_index_lookup" -> ((s, dir) => {
-      // find_nearest lookups (index_state.cc:673-690 offset floor;
-      // :654-670 time lower_bound stepped back one, null out of
-      // range). Probes bracket each segment: below-base (miss), base,
-      // midpoint, and max (offset) / past-max (time).
-      // the batch frame feeds entries, state, AND both probe sets —
-      // checkpoint it once instead of replaying the offset-assignment
-      // shuffle four times (the CleanPipeline shared-stage pattern)
-      val batches = s3Batches(s, dir).localCheckpoint(true)
-      val entries = graft.log.SegmentIndex.indexEntries(batches, S3IndexStep)
-      val state = graft.log.SegmentIndex.indexState(batches)
-      val oprobes = state.select(col("partition"), col("segment"),
-        explode(array(col("base_offset") - 1, col("base_offset"),
-          floor((col("base_offset") + col("max_offset")) / 2).cast("long"),
-          col("max_offset"))).as("probe"))
-      val tprobes = state.select(col("partition"), col("segment"),
-        explode(array(col("base_timestamp") - 1, col("base_timestamp"),
-          floor((col("base_timestamp") + col("max_timestamp")) / 2).cast("long"),
-          col("max_timestamp") + 1000)).as("probe"))
-      graft.log.SegmentIndex.findNearestOffset(entries, state, oprobes)
-        .withColumn("kind", lit("offset"))
-        .unionByName(graft.log.SegmentIndex.findNearestTime(entries, state, tprobes)
-          .withColumn("kind", lit("time")))
-        // driver-hash hygiene: misses as -1 sentinels, not NULLs
-        .select(col("kind"), col("partition"), col("segment"), col("probe"),
-          col("found"), coalesce(col("rel_offset"), lit(-1L)).as("rel_offset"),
-          coalesce(col("rel_time"), lit(-1L)).as("rel_time"),
-          coalesce(col("filepos"), lit(-1L)).as("filepos"))
-        .orderBy("kind", "partition", "segment", "probe")
-    }),
-
-    "d3_schema_evolution" -> ((s, dir) => {
-      // Rows written under schema v1 (k int, v string) evolved to v2
-      // (k long, v string, score double nullable): promotable cast +
-      // null-filled new field, gated by the compatibility checker.
-      val old = events(s, dir)
-        .select(col("user_id").cast("int").as("k"), col("event_type").as("v"))
-      val target = StructType(Seq(
-        StructField("k", LongType), StructField("v", StringType),
-        StructField("score", DoubleType)))
-      graft.registry.SchemaRegistry.evolve(old, target)
-        .groupBy("v")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-          count("score").as("non_null_scores"))
-        .orderBy("v")
-    }),
-
-    "sr_canonical_ids" -> ((s, dir) => {
-      // Sanitized-definition dedup + global id projection
-      // (avro.cc sanitize_avro_schema_definition / sharded_store
-      // get_schema_version): the same logical schema spelled with
-      // different whitespace, member order, dotted-vs-split fullname,
-      // and leading-dot union refs resolves to ONE global id across
-      // subjects, and re-registering a subject's existing definition
-      // returns the existing version without growing the chain.
-      import s.implicits._
-      val a1 = """{"type":"record","name":"com.ex.Ev","fields":[
-        {"name":"id","type":"long"},{"name":"who","type":[".U","null"]}]}"""
-      val a2 = """{ "fields": [ {"type":"long","name":"id"},
-        {"type":["U","null"],"name":"who"} ],
-        "namespace": "com.ex", "name": "Ev", "type": "record" }"""
-      val b = """{"type":"record","name":"com.ex.Ev","fields":[{"name":"id","type":"string"}]}"""
-      val b2 = """{"fields":[{"name":"id","type":"string"}],"type":"record","namespace":"com.ex","name":"Ev"}"""
-      val cEnum = """{"symbols":["A","B"],"type":"enum","name":"Lvl"}"""
-      graft.registry.AvroCanonical.projectIds(Seq(
-          (1L, "events-value", a1), (2L, "orders-value", a2),
-          (3L, "events-value", a2), (4L, "events-value", b),
-          (5L, "audit-value", cEnum), (6L, "orders-value", b2)))
-        .toDF("seq", "subject", "schema_id", "version", "new_id", "new_version")
-        .orderBy("seq")
-    }),
-
-    "sr_normalize" -> ((s, dir) => {
-      // Normalize-on-register (types.h:38 `normalize` bool_class): with
-      // the flag, a re-spelling (JSON key order / protobuf field order
-      // + comments) registers ONCE and shares the global id; without
-      // it, the raw spelling is the identity and mints a new id. Avro
-      // sanitizes unconditionally (avro.cc:596), so dotted-name vs
-      // split-namespace spellings share an id flag or no flag.
-      import s.implicits._
-      import graft.registry.{Normalize, SchemaRegistry => SR}
-      val json1 = """{"type":"object","properties":{"a":{"type":"integer"},"b":{"type":"string"}}}"""
-      val json2 = """{ "properties": { "b": {"type":"string"}, "a": {"type":"integer"} }, "type": "object" }"""
-      val proto1 = """syntax = "proto3"; message Ev { int64 id = 1; string who = 2; }"""
-      val proto2 = "syntax = \"proto3\";\nmessage Ev { string who = 2; // renamed later\n int64 id = 1; }"
-      // same body, proto2 semantics: a DIFFERENT contract (field
-      // presence), so the normal form keeps the syntax line and the
-      // registration mints a new id even under the flag
-      val proto3as2 = """syntax = "proto2"; message Ev { optional string who = 2; optional int64 id = 1; }"""
-      val avro1 = """{"type":"record","name":"com.ex.Ev","fields":[{"name":"id","type":"long"}]}"""
-      val avro2 = """{ "fields": [{"name":"id","type":"long"}], "namespace": "com.ex", "name": "Ev", "type": "record" }"""
-      Normalize.projectIds(Seq(
-          (1L, "cfg-value", SR.JsonType, json1, true),
-          (2L, "cfg-value", SR.JsonType, json2, true),
-          (3L, "cfg-raw", SR.JsonType, json2, false),
-          (4L, "ev-proto", SR.ProtobufType, proto1, true),
-          (5L, "ev-proto", SR.ProtobufType, proto2, true),
-          (6L, "ev-proto-raw", SR.ProtobufType, proto2, false),
-          (7L, "ev-avro", SR.AvroType, avro1, false),
-          (8L, "ev-avro2", SR.AvroType, avro2, false),
-          (9L, "ev-proto2", SR.ProtobufType, proto3as2, true)))
-        .toDF("seq", "subject", "schema_id", "version", "new_id", "new_version")
-        .orderBy("seq")
-    }),
-
-    "sr_subject_delete" -> ((s, dir) => {
-      // SR soft-vs-hard delete: ev-value v2 soft-deleted (listed with
-      // is_deleted under include_deleted); ev-value v1 hard-deleted
-      // (gone); ord-value hard-deleted subject-wide at seq 6 but
-      // re-registered at seq 7 (resurrected). Oracle pins the view.
-      import s.implicits._
-      val schemaLog = Seq(
-        (1L, "ev-value", 1, "s1v1"),
-        (2L, "ev-value", 2, "s1v2"),
-        (3L, "ord-value", 1, "o1"),
-        (5L, "ev-value", 3, "s1v3"),
-        (7L, "ord-value", 1, "o1b"))
-        .toDF("seq", "subject", "version", "schema")
-      val deleteLog = Seq(
-        (4L, "ev-value", Some(2), false),
-        (6L, "ord-value", None: Option[Int], true),
-        (8L, "ev-value", Some(1), true))
-        .toDF("seq", "subject", "version", "hard")
-      graft.registry.SchemaRegistry.subjectVersions(schemaLog, deleteLog,
-          includeDeleted = true)
-        .select("subject", "version", "schema", "is_deleted")
-        .orderBy("subject", "version")
-    }),
-
-    "s5_rest_proxy" -> ((s, dir) => {
-      // The S5 HTTP proxy's protocol contract (pandaproxy/rest/
-      // handlers.h routes, v2 embedded formats, 404xx ladder) scripted
-      // end-to-end: binary_v2 produce (explicit + murmur2-routed +
-      // out-of-range partition), record reads by offset, the full
-      // consumer lifecycle (create → subscribe → fetch → position
-      // advance → commit → offset fetch → remove → 40403), and the
-      // produce/fetch payload round trip. Details parse the RESPONSE
-      // bodies; the routed partition pins the unsigned-murmur2
-      // partitioner.
-      import s.implicits._
-      import graft.proxy.RestProxy
-      import com.fasterxml.jackson.databind.ObjectMapper
-      val m = new ObjectMapper()
-      def b64(x: String) = java.util.Base64.getEncoder.encodeToString(
-        x.getBytes("UTF-8"))
-      val srv = new RestProxy.Server(nPartitions = 3)
-      srv.createTopic("events-rest")
-      def offsetsDetail(b: String): String =
-        "offsets=" + {
-          val a = m.readTree(b).get("offsets")
-          (0 until a.size()).map { i =>
-            val o = a.get(i)
-            if (o.has("error_code")) s"p${o.get("partition").asInt()}:err${o.get("error_code").asInt()}"
-            else s"p${o.get("partition").asInt()}:${o.get("offset").asLong()}"
-          }.mkString(",")
-        }
-      def countDetail(b: String): String = "n=" + m.readTree(b).size()
-      def errDetail(b: String): String = "error=" + m.readTree(b).get("error_code").asInt()
-      val script: Seq[(String, String, Option[String], RestProxy.Resp => String)] = Seq(
-        ("GET", "/brokers", None, r => "body=" + r.body),
-        ("GET", "/topics", None, r => "body=" + r.body),
-        ("POST", "/topics/events-rest", Some(
-          s"""{"records":[{"partition":0,"key":"${b64("k1")}","value":"${b64("v1")}"},
-             |{"partition":0,"value":"${b64("v2")}"},
-             |{"key":"${b64("user-42")}","value":"${b64("v3")}"},
-             |{"partition":7,"value":"${b64("x")}"}]}""".stripMargin),
-          r => offsetsDetail(r.body)),
-        ("GET", "/topics/events-rest/partitions/0/records?offset=1", None,
-          r => countDetail(r.body) + ";first_value=" + new String(
-            java.util.Base64.getDecoder.decode(
-              m.readTree(r.body).get(0).get("value").asText()), "UTF-8")),
-        ("POST", "/consumers/cg", Some("""{"name":"c1","format":"binary"}"""),
-          r => "instance=" + m.readTree(r.body).get("instance_id").asText()),
-        ("POST", "/consumers/cg/instances/c1/subscription",
-          Some("""{"topics":["events-rest"]}"""), _ => "subscribed"),
-        ("GET", "/consumers/cg/instances/c1/records", None, r => countDetail(r.body)),
-        ("GET", "/consumers/cg/instances/c1/records", None, r => countDetail(r.body)),
-        ("POST", "/consumers/cg/instances/c1/offsets", Some(
-          """{"partitions":[{"topic":"events-rest","partition":0,"offset":2}]}"""),
-          _ => "committed"),
-        ("GET", "/consumers/cg/instances/c1/offsets", Some(
-          """{"partitions":[{"topic":"events-rest","partition":0}]}"""),
-          r => "offset=" + m.readTree(r.body).get("offsets").get(0).get("offset").asLong()),
-        ("DELETE", "/consumers/cg/instances/c1", None, _ => "removed"),
-        ("GET", "/consumers/cg/instances/c1/records", None, r => errDetail(r.body)),
-        ("GET", "/topics/nope/partitions/0/records", None, r => errDetail(r.body)))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b)
-        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_api" -> ((s, dir) => {
-      // The broker Admin HTTP API protocol (redpanda/admin/server.cc
-      // routes + api-doc JSON shapes) scripted end-to-end over the
-      // deterministic cluster model: broker listing/maintenance/
-      // decommission ladder, health_overview before/after a node drop,
-      // cluster_config get/patch (per-key 400 error map, dry_run,
-      // version bump), features state transition, partition detail +
-      // leadership transfer ladder, self-test lifecycle, debug-bundle
-      // conflict ladder, cluster uuid. Details parse the RESPONSE
-      // bodies — the JSON field names are the pinned contract.
-      import s.implicits._
-      import graft.admin.AdminApi
-      import graft.log.TxnEngine
-      import com.fasterxml.jackson.databind.ObjectMapper
-      val m = new ObjectMapper()
-      // /v1/transactions renders the COORDINATOR ENGINE's state: the
-      // same marker-carrying fixture shape t3 uses (one ongoing, one
-      // committed, one aborted txn), listed by TxnEngine.listTransactions
-      // and detailed by describeTransactions (bounded collects, 3 txns)
-      val txnLog = Seq(
-        (0, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (1, 0L, 10L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (0, 1L, 11L, 1, 0L, false, null.asInstanceOf[String], 1),
-        (0, 2L, 11L, 1, 0L, true, "commit", 1),
-        (1, 1L, 12L, 0, 0L, false, null.asInstanceOf[String], 1),
-        (1, 2L, 12L, 0, 0L, true, "abort", 1))
-        .toDF("partition", "offset", "pid", "epoch", "txn_seq",
-          "is_control", "decision", "batch_type")
-      val txnParts = TxnEngine.describeTransactions(txnLog).collect()
-        .groupBy(_.getLong(0))
-        .map { case (pid, rs) =>
-          pid -> rs.map(r => ("kafka", "events", r.getInt(2))).toSeq.sorted
-        }
-      val txnProvider = () => TxnEngine.listTransactions(txnLog).collect()
-        .map(r => AdminApi.TxnSummary(s"tx-${r.getLong(0)}", r.getLong(0),
-          0, r.getLong(1), r.getString(2), 60000L,
-          txnParts.getOrElse(r.getLong(0), Nil)))
-        .sortBy(_.producerId).toSeq
-      // /v1/usage renders the METERING ENGINE's tumbling windows
-      // (Operators.usageWindows) over a fixed event slice
-      val usageSrc = Seq(
-        (1700000000000L, "n0", 100L), (1700000060000L, "n0", 200L),
-        (1700003600000L, "n0", 500L))
-        .toDF("ts", "grp", "bytes")
-      val usageProvider = () => {
-        val ws = graft.operators.Operators.usageWindows(usageSrc,
-          timestamp_millis(col("ts")), col("grp"), col("bytes"))
-          .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(2)))
-          .sortBy(_._1).toSeq
-        ws.zipWithIndex.map { case ((start, bytes), i) =>
-          AdminApi.UsageWindow(start, start + 3600000L, i == ws.size - 1,
-            bytes, bytes)
-        }
-      }
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
-        transactions = txnProvider, usage = usageProvider)
-      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
-      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
-      srv.addPartition("kafka", "audit", 0, leader = 2, replicas = Seq(2))
-      def j(b: String) = m.readTree(b)
-      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
-        ("GET", "/v1/brokers", None, r =>
-          s"n=${j(r.body).size()};b0=${j(r.body).get(0).get("membership_status").asText()}" +
-            s",alive=${j(r.body).get(0).get("is_alive").asBoolean()}"),
-        ("PUT", "/v1/brokers/1/maintenance", None, _ => "drained"),
-        ("GET", "/v1/brokers/1", None, r => {
-          val ms = j(r.body).get("maintenance_status")
-          s"draining=${ms.get("draining").asBoolean()},partitions=${ms.get("partitions").asInt()}"
-        }),
-        ("DELETE", "/v1/brokers/1/maintenance", None, _ => "restored"),
-        ("PUT", "/v1/brokers/2/decommission", None, _ => "decommissioning"),
-        ("PUT", "/v1/brokers/2/decommission", None, r =>
-          "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/brokers/2/recommission", None, _ => "recommissioned"),
-        ("PUT", "/v1/brokers/9/decommission", None, r =>
-          "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/cluster/health_overview", None, r =>
-          s"healthy=${j(r.body).get("is_healthy").asBoolean()}" +
-            s",nodes=${j(r.body).get("all_nodes").size()}"),
-        ("GET", "/v1/cluster_config", None, r =>
-          "segment_size=" + j(r.body).get("log_segment_size").asLong()),
-        ("PUT", "/v1/cluster_config", Some(
-          """{"upsert":{"log_segment_size":268435456},"remove":[]}"""),
-          r => "config_version=" + j(r.body).get("config_version").asLong()),
-        ("PUT", "/v1/cluster_config", Some(
-          """{"upsert":{"nope_prop":1,"enable_rack_awareness":"yes"},"remove":[]}"""),
-          r => s"nope_prop=${j(r.body).get("nope_prop").asText()};" +
-            s"rack=${j(r.body).get("enable_rack_awareness").asText()}"),
-        ("PUT", "/v1/cluster_config?dry_run=true", Some(
-          """{"upsert":{"default_topic_replications":3},"remove":[]}"""),
-          r => "config_version=" + j(r.body).get("config_version").asLong()),
-        ("GET", "/v1/cluster_config/status", None, r =>
-          s"n=${j(r.body).size()};v=${j(r.body).get(0).get("config_version").asLong()}"),
-        ("GET", "/v1/cluster_config/schema", None, r => {
-          val p = j(r.body).get("properties").get("cloud_storage_enabled")
-          s"type=${p.get("type").asText()},needs_restart=${p.get("needs_restart").asBoolean()}"
-        }),
-        ("GET", "/v1/features", None, r =>
-          s"cluster_version=${j(r.body).get("cluster_version").asLong()}" +
-            s",n=${j(r.body).get("features").size()}"),
-        ("PUT", "/v1/features/datalake_iceberg", Some("""{"state":"active"}"""),
-          _ => "activated"),
-        ("GET", "/v1/partitions/kafka/events/1", None, r =>
-          s"leader=${j(r.body).get("leader_id").asInt()}" +
-            s",replicas=${j(r.body).get("replicas").size()}"),
-        ("POST", "/v1/partitions/kafka/events/1/transfer_leadership?target=2",
-          None, _ => "transferred"),
-        ("POST", "/v1/partitions/kafka/audit/0/transfer_leadership?target=1",
-          None, r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/debug/self_test/start", Some(
-          """{"tests":[{"type":"disk"},{"type":"network"}]}"""),
-          r => "id=" + j(r.body).asText().takeRight(6)),
-        ("GET", "/v1/debug/self_test/status", None, r =>
-          s"status=${j(r.body).get(0).get("status").asText()}" +
-            s",stage=${j(r.body).get(0).get("stage").asText()}"),
-        ("POST", "/v1/debug/self_test/stop", None, _ => "stopped"),
-        ("GET", "/v1/debug/self_test/status", None, r => {
-          val n0 = j(r.body).get(0)
-          s"status=${n0.get("status").asText()},results=${n0.get("results").size()}" +
-            s",p99=${n0.get("results").get(0).get("p99").asLong()}"
-        }),
-        ("POST", "/v1/debug_bundle", None, r =>
-          "job=" + j(r.body).get("job_id").asText().takeRight(6)),
-        ("POST", "/v1/debug_bundle", None, r =>
-          "code=" + j(r.body).get("code").asInt()),
-        ("DELETE", "/v1/debug_bundle/10000000-0000-4000-8000-000000000001",
-          None, _ => "cancelled"),
-        ("GET", "/v1/debug_bundle/10000000-0000-4000-8000-000000000001",
-          None, r => "status=" + j(r.body).get("status").asText()),
-        ("GET", "/v1/cluster/uuid", None, r =>
-          "uuid=" + j(r.body).get("cluster_uuid").asText().takeRight(1)),
-        ("GET", "/v1/transactions", None, r => {
-          val a = j(r.body)
-          val rows = (0 until a.size()).map(a.get)
-          s"n=${a.size()};" + rows.map(t =>
-            s"${t.get("transactional_id").asText()}:${t.get("status").asText()}" +
-              s":p${t.get("partitions").size()}").mkString(",")
-        }),
-        ("GET", "/v1/usage", None, r => {
-          val a = j(r.body)
-          val rows = (0 until a.size()).map(a.get)
-          s"windows=${a.size()};" + rows.map(w =>
-            s"${w.get("kafka_bytes_sent_count").asLong()}@${
-              w.get("open").asBoolean()}").mkString(",")
-        }))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b)
-        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_security" -> ((s, dir) => {
-      // The admin security surface (redpanda/admin/security.cc): SCRAM
-      // user CRUD over the graft.security.Scram credential kernel
-      // (create/update derive real stored keys; idempotent re-create
-      // accepts only a matching password) and the RBAC role routes with
-      // the role_errc JSON ladder (40001/40004/40401/40901 — HTTP
-      // status = code/100). Validation wording is pinned verbatim,
-      // including the reference's "password smissing" typo.
-      import s.implicits._
-      import graft.admin.AdminApi
-      import com.fasterxml.jackson.databind.ObjectMapper
-      val m = new ObjectMapper()
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
-      def j(b: String) = m.readTree(b)
-      def cred(alg: String, pw: String, user: String = null) =
-        Some((if (user == null) s"""{"algorithm":"$alg","password":"$pw"}"""
-          else s"""{"algorithm":"$alg","password":"$pw","username":"$user"}"""))
-      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
-        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "pw1", "alice"),
-          _ => "created"),
-        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "pw1", "alice"),
-          _ => "idempotent"),
-        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "other", "alice"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/security/users", cred("SCRAM-MD5", "x", "carl"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/security/users", cred("SCRAM-SHA-256", "x"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/security/users", cred("SCRAM-SHA-512", "pw2", "bob"),
-          _ => "created"),
-        ("GET", "/v1/security/users", None, r => {
-          val a = j(r.body)
-          s"n=${a.size()};" + (0 until a.size()).map(a.get(_).asText()).mkString(",")
-        }),
-        ("PUT", "/v1/security/users/alice", cred("SCRAM-SHA-512", "rotated"),
-          _ => "updated"),
-        ("PUT", "/v1/security/users/nobody", cred("SCRAM-SHA-256", "x"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("DELETE", "/v1/security/users/bob", None, _ => "deleted"),
-        ("DELETE", "/v1/security/users/bob", None, _ => "idempotent"),
-        ("POST", "/v1/security/roles", Some("""{"role":"ops"}"""),
-          r => "role=" + j(r.body).get("role").asText()),
-        ("POST", "/v1/security/roles", Some("""{"role":"ops"}"""),
-          _ => "idempotent"),
-        ("POST", "/v1/security/roles", Some("""{"nope":1}"""),
-          r => s"code=${j(r.body).get("code").asInt()}"),
-        ("POST", "/v1/security/roles", Some("""{"role":"a=b"}"""),
-          r => s"code=${j(r.body).get("code").asInt()}" +
-            s",message=${j(r.body).get("message").asText()}"),
-        ("POST", "/v1/security/roles/ops/members", Some(
-          """{"add":[{"name":"alice","principal_type":"User"},""" +
-            """{"name":"bob","principal_type":"User"}]}"""),
-          r => s"added=${j(r.body).get("added").size()}" +
-            s",removed=${j(r.body).get("removed").size()}" +
-            s",created=${j(r.body).get("created").asBoolean()}"),
-        ("POST", "/v1/security/roles/ops/members", Some(
-          """{"add":[{"name":"alice","principal_type":"User"}]}"""),
-          r => s"added=${j(r.body).get("added").size()}"),
-        ("POST", "/v1/security/roles/ops/members", Some(
-          """{"add":[{"name":"x","principal_type":"User"}],""" +
-            """"remove":[{"name":"x","principal_type":"User"}]}"""),
-          r => s"code=${j(r.body).get("code").asInt()}"),
-        ("POST", "/v1/security/roles/ops/members", Some(
-          """{"add":[{"name":"g1","principal_type":"Group"}]}"""),
-          r => s"code=${j(r.body).get("code").asInt()}"),
-        ("POST", "/v1/security/roles/new1/members", Some("""{"add":[]}"""),
-          r => s"code=${j(r.body).get("code").asInt()}"),
-        ("POST", "/v1/security/roles/new1/members?create=true", Some(
-          """{"add":[{"name":"carol","principal_type":"User"}]}"""),
-          r => s"created=${j(r.body).get("created").asBoolean()}"),
-        ("GET", "/v1/security/roles", None,
-          r => s"roles=${j(r.body).get("roles").size()}"),
-        ("GET", "/v1/security/roles?principal=carol", None,
-          r => s"roles=${j(r.body).get("roles").size()}" +
-            s",first=${j(r.body).get("roles").get(0).get("name").asText()}"),
-        ("GET", "/v1/security/roles?principal_type=Group", None,
-          r => s"code=${j(r.body).get("code").asInt()}"),
-        ("GET", "/v1/security/roles/ops", None,
-          r => s"name=${j(r.body).get("name").asText()}" +
-            s",members=${j(r.body).get("members").size()}" +
-            s",t0=${j(r.body).get("members").get(0).get("principal_type").asText()}"),
-        ("GET", "/v1/security/roles/nope", None,
-          r => s"code=${j(r.body).get("code").asInt()}" +
-            s",message=${j(r.body).get("message").asText()}"),
-        ("DELETE", "/v1/security/roles/ops", None, _ => "deleted"),
-        ("GET", "/v1/security/roles/ops", None,
-          r => s"code=${j(r.body).get("code").asInt()}"))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b)
-        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_transform" -> ((s, dir) => {
-      // The wasm-transform admin surface (redpanda/admin/transform.cc):
-      // gated on data_transforms_enabled (flipped mid-script through the
-      // cluster_config PUT route, the same knob rpk sets), deploy with
-      // the JSON-header-then-binary wire format and the validation
-      // ladder, transform_metadata listing with per-partition status,
-      // metadata patch (pause), delete, and the committed-offsets debug
-      // listing + GC. Committed offsets come from the TRANSFORM ENGINE:
-      // Transforms.commitBatcher folds a progress log to final offsets
-      // (bounded collect, 2 keys), fed to the admin model.
-      import s.implicits._
-      import graft.admin.AdminApi
-      import com.fasterxml.jackson.databind.ObjectMapper
-      val m = new ObjectMapper()
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
-      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
-      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
-      // engine-side: the commit batcher's final committed offset per
-      // (transform, partition) seeds the admin debug table
-      val progress = Seq(
-        ("mirror", 0, "events_out", 0L, 10L), ("mirror", 0, "events_out", 1L, 41L),
-        ("mirror", 1, "events_out", 0L, 7L))
-        .toDF("transform", "partition", "output_topic", "seq", "offset")
-      graft.streaming.Transforms.commitBatcher(progress, intervalLen = 16)
-        .select("transform", "partition", "committed_offset")
-        .orderBy("transform", "partition").collect()
-        .foreach(r => srv.commitTransformOffset(r.getString(0), r.getInt(1), r.getLong(2)))
-      def j(b: String) = m.readTree(b)
-      val meta = """{"name":"mirror","input_topic":"events",""" +
-        """"output_topics":["events_out"],""" +
-        """"environment":[{"key":"MODE","value":"upper"}],"compression":"lz4"}"""
-      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
-        ("GET", "/v1/transform", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/cluster_config", Some(
-          """{"upsert":{"data_transforms_enabled":true},"remove":[]}"""),
-          r => "config_version=" + j(r.body).get("config_version").asLong()),
-        ("POST", "/v1/transform/deploy", Some(meta + "\u0000asm\u0001wasm-bytes"),
-          _ => "deployed"),
-        ("POST", "/v1/transform/deploy", Some(
-          """{"name":"x","input_topic":"t"}bin"""),
-          r => "message=" + j(r.body).get("message").asText().takeWhile(_ != ':')),
-        ("POST", "/v1/transform/deploy", Some(
-          """{"name":"x","input_topic":"t","output_topics":["o"],""" +
-            """"offset":{"format":"from_start","value":-3}}bin"""),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/transform", None, r => {
-          val t0 = j(r.body).get(0)
-          s"n=${j(r.body).size()};${t0.get("name").asText()}:" +
-            s"${t0.get("input_topic").asText()}->" +
-            s"${t0.get("output_topics").get(0).asText()}" +
-            s",parts=${t0.get("status").size()}" +
-            s",comp=${t0.get("compression").asText()}" +
-            s",st=${t0.get("status").get(0).get("status").asText()}"
-        }),
-        ("PUT", "/v1/transform/mirror/meta", Some("""{"is_paused":true}"""),
-          _ => "paused"),
-        ("GET", "/v1/transform", None, r =>
-          "st=" + j(r.body).get(0).get("status").get(0).get("status").asText()),
-        ("PUT", "/v1/transform/ghost/meta", Some("{}"), _ => "noop"),
-        ("PUT", "/v1/transform/ghost/meta", Some("""{"is_paused":true}"""),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/transform/debug/committed_offsets", None, r => {
-          val a = j(r.body)
-          s"n=${a.size()};" + (0 until a.size()).map { i =>
-            val o = a.get(i)
-            s"${o.get("transform_name").asText()}:${o.get("partition").asInt()}" +
-              s"@${o.get("offset").asLong()}"
-          }.mkString(",")
-        }),
-        ("DELETE", "/v1/transform/mirror", None, _ => "deleted"),
-        ("DELETE", "/v1/transform/mirror", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/transform/debug/committed_offsets", None,
-          r => s"n=${j(r.body).size()}"),
-        ("GET", "/v1/transform/debug/committed_offsets?show_unknown=true", None,
-          r => s"n=${j(r.body).size()}"),
-        ("POST", "/v1/transform/debug/committed_offsets/garbage_collect", None,
-          _ => "swept"),
-        ("GET", "/v1/transform/debug/committed_offsets?show_unknown=true", None,
-          r => s"n=${j(r.body).size()}"))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b)
-        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_partitions" -> ((s, dir) => {
-      // The partition admin surface (redpanda/admin/partition.cc):
-      // set_partition_replicas with the validate_set_replicas ladder
-      // (controller refusal, typed entries, known node/shard, distinct
-      // nodes, no-op short-circuit), the reconfigurations listing
-      // (previous/current assignments, byte progress, policy),
-      // topic-level partition listing with in-progress status, the
-      // local summary, cancel (restores the previous assignment) and
-      // its no-move 400, and the on-demand rebalance trigger. FINISH
-      // pseudo-steps stand in for the backend completing a move.
-      import s.implicits._
-      import graft.admin.AdminApi
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2))
-      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
-      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
-      srv.addPartition("kafka", "audit", 0, leader = 2, replicas = Seq(2))
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      def j(b: String) = m.readTree(b)
-      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
-        ("POST", "/v1/partitions/redpanda/controller/0/replicas", Some("[]"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/partitions/kafka/events/0/replicas",
-          Some("""[{"node_id":9,"core":0}]"""),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/partitions/kafka/events/0/replicas",
-          Some("""[{"node_id":"a","core":0}]"""),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/partitions/kafka/events/0/replicas",
-          Some("""[{"node_id":0,"core":0},{"node_id":1,"core":0},""" +
-            """{"node_id":2,"core":0}]"""),
-          _ => "noop"),
-        ("POST", "/v1/partitions/kafka/events/0/replicas",
-          Some("""[{"node_id":0,"core":0},{"node_id":1,"core":0}]"""),
-          _ => "moved"),
-        ("GET", "/v1/partitions/reconfigurations", None, r => {
-          val a = j(r.body)
-          s"n=${a.size()};prev=${a.get(0).get("previous_replicas").size()}" +
-            s",cur=${a.get(0).get("current_replicas").size()}" +
-            s",policy=${a.get(0).get("reconfiguration_policy").asText()}"
-        }),
-        ("GET", "/v1/partitions/kafka/events", None, r => {
-          val a = j(r.body)
-          s"n=${a.size()};" + (0 until a.size()).map { i =>
-            val p = a.get(i)
-            s"p${p.get("partition_id").asInt()}=${p.get("status").asText()}:" +
-              s"${p.get("replicas").size()}"
-          }.mkString(",")
-        }),
-        ("GET", "/v1/partitions/local_summary", None, r =>
-          s"count=${j(r.body).get("count").asInt()}" +
-            s",leaderless=${j(r.body).get("leaderless").asInt()}" +
-            s",under_replicated=${j(r.body).get("under_replicated").asInt()}"),
-        ("POST", "/v1/partitions/kafka/events/0/cancel_reconfiguration", None,
-          _ => "cancelled"),
-        ("GET", "/v1/partitions/kafka/events", None, r =>
-          s"p0_replicas=${j(r.body).get(0).get("replicas").size()}"),
-        ("POST", "/v1/partitions/kafka/events/0/cancel_reconfiguration", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/partitions/kafka/events/1/replicas",
-          Some("""[{"node_id":2,"core":0}]"""), _ => "moved"),
-        ("FINISH", "kafka/events/1", None, _ => "finished"),
-        ("GET", "/v1/partitions/reconfigurations", None,
-          r => s"n=${j(r.body).size()}"),
-        ("GET", "/v1/partitions/kafka/events", None, r =>
-          s"p1_replicas=${j(r.body).get(1).get("replicas").size()}"),
-        ("POST", "/v1/partitions/rebalance", None, _ => "accepted"),
-        ("GET", "/v1/partitions/kafka/nope", None,
-          r => "message=" + j(r.body).get("message").asText()))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        if (method == "FINISH") {
-          val Array(ns, topic, part) = path.split("/")
-          srv.finishReconfiguration(ns, topic, part.toInt)
-          (i + 1, method, "/v1/partitions/" + path, 200, "finished")
-        } else {
-          val resp = srv.handle(method, path, b)
-          (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-        }
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_migrations" -> ((s, dir) => {
-      // The data-migration admin surface (redpanda/admin/migrations.cc
-      // + topics.cc): creation gated on cloud storage (flipped through
-      // the cluster_config route), the add/get/list/action/delete
-      // ladder over the FSM in data_migration_table.cc:57 (user
-      // actions move planned→preparing→…, ADVANCE steps stand in for
-      // the backend completing a stage), topic mount/unmount as
-      // auto-advancing inbound/outbound migrations, and the mountable
-      // listing — ENGINE-backed: TieredStorage.archive's manifest
-      // (bounded, one row per tier×partition) decides what is
-      // mountable and its revision.
-      import s.implicits._
-      import graft.admin.AdminApi
-      val archived = graft.log.TieredStorage.archive(
-        storedLog(s, dir).where(col("offset") < 200)
-          .withColumn("ts", col("ts").cast("timestamp")),
-        col("ts"), lit("2200-01-01").cast("timestamp"),
-        java.nio.file.Files.createTempDirectory("adm_mig_local").toString,
-        java.nio.file.Files.createTempDirectory("adm_mig_arch").toString)
-        .where(col("tier") === "archive").count().toInt
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
-        mountableTopics = () =>
-          if (archived > 0)
-            Seq(("kafka", "events",
-              s"events/00000000-0000-4000-8000-000000000001/$archived"))
-          else Nil)
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      def j(b: String) = m.readTree(b)
-      val outboundBody = Some(
-        """{"migration_type":"outbound","topics":[{"topic":"events"}],""" +
-          """"consumer_groups":["cg1"]}""")
-      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
-        ("PUT", "/v1/migrations", outboundBody,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/cluster_config", Some(
-          """{"upsert":{"cloud_storage_enabled":true},"remove":[]}"""),
-          r => "config_version=" + j(r.body).get("config_version").asLong()),
-        ("PUT", "/v1/migrations", Some("""{"migration_type":"sideways"}"""),
-          r => "message=" + j(r.body).get("message").asText().takeWhile(_ != ':')),
-        ("PUT", "/v1/migrations", outboundBody,
-          r => "id=" + j(r.body).get("id").asLong()),
-        ("GET", "/v1/migrations/1", None, r =>
-          s"state=${j(r.body).get("state").asText()}" +
-            s",type=${j(r.body).get("migration").get("migration_type").asText()}" +
-            s",topics=${j(r.body).get("migration").get("topics").size()}" +
-            s",groups=${j(r.body).get("migration").get("consumer_groups").size()}" +
-            s",auto=${j(r.body).get("migration").get("auto_advance").asBoolean()}"),
-        ("POST", "/v1/migrations/1?action=execute", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("POST", "/v1/migrations/1?action=prepare", None, _ => "accepted"),
-        ("ADVANCE", "1", None, _ => "advanced"),
-        ("GET", "/v1/migrations/1", None,
-          r => "state=" + j(r.body).get("state").asText()),
-        ("POST", "/v1/migrations/1?action=execute", None, _ => "accepted"),
-        ("ADVANCE", "1", None, _ => "advanced"),
-        ("POST", "/v1/migrations/1?action=finish", None, _ => "accepted"),
-        ("DELETE", "/v1/migrations/1", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("ADVANCE", "1", None, _ => "advanced"),
-        ("GET", "/v1/migrations/1", None, r =>
-          s"state=${j(r.body).get("state").asText()}" +
-            s",completed=${j(r.body).has("completed_timestamp")}"),
-        ("DELETE", "/v1/migrations/1", None, _ => "deleted"),
-        ("GET", "/v1/migrations/1", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/topics/mountable", None, r => {
-          val a = j(r.body).get("topics")
-          s"n=${a.size()};" + (0 until a.size()).map(i =>
-            s"${a.get(i).get("topic").asText()}@${
-              a.get(i).get("topic_location").asText()}").mkString(",")
-        }),
-        ("POST", "/v1/topics/mount", Some(
-          """{"topics":[{"source_topic_reference":{"topic":"orders"},""" +
-            """"alias":{"topic":"orders2"}}]}"""),
-          r => "id=" + j(r.body).get("id").asLong()),
-        ("GET", "/v1/migrations/2", None, r =>
-          s"type=${j(r.body).get("migration").get("migration_type").asText()}" +
-            s",auto=${j(r.body).get("migration").get("auto_advance").asBoolean()}" +
-            s",src=${j(r.body).get("migration").get("topics").get(0)
-              .get("source_topic_reference").get("topic").asText()}" +
-            s",alias=${j(r.body).get("migration").get("topics").get(0)
-              .get("alias").get("topic").asText()}"),
-        ("POST", "/v1/topics/unmount", Some(
-          """{"topics":[{"topic":"orders2","ns":"kafka"}]}"""),
-          r => "id=" + j(r.body).get("id").asLong()),
-        ("POST", "/v1/migrations/3?action=prepare", None, _ => "accepted"),
-        ("POST", "/v1/migrations/3?action=cancel", None, _ => "accepted"),
-        ("ADVANCE", "3", None, _ => "advanced"),
-        ("GET", "/v1/migrations/3", None,
-          r => "state=" + j(r.body).get("state").asText()),
-        ("GET", "/v1/migrations", None, r => "n=" + j(r.body).size()),
-        ("POST", "/v1/migrations/2?action=jump", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/migrations/zap", None,
-          r => "message=" + j(r.body).get("message").asText()))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        if (method == "ADVANCE") {
-          srv.advanceMigration(path.toLong)
-          (i + 1, method, "/v1/migrations/" + path, 200, "advanced")
-        } else {
-          val resp = srv.handle(method, path, b)
-          (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-        }
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_debug" -> ((s, dir) => {
-      // The incident-time debug surface (redpanda/admin/debug.cc):
-      // leaders-table dump + reset, the stress-fiber validation ladder,
-      // peer status, controller/isolation status, blocked-reactor
-      // clamping, sampled memory/cpu profiles with shard validation,
-      // service restart, per-ntp partition state, storage failure
-      // injection, local/cloud storage usage, disk-stat overrides, the
-      // offset-translator route, and the broker-uuid override ladder.
-      // ENGINE-backed: offset translation wraps TxnEngine's translator
-      // state for partition 0 (per-partition translator state is
-      // control-plane-sized in the reference too), partition state and
-      // local_storage_usage render the stored log's real offsets/bytes.
-      import s.implicits._
-      import graft.admin.AdminApi
-      val trans = TxnEngine.offsetTranslation(txnLog(s, dir))
-        .where(col("partition") === 0 && col("offset") < 64)
-        .select("offset", "kafka_offset").collect()
-      val rpToKafka: Map[Long, Long] = trans.collect {
-        case r if !r.isNullAt(1) => r.getLong(0) -> r.getLong(1)
-      }.toMap
-      val kafkaToRp = rpToKafka.map(_.swap)
-      val logStats = storedLog(s, dir)
-        .where(col("partition") === 0 && col("offset") < 200)
-        .agg(min("offset"), max("offset"),
-          sum(length(col("props").cast("string"))), count(lit(1))).collect()(0)
-      val (startOff, hwm) = (logStats.getLong(0), logStats.getLong(1) + 1)
-      val dataBytes = logStats.getLong(2)
-      val nRows = logStats.getLong(3)
-      val srv = new AdminApi.Server(nodeIds = Seq(0, 1, 2),
-        cloudStorageUsage = () => Some(dataBytes),
-        localStorageUsage = () => Map(
-          "data" -> dataBytes, "index" -> 16L * nRows,
-          "target_min_capacity" -> (dataBytes * 2)),
-        offsetTranslator = (ns, topic, p) =>
-          if (ns == "kafka" && topic == "events" && p == 0)
-            Some((off, toKafka) =>
-              if (toKafka) rpToKafka.get(off).map(k => (k, off))
-              else kafkaToRp.get(off).map(rp => (off, rp)))
-          else None,
-        partitionLogState = (ns, topic, p) =>
-          if (ns == "kafka" && topic == "events" && p == 0)
-            Some((startOff, hwm, hwm, hwm, hwm, dataBytes))
-          else None)
-      srv.addPartition("kafka", "events", 0, leader = 0, replicas = Seq(0, 1, 2))
-      srv.addPartition("kafka", "events", 1, leader = 1, replicas = Seq(0, 1, 2))
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      def j(b: String) = m.readTree(b)
-      val kOf3 = rpToKafka.getOrElse(3L, -1L)
-      val rpOf2 = kafkaToRp.getOrElse(2L, -1L)
-      val script: Seq[(String, String, Option[String], AdminApi.Resp => String)] = Seq(
-        ("GET", "/v1/debug/partition_leaders_table", None, r => {
-          val a = j(r.body)
-          s"n=${a.size()};p0=${a.get(0).get("leader").asInt()}" +
-            s",prev=${a.get(0).get("previous_leader").asInt()}"
-        }),
-        ("POST", "/v1/partitions/kafka/events/0/transfer_leadership?target=1",
-          None, _ => "transferred"),
-        ("GET", "/v1/debug/partition_leaders_table", None, r =>
-          s"p0=${j(r.body).get(0).get("leader").asInt()}" +
-            s",prev=${j(r.body).get(0).get("previous_leader").asInt()}" +
-            s",term=${j(r.body).get(0).get("update_term").asLong()}"),
-        ("POST", "/v1/debug/reset_leaders", None, _ => "reset"),
-        ("GET", "/v1/debug/partition_leaders_table", None, r =>
-          s"prev=${j(r.body).get(0).get("previous_leader").asInt()}"),
-        ("PUT", "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=10",
-          None, r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/stress_fiber_start", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=5" +
-          "&max_spins_per_scheduling_point=2", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/stress_fiber_start?min_ms_per_scheduling_point=1" +
-          "&max_ms_per_scheduling_point=5&num_fibers=x", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/stress_fiber_start?min_spins_per_scheduling_point=1" +
-          "&max_spins_per_scheduling_point=5&num_fibers=2", None, _ => "started"),
-        ("PUT", "/v1/debug/stress_fiber_stop", None, _ => "stopped"),
-        ("GET", "/v1/debug/peer_status/abc", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/peer_status/9", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/peer_status/1", None,
-          r => s"since=${j(r.body).get("since_last_status").asLong()}"),
-        ("GET", "/v1/debug/is_node_isolated", None, r => "isolated=" + r.body),
-        ("GET", "/v1/debug/controller_status", None, r =>
-          s"applied=${j(r.body).get("last_applied_offset").asLong()}" +
-            s",start=${j(r.body).get("start_offset").asLong()}"),
-        ("GET", "/v1/debug/cloud_storage_usage?batch_size=x", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/cloud_storage_usage", None, r => "bytes=" + r.body),
-        ("PUT", "/v1/debug/blocked_reactor_notify_ms?timeout=abc", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/blocked_reactor_notify_ms?timeout=10&expires=60",
-          None, _ => "set"),
-        ("GET", "/v1/debug/sampled_memory_profile?shard=5", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/sampled_memory_profile?shard=1", None, r =>
-          s"n=${j(r.body).size()};shard=${j(r.body).get(0).get("shard").asInt()}" +
-            s",sites=${j(r.body).get(0).get("allocation_sites").size()}"),
-        ("GET", "/v1/debug/cpu_profile?wait_ms=0", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/cpu_profile?shard=0", None, r =>
-          s"n=${j(r.body).size()};occ=${j(r.body).get(0).get("samples")
-            .get(0).get("occurrences").asInt()}"),
-        ("PUT", "/v1/debug/restart_service?service=foo", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/restart_service?service=schema-registry", None,
-          _ => "restarted"),
-        ("GET", "/v1/debug/partition/kafka/events/0", None, r => {
-          val rep = j(r.body).get("replicas").get(0)
-          s"ntp=${j(r.body).get("ntp").asText()}" +
-            s",replicas=${j(r.body).get("replicas").size()}" +
-            s",start=${rep.get("start_offset").asLong()}" +
-            s",hwm=${rep.get("high_watermark").asLong()}" +
-            s",leader=${rep.get("raft_state").get("is_leader").asBoolean()}" +
-            s",stm=${rep.get("raft_state").get("stms").get(0).get("name").asText()}"
-        }),
-        ("GET", "/v1/debug/partition/kafka/ghost/0", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/set_storage_failure_injection_enabled?value=yes",
-          None, r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/set_storage_failure_injection_enabled?value=true",
-          None, _ => "enabled"),
-        ("GET", "/v1/debug/local_storage_usage", None, r =>
-          s"data=${j(r.body).get("data").asLong()}" +
-            s",index=${j(r.body).get("index").asLong()}" +
-            s",cache=${j(r.body).get("cloud_storage_cache_bytes").asLong()}"),
-        ("GET", "/v1/debug/storage/disk_stat/ssd", None,
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/storage/disk_stat/data", None, r =>
-          s"total=${j(r.body).get("total_bytes").asLong()}" +
-            s",free=${j(r.body).get("free_bytes").asLong()}"),
-        ("PUT", "/v1/debug/storage/disk_stat/data",
-          Some("""{"free_bytes":1000}"""), _ => "overridden"),
-        ("PUT", "/v1/debug/storage/disk_stat/data",
-          Some("""{"fs":"ext4"}"""),
-          r => "message=" + j(r.body).get("message").asText().takeWhile(_ != ':')),
-        ("GET", "/v1/debug/storage/disk_stat/data", None, r =>
-          s"free=${j(r.body).get("free_bytes").asLong()}"),
-        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0" +
-          "?translate_to=bogus", Some("[0]"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/storage/offset_translator/kafka/ghost/0", Some("[0]"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0",
-          Some("[not json"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0",
-          Some("[3]"), r => {
-            val o = j(r.body).get(0)
-            s"kafka=${o.get("kafka_offset").asLong()}" +
-              s",rp=${o.get("rp_offset").asLong()}" +
-              s",engine=${o.get("kafka_offset").asLong() == kOf3}"
-          }),
-        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0" +
-          "?translate_to=redpanda", Some("[2]"), r => {
-            val o = j(r.body).get(0)
-            s"kafka=${o.get("kafka_offset").asLong()}" +
-              s",rp=${o.get("rp_offset").asLong()}" +
-              s",engine=${o.get("rp_offset").asLong() == rpOf2}"
-          }),
-        ("GET", "/v1/debug/storage/offset_translator/kafka/events/0",
-          Some("[99999]"),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("GET", "/v1/debug/broker_uuid", None, r =>
-          s"uuid=${j(r.body).get("node_uuid").asText()}" +
-            s",id=${j(r.body).get("node_id").asInt()}"),
-        ("PUT", "/v1/debug/broker_uuid", Some(
-          """{"current_node_uuid":"99999999-9999-4999-8999-999999999999",""" +
-            """"new_node_uuid":"22222222-2222-4222-8222-000000000002",""" +
-            """"new_node_id":7}"""),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/broker_uuid", Some(
-          """{"current_node_uuid":"11111111-1111-4111-8111-000000000001",""" +
-            """"new_node_uuid":"22222222-2222-4222-8222-000000000002",""" +
-            """"new_node_id":-1}"""),
-          r => "message=" + j(r.body).get("message").asText()),
-        ("PUT", "/v1/debug/broker_uuid", Some(
-          """{"current_node_uuid":"11111111-1111-4111-8111-000000000001",""" +
-            """"new_node_uuid":"22222222-2222-4222-8222-000000000002",""" +
-            """"new_node_id":7}"""), _ => "overridden"),
-        ("GET", "/v1/debug/broker_uuid", None, r =>
-          s"uuid=${j(r.body).get("node_uuid").asText()}" +
-            s",id=${j(r.body).get("node_id").asInt()}"))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b)
-        (i + 1, method, path.split("\\?")(0), resp.status, extract(resp))
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "adm_rest_recovery" -> ((s, dir) => {
-      // The recovery-mode surface (redpanda/admin/recovery.cc:28-55):
-      // the tx-manager migrator pair — migrate (with the 503 "Migration
-      // error: …" arm on a migrator error) and the status report — only
-      // registered when the broker boots in recovery mode (outside it
-      // the paths 404 like any unregistered route).
-      import s.implicits._
-      import graft.admin.AdminApi
-      val normal = new AdminApi.Server(nodeIds = Seq(0))
-      val srv = new AdminApi.Server(nodeIds = Seq(0), recoveryMode = true)
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      def j(b: String) = m.readTree(b)
-      val script: Seq[(String, AdminApi.Server, String, AdminApi.Resp => String)] = Seq(
-        ("GET", normal, "/v1/recovery/migrate_tx_manager",
-          r => s"code=${j(r.body).get("code").asInt()}"),
-        ("GET", srv, "/v1/recovery/migrate_tx_manager", r =>
-          s"required=${j(r.body).get("required").asBoolean()}" +
-            s",in_progress=${j(r.body).get("in_progress").asBoolean()}"),
-        ("FAIL", srv, "stuck controller", _ => "injected"),
-        ("POST", srv, "/v1/recovery/migrate_tx_manager",
-          r => "message=" + j(r.body).get("message").asText()),
-        ("HEAL", srv, "", _ => "healed"),
-        ("POST", srv, "/v1/recovery/migrate_tx_manager", _ => "migrated"),
-        ("GET", srv, "/v1/recovery/migrate_tx_manager", r =>
-          s"required=${j(r.body).get("required").asBoolean()}" +
-            s",in_progress=${j(r.body).get("in_progress").asBoolean()}"))
-      script.zipWithIndex.map { case ((method, server, path, extract), i) =>
-        method match {
-          case "FAIL" =>
-            server.setTxMigratorError(Some(path))
-            (i + 1, method, "/v1/recovery/migrate_tx_manager", 200, "injected")
-          case "HEAL" =>
-            server.setTxMigratorError(None)
-            (i + 1, method, "/v1/recovery/migrate_tx_manager", 200, "healed")
-          case _ =>
-            val resp = server.handle(method, path)
-            (i + 1, method, path, resp.status, extract(resp))
-        }
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "sr_rest_api" -> ((s, dir) => {
-      // The registry's REST protocol — the Confluent-compatible JSON
-      // surface the reference serves (pandaproxy/schema_registry/
-      // handlers.cc) — scripted end-to-end: register (global ids shared
-      // across subjects, idempotent re-registration, 409 on
-      // incompatible), reads (latest/by-version/by-id with the
-      // 40401/40402/40403 ladder), soft→permanent delete
-      // (40404/40405), and the compatibility probe. Each step's
-      // `detail` is extracted from the parsed RESPONSE body.
-      import s.implicits._
-      import graft.registry.RestApi
-      import com.fasterxml.jackson.databind.ObjectMapper
-      val m = new ObjectMapper()
-      def body(schema: String) = Some(s"""{"schema":${
-        m.writeValueAsString(m.getNodeFactory.textNode(schema))}}""")
-      val v1 = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"}]}"""
-      val v2 = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"},{"name":"b","type":"int","default":0}]}"""
-      val bad = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"int"}]}"""
-      val srv = new RestApi.Server()
-      def jf(b: String, f: String): String = {
-        val n = m.readTree(b).get(f)
-        if (n == null) "" else n.asText()
-      }
-      val script: Seq[(String, String, Option[String], RestApi.Resp => String)] = Seq(
-        ("POST", "/subjects/ev-value/versions", body(v1), r => "id=" + jf(r.body, "id")),
-        ("POST", "/subjects/ev-value/versions", body(v1), r => "id=" + jf(r.body, "id")),
-        ("POST", "/subjects/ev-value/versions", body(v2), r => "id=" + jf(r.body, "id")),
-        ("POST", "/subjects/other-value/versions", body(v1), r => "id=" + jf(r.body, "id")),
-        ("POST", "/subjects/ev-value/versions", body(bad), r => "error=" + jf(r.body, "error_code")),
-        ("GET", "/subjects", None, r => "list=" + r.body),
-        ("GET", "/subjects/ev-value/versions", None, r => "list=" + r.body),
-        ("GET", "/subjects/ev-value/versions/latest", None,
-          r => s"latest=${jf(r.body, "subject")}/${jf(r.body, "version")}/${jf(r.body, "id")}"),
-        ("GET", "/schemas/ids/1", None,
-          r => "name=" + m.readTree(jf(r.body, "schema")).get("name").asText()),
-        ("GET", "/subjects/nope/versions", None, r => "error=" + jf(r.body, "error_code")),
-        ("POST", "/compatibility/subjects/ev-value/versions/latest", body(v2),
-          r => "compatible=" + jf(r.body, "is_compatible")),
-        ("POST", "/compatibility/subjects/ev-value/versions/latest", body(bad),
-          r => "compatible=" + jf(r.body, "is_compatible")),
-        ("DELETE", "/subjects/other-value", None, r => "list=" + r.body),
-        ("DELETE", "/subjects/other-value", None, r => "error=" + jf(r.body, "error_code")),
-        ("DELETE", "/subjects/other-value?permanent=true", None, r => "list=" + r.body),
-        ("GET", "/subjects", None, r => "list=" + r.body))
-      script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b)
-        (i + 1, method, path, resp.status, extract(resp))
-      }.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "sr_latest_schemas" -> ((s, dir) => {
-      import s.implicits._
-      val schemaLog = Seq(
-        (1L, "events-value", 1, """{"type":"record"}"""),
-        (2L, "events-value", 2, """{"type":"record-v2"}"""),
-        (3L, "orders-value", 1, """{"type":"order"}"""),
-        (4L, "events-key", 1, """{"type":"string"}"""))
-        .toDF("seq", "subject", "version", "schema")
-      graft.registry.SchemaRegistry.latestSchemas(schemaLog)
-        .select("subject", "version", "schema").orderBy("subject")
-    }),
-
-    "sr_avro_decode" -> ((s, dir) => {
-      // Registry-driven typed decode (record_schema_resolver.h +
-      // schema_avro.cc): wire-framed payloads written under two schema
-      // generations resolve per embedded id and project to the latest
-      // reader schema — v1 rows surface `value` as the reader default
-      // (null). Aggregates run on DECODED fields only; the oracle
-      // re-derives them from the plaintext columns.
-      val dec = graft.registry.AvroDecode.decode(
-        avroLog(s, dir).select("value_bin"), "value_bin", AvroSchemasById, AvroV2)
-      dec.groupBy(col("decoded.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("decoded.event_id")).as("sum_id"),
-          count(col("decoded.value")).as("n_value"),
-          sum(coalesce(round(col("decoded.value") * 100).cast("long"), lit(0L))).as("sum_cents"))
-        .orderBy("event_type")
-    }),
-
-    "d2_avro_translation" -> ((s, dir) => {
-      // D2 with a TYPED value: the decoded struct rides through the
-      // default translator next to the redpanda system struct — the
-      // datalake writer's schema-resolved path (schema_avro.cc →
-      // record_translator.h), not stringly JSON extraction.
-      val log = avroLog(s, dir)
-      val dec = graft.registry.AvroDecode.decode(log, "value_bin", AvroSchemasById, AvroV2)
-        .select(col("partition"), col("offset"), col("ts").as("timestamp"),
-          array(struct(encode(lit("src"), "UTF-8").as("key"),
-            encode(lit("avro"), "UTF-8").as("value"))).as("headers"),
-          encode(col("user_id").cast("string"), "UTF-8").as("key"),
-          col("decoded").as("value"))
-      graft.streaming.Datalake.translateDefault(dec)
-        .groupBy(col("value.event_type").as("h_type"))
-        .agg(count(lit(1)).as("n"), max(col("redpanda.offset")).as("max_offset"),
-          sum(col("value.event_id")).as("sum_id"),
-          count(col("value.value")).as("n_value"))
-        .orderBy("h_type")
-    }),
-
-    "sr_protobuf_decode" -> ((s, dir) => {
-      // Registry-driven typed protobuf decode (schema_protobuf.cc): wire-
-      // framed payloads under two descriptor generations — field 3
-      // renamed (numbers carry identity) and a new sint64 the reader
-      // skips — decode with the READER descriptor; unknown registry ids
-      // yield null structs; absent scalars take proto3 defaults (value →
-      // 0.0 where the producer sent nothing, missing → 0 everywhere).
-      // Aggregates run on DECODED fields only; the oracle re-derives
-      // them from the plaintext columns.
-      val dec = graft.registry.ProtobufDecode.decode(
-        protoLog(s, dir), "value_bin", ProtoSchemasById, ProtoReader)
-      dec.groupBy(coalesce(col("decoded.event_type"), lit("__undecoded")).as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("decoded.event_id")).as("sum_id"),
-          sum(round(col("decoded.value") * 100).cast("long")).as("sum_cents"),
-          max(col("decoded.missing")).as("max_missing"))
-        .orderBy("event_type")
-    }),
-
-    "sr_json_decode" -> ((s, dir) => {
-      // Registry-driven typed JSON decode (the json.cc leg of §1.3):
-      // two schema generations (v2 adds `value`), an unregistered id,
-      // and a bad-magic slice — the reader StructType decodes all
-      // registered frames via from_json (whole-stage codegen; no
-      // kernel), v1 rows surface `value` as null, unregistered/corrupt
-      // frames as null structs. Oracle re-derives from plaintext.
-      import graft.registry.JsonDecode
-      val log = eventLog(s, dir)
-      val v1 = JsonDecode.encode(log.where(col("event_id") % 4 === 0),
-        "value_bin", 40, col("event_id"), col("event_type"))
-      val v2 = JsonDecode.encode(log.where(col("event_id") % 4 === 2),
-        "value_bin", 41, col("event_id"), col("event_type"), col("value"))
-      val unreg = JsonDecode.encode(log.where(col("event_id") % 4 === 1),
-        "value_bin", 99, col("event_id"), col("event_type"))
-      val badMagic = log.where(col("event_id") % 4 === 3)
-        .withColumn("value_bin",
-          concat(lit(Array[Byte](1, 0, 0, 0, 40)),
-            encode(to_json(struct(col("event_id"))), "UTF-8")))
-      val framed = v1.unionByName(v2).unionByName(unreg).unionByName(badMagic)
-      val dec = JsonDecode.decode(framed, "value_bin", Seq(40, 41), JsonReaderSchema)
-      dec.groupBy(coalesce(col("decoded.event_type"), lit("__undecoded")).as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("decoded.event_id")).as("sum_id"),
-          count(col("decoded.value")).as("n_value"),
-          sum(coalesce(round(col("decoded.value") * 100).cast("long"), lit(0L))).as("sum_cents"))
-        .orderBy("event_type")
-    }),
-
-    "sr_protobuf_compat" -> ((s, dir) => {
-      // Protobuf checker conformance corpus (protobuf.cc rules): field
-      // numbers carry identity; wire-family widening OK, family/
-      // cardinality changes and new required fields are breaking.
-      import s.implicits._
-      import graft.registry.ProtobufCompat.ProtobufChecker
-      val base = "message E { optional int32 a = 1; optional string b = 2; }"
-      val cases: Seq[(String, String, String)] = Seq(
-        ("01_identity", base, base),
-        ("02_widen_int32_to_int64",
-          "message E { optional int64 a = 1; optional string b = 2; }", base),
-        ("03_rename_field",
-          "message E { optional int32 renamed = 1; optional string b = 2; }", base),
-        ("04_reader_skips_writer_field",
-          "message E { optional int32 a = 1; }", base),
-        ("05_new_optional_field",
-          "message E { optional int32 a = 1; optional string b = 2; optional bool c = 3; }", base),
-        ("06_new_required_field",
-          "message E { optional int32 a = 1; optional string b = 2; required bool c = 3; }", base),
-        ("07_string_bytes_interchange",
-          "message E { optional int32 a = 1; optional bytes b = 2; }", base),
-        ("08_family_change_int_string",
-          "message E { optional string a = 1; optional string b = 2; }", base),
-        ("09_zigzag_not_varint",
-          "message E { optional sint32 a = 1; optional string b = 2; }", base),
-        ("10_repeated_flip",
-          "message E { repeated int32 a = 1; optional string b = 2; }", base),
-        ("11_nested_compatible",
-          "message O { message N { optional int64 x = 1; } optional N m = 1; }",
-          "message O { message N { optional int32 x = 1; } optional N m = 1; }"),
-        ("12_nested_incompatible",
-          "message O { message N { optional float x = 1; } optional N m = 1; }",
-          "message O { message N { optional int32 x = 1; } optional N m = 1; }"))
-      cases.map { case (nm, r, w) => (nm, ProtobufChecker.canRead(r, w)) }
-        .toDF("case", "compatible").orderBy("case")
-    }),
-
-    "sr_json_bounds" -> ((s, dir) => {
-      // JSON-schema constraint-bound conformance corpus
-      // (json.cc:1124-1320 is_string_superset / is_numeric_superset /
-      // array bounds): a reader bound may only RELAX what the writer
-      // guarantees — tightening or ADDING a bound breaks; pattern must
-      // be absent or string-identical; writer multipleOf must be an
-      // integer multiple of the reader's; uniqueItems:true on the
-      // reader needs the writer to guarantee it.
-      import s.implicits._
-      import graft.registry.SchemaRegistry.JsonChecker
-      val wStr = """{"type":"string","minLength":2,"maxLength":10}"""
-      val wNum = """{"type":"integer","minimum":0,"maximum":100,"multipleOf":4}"""
-      val wArr = """{"type":"array","items":{"type":"integer"},"minItems":1,"maxItems":5,"uniqueItems":true}"""
-      val cases: Seq[(String, String, String)] = Seq(
-        ("01_length_relaxed",
-          """{"type":"string","minLength":1,"maxLength":20}""", wStr),
-        ("02_min_length_increased", """{"type":"string","minLength":3}""", wStr),
-        ("03_max_length_added", """{"type":"string","maxLength":10}""",
-          """{"type":"string"}"""),
-        ("04_bounds_dropped", """{"type":"string"}""", wStr),
-        ("05_pattern_identical",
-          """{"type":"string","pattern":"^a+$"}""",
-          """{"type":"string","pattern":"^a+$"}"""),
-        ("06_pattern_changed",
-          """{"type":"string","pattern":"^b+$"}""",
-          """{"type":"string","pattern":"^a+$"}"""),
-        ("07_numeric_relaxed",
-          """{"type":"integer","minimum":-5,"maximum":200,"multipleOf":2}""", wNum),
-        ("08_maximum_decreased", """{"type":"integer","maximum":50}""", wNum),
-        ("09_multiple_of_changed", """{"type":"integer","multipleOf":3}""", wNum),
-        ("10_minimum_added", """{"type":"integer","minimum":0}""",
-          """{"type":"integer"}"""),
-        ("11_array_relaxed",
-          """{"type":"array","items":{"type":"integer"},"maxItems":10,"uniqueItems":true}""", wArr),
-        ("12_unique_items_added",
-          """{"type":"array","items":{"type":"integer"},"uniqueItems":true}""",
-          """{"type":"array","items":{"type":"integer"}}"""))
-      cases.map { case (nm, r, w) => (nm, JsonChecker.canRead(r, w)) }
-        .toDF("case", "compatible").orderBy("case")
-    }),
-
-    "sr_json_combinators" -> ((s, dir) => {
-      // Combinator / dependency / patternProperties / tuple-items
-      // conformance corpus (json.cc:1852 is_not_combinator_superset,
-      // :1903 is_positive_combinator_superset incl. the bipartite
-      // subschema matching, :1653 is_object_dependencies_superset,
-      // :1511 the patternProperties/additionalProperties property walk,
-      // :1324 the tuple-form items branch, plus the exact-BigDecimal
-      // multipleOf divisibility).
-      import s.implicits._
-      import graft.registry.SchemaRegistry.JsonChecker
-      val i = """{"type":"integer"}"""
-      val st = """{"type":"string"}"""
-      val cases: Seq[(String, String, String)] = Seq(
-        ("01_not_identical", s"""{"not":$st}""", s"""{"not":$st}"""),
-        ("02_not_added", s"""{"not":$st}""", i),
-        ("03_not_writer_stricter", s"""{"not":$st}""",
-          """{"not":{"type":["string","integer"]}}"""),
-        ("04_not_narrowed", """{"not":{"type":["string","integer"]}}""",
-          s"""{"not":$st}"""),
-        ("05_anyof_subset", s"""{"anyOf":[$i,$st,{"type":"boolean"}]}""",
-          s"""{"anyOf":[$i,$st]}"""),
-        ("06_sum_type_narrowed", s"""{"anyOf":[$i,$st]}""",
-          s"""{"anyOf":[$i,$st,{"type":"boolean"}]}"""),
-        ("07_allof_writer_stricter",
-          """{"allOf":[{"type":"integer","minimum":0},{"type":"integer","maximum":10}]}""",
-          """{"allOf":[{"type":"integer","minimum":0},{"type":"integer","maximum":10},{"type":"integer","multipleOf":2}]}"""),
-        ("08_product_type_extended",
-          s"""{"allOf":[$i,{"type":"integer","minimum":0},{"type":"integer","maximum":9}]}""",
-          s"""{"allOf":[$i,{"type":"integer","minimum":0}]}"""),
-        ("09_oneof_branch_dropped", s"""{"oneOf":[$i,$st]}""",
-          s"""{"oneOf":[$st]}"""),
-        ("10_mixed_single_single", s"""{"allOf":[$i]}""", s"""{"anyOf":[$i]}"""),
-        ("11_single_vs_allof", s"""{"oneOf":[$i]}""",
-          s"""{"allOf":[{"type":"integer","minimum":0},$i]}"""),
-        ("12_mixed_combined_changed",
-          s"""{"allOf":[$i,{"type":"integer","minimum":0}]}""",
-          s"""{"anyOf":[$i,$st]}"""),
-        ("13_combinator_dropped", s"""{"oneOf":[$i,$st]}""", i),
-        ("14_anyof_reads_allof", s"""{"anyOf":[$i,$st]}""", s"""{"allOf":[$i]}"""),
-        ("15_dep_array_kept",
-          """{"type":"object","dependencies":{"a":["b"]}}""",
-          """{"type":"object","dependencies":{"a":["b","c"]}}"""),
-        ("16_dep_array_narrowed",
-          """{"type":"object","dependencies":{"a":["b","c"]}}""",
-          """{"type":"object","dependencies":{"a":["b"]}}"""),
-        ("17_dep_added",
-          """{"type":"object","dependencies":{"a":["b"]}}""",
-          """{"type":"object"}"""),
-        ("18_dep_schema_kept",
-          """{"type":"object","dependencies":{"a":{"required":["b"]}}}""",
-          """{"type":"object","dependencies":{"a":{"required":["b"]}}}"""),
-        ("19_dep_schema_incompatible",
-          s"""{"type":"object","dependencies":{"a":$i}}""",
-          s"""{"type":"object","dependencies":{"a":$st}}"""),
-        ("20_pattern_covers_new_prop",
-          s"""{"type":"object","patternProperties":{"^x_":$i}}""",
-          s"""{"type":"object","properties":{"x_a":$i}}"""),
-        ("21_pattern_schema_mismatch",
-          s"""{"type":"object","patternProperties":{"^x_":$i}}""",
-          s"""{"type":"object","properties":{"x_a":$st}}"""),
-        ("22_additional_schema_covers",
-          s"""{"type":"object","additionalProperties":$i}""",
-          s"""{"type":"object","properties":{"n":$i},"additionalProperties":$i}"""),
-        ("23_additional_narrowed",
-          s"""{"type":"object","additionalProperties":$i}""",
-          """{"type":"object"}"""),
-        ("24_closed_model_new_prop",
-          s"""{"type":"object","properties":{"a":$i},"additionalProperties":false}""",
-          s"""{"type":"object","properties":{"a":$i,"b":$i},"additionalProperties":false}"""),
-        ("25_tuple_identical",
-          s"""{"type":"array","items":[$i,$st],"additionalItems":false}""",
-          s"""{"type":"array","items":[$i,$st],"additionalItems":false}"""),
-        ("26_tuple_vs_array",
-          s"""{"type":"array","items":[$i]}""",
-          s"""{"type":"array","items":$i}"""),
-        ("27_tuple_writer_longer_covered",
-          s"""{"type":"array","items":[$i],"additionalItems":$i}""",
-          s"""{"type":"array","items":[$i,$i],"additionalItems":$i}"""),
-        ("28_tuple_excess_uncovered",
-          s"""{"type":"array","items":[$i],"additionalItems":$i}""",
-          s"""{"type":"array","items":[$i,$st],"additionalItems":$i}"""),
-        ("29_tuple_reader_longer_covered",
-          s"""{"type":"array","items":[$i,$st]}""",
-          s"""{"type":"array","items":[$i],"additionalItems":$st}"""),
-        ("30_multiple_of_decimal",
-          """{"type":"number","multipleOf":0.01}""",
-          """{"type":"number","multipleOf":0.07}"""),
-        ("31_multiple_of_indivisible",
-          """{"type":"number","multipleOf":0.02}""",
-          """{"type":"number","multipleOf":0.07}"""),
-        ("32_required_with_default",
-          """{"type":"object","properties":{"a":{"type":"integer","default":5}},"required":["a"]}""",
-          s"""{"type":"object","properties":{"a":$i}}"""),
-        ("33_required_added",
-          s"""{"type":"object","properties":{"a":$i},"required":["a"]}""",
-          s"""{"type":"object","properties":{"a":$i}}"""))
-      cases.map { case (nm, r, w) => (nm, JsonChecker.canRead(r, w)) }
-        .toDF("case", "compatible").orderBy("case")
-    }),
-
-    "sr_proto_oneof_map" -> ((s, dir) => {
-      // Oneof + map conformance corpus (protobuf.cc:553-645: the
-      // writer-oneof member check driving oneof_field_removed, the
-      // reader-oneof count driving multiple_fields_moved_to_oneof; map
-      // fields compared structurally as entry types).
-      import s.implicits._
-      import graft.registry.ProtobufCompat.ProtobufChecker
-      val plain = "message E { int32 a = 1; string b = 2; }"
-      val oneofBoth = "message E { oneof alt { int32 a = 1; string b = 2; } }"
-      val mapBase = "message E { map<string, int32> m = 1; }"
-      val cases: Seq[(String, String, String)] = Seq(
-        ("01_single_moved_into_oneof",
-          "message E { oneof alt { int32 a = 1; } string b = 2; }", plain),
-        ("02_two_moved_into_oneof", oneofBoth, plain),
-        ("03_oneof_member_removed",
-          "message E { oneof alt { int32 a = 1; } }", oneofBoth),
-        ("04_whole_oneof_dropped", plain, oneofBoth),
-        ("05_oneof_identity", oneofBoth, oneofBoth),
-        ("06_members_in_other_oneofs",
-          "message E { oneof other { int32 a = 1; } oneof alt2 { string b = 2; } }",
-          oneofBoth),
-        ("07_map_value_widen",
-          "message E { map<string, int64> m = 1; }", mapBase),
-        ("08_map_key_family_change",
-          "message E { map<int32, int32> m = 1; }", mapBase),
-        ("09_map_vs_scalar",
-          "message E { optional string m = 1; }", mapBase),
-        ("10_enum_reads_int32",
-          "message E { enum Lvl { LOW = 0; HIGH = 1; } Lvl level = 1; }",
-          "message E { int32 level = 1; }"),
-        ("11_enum_vs_string",
-          "message E { enum Lvl { LOW = 0; } Lvl level = 1; }",
-          "message E { string level = 1; }"),
-        ("12_enum_symbols_added",
-          "message E { enum Lvl { LOW = 0; HIGH = 1; EXTRA = 2; } Lvl level = 1; }",
-          "message E { enum Lvl { LOW = 0; HIGH = 1; } Lvl level = 1; }"))
-      cases.map { case (nm, r, w) => (nm, ProtobufChecker.canRead(r, w)) }
-        .toDF("case", "compatible").orderBy("case")
-    }),
-
-    "sr_proto_refs" -> ((s, dir) => {
-      // Cross-subject protobuf references (types.h:105 schema_reference;
-      // protobuf.cc:294 build_file_with_refs): events-proto imports
-      // common.proto stored under its own subject, writer v1 and reader
-      // v2 resolve through the store before any byte moves. The nested
-      // Common message round-trips; reader-only `note` takes the proto3
-      // default (empty → length 0). Oracle re-derives from plaintext.
-      import s.implicits._
-      import graft.registry.{ProtobufDecode, SchemaRefs}
-      val schemaLog = Seq(
-        (1L, "common-proto", 1, "PROTOBUF",
-          "message Common { optional int64 tag = 1; optional string label = 2; }",
-          Seq.empty[(String, String, Int)]),
-        (2L, "events-proto", 1, "PROTOBUF",
-          """import "common.proto";
-            |message Ev { optional int64 event_id = 1;
-            |  optional string event_type = 2; optional Common meta = 3; }""".stripMargin,
-          Seq(("common.proto", "common-proto", 1))),
-        (3L, "events-proto", 2, "PROTOBUF",
-          """import "common.proto";
-            |message Ev { optional int64 event_id = 1;
-            |  optional string event_type = 2; optional Common meta = 3;
-            |  optional string note = 4; }""".stripMargin,
-          Seq(("common.proto", "common-proto", 1))))
-        .toDF("seq", "subject", "version", "schema_type", "schema", "refs")
-      val store = SchemaRefs.storeFromLog(schemaLog)
-      val writer = SchemaRefs.resolveProtobuf(store, "events-proto", 1)
-      val reader = SchemaRefs.resolveProtobuf(store, "events-proto", 2)
-      val rows = T(s, dir, "events").select(
-        col("event_id").cast("long").as("event_id"), col("event_type"),
-        struct((col("event_id") * 3).cast("long").as("tag"),
-          concat(lit("L"), pmod(col("user_id"), lit(10))).as("label")).as("meta"))
-      val framed = ProtobufDecode.encodeResolved(rows, "value_bin", writer, schemaId = 21)
-      ProtobufDecode.decodeResolved(framed.select("value_bin"), "value_bin",
-          Map(21 -> writer), reader)
-        .groupBy(col("decoded.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("decoded.event_id")).as("sum_id"),
-          sum(col("decoded.meta.tag")).as("sum_tag"),
-          max(col("decoded.meta.label")).as("max_label"),
-          max(length(col("decoded.note"))).as("max_note_len"))
-        .orderBy("event_type")
-    }),
-
-    "sr_avro_refs" -> ((s, dir) => {
-      // Avro cross-subject named-type reference (avro.cc:558
-      // collect_schema): orders-avro's record uses CommonMeta by NAME,
-      // defined under the common-types subject — unparseable alone,
-      // resolved deps-first into a self-contained schema. Reader v2's
-      // nullable `note` defaults to null for every writer-v1 record.
-      import s.implicits._
-      import graft.registry.{AvroDecode, SchemaRefs}
-      val common =
-        """{"type":"record","name":"CommonMeta","fields":[
-          |{"name":"tag","type":"long"},{"name":"label","type":"string"}]}""".stripMargin
-      val schemaLog = Seq(
-        (1L, "common-types", 1, "AVRO", common, Seq.empty[(String, String, Int)]),
-        (2L, "orders-avro", 1, "AVRO",
-          """{"type":"record","name":"Ev","fields":[
-            |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"},
-            |{"name":"meta","type":"CommonMeta"}]}""".stripMargin,
-          Seq(("CommonMeta", "common-types", 1))),
-        (3L, "orders-avro", 2, "AVRO",
-          """{"type":"record","name":"Ev","fields":[
-            |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"},
-            |{"name":"meta","type":"CommonMeta"},
-            |{"name":"note","type":["null","string"],"default":null}]}""".stripMargin,
-          Seq(("CommonMeta", "common-types", 1))))
-        .toDF("seq", "subject", "version", "schema_type", "schema", "refs")
-      val store = SchemaRefs.storeFromLog(schemaLog)
-      val writerJson = SchemaRefs.resolveAvro(store, "orders-avro", 1).toString
-      val readerJson = SchemaRefs.resolveAvro(store, "orders-avro", 2).toString
-      val rows = T(s, dir, "events").select(
-        col("event_id").cast("long").as("event_id"), col("event_type"),
-        struct((col("event_id") * 3).cast("long").as("tag"),
-          concat(lit("L"), pmod(col("user_id"), lit(10))).as("label")).as("meta"))
-      val framed = AvroDecode.encode(rows, "value_bin", writerJson, schemaId = 31)
-      AvroDecode.decode(framed.select("value_bin"), "value_bin",
-          Map(31 -> writerJson), readerJson)
-        .groupBy(col("decoded.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("decoded.event_id")).as("sum_id"),
-          sum(col("decoded.meta.tag")).as("sum_tag"),
-          max(col("decoded.meta.label")).as("max_label"),
-          count(col("decoded.note")).as("n_note"))
-        .orderBy("event_type")
-    }),
-
-    "sr_subject_compat" -> ((s, dir) => {
-      // Per-subject compatibility levels (store.h:579-618): the config
-      // log sets global BACKWARD, overrides b-value NONE, c-value
-      // FULL_TRANSITIVE, d-value FORWARD (cleared at seq 45 → later
-      // registrations fall back to global). Registrations are gated
-      // under the level in force at their seq against the subject's
-      // ACCEPTED history. Oracle pins every decision.
-      import s.implicits._
-      import graft.registry.SchemaRegistry
-      val configLog = Seq(
-        (1L, null.asInstanceOf[String], "BACKWARD"),
-        (2L, "b-value", "NONE"),
-        (3L, "c-value", "FULL_TRANSITIVE"),
-        (4L, "d-value", "FORWARD"),
-        (45L, "d-value", null.asInstanceOf[String]))
-        .toDF("seq", "subject", "level")
-      def rec(fields: String*) =
-        SchemaRegistry.parseAvro(
-          s"""{"type":"record","name":"R","fields":[${fields.mkString(",")}]}""")
-      val a = """{"name":"a","type":"long"}"""
-      val aStr = """{"name":"a","type":"string"}"""
-      val bDef = """{"name":"b","type":"string","default":"x"}"""
-      val bNoDef = """{"name":"b","type":"string"}"""
-      val cNoDef = """{"name":"c","type":"int"}"""
-      val attempts = Seq(
-        (10L, "a-value", rec(a)),            // first version: accept
-        (11L, "a-value", rec(a, bDef)),      // backward, b defaulted: accept
-        (12L, "a-value", rec(aStr)),         // long→string: reject
-        (13L, "a-value", rec(a)),            // reader drops b: accept
-        (20L, "b-value", rec(a)),
-        (21L, "b-value", rec(aStr)),         // NONE: breaking accepted
-        (30L, "c-value", rec(a)),
-        (31L, "c-value", rec(a, bDef)),      // full both ways: accept
-        (32L, "c-value", rec(a, cNoDef)),    // c lacks default: reject
-        (40L, "d-value", rec(a)),
-        (41L, "d-value", rec(a, bNoDef)),    // FORWARD tolerates no-default add
-        (50L, "d-value", rec(a, bNoDef, cNoDef)), // post-clear BACKWARD: reject
-        (51L, "d-value", rec(a, bNoDef)))    // identity vs latest: accept
-      val configs = SchemaRegistry.compatibilityConfigs(configLog)
-      SchemaRegistry.registerChain(configs, attempts)
-        .toDF("seq", "subject", "level", "accepted", "version")
-        // -1 for rejected: a nullable int turns float64 in the driver's
-        // pandas hasher (same canonicalization trap as sec_oidc_auth)
-        .withColumn("version", coalesce(col("version"), lit(-1)))
-        .orderBy("seq")
-    }),
-
-    "sr_json_refs" -> ((s, dir) => {
-      // JSON $ref resolution through registry references (json.cc
-      // bundled-schema map ≙ the reference list): person's schema TEXT
-      // never changes between v1 and v2 — only its addr ref re-pins to
-      // a version that TIGHTENS city's minLength (a reader-added bound,
-      // json.cc min_length_increased — required-added alone wouldn't
-      // flip: is_object_required_superset:1623-1630 only examines
-      // properties declared on BOTH sides), so read-compatibility flips
-      // purely through reference resolution, two levels deep for team.
-      import s.implicits._
-      import graft.registry.{SchemaRefs, JsonSchemaCompat}
-      import graft.registry.SchemaRefs.{SchemaRef, StoredSchema}
-      val addr1 = """{"type":"object","properties":{"city":{"type":"string"}}}"""
-      val addr2 =
-        """{"type":"object","properties":{"city":{"type":"string","minLength":1},
-          |"zip":{"type":"string"}},"required":["zip"]}""".stripMargin
-      val person = // same text for both versions — only the ref moves
-        """{"type":"object","properties":{"name":{"type":"string"},
-          |"home":{"$ref":"addr.json"}}}""".stripMargin
-      val team =
-        """{"type":"object","properties":{"lead":{"$ref":"person.json"}},
-          |"required":["lead"]}""".stripMargin
-      val store: SchemaRefs.Store = Map(
-        ("addr", 1) -> StoredSchema("addr", 1, "JSON", addr1, Nil),
-        ("addr", 2) -> StoredSchema("addr", 2, "JSON", addr2, Nil),
-        ("person", 1) -> StoredSchema("person", 1, "JSON", person,
-          Seq(SchemaRef("addr.json", "addr", 1))),
-        ("person", 2) -> StoredSchema("person", 2, "JSON", person,
-          Seq(SchemaRef("addr.json", "addr", 2))),
-        ("team", 1) -> StoredSchema("team", 1, "JSON", team,
-          Seq(SchemaRef("person.json", "person", 1))),
-        ("team", 2) -> StoredSchema("team", 2, "JSON", team,
-          Seq(SchemaRef("person.json", "person", 2))))
-      def res(sub: String, v: Int) = SchemaRefs.resolveJson(store, sub, v)
-      Seq(
-        ("01_team_selfcontained", !res("team", 1).contains("$ref")),
-        ("02_person_v2_reads_v1",
-          JsonSchemaCompat.canRead(res("person", 2), res("person", 1))),
-        ("03_person_v1_reads_v2",
-          JsonSchemaCompat.canRead(res("person", 1), res("person", 2))),
-        ("04_team_v1_reads_v2",
-          JsonSchemaCompat.canRead(res("team", 1), res("team", 2))),
-        ("05_team_v2_reads_v1",
-          JsonSchemaCompat.canRead(res("team", 2), res("team", 1))))
-        .toDF("case", "compatible").orderBy("case")
-    }),
-
-    "sr_subject_mode" -> ((s, dir) => {
-      // Registry mode store (types.h:45 import/read_only/read_write;
-      // store.h get_mode with global fallback): READONLY refuses the
-      // write BEFORE any compatibility check, IMPORT admits, a cleared
-      // override falls back to the global READWRITE. Oracle pins every
-      // decision.
-      import s.implicits._
-      import graft.registry.SchemaRegistry
-      val modeLog = Seq(
-        (1L, null.asInstanceOf[String], "READWRITE"),
-        (2L, "frozen-value", "READONLY"),
-        (3L, "import-value", "IMPORT"),
-        (8L, "frozen-value", null.asInstanceOf[String]))
-        .toDF("seq", "subject", "mode")
-      def rec(fields: String*) =
-        SchemaRegistry.parseAvro(
-          s"""{"type":"record","name":"R","fields":[${fields.mkString(",")}]}""")
-      val a = """{"name":"a","type":"long"}"""
-      val attempts = Seq(
-        (4L, "a-value", rec(a)),
-        (5L, "frozen-value", rec(a)),                          // readonly
-        (6L, "import-value", rec(a)),                          // import admits
-        (7L, "a-value", rec("""{"name":"a","type":"string"}""")), // incompatible
-        (9L, "frozen-value", rec(a)))                          // post-clear: accepted
-      SchemaRegistry.registerChainWithModes(
-          Nil, SchemaRegistry.modeConfigs(modeLog), attempts)
-        .toDF("seq", "subject", "mode", "level", "outcome", "version")
-        .withColumn("version", coalesce(col("version"), lit(-1)))
-        .orderBy("seq")
-    }),
-
-    // ----- §2.7 datalake materialization (real write path) -----
-    "d1_materialize" -> ((s, dir) => {
-      // Run the record multiplexer for real: route events to per-type
-      // output tables, then read the outputs back. Daily partition
-      // granularity: this corpus carries ~1 MB/day — hourly dirs would
-      // be the small-files anti-pattern (Datalake.dayPartition scaladoc).
-      val base = java.nio.file.Files.createTempDirectory("graft_d1").toString
-      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
-      val written = graft.streaming.Datalake.writeMultiplexed(
-        ev, concat(lit("events_"), col("event_type")), col("ts"), base,
-        partFn = graft.streaming.Datalake.dayPartition)
-      written.map { case (o, _) =>
-          s.read.parquet(s"$base/$o").withColumn("output", lit(o)) }
-        .reduce(_ unionByName _)
-        .groupBy("output", "p_key")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("output", "p_key")
-    }),
-
-    "d1_dlq" -> ((s, dir) => {
-      // Invalid-record dead-letter route (record_multiplexer.cc:236):
-      // events wrapped in the registry wire envelope with a deterministic
-      // defect mix — event_id%10==0 bad magic, ==1 unregistered id 99,
-      // ==2 registered-but-incompatible id 7, rest valid id 1. Valid rows
-      // take the normal multiplexed write; invalid rows land in _dlq with
-      // their intended output + error_code. The summary unions both sides.
-      val base = java.nio.file.Files.createTempDirectory("graft_d1dlq").toString
-      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"))
-      val m = pmod(col("event_id"), lit(10))
-      val env = when(m === 0, lit(Array[Byte](1, 0, 0, 0, 1)))
-        .when(m === 1, lit(Array[Byte](0, 0, 0, 0, 99)))
-        .when(m === 2, lit(Array[Byte](0, 0, 0, 0, 7)))
-        .otherwise(lit(Array[Byte](0, 0, 0, 0, 1)))
-      val batch = ev.withColumn("value", concat(env, encode(col("event_type"), "UTF-8")))
-      val written = graft.streaming.Datalake.writeMultiplexedWithDlq(
-        batch, concat(lit("events_"), col("event_type")), col("ts"), base,
-        col("value"), registered = Seq(1, 7), incompatible = Seq(7),
-        partFn = graft.streaming.Datalake.dayPartition)
-      val dlqDir = graft.streaming.Datalake.DlqDir
-      val mains = written.collect { case (o, _) if o != dlqDir =>
-        s.read.parquet(s"$base/$o")
-          .select(col("event_id"), lit(o).as("output"), lit("ok").as("error_code")) }
-      val dlq = s.read.parquet(s"$base/$dlqDir")
-        .select(col("event_id"), col("_output").as("output"), col("error_code"))
-      (mains :+ dlq).reduce(_ unionByName _)
-        .groupBy("output", "error_code")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("output", "error_code")
-    }),
-
-    "d1_dlq_stream" -> ((s, dir) => {
-      // The invalid-record route as it actually runs — continuously:
-      // the same defect mix as d1_dlq streams in as two mtime-ordered
-      // micro-batches; each batch appends its valid rows and dead
-      // letters, and the accumulated tables must equal the one-shot
-      // batch run (the d1_dlq oracle, shared verbatim below).
-      import java.nio.file.Files
-      import java.nio.file.attribute.FileTime
-      val stage = Files.createTempDirectory("graft_d1dlqS")
-      val in = Files.createDirectory(stage.resolve("in"))
-      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"))
-      val m = pmod(col("event_id"), lit(10))
-      val env = when(m === 0, lit(Array[Byte](1, 0, 0, 0, 1)))
-        .when(m === 1, lit(Array[Byte](0, 0, 0, 0, 99)))
-        .when(m === 2, lit(Array[Byte](0, 0, 0, 0, 7)))
-        .otherwise(lit(Array[Byte](0, 0, 0, 0, 1)))
-      val batch = ev.withColumn("value", concat(env, encode(col("event_type"), "UTF-8")))
-      def stageHalf(name: String, rem: Int, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_d1dlqS_half")
-        batch.where(pmod(col("event_id"), lit(2)) === rem)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        Files.copy(firstParquetPart(tmp), in.resolve(name))
-        Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
-      }
-      stageHalf("a.parquet", 0, 1700000000000L)
-      stageHalf("b.parquet", 1, 1700000060000L)
-      val base = s"$stage/out"
-      val schema = s.read.parquet(in.toString).schema
-      graft.streaming.Datalake.multiplexedDlqSink(
-        graft.streaming.Transforms.PathInput(in.toString, schema,
-          maxFilesPerTrigger = Some(1)).stream(s),
-        concat(lit("events_"), col("event_type")), col("ts"), base, s"$stage/ckpt",
-        col("value"), registered = Seq(1, 7), incompatible = Seq(7),
-        partFn = graft.streaming.Datalake.dayPartition).awaitTermination()
-      val types = ev.select("event_type").distinct().collect().map(_.getString(0))
-      val mains = types.toSeq.map { t =>
-        s.read.parquet(s"$base/events_$t")
-          .select(col("event_id"), lit(s"events_$t").as("output"), lit("ok").as("error_code")) }
-      val dlq = s.read.parquet(s"$base/${graft.streaming.Datalake.DlqDir}")
-        .select(col("event_id"), col("_output").as("output"), col("error_code"))
-      (mains :+ dlq).reduce(_ unionByName _)
-        .groupBy("output", "error_code")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("output", "error_code")
-    }),
-
-    "d6_commit_conflict" -> ((s, dir) => {
-      // Optimistic-concurrency commit (merge_append_action.cc /
-      // rest_catalog.cc): two writers stage appends against the SAME
-      // base snapshot; the first publishes cleanly (no rebase), the
-      // second detects the moved table version and rebases its manifest
-      // onto the new current — both append sets survive, the snapshot
-      // history stays linear, and the full read equals the union. A
-      // last-write-wins metadata overwrite would drop writer 1's rows.
-      val t = java.nio.file.Files.createTempDirectory("graft_icecc").toString + "/t"
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
-      val fmt = graft.streaming.IcebergFormat
-      fmt.commit(slice(0), col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
-      val a = fmt.stageAppend(slice(1), col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
-      val b = fmt.stageAppend(slice(2), col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
-      val (_, rebasedA) = fmt.commitStaged(s, t, a)
-      val (_, rebasedB) = fmt.commitStaged(s, t, b)
-      import s.implicits._
-      val catalog = fmt.snapshotCatalog(s, t)
-        .select(concat(lit("snap_"), col("snapshot_id")).as("kind"), col("n_rows").as("n"))
-      val readBack = fmt.readTable(s, t)
-        .agg(count(lit(1)).as("n")).select(lit("read_rows").as("kind"), col("n"))
-      val flags = Seq(
-        ("rebase_a", if (rebasedA) 1L else 0L),
-        ("rebase_b", if (rebasedB) 1L else 0L)).toDF("kind", "n")
-      catalog.unionByName(readBack).unionByName(flags).orderBy("kind")
-    }),
-
-    "d6_rest_catalog" -> ((s, dir) => {
-      // The Iceberg REST catalog protocol (rest_catalog.cc commit with
-      // requirements at :170; route/body shapes from the public REST
-      // OpenAPI spec) scripted over real testdata: namespace/table
-      // lifecycle with the 404/409 ladder, then the OCC conversation —
-      // two writers stage events slices against the same base, writer A
-      // commits, writer B's stale assert-ref-snapshot-id requirement
-      // 409s with CommitFailedException, B reloads and the retry
-      // publishes as a metadata-only rebase. Detail strings parse the
-      // RESPONSE bodies; the final read proves no snapshot was dropped.
-      import s.implicits._
-      import graft.streaming.{IcebergFormat, IcebergRestCatalog}
-      import com.fasterxml.jackson.databind.ObjectMapper
-      val m = new ObjectMapper()
-      val root = java.nio.file.Files.createTempDirectory("graft_restcat").toString
-      val srv = new IcebergRestCatalog.Server(s, root)
-      val table = s"$root/lake/events"
-      val ev = events(s, dir).select(col("event_id"), col("ts"))
-      def stage(i: Int) = IcebergFormat.stageAppend(
-        ev.where(pmod(col("event_id"), lit(2)) === i), col("ts"), table,
-        partFn = graft.streaming.Datalake.dayPartition)
-      def commitBody(st: IcebergFormat.StagedAppend, baseSnap: Long): String = {
-        val files = st.files.map { case (p, k, l) => s"""["$p","$k",$l]""" }
-          .mkString("[", ",", "]")
-        val snap = if (baseSnap < 0) "null" else baseSnap.toString
-        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$snap}],
-           |"updates":[{"action":"add-snapshot","snapshot":{
-           |"stage-dir":"${st.stageDir}","base-version":${st.baseVersion},
-           |"files":$files}}]}""".stripMargin
-      }
-      def j(b: String) = m.readTree(b)
-      var stagedA: IcebergFormat.StagedAppend = null
-      var stagedB: IcebergFormat.StagedAppend = null
-      val script: Seq[(String, String, () => Option[String],
-          IcebergRestCatalog.Resp => String)] = Seq(
-        ("GET", "/v1/namespaces/lake", () => None,
-          r => "type=" + j(r.body).get("error").get("type").asText()),
-        ("POST", "/v1/namespaces", () => Some("""{"namespace":["lake"]}"""),
-          r => "ns=" + j(r.body).get("namespace").get(0).asText()),
-        ("POST", "/v1/namespaces", () => Some("""{"namespace":["lake"]}"""),
-          r => "type=" + j(r.body).get("error").get("type").asText()),
-        ("POST", "/v1/namespaces/lake/tables", () =>
-          Some("""{"name":"events","schema":[["event_id","long"],["ts","timestamp"]]}"""),
-          r => s"snap=${j(r.body).get("metadata").get("current-snapshot-id").asLong()}"),
-        ("POST", "/v1/namespaces/lake/tables", () =>
-          Some("""{"name":"events","schema":[["event_id","long"]]}"""),
-          r => "type=" + j(r.body).get("error").get("type").asText()),
-        ("POST", "/v1/namespaces/lake/tables/events/commit", () => {
-          stagedA = stage(0); stagedB = stage(1)
-          Some(commitBody(stagedA, -1L))
-        }, r => s"snap=${j(r.body).get("commit").get("snapshot-id").asLong()}"),
-        ("POST", "/v1/namespaces/lake/tables/events/commit", () =>
-          Some(commitBody(stagedB, -1L)),
-          r => s"type=${j(r.body).get("error").get("type").asText()};" +
-            s"msg=${j(r.body).get("error").get("message").asText()}"),
-        ("GET", "/v1/namespaces/lake/tables/events", () => None,
-          r => s"snap=${j(r.body).get("metadata").get("current-snapshot-id").asLong()}"),
-        ("POST", "/v1/namespaces/lake/tables/events/commit", () =>
-          Some(commitBody(stagedB, 1L)),
-          r => s"snap=${j(r.body).get("commit").get("snapshot-id").asLong()}"),
-        ("GET", "/v1/namespaces/lake/tables/events", () =>
-          None, r => {
-            val md = j(r.body).get("metadata")
-            s"snapshots=${md.get("snapshots").size()}" +
-              s",main=${md.get("refs").get("main").get("snapshot-id").asLong()}"
-          }))
-      val steps = script.zipWithIndex.map { case ((method, path, b, extract), i) =>
-        val resp = srv.handle(method, path, b())
-        (i + 1, method, path, resp.status, extract(resp))
-      }
-      // the OCC retry preserved both writers' rows: read equals source
-      val total = IcebergFormat.readTable(s, table).count()
-      val expected = ev.count()
-      val rows = steps :+ ((steps.size + 1, "READ", "/table", 200,
-        s"complete=${total == expected}"))
-      rows.toDF("step", "method", "path", "status", "detail").orderBy("step")
-    }),
-
-    "d6_iceberg_catalog" -> ((s, dir) => {
-      // Real Iceberg v2 format: three appends (event_id % 3 slices) into
-      // a spec-faithful table (metadata.json + avro manifest lists +
-      // manifests + version hint); the catalog readback resolves row
-      // counts purely from manifest metadata — no data scan.
-      val t = icebergTable(s, dir)
-      graft.streaming.IcebergFormat.snapshotCatalog(s, t)
-        .select("snapshot_id", "sequence_number", "n_rows")
-        .orderBy("snapshot_id")
-    }),
-
-    "d6_iceberg_read" -> ((s, dir) => {
-      // Metadata-driven scan (version hint -> metadata.json -> manifest
-      // list -> manifests -> file set): per-day counts over all three
-      // appended snapshots, partition values reconstituted from metadata.
-      val t = icebergTable(s, dir)
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("p_key").agg(count(lit(1)).as("n"))
-        .orderBy("p_key")
-    }),
-
-    "d6_iceberg_travel" -> ((s, dir) => {
-      // Time travel: the table exactly as of snapshot 2 (the first two
-      // event_id % 3 slices) — resolved from that snapshot's own
-      // manifest list, so the third append is invisible.
-      val t = icebergTable(s, dir)
-      graft.streaming.IcebergFormat.timeTravel(s, t, 2L)
-        .groupBy("p_key")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("p_key")
-    }),
-
-    "d6_refs" -> ((s, dir) => {
-      // Named snapshot refs (iceberg/snapshot.h): tag v1 pins the first
-      // append, branch dev pins the first two, main advances to all
-      // three; snapshot expiry with keepLast=1 spares the ref-pinned
-      // snapshots, so all three views stay readable. The oracle
-      // recomputes each view from the event slices.
-      val t = java.nio.file.Files.createTempDirectory("graft_icerefs").toString + "/t"
-      // month partitioning + the two consumed columns: ref semantics are
-      // partition-agnostic; day granularity only measured small-file IO
-      val ev = events(s, dir).select(col("event_id"), col("ts"))
-      (0 until 3).foreach { i =>
-        graft.streaming.IcebergFormat.commit(
-          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.monthPartition)
-      }
-      graft.streaming.IcebergFormat.createTag(s, t, "v1", 1L)
-      graft.streaming.IcebergFormat.createBranch(s, t, "dev", 2L)
-      graft.streaming.IcebergFormat.expireSnapshots(s, t, keepLast = 1)
-      Seq("dev", "main", "v1").map { r =>
-        graft.streaming.IcebergFormat.readRef(s, t, r)
-          .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-          .select(lit(r).as("ref"), col("n"), col("sum_id"))
-      }.reduce(_ unionAll _).orderBy("ref")
-    }),
-
-    "d6_expire_policy" -> ((s, dir) => {
-      // Age-policy snapshot expiration (snapshot.h:95-118 retention
-      // fields through the remove_snapshots applier,
-      // table_update_applier.cc:108-127): five commits (snap 1..5);
-      // tag pin2 pins snap 2 forever; tag stale1 (max-ref-age-ms=0)
-      // expires at the sweep and unpins snap 1; branch dev@4
-      // (max-snapshot-age-ms=0, min-snapshots-to-keep=2) keeps {3,4};
-      // main under the table defaults (maxAge=0, minKeep=1) keeps {5}.
-      // Snap 1 alone expires. Age thresholds of 0 make every decision
-      // count-driven — deterministic under any wall clock.
-      import s.implicits._
-      val t = java.nio.file.Files.createTempDirectory("graft_icepol").toString + "/t"
-      // two columns only: the ref views read n + sum(event_id); ts
-      // drives the month partitioning — writing more would just tax
-      // the 5-commit fixture, not the operator under test
-      val ev = events(s, dir).select(col("event_id"), col("ts"))
-      // month granularity: the retention policy is partition-agnostic,
-      // and 5 commits x ~300 day-files would measure small-file IO, not
-      // the expiry operator
-      (0 until 5).foreach { i =>
-        graft.streaming.IcebergFormat.commit(
-          ev.where(pmod(col("event_id"), lit(5)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.monthPartition)
-      }
-      graft.streaming.IcebergFormat.createTag(s, t, "pin2", 2L)
-      graft.streaming.IcebergFormat.createTag(s, t, "stale1", 1L,
-        maxRefAgeMs = Some(0L))
-      graft.streaming.IcebergFormat.createBranch(s, t, "dev", 4L,
-        maxSnapshotAgeMs = Some(0L), minSnapshotsToKeep = Some(2))
-      val expired = graft.streaming.IcebergFormat.expireSnapshotsByPolicy(
-        s, t, nowMs = System.currentTimeMillis() + 3600000L,
-        defaultMaxAgeMs = 0L, defaultMinToKeep = 1)
-      val nRefs = graft.streaming.IcebergFormat.listRefs(s, t).count()
-      Seq("dev", "main", "pin2").map { r =>
-        graft.streaming.IcebergFormat.readRef(s, t, r)
-          .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-          .select(lit(r).as("ref"), col("n"), col("sum_id"))
-      }.reduce(_ unionAll _)
-        .unionAll(Seq(("expired", expired.size.toLong, expired.sum),
-          ("live_refs", nRefs, 0L)).toDF("ref", "n", "sum_id"))
-        .orderBy("ref")
-    }),
-
-    "d6_iceberg_deletes" -> ((s, dir) => {
-      // Iceberg v2 merge-on-read position deletes on a fresh 2-snapshot
-      // table: DELETE WHERE user_id % 7 = 0, then the current read
-      // reflects the delete while time travel to snapshot 1 still sees
-      // its full half — deletes are scan-time, no data file rewritten.
-      val t = java.nio.file.Files.createTempDirectory("graft_icedel").toString + "/t"
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      (0 until 2).foreach { i =>
-        graft.streaming.IcebergFormat.commit(
-          ev.where(pmod(col("event_id"), lit(2)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.dayPartition)
-      }
-      graft.streaming.IcebergFormat.deleteWhere(s, t, pmod(col("user_id"), lit(7)) === 0)
-      val now = graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("p_key")
-        .agg(count(lit(1)).as("n_now"), sum("event_id").as("sum_id_now"))
-      val snap1 = graft.streaming.IcebergFormat.timeTravel(s, t, 1L)
-        .groupBy("p_key").agg(count(lit(1)).as("n_snap1"))
-      now.join(snap1, Seq("p_key"), "left").orderBy("p_key")
-    }),
-
-    "d6_iceberg_evolution" -> ((s, dir) => {
-      // Add-column schema evolution (catalog_schema_manager.cc leg of
-      // D3, on the real v2 metadata): the even-event_id half commits with
-      // 4 columns, the odd half adds `value`; the merged read surfaces
-      // the old rows' missing column as null and the metadata carries the
-      // widened schema. Incompatible evolutions (drop/retype) reject.
-      val t = java.nio.file.Files.createTempDirectory("graft_icevo").toString + "/t"
-      val ev = events(s, dir)
-      val narrow = ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val wide = ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
-      graft.streaming.IcebergFormat.commit(
-        narrow.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.commit(
-        wide.where(pmod(col("event_id"), lit(2)) === 1), col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          count(col("value")).as("n_with_value"),
-          sum(when(col("value").isNotNull, col("event_id"))).as("sum_id_with_value"))
-        .orderBy("event_type")
-    }),
-
-    "d6_iceberg_rename_drop" -> ((s, dir) => {
-      // Column rename + drop on the real v2 metadata (iceberg/
-      // compatibility.cc struct evolution): field ids carry identity, so
-      // files written before the rename surface under the NEW name, and
-      // a dropped column disappears from reads while its id is retired.
-      // Both halves of the data land in one aggregate under the renamed
-      // column — the oracle sees plain events.
-      val t = java.nio.file.Files.createTempDirectory("graft_icern").toString + "/t"
-      val ev = events(s, dir)
-      val base = ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      graft.streaming.IcebergFormat.commit(
-        base.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.renameColumn(s, t, "event_type", "kind")
-      graft.streaming.IcebergFormat.commit(
-        base.where(pmod(col("event_id"), lit(2)) === 1)
-          .withColumnRenamed("event_type", "kind"), col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.dropColumn(s, t, "user_id")
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("kind")
-    }),
-
-    "d6_iceberg_schema_history" -> ((s, dir) => {
-      // The schema-generation catalog after rename + drop + re-add: ids
-      // never reused (the re-added name gets a fresh id), every
-      // generation retained, current marked. Oracle pins the full
-      // history table.
-      val t = java.nio.file.Files.createTempDirectory("graft_icehist").toString + "/t"
-      val ev = events(s, dir).limit(64)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      graft.streaming.IcebergFormat.commit(ev, col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.renameColumn(s, t, "event_type", "kind")
-      graft.streaming.IcebergFormat.dropColumn(s, t, "user_id")
-      graft.streaming.IcebergFormat.commit(
-        ev.withColumnRenamed("event_type", "kind").drop("user_id")
-          .withColumn("user_id", concat(lit("u"), col("event_id") % 3)),
-        col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.schemaHistory(s, t)
-        .orderBy("schema_id", "field_id")
-    }),
-
-    "d6_iceberg_spec_evolution" -> ((s, dir) => {
-      // Partition-spec evolution (iceberg/transform.h): the first half
-      // lands under the day layout, the spec evolves to month(ts), the
-      // second half lands under month dirs — one table, two live
-      // layouts, readers scan both. Output: rows and id-sum per layout
-      // (distinguished by the p_key shape). Day/month granularity, not
-      // hour: partition count must match data volume (an hour layout at
-      // this row density means hundreds of near-empty files).
-      val t = java.nio.file.Files.createTempDirectory("graft_icspec").toString + "/t"
-      val ev = events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      graft.streaming.IcebergFormat.commit(
-        ev.where(pmod(col("event_id"), lit(2)) === 0), col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.evolveSpec(s, t, "month", "ts")
-      graft.streaming.IcebergFormat.commit(
-        ev.where(pmod(col("event_id"), lit(2)) === 1), col("ts"), t)
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy(length(col("p_key")).as("layout_len"))
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
-          countDistinct("p_key").as("n_partitions"))
-        .orderBy("layout_len")
-    }),
-
-    "d6_iceberg_rewrite_manifests" -> ((s, dir) => {
-      // Metadata-only manifest consolidation: three append commits
-      // accumulate three data manifests; rewrite_manifests folds them
-      // into ONE all-EXISTING manifest as a replace snapshot — no data
-      // moves, the table reads identically, and time travel to the
-      // first commit still resolves its own rows.
-      import s.implicits._
-      val t = java.nio.file.Files.createTempDirectory("graft_icerw").toString + "/t"
-      val ev = events(s, dir).where(col("event_id") < 3000)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      (0 until 3).foreach { i =>
-        graft.streaming.IcebergFormat.commit(
-          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.dayPartition)
-      }
-      val before = graft.streaming.IcebergFormat.manifestCounts(s, t)._1
-      graft.streaming.IcebergFormat.rewriteManifests(s, t)
-      val after = graft.streaming.IcebergFormat.manifestCounts(s, t)._1
-      val nRows = graft.streaming.IcebergFormat.readTable(s, t).count()
-      val firstSnap = graft.streaming.IcebergFormat.snapshotCatalog(s, t)
-        .agg(min("snapshot_id")).collect()(0).getLong(0)
-      val travelRows = graft.streaming.IcebergFormat
-        .timeTravel(s, t, firstSnap).count()
-      Seq((before, after, nRows, travelRows))
-        .toDF("before_manifests", "after_manifests", "n_rows", "travel_rows")
-    }),
-
-    "d6_iceberg_orphans" -> ((s, dir) => {
-      // Orphan-file cleanup: plant three unreachable files under the
-      // table location; the DEFAULT (3-day guard) run removes nothing
-      // because the plants are fresh — the age guard doing its job —
-      // then an explicit-cutoff run removes exactly the plants, and
-      // the table still reads every committed row afterwards.
-      import s.implicits._
-      val t = java.nio.file.Files.createTempDirectory("graft_iceorph").toString + "/t"
-      val ev = events(s, dir).where(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      graft.streaming.IcebergFormat.commit(ev, col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      Seq("data/stray-0.parquet", "data/stray-1.tmp", "metadata/stray-manifest.avro")
-        .foreach { rel =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/$rel"),
-            "orphan".getBytes)
-        }
-      val guarded = graft.streaming.IcebergFormat.removeOrphanFiles(s, t)
-      val removed = graft.streaming.IcebergFormat
-        .removeOrphanFiles(s, t, olderThanMs = Long.MaxValue)
-      val nRows = graft.streaming.IcebergFormat.readTable(s, t).count()
-      Seq((guarded.size, removed.mkString(","), nRows))
-        .toDF("n_guarded", "removed", "n_rows")
-    }),
-
-    "d6_iceberg_eq_deletes" -> ((s, dir) => {
-      // Equality deletes, the CDC/upsert flavor: delete-by-key the
-      // user_id % 10 = 4 cohort (no data scan at delete time), then
-      // append corrected rows for a subset of it. The delete applies only
-      // to the OLDER commit (sequence scoping), so the corrections
-      // survive — exactly the delete-old/append-new upsert contract.
-      val t = java.nio.file.Files.createTempDirectory("graft_iceeq").toString + "/t"
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      graft.streaming.IcebergFormat.commit(ev, col("ts"), t,
-        partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.deleteWhereEquality(s, t,
-        ev.where(pmod(col("user_id"), lit(10)) === 4).select("user_id").distinct())
-      graft.streaming.IcebergFormat.commit(
-        ev.where(pmod(col("user_id"), lit(10)) === 4 && pmod(col("event_id"), lit(5)) === 0),
-        col("ts"), t, partFn = graft.streaming.Datalake.dayPartition)
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("event_type")
-    }),
-
-    "d6_iceberg_compaction" -> ((s, dir) => {
-      // rewrite_data_files maintenance: three day-partitioned appends
-      // leave up to 3 files per day partition; bin-pack compaction
-      // rewrites each multi-file partition to one file via a `replace`
-      // snapshot. Content is unchanged and the file inventory (from
-      // manifest metadata alone, no listing) shows one file/partition.
-      val t = java.nio.file.Files.createTempDirectory("graft_ice_rw").toString + "/t"
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      (0 until 3).foreach { i =>
-        graft.streaming.IcebergFormat.commit(
-          ev.where(pmod(col("event_id"), lit(3)) === i), col("ts"), t,
-          partFn = graft.streaming.Datalake.dayPartition)
-      }
-      graft.streaming.IcebergFormat.rewriteDataFiles(s, t)
-      val inv = graft.streaming.IcebergFormat.fileInventory(s, t)
-        .select(col("p_key"), col("n_files"))
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("p_key")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .join(inv, Seq("p_key"))
-        .orderBy("p_key")
-    }),
-
-    "d6_iceberg_stream" -> ((s, dir) => {
-      // Continuous Iceberg ingestion, DELIVERED TWICE: two event halves
-      // stream in as separate micro-batches, each committing a snapshot
-      // tagged with its batch id; a second full delivery (fresh
-      // checkpoint) replays both batch ids and must commit nothing — the
-      // table equals the events table exactly once.
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
-      val stage = Files.createTempDirectory("graft_iceS")
-      val in = Files.createDirectory(stage.resolve("in"))
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      def stageHalf(name: String, rem: Int, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_iceS_half")
-        ev.where(pmod(col("event_id"), lit(2)) === rem)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        Files.copy(firstParquetPart(tmp), in.resolve(name))
-        Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
-      }
-      stageHalf("a.parquet", 0, 1700000000000L)
-      stageHalf("b.parquet", 1, 1700000060000L)
-      val t = s"$stage/table"
-      val schema = s.read.parquet(in.toString).schema
-      def deliver(ck: String): Unit =
-        graft.streaming.IcebergFormat.icebergSink(
-          graft.streaming.Transforms.PathInput(in.toString, schema,
-            maxFilesPerTrigger = Some(1)).stream(s),
-          col("ts"), t, s"$stage/$ck",
-          graft.streaming.Datalake.dayPartition).awaitTermination()
-      deliver("ck1")
-      deliver("ck2") // full redelivery: both batch ids repeat, zero new snapshots
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("p_key")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("p_key")
-    }),
-
-    "d6_iceberg_upsert_stream" -> ((s, dir) => {
-      // Streaming CDC upsert, keyed on event_id: batch 1 inserts every
-      // event, batch 2 re-delivers ALL of them as "updates" (equality-
-      // delete each key, append the new version). If the delete half were
-      // broken the table would double; if the sequence scoping were wrong
-      // the update would delete itself — either way the oracle (exactly
-      // one copy of events) catches it.
-      import java.nio.file.Files
-      import java.nio.file.attribute.FileTime
-      val stage = Files.createTempDirectory("graft_iceU")
-      val in = Files.createDirectory(stage.resolve("in"))
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      def stageCopy(name: String, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_iceU_half")
-        ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        Files.copy(firstParquetPart(tmp), in.resolve(name))
-        Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
-      }
-      stageCopy("a.parquet", 1700000000000L)
-      stageCopy("b.parquet", 1700000060000L)
-      val t = s"$stage/table"
-      val schema = s.read.parquet(in.toString).schema
-      graft.streaming.IcebergFormat.icebergUpsertSink(
-        graft.streaming.Transforms.PathInput(in.toString, schema,
-          maxFilesPerTrigger = Some(1)).stream(s),
-        col("ts"), t, s"$stage/ck", keyCols = Seq("event_id"),
-        partFn = graft.streaming.Datalake.dayPartition).awaitTermination()
-      graft.streaming.IcebergFormat.readTable(s, t)
-        .groupBy("p_key")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("p_key")
-    }),
-
-    "d6_snapshots" -> ((s, dir) => {
-      // Three real snapshot commits (10-day chunks), then expiry to the
-      // last two; the readback sees exactly the surviving snapshots.
-      val out = java.nio.file.Files.createTempDirectory("graft_d6").toString
-      val ev = events(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      val days = ev.select("day").distinct().orderBy("day").collect().map(_.getString(0))
-      days.zipWithIndex.groupBy(_._2 / 10).toSeq.sortBy(_._1).foreach { case (_, ds) =>
-        graft.streaming.Datalake.commit(
-          ev.where(col("day").isin(ds.toIndexedSeq.map(_._1): _*)).select("event_id", "ts", "event_type"),
-          col("ts"), out, partFn = graft.streaming.Datalake.dayPartition)
-      }
-      graft.streaming.Datalake.expireSnapshots(s, out, keepLast = 2)
-      graft.streaming.Datalake.readTable(s, out)
-        .groupBy(col("snapshot_id").cast("long").as("snapshot_id"))
-        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
-        .orderBy("snapshot_id")
-    }),
-
-    // ----- §2.7 datalake translation / partition transforms -----
-    "d2_record_translation" -> ((s, dir) => {
-      // Full default-translator path: canonical binary log rows (key,
-      // value, headers as bytes) -> redpanda system struct + value
-      // (record_translator.h:28-66), then verifiable projections of BOTH
-      // the struct fields and the decoded payload.
-      val log = eventLog(s, dir).select(
-        col("partition"), col("offset"), col("ts").as("timestamp"),
-        array(struct(
-          encode(lit("type"), "UTF-8").as("key"),
-          encode(col("event_type"), "UTF-8").as("value"))).as("headers"),
-        encode(col("user_id").cast("string"), "UTF-8").as("key"),
-        encode(col("props"), "UTF-8").as("value"))
-      graft.streaming.Datalake.translateDefault(log)
-        .select(
-          col("redpanda.partition").as("p"),
-          col("redpanda.offset").as("o"),
-          decode(col("redpanda.headers")(0)("value"), "UTF-8").as("h_type"),
-          length(col("redpanda.key")).as("key_len"),
-          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("int").as("k"))
-        .groupBy("h_type")
-        .agg(count(lit(1)).as("n"), max("o").as("max_offset"),
-          sum("key_len").as("sum_key_len"), sum("k").as("sum_k"))
-        .orderBy("h_type")
-    }),
-
-    "d4_partition_transforms" -> ((s, dir) =>
-      Operators.icebergTransforms(events(s, dir), col("ts"), col("user_id"), col("event_type"), 16)
-        .groupBy("t_year", "t_month", "t_day", "t_hour", "t_bucket", "t_truncate")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("t_year", "t_month", "t_day", "t_hour", "t_bucket", "t_truncate")),
-
-    // ----- §2.8 transform corpus (U1/U3) -----
-    "u1_transform_mirror" -> ((s, dir) =>
-      Operators.transformMirror(events(s, dir))
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy("event_id")),
-
-    "u2_transform_filter" -> ((s, dir) =>
-      Operators.transformRegexFilter(events(s, dir), col("props"), "\"k\": 4[0-9]")
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
-        .orderBy("event_type")),
-
-    "u3_transform_transcode" -> ((s, dir) =>
-      events(s, dir).where(col("event_id") < 1000)
-        .select(col("event_id"),
-          concat(lit("user="), col("user_id").cast("string"),
-            lit(";type="), col("event_type")).as("value"))
-        .orderBy("event_id")),
-
-    "u1_wasm_mirror" -> ((s, dir) => {
-      // A REAL .wasm guest binary — GuestModules.mirror, assembled to
-      // the wasm 1.0 spec and executed per executor task by the graft
-      // interpreter against the reference's redpanda_transform host ABI
-      // (wasm/transform_module.h:137-158) — not a Scala re-statement of
-      // the transform. The guest loops read_batch_header /
-      // read_next_record / write_record exactly like an SDK build; the
-      // emitted payloads come back through the validated-write path
-      // (model/transform.cc:324) and are decoded for the oracle.
-      val in = storedLog(s, dir).select(col("partition"), col("offset"),
-        unix_millis(col("ts")).as("timestamp"),
-        col("event_id").cast("string").cast("binary").as("key"),
-        col("event_type").cast("binary").as("value"))
-      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.mirror)
-        .select(col("partition"),
-          decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
-          decode(col("value"), "UTF-8").as("event_type"))
-        .orderBy("event_id")
-    }),
-
-    "u3_wasm_upper" -> ((s, dir) => {
-      // The transcoding example as guest BYTECODE: GuestModules.
-      // upperValue parses the payload's zigzag-varint key/value framing
-      // and uppercases the value's ASCII letters inside wasm linear
-      // memory — the host only sees the already-transformed payload.
-      val in = storedLog(s, dir).select(col("partition"), col("offset"),
-        unix_millis(col("ts")).as("timestamp"),
-        col("event_id").cast("string").cast("binary").as("key"),
-        concat(lit("type="), col("event_type")).cast("binary").as("value"))
-      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.upperValue)
-        .select(decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
-          decode(col("value"), "UTF-8").as("value"))
-        .orderBy("event_id")
-    }),
-
-    "u1_wasm_wasi" -> ((s, dir) => {
-      // The WASI ABI surface end-to-end: GuestModules.wasiStartup runs
-      // the exact wasi_snapshot_preview1 startup sequence a TinyGo SDK
-      // build's runtime emits (args_sizes_get/args_get, environ_sizes_
-      // get/environ_get, two monotonic clock_time_get reads, random_
-      // get) against the host's reference-shaped serialization
-      // (wasi.cc:125-148 NUL-terminated ptr tables; wasmtime.cc:465
-      // args=[name], environ=deploy env + REDPANDA_INPUT_TOPIC/
-      // REDPANDA_OUTPUT_TOPIC_n), reports what it saw via multi-iovec
-      // fd_write(2), and mirrors the feed. The fd_write lines land in
-      // the U6 transform-log path (enqueue admission → OTel JSON →
-      // murmur2 routing); n_mirrored binds the transform half.
-      import s.implicits._
-      import graft.wasm.{TransformAbi, GuestModules}
-      import graft.functions.RecordBatchCodec.Rec
-      // bounded fixture feed (3 rows) from the events table
-      val rows = T(s, dir, "events").where(col("event_id") < 3)
-        .select(col("event_id"), col("event_type")).orderBy("event_id")
-        .collect()
-        .map(r => (r.getLong(0).toString.getBytes("UTF-8"),
-          r.getString(1).getBytes("UTF-8")))
-      val hdr = TransformAbi.BatchHeader(0L, rows.length, 0, 0,
-        rows.length - 1, 1700000000000L, 1700000000000L + rows.length - 1,
-        -1L, -1, -1)
-      val feed = Iterator(TransformAbi.position(hdr,
-        rows.zipWithIndex.map { case ((k, v), i) => Rec(i, i.toLong, k, v, Nil) }))
-      val (emitted, logs) = TransformAbi.run(GuestModules.wasiStartup, feed,
-        args = Seq("wasi-demo"),
-        environ = Seq("REDPANDA_INPUT_TOPIC=events",
-          "REDPANDA_OUTPUT_TOPIC_0=events_out"))
-      val logDf = logs.zipWithIndex.map { case (line, i) =>
-        (i.toLong, "wasi-demo", 2, 1700000000000L + i, "info", line) }
-        .toDF("seq", "transform_name", "source_id", "ts_ms", "level", "message")
-      graft.streaming.TransformLogs.publish(
-        graft.streaming.TransformLogs.enqueue(logDf, lineMaxBytes = 256,
-          bufferCapacityBytes = 16384, flushIntervalMs = 100000L),
-        nPartitions = 8)
-        .select(col("seq"), col("transform_name"), col("partition"),
-          col("severity_number"), col("body_json"))
-        .withColumn("n_mirrored", lit(emitted.size))
-        .orderBy("seq")
-    }),
-
-    "u1_wasm_router" -> ((s, dir) => {
-      // write_record_with_options from guest code: odd log offsets are
-      // routed to topic "odd" (options frame 0x01 + vint-sized name,
-      // wasm/transform_module.cc:40-55), even offsets to the default
-      // output; the fold counts per route.
-      val in = storedLog(s, dir).select(col("partition"), col("offset"),
-        unix_millis(col("ts")).as("timestamp"),
-        col("event_id").cast("string").cast("binary").as("key"),
-        col("event_type").cast("binary").as("value"))
-      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.oddEvenRouter)
-        .groupBy(coalesce(col("topic"), lit("default")).as("route"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("route")
-    }),
-
-    "u1_wasm_filter" -> ((s, dir) => {
-      // STATEFUL guest: a counter in linear memory keeps every 3rd
-      // record per partition, running straight through batch boundaries
-      // (256-record batches) — one long-lived VM per partition run, as
-      // the reference keeps one VM per partition processor. The counter
-      // resets only at the documented 8192-record run boundary, which
-      // the oracle reproduces with ((rank mod 8192) mod 3).
-      val in = storedLog(s, dir).select(col("partition"), col("offset"),
-        unix_millis(col("ts")).as("timestamp"),
-        col("event_id").cast("string").cast("binary").as("key"),
-        col("event_type").cast("binary").as("value"))
-      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.everyThird)
-        .select(col("partition"),
-          decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
-          decode(col("value"), "UTF-8").as("event_type"))
-        .orderBy("event_id")
-    }),
-
-    "u5_wasm_schema" -> ((s, dir) => {
-      // U5 as an ACTUAL guest capability: the schemaEcho wasm binary
-      // imports the redpanda_schema_registry host module
-      // (wasm/schema_registry_module.h:37-44), fetches schema id 1 at
-      // startup, parses the encoded-def framing with its own varint
-      // reader, and emits the raw definition as every record's value —
-      // payload varints encoded in guest bytecode. Each executor task
-      // rebuilds the SR node from the broadcast schema list, as every
-      // reference shard holds its own SR replica.
-      val raw = """{"type":"record","name":"Ev","fields":[{"name":"a","type":"string"}]}"""
-      val expect = graft.registry.AvroCanonical.sanitize(raw)
-      val factory: () => Map[(String, String), graft.wasm.WasmInterp.HostFunc] =
-        () => {
-          val srv = new graft.registry.RestApi.Server()
-          srv.handle("POST", "/subjects/ev-value/versions",
-            Some(s"""{"schema":${new com.fasterxml.jackson.databind.ObjectMapper()
-              .writeValueAsString(new com.fasterxml.jackson.databind.ObjectMapper()
-                .getNodeFactory.textNode(raw))}}"""))
-          graft.wasm.SchemaRegistryAbi.hostFuncs(srv)
-        }
-      val in = storedLog(s, dir).where(col("offset") < 50)
-        .select(col("partition"), col("offset"),
-          unix_millis(col("ts")).as("timestamp"),
-          col("event_id").cast("string").cast("binary").as("key"),
-          col("event_type").cast("binary").as("value"))
-      graft.wasm.WasmTransform(in, graft.wasm.GuestModules.schemaEcho,
-          extraHostFactory = Some(factory))
-        .groupBy(decode(col("value"), "UTF-8").as("schema"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("matches_registered", col("schema") === lit(expect))
-        .select("matches_registered", "n")
-        .orderBy("n")
-    }),
-
-    "u1_wasm_stream" -> ((s, dir) => {
-      // The guest VM in its ACTUAL deployment shape — a continuous
-      // per-partition processor over arriving batches
-      // (transform/transform_processor.cc run loops): the events table
-      // streams in as two mtime-ordered micro-batches, each runs the
-      // SAME wasm mirror binary distributed via foreachBatch, and the
-      // accumulated output must equal two mirrored copies of the table.
-      // Per-batch-id overwrite dirs keep a replay from duplicating.
-      val inDir = stagedEventsStream(s, dir, sentinel = false)
-      val out = cleanupOnExit(
-        java.nio.file.Files.createTempDirectory("graft_wasm_stream")).toString
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = withLtzTs(graft.streaming.Transforms.PathInput(
-        inDir, schema, maxFilesPerTrigger = Some(1)).stream(s))
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$out/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val in = batch.select(
-            pmod(col("user_id"), lit(EventPartitions)).cast("int").as("partition"),
-            col("event_id").as("offset"),
-            unix_millis(col("ts")).as("timestamp"),
-            col("event_id").cast("string").cast("binary").as("key"),
-            col("event_type").cast("binary").as("value"))
-          graft.wasm.WasmTransform(in, graft.wasm.GuestModules.mirror)
-            .write.mode("overwrite").parquet(s"$out/data/batch=$id")
-          ()
-        }.start()
-      q.awaitTermination()
-      s.read.parquet(s"$out/data")
-        .select(decode(col("key"), "UTF-8").cast("bigint").as("event_id"),
-          decode(col("value"), "UTF-8").as("event_type"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
-        .orderBy("event_type")
-    }),
-
-    "u3_sdk_vectors" -> ((s, dir) => {
-      // The SDK example corpus replayed over its golden vectors through
-      // the transform surface (example_{mirror,regexp_filter,
-      // transcoding,validation}_test.go — see
-      // graft.streaming.SdkExamples): byte-level outputs incl. Go
-      // Marshal's < HTML escape, RFC-4180 quoted CSV fields, and
-      // json.Valid's trailing-garbage rejection. Oracle pins the
-      // vectors (the semantics are the Go SDK's, not re-derivable from
-      // the tables).
-      import s.implicits._
-      import graft.streaming.SdkExamples
-      import SdkExamples.Rec
-      def b(x: String): Array[Byte] = if (x == null) null else x.getBytes("UTF-8")
-      def str(x: Array[Byte]): String = if (x == null) null else new String(x, "UTF-8")
-      val in = (
-        Seq(("mirror", "k1", "v1"), ("mirror", null, "v2"), ("mirror", "k3", null)) ++
-        Seq(("filter_key", "order-17", "a"), ("filter_key", "xx order-9 yy", "b"),
-          ("filter_key", "ORDER-17", "c"), ("filter_key", "order-", "d"),
-          ("filter_key", null, "order-3")) ++
-        Seq(("filter_value", "order-17", "a"), ("filter_value", null, "order-3")) ++
-        Seq(("transcode", "r1", "k1,hello,42\n"),
-          ("transcode", "r2", "k2,\"x,y\",3\nk3,z,7"),
-          ("transcode", "r3", "k4,a<b,-5\r\n")) ++
-        Seq(("validate", "a", "{\"x\": 1}"), ("validate", "b", "[1, 2]"),
-          ("validate", "c", "123"), ("validate", "e", "{x: 1}"),
-          ("validate", "f", "{\"x\": 1} extra"), ("validate", "h", ""))
-      ).toDF("example", "key", "value")
-      graft.streaming.Transforms.applyBatch(in, (row: org.apache.spark.sql.Row) => {
-        val rec = Rec(b(row.getAs[String]("key")), b(row.getAs[String]("value")))
-        row.getAs[String]("example") match {
-          case "mirror" =>
-            SdkExamples.mirror(rec).map(r => ("mirror", str(r.key), str(r.value)))
-          case "filter_key" =>
-            SdkExamples.regexFilter("order-\\d+", matchValue = false)(rec)
-              .map(r => ("filter_key", str(r.key), str(r.value)))
-          case "filter_value" =>
-            SdkExamples.regexFilter("order-\\d+", matchValue = true)(rec)
-              .map(r => ("filter_value", str(r.key), str(r.value)))
-          case "transcode" =>
-            SdkExamples.csvToJson(rec).map(r => ("transcode", str(r.key), str(r.value)))
-          case "validate" =>
-            SdkExamples.jsonValidate(rec).map { case (topic, r) =>
-              (s"validate_$topic", str(r.key), str(r.value))
-            }
-        }
-      })
-        .toDF("example", "out_key", "out_value")
-        .orderBy("example", "out_key", "out_value")
-    }),
-
-    "u4_transform_validate" -> ((s, dir) =>
-      Operators.transformValidate(events(s, dir), col("value") <= 30.0)
-        .groupBy("route").agg(count(lit(1)).as("n"))
-        .orderBy("route")),
-
-    // ----- §2.8 U2: offset start options -----
-    "u2_start_options" -> ((s, dir) => {
-      // All four transform start options against the same topic: the log
-      // as stored at deploy time (a per-partition prefix of varying
-      // length) vs the full log the stream eventually sees. Each option's
-      // cut is re-derived by the oracle. FromEnd snapshots per-partition
-      // HWMs from the STORED input; FromCommitted resumes after an
-      // explicit per-partition commit table (odd partitions have no
-      // commit and start from scratch).
-      import graft.streaming.Transforms
-      val log = eventLog(s, dir).withColumnRenamed("ts", "timestamp")
-      // schema read back from the materialized snapshot — the cut
-      // formula lives only in u2SnapshotPath
-      val snapPath = u2SnapshotPath(s, dir)
-      val input = Transforms.PathInput(snapPath, s.read.parquet(snapPath).schema)
-      val committed = log.where(col("partition") % 2 === 0)
-        .groupBy("partition")
-        .agg(floor(max("offset") / 2).cast("long").as("committed_offset"))
-      def cut(option: String, start: Transforms.OffsetStart,
-          commits: Option[DataFrame] = None): DataFrame =
-        Transforms.applyStart(s, input, start, log, commits)
-          .groupBy("partition")
-          .agg(count(lit(1)).as("n"), min("offset").as("first_offset"),
-            max("offset").as("last_offset"))
-          .withColumn("start_option", lit(option))
-      cut("from_start", Transforms.FromStart)
-        .unionByName(cut("from_end", Transforms.FromEnd))
-        .unionByName(cut("from_timestamp", Transforms.FromTimestamp(
-          java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime)))
-        .unionByName(cut("from_committed", Transforms.FromCommitted, Some(committed)))
-        .select("start_option", "partition", "n", "first_offset", "last_offset")
-        .orderBy("start_option", "partition")
-    }),
-
-    // ----- §2.8 U4: management-plane lifecycle + error-state report -----
-    "u4_lifecycle" -> ((s, dir) => {
-      // Command log derived from events: each user_id%16 bucket is a
-      // transform whose deploy/pause/resume/delete commands arrive in
-      // event order — interleaved lifecycles with deletes and redeploys.
-      val cmds = events(s, dir)
-        .where(col("event_type").isin("signup", "view", "click", "purchase"))
-        .select(col("event_id").as("seq"),
-          concat(lit("tr-"), pmod(col("user_id"), lit(16)).cast("string")).as("transform"),
-          when(col("event_type") === "signup", "deploy")
-            .when(col("event_type") === "view", "pause")
-            .when(col("event_type") === "click", "resume")
-            .otherwise("delete").as("op"))
-      graft.streaming.Transforms.lifecycle(cmds).orderBy("transform")
-    }),
-
-    "u4_report" -> ((s, dir) => {
-      // Processor event log: commits carry the record's log offset,
-      // errors flip the partition to errored until a later start/commit;
-      // lag is measured against the partition HWM of the real log.
-      val log = eventLog(s, dir)
-      val proc = log
-        .where(col("event_type").isin("click", "error", "signup"))
-        .select(col("event_id").as("seq"),
-          concat(lit("tr-"), pmod(col("user_id"), lit(5)).cast("string")).as("transform"),
-          col("partition"),
-          when(col("event_type") === "click", "commit")
-            .when(col("event_type") === "error", "error")
-            .otherwise("start").as("kind"),
-          when(col("event_type") === "click", col("offset")).as("committed_offset"))
-      graft.streaming.Transforms.statusReport(proc, RecordLog.latestOffsets(log))
-        .orderBy("transform", "partition")
-    }),
-
-    // ----- §2.5 G6: transform offset tracking / commit batcher -----
-    "g6_commit_batcher" -> ((s, dir) => {
-      // Progress events for 32 (transform, partition) keys; flush
-      // interval = 500 seq ticks. The fold must coalesce every interval's
-      // enqueues to its LAST offset and carry one row per key per flush —
-      // the oracle re-derives flush counts and committed state in SQL.
-      // (Coordinator routing is murmur2 — golden-checked in the spec and
-      // by adm_find_coordinator, not SQL-expressible.)
-      val prog = events(s, dir).select(
-        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("transform"),
-        pmod(col("event_id"), lit(8)).cast("int").as("partition"),
-        lit(0).as("output_topic"),
-        col("event_id").as("seq"),
-        col("event_id").as("offset"))
-      graft.streaming.Transforms.commitBatcher(prog, intervalLen = 500L)
-        .drop("coordinator")
-        .orderBy("transform", "partition")
-    }),
-
-    "u5_transform_sr_decode" -> ((s, dir) => {
-      // U5: the schema-registry client in the guest
-      // (`wasm/schema_registry_module.h`) — the transform resolves its
-      // writer schemas from the registry schema LOG (bounded,
-      // driver-resolved, shipped with the task closure exactly like the
-      // guest's SR client cache), runs the per-partition decode loop
-      // (one resolving reader per schema id per task), and drops rows
-      // that fail to type — the guest's dead-letter path. The oracle
-      // re-derives the typed projection from the plaintext columns.
-      import s.implicits._
-      val schemaLog = Seq((1, AvroV1), (2, AvroV2)).toDF("id", "schema")
-      val resolved = graft.registry.AvroDecode.schemasById(schemaLog)
-      graft.registry.AvroDecode.decode(
-          avroLog(s, dir).select("value_bin"), "value_bin", resolved, AvroV2)
-        .where(col("decoded").isNotNull)
-        .select(col("decoded.event_id").as("event_id"),
-          col("decoded.event_type").as("event_type"),
-          col("decoded.value").as("value"))
-        .where(col("event_id") < 500)
-        .orderBy("event_id")
-    }),
-
-    "u6_transform_logs" -> ((s, dir) =>
-      // U6: WASM transform log manager end-to-end
-      // (transform/logging/log_manager.cc): stdout/stderr lines →
-      // byte-truncate at line-max → per-flush-window greedy semaphore
-      // admission (fit checked BEFORE validity, non-fitting events
-      // consume no units) → control-char/UTF-8 validation → OTel
-      // LogRecord JSON (event.cc:81-99) routed to
-      // murmur2(name) % 8 (rpc_client.cc:92). The oracle replays the
-      // admission fold as a recursive CTE and pins the murmur2 routing
-      // with golden partition values.
-      graft.streaming.TransformLogs.publish(
-        graft.streaming.TransformLogs.enqueue(xformLogEvents(s, dir),
-          lineMaxBytes = 256, bufferCapacityBytes = 16384,
-          flushIntervalMs = 100000L),
-        nPartitions = 8)
-        .select("seq", "transform_name", "partition", "time_unix_nano",
-          "severity_number", "body_json")
-        .orderBy("seq")),
-
-    "u6_transform_logs_stream" -> ((s, dir) => {
-      // The flusher as it actually runs — continuous: log lines stream
-      // in, each flush interval is an event-time window, the greedy
-      // semaphore fold runs inside the windowed aggregate, and append
-      // mode emits each window's decisions exactly once. Two far-future
-      // sentinel batches close every real window (the second closes the
-      // first's); output is the per-(window, transform, status) batch
-      // rollup, oracle-recomputed from the batch CTE.
-      import s.implicits._
-      val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val inDir = java.nio.file.Files.createTempDirectory("graft_u6s")
-      val b0 = inDir.resolve("batch0.parquet")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), b0)
-      java.nio.file.Files.setLastModifiedTime(b0,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
-      Seq(9000000L, 9100000L).zipWithIndex.foreach { case (id, i) =>
-        val tmp = inDir.resolve(s"__sent$i")
-        Seq((id, "sentinel", "xx", "sent", 8L))
-          .toDF("doc_id", "text", "lang", "source", "n_chars")
-          .selectExpr(docSchema.fieldNames.map(n => n): _*)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val dst = inDir.resolve(s"batch${i + 1}.parquet")
-        java.nio.file.Files.move(firstParquetPart(tmp), dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000001000L + i * 1000L))
-      }
-      val raw = graft.streaming.Transforms.PathInput(
-        inDir.toString, docSchema, maxFilesPerTrigger = Some(1)).stream(s)
-      val out = java.nio.file.Files.createTempDirectory("graft_u6out").toString
-      graft.streaming.TransformLogs.publishStream(
-        xformLogProjection(raw), s"$out/data", s"$out/ckpt",
-        lineMaxBytes = 256, bufferCapacityBytes = 16384,
-        flushIntervalMs = 100000L, nPartitions = 8)
-      s.read.parquet(s"$out/data")
-        .where(col("seq") < 9000000L)
-        .groupBy("win", "transform_name", "partition", "status")
-        .agg(count(lit(1)).as("n"), sum("sz").as("bytes"))
-        .orderBy("win", "transform_name", "status")
-    }),
-
-    "u6_log_probes" -> ((s, dir) =>
-      // The per-transform probe counters (transform/logging/probes.h):
-      // log_event per attempt, dropped_log_event ONLY on buffer-full —
-      // validation failures are logged but not drop-counted
-      // (log_manager.cc:322,335), which the status split makes exact.
-      graft.streaming.TransformLogs.probes(
-        graft.streaming.TransformLogs.enqueue(xformLogEvents(s, dir),
-          lineMaxBytes = 256, bufferCapacityBytes = 16384,
-          flushIntervalMs = 100000L))
-        .orderBy("transform_name")),
-
-    "g6_commit_stream" -> ((s, dir) => {
-      // The commit batcher as the continuous loop the reference runs:
-      // progress events stream in, each flush interval is an event-time
-      // window on the seq clock, and append mode emits each
-      // (key, interval) flush exactly once; the still-open final
-      // interval is flushed from checkpointed state by
-      // commitBatcherStream's built-in drain (no sentinel staging).
-      // The oracle recomputes the flush log with the batch twin's fold.
-      val inDir = stagedEventsStream(s, dir, sentinel = false, single = true)
-      val out = java.nio.file.Files.createTempDirectory("graft_g6s").toString
-      val raw = graft.streaming.Transforms.PathInput(
-        inDir, s.read.parquet(s"$dir/events.parquet").schema,
-        maxFilesPerTrigger = Some(1)).stream(s)
-      val prog = raw.select(
-        concat(lit("t"), pmod(col("user_id"), lit(4)).cast("string")).as("transform"),
-        pmod(col("event_id"), lit(8)).cast("int").as("partition"),
-        lit(0).as("output_topic"),
-        col("event_id").as("seq"),
-        col("event_id").as("offset"))
-      graft.streaming.Transforms.commitBatcherStream(
-        prog, s"$out/data", s"$out/ckpt", intervalLen = 500L).awaitTermination()
-      s.read.parquet(s"$out/data")
-        .orderBy("transform", "partition", "interval")
-    }),
-
-    // ----- log-native extensions: as-of join -----
-    "op_asof_join" -> ((s, dir) => {
-      // For every purchase, the user's latest signup at or before it —
-      // the classic as-of shape, as one window pass (no range scan).
-      val ev = events(s, dir)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val signups = Compaction.compact(
-        ev.where(col("event_type") === "signup")
-          .select(col("user_id"), col("ts"),
-            col("event_id").as("signup_event"), col("value").as("signup_value")),
-        Seq("user_id", "ts"), "signup_event")
-      Operators.asofJoin(purchases, signups, Seq("user_id"), "ts",
-          Seq("signup_event", "signup_value"))
-        .select(col("event_id"), col("user_id"), col("signup_event"), col("signup_value"))
-        .orderBy("event_id")
-    }),
-
-    "op_range_join" -> ((s, dir) => {
-      // Purchases inside a 3-day window after any signup of the same
-      // user: interval-containment via the bucketed equi-join plan.
-      val ev = events(s, dir)
-      val points = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
-          col("event_id").as("purchase_id"))
-      val intervals = ev.where(col("event_type") === "signup")
-        .select(col("user_id"), unix_timestamp(col("ts")).as("lo"),
-          (unix_timestamp(col("ts")) + 3 * 86400L).as("hi"),
-          col("event_id").as("signup_id"))
-      Operators.rangeJoin(points, intervals, Seq("user_id"), "t", "lo", "hi", 86400L)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum("purchase_id").as("sum_purchase"), sum("signup_id").as("sum_signup"))
-        .orderBy("user_id")
-    }),
-
-    // ----- §4 murmur2 partition routing (parity-critical custom expr) -----
-    "op_murmur2_routing" -> ((s, dir) => {
-      // Golden-vector conformance: the SQL expression must reproduce the
-      // published Kafka murmur2 values and the REFERENCE's unsigned-mod
-      // routing (kafka/client/partitioners.cc:41-44) at a non-power-of-2
-      // partition count — where Kafka-Java's toPositive would diverge.
-      GraftFunctions.register(s)
-      import s.implicits._
-      Seq("", "0123456789", "a", "ab", "abc", "hello-kafka", "redpanda", "user-42")
-        .toDF("key")
-        .selectExpr("key", "murmur2(encode(key, 'UTF-8')) AS hash")
-        .withColumn("route6",
-          pmod(col("hash").cast("long").bitwiseAND(lit(0xffffffffL)), lit(6)).cast("int"))
-        .orderBy("key")
-    }),
-
-    // ----- analytics headliners (Spark built-ins; bench anchors) -----
-    "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
-    "q3_shipping_priority" -> ((s, dir) => q3ShippingPriority(s, dir)),
-    "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
-
-    // ----- training-data pipeline: dedup -----
-    "dd_exact" -> ((s, dir) =>
-      Dedup.exact(T(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("text_hash")),
-
-    "dd_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashNearDups(T(s, dir, "documents"), col("doc_id"), col("text"),
-          shingleN = 3, k = 16, bands = 8, threshold = 0.05)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
-        .orderBy("doc_a", "doc_b")),
-
-    "dd_minhash_lsh_parity" -> ((s, dir) => {
-      // The standalone LSH near-dup stage under the PARITY hash family
-      // (the fuzzy funnel's machinery surfaced as its own operator):
-      // near-dup plants (every 23rd doc, 5 appended words, Jaccard
-      // ~0.9) sign with k=12 md5-affine minhashes, band r=2 with hot
-      // buckets capped, and exact-Jaccard verify at 0.5. Unlike
-      // dd_minhash_lsh (xxhash64 family, rows-only), the oracle
-      // replays signatures, banding, cap, and verification end-to-end.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs.unionByName(docs.where(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 800000).as("doc_id"),
-          concat(col("text"), lit(" shared tail marker words here")).as("text")))
-      val sh = Dedup.shingled(corpus, col("doc_id"), col("text"), 3)
-        .localCheckpoint(true)
-      val cands = Dedup.lshCandidates(
-        Dedup.minHashSignaturesParity(sh, 12), 12, 6, 1000)
-      Dedup.verifyJaccard(cands, sh).where(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard"), 5).as("jaccard_r"))
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    "dd_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
-          n = 3, threshold = 0.05, maxDf = 100)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
-        .orderBy("doc_a", "doc_b")),
-
-    "dd_simhash" -> ((s, dir) =>
-      Dedup.simHash(T(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("doc_id")),
-
-    "dd_simhash_parity" -> ((s, dir) =>
-      // The engine-parity simhash twin: 48-bit md5 token prefixes supply
-      // the per-token bits, so the oracle recomputes every print exactly
-      // (the 64-bit xxhash64 variant above stays rows-only).
-      Dedup.simHashParity(T(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("doc_id")),
-
-    // Driver-checkable LSH quality assertions: recall vs the exact
-    // (oracle-verified) counterpart, plus precision-by-construction.
-    "dd_minhash_recall" -> ((s, dir) => {
-      import s.implicits._
-      val docs = T(s, dir, "documents")
-      // one shingling pass feeds both the exact and the LSH method.
-      // Recall is measured over exact pairs AT/ABOVE the banding design
-      // threshold (b=8, r=2 -> S-curve midpoint (1-2^(-1/8))^(1/2) ~
-      // 0.29; 0.2 bounds it): pairs below the design point have
-      // near-zero collision probability BY CONSTRUCTION — that is what
-      // choosing banding parameters means — so they are out of
-      // contract (at sf0.1 a [0.05, 0.2) tail of border pairs exists
-      // and would misread as lost recall).
-      val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).cache()
-      try {
-        val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
-        val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
-        // ONE evaluation of each DAG (the recallOf shape): the pair sets
-        // are tiny; count + join-count would run both plans twice
-        val (nExact, hit) = recallOf(exact, lsh)
-        // an empty denominator is a vacuously satisfied contract, not NaN
-        Seq(("minhash_recall_ge_75", nExact,
-          nExact == 0 || hit.toDouble / nExact >= 0.75))
-          .toDF("check", "n_exact", "ok")
-      } finally sh.unpersist()
-    }),
-
-    "ann_lsh_recall" -> ((s, dir) => {
-      import s.implicits._
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
-      val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5).select("query_id", "vec_id")
-      val (n, hit) = recallOf(bf, lsh)
-      // This synthetic corpus is adversarial for LSH: random Gaussian
-      // vectors put the true top-5 at cos ~0.3, where banded collision
-      // probability is barely above noise (measured 0.36-0.48 across
-      // SFs). 0.25 pins the floor without loosening the buckets into a
-      // de-facto cross join; the clustered-data unit test holds the
-      // >= 2/3 recall bar real embedding corpora give.
-      Seq(("ann_recall_at5_ge_25", n, hit.toDouble / n >= 0.25))
-        .toDF("check", "n_exact", "ok")
-    }),
-
-    "dd_embed_lsh_recall" -> ((s, dir) => {
-      import s.implicits._
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val exact = Similarity.cosineNearDupsExact(emb, 0.4).select("vec_a", "vec_b")
-      val lsh = Similarity.cosineNearDups(emb, 64, 0.4).select("vec_a", "vec_b")
-      val nExact = exact.count()
-      val hit = exact.join(lsh, Seq("vec_a", "vec_b")).count()
-      val spurious = lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti").count()
-      // 0.4 is far below the near-dup regime the banding targets (scaladoc
-      // documents the recall math); assert the documented floor AND that
-      // the verify stage keeps precision exact (no spurious pairs).
-      Seq(("embed_lsh_recall_ge_15_precision_1", nExact,
-        hit.toDouble / nExact >= 0.15 && spurious == 0))
-        .toDF("check", "n_exact", "ok")
-    }),
-
-    "dd_simhash_invariance" -> ((s, dir) => {
-      // Case/whitespace invariance proven on constructed variants (the
-      // corpus has no planted duplicates): upper-cased, padded text must
-      // fingerprint identically.
-      val docs = T(s, dir, "documents").select("doc_id", "text")
-      val variant = docs.select(col("doc_id"),
-        concat(upper(col("text")), lit("  ")).as("text"))
-      val a = Dedup.simHash(docs, col("doc_id"), col("text"))
-        .withColumnRenamed("simhash", "fp_a")
-      val b = Dedup.simHash(variant, col("doc_id"), col("text"))
-        .withColumnRenamed("simhash", "fp_b")
-      a.join(b, "doc_id")
-        .select(col("doc_id"), (col("fp_a") === col("fp_b")).as("invariant"))
-        .orderBy("doc_id")
-    }),
-
-    // ----- training-data pipeline: similarity search -----
-    "ann_bruteforce_topk" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.bruteForceTopK(emb, queries, 5)
-        .select(col("query_id"), col("vec_id"), col("rank"), round(col("cos"), 5).as("cos_r"))
-        .orderBy("query_id", "rank")
-    }),
-
-    "ann_parity_topk" -> ((s, dir) => {
-      // Integer-parity ANN ranking: micro-unit quantization + exact
-      // int64 inner products + vec_id tie-break, so DuckDB replays the
-      // FULL ranking bit-for-bit (the certification leg for the top-k
-      // machinery; the float ann_* variants keep recall contracts).
-      val emb = T(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.quantizedTopK(emb, queries, 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    "ann_hard_negatives" -> ((s, dir) => {
-      // Contrastive triplet mining over the labeled embedding corpus:
-      // per anchor, the top same-label positive and the 3 most-similar
-      // cross-label hard negatives with the pos-neg margin. The oracle
-      // recomputes every cosine, both rank windows, and the margins.
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
-          col("label").as("query_label"))
-      Similarity.mineTriplets(emb, queries, kNeg = 3)
-        .select(col("query_id"), col("pos_id"), round(col("pos_cos"), 5).as("pos_cos_r"),
-          col("neg_id"), round(col("neg_cos"), 5).as("neg_cos_r"), col("neg_rank"),
-          round(col("margin"), 5).as("margin_r"))
-        .orderBy("query_id", "neg_rank")
-    }),
-
-    "ann_lsh_topk" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(emb, queries, dim = 64, k = 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    "ann_ivf_topk" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.ivfTopK(emb, queries, k = 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    "ann_matryoshka_recall" -> ((s, dir) => {
-      // Matryoshka-style truncated-dimension retrieval: score with only
-      // the leading 48 of 64 dims (a 25% FLOP cut; MRL-trained models
-      // make the prefix carry most of the signal — these synthetic
-      // embeddings have no such structure, so the measured 0.44-0.52
-      // recall is the honest un-trained floor) and pin recall@10
-      // against the full-dimension exact top-k.
-      import s.implicits._
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val bf = Similarity.bruteForceTopK(emb, queries, 10).select("query_id", "vec_id")
-      val embT = emb.withColumn("embedding", slice(col("embedding"), 1, 48))
-      val qT = queries.withColumn("query_vec", slice(col("query_vec"), 1, 48))
-      val tr = Similarity.bruteForceTopK(embT, qT, 10).select("query_id", "vec_id")
-      val (n, hit) = recallOf(bf, tr)
-      Seq(("ann_matryoshka48_recall_at10_ge_30", n, hit.toDouble / n >= 0.30))
-        .toDF("check", "n_exact", "ok")
-    }),
-
-    "ann_ivf_recall" -> ((s, dir) => {
-      import s.implicits._
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
-      val ivf = Similarity.ivfTopK(emb, queries, 5).select("query_id", "vec_id")
-      val (n, hit) = recallOf(bf, ivf)
-      // measured 0.52-0.72 across SFs while scoring ~nProbe/nLists = 25%
-      // of the corpus; 0.4 pins the floor
-      Seq(("ann_ivf_recall_at5_ge_40", n, hit.toDouble / n >= 0.4))
-        .toDF("check", "n_exact", "ok")
-    }),
-
-    "ann_ivfpq_topk" -> ((s, dir) => {
-      // IVFADC: coarse quantizer prunes to nProbe/nLists of the corpus,
-      // residual-PQ codes score candidates via 2m table lookups, exact
-      // re-rank on the shortlist.
-      val emb = normEmbeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
-          ivfPqIndex(s, dir), 5, rerank = 50)
-        .select(col("query_id"), col("vec_id"), col("rank"),
-          round(col("cos"), 5).as("cos_r"))
-        .orderBy("query_id", "rank")
-    }),
-
-    "ann_ivfpq_recall" -> ((s, dir) => {
-      import s.implicits._
-      val emb = normEmbeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
-      val got = Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
-          ivfPqIndex(s, dir), 5, rerank = 50)
-        .select("query_id", "vec_id")
-      val (n, hit) = recallOf(bf, got)
-      // recall is capped by coarse-probe coverage (nProbe/nLists = 25% of
-      // the corpus scanned); the floor pins the contract
-      Seq(("ann_ivfpq_recall_at5_ge_30", n, hit.toDouble / n >= 0.3))
-        .toDF("check", "n_exact", "ok")
-    }),
-
-    // PQ ADC scan + exact re-rank: the compressed-domain scan never reads
-    // raw vectors (16 byte-ish codes per 64-dim vector); rerank=100 raw
-    // fetches per query restore exact ordering on the shortlist.
-    "ann_pq_topk" -> ((s, dir) => {
-      val emb = normEmbeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
-          pqModel(s, dir), 5, rerank = 100)
-        .select(col("query_id"), col("vec_id"), col("rank"),
-          round(col("cos"), 5).as("cos_r"))
-        .orderBy("query_id", "rank")
-    }),
-
-    "ann_pq_recall" -> ((s, dir) => {
-      import s.implicits._
-      val emb = normEmbeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
-      val pq = Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
-          pqModel(s, dir), 5, rerank = 50)
-        .select("query_id", "vec_id")
-      val (n, hit) = recallOf(bf, pq)
-      // measured 1.00 at sf0.001/sf0.01 (ADC@50 shortlist covers the true
-      // top-5 even on this adversarial Gaussian corpus); 0.6 pins the
-      // floor with headroom for codebook variance across partitionings
-      Seq(("ann_pq_recall_at5_ge_60", n, hit.toDouble / n >= 0.6))
-        .toDF("check", "n_exact", "ok")
-    }),
-
-    "dd_embed_cosine" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      Similarity.cosineNearDupsExact(emb, threshold = 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
-        .orderBy("vec_a", "vec_b")
-    }),
-
-    "dd_embed_cosine_lsh" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      Similarity.cosineNearDups(emb, dim = 64, threshold = 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
-        .orderBy("vec_a", "vec_b")
-    }),
-
-    // ----- training-data pipeline: text analysis -----
-    "txt_tokens" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .orderBy("doc_id")),
-
-    "txt_quality" -> ((s, dir) =>
-      TextAnalysis.qualityFeatures(T(s, dir, "documents"), col("text"), col("doc_id"))
-        .orderBy("doc_id")),
-
-    "txt_langid" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")),
-
-    "txt_langid_profile" -> ((s, dir) => {
-      // Cavnar-Trenkle (1994) rank-profile language ID: char-trigram
-      // top-50 profiles train on the EVEN half of genuinely-labeled
-      // plants (the corpus' own lang labels sit on identical word
-      // salad, so plants carry the real per-language text — with
-      // accented and CJK scripts); the odd half of plants AND corpus
-      // classifies by the out-of-place measure. Plant rows must land
-      // on the diagonal; salad rows disperse deterministically. The
-      // oracle recomputes profiles, ranks, penalties, and argmins.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-      val plantBase = docs.where(col("doc_id") % 17 === 0)
-      val plants = LangPhrases.zipWithIndex.map { case ((l, phrase), li) =>
-        plantBase.select(
-          (lit(900000L) + col("doc_id") * 5 + li).as("doc_id"),
-          lit(l).as("lang"),
-          concat_ws("", array_repeat(lit(phrase),
-            (pmod(col("doc_id"), lit(3)) + 2).cast("int"))).as("text"))
-      }.reduce(_ unionByName _)
-      val all = docs.unionByName(plants)
-      val profiles = TextAnalysis.languageProfiles(
-        plants.where(col("doc_id") % 2 === 0), col("lang"), col("text"))
-      TextAnalysis.classifyByProfile(
-          all.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"), profiles)
-        .join(all.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
-        .groupBy((col("doc_id") >= 900000L).as("is_plant"),
-          col("true_lang"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"), sum("distance").as("dist_sum"))
-        .orderBy("is_plant", "true_lang", "pred_lang")
-    }),
-
-    "txt_compress_contract" -> ((s, dir) => {
-      // zlib compression-ratio quality signal (the Data-Juicer /
-      // MassiveText-style redundancy filter): planted repetitive text,
-      // the prose corpus, and hex-noise plants must order strictly by
-      // ratio. Deflate bytes are JVM-deterministic but not SQL-
-      // reproducible, so the oracle certifies the ORDERING contract
-      // (measured margins at sf0.01: repeat ≤ 58k ppm, prose ≥ 398k,
-      // noise 587k-607k) plus corpus-derived class counts.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val repeat = docs.where(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 600000).as("doc_id"),
-          concat(lit("lorem ipsum dolor sit amet " * 30),
-            col("doc_id").cast("string")).as("text"))
-      val noise = docs.where(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 650000).as("doc_id"),
-          concat((0 until 10).map(i =>
-            md5(concat(col("doc_id").cast("string"), lit(s":$i")))): _*).as("text"))
-      val r = TextAnalysis.compressionRatio(
-          docs.unionByName(repeat).unionByName(noise), col("doc_id"), col("text"))
-        .withColumn("cls", when(col("doc_id") >= 650000, "noise")
-          .when(col("doc_id") >= 600000, "repeat").otherwise("salad"))
-      r.groupBy("cls").agg(count(lit(1)).as("n"),
-          min("ratio_ppm").as("mn"), max("ratio_ppm").as("mx"),
-          expr("percentile(ratio_ppm, 0.5)").as("md"))
-        .agg(
-          max(when(col("cls") === "repeat", col("n"))).as("n_repeat"),
-          max(when(col("cls") === "salad", col("n"))).as("n_salad"),
-          max(when(col("cls") === "noise", col("n"))).as("n_noise"),
-          (max(when(col("cls") === "repeat", col("mx"))) <
-            max(when(col("cls") === "salad", col("mn")))).as("repeat_lt_prose"),
-          (max(when(col("cls") === "salad", col("md"))) <
-            max(when(col("cls") === "noise", col("md")))).as("prose_lt_noise_median"),
-          (max(when(col("cls") === "repeat", col("mx"))) < 200000L).as("repeat_band_ok"),
-          (max(when(col("cls") === "noise", col("mn"))) > 450000L).as("noise_band_ok"))
-    }),
-
-    "txt_fingerprint" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
-
-    "txt_fingerprint_invariance" -> ((s, dir) =>
-      // The rolling hash must ignore case/leading whitespace but react to
-      // any content change (order-sensitive chain).
-      T(s, dir, "documents").select(col("doc_id"),
-          (TextAnalysis.fingerprint(col("text")) ===
-            TextAnalysis.fingerprint(concat(lit("  "), upper(col("text"))))).as("case_ws_invariant"),
-          (TextAnalysis.fingerprint(col("text")) =!=
-            TextAnalysis.fingerprint(concat(col("text"), lit(" xyzzy")))).as("content_sensitive"))
-        .orderBy("doc_id")),
-
-    "txt_fingerprint_parity" -> ((s, dir) => {
-      // The engine-parity fingerprint: 48-bit md5 token prefixes through
-      // the packed double polynomial fold (the codegen'd poly_fingerprint
-      // kernel). Unlike the xxhash64 chain (rows-only), the oracle
-      // replays every print bit-exactly via list_reduce.
-      T(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprintParity(col("text")).as("fp"))
-        .orderBy("doc_id")
-    }),
-
-    // ----- training-data pipeline: multimodal plumbing -----
-    "mm_media_meta" -> ((s, dir) => {
-      // Runs the REAL mapPartitions decode path (stub codec, declared in
-      // Multimodal.MediaCodec): binary payloads in, typed features out.
-      implicit val sp: SparkSession = s
-      val media = graft.analytics.Multimodal.fakeMediaFromText(T(s, dir, "documents"))
-      graft.analytics.Multimodal.extractFeatures(media).toDF()
-        .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
-        .orderBy("doc_id")
-    }),
-
-    "mm_header_parse" -> ((s, dir) => {
-      // REAL container-header parsing (no codec needed): synthesize a
-      // valid PNG / GIF / JPEG header per doc (format by id%3, dims and
-      // padding id-derived), then parse the bytes back through the
-      // mapPartitions batch path. The oracle recomputes the planted
-      // values arithmetically — a wrong byte order, offset, or marker
-      // walk shows up as a dimension mismatch.
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
-      graft.analytics.Multimodal.parseHeaders(
-          graft.analytics.Multimodal.synthesizeMedia(ids)).toDF()
-        .orderBy("doc_id")
-    }),
-
-    "mm_frame_sample" -> ((s, dir) => {
-      // 1->N frame extraction through the real mapPartitions/flatMap
-      // path: video payloads (stub n_frames = 1 + len % 30) sampled
-      // every 7th frame at 25 fps stamps.
-      implicit val sp: SparkSession = s
-      val media = graft.analytics.Multimodal.fakeMediaFromText(
-        T(s, dir, "documents"), mime = "video/fake")
-      graft.analytics.Multimodal.sampleFrames(media, everyK = 7).toDF()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"))
-        .orderBy("doc_id")
-    }),
-
-    // ----- training-data pipeline: clustering, sampling, cleaning -----
-    "dd_bloom_dedup" -> ((s, dir) => {
-      // Dolma-style cross-shard Bloom dedup: the already-ingested shard
-      // (doc_id % 3 == 0) folds its 10-token paragraphs into a 4096-bit
-      // filter (k=3, parity hash family); the incoming shard — plus
-      // re-crawled exact copies of every 21st ingested doc — probes it.
-      // One-sided: every true re-crawl paragraph flags (n_flagged >=
-      // n_true always); the small bit array makes false positives
-      // deterministic and visible, and the oracle replays the exact
-      // bit array, probe, and truth columns.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      def paras(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
-        .where(size(col("__t")) > 0)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), floor((size(col("__t")) + 9) / 10) - 1),
-          i => concat_ws(" ", slice(col("__t"), i * 10 + 1, lit(10))))).as("para"))
-        .distinct()
-      val ref = docs.where(col("doc_id") % 3 === 0)
-      val cands = docs.where(col("doc_id") % 3 =!= 0)
-        .unionByName(ref.where(col("doc_id") % 21 === 0)
-          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
-      val refParas = paras(ref)
-      val bits = Dedup.bloomBits(refParas, col("para"), mBits = 4096L, k = 3)
-      val probed = Dedup.bloomProbe(paras(cands), col("doc_id"), col("para"),
-        bits, mBits = 4096L, k = 3)
-      val truth = refParas.select(col("para").as("key")).distinct()
-        .withColumn("__t", lit(1))
-      probed.join(truth, Seq("key"), "left")
-        .groupBy("id")
-        .agg(count(lit(1)).as("n_paras"),
-          sum(col("possibly_present").cast("long")).as("n_flagged"),
-          count(col("__t")).as("n_true"))
-        .select(col("id").as("doc_id"), col("n_paras"), col("n_flagged"),
-          col("n_true"), (col("n_flagged") > 0).as("any_flagged"),
-          (col("n_true") > 0).as("any_true"))
-        .orderBy("doc_id")
-    }),
-
-    "dd_url_dedup" -> ((s, dir) => {
-      // URL-canonicalization dedup (the CommonCrawl stage-0): each
-      // logical page (page = doc_id div 3) is planted as THREE crawl
-      // spellings — tracking params + unsorted query + fragment /
-      // uppercase scheme+host + default port / plain unsorted — with
-      // https:443 twists every 5th page and a no-path group every
-      // 11th. Canonicalization collapses each page's spellings to one
-      // key; dedup keeps the minimum doc id. The oracle replays the
-      // URL construction AND the normalization in SQL.
-      val page = expr("doc_id div 3")
-      val v = pmod(col("doc_id"), lit(3))
-      val h = concat(lit("www.s"), pmod(page, lit(7)), lit(".example.com"))
-      val sec = pmod(page, lit(5)) === 0
-      val sch = when(sec, "https://").otherwise("http://")
-      val schUp = when(sec, "HTTPS://").otherwise("HTTP://")
-      val prt = when(sec, ":443").otherwise(":80")
-      val url = when(pmod(page, lit(11)) === 0,
-          when(v === 0, concat(lit("http://"), h, lit("#frag")))
-            .when(v === 1, concat(lit("HTTP://"), upper(h), lit(":80/")))
-            .otherwise(concat(lit("http://"), h)))
-        .otherwise(
-          when(v === 0, concat(sch, h, lit("/p/"), page,
-              lit("?id="), page, lit("&ref=rss&b=2&a=1#top")))
-            .when(v === 1, concat(schUp, upper(h), prt, lit("/p/"), page,
-              lit("?a=1&b=2&id="), page, lit("&utm_campaign=x")))
-            .otherwise(concat(sch, h, lit("/p/"), page,
-              lit("?a=1&id="), page, lit("&b=2"))))
-      val crawls = T(s, dir, "documents").select(col("doc_id"), url.as("url"))
-      Dedup.urlDedup(crawls, col("doc_id"), col("url"))
-        .orderBy("canonical_url")
-    }),
-
-    "dd_cluster" -> ((s, dir) => {
-      // Near-dup pairs (exact n-gram Jaccard, the oracle-provable
-      // candidate source) -> connected components -> per-doc cluster id
-      // with the min-id canonical flag. Singletons cluster to themselves.
-      val docs = T(s, dir, "documents")
-      // maxDf = 100: identical pair set on this corpus (clone shingles
-      // are rare), but the shingle self-join intermediate shrinks ~4x —
-      // the Σdf² term is the whole cost of the exact companion
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-          n = 3, threshold = 0.05, maxDf = 100)
-        .select("doc_a", "doc_b")
-      Dedup.connectedComponents(pairs, docs.select("doc_id"))
-        .select(col("doc_id"), col("cluster_id"),
-          (col("cluster_id") === col("doc_id")).as("is_canonical"))
-        .orderBy("doc_id")
-    }),
-
-    "dd_line_dedup" -> ((s, dir) => {
-      // C4-style boilerplate-line removal: a newsletter header planted
-      // on every 3rd doc and a rights footer on every 4th cross the
-      // 10-distinct-docs threshold and are stripped corpus-wide; a
-      // once-per-50-docs promo line is rare and survives, as does every
-      // (unique) original text. Output hashes the surviving text so the
-      // compare is exact on content AND line order.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val multi = docs.withColumn("text", concat(
-        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter\n")).otherwise(lit("")),
-        col("text"),
-        when(col("doc_id") % 4 === 0, lit("\nAll rights reserved")).otherwise(lit("")),
-        when(col("doc_id") % 50 === 0,
-          concat(lit("\npromo code "), col("doc_id"))).otherwise(lit(""))))
-      Dedup.dedupLines(multi, col("doc_id"), col("text"), maxDocs = 10)
-        .select(col("doc_id"), md5(col("text")).as("text_hash"),
-          length(col("text")).as("len"))
-        .orderBy("doc_id")
-    }),
-
-    "smp_split" -> ((s, dir) =>
-      Sampling.split(T(s, dir, "documents"), col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "split")
-        .orderBy("doc_id")),
-
-    "smp_upsample" -> ((s, dir) =>
-      // Repeat-factor upsampling (the epoch-repeat rule for rare
-      // strata): de x2.5, fr x3, everything else passes through once.
-      // Each row contributes floor(f) or ceil(f) copies by hash bucket.
-      Sampling.upsampleRepeat(T(s, dir, "documents"), col("doc_id"), col("lang"),
-          Map("de" -> 2.5, "fr" -> 3.0))
-        .select("doc_id", "lang", "copy")
-        .orderBy("doc_id", "copy")),
-
-    "smp_source_cap" -> ((s, dir) => {
-      // Per-source share cap at 30%: the corpus plus planted extra src0
-      // docs (doc_id+500000 for the first 40% of ids) makes src0
-      // over-represented — it alone thins to cap/share; every other
-      // source passes whole. The domain-cap rule pretraining mixes
-      // apply before temperature rebalancing.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("source"))
-      val maxId = docs.agg(max("doc_id")).first().getLong(0)
-      val planted = docs.where(col("doc_id") < (maxId + 1) * 2 / 5)
-        .select((col("doc_id") + 500000).as("doc_id"), lit("src0").as("source"))
-      Sampling.capSourceShare(docs.unionByName(planted), col("doc_id"), col("source"),
-          cap = 0.30)
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    }),
-
-    "smp_epoch_shuffle" -> ((s, dir) =>
-      // Global deterministic permutation for epoch 7 — two-phase bucketed
-      // rank, no corpus-wide window (the oracle's row_number IS one; the
-      // engine must re-derive the identical order scalably).
-      Sampling.epochShuffle(T(s, dir, "documents"), col("doc_id"), epoch = 7)
-        .select("doc_id", "pos")
-        .orderBy("doc_id")),
-
-    "smp_stratified" -> ((s, dir) =>
-      Sampling.stratifiedSample(T(s, dir, "documents"), col("doc_id"), col("lang"),
-          Map("en" -> 0.5, "de" -> 0.8, "zh" -> 0.0), defaultRate = 0.2)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    "smp_temperature" -> ((s, dir) =>
-      Sampling.temperatureMixture(T(s, dir, "documents"), col("doc_id"), col("lang"))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    "smp_topk_group" -> ((s, dir) =>
-      Sampling.topKPerGroup(T(s, dir, "documents"), col("source"), col("doc_id"), 3)
-        .select(col("source"), col("rk"), col("doc_id"))
-        .orderBy("source", "rk")),
-
-    "txt_vocab" -> ((s, dir) =>
-      TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
-
-    "smp_dsir" -> ((s, dir) => {
-      // DSIR importance resampling: the 'en' slice is the target
-      // domain, the full corpus the raw pool; hashed-bigram LLR scores
-      // in integer micro-units plus hash-derived Gumbel noise pick
-      // k=100 docs without replacement. The oracle recomputes every
-      // bucket LLR, every score, and the exact top-k cut.
-      val docs = T(s, dir, "documents")
-      Sampling.importanceResample(docs, docs.where(col("lang") === "en"),
-          col("doc_id"), col("text"), k = 100)
-        .orderBy("doc_id")
-    }),
-
-    "txt_classifier_score" -> ((s, dir) => {
-      // Model-based quality filter: a 64-bucket hashed-linear classifier
-      // with deterministic integer pseudo-weights w(b) = (b*37) % 13 - 6
-      // (production loads trained weights; the DATAFLOW — broadcast
-      // model, narrow hash-projection, integer-exact margins — is what
-      // runs at 100 TB). The oracle re-derives every margin.
-      import s.implicits._
-      val weights = (0L until 64L).map(b => (b, (b * 37) % 13 - 6))
-        .toDF("bucket", "weight")
-      TextAnalysis.hashedLinearScore(T(s, dir, "documents"), col("doc_id"),
-          col("text"), weights, buckets = 64, bias = 2L)
-        .orderBy("doc_id")
-    }),
-
-    "txt_sketch_contract" -> ((s, dir) =>
-      // HLL cardinality + approx-percentile error contracts: at 100 TB
-      // only the sketch side runs (fixed-size partial aggregates); here
-      // the exact companions certify the bound. The oracle re-derives
-      // exact_vocab independently and pins the certified booleans.
-      Sketches.sketchContracts(T(s, dir, "documents"), col("text"), col("n_chars"))),
-
-    "txt_tokens_bpe" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
-        .orderBy("doc_id")),
-
-    "txt_perplexity" -> ((s, dir) =>
-      // CCNet-style hashed bigram-LM quality filter: the model trains
-      // on the 'en' slice (two broadcast count tables) and every doc
-      // scores its mean per-bigram negative log-likelihood in integer
-      // micro-units. The oracle retrains the model and rescores every
-      // document.
-      TextAnalysis.bigramPerplexity(T(s, dir, "documents"),
-          T(s, dir, "documents").where(col("lang") === "en"),
-          col("doc_id"), col("text"))
-        .orderBy("doc_id")),
-
-    "txt_dup_spans" -> ((s, dir) =>
-      // Exact repeated-span detection (the ExactSubstr-dedup primitive,
-      // k-gram-bucketed so it distributes): 20-token windows hash, a
-      // hash in >= 2 docs marks its span, per-doc spans merge into
-      // maximal regions. Planted partial copies share their prefix;
-      // short docs carry no windows. The oracle recomputes every
-      // window hash, the duplicate set, and the interval merge.
-      TextAnalysis.duplicateSpans(spanDocs(s, dir), col("doc_id"), col("text"), k = 20)
-        .orderBy("doc_id")),
-
-    "pipe_clean" -> ((s, dir) =>
-      CleanPipeline.clean(plantedDocs(s, dir), col("doc_id"), col("text"))
-        .select("doc_id", "copies")
-        .orderBy("doc_id")),
-
-    "pipe_clean_funnel" -> ((s, dir) =>
-      CleanPipeline.funnel(plantedDocs(s, dir), col("doc_id"), col("text"))),
-
-    "txt_chunks" -> ((s, dir) =>
-      // Token-window chunking: 32-token windows, 8-token overlap (the
-      // documents corpus averages ~55 tokens, so most docs split into
-      // 2-3 overlapping chunks); chunk text hashed to bound the payload.
-      TextAnalysis.chunkDocuments(T(s, dir, "documents"), col("doc_id"), col("text"),
-          maxTokens = 32, overlap = 8)
-        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("start_pos"),
-          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id")),
-
-    "txt_bpe_merges" -> ((s, dir) =>
-      // Learned subword merge table (30 merges) — deterministic
-      // (lexicographic tie-break, integral counts) but not
-      // SQL-expressible beyond rank 1 (iterative re-counting);
-      // rows-only, with txt_bpe_learn_contract as the oracled anchor.
-      TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 30)
-        .orderBy("rank")),
-
-    "txt_bpe_learn_contract" -> ((s, dir) =>
-      // The FIRST merge is SQL-expressible: the corpus-wide argmax
-      // adjacent character pair weighted by word frequency. The oracle
-      // recomputes it independently in DuckDB. (maxWords cap left at its
-      // 100k default — far above the corpus vocabulary, so the oracle's
-      // uncapped count sees identical mass.)
-      TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 1)
-        .select("left", "right", "pair_count")),
-
-    "txt_bpe_encode_contract" -> ((s, dir) => {
-      // Encode the corpus with the learned merges. Per doc the un-merged
-      // symbol count is SQL-exact (letters per letter-word, 1 per other
-      // token); the encoded count must stay within [n_tokens, n_before].
-      import s.implicits._
-      val merges = TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"),
-          nMerges = 30)
-        .select("left", "right", "rank").as[(String, String, Int)].collect().toSeq
-      val encCount = TextAnalysis.bpeEncodedCount(merges)
-      val t = TextAnalysis.tokens(col("text"))
-      val nBefore = aggregate(
-        transform(t, w => when(w.rlike("^[a-z]+$"), length(w)).otherwise(lit(1))),
-        lit(0), (a, x) => a + x).cast("long")
-      T(s, dir, "documents")
-        .select(col("doc_id"), nBefore.as("n_before"), size(t).as("n_toks"),
-          encCount(col("text")).as("n_enc"))
-        .select(col("doc_id"), col("n_before"),
-          (col("n_enc") <= col("n_before") && col("n_enc") >= col("n_toks")).as("ok"))
-        .orderBy("doc_id")
-    }),
-
-    "txt_pack_sequences" -> ((s, dir) =>
-      // Pretraining sequence packing: the corpus concatenated in doc_id
-      // order and cut into 256-token sequences; one row per
-      // (sequence, document-span), documents split at boundaries.
-      TextAnalysis.packSequences(T(s, dir, "documents"), col("doc_id"), col("text"),
-          contextLen = 256)
-        .orderBy("seq_id", "doc_id")),
-
-    "txt_rarity" -> ((s, dir) =>
-      // Round the two ratio columns to 5 places (repo convention for every
-      // double output — raw IEEE doubles defeat the driver's hash compare).
-      TextAnalysis.rarityFeatures(T(s, dir, "documents"), col("doc_id"), col("text"))
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("mean_corpus_freq"), 5).as("mean_corpus_freq_r"),
-          round(col("hapax_frac"), 5).as("hapax_frac_r"),
-          col("min_corpus_n"))
-        .orderBy("doc_id")),
-
-    "pipe_mixture" -> ((s, dir) => {
-      // The full mixture-construction pipeline composed end-to-end:
-      // temperature-rebalance the corpus, upsample rare strata (de x2.5,
-      // fr x3), epoch-3 deterministic shuffle, then pack the SHUFFLED
-      // stream into 128-token sequences (the shuffle's dense `pos` keys
-      // the packing order). Each stage is an already-oracled operator;
-      // the oracle replays the whole chain in SQL keyed by the composite
-      // uid = doc_id*4 + copy. Every boundary in the final packing
-      // depends on every upstream decision, so one hash-match certifies
-      // the entire composition bit-for-bit.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-      val mixed = Sampling.temperatureMixture(docs, col("doc_id"), col("lang"))
-      val up = Sampling.upsampleRepeat(mixed, col("doc_id"), col("lang"),
-        Map("de" -> 2.5, "fr" -> 3.0))
-      val keyed = up.select((col("doc_id") * 4 + col("copy")).as("uid"), col("text"))
-      val shuffled = Sampling.epochShuffle(keyed, col("uid"), epoch = 3)
-      TextAnalysis.packSequences(shuffled, col("pos"), col("text"), contextLen = 128)
-        .withColumnRenamed("doc_id", "pos")
-        .orderBy("seq_id", "pos")
-    }),
-
-    "txt_repetition" -> ((s, dir) =>
-      // Corpus plus planted degenerate docs (doc_id+400000: 30x-repeated
-      // two-word phrase) — natural word-salad prose passes the Gopher
-      // thresholds, the planted boilerplate must fail them.
-      TextAnalysis.repetitionFeatures(repetitiveDocs(s, dir), col("doc_id"), col("text"))
-        .select(col("doc_id"), col("n_words"),
-          round(col("distinct_frac"), 5).as("distinct_frac_r"),
-          round(col("top_word_frac"), 5).as("top_word_frac_r"),
-          round(col("top_bigram_frac"), 5).as("top_bigram_frac_r"),
-          col("keep"))
-        .orderBy("doc_id")),
-
-    "txt_pii" -> ((s, dir) =>
-      // Corpus plus planted PII carriers (doc_id+500000: an email and a
-      // phone number appended) — originals must scan clean, plants must
-      // count 1+1 and redact to placeholder text.
-      TextAnalysis.piiFeatures(piiDocs(s, dir), col("doc_id"), col("text"))
-        .orderBy("doc_id")),
-
-    "txt_card_pii" -> ((s, dir) =>
-      // Luhn-validated card detection: plants carry three 13-16-digit
-      // candidates of which exactly two pass the mod-10 checksum — only
-      // those two count and redact; the failing run survives untouched.
-      // The oracle replays the checksum with nested DuckDB list lambdas.
-      TextAnalysis.cardPiiFeatures(cardDocs(s, dir), col("doc_id"), col("text"))
-        .orderBy("doc_id")),
-
-    "txt_gopher_rules" -> ((s, dir) =>
-      // The Gopher quality battery (Rae et al. 2021 §A1.1): seven rules
-      // over the corpus plus planted bullet/ellipsis/symbol degenerates.
-      // Ratios are single divisions of exact ints, rounded to 5 places
-      // at the output boundary only.
-      TextAnalysis.gopherRules(gopherDocs(s, dir), col("doc_id"), col("text"))
-        .select(col("doc_id"), col("n_words"),
-          round(col("mean_word_len"), 5).as("mean_word_len_r"),
-          round(col("symbol_ratio"), 5).as("symbol_ratio_r"),
-          round(col("bullet_frac"), 5).as("bullet_frac_r"),
-          round(col("ellipsis_frac"), 5).as("ellipsis_frac_r"),
-          round(col("alpha_frac"), 5).as("alpha_frac_r"),
-          col("stop_hits"), col("keep"))
-        .orderBy("doc_id")),
-
-    "txt_bm25_topk" -> ((s, dir) => {
-      // BM25 retrieval: query = the corpus's 5 most frequent tokens
-      // (deterministic tie-break), top-20 documents by the exact
-      // integer micro-unit score. The oracle recomputes idf/tf/avgdl
-      // with the identical expression shape.
-      val docs = T(s, dir, "documents")
-      val q = TextAnalysis.vocabulary(docs, col("text"), 5)
-        .select(col("tok").as("term"))
-      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), q, k = 20)
-        .orderBy("rank")
-    }),
-
-    "smp_ccnet_buckets" -> ((s, dir) => {
-      // CCNet head/middle/tail stratification: exact integer mean-NLL
-      // sort key, two-phase range rank, equal-mass thirds. The oracle
-      // replays the rank with one SQL row_number over the same scores.
-      val docs = T(s, dir, "documents")
-      graft.analytics.Sampling.perplexityBuckets(
-          TextAnalysis.bigramPerplexity(docs, docs.where(col("lang") === "en"),
-            col("doc_id"), col("text")))
-        .orderBy("doc_id")
-    }),
-
-    "pipe_fineweb" -> ((s, dir) => {
-      // The modern curation recipe end-to-end over the raw corpus:
-      // Gopher quality battery AND repetition battery -> exact dedup
-      // (first id wins on normalized text) -> drop the CCNet
-      // perplexity tail. One row of funnel counts plus the exact
-      // doc-id sum of the final set — the oracle recomputes every
-      // stage from its own shared legs.
-      val docs = T(s, dir, "documents")
-      val buckets = graft.analytics.Sampling.perplexityBuckets(
-        TextAnalysis.bigramPerplexity(docs, docs.where(col("lang") === "en"),
-          col("doc_id"), col("text")))
-      // corpus-calibrated gates (the synthetic salad carries at most one
-      // canonical stop word and ~54 words/doc); same battery, same rules
-      CleanPipeline.fineWebFunnel(docs, col("doc_id"), col("text"), buckets,
-        minWords = 30, minStopHits = 1)
-    }),
-
-    "pipe_fineweb_fuzzy" -> ((s, dir) => {
-      // The funnel with the dedup stage the real FineWeb recipe uses:
-      // MinHash-LSH near-dup clustering instead of exact text hashing.
-      // Plants: every 23rd doc gets a NEAR-dup copy (5 appended words,
-      // Jaccard ~0.9 — exact dedup would MISS it), every 41st an exact
-      // copy. Survivor shingles sign with the parity hash family, band
-      // (r=2, hot buckets capped), Jaccard-verify at 0.5, and cluster;
-      // min id per cluster survives into the CCNet tail drop. The
-      // oracle replays signatures, banding, verification, and a
-      // recursive-CTE component labeling end-to-end.
-      val docs = T(s, dir, "documents")
-      val corpus = docs.select(col("doc_id"), col("text"))
-        .unionByName(docs.where(col("doc_id") % 23 === 0)
-          .select((col("doc_id") + 800000).as("doc_id"),
-            concat(col("text"), lit(" shared tail marker words here")).as("text")))
-        .unionByName(docs.where(col("doc_id") % 41 === 0)
-          .select((col("doc_id") + 900000).as("doc_id"), col("text")))
-      val buckets = graft.analytics.Sampling.perplexityBuckets(
-        TextAnalysis.bigramPerplexity(corpus, docs.where(col("lang") === "en"),
-          col("doc_id"), col("text")))
-      CleanPipeline.fineWebFunnelFuzzy(corpus, col("doc_id"), col("text"),
-        buckets, minWords = 30, minStopHits = 1)
-    }),
-
-    "pipe_dolma" -> ((s, dir) => {
-      // Dolma curation funnel: the Gopher battery gates the incoming
-      // shard, then cross-shard paragraph Bloom dedup fires INSIDE
-      // the funnel — the ingested shard (doc_id % 3 == 0) folds its
-      // 10-token paragraphs into the 4096-bit filter (k=3, parity
-      // family); incoming docs (plus re-crawled exact copies of every
-      // 21st ingested doc) probe it, possibly-present paragraphs
-      // drop, and a doc survives with >= 1 retained paragraph. The
-      // exact companion runs beside the probe, so the one funnel row
-      // also prices the small filter's false-positive loss
-      // (n_exact - n_bloom docs, fp_paras_dropped paragraphs). Stage
-      // counts + final id-sum; the oracle replays battery, bit
-      // array, probe, and truth. Reuses Dedup.bloomBits/bloomProbe
-      // unchanged.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val ingested = docs.where(col("doc_id") % 3 === 0)
-      val incoming = docs.where(col("doc_id") % 3 =!= 0)
-        .unionByName(ingested.where(col("doc_id") % 21 === 0)
-          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
-      CleanPipeline.dolmaFunnel(incoming, ingested, col("doc_id"),
-        col("text"), mBits = 4096L, k = 3, paraTokens = 10,
-        minWords = 30, minStopHits = 1)
-    }),
-
-    "txt_c4_rules" -> ((s, dir) => {
-      // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
-      // (no terminal punctuation), planted well-formed pages pass, and
-      // plants carrying javascript lines / braces / lorem ipsum fail
-      // their specific rules. cleaned_md5 pins the kept-line output.
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val goodPage = C4GoodPage
-      val plants = docs.where(col("doc_id") % 59 === 0)
-        .select((col("doc_id") + 760000).as("doc_id"), lit(goodPage).as("text"))
-        .union(docs.where(col("doc_id") % 61 === 0)
-          .select((col("doc_id") + 770000).as("doc_id"),
-            lit(goodPage + "\nPlease enable javascript to continue browsing.")
-              .as("text")))
-        .union(docs.where(col("doc_id") % 67 === 0)
-          .select((col("doc_id") + 780000).as("doc_id"),
-            lit(goodPage + " { config }").as("text")))
-      TextAnalysis.c4Rules(docs.union(plants), col("doc_id"), col("text"))
-        .orderBy("doc_id")
-    }),
-
-    "txt_repetition_full" -> ((s, dir) => {
-      // The complete Gopher repetition battery over the corpus plus the
-      // phrase-repeat plants (doc_id+400000) and planted duplicate-line
-      // docs (doc_id+740000). keep applies the published thresholds on
-      // the unrounded fractions; outputs are rounded at the boundary.
-      val docs = repetitiveDocs(s, dir)
-        .union(T(s, dir, "documents").where(col("doc_id") % 47 === 0)
-          .select((col("doc_id") + 740000).as("doc_id"),
-            concat(lit("repeat line alpha\n" * 9), lit("tail distinct line"),
-              lit(" "), col("text")).as("text")))
-      TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
-        .orderBy("doc_id")
-    }),
-
-    "txt_heavy_hitters" -> ((s, dir) =>
-      // Misra–Gries frequent-items contract (k=100): coverage of every
-      // token above N/k and the N/k lower-bound error, certified
-      // against the exact groupBy companion. Only partitioning-
-      // independent facts are output; the oracle recomputes the exact
-      // half and pins the guaranteed booleans.
-      graft.analytics.Sketches.heavyHitterContract(
-        T(s, dir, "documents"), col("text"), k = 100)),
-
-    "smp_token_budget" -> ((s, dir) => {
-      // Token-budget mixture planner: 2M-token budget over the 20
-      // sources with index-derived ppm weights (every third source
-      // weighted tiny → pure downsample; the rest over-weighted →
-      // repeat epochs + a partial final epoch). Exact integer div
-      // everywhere; the oracle recomputes the identical plan.
-      val docs = T(s, dir, "documents")
-      val weights = docs.select(col("source")).distinct()
-        .withColumn("__i", substring(col("source"), 4, 10).cast("int"))
-        .select(col("source"),
-          when(col("__i") % 3 === 0, 500L)
-            .otherwise(lit(20000L) + (col("__i") % 7) * 10000L)
-            .as("weight_ppm"))
-      graft.analytics.Sampling.tokenBudgetPlan(docs, col("source"),
-          TextAnalysis.bpeTokenCount(col("text")), weights,
-          budgetTokens = 2000000L)
-        .orderBy("source")
-    }),
-
-    "txt_fertility" -> ((s, dir) =>
-      // Tokenizer fertility per language: sub-tokens per word and bytes
-      // per sub-token under the BPE-ish pre-tokenizer — exact long sums
-      // per language, single-division ratios.
-      TextAnalysis.tokenizerFertility(T(s, dir, "documents"), col("lang"), col("text"))
-        .select(col("lang"), col("n_words"), col("n_subtokens"), col("n_bytes"),
-          round(col("fertility"), 5).as("fertility_r"),
-          round(col("bytes_per_subtoken"), 5).as("bytes_per_subtoken_r"))
-        .orderBy("lang")),
-
-    "dd_decontam" -> ((s, dir) => {
-      // Eval set = every 97th doc; corpus = all documents plus planted
-      // contaminated variants (doc_id+600000: an eval doc's full text
-      // wrapped in fresh words). Plants MUST flag; eval originals flag
-      // themselves; word-salad neighbours stay clean unless they truly
-      // share an 8-gram (the oracle recomputes the same rule).
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val evalSet = docs.where(col("doc_id") % 97 === 0)
-      val corpus = docs.union(evalSet.select((col("doc_id") + 600000).as("doc_id"),
-        concat(lit("prelude words "), col("text"), lit(" coda words")).as("text")))
-      Decontaminate.flagOverlap(corpus, evalSet, col("doc_id"), col("text"), n = 8)
-        .orderBy("doc_id")
-    }),
-
-    "dd_semdedup" -> ((s, dir) => {
-      // Embeddings plus exact clones (vec_id+100000 for vec_id<40; the
-      // corpus has no natural cos>=0.8 pairs, so survivors == originals
-      // and every clone is pruned by its lower-id twin).
-      val emb = T(s, dir, "embeddings")
-        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-        .select("vec_id", "embedding")
-      val corpus = emb.union(emb.where(col("vec_id") < 40)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      Similarity.semDedup(corpus, Similarity.headCentroids(emb, 8), threshold = 0.9)
-        .orderBy("vec_id")
-    })
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "s1_produce" ->
-      s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
-
-    "s1_produce_window" ->
-      s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
-
-    // Wire-ingest adapt step: batches of 50 offsets; batch_no % 7 == 0
-    // CRC-rejects, else % 11 == 0 is truncated (malformed); survivors'
-    // records renumber densely per partition in batch order.
-    "s1_wire_ingest" ->
-      s"""$LogCte,
-         | b AS (SELECT partition, "offset", user_id, event_type,
-         |         CAST(floor("offset" / 50) AS BIGINT) AS batch_no
-         |       FROM log WHERE partition < 2),
-         | cls AS (SELECT *,
-         |     CASE WHEN batch_no % 7 = 0 THEN 'crc_reject'
-         |          WHEN batch_no % 11 = 0 THEN 'malformed'
-         |          ELSE 'accept' END AS route FROM b),
-         | acc AS (SELECT 'accept' AS route, partition,
-         |     CAST(row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1
-         |       AS BIGINT) AS "offset",
-         |     CAST(user_id AS VARCHAR) AS key, event_type AS value
-         |   FROM cls WHERE route = 'accept'),
-         | rej AS (SELECT route, partition, CAST(-1 AS BIGINT) AS "offset",
-         |     CAST(batch_no AS VARCHAR) AS key, CAST(NULL AS VARCHAR) AS value
-         |   FROM (SELECT DISTINCT route, partition, batch_no FROM cls
-         |         WHERE route <> 'accept') r)
-         | SELECT * FROM acc UNION ALL SELECT * FROM rej
-         | ORDER BY route, partition, "offset", key""".stripMargin,
-
-    // Produce v8 wire round trip: one 100-offset envelope per partition,
-    // partition 7 CRC-corrupted → error 2, base_offset/log_start -1,
-    // nothing appended. Response-size law: 4 frame + 4 corr + 4 topics
-    // len + 8 name "events" + 4 parts len + 36/partition (4 idx + 2 err
-    // + 8 base + 8 log_append + 8 log_start + 4 empty record_errors +
-    // 2 null error_message) + 4 throttle = 28 + 36·np.
-    "s1_wire_produce" ->
-      s"""$LogCte,
-         | b AS (SELECT partition, count(*) AS appended
-         |       FROM log WHERE "offset" < 100 GROUP BY 1),
-         | n AS (SELECT count(*) AS np FROM b)
-         | SELECT b.partition,
-         |        CASE WHEN b.partition = 7 THEN 2 ELSE 0 END AS error_code,
-         |        CAST(CASE WHEN b.partition = 7 THEN -1 ELSE 0 END AS BIGINT) AS base_offset,
-         |        CAST(CASE WHEN b.partition = 7 THEN -1 ELSE 0 END AS BIGINT) AS log_start_offset,
-         |        CAST(CASE WHEN b.partition = 7 THEN 0 ELSE b.appended END AS BIGINT) AS appended,
-         |        CAST(28 + 36 * n.np AS INTEGER) AS resp_bytes,
-         |        TRUE AS corr_ok
-         | FROM b, n ORDER BY b.partition""".stripMargin,
-
-    "s1_produce_exactly_once" ->
-      s"""$LogCte SELECT partition, "offset", user_id AS key, event_type FROM log ORDER BY partition, "offset"""",
-
-    // Txn wire round: dense pids by sorted tid (the t1 fold), epoch
-    // bump on re-init, fence (47) at stale epoch, unknown tid (49).
-    "t1_wire_txn" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'init', 'tx-0', CAST(0 AS BIGINT), 0, 0, TRUE),
-        |  (2, 'init', 'tx-1', 1, 0, 0, TRUE),
-        |  (3, 'init', 'tx-2', 2, 0, 0, TRUE),
-        |  (4, 'init', 'tx-1', 1, 1, 0, TRUE),
-        |  (5, 'init', '<none>', 3, 0, 0, TRUE),
-        |  (6, 'end_commit', 'tx-0', 0, 0, 0, TRUE),
-        |  (7, 'end_abort', 'tx-1', 1, 0, 47, TRUE),
-        |  (8, 'end_commit', 'tx-1', 1, 1, 0, TRUE),
-        |  (9, 'end_commit', 'tx-9', 7, 0, 49, TRUE))
-        | t(step, api, tid, pid, epoch, error_code, corr_ok) ORDER BY step""".stripMargin,
-
-    // Per-partition outcomes: lwm = first surviving offset; a known
-    // partition whose whole log sits below the cut answers
-    // offset_out_of_range (1); the unknown partition 9 answers 3.
-    "q4_wire_delete_records" ->
-      s"""$LogCte,
-         | l AS (SELECT partition, CAST(min("offset") AS BIGINT) AS low_watermark,
-         |         0 AS error_code
-         |       FROM log WHERE "offset" >= 100 GROUP BY 1)
-         | SELECT partition, low_watermark, error_code, TRUE AS corr_ok FROM l
-         | UNION ALL
-         | SELECT partition, CAST(-1 AS BIGINT), 1, TRUE
-         | FROM (SELECT DISTINCT partition FROM log) a
-         | WHERE partition NOT IN (SELECT partition FROM l)
-         | UNION ALL SELECT 9, CAST(-1 AS BIGINT), 3, TRUE
-         | ORDER BY partition""".stripMargin,
-
-    "s1_append_incremental" ->
-      s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS lo, max("offset") AS hi,
-         |        CAST(sum("offset" * event_id) AS BIGINT) AS weighted
-         | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "s1_logappend_time" ->
-      s"""$LogCte, stamped AS (
-         |  SELECT 'events' AS topic, partition, "offset",
-         |         epoch_ms(TIMESTAMP '2024-06-01 00:00:00') AS ts_ms FROM log
-         |  UNION ALL
-         |  SELECT 'events_mirror' AS topic, partition, "offset", epoch_ms(ts) AS ts_ms FROM log)
-         | SELECT topic, partition, count(*) AS n, max("offset") AS max_offset,
-         |        count(DISTINCT ts_ms) AS n_stamps,
-         |        min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms
-         | FROM stamped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "s1_write_caching" ->
-      s"""${LogCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$WriteCachingLegs
-         | SELECT 'cached' AS mode, h.partition, h.hwm, c.durable_offset,
-         |        h.hwm - 1 - c.durable_offset AS unflushed_rows, c.n_flushes
-         | FROM hw h JOIN cstats c USING (partition)
-         | UNION ALL
-         | SELECT 'sync', partition, hwm, hwm - 1, CAST(0 AS BIGINT), n FROM hw
-         | ORDER BY mode, partition""".stripMargin,
-
-    // the streaming twin must land exactly the batch fold's cached leg
-    "s1_write_caching_stream" ->
-      s"""${LogCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$WriteCachingLegs
-         | SELECT h.partition, h.hwm, c.durable_offset,
-         |        h.hwm - 1 - c.durable_offset AS unflushed_rows, c.n_flushes
-         | FROM hw h JOIN cstats c USING (partition) ORDER BY 1""".stripMargin,
-
-    "s2_fetch" ->
-      s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
-         | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
-
-    "s2_fetch_stored" ->
-      s"""$LogCte SELECT partition, "offset", user_id, event_type, value FROM log
-         | WHERE partition = 3 AND "offset" >= 50 ORDER BY "offset" LIMIT 500""".stripMargin,
-
-    // Fetch v11 wire round trip: the served span [100, 200) per
-    // partition, records decoded back out of the response envelopes.
-    "s2_wire_fetch" ->
-      s"""$LogCte,
-         | h AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
-         | SELECT f.partition, f."offset", CAST(f.user_id AS VARCHAR) AS key,
-         |        f.event_type AS value, 0 AS error_code, h.hwm, TRUE AS corr_ok
-         | FROM log f JOIN h ON h.partition = f.partition
-         | WHERE f."offset" >= 100 AND f."offset" < 200
-         | ORDER BY f.partition, f."offset"""".stripMargin,
-
-    "s2_fetch_budget" ->
-      s"""$LogCte,
-         | sized AS (
-         |  SELECT partition, "offset", CAST(length(props) + 24 AS BIGINT) AS sz
-         |  FROM log WHERE "offset" >= 10),
-         | c AS (
-         |  SELECT partition, "offset", sz,
-         |    COALESCE(SUM(sz) OVER (PARTITION BY partition ORDER BY "offset"
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM sized)
-         |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
-         |  MIN("offset") AS lo, MAX("offset") AS hi,
-         |  CAST(SUM(sz) AS BIGINT) AS bytes,
-         |  CAST(MAX(cum_before + sz) AS BIGINT) AS response_bytes
-         |FROM c WHERE cum_before < 20000
-         |GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "s2_fetch_budget_strict" ->
-      s"""$LogCte,
-         | sized AS (
-         |  SELECT partition, "offset", CAST(length(props) + 24 AS BIGINT) AS sz
-         |  FROM log WHERE "offset" >= 10),
-         | c AS (
-         |  SELECT partition, "offset", sz,
-         |    COALESCE(SUM(sz) OVER (PARTITION BY partition ORDER BY "offset"
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM sized)
-         |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(MAX(cum_before + sz) AS BIGINT) AS response_bytes
-         |FROM c WHERE cum_before + sz <= 20000
-         |GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "q1_q2_list_offsets" ->
-      s"""$LogCte SELECT partition, min("offset") AS earliest, max("offset") + 1 AS hwm
-         | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "q3_timequery" ->
-      s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log
-         | WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
-
-    // The wire round-trip re-derived: query results from the log, byte
-    // sizes from the v5 layout laws (request frame = 4 size + 15 header
-    // [2+2+4 + 2+len('graft')] + body [4+1+4 + 2+len('events') + 4 +
-    // n*16] = 40 + 16n; response frame = 4 + 4 + body [4+4 + 2+6 + 4 +
-    // n*26] = 28 + 26n).
-    "q1_wire_list_offsets" ->
-      s"""$LogCte,
-         | b AS (SELECT partition, min("offset") AS earliest,
-         |     max("offset") + 1 AS hwm FROM log GROUP BY 1),
-         | t AS (SELECT partition, min("offset") AS off,
-         |     min_by(CAST(epoch_ms(ts) AS BIGINT), "offset") AS rts
-         |   FROM log WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
-         | n AS (SELECT count(*) AS np FROM b),
-         | res AS (
-         |  SELECT 'earliest' AS req, partition, CAST(-1 AS BIGINT) AS "timestamp",
-         |         CAST(earliest AS BIGINT) AS "offset" FROM b
-         |  UNION ALL
-         |  SELECT 'latest', partition, -1, hwm FROM b
-         |  UNION ALL
-         |  SELECT 'timequery', b.partition, coalesce(t.rts, -1),
-         |         coalesce(t.off, -1)
-         |  FROM b LEFT JOIN t ON t.partition = b.partition)
-         | SELECT r.req, r.partition, 0 AS error_code, r."timestamp", r."offset",
-         |        0 AS leader_epoch,
-         |        CAST(40 + 16 * n.np AS INTEGER) AS req_bytes,
-         |        CAST(28 + 26 * n.np AS INTEGER) AS resp_bytes,
-         |        TRUE AS corr_ok
-         | FROM res r, n ORDER BY r.req, r.partition""".stripMargin,
-
-    "s4_tiered_manifest" ->
-      s"""$LogCte SELECT
-         |  CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'archive' ELSE 'local' END AS tier,
-         |  partition, min("offset") AS base_offset, max("offset") AS last_offset,
-         |  CAST(count(*) AS BIGINT) AS n_records
-         |FROM log GROUP BY 1, 2 ORDER BY tier, partition""".stripMargin,
-
-    // Global byte prefix sum in arrival order -> object id; overlay =
-    // per (object, partition) extent.
-    "ct_l0_overlay" ->
-      s"""$LogCte, sized AS (
-         |  SELECT partition, "offset", event_id,
-         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz
-         |  FROM log),
-         | c AS (
-         |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM sized),
-         | p AS (SELECT partition, "offset", sz,
-         |         CAST(cb // 65536 AS BIGINT) AS object_id FROM c)
-         |SELECT object_id, partition, min("offset") AS base_offset,
-         |       max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes,
-         |       count(*) AS n_batches
-         |FROM p GROUP BY 1, 2 ORDER BY object_id, partition""".stripMargin,
-
-    // MVCC snapshots: v1 aggregates the L0 extents, v2 the L1 re-pack
-    // (objects packed whole under the 1 MiB budget via a second prefix
-    // sum over per-object byte totals). lo/hi/bytes are identical across
-    // versions; only the extent counts differ.
-    "ct_dl_snapshot" ->
-      s"""$LogCte, sized AS (
-         |  SELECT partition, "offset", event_id,
-         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz
-         |  FROM log),
-         | c AS (
-         |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM sized),
-         | p AS (SELECT partition, "offset", sz, CAST(cb // 65536 AS BIGINT) AS l0_id FROM c),
-         | l0 AS (SELECT l0_id, partition, min("offset") AS base_offset,
-         |          max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes
-         |        FROM p GROUP BY 1, 2),
-         | ob AS (SELECT l0_id, CAST(sum(bytes) AS BIGINT) AS obytes FROM l0 GROUP BY 1),
-         | oc AS (SELECT l0_id, CAST(COALESCE(SUM(obytes) OVER (ORDER BY l0_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS BIGINT) AS l1_id
-         |        FROM ob),
-         | l1 AS (SELECT oc.l1_id, l0.partition, min(l0.base_offset) AS base_offset,
-         |          max(l0.last_offset) AS last_offset, CAST(sum(l0.bytes) AS BIGINT) AS bytes
-         |        FROM l0 JOIN oc USING (l0_id) GROUP BY 1, 2)
-         |SELECT CAST(1 AS BIGINT) AS version, partition, count(*) AS n_extents,
-         |       min(base_offset) AS lo, max(last_offset) AS hi,
-         |       CAST(sum(bytes) AS BIGINT) AS bytes
-         |FROM l0 GROUP BY 2
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), partition, count(*), min(base_offset),
-         |       max(last_offset), CAST(sum(bytes) AS BIGINT)
-         |FROM l1 GROUP BY 2
-         |ORDER BY version, partition""".stripMargin,
-
-    // lower_bound over the v2 snapshot: among L1 extents of the probed
-    // partition with last_offset >= probe, the smallest base_offset
-    // wins; probes past the partition end produce no row.
-    "ct_lower_bound" ->
-      s"""$LogCte, sized AS (
-         |  SELECT partition, "offset", event_id,
-         |         CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz
-         |  FROM log),
-         | c AS (
-         |  SELECT *, COALESCE(SUM(sz) OVER (ORDER BY event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM sized),
-         | p AS (SELECT partition, "offset", sz, CAST(cb // 65536 AS BIGINT) AS l0_id FROM c),
-         | l0 AS (SELECT l0_id, partition, min("offset") AS base_offset,
-         |          max("offset") AS last_offset, CAST(sum(sz) AS BIGINT) AS bytes
-         |        FROM p GROUP BY 1, 2),
-         | ob AS (SELECT l0_id, CAST(sum(bytes) AS BIGINT) AS obytes FROM l0 GROUP BY 1),
-         | oc AS (SELECT l0_id, CAST(COALESCE(SUM(obytes) OVER (ORDER BY l0_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS BIGINT) AS l1_id
-         |        FROM ob),
-         | l1 AS (SELECT oc.l1_id AS object_id, l0.partition,
-         |          min(l0.base_offset) AS base_offset, max(l0.last_offset) AS last_offset
-         |        FROM l0 JOIN oc USING (l0_id) GROUP BY 1, 2),
-         | probes AS (SELECT pt.partition, po.probe_offset
-         |            FROM (SELECT CAST(unnest(range(8)) AS INTEGER) AS partition) pt
-         |            CROSS JOIN (SELECT CAST(unnest([0, 7, 100, 1000, 4000]) AS BIGINT)
-         |                        AS probe_offset) po)
-         |SELECT partition, probe_offset,
-         |       min_by(object_id, base_offset) AS object_id,
-         |       min(base_offset) AS base_offset,
-         |       min_by(last_offset, base_offset) AS last_offset
-         |FROM probes JOIN l1 USING (partition)
-         |WHERE last_offset >= probe_offset
-         |GROUP BY 1, 2 ORDER BY partition, probe_offset""".stripMargin,
-
-    // Post-sweep manifest: archive keeps only [Jan-10, Jan-20); local
-    // (>= Jan-20) is untouched by cloud retention.
-    "s4_archive_retention" ->
-      s"""$LogCte SELECT 'archive' AS tier, partition,
-         |  min("offset") AS base_offset, max("offset") AS last_offset,
-         |  CAST(count(*) AS BIGINT) AS n_records
-         |FROM log WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-         |  AND ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 2
-         |UNION ALL
-         |SELECT 'local' AS tier, partition, min("offset"), max("offset"),
-         |  CAST(count(*) AS BIGINT)
-         |FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 2
-         |ORDER BY tier, partition""".stripMargin,
-
-    "s4_tiered_read" ->
-      s"""$LogCte SELECT partition, CAST(count(*) AS BIGINT) AS n,
-         |  min("offset") AS lo, max("offset") AS hi,
-         |  CAST(sum("offset" * user_id) AS BIGINT) AS weighted
-         |FROM log GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "s4_read_replica" ->
-      s"""$LogCte, arch AS (
-         |  SELECT partition, "offset" FROM log
-         |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
-         | surf AS (
-         |  SELECT partition, min("offset") AS base_offset,
-         |         max("offset") + 1 AS hwm,
-         |         CAST(count(*) AS BIGINT) AS n_records
-         |  FROM arch GROUP BY 1),
-         | probe AS (
-         |  SELECT CAST(user_id % 8 AS INTEGER) AS partition FROM events
-         |  WHERE event_id < 400)
-         |SELECT s.partition, s.base_offset, s.hwm, s.n_records,
-         |  CAST(count(p.partition) AS BIGINT) AS n_refused,
-         |  CASE WHEN count(p.partition) > 0 THEN 'invalid_topic_read_replica' END AS error
-         |FROM surf s LEFT JOIN probe p ON p.partition = s.partition
-         |GROUP BY 1, 2, 3, 4 ORDER BY s.partition""".stripMargin,
-
-    "s4_tiered_timequery" ->
-      s"""$LogCte SELECT partition, min("offset") AS offset_for_time FROM log
-         | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "q4_delete_records" ->
-      s"""$LogCte SELECT partition, min("offset") AS log_start, count(*) AS remaining
-         | FROM log WHERE "offset" >= 100 GROUP BY partition ORDER BY partition""".stripMargin,
-
-    // KIP-320 over the wire: probes against the per-epoch table with
-    // the current-epoch gate; fully recomputed from the events table.
-    "q4_wire_leader_epoch" ->
-      s"""$LogCte, ep AS (
-         |  SELECT partition, CAST("offset" // 500 AS INTEGER) AS leader_epoch,
-         |         min("offset") AS epoch_start, max("offset") AS epoch_last
-         |  FROM log GROUP BY 1, 2),
-         | eo AS (
-         |  SELECT partition, leader_epoch,
-         |         COALESCE(lead(epoch_start) OVER (PARTITION BY partition ORDER BY leader_epoch),
-         |                  epoch_last + 1) AS end_offset
-         |  FROM ep),
-         | cur AS (SELECT partition, max(leader_epoch) AS cur_epoch FROM eo GROUP BY 1),
-         | probes(probe, partition, cur_e, req_e) AS (VALUES
-         |  (0, 0, -1, 1), (1, 1, -1, 1), (2, 2, -1, 1), (3, 3, -1, 1),
-         |  (4, 4, -1, 1), (5, 5, -1, 1), (6, 6, -1, 1), (7, 7, -1, 1),
-         |  (8, 0, -1, 0), (9, 0, -1, 999999), (10, 0, 999999, 1), (11, 0, 0, 0))
-         | SELECT CAST(p.probe AS INTEGER) AS probe,
-         |   CAST(p.partition AS INTEGER) AS partition,
-         |   CAST(CASE WHEN p.cur_e >= 0 AND p.cur_e > c.cur_epoch THEN 75
-         |             WHEN p.cur_e >= 0 AND p.cur_e < c.cur_epoch THEN 74
-         |             ELSE 0 END AS INTEGER) AS error_code,
-         |   CAST(CASE WHEN p.cur_e >= 0 AND p.cur_e <> c.cur_epoch THEN -1
-         |             ELSE p.req_e END AS INTEGER) AS leader_epoch,
-         |   CAST(CASE WHEN p.cur_e >= 0 AND p.cur_e <> c.cur_epoch THEN -1
-         |             ELSE COALESCE(e.end_offset, -1) END AS BIGINT) AS end_offset,
-         |   TRUE AS corr_ok
-         | FROM probes p JOIN cur c ON c.partition = p.partition
-         | LEFT JOIN eo e ON e.partition = p.partition AND e.leader_epoch = p.req_e
-         | ORDER BY probe""".stripMargin,
-
-    "q4_offset_for_leader_epoch" ->
-      s"""$LogCte, ep AS (
-         |  SELECT partition, CAST("offset" // 500 AS INTEGER) AS leader_epoch,
-         |         min("offset") AS epoch_start, max("offset") AS epoch_last
-         |  FROM log GROUP BY 1, 2)
-         | SELECT partition, leader_epoch,
-         |        COALESCE(lead(epoch_start) OVER (PARTITION BY partition ORDER BY leader_epoch),
-         |                 epoch_last + 1) AS end_offset
-         | FROM ep ORDER BY 1, 2""".stripMargin,
-
-    "q6_metadata" ->
-      s"""$LogCte SELECT 'events' AS topic, partition, 0 AS leader, 1 AS replicas,
-         |        min("offset") AS start_offset, max("offset") + 1 AS hwm, count(*) AS n_records
-         | FROM log GROUP BY 2 ORDER BY 2""".stripMargin,
-
-    // Metadata v9 frame-size laws: request = 4 frame + 16 header v2
-    //   ("graft" client id + tag buffer) + body 13 (1 array len +
-    //   (1+6 name + 1 tags) + 3 bools + 1 tags); response = 4 frame +
-    //   5 header v1 + body 61-less-partitions: 4 throttle + 21 brokers
-    //   (1 len + 4 id + 10 "localhost" + 4 port + 1 null rack + 1 tags)
-    //   + 1 null cluster_id + 4 controller + 1 topics len + 10 topic
-    //   head (2 err + 7 name + 1 internal) + 1 partitions len +
-    //   26/partition (2+4+4+4 + 5 replicas + 5 isr + 1 offline + 1 tags)
-    //   + 5 topic tail (4 auth ops + 1 tags) + 4 cluster ops + 1 tags.
-    "q6_wire_metadata" ->
-      s"""$LogCte, b AS (SELECT partition FROM log GROUP BY 1),
-         | n AS (SELECT count(*) AS np FROM b)
-         | SELECT 'events' AS topic, b.partition, 0 AS error_code, 0 AS leader,
-         |        0 AS leader_epoch, 1 AS n_replicas, 1 AS n_isr,
-         |        CAST(33 AS INTEGER) AS req_bytes,
-         |        CAST(61 + 26 * n.np AS INTEGER) AS resp_bytes,
-         |        TRUE AS corr_ok
-         | FROM b, n ORDER BY b.partition""".stripMargin,
-
-    "fsn_epochs" ->
-      s"""$FsnCte
-         | SELECT session_id, seq, epoch, decision FROM d
-         | ORDER BY session_id, seq""".stripMargin,
-
-    // The epoch FSM re-replayed WITH the eviction sweep: the recursive
-    // chain carries last_used (advances on created/ok only); a request
-    // arriving >= 25 ticks after it finds the session swept.
-    "fsn_eviction" ->
-      s"""$FsnCte,
-         | d2 AS (
-         |  SELECT session_id, rn, seq, epoch,
-         |         CASE WHEN epoch = 0 THEN 'created'
-         |              WHEN epoch = -1 THEN 'closed'
-         |              ELSE 'not_found' END AS decision,
-         |         (epoch = 0) AS live,
-         |         CASE WHEN epoch = 0 THEN 1 ELSE 0 END AS expected,
-         |         CASE WHEN epoch = 0 THEN seq ELSE 0 END AS last_used
-         |  FROM r WHERE rn = 1
-         |  UNION ALL
-         |  SELECT r2.session_id, r2.rn, r2.seq, r2.epoch,
-         |         CASE WHEN r2.epoch = 0 THEN 'created'
-         |              WHEN r2.epoch = -1 THEN 'closed'
-         |              WHEN NOT d2.live OR r2.seq - d2.last_used >= 25
-         |                THEN 'not_found'
-         |              WHEN r2.epoch = d2.expected THEN 'ok'
-         |              ELSE 'invalid_epoch' END,
-         |         CASE WHEN r2.epoch = 0 THEN true
-         |              WHEN r2.epoch = -1 THEN false
-         |              WHEN d2.live AND r2.seq - d2.last_used >= 25 THEN false
-         |              ELSE d2.live END,
-         |         CASE WHEN r2.epoch = 0 THEN 1
-         |              WHEN r2.epoch = -1 THEN 0
-         |              WHEN d2.live AND r2.seq - d2.last_used < 25
-         |                   AND r2.epoch = d2.expected THEN d2.expected + 1
-         |              ELSE d2.expected END,
-         |         CASE WHEN r2.epoch = 0 THEN r2.seq
-         |              WHEN d2.live AND r2.seq - d2.last_used < 25
-         |                   AND r2.epoch = d2.expected AND r2.epoch > 0 THEN r2.seq
-         |              ELSE d2.last_used END
-         |  FROM d2 JOIN r r2 ON r2.session_id = d2.session_id AND r2.rn = d2.rn + 1)
-         | SELECT session_id, seq, epoch, decision FROM d2
-         | ORDER BY session_id, seq""".stripMargin,
-
-    "fsn_state" -> FsnStateOracle,
-
-    // the continuous twin shares the batch oracle: checkpointed
-    // micro-batches must reproduce the one-pass fold byte-identically
-    "fsn_state_stream" -> FsnStateOracle,
-
-    "fsn_responses" ->
-      s"""$FsnCte,
-         | we AS (SELECT session_id, seq, epoch,
-         |     sum(CASE WHEN decision = 'created' THEN 1 ELSE 0 END)
-         |       OVER (PARTITION BY session_id ORDER BY seq) AS era
-         |   FROM d WHERE decision IN ('created','ok')),
-         | cmds AS (SELECT p.session_id, w.era, p.seq AS cmd_seq, p.topic, p.partition,
-         |     p.fetch_offset, p.forget
-         |   FROM prows p JOIN we w ON p.session_id = w.session_id AND p.seq = w.seq),
-         | ao AS (SELECT r.seq, r.session_id, r.epoch, c.topic, c.partition,
-         |     max_by(c.fetch_offset, c.cmd_seq) AS fetch_offset,
-         |     max_by(c.forget, c.cmd_seq) AS forget
-         |   FROM we r JOIN cmds c ON c.session_id = r.session_id AND c.era = r.era
-         |     AND c.cmd_seq <= r.seq
-         |   GROUP BY 1, 2, 3, 4, 5),
-         | hw AS (SELECT 'events' AS topic, CAST(event_id % 8 AS INT) AS partition,
-         |     count(*) AS hwm FROM events GROUP BY 1, 2)
-         | SELECT a.seq, a.session_id, a.epoch, a.topic, a.partition, a.fetch_offset, h.hwm
-         | FROM ao a JOIN hw h USING (topic, partition)
-         | WHERE NOT a.forget AND h.hwm > a.fetch_offset
-         | ORDER BY seq, session_id, topic, partition""".stripMargin,
-
-    // Topic configs over the wire: the incremental-alter validation
-    // ladder with the handler's message text, then the default-overlay
-    // describe with per-resource errors and source codes.
-    "adm_wire_configs" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
-        |  resource_type, resource, "key", "value", source,
-        |  CAST(error_code AS INTEGER) AS error_code, error_message,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'alter', 0, 'topic', 'events', NULL, NULL, NULL, 0, NULL),
-        |  (1, 'alter', 1, 'topic', 'events', NULL, NULL, NULL, 40,
-        |   'append operation isn''t supported for redpanda.remote.read configuration'),
-        |  (1, 'alter', 2, 'topic', 'events', NULL, NULL, NULL, 40,
-        |   'set operation for configuration max.message.bytes requires a value to be set'),
-        |  (1, 'alter', 3, 'topic', 'events', NULL, NULL, NULL, 40,
-        |   'remove operation for configuration retention.ms requires a value to be empty'),
-        |  (1, 'alter', 4, 'topic', 'events', NULL, NULL, NULL, 40,
-        |   'invalid operation code 7'),
-        |  (1, 'alter', 5, 'topic', 'metrics', NULL, NULL, NULL, 0, NULL),
-        |  (2, 'alter', 0, 'topic', 'events', NULL, NULL, NULL, 0, NULL),
-        |  (3, 'describe', 0, 'topic', 'events', 'cleanup.policy', 'compact', 'DYNAMIC_TOPIC_CONFIG', 0, NULL),
-        |  (3, 'describe', 0, 'topic', 'events', 'compression.type', 'producer', 'DEFAULT_CONFIG', 0, NULL),
-        |  (3, 'describe', 0, 'topic', 'events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG', 0, NULL),
-        |  (3, 'describe', 0, 'topic', 'events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG', 0, NULL),
-        |  (3, 'describe', 0, 'topic', 'events', 'retention.bytes', '-1', 'DEFAULT_CONFIG', 0, NULL),
-        |  (3, 'describe', 0, 'topic', 'events', 'retention.ms', '604800000', 'DEFAULT_CONFIG', 0, NULL),
-        |  (3, 'describe', 1, 'topic', 'metrics', 'retention.ms', '5000', 'DYNAMIC_TOPIC_CONFIG', 0, NULL),
-        |  (3, 'describe', 2, 'topic', 'bad name!', NULL, NULL, NULL, 17, NULL),
-        |  (3, 'describe', 3, 'topic', 'ghost', NULL, NULL, NULL, 3, NULL),
-        |  (3, 'describe', 4, 'broker_logger', 'kafka', NULL, NULL, NULL, 42, NULL))
-        | t(step, api, item, resource_type, resource, "key", "value", source,
-        |   error_code, error_message)
-        | ORDER BY step, item, "key"""".stripMargin,
-
-    "adm_describe_configs" ->
-      """SELECT * FROM (VALUES
-        |  ('events', 'cleanup.policy', 'compact,delete', 'DYNAMIC_TOPIC_CONFIG'),
-        |  ('events', 'compression.type', 'producer', 'DEFAULT_CONFIG'),
-        |  ('events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG'),
-        |  ('events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG'),
-        |  ('events', 'retention.bytes', '-1', 'DEFAULT_CONFIG'),
-        |  ('events', 'retention.ms', '259200000', 'DYNAMIC_TOPIC_CONFIG'))
-        | t(topic, key, value, source) ORDER BY key""".stripMargin,
-
-    "adm_topic_catalog" ->
-      """SELECT * FROM (VALUES
-        |  ('t1', 16, 'delete'), ('t3', 2, 'compact,delete'), ('t4', 6, 'compact'))
-        | t(topic, partitions, cleanup_policy) ORDER BY topic""".stripMargin,
-
-    "adm_config_cleanup" ->
-      s"""$LogCte SELECT partition, count(*) AS survivors, max("offset") AS max_offset FROM (
-         |  SELECT partition, user_id, "offset" FROM log
-         |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
-         |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1)
-         | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "adm_incremental_alter" ->
-      """SELECT * FROM (VALUES
-        |  ('events', 'cleanup.policy', 'compact,delete', 'DYNAMIC_TOPIC_CONFIG'),
-        |  ('events', 'compression.type', 'producer', 'DEFAULT_CONFIG'),
-        |  ('events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG'),
-        |  ('events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG'),
-        |  ('events', 'retention.bytes', '-1', 'DEFAULT_CONFIG'),
-        |  ('events', 'retention.ms', '604800000', 'DEFAULT_CONFIG'))
-        | t(topic, key, value, source) ORDER BY key""".stripMargin,
-
-    "adm_client_quotas" ->
-      """WITH clients AS (
-        |  SELECT DISTINCT 'client-' || CAST(user_id AS VARCHAR) AS client_id FROM events),
-        | keys(key) AS (VALUES ('producer_byte_rate'), ('consumer_byte_rate'), ('request_percentage')),
-        | qlog(seq, entity_name, key, value, op) AS (VALUES
-        |  (1, NULL, 'producer_byte_rate', 1048576.0, 'set'),
-        |  (2, 'client-5', 'producer_byte_rate', 2097152.0, 'set'),
-        |  (3, 'client-7', 'consumer_byte_rate', 500000.0, 'set'),
-        |  (4, 'client-5', 'producer_byte_rate', NULL, 'remove'),
-        |  (5, 'client-9', 'producer_byte_rate', 4194304.0, 'set'),
-        |  (6, NULL, 'request_percentage', 50.0, 'set'),
-        |  (7, NULL, 'request_percentage', NULL, 'remove')),
-        | liveset AS (SELECT * FROM qlog
-        |  QUALIFY row_number() OVER (PARTITION BY entity_name, key ORDER BY seq DESC) = 1),
-        | ex AS (SELECT entity_name AS client_id, key, value AS v_exact FROM liveset
-        |        WHERE entity_name IS NOT NULL AND op = 'set'),
-        | df AS (SELECT key, value AS v_default FROM liveset
-        |        WHERE entity_name IS NULL AND op = 'set')
-        | SELECT c.client_id, k.key,
-        |        COALESCE(v_exact, v_default, -1.0) AS value,
-        |        CASE WHEN v_exact IS NOT NULL THEN 'CLIENT'
-        |             WHEN v_default IS NOT NULL THEN 'DEFAULT'
-        |             ELSE 'NONE' END AS source
-        | FROM clients c CROSS JOIN keys k
-        | LEFT JOIN ex ON ex.client_id = c.client_id AND ex.key = k.key
-        | LEFT JOIN df ON df.key = k.key
-        | ORDER BY c.client_id, k.key""".stripMargin,
-
-    "adm_delete_groups" ->
-      """WITH commits AS (
-        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
-        |         CAST(user_id % 8 AS INTEGER) AS partition, event_id AS committed_offset,
-        |         event_id AS commit_seq
-        |  FROM events WHERE event_type = 'purchase'),
-        | dels("group", del_seq) AS (VALUES ('g0', 1000000000), ('g1', 1000)),
-        | surv AS (
-        |  SELECT c.* FROM commits c LEFT JOIN dels d USING ("group")
-        |  WHERE d.del_seq IS NULL OR c.commit_seq > d.del_seq)
-        | SELECT "group", topic, partition, committed_offset FROM surv
-        | QUALIFY row_number() OVER (PARTITION BY "group", topic, partition
-        |                            ORDER BY commit_seq DESC) = 1
-        | ORDER BY "group", partition""".stripMargin,
-
-    // Violations re-derived declaratively; the kinds/ids are fixed by
-    // the scenario tables.
-    "adm_balancer_violations" ->
-      """SELECT * FROM (VALUES
-        |  ('disk_full', 3, '', -1),
-        |  ('node_decommissioning', 4, '', -1),
-        |  ('node_unavailable', 6, '', -1),
-        |  ('rack_constraint', -1, 'b', 0))
-        | t(kind, node_id, topic, partition)
-        | ORDER BY kind, node_id, topic, partition""".stripMargin,
-
-    // The deterministic one-round plan, traced by hand from the
-    // priority order + allocation rule (rack-diverse, disk-headroom,
-    // most-free, lowest-id ties).
-    "adm_balancer_plan" ->
-      """SELECT * FROM (VALUES
-        |  (0, 'a', 0, 4, 5, 'node_decommissioning'),
-        |  (1, 'e', 0, 6, 5, 'node_unavailable'),
-        |  (2, 'f', 0, 6, -1, 'failed'),
-        |  (3, 'b', 0, 0, 5, 'rack_constraint_repair'),
-        |  (4, 'c', 0, 3, 2, 'disk_full'))
-        | t(ord, topic, partition, from_node, to_node, reason)
-        | ORDER BY ord""".stripMargin,
-
-    // Health rollup: counts re-derived from the replica VALUES; node 2
-    // is stale (45s > 30s); used_permille is exact-integer arithmetic.
-    "adm_cluster_health" ->
-      """WITH reps(topic, partition, node_id, is_leader) AS (VALUES
-        |  ('t', 0, 0, TRUE), ('t', 0, 1, FALSE), ('t', 0, 2, FALSE),
-        |  ('t', 1, 0, TRUE), ('t', 1, 1, FALSE), ('t', 1, 3, FALSE),
-        |  ('t', 2, 0, TRUE), ('t', 2, 2, FALSE), ('t', 2, 3, FALSE),
-        |  ('t', 3, 0, TRUE), ('t', 3, 1, FALSE), ('t', 3, 2, FALSE),
-        |  ('u', 0, 0, TRUE), ('u', 0, 1, FALSE), ('u', 0, 2, FALSE),
-        |  ('u', 1, 1, TRUE), ('u', 1, 2, FALSE), ('u', 1, 3, FALSE)),
-        | c AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_replicas,
-        |         CAST(sum(CASE WHEN is_leader THEN 1 ELSE 0 END) AS BIGINT) AS n_leaders
-        |       FROM reps GROUP BY 1),
-        | n(node_id, alive, total, free) AS (VALUES
-        |  (0, TRUE, 1000, 400), (1, TRUE, 1000, 700),
-        |  (2, FALSE, 1000, 800), (3, TRUE, 1000, 100))
-        |SELECT n.node_id, n.alive AS is_alive,
-        |  CAST(n.total AS BIGINT) AS total_bytes,
-        |  CAST((n.total - n.free) * 1000 / n.total AS BIGINT) AS used_permille,
-        |  c.n_replicas, c.n_leaders
-        |FROM n JOIN c USING (node_id) ORDER BY n.node_id""".stripMargin,
-
-    // The greedy's three moves, traced by hand from the squared-error
-    // objectives (counts 5,1,0,0 -> 2,2,1,1; topic t one-per-node).
-    "adm_leader_balance" ->
-      """SELECT * FROM (VALUES
-        |  (0, 't', 0, 0, 2),
-        |  (1, 't', 1, 0, 3),
-        |  (2, 't', 3, 0, 1))
-        | t(ord, topic, partition, from_node, to_node)
-        | ORDER BY ord""".stripMargin,
-
-    "adm_reassignments" ->
-      """WITH init AS (
-        |  SELECT 'events' AS topic, CAST(p AS INTEGER) AS partition, '0,1,2' AS replicas
-        |  FROM range(8) t(p)),
-        | rlog(seq, topic, partition, op, targets) AS (VALUES
-        |  (1, 'events', 0, 'alter', '1,2,3'),
-        |  (2, 'events', 0, 'complete', NULL),
-        |  (3, 'events', 1, 'alter', '3,4,5'),
-        |  (4, 'events', 2, 'alter', '5,6,7'),
-        |  (5, 'events', 2, 'cancel', NULL),
-        |  (6, 'events', 0, 'alter', '2,3,4'),
-        |  (7, 'events', 3, 'complete', NULL)),
-        | term AS (
-        |  SELECT topic, partition,
-        |    max(seq) FILTER (WHERE op = 'complete') AS sc,
-        |    max(seq) FILTER (WHERE op IN ('complete', 'cancel')) AS st
-        |  FROM rlog GROUP BY 1, 2),
-        | alt AS (
-        |  SELECT l.topic, l.partition,
-        |    arg_max(targets, seq) FILTER (WHERE seq < sc) AS applied,
-        |    arg_max(targets, seq) FILTER (WHERE seq > COALESCE(st, -1)) AS pending
-        |  FROM rlog l LEFT JOIN term USING (topic, partition)
-        |  WHERE op = 'alter' GROUP BY 1, 2)
-        | SELECT i.topic, i.partition,
-        |   COALESCE(applied, i.replicas) AS replicas,
-        |   CASE WHEN pending IS NOT NULL THEN array_to_string(list_sort(list_filter(
-        |     string_split(pending, ','),
-        |     x -> NOT list_contains(string_split(COALESCE(applied, i.replicas), ','), x))), ',')
-        |     ELSE '' END AS adding,
-        |   CASE WHEN pending IS NOT NULL THEN array_to_string(list_sort(list_filter(
-        |     string_split(COALESCE(applied, i.replicas), ','),
-        |     x -> NOT list_contains(string_split(pending, ','), x))), ',')
-        |     ELSE '' END AS removing,
-        |   pending IS NOT NULL AS in_flight
-        | FROM init i LEFT JOIN alt USING (topic, partition)
-        | ORDER BY partition""".stripMargin,
-
-    "adm_list_transactions" ->
-      s"""$TxnCte,
-         | dat AS (
-         |  SELECT pid, txn_seq, count(DISTINCT partition) AS n_partitions,
-         |         count(*) AS n_records, min("offset") AS min_first_offset
-         |  FROM ofs WHERE NOT is_control AND batch_type = 1 GROUP BY 1, 2),
-         | ended AS (SELECT DISTINCT pid, txn_seq, decision FROM ofs WHERE is_control)
-         | SELECT d.pid, d.txn_seq,
-         |   CASE WHEN e.decision = 'commit' THEN 'CompleteCommit'
-         |        WHEN e.decision = 'abort' THEN 'CompleteAbort'
-         |        ELSE 'Ongoing' END AS state,
-         |   d.n_partitions, d.n_records, d.min_first_offset
-         | FROM dat d LEFT JOIN ended e ON d.pid = e.pid AND d.txn_seq = e.txn_seq
-         | ORDER BY d.pid, d.txn_seq""".stripMargin,
-
-    "adm_describe_producers" ->
-      s"""$TxnCte,
-         | endedtx AS (SELECT DISTINCT pid, txn_seq FROM ofs WHERE is_control),
-         | openp AS (
-         |  -- open txn start includes its fence batch (the reference's txn
-         |  -- first offset is the fence rm_stm wrote on begin)
-         |  SELECT o.partition, o.pid, min(o."offset") AS current_txn_first_offset
-         |  FROM ofs o LEFT JOIN endedtx e ON o.pid = e.pid AND o.txn_seq = e.txn_seq
-         |  WHERE NOT o.is_control AND e.pid IS NULL
-         |  GROUP BY 1, 2),
-         | dat AS (
-         |  SELECT partition, pid, CAST(0 AS INTEGER) AS producer_epoch,
-         |         max("offset") AS last_offset, count(*) AS n_records
-         |  FROM ofs WHERE NOT is_control AND batch_type = 1 GROUP BY 1, 2)
-         | SELECT d.partition, d.pid, d.producer_epoch, d.last_offset, d.n_records,
-         |        o.current_txn_first_offset
-         | FROM dat d LEFT JOIN openp o ON d.partition = o.partition AND d.pid = o.pid
-         | ORDER BY d.partition, d.pid""".stripMargin,
-
-    "adm_describe_transactions" ->
-      s"""$TxnCte,
-         | data AS (SELECT * FROM ofs WHERE NOT is_control AND batch_type = 1),
-         | latest AS (SELECT pid, max(txn_seq) AS txn_seq FROM data GROUP BY 1),
-         | touched AS (
-         |  SELECT d.pid, d.txn_seq, d.partition, CAST(0 AS INTEGER) AS producer_epoch,
-         |         min(d."offset") AS start_offset, max(d."offset") AS last_offset,
-         |         count(*) AS n_records
-         |  FROM data d JOIN latest l ON d.pid = l.pid AND d.txn_seq = l.txn_seq
-         |  GROUP BY 1, 2, 3),
-         | endedtx AS (SELECT DISTINCT pid, txn_seq, decision FROM ofs WHERE is_control)
-         | SELECT t.pid, t.txn_seq, t.partition,
-         |        CASE WHEN e.decision = 'commit' THEN 'CompleteCommit'
-         |             WHEN e.decision = 'abort' THEN 'CompleteAbort'
-         |             ELSE 'Ongoing' END AS state,
-         |        t.producer_epoch, t.start_offset, t.last_offset, t.n_records
-         | FROM touched t LEFT JOIN endedtx e ON t.pid = e.pid AND t.txn_seq = e.txn_seq
-         | ORDER BY t.pid, t.partition""".stripMargin,
-
-    // Full-replace AlterConfigs v2: the set lands, absent keys revert,
-    // unknown properties reject the resource.
-    "adm_wire_alter_configs" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
-        |  resource, "key", "value", source,
-        |  CAST(error_code AS INTEGER) AS error_code, error_message,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'alter', 0, 'events', NULL, NULL, NULL, 0, NULL),
-        |  (1, 'alter', 1, 'metrics', NULL, NULL, NULL, 40,
-        |   'invalid topic property: zz.unknown'),
-        |  (2, 'describe', -1, 'events', 'cleanup.policy', 'delete', 'DEFAULT_CONFIG', 0, NULL),
-        |  (2, 'describe', -1, 'events', 'compression.type', 'producer', 'DEFAULT_CONFIG', 0, NULL),
-        |  (2, 'describe', -1, 'events', 'delete.retention.ms', '86400000', 'DEFAULT_CONFIG', 0, NULL),
-        |  (2, 'describe', -1, 'events', 'message.timestamp.type', 'CreateTime', 'DEFAULT_CONFIG', 0, NULL),
-        |  (2, 'describe', -1, 'events', 'retention.bytes', '1073741824', 'DYNAMIC_TOPIC_CONFIG', 0, NULL),
-        |  (2, 'describe', -1, 'events', 'retention.ms', '604800000', 'DEFAULT_CONFIG', 0, NULL))
-        | t(step, api, item, resource, "key", "value", source, error_code,
-        |   error_message)
-        | ORDER BY step, item, "key"""".stripMargin,
-
-    // KIP-546 over the wire: alter ladder (35 for unsupported entity
-    // types), configured reads under exact/default/any match, and the
-    // exact-over-default effective resolution.
-    "adm_wire_client_quotas" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
-        |  entity_type, entity_name, "key", CAST("value" AS DOUBLE) AS "value",
-        |  source, CAST(error_code AS INTEGER) AS error_code, error_message,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'alter', 0, 'client-id', NULL, NULL, -1.0, NULL, 0, NULL),
-        |  (1, 'alter', 1, 'client-id', 'etl-1', NULL, -1.0, NULL, 0, NULL),
-        |  (1, 'alter', 2, 'client-id', 'etl-2', NULL, -1.0, NULL, 0, NULL),
-        |  (1, 'alter', 3, 'user', 'alice', NULL, -1.0, NULL, 35,
-        |   'Entity type ''user'' not yet supported'),
-        |  (1, 'alter', 4, 'client-id', 'etl-2', NULL, -1.0, NULL, 0, NULL),
-        |  (2, 'describe', -1, 'client-id', 'etl-1', 'producer_byte_rate', 524288.0, NULL, 0, NULL),
-        |  (3, 'describe', -1, 'client-id', NULL, 'consumer_byte_rate', 2097152.0, NULL, 0, NULL),
-        |  (3, 'describe', -1, 'client-id', NULL, 'producer_byte_rate', 1048576.0, NULL, 0, NULL),
-        |  (4, 'describe', -1, 'client-id', NULL, 'consumer_byte_rate', 2097152.0, NULL, 0, NULL),
-        |  (4, 'describe', -1, 'client-id', NULL, 'producer_byte_rate', 1048576.0, NULL, 0, NULL),
-        |  (4, 'describe', -1, 'client-id', 'etl-1', 'producer_byte_rate', 524288.0, NULL, 0, NULL),
-        |  (5, 'resolved', -1, 'client-id', 'etl-1', 'consumer_byte_rate', 2097152.0, 'DEFAULT', 0, NULL),
-        |  (5, 'resolved', -1, 'client-id', 'etl-1', 'producer_byte_rate', 524288.0, 'CLIENT', 0, NULL),
-        |  (5, 'resolved', -1, 'client-id', 'etl-2', 'consumer_byte_rate', 2097152.0, 'DEFAULT', 0, NULL),
-        |  (5, 'resolved', -1, 'client-id', 'etl-2', 'producer_byte_rate', 1048576.0, 'DEFAULT', 0, NULL))
-        | t(step, api, item, entity_type, entity_name, "key", "value", source,
-        |   error_code, error_message)
-        | ORDER BY step, item, entity_name, "key"""".stripMargin,
-
-    // KIP-455 over the wire: alters (null = cancel, 85 when nothing in
-    // flight), controller completion, in-flight listing with deltas.
-    "adm_wire_reassignments" ->
-      """SELECT CAST(step AS INTEGER) AS step, api,
-        |  CAST(partition AS INTEGER) AS partition, replicas, adding,
-        |  removing, CAST(error_code AS INTEGER) AS error_code,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'alter', 0, '', '', '', 0),
-        |  (2, 'alter', 0, '', '', '', 0),
-        |  (2, 'alter', 1, '', '', '', 0),
-        |  (2, 'alter', 2, '', '', '', 0),
-        |  (3, 'alter', 2, '', '', '', 0),
-        |  (3, 'alter', 5, '', '', '', 85),
-        |  (4, 'list', 0, '1,2,3', '4', '1', 0),
-        |  (4, 'list', 1, '0,1,2', '3,4,5', '0,1,2', 0),
-        |  (5, 'list', 1, '0,1,2', '3,4,5', '0,1,2', 0))
-        | t(step, api, partition, replicas, adding, removing, error_code)
-        | ORDER BY step, partition""".stripMargin,
-
-    // DescribeLogDirs v4 over the wire; sizes recomputed from events.
-    "adm_wire_log_dirs" ->
-      s"""$LogCte SELECT '/var/lib/graft/data' AS log_dir, 'events' AS topic,
-         |  partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
-         |  CAST(0 AS BIGINT) AS offset_lag,
-         |  (SELECT CAST(sum(length(props)) AS BIGINT) FROM log) AS total_bytes,
-         |  CAST(-1 AS BIGINT) AS usable_bytes, TRUE AS corr_ok
-         | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "adm_describe_log_dirs" ->
-      s"""$LogCte SELECT partition, CAST(sum(length(props)) AS BIGINT) AS size_bytes,
-         |  count(*) AS n_records, max("offset") + 1 AS log_end_offset
-         | FROM log GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "adm_topic_validation" ->
-      """SELECT * FROM (VALUES
-        |  ('ok', 0), ('ok_defaults', 0), ('bad_parts', 37),
-        |  ('bad_rf_even', 38), ('bad_rf_neg', 38), ('bad_max_bytes', 40),
-        |  ('bad_compression', 40), ('bad_cleanup', 40), ('bad_ts_type', 40),
-        |  ('first_rule_wins', 37))
-        | t(topic, error_code) ORDER BY topic""".stripMargin,
-
-    "adm_api_versions" ->
-      """SELECT * FROM (VALUES
-        |   (0, 'produce', 'log.RecordLog/streaming.Produce'),
-        |   (1, 'fetch', 'log.RecordLog.fetch'),
-        |   (2, 'list_offsets', 'log.RecordLog.{earliest,latest,offsetsForTimestamp}'),
-        |   (3, 'metadata', 'admin.Admin.metadata'),
-        |   (8, 'offset_commit', 'groups.ConsumerGroups'),
-        |   (9, 'offset_fetch', 'groups.ConsumerGroups.fetchOffsets'),
-        |   (10, 'find_coordinator', 'admin.Admin.coordinatorFor'),
-        |   (11, 'join_group', 'groups.GroupFsm'),
-        |   (12, 'heartbeat', 'groups.GroupFsm'),
-        |   (13, 'leave_group', 'groups.GroupFsm'),
-        |   (14, 'sync_group', 'groups.GroupFsm/groups.Assignment'),
-        |   (15, 'describe_groups', 'groups.GroupEngine.describeGroups'),
-        |   (16, 'list_groups', 'groups.GroupEngine.listGroups'),
-        |   (17, 'sasl_handshake', 'security.Scram.handshake'),
-        |   (18, 'api_versions', 'admin.Admin.ApiVersions'),
-        |   (19, 'create_topics', 'admin.Admin topic lifecycle'),
-        |   (20, 'delete_topics', 'admin.Admin topic lifecycle'),
-        |   (21, 'delete_records', 'log.RecordLog.deleteRecords'),
-        |   (22, 'init_producer_id', 'log.TxnEngine.initProducerIds'),
-        |   (23, 'offset_for_leader_epoch', 'log.RecordLog.offsetsForLeaderEpoch'),
-        |   (24, 'add_partitions_to_txn', 'log.TxnEngine'),
-        |   (25, 'add_offsets_to_txn', 'log.TxnEngine'),
-        |   (26, 'end_txn', 'log.TxnEngine'),
-        |   (28, 'txn_offset_commit', 'log.TxnEngine.commitTxOffsets'),
-        |   (29, 'describe_acls', 'security.Acls.describeAcls'),
-        |   (30, 'create_acls', 'security.Acls'),
-        |   (31, 'delete_acls', 'security.Acls'),
-        |   (32, 'describe_configs', 'admin.Admin.describeConfigs'),
-        |   (33, 'alter_configs', 'admin.Admin.currentConfigs'),
-        |   (35, 'describe_log_dirs', 'admin.Admin.describeLogDirs'),
-        |   (36, 'sasl_authenticate', 'security.Scram.authenticate'),
-        |   (37, 'create_partitions', 'admin.Admin.createPartitions'),
-        |   (42, 'delete_groups', 'groups.ConsumerGroups'),
-        |   (44, 'incremental_alter_configs', 'admin.Admin.currentConfigsIncremental'),
-        |   (45, 'alter_partition_reassignments', 'admin.Admin.partitionReassignments'),
-        |   (46, 'list_partition_reassignments', 'admin.Admin.partitionReassignments'),
-        |   (47, 'offset_delete', 'groups.ConsumerGroups.deleteOffsets'),
-        |   (48, 'describe_client_quotas', 'admin.Admin.resolveClientQuotas'),
-        |   (49, 'alter_client_quotas', 'admin.Admin.resolveClientQuotas'),
-        |   (50, 'describe_user_scram_credentials', 'security.Scram.describeCredentials'),
-        |   (51, 'alter_user_scram_credentials', 'security.Scram.currentCredentials'),
-        |   (61, 'describe_producers', 'log.TxnEngine.describeProducers'),
-        |   (65, 'describe_transactions', 'log.TxnEngine.describeTransactions'),
-        |   (66, 'list_transactions', 'log.TxnEngine.listTransactions'))
-        | t(api_key, api_name, implemented_by) ORDER BY api_key""".stripMargin,
-
-    "adm_find_coordinator" ->
-      """SELECT * FROM (VALUES
-        |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
-        |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
-        | t("group", coordinator_partition) ORDER BY "group"""".stripMargin,
-
-    // CreateTopics v7 wire: validator-chain outcomes over the wire,
-    // config error riding the response's tagged field.
-    "adm_wire_create_topics" ->
-      """SELECT * FROM (VALUES
-        |  ('wire_bad_config', 40, -1, -1, 40, -1, TRUE),
-        |  ('wire_bad_parts', 37, -1, -1, 0, -1, TRUE),
-        |  ('wire_bad_rf', 38, -1, -1, 0, -1, TRUE),
-        |  ('wire_ok', 0, 8, 3, 0, 2, TRUE))
-        | t(topic, error_code, num_partitions, replication_factor,
-        |   config_error, n_configs, corr_ok) ORDER BY topic""".stripMargin,
-
-    // FindCoordinator v3 size laws: request = 20 frame+header + (1+len
-    //   compact key + 1 key_type + 1 tags) = 23 + len(group); response =
-    //   9 + 4 throttle + 2 err + 1 null msg + 4 node + (1 + 5+digits
-    //   "node-N" host) + 4 port + 1 tags = 31 + digits(node).
-    "adm_wire_find_coordinator" ->
-      """SELECT "group", 0 AS key_type, node_id,
-        |       'node-' || CAST(node_id AS VARCHAR) AS host,
-        |       CAST(9092 + node_id AS INTEGER) AS port, 0 AS error_code,
-        |       CAST(23 + length("group") AS INTEGER) AS req_bytes,
-        |       CAST(31 + length(CAST(node_id AS VARCHAR)) AS INTEGER) AS resp_bytes,
-        |       TRUE AS corr_ok
-        | FROM (VALUES
-        |  ('', 9), ('0123456789', 8), ('a', 12), ('ab', 10), ('abc', 11),
-        |  ('hello-kafka', 7), ('redpanda', 6), ('user-42', 12))
-        | t("group", node_id) ORDER BY "group"""".stripMargin,
-
-    // KIP-664 introspection over the wire: list (filters + unknown
-    // echo), describe (105 for unknown tids, touched partitions),
-    // producers (active states incl. open-txn first offset).
-    "t3_wire_introspection" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, tid, state,
-        |  CAST(pid AS BIGINT) AS pid, CAST(epoch AS INTEGER) AS epoch,
-        |  CAST(partition AS INTEGER) AS partition,
-        |  CAST(txn_start_offset AS BIGINT) AS txn_start_offset,
-        |  CAST(last_offset AS BIGINT) AS last_offset,
-        |  CAST(error_code AS INTEGER) AS error_code, TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'list', 'tx-10', 'Ongoing', 10, -1, -1, -1, -1, 0),
-        |  (1, 'list', 'tx-11', 'CompleteCommit', 11, -1, -1, -1, -1, 0),
-        |  (1, 'list', 'tx-12', 'CompleteAbort', 12, -1, -1, -1, -1, 0),
-        |  (2, 'list', 'tx-11', 'CompleteCommit', 11, -1, -1, -1, -1, 0),
-        |  (2, 'list_unknown', NULL, 'Retrying', -1, -1, -1, -1, -1, 0),
-        |  (3, 'list', 'tx-12', 'CompleteAbort', 12, -1, -1, -1, -1, 0),
-        |  (4, 'describe', 'tx-10', 'Ongoing', 10, 0, 0, -1, -1, 0),
-        |  (4, 'describe', 'tx-10', 'Ongoing', 10, 0, 1, -1, -1, 0),
-        |  (4, 'describe', 'tx-99', NULL, -1, -1, -1, -1, -1, 105),
-        |  (5, 'producers', NULL, NULL, 10, 0, 0, 0, 1, 0),
-        |  (5, 'producers', NULL, NULL, 11, 1, 0, -1, 2, 0),
-        |  (5, 'producers', NULL, NULL, 10, 0, 1, 0, 0, 0),
-        |  (5, 'producers', NULL, NULL, 12, 0, 1, -1, 2, 0),
-        |  (5, 'producers', NULL, NULL, -1, -1, 5, -1, -1, 0))
-        | t(step, api, tid, state, pid, epoch, partition, txn_start_offset,
-        |   last_offset, error_code)
-        | ORDER BY step, tid, pid, partition, state""".stripMargin,
-
-    // Topic lifecycle over the wire: the create_partitions validate
-    // chain (handler message text verbatim, typo included), delete by
-    // name and by topic id, surviving catalog. item = request ordinal
-    // for steps 1-2, partition count for the step-3 catalog rows.
-    "adm_wire_topic_lifecycle" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, topic,
-        |  CAST(item AS INTEGER) AS item,
-        |  CAST(error_code AS INTEGER) AS error_code, error_message,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'create_partitions', 't1', 0, 42, 'request contains duplicated topics'),
-        |  (1, 'create_partitions', 't1', 1, 42, 'request contains duplicated topics'),
-        |  (1, 'create_partitions', 'ghost', 2, 17, 'Topic does not exist'),
-        |  (1, 'create_partitions', 't2', 3, 42,
-        |   'Partition count must be greater then current number of partitions'),
-        |  (1, 'create_partitions', 't3', 4, 42,
-        |   'Partition count must be greater then current number of partitions'),
-        |  (1, 'create_partitions', 't4', 5, 42,
-        |   'Redpanda does not yet support custom partitions assignment'),
-        |  (1, 'create_partitions', 't5', 6, 0, NULL),
-        |  (2, 'delete_topics', 't3', 0, 0, NULL),
-        |  (2, 'delete_topics', 'ghost', 1, 3, 'unknown topic or partition'),
-        |  (2, 'delete_topics', 't4', 2, 0, NULL),
-        |  (2, 'delete_topics', NULL, 3, 100, 'unknown topic id'),
-        |  (3, 'catalog', 't1', 8, 0, NULL),
-        |  (3, 'catalog', 't2', 4, 0, NULL),
-        |  (3, 'catalog', 't5', 6, 0, NULL))
-        | t(step, api, topic, item, error_code, error_message)
-        | ORDER BY step, item, topic""".stripMargin,
-
-    "adm_create_partitions" ->
-      """WITH lg AS (
-        |  SELECT CAST(user_id % 8 AS INTEGER) AS partition,
-        |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
-        |         FALSE AS is_new
-        |  FROM events),
-        | hwm AS (SELECT partition, max("offset") + 1 AS base FROM lg GROUP BY 1),
-        | nb AS (
-        |  SELECT CAST(user_id % 12 AS INTEGER) AS partition,
-        |         CAST(row_number() OVER (PARTITION BY user_id % 12 ORDER BY event_id) - 1 AS BIGINT) AS rn
-        |  FROM events),
-        | nb2 AS (SELECT n.partition, COALESCE(h.base, 0) + n.rn AS "offset", TRUE AS is_new
-        |         FROM nb n LEFT JOIN hwm h ON n.partition = h.partition),
-        | allr AS (SELECT * FROM lg UNION ALL SELECT * FROM nb2)
-        | SELECT partition, count(*) AS n, max("offset") + 1 AS hwm,
-        |   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
-        | FROM allr GROUP BY partition ORDER BY partition""".stripMargin,
-
-    "q5_offset_translation" ->
-      s"""$TxnCte
-         | SELECT partition, "offset" AS log_offset,
-         |   CAST(row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS BIGINT) AS kafka_offset
-         | FROM ofs WHERE NOT is_control AND batch_type = 1
-         | ORDER BY partition, log_offset""".stripMargin,
-
-    "adm_acls" ->
-      """WITH acllog(seq, principal, host, resource_type, pattern_type, resource_name, operation, permission, deleted) AS (
-        |  VALUES
-        |   (1, 'alice', '*', 'topic', 'literal', 'events', 'read', 'allow', FALSE),
-        |   (2, 'alice', '*', 'topic', 'literal', 'events', 'write', 'allow', FALSE),
-        |   (3, '*', '*', 'topic', 'prefixed', 'logs-', 'read', 'allow', FALSE),
-        |   (4, 'bob', '*', 'topic', 'literal', 'events', 'all', 'allow', FALSE),
-        |   (5, 'bob', '*', 'topic', 'literal', 'events', 'write', 'deny', FALSE),
-        |   (6, 'carol', '*', 'group', 'literal', 'g1', 'read', 'allow', FALSE),
-        |   (7, 'alice', '*', 'topic', 'literal', 'events', 'write', 'allow', TRUE),
-        |   (8, 'dave', '10.0.0.1', 'topic', 'literal', 'events', 'read', 'allow', FALSE)),
-        | live AS (
-        |  SELECT * FROM acllog
-        |  QUALIFY row_number() OVER (PARTITION BY principal, host, resource_type,
-        |    pattern_type, resource_name, operation, permission ORDER BY seq DESC) = 1
-        |  ),
-        | livekept AS (SELECT * FROM live WHERE NOT deleted),
-        | req(principal, host, operation, resource_type, resource_name) AS (
-        |  VALUES
-        |   ('alice', '10.0.0.9', 'read', 'topic', 'events'),
-        |   ('alice', '10.0.0.9', 'write', 'topic', 'events'),
-        |   ('anyone', 'h', 'read', 'topic', 'logs-2024'),
-        |   ('anyone', 'h', 'read', 'topic', 'events'),
-        |   ('bob', 'h', 'read', 'topic', 'events'),
-        |   ('bob', 'h', 'write', 'topic', 'events'),
-        |   ('carol', 'h', 'read', 'group', 'g1'),
-        |   ('carol', 'h', 'read', 'topic', 'g1'),
-        |   ('dave', '10.0.0.1', 'read', 'topic', 'events'),
-        |   ('dave', '10.0.0.2', 'read', 'topic', 'events')),
-        | m AS (
-        |  SELECT r.*, a.permission AS perm
-        |  FROM req r LEFT JOIN livekept a ON a.resource_type = r.resource_type
-        |    AND (a.principal = r.principal OR a.principal = '*')
-        |    AND (a.host = r.host OR a.host = '*')
-        |    AND (a.operation = r.operation OR a.operation = 'all')
-        |    AND ((a.pattern_type = 'literal' AND a.resource_name = r.resource_name)
-        |      OR (a.pattern_type = 'prefixed' AND starts_with(r.resource_name, a.resource_name))))
-        | SELECT principal, host, operation, resource_type, resource_name,
-        |  CASE WHEN max(CASE WHEN perm = 'deny' THEN 1 ELSE 0 END) = 1 THEN 'denied'
-        |       WHEN max(CASE WHEN perm = 'allow' THEN 1 ELSE 0 END) = 1 THEN 'allowed'
-        |       ELSE 'denied' END AS decision
-        | FROM m GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
-
-    "sec_scram_describe" ->
-      """WITH credlog(seq, username, mechanism, iterations, deleted) AS (
-        |  VALUES
-        |   (1, 'alice', 'SCRAM-SHA-256', 1024, FALSE),
-        |   (2, 'bob', 'SCRAM-SHA-256', 1024, FALSE),
-        |   (3, 'alice', 'SCRAM-SHA-256', 2048, FALSE),
-        |   (4, 'carol', 'SCRAM-SHA-512', 4096, FALSE),
-        |   (5, 'bob', 'SCRAM-SHA-256', 0, TRUE),
-        |   (6, 'dave', 'SCRAM-SHA-256', 1024, FALSE),
-        |   (7, 'dave', 'SCRAM-SHA-512', 1024, FALSE)),
-        | live AS (
-        |  SELECT * FROM credlog
-        |  QUALIFY row_number() OVER (PARTITION BY username, mechanism ORDER BY seq DESC) = 1)
-        | SELECT username, mechanism, CAST(iterations AS INT) AS iterations
-        | FROM live WHERE NOT deleted ORDER BY username, mechanism""".stripMargin,
-
-    "sec_scram_auth" ->
-      """SELECT 'user_' || c_custkey AS username,
-        |  'SCRAM-SHA-256' AS mechanism,
-        |  CASE WHEN c_custkey > 50 THEN 'unknown_user'
-        |       WHEN c_custkey % 3 = 0 THEN 'failed'
-        |       ELSE 'authenticated' END AS decision
-        | FROM customer WHERE c_custkey <= 60 ORDER BY username""".stripMargin,
-
-    "sec_handshake" ->
-      """SELECT 'client_' || c_custkey AS client, mech AS mechanism,
-        |  CASE WHEN mech IN ('SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER')
-        |       THEN 0 ELSE 33 END AS error_code,
-        |  'SCRAM-SHA-256,SCRAM-SHA-512,PLAIN,GSSAPI,OAUTHBEARER' AS enabled_mechanisms
-        | FROM (SELECT c_custkey,
-        |         (['SCRAM-SHA-256', 'SCRAM-SHA-512', 'PLAIN', 'GSSAPI', 'OAUTHBEARER', 'EXTERNAL'])[(c_custkey % 6) + 1] AS mech
-        |       FROM customer WHERE c_custkey <= 60)
-        | ORDER BY client""".stripMargin,
-
-    // The ACL control plane over the wire: creation error ladder with
-    // the reference's conversion messages, MATCH-filter describe,
-    // per-filter delete with tombstoned matches, post-delete re-read.
-    "sec_wire_acls" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, CAST(item AS INTEGER) AS item,
-        |  CAST(error_code AS INTEGER) AS error_code, error_message,
-        |  principal, host, resource_type, pattern_type, resource_name,
-        |  operation, permission, TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'create', 0, 0, NULL, 'User:alice', '*', 'topic', 'literal', 'payments', 'read', 'allow'),
-        |  (1, 'create', 1, 0, NULL, 'User:bob', '*', 'topic', 'prefixed', 'pay', 'write', 'allow'),
-        |  (1, 'create', 2, 0, NULL, 'User:bob', '*', 'group', 'literal', 'analytics', 'read', 'deny'),
-        |  (1, 'create', 3, 0, NULL, 'User:*', '*', 'topic', 'literal', '*', 'describe', 'allow'),
-        |  (1, 'create', 4, 42, 'Invalid principal name: {alice}', 'alice', '*', 'topic', 'literal', 'payments-eu', 'write', 'allow'),
-        |  (1, 'create', 5, 42, 'Invalid resource type: 99', 'User:carol', '*', NULL, 'literal', 'orders', 'read', 'allow'),
-        |  (2, 'describe', -1, 0, NULL, 'User:*', '*', 'topic', 'literal', '*', 'describe', 'allow'),
-        |  (2, 'describe', -1, 0, NULL, 'User:alice', '*', 'topic', 'literal', 'payments', 'read', 'allow'),
-        |  (2, 'describe', -1, 0, NULL, 'User:bob', '*', 'topic', 'prefixed', 'pay', 'write', 'allow'),
-        |  (3, 'delete', 0, 0, NULL, 'User:bob', '*', 'group', 'literal', 'analytics', 'read', 'deny'),
-        |  (3, 'delete', 0, 0, NULL, 'User:bob', '*', 'topic', 'prefixed', 'pay', 'write', 'allow'),
-        |  (3, 'delete', 1, 42, 'Invalid principal name: {bob}', NULL, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (4, 'describe', -1, 0, NULL, 'User:*', '*', 'topic', 'literal', '*', 'describe', 'allow'),
-        |  (4, 'describe', -1, 0, NULL, 'User:alice', '*', 'topic', 'literal', 'payments', 'read', 'allow'))
-        | t(step, api, item, error_code, error_message, principal, host,
-        |   resource_type, pattern_type, resource_name, operation, permission)
-        | ORDER BY step, item, resource_type, resource_name, principal""".stripMargin,
-
-    // SCRAM over the wire. Size laws: handshake v1 request = 4 frame +
-    //   15 non-flexible header ("graft" client) + 2+len(mech) = 21+len;
-    //   response = 4 + 4 corr + 2 err + 4 arraylen + 2*(2+13) = 44.
-    // SaslAuthenticate v2 request = 4 + 16 flexible header + 1 compact
-    //   len + authbytes + 1 tags = 22 + len(auth); auth response =
-    //   4 + 5 header + 2 err + msg(1 if null else 1+len) + 1+payload +
-    //   8 lifetime + 1 tags = 22 + payload (success) / 22 + len(msg)
-    //   (failure, empty payload). client-first = gs2(3, or 5+authzid) +
-    //   "n=,r=" (5) + user + 8-char nonce; server-first = "r=" + 16 +
-    //   ",s=" + 16 (12-byte salt) + ",i=" + 4 = 44; client-final =
-    //   "c=biws,r=" + 16 + ",p=" + proof-b64 (44 SHA-256 / 88 SHA-512);
-    //   server-final = "v=" + sig-b64.
-    "sec_wire_sasl" ->
-      """SELECT scenario, "user", mechanism,
-        |  CAST(hs_error AS INTEGER) AS hs_error, fail_leg,
-        |  CAST(error_code AS INTEGER) AS error_code, error_message,
-        |  CAST(iterations AS INTEGER) AS iterations, nonce_ok, server_sig_ok,
-        |  CAST(21 + length(mechanism) AS INTEGER) AS hs_req_bytes,
-        |  CAST(44 AS INTEGER) AS hs_resp_bytes,
-        |  CAST(CASE WHEN fail_leg = 'handshake' THEN -1
-        |            ELSE 38 + length("user")
-        |                 + CASE WHEN authzid IS NULL THEN 0
-        |                        ELSE 2 + length(authzid) END
-        |       END AS INTEGER) AS a1_req_bytes,
-        |  CAST(CASE WHEN fail_leg = 'handshake' THEN -1
-        |            WHEN fail_leg = 'server_first' THEN 22 + length(error_message)
-        |            ELSE 66 END AS INTEGER) AS a1_resp_bytes,
-        |  CAST(CASE WHEN fail_leg IN ('handshake', 'server_first') THEN -1
-        |            WHEN mechanism = 'SCRAM-SHA-512' THEN 138
-        |            ELSE 94 END AS INTEGER) AS a2_req_bytes,
-        |  CAST(CASE WHEN fail_leg IN ('handshake', 'server_first') THEN -1
-        |            WHEN fail_leg = 'server_final' THEN 22 + length(error_message)
-        |            WHEN mechanism = 'SCRAM-SHA-512' THEN 112
-        |            ELSE 68 END AS INTEGER) AS a2_resp_bytes,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  ('s1_ok_256', 'alice', 'SCRAM-SHA-256', 0, 'none', 0, NULL, 4096, TRUE, TRUE, NULL),
-        |  ('s2_wrong_pw', 'alice', 'SCRAM-SHA-256', 0, 'server_final', 58,
-        |   'SASL authentication failed: security: Invalid credentials', 4096, TRUE, FALSE, NULL),
-        |  ('s3_ok_512', 'bob', 'SCRAM-SHA-512', 0, 'none', 0, NULL, 4096, TRUE, TRUE, NULL),
-        |  ('s4_unknown_user', 'eve', 'SCRAM-SHA-256', 0, 'server_first', 58,
-        |   'SASL authentication failed: security: Invalid credentials', -1, FALSE, FALSE, NULL),
-        |  ('s5_authzid_mismatch', 'carol', 'SCRAM-SHA-256', 0, 'server_first', 58,
-        |   'SASL authentication failed: security: Invalid credentials', -1, FALSE, FALSE, 'other'),
-        |  ('s6_low_iterations', 'frank', 'SCRAM-SHA-256', 0, 'server_first', 58,
-        |   'SASL authentication failed: security: Invalid credentials', -1, FALSE, FALSE, NULL),
-        |  ('s7_bad_mechanism', 'dave', 'SCRAM-SHA-224', 33, 'handshake', 33, NULL, -1, FALSE, FALSE, NULL))
-        | t(scenario, "user", mechanism, hs_error, fail_leg, error_code,
-        |   error_message, iterations, nonce_ok, server_sig_ok, authzid)
-        | ORDER BY scenario""".stripMargin,
-
-    // The reference's own gssapi_principal_mapper test corpus; every
-    // expected local name pinned (the engine must reproduce them).
-    "sec_gssapi_principal" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'A', 'App.service-name/example.com@REALM.com', 'service-name'),
-        |  (2, 'A', 'App.service-name@REALM.com', 'service-name'),
-        |  (3, 'A', 'user/host@REALM.com', 'user'),
-        |  (4, 'A', 'redpanda/example.com@REALM.com', 'redpandadataexample.com'),
-        |  (5, 'B', 'User@REALM.com', 'user'),
-        |  (6, 'B', 'TestABC/host@FOO.COM', 'test'),
-        |  (7, 'B', 'ABC_User_ABC/host@FOO.COM', 'xyz_user_xyz'),
-        |  (8, 'B', 'App.SERVICE-name/example.com@REALM.COM', 'service-name'),
-        |  (9, 'B', 'User/root@REALM.COM', 'user'),
-        |  (10, 'C', 'User@REALM.com', 'USER'),
-        |  (11, 'C', 'TestABC/host@FOO.COM', 'TEST'),
-        |  (12, 'C', 'ABC_User_ABC/host@FOO.COM', 'XYZ_USER_XYZ'),
-        |  (13, 'C', 'App.SERVICE-name/example.com@REALM.COM', 'SERVICE-NAME'),
-        |  (14, 'C', 'User/root@REALM.COM', 'USER')
-        |) AS t(k, rule_set, gssapi_name, mapped) ORDER BY k""".stripMargin,
-
-    // PLAIN replays the parse-ladder precedence in plaintext: malformed
-    // blobs (%13 authzid, %11 no separator, %7 empty password) beat the
-    // store lookup; unprovisioned users (k>50) beat the password check.
-    "sec_plain_auth" ->
-      """SELECT 'user_' || c_custkey AS username,
-        |  CASE WHEN c_custkey % 13 = 0 THEN 'malformed'
-        |       WHEN c_custkey % 11 = 0 THEN 'malformed'
-        |       WHEN c_custkey % 7 = 0 THEN 'malformed'
-        |       WHEN c_custkey > 50 THEN 'unknown_user'
-        |       WHEN c_custkey % 3 = 0 THEN 'failed'
-        |       ELSE 'authenticated' END AS decision
-        | FROM customer WHERE c_custkey <= 70 ORDER BY username""".stripMargin,
-
-    // OIDC: the token builder's first-match rule decides which single
-    // defect each token carries, so the oracle's CASE chain in the same
-    // precedence re-derives error/principal/exp without any crypto.
-    "sec_oidc_auth" ->
-      """WITH d AS (SELECT CAST(c_custkey AS BIGINT) AS k
-        |           FROM customer WHERE c_custkey <= 60)
-        |SELECT k,
-        |  CASE WHEN k % 17 = 0 THEN 'malformed'
-        |       WHEN k % 13 = 0 THEN 'unknown_kid'
-        |       WHEN k % 11 = 0 THEN 'invalid_signature'
-        |       WHEN k % 7 = 0 THEN 'invalid_iss'
-        |       WHEN k % 5 = 0 THEN 'invalid_aud'
-        |       WHEN k % 3 = 0 THEN 'expired'
-        |       WHEN k % 2 = 0 THEN 'not_yet_valid'
-        |       ELSE NULL END AS error,
-        |  CASE WHEN k % 17 = 0 OR k % 13 = 0 OR k % 11 = 0 OR k % 7 = 0
-        |         OR k % 5 = 0 OR k % 3 = 0 OR k % 2 = 0 THEN NULL
-        |       ELSE 'oidc_' || k END AS principal,
-        |  CASE WHEN k % 17 = 0 THEN NULL ELSE 'sub-' || k END AS sub,
-        |  CASE WHEN k % 17 = 0 THEN -1
-        |       WHEN k % 13 = 0 OR k % 11 = 0 OR k % 7 = 0 OR k % 5 = 0
-        |         THEN 1700003600
-        |       WHEN k % 3 = 0 THEN 1699996400
-        |       ELSE 1700003600 END AS token_exp
-        | FROM d ORDER BY k""".stripMargin,
-
-    "sec_role_acls" ->
-      """SELECT * FROM (VALUES
-        |  ('dora', 'h', 'read', 'topic', 'events', 'allowed'),
-        |  ('dora', 'h', 'write', 'topic', 'logs-7', 'allowed'),
-        |  ('eve', 'h', 'read', 'topic', 'events', 'allowed'),
-        |  ('eve', 'h', 'write', 'topic', 'events', 'denied'),
-        |  ('frank', 'h', 'read', 'topic', 'events', 'allowed'),
-        |  ('frank', 'h', 'write', 'topic', 'events', 'denied'),
-        |  ('gus', 'h', 'read', 'topic', 'events', 'denied'))
-        | t(principal, host, operation, resource_type, resource_name, decision)
-        | ORDER BY principal, operation, resource_name""".stripMargin,
-
-    // First-match-wins ordered rules replayed as a CASE chain (RE2-safe
-    // patterns; DuckDB backrefs are \1 where Spark's are $1).
-    "sec_principal_mapping" ->
-      """WITH d AS (
-        |  SELECT CAST(c_custkey AS BIGINT) AS k,
-        |    CASE WHEN c_custkey % 7 = 0 THEN 'CN=svc.' || c_custkey || ',O=acme'
-        |         WHEN c_custkey % 5 = 0 THEN 'O=acme,L=metropolis-' || c_custkey
-        |         ELSE 'CN=User_' || c_custkey || ',OU=eng,O=acme' END AS dn
-        |  FROM customer WHERE c_custkey <= 100)
-        | SELECT k, dn,
-        |  CASE WHEN regexp_matches(dn, '^CN=svc\.([0-9]+),.*$')
-        |         THEN upper(regexp_replace(dn, '^CN=svc\.([0-9]+),.*$', 'svc-\1'))
-        |       WHEN regexp_matches(dn, '^CN=([^,]*),.*$')
-        |         THEN lower(regexp_replace(dn, '^CN=([^,]*),.*$', '\1'))
-        |       ELSE dn END AS principal
-        | FROM d ORDER BY k""".stripMargin,
-
-    // The streaming twin emits the same flush log (watermark-closed
-    // intervals) — identical fold, identical oracle.
-    "sec_audit_stream" ->
-      """WITH api AS (
-        |  SELECT event_id AS seq,
-        |         'u' || CAST(user_id % 10 AS VARCHAR) AS principal,
-        |         CASE event_type WHEN 'purchase' THEN 'produce'
-        |              WHEN 'view' THEN 'fetch' ELSE 'mgmt' END AS etype,
-        |         't' || CAST(user_id % 4 AS VARCHAR) AS topic,
-        |         CASE event_type WHEN 'purchase' THEN 'write'
-        |              WHEN 'view' THEN 'read' ELSE 'describe' END AS operation
-        |  FROM events)
-        | SELECT seq // 1000 AS interval, principal, etype AS event_type, topic, operation,
-        |        count(*) AS count, min(seq) AS first_seq, max(seq) AS last_seq
-        | FROM api
-        | WHERE etype IN ('produce', 'fetch')
-        |   AND topic <> 't3' AND principal <> 'u7'
-        | GROUP BY 1, 2, 3, 4, 5
-        | ORDER BY interval, principal, event_type, topic, operation""".stripMargin,
-
-    // Admission filter then per-interval identical-event coalescing.
-    "sec_audit_coalesce" ->
-      """WITH api AS (
-        |  SELECT event_id AS seq,
-        |         'u' || CAST(user_id % 10 AS VARCHAR) AS principal,
-        |         CASE event_type WHEN 'purchase' THEN 'produce'
-        |              WHEN 'view' THEN 'fetch' ELSE 'mgmt' END AS etype,
-        |         't' || CAST(user_id % 4 AS VARCHAR) AS topic,
-        |         CASE event_type WHEN 'purchase' THEN 'write'
-        |              WHEN 'view' THEN 'read' ELSE 'describe' END AS operation
-        |  FROM events)
-        | SELECT seq // 1000 AS interval, principal, etype AS event_type, topic, operation,
-        |        count(*) AS count, min(seq) AS first_seq, max(seq) AS last_seq
-        | FROM api
-        | WHERE etype IN ('produce', 'fetch')
-        |   AND topic <> 't3' AND principal <> 'u7'
-        | GROUP BY 1, 2, 3, 4, 5
-        | ORDER BY interval, principal, event_type, topic, operation""".stripMargin,
-
-    "a1_compaction" ->
-      s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
-         | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
-         | ORDER BY partition, key""".stripMargin,
-
-    "a1_sliding_window" ->
-      s"""$LogCte,
-         | t AS (SELECT partition AS p, "offset" AS o, event_id % 200 AS k,
-         |              "offset" // 50 AS seg FROM log),
-         | ls AS (SELECT p, k, max(seg) AS lseg, max(o) AS maxo FROM t GROUP BY 1, 2),
-         | occ AS (
-         |  SELECT p, lseg, count(*) AS nn,
-         |    sum(count(*)) OVER (PARTITION BY p ORDER BY lseg DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix
-         |  FROM ls GROUP BY 1, 2),
-         | bad AS (SELECT p, max(lseg) AS maxbad FROM occ WHERE suffix > 120 GROUP BY 1),
-         | base AS (SELECT p, min(seg) AS b FROM t GROUP BY 1),
-         | bounds AS (
-         |  SELECT base.p, base.b, COALESCE(bad.maxbad + 1, base.b) AS strt
-         |  FROM base LEFT JOIN bad ON base.p = bad.p),
-         | nk AS (SELECT ls.p, CAST(count(*) AS BIGINT) AS n_keys_indexed
-         |        FROM ls JOIN bounds ON ls.p = bounds.p
-         |        WHERE ls.lseg >= bounds.strt GROUP BY 1),
-         | rnk AS (
-         |  SELECT t.p, t.o, ls.lseg, ls.maxo, bounds.strt,
-         |    row_number() OVER (PARTITION BY t.p, t.seg, t.k ORDER BY t.o DESC) AS segrn
-         |  FROM t JOIN bounds ON t.p = bounds.p JOIN ls ON ls.p = t.p AND ls.k = t.k),
-         | kept AS (SELECT p, o FROM rnk
-         |   WHERE CASE WHEN lseg >= strt THEN o = maxo ELSE segrn = 1 END),
-         | dg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_after,
-         |               CAST(sum(o) AS BIGINT) AS sum_offsets FROM kept GROUP BY 1)
-         |SELECT bounds.p AS partition, bounds.strt AS idx_start_seg,
-         |  COALESCE(nk.n_keys_indexed, 0) AS n_keys_indexed,
-         |  bounds.strt <= bounds.b AS window_complete,
-         |  dg.n_after, dg.sum_offsets
-         |FROM bounds LEFT JOIN nk ON nk.p = bounds.p JOIN dg ON dg.p = bounds.p
-         |ORDER BY 1""".stripMargin,
-
-    "a1_compact_delete" ->
-      s"""$LogCte SELECT partition, user_id AS key, "offset", event_type FROM log
-         | WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
-         | QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
-         | ORDER BY partition, key""".stripMargin,
-
-    "a2_tombstone_gc" ->
-      s"""$LogCte, latest AS (
-         |  SELECT partition, user_id, "offset", event_type, ts FROM log
-         |  QUALIFY row_number() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1)
-         | SELECT partition, user_id AS key, "offset", event_type FROM latest
-         | WHERE NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-25 00:00:00')
-         | ORDER BY partition, key""".stripMargin,
-
-    "a4_retention" ->
-      s"""$LogCte SELECT partition, min("offset") AS new_start, count(*) AS remaining
-         | FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY partition ORDER BY partition""".stripMargin,
-
-    // suffix byte budget from the log tail, newest-first cumulative sum
-    "a4_retention_bytes" ->
-      s"""$LogCte, sized AS (
-         |  SELECT partition, "offset", length(props) + length(event_type) + 24 AS sz FROM log),
-         | c AS (
-         |  SELECT *, sum(sz) OVER (PARTITION BY partition ORDER BY "offset" DESC
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM sized)
-         | SELECT partition, count(*) AS remaining, min("offset") AS new_start,
-         |        CAST(sum(sz) AS BIGINT) AS bytes
-         | FROM c WHERE cum <= 16384 GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "a5_usage_windows" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "op_interval_join_stream" ->
-      """WITH p AS (SELECT user_id, epoch(ts) AS t, event_id AS purchase_id
-        |           FROM events WHERE event_type = 'purchase'),
-        | i AS (SELECT user_id, epoch(ts) AS lo, epoch(ts) + 259200 AS hi,
-        |              event_id AS signup_id
-        |       FROM events WHERE event_type = 'signup')
-        | SELECT p.user_id, count(*) AS n_pairs,
-        |        CAST(sum(purchase_id) AS BIGINT) AS sum_purchase,
-        |        CAST(sum(signup_id) AS BIGINT) AS sum_signup
-        | FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.lo AND i.hi
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "a5_session_windows" ->
-      """WITH marks AS (
-        |  SELECT user_id, ts,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        | sess AS (
-        |  SELECT user_id, ts,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
-        |  FROM marks)
-        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       'u' || CAST(user_id AS VARCHAR) AS grp, count(*) AS n_events
-        | FROM sess GROUP BY user_id, sid ORDER BY 2, 1""".stripMargin,
-
-    // Append-mode emission: the far-future sentinel batch advances the
-    // watermark past every real window, and AvailableNow's final
-    // watermark-flush batch then emits them all — so the emitted stream
-    // equals the complete hourly aggregate (sentinel filtered out).
-    "a5_usage_stream" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |       event_type AS grp, CAST(sum(length(props)) AS BIGINT) AS bytes, count(*) AS records
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "dd_stream_dedup" ->
-      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "a6_quota_throttle" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT 'c' || CAST(user_id % 40 AS VARCHAR) AS client_id,
-        |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
-        |         CAST(length(props) AS BIGINT) AS bytes,
-        |         CAST(event_id AS BIGINT) AS seq
-        |  FROM events WHERE user_id % 40 < 4),
-        | r AS (SELECT *, row_number() OVER (PARTITION BY client_id ORDER BY ts_ms, seq) AS rn
-        |       FROM base),
-        | tb AS (
-        |  SELECT client_id, rn, ts_ms, seq, 1000 - bytes AS tokens FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r2.client_id, r2.rn, r2.ts_ms, r2.seq,
-        |         least(1000, t.tokens + 2 * (r2.ts_ms - t.ts_ms)) - r2.bytes
-        |  FROM tb t JOIN r r2 ON r2.client_id = t.client_id AND r2.rn = t.rn + 1)
-        | SELECT client_id, seq, tokens,
-        |        CASE WHEN tokens < 0 THEN (-tokens + 1) // 2 ELSE CAST(0 AS BIGINT) END AS throttle_ms
-        | FROM tb ORDER BY client_id, seq""".stripMargin,
-
-    "snc_node_throttle" ->
-      s"""$SncQuotaCte
-         |SELECT g.node_id, g.seq, g.client_id,
-         |  CASE WHEN g.grp IS NOT NULL THEN g.grp END AS "group",
-         |  g.grp IS NOT NULL AS exempt,
-         |  COALESCE(s.throttle_ms, CAST(0 AS BIGINT)) AS throttle_ms,
-         |  s.t_in AS tokens_in, s.t_eg AS tokens_eg
-         |FROM g LEFT JOIN (SELECT node_id, seq, t_in, t_eg, throttle_ms
-         |                  FROM sim WHERE rn > 0) s
-         |  ON g.node_id = s.node_id AND g.seq = s.seq
-         |ORDER BY g.seq""".stripMargin,
-
-    "snc_quota_probe" ->
-      s"""$SncQuotaCte
-         |SELECT g.node_id,
-         |  CAST(sum(CASE WHEN g.grp IS NULL THEN g.req_bytes ELSE 0 END) AS BIGINT) AS traffic_intake,
-         |  CAST(sum(CASE WHEN g.grp IS NULL THEN g.resp_bytes ELSE 0 END) AS BIGINT) AS traffic_egress,
-         |  CAST(sum(CASE WHEN COALESCE(s.throttle_ms, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
-         |  CAST(count(*) AS BIGINT) AS n_requests,
-         |  CAST(12000 AS BIGINT) AS quota_effective_in,
-         |  CAST(30000 AS BIGINT) AS quota_effective_eg
-         |FROM g LEFT JOIN (SELECT node_id, seq, throttle_ms FROM sim WHERE rn > 0) s
-         |  ON g.node_id = s.node_id AND g.seq = s.seq
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "ct_cache_trim" ->
-      s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$CacheTrimCte
-         |SELECT f.node_id, f.path, f.size_bytes,
-         |  CASE WHEN dc.path IS NOT NULL THEN 'deleted_companion'
-         |       WHEN c.rn IS NOT NULL AND c.rn <= l.wmax THEN
-         |         CASE WHEN c.is_exempt THEN 'skipped_exempt'
-         |              WHEN c.is_tmp THEN 'skipped_tmp'
-         |              WHEN c.is_comp THEN 'skipped_companion'
-         |              ELSE 'deleted_lru' END
-         |       ELSE 'kept' END AS action
-         |FROM files f
-         |LEFT JOIN cand c ON c.node_id = f.node_id AND c.path = f.path
-         |LEFT JOIN lastw l ON l.node_id = f.node_id
-         |LEFT JOIN (SELECT DISTINCT s.node_id, f2.path
-         |           FROM delsegs s JOIN files f2 ON f2.node_id = s.node_id
-         |             AND (f2.path = s.path || '.tx' OR f2.path = s.path || '.index')) dc
-         |  ON dc.node_id = f.node_id AND dc.path = f.path
-         |ORDER BY f.node_id, f.path""".stripMargin,
-
-    "asm_runs" ->
-      s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$AsmCte
-         |SELECT partition, base_offset, committed_offset, num_segments, size_bytes, term
-         |FROM runs ORDER BY partition""".stripMargin,
-
-    "asm_manifest" ->
-      s"""${LogCte.replace("WITH log", "WITH RECURSIVE log")},$AsmCte
-         |SELECT s.partition, s.base_offset, s.committed_offset, s.size_bytes, s.term, FALSE AS merged
-         |FROM seg s LEFT JOIN runs r ON s.partition = r.partition
-         |  AND s.base_offset >= r.base_offset AND s.base_offset <= r.committed_offset
-         |WHERE r.partition IS NULL
-         |UNION ALL
-         |SELECT partition, base_offset, committed_offset, size_bytes, term, TRUE FROM runs
-         |ORDER BY partition, base_offset""".stripMargin,
-
-    "ct_scrub_anomalies" ->
-      s"""$LogCte,${scrubCte(1000000000)}
-         |SELECT partition, anomaly_type, at_base_offset, prev_base_offset
-         |FROM sanoms ORDER BY partition, anomaly_type, at_base_offset""".stripMargin,
-
-    "ct_purger_run" -> PurgerOracle,
-
-    "res_disk_eviction" ->
-      s"""$LogCte,
-         | segs AS (
-         |  SELECT partition AS p, "offset" // 50 AS seg,
-         |         CAST(sum(length(props) + length(event_type) + 24) AS BIGINT) AS size
-         |  FROM log GROUP BY 1, 2),
-         | mx AS (SELECT p, max(seg) AS ms FROM segs GROUP BY 1),
-         | lv AS (
-         |  SELECT s.p, s.seg, s.size,
-         |    CASE WHEN s.seg * 2 <= m.ms THEN 'local_retention'
-         |         WHEN s.seg * 4 <= m.ms * 3 THEN
-         |           CASE WHEN s.p % 2 = 0 THEN 'low_space_non_hinted'
-         |                ELSE 'low_space_hinted' END
-         |         ELSE 'active_segment' END AS level
-         |  FROM segs s JOIN mx m ON s.p = m.p),
-         | tot AS (SELECT CAST(sum(size) AS BIGINT) AS usage_b FROM lv),
-         | tgt AS (
-         |  SELECT usage_b,
-         |    CAST(floor((usage_b - CAST(floor(usage_b * (12.5 / 100.0)) AS BIGINT))
-         |      * (80 / 100.0)) AS BIGINT) AS target
-         |  FROM tot),
-         | exc AS (SELECT usage_b, target,
-         |    CASE WHEN usage_b - target <= 1000 THEN 0
-         |         ELSE CAST(floor((usage_b - target) * 2.0) AS BIGINT) END AS excess
-         |  FROM tgt),
-         | rk AS (
-         |  SELECT lv.*,
-         |    CASE level WHEN 'local_retention' THEN 0 WHEN 'low_space_non_hinted' THEN 1
-         |         WHEN 'low_space_hinted' THEN 2 ELSE 3 END AS lrank,
-         |    row_number() OVER (PARTITION BY p, level ORDER BY seg) AS idx
-         |  FROM lv),
-         | sched AS (
-         |  SELECT rk.*, e.excess, e.target,
-         |    COALESCE(sum(size) OVER (ORDER BY lrank, idx, p
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
-         |  FROM rk, exc e)
-         |SELECT level, CAST(count(*) AS BIGINT) AS n_candidates,
-         |  CAST(sum(CASE WHEN excess > 0 AND bfr <= excess THEN 1 ELSE 0 END) AS BIGINT) AS n_marked,
-         |  CAST(sum(CASE WHEN excess > 0 AND bfr <= excess THEN size ELSE 0 END) AS BIGINT) AS bytes_marked,
-         |  max(target) AS target_size, max(excess) AS target_excess
-         |FROM sched GROUP BY level ORDER BY level""".stripMargin,
-
-    "adm_self_test_report" ->
-      """WITH smp AS (
-        |  SELECT CAST(user_id % 5 AS INTEGER) AS node,
-        |    CASE WHEN event_id % 2 = 0 THEN 'disk' ELSE 'net' END AS test_type,
-        |    event_id AS seq,
-        |    CAST(100 + (event_id * 7919) % 5000 AS BIGINT) AS lat_us,
-        |    CAST(512 + event_id % 1024 AS BIGINT) AS bytes,
-        |    event_id % 53 <> 0 AS ok
-        |  FROM events),
-        | rk AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY node, test_type
-        |      ORDER BY lat_us, seq) AS BIGINT) AS rn,
-        |    count(*) OVER (PARTITION BY node, test_type) AS n
-        |  FROM smp),
-        | agg AS (
-        |  SELECT node, test_type, CAST(count(*) AS BIGINT) AS n_requests,
-        |    CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS timeouts,
-        |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lat_us END) AS p50_us,
-        |    max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_us END) AS p90_us,
-        |    max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN lat_us END) AS p99_us,
-        |    max(CASE WHEN rn = CAST(ceil(0.999 * n) AS BIGINT) THEN lat_us END) AS p999_us,
-        |    max(lat_us) AS max_us,
-        |    CAST(sum(bytes) AS BIGINT) AS bytes_total,
-        |    max(seq) - min(seq) + 1 AS duration_ms
-        |  FROM rk GROUP BY 1, 2)
-        |SELECT node, test_type, n_requests, timeouts, p50_us, p90_us, p99_us,
-        |  p999_us, max_us, bytes_total, duration_ms,
-        |  n_requests * 1000000 // duration_ms AS rps_x1000,
-        |  bytes_total * 1000000 // duration_ms AS bps_x1000
-        |FROM agg ORDER BY node, test_type""".stripMargin,
-
-    "adm_self_test_status" ->
-      """SELECT * FROM (VALUES
-        |  (0, 'idle', 'idle'), (1, 'running', 'net'), (2, 'running', 'cloud'),
-        |  (3, 'idle', 'idle'), (4, 'unreachable', 'idle'))
-        | t(node, status, stage) ORDER BY node""".stripMargin,
-
-    "adm_debug_bundle" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, op, job_id, errc, status_after, current_job
-        | FROM (VALUES
-        |  (1, 'get_file', 'j0', 'debug_bundle_process_never_started', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
-        |  (2, 'cancel', 'j0', 'debug_bundle_process_never_started', NULL, NULL),
-        |  (3, 'initiate', 'j1', 'success', 'running', 'j1'),
-        |  (4, 'initiate', 'j2', 'debug_bundle_process_running', 'running', 'j1'),
-        |  (5, 'get_file', 'j1', 'debug_bundle_process_running', 'running', 'j1'),
-        |  (6, 'finish', 'j1', 'success', 'success', 'j1'),
-        |  (7, 'get_file', 'j1', 'success', 'success', 'j1'),
-        |  (8, 'get_file', 'j9', 'job_id_not_recognized', 'success', 'j1'),
-        |  (9, 'cancel', 'j1', 'debug_bundle_process_not_running', 'success', 'j1'),
-        |  (10, 'initiate', 'j2', 'success', 'running', 'j2'),
-        |  (11, 'cancel', 'j0', 'job_id_not_recognized', 'running', 'j2'),
-        |  (12, 'cancel', 'j2', 'success', 'error', 'j2'),
-        |  (13, 'get_file', 'j2', 'process_failed', 'error', 'j2'),
-        |  (14, 'initiate', 'j3', 'success', 'running', 'j3'),
-        |  (15, 'finish', 'j3', 'success', 'success', 'j3'),
-        |  (16, 'expire_sweep', '', 'success', 'expired', 'j3'),
-        |  (17, 'get_file', 'j3', 'debug_bundle_expired', 'expired', 'j3'))
-        | t(seq, op, job_id, errc, status_after, current_job)
-        | ORDER BY seq""".stripMargin,
-
-    "adm_controller_limiter" ->
-      """WITH RECURSIVE cmds AS (
-        |  SELECT event_id AS seq, CAST(1700000000000 + event_id AS BIGINT) AS ts_ms,
-        |    CASE CAST(event_id % 8 AS INTEGER)
-        |      WHEN 0 THEN 'create_topic' WHEN 1 THEN 'delete_topic'
-        |      WHEN 2 THEN 'move_partition_replicas' WHEN 3 THEN 'create_acls'
-        |      WHEN 4 THEN 'create_user' WHEN 5 THEN 'cluster_config_delta'
-        |      WHEN 6 THEN 'decommission_node' ELSE 'metadata_snapshot' END AS cmd_type
-        |  FROM events WHERE event_id < 4000),
-        | gm AS (SELECT seq, ts_ms,
-        |    CASE WHEN cmd_type IN ('create_topic','delete_topic','update_topic_properties',
-        |           'create_partition','set_topic_partitions_disabled') THEN 'topic_operations'
-        |         WHEN cmd_type IN ('move_partition_replicas','cancel_moving_partition_replicas',
-        |           'update_partition_replicas') THEN 'move_operations'
-        |         WHEN cmd_type IN ('create_user','delete_user','update_user','create_acls',
-        |           'delete_acls','create_role','delete_role','update_role')
-        |           THEN 'acls_and_users_operations'
-        |         WHEN cmd_type IN ('cluster_config_delta','feature_update_license_update')
-        |           THEN 'configuration_operations'
-        |         WHEN cmd_type IN ('maintenance_mode','recommission_node','decommission_node')
-        |           THEN 'node_management_operations'
-        |         ELSE 'unlimited' END AS grp
-        |  FROM cmds),
-        | gr AS (SELECT *,
-        |    CAST(CASE grp WHEN 'topic_operations' THEN 8 WHEN 'move_operations' THEN 4
-        |      WHEN 'acls_and_users_operations' THEN 12 WHEN 'configuration_operations' THEN 2
-        |      WHEN 'node_management_operations' THEN 1 ELSE 0 END AS BIGINT) AS rate,
-        |    row_number() OVER (PARTITION BY grp ORDER BY ts_ms, seq) AS rn
-        |  FROM gm),
-        | sim AS (
-        |  SELECT grp, rate, rn, seq, ts_ms,
-        |    (rate = 0 OR rate * 1000000 >= 1000000) AS accepted,
-        |    CASE WHEN rate = 0 THEN 0
-        |         ELSE rate * 1000000 - 1000000 END AS tk,
-        |    ts_ms AS ck
-        |  FROM gr WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.grp, r.rate, r.rn, r.seq, r.ts_ms,
-        |    (r.rate = 0 OR least(r.rate * 1000000,
-        |       s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) >= 1000000) AS accepted,
-        |    CASE WHEN r.rate = 0 THEN 0
-        |         WHEN least(r.rate * 1000000,
-        |            s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) >= 1000000
-        |           THEN least(r.rate * 1000000,
-        |            s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) - 1000000
-        |         ELSE least(r.rate * 1000000,
-        |            s.tk + r.rate * 1000 * greatest(0, r.ts_ms - s.ck)) END AS tk,
-        |    greatest(s.ck, r.ts_ms) AS ck
-        |  FROM sim s JOIN gr r ON r.grp = s.grp AND r.rn = s.rn + 1)
-        |SELECT grp AS "group", seq, ts_ms, accepted, CAST(tk AS BIGINT) AS tokens_u
-        |FROM sim ORDER BY seq""".stripMargin,
-
-    "a5_usage_ring" ->
-      """WITH fires AS (
-        |  SELECT (1700000000 - (1700000000 % 3600)) + k * 3600 +
-        |    (CASE k % 4 WHEN 0 THEN 60 WHEN 1 THEN -90 WHEN 2 THEN 400 ELSE 0 END)
-        |    AS fire_s
-        |  FROM (SELECT unnest(range(12)) AS k)),
-        | sn AS (SELECT DISTINCT
-        |    CASE WHEN fire_s % 3600 <= 120 THEN fire_s - fire_s % 3600
-        |         WHEN 3600 - fire_s % 3600 <= 120 THEN fire_s - fire_s % 3600 + 3600
-        |         ELSE fire_s END AS begin_s
-        |  FROM fires),
-        | ring AS (
-        |  SELECT begin_s, begin_s % 3600 = 0 AS aligned,
-        |    lead(begin_s, 1, 9223372036854775807) OVER (ORDER BY begin_s) AS end_s,
-        |    row_number() OVER (ORDER BY begin_s DESC) AS w
-        |  FROM sn),
-        | kept AS (SELECT * FROM ring WHERE w <= 8),
-        | ev AS (SELECT (1700000000 - (1700000000 % 3600)) + (event_id * 7919) % 43200 AS ts_s,
-        |    100 + event_id % 50 AS sent, 200 + event_id % 70 AS recv FROM events),
-        | agg AS (SELECT k.begin_s, CAST(sum(e.sent) AS BIGINT) AS bs,
-        |    CAST(sum(e.recv) AS BIGINT) AS br
-        |  FROM kept k JOIN ev e ON e.ts_s >= k.begin_s AND e.ts_s < k.end_s
-        |  GROUP BY 1)
-        |SELECT CAST(k.w AS INTEGER) AS w, CAST(k.begin_s AS BIGINT) AS begin_s,
-        |  k.aligned,
-        |  CAST(COALESCE(a.bs, 0) AS BIGINT) AS bytes_sent,
-        |  CAST(COALESCE(a.br, 0) AS BIGINT) AS bytes_received,
-        |  k.w = 1 AS open
-        |FROM kept k LEFT JOIN agg a USING (begin_s)
-        |ORDER BY k.begin_s""".stripMargin,
-
-    "ct_throttler" -> ThrottlerOracle,
-
-    "ct_throttler_stream" -> ThrottlerOracle,
-
-    "s2_read_distribution" ->
-      s"""$LogCte,
-         | lts AS (SELECT partition, "offset", epoch_ms(ts) AS ts_ms FROM log),
-         | fch AS (SELECT partition, "offset", CAST(1706745600000 AS BIGINT) AS fts FROM lts),
-         | jn AS (SELECT greatest(0, f.fts - l.ts_ms) // 60000 AS age_min
-         |        FROM fch f JOIN lts l USING (partition, "offset")),
-         | bk AS (SELECT CASE WHEN age_min < 4 THEN 0
-         |          ELSE least(15, CAST(length(bin(age_min)) - 2 AS INTEGER)) END AS bucket
-         |        FROM jn)
-         |SELECT bucket,
-         |  CASE WHEN bucket < 15 THEN CAST(1 AS BIGINT) << (bucket + 2) END AS upper_min,
-         |  CAST(count(*) AS BIGINT) AS n_reads
-         |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    "s4_topic_recovery" ->
-      s"""$LogCte,
-         | rsized AS (SELECT partition, "offset", ts,
-         |    CAST(length(props) + length(event_type) + 24 AS BIGINT) AS sz FROM log),
-         | rseg AS (
-         |  SELECT partition, "offset" // 50 AS c, min("offset") AS base_offset,
-         |         max("offset") AS committed_offset, CAST(sum(sz) AS BIGINT) AS size_bytes,
-         |         max(ts) AS max_ts
-         |  FROM rsized WHERE ("offset" // 50) % 23 <> 11 GROUP BY 1, 2),
-         | rman AS (SELECT *, CASE WHEN c < 2 THEN NULL
-         |    ELSE CAST(c * 3 AS BIGINT) END AS delta_offset FROM rseg),
-         | ssz AS (
-         |  SELECT *, SUM(size_bytes) OVER (PARTITION BY partition ORDER BY base_offset DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) < 30000 AS staged
-         |  FROM rman),
-         | stm AS (
-         |  SELECT *, MAX(CASE WHEN max_ts IS NULL OR max_ts < TIMESTAMP '2024-01-20 00:00:00'
-         |      THEN 1 ELSE 0 END) OVER (PARTITION BY partition ORDER BY base_offset DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 AS staged
-         |  FROM rman),
-         | gsz AS (SELECT *, lag(committed_offset) OVER
-         |    (PARTITION BY partition ORDER BY base_offset) AS pc FROM ssz WHERE staged),
-         | gtm AS (SELECT *, lag(committed_offset) OVER
-         |    (PARTITION BY partition ORDER BY base_offset) AS pc FROM stm WHERE staged),
-         | asz AS (
-         |  SELECT partition, 'size' AS policy, min(base_offset) AS start_offset,
-         |    max(committed_offset) AS last_offset, CAST(count(*) AS BIGINT) AS n_segments,
-         |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-         |    CAST(COALESCE(min_by(delta_offset, base_offset)
-         |      FILTER (WHERE delta_offset IS NOT NULL), 0) AS BIGINT) AS start_delta,
-         |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc + 1 <> base_offset THEN 1 ELSE 0 END)
-         |      AS BIGINT) = 0 AS clean_download
-         |  FROM gsz GROUP BY 1),
-         | atm AS (
-         |  SELECT partition, 'time' AS policy, min(base_offset) AS start_offset,
-         |    max(committed_offset) AS last_offset, CAST(count(*) AS BIGINT) AS n_segments,
-         |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-         |    CAST(COALESCE(min_by(delta_offset, base_offset)
-         |      FILTER (WHERE delta_offset IS NOT NULL), 0) AS BIGINT) AS start_delta,
-         |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc + 1 <> base_offset THEN 1 ELSE 0 END)
-         |      AS BIGINT) = 0 AS clean_download
-         |  FROM gtm GROUP BY 1)
-         |SELECT * FROM asz UNION ALL SELECT * FROM atm
-         |ORDER BY policy, partition""".stripMargin,
-
-    "ct_scrub_status" ->
-      s"""$LogCte,${scrubCte(100)},
-         | stot AS (SELECT partition, count(*) AS n_segments FROM sm3 GROUP BY 1),
-         | svis AS (SELECT partition, count(*) AS segments_visited,
-         |            max(committed_offset) AS last_v
-         |          FROM srk WHERE rn <= 100 GROUP BY 1),
-         | sagg AS (SELECT partition, count(*) AS n_anomalies,
-         |            count(CASE WHEN anomaly_type = 'missing_segment' THEN 1 END)
-         |              AS n_missing_segments,
-         |            count(CASE WHEN anomaly_type = 'missing_spillover_manifest' THEN 1 END)
-         |              AS n_missing_spillover
-         |          FROM sanoms GROUP BY 1)
-         |SELECT t.partition,
-         |  CASE WHEN COALESCE(v.segments_visited, 0) >= t.n_segments
-         |       THEN 'full' ELSE 'partial' END AS status,
-         |  CASE WHEN COALESCE(v.segments_visited, 0) < t.n_segments
-         |       THEN v.last_v END AS last_scrubbed_offset,
-         |  CAST(COALESCE(v.segments_visited, 0) AS BIGINT) AS segments_visited,
-         |  CAST(COALESCE(a.n_anomalies, 0) AS BIGINT) AS n_anomalies,
-         |  CAST(COALESCE(a.n_missing_segments, 0) AS BIGINT) AS n_missing_segments,
-         |  CAST(COALESCE(a.n_missing_spillover, 0) AS BIGINT) AS n_missing_spillover
-         |FROM stot t LEFT JOIN svis v USING (partition) LEFT JOIN sagg a USING (partition)
-         |ORDER BY t.partition""".stripMargin,
-
-    "adm_enterprise_report" ->
-      """WITH cfg(key, value) AS (VALUES
-        |  ('audit_enabled', 'true'), ('cloud_storage_enabled', 'false'),
-        |  ('partition_autobalancing_mode', 'continuous'),
-        |  ('core_balancing_continuous', 'false'),
-        |  ('sasl_mechanisms', 'SCRAM,GSSAPI'), ('http_authentication', 'BASIC'),
-        |  ('schema_id_validation', 'compat'), ('rbac_roles_defined', '0'),
-        |  ('fips_mode', 'disabled'), ('iceberg_enabled', 'true'),
-        |  ('default_leaders_preference', 'racks:r1')),
-        | one AS (SELECT
-        |  max(CASE WHEN key = 'audit_enabled' THEN value END) AS audit_enabled,
-        |  max(CASE WHEN key = 'cloud_storage_enabled' THEN value END) AS cloud_storage_enabled,
-        |  max(CASE WHEN key = 'partition_autobalancing_mode' THEN value END) AS pam,
-        |  max(CASE WHEN key = 'core_balancing_continuous' THEN value END) AS cbc,
-        |  max(CASE WHEN key = 'sasl_mechanisms' THEN value END) AS sasl,
-        |  max(CASE WHEN key = 'http_authentication' THEN value END) AS http_auth,
-        |  max(CASE WHEN key = 'schema_id_validation' THEN value END) AS siv,
-        |  max(CASE WHEN key = 'rbac_roles_defined' THEN value END) AS rbac_n,
-        |  max(CASE WHEN key = 'fips_mode' THEN value END) AS fips,
-        |  max(CASE WHEN key = 'iceberg_enabled' THEN value END) AS ice,
-        |  max(CASE WHEN key = 'default_leaders_preference' THEN value END) AS dlp
-        | FROM cfg),
-        | feats AS (
-        |  SELECT 'audit_logging' AS feature, COALESCE(audit_enabled = 'true', FALSE) AS enabled FROM one
-        |  UNION ALL SELECT 'cloud_storage', COALESCE(cloud_storage_enabled = 'true', FALSE) FROM one
-        |  UNION ALL SELECT 'partition_auto_balancing_continuous', COALESCE(pam = 'continuous', FALSE) FROM one
-        |  UNION ALL SELECT 'core_balancing_continuous', COALESCE(cbc = 'true', FALSE) FROM one
-        |  UNION ALL SELECT 'gssapi', COALESCE(list_contains(string_split(sasl, ','), 'GSSAPI'), FALSE) FROM one
-        |  UNION ALL SELECT 'oidc', COALESCE(list_contains(string_split(sasl, ','), 'OAUTHBEARER'), FALSE)
-        |            OR COALESCE(list_contains(string_split(http_auth, ','), 'OIDC'), FALSE) FROM one
-        |  UNION ALL SELECT 'schema_id_validation', siv IS NOT NULL AND siv <> 'none' FROM one
-        |  UNION ALL SELECT 'rbac', COALESCE(CAST(rbac_n AS BIGINT), 0) > 0 FROM one
-        |  UNION ALL SELECT 'fips', fips IS NOT NULL AND fips <> 'disabled' FROM one
-        |  UNION ALL SELECT 'datalake_iceberg', COALESCE(ice = 'true', FALSE) FROM one
-        |  UNION ALL SELECT 'leadership_pinning', dlp IS NOT NULL AND dlp <> 'none' FROM one)
-        |SELECT feature, enabled, enabled AS violation FROM feats ORDER BY feature""".stripMargin,
-
-    "adm_feature_table" ->
-      """WITH specs(name, require_version, available_policy, prepare_policy) AS (VALUES
-        |   ('central_config', 1, 'always', 'always'),
-        |   ('cloud_retention', 3, 'always', 'requires_migration'),
-        |   ('node_isolation', 5, 'always', 'always'),
-        |   ('schema_id_validation', 7, 'explicit_only', 'always'),
-        |   ('remote_labels', 2, 'explicit_only', 'always'),
-        |   ('new_cluster_opt', 4, 'new_clusters_only', 'always'),
-        |   ('tiered_fast', 6, 'always', 'requires_migration'),
-        |   ('iceberg_mode', 6, 'always', 'requires_migration'),
-        |   ('future_feature', 12, 'always', 'always')),
-        | nodes(node_id, version) AS (VALUES (0, 8), (1, 9), (2, 8), (3, 10)),
-        | cmds(seq, op, feature) AS (VALUES
-        |   (1, 'enable', 'schema_id_validation'),
-        |   (2, 'complete_migration', 'cloud_retention'),
-        |   (3, 'disable', 'node_isolation'),
-        |   (4, 'disable', 'central_config'),
-        |   (5, 'enable', 'central_config'),
-        |   (6, 'disable', 'iceberg_mode')),
-        | mv AS (SELECT min(version) AS v FROM nodes),
-        | la AS (SELECT feature, arg_max(op, seq) AS last_admin FROM cmds
-        |        WHERE op IN ('enable', 'disable') GROUP BY 1),
-        | mg AS (SELECT DISTINCT feature FROM cmds WHERE op = 'complete_migration'),
-        | pr AS (SELECT s.name, s.require_version, s.available_policy, s.prepare_policy,
-        |    CASE
-        |     WHEN NOT (mv.v >= s.require_version AND
-        |               (s.available_policy <> 'new_clusters_only' OR 3 >= s.require_version))
-        |       THEN 'unavailable'
-        |     WHEN s.available_policy = 'explicit_only' AND la.last_admin IS NULL THEN 'available'
-        |     WHEN s.prepare_policy = 'requires_migration' AND mg.feature IS NULL THEN 'preparing'
-        |     ELSE 'active' END AS prog, la.last_admin
-        |   FROM specs s CROSS JOIN mv
-        |   LEFT JOIN la ON la.feature = s.name
-        |   LEFT JOIN mg ON mg.feature = s.name)
-        |SELECT name, CAST(require_version AS BIGINT) AS require_version,
-        |  available_policy, prepare_policy,
-        |  CASE WHEN last_admin = 'disable' THEN
-        |     CASE prog WHEN 'active' THEN 'disabled_active'
-        |               WHEN 'preparing' THEN 'disabled_preparing'
-        |               ELSE 'disabled_clean' END
-        |   ELSE prog END AS state
-        |FROM pr ORDER BY name""".stripMargin,
-
-    "t5_producer_eviction" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, op, CAST(pid AS BIGINT) AS pid,
-        |       outcome, evicted, CAST(n_active AS INTEGER) AS n_active
-        | FROM (VALUES
-        |  (1, 'register', 1, 'ok', '', 1),
-        |  (2, 'register', 2, 'ok', '', 2),
-        |  (3, 'register', 3, 'ok', '', 3),
-        |  (4, 'begin_tx', 1, 'ok', '', 3),
-        |  (5, 'register', 4, 'ok', '2', 3),
-        |  (6, 'data', 2, 'unknown_producer', '', 3),
-        |  (7, 'begin_tx', 2, 'unknown_producer', '', 3),
-        |  (8, 'begin_tx', 3, 'ok', '', 3),
-        |  (9, 'begin_tx', 4, 'ok', '', 3),
-        |  (10, 'register', 5, 'cache_full', '', 3),
-        |  (11, 'end_tx', 1, 'ok', '', 3),
-        |  (12, 'register', 5, 'ok', '1', 3),
-        |  (13, 'reaper', 0, 'ok', '5', 2),
-        |  (14, 'end_tx', 3, 'ok', '', 2),
-        |  (15, 'reaper', 0, 'ok', '', 2),
-        |  (16, 'end_tx', 4, 'ok', '', 2),
-        |  (17, 'reaper', 0, 'ok', '3,4', 0))
-        | t(seq, op, pid, outcome, evicted, n_active) ORDER BY seq""".stripMargin,
-
-    // Datalake coordinator admission log — the oracle re-folds the
-    // control log from scratch (recursive per-partition chain; see
-    // DlcCte) rather than pinning a golden table: every rung of the
-    // add/commit/lifecycle ladders is re-derived in DuckDB SQL.
-    "dlc_admission" ->
-      s"""$DlcCte
-         | SELECT seq, op, topic, part AS "partition", errc, lifecycle, revision,
-         |        last_committed, pending_count, pending_last
-         | FROM outs ORDER BY seq""".stripMargin,
-
-    // Final coordinator state: same replay, then the declarative
-    // rollup — last successful data op per partition, topic lifecycle
-    // from the last applied lifecycle row, purge clears partitions
-    // whose last touch precedes it (state_update.cc:280-283).
-    "dlc_committed" ->
-      s"""$DlcCte,
-         | datap AS (SELECT * FROM outs
-         |   WHERE op IN ('add_files', 'mark_committed') AND errc = 'success'),
-         | lastseq AS (SELECT topic, part, max(seq) AS last_seq
-         |   FROM datap GROUP BY 1, 2),
-         | lastpp AS (SELECT d.topic, d.part, s.last_seq, d.last_committed,
-         |     d.pending_count, d.pending_last
-         |   FROM datap d JOIN lastseq s
-         |     ON s.topic = d.topic AND s.part = d.part AND s.last_seq = d.seq),
-         | lastlc AS (SELECT topic, max_by(lifecycle, seq) AS lifecycle,
-         |     max_by(revision, seq) AS revision
-         |   FROM outs WHERE op = 'lifecycle' AND errc IN ('success', 'noop')
-         |   GROUP BY 1),
-         | lastpurge AS (SELECT topic, max(seq) AS purge_seq FROM outs
-         |   WHERE op = 'lifecycle' AND errc = 'success' AND lifecycle = 'purged'
-         |   GROUP BY 1)
-         | SELECT p.topic, p.part AS "partition", l.lifecycle, l.revision,
-         |        p.last_committed, p.pending_count, p.pending_last
-         | FROM lastpp p LEFT JOIN lastpurge g ON g.topic = p.topic
-         | LEFT JOIN lastlc l ON l.topic = p.topic
-         | WHERE g.purge_seq IS NULL OR p.last_seq > g.purge_seq
-         | ORDER BY p.topic, p.part""".stripMargin,
-
-    "dlc_commit_decisions" ->
-      s"""$DlcCommitCte
-         | SELECT scenario, topic, part AS "partition", added_at, entry_end, action
-         | FROM dec ORDER BY scenario, topic, "partition", added_at""".stripMargin,
-
-    "dlc_commit_updates" ->
-      s"""$DlcCommitCte,
-         | pertopic AS (SELECT scenario, topic,
-         |     max(CASE WHEN action = 'append' THEN added_at END) AS new_property,
-         |     count(CASE WHEN action = 'append' THEN 1 END) > 0 AS iceberg_txn
-         |   FROM dec GROUP BY 1, 2)
-         | SELECT d.scenario, d.topic, d.part AS "partition",
-         |        max(d.entry_end) AS new_committed,
-         |        any_value(t.iceberg_txn) AS iceberg_txn,
-         |        any_value(t.new_property) AS new_property
-         | FROM dec d JOIN pertopic t
-         |   ON t.scenario = d.scenario AND t.topic = d.topic
-         | GROUP BY 1, 2, 3
-         | ORDER BY d.scenario, d.topic, "partition"""".stripMargin,
-
-    // End-to-end delivery read-back: the produced slice recomputed
-    // directly — exactly-once means the Iceberg table equals it even
-    // though the committer ran a crash-retry replay in between.
-    "dlc_e2e" ->
-      """WITH src AS (SELECT * FROM events WHERE event_id % 17 = 0),
-        | log AS (SELECT CAST(user_id % 2 AS INTEGER) AS partition,
-        |   CAST(row_number() OVER (PARTITION BY user_id % 2 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
-        |   event_id, event_type FROM src)
-        | SELECT partition, "offset", event_id, event_type
-        | FROM log ORDER BY partition, "offset"""".stripMargin,
-
-    // Scale-invariant committer-pass protocol constants (see the
-    // fixture scaladoc): snapshot ids, versions, property offsets and
-    // dedup splits are fixed by the protocol, not the data volume.
-    "dlc_e2e_passes" ->
-      """SELECT CAST(pass AS INTEGER) AS pass, iceberg_txn,
-        |       CAST(appended AS INTEGER) AS appended,
-        |       CAST(dedup_skipped AS INTEGER) AS dedup_skipped,
-        |       CAST(snapshot_id AS BIGINT) AS snapshot_id,
-        |       CAST(table_version AS INTEGER) AS table_version,
-        |       CAST(property_offset AS BIGINT) AS property_offset
-        | FROM (VALUES
-        |  (1, TRUE, 4, 0, 1, 2, 5),
-        |  (2, FALSE, 0, 4, -1, 2, 5),
-        |  (3, TRUE, 4, 4, 2, 3, 9))
-        |  t(pass, iceberg_txn, appended, dedup_skipped, snapshot_id,
-        |    table_version, property_offset)
-        | ORDER BY pass""".stripMargin,
-
-    // Golden outcome table for the 32-command migration fixture — the
-    // FSM is single-raft-shard sequential; the pin is the regression
-    // gate (same style as adm_api_versions / adm_find_coordinator).
-    "mig_outcomes" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, op, CAST(id AS BIGINT) AS id,
-        |       errc, state_after
-        | FROM (VALUES
-        |  (1, 'create', 1, 'success', 'planned'),
-        |  (2, 'create', 1, 'data_migration_already_exists', CAST(NULL AS VARCHAR)),
-        |  (3, 'create', 2, 'data_migration_invalid_definition', NULL),
-        |  (4, 'create', 3, 'data_migration_invalid_resources', NULL),
-        |  (5, 'create', 4, 'topic_not_exists', NULL),
-        |  (6, 'create', 5, 'data_migration_invalid_resources', NULL),
-        |  (7, 'create', 6, 'resource_is_being_migrated', NULL),
-        |  (8, 'create', 7, 'topic_already_exists', NULL),
-        |  (9, 'create', 8, 'success', 'planned'),
-        |  (10, 'update_state', 1, 'success', 'preparing'),
-        |  (11, 'update_state', 1, 'invalid_data_migration_state', 'preparing'),
-        |  (12, 'update_state', 1, 'success', 'prepared'),
-        |  (13, 'update_state', 1, 'success', 'executing'),
-        |  (14, 'update_state', 99, 'data_migration_not_exists', NULL),
-        |  (15, 'remove', 1, 'invalid_data_migration_state', 'executing'),
-        |  (16, 'update_state', 8, 'success', 'preparing'),
-        |  (17, 'update_state', 8, 'success', 'prepared'),
-        |  (18, 'update_state', 8, 'success', 'canceling'),
-        |  (19, 'update_state', 8, 'success', 'cancelled'),
-        |  (20, 'create', 9, 'success', 'planned'),
-        |  (21, 'remove', 8, 'success', 'deleted'),
-        |  (22, 'update_state', 8, 'data_migration_not_exists', NULL),
-        |  (23, 'update_state', 1, 'success', 'executed'),
-        |  (24, 'update_state', 1, 'success', 'cut_over'),
-        |  (25, 'create', 10, 'resource_is_being_migrated', NULL),
-        |  (26, 'update_state', 1, 'success', 'finished'),
-        |  (27, 'create', 11, 'success', 'planned'),
-        |  (28, 'update_state', 9, 'success', 'preparing'),
-        |  (29, 'update_state', 9, 'success', 'prepared'),
-        |  (30, 'update_state', 11, 'success', 'preparing'),
-        |  (31, 'update_state', 11, 'success', 'prepared'),
-        |  (32, 'update_state', 11, 'success', 'executing'))
-        | t(seq, op, id, errc, state_after) ORDER BY seq""".stripMargin,
-
-    "mig_table" ->
-      """SELECT CAST(id AS BIGINT) AS id, direction,
-        |       CAST(created_ts AS BIGINT) AS created_ts,
-        |       CAST(n_topics AS INTEGER) AS n_topics,
-        |       CAST(n_groups AS INTEGER) AS n_groups, state,
-        |       CAST(completed_ts AS BIGINT) AS completed_ts
-        | FROM (VALUES
-        |  (1, 'outbound', 1000, 1, 1, 'finished', 1250),
-        |  (9, 'inbound', 1190, 1, 0, 'prepared', NULL),
-        |  (11, 'outbound', 1260, 1, 1, 'executing', NULL))
-        | t(id, direction, created_ts, n_topics, n_groups, state, completed_ts)
-        | ORDER BY id""".stripMargin,
-
-    "mig_resources" ->
-      """SELECT kind, name, CAST(migration_id AS BIGINT) AS migration_id,
-        |       direction, restriction
-        | FROM (VALUES
-        |  ('group', 'grp-a', 11, 'outbound', 'read_only'),
-        |  ('topic', 'clicks_t', 11, 'outbound', 'read_only'),
-        |  ('topic', 'inb_t', 9, 'inbound', 'fully_blocked'))
-        | t(kind, name, migration_id, direction, restriction)
-        | ORDER BY kind, name""".stripMargin,
-
-    "mig_write_gate" ->
-      """SELECT topic, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN topic IN ('clicks_t', 'inb_t') THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
-        |  CASE topic WHEN 'clicks_t' THEN 'read_only'
-        |             WHEN 'inb_t' THEN 'fully_blocked' END AS reject_reason
-        | FROM (SELECT CASE CAST(user_id % 4 AS INTEGER)
-        |         WHEN 0 THEN 'orders_t' WHEN 1 THEN 'clicks_t'
-        |         WHEN 2 THEN 'inb_t' ELSE 'legacy_t' END AS topic
-        |       FROM events)
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "s2_fetch_follower" ->
-      """WITH nodes(node_id, rack, maintenance) AS (VALUES
-        |   (0, 'r1', false), (1, 'r1', true), (2, 'r2', false),
-        |   (3, 'r2', false), (4, 'r1', false)),
-        | reps(topic, partition, node_id, is_leader, hw, leo, is_alive) AS (VALUES
-        |   ('t', 0, 0, true, 100, 110, true),
-        |   ('t', 0, 2, false, 90, 100, true),
-        |   ('t', 0, 4, false, 100, 100, true),
-        |   ('t', 1, 2, true, 80, 90, true),
-        |   ('t', 1, 1, false, 80, 120, true),
-        |   ('t', 1, 4, false, 70, 80, true),
-        |   ('t', 2, 3, true, 60, 60, true),
-        |   ('t', 2, 0, false, 60, 60, false),
-        |   ('t', 2, 2, false, 50, 55, true),
-        |   ('t', 3, 0, true, 119, 119, true),
-        |   ('t', 3, 3, false, 119, 119, true),
-        |   ('t', 3, 2, false, 119, 119, true)),
-        | cons AS (
-        |  SELECT 'client_' || c_custkey AS client, 't' AS topic,
-        |    CAST(c_custkey % 4 AS INTEGER) AS partition,
-        |    CAST(c_custkey * 7 % 120 AS BIGINT) AS fetch_offset,
-        |    CASE WHEN c_custkey % 3 = 0 THEN 'r1'
-        |         WHEN c_custkey % 3 = 1 THEN 'r2' END AS rack
-        |  FROM customer WHERE c_custkey <= 48),
-        | lead AS (SELECT topic, partition, node_id AS leader_id FROM reps WHERE is_leader),
-        | cand AS (
-        |  SELECT c.client, c.topic, c.partition, r.node_id,
-        |    row_number() OVER (PARTITION BY c.client, c.topic, c.partition
-        |                       ORDER BY r.hw DESC, r.node_id ASC) AS rnk
-        |  FROM cons c
-        |  JOIN reps r ON r.topic = c.topic AND r.partition = c.partition
-        |  JOIN nodes n ON n.node_id = r.node_id
-        |  WHERE c.rack IS NOT NULL AND r.is_alive AND NOT n.maintenance
-        |    AND n.rack = c.rack AND r.leo >= c.fetch_offset),
-        | pick AS (SELECT client, topic, partition, node_id FROM cand WHERE rnk = 1)
-        |SELECT c.client, c.topic, c.partition, c.fetch_offset, c.rack,
-        |  CAST(CASE WHEN c.rack IS NULL THEN l.leader_id ELSE p.node_id END AS BIGINT)
-        |    AS preferred_replica,
-        |  CASE WHEN c.rack IS NULL THEN 'leader'
-        |       WHEN p.node_id IS NOT NULL THEN 'rack'
-        |       ELSE 'none' END AS selected_by
-        | FROM cons c
-        | LEFT JOIN pick p USING (client, topic, partition)
-        | LEFT JOIN lead l USING (topic, partition)
-        | ORDER BY c.client""".stripMargin,
-
-    // PID fold replayed exactly: permille utilizations, micro-unit
-    // coefficients (p=50, i=2, d=10, target=400pm, max=100ms), integral
-    // clamp to max_delay/i, truncating division throughout (DuckDB //
-    // truncates toward zero exactly like the engine's long division).
-    // Invalid samples (busy > dt) carry the previous state verbatim.
-    "s2_fetch_pid" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS shard,
-        |         CAST(event_id AS BIGINT) AS seq,
-        |         CAST(1 + event_id % 4 AS BIGINT) AS dt_ms,
-        |         CAST(CASE WHEN event_id % 97 = 0 THEN (1 + event_id % 4) + 5
-        |              WHEN (event_id // 1000) % 2 = 0 THEN 1 + event_id % 4
-        |              ELSE (1 + event_id % 4) // 2 END AS BIGINT) AS busy_ms,
-        |         CAST(((1 + event_id % 4) * (1 + event_id % 3)) // 4 AS BIGINT) AS sg_ms
-        |  FROM events),
-        | r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY seq) AS rn FROM base),
-        | pid AS (
-        |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS seq,
-        |         CAST(0 AS BIGINT) AS error_pm, CAST(0 AS BIGINT) AS e_int,
-        |         CAST(0 AS BIGINT) AS last_e, CAST(0 AS BIGINT) AS delay_us
-        |  FROM (SELECT DISTINCT shard FROM base)
-        |  UNION ALL
-        |  SELECT r.shard, r.rn, r.seq,
-        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
-        |         THEN (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
-        |                    THEN r.busy_ms * 1000 // r.dt_ms - 999
-        |                    ELSE r.sg_ms * 1000 // r.dt_ms - 400 END)
-        |         ELSE p.last_e END,
-        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
-        |         THEN greatest(0, least(50000000, p.e_int +
-        |                (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
-        |                      THEN r.busy_ms * 1000 // r.dt_ms - 999
-        |                      ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) * r.dt_ms))
-        |         ELSE p.e_int END,
-        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
-        |         THEN (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
-        |                    THEN r.busy_ms * 1000 // r.dt_ms - 999
-        |                    ELSE r.sg_ms * 1000 // r.dt_ms - 400 END)
-        |         ELSE p.last_e END,
-        |    CASE WHEN r.busy_ms <= r.dt_ms AND r.sg_ms <= r.dt_ms
-        |         THEN least(100000, greatest(0,
-        |                50 * (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
-        |                           THEN r.busy_ms * 1000 // r.dt_ms - 999
-        |                           ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) // 1000
-        |              + 2 * greatest(0, least(50000000, p.e_int +
-        |                    (CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
-        |                          THEN r.busy_ms * 1000 // r.dt_ms - 999
-        |                          ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) * r.dt_ms)) // 1000
-        |              + (10 * ((CASE WHEN r.busy_ms * 1000 // r.dt_ms < 999
-        |                             THEN r.busy_ms * 1000 // r.dt_ms - 999
-        |                             ELSE r.sg_ms * 1000 // r.dt_ms - 400 END) - p.last_e))
-        |                // r.dt_ms // 1000))
-        |         ELSE p.delay_us END
-        |  FROM pid p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
-        |SELECT shard, seq, error_pm, e_int AS error_int, delay_us
-        | FROM pid WHERE rn > 0 ORDER BY shard, seq""".stripMargin,
-
-    "g1_group_membership" ->
-      """WITH cmds AS (
-        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, event_id AS seq,
-        |         'm' || CAST(user_id AS VARCHAR) AS member,
-        |         CASE WHEN event_type = 'signup' THEN 'join'
-        |              WHEN event_type = 'error' THEN 'leave'
-        |              ELSE 'heartbeat' END AS cmd
-        |  FROM events),
-        | mc AS (
-        |  SELECT grp, seq, member, cmd,
-        |         COALESCE(lag(cmd) OVER (PARTITION BY grp, member ORDER BY seq), 'leave') AS prev
-        |  FROM cmds WHERE cmd IN ('join', 'leave')),
-        | eff AS (
-        |  SELECT * FROM mc
-        |  WHERE (cmd = 'join' AND prev = 'leave') OR (cmd = 'leave' AND prev = 'join')),
-        | gen AS (SELECT grp, count(*) AS generation FROM eff GROUP BY 1),
-        | last_eff AS (
-        |  SELECT grp, member, cmd, seq,
-        |         row_number() OVER (PARTITION BY grp, member ORDER BY seq DESC) AS rn
-        |  FROM eff),
-        | cur AS (SELECT grp, member, seq AS joined_seq FROM last_eff WHERE rn = 1 AND cmd = 'join'),
-        | nm AS (SELECT grp, count(*) AS n_members FROM cur GROUP BY 1),
-        | ldr AS (
-        |  SELECT grp, member AS leader FROM (
-        |    SELECT grp, member, row_number() OVER (PARTITION BY grp ORDER BY joined_seq, member) AS rn
-        |    FROM cur) WHERE rn = 1),
-        | grps AS (SELECT DISTINCT grp FROM cmds)
-        | SELECT g.grp AS "group",
-        |        CASE WHEN COALESCE(n.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state,
-        |        COALESCE(ge.generation, 0) AS generation,
-        |        COALESCE(n.n_members, 0) AS n_members,
-        |        COALESCE(l.leader, '') AS leader,
-        |        CASE WHEN COALESCE(n.n_members, 0) = 0 THEN '' ELSE 'range' END AS protocol
-        | FROM grps g
-        | LEFT JOIN gen ge ON g.grp = ge.grp
-        | LEFT JOIN nm n ON g.grp = n.grp
-        | LEFT JOIN ldr l ON g.grp = l.grp
-        | ORDER BY 1""".stripMargin,
-
-    // Live-mode final state, derived in SQL: every member completes one
-    // join round (generation = member count), the leader is the earliest
-    // joiner, the leader's closing sync makes the group Stable, and the
-    // session sweep expires members with no activity past the 99th
-    // percentile of the seq domain (any expiry leaves the group
-    // PreparingRebalance with the generation unchanged).
-    "g1_group_live" ->
-      """WITH mx AS (SELECT max(event_id) AS maxe FROM events),
-        | ue AS (SELECT CAST(user_id % 3 AS INTEGER) AS gi, user_id,
-        |               min(event_id) AS fe, max(event_id) AS le
-        |        FROM events GROUP BY 1, 2),
-        | ld AS (SELECT gi, user_id AS leader_uid,
-        |               row_number() OVER (PARTITION BY gi ORDER BY fe) AS rn FROM ue),
-        | l AS (SELECT gi, leader_uid FROM ld WHERE rn = 1),
-        | agg AS (
-        |   SELECT u.gi, count(*) AS n_total,
-        |          CAST(sum(CASE WHEN u.le > (SELECT maxe * 99 // 100 FROM mx)
-        |                          OR u.user_id = l2.leader_uid THEN 1 ELSE 0 END) AS BIGINT) AS n_surv
-        |   FROM ue u JOIN l l2 ON u.gi = l2.gi GROUP BY 1)
-        | SELECT 'g' || CAST(a.gi AS VARCHAR) AS "group",
-        |        CASE WHEN a.n_surv < a.n_total THEN 'PreparingRebalance' ELSE 'Stable' END AS state,
-        |        CAST(a.n_total AS BIGINT) AS generation,
-        |        CAST(a.n_surv AS BIGINT) AS n_members,
-        |        'm' || CAST(l.leader_uid AS VARCHAR) AS leader,
-        |        'range' AS protocol
-        | FROM agg a JOIN l ON a.gi = l.gi ORDER BY 1""".stripMargin,
-
-    // Static-membership final state in SQL: generation counts only
-    // effective joins/leaves per (group, instance) — rejoins of a present
-    // instance replace the member id without bumping it; the surviving
-    // member id per instance is its LAST join; seniority (leader choice)
-    // is the last EFFECTIVE join.
-    "g1_static_membership" ->
-      """WITH mc AS (
-        |  SELECT user_id, event_id AS seq,
-        |         CASE WHEN event_type = 'signup' THEN 'join' ELSE 'leave' END AS cmd
-        |  FROM events WHERE event_type IN ('signup', 'error')),
-        | eff AS (
-        |  SELECT user_id, seq, cmd,
-        |         coalesce(lag(cmd) OVER (PARTITION BY user_id ORDER BY seq), 'leave') AS prev
-        |  FROM mc),
-        | e2 AS (SELECT * FROM eff
-        |        WHERE (cmd = 'join' AND prev = 'leave') OR (cmd = 'leave' AND prev = 'join')),
-        | gen AS (SELECT CAST(user_id % 3 AS INTEGER) AS gi, count(*) AS generation FROM e2 GROUP BY 1),
-        | last_eff AS (
-        |  SELECT user_id, cmd, seq,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn FROM e2),
-        | cur AS (SELECT user_id, seq AS joined_seq FROM last_eff WHERE rn = 1 AND cmd = 'join'),
-        | curid AS (
-        |  SELECT c.user_id, c.joined_seq,
-        |         'm' || CAST(c.user_id AS VARCHAR) || '-' || CAST(max(m.seq) AS VARCHAR) AS member_id
-        |  FROM cur c JOIN mc m ON c.user_id = m.user_id AND m.cmd = 'join'
-        |  GROUP BY 1, 2),
-        | nm AS (SELECT CAST(user_id % 3 AS INTEGER) AS gi, count(*) AS n_members FROM cur GROUP BY 1),
-        | ldr AS (SELECT gi, member_id AS leader FROM (
-        |    SELECT CAST(user_id % 3 AS INTEGER) AS gi, member_id,
-        |           row_number() OVER (PARTITION BY user_id % 3 ORDER BY joined_seq) AS rn
-        |    FROM curid) WHERE rn = 1),
-        | grps AS (SELECT DISTINCT CAST(user_id % 3 AS INTEGER) AS gi FROM mc)
-        | SELECT 'g' || CAST(g.gi AS VARCHAR) AS "group",
-        |        CASE WHEN coalesce(n.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state,
-        |        coalesce(ge.generation, 0) AS generation,
-        |        coalesce(n.n_members, 0) AS n_members,
-        |        coalesce(l.leader, '') AS leader,
-        |        CASE WHEN coalesce(n.n_members, 0) = 0 THEN '' ELSE 'range' END AS protocol
-        | FROM grps g
-        | LEFT JOIN gen ge ON g.gi = ge.gi
-        | LEFT JOIN nm n ON g.gi = n.gi
-        | LEFT JOIN ldr l ON g.gi = l.gi
-        | ORDER BY 1""".stripMargin,
-
-    // The same membership fold as g1_group_membership, projected to
-    // (group, state) and narrowed by the KIP-518 states filter.
-    "adm_list_groups" ->
-      """WITH cmds AS (
-        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, event_id AS seq,
-        |         'm' || CAST(user_id AS VARCHAR) AS member,
-        |         CASE WHEN event_type = 'signup' THEN 'join'
-        |              WHEN event_type = 'error' THEN 'leave'
-        |              ELSE 'heartbeat' END AS cmd
-        |  FROM events),
-        | mc AS (
-        |  SELECT grp, seq, member, cmd,
-        |         COALESCE(lag(cmd) OVER (PARTITION BY grp, member ORDER BY seq), 'leave') AS prev
-        |  FROM cmds WHERE cmd IN ('join', 'leave')),
-        | eff AS (
-        |  SELECT * FROM mc
-        |  WHERE (cmd = 'join' AND prev = 'leave') OR (cmd = 'leave' AND prev = 'join')),
-        | last_eff AS (
-        |  SELECT grp, member, cmd, seq,
-        |         row_number() OVER (PARTITION BY grp, member ORDER BY seq DESC) AS rn
-        |  FROM eff),
-        | cur AS (SELECT grp, member FROM last_eff WHERE rn = 1 AND cmd = 'join'),
-        | nm AS (SELECT grp, count(*) AS n_members FROM cur GROUP BY 1),
-        | grps AS (SELECT DISTINCT grp FROM cmds)
-        | SELECT g.grp AS "group",
-        |        CASE WHEN COALESCE(n.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state
-        | FROM grps g LEFT JOIN nm n ON g.grp = n.grp
-        | WHERE COALESCE(n.n_members, 0) > 0
-        | ORDER BY 1""".stripMargin,
-
-    // KIP-211 expiry re-derived: LWW per key, then the per-state policy.
-    // now = 2024-02-01 (1706745600000), retention = 36 h (129600000),
-    // g1 empty-since = 2024-01-10 (1704844800000).
-    "g2_offset_expiry" ->
-      """WITH c AS (
-        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp,
-        |         CASE WHEN user_id % 2 = 0 THEN 'events' ELSE 'aux' END AS topic,
-        |         CAST(user_id % 8 AS INTEGER) AS partition,
-        |         event_id AS committed_offset, event_id AS commit_seq,
-        |         epoch_ms(ts) AS commit_ts
-        |  FROM events WHERE event_type = 'purchase'),
-        | lww AS (
-        |  SELECT * FROM c
-        |  QUALIFY row_number() OVER (PARTITION BY grp, topic, partition ORDER BY commit_seq DESC) = 1),
-        | o AS (SELECT *, partition = 7 AS non_reclaimable FROM lww)
-        | SELECT grp AS "group", topic, partition, committed_offset, commit_ts, non_reclaimable,
-        |  CASE
-        |   WHEN non_reclaimable THEN FALSE
-        |   WHEN grp = 'g0' AND topic = 'events' THEN FALSE
-        |   WHEN grp = 'g0' THEN 1706745600000 - commit_ts >= 129600000
-        |   WHEN grp = 'g1' THEN 1706745600000 - 1704844800000 >= 129600000
-        |   ELSE 1706745600000 - commit_ts >= 129600000
-        |  END AS expired
-        | FROM o ORDER BY "group", topic, partition""".stripMargin,
-
-    "g2_group_offsets" ->
-      """SELECT "group", topic, partition, committed_offset FROM (
-        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
-        |         CAST(user_id % 8 AS INTEGER) AS partition, event_id AS committed_offset,
-        |         row_number() OVER (PARTITION BY user_id % 3, user_id % 8 ORDER BY event_id DESC) AS rn
-        |  FROM events WHERE event_type = 'purchase')
-        | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
-
-    // Heartbeat v4: 20 frame+header + (1+6 group + 4 gen + 1+2 member +
-    //   1 null instance + 1 tags) = 36; response 9 + 4 + 2 + 1 = 16.
-    // LeaveGroup v4: 20 + (1+6 + 1 len + (1+2 + 1 + 1) + 1) = 34;
-    //   response 9 + (4 + 2 + 1 + (1+2 + 1 + 2 + 1) + 1) = 24.
-    "g1_wire_lifecycle" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'heartbeat', 'm0', CAST(1 AS BIGINT), 0, 36, 16, TRUE),
-        |  (2, 'heartbeat', 'm9', 1, 25, 36, 16, TRUE),
-        |  (3, 'heartbeat', 'm1', 2, 22, 36, 16, TRUE),
-        |  (4, 'leave', 'm1', -1, 0, 34, 24, TRUE),
-        |  (5, 'leave', 'm9', -1, 25, 34, 24, TRUE),
-        |  (6, 'heartbeat', 'm1', 1, 25, 36, 16, TRUE))
-        | t(step, api, member, generation_sent, error_code, req_bytes,
-        |   resp_bytes, corr_ok) ORDER BY step""".stripMargin,
-
-    // Full rebalance round: 6 members, 8 partitions, range assignor →
-    // len 1 rem 2: partitions 0-3 pair onto m0/m1, 4-7 spread m2-m5.
-    "g4_wire_rebalance" ->
-      """WITH p AS (SELECT CAST(range AS INTEGER) AS partition FROM range(8)),
-        | a AS (SELECT partition,
-        |   CASE WHEN partition < 4 THEN partition // 2 ELSE partition - 2 END AS idx
-        |   FROM p)
-        | SELECT 'm' || CAST(idx AS VARCHAR) AS member, 1 AS generation,
-        |        'range' AS protocol, (idx = 0) AS is_leader,
-        |        'events' AS topic, partition, 0 AS error_code
-        | FROM a ORDER BY partition""".stripMargin,
-
-    // OffsetCommit v8 size laws: request = 20 frame+header + body
-    //   (3 "g0" + 4 generation + 3 "m1" + 1 null instance + 1 topics len
-    //   + 7 name + 1 parts len + 18/partition (4+8+4 + 1 null metadata +
-    //   1 tags) + 1 + 1 tags) = 42 + 18·np; response = 9 + (4 throttle +
-    //   1 + 7 + 1 + 7/partition (4+2+1) + 1 + 1) = 24 + 7·np, np = the
-    //   partitions g0 actually committed.
-    "g2_wire_offset_commit" ->
-      """WITH o AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
-        |           max(event_id) AS off
-        |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1),
-        | n AS (SELECT count(*) AS np FROM o)
-        | SELECT 'g0' AS "group", 'events' AS topic, o.partition,
-        |        CAST(o.off AS BIGINT) AS committed_offset, 0 AS error_code,
-        |        CAST(42 + 18 * n.np AS INTEGER) AS req_bytes,
-        |        CAST(24 + 7 * n.np AS INTEGER) AS resp_bytes,
-        |        TRUE AS corr_ok
-        | FROM o, n ORDER BY o.partition""".stripMargin,
-
-    // OffsetFetch v7 frame-size laws: request = 4 frame + 16 header v2 +
-    //   body (3 "g0" + 1 topics len + 7 name + 1 parts len + 4/partition
-    //   + 1 tags + 1 require_stable + 1 tags) = 35 + 4·np; response =
-    //   4 frame + 5 header v1 + body (4 throttle + 1 topics len + 7 name
-    //   + 1 parts len + 20/partition (4+8+4 + 1 null metadata + 2 err +
-    //   1 tags) + 1 tags + 2 error + 1 tags) = 26 + 20·np.
-    "g2_wire_offset_fetch" ->
-      """WITH o AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
-        |           max(event_id) AS off
-        |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1),
-        | p AS (SELECT CAST(range AS INTEGER) AS partition FROM range(8)),
-        | n AS (SELECT count(*) AS np FROM p)
-        | SELECT 'g0' AS "group", 'events' AS topic, p.partition,
-        |        CAST(coalesce(o.off, -1) AS BIGINT) AS committed_offset,
-        |        -1 AS leader_epoch, 0 AS error_code,
-        |        CAST(35 + 4 * n.np AS INTEGER) AS req_bytes,
-        |        CAST(26 + 20 * n.np AS INTEGER) AS resp_bytes,
-        |        TRUE AS corr_ok
-        | FROM p LEFT JOIN o ON o.partition = p.partition, n
-        | ORDER BY p.partition""".stripMargin,
-
-    "g2_offset_delete" ->
-      """WITH commits AS (
-        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS "group", 'events' AS topic,
-        |         CAST(user_id % 8 AS INTEGER) AS partition, event_id AS committed_offset,
-        |         event_id AS commit_seq, FALSE AS deleted
-        |  FROM events WHERE event_type = 'purchase'),
-        | dels("group", topic, partition, committed_offset, commit_seq, deleted) AS (
-        |  VALUES
-        |   ('g0', 'events', 0, CAST(NULL AS BIGINT), CAST(1000000000 AS BIGINT), TRUE),
-        |   ('g0', 'events', 1, NULL, 1000000000, TRUE),
-        |   ('g0', 'events', 2, NULL, 1000000000, TRUE),
-        |   ('g0', 'events', 3, NULL, 1000000000, TRUE),
-        |   ('g1', 'events', 1, NULL, -1, TRUE)),
-        | alllog AS (SELECT * FROM commits UNION ALL SELECT * FROM dels),
-        | lww AS (
-        |  SELECT * FROM alllog
-        |  QUALIFY row_number() OVER (PARTITION BY "group", topic, partition ORDER BY commit_seq DESC) = 1)
-        | SELECT "group", topic, partition, committed_offset FROM lww WHERE NOT deleted
-        | ORDER BY "group", partition""".stripMargin,
-
-    "g5_sequence_check" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'ok'),
-        |  (1, 0, 1, 2, 'ok'),
-        |  (1, 0, 1, 3, 'duplicate_sequence'),
-        |  (1, 0, 2, 4, 'ok'),
-        |  (1, 0, 4, 5, 'out_of_order_sequence'),
-        |  (1, 0, 3, 6, 'ok'),
-        |  (2, 0, 5, 1, 'out_of_order_sequence'),
-        |  (2, 0, 0, 2, 'ok'),
-        |  (2, 0, 1, 3, 'ok'),
-        |  (3, 0, 0, 1, 'ok'),
-        |  (3, 1, 0, 2, 'ok'),
-        |  (3, 0, 1, 3, 'fenced_epoch'),
-        |  (3, 1, 1, 4, 'ok'))
-        | t(pid, epoch, seq, arrival, status) ORDER BY pid, arrival""".stripMargin,
-
-    "g5_idempotent_producer" ->
-      """SELECT user_id, seq, event_id AS first_arrival, event_type, attempts FROM (
-        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS seq,
-        |         event_id, event_type,
-        |         row_number() OVER (PARTITION BY user_id, json_extract_string(props, '$.k') ORDER BY event_id) AS rn,
-        |         count(*) OVER (PARTITION BY user_id, json_extract_string(props, '$.k')) AS attempts
-        |  FROM events)
-        | WHERE rn = 1 ORDER BY user_id, seq""".stripMargin,
-
-    "t1_init_producer_id" ->
-      """SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS pid
-        | FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""".stripMargin,
-
-    "t2_commit_abort" ->
-      s"""$TxnCte SELECT partition, "offset", pid, txn_seq, decision FROM ofs
-         | WHERE is_control ORDER BY partition, "offset"""".stripMargin,
-
-    "p1_batch_type_filter" ->
-      s"""$TxnCte SELECT partition, count(*) AS n_raft_data,
-         |        CAST(sum(CASE WHEN is_control THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
-         |        max("offset") AS max_offset
-         | FROM ofs WHERE batch_type = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "p4_read_committed" ->
-      s"""$TxnCte,
-         | aborted AS (
-         |  SELECT o.partition, o.pid, o.txn_seq, min(o."offset") AS first, max(o."offset") AS last
-         |  FROM ofs o
-         |  WHERE NOT o.is_control AND EXISTS (
-         |    SELECT 1 FROM ofs m WHERE m.is_control AND m.decision = 'abort'
-         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
-         |  GROUP BY 1, 2, 3),
-         | open_tx AS (
-         |  SELECT o.partition, min(o."offset") AS open_min FROM ofs o
-         |  WHERE NOT o.is_control AND NOT EXISTS (
-         |    SELECT 1 FROM ofs m WHERE m.is_control
-         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
-         |  GROUP BY 1),
-         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs GROUP BY 1),
-         | lso AS (SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
-         |         FROM hw h LEFT JOIN open_tx o ON h.partition = o.partition)
-         | SELECT o.event_type, count(*) AS n,
-         |        CAST(sum(CAST(o.value AS DECIMAL(12,2))) AS DOUBLE) AS total
-         | FROM ofs o JOIN lso l ON o.partition = l.partition
-         | WHERE NOT o.is_control AND o.batch_type = 1 AND o."offset" < l.lso
-         |   AND NOT EXISTS (SELECT 1 FROM aborted a
-         |     WHERE a.partition = o.partition AND a.pid = o.pid
-         |       AND o."offset" BETWEEN a.first AND a.last)
-         | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "t2_tx_expiry" ->
-      s"""$TxnExpiryCte,
-         | st AS (
-         |  SELECT o.pid, o.txn_seq, CAST(count(DISTINCT o.partition) AS BIGINT) AS n_partitions,
-         |         count(*) AS n_records, min(o."offset") AS min_first_offset
-         |  FROM ofs2 o WHERE NOT o.is_control AND o.batch_type = 1
-         |  GROUP BY 1, 2),
-         | ended AS (SELECT DISTINCT pid, txn_seq, decision FROM ofs2 WHERE is_control)
-         | SELECT s.pid, s.txn_seq,
-         |        CASE WHEN e.decision = 'commit' THEN 'CompleteCommit'
-         |             WHEN e.decision = 'abort' THEN 'CompleteAbort'
-         |             ELSE 'Ongoing' END AS state,
-         |        EXISTS (SELECT 1 FROM exp x WHERE x.pid = s.pid AND x.txn_seq = s.txn_seq) AS expired,
-         |        EXISTS (SELECT 1 FROM late l JOIN exp x ON l.pid = x.pid AND l.txn_seq = x.txn_seq
-         |                WHERE l.pid = s.pid AND l.txn_seq = s.txn_seq) AS fenced,
-         |        s.n_partitions, s.n_records, s.min_first_offset
-         | FROM st s LEFT JOIN ended e ON s.pid = e.pid AND s.txn_seq = e.txn_seq
-         | ORDER BY 1, 2""".stripMargin,
-
-    "t4_lso_after_expiry" ->
-      s"""$TxnExpiryCte,
-         | open2 AS (
-         |  SELECT o.partition, min(o."offset") AS open_min FROM ofs2 o
-         |  WHERE NOT o.is_control AND NOT EXISTS (
-         |    SELECT 1 FROM ofs2 m WHERE m.is_control
-         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
-         |  GROUP BY 1),
-         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs2 GROUP BY 1)
-         | SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
-         | FROM hw h LEFT JOIN open2 o ON h.partition = o.partition ORDER BY 1""".stripMargin,
-
-    "t4_last_stable_offset" ->
-      s"""$TxnCte,
-         | open_tx AS (
-         |  SELECT o.partition, min(o."offset") AS open_min FROM ofs o
-         |  WHERE NOT o.is_control AND NOT EXISTS (
-         |    SELECT 1 FROM ofs m WHERE m.is_control
-         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
-         |  GROUP BY 1),
-         | hw AS (SELECT partition, max("offset") + 1 AS hwm FROM ofs GROUP BY 1)
-         | SELECT h.partition, COALESCE(o.open_min, h.hwm) AS lso
-         | FROM hw h LEFT JOIN open_tx o ON h.partition = o.partition ORDER BY 1""".stripMargin,
-
-    "p5_schema_validation" ->
-      """SELECT CASE WHEN user_id % 10 <= 7 THEN 'valid' ELSE 'invalid_schema_id' END AS route,
-        |       CAST(user_id % 10 AS INTEGER) AS schema_id, count(*) AS n
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "p6_crc_validation" ->
-      """SELECT CASE WHEN event_id % 97 = 0 THEN 'corrupt' ELSE 'valid' END AS route,
-        |       count(*) AS n
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Wire-envelope golden: base_offset / record_count / batch_length /
-    // wire_bytes re-derived from the raw events INCLUDING every
-    // zigzag-varint length (vl(x) = bytes of varint(zigzag(x)) for
-    // x >= 0: 1 + floor(log2(2x)/7)); header constants per
-    // kafka_batch_adapter.h:25-41 (61-byte header, batchLength counts
-    // bytes after its own field -> 49 + records). The round-trip
-    // invariants (magic 2, CRC valid, re-encode byte-identical,
-    // decoded records == inputs) are pinned TRUE.
-    "p6_batch_roundtrip" -> {
-      def vl(e: String) =
-        s"(CASE WHEN ($e) = 0 THEN 1 ELSE CAST(floor(log2(CAST(2 * ($e) AS DOUBLE)) / 7) AS BIGINT) + 1 END)"
-      val body = s"1 + ${vl("event_id - first_ts")} + ${vl("\"offset\" - base_offset")}" +
-        s" + ${vl("strlen(CAST(user_id AS VARCHAR))")} + strlen(CAST(user_id AS VARCHAR))" +
-        s" + ${vl("strlen(event_type)")} + strlen(event_type) + 1"
-      s"""WITH log AS (
-         |  SELECT CAST(user_id % 8 AS BIGINT) AS partition,
-         |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
-         |         event_id, user_id, event_type
-         |  FROM events),
-         | r AS (SELECT *, "offset" // 200 AS batch_no,
-         |         min("offset") OVER (PARTITION BY partition, "offset" // 200) AS base_offset,
-         |         min(event_id) OVER (PARTITION BY partition, "offset" // 200) AS first_ts
-         |   FROM log),
-         | sz AS (SELECT partition, batch_no, base_offset,
-         |     ($body) AS rec_body
-         |   FROM r),
-         | g AS (SELECT partition, batch_no, min(base_offset) AS base_offset,
-         |     CAST(count(*) AS INT) AS record_count,
-         |     CAST(49 + SUM(${vl("rec_body")} + rec_body) AS INT) AS batch_length,
-         |     CAST(61 + SUM(${vl("rec_body")} + rec_body) AS INT) AS wire_bytes
-         |   FROM sz GROUP BY 1, 2)
-         | SELECT partition, batch_no, base_offset, record_count, batch_length,
-         |        wire_bytes, CAST(2 AS INT) AS magic, TRUE AS crc_valid,
-         |        TRUE AS dense_delta, TRUE AS bytes_match, TRUE AS fields_match
-         | FROM g ORDER BY partition, batch_no""".stripMargin
-    },
-
-    // Per-codec invariants pinned; n_batches re-derived from the raw
-    // events (count of (partition, 200-offset) groups). Compressed
-    // byte sizes are codec-implementation detail, so `smaller` is the
-    // contract, not the exact count.
-    "p6_batch_compressed" ->
-      """WITH log AS (
-        |  SELECT user_id % 8 AS partition,
-        |         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
-        |  FROM events WHERE user_id % 8 < 2),
-        | nb AS (SELECT CAST(count(DISTINCT (partition, "offset" // 200)) AS BIGINT) AS n
-        |   FROM log)
-        | SELECT c.codec, nb.n AS n_batches, TRUE AS crc_ok,
-        |        TRUE AS records_match, TRUE AS attr_ok,
-        |        (c.codec <> '0_none') AS smaller
-        | FROM (VALUES ('0_none'), ('1_gzip'), ('2_snappy'), ('3_lz4'), ('4_zstd')) c(codec),
-        |      nb
-        | ORDER BY c.codec""".stripMargin,
-
-    // Golden invariants all hold by construction; n_batches re-derived
-    // from the raw events as in p6_batch_compressed.
-    "p6_batch_normalize" ->
-      """WITH log AS (
-        |  SELECT user_id % 8 AS partition,
-        |         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
-        |  FROM events WHERE user_id % 8 < 2),
-        | nb AS (SELECT CAST(count(DISTINCT (partition, "offset" // 200)) AS BIGINT) AS n
-        |   FROM log)
-        | SELECT c.codec, nb.n AS n_batches, TRUE AS norm_eq_plain,
-        |        TRUE AS recompress_bits, TRUE AS recompress_records,
-        |        TRUE AS passthrough
-        | FROM (VALUES ('1_gzip'), ('2_snappy'), ('3_lz4'), ('4_zstd')) c(codec), nb
-        | ORDER BY c.codec""".stripMargin,
-
-    // Byte-size laws of the framing codecs, recomputed from first
-    // principles: v0 = err(2) + count(4) + n*6; v1/v2 append
-    // throttle(4); v3 = err(2) + uvarint(n+1)(1 for n<127) + n*(6 +
-    // 1 tag buffer) + throttle(4) + body tags(1). Frame adds
-    // size(4) + correlation(4); ApiVersions' response header stays v0.
-    // Golden pin of the big-six version matrix (requests AND
-    // responses): every version's exact byte size and version-visible
-    // field set (schemata gates).
-    "p6_wire_versions" ->
-      """SELECT * FROM (VALUES
-        |  ('fetch', 0, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
-        |  ('fetch', 1, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
-        |  ('fetch', 2, 60, 'max=2147483647|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
-        |  ('fetch', 3, 64, 'max=52428800|iso=0|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
-        |  ('fetch', 4, 65, 'max=52428800|iso=1|session=0:-1|epoch=-1|lso=-1|forgot=0|rack='),
-        |  ('fetch', 5, 81, 'max=52428800|iso=1|session=0:-1|epoch=-1|lso=7|forgot=0|rack='),
-        |  ('fetch', 6, 81, 'max=52428800|iso=1|session=0:-1|epoch=-1|lso=7|forgot=0|rack='),
-        |  ('fetch', 7, 112, 'max=52428800|iso=1|session=77:3|epoch=-1|lso=7|forgot=1|rack='),
-        |  ('fetch', 8, 112, 'max=52428800|iso=1|session=77:3|epoch=-1|lso=7|forgot=1|rack='),
-        |  ('fetch', 9, 120, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack='),
-        |  ('fetch', 10, 120, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack='),
-        |  ('fetch', 11, 128, 'max=52428800|iso=1|session=77:3|epoch=5|lso=7|forgot=1|rack=rack-1'),
-        |  ('fetch_resp', 0, 98, 'throttle=0|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
-        |  ('fetch_resp', 1, 102, 'throttle=5|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
-        |  ('fetch_resp', 2, 102, 'throttle=5|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
-        |  ('fetch_resp', 3, 102, 'throttle=5|session=0|lso=-1|logstart=-1|aborted=-1|replica=-1|recs=64'),
-        |  ('fetch_resp', 4, 130, 'throttle=5|session=0|lso=90|logstart=-1|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 5, 138, 'throttle=5|session=0|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 6, 138, 'throttle=5|session=0|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 7, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 8, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 9, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 10, 144, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=-1|recs=64'),
-        |  ('fetch_resp', 11, 148, 'throttle=5|session=77|lso=90|logstart=3|aborted=1|replica=2|recs=64'),
-        |  ('join_group', 0, 63, 'rebalance=-1|inst=|protos=2'),
-        |  ('join_group', 1, 67, 'rebalance=60000|inst=|protos=2'),
-        |  ('join_group', 2, 67, 'rebalance=60000|inst=|protos=2'),
-        |  ('join_group', 3, 67, 'rebalance=60000|inst=|protos=2'),
-        |  ('join_group', 4, 67, 'rebalance=60000|inst=|protos=2'),
-        |  ('join_group', 5, 75, 'rebalance=60000|inst=inst-1|protos=2'),
-        |  ('join_group', 6, 63, 'rebalance=60000|inst=inst-1|protos=2'),
-        |  ('join_group_resp', 0, 44, 'throttle=0|gen=3|proto=range|inst='),
-        |  ('join_group_resp', 1, 44, 'throttle=0|gen=3|proto=range|inst='),
-        |  ('join_group_resp', 2, 48, 'throttle=5|gen=3|proto=range|inst='),
-        |  ('join_group_resp', 3, 48, 'throttle=5|gen=3|proto=range|inst='),
-        |  ('join_group_resp', 4, 48, 'throttle=5|gen=3|proto=range|inst='),
-        |  ('join_group_resp', 5, 56, 'throttle=5|gen=3|proto=range|inst=inst-1'),
-        |  ('join_group_resp', 6, 47, 'throttle=5|gen=3|proto=range|inst=inst-1'),
-        |  ('list_offsets', 0, 52, 'iso=0|epoch=-1|maxnum=1'),
-        |  ('list_offsets', 1, 44, 'iso=0|epoch=-1|maxnum=0'),
-        |  ('list_offsets', 2, 45, 'iso=1|epoch=-1|maxnum=0'),
-        |  ('list_offsets', 3, 45, 'iso=1|epoch=-1|maxnum=0'),
-        |  ('list_offsets', 4, 53, 'iso=1|epoch=5|maxnum=0'),
-        |  ('list_offsets', 5, 53, 'iso=1|epoch=5|maxnum=0'),
-        |  ('list_offsets_resp', 0, 42, 'throttle=0|old=2|off=-1|epoch=-1'),
-        |  ('list_offsets_resp', 1, 38, 'throttle=0|old=0|off=42|epoch=-1'),
-        |  ('list_offsets_resp', 2, 42, 'throttle=5|old=0|off=42|epoch=-1'),
-        |  ('list_offsets_resp', 3, 42, 'throttle=5|old=0|off=42|epoch=-1'),
-        |  ('list_offsets_resp', 4, 46, 'throttle=5|old=0|off=42|epoch=3'),
-        |  ('list_offsets_resp', 5, 46, 'throttle=5|old=0|off=42|epoch=3'),
-        |  ('metadata', 0, 19, 'topics=2|auto=true|ops=false'),
-        |  ('metadata', 1, 19, 'topics=2|auto=true|ops=false'),
-        |  ('metadata', 2, 19, 'topics=2|auto=true|ops=false'),
-        |  ('metadata', 3, 19, 'topics=2|auto=true|ops=false'),
-        |  ('metadata', 4, 20, 'topics=2|auto=false|ops=false'),
-        |  ('metadata', 5, 20, 'topics=2|auto=false|ops=false'),
-        |  ('metadata', 6, 20, 'topics=2|auto=false|ops=false'),
-        |  ('metadata', 7, 20, 'topics=2|auto=false|ops=false'),
-        |  ('metadata', 8, 22, 'topics=2|auto=false|ops=true'),
-        |  ('metadata', 9, 20, 'topics=2|auto=false|ops=true'),
-        |  ('metadata_resp', 0, 88, 'throttle=0|rack=|cluster=|epoch=-1|offline=0|ops=-2147483648'),
-        |  ('metadata_resp', 1, 99, 'throttle=0|rack=r0|cluster=|epoch=-1|offline=0|ops=-2147483648'),
-        |  ('metadata_resp', 2, 110, 'throttle=0|rack=r0|cluster=cluster-1|epoch=-1|offline=0|ops=-2147483648'),
-        |  ('metadata_resp', 3, 114, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=0|ops=-2147483648'),
-        |  ('metadata_resp', 4, 114, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=0|ops=-2147483648'),
-        |  ('metadata_resp', 5, 122, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=1|ops=-2147483648'),
-        |  ('metadata_resp', 6, 122, 'throttle=5|rack=r0|cluster=cluster-1|epoch=-1|offline=1|ops=-2147483648'),
-        |  ('metadata_resp', 7, 126, 'throttle=5|rack=r0|cluster=cluster-1|epoch=3|offline=1|ops=-2147483648'),
-        |  ('metadata_resp', 8, 134, 'throttle=5|rack=r0|cluster=cluster-1|epoch=3|offline=1|ops=2044'),
-        |  ('metadata_resp', 9, 115, 'throttle=5|rack=r0|cluster=cluster-1|epoch=3|offline=1|ops=2044'),
-        |  ('offset_commit', 0, 49, 'gen=-1|member=|inst=|ret=-1|epoch=-1|ts=-1'),
-        |  ('offset_commit', 1, 74, 'gen=7|member=m-1|inst=|ret=-1|epoch=-1|ts=1700000000000'),
-        |  ('offset_commit', 2, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
-        |  ('offset_commit', 3, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
-        |  ('offset_commit', 4, 66, 'gen=7|member=m-1|inst=|ret=86400000|epoch=-1|ts=-1'),
-        |  ('offset_commit', 5, 58, 'gen=7|member=m-1|inst=|ret=-1|epoch=-1|ts=-1'),
-        |  ('offset_commit', 6, 66, 'gen=7|member=m-1|inst=|ret=-1|epoch=5|ts=-1'),
-        |  ('offset_commit', 7, 74, 'gen=7|member=m-1|inst=inst-1|ret=-1|epoch=5|ts=-1'),
-        |  ('offset_commit', 8, 66, 'gen=7|member=m-1|inst=inst-1|ret=-1|epoch=5|ts=-1'),
-        |  ('offset_commit_resp', 0, 28, 'throttle=0|errs=0,16'),
-        |  ('offset_commit_resp', 1, 28, 'throttle=0|errs=0,16'),
-        |  ('offset_commit_resp', 2, 28, 'throttle=0|errs=0,16'),
-        |  ('offset_commit_resp', 3, 32, 'throttle=5|errs=0,16'),
-        |  ('offset_commit_resp', 4, 32, 'throttle=5|errs=0,16'),
-        |  ('offset_commit_resp', 5, 32, 'throttle=5|errs=0,16'),
-        |  ('offset_commit_resp', 6, 32, 'throttle=5|errs=0,16'),
-        |  ('offset_commit_resp', 7, 32, 'throttle=5|errs=0,16'),
-        |  ('offset_commit_resp', 8, 29, 'throttle=5|errs=0,16'),
-        |  ('produce', 0, 158, 'tid=|recs=120'),
-        |  ('produce', 1, 158, 'tid=|recs=120'),
-        |  ('produce', 2, 158, 'tid=|recs=120'),
-        |  ('produce', 3, 165, 'tid=txn-1|recs=120'),
-        |  ('produce', 4, 165, 'tid=txn-1|recs=120'),
-        |  ('produce', 5, 165, 'tid=txn-1|recs=120'),
-        |  ('produce', 6, 165, 'tid=txn-1|recs=120'),
-        |  ('produce', 7, 165, 'tid=txn-1|recs=120'),
-        |  ('produce', 8, 165, 'tid=txn-1|recs=120'),
-        |  ('produce_resp', 0, 30, 'throttle=0|lat=-1|lso=-1|recerrs=0|msg='),
-        |  ('produce_resp', 1, 34, 'throttle=5|lat=-1|lso=-1|recerrs=0|msg='),
-        |  ('produce_resp', 2, 42, 'throttle=5|lat=1700000000000|lso=-1|recerrs=0|msg='),
-        |  ('produce_resp', 3, 42, 'throttle=5|lat=1700000000000|lso=-1|recerrs=0|msg='),
-        |  ('produce_resp', 4, 42, 'throttle=5|lat=1700000000000|lso=-1|recerrs=0|msg='),
-        |  ('produce_resp', 5, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
-        |  ('produce_resp', 6, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
-        |  ('produce_resp', 7, 50, 'throttle=5|lat=1700000000000|lso=7|recerrs=0|msg='),
-        |  ('produce_resp', 8, 69, 'throttle=5|lat=1700000000000|lso=7|recerrs=1|msg=oops'),
-        |  ('offset_fetch', 0, 28, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 1, 28, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 2, 28, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 3, 28, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 4, 28, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 5, 28, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 6, 22, 'stable=false|groups=1|parts=2'),
-        |  ('offset_fetch', 7, 23, 'stable=true|groups=1|parts=2'),
-        |  ('offset_fetch', 8, 25, 'stable=true|groups=1|parts=2'),
-        |  ('offset_fetch_resp', 0, 33, 'throttle=0|epoch=-1|gid='),
-        |  ('offset_fetch_resp', 1, 33, 'throttle=0|epoch=-1|gid='),
-        |  ('offset_fetch_resp', 2, 35, 'throttle=0|epoch=-1|gid='),
-        |  ('offset_fetch_resp', 3, 39, 'throttle=5|epoch=-1|gid='),
-        |  ('offset_fetch_resp', 4, 39, 'throttle=5|epoch=-1|gid='),
-        |  ('offset_fetch_resp', 5, 43, 'throttle=5|epoch=3|gid='),
-        |  ('offset_fetch_resp', 6, 38, 'throttle=5|epoch=3|gid='),
-        |  ('offset_fetch_resp', 7, 38, 'throttle=5|epoch=3|gid='),
-        |  ('offset_fetch_resp', 8, 43, 'throttle=5|epoch=3|gid=cg'),
-        |  ('find_coordinator', 0, 4, 'type=0|keys=cg'),
-        |  ('find_coordinator', 1, 5, 'type=1|keys=cg'),
-        |  ('find_coordinator', 2, 5, 'type=1|keys=cg'),
-        |  ('find_coordinator', 3, 5, 'type=1|keys=cg'),
-        |  ('find_coordinator', 4, 6, 'type=1|keys=cg'),
-        |  ('find_coordinator_resp', 0, 18, 'throttle=0|key=|node=2|msg='),
-        |  ('find_coordinator_resp', 1, 26, 'throttle=5|key=|node=2|msg=ok'),
-        |  ('find_coordinator_resp', 2, 26, 'throttle=5|key=|node=2|msg=ok'),
-        |  ('find_coordinator_resp', 3, 25, 'throttle=5|key=|node=2|msg=ok'),
-        |  ('find_coordinator_resp', 4, 30, 'throttle=5|key=cg|node=2|msg=ok'),
-        |  ('sync_group', 0, 34, 'inst=|proto=|assigns=1'),
-        |  ('sync_group', 1, 34, 'inst=|proto=|assigns=1'),
-        |  ('sync_group', 2, 34, 'inst=|proto=|assigns=1'),
-        |  ('sync_group', 3, 42, 'inst=inst-1|proto=|assigns=1'),
-        |  ('sync_group', 4, 34, 'inst=inst-1|proto=|assigns=1'),
-        |  ('sync_group', 5, 49, 'inst=inst-1|proto=range|assigns=1'),
-        |  ('sync_group_resp', 0, 14, 'throttle=0|proto=|asg=8'),
-        |  ('sync_group_resp', 1, 18, 'throttle=5|proto=|asg=8'),
-        |  ('sync_group_resp', 2, 18, 'throttle=5|proto=|asg=8'),
-        |  ('sync_group_resp', 3, 18, 'throttle=5|proto=|asg=8'),
-        |  ('sync_group_resp', 4, 16, 'throttle=5|proto=|asg=8'),
-        |  ('sync_group_resp', 5, 31, 'throttle=5|proto=range|asg=8'),
-        |  ('heartbeat', 0, 13, 'gen=7|inst='),
-        |  ('heartbeat', 1, 13, 'gen=7|inst='),
-        |  ('heartbeat', 2, 13, 'gen=7|inst='),
-        |  ('heartbeat', 3, 21, 'gen=7|inst=inst-1'),
-        |  ('heartbeat', 4, 19, 'gen=7|inst=inst-1'),
-        |  ('leave_group', 0, 9, 'inst=|reason=|members=1'),
-        |  ('leave_group', 1, 9, 'inst=|reason=|members=1'),
-        |  ('leave_group', 2, 9, 'inst=|reason=|members=1'),
-        |  ('leave_group', 3, 21, 'inst=inst-1|reason=|members=1'),
-        |  ('leave_group', 4, 17, 'inst=inst-1|reason=|members=1'),
-        |  ('leave_group', 5, 21, 'inst=inst-1|reason=bye|members=1'),
-        |  ('leave_group_resp', 0, 2, 'throttle=0|members=0'),
-        |  ('leave_group_resp', 1, 6, 'throttle=5|members=0'),
-        |  ('leave_group_resp', 2, 6, 'throttle=5|members=0'),
-        |  ('leave_group_resp', 3, 25, 'throttle=5|members=1'),
-        |  ('leave_group_resp', 4, 22, 'throttle=5|members=1'),
-        |  ('leave_group_resp', 5, 22, 'throttle=5|members=1'),
-        |  ('api_versions', 0, 0, 'name=|ver='),
-        |  ('api_versions', 1, 0, 'name=|ver='),
-        |  ('api_versions', 2, 0, 'name=|ver='),
-        |  ('api_versions', 3, 11, 'name=rpk|ver=v25.1'),
-        |  ('init_producer_id', 0, 11, 'tid=txn-1|pid=-1|epoch=-1'),
-        |  ('init_producer_id', 1, 11, 'tid=txn-1|pid=-1|epoch=-1'),
-        |  ('init_producer_id', 2, 11, 'tid=txn-1|pid=-1|epoch=-1'),
-        |  ('init_producer_id', 3, 21, 'tid=txn-1|pid=9|epoch=1'),
-        |  ('init_producer_id', 4, 21, 'tid=txn-1|pid=9|epoch=1'),
-        |  ('init_producer_id', 5, 21, 'tid=txn-1|pid=9|epoch=1'),
-        |  ('init_producer_id_resp', 0, 16, 'throttle=5|pid=9'),
-        |  ('init_producer_id_resp', 1, 16, 'throttle=5|pid=9'),
-        |  ('init_producer_id_resp', 2, 17, 'throttle=5|pid=9'),
-        |  ('init_producer_id_resp', 3, 17, 'throttle=5|pid=9'),
-        |  ('init_producer_id_resp', 4, 17, 'throttle=5|pid=9'),
-        |  ('init_producer_id_resp', 5, 17, 'throttle=5|pid=9'),
-        |  ('add_partitions_txn', 0, 41, 'tid=txn-1|verify=false|parts=2'),
-        |  ('add_partitions_txn', 1, 41, 'tid=txn-1|verify=false|parts=2'),
-        |  ('add_partitions_txn', 2, 41, 'tid=txn-1|verify=false|parts=2'),
-        |  ('add_partitions_txn', 3, 35, 'tid=txn-1|verify=false|parts=2'),
-        |  ('add_partitions_txn', 4, 38, 'tid=txn-1|verify=true|parts=2'),
-        |  ('add_partitions_txn', 5, 38, 'tid=txn-1|verify=true|parts=2'),
-        |  ('add_partitions_txn_resp', 0, 32, 'throttle=5|tid=|errs=0,16'),
-        |  ('add_partitions_txn_resp', 1, 32, 'throttle=5|tid=|errs=0,16'),
-        |  ('add_partitions_txn_resp', 2, 32, 'throttle=5|tid=|errs=0,16'),
-        |  ('add_partitions_txn_resp', 3, 29, 'throttle=5|tid=|errs=0,16'),
-        |  ('add_partitions_txn_resp', 4, 39, 'throttle=5|tid=txn-1|errs=0,16'),
-        |  ('add_partitions_txn_resp', 5, 39, 'throttle=5|tid=txn-1|errs=0,16'),
-        |  ('add_offsets_txn', 0, 21, 'tid=txn-1|group=cg'),
-        |  ('add_offsets_txn', 1, 21, 'tid=txn-1|group=cg'),
-        |  ('add_offsets_txn', 2, 21, 'tid=txn-1|group=cg'),
-        |  ('add_offsets_txn', 3, 20, 'tid=txn-1|group=cg'),
-        |  ('add_offsets_txn', 4, 20, 'tid=txn-1|group=cg'),
-        |  ('end_txn', 0, 18, 'tid=txn-1|committed=true'),
-        |  ('end_txn', 1, 18, 'tid=txn-1|committed=true'),
-        |  ('end_txn', 2, 18, 'tid=txn-1|committed=true'),
-        |  ('end_txn', 3, 18, 'tid=txn-1|committed=true'),
-        |  ('end_txn', 4, 18, 'tid=txn-1|committed=true'),
-        |  ('end_txn_resp', 0, 6, 'throttle=5'),
-        |  ('end_txn_resp', 1, 6, 'throttle=5'),
-        |  ('end_txn_resp', 2, 6, 'throttle=5'),
-        |  ('end_txn_resp', 3, 7, 'throttle=5'),
-        |  ('end_txn_resp', 4, 7, 'throttle=5'),
-        |  ('txn_offset_commit', 0, 52, 'gen=-1|member=|inst=|epoch=-1'),
-        |  ('txn_offset_commit', 1, 52, 'gen=-1|member=|inst=|epoch=-1'),
-        |  ('txn_offset_commit', 2, 56, 'gen=-1|member=|inst=|epoch=5'),
-        |  ('txn_offset_commit', 3, 64, 'gen=7|member=m-1|inst=inst-1|epoch=5'),
-        |  ('txn_offset_commit', 4, 64, 'gen=7|member=m-1|inst=inst-1|epoch=5'),
-        |  ('txn_offset_commit_resp', 0, 26, 'throttle=5|errs=0'),
-        |  ('txn_offset_commit_resp', 1, 26, 'throttle=5|errs=0'),
-        |  ('txn_offset_commit_resp', 2, 26, 'throttle=5|errs=0'),
-        |  ('txn_offset_commit_resp', 3, 22, 'throttle=5|errs=0'),
-        |  ('txn_offset_commit_resp', 4, 22, 'throttle=5|errs=0'),
-        |  ('delete_records', 0, 44, 'timeout=30000|parts=2'),
-        |  ('delete_records', 1, 44, 'timeout=30000|parts=2'),
-        |  ('delete_records', 2, 41, 'timeout=30000|parts=2'),
-        |  ('delete_records_resp', 0, 34, 'throttle=5|lwm=10'),
-        |  ('delete_records_resp', 1, 34, 'throttle=5|lwm=10'),
-        |  ('delete_records_resp', 2, 30, 'throttle=5|lwm=10'),
-        |  ('sasl_handshake', 0, 15, 'mech=SCRAM-SHA-256'),
-        |  ('sasl_handshake', 1, 15, 'mech=SCRAM-SHA-256'),
-        |  ('sasl_handshake_resp', 0, 28, 'err=0|mechs=2'),
-        |  ('sasl_handshake_resp', 1, 28, 'err=0|mechs=2'),
-        |  ('sasl_authenticate', 0, 20, 'auth=16'),
-        |  ('sasl_authenticate', 1, 20, 'auth=16'),
-        |  ('sasl_authenticate', 2, 18, 'auth=16'),
-        |  ('sasl_authenticate_resp', 0, 18, 'msg=ok|lifetime=0'),
-        |  ('sasl_authenticate_resp', 1, 26, 'msg=ok|lifetime=3600000'),
-        |  ('sasl_authenticate_resp', 2, 23, 'msg=ok|lifetime=3600000'),
-        |  ('create_topics', 0, 55, 'name=events|cfgs=1|validate=false'),
-        |  ('create_topics', 1, 56, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics', 2, 56, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics', 3, 56, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics', 4, 56, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics', 5, 47, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics', 6, 47, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics', 7, 47, 'name=events|cfgs=1|validate=true'),
-        |  ('create_topics_resp', 0, 14, 'throttle=0|msg=|np=-1|cfgerr=0|uuid=false'),
-        |  ('create_topics_resp', 1, 18, 'throttle=0|msg=ok|np=-1|cfgerr=0|uuid=false'),
-        |  ('create_topics_resp', 2, 22, 'throttle=5|msg=ok|np=-1|cfgerr=0|uuid=false'),
-        |  ('create_topics_resp', 3, 22, 'throttle=5|msg=ok|np=-1|cfgerr=0|uuid=false'),
-        |  ('create_topics_resp', 4, 22, 'throttle=5|msg=ok|np=-1|cfgerr=0|uuid=false'),
-        |  ('create_topics_resp', 5, 57, 'throttle=5|msg=ok|np=8|cfgerr=7|uuid=false'),
-        |  ('create_topics_resp', 6, 57, 'throttle=5|msg=ok|np=8|cfgerr=7|uuid=false'),
-        |  ('create_topics_resp', 7, 73, 'throttle=5|msg=ok|np=8|cfgerr=7|uuid=true'),
-        |  ('delete_topics', 0, 16, 'name=events|uuid=false'),
-        |  ('delete_topics', 1, 16, 'name=events|uuid=false'),
-        |  ('delete_topics', 2, 16, 'name=events|uuid=false'),
-        |  ('delete_topics', 3, 16, 'name=events|uuid=false'),
-        |  ('delete_topics', 4, 13, 'name=events|uuid=false'),
-        |  ('delete_topics', 5, 13, 'name=events|uuid=false'),
-        |  ('delete_topics', 6, 30, 'name=events|uuid=true'),
-        |  ('delete_topics_resp', 0, 14, 'throttle=0|msg='),
-        |  ('delete_topics_resp', 1, 18, 'throttle=5|msg='),
-        |  ('delete_topics_resp', 2, 18, 'throttle=5|msg='),
-        |  ('delete_topics_resp', 3, 18, 'throttle=5|msg='),
-        |  ('delete_topics_resp', 4, 16, 'throttle=5|msg='),
-        |  ('delete_topics_resp', 5, 21, 'throttle=5|msg=gone'),
-        |  ('delete_topics_resp', 6, 37, 'throttle=5|msg=gone'),
-        |  ('create_partitions', 0, 37, 'count=16|assigns=1'),
-        |  ('create_partitions', 1, 37, 'count=16|assigns=1'),
-        |  ('create_partitions', 2, 30, 'count=16|assigns=1'),
-        |  ('create_partitions', 3, 30, 'count=16|assigns=1'),
-        |  ('create_partitions_resp', 0, 20, 'throttle=5|err=0'),
-        |  ('create_partitions_resp', 1, 20, 'throttle=5|err=0'),
-        |  ('create_partitions_resp', 2, 17, 'throttle=5|err=0'),
-        |  ('create_partitions_resp', 3, 17, 'throttle=5|err=0'),
-        |  ('describe_groups', 0, 8, 'groups=cg|ops=false'),
-        |  ('describe_groups', 1, 8, 'groups=cg|ops=false'),
-        |  ('describe_groups', 2, 8, 'groups=cg|ops=false'),
-        |  ('describe_groups', 3, 9, 'groups=cg|ops=true'),
-        |  ('describe_groups', 4, 9, 'groups=cg|ops=true'),
-        |  ('describe_groups', 5, 6, 'groups=cg|ops=true'),
-        |  ('describe_groups_resp', 0, 77, 'throttle=0|inst=|ops=-2147483648'),
-        |  ('describe_groups_resp', 1, 81, 'throttle=5|inst=|ops=-2147483648'),
-        |  ('describe_groups_resp', 2, 81, 'throttle=5|inst=|ops=-2147483648'),
-        |  ('describe_groups_resp', 3, 85, 'throttle=5|inst=|ops=1020'),
-        |  ('describe_groups_resp', 4, 93, 'throttle=5|inst=inst-1|ops=1020'),
-        |  ('describe_groups_resp', 5, 76, 'throttle=5|inst=inst-1|ops=1020'),
-        |  ('list_groups', 0, 0, 'states='),
-        |  ('list_groups', 1, 0, 'states='),
-        |  ('list_groups', 2, 0, 'states='),
-        |  ('list_groups', 3, 1, 'states='),
-        |  ('list_groups', 4, 9, 'states=Stable'),
-        |  ('list_groups_resp', 0, 20, 'throttle=0|state='),
-        |  ('list_groups_resp', 1, 24, 'throttle=5|state='),
-        |  ('list_groups_resp', 2, 24, 'throttle=5|state='),
-        |  ('list_groups_resp', 3, 21, 'throttle=5|state='),
-        |  ('list_groups_resp', 4, 28, 'throttle=5|state=Stable'),
-        |  ('delete_groups', 0, 14, 'groups=cg1,cg2'),
-        |  ('delete_groups', 1, 14, 'groups=cg1,cg2'),
-        |  ('delete_groups', 2, 10, 'groups=cg1,cg2'),
-        |  ('delete_groups_resp', 0, 22, 'throttle=5|errs=0,16'),
-        |  ('delete_groups_resp', 1, 22, 'throttle=5|errs=0,16'),
-        |  ('delete_groups_resp', 2, 20, 'throttle=5|errs=0,16'),
-        |  ('offset_for_leader_epoch', 0, 24, 'cur=-1|epoch=3'),
-        |  ('offset_for_leader_epoch', 1, 24, 'cur=-1|epoch=3'),
-        |  ('offset_for_leader_epoch', 2, 28, 'cur=5|epoch=3'),
-        |  ('offset_for_leader_epoch', 3, 32, 'cur=5|epoch=3'),
-        |  ('offset_for_leader_epoch', 4, 28, 'cur=5|epoch=3'),
-        |  ('offset_for_leader_epoch_resp', 0, 30, 'throttle=0|epoch=-1|end=42'),
-        |  ('offset_for_leader_epoch_resp', 1, 34, 'throttle=0|epoch=5|end=42'),
-        |  ('offset_for_leader_epoch_resp', 2, 38, 'throttle=5|epoch=5|end=42'),
-        |  ('offset_for_leader_epoch_resp', 3, 38, 'throttle=5|epoch=5|end=42'),
-        |  ('offset_for_leader_epoch_resp', 4, 34, 'throttle=5|epoch=5|end=42'),
-        |  ('describe_configs', 0, 31, 'syn=false|doc=false'),
-        |  ('describe_configs', 1, 32, 'syn=true|doc=false'),
-        |  ('describe_configs', 2, 32, 'syn=true|doc=false'),
-        |  ('describe_configs', 3, 33, 'syn=true|doc=true'),
-        |  ('describe_configs', 4, 27, 'syn=true|doc=true'),
-        |  ('describe_configs_resp', 0, 53, 'src=5|type=0|doc='),
-        |  ('describe_configs_resp', 1, 57, 'src=5|type=0|doc='),
-        |  ('describe_configs_resp', 2, 57, 'src=5|type=0|doc='),
-        |  ('describe_configs_resp', 3, 64, 'src=5|type=5|doc=docs'),
-        |  ('describe_configs_resp', 4, 53, 'src=5|type=5|doc=docs'),
-        |  ('alter_configs', 0, 43, 'n=1|validate=true'),
-        |  ('alter_configs', 1, 43, 'n=1|validate=true'),
-        |  ('alter_configs', 2, 37, 'n=1|validate=true'),
-        |  ('alter_configs_resp', 0, 21, 'throttle=5|err=0'),
-        |  ('alter_configs_resp', 1, 21, 'throttle=5|err=0'),
-        |  ('alter_configs_resp', 2, 18, 'throttle=5|err=0'),
-        |  ('incremental_alter_configs', 0, 44, 'op=set|validate=false'),
-        |  ('incremental_alter_configs', 1, 38, 'op=set|validate=false'),
-        |  ('describe_acls', 0, 25, 'pt=3|principal=User:alice'),
-        |  ('describe_acls', 1, 26, 'pt=3|principal=User:alice'),
-        |  ('describe_acls', 2, 24, 'pt=3|principal=User:alice'),
-        |  ('describe_acls', 3, 24, 'pt=3|principal=User:alice'),
-        |  ('describe_acls_resp', 0, 42, 'acls=1|pt=3'),
-        |  ('describe_acls_resp', 1, 43, 'acls=1|pt=3'),
-        |  ('describe_acls_resp', 2, 36, 'acls=1|pt=3'),
-        |  ('describe_acls_resp', 3, 36, 'acls=1|pt=3'),
-        |  ('create_acls', 0, 30, 'n=1|pt=3'),
-        |  ('create_acls', 1, 31, 'n=1|pt=3'),
-        |  ('create_acls', 2, 27, 'n=1|pt=3'),
-        |  ('create_acls', 3, 27, 'n=1|pt=3'),
-        |  ('create_acls_resp', 0, 12, 'throttle=5|errs=0'),
-        |  ('create_acls_resp', 1, 12, 'throttle=5|errs=0'),
-        |  ('create_acls_resp', 2, 10, 'throttle=5|errs=0'),
-        |  ('create_acls_resp', 3, 10, 'throttle=5|errs=0'),
-        |  ('delete_acls', 0, 19, 'filters=1|pt=3'),
-        |  ('delete_acls', 1, 20, 'filters=1|pt=3'),
-        |  ('delete_acls', 2, 16, 'filters=1|pt=3'),
-        |  ('delete_acls', 3, 16, 'filters=1|pt=3'),
-        |  ('delete_acls_resp', 0, 46, 'matches=1|principal=User:alice'),
-        |  ('delete_acls_resp', 1, 47, 'matches=1|principal=User:alice'),
-        |  ('delete_acls_resp', 2, 39, 'matches=1|principal=User:alice'),
-        |  ('delete_acls_resp', 3, 39, 'matches=1|principal=User:alice'),
-        |  ('describe_log_dirs', 0, 24, 'topics=1|parts=2'),
-        |  ('describe_log_dirs', 1, 24, 'topics=1|parts=2'),
-        |  ('describe_log_dirs', 2, 19, 'topics=1|parts=2'),
-        |  ('describe_log_dirs', 3, 19, 'topics=1|parts=2'),
-        |  ('describe_log_dirs', 4, 19, 'topics=1|parts=2'),
-        |  ('describe_log_dirs_resp', 0, 60, 'dir=/var/lib/d0|total=-1'),
-        |  ('describe_log_dirs_resp', 1, 60, 'dir=/var/lib/d0|total=-1'),
-        |  ('describe_log_dirs_resp', 2, 53, 'dir=/var/lib/d0|total=-1'),
-        |  ('describe_log_dirs_resp', 3, 55, 'dir=/var/lib/d0|total=-1'),
-        |  ('describe_log_dirs_resp', 4, 71, 'dir=/var/lib/d0|total=1000000'),
-        |  ('describe_client_quotas', 0, 22, 'strict=true|comps=1'),
-        |  ('describe_client_quotas', 1, 19, 'strict=true|comps=1'),
-        |  ('describe_client_quotas_resp', 0, 64, 'entries=1|v=1024.0'),
-        |  ('describe_client_quotas_resp', 1, 55, 'entries=1|v=1024.0'),
-        |  ('alter_client_quotas', 0, 58, 'ops=1|v=2048.0'),
-        |  ('alter_client_quotas', 1, 50, 'ops=1|v=2048.0'),
-        |  ('alter_client_quotas_resp', 0, 32, 'throttle=5|results=1'),
-        |  ('alter_client_quotas_resp', 1, 26, 'throttle=5|results=1'))
-        | t(family, version, req_bytes, detail) ORDER BY family, version""".stripMargin,
-
-    // Old-client conversation size laws: ListOffsets v0 req = 19 header
-    //   + 20 body + 16/partition; resp = 8 + 16 + 18/partition (old-style
-    //   single-offset lists). OffsetCommit v1 req = 19 + 28 + 23/committed
-    //   (4+8+8 ts+3 md); resp = 8 + 16 + 6/committed. OffsetFetch v1
-    //   req = 19 + 20 + 4/partition; resp = 8 + 16 + 16/partition.
-    "p6_wire_old_client" ->
-      s"""$LogCte,
-         | b AS (SELECT partition, min("offset") AS e, max("offset") + 1 AS h
-         |   FROM log GROUP BY 1),
-         | o AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
-         |           max(event_id) AS off
-         |    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1),
-         | p AS (SELECT CAST(range AS INTEGER) AS partition FROM range(8)),
-         | k AS (SELECT count(*) AS kk FROM o)
-         | SELECT * FROM (
-         |  SELECT 'commit' AS leg, o.partition, CAST(o.off AS BIGINT) AS "value",
-         |         CAST(47 + 23 * k.kk AS INTEGER) AS req_bytes,
-         |         CAST(24 + 6 * k.kk AS INTEGER) AS resp_bytes,
-         |         TRUE AS corr_ok
-         |  FROM o, k
-         |  UNION ALL
-         |  SELECT 'fetch', p.partition, CAST(coalesce(o.off, -1) AS BIGINT),
-         |         71, 152, TRUE
-         |  FROM p LEFT JOIN o ON o.partition = p.partition
-         |  UNION ALL
-         |  SELECT 'list_earliest', partition, CAST(e AS BIGINT), 167, 168, TRUE FROM b
-         |  UNION ALL
-         |  SELECT 'list_latest', partition, CAST(h AS BIGINT), 167, 168, TRUE FROM b)
-         | ORDER BY leg, partition""".stripMargin,
-
-    "p6_wire_framing" ->
-      """SELECT CAST(version AS INTEGER) AS version,
-        |       CAST(n AS INTEGER) AS n_apis,
-        |       CAST(body AS INTEGER) AS body_bytes,
-        |       CAST(body + 8 AS INTEGER) AS frame_bytes,
-        |       CAST(100 + version AS INTEGER) AS correlation,
-        |       TRUE AS roundtrip_ok
-        | FROM (
-        |   SELECT v.version, t.n,
-        |          CASE WHEN v.version = 0 THEN 2 + 4 + t.n * 6
-        |               WHEN v.version <= 2 THEN 2 + 4 + t.n * 6 + 4
-        |               ELSE 2 + 1 + t.n * 7 + 4 + 1 END AS body
-        |   FROM (VALUES (0), (1), (2), (3)) v(version),
-        |        (SELECT 44 AS n) t)
-        | ORDER BY version""".stripMargin,
-
-    // DSv2 write+read round trip: per-partition counts/bounds of what
-    // the written segments serve back under offset pushdown.
-    "s3_dsv2_write" ->
-      s"""$LogCte SELECT partition, count(*) AS n, max(event_id) AS max_ts,
-         |  CAST(sum(length(event_type)) AS BIGINT) AS value_bytes
-         | FROM log WHERE "offset" < 200 GROUP BY partition
-         | ORDER BY partition""".stripMargin,
-
-    // Streaming DSv2: phase 1 drains offsets < 60, the checkpoint
-    // resume reads exactly the appended [60, 120) window.
-    "s3_dsv2_stream" ->
-      s"""$LogCte SELECT 1 AS phase, partition, count(*) AS n,
-         |  min("offset") AS min_offset, max("offset") AS max_offset
-         | FROM log WHERE "offset" < 60 GROUP BY partition
-         | UNION ALL
-         | SELECT 2, partition, count(*), min("offset"), max("offset")
-         | FROM log WHERE "offset" >= 60 AND "offset" < 120 GROUP BY partition
-         | ORDER BY phase, partition""".stripMargin,
-
-    // DSv2 log source: rows decoded from wire-format segment files
-    // under pushed partition/offset predicates.
-    "s3_dsv2_scan" ->
-      s"""$LogCte SELECT partition, "offset", event_id AS timestamp,
-         |  CAST(user_id AS VARCHAR) AS key_str, event_type AS value_str
-         | FROM log WHERE partition = 2 AND "offset" >= 40 AND "offset" < 100
-         | ORDER BY "offset"""".stripMargin,
-
-    // Header-only projection: counts and offset bounds per partition
-    // under the pushed offset window.
-    "s3_dsv2_prune" ->
-      s"""$LogCte SELECT partition, count(*) AS n, min("offset") AS min_offset,
-         |  max("offset") AS max_offset
-         | FROM log WHERE "offset" < 120 GROUP BY partition
-         | ORDER BY partition""".stripMargin,
-
-    "s3_index_entries" ->
-      s"""$S3IndexCte
-         | SELECT partition, segment, entry_seq, rel_offset, rel_time, filepos
-         | FROM entries ORDER BY partition, segment, entry_seq""".stripMargin,
-
-    "s3_index_state" ->
-      s"""$S3IndexCte
-         | SELECT partition, segment, base_offset, max_offset, base_timestamp,
-         |        max_timestamp, timestamps_monotonic,
-         |        FALSE AS non_data_timestamps, n_batches
-         | FROM st ORDER BY partition, segment""".stripMargin,
-
-    "s3_index_size_seek" ->
-      s"""$S3IndexCte,
-         | fp AS (SELECT partition, segment, max(filepos) AS mx
-         |   FROM entries GROUP BY 1, 2),
-         | pr AS (SELECT DISTINCT partition, segment,
-         |   unnest([0, mx // 2, mx, mx + 1]) AS probe FROM fp),
-         | ab AS (SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
-         |     min(e.filepos) AS fpos
-         |   FROM pr p LEFT JOIN entries e ON e.partition = p.partition
-         |     AND e.segment = p.segment AND e.filepos > p.probe
-         |   GROUP BY 1, 2, 3),
-         | bl AS (SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
-         |     max(e.filepos) AS fpos
-         |   FROM pr p LEFT JOIN entries e ON e.partition = p.partition
-         |     AND e.segment = p.segment AND e.filepos <= p.probe
-         |   GROUP BY 1, 2, 3),
-         | res AS (
-         |  SELECT 'above' AS mode, a.partition, a.segment, a.probe,
-         |         a.fpos IS NOT NULL AS found, e.rel_offset, e.rel_time, e.filepos
-         |  FROM ab a LEFT JOIN entries e ON e.partition = a.partition
-         |    AND e.segment = a.segment AND e.filepos = a.fpos
-         |  UNION ALL
-         |  SELECT 'below', b.partition, b.segment, b.probe,
-         |         b.fpos IS NOT NULL, e.rel_offset, e.rel_time, e.filepos
-         |  FROM bl b LEFT JOIN entries e ON e.partition = b.partition
-         |    AND e.segment = b.segment AND e.filepos = b.fpos)
-         | SELECT partition, segment, probe, found, rel_offset, rel_time,
-         |        filepos, mode
-         | FROM res ORDER BY mode, partition, segment, probe""".stripMargin,
-
-    "s3_index_truncate" ->
-      s"""$S3IndexCte,
-         | cuts AS (SELECT partition, segment, base_offset AS b, max_offset AS m,
-         |     base_timestamp AS bt, max_timestamp AS mt, n,
-         |     unnest(['noop', 'mid', 'empty']) AS scenario
-         |   FROM (SELECT st.*, (SELECT count(*) FROM entries e
-         |       WHERE e.partition = st.partition AND e.segment = st.segment) AS n
-         |     FROM st)),
-         | ap AS (SELECT *,
-         |     CASE scenario WHEN 'noop' THEN b - 1
-         |          WHEN 'mid' THEN (b + m) // 2 ELSE b END AS nmo
-         |   FROM cuts),
-         | k AS (SELECT a.*, (SELECT count(*) FROM entries e
-         |     WHERE e.partition = a.partition AND e.segment = a.segment
-         |       AND (a.nmo < a.b OR e.rel_offset < a.nmo - a.b)) AS kept
-         |   FROM ap a)
-         | SELECT partition, segment, CAST(b AS BIGINT) AS base_offset,
-         |        CAST(CASE WHEN nmo < b OR nmo >= m THEN m
-         |             WHEN kept = 0 THEN b ELSE nmo END AS BIGINT) AS max_offset,
-         |        CAST(bt AS BIGINT) AS base_timestamp,
-         |        CAST(CASE WHEN nmo < b OR nmo >= m THEN mt
-         |             WHEN kept = 0 THEN bt ELSE bt + 5 END AS BIGINT) AS max_timestamp,
-         |        CAST(kept AS BIGINT) AS n_entries, scenario
-         | FROM k ORDER BY scenario, partition, segment""".stripMargin,
-
-    // Golden fold output for the non-data-timestamp override fixture
-    // (hand-traced against index_state.cc:246-312; see the entry's
-    // scaladoc for the four segment shapes). Entry 0 of a config-head
-    // segment carries the first user batch's RAW last_timestamp
-    // (try_reset_relative_time_index stores the absolute value).
-    "s3_index_nondata" ->
-      """SELECT CAST(partition AS INTEGER) AS partition,
-        |       CAST(segment AS BIGINT) AS segment,
-        |       CAST(entry_seq AS INTEGER) AS entry_seq,
-        |       CAST(rel_offset AS BIGINT) AS rel_offset,
-        |       CAST(rel_time AS BIGINT) AS rel_time,
-        |       CAST(filepos AS BIGINT) AS filepos,
-        |       CAST(base_timestamp AS BIGINT) AS base_timestamp,
-        |       CAST(max_timestamp AS BIGINT) AS max_timestamp,
-        |       non_data_timestamps
-        | FROM (VALUES
-        |  (0, 0, 0, 0, 1150, 0, 1100, 1550, FALSE),
-        |  (0, 0, 1, 20, 150, 6000, 1100, 1550, FALSE),
-        |  (0, 0, 2, 40, 350, 12000, 1100, 1550, FALSE),
-        |  (0, 1, 0, 0, 50, 0, 1600, 2150, FALSE),
-        |  (0, 1, 1, 20, 250, 6000, 1600, 2150, FALSE),
-        |  (0, 1, 2, 40, 450, 12000, 1600, 2150, FALSE),
-        |  (1, 0, 0, 0, 1250, 0, 1200, 1550, FALSE),
-        |  (1, 0, 1, 20, 50, 6000, 1200, 1550, FALSE),
-        |  (1, 0, 2, 40, 250, 12000, 1200, 1550, FALSE),
-        |  (1, 1, 0, 0, 5, 0, 9000000060, 9000000060, TRUE))
-        |  t(partition, segment, entry_seq, rel_offset, rel_time, filepos,
-        |    base_timestamp, max_timestamp, non_data_timestamps)
-        | ORDER BY partition, segment, entry_seq""".stripMargin,
-
-    "s3_index_lookup" ->
-      s"""$S3IndexCte,
-         | oprobes AS (
-         |  SELECT DISTINCT partition, segment, base_offset, unnest([
-         |    base_offset - 1, base_offset, (base_offset + max_offset) // 2,
-         |    max_offset]) AS probe
-         |  FROM st),
-         | olook AS (
-         |  SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
-         |         max(e.rel_offset) AS mo
-         |  FROM oprobes p LEFT JOIN entries e
-         |    ON e.partition = p.partition AND e.segment = p.segment
-         |   AND p.probe >= p.base_offset AND e.rel_offset <= p.probe - p.base_offset
-         |  GROUP BY 1, 2, 3),
-         | ores AS (
-         |  SELECT l.partition, l.segment, l.probe, l.mo IS NOT NULL AS found,
-         |         coalesce(e.rel_offset, -1) AS rel_offset,
-         |         coalesce(e.rel_time, -1) AS rel_time,
-         |         coalesce(e.filepos, -1) AS filepos, 'offset' AS kind
-         |  FROM olook l LEFT JOIN entries e
-         |    ON e.partition = l.partition AND e.segment = l.segment AND e.rel_offset = l.mo),
-         | tprobes AS (
-         |  SELECT DISTINCT partition, segment, base_timestamp, unnest([
-         |    base_timestamp - 1, base_timestamp,
-         |    (base_timestamp + max_timestamp) // 2, max_timestamp + 1000]) AS probe
-         |  FROM st),
-         | tlb AS (
-         |  SELECT p.partition, p.segment, CAST(p.probe AS BIGINT) AS probe,
-         |         min(e.entry_seq) AS lb_seq
-         |  FROM tprobes p LEFT JOIN entries e
-         |    ON e.partition = p.partition AND e.segment = p.segment
-         |   AND p.probe >= p.base_timestamp AND e.rel_time >= p.probe - p.base_timestamp
-         |  GROUP BY 1, 2, 3),
-         | tres AS (
-         |  SELECT l.partition, l.segment, l.probe, e.entry_seq IS NOT NULL AS found,
-         |         coalesce(e.rel_offset, -1) AS rel_offset,
-         |         coalesce(e.rel_time, -1) AS rel_time,
-         |         coalesce(e.filepos, -1) AS filepos, 'time' AS kind
-         |  FROM tlb l LEFT JOIN entries e
-         |    ON l.lb_seq IS NOT NULL AND e.partition = l.partition AND e.segment = l.segment
-         |   AND e.entry_seq = greatest(l.lb_seq - 1, 0))
-         | SELECT partition, segment, probe, found, rel_offset, rel_time, filepos, kind
-         | FROM (SELECT * FROM ores UNION ALL SELECT * FROM tres)
-         | ORDER BY kind, partition, segment, probe""".stripMargin,
-
-    "sr_canonical_ids" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, subject,
-        |       CAST(schema_id AS BIGINT) AS schema_id,
-        |       CAST(version AS INTEGER) AS version, new_id, new_version
-        | FROM (VALUES
-        |  (1, 'events-value', 1, 1, TRUE, TRUE),
-        |  (2, 'orders-value', 1, 1, FALSE, TRUE),
-        |  (3, 'events-value', 1, 1, FALSE, FALSE),
-        |  (4, 'events-value', 2, 2, TRUE, TRUE),
-        |  (5, 'audit-value', 3, 1, TRUE, TRUE),
-        |  (6, 'orders-value', 2, 2, FALSE, TRUE))
-        | t(seq, subject, schema_id, version, new_id, new_version)
-        | ORDER BY seq""".stripMargin,
-
-    "sr_normalize" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, subject,
-        |       CAST(schema_id AS BIGINT) AS schema_id,
-        |       CAST(version AS INTEGER) AS version, new_id, new_version
-        | FROM (VALUES
-        |  (1, 'cfg-value', 1, 1, TRUE, TRUE),
-        |  (2, 'cfg-value', 1, 1, FALSE, FALSE),
-        |  (3, 'cfg-raw', 2, 1, TRUE, TRUE),
-        |  (4, 'ev-proto', 3, 1, TRUE, TRUE),
-        |  (5, 'ev-proto', 3, 1, FALSE, FALSE),
-        |  (6, 'ev-proto-raw', 4, 1, TRUE, TRUE),
-        |  (7, 'ev-avro', 5, 1, TRUE, TRUE),
-        |  (8, 'ev-avro2', 5, 1, FALSE, TRUE),
-        |  (9, 'ev-proto2', 6, 1, TRUE, TRUE))
-        | t(seq, subject, schema_id, version, new_id, new_version)
-        | ORDER BY seq""".stripMargin,
-
-    "sr_subject_delete" ->
-      """SELECT * FROM (VALUES
-        |  ('ev-value', 2, 's1v2', TRUE),
-        |  ('ev-value', 3, 's1v3', FALSE),
-        |  ('ord-value', 1, 'o1b', FALSE))
-        | t(subject, version, schema, is_deleted)
-        | ORDER BY subject, version""".stripMargin,
-
-    // Golden pin of the S5 proxy script — murmur2("user-42") % 3 = 1
-    // routes the partitionless record to p1; the consumer's first fetch
-    // drains all 3 stored records, the second sees the advanced
-    // position.
-    "s5_rest_proxy" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'GET', '/brokers', 200, 'body={"brokers":[0]}'),
-        |  (2, 'GET', '/topics', 200, 'body=["events-rest"]'),
-        |  (3, 'POST', '/topics/events-rest', 200, 'offsets=p0:0,p0:1,p1:0,p7:err40402'),
-        |  (4, 'GET', '/topics/events-rest/partitions/0/records', 200, 'n=1;first_value=v2'),
-        |  (5, 'POST', '/consumers/cg', 200, 'instance=c1'),
-        |  (6, 'POST', '/consumers/cg/instances/c1/subscription', 204, 'subscribed'),
-        |  (7, 'GET', '/consumers/cg/instances/c1/records', 200, 'n=3'),
-        |  (8, 'GET', '/consumers/cg/instances/c1/records', 200, 'n=0'),
-        |  (9, 'POST', '/consumers/cg/instances/c1/offsets', 204, 'committed'),
-        |  (10, 'GET', '/consumers/cg/instances/c1/offsets', 200, 'offset=2'),
-        |  (11, 'DELETE', '/consumers/cg/instances/c1', 204, 'removed'),
-        |  (12, 'GET', '/consumers/cg/instances/c1/records', 404, 'error=40403'),
-        |  (13, 'GET', '/topics/nope/partitions/0/records', 404, 'error=40401'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the Admin API protocol script (server.cc routes,
-    // api-doc JSON field names, throw_on_error ladders).
-    "adm_rest_api" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'GET', '/v1/brokers', 200, 'n=3;b0=active,alive=true'),
-        |  (2, 'PUT', '/v1/brokers/1/maintenance', 200, 'drained'),
-        |  (3, 'GET', '/v1/brokers/1', 200, 'draining=true,partitions=2'),
-        |  (4, 'DELETE', '/v1/brokers/1/maintenance', 200, 'restored'),
-        |  (5, 'PUT', '/v1/brokers/2/decommission', 200, 'decommissioning'),
-        |  (6, 'PUT', '/v1/brokers/2/decommission', 400, 'message=can not update broker 2 state, invalid state transition'),
-        |  (7, 'PUT', '/v1/brokers/2/recommission', 200, 'recommissioned'),
-        |  (8, 'PUT', '/v1/brokers/9/decommission', 404, 'message=broker with id 9 not found'),
-        |  (9, 'GET', '/v1/cluster/health_overview', 200, 'healthy=true,nodes=3'),
-        |  (10, 'GET', '/v1/cluster_config', 200, 'segment_size=134217728'),
-        |  (11, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
-        |  (12, 'PUT', '/v1/cluster_config', 400, 'nope_prop=Unknown property;rack=expected type boolean'),
-        |  (13, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
-        |  (14, 'GET', '/v1/cluster_config/status', 200, 'n=3;v=2'),
-        |  (15, 'GET', '/v1/cluster_config/schema', 200, 'type=boolean,needs_restart=true'),
-        |  (16, 'GET', '/v1/features', 200, 'cluster_version=13,n=3'),
-        |  (17, 'PUT', '/v1/features/datalake_iceberg', 200, 'activated'),
-        |  (18, 'GET', '/v1/partitions/kafka/events/1', 200, 'leader=1,replicas=3'),
-        |  (19, 'POST', '/v1/partitions/kafka/events/1/transfer_leadership', 200, 'transferred'),
-        |  (20, 'POST', '/v1/partitions/kafka/audit/0/transfer_leadership', 400, 'message=Node 1 is not a replica of the partition'),
-        |  (21, 'POST', '/v1/debug/self_test/start', 200, 'id=000001'),
-        |  (22, 'GET', '/v1/debug/self_test/status', 200, 'status=running,stage=disk'),
-        |  (23, 'POST', '/v1/debug/self_test/stop', 200, 'stopped'),
-        |  (24, 'GET', '/v1/debug/self_test/status', 200, 'status=idle,results=2,p99=400'),
-        |  (25, 'POST', '/v1/debug_bundle', 200, 'job=000001'),
-        |  (26, 'POST', '/v1/debug_bundle', 409, 'code=409'),
-        |  (27, 'DELETE', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 204, 'cancelled'),
-        |  (28, 'GET', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 200, 'status=error'),
-        |  (29, 'GET', '/v1/cluster/uuid', 200, 'uuid=1'),
-        |  (30, 'GET', '/v1/transactions', 200, 'n=3;tx-10:Ongoing:p2,tx-11:CompleteCommit:p1,tx-12:CompleteAbort:p1'),
-        |  (31, 'GET', '/v1/usage', 200, 'windows=2;300@false,500@true'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the admin security surface (security.cc user CRUD
-    // wording incl. the "smissing" typo, role_errc codes, diffs).
-    "adm_rest_security" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'POST', '/v1/security/users', 200, 'created'),
-        |  (2, 'POST', '/v1/security/users', 200, 'idempotent'),
-        |  (3, 'POST', '/v1/security/users', 500, 'message=Unexpected cluster error: User already exists'),
-        |  (4, 'POST', '/v1/security/users', 400, 'message=Unknown scram algorithm: SCRAM-MD5'),
-        |  (5, 'POST', '/v1/security/users', 400, 'message=String username missing'),
-        |  (6, 'POST', '/v1/security/users', 200, 'created'),
-        |  (7, 'GET', '/v1/security/users', 200, 'n=2;alice,bob'),
-        |  (8, 'PUT', '/v1/security/users/alice', 200, 'updated'),
-        |  (9, 'PUT', '/v1/security/users/nobody', 500, 'message=Unexpected cluster error: User does not exist'),
-        |  (10, 'DELETE', '/v1/security/users/bob', 200, 'deleted'),
-        |  (11, 'DELETE', '/v1/security/users/bob', 200, 'idempotent'),
-        |  (12, 'POST', '/v1/security/roles', 201, 'role=ops'),
-        |  (13, 'POST', '/v1/security/roles', 201, 'idempotent'),
-        |  (14, 'POST', '/v1/security/roles', 400, 'code=40001'),
-        |  (15, 'POST', '/v1/security/roles', 400, 'code=40002,message=Invalid role name'),
-        |  (16, 'POST', '/v1/security/roles/ops/members', 200, 'added=2,removed=0,created=false'),
-        |  (17, 'POST', '/v1/security/roles/ops/members', 200, 'added=0'),
-        |  (18, 'POST', '/v1/security/roles/ops/members', 400, 'code=40004'),
-        |  (19, 'POST', '/v1/security/roles/ops/members', 400, 'code=40001'),
-        |  (20, 'POST', '/v1/security/roles/new1/members', 404, 'code=40401'),
-        |  (21, 'POST', '/v1/security/roles/new1/members', 200, 'created=true'),
-        |  (22, 'GET', '/v1/security/roles', 200, 'roles=2'),
-        |  (23, 'GET', '/v1/security/roles', 200, 'roles=1,first=new1'),
-        |  (24, 'GET', '/v1/security/roles', 400, 'code=40001'),
-        |  (25, 'GET', '/v1/security/roles/ops', 200, 'name=ops,members=2,t0=User'),
-        |  (26, 'GET', '/v1/security/roles/nope', 404, 'code=40401,message=Role not found'),
-        |  (27, 'DELETE', '/v1/security/roles/ops', 204, 'deleted'),
-        |  (28, 'GET', '/v1/security/roles/ops', 404, 'code=40401'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the wasm-transform admin surface (transform.cc:
-    // enable gate wording, deploy ladder, metadata shape, offsets+GC).
-    "adm_rest_transform" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'GET', '/v1/transform', 400, 'message=data transforms disabled - use `rpk cluster config set data_transforms_enabled true` to enable'),
-        |  (2, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
-        |  (3, 'POST', '/v1/transform/deploy', 200, 'deployed'),
-        |  (4, 'POST', '/v1/transform/deploy', 400, 'message=invalid JSON request body'),
-        |  (5, 'POST', '/v1/transform/deploy', 400, 'message=Bad offset: expected value >= 0, got -3'),
-        |  (6, 'GET', '/v1/transform', 200, 'n=1;mirror:events->events_out,parts=2,comp=lz4,st=running'),
-        |  (7, 'PUT', '/v1/transform/mirror/meta', 200, 'paused'),
-        |  (8, 'GET', '/v1/transform', 200, 'st=inactive'),
-        |  (9, 'PUT', '/v1/transform/ghost/meta', 200, 'noop'),
-        |  (10, 'PUT', '/v1/transform/ghost/meta', 400, 'message=Transform does not exist'),
-        |  (11, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=2;mirror:0@41,mirror:1@7'),
-        |  (12, 'DELETE', '/v1/transform/mirror', 200, 'deleted'),
-        |  (13, 'DELETE', '/v1/transform/mirror', 400, 'message=Transform does not exist'),
-        |  (14, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=0'),
-        |  (15, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=2'),
-        |  (16, 'POST', '/v1/transform/debug/committed_offsets/garbage_collect', 200, 'swept'),
-        |  (17, 'GET', '/v1/transform/debug/committed_offsets', 200, 'n=0'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the partition admin surface (partition.cc replica
-    // moves: validate_set_replicas ladder, reconfigurations, cancel).
-    "adm_rest_partitions" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'POST', '/v1/partitions/redpanda/controller/0/replicas', 400, 'message=Can''t reconfigure a controller'),
-        |  (2, 'POST', '/v1/partitions/kafka/events/0/replicas', 400, 'message=Replica set refers to non-existent node/shard (node 9 shard 0)'),
-        |  (3, 'POST', '/v1/partitions/kafka/events/0/replicas', 400, 'message=`node_id` and `core` must be integers'),
-        |  (4, 'POST', '/v1/partitions/kafka/events/0/replicas', 200, 'noop'),
-        |  (5, 'POST', '/v1/partitions/kafka/events/0/replicas', 200, 'moved'),
-        |  (6, 'GET', '/v1/partitions/reconfigurations', 200, 'n=1;prev=3,cur=2,policy=full_local_retention'),
-        |  (7, 'GET', '/v1/partitions/kafka/events', 200, 'n=2;p0=in_progress:2,p1=done:3'),
-        |  (8, 'GET', '/v1/partitions/local_summary', 200, 'count=3,leaderless=0,under_replicated=1'),
-        |  (9, 'POST', '/v1/partitions/kafka/events/0/cancel_reconfiguration', 200, 'cancelled'),
-        |  (10, 'GET', '/v1/partitions/kafka/events', 200, 'p0_replicas=3'),
-        |  (11, 'POST', '/v1/partitions/kafka/events/0/cancel_reconfiguration', 400, 'message=Cannot cancel partition move operation as there is no move in progress'),
-        |  (12, 'POST', '/v1/partitions/kafka/events/1/replicas', 200, 'moved'),
-        |  (13, 'FINISH', '/v1/partitions/kafka/events/1', 200, 'finished'),
-        |  (14, 'GET', '/v1/partitions/reconfigurations', 200, 'n=0'),
-        |  (15, 'GET', '/v1/partitions/kafka/events', 200, 'p1_replicas=1'),
-        |  (16, 'POST', '/v1/partitions/rebalance', 200, 'accepted'),
-        |  (17, 'GET', '/v1/partitions/kafka/nope', 404, 'message=Could not find topic: kafka/nope'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the data-migration admin surface (migrations.cc
-    // FSM ladder, topics.cc mount/unmount, engine-backed mountable).
-    "adm_rest_migrations" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'PUT', '/v1/migrations', 400, 'message=Data migrations are disabled for this cluster'),
-        |  (2, 'PUT', '/v1/cluster_config', 200, 'config_version=2'),
-        |  (3, 'PUT', '/v1/migrations', 400, 'message=JSON request body does not conform to schema'),
-        |  (4, 'PUT', '/v1/migrations', 200, 'id=1'),
-        |  (5, 'GET', '/v1/migrations/1', 200, 'state=planned,type=outbound,topics=1,groups=1,auto=false'),
-        |  (6, 'POST', '/v1/migrations/1', 400, 'message=Invalid data migration state transition requested'),
-        |  (7, 'POST', '/v1/migrations/1', 200, 'accepted'),
-        |  (8, 'ADVANCE', '/v1/migrations/1', 200, 'advanced'),
-        |  (9, 'GET', '/v1/migrations/1', 200, 'state=prepared'),
-        |  (10, 'POST', '/v1/migrations/1', 200, 'accepted'),
-        |  (11, 'ADVANCE', '/v1/migrations/1', 200, 'advanced'),
-        |  (12, 'POST', '/v1/migrations/1', 200, 'accepted'),
-        |  (13, 'DELETE', '/v1/migrations/1', 400, 'message=Invalid data migration state transition requested'),
-        |  (14, 'ADVANCE', '/v1/migrations/1', 200, 'advanced'),
-        |  (15, 'GET', '/v1/migrations/1', 200, 'state=finished,completed=true'),
-        |  (16, 'DELETE', '/v1/migrations/1', 200, 'deleted'),
-        |  (17, 'GET', '/v1/migrations/1', 404, 'message=Data migration does not exist: Requested data migration does not exist'),
-        |  (18, 'GET', '/v1/topics/mountable', 200, 'n=1;events@events/00000000-0000-4000-8000-000000000001/8'),
-        |  (19, 'POST', '/v1/topics/mount', 200, 'id=2'),
-        |  (20, 'GET', '/v1/migrations/2', 200, 'type=inbound,auto=true,src=orders,alias=orders2'),
-        |  (21, 'POST', '/v1/topics/unmount', 200, 'id=3'),
-        |  (22, 'POST', '/v1/migrations/3', 200, 'accepted'),
-        |  (23, 'POST', '/v1/migrations/3', 200, 'accepted'),
-        |  (24, 'ADVANCE', '/v1/migrations/3', 200, 'advanced'),
-        |  (25, 'GET', '/v1/migrations/3', 200, 'state=cancelled'),
-        |  (26, 'GET', '/v1/migrations', 200, 'n=2'),
-        |  (27, 'POST', '/v1/migrations/2', 400, 'message=unknown data migration action: jump'),
-        |  (28, 'GET', '/v1/migrations/zap', 400, 'message=bad lexical cast: source type value could not be interpreted as target'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the debug diagnostics surface (debug.cc route
-    // grammar, validation-ladder wording, engine-backed offsets/bytes
-    // at sf0.01: stored-log partition 0 slice = 200 rows / 1779 bytes,
-    // txn translator kafka(3)=1, rp(2)=4).
-    "adm_rest_debug" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'GET', '/v1/debug/partition_leaders_table', 200, 'n=2;p0=0,prev=-1'),
-        |  (2, 'POST', '/v1/partitions/kafka/events/0/transfer_leadership', 200, 'transferred'),
-        |  (3, 'GET', '/v1/debug/partition_leaders_table', 200, 'p0=1,prev=0,term=2'),
-        |  (4, 'POST', '/v1/debug/reset_leaders', 200, 'reset'),
-        |  (5, 'GET', '/v1/debug/partition_leaders_table', 200, 'prev=-1'),
-        |  (6, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Expected ''max_spins_per_scheduling_point'' set with ''min_spins_per_scheduling_point'''),
-        |  (7, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Expected either spins or delay to be defined'),
-        |  (8, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Invalid parameter ''max_spins_per_scheduling_point'' value is too low: 2 < 5'),
-        |  (9, 'PUT', '/v1/debug/stress_fiber_start', 400, 'message=Invalid parameter ''num_fibers'' value {x}'),
-        |  (10, 'PUT', '/v1/debug/stress_fiber_start', 200, 'started'),
-        |  (11, 'PUT', '/v1/debug/stress_fiber_stop', 200, 'stopped'),
-        |  (12, 'GET', '/v1/debug/peer_status/abc', 400, 'message=Broker id: abc, must be an integer'),
-        |  (13, 'GET', '/v1/debug/peer_status/9', 400, 'message=Unknown node with id 9'),
-        |  (14, 'GET', '/v1/debug/peer_status/1', 200, 'since=101'),
-        |  (15, 'GET', '/v1/debug/is_node_isolated', 200, 'isolated=false'),
-        |  (16, 'GET', '/v1/debug/controller_status', 200, 'applied=1,start=0'),
-        |  (17, 'GET', '/v1/debug/cloud_storage_usage', 400, 'message=batch_size must be an integer: x'),
-        |  (18, 'GET', '/v1/debug/cloud_storage_usage', 200, 'bytes=1779'),
-        |  (19, 'PUT', '/v1/debug/blocked_reactor_notify_ms', 400, 'message=Invalid parameter ''timeout'' value {abc}'),
-        |  (20, 'PUT', '/v1/debug/blocked_reactor_notify_ms', 200, 'set'),
-        |  (21, 'GET', '/v1/debug/sampled_memory_profile', 400, 'message=Shard id too high, max shard id is 1'),
-        |  (22, 'GET', '/v1/debug/sampled_memory_profile', 200, 'n=1;shard=1,sites=1'),
-        |  (23, 'GET', '/v1/debug/cpu_profile', 400, 'message=wait_ms must be between 1ms and 15min'),
-        |  (24, 'GET', '/v1/debug/cpu_profile', 200, 'n=1;occ=10'),
-        |  (25, 'PUT', '/v1/debug/restart_service', 404, 'message=Invalid service: foo'),
-        |  (26, 'PUT', '/v1/debug/restart_service', 200, 'restarted'),
-        |  (27, 'GET', '/v1/debug/partition/kafka/events/0', 200, 'ntp={kafka/events/0},replicas=3,start=0,hwm=200,leader=false,stm=rm_stm'),
-        |  (28, 'GET', '/v1/debug/partition/kafka/ghost/0', 500, 'message=Error cluster::errc:16 processing partition state for ntp: {kafka/ghost/0}'),
-        |  (29, 'PUT', '/v1/debug/set_storage_failure_injection_enabled', 400, 'message=Invalid parameter ''value'' {yes}. Should be ''true'' or ''false'''),
-        |  (30, 'PUT', '/v1/debug/set_storage_failure_injection_enabled', 200, 'enabled'),
-        |  (31, 'GET', '/v1/debug/local_storage_usage', 200, 'data=1779,index=3200,cache=0'),
-        |  (32, 'GET', '/v1/debug/storage/disk_stat/ssd', 400, 'message=Unknown disk type: ssd'),
-        |  (33, 'GET', '/v1/debug/storage/disk_stat/data', 200, 'total=1099511627776,free=805306368000'),
-        |  (34, 'PUT', '/v1/debug/storage/disk_stat/data', 200, 'overridden'),
-        |  (35, 'PUT', '/v1/debug/storage/disk_stat/data', 400, 'message=JSON request body does not conform to schema'),
-        |  (36, 'GET', '/v1/debug/storage/disk_stat/data', 200, 'free=1000'),
-        |  (37, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 400, 'message=''translate_to'' parameter must be one of either kafka or redpanda'),
-        |  (38, 'GET', '/v1/debug/storage/offset_translator/kafka/ghost/0', 404, 'message=ntp {kafka/ghost/0} could not be found on the node'),
-        |  (39, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 400, 'message=Request body must be JSON array of integers'),
-        |  (40, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 200, 'kafka=1,rp=3,engine=true'),
-        |  (41, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 200, 'kafka=2,rp=4,engine=true'),
-        |  (42, 'GET', '/v1/debug/storage/offset_translator/kafka/events/0', 400, 'message=Offset provided 99999 was out of offset translator range'),
-        |  (43, 'GET', '/v1/debug/broker_uuid', 200, 'uuid=11111111-1111-4111-8111-000000000001,id=0'),
-        |  (44, 'PUT', '/v1/debug/broker_uuid', 400, 'message=Requested current node UUID: 11111111-1111-4111-8111-000000000001 does not match node UUID: 99999999-9999-4999-8999-999999999999'),
-        |  (45, 'PUT', '/v1/debug/broker_uuid', 400, 'message=node_id must not be negative'),
-        |  (46, 'PUT', '/v1/debug/broker_uuid', 200, 'overridden'),
-        |  (47, 'GET', '/v1/debug/broker_uuid', 200, 'uuid=22222222-2222-4222-8222-000000000002,id=7'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the recovery-mode pair (recovery.cc): 404 outside
-    // recovery mode, status flip across a successful migrate, the 503
-    // "Migration error" arm on an injected migrator failure.
-    "adm_rest_recovery" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'GET', '/v1/recovery/migrate_tx_manager', 404, 'code=404'),
-        |  (2, 'GET', '/v1/recovery/migrate_tx_manager', 200, 'required=true,in_progress=false'),
-        |  (3, 'FAIL', '/v1/recovery/migrate_tx_manager', 200, 'injected'),
-        |  (4, 'POST', '/v1/recovery/migrate_tx_manager', 503, 'message=Migration error: stuck controller'),
-        |  (5, 'HEAL', '/v1/recovery/migrate_tx_manager', 200, 'healed'),
-        |  (6, 'POST', '/v1/recovery/migrate_tx_manager', 200, 'migrated'),
-        |  (7, 'GET', '/v1/recovery/migrate_tx_manager', 200, 'required=false,in_progress=false'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // Golden pin of the REST protocol script (routes, status codes,
-    // reference error ladder, global-id sharing, delete semantics).
-    "sr_rest_api" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'POST', '/subjects/ev-value/versions', 200, 'id=1'),
-        |  (2, 'POST', '/subjects/ev-value/versions', 200, 'id=1'),
-        |  (3, 'POST', '/subjects/ev-value/versions', 200, 'id=2'),
-        |  (4, 'POST', '/subjects/other-value/versions', 200, 'id=1'),
-        |  (5, 'POST', '/subjects/ev-value/versions', 409, 'error=409'),
-        |  (6, 'GET', '/subjects', 200, 'list=["ev-value","other-value"]'),
-        |  (7, 'GET', '/subjects/ev-value/versions', 200, 'list=[1,2]'),
-        |  (8, 'GET', '/subjects/ev-value/versions/latest', 200, 'latest=ev-value/2/2'),
-        |  (9, 'GET', '/schemas/ids/1', 200, 'name=Ev'),
-        |  (10, 'GET', '/subjects/nope/versions', 404, 'error=40401'),
-        |  (11, 'POST', '/compatibility/subjects/ev-value/versions/latest', 200, 'compatible=true'),
-        |  (12, 'POST', '/compatibility/subjects/ev-value/versions/latest', 200, 'compatible=false'),
-        |  (13, 'DELETE', '/subjects/other-value', 200, 'list=[1]'),
-        |  (14, 'DELETE', '/subjects/other-value', 404, 'error=40404'),
-        |  (15, 'DELETE', '/subjects/other-value?permanent=true', 200, 'list=[1]'),
-        |  (16, 'GET', '/subjects', 200, 'list=["ev-value"]'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    "sr_latest_schemas" ->
-      """SELECT * FROM (VALUES
-        |  ('events-key', 1, '{"type":"string"}'),
-        |  ('events-value', 2, '{"type":"record-v2"}'),
-        |  ('orders-value', 1, '{"type":"order"}'))
-        | t(subject, version, schema) ORDER BY subject""".stripMargin,
-
-    // Oracle re-derives the avro-decoded aggregates from the plaintext
-    // columns; parity proves the wire framing + per-id schema resolution
-    // + reader projection returned exactly the original values.
-    "sr_avro_decode" ->
-      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
-        |  CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
-        |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_cents
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d2_avro_translation" ->
-      s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,
-         |        CAST(sum(event_id) AS BIGINT) AS sum_id,
-         |        CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value
-         | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "sr_protobuf_decode" ->
-      """WITH s AS (
-        |  SELECT CASE WHEN event_id % 100 = 0 THEN '__undecoded' ELSE event_type END AS event_type,
-        |         CASE WHEN event_id % 100 = 0 THEN NULL ELSE event_id END AS d_id,
-        |         CASE WHEN event_id % 100 = 0 THEN NULL ELSE COALESCE(value, 0.0) END AS d_value
-        |  FROM events)
-        | SELECT event_type, count(*) AS n, CAST(sum(d_id) AS BIGINT) AS sum_id,
-        |        CAST(sum(CAST(round(d_value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |        CAST(max(CASE WHEN d_id IS NULL THEN NULL ELSE 0 END) AS INTEGER) AS max_missing
-        | FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // JSON decode oracle: v1 (ids %4=0) has no value field, v2 (%4=2)
-    // carries it, %4=1 is an unregistered id and %4=3 bad magic — both
-    // must land in the '__undecoded' null-struct group.
-    "sr_json_decode" ->
-      """WITH s AS (
-        |  SELECT CASE WHEN event_id % 4 IN (0, 2) THEN event_type ELSE '__undecoded' END AS event_type,
-        |         CASE WHEN event_id % 4 IN (0, 2) THEN event_id END AS d_id,
-        |         CASE WHEN event_id % 4 = 2 THEN value END AS d_value
-        |  FROM events)
-        | SELECT event_type, count(*) AS n, CAST(sum(d_id) AS BIGINT) AS sum_id,
-        |        CAST(count(d_value) AS BIGINT) AS n_value,
-        |        CAST(sum(COALESCE(CAST(round(d_value * 100) AS BIGINT), 0)) AS BIGINT) AS sum_cents
-        | FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "sr_protobuf_compat" ->
-      """SELECT * FROM (VALUES
-        |  ('01_identity', TRUE), ('02_widen_int32_to_int64', TRUE),
-        |  ('03_rename_field', TRUE), ('04_reader_skips_writer_field', TRUE),
-        |  ('05_new_optional_field', TRUE), ('06_new_required_field', FALSE),
-        |  ('07_string_bytes_interchange', TRUE), ('08_family_change_int_string', FALSE),
-        |  ('09_zigzag_not_varint', FALSE), ('10_repeated_flip', FALSE),
-        |  ('11_nested_compatible', TRUE), ('12_nested_incompatible', FALSE))
-        | t("case", compatible) ORDER BY "case"""".stripMargin,
-
-    "sr_json_bounds" ->
-      """SELECT * FROM (VALUES
-        |  ('01_length_relaxed', TRUE),
-        |  ('02_min_length_increased', FALSE),
-        |  ('03_max_length_added', FALSE),
-        |  ('04_bounds_dropped', TRUE),
-        |  ('05_pattern_identical', TRUE),
-        |  ('06_pattern_changed', FALSE),
-        |  ('07_numeric_relaxed', TRUE),
-        |  ('08_maximum_decreased', FALSE),
-        |  ('09_multiple_of_changed', FALSE),
-        |  ('10_minimum_added', FALSE),
-        |  ('11_array_relaxed', TRUE),
-        |  ('12_unique_items_added', FALSE))
-        | t("case", compatible) ORDER BY "case"""".stripMargin,
-
-    // Combinator corpus golden pin (each row exercises one json.cc
-    // incompatibility type: not_type_extended, sum_type_narrowed,
-    // product_type_extended, combined_type_changed, dependency_*,
-    // property_removed_*, item_*_not_covered, multiple_of_changed,
-    // required_attribute_added).
-    "sr_json_combinators" ->
-      """SELECT * FROM (VALUES
-        |  ('01_not_identical', TRUE),
-        |  ('02_not_added', FALSE),
-        |  ('03_not_writer_stricter', TRUE),
-        |  ('04_not_narrowed', FALSE),
-        |  ('05_anyof_subset', TRUE),
-        |  ('06_sum_type_narrowed', FALSE),
-        |  ('07_allof_writer_stricter', TRUE),
-        |  ('08_product_type_extended', FALSE),
-        |  ('09_oneof_branch_dropped', TRUE),
-        |  ('10_mixed_single_single', TRUE),
-        |  ('11_single_vs_allof', TRUE),
-        |  ('12_mixed_combined_changed', FALSE),
-        |  ('13_combinator_dropped', FALSE),
-        |  ('14_anyof_reads_allof', TRUE),
-        |  ('15_dep_array_kept', TRUE),
-        |  ('16_dep_array_narrowed', FALSE),
-        |  ('17_dep_added', FALSE),
-        |  ('18_dep_schema_kept', TRUE),
-        |  ('19_dep_schema_incompatible', FALSE),
-        |  ('20_pattern_covers_new_prop', TRUE),
-        |  ('21_pattern_schema_mismatch', FALSE),
-        |  ('22_additional_schema_covers', TRUE),
-        |  ('23_additional_narrowed', FALSE),
-        |  ('24_closed_model_new_prop', FALSE),
-        |  ('25_tuple_identical', TRUE),
-        |  ('26_tuple_vs_array', FALSE),
-        |  ('27_tuple_writer_longer_covered', TRUE),
-        |  ('28_tuple_excess_uncovered', FALSE),
-        |  ('29_tuple_reader_longer_covered', TRUE),
-        |  ('30_multiple_of_decimal', TRUE),
-        |  ('31_multiple_of_indivisible', FALSE),
-        |  ('32_required_with_default', TRUE),
-        |  ('33_required_added', FALSE))
-        | t("case", compatible) ORDER BY "case"""".stripMargin,
-
-    "sr_proto_oneof_map" ->
-      """SELECT * FROM (VALUES
-        |  ('01_single_moved_into_oneof', TRUE),
-        |  ('02_two_moved_into_oneof', FALSE),
-        |  ('03_oneof_member_removed', FALSE),
-        |  ('04_whole_oneof_dropped', TRUE),
-        |  ('05_oneof_identity', TRUE),
-        |  ('06_members_in_other_oneofs', TRUE),
-        |  ('07_map_value_widen', TRUE),
-        |  ('08_map_key_family_change', FALSE),
-        |  ('09_map_vs_scalar', FALSE),
-        |  ('10_enum_reads_int32', TRUE),
-        |  ('11_enum_vs_string', FALSE),
-        |  ('12_enum_symbols_added', TRUE))
-        | t("case", compatible) ORDER BY "case"""".stripMargin,
-
-    // Refs decode oracles re-derive the nested Common fields from the
-    // plaintext events columns (tag = 3*event_id, label = 'L' || user_id%10);
-    // the reader-only field takes its default (proto3 "" → length 0;
-    // avro null → count 0).
-    "sr_proto_refs" ->
-      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(event_id * 3) AS BIGINT) AS sum_tag,
-        |  max('L' || CAST(user_id % 10 AS VARCHAR)) AS max_label,
-        |  CAST(max(0) AS INTEGER) AS max_note_len
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "sr_avro_refs" ->
-      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(event_id * 3) AS BIGINT) AS sum_tag,
-        |  max('L' || CAST(user_id % 10 AS VARCHAR)) AS max_label,
-        |  CAST(sum(0) AS BIGINT) AS n_note
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Every registration decision pinned: (seq, subject, effective level,
-    // accepted, assigned version).
-    "sr_subject_compat" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, subject, level, accepted,
-        |       CAST(version AS INTEGER) AS version
-        | FROM (VALUES
-        |  (10, 'a-value', 'BACKWARD', TRUE, 1),
-        |  (11, 'a-value', 'BACKWARD', TRUE, 2),
-        |  (12, 'a-value', 'BACKWARD', FALSE, -1),
-        |  (13, 'a-value', 'BACKWARD', TRUE, 3),
-        |  (20, 'b-value', 'NONE', TRUE, 1),
-        |  (21, 'b-value', 'NONE', TRUE, 2),
-        |  (30, 'c-value', 'FULL_TRANSITIVE', TRUE, 1),
-        |  (31, 'c-value', 'FULL_TRANSITIVE', TRUE, 2),
-        |  (32, 'c-value', 'FULL_TRANSITIVE', FALSE, -1),
-        |  (40, 'd-value', 'FORWARD', TRUE, 1),
-        |  (41, 'd-value', 'FORWARD', TRUE, 2),
-        |  (50, 'd-value', 'BACKWARD', FALSE, -1),
-        |  (51, 'd-value', 'BACKWARD', TRUE, 3))
-        | t(seq, subject, level, accepted, version)
-        | ORDER BY seq""".stripMargin,
-
-    // The ref re-pin flips compatibility with unchanged schema text:
-    // person v2's addr ref requires zip, so v2-reads-v1 fails (a
-    // required reader property the writer never guarantees) while
-    // v1-reads-v2 holds; team inherits both verdicts one $ref deeper.
-    "sr_json_refs" ->
-      """SELECT * FROM (VALUES
-        |  ('01_team_selfcontained', TRUE),
-        |  ('02_person_v2_reads_v1', FALSE),
-        |  ('03_person_v1_reads_v2', TRUE),
-        |  ('04_team_v1_reads_v2', TRUE),
-        |  ('05_team_v2_reads_v1', FALSE))
-        | t("case", compatible) ORDER BY "case"""".stripMargin,
-
-    // Mode precedence: readonly beats the compat check; import admits;
-    // clearing the override falls back to the global READWRITE.
-    "sr_subject_mode" ->
-      """SELECT CAST(seq AS BIGINT) AS seq, subject, mode, level, outcome,
-        |       CAST(version AS INTEGER) AS version
-        | FROM (VALUES
-        |  (4, 'a-value', 'READWRITE', 'BACKWARD', 'accepted', 1),
-        |  (5, 'frozen-value', 'READONLY', 'BACKWARD', 'readonly', -1),
-        |  (6, 'import-value', 'IMPORT', 'BACKWARD', 'accepted', 1),
-        |  (7, 'a-value', 'READWRITE', 'BACKWARD', 'incompatible', -1),
-        |  (9, 'frozen-value', 'READWRITE', 'BACKWARD', 'accepted', 1))
-        | t(seq, subject, mode, level, outcome, version)
-        | ORDER BY seq""".stripMargin,
-
-    "d2_record_translation" ->
-      s"""$LogCte SELECT event_type AS h_type, count(*) AS n, max("offset") AS max_offset,
-         |        CAST(sum(length(CAST(user_id AS VARCHAR))) AS BIGINT) AS sum_key_len,
-         |        CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k
-         | FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "a3_txn_compaction" ->
-      s"""$TxnCte,
-         | aborted AS (
-         |  SELECT o.partition, o.pid, o.txn_seq, min(o."offset") AS first, max(o."offset") AS last
-         |  FROM ofs o
-         |  WHERE NOT o.is_control AND EXISTS (
-         |    SELECT 1 FROM ofs m WHERE m.is_control AND m.decision = 'abort'
-         |      AND m.partition = o.partition AND m.pid = o.pid AND m.txn_seq = o.txn_seq)
-         |  GROUP BY 1, 2, 3)
-         | SELECT partition, user_id AS key, "offset", event_type FROM (
-         |  SELECT o.*, row_number() OVER (PARTITION BY o.partition, o.user_id ORDER BY o."offset" DESC) AS rn
-         |  FROM ofs o
-         |  WHERE NOT o.is_control AND o.batch_type = 1
-         |    AND NOT EXISTS (SELECT 1 FROM aborted a
-         |      WHERE a.partition = o.partition AND a.pid = o.pid
-         |        AND o."offset" BETWEEN a.first AND a.last))
-         | WHERE rn = 1 ORDER BY partition, key""".stripMargin,
-
-    "g3_group_tx" ->
-      s"""$TxnCte,
-         | committed AS (SELECT DISTINCT pid, txn_seq FROM ofs WHERE is_control AND decision = 'commit')
-         | SELECT "group", topic, partition, committed_offset FROM (
-         |  SELECT 'g' || CAST(o.user_id % 3 AS VARCHAR) AS "group", 'events' AS topic, o.partition,
-         |         o.event_id AS committed_offset,
-         |         row_number() OVER (PARTITION BY o.user_id % 3, o.partition ORDER BY o.event_id DESC) AS rn
-         |  FROM ofs o JOIN committed c ON o.pid = c.pid AND o.txn_seq = c.txn_seq
-         |  WHERE NOT o.is_control AND o.batch_type = 1 AND o.event_type = 'purchase')
-         | WHERE rn = 1 ORDER BY "group", partition""".stripMargin,
-
-    // Transactional offsets over the wire. Size laws (tid 4 chars,
-    // group "g-wire" 6, member "m-1" 3, topic "events" 6, flexible
-    // header 16 / legacy 15 with client "graft", response header 5
-    // flexible / 4 legacy):
-    //   AddPartitionsToTxn v3 req = 46 + 4*np, resp = 24 + 7*np
-    //   AddOffsetsToTxn v1 (legacy) req = 43, resp = 14
-    //   TxnOffsetCommit v3 req = 62 + 18*np, resp = 24 + 7*np
-    //   EndTxn v3 req = 37, resp = 16
-    //   OffsetFetch v7 req = 47, resp = 26 + 20*np
-    "g3_wire_txn_offsets" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, scope,
-        |  CAST(partition AS INTEGER) AS partition,
-        |  CAST("offset" AS BIGINT) AS "offset",
-        |  CAST(error_code AS INTEGER) AS error_code,
-        |  CAST(leg_parts AS INTEGER) AS leg_parts,
-        |  CAST(CASE api WHEN 'add_partitions' THEN 46 + 4 * leg_parts
-        |                WHEN 'add_offsets' THEN 43
-        |                WHEN 'txn_offset_commit' THEN 62 + 18 * leg_parts
-        |                WHEN 'offset_fetch' THEN 47
-        |                ELSE 37 END AS INTEGER) AS req_bytes,
-        |  CAST(CASE api WHEN 'add_partitions' THEN 24 + 7 * leg_parts
-        |                WHEN 'add_offsets' THEN 14
-        |                WHEN 'txn_offset_commit' THEN 24 + 7 * leg_parts
-        |                WHEN 'offset_fetch' THEN 26 + 20 * leg_parts
-        |                ELSE 16 END AS INTEGER) AS resp_bytes,
-        |  TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'add_partitions', 'tx-a', 0, -1, 0, 2),
-        |  (1, 'add_partitions', 'tx-a', 1, -1, 0, 2),
-        |  (2, 'add_partitions', 'tx-z', 0, -1, 49, 2),
-        |  (2, 'add_partitions', 'tx-z', 1, -1, 49, 2),
-        |  (3, 'add_partitions', 'tx-b', 0, -1, 47, 2),
-        |  (3, 'add_partitions', 'tx-b', 1, -1, 47, 2),
-        |  (4, 'add_offsets', 'tx-a', -1, -1, 0, -1),
-        |  (5, 'add_offsets', 'tx-z', -1, -1, 49, -1),
-        |  (6, 'txn_offset_commit', 'tx-a', 0, 100, 0, 2),
-        |  (6, 'txn_offset_commit', 'tx-a', 1, 200, 0, 2),
-        |  (7, 'txn_offset_commit', 'tx-b', 0, 555, 0, 1),
-        |  (8, 'txn_offset_commit', 'tx-a', 0, 150, 47, 1),
-        |  (9, 'txn_offset_commit', 'tx-b', 1, 650, 22, 1),
-        |  (10, 'end_commit', 'tx-a', -1, -1, 0, -1),
-        |  (11, 'end_abort', 'tx-b', -1, -1, 0, -1),
-        |  (12, 'offset_fetch', 'g-wire', 0, 100, 0, 2),
-        |  (12, 'offset_fetch', 'g-wire', 1, 200, 0, 2))
-        | t(step, api, scope, partition, "offset", error_code, leg_parts)
-        | ORDER BY step, partition""".stripMargin,
-
-    // Group admin over the wire: list/describe/delete groups +
-    // offset_delete, states from the live FSM, store effects pinned by
-    // the final fetch view.
-    "g2_wire_group_admin" ->
-      """SELECT CAST(step AS INTEGER) AS step, api, "group", state,
-        |  protocol_type, protocol, topic,
-        |  CAST(partition AS INTEGER) AS partition,
-        |  CAST("offset" AS BIGINT) AS "offset",
-        |  CAST(n_members AS INTEGER) AS n_members,
-        |  CAST(error_code AS INTEGER) AS error_code, TRUE AS corr_ok
-        | FROM (VALUES
-        |  (1, 'list', 'g-empty', 'Empty', 'consumer', NULL, NULL, -1, -1, -1, 0),
-        |  (1, 'list', 'g-stable', 'Stable', 'consumer', NULL, NULL, -1, -1, -1, 0),
-        |  (2, 'list', NULL, NULL, NULL, NULL, NULL, -1, -1, -1, 42),
-        |  (3, 'describe', 'g-empty', 'Empty', 'consumer', '', NULL, -1, -1, 0, 0),
-        |  (3, 'describe', 'g-ghost', 'Dead', '', '', NULL, -1, -1, 0, 0),
-        |  (3, 'describe', 'g-stable', 'Stable', 'consumer', 'range', NULL, -1, -1, 2, 0),
-        |  (4, 'delete', 'g-empty', NULL, NULL, NULL, NULL, -1, -1, -1, 0),
-        |  (4, 'delete', 'g-ghost', NULL, NULL, NULL, NULL, -1, -1, -1, 69),
-        |  (4, 'delete', 'g-stable', NULL, NULL, NULL, NULL, -1, -1, -1, 68),
-        |  (5, 'offset_delete', 'g-stable', NULL, NULL, NULL, 'events', 0, -1, -1, 86),
-        |  (5, 'offset_delete', 'g-stable', NULL, NULL, NULL, 'other', 0, -1, -1, 0),
-        |  (6, 'offset_delete', 'g-nope', NULL, NULL, NULL, NULL, -1, -1, -1, 69),
-        |  (7, 'offsets_after', 'g-stable', NULL, NULL, NULL, 'events', 0, 100, -1, 0))
-        | t(step, api, "group", state, protocol_type, protocol, topic,
-        |   partition, "offset", n_members, error_code)
-        | ORDER BY step, "group", topic, partition""".stripMargin,
-
-    "g4_assign_range" ->
-      s"""$G4Cte,
-         | x AS (SELECT topic, partition, n // 3 AS len, n % 3 AS rem FROM p),
-         | a AS (SELECT topic, partition,
-         |   CASE WHEN partition < rem * (len + 1) THEN partition // (len + 1)
-         |        ELSE rem + (partition - rem * (len + 1)) // greatest(len, 1) END AS idx
-         |   FROM x)
-         | SELECT a.topic, CAST(a.partition AS BIGINT) AS partition, m.member_id
-         | FROM a JOIN m ON m.idx = a.idx ORDER BY topic, partition""".stripMargin,
-
-    "g4_assign_roundrobin" ->
-      s"""$G4Cte,
-         | r AS (SELECT topic, partition,
-         |   (row_number() OVER (ORDER BY topic, partition) - 1) % 3 AS idx FROM p)
-         | SELECT r.topic, CAST(r.partition AS BIGINT) AS partition, m.member_id
-         | FROM r JOIN m ON m.idx = r.idx ORDER BY topic, partition""".stripMargin,
-
-    "g4_assign_sticky" ->
-      s"""$G4Cte,
-         | prior(topic, partition, member_id) AS (VALUES
-         |   ('t8', 0, 'a'), ('t8', 1, 'a'), ('t8', 2, 'a'),
-         |   ('t8', 3, 'b'), ('t8', 4, 'b'), ('t8', 5, 'b'),
-         |   ('t8', 6, 'd'), ('t8', 7, 'd'),
-         |   ('t7', 0, 'a'), ('t7', 1, 'a'), ('t7', 2, 'b'), ('t7', 3, 'b'),
-         |   ('t7', 4, 'd'), ('t7', 5, 'd'), ('t7', 6, 'd'),
-         |   ('t1', 0, 'd')),
-         | kept AS (SELECT pr.topic, pr.partition, pr.member_id FROM prior pr
-         |   JOIN mem ON mem.member_id = pr.member_id
-         |   JOIN p ON p.topic = pr.topic AND p.partition = pr.partition),
-         | orphans AS (SELECT topic, partition FROM p
-         |   EXCEPT SELECT topic, partition FROM kept),
-         | tgt AS (SELECT (count(*) + 2) // 3 AS target FROM p),
-         | loads AS (SELECT mem.member_id, COALESCE(k.cnt, 0) AS load FROM mem
-         |   LEFT JOIN (SELECT member_id, count(*) AS cnt FROM kept GROUP BY 1) k
-         |     USING (member_id)),
-         | slots AS (SELECT member_id, load,
-         |   unnest(range(greatest(target - load, 0))) AS round FROM loads, tgt),
-         | rslots AS (SELECT member_id,
-         |   row_number() OVER (ORDER BY round, load, member_id) - 1 AS slot FROM slots),
-         | ro AS (SELECT topic, partition,
-         |   row_number() OVER (ORDER BY topic, partition) - 1 AS slot FROM orphans)
-         | SELECT topic, CAST(partition AS BIGINT) AS partition, member_id FROM (
-         |  SELECT topic, partition, member_id FROM kept
-         |  UNION ALL
-         |  SELECT ro.topic, ro.partition, rs.member_id FROM ro JOIN rslots rs USING (slot))
-         | ORDER BY topic, partition""".stripMargin,
-
-    "d3_schema_evolution" ->
-      """SELECT event_type AS v, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_k,
-        |       CAST(0 AS BIGINT) AS non_null_scores
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d1_materialize" ->
-      """SELECT 'events_' || event_type AS output,
-        |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_key,
-        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // accumulated stream == one-shot batch: same derivation as d1_dlq
-    "d1_dlq_stream" ->
-      """WITH ev AS (
-        |  SELECT event_id, event_type,
-        |    CASE WHEN event_id % 10 = 0 THEN 'bad_input'
-        |         WHEN event_id % 10 = 1 THEN 'translation_error'
-        |         WHEN event_id % 10 = 2 THEN 'incompatible_schema'
-        |         ELSE 'ok' END AS error_code
-        |  FROM events)
-        |SELECT 'events_' || event_type AS output, error_code,
-        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "d1_dlq" ->
-      """WITH ev AS (
-        |  SELECT event_id, event_type,
-        |    CASE WHEN event_id % 10 = 0 THEN 'bad_input'
-        |         WHEN event_id % 10 = 1 THEN 'translation_error'
-        |         WHEN event_id % 10 = 2 THEN 'incompatible_schema'
-        |         ELSE 'ok' END AS error_code
-        |  FROM events)
-        |SELECT 'events_' || event_type AS output, error_code,
-        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Golden pin of the Iceberg REST catalog protocol script (route
-    // grammar, error types, requirement-failed OCC retry).
-    "d6_rest_catalog" ->
-      """SELECT * FROM (VALUES
-        |  (1, 'GET', '/v1/namespaces/lake', 404, 'type=NoSuchNamespaceException'),
-        |  (2, 'POST', '/v1/namespaces', 200, 'ns=lake'),
-        |  (3, 'POST', '/v1/namespaces', 409, 'type=AlreadyExistsException'),
-        |  (4, 'POST', '/v1/namespaces/lake/tables', 200, 'snap=-1'),
-        |  (5, 'POST', '/v1/namespaces/lake/tables', 409, 'type=AlreadyExistsException'),
-        |  (6, 'POST', '/v1/namespaces/lake/tables/events/commit', 200, 'snap=1'),
-        |  (7, 'POST', '/v1/namespaces/lake/tables/events/commit', 409, 'type=CommitFailedException;msg=Requirement failed: branch main was created concurrently'),
-        |  (8, 'GET', '/v1/namespaces/lake/tables/events', 200, 'snap=1'),
-        |  (9, 'POST', '/v1/namespaces/lake/tables/events/commit', 200, 'snap=2'),
-        |  (10, 'GET', '/v1/namespaces/lake/tables/events', 200, 'snapshots=2,main=2'),
-        |  (11, 'READ', '/table', 200, 'complete=true'))
-        | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
-
-    // writer 1 (slice 1) publishes first -> snap_2, no rebase; writer 2
-    // (slice 2) rebases -> snap_3; the read sees every slice.
-    "d6_commit_conflict" ->
-      """WITH c AS (SELECT event_id % 3 AS slice, count(*) AS n FROM events GROUP BY 1)
-        |SELECT 'snap_' || CAST(slice + 1 AS VARCHAR) AS kind, CAST(n AS BIGINT) AS n FROM c
-        |UNION ALL SELECT 'read_rows', CAST((SELECT count(*) FROM events) AS BIGINT)
-        |UNION ALL SELECT 'rebase_a', CAST(0 AS BIGINT)
-        |UNION ALL SELECT 'rebase_b', CAST(1 AS BIGINT)
-        |ORDER BY kind""".stripMargin,
-
-    "d6_iceberg_catalog" ->
-      """SELECT CAST(event_id % 3 + 1 AS BIGINT) AS snapshot_id,
-        |       CAST(event_id % 3 + 1 AS BIGINT) AS sequence_number,
-        |       count(*) AS n_rows
-        | FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
-
-    "d6_iceberg_read" ->
-      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_iceberg_evolution" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_value,
-        |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id END) AS BIGINT) AS sum_id_with_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Rename is metadata-only: every row (both halves) aggregates under
-    // the new name; the dropped column never surfaces.
-    "d6_iceberg_rename_drop" ->
-      """SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Field ids carry identity: rename keeps id 3, drop retires id 2,
-    // the re-added user_id gets fresh id 5. Every generation retained.
-    "d6_iceberg_schema_history" ->
-      """SELECT * FROM (VALUES
-        |  (0, 1, 'event_id',   FALSE, 'long',        FALSE),
-        |  (0, 2, 'user_id',    FALSE, 'long',        FALSE),
-        |  (0, 3, 'event_type', FALSE, 'string',      FALSE),
-        |  (0, 4, 'ts',         FALSE, 'timestamptz', FALSE),
-        |  (1, 1, 'event_id',   FALSE, 'long',        FALSE),
-        |  (1, 2, 'user_id',    FALSE, 'long',        FALSE),
-        |  (1, 3, 'kind',       FALSE, 'string',      FALSE),
-        |  (1, 4, 'ts',         FALSE, 'timestamptz', FALSE),
-        |  (2, 1, 'event_id',   FALSE, 'long',        FALSE),
-        |  (2, 3, 'kind',       FALSE, 'string',      FALSE),
-        |  (2, 4, 'ts',         FALSE, 'timestamptz', FALSE),
-        |  (3, 1, 'event_id',   FALSE, 'long',        TRUE),
-        |  (3, 3, 'kind',       FALSE, 'string',      TRUE),
-        |  (3, 4, 'ts',         FALSE, 'timestamptz', TRUE),
-        |  (3, 5, 'user_id',    FALSE, 'string',      TRUE))
-        | t(schema_id, field_id, name, required, type, is_current)
-        | ORDER BY schema_id, field_id""".stripMargin,
-
-    // Two live layouts: odd ids under month dirs (p_key length 7) after
-    // the spec evolved, even ids under the original day dirs (length 10).
-    "d6_iceberg_spec_evolution" ->
-      """SELECT CASE WHEN event_id % 2 = 0 THEN 10 ELSE 7 END AS layout_len,
-        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
-        |  CAST(count(DISTINCT CASE WHEN event_id % 2 = 0
-        |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
-        |    ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m') END) AS BIGINT) AS n_partitions
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_iceberg_rewrite_manifests" ->
-      """SELECT 3 AS before_manifests, 1 AS after_manifests,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS BIGINT) AS travel_rows
-        |FROM events WHERE event_id < 3000""".stripMargin,
-
-    "d6_iceberg_orphans" ->
-      """SELECT 0 AS n_guarded,
-        |  'stray-0.parquet,stray-1.tmp,stray-manifest.avro' AS removed,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM events WHERE event_id < 2000""".stripMargin,
-
-    "d6_iceberg_eq_deletes" ->
-      """WITH fin AS (
-        |  SELECT event_id, event_type FROM events WHERE user_id % 10 <> 4
-        |  UNION ALL
-        |  SELECT event_id, event_type FROM events
-        |  WHERE user_id % 10 = 4 AND event_id % 5 = 0)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_iceberg_deletes" ->
-      """WITH now AS (
-        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key,
-        |    CAST(count(*) AS BIGINT) AS n_now,
-        |    CAST(sum(event_id) AS BIGINT) AS sum_id_now
-        |  FROM events WHERE user_id % 7 <> 0 GROUP BY 1),
-        | s1 AS (
-        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key,
-        |    CAST(count(*) AS BIGINT) AS n_snap1
-        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1)
-        |SELECT p_key, n_now, sum_id_now, n_snap1
-        |FROM now LEFT JOIN s1 USING (p_key) ORDER BY p_key""".stripMargin,
-
-    "d6_iceberg_travel" ->
-      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
-        |       CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events WHERE event_id % 3 < 2 GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_refs" ->
-      """SELECT 'dev' AS ref, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events WHERE event_id % 3 < 2
-        |UNION ALL
-        |SELECT 'main', count(*), CAST(sum(event_id) AS BIGINT) FROM events
-        |UNION ALL
-        |SELECT 'v1', count(*), CAST(sum(event_id) AS BIGINT)
-        | FROM events WHERE event_id % 3 = 0
-        |ORDER BY ref""".stripMargin,
-
-    "d6_expire_policy" ->
-      """SELECT 'dev' AS ref, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events WHERE event_id % 5 < 4
-        |UNION ALL
-        |SELECT 'expired', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
-        |UNION ALL
-        |SELECT 'live_refs', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
-        |UNION ALL
-        |SELECT 'main', count(*), CAST(sum(event_id) AS BIGINT) FROM events
-        |UNION ALL
-        |SELECT 'pin2', count(*), CAST(sum(event_id) AS BIGINT)
-        | FROM events WHERE event_id % 5 < 2
-        |ORDER BY ref""".stripMargin,
-
-    "d6_iceberg_stream" ->
-      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
-        |       CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_iceberg_upsert_stream" ->
-      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key,
-        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_iceberg_compaction" ->
-      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_key, count(*) AS n,
-        |       CAST(sum(event_id) AS BIGINT) AS sum_id, CAST(1 AS BIGINT) AS n_files
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d6_snapshots" ->
-      """WITH dr AS (
-        |  SELECT event_id,
-        |         CAST((dense_rank() OVER (ORDER BY date_trunc('day', ts)) - 1) // 10 + 1 AS BIGINT) AS snapshot_id
-        |  FROM events)
-        | SELECT snapshot_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
-        | FROM dr WHERE snapshot_id > (SELECT max(snapshot_id) - 2 FROM dr)
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d4_partition_transforms" ->
-      """SELECT CAST(year(ts) AS INTEGER) AS t_year, CAST(month(ts) AS INTEGER) AS t_month,
-        |       CAST(day(ts) AS INTEGER) AS t_day, CAST(hour(ts) AS INTEGER) AS t_hour,
-        |       CAST(user_id % 16 AS INTEGER) AS t_bucket, substr(event_type, 1, 3) AS t_truncate,
-        |       count(*) AS n
-        | FROM events GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
-
-    "u1_transform_mirror" ->
-      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
-
-    "u2_transform_filter" ->
-      """SELECT event_type, count(*) AS n FROM events
-        | WHERE regexp_matches(props, '"k": 4[0-9]') GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "u3_transform_transcode" ->
-      """SELECT event_id, 'user=' || CAST(user_id AS VARCHAR) || ';type=' || event_type AS value
-        | FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
-
-    "u4_transform_validate" ->
-      """SELECT CASE WHEN value <= 30.0 THEN 'output' ELSE 'dead_letter' END AS route, count(*) AS n
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "u1_wasm_mirror" ->
-      """SELECT CAST(user_id % 8 AS INTEGER) AS partition, event_id, event_type
-        | FROM events ORDER BY event_id""".stripMargin,
-
-    // Golden pin of the WASI startup surface: the guest's fd_write(2)
-    // report lines as published OTel log rows (murmur2('wasi-demo')%8
-    // = 2, severity info = 9), plus the mirrored-record count.
-    "u1_wasm_wasi" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"init wasi-demo"},"timeUnixNano":1700000000000000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3),
-        |  (CAST(1 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"env REDPANDA_INPUT_TOPIC=events"},"timeUnixNano":1700000000001000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3),
-        |  (CAST(2 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"clock ok"},"timeUnixNano":1700000000002000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3),
-        |  (CAST(3 AS BIGINT), 'wasi-demo', 2, 9, '{"body":{"stringValue":"rand ok"},"timeUnixNano":1700000000003000000,"severityNumber":9,"attributes":[{"key":"transform_name","value":{"stringValue":"wasi-demo"}},{"key":"node","value":{"intValue":2}}]}', 3))
-        | t(seq, transform_name, partition, severity_number, body_json, n_mirrored)
-        | ORDER BY seq""".stripMargin,
-
-    "u3_wasm_upper" ->
-      """SELECT event_id, UPPER('type=' || event_type) AS value
-        | FROM events ORDER BY event_id""".stripMargin,
-
-    "u1_wasm_filter" ->
-      s"""$LogCte, r AS (
-         |  SELECT partition, event_id, event_type,
-         |         CAST(row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1
-         |           AS BIGINT) AS rk
-         |  FROM log)
-         | SELECT partition, event_id, event_type FROM r
-         | WHERE (rk % 8192) % 3 = 0 ORDER BY event_id""".stripMargin,
-
-    // 8 partitions × first 50 offsets, every record carrying the one
-    // registered schema.
-    "u5_wasm_schema" ->
-      s"""$LogCte SELECT TRUE AS matches_registered,
-         |  CAST(count(*) AS BIGINT) AS n FROM log WHERE "offset" < 50""".stripMargin,
-
-    "u1_wasm_stream" ->
-      """SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,
-        |       CAST(2 * sum(event_id) AS BIGINT) AS sum_id
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "u1_wasm_router" ->
-      """SELECT CASE WHEN ("offset" % 2) = 1 THEN 'odd' ELSE 'default' END AS route,
-        |       count(*) AS n
-        | FROM (SELECT row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset"
-        |       FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Golden pins of the Go SDK example behaviors (the semantics live
-    // in the SDK's example tests, not in the data tables).
-    "u3_sdk_vectors" ->
-      """SELECT example, CAST(out_key AS VARCHAR) AS out_key,
-        |       CAST(out_value AS VARCHAR) AS out_value
-        | FROM (VALUES
-        |  ('mirror', 'k1', 'v1'),
-        |  ('mirror', NULL, 'v2'),
-        |  ('mirror', 'k3', NULL),
-        |  ('filter_key', 'order-17', 'a'),
-        |  ('filter_key', 'xx order-9 yy', 'b'),
-        |  ('filter_value', NULL, 'order-3'),
-        |  ('transcode', 'k1', '{"a":"hello","b":42}'),
-        |  ('transcode', 'k2', '{"a":"x,y","b":3}'),
-        |  ('transcode', 'k3', '{"a":"z","b":7}'),
-        |  ('transcode', 'k4', '{"a":"a' || chr(92) || 'u003cb","b":-5}'),
-        |  ('validate_output', 'a', '{"x": 1}'),
-        |  ('validate_output', 'b', '[1, 2]'),
-        |  ('validate_output', 'c', '123'),
-        |  ('validate_invalid_json', 'e', '{x: 1}'),
-        |  ('validate_invalid_json', 'f', '{"x": 1} extra'),
-        |  ('validate_invalid_json', 'h', ''))
-        |  t(example, out_key, out_value)
-        | ORDER BY example, out_key, out_value""".stripMargin,
-
-    "u2_start_options" ->
-      (LogCte +
-      """, snap AS (SELECT partition, max("offset") AS hwm FROM log
-        |     WHERE "offset" < 50 + partition * 13 GROUP BY 1),
-        | comm AS (SELECT partition, CAST(floor(max("offset") / 2) AS BIGINT) AS coff
-        |     FROM log WHERE partition % 2 = 0 GROUP BY 1)
-        | SELECT * FROM (
-        |  SELECT 'from_start' AS start_option, partition, count(*) AS n,
-        |         min("offset") AS first_offset, max("offset") AS last_offset
-        |  FROM log GROUP BY 2
-        |  UNION ALL
-        |  SELECT 'from_end', l.partition, count(*), min(l."offset"), max(l."offset")
-        |  FROM log l LEFT JOIN snap s ON l.partition = s.partition
-        |  WHERE s.hwm IS NULL OR l."offset" > s.hwm GROUP BY 2
-        |  UNION ALL
-        |  SELECT 'from_timestamp', partition, count(*), min("offset"), max("offset")
-        |  FROM log WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 2
-        |  UNION ALL
-        |  SELECT 'from_committed', l.partition, count(*), min(l."offset"), max(l."offset")
-        |  FROM log l LEFT JOIN comm c ON l.partition = c.partition
-        |  WHERE c.coff IS NULL OR l."offset" > c.coff GROUP BY 2
-        | ) ORDER BY start_option, partition""").stripMargin,
-
-    "u4_lifecycle" ->
-      """WITH cmd AS (
-        |  SELECT event_id AS seq, 'tr-' || CAST(user_id % 16 AS VARCHAR) AS transform,
-        |    CASE event_type WHEN 'signup' THEN 'deploy' WHEN 'view' THEN 'pause'
-        |      WHEN 'click' THEN 'resume' ELSE 'delete' END AS op
-        |  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
-        | bounds AS (
-        |  SELECT transform,
-        |    coalesce(max(CASE WHEN op = 'delete' THEN seq END), -1) AS last_del,
-        |    count(CASE WHEN op = 'deploy' THEN 1 END) AS n_deploys,
-        |    count(CASE WHEN op = 'delete' THEN 1 END) AS n_deletes
-        |  FROM cmd GROUP BY 1),
-        | dep AS (
-        |  SELECT c.transform, min(c.seq) AS deployed_seq
-        |  FROM cmd c JOIN bounds b ON c.transform = b.transform
-        |  WHERE c.seq > b.last_del AND c.op = 'deploy' GROUP BY 1)
-        | SELECT c.transform,
-        |  CASE WHEN arg_max(c.op, c.seq) = 'pause' THEN 'paused' ELSE 'running' END AS state,
-        |  any_value(b.n_deploys) AS n_deploys, any_value(b.n_deletes) AS n_deletes,
-        |  any_value(d.deployed_seq) AS deployed_seq, max(c.seq) AS last_seq
-        | FROM cmd c JOIN bounds b ON c.transform = b.transform
-        |  JOIN dep d ON c.transform = d.transform
-        | WHERE c.seq >= d.deployed_seq AND c.op IN ('deploy', 'pause', 'resume')
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "u4_report" ->
-      (LogCte +
-      """, proc AS (
-        |  SELECT event_id AS seq, 'tr-' || CAST(user_id % 5 AS VARCHAR) AS transform,
-        |    partition,
-        |    CASE event_type WHEN 'click' THEN 'commit' WHEN 'error' THEN 'error'
-        |      ELSE 'start' END AS kind,
-        |    CASE WHEN event_type = 'click' THEN "offset" END AS committed_offset
-        |  FROM log WHERE event_type IN ('click', 'error', 'signup')),
-        | hwm AS (SELECT partition, max("offset") + 1 AS hwm FROM log GROUP BY 1)
-        | SELECT p.transform, p.partition,
-        |  CASE WHEN arg_max(p.kind, p.seq) = 'error' THEN 'errored' ELSE 'running' END AS status,
-        |  max(CASE WHEN p.kind = 'commit' THEN p.committed_offset END) AS last_committed,
-        |  any_value(h.hwm) - coalesce(max(CASE WHEN p.kind = 'commit' THEN p.committed_offset END) + 1, 0) AS lag,
-        |  count(CASE WHEN p.kind = 'error' THEN 1 END) AS n_errors
-        | FROM proc p JOIN hwm h ON p.partition = h.partition
-        | GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
-
-    // Commit-batcher fold: per (key, interval) the LAST enqueued offset
-    // survives the flush; per key the last flush is the committed state.
-    "g6_commit_batcher" ->
-      """WITH prog AS (
-        |  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS transform,
-        |         CAST(event_id % 8 AS INTEGER) AS partition,
-        |         0 AS output_topic, event_id AS seq, event_id AS "offset"
-        |  FROM events),
-        | fl AS (
-        |  SELECT transform, partition, output_topic, seq // 500 AS iv,
-        |         arg_max("offset", seq) AS flush_off, count(*) AS n_enq
-        |  FROM prog GROUP BY 1, 2, 3, 4)
-        | SELECT transform, partition, output_topic,
-        |        arg_max(flush_off, iv) AS committed_offset,
-        |        count(*) AS n_flushes, CAST(sum(n_enq) AS BIGINT) AS n_enqueued
-        | FROM fl GROUP BY 1, 2, 3 ORDER BY transform, partition""".stripMargin,
-
-    // v1 writers (even event_id) have no `value` field: the v2 reader
-    // surfaces its null default — re-derived here from plaintext.
-    "u5_transform_sr_decode" ->
-      """SELECT event_id, event_type,
-        |  CASE WHEN event_id % 2 = 1 THEN value END AS value
-        | FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
-
-    "u6_transform_logs" ->
-      s"""$XformLogCte
-         |SELECT t.seq, t.transform_name,
-         |  CASE t.transform_name WHEN 'xform-0' THEN 4 WHEN 'xform-1' THEN 5
-         |    WHEN 'xform-2' THEN 2 ELSE 6 END AS partition,
-         |  CAST(t.ts_ms * 1000000 AS BIGINT) AS time_unix_nano,
-         |  t.sev AS severity_number,
-         |  '{"body":{"stringValue":"'
-         |    || replace(replace(replace(replace(t.msg, '\\', '\\\\'), '"', '\\"'),
-         |         chr(10), '\\n'), chr(9), '\\t')
-         |    || '"},"timeUnixNano":' || CAST(CAST(t.ts_ms * 1000000 AS BIGINT) AS VARCHAR)
-         |    || ',"severityNumber":' || CAST(t.sev AS VARCHAR)
-         |    || ',"attributes":[{"key":"transform_name","value":{"stringValue":"'
-         |    || t.transform_name
-         |    || '"}},{"key":"node","value":{"intValue":' || CAST(t.source_id AS VARCHAR)
-         |    || '}}]}' AS body_json
-         |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
-         |WHERE a.status = 'ok' ORDER BY t.seq""".stripMargin,
-
-    "u6_transform_logs_stream" ->
-      s"""$XformLogCte
-         |SELECT t.win, t.transform_name,
-         |  CASE t.transform_name WHEN 'xform-0' THEN 4 WHEN 'xform-1' THEN 5
-         |    WHEN 'xform-2' THEN 2 ELSE 6 END AS partition,
-         |  a.status, count(*) AS n, CAST(sum(t.sz) AS BIGINT) AS bytes
-         |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
-         |GROUP BY 1, 2, 3, 4
-         |ORDER BY t.win, t.transform_name, a.status""".stripMargin,
-
-    "u6_log_probes" ->
-      s"""$XformLogCte
-         |SELECT t.transform_name, CAST(count(*) AS BIGINT) AS n_events,
-         |  CAST(sum(CASE WHEN a.status = 'dropped_buffer_full' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-         |  CAST(sum(CASE WHEN a.status = 'dropped_invalid' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
-         |  CAST(sum(CASE WHEN a.status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_published
-         |FROM adm a JOIN t ON t.win = a.win AND t.seq = a.seq
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The streaming twin emits the flush LOG itself (one row per key per
-    // interval) — the same fold, asserted row-for-row.
-    "g6_commit_stream" ->
-      """WITH prog AS (
-        |  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS transform,
-        |         CAST(event_id % 8 AS INTEGER) AS partition,
-        |         0 AS output_topic, event_id AS seq, event_id AS "offset"
-        |  FROM events)
-        | SELECT transform, partition, output_topic, seq // 500 AS interval,
-        |        arg_max("offset", seq) AS flush_off, count(*) AS n_enq
-        | FROM prog GROUP BY 1, 2, 3, 4
-        | ORDER BY transform, partition, interval""".stripMargin,
-
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
-        |  count(*) AS count_order
-        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q3_shipping_priority" ->
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
-        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
-        | FROM customer, orders, lineitem
-        | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |   AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
-        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "q5_region_revenue" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
-        | FROM customer, orders, lineitem, supplier, nation, region
-        | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
-        |   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |   AND r_name = 'ASIA'
-        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        | GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "dd_exact" ->
-      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS canonical_id, count(*) AS copies
-        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "txt_tokens" ->
-      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "txt_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_chars,
-        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
-        |  CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE)
-        |    / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS mean_token_len,
-        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |       x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
-        |    / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS stopword_ratio,
-        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS punct_count
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "txt_langid" ->
-      """SELECT doc_id,
-        |  CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
-        |       WHEN de >= fr AND de > 0 THEN 'de'
-        |       WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
-        | FROM (
-        |  SELECT doc_id,
-        |   len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS en,
-        |   len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS de,
-        |   len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x))) AS fr
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents))
-        | ORDER BY doc_id""".stripMargin,
-
-    "mm_media_meta" ->
-      """SELECT doc_id, 'image/fake' AS mime,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
-        |  1 AS n_frames
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "mm_header_parse" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
-        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
-        |  CAST(9 + doc_id % 700 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 * (1 + doc_id % 2) ELSE 8 END AS INTEGER)
-        |    AS bit_depth,
-        |  CAST((CASE doc_id % 3 WHEN 1 THEN 13 ELSE 33 END) + doc_id % 50 AS INTEGER)
-        |    AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "ann_bruteforce_topk" ->
-      """SELECT query_id, vec_id, rank, cos_r FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-        |               c.vec_id) AS rank,
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_r
-        |  FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
-        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // Full-rank integer replay: quantization, every inner product, and
-    // the rank window re-derived in exact integer arithmetic.
-    "ann_parity_topk" ->
-      """WITH c AS (SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        | q AS (SELECT vec_id AS query_id, qe AS qq FROM c WHERE vec_id < 5),
-        | s AS (SELECT q.query_id, c.vec_id,
-        |    CAST(list_sum(list_transform(range(1, len(c.qe) + 1),
-        |      i -> c.qe[i] * q.qq[i])) AS BIGINT) AS iscore
-        |  FROM c, q WHERE c.vec_id <> q.query_id),
-        | r AS (SELECT query_id, vec_id, iscore,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY iscore DESC, vec_id) AS rank FROM s)
-        |SELECT query_id, vec_id, iscore, rank FROM r WHERE rank <= 5
-        | ORDER BY query_id, rank""".stripMargin,
-
-    "ann_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-        | q AS (SELECT * FROM e WHERE vec_id < 8),
-        | s AS (SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id, c.label,
-        |         list_cosine_similarity(q.v, c.v) AS cos
-        |       FROM q, e c WHERE c.vec_id != q.vec_id),
-        | pos AS (SELECT query_id, vec_id AS pos_id, cos AS pos_cos,
-        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
-        |         FROM s WHERE label = ql),
-        | neg AS (SELECT query_id, vec_id AS neg_id, cos AS neg_cos,
-        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS neg_rank
-        |         FROM s WHERE label <> ql)
-        |SELECT n.query_id, p.pos_id, round(p.pos_cos, 5) AS pos_cos_r,
-        |  n.neg_id, round(n.neg_cos, 5) AS neg_cos_r, CAST(n.neg_rank AS INTEGER) AS neg_rank,
-        |  round(p.pos_cos - n.neg_cos, 5) AS margin_r
-        |FROM neg n JOIN pos p ON p.query_id = n.query_id AND p.rn = 1
-        |WHERE n.neg_rank <= 3
-        |ORDER BY n.query_id, n.neg_rank""".stripMargin,
-
-    "dd_embed_cosine" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_r
-        | FROM embeddings a, embeddings b
-        | WHERE a.vec_id < b.vec_id
-        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-        | ORDER BY 1, 2""".stripMargin,
-
-    "op_range_join" ->
-      """WITH p AS (SELECT user_id, epoch(ts) AS t, event_id AS purchase_id
-        |           FROM events WHERE event_type = 'purchase'),
-        | i AS (SELECT user_id, epoch(ts) AS lo, epoch(ts) + 259200 AS hi,
-        |              event_id AS signup_id
-        |       FROM events WHERE event_type = 'signup')
-        | SELECT p.user_id, count(*) AS n_pairs,
-        |        CAST(sum(purchase_id) AS BIGINT) AS sum_purchase,
-        |        CAST(sum(signup_id) AS BIGINT) AS sum_signup
-        | FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.lo AND i.hi
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "op_asof_join" ->
-      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
-        | s0 AS (SELECT user_id, ts, event_id AS signup_event, value AS signup_value
-        |        FROM events WHERE event_type = 'signup'),
-        | s AS (SELECT user_id, ts, signup_event, signup_value FROM s0
-        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY signup_event DESC) = 1)
-        | SELECT p.event_id, p.user_id, s.signup_event, s.signup_value
-        | FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
-        | ORDER BY p.event_id""".stripMargin,
-
-    "op_murmur2_routing" ->
-      """SELECT * FROM (VALUES
-        |  ('', 275646681, 3), ('0123456789', -631703640, 4), ('a', -1563381124, 0),
-        |  ('ab', 316155434, 2), ('abc', 479470107, 3), ('hello-kafka', -540832233, 1),
-        |  ('redpanda', -232303994, 2), ('user-42', 1459644460, 4))
-        | t(key, hash, route6) ORDER BY key""".stripMargin,
-
-    "dd_minhash_recall" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | sh_all AS (
-        |  SELECT DISTINCT doc_id, s FROM toks,
-        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
-        | sh AS (
-        |  SELECT doc_id, s FROM sh_all
-        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
-        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        | inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        | SELECT 'minhash_recall_ge_75' AS check, count(*) AS n_exact, CAST(true AS BOOLEAN) AS ok
-        | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.2""".stripMargin,
-
-    "ann_lsh_recall" ->
-      """SELECT 'ann_recall_at5_ge_25' AS check, CAST(25 AS BIGINT) AS n_exact,
-        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
-
-    "ann_ivf_recall" ->
-      """SELECT 'ann_ivf_recall_at5_ge_40' AS check, CAST(25 AS BIGINT) AS n_exact,
-        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
-
-    "ann_matryoshka_recall" ->
-      """SELECT 'ann_matryoshka48_recall_at10_ge_30' AS check,
-        | CAST(50 AS BIGINT) AS n_exact, CAST(true AS BOOLEAN) AS ok""".stripMargin,
-
-    "ann_pq_recall" ->
-      """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
-        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
-
-    "ann_ivfpq_recall" ->
-      """SELECT 'ann_ivfpq_recall_at5_ge_30' AS check, CAST(25 AS BIGINT) AS n_exact,
-        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
-
-    "dd_embed_lsh_recall" ->
-      """SELECT 'embed_lsh_recall_ge_15_precision_1' AS check,
-        |       count(*) AS n_exact, CAST(true AS BOOLEAN) AS ok
-        | FROM embeddings a, embeddings b
-        | WHERE a.vec_id < b.vec_id
-        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
-
-    "dd_simhash_invariance" ->
-      """SELECT doc_id, CAST(true AS BOOLEAN) AS invariant FROM documents ORDER BY doc_id""",
-
-    "txt_fingerprint_invariance" ->
-      """SELECT doc_id, CAST(true AS BOOLEAN) AS case_ws_invariant,
-        |       CAST(true AS BOOLEAN) AS content_sensitive
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "txt_langid_profile" ->
-      s"""WITH pl AS (
-        |  SELECT 900000 + doc_id * 5 + li AS doc_id,
-        |    CASE li $LangCaseSql END AS lang,
-        |    repeat(CASE li $PhraseCaseSql END,
-        |      CAST(doc_id % 3 + 2 AS INTEGER)) AS text
-        |  FROM documents, unnest(range(5)) u(li) WHERE doc_id % 17 = 0),
-        | allc AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  UNION ALL SELECT doc_id, lang, text FROM pl),
-        | d AS (
-        |  SELECT doc_id, lang,
-        |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
-        |  FROM allc),
-        | tg AS (
-        |  SELECT lang, substr(t, i, 3) AS gram
-        |  FROM d, unnest(range(1, length(t) - 1)) u(i)
-        |  WHERE doc_id >= 900000 AND doc_id % 2 = 0),
-        | lp AS (
-        |  SELECT lang, gram,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS BIGINT) AS rnk
-        |  FROM tg GROUP BY lang, gram
-        |  QUALIFY rnk <= 50),
-        | dg AS (
-        |  SELECT doc_id, substr(t, i, 3) AS gram
-        |  FROM d, unnest(range(1, length(t) - 1)) u(i)
-        |  WHERE doc_id % 2 = 1),
-        | dt AS (
-        |  SELECT doc_id, gram,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS BIGINT) AS drank
-        |  FROM dg GROUP BY doc_id, gram
-        |  QUALIFY drank <= 50),
-        | langs AS (SELECT DISTINCT lang FROM lp),
-        | dist AS (
-        |  SELECT dt.doc_id, l.lang,
-        |    CAST(sum(COALESCE(abs(dt.drank - lp.rnk), 50)) AS BIGINT) AS dist
-        |  FROM dt CROSS JOIN langs l
-        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dt.gram
-        |  GROUP BY 1, 2),
-        | pred AS (
-        |  SELECT doc_id, lang AS pred_lang, dist
-        |  FROM dist
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1)
-        |SELECT d.doc_id >= 900000 AS is_plant, d.lang AS true_lang, p.pred_lang,
-        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(p.dist) AS BIGINT) AS dist_sum
-        |FROM pred p JOIN d ON d.doc_id = p.doc_id
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    "txt_compress_contract" ->
-      """SELECT
-        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS BIGINT) AS n_repeat,
-        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_salad,
-        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 13 = 0) AS BIGINT) AS n_noise,
-        |  TRUE AS repeat_lt_prose, TRUE AS prose_lt_noise_median,
-        |  TRUE AS repeat_band_ok, TRUE AS noise_band_ok""".stripMargin,
-
-    "dd_minhash_lsh_parity" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 800000, text || ' shared tail marker words here'
-        |  FROM documents WHERE doc_id % 23 = 0),
-        | shf AS (
-        |  SELECT DISTINCT doc_id, s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus),
-        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
-        | sh1 AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-        |  FROM shf),
-        | co AS (
-        |  SELECT i,
-        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2147483646 + 1 AS a,
-        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2147483647 AS b
-        |  FROM unnest(range(12)) u(i)),
-        | sig AS (
-        |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
-        |  FROM sh1, co GROUP BY 1, 2),
-        | bandsig AS (
-        |  SELECT doc_id, i // 2 AS band_id,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
-        |  FROM sig GROUP BY 1, 2),
-        | bb AS (SELECT band_id, bh FROM bandsig GROUP BY 1, 2 HAVING count(*) <= 1000),
-        | banded AS (SELECT bs.* FROM bandsig bs JOIN bb USING (band_id, bh)),
-        | cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
-        | inter AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
-        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
-        |  GROUP BY 1, 2)
-        |SELECT i.doc_a, i.doc_b,
-        |  round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 5) AS jaccard_r
-        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-        |  JOIN sizes sb ON sb.doc_id = i.doc_b
-        |WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "dd_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | sh_all AS (
-        |  SELECT DISTINCT doc_id, s FROM toks,
-        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
-        | sh AS (
-        |  SELECT doc_id, s FROM sh_all
-        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
-        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        | inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        | SELECT doc_a, doc_b,
-        |        round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 5) AS jaccard_r
-        | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
-        | ORDER BY doc_a, doc_b""".stripMargin,
-
-    "mm_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
-        |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "dd_bloom_dedup" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents),
-        | ref AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
-        | cand AS (
-        |  SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 950000, text FROM ref WHERE doc_id % 21 = 0),
-        | co AS (SELECT i,
-        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2147483646 + 1 AS a,
-        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2147483647 AS b
-        |  FROM unnest(range(3)) u(i)),
-        | rp AS (
-        |  SELECT DISTINCT array_to_string(t[i*10+1 : i*10+10], ' ') AS para
-        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ref),
-        |       unnest(range(0, (len(t)+9)//10)) u(i)),
-        | rph AS (SELECT para,
-        |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-        |  FROM rp),
-        | bits AS (SELECT DISTINCT (co.a * rph.h + co.b) % 2147483647 % 4096 AS pos
-        |  FROM rph, co),
-        | cp AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i*10+1 : i*10+10], ' ') AS para
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM cand),
-        |       unnest(range(0, (len(t)+9)//10)) u(i)),
-        | cph AS (SELECT doc_id, para,
-        |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-        |  FROM cp),
-        | cpos AS (SELECT c.doc_id, c.para,
-        |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
-        | probe AS (
-        |  SELECT cpos.doc_id, cpos.para,
-        |    count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN cpos.pos END)
-        |      = count(DISTINCT cpos.pos) AS flagged
-        |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2)
-        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
-        |  CAST(sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-        |  CAST(sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-        |  sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) > 0 AS any_flagged,
-        |  sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) > 0 AS any_true
-        |FROM probe p LEFT JOIN rp t ON t.para = p.para
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "dd_url_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id, doc_id // 3 AS page, doc_id % 3 AS v,
-        |    'www.s' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.example.com' AS h,
-        |    (doc_id // 3) % 5 = 0 AS sec,
-        |    (doc_id // 3) % 11 = 0 AS nopath
-        |  FROM documents),
-        | raw AS (
-        |  SELECT doc_id,
-        |    CASE WHEN nopath THEN
-        |      CASE v WHEN 0 THEN 'http://' || h || '#frag'
-        |             WHEN 1 THEN 'HTTP://' || upper(h) || ':80/'
-        |             ELSE 'http://' || h END
-        |    ELSE
-        |      CASE v
-        |        WHEN 0 THEN (CASE WHEN sec THEN 'https://' ELSE 'http://' END)
-        |          || h || '/p/' || CAST(page AS VARCHAR)
-        |          || '?id=' || CAST(page AS VARCHAR) || '&ref=rss&b=2&a=1#top'
-        |        WHEN 1 THEN (CASE WHEN sec THEN 'HTTPS://' ELSE 'HTTP://' END)
-        |          || upper(h) || (CASE WHEN sec THEN ':443' ELSE ':80' END)
-        |          || '/p/' || CAST(page AS VARCHAR)
-        |          || '?a=1&b=2&id=' || CAST(page AS VARCHAR) || '&utm_campaign=x'
-        |        ELSE (CASE WHEN sec THEN 'https://' ELSE 'http://' END)
-        |          || h || '/p/' || CAST(page AS VARCHAR)
-        |          || '?a=1&id=' || CAST(page AS VARCHAR) || '&b=2' END
-        |    END AS url
-        |  FROM u),
-        | parts AS (
-        |  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nf FROM raw),
-        | comp AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-        |    regexp_extract(nf, '\?(.*)$', 1) AS q
-        |  FROM parts),
-        | canon AS (
-        |  SELECT doc_id,
-        |    scheme || '://' || lower(regexp_replace(auth, ':[0-9]+$', '')) ||
-        |    (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
-        |       OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
-        |       OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
-        |     THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END) ||
-        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
-        |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canonical_url
-        |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
-        |          string_split(q, '&'),
-        |          p -> p <> '' AND NOT regexp_matches(p,
-        |            '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&'), '') AS sq
-        |        FROM comp))
-        |SELECT canonical_url, MIN(doc_id) AS doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS copies
-        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "txt_fingerprint_parity" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      tok -> CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT)) AS th
-        |  FROM documents)
-        |SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th),
-        |    (acc, t) -> ((acc // 2147483648) * 131 + t) % 2147483647 * 2147483648
-        |              + ((acc % 2147483648) * 137 + t) % 2147483629) AS fp
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "dd_simhash_parity" -> {
-      val sums = (0 until 48)
-        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i")
-        .mkString(", ")
-      val pack = (0 until 48)
-        .map(i => s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-         |  FROM documents),
-         | h AS (SELECT doc_id,
-         |    CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT) AS h
-         |  FROM t),
-         | s AS (SELECT doc_id, $sums FROM h GROUP BY 1)
-         |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
-
-    "dd_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | sh_all AS (
-        |  SELECT DISTINCT doc_id, s FROM toks,
-        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
-        | sh AS (
-        |  SELECT doc_id, s FROM sh_all
-        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
-        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        | inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        | pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05),
-        | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
-        | reach(node, lbl) AS (
-        |   SELECT doc_id, doc_id FROM documents
-        |   UNION
-        |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
-        | SELECT node AS doc_id, min(lbl) AS cluster_id, (min(lbl) = node) AS is_canonical
-        | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
-
-    "dd_line_dedup" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END ||
-        |    text ||
-        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END ||
-        |    CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'promo code ' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
-        |  FROM documents),
-        | lines AS (
-        |  SELECT doc_id, p AS pos, sp[p + 1] AS line
-        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs),
-        |       UNNEST(range(len(sp))) AS t(p)),
-        | boiler AS (
-        |  SELECT trim(lower(line)) AS norm FROM lines
-        |  WHERE trim(lower(line)) <> ''
-        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10),
-        | kept AS (
-        |  SELECT l.doc_id, l.pos, l.line FROM lines l
-        |  WHERE trim(lower(l.line)) NOT IN (SELECT norm FROM boiler))
-        | SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_hash,
-        |        CAST(length(string_agg(line, chr(10) ORDER BY pos)) AS INT) AS len
-        | FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "smp_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
-        | FROM (SELECT doc_id,
-        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
-        |       FROM documents)
-        | ORDER BY doc_id""".stripMargin,
-
-    // Repeat-factor upsampling: fb = round(f*10000) buckets; every row
-    // emits fb // 10000 copies plus one more iff its SALTED hash bucket
-    // ('up:' prefix — decorrelated from every other bucket decision)
-    // falls under the fractional part — all-integer, engine-independent.
-    "smp_upsample" ->
-      """WITH f AS (
-        |  SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
-        |    CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
-        |  FROM documents),
-        | c AS (
-        |  SELECT doc_id, lang,
-        |         (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
-        |  FROM f)
-        | SELECT doc_id, lang, CAST(t.cp AS BIGINT) AS copy
-        | FROM c, UNNEST(range(copies)) AS t(cp)
-        | WHERE copies > 0
-        | ORDER BY doc_id, copy""".stripMargin,
-
-    "smp_source_cap" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 500000, 'src0' FROM documents
-        |  WHERE doc_id < ((SELECT max(doc_id) FROM documents) + 1) * 2 // 5),
-        | c AS (SELECT source, count(*) AS n FROM corpus GROUP BY 1),
-        | t AS (SELECT sum(n) AS total FROM c),
-        | r AS (SELECT source, LEAST(1.0, 0.30 * CAST((SELECT total FROM t) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c)
-        | SELECT d.doc_id, d.source FROM corpus d JOIN r ON d.source = r.source
-        | WHERE CAST(('0x' || substr(md5('cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000
-        | ORDER BY d.doc_id""".stripMargin,
-
-    "smp_epoch_shuffle" ->
-      """SELECT doc_id,
-        |  CAST(row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "smp_stratified" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang,
-        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
-        |  FROM documents)
-        | WHERE b < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8
-        |                      WHEN 'zh' THEN 0.0 ELSE 0.2 END) * 10000
-        | ORDER BY doc_id""".stripMargin,
-
-    "smp_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        | r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c)
-        | SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
-        | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000
-        | ORDER BY d.doc_id""".stripMargin,
-
-    "smp_topk_group" ->
-      """SELECT source, rk, doc_id FROM (
-        |  SELECT source, doc_id,
-        |   CAST(row_number() OVER (PARTITION BY source ORDER BY
-        |     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000,
-        |     doc_id) AS INTEGER) AS rk
-        |  FROM documents)
-        | WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
-
-    "txt_vocab" ->
-      """SELECT tok, cnt FROM (
-        |  SELECT tok, count(*) AS cnt
-        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |        FROM documents)
-        |  GROUP BY tok)
-        | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
-
-    // Empty tokens carry no feature; docs with no scoreable tokens keep
-    // the bias-only margin (left join), never dropping from the verdict.
-    // Bucket LLRs and Gumbel noise floored to integer micro-units right
-    // after the single floating-point step, so sums and the top-k cut
-    // are exact-integer in both engines.
-    "smp_dsir" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | rg AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS bucket
-        |  FROM tok, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(g)),
-        | docb AS (SELECT doc_id, bucket, count(*) AS n FROM rg GROUP BY 1, 2),
-        | rawb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rn FROM docb GROUP BY 1),
-        | tgtb AS (SELECT rg.bucket, count(*) AS tn
-        |          FROM rg JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
-        | tot AS (SELECT (SELECT CAST(sum(rn) AS BIGINT) FROM rawb) AS rt,
-        |                (SELECT CAST(COALESCE(sum(tn), 0) AS BIGINT) FROM tgtb) AS tt),
-        | llr AS (
-        |  SELECT r.bucket,
-        |    CAST(floor((ln(COALESCE(t.tn, 0) + 1)
-        |      - ln(CAST((SELECT tt FROM tot) + 8192 AS DOUBLE))
-        |      - ln(r.rn + 1)
-        |      + ln(CAST((SELECT rt FROM tot) + 8192 AS DOUBLE))) * 1000000.0) AS BIGINT) AS llr_u
-        |  FROM rawb r LEFT JOIN tgtb t USING (bucket)),
-        | sc AS (SELECT d.doc_id, CAST(sum(d.n * l.llr_u) AS BIGINT) AS score_u,
-        |          CAST(sum(d.n) AS BIGINT) AS n_grams
-        |        FROM docb d JOIN llr l USING (bucket) GROUP BY 1),
-        | wg AS (
-        |  SELECT doc.doc_id,
-        |    COALESCE(s.n_grams, 0) AS n_grams,
-        |    COALESCE(s.score_u, 0) AS score_u,
-        |    CAST(floor(-ln(-ln(
-        |      (CAST(('0x' || substr(md5('dsir:' || CAST(doc.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-        |        % 1000000 + 0.5) / 1000000.0)) * 1000000.0) AS BIGINT) AS gumbel_u
-        |  FROM documents doc LEFT JOIN sc s USING (doc_id)),
-        | rk AS (SELECT *, row_number() OVER (ORDER BY score_u + gumbel_u DESC, doc_id) AS rnk
-        |        FROM wg)
-        |SELECT doc_id, n_grams, score_u, gumbel_u, rnk <= 100 AS selected
-        | FROM rk ORDER BY doc_id""".stripMargin,
-
-    "txt_classifier_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        | b AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
-        |  FROM toks WHERE tok <> ''),
-        | m AS (
-        |  SELECT doc_id, sum((bucket * 37) % 13 - 6) AS s FROM b GROUP BY doc_id)
-        | SELECT d.doc_id, CAST(COALESCE(m.s, 0) + 2 AS BIGINT) AS margin,
-        |        (COALESCE(m.s, 0) + 2) > 0 AS keep
-        | FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
-        | ORDER BY d.doc_id""".stripMargin,
-
-    // Exact half re-derived; the sketch-error booleans are certified by
-    // the engine and pinned here (the sketches are deterministic).
-    "txt_sketch_contract" ->
-      """SELECT count(DISTINCT tok) AS exact_vocab,
-        |  CAST(TRUE AS BOOLEAN) AS vocab_ok, CAST(TRUE AS BOOLEAN) AS p50_ok,
-        |  CAST(TRUE AS BOOLEAN) AS p90_ok, CAST(TRUE AS BOOLEAN) AS p99_ok
-        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |       FROM documents)""".stripMargin,
-
-    "txt_tokens_bpe" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "pipe_clean" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 50),
-        | feat AS (
-        |  SELECT doc_id, text,
-        |   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
-        |   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
-        |     / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stopword_ratio,
-        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS en,
-        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS de,
-        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x))) AS fr
-        |  FROM all_docs),
-        | keep AS (
-        |  SELECT * FROM feat
-        |  WHERE (en >= de AND en >= fr AND en > 0)
-        |    AND n_tokens BETWEEN 30 AND 10000 AND stopword_ratio >= 0.03)
-        | SELECT min(doc_id) AS doc_id, count(*) AS copies
-        | FROM keep GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
-
-    "pipe_clean_funnel" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 50),
-        | feat AS (
-        |  SELECT doc_id, text,
-        |   (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))
-        |      >= len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x)))
-        |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))
-        |      >= len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x)))
-        |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) > 0)
-        |     AS lang_ok,
-        |   (len(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 30 AND 10000
-        |    AND CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |         x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
-        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 0.03) AS qual_ok
-        |  FROM all_docs)
-        | SELECT CAST(count(*) AS BIGINT) AS n_raw,
-        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
-        |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual,
-        |  CAST(count(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(lower(text)) END) AS BIGINT) AS n_dedup
-        | FROM feat""".stripMargin,
-
-    "txt_chunks" ->
-      """WITH toks AS (
-        |  SELECT doc_id, CAST(p AS BIGINT) AS pos, arr[p + 1] AS tok,
-        |         CAST(len(arr) AS BIGINT) AS n_doc
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
-        |        FROM documents),
-        |       UNNEST(range(len(arr))) AS t(p)),
-        | ch AS (
-        |  SELECT doc_id, pos, tok, CAST(c AS BIGINT) AS chunk_id
-        |  FROM toks,
-        |       UNNEST(range(greatest(0, (pos + 24 - 32) // 24), pos // 24 + 1)) AS u(c)
-        |  WHERE c = 0 OR c * 24 < n_doc - 8)
-        | SELECT doc_id, chunk_id, count(*) AS n_tokens, min(pos) AS start_pos,
-        |        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
-        | FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "txt_bpe_learn_contract" ->
-      """WITH words AS (
-        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM (
-        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |    FROM documents)
-        |  WHERE regexp_matches(tok, '^[a-z]+$')
-        |  GROUP BY tok),
-        | chars AS (SELECT regexp_split_to_array(w, '') AS ch, c FROM words),
-        | pairs AS (
-        |  SELECT ch[i] AS lft, ch[i+1] AS rgt, SUM(c) AS n
-        |  FROM chars, unnest(range(1, len(ch))) t(i)
-        |  GROUP BY 1, 2)
-        |SELECT lft AS "left", rgt AS "right", CAST(n AS BIGINT) AS pair_count
-        |FROM pairs ORDER BY n DESC, lft, rgt LIMIT 1""".stripMargin,
-
-    "txt_bpe_encode_contract" ->
-      """SELECT doc_id,
-        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN length(w) ELSE 1 END))
-        |    AS BIGINT) AS n_before,
-        |  CAST(TRUE AS BOOLEAN) AS ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "txt_pack_sequences" ->
-      """WITH n AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_doc
-        |  FROM documents),
-        | s AS (
-        |  SELECT doc_id, n_doc,
-        |    CAST(COALESCE(SUM(n_doc) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-        |  FROM n),
-        | x AS (
-        |  SELECT doc_id, n_doc, st,
-        |    unnest(generate_series(st // 256, (st + n_doc - 1) // 256)) AS seq_id
-        |  FROM s)
-        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-        |  CAST(GREATEST(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_pos,
-        |  CAST(GREATEST(st, seq_id * 256) - st AS BIGINT) AS doc_pos,
-        |  CAST(LEAST(st + n_doc, (seq_id + 1) * 256) - GREATEST(st, seq_id * 256) AS BIGINT) AS n_toks
-        |FROM x ORDER BY seq_id, doc_id""".stripMargin,
-
-    // The whole mixture chain replayed: temperature rates -> hash-bucket
-    // keep -> floor/ceil upsample copies -> md5 epoch-shuffle rank ->
-    // prefix-sum packing, all integral or IEEE-exact.
-    "pipe_mixture" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        | r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c),
-        | mixed AS (
-        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
-        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000),
-        | up AS (
-        |  SELECT doc_id, lang, text,
-        |    (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
-        |  FROM (SELECT doc_id, lang, text,
-        |          CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
-        |          CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
-        |        FROM mixed)),
-        | ks AS (
-        |  SELECT doc_id * 4 + t.cp AS uid, text
-        |  FROM up, UNNEST(range(copies)) AS t(cp) WHERE copies > 0),
-        | sh AS (
-        |  SELECT uid, text,
-        |    CAST(row_number() OVER (ORDER BY md5('3:' || CAST(uid AS VARCHAR)), uid) - 1 AS BIGINT) AS pos
-        |  FROM ks),
-        | n AS (SELECT pos, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_doc FROM sh),
-        | s AS (SELECT pos, n_doc,
-        |        CAST(COALESCE(SUM(n_doc) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-        |       FROM n),
-        | x AS (SELECT pos, n_doc, st,
-        |        unnest(generate_series(st // 128, (st + n_doc - 1) // 128)) AS seq_id FROM s)
-        |SELECT CAST(seq_id AS BIGINT) AS seq_id, pos,
-        |  CAST(GREATEST(st, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
-        |  CAST(GREATEST(st, seq_id * 128) - st AS BIGINT) AS doc_pos,
-        |  CAST(LEAST(st + n_doc, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128) AS BIGINT) AS n_toks
-        |FROM x ORDER BY seq_id, pos""".stripMargin,
-
-    "txt_rarity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, tok, count(*) AS n_in_doc
-        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |        FROM documents)
-        |  GROUP BY 1, 2),
-        | vocab AS (SELECT tok, sum(n_in_doc) AS corpus_n FROM toks GROUP BY 1)
-        | SELECT t.doc_id, CAST(sum(t.n_in_doc) AS BIGINT) AS n_tokens,
-        |        round(CAST(sum(t.n_in_doc * v.corpus_n) AS DOUBLE)
-        |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS mean_corpus_freq_r,
-        |        round(CAST(sum(CASE WHEN v.corpus_n = 1 THEN t.n_in_doc ELSE 0 END) AS DOUBLE)
-        |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS hapax_frac_r,
-        |        CAST(min(v.corpus_n) AS BIGINT) AS min_corpus_n
-        | FROM toks t JOIN vocab v USING (tok)
-        | GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "txt_perplexity" ->
-      s"""$PerplexityCte
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(COALESCE(p.sum_logp_u, 0) AS BIGINT) AS sum_logp_u,
-        |  CASE WHEN p.n_bigrams IS NULL THEN NULL
-        |       ELSE round(CAST(-p.sum_logp_u AS DOUBLE)
-        |              / CAST(p.n_bigrams AS DOUBLE) / 1000000.0, 5) END AS avg_nll_r
-        |FROM documents d LEFT JOIN pd p USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "txt_dup_spans" ->
-      """WITH sdocs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 700000, text || ' tail marker ' || CAST(doc_id AS VARCHAR)
-        |  FROM documents WHERE doc_id < 50),
-        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM sdocs),
-        | base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
-        | th AS (
-        |  SELECT doc_id, n_tokens,
-        |    list_transform(t, s ->
-        |      CAST(CAST(('0x' || substr(md5(s), 1, 12)) AS UBIGINT) AS BIGINT)) AS v
-        |  FROM base WHERE n_tokens >= 20),
-        | grams AS (
-        |  SELECT doc_id, p,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
-        |      (acc, x) -> ((acc >> 31) * 131 + x) % 2147483647 * 2147483648
-        |                  + ((acc & 2147483647) * 137 + x) % 2147483629) AS h
-        |  FROM th, unnest(range(0, n_tokens - 20 + 1)) u(p)),
-        | dh AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        | marked AS (SELECT g.doc_id, g.p, g.p + 19 AS pe FROM grams g JOIN dh USING (h)),
-        | regs AS (
-        |  SELECT doc_id, p, pe,
-        |    max(pe) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
-        |  FROM marked),
-        | regs3 AS (
-        |  SELECT doc_id, p, pe,
-        |    sum(CASE WHEN rm IS NULL OR p > rm + 1 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY p
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
-        |  FROM regs),
-        | rsum AS (SELECT doc_id, rid, min(p) AS rs, max(pe) AS re FROM regs3 GROUP BY 1, 2),
-        | perdoc AS (
-        |  SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_dup_tokens,
-        |         CAST(count(*) AS BIGINT) AS n_regions
-        |  FROM rsum GROUP BY 1)
-        |SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
-        |  CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
-        |  CAST(COALESCE(p.n_regions, 0) AS BIGINT) AS n_regions,
-        |  round(CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 5) AS dup_frac_r
-        |FROM base b LEFT JOIN perdoc p USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin,
-
-    "txt_repetition" ->
-      """WITH rd AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 400000, repeat('lorem ipsum ', 29) || 'lorem ipsum'
-        |  FROM documents WHERE doc_id < 20),
-        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM rd),
-        | stats AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM toks),
-        | g1 AS (SELECT doc_id, max(c) AS top1 FROM (
-        |   SELECT doc_id, s, count(*) AS c FROM toks, unnest(t) u(s) GROUP BY 1, 2) GROUP BY 1),
-        | g2 AS (SELECT doc_id, max(c) AS top2 FROM (
-        |   SELECT doc_id, s, count(*) AS c FROM toks,
-        |     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(s)
-        |   GROUP BY 1, 2) GROUP BY 1)
-        | SELECT s.doc_id, CAST(n_words AS INTEGER) AS n_words,
-        |   round(CAST(n_distinct AS DOUBLE) / n_words, 5) AS distinct_frac_r,
-        |   round(CAST(top1 AS DOUBLE) / n_words, 5) AS top_word_frac_r,
-        |   round(CAST(top2 AS DOUBLE) / (n_words - 1), 5) AS top_bigram_frac_r,
-        |   (CAST(top1 AS DOUBLE) / n_words <= 0.2 AND
-        |    CAST(top2 AS DOUBLE) / (n_words - 1) <= 0.18) AS keep
-        | FROM stats s JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
-        | ORDER BY doc_id""".stripMargin,
-
-    "txt_pii" ->
-      """WITH pd AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 500000, text || ' contact alice@example.com or call 555-123-4567 now'
-        |  FROM documents WHERE doc_id < 30)
-        | SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
-        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-        |   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii,
-        |  md5(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
-        | FROM pd ORDER BY doc_id""".stripMargin,
-
-    "txt_card_pii" ->
-      """WITH cd AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 730000,
-        |    text || ' pay 4111111111111111 or 5500 0000 0000 0004 not 1234567890123456 end'
-        |  FROM documents WHERE doc_id % 43 = 0),
-        | cands AS (
-        |  SELECT doc_id, text,
-        |    regexp_extract_all(text, '\b(?:\d[ -]?){12,15}\d\b') AS cs
-        |  FROM cd),
-        | vc AS (
-        |  SELECT doc_id, text, cs,
-        |    list_filter(cs, c -> (list_sum(list_transform(
-        |      generate_series(1, len(regexp_extract_all(c, '\d'))),
-        |      i -> (CASE WHEN i % 2 = 0 THEN
-        |              CASE WHEN 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) > 9
-        |                   THEN 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) - 9
-        |                   ELSE 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) END
-        |            ELSE CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) END)))
-        |      % 10 = 0)) AS valid
-        |  FROM cands)
-        |SELECT doc_id,
-        |  CAST(len(cs) AS INTEGER) AS n_candidates,
-        |  CAST(len(valid) AS INTEGER) AS n_valid_cards,
-        |  len(valid) > 0 AS has_card,
-        |  md5(list_reduce(list_prepend(text, valid),
-        |      (acc, c) -> replace(acc, c, '<CARD>'))) AS redacted_md5
-        |FROM vc ORDER BY doc_id""".stripMargin,
-
-    "txt_gopher_rules" ->
-      s"""WITH gd AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 700000, repeat('- item x' || chr(10), 12)
-         |  FROM documents WHERE doc_id % 31 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 710000, repeat('this line trails off...' || chr(10), 10)
-         |  FROM documents WHERE doc_id % 37 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 720000, repeat('tag # word ', 30)
-         |  FROM documents WHERE doc_id % 41 = 0),
-         |${gopherLegs("gd")}
-         |SELECT doc_id, n_words,
-         |  round(mean_word_len, 5) AS mean_word_len_r,
-         |  round(symbol_ratio, 5) AS symbol_ratio_r,
-         |  round(bullet_frac, 5) AS bullet_frac_r,
-         |  round(ellipsis_frac, 5) AS ellipsis_frac_r,
-         |  round(alpha_frac, 5) AS alpha_frac_r,
-         |  stop_hits,
-         |  (${gopherKeepExpr()}) AS keep
-         |FROM gg ORDER BY doc_id""".stripMargin,
-
-    "txt_bm25_topk" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        | tl AS (SELECT doc_id, unnest(t) AS term FROM tok),
-        | q AS (SELECT term FROM (
-        |   SELECT term, count(*) AS c FROM tl GROUP BY 1
-        |   ORDER BY c DESC, term LIMIT 5)),
-        | dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
-        | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |        FROM tl JOIN q USING (term) GROUP BY 1, 2),
-        | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        | sc AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
-        |          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
-        |      * 1000000.0) AS BIGINT) AS cu
-        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-        | agg AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS score_u FROM sc GROUP BY 1),
-        | topd AS (SELECT doc_id, score_u,
-        |   row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank FROM agg)
-        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score_u
-        |FROM topd WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    "smp_ccnet_buckets" ->
-      s"""WITH $PerplexityLegs,
-         |$CcnetBucketLegs
-         |SELECT doc_id, CAST(score_u AS BIGINT) AS score_u, bucket
-         |FROM bks ORDER BY doc_id""".stripMargin,
-
-    "pipe_fineweb" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
-         |${repSignalsLegs("corpus")},
-         | $PerplexityLegs,
-         |$CcnetBucketLegs,
-         | keyd AS (
-         |  SELECT c.doc_id,
-         |    md5(regexp_replace(trim(lower(c.text)), '\\s+', ' ', 'g')) AS k,
-         |    g.gk, r.rk, bk.bucket
-         |  FROM corpus c JOIN gkeep g USING (doc_id)
-         |    JOIN rkeep r USING (doc_id) JOIN bks bk USING (doc_id)),
-         | canon AS (SELECT k, min(doc_id) AS cid FROM keyd WHERE gk AND rk GROUP BY 1)
-         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
-         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
-         |  CAST(sum(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
-         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dedup,
-         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
-         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
-         |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
-         |FROM keyd LEFT JOIN canon USING (k)""".stripMargin,
-
-    "pipe_fineweb_fuzzy" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 800000, text || ' shared tail marker words here'
-         |  FROM documents WHERE doc_id % 23 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 41 = 0),
-         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
-         |${repSignalsLegs("corpus")},
-         | ${perplexityLegs("corpus")},
-         |${ccnetBucketLegs("corpus")},
-         | surv AS (
-         |  SELECT c.doc_id, c.text FROM corpus c
-         |  JOIN gkeep g USING (doc_id) JOIN rkeep r USING (doc_id)
-         |  WHERE g.gk AND r.rk),
-         | shf AS (
-         |  SELECT DISTINCT doc_id, s
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM surv),
-         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
-         | sh1 AS (
-         |  SELECT doc_id,
-         |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-         |  FROM shf),
-         | co AS (
-         |  SELECT i,
-         |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-         |      % 2147483646 + 1 AS a,
-         |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-         |      % 2147483647 AS b
-         |  FROM unnest(range(12)) u(i)),
-         | sig AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
-         |  FROM sh1, co GROUP BY 1, 2),
-         | bandsig AS (
-         |  SELECT doc_id, i // 2 AS band_id,
-         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
-         |  FROM sig GROUP BY 1, 2),
-         | bb AS (SELECT band_id, bh FROM bandsig GROUP BY 1, 2 HAVING count(*) <= 1000),
-         | banded AS (SELECT bs.* FROM bandsig bs JOIN bb USING (band_id, bh)),
-         | cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
-         | inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS i
-         |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
-         |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY 1, 2),
-         | fpairs AS (
-         |  SELECT i.doc_a, i.doc_b
-         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-         |    JOIN sizes sb ON sb.doc_id = i.doc_b
-         |  WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5),
-         | edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
-         |           UNION ALL SELECT doc_b, doc_a FROM fpairs),
-         | reach(node, lbl) AS (
-         |   SELECT doc_id, doc_id FROM surv
-         |   UNION
-         |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
-         | comp AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY 1),
-         | lab AS (
-         |  SELECT c.doc_id, g.gk, r.rk, bk.bucket, cm.cid
-         |  FROM corpus c JOIN gkeep g USING (doc_id) JOIN rkeep r USING (doc_id)
-         |    JOIN bks bk USING (doc_id) LEFT JOIN comp cm USING (doc_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
-         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
-         |  CAST(sum(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
-         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dedup,
-         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
-         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
-         |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
-         |FROM lab""".stripMargin,
-
-    "pipe_dolma" ->
-      s"""WITH docs AS (SELECT doc_id, text FROM documents),
-         | ing AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
-         | corpus AS (
-         |  SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 950000, text FROM ing WHERE doc_id % 21 = 0),
-         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
-         | co AS (SELECT i,
-         |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-         |      % 2147483646 + 1 AS a,
-         |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-         |      % 2147483647 AS b
-         |  FROM unnest(range(3)) u(i)),
-         | rp AS (
-         |  SELECT DISTINCT array_to_string(t[i*10+1 : i*10+10], ' ') AS para
-         |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ing),
-         |       unnest(range(0, (len(t)+9)//10)) u(i)),
-         | rph AS (SELECT para,
-         |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-         |  FROM rp),
-         | bits AS (SELECT DISTINCT (co.a * rph.h + co.b) % 2147483647 % 4096 AS pos
-         |  FROM rph, co),
-         | cp AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i*10+1 : i*10+10], ' ') AS para
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-         |        FROM corpus),
-         |       unnest(range(0, (len(t)+9)//10)) u(i)),
-         | cph AS (SELECT doc_id, para,
-         |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-         |  FROM cp),
-         | cpos AS (SELECT c.doc_id, c.para,
-         |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
-         | probe AS (
-         |  SELECT cpos.doc_id, cpos.para,
-         |    count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN cpos.pos END)
-         |      = count(DISTINCT cpos.pos) AS flagged
-         |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2),
-         | pd AS (
-         |  SELECT p.doc_id,
-         |    sum(CASE WHEN NOT p.flagged THEN 1 ELSE 0 END) AS nkeep,
-         |    sum(CASE WHEN t.para IS NULL THEN 1 ELSE 0 END) AS nkeep_exact,
-         |    sum(CASE WHEN p.flagged AND t.para IS NULL THEN 1 ELSE 0 END) AS nfp
-         |  FROM probe p LEFT JOIN rp t ON t.para = p.para GROUP BY 1),
-         | lab AS (
-         |  SELECT c.doc_id, g.gk,
-         |    COALESCE(pd.nkeep, 0) AS nkeep,
-         |    COALESCE(pd.nkeep_exact, 0) AS nkeep_exact,
-         |    COALESCE(pd.nfp, 0) AS nfp
-         |  FROM corpus c JOIN gkeep g USING (doc_id) LEFT JOIN pd USING (doc_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
-         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-         |  CAST(sum(CASE WHEN gk AND nkeep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
-         |  CAST(sum(CASE WHEN gk AND nkeep_exact > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_exact,
-         |  CAST(sum(CASE WHEN gk THEN nfp ELSE 0 END) AS BIGINT) AS fp_paras_dropped,
-         |  CAST(sum(CASE WHEN gk AND nkeep > 0 THEN doc_id ELSE 0 END) AS BIGINT)
-         |    AS final_id_sum
-         |FROM lab""".stripMargin,
-
-    "txt_c4_rules" -> C4RulesOracle,
-
-    "txt_repetition_full" -> RepSignalsOracle,
-
-    "txt_heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        | e AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
-        | n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM e)
-        |SELECT n.n_tokens,
-        |  CAST((SELECT count(*) FROM e WHERE c * 100 > n.n_tokens) AS BIGINT)
-        |    AS n_heavy_exact,
-        |  TRUE AS cover_ok, TRUE AS bound_ok
-        |FROM n""".stripMargin,
-
-    "smp_token_budget" ->
-      """WITH tok AS (
-        |  SELECT source,
-        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
-        |      AS tokens_available
-        |  FROM documents GROUP BY 1),
-        | w AS (
-        |  SELECT source,
-        |    CAST(CASE WHEN i % 3 = 0 THEN 500
-        |              ELSE 20000 + (i % 7) * 10000 END AS BIGINT) AS weight_ppm
-        |  FROM (SELECT source, CAST(substr(source, 4) AS INTEGER) AS i
-        |        FROM (SELECT DISTINCT source FROM documents))),
-        | plan AS (
-        |  SELECT t.source, t.tokens_available, w.weight_ppm,
-        |    CAST(2000000 * w.weight_ppm // 1000000 AS BIGINT) AS tokens_target
-        |  FROM tok t JOIN w USING (source))
-        |SELECT source, tokens_available, weight_ppm, tokens_target,
-        |  CAST(tokens_target // tokens_available AS BIGINT) AS n_full_epochs,
-        |  CAST((tokens_target % tokens_available) * 1000000 // tokens_available AS BIGINT)
-        |    AS remainder_rate_ppm
-        |FROM plan ORDER BY source""".stripMargin,
-
-    "txt_fertility" ->
-      """SELECT lang,
-        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_words,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_subtokens,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
-        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
-        |    / CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE), 5) AS fertility_r,
-        |  round(CAST(sum(strlen(text)) AS DOUBLE)
-        |    / CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE), 5) AS bytes_per_subtoken_r
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "dd_decontam" ->
-      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-        | corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 600000, 'prelude words ' || text || ' coda words' FROM ev),
-        | evg AS (SELECT DISTINCT s FROM
-        |  (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ev),
-        |  unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) u(s)),
-        | cg AS (SELECT DISTINCT doc_id, s FROM
-        |  (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus),
-        |  unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) u(s)),
-        | hits AS (SELECT doc_id, count(*) AS n_hits FROM cg
-        |          WHERE s IN (SELECT s FROM evg) GROUP BY 1)
-        | SELECT c.doc_id, COALESCE(n_hits, 0) AS n_hits,
-        |        COALESCE(n_hits, 0) > 0 AS contaminated
-        | FROM corpus c LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "dd_semdedup" ->
-      """WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 40),
-        | cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
-        |          FROM embeddings ORDER BY vec_id LIMIT 8),
-        | asg AS (SELECT vec_id, centroid_id FROM (
-        |   SELECT b.vec_id, c.centroid_id, row_number() OVER (PARTITION BY b.vec_id
-        |     ORDER BY list_cosine_similarity(b.e, c.ce) DESC, c.centroid_id) AS r
-        |   FROM base b, cent c) WHERE r = 1),
-        | dom AS (SELECT DISTINCT b.vec_id
-        |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        |  JOIN base ea ON ea.vec_id = a.vec_id
-        |  JOIN base eb ON eb.vec_id = b.vec_id
-        |  WHERE list_cosine_similarity(ea.e, eb.e) >= 0.9)
-        | SELECT a.vec_id, a.centroid_id AS cluster_id, (d.vec_id IS NULL) AS kept
-        | FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id
-        | ORDER BY a.vec_id""".stripMargin
-    // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
-    // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
-    // driver check, but each now has an oracle-checked companion
-    // (dd_minhash_recall, dd_simhash_invariance, txt_fingerprint_invariance,
-    // ann_lsh_recall, dd_embed_lsh_recall) asserting its quality contract.
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.entries.LogEntries.queries ++
+    graft.entries.AdminEntries.queries ++
+    graft.entries.AggGroupTxnEntries.queries ++
+    graft.entries.IngestProtoEntries.queries ++
+    graft.entries.DatalakeTransformEntries.queries ++
+    graft.entries.AnalyticsEntries.queries
+
+  def oracleSql: Map[String, String] =
+    graft.entries.LogEntries.oracleSql ++
+    graft.entries.AdminEntries.oracleSql ++
+    graft.entries.AggGroupTxnEntries.oracleSql ++
+    graft.entries.IngestProtoEntries.oracleSql ++
+    graft.entries.DatalakeTransformEntries.oracleSql ++
+    graft.entries.AnalyticsEntries.oracleSql
 }

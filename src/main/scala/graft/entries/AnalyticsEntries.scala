@@ -1,0 +1,2269 @@
+package graft.entries
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.functions.GraftFunctions
+import graft.groups.ConsumerGroups
+import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
+import graft.model.BatchType
+import graft.operators.Operators
+
+import graft.SparkEntry._
+
+/** Driver-contract entries: training-data pipeline: dedup, similarity, text analysis, multimodal, sampling, cleaning.
+  *
+  * Pure move out of the SparkEntry registry (round 15): the entry and
+  * oracle text is byte-identical to its former in-line spelling; the
+  * combined maps are assembled back in [[graft.SparkEntry]].
+  */
+private[graft] object AnalyticsEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- analytics headliners (Spark built-ins; bench anchors) -----
+    "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
+    "q3_shipping_priority" -> ((s, dir) => q3ShippingPriority(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => q5RegionRevenue(s, dir)),
+
+    // ----- training-data pipeline: dedup -----
+    "dd_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("text_hash")),
+
+    "dd_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashNearDups(T(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleN = 3, k = 16, bands = 8, threshold = 0.05)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dd_minhash_lsh_parity" -> ((s, dir) => {
+      // The standalone LSH near-dup stage under the PARITY hash family
+      // (the fuzzy funnel's machinery surfaced as its own operator):
+      // near-dup plants (every 23rd doc, 5 appended words, Jaccard
+      // ~0.9) sign with k=12 md5-affine minhashes, band r=2 with hot
+      // buckets capped, and exact-Jaccard verify at 0.5. Unlike
+      // dd_minhash_lsh (xxhash64 family, rows-only), the oracle
+      // replays signatures, banding, cap, and verification end-to-end.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" shared tail marker words here")).as("text")))
+      val sh = Dedup.shingled(corpus, col("doc_id"), col("text"), 3)
+        .localCheckpoint(true)
+      val cands = Dedup.lshCandidates(
+        Dedup.minHashSignaturesParity(sh, 12), 12, 6, 1000)
+      Dedup.verifyJaccard(cands, sh).where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 5).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, threshold = 0.05, maxDf = 100)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 5).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simHash(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "dd_simhash_parity" -> ((s, dir) =>
+      // The engine-parity simhash twin: 48-bit md5 token prefixes supply
+      // the per-token bits, so the oracle recomputes every print exactly
+      // (the 64-bit xxhash64 variant above stays rows-only).
+      Dedup.simHashParity(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // Driver-checkable LSH quality assertions: recall vs the exact
+    // (oracle-verified) counterpart, plus precision-by-construction.
+    "dd_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      // one shingling pass feeds both the exact and the LSH method.
+      // Recall is measured over exact pairs AT/ABOVE the banding design
+      // threshold (b=8, r=2 -> S-curve midpoint (1-2^(-1/8))^(1/2) ~
+      // 0.29; 0.2 bounds it): pairs below the design point have
+      // near-zero collision probability BY CONSTRUCTION — that is what
+      // choosing banding parameters means — so they are out of
+      // contract (at sf0.1 a [0.05, 0.2) tail of border pairs exists
+      // and would misread as lost recall).
+      val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).cache()
+      try {
+        val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
+        val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
+        // ONE evaluation of each DAG (the recallOf shape): the pair sets
+        // are tiny; count + join-count would run both plans twice
+        val (nExact, hit) = recallOf(exact, lsh)
+        // an empty denominator is a vacuously satisfied contract, not NaN
+        Seq(("minhash_recall_ge_75", nExact,
+          nExact == 0 || hit.toDouble / nExact >= 0.75))
+          .toDF("check", "n_exact", "ok")
+      } finally sh.unpersist()
+    }),
+
+    "ann_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5).select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, lsh)
+      // This synthetic corpus is adversarial for LSH: random Gaussian
+      // vectors put the true top-5 at cos ~0.3, where banded collision
+      // probability is barely above noise (measured 0.36-0.48 across
+      // SFs). 0.25 pins the floor without loosening the buckets into a
+      // de-facto cross join; the clustered-data unit test holds the
+      // >= 2/3 recall bar real embedding corpora give.
+      Seq(("ann_recall_at5_ge_25", n, hit.toDouble / n >= 0.25))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "dd_embed_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val exact = Similarity.cosineNearDupsExact(emb, 0.4).select("vec_a", "vec_b")
+      val lsh = Similarity.cosineNearDups(emb, 64, 0.4).select("vec_a", "vec_b")
+      val nExact = exact.count()
+      val hit = exact.join(lsh, Seq("vec_a", "vec_b")).count()
+      val spurious = lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti").count()
+      // 0.4 is far below the near-dup regime the banding targets (scaladoc
+      // documents the recall math); assert the documented floor AND that
+      // the verify stage keeps precision exact (no spurious pairs).
+      Seq(("embed_lsh_recall_ge_15_precision_1", nExact,
+        hit.toDouble / nExact >= 0.15 && spurious == 0))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "dd_simhash_invariance" -> ((s, dir) => {
+      // Case/whitespace invariance proven on constructed variants (the
+      // corpus has no planted duplicates): upper-cased, padded text must
+      // fingerprint identically.
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val variant = docs.select(col("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+      val a = Dedup.simHash(docs, col("doc_id"), col("text"))
+        .withColumnRenamed("simhash", "fp_a")
+      val b = Dedup.simHash(variant, col("doc_id"), col("text"))
+        .withColumnRenamed("simhash", "fp_b")
+      a.join(b, "doc_id")
+        .select(col("doc_id"), (col("fp_a") === col("fp_b")).as("invariant"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- training-data pipeline: similarity search -----
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("vec_id"), col("rank"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_parity_topk" -> ((s, dir) => {
+      // Integer-parity ANN ranking: micro-unit quantization + exact
+      // int64 inner products + vec_id tie-break, so DuckDB replays the
+      // FULL ranking bit-for-bit (the certification leg for the top-k
+      // machinery; the float ann_* variants keep recall contracts).
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.quantizedTopK(emb, queries, 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_hard_negatives" -> ((s, dir) => {
+      // Contrastive triplet mining over the labeled embedding corpus:
+      // per anchor, the top same-label positive and the 3 most-similar
+      // cross-label hard negatives with the pos-neg margin. The oracle
+      // recomputes every cosine, both rank windows, and the margins.
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      Similarity.mineTriplets(emb, queries, kNeg = 3)
+        .select(col("query_id"), col("pos_id"), round(col("pos_cos"), 5).as("pos_cos_r"),
+          col("neg_id"), round(col("neg_cos"), 5).as("neg_cos_r"), col("neg_rank"),
+          round(col("margin"), 5).as("margin_r"))
+        .orderBy("query_id", "neg_rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(emb, queries, dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      // Matryoshka-style truncated-dimension retrieval: score with only
+      // the leading 48 of 64 dims (a 25% FLOP cut; MRL-trained models
+      // make the prefix carry most of the signal — these synthetic
+      // embeddings have no such structure, so the measured 0.44-0.52
+      // recall is the honest un-trained floor) and pin recall@10
+      // against the full-dimension exact top-k.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 10).select("query_id", "vec_id")
+      val embT = emb.withColumn("embedding", slice(col("embedding"), 1, 48))
+      val qT = queries.withColumn("query_vec", slice(col("query_vec"), 1, 48))
+      val tr = Similarity.bruteForceTopK(embT, qT, 10).select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, tr)
+      Seq(("ann_matryoshka48_recall_at10_ge_30", n, hit.toDouble / n >= 0.30))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val ivf = Similarity.ivfTopK(emb, queries, 5).select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, ivf)
+      // measured 0.52-0.72 across SFs while scoring ~nProbe/nLists = 25%
+      // of the corpus; 0.4 pins the floor
+      Seq(("ann_ivf_recall_at5_ge_40", n, hit.toDouble / n >= 0.4))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // IVFADC: coarse quantizer prunes to nProbe/nLists of the corpus,
+      // residual-PQ codes score candidates via 2m table lookups, exact
+      // re-rank on the shortlist.
+      val emb = normEmbeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
+          ivfPqIndex(s, dir), 5, rerank = 50)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = normEmbeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val got = Similarity.ivfPqQueryFromCodes(ivfPqCodes(s, dir), emb, queries,
+          ivfPqIndex(s, dir), 5, rerank = 50)
+        .select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, got)
+      // recall is capped by coarse-probe coverage (nProbe/nLists = 25% of
+      // the corpus scanned); the floor pins the contract
+      Seq(("ann_ivfpq_recall_at5_ge_30", n, hit.toDouble / n >= 0.3))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    // PQ ADC scan + exact re-rank: the compressed-domain scan never reads
+    // raw vectors (16 byte-ish codes per 64-dim vector); rerank=100 raw
+    // fetches per query restore exact ordering on the shortlist.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = normEmbeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
+          pqModel(s, dir), 5, rerank = 100)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 5).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = normEmbeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val pq = Similarity.pqTopKFromCodes(pqCodes(s, dir), emb, queries,
+          pqModel(s, dir), 5, rerank = 50)
+        .select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, pq)
+      // measured 1.00 at sf0.001/sf0.01 (ADC@50 shortlist covers the true
+      // top-5 even on this adversarial Gaussian corpus); 0.6 pins the
+      // floor with headroom for codebook variance across partitionings
+      Seq(("ann_pq_recall_at5_ge_60", n, hit.toDouble / n >= 0.6))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "dd_embed_cosine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      Similarity.cosineNearDupsExact(emb, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    "dd_embed_cosine_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      Similarity.cosineNearDups(emb, dim = 64, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // ----- training-data pipeline: text analysis -----
+    "txt_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "txt_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(T(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "txt_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "txt_langid_profile" -> ((s, dir) => {
+      // Cavnar-Trenkle (1994) rank-profile language ID: char-trigram
+      // top-50 profiles train on the EVEN half of genuinely-labeled
+      // plants (the corpus' own lang labels sit on identical word
+      // salad, so plants carry the real per-language text — with
+      // accented and CJK scripts); the odd half of plants AND corpus
+      // classifies by the out-of-place measure. Plant rows must land
+      // on the diagonal; salad rows disperse deterministically. The
+      // oracle recomputes profiles, ranks, penalties, and argmins.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val plantBase = docs.where(col("doc_id") % 17 === 0)
+      val plants = LangPhrases.zipWithIndex.map { case ((l, phrase), li) =>
+        plantBase.select(
+          (lit(900000L) + col("doc_id") * 5 + li).as("doc_id"),
+          lit(l).as("lang"),
+          concat_ws("", array_repeat(lit(phrase),
+            (pmod(col("doc_id"), lit(3)) + 2).cast("int"))).as("text"))
+      }.reduce(_ unionByName _)
+      val all = docs.unionByName(plants)
+      val profiles = TextAnalysis.languageProfiles(
+        plants.where(col("doc_id") % 2 === 0), col("lang"), col("text"))
+      TextAnalysis.classifyByProfile(
+          all.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"), profiles)
+        .join(all.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+        .groupBy((col("doc_id") >= 900000L).as("is_plant"),
+          col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"), sum("distance").as("dist_sum"))
+        .orderBy("is_plant", "true_lang", "pred_lang")
+    }),
+
+    "txt_compress_contract" -> ((s, dir) => {
+      // zlib compression-ratio quality signal (the Data-Juicer /
+      // MassiveText-style redundancy filter): planted repetitive text,
+      // the prose corpus, and hex-noise plants must order strictly by
+      // ratio. Deflate bytes are JVM-deterministic but not SQL-
+      // reproducible, so the oracle certifies the ORDERING contract
+      // (measured margins at sf0.01: repeat ≤ 58k ppm, prose ≥ 398k,
+      // noise 587k-607k) plus corpus-derived class counts.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val repeat = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("lorem ipsum dolor sit amet " * 30),
+            col("doc_id").cast("string")).as("text"))
+      val noise = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 650000).as("doc_id"),
+          concat((0 until 10).map(i =>
+            md5(concat(col("doc_id").cast("string"), lit(s":$i")))): _*).as("text"))
+      val r = TextAnalysis.compressionRatio(
+          docs.unionByName(repeat).unionByName(noise), col("doc_id"), col("text"))
+        .withColumn("cls", when(col("doc_id") >= 650000, "noise")
+          .when(col("doc_id") >= 600000, "repeat").otherwise("salad"))
+      r.groupBy("cls").agg(count(lit(1)).as("n"),
+          min("ratio_ppm").as("mn"), max("ratio_ppm").as("mx"),
+          expr("percentile(ratio_ppm, 0.5)").as("md"))
+        .agg(
+          max(when(col("cls") === "repeat", col("n"))).as("n_repeat"),
+          max(when(col("cls") === "salad", col("n"))).as("n_salad"),
+          max(when(col("cls") === "noise", col("n"))).as("n_noise"),
+          (max(when(col("cls") === "repeat", col("mx"))) <
+            max(when(col("cls") === "salad", col("mn")))).as("repeat_lt_prose"),
+          (max(when(col("cls") === "salad", col("md"))) <
+            max(when(col("cls") === "noise", col("md")))).as("prose_lt_noise_median"),
+          (max(when(col("cls") === "repeat", col("mx"))) < 200000L).as("repeat_band_ok"),
+          (max(when(col("cls") === "noise", col("mn"))) > 450000L).as("noise_band_ok"))
+    }),
+
+    "txt_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "txt_fingerprint_invariance" -> ((s, dir) =>
+      // The rolling hash must ignore case/leading whitespace but react to
+      // any content change (order-sensitive chain).
+      T(s, dir, "documents").select(col("doc_id"),
+          (TextAnalysis.fingerprint(col("text")) ===
+            TextAnalysis.fingerprint(concat(lit("  "), upper(col("text"))))).as("case_ws_invariant"),
+          (TextAnalysis.fingerprint(col("text")) =!=
+            TextAnalysis.fingerprint(concat(col("text"), lit(" xyzzy")))).as("content_sensitive"))
+        .orderBy("doc_id")),
+
+    "txt_fingerprint_parity" -> ((s, dir) => {
+      // The engine-parity fingerprint: 48-bit md5 token prefixes through
+      // the packed double polynomial fold (the codegen'd poly_fingerprint
+      // kernel). Unlike the xxhash64 chain (rows-only), the oracle
+      // replays every print bit-exactly via list_reduce.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintParity(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- training-data pipeline: multimodal plumbing -----
+    "mm_media_meta" -> ((s, dir) => {
+      // Runs the REAL mapPartitions decode path (stub codec, declared in
+      // Multimodal.MediaCodec): binary payloads in, typed features out.
+      implicit val sp: SparkSession = s
+      val media = graft.analytics.Multimodal.fakeMediaFromText(T(s, dir, "documents"))
+      graft.analytics.Multimodal.extractFeatures(media).toDF()
+        .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    }),
+
+    "mm_header_parse" -> ((s, dir) => {
+      // REAL container-header parsing (no codec needed): synthesize a
+      // valid PNG / GIF / JPEG header per doc (format by id%3, dims and
+      // padding id-derived), then parse the bytes back through the
+      // mapPartitions batch path. The oracle recomputes the planted
+      // values arithmetically — a wrong byte order, offset, or marker
+      // walk shows up as a dimension mismatch.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      graft.analytics.Multimodal.parseHeaders(
+          graft.analytics.Multimodal.synthesizeMedia(ids)).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      // 1->N frame extraction through the real mapPartitions/flatMap
+      // path: video payloads (stub n_frames = 1 + len % 30) sampled
+      // every 7th frame at 25 fps stamps.
+      implicit val sp: SparkSession = s
+      val media = graft.analytics.Multimodal.fakeMediaFromText(
+        T(s, dir, "documents"), mime = "video/fake")
+      graft.analytics.Multimodal.sampleFrames(media, everyK = 7).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- training-data pipeline: clustering, sampling, cleaning -----
+    "dd_bloom_dedup" -> ((s, dir) => {
+      // Dolma-style cross-shard Bloom dedup: the already-ingested shard
+      // (doc_id % 3 == 0) folds its 10-token paragraphs into a 4096-bit
+      // filter (k=3, parity hash family); the incoming shard — plus
+      // re-crawled exact copies of every 21st ingested doc — probes it.
+      // One-sided: every true re-crawl paragraph flags (n_flagged >=
+      // n_true always); the small bit array makes false positives
+      // deterministic and visible, and the oracle replays the exact
+      // bit array, probe, and truth columns.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      def paras(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) > 0)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), floor((size(col("__t")) + 9) / 10) - 1),
+          i => concat_ws(" ", slice(col("__t"), i * 10 + 1, lit(10))))).as("para"))
+        .distinct()
+      val ref = docs.where(col("doc_id") % 3 === 0)
+      val cands = docs.where(col("doc_id") % 3 =!= 0)
+        .unionByName(ref.where(col("doc_id") % 21 === 0)
+          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
+      val refParas = paras(ref)
+      val bits = Dedup.bloomBits(refParas, col("para"), mBits = 4096L, k = 3)
+      val probed = Dedup.bloomProbe(paras(cands), col("doc_id"), col("para"),
+        bits, mBits = 4096L, k = 3)
+      val truth = refParas.select(col("para").as("key")).distinct()
+        .withColumn("__t", lit(1))
+      probed.join(truth, Seq("key"), "left")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(col("possibly_present").cast("long")).as("n_flagged"),
+          count(col("__t")).as("n_true"))
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_flagged"),
+          col("n_true"), (col("n_flagged") > 0).as("any_flagged"),
+          (col("n_true") > 0).as("any_true"))
+        .orderBy("doc_id")
+    }),
+
+    "dd_url_dedup" -> ((s, dir) => {
+      // URL-canonicalization dedup (the CommonCrawl stage-0): each
+      // logical page (page = doc_id div 3) is planted as THREE crawl
+      // spellings — tracking params + unsorted query + fragment /
+      // uppercase scheme+host + default port / plain unsorted — with
+      // https:443 twists every 5th page and a no-path group every
+      // 11th. Canonicalization collapses each page's spellings to one
+      // key; dedup keeps the minimum doc id. The oracle replays the
+      // URL construction AND the normalization in SQL.
+      val page = expr("doc_id div 3")
+      val v = pmod(col("doc_id"), lit(3))
+      val h = concat(lit("www.s"), pmod(page, lit(7)), lit(".example.com"))
+      val sec = pmod(page, lit(5)) === 0
+      val sch = when(sec, "https://").otherwise("http://")
+      val schUp = when(sec, "HTTPS://").otherwise("HTTP://")
+      val prt = when(sec, ":443").otherwise(":80")
+      val url = when(pmod(page, lit(11)) === 0,
+          when(v === 0, concat(lit("http://"), h, lit("#frag")))
+            .when(v === 1, concat(lit("HTTP://"), upper(h), lit(":80/")))
+            .otherwise(concat(lit("http://"), h)))
+        .otherwise(
+          when(v === 0, concat(sch, h, lit("/p/"), page,
+              lit("?id="), page, lit("&ref=rss&b=2&a=1#top")))
+            .when(v === 1, concat(schUp, upper(h), prt, lit("/p/"), page,
+              lit("?a=1&b=2&id="), page, lit("&utm_campaign=x")))
+            .otherwise(concat(sch, h, lit("/p/"), page,
+              lit("?a=1&id="), page, lit("&b=2"))))
+      val crawls = T(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      Dedup.urlDedup(crawls, col("doc_id"), col("url"))
+        .orderBy("canonical_url")
+    }),
+
+    "dd_cluster" -> ((s, dir) => {
+      // Near-dup pairs (exact n-gram Jaccard, the oracle-provable
+      // candidate source) -> connected components -> per-doc cluster id
+      // with the min-id canonical flag. Singletons cluster to themselves.
+      val docs = T(s, dir, "documents")
+      // maxDf = 100: identical pair set on this corpus (clone shingles
+      // are rare), but the shingle self-join intermediate shrinks ~4x —
+      // the Σdf² term is the whole cost of the exact companion
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.05, maxDf = 100)
+        .select("doc_a", "doc_b")
+      Dedup.connectedComponents(pairs, docs.select("doc_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") === col("doc_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    "dd_line_dedup" -> ((s, dir) => {
+      // C4-style boilerplate-line removal: a newsletter header planted
+      // on every 3rd doc and a rights footer on every 4th cross the
+      // 10-distinct-docs threshold and are stripped corpus-wide; a
+      // once-per-50-docs promo line is rare and survives, as does every
+      // (unique) original text. Output hashes the surviving text so the
+      // compare is exact on content AND line order.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val multi = docs.withColumn("text", concat(
+        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nAll rights reserved")).otherwise(lit("")),
+        when(col("doc_id") % 50 === 0,
+          concat(lit("\npromo code "), col("doc_id"))).otherwise(lit(""))))
+      Dedup.dedupLines(multi, col("doc_id"), col("text"), maxDocs = 10)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          length(col("text")).as("len"))
+        .orderBy("doc_id")
+    }),
+
+    "smp_split" -> ((s, dir) =>
+      Sampling.split(T(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    "smp_upsample" -> ((s, dir) =>
+      // Repeat-factor upsampling (the epoch-repeat rule for rare
+      // strata): de x2.5, fr x3, everything else passes through once.
+      // Each row contributes floor(f) or ceil(f) copies by hash bucket.
+      Sampling.upsampleRepeat(T(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("de" -> 2.5, "fr" -> 3.0))
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")),
+
+    "smp_source_cap" -> ((s, dir) => {
+      // Per-source share cap at 30%: the corpus plus planted extra src0
+      // docs (doc_id+500000 for the first 40% of ids) makes src0
+      // over-represented — it alone thins to cap/share; every other
+      // source passes whole. The domain-cap rule pretraining mixes
+      // apply before temperature rebalancing.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val maxId = docs.agg(max("doc_id")).first().getLong(0)
+      val planted = docs.where(col("doc_id") < (maxId + 1) * 2 / 5)
+        .select((col("doc_id") + 500000).as("doc_id"), lit("src0").as("source"))
+      Sampling.capSourceShare(docs.unionByName(planted), col("doc_id"), col("source"),
+          cap = 0.30)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    "smp_epoch_shuffle" -> ((s, dir) =>
+      // Global deterministic permutation for epoch 7 — two-phase bucketed
+      // rank, no corpus-wide window (the oracle's row_number IS one; the
+      // engine must re-derive the identical order scalably).
+      Sampling.epochShuffle(T(s, dir, "documents"), col("doc_id"), epoch = 7)
+        .select("doc_id", "pos")
+        .orderBy("doc_id")),
+
+    "smp_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.8, "zh" -> 0.0), defaultRate = 0.2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "smp_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(T(s, dir, "documents"), col("doc_id"), col("lang"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "smp_topk_group" -> ((s, dir) =>
+      Sampling.topKPerGroup(T(s, dir, "documents"), col("source"), col("doc_id"), 3)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")),
+
+    "txt_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"), col("text"), 20)),
+
+    "smp_dsir" -> ((s, dir) => {
+      // DSIR importance resampling: the 'en' slice is the target
+      // domain, the full corpus the raw pool; hashed-bigram LLR scores
+      // in integer micro-units plus hash-derived Gumbel noise pick
+      // k=100 docs without replacement. The oracle recomputes every
+      // bucket LLR, every score, and the exact top-k cut.
+      val docs = T(s, dir, "documents")
+      Sampling.importanceResample(docs, docs.where(col("lang") === "en"),
+          col("doc_id"), col("text"), k = 100)
+        .orderBy("doc_id")
+    }),
+
+    "txt_classifier_score" -> ((s, dir) => {
+      // Model-based quality filter: a 64-bucket hashed-linear classifier
+      // with deterministic integer pseudo-weights w(b) = (b*37) % 13 - 6
+      // (production loads trained weights; the DATAFLOW — broadcast
+      // model, narrow hash-projection, integer-exact margins — is what
+      // runs at 100 TB). The oracle re-derives every margin.
+      import s.implicits._
+      val weights = (0L until 64L).map(b => (b, (b * 37) % 13 - 6))
+        .toDF("bucket", "weight")
+      TextAnalysis.hashedLinearScore(T(s, dir, "documents"), col("doc_id"),
+          col("text"), weights, buckets = 64, bias = 2L)
+        .orderBy("doc_id")
+    }),
+
+    "txt_sketch_contract" -> ((s, dir) =>
+      // HLL cardinality + approx-percentile error contracts: at 100 TB
+      // only the sketch side runs (fixed-size partial aggregates); here
+      // the exact companions certify the bound. The oracle re-derives
+      // exact_vocab independently and pins the certified booleans.
+      Sketches.sketchContracts(T(s, dir, "documents"), col("text"), col("n_chars"))),
+
+    "txt_tokens_bpe" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "txt_perplexity" -> ((s, dir) =>
+      // CCNet-style hashed bigram-LM quality filter: the model trains
+      // on the 'en' slice (two broadcast count tables) and every doc
+      // scores its mean per-bigram negative log-likelihood in integer
+      // micro-units. The oracle retrains the model and rescores every
+      // document.
+      TextAnalysis.bigramPerplexity(T(s, dir, "documents"),
+          T(s, dir, "documents").where(col("lang") === "en"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "txt_dup_spans" -> ((s, dir) =>
+      // Exact repeated-span detection (the ExactSubstr-dedup primitive,
+      // k-gram-bucketed so it distributes): 20-token windows hash, a
+      // hash in >= 2 docs marks its span, per-doc spans merge into
+      // maximal regions. Planted partial copies share their prefix;
+      // short docs carry no windows. The oracle recomputes every
+      // window hash, the duplicate set, and the interval merge.
+      TextAnalysis.duplicateSpans(spanDocs(s, dir), col("doc_id"), col("text"), k = 20)
+        .orderBy("doc_id")),
+
+    "pipe_clean" -> ((s, dir) =>
+      CleanPipeline.clean(plantedDocs(s, dir), col("doc_id"), col("text"))
+        .select("doc_id", "copies")
+        .orderBy("doc_id")),
+
+    "pipe_clean_funnel" -> ((s, dir) =>
+      CleanPipeline.funnel(plantedDocs(s, dir), col("doc_id"), col("text"))),
+
+    "txt_chunks" -> ((s, dir) =>
+      // Token-window chunking: 32-token windows, 8-token overlap (the
+      // documents corpus averages ~55 tokens, so most docs split into
+      // 2-3 overlapping chunks); chunk text hashed to bound the payload.
+      TextAnalysis.chunkDocuments(T(s, dir, "documents"), col("doc_id"), col("text"),
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("start_pos"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    "txt_bpe_merges" -> ((s, dir) =>
+      // Learned subword merge table (30 merges) — deterministic
+      // (lexicographic tie-break, integral counts) but not
+      // SQL-expressible beyond rank 1 (iterative re-counting);
+      // rows-only, with txt_bpe_learn_contract as the oracled anchor.
+      TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 30)
+        .orderBy("rank")),
+
+    "txt_bpe_learn_contract" -> ((s, dir) =>
+      // The FIRST merge is SQL-expressible: the corpus-wide argmax
+      // adjacent character pair weighted by word frequency. The oracle
+      // recomputes it independently in DuckDB. (maxWords cap left at its
+      // 100k default — far above the corpus vocabulary, so the oracle's
+      // uncapped count sees identical mass.)
+      TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 1)
+        .select("left", "right", "pair_count")),
+
+    "txt_bpe_encode_contract" -> ((s, dir) => {
+      // Encode the corpus with the learned merges. Per doc the un-merged
+      // symbol count is SQL-exact (letters per letter-word, 1 per other
+      // token); the encoded count must stay within [n_tokens, n_before].
+      import s.implicits._
+      val merges = TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"),
+          nMerges = 30)
+        .select("left", "right", "rank").as[(String, String, Int)].collect().toSeq
+      val encCount = TextAnalysis.bpeEncodedCount(merges)
+      val t = TextAnalysis.tokens(col("text"))
+      val nBefore = aggregate(
+        transform(t, w => when(w.rlike("^[a-z]+$"), length(w)).otherwise(lit(1))),
+        lit(0), (a, x) => a + x).cast("long")
+      T(s, dir, "documents")
+        .select(col("doc_id"), nBefore.as("n_before"), size(t).as("n_toks"),
+          encCount(col("text")).as("n_enc"))
+        .select(col("doc_id"), col("n_before"),
+          (col("n_enc") <= col("n_before") && col("n_enc") >= col("n_toks")).as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_pack_sequences" -> ((s, dir) =>
+      // Pretraining sequence packing: the corpus concatenated in doc_id
+      // order and cut into 256-token sequences; one row per
+      // (sequence, document-span), documents split at boundaries.
+      TextAnalysis.packSequences(T(s, dir, "documents"), col("doc_id"), col("text"),
+          contextLen = 256)
+        .orderBy("seq_id", "doc_id")),
+
+    "txt_rarity" -> ((s, dir) =>
+      // Round the two ratio columns to 5 places (repo convention for every
+      // double output — raw IEEE doubles defeat the driver's hash compare).
+      TextAnalysis.rarityFeatures(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_corpus_freq"), 5).as("mean_corpus_freq_r"),
+          round(col("hapax_frac"), 5).as("hapax_frac_r"),
+          col("min_corpus_n"))
+        .orderBy("doc_id")),
+
+    "pipe_mixture" -> ((s, dir) => {
+      // The full mixture-construction pipeline composed end-to-end:
+      // temperature-rebalance the corpus, upsample rare strata (de x2.5,
+      // fr x3), epoch-3 deterministic shuffle, then pack the SHUFFLED
+      // stream into 128-token sequences (the shuffle's dense `pos` keys
+      // the packing order). Each stage is an already-oracled operator;
+      // the oracle replays the whole chain in SQL keyed by the composite
+      // uid = doc_id*4 + copy. Every boundary in the final packing
+      // depends on every upstream decision, so one hash-match certifies
+      // the entire composition bit-for-bit.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val mixed = Sampling.temperatureMixture(docs, col("doc_id"), col("lang"))
+      val up = Sampling.upsampleRepeat(mixed, col("doc_id"), col("lang"),
+        Map("de" -> 2.5, "fr" -> 3.0))
+      val keyed = up.select((col("doc_id") * 4 + col("copy")).as("uid"), col("text"))
+      val shuffled = Sampling.epochShuffle(keyed, col("uid"), epoch = 3)
+      TextAnalysis.packSequences(shuffled, col("pos"), col("text"), contextLen = 128)
+        .withColumnRenamed("doc_id", "pos")
+        .orderBy("seq_id", "pos")
+    }),
+
+    "txt_repetition" -> ((s, dir) =>
+      // Corpus plus planted degenerate docs (doc_id+400000: 30x-repeated
+      // two-word phrase) — natural word-salad prose passes the Gopher
+      // thresholds, the planted boilerplate must fail them.
+      TextAnalysis.repetitionFeatures(repetitiveDocs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("distinct_frac"), 5).as("distinct_frac_r"),
+          round(col("top_word_frac"), 5).as("top_word_frac_r"),
+          round(col("top_bigram_frac"), 5).as("top_bigram_frac_r"),
+          col("keep"))
+        .orderBy("doc_id")),
+
+    "txt_pii" -> ((s, dir) =>
+      // Corpus plus planted PII carriers (doc_id+500000: an email and a
+      // phone number appended) — originals must scan clean, plants must
+      // count 1+1 and redact to placeholder text.
+      TextAnalysis.piiFeatures(piiDocs(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "txt_card_pii" -> ((s, dir) =>
+      // Luhn-validated card detection: plants carry three 13-16-digit
+      // candidates of which exactly two pass the mod-10 checksum — only
+      // those two count and redact; the failing run survives untouched.
+      // The oracle replays the checksum with nested DuckDB list lambdas.
+      TextAnalysis.cardPiiFeatures(cardDocs(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "txt_gopher_rules" -> ((s, dir) =>
+      // The Gopher quality battery (Rae et al. 2021 §A1.1): seven rules
+      // over the corpus plus planted bullet/ellipsis/symbol degenerates.
+      // Ratios are single divisions of exact ints, rounded to 5 places
+      // at the output boundary only.
+      TextAnalysis.gopherRules(gopherDocs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 5).as("mean_word_len_r"),
+          round(col("symbol_ratio"), 5).as("symbol_ratio_r"),
+          round(col("bullet_frac"), 5).as("bullet_frac_r"),
+          round(col("ellipsis_frac"), 5).as("ellipsis_frac_r"),
+          round(col("alpha_frac"), 5).as("alpha_frac_r"),
+          col("stop_hits"), col("keep"))
+        .orderBy("doc_id")),
+
+    "txt_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval: query = the corpus's 5 most frequent tokens
+      // (deterministic tie-break), top-20 documents by the exact
+      // integer micro-unit score. The oracle recomputes idf/tf/avgdl
+      // with the identical expression shape.
+      val docs = T(s, dir, "documents")
+      val q = TextAnalysis.vocabulary(docs, col("text"), 5)
+        .select(col("tok").as("term"))
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), q, k = 20)
+        .orderBy("rank")
+    }),
+
+    "smp_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail stratification: exact integer mean-NLL
+      // sort key, two-phase range rank, equal-mass thirds. The oracle
+      // replays the rank with one SQL row_number over the same scores.
+      val docs = T(s, dir, "documents")
+      graft.analytics.Sampling.perplexityBuckets(
+          TextAnalysis.bigramPerplexity(docs, docs.where(col("lang") === "en"),
+            col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "pipe_fineweb" -> ((s, dir) => {
+      // The modern curation recipe end-to-end over the raw corpus:
+      // Gopher quality battery AND repetition battery -> exact dedup
+      // (first id wins on normalized text) -> drop the CCNet
+      // perplexity tail. One row of funnel counts plus the exact
+      // doc-id sum of the final set — the oracle recomputes every
+      // stage from its own shared legs.
+      val docs = T(s, dir, "documents")
+      val buckets = graft.analytics.Sampling.perplexityBuckets(
+        TextAnalysis.bigramPerplexity(docs, docs.where(col("lang") === "en"),
+          col("doc_id"), col("text")))
+      // corpus-calibrated gates (the synthetic salad carries at most one
+      // canonical stop word and ~54 words/doc); same battery, same rules
+      CleanPipeline.fineWebFunnel(docs, col("doc_id"), col("text"), buckets,
+        minWords = 30, minStopHits = 1)
+    }),
+
+    "pipe_fineweb_fuzzy" -> ((s, dir) => {
+      // The funnel with the dedup stage the real FineWeb recipe uses:
+      // MinHash-LSH near-dup clustering instead of exact text hashing.
+      // Plants: every 23rd doc gets a NEAR-dup copy (5 appended words,
+      // Jaccard ~0.9 — exact dedup would MISS it), every 41st an exact
+      // copy. Survivor shingles sign with the parity hash family, band
+      // (r=2, hot buckets capped), Jaccard-verify at 0.5, and cluster;
+      // min id per cluster survives into the CCNet tail drop. The
+      // oracle replays signatures, banding, verification, and a
+      // recursive-CTE component labeling end-to-end.
+      val docs = T(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(col("text"), lit(" shared tail marker words here")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+      val buckets = graft.analytics.Sampling.perplexityBuckets(
+        TextAnalysis.bigramPerplexity(corpus, docs.where(col("lang") === "en"),
+          col("doc_id"), col("text")))
+      CleanPipeline.fineWebFunnelFuzzy(corpus, col("doc_id"), col("text"),
+        buckets, minWords = 30, minStopHits = 1)
+    }),
+
+    "pipe_dolma" -> ((s, dir) => {
+      // Dolma curation funnel: the Gopher battery gates the incoming
+      // shard, then cross-shard paragraph Bloom dedup fires INSIDE
+      // the funnel — the ingested shard (doc_id % 3 == 0) folds its
+      // 10-token paragraphs into the 4096-bit filter (k=3, parity
+      // family); incoming docs (plus re-crawled exact copies of every
+      // 21st ingested doc) probe it, possibly-present paragraphs
+      // drop, and a doc survives with >= 1 retained paragraph. The
+      // exact companion runs beside the probe, so the one funnel row
+      // also prices the small filter's false-positive loss
+      // (n_exact - n_bloom docs, fp_paras_dropped paragraphs). Stage
+      // counts + final id-sum; the oracle replays battery, bit
+      // array, probe, and truth. Reuses Dedup.bloomBits/bloomProbe
+      // unchanged.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ingested = docs.where(col("doc_id") % 3 === 0)
+      val incoming = docs.where(col("doc_id") % 3 =!= 0)
+        .unionByName(ingested.where(col("doc_id") % 21 === 0)
+          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
+      CleanPipeline.dolmaFunnel(incoming, ingested, col("doc_id"),
+        col("text"), mBits = 4096L, k = 3, paraTokens = 10,
+        minWords = 30, minStopHits = 1)
+    }),
+
+    "txt_c4_rules" -> ((s, dir) => {
+      // C4 cleaning (Raffel et al. 2020): word-salad docs mostly fail
+      // (no terminal punctuation), planted well-formed pages pass, and
+      // plants carrying javascript lines / braces / lorem ipsum fail
+      // their specific rules. cleaned_md5 pins the kept-line output.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val goodPage = C4GoodPage
+      val plants = docs.where(col("doc_id") % 59 === 0)
+        .select((col("doc_id") + 760000).as("doc_id"), lit(goodPage).as("text"))
+        .union(docs.where(col("doc_id") % 61 === 0)
+          .select((col("doc_id") + 770000).as("doc_id"),
+            lit(goodPage + "\nPlease enable javascript to continue browsing.")
+              .as("text")))
+        .union(docs.where(col("doc_id") % 67 === 0)
+          .select((col("doc_id") + 780000).as("doc_id"),
+            lit(goodPage + " { config }").as("text")))
+      TextAnalysis.c4Rules(docs.union(plants), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_repetition_full" -> ((s, dir) => {
+      // The complete Gopher repetition battery over the corpus plus the
+      // phrase-repeat plants (doc_id+400000) and planted duplicate-line
+      // docs (doc_id+740000). keep applies the published thresholds on
+      // the unrounded fractions; outputs are rounded at the boundary.
+      val docs = repetitiveDocs(s, dir)
+        .union(T(s, dir, "documents").where(col("doc_id") % 47 === 0)
+          .select((col("doc_id") + 740000).as("doc_id"),
+            concat(lit("repeat line alpha\n" * 9), lit("tail distinct line"),
+              lit(" "), col("text")).as("text")))
+      TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_heavy_hitters" -> ((s, dir) =>
+      // Misra–Gries frequent-items contract (k=100): coverage of every
+      // token above N/k and the N/k lower-bound error, certified
+      // against the exact groupBy companion. Only partitioning-
+      // independent facts are output; the oracle recomputes the exact
+      // half and pins the guaranteed booleans.
+      graft.analytics.Sketches.heavyHitterContract(
+        T(s, dir, "documents"), col("text"), k = 100)),
+
+    "smp_token_budget" -> ((s, dir) => {
+      // Token-budget mixture planner: 2M-token budget over the 20
+      // sources with index-derived ppm weights (every third source
+      // weighted tiny → pure downsample; the rest over-weighted →
+      // repeat epochs + a partial final epoch). Exact integer div
+      // everywhere; the oracle recomputes the identical plan.
+      val docs = T(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("__i", substring(col("source"), 4, 10).cast("int"))
+        .select(col("source"),
+          when(col("__i") % 3 === 0, 500L)
+            .otherwise(lit(20000L) + (col("__i") % 7) * 10000L)
+            .as("weight_ppm"))
+      graft.analytics.Sampling.tokenBudgetPlan(docs, col("source"),
+          TextAnalysis.bpeTokenCount(col("text")), weights,
+          budgetTokens = 2000000L)
+        .orderBy("source")
+    }),
+
+    "txt_fertility" -> ((s, dir) =>
+      // Tokenizer fertility per language: sub-tokens per word and bytes
+      // per sub-token under the BPE-ish pre-tokenizer — exact long sums
+      // per language, single-division ratios.
+      TextAnalysis.tokenizerFertility(T(s, dir, "documents"), col("lang"), col("text"))
+        .select(col("lang"), col("n_words"), col("n_subtokens"), col("n_bytes"),
+          round(col("fertility"), 5).as("fertility_r"),
+          round(col("bytes_per_subtoken"), 5).as("bytes_per_subtoken_r"))
+        .orderBy("lang")),
+
+    "dd_decontam" -> ((s, dir) => {
+      // Eval set = every 97th doc; corpus = all documents plus planted
+      // contaminated variants (doc_id+600000: an eval doc's full text
+      // wrapped in fresh words). Plants MUST flag; eval originals flag
+      // themselves; word-salad neighbours stay clean unless they truly
+      // share an 8-gram (the oracle recomputes the same rule).
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.union(evalSet.select((col("doc_id") + 600000).as("doc_id"),
+        concat(lit("prelude words "), col("text"), lit(" coda words")).as("text")))
+      Decontaminate.flagOverlap(corpus, evalSet, col("doc_id"), col("text"), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "dd_semdedup" -> ((s, dir) => {
+      // Embeddings plus exact clones (vec_id+100000 for vec_id<40; the
+      // corpus has no natural cos>=0.8 pairs, so survivors == originals
+      // and every clone is pruned by its lower-id twin).
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+        .select("vec_id", "embedding")
+      val corpus = emb.union(emb.where(col("vec_id") < 40)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.semDedup(corpus, Similarity.headCentroids(emb, 8), threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        | FROM customer, orders, lineitem
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |   AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        | FROM customer, orders, lineitem, supplier, nation, region
+        | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |   AND r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS canonical_id, count(*) AS copies
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS mean_token_len,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS punct_count
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+        | FROM (
+        |  SELECT doc_id,
+        |   len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS en,
+        |   len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS de,
+        |   len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x))) AS fr
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents))
+        | ORDER BY doc_id""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+        |  1 AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_header_parse" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(9 + doc_id % 700 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 * (1 + doc_id % 2) ELSE 8 END AS INTEGER)
+        |    AS bit_depth,
+        |  CAST((CASE doc_id % 3 WHEN 1 THEN 13 ELSE 33 END) + doc_id % 50 AS INTEGER)
+        |    AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      """SELECT query_id, vec_id, rank, cos_r FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos_r
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Full-rank integer replay: quantization, every inner product, and
+    // the rank window re-derived in exact integer arithmetic.
+    "ann_parity_topk" ->
+      """WITH c AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, qe AS qq FROM c WHERE vec_id < 5),
+        | s AS (SELECT q.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.qe) + 1),
+        |      i -> c.qe[i] * q.qq[i])) AS BIGINT) AS iscore
+        |  FROM c, q WHERE c.vec_id <> q.query_id),
+        | r AS (SELECT query_id, vec_id, iscore,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY iscore DESC, vec_id) AS rank FROM s)
+        |SELECT query_id, vec_id, iscore, rank FROM r WHERE rank <= 5
+        | ORDER BY query_id, rank""".stripMargin,
+
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        | q AS (SELECT * FROM e WHERE vec_id < 8),
+        | s AS (SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id, c.label,
+        |         list_cosine_similarity(q.v, c.v) AS cos
+        |       FROM q, e c WHERE c.vec_id != q.vec_id),
+        | pos AS (SELECT query_id, vec_id AS pos_id, cos AS pos_cos,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |         FROM s WHERE label = ql),
+        | neg AS (SELECT query_id, vec_id AS neg_id, cos AS neg_cos,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS neg_rank
+        |         FROM s WHERE label <> ql)
+        |SELECT n.query_id, p.pos_id, round(p.pos_cos, 5) AS pos_cos_r,
+        |  n.neg_id, round(n.neg_cos, 5) AS neg_cos_r, CAST(n.neg_rank AS INTEGER) AS neg_rank,
+        |  round(p.pos_cos - n.neg_cos, 5) AS margin_r
+        |FROM neg n JOIN pos p ON p.query_id = n.query_id AND p.rn = 1
+        |WHERE n.neg_rank <= 3
+        |ORDER BY n.query_id, n.neg_rank""".stripMargin,
+
+    "dd_embed_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_r
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        | ORDER BY 1, 2""".stripMargin,
+
+    "dd_minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh_all AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT 'minhash_recall_ge_75' AS check, count(*) AS n_exact, CAST(true AS BOOLEAN) AS ok
+        | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.2""".stripMargin,
+
+    "ann_lsh_recall" ->
+      """SELECT 'ann_recall_at5_ge_25' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """SELECT 'ann_ivf_recall_at5_ge_40' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_matryoshka_recall" ->
+      """SELECT 'ann_matryoshka48_recall_at10_ge_30' AS check,
+        | CAST(50 AS BIGINT) AS n_exact, CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_pq_recall" ->
+      """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "ann_ivfpq_recall" ->
+      """SELECT 'ann_ivfpq_recall_at5_ge_30' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    "dd_embed_lsh_recall" ->
+      """SELECT 'embed_lsh_recall_ge_15_precision_1' AS check,
+        |       count(*) AS n_exact, CAST(true AS BOOLEAN) AS ok
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "dd_simhash_invariance" ->
+      """SELECT doc_id, CAST(true AS BOOLEAN) AS invariant FROM documents ORDER BY doc_id""",
+
+    "txt_fingerprint_invariance" ->
+      """SELECT doc_id, CAST(true AS BOOLEAN) AS case_ws_invariant,
+        |       CAST(true AS BOOLEAN) AS content_sensitive
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid_profile" ->
+      s"""WITH pl AS (
+        |  SELECT 900000 + doc_id * 5 + li AS doc_id,
+        |    CASE li $LangCaseSql END AS lang,
+        |    repeat(CASE li $PhraseCaseSql END,
+        |      CAST(doc_id % 3 + 2 AS INTEGER)) AS text
+        |  FROM documents, unnest(range(5)) u(li) WHERE doc_id % 17 = 0),
+        | allc AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id, lang, text FROM pl),
+        | d AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+        |  FROM allc),
+        | tg AS (
+        |  SELECT lang, substr(t, i, 3) AS gram
+        |  FROM d, unnest(range(1, length(t) - 1)) u(i)
+        |  WHERE doc_id >= 900000 AND doc_id % 2 = 0),
+        | lp AS (
+        |  SELECT lang, gram,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS BIGINT) AS rnk
+        |  FROM tg GROUP BY lang, gram
+        |  QUALIFY rnk <= 50),
+        | dg AS (
+        |  SELECT doc_id, substr(t, i, 3) AS gram
+        |  FROM d, unnest(range(1, length(t) - 1)) u(i)
+        |  WHERE doc_id % 2 = 1),
+        | dt AS (
+        |  SELECT doc_id, gram,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS BIGINT) AS drank
+        |  FROM dg GROUP BY doc_id, gram
+        |  QUALIFY drank <= 50),
+        | langs AS (SELECT DISTINCT lang FROM lp),
+        | dist AS (
+        |  SELECT dt.doc_id, l.lang,
+        |    CAST(sum(COALESCE(abs(dt.drank - lp.rnk), 50)) AS BIGINT) AS dist
+        |  FROM dt CROSS JOIN langs l
+        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dt.gram
+        |  GROUP BY 1, 2),
+        | pred AS (
+        |  SELECT doc_id, lang AS pred_lang, dist
+        |  FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1)
+        |SELECT d.doc_id >= 900000 AS is_plant, d.lang AS true_lang, p.pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(p.dist) AS BIGINT) AS dist_sum
+        |FROM pred p JOIN d ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "txt_compress_contract" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS BIGINT) AS n_repeat,
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_salad,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 13 = 0) AS BIGINT) AS n_noise,
+        |  TRUE AS repeat_lt_prose, TRUE AS prose_lt_noise_median,
+        |  TRUE AS repeat_band_ok, TRUE AS noise_band_ok""".stripMargin,
+
+    "dd_minhash_lsh_parity" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text || ' shared tail marker words here'
+        |  FROM documents WHERE doc_id % 23 = 0),
+        | shf AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus),
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh1 AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM shf),
+        | co AS (
+        |  SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(12)) u(i)),
+        | sig AS (
+        |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+        |  FROM sh1, co GROUP BY 1, 2),
+        | bandsig AS (
+        |  SELECT doc_id, i // 2 AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        | bb AS (SELECT band_id, bh FROM bandsig GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | banded AS (SELECT bs.* FROM bandsig bs JOIN bb USING (band_id, bh)),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+        | inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 5) AS jaccard_r
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh_all AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT doc_a, doc_b,
+        |        round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 5) AS jaccard_r
+        | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+        | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
+        |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_bloom_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        | ref AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
+        | cand AS (
+        |  SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 950000, text FROM ref WHERE doc_id % 21 = 0),
+        | co AS (SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(3)) u(i)),
+        | rp AS (
+        |  SELECT DISTINCT array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ref),
+        |       unnest(range(0, (len(t)+9)//10)) u(i)),
+        | rph AS (SELECT para,
+        |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM rp),
+        | bits AS (SELECT DISTINCT (co.a * rph.h + co.b) % 2147483647 % 4096 AS pos
+        |  FROM rph, co),
+        | cp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM cand),
+        |       unnest(range(0, (len(t)+9)//10)) u(i)),
+        | cph AS (SELECT doc_id, para,
+        |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM cp),
+        | cpos AS (SELECT c.doc_id, c.para,
+        |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
+        | probe AS (
+        |  SELECT cpos.doc_id, cpos.para,
+        |    count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN cpos.pos END)
+        |      = count(DISTINCT cpos.pos) AS flagged
+        |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) > 0 AS any_flagged,
+        |  sum(CASE WHEN t.para IS NOT NULL THEN 1 ELSE 0 END) > 0 AS any_true
+        |FROM probe p LEFT JOIN rp t ON t.para = p.para
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dd_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id // 3 AS page, doc_id % 3 AS v,
+        |    'www.s' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.example.com' AS h,
+        |    (doc_id // 3) % 5 = 0 AS sec,
+        |    (doc_id // 3) % 11 = 0 AS nopath
+        |  FROM documents),
+        | raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nopath THEN
+        |      CASE v WHEN 0 THEN 'http://' || h || '#frag'
+        |             WHEN 1 THEN 'HTTP://' || upper(h) || ':80/'
+        |             ELSE 'http://' || h END
+        |    ELSE
+        |      CASE v
+        |        WHEN 0 THEN (CASE WHEN sec THEN 'https://' ELSE 'http://' END)
+        |          || h || '/p/' || CAST(page AS VARCHAR)
+        |          || '?id=' || CAST(page AS VARCHAR) || '&ref=rss&b=2&a=1#top'
+        |        WHEN 1 THEN (CASE WHEN sec THEN 'HTTPS://' ELSE 'HTTP://' END)
+        |          || upper(h) || (CASE WHEN sec THEN ':443' ELSE ':80' END)
+        |          || '/p/' || CAST(page AS VARCHAR)
+        |          || '?a=1&b=2&id=' || CAST(page AS VARCHAR) || '&utm_campaign=x'
+        |        ELSE (CASE WHEN sec THEN 'https://' ELSE 'http://' END)
+        |          || h || '/p/' || CAST(page AS VARCHAR)
+        |          || '?a=1&id=' || CAST(page AS VARCHAR) || '&b=2' END
+        |    END AS url
+        |  FROM u),
+        | parts AS (
+        |  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nf FROM raw),
+        | comp AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS q
+        |  FROM parts),
+        | canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || lower(regexp_replace(auth, ':[0-9]+$', '')) ||
+        |    (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
+        |       OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
+        |       OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+        |     THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END) ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canonical_url
+        |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+        |          string_split(q, '&'),
+        |          p -> p <> '' AND NOT regexp_matches(p,
+        |            '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&'), '') AS sq
+        |        FROM comp))
+        |SELECT canonical_url, MIN(doc_id) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS copies
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_fingerprint_parity" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      tok -> CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT)) AS th
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+        |    (acc, t) -> ((acc // 2147483648) * 131 + t) % 2147483647 * 2147483648
+        |              + ((acc % 2147483648) * 137 + t) % 2147483629) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_parity" -> {
+      val sums = (0 until 48)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i")
+        .mkString(", ")
+      val pack = (0 until 48)
+        .map(i => s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         | h AS (SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM t),
+         | s AS (SELECT doc_id, $sums FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($pack AS BIGINT) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh_all AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05),
+        | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | reach(node, lbl) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+        | SELECT node AS doc_id, min(lbl) AS cluster_id, (min(lbl) = node) AS is_canonical
+        | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "dd_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END ||
+        |    CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'promo code ' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        | lines AS (
+        |  SELECT doc_id, p AS pos, sp[p + 1] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs),
+        |       UNNEST(range(len(sp))) AS t(p)),
+        | boiler AS (
+        |  SELECT trim(lower(line)) AS norm FROM lines
+        |  WHERE trim(lower(line)) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10),
+        | kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  WHERE trim(lower(l.line)) NOT IN (SELECT norm FROM boiler))
+        | SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_hash,
+        |        CAST(length(string_agg(line, chr(10) ORDER BY pos)) AS INT) AS len
+        | FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "smp_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
+        |       FROM documents)
+        | ORDER BY doc_id""".stripMargin,
+
+    // Repeat-factor upsampling: fb = round(f*10000) buckets; every row
+    // emits fb // 10000 copies plus one more iff its SALTED hash bucket
+    // ('up:' prefix — decorrelated from every other bucket decision)
+    // falls under the fractional part — all-integer, engine-independent.
+    "smp_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
+        |    CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, lang,
+        |         (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
+        |  FROM f)
+        | SELECT doc_id, lang, CAST(t.cp AS BIGINT) AS copy
+        | FROM c, UNNEST(range(copies)) AS t(cp)
+        | WHERE copies > 0
+        | ORDER BY doc_id, copy""".stripMargin,
+
+    "smp_source_cap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'src0' FROM documents
+        |  WHERE doc_id < ((SELECT max(doc_id) FROM documents) + 1) * 2 // 5),
+        | c AS (SELECT source, count(*) AS n FROM corpus GROUP BY 1),
+        | t AS (SELECT sum(n) AS total FROM c),
+        | r AS (SELECT source, LEAST(1.0, 0.30 * CAST((SELECT total FROM t) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c)
+        | SELECT d.doc_id, d.source FROM corpus d JOIN r ON d.source = r.source
+        | WHERE CAST(('0x' || substr(md5('cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000
+        | ORDER BY d.doc_id""".stripMargin,
+
+    "smp_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "smp_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b
+        |  FROM documents)
+        | WHERE b < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8
+        |                      WHEN 'zh' THEN 0.0 ELSE 0.2 END) * 10000
+        | ORDER BY doc_id""".stripMargin,
+
+    "smp_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c)
+        | SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000
+        | ORDER BY d.doc_id""".stripMargin,
+
+    "smp_topk_group" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000,
+        |     doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        | WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "txt_vocab" ->
+      """SELECT tok, cnt FROM (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok)
+        | ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    // Empty tokens carry no feature; docs with no scoreable tokens keep
+    // the bias-only margin (left join), never dropping from the verdict.
+    // Bucket LLRs and Gumbel noise floored to integer micro-units right
+    // after the single floating-point step, so sums and the top-k cut
+    // are exact-integer in both engines.
+    "smp_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | rg AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS bucket
+        |  FROM tok, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(g)),
+        | docb AS (SELECT doc_id, bucket, count(*) AS n FROM rg GROUP BY 1, 2),
+        | rawb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rn FROM docb GROUP BY 1),
+        | tgtb AS (SELECT rg.bucket, count(*) AS tn
+        |          FROM rg JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+        | tot AS (SELECT (SELECT CAST(sum(rn) AS BIGINT) FROM rawb) AS rt,
+        |                (SELECT CAST(COALESCE(sum(tn), 0) AS BIGINT) FROM tgtb) AS tt),
+        | llr AS (
+        |  SELECT r.bucket,
+        |    CAST(floor((ln(COALESCE(t.tn, 0) + 1)
+        |      - ln(CAST((SELECT tt FROM tot) + 8192 AS DOUBLE))
+        |      - ln(r.rn + 1)
+        |      + ln(CAST((SELECT rt FROM tot) + 8192 AS DOUBLE))) * 1000000.0) AS BIGINT) AS llr_u
+        |  FROM rawb r LEFT JOIN tgtb t USING (bucket)),
+        | sc AS (SELECT d.doc_id, CAST(sum(d.n * l.llr_u) AS BIGINT) AS score_u,
+        |          CAST(sum(d.n) AS BIGINT) AS n_grams
+        |        FROM docb d JOIN llr l USING (bucket) GROUP BY 1),
+        | wg AS (
+        |  SELECT doc.doc_id,
+        |    COALESCE(s.n_grams, 0) AS n_grams,
+        |    COALESCE(s.score_u, 0) AS score_u,
+        |    CAST(floor(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('dsir:' || CAST(doc.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |        % 1000000 + 0.5) / 1000000.0)) * 1000000.0) AS BIGINT) AS gumbel_u
+        |  FROM documents doc LEFT JOIN sc s USING (doc_id)),
+        | rk AS (SELECT *, row_number() OVER (ORDER BY score_u + gumbel_u DESC, doc_id) AS rnk
+        |        FROM wg)
+        |SELECT doc_id, n_grams, score_u, gumbel_u, rnk <= 100 AS selected
+        | FROM rk ORDER BY doc_id""".stripMargin,
+
+    "txt_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        | b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
+        |  FROM toks WHERE tok <> ''),
+        | m AS (
+        |  SELECT doc_id, sum((bucket * 37) % 13 - 6) AS s FROM b GROUP BY doc_id)
+        | SELECT d.doc_id, CAST(COALESCE(m.s, 0) + 2 AS BIGINT) AS margin,
+        |        (COALESCE(m.s, 0) + 2) > 0 AS keep
+        | FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        | ORDER BY d.doc_id""".stripMargin,
+
+    // Exact half re-derived; the sketch-error booleans are certified by
+    // the engine and pinned here (the sketches are deterministic).
+    "txt_sketch_contract" ->
+      """SELECT count(DISTINCT tok) AS exact_vocab,
+        |  CAST(TRUE AS BOOLEAN) AS vocab_ok, CAST(TRUE AS BOOLEAN) AS p50_ok,
+        |  CAST(TRUE AS BOOLEAN) AS p90_ok, CAST(TRUE AS BOOLEAN) AS p99_ok
+        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |       FROM documents)""".stripMargin,
+
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_clean" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 50),
+        | feat AS (
+        |  SELECT doc_id, text,
+        |   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
+        |     / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stopword_ratio,
+        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS en,
+        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS de,
+        |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x))) AS fr
+        |  FROM all_docs),
+        | keep AS (
+        |  SELECT * FROM feat
+        |  WHERE (en >= de AND en >= fr AND en > 0)
+        |    AND n_tokens BETWEEN 30 AND 10000 AND stopword_ratio >= 0.03)
+        | SELECT min(doc_id) AS doc_id, count(*) AS copies
+        | FROM keep GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+
+    "pipe_clean_funnel" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 50),
+        | feat AS (
+        |  SELECT doc_id, text,
+        |   (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))
+        |      >= len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x)))
+        |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))
+        |      >= len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['le','la','les','et','est','un','une','de','que','pas'], x)))
+        |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) > 0)
+        |     AS lang_ok,
+        |   (len(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 30 AND 10000
+        |    AND CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 0.03) AS qual_ok
+        |  FROM all_docs)
+        | SELECT CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual,
+        |  CAST(count(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(lower(text)) END) AS BIGINT) AS n_dedup
+        | FROM feat""".stripMargin,
+
+    "txt_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos, arr[p + 1] AS tok,
+        |         CAST(len(arr) AS BIGINT) AS n_doc
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |        FROM documents),
+        |       UNNEST(range(len(arr))) AS t(p)),
+        | ch AS (
+        |  SELECT doc_id, pos, tok, CAST(c AS BIGINT) AS chunk_id
+        |  FROM toks,
+        |       UNNEST(range(greatest(0, (pos + 24 - 32) // 24), pos // 24 + 1)) AS u(c)
+        |  WHERE c = 0 OR c * 24 < n_doc - 8)
+        | SELECT doc_id, chunk_id, count(*) AS n_tokens, min(pos) AS start_pos,
+        |        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        | FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "txt_bpe_learn_contract" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY tok),
+        | chars AS (SELECT regexp_split_to_array(w, '') AS ch, c FROM words),
+        | pairs AS (
+        |  SELECT ch[i] AS lft, ch[i+1] AS rgt, SUM(c) AS n
+        |  FROM chars, unnest(range(1, len(ch))) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT lft AS "left", rgt AS "right", CAST(n AS BIGINT) AS pair_count
+        |FROM pairs ORDER BY n DESC, lft, rgt LIMIT 1""".stripMargin,
+
+    "txt_bpe_encode_contract" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN length(w) ELSE 1 END))
+        |    AS BIGINT) AS n_before,
+        |  CAST(TRUE AS BOOLEAN) AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_pack_sequences" ->
+      """WITH n AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_doc
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, n_doc,
+        |    CAST(COALESCE(SUM(n_doc) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM n),
+        | x AS (
+        |  SELECT doc_id, n_doc, st,
+        |    unnest(generate_series(st // 256, (st + n_doc - 1) // 256)) AS seq_id
+        |  FROM s)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(GREATEST(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_pos,
+        |  CAST(GREATEST(st, seq_id * 256) - st AS BIGINT) AS doc_pos,
+        |  CAST(LEAST(st + n_doc, (seq_id + 1) * 256) - GREATEST(st, seq_id * 256) AS BIGINT) AS n_toks
+        |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // The whole mixture chain replayed: temperature rates -> hash-bucket
+    // keep -> floor/ceil upsample copies -> md5 epoch-shuffle rank ->
+    // prefix-sum packing, all integral or IEEE-exact.
+    "pipe_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c),
+        | mixed AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < rate * 10000),
+        | up AS (
+        |  SELECT doc_id, lang, text,
+        |    (fb // 10000) + (CASE WHEN b < fb % 10000 THEN 1 ELSE 0 END) AS copies
+        |  FROM (SELECT doc_id, lang, text,
+        |          CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS b,
+        |          CASE lang WHEN 'de' THEN 25000 WHEN 'fr' THEN 30000 ELSE 10000 END AS fb
+        |        FROM mixed)),
+        | ks AS (
+        |  SELECT doc_id * 4 + t.cp AS uid, text
+        |  FROM up, UNNEST(range(copies)) AS t(cp) WHERE copies > 0),
+        | sh AS (
+        |  SELECT uid, text,
+        |    CAST(row_number() OVER (ORDER BY md5('3:' || CAST(uid AS VARCHAR)), uid) - 1 AS BIGINT) AS pos
+        |  FROM ks),
+        | n AS (SELECT pos, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_doc FROM sh),
+        | s AS (SELECT pos, n_doc,
+        |        CAST(COALESCE(SUM(n_doc) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |       FROM n),
+        | x AS (SELECT pos, n_doc, st,
+        |        unnest(generate_series(st // 128, (st + n_doc - 1) // 128)) AS seq_id FROM s)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, pos,
+        |  CAST(GREATEST(st, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_pos,
+        |  CAST(GREATEST(st, seq_id * 128) - st AS BIGINT) AS doc_pos,
+        |  CAST(LEAST(st + n_doc, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128) AS BIGINT) AS n_toks
+        |FROM x ORDER BY seq_id, pos""".stripMargin,
+
+    "txt_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, count(*) AS n_in_doc
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        | vocab AS (SELECT tok, sum(n_in_doc) AS corpus_n FROM toks GROUP BY 1)
+        | SELECT t.doc_id, CAST(sum(t.n_in_doc) AS BIGINT) AS n_tokens,
+        |        round(CAST(sum(t.n_in_doc * v.corpus_n) AS DOUBLE)
+        |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS mean_corpus_freq_r,
+        |        round(CAST(sum(CASE WHEN v.corpus_n = 1 THEN t.n_in_doc ELSE 0 END) AS DOUBLE)
+        |          / CAST(sum(t.n_in_doc) AS DOUBLE), 5) AS hapax_frac_r,
+        |        CAST(min(v.corpus_n) AS BIGINT) AS min_corpus_n
+        | FROM toks t JOIN vocab v USING (tok)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_perplexity" ->
+      s"""$PerplexityCte
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(p.sum_logp_u, 0) AS BIGINT) AS sum_logp_u,
+        |  CASE WHEN p.n_bigrams IS NULL THEN NULL
+        |       ELSE round(CAST(-p.sum_logp_u AS DOUBLE)
+        |              / CAST(p.n_bigrams AS DOUBLE) / 1000000.0, 5) END AS avg_nll_r
+        |FROM documents d LEFT JOIN pd p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "txt_dup_spans" ->
+      """WITH sdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text || ' tail marker ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 50),
+        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM sdocs),
+        | base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+        | th AS (
+        |  SELECT doc_id, n_tokens,
+        |    list_transform(t, s ->
+        |      CAST(CAST(('0x' || substr(md5(s), 1, 12)) AS UBIGINT) AS BIGINT)) AS v
+        |  FROM base WHERE n_tokens >= 20),
+        | grams AS (
+        |  SELECT doc_id, p,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
+        |      (acc, x) -> ((acc >> 31) * 131 + x) % 2147483647 * 2147483648
+        |                  + ((acc & 2147483647) * 137 + x) % 2147483629) AS h
+        |  FROM th, unnest(range(0, n_tokens - 20 + 1)) u(p)),
+        | dh AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        | marked AS (SELECT g.doc_id, g.p, g.p + 19 AS pe FROM grams g JOIN dh USING (h)),
+        | regs AS (
+        |  SELECT doc_id, p, pe,
+        |    max(pe) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM marked),
+        | regs3 AS (
+        |  SELECT doc_id, p, pe,
+        |    sum(CASE WHEN rm IS NULL OR p > rm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM regs),
+        | rsum AS (SELECT doc_id, rid, min(p) AS rs, max(pe) AS re FROM regs3 GROUP BY 1, 2),
+        | perdoc AS (
+        |  SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_dup_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_regions
+        |  FROM rsum GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  CAST(COALESCE(p.n_regions, 0) AS BIGINT) AS n_regions,
+        |  round(CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 5) AS dup_frac_r
+        |FROM base b LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH rd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, repeat('lorem ipsum ', 29) || 'lorem ipsum'
+        |  FROM documents WHERE doc_id < 20),
+        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM rd),
+        | stats AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM toks),
+        | g1 AS (SELECT doc_id, max(c) AS top1 FROM (
+        |   SELECT doc_id, s, count(*) AS c FROM toks, unnest(t) u(s) GROUP BY 1, 2) GROUP BY 1),
+        | g2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |   SELECT doc_id, s, count(*) AS c FROM toks,
+        |     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(s)
+        |   GROUP BY 1, 2) GROUP BY 1)
+        | SELECT s.doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |   round(CAST(n_distinct AS DOUBLE) / n_words, 5) AS distinct_frac_r,
+        |   round(CAST(top1 AS DOUBLE) / n_words, 5) AS top_word_frac_r,
+        |   round(CAST(top2 AS DOUBLE) / (n_words - 1), 5) AS top_bigram_frac_r,
+        |   (CAST(top1 AS DOUBLE) / n_words <= 0.2 AND
+        |    CAST(top2 AS DOUBLE) / (n_words - 1) <= 0.18) AS keep
+        | FROM stats s JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
+
+    "txt_pii" ->
+      """WITH pd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' contact alice@example.com or call 555-123-4567 now'
+        |  FROM documents WHERE doc_id < 30)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        | FROM pd ORDER BY doc_id""".stripMargin,
+
+    "txt_card_pii" ->
+      """WITH cd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 730000,
+        |    text || ' pay 4111111111111111 or 5500 0000 0000 0004 not 1234567890123456 end'
+        |  FROM documents WHERE doc_id % 43 = 0),
+        | cands AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '\b(?:\d[ -]?){12,15}\d\b') AS cs
+        |  FROM cd),
+        | vc AS (
+        |  SELECT doc_id, text, cs,
+        |    list_filter(cs, c -> (list_sum(list_transform(
+        |      generate_series(1, len(regexp_extract_all(c, '\d'))),
+        |      i -> (CASE WHEN i % 2 = 0 THEN
+        |              CASE WHEN 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) > 9
+        |                   THEN 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) - 9
+        |                   ELSE 2 * CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) END
+        |            ELSE CAST(regexp_extract_all(c, '\d')[len(regexp_extract_all(c, '\d')) - i + 1] AS INTEGER) END)))
+        |      % 10 = 0)) AS valid
+        |  FROM cands)
+        |SELECT doc_id,
+        |  CAST(len(cs) AS INTEGER) AS n_candidates,
+        |  CAST(len(valid) AS INTEGER) AS n_valid_cards,
+        |  len(valid) > 0 AS has_card,
+        |  md5(list_reduce(list_prepend(text, valid),
+        |      (acc, c) -> replace(acc, c, '<CARD>'))) AS redacted_md5
+        |FROM vc ORDER BY doc_id""".stripMargin,
+
+    "txt_gopher_rules" ->
+      s"""WITH gd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, repeat('- item x' || chr(10), 12)
+         |  FROM documents WHERE doc_id % 31 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 710000, repeat('this line trails off...' || chr(10), 10)
+         |  FROM documents WHERE doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 720000, repeat('tag # word ', 30)
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |${gopherLegs("gd")}
+         |SELECT doc_id, n_words,
+         |  round(mean_word_len, 5) AS mean_word_len_r,
+         |  round(symbol_ratio, 5) AS symbol_ratio_r,
+         |  round(bullet_frac, 5) AS bullet_frac_r,
+         |  round(ellipsis_frac, 5) AS ellipsis_frac_r,
+         |  round(alpha_frac, 5) AS alpha_frac_r,
+         |  stop_hits,
+         |  (${gopherKeepExpr()}) AS keep
+         |FROM gg ORDER BY doc_id""".stripMargin,
+
+    "txt_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | tl AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        | q AS (SELECT term FROM (
+        |   SELECT term, count(*) AS c FROM tl GROUP BY 1
+        |   ORDER BY c DESC, term LIMIT 5)),
+        | dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tl JOIN q USING (term) GROUP BY 1, 2),
+        | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+        |          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+        |      * 1000000.0) AS BIGINT) AS cu
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        | agg AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS score_u FROM sc GROUP BY 1),
+        | topd AS (SELECT doc_id, score_u,
+        |   row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank FROM agg)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score_u
+        |FROM topd WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "smp_ccnet_buckets" ->
+      s"""WITH $PerplexityLegs,
+         |$CcnetBucketLegs
+         |SELECT doc_id, CAST(score_u AS BIGINT) AS score_u, bucket
+         |FROM bks ORDER BY doc_id""".stripMargin,
+
+    "pipe_fineweb" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
+         |${repSignalsLegs("corpus")},
+         | $PerplexityLegs,
+         |$CcnetBucketLegs,
+         | keyd AS (
+         |  SELECT c.doc_id,
+         |    md5(regexp_replace(trim(lower(c.text)), '\\s+', ' ', 'g')) AS k,
+         |    g.gk, r.rk, bk.bucket
+         |  FROM corpus c JOIN gkeep g USING (doc_id)
+         |    JOIN rkeep r USING (doc_id) JOIN bks bk USING (doc_id)),
+         | canon AS (SELECT k, min(doc_id) AS cid FROM keyd WHERE gk AND rk GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(sum(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dedup,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
+         |FROM keyd LEFT JOIN canon USING (k)""".stripMargin,
+
+    "pipe_fineweb_fuzzy" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000, text || ' shared tail marker words here'
+         |  FROM documents WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 41 = 0),
+         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
+         |${repSignalsLegs("corpus")},
+         | ${perplexityLegs("corpus")},
+         |${ccnetBucketLegs("corpus")},
+         | surv AS (
+         |  SELECT c.doc_id, c.text FROM corpus c
+         |  JOIN gkeep g USING (doc_id) JOIN rkeep r USING (doc_id)
+         |  WHERE g.gk AND r.rk),
+         | shf AS (
+         |  SELECT DISTINCT doc_id, s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM surv),
+         |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+         | sh1 AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+         |  FROM shf),
+         | co AS (
+         |  SELECT i,
+         |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483646 + 1 AS a,
+         |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483647 AS b
+         |  FROM unnest(range(12)) u(i)),
+         | sig AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+         |  FROM sh1, co GROUP BY 1, 2),
+         | bandsig AS (
+         |  SELECT doc_id, i // 2 AS band_id,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         | bb AS (SELECT band_id, bh FROM bandsig GROUP BY 1, 2 HAVING count(*) <= 1000),
+         | banded AS (SELECT bs.* FROM bandsig bs JOIN bb USING (band_id, bh)),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+         | inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+         |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         | fpairs AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |    JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5),
+         | edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM fpairs),
+         | reach(node, lbl) AS (
+         |   SELECT doc_id, doc_id FROM surv
+         |   UNION
+         |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         | comp AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY 1),
+         | lab AS (
+         |  SELECT c.doc_id, g.gk, r.rk, bk.bucket, cm.cid
+         |  FROM corpus c JOIN gkeep g USING (doc_id) JOIN rkeep r USING (doc_id)
+         |    JOIN bks bk USING (doc_id) LEFT JOIN comp cm USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(sum(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dedup,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(sum(CASE WHEN gk AND rk AND doc_id = cid AND bucket <> 'tail'
+         |    THEN doc_id ELSE 0 END) AS BIGINT) AS final_id_sum
+         |FROM lab""".stripMargin,
+
+    "pipe_dolma" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         | ing AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
+         | corpus AS (
+         |  SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 950000, text FROM ing WHERE doc_id % 21 = 0),
+         |${gopherLegs("corpus", minWords = 30, minStopHits = 1)},
+         | co AS (SELECT i,
+         |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483646 + 1 AS a,
+         |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+         |      % 2147483647 AS b
+         |  FROM unnest(range(3)) u(i)),
+         | rp AS (
+         |  SELECT DISTINCT array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+         |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ing),
+         |       unnest(range(0, (len(t)+9)//10)) u(i)),
+         | rph AS (SELECT para,
+         |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+         |  FROM rp),
+         | bits AS (SELECT DISTINCT (co.a * rph.h + co.b) % 2147483647 % 4096 AS pos
+         |  FROM rph, co),
+         | cp AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i*10+1 : i*10+10], ' ') AS para
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM corpus),
+         |       unnest(range(0, (len(t)+9)//10)) u(i)),
+         | cph AS (SELECT doc_id, para,
+         |    CAST(CAST(('0x' || substr(md5(para), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+         |  FROM cp),
+         | cpos AS (SELECT c.doc_id, c.para,
+         |    (co.a * c.h + co.b) % 2147483647 % 4096 AS pos FROM cph c, co),
+         | probe AS (
+         |  SELECT cpos.doc_id, cpos.para,
+         |    count(DISTINCT CASE WHEN b.pos IS NOT NULL THEN cpos.pos END)
+         |      = count(DISTINCT cpos.pos) AS flagged
+         |  FROM cpos LEFT JOIN bits b ON b.pos = cpos.pos GROUP BY 1, 2),
+         | pd AS (
+         |  SELECT p.doc_id,
+         |    sum(CASE WHEN NOT p.flagged THEN 1 ELSE 0 END) AS nkeep,
+         |    sum(CASE WHEN t.para IS NULL THEN 1 ELSE 0 END) AS nkeep_exact,
+         |    sum(CASE WHEN p.flagged AND t.para IS NULL THEN 1 ELSE 0 END) AS nfp
+         |  FROM probe p LEFT JOIN rp t ON t.para = p.para GROUP BY 1),
+         | lab AS (
+         |  SELECT c.doc_id, g.gk,
+         |    COALESCE(pd.nkeep, 0) AS nkeep,
+         |    COALESCE(pd.nkeep_exact, 0) AS nkeep_exact,
+         |    COALESCE(pd.nfp, 0) AS nfp
+         |  FROM corpus c JOIN gkeep g USING (doc_id) LEFT JOIN pd USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN gk AND nkeep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+         |  CAST(sum(CASE WHEN gk AND nkeep_exact > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN gk THEN nfp ELSE 0 END) AS BIGINT) AS fp_paras_dropped,
+         |  CAST(sum(CASE WHEN gk AND nkeep > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS final_id_sum
+         |FROM lab""".stripMargin,
+
+    "txt_c4_rules" -> C4RulesOracle,
+
+    "txt_repetition_full" -> RepSignalsOracle,
+
+    "txt_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        | e AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        | n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM e)
+        |SELECT n.n_tokens,
+        |  CAST((SELECT count(*) FROM e WHERE c * 100 > n.n_tokens) AS BIGINT)
+        |    AS n_heavy_exact,
+        |  TRUE AS cover_ok, TRUE AS bound_ok
+        |FROM n""".stripMargin,
+
+    "smp_token_budget" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+        |      AS tokens_available
+        |  FROM documents GROUP BY 1),
+        | w AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN i % 3 = 0 THEN 500
+        |              ELSE 20000 + (i % 7) * 10000 END AS BIGINT) AS weight_ppm
+        |  FROM (SELECT source, CAST(substr(source, 4) AS INTEGER) AS i
+        |        FROM (SELECT DISTINCT source FROM documents))),
+        | plan AS (
+        |  SELECT t.source, t.tokens_available, w.weight_ppm,
+        |    CAST(2000000 * w.weight_ppm // 1000000 AS BIGINT) AS tokens_target
+        |  FROM tok t JOIN w USING (source))
+        |SELECT source, tokens_available, weight_ppm, tokens_target,
+        |  CAST(tokens_target // tokens_available AS BIGINT) AS n_full_epochs,
+        |  CAST((tokens_target % tokens_available) * 1000000 // tokens_available AS BIGINT)
+        |    AS remainder_rate_ppm
+        |FROM plan ORDER BY source""".stripMargin,
+
+    "txt_fertility" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_subtokens,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |    / CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE), 5) AS fertility_r,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE)
+        |    / CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE), 5) AS bytes_per_subtoken_r
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dd_decontam" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        | corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000, 'prelude words ' || text || ' coda words' FROM ev),
+        | evg AS (SELECT DISTINCT s FROM
+        |  (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM ev),
+        |  unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) u(s)),
+        | cg AS (SELECT DISTINCT doc_id, s FROM
+        |  (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus),
+        |  unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) u(s)),
+        | hits AS (SELECT doc_id, count(*) AS n_hits FROM cg
+        |          WHERE s IN (SELECT s FROM evg) GROUP BY 1)
+        | SELECT c.doc_id, COALESCE(n_hits, 0) AS n_hits,
+        |        COALESCE(n_hits, 0) > 0 AS contaminated
+        | FROM corpus c LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dd_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 40),
+        | cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings ORDER BY vec_id LIMIT 8),
+        | asg AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT b.vec_id, c.centroid_id, row_number() OVER (PARTITION BY b.vec_id
+        |     ORDER BY list_cosine_similarity(b.e, c.ce) DESC, c.centroid_id) AS r
+        |   FROM base b, cent c) WHERE r = 1),
+        | dom AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  JOIN base ea ON ea.vec_id = a.vec_id
+        |  JOIN base eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.e, eb.e) >= 0.9)
+        | SELECT a.vec_id, a.centroid_id AS cluster_id, (d.vec_id IS NULL) AS kept
+        | FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id
+        | ORDER BY a.vec_id""".stripMargin
+    // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
+    // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
+    // driver check, but each now has an oracle-checked companion
+    // (dd_minhash_recall, dd_simhash_invariance, txt_fingerprint_invariance,
+    // ann_lsh_recall, dd_embed_lsh_recall) asserting its quality contract.,
+  )
+}
