@@ -207,4 +207,146 @@ object Multimodal {
       MediaRecord(id, fmt, out.toByteArray)
     }
   }
+
+  final case class AvHeader(doc_id: Long, format: String, brand: String,
+      channels: Int, sample_rate: Int, bits: Int, duration_ms: Long,
+      byte_len: Int)
+
+  object AvHeaderParser {
+    /**
+     * Parse audio/video container headers from raw bytes — the same
+     * metadata-before-decode pass as [[HeaderParser]], over the two
+     * dominant AV containers:
+     *  - WAV (RIFF): "RIFF" + le32 riff size + "WAVE", then a chunk
+     *    walk ([4cc id][le32 size][payload], sizes pad to even). The
+     *    "fmt " chunk carries audio_format(le16, 1 = PCM),
+     *    channels(le16), sample_rate(le32), byte_rate(le32),
+     *    block_align(le16), bits(le16); the "data" chunk's size with
+     *    byte_rate gives the duration. Skipping LIST/fact chunks is
+     *    what makes it a walk.
+     *  - MP4 (ISO BMFF): a box walk ([be32 size][4cc type]); "ftyp"
+     *    yields the major brand, "moov" is walked recursively to
+     *    "mvhd" whose version-0 payload is ver(1) flags(3)
+     *    creation(4) modification(4) timescale(be32) duration(be32) —
+     *    duration/timescale gives the presentation length.
+     */
+    def parse(b: Array[Byte]): (String, String, Int, Int, Int, Long) = {
+      val len = b.length
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+      if (len >= 44 && cc(0) == "RIFF" && cc(8) == "WAVE") {
+        var i = 12
+        var fmt: Option[(Int, Int, Int, Int, Int)] = None // af, ch, sr, br, bits
+        var dataSize = -1L
+        while (i + 8 <= len && (fmt.isEmpty || dataSize < 0)) {
+          val id = cc(i); val size = le32(i + 4).toLong & 0xffffffffL
+          if (id == "fmt " && i + 8 + 16 <= len)
+            fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12),
+              le32(i + 16), le16(i + 22)))
+          if (id == "data") dataSize = size
+          // chunk payloads pad to even length (RIFF alignment rule)
+          i += 8 + (size + (size & 1L)).toInt
+        }
+        fmt match {
+          case None => ("wav_nofmt", "", 0, 0, 0, 0L)
+          case Some((af, ch, sr, br, bits)) =>
+            val dur = if (dataSize < 0 || br <= 0) 0L else dataSize * 1000L / br
+            ("wav", if (af == 1) "pcm" else s"fmt$af", ch, sr, bits, dur)
+        }
+      } else if (len >= 16 && cc(4) == "ftyp") {
+        val brand = cc(8)
+        var i = 0
+        while (i + 8 <= len) {
+          val size = be32(i); val typ = cc(i + 4)
+          if (typ == "moov") {
+            // nested walk inside moov for the mvhd full box
+            var j = i + 8
+            val end = math.min(i + size, len)
+            while (j + 8 <= end) {
+              val bsize = be32(j)
+              if (cc(j + 4) == "mvhd") {
+                if (u8(j + 8) != 0) return ("mp4_mvhd_v1", brand, 0, 0, 0, 0L)
+                val timescale = be32(j + 20)
+                val duration = be32(j + 24).toLong & 0xffffffffL
+                return ("mp4", brand, 0, 0, 0,
+                  if (timescale <= 0) 0L else duration * 1000L / timescale)
+              }
+              j += math.max(bsize, 8)
+            }
+            return ("mp4_nomvhd", brand, 0, 0, 0, 0L)
+          }
+          i += math.max(size, 8)
+        }
+        ("mp4_nomoov", brand, 0, 0, 0, 0L)
+      } else ("unknown", "", 0, 0, 0, 0L)
+    }
+  }
+
+  /** Real AV header-metadata extraction — the audio/video twin of
+    * [[parseHeaders]]: same mapPartitions shape, genuine RIFF chunk and
+    * ISO-BMFF box walks, no UDF registry, scales as a projection. */
+  def parseAvHeaders(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AvHeader] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, brand, ch, sr, bits, dur) = AvHeaderParser.parse(r.media)
+        AvHeader(r.doc_id, fmt, brand, ch, sr, bits, dur, r.media.length)
+      }
+    }
+  }
+
+  /** Synthesize a VALID audio/video container header per doc id (WAV
+    * for even ids, MP4 for odd; all fields are `k = id/2`-derived
+    * formulas an oracle recomputes arithmetically). The WAV carries
+    * only the header of its data chunk (the metadata pass never reads
+    * samples); the MP4 includes a full 108-byte zero-padded mvhd and a
+    * trailing `free` box so both walks skip real filler. */
+  def synthesizeAvMedia(ids: Dataset[java.lang.Long])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.map { boxed =>
+      val id = boxed.longValue()
+      val k = id / 2
+      val pad = (k % 7).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+      def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+      def be32(v: Int): Unit = { u8(v >> 24); u8(v >> 16); u8(v >> 8); u8(v) }
+      val mime = if (id % 2 == 0) {
+        val channels = 1 + (k % 2).toInt
+        val sampleRate = 8000 * (1 + (k % 3).toInt)
+        val bits = 16
+        val nSamples = 1000 + (k % 4000).toInt
+        val dataSize = nSamples * channels * (bits / 8)
+        val byteRate = sampleRate * channels * (bits / 8)
+        out.write("RIFF".getBytes); le32(36 + dataSize)
+        out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); le32(16)
+        le16(1); le16(channels); le32(sampleRate); le32(byteRate)
+        le16(channels * (bits / 8)); le16(bits)
+        out.write("data".getBytes); le32(dataSize) // samples not planted
+        "audio/wav"
+      } else {
+        val timescale = 600 * (1 + (k % 4).toInt)
+        val duration = 3000 + (k % 9000).toInt
+        be32(16); out.write("ftyp".getBytes)
+        out.write("isom".getBytes); be32(0)
+        be32(116); out.write("moov".getBytes)
+        be32(108); out.write("mvhd".getBytes)
+        u8(0); u8(0); u8(0); u8(0)       // version 0 + flags
+        be32(0); be32(0)                  // creation/modification
+        be32(timescale); be32(duration)
+        (0 until 80).foreach(_ => u8(0))  // rate/volume/matrix/... zeros
+        be32(8 + pad); out.write("free".getBytes)
+        "video/mp4"
+      }
+      (0 until pad).foreach(_ => u8(0))
+      MediaRecord(id, mime, out.toByteArray)
+    }
+  }
 }

@@ -91,6 +91,90 @@ object Similarity {
       .select("query_id", "vec_id", "iscore", "rank")
   }
 
+  /** Per-dimension [lo, hi] ranges of a trained 8-bit scalar quantizer
+    * (the faiss ScalarQuantizer QT_8bit layout: uniform levels, exact
+    * endpoints). */
+  final case class SqModel(lo: Array[Double], hi: Array[Double])
+
+  /**
+   * Train the scalar quantizer: per-dimension min/max over the corpus
+   * in ONE distributed aggregation pass (posexplode → per-position
+   * extremes; `dim` rows return to the driver — control-plane sized at
+   * any corpus scale, unlike the samples a codebook trainer needs).
+   */
+  def sqTrain(corpus: DataFrame, vecCol: String = "embedding"): SqModel = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .collect()
+    val dim = rows.map(_.getInt(0)).max + 1
+    val lo = new Array[Double](dim)
+    val hi = new Array[Double](dim)
+    rows.foreach { r =>
+      lo(r.getInt(0)) = r.getDouble(1); hi(r.getInt(0)) = r.getDouble(2)
+    }
+    SqModel(lo, hi)
+  }
+
+  /**
+   * SQ8 codes: `c_i = round((x_i - lo_i) / (hi_i - lo_i) * 255)`
+   * clamped to [0, 255] (round-half-up spelled as `floor(+0.5)` so
+   * Spark and DuckDB agree bit-for-bit; degenerate dimensions code to
+   * 0) — one byte of information per dimension, a 4x compression of
+   * float32 at scale. In-row zip_with over broadcast range literals:
+   * narrow, codegen'd, no shuffle.
+   */
+  def sqEncode(df: DataFrame, model: SqModel, vecCol: String = "embedding",
+      out: String = "sq_code"): DataFrame = {
+    val loLit = typedLit(model.lo.toSeq)
+    val deltaLit = typedLit(model.lo.indices.map(i => model.hi(i) - model.lo(i)))
+    df.withColumn(out,
+      zip_with(
+        zip_with(col(vecCol).cast("array<double>"), loLit, (x, l) => x - l),
+        deltaLit,
+        (d, w) => when(w > lit(0.0),
+            least(greatest(floor(d / w * 255 + lit(0.5)), lit(0.0)), lit(255.0)))
+          .otherwise(lit(0.0)).cast("int")))
+  }
+
+  /**
+   * SQ8 symmetric top-k: both sides coded, ranked by the EXACT int64
+   * dot of integer-reconstructed values — per dimension the decoded
+   * `lo_i + c_i·Δ_i/255` is expressed in `scale` micro-units as
+   * `L_i + c_i·D_i` with `L_i = round(lo_i·scale)` and
+   * `D_i = round(Δ_i·scale/255)`, so the score is a pure int64 sum
+   * that tracks the float reconstruction to ~1/scale yet stays
+   * bit-replayable like [[quantizedTopK]] (a raw CODE dot would
+   * reweight every dimension by 1/Δ_i² and wreck the cosine ranking).
+   * Train → encode → reconstruct → scan all sit under the oracle; the
+   * float-faithfulness of the trained ranks is certified separately by
+   * the recall contract against [[bruteForceTopK]].
+   */
+  def sqTopK(codedCorpus: DataFrame, codedQueries: DataFrame,
+      model: SqModel, k: Int, codeCol: String = "sq_code",
+      scale: Long = 1000000L): DataFrame = {
+    val lInt = typedLit(model.lo.map(l => math.floor(l * scale + 0.5).toLong).toSeq)
+    val dInt = typedLit(model.lo.indices.map(i =>
+      math.floor((model.hi(i) - model.lo(i)) * scale / 255.0 + 0.5).toLong))
+    def recon(codes: Column): Column =
+      zip_with(zip_with(codes, dInt, (c, d) => c.cast("long") * d), lInt,
+        (v, l) => v + l)
+    val c = codedCorpus.select(col("vec_id"), recon(col(codeCol)).as("_cr"))
+    val q = codedQueries.select(col("query_id"), recon(col(codeCol)).as("_qr"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("_cr"), col("_qr"), _ * _), lit(0L), _ + _)
+          .as("iscore"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("iscore").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "iscore", "rank")
+  }
+
   /**
    * Contrastive-pair mining for embedding-model training data: for each
    * anchor query, the single most-similar SAME-label vector is the

@@ -312,6 +312,51 @@ private[graft] object AnalyticsEntries {
         .toDF("check", "n_exact", "ok")
     }),
 
+    "ann_sq8_topk" -> ((s, dir) => {
+      // Trained 8-bit scalar quantization (the faiss SQ8 baseline — the
+      // standard 4x memory reduction BEFORE product quantization):
+      // per-dim [lo,hi] trained in one distributed agg pass, uint8
+      // codes, symmetric integer code-dot ranking. FULLY oracled —
+      // DuckDB replays the training extremes, the rounding, and every
+      // exact int64 score (unlike the float ANN variants, which carry
+      // recall contracts instead).
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val model = Similarity.sqTrain(emb)
+      Similarity.sqTopK(
+          Similarity.sqEncode(emb, model),
+          Similarity.sqEncode(queries, model, vecCol = "query_vec"),
+          model, 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_sq8_recall" -> ((s, dir) => {
+      // Quality contract for the trained quantizer: symmetric SQ8
+      // ranks (integer-reconstructed dot) must recover the
+      // float-cosine top-5 on the normalized corpus; 0.6 pins the
+      // floor with headroom for range variance across partitionings.
+      // (The raw CODE dot fails this contract — the per-dim 1/delta^2
+      // reweighting wrecks cosine ranking; that failure is what forced
+      // the reconstructed scoring in Similarity.sqTopK.)
+      import s.implicits._
+      val emb = normEmbeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val bf = Similarity.bruteForceTopK(emb, queries, 5)
+        .select("query_id", "vec_id")
+      val model = Similarity.sqTrain(emb)
+      val sq = Similarity.sqTopK(
+          Similarity.sqEncode(emb, model),
+          Similarity.sqEncode(queries, model, vecCol = "query_vec"),
+          model, 5)
+        .select("query_id", "vec_id")
+      val (n, hit) = recallOf(bf, sq)
+      Seq(("ann_sq8_recall_at5_ge_60", n, hit.toDouble / n >= 0.6))
+        .toDF("check", "n_exact", "ok")
+    }),
+
     "dd_embed_cosine" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
@@ -458,6 +503,22 @@ private[graft] object AnalyticsEntries {
       val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
       graft.analytics.Multimodal.parseHeaders(
           graft.analytics.Multimodal.synthesizeMedia(ids)).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_av_header_parse" -> ((s, dir) => {
+      // REAL audio/video container parsing (no codec needed): a valid
+      // WAV (RIFF chunk walk: fmt chunk fields + data size / byte rate
+      // duration) or MP4 (ISO-BMFF box walk: ftyp brand, moov→mvhd
+      // timescale/duration) header per doc, parsed back through the
+      // same mapPartitions batch path. The oracle recomputes every
+      // planted field arithmetically — a wrong endianness, chunk pad,
+      // or box offset shows up as a field mismatch.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      graft.analytics.Multimodal.parseAvHeaders(
+          graft.analytics.Multimodal.synthesizeAvMedia(ids)).toDF()
         .orderBy("doc_id")
     }),
 
@@ -1110,6 +1171,22 @@ private[graft] object AnalyticsEntries {
         |    AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Closed-form replay of the planted WAV/MP4 fields: k = doc_id//2
+    // drives every formula; durations are floor divisions.
+    "mm_av_header_parse" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'isom' END AS brand,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + (doc_id // 2) % 3) ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS INTEGER) AS bits,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN ((1000 + (doc_id // 2) % 4000) * 1000) // (8000 * (1 + (doc_id // 2) % 3))
+        |    ELSE ((3000 + (doc_id // 2) % 9000) * 1000) // (600 * (1 + (doc_id // 2) % 4))
+        |  END AS BIGINT) AS duration_ms,
+        |  CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 140 END) + (doc_id // 2) % 7 AS INTEGER) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "ann_bruteforce_topk" ->
       """SELECT query_id, vec_id, rank, cos_r FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -1196,6 +1273,39 @@ private[graft] object AnalyticsEntries {
 
     "ann_pq_recall" ->
       """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
+        | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    // Full integer replay of the trained scalar quantizer: per-dim
+    // extremes, the floor(+0.5) rounding, and every exact code dot.
+    "ann_sq8_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |dims AS (
+        |  SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+        |  FROM corpus, generate_series(1, 64) t(i) GROUP BY i),
+        |recon AS (
+        |  SELECT vec_id, list(CAST(
+        |      floor(lo * 1000000 + 0.5)
+        |      + (CASE WHEN hi > lo
+        |          THEN least(greatest(floor((e[i] - lo) / (hi - lo) * 255 + 0.5), 0), 255)
+        |          ELSE 0 END)
+        |        * floor((hi - lo) * 1000000 / 255 + 0.5)
+        |      AS BIGINT) ORDER BY i) AS c
+        |  FROM corpus, dims
+        |  GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(list_dot_product(CAST(q.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])) AS BIGINT) AS iscore
+        |  FROM recon q, recon c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, iscore, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY iscore DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, iscore, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_sq8_recall" ->
+      """SELECT 'ann_sq8_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
         | CAST(true AS BOOLEAN) AS ok""".stripMargin,
 
     "ann_ivfpq_recall" ->

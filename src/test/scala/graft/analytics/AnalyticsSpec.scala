@@ -798,4 +798,34 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("SQ8: trained ranges, clamped codes, reconstructed ranking") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 10.0)),
+      (1L, Seq(0.9, 0.1, 10.0)),   // near doc 0; dim 2 is degenerate-ish
+      (2L, Seq(-1.0, 1.0, 10.0)),
+      (3L, Seq(0.0, -1.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.sqTrain(corpus)
+    assert(model.lo.toSeq === Seq(-1.0, -1.0, 10.0))
+    assert(model.hi.toSeq === Seq(1.0, 1.0, 10.0))
+    val codes = Similarity.sqEncode(corpus, model).orderBy("vec_id")
+      .select("sq_code").as[Seq[Int]].collect()
+    // endpoints land exactly on 0/255; the degenerate dim codes to 0
+    assert(codes(0) === Seq(255, 128, 0))
+    assert(codes(2) === Seq(0, 255, 0))
+    assert(codes.flatten.forall(c => c >= 0 && c <= 255))
+    val queries = corpus.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.sqTopK(
+        Similarity.sqEncode(corpus, model),
+        Similarity.sqEncode(queries, model, vecCol = "query_vec"),
+        model, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    // reconstructed-dot ranking matches the true float dot ordering:
+    // doc 1 (0.9) > doc 3 (0.0... wait dot with (1,0,10): d1=0.9+0+100,
+    // d3=0-0+100, d2=-1+0+100 -> 1, 3, 2
+    assert(top.toSeq === Seq(1L, 3L, 2L))
+  }
 }

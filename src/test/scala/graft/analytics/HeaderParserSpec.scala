@@ -71,4 +71,74 @@ class HeaderParserSpec extends SparkSpec {
       assert(h.byte_len === (if (id % 3 == 1) 13 else 33) + (id % 50).toInt, s"doc $id")
     }
   }
+
+  test("WAV: RIFF chunk walk with a skipped LIST chunk and odd-size padding") {
+    import graft.analytics.Multimodal.AvHeaderParser
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    out.write("RIFF".getBytes); le32(0); out.write("WAVE".getBytes)
+    // a LIST chunk with an ODD payload size: the walk must pad to even
+    out.write("LIST".getBytes); le32(3); u8(1); u8(2); u8(3); u8(0)
+    out.write("fmt ".getBytes); le32(16)
+    le16(1); le16(2); le32(44100); le32(44100 * 2 * 2); le16(4); le16(16)
+    out.write("data".getBytes); le32(44100 * 2 * 2 * 3) // exactly 3 s
+    val parsed = AvHeaderParser.parse(out.toByteArray)
+    assert(parsed === (("wav", "pcm", 2, 44100, 16, 3000L)))
+    // missing fmt chunk
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write("RIFF".getBytes)
+    bad.write(Array[Byte](0, 0, 0, 0)); bad.write("WAVE".getBytes)
+    bad.write("data".getBytes); bad.write(Array[Byte](4, 0, 0, 0, 1, 2, 3, 4))
+    bad.write(Array.fill[Byte](20)(0))
+    assert(AvHeaderParser.parse(bad.toByteArray)._1 === "wav_nofmt")
+  }
+
+  test("MP4: box walk skips a leading free box; mvhd v1 and no-moov arms") {
+    import graft.analytics.Multimodal.AvHeaderParser
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def be32(v: Int): Unit = { u8(v >> 24); u8(v >> 16); u8(v >> 8); u8(v) }
+    be32(16); out.write("ftyp".getBytes); out.write("mp42".getBytes); be32(512)
+    be32(12); out.write("free".getBytes); be32(0) // skipped filler box
+    be32(8 + 8 + 100); out.write("moov".getBytes)
+    be32(108); out.write("mvhd".getBytes)
+    be32(0); be32(0); be32(0)       // v0+flags, creation, modification
+    be32(90000); be32(90000 * 7 + 45000) // timescale, duration = 7.5 s
+    (0 until 80).foreach(_ => u8(0))
+    val parsed = AvHeaderParser.parse(out.toByteArray)
+    assert(parsed === (("mp4", "mp42", 0, 0, 0, 7500L)))
+    // version-1 mvhd is recognized and refused (64-bit fields)
+    val v1 = out.toByteArray.clone()
+    v1(16 + 12 + 8 + 8) = 1 // mvhd version byte
+    assert(AvHeaderParser.parse(v1)._1 === "mp4_mvhd_v1")
+    val nomoov = new java.io.ByteArrayOutputStream()
+    def b32(v: Int): Unit = { nomoov.write(v >> 24); nomoov.write((v >> 16) & 0xff); nomoov.write((v >> 8) & 0xff); nomoov.write(v & 0xff) }
+    b32(16); nomoov.write("ftyp".getBytes); nomoov.write("isom".getBytes); b32(0)
+    assert(AvHeaderParser.parse(nomoov.toByteArray)._1 === "mp4_nomoov")
+  }
+
+  test("synthesized AV corpus round-trips every planted field") {
+    import graft.analytics.Multimodal
+    implicit val s = spark
+    import s.implicits._
+    val ids = spark.range(0, 64).map(java.lang.Long.valueOf(_))
+    val parsed = Multimodal.parseAvHeaders(Multimodal.synthesizeAvMedia(ids))
+      .collect().sortBy(_.doc_id)
+    parsed.foreach { h =>
+      val id = h.doc_id; val k = id / 2
+      if (id % 2 == 0) {
+        assert(h.format === "wav", s"doc $id")
+        assert(h.channels === 1 + (k % 2).toInt)
+        assert(h.sample_rate === 8000 * (1 + (k % 3).toInt))
+        assert(h.duration_ms === (1000 + k % 4000) * 1000 / (8000 * (1 + k % 3)))
+        assert(h.byte_len === 44 + (k % 7).toInt)
+      } else {
+        assert(h.format === "mp4" && h.brand === "isom", s"doc $id")
+        assert(h.duration_ms === (3000 + k % 9000) * 1000 / (600 * (1 + k % 4)))
+        assert(h.byte_len === 140 + (k % 7).toInt)
+      }
+    }
+  }
 }
