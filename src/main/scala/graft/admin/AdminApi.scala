@@ -209,6 +209,10 @@ object AdminApi {
         nullable = false, "user"),
       "data_transforms_enabled" -> PropMeta("boolean",
         "Enables WebAssembly-powered data transforms.",
+        needsRestart = false, nullable = false, "user"),
+      "enable_usage" -> PropMeta("boolean",
+        "Enables the usage tracking mechanism, storing windowed history " +
+          "of kafka/cloud_storage metrics over time.",
         needsRestart = false, nullable = false, "user"))
     private val config = mutable.LinkedHashMap[String, JsonNode](
       "log_retention_ms" -> mapper.getNodeFactory.numberNode(604800000L),
@@ -218,7 +222,8 @@ object AdminApi {
       "cloud_storage_enabled" -> mapper.getNodeFactory.booleanNode(false),
       "kafka_batch_max_bytes" -> mapper.getNodeFactory.numberNode(1048576),
       "superusers" -> mapper.createArrayNode(),
-      "data_transforms_enabled" -> mapper.getNodeFactory.booleanNode(false))
+      "data_transforms_enabled" -> mapper.getNodeFactory.booleanNode(false),
+      "enable_usage" -> mapper.getNodeFactory.booleanNode(false))
     private var configVersion = 1L
     private var pendingRestart = false
 
@@ -2020,17 +2025,24 @@ object AdminApi {
           Resp(200, mapper.writeValueAsString(a))
 
         case ("GET", "v1" :: "usage" :: Nil) =>
-          // usage_response windows (api-doc/usage.json), newest first —
-          // the metering engine's ring in the shape rpk reads
+          // usage_response windows (api-doc/usage.json + admin/usage.cc):
+          // gated on enable_usage, the OPEN bucket excluded unless
+          // include_open_bucket=true — and when included, its zero end
+          // timestamp is replaced with "now" (a fixed model clock here,
+          // `usage.cc:35-42`); absent cloud gauge renders -1
+          if (!config.get("enable_usage").exists(_.asBoolean()))
+            return err(400, "Usage tracking is not enabled")
+          val includeOpen = qflag("include_open_bucket")
+          val UsageNowSec = 1700009999L
           val a = mapper.createArrayNode()
-          usage().foreach { w =>
+          usage().filter(includeOpen || !_.open).foreach { w =>
             val o = a.addObject()
             o.put("begin_timestamp", w.beginTs / 1000) // seconds on the wire
-            o.put("end_timestamp", w.endTs / 1000)
+            o.put("end_timestamp", if (w.open) UsageNowSec else w.endTs / 1000)
             o.put("open", w.open)
             o.put("kafka_bytes_sent_count", w.bytesSent)
             o.put("kafka_bytes_received_count", w.bytesReceived)
-            o.put("cloud_storage_bytes_gauge", 0L)
+            o.put("cloud_storage_bytes_gauge", -1L)
           }
           Resp(200, mapper.writeValueAsString(a))
 

@@ -1622,12 +1622,27 @@ private[graft] object IngestProtoEntries {
             s"${t.get("transactional_id").asText()}:${t.get("status").asText()}" +
               s":p${t.get("partitions").size()}").mkString(",")
         }),
+        ("GET", "/v1/usage", None,
+          r => "message=" + j(r.body).get("message").asText()),
+        ("PUT", "/v1/cluster_config", Some(
+          """{"upsert":{"enable_usage":true},"remove":[]}"""),
+          r => "config_version=" + j(r.body).get("config_version").asLong()),
         ("GET", "/v1/usage", None, r => {
+          // default EXCLUDES the open bucket (usage.cc include_open)
           val a = j(r.body)
           val rows = (0 until a.size()).map(a.get)
           s"windows=${a.size()};" + rows.map(w =>
             s"${w.get("kafka_bytes_sent_count").asLong()}@${
               w.get("open").asBoolean()}").mkString(",")
+        }),
+        ("GET", "/v1/usage?include_open_bucket=true", None, r => {
+          val a = j(r.body)
+          val rows = (0 until a.size()).map(a.get)
+          s"windows=${a.size()};" + rows.map(w =>
+            s"${w.get("kafka_bytes_sent_count").asLong()}@${
+              w.get("open").asBoolean()}:end=${
+              w.get("end_timestamp").asLong()}").mkString(",") +
+            s",gauge=${a.get(0).get("cloud_storage_bytes_gauge").asLong()}"
         }))
       script.zipWithIndex.map { case ((method, path, b, extract), i) =>
         val resp = srv.handle(method, path, b)
@@ -3927,7 +3942,10 @@ private[graft] object IngestProtoEntries {
         |  (28, 'GET', '/v1/debug_bundle/10000000-0000-4000-8000-000000000001', 200, 'status=error'),
         |  (29, 'GET', '/v1/cluster/uuid', 200, 'uuid=1'),
         |  (30, 'GET', '/v1/transactions', 200, 'n=3;tx-10:Ongoing:p2,tx-11:CompleteCommit:p1,tx-12:CompleteAbort:p1'),
-        |  (31, 'GET', '/v1/usage', 200, 'windows=2;300@false,500@true'))
+        |  (31, 'GET', '/v1/usage', 400, 'message=Usage tracking is not enabled'),
+        |  (32, 'PUT', '/v1/cluster_config', 200, 'config_version=3'),
+        |  (33, 'GET', '/v1/usage', 200, 'windows=1;300@false'),
+        |  (34, 'GET', '/v1/usage', 200, 'windows=2;300@false:end=1700002800,500@true:end=1700009999,gauge=-1'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the admin security surface (security.cc user CRUD

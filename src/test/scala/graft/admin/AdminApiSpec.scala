@@ -262,14 +262,26 @@ class AdminApiSpec extends AnyFunSuite {
     assert(t0.get("partitions").size() === 2)
     assert(t0.get("partitions").get(0).get("topic").asText() === "events")
     assert(txns.get(1).get("status").asText() === "CompleteCommit")
+    // usage is gated on enable_usage (admin/usage.cc:51-53)
+    assert(m.readTree(s.handle("GET", "/v1/usage").body)
+      .get("message").asText() === "Usage tracking is not enabled")
+    s.handle("PUT", "/v1/cluster_config",
+      Some("""{"upsert":{"enable_usage":true},"remove":[]}"""))
+    // default excludes the open bucket; include_open_bucket adds it
+    // back with its zero end timestamp replaced by the model clock
     val usage = m.readTree(s.handle("GET", "/v1/usage").body)
-    assert(usage.size() === 2)
+    assert(usage.size() === 1)
     val w0 = usage.get(0)
     assert(w0.get("begin_timestamp").asLong() === 1700000000L) // seconds
     assert(!w0.get("open").asBoolean())
     assert(w0.get("kafka_bytes_sent_count").asLong() === 300L)
     assert(w0.get("kafka_bytes_received_count").asLong() === 280L)
-    assert(usage.get(1).get("open").asBoolean())
+    assert(w0.get("cloud_storage_bytes_gauge").asLong() === -1L)
+    val all = m.readTree(
+      s.handle("GET", "/v1/usage?include_open_bucket=true").body)
+    assert(all.size() === 2)
+    assert(all.get(1).get("open").asBoolean())
+    assert(all.get(1).get("end_timestamp").asLong() === 1700009999L)
   }
 
   test("cluster uuid, readiness, and unknown routes") {
