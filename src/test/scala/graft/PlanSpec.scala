@@ -707,4 +707,33 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("Sort [") && l.contains("offset") && !l.contains("global=true")), p)
   }
+
+  test("SQ8 encode is a shuffle-free in-row projection; topK broadcasts queries") {
+    import graft.analytics.Similarity
+    val corpus = (0L until 200L)
+      .map(i => (i, Seq.tabulate(8)(d => (i % 7 + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.sqTrain(corpus)
+    val encoded = Similarity.sqEncode(corpus, model)
+    val pe = plan(encoded)
+    assert(!pe.contains("Exchange"), pe)
+    val queries = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.sqTopK(encoded,
+      Similarity.sqEncode(queries, model, vecCol = "query_vec"), model, 5)
+    val pt = plan(top)
+    // the query side broadcasts; the only non-broadcast exchange is the
+    // per-query window repartition
+    assert(pt.contains("BroadcastExchange"), pt)
+    assert(!pt.contains("SortMergeJoin") && !pt.contains("CartesianProduct"), pt)
+  }
+
+  test("AV header parse is a narrow mapPartitions pass - no shuffle, no join") {
+    import graft.analytics.Multimodal
+    implicit val s = spark
+    val ids = spark.range(0, 64).map(java.lang.Long.valueOf(_))
+    val parsed = Multimodal.parseAvHeaders(Multimodal.synthesizeAvMedia(ids))
+    val p = plan(parsed.toDF())
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
 }
