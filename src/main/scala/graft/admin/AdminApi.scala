@@ -67,6 +67,36 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  *    (env/is_paused/compression), committed-offset debug listing and
  *    garbage collection — all gated on `data_transforms_enabled`
  *    with the reference's exact disabled message.
+ *  - debug diagnostics (`admin/debug.cc`): stress-fiber validation
+ *    ladder, leaders table + reset, peer/controller status, blocked-
+ *    reactor clamp, sampled memory/cpu profiles with shard checks,
+ *    restart_service, per-ntp partition state with the full
+ *    raft_replica_state shape, storage failure injection, local/cloud
+ *    storage usage, disk-stat statvfs overrides, the offset-translator
+ *    route over an engine hook, broker-uuid override gate.
+ *  - recovery mode (`admin/recovery.cc`): the tx-manager migrator
+ *    pair, registered only when `recoveryMode` is set.
+ *  - transactions (`admin/transaction.cc` + `partition.cc`): gated
+ *    listing with the coordinator-partition ladder, find_coordinator,
+ *    delete_partition etag ladder, per-partition active/expired
+ *    split, mark_transaction_expired.
+ *  - broker/partition extras: broker_uuids, cluster_view, per-node
+ *    and cluster-wide move cancellation (partition_result rows),
+ *    reset_crash_tracking, majority-lost ladder + report,
+ *    force-recovery validation, rebalance_cores.
+ *  - licensing (`features.cc`): license get/put ladder
+ *    (missing/malformed/expired), the enterprise report over the
+ *    license_required_feature set with the violation flip.
+ *  - cloud storage (`register_shadow_indexing_routes`): recovery
+ *    gates (202 accepts, 409 conflict), per-partition status +
+ *    manifest and the anomaly report behind engine hooks, lifecycle
+ *    markers, manual cache trim, sync/reset maintenance verbs.
+ *  - usage metering (`admin/usage.cc`): enable_usage gate,
+ *    open-bucket filtering with the now-stamped end timestamp.
+ *
+ * With these, every route in the reference's admin api-doc registry is
+ * handled except the honey-badger failure-injection pair
+ * (`hbadger.json` — compiled only into test builds).
  */
 object AdminApi {
 
