@@ -231,16 +231,25 @@ object Dedup {
    * than `maxBucket` are dropped before the self-join ([[capBuckets]]).
    */
   def lshCandidates(signatures: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidatesFromBanded(bandTable(signatures, k, bands), maxBucket)
+
+  /** The banded form of a signature table — `(doc_id, band_id,
+    * band_hash)`, one row per (doc, band), bucket key = xxhash64 of the
+    * band's r signature rows. Grouping is equivalent to keying on the
+    * r-tuple itself (what the DuckDB oracles replay as a string-joined
+    * band key), spelled as one 64-bit hash so the shuffle key is
+    * fixed-width at any r. */
+  private[analytics] def bandTable(signatures: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
     }
-    candidatesFromBanded(signatures
+    signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash")),
-      maxBucket)
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
   /** Candidate pairs from an already-banded (doc_id, band_id,
@@ -321,6 +330,114 @@ object Dedup {
     val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
     verifyJaccard(cands, sh).where(col("jaccard") >= threshold)
   }
+
+  /**
+   * Incremental near-dup dedup — the production shape for a
+   * continuously-crawled corpus: an arriving BATCH probes the standing
+   * corpus band index without re-pairing (or even re-reading) the
+   * corpus against itself. Cost scales with |batch|, not |corpus|:
+   * batch-vs-corpus candidates come from one equi-join of the batch's
+   * band table against the (persisted, capped) corpus index; batch-vs-
+   * batch candidates from the usual capped self-join of the batch
+   * alone. Corpus-vs-corpus pairs are never formed — that run already
+   * happened when those docs were themselves the batch.
+   *
+   * Verdict per batch doc, by precedence: `dup_corpus` (Jaccard ≥
+   * threshold with some corpus doc; `dup_of` = the smallest matching
+   * corpus id), else `dup_batch` (matches an EARLIER batch doc;
+   * `dup_of` = the smallest matching smaller id — one-hop semantics:
+   * the earliest member of an all-new duplicate group survives as
+   * `new`), else `new`. Batch and corpus id spaces must be disjoint.
+   *
+   * Hot buckets: the standing index drops buckets holding more than
+   * `maxBucket` CORPUS members (the index's own skew rule — probes
+   * against stop-content buckets would be quadratic and rejected by
+   * verification anyway); the batch self-join caps by BATCH counts,
+   * exactly as the from-scratch pipeline does.
+   *
+   * Signatures arrive precomputed (`(doc_id, mh_0..mh_{k-1})`) so the
+   * caller picks the hash family — [[minHashSignaturesParityFromText]]
+   * for oracle replay, the in-row xxhash64 kernel
+   * ([[minHashSignaturesFromText]], unpacked) in production — and so
+   * the corpus side can be a table persisted by an earlier run, which
+   * is the point of the operator. The doc tables (`(doc_id, text)`)
+   * are touched ONLY to re-shingle candidate docs for exact-Jaccard
+   * verification — an in-row projection behind a semi-join on the
+   * candidate ids, so the corpus text scan prunes to batch-scale and
+   * no corpus-wide shingle explode ever runs. Both Jaccard legs
+   * verify in ONE pass (pairs carry a leg tag; the two per-doc minima
+   * fold in a single conditional aggregate), so the candidate DAG is
+   * evaluated once.
+   */
+  def incrementalNearDups(corpusSig: DataFrame, batchSig: DataFrame,
+      corpusDocs: DataFrame, batchDocs: DataFrame,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val corpusIdx = capBuckets(bandTable(corpusSig, k, bands),
+      Seq("band_id", "band_hash"), maxBucket)
+    val batchBands = bandTable(batchSig, k, bands)
+    val vsCorpus = batchBands.alias("b")
+      .join(corpusIdx.alias("c"),
+        col("b.band_id") === col("c.band_id") &&
+          col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("__leg", lit("c"))
+    val vsBatch = candidatesFromBanded(batchBands, maxBucket)
+      .withColumn("__leg", lit("b"))
+    // Candidate pairs are batch-scale (a vanishing fraction of the
+    // corpus) and feed BOTH the semi-join doc cut and the verify join;
+    // materialize once so the signature/banding DAG runs once, not
+    // per consumer.
+    val pairs = vsCorpus.unionByName(vsBatch).localCheckpoint(true)
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = corpusDocs.select(col("doc_id"), col("text"))
+      .unionByName(batchDocs.select(col("doc_id"), col("text")))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), shingleN)).as("sset"))
+    val verified = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .where(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        size(array_union(col("set_a"), col("set_b"))).cast("double") >= threshold)
+    // one conditional aggregate folds both verdict legs: the doc under
+    // judgment is doc_a for corpus hits, doc_b (the LATER id) for
+    // batch-internal hits; min() skips the other leg's nulls.
+    val dups = verified.select(
+        when(col("__leg") === "c", col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        when(col("__leg") === "c", col("doc_b")).as("__c_other"),
+        when(col("__leg") === "b", col("doc_a")).as("__b_other"))
+      .groupBy("doc_id")
+      .agg(min("__c_other").as("__dup_corpus"), min("__b_other").as("__dup_batch"))
+    batchDocs.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__dup_corpus").isNotNull, lit("dup_corpus"))
+          .when(col("__dup_batch").isNotNull, lit("dup_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("__dup_corpus"), col("__dup_batch")).as("dup_of"))
+  }
+
+  /** Parity MinHash signatures straight from text: the same
+    * md5-affine family as [[minHashSignaturesParity]] — bit-identical
+    * values — without the [[shingled]] distinct. Duplicate shingles
+    * cannot change a minimum, so the explode feeds the min-aggregate
+    * directly: the explode never crosses the wire (it stays inside
+    * the scan partition) and partial aggregation collapses each
+    * partition to one row per doc before the exchange, so the shuffle
+    * carries |docs| × k longs — NOT the doc × shingle table the
+    * distinct-first spelling pays, and each shingle is md5-hashed
+    * exactly once (an in-row `array_min(transform(...))` spelling
+    * k-plicates the hash array under projection collapse and runs
+    * the lambdas interpreted — measured 5× slower than this).
+    * Docs with no shingles are absent, as in the exploded spelling. */
+  def minHashSignaturesParityFromText(df: DataFrame, idCol: Column,
+      textCol: Column, shingleN: Int, k: Int): DataFrame =
+    minHashSignaturesParity(
+      df.select(idCol.as("doc_id"),
+        explode(shingles(textCol, shingleN)).as("shingle")), k)
 
   /**
    * Exact n-gram Jaccard all-pairs above a threshold, via inverted index:

@@ -909,6 +909,61 @@ private[graft] object AnalyticsEntries {
         .orderBy("rank")
     }),
 
+    "ret_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+      // leg ("more-like-this" on each query doc's full text) and the
+      // SQ8 integer-dot dense leg each rank a per-query top-20, and
+      // RRF (k=60) fuses them in exact micro-units. Every stage —
+      // BM25 contribution flooring, SQ8 train/encode/reconstruct, the
+      // RRF fold — is integer arithmetic, so the oracle replays the
+      // whole hybrid stack end-to-end (both legs reuse spellings the
+      // standalone txt_bm25_topk / ann_sq8_topk oracles already pin).
+      val docs = T(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val lex = graft.analytics.Retrieval.bm25PerQuery(
+        docs, col("doc_id"), col("text"), queries, k = 20)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val model = Similarity.sqTrain(emb)
+      val qv = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = Similarity.sqTopK(
+          Similarity.sqEncode(emb, model),
+          Similarity.sqEncode(qv, model, vecCol = "query_vec"), model, 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.analytics.Retrieval.rrfFuse(
+          lex.select("query_id", "doc_id", "rank"), dense, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "dd_incremental" -> ((s, dir) => {
+      // Incremental dedup — the continuous-crawl production shape: a
+      // new BATCH probes the standing corpus band index (batch-vs-
+      // corpus equi-join + batch self-join only; corpus never re-
+      // pairs against itself). Plants: every 23rd doc arrives again
+      // with an appended tail (dup_corpus), every 31st arrives token-
+      // REVERSED (no shingle overlap -> new) plus a perturbed copy of
+      // that reversal (dup_batch of the earlier batch id). Parity
+      // (md5-affine) signatures so the oracle replays signing,
+      // banding, caps, verification, and the verdict precedence.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
+      val batch = docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" shared tail marker words here")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 860000).as("doc_id"), rev.as("text")))
+        .unionByName(docs.where(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 880000).as("doc_id"),
+            concat(rev, lit(" extra trailing words")).as("text")))
+      Dedup.incrementalNearDups(
+          Dedup.minHashSignaturesParityFromText(docs, col("doc_id"), col("text"), 3, 12),
+          Dedup.minHashSignaturesParityFromText(batch, col("doc_id"), col("text"), 3, 12),
+          docs, batch, shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -2116,6 +2171,156 @@ private[graft] object AnalyticsEntries {
         |   row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank FROM agg)
         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score_u
         |FROM topd WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "ret_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS term FROM tok WHERE doc_id < 5),
+        | terms AS (SELECT DISTINCT term FROM qt),
+        | tl AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        | dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tl JOIN terms USING (term) GROUP BY 1, 2),
+        | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | cu AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+        |          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+        |      * 1000000.0) AS BIGINT) AS cu
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        | lexsc AS (
+        |  SELECT qt.query_id, cu.doc_id, CAST(sum(cu.cu) AS BIGINT) AS score_u
+        |  FROM cu JOIN qt USING (term) WHERE cu.doc_id != qt.query_id GROUP BY 1, 2),
+        | lex AS (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS INTEGER) AS lex_rank
+        |  FROM lexsc QUALIFY lex_rank <= 20),
+        | corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | dims AS (
+        |  SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+        |  FROM corpus, generate_series(1, 64) t(i) GROUP BY i),
+        | recon AS (
+        |  SELECT vec_id, list(CAST(
+        |      floor(lo * 1000000 + 0.5)
+        |      + (CASE WHEN hi > lo
+        |          THEN least(greatest(floor((e[i] - lo) / (hi - lo) * 255 + 0.5), 0), 255)
+        |          ELSE 0 END)
+        |        * floor((hi - lo) * 1000000 / 255 + 0.5)
+        |      AS BIGINT) ORDER BY i) AS c
+        |  FROM corpus, dims
+        |  GROUP BY vec_id),
+        | dsc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    CAST(list_dot_product(CAST(q.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])) AS BIGINT) AS iscore
+        |  FROM recon q, recon c WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+        | dense AS (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY iscore DESC, doc_id) AS INTEGER) AS dense_rank
+        |  FROM dsc QUALIFY dense_rank <= 20),
+        | fused AS (
+        |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+        |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    l.lex_rank, d.dense_rank,
+        |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |       + COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf_u
+        |  FROM lex l FULL JOIN dense d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+        | rk AS (
+        |  SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rrf_u DESC, doc_id) AS INTEGER) AS rank
+        |  FROM fused)
+        |SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "dd_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | batch AS (
+        |  SELECT doc_id + 800000 AS doc_id,
+        |         text || ' shared tail marker words here' AS text
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 860000,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 880000,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' extra trailing words'
+        |  FROM documents WHERE doc_id % 31 = 0),
+        | allc AS (
+        |  SELECT 'c' AS side, doc_id, text FROM corpus
+        |  UNION ALL SELECT 'b', doc_id, text FROM batch),
+        | shf AS (
+        |  SELECT DISTINCT side, doc_id, s
+        |  FROM (SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM allc),
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh1 AS (
+        |  SELECT side, doc_id,
+        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM shf),
+        | co AS (
+        |  SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(12)) u(i)),
+        | sig AS (
+        |  SELECT side, doc_id, i, min((a * h + b) % 2147483647) AS mh
+        |  FROM sh1, co GROUP BY 1, 2, 3),
+        | bandsig AS (
+        |  SELECT side, doc_id, i // 2 AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+        |  FROM sig GROUP BY 1, 2, 3),
+        | cb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'c'),
+        | cbb AS (SELECT band_id, bh FROM cb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | cidx AS (SELECT cb.* FROM cb JOIN cbb USING (band_id, bh)),
+        | btb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'b'),
+        | bbb AS (SELECT band_id, bh FROM btb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | bcap AS (SELECT btb.* FROM btb JOIN bbb USING (band_id, bh)),
+        | candc AS (
+        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM btb b JOIN cidx c ON b.band_id = c.band_id AND b.bh = c.bh),
+        | candb AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bcap a JOIN bcap b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+        | jc AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candc c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupc AS (
+        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
+        |  FROM jc j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | jb AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candb c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupb AS (
+        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
+        |  FROM jb j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1)
+        |SELECT bt.doc_id,
+        |  CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
+        |       WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
+        |       ELSE 'new' END AS verdict,
+        |  COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
+        |FROM batch bt LEFT JOIN dupc dc USING (doc_id)
+        |  LEFT JOIN dupb db USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "smp_ccnet_buckets" ->
       s"""WITH $PerplexityLegs,

@@ -92,6 +92,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(uncapped.exists { case (a, b) => a >= 100L && b >= 100L })
   }
 
+  test("in-row parity signatures are bit-identical to the exploded spelling") {
+    val exploded = Dedup.minHashSignaturesParity(
+      Dedup.shingled(docs, col("doc_id"), col("text"), 2), 8)
+    val inRow = Dedup.minHashSignaturesParityFromText(
+      docs, col("doc_id"), col("text"), 2, 8)
+    assert(inRow.schema === exploded.schema)
+    assert(inRow.exceptAll(exploded).isEmpty && exploded.exceptAll(inRow).isEmpty)
+    // short doc with < n tokens is absent from both
+    val tiny = Seq((9L, "one")).toDF("doc_id", "text")
+    assert(Dedup.minHashSignaturesParityFromText(
+      tiny, col("doc_id"), col("text"), 2, 4).count() === 0L)
+  }
+
+  test("incremental dedup: batch probes the corpus index; verdict precedence holds") {
+    // corpus = the standing fixture; batch = a near-copy of corpus doc 0
+    // (dup_corpus), a fresh doc plus its own near-copy (the earlier id
+    // stays `new`, the later is dup_batch), and one genuinely new doc.
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),   // ~doc 0
+      (101L, "zebras gallop across wide open savannah plains fast"), // new
+      (102L, "zebras gallop across wide open savannah plains now"),  // ~101
+      (103L, "totally unrelated quantum chromodynamics lattice results"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(
+        Dedup.minHashSignaturesParityFromText(docs, col("doc_id"), col("text"), 2, 16),
+        Dedup.minHashSignaturesParityFromText(batch, col("doc_id"), col("text"), 2, 16),
+        docs, batch, shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+      .select("doc_id", "verdict", "dup_of")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) === (("dup_corpus", Some(0L))))
+    assert(got(101L) === (("new", None)))
+    assert(got(102L) === (("dup_batch", Some(101L))))
+    assert(got(103L) === (("new", None)))
+    // every batch doc gets exactly one verdict row
+    assert(got.size === 4)
+    // corpus-vs-corpus pairs are never formed: corpus docs 0 and 3 are
+    // exact near-dups of each other, yet neither appears in the output
+    assert(!got.contains(0L) && !got.contains(3L))
+  }
+
   test("ngram jaccard exact pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 2, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
