@@ -372,10 +372,21 @@ object Dedup {
   def incrementalNearDups(corpusSig: DataFrame, batchSig: DataFrame,
       corpusDocs: DataFrame, batchDocs: DataFrame,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
-    val corpusIdx = capBuckets(bandTable(corpusSig, k, bands),
-      Seq("band_id", "band_hash"), maxBucket)
-    val batchBands = bandTable(batchSig, k, bands)
+      maxBucket: Int = 1000): DataFrame =
+    judgeAgainstIndex(
+      capBuckets(bandTable(corpusSig, k, bands),
+        Seq("band_id", "band_hash"), maxBucket),
+      bandTable(batchSig, k, bands),
+      corpusDocs, batchDocs, shingleN, threshold, maxBucket)
+
+  /** The judgment core shared by [[incrementalNearDups]] and
+    * [[incrementalNearDupsStream]]: probe an already-capped corpus
+    * band index with a batch band table, verify candidates by exact
+    * Jaccard over candidate-scoped in-row re-shingling, and emit one
+    * verdict row per batch doc. */
+  private[analytics] def judgeAgainstIndex(corpusIdx: DataFrame,
+      batchBands: DataFrame, corpusDocs: DataFrame, batchDocs: DataFrame,
+      shingleN: Int, threshold: Double, maxBucket: Int): DataFrame = {
     val vsCorpus = batchBands.alias("b")
       .join(corpusIdx.alias("c"),
         col("b.band_id") === col("c.band_id") &&
@@ -438,6 +449,84 @@ object Dedup {
     minHashSignaturesParity(
       df.select(idCol.as("doc_id"),
         explode(shingles(textCol, shingleN)).as("shingle")), k)
+
+  /** Seed the standing state of [[incrementalNearDupsStream]] from an
+    * initial corpus: its band index and doc texts land as the `batch=-1`
+    * slice of the two append-only state tables. */
+  def initIncrementalState(corpusDocs: DataFrame, stateDir: String,
+      sign: DataFrame => DataFrame, k: Int, bands: Int): Unit = {
+    bandTable(sign(corpusDocs), k, bands)
+      .write.mode("overwrite").parquet(s"$stateDir/bands/batch=-1")
+    corpusDocs.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch=-1")
+  }
+
+  /**
+   * Continuous incremental near-dup dedup — [[incrementalNearDups]] as
+   * a Structured Streaming query whose standing index GROWS: each
+   * micro-batch probes the index, and the docs it judges `new` join it,
+   * so a later batch's near-copy of an earlier batch's accepted doc is
+   * `dup_corpus` OF that earlier doc (re-running the batch operator per
+   * arrival would call it `new` — the growing state is the semantics).
+   *
+   * State is two append-only parquet tables under `stateDir`
+   * (`bands` = the band index, `docs` = accepted texts for candidate
+   * re-shingling), partitioned by the micro-batch id that admitted each
+   * row (the initial corpus is `batch=-1`, seeded by
+   * [[initIncrementalState]]). Every write in a micro-batch lands in
+   * that batch's own partition with overwrite mode and every state read
+   * filters to `batch < current`, so a replayed micro-batch sees
+   * exactly the pre-batch state and overwrites only its own output —
+   * the batch-id-versioned-table idempotence rule the other streaming
+   * twins use.
+   *
+   * Scale shape per batch: the index is never aggregated whole — the
+   * hot-bucket cap counts members only in buckets the batch actually
+   * probes (a semi-join cut; the cap decision is identical because
+   * un-probed buckets produce no candidates), so per-batch work scales
+   * with |batch|, not |index|. Verdict rows land in `outDir/batch=N`.
+   */
+  def incrementalNearDupsStream(batches: DataFrame, stateDir: String,
+      outDir: String, ckptDir: String, sign: DataFrame => DataFrame,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = batches.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val batchDocs = batch.select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val priorBands = s.read.parquet(s"$stateDir/bands")
+          .where(col("batch") < batchId).drop("batch")
+        val priorDocs = s.read.parquet(s"$stateDir/docs")
+          .where(col("batch") < batchId).drop("batch")
+        val batchBands = bandTable(sign(batchDocs), k, bands)
+          .localCheckpoint(true)
+        // probe-scoped cap: count members only in buckets this batch
+        // touches — identical verdicts (un-probed buckets yield no
+        // candidates), batch-scale work against an index of any size.
+        val probed = priorBands.join(
+          batchBands.select("band_id", "band_hash").distinct(),
+          Seq("band_id", "band_hash"), "left_semi")
+        val corpusIdx = capBuckets(probed, Seq("band_id", "band_hash"), maxBucket)
+        judgeAgainstIndex(corpusIdx, batchBands, priorDocs, batchDocs,
+            shingleN, threshold, maxBucket)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // grow the standing state with this batch's accepted docs
+        val accepted = s.read.parquet(s"$outDir/batch=$batchId")
+          .where(col("verdict") === "new").select("doc_id")
+        batchDocs.join(accepted, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$batchId")
+        batchBands.join(accepted, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 
   /**
    * Exact n-gram Jaccard all-pairs above a threshold, via inverted index:

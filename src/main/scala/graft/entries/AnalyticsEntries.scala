@@ -964,6 +964,60 @@ private[graft] object AnalyticsEntries {
         .orderBy("doc_id")
     }),
 
+    "dd_incremental_stream" -> ((s, dir) => {
+      // The incremental deduper as a continuous query with a GROWING
+      // index: micro-batch 0 delivers token-reversed docs (all `new`,
+      // admitted to the standing index); micro-batch 1 delivers (a)
+      // tail-appended corpus docs -> dup_corpus of the ORIGINAL, (b)
+      // perturbed copies of batch-0's reversals -> dup_corpus of the
+      // batch-0 id (the growing-index proof: the per-arrival batch
+      // operator would call these `new`), and (c) an intra-batch
+      // near-pair on a fresh id family -> earlier id `new`, later
+      // `dup_batch`. The oracle replays both batches in sequence,
+      // including the index growth between them.
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
+      val b1 = docs.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 860000).as("doc_id"), rev.as("text"))
+      val b2 = docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" shared tail marker words here")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 880000).as("doc_id"),
+            concat(rev, lit(" extra trailing words")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 820000).as("doc_id"),
+            concat(rev, lit(" planted tail one")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 830000).as("doc_id"),
+            concat(rev, lit(" planted tail two")).as("text")))
+      val inDir = cleanupOnExit(Files.createTempDirectory("graft_incr_in"))
+      Seq((b1, "batch0", 1700000000000L), (b2, "batch1", 1700000001000L))
+        .foreach { case (df, name, mtime) =>
+          val tmp = Files.createTempDirectory("graft_incr_half")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val dst = inDir.resolve(s"$name.parquet")
+          Files.copy(firstParquetPart(tmp), dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+          deleteDirTree(tmp)
+        }
+      val out = cleanupOnExit(Files.createTempDirectory("graft_incr_out")).toString
+      val sign = (d: DataFrame) =>
+        Dedup.minHashSignaturesParityFromText(d, col("doc_id"), col("text"), 3, 12)
+      Dedup.initIncrementalState(docs, s"$out/state", sign, 12, 6)
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir.toString, b1.schema, maxFilesPerTrigger = Some(1)).stream(s)
+      Dedup.incrementalNearDupsStream(stream, s"$out/state", s"$out/verdicts",
+        s"$out/ckpt", sign, shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      s.read.parquet(s"$out/verdicts")
+        .select(col("batch").cast("int").as("batch_id"), col("doc_id"),
+          col("verdict"), col("dup_of"))
+        .dropDuplicates("batch_id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -2320,6 +2374,152 @@ private[graft] object AnalyticsEntries {
         |  COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
         |FROM batch bt LEFT JOIN dupc dc USING (doc_id)
         |  LEFT JOIN dupb db USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dd_incremental_stream" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | b1 AS (
+        |  SELECT doc_id + 860000 AS doc_id,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 31 = 0),
+        | b2 AS (
+        |  SELECT doc_id + 800000 AS doc_id,
+        |         text || ' shared tail marker words here' AS text
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 880000,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' extra trailing words'
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 820000,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' planted tail one'
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 830000,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' planted tail two'
+        |  FROM documents WHERE doc_id % 29 = 0),
+        | allc AS (
+        |  SELECT 'c' AS side, doc_id, text FROM corpus
+        |  UNION ALL SELECT 'x', doc_id, text FROM b1
+        |  UNION ALL SELECT 'y', doc_id, text FROM b2),
+        | shf AS (
+        |  SELECT DISTINCT side, doc_id, s
+        |  FROM (SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM allc),
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh1 AS (
+        |  SELECT side, doc_id,
+        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM shf),
+        | co AS (
+        |  SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(12)) u(i)),
+        | sig AS (
+        |  SELECT side, doc_id, i, min((a * h + b) % 2147483647) AS mh
+        |  FROM sh1, co GROUP BY 1, 2, 3),
+        | bandsig AS (
+        |  SELECT side, doc_id, i // 2 AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+        |  FROM sig GROUP BY 1, 2, 3),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+        | idx0 AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'c'),
+        | cap0 AS (SELECT band_id, bh FROM idx0 GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | idx0c AS (SELECT idx0.* FROM idx0 JOIN cap0 USING (band_id, bh)),
+        | xb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'x'),
+        | xcb AS (SELECT band_id, bh FROM xb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | xcap AS (SELECT xb.* FROM xb JOIN xcb USING (band_id, bh)),
+        | candc0 AS (
+        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM xb b JOIN idx0c c ON b.band_id = c.band_id AND b.bh = c.bh),
+        | candb0 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM xcap a JOIN xcap b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | jc0 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candc0 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupc0 AS (
+        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
+        |  FROM jc0 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | jb0 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candb0 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupb0 AS (
+        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
+        |  FROM jb0 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | v0 AS (
+        |  SELECT bt.doc_id,
+        |    CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
+        |         WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
+        |         ELSE 'new' END AS verdict,
+        |    COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
+        |  FROM b1 bt LEFT JOIN dupc0 dc USING (doc_id)
+        |    LEFT JOIN dupb0 db USING (doc_id)),
+        | idx1 AS (
+        |  SELECT * FROM idx0
+        |  UNION ALL
+        |  SELECT xb.* FROM xb JOIN v0 ON v0.doc_id = xb.doc_id AND v0.verdict = 'new'),
+        | cap1 AS (SELECT band_id, bh FROM idx1 GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | idx1c AS (SELECT idx1.* FROM idx1 JOIN cap1 USING (band_id, bh)),
+        | yb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'y'),
+        | ycb AS (SELECT band_id, bh FROM yb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | ycap AS (SELECT yb.* FROM yb JOIN ycb USING (band_id, bh)),
+        | candc1 AS (
+        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM yb b JOIN idx1c c ON b.band_id = c.band_id AND b.bh = c.bh),
+        | candb1 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ycap a JOIN ycap b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | jc1 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candc1 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupc1 AS (
+        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
+        |  FROM jc1 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | jb1 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candb1 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupb1 AS (
+        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
+        |  FROM jb1 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | v1 AS (
+        |  SELECT bt.doc_id,
+        |    CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
+        |         WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
+        |         ELSE 'new' END AS verdict,
+        |    COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
+        |  FROM b2 bt LEFT JOIN dupc1 dc USING (doc_id)
+        |    LEFT JOIN dupb1 db USING (doc_id))
+        |SELECT CAST(0 AS INTEGER) AS batch_id, doc_id, verdict, dup_of FROM v0
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), doc_id, verdict, dup_of FROM v1
         |ORDER BY doc_id""".stripMargin,
 
     "smp_ccnet_buckets" ->

@@ -133,6 +133,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got.contains(0L) && !got.contains(3L))
   }
 
+  test("incremental dedup stream: the standing index grows across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft_incr_spec")
+    val sign = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.minHashSignaturesParityFromText(d, col("doc_id"), col("text"), 2, 16)
+    Dedup.initIncrementalState(docs, s"$root/state", sign, 16, 8)
+    // batch 0: one genuinely new doc; batch 1: a near-copy of it PLUS a
+    // near-copy of corpus doc 0
+    val b0 = Seq((200L, "zebras gallop across wide open savannah plains fast"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (300L, "zebras gallop across wide open savannah plains now"),
+      (301L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val in = Files.createDirectory(Paths.get(s"$root/in"))
+    Seq((b0, "b0", 1700000000000L), (b1, "b1", 1700000001000L)).foreach {
+      case (df, name, mtime) =>
+        val tmp = Files.createTempDirectory("graft_incr_spec_half")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        val dst = in.resolve(s"$name.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    val stream = graft.streaming.Transforms.PathInput(
+      in.toString, b0.schema, maxFilesPerTrigger = Some(1)).stream(spark)
+    Dedup.incrementalNearDupsStream(stream, s"$root/state", s"$root/out",
+      s"$root/ckpt", sign, shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+    val got = spark.read.parquet(s"$root/out")
+      .select("batch", "doc_id", "verdict", "dup_of")
+      .as[(Int, Long, String, Option[Long])].collect()
+      .map(r => r._2 -> r).toMap
+    // batch 0's doc was new and joined the index...
+    assert(got(200L) === ((0, 200L, "new", None)))
+    // ...so batch 1's near-copy is dup_CORPUS of the batch-0 id (the
+    // per-arrival batch operator would have said `new`)
+    assert(got(300L) === ((1, 300L, "dup_corpus", Some(200L))))
+    // and the initial corpus still matches as before
+    assert(got(301L) === ((1, 301L, "dup_corpus", Some(0L))))
+    // state grew by exactly the accepted doc on each side
+    assert(spark.read.parquet(s"$root/state/docs")
+      .where(col("batch") >= 0).select("doc_id").as[Long].collect().toSet === Set(200L))
+  }
+
   test("ngram jaccard exact pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 2, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
