@@ -372,12 +372,21 @@ object Dedup {
   def incrementalNearDups(corpusSig: DataFrame, batchSig: DataFrame,
       corpusDocs: DataFrame, batchDocs: DataFrame,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000): DataFrame = {
+    // Materialize both band tables once: each feeds its cap aggregate
+    // AND a join probe, and the partial-agg subtree under the exchange
+    // differs between the two consumers, so Spark cannot reuse the
+    // exchange — without this the full signature chain is computed
+    // twice (corpus) / three times (batch). The band index is the
+    // operator's own persistable artifact (the stream twin reads it
+    // from parquet state); in the from-scratch spelling this pins it
+    // for the run instead.
+    val corpusBands = bandTable(corpusSig, k, bands).localCheckpoint(true)
+    val batchBands = bandTable(batchSig, k, bands).localCheckpoint(true)
     judgeAgainstIndex(
-      capBuckets(bandTable(corpusSig, k, bands),
-        Seq("band_id", "band_hash"), maxBucket),
-      bandTable(batchSig, k, bands),
-      corpusDocs, batchDocs, shingleN, threshold, maxBucket)
+      capBuckets(corpusBands, Seq("band_id", "band_hash"), maxBucket),
+      batchBands, corpusDocs, batchDocs, shingleN, threshold, maxBucket)
+  }
 
   /** The judgment core shared by [[incrementalNearDups]] and
     * [[incrementalNearDupsStream]]: probe an already-capped corpus
@@ -403,11 +412,14 @@ object Dedup {
     val pairs = vsCorpus.unionByName(vsBatch).localCheckpoint(true)
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // Candidate-scale like pairs, and consumed twice (the set_a and
+    // set_b joins) — materialize so the doc-table scans run once.
     val sets = corpusDocs.select(col("doc_id"), col("text"))
       .unionByName(batchDocs.select(col("doc_id"), col("text")))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingles(col("text"), shingleN)).as("sset"))
+      .localCheckpoint(true)
     val verified = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
