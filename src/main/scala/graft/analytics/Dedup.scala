@@ -253,7 +253,14 @@ object Dedup {
   }
 
   /** Candidate pairs from an already-banded (doc_id, band_id,
-    * band_hash) table: cap hot buckets, self-join within buckets. */
+    * band_hash) table: cap hot buckets, self-join within buckets.
+    * The banded table is consumed three times (cap aggregate + both
+    * self-join sides) and deliberately NOT pinned here: the production
+    * chains above it are in-row kernels that re-evaluate at scan speed
+    * inside whole-stage codegen, and an eager materialization barrier
+    * measured 2-5x SLOWER on dd_minhash_lsh / pipe_fineweb_fuzzy.
+    * Callers whose upstream chain is genuinely expensive pin it
+    * themselves ([[incrementalNearDups]] pins its parity band tables). */
   private def candidatesFromBanded(raw: DataFrame, maxBucket: Int): DataFrame = {
     val banded = capBuckets(raw, Seq("band_id", "band_hash"), maxBucket)
     val a = banded.alias("a")
