@@ -558,6 +558,39 @@ object Dedup {
       n: Int, threshold: Double, maxDf: Int = 1000): DataFrame =
     ngramJaccardFromShingles(shingled(df, idCol, textCol, n), threshold, maxDf)
 
+  /**
+   * Exact n-gram CONTAINMENT all-pairs (Broder's asymmetric measure):
+   * `C(A→B) = |A∩B| / |A|`, both directions per pair, kept where the
+   * larger direction clears `threshold`. The detector symmetric
+   * Jaccard structurally misses: a document wrapped in boilerplate
+   * (header/footer-padded scrape, quoted-in-full post) has containment
+   * ≈ 1 of the original in the wrapper while Jaccard dilutes toward
+   * |A|/|B|. Same inverted-index shape and stop-shingle `maxDf` cap as
+   * [[ngramJaccardPairs]] — the measure changes, the scale plan
+   * doesn't; sizes and intersections both live in the capped shingle
+   * space so the ratio is self-consistent at any scale.
+   */
+  def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
+      .where(col("df_cnt") <= maxDf)
+    val pruned = sh.join(rare, "shingle").select("doc_id", "shingle")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pruned.alias("a")
+      .join(pruned.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("sz_a").cast("double")).as("c_ab"),
+        (col("inter").cast("double") / col("sz_b").cast("double")).as("c_ba"))
+      .where(greatest(col("c_ab"), col("c_ba")) >= threshold)
+  }
+
   /** Exact n-gram Jaccard over a pre-shingled (doc_id, shingle) set. */
   def ngramJaccardFromShingles(sh: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))

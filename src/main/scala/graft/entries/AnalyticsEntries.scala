@@ -1018,6 +1018,25 @@ private[graft] object AnalyticsEntries {
         .orderBy("doc_id")
     }),
 
+    "dd_containment" -> ((s, dir) => {
+      // Asymmetric containment dedup: every 37th doc arrives again
+      // WRAPPED in boilerplate (nav header + legal footer) — the
+      // scraped-page shape where the original is ~fully contained in
+      // the wrapper but symmetric Jaccard dilutes toward |A|/|B| and
+      // misses it. Exact inverted-index pairs with the maxDf
+      // stop-shingle cap; the oracle replays sizes, intersections, and
+      // both containment directions.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wrapped = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("site header navigation menu links home products "),
+            col("text"),
+            lit(" copyright footer terms privacy policy contact")).as("text"))
+      Dedup.ngramContainmentPairs(docs.unionByName(wrapped),
+          col("doc_id"), col("text"), n = 3, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -2521,6 +2540,33 @@ private[graft] object AnalyticsEntries {
         |UNION ALL
         |SELECT CAST(1 AS INTEGER), doc_id, verdict, dup_of FROM v1
         |ORDER BY doc_id""".stripMargin,
+
+    "dd_containment" ->
+      """WITH allc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000,
+        |    'site header navigation menu links home products ' || text
+        |      || ' copyright footer terms privacy policy contact'
+        |  FROM documents WHERE doc_id % 37 = 0),
+        | shf AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM allc),
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | rare AS (SELECT s FROM shf GROUP BY s HAVING count(*) <= 1000),
+        | pruned AS (SELECT doc_id, s FROM shf JOIN rare USING (s)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  CAST(i.i AS DOUBLE) / sa.sz AS c_ab,
+        |  CAST(i.i AS DOUBLE) / sb.sz AS c_ba
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE greatest(CAST(i.i AS DOUBLE) / sa.sz, CAST(i.i AS DOUBLE) / sb.sz) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "smp_ccnet_buckets" ->
       s"""WITH $PerplexityLegs,

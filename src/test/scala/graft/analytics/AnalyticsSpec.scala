@@ -179,6 +179,31 @@ class AnalyticsSpec extends SparkSpec {
       .where(col("batch") >= 0).select("doc_id").as[Long].collect().toSet === Set(200L))
   }
 
+  test("containment catches the boilerplate-wrapped copy Jaccard misses") {
+    // doc 50 = doc 0's text wrapped in heavy boilerplate: the original
+    // is ~fully contained (c_ab -> 1) while Jaccard dilutes to |A|/|B|
+    val wrapped = docs.unionByName(Seq((50L,
+      "alpha beta gamma delta epsilon zeta eta theta " +
+      "the quick brown fox jumps over the lazy dog" +
+      " iota kappa lambda mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "text"))
+    val got = Dedup.ngramContainmentPairs(wrapped, col("doc_id"), col("text"),
+        n = 2, threshold = 0.9)
+      .select("doc_a", "doc_b", "c_ab", "c_ba")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the original (8 bigrams) is fully contained in the wrapper
+    assert(got.contains((0L, 50L)))
+    val (cab, cba) = got((0L, 50L))
+    assert(cab === 1.0)
+    assert(cba < 0.5) // wrapper is NOT contained in the original
+    // symmetric Jaccard at the same threshold misses the pair entirely
+    val jac = Dedup.ngramJaccardPairs(wrapped, col("doc_id"), col("text"),
+        n = 2, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((0L, 50L)))
+  }
+
   test("ngram jaccard exact pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 2, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
