@@ -1037,6 +1037,26 @@ private[graft] object AnalyticsEntries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "txt_warc_roundtrip" -> ((s, dir) => {
+      // WARC (ISO 28500) build + parse round-trip: documents become 8
+      // WARC files (warcinfo header + one HTTP response record per doc,
+      // built with Catalyst string expressions), then the REAL
+      // byte-walking parser — Content-Length-advancing, as the spec
+      // requires — reads them back. The oracle never parses: it
+      // recomputes every field (record index, URI, WARC content length,
+      // HTTP status, body md5) directly from the table, so a parser
+      // that mis-walks by even one octet hash-mismatches.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val files = graft.analytics.Warc.responseFiles(
+        docs, col("doc_id") % 8, col("doc_id"), col("text"))
+      graft.analytics.Warc.parseResponses(files, col("file_id"), col("warc"))(s)
+        .toDF()
+        .select(col("file_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("http_status"),
+          md5(col("body").cast("binary")).as("body_md5"))
+        .orderBy("file_id", "rec_idx")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -2567,6 +2587,28 @@ private[graft] object AnalyticsEntries {
         |  JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE greatest(CAST(i.i AS DOUBLE) / sa.sz, CAST(i.i AS DOUBLE) / sb.sz) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "txt_warc_roundtrip" ->
+      """WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+        | resp AS (
+        |  SELECT doc_id % 8 AS file_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INTEGER) AS rec_idx,
+        |    'response' AS warc_type,
+        |    'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |    CAST(strlen('HTTP/1.1 200 OK' || c || 'Content-Type: text/plain' || c ||
+        |      'Content-Length: ' || CAST(strlen(text) AS VARCHAR) || c || c || text)
+        |      AS BIGINT) AS content_length,
+        |    CAST(200 AS INTEGER) AS http_status,
+        |    md5(text) AS body_md5
+        |  FROM documents CROSS JOIN crlf),
+        | info AS (
+        |  SELECT DISTINCT doc_id % 8 AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |    'warcinfo' AS warc_type, '' AS target_uri,
+        |    CAST(17 AS BIGINT) AS content_length, CAST(-1 AS INTEGER) AS http_status,
+        |    md5('') AS body_md5
+        |  FROM documents)
+        |SELECT * FROM info UNION ALL SELECT * FROM resp
+        |ORDER BY file_id, rec_idx""".stripMargin,
 
     "smp_ccnet_buckets" ->
       s"""WITH $PerplexityLegs,
