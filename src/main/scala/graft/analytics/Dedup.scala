@@ -87,6 +87,32 @@ object Dedup {
       .agg(min(idCol).as("doc_id"), count(lit(1)).as("copies"))
 
   /**
+   * URL blocklist predicate — the UT1-style stage-0 gate the published
+   * crawl recipes run before fetching text (RefinedWeb §3.1, FineWeb):
+   * a URL is blocked when its host equals a blocked domain or is a
+   * subdomain of one (suffix match on a label boundary — `evil.com`
+   * blocks `www.evil.com` but NOT `notevil.com`), or its path+query
+   * contains a blocked keyword. Both lists are broadcast-sized
+   * literals folded into ONE codegen'd conditional (array `exists`
+   * over literal arrays): no join, no shuffle, scan-speed at any
+   * corpus size.
+   */
+  def urlBlocked(url: Column, domains: Seq[String],
+      pathWords: Seq[String]): Column = {
+    val host = lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
+    val dArr = array(domains.map(d => lit(d.toLowerCase)): _*)
+    val domainHit = exists(dArr, d =>
+      hostNoPort === d || endswith(hostNoPort, concat(lit("."), d)))
+    val rest = lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1))
+    val wArr = array(pathWords.map(w => lit(w.toLowerCase)): _*)
+    val wordHit = exists(wArr, w => contains(rest, w))
+    domainHit || wordHit
+  }
+
+  /**
    * MinHash signatures: k minimums of independent hash functions over the
    * shingle set. Hash family = xxhash64 salted by function index (64-bit,
    * deterministic). One shuffle: groupBy(doc_id) with k min-aggregates.

@@ -29,6 +29,38 @@ object TextAnalysis {
   }
 
   /**
+   * HTML → text extraction — the WET-file stage every crawl pipeline
+   * runs before any text heuristic: drop non-content containers
+   * (`script`/`style`, comments), turn block-closing tags into line
+   * breaks so paragraph structure survives for line-based rules, strip
+   * the remaining markup, decode the six dominant entities, collapse
+   * whitespace. A fixed regex chain of Catalyst `regexp_replace`
+   * expressions — narrow, codegen'd, shuffle-free, and the whole chain
+   * replays in an external SQL engine (patterns restricted to the
+   * RE2-safe subset: case-insensitive/dot-all flags and lazy
+   * quantifiers, no backreferences or lookaround). This is the honest
+   * regex extractor (boilerplate REMOVAL beyond script/style is the
+   * separate line-dedup / quality-rule stage, by design — the
+   * published pipelines also split these).
+   */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br\\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val ent1 = regexp_replace(noTags, "&nbsp;", " ")
+    val ent2 = regexp_replace(ent1, "&lt;", "<")
+    val ent3 = regexp_replace(ent2, "&gt;", ">")
+    val ent4 = regexp_replace(ent3, "&quot;", "\"")
+    val ent5 = regexp_replace(ent4, "&#39;", "'")
+    val ent6 = regexp_replace(ent5, "&amp;", "&")
+    trim(regexp_replace(regexp_replace(ent6, "[ \\t\\r]+", " "),
+      "\\s*\\n\\s*", "\n"))
+  }
+
+  /**
    * Language ID by stopword n-gram heuristic: count stopword hits per
    * language, argmax wins, no hits => "und" (undetermined).
    */

@@ -1057,6 +1057,49 @@ private[graft] object AnalyticsEntries {
         .orderBy("file_id", "rec_idx")
     }),
 
+    "txt_html_extract" -> ((s, dir) => {
+      // HTML -> text extraction (the WET stage): documents wrapped in a
+      // deterministic page (title, style, script whose STRING contains
+      // markup, comment, nav div, entity-bearing paragraphs), then the
+      // fixed RE2-safe regex chain extracts text. The oracle replays
+      // the synthesis AND the chain, so a drift in any pattern, the
+      // chain order, or entity decoding hash-mismatches.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body{color:#000}</style>" +
+          "<script>var x=\"<p>not text</p>\";</script></head>" +
+          "<body><!-- hidden comment --><div class=\"nav\">Home &amp; Links</div><p>"),
+        col("text"),
+        lit("</p><p>&quot;quoted&quot; &#39;apos&#39; &lt;tag&gt;&nbsp;end</p></body></html>"))
+      val ext = TextAnalysis.htmlToText(html)
+      docs.select(col("doc_id"),
+          md5(ext.cast("binary")).as("text_md5"),
+          length(ext).as("n_chars"),
+          size(split(ext, "\n")).as("n_lines"))
+        .orderBy("doc_id")
+    }),
+
+    "dd_url_blocklist" -> ((s, dir) => {
+      // UT1-style URL gate: deterministic synthetic URLs (domain picked
+      // by doc_id % 5, two tracking-ish paths), blocklist of one domain
+      // (must block subdomains on a label boundary but not the
+      // lookalike "notevil.example") and one path keyword. One
+      // codegen'd conditional; the oracle replays host extraction,
+      // suffix matching, and the keyword scan.
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      val domain = element_at(array(
+        lit("good.example"), lit("evil.example"), lit("www.evil.example"),
+        lit("notevil.example"), lit("news.example")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val path = when(col("doc_id") % 7 === 0, lit("/casino-bonus/page"))
+        .otherwise(concat(lit("/article/"), col("doc_id").cast("string")))
+      val url = concat(lit("https://"), domain, path)
+      docs.select(col("doc_id"), url.as("url"),
+          Dedup.urlBlocked(url, Seq("evil.example"), Seq("casino")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -2609,6 +2652,61 @@ private[graft] object AnalyticsEntries {
         |  FROM documents)
         |SELECT * FROM info UNION ALL SELECT * FROM resp
         |ORDER BY file_id, rec_idx""".stripMargin,
+
+    "txt_html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>body{color:#000}</style>'
+        |    || '<script>var x="<p>not text</p>";</script></head>'
+        |    || '<body><!-- hidden comment --><div class="nav">Home &amp; Links</div><p>'
+        |    || text
+        |    || '</p><p>&quot;quoted&quot; &#39;apos&#39; &lt;tag&gt;&nbsp;end</p></body></html>'
+        |    AS html
+        |  FROM documents),
+        | c1 AS (SELECT doc_id, regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM page),
+        | c2 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+        | c3 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM c2),
+        | c4 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>', chr(10), 'g') AS t FROM c3),
+        | c5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM c4),
+        | c6 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c5),
+        | c7 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM c6),
+        | c8 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM c7),
+        | c9 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM c8),
+        | c10 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM c9),
+        | c11 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM c10),
+        | c12 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM c11),
+        | chain AS (SELECT doc_id,
+        |    trim(regexp_replace(t, '\s*\n\s*', chr(10), 'g')) AS ext FROM c12)
+        |SELECT doc_id, md5(ext) AS text_md5,
+        |  CAST(length(ext) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(ext, chr(10))) AS INTEGER) AS n_lines
+        |FROM chain ORDER BY doc_id""".stripMargin,
+
+    "dd_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    (['good.example','evil.example','www.evil.example',
+        |      'notevil.example','news.example'])[CAST(doc_id % 5 + 1 AS INTEGER)] ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '/casino-bonus/page'
+        |          ELSE '/article/' || CAST(doc_id AS VARCHAR) END) AS url
+        |  FROM documents),
+        | parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(trim(url),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+        |    lower(regexp_extract(trim(url),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)) AS rest
+        |  FROM u)
+        |SELECT doc_id, url,
+        |  (host = 'evil.example' OR host LIKE '%.evil.example'
+        |   OR rest LIKE '%casino%') AS blocked
+        |FROM parts ORDER BY doc_id""".stripMargin,
 
     "smp_ccnet_buckets" ->
       s"""WITH $PerplexityLegs,

@@ -52,6 +52,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(dd.select("doc_id", "copies").as[(Long, Long)].head() === ((0L, 6L)))
   }
 
+  test("html extraction drops script/style/comments, keeps text, decodes entities") {
+    val html = Seq((0L,
+      "<html><head><style>p{x:1}</style>" +
+      "<script>var s=\"<p>fake</p>\";</script></head>" +
+      "<body><!-- c --><p>Tom &amp; Jerry&nbsp;&lt;3</p><div>Second block</div>" +
+      "<ul><li>item one</li></ul></body></html>"))
+      .toDF("doc_id", "html")
+    val got = html.select(TextAnalysis.htmlToText(col("html")).as("t"))
+      .as[String].head()
+    // script string content (which itself contains markup) is gone
+    assert(!got.contains("fake") && !got.contains("x:1") && !got.contains("c --"))
+    assert(got.contains("Tom & Jerry <3"))
+    // block closers become line breaks: three content lines
+    assert(got.split("\n").toSeq === Seq("Tom & Jerry <3", "Second block", "item one"))
+  }
+
+  test("url blocklist: domain label boundary, subdomains, path keywords") {
+    val urls = Seq(
+      (0L, "https://evil.example/home"),          // exact domain
+      (1L, "https://www.evil.example/x"),         // subdomain
+      (2L, "https://notevil.example/x"),          // lookalike, NOT blocked
+      (3L, "https://good.example/casino-night"),  // path keyword
+      (4L, "HTTPS://EVIL.EXAMPLE:8443/up"),       // case + port
+      (5L, "https://good.example/fine"))
+      .toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"),
+        Dedup.urlBlocked(col("url"), Seq("evil.example"), Seq("casino")).as("b"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(0L -> true, 1L -> true, 2L -> false,
+      3L -> true, 4L -> true, 5L -> false))
+  }
+
   test("url-dedup stage 0 composes ahead of the cleaning pipeline") {
     val docs = Seq(
       (10L, "http://a.com/p?x=1&utm_s=1", ("tok " * 40) + "the of and to in is"),
