@@ -252,4 +252,65 @@ object CleanPipeline {
       sum(when(fin, 1L).otherwise(0L)).as("n_final"),
       sum(when(fin, col("doc_id")).otherwise(0L)).as("final_id_sum"))
   }
+
+  /**
+   * Continuous crawl ingestion — the end-to-end streaming composition
+   * of the stage-0 operators: each micro-batch of raw crawl rows
+   * `(doc_id, url, html)` runs the UT1-style URL gate
+   * ([[Dedup.urlBlocked]]), HTML → text extraction
+   * ([[TextAnalysis.htmlToText]]), a minimum-token quality gate, and
+   * the growing-index incremental near-dup probe
+   * ([[Dedup.incrementalBatchStep]]) — only docs surviving every gate
+   * are judged, and only `new` docs join the standing index for later
+   * batches. One verdict row per INPUT doc with stage attribution, by
+   * precedence: `blocked_url` > `low_quality` > `dup_corpus` >
+   * `dup_batch` > `new` (`dup_of` set on the dup verdicts).
+   *
+   * Scale shape per batch: the gates are codegen'd scan-speed filters
+   * (no join — blocklists are literal arrays), and the dedup probe is
+   * batch-scale against an index of any size (probe-scoped cap,
+   * candidate-scoped verify). Output and state use the same
+   * batch-partitioned overwrite rule as [[Dedup.incrementalNearDupsStream]]
+   * — micro-batch replay is idempotent.
+   */
+  def crawlStream(batches: DataFrame, stateDir: String, outDir: String,
+      ckptDir: String, sign: DataFrame => DataFrame,
+      blockedDomains: Seq[String], blockedPathWords: Seq[String],
+      minTokens: Int, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int = 1000):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = batches.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val staged = batch.select(col("doc_id"), col("url"), col("html"))
+          .withColumn("__blocked",
+            Dedup.urlBlocked(col("url"), blockedDomains, blockedPathWords))
+          .withColumn("text", TextAnalysis.htmlToText(col("html")))
+          .withColumn("__lowq",
+            TextAnalysis.tokenCount(col("text")) < minTokens)
+          .localCheckpoint(true)
+        val eligible = staged.where(!col("__blocked") && !col("__lowq"))
+          .select("doc_id", "text")
+        val (verdicts, batchBands) = Dedup.incrementalBatchStep(s, stateDir,
+          eligible, batchId, sign, shingleN, k, bands, threshold, maxBucket)
+        staged.select(col("doc_id"), col("__blocked"), col("__lowq"))
+          .join(verdicts.withColumnRenamed("verdict", "__dv"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("__blocked"), lit("blocked_url"))
+              .when(col("__lowq"), lit("low_quality"))
+              .otherwise(col("__dv")).as("verdict"),
+            when(!col("__blocked") && !col("__lowq"), col("dup_of")).as("dup_of"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val accepted = s.read.parquet(s"$outDir/batch=$batchId")
+          .where(col("verdict") === "new").select("doc_id")
+        Dedup.growIncrementalState(stateDir, batchId, eligible, batchBands, accepted)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

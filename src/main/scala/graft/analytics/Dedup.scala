@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -543,34 +543,57 @@ object Dedup {
         val s = batch.sparkSession
         val batchDocs = batch.select(col("doc_id"), col("text"))
           .localCheckpoint(true)
-        val priorBands = s.read.parquet(s"$stateDir/bands")
-          .where(col("batch") < batchId).drop("batch")
-        val priorDocs = s.read.parquet(s"$stateDir/docs")
-          .where(col("batch") < batchId).drop("batch")
-        val batchBands = bandTable(sign(batchDocs), k, bands)
-          .localCheckpoint(true)
-        // probe-scoped cap: count members only in buckets this batch
-        // touches — identical verdicts (un-probed buckets yield no
-        // candidates), batch-scale work against an index of any size.
-        val probed = priorBands.join(
-          batchBands.select("band_id", "band_hash").distinct(),
-          Seq("band_id", "band_hash"), "left_semi")
-        val corpusIdx = capBuckets(probed, Seq("band_id", "band_hash"), maxBucket)
-        judgeAgainstIndex(corpusIdx, batchBands, priorDocs, batchDocs,
-            shingleN, threshold, maxBucket)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val (verdicts, batchBands) = incrementalBatchStep(s, stateDir,
+          batchDocs, batchId, sign, shingleN, k, bands, threshold, maxBucket)
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // grow the standing state with this batch's accepted docs
         val accepted = s.read.parquet(s"$outDir/batch=$batchId")
           .where(col("verdict") === "new").select("doc_id")
-        batchDocs.join(accepted, Seq("doc_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$batchId")
-        batchBands.join(accepted, Seq("doc_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+        growIncrementalState(stateDir, batchId, batchDocs, batchBands, accepted)
         ()
       }
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One micro-batch of the growing-index dedup: judge `batchDocs`
+    * (a pinned `(doc_id, text)` table) against the standing state as
+    * of `batchId`. Returns (verdict rows, the batch's pinned band
+    * table — needed by [[growIncrementalState]]). Shared by
+    * [[incrementalNearDupsStream]] and the composed crawl pipeline
+    * ([[CleanPipeline.crawlStream]]), which wraps the verdicts in its
+    * own stage ladder. */
+  private[analytics] def incrementalBatchStep(s: SparkSession,
+      stateDir: String, batchDocs: DataFrame, batchId: Long,
+      sign: DataFrame => DataFrame, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
+    val priorBands = s.read.parquet(s"$stateDir/bands")
+      .where(col("batch") < batchId).drop("batch")
+    val priorDocs = s.read.parquet(s"$stateDir/docs")
+      .where(col("batch") < batchId).drop("batch")
+    val batchBands = bandTable(sign(batchDocs), k, bands)
+      .localCheckpoint(true)
+    // probe-scoped cap: count members only in buckets this batch
+    // touches — identical verdicts (un-probed buckets yield no
+    // candidates), batch-scale work against an index of any size.
+    val probed = priorBands.join(
+      batchBands.select("band_id", "band_hash").distinct(),
+      Seq("band_id", "band_hash"), "left_semi")
+    val corpusIdx = capBuckets(probed, Seq("band_id", "band_hash"), maxBucket)
+    (judgeAgainstIndex(corpusIdx, batchBands, priorDocs, batchDocs,
+      shingleN, threshold, maxBucket), batchBands)
+  }
+
+  /** Admit `acceptedIds` into the standing state as `batch=batchId`
+    * partitions (overwrite — idempotent on micro-batch replay). */
+  private[analytics] def growIncrementalState(stateDir: String,
+      batchId: Long, batchDocs: DataFrame, batchBands: DataFrame,
+      acceptedIds: DataFrame): Unit = {
+    batchDocs.join(acceptedIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$batchId")
+    batchBands.join(acceptedIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
   }
 
   /**

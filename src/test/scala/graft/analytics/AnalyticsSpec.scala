@@ -236,6 +236,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(!jac.contains((0L, 50L)))
   }
 
+  test("crawl stream: gate ladder, index growth, blocked docs never admitted") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft_crawl_spec")
+    val sign = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.minHashSignaturesParityFromText(d, col("doc_id"), col("text"), 2, 16)
+    Dedup.initIncrementalState(docs, s"$root/state", sign, 16, 8)
+    def page(t: String) = s"<html><body><p>$t</p></body></html>"
+    // batch 0: a new doc (admitted) and a BLOCKED near-copy of corpus
+    // doc 2's text — blocked docs are neither judged nor admitted
+    val b0 = Seq(
+      (200L, "https://news.example/a", page("zebras gallop across wide open savannah plains fast")),
+      (201L, "https://spam.evil.example/a", page("completely different words entirely unrelated text here now ok")))
+      .toDF("doc_id", "url", "html")
+    // batch 1: near-copy of the batch-0 ACCEPTED doc (dup_corpus of
+    // 200), a low-quality page, and a near-copy of the text that
+    // arrived blocked in batch 0 — still `new`, proving 201 never
+    // entered the index
+    val b1 = Seq(
+      (300L, "https://news.example/b", page("zebras gallop across wide open savannah plains now")),
+      (301L, "https://news.example/c", page("too short")),
+      (302L, "https://news.example/d", page("completely different words entirely unrelated text here now yes")))
+      .toDF("doc_id", "url", "html")
+    val in = Files.createDirectory(Paths.get(s"$root/in"))
+    Seq((b0, "b0", 1700000000000L), (b1, "b1", 1700000001000L)).foreach {
+      case (df, name, mtime) =>
+        val tmp = Files.createTempDirectory("graft_crawl_spec_half")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        val dst = in.resolve(s"$name.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    val stream = graft.streaming.Transforms.PathInput(
+      in.toString, b0.schema, maxFilesPerTrigger = Some(1)).stream(spark)
+    CleanPipeline.crawlStream(stream, s"$root/state", s"$root/out",
+      s"$root/ckpt", sign, Seq("evil.example"), Seq("casino"),
+      minTokens = 4, shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+    val got = spark.read.parquet(s"$root/out")
+      .select("doc_id", "verdict", "dup_of")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(200L) === (("new", None)))
+    assert(got(201L) === (("blocked_url", None)))
+    assert(got(300L) === (("dup_corpus", Some(200L))))
+    assert(got(301L) === (("low_quality", None)))
+    // 302 matches corpus doc 2's words closely BUT doc 2 is IN the
+    // initial corpus, so it's dup_corpus of 2 — while nothing matches
+    // the blocked 201 (which never entered the index)
+    assert(got(302L) === (("dup_corpus", Some(2L))))
+    assert(got.size === 5)
+  }
+
   test("ngram jaccard exact pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 2, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
