@@ -277,7 +277,8 @@ object CleanPipeline {
       ckptDir: String, sign: DataFrame => DataFrame,
       blockedDomains: Seq[String], blockedPathWords: Seq[String],
       minTokens: Int, shingleN: Int, k: Int, bands: Int,
-      threshold: Double, maxBucket: Int = 1000):
+      threshold: Double, maxBucket: Int = 1000,
+      prepare: DataFrame => DataFrame = identity):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val q = batches.writeStream
@@ -285,7 +286,7 @@ object CleanPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val staged = batch.select(col("doc_id"), col("url"), col("html"))
+        val staged = prepare(batch).select(col("doc_id"), col("url"), col("html"))
           .withColumn("__blocked",
             Dedup.urlBlocked(col("url"), blockedDomains, blockedPathWords))
           .withColumn("text", TextAnalysis.htmlToText(col("html")))
@@ -313,4 +314,33 @@ object CleanPipeline {
     q.awaitTermination()
     q
   }
+
+  /**
+   * [[crawlStream]] fed RAW WARC FILES — the literal CommonCrawl
+   * shape: each micro-batch row is `(file_id, warc)` bytes; the real
+   * Content-Length-walking parser ([[Warc.parseResponses]]) recovers
+   * the response records, the WARC-Target-URI becomes the URL under
+   * the blocklist gate, the HTTP body the HTML under extraction, and
+   * `docIdPattern` (a regex with one capture group) extracts the
+   * stable doc id from the URI. Everything downstream — gates,
+   * extraction, growing-index dedup, the verdict ladder, state
+   * idempotence — is [[crawlStream]] unchanged, so WARC-fed and
+   * row-fed runs over the same content produce identical verdicts
+   * (pinned by spec).
+   */
+  def crawlStreamFromWarc(batches: DataFrame, stateDir: String,
+      outDir: String, ckptDir: String, sign: DataFrame => DataFrame,
+      blockedDomains: Seq[String], blockedPathWords: Seq[String],
+      minTokens: Int, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int = 1000,
+      docIdPattern: String = "/([0-9]+)$"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    crawlStream(batches, stateDir, outDir, ckptDir, sign, blockedDomains,
+      blockedPathWords, minTokens, shingleN, k, bands, threshold, maxBucket,
+      prepare = b => Warc.parseResponses(b, col("file_id"), col("warc"))(
+          b.sparkSession).toDF()
+        .where(col("warc_type") === "response")
+        .select(regexp_extract(col("target_uri"), docIdPattern, 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"), col("body").as("html")))
 }

@@ -50,14 +50,16 @@ object Warc {
    * by, so the group IS the natural partition.
    */
   def responseFiles(df: DataFrame, fileIdCol: Column, idCol: Column,
-      textCol: Column): DataFrame = {
+      textCol: Column, uri: Column = null): DataFrame = {
+    val uriC = Option(uri).getOrElse(
+      concat(lit("https://example.com/doc/"), idCol.cast("string")))
     val http = concat(
       lit("HTTP/1.1 200 OK" + Crlf + "Content-Type: text/plain" + Crlf +
         "Content-Length: "), octet_length(textCol).cast("string"),
       lit(Crlf + Crlf), textCol)
     val rec = concat(
       lit("WARC/1.0" + Crlf + "WARC-Type: response" + Crlf +
-        "WARC-Target-URI: https://example.com/doc/"), idCol.cast("string"),
+        "WARC-Target-URI: "), uriC,
       lit(Crlf + "WARC-Date: 2024-01-01T00:00:00Z" + Crlf +
         "Content-Type: application/http; msgtype=response" + Crlf +
         "Content-Length: "), octet_length(http).cast("string"),

@@ -22,6 +22,67 @@ import graft.SparkEntry._
   */
 private[graft] object AnalyticsEntries {
 
+  /** The crawl-pipeline micro-batch fixture shared by
+    * `pipe_crawl_stream` (rows) and `pipe_warc_crawl_stream` (the same
+    * rows shipped as WARC files): batch 0 = token-reversed docs (new);
+    * batch 1 = corpus dups, perturbed batch-0 copies, an intra-batch
+    * near-pair, blocked-domain docs, and boilerplate-only pages. */
+  private def crawlFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
+    def wrap(t: Column): Column = concat(
+      lit("<html><head><script>var a=1;</script></head><body><p>"), t,
+      lit("</p></body></html>"))
+    def goodUrl(idOff: Long): Column = concat(
+      lit("https://news.example/article/"),
+      (col("doc_id") + idOff).cast("string"))
+    def part(mod: Int, idOff: Long, url: Column, body: Column): DataFrame =
+      docs.where(col("doc_id") % mod === 0)
+        .select((col("doc_id") + idOff).as("doc_id"), url.as("url"),
+          wrap(body).as("html"))
+    val b0 = part(31, 860000L, goodUrl(860000L), rev)
+    val b1 = part(23, 800000L, goodUrl(800000L),
+        concat(col("text"), lit(" shared tail marker words here")))
+      .unionByName(part(31, 880000L, goodUrl(880000L),
+        concat(rev, lit(" extra trailing words"))))
+      .unionByName(part(29, 820000L, goodUrl(820000L),
+        concat(rev, lit(" planted tail one"))))
+      .unionByName(part(29, 830000L, goodUrl(830000L),
+        concat(rev, lit(" planted tail two"))))
+      .unionByName(part(13, 840000L,
+        concat(lit("https://ads.evil.example/article/"),
+          (col("doc_id") + 840000L).cast("string")), col("text")))
+      .unionByName(part(17, 850000L, goodUrl(850000L), lit("too short")))
+    (b0, b1)
+  }
+
+  private def crawlSign: DataFrame => DataFrame = d =>
+    Dedup.minHashSignaturesParityFromText(d, col("doc_id"), col("text"), 3, 12)
+
+  /** Stage dataframes as single parquet files with increasing mtimes so
+    * `maxFilesPerTrigger = 1` delivers them as ordered micro-batches. */
+  private def stageOrderedBatches(prefix: String, batches: Seq[DataFrame]): String = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val inDir = cleanupOnExit(Files.createTempDirectory(s"${prefix}_in"))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory(s"${prefix}_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = inDir.resolve(s"batch$i.parquet")
+      Files.copy(firstParquetPart(tmp), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
+      deleteDirTree(tmp)
+    }
+    inDir.toString
+  }
+
+  private def crawlVerdicts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .select(col("batch").cast("int").as("batch_id"), col("doc_id"),
+        col("verdict"), col("dup_of"))
+      .dropDuplicates("batch_id", "doc_id")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- analytics headliners (Spark built-ins; bench anchors) -----
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
@@ -1112,59 +1173,50 @@ private[graft] object AnalyticsEntries {
       // never judged, never admitted), and boilerplate-only pages
       // (low_quality). The oracle replays gates, the extraction chain,
       // and the two-batch index growth.
-      import java.nio.file.Files
-      import java.nio.file.attribute.FileTime
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
-      def wrap(t: Column): Column = concat(
-        lit("<html><head><script>var a=1;</script></head><body><p>"), t,
-        lit("</p></body></html>"))
-      def goodUrl(idOff: Long): Column = concat(
-        lit("https://news.example/article/"),
-        (col("doc_id") + idOff).cast("string"))
-      def part(mod: Int, idOff: Long, url: Column, body: Column): DataFrame =
-        docs.where(col("doc_id") % mod === 0)
-          .select((col("doc_id") + idOff).as("doc_id"), url.as("url"),
-            wrap(body).as("html"))
-      val b0 = part(31, 860000L, goodUrl(860000L), rev)
-      val b1 = part(23, 800000L, goodUrl(800000L),
-          concat(col("text"), lit(" shared tail marker words here")))
-        .unionByName(part(31, 880000L, goodUrl(880000L),
-          concat(rev, lit(" extra trailing words"))))
-        .unionByName(part(29, 820000L, goodUrl(820000L),
-          concat(rev, lit(" planted tail one"))))
-        .unionByName(part(29, 830000L, goodUrl(830000L),
-          concat(rev, lit(" planted tail two"))))
-        .unionByName(part(13, 840000L,
-          concat(lit("https://ads.evil.example/article/"),
-            (col("doc_id") + 840000L).cast("string")), col("text")))
-        .unionByName(part(17, 850000L, goodUrl(850000L),
-          lit("too short")))
-      val inDir = cleanupOnExit(Files.createTempDirectory("graft_crawl_in"))
-      Seq((b0, "batch0", 1700000000000L), (b1, "batch1", 1700000001000L))
-        .foreach { case (df, name, mtime) =>
-          val tmp = Files.createTempDirectory("graft_crawl_half")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val dst = inDir.resolve(s"$name.parquet")
-          Files.copy(firstParquetPart(tmp), dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-          deleteDirTree(tmp)
-        }
-      val out = cleanupOnExit(Files.createTempDirectory("graft_crawl_out")).toString
-      val sign = (d: DataFrame) =>
-        Dedup.minHashSignaturesParityFromText(d, col("doc_id"), col("text"), 3, 12)
-      Dedup.initIncrementalState(docs, s"$out/state", sign, 12, 6)
+      val (b0, b1) = crawlFixture(s, dir)
+      val inDir = stageOrderedBatches("graft_crawl", Seq(b0, b1))
+      val out = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_crawl_out")).toString
+      val sign = crawlSign
+      Dedup.initIncrementalState(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        s"$out/state", sign, 12, 6)
       val stream = graft.streaming.Transforms.PathInput(
-        inDir.toString, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
+        inDir, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
       CleanPipeline.crawlStream(stream, s"$out/state", s"$out/verdicts",
         s"$out/ckpt", sign, blockedDomains = Seq("evil.example"),
         blockedPathWords = Seq("casino"), minTokens = 5,
         shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-      s.read.parquet(s"$out/verdicts")
-        .select(col("batch").cast("int").as("batch_id"), col("doc_id"),
-          col("verdict"), col("dup_of"))
-        .dropDuplicates("batch_id", "doc_id")
-        .orderBy("doc_id")
+      crawlVerdicts(s, s"$out/verdicts")
+    }),
+
+    "pipe_warc_crawl_stream" -> ((s, dir) => {
+      // The crawl pipeline fed RAW WARC FILES — the literal CommonCrawl
+      // shape: the same two micro-batches, but each arrives as WARC
+      // bytes (4 files per batch, built by the Catalyst builder with
+      // the row's url as WARC-Target-URI and its html as the HTTP
+      // body); the real Content-Length-walking parser recovers the
+      // rows inside foreachBatch. Verdicts are IDENTICAL to
+      // pipe_crawl_stream — same oracle — so the WARC leg certifies
+      // the full container->gates->dedup path end-to-end.
+      val (b0, b1) = crawlFixture(s, dir)
+      def files(b: DataFrame): DataFrame = graft.analytics.Warc.responseFiles(
+        b, col("doc_id") % 4, col("doc_id"), col("html"), col("url"))
+      val inDir = stageOrderedBatches("graft_wcrawl", Seq(files(b0), files(b1)))
+      val out = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_wcrawl_out")).toString
+      val sign = crawlSign
+      Dedup.initIncrementalState(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        s"$out/state", sign, 12, 6)
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir, files(b0).schema, maxFilesPerTrigger = Some(1)).stream(s)
+      CleanPipeline.crawlStreamFromWarc(stream, s"$out/state",
+        s"$out/verdicts", s"$out/ckpt", sign,
+        blockedDomains = Seq("evil.example"),
+        blockedPathWords = Seq("casino"), minTokens = 5,
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      crawlVerdicts(s, s"$out/verdicts")
     }),
 
     "smp_ccnet_buckets" -> ((s, dir) => {
@@ -1342,6 +1394,209 @@ private[graft] object AnalyticsEntries {
         .orderBy("vec_id")
     }),
   )
+
+  /** The shared crawl-ladder oracle: gates, extraction chain, and
+    * two-batch index growth — `pipe_crawl_stream` and the WARC-fed
+    * `pipe_warc_crawl_stream` produce identical verdicts by design. */
+  private val CrawlLadderOracle: String =
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | rawb AS (
+        |  SELECT 'x' AS side, doc_id + 860000 AS doc_id,
+        |    'https://news.example/article/' || CAST(doc_id + 860000 AS VARCHAR) AS url,
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ') AS body
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 800000,
+        |    'https://news.example/article/' || CAST(doc_id + 800000 AS VARCHAR),
+        |    text || ' shared tail marker words here'
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 880000,
+        |    'https://news.example/article/' || CAST(doc_id + 880000 AS VARCHAR),
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' extra trailing words'
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 820000,
+        |    'https://news.example/article/' || CAST(doc_id + 820000 AS VARCHAR),
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' planted tail one'
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 830000,
+        |    'https://news.example/article/' || CAST(doc_id + 830000 AS VARCHAR),
+        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        |      || ' planted tail two'
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 840000,
+        |    'https://ads.evil.example/article/' || CAST(doc_id + 840000 AS VARCHAR), text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 850000,
+        |    'https://news.example/article/' || CAST(doc_id + 850000 AS VARCHAR), 'too short'
+        |  FROM documents WHERE doc_id % 17 = 0),
+        | page AS (SELECT side, doc_id, url,
+        |   '<html><head><script>var a=1;</script></head><body><p>' || body
+        |   || '</p></body></html>' AS html FROM rawb),
+        | e1 AS (SELECT side, doc_id, regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM page),
+        | e2 AS (SELECT side, doc_id, regexp_replace(t,
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM e1),
+        | e3 AS (SELECT side, doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM e2),
+        | e4 AS (SELECT side, doc_id, regexp_replace(t,
+        |    '(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>', chr(10), 'g') AS t FROM e3),
+        | e5 AS (SELECT side, doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM e4),
+        | e6 AS (SELECT side, doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM e5),
+        | e7 AS (SELECT side, doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM e6),
+        | e8 AS (SELECT side, doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e7),
+        | e9 AS (SELECT side, doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e8),
+        | e10 AS (SELECT side, doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM e9),
+        | e11 AS (SELECT side, doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e10),
+        | e12 AS (SELECT side, doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM e11),
+        | extr AS (SELECT side, doc_id,
+        |    trim(regexp_replace(t, '\s*\n\s*', chr(10), 'g')) AS text FROM e12),
+        | gates AS (
+        |  SELECT r.side, r.doc_id,
+        |    (regexp_replace(lower(regexp_extract(trim(r.url),
+        |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') = 'evil.example'
+        |     OR regexp_replace(lower(regexp_extract(trim(r.url),
+        |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') LIKE '%.evil.example'
+        |     OR lower(regexp_extract(trim(r.url),
+        |       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)) LIKE '%casino%') AS blocked,
+        |    len(regexp_split_to_array(trim(lower(x.text)), '\s+')) < 5 AS lowq,
+        |    x.text
+        |  FROM rawb r JOIN extr x ON r.side = x.side AND r.doc_id = x.doc_id),
+        | elig AS (SELECT side, doc_id, text FROM gates WHERE NOT blocked AND NOT lowq),
+        | allc AS (
+        |  SELECT 'c' AS side, doc_id, text FROM corpus
+        |  UNION ALL SELECT side, doc_id, text FROM elig),
+        | shf AS (
+        |  SELECT DISTINCT side, doc_id, s
+        |  FROM (SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM allc),
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh1 AS (
+        |  SELECT side, doc_id,
+        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+        |  FROM shf),
+        | co AS (
+        |  SELECT i,
+        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM unnest(range(12)) u(i)),
+        | sig AS (
+        |  SELECT side, doc_id, i, min((a * h + b) % 2147483647) AS mh
+        |  FROM sh1, co GROUP BY 1, 2, 3),
+        | bandsig AS (
+        |  SELECT side, doc_id, i // 2 AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+        |  FROM sig GROUP BY 1, 2, 3),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+        | idx0 AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'c'),
+        | cap0 AS (SELECT band_id, bh FROM idx0 GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | idx0c AS (SELECT idx0.* FROM idx0 JOIN cap0 USING (band_id, bh)),
+        | xb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'x'),
+        | xcb AS (SELECT band_id, bh FROM xb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | xcap AS (SELECT xb.* FROM xb JOIN xcb USING (band_id, bh)),
+        | candc0 AS (
+        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM xb b JOIN idx0c c ON b.band_id = c.band_id AND b.bh = c.bh),
+        | candb0 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM xcap a JOIN xcap b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | jc0 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candc0 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupc0 AS (
+        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
+        |  FROM jc0 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | jb0 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candb0 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupb0 AS (
+        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
+        |  FROM jb0 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | v0 AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
+        |         WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
+        |         ELSE 'new' END AS verdict,
+        |    COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
+        |  FROM elig e LEFT JOIN dupc0 dc USING (doc_id)
+        |    LEFT JOIN dupb0 db USING (doc_id)
+        |  WHERE e.side = 'x'),
+        | idx1 AS (
+        |  SELECT * FROM idx0
+        |  UNION ALL
+        |  SELECT xb.* FROM xb JOIN v0 ON v0.doc_id = xb.doc_id AND v0.verdict = 'new'),
+        | cap1 AS (SELECT band_id, bh FROM idx1 GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | idx1c AS (SELECT idx1.* FROM idx1 JOIN cap1 USING (band_id, bh)),
+        | yb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'y'),
+        | ycb AS (SELECT band_id, bh FROM yb GROUP BY 1, 2 HAVING count(*) <= 1000),
+        | ycap AS (SELECT yb.* FROM yb JOIN ycb USING (band_id, bh)),
+        | candc1 AS (
+        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM yb b JOIN idx1c c ON b.band_id = c.band_id AND b.bh = c.bh),
+        | candb1 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ycap a JOIN ycap b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        | jc1 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candc1 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupc1 AS (
+        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
+        |  FROM jc1 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | jb1 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candb1 c JOIN shf a ON a.doc_id = c.doc_a
+        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        | dupb1 AS (
+        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
+        |  FROM jb1 j JOIN sizes sa ON sa.doc_id = j.doc_a
+        |    JOIN sizes sb ON sb.doc_id = j.doc_b
+        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        | v1 AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
+        |         WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
+        |         ELSE 'new' END AS verdict,
+        |    COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
+        |  FROM elig e LEFT JOIN dupc1 dc USING (doc_id)
+        |    LEFT JOIN dupb1 db USING (doc_id)
+        |  WHERE e.side = 'y')
+        |SELECT CAST(0 AS INTEGER) AS batch_id, g.doc_id,
+        |  CASE WHEN g.blocked THEN 'blocked_url' WHEN g.lowq THEN 'low_quality'
+        |       ELSE v.verdict END AS verdict,
+        |  CASE WHEN g.blocked OR g.lowq THEN NULL ELSE v.dup_of END AS dup_of
+        |FROM gates g LEFT JOIN v0 v USING (doc_id) WHERE g.side = 'x'
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), g.doc_id,
+        |  CASE WHEN g.blocked THEN 'blocked_url' WHEN g.lowq THEN 'low_quality'
+        |       ELSE v.verdict END,
+        |  CASE WHEN g.blocked OR g.lowq THEN NULL ELSE v.dup_of END
+        |FROM gates g LEFT JOIN v1 v USING (doc_id) WHERE g.side = 'y'
+        |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2775,205 +3030,13 @@ private[graft] object AnalyticsEntries {
         |   OR rest LIKE '%casino%') AS blocked
         |FROM parts ORDER BY doc_id""".stripMargin,
 
-    "pipe_crawl_stream" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        | rawb AS (
-        |  SELECT 'x' AS side, doc_id + 860000 AS doc_id,
-        |    'https://news.example/article/' || CAST(doc_id + 860000 AS VARCHAR) AS url,
-        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ') AS body
-        |  FROM documents WHERE doc_id % 31 = 0
-        |  UNION ALL
-        |  SELECT 'y', doc_id + 800000,
-        |    'https://news.example/article/' || CAST(doc_id + 800000 AS VARCHAR),
-        |    text || ' shared tail marker words here'
-        |  FROM documents WHERE doc_id % 23 = 0
-        |  UNION ALL
-        |  SELECT 'y', doc_id + 880000,
-        |    'https://news.example/article/' || CAST(doc_id + 880000 AS VARCHAR),
-        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
-        |      || ' extra trailing words'
-        |  FROM documents WHERE doc_id % 31 = 0
-        |  UNION ALL
-        |  SELECT 'y', doc_id + 820000,
-        |    'https://news.example/article/' || CAST(doc_id + 820000 AS VARCHAR),
-        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
-        |      || ' planted tail one'
-        |  FROM documents WHERE doc_id % 29 = 0
-        |  UNION ALL
-        |  SELECT 'y', doc_id + 830000,
-        |    'https://news.example/article/' || CAST(doc_id + 830000 AS VARCHAR),
-        |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
-        |      || ' planted tail two'
-        |  FROM documents WHERE doc_id % 29 = 0
-        |  UNION ALL
-        |  SELECT 'y', doc_id + 840000,
-        |    'https://ads.evil.example/article/' || CAST(doc_id + 840000 AS VARCHAR), text
-        |  FROM documents WHERE doc_id % 13 = 0
-        |  UNION ALL
-        |  SELECT 'y', doc_id + 850000,
-        |    'https://news.example/article/' || CAST(doc_id + 850000 AS VARCHAR), 'too short'
-        |  FROM documents WHERE doc_id % 17 = 0),
-        | page AS (SELECT side, doc_id, url,
-        |   '<html><head><script>var a=1;</script></head><body><p>' || body
-        |   || '</p></body></html>' AS html FROM rawb),
-        | e1 AS (SELECT side, doc_id, regexp_replace(html,
-        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM page),
-        | e2 AS (SELECT side, doc_id, regexp_replace(t,
-        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM e1),
-        | e3 AS (SELECT side, doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM e2),
-        | e4 AS (SELECT side, doc_id, regexp_replace(t,
-        |    '(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>', chr(10), 'g') AS t FROM e3),
-        | e5 AS (SELECT side, doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM e4),
-        | e6 AS (SELECT side, doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM e5),
-        | e7 AS (SELECT side, doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM e6),
-        | e8 AS (SELECT side, doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e7),
-        | e9 AS (SELECT side, doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e8),
-        | e10 AS (SELECT side, doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM e9),
-        | e11 AS (SELECT side, doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e10),
-        | e12 AS (SELECT side, doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM e11),
-        | extr AS (SELECT side, doc_id,
-        |    trim(regexp_replace(t, '\s*\n\s*', chr(10), 'g')) AS text FROM e12),
-        | gates AS (
-        |  SELECT r.side, r.doc_id,
-        |    (regexp_replace(lower(regexp_extract(trim(r.url),
-        |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') = 'evil.example'
-        |     OR regexp_replace(lower(regexp_extract(trim(r.url),
-        |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') LIKE '%.evil.example'
-        |     OR lower(regexp_extract(trim(r.url),
-        |       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)) LIKE '%casino%') AS blocked,
-        |    len(regexp_split_to_array(trim(lower(x.text)), '\s+')) < 5 AS lowq,
-        |    x.text
-        |  FROM rawb r JOIN extr x ON r.side = x.side AND r.doc_id = x.doc_id),
-        | elig AS (SELECT side, doc_id, text FROM gates WHERE NOT blocked AND NOT lowq),
-        | allc AS (
-        |  SELECT 'c' AS side, doc_id, text FROM corpus
-        |  UNION ALL SELECT side, doc_id, text FROM elig),
-        | shf AS (
-        |  SELECT DISTINCT side, doc_id, s
-        |  FROM (SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM allc),
-        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
-        | sh1 AS (
-        |  SELECT side, doc_id,
-        |    CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-        |  FROM shf),
-        | co AS (
-        |  SELECT i,
-        |    CAST(CAST(('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2147483646 + 1 AS a,
-        |    CAST(CAST(('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-        |      % 2147483647 AS b
-        |  FROM unnest(range(12)) u(i)),
-        | sig AS (
-        |  SELECT side, doc_id, i, min((a * h + b) % 2147483647) AS mh
-        |  FROM sh1, co GROUP BY 1, 2, 3),
-        | bandsig AS (
-        |  SELECT side, doc_id, i // 2 AS band_id,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
-        |  FROM sig GROUP BY 1, 2, 3),
-        | sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
-        | idx0 AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'c'),
-        | cap0 AS (SELECT band_id, bh FROM idx0 GROUP BY 1, 2 HAVING count(*) <= 1000),
-        | idx0c AS (SELECT idx0.* FROM idx0 JOIN cap0 USING (band_id, bh)),
-        | xb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'x'),
-        | xcb AS (SELECT band_id, bh FROM xb GROUP BY 1, 2 HAVING count(*) <= 1000),
-        | xcap AS (SELECT xb.* FROM xb JOIN xcb USING (band_id, bh)),
-        | candc0 AS (
-        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
-        |  FROM xb b JOIN idx0c c ON b.band_id = c.band_id AND b.bh = c.bh),
-        | candb0 AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM xcap a JOIN xcap b
-        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        | jc0 AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM candc0 c JOIN shf a ON a.doc_id = c.doc_a
-        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
-        |  GROUP BY 1, 2),
-        | dupc0 AS (
-        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
-        |  FROM jc0 j JOIN sizes sa ON sa.doc_id = j.doc_a
-        |    JOIN sizes sb ON sb.doc_id = j.doc_b
-        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
-        |  GROUP BY 1),
-        | jb0 AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM candb0 c JOIN shf a ON a.doc_id = c.doc_a
-        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
-        |  GROUP BY 1, 2),
-        | dupb0 AS (
-        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
-        |  FROM jb0 j JOIN sizes sa ON sa.doc_id = j.doc_a
-        |    JOIN sizes sb ON sb.doc_id = j.doc_b
-        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
-        |  GROUP BY 1),
-        | v0 AS (
-        |  SELECT e.doc_id,
-        |    CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
-        |         WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
-        |         ELSE 'new' END AS verdict,
-        |    COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
-        |  FROM elig e LEFT JOIN dupc0 dc USING (doc_id)
-        |    LEFT JOIN dupb0 db USING (doc_id)
-        |  WHERE e.side = 'x'),
-        | idx1 AS (
-        |  SELECT * FROM idx0
-        |  UNION ALL
-        |  SELECT xb.* FROM xb JOIN v0 ON v0.doc_id = xb.doc_id AND v0.verdict = 'new'),
-        | cap1 AS (SELECT band_id, bh FROM idx1 GROUP BY 1, 2 HAVING count(*) <= 1000),
-        | idx1c AS (SELECT idx1.* FROM idx1 JOIN cap1 USING (band_id, bh)),
-        | yb AS (SELECT doc_id, band_id, bh FROM bandsig WHERE side = 'y'),
-        | ycb AS (SELECT band_id, bh FROM yb GROUP BY 1, 2 HAVING count(*) <= 1000),
-        | ycap AS (SELECT yb.* FROM yb JOIN ycb USING (band_id, bh)),
-        | candc1 AS (
-        |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
-        |  FROM yb b JOIN idx1c c ON b.band_id = c.band_id AND b.bh = c.bh),
-        | candb1 AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM ycap a JOIN ycap b
-        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        | jc1 AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM candc1 c JOIN shf a ON a.doc_id = c.doc_a
-        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
-        |  GROUP BY 1, 2),
-        | dupc1 AS (
-        |  SELECT j.doc_a AS doc_id, min(j.doc_b) AS dup_corpus
-        |  FROM jc1 j JOIN sizes sa ON sa.doc_id = j.doc_a
-        |    JOIN sizes sb ON sb.doc_id = j.doc_b
-        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
-        |  GROUP BY 1),
-        | jb1 AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM candb1 c JOIN shf a ON a.doc_id = c.doc_a
-        |    JOIN shf b ON b.doc_id = c.doc_b AND b.s = a.s
-        |  GROUP BY 1, 2),
-        | dupb1 AS (
-        |  SELECT j.doc_b AS doc_id, min(j.doc_a) AS dup_batch
-        |  FROM jb1 j JOIN sizes sa ON sa.doc_id = j.doc_a
-        |    JOIN sizes sb ON sb.doc_id = j.doc_b
-        |  WHERE CAST(j.i AS DOUBLE) / CAST(sa.sz + sb.sz - j.i AS DOUBLE) >= 0.5
-        |  GROUP BY 1),
-        | v1 AS (
-        |  SELECT e.doc_id,
-        |    CASE WHEN dc.dup_corpus IS NOT NULL THEN 'dup_corpus'
-        |         WHEN db.dup_batch IS NOT NULL THEN 'dup_batch'
-        |         ELSE 'new' END AS verdict,
-        |    COALESCE(dc.dup_corpus, db.dup_batch) AS dup_of
-        |  FROM elig e LEFT JOIN dupc1 dc USING (doc_id)
-        |    LEFT JOIN dupb1 db USING (doc_id)
-        |  WHERE e.side = 'y')
-        |SELECT CAST(0 AS INTEGER) AS batch_id, g.doc_id,
-        |  CASE WHEN g.blocked THEN 'blocked_url' WHEN g.lowq THEN 'low_quality'
-        |       ELSE v.verdict END AS verdict,
-        |  CASE WHEN g.blocked OR g.lowq THEN NULL ELSE v.dup_of END AS dup_of
-        |FROM gates g LEFT JOIN v0 v USING (doc_id) WHERE g.side = 'x'
-        |UNION ALL
-        |SELECT CAST(1 AS INTEGER), g.doc_id,
-        |  CASE WHEN g.blocked THEN 'blocked_url' WHEN g.lowq THEN 'low_quality'
-        |       ELSE v.verdict END,
-        |  CASE WHEN g.blocked OR g.lowq THEN NULL ELSE v.dup_of END
-        |FROM gates g LEFT JOIN v1 v USING (doc_id) WHERE g.side = 'y'
-        |ORDER BY doc_id""".stripMargin,
+    "pipe_crawl_stream" -> CrawlLadderOracle,
+
+    // Same content, same verdicts: the WARC leg is a pure container
+    // round-trip ahead of the identical pipeline, so the oracle is
+    // shared verbatim.
+    "pipe_warc_crawl_stream" -> CrawlLadderOracle,
+
 
     "smp_ccnet_buckets" ->
       s"""WITH $PerplexityLegs,
