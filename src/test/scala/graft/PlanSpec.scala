@@ -123,6 +123,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("url blocklist and html extraction are narrow projections — no join, no Exchange") {
+    val df = spark.read.parquet(docsDir)
+    val pu = plan(df.select(graft.analytics.Dedup.urlBlocked(
+      concat(lit("https://x.example/"), col("doc_id")),
+      Seq("evil.example", "ads.example"), Seq("casino", "poker")).as("b")))
+    // blocklists fold into one conditional over literal arrays
+    assert(!pu.contains("Join"), pu)
+    assert(!pu.contains("Exchange"), pu)
+    val ph = plan(df.select(TextAnalysis.htmlToText(col("text")).as("t")))
+    assert(!ph.contains("Exchange"), ph)
+    assert(!ph.contains("Generate"), ph)
+  }
+
+  test("parity signatures from text partial-aggregate before the exchange") {
+    val df = spark.read.parquet(docsDir)
+    val p = plan(graft.analytics.Dedup.minHashSignaturesParityFromText(
+      df, col("doc_id"), col("text"), 3, 8))
+    // the explode stays inside the scan stage; map-side partial mins
+    // collapse to one row per doc before the single exchange
+    assert(p.contains("partial_min"), p)
+    assert(p.split("Exchange").length - 1 === 1, p)
+  }
+
+  test("multi-query bm25 fans out via broadcast; the per-query cut is a rank window") {
+    val df = spark.read.parquet(docsDir)
+    val queries = Seq((900L, "alpha beta"), (901L, "gamma delta"))
+      .toDF("query_id", "text")
+    val p = plan(graft.analytics.Retrieval.bm25PerQuery(
+      df, col("doc_id"), col("text"), queries, k = 5))
+    // query vocabulary and stat tables broadcast — no shuffled join of
+    // the corpus against the query side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("gopher rules and c4 rules are narrow projections — no Exchange") {
     val df = spark.read.parquet(docsDir)
     val pg = plan(TextAnalysis.gopherRules(df, col("doc_id"), col("text")))
