@@ -556,6 +556,54 @@ object TextAnalysis {
    * dimension. No UDF, no driver loop, no floating-point order
    * dependence.
    */
+  /**
+   * Batch-perceptron TRAINING for the hashed-linear quality filter —
+   * the step that produces [[hashedLinearScore]]'s weight table (the
+   * DCLM/fastText recipe: label a seed set, train a linear model over
+   * hashed bag-of-words features, filter the corpus with it). Integer
+   * weights, BATCH updates (learning rate 1): the epoch gradient is a
+   * SUM of per-doc errors over the docs containing each bucket, so the
+   * result is partitioning- and order-independent and an external SQL
+   * engine replays every epoch exactly. Features are the DISTINCT
+   * md5-prefix buckets of a doc's tokens (binary features); prediction
+   * is `margin > 0`.
+   *
+   * Scale shape per epoch: one broadcast join of the ≤`buckets`-row
+   * weight table onto the pinned feature table, one per-doc aggregate
+   * (map-side combined), one per-bucket aggregate whose ≤`buckets`-row
+   * result is the only driver-side collect — the bounded-loop pattern
+   * of the BPE trainer. Returns (weights `(bucket, w)`, history
+   * `(epoch, n_wrong, w_abs_sum)` with the pre-update error count).
+   */
+  def trainHashedPerceptron(df: DataFrame, idCol: Column, textCol: Column,
+      labelCol: Column, buckets: Int, epochs: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(epochs >= 1 && buckets >= 2)
+    val feats = df.select(idCol.as("doc_id"), labelCol.cast("long").as("label"),
+        explode(array_distinct(transform(tokens(textCol),
+          t => Sampling.hashBucket(t, buckets)))).as("bucket"))
+      .localCheckpoint(true)
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (epoch <- 1 to epochs) {
+      val wDf = w.toSeq.toDF("bucket", "w")
+      val errs = feats.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy("doc_id", "label")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("margin"))
+        .select(col("doc_id"),
+          (col("label") - when(col("margin") > 0, 1L).otherwise(0L)).as("err"))
+        .localCheckpoint(true)
+      val nWrong = errs.agg(sum(abs(col("err")))).head.getLong(0)
+      val upd = feats.join(errs, "doc_id")
+        .groupBy("bucket").agg(sum("err").as("u"))
+        .as[(Long, Long)].collect()
+      w = upd.foldLeft(w) { case (acc, (b, u)) => acc.updated(b, acc(b) + u) }
+      hist += ((epoch, nWrong, w.values.map(math.abs).sum))
+    }
+    (w.toSeq.toDF("bucket", "w"), hist.toSeq.toDF("epoch", "n_wrong", "w_abs_sum"))
+  }
+
   def hashedLinearScore(df: DataFrame, idCol: Column, textCol: Column,
       weights: DataFrame, buckets: Int, bias: Long = 0L): DataFrame = {
     require(buckets > 0, "buckets must be positive")

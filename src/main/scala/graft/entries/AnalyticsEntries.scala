@@ -788,6 +788,26 @@ private[graft] object AnalyticsEntries {
         .orderBy("doc_id")
     }),
 
+    "txt_classifier_train" -> ((s, dir) => {
+      // TRAINING the model-based quality filter (the DCLM/fastText
+      // step that produces txt_classifier_score's weight table): docs
+      // divisible by 11 carry planted marker tokens and the label 1;
+      // a 3-epoch integer batch perceptron over 64 hashed binary
+      // features learns to separate them. Batch updates are sums, so
+      // the weight table is exactly reproducible and the oracle
+      // replays all three epochs (margins, errors, per-bucket
+      // gradients) from scratch.
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" premqual marker signal tokens")))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 11 === 0).as("label"))
+      val (wts, _) = TextAnalysis.trainHashedPerceptron(
+        docs, col("doc_id"), col("text"), col("label"),
+        buckets = 64, epochs = 3)
+      wts.where(col("w") =!= 0).orderBy("bucket")
+    }),
+
     "txt_sketch_contract" -> ((s, dir) =>
       // HLL cardinality + approx-percentile error contracts: at 100 TB
       // only the sketch side runs (fixed-size partial aggregates); here
@@ -3029,6 +3049,43 @@ private[graft] object AnalyticsEntries {
         |  (host = 'evil.example' OR host LIKE '%.evil.example'
         |   OR rest LIKE '%casino%') AS blocked
         |FROM parts ORDER BY doc_id""".stripMargin,
+
+    "txt_classifier_train" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN text || ' premqual marker signal tokens' ELSE text END AS text,
+        |    CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        | feats AS (
+        |  SELECT DISTINCT doc_id, label,
+        |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) % 64 AS bucket
+        |  FROM (SELECT doc_id, label, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |        FROM docs2)),
+        | e1 AS (SELECT DISTINCT doc_id, CAST(label AS BIGINT) AS err FROM feats),
+        | w1 AS (SELECT f.bucket, CAST(sum(e.err) AS BIGINT) AS w
+        |        FROM feats f JOIN e1 e USING (doc_id) GROUP BY 1),
+        | m2 AS (SELECT f.doc_id, f.label, COALESCE(sum(w1.w), 0) AS margin
+        |        FROM feats f LEFT JOIN w1 ON w1.bucket = f.bucket GROUP BY 1, 2),
+        | e2 AS (SELECT doc_id,
+        |          CAST(label - (CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS err
+        |        FROM m2),
+        | u2 AS (SELECT f.bucket, CAST(sum(e.err) AS BIGINT) AS u
+        |        FROM feats f JOIN e2 e USING (doc_id) GROUP BY 1),
+        | w2 AS (SELECT COALESCE(w1.bucket, u2.bucket) AS bucket,
+        |          COALESCE(w1.w, 0) + COALESCE(u2.u, 0) AS w
+        |        FROM w1 FULL JOIN u2 ON w1.bucket = u2.bucket),
+        | m3 AS (SELECT f.doc_id, f.label, COALESCE(sum(w2.w), 0) AS margin
+        |        FROM feats f LEFT JOIN w2 ON w2.bucket = f.bucket GROUP BY 1, 2),
+        | e3 AS (SELECT doc_id,
+        |          CAST(label - (CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS err
+        |        FROM m3),
+        | u3 AS (SELECT f.bucket, CAST(sum(e.err) AS BIGINT) AS u
+        |        FROM feats f JOIN e3 e USING (doc_id) GROUP BY 1),
+        | w3 AS (SELECT COALESCE(w2.bucket, u3.bucket) AS bucket,
+        |          COALESCE(w2.w, 0) + COALESCE(u3.u, 0) AS w
+        |        FROM w2 FULL JOIN u3 ON w2.bucket = u3.bucket)
+        |SELECT bucket, w FROM w3 WHERE w != 0 ORDER BY bucket""".stripMargin,
 
     "pipe_crawl_stream" -> CrawlLadderOracle,
 

@@ -521,6 +521,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(zeroed.where(col("lang") === "de").count() === 0)
   }
 
+  test("perceptron training separates the planted class and converges") {
+    // 20 docs: even ids share distinctive positive-class markers
+    val train = (0L until 20L).map { i =>
+      val base = s"common filler words shared by all docs number $i"
+      if (i % 2 == 0) (i, s"$base premium quality signal", true)
+      else (i, s"$base junky spammy noise", false)
+    }.toDF("doc_id", "text", "label")
+    val (wts, hist) = TextAnalysis.trainHashedPerceptron(
+      train, col("doc_id"), col("text"), col("label"), buckets = 128, epochs = 4)
+    val h = hist.orderBy("epoch")
+      .as[(Int, Long, Long)].collect()
+    // epoch 1 misclassifies every positive doc (all-zero weights predict 0)
+    assert(h.head === ((1, 10L, h.head._3)))
+    // error counts never increase and reach 0 on separable data
+    assert(h.map(_._2).sliding(2).forall(p => p(1) <= p(0)))
+    assert(h.last._2 === 0L)
+    // the trained weights classify the training set perfectly with
+    // binary (distinct-bucket) features
+    val w = wts.as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    val feats = train.select(col("doc_id"), col("label"),
+        explode(array_distinct(transform(
+          split(trim(lower(col("text"))), "\\s+"),
+          t => Sampling.hashBucket(t, 128)))).as("b"))
+      .as[(Long, Boolean, Long)].collect()
+    val preds = feats.groupBy(_._1).map { case (id, rows) =>
+      (rows.head._2, rows.map(r => w(r._3)).sum > 0) }
+    assert(preds.forall { case (label, pred) => label == pred })
+  }
+
   test("hashed-linear classifier: margin is the exact weight-sum, order-independent") {
     val docs = Seq((1L, Some("alpha beta alpha gamma")), (2L, Some("beta")),
       (3L, Some("")), (4L, None: Option[String]))
