@@ -350,4 +350,25 @@ object Sampling {
         expr("((tokens_target % tokens_available) * 1000000) div tokens_available")
           .as("remainder_rate_ppm"))
   }
+
+  /**
+   * Count-aware dedup ("dedup then reweight"): given a connected-
+   * components labeling `(doc_id, cluster_id)` of the near-dup graph
+   * ([[Dedup.connectedComponents]]), keep ONE canonical doc per
+   * cluster (the min-id representative, `keep`) and carry the
+   * cluster's multiplicity as its training weight (`repeat_weight` =
+   * cluster size on the canonical row, 0 elsewhere) — so the deduped
+   * corpus preserves each document's original frequency mass instead
+   * of silently flattening the distribution (the documented failure
+   * mode of naive dedup before mixture construction). One aggregate on
+   * cluster_id + one broadcast-size join back; integer weights.
+   */
+  def dedupWeights(components: DataFrame): DataFrame =
+    components
+      .join(components.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size")), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"),
+        when(col("doc_id") === col("cluster_id"), col("cluster_size"))
+          .otherwise(lit(0L)).as("repeat_weight"))
 }

@@ -1239,6 +1239,22 @@ private[graft] object AnalyticsEntries {
       crawlVerdicts(s, s"$out/verdicts")
     }),
 
+    "smp_dedup_weights" -> ((s, dir) => {
+      // Count-aware dedup: near-dup clusters (the dd_cluster pipeline)
+      // collapse to their min-id canonical doc, which carries the
+      // cluster's multiplicity as an integer repeat weight — dedup
+      // that preserves frequency mass for mixture construction instead
+      // of flattening it. The oracle replays components (recursive
+      // CTE) and the weight fold.
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.05, maxDf = 100)
+        .select("doc_a", "doc_b")
+      Sampling.dedupWeights(
+          Dedup.connectedComponents(pairs, docs.select("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     "smp_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail stratification: exact integer mean-NLL
       // sort key, two-phase range rank, equal-mass thirds. The oracle
@@ -3094,6 +3110,38 @@ private[graft] object AnalyticsEntries {
     // shared verbatim.
     "pipe_warc_crawl_stream" -> CrawlLadderOracle,
 
+
+    "smp_dedup_weights" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        | sh_all AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        | sh AS (
+        |  SELECT doc_id, s FROM sh_all
+        |  WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05),
+        | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | reach(node, lbl) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+        | comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        | csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |         FROM comp GROUP BY 1)
+        |SELECT c.doc_id, c.cluster_id, z.cluster_size,
+        |  (c.doc_id = c.cluster_id) AS keep,
+        |  CASE WHEN c.doc_id = c.cluster_id THEN z.cluster_size ELSE 0 END AS repeat_weight
+        |FROM comp c JOIN csz z USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     "smp_ccnet_buckets" ->
       s"""WITH $PerplexityLegs,

@@ -427,6 +427,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rr === bf, s"re-ranked IVFADC diverged from brute force: $rr vs $bf")
   }
 
+  test("dedup weights: canonical carries the cluster's mass, members carry zero") {
+    val comp = Seq((0L, 0L), (1L, 0L), (3L, 0L), (2L, 2L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Sampling.dedupWeights(comp)
+      .select("doc_id", "cluster_size", "keep", "repeat_weight")
+      .as[(Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) === ((3L, true, 3L)))  // canonical of {0,1,3}
+    assert(got(1L) === ((3L, false, 0L)))
+    assert(got(3L) === ((3L, false, 0L)))
+    assert(got(2L) === ((1L, true, 1L)))  // singleton keeps weight 1
+    assert(got(5L) === ((1L, true, 1L)))
+    // mass conservation: Σ repeat_weight == corpus size
+    assert(got.values.map(_._3).sum === 5L)
+  }
+
   test("connected components: chains merge, singletons self-label, min id wins") {
     val verts = (0L to 7L).toDF("doc_id")
     // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
