@@ -337,10 +337,19 @@ object CleanPipeline {
       org.apache.spark.sql.streaming.StreamingQuery =
     crawlStream(batches, stateDir, outDir, ckptDir, sign, blockedDomains,
       blockedPathWords, minTokens, shingleN, k, bands, threshold, maxBucket,
-      prepare = b => Warc.parseResponses(b, col("file_id"), col("warc"))(
-          b.sparkSession).toDF()
-        .where(col("warc_type") === "response")
-        .select(regexp_extract(col("target_uri"), docIdPattern, 1)
-            .cast("long").as("doc_id"),
-          col("target_uri").as("url"), col("body").as("html")))
+      prepare = b => {
+        val idStr = regexp_extract(col("target_uri"), docIdPattern, 1)
+        Warc.parseResponses(b, col("file_id"), col("warc"))(
+            b.sparkSession).toDF()
+          .where(col("warc_type") === "response")
+          // fail LOUDLY on a URI the pattern cannot identify: a null
+          // doc_id would silently drop the doc from stage attribution
+          // (the verdict join never matches null), violating the
+          // one-verdict-per-input-doc contract
+          .select(when(idStr =!= "", idStr.cast("long"))
+              .otherwise(raise_error(concat(
+                lit("WARC-Target-URI does not match docIdPattern: "),
+                col("target_uri")))).as("doc_id"),
+            col("target_uri").as("url"), col("body").as("html"))
+      })
 }

@@ -99,14 +99,18 @@ object Dedup {
    */
   def urlBlocked(url: Column, domains: Seq[String],
       pathWords: Seq[String]): Column = {
-    val host = lower(regexp_extract(trim(url),
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // Strip an optional scheme:// or a protocol-relative // prefix, so
+    // scheme-less crawl spellings ("evil.example/x", "//evil.example/x")
+    // fail CLOSED through the same host/path split instead of
+    // bypassing both gates with empty extractions.
+    val after = regexp_replace(trim(url),
+      "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
+    val host = lower(regexp_extract(after, "^([^/?#]*)", 1))
     val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
     val dArr = array(domains.map(d => lit(d.toLowerCase)): _*)
     val domainHit = exists(dArr, d =>
       hostNoPort === d || endswith(hostNoPort, concat(lit("."), d)))
-    val rest = lower(regexp_extract(trim(url),
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1))
+    val rest = lower(regexp_extract(after, "^[^/?#]*(.*)$", 1))
     val wArr = array(pathWords.map(w => lit(w.toLowerCase)): _*)
     val wordHit = exists(wArr, w => contains(rest, w))
     domainHit || wordHit
@@ -620,47 +624,43 @@ object Dedup {
    * space so the ratio is self-consistent at any scale.
    */
   def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
-      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
-      .where(col("df_cnt") <= maxDf)
-    val pruned = sh.join(rare, "shingle").select("doc_id", "shingle")
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pruned.alias("a")
-      .join(pruned.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame =
+    pairIntersections(shingled(df, idCol, textCol, n), maxDf)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("sz_a").cast("double")).as("c_ab"),
         (col("inter").cast("double") / col("sz_b").cast("double")).as("c_ba"))
       .where(greatest(col("c_ab"), col("c_ba")) >= threshold)
-  }
 
-  /** Exact n-gram Jaccard over a pre-shingled (doc_id, shingle) set. */
-  def ngramJaccardFromShingles(sh: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame = {
+  /** Shared exact inverted-index scaffolding of the n-gram similarity
+    * measures (Jaccard, containment): maxDf stop-shingle cap, per-doc
+    * sizes in the CAPPED shingle space, per-pair intersection counts —
+    * one spelling so the measures can never disagree on the capped
+    * space. Returns `(doc_a, doc_b, inter, sz_a, sz_b)`. */
+  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
       .where(col("df_cnt") <= maxDf)
-    // Jaccard is computed over the capped shingle space (sizes AND
-    // intersections) so the semantics are self-consistent at any scale.
     val pruned = sh.join(rare, "shingle").select("doc_id", "shingle")
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pruned.alias("a")
+    pruned.alias("a")
       .join(pruned.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over a pre-shingled (doc_id, shingle) set.
+    * Jaccard is computed over the capped shingle space (sizes AND
+    * intersections) so the semantics are self-consistent at any
+    * scale — the [[pairIntersections]] scaffolding shared with the
+    * containment measure. */
+  def ngramJaccardFromShingles(sh: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame =
+    pairIntersections(sh, maxDf)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
   /**
    * Connected components over a near-dup pair list — turns pairwise

@@ -100,7 +100,10 @@ object Warc {
       var i = from
       while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
       require(i + 1 < b.length, s"unterminated header line at $from")
-      (new String(b, from, i - from, "ISO-8859-1"), i + 2)
+      // WARC 1.0 named fields are UTF-8 (ISO 28500 §4); scanning for
+      // CRLF on raw bytes stays correct because 0x0D/0x0A never occur
+      // inside a UTF-8 multi-byte sequence.
+      (new String(b, from, i - from, "UTF-8"), i + 2)
     }
     while (pos < b.length) {
       val (magic, p1) = line(pos)
@@ -148,7 +151,9 @@ object Warc {
       (new String(p, from, j - from, "ISO-8859-1"), math.min(j + 2, p.length))
     }
     val (status, p1) = line(0)
-    require(status.startsWith("HTTP/1.1 "), s"bad HTTP status line '$status'")
+    // HTTP/1.0 responses are common in real crawl archives
+    require(status.startsWith("HTTP/1.0 ") || status.startsWith("HTTP/1.1 "),
+      s"bad HTTP status line '$status'")
     val code = status.substring(9, 12).toInt
     i = p1
     var done = false

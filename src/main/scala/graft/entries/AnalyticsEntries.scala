@@ -40,19 +40,19 @@ private[graft] object AnalyticsEntries {
       docs.where(col("doc_id") % mod === 0)
         .select((col("doc_id") + idOff).as("doc_id"), url.as("url"),
           wrap(body).as("html"))
-    val b0 = part(31, 860000L, goodUrl(860000L), rev)
-    val b1 = part(23, 800000L, goodUrl(800000L),
+    val b0 = part(31, 200000000L, goodUrl(200000000L), rev)
+    val b1 = part(23, 100000000L, goodUrl(100000000L),
         concat(col("text"), lit(" shared tail marker words here")))
-      .unionByName(part(31, 880000L, goodUrl(880000L),
+      .unionByName(part(31, 300000000L, goodUrl(300000000L),
         concat(rev, lit(" extra trailing words"))))
-      .unionByName(part(29, 820000L, goodUrl(820000L),
+      .unionByName(part(29, 400000000L, goodUrl(400000000L),
         concat(rev, lit(" planted tail one"))))
-      .unionByName(part(29, 830000L, goodUrl(830000L),
+      .unionByName(part(29, 500000000L, goodUrl(500000000L),
         concat(rev, lit(" planted tail two"))))
-      .unionByName(part(13, 840000L,
+      .unionByName(part(13, 600000000L,
         concat(lit("https://ads.evil.example/article/"),
-          (col("doc_id") + 840000L).cast("string")), col("text")))
-      .unionByName(part(17, 850000L, goodUrl(850000L), lit("too short")))
+          (col("doc_id") + 600000000L).cast("string")), col("text")))
+      .unionByName(part(17, 700000000L, goodUrl(700000000L), lit("too short")))
     (b0, b1)
   }
 
@@ -1031,12 +1031,12 @@ private[graft] object AnalyticsEntries {
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
       val batch = docs.where(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 800000).as("doc_id"),
+        .select((col("doc_id") + 100000000).as("doc_id"),
           concat(col("text"), lit(" shared tail marker words here")).as("text"))
         .unionByName(docs.where(col("doc_id") % 31 === 0)
-          .select((col("doc_id") + 860000).as("doc_id"), rev.as("text")))
+          .select((col("doc_id") + 200000000).as("doc_id"), rev.as("text")))
         .unionByName(docs.where(col("doc_id") % 31 === 0)
-          .select((col("doc_id") + 880000).as("doc_id"),
+          .select((col("doc_id") + 300000000).as("doc_id"),
             concat(rev, lit(" extra trailing words")).as("text")))
       Dedup.incrementalNearDups(
           Dedup.minHashSignaturesParityFromText(docs, col("doc_id"), col("text"), 3, 12),
@@ -1056,47 +1056,32 @@ private[graft] object AnalyticsEntries {
       // near-pair on a fresh id family -> earlier id `new`, later
       // `dup_batch`. The oracle replays both batches in sequence,
       // including the index growth between them.
-      import java.nio.file.Files
-      import java.nio.file.attribute.FileTime
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
       val b1 = docs.where(col("doc_id") % 31 === 0)
-        .select((col("doc_id") + 860000).as("doc_id"), rev.as("text"))
+        .select((col("doc_id") + 200000000).as("doc_id"), rev.as("text"))
       val b2 = docs.where(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 800000).as("doc_id"),
+        .select((col("doc_id") + 100000000).as("doc_id"),
           concat(col("text"), lit(" shared tail marker words here")).as("text"))
         .unionByName(docs.where(col("doc_id") % 31 === 0)
-          .select((col("doc_id") + 880000).as("doc_id"),
+          .select((col("doc_id") + 300000000).as("doc_id"),
             concat(rev, lit(" extra trailing words")).as("text")))
         .unionByName(docs.where(col("doc_id") % 29 === 0)
-          .select((col("doc_id") + 820000).as("doc_id"),
+          .select((col("doc_id") + 400000000).as("doc_id"),
             concat(rev, lit(" planted tail one")).as("text")))
         .unionByName(docs.where(col("doc_id") % 29 === 0)
-          .select((col("doc_id") + 830000).as("doc_id"),
+          .select((col("doc_id") + 500000000).as("doc_id"),
             concat(rev, lit(" planted tail two")).as("text")))
-      val inDir = cleanupOnExit(Files.createTempDirectory("graft_incr_in"))
-      Seq((b1, "batch0", 1700000000000L), (b2, "batch1", 1700000001000L))
-        .foreach { case (df, name, mtime) =>
-          val tmp = Files.createTempDirectory("graft_incr_half")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val dst = inDir.resolve(s"$name.parquet")
-          Files.copy(firstParquetPart(tmp), dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-          deleteDirTree(tmp)
-        }
-      val out = cleanupOnExit(Files.createTempDirectory("graft_incr_out")).toString
-      val sign = (d: DataFrame) =>
-        Dedup.minHashSignaturesParityFromText(d, col("doc_id"), col("text"), 3, 12)
+      val inDir = stageOrderedBatches("graft_incr", Seq(b1, b2))
+      val out = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_incr_out")).toString
+      val sign = crawlSign
       Dedup.initIncrementalState(docs, s"$out/state", sign, 12, 6)
       val stream = graft.streaming.Transforms.PathInput(
-        inDir.toString, b1.schema, maxFilesPerTrigger = Some(1)).stream(s)
+        inDir, b1.schema, maxFilesPerTrigger = Some(1)).stream(s)
       Dedup.incrementalNearDupsStream(stream, s"$out/state", s"$out/verdicts",
         s"$out/ckpt", sign, shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-      s.read.parquet(s"$out/verdicts")
-        .select(col("batch").cast("int").as("batch_id"), col("doc_id"),
-          col("verdict"), col("dup_of"))
-        .dropDuplicates("batch_id", "doc_id")
-        .orderBy("doc_id")
+      crawlVerdicts(s, s"$out/verdicts")
     }),
 
     "dd_containment" -> ((s, dir) => {
@@ -1165,9 +1150,11 @@ private[graft] object AnalyticsEntries {
       // UT1-style URL gate: deterministic synthetic URLs (domain picked
       // by doc_id % 5, two tracking-ish paths), blocklist of one domain
       // (must block subdomains on a label boundary but not the
-      // lookalike "notevil.example") and one path keyword. One
-      // codegen'd conditional; the oracle replays host extraction,
-      // suffix matching, and the keyword scan.
+      // lookalike "notevil.example") and one path keyword. Every 19th
+      // URL arrives SCHEME-LESS (a real crawl-frontier spelling) and
+      // must fail closed through the same host/path split. One
+      // codegen'd conditional; the oracle replays prefix stripping,
+      // host extraction, suffix matching, and the keyword scan.
       val docs = T(s, dir, "documents").select(col("doc_id"))
       val domain = element_at(array(
         lit("good.example"), lit("evil.example"), lit("www.evil.example"),
@@ -1175,7 +1162,9 @@ private[graft] object AnalyticsEntries {
         (col("doc_id") % 5 + 1).cast("int"))
       val path = when(col("doc_id") % 7 === 0, lit("/casino-bonus/page"))
         .otherwise(concat(lit("/article/"), col("doc_id").cast("string")))
-      val url = concat(lit("https://"), domain, path)
+      val url = concat(
+        when(col("doc_id") % 19 === 0, lit("")).otherwise(lit("https://")),
+        domain, path)
       docs.select(col("doc_id"), url.as("url"),
           Dedup.urlBlocked(url, Seq("evil.example"), Seq("casino")).as("blocked"))
         .orderBy("doc_id")
@@ -1437,40 +1426,40 @@ private[graft] object AnalyticsEntries {
   private val CrawlLadderOracle: String =
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         | rawb AS (
-        |  SELECT 'x' AS side, doc_id + 860000 AS doc_id,
-        |    'https://news.example/article/' || CAST(doc_id + 860000 AS VARCHAR) AS url,
+        |  SELECT 'x' AS side, doc_id + 200000000 AS doc_id,
+        |    'https://news.example/article/' || CAST(doc_id + 200000000 AS VARCHAR) AS url,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ') AS body
         |  FROM documents WHERE doc_id % 31 = 0
         |  UNION ALL
-        |  SELECT 'y', doc_id + 800000,
-        |    'https://news.example/article/' || CAST(doc_id + 800000 AS VARCHAR),
+        |  SELECT 'y', doc_id + 100000000,
+        |    'https://news.example/article/' || CAST(doc_id + 100000000 AS VARCHAR),
         |    text || ' shared tail marker words here'
         |  FROM documents WHERE doc_id % 23 = 0
         |  UNION ALL
-        |  SELECT 'y', doc_id + 880000,
-        |    'https://news.example/article/' || CAST(doc_id + 880000 AS VARCHAR),
+        |  SELECT 'y', doc_id + 300000000,
+        |    'https://news.example/article/' || CAST(doc_id + 300000000 AS VARCHAR),
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' extra trailing words'
         |  FROM documents WHERE doc_id % 31 = 0
         |  UNION ALL
-        |  SELECT 'y', doc_id + 820000,
-        |    'https://news.example/article/' || CAST(doc_id + 820000 AS VARCHAR),
+        |  SELECT 'y', doc_id + 400000000,
+        |    'https://news.example/article/' || CAST(doc_id + 400000000 AS VARCHAR),
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' planted tail one'
         |  FROM documents WHERE doc_id % 29 = 0
         |  UNION ALL
-        |  SELECT 'y', doc_id + 830000,
-        |    'https://news.example/article/' || CAST(doc_id + 830000 AS VARCHAR),
+        |  SELECT 'y', doc_id + 500000000,
+        |    'https://news.example/article/' || CAST(doc_id + 500000000 AS VARCHAR),
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' planted tail two'
         |  FROM documents WHERE doc_id % 29 = 0
         |  UNION ALL
-        |  SELECT 'y', doc_id + 840000,
-        |    'https://ads.evil.example/article/' || CAST(doc_id + 840000 AS VARCHAR), text
+        |  SELECT 'y', doc_id + 600000000,
+        |    'https://ads.evil.example/article/' || CAST(doc_id + 600000000 AS VARCHAR), text
         |  FROM documents WHERE doc_id % 13 = 0
         |  UNION ALL
-        |  SELECT 'y', doc_id + 850000,
-        |    'https://news.example/article/' || CAST(doc_id + 850000 AS VARCHAR), 'too short'
+        |  SELECT 'y', doc_id + 700000000,
+        |    'https://news.example/article/' || CAST(doc_id + 700000000 AS VARCHAR), 'too short'
         |  FROM documents WHERE doc_id % 17 = 0),
         | page AS (SELECT side, doc_id, url,
         |   '<html><head><script>var a=1;</script></head><body><p>' || body
@@ -1494,12 +1483,15 @@ private[graft] object AnalyticsEntries {
         |    trim(regexp_replace(t, '\s*\n\s*', chr(10), 'g')) AS text FROM e12),
         | gates AS (
         |  SELECT r.side, r.doc_id,
-        |    (regexp_replace(lower(regexp_extract(trim(r.url),
-        |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') = 'evil.example'
-        |     OR regexp_replace(lower(regexp_extract(trim(r.url),
-        |       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') LIKE '%.evil.example'
-        |     OR lower(regexp_extract(trim(r.url),
-        |       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)) LIKE '%casino%') AS blocked,
+        |    (regexp_replace(lower(regexp_extract(
+        |       regexp_replace(trim(r.url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+        |       '^([^/?#]*)', 1)), ':[0-9]+$', '') = 'evil.example'
+        |     OR regexp_replace(lower(regexp_extract(
+        |       regexp_replace(trim(r.url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+        |       '^([^/?#]*)', 1)), ':[0-9]+$', '') LIKE '%.evil.example'
+        |     OR lower(regexp_extract(
+        |       regexp_replace(trim(r.url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+        |       '^[^/?#]*(.*)$', 1)) LIKE '%casino%') AS blocked,
         |    len(regexp_split_to_array(trim(lower(x.text)), '\s+')) < 5 AS lowq,
         |    x.text
         |  FROM rawb r JOIN extr x ON r.side = x.side AND r.doc_id = x.doc_id),
@@ -2734,15 +2726,15 @@ private[graft] object AnalyticsEntries {
     "dd_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         | batch AS (
-        |  SELECT doc_id + 800000 AS doc_id,
+        |  SELECT doc_id + 100000000 AS doc_id,
         |         text || ' shared tail marker words here' AS text
         |  FROM documents WHERE doc_id % 23 = 0
         |  UNION ALL
-        |  SELECT doc_id + 860000,
+        |  SELECT doc_id + 200000000,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |  FROM documents WHERE doc_id % 31 = 0
         |  UNION ALL
-        |  SELECT doc_id + 880000,
+        |  SELECT doc_id + 300000000,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' extra trailing words'
         |  FROM documents WHERE doc_id % 31 = 0),
@@ -2819,25 +2811,25 @@ private[graft] object AnalyticsEntries {
     "dd_incremental_stream" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         | b1 AS (
-        |  SELECT doc_id + 860000 AS doc_id,
+        |  SELECT doc_id + 200000000 AS doc_id,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ') AS text
         |  FROM documents WHERE doc_id % 31 = 0),
         | b2 AS (
-        |  SELECT doc_id + 800000 AS doc_id,
+        |  SELECT doc_id + 100000000 AS doc_id,
         |         text || ' shared tail marker words here' AS text
         |  FROM documents WHERE doc_id % 23 = 0
         |  UNION ALL
-        |  SELECT doc_id + 880000,
+        |  SELECT doc_id + 300000000,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' extra trailing words'
         |  FROM documents WHERE doc_id % 31 = 0
         |  UNION ALL
-        |  SELECT doc_id + 820000,
+        |  SELECT doc_id + 400000000,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' planted tail one'
         |  FROM documents WHERE doc_id % 29 = 0
         |  UNION ALL
-        |  SELECT doc_id + 830000,
+        |  SELECT doc_id + 500000000,
         |    array_to_string(list_reverse(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
         |      || ' planted tail two'
         |  FROM documents WHERE doc_id % 29 = 0),
@@ -3048,7 +3040,7 @@ private[graft] object AnalyticsEntries {
     "dd_url_blocklist" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    'https://' ||
+        |    (CASE WHEN doc_id % 19 = 0 THEN '' ELSE 'https://' END) ||
         |    (['good.example','evil.example','www.evil.example',
         |      'notevil.example','news.example'])[CAST(doc_id % 5 + 1 AS INTEGER)] ||
         |    (CASE WHEN doc_id % 7 = 0 THEN '/casino-bonus/page'
@@ -3056,10 +3048,12 @@ private[graft] object AnalyticsEntries {
         |  FROM documents),
         | parts AS (
         |  SELECT doc_id, url,
-        |    regexp_replace(lower(regexp_extract(trim(url),
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
-        |    lower(regexp_extract(trim(url),
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)) AS rest
+        |    regexp_replace(lower(regexp_extract(
+        |      regexp_replace(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+        |      '^([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+        |    lower(regexp_extract(
+        |      regexp_replace(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
+        |      '^[^/?#]*(.*)$', 1)) AS rest
         |  FROM u)
         |SELECT doc_id, url,
         |  (host = 'evil.example' OR host LIKE '%.evil.example'

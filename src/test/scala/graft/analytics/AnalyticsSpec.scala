@@ -75,13 +75,17 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "https://notevil.example/x"),          // lookalike, NOT blocked
       (3L, "https://good.example/casino-night"),  // path keyword
       (4L, "HTTPS://EVIL.EXAMPLE:8443/up"),       // case + port
-      (5L, "https://good.example/fine"))
+      (5L, "https://good.example/fine"),
+      (6L, "evil.example/casino-bonus"),          // scheme-less fails CLOSED
+      (7L, "//www.evil.example/x"),               // protocol-relative
+      (8L, "good.example/fine"))                  // scheme-less clean
       .toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         Dedup.urlBlocked(col("url"), Seq("evil.example"), Seq("casino")).as("b"))
       .as[(Long, Boolean)].collect().toMap
     assert(got === Map(0L -> true, 1L -> true, 2L -> false,
-      3L -> true, 4L -> true, 5L -> false))
+      3L -> true, 4L -> true, 5L -> false,
+      6L -> true, 7L -> true, 8L -> false))
   }
 
   test("url-dedup stage 0 composes ahead of the cleaning pipeline") {

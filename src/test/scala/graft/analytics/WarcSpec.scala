@@ -39,6 +39,22 @@ class WarcSpec extends SparkSpec {
     assert(r2.content_length === http2.getBytes("UTF-8").length.toLong)
   }
 
+  test("non-ASCII target URIs round-trip (UTF-8 headers) and HTTP/1.0 parses") {
+    val docs = Seq((0L, "body text here")).toDF("doc_id", "text")
+    val files = Warc.responseFiles(docs, lit(1L), col("doc_id"), col("text"),
+      uri = lit("https://exämple.test/café/0"))
+    val rec = Warc.parseResponses(files, col("file_id"), col("warc"))(spark)
+      .collect().find(_.warc_type === "response").get
+    assert(rec.target_uri === "https://exämple.test/café/0")
+    // HTTP/1.0 status lines (common in real crawl archives) parse too
+    val http10 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.test/1\r\nContent-Length: 45\r\n\r\n" +
+      "HTTP/1.0 301 Moved\r\nContent-Length: 4\r\n\r\nbody" +
+      "\r\n\r\n").getBytes("UTF-8")
+    val r10 = Warc.parseFile(9L, http10)
+    assert(r10.head.http_status === 301 && r10.head.body === "body")
+  }
+
   test("malformed WARC input fails loudly instead of resyncing") {
     val bad = "NOTWARC/9.9\r\nWARC-Type: response\r\n\r\n".getBytes("UTF-8")
     val ex = intercept[Exception](Warc.parseFile(0L, bad))
