@@ -48,4 +48,44 @@ object Decontaminate {
     counted.unionByName(tooShort)
       .select(col("doc_id"), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
   }
+
+  /**
+   * Embedding-space decontamination: the SEMANTIC companion of
+   * [[flagOverlap]] — n-gram overlap misses paraphrased or translated
+   * eval leakage, cosine similarity to the eval set's embeddings does
+   * not. For every corpus vector: its nearest eval vector (ties by
+   * eval id) and the integer micro-unit cosine; `contaminated` iff
+   * cos_u ≥ `thresholdU`.
+   *
+   * Scale shape: the eval set is benchmark-sized, so it BROADCASTS —
+   * the corpus is scanned once against the broadcast eval table and
+   * the per-vector argmax is a rank window keyed on vec_id. This
+   * broadcast nested-loop is the production plan at 100 TB, not a
+   * test-scale shortcut: |eval| is thousands, so per-row cost is
+   * bounded and no shuffle of the corpus ever happens beyond the
+   * argmax window's hash partition on vec_id.
+   *
+   * `corpus`: (vec_id, embedding double[]); `evalSet`: (eval_id,
+   * embedding double[]). Cosines floor to the library-wide 1e-5
+   * micro-units, so ranking and threshold are exact cross-engine.
+   */
+  def flagEmbedOverlap(corpus: DataFrame, evalSet: DataFrame,
+      thresholdU: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id"), col("embedding").as("_ce"))
+      .withColumn("_cn", Similarity.norm(col("_ce")))
+    val e = evalSet.select(col("eval_id"), col("embedding").as("_ee"))
+      .withColumn("_en", Similarity.norm(col("_ee")))
+    val scored = c.join(broadcast(e))
+      .select(col("vec_id"), col("eval_id"),
+        floor(Similarity.dot(col("_ce"), col("_ee")) / (col("_cn") * col("_en"))
+          * lit(100000L) + lit(0.5)).cast("long").as("cos_u"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_u").desc, col("eval_id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cos_u"),
+        (col("cos_u") >= thresholdU).as("contaminated"))
+  }
 }

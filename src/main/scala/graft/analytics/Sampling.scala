@@ -371,4 +371,82 @@ object Sampling {
         (col("doc_id") === col("cluster_id")).as("keep"),
         when(col("doc_id") === col("cluster_id"), col("cluster_size"))
           .otherwise(lit(0L)).as("repeat_weight"))
+
+  /**
+   * Curriculum ordering: assign each document a training STAGE by
+   * difficulty quantile (easy stages first — the classic curriculum-
+   * learning schedule) and a deterministic shuffled position WITHIN
+   * its stage (hash-derived, so co-stage examples don't arrive in
+   * difficulty order — intra-stage order must look i.i.d. or the
+   * easiest-first bias leaks into every batch). `ntile` over the total
+   * order (difficulty, id) makes stage assignment reproducible; the
+   * within-stage key is the library-wide md5 bucket, so the
+   * permutation is a pure function of the id — stable across cluster
+   * sizes and replayable by the oracle.
+   *
+   * Stage = `(rank - 1) * nStages div total + 1` over the total order
+   * (the repo's exact-quantile device — same integer arithmetic on
+   * both engines, no ntile remainder-placement ambiguity). Scale note:
+   * the stage quantile is one global rank — at 100 TB, replace with
+   * approx-quantile cut points broadcast as a range filter
+   * ([[ccnetQualityBuckets]]'s shape); the exact rank is kept here
+   * because the oracle certifies EXACT quantile boundaries.
+   * Output: doc_id, difficulty, stage (1-based), pos (1-based within
+   * stage).
+   */
+  def curriculum(docs: DataFrame, idCol: Column, difficultyCol: Column,
+      nStages: Int): DataFrame = {
+    require(nStages > 0, "nStages must be positive")
+    val posW = Window.partitionBy(col("stage"))
+      .orderBy(col("__shuf"), col("doc_id"))
+    docs.select(idCol.as("doc_id"), difficultyCol.cast("long").as("difficulty"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("difficulty").asc, col("doc_id").asc)))
+      .withColumn("__total", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("stage", expr(s"(__r - 1) * $nStages div __total") + 1)
+      .withColumn("__shuf", hashBucket(col("doc_id"), 1000000))
+      .withColumn("pos", row_number().over(posW))
+      .select("doc_id", "difficulty", "stage", "pos")
+  }
+
+  /**
+   * Domain reweighting by multiplicative weights (the DoReMi family,
+   * Xie et al. 2023, linearized): start from the uniform mixture and,
+   * for `rounds` update steps, multiply each domain's weight by
+   * `1 + eta * normalized_excess_loss` then renormalize — domains the
+   * proxy model finds hard gain mixture share. This is the
+   * exponentiated-gradient update with exp(x) ≈ 1+x, which keeps
+   * EVERY step in exact integer parts-per-million arithmetic
+   * (`div`, the repo convention): no libm exp whose final ULP could
+   * differ across engines, so the oracle replays all rounds exactly.
+   *
+   * `domainLoss`: (`source`, `loss_u`) — one row per domain,
+   * non-negative integer proxy loss in micro-units (the caller
+   * derives it: per-domain perplexity, quality deficit, …). Losses
+   * are max-normalized to [0, 10^6] once, up front. The table is
+   * bounded domain METADATA (tens of rows), so the empty-partition
+   * windows here are driver-scale folds, not data-plane shuffles.
+   * Output: source, loss_u, norm_loss_u, w_round_1 … w_round_R
+   * (ppm, each round summing to ~10^6 less integer-division dust).
+   */
+  def domainReweight(domainLoss: DataFrame, rounds: Int, etaPpm: Long): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    require(etaPpm >= 0 && etaPpm <= 1000000L, "etaPpm must be in [0, 1e6]")
+    val all = Window.partitionBy(lit(1))
+    var cur = domainLoss
+      .withColumn("__max", greatest(max(col("loss_u")).over(all), lit(1L)))
+      .withColumn("norm_loss_u", expr("loss_u * 1000000 div __max"))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("__w", expr("1000000 div __k"))
+    (1 to rounds).foreach { r =>
+      cur = cur
+        .withColumn("__raw",
+          expr(s"__w * (1000000 + $etaPpm * norm_loss_u div 1000000) div 1000000"))
+        .withColumn("__sum", sum(col("__raw")).over(all))
+        .withColumn("__w", expr("__raw * 1000000 div __sum"))
+        .withColumn(s"w_round_$r", col("__w"))
+    }
+    cur.select(col("source") +: col("loss_u") +: col("norm_loss_u") +:
+      (1 to rounds).map(r => col(s"w_round_$r")): _*)
+  }
 }

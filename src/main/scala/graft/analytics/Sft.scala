@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Instruction-tuning (SFT/chat) data preparation: the post-training
+ * counterpart of the pre-training cleaning pipeline. A conversation is
+ * a `(conv_id, turn_idx, role, content)` table — the normal form every
+ * chat-data pipeline reduces its JSON/ShareGPT/OpenAI-format inputs to
+ * — and the operators here are the standard curation passes over it:
+ *
+ *  - [[assemble]]: group raw rows into ordered multi-turn conversations
+ *    with alternating roles (the flattening step after format parsing);
+ *  - [[render]]: serialize a conversation through a chat template into
+ *    the single training string (special-token wrapping + generation
+ *    prompt) — what the tokenizer actually sees;
+ *  - [[validate]]: the structural rule gate (roles must alternate,
+ *    first turn user, last turn assistant, no empty turns, bounded turn
+ *    count) that every SFT pipeline applies before training;
+ *  - [[dedupByAssistant]]: conversation-level dedup keyed on the
+ *    normalized ASSISTANT side only — the standard trick, since user
+ *    paraphrase varies freely while duplicated assistant outputs are
+ *    what actually overfit;
+ *  - [[trimToBudget]]: context-window packing — keep the longest
+ *    SUFFIX of turns within a token budget, re-aligned to start on a
+ *    user turn so the training example stays well-formed.
+ *
+ * Scale shape: everything is one hash shuffle on `conv_id` (windows or
+ * groupBy) over narrow projections; no cross-conversation joins except
+ * the dedup's tiny signature-keyed groupBy. Conversations are bounded
+ * (tens of turns), so per-group state is O(1) at any corpus size —
+ * 100 TB of chat data shards by conv_id with zero skew concern.
+ */
+object Sft {
+
+  /** Collapse runs of whitespace and lowercase — the dedup/signature
+    * normal form (matches the pipeline-wide text canonicalization). */
+  private def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /**
+   * Assemble flat rows into conversations: `conv_id = id % nConvs`,
+   * turns ordered by id within a conversation, roles alternating
+   * user/assistant from the first turn. This is the deterministic
+   * grouping step a real pipeline performs on (file, line) provenance
+   * keys; the modulo fixture stands in for that key so the oracle can
+   * re-derive it. Output: conv_id, turn_idx, role, doc_id, content.
+   */
+  def assemble(docs: DataFrame, idCol: Column, textCol: Column,
+      nConvs: Int): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))
+    docs.select((idCol % nConvs).as("conv_id"), idCol.as("doc_id"),
+        textCol.as("content"))
+      .withColumn("turn_idx", row_number().over(w) - 1)
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      .select("conv_id", "turn_idx", "role", "doc_id", "content")
+  }
+
+  /**
+   * Render a conversation through the chat template
+   * `<|role|>\ncontent<|end|>\n` per turn (turn order) plus the
+   * trailing `<|assistant|>\n` generation prompt. One groupBy on
+   * conv_id; the sort is in-row over the collected (bounded) turn
+   * list, not a shuffle sort. Output: conv_id, n_turns, prompt,
+   * prompt_chars.
+   */
+  def render(turns: DataFrame): DataFrame = {
+    val piece = concat(lit("<|"), col("role"), lit("|>\n"), col("content"),
+      lit("<|end|>\n"))
+    turns
+      .select(col("conv_id"), struct(col("turn_idx"), piece.as("piece")).as("t"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).cast("long").as("n_turns"),
+        concat(
+          array_join(transform(array_sort(collect_list(col("t"))), t => t("piece")), ""),
+          lit("<|assistant|>\n")).as("prompt"))
+      .withColumn("prompt_chars", length(col("prompt")).cast("long"))
+  }
+
+  /**
+   * Structural validation gate. Per conversation: turn count, roles
+   * strictly alternate (no two consecutive turns share a role), first
+   * turn is user, last turn is assistant, no whitespace-only turn,
+   * turn count within `maxTurns` — and the conjunction `ok`. Windows
+   * over conv_id only; emitted flags (not a filter) so the pipeline
+   * can route rejects to a quarantine sink instead of dropping them.
+   */
+  def validate(turns: DataFrame, maxTurns: Int): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    turns
+      .withColumn("_same_as_prev",
+        when(lag(col("role"), 1).over(w) === col("role"), 1L).otherwise(0L))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_turns"),
+        (sum(col("_same_as_prev")) === 0).as("alternates"),
+        (min(struct(col("turn_idx"), col("role")))("role") === "user").as("first_is_user"),
+        (max(struct(col("turn_idx"), col("role")))("role") === "assistant").as("last_is_assistant"),
+        (sum(when(trim(col("content")) === "", 1L).otherwise(0L)) === 0).as("no_empty"))
+      .withColumn("within_max", col("n_turns") <= maxTurns)
+      .withColumn("ok", col("alternates") && col("first_is_user") &&
+        col("last_is_assistant") && col("no_empty") && col("within_max"))
+      .select("conv_id", "n_turns", "alternates", "first_is_user",
+        "last_is_assistant", "no_empty", "within_max", "ok")
+  }
+
+  /**
+   * Conversation-level dedup on the normalized assistant side: the
+   * signature is md5 over the turn-ordered, whitespace-collapsed,
+   * lowercased assistant contents joined with `\n`. A conversation is
+   * canonical iff it has the minimum conv_id within its signature
+   * group. One conv_id groupBy + one signature-keyed groupBy (both
+   * narrow keys); the signature is 32 bytes regardless of
+   * conversation size, so the second shuffle is tiny at any scale.
+   * Output: conv_id, n_assistant_turns, sig, is_canonical.
+   */
+  def dedupByAssistant(turns: DataFrame): DataFrame = {
+    val asst = turns.where(col("role") === "assistant")
+      .select(col("conv_id"),
+        struct(col("turn_idx"), normText(col("content")).as("n")).as("t"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).cast("long").as("n_assistant_turns"),
+        md5(array_join(transform(array_sort(collect_list(col("t"))), t => t("n")), "\n")
+          .cast("binary")).as("sig"))
+    val w = Window.partitionBy(col("sig"))
+    asst.withColumn("is_canonical",
+        col("conv_id") === min(col("conv_id")).over(w))
+      .select("conv_id", "n_assistant_turns", "sig", "is_canonical")
+  }
+
+  /**
+   * Context-window trim: keep the longest SUFFIX of whole turns whose
+   * whitespace-token total fits `budgetTokens`, then advance the start
+   * past any leading assistant turns so the kept slice begins on a
+   * user turn (a slice that opens with the model's own reply trains
+   * on an answer with no question). Two windows over conv_id: a
+   * reverse cumulative token sum, then a min-over-kept-user-turns.
+   * Output per turn: conv_id, turn_idx, role, n_tokens, tail_tokens,
+   * kept.
+   */
+  def trimToBudget(turns: DataFrame, budgetTokens: Int): DataFrame = {
+    val byConv = Window.partitionBy(col("conv_id"))
+    val tailW = byConv.orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = TextAnalysis.tokenCount(col("content")).cast("long")
+    val t = turns
+      .withColumn("n_tokens", toks)
+      .withColumn("tail_tokens", sum(col("n_tokens")).over(tailW))
+      .withColumn("_fits", col("tail_tokens") <= budgetTokens)
+    t.withColumn("_start", min(when(col("_fits") && col("role") === "user",
+          col("turn_idx"))).over(byConv))
+      .withColumn("kept", col("_fits") && col("_start").isNotNull &&
+        col("turn_idx") >= col("_start"))
+      .select("conv_id", "turn_idx", "role", "n_tokens", "tail_tokens", "kept")
+  }
+}

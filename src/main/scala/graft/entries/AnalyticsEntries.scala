@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
-import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.analytics.{Bitext, CleanPipeline, Decontaminate, Dedup, Sampling, Sft, Similarity, Sketches, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.groups.ConsumerGroups
 import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
@@ -1417,6 +1417,191 @@ private[graft] object AnalyticsEntries {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Similarity.semDedup(corpus, Similarity.headCentroids(emb, 8), threshold = 0.9)
         .orderBy("vec_id")
+    }),
+
+    // ----- training-data pipeline: SFT/chat-data curation -----
+
+    "sft_assemble" -> ((s, dir) => {
+      // Flatten docs into 50 multi-turn conversations (conv = doc_id %
+      // 50 standing in for the (file, line) provenance key), turns in
+      // doc order, roles alternating user/assistant from turn 0.
+      Sft.assemble(T(s, dir, "documents"), col("doc_id"), col("text"), 50)
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "sft_render" -> ((s, dir) => {
+      // Chat-template serialization: <|role|>\ncontent<|end|>\n per
+      // turn plus the <|assistant|>\n generation prompt — the exact
+      // string the tokenizer would see. The oracle re-renders every
+      // conversation with an ordered string_agg.
+      Sft.render(Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 50))
+        .orderBy("conv_id")
+    }),
+
+    "sft_validate" -> ((s, dir) => {
+      // Structural gate with planted violations: 40 convs of 12-13
+      // turns (so within_max=12 flags the long ones); docs % 37 == 0
+      // dropped AFTER role assignment (creates same-role adjacencies
+      // and missing first/last turns); docs % 41 == 0 blanked
+      // (whitespace-only turns). The oracle replays every rule.
+      val base = Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+        col("text"), 40)
+      val planted = base
+        .withColumn("content", when(col("doc_id") % 41 === 0, lit("  "))
+          .otherwise(col("content")))
+        .where(col("doc_id") % 37 =!= 0)
+      Sft.validate(planted, maxTurns = 12).orderBy("conv_id")
+    }),
+
+    "sft_turn_dedup" -> ((s, dir) => {
+      // Assistant-side conversation dedup: convs 0-19 re-appear at
+      // +1000 with every USER turn paraphrased (assistant side
+      // identical => must dedup to the original); convs 0-9 re-appear
+      // at +2000 with assistant text uppercased + padded (must STILL
+      // dedup — the signature is normalization-invariant).
+      val base = Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+        col("text"), 50)
+      val copy1 = base.where(col("conv_id") < 20)
+        .select((col("conv_id") + 1000).as("conv_id"), col("turn_idx"),
+          col("role"), col("doc_id"),
+          when(col("role") === "user", concat(lit("rephrased: "), col("content")))
+            .otherwise(col("content")).as("content"))
+      val copy2 = base.where(col("conv_id") < 10)
+        .select((col("conv_id") + 2000).as("conv_id"), col("turn_idx"),
+          col("role"), col("doc_id"),
+          when(col("role") === "assistant",
+              upper(concat(col("content"), lit("  "))))
+            .otherwise(col("content")).as("content"))
+      Sft.dedupByAssistant(base.unionByName(copy1).unionByName(copy2))
+        .orderBy("conv_id")
+    }),
+
+    "sft_token_trim" -> ((s, dir) => {
+      // Context-window packing: keep the longest whole-turn SUFFIX
+      // within 256 whitespace tokens, start re-aligned to a user turn.
+      // The oracle recomputes the reverse cumulative sums and the
+      // start-alignment rule per conversation.
+      Sft.trimToBudget(Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 50), budgetTokens = 256)
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "pipe_sft" -> ((s, dir) => {
+      // End-to-end SFT funnel over the planted chat fixture: assemble
+      // (40 convs) with blanked (%41) and dropped (%37) turns plus
+      // user-paraphrased duplicate convs (+1000 for conv<20) →
+      // validate gate (ok only) → assistant-side dedup (canonical
+      // only) → 256-token suffix trim → template render. The oracle
+      // replays the whole chain, so stage INTERACTIONS (a validation
+      // reject never reaching dedup, a trimmed turn never rendered)
+      // are hash-certified, not just each stage alone.
+      val base = Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+        col("text"), 40)
+      val planted = base
+        .withColumn("content", when(col("doc_id") % 41 === 0, lit("  "))
+          .otherwise(col("content")))
+        .where(col("doc_id") % 37 =!= 0)
+      val copies = planted.where(col("conv_id") < 20)
+        .select((col("conv_id") + 1000).as("conv_id"), col("turn_idx"),
+          col("role"), col("doc_id"),
+          when(col("role") === "user", concat(lit("rephrased: "), col("content")))
+            .otherwise(col("content")).as("content"))
+      val turns = planted.unionByName(copies)
+      val okConvs = Sft.validate(turns, maxTurns = 12)
+        .where(col("ok")).select("conv_id")
+      val valid = turns.join(okConvs, Seq("conv_id"))
+      val canon = Sft.dedupByAssistant(valid)
+        .where(col("is_canonical")).select("conv_id")
+      val deduped = valid.join(canon, Seq("conv_id"))
+      val kept = Sft.trimToBudget(deduped, budgetTokens = 256)
+        .where(col("kept")).select("conv_id", "turn_idx")
+      Sft.render(deduped.join(kept, Seq("conv_id", "turn_idx")))
+        .orderBy("conv_id")
+    }),
+
+    // ----- training-data pipeline: bitext mining -----
+
+    "bt_margin_mine" -> ((s, dir) => {
+      // Margin-based bitext mining (CCMatrix ratio margin), exact
+      // certification leg: even vec_ids are the "source language"
+      // corpus, odd the "target"; k=4 neighborhood averages; mined =
+      // forward-best candidate with margin >= 1.0. Integer micro-unit
+      // scores end-to-end; the oracle replays every pair, both kNN
+      // averages, and the margin division.
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val src = emb.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding"))
+      val tgt = emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding"))
+      Bitext.marginMineExact(src, tgt, k = 4, marginThresholdU = 1000000L)
+        .orderBy("src_id")
+    }),
+
+    "bt_margin_recall" -> ((s, dir) => {
+      // Certifies the PRODUCTION path (IVF-candidate margin mining,
+      // bt: two bounded ANN probes instead of the all-pairs product):
+      // >= 50% of the exact leg's mined pairs must be recovered. The
+      // oracle recomputes the exact mined-pair count; the boolean is
+      // the engine-asserted contract.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      val src = emb.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding"))
+      val tgt = emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding"))
+      val exact = Bitext.marginMineExact(src, tgt, 4, 1000000L)
+        .select("src_id", "tgt_id")
+      val ivf = Bitext.marginMineIvf(src, tgt, 4, 1000000L, candK = 32,
+        nLists = 8, nProbe = 4)
+        .select("src_id", "tgt_id")
+      val n = exact.count()
+      val hit = exact.join(ivf, Seq("src_id", "tgt_id")).count()
+      Seq(("bt_margin_recall_ge_50", n, hit.toDouble / math.max(n, 1L) >= 0.5))
+        .toDF("check", "n_exact", "ok")
+    }),
+
+    "dd_decontam_embed" -> ((s, dir) => {
+      // SEMANTIC decontamination (companion of the n-gram dd_decontam):
+      // eval set = vec_id % 97 vectors; corpus = all embeddings plus
+      // exact eval copies planted at +600000 (must flag, like the eval
+      // originals themselves); everything else flags only if it truly
+      // clears cos >= 0.95 against some eval vector. Eval broadcasts —
+      // the production plan, benchmarks are small.
+      val emb = T(s, dir, "embeddings")
+        .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+        .select("vec_id", "embedding")
+      val evalSet = emb.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding"))
+      val corpus = emb.unionByName(evalSet
+        .select((col("eval_id") + 600000).as("vec_id"), col("embedding")))
+      Decontaminate.flagEmbedOverlap(corpus, evalSet, thresholdU = 95000L)
+        .orderBy("vec_id")
+    }),
+
+    // ----- training-data pipeline: mixture/schedule construction -----
+
+    "smp_curriculum" -> ((s, dir) => {
+      // Curriculum schedule: 4 difficulty stages by n_chars quantile
+      // (contiguous rank ranges — exact, oracle-replayable), positions
+      // within a stage hash-shuffled so intra-stage order is id-pure.
+      Sampling.curriculum(T(s, dir, "documents"), col("doc_id"),
+          col("n_chars"), nStages = 4)
+        .orderBy("doc_id")
+    }),
+
+    "smp_doremi" -> ((s, dir) => {
+      // DoReMi-style domain reweighting, linearized multiplicative-
+      // weights in exact ppm integers: proxy loss = per-source mean
+      // chars/doc (micro-units), 3 update rounds at eta=0.2. The
+      // oracle unrolls all three rounds' products, sums, and
+      // normalizations.
+      val dl = T(s, dir, "documents").groupBy(col("source"))
+        .agg(expr("sum(n_chars) * 1000000 div count(*)").as("loss_u"))
+      Sampling.domainReweight(dl, rounds = 3, etaPpm = 200000L)
+        .orderBy("source")
     }),
   )
 
@@ -3389,7 +3574,282 @@ private[graft] object AnalyticsEntries {
         |  WHERE list_cosine_similarity(ea.e, eb.e) >= 0.9)
         | SELECT a.vec_id, a.centroid_id AS cluster_id, (d.vec_id IS NULL) AS kept
         | FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id
-        | ORDER BY a.vec_id""".stripMargin
+        | ORDER BY a.vec_id""".stripMargin,
+
+    "sft_assemble" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, text AS content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |  doc_id, content
+        | FROM t0 ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "sft_render" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, text AS content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | turns AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    content FROM t0),
+        | r AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    string_agg('<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10),
+        |               '' ORDER BY turn_idx) || '<|assistant|>' || chr(10) AS prompt
+        |  FROM turns GROUP BY 1)
+        |SELECT conv_id, n_turns, prompt, CAST(length(prompt) AS BIGINT) AS prompt_chars
+        | FROM r ORDER BY conv_id""".stripMargin,
+
+    "sft_validate" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 40 AS conv_id, doc_id, text,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | turns AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CASE WHEN doc_id % 41 = 0 THEN '  ' ELSE text END AS content
+        |  FROM t0 WHERE doc_id % 37 <> 0),
+        | lagged AS (
+        |  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role
+        |    THEN 1 ELSE 0 END AS same_as_prev
+        |  FROM turns),
+        | agg AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    sum(same_as_prev) = 0 AS alternates,
+        |    arg_min(role, turn_idx) = 'user' AS first_is_user,
+        |    arg_max(role, turn_idx) = 'assistant' AS last_is_assistant,
+        |    sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) = 0 AS no_empty
+        |  FROM lagged GROUP BY 1)
+        |SELECT conv_id, n_turns, alternates, first_is_user, last_is_assistant,
+        |  no_empty, n_turns <= 12 AS within_max,
+        |  (alternates AND first_is_user AND last_is_assistant AND no_empty
+        |   AND n_turns <= 12) AS ok
+        | FROM agg ORDER BY conv_id""".stripMargin,
+
+    "sft_turn_dedup" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, text AS content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | base AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    content FROM t0),
+        | allt AS (
+        |  SELECT conv_id, turn_idx, role, content FROM base
+        |  UNION ALL
+        |  SELECT conv_id + 1000, turn_idx, role,
+        |    CASE WHEN role = 'user' THEN 'rephrased: ' || content ELSE content END
+        |  FROM base WHERE conv_id < 20
+        |  UNION ALL
+        |  SELECT conv_id + 2000, turn_idx, role,
+        |    CASE WHEN role = 'assistant' THEN upper(content || '  ') ELSE content END
+        |  FROM base WHERE conv_id < 10),
+        | sigs AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_assistant_turns,
+        |    md5(string_agg(regexp_replace(trim(lower(content)), '\s+', ' ', 'g'),
+        |                   chr(10) ORDER BY turn_idx)) AS sig
+        |  FROM allt WHERE role = 'assistant' GROUP BY 1)
+        |SELECT conv_id, n_assistant_turns, sig,
+        |  conv_id = min(conv_id) OVER (PARTITION BY sig) AS is_canonical
+        | FROM sigs ORDER BY conv_id""".stripMargin,
+
+    "sft_token_trim" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, text AS content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | turns AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len(regexp_split_to_array(trim(lower(content)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM t0),
+        | cum AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail_tokens
+        |  FROM turns),
+        | fits AS (
+        |  SELECT *, tail_tokens <= 256 AS f,
+        |    min(CASE WHEN tail_tokens <= 256 AND role = 'user' THEN turn_idx END)
+        |      OVER (PARTITION BY conv_id) AS start_idx
+        |  FROM cum)
+        |SELECT conv_id, turn_idx, role, n_tokens,
+        |  CAST(tail_tokens AS BIGINT) AS tail_tokens,
+        |  (f AND start_idx IS NOT NULL AND turn_idx >= start_idx) AS kept
+        | FROM fits ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "pipe_sft" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 40 AS conv_id, doc_id, text,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | planted AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CASE WHEN doc_id % 41 = 0 THEN '  ' ELSE text END AS content
+        |  FROM t0 WHERE doc_id % 37 <> 0),
+        | turns AS (
+        |  SELECT conv_id, turn_idx, role, content FROM planted
+        |  UNION ALL
+        |  SELECT conv_id + 1000, turn_idx, role,
+        |    CASE WHEN role = 'user' THEN 'rephrased: ' || content ELSE content END
+        |  FROM planted WHERE conv_id < 20),
+        | lagged AS (
+        |  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role
+        |    THEN 1 ELSE 0 END AS sp
+        |  FROM turns),
+        | vagg AS (
+        |  SELECT conv_id FROM lagged GROUP BY 1
+        |  HAVING sum(sp) = 0 AND arg_min(role, turn_idx) = 'user'
+        |     AND arg_max(role, turn_idx) = 'assistant'
+        |     AND sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) = 0
+        |     AND count(*) <= 12),
+        | valid AS (SELECT t.* FROM turns t JOIN vagg USING (conv_id)),
+        | sigs AS (
+        |  SELECT conv_id, md5(string_agg(regexp_replace(trim(lower(content)), '\s+', ' ', 'g'),
+        |           chr(10) ORDER BY turn_idx)) AS sig
+        |  FROM valid WHERE role = 'assistant' GROUP BY 1),
+        | canon AS (SELECT conv_id FROM (
+        |   SELECT conv_id, conv_id = min(conv_id) OVER (PARTITION BY sig) AS c FROM sigs)
+        |  WHERE c),
+        | ded AS (SELECT v.* FROM valid v JOIN canon USING (conv_id)),
+        | cum AS (
+        |  SELECT conv_id, turn_idx, role, content,
+        |    sum(CAST(len(regexp_split_to_array(trim(lower(content)), '\s+')) AS BIGINT))
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail
+        |  FROM ded),
+        | fits AS (
+        |  SELECT *, tail <= 256 AS f,
+        |    min(CASE WHEN tail <= 256 AND role = 'user' THEN turn_idx END)
+        |      OVER (PARTITION BY conv_id) AS si
+        |  FROM cum),
+        | keptt AS (SELECT conv_id, turn_idx, role, content FROM fits
+        |           WHERE f AND si IS NOT NULL AND turn_idx >= si),
+        | r AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    string_agg('<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10),
+        |               '' ORDER BY turn_idx) || '<|assistant|>' || chr(10) AS prompt
+        |  FROM keptt GROUP BY 1)
+        |SELECT conv_id, n_turns, prompt, CAST(length(prompt) AS BIGINT) AS prompt_chars
+        | FROM r ORDER BY conv_id""".stripMargin,
+
+    "bt_margin_mine" ->
+      """WITH src AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings WHERE vec_id % 2 = 0),
+        | tgt AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e
+        |         FROM embeddings WHERE vec_id % 2 = 1),
+        | scored AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(floor(list_cosine_similarity(s.e, t.e) * 100000 + 0.5) AS BIGINT) AS cos_u
+        |  FROM src s, tgt t),
+        | ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |          ORDER BY cos_u DESC, tgt_id) AS r FROM scored),
+        | avs AS (SELECT src_id, CAST(floor(CAST(sum(cos_u) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_src_u
+        |         FROM ra WHERE r <= 4 GROUP BY 1),
+        | rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+        |          ORDER BY cos_u DESC, src_id) AS r FROM scored),
+        | avt AS (SELECT tgt_id, CAST(floor(CAST(sum(cos_u) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_tgt_u
+        |         FROM rb WHERE r <= 4 GROUP BY 1),
+        | m AS (SELECT sc.src_id, sc.tgt_id, sc.cos_u,
+        |    CAST(floor(CAST(sc.cos_u AS DOUBLE) * 2000000.0
+        |      / CAST(greatest(avg_src_u + avg_tgt_u, 1) AS DOUBLE)) AS BIGINT) AS margin_u
+        |  FROM scored sc JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |            ORDER BY margin_u DESC, tgt_id) AS rk FROM m)
+        |SELECT src_id, tgt_id, cos_u, margin_u FROM best
+        | WHERE rk = 1 AND margin_u >= 1000000 ORDER BY src_id""".stripMargin,
+
+    // Exact half re-derived (the mined-pair count from the all-pairs
+    // replay); the recall boolean is the engine-asserted contract on
+    // the IVF production path, pinned here (same device as
+    // ann_*_recall / dd_minhash_recall).
+    "bt_margin_recall" ->
+      """WITH src AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings WHERE vec_id % 2 = 0),
+        | tgt AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e
+        |         FROM embeddings WHERE vec_id % 2 = 1),
+        | scored AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(floor(list_cosine_similarity(s.e, t.e) * 100000 + 0.5) AS BIGINT) AS cos_u
+        |  FROM src s, tgt t),
+        | ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |          ORDER BY cos_u DESC, tgt_id) AS r FROM scored),
+        | avs AS (SELECT src_id, CAST(floor(CAST(sum(cos_u) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_src_u
+        |         FROM ra WHERE r <= 4 GROUP BY 1),
+        | rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+        |          ORDER BY cos_u DESC, src_id) AS r FROM scored),
+        | avt AS (SELECT tgt_id, CAST(floor(CAST(sum(cos_u) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_tgt_u
+        |         FROM rb WHERE r <= 4 GROUP BY 1),
+        | m AS (SELECT sc.src_id, sc.tgt_id,
+        |    CAST(floor(CAST(sc.cos_u AS DOUBLE) * 2000000.0
+        |      / CAST(greatest(avg_src_u + avg_tgt_u, 1) AS DOUBLE)) AS BIGINT) AS margin_u
+        |  FROM scored sc JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |            ORDER BY margin_u DESC, tgt_id) AS rk FROM m)
+        |SELECT 'bt_margin_recall_ge_50' AS check,
+        |  CAST(count(*) AS BIGINT) AS n_exact, CAST(true AS BOOLEAN) AS ok
+        | FROM best WHERE rk = 1 AND margin_u >= 1000000""".stripMargin,
+
+    "dd_decontam_embed" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
+        |            FROM embeddings WHERE vec_id % 97 = 0),
+        | corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT eval_id + 600000, e FROM ev),
+        | scored AS (
+        |  SELECT c.vec_id, v.eval_id,
+        |    CAST(floor(list_cosine_similarity(c.e, v.e) * 100000 + 0.5) AS BIGINT) AS cos_u
+        |  FROM corpus c, ev v),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY cos_u DESC, eval_id) AS rk FROM scored)
+        |SELECT vec_id, eval_id, cos_u, cos_u >= 95000 AS contaminated
+        | FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "smp_curriculum" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS difficulty FROM documents),
+        | st AS (
+        |  SELECT doc_id, difficulty,
+        |    (row_number() OVER (ORDER BY difficulty, doc_id) - 1) * 4
+        |      // (count(*) OVER ()) + 1 AS stage
+        |  FROM d),
+        | sh AS (
+        |  SELECT *, CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 1000000 AS BIGINT) AS shuf
+        |  FROM st)
+        |SELECT doc_id, difficulty, stage,
+        |  CAST(row_number() OVER (PARTITION BY stage ORDER BY shuf, doc_id) AS INTEGER) AS pos
+        | FROM sh ORDER BY doc_id""".stripMargin,
+
+    "smp_doremi" ->
+      """WITH dl AS (
+        |  SELECT source, CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS loss_u
+        |  FROM documents GROUP BY 1),
+        | n AS (
+        |  SELECT source, loss_u,
+        |    loss_u * 1000000 // greatest(max(loss_u) OVER (), 1) AS norm_loss_u,
+        |    1000000 // (count(*) OVER ()) AS w0
+        |  FROM dl),
+        | r1 AS (SELECT *, w0 * (1000000 + 200000 * norm_loss_u // 1000000) // 1000000 AS raw1 FROM n),
+        | r1n AS (SELECT *, raw1 * 1000000 // (sum(raw1) OVER ()) AS w1 FROM r1),
+        | r2 AS (SELECT *, w1 * (1000000 + 200000 * norm_loss_u // 1000000) // 1000000 AS raw2 FROM r1n),
+        | r2n AS (SELECT *, raw2 * 1000000 // (sum(raw2) OVER ()) AS w2 FROM r2),
+        | r3 AS (SELECT *, w2 * (1000000 + 200000 * norm_loss_u // 1000000) // 1000000 AS raw3 FROM r2n),
+        | r3n AS (SELECT *, raw3 * 1000000 // (sum(raw3) OVER ()) AS w3 FROM r3)
+        |SELECT source, loss_u, norm_loss_u,
+        |  CAST(w1 AS BIGINT) AS w_round_1, CAST(w2 AS BIGINT) AS w_round_2,
+        |  CAST(w3 AS BIGINT) AS w_round_3
+        | FROM r3n ORDER BY source""".stripMargin,
+
     // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
     // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
     // driver check, but each now has an oracle-checked companion

@@ -772,4 +772,53 @@ class PlanSpec extends SparkSpec {
     val p = plan(parsed.toDF())
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
+
+  // SFT curation shards by conv_id only: every window carries conv_id
+  // in its partition clause and there is no cross-conversation join —
+  // 100 TB of chat data hash-partitions once and every pass is
+  // conversation-local.
+  test("SFT validate/trim windows shard by conv_id; render is one hash aggregate") {
+    import graft.analytics.Sft
+    val turns = (0L until 200L).map(i => (i % 20, (i / 20).toInt,
+        if ((i / 20) % 2 == 0) "user" else "assistant", s"content $i words"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    for (df <- Seq(Sft.validate(turns, 12), Sft.trimToBudget(turns, 64))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), p)
+      val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(ws.nonEmpty && ws.forall(_.contains("conv_id")), p)
+    }
+    val r = plan(Sft.render(turns))
+    assert(!r.contains("Join"), r)
+    assert(r.linesIterator.count(_.contains("Exchange")) === 1, r)
+    // dedup: the conv-local signature aggregate, then windows keyed on
+    // the 32-byte sig only — never on conversation content
+    val d = plan(Sft.dedupByAssistant(turns))
+    assert(!d.contains("Join"), d)
+    val dw = d.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(dw.nonEmpty && dw.forall(_.contains("sig")), d)
+  }
+
+  test("curriculum: positions shard by stage; no join anywhere") {
+    val docs = (0L until 64L).map(i => (i, i % 13)).toDF("doc_id", "d")
+    val p = plan(graft.analytics.Sampling.curriculum(docs, col("doc_id"), col("d"), 4))
+    assert(!p.contains("Join"), p)
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the per-stage position window is keyed; the only unkeyed window is
+    // the declared exact-quantile rank (scaladoc'd as the certification
+    // spelling — approx cut points at scale)
+    assert(ws.exists(_.contains("stage")), p)
+  }
+
+  test("IVF bitext mining never forms a cartesian product") {
+    import graft.analytics.Bitext
+    val src = (0L until 32L).map(i => (i, Seq((i % 7 + 1).toDouble,
+      (i % 5 + 1).toDouble, 1.0))).toDF("src_id", "embedding")
+    val tgt = (0L until 32L).map(i => (i + 100L, Seq((i % 5 + 1).toDouble,
+      (i % 3 + 1).toDouble, 2.0))).toDF("tgt_id", "embedding")
+    val p = plan(Bitext.marginMineIvf(src, tgt, k = 2, marginThresholdU = 0L,
+      candK = 8, nLists = 4, nProbe = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // probes broadcast to the lists
+  }
 }

@@ -852,6 +852,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("embedding decontamination: nearest eval vector, threshold, tie-break") {
+    val evalSet = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(1.0, 0.0)),
+      (30L, Seq(0.0, 1.0))).toDF("eval_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(2.0, 0.0)),  // exact direction match to evals 10 AND 20 -> tie, min id
+      (1L, Seq(3.0, 4.0)),  // cos 0.8 to (0,1)-ish? best is 0.6/0.8 -> eval 30 at 0.8
+      (2L, Seq(1.0, -50.0))) // near -y: best cosine is tiny/negative
+      .toDF("vec_id", "embedding")
+    val got = Decontaminate.flagEmbedOverlap(corpus, evalSet, thresholdU = 95000L)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 10L, 100000L, true)))  // tie broken to eval 10
+    assert(got(1L) === ((1L, 30L, 80000L, false)))  // cos 4/5, below 0.95
+    assert(got(2L)._4 === false)
+    assert(got.size === 3)
+  }
+
   test("semdedup: clones pruned within cluster, one representative survives") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),
