@@ -410,6 +410,34 @@ object Sampling {
   }
 
   /**
+   * Length-bucketed batching (dynamic batching): rank sequences by
+   * token count (ties by id — total order), cut the rank into
+   * fixed-size batches, and report each row's padding cost against
+   * its batch maximum. Batching similar lengths together is what
+   * keeps padding waste low when examples are padded to the batch
+   * max — random batching wastes (max-mean)/max of every batch.
+   *
+   * The exact global rank here is the oracle-certifiable spelling; at
+   * 100 TB use the two-phase bucketed rank ([[epochShuffle]]'s
+   * device) — batch boundaries shift by at most one bucket's rounding
+   * and the padding arithmetic is unchanged. Output: doc_id,
+   * n_tokens, batch_id (0-based), batch_max, pad (= batch_max -
+   * n_tokens, the per-row padding waste).
+   */
+  def lengthBuckets(docs: DataFrame, idCol: Column, nTokensCol: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val rankW = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val batchW = Window.partitionBy(col("batch_id"))
+    docs.select(idCol.as("doc_id"), nTokensCol.cast("long").as("n_tokens"))
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("batch_id", expr(s"(__r - 1) div $batchSize"))
+      .withColumn("batch_max", max(col("n_tokens")).over(batchW))
+      .withColumn("pad", col("batch_max") - col("n_tokens"))
+      .select("doc_id", "n_tokens", "batch_id", "batch_max", "pad")
+  }
+
+  /**
    * Domain reweighting by multiplicative weights (the DoReMi family,
    * Xie et al. 2023, linearized): start from the uniform mixture and,
    * for `rounds` update steps, multiply each domain's weight by

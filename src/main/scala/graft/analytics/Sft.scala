@@ -141,6 +141,45 @@ object Sft {
    * Output per turn: conv_id, turn_idx, role, n_tokens, tail_tokens,
    * kept.
    */
+  /**
+   * Preference-pair construction (the DPO/RLHF reward-data prep):
+   * given multiple scored responses per prompt, emit one
+   * (chosen, rejected) pair per prompt — chosen = best score,
+   * rejected = worst (ties broken by response id ascending on BOTH
+   * sides, so the pair is total-order deterministic) — and keep it
+   * only when the prompt has ≥2 distinct responses and the score
+   * margin clears `minMargin` (near-tie pairs teach nothing and add
+   * label noise, the standard filter). Scores are caller-supplied
+   * integers (quality model margins, preference-model logits in
+   * micro-units, …).
+   *
+   * Scale shape: two rank windows + one aggregate, all keyed on
+   * prompt_id — one hash shuffle, prompt-local state.
+   * `responses`: (prompt_id, resp_id, score). Output: prompt_id,
+   * n_responses, chosen_id, rejected_id, margin, kept.
+   */
+  def preferencePairs(responses: DataFrame, minMargin: Long): DataFrame = {
+    val best = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("score").desc, col("resp_id"))
+    val worst = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("score").asc, col("resp_id"))
+    responses
+      .withColumn("_rb", row_number().over(best))
+      .withColumn("_rw", row_number().over(worst))
+      .groupBy("prompt_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_responses"),
+        min(when(col("_rb") === 1, col("resp_id"))).as("chosen_id"),
+        min(when(col("_rb") === 1, col("score"))).as("chosen_score"),
+        min(when(col("_rw") === 1, col("resp_id"))).as("rejected_id"),
+        min(when(col("_rw") === 1, col("score"))).as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .withColumn("kept", col("n_responses") >= 2 &&
+        col("chosen_id") =!= col("rejected_id") && col("margin") >= minMargin)
+      .select("prompt_id", "n_responses", "chosen_id", "rejected_id",
+        "margin", "kept")
+  }
+
   def trimToBudget(turns: DataFrame, budgetTokens: Int): DataFrame = {
     val byConv = Window.partitionBy(col("conv_id"))
     val tailW = byConv.orderBy(col("turn_idx").desc)

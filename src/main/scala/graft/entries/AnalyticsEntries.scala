@@ -1487,6 +1487,29 @@ private[graft] object AnalyticsEntries {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    "sft_pref_pairs" -> ((s, dir) => {
+      // DPO preference-pair prep: docs grouped 5-per-prompt (prompt =
+      // doc_id % 100) as scored responses (score = n_chars, an integer
+      // quality proxy); chosen = best, rejected = worst, kept only
+      // with >= 2 responses and margin >= 50. The oracle replays both
+      // rank windows and the margin filter.
+      val responses = T(s, dir, "documents")
+        .select((col("doc_id") % 100).as("prompt_id"),
+          col("doc_id").as("resp_id"), col("n_chars").cast("long").as("score"))
+      Sft.preferencePairs(responses, minMargin = 50L).orderBy("prompt_id")
+    }),
+
+    "smp_length_buckets" -> ((s, dir) => {
+      // Dynamic batching: rank by token count, cut into 32-row
+      // batches, report per-row padding against the batch max. The
+      // oracle recomputes the rank, the cut, and every pad.
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      Sampling.lengthBuckets(docs, col("doc_id"), col("nt"), batchSize = 32)
+        .orderBy("doc_id")
+    }),
+
     "pipe_sft" -> ((s, dir) => {
       // End-to-end SFT funnel over the planted chat fixture: assemble
       // (40 convs) with blanked (%41) and dropped (%37) turns plus
@@ -3681,6 +3704,41 @@ private[graft] object AnalyticsEntries {
         |  CAST(tail_tokens AS BIGINT) AS tail_tokens,
         |  (f AND start_idx IS NOT NULL AND turn_idx >= start_idx) AS kept
         | FROM fits ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "sft_pref_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id % 100 AS prompt_id, doc_id AS resp_id,
+        |    CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        | rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id) AS rb,
+        |    row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id) AS rw
+        |  FROM r),
+        | agg AS (
+        |  SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_responses,
+        |    min(CASE WHEN rb = 1 THEN resp_id END) AS chosen_id,
+        |    min(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+        |    min(CASE WHEN rw = 1 THEN resp_id END) AS rejected_id,
+        |    min(CASE WHEN rw = 1 THEN score END) AS rejected_score
+        |  FROM rk GROUP BY 1)
+        |SELECT prompt_id, n_responses, chosen_id, rejected_id,
+        |  chosen_score - rejected_score AS margin,
+        |  (n_responses >= 2 AND chosen_id <> rejected_id
+        |   AND chosen_score - rejected_score >= 50) AS kept
+        | FROM agg ORDER BY prompt_id""".stripMargin,
+
+    "smp_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | rk AS (SELECT *,
+        |   (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id
+        |  FROM d),
+        | mx AS (SELECT *, max(n_tokens) OVER (PARTITION BY batch_id) AS batch_max FROM rk)
+        |SELECT doc_id, n_tokens, batch_id, batch_max, batch_max - n_tokens AS pad
+        | FROM mx ORDER BY doc_id""".stripMargin,
 
     "pipe_sft" ->
       """WITH t0 AS (

@@ -33,6 +33,16 @@ class MixtureSpec extends SparkSpec {
     assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty)
   }
 
+  test("lengthBuckets: rank-cut batches and per-row padding vs batch max") {
+    val docs = Seq((0L, 5L), (1L, 3L), (2L, 9L), (3L, 3L), (4L, 7L), (5L, 1L))
+      .toDF("doc_id", "nt")
+    val got = Sampling.lengthBuckets(docs, col("doc_id"), col("nt"), batchSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(
+      (0L, 5L, 1L, 5L, 0L), (1L, 3L, 0L, 3L, 0L), (2L, 9L, 2L, 9L, 0L),
+      (3L, 3L, 1L, 5L, 2L), (4L, 7L, 2L, 9L, 2L), (5L, 1L, 0L, 3L, 2L)))
+  }
+
   test("domainReweight replays the hand-computed ppm ladder") {
     val dl = Seq(("a", 200L), ("b", 100L)).toDF("source", "loss_u")
     val got = Sampling.domainReweight(dl, rounds = 1, etaPpm = 1000000L)

@@ -79,6 +79,23 @@ class SftSpec extends SparkSpec {
       (2, 15L, true), (3, 5L, true)))
   }
 
+  test("preferencePairs: argmax/argmin pair, tie and margin gates") {
+    val responses = Seq(
+      (1L, 1L, 10L), (1L, 2L, 100L), (1L, 3L, 40L), // clear pair, margin 90
+      (2L, 4L, 50L),                                // single response
+      (3L, 5L, 30L), (3L, 6L, 30L),                 // all-tie: chosen==rejected
+      (4L, 7L, 30L), (4L, 8L, 60L))                 // margin 30 < 50
+      .toDF("prompt_id", "resp_id", "score")
+    val got = Sft.preferencePairs(responses, minMargin = 50L)
+      .orderBy("prompt_id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 1L, 90L, true),
+      (2L, 1L, 4L, 4L, 0L, false),
+      (3L, 2L, 5L, 5L, 0L, false),
+      (4L, 2L, 8L, 7L, 30L, false)))
+  }
+
   test("trimToBudget keeps nothing when no user turn fits") {
     val t = turns((1L, 0, "user", Seq.fill(10)("w").mkString(" ")),
       (1L, 1, "assistant", "short reply"))
