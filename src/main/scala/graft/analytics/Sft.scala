@@ -118,17 +118,98 @@ object Sft {
    * Output: conv_id, n_assistant_turns, sig, is_canonical.
    */
   def dedupByAssistant(turns: DataFrame): DataFrame = {
-    val asst = turns.where(col("role") === "assistant")
+    val w = Window.partitionBy(col("sig"))
+    assistantSigs(turns).withColumn("is_canonical",
+        col("conv_id") === min(col("conv_id")).over(w))
+      .select("conv_id", "n_assistant_turns", "sig", "is_canonical")
+  }
+
+  /** The assistant-side signature table `(conv_id, n_assistant_turns,
+    * sig)` shared by [[dedupByAssistant]] (batch) and [[curateStream]]
+    * (continuous) — one spelling so the two paths can never disagree
+    * on what counts as a duplicate conversation. */
+  private[analytics] def assistantSigs(turns: DataFrame): DataFrame =
+    turns.where(col("role") === "assistant")
       .select(col("conv_id"),
         struct(col("turn_idx"), normText(col("content")).as("n")).as("t"))
       .groupBy("conv_id")
       .agg(count(lit(1)).cast("long").as("n_assistant_turns"),
         md5(array_join(transform(array_sort(collect_list(col("t"))), t => t("n")), "\n")
           .cast("binary")).as("sig"))
-    val w = Window.partitionBy(col("sig"))
-    asst.withColumn("is_canonical",
-        col("conv_id") === min(col("conv_id")).over(w))
-      .select("conv_id", "n_assistant_turns", "sig", "is_canonical")
+
+  /** Seed the standing curated-corpus signature index with an already-
+    * curated conversation set (`batch=-1` — the pre-stream state the
+    * first micro-batch judges against). */
+  def initCurationState(turns: DataFrame, stateDir: String): Unit =
+    assistantSigs(turns).select("conv_id", "sig")
+      .write.mode("overwrite").parquet(s"$stateDir/sigs/batch=-1")
+
+  /**
+   * Continuous SFT curation with a GROWING dedup index: each
+   * micro-batch of raw turns is validated ([[validate]]'s full rule
+   * gate) and its valid conversations judged against the standing
+   * assistant-signature index — `invalid` convs never reach dedup,
+   * `dup_corpus` convs name the standing conversation they duplicate,
+   * intra-batch signature groups keep their min conv_id as `new` and
+   * mark the rest `dup_batch`, and only `new` conversations grow the
+   * index. A later batch's copy of an earlier batch's accepted
+   * conversation is therefore `dup_corpus` OF that conversation —
+   * a per-arrival batch dedup would wrongly call it canonical.
+   *
+   * State is one append-only parquet table (`sigs` — 32-byte
+   * signatures, never conversation content) partitioned by the
+   * admitting micro-batch id (seed corpus is `batch=-1`, via
+   * [[initCurationState]]); reads filter `batch < current` and writes
+   * overwrite only the batch's own partition — the versioned-table
+   * idempotence rule the other streaming twins use. Per-batch work:
+   * batch-local windows plus one signature-keyed join against the
+   * index — the probe side is |batch|-scale, the index side is a
+   * 32-byte-row table at any corpus size. Verdict rows land in
+   * `outDir/batch=N`: (conv_id, verdict, dup_of).
+   */
+  def curateStream(batches: DataFrame, stateDir: String, outDir: String,
+      ckptDir: String, maxTurns: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = batches.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val turns = batch.select("conv_id", "turn_idx", "role", "content")
+          .localCheckpoint(true)
+        val flags = validate(turns, maxTurns)
+          .select("conv_id", "ok").localCheckpoint(true)
+        val valid = turns.join(flags.where(col("ok")).select("conv_id"),
+          Seq("conv_id"))
+        val sigs = assistantSigs(valid).select("conv_id", "sig")
+          .localCheckpoint(true)
+        val prior = s.read.parquet(s"$stateDir/sigs")
+          .where(col("batch") < batchId)
+          .groupBy("sig").agg(min("conv_id").as("prior_conv"))
+        val batchMin = sigs.groupBy("sig").agg(min("conv_id").as("batch_min"))
+        val judged = sigs
+          .join(prior, Seq("sig"), "left")
+          .join(batchMin, Seq("sig"))
+          .select(col("conv_id"),
+            when(col("prior_conv").isNotNull, lit("dup_corpus"))
+              .when(col("conv_id") =!= col("batch_min"), lit("dup_batch"))
+              .otherwise(lit("new")).as("verdict"),
+            when(col("prior_conv").isNotNull, col("prior_conv"))
+              .when(col("conv_id") =!= col("batch_min"), col("batch_min"))
+              .otherwise(lit(null).cast("long")).as("dup_of"))
+        val invalid = flags.where(!col("ok")).select(col("conv_id"),
+          lit("invalid").as("verdict"), lit(null).cast("long").as("dup_of"))
+        judged.unionByName(invalid)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val admitted = s.read.parquet(s"$outDir/batch=$batchId")
+          .where(col("verdict") === "new").select("conv_id")
+        sigs.join(admitted, Seq("conv_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
   }
 
   /**

@@ -1543,6 +1543,60 @@ private[graft] object AnalyticsEntries {
         .orderBy("conv_id")
     }),
 
+    "pipe_sft_stream" -> ((s, dir) => {
+      // Continuous SFT curation with a GROWING assistant-sig index.
+      // Seed corpus = the 40 assembled convs; the dup/new material is
+      // built from the even-turn convs 20-39 (the odd-turn ones end on
+      // a user turn and would fail validation). Batch 0: (A) convs
+      // 20-27 at +1000 user-paraphrased -> dup_corpus of the original;
+      // (B) convs 28-33 at +5000 with assistant text token-reversed ->
+      // new (admitted); (C) convs 0-4 at +7000 stripped to user turns
+      // only -> invalid (never judged, never admitted). Batch 1: (D)
+      // +6000 = copies of the +5000 convs -> dup_corpus OF +5000 (the
+      // growing-index proof: per-arrival dedup would call them new);
+      // (E) convs 34-37 at +2000, assistant reversed + fresh suffix ->
+      // new; (F) convs 38-39 at +3000/+4000 sharing an assistant side
+      // -> +3000 new, +4000 dup_batch of +3000. The oracle replays
+      // both batches in sequence including the index growth.
+      val base = Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+        col("text"), 40).select("conv_id", "turn_idx", "role", "content")
+      val rev = concat_ws(" ", reverse(split(trim(lower(col("content"))), "\\s+")))
+      def shift(df: DataFrame, off: Long): DataFrame =
+        df.select((col("conv_id") + off).as("conv_id"), col("turn_idx"),
+          col("role"), col("content"))
+      def userPerturb(df: DataFrame, p: String): DataFrame =
+        df.withColumn("content", when(col("role") === "user",
+          concat(lit(p), col("content"))).otherwise(col("content")))
+      def asstRev(df: DataFrame, suffix: String): DataFrame =
+        df.withColumn("content", when(col("role") === "assistant",
+          concat(rev, lit(suffix))).otherwise(col("content")))
+      val b0 = userPerturb(shift(base.where(col("conv_id").between(20, 27)), 1000),
+          "rephrased: ")
+        .unionByName(asstRev(shift(base.where(col("conv_id").between(28, 33)), 5000), ""))
+        .unionByName(shift(base.where(col("conv_id") < 5 &&
+          col("role") === "user"), 7000))
+      val b1 = userPerturb(asstRev(shift(base.where(col("conv_id").between(28, 33)), 6000),
+          ""), "asked again: ")
+        .unionByName(asstRev(shift(base.where(col("conv_id").between(34, 37)), 2000),
+          " fresh batch words"))
+        .unionByName(userPerturb(asstRev(shift(base.where(col("conv_id").between(38, 39)),
+          3000), " pair tail"), "first voice: "))
+        .unionByName(userPerturb(asstRev(shift(base.where(col("conv_id").between(38, 39)),
+          4000), " pair tail"), "second voice: "))
+      val out = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_sft_out")).toString
+      Sft.initCurationState(base, s"$out/state")
+      val inDir = stageOrderedBatches("graft_sft", Seq(b0, b1))
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
+      Sft.curateStream(stream, s"$out/state", s"$out/verdicts",
+        s"$out/ckpt", maxTurns = 13)
+      s.read.parquet(s"$out/verdicts")
+        .select(col("batch").cast("int").as("batch_id"), col("conv_id"),
+          col("verdict"), col("dup_of"))
+        .orderBy("conv_id")
+    }),
+
     // ----- training-data pipeline: bitext mining -----
 
     "bt_margin_mine" -> ((s, dir) => {
@@ -3795,6 +3849,107 @@ private[graft] object AnalyticsEntries {
         |  FROM keptt GROUP BY 1)
         |SELECT conv_id, n_turns, prompt, CAST(length(prompt) AS BIGINT) AS prompt_chars
         | FROM r ORDER BY conv_id""".stripMargin,
+
+    "pipe_sft_stream" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 40 AS conv_id, doc_id, text AS content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | base AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    content FROM t0),
+        | withrev AS (
+        |  SELECT *, array_to_string(list_reverse(regexp_split_to_array(trim(lower(content)), '\s+')), ' ') AS rv
+        |  FROM base),
+        | allb AS (
+        |  SELECT 0 AS batch, conv_id + 1000 AS conv_id, turn_idx, role,
+        |    CASE WHEN role = 'user' THEN 'rephrased: ' || content ELSE content END AS content
+        |  FROM withrev WHERE conv_id BETWEEN 20 AND 27
+        |  UNION ALL
+        |  SELECT 0, conv_id + 5000, turn_idx, role,
+        |    CASE WHEN role = 'assistant' THEN rv ELSE content END
+        |  FROM withrev WHERE conv_id BETWEEN 28 AND 33
+        |  UNION ALL
+        |  SELECT 0, conv_id + 7000, turn_idx, role, content
+        |  FROM withrev WHERE conv_id < 5 AND role = 'user'
+        |  UNION ALL
+        |  SELECT 1, conv_id + 6000, turn_idx, role,
+        |    CASE WHEN role = 'assistant' THEN rv
+        |         WHEN role = 'user' THEN 'asked again: ' || content ELSE content END
+        |  FROM withrev WHERE conv_id BETWEEN 28 AND 33
+        |  UNION ALL
+        |  SELECT 1, conv_id + 2000, turn_idx, role,
+        |    CASE WHEN role = 'assistant' THEN rv || ' fresh batch words' ELSE content END
+        |  FROM withrev WHERE conv_id BETWEEN 34 AND 37
+        |  UNION ALL
+        |  SELECT 1, conv_id + 3000, turn_idx, role,
+        |    CASE WHEN role = 'assistant' THEN rv || ' pair tail'
+        |         WHEN role = 'user' THEN 'first voice: ' || content ELSE content END
+        |  FROM withrev WHERE conv_id BETWEEN 38 AND 39
+        |  UNION ALL
+        |  SELECT 1, conv_id + 4000, turn_idx, role,
+        |    CASE WHEN role = 'assistant' THEN rv || ' pair tail'
+        |         WHEN role = 'user' THEN 'second voice: ' || content ELSE content END
+        |  FROM withrev WHERE conv_id BETWEEN 38 AND 39),
+        | lagged AS (
+        |  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY batch, conv_id ORDER BY turn_idx) = role
+        |    THEN 1 ELSE 0 END AS sp
+        |  FROM allb),
+        | vagg AS (
+        |  SELECT batch, conv_id,
+        |    (sum(sp) = 0 AND arg_min(role, turn_idx) = 'user'
+        |     AND arg_max(role, turn_idx) = 'assistant'
+        |     AND sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) = 0
+        |     AND count(*) <= 13) AS okflag
+        |  FROM lagged GROUP BY 1, 2),
+        | valid AS (
+        |  SELECT a.* FROM allb a JOIN vagg v
+        |  ON a.batch = v.batch AND a.conv_id = v.conv_id AND v.okflag),
+        | sigs AS (
+        |  SELECT batch, conv_id,
+        |    md5(string_agg(regexp_replace(trim(lower(content)), '\s+', ' ', 'g'),
+        |        chr(10) ORDER BY turn_idx)) AS sig
+        |  FROM valid WHERE role = 'assistant' GROUP BY 1, 2),
+        | seedsigs AS (
+        |  SELECT conv_id,
+        |    md5(string_agg(regexp_replace(trim(lower(content)), '\s+', ' ', 'g'),
+        |        chr(10) ORDER BY turn_idx)) AS sig
+        |  FROM base WHERE role = 'assistant' GROUP BY 1),
+        | prior0 AS (SELECT sig, min(conv_id) AS prior_conv FROM seedsigs GROUP BY 1),
+        | b0min AS (SELECT sig, min(conv_id) AS batch_min FROM sigs WHERE batch = 0 GROUP BY 1),
+        | j0 AS (
+        |  SELECT s.conv_id,
+        |    CASE WHEN p.prior_conv IS NOT NULL THEN 'dup_corpus'
+        |         WHEN s.conv_id <> m.batch_min THEN 'dup_batch' ELSE 'new' END AS verdict,
+        |    CASE WHEN p.prior_conv IS NOT NULL THEN p.prior_conv
+        |         WHEN s.conv_id <> m.batch_min THEN m.batch_min END AS dup_of
+        |  FROM sigs s LEFT JOIN prior0 p USING (sig) JOIN b0min m USING (sig)
+        |  WHERE s.batch = 0),
+        | adm0 AS (
+        |  SELECT s.conv_id, s.sig FROM sigs s JOIN j0
+        |  ON j0.conv_id = s.conv_id WHERE s.batch = 0 AND j0.verdict = 'new'),
+        | prior1 AS (
+        |  SELECT sig, min(conv_id) AS prior_conv FROM (
+        |    SELECT conv_id, sig FROM seedsigs UNION ALL SELECT conv_id, sig FROM adm0)
+        |  GROUP BY 1),
+        | b1min AS (SELECT sig, min(conv_id) AS batch_min FROM sigs WHERE batch = 1 GROUP BY 1),
+        | j1 AS (
+        |  SELECT s.conv_id,
+        |    CASE WHEN p.prior_conv IS NOT NULL THEN 'dup_corpus'
+        |         WHEN s.conv_id <> m.batch_min THEN 'dup_batch' ELSE 'new' END AS verdict,
+        |    CASE WHEN p.prior_conv IS NOT NULL THEN p.prior_conv
+        |         WHEN s.conv_id <> m.batch_min THEN m.batch_min END AS dup_of
+        |  FROM sigs s LEFT JOIN prior1 p USING (sig) JOIN b1min m USING (sig)
+        |  WHERE s.batch = 1)
+        |SELECT CAST(0 AS INTEGER) AS batch_id, conv_id, verdict, CAST(dup_of AS BIGINT) AS dup_of FROM j0
+        |UNION ALL
+        |SELECT CAST(0 AS INTEGER), conv_id, 'invalid', NULL FROM vagg WHERE batch = 0 AND NOT okflag
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), conv_id, verdict, CAST(dup_of AS BIGINT) FROM j1
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), conv_id, 'invalid', NULL FROM vagg WHERE batch = 1 AND NOT okflag
+        |ORDER BY conv_id""".stripMargin,
 
     "bt_margin_mine" ->
       """WITH src AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
