@@ -1674,7 +1674,12 @@ object AdminApi {
 
         case ("PUT", "v1" :: "debug" :: "blocked_reactor_notify_ms" :: Nil) =>
           // clamp to [1ms, default]: the knob can only LOWER the
-          // threshold (`debug.cc:341-399`); expires clamps to [1s, 30min]
+          // threshold (`debug.cc:341-399`); expires clamps to [1s, 30min].
+          // A MISSING timeout is NOT a 400 in the reference: its
+          // `std::chrono::milliseconds timeout;` stays default-
+          // constructed (value 0 in practice) when the param is empty
+          // (`debug.cc:344-346`) — the 0L arm mirrors that quirk
+          // faithfully rather than inventing a required-param error.
           val timeout = qp("timeout") match {
             case Some(e) => e.toLongOption match {
               case None =>

@@ -60,26 +60,38 @@ object Bitext {
   }
 
   /** Margin scoring + forward-best mining over a scored candidate
-    * table `(src_id, tgt_id, cos_u)`. Returns the mined pairs:
-    * src_id, tgt_id, cos_u, margin_u (margin in 1e-6 ratio units —
-    * 1_000_000 = margin 1.0). */
-  private def mineFromScored(scored: DataFrame, k: Int,
-      marginThresholdU: Long): DataFrame = {
-    val avgS = topKAvgU(scored, "src_id", "tgt_id", k, "avg_src_u")
-    val avgT = topKAvgU(scored, "tgt_id", "src_id", k, "avg_tgt_u")
+    * table `(src_id, tgt_id, cos_u)` with its two neighborhood-average
+    * tables — ONE spelling shared by the exact and IVF legs so a
+    * margin-rule change can never fork them. Margin is in 1e-6 ratio
+    * units (1_000_000 = margin 1.0); a non-positive neighborhood sum
+    * means the ratio margin is undefined-or-negative (an outlier whose
+    * neighbors all anti-correlate), so the pair scores the sentinel
+    * -1 and can never clear a threshold — clamping the denominator
+    * would instead inflate such pairs by ~2e6x. */
+  private def mineFromAverages(scored: DataFrame, avgS: DataFrame,
+      avgT: DataFrame, marginThresholdU: Long): DataFrame = {
+    val denom = col("avg_src_u") + col("avg_tgt_u")
     val margins = scored
       .join(avgS, Seq("src_id"))
       .join(avgT, Seq("tgt_id"))
       .withColumn("margin_u",
-        floor(col("cos_u").cast("double") * lit(2000000.0) /
-          greatest(col("avg_src_u") + col("avg_tgt_u"), lit(1L)).cast("double"))
-          .cast("long"))
+        when(denom > 0,
+          floor(col("cos_u").cast("double") * lit(2000000.0) /
+            denom.cast("double")).cast("long"))
+          .otherwise(lit(-1L)))
     val best = Window.partitionBy(col("src_id"))
       .orderBy(col("margin_u").desc, col("tgt_id"))
     margins.withColumn("_rk", row_number().over(best))
       .where(col("_rk") === 1 && col("margin_u") >= marginThresholdU)
       .select("src_id", "tgt_id", "cos_u", "margin_u")
   }
+
+  private def mineFromScored(scored: DataFrame, k: Int,
+      marginThresholdU: Long): DataFrame =
+    mineFromAverages(scored,
+      topKAvgU(scored, "src_id", "tgt_id", k, "avg_src_u"),
+      topKAvgU(scored, "tgt_id", "src_id", k, "avg_tgt_u"),
+      marginThresholdU)
 
   /**
    * Exact margin mining: score EVERY (src, tgt) pair, take true
@@ -122,19 +134,9 @@ object Bitext {
     val bwd = Similarity.ivfTopK(srcCorpus, tgtQ, candK, nLists, nProbe, seed)
       .select(col("vec_id").as("src_id"), col("query_id").as("tgt_id"),
         cosU(col("cos")).as("cos_u"))
-    val avgS = topKAvgU(fwd, "src_id", "tgt_id", k, "avg_src_u")
-    val avgT = topKAvgU(bwd, "tgt_id", "src_id", k, "avg_tgt_u")
-    val margins = fwd
-      .join(avgS, Seq("src_id"))
-      .join(avgT, Seq("tgt_id"))
-      .withColumn("margin_u",
-        floor(col("cos_u").cast("double") * lit(2000000.0) /
-          greatest(col("avg_src_u") + col("avg_tgt_u"), lit(1L)).cast("double"))
-          .cast("long"))
-    val best = Window.partitionBy(col("src_id"))
-      .orderBy(col("margin_u").desc, col("tgt_id"))
-    margins.withColumn("_rk", row_number().over(best))
-      .where(col("_rk") === 1 && col("margin_u") >= marginThresholdU)
-      .select("src_id", "tgt_id", "cos_u", "margin_u")
+    mineFromAverages(fwd,
+      topKAvgU(fwd, "src_id", "tgt_id", k, "avg_src_u"),
+      topKAvgU(bwd, "tgt_id", "src_id", k, "avg_tgt_u"),
+      marginThresholdU)
   }
 }

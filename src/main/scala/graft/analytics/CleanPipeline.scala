@@ -286,10 +286,15 @@ object CleanPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // Null-safe gates: a null URL fails CLOSED (blocked — the gate
+        // cannot vouch for it) and a null page extracts to empty text
+        // (low-quality). Without the coalesces the gate columns go
+        // null, the doc is excluded from `eligible` but still written,
+        // and the verdict ladder emits NULL instead of a stage label.
         val staged = prepare(batch).select(col("doc_id"), col("url"), col("html"))
-          .withColumn("__blocked",
-            Dedup.urlBlocked(col("url"), blockedDomains, blockedPathWords))
-          .withColumn("text", TextAnalysis.htmlToText(col("html")))
+          .withColumn("__blocked", when(col("url").isNull, lit(true))
+            .otherwise(Dedup.urlBlocked(col("url"), blockedDomains, blockedPathWords)))
+          .withColumn("text", TextAnalysis.htmlToText(coalesce(col("html"), lit(""))))
           .withColumn("__lowq",
             TextAnalysis.tokenCount(col("text")) < minTokens)
           .localCheckpoint(true)
@@ -345,8 +350,12 @@ object CleanPipeline {
           // fail LOUDLY on a URI the pattern cannot identify: a null
           // doc_id would silently drop the doc from stage attribution
           // (the verdict join never matches null), violating the
-          // one-verdict-per-input-doc contract
-          .select(when(idStr =!= "", idStr.cast("long"))
+          // one-verdict-per-input-doc contract. The cast-null guard
+          // closes the overflow hole: a captured id wider than int64
+          // casts to null (non-ANSI cast) and must raise too, not
+          // slip through as an unattributable null row.
+          .select(when(idStr =!= "" && idStr.cast("long").isNotNull,
+              idStr.cast("long"))
               .otherwise(raise_error(concat(
                 lit("WARC-Target-URI does not match docIdPattern: "),
                 col("target_uri")))).as("doc_id"),

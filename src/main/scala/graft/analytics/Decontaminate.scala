@@ -77,10 +77,17 @@ object Decontaminate {
       .withColumn("_cn", Similarity.norm(col("_ce")))
     val e = evalSet.select(col("eval_id"), col("embedding").as("_ee"))
       .withColumn("_en", Similarity.norm(col("_ee")))
-    val scored = c.join(broadcast(e))
+    // LEFT join + sentinel: every corpus vector gets exactly one
+    // verdict row even when the eval set is empty, and a degenerate
+    // zero-norm embedding (cosine undefined — 0/0 → null) scores the
+    // out-of-range sentinel -2e5 instead of a null that a downstream
+    // `where(!contaminated)` would silently drop.
+    val scored = c.join(broadcast(e), lit(true), "left")
       .select(col("vec_id"), col("eval_id"),
-        floor(Similarity.dot(col("_ce"), col("_ee")) / (col("_cn") * col("_en"))
-          * lit(100000L) + lit(0.5)).cast("long").as("cos_u"))
+        coalesce(
+          floor(Similarity.dot(col("_ce"), col("_ee")) / (col("_cn") * col("_en"))
+            * lit(100000L) + lit(0.5)).cast("long"),
+          lit(-200000L)).as("cos_u"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_u").desc, col("eval_id"))
     scored.withColumn("_rk", row_number().over(w))

@@ -106,7 +106,12 @@ object Dedup {
     val after = regexp_replace(trim(url),
       "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     val host = lower(regexp_extract(after, "^([^/?#]*)", 1))
-    val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
+    // userinfo ("user:pass@host") and a trailing-dot FQDN ("host.")
+    // are the classic blocklist bypass spellings — strip both so they
+    // fail CLOSED through the same suffix match.
+    val hostNoUser = regexp_replace(host, "^[^/?#]*@", "")
+    val hostNoPort = regexp_replace(
+      regexp_replace(hostNoUser, ":[0-9]+$", ""), "\\.$", "")
     val dArr = array(domains.map(d => lit(d.toLowerCase)): _*)
     val domainHit = exists(dArr, d =>
       hostNoPort === d || endswith(hostNoPort, concat(lit("."), d)))

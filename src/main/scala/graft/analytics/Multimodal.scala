@@ -247,8 +247,12 @@ object Multimodal {
             fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12),
               le32(i + 16), le16(i + 22)))
           if (id == "data") dataSize = size
-          // chunk payloads pad to even length (RIFF alignment rule)
-          i += 8 + (size + (size & 1L)).toInt
+          // chunk payloads pad to even length (RIFF alignment rule).
+          // Advance in LONG arithmetic and cap at len: a malformed
+          // size near 0xFFFFFFFF would otherwise truncate to a zero
+          // or negative int advance and hang the walk (one corrupt
+          // record must degrade to wav_nofmt, never spin a task).
+          i = math.min(i.toLong + 8L + size + (size & 1L), len.toLong).toInt
         }
         fmt match {
           case None => ("wav_nofmt", "", 0, 0, 0, 0L)
@@ -268,6 +272,10 @@ object Multimodal {
             while (j + 8 <= end) {
               val bsize = be32(j)
               if (cc(j + 4) == "mvhd") {
+                // the version byte + timescale + duration live at
+                // j+8..j+27 — a truncated buffer must classify, not
+                // index past the array
+                if (j + 28 > len) return ("mp4_truncated", brand, 0, 0, 0, 0L)
                 if (u8(j + 8) != 0) return ("mp4_mvhd_v1", brand, 0, 0, 0, 0L)
                 val timescale = be32(j + 20)
                 val duration = be32(j + 24).toLong & 0xffffffffL

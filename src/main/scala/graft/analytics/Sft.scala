@@ -213,16 +213,6 @@ object Sft {
   }
 
   /**
-   * Context-window trim: keep the longest SUFFIX of whole turns whose
-   * whitespace-token total fits `budgetTokens`, then advance the start
-   * past any leading assistant turns so the kept slice begins on a
-   * user turn (a slice that opens with the model's own reply trains
-   * on an answer with no question). Two windows over conv_id: a
-   * reverse cumulative token sum, then a min-over-kept-user-turns.
-   * Output per turn: conv_id, turn_idx, role, n_tokens, tail_tokens,
-   * kept.
-   */
-  /**
    * Preference-pair construction (the DPO/RLHF reward-data prep):
    * given multiple scored responses per prompt, emit one
    * (chosen, rejected) pair per prompt — chosen = best score,
@@ -261,6 +251,16 @@ object Sft {
         "margin", "kept")
   }
 
+  /**
+   * Context-window trim: keep the longest SUFFIX of whole turns whose
+   * whitespace-token total fits `budgetTokens`, then advance the start
+   * past any leading assistant turns so the kept slice begins on a
+   * user turn (a slice that opens with the model's own reply trains
+   * on an answer with no question). Two windows over conv_id: a
+   * reverse cumulative token sum, then a min-over-kept-user-turns.
+   * Output per turn: conv_id, turn_idx, role, n_tokens, tail_tokens,
+   * kept.
+   */
   def trimToBudget(turns: DataFrame, budgetTokens: Int): DataFrame = {
     val byConv = Window.partitionBy(col("conv_id"))
     val tailW = byConv.orderBy(col("turn_idx").desc)

@@ -1154,7 +1154,10 @@ private[graft] object AnalyticsEntries {
       // URL arrives SCHEME-LESS (a real crawl-frontier spelling) and
       // must fail closed through the same host/path split. One
       // codegen'd conditional; the oracle replays prefix stripping,
-      // host extraction, suffix matching, and the keyword scan.
+      // host extraction, suffix matching, and the keyword scan. Every
+      // 13th URL carries a userinfo prefix ("user:pw@evil.example")
+      // and every 17th a trailing-dot FQDN ("evil.example.") — the
+      // classic blocklist-bypass spellings, both must fail CLOSED.
       val docs = T(s, dir, "documents").select(col("doc_id"))
       val domain = element_at(array(
         lit("good.example"), lit("evil.example"), lit("www.evil.example"),
@@ -1164,7 +1167,10 @@ private[graft] object AnalyticsEntries {
         .otherwise(concat(lit("/article/"), col("doc_id").cast("string")))
       val url = concat(
         when(col("doc_id") % 19 === 0, lit("")).otherwise(lit("https://")),
-        domain, path)
+        when(col("doc_id") % 13 === 0, lit("user:pw@")).otherwise(lit("")),
+        domain,
+        when(col("doc_id") % 17 === 0, lit(".")).otherwise(lit("")),
+        path)
       docs.select(col("doc_id"), url.as("url"),
           Dedup.urlBlocked(url, Seq("evil.example"), Seq("casino")).as("blocked"))
         .orderBy("doc_id")
@@ -1745,12 +1751,12 @@ private[graft] object AnalyticsEntries {
         |    trim(regexp_replace(t, '\s*\n\s*', chr(10), 'g')) AS text FROM e12),
         | gates AS (
         |  SELECT r.side, r.doc_id,
-        |    (regexp_replace(lower(regexp_extract(
+        |    (regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(
         |       regexp_replace(trim(r.url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
-        |       '^([^/?#]*)', 1)), ':[0-9]+$', '') = 'evil.example'
-        |     OR regexp_replace(lower(regexp_extract(
+        |       '^([^/?#]*)', 1)), '^[^/?#]*@', ''), ':[0-9]+$', ''), '\.$', '') = 'evil.example'
+        |     OR regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(
         |       regexp_replace(trim(r.url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
-        |       '^([^/?#]*)', 1)), ':[0-9]+$', '') LIKE '%.evil.example'
+        |       '^([^/?#]*)', 1)), '^[^/?#]*@', ''), ':[0-9]+$', ''), '\.$', '') LIKE '%.evil.example'
         |     OR lower(regexp_extract(
         |       regexp_replace(trim(r.url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
         |       '^[^/?#]*(.*)$', 1)) LIKE '%casino%') AS blocked,
@@ -3303,16 +3309,18 @@ private[graft] object AnalyticsEntries {
       """WITH u AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 19 = 0 THEN '' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END) ||
         |    (['good.example','evil.example','www.evil.example',
         |      'notevil.example','news.example'])[CAST(doc_id % 5 + 1 AS INTEGER)] ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN '.' ELSE '' END) ||
         |    (CASE WHEN doc_id % 7 = 0 THEN '/casino-bonus/page'
         |          ELSE '/article/' || CAST(doc_id AS VARCHAR) END) AS url
         |  FROM documents),
         | parts AS (
         |  SELECT doc_id, url,
-        |    regexp_replace(lower(regexp_extract(
+        |    regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(
         |      regexp_replace(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
-        |      '^([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+        |      '^([^/?#]*)', 1)), '^[^/?#]*@', ''), ':[0-9]+$', ''), '\.$', '') AS host,
         |    lower(regexp_extract(
         |      regexp_replace(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''),
         |      '^[^/?#]*(.*)$', 1)) AS rest
@@ -3971,8 +3979,10 @@ private[graft] object AnalyticsEntries {
         |           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_tgt_u
         |         FROM rb WHERE r <= 4 GROUP BY 1),
         | m AS (SELECT sc.src_id, sc.tgt_id, sc.cos_u,
-        |    CAST(floor(CAST(sc.cos_u AS DOUBLE) * 2000000.0
-        |      / CAST(greatest(avg_src_u + avg_tgt_u, 1) AS DOUBLE)) AS BIGINT) AS margin_u
+        |    CASE WHEN avg_src_u + avg_tgt_u > 0
+        |      THEN CAST(floor(CAST(sc.cos_u AS DOUBLE) * 2000000.0
+        |        / CAST(avg_src_u + avg_tgt_u AS DOUBLE)) AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS margin_u
         |  FROM scored sc JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
         | best AS (SELECT *, row_number() OVER (PARTITION BY src_id
         |            ORDER BY margin_u DESC, tgt_id) AS rk FROM m)
@@ -4003,8 +4013,10 @@ private[graft] object AnalyticsEntries {
         |           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_tgt_u
         |         FROM rb WHERE r <= 4 GROUP BY 1),
         | m AS (SELECT sc.src_id, sc.tgt_id,
-        |    CAST(floor(CAST(sc.cos_u AS DOUBLE) * 2000000.0
-        |      / CAST(greatest(avg_src_u + avg_tgt_u, 1) AS DOUBLE)) AS BIGINT) AS margin_u
+        |    CASE WHEN avg_src_u + avg_tgt_u > 0
+        |      THEN CAST(floor(CAST(sc.cos_u AS DOUBLE) * 2000000.0
+        |        / CAST(avg_src_u + avg_tgt_u AS DOUBLE)) AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS margin_u
         |  FROM scored sc JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
         | best AS (SELECT *, row_number() OVER (PARTITION BY src_id
         |            ORDER BY margin_u DESC, tgt_id) AS rk FROM m)

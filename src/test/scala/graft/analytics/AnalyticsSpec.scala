@@ -78,14 +78,18 @@ class AnalyticsSpec extends SparkSpec {
       (5L, "https://good.example/fine"),
       (6L, "evil.example/casino-bonus"),          // scheme-less fails CLOSED
       (7L, "//www.evil.example/x"),               // protocol-relative
-      (8L, "good.example/fine"))                  // scheme-less clean
+      (8L, "good.example/fine"),                  // scheme-less clean
+      (9L, "https://user:pw@evil.example/x"),     // userinfo bypass spelling
+      (10L, "https://evil.example./x"),           // trailing-dot FQDN
+      (11L, "https://x@good.example/fine"))       // userinfo on a clean host
       .toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         Dedup.urlBlocked(col("url"), Seq("evil.example"), Seq("casino")).as("b"))
       .as[(Long, Boolean)].collect().toMap
     assert(got === Map(0L -> true, 1L -> true, 2L -> false,
       3L -> true, 4L -> true, 5L -> false,
-      6L -> true, 7L -> true, 8L -> false))
+      6L -> true, 7L -> true, 8L -> false,
+      9L -> true, 10L -> true, 11L -> false))
   }
 
   test("url-dedup stage 0 composes ahead of the cleaning pipeline") {

@@ -52,6 +52,17 @@ class BitextSpec extends SparkSpec {
     assert(ivf.exceptAll(exact).isEmpty && exact.exceptAll(ivf).isEmpty)
   }
 
+  test("anti-correlated neighborhoods mine nothing: non-positive denominator is a sentinel, not a clamp") {
+    // s0's target neighborhood is entirely non-positive (cos -1 and 0),
+    // so the ratio margin is undefined/negative for every pair. A
+    // denominator clamp would score the cos=0 pair margin 0 (and a
+    // tiny positive cosine ~2e9) and mine it; the sentinel must not.
+    val src = side("src_id", 0L -> Seq(1.0, 0.0))
+    val tgt = side("tgt_id", 1L -> Seq(-1.0, 0.0), 3L -> Seq(0.0, -1.0))
+    val got = Bitext.marginMineExact(src, tgt, k = 2, marginThresholdU = 0L)
+    assert(got.isEmpty)
+  }
+
   test("mined pairs are at most one per source and clear the threshold") {
     val src = side("src_id", (0L until 10L).map(i =>
       i -> Seq((i + 1).toDouble, (10 - i).toDouble, 2.0)): _*)

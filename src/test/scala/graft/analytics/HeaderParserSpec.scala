@@ -95,6 +95,33 @@ class HeaderParserSpec extends SparkSpec {
     assert(AvHeaderParser.parse(bad.toByteArray)._1 === "wav_nofmt")
   }
 
+  test("WAV: a malformed near-0xFFFFFFFF chunk size terminates (no hang), classifies wav_nofmt") {
+    import graft.analytics.Multimodal.AvHeaderParser
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    out.write("RIFF".getBytes); le32(0); out.write("WAVE".getBytes)
+    // size 0xFFFFFFF8: the old int-truncated advance was 8 + (-8) = 0
+    // — an infinite loop; the long-arithmetic walk must cap and exit
+    out.write("JUNK".getBytes); le32(0xFFFFFFF8.toInt)
+    out.write(Array.fill[Byte](24)(0))
+    assert(AvHeaderParser.parse(out.toByteArray)._1 === "wav_nofmt")
+  }
+
+  test("MP4: an mvhd header at a truncated buffer edge classifies, never reads past the array") {
+    import graft.analytics.Multimodal.AvHeaderParser
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def be32(v: Int): Unit = { u8(v >> 24); u8(v >> 16); u8(v >> 8); u8(v) }
+    be32(16); out.write("ftyp".getBytes); out.write("mp42".getBytes); be32(512)
+    // moov claims 108 payload bytes but the buffer ends 12 bytes in:
+    // the mvhd box header parses, its version/timescale fields do not
+    be32(8 + 108); out.write("moov".getBytes)
+    be32(108); out.write("mvhd".getBytes)
+    assert(AvHeaderParser.parse(out.toByteArray)._1 === "mp4_truncated")
+  }
+
   test("MP4: box walk skips a leading free box; mvhd v1 and no-moov arms") {
     import graft.analytics.Multimodal.AvHeaderParser
     val out = new java.io.ByteArrayOutputStream()
