@@ -1493,6 +1493,44 @@ private[graft] object AnalyticsEntries {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    "txt_code_quality" -> ((s, dir) => {
+      // StarCoder-style source filters over synthesized code-shaped
+      // docs (one token per line): every 9th doc gains a 1200-char
+      // minified line (max-line violation), every 11th an
+      // auto-generated header (marker violation), every 13th a run of
+      // short numeric lines (alpha-fraction violation), and every 17th
+      // stays ONE unsplit prose line (mean-line violation — the
+      // minified-single-line shape). The oracle recomputes every line
+      // stat, both ppm ratios, and the keep rule.
+      val docs = T(s, dir, "documents")
+      val code = concat(
+        when(col("doc_id") % 11 === 0, lit("// auto-generated\n")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), " ", "\n")),
+        when(col("doc_id") % 9 === 0, concat(lit("\n"), repeat(lit("x"), 1200)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit("\n"), repeat(lit("00;\n"), 1100)))
+          .otherwise(lit("")))
+      TextAnalysis.codeQuality(docs, col("doc_id"), code).orderBy("doc_id")
+    }),
+
+    "txt_license_detect" -> ((s, dir) => {
+      // License gate: docs planted by doc_id % 10 with an SPDX MIT tag
+      // (permissive), SPDX GPL-3.0-only (copyleft), an Apache prose
+      // marker (permissive), a GNU GPL prose marker (copyleft), or an
+      // unknown SPDX id; everything else classifies unknown. The
+      // oracle replays the extraction and the full precedence ladder.
+      val docs = T(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 10 === 1, lit(" SPDX-License-Identifier: MIT"))
+          .when(col("doc_id") % 10 === 2, lit(" SPDX-License-Identifier: GPL-3.0-only"))
+          .when(col("doc_id") % 10 === 3, lit(" Licensed under the Apache License, Version 2.0"))
+          .when(col("doc_id") % 10 === 4, lit(" Released under the GNU General Public License."))
+          .when(col("doc_id") % 10 === 5, lit(" SPDX-License-Identifier: X-Custom"))
+          .otherwise(lit("")))
+      TextAnalysis.licenseDetect(docs, col("doc_id"), planted).orderBy("doc_id")
+    }),
+
     "sft_pref_pairs" -> ((s, dir) => {
       // DPO preference-pair prep: docs grouped 5-per-prompt (prompt =
       // doc_id % 100) as scored responses (score = n_chars, an integer
@@ -3766,6 +3804,64 @@ private[graft] object AnalyticsEntries {
         |  CAST(tail_tokens AS BIGINT) AS tail_tokens,
         |  (f AND start_idx IS NOT NULL AND turn_idx >= start_idx) AS kept
         | FROM fits ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "txt_code_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 11 = 0 THEN '// auto-generated' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN text
+        |          ELSE regexp_replace(text, ' ', chr(10), 'g') END) ||
+        |    (CASE WHEN doc_id % 9 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN chr(10) || repeat('00;' || chr(10), 1100) ELSE '' END) AS t
+        |  FROM documents),
+        | f AS (SELECT doc_id, t, str_split(t, chr(10)) AS ls FROM c),
+        | m AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_chars,
+        |    CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) AS sum_len
+        |  FROM f),
+        | g AS (
+        |  SELECT doc_id, n_lines, max_line_chars,
+        |    CAST(sum_len * 1000000 // greatest(n_lines, 1) AS BIGINT) AS mean_line_u,
+        |    CAST(CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) * 1000000
+        |      // greatest(length(t), 1) AS BIGINT) AS alpha_frac_u,
+        |    (contains(lower(t), 'auto-generated') OR contains(lower(t), 'do not edit')) AS autogen
+        |  FROM m)
+        |SELECT doc_id, n_lines, max_line_chars, mean_line_u, alpha_frac_u, autogen,
+        |  (max_line_chars <= 1000 AND mean_line_u <= 100000000
+        |   AND alpha_frac_u >= 250000 AND NOT autogen) AS keep
+        | FROM g ORDER BY doc_id""".stripMargin,
+
+    "txt_license_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 10 = 1 THEN ' SPDX-License-Identifier: MIT'
+        |          WHEN doc_id % 10 = 2 THEN ' SPDX-License-Identifier: GPL-3.0-only'
+        |          WHEN doc_id % 10 = 3 THEN ' Licensed under the Apache License, Version 2.0'
+        |          WHEN doc_id % 10 = 4 THEN ' Released under the GNU General Public License.'
+        |          WHEN doc_id % 10 = 5 THEN ' SPDX-License-Identifier: X-Custom'
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        | e AS (
+        |  SELECT doc_id, t,
+        |    COALESCE(regexp_extract(t, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), '') AS spdx
+        |  FROM p)
+        |SELECT doc_id, spdx,
+        |  CASE WHEN spdx <> '' THEN
+        |    (CASE WHEN lower(spdx) LIKE 'gpl%' OR lower(spdx) LIKE 'agpl%'
+        |            OR lower(spdx) LIKE 'lgpl%' THEN 'copyleft'
+        |          WHEN lower(spdx) = 'mit' OR lower(spdx) LIKE 'apache%'
+        |            OR lower(spdx) LIKE 'bsd%' OR lower(spdx) = 'isc'
+        |            OR lower(spdx) = 'unlicense' THEN 'permissive'
+        |          ELSE 'unknown' END)
+        |   WHEN contains(lower(t), 'gnu general public license')
+        |     OR contains(lower(t), 'copyleft') THEN 'copyleft'
+        |   WHEN contains(lower(t), 'mit license')
+        |     OR contains(lower(t), 'apache license')
+        |     OR contains(lower(t), 'bsd license') THEN 'permissive'
+        |   ELSE 'unknown' END AS license_class
+        | FROM e ORDER BY doc_id""".stripMargin,
 
     "sft_pref_pairs" ->
       """WITH r AS (

@@ -147,6 +147,48 @@ class TextRulesSpec extends SparkSpec {
       ("b", 50L, 400L, 8L, 0L)))
   }
 
+  test("codeQuality: each StarCoder rule fires independently with exact ppm stats") {
+    import spark.implicits._
+    val files = Seq(
+      (0L, "def f(x):\n  return x\n"),                 // clean: keep
+      (1L, "short\n" + "y" * 1001),                    // max-line violation
+      (2L, "z" * 200),                                 // one long line: mean violation
+      (3L, "a\n" + "0;\n" * 40),                       // alpha fraction < 25%
+      (4L, "// AUTO-GENERATED file\nok\n"))            // marker (case-folded)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeQuality(files, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].collect()
+    assert(got.map(_._7).toSeq === Seq(true, false, false, false, false))
+    val clean = got(0) // "def f(x):" (9) / "  return x" (10) / "" (0)
+    assert(clean._2 === 3L && clean._3 === 10L && clean._4 === 19L * 1000000L / 3L)
+    assert(got(1)._3 === 1001L)
+    assert(got(2)._4 === 200000000L)
+    assert(got(3)._5 < 250000L && !got(3)._6)
+    assert(got(4)._6)
+  }
+
+  test("licenseDetect: SPDX beats prose markers; copyleft beats permissive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "code SPDX-License-Identifier: Apache-2.0 under the GNU General Public License"),
+      (1L, "this file is under the MIT License"),
+      (2L, "GNU General Public License and also the MIT License text"),
+      (3L, "SPDX-License-Identifier: LGPL-2.1-only"),
+      (4L, "SPDX-License-Identifier: WTFPL"),
+      (5L, "no license information at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.licenseDetect(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, String, String)].collect()
+    assert(got.toSeq === Seq(
+      (0L, "Apache-2.0", "permissive"), // SPDX wins over the prose GPL marker
+      (1L, "", "permissive"),
+      (2L, "", "copyleft"),             // copyleft marker beats permissive
+      (3L, "LGPL-2.1-only", "copyleft"),
+      (4L, "WTFPL", "unknown"),
+      (5L, "", "unknown")))
+  }
+
   test("redaction only touches luhn-valid candidates") {
     val docs = Seq(
       (0L, "a 4111111111111111 b 1234567890123456 c"),
