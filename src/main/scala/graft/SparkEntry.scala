@@ -521,9 +521,11 @@ object SparkEntry {
   }
 
   /** documents plus planted partial copies (doc_id + 700000, the full
-    * original text plus a unique tail): the corpus has no natural
-    * 20-token repeated spans, so exact substring dedup is exercised on
-    * constructed shared prefixes the oracle replicates. */
+    * original text plus a unique tail): exact substring dedup is
+    * exercised on the constructed shared prefixes PLUS the corpus's
+    * own natural cross-document sentence repeats (the synthetic
+    * generator reuses sentences — ~87 originals carry natural
+    * 20-token shared spans), both replayed by the oracle. */
   private[graft] def spanDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") < 50)

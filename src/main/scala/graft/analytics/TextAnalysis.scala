@@ -657,20 +657,7 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
       .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
-    // Both 31-bit folds and the 62-bit packing run inside the native
-    // [[graft.functions.SpanWindowHashes]] kernel — one O(n) rolling
-    // primitive loop per document instead of an interpreted lambda per
-    // window element (higher-order functions are CodegenFallback; the
-    // per-window `aggregate(slice(...))` spelling cost O(n·k) boxed
-    // steps and dominated this operator's runtime). Values are
-    // bit-identical to the fold, so the SQL oracle is unchanged.
-    val grams = base
-      .where(col("n_tokens") >= k)
-      .withColumn("__th", transform(col("__toks"),
-        t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode(call_function("span_window_hashes", col("__th"), lit(k))))
-      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val grams = spanGrams(base, k)
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct("doc_id").as("__docs"))
       .where(col("__docs") >= 2)
@@ -699,6 +686,85 @@ object TextAnalysis {
         coalesce(col("n_regions"), lit(0L)).as("n_regions"),
         round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 5).as("dup_frac_r"))
+  }
+
+  /** Shared k-gram window-hash table of [[duplicateSpans]] and
+    * [[stripDuplicateSpans]] — one spelling so detection and removal
+    * can never disagree on what counts as a duplicated window. Both
+    * 31-bit folds and the 62-bit packing run inside the native
+    * [[graft.functions.SpanWindowHashes]] kernel — one O(n) rolling
+    * primitive loop per document instead of an interpreted lambda per
+    * window element (higher-order functions are CodegenFallback; the
+    * per-window `aggregate(slice(...))` spelling cost O(n·k) boxed
+    * steps and dominated this operator's runtime). Values are
+    * bit-identical to the fold, so the SQL oracle is unchanged.
+    * Input: (doc_id, __toks, n_tokens); output: (doc_id, n_tokens,
+    * p, h) — one row per k-token window. */
+  private def spanGrams(base: DataFrame, k: Int): DataFrame =
+    base.where(col("n_tokens") >= k)
+      .withColumn("__th", transform(col("__toks"),
+        t => conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10).cast("long")))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(call_function("span_window_hashes", col("__th"), lit(k))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+
+  /**
+   * Exact repeated-span REMOVAL — the other half of the ExactSubstr
+   * recipe (Lee et al. 2022 deduplicate by CUTTING the duplicated
+   * substring out of all but one occurrence, not by dropping whole
+   * documents). Cross-document rule: a duplicated window's canonical
+   * OWNER is the minimum doc_id containing its hash; windows in the
+   * owner stay, windows elsewhere are removable and merge (the same
+   * gaps-and-islands fold as [[duplicateSpans]]) into regions whose
+   * token ranges are cut before the document is reassembled.
+   *
+   * The cleaned text is the kept tokens rejoined with single spaces
+   * (token-level surgery on the normalized token stream — the
+   * tokenizer-facing artifact, not a byte-offset patch of the raw
+   * page). Output per doc: n_tokens, n_removed_tokens, n_cut_regions,
+   * cleaned_md5.
+   *
+   * Scale shape: identical to detection (one posexplode, one
+   * hash-group carrying min(doc_id), per-doc windows) plus one in-row
+   * indexed filter against the bounded per-doc region list — no new
+   * shuffle class.
+   */
+  def stripDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int): DataFrame = {
+    require(k > 1, "span length must exceed one token")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_tokens"))
+    val grams = spanGrams(base, k)
+    val owners = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("__docs"), min("doc_id").as("__owner"))
+      .where(col("__docs") >= 2)
+      .select("h", "__owner")
+    val removable = grams.join(owners, "h")
+      .where(col("doc_id") =!= col("__owner"))
+      .select(col("doc_id"), col("p"), (col("p") + k - 1).as("pe"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val regions = removable
+      .withColumn("__rm", max("pe").over(wPrev))
+      .withColumn("__new", (col("__rm").isNull || col("p") > col("__rm") + 1).cast("long"))
+      .withColumn("__rid", sum("__new").over(
+        Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__rid")
+      .agg(min("p").as("rs"), max("pe").as("re"))
+    val perDoc = regions.groupBy("doc_id")
+      .agg(collect_list(struct(col("rs"), col("re"))).as("__regs"),
+        sum(col("re") - col("rs") + 1).as("n_removed_tokens"),
+        count(lit(1)).as("n_cut_regions"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !coalesce(exists(col("__regs"),
+          r => i >= r("rs") && i <= r("re")), lit(false))))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("n_cut_regions"), lit(0L)).as("n_cut_regions"),
+        md5(array_join(col("__kept"), " ").cast("binary")).as("cleaned_md5"))
   }
 
   /**

@@ -835,8 +835,9 @@ private[graft] object AnalyticsEntries {
       // Exact repeated-span detection (the ExactSubstr-dedup primitive,
       // k-gram-bucketed so it distributes): 20-token windows hash, a
       // hash in >= 2 docs marks its span, per-doc spans merge into
-      // maximal regions. Planted partial copies share their prefix;
-      // short docs carry no windows. The oracle recomputes every
+      // maximal regions. Planted partial copies share their prefix,
+      // and the corpus's own natural cross-doc sentence repeats flag
+      // too; short docs carry no windows. The oracle recomputes every
       // window hash, the duplicate set, and the interval merge.
       TextAnalysis.duplicateSpans(spanDocs(s, dir), col("doc_id"), col("text"), k = 20)
         .orderBy("doc_id")),
@@ -1492,6 +1493,18 @@ private[graft] object AnalyticsEntries {
           col("text"), 50), budgetTokens = 256)
         .orderBy("conv_id", "turn_idx")
     }),
+
+    "txt_dup_strip" -> ((s, dir) =>
+      // Exact repeated-span REMOVAL (the cut half of ExactSubstr
+      // dedup): same fixture as txt_dup_spans — planted partial copies
+      // share the original's full text as a prefix, so the copy's
+      // duplicated prefix region is cut (the ORIGINAL owns every
+      // shared window by min doc_id) and only its unique tail
+      // survives. The oracle recomputes owners, removable regions,
+      // and reassembles every cleaned document for the md5.
+      TextAnalysis.stripDuplicateSpans(spanDocs(s, dir), col("doc_id"),
+          col("text"), k = 20)
+        .orderBy("doc_id")),
 
     "txt_code_quality" -> ((s, dir) => {
       // StarCoder-style source filters over synthesized code-shaped
@@ -3804,6 +3817,60 @@ private[graft] object AnalyticsEntries {
         |  CAST(tail_tokens AS BIGINT) AS tail_tokens,
         |  (f AND start_idx IS NOT NULL AND turn_idx >= start_idx) AS kept
         | FROM fits ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "txt_dup_strip" ->
+      """WITH sdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text || ' tail marker ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 50),
+        | toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM sdocs),
+        | base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+        | th AS (
+        |  SELECT doc_id, n_tokens,
+        |    list_transform(t, s ->
+        |      CAST(CAST(('0x' || substr(md5(s), 1, 12)) AS UBIGINT) AS BIGINT)) AS v
+        |  FROM base WHERE n_tokens >= 20),
+        | grams AS (
+        |  SELECT doc_id, p,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), v[p + 1:p + 20]),
+        |      (acc, x) -> ((acc >> 31) * 131 + x) % 2147483647 * 2147483648
+        |                  + ((acc & 2147483647) * 137 + x) % 2147483629) AS h
+        |  FROM th, unnest(range(0, n_tokens - 20 + 1)) u(p)),
+        | dh AS (SELECT h, min(doc_id) AS owner FROM grams
+        |        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        | marked AS (
+        |  SELECT g.doc_id, g.p, g.p + 19 AS pe
+        |  FROM grams g JOIN dh USING (h) WHERE g.doc_id <> dh.owner),
+        | regs AS (
+        |  SELECT doc_id, p, pe,
+        |    max(pe) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM marked),
+        | regs3 AS (
+        |  SELECT doc_id, p, pe,
+        |    sum(CASE WHEN rm IS NULL OR p > rm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM regs),
+        | rsum AS (SELECT doc_id, rid, min(p) AS rs, max(pe) AS re FROM regs3 GROUP BY 1, 2),
+        | perdoc AS (
+        |  SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_removed_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_cut_regions
+        |  FROM rsum GROUP BY 1),
+        | keptagg AS (
+        |  SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.i) AS cleaned
+        |  FROM (SELECT b.doc_id, b.t[CAST(i AS INTEGER) + 1] AS tok, i
+        |        FROM base b, unnest(range(0, CAST(b.n_tokens AS BIGINT))) u(i)) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM rsum r
+        |    WHERE r.doc_id = x.doc_id AND x.i BETWEEN r.rs AND r.re)
+        |  GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(p.n_removed_tokens, 0) AS BIGINT) AS n_removed_tokens,
+        |  CAST(COALESCE(p.n_cut_regions, 0) AS BIGINT) AS n_cut_regions,
+        |  md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+        |FROM base b LEFT JOIN perdoc p USING (doc_id) LEFT JOIN keptagg k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "txt_code_quality" ->
       """WITH c AS (

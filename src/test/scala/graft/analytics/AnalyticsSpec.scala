@@ -1045,6 +1045,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1L) === ((1L, 8L, 2L)))
   }
 
+  test("dup-span strip: owner keeps its copy, others lose the region, text reassembles") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),             // owner of the shared windows
+      (1L, "a b c d e f g h x y z"),       // shared prefix must be CUT
+      (2L, "q r s t u v w q2 r2 s2 t2"),   // unique: untouched
+      (3L, "one two"))                     // shorter than k: untouched
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripDuplicateSpans(docs, col("doc_id"), col("text"), k = 4)
+      .as[(Long, Int, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0L) === ((0L, 8, 0L, 0L, m("a b c d e f g h")))) // owner intact
+    assert(got(1L) === ((1L, 11, 8L, 1L, m("x y z"))))          // prefix cut
+    assert(got(2L)._3 === 0L && got(2L)._5 === m("q r s t u v w q2 r2 s2 t2"))
+    assert(got(3L)._3 === 0L && got(3L)._5 === m("one two"))
+  }
+
   test("bigram perplexity: in-domain docs score lower NLL; short docs null") {
     val target = Seq((100L, "the quick brown fox jumps over the lazy dog"),
       (101L, "the quick brown fox runs over the lazy cat"))
