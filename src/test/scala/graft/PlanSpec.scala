@@ -810,6 +810,28 @@ class PlanSpec extends SparkSpec {
     assert(ws.exists(_.contains("stage")), p)
   }
 
+  test("code quality and license detection are shuffle-free in-row projections") {
+    val files = (0L until 64L).map(i => (i, s"line a $i\nline b\nSPDX-License-Identifier: MIT"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+        graft.analytics.TextAnalysis.codeQuality(files, col("doc_id"), col("text")),
+        graft.analytics.TextAnalysis.licenseDetect(files, col("doc_id"), col("text")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    }
+  }
+
+  test("dup-span strip: every window shards by doc_id, no corpus-wide sort") {
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 30).map(j => s"t${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = plan(graft.analytics.TextAnalysis.stripDuplicateSpans(
+      docs, col("doc_id"), col("text"), k = 4))
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("doc_id")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("IVF bitext mining never forms a cartesian product") {
     import graft.analytics.Bitext
     val src = (0L until 32L).map(i => (i, Seq((i % 7 + 1).toDouble,
