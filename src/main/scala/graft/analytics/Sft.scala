@@ -137,6 +137,33 @@ object Sft {
         md5(array_join(transform(array_sort(collect_list(col("t"))), t => t("n")), "\n")
           .cast("binary")).as("sig"))
 
+  /**
+   * Parse JSON conversation documents (the OpenAI/ShareGPT normal
+   * form `{"messages":[{"role":…,"content":…},…]}` — what chat
+   * datasets actually ship as JSONL) into the `(conv_id, turn_idx,
+   * role, content)` table every operator in this module consumes.
+   * Schema-driven `from_json` + one `posexplode_outer`, so parsing is
+   * a narrow codegen'd projection — no shuffle, scan speed over 100 TB
+   * of JSONL. A document that fails to parse (or parses to no
+   * messages) still emits exactly ONE row — `(conv_id, -1,
+   * '_malformed_', '')` — keeping the pipeline's
+   * one-row-per-input-doc attribution discipline; silent drops are
+   * how malformed shards disappear unnoticed.
+   */
+  def parseChatJson(df: DataFrame, idCol: Column, jsonCol: Column): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("messages", ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType)))))))
+    df.select(idCol.as("conv_id"),
+        posexplode_outer(coalesce(
+          from_json(jsonCol, schema)("messages"),
+          array().cast("array<struct<role:string,content:string>>"))))
+      .select(col("conv_id"),
+        coalesce(col("pos"), lit(-1)).as("turn_idx"),
+        coalesce(col("col")("role"), lit("_malformed_")).as("role"),
+        coalesce(col("col")("content"), lit("")).as("content"))
+  }
+
   /** Seed the standing curated-corpus signature index with an already-
     * curated conversation set (`batch=-1` — the pre-stream state the
     * first micro-batch judges against). */

@@ -1544,6 +1544,33 @@ private[graft] object AnalyticsEntries {
       TextAnalysis.licenseDetect(docs, col("doc_id"), planted).orderBy("doc_id")
     }),
 
+    "sft_parse_jsonl" -> ((s, dir) => {
+      // ShareGPT/OpenAI-format ingestion: each doc becomes a JSON
+      // conversation string (user turn = the text, assistant = an
+      // echo), with literal-replace escaping of backslash/quote/
+      // newline; every 23rd doc's content carries planted quotes and
+      // a backslash (the escaping must round-trip), every 19th doc is
+      // broken JSON (must yield exactly one _malformed_ row). The
+      // oracle builds the identical strings and re-parses them with
+      // DuckDB's JSON engine — two independent parsers must agree on
+      // every extracted field.
+      val docs = T(s, dir, "documents")
+      val content = when(col("doc_id") % 23 === 0,
+        concat(col("text"), lit(" \"quoted\" and \\ backslash")))
+        .otherwise(col("text"))
+      def esc(c: Column): Column =
+        replace(replace(replace(c, lit("\\"), lit("\\\\")),
+          lit("\""), lit("\\\"")), lit("\n"), lit("\\n"))
+      val json = when(col("doc_id") % 19 === 0, lit("{broken"))
+        .otherwise(concat(lit("{\"messages\":[{\"role\":\"user\",\"content\":\""),
+          esc(content),
+          lit("\"},{\"role\":\"assistant\",\"content\":\"echo: "),
+          esc(content), lit("\"}]}")))
+      Sft.parseChatJson(docs.select(col("doc_id"), json.as("j")),
+          col("doc_id"), col("j"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "sft_pref_pairs" -> ((s, dir) => {
       // DPO preference-pair prep: docs grouped 5-per-prompt (prompt =
       // doc_id % 100) as scored responses (score = n_chars, an integer
@@ -3929,6 +3956,41 @@ private[graft] object AnalyticsEntries {
         |     OR contains(lower(t), 'bsd license') THEN 'permissive'
         |   ELSE 'unknown' END AS license_class
         | FROM e ORDER BY doc_id""".stripMargin,
+
+    "sft_parse_jsonl" ->
+      """WITH c0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 0
+        |         THEN text || ' ' || chr(34) || 'quoted' || chr(34) || ' and ' || chr(92) || ' backslash'
+        |         ELSE text END AS content
+        |  FROM documents),
+        | e AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(content,
+        |      chr(92), chr(92) || chr(92)),
+        |      chr(34), chr(92) || chr(34)),
+        |      chr(10), chr(92) || 'n') AS ec
+        |  FROM c0),
+        | j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN '{broken'
+        |         ELSE '{"messages":[{"role":"user","content":"' || ec ||
+        |              '"},{"role":"assistant","content":"echo: ' || ec || '"}]}'
+        |    END AS t
+        |  FROM e),
+        | ok AS (
+        |  SELECT doc_id AS conv_id, CAST(i AS INTEGER) AS turn_idx,
+        |    json_extract_string(t, '$.messages[' || i || '].role') AS role,
+        |    json_extract_string(t, '$.messages[' || i || '].content') AS content
+        |  FROM j, unnest(range(0, CAST(CASE WHEN json_valid(t)
+        |      THEN COALESCE(json_array_length(t, '$.messages'), 0) ELSE 0 END AS BIGINT))) u(i)),
+        | bad AS (
+        |  SELECT doc_id AS conv_id, CAST(-1 AS INTEGER) AS turn_idx,
+        |    '_malformed_' AS role, '' AS content
+        |  FROM j WHERE NOT json_valid(t)
+        |     OR COALESCE(json_array_length(t, '$.messages'), 0) = 0)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad
+        |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "sft_pref_pairs" ->
       """WITH r AS (

@@ -79,6 +79,24 @@ class SftSpec extends SparkSpec {
       (2, 15L, true), (3, 5L, true)))
   }
 
+  test("parseChatJson: valid turns, escapes, malformed and empty docs get one sentinel row") {
+    val docs = Seq(
+      (1L, """{"messages":[{"role":"user","content":"hi \"there\"\nnow"},{"role":"assistant","content":"c:\\tmp"}]}"""),
+      (2L, "{broken json"),
+      (3L, """{"messages":[]}"""),
+      (4L, """{"other":"shape"}"""))
+      .toDF("conv_id", "j")
+    val got = Sft.parseChatJson(docs, col("conv_id"), col("j"))
+      .orderBy("conv_id", "turn_idx")
+      .as[(Long, Int, String, String)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 0, "user", "hi \"there\"\nnow"),
+      (1L, 1, "assistant", "c:\\tmp"),
+      (2L, -1, "_malformed_", ""),
+      (3L, -1, "_malformed_", ""),
+      (4L, -1, "_malformed_", "")))
+  }
+
   test("preferencePairs: argmax/argmin pair, tie and margin gates") {
     val responses = Seq(
       (1L, 1L, 10L), (1L, 2L, 100L), (1L, 3L, 40L), // clear pair, margin 90
