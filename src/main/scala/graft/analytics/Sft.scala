@@ -160,7 +160,12 @@ object Sft {
           array().cast("array<struct<role:string,content:string>>"))))
       .select(col("conv_id"),
         coalesce(col("pos"), lit(-1)).as("turn_idx"),
-        coalesce(col("col")("role"), lit("_malformed_")).as("role"),
+        // the sentinel role marks UNPARSEABLE documents only (pos is
+        // null — nothing exploded); a parsed turn whose role field is
+        // merely missing keeps its row with an empty role, so sentinel
+        // counts never conflate schema gaps with broken shards
+        when(col("pos").isNull, lit("_malformed_"))
+          .otherwise(coalesce(col("col")("role"), lit(""))).as("role"),
         coalesce(col("col")("content"), lit("")).as("content"))
   }
 

@@ -724,6 +724,17 @@ object TextAnalysis {
    * page). Output per doc: n_tokens, n_removed_tokens, n_cut_regions,
    * cleaned_md5.
    *
+   * Preservation guarantee — best-effort, NOT absolute: ownership is
+   * per WINDOW, so when ownership chains (doc A owns window w1 whose
+   * region covers A's copy of window w2 owned by doc B, while every
+   * OTHER copy of w2 is removable) a span can lose all its copies —
+   * pinned by a spec case. This is still strictly more preserving
+   * than the published ExactSubstr tool, whose default removes EVERY
+   * occurrence of a duplicated span including the first (Lee et al.'s
+   * released deduplicate-text-datasets cutter); single-copy keeping in
+   * a parallel setting requires a cross-region serialization no
+   * distributed pass provides.
+   *
    * Scale shape: identical to detection (one posexplode, one
    * hash-group carrying min(doc_id), per-doc windows) plus one in-row
    * indexed filter against the bounded per-doc region list — no new
@@ -1160,19 +1171,36 @@ object TextAnalysis {
       maxLineChars: Long = 1000L, maxMeanLineU: Long = 100000000L,
       minAlphaU: Long = 250000L): DataFrame = {
     df.select(idCol.as("doc_id"), textCol.as("__t"))
-      .withColumn("__lens", transform(split(col("__t"), "\n"),
-        l => length(l).cast("long")))
-      .withColumn("n_lines", size(col("__lens")).cast("long"))
-      .withColumn("max_line_chars", array_max(col("__lens")))
-      .withColumn("__sum", aggregate(col("__lens"), lit(0L), _ + _))
+      .withColumn("__raw", split(col("__t"), "\n"))
+      .withColumn("__nraw", size(col("__raw")).cast("long"))
+      // splitlines() semantics: a newline-terminated file (virtually
+      // every source file) must not carry a phantom empty last line —
+      // it would over-count n_lines and deflate the mean-line gate.
+      .withColumn("__lines",
+        when(col("__nraw") > 1 && element_at(col("__raw"), -1) === "",
+            slice(col("__raw"), lit(1), (col("__nraw") - 1).cast("int")))
+          .otherwise(col("__raw")))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("max_line_chars",
+        array_max(transform(col("__lines"), l => length(l).cast("long"))))
+      .withColumn("__len", length(col("__t")).cast("long"))
+      // sum of line lengths = total length minus the raw separator
+      // count (the dropped trailing empty contributes zero) — an
+      // arithmetic identity, so no interpreted aggregate() fold runs
+      // on the scan path.
+      .withColumn("__sum", col("__len") - (col("__nraw") - 1))
       .withColumn("__alpha",
         length(regexp_replace(col("__t"), "[^A-Za-z]", "")).cast("long"))
-      .withColumn("__len", length(col("__t")).cast("long"))
       .withColumn("mean_line_u", expr("__sum * 1000000 div greatest(n_lines, 1)"))
       .withColumn("alpha_frac_u", expr("__alpha * 1000000 div greatest(__len, 1)"))
-      .withColumn("autogen",
-        contains(lower(col("__t")), lit("auto-generated")) ||
-          contains(lower(col("__t")), lit("do not edit")))
+      // the generated-file markers count only in the HEADER (first 5
+      // lines) per the recipe — a file that merely MENTIONS the phrase
+      // mid-body (a generator's own template literal, prose advice) is
+      // hand-written code and must not be dropped
+      .withColumn("autogen", {
+        val head = lower(array_join(slice(col("__lines"), 1, 5), "\n"))
+        contains(head, lit("auto-generated")) || contains(head, lit("do not edit"))
+      })
       .withColumn("keep", col("max_line_chars") <= maxLineChars &&
         col("mean_line_u") <= maxMeanLineU &&
         col("alpha_frac_u") >= minAlphaU && !col("autogen"))
@@ -1195,7 +1223,10 @@ object TextAnalysis {
    * projection, shuffle-free.
    */
   def licenseDetect(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val spdx = regexp_extract(textCol, SpdxPattern, 1)
+    // strip a sentence-final period the greedy class would absorb
+    // ("SPDX-License-Identifier: MIT. See LICENSE") — ids contain dots
+    // internally (GPL-3.0) but never terminally
+    val spdx = regexp_replace(regexp_extract(textCol, SpdxPattern, 1), "\\.$", "")
     val low = lower(textCol)
     val spdxLow = lower(spdx)
     val copyleftSpdx = spdxLow.startsWith("gpl") ||

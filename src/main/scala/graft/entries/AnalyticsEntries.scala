@@ -3908,19 +3908,25 @@ private[graft] object AnalyticsEntries {
         |    (CASE WHEN doc_id % 9 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END) ||
         |    (CASE WHEN doc_id % 13 = 0 THEN chr(10) || repeat('00;' || chr(10), 1100) ELSE '' END) AS t
         |  FROM documents),
-        | f AS (SELECT doc_id, t, str_split(t, chr(10)) AS ls FROM c),
+        | f AS (SELECT doc_id, t, str_split(t, chr(10)) AS raw FROM c),
+        | f2 AS (
+        |  SELECT doc_id, t, CAST(len(raw) AS BIGINT) AS nraw,
+        |    CASE WHEN len(raw) > 1 AND raw[len(raw)] = ''
+        |         THEN raw[1:len(raw) - 1] ELSE raw END AS ls
+        |  FROM f),
         | m AS (
         |  SELECT doc_id, t,
         |    CAST(len(ls) AS BIGINT) AS n_lines,
         |    CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_chars,
-        |    CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) AS sum_len
-        |  FROM f),
+        |    CAST(length(t) AS BIGINT) - (nraw - 1) AS sum_len,
+        |    lower(array_to_string(ls[1:5], chr(10))) AS head
+        |  FROM f2),
         | g AS (
         |  SELECT doc_id, n_lines, max_line_chars,
         |    CAST(sum_len * 1000000 // greatest(n_lines, 1) AS BIGINT) AS mean_line_u,
         |    CAST(CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) * 1000000
         |      // greatest(length(t), 1) AS BIGINT) AS alpha_frac_u,
-        |    (contains(lower(t), 'auto-generated') OR contains(lower(t), 'do not edit')) AS autogen
+        |    (contains(head, 'auto-generated') OR contains(head, 'do not edit')) AS autogen
         |  FROM m)
         |SELECT doc_id, n_lines, max_line_chars, mean_line_u, alpha_frac_u, autogen,
         |  (max_line_chars <= 1000 AND mean_line_u <= 100000000
@@ -3939,7 +3945,7 @@ private[graft] object AnalyticsEntries {
         |  FROM documents),
         | e AS (
         |  SELECT doc_id, t,
-        |    COALESCE(regexp_extract(t, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), '') AS spdx
+        |    regexp_replace(COALESCE(regexp_extract(t, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), ''), '\.$', '') AS spdx
         |  FROM p)
         |SELECT doc_id, spdx,
         |  CASE WHEN spdx <> '' THEN
@@ -3980,8 +3986,8 @@ private[graft] object AnalyticsEntries {
         |  FROM e),
         | ok AS (
         |  SELECT doc_id AS conv_id, CAST(i AS INTEGER) AS turn_idx,
-        |    json_extract_string(t, '$.messages[' || i || '].role') AS role,
-        |    json_extract_string(t, '$.messages[' || i || '].content') AS content
+        |    COALESCE(json_extract_string(t, '$.messages[' || i || '].role'), '') AS role,
+        |    COALESCE(json_extract_string(t, '$.messages[' || i || '].content'), '') AS content
         |  FROM j, unnest(range(0, CAST(CASE WHEN json_valid(t)
         |      THEN COALESCE(json_array_length(t, '$.messages'), 0) ELSE 0 END AS BIGINT))) u(i)),
         | bad AS (

@@ -1062,6 +1062,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(3L)._3 === 0L && got(3L)._5 === m("one two"))
   }
 
+  test("dup-span strip: chained ownership can drop every copy (documented best-effort bound)") {
+    // doc2 owns 'a b c d'; doc3 owns 'd e f g' but loses its copy to
+    // the 'a b c d' cut; doc7's copy is removable — so 'd e f g'
+    // survives nowhere. The scaladoc documents this as the best-effort
+    // bound (the published ExactSubstr cutter removes every occurrence
+    // unconditionally); this spec pins the behavior so a future
+    // "fix" that silently changes the rule trips a test.
+    val docs = Seq((2L, "a b c d"), (3L, "a b c d e f g"), (7L, "d e f g"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripDuplicateSpans(docs, col("doc_id"), col("text"), k = 4)
+      .as[(Long, Int, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(2L)._5 === m("a b c d")) // owner intact
+    assert(got(3L)._5 === m("e f g"))   // its 'a b c d' prefix cut
+    assert(got(7L)._5 === m(""))        // 'd e f g' gone everywhere
+  }
+
   test("bigram perplexity: in-domain docs score lower NLL; short docs null") {
     val target = Seq((100L, "the quick brown fox jumps over the lazy dog"),
       (101L, "the quick brown fox runs over the lazy cat"))

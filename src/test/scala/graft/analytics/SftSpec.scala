@@ -84,7 +84,8 @@ class SftSpec extends SparkSpec {
       (1L, """{"messages":[{"role":"user","content":"hi \"there\"\nnow"},{"role":"assistant","content":"c:\\tmp"}]}"""),
       (2L, "{broken json"),
       (3L, """{"messages":[]}"""),
-      (4L, """{"other":"shape"}"""))
+      (4L, """{"other":"shape"}"""),
+      (5L, """{"messages":[{"content":"role went missing"}]}"""))
       .toDF("conv_id", "j")
     val got = Sft.parseChatJson(docs, col("conv_id"), col("j"))
       .orderBy("conv_id", "turn_idx")
@@ -94,7 +95,10 @@ class SftSpec extends SparkSpec {
       (1L, 1, "assistant", "c:\\tmp"),
       (2L, -1, "_malformed_", ""),
       (3L, -1, "_malformed_", ""),
-      (4L, -1, "_malformed_", "")))
+      (4L, -1, "_malformed_", ""),
+      // a parsed turn with a missing role keeps its row — the sentinel
+      // role never leaks into turn_idx >= 0 rows
+      (5L, 0, "", "role went missing")))
   }
 
   test("preferencePairs: argmax/argmin pair, tie and margin gates") {

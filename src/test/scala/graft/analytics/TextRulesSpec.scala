@@ -154,18 +154,21 @@ class TextRulesSpec extends SparkSpec {
       (1L, "short\n" + "y" * 1001),                    // max-line violation
       (2L, "z" * 200),                                 // one long line: mean violation
       (3L, "a\n" + "0;\n" * 40),                       // alpha fraction < 25%
-      (4L, "// AUTO-GENERATED file\nok\n"))            // marker (case-folded)
-      .toDF("doc_id", "text")
+      (4L, "// AUTO-GENERATED file\nok\n"),            // header marker (case-folded)
+      (5L, "a\nb\nc\nd\ne\nthe tool emits do not edit headers\n"))
+      .toDF("doc_id", "text")                          // mid-body mention: NOT autogen
     val got = TextAnalysis.codeQuality(files, col("doc_id"), col("text"))
       .orderBy("doc_id")
       .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].collect()
-    assert(got.map(_._7).toSeq === Seq(true, false, false, false, false))
-    val clean = got(0) // "def f(x):" (9) / "  return x" (10) / "" (0)
-    assert(clean._2 === 3L && clean._3 === 10L && clean._4 === 19L * 1000000L / 3L)
+    assert(got.map(_._7).toSeq === Seq(true, false, false, false, false, true))
+    // splitlines semantics: the trailing newline adds no phantom line
+    val clean = got(0) // "def f(x):" (9) / "  return x" (10)
+    assert(clean._2 === 2L && clean._3 === 10L && clean._4 === 19L * 1000000L / 2L)
     assert(got(1)._3 === 1001L)
     assert(got(2)._4 === 200000000L)
     assert(got(3)._5 < 250000L && !got(3)._6)
     assert(got(4)._6)
+    assert(!got(5)._6) // marker beyond line 5 is a mention, not a header
   }
 
   test("licenseDetect: SPDX beats prose markers; copyleft beats permissive") {
@@ -176,7 +179,8 @@ class TextRulesSpec extends SparkSpec {
       (2L, "GNU General Public License and also the MIT License text"),
       (3L, "SPDX-License-Identifier: LGPL-2.1-only"),
       (4L, "SPDX-License-Identifier: WTFPL"),
-      (5L, "no license information at all"))
+      (5L, "no license information at all"),
+      (6L, "SPDX-License-Identifier: MIT. See LICENSE for details"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.licenseDetect(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").as[(Long, String, String)].collect()
@@ -186,7 +190,8 @@ class TextRulesSpec extends SparkSpec {
       (2L, "", "copyleft"),             // copyleft marker beats permissive
       (3L, "LGPL-2.1-only", "copyleft"),
       (4L, "WTFPL", "unknown"),
-      (5L, "", "unknown")))
+      (5L, "", "unknown"),
+      (6L, "MIT", "permissive")))       // sentence-final period stripped
   }
 
   test("redaction only touches luhn-valid candidates") {
