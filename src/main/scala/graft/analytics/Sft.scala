@@ -81,6 +81,33 @@ object Sft {
   }
 
   /**
+   * Loss-mask spans for the rendered conversation: SFT trains on the
+   * ASSISTANT tokens only — user turns and template scaffolding are
+   * context, not targets — so the data-prep output is, per turn, the
+   * character span its content occupies inside [[render]]'s string
+   * and whether that span is trainable. Offsets are exact integer
+   * cumulative sums over the same template arithmetic render uses
+   * (`<|role|>\n` + content + `<|end|>\n` per turn), so
+   * `substring(prompt, start_char, end_char)` recovers the turn's
+   * content verbatim. One conv_id window; 0-based [start, end)
+   * half-open spans. Output: conv_id, turn_idx, role, start_char,
+   * end_char, trainable.
+   */
+  def lossMask(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val headLen = length(col("role")).cast("long") + lit(5L) // <| + |> + \n
+    val pieceLen = headLen + length(col("content")).cast("long") + lit(8L) // <|end|>\n
+    turns
+      .withColumn("__piece", pieceLen)
+      .withColumn("__before", coalesce(sum(col("__piece")).over(w), lit(0L)))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        (col("__before") + headLen).as("start_char"),
+        (col("__before") + headLen + length(col("content"))).as("end_char"),
+        (col("role") === "assistant").as("trainable"))
+  }
+
+  /**
    * Structural validation gate. Per conversation: turn count, roles
    * strictly alternate (no two consecutive turns share a role), first
    * turn is user, last turn is assistant, no whitespace-only turn,

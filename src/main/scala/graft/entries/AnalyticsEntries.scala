@@ -1544,6 +1544,15 @@ private[graft] object AnalyticsEntries {
       TextAnalysis.licenseDetect(docs, col("doc_id"), planted).orderBy("doc_id")
     }),
 
+    "sft_loss_mask" -> ((s, dir) =>
+      // SFT loss masking: per turn, the exact character span its
+      // content occupies in the rendered training string and whether
+      // it is trainable (assistant spans only). The oracle recomputes
+      // every cumulative offset from the template arithmetic.
+      Sft.lossMask(Sft.assemble(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 50))
+        .orderBy("conv_id", "turn_idx")),
+
     "sft_parse_jsonl" -> ((s, dir) => {
       // ShareGPT/OpenAI-format ingestion: each doc becomes a JSON
       // conversation string (user turn = the text, assistant = an
@@ -3962,6 +3971,29 @@ private[graft] object AnalyticsEntries {
         |     OR contains(lower(t), 'bsd license') THEN 'permissive'
         |   ELSE 'unknown' END AS license_class
         | FROM e ORDER BY doc_id""".stripMargin,
+
+    "sft_loss_mask" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, text AS content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+        |  FROM documents),
+        | turns AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    content FROM t0),
+        | pieces AS (
+        |  SELECT *, CAST(length(role) + 5 AS BIGINT) AS head_len,
+        |    CAST(length(role) + 5 + length(content) + 8 AS BIGINT) AS piece_len
+        |  FROM turns),
+        | c AS (
+        |  SELECT *, COALESCE(sum(piece_len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM pieces)
+        |SELECT conv_id, turn_idx, role,
+        |  CAST(bef + head_len AS BIGINT) AS start_char,
+        |  CAST(bef + head_len + length(content) AS BIGINT) AS end_char,
+        |  role = 'assistant' AS trainable
+        | FROM c ORDER BY conv_id, turn_idx""".stripMargin,
 
     "sft_parse_jsonl" ->
       """WITH c0 AS (

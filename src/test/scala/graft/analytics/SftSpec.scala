@@ -29,6 +29,25 @@ class SftSpec extends SparkSpec {
     assert(got.toSeq === Seq((7L, 2L, want, want.length.toLong)))
   }
 
+  test("lossMask spans recover each turn's content from the rendered string verbatim") {
+    val t = turns(
+      (1L, 0, "user", "ask me"), (1L, 1, "assistant", "an answer"),
+      (1L, 2, "user", "more?"), (1L, 3, "assistant", "yes"),
+      (2L, 0, "user", "solo"))
+    val prompts = Sft.render(t).select("conv_id", "prompt")
+      .as[(Long, String)].collect().toMap
+    val spans = Sft.lossMask(t).orderBy("conv_id", "turn_idx")
+      .as[(Long, Int, String, Long, Long, Boolean)].collect()
+    val contents = t.select("conv_id", "turn_idx", "content")
+      .as[(Long, Int, String)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    spans.foreach { case (c, i, role, s, e, trainable) =>
+      assert(prompts(c).substring(s.toInt, e.toInt) === contents((c, i)))
+      assert(trainable === (role == "assistant"))
+    }
+    // trainable spans cover assistant content only: 2 + 0 per conv
+    assert(spans.count(_._6) === 2)
+  }
+
   test("validate flags each structural rule independently") {
     val t = turns(
       // conv 1: well-formed pair
