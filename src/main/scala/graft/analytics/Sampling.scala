@@ -438,6 +438,39 @@ object Sampling {
   }
 
   /**
+   * Anneal-phase selection (the MiniCPM/Llama-3 "midtraining" recipe):
+   * the final phase of a training run re-samples from a small
+   * HIGH-QUALITY subset instead of the full mixture. Rank documents by
+   * quality (ties by id — total order) and mark the top
+   * `annealFracPpm` parts-per-million as the anneal set; anneal docs
+   * carry `anneal_weight_ppm = 10^6 * total div n_anneal` (the
+   * renormalized per-doc mass so the anneal phase preserves total
+   * sampling mass over the shrunken set), everyone else 0. Pretrain-
+   * phase weights stay uniform and are not emitted.
+   *
+   * The exact rank is the oracle-certifiable spelling (the 100 TB
+   * path swaps in approx-quantile cut points, same as [[curriculum]]).
+   * Output: doc_id, score, is_anneal, anneal_weight_ppm.
+   */
+  def annealPhase(docs: DataFrame, idCol: Column, scoreCol: Column,
+      annealFracPpm: Long): DataFrame = {
+    require(annealFracPpm > 0 && annealFracPpm <= 1000000L,
+      "annealFracPpm must be in (0, 1e6]")
+    docs.select(idCol.as("doc_id"), scoreCol.cast("long").as("score"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .withColumn("__total", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("is_anneal",
+        expr(s"__r * 1000000 <= $annealFracPpm * __total"))
+      .withColumn("__na", sum(when(col("is_anneal"), 1L).otherwise(0L))
+        .over(Window.partitionBy(lit(1))))
+      .withColumn("anneal_weight_ppm",
+        when(col("is_anneal"), expr("1000000 * __total div greatest(__na, 1)"))
+          .otherwise(lit(0L)))
+      .select("doc_id", "score", "is_anneal", "anneal_weight_ppm")
+  }
+
+  /**
    * Domain reweighting by multiplicative weights (the DoReMi family,
    * Xie et al. 2023, linearized): start from the uniform mixture and,
    * for `rounds` update steps, multiply each domain's weight by

@@ -1762,6 +1762,15 @@ private[graft] object AnalyticsEntries {
         .orderBy("doc_id")
     }),
 
+    "smp_anneal" -> ((s, dir) =>
+      // Anneal-phase selection: top 10% by quality proxy (n_chars,
+      // ties by doc_id) marked for the high-quality final phase with
+      // mass-preserving integer upweights. The oracle recomputes the
+      // rank, the ppm cut, and every weight.
+      Sampling.annealPhase(T(s, dir, "documents"), col("doc_id"),
+          col("n_chars"), annealFracPpm = 100000L)
+        .orderBy("doc_id")),
+
     "smp_doremi" -> ((s, dir) => {
       // DoReMi-style domain reweighting, linearized multiplicative-
       // weights in exact ppm integers: proxy loss = per-source mean
@@ -4317,6 +4326,20 @@ private[graft] object AnalyticsEntries {
         |SELECT doc_id, difficulty, stage,
         |  CAST(row_number() OVER (PARTITION BY stage ORDER BY shuf, doc_id) AS INTEGER) AS pos
         | FROM sh ORDER BY doc_id""".stripMargin,
+
+    "smp_anneal" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents),
+        | rk AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r,
+        |    count(*) OVER () AS total
+        |  FROM d),
+        | f AS (SELECT *, r * 1000000 <= 100000 * total AS is_anneal FROM rk),
+        | n AS (SELECT *, sum(CASE WHEN is_anneal THEN 1 ELSE 0 END) OVER () AS na FROM f)
+        |SELECT doc_id, score, is_anneal,
+        |  CAST(CASE WHEN is_anneal
+        |    THEN 1000000 * total // greatest(na, 1) ELSE 0 END AS BIGINT) AS anneal_weight_ppm
+        | FROM n ORDER BY doc_id""".stripMargin,
 
     "smp_doremi" ->
       """WITH dl AS (

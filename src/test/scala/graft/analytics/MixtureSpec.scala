@@ -43,6 +43,21 @@ class MixtureSpec extends SparkSpec {
       (3L, 3L, 1L, 5L, 2L), (4L, 7L, 2L, 9L, 2L), (5L, 1L, 0L, 3L, 2L)))
   }
 
+  test("annealPhase: top-quality ppm cut, mass-preserving weights, id tie-break") {
+    val docs = (0L until 20L).map(i => (i, (i % 10) * 10L)).toDF("doc_id", "q")
+    val got = Sampling.annealPhase(docs, col("doc_id"), col("q"),
+        annealFracPpm = 200000L) // top 20% of 20 docs = 4
+      .as[(Long, Long, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    val anneal = got.values.filter(_._3).toSeq
+    assert(anneal.size === 4)
+    // scores 90,90,80,80 win; ties broken toward the lower doc_id
+    assert(anneal.map(_._1).toSet === Set(9L, 19L, 8L, 18L))
+    assert(anneal.forall(_._4 === 1000000L * 20L / 4L))
+    assert(got.values.filterNot(_._3).forall(_._4 === 0L))
+    // the phase mass is preserved: sum of anneal weights == total docs * 1e6
+    assert(anneal.map(_._4).sum === 20L * 1000000L)
+  }
+
   test("domainReweight replays the hand-computed ppm ladder") {
     val dl = Seq(("a", 200L), ("b", 100L)).toDF("source", "loss_u")
     val got = Sampling.domainReweight(dl, rounds = 1, etaPpm = 1000000L)
