@@ -2378,14 +2378,18 @@ object SparkEntry {
     graft.entries.AdminEntries.queries ++
     graft.entries.AggGroupTxnEntries.queries ++
     graft.entries.IngestProtoEntries.queries ++
+    graft.entries.AdminRestScriptEntries.queries ++
     graft.entries.DatalakeTransformEntries.queries ++
-    graft.entries.AnalyticsEntries.queries
+    graft.entries.AnalyticsEntries.queries ++
+    graft.entries.SftMixtureEntries.queries
 
   def oracleSql: Map[String, String] =
     graft.entries.LogEntries.oracleSql ++
     graft.entries.AdminEntries.oracleSql ++
     graft.entries.AggGroupTxnEntries.oracleSql ++
     graft.entries.IngestProtoEntries.oracleSql ++
+    graft.entries.AdminRestScriptEntries.oracleSql ++
     graft.entries.DatalakeTransformEntries.oracleSql ++
-    graft.entries.AnalyticsEntries.oracleSql
+    graft.entries.AnalyticsEntries.oracleSql ++
+    graft.entries.SftMixtureEntries.oracleSql
 }

@@ -819,4 +819,207 @@ object Similarity {
         .select("query_id", "vec_id", "dist2", "rank")
     else exactRerank(shortlist, corpus, queries, k)
   }
+
+  // -------------------------------------------------------------------
+  // Integer-parity IVF / PQ / IVFADC twins (the [[quantizedTopK]] /
+  // [[sqTopK]] device extended to the clustered indexes): deterministic
+  // integer training — seed partition `vec_id % k`, ONE Lloyd step with
+  // floor-division centroids — plus exact int64 assignment, probing, and
+  // ADC scoring, so an external engine replays the ENTIRE
+  // train → assign → probe → score → rank pipeline bit-for-bit in pure
+  // integer SQL. These certify the index *machinery*; the float
+  // production paths ([[ivfTopK]], [[pqTopKFromCodes]],
+  // [[ivfPqQueryFromCodes]]) carry recall contracts instead (k-means on
+  // float samples is not cross-engine replayable).
+  // -------------------------------------------------------------------
+
+  /** `floor(x·scale + 0.5)` integer micro-unit quantization (the
+    * round-half-up spelling Spark and DuckDB agree on bit-for-bit). */
+  private def qzArr(v: Column, scale: Int): Column =
+    transform(v, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+
+  /** Exact int64 squared L2 distance between two quantized vectors. */
+  private def iD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Exact int64 inner product of two quantized vectors. */
+  private def iDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Shift keeping floor-division numerators non-negative: truncating
+    * (Spark `div`) and flooring (DuckDB `//`) integer division only
+    * agree on non-negative operands, and centroid component sums can be
+    * negative. 1e12 dominates any micro-unit component; counts × 1e12
+    * stay far under Long.MaxValue. */
+  private val DivOffset = 1000000000000L
+
+  /** One-Lloyd-step deterministic integer centroids: seed partition
+    * `vec_id % nLists`, per-dimension mean by offset floor-division.
+    * Returns (list_id, centroid array<long>). One distributed agg pass;
+    * nLists × dim rows — control-plane sized at any corpus scale. */
+  private def intSeedCentroids(qv: DataFrame, nLists: Int,
+      vecCol: String): DataFrame =
+    qv.select((col("vec_id") % nLists).cast("int").as("list_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("list_id", "pos")
+      .agg(sum("v").as("_s"), count(lit(1)).as("_n"))
+      .withColumn("c", expr(s"(_s + _n * ${DivOffset}L) div _n - ${DivOffset}L"))
+      .groupBy("list_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /**
+   * Integer-parity IVF top-k: quantize, train coarse centroids by the
+   * seed+one-step device, assign every vector to its nearest centroid
+   * (exact int64 L2, ties to the smaller list), probe each query's
+   * `nProbe` nearest lists, rank in-list candidates by exact int64
+   * inner product with vec_id tie-break. Scale shape identical to
+   * [[ivfTopK]]: centroids and probes broadcast, candidate volume
+   * ~ nProbe/nLists of the corpus, one final per-query top-k window.
+   */
+  def ivfIntTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, scale: Int = 10000): DataFrame = {
+    val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
+    val qq = queries.select(col("query_id"), qzArr(col("query_vec"), scale).as("_qq"))
+    val cents = intSeedCentroids(qc, nLists, "_qe")
+    val aw = Window.partitionBy("vec_id").orderBy(col("_d"), col("list_id"))
+    val assigned = qc.crossJoin(broadcast(cents))
+      .withColumn("_d", iD2(col("_qe"), col("centroid")))
+      .withColumn("_r", row_number().over(aw))
+      .where(col("_r") === 1)
+      .select(col("vec_id"), col("_qe"), col("list_id"))
+    val pw = Window.partitionBy("query_id").orderBy(col("_d"), col("list_id"))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("_d", iD2(col("_qq"), col("centroid")))
+      .withColumn("_r", row_number().over(pw))
+      .where(col("_r") <= nProbe)
+      .select(col("query_id"), col("_qq"), col("list_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        iDot(col("_qe"), col("_qq")).as("iscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("iscore").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "iscore", "rank")
+  }
+
+  /** Per-(vector, subspace) quantized sub-vectors: (vec_id, s, sub). */
+  private def intSubVectors(qv: DataFrame, subDim: Int,
+      vecCol: String): DataFrame =
+    qv.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("s", expr(s"pos div $subDim").cast("int"))
+      .groupBy("vec_id", "s")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("sub"))
+
+  /** Seed+one-step integer codebooks per subspace: (s, j, centroid). */
+  private def intSubCodebooks(subs: DataFrame, ksub: Int): DataFrame =
+    subs.select(col("s"), (col("vec_id") % ksub).cast("int").as("j"),
+        posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("s", "j", "pos")
+      .agg(sum("v").as("_s"), count(lit(1)).as("_n"))
+      .withColumn("c", expr(s"(_s + _n * ${DivOffset}L) div _n - ${DivOffset}L"))
+      .groupBy("s", "j")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** Nearest-codebook-entry codes (exact int64 L2, ties to smaller j):
+    * (vec_id, s, code). */
+  private def intEncode(subs: DataFrame, books: DataFrame): DataFrame = {
+    val ew = Window.partitionBy("vec_id", "s").orderBy(col("_d"), col("j"))
+    subs.join(broadcast(books), Seq("s"))
+      .withColumn("_d", iD2(col("sub"), col("centroid")))
+      .withColumn("_r", row_number().over(ew))
+      .where(col("_r") === 1)
+      .select(col("vec_id"), col("s"), col("j").as("code"))
+  }
+
+  /**
+   * Integer-parity PQ ADC top-k: quantize, train per-subspace integer
+   * codebooks (seed+one-step), encode every vector as `m` codes, score
+   * query × candidate by the ADC lookup sum Σ_s dot(q_sub, book(s,
+   * code)) — exact int64 throughout, no rerank stage, so the ENTIRE
+   * compressed-domain ranking sits under the oracle. Scale shape
+   * identical to [[pqTopKFromCodes]]: the query LUT (queries × m × ksub
+   * partial dots) broadcasts; the scan touches only stored codes.
+   */
+  def pqIntTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 4, dim: Int = 64, scale: Int = 10000): DataFrame = {
+    val subDim = dim / m
+    val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
+    val qq = queries.select(col("query_id").as("vec_id"),
+      qzArr(col("query_vec"), scale).as("_qq"))
+    val subs = intSubVectors(qc, subDim, "_qe")
+    val books = intSubCodebooks(subs, ksub)
+    val codes = intEncode(subs, books)
+    val qdots = intSubVectors(qq, subDim, "_qq")
+      .join(broadcast(books), Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("j"),
+        iDot(col("sub"), col("centroid")).as("_qd"))
+    val adc = codes.as("c").join(
+        broadcast(qdots).as("d"),
+        col("d.s") === col("c.s") && col("d.j") === col("c.code"))
+      .where(col("d.query_id") =!= col("c.vec_id"))
+      .groupBy(col("d.query_id").as("query_id"), col("c.vec_id").as("vec_id"))
+      .agg(sum(col("d._qd")).as("iscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("iscore").desc, col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "iscore", "rank")
+  }
+
+  /**
+   * Integer-parity IVFADC top-k: coarse integer IVF ([[ivfIntTopK]]'s
+   * device) + per-subspace integer codebooks trained on the RESIDUALS
+   * r = q − c_list (the Jegou et al. 2011 §IV residual encoding), inner
+   * -product scored as dot(q, c_list) + Σ_s dot(q_sub, book(s, code)) —
+   * the exact IVFADC decomposition, every term int64. The coarse term
+   * and the query LUT broadcast; candidates come only from probed lists.
+   */
+  def ivfPqIntTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, m: Int = 8, ksub: Int = 4,
+      dim: Int = 64, scale: Int = 10000): DataFrame = {
+    val subDim = dim / m
+    val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
+    val qq = queries.select(col("query_id"), qzArr(col("query_vec"), scale).as("_qq"))
+    val cents = intSeedCentroids(qc, nLists, "_qe")
+    val aw = Window.partitionBy("vec_id").orderBy(col("_d"), col("list_id"))
+    val assigned = qc.crossJoin(broadcast(cents))
+      .withColumn("_d", iD2(col("_qe"), col("centroid")))
+      .withColumn("_r", row_number().over(aw))
+      .where(col("_r") === 1)
+      .select(col("vec_id"), col("_qe"), col("list_id"), col("centroid"))
+    val resid = assigned.select(col("vec_id"),
+      zip_with(col("_qe"), col("centroid"), _ - _).as("_re"),
+      col("list_id"))
+    val subs = intSubVectors(resid.select(col("vec_id"), col("_re")), subDim, "_re")
+    val books = intSubCodebooks(subs, ksub)
+    val codes = intEncode(subs, books)
+    val pw = Window.partitionBy("query_id").orderBy(col("_d"), col("list_id"))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("_d", iD2(col("_qq"), col("centroid")))
+      .withColumn("_r", row_number().over(pw))
+      .where(col("_r") <= nProbe)
+      .select(col("query_id"), col("_qq"), col("list_id"),
+        iDot(col("_qq"), col("centroid")).as("term1"))
+    val qdots = intSubVectors(
+        probes.select(col("query_id").as("vec_id"), col("_qq")).distinct(),
+        subDim, "_qq")
+      .join(broadcast(books), Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("j"),
+        iDot(col("sub"), col("centroid")).as("_qd"))
+    val cand = assigned.select("vec_id", "list_id")
+      .join(broadcast(probes.select("query_id", "list_id", "term1")), Seq("list_id"))
+      .where(col("query_id") =!= col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qdots), Seq("query_id", "s"))
+      .where(col("j") === col("code"))
+      .groupBy("query_id", "vec_id")
+      .agg((first(col("term1")) + sum(col("_qd"))).as("iscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("iscore").desc, col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "iscore", "rank")
+  }
 }
