@@ -604,6 +604,44 @@ private[graft] object AnalyticsEntries {
         .orderBy("doc_id")
     }),
 
+    "mm_png_decode" -> ((s, dir) => {
+      // REAL pixel decode (round 16 — the first un-stubbed codec in the
+      // multimodal family): synthesize genuine PNGs (zlib deflate, CRC-32
+      // chunks, scanline y filtered with type y % 5 so all five spec
+      // filters are exercised), decode them with the pure-JVM
+      // Inflater+unfilter path, and reduce to pixel stats the oracle
+      // recomputes arithmetically from the closed-form pixel law
+      // v(x,y) = (class·31 + 7x + 13y) mod 256. The codec pair is
+      // independently cross-validated against the JDK's ImageIO PNG
+      // codec in PngCodecSpec.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.PngCodec.synthPngMedia(ids)
+      graft.analytics.PngCodec.decodeStats(media).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_phash_dedup" -> ((s, dir) => {
+      // Perceptual-hash image dedup (round 16): decode pixels → dHash
+      // over a 9×8 block grid (sum comparisons, no division — exact
+      // integers) → four 16-bit bands → band-equality candidate join →
+      // exact Hamming verify (XOR popcount). Images are keyed by
+      // doc_id % 64, so same-class docs are exact pixel duplicates the
+      // banding must surface; the banded design is the SimHash one —
+      // never all-pairs. The oracle replays pixel law, block sums, every
+      // hash bit, the band join, and the popcounts.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.PngCodec.synthPngMedia(ids)
+      val hashes = graft.analytics.PngCodec.dHash(media).toDF()
+      graft.analytics.PngCodec.phashDedup(hashes, maxHamming = 3)
+        .orderBy("img_a", "img_b")
+    }),
+
     // ----- training-data pipeline: clustering, sampling, cleaning -----
     "dd_bloom_dedup" -> ((s, dir) => {
       // Dolma-style cross-shard Bloom dedup: the already-ingested shard
@@ -836,6 +874,43 @@ private[graft] object AnalyticsEntries {
           encCount(col("text")).as("n_enc"))
         .select(col("doc_id"), col("n_before"),
           (col("n_enc") <= col("n_before") && col("n_enc") >= col("n_toks")).as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    "txt_unigram_learn_contract" -> ((s, dir) =>
+      // Unigram-LM trainer (Kudo 2018), oracle anchor (round 16): the
+      // seed-piece weight table — every substring (≤4 chars) of every
+      // letter-word weighted by word frequency × occurrences, top-30 by
+      // (weight desc, piece asc) — is the trainer's first phase and is
+      // exactly SQL-replayable; DuckDB recomputes it independently. The
+      // EM rounds past the seed are iterative (like BPE ranks ≥ 2) and
+      // certified through the encode contract below.
+      graft.analytics.Unigram.seedPieces(T(s, dir, "documents"), col("text"))),
+
+    "txt_unigram_encode_contract" -> ((s, dir) => {
+      // Viterbi-encode the corpus with the EM-trained vocabulary. Per
+      // doc the bounds are SQL-exact: n_before (one symbol per char of
+      // each letter-word, 1 per other token) and n_floor (ceil(len/4)
+      // per letter-word — no segmentation can beat max-length pieces).
+      // ok pins floor ≤ encoded ≤ chars; a broken trainer (missing
+      // chars, unnormalized probs) blows the bound or fails coverage.
+      import s.implicits._
+      val vocab = graft.analytics.Unigram.learnVocab(
+        T(s, dir, "documents"), col("text"))
+      val encCount = graft.analytics.Unigram.encodedCount(vocab)
+      val t = TextAnalysis.tokens(col("text"))
+      val nBefore = aggregate(
+        transform(t, w => when(w.rlike("^[a-z]+$"), length(w)).otherwise(lit(1))),
+        lit(0), (a, x) => a + x).cast("long")
+      val nFloor = aggregate(
+        transform(t, w => when(w.rlike("^[a-z]+$"),
+          (length(w) + lit(3)).cast("int").divide(lit(4)).cast("int")).otherwise(lit(1))),
+        lit(0), (a, x) => a + x).cast("long")
+      T(s, dir, "documents")
+        .select(col("doc_id"), nBefore.as("n_before"), nFloor.as("n_floor"),
+          encCount(col("text")).as("n_enc"))
+        .select(col("doc_id"), col("n_before"), col("n_floor"),
+          (col("n_enc") >= col("n_floor") && col("n_enc") <= col("n_before")).as("ok"))
         .orderBy("doc_id")
     }),
 
@@ -1999,6 +2074,64 @@ private[graft] object AnalyticsEntries {
         |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
         | FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Closed-form replay of the decoded pixels: the engine really
+    // inflates + unfilters real PNGs; the oracle recomputes the pixel
+    // law v(x,y) = (cls·31 + 7x + 13y) mod 256 arithmetically.
+    "mm_png_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |sums AS (
+        |  SELECT i.doc_id,
+        |    CAST(sum((i.cls * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum
+        |  FROM imgs i, generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
+        |  GROUP BY 1)
+        |SELECT i.doc_id, CAST(36 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bit_depth, CAST(0 AS INTEGER) AS color_type,
+        |  TRUE AS crc_ok, s.px_sum,
+        |  CAST((i.cls * 31) % 256 AS INTEGER) AS px_first,
+        |  CAST((i.cls * 31 + 7 * 18 + 13 * 16) % 256 AS INTEGER) AS px_mid,
+        |  CAST((i.cls * 31 + 7 * 35 + 13 * 31) % 256 AS INTEGER) AS px_last
+        |FROM imgs i JOIN sums s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the perceptual-hash dedup: block sums from the
+    // pixel law, every dHash bit, the 16-bit bands, the band-equality
+    // candidate join, and the exact XOR-popcount Hamming verify.
+    "mm_phash_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |clss AS (SELECT DISTINCT cls FROM imgs),
+        |bs AS (
+        |  SELECT cls, bx, by,
+        |    CAST(sum((cls * 31 + 7 * (bx * 4 + dx) + 13 * (by * 4 + dy)) % 256)
+        |      AS BIGINT) AS s
+        |  FROM clss, generate_series(0, 8) tbx(bx), generate_series(0, 7) tby(by),
+        |       generate_series(0, 3) tdx(dx), generate_series(0, 3) tdy(dy)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.cls, (a.by * 8 + a.bx) AS i,
+        |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        |  FROM bs a JOIN bs b ON b.cls = a.cls AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |bands AS (
+        |  SELECT cls, CAST(i // 16 AS INTEGER) AS band,
+        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hv AS (
+        |  SELECT i.doc_id, b.band, b.v FROM imgs i JOIN bands b ON b.cls = i.cls),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS img_a, b.doc_id AS img_b
+        |  FROM hv a JOIN hv b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.img_a, c.img_b,
+        |    CAST(sum(bit_count(CAST(xor(ha.v, hb.v) AS BIGINT))) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN hv ha ON ha.doc_id = c.img_a
+        |  JOIN hv hb ON hb.doc_id = c.img_b AND hb.band = ha.band
+        |  GROUP BY 1, 2)
+        |SELECT img_a, img_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY img_a, img_b""".stripMargin,
+
     "dd_bloom_dedup" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),
         | ref AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0),
@@ -2307,6 +2440,34 @@ private[graft] object AnalyticsEntries {
         |  CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
         |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN length(w) ELSE 1 END))
         |    AS BIGINT) AS n_before,
+        |  CAST(TRUE AS BOOLEAN) AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Independent replay of the unigram trainer's seed phase: substring
+    // weights over the letter-word frequency table, top-30 with the
+    // (weight desc, piece asc) tie-break.
+    "txt_unigram_learn_contract" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY tok),
+        | subs AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, c
+        |  FROM words, unnest(range(1, length(w) + 1)) t(i), unnest(range(1, 5)) u(l)
+        |  WHERE i + l - 1 <= length(w))
+        |SELECT piece, CAST(sum(c) AS BIGINT) AS weight
+        |FROM subs GROUP BY 1 ORDER BY weight DESC, piece LIMIT 30""".stripMargin,
+
+    "txt_unigram_encode_contract" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN length(w) ELSE 1 END))
+        |    AS BIGINT) AS n_before,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN (length(w) + 3) // 4
+        |         ELSE 1 END)) AS BIGINT) AS n_floor,
         |  CAST(TRUE AS BOOLEAN) AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -1484,6 +1484,261 @@ private[graft] object IngestProtoEntries {
         .orderBy("partition", "offset")
     }),
 
+    "e2e_txn_stack" -> ((s, dir) => {
+      // CROSS-LAYER transactional scenario (round 16): wire
+      // InitProducerId v4 allocates two producers → four wire Produce v8
+      // frames interleave the two transactions' batches on both
+      // partitions (attributes bit 0x10, real base sequences) → the
+      // engine ingests them CRC-gated and offset-assigned → wire EndTxn
+      // v3 commits tx-a and ABORTS tx-b → a read_committed wire Fetch
+      // v11 (isolation_level=1, aborted ranges in the response) must
+      // serve ONLY tx-a's rows below the LSO → wire TxnOffsetCommit v3
+      // lands group offsets for BOTH txns, of which only tx-a's may
+      // become visible (group::commit_tx) → the REST proxy consumes from
+      // the committed offset. Per-hop counts fold into `chain`; the
+      // oracle re-derives every offset, the LSO cut, and the tail.
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.functions.{RecordBatchCodec, WireHeaders}
+      import WireHeaders.{Fetch, InitProducerId, EndTxn, Produce,
+        TxnOffsetCommit => TOC}
+      val nP = 2
+      val Group = "g-e2e"
+      // ---- layer 1: wire InitProducerId allocates pids 500 / 501
+      val pids = Seq("tx-a", "tx-b").zipWithIndex.map { case (tid, i) =>
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(22, 4, 90 + i, Some("graft-txn")),
+          InitProducerId.encodeRequest(InitProducerId.Request(
+            Some(tid), 60000, -1L, -1)), flexible = true)
+        val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = InitProducerId.decodeRequest(body)
+        val respF = WireHeaders.encodeResponseFrame(h.correlationId,
+          InitProducerId.encodeResponse(InitProducerId.Response(
+            0, 0, 500L + i, 0)), flexibleHeader = true)
+        val (corr, rb) = WireHeaders.decodeResponseFrame(respF, flexibleHeader = true)
+        val resp = InitProducerId.decodeResponse(rb)
+        (req.transactionalId.get, resp.producerId,
+          corr == 90 + i && req.transactionTimeoutMs == 60000)
+      }
+      val pidOf = pids.map(p => p._1 -> p._2).toMap
+      val initOk = pids.forall(_._3)
+      // ---- layer 2: four interleaved transactional Produce frames
+      // (frame = (half, txn): tx-a h1, tx-b h1, tx-a h2, tx-b h2)
+      val planted = T(s, dir, "events").where(col("event_id") < 36)
+        .select(col("event_id"),
+          pmod(col("event_id"), lit(nP)).cast("int").as("partition"),
+          col("event_type"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit("tx-b"))
+            .otherwise(lit("tx-a")).as("tid"),
+          when(col("event_id") < 18, lit(0)).otherwise(lit(1)).as("half"))
+      val w = Window.partitionBy("partition", "tid", "half")
+      val frames = (for (half <- 0 to 1; tid <- Seq("tx-a", "tx-b")) yield {
+        val part = planted.where(col("tid") === tid && col("half") === half)
+          .withColumn("offset", row_number().over(Window
+            .partitionBy("partition", "tid", "half").orderBy("event_id"))
+            .cast("long") - 1)
+          .withColumn("base_offset", lit(0L))
+          .withColumn("first_ts", min("event_id").over(w))
+        val envs = part.groupBy("partition")
+          .agg(first(col("base_offset")).as("base_offset"),
+            first(col("first_ts")).as("first_timestamp"),
+            max(col("event_id")).as("max_timestamp"),
+            sort_array(collect_list(struct(
+              col("offset").cast("int").as("offset_delta"),
+              (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
+              col("event_id").cast("string").cast("binary").as("key"),
+              concat(lit("type="), col("event_type")).cast("binary").as("value"),
+              array().cast("array<struct<header_key:string,header_value:binary>>")
+                .as("headers")))).as("records"))
+          .select(col("partition"), call_function("kafka_batch_encode", struct(
+            col("base_offset"), lit(5).as("partition_leader_epoch"),
+            lit(0x10).as("attributes"), // transactional bit
+            col("first_timestamp"), col("max_timestamp"),
+            lit(pidOf(tid)).as("producer_id"), lit(0).as("producer_epoch"),
+            (lit(half) * 9).cast("int").as("base_sequence"),
+            col("records"))).as("wire"))
+          .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("wire")))
+          .sortBy(_._1)
+        WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(0, 8, 100 + half * 2 + (if (tid == "tx-b") 1 else 0),
+            Some("graft-txn")),
+          Produce.encodeRequest(Produce.Request(Some(tid), -1, 30000,
+            Seq(("txn_events", envs.toIndexedSeq.map { case (p, wb) => (p, Some(wb)) })))),
+          flexible = false)
+      }).toIndexedSeq
+      // decode each frame, collect (partition, arrival, wire)
+      val wireRows = frames.zipWithIndex.flatMap { case (f, i) =>
+        val (_, body) = WireHeaders.decodeRequestFrame(f, flexible = false)
+        Produce.decodeRequest(body).topics.head._2.map { case (p, wb) =>
+          (p, i.toLong, wb.get)
+        }
+      }.toDF("partition", "arrival", "wire")
+      val ingested = graft.log.RecordLog.wireIngest(
+          wireRows, col("wire"), col("partition"), col("arrival"))
+        .where(col("route") === "accept")
+        .select(col("partition"), col("offset"), col("key"), col("value"))
+      val nIngested = ingested.count()
+      // decode envelope headers too: pid + txn bit travel the wire
+      val decoded = wireRows
+        .select(col("partition"), col("arrival"),
+          call_function("kafka_batch_decode", col("wire")).as("d"))
+        .select(col("partition"), col("arrival"),
+          col("d.producer_id").as("pid"),
+          (col("d.attributes").bitwiseAND(lit(0x10)) =!= 0).as("txn_bit"),
+          explode(col("d.records")).as("r"))
+        .withColumn("offset", row_number().over(Window.partitionBy("partition")
+          .orderBy(col("arrival"), col("r.offset_delta"))).cast("long") - 1)
+      val txnBitsOk = decoded.where(!col("txn_bit")).count() == 0
+      // the engine's assignment and the header-decode replay must agree
+      val offsetsMatch = ingested.alias("a").join(decoded.alias("b"),
+          col("a.partition") === col("b.partition") &&
+            col("a.key") === col("b.r.key"))
+        .where(col("a.offset") =!= col("b.offset")).count() == 0
+      // ---- layer 3: wire EndTxn — commit tx-a, abort tx-b
+      val ends = Seq(("tx-a", true), ("tx-b", false)).zipWithIndex.map {
+        case ((tid, commit), i) =>
+          val reqF = WireHeaders.encodeRequestFrame(
+            WireHeaders.RequestHeader(26, 3, 110 + i, Some("graft-txn")),
+            EndTxn.encodeRequest(EndTxn.Request(tid, pidOf(tid), 0, commit)),
+            flexible = true)
+          val (h, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+          val req = EndTxn.decodeRequest(body)
+          (req.transactionalId, req.producerId, req.committed, h.correlationId == 110 + i)
+      }
+      val endsOk = ends.forall(_._4)
+      val dataLog = decoded.select(col("partition"), col("offset"),
+        col("pid"), lit(1L).as("txn_seq"), lit(false).as("is_control"),
+        lit(null).cast("string").as("decision"),
+        lit(graft.model.BatchType.RaftData).as("batch_type"),
+        col("r.key").as("key"), col("r.value").as("value"))
+      val maxOff = dataLog.groupBy("partition").agg(max("offset").as("mx"))
+      val markers = maxOff.crossJoin(
+          ends.map(e => (e._1, e._2, if (e._3) "commit" else "abort"))
+            .toDF("tid", "m_pid", "decision"))
+        .withColumn("offset", col("mx") + when(col("decision") === "commit", 1L).otherwise(2L))
+        .select(col("partition"), col("offset"), col("m_pid").as("pid"),
+          lit(1L).as("txn_seq"), lit(true).as("is_control"), col("decision"),
+          lit(graft.model.BatchType.RaftData).as("batch_type"),
+          lit(null).cast("binary").as("key"), lit(null).cast("binary").as("value"))
+      val log = dataLog.unionByName(markers)
+      // ---- layer 4: read_committed wire Fetch (isolation_level = 1)
+      val committed = graft.log.TxnEngine.readCommitted(log)
+        .select(col("partition"), col("offset"), col("key"), col("value"))
+      val nCommitted = committed.count()
+      val aborted = graft.log.TxnEngine.abortedRanges(log)
+        .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      val w2 = Window.partitionBy("partition")
+      val fetchEnvs = committed
+        .withColumn("base_offset", min("offset").over(w2))
+        .withColumn("first_ts", min("offset").over(w2))
+        .groupBy("partition")
+        .agg(first(col("base_offset")).as("base_offset"),
+          first(col("first_ts")).as("first_timestamp"),
+          max(col("offset")).as("max_timestamp"),
+          sort_array(collect_list(struct(
+            (col("offset") - col("base_offset")).cast("int").as("offset_delta"),
+            (col("offset") - col("first_ts")).cast("long").as("ts_delta"),
+            col("key").cast("binary").as("key"),
+            col("value").cast("binary").as("value"),
+            array().cast("array<struct<header_key:string,header_value:binary>>")
+              .as("headers")))).as("records"))
+        .select(col("partition"),
+          call_function("kafka_batch_encode", p6EncodeStruct).as("wire"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("wire")).toMap
+      val lsos = graft.log.TxnEngine.lastStableOffsets(log)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val fetchReqFrame = WireHeaders.encodeRequestFrame(
+        WireHeaders.RequestHeader(1, 11, 120, Some("graft-txn")),
+        Fetch.encodeRequest(Fetch.Request(-1, 500, 1, 52428800,
+          isolationLevel = 1, 0, -1,
+          Seq(("txn_events", (0 until nP).map(p =>
+            Fetch.ReqPart(p, -1, 0L, 0L, 1048576)))), Nil, "")),
+        flexible = false)
+      val (fhdr, freqBody) = WireHeaders.decodeRequestFrame(fetchReqFrame, flexible = false)
+      val freq = Fetch.decodeRequest(freqBody)
+      val isoOk = freq.isolationLevel == 1
+      val fresp = Fetch.Response(0, 0, 0, Seq(("txn_events",
+        freq.topics.head._2.map { p =>
+          val ab = aborted.filter(_._1 == p.partitionIndex)
+            .map(a => Fetch.Aborted(pidOf("tx-b"), a._2)).toIndexedSeq
+          Fetch.RespPart(p.partitionIndex, 0,
+            lsos(p.partitionIndex) + 2, lsos(p.partitionIndex),
+            0L, Some(ab), -1, fetchEnvs.get(p.partitionIndex))
+        })))
+      val frespFrame = WireHeaders.encodeResponseFrame(fhdr.correlationId,
+        Fetch.encodeResponse(fresp))
+      val (fcorr, frespBody) = WireHeaders.decodeResponseFrame(frespFrame)
+      val fetchedParts = Fetch.decodeResponse(frespBody).topics.head._2
+      val nAbortedServed = fetchedParts.map(_.aborted.map(_.size).getOrElse(0)).sum
+      val fetched = fetchedParts.flatMap { p =>
+        p.records.toSeq.flatMap { env =>
+          val bh = RecordBatchCodec.decodeHeader(env)
+          RecordBatchCodec.decodeRecords(
+              RecordBatchCodec.recordsRegion(env), bh.recordCount)
+            .map(r => (p.partitionIndex, bh.baseOffset + r.offsetDelta,
+              new String(r.key, "UTF-8"), new String(r.value, "UTF-8")))
+        }
+      }
+      val txbAbsent = fetched.forall { case (_, _, k, _) => k.toLong % 3 != 0 }
+      // ---- layer 5: wire TxnOffsetCommit for both txns; only tx-a's
+      // offsets may become visible (its txn carries the commit marker)
+      val perPartN = fetched.groupBy(_._1).view.mapValues(_.size).toMap
+      val tocRows = Seq("tx-a", "tx-b").zipWithIndex.flatMap { case (tid, i) =>
+        val reqF = WireHeaders.encodeRequestFrame(
+          WireHeaders.RequestHeader(28, 3, 130 + i, Some("graft-txn")),
+          TOC.encodeRequest(TOC.Request(tid, Group, pidOf(tid), 0, 7, "m-1", None,
+            Seq(("txn_events", (0 until nP).map(p => TOC.ReqPartition(
+              p, if (tid == "tx-a") perPartN(p).toLong - 2 else 999L, -1, None)))))),
+          flexible = true)
+        val (_, body) = WireHeaders.decodeRequestFrame(reqF, flexible = true)
+        val req = TOC.decodeRequest(body)
+        req.topics.head._2.map(pt => (req.producerId, 1L, req.groupId,
+          "txn_events", pt.partition, pt.offset, 1L))
+      }.toDF("pid", "txn_seq", "group", "topic", "partition",
+        "committed_offset", "commit_seq")
+      val visible = graft.log.TxnEngine.commitTxOffsets(tocRows, log)
+        .select("group", "topic", "partition", "committed_offset")
+        .collect().map(r => (r.getInt(2), r.getLong(3))).toMap
+      val txbInvisible = visible.values.forall(_ != 999L) && visible.size == nP
+      // ---- layer 6: REST proxy consume from the committed offsets
+      import graft.proxy.RestProxy
+      val proxy = new RestProxy.Server(nPartitions = nP)
+      proxy.createTopic("txn_out")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val enc = java.util.Base64.getEncoder
+      val dec = java.util.Base64.getDecoder
+      val recs = fetched.sortBy(r => (r._1, r._2)).map { case (p, _, k, v) =>
+        s"""{"partition":$p,"key":"${enc.encodeToString(k.getBytes("UTF-8"))}",""" +
+          s""""value":"${enc.encodeToString(v.getBytes("UTF-8"))}"}"""
+      }.mkString("[", ",", "]")
+      val proxyOk = proxy.handle("POST", "/topics/txn_out",
+        Some(s"""{"records":$recs}""")).status == 200
+      val consumed = (0 until nP).flatMap { p =>
+        val from = visible(p)
+        val r = proxy.handle("GET",
+          s"/topics/txn_out/partitions/$p/records?offset=$from")
+        if (r.status != 200) Nil
+        else {
+          val a = m.readTree(r.body)
+          (0 until a.size()).map { i =>
+            val o = a.get(i)
+            (p, o.get("offset").asLong(),
+              new String(dec.decode(o.get("key").asText()), "UTF-8"),
+              new String(dec.decode(o.get("value").asText()), "UTF-8"))
+          }
+        }
+      }
+      val chain = s"pid_a=${pidOf("tx-a")},pid_b=${pidOf("tx-b")}," +
+        s"init_ok=$initOk,ingested=$nIngested,txn_bits_ok=$txnBitsOk," +
+        s"offsets_match=$offsetsMatch,ends_ok=$endsOk,committed=$nCommitted," +
+        s"aborted_served=$nAbortedServed,iso_ok=$isoOk,txb_absent=$txbAbsent," +
+        s"visible_groups=${visible.size},txb_invisible=$txbInvisible," +
+        s"corr_ok=${fcorr == 120},proxy_ok=$proxyOk"
+      consumed.map { case (p, o, k, v) => (p, o, k, v, chain) }
+        .toDF("partition", "offset", "key", "value", "chain")
+        .orderBy("partition", "offset")
+    }),
+
     "sr_rest_api" -> ((s, dir) => {
       // The registry's REST protocol — the Confluent-compatible JSON
       // surface the reference serves (pandaproxy/schema_registry/
@@ -2825,6 +3080,36 @@ private[graft] object IngestProtoEntries {
         |  UPPER('type=' || event_type) AS value,
         |  'ingested=32,transformed=32,committed=32,fetched=32,consumed=32,p2_rejected=true,corr_ok=true,proxy_ok=true' AS chain
         |FROM planted ORDER BY partition, "offset"""".stripMargin,
+
+    // Re-derives the transactional scenario end to end: frame arrival
+    // order fixes every log offset, the abort cuts tx-b, the committed
+    // group offset (n-2) fixes the consumed tail.
+    "e2e_txn_stack" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(event_id % 2 AS INTEGER) AS partition, event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS txb,
+        |    (CASE WHEN event_id < 18 THEN 0 ELSE 2 END)
+        |      + (CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS arr
+        |  FROM events WHERE event_id < 36),
+        | logd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY partition ORDER BY arr, event_id) - 1 AS off
+        |  FROM base),
+        | comm AS (
+        |  SELECT partition, event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY partition ORDER BY off) - 1 AS BIGINT) AS poff
+        |  FROM logd WHERE txb = 0),
+        | np AS (SELECT partition, count(*) AS n FROM comm GROUP BY 1),
+        | ch AS (SELECT 'pid_a=500,pid_b=501,init_ok=true,ingested=' ||
+        |  CAST((SELECT count(*) FROM base) AS VARCHAR) ||
+        |  ',txn_bits_ok=true,offsets_match=true,ends_ok=true,committed=' ||
+        |  CAST((SELECT count(*) FROM comm) AS VARCHAR) ||
+        |  ',aborted_served=2,iso_ok=true,txb_absent=true,visible_groups=2,' ||
+        |  'txb_invisible=true,corr_ok=true,proxy_ok=true' AS chain)
+        |SELECT c.partition, c.poff AS "offset", CAST(c.event_id AS VARCHAR) AS key,
+        |  'type=' || c.event_type AS value, ch.chain
+        |FROM comm c JOIN np USING (partition), ch
+        |WHERE c.poff >= np.n - 2
+        |ORDER BY partition, "offset"""".stripMargin,
 
     "sr_rest_api" ->
       """SELECT * FROM (VALUES
