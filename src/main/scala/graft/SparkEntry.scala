@@ -2381,6 +2381,7 @@ object SparkEntry {
     graft.entries.AdminRestScriptEntries.queries ++
     graft.entries.DatalakeTransformEntries.queries ++
     graft.entries.AnalyticsEntries.queries ++
+    graft.entries.MediaEntries.queries ++
     graft.entries.SftMixtureEntries.queries
 
   def oracleSql: Map[String, String] =
@@ -2391,5 +2392,6 @@ object SparkEntry {
     graft.entries.AdminRestScriptEntries.oracleSql ++
     graft.entries.DatalakeTransformEntries.oracleSql ++
     graft.entries.AnalyticsEntries.oracleSql ++
+    graft.entries.MediaEntries.oracleSql ++
     graft.entries.SftMixtureEntries.oracleSql
 }

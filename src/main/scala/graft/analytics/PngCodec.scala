@@ -209,6 +209,174 @@ object PngCodec {
     }
   }
 
+  /** Second and third pixel laws for the streaming funnel's fresh
+    * content families — same closed-form shape, different coefficients,
+    * so different-law images share no structure. */
+  def classPixelB(cls: Long, x: Int, y: Int): Int =
+    ((cls * 37 + 11L * x + 17L * y) % 256).toInt
+  def classPixelC(cls: Long, x: Int, y: Int): Int =
+    ((cls * 41 + 19L * x + 23L * y) % 256).toInt
+
+  /** Real PNGs over an arbitrary pixel law, class = id % `classes`. */
+  def synthMediaWithLaw(ids: Dataset[java.lang.Long],
+      law: (Long, Int, Int) => Int, classes: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val cls = id.longValue % classes
+        MediaRecord(id.longValue, "image/png",
+          encodeGray(SynthW, SynthH, (x, y) => law(cls, x, y)))
+      }
+    }
+  }
+
+  /** Dark-image pixel law for the funnel's planted low-quality class:
+    * `(cls + x + y) mod 32` — mean ≈ 15.5, far under the brightness
+    * floor, so the REAL quality gate must reject these after decode. */
+  def darkPixel(cls: Long, x: Int, y: Int): Int =
+    ((cls + x + y) % 32).toInt
+
+  /** Funnel corpus: ids with `id % 17 == 0` get the dark law (planted
+    * quality rejects); everyone else the standard class law (planted
+    * duplicates via shared classes). All real PNGs. */
+  def synthFunnelMedia(ids: Dataset[java.lang.Long], classes: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val cls = id.longValue % classes
+        val px: (Int, Int) => Int =
+          if (id.longValue % 17 == 0) (x, y) => darkPixel(cls, x, y)
+          else (x, y) => classPixel(cls, x, y)
+        MediaRecord(id.longValue, "image/png", encodeGray(SynthW, SynthH, px))
+      }
+    }
+  }
+
+  /**
+   * The image-curation funnel — decode → pixel-quality gate →
+   * perceptual-hash dedup, one verdict per image: `low_quality` (the
+   * REAL gate rejected it after decode), `dup` (a band-sharing keeper
+   * with a lower doc_id sits within `maxHamming`; `dup_of` = the
+   * smallest such id), else `kept`. The multimodal analogue of the
+   * crawl-ladder text funnel: every stage runs on decoded pixels, no
+   * stage sees the synthesis law.
+   */
+  def imageFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val quality = qualityStats(media).toDF()
+      .select(col("doc_id"), col("keep"))
+    val keepers = media.toDF().join(quality.where(col("keep")), "doc_id")
+      .select(col("doc_id"), col("mime"), col("media"))
+      .as[MediaRecord]
+    val hashes = dHash(keepers).toDF()
+    val pairs = phashDedup(hashes, maxHamming)
+    val dupOf = pairs.groupBy(col("img_b").as("doc_id"))
+      .agg(min(col("img_a")).as("dup_of"))
+    quality.join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("keep"), lit("low_quality"))
+          .when(col("dup_of").isNotNull, lit("dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("keep"), col("dup_of")).as("dup_of"))
+  }
+
+  /** Seed the standing perceptual-hash index with an already-curated
+    * corpus (`batch=-1`) — the [[Dedup.initIncrementalState]] analogue. */
+  def initImageState(corpus: Dataset[MediaRecord], stateDir: String)(
+      implicit spark: SparkSession): Unit =
+    dHash(corpus).toDF()
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=-1")
+
+  /**
+   * The image funnel as a continuous query with a GROWING hash index —
+   * the multimodal analogue of [[Dedup.incrementalNearDupsStream]]:
+   * each micro-batch decodes its PNGs, gates on pixel quality, probes
+   * the standing dHash index (plus lower-id batchmates), and the images
+   * it judges `new` join the index — so a later batch's pixel-copy of
+   * an earlier batch's accepted image is `dup` OF that image (the
+   * growing state is the semantics; a per-arrival batch operator would
+   * call it `new`).
+   *
+   * Same idempotence discipline as the other streaming twins: state and
+   * output land in `batch=N` partitions with overwrite mode, reads
+   * filter `batch < current`, so a replayed micro-batch sees exactly
+   * its pre-batch state. Per-batch work: the index is probed through
+   * band-equality joins only (batch bands semi-join the standing index
+   * first), never aggregated whole.
+   */
+  def imageFunnelStream(batches: DataFrame, stateDir: String, outDir: String,
+      ckptDir: String, maxHamming: Int = 3,
+      maxBucket: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = batches.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        implicit val s: SparkSession = batch.sparkSession
+        import s.implicits._
+        val media = batch.select(col("doc_id"), col("mime"), col("media"))
+          .as[MediaRecord]
+        val quality = qualityStats(media).toDF()
+          .select(col("doc_id"), col("keep")).localCheckpoint(true)
+        val keepers = batch.join(quality.where(col("keep")), "doc_id")
+          .select(col("doc_id"), col("mime"), col("media")).as[MediaRecord]
+        val hashes = dHash(keepers).toDF().localCheckpoint(true)
+        def banded(h: DataFrame): DataFrame =
+          h.select(col("doc_id"), posexplode(array(
+            col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_id", "bv")))
+        val batchBanded = banded(hashes)
+        val prior = s.read.parquet(s"$stateDir/hashes")
+          .where(col("batch") < batchId).drop("batch")
+        // probe-scoped: only standing-index rows in buckets this batch
+        // touches enter the join (verdict-identical; batch-scale work)
+        val priorBanded = Dedup.capBuckets(
+          banded(prior).join(
+            batchBanded.select("band_id", "bv").distinct(),
+            Seq("band_id", "bv"), "left_semi"),
+          Seq("band_id", "bv"), maxBucket)
+        val candPrior = priorBanded.select(col("doc_id").as("img_a"),
+            col("band_id"), col("bv"))
+          .join(batchBanded.select(col("doc_id").as("img_b"),
+            col("band_id"), col("bv")), Seq("band_id", "bv"))
+        val candIntra = batchBanded.alias("a").join(batchBanded.alias("b"),
+            col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("img_a"), col("b.doc_id").as("img_b"))
+        val cand = candPrior.select("img_a", "img_b")
+          .unionByName(candIntra).distinct()
+        val all = prior.unionByName(hashes)
+        val pa = all.select(col("doc_id").as("img_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+        val pb = hashes.select(col("doc_id").as("img_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+        val dupOf = cand.join(pa, "img_a").join(pb, "img_b")
+          .where((bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3")))) <= maxHamming)
+          .groupBy(col("img_b").as("doc_id"))
+          .agg(min(col("img_a")).as("dup_of"))
+        val verdicts = quality.join(dupOf, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(!col("keep"), lit("low_quality"))
+              .when(col("dup_of").isNotNull, lit("dup"))
+              .otherwise(lit("new")).as("verdict"),
+            when(col("keep"), col("dup_of")).as("dup_of"))
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val admitted = s.read.parquet(s"$outDir/batch=$batchId")
+          .where(col("verdict") === "new").select("doc_id")
+        hashes.join(admitted, "doc_id")
+          .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Decoded-pixel summary row: closed-form checkable stats per image. */
   final case class PngStats(doc_id: Long, width: Int, height: Int,
       bit_depth: Int, color_type: Int, crc_ok: Boolean,
@@ -228,6 +396,42 @@ object PngCodec {
           img.crcOk, s, img.pixels(0),
           img.pixels(img.height / 2 * img.width + img.width / 2),
           img.pixels(img.pixels.length - 1))
+      }
+    }
+  }
+
+  /** Image-quality gate row: the pixel-statistics filters a multimodal
+    * training pipeline runs after decode (LAION-style): brightness
+    * bounds, contrast floor, solid-color rejection. All integer —
+    * comparisons are cross-multiplied (`sum·4 < n·255` for mean < 63.75)
+    * so no division enters the verdict. */
+  final case class ImageQuality(doc_id: Long, px_min: Int, px_max: Int,
+      px_sum: Long, n_px: Int, solid: Boolean, too_dark: Boolean,
+      too_bright: Boolean, low_contrast: Boolean, keep: Boolean)
+
+  /** Decode and grade every image — the filter pass between decode and
+    * embedding in an image-corpus pipeline. Narrow, no shuffle. */
+  def qualityStats(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[ImageQuality] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = decodeGray(r.media)
+        var mn = 255; var mx = 0; var s = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          s += v; i += 1
+        }
+        val n = img.pixels.length
+        val solid = mn == mx
+        val tooDark = s * 4 < n.toLong * 255    // mean < 63.75
+        val tooBright = s * 4 > n.toLong * 765  // mean > 191.25
+        val lowContrast = (mx - mn) < 32
+        ImageQuality(r.doc_id, mn, mx, s, n, solid, tooDark, tooBright,
+          lowContrast, !(solid || tooDark || tooBright || lowContrast))
       }
     }
   }

@@ -904,6 +904,103 @@ object Similarity {
       .select("query_id", "vec_id", "iscore", "rank")
   }
 
+  /**
+   * Integer-parity LSH top-k: sign-random-projection buckets whose
+   * hyperplanes derive from the md5 device (`r(b,d) = md5int("lsh:b:d")
+   * mod 2001 − 1000` — the same cross-engine hash spelling the
+   * minhash-parity entry uses), bits from exact int64 projection sums,
+   * `nBits/bandBits` bucket bands, candidates from band-equality joins
+   * only, exact int64 inner-product ranking. The whole
+   * sketch → bucket → verify pipeline replays in pure integer SQL. The
+   * float production path ([[lshTopK]], xxhash-seeded kernels) keeps its
+   * recall contract.
+   */
+  /** md5-device integer hyperplanes: `r(b,d) = md5int("lsh:b:d") mod
+    * 2001 − 1000`, replayable by any engine with md5. */
+  private def md5Proj(nBits: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sKey: String): Long = {
+      val hex = md.digest(sKey.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until nBits).map(b => (0 until dim).map(d => h(s"lsh:$b:$d") % 2001L - 1000L))
+  }
+
+  /** Band bucket values from exact int64 sign bits of the md5
+    * hyperplane projections: one Column per band of `bandBits` bits. */
+  private def md5Bands(vec: Column, proj: IndexedSeq[IndexedSeq[Long]],
+      bandBits: Int): Seq[Column] = {
+    val bits = proj.indices.map { b =>
+      val s = aggregate(zip_with(vec, typedLit(proj(b)), _ * _), lit(0L), _ + _)
+      when(s > 0L, lit(1)).otherwise(lit(0))
+    }
+    (0 until proj.size / bandBits).map { g =>
+      (0 until bandBits).map(p => bits(g * bandBits + p) * lit(1 << p))
+        .reduce(_ + _)
+    }
+  }
+
+  def lshIntTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 16, bandBits: Int = 4, scale: Int = 10000): DataFrame = {
+    val proj = md5Proj(nBits, 64)
+    val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
+    val qq = queries.select(col("query_id"), qzArr(col("query_vec"), scale).as("_qq"))
+    def banded(df: DataFrame, vc: String, idc: String): DataFrame =
+      df.select(col(idc), posexplode(array(md5Bands(col(vc), proj, bandBits): _*))
+        .as(Seq("band_id", "bv")))
+    val cb = banded(qc, "_qe", "vec_id")
+    val qb = banded(qq, "_qq", "query_id")
+    val cand = cb.join(broadcast(qb), Seq("band_id", "bv"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cand
+      .join(qc, Seq("vec_id"))
+      .join(broadcast(qq), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        iDot(col("_qe"), col("_qq")).as("iscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("iscore").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "iscore", "rank")
+  }
+
+  /**
+   * Embedding near-duplicate pairs with FULLY REPLAYABLE candidates:
+   * md5-hyperplane band buckets (the [[lshIntTopK]] device) generate the
+   * candidate pairs, the exact float cosine (double, the proven
+   * cross-engine round-5 device) verifies the threshold — so unlike the
+   * xxhash-bucketed [[cosineNearDups]] production path (certified by its
+   * recall contract), every candidate AND every verdict of this leg sits
+   * under the oracle. Same scale shape: band-equality self-joins only,
+   * hot buckets capped, no all-pairs product.
+   */
+  def cosineNearDupsParity(corpus: DataFrame, threshold: Double,
+      nBits: Int = 16, bandBits: Int = 4, scale: Int = 10000,
+      maxBucket: Int = 10000): DataFrame = {
+    val proj = md5Proj(nBits, 64)
+    val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
+    val banded = Dedup.capBuckets(
+      qc.select(col("vec_id"),
+        posexplode(array(md5Bands(col("_qe"), proj, bandBits): _*))
+          .as(Seq("band_id", "bv"))),
+      Seq("band_id", "bv"), maxBucket)
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val withNorm = kernels(corpus).withColumn("_n", norm(col("embedding")))
+    val av = withNorm.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("_n").as("n_a"))
+    val bv = withNorm.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("_n").as("n_b"))
+    cand.join(av, "vec_a").join(bv, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosPre(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Per-(vector, subspace) quantized sub-vectors: (vec_id, s, sub). */
   private def intSubVectors(qv: DataFrame, subDim: Int,
       vecCol: String): DataFrame =

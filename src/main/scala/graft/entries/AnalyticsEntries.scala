@@ -76,7 +76,7 @@ private[graft] object AnalyticsEntries {
     inDir.toString
   }
 
-  private def crawlVerdicts(s: SparkSession, dir: String): DataFrame =
+  private[entries] def crawlVerdicts(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir)
       .select(col("batch").cast("int").as("batch_id"), col("doc_id"),
         col("verdict"), col("dup_of"))
@@ -259,11 +259,16 @@ private[graft] object AnalyticsEntries {
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
+      // Integer-parity LSH (round 16): md5-derived integer hyperplanes,
+      // exact int64 sign bits, 4x4-bit band buckets, int64 in-bucket
+      // ranking — the last float ANN top-k brought under the oracle.
+      // The float production path (Similarity.lshTopK, xxhash sign
+      // sketches) keeps its quality contract in ann_lsh_recall.
       val emb = T(s, dir, "embeddings")
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(emb, queries, dim = 64, k = 5)
+      Similarity.lshIntTopK(emb, queries, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -435,9 +440,14 @@ private[graft] object AnalyticsEntries {
     }),
 
     "dd_embed_cosine_lsh" -> ((s, dir) => {
+      // md5-hyperplane parity buckets + exact cosine verify (round 16):
+      // the whole candidate-generation AND verify pipeline replays in
+      // DuckDB. The xxhash-bucketed production path
+      // (Similarity.cosineNearDups) keeps its contract in
+      // dd_embed_lsh_recall.
       val emb = T(s, dir, "embeddings")
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      Similarity.cosineNearDups(emb, dim = 64, threshold = 0.4)
+      Similarity.cosineNearDupsParity(emb, threshold = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 5).as("cos_r"))
         .orderBy("vec_a", "vec_b")
     }),
@@ -550,99 +560,6 @@ private[graft] object AnalyticsEntries {
     }),
 
     // ----- training-data pipeline: multimodal plumbing -----
-    "mm_media_meta" -> ((s, dir) => {
-      // Runs the REAL mapPartitions decode path (stub codec, declared in
-      // Multimodal.MediaCodec): binary payloads in, typed features out.
-      implicit val sp: SparkSession = s
-      val media = graft.analytics.Multimodal.fakeMediaFromText(T(s, dir, "documents"))
-      graft.analytics.Multimodal.extractFeatures(media).toDF()
-        .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
-        .orderBy("doc_id")
-    }),
-
-    "mm_header_parse" -> ((s, dir) => {
-      // REAL container-header parsing (no codec needed): synthesize a
-      // valid PNG / GIF / JPEG header per doc (format by id%3, dims and
-      // padding id-derived), then parse the bytes back through the
-      // mapPartitions batch path. The oracle recomputes the planted
-      // values arithmetically — a wrong byte order, offset, or marker
-      // walk shows up as a dimension mismatch.
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
-      graft.analytics.Multimodal.parseHeaders(
-          graft.analytics.Multimodal.synthesizeMedia(ids)).toDF()
-        .orderBy("doc_id")
-    }),
-
-    "mm_av_header_parse" -> ((s, dir) => {
-      // REAL audio/video container parsing (no codec needed): a valid
-      // WAV (RIFF chunk walk: fmt chunk fields + data size / byte rate
-      // duration) or MP4 (ISO-BMFF box walk: ftyp brand, moov→mvhd
-      // timescale/duration) header per doc, parsed back through the
-      // same mapPartitions batch path. The oracle recomputes every
-      // planted field arithmetically — a wrong endianness, chunk pad,
-      // or box offset shows up as a field mismatch.
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
-      graft.analytics.Multimodal.parseAvHeaders(
-          graft.analytics.Multimodal.synthesizeAvMedia(ids)).toDF()
-        .orderBy("doc_id")
-    }),
-
-    "mm_frame_sample" -> ((s, dir) => {
-      // 1->N frame extraction through the real mapPartitions/flatMap
-      // path: video payloads (stub n_frames = 1 + len % 30) sampled
-      // every 7th frame at 25 fps stamps.
-      implicit val sp: SparkSession = s
-      val media = graft.analytics.Multimodal.fakeMediaFromText(
-        T(s, dir, "documents"), mime = "video/fake")
-      graft.analytics.Multimodal.sampleFrames(media, everyK = 7).toDF()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"))
-        .orderBy("doc_id")
-    }),
-
-    "mm_png_decode" -> ((s, dir) => {
-      // REAL pixel decode (round 16 — the first un-stubbed codec in the
-      // multimodal family): synthesize genuine PNGs (zlib deflate, CRC-32
-      // chunks, scanline y filtered with type y % 5 so all five spec
-      // filters are exercised), decode them with the pure-JVM
-      // Inflater+unfilter path, and reduce to pixel stats the oracle
-      // recomputes arithmetically from the closed-form pixel law
-      // v(x,y) = (class·31 + 7x + 13y) mod 256. The codec pair is
-      // independently cross-validated against the JDK's ImageIO PNG
-      // codec in PngCodecSpec.
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
-        .select(col("doc_id")).as[java.lang.Long]
-      val media = graft.analytics.PngCodec.synthPngMedia(ids)
-      graft.analytics.PngCodec.decodeStats(media).toDF()
-        .orderBy("doc_id")
-    }),
-
-    "mm_phash_dedup" -> ((s, dir) => {
-      // Perceptual-hash image dedup (round 16): decode pixels → dHash
-      // over a 9×8 block grid (sum comparisons, no division — exact
-      // integers) → four 16-bit bands → band-equality candidate join →
-      // exact Hamming verify (XOR popcount). Images are keyed by
-      // doc_id % 64, so same-class docs are exact pixel duplicates the
-      // banding must surface; the banded design is the SimHash one —
-      // never all-pairs. The oracle replays pixel law, block sums, every
-      // hash bit, the band join, and the popcounts.
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
-        .select(col("doc_id")).as[java.lang.Long]
-      val media = graft.analytics.PngCodec.synthPngMedia(ids)
-      val hashes = graft.analytics.PngCodec.dHash(media).toDF()
-      graft.analytics.PngCodec.phashDedup(hashes, maxHamming = 3)
-        .orderBy("img_a", "img_b")
-    }),
-
-    // ----- training-data pipeline: clustering, sampling, cleaning -----
     "dd_bloom_dedup" -> ((s, dir) => {
       // Dolma-style cross-shard Bloom dedup: the already-ingested shard
       // (doc_id % 3 == 0) folds its 10-token paragraphs into a 4096-bit
@@ -1617,41 +1534,6 @@ private[graft] object AnalyticsEntries {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents))
         | ORDER BY doc_id""".stripMargin,
 
-    "mm_media_meta" ->
-      """SELECT doc_id, 'image/fake' AS mime,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
-        |  1 AS n_frames
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    "mm_header_parse" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
-        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
-        |  CAST(9 + doc_id % 700 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 * (1 + doc_id % 2) ELSE 8 END AS INTEGER)
-        |    AS bit_depth,
-        |  CAST((CASE doc_id % 3 WHEN 1 THEN 13 ELSE 33 END) + doc_id % 50 AS INTEGER)
-        |    AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Closed-form replay of the planted WAV/MP4 fields: k = doc_id//2
-    // drives every formula; durations are floor divisions.
-    "mm_av_header_parse" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'isom' END AS brand,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 ELSE 0 END AS INTEGER) AS channels,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + (doc_id // 2) % 3) ELSE 0 END AS INTEGER) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS INTEGER) AS bits,
-        |  CAST(CASE WHEN doc_id % 2 = 0
-        |    THEN ((1000 + (doc_id // 2) % 4000) * 1000) // (8000 * (1 + (doc_id // 2) % 3))
-        |    ELSE ((3000 + (doc_id // 2) % 9000) * 1000) // (600 * (1 + (doc_id // 2) % 4))
-        |  END AS BIGINT) AS duration_ms,
-        |  CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 140 END) + (doc_id // 2) % 7 AS INTEGER) AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
     "ann_bruteforce_topk" ->
       """SELECT query_id, vec_id, rank, cos_r FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -1739,6 +1621,80 @@ private[graft] object AnalyticsEntries {
     "ann_pq_recall" ->
       """SELECT 'ann_pq_recall_at5_ge_60' AS check, CAST(25 AS BIGINT) AS n_exact,
         | CAST(true AS BOOLEAN) AS ok""".stripMargin,
+
+    // Full replay of the parity-bucketed near-dup pairs (round 16):
+    // md5-hyperplane bands generate candidates, exact float cosine
+    // verifies at the proven round-5 granularity.
+    "dd_embed_cosine_lsh" ->
+      """WITH qv AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(e[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |       generate_series(1, 64) t(i)),
+        |proj AS (
+        |  SELECT b, i + 1 AS i,
+        |    CAST(CAST(('0x' || substr(md5('lsh:' || CAST(b AS VARCHAR) || ':'
+        |      || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS r
+        |  FROM unnest(range(16)) t(b), unnest(range(64)) u(i)),
+        |bits AS (
+        |  SELECT v.vec_id, p.b,
+        |    CASE WHEN sum(v.q * p.r) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM qv v JOIN proj p ON p.i = v.i GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT vec_id, CAST(b // 4 AS INTEGER) AS band_id,
+        |    CAST(sum(bit * (1 << (CAST(b AS INTEGER) % 4))) AS INTEGER) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b ON b.band_id = a.band_id AND b.bv = a.bv
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT c.vec_a, c.vec_b,
+        |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])), 5) AS cos_r
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |JOIN embeddings eb ON eb.vec_id = c.vec_b
+        |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Full integer replay of the integer-parity LSH index (round 16):
+    // md5-derived hyperplanes, sign bits from exact projection sums,
+    // band buckets, in-bucket int64 ranking.
+    "ann_lsh_topk" ->
+      """WITH qv AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(e[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |       generate_series(1, 64) t(i)),
+        |proj AS (
+        |  SELECT b, i + 1 AS i,
+        |    CAST(CAST(('0x' || substr(md5('lsh:' || CAST(b AS VARCHAR) || ':'
+        |      || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS r
+        |  FROM unnest(range(16)) t(b), unnest(range(64)) u(i)),
+        |bits AS (
+        |  SELECT v.vec_id, p.b,
+        |    CASE WHEN sum(v.q * p.r) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM qv v JOIN proj p ON p.i = v.i GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT vec_id, CAST(b // 4 AS INTEGER) AS band_id,
+        |    CAST(sum(bit * (1 << (CAST(b AS INTEGER) % 4))) AS INTEGER) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM bands q JOIN bands c ON c.band_id = q.band_id AND c.bv = q.bv
+        |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+        |scored AS (
+        |  SELECT ca.query_id, ca.vec_id, CAST(sum(a.q * b2.q) AS BIGINT) AS iscore
+        |  FROM cand ca JOIN qv a ON a.vec_id = ca.vec_id
+        |  JOIN qv b2 ON b2.vec_id = ca.query_id AND b2.i = a.i
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, vec_id, iscore, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY iscore DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, iscore, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Full integer replay of the integer-parity IVF index (round 16):
     // micro-unit quantization, seed (vec_id % 8) one-Lloyd-step integer
@@ -2067,70 +2023,6 @@ private[graft] object AnalyticsEntries {
         | FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
         | ORDER BY doc_a, doc_b""".stripMargin,
-
-    "mm_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
-        |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
-        | FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Closed-form replay of the decoded pixels: the engine really
-    // inflates + unfilters real PNGs; the oracle recomputes the pixel
-    // law v(x,y) = (cls·31 + 7x + 13y) mod 256 arithmetically.
-    "mm_png_decode" ->
-      """WITH imgs AS (
-        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
-        |sums AS (
-        |  SELECT i.doc_id,
-        |    CAST(sum((i.cls * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum
-        |  FROM imgs i, generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
-        |  GROUP BY 1)
-        |SELECT i.doc_id, CAST(36 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
-        |  CAST(8 AS INTEGER) AS bit_depth, CAST(0 AS INTEGER) AS color_type,
-        |  TRUE AS crc_ok, s.px_sum,
-        |  CAST((i.cls * 31) % 256 AS INTEGER) AS px_first,
-        |  CAST((i.cls * 31 + 7 * 18 + 13 * 16) % 256 AS INTEGER) AS px_mid,
-        |  CAST((i.cls * 31 + 7 * 35 + 13 * 31) % 256 AS INTEGER) AS px_last
-        |FROM imgs i JOIN sums s USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    // Full replay of the perceptual-hash dedup: block sums from the
-    // pixel law, every dHash bit, the 16-bit bands, the band-equality
-    // candidate join, and the exact XOR-popcount Hamming verify.
-    "mm_phash_dedup" ->
-      """WITH imgs AS (
-        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
-        |clss AS (SELECT DISTINCT cls FROM imgs),
-        |bs AS (
-        |  SELECT cls, bx, by,
-        |    CAST(sum((cls * 31 + 7 * (bx * 4 + dx) + 13 * (by * 4 + dy)) % 256)
-        |      AS BIGINT) AS s
-        |  FROM clss, generate_series(0, 8) tbx(bx), generate_series(0, 7) tby(by),
-        |       generate_series(0, 3) tdx(dx), generate_series(0, 3) tdy(dy)
-        |  GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.cls, (a.by * 8 + a.bx) AS i,
-        |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
-        |  FROM bs a JOIN bs b ON b.cls = a.cls AND b.by = a.by AND b.bx = a.bx + 1
-        |  WHERE a.bx < 8),
-        |bands AS (
-        |  SELECT cls, CAST(i // 16 AS INTEGER) AS band,
-        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
-        |  FROM bits GROUP BY 1, 2),
-        |hv AS (
-        |  SELECT i.doc_id, b.band, b.v FROM imgs i JOIN bands b ON b.cls = i.cls),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS img_a, b.doc_id AS img_b
-        |  FROM hv a JOIN hv b
-        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-        |ham AS (
-        |  SELECT c.img_a, c.img_b,
-        |    CAST(sum(bit_count(CAST(xor(ha.v, hb.v) AS BIGINT))) AS INTEGER) AS hamming
-        |  FROM cand c
-        |  JOIN hv ha ON ha.doc_id = c.img_a
-        |  JOIN hv hb ON hb.doc_id = c.img_b AND hb.band = ha.band
-        |  GROUP BY 1, 2)
-        |SELECT img_a, img_b, hamming FROM ham
-        |WHERE hamming <= 3 ORDER BY img_a, img_b""".stripMargin,
 
     "dd_bloom_dedup" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),

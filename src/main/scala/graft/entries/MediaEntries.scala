@@ -1,0 +1,540 @@
+package graft.entries
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.analytics.{Bitext, CleanPipeline, Decontaminate, Dedup, Sampling, Sft, Similarity, Sketches, TextAnalysis}
+import graft.functions.GraftFunctions
+import graft.groups.ConsumerGroups
+import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
+import graft.model.BatchType
+import graft.operators.Operators
+
+import graft.SparkEntry._
+
+/** Driver-contract entries: the multimodal/media family — real PNG and
+  * WAV codecs, perceptual-hash image dedup, pixel/sample quality gates,
+  * header parsing, frame sampling, and the image-curation funnels
+  * (batch + growing-index streaming).
+  *
+  * Pure move out of [[AnalyticsEntries]] (round 16, file-size guideline):
+  * the entry and oracle text is byte-identical to its former spelling;
+  * the combined maps are assembled back in [[graft.SparkEntry]].
+  */
+private[graft] object MediaEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> ((s, dir) => {
+      // Runs the REAL mapPartitions decode path (stub codec, declared in
+      // Multimodal.MediaCodec): binary payloads in, typed features out.
+      implicit val sp: SparkSession = s
+      val media = graft.analytics.Multimodal.fakeMediaFromText(T(s, dir, "documents"))
+      graft.analytics.Multimodal.extractFeatures(media).toDF()
+        .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    }),
+
+    "mm_header_parse" -> ((s, dir) => {
+      // REAL container-header parsing (no codec needed): synthesize a
+      // valid PNG / GIF / JPEG header per doc (format by id%3, dims and
+      // padding id-derived), then parse the bytes back through the
+      // mapPartitions batch path. The oracle recomputes the planted
+      // values arithmetically — a wrong byte order, offset, or marker
+      // walk shows up as a dimension mismatch.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      graft.analytics.Multimodal.parseHeaders(
+          graft.analytics.Multimodal.synthesizeMedia(ids)).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_av_header_parse" -> ((s, dir) => {
+      // REAL audio/video container parsing (no codec needed): a valid
+      // WAV (RIFF chunk walk: fmt chunk fields + data size / byte rate
+      // duration) or MP4 (ISO-BMFF box walk: ftyp brand, moov→mvhd
+      // timescale/duration) header per doc, parsed back through the
+      // same mapPartitions batch path. The oracle recomputes every
+      // planted field arithmetically — a wrong endianness, chunk pad,
+      // or box offset shows up as a field mismatch.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      graft.analytics.Multimodal.parseAvHeaders(
+          graft.analytics.Multimodal.synthesizeAvMedia(ids)).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      // 1->N frame extraction through the real mapPartitions/flatMap
+      // path: video payloads (stub n_frames = 1 + len % 30) sampled
+      // every 7th frame at 25 fps stamps.
+      implicit val sp: SparkSession = s
+      val media = graft.analytics.Multimodal.fakeMediaFromText(
+        T(s, dir, "documents"), mime = "video/fake")
+      graft.analytics.Multimodal.sampleFrames(media, everyK = 7).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"))
+        .orderBy("doc_id")
+    }),
+
+    "mm_png_decode" -> ((s, dir) => {
+      // REAL pixel decode (round 16 — the first un-stubbed codec in the
+      // multimodal family): synthesize genuine PNGs (zlib deflate, CRC-32
+      // chunks, scanline y filtered with type y % 5 so all five spec
+      // filters are exercised), decode them with the pure-JVM
+      // Inflater+unfilter path, and reduce to pixel stats the oracle
+      // recomputes arithmetically from the closed-form pixel law
+      // v(x,y) = (class·31 + 7x + 13y) mod 256. The codec pair is
+      // independently cross-validated against the JDK's ImageIO PNG
+      // codec in PngCodecSpec.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.PngCodec.synthPngMedia(ids)
+      graft.analytics.PngCodec.decodeStats(media).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "pipe_image_stream" -> ((s, dir) => {
+      // The image funnel as a continuous query with a GROWING hash
+      // index (round 16) — the multimodal dd_incremental_stream:
+      // micro-batch 0 delivers fresh law-B images (all `new`, admitted
+      // to the standing index seeded with the law-A corpus);
+      // micro-batch 1 delivers (a) law-A corpus copies -> dup of the
+      // ORIGINAL corpus image, (b) law-B copies of batch-0 images ->
+      // dup of the batch-0 id (the growing-index proof), (c) an
+      // intra-batch law-C pair -> earlier `new`, later `dup`, and
+      // (d) dark-law images the REAL pixel gate must reject. The oracle
+      // replays both batches in sequence, gate included.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.analytics.PngCodec
+      val docs = T(s, dir, "documents")
+      def ids(mod: Int, off: Long) = docs.where(col("doc_id") % mod === 0)
+        .select((col("doc_id") + off).as("doc_id")).as[java.lang.Long]
+      val corpusIds = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val out = cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_imgs_out")).toString
+      PngCodec.initImageState(PngCodec.synthPngMedia(corpusIds), s"$out/state")
+      val b0 = PngCodec.synthMediaWithLaw(
+        ids(31, 900000000L), PngCodec.classPixelB).toDF()
+      val b1 = PngCodec.synthMediaWithLaw(
+          ids(23, 100000000L), PngCodec.classPixel).toDF()
+        .unionByName(PngCodec.synthMediaWithLaw(
+          ids(31, 300000000L), PngCodec.classPixelB).toDF())
+        .unionByName(PngCodec.synthMediaWithLaw(
+          ids(29, 400000000L), PngCodec.classPixelC).toDF())
+        .unionByName(PngCodec.synthMediaWithLaw(
+          ids(29, 500000000L), PngCodec.classPixelC).toDF())
+        .unionByName(PngCodec.synthMediaWithLaw(
+          ids(37, 600000000L), PngCodec.darkPixel).toDF())
+      val inDir = AnalyticsEntries.stageOrderedBatches("graft_imgs", Seq(b0, b1))
+      val stream = graft.streaming.Transforms.PathInput(
+        inDir, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
+      PngCodec.imageFunnelStream(stream, s"$out/state", s"$out/verdicts",
+        s"$out/ckpt")
+      AnalyticsEntries.crawlVerdicts(s, s"$out/verdicts")
+    }),
+
+    "pipe_image_funnel" -> ((s, dir) => {
+      // The image-curation funnel (round 16): REAL decode → pixel
+      // quality gate → perceptual-hash dedup, one verdict per image —
+      // the multimodal analogue of the crawl text funnel. Planted
+      // rejects (doc_id % 17: dark-law pixels the gate must catch) and
+      // planted duplicates (shared classes) travel as genuine PNGs; no
+      // stage sees the synthesis law. The oracle replays gate, hashes,
+      // banding, and canonical dup assignment.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.PngCodec.synthFunnelMedia(ids)
+      graft.analytics.PngCodec.imageFunnel(media).orderBy("doc_id")
+    }),
+
+    "mm_wav_features" -> ((s, dir) => {
+      // REAL audio decode (round 16): synthesize genuine RIFF/WAVE PCM
+      // files over a closed-form sample law, decode them with the
+      // pure-JVM chunk-walk + LE-int16 path, and extract the integer
+      // features an audio pipeline's silence/clipping gates run on
+      // (peak, energy, DC offset, zero crossings). Codec pair
+      // cross-validated against the JDK's javax.sound.sampled WAV codec
+      // in AudioCodecSpec; the oracle recomputes every feature
+      // arithmetically.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.AudioCodec.synthWavMedia(ids)
+      graft.analytics.AudioCodec.features(media).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_image_quality" -> ((s, dir) => {
+      // Pixel-statistics quality gate over REAL decoded PNGs (round 16):
+      // brightness bounds, contrast floor, solid-color rejection — the
+      // LAION-style filter pass between decode and embedding. Integer
+      // comparisons only (cross-multiplied means); the oracle recomputes
+      // min/max/sum from the closed-form pixel law.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.PngCodec.synthPngMedia(ids)
+      graft.analytics.PngCodec.qualityStats(media).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "mm_phash_dedup" -> ((s, dir) => {
+      // Perceptual-hash image dedup (round 16): decode pixels → dHash
+      // over a 9×8 block grid (sum comparisons, no division — exact
+      // integers) → four 16-bit bands → band-equality candidate join →
+      // exact Hamming verify (XOR popcount). Images are keyed by
+      // doc_id % 64, so same-class docs are exact pixel duplicates the
+      // banding must surface; the banded design is the SimHash one —
+      // never all-pairs. The oracle replays pixel law, block sums, every
+      // hash bit, the band join, and the popcounts.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.PngCodec.synthPngMedia(ids)
+      val hashes = graft.analytics.PngCodec.dHash(media).toDF()
+      graft.analytics.PngCodec.phashDedup(hashes, maxHamming = 3)
+        .orderBy("img_a", "img_b")
+    }),
+
+    // ----- training-data pipeline: clustering, sampling, cleaning -----,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+        |  1 AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_header_parse" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(9 + doc_id % 700 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 * (1 + doc_id % 2) ELSE 8 END AS INTEGER)
+        |    AS bit_depth,
+        |  CAST((CASE doc_id % 3 WHEN 1 THEN 13 ELSE 33 END) + doc_id % 50 AS INTEGER)
+        |    AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the planted WAV/MP4 fields: k = doc_id//2
+    // drives every formula; durations are floor divisions.,
+
+    "mm_av_header_parse" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'isom' END AS brand,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + (doc_id // 2) % 3) ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS INTEGER) AS bits,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN ((1000 + (doc_id // 2) % 4000) * 1000) // (8000 * (1 + (doc_id // 2) % 3))
+        |    ELSE ((3000 + (doc_id // 2) % 9000) * 1000) // (600 * (1 + (doc_id // 2) % 4))
+        |  END AS BIGINT) AS duration_ms,
+        |  CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 140 END) + (doc_id // 2) % 7 AS INTEGER) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
+        |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the decoded pixels: the engine really
+    // inflates + unfilters real PNGs; the oracle recomputes the pixel
+    // law v(x,y) = (cls·31 + 7x + 13y) mod 256 arithmetically.,
+
+    "mm_png_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |sums AS (
+        |  SELECT i.doc_id,
+        |    CAST(sum((i.cls * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum
+        |  FROM imgs i, generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
+        |  GROUP BY 1)
+        |SELECT i.doc_id, CAST(36 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bit_depth, CAST(0 AS INTEGER) AS color_type,
+        |  TRUE AS crc_ok, s.px_sum,
+        |  CAST((i.cls * 31) % 256 AS INTEGER) AS px_first,
+        |  CAST((i.cls * 31 + 7 * 18 + 13 * 16) % 256 AS INTEGER) AS px_mid,
+        |  CAST((i.cls * 31 + 7 * 35 + 13 * 31) % 256 AS INTEGER) AS px_last
+        |FROM imgs i JOIN sums s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Sequential replay of the streaming image funnel: per-law hash
+    // tables, the real gate from per-law stats, batch-0 judgment,
+    // index growth (only batch-0 `new` join), batch-1 judgment.,
+
+    "pipe_image_stream" ->
+      """WITH coef(law, m, a, b, md) AS (VALUES
+        |  (0, 31, 7, 13, 256), (1, 37, 11, 17, 256),
+        |  (2, 41, 19, 23, 256), (3, 1, 1, 1, 32)),
+        |imgs AS (
+        |  SELECT -1 AS batch, doc_id, doc_id % 64 AS cls, 0 AS law
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT 0, doc_id + 900000000, doc_id % 64, 1
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL SELECT 1, doc_id + 100000000, doc_id % 64, 0
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT 1, doc_id + 300000000, doc_id % 64, 1
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL SELECT 1, doc_id + 400000000, doc_id % 64, 2
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL SELECT 1, doc_id + 500000000, doc_id % 64, 2
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL SELECT 1, doc_id + 600000000, doc_id % 64, 3
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |lawcls AS (SELECT DISTINCT law, cls FROM imgs),
+        |stats AS (
+        |  SELECT lc.law, lc.cls,
+        |    min((lc.cls * co.m + co.a * x + co.b * y) % co.md) AS mn,
+        |    max((lc.cls * co.m + co.a * x + co.b * y) % co.md) AS mx,
+        |    sum((lc.cls * co.m + co.a * x + co.b * y) % co.md) AS s,
+        |    count(*) AS n
+        |  FROM lawcls lc JOIN coef co ON co.law = lc.law,
+        |       generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
+        |  GROUP BY 1, 2),
+        |keepq AS (
+        |  SELECT law, cls,
+        |    NOT (mn = mx OR s * 4 < n * 255 OR s * 4 > n * 765 OR mx - mn < 32)
+        |      AS keep
+        |  FROM stats),
+        |bs AS (
+        |  SELECT lc.law, lc.cls, bx, by,
+        |    CAST(sum((lc.cls * co.m + co.a * (bx * 4 + dx)
+        |      + co.b * (by * 4 + dy)) % co.md) AS BIGINT) AS s
+        |  FROM lawcls lc JOIN coef co ON co.law = lc.law
+        |    JOIN keepq k ON k.law = lc.law AND k.cls = lc.cls AND k.keep,
+        |    generate_series(0, 8) tbx(bx), generate_series(0, 7) tby(by),
+        |    generate_series(0, 3) tdx(dx), generate_series(0, 3) tdy(dy)
+        |  GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.law, a.cls, (a.by * 8 + a.bx) AS i,
+        |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        |  FROM bs a JOIN bs b ON b.law = a.law AND b.cls = a.cls
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |bands AS (
+        |  SELECT law, cls, CAST(i // 16 AS INTEGER) AS band,
+        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2, 3),
+        |hv AS (
+        |  SELECT i.batch, i.doc_id, b.band, b.v
+        |  FROM imgs i
+        |  JOIN keepq k ON k.law = i.law AND k.cls = i.cls AND k.keep
+        |  JOIN bands b ON b.law = i.law AND b.cls = i.cls),
+        |cand0 AS (
+        |  SELECT DISTINCT b.doc_id AS img, a.doc_id AS tgt
+        |  FROM hv b JOIN hv a ON a.band = b.band AND a.v = b.v
+        |  WHERE b.batch = 0
+        |    AND (a.batch = -1 OR (a.batch = 0 AND a.doc_id < b.doc_id))),
+        |ham0 AS (
+        |  SELECT c.img, c.tgt FROM cand0 c
+        |  JOIN hv x ON x.doc_id = c.img
+        |  JOIN hv y ON y.doc_id = c.tgt AND y.band = x.band
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(CAST(xor(x.v, y.v) AS BIGINT))) <= 3),
+        |dup0 AS (SELECT img AS doc_id, min(tgt) AS dup_of FROM ham0 GROUP BY 1),
+        |v0 AS (
+        |  SELECT i.doc_id,
+        |    CASE WHEN NOT k.keep THEN 'low_quality'
+        |         WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+        |    CASE WHEN k.keep THEN d.dup_of END AS dup_of
+        |  FROM imgs i
+        |  JOIN keepq k ON k.law = i.law AND k.cls = i.cls
+        |  LEFT JOIN dup0 d USING (doc_id)
+        |  WHERE i.batch = 0),
+        |adm0 AS (SELECT doc_id FROM v0 WHERE verdict = 'new'),
+        |cand1 AS (
+        |  SELECT DISTINCT b.doc_id AS img, a.doc_id AS tgt
+        |  FROM hv b JOIN hv a ON a.band = b.band AND a.v = b.v
+        |  WHERE b.batch = 1
+        |    AND (a.batch = -1
+        |      OR (a.batch = 0 AND a.doc_id IN (SELECT doc_id FROM adm0))
+        |      OR (a.batch = 1 AND a.doc_id < b.doc_id))),
+        |ham1 AS (
+        |  SELECT c.img, c.tgt FROM cand1 c
+        |  JOIN hv x ON x.doc_id = c.img
+        |  JOIN hv y ON y.doc_id = c.tgt AND y.band = x.band
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(CAST(xor(x.v, y.v) AS BIGINT))) <= 3),
+        |dup1 AS (SELECT img AS doc_id, min(tgt) AS dup_of FROM ham1 GROUP BY 1),
+        |v1 AS (
+        |  SELECT i.doc_id,
+        |    CASE WHEN NOT k.keep THEN 'low_quality'
+        |         WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+        |    CASE WHEN k.keep THEN d.dup_of END AS dup_of
+        |  FROM imgs i
+        |  JOIN keepq k ON k.law = i.law AND k.cls = i.cls
+        |  LEFT JOIN dup1 d USING (doc_id)
+        |  WHERE i.batch = 1)
+        |SELECT CAST(0 AS INTEGER) AS batch_id, doc_id, verdict, dup_of FROM v0
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), doc_id, verdict, dup_of FROM v1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the image funnel: per-image quality gate from the
+    // per-law pixel stats, dHash bits/bands for the keepers, band-join
+    // candidates, popcount verify, canonical (min lower id) dup target.,
+
+    "pipe_image_funnel" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 64 AS cls, doc_id % 17 = 0 AS dark
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |stats AS (
+        |  SELECT i.doc_id,
+        |    min(CASE WHEN i.dark THEN (i.cls + x + y) % 32
+        |        ELSE (i.cls * 31 + 7 * x + 13 * y) % 256 END) AS mn,
+        |    max(CASE WHEN i.dark THEN (i.cls + x + y) % 32
+        |        ELSE (i.cls * 31 + 7 * x + 13 * y) % 256 END) AS mx,
+        |    sum(CASE WHEN i.dark THEN (i.cls + x + y) % 32
+        |        ELSE (i.cls * 31 + 7 * x + 13 * y) % 256 END) AS s,
+        |    count(*) AS n
+        |  FROM imgs i, generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
+        |  GROUP BY 1),
+        |keep AS (
+        |  SELECT doc_id,
+        |    NOT (mn = mx OR s * 4 < n * 255 OR s * 4 > n * 765 OR mx - mn < 32)
+        |      AS keep
+        |  FROM stats),
+        |kept AS (
+        |  SELECT i.doc_id, i.cls, i.dark FROM imgs i JOIN keep k USING (doc_id)
+        |  WHERE k.keep),
+        |bs AS (
+        |  SELECT k.doc_id, bx, by,
+        |    CAST(sum(CASE WHEN k.dark
+        |      THEN (k.cls + (bx * 4 + dx) + (by * 4 + dy)) % 32
+        |      ELSE (k.cls * 31 + 7 * (bx * 4 + dx) + 13 * (by * 4 + dy)) % 256 END)
+        |      AS BIGINT) AS s
+        |  FROM kept k, generate_series(0, 8) tbx(bx), generate_series(0, 7) tby(by),
+        |       generate_series(0, 3) tdx(dx), generate_series(0, 3) tdy(dy)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, (a.by * 8 + a.bx) AS i,
+        |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        |  FROM bs a JOIN bs b ON b.doc_id = a.doc_id AND b.by = a.by
+        |    AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS img_a, b.doc_id AS img_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.img_a, c.img_b
+        |  FROM cand c
+        |  JOIN bands ha ON ha.doc_id = c.img_a
+        |  JOIN bands hb ON hb.doc_id = c.img_b AND hb.band = ha.band
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(CAST(xor(ha.v, hb.v) AS BIGINT))) <= 3),
+        |dupof AS (SELECT img_b AS doc_id, min(img_a) AS dup_of FROM ham GROUP BY 1)
+        |SELECT k.doc_id,
+        |  CASE WHEN NOT k.keep THEN 'low_quality'
+        |       WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS verdict,
+        |  CASE WHEN k.keep THEN d.dup_of END AS dup_of
+        |FROM keep k LEFT JOIN dupof d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the decoded audio features.,
+
+    "mm_wav_features" ->
+      """WITH clips AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |smp AS (
+        |  SELECT doc_id, i, CAST((cls * 131 + 37 * i) % 4001 - 2000 AS BIGINT) AS s
+        |  FROM clips, generate_series(0, 2047) t(i)),
+        |agg AS (
+        |  SELECT doc_id, CAST(max(abs(s)) AS INTEGER) AS peak_abs,
+        |    CAST(sum(s * s) AS BIGINT) AS sum_sq, CAST(sum(s) AS BIGINT) AS dc_sum
+        |  FROM smp GROUP BY 1),
+        |zc AS (
+        |  SELECT doc_id, count(*) AS n FROM (
+        |    SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |    FROM smp) WHERE prev IS NOT NULL AND prev * s < 0
+        |  GROUP BY 1)
+        |SELECT a.doc_id, CAST(2048 AS INTEGER) AS n_samples, a.peak_abs,
+        |  a.sum_sq, a.dc_sum,
+        |  CAST(COALESCE(z.n, 0) AS INTEGER) AS zero_crossings
+        |FROM agg a LEFT JOIN zc z USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the pixel-statistics quality gate.,
+
+    "mm_image_quality" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |px AS (
+        |  SELECT i.doc_id,
+        |    CAST(min((i.cls * 31 + 7 * x + 13 * y) % 256) AS INTEGER) AS px_min,
+        |    CAST(max((i.cls * 31 + 7 * x + 13 * y) % 256) AS INTEGER) AS px_max,
+        |    CAST(sum((i.cls * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum,
+        |    CAST(count(*) AS INTEGER) AS n_px
+        |  FROM imgs i, generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
+        |  GROUP BY 1)
+        |SELECT doc_id, px_min, px_max, px_sum, n_px,
+        |  px_min = px_max AS solid,
+        |  px_sum * 4 < CAST(n_px AS BIGINT) * 255 AS too_dark,
+        |  px_sum * 4 > CAST(n_px AS BIGINT) * 765 AS too_bright,
+        |  (px_max - px_min) < 32 AS low_contrast,
+        |  NOT (px_min = px_max OR px_sum * 4 < CAST(n_px AS BIGINT) * 255
+        |    OR px_sum * 4 > CAST(n_px AS BIGINT) * 765
+        |    OR (px_max - px_min) < 32) AS keep
+        |FROM px ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the perceptual-hash dedup: block sums from the
+    // pixel law, every dHash bit, the 16-bit bands, the band-equality
+    // candidate join, and the exact XOR-popcount Hamming verify.,
+
+    "mm_phash_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |clss AS (SELECT DISTINCT cls FROM imgs),
+        |bs AS (
+        |  SELECT cls, bx, by,
+        |    CAST(sum((cls * 31 + 7 * (bx * 4 + dx) + 13 * (by * 4 + dy)) % 256)
+        |      AS BIGINT) AS s
+        |  FROM clss, generate_series(0, 8) tbx(bx), generate_series(0, 7) tby(by),
+        |       generate_series(0, 3) tdx(dx), generate_series(0, 3) tdy(dy)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.cls, (a.by * 8 + a.bx) AS i,
+        |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        |  FROM bs a JOIN bs b ON b.cls = a.cls AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |bands AS (
+        |  SELECT cls, CAST(i // 16 AS INTEGER) AS band,
+        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hv AS (
+        |  SELECT i.doc_id, b.band, b.v FROM imgs i JOIN bands b ON b.cls = i.cls),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS img_a, b.doc_id AS img_b
+        |  FROM hv a JOIN hv b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.img_a, c.img_b,
+        |    CAST(sum(bit_count(CAST(xor(ha.v, hb.v) AS BIGINT))) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN hv ha ON ha.doc_id = c.img_a
+        |  JOIN hv hb ON hb.doc_id = c.img_b AND hb.band = ha.band
+        |  GROUP BY 1, 2)
+        |SELECT img_a, img_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY img_a, img_b""".stripMargin,
+  )
+}
