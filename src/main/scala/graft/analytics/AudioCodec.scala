@@ -105,6 +105,46 @@ object AudioCodec {
   final case class AudioFeatures(doc_id: Long, n_samples: Int,
       peak_abs: Int, sum_sq: Long, dc_sum: Long, zero_crossings: Int)
 
+  /** Audio fingerprint band row — the [[PngCodec.DHashBands]] analogue:
+    * 64 energy-difference bits over 32-sample blocks, split into four
+    * 16-bit bands for hamming-bucketed dedup. */
+  final case class AudioHashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /**
+   * Energy-profile fingerprint over the decoded samples: 65 blocks of
+   * 32 samples (2048/32 + 1 boundary handled by comparing 64 adjacent
+   * block pairs over the first 2080… NSamples yields exactly 64 blocks,
+   * so bit i = energy(block i+1 mod 64) vs energy(block i) on the 64
+   * cyclic pairs — division-free exact int64 sums of squares, one bit
+   * per pair). Bit `i` lands in band `i div 16` at `i mod 16` — the
+   * same banding the image dHash uses, so the same bucket-join dedup
+   * machinery applies unchanged.
+   */
+  def audioHash(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioHashBands] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val s = decodeWav(r.media)
+        val nBlocks = 64
+        val bl = s.length / nBlocks
+        require(bl > 0, s"clip too short for $nBlocks blocks: ${s.length}")
+        val energy = Array.tabulate(nBlocks) { b =>
+          var e = 0L; var i = 0
+          while (i < bl) { val v = s(b * bl + i); e += v.toLong * v; i += 1 }
+          e
+        }
+        val bands = new Array[Int](4)
+        var i = 0
+        while (i < 64) {
+          if (energy((i + 1) % nBlocks) > energy(i)) bands(i / 16) |= 1 << (i % 16)
+          i += 1
+        }
+        AudioHashBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
   /** Decode every payload and extract features — the filter pass of an
     * audio-corpus pipeline (silence/clipping gates run on these).
     * Narrow mapPartitions, no shuffle. */

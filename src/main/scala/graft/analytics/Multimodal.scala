@@ -94,6 +94,55 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /**
+   * Caption–image alignment scoring — the CLIP-filter shape of a
+   * multimodal pair-curation pipeline: per caption, score a bounded
+   * candidate set of image embeddings and keep the best match. The
+   * TEXT ENCODER IS A DECLARED STUB (this container ships no models):
+   * a deterministic md5-basis bag-of-tokens vector over the caption's
+   * first `nTokens` tokens — swap [[captionVector]] for a real encoder
+   * without touching the dataflow. Everything around it is the real
+   * thing: integer quantization, exact int64 alignment dots, bounded
+   * per-caption candidate sets (never caption × corpus), one top-1
+   * window. Fully oracle-replayable (md5 device + integer dots).
+   */
+  def captionVector(text: org.apache.spark.sql.Column, nTokens: Int = 8,
+      dim: Int = 64): org.apache.spark.sql.Column = {
+    val toks = slice(split(trim(lower(text)), "\\s+"), 1, nTokens)
+    val dims = (0 until dim).map { j =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + (conv(substring(md5(concat(t, lit(s":$j")).cast("binary")), 1, 8),
+          16, 10).cast("long") % 2001 - 1000))
+    }
+    array(dims: _*)
+  }
+
+  /** Score each caption against its `k` candidate images
+    * (`vec_id = (doc_id + i·7) mod corpusSize`, i < k — the bounded
+    * candidate-set shape an ANN stage would feed at scale) and keep the
+    * best: exact int64 dot of the stub caption vector with the
+    * micro-unit-quantized image embedding, ties to the smaller vec_id. */
+  def captionAlign(captions: DataFrame, embeddings: DataFrame,
+      k: Int = 4, scale: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusSize = embeddings.count()
+    val cap = captions.select(col("doc_id"), captionVector(col("text")).as("_cv"))
+    val cand = cap.select(col("doc_id"), col("_cv"),
+        explode(sequence(lit(0), lit(k - 1))).as("_i"))
+      .withColumn("vec_id", (col("doc_id") + col("_i") * 7) % corpusSize)
+    val qe = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("_qe"))
+    val scored = cand.join(qe, Seq("vec_id"))
+      .select(col("doc_id"), col("vec_id"),
+        aggregate(zip_with(col("_cv"), col("_qe"), _ * _), lit(0L), _ + _)
+          .as("iscore"))
+    val w = Window.partitionBy("doc_id").orderBy(col("iscore").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select("doc_id", "vec_id", "iscore")
+  }
+
   /** Parsed container-header metadata — REAL parsing (the part of a
     * media pipeline that needs no codec): format, pixel dimensions,
     * and sample precision straight from the byte layout. */

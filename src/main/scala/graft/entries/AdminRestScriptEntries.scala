@@ -1151,7 +1151,7 @@ private[graft] object AdminRestScriptEntries {
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the admin security surface (security.cc user CRUD
-    // wording incl. the "smissing" typo, role_errc codes, diffs).,
+    // wording incl. the "smissing" typo, role_errc codes, diffs).
 
     "adm_rest_security" ->
       """SELECT * FROM (VALUES
@@ -1186,7 +1186,7 @@ private[graft] object AdminRestScriptEntries {
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the wasm-transform admin surface (transform.cc:
-    // enable gate wording, deploy ladder, metadata shape, offsets+GC).,
+    // enable gate wording, deploy ladder, metadata shape, offsets+GC).
 
     "adm_rest_transform" ->
       """SELECT * FROM (VALUES
@@ -1210,7 +1210,7 @@ private[graft] object AdminRestScriptEntries {
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the partition admin surface (partition.cc replica
-    // moves: validate_set_replicas ladder, reconfigurations, cancel).,
+    // moves: validate_set_replicas ladder, reconfigurations, cancel).
 
     "adm_rest_partitions" ->
       """SELECT * FROM (VALUES
@@ -1234,7 +1234,7 @@ private[graft] object AdminRestScriptEntries {
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the data-migration admin surface (migrations.cc
-    // FSM ladder, topics.cc mount/unmount, engine-backed mountable).,
+    // FSM ladder, topics.cc mount/unmount, engine-backed mountable).
 
     "adm_rest_migrations" ->
       """SELECT * FROM (VALUES
@@ -1270,8 +1270,8 @@ private[graft] object AdminRestScriptEntries {
 
     // Golden pin of the debug diagnostics surface (debug.cc route
     // grammar, validation-ladder wording, engine-backed offsets/bytes
-    // at sf0.01: stored-log partition 0 slice = 200 rows / 1779 bytes,
-    // txn translator kafka(3)=1, rp(2)=4).,
+    // at sf0.01: stored-log partition 0 slice = 200 rows / 1779 bytes
+    // txn translator kafka(3)=1, rp(2)=4).
 
     "adm_rest_debug" ->
       """SELECT * FROM (VALUES
@@ -1326,7 +1326,7 @@ private[graft] object AdminRestScriptEntries {
 
     // Golden pin of the recovery-mode pair (recovery.cc): 404 outside
     // recovery mode, status flip across a successful migrate, the 503
-    // "Migration error" arm on an injected migrator failure.,
+    // "Migration error" arm on an injected migrator failure.
 
     "adm_rest_recovery" ->
       """SELECT * FROM (VALUES
@@ -1340,7 +1340,7 @@ private[graft] object AdminRestScriptEntries {
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the transaction admin surface (transaction.cc
-    // ladders + partition.cc per-partition listing / mark-expired).,
+    // ladders + partition.cc per-partition listing / mark-expired).
 
     "adm_rest_txn" ->
       """SELECT * FROM (VALUES
@@ -1363,8 +1363,8 @@ private[graft] object AdminRestScriptEntries {
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
     // Golden pin of the broker/partition/licensing extras: members
-    // view, move cancellation, majority-lost ladder, license ladder,
-    // enterprise violation flip.,
+    // view, move cancellation, majority-lost ladder, license ladder
+    // enterprise violation flip.
 
     "adm_rest_cluster_ext" ->
       """SELECT * FROM (VALUES
@@ -1396,8 +1396,8 @@ private[graft] object AdminRestScriptEntries {
 
     // Golden pin of the cloud-storage admin surface (shadow-indexing
     // routes; manifest/status from the tiered-storage engine at
-    // sf0.01, trim figures from the cache-trim engine's LRU walk,
-    // anomaly counters from the scrubber's findings).,
+    // sf0.01, trim figures from the cache-trim engine's LRU walk
+    // anomaly counters from the scrubber's findings).
 
     "adm_rest_cloud_storage" ->
       """SELECT * FROM (VALUES
@@ -1426,7 +1426,7 @@ private[graft] object AdminRestScriptEntries {
         |  (23, 'POST', '/v1/cloud_storage/reset_scrubbing_metadata/kafka/ghost/0', 404, 'message={kafka/ghost/0} could not be found on shard 0.'))
         | t(step, method, path, status, detail) ORDER BY step""".stripMargin,
 
-    // Golden pin of the REST protocol script (routes, status codes,
-    // reference error ladder, global-id sharing, delete semantics).,
+    // Golden pin of the REST protocol script (routes, status codes
+    // reference error ladder, global-id sharing, delete semantics).
   )
 }

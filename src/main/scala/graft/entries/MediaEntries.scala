@@ -175,6 +175,36 @@ private[graft] object MediaEntries {
         .orderBy("doc_id")
     }),
 
+    "mm_caption_align" -> ((s, dir) => {
+      // CLIP-shaped caption↔image pair curation (round 16): per caption,
+      // score a bounded candidate set of image embeddings and keep the
+      // best match. Text encoder is a DECLARED STUB (md5-basis
+      // bag-of-tokens — no models in this container); the pairing,
+      // quantization, exact int64 alignment dots, and top-1 window are
+      // the real dataflow and fully oracle-replayed.
+      graft.analytics.Multimodal.captionAlign(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        T(s, dir, "embeddings"))
+        .orderBy("doc_id")
+    }),
+
+    "mm_audio_dedup" -> ((s, dir) => {
+      // Audio near-dup detection over REAL decoded WAV samples
+      // (round 16): 64-block energy-profile fingerprints (division-free
+      // int64 sums of squares), the same four-16-bit-band bucketing and
+      // XOR-popcount verify as the image path — one dedup machinery,
+      // two modalities. The oracle recomputes every energy, bit, band,
+      // and popcount from the closed-form sample law.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.AudioCodec.synthWavMedia(ids)
+      val hashes = graft.analytics.AudioCodec.audioHash(media).toDF()
+      graft.analytics.PngCodec.phashDedup(hashes, maxHamming = 3)
+        .orderBy("img_a", "img_b")
+    }),
+
     "mm_image_quality" -> ((s, dir) => {
       // Pixel-statistics quality gate over REAL decoded PNGs (round 16):
       // brightness bounds, contrast floor, solid-color rejection — the
@@ -209,7 +239,6 @@ private[graft] object MediaEntries {
         .orderBy("img_a", "img_b")
     }),
 
-    // ----- training-data pipeline: clustering, sampling, cleaning -----,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -233,7 +262,7 @@ private[graft] object MediaEntries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Closed-form replay of the planted WAV/MP4 fields: k = doc_id//2
-    // drives every formula; durations are floor divisions.,
+    // drives every formula; durations are floor divisions.
 
     "mm_av_header_parse" ->
       """SELECT doc_id,
@@ -257,7 +286,7 @@ private[graft] object MediaEntries {
 
     // Closed-form replay of the decoded pixels: the engine really
     // inflates + unfilters real PNGs; the oracle recomputes the pixel
-    // law v(x,y) = (cls·31 + 7x + 13y) mod 256 arithmetically.,
+    // law v(x,y) = (cls·31 + 7x + 13y) mod 256 arithmetically.
 
     "mm_png_decode" ->
       """WITH imgs AS (
@@ -276,8 +305,8 @@ private[graft] object MediaEntries {
         |FROM imgs i JOIN sums s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Sequential replay of the streaming image funnel: per-law hash
-    // tables, the real gate from per-law stats, batch-0 judgment,
-    // index growth (only batch-0 `new` join), batch-1 judgment.,
+    // tables, the real gate from per-law stats, batch-0 judgment
+    // index growth (only batch-0 `new` join), batch-1 judgment.
 
     "pipe_image_stream" ->
       """WITH coef(law, m, a, b, md) AS (VALUES
@@ -389,7 +418,7 @@ private[graft] object MediaEntries {
 
     // Full replay of the image funnel: per-image quality gate from the
     // per-law pixel stats, dHash bits/bands for the keepers, band-join
-    // candidates, popcount verify, canonical (min lower id) dup target.,
+    // candidates, popcount verify, canonical (min lower id) dup target.
 
     "pipe_image_funnel" ->
       """WITH imgs AS (
@@ -452,8 +481,79 @@ private[graft] object MediaEntries {
         |FROM keep k LEFT JOIN dupof d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    // Closed-form replay of the decoded audio features.,
+    // Full replay of the caption-alignment scoring: md5-basis caption
+    // vectors, micro-unit image quantization, exact int64 dots, top-1.
+    "mm_caption_align" ->
+      """WITH caps AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |cv AS (
+        |  SELECT c.doc_id, j,
+        |    CAST(sum(CAST(CAST(('0x' || substr(md5(c.t[CAST(i AS INTEGER)]
+        |        || ':' || CAST(j AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |      % 2001 - 1000) AS BIGINT) AS v
+        |  FROM caps c, unnest(range(1, 9)) u(i), unnest(range(64)) w(j)
+        |  WHERE i <= len(c.t)
+        |  GROUP BY 1, 2),
+        |qe AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(e[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |       generate_series(1, 64) t(i)),
+        |vc AS (SELECT count(*) AS n FROM embeddings),
+        |cand AS (
+        |  SELECT c.doc_id, (c.doc_id + k * 7) % vc.n AS vec_id
+        |  FROM (SELECT DISTINCT doc_id FROM caps) c, unnest(range(4)) kk(k), vc),
+        |scored AS (
+        |  SELECT ca.doc_id, ca.vec_id, CAST(sum(cv.v * qe.q) AS BIGINT) AS iscore
+        |  FROM cand ca
+        |  JOIN cv ON cv.doc_id = ca.doc_id
+        |  JOIN qe ON qe.vec_id = ca.vec_id AND qe.i = cv.j + 1
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT doc_id, vec_id, iscore, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY iscore DESC, vec_id) AS r
+        |  FROM scored)
+        |SELECT doc_id, vec_id, iscore FROM ranked WHERE r = 1
+        |ORDER BY doc_id""".stripMargin,
 
+    // Full replay of the audio fingerprint dedup: block energies from
+    // the sample law, cyclic difference bits, bands, popcount verify.
+    "mm_audio_dedup" ->
+      """WITH clips AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |clss AS (SELECT DISTINCT cls FROM clips),
+        |en AS (
+        |  SELECT cls, b,
+        |    CAST(sum(((cls * 131 + 37 * (b * 32 + i)) % 4001 - 2000)
+        |      * ((cls * 131 + 37 * (b * 32 + i)) % 4001 - 2000)) AS BIGINT) AS e
+        |  FROM clss, generate_series(0, 63) tb(b), generate_series(0, 31) ti(i)
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.cls, a.b AS i,
+        |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en n ON n.cls = a.cls AND n.b = (a.b + 1) % 64),
+        |bands AS (
+        |  SELECT cls, CAST(i // 16 AS INTEGER) AS band,
+        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hv AS (
+        |  SELECT c.doc_id, b.band, b.v FROM clips c JOIN bands b ON b.cls = c.cls),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS img_a, b.doc_id AS img_b
+        |  FROM hv a JOIN hv b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.img_a, c.img_b,
+        |    CAST(sum(bit_count(CAST(xor(ha.v, hb.v) AS BIGINT))) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN hv ha ON ha.doc_id = c.img_a
+        |  JOIN hv hb ON hb.doc_id = c.img_b AND hb.band = ha.band
+        |  GROUP BY 1, 2)
+        |SELECT img_a, img_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY img_a, img_b""".stripMargin,
+
+    // Closed-form replay of the decoded audio features.
     "mm_wav_features" ->
       """WITH clips AS (
         |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
@@ -474,7 +574,7 @@ private[graft] object MediaEntries {
         |  CAST(COALESCE(z.n, 0) AS INTEGER) AS zero_crossings
         |FROM agg a LEFT JOIN zc z USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    // Closed-form replay of the pixel-statistics quality gate.,
+    // Closed-form replay of the pixel-statistics quality gate.
 
     "mm_image_quality" ->
       """WITH imgs AS (
@@ -499,7 +599,7 @@ private[graft] object MediaEntries {
 
     // Full replay of the perceptual-hash dedup: block sums from the
     // pixel law, every dHash bit, the 16-bit bands, the band-equality
-    // candidate join, and the exact XOR-popcount Hamming verify.,
+    // candidate join, and the exact XOR-popcount Hamming verify.
 
     "mm_phash_dedup" ->
       """WITH imgs AS (

@@ -562,7 +562,7 @@ private[graft] object SftMixtureEntries {
     // Repeat-factor upsampling: fb = round(f*10000) buckets; every row
     // emits fb // 10000 copies plus one more iff its SALTED hash bucket
     // ('up:' prefix — decorrelated from every other bucket decision)
-    // falls under the fractional part — all-integer, engine-independent.,
+    // falls under the fractional part — all-integer, engine-independent.
 
     "smp_upsample" ->
       """WITH f AS (
@@ -1392,7 +1392,7 @@ private[graft] object SftMixtureEntries {
     // Exact half re-derived (the mined-pair count from the all-pairs
     // replay); the recall boolean is the engine-asserted contract on
     // the IVF production path, pinned here (same device as
-    // ann_*_recall / dd_minhash_recall).,
+    // ann_*_recall / dd_minhash_recall).
 
     "bt_margin_recall" ->
       """WITH src AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1477,7 +1477,7 @@ private[graft] object SftMixtureEntries {
     // dd_minhash_lsh, dd_simhash, txt_fingerprint, ann_lsh_topk and
     // dd_embed_cosine_lsh emit Spark-hash-specific values => rows-only
     // driver check, but each now has an oracle-checked companion
-    // (dd_minhash_recall, dd_simhash_invariance, txt_fingerprint_invariance,
-    // ann_lsh_recall, dd_embed_lsh_recall) asserting its quality contract.,
+    // (dd_minhash_recall, dd_simhash_invariance, txt_fingerprint_invariance
+    // ann_lsh_recall, dd_embed_lsh_recall) asserting its quality contract.
   )
 }
