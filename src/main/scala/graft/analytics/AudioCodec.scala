@@ -64,6 +64,7 @@ object AudioCodec {
     var samples: Array[Int] = null
     while (pos + 8 <= b.length && (samples == null || !fmtOk)) {
       val typ = cc(pos); val len = le32(pos + 4)
+      require(len >= 0 && pos + 8 + len <= b.length, s"truncated chunk $typ")
       typ match {
         case "fmt " =>
           require(le16(pos + 8) == 1, "non-PCM WAV unsupported")

@@ -150,8 +150,14 @@ object PngCodec {
     inf.setInput(idat.toByteArray)
     val raw = new Array[Byte](height * (1 + width))
     var off = 0
-    while (!inf.finished() && off < raw.length)
-      off += inf.inflate(raw, off, raw.length - off)
+    var stalled = false
+    while (!inf.finished() && off < raw.length && !stalled) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      // a truncated/corrupt stream yields 0 with the inflater asking for
+      // more input — fail loudly instead of spinning
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+      off += n
+    }
     inf.end()
     require(off == raw.length, s"short IDAT stream: $off of ${raw.length}")
 
