@@ -175,6 +175,23 @@ private[graft] object MediaEntries {
         .orderBy("doc_id")
     }),
 
+    "mm_mp4_samples" -> ((s, dir) => {
+      // REAL video sample-table decode (round 16): structurally genuine
+      // MP4s (nested ISO-BMFF box tree down to stbl) carrying
+      // closed-form stts/stsz tables, walked back with the recursive
+      // box parser — timescale from mdhd, durations from the
+      // time-to-sample runs, byte totals from the size table. The
+      // metadata pass a video pipeline runs before any codec; the
+      // oracle recomputes every aggregate arithmetically.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.Multimodal.synthesizeMp4Samples(ids)
+      graft.analytics.Multimodal.parseMp4Samples(media).toDF()
+        .orderBy("doc_id")
+    }),
+
     "mm_caption_align" -> ((s, dir) => {
       // CLIP-shaped caption↔image pair curation (round 16): per caption,
       // score a bounded candidate set of image embeddings and keep the
@@ -480,6 +497,25 @@ private[graft] object MediaEntries {
         |  CASE WHEN k.keep THEN d.dup_of END AS dup_of
         |FROM keep k LEFT JOIN dupof d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the parsed MP4 sample tables.
+    "mm_mp4_samples" ->
+      """WITH clips AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |sz AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(100 + (c.cls * 7 + 13 * i) % 200) AS BIGINT) AS total_bytes,
+        |    CAST(max(100 + (c.cls * 7 + 13 * i) % 200) AS INTEGER) AS max_size
+        |  FROM clips c, unnest(range(200)) u(i)
+        |  WHERE i < 32 + c.cls
+        |  GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(1000 + 10 * c.cls AS INTEGER) AS timescale,
+        |  CAST(32 + c.cls AS INTEGER) AS n_samples,
+        |  CAST(16 * (512 + c.cls) + (16 + c.cls) * (1024 + c.cls) AS BIGINT)
+        |    AS total_duration,
+        |  s.total_bytes, s.max_size
+        |FROM clips c JOIN sz s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Full replay of the caption-alignment scoring: md5-basis caption
     // vectors, micro-unit image quantization, exact int64 dots, top-1.
