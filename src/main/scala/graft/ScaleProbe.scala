@@ -17,11 +17,6 @@ import org.apache.spark.sql.functions._
  * Usage: runMain graft.ScaleProbe <baseDir> <probeDir> name1,name2,...
  */
 object ScaleProbe {
-  private def force(df: DataFrame): Long = {
-    val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
-    df.agg(count(lit(1)), bit_xor(h)).collect()(0).getLong(0)
-  }
-
   def main(args: Array[String]): Unit = {
     val Array(baseDir, probeDir, namesS) = args.take(3)
     val names = namesS.split(",").map(_.trim).filter(_.nonEmpty)
@@ -37,11 +32,20 @@ object ScaleProbe {
     try spark.range(1000000).selectExpr("sum(id)").collect()
     catch { case _: Throwable => () }
 
+    // a failed shot returns NaN — the entry then prints an error row
+    // instead of a plausible-looking ratio computed from the
+    // milliseconds an exception takes (a misspelled name must not read
+    // as scale evidence)
     def shot(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try force(SparkEntry.queries(name)(spark, dir))
-      catch { case e: Throwable => println(s"[probe] $name@$dir failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        Bench.force(SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          println(s"[probe] $name@$dir failed: $e")
+          Double.NaN
+      }
     }
     names.foreach { n =>
       // untimed warmup at the base scale JITs the plan's generated code
@@ -49,7 +53,10 @@ object ScaleProbe {
       val b1 = shot(n, baseDir); val p1 = shot(n, probeDir)
       val b2 = shot(n, baseDir); val p2 = shot(n, probeDir)
       val b = math.min(b1, b2); val p = math.min(p1, p2)
-      println(f"""{"entry":"$n","base_sec":$b%.3f,"probe_sec":$p%.3f,"wall_ratio":${p / b}%.2f}""")
+      if (b.isNaN || p.isNaN)
+        println(s"""{"entry":"$n","error":"shot failed - no measurement"}""")
+      else
+        println(f"""{"entry":"$n","base_sec":$b%.3f,"probe_sec":$p%.3f,"wall_ratio":${p / b}%.2f}""")
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()

@@ -128,7 +128,9 @@ object PngCodec {
     while (!done && pos + 8 <= b.length) {
       val len = be32(pos)
       val typ = new String(b, pos + 4, 4, "US-ASCII")
-      require(pos + 12 + len <= b.length, s"truncated chunk $typ")
+      // len >= 0 first: a high-bit length field reads as negative and
+      // would pass the truncation bound via negative arithmetic
+      require(len >= 0 && pos + 12 + len <= b.length, s"truncated chunk $typ")
       val crc = new CRC32
       crc.update(b, pos + 4, 4 + len)
       if (crc.getValue != (be32(pos + 8 + len).toLong & 0xffffffffL)) crcOk = false
@@ -271,13 +273,11 @@ object PngCodec {
    */
   def imageFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3)(
       implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val quality = qualityStats(media).toDF()
-      .select(col("doc_id"), col("keep"))
-    val keepers = media.toDF().join(quality.where(col("keep")), "doc_id")
-      .select(col("doc_id"), col("mime"), col("media"))
-      .as[MediaRecord]
-    val hashes = dHash(keepers).toDF()
+    // ONE decode per image (gate + hash together), pinned so the
+    // downstream band joins re-scan hashes, never re-inflate PNGs
+    val gh = gateAndHash(media).toDF().localCheckpoint(true)
+    val quality = gh.select(col("doc_id"), col("keep"))
+    val hashes = gh.where(col("keep")).select("doc_id", "b0", "b1", "b2", "b3")
     val pairs = phashDedup(hashes, maxHamming)
     val dupOf = pairs.groupBy(col("img_b").as("doc_id"))
       .agg(min(col("img_a")).as("dup_of"))
@@ -289,11 +289,15 @@ object PngCodec {
         when(col("keep"), col("dup_of")).as("dup_of"))
   }
 
-  /** Seed the standing perceptual-hash index with an already-curated
-    * corpus (`batch=-1`) — the [[Dedup.initIncrementalState]] analogue. */
+  /** Seed the standing perceptual-hash index with a corpus (`batch=-1`)
+    * — the [[Dedup.initIncrementalState]] analogue. The corpus passes
+    * the SAME pixel-quality gate the stream applies to its batches, so
+    * a gate-rejected corpus image can never sit in the index (the
+    * oracle models the seed index as gated). */
   def initImageState(corpus: Dataset[MediaRecord], stateDir: String)(
       implicit spark: SparkSession): Unit =
-    dHash(corpus).toDF()
+    gateAndHash(corpus).toDF()
+      .where(col("keep")).select("doc_id", "b0", "b1", "b2", "b3")
       .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=-1")
 
   /**
@@ -325,11 +329,11 @@ object PngCodec {
         import s.implicits._
         val media = batch.select(col("doc_id"), col("mime"), col("media"))
           .as[MediaRecord]
-        val quality = qualityStats(media).toDF()
-          .select(col("doc_id"), col("keep")).localCheckpoint(true)
-        val keepers = batch.join(quality.where(col("keep")), "doc_id")
-          .select(col("doc_id"), col("mime"), col("media")).as[MediaRecord]
-        val hashes = dHash(keepers).toDF().localCheckpoint(true)
+        // ONE decode per image (gate + hash together), pinned once
+        val gh = gateAndHash(media).toDF().localCheckpoint(true)
+        val quality = gh.select(col("doc_id"), col("keep"))
+        val hashes = gh.where(col("keep"))
+          .select("doc_id", "b0", "b1", "b2", "b3")
         def banded(h: DataFrame): DataFrame =
           h.select(col("doc_id"), posexplode(array(
             col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_id", "bv")))
@@ -456,46 +460,88 @@ object PngCodec {
    * division — exact integers end to end). Bit index `i = y·8 + x`
    * lands in band `i div 16` at position `i mod 16`.
    */
+  /** The dHash band values of a decoded image (see [[dHash]]). */
+  private def dHashOf(img: PngImage): Array[Int] = {
+    val bw = img.width / 9; val bh = img.height / 8
+    require(bw > 0 && bh > 0, s"image too small for 9x8 grid: ${img.width}x${img.height}")
+    val sums = Array.ofDim[Long](9, 8)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            s += img.pixels((by * bh + dy) * img.width + (bx * bw + dx))
+            dx += 1
+          }
+          dy += 1
+        }
+        sums(bx)(by) = s
+        bx += 1
+      }
+      by += 1
+    }
+    val bands = new Array[Int](4)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val i = y * 8 + x
+        if (sums(x + 1)(y) > sums(x)(y)) bands(i / 16) |= 1 << (i % 16)
+        x += 1
+      }
+      y += 1
+    }
+    bands
+  }
+
+  /** The pixel-quality `keep` verdict of a decoded image (the
+    * [[qualityStats]] rule — shared so the funnels decide from the same
+    * decode that hashes). */
+  private def keepOf(img: PngImage): Boolean = {
+    var mn = 255; var mx = 0; var s = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      s += v; i += 1
+    }
+    val n = img.pixels.length
+    !(mn == mx || s * 4 < n.toLong * 255 || s * 4 > n.toLong * 765 || (mx - mn) < 32)
+  }
+
   def dHash(media: Dataset[MediaRecord])(
       implicit spark: SparkSession): Dataset[DHashBands] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val img = decodeGray(r.media)
-        val bw = img.width / 9; val bh = img.height / 8
-        require(bw > 0 && bh > 0, s"image too small for 9x8 grid: ${img.width}x${img.height}")
-        val sums = Array.ofDim[Long](9, 8)
-        var by = 0
-        while (by < 8) {
-          var bx = 0
-          while (bx < 9) {
-            var s = 0L
-            var dy = 0
-            while (dy < bh) {
-              var dx = 0
-              while (dx < bw) {
-                s += img.pixels((by * bh + dy) * img.width + (bx * bw + dx))
-                dx += 1
-              }
-              dy += 1
-            }
-            sums(bx)(by) = s
-            bx += 1
-          }
-          by += 1
-        }
-        val bands = new Array[Int](4)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val i = y * 8 + x
-            if (sums(x + 1)(y) > sums(x)(y)) bands(i / 16) |= 1 << (i % 16)
-            x += 1
-          }
-          y += 1
-        }
+        val bands = dHashOf(decodeGray(r.media))
         DHashBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
+  /** Gate verdict + (for keepers) dHash bands from ONE decode per image
+    * — the funnel's dominant cost is inflate+unfilter, so the combined
+    * kernel halves it versus running [[qualityStats]] and [[dHash]] as
+    * separate passes. Rejected images carry zero bands and never reach
+    * the hash joins. */
+  final case class GatedHash(doc_id: Long, keep: Boolean,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def gateAndHash(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[GatedHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = decodeGray(r.media)
+        val keep = keepOf(img)
+        val bands = if (keep) dHashOf(img) else new Array[Int](4)
+        GatedHash(r.doc_id, keep, bands(0), bands(1), bands(2), bands(3))
       }
     }
   }
@@ -510,8 +556,12 @@ object PngCodec {
    * hash table — never an all-pairs product; hot buckets are capped the
    * same way the SimHash path caps them.
    */
-  def phashDedup(hashes: DataFrame, maxHamming: Int = 3,
+  def phashDedup(hashes0: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
+    // pin once: the four band joins + both verify sides re-scan this
+    // table six times, and recomputing a decode-backed input per scan
+    // would re-inflate every image per scan
+    val hashes = hashes0.localCheckpoint(true)
     val bandCols = Seq("b0", "b1", "b2", "b3")
     val cand = bandCols.zipWithIndex.map { case (bc, bi) =>
       val banded = Dedup.capBuckets(

@@ -942,8 +942,11 @@ object Similarity {
   }
 
   def lshIntTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 16, bandBits: Int = 4, scale: Int = 10000): DataFrame = {
-    val proj = md5Proj(nBits, 64)
+      nBits: Int = 16, bandBits: Int = 4, scale: Int = 10000,
+      dim: Int = 64): DataFrame = {
+    // `dim` must match the embedding width: a shorter projection would
+    // zip_with into nulls and silently zero every sign bit
+    val proj = md5Proj(nBits, dim)
     val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
     val qq = queries.select(col("query_id"), qzArr(col("query_vec"), scale).as("_qq"))
     def banded(df: DataFrame, vc: String, idc: String): DataFrame =
@@ -977,8 +980,9 @@ object Similarity {
    */
   def cosineNearDupsParity(corpus: DataFrame, threshold: Double,
       nBits: Int = 16, bandBits: Int = 4, scale: Int = 10000,
-      maxBucket: Int = 10000): DataFrame = {
-    val proj = md5Proj(nBits, 64)
+      maxBucket: Int = 10000, dim: Int = 64): DataFrame = {
+    // `dim` must match the embedding width (see lshIntTopK)
+    val proj = md5Proj(nBits, dim)
     val qc = corpus.select(col("vec_id"), qzArr(col("embedding"), scale).as("_qe"))
     val banded = Dedup.capBuckets(
       qc.select(col("vec_id"),

@@ -153,19 +153,28 @@ object Unigram {
       else toks.map { w =>
         if (!w.forall(c => c >= 'a' && c <= 'z') || w.isEmpty) 1
         else {
+          // same DP and tie-break as the training Viterbi (longer last
+          // piece, then lexicographically smaller), so encoded counts
+          // replay the trainer's segmentation exactly
           val n = w.length
           val best = new Array[Double](n + 1)
           val pcs = new Array[Int](n + 1)
           java.util.Arrays.fill(best, Double.NegativeInfinity)
           best(0) = 0.0; pcs(0) = 0
-          for (e <- 1 to n; l <- 1 to math.min(maxPieceLen, e)) {
-            val p = w.substring(e - l, e)
-            lp.get(p) match {
-              case Some(x) if best(e - l) > Double.NegativeInfinity =>
-                val s = best(e - l) + x
-                if (s > best(e)) { best(e) = s; pcs(e) = pcs(e - l) + 1 }
-              case _ => ()
+          for (e <- 1 to n) {
+            var bs = Double.NegativeInfinity; var bl = -1; var bp = ""; var bc = 0
+            for (l <- 1 to math.min(maxPieceLen, e)) {
+              val p = w.substring(e - l, e)
+              lp.get(p) match {
+                case Some(x) if best(e - l) > Double.NegativeInfinity =>
+                  val s = best(e - l) + x
+                  if (s > bs || (s == bs && (l > bl || (l == bl && p < bp)))) {
+                    bs = s; bl = l; bp = p; bc = pcs(e - l) + 1
+                  }
+                case _ => ()
+              }
             }
+            best(e) = bs; pcs(e) = if (bl > 0) bc else 0
           }
           if (best(n) > Double.NegativeInfinity) pcs(n) else n // char fallback
         }

@@ -1,18 +1,12 @@
 package graft.entries
 
-import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
-import graft.analytics.{CleanPipeline, Decontaminate, Dedup, Sampling, Similarity, Sketches, TextAnalysis}
-import graft.functions.GraftFunctions
-import graft.groups.ConsumerGroups
-import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
-import graft.model.BatchType
+import graft.log.{TieredStorage, TxnEngine}
 import graft.operators.Operators
 
 import graft.SparkEntry._
+
 
 /** Driver-contract entries: the HTTP admin-API route registry scripts
   * (`adm_rest_*`) — golden request/response walks over the reference's

@@ -1625,8 +1625,9 @@ private[graft] object IngestProtoEntries {
       val committed = graft.log.TxnEngine.readCommitted(log)
         .select(col("partition"), col("offset"), col("key"), col("value"))
       val nCommitted = committed.count()
+      // abortedRanges rows: (partition, pid, txn_seq, first, last)
       val aborted = graft.log.TxnEngine.abortedRanges(log)
-        .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+        .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
       val w2 = Window.partitionBy("partition")
       val fetchEnvs = committed
         .withColumn("base_offset", min("offset").over(w2))

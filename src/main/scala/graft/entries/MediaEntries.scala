@@ -1,18 +1,10 @@
 package graft.entries
 
-import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
-import graft.analytics.{Bitext, CleanPipeline, Decontaminate, Dedup, Sampling, Sft, Similarity, Sketches, TextAnalysis}
-import graft.functions.GraftFunctions
-import graft.groups.ConsumerGroups
-import graft.log.{Compaction, RecordLog, TieredStorage, Transactions, TxnEngine}
-import graft.model.BatchType
-import graft.operators.Operators
 
 import graft.SparkEntry._
+
 
 /** Driver-contract entries: the multimodal/media family — real PNG and
   * WAV codecs, perceptual-hash image dedup, pixel/sample quality gates,
