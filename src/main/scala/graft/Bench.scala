@@ -163,8 +163,12 @@ object Bench {
         results.map { case (name, t) =>
           name -> (if (flagged(name)) {
             val t0 = System.nanoTime()
-            try force(shots(name)(spark, sfDir)) catch { case _: Throwable => () }
-            math.min(t, (System.nanoTime() - t0) / 1e9)
+            // a shot that THROWS must not enter the min: a transient
+            // failure records milliseconds-to-fail, silently clearing a
+            // genuine flag and committing a bogus too-low floor
+            val ok = try { force(shots(name)(spark, sfDir)); true }
+              catch { case _: Throwable => false }
+            if (ok) math.min(t, (System.nanoTime() - t0) / 1e9) else t
           } else t)
         }
       }

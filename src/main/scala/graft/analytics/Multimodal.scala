@@ -7,66 +7,76 @@ import org.apache.spark.sql.functions._
  * Multimodal columns: image/audio/video as opaque `binary` with typed
  * metadata, processed in partition-sized batches.
  *
- * The Spark-side plumbing (schema, partitioning, batch shape) is real;
- * the codec itself is STUBBED with a deterministic fake — this container
- * has no image/audio libraries. Swap [[MediaCodec.decodeStub]] for a real
- * decoder (e.g. JNI/ffmpeg or an Arrow-batched Python worker) without
- * touching the dataflow.
+ * Every decode in this file is REAL — pure-JVM parsers against the
+ * public byte layouts: PNG pixels via [[PngCodec]], RIFF/WAVE samples
+ * via [[AudioCodec]], ISO-BMFF sample tables below (ISO/IEC 14496-12).
+ * [[extractMediaMeta]] dispatches on the container signature and
+ * decodes pixels, samples, or sample tables; [[sampleFrames]] samples
+ * frames from the real stts/stsz tables. (The round-16-era
+ * deterministic stub codec is retired.)
  */
 object Multimodal {
 
   /** A media row: opaque payload + envelope metadata. */
   final case class MediaRecord(doc_id: Long, mime: String, media: Array[Byte])
 
-  /** Typed features extracted per media payload. */
-  final case class MediaFeatures(
-      doc_id: Long, mime: String, byte_len: Int,
-      width: Int, height: Int, n_frames: Int, checksum: Long)
-
-  object MediaCodec {
-    /**
-     * STUB decoder: deterministic pseudo-metadata derived from payload
-     * bytes. A real implementation parses the container header. Marked
-     * clearly as fake: dims are functions of length/first bytes only.
-     */
-    def decodeStub(r: MediaRecord): MediaFeatures = {
-      val len = r.media.length
-      val b0 = if (len > 0) r.media(0) & 0xff else 0
-      val b1 = if (len > 1) r.media(1) & 0xff else 0
-      var crc = 1469598103934665603L // FNV-1a over payload: cheap + deterministic
-      var i = 0
-      while (i < len) { crc ^= (r.media(i) & 0xffL); crc *= 1099511628211L; i += 1 }
-      MediaFeatures(r.doc_id, r.mime, len,
-        width = 16 + (b0 % 64), height = 16 + (b1 % 64),
-        n_frames = if (r.mime.startsWith("video")) 1 + len % 30 else 1,
-        checksum = crc)
-    }
-  }
+  /** Real decoded metadata, one row per media payload. `content_sum`
+    * is modality-specific but always a reduction of genuinely decoded
+    * content: pixel sum (png), signed PCM sample sum (wav),
+    * sample-table byte total (mp4) — a wrong filter reconstruction,
+    * sample sign, or table offset shows up as a sum mismatch. */
+  final case class MediaMeta(doc_id: Long, format: String, width: Int,
+      height: Int, n_frames: Int, duration_ms: Long, content_sum: Long)
 
   /**
-   * Batch feature extraction: `mapPartitions` so a real codec can
-   * amortize per-batch init (model load, ffmpeg context) across the
-   * partition — the Scala analogue of an Arrow-batched Python UDF.
-   * Narrow (no shuffle); repartition upstream to size decode batches.
+   * Batch metadata extraction with REAL codec dispatch: the container
+   * signature picks the decoder (PNG magic → pixel decode; RIFF/WAVE →
+   * PCM sample decode; ftyp → sample-table walk). `mapPartitions` so a
+   * heavier codec can amortize per-batch init across the partition —
+   * the Scala analogue of an Arrow-batched Python UDF. Narrow (no
+   * shuffle); repartition upstream to size decode batches.
    */
-  def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def extractMediaMeta(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition codec init would go here
-      it.map(MediaCodec.decodeStub)
+      it.map { r =>
+        val b = r.media
+        def cc4(i: Int) = if (b.length >= i + 4) new String(b, i, 4, "US-ASCII") else ""
+        if (b.length >= 8 && (b(0) & 0xff) == 0x89 && cc4(1).startsWith("PNG")) {
+          val img = PngCodec.decodeGray(b)
+          var s = 0L; var i = 0
+          while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
+          MediaMeta(r.doc_id, "png", img.width, img.height, 1, 0L, s)
+        } else if (cc4(0) == "RIFF" && cc4(8) == "WAVE") {
+          val samples = AudioCodec.decodeWav(b)
+          val (_, _, _, sr, _, _) = AvHeaderParser.parse(b)
+          var s = 0L; var i = 0
+          while (i < samples.length) { s += samples(i); i += 1 }
+          MediaMeta(r.doc_id, "wav", 0, 0, samples.length,
+            if (sr > 0) samples.length * 1000L / sr else 0L, s)
+        } else if (cc4(4) == "ftyp") {
+          val t = mp4Table(b)
+          MediaMeta(r.doc_id, "mp4", 0, 0, t.nSamples,
+            if (t.timescale > 0) t.totalTicks * 1000L / t.timescale else 0L,
+            t.totalBytes)
+        } else MediaMeta(r.doc_id, "unknown", 0, 0, 0, 0L, 0L)
+      }
     }
   }
 
-  /** One sampled frame: parent doc, frame index, stream timestamp, and
-   *  the frame's (stub) content hash. */
-  final case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, frame_hash: Long)
+  /** One sampled frame: parent doc, sample index, REAL presentation
+    * timestamp (cumulative stts deltas over the mdhd timescale), and
+    * the frame's byte size from the stsz table. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Int)
 
   /**
-   * Frame sampling — every k-th frame of each video payload, the 1->N
-   * expansion a real extractor performs. The dataflow is the real thing
-   * (flatMap inside `mapPartitions`, per-partition codec init point, no
-   * shuffle, output cardinality data-dependent); the decode is the same
-   * declared stub. Timestamps assume 25 fps (40 ms per frame).
+   * Frame sampling — every k-th sample of each MP4 payload, the 1->N
+   * expansion a real extractor performs, driven by the REAL decoded
+   * sample tables: frame count from stts, timestamps from the
+   * cumulative time-to-sample deltas, sizes from stsz. flatMap inside
+   * `mapPartitions`, no shuffle, output cardinality data-dependent.
    */
   def sampleFrames(media: Dataset[MediaRecord], everyK: Int)(
       implicit spark: SparkSession): Dataset[FrameSample] = {
@@ -75,23 +85,23 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec init would go here
       it.flatMap { r =>
-        val f = MediaCodec.decodeStub(r)
-        (0 until f.n_frames by everyK).iterator.map { i =>
-          FrameSample(r.doc_id, i, i * 40L,
-            f.checksum ^ (i.toLong * 0x9e3779b97f4a7c15L))
-        }
+        val t = mp4Table(r.media)
+        var ticks = 0L
+        var run = 0; var inRun = 0
+        (0 until t.nSamples).iterator.map { i =>
+          val out = FrameSample(r.doc_id, i,
+            if (t.timescale > 0) ticks * 1000L / t.timescale else 0L,
+            t.sizeOf(i))
+          // advance the stts cursor one sample (runs are (count, delta))
+          ticks += t.runDeltas(run)
+          inRun += 1
+          if (inRun == t.runCounts(run) && run + 1 < t.runCounts.length) {
+            run += 1; inRun = 0
+          }
+          out
+        }.filter(_.frame_idx % everyK == 0)
       }
     }
-  }
-
-  /** Wrap a text table as fake media rows (payload = utf8 bytes) to
-   *  exercise the binary-column pipeline end-to-end. */
-  def fakeMediaFromText(df: DataFrame, mime: String = "image/fake")(
-      implicit spark: SparkSession): Dataset[MediaRecord] = {
-    import spark.implicits._
-    df.select(col("doc_id"), lit(mime).as("mime"),
-        encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRecord]
   }
 
   /**
@@ -199,7 +209,7 @@ object Multimodal {
 
   /**
    * Real header-metadata extraction over binary media columns: the
-   * same `mapPartitions` batch shape as [[extractFeatures]], but the
+   * same `mapPartitions` batch shape as [[extractMediaMeta]], but the
    * parse is the genuine article — synthesized or ingested PNG/GIF/
    * JPEG payloads yield their true planted dimensions. Narrow, no
    * shuffle, no UDF registry; scales as a projection.
@@ -422,57 +432,64 @@ object Multimodal {
   def mp4SampleSize(cls: Long, i: Int): Int =
     100 + ((cls * 7 + 13L * i) % 200).toInt
 
-  /** Structurally genuine MP4s carrying the closed-form sample tables:
-    * ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd,
-    * stts, stsc, stsz, stco))))) + an (empty) mdat. */
+  /** One structurally genuine MP4 carrying the closed-form sample
+    * tables for class `cls`: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd,
+    * hdlr, minf(stbl(stsd, stts, stsc, stsz, stco))))) + an (empty)
+    * mdat. */
+  def mp4SampleBytes(cls: Long): Array[Byte] = {
+    val n = mp4SampleCount(cls)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val sz = 8 + payload.length
+      out.write(sz >> 24); out.write((sz >> 16) & 0xff)
+      out.write((sz >> 8) & 0xff); out.write(sz & 0xff)
+      out.write(typ.getBytes("US-ASCII"), 0, 4)
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+    def be32s(vs: Int*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      vs.foreach { v =>
+        out.write(v >> 24); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff)
+      }
+      out.toByteArray
+    }
+    val d1 = 512 + cls.toInt; val d2 = 1024 + cls.toInt
+    val duration = 16 * d1 + (n - 16) * d2
+    val timescale = 1000 + 10 * cls.toInt
+    val stts = box("stts", be32s(0, 2, 16, d1, n - 16, d2))
+    val sizes = (0 until n).map(i => mp4SampleSize(cls, i))
+    val stsz = box("stsz", be32s(Seq(0, 0, n) ++ sizes: _*))
+    val stsd = box("stsd", be32s(0, 0))
+    val stsc = box("stsc", be32s(0, 0))
+    val stco = box("stco", be32s(0, 0))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdhd = box("mdhd", be32s(0, 0, 0, timescale, duration) ++
+      Array[Byte](0x55, 0xc4.toByte, 0, 0)) // language 'und' + predefined
+    val hdlr = box("hdlr", be32s(0, 0) ++ "vide".getBytes("US-ASCII") ++
+      new Array[Byte](13)) // reserved ×3 + empty name
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = box("tkhd", be32s(0, 0, 0, 1) ++ new Array[Byte](76))
+    val trak = box("trak", tkhd ++ mdia)
+    val mvhd = box("mvhd", be32s(0, 0, 0, timescale, duration) ++
+      new Array[Byte](80))
+    val moov = box("moov", mvhd ++ trak)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32s(0))
+    val mdat = box("mdat", Array.emptyByteArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Structurally genuine MP4s over [[mp4SampleBytes]], one per input
+    * id, class = id % `classes`. */
   def synthesizeMp4Samples(ids: Dataset[java.lang.Long], classes: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
-        val cls = id.longValue % classes
-        val n = mp4SampleCount(cls)
-        def box(typ: String, payload: Array[Byte]): Array[Byte] = {
-          val out = new java.io.ByteArrayOutputStream()
-          val sz = 8 + payload.length
-          out.write(sz >> 24); out.write((sz >> 16) & 0xff)
-          out.write((sz >> 8) & 0xff); out.write(sz & 0xff)
-          out.write(typ.getBytes("US-ASCII"), 0, 4)
-          out.write(payload, 0, payload.length)
-          out.toByteArray
-        }
-        def be32s(vs: Int*): Array[Byte] = {
-          val out = new java.io.ByteArrayOutputStream()
-          vs.foreach { v =>
-            out.write(v >> 24); out.write((v >> 16) & 0xff)
-            out.write((v >> 8) & 0xff); out.write(v & 0xff)
-          }
-          out.toByteArray
-        }
-        val d1 = 512 + cls.toInt; val d2 = 1024 + cls.toInt
-        val duration = 16 * d1 + (n - 16) * d2
-        val timescale = 1000 + 10 * cls.toInt
-        val stts = box("stts", be32s(0, 2, 16, d1, n - 16, d2))
-        val sizes = (0 until n).map(i => mp4SampleSize(cls, i))
-        val stsz = box("stsz", be32s(Seq(0, 0, n) ++ sizes: _*))
-        val stsd = box("stsd", be32s(0, 0))
-        val stsc = box("stsc", be32s(0, 0))
-        val stco = box("stco", be32s(0, 0))
-        val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
-        val minf = box("minf", stbl)
-        val mdhd = box("mdhd", be32s(0, 0, 0, timescale, duration) ++
-          Array[Byte](0x55, 0xc4.toByte, 0, 0)) // language 'und' + predefined
-        val hdlr = box("hdlr", be32s(0, 0) ++ "vide".getBytes("US-ASCII") ++
-          new Array[Byte](13)) // reserved ×3 + empty name
-        val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-        val tkhd = box("tkhd", be32s(0, 0, 0, 1) ++ new Array[Byte](76))
-        val trak = box("trak", tkhd ++ mdia)
-        val mvhd = box("mvhd", be32s(0, 0, 0, timescale, duration) ++
-          new Array[Byte](80))
-        val moov = box("moov", mvhd ++ trak)
-        val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32s(0))
-        val mdat = box("mdat", Array.emptyByteArray)
-        MediaRecord(id.longValue, "video/mp4", ftyp ++ moov ++ mdat)
+        MediaRecord(id.longValue, "video/mp4",
+          mp4SampleBytes(id.longValue % classes))
       }
     }
   }
@@ -481,64 +498,130 @@ object Multimodal {
   final case class Mp4Samples(doc_id: Long, timescale: Int, n_samples: Int,
       total_duration: Long, total_bytes: Long, max_size: Int)
 
-  /** Walk the box tree and reduce the sample tables: timescale from
-    * mdhd, sample count + duration from the stts runs, byte totals from
-    * stsz. Throws on malformed box sizes — no silent misparse. */
+  /** Decoded ISO-BMFF sample tables: mdhd timescale, the stts runs
+    * (parallel count/delta arrays), and stsz sizes (fixed-size or
+    * per-sample). The shared decode behind [[parseMp4Samples]],
+    * [[sampleFrames]], and [[extractMediaMeta]]'s video leg. */
+  final case class Mp4Table(timescale: Int, runCounts: Array[Int],
+      runDeltas: Array[Int], fixedSize: Int, sizes: Array[Int]) {
+    def nSamples: Int = {
+      var n = 0; var i = 0
+      while (i < runCounts.length) { n += runCounts(i); i += 1 }
+      n
+    }
+    def totalTicks: Long = {
+      var d = 0L; var i = 0
+      while (i < runCounts.length) { d += runCounts(i).toLong * runDeltas(i); i += 1 }
+      d
+    }
+    def totalBytes: Long =
+      if (fixedSize != 0) fixedSize.toLong * nSamples
+      else { var s = 0L; var i = 0; while (i < sizes.length) { s += sizes(i); i += 1 }; s }
+    def maxSize: Int =
+      if (fixedSize != 0) fixedSize
+      else {
+        var m = 0; var i = 0
+        while (i < sizes.length) { if (sizes(i) > m) m = sizes(i); i += 1 }
+        m
+      }
+    def sizeOf(i: Int): Int = if (fixedSize != 0) fixedSize else sizes(i)
+  }
+
+  /** Walk the box tree (moov→trak→mdia→minf→stbl) and decode the
+    * sample tables: timescale from mdhd, time-to-sample runs from stts,
+    * sizes from stsz. Throws on malformed box sizes or table counts
+    * that exceed their enclosing box — no silent misparse. */
+  def mp4Table(b: Array[Byte]): Mp4Table = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def cc(i: Int) = new String(b, i, 4, "US-ASCII")
+    var timescale = -1
+    var runCounts: Array[Int] = null; var runDeltas: Array[Int] = null
+    var fixedSize = 0; var sizes: Array[Int] = null
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val sz = be32(pos); val typ = cc(pos + 4)
+        require(sz >= 8 && pos + sz <= to, s"bad box $typ size $sz")
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(pos + 8, pos + sz)
+          case "mdhd" =>
+            require(u8(pos + 8) == 0, "mdhd v1 unsupported")
+            timescale = be32(pos + 20)
+          case "stts" =>
+            val entries = be32(pos + 12)
+            // entry count must fit the enclosing box: a corrupt count
+            // that stays within the file would otherwise read bytes of
+            // subsequent boxes as deltas — silent misparse
+            require(entries >= 0 && 16L + 8L * entries <= sz,
+              s"stts entry count $entries exceeds box size $sz")
+            runCounts = new Array[Int](entries)
+            runDeltas = new Array[Int](entries)
+            var e = 0
+            while (e < entries) {
+              runCounts(e) = be32(pos + 16 + 8 * e)
+              runDeltas(e) = be32(pos + 20 + 8 * e)
+              e += 1
+            }
+          case "stsz" =>
+            fixedSize = be32(pos + 12)
+            val cnt = be32(pos + 16)
+            if (fixedSize == 0) {
+              // same bound for the variable-size table (20-byte header
+              // + 4 bytes per entry must fit the box)
+              require(cnt >= 0 && 20L + 4L * cnt <= sz,
+                s"stsz entry count $cnt exceeds box size $sz")
+              sizes = new Array[Int](cnt)
+              var i = 0
+              while (i < cnt) { sizes(i) = be32(pos + 20 + 4 * i); i += 1 }
+            } else sizes = Array.emptyIntArray
+          case _ => ()
+        }
+        pos += sz
+      }
+    }
+    walk(0, b.length)
+    require(timescale > 0 && runCounts != null, "missing mdhd/stts")
+    if (sizes == null) sizes = Array.emptyIntArray
+    Mp4Table(timescale, runCounts, runDeltas, fixedSize, sizes)
+  }
+
+  /** Walk the box tree and reduce the sample tables to per-file stats
+    * — full [[mp4Table]] decode per row, narrow, no shuffle. */
   def parseMp4Samples(media: Dataset[MediaRecord])(
       implicit spark: SparkSession): Dataset[Mp4Samples] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val b = r.media
-        def u8(i: Int) = b(i) & 0xff
-        def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-        def cc(i: Int) = new String(b, i, 4, "US-ASCII")
-        var timescale = -1; var nSamples = -1
-        var totalDur = -1L; var totalBytes = -1L; var maxSize = -1
-        def walk(from: Int, to: Int): Unit = {
-          var pos = from
-          while (pos + 8 <= to) {
-            val sz = be32(pos); val typ = cc(pos + 4)
-            require(sz >= 8 && pos + sz <= to, s"bad box $typ size $sz")
-            typ match {
-              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-                walk(pos + 8, pos + sz)
-              case "mdhd" =>
-                require(u8(pos + 8) == 0, "mdhd v1 unsupported")
-                timescale = be32(pos + 20)
-              case "stts" =>
-                val entries = be32(pos + 12)
-                var n = 0; var dur = 0L
-                var e = 0
-                while (e < entries) {
-                  val cnt = be32(pos + 16 + 8 * e)
-                  val delta = be32(pos + 20 + 8 * e)
-                  n += cnt; dur += cnt.toLong * delta
-                  e += 1
-                }
-                nSamples = n; totalDur = dur
-              case "stsz" =>
-                val fixed = be32(pos + 12)
-                val cnt = be32(pos + 16)
-                if (fixed != 0) { totalBytes = fixed.toLong * cnt; maxSize = fixed }
-                else {
-                  var s = 0L; var mx = 0
-                  var i = 0
-                  while (i < cnt) {
-                    val v = be32(pos + 20 + 4 * i)
-                    s += v; if (v > mx) mx = v
-                    i += 1
-                  }
-                  totalBytes = s; maxSize = mx
-                }
-              case _ => ()
-            }
-            pos += sz
-          }
+        val t = mp4Table(r.media)
+        Mp4Samples(r.doc_id, t.timescale, t.nSamples, t.totalTicks,
+          t.totalBytes, t.maxSize)
+      }
+    }
+  }
+
+  /** Mixed-modality corpus: modality rotates by `doc_id % 3` — a real
+    * PNG over [[PngCodec.classPixel]], a real WAV over
+    * [[AudioCodec.classSample]], or a real MP4 over the closed-form
+    * sample tables ([[mp4SampleCount]]/[[mp4SampleSize]]) — so one
+    * entry exercises [[extractMediaMeta]]'s full dispatch. */
+  def synthesizeMixedMedia(ids: Dataset[java.lang.Long], classes: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val cls = id % classes
+        id % 3 match {
+          case 0 => MediaRecord(id, "image/png",
+            PngCodec.encodeGray(PngCodec.SynthW, PngCodec.SynthH,
+              (x, y) => PngCodec.classPixel(cls, x, y)))
+          case 1 => MediaRecord(id, "audio/wav",
+            AudioCodec.encodeWav(Array.tabulate(AudioCodec.NSamples)(i =>
+              AudioCodec.classSample(cls, i))))
+          case _ => MediaRecord(id, "video/mp4", mp4SampleBytes(cls))
         }
-        walk(0, b.length)
-        require(timescale > 0 && nSamples >= 0, "missing mdhd/stts")
-        Mp4Samples(r.doc_id, timescale, nSamples, totalDur, totalBytes, maxSize)
       }
     }
   }

@@ -138,6 +138,13 @@ object PngCodec {
         case "IHDR" =>
           width = be32(pos + 8); height = be32(pos + 12)
           bitDepth = u8(pos + 16); colorType = u8(pos + 17)
+          // dims are attacker-controlled: bound them BEFORE the
+          // height*(1+width) allocation so a crafted header claiming huge
+          // (or high-bit-negative) dims rejects cleanly instead of
+          // triggering a multi-GB allocation or an overflowed short buffer
+          require(width > 0 && height > 0 &&
+              width <= (1 << 15) && height <= (1 << 15),
+            s"PNG dims out of range: ${width}x$height")
           require(bitDepth == 8 && colorType == 0,
             s"unsupported PNG layout: depth=$bitDepth color=$colorType (greyscale-8 only)")
           require(u8(pos + 20) == 0, "interlaced PNG unsupported")
@@ -539,7 +546,9 @@ object PngCodec {
     media.mapPartitions { it =>
       it.map { r =>
         val img = decodeGray(r.media)
-        val keep = keepOf(img)
+        // a corrupt PNG whose IDAT still inflates must not be gated and
+        // hashed as valid pixels: CRC failure joins the reject path
+        val keep = img.crcOk && keepOf(img)
         val bands = if (keep) dHashOf(img) else new Array[Int](4)
         GatedHash(r.doc_id, keep, bands(0), bands(1), bands(2), bands(3))
       }

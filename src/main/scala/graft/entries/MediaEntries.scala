@@ -19,12 +19,19 @@ private[graft] object MediaEntries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> ((s, dir) => {
-      // Runs the REAL mapPartitions decode path (stub codec, declared in
-      // Multimodal.MediaCodec): binary payloads in, typed features out.
+      // REAL codec dispatch (round 17 — the stub codec is retired): one
+      // corpus with the modality rotating by doc_id % 3 (a genuine PNG /
+      // WAV / MP4 per doc, each over its closed-form law), metadata
+      // extracted by the signature-dispatched real decoders — decoded
+      // pixel sums, decoded PCM sample sums, parsed sample tables. The
+      // oracle recomputes every field from the planted laws; a wrong
+      // dispatch, filter reconstruction, sample sign, or table offset
+      // shows up as a field mismatch.
       implicit val sp: SparkSession = s
-      val media = graft.analytics.Multimodal.fakeMediaFromText(T(s, dir, "documents"))
-      graft.analytics.Multimodal.extractFeatures(media).toDF()
-        .select("doc_id", "mime", "byte_len", "width", "height", "n_frames")
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.Multimodal.synthesizeMixedMedia(ids)
+      graft.analytics.Multimodal.extractMediaMeta(media).toDF()
         .orderBy("doc_id")
     }),
 
@@ -60,15 +67,21 @@ private[graft] object MediaEntries {
     }),
 
     "mm_frame_sample" -> ((s, dir) => {
-      // 1->N frame extraction through the real mapPartitions/flatMap
-      // path: video payloads (stub n_frames = 1 + len % 30) sampled
-      // every 7th frame at 25 fps stamps.
+      // 1->N frame extraction from the REAL stts/stsz sample tables
+      // (round 17 — the stub n_frames law is retired): every 7th sample
+      // of each structurally genuine MP4, timestamped by the cumulative
+      // time-to-sample deltas over the mdhd timescale and sized from the
+      // stsz table. The oracle replays the closed-form tables — a wrong
+      // run cursor, tick sum, or size offset shifts a timestamp or a
+      // byte total.
       implicit val sp: SparkSession = s
-      val media = graft.analytics.Multimodal.fakeMediaFromText(
-        T(s, dir, "documents"), mime = "video/fake")
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.Multimodal.synthesizeMp4Samples(ids)
       graft.analytics.Multimodal.sampleFrames(media, everyK = 7).toDF()
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"))
+        .agg(count(lit(1)).as("n_sampled"), max("ts_ms").as("max_ts_ms"),
+          sum("frame_bytes").as("sum_frame_bytes"))
         .orderBy("doc_id")
     }),
 
@@ -251,13 +264,40 @@ private[graft] object MediaEntries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Closed-form replay of the dispatched REAL decodes: pixel sums
+    // from the PNG law, signed sample sums from the WAV law,
+    // sample-table totals from the MP4 law — one leg per modality.
     "mm_media_meta" ->
-      """SELECT doc_id, 'image/fake' AS mime,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
-        |  1 AS n_frames
-        | FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS cls FROM documents),
+        |png AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum((d.cls * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS s
+        |  FROM d, generate_series(0, 35) tx(x), generate_series(0, 31) ty(y)
+        |  WHERE d.doc_id % 3 = 0 GROUP BY 1),
+        |wav AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum((d.cls * 131 + 37 * i) % 4001 - 2000) AS BIGINT) AS s
+        |  FROM d, generate_series(0, 2047) t(i)
+        |  WHERE d.doc_id % 3 = 1 GROUP BY 1),
+        |mp4 AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(100 + (d.cls * 7 + 13 * i) % 200) AS BIGINT) AS s
+        |  FROM d, unnest(range(200)) u(i)
+        |  WHERE d.doc_id % 3 = 2 AND i < 32 + d.cls GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END
+        |    AS format,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 36 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 32 ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2048
+        |    ELSE 32 + d.cls END AS INTEGER) AS n_frames,
+        |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 256
+        |    ELSE (16 * (512 + d.cls) + (16 + d.cls) * (1024 + d.cls)) * 1000
+        |      // (1000 + 10 * d.cls) END AS BIGINT) AS duration_ms,
+        |  COALESCE(png.s, wav.s, mp4.s) AS content_sum
+        |FROM d LEFT JOIN png USING (doc_id) LEFT JOIN wav USING (doc_id)
+        |  LEFT JOIN mp4 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_header_parse" ->
       """SELECT doc_id,
@@ -287,11 +327,20 @@ private[graft] object MediaEntries {
         |  CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 140 END) + (doc_id // 2) % 7 AS INTEGER) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Replay of the sampled REAL sample tables: start ticks of sample i
+    // are i·d1 inside the first stts run (16 samples), then the d2 run.
     "mm_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST((1 + octet_length(encode(text)) % 30 + 6) // 7 AS BIGINT) AS n_sampled,
-        |  CAST(((1 + octet_length(encode(text)) % 30 - 1) // 7) * 7 * 40 AS BIGINT) AS max_ts_ms
-        | FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH clips AS (SELECT doc_id, doc_id % 64 AS cls FROM documents),
+        |fr AS (
+        |  SELECT c.doc_id, c.cls, i,
+        |    CASE WHEN i < 16 THEN i * (512 + c.cls)
+        |         ELSE 16 * (512 + c.cls) + (i - 16) * (1024 + c.cls) END AS ticks
+        |  FROM clips c, unnest(range(0, 200, 7)) u(i)
+        |  WHERE i < 32 + c.cls)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(max(ticks * 1000 // (1000 + 10 * cls)) AS BIGINT) AS max_ts_ms,
+        |  CAST(sum(100 + (cls * 7 + 13 * i) % 200) AS BIGINT) AS sum_frame_bytes
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Closed-form replay of the decoded pixels: the engine really
     // inflates + unfilters real PNGs; the oracle recomputes the pixel

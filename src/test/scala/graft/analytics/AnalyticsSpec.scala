@@ -788,25 +788,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(v === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
-  test("multimodal: frame sampling expands video payloads every k-th frame") {
+  test("multimodal: frame sampling walks the real stts/stsz tables") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
-    // payload of 10 bytes -> n_frames = 1 + 10 % 30 = 11; every 5th -> 0,5,10
-    val media = Multimodal.fakeMediaFromText(
-      Seq((7L, "0123456789")).toDF("doc_id", "text"), mime = "video/fake")
-    val frames = Multimodal.sampleFrames(media, everyK = 5).collect().toSeq
-    assert(frames.map(f => (f.frame_idx, f.ts_ms)) === Seq((0, 0L), (5, 200L), (10, 400L)))
-    assert(frames.map(_.frame_hash).distinct.size === 3)
+    // cls = 7: n = 39 samples, d1 = 519 (first 16), d2 = 1031, ts = 1070
+    val media = Multimodal.synthesizeMp4Samples(
+      Seq(java.lang.Long.valueOf(7L)).toDS())
+    val frames = Multimodal.sampleFrames(media, everyK = 5)
+      .collect().sortBy(_.frame_idx).toSeq
+    assert(frames.map(_.frame_idx) === Seq(0, 5, 10, 15, 20, 25, 30, 35))
+    assert(frames.head.ts_ms === 0L)
+    assert(frames(1).ts_ms === 5L * 519 * 1000 / 1070)
+    // sample 20 sits in the second run: 16 d1 ticks + 4 d2 ticks
+    assert(frames(4).ts_ms === (16L * 519 + 4L * 1031) * 1000 / 1070)
+    assert(frames.map(_.frame_bytes) ===
+      Seq(0, 5, 10, 15, 20, 25, 30, 35).map(i => Multimodal.mp4SampleSize(7L, i)))
   }
 
-  test("multimodal plumbing: batch decode stub produces typed features") {
+  test("multimodal: media-meta dispatch decodes each container for real") {
     implicit val s = spark
-    val media = Multimodal.fakeMediaFromText(docs)
-    val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.length === docs.count())
-    assert(feats.forall(f => f.byte_len > 0 && f.width >= 16 && f.height >= 16))
-    // determinism
-    val again = Multimodal.extractFeatures(media).collect()
-    assert(feats.map(_.checksum).toSet === again.map(_.checksum).toSet)
+    // ids 0/1/2 -> png/wav/mp4; every content_sum must match its law
+    val media = Multimodal.synthesizeMixedMedia(
+      Seq(0L, 1L, 2L).map(java.lang.Long.valueOf).toDS())
+    val meta = Multimodal.extractMediaMeta(media)
+      .collect().map(m => m.doc_id -> m).toMap
+    val png = meta(0L)
+    assert(png.format === "png" && png.width === PngCodec.SynthW &&
+      png.height === PngCodec.SynthH && png.n_frames === 1)
+    val pngSum = (for (y <- 0 until PngCodec.SynthH; x <- 0 until PngCodec.SynthW)
+      yield PngCodec.classPixel(0L, x, y).toLong).sum
+    assert(png.content_sum === pngSum)
+    val wav = meta(1L)
+    assert(wav.format === "wav" && wav.n_frames === AudioCodec.NSamples &&
+      wav.duration_ms === AudioCodec.NSamples * 1000L / AudioCodec.SampleRate)
+    assert(wav.content_sum ===
+      (0 until AudioCodec.NSamples).map(i => AudioCodec.classSample(1L, i).toLong).sum)
+    val mp4 = meta(2L)
+    assert(mp4.format === "mp4" && mp4.n_frames === Multimodal.mp4SampleCount(2L))
+    assert(mp4.content_sum === (0 until Multimodal.mp4SampleCount(2L))
+      .map(i => Multimodal.mp4SampleSize(2L, i).toLong).sum)
+    val ts = 1000 + 10 * 2
+    val ticks = 16L * (512 + 2) + (16 + 2).toLong * (1024 + 2)
+    assert(mp4.duration_ms === ticks * 1000 / ts)
   }
 
   test("repetition: boilerplate fails Gopher thresholds, prose passes") {
