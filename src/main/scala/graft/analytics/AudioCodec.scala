@@ -111,37 +111,112 @@ object AudioCodec {
     * 16-bit bands for hamming-bucketed dedup. */
   final case class AudioHashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
+  /** 64 block energies (sum of squares over len/64-sample blocks) —
+    * the shared frame reduction behind the fingerprint and the
+    * spectral pass. Division-free exact int64. */
+  private def blockEnergies(s: Array[Int]): Array[Long] = {
+    val nBlocks = 64
+    val bl = s.length / nBlocks
+    require(bl > 0, s"clip too short for $nBlocks blocks: ${s.length}")
+    Array.tabulate(nBlocks) { b =>
+      var e = 0L; var i = 0
+      while (i < bl) { val v = s(b * bl + i); e += v.toLong * v; i += 1 }
+      e
+    }
+  }
+
   /**
-   * Energy-profile fingerprint over the decoded samples: 65 blocks of
-   * 32 samples (2048/32 + 1 boundary handled by comparing 64 adjacent
-   * block pairs over the first 2080… NSamples yields exactly 64 blocks,
-   * so bit i = energy(block i+1 mod 64) vs energy(block i) on the 64
-   * cyclic pairs — division-free exact int64 sums of squares, one bit
-   * per pair). Bit `i` lands in band `i div 16` at `i mod 16` — the
-   * same banding the image dHash uses, so the same bucket-join dedup
-   * machinery applies unchanged.
+   * Energy-profile fingerprint over the decoded samples: 64 blocks of
+   * len/64 samples, bit i = energy(block i+1 mod 64) vs energy(block i)
+   * on the 64 cyclic pairs — division-free exact int64 sums of squares,
+   * one bit per pair. Bit `i` lands in band `i div 16` at `i mod 16` —
+   * the same banding the image dHash uses, so the same bucket-join
+   * dedup machinery applies unchanged.
    */
   def audioHash(media: Dataset[MediaRecord])(
       implicit spark: SparkSession): Dataset[AudioHashBands] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val s = decodeWav(r.media)
-        val nBlocks = 64
-        val bl = s.length / nBlocks
-        require(bl > 0, s"clip too short for $nBlocks blocks: ${s.length}")
-        val energy = Array.tabulate(nBlocks) { b =>
-          var e = 0L; var i = 0
-          while (i < bl) { val v = s(b * bl + i); e += v.toLong * v; i += 1 }
-          e
-        }
+        val energy = blockEnergies(decodeWav(r.media))
         val bands = new Array[Int](4)
         var i = 0
         while (i < 64) {
-          if (energy((i + 1) % nBlocks) > energy(i)) bands(i / 16) |= 1 << (i % 16)
+          if (energy((i + 1) % 64) > energy(i)) bands(i / 16) |= 1 << (i % 16)
           i += 1
         }
         AudioHashBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
+  /** 256-entry fixed-point cosine table, `CosTab(m) = round(4096 ·
+    * cos(π·m/128))` — planted as integer LITERALS (never recomputed at
+    * runtime), so the Spark kernel and the SQL oracle share the exact
+    * basis with no cross-engine libm dependence. One full period: the
+    * DCT-II angle index `(2b+1)·k` reduces mod 256. */
+  val CosTab: Array[Int] = Array(
+    4096, 4095, 4091, 4085, 4076, 4065, 4052, 4036, 4017, 3996, 3973, 3948,
+    3920, 3889, 3857, 3822, 3784, 3745, 3703, 3659, 3612, 3564, 3513, 3461,
+    3406, 3349, 3290, 3229, 3166, 3102, 3035, 2967, 2896, 2824, 2751, 2675,
+    2598, 2520, 2440, 2359, 2276, 2191, 2106, 2019, 1931, 1842, 1751, 1660,
+    1567, 1474, 1380, 1285, 1189, 1092, 995, 897, 799, 700, 601, 501, 401,
+    301, 201, 101, 0, -101, -201, -301, -401, -501, -601, -700, -799, -897,
+    -995, -1092, -1189, -1285, -1380, -1474, -1567, -1660, -1751, -1842,
+    -1931, -2019, -2106, -2191, -2276, -2359, -2440, -2520, -2598, -2675,
+    -2751, -2824, -2896, -2967, -3035, -3102, -3166, -3229, -3290, -3349,
+    -3406, -3461, -3513, -3564, -3612, -3659, -3703, -3745, -3784, -3822,
+    -3857, -3889, -3920, -3948, -3973, -3996, -4017, -4036, -4052, -4065,
+    -4076, -4085, -4091, -4095, -4096, -4095, -4091, -4085, -4076, -4065,
+    -4052, -4036, -4017, -3996, -3973, -3948, -3920, -3889, -3857, -3822,
+    -3784, -3745, -3703, -3659, -3612, -3564, -3513, -3461, -3406, -3349,
+    -3290, -3229, -3166, -3102, -3035, -2967, -2896, -2824, -2751, -2675,
+    -2598, -2520, -2440, -2359, -2276, -2191, -2106, -2019, -1931, -1842,
+    -1751, -1660, -1567, -1474, -1380, -1285, -1189, -1092, -995, -897,
+    -799, -700, -601, -501, -401, -301, -201, -101, 0, 101, 201, 301, 401,
+    501, 601, 700, 799, 897, 995, 1092, 1189, 1285, 1380, 1474, 1567, 1660,
+    1751, 1842, 1931, 2019, 2106, 2191, 2276, 2359, 2440, 2520, 2598, 2675,
+    2751, 2824, 2896, 2967, 3035, 3102, 3166, 3229, 3290, 3349, 3406, 3461,
+    3513, 3564, 3612, 3659, 3703, 3745, 3784, 3822, 3857, 3889, 3920, 3948,
+    3973, 3996, 4017, 4036, 4052, 4065, 4076, 4085, 4091, 4095)
+
+  /** Spectral summary per clip: the first DCT-II coefficients over the
+    * 64-block energy envelope plus low/high band magnitudes — the
+    * silence / bandwidth / music-vs-speech gates of an audio curation
+    * pass, all exact int64. */
+  final case class AudioSpectral(doc_id: Long, s0: Long, s1: Long,
+      s2: Long, s3: Long, low_band: Long, high_band: Long)
+
+  /**
+   * Fixed-point DCT-II over the block-energy envelope: `S_k = Σ_b
+   * e_b · CosTab((2b+1)·k mod 256)` for k < 64 — an integer spectral
+   * pass over the same frames the fingerprint uses. Magnitudes stay in
+   * int64 (e_b ≤ 32·2000², ×4096, ×64 ≈ 3.4e13). Output: S_0..S_3 and
+   * the summed |S_k| of the low (1..15) and high (48..63) bands.
+   * Narrow mapPartitions — decode + DCT per row, no shuffle.
+   */
+  def spectral(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioSpectral] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val e = blockEnergies(decodeWav(r.media))
+        val s = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          var acc = 0L; var b = 0
+          while (b < 64) { acc += e(b) * CosTab(((2 * b + 1) * k) % 256); b += 1 }
+          s(k) = acc
+          k += 1
+        }
+        var low = 0L; var high = 0L
+        var i = 1
+        while (i < 64) {
+          if (i <= 15) low += math.abs(s(i))
+          if (i >= 48) high += math.abs(s(i))
+          i += 1
+        }
+        AudioSpectral(r.doc_id, s(0), s(1), s(2), s(3), low, high)
       }
     }
   }

@@ -252,39 +252,74 @@ object PngCodec {
   def darkPixel(cls: Long, x: Int, y: Int): Int =
     ((cls + x + y) % 32).toInt
 
-  /** Funnel corpus: ids with `id % 17 == 0` get the dark law (planted
-    * quality rejects); everyone else the standard class law (planted
-    * duplicates via shared classes). All real PNGs. */
+  /** Funnel corpus: ids with `id % 19 == 0` are JPEGs (IJG quality
+    * `1 + id % 100` planted in their DQT tables — the pre-decode gate's
+    * input; takes precedence over the dark law), ids with `id % 17 ==
+    * 0` get the dark pixel law (planted post-decode quality rejects),
+    * everyone else the standard class law (planted duplicates via
+    * shared classes). PNGs are real PNGs, JPEGs real DQT+SOF headers. */
   def synthFunnelMedia(ids: Dataset[java.lang.Long], classes: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
         val cls = id.longValue % classes
-        val px: (Int, Int) => Int =
-          if (id.longValue % 17 == 0) (x, y) => darkPixel(cls, x, y)
-          else (x, y) => classPixel(cls, x, y)
-        MediaRecord(id.longValue, "image/png", encodeGray(SynthW, SynthH, px))
+        if (id.longValue % 19 == 0)
+          MediaRecord(id.longValue, "image/jpeg",
+            JpegDqt.jpegBytes(1 + (id.longValue % 100).toInt, SynthW, SynthH))
+        else {
+          val px: (Int, Int) => Int =
+            if (id.longValue % 17 == 0) (x, y) => darkPixel(cls, x, y)
+            else (x, y) => classPixel(cls, x, y)
+          MediaRecord(id.longValue, "image/png", encodeGray(SynthW, SynthH, px))
+        }
       }
     }
   }
 
+  /** One graded row per image: JPEGs are graded PRE-decode from their
+    * DQT tables (no inflate, no pixels); PNGs pay the decode and carry
+    * gate verdict + dHash bands. */
+  final case class GradedMedia(doc_id: Long, is_jpeg: Boolean, keep: Boolean,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
   /**
-   * The image-curation funnel — decode → pixel-quality gate →
-   * perceptual-hash dedup, one verdict per image: `low_quality` (the
-   * REAL gate rejected it after decode), `dup` (a band-sharing keeper
-   * with a lower doc_id sits within `maxHamming`; `dup_of` = the
+   * The image-curation funnel — pre-decode JPEG quality gate → decode →
+   * pixel-quality gate → perceptual-hash dedup, one verdict per image:
+   * `low_quality` (a JPEG whose DQT-estimated IJG quality is under
+   * `jpegMinQuality` — rejected BEFORE any pixel decode — or a PNG the
+   * REAL pixel gate rejected after decode), `dup` (a band-sharing PNG
+   * keeper with a lower doc_id sits within `maxHamming`; `dup_of` = the
    * smallest such id), else `kept`. The multimodal analogue of the
-   * crawl-ladder text funnel: every stage runs on decoded pixels, no
-   * stage sees the synthesis law.
+   * crawl-ladder text funnel; the JPEG leg is the cheap reject a
+   * crawl-dominant (JPEG-heavy) corpus takes first, exactly so the
+   * expensive decode never runs on junk.
    */
-  def imageFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3)(
-      implicit spark: SparkSession): DataFrame = {
+  def imageFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3,
+      jpegMinQuality: Int = 50)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
     // ONE decode per image (gate + hash together), pinned so the
-    // downstream band joins re-scan hashes, never re-inflate PNGs
-    val gh = gateAndHash(media).toDF().localCheckpoint(true)
+    // downstream band joins re-scan hashes, never re-inflate PNGs;
+    // JPEGs skip the decode entirely (DQT walk only)
+    val gh = media.mapPartitions { it =>
+      it.map { r =>
+        val b = r.media
+        if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+          val q = JpegDqt.estimateQuality(b)
+          GradedMedia(r.doc_id, is_jpeg = true, keep = q >= jpegMinQuality,
+            0, 0, 0, 0)
+        } else {
+          val img = decodeGray(b)
+          val keep = img.crcOk && keepOf(img)
+          val bands = if (keep) dHashOf(img) else new Array[Int](4)
+          GradedMedia(r.doc_id, is_jpeg = false, keep,
+            bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }.toDF().localCheckpoint(true)
     val quality = gh.select(col("doc_id"), col("keep"))
-    val hashes = gh.where(col("keep")).select("doc_id", "b0", "b1", "b2", "b3")
+    val hashes = gh.where(col("keep") && !col("is_jpeg"))
+      .select("doc_id", "b0", "b1", "b2", "b3")
     val pairs = phashDedup(hashes, maxHamming)
     val dupOf = pairs.groupBy(col("img_b").as("doc_id"))
       .agg(min(col("img_a")).as("dup_of"))

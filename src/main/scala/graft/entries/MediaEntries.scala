@@ -162,6 +162,23 @@ private[graft] object MediaEntries {
       graft.analytics.PngCodec.imageFunnel(media).orderBy("doc_id")
     }),
 
+    "mm_jpeg_quality" -> ((s, dir) => {
+      // Pre-decode JPEG quality estimation (round 17): DQT tables
+      // planted at IJG quality 1 + doc_id % 100, parsed back by the
+      // marker/DQT walk and inverted EXACTLY against the public Annex K
+      // reference tables (the IJG-scaled family is injective over q —
+      // 100 distinct pairs, verified in JpegDqtSpec — so the min-q
+      // exact-match scan recovers the encode quality). No pixel decode
+      // anywhere; the crawl funnel's cheap reject. The oracle replays
+      // the scaling law, the table sums, and the min-q scan.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.JpegDqt.synthJpegMedia(ids)
+      graft.analytics.JpegDqt.qualityEstimates(media).toDF()
+        .orderBy("doc_id")
+    }),
+
     "mm_wav_features" -> ((s, dir) => {
       // REAL audio decode (round 16): synthesize genuine RIFF/WAVE PCM
       // files over a closed-form sample law, decode them with the
@@ -225,6 +242,22 @@ private[graft] object MediaEntries {
       val hashes = graft.analytics.AudioCodec.audioHash(media).toDF()
       graft.analytics.PngCodec.phashDedup(hashes, maxHamming = 3)
         .orderBy("img_a", "img_b")
+    }),
+
+    "mm_audio_spectral" -> ((s, dir) => {
+      // Fixed-point spectral pass (round 17): integer DCT-II over the
+      // REAL decoded clips' 64-block energy envelope — the
+      // silence/bandwidth/music-vs-speech gates an audio curation
+      // pipeline runs after the time-domain ones. The cosine basis is
+      // planted as integer LITERALS (AudioCodec.CosTab), so the oracle
+      // replays the exact arithmetic: energies from the sample law,
+      // every coefficient through the same folded quarter-wave table.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.AudioCodec.synthWavMedia(ids)
+      graft.analytics.AudioCodec.spectral(media).toDF().orderBy("doc_id")
     }),
 
     "mm_image_quality" -> ((s, dir) => {
@@ -474,14 +507,22 @@ private[graft] object MediaEntries {
         |SELECT CAST(1 AS INTEGER), doc_id, verdict, dup_of FROM v1
         |ORDER BY doc_id""".stripMargin,
 
-    // Full replay of the image funnel: per-image quality gate from the
-    // per-law pixel stats, dHash bits/bands for the keepers, band-join
-    // candidates, popcount verify, canonical (min lower id) dup target.
+    // Full replay of the image funnel: the pre-decode JPEG gate (ids
+    // with doc_id % 19 = 0 carry IJG tables at quality 1 + doc_id % 100;
+    // the estimator recovers exactly that q — the IJG family is
+    // injective over q, certified by mm_jpeg_quality's full min-q-scan
+    // replay — so the gate is q >= 50), then for the PNGs the per-image
+    // pixel quality gate from the per-law stats, dHash bits/bands for
+    // the keepers, band-join candidates, popcount verify, canonical
+    // (min lower id) dup target.
 
     "pipe_image_funnel" ->
       """WITH imgs AS (
         |  SELECT doc_id, doc_id % 64 AS cls, doc_id % 17 = 0 AS dark
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 19 <> 0),
+        |jpegs AS (
+        |  SELECT doc_id, 1 + doc_id % 100 AS q FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 19 = 0),
         |stats AS (
         |  SELECT i.doc_id,
         |    min(CASE WHEN i.dark THEN (i.cls + x + y) % 32
@@ -537,6 +578,11 @@ private[graft] object MediaEntries {
         |       WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS verdict,
         |  CASE WHEN k.keep THEN d.dup_of END AS dup_of
         |FROM keep k LEFT JOIN dupof d USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id,
+        |  CASE WHEN q >= 50 THEN 'kept' ELSE 'low_quality' END,
+        |  CAST(NULL AS BIGINT)
+        |FROM jpegs
         |ORDER BY doc_id""".stripMargin,
 
     // Closed-form replay of the parsed MP4 sample tables.
@@ -630,6 +676,54 @@ private[graft] object MediaEntries {
         |SELECT img_a, img_b, hamming FROM ham
         |WHERE hamming <= 3 ORDER BY img_a, img_b""".stripMargin,
 
+    // Full replay of the DQT quality estimation: the Annex K reference
+    // tables as literals, libjpeg's scaling law (5000//q | 200-2q, then
+    // clamp((b*s+50)//100, 1, 255)), the planted tables, their sums,
+    // and the min-q exact-match scan over all 100 candidate qualities.
+    "mm_jpeg_quality" ->
+      """WITH base(i, lb, cb) AS (VALUES
+        |  (0,16,17),(1,11,18),(2,10,24),(3,16,47),(4,24,99),(5,40,99),
+        |  (6,51,99),(7,61,99),(8,12,18),(9,12,21),(10,14,26),(11,19,66),
+        |  (12,26,99),(13,58,99),(14,60,99),(15,55,99),(16,14,24),
+        |  (17,13,26),(18,16,56),(19,24,99),(20,40,99),(21,57,99),
+        |  (22,69,99),(23,56,99),(24,14,47),(25,17,66),(26,22,99),
+        |  (27,29,99),(28,51,99),(29,87,99),(30,80,99),(31,62,99),
+        |  (32,18,99),(33,22,99),(34,37,99),(35,56,99),(36,68,99),
+        |  (37,109,99),(38,103,99),(39,77,99),(40,24,99),(41,35,99),
+        |  (42,55,99),(43,64,99),(44,81,99),(45,104,99),(46,113,99),
+        |  (47,92,99),(48,49,99),(49,64,99),(50,78,99),(51,87,99),
+        |  (52,103,99),(53,121,99),(54,120,99),(55,101,99),(56,72,99),
+        |  (57,92,99),(58,95,99),(59,98,99),(60,112,99),(61,100,99),
+        |  (62,103,99),(63,99,99)),
+        |sf AS (
+        |  SELECT CAST(q2 AS INTEGER) AS q2,
+        |    CASE WHEN q2 < 50 THEN 5000 // q2 ELSE 200 - 2 * q2 END AS s
+        |  FROM unnest(range(1, 101)) u(q2)),
+        |docs AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 100 AS INTEGER) AS q FROM documents),
+        |plant AS (
+        |  SELECT d.doc_id, b.i,
+        |    GREATEST(1, LEAST(255, (b.lb * sp.s + 50) // 100)) AS lt,
+        |    GREATEST(1, LEAST(255, (b.cb * sp.s + 50) // 100)) AS ct
+        |  FROM docs d JOIN sf sp ON sp.q2 = d.q, base b),
+        |mtch AS (
+        |  SELECT p.doc_id, sf.q2
+        |  FROM plant p JOIN base b ON b.i = p.i, sf
+        |  WHERE GREATEST(1, LEAST(255, (b.lb * sf.s + 50) // 100)) = p.lt
+        |    AND GREATEST(1, LEAST(255, (b.cb * sf.s + 50) // 100)) = p.ct
+        |  GROUP BY 1, 2 HAVING count(*) = 64),
+        |est AS (
+        |  SELECT doc_id, CAST(min(q2) AS INTEGER) AS est_quality
+        |  FROM mtch GROUP BY 1),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum(lt) AS INTEGER) AS luma_sum,
+        |    CAST(sum(ct) AS INTEGER) AS chroma_sum
+        |  FROM plant GROUP BY 1)
+        |SELECT d.doc_id, e.est_quality, s.luma_sum, s.chroma_sum,
+        |  CAST(2 AS INTEGER) AS n_tables
+        |FROM docs d JOIN est e USING (doc_id) JOIN sums s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Closed-form replay of the decoded audio features.
     "mm_wav_features" ->
       """WITH clips AS (
@@ -650,6 +744,59 @@ private[graft] object MediaEntries {
         |  a.sum_sq, a.dc_sum,
         |  CAST(COALESCE(z.n, 0) AS INTEGER) AS zero_crossings
         |FROM agg a LEFT JOIN zc z USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the fixed-point DCT-II: block energies from the
+    // sample law, the planted cosine basis reconstructed from its
+    // quarter wave (65 literals + the symmetry fold — byte-identical
+    // to AudioCodec.CosTab), exact int64 coefficient sums, band
+    // magnitudes.
+    "mm_audio_spectral" ->
+      """WITH clips AS (
+        |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
+        |clss AS (SELECT DISTINCT cls FROM clips),
+        |qtab(m, v) AS (VALUES
+        |  (0,4096),(1,4095),(2,4091),(3,4085),(4,4076),(5,4065),(6,4052),
+        |  (7,4036),(8,4017),(9,3996),(10,3973),(11,3948),(12,3920),
+        |  (13,3889),(14,3857),(15,3822),(16,3784),(17,3745),(18,3703),
+        |  (19,3659),(20,3612),(21,3564),(22,3513),(23,3461),(24,3406),
+        |  (25,3349),(26,3290),(27,3229),(28,3166),(29,3102),(30,3035),
+        |  (31,2967),(32,2896),(33,2824),(34,2751),(35,2675),(36,2598),
+        |  (37,2520),(38,2440),(39,2359),(40,2276),(41,2191),(42,2106),
+        |  (43,2019),(44,1931),(45,1842),(46,1751),(47,1660),(48,1567),
+        |  (49,1474),(50,1380),(51,1285),(52,1189),(53,1092),(54,995),
+        |  (55,897),(56,799),(57,700),(58,601),(59,501),(60,401),(61,301),
+        |  (62,201),(63,101),(64,0)),
+        |ct AS (
+        |  SELECT u.m,
+        |    CAST((CASE WHEN u.m BETWEEN 65 AND 192 THEN -1 ELSE 1 END) * q.v
+        |      AS BIGINT) AS v
+        |  FROM unnest(range(256)) u(m) JOIN qtab q ON q.m =
+        |    CASE WHEN u.m <= 64 THEN u.m WHEN u.m <= 128 THEN 128 - u.m
+        |         WHEN u.m <= 192 THEN u.m - 128 ELSE 256 - u.m END),
+        |en AS (
+        |  SELECT cls, b,
+        |    CAST(sum(((cls * 131 + 37 * (b * 32 + i)) % 4001 - 2000)
+        |      * ((cls * 131 + 37 * (b * 32 + i)) % 4001 - 2000)) AS BIGINT) AS e
+        |  FROM clss, generate_series(0, 63) tb(b), generate_series(0, 31) ti(i)
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT en.cls, k, CAST(sum(en.e * ct.v) AS BIGINT) AS s
+        |  FROM en, generate_series(0, 63) tk(k), ct
+        |  WHERE ct.m = ((2 * en.b + 1) * k) % 256
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT cls,
+        |    max(CASE WHEN k = 0 THEN s END) AS s0,
+        |    max(CASE WHEN k = 1 THEN s END) AS s1,
+        |    max(CASE WHEN k = 2 THEN s END) AS s2,
+        |    max(CASE WHEN k = 3 THEN s END) AS s3,
+        |    CAST(sum(CASE WHEN k BETWEEN 1 AND 15 THEN abs(s) ELSE 0 END)
+        |      AS BIGINT) AS low_band,
+        |    CAST(sum(CASE WHEN k >= 48 THEN abs(s) ELSE 0 END) AS BIGINT)
+        |      AS high_band
+        |  FROM sp GROUP BY 1)
+        |SELECT c.doc_id, a.s0, a.s1, a.s2, a.s3, a.low_band, a.high_band
+        |FROM clips c JOIN agg a USING (cls) ORDER BY doc_id""".stripMargin,
 
     // Closed-form replay of the pixel-statistics quality gate.
 
