@@ -105,9 +105,10 @@ private[graft] object AnalyticsEntries {
       // (the fuzzy funnel's machinery surfaced as its own operator):
       // near-dup plants (every 23rd doc, 5 appended words, Jaccard
       // ~0.9) sign with k=12 md5-affine minhashes, band r=2 with hot
-      // buckets capped, and exact-Jaccard verify at 0.5. Unlike
-      // dd_minhash_lsh (xxhash64 family, rows-only), the oracle
-      // replays signatures, banding, cap, and verification end-to-end.
+      // buckets capped, and exact-Jaccard verify at 0.5. Since round 17
+      // BOTH families are fully oracled (dd_minhash_lsh replays the
+      // production xxhash64 via XxHashMacros); this twin keeps the
+      // cheap md5-affine certification leg.
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs.where(col("doc_id") % 23 === 0)
         .select((col("doc_id") + 800000).as("doc_id"),
@@ -134,8 +135,8 @@ private[graft] object AnalyticsEntries {
 
     "dd_simhash_parity" -> ((s, dir) =>
       // The engine-parity simhash twin: 48-bit md5 token prefixes supply
-      // the per-token bits, so the oracle recomputes every print exactly
-      // (the 64-bit xxhash64 variant above stays rows-only).
+      // the per-token bits — the cheap certification leg (the 64-bit
+      // xxhash64 variant above is ALSO fully oracled since round 17).
       Dedup.simHashParity(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
@@ -551,8 +552,8 @@ private[graft] object AnalyticsEntries {
     "txt_fingerprint_parity" -> ((s, dir) => {
       // The engine-parity fingerprint: 48-bit md5 token prefixes through
       // the packed double polynomial fold (the codegen'd poly_fingerprint
-      // kernel). Unlike the xxhash64 chain (rows-only), the oracle
-      // replays every print bit-exactly via list_reduce.
+      // kernel) — the cheap certification leg (the xxhash64 chain is
+      // ALSO fully oracled since round 17, via XxHashMacros).
       T(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprintParity(col("text")).as("fp"))
@@ -1957,6 +1958,94 @@ private[graft] object AnalyticsEntries {
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 13 = 0) AS BIGINT) AS n_noise,
         |  TRUE AS repeat_lt_prose, TRUE AS prose_lt_noise_median,
         |  TRUE AS repeat_band_ok, TRUE AS noise_band_ok""".stripMargin,
+
+    // Full replay of the PRODUCTION xxhash64 LSH pipeline (round 17 —
+    // formerly rows-only): every min(xxhash64(i, shingle)) signature,
+    // the chained-seed band hashes, the 1000-cap, the band self-join,
+    // and the exact-Jaccard verify, with the hash replayed bit-exactly
+    // by the XxHashMacros preamble (validated against Spark in
+    // tools/xxh_oracle_check.py).
+    "dd_minhash_lsh" -> (XxHashMacros.Sql +
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |   unnest(list_transform(range(1, len(t) - 1),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+        |seeds AS (
+        |  SELECT CAST(i AS INTEGER) AS i, xx_int(i, 42) AS sd
+        |  FROM unnest(range(16)) u(i)),
+        |shb AS (SELECT doc_id, s, xx_bytes(s) AS bl FROM sh),
+        |sig AS (
+        |  SELECT doc_id, se.i,
+        |    min(xx_signed(xx_strh_bl(bl, se.sd))) AS mh
+        |  FROM shb, seeds se GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT a.doc_id, CAST(a.i // 2 AS INTEGER) AS band_id,
+        |    xx_signed(xx_long(b.mh, xx_long(a.mh, 42))) AS band_hash
+        |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |bb AS (SELECT band_id, band_hash FROM bands GROUP BY 1, 2
+        |       HAVING count(*) <= 1000),
+        |banded AS (SELECT bs.* FROM bands bs JOIN bb USING (band_id, band_hash)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        |   AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 5)
+        |    AS jaccard_r
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Full replay of the PRODUCTION 64-bit simhash (round 17 — formerly
+    // rows-only): per-token xxhash64 (seed 42), 64 ±1 bit votes, the
+    // sign-pack with ties voting clear, the 2^63 bit wrapping to a
+    // negative long.
+    "dd_simhash" -> (XxHashMacros.Sql +
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, xx_strh(tok, 42) AS hu FROM toks),
+        |pw AS (
+        |  SELECT CAST(i AS INTEGER) AS i,
+        |    list_reduce(list_prepend(CAST(1 AS HUGEINT),
+        |      list_transform(range(i), x -> CAST(2 AS HUGEINT))),
+        |      (a, b) -> a * b) AS p
+        |  FROM unnest(range(64)) u(i)),
+        |bits AS (
+        |  SELECT h.doc_id, pw.i,
+        |    sum(CASE WHEN (h.hu // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v,
+        |    pw.p
+        |  FROM h, pw GROUP BY 1, 2, 4)
+        |SELECT doc_id,
+        |  xx_signed(COALESCE(sum(p) FILTER (WHERE v > 0), 0)) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // Full replay of the PRODUCTION chained-xxhash64 fingerprint
+    // (round 17 — formerly rows-only): the order-sensitive fold
+    // acc -> xxhash64(acc, tok) from acc = 0, replayed as a list_reduce
+    // whose accumulator rides as VARCHAR (DuckDB reduce needs one
+    // element type) over the same token stream.
+    "txt_fingerprint" -> (XxHashMacros.Sql +
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend('0', regexp_split_to_array(trim(lower(text)), '\s+')),
+        |    (acc, tok) -> CAST(xx_signed(xx_strh_bl(xx_bytes(tok),
+        |                    xx_long(CAST(acc AS BIGINT), 42))) AS VARCHAR)
+        |  ) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     "dd_minhash_lsh_parity" ->
       """WITH corpus AS (

@@ -22,6 +22,26 @@ import graft.SparkEntry._
   */
 private[graft] object IngestProtoEntries {
 
+  /** Order-insensitive payload hash of one e2e hop: the SUM of a 32-bit
+    * md5 prefix over each row's `partition|offset|key|value` spelling.
+    * The DuckDB oracle re-derives every hop hash, so a hop that drops,
+    * duplicates, rebases, or corrupts ANY cell flips the chain — a
+    * count-only hop check masked a wrong-column bug in round 16. */
+  private def hopHash(df: DataFrame): Long =
+    df.select(sum(conv(substring(md5(concat_ws("|",
+        col("partition").cast("string"), col("offset").cast("string"),
+        col("key").cast("string"), col("value").cast("string"))), 1, 8),
+      16, 10).cast("long"))).collect()(0).getLong(0)
+
+  /** [[hopHash]] for a driver-side hop (post-wire-decode tuples). */
+  private def hopHashRows(rows: Seq[(Int, Long, String, String)]): Long =
+    rows.map { case (p, o, k, v) =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$o|$k|$v".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    }.sum
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.2 ingest validation (P5/P6) + registry read path -----
     "p5_schema_validation" -> ((s, dir) => {
@@ -1475,10 +1495,18 @@ private[graft] object IngestProtoEntries {
           }
         }
       }
+      // hash-valued hops (round 17): every layer's payload folds into
+      // the chain as an order-insensitive md5 sum the oracle re-derives
+      // — a count-only chain masked a wrong-column bug in round 16
       val chain = s"ingested=$nIngested,transformed=$nTransformed," +
         s"committed=$nCommitted,fetched=${fetched.size}," +
         s"consumed=${consumed.size},p2_rejected=$p2Rejected," +
-        s"corr_ok=${phdr.correlationId == 77 && fcorr == 78},proxy_ok=$proxyOk"
+        s"corr_ok=${phdr.correlationId == 77 && fcorr == 78},proxy_ok=$proxyOk," +
+        s"h_ingested=${hopHash(ingested)}," +
+        s"h_transformed=${hopHash(transformed)}," +
+        s"h_committed=${hopHash(tableRows)}," +
+        s"h_fetched=${hopHashRows(fetched)}," +
+        s"h_consumed=${hopHashRows(consumed)}"
       consumed.map { case (p, o, k, v) => (p, o, k, v, chain) }
         .toDF("partition", "offset", "key", "value", "chain")
         .orderBy("partition", "offset")
@@ -1729,12 +1757,22 @@ private[graft] object IngestProtoEntries {
           }
         }
       }
+      // hash-valued hops (round 17): the ingest, the read_committed cut,
+      // the wire fetch, and the consumed tail each fold an
+      // order-insensitive md5 payload sum into the chain — re-introducing
+      // the round-16 txn_seq bug (aborted-range first offset served in
+      // txn_seq) now flips h_committed/h_fetched red instead of hiding
+      // behind equal counts
       val chain = s"pid_a=${pidOf("tx-a")},pid_b=${pidOf("tx-b")}," +
         s"init_ok=$initOk,ingested=$nIngested,txn_bits_ok=$txnBitsOk," +
         s"offsets_match=$offsetsMatch,ends_ok=$endsOk,committed=$nCommitted," +
         s"aborted_served=$nAbortedServed,iso_ok=$isoOk,txb_absent=$txbAbsent," +
         s"visible_groups=${visible.size},txb_invisible=$txbInvisible," +
-        s"corr_ok=${fcorr == 120},proxy_ok=$proxyOk"
+        s"corr_ok=${fcorr == 120},proxy_ok=$proxyOk," +
+        s"h_ingested=${hopHash(ingested)}," +
+        s"h_committed=${hopHash(committed)}," +
+        s"h_fetched=${hopHashRows(fetched)}," +
+        s"h_consumed=${hopHashRows(consumed)}"
       consumed.map { case (p, o, k, v) => (p, o, k, v, chain) }
         .toDF("partition", "offset", "key", "value", "chain")
         .orderBy("partition", "offset")
@@ -3071,20 +3109,47 @@ private[graft] object IngestProtoEntries {
     // is absent, offsets are the per-partition dense rank, values are
     // the wasm guest's uppercase transform, and the chain constant pins
     // every hop's row count plus the reject/correlation flags.
+    // Every hop's payload hash (order-insensitive md5-prefix sum over
+    // partition|offset|key|value) is re-derived: pre-transform values
+    // for the ingest hop, uppercased for every later hop.
     "e2e_stack" ->
       """WITH planted AS (
         |  SELECT event_id, CAST(event_id % 3 AS INT) AS partition, event_type
-        |  FROM events WHERE event_id < 48 AND event_id % 3 < 2)
-        |SELECT partition,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY partition ORDER BY event_id) - 1 AS BIGINT) AS "offset",
-        |  CAST(event_id AS VARCHAR) AS key,
-        |  UPPER('type=' || event_type) AS value,
-        |  'ingested=32,transformed=32,committed=32,fetched=32,consumed=32,p2_rejected=true,corr_ok=true,proxy_ok=true' AS chain
-        |FROM planted ORDER BY partition, "offset"""".stripMargin,
+        |  FROM events WHERE event_id < 48 AND event_id % 3 < 2),
+        |r AS (
+        |  SELECT partition,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY partition ORDER BY event_id) - 1
+        |      AS BIGINT) AS off,
+        |    CAST(event_id AS VARCHAR) AS key,
+        |    'type=' || event_type AS v0,
+        |    UPPER('type=' || event_type) AS v1
+        |  FROM planted),
+        |h AS (
+        |  SELECT
+        |    CAST(sum(CAST(('0x' || substr(md5(CAST(partition AS VARCHAR) || '|'
+        |      || CAST(off AS VARCHAR) || '|' || key || '|' || v0), 1, 8))
+        |      AS UBIGINT)) AS BIGINT) AS hpre,
+        |    CAST(sum(CAST(('0x' || substr(md5(CAST(partition AS VARCHAR) || '|'
+        |      || CAST(off AS VARCHAR) || '|' || key || '|' || v1), 1, 8))
+        |      AS UBIGINT)) AS BIGINT) AS hup
+        |  FROM r)
+        |SELECT r.partition, r.off AS "offset", r.key, r.v1 AS value,
+        |  'ingested=32,transformed=32,committed=32,fetched=32,consumed=32,'
+        |  || 'p2_rejected=true,corr_ok=true,proxy_ok=true,h_ingested='
+        |  || CAST(h.hpre AS VARCHAR) || ',h_transformed=' || CAST(h.hup AS VARCHAR)
+        |  || ',h_committed=' || CAST(h.hup AS VARCHAR)
+        |  || ',h_fetched=' || CAST(h.hup AS VARCHAR)
+        |  || ',h_consumed=' || CAST(h.hup AS VARCHAR) AS chain
+        |FROM r, h ORDER BY partition, "offset"""".stripMargin,
 
     // Re-derives the transactional scenario end to end: frame arrival
     // order fixes every log offset, the abort cuts tx-b, the committed
-    // group offset (n-2) fixes the consumed tail.
+    // group offset (n-2) fixes the consumed tail. Every hop's payload
+    // hash is re-derived too (md5-prefix sum over
+    // partition|offset|key|value): ingest over the full log at log
+    // offsets, committed/fetched over the read_committed cut at log
+    // offsets, consumed over the tail at proxy offsets — so the
+    // round-16 txn_seq bug class (right counts, wrong cells) flips red.
     "e2e_txn_stack" ->
       """WITH base AS (
         |  SELECT event_id, CAST(event_id % 2 AS INTEGER) AS partition, event_type,
@@ -3096,16 +3161,35 @@ private[graft] object IngestProtoEntries {
         |  SELECT *, row_number() OVER (PARTITION BY partition ORDER BY arr, event_id) - 1 AS off
         |  FROM base),
         | comm AS (
-        |  SELECT partition, event_id, event_type,
+        |  SELECT partition, event_id, event_type, off,
         |    CAST(row_number() OVER (PARTITION BY partition ORDER BY off) - 1 AS BIGINT) AS poff
         |  FROM logd WHERE txb = 0),
         | np AS (SELECT partition, count(*) AS n FROM comm GROUP BY 1),
+        | hi AS (
+        |  SELECT CAST(sum(CAST(('0x' || substr(md5(CAST(partition AS VARCHAR)
+        |    || '|' || CAST(off AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)
+        |    || '|type=' || event_type), 1, 8)) AS UBIGINT)) AS BIGINT) AS h
+        |  FROM logd),
+        | hc AS (
+        |  SELECT CAST(sum(CAST(('0x' || substr(md5(CAST(partition AS VARCHAR)
+        |    || '|' || CAST(off AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)
+        |    || '|type=' || event_type), 1, 8)) AS UBIGINT)) AS BIGINT) AS h
+        |  FROM comm),
+        | hcons AS (
+        |  SELECT CAST(sum(CAST(('0x' || substr(md5(CAST(c.partition AS VARCHAR)
+        |    || '|' || CAST(c.poff AS VARCHAR) || '|' || CAST(c.event_id AS VARCHAR)
+        |    || '|type=' || c.event_type), 1, 8)) AS UBIGINT)) AS BIGINT) AS h
+        |  FROM comm c JOIN np USING (partition) WHERE c.poff >= np.n - 2),
         | ch AS (SELECT 'pid_a=500,pid_b=501,init_ok=true,ingested=' ||
         |  CAST((SELECT count(*) FROM base) AS VARCHAR) ||
         |  ',txn_bits_ok=true,offsets_match=true,ends_ok=true,committed=' ||
         |  CAST((SELECT count(*) FROM comm) AS VARCHAR) ||
         |  ',aborted_served=2,iso_ok=true,txb_absent=true,visible_groups=2,' ||
-        |  'txb_invisible=true,corr_ok=true,proxy_ok=true' AS chain)
+        |  'txb_invisible=true,corr_ok=true,proxy_ok=true,h_ingested=' ||
+        |  CAST(hi.h AS VARCHAR) || ',h_committed=' || CAST(hc.h AS VARCHAR) ||
+        |  ',h_fetched=' || CAST(hc.h AS VARCHAR) ||
+        |  ',h_consumed=' || CAST(hcons.h AS VARCHAR) AS chain
+        |  FROM hi, hc, hcons)
         |SELECT c.partition, c.poff AS "offset", CAST(c.event_id AS VARCHAR) AS key,
         |  'type=' || c.event_type AS value, ch.chain
         |FROM comm c JOIN np USING (partition), ch
