@@ -15,10 +15,20 @@ import org.apache.spark.sql.functions._
  * base/probe/base/probe so a mid-run phase shift inflates both sides.
  *
  * Usage: runMain graft.ScaleProbe <baseDir> <probeDir> name1,name2,...
+ *        [smallDir]
+ *
+ * The optional 4th arg measures each entry at a near-zero-data SF too
+ * (same trigger count, negligible rows) — the per-run FIXED cost of a
+ * multi-trigger Structured Streaming entry (engine init + checkpoint
+ * commits per micro-batch), which does not scale with data. The probe
+ * then also reports `adj_ratio = (probe - fixed) / (base - fixed)`: the
+ * data-dependent part's scaling, the honest figure for `_stream` legs
+ * whose raw wall is dominated by per-batch engine cost at test scale.
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, probeDir, namesS) = args.take(3)
+    val smallDir = args.lift(3)
     val names = namesS.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,8 +65,17 @@ object ScaleProbe {
       val b = math.min(b1, b2); val p = math.min(p1, p2)
       if (b.isNaN || p.isNaN)
         println(s"""{"entry":"$n","error":"shot failed - no measurement"}""")
-      else
-        println(f"""{"entry":"$n","base_sec":$b%.3f,"probe_sec":$p%.3f,"wall_ratio":${p / b}%.2f}""")
+      else smallDir match {
+        case Some(sd) =>
+          val f = math.min(shot(n, sd), shot(n, sd))
+          val adj =
+            if (f.isNaN || b - f <= 0.05) Double.NaN
+            else (p - f) / (b - f)
+          val adjS = if (adj.isNaN) "null" else f"$adj%.2f"
+          println(f"""{"entry":"$n","base_sec":$b%.3f,"probe_sec":$p%.3f,"wall_ratio":${p / b}%.2f,"fixed_sec":$f%.3f,"adj_ratio":$adjS}""")
+        case None =>
+          println(f"""{"entry":"$n","base_sec":$b%.3f,"probe_sec":$p%.3f,"wall_ratio":${p / b}%.2f}""")
+      }
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()

@@ -662,7 +662,15 @@ private[graft] object AggGroupTxnEntries {
       // what the oracle computes.
       import java.nio.file.{Files, Paths}
       val inDir = Files.createTempDirectory("graft_ssj")
-      Files.copy(Paths.get(s"$dir/events.parquet"), inDir.resolve("events.parquet"))
+      // the driver's testdata ships single-file tables; synthesized
+      // fixtures (ScaleFixture) are parquet DIRECTORIES — stage the
+      // part files either way (one trigger: no maxFilesPerTrigger, so
+      // the watermark never cuts late rows mid-stream)
+      val srcPath = Paths.get(s"$dir/events.parquet")
+      if (Files.isDirectory(srcPath))
+        Files.list(srcPath).filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.copy(p, inDir.resolve(p.getFileName)))
+      else Files.copy(srcPath, inDir.resolve("events.parquet"))
       val out = Files.createTempDirectory("graft_ssj_out").toString
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src(): DataFrame = withLtzTs(
