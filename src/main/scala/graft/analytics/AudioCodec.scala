@@ -221,6 +221,110 @@ object AudioCodec {
     }
   }
 
+  // ------------------------------------------------- audio funnel
+
+  /** Planted low-quality laws for the funnel corpus — each one fails
+    * exactly one REAL gate (margins verified: silent peaks at 100 vs
+    * the 500 floor; clipped saturates at 32768 vs the 32000 ceiling;
+    * static's envelope DCT low band is exactly 0 vs the std law's
+    * ≥ 8× the gate line). */
+  def silentSample(cls: Long, i: Int): Int = ((cls + i) % 200).toInt - 100
+  def clippedSample(cls: Long, i: Int): Int =
+    math.max(-32768, math.min(32767, classSample(cls, i) * 20))
+  def staticSample(cls: Long): Int = (cls % 97).toInt + 500
+
+  /** Funnel corpus: ids with `id % 17 == 0` get the silent law, then
+    * `id % 13 == 0` the clipped law, then `id % 11 == 0` the static
+    * (constant-envelope hum) law; everyone else the standard class law
+    * (planted duplicates via shared classes). All real WAVs. */
+  def synthAudioFunnelMedia(ids: Dataset[java.lang.Long], classes: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val cls = id.longValue % classes
+        val f: Int => Int =
+          if (id.longValue % 17 == 0) i => silentSample(cls, i)
+          else if (id.longValue % 13 == 0) i => clippedSample(cls, i)
+          else if (id.longValue % 11 == 0) _ => staticSample(cls)
+          else i => classSample(cls, i)
+        MediaRecord(id.longValue, "audio/wav", encodeWav(Array.tabulate(NSamples)(f)))
+      }
+    }
+  }
+
+  /** One graded row per clip: the gate verdict (`silent` / `clipped` /
+    * `static` / `ok`) plus, for keepers, the energy-difference
+    * fingerprint bands — ONE decode per clip. */
+  final case class GradedAudio(doc_id: Long, gate: String,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Time-domain + spectral gates then fingerprint, from one decode:
+    * peak floor (silence), peak ceiling (clipping), then the
+    * fixed-point envelope DCT's low-band magnitude against the DC
+    * coefficient (`low·100 < S_0` = static hum — no envelope
+    * modulation). Integer comparisons only; clips failing a gate carry
+    * zero bands and never reach the hash joins. */
+  def gateAndHashAudio(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[GradedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val s = decodeWav(r.media)
+        var peak = 0
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i)); if (a > peak) peak = a; i += 1
+        }
+        if (peak < 500) GradedAudio(r.doc_id, "silent", 0, 0, 0, 0)
+        else if (peak >= 32000) GradedAudio(r.doc_id, "clipped", 0, 0, 0, 0)
+        else {
+          val e = blockEnergies(s)
+          var s0 = 0L; var low = 0L
+          var k = 0
+          while (k < 16) {
+            var acc = 0L; var b = 0
+            while (b < 64) { acc += e(b) * CosTab(((2 * b + 1) * k) % 256); b += 1 }
+            if (k == 0) s0 = acc else low += math.abs(acc)
+            k += 1
+          }
+          if (low * 100 < s0) GradedAudio(r.doc_id, "static", 0, 0, 0, 0)
+          else {
+            val bands = new Array[Int](4)
+            i = 0
+            while (i < 64) {
+              if (e((i + 1) % 64) > e(i)) bands(i / 16) |= 1 << (i % 16)
+              i += 1
+            }
+            GradedAudio(r.doc_id, "ok", bands(0), bands(1), bands(2), bands(3))
+          }
+        }
+      }
+    }
+  }
+
+  /** The audio-curation funnel — decode → silence/clipping/static gates
+    * → fingerprint dedup, one verdict per clip (`silent` / `clipped` /
+    * `static` / `dup` with `dup_of` = the smallest band-sharing lower
+    * id within Hamming 3 / `kept`) — the audio twin of
+    * [[PngCodec.imageFunnel]], sharing its banded dedup machinery. */
+  def audioFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3)(
+      implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gh = gateAndHashAudio(media).toDF().localCheckpoint(true)
+    val hashes = gh.where(col("gate") === "ok")
+      .select("doc_id", "b0", "b1", "b2", "b3")
+    val dupOf = PngCodec.phashDedup(hashes, maxHamming)
+      .groupBy(col("img_b").as("doc_id"))
+      .agg(min(col("img_a")).as("dup_of"))
+    gh.select(col("doc_id"), col("gate")).join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("gate") =!= "ok", col("gate"))
+          .when(col("dup_of").isNotNull, lit("dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("gate") === "ok", col("dup_of")).as("dup_of"))
+  }
+
   /** Decode every payload and extract features — the filter pass of an
     * audio-corpus pipeline (silence/clipping gates run on these).
     * Narrow mapPartitions, no shuffle. */

@@ -759,9 +759,9 @@ private[graft] object AnalyticsEntries {
 
     "txt_bpe_merges" -> ((s, dir) =>
       // Learned subword merge table (30 merges) — deterministic
-      // (lexicographic tie-break, integral counts) but not
-      // SQL-expressible beyond rank 1 (iterative re-counting);
-      // rows-only, with txt_bpe_learn_contract as the oracled anchor.
+      // (lexicographic tie-break, integral counts). Fully oracled since
+      // round 17: the DuckDB replay unrolls all 30 rounds as
+      // MATERIALIZED CTE pairs (see bpeMergesOracle).
       TextAnalysis.learnBpeMerges(T(s, dir, "documents"), col("text"), nMerges = 30)
         .orderBy("rank")),
 
@@ -1468,7 +1468,48 @@ private[graft] object AnalyticsEntries {
         |FROM gates g LEFT JOIN v1 v USING (doc_id) WHERE g.side = 'y'
         |ORDER BY doc_id""".stripMargin
 
+  /** The full BPE merge-table replay (round 17 — closing the LAST
+    * `no_oracle` row): every learn round unrolled as a MATERIALIZED CTE
+    * pair — pair counts over the current segmentation (one count per
+    * ADJACENT POSITION, overlaps included, weighted by word frequency;
+    * argmax with the (count desc, left, right) tie-break), then the
+    * left-to-right non-overlapping re-segmentation as a list fold. The
+    * fold provably equals the imperative scan: the merged symbol
+    * `l || r` can never equal `l` (r is non-empty), so a symbol created
+    * in this round is never re-consumed by the same round.
+    * MATERIALIZED is load-bearing: each stage is referenced twice and
+    * plain CTE inlining would double the plan per round (2^30 scans). */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT w, c, regexp_split_to_array(w, '') AS syms FROM (
+        |    SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents) t
+        |    WHERE regexp_matches(w, '^[a-z]+$')
+        |    GROUP BY w ORDER BY c DESC, w LIMIT 100000))""".stripMargin
+    val stages = (1 to nMerges).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(c) AS BIGINT) AS n
+         |  FROM v${k - 1}, unnest(range(1, len(syms))) u(i)
+         |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT w, c, list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |    (acc, sl) -> CASE
+         |      WHEN len(acc) > 0 AND acc[len(acc)] = b$k.l AND sl[1] = b$k.r
+         |      THEN list_append(acc[1:len(acc)-1], b$k.l || b$k.r)
+         |      ELSE list_append(acc, sl[1]) END) AS syms
+         |  FROM v${k - 1}, b$k)""".stripMargin
+    }
+    val sel = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right", n AS pair_count FROM b$k"""
+    }.mkString("\nUNION ALL\n")
+    (head +: stages).mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "txt_bpe_merges" -> bpeMergesOracle(30),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -17,6 +17,32 @@ import graft.SparkEntry._
   */
 private[graft] object MediaEntries {
 
+  /** The fixed-point cosine basis as oracle CTEs: the 65-literal
+    * quarter wave (byte-identical to `AudioCodec.CosTab`'s generator)
+    * + the symmetry fold to the full 256-entry period. Shared by the
+    * spectral entry and the audio funnel so the basis cannot diverge
+    * between oracles. */
+  private val CosCtes: String =
+    """qtab(m, v) AS (VALUES
+      |  (0,4096),(1,4095),(2,4091),(3,4085),(4,4076),(5,4065),(6,4052),
+      |  (7,4036),(8,4017),(9,3996),(10,3973),(11,3948),(12,3920),
+      |  (13,3889),(14,3857),(15,3822),(16,3784),(17,3745),(18,3703),
+      |  (19,3659),(20,3612),(21,3564),(22,3513),(23,3461),(24,3406),
+      |  (25,3349),(26,3290),(27,3229),(28,3166),(29,3102),(30,3035),
+      |  (31,2967),(32,2896),(33,2824),(34,2751),(35,2675),(36,2598),
+      |  (37,2520),(38,2440),(39,2359),(40,2276),(41,2191),(42,2106),
+      |  (43,2019),(44,1931),(45,1842),(46,1751),(47,1660),(48,1567),
+      |  (49,1474),(50,1380),(51,1285),(52,1189),(53,1092),(54,995),
+      |  (55,897),(56,799),(57,700),(58,601),(59,501),(60,401),(61,301),
+      |  (62,201),(63,101),(64,0)),
+      |ct AS (
+      |  SELECT u.m,
+      |    CAST((CASE WHEN u.m BETWEEN 65 AND 192 THEN -1 ELSE 1 END) * q.v
+      |      AS BIGINT) AS v
+      |  FROM unnest(range(256)) u(m) JOIN qtab q ON q.m =
+      |    CASE WHEN u.m <= 64 THEN u.m WHEN u.m <= 128 THEN 128 - u.m
+      |         WHEN u.m <= 192 THEN u.m - 128 ELSE 256 - u.m END)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> ((s, dir) => {
       // REAL codec dispatch (round 17 — the stub codec is retired): one
@@ -242,6 +268,24 @@ private[graft] object MediaEntries {
       val hashes = graft.analytics.AudioCodec.audioHash(media).toDF()
       graft.analytics.PngCodec.phashDedup(hashes, maxHamming = 3)
         .orderBy("img_a", "img_b")
+    }),
+
+    "pipe_audio_funnel" -> ((s, dir) => {
+      // The audio-curation funnel (round 17): REAL WAV decode →
+      // silence/clipping/static gates (time-domain peaks + the
+      // fixed-point envelope DCT) → fingerprint dedup, one verdict per
+      // clip — the audio twin of pipe_image_funnel, sharing its banded
+      // dedup machinery. Planted rejects (silent / clipped / static
+      // laws by id residue, each failing exactly one gate with a
+      // verified margin) and planted duplicates (shared classes) travel
+      // as genuine WAVs; the oracle replays laws, peaks, the DCT gate,
+      // energies, bands, and canonical dup assignment.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[java.lang.Long]
+      val media = graft.analytics.AudioCodec.synthAudioFunnelMedia(ids)
+      graft.analytics.AudioCodec.audioFunnel(media).orderBy("doc_id")
     }),
 
     "mm_audio_spectral" -> ((s, dir) => {
@@ -745,34 +789,91 @@ private[graft] object MediaEntries {
         |  CAST(COALESCE(z.n, 0) AS INTEGER) AS zero_crossings
         |FROM agg a LEFT JOIN zc z USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // Full replay of the audio funnel: per-law samples (clamp included),
+    // peak gates, the envelope-DCT static gate through the shared
+    // cosine CTEs, energy-difference bands for the keepers, band-join
+    // candidates, popcount verify, canonical dup target.
+    "pipe_audio_funnel" ->
+      ("""WITH clips AS (
+        |  SELECT doc_id, doc_id % 64 AS cls,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'silent'
+        |         WHEN doc_id % 13 = 0 THEN 'clipped'
+        |         WHEN doc_id % 11 = 0 THEN 'static' ELSE 'std' END AS law
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |lawcls AS (SELECT DISTINCT law, cls FROM clips),
+        |""".stripMargin + CosCtes + """,
+        |smp AS (
+        |  SELECT law, cls, i,
+        |    CAST(CASE law
+        |      WHEN 'silent' THEN (cls + i) % 200 - 100
+        |      WHEN 'clipped' THEN GREATEST(-32768, LEAST(32767,
+        |        ((cls * 131 + 37 * i) % 4001 - 2000) * 20))
+        |      WHEN 'static' THEN cls % 97 + 500
+        |      ELSE (cls * 131 + 37 * i) % 4001 - 2000 END AS BIGINT) AS s
+        |  FROM lawcls, generate_series(0, 2047) t(i)),
+        |pk AS (SELECT law, cls, max(abs(s)) AS peak FROM smp GROUP BY 1, 2),
+        |en AS (
+        |  SELECT law, cls, CAST(i // 32 AS INTEGER) AS b,
+        |    CAST(sum(s * s) AS BIGINT) AS e
+        |  FROM smp GROUP BY 1, 2, 3),
+        |sp AS (
+        |  SELECT en.law, en.cls, k, CAST(sum(en.e * ct.v) AS BIGINT) AS sv
+        |  FROM en, generate_series(0, 15) tk(k), ct
+        |  WHERE ct.m = ((2 * en.b + 1) * k) % 256
+        |  GROUP BY 1, 2, 3),
+        |g2 AS (
+        |  SELECT law, cls, max(CASE WHEN k = 0 THEN sv END) AS s0,
+        |    CAST(sum(CASE WHEN k >= 1 THEN abs(sv) ELSE 0 END) AS BIGINT) AS lowb
+        |  FROM sp GROUP BY 1, 2),
+        |gate AS (
+        |  SELECT p.law, p.cls,
+        |    CASE WHEN p.peak < 500 THEN 'silent'
+        |         WHEN p.peak >= 32000 THEN 'clipped'
+        |         WHEN g.lowb * 100 < g.s0 THEN 'static' ELSE 'ok' END AS gate
+        |  FROM pk p JOIN g2 g USING (law, cls)),
+        |bits AS (
+        |  SELECT a.law, a.cls, a.b AS i,
+        |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en n
+        |    ON n.law = a.law AND n.cls = a.cls AND n.b = (a.b + 1) % 64),
+        |bands AS (
+        |  SELECT law, cls, CAST(i // 16 AS INTEGER) AS band,
+        |    CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2, 3),
+        |hv AS (
+        |  SELECT c.doc_id, b.band, b.v
+        |  FROM clips c
+        |  JOIN gate g ON g.law = c.law AND g.cls = c.cls AND g.gate = 'ok'
+        |  JOIN bands b ON b.law = c.law AND b.cls = c.cls),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS img_a, b.doc_id AS img_b
+        |  FROM hv a JOIN hv b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.img_a, c.img_b FROM cand c
+        |  JOIN hv x ON x.doc_id = c.img_a
+        |  JOIN hv y ON y.doc_id = c.img_b AND y.band = x.band
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(CAST(xor(x.v, y.v) AS BIGINT))) <= 3),
+        |dupof AS (SELECT img_b AS doc_id, min(img_a) AS dup_of FROM ham GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CASE WHEN g.gate <> 'ok' THEN g.gate
+        |       WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END AS verdict,
+        |  CASE WHEN g.gate = 'ok' THEN d.dup_of END AS dup_of
+        |FROM clips c JOIN gate g ON g.law = c.law AND g.cls = c.cls
+        |LEFT JOIN dupof d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
     // Full replay of the fixed-point DCT-II: block energies from the
     // sample law, the planted cosine basis reconstructed from its
     // quarter wave (65 literals + the symmetry fold — byte-identical
     // to AudioCodec.CosTab), exact int64 coefficient sums, band
     // magnitudes.
     "mm_audio_spectral" ->
-      """WITH clips AS (
+      ("""WITH clips AS (
         |  SELECT doc_id, doc_id % 64 AS cls FROM documents WHERE doc_id % 5 = 0),
         |clss AS (SELECT DISTINCT cls FROM clips),
-        |qtab(m, v) AS (VALUES
-        |  (0,4096),(1,4095),(2,4091),(3,4085),(4,4076),(5,4065),(6,4052),
-        |  (7,4036),(8,4017),(9,3996),(10,3973),(11,3948),(12,3920),
-        |  (13,3889),(14,3857),(15,3822),(16,3784),(17,3745),(18,3703),
-        |  (19,3659),(20,3612),(21,3564),(22,3513),(23,3461),(24,3406),
-        |  (25,3349),(26,3290),(27,3229),(28,3166),(29,3102),(30,3035),
-        |  (31,2967),(32,2896),(33,2824),(34,2751),(35,2675),(36,2598),
-        |  (37,2520),(38,2440),(39,2359),(40,2276),(41,2191),(42,2106),
-        |  (43,2019),(44,1931),(45,1842),(46,1751),(47,1660),(48,1567),
-        |  (49,1474),(50,1380),(51,1285),(52,1189),(53,1092),(54,995),
-        |  (55,897),(56,799),(57,700),(58,601),(59,501),(60,401),(61,301),
-        |  (62,201),(63,101),(64,0)),
-        |ct AS (
-        |  SELECT u.m,
-        |    CAST((CASE WHEN u.m BETWEEN 65 AND 192 THEN -1 ELSE 1 END) * q.v
-        |      AS BIGINT) AS v
-        |  FROM unnest(range(256)) u(m) JOIN qtab q ON q.m =
-        |    CASE WHEN u.m <= 64 THEN u.m WHEN u.m <= 128 THEN 128 - u.m
-        |         WHEN u.m <= 192 THEN u.m - 128 ELSE 256 - u.m END),
+        |""".stripMargin + CosCtes + """,
         |en AS (
         |  SELECT cls, b,
         |    CAST(sum(((cls * 131 + 37 * (b * 32 + i)) % 4001 - 2000)
@@ -796,7 +897,7 @@ private[graft] object MediaEntries {
         |      AS high_band
         |  FROM sp GROUP BY 1)
         |SELECT c.doc_id, a.s0, a.s1, a.s2, a.s3, a.low_band, a.high_band
-        |FROM clips c JOIN agg a USING (cls) ORDER BY doc_id""".stripMargin,
+        |FROM clips c JOIN agg a USING (cls) ORDER BY doc_id""".stripMargin),
 
     // Closed-form replay of the pixel-statistics quality gate.
 

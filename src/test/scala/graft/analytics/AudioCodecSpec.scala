@@ -72,4 +72,20 @@ class AudioCodecSpec extends SparkSpec {
         s.sliding(2).count(p => p(0).toLong * p(1) < 0))
     }
   }
+
+  test("audio funnel gates separate the planted laws by precedence") {
+    implicit val sp = spark
+    import sp.implicits._
+    // 85 silent (%17), 65 clipped (%13), 55 static (%11), 10/74 std
+    // (cls 10 both -> exact duplicates); 0 hits %17 AND %13 -> silent wins
+    val ids = spark.createDataset(
+      Seq(85L, 65L, 55L, 10L, 74L, 0L).map(java.lang.Long.valueOf))
+    val v = AudioCodec.audioFunnel(AudioCodec.synthAudioFunnelMedia(ids))
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(v(85L)._1 === "silent" && v(65L)._1 === "clipped")
+    assert(v(55L)._1 === "static" && v(0L)._1 === "silent")
+    assert(v(10L) === ("kept", -1L))
+    assert(v(74L) === ("dup", 10L)) // 74 % 64 == 10 % 64 -> same samples
+  }
 }
