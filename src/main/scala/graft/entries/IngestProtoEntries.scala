@@ -27,11 +27,19 @@ private[graft] object IngestProtoEntries {
     * The DuckDB oracle re-derives every hop hash, so a hop that drops,
     * duplicates, rebases, or corrupts ANY cell flips the chain — a
     * count-only hop check masked a wrong-column bug in round 16. */
-  private def hopHash(df: DataFrame): Long =
-    df.select(sum(conv(substring(md5(concat_ws("|",
-        col("partition").cast("string"), col("offset").cast("string"),
-        col("key").cast("string"), col("value").cast("string"))), 1, 8),
-      16, 10).cast("long"))).collect()(0).getLong(0)
+  private def hopHash(df: DataFrame): Long = hopStats(df)._2
+
+  /** Row count AND payload hash of a hop in ONE aggregate pass — the
+    * e2e entries need both, and separate count()/hash() calls would
+    * re-execute the hop's whole upstream DAG. */
+  private def hopStats(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(conv(substring(md5(concat_ws("|",
+          col("partition").cast("string"), col("offset").cast("string"),
+          col("key").cast("string"), col("value").cast("string"))), 1, 8),
+        16, 10).cast("long"))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   /** [[hopHash]] for a driver-side hop (post-wire-decode tuples). */
   private def hopHashRows(rows: Seq[(Int, Long, String, String)]): Long =
@@ -1392,7 +1400,7 @@ private[graft] object IngestProtoEntries {
           wires, col("wire"), col("partition"), lit(0L))
         .where(col("route") === "accept")
         .select(col("partition"), col("offset"), col("key"), col("value"))
-      val nIngested = ingested.count()
+      val (nIngested, hIngested) = hopStats(ingested)
       val p2Rejected = graft.log.RecordLog.wireIngest(
           wires, col("wire"), col("partition"), lit(0L))
         .where(col("route") === "crc_reject" && col("partition") === 2).count() == 1
@@ -1405,7 +1413,7 @@ private[graft] object IngestProtoEntries {
         // order (batch_index, seq) re-derives the log offset
         .withColumn("offset", row_number().over(Window.partitionBy("partition")
           .orderBy("batch_index", "seq")).cast("long") - 1)
-      val nTransformed = transformed.count()
+      val (nTransformed, hTransformed) = hopStats(transformed)
       // ---- layer 4: Iceberg v2 commit (real metadata chain), read back
       // through the manifest-driven scan
       val table = cleanupOnExit(java.nio.file.Files
@@ -1418,7 +1426,7 @@ private[graft] object IngestProtoEntries {
         col("ts"), table)
       val tableRows = graft.streaming.IcebergFormat.readTable(s, table)
         .select("partition", "offset", "key", "value")
-      val nCommitted = tableRows.count()
+      val (nCommitted, hCommitted) = hopStats(tableRows)
       // ---- layer 5: Fetch frame serving the table's rows as stored
       // record-batch envelopes, decoded from the response BYTES
       val fetchReqFrame = WireHeaders.encodeRequestFrame(
@@ -1502,9 +1510,9 @@ private[graft] object IngestProtoEntries {
         s"committed=$nCommitted,fetched=${fetched.size}," +
         s"consumed=${consumed.size},p2_rejected=$p2Rejected," +
         s"corr_ok=${phdr.correlationId == 77 && fcorr == 78},proxy_ok=$proxyOk," +
-        s"h_ingested=${hopHash(ingested)}," +
-        s"h_transformed=${hopHash(transformed)}," +
-        s"h_committed=${hopHash(tableRows)}," +
+        s"h_ingested=$hIngested," +
+        s"h_transformed=$hTransformed," +
+        s"h_committed=$hCommitted," +
         s"h_fetched=${hopHashRows(fetched)}," +
         s"h_consumed=${hopHashRows(consumed)}"
       consumed.map { case (p, o, k, v) => (p, o, k, v, chain) }
@@ -1605,7 +1613,7 @@ private[graft] object IngestProtoEntries {
           wireRows, col("wire"), col("partition"), col("arrival"))
         .where(col("route") === "accept")
         .select(col("partition"), col("offset"), col("key"), col("value"))
-      val nIngested = ingested.count()
+      val (nIngested, hIngested) = hopStats(ingested)
       // decode envelope headers too: pid + txn bit travel the wire
       val decoded = wireRows
         .select(col("partition"), col("arrival"),
@@ -1652,7 +1660,7 @@ private[graft] object IngestProtoEntries {
       // ---- layer 4: read_committed wire Fetch (isolation_level = 1)
       val committed = graft.log.TxnEngine.readCommitted(log)
         .select(col("partition"), col("offset"), col("key"), col("value"))
-      val nCommitted = committed.count()
+      val (nCommitted, hCommitted) = hopStats(committed)
       // abortedRanges rows: (partition, pid, txn_seq, first, last)
       val aborted = graft.log.TxnEngine.abortedRanges(log)
         .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
@@ -1769,8 +1777,8 @@ private[graft] object IngestProtoEntries {
         s"aborted_served=$nAbortedServed,iso_ok=$isoOk,txb_absent=$txbAbsent," +
         s"visible_groups=${visible.size},txb_invisible=$txbInvisible," +
         s"corr_ok=${fcorr == 120},proxy_ok=$proxyOk," +
-        s"h_ingested=${hopHash(ingested)}," +
-        s"h_committed=${hopHash(committed)}," +
+        s"h_ingested=$hIngested," +
+        s"h_committed=$hCommitted," +
         s"h_fetched=${hopHashRows(fetched)}," +
         s"h_consumed=${hopHashRows(consumed)}"
       consumed.map { case (p, o, k, v) => (p, o, k, v, chain) }
