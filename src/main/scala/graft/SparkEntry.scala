@@ -610,7 +610,20 @@ object SparkEntry {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val inDir = Files.createTempDirectory("graft_stream_in")
-    val src = Paths.get(s"$dir/events.parquet")
+    val src0 = Paths.get(s"$dir/events.parquet")
+    // the driver's testdata ships single-file tables; synthesized
+    // fixtures (ScaleFixture) are parquet DIRECTORIES — coalesce those
+    // to one file so the mtime-ordered staging and the entries'
+    // maxFilesPerTrigger=1 batch boundaries hold unchanged
+    val src =
+      if (!Files.isDirectory(src0)) src0
+      else {
+        val tmp = Files.createTempDirectory("graft_events_one").resolve("d")
+        s.read.parquet(src0.toString).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+      }
     val b0 = inDir.resolve("batch0.parquet")
     Files.copy(src, b0)
     Files.setLastModifiedTime(b0, FileTime.fromMillis(1700000000000L))

@@ -371,10 +371,27 @@ object PngCodec {
         import s.implicits._
         val media = batch.select(col("doc_id"), col("mime"), col("media"))
           .as[MediaRecord]
-        // ONE decode per image (gate + hash together), pinned once
-        val gh = gateAndHash(media).toDF().localCheckpoint(true)
+        // ONE decode per image (gate + hash together), pinned once;
+        // JPEGs take the pre-decode DQT quality gate (round 17 — batch
+        // funnel parity): sub-quality rejects, keepers are `new` but
+        // never hash and never join the index (no pixels to hash)
+        val gh = media.mapPartitions { it =>
+          it.map { r =>
+            val b = r.media
+            if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+              val q = JpegDqt.estimateQuality(b)
+              GradedMedia(r.doc_id, is_jpeg = true, keep = q >= 50, 0, 0, 0, 0)
+            } else {
+              val img = decodeGray(b)
+              val keep = img.crcOk && keepOf(img)
+              val bands = if (keep) dHashOf(img) else new Array[Int](4)
+              GradedMedia(r.doc_id, is_jpeg = false, keep,
+                bands(0), bands(1), bands(2), bands(3))
+            }
+          }
+        }.toDF().localCheckpoint(true)
         val quality = gh.select(col("doc_id"), col("keep"))
-        val hashes = gh.where(col("keep"))
+        val hashes = gh.where(col("keep") && !col("is_jpeg"))
           .select("doc_id", "b0", "b1", "b2", "b3")
         def banded(h: DataFrame): DataFrame =
           h.select(col("doc_id"), posexplode(array(

@@ -139,8 +139,11 @@ private[graft] object MediaEntries {
       // ORIGINAL corpus image, (b) law-B copies of batch-0 images ->
       // dup of the batch-0 id (the growing-index proof), (c) an
       // intra-batch law-C pair -> earlier `new`, later `dup`, and
-      // (d) dark-law images the REAL pixel gate must reject. The oracle
-      // replays both batches in sequence, gate included.
+      // (d) dark-law images the REAL pixel gate must reject, and
+      // (e, round 17) JPEGs with planted DQT qualities the PRE-DECODE
+      // gate must judge (sub-50 reject, keepers `new` but never in the
+      // hash index — batch-funnel parity). The oracle replays both
+      // batches in sequence, both gates included.
       implicit val sp: SparkSession = s
       import s.implicits._
       import graft.analytics.PngCodec
@@ -164,6 +167,8 @@ private[graft] object MediaEntries {
           ids(29, 500000000L), PngCodec.classPixelC).toDF())
         .unionByName(PngCodec.synthMediaWithLaw(
           ids(37, 600000000L), PngCodec.darkPixel).toDF())
+        .unionByName(graft.analytics.JpegDqt.synthJpegMedia(
+          ids(41, 700000000L)).toDF())
       val inDir = AnalyticsEntries.stageOrderedBatches("graft_imgs", Seq(b0, b1))
       val stream = graft.streaming.Transforms.PathInput(
         inDir, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
@@ -462,6 +467,9 @@ private[graft] object MediaEntries {
         |  FROM documents WHERE doc_id % 29 = 0
         |  UNION ALL SELECT 1, doc_id + 600000000, doc_id % 64, 3
         |  FROM documents WHERE doc_id % 37 = 0),
+        |jp AS (
+        |  SELECT doc_id + 700000000 AS doc_id, 1 + doc_id % 100 AS q
+        |  FROM documents WHERE doc_id % 41 = 0),
         |lawcls AS (SELECT DISTINCT law, cls FROM imgs),
         |stats AS (
         |  SELECT lc.law, lc.cls,
@@ -549,6 +557,11 @@ private[graft] object MediaEntries {
         |SELECT CAST(0 AS INTEGER) AS batch_id, doc_id, verdict, dup_of FROM v0
         |UNION ALL
         |SELECT CAST(1 AS INTEGER), doc_id, verdict, dup_of FROM v1
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), doc_id,
+        |  CASE WHEN q >= 50 THEN 'new' ELSE 'low_quality' END,
+        |  CAST(NULL AS BIGINT)
+        |FROM jp
         |ORDER BY doc_id""".stripMargin,
 
     // Full replay of the image funnel: the pre-decode JPEG gate (ids
