@@ -621,8 +621,7 @@ object SparkEntry {
         val tmp = Files.createTempDirectory("graft_events_one").resolve("d")
         s.read.parquet(src0.toString).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
+        firstParquetPart(tmp)
       }
     val b0 = inDir.resolve("batch0.parquet")
     Files.copy(src, b0)

@@ -51,9 +51,11 @@ object AudioCodec {
     out.toByteArray
   }
 
-  /** Decode a mono 16-bit PCM WAV: RIFF walk + fmt validation + LE
-    * int16 samples. Throws on non-WAV or unsupported layouts. */
-  def decodeWav(b: Array[Byte]): Array[Int] = {
+  /** Decode a mono 16-bit PCM WAV in ONE chunk walk, returning the
+    * fmt chunk's sample rate alongside the samples (callers needing
+    * durations would otherwise pay a second complete RIFF walk).
+    * Throws on non-WAV or unsupported layouts. */
+  def decodeWavWithRate(b: Array[Byte]): (Int, Array[Int]) = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
@@ -61,6 +63,7 @@ object AudioCodec {
     require(b.length > 44 && cc(0) == "RIFF" && cc(8) == "WAVE", "not a WAV")
     var pos = 12
     var fmtOk = false
+    var rate = 0
     var samples: Array[Int] = null
     while (pos + 8 <= b.length && (samples == null || !fmtOk)) {
       val typ = cc(pos); val len = le32(pos + 4)
@@ -70,6 +73,7 @@ object AudioCodec {
           require(le16(pos + 8) == 1, "non-PCM WAV unsupported")
           require(le16(pos + 10) == 1, "non-mono WAV unsupported")
           require(le16(pos + 22) == 16, "non-16-bit WAV unsupported")
+          rate = le32(pos + 12)
           fmtOk = true
         case "data" =>
           val n = len / 2
@@ -85,8 +89,11 @@ object AudioCodec {
       pos += 8 + len + (len & 1) // RIFF chunks pad to even
     }
     require(fmtOk && samples != null, "missing fmt/data chunk")
-    samples
+    (rate, samples)
   }
+
+  /** [[decodeWavWithRate]] without the rate. */
+  def decodeWav(b: Array[Byte]): Array[Int] = decodeWavWithRate(b)._2
 
   /** Real WAVs over the sample law, class = id % `classes`. */
   def synthWavMedia(ids: Dataset[java.lang.Long], classes: Int = 64)(
@@ -125,6 +132,28 @@ object AudioCodec {
     }
   }
 
+  /** The 64 cyclic energy-difference bits packed into four 16-bit
+    * bands — ONE definition shared by the standalone fingerprint and
+    * the funnel (the dedup joins assume identical bands). */
+  private def bandsOf(energy: Array[Long]): Array[Int] = {
+    val bands = new Array[Int](4)
+    var i = 0
+    while (i < 64) {
+      if (energy((i + 1) % 64) > energy(i)) bands(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** One DCT-II coefficient of the energy envelope over the planted
+    * fixed-point basis — shared by [[spectral]] and the funnel's
+    * static-envelope gate. */
+  private def dctCoeff(e: Array[Long], k: Int): Long = {
+    var acc = 0L; var b = 0
+    while (b < 64) { acc += e(b) * CosTab(((2 * b + 1) * k) % 256); b += 1 }
+    acc
+  }
+
   /**
    * Energy-profile fingerprint over the decoded samples: 64 blocks of
    * len/64 samples, bit i = energy(block i+1 mod 64) vs energy(block i)
@@ -138,13 +167,7 @@ object AudioCodec {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val energy = blockEnergies(decodeWav(r.media))
-        val bands = new Array[Int](4)
-        var i = 0
-        while (i < 64) {
-          if (energy((i + 1) % 64) > energy(i)) bands(i / 16) |= 1 << (i % 16)
-          i += 1
-        }
+        val bands = bandsOf(blockEnergies(decodeWav(r.media)))
         AudioHashBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
       }
     }
@@ -201,14 +224,7 @@ object AudioCodec {
     media.mapPartitions { it =>
       it.map { r =>
         val e = blockEnergies(decodeWav(r.media))
-        val s = new Array[Long](64)
-        var k = 0
-        while (k < 64) {
-          var acc = 0L; var b = 0
-          while (b < 64) { acc += e(b) * CosTab(((2 * b + 1) * k) % 256); b += 1 }
-          s(k) = acc
-          k += 1
-        }
+        val s = Array.tabulate(64)(k => dctCoeff(e, k))
         var low = 0L; var high = 0L
         var i = 1
         while (i < 64) {
@@ -280,22 +296,13 @@ object AudioCodec {
         else if (peak >= 32000) GradedAudio(r.doc_id, "clipped", 0, 0, 0, 0)
         else {
           val e = blockEnergies(s)
-          var s0 = 0L; var low = 0L
-          var k = 0
-          while (k < 16) {
-            var acc = 0L; var b = 0
-            while (b < 64) { acc += e(b) * CosTab(((2 * b + 1) * k) % 256); b += 1 }
-            if (k == 0) s0 = acc else low += math.abs(acc)
-            k += 1
-          }
+          val s0 = dctCoeff(e, 0)
+          var low = 0L
+          var k = 1
+          while (k < 16) { low += math.abs(dctCoeff(e, k)); k += 1 }
           if (low * 100 < s0) GradedAudio(r.doc_id, "static", 0, 0, 0, 0)
           else {
-            val bands = new Array[Int](4)
-            i = 0
-            while (i < 64) {
-              if (e((i + 1) % 64) > e(i)) bands(i / 16) |= 1 << (i % 16)
-              i += 1
-            }
+            val bands = bandsOf(e)
             GradedAudio(r.doc_id, "ok", bands(0), bands(1), bands(2), bands(3))
           }
         }

@@ -50,8 +50,7 @@ object Multimodal {
           while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
           MediaMeta(r.doc_id, "png", img.width, img.height, 1, 0L, s)
         } else if (cc4(0) == "RIFF" && cc4(8) == "WAVE") {
-          val samples = AudioCodec.decodeWav(b)
-          val (_, _, _, sr, _, _) = AvHeaderParser.parse(b)
+          val (sr, samples) = AudioCodec.decodeWavWithRate(b)
           var s = 0L; var i = 0
           while (i < samples.length) { s += samples(i); i += 1 }
           MediaMeta(r.doc_id, "wav", 0, 0, samples.length,
@@ -88,6 +87,11 @@ object Multimodal {
         val t = mp4Table(r.media)
         var ticks = 0L
         var run = 0; var inRun = 0
+        // zero-count stts runs are degenerate but within spec: skip
+        // them up front and after every advance — an equality check
+        // would park the cursor on one forever and accrue its delta
+        // into every remaining timestamp
+        while (run + 1 < t.runCounts.length && t.runCounts(run) == 0) run += 1
         (0 until t.nSamples).iterator.map { i =>
           val out = FrameSample(r.doc_id, i,
             if (t.timescale > 0) ticks * 1000L / t.timescale else 0L,
@@ -95,7 +99,7 @@ object Multimodal {
           // advance the stts cursor one sample (runs are (count, delta))
           ticks += t.runDeltas(run)
           inRun += 1
-          if (inRun == t.runCounts(run) && run + 1 < t.runCounts.length) {
+          while (run + 1 < t.runCounts.length && inRun >= t.runCounts(run)) {
             run += 1; inRun = 0
           }
           out
@@ -503,7 +507,8 @@ object Multimodal {
     * per-sample). The shared decode behind [[parseMp4Samples]],
     * [[sampleFrames]], and [[extractMediaMeta]]'s video leg. */
   final case class Mp4Table(timescale: Int, runCounts: Array[Int],
-      runDeltas: Array[Int], fixedSize: Int, sizes: Array[Int]) {
+      runDeltas: Array[Int], fixedSize: Int, stszCount: Int,
+      sizes: Array[Int]) {
     def nSamples: Int = {
       var n = 0; var i = 0
       while (i < runCounts.length) { n += runCounts(i); i += 1 }
@@ -514,11 +519,16 @@ object Multimodal {
       while (i < runCounts.length) { d += runCounts(i).toLong * runDeltas(i); i += 1 }
       d
     }
+    /** Byte total per stsz's OWN sample count (which may legally
+      * disagree with the stts total); -1 when the table is absent —
+      * the explicit missing-table sentinel, never a silent 0. */
     def totalBytes: Long =
-      if (fixedSize != 0) fixedSize.toLong * nSamples
+      if (stszCount < 0) -1L
+      else if (fixedSize != 0) fixedSize.toLong * stszCount
       else { var s = 0L; var i = 0; while (i < sizes.length) { s += sizes(i); i += 1 }; s }
     def maxSize: Int =
-      if (fixedSize != 0) fixedSize
+      if (stszCount < 0) -1
+      else if (fixedSize != 0) fixedSize
       else {
         var m = 0; var i = 0
         while (i < sizes.length) { if (sizes(i) > m) m = sizes(i); i += 1 }
@@ -537,7 +547,7 @@ object Multimodal {
     def cc(i: Int) = new String(b, i, 4, "US-ASCII")
     var timescale = -1
     var runCounts: Array[Int] = null; var runDeltas: Array[Int] = null
-    var fixedSize = 0; var sizes: Array[Int] = null
+    var fixedSize = 0; var stszCount = -1; var sizes: Array[Int] = null
     def walk(from: Int, to: Int): Unit = {
       var pos = from
       while (pos + 8 <= to) {
@@ -566,15 +576,15 @@ object Multimodal {
             }
           case "stsz" =>
             fixedSize = be32(pos + 12)
-            val cnt = be32(pos + 16)
+            stszCount = be32(pos + 16)
             if (fixedSize == 0) {
               // same bound for the variable-size table (20-byte header
               // + 4 bytes per entry must fit the box)
-              require(cnt >= 0 && 20L + 4L * cnt <= sz,
-                s"stsz entry count $cnt exceeds box size $sz")
-              sizes = new Array[Int](cnt)
+              require(stszCount >= 0 && 20L + 4L * stszCount <= sz,
+                s"stsz entry count $stszCount exceeds box size $sz")
+              sizes = new Array[Int](stszCount)
               var i = 0
-              while (i < cnt) { sizes(i) = be32(pos + 20 + 4 * i); i += 1 }
+              while (i < stszCount) { sizes(i) = be32(pos + 20 + 4 * i); i += 1 }
             } else sizes = Array.emptyIntArray
           case _ => ()
         }
@@ -584,7 +594,7 @@ object Multimodal {
     walk(0, b.length)
     require(timescale > 0 && runCounts != null, "missing mdhd/stts")
     if (sizes == null) sizes = Array.emptyIntArray
-    Mp4Table(timescale, runCounts, runDeltas, fixedSize, sizes)
+    Mp4Table(timescale, runCounts, runDeltas, fixedSize, stszCount, sizes)
   }
 
   /** Walk the box tree and reduce the sample tables to per-file stats

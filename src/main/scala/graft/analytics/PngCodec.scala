@@ -283,6 +283,35 @@ object PngCodec {
   final case class GradedMedia(doc_id: Long, is_jpeg: Boolean, keep: Boolean,
       b0: Int, b1: Int, b2: Int, b3: Int)
 
+  /** The shared grading kernel of BOTH image funnels (batch and
+    * streaming): ONE decode per image — JPEG payloads gate on their
+    * DQT-estimated IJG quality before any inflate; PNGs decode, gate on
+    * pixel stats + CRC, and carry dHash bands when kept. A single
+    * definition so the two funnels can never diverge on a gate fix or a
+    * threshold. */
+  def gradeMedia(media: Dataset[MediaRecord], jpegMinQuality: Int)(
+      implicit spark: SparkSession): Dataset[GradedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = r.media
+        if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+          val q = JpegDqt.estimateQuality(b)
+          GradedMedia(r.doc_id, is_jpeg = true, keep = q >= jpegMinQuality,
+            0, 0, 0, 0)
+        } else {
+          val img = decodeGray(b)
+          // a corrupt PNG whose IDAT still inflates must not be gated
+          // and hashed as valid pixels: CRC failure joins the reject path
+          val keep = img.crcOk && keepOf(img)
+          val bands = if (keep) dHashOf(img) else new Array[Int](4)
+          GradedMedia(r.doc_id, is_jpeg = false, keep,
+            bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+  }
+
   /**
    * The image-curation funnel — pre-decode JPEG quality gate → decode →
    * pixel-quality gate → perceptual-hash dedup, one verdict per image:
@@ -297,26 +326,10 @@ object PngCodec {
    */
   def imageFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3,
       jpegMinQuality: Int = 50)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
     // ONE decode per image (gate + hash together), pinned so the
     // downstream band joins re-scan hashes, never re-inflate PNGs;
     // JPEGs skip the decode entirely (DQT walk only)
-    val gh = media.mapPartitions { it =>
-      it.map { r =>
-        val b = r.media
-        if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
-          val q = JpegDqt.estimateQuality(b)
-          GradedMedia(r.doc_id, is_jpeg = true, keep = q >= jpegMinQuality,
-            0, 0, 0, 0)
-        } else {
-          val img = decodeGray(b)
-          val keep = img.crcOk && keepOf(img)
-          val bands = if (keep) dHashOf(img) else new Array[Int](4)
-          GradedMedia(r.doc_id, is_jpeg = false, keep,
-            bands(0), bands(1), bands(2), bands(3))
-        }
-      }
-    }.toDF().localCheckpoint(true)
+    val gh = gradeMedia(media, jpegMinQuality).toDF().localCheckpoint(true)
     val quality = gh.select(col("doc_id"), col("keep"))
     val hashes = gh.where(col("keep") && !col("is_jpeg"))
       .select("doc_id", "b0", "b1", "b2", "b3")
@@ -360,8 +373,8 @@ object PngCodec {
    * first), never aggregated whole.
    */
   def imageFunnelStream(batches: DataFrame, stateDir: String, outDir: String,
-      ckptDir: String, maxHamming: Int = 3,
-      maxBucket: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery = {
+      ckptDir: String, maxHamming: Int = 3, maxBucket: Int = 10000,
+      jpegMinQuality: Int = 50): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val q = batches.writeStream
       .option("checkpointLocation", ckptDir)
@@ -373,23 +386,10 @@ object PngCodec {
           .as[MediaRecord]
         // ONE decode per image (gate + hash together), pinned once;
         // JPEGs take the pre-decode DQT quality gate (round 17 — batch
-        // funnel parity): sub-quality rejects, keepers are `new` but
-        // never hash and never join the index (no pixels to hash)
-        val gh = media.mapPartitions { it =>
-          it.map { r =>
-            val b = r.media
-            if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
-              val q = JpegDqt.estimateQuality(b)
-              GradedMedia(r.doc_id, is_jpeg = true, keep = q >= 50, 0, 0, 0, 0)
-            } else {
-              val img = decodeGray(b)
-              val keep = img.crcOk && keepOf(img)
-              val bands = if (keep) dHashOf(img) else new Array[Int](4)
-              GradedMedia(r.doc_id, is_jpeg = false, keep,
-                bands(0), bands(1), bands(2), bands(3))
-            }
-          }
-        }.toDF().localCheckpoint(true)
+        // funnel parity via the shared gradeMedia kernel): sub-quality
+        // rejects, keepers are `new` but never hash and never join the
+        // index (no pixels to hash)
+        val gh = gradeMedia(media, jpegMinQuality).toDF().localCheckpoint(true)
         val quality = gh.select(col("doc_id"), col("keep"))
         val hashes = gh.where(col("keep") && !col("is_jpeg"))
           .select("doc_id", "b0", "b1", "b2", "b3")

@@ -667,10 +667,14 @@ private[graft] object AggGroupTxnEntries {
       // part files either way (one trigger: no maxFilesPerTrigger, so
       // the watermark never cuts late rows mid-stream)
       val srcPath = Paths.get(s"$dir/events.parquet")
-      if (Files.isDirectory(srcPath))
-        Files.list(srcPath).filter(_.getFileName.toString.endsWith(".parquet"))
+      if (Files.isDirectory(srcPath)) {
+        // close the listing stream (an unclosed Files.list leaks a
+        // file handle per call — see firstParquetPart)
+        val st = Files.list(srcPath)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
           .forEach(p => Files.copy(p, inDir.resolve(p.getFileName)))
-      else Files.copy(srcPath, inDir.resolve("events.parquet"))
+        finally st.close()
+      } else Files.copy(srcPath, inDir.resolve("events.parquet"))
       val out = Files.createTempDirectory("graft_ssj_out").toString
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src(): DataFrame = withLtzTs(
