@@ -611,6 +611,114 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------- animated GIF metadata
+  // The third animation-metadata pass (after MP4 sample tables): frame
+  // count, per-frame GCE delays, and the NETSCAPE loop count from a
+  // REAL GIF89a block walk — extensions and image data are skipped by
+  // their sub-block length prefixes per the public GIF89a spec, no LZW
+  // decode needed for the metadata a curation gate reads.
+
+  /** Parsed animation summary: oracle-checkable per file. */
+  final case class GifAnim(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, total_delay_cs: Long, loop_count: Int)
+
+  /** Walk a GIF89a: logical screen descriptor (+ global color table
+    * skip), then blocks — 0x21 extensions (0xF9 graphic control:
+    * centisecond delay; 0xFF application: NETSCAPE2.0 loop count),
+    * 0x2C image descriptors (+ local color table + LZW sub-block
+    * skip), 0x3B trailer. Throws on truncation — no silent misparse. */
+  def parseGifAnim(b: Array[Byte]): (Int, Int, Int, Long, Int) = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    require(b.length >= 14 && new String(b, 0, 6, "US-ASCII") == "GIF89a",
+      "not a GIF89a")
+    val width = le16(6); val height = le16(8)
+    val packed = u8(10)
+    var pos = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0)
+    var frames = 0; var delay = 0L; var loop = 0
+    def skipSubBlocks(): Unit = {
+      while ({ require(pos < b.length, "truncated sub-blocks"); u8(pos) != 0 }) {
+        pos += 1 + u8(pos)
+      }
+      pos += 1 // block terminator
+    }
+    var done = false
+    while (!done) {
+      require(pos < b.length, "missing trailer")
+      u8(pos) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          val label = u8(pos + 1)
+          pos += 2
+          if (label == 0xf9 && u8(pos) >= 4) delay += le16(pos + 2)
+          if (label == 0xff && u8(pos) == 11 &&
+              new String(b, pos + 1, 11, "US-ASCII") == "NETSCAPE2.0") {
+            // next sub-block: [3] 0x01 loop_le16
+            val p2 = pos + 12
+            if (u8(p2) == 3 && u8(p2 + 1) == 1) loop = le16(p2 + 2)
+          }
+          skipSubBlocks()
+        case 0x2c =>
+          frames += 1
+          val lpacked = u8(pos + 9)
+          pos += 10 + (if ((lpacked & 0x80) != 0) 3 << ((lpacked & 7) + 1) else 0)
+          pos += 1 // LZW minimum code size
+          skipSubBlocks()
+        case other => sys.error(s"bad GIF block 0x${other.toHexString} at $pos")
+      }
+    }
+    (width, height, frames, delay, loop)
+  }
+
+  /** Structurally genuine animated GIF89a for class laws: planted dims,
+    * `2 + id mod 9` frames each behind a GCE with delay
+    * `10 + (cls·3 + 7i) mod 50` cs, NETSCAPE loop `id mod 4`, dummy
+    * 1-byte LZW payloads (the metadata pass never decodes pixels). */
+  def gifAnimBytes(id: Long, classes: Int = 64): Array[Byte] = {
+    val cls = id % classes
+    val w = 16 + (id % 100).toInt; val h = 9 + (id % 80).toInt
+    val nf = 2 + (id % 9).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h); u8(0); u8(0); u8(0) // no global color table
+    u8(0x21); u8(0xff); u8(11); out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    u8(3); u8(1); le16((id % 4).toInt); u8(0)
+    var i = 0
+    while (i < nf) {
+      u8(0x21); u8(0xf9); u8(4); u8(0)
+      le16(10 + ((cls * 3 + 7L * i) % 50).toInt); u8(0); u8(0)
+      u8(0x2c); le16(0); le16(0); le16(w); le16(h); u8(0) // no LCT
+      u8(2) // LZW min code size
+      u8(1); u8(0) // one dummy data sub-block
+      u8(0) // block terminator
+      i += 1
+    }
+    u8(0x3b)
+    out.toByteArray
+  }
+
+  /** Synthesize + parse helpers for the entry: one animated GIF per
+    * id, parsed back through the mapPartitions batch path. */
+  def synthGifAnim(ids: Dataset[java.lang.Long])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.mapPartitions(it => it.map(id =>
+      MediaRecord(id.longValue, "image/gif", gifAnimBytes(id.longValue))))
+  }
+
+  def parseGifAnims(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[GifAnim] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, f, d, l) = parseGifAnim(r.media)
+        GifAnim(r.doc_id, w, h, f, d, l)
+      }
+    }
+  }
+
   /** Mixed-modality corpus: modality rotates by `doc_id % 3` — a real
     * PNG over [[PngCodec.classPixel]], a real WAV over
     * [[AudioCodec.classSample]], or a real MP4 over the closed-form

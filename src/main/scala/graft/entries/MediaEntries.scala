@@ -92,6 +92,23 @@ private[graft] object MediaEntries {
         .orderBy("doc_id")
     }),
 
+    "mm_gif_anim" -> ((s, dir) => {
+      // REAL animated-GIF metadata walk (round 17): structurally genuine
+      // GIF89a files — NETSCAPE loop extension, per-frame graphic
+      // control extensions with planted centisecond delays, image
+      // descriptors with dummy LZW payloads skipped by their sub-block
+      // length prefixes (the metadata pass never decodes pixels). The
+      // oracle recomputes every planted field arithmetically — a wrong
+      // sub-block skip, extension label, or little-endian delay shows
+      // up as a count or delay mismatch.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[java.lang.Long]
+      graft.analytics.Multimodal.parseGifAnims(
+          graft.analytics.Multimodal.synthGifAnim(ids)).toDF()
+        .orderBy("doc_id")
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       // 1->N frame extraction from the REAL stts/stsz sample tables
       // (round 17 — the stub n_frames law is retired): every 7th sample
@@ -408,6 +425,22 @@ private[graft] object MediaEntries {
         |  END AS BIGINT) AS duration_ms,
         |  CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 140 END) + (doc_id // 2) % 7 AS INTEGER) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of the parsed GIF animation metadata.
+    "mm_gif_anim" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS cls FROM documents),
+        |dl AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(10 + (d.cls * 3 + 7 * i) % 50) AS BIGINT) AS td
+        |  FROM d, unnest(range(11)) u(i)
+        |  WHERE i < 2 + d.doc_id % 9 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(16 + d.doc_id % 100 AS INTEGER) AS width,
+        |  CAST(9 + d.doc_id % 80 AS INTEGER) AS height,
+        |  CAST(2 + d.doc_id % 9 AS INTEGER) AS n_frames,
+        |  dl.td AS total_delay_cs,
+        |  CAST(d.doc_id % 4 AS INTEGER) AS loop_count
+        |FROM d JOIN dl USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Replay of the sampled REAL sample tables: start ticks of sample i
     // are i·d1 inside the first stts run (16 samples), then the d2 run.

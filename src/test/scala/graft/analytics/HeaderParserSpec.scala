@@ -168,4 +168,31 @@ class HeaderParserSpec extends SparkSpec {
       }
     }
   }
+
+  test("GIF animation walk: frames, GCE delays, NETSCAPE loop, skips") {
+    (0L to 40L).foreach { id =>
+      val (w, h, f, d, l) = Multimodal.parseGifAnim(Multimodal.gifAnimBytes(id))
+      val cls = id % 64; val nf = 2 + (id % 9).toInt
+      assert((w, h) === (16 + (id % 100).toInt, 9 + (id % 80).toInt), s"id $id")
+      assert(f === nf && l === (id % 4).toInt, s"id $id")
+      assert(d === (0 until nf).map(i => 10 + (cls * 3 + 7L * i) % 50).sum, s"id $id")
+    }
+    // a GIF with a global color table and a plain-text extension the
+    // walk must skip (sub-block lengths, not content)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    out.write("GIF89a".getBytes); u8(5); u8(0); u8(4); u8(0)
+    u8(0x80 | 1) // global color table, size bits 1 -> 3*2^2 = 12 bytes
+    u8(0); u8(0); (0 until 12).foreach(_ => u8(0x55))
+    u8(0x21); u8(0x01); u8(12); (0 until 12).foreach(_ => u8(0)); u8(0) // plain text
+    u8(0x2c); (0 until 8).foreach(_ => u8(0)); u8(0); u8(0) // descriptor, no LCT
+    u8(2); u8(1); u8(0); u8(0) // LZW + one sub-block + terminator
+    u8(0x3b)
+    assert(Multimodal.parseGifAnim(out.toByteArray) === ((5, 4, 1, 0L, 0)))
+    // truncation fails loudly
+    intercept[IllegalArgumentException](
+      Multimodal.parseGifAnim(out.toByteArray.dropRight(3)))
+    intercept[IllegalArgumentException](
+      Multimodal.parseGifAnim("GIF87a......".getBytes))
+  }
 }
