@@ -38,6 +38,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local-path checkpoint I/O without Hadoop's per-op subprocess forks
+      // (readlink/chmod/ls via Shell) — the NIO manager delegates back to
+      // the default for any non-file: scheme, so nothing changes on a
+      // real cluster. See NioCheckpointFileManager scaladoc.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
+      // The checksum wrapper doubles checkpoint file ops to guard object-
+      // store corruption; a local POSIX fs gives those guarantees itself.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional name filter (comma-separated, for local iteration only —

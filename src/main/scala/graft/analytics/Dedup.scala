@@ -317,6 +317,12 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // Deliberately NOT pinned although both the set_a and set_b joins
+    // consume it: this is a single-action subtree, the duplicate set
+    // aggregates run as CONCURRENT stages inside that one action (wall =
+    // max, not sum), and an eager checkpoint here serializes a barrier in
+    // front of the final join (measured: dd_minhash_lsh 1.2 s -> 3.3 s
+    // with the pin). Pins pay across separate actions, not inside one.
     val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set("shingle").as("sset"))
     pairs
@@ -369,7 +375,13 @@ object Dedup {
     * share one shingling pass across several dedup methods. */
   def minHashNearDupsFromShingles(sh: DataFrame,
       k: Int, bands: Int, threshold: Double): DataFrame = {
-    val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
+    // Pin the signature table: the banded-candidate machinery consumes it
+    // three times (cap aggregate + both self-join sides) with different
+    // partial-agg subtrees, so the groupBy(doc)+k-min aggregate over the
+    // exploded shingle set would otherwise run once per consumer. One row
+    // of k longs per doc — the operator's own persistable artifact.
+    val cands = lshCandidates(
+      minHashSignatures(sh, k).localCheckpoint(true), k, bands)
     verifyJaccard(cands, sh).where(col("jaccard") >= threshold)
   }
 
@@ -644,7 +656,13 @@ object Dedup {
   private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
       .where(col("df_cnt") <= maxDf)
+    // Pin the capped shingle table: it feeds the size aggregate and BOTH
+    // pair-join sides, and the exchange shapes differ across consumers, so
+    // without the pin the shingling+cap chain (two passes over the corpus)
+    // re-evaluates per consumer. Candidate-adjacent scale — the same
+    // persistable-artifact rule as the band tables in incrementalNearDups.
     val pruned = sh.join(rare, "shingle").select("doc_id", "shingle")
+      .localCheckpoint(true)
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     pruned.alias("a")
       .join(pruned.alias("b"),
@@ -705,9 +723,16 @@ object Dedup {
       maxIter: Int = 25,
       smallGraphMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
-      .union(pairs.select(col("doc_b").cast("long").as("a"), col("doc_a").cast("long").as("b")))
-      .distinct().persist()
+    // Pin the pair list FIRST: `pairs` is typically the full LSH/verify
+    // DAG, and the two union branches below would evaluate it once each
+    // (and the loop re-read it per round). An eager localCheckpoint beats
+    // persist() here — under AQE, independent consumers of a lazily-filled
+    // InMemoryRelation race and recompute the upstream DAG.
+    val p = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .localCheckpoint(true)
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
     val nEdges = edges.count()
     if (nEdges <= smallGraphMaxEdges) {
       // small-graph path: one pass of union-find with path compression,
@@ -715,7 +740,6 @@ object Dedup {
       // semantics to the converged min-label loop below.
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
-      edges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -764,7 +788,6 @@ object Dedup {
       labels = next.drop("__chg")
       iter += 1
     }
-    edges.unpersist()
     val singletons = vertices.select(col("doc_id").cast("long").as("node"))
       .join(labels.select("node"), Seq("node"), "left_anti")
       .withColumn("lbl", col("node"))

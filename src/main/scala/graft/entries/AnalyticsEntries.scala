@@ -153,18 +153,23 @@ private[graft] object AnalyticsEntries {
       // choosing banding parameters means — so they are out of
       // contract (at sf0.1 a [0.05, 0.2) tail of border pairs exists
       // and would misread as lost recall).
-      val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).cache()
-      try {
-        val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
-        val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
-        // ONE evaluation of each DAG (the recallOf shape): the pair sets
-        // are tiny; count + join-count would run both plans twice
-        val (nExact, hit) = recallOf(exact, lsh)
-        // an empty denominator is a vacuously satisfied contract, not NaN
-        Seq(("minhash_recall_ge_75", nExact,
-          nExact == 0 || hit.toDouble / nExact >= 0.75))
-          .toDF("check", "n_exact", "ok")
-      } finally sh.unpersist()
+      // eager localCheckpoint, NOT cache(): the shingle set feeds ~10
+      // independent query stages across the two legs (df cap, pair join
+      // sides, signature agg, band-join sides, verify sets), and under
+      // AQE those materialize concurrently against a lazily-populated
+      // InMemoryRelation — racing consumers each recompute the full
+      // shingling DAG (measured: the scan+distinct map stage ran ~12x,
+      // 25 s vs 6 s for the checkpoint spelling, identical output).
+      val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).localCheckpoint(true)
+      val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
+      val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
+      // ONE evaluation of each DAG (the recallOf shape): the pair sets
+      // are tiny; count + join-count would run both plans twice
+      val (nExact, hit) = recallOf(exact, lsh)
+      // an empty denominator is a vacuously satisfied contract, not NaN
+      Seq(("minhash_recall_ge_75", nExact,
+        nExact == 0 || hit.toDouble / nExact >= 0.75))
+        .toDF("check", "n_exact", "ok")
     }),
 
     "ann_lsh_recall" -> ((s, dir) => {

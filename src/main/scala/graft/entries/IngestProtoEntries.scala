@@ -1396,13 +1396,17 @@ private[graft] object IngestProtoEntries {
       val preq = Produce.decodeRequest(preqBody)
       val wires = preq.topics.head._2.map { case (p, wb) => (p, wb.get) }
         .toDF("partition", "wire")
-      val ingested = graft.log.RecordLog.wireIngest(
+      // ONE wire-ingest evaluation (pinned) serves the accept hop, its
+      // hash, and the CRC-reject check — the former spelling ran the
+      // CRC-gated decode once per consumer.
+      val routed = graft.log.RecordLog.wireIngest(
           wires, col("wire"), col("partition"), lit(0L))
+        .localCheckpoint(true)
+      val ingested = routed
         .where(col("route") === "accept")
         .select(col("partition"), col("offset"), col("key"), col("value"))
       val (nIngested, hIngested) = hopStats(ingested)
-      val p2Rejected = graft.log.RecordLog.wireIngest(
-          wires, col("wire"), col("partition"), lit(0L))
+      val p2Rejected = routed
         .where(col("route") === "crc_reject" && col("partition") === 2).count() == 1
       // ---- layer 3: the wasm guest VM uppercases every value
       val transformed = graft.wasm.WasmTransform(
@@ -1413,6 +1417,9 @@ private[graft] object IngestProtoEntries {
         // order (batch_index, seq) re-derives the log offset
         .withColumn("offset", row_number().over(Window.partitionBy("partition")
           .orderBy("batch_index", "seq")).cast("long") - 1)
+        // pinned: the guest-VM transform feeds both the hop hash and the
+        // Iceberg commit — one VM pass, not one per consumer
+        .localCheckpoint(true)
       val (nTransformed, hTransformed) = hopStats(transformed)
       // ---- layer 4: Iceberg v2 commit (real metadata chain), read back
       // through the manifest-driven scan
@@ -1426,6 +1433,9 @@ private[graft] object IngestProtoEntries {
         col("ts"), table)
       val tableRows = graft.streaming.IcebergFormat.readTable(s, table)
         .select("partition", "offset", "key", "value")
+        // pinned: read once, consumed by the hop hash, the fetch
+        // envelopes, and the HWM aggregate
+        .localCheckpoint(true)
       val (nCommitted, hCommitted) = hopStats(tableRows)
       // ---- layer 5: Fetch frame serving the table's rows as stored
       // record-batch envelopes, decoded from the response BYTES
@@ -1568,33 +1578,44 @@ private[graft] object IngestProtoEntries {
             .otherwise(lit("tx-a")).as("tid"),
           when(col("event_id") < 18, lit(0)).otherwise(lit(1)).as("half"))
       val w = Window.partitionBy("partition", "tid", "half")
-      val frames = (for (half <- 0 to 1; tid <- Seq("tx-a", "tx-b")) yield {
-        val part = planted.where(col("tid") === tid && col("half") === half)
-          .withColumn("offset", row_number().over(Window
-            .partitionBy("partition", "tid", "half").orderBy("event_id"))
-            .cast("long") - 1)
-          .withColumn("base_offset", lit(0L))
-          .withColumn("first_ts", min("event_id").over(w))
-        val envs = part.groupBy("partition")
-          .agg(first(col("base_offset")).as("base_offset"),
-            first(col("first_ts")).as("first_timestamp"),
-            max(col("event_id")).as("max_timestamp"),
-            sort_array(collect_list(struct(
-              col("offset").cast("int").as("offset_delta"),
-              (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
-              col("event_id").cast("string").cast("binary").as("key"),
-              concat(lit("type="), col("event_type")).cast("binary").as("value"),
-              array().cast("array<struct<header_key:string,header_value:binary>>")
-                .as("headers")))).as("records"))
-          .select(col("partition"), call_function("kafka_batch_encode", struct(
+      // ONE pass over the planted rows builds every (half, txn) envelope:
+      // the former per-frame loop ran the identical window + encode
+      // aggregate four times (four sequential collects, four plan/codegen
+      // compilations of the same shape); the (partition, tid, half) keys
+      // are disjoint, so grouping on all three yields bit-identical wire
+      // bytes per frame in a single action.
+      val envRows = planted
+        .withColumn("offset",
+          row_number().over(w.orderBy("event_id")).cast("long") - 1)
+        .withColumn("base_offset", lit(0L))
+        .withColumn("first_ts", min("event_id").over(w))
+        .groupBy("partition", "tid", "half")
+        .agg(first(col("base_offset")).as("base_offset"),
+          first(col("first_ts")).as("first_timestamp"),
+          max(col("event_id")).as("max_timestamp"),
+          sort_array(collect_list(struct(
+            col("offset").cast("int").as("offset_delta"),
+            (col("event_id") - col("first_ts")).cast("long").as("ts_delta"),
+            col("event_id").cast("string").cast("binary").as("key"),
+            concat(lit("type="), col("event_type")).cast("binary").as("value"),
+            array().cast("array<struct<header_key:string,header_value:binary>>")
+              .as("headers")))).as("records"))
+        .select(col("tid"), col("half"),
+          col("partition"), call_function("kafka_batch_encode", struct(
             col("base_offset"), lit(5).as("partition_leader_epoch"),
             lit(0x10).as("attributes"), // transactional bit
             col("first_timestamp"), col("max_timestamp"),
-            lit(pidOf(tid)).as("producer_id"), lit(0).as("producer_epoch"),
-            (lit(half) * 9).cast("int").as("base_sequence"),
+            when(col("tid") === "tx-b", lit(pidOf("tx-b")))
+              .otherwise(lit(pidOf("tx-a"))).as("producer_id"),
+            lit(0).as("producer_epoch"),
+            (col("half") * 9).cast("int").as("base_sequence"),
             col("records"))).as("wire"))
-          .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("wire")))
-          .sortBy(_._1)
+        .collect()
+        .map(r => ((r.getString(0), r.getInt(1)),
+          (r.getInt(2), r.getAs[Array[Byte]]("wire"))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
+      val frames = (for (half <- 0 to 1; tid <- Seq("tx-a", "tx-b")) yield {
+        val envs = envRows((tid, half))
         WireHeaders.encodeRequestFrame(
           WireHeaders.RequestHeader(0, 8, 100 + half * 2 + (if (tid == "tx-b") 1 else 0),
             Some("graft-txn")),
@@ -1609,12 +1630,19 @@ private[graft] object IngestProtoEntries {
           (p, i.toLong, wb.get)
         }
       }.toDF("partition", "arrival", "wire")
+      // Pinned: consumed by the hop hash AND the offset cross-check join.
       val ingested = graft.log.RecordLog.wireIngest(
           wireRows, col("wire"), col("partition"), col("arrival"))
         .where(col("route") === "accept")
         .select(col("partition"), col("offset"), col("key"), col("value"))
+        .localCheckpoint(true)
       val (nIngested, hIngested) = hopStats(ingested)
       // decode envelope headers too: pid + txn bit travel the wire
+      // Pinned: the decode + window feeds five downstream actions (the
+      // txn-bit check, the offset cross-check, the log for readCommitted /
+      // abortedRanges / LSO / commitTxOffsets) — lineage truncation keeps
+      // every later action's plan shallow instead of replaying the wire
+      // decode per action.
       val decoded = wireRows
         .select(col("partition"), col("arrival"),
           call_function("kafka_batch_decode", col("wire")).as("d"))
@@ -1624,6 +1652,7 @@ private[graft] object IngestProtoEntries {
           explode(col("d.records")).as("r"))
         .withColumn("offset", row_number().over(Window.partitionBy("partition")
           .orderBy(col("arrival"), col("r.offset_delta"))).cast("long") - 1)
+        .localCheckpoint(true)
       val txnBitsOk = decoded.where(!col("txn_bit")).count() == 0
       // the engine's assignment and the header-decode replay must agree
       val offsetsMatch = ingested.alias("a").join(decoded.alias("b"),
@@ -1656,10 +1685,12 @@ private[graft] object IngestProtoEntries {
           lit(1L).as("txn_seq"), lit(true).as("is_control"), col("decision"),
           lit(graft.model.BatchType.RaftData).as("batch_type"),
           lit(null).cast("binary").as("key"), lit(null).cast("binary").as("value"))
-      val log = dataLog.unionByName(markers)
+      // Pinned for the same reason: four TxnEngine passes read the log.
+      val log = dataLog.unionByName(markers).localCheckpoint(true)
       // ---- layer 4: read_committed wire Fetch (isolation_level = 1)
       val committed = graft.log.TxnEngine.readCommitted(log)
         .select(col("partition"), col("offset"), col("key"), col("value"))
+        .localCheckpoint(true)
       val (nCommitted, hCommitted) = hopStats(committed)
       // abortedRanges rows: (partition, pid, txn_seq, first, last)
       val aborted = graft.log.TxnEngine.abortedRanges(log)

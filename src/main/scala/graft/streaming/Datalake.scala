@@ -202,31 +202,32 @@ object Datalake {
       tsCol: Column,
       basePath: String,
       partFn: Column => Column = hourPartition): Seq[(String, Long)] = {
+    // eager localCheckpoint, NOT cache(): the concurrent per-output write
+    // futures plus the counts pass would otherwise race a lazily-filled
+    // InMemoryRelation and each recompute the routed batch from source
     val routed = batch
       .withColumn("_output", routeCol)
       .withColumn("p_key", partFn(tsCol))
-      .cache()
-    try {
-      // One aggregation pass yields both the output list and the per-output
-      // row counts — no per-output count() job after each write.
-      val counts = routed.groupBy("_output").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // The per-output writes are independent jobs over the cached batch —
-      // run them concurrently (the reference's multiplexer drives its
-      // per-output partitioning writers concurrently too); each write
-      // still clusters by partition key first — see commit() note.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = counts.keys.toSeq.sorted.map { o =>
-        o -> Future {
-          routed.where(col("_output") === o).drop("_output")
-            .repartition(col("p_key"))
-            .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$o")
-        }
+      .localCheckpoint(true)
+    // One aggregation pass yields both the output list and the per-output
+    // row counts — no per-output count() job after each write.
+    val counts = routed.groupBy("_output").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The per-output writes are independent jobs over the pinned batch —
+    // run them concurrently (the reference's multiplexer drives its
+    // per-output partitioning writers concurrently too); each write
+    // still clusters by partition key first — see commit() note.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = counts.keys.toSeq.sorted.map { o =>
+      o -> Future {
+        routed.where(col("_output") === o).drop("_output")
+          .repartition(col("p_key"))
+          .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$o")
       }
-      writes.map { case (o, f) => Await.result(f, Duration.Inf); o -> counts(o) }
-    } finally routed.unpersist()
+    }
+    writes.map { case (o, f) => Await.result(f, Duration.Inf); o -> counts(o) }
   }
 
   /** Dead-letter table directory name under the multiplexer base path. */
@@ -270,21 +271,21 @@ object Datalake {
         when(col("_schema_id").isNull, "bad_input")
           .when(!col("_schema_id").isin(registered: _*), "translation_error")
           .when(col("_schema_id").isin(incompatible: _*), "incompatible_schema"))
-      .cache()
-    try {
-      val main = writeMultiplexed(
-        classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
-        routeCol, tsCol, basePath, partFn)
-      val dlq = classified.where(col("error_code").isNotNull)
-        .withColumn("_output", routeCol)
-        .withColumn("p_key", partFn(tsCol))
-        .drop("_schema_id")
-      val nDlq = dlq.count()
-      if (nDlq > 0)
-        dlq.repartition(col("p_key"))
-          .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$DlqDir")
-      if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
-    } finally classified.unpersist()
+      // eager localCheckpoint for the same reason as writeMultiplexed: the
+      // valid-path writes and the DLQ count/write are independent consumers
+      .localCheckpoint(true)
+    val main = writeMultiplexed(
+      classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
+      routeCol, tsCol, basePath, partFn)
+    val dlq = classified.where(col("error_code").isNotNull)
+      .withColumn("_output", routeCol)
+      .withColumn("p_key", partFn(tsCol))
+      .drop("_schema_id")
+    val nDlq = dlq.count()
+    if (nDlq > 0)
+      dlq.repartition(col("p_key"))
+        .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$DlqDir")
+    if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
   }
 
   /**

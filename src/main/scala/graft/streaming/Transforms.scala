@@ -158,18 +158,20 @@ object Transforms {
       .option("checkpointLocation", s"$checkpointDir/${spec.name}")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[(String, T)], _: Long) =>
-        val df = batch.toDF("_output", "_value").cache()
-        try {
-          val outputs = df.select("_output").distinct().collect().map(_.getString(0)).sorted
-          outputs.foreach { o =>
-            val rows = df.where(col("_output") === o)
-            val payload = rows.schema("_value").dataType match {
-              case _: StructType => rows.select("_value.*")
-              case _             => rows.select(col("_value").as("value"))
-            }
-            payload.write.mode("append").parquet(s"$basePath/$o")
+        // eager localCheckpoint, NOT cache(): the distinct-outputs pass and
+        // the per-output filtered writes are independent consumers — under
+        // AQE they race a lazily-filled InMemoryRelation and recompute the
+        // batch (including the guest-VM transform) once each
+        val df = batch.toDF("_output", "_value").localCheckpoint(true)
+        val outputs = df.select("_output").distinct().collect().map(_.getString(0)).sorted
+        outputs.foreach { o =>
+          val rows = df.where(col("_output") === o)
+          val payload = rows.schema("_value").dataType match {
+            case _: StructType => rows.select("_value.*")
+            case _             => rows.select(col("_value").as("value"))
           }
-        } finally df.unpersist()
+          payload.write.mode("append").parquet(s"$basePath/$o")
+        }
       }
       .start()
   }
