@@ -15,6 +15,12 @@ object EntryProbe {
       // The checksum wrapper doubles checkpoint file ops to guard object-
       // store corruption; a local POSIX fs gives those guarantees itself.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Local data-plane writes without the per-file chmod fork (and the
+      // .crc sibling files) of Hadoop's default checksummed local FS —
+      // see ForklessLocalFileSystem scaladoc. Only registered in these
+      // local session builders; cluster schemes (hdfs/s3) are untouched.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.streaming.ForklessLocalFileSystem")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (sf <- args.headOption.map(_.split(",").toSeq).getOrElse(Seq("sf0.001", "sf0.01"));

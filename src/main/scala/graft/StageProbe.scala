@@ -37,6 +37,12 @@ object StageProbe {
       // The checksum wrapper doubles checkpoint file ops to guard object-
       // store corruption; a local POSIX fs gives those guarantees itself.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Local data-plane writes without the per-file chmod fork (and the
+      // .crc sibling files) of Hadoop's default checksummed local FS —
+      // see ForklessLocalFileSystem scaladoc. Only registered in these
+      // local session builders; cluster schemes (hdfs/s3) are untouched.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.streaming.ForklessLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -502,8 +502,11 @@ private[graft] object SftMixtureEntries {
         .select(col("vec_id").as("src_id"), col("embedding"))
       val tgt = emb.where(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("tgt_id"), col("embedding"))
+      // pinned: the exact all-pairs leg feeds two actions (its own count
+      // and the recall join) — without the pin the full N×M product is
+      // mined twice
       val exact = Bitext.marginMineExact(src, tgt, 4, 1000000L)
-        .select("src_id", "tgt_id")
+        .select("src_id", "tgt_id").localCheckpoint(true)
       val ivf = Bitext.marginMineIvf(src, tgt, 4, 1000000L, candK = 32,
         nLists = 8, nProbe = 4)
         .select("src_id", "tgt_id")
