@@ -462,7 +462,10 @@ object Dedup {
     // Candidate pairs are batch-scale (a vanishing fraction of the
     // corpus) and feed BOTH the semi-join doc cut and the verify join;
     // materialize once so the signature/banding DAG runs once, not
-    // per consumer.
+    // per consumer. (r17 re-measured the un-pinned spelling: locally
+    // within noise — the duplicate subtrees run concurrently inside the
+    // one verdict action — but at scale the duplication is 2x the index
+    // probe, so the pin stays.)
     val pairs = vsCorpus.unionByName(vsBatch).localCheckpoint(true)
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
