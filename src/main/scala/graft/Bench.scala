@@ -233,6 +233,17 @@ object Bench {
     val total = if (results1.nonEmpty) results1.map(_._2).sum else 0.0
     val thr = thrJson.getOrElse("\"throughput\":{}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,"regressions":$regJson,"env_health_ratio":$envHealthJson,$thr,"sf":"$sfDir"}""")
+    // The rich line above is ~14 KB (378 per-query seconds + runs +
+    // throughput) and the driver keeps only a 2000-char stdout tail, so
+    // its JSON recovery has started mid-object every round (BENCH_r01-r17
+    // all have `parsed: null`). Emit a SECOND, compact final line that
+    // fits whole inside any such tail: the same metric/value/unit/sf
+    // contract with summary figures, per-query detail staying in the rich
+    // line and in the committed BENCH_TIMES.json artifact. Additions only
+    // — nothing is removed or renamed in the rich line.
+    val slowest = results1.sortBy(-_._2).take(25)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results1.size},"env_health_ratio":$envHealthJson,"slowest":$slowest,"sf":"$sfDir"}""")
     // Persist per-entry timings as a repo artifact: the driver truncates
     // long stdout lines, so round-over-round per-query regressions were
     // only diffable transiently. Full (unfiltered) runs only — an

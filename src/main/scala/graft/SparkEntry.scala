@@ -45,13 +45,28 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[graft] def T(s: SparkSession, dir: String, name: String,
-      fan: Boolean = true): DataFrame =
+      fan: Boolean = true): DataFrame = {
     // Memoized per (session, dir, table): the cached DataFrame carries its
     // resolved FileIndex, so file listing + parquet-footer schema inference
     // happen ONCE per session instead of on every entry — the same way a
     // broker opens partition state once and serves every request from it.
-    tableCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir + "|" + name + "|" + fan, { _ =>
+    // The build runs OUTSIDE the map's compute function: the fan-out branch
+    // runs a full Spark job, and holding a ConcurrentHashMap bin lock for
+    // its duration would deadlock any re-entrant T() for the same table
+    // (putIfAbsent races at worst duplicate a temp-dir materialization,
+    // which cleanupOnExit reclaims either way).
+    val key = s.sparkContext.applicationId + "|" + dir + "|" + name + "|" + fan
+    val cached = tableCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = buildTable(s, dir, name, fan)
+      val prev = tableCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  private def buildTable(s: SparkSession, dir: String, name: String,
+      fan: Boolean): DataFrame = {
         val df = s.read.parquet(s"$dir/$name.parquet")
         val target = s.sparkContext.defaultParallelism
         // The row-heavy tables: per-row narrow work (shingling, hashing,
@@ -84,7 +99,7 @@ object SparkEntry {
             .mode("overwrite").parquet(mat.toString)
           s.read.parquet(mat.toString)
         } else df
-      })
+  }
 
   /** Recall of `got` against the brute-force truth `bf` (both
     * (query_id, vec_id) top-k sets): ONE evaluation of each DAG — the

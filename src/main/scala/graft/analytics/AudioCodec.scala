@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -318,7 +319,7 @@ object AudioCodec {
   def audioFunnel(media: Dataset[MediaRecord], maxHamming: Int = 3)(
       implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val gh = gateAndHashAudio(media).toDF().localCheckpoint(true)
+    val gh = gateAndHashAudio(media).toDF().pinned()
     val hashes = gh.where(col("gate") === "ok")
       .select("doc_id", "b0", "b1", "b2", "b3")
     val dupOf = PngCodec.phashDedup(hashes, maxHamming)

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -111,7 +112,7 @@ object CleanPipeline {
     // the bucket table is tiny ((doc_id, bucket) rows) but its lineage —
     // LM training + two-phase rank — is not; materialize it once so the
     // funnel's plan cannot re-derive the model per consumer
-    val bk = buckets.select(col("doc_id"), col("bucket")).localCheckpoint(true)
+    val bk = buckets.select(col("doc_id"), col("bucket")).pinned()
     val joined = base
       .join(g, "doc_id").join(r, "doc_id")
       .join(bk, "doc_id")
@@ -164,7 +165,7 @@ object CleanPipeline {
       TextAnalysis.gopherRules(base, col("doc_id"), col("__text"),
           minWords = minWords, minStopHits = minStopHits)
         .select(col("doc_id"), col("keep").as("__gk")),
-      "doc_id").localCheckpoint(true)
+      "doc_id").pinned()
     val refParas = Dedup.tokenParagraphs(ingested, idCol, textCol, paraTokens)
     val bits = Dedup.bloomBits(refParas, col("para"), mBits, k)
     // only quality SURVIVORS probe: rejects can never reach the output,
@@ -225,17 +226,17 @@ object CleanPipeline {
       .select(col("doc_id"), col("keep").as("__gk"))
     val r = TextAnalysis.repetitionSignals(base, col("doc_id"), col("__text"))
       .select(col("doc_id"), col("keep").as("__rk"))
-    val bk = buckets.select(col("doc_id"), col("bucket")).localCheckpoint(true)
+    val bk = buckets.select(col("doc_id"), col("bucket")).pinned()
     // The flag table is consumed by THREE actions (the shingle
     // materialization, the components' edge count, the final funnel
     // aggregate) — checkpoint it so the rule batteries evaluate once.
     val flags = base.join(g, "doc_id").join(r, "doc_id").join(bk, "doc_id")
-      .localCheckpoint(true)
+      .pinned()
     // FineWeb dedups AFTER the quality gates: only rule survivors shingle
     val survivors = flags.where(col("__gk") && col("__rk"))
       .select(col("doc_id"), col("__text"))
     val sh = Dedup.shingled(survivors, col("doc_id"), col("__text"), shingleN)
-      .localCheckpoint(true)
+      .pinned()
     val cands = Dedup.lshCandidates(
       Dedup.minHashSignaturesParity(sh, k), k, bands, maxBucket)
     val pairs = Dedup.verifyJaccard(cands, sh)
@@ -297,22 +298,37 @@ object CleanPipeline {
           .withColumn("text", TextAnalysis.htmlToText(coalesce(col("html"), lit(""))))
           .withColumn("__lowq",
             TextAnalysis.tokenCount(col("text")) < minTokens)
-          .localCheckpoint(true)
+          .pinned()
         val eligible = staged.where(!col("__blocked") && !col("__lowq"))
           .select("doc_id", "text")
-        val (verdicts, batchBands) = Dedup.incrementalBatchStep(s, stateDir,
+        val (verdicts0, batchBands) = Dedup.incrementalBatchStep(s, stateDir,
           eligible, batchId, sign, shingleN, k, bands, threshold, maxBucket)
-        staged.select(col("doc_id"), col("__blocked"), col("__lowq"))
-          .join(verdicts.withColumnRenamed("verdict", "__dv"), Seq("doc_id"), "left")
+        // Pin the ladder-merged verdicts: the judge DAG evaluates ONCE and
+        // the output write, the accepted-id cut and both state writes read
+        // the pin — the old spelling re-READ the written parquet once per
+        // state write. Output write and state growth are then independent
+        // jobs over pinned inputs, run overlapped (guide §2.6).
+        val ladder = staged.select(col("doc_id"), col("__blocked"), col("__lowq"))
+          .join(verdicts0.withColumnRenamed("verdict", "__dv"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("__blocked"), lit("blocked_url"))
               .when(col("__lowq"), lit("low_quality"))
               .otherwise(col("__dv")).as("verdict"),
             when(!col("__blocked") && !col("__lowq"), col("dup_of")).as("dup_of"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val accepted = s.read.parquet(s"$outDir/batch=$batchId")
-          .where(col("verdict") === "new").select("doc_id")
+          .pinned()
+        val accepted = ladder.where(col("verdict") === "new").select("doc_id")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val outW = Future {
+          ladder.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
         Dedup.growIncrementalState(stateDir, batchId, eligible, batchBands, accepted)
+        Await.result(outW, Duration.Inf)
+        // free this micro-batch's pins deterministically — a long-running
+        // stream must not wait on the ContextCleaner (cluster path; the
+        // local checkpoint path is GC-freed either way)
+        graft.Pins.unpin(staged, batchBands, ladder)
         ()
       }
       .start()

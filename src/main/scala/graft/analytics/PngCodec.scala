@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import java.io.ByteArrayOutputStream
 import java.util.zip.{CRC32, Deflater, Inflater}
 
@@ -329,7 +330,7 @@ object PngCodec {
     // ONE decode per image (gate + hash together), pinned so the
     // downstream band joins re-scan hashes, never re-inflate PNGs;
     // JPEGs skip the decode entirely (DQT walk only)
-    val gh = gradeMedia(media, jpegMinQuality).toDF().localCheckpoint(true)
+    val gh = gradeMedia(media, jpegMinQuality).toDF().pinned()
     val quality = gh.select(col("doc_id"), col("keep"))
     val hashes = gh.where(col("keep") && !col("is_jpeg"))
       .select("doc_id", "b0", "b1", "b2", "b3")
@@ -389,7 +390,7 @@ object PngCodec {
         // funnel parity via the shared gradeMedia kernel): sub-quality
         // rejects, keepers are `new` but never hash and never join the
         // index (no pixels to hash)
-        val gh = gradeMedia(media, jpegMinQuality).toDF().localCheckpoint(true)
+        val gh = gradeMedia(media, jpegMinQuality).toDF().pinned()
         val quality = gh.select(col("doc_id"), col("keep"))
         val hashes = gh.where(col("keep") && !col("is_jpeg"))
           .select("doc_id", "b0", "b1", "b2", "b3")
@@ -428,17 +429,32 @@ object PngCodec {
             bit_count(col("a3").bitwiseXOR(col("c3")))) <= maxHamming)
           .groupBy(col("img_b").as("doc_id"))
           .agg(min(col("img_a")).as("dup_of"))
+        // Pin the verdicts: the dup-judgment DAG evaluates ONCE and both
+        // the output write and the index growth read the pin — the old
+        // spelling re-READ the written parquet to recover the admitted
+        // ids. The two writes are then independent jobs over pinned
+        // inputs, run overlapped (guide §2.6).
         val verdicts = quality.join(dupOf, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(!col("keep"), lit("low_quality"))
               .when(col("dup_of").isNotNull, lit("dup"))
               .otherwise(lit("new")).as("verdict"),
             when(col("keep"), col("dup_of")).as("dup_of"))
-        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val admitted = s.read.parquet(s"$outDir/batch=$batchId")
-          .where(col("verdict") === "new").select("doc_id")
+          .pinned()
+        val admitted = verdicts.where(col("verdict") === "new").select("doc_id")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val outW = Future {
+          verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
         hashes.join(admitted, "doc_id")
           .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
+        Await.result(outW, Duration.Inf)
+        // free this micro-batch's pins deterministically — a long-running
+        // stream must not wait on the ContextCleaner (cluster path; the
+        // local checkpoint path is GC-freed either way)
+        graft.Pins.unpin(gh, verdicts)
         ()
       }
       .start()
@@ -622,7 +638,7 @@ object PngCodec {
     // pin once: the four band joins + both verify sides re-scan this
     // table six times, and recomputing a decode-backed input per scan
     // would re-inflate every image per scan
-    val hashes = hashes0.localCheckpoint(true)
+    val hashes = hashes0.pinned()
     val bandCols = Seq("b0", "b1", "b2", "b3")
     val cand = bandCols.zipWithIndex.map { case (bc, bi) =>
       val banded = Dedup.capBuckets(

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -235,13 +236,13 @@ object Sft {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val turns = batch.select("conv_id", "turn_idx", "role", "content")
-          .localCheckpoint(true)
+          .pinned()
         val flags = validate(turns, maxTurns)
-          .select("conv_id", "ok").localCheckpoint(true)
+          .select("conv_id", "ok").pinned()
         val valid = turns.join(flags.where(col("ok")).select("conv_id"),
           Seq("conv_id"))
         val sigs = assistantSigs(valid).select("conv_id", "sig")
-          .localCheckpoint(true)
+          .pinned()
         val prior = s.read.parquet(s"$stateDir/sigs")
           .where(col("batch") < batchId)
           .groupBy("sig").agg(min("conv_id").as("prior_conv"))

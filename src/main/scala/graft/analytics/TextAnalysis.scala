@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -583,7 +584,7 @@ object TextAnalysis {
     val feats = df.select(idCol.as("doc_id"), labelCol.cast("long").as("label"),
         explode(array_distinct(transform(tokens(textCol),
           t => Sampling.hashBucket(t, buckets)))).as("bucket"))
-      .localCheckpoint(true)
+      .pinned()
     var w = Map.empty[Long, Long].withDefaultValue(0L)
     val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (epoch <- 1 to epochs) {
@@ -593,7 +594,7 @@ object TextAnalysis {
         .agg(sum(coalesce(col("w"), lit(0L))).as("margin"))
         .select(col("doc_id"),
           (col("label") - when(col("margin") > 0, 1L).otherwise(0L)).as("err"))
-        .localCheckpoint(true)
+        .pinned()
       val nWrong = errs.agg(sum(abs(col("err")))).head.getLong(0)
       val upd = feats.join(errs, "doc_id")
         .groupBy("bucket").agg(sum("err").as("u"))

@@ -1615,7 +1615,9 @@ private[graft] object IngestProtoEntries {
           (r.getInt(2), r.getAs[Array[Byte]]("wire"))))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
       val frames = (for (half <- 0 to 1; tid <- Seq("tx-a", "tx-b")) yield {
-        val envs = envRows((tid, half))
+        // an empty (tid, half) slice must yield an empty frame (the old
+        // per-frame loop's behavior), not a NoSuchElementException
+        val envs = envRows.getOrElse((tid, half), Array.empty[(Int, Array[Byte])])
         WireHeaders.encodeRequestFrame(
           WireHeaders.RequestHeader(0, 8, 100 + half * 2 + (if (tid == "tx-b") 1 else 0),
             Some("graft-txn")),

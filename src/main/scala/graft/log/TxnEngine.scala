@@ -1,5 +1,6 @@
 package graft.log
 
+import graft.Pins._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object TxnEngine {
     // first: whichever path runs reads the materialized table instead of
     // re-deriving the (usually distinct-aggregated) lineage.
     if (smallInputMaxRows > 0) {
-      val cp = producers.localCheckpoint(true)
+      val cp = producers.pinned()
       if (cp.count() <= smallInputMaxRows)
         return cp.withColumn("pid",
           row_number().over(Window.orderBy(identityCol)).cast("long") - 1 + base)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Pins._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -208,15 +209,24 @@ object Datalake {
     val routed = batch
       .withColumn("_output", routeCol)
       .withColumn("p_key", partFn(tsCol))
-      .localCheckpoint(true)
+      .pinned()
     // One aggregation pass yields both the output list and the per-output
     // row counts — no per-output count() job after each write.
     val counts = routed.groupBy("_output").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // The per-output writes are independent jobs over the pinned batch —
-    // run them concurrently (the reference's multiplexer drives its
-    // per-output partitioning writers concurrently too); each write
-    // still clusters by partition key first — see commit() note.
+    val res = writeRouted(routed, basePath, counts)
+    graft.Pins.unpin(routed)
+    res
+  }
+
+  /** The per-output append fan-out over an already-pinned routed batch
+    * (`_output` route column + `p_key` partition column present). The
+    * writes are independent jobs over the pin — run concurrently (the
+    * reference's multiplexer drives its per-output partitioning writers
+    * concurrently too); each write still clusters by partition key first
+    * — see commit() note. */
+  private def writeRouted(routed: DataFrame, basePath: String,
+      counts: Map[String, Long]): Seq[(String, Long)] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -264,6 +274,11 @@ object Datalake {
       incompatible: Seq[Int],
       partFn: Column => Column = hourPartition): Seq[(String, Long)] = {
     import graft.registry.Ingest
+    // ONE pin per micro-batch carrying the route and partition columns
+    // too (the old spelling pinned `classified`, then writeMultiplexed
+    // re-pinned the routed valid rows — two eager materializations), and
+    // ONE aggregation pass yielding both the valid per-output counts and
+    // the DLQ count (the old spelling ran a separate dlq.count() job).
     val classified = batch
       .withColumn("_schema_id",
         when(Ingest.magicOf(valueCol) === lit(Array[Byte](0)), Ingest.schemaIdOf(valueCol)))
@@ -271,20 +286,30 @@ object Datalake {
         when(col("_schema_id").isNull, "bad_input")
           .when(!col("_schema_id").isin(registered: _*), "translation_error")
           .when(col("_schema_id").isin(incompatible: _*), "incompatible_schema"))
-      // eager localCheckpoint for the same reason as writeMultiplexed: the
-      // valid-path writes and the DLQ count/write are independent consumers
-      .localCheckpoint(true)
-    val main = writeMultiplexed(
-      classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
-      routeCol, tsCol, basePath, partFn)
-    val dlq = classified.where(col("error_code").isNotNull)
       .withColumn("_output", routeCol)
       .withColumn("p_key", partFn(tsCol))
-      .drop("_schema_id")
-    val nDlq = dlq.count()
-    if (nDlq > 0)
-      dlq.repartition(col("p_key"))
+      .pinned()
+    val allCounts = classified
+      .groupBy(col("_output"), col("error_code").isNotNull.as("_dlq"))
+      .count().collect()
+    val counts = allCounts.filter(!_.getBoolean(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val nDlq = allCounts.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+    // The DLQ append is independent of the valid-path appends — overlap it
+    // with them instead of serializing after (guide §2.6).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dlqW = if (nDlq == 0) None else Some(Future {
+      classified.where(col("error_code").isNotNull).drop("_schema_id")
+        .repartition(col("p_key"))
         .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$DlqDir")
+    })
+    val main = writeRouted(
+      classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
+      basePath, counts)
+    dlqW.foreach(Await.result(_, Duration.Inf))
+    graft.Pins.unpin(classified)
     if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
   }
 

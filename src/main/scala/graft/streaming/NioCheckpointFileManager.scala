@@ -67,14 +67,27 @@ class NioCheckpointFileManager(base: Path, conf: Configuration)
         if (terminated) return
         terminated = true
         underlyingStream.close()
-        if (!overwriteIfPossible && Files.exists(dst)) {
-          // another attempt already committed this file (task retry /
-          // batch replay): first writer wins, same as the default
-          // manager's benign FileAlreadyExists handling
-          Files.deleteIfExists(tmp)
-        } else {
+        if (overwriteIfPossible) {
           Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
+        } else {
+          // The no-overwrite commit must SURFACE an existing destination,
+          // not silently drop the temp file: the default manager rethrows
+          // FileAlreadyExistsException here and HDFSMetadataLog converts it
+          // into the concurrent-stream-log-update error — the guard against
+          // two queries sharing one checkpoint dir committing divergent
+          // offsets. An exists()-then-replace is also a TOCTOU race (POSIX
+          // rename(2) always replaces); link(2) is an atomic
+          // create-or-EEXIST, so the hard-link publish either commits tmp
+          // as dst or fails atomically with no window.
+          try Files.createLink(dst, tmp)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"rename destination already exists: $dst")
+          }
+          Files.deleteIfExists(tmp)
         }
       }
       override def cancel(): Unit = synchronized {
