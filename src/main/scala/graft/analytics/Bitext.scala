@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -103,13 +104,34 @@ object Bitext {
   def marginMineExact(src: DataFrame, tgt: DataFrame, k: Int,
       marginThresholdU: Long): DataFrame = {
     graft.functions.GraftFunctions.register(src.sparkSession)
-    val s = src.select(col("src_id"), col("embedding").as("_se"))
+    val s0 = src.select(col("src_id"), col("embedding").as("_se"))
       .withColumn("_sn", Similarity.norm(col("_se")))
+    // The broadcast-NLJ streams the SOURCE side, so the product's task
+    // count is the source scan's split count — a single-file embedding
+    // table runs the whole N×M dot-product pass as ONE task (probe:
+    // 1.4 s single-task stages). Fan the streamed side to the session's
+    // parallelism when it under-splits; at real scale the table already
+    // carries thousands of splits and this is a no-op.
+    val sp = src.sparkSession.sparkContext.defaultParallelism
+    val s = if (s0.rdd.getNumPartitions * 2 < sp) s0.repartition(sp) else s0
     val t = tgt.select(col("tgt_id"), col("embedding").as("_te"))
       .withColumn("_tn", Similarity.norm(col("_te")))
+    // Pin the scored N×M product: it feeds BOTH neighborhood-average
+    // aggregates AND the margin join — three consumers whose exchange
+    // shapes differ, so without the pin the full cross join (every
+    // dot product) evaluates three times. The pinned table is
+    // (src_id, tgt_id, cos_u) — 3 narrow columns, the all-pairs score
+    // table this certification leg is already quadratic in. Pinning it
+    // PRE-HASHED on src_id (checkpoint preserves outputPartitioning)
+    // lets the source-side top-k window and the forward-best window read
+    // it with NO further exchange — only the target-side average pays
+    // one; the dot products themselves are computed map-side in the
+    // fanned crossJoin stage before this shuffle.
     val scored = s.crossJoin(t).select(col("src_id"), col("tgt_id"),
       cosU(Similarity.dot(col("_se"), col("_te")) / (col("_sn") * col("_tn")))
         .as("cos_u"))
+      .repartition(col("src_id"))
+      .pinned()
     mineFromScored(scored, k, marginThresholdU)
   }
 
@@ -128,6 +150,12 @@ object Bitext {
     val srcCorpus = src.select(col("src_id").as("vec_id"), col("embedding"))
     val srcQ = src.select(col("src_id").as("query_id"), col("embedding").as("query_vec"))
     val tgtQ = tgt.select(col("tgt_id").as("query_id"), col("embedding").as("query_vec"))
+    // Deliberately NOT pinned although the forward probe feeds two
+    // consumers: the whole IVF mine is a single-action subtree whose
+    // duplicate probe evaluations run as CONCURRENT stages inside that
+    // action (wall = max, not sum) — an eager pin here serializes the
+    // probe in front of the rest (r18 probe: +1.5 s on bt_margin_recall,
+    // the same class of loss as the verifyJaccard sets-pin in r17).
     val fwd = Similarity.ivfTopK(tgtCorpus, srcQ, candK, nLists, nProbe, seed)
       .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
         cosU(col("cos")).as("cos_u"))

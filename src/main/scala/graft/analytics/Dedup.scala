@@ -436,8 +436,16 @@ object Dedup {
     // operator's own persistable artifact (the stream twin reads it
     // from parquet state); in the from-scratch spelling this pins it
     // for the run instead.
-    val corpusBands = bandTable(corpusSig, k, bands).pinned()
-    val batchBands = bandTable(batchSig, k, bands).pinned()
+    // the two pins are independent signature pipelines — overlap them
+    // (guide §2.6) instead of materializing corpus then batch in sequence
+    val (corpusBands, batchBands) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cF = Future { bandTable(corpusSig, k, bands).pinned() }
+      val b = bandTable(batchSig, k, bands).pinned()
+      (Await.result(cF, Duration.Inf), b)
+    }
     judgeAgainstIndex(
       capBuckets(corpusBands, Seq("band_id", "band_hash"), maxBucket),
       batchBands, corpusDocs, batchDocs, shingleN, threshold, maxBucket)

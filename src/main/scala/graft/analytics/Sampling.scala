@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Pins._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -242,9 +243,18 @@ object Sampling {
     def grams(df: DataFrame) = df
       .select(idCol.as("doc_id"), explode(Dedup.shingles(textCol, 2)).as("__g"))
       .withColumn("bucket", hashBucket(col("__g"), buckets))
+    // Pin the two hashed-bigram count tables: the corpus side feeds the
+    // bucket-mass aggregate, the LLR model AND the per-doc scores, the
+    // target side both its total and the model join — without the pins
+    // each consumer re-runs the md5-per-bigram explode over its corpus
+    // (probe: the same 11 s-of-task-time stage ran 3x). Both tables are
+    // bounded feature artifacts: docB ≤ |docs| x distinct-buckets-per-doc
+    // rows, tgtB ≤ `buckets` rows.
     val docB = grams(raw).groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .pinned()
     val rawB = docB.groupBy("bucket").agg(sum("n").as("rn"))
     val tgtB = grams(target).groupBy("bucket").agg(count(lit(1)).as("tn"))
+      .pinned()
     // totals as broadcast one-row scalars INSIDE the plan — collecting
     // them to the driver forced a full extra shingling pass per total
     val rawTotDf = rawB.agg(sum("rn").as("__raw_tot"))
@@ -261,6 +271,9 @@ object Sampling {
     val scores = docB.join(broadcast(llr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("n") * col("llr_u")).as("score_u"), sum("n").as("n_grams"))
+    // Pinned: consumed by the top-k cut AND the final selected-flag join
+    // — two actions' worth of subtrees that would each re-run the score
+    // aggregation. Output-scale table (one row per raw doc, 4 columns).
     val withG = raw.select(idCol.as("doc_id")).join(scores, Seq("doc_id"), "left")
       .na.fill(0L, Seq("score_u", "n_grams"))
       .withColumn("__u",
@@ -268,6 +281,7 @@ object Sampling {
           / lit(1000000.0))
       .withColumn("gumbel_u", floor(-log(-log(col("__u"))) * lit(1000000.0)))
       .drop("__u")
+      .pinned()
     val picked = withG
       .orderBy((col("score_u") + col("gumbel_u")).desc, col("doc_id"))
       .limit(k)

@@ -959,11 +959,17 @@ private[graft] object AnalyticsEntries {
         .unionByName(docs.where(col("doc_id") % 29 === 0)
           .select((col("doc_id") + 500000000).as("doc_id"),
             concat(rev, lit(" planted tail two")).as("text")))
-      val inDir = stageOrderedBatches("graft_incr", Seq(b1, b2))
+      // staging the input batches and seeding the standing state are
+      // independent write pipelines — overlap them (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val inDirF = Future { stageOrderedBatches("graft_incr", Seq(b1, b2)) }
       val out = cleanupOnExit(
         java.nio.file.Files.createTempDirectory("graft_incr_out")).toString
       val sign = crawlSign
       Dedup.initIncrementalState(docs, s"$out/state", sign, 12, 6)
+      val inDir = Await.result(inDirF, Duration.Inf)
       val stream = graft.streaming.Transforms.PathInput(
         inDir, b1.schema, maxFilesPerTrigger = Some(1)).stream(s)
       Dedup.incrementalNearDupsStream(stream, s"$out/state", s"$out/verdicts",
@@ -1076,13 +1082,18 @@ private[graft] object AnalyticsEntries {
       // (low_quality). The oracle replays gates, the extraction chain,
       // and the two-batch index growth.
       val (b0, b1) = crawlFixture(s, dir)
-      val inDir = stageOrderedBatches("graft_crawl", Seq(b0, b1))
+      // staging and state seeding are independent writes — overlap them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val inDirF = Future { stageOrderedBatches("graft_crawl", Seq(b0, b1)) }
       val out = cleanupOnExit(
         java.nio.file.Files.createTempDirectory("graft_crawl_out")).toString
       val sign = crawlSign
       Dedup.initIncrementalState(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
         s"$out/state", sign, 12, 6)
+      val inDir = Await.result(inDirF, Duration.Inf)
       val stream = graft.streaming.Transforms.PathInput(
         inDir, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
       CleanPipeline.crawlStream(stream, s"$out/state", s"$out/verdicts",
@@ -1104,13 +1115,20 @@ private[graft] object AnalyticsEntries {
       val (b0, b1) = crawlFixture(s, dir)
       def files(b: DataFrame): DataFrame = graft.analytics.Warc.responseFiles(
         b, col("doc_id") % 4, col("doc_id"), col("html"), col("url"))
-      val inDir = stageOrderedBatches("graft_wcrawl", Seq(files(b0), files(b1)))
+      // staging and state seeding are independent writes — overlap them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val inDirF = Future {
+        stageOrderedBatches("graft_wcrawl", Seq(files(b0), files(b1)))
+      }
       val out = cleanupOnExit(
         java.nio.file.Files.createTempDirectory("graft_wcrawl_out")).toString
       val sign = crawlSign
       Dedup.initIncrementalState(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
         s"$out/state", sign, 12, 6)
+      val inDir = Await.result(inDirF, Duration.Inf)
       val stream = graft.streaming.Transforms.PathInput(
         inDir, files(b0).schema, maxFilesPerTrigger = Some(1)).stream(s)
       CleanPipeline.crawlStreamFromWarc(stream, s"$out/state",

@@ -171,7 +171,13 @@ private[graft] object MediaEntries {
         .select(col("doc_id")).as[java.lang.Long]
       val out = cleanupOnExit(
         java.nio.file.Files.createTempDirectory("graft_imgs_out")).toString
-      PngCodec.initImageState(PngCodec.synthPngMedia(corpusIds), s"$out/state")
+      // state seeding and batch staging are independent writes — overlap
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val seedF = Future {
+        PngCodec.initImageState(PngCodec.synthPngMedia(corpusIds), s"$out/state")
+      }
       val b0 = PngCodec.synthMediaWithLaw(
         ids(31, 900000000L), PngCodec.classPixelB).toDF()
       val b1 = PngCodec.synthMediaWithLaw(
@@ -187,6 +193,7 @@ private[graft] object MediaEntries {
         .unionByName(graft.analytics.JpegDqt.synthJpegMedia(
           ids(41, 700000000L)).toDF())
       val inDir = AnalyticsEntries.stageOrderedBatches("graft_imgs", Seq(b0, b1))
+      Await.result(seedF, Duration.Inf)
       val stream = graft.streaming.Transforms.PathInput(
         inDir, b0.schema, maxFilesPerTrigger = Some(1)).stream(s)
       PngCodec.imageFunnelStream(stream, s"$out/state", s"$out/verdicts",

@@ -502,14 +502,26 @@ private[graft] object SftMixtureEntries {
         .select(col("vec_id").as("src_id"), col("embedding"))
       val tgt = emb.where(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("tgt_id"), col("embedding"))
-      // pinned: the exact all-pairs leg feeds two actions (its own count
-      // and the recall join) — without the pin the full N×M product is
-      // mined twice
-      val exact = Bitext.marginMineExact(src, tgt, 4, 1000000L)
-        .select("src_id", "tgt_id").localCheckpoint(true)
-      val ivf = Bitext.marginMineIvf(src, tgt, 4, 1000000L, candK = 32,
-        nLists = 8, nProbe = 4)
-        .select("src_id", "tgt_id")
+      // The exact certification leg and the IVF production leg are
+      // independent pipelines until the final recall join — run them as
+      // overlapped jobs (guide §2.6). Both pinned: exact feeds two
+      // actions (its own count and the recall join); pinning the mined
+      // IVF pairs (a tiny table) lets its whole DAG evaluate inside the
+      // overlapped future instead of inside the sequential hit-count.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exactF = Future {
+        Bitext.marginMineExact(src, tgt, 4, 1000000L)
+          .select("src_id", "tgt_id").localCheckpoint(true)
+      }
+      val ivfF = Future {
+        Bitext.marginMineIvf(src, tgt, 4, 1000000L, candK = 32,
+          nLists = 8, nProbe = 4)
+          .select("src_id", "tgt_id").localCheckpoint(true)
+      }
+      val exact = Await.result(exactF, Duration.Inf)
+      val ivf = Await.result(ivfF, Duration.Inf)
       val n = exact.count()
       val hit = exact.join(ivf, Seq("src_id", "tgt_id")).count()
       Seq(("bt_margin_recall_ge_50", n, hit.toDouble / math.max(n, 1L) >= 0.5))
