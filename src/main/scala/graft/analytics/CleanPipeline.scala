@@ -226,11 +226,20 @@ object CleanPipeline {
       .select(col("doc_id"), col("keep").as("__gk"))
     val r = TextAnalysis.repetitionSignals(base, col("doc_id"), col("__text"))
       .select(col("doc_id"), col("keep").as("__rk"))
-    val bk = buckets.select(col("doc_id"), col("bucket")).pinned()
+    // The bucket table (LM train + two-phase rank lineage) is needed only
+    // by the FINAL funnel aggregate, not by the gate/dedup chain — pin it
+    // in an overlapped job (guide §2.6) and join it late, instead of
+    // serializing its materialization in front of the whole chain. Join
+    // order is the only change: buckets carry exactly one row per doc, so
+    // joining before or after the gates is row-identical.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bkF = Future { buckets.select(col("doc_id"), col("bucket")).pinned() }
     // The flag table is consumed by THREE actions (the shingle
     // materialization, the components' edge count, the final funnel
     // aggregate) — checkpoint it so the rule batteries evaluate once.
-    val flags = base.join(g, "doc_id").join(r, "doc_id").join(bk, "doc_id")
+    val flags = base.join(g, "doc_id").join(r, "doc_id")
       .pinned()
     // FineWeb dedups AFTER the quality gates: only rule survivors shingle
     val survivors = flags.where(col("__gk") && col("__rk"))
@@ -243,6 +252,7 @@ object CleanPipeline {
       .where(col("jaccard") >= threshold).select("doc_a", "doc_b")
     val comp = Dedup.connectedComponents(pairs, survivors.select("doc_id"))
     val lab = flags.join(comp, Seq("doc_id"), "left")
+      .join(Await.result(bkF, Duration.Inf), "doc_id")
     val kept = col("__gk") && col("__rk") && col("cluster_id") === col("doc_id")
     val fin = kept && col("bucket") =!= "tail"
     lab.agg(

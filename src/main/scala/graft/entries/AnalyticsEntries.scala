@@ -169,8 +169,12 @@ private[graft] object AnalyticsEntries {
       // shingling DAG (measured: the scan+distinct map stage ran ~12x,
       // 25 s vs 6 s for the checkpoint spelling, identical output).
       val sh = Dedup.shingled(docs, col("doc_id"), col("text"), 3).localCheckpoint(true)
-      val exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
-      val lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
+      // defs, not vals: both legs take eager internal pins at
+      // construction (the pruned-shingle and signature tables), and
+      // recallOf's by-name parameters overlap the full leg pipelines —
+      // a val binding would serialize the pins before the overlap starts
+      def exact = Dedup.ngramJaccardFromShingles(sh, 0.2, maxDf = 100).select("doc_a", "doc_b")
+      def lsh = Dedup.minHashNearDupsFromShingles(sh, 16, 8, 0.05).select("doc_a", "doc_b")
       // ONE evaluation of each DAG (the recallOf shape): the pair sets
       // are tiny; count + join-count would run both plans twice
       val (nExact, hit) = recallOf(exact, lsh)
@@ -203,8 +207,20 @@ private[graft] object AnalyticsEntries {
       import s.implicits._
       val emb = T(s, dir, "embeddings")
         .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
-      val exact = Similarity.cosineNearDupsExact(emb, 0.4).select("vec_a", "vec_b")
+      // Pin both pair sets: exact feeds THREE actions (its count, the
+      // hit join, the anti-join) and lsh two — unpinned, each action
+      // re-evaluated the full all-pairs / banded DAG. The two legs are
+      // independent pipelines, so their pins run overlapped (guide §2.6).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exactF = Future {
+        Similarity.cosineNearDupsExact(emb, 0.4).select("vec_a", "vec_b")
+          .localCheckpoint(true)
+      }
       val lsh = Similarity.cosineNearDups(emb, 64, 0.4).select("vec_a", "vec_b")
+        .localCheckpoint(true)
+      val exact = Await.result(exactF, Duration.Inf)
       val nExact = exact.count()
       val hit = exact.join(lsh, Seq("vec_a", "vec_b")).count()
       val spurious = lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti").count()
