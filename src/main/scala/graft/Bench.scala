@@ -242,7 +242,11 @@ object Bench {
     // line and in the committed BENCH_TIMES.json artifact. Additions only
     // — nothing is removed or renamed in the rich line.
     val slowest = results1.sortBy(-_._2).take(25)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // locale-independent formatting: the f-interpolator's %.3f writes
+        // a comma decimal under some locales, which breaks the JSON
+        s""""$k":${math.round(v * 1000.0) / 1000.0}""" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results1.size},"env_health_ratio":$envHealthJson,"slowest":$slowest,"sf":"$sfDir"}""")
     // Persist per-entry timings as a repo artifact: the driver truncates
     // long stdout lines, so round-over-round per-query regressions were
