@@ -222,7 +222,11 @@ object Bench {
     // degraded-phase refresh inflates every baseline 2-7x and blinds the
     // next round's regression gate (round-15 postmortem).
     val HealthyOverwriteMax = 1.5
-    val envHealthJson = envHealthRatio.fold("null")(r => f"$r%.3f")
+    // locale-independent: the f-interpolator's %.3f writes a comma
+    // decimal under some locales, breaking every JSON artifact this
+    // value is embedded in (including the compact driver line below)
+    val envHealthJson =
+      envHealthRatio.fold("null")(r => (math.round(r * 1000.0) / 1000.0).toString)
 
     val qs = results1.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

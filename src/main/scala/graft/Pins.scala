@@ -40,5 +40,6 @@ object Pins {
   }
 
   def unpin(dfs: DataFrame*): Unit =
-    dfs.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    dfs.foreach(df => try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () })
 }

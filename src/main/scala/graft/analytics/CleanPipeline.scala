@@ -229,9 +229,12 @@ object CleanPipeline {
     // The bucket table (LM train + two-phase rank lineage) is needed only
     // by the FINAL funnel aggregate, not by the gate/dedup chain — pin it
     // in an overlapped job (guide §2.6) and join it late, instead of
-    // serializing its materialization in front of the whole chain. Join
-    // order is the only change: buckets carry exactly one row per doc, so
-    // joining before or after the gates is row-identical.
+    // serializing its materialization in front of the whole chain. The
+    // reorder is row-identical BECAUSE buckets cover every doc with
+    // exactly one row (perplexityBuckets ranks the full corpus,
+    // unscorable docs sink to the tail); a partial-coverage bucket table
+    // would change which docs enter the dedup stage, so that coverage is
+    // a contract of this function, not an incidental property.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -326,19 +329,22 @@ object CleanPipeline {
               .otherwise(col("__dv")).as("verdict"),
             when(!col("__blocked") && !col("__lowq"), col("dup_of")).as("dup_of"))
           .pinned()
-        val accepted = ladder.where(col("verdict") === "new").select("doc_id")
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val outW = Future {
-          ladder.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }
-        Dedup.growIncrementalState(stateDir, batchId, eligible, batchBands, accepted)
-        Await.result(outW, Duration.Inf)
-        // free this micro-batch's pins deterministically — a long-running
-        // stream must not wait on the ContextCleaner (cluster path; the
-        // local checkpoint path is GC-freed either way)
-        graft.Pins.unpin(staged, batchBands, ladder)
+        try {
+          val accepted = ladder.where(col("verdict") === "new").select("doc_id")
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val outW = Future {
+            ladder.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
+          Dedup.growIncrementalState(stateDir, batchId, eligible, batchBands, accepted)
+          Await.result(outW, Duration.Inf)
+        } finally
+          // free this micro-batch's pins deterministically even on a failed
+          // trigger — a long-running stream must not wait on the
+          // ContextCleaner (cluster path; the local checkpoint path is
+          // GC-freed either way)
+          graft.Pins.unpin(staged, batchBands, ladder)
         ()
       }
       .start()

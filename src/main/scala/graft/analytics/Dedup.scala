@@ -591,22 +591,25 @@ object Dedup {
         // written parquet once per state write (two extra scans and a
         // serializing read-back between every micro-batch's jobs).
         val verdicts = verdicts0.pinned()
-        val accepted = verdicts.where(col("verdict") === "new").select("doc_id")
-        // The output write and the state growth are independent jobs over
-        // pinned inputs — overlap them (guide §2.6) instead of paying the
-        // per-job driver latency three times in sequence per micro-batch.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val outW = Future {
-          verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }
-        growIncrementalState(stateDir, batchId, batchDocs, batchBands, accepted)
-        Await.result(outW, Duration.Inf)
-        // free this micro-batch's pins deterministically — a long-running
-        // stream must not wait on the ContextCleaner (cluster path; the
-        // local checkpoint path is GC-freed either way)
-        graft.Pins.unpin(batchDocs, batchBands, verdicts)
+        try {
+          val accepted = verdicts.where(col("verdict") === "new").select("doc_id")
+          // The output write and the state growth are independent jobs over
+          // pinned inputs — overlap them (guide §2.6) instead of paying the
+          // per-job driver latency three times in sequence per micro-batch.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val outW = Future {
+            verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
+          growIncrementalState(stateDir, batchId, batchDocs, batchBands, accepted)
+          Await.result(outW, Duration.Inf)
+        } finally
+          // free this micro-batch's pins deterministically even on a failed
+          // trigger — a long-running stream must not wait on the
+          // ContextCleaner (cluster path; the local checkpoint path is
+          // GC-freed either way)
+          graft.Pins.unpin(batchDocs, batchBands, verdicts)
         ()
       }
       .start()

@@ -441,20 +441,23 @@ object PngCodec {
               .otherwise(lit("new")).as("verdict"),
             when(col("keep"), col("dup_of")).as("dup_of"))
           .pinned()
-        val admitted = verdicts.where(col("verdict") === "new").select("doc_id")
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val outW = Future {
-          verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }
-        hashes.join(admitted, "doc_id")
-          .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
-        Await.result(outW, Duration.Inf)
-        // free this micro-batch's pins deterministically — a long-running
-        // stream must not wait on the ContextCleaner (cluster path; the
-        // local checkpoint path is GC-freed either way)
-        graft.Pins.unpin(gh, verdicts)
+        try {
+          val admitted = verdicts.where(col("verdict") === "new").select("doc_id")
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val outW = Future {
+            verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
+          hashes.join(admitted, "doc_id")
+            .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
+          Await.result(outW, Duration.Inf)
+        } finally
+          // free this micro-batch's pins deterministically even on a failed
+          // trigger — a long-running stream must not wait on the
+          // ContextCleaner (cluster path; the local checkpoint path is
+          // GC-freed either way)
+          graft.Pins.unpin(gh, verdicts)
         ()
       }
       .start()

@@ -257,14 +257,28 @@ object Sft {
             when(col("prior_conv").isNotNull, col("prior_conv"))
               .when(col("conv_id") =!= col("batch_min"), col("batch_min"))
               .otherwise(lit(null).cast("long")).as("dup_of"))
+        // Pin the verdicts: the judge DAG evaluates ONCE and both the
+        // output write and the index growth read the pin — the old
+        // spelling re-READ the written parquet to recover admitted ids.
+        // The two writes are then independent jobs over pinned inputs,
+        // run overlapped (guide §2.6); pins freed even on a failed
+        // trigger (a long-running stream must not wait on the
+        // ContextCleaner on the cluster path).
         val invalid = flags.where(!col("ok")).select(col("conv_id"),
           lit("invalid").as("verdict"), lit(null).cast("long").as("dup_of"))
-        judged.unionByName(invalid)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val admitted = s.read.parquet(s"$outDir/batch=$batchId")
-          .where(col("verdict") === "new").select("conv_id")
-        sigs.join(admitted, Seq("conv_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$batchId")
+        val verdicts = judged.unionByName(invalid).pinned()
+        try {
+          val admitted = verdicts.where(col("verdict") === "new").select("conv_id")
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val outW = Future {
+            verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
+          sigs.join(admitted, Seq("conv_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$batchId")
+          Await.result(outW, Duration.Inf)
+        } finally graft.Pins.unpin(turns, flags, sigs, verdicts)
         ()
       }
       .start()

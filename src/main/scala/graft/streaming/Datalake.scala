@@ -214,9 +214,8 @@ object Datalake {
     // row counts — no per-output count() job after each write.
     val counts = routed.groupBy("_output").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val res = writeRouted(routed, basePath, counts)
-    graft.Pins.unpin(routed)
-    res
+    try writeRouted(routed, basePath, counts)
+    finally graft.Pins.unpin(routed)
   }
 
   /** The per-output append fan-out over an already-pinned routed batch
@@ -300,17 +299,18 @@ object Datalake {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val dlqW = if (nDlq == 0) None else Some(Future {
-      classified.where(col("error_code").isNotNull).drop("_schema_id")
-        .repartition(col("p_key"))
-        .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$DlqDir")
-    })
-    val main = writeRouted(
-      classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
-      basePath, counts)
-    dlqW.foreach(Await.result(_, Duration.Inf))
-    graft.Pins.unpin(classified)
-    if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
+    try {
+      val dlqW = if (nDlq == 0) None else Some(Future {
+        classified.where(col("error_code").isNotNull).drop("_schema_id")
+          .repartition(col("p_key"))
+          .write.mode("append").partitionBy("p_key").parquet(s"$basePath/$DlqDir")
+      })
+      val main = writeRouted(
+        classified.where(col("error_code").isNull).drop("error_code", "_schema_id"),
+        basePath, counts)
+      dlqW.foreach(Await.result(_, Duration.Inf))
+      if (nDlq > 0) main :+ (DlqDir -> nDlq) else main
+    } finally graft.Pins.unpin(classified)
   }
 
   /**

@@ -86,6 +86,16 @@ class NioCheckpointFileManager(base: Path, conf: Configuration)
               Files.deleteIfExists(tmp)
               throw new org.apache.hadoop.fs.FileAlreadyExistsException(
                 s"rename destination already exists: $dst")
+            case _: UnsupportedOperationException =>
+              // file:-scheme mount without hard links (vfat/FUSE-class):
+              // fall back to check-then-rename — the same (non-atomic)
+              // existence contract the default manager provides
+              if (Files.exists(dst)) {
+                Files.deleteIfExists(tmp)
+                throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                  s"rename destination already exists: $dst")
+              }
+              Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
           }
           Files.deleteIfExists(tmp)
         }

@@ -164,26 +164,29 @@ object Transforms {
         // AQE they race a lazily-filled InMemoryRelation and recompute the
         // batch (including the guest-VM transform) once each
         val df = batch.toDF("_output", "_value").pinned()
-        val outputs = df.select("_output").distinct().collect().map(_.getString(0)).sorted
-        // independent appends over the pinned batch — overlap them
-        // (guide §2.6) instead of paying per-job driver latency N times
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        outputs.map { o =>
-          Future {
-            val rows = df.where(col("_output") === o)
-            val payload = rows.schema("_value").dataType match {
-              case _: StructType => rows.select("_value.*")
-              case _             => rows.select(col("_value").as("value"))
+        try {
+          val outputs = df.select("_output").distinct().collect().map(_.getString(0)).sorted
+          // independent appends over the pinned batch — overlap them
+          // (guide §2.6) instead of paying per-job driver latency N times
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          outputs.map { o =>
+            Future {
+              val rows = df.where(col("_output") === o)
+              val payload = rows.schema("_value").dataType match {
+                case _: StructType => rows.select("_value.*")
+                case _             => rows.select(col("_value").as("value"))
+              }
+              payload.write.mode("append").parquet(s"$basePath/$o")
             }
-            payload.write.mode("append").parquet(s"$basePath/$o")
-          }
-        }.foreach(Await.result(_, Duration.Inf))
-        // free this micro-batch's pin deterministically — a long-running
-        // stream must not wait on the ContextCleaner (cluster path; the
-        // local checkpoint path is GC-freed either way)
-        graft.Pins.unpin(df)
+          }.foreach(Await.result(_, Duration.Inf))
+        } finally
+          // free this micro-batch's pin deterministically even on a failed
+          // trigger — a long-running stream must not wait on the
+          // ContextCleaner (cluster path; the local checkpoint path is
+          // GC-freed either way)
+          graft.Pins.unpin(df)
       }
       .start()
   }
